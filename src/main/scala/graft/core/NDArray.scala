@@ -1,0 +1,188 @@
+package graft.core
+
+/** Element dtypes supported by the cube engine, mirroring the dtype surface
+  * the reference exercises (float64/int64/int32 data, datetime64[ns] time,
+  * float32 for promotion tests — aggregation.py:135-136, FIXTURES.md §1).
+  * Time is carried as encoded int64 + units/calendar attrs (CF convention),
+  * so M8ns shares the Long storage class.
+  */
+sealed abstract class DType(val name: String, val byteSize: Int)
+object DType {
+  case object I4 extends DType("int32", 4)
+  case object I8 extends DType("int64", 8)
+  case object F4 extends DType("float32", 4)
+  case object F8 extends DType("float64", 8)
+  case object M8ns extends DType("datetime64[ns]", 8)
+
+  val all: Seq[DType] = Seq(I4, I8, F4, F8, M8ns)
+  def fromName(n: String): DType = all.find(_.name == n).getOrElse(
+    throw new IllegalArgumentException(s"Unknown dtype $n"))
+
+  /** np.promote_types for the supported lattice (aggregation.py:135-136).
+    * Note numpy promotes int64+float32 -> float64 (not float32). */
+  def promote(a: DType, b: DType): DType = (a, b) match {
+    case (x, y) if x == y => x
+    case (M8ns, _) | (_, M8ns) =>
+      throw new IllegalArgumentException(s"Cannot promote ${a.name} with ${b.name}")
+    case (I4, I8) | (I8, I4) => I8
+    case (I4, F4) | (F4, I4) => F8 // numpy: i4+f4 -> f8
+    case (I8, F4) | (F4, I8) => F8
+    case (I4, F8) | (F8, I4) => F8
+    case (I8, F8) | (F8, I8) => F8
+    case (F4, F8) | (F8, F4) => F8
+    case _ => throw new IllegalArgumentException(s"Cannot promote ${a.name} with ${b.name}")
+  }
+}
+
+/** Dense row-major n-dimensional array over a primitive JVM array.
+  * The heavy ops the pipeline needs — rectangular slice (ds.isel) and
+  * block assignment (xr.combine_nested's concat) — are implemented as
+  * System.arraycopy runs over the innermost dimension.
+  */
+final class NDArray(val dtype: DType, val shape: Vector[Int], val data: AnyRef)
+    extends Serializable {
+  require(NDArray.sizeOf(shape) == java.lang.reflect.Array.getLength(data),
+    s"shape $shape does not match data length ${java.lang.reflect.Array.getLength(data)}")
+
+  def size: Int = NDArray.sizeOf(shape)
+  def ndim: Int = shape.length
+
+  /** Row-major strides in elements. */
+  def strides: Vector[Int] =
+    shape.scanRight(1)(_ * _).tail
+
+  /** Rectangular slice (copy). `slices` must cover every dim. */
+  def slice(slices: Vector[Slc]): NDArray = {
+    require(slices.length == ndim, s"need $ndim slices, got ${slices.length}")
+    slices.zip(shape).foreach { case (s, dim) =>
+      require(s.start >= 0 && s.stop <= dim && s.stop >= s.start, s"slice $s out of range $dim") }
+    val outShape = slices.map(_.length)
+    val out = NDArray.alloc(dtype, NDArray.sizeOf(outShape))
+    NDArray.copyRegion(
+      src = data, srcShape = shape, srcStart = slices.map(_.start),
+      dst = out, dstShape = outShape, dstStart = Vector.fill(ndim)(0),
+      region = outShape)
+    new NDArray(dtype, outShape, out)
+  }
+
+  /** Write `block` into this array at offset `starts` (region write). */
+  def assign(starts: Vector[Int], block: NDArray): Unit = {
+    require(block.ndim == ndim)
+    NDArray.copyRegion(
+      src = block.data, srcShape = block.shape, srcStart = Vector.fill(ndim)(0),
+      dst = data, dstShape = shape, dstStart = starts,
+      region = block.shape)
+  }
+
+  def getDouble(flat: Int): Double = data match {
+    case a: Array[Double] => a(flat)
+    case a: Array[Float] => a(flat).toDouble
+    case a: Array[Long] => a(flat).toDouble
+    case a: Array[Int] => a(flat).toDouble
+  }
+
+  def getLong(flat: Int): Long = data match {
+    case a: Array[Long] => a(flat)
+    case a: Array[Int] => a(flat).toLong
+    case a: Array[Double] => a(flat).toLong
+    case a: Array[Float] => a(flat).toLong
+  }
+
+  /** Cast (copy) to another dtype along the promotion lattice. */
+  def astype(to: DType): NDArray =
+    if (to == dtype) this
+    else {
+      val out = NDArray.alloc(to, size)
+      var i = 0
+      (to, out) match {
+        case (DType.F8, o: Array[Double]) => while (i < size) { o(i) = getDouble(i); i += 1 }
+        case (DType.F4, o: Array[Float]) => while (i < size) { o(i) = getDouble(i).toFloat; i += 1 }
+        case (DType.I8, o: Array[Long]) => while (i < size) { o(i) = getLong(i); i += 1 }
+        case (DType.M8ns, o: Array[Long]) => while (i < size) { o(i) = getLong(i); i += 1 }
+        case (DType.I4, o: Array[Int]) => while (i < size) { o(i) = getLong(i).toInt; i += 1 }
+        case _ => throw new IllegalStateException(s"bad cast $dtype -> $to")
+      }
+      new NDArray(to, shape, out)
+    }
+
+  /** Exact element equality (bitwise for floats; NaN == NaN). */
+  def sameElements(other: NDArray): Boolean =
+    dtype == other.dtype && shape == other.shape && {
+      (data, other.data) match {
+        case (a: Array[Double], b: Array[Double]) =>
+          a.indices.forall(i => java.lang.Double.doubleToLongBits(a(i)) ==
+            java.lang.Double.doubleToLongBits(b(i)))
+        case (a: Array[Float], b: Array[Float]) =>
+          a.indices.forall(i => java.lang.Float.floatToIntBits(a(i)) ==
+            java.lang.Float.floatToIntBits(b(i)))
+        case (a: Array[Long], b: Array[Long]) => java.util.Arrays.equals(a, b)
+        case (a: Array[Int], b: Array[Int]) => java.util.Arrays.equals(a, b)
+        case _ => false
+      }
+    }
+
+  override def toString: String = s"NDArray(${dtype.name}, shape=$shape)"
+}
+
+object NDArray {
+  def sizeOf(shape: Vector[Int]): Int = shape.product
+
+  def alloc(dtype: DType, n: Int): AnyRef = dtype match {
+    case DType.I4 => new Array[Int](n)
+    case DType.I8 | DType.M8ns => new Array[Long](n)
+    case DType.F4 => new Array[Float](n)
+    case DType.F8 => new Array[Double](n)
+  }
+
+  def zeros(dtype: DType, shape: Vector[Int]): NDArray =
+    new NDArray(dtype, shape, alloc(dtype, sizeOf(shape)))
+
+  def apply(dtype: DType, shape: Vector[Int], data: AnyRef): NDArray =
+    new NDArray(dtype, shape, data)
+
+  def ofDoubles(shape: Vector[Int], data: Array[Double]): NDArray =
+    new NDArray(DType.F8, shape, data)
+  def ofLongs(shape: Vector[Int], data: Array[Long]): NDArray =
+    new NDArray(DType.I8, shape, data)
+  def ofInts(shape: Vector[Int], data: Array[Int]): NDArray =
+    new NDArray(DType.I4, shape, data)
+  def ofFloats(shape: Vector[Int], data: Array[Float]): NDArray =
+    new NDArray(DType.F4, shape, data)
+
+  /** Copy an n-D rectangular region between two row-major arrays via
+    * arraycopy runs over the innermost dimension. */
+  def copyRegion(src: AnyRef, srcShape: Vector[Int], srcStart: Vector[Int],
+                 dst: AnyRef, dstShape: Vector[Int], dstStart: Vector[Int],
+                 region: Vector[Int]): Unit = {
+    val ndim = srcShape.length
+    require(dstShape.length == ndim && region.length == ndim)
+    if (region.contains(0)) return
+    val srcStrides = srcShape.scanRight(1)(_ * _).tail
+    val dstStrides = dstShape.scanRight(1)(_ * _).tail
+    if (ndim == 0) { System.arraycopy(src, 0, dst, 0, 1); return }
+    val runLen = region(ndim - 1)
+    // iterate over all outer-dim combinations
+    val outer = region.dropRight(1)
+    val counter = Array.fill(math.max(outer.length, 0))(0)
+    var done = false
+    while (!done) {
+      var srcOff = srcStart(ndim - 1)
+      var dstOff = dstStart(ndim - 1)
+      var d = 0
+      while (d < outer.length) {
+        srcOff += (srcStart(d) + counter(d)) * srcStrides(d)
+        dstOff += (dstStart(d) + counter(d)) * dstStrides(d)
+        d += 1
+      }
+      System.arraycopy(src, srcOff, dst, dstOff, runLen)
+      // increment counter
+      var k = outer.length - 1
+      var carry = true
+      while (carry && k >= 0) {
+        counter(k) += 1
+        if (counter(k) == outer(k)) { counter(k) = 0; k -= 1 } else carry = false
+      }
+      if (carry) done = true
+    }
+  }
+}

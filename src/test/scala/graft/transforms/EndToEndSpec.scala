@@ -1,0 +1,146 @@
+package graft.transforms
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{Encoders, SparkSession}
+import graft.core._
+import graft.core.GoldenCube
+import graft.patterns.{FilePattern, FileType}
+import graft.zarr.ZarrGroup
+import java.nio.file.Files
+
+/** The flagship golden round-trip (tests/test_end_to_end.py:37-134 in Spark
+  * clothes): split the golden cube into per-file Zarr fragments on disk,
+  * run pattern → open → StoreToZarr through real Spark shuffles, reopen the
+  * store with our reader, and require exact equality with the original cube.
+  */
+class EndToEndSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-e2e")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String = Files.createTempDirectory("graft_e2e").toString
+
+  /** Write each fragment as a little Zarr group (the test-backbone file
+    * format) and return the file paths. */
+  private def writeFragmentFiles(frags: Vector[Fragment], dir: String): Vector[String] =
+    frags.zipWithIndex.map { case (f, i) =>
+      val path = s"$dir/frag_$i.zarr"
+      val g = ZarrGroup(path)
+      g.initGroup(f.attrs)
+      f.allVars.foreach { case (name, v) =>
+        g.createArray(name, v.shape, v.shape, v.dtype, v.attrs,
+          dimensionNames = Some(v.dims))
+        g.writeRegion(name, Vector.fill(v.data.ndim)(0), v.data)
+      }
+      path
+    }
+
+  private def runStoreToZarr(nt: Int, daysPerFile: Int,
+                             targetChunks: Map[String, Int]): Unit = {
+    val cube = GoldenCube.makeDs(nt)
+    val dir = tmp()
+    val files = writeFragmentFiles(GoldenCube.splitByTime(cube, daysPerFile), dir)
+    val pattern = FilePattern.fromFileSequence(files, "time",
+      nitemsPerFile = Some(daysPerFile), fileType = FileType.Zarr)
+
+    val items = Pipelines.createItems(spark, pattern)
+    val frags = Pipelines.openWithFragments(items, FileType.Zarr)
+    val storePath = s"$dir/store.zarr"
+    Pipelines.storeToZarr(frags, pattern.combineDimKeys, storePath, targetChunks)
+
+    val result = ZarrGroup(storePath).readFragment()
+    assert(result.sameAs(cube), s"round-trip mismatch nt=$nt dpf=$daysPerFile tc=$targetChunks")
+    // verify the target chunking landed on disk
+    targetChunks.foreach { case (d, c) =>
+      val meta = ZarrGroup(storePath).arrayMeta("foo")
+      val di = meta.dimensionNames.indexOf(d)
+      if (di >= 0) assert(meta.chunks(di) == c)
+    }
+  }
+
+  test("1 day/file, target chunks time=1,2,3") {
+    Seq(1, 2, 3).foreach(tc => runStoreToZarr(10, 1, Map("time" -> tc)))
+  }
+
+  test("2 days/file, target chunks time=3 (misaligned with files)") {
+    runStoreToZarr(10, 2, Map("time" -> 3))
+  }
+
+  test("multidim target chunks") {
+    runStoreToZarr(10, 2, Map("time" -> 4, "lat" -> 9))
+  }
+
+  test("merge dim pipeline: per-variable files union widthwise") {
+    val cube = GoldenCube.makeDs(6)
+    val dir = tmp()
+    val timeDim = Dimension("time", CombineOp.Concat)
+    val varDim = Dimension("variable", CombineOp.Merge)
+    val byTime = GoldenCube.splitByTime(cube, 2)
+    // file matrix: variable × time-slab
+    val varNames = Vector("foo", "bar")
+    var files = Map.empty[(Int, Int), String]
+    varNames.zipWithIndex.foreach { case (vn, vi) =>
+      byTime.zipWithIndex.foreach { case (slab, ti) =>
+        val one = slab.copy(dataVars = Map(vn -> slab.dataVars(vn)))
+        val p = writeFragmentFiles(Vector(one), s"$dir/v${vi}_t$ti").head
+        files += (vi, ti) -> p
+      }
+    }
+    val pattern = FilePattern(
+      kw => files((varNames.indexOf(kw("variable")), kw("time").toInt)),
+      Vector(
+        graft.patterns.MergeDim("variable", varNames),
+        graft.patterns.ConcatDim("time", (0 until 3).map(_.toString).toVector, Some(2))),
+      fileType = FileType.Zarr)
+
+    val items = Pipelines.createItems(spark, pattern)
+    val frags = Pipelines.openWithFragments(items, FileType.Zarr)
+    val storePath = s"$dir/store.zarr"
+    Pipelines.storeToZarr(frags, pattern.combineDimKeys, storePath, Map("time" -> 2))
+    val result = ZarrGroup(storePath).readFragment()
+    assert(result.sameAs(cube))
+  }
+
+  test("append: 10 + 10 days equals the 20-day cube") {
+    val cube20 = GoldenCube.makeDs(20)
+    val first = cube20.isel(Map("time" -> Slc(0, 10)))
+    val second = cube20.isel(Map("time" -> Slc(10, 20)))
+    val dir = tmp()
+    val storePath = s"$dir/store.zarr"
+
+    def run(frag: Fragment, append: Boolean): Unit = {
+      val files = writeFragmentFiles(GoldenCube.splitByTime(frag, 2), s"$dir/in_$append")
+      val pattern = FilePattern.fromFileSequence(files, "time",
+        nitemsPerFile = Some(2), fileType = FileType.Zarr)
+      val items = Pipelines.createItems(spark, pattern)
+      val frags = Pipelines.openWithFragments(items, FileType.Zarr)
+      Pipelines.storeToZarr(frags, pattern.combineDimKeys, storePath,
+        Map("time" -> 2), appendDim = if (append) Some("time") else None)
+    }
+    run(first, append = false)
+    run(second, append = true)
+    val result = ZarrGroup(storePath).readFragment()
+    assert(result.sameAs(cube20))
+  }
+
+  test("dynamic chunking fn") {
+    val cube = GoldenCube.makeDs(8)
+    val dir = tmp()
+    val files = writeFragmentFiles(GoldenCube.splitByTime(cube, 2), dir)
+    val pattern = FilePattern.fromFileSequence(files, "time",
+      nitemsPerFile = Some(2), fileType = FileType.Zarr)
+    val items = Pipelines.createItems(spark, pattern)
+    val frags = Pipelines.openWithFragments(items, FileType.Zarr)
+    val storePath = s"$dir/store.zarr"
+    Pipelines.storeToZarr(frags, pattern.combineDimKeys, storePath,
+      dynamicChunkingFn = Some(template => Map("time" -> template.dims("time") / 2)))
+    val meta = ZarrGroup(storePath).arrayMeta("foo")
+    assert(meta.chunks(meta.dimensionNames.indexOf("time")) == 4)
+    assert(ZarrGroup(storePath).readFragment().sameAs(cube))
+  }
+}

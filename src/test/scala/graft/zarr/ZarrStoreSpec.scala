@@ -1,0 +1,108 @@
+package graft.zarr
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.core.GoldenCube
+import java.nio.file.Files
+
+/** Writer tests at the chunk-key level — port of tests/test_writers.py:31-160
+  * (which chunk files exist after each write, alignment errors, round-trip). */
+class ZarrStoreSpec extends AnyFunSuite {
+
+  private def tmp(): String =
+    Files.createTempDirectory("zarr_spec").toString
+
+  test("array metadata + full round-trip") {
+    val g = ZarrGroup(tmp())
+    g.initGroup(Map("conventions" -> AttrValue("CF 1.6")))
+    val data = NDArray(DType.F8, Vector(4, 6), Array.tabulate(24)(_.toDouble))
+    g.createArray("foo", Vector(4, 6), Vector(2, 3), DType.F8,
+      Map("long_name" -> AttrValue("Fantastic Foo")),
+      dimensionNames = Some(Vector("t", "x")))
+    g.writeRegion("foo", Vector(0, 0), data)
+    val back = g.readArray("foo")
+    assert(back.sameElements(data))
+    val meta = g.arrayMeta("foo")
+    assert(meta.shape == Vector(4, 6) && meta.chunks == Vector(2, 3))
+    assert(meta.dimensionNames == Vector("t", "x"))
+    assert(meta.attrs("long_name") == AttrValue.AStr("Fantastic Foo"))
+    assert(g.groupAttrs("conventions") == AttrValue.AStr("CF 1.6"))
+  }
+
+  test("chunk-key layout matches the v3 default encoding (c/<i>/<j>)") {
+    val root = tmp()
+    val g = ZarrGroup(root)
+    g.initGroup(Attrs.empty)
+    // time dim 10, chunks of 2 -> keys time/c/0..4 (test_writers.py:42-56)
+    g.createArray("time", Vector(10), Vector(2), DType.I8,
+      Attrs.empty, dimensionNames = Some(Vector("time")))
+    g.writeRegion("time", Vector(0),
+      NDArray(DType.I8, Vector(10), Array.tabulate(10)(_.toLong)))
+    (0 to 4).foreach { i =>
+      assert(Files.exists(java.nio.file.Paths.get(root, "time", "c", i.toString)),
+        s"missing chunk time/c/$i")
+    }
+  }
+
+  test("partial region writes only touch their chunks") {
+    val root = tmp()
+    val g = ZarrGroup(root)
+    g.initGroup(Attrs.empty)
+    g.createArray("v", Vector(10), Vector(2), DType.F8, Attrs.empty,
+      dimensionNames = Some(Vector("t")))
+    g.writeRegion("v", Vector(4),
+      NDArray(DType.F8, Vector(2), Array(1.0, 2.0)))
+    assert(!g.chunkExists("v", Vector(0)))
+    assert(!g.chunkExists("v", Vector(1)))
+    assert(g.chunkExists("v", Vector(2)))
+    assert(!g.chunkExists("v", Vector(3)))
+  }
+
+  test("unaligned region write raises (writers.py:50-53)") {
+    val g = ZarrGroup(tmp())
+    g.initGroup(Attrs.empty)
+    g.createArray("v", Vector(10), Vector(4), DType.F8, Attrs.empty)
+    val e = intercept[IllegalArgumentException] {
+      g.writeRegion("v", Vector(2), NDArray(DType.F8, Vector(4), new Array[Double](4)))
+    }
+    assert(e.getMessage.contains("does not align with Zarr chunks"))
+  }
+
+  test("remainder chunk at array edge") {
+    val g = ZarrGroup(tmp())
+    g.initGroup(Attrs.empty)
+    g.createArray("v", Vector(10), Vector(4), DType.I4, Attrs.empty)
+    val data = NDArray(DType.I4, Vector(10), Array.tabulate(10)(identity))
+    g.writeRegion("v", Vector(0), data)
+    assert(g.readArray("v").sameElements(data))
+  }
+
+  test("fragment round-trip incl coords/dims classification") {
+    val cube = GoldenCube.makeDs(6)
+    val g = ZarrGroup(tmp())
+    g.initGroup(cube.attrs)
+    cube.allVars.foreach { case (name, v) =>
+      g.createArray(name, v.shape, v.shape, v.dtype, v.attrs,
+        dimensionNames = Some(v.dims))
+      g.writeRegion(name, Vector.fill(v.data.ndim)(0), v.data)
+    }
+    val back = g.readFragment()
+    assert(back.coords.keySet == Set("time", "lat", "lon"))
+    assert(back.dataVars.keySet == Set("foo", "bar"))
+    assert(back.sameAs(cube))
+  }
+
+  test("consolidateDimensionCoordinates rewrites dim coords as one chunk") {
+    val g = ZarrGroup(tmp())
+    g.initGroup(Attrs.empty)
+    g.createArray("time", Vector(10), Vector(2), DType.I8, Attrs.empty,
+      dimensionNames = Some(Vector("time")))
+    val data = NDArray(DType.I8, Vector(10), Array.tabulate(10)(_.toLong))
+    g.writeRegion("time", Vector(0), data)
+    g.consolidateDimensionCoordinates()
+    assert(g.arrayMeta("time").chunks == Vector(10))
+    assert(g.readArray("time").sameElements(data))
+    assert(g.chunkExists("time", Vector(0)))
+    assert(!g.chunkExists("time", Vector(4)))
+  }
+}
