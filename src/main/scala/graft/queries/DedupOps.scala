@@ -1,0 +1,261 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents`: exact (hash groupBy), word
+  * n-gram Jaccard, MinHash signatures + LSH banding, SimHash.
+  *
+  * Scale design: every variant is expressed as explode → shuffle-on-key →
+  * agg, never a cross join. Candidate pairs come from equi-joins on shingle /
+  * band / simhash keys, so the quadratic blowup is bounded by true collision
+  * groups — the standard web-scale dedup shape. Hashes are md5-derived 60-bit
+  * ints (identical in Spark and the DuckDB oracle); minhash permutations are
+  * (a*x+b) mod p with p=2^31-1 and deterministic (a_j, b_j).
+  */
+object DedupOps {
+  import Tables._
+
+  private val P = 2147483647L // 2^31 - 1
+  private val NumHashes = 16
+  private val Bands = 4 // 4 bands x 4 rows
+  /** Deterministic permutation constants (odd multipliers, fixed seeds). */
+  private val As: Vector[Long] =
+    (0 until NumHashes).map(j => ((1103515245L * (j + 1) + 12345L) % P) | 1L).toVector
+  private val Bs: Vector[Long] =
+    (0 until NumHashes).map(j => (69069L * (j + 7)) % P).toVector
+
+  /** 60-bit md5 integer of a string column (same on both engines). */
+  private def h60(c: String): String =
+    s"cast(conv(substring(md5($c), 1, 15), 16, 10) as bigint)"
+  private def h60Duck(c: String): String =
+    s"('0x' || substr(md5($c), 1, 15))::BIGINT"
+
+  /** Exact dedup: hash-groupBy on content. */
+  def d01ExactDedup(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_unique"),
+        sum(col("n_copies")).as("n_total"),
+        sum(when(col("n_copies") > 1, col("n_copies") - 1).otherwise(0L))
+          .as("n_dropped"))
+
+  val d01Sql: String =
+    """WITH g AS (
+      |  SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,
+      |    COUNT(*) AS n_copies
+      |  FROM documents GROUP BY 1)
+      |SELECT COUNT(*) AS n_unique, CAST(SUM(n_copies) AS BIGINT) AS n_total,
+      |  CAST(SUM(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS BIGINT) AS n_dropped
+      |FROM g""".stripMargin
+
+  /** Word-trigram shingle table: (doc_id, g) distinct. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("g", explode(expr(
+        "transform(sequence(1, greatest(size(words) - 2, 1)), " +
+          "i -> concat_ws(' ', slice(words, i, 3)))")))
+      .select("doc_id", "g").distinct()
+
+  private val shinglesSql: String =
+    """SELECT DISTINCT doc_id, unnest(list_transform(
+      |    range(1, greatest(len(words) - 2, 1) + 1),
+      |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS g
+      |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)""".stripMargin
+
+  /** n-gram Jaccard near-dup pairs: equi-join on shared shingles (candidate
+    * generation), then |A∩B| / (|A|+|B|-|A∩B|) from exact integer counts. */
+  def d02NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d).cache()
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"), Seq("g"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard", round(col("inter").cast("double")
+        / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "inter", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val d02Sql: String =
+    s"""WITH sh AS ($shinglesSql),
+       |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter,
+       |  ROUND(inter::DOUBLE / (ca.n + cb.n - inter), 4) AS jaccard
+       |FROM pairs JOIN counts ca ON doc_a = ca.doc_id
+       |JOIN counts cb ON doc_b = cb.doc_id
+       |WHERE ROUND(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** MinHash signature matrix: 16 permutations, min over shingle hashes. */
+  def d03MinhashSig(s: SparkSession, d: String): DataFrame = {
+    val hashed = shingles(s, d)
+      .withColumn("x", expr(h60("g")) % P)
+    val aggs = (0 until NumHashes).map(j =>
+      min((col("x") * As(j) + Bs(j)) % P).as(s"h$j"))
+    hashed.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("doc_id")
+  }
+
+  val d03Sql: String = {
+    val hs = (0 until NumHashes).map(j =>
+      s"MIN((x * ${As(j)} + ${Bs(j)}) % $P) AS h$j").mkString(",\n  ")
+    s"""WITH sh AS ($shinglesSql),
+       |hx AS (SELECT doc_id, ${h60Duck("g")} % $P AS x FROM sh)
+       |SELECT doc_id,
+       |  $hs
+       |FROM hx GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** LSH banding: md5 over each 4-hash band, bucket-join for candidates,
+    * verify with the estimated similarity (fraction of equal minhashes). */
+  def d04MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sig = d03MinhashSig(s, d)
+    val bandCols = (0 until Bands).map { b =>
+      val cols = (b * 4 until b * 4 + 4).map(j => s"cast(h$j as string)")
+      expr(s"md5(concat_ws(',', ${cols.mkString(", ")}))").as(s"band$b")
+    }
+    val banded = sig.select(col("doc_id") +: (0 until NumHashes).map(j => col(s"h$j"))
+      ++: bandCols: _*)
+    // candidates: equal band hash in any band
+    val cand = (0 until Bands).map { b =>
+      val outCols = Seq(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")) ++
+        (0 until NumHashes).map(j =>
+          when(col(s"a.h$j") === col(s"b.h$j"), 1).otherwise(0).as(s"eq$j"))
+      banded.as("a").join(banded.as("b"),
+          col(s"a.band$b") === col(s"b.band$b") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(outCols: _*)
+    }.reduce(_ unionAll _).distinct()
+    cand
+      .withColumn("est_sim", round(
+        (0 until NumHashes).map(j => col(s"eq$j")).reduce(_ + _)
+          .cast("double") / NumHashes, 4))
+      .select("doc_a", "doc_b", "est_sim")
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val d04Sql: String = {
+    val eqSum = (0 until NumHashes).map(j =>
+      s"CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END").mkString(" + ")
+    val bandExprs = (0 until Bands).map { b =>
+      val cols = (b * 4 until b * 4 + 4).map(j => s"CAST(h$j AS VARCHAR)")
+      s"md5(concat_ws(',', ${cols.mkString(", ")})) AS band$b"
+    }.mkString(",\n  ")
+    val joinCond = (0 until Bands).map(b => s"a.band$b = b.band$b").mkString(" OR ")
+    s"""WITH sig AS (${d03Sql.replace("ORDER BY doc_id", "")}),
+       |banded AS (SELECT *,
+       |  $bandExprs
+       |FROM sig)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  ROUND(($eqSum)::DOUBLE / $NumHashes, 4) AS est_sim
+       |FROM banded a JOIN banded b
+       |  ON a.doc_id < b.doc_id AND ($joinCond)
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** 32-bit SimHash from token hashes weighted by term frequency. */
+  def d05Simhash(s: SparkSession, d: String): DataFrame = {
+    val tokens = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("x", expr(h60("token")))
+    val bitSums = (0 until 32).map(j =>
+      sum(when(expr(s"(x div ${1L << j}) % 2") === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"s$j"))
+    val perDoc = tokens.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 32).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
+    perDoc.select(col("doc_id"), simhash.as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val d05Sql: String = {
+    val bitSums = (0 until 32).map(j =>
+      s"SUM(CASE WHEN (x // ${1L << j}) % 2 = 1 THEN tf ELSE -tf END) AS s$j")
+      .mkString(",\n  ")
+    val simhash = (0 until 32).map(j =>
+      s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, token, COUNT(*) AS tf, ${h60Duck("token")} AS x
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+       |  GROUP BY doc_id, token
+       |), bits AS (
+       |  SELECT doc_id,
+       |  $bitSums
+       |  FROM tok GROUP BY doc_id)
+       |SELECT doc_id, CAST($simhash AS BIGINT) AS simhash
+       |FROM bits ORDER BY doc_id""".stripMargin
+  }
+
+  /** SimHash near-dup pairs by Hamming distance over the banded join
+    * (bucket on 8-bit sub-bands to avoid the cross join, like LSH). */
+  def d06SimhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = d05Simhash(s, d)
+    val bandedCols = Seq(col("doc_id"), col("simhash")) ++
+      (0 until 4).map(b =>
+        expr(s"(simhash div ${1L << (b * 8)}) % 256").as(s"sb$b"))
+    val banded = sh.select(bandedCols: _*)
+    val cand = (0 until 4).map { b =>
+      banded.as("a").join(banded.as("b"),
+          col(s"a.sb$b") === col(s"b.sb$b") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+    }.reduce(_ unionAll _).distinct()
+    cand
+      .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as bigint)"))
+      .filter(col("hamming") <= 6)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val d06Sql: String = {
+    val bands = (0 until 4).map(b =>
+      s"(simhash // ${1L << (b * 8)}) % 256 AS sb$b").mkString(", ")
+    val joinCond = (0 until 4).map(b => s"a.sb$b = b.sb$b").mkString(" OR ")
+    s"""WITH sh AS (${d05Sql.replace("ORDER BY doc_id", "")}),
+       |banded AS (SELECT doc_id, simhash, $bands FROM sh)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+       |FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ($joinCond)
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> d01ExactDedup _,
+    "d02_ngram_jaccard" -> d02NgramJaccard _,
+    "d03_minhash_sig" -> d03MinhashSig _,
+    "d04_minhash_lsh" -> d04MinhashLsh _,
+    "d05_simhash" -> d05Simhash _,
+    "d06_simhash_pairs" -> d06SimhashPairs _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup" -> d01Sql,
+    "d02_ngram_jaccard" -> d02Sql,
+    "d03_minhash_sig" -> d03Sql,
+    "d04_minhash_lsh" -> d04Sql,
+    "d05_simhash" -> d05Sql,
+    "d06_simhash_pairs" -> d06Sql,
+  )
+}

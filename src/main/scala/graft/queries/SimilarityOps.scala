@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float] vectors).
+  *
+  * Determinism contract with the DuckDB oracle: vectors are quantized
+  * per-element to integers (round(x*1000)) so dot products and norms are
+  * exact integer sums — associative, shuffle-order-proof — and the final
+  * cosine is a single double division + sqrt (bit-identical in both engines).
+  *
+  * Scale design: s01 is the brute-force baseline (broadcast the query set,
+  * score in one scan, per-query top-k via window); s02 is the LSH-bucketed
+  * path — random-hyperplane signatures bucket the corpus so candidate
+  * scoring touches only same-bucket vectors, the standard ANN shape when
+  * brute force stops fitting. At 100 TB the bucket join replaces the
+  * all-pairs product with per-bucket locality.
+  */
+object SimilarityOps {
+  import Tables._
+
+  private val Dim = 64
+  private val Scale = 1000
+  private val NumQueries = 10
+  private val TopK = 5
+
+  /** Quantized embedding column (array<bigint>). */
+  private val qEmb =
+    s"transform(embedding, x -> cast(round(cast(x as double) * $Scale) as bigint))"
+  private val qEmbDuck =
+    s"list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * $Scale) AS BIGINT))"
+
+  /** Exact integer dot product of two quantized vectors (Spark SQL). */
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+
+  private def normExpr(a: String): String =
+    s"aggregate(transform($a, x -> x * x), 0L, (acc, v) -> acc + v)"
+
+  /** Brute-force cosine top-k: queries = vec_id < NumQueries (broadcast),
+    * scored against the full corpus in one scan. */
+  def s01CosineTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).withColumn("q", expr(qEmb))
+      .select("vec_id", "q")
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .withColumnRenamed("vec_id", "query_id").withColumnRenamed("q", "qv")
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("dot", expr(dotExpr("q", "qv")))
+      .withColumn("sim", round(col("dot").cast("double") /
+        (sqrt(expr(normExpr("q")).cast("double")) *
+          sqrt(expr(normExpr("qv")).cast("double"))), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("sim"))
+      .orderBy("query_id", "rk")
+  }
+
+  val s01Sql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, $qEmbDuck AS qv FROM embeddings
+       |), elems AS (
+       |  SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x FROM q
+       |), norms AS (
+       |  SELECT vec_id, SUM(x * x) AS nrm FROM elems GROUP BY vec_id
+       |), dots AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.x * b.x) AS dot
+       |  FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id < $NumQueries
+       |    AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROUND(dot::DOUBLE / (sqrt(nq.nrm::DOUBLE) * sqrt(nn.nrm::DOUBLE)), 6) AS sim
+       |  FROM dots JOIN norms nq ON query_id = nq.vec_id
+       |  JOIN norms nn ON neighbor_id = nn.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, rk, neighbor_id, sim FROM ranked
+       |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
+
+  /** All-pairs near-duplicate detection by embedding cosine >= 0.45
+    * (the embedding-cosine dedup variant). */
+  def s02EmbedNearDup(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).withColumn("q", expr(qEmb))
+      .withColumn("nrm", expr(normExpr("q")))
+      .select("vec_id", "q", "nrm")
+    emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", round(expr(dotExpr("a.q", "b.q")).cast("double") /
+        (sqrt(col("a.nrm").cast("double")) * sqrt(col("b.nrm").cast("double"))), 6))
+      .filter(col("sim") >= 0.45)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val s02Sql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, $qEmbDuck AS qv FROM embeddings
+       |), elems AS (
+       |  SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x FROM q
+       |), norms AS (
+       |  SELECT vec_id, SUM(x * x) AS nrm FROM elems GROUP BY vec_id
+       |), dots AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dot
+       |  FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT vec_a, vec_b,
+       |  ROUND(dot::DOUBLE / (sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)), 6) AS sim
+       |FROM dots JOIN norms na ON vec_a = na.vec_id
+       |JOIN norms nb ON vec_b = nb.vec_id
+       |WHERE ROUND(dot::DOUBLE / (sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)), 6) >= 0.45
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Deterministic pseudo-random hyperplanes for the LSH path: 16 planes of
+    * 64 quantized components in {-1000..1000}, Lehmer-style generator. */
+  private val NumPlanes = 16
+  private val planes: Vector[Vector[Long]] =
+    (0 until NumPlanes).map { p =>
+      (0 until Dim).map { k =>
+        val v = (2654435761L * (p * Dim + k + 1) + 1013904223L) % 2001L
+        v - 1000L
+      }.toVector
+    }.toVector
+
+  /** LSH-bucketed ANN: sign(dot(v, plane_j)) bits form a 16-bit bucket;
+    * neighbors are scored only within the query's bucket. */
+  def s03AnnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).withColumn("q", expr(qEmb))
+      .withColumn("nrm", expr(normExpr("q")))
+      .select("vec_id", "q", "nrm")
+    val bucketExpr = (0 until NumPlanes).map { j =>
+      val lit = planes(j).mkString("array(", "L, ", "L)")
+      s"(case when ${dotExpr("q", lit)} > 0 then ${1L << j} else 0 end)"
+    }.mkString(" + ")
+    val bucketed = emb.withColumn("bucket", expr(s"cast($bucketExpr as bigint)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id") &&
+          col("a.vec_id") < NumQueries)
+      .select(col("a.vec_id").as("query_id"), col("a.bucket").as("bucket"),
+        col("b.vec_id").as("vec_id"),
+        round(expr(dotExpr("a.q", "b.q")).cast("double") /
+          (sqrt(col("a.nrm").cast("double")) * sqrt(col("b.nrm").cast("double"))), 6)
+          .as("sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("bucket"), col("rk"),
+        col("vec_id").as("neighbor_id"), col("sim"))
+      .orderBy("query_id", "rk")
+  }
+
+  val s03Sql: String = {
+    val planeRows = (0 until NumPlanes).flatMap { j =>
+      (0 until Dim).map(k => s"($j, ${k + 1}, ${planes(j)(k)})")
+    }.mkString(",\n    ")
+    s"""WITH q AS (
+       |  SELECT vec_id, $qEmbDuck AS qv FROM embeddings
+       |), elems AS (
+       |  SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x FROM q
+       |), norms AS (
+       |  SELECT vec_id, SUM(x * x) AS nrm FROM elems GROUP BY vec_id
+       |), planes(p, i, w) AS (
+       |  VALUES $planeRows
+       |), plane_dots AS (
+       |  SELECT e.vec_id, pl.p, SUM(e.x * pl.w) AS pd
+       |  FROM elems e JOIN planes pl ON e.i = pl.i
+       |  GROUP BY 1, 2
+       |), buckets AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN pd > 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM plane_dots GROUP BY vec_id
+       |), dots AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.x * b.x) AS dot
+       |  FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id <> b.vec_id
+       |    AND a.vec_id < $NumQueries
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT d.query_id, ba.bucket, d.neighbor_id,
+       |    ROUND(d.dot::DOUBLE / (sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)), 6) AS sim
+       |  FROM dots d
+       |  JOIN buckets ba ON d.query_id = ba.vec_id
+       |  JOIN buckets bb ON d.neighbor_id = bb.vec_id AND ba.bucket = bb.bucket
+       |  JOIN norms na ON d.query_id = na.vec_id
+       |  JOIN norms nb ON d.neighbor_id = nb.vec_id
+       |), ranked AS (
+       |  SELECT query_id, bucket, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, bucket, rk, neighbor_id, sim FROM ranked
+       |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_cosine_topk" -> s01CosineTopk _,
+    "s02_embed_neardup" -> s02EmbedNearDup _,
+    "s03_ann_lsh" -> s03AnnLsh _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s01_cosine_topk" -> s01Sql,
+    "s02_embed_neardup" -> s02Sql,
+    "s03_ann_lsh" -> s03Sql,
+  )
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream operators in their batch form (deterministic + oracle-able).
+  * The same plans run as Structured Streaming queries in
+  * graft.streaming.StreamingPipelines (readStream + watermark + window /
+  * flatMapGroupsWithState) — covered by StreamingSpec, since streaming
+  * micro-batch timing is not DuckDB-comparable.
+  */
+object StreamOps {
+  import Tables._
+
+  /** Sessionization: a new session starts after a >30 min gap per user —
+    * the batch twin of the mapGroupsWithState session query. */
+  def st01Sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val ev = events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag("ts_us", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > 30L * 60 * 1000000, 1L).otherwise(0L))
+      .withColumn("session_no",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    ev.groupBy("user_id", "session_no")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        max("n_events").as("max_session_events"),
+        sum(col("end_us") - col("start_us")).as("total_session_us"))
+      .orderBy("user_id")
+  }
+
+  val st01Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      |  FROM events
+      |), flagged AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 30 * 60 * 1000000
+      |      THEN 1 ELSE 0 END AS new_session
+      |  FROM ev
+      |), sessions AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |  FROM flagged
+      |), per_session AS (
+      |  SELECT user_id, session_no, COUNT(*) AS n_events,
+      |    MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+      |  FROM sessions GROUP BY 1, 2)
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |  CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+      |  CAST(SUM(end_us - start_us) AS BIGINT) AS total_session_us
+      |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Sliding-window event rates: 1h windows sliding by 30min — the batch
+    * twin of the streaming sliding-window aggregation. */
+  def st02SlidingWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("wstart"),
+        col("event_type"), col("n"))
+      .orderBy("wstart", "event_type")
+
+  val st02Sql: String =
+    """WITH halfhours AS (
+      |  SELECT epoch(date_trunc('hour', ts))
+      |      + CASE WHEN extract(minute FROM ts) >= 30 THEN 1800 ELSE 0 END AS slot,
+      |    event_type
+      |  FROM events
+      |), expanded AS (
+      |  SELECT slot AS wstart, event_type FROM halfhours
+      |  UNION ALL
+      |  SELECT slot - 1800 AS wstart, event_type FROM halfhours)
+      |SELECT CAST(wstart AS BIGINT) AS wstart, event_type, COUNT(*) AS n
+      |FROM expanded GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st01_sessionize" -> st01Sessionize _,
+    "st02_sliding_window" -> st02SlidingWindow _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "st01_sessionize" -> st01Sql,
+    "st02_sliding_window" -> st02Sql,
+  )
+}

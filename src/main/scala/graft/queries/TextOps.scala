@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines, over the
+  * `documents` table: token counting, quality scoring, language-ID heuristic,
+  * document fingerprinting, corpus token frequencies.
+  *
+  * Every metric is derived from integer counts (or one final division of
+  * exact integers) so Spark and the DuckDB oracle hash identically. All the
+  * heavy lifting stays inside codegen'd `functions._` expressions — no UDFs —
+  * so at 100 TB these are a single scan + one shuffle for the aggregating
+  * variants.
+  */
+object TextOps {
+  import Tables._
+
+  /** Per-document token stats + quality score. Texts are single-space
+    * separated, so token char mass = length - (n_tokens - 1). */
+  def t01TextStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("words")).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(col("words"))).cast("long"))
+      .withColumn("n_stop", expr(
+        "size(filter(words, w -> w = 'the' OR w = 'a'))").cast("long"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_uniq"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        round((length(col("text")) - (col("n_tokens") - 1)).cast("double")
+          / col("n_tokens"), 4).as("avg_token_len"),
+        round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stop_ratio"),
+        round(col("n_uniq").cast("double") / col("n_tokens"), 4).as("uniq_ratio"))
+      .orderBy("doc_id")
+
+  val t01Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS words FROM documents
+      |), c AS (
+      |  SELECT doc_id, text,
+      |    len(words)::BIGINT AS n_tokens,
+      |    len(list_distinct(words))::BIGINT AS n_uniq,
+      |    len(list_filter(words, w -> w = 'the' OR w = 'a'))::BIGINT AS n_stop
+      |  FROM t)
+      |SELECT doc_id, n_tokens, n_uniq, length(text)::BIGINT AS n_chars_calc,
+      |  ROUND((length(text) - (n_tokens - 1))::DOUBLE / n_tokens, 4) AS avg_token_len,
+      |  ROUND(n_stop::DOUBLE / n_tokens, 4) AS stop_ratio,
+      |  ROUND(n_uniq::DOUBLE / n_tokens, 4) AS uniq_ratio
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** n-gram/stopword language-ID heuristic: English function words vs the
+    * labeled lang column. Deterministic rule shared with the oracle. */
+  def t02LangId(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("stop_cnt", expr(
+        "size(filter(words, w -> w = 'the' OR w = 'a'))"))
+      .withColumn("ratio", col("stop_cnt").cast("double") / size(col("words")))
+      .select(
+        col("doc_id"), col("lang"),
+        when(col("ratio") >= 0.05, lit("en")).otherwise(lit("unk")).as("lang_guess"),
+        round(col("ratio"), 4).as("stop_ratio"))
+      .orderBy("doc_id")
+
+  val t02Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents
+      |), c AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(words, w -> w = 'the' OR w = 'a'))::DOUBLE / len(words) AS ratio
+      |  FROM t)
+      |SELECT doc_id, lang,
+      |  CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'unk' END AS lang_guess,
+      |  ROUND(ratio, 4) AS stop_ratio
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprints: full md5, a 60-bit integer fingerprint, and a
+    * winnowing-style rolling fingerprint (min/max over hashed word 5-gram
+    * windows). */
+  def t03Fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("grams", expr(
+        "transform(sequence(1, greatest(size(words) - 4, 1)), " +
+          "i -> concat_ws(' ', slice(words, i, 5)))"))
+      .withColumn("gram_hashes", expr(
+        "transform(grams, g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))"))
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("md5_hex"),
+        expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)").as("fp60"),
+        expr("array_min(gram_hashes)").as("roll_min"),
+        expr("array_max(gram_hashes)").as("roll_max"))
+      .orderBy("doc_id")
+
+  val t03Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS words FROM documents
+      |), g AS (
+      |  SELECT doc_id, text,
+      |    list_transform(range(1, greatest(len(words) - 4, 1) + 1),
+      |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] || ' ' || words[i+4]) AS grams
+      |  FROM t
+      |), h AS (
+      |  SELECT doc_id, text,
+      |    list_transform(grams, gr -> ('0x' || substr(md5(gr), 1, 15))::BIGINT) AS gh
+      |  FROM g)
+      |SELECT doc_id, md5(text) AS md5_hex,
+      |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp60,
+      |  list_min(gh) AS roll_min, list_max(gh) AS roll_max
+      |FROM h ORDER BY doc_id""".stripMargin
+
+  /** Corpus-level token frequencies (explode -> two-phase hash agg). */
+  def t04TokenFreq(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("cnt").desc, col("token"))
+
+  val t04Sql: String =
+    """SELECT token, COUNT(*) AS cnt, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token ORDER BY cnt DESC, token""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_text_stats" -> t01TextStats _,
+    "t02_langid" -> t02LangId _,
+    "t03_fingerprint" -> t03Fingerprint _,
+    "t04_token_freq" -> t04TokenFreq _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t01_text_stats" -> t01Sql,
+    "t02_langid" -> t02Sql,
+    "t03_fingerprint" -> t03Sql,
+    "t04_token_freq" -> t04Sql,
+  )
+}
