@@ -1,0 +1,82 @@
+package graft.kerchunk
+
+import graft.core.Index
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Order-preserving hierarchical reduction of references
+  * (transforms.py:427-554):
+  *   (a) global (min, max, count) of positions — one fused built-in agg;
+  *   (b) range-bucket each element by position (`ceil(count/maxRefs)` buckets)
+  *       — deterministic range partitioning that preserves global order;
+  *   (c) per-bucket ordered merge (groupByKey + in-bucket sort);
+  *   (d) final global merge of the few bucket results on the driver.
+  *
+  * The tree fan-in (max_refs_per_merge, default 5 — transforms.py:446) bounds
+  * the memory of any single merge, which is what lets this scale to millions
+  * of input files: no single task ever holds more than one bucket.
+  */
+object CombineReferences {
+
+  def combine(refs: Dataset[(Index, RefSet)],
+              concatDims: Vector[String],
+              identicalDims: Vector[String],
+              maxRefsPerMerge: Int = 5): RefSet = {
+    val spark = refs.sparkSession
+    import spark.implicits._
+    val sortDim = concatDims.last // transforms.py:449-452
+
+    // (a) single-pass min/max/count of positions (MinMaxCountCombineFn)
+    val positions = refs.map(_._1.findPosition(sortDim))(Encoders.scalaInt).toDF("pos")
+    val row = positions.agg(
+      min(col("pos")).as("mn"), max(col("pos")).as("mx"), count(lit(1)).as("cnt"))
+      .head()
+    val (gMin, gMax, gCount) = (row.getInt(0), row.getInt(1), row.getLong(2))
+
+    // (b) bucket assignment (transforms.py:479-521)
+    val bucketed = refs.map { case (idx, rs) =>
+      (bucketFor(idx.findPosition(sortDim), gMin, gMax, gCount, maxRefsPerMerge),
+        (idx.findPosition(sortDim), rs))
+    }(Encoders.kryo[(Int, (Int, RefSet))])
+
+    // (c) per-bucket ordered merge
+    val bucketMerged = bucketed
+      .groupByKey(_._1)(Encoders.scalaInt)
+      .mapGroups { (bucket, it) =>
+        val sorted = it.toVector.sortBy(_._2._1)
+        (bucket, RefSet.concatRefSets(sorted.map(_._2._2), sortDim, identicalDims))
+      }(Encoders.kryo[(Int, RefSet)])
+      .collect()
+
+    // (d) global merge in bucket order
+    val ordered = bucketMerged.sortBy(_._1).map(_._2).toVector
+    RefSet.concatRefSets(ordered, sortDim, identicalDims)
+  }
+
+  /** transforms.py:479-521 verbatim semantics (incl. float bucket size). */
+  def bucketFor(position: Int, gMin: Int, gMax: Int, gCount: Long,
+                maxRefsPerMerge: Int): Int = {
+    val numBuckets = math.ceil(gCount.toDouble / maxRefsPerMerge).toInt
+    val rangeSize = (gMax - gMin).toDouble
+    val bucketSize = rangeSize / numBuckets
+    ((position - gMin) / bucketSize).toInt
+  }
+
+  /** WriteReference (writers.py:132-195): persist as reference.json or as a
+    * parquet table (key, url, offset, length, inline). */
+  def writeReferenceJson(rs: RefSet, path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, RefSet.toJson(rs))
+  }
+
+  def writeReferenceParquet(spark: org.apache.spark.sql.SparkSession,
+                            rs: RefSet, path: String): Unit = {
+    import spark.implicits._
+    rs.refs.toSeq.sortBy(_._1).map { case (k, r) =>
+      (k, r.url.orNull, r.offset, r.length,
+        r.inline.map(java.util.Base64.getEncoder.encodeToString).orNull)
+    }.toDF("key", "url", "offset", "length", "inline_b64")
+      .write.mode("overwrite").parquet(path)
+  }
+}

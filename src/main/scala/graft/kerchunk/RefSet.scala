@@ -1,0 +1,192 @@
+package graft.kerchunk
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** Virtual-datacube references — the kerchunk model (openers.py:137-204,
+  * transforms.py:427-554): a dataset is described by a map of Zarr store
+  * keys to either inline bytes or (url, offset, length) pointers into the
+  * original files. Scanning extracts metadata only; bytes stay in place.
+  */
+final case class Ref(url: Option[String], offset: Long, length: Long,
+                     inline: Option[Array[Byte]]) {
+  def resolve(): Array[Byte] = inline match {
+    case Some(b) => b
+    case None =>
+      val ch = Files.newByteChannel(Paths.get(url.get), StandardOpenOption.READ)
+      try {
+        ch.position(offset)
+        val buf = java.nio.ByteBuffer.allocate(length.toInt)
+        var read = 0
+        while (read < length && ch.read(buf) >= 0) { read = buf.position() }
+        buf.array()
+      } finally ch.close()
+  }
+}
+
+object Ref {
+  def inline(b: Array[Byte]): Ref = Ref(None, 0, b.length.toLong, Some(b))
+  def pointer(url: String, offset: Long, length: Long): Ref =
+    Ref(Some(url), offset, length, None)
+}
+
+/** A set of references = one virtual Zarr store. */
+final case class RefSet(refs: Map[String, Ref]) {
+  def keys: Set[String] = refs.keySet
+  def apply(key: String): Ref = refs(key)
+
+  /** Write every resolved key into a directory — materializes the virtual
+    * store into a real one readable by graft.zarr.ZarrGroup. */
+  def materialize(dir: String): Unit =
+    refs.foreach { case (key, ref) =>
+      val path = Paths.get(dir, key.split('/'): _*)
+      Files.createDirectories(path.getParent)
+      Files.write(path, ref.resolve())
+    }
+}
+
+object RefSet {
+  private val mapper = new ObjectMapper()
+
+  /** OpenWithKerchunk analog: scan one Zarr-v3 fragment group into
+    * references. Metadata documents are inlined; chunk blobs at or below
+    * `inlineThreshold` bytes are inlined (transforms.py:195 default 300),
+    * larger ones become (url, offset, length) pointers. */
+  def scanZarrGroup(root: String, inlineThreshold: Int = 300): RefSet = {
+    val rootPath = Paths.get(root)
+    val out = Files.walk(rootPath).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map { p =>
+        val key = rootPath.relativize(p).iterator().asScala.mkString("/")
+        val size = Files.size(p)
+        val ref =
+          if (key.endsWith("zarr.json") || size <= inlineThreshold)
+            Ref.inline(Files.readAllBytes(p))
+          else Ref.pointer(p.toString, 0L, size)
+        key -> ref
+      }.toMap
+    RefSet(out)
+  }
+
+  private def parseMeta(rs: RefSet, key: String): ObjectNode =
+    mapper.readTree(rs(key).resolve()).asInstanceOf[ObjectNode]
+
+  private def varNames(rs: RefSet): Vector[String] =
+    rs.keys.collect { case k if k.endsWith("/zarr.json") =>
+      k.stripSuffix("/zarr.json") }.toVector.sorted
+
+  /** Our MultiZarrToZarr subset (the portion the reference exercises):
+    * concatenate orderd RefSets along ONE dim; `identicalDims` variables
+    * must match and are taken from the first input. Chunk keys along the
+    * concat axis are re-indexed by the cumulative chunk count of the
+    * preceding inputs.
+    */
+  def concatRefSets(ordered: Vector[RefSet], concatDim: String,
+                    identicalDims: Vector[String]): RefSet = {
+    require(ordered.nonEmpty)
+    if (ordered.length == 1) return ordered.head
+    val first = ordered.head
+    var merged = Map.empty[String, Ref]
+
+    // group-level metadata from the first input
+    first.refs.get("zarr.json").foreach(r => merged += "zarr.json" -> r)
+
+    varNames(first).foreach { v =>
+      val metas = ordered.map(rs => parseMeta(rs, s"$v/zarr.json"))
+      val dims0 = metas.head.get("dimension_names")
+      val dimNames: Vector[String] =
+        if (dims0 == null) Vector.empty
+        else dims0.elements().asScala.map(_.asText()).toVector
+      val axis = dimNames.indexOf(concatDim)
+
+      if (axis < 0) {
+        // identical-dims variable: validate byte-identical metadata, keep first
+        val m0 = metas.head.toString
+        require(metas.forall(_.toString == m0),
+          s"identical_dims variable $v differs across inputs")
+        ordered.head.refs.foreach { case (k, r) =>
+          if (k == s"$v/zarr.json" || k.startsWith(s"$v/c")) merged += k -> r }
+      } else {
+        // concat variable: shapes sum along axis; other dims + chunks equal
+        val shapes = metas.map(_.get("shape").elements().asScala.map(_.asInt()).toVector)
+        val chunks = metas.map(_.get("chunk_grid").get("configuration")
+          .get("chunk_shape").elements().asScala.map(_.asInt()).toVector)
+        require(chunks.forall(_ == chunks.head),
+          s"chunk shapes for $v differ across inputs")
+        shapes.foreach { sh =>
+          sh.indices.foreach { i =>
+            require(i == axis || sh(i) == shapes.head(i),
+              s"non-concat dim sizes for $v differ across inputs") }
+        }
+        val newShape = shapes.head.updated(axis, shapes.map(_(axis)).sum)
+        val newMeta = metas.head.deepCopy[ObjectNode]()
+        val shNode = mapper.createArrayNode(); newShape.foreach(shNode.add)
+        newMeta.set[ObjectNode]("shape", shNode)
+        merged += s"$v/zarr.json" -> Ref.inline(
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(newMeta))
+
+        // chunk keys: offset the concat-axis index by cumulative chunk count
+        var axisOffset = 0
+        ordered.zipWithIndex.foreach { case (rs, i) =>
+          val nAxisChunks = math.ceil(shapes(i)(axis).toDouble / chunks.head(axis)).toInt
+          rs.refs.foreach { case (k, r) =>
+            if (k.startsWith(s"$v/c/") || (k.startsWith(s"$v/c") && k == s"$v/c")) {
+              val parts = k.split('/') // v, c, i0, i1, ...
+              val idx = parts.drop(2).map(_.toInt)
+              val newIdx = idx.updated(axis, idx(axis) + axisOffset)
+              merged += (s"$v/c/" + newIdx.mkString("/")) -> r
+            }
+          }
+          axisOffset += nAxisChunks
+        }
+      }
+    }
+    RefSet(merged)
+  }
+
+  /** Kerchunk-style JSON artifact: {"version": 1, "refs": {key: value}}
+    * where value is an inline string or [url, offset, length]
+    * (writers.py:132-195). */
+  def toJson(rs: RefSet): String = {
+    val root = mapper.createObjectNode()
+    root.put("version", 1)
+    val refsNode = mapper.createObjectNode()
+    rs.refs.toSeq.sortBy(_._1).foreach { case (k, r) =>
+      r.inline match {
+        case Some(b) =>
+          val s = new String(b, "ISO-8859-1")
+          if (s.forall(c => c >= ' ' && c < 127) || k.endsWith("zarr.json"))
+            refsNode.put(k, new String(b, "UTF-8"))
+          else refsNode.put(k,
+            "base64:" + java.util.Base64.getEncoder.encodeToString(b))
+        case None =>
+          val arr = mapper.createArrayNode()
+          arr.add(r.url.get); arr.add(r.offset); arr.add(r.length)
+          refsNode.set[ObjectNode](k, arr)
+      }
+    }
+    root.set[ObjectNode]("refs", refsNode)
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  def fromJson(json: String): RefSet = {
+    val root = mapper.readTree(json)
+    val refs = root.get("refs").properties().asScala.map { e =>
+      val k = e.getKey
+      val v = e.getValue
+      val ref =
+        if (v.isArray)
+          Ref.pointer(v.get(0).asText(), v.get(1).asLong(), v.get(2).asLong())
+        else {
+          val s = v.asText()
+          if (s.startsWith("base64:"))
+            Ref.inline(java.util.Base64.getDecoder.decode(s.stripPrefix("base64:")))
+          else Ref.inline(s.getBytes("UTF-8"))
+        }
+      k -> ref
+    }.toMap
+    RefSet(refs)
+  }
+}

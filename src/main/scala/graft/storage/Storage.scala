@@ -1,0 +1,76 @@
+package graft.storage
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.security.MessageDigest
+import java.text.Normalizer
+
+/** Storage helpers (storage.py:25-228): cache-file naming, idempotent
+  * remote→cache copy with size-based skip, block-streamed copy, and
+  * query-string secret injection.
+  */
+object Storage {
+
+  /** storage.py:212-219: NFKD-normalize, strip non-word chars (keeping
+    * ".-_"), so a URL becomes a safe flat filename component. */
+  def slugify(value: String): String = {
+    val norm = Normalizer.normalize(value, Normalizer.Form.NFKD)
+      .replaceAll("[^\\x00-\\x7F]", "")
+    norm.replaceAll("[^.\\w\\s-]+", "").trim.replaceAll("[-\\s]+", "-")
+  }
+
+  /** storage.py:174-186: md5-prefixed slug capped to 255 bytes. */
+  def hashPath(value: String): String = {
+    val md5 = MessageDigest.getInstance("MD5")
+      .digest(value.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val slug = slugify(value)
+    val out = s"$md5-$slug"
+    out.substring(0, math.min(out.length, 255))
+  }
+
+  /** storage.py:222-228: append secret key/value pairs to a URL's query
+    * string at open time. */
+  def injectQueryStringSecrets(url: String, secrets: Map[String, String]): String = {
+    if (secrets.isEmpty) return url
+    val enc = secrets.toSeq.sortBy(_._1).map { case (k, v) =>
+      java.net.URLEncoder.encode(k, "UTF-8") + "=" +
+        java.net.URLEncoder.encode(v, "UTF-8")
+    }.mkString("&")
+    if (url.contains("?")) s"$url&$enc" else s"$url?$enc"
+  }
+
+  /** storage.py:25-45: block-streamed copy (10 MB blocks). */
+  val BlockSize: Int = 10_000_000
+
+  def copyStream(in: java.io.InputStream, out: java.io.OutputStream,
+                 blockSize: Int = BlockSize): Long = {
+    val buf = new Array[Byte](blockSize)
+    var total = 0L
+    var n = in.read(buf)
+    while (n >= 0) {
+      out.write(buf, 0, n)
+      total += n
+      n = in.read(buf)
+    }
+    total
+  }
+
+  /** CacheFSSpecTarget.cache_file (storage.py:192-209): copy into the cache
+    * under the hashed name, skipping when the size already matches. */
+  def cacheFile(sourceUrl: String, cacheDir: String,
+                secrets: Map[String, String] = Map.empty): String = {
+    val resolved = injectQueryStringSecrets(sourceUrl, secrets)
+    val target = Paths.get(cacheDir, hashPath(resolved))
+    Files.createDirectories(target.getParent)
+    val src = Paths.get(sourceUrl)
+    if (Files.exists(target) && Files.size(target) == Files.size(src))
+      return target.toString // size-match skip
+    val in = Files.newInputStream(src)
+    try {
+      val tmp = Files.createTempFile(target.getParent, ".cache", ".tmp")
+      val out = Files.newOutputStream(tmp)
+      try copyStream(in, out) finally out.close()
+      Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+    } finally in.close()
+    target.toString
+  }
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface. The reference is pure batch (SURVEY §2.10);
+  * its incremental story is batch append + merkle resume. These pipelines
+  * extend that with true streaming execution for the event table: the same
+  * logical plans as StreamOps' batch twins, run as readStream → watermark →
+  * window / stateful session tracking → sink.
+  */
+object StreamingPipelines {
+
+  /** Tumbling-window counts with a 10-minute watermark — the streaming twin
+    * of Relational.q11EventWindows. `events` must be a streaming DataFrame
+    * with a TimestampType `ts` column. */
+  def windowedEventCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 1000).cast("long")).as("value_milli"))
+      .select(unix_timestamp(col("window.start")).as("wstart"),
+        col("event_type"), col("n"), col("value_milli"))
+
+  final case class Ev(user_id: Long, ts_us: Long)
+  final case class SessionState(sessions: Long, lastTsUs: Long, events: Long)
+  final case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
+
+  val GapUs: Long = 30L * 60 * 1000000
+
+  /** Stateful per-user session counting via mapGroupsWithState — the
+    * streaming twin of StreamOps.st01Sessionize. Emits the running summary
+    * per user per micro-batch (Update mode). */
+  def sessionize(events: Dataset[Ev]): Dataset[SessionSummary] = {
+    def update(userId: Long, evs: Iterator[Ev],
+               state: GroupState[SessionState]): SessionSummary = {
+      val sorted = evs.toVector.sortBy(_.ts_us)
+      var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+      sorted.foreach { e =>
+        val newSession = st.lastTsUs == Long.MinValue || e.ts_us - st.lastTsUs > GapUs
+        st = SessionState(
+          sessions = st.sessions + (if (newSession) 1 else 0),
+          lastTsUs = math.max(st.lastTsUs, e.ts_us),
+          events = st.events + 1)
+      }
+      state.update(st)
+      SessionSummary(userId, st.sessions, st.events)
+    }
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)(
+        Encoders.product[SessionState], Encoders.product[SessionSummary])
+  }
+}

@@ -1,0 +1,119 @@
+package graft.kerchunk
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{Encoders, SparkSession}
+import graft.core._
+import graft.core.GoldenCube
+import graft.zarr.ZarrGroup
+import java.nio.file.Files
+
+/** Entry point B (SURVEY §3.2): scan fragment files into references,
+  * order-preserving hierarchical combine, write reference.json, materialize
+  * the virtual store, and require exact equality with the golden cube.
+  * Includes the bucket_by_position oracle (tests/test_combiners.py:324-388).
+  */
+class KerchunkSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-kerchunk")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String = Files.createTempDirectory("graft_kc").toString
+
+  private val timeDim = Dimension("time", CombineOp.Concat)
+
+  test("bucket_by_position oracle") {
+    // positions {0,4,5,10,25,50,100}, (min,max,count)=(0,100,101)
+    // -> buckets {0,0,1,2,5,10,21}  (FIXTURES.md §7)
+    val expected = Map(0 -> 0, 4 -> 0, 5 -> 1, 10 -> 2, 25 -> 5, 50 -> 10, 100 -> 21)
+    expected.foreach { case (pos, want) =>
+      assert(CombineReferences.bucketFor(pos, 0, 100, 101L, 5) == want, s"pos=$pos")
+    }
+  }
+
+  test("scan inlines metadata and small chunks, points at large ones") {
+    val cube = GoldenCube.makeDs(4)
+    val dir = tmp()
+    val g = ZarrGroup(s"$dir/f.zarr")
+    g.initGroup(cube.attrs)
+    cube.allVars.foreach { case (n, v) =>
+      g.createArray(n, v.shape, v.shape, v.dtype, v.attrs,
+        dimensionNames = Some(v.dims))
+      g.writeRegion(n, Vector.fill(v.data.ndim)(0), v.data)
+    }
+    val rs = RefSet.scanZarrGroup(s"$dir/f.zarr")
+    assert(rs.keys.contains("zarr.json"))
+    assert(rs.keys.contains("foo/zarr.json"))
+    assert(rs("zarr.json").inline.isDefined)
+    // foo chunk: 4*18*36*8 bytes >> 300 -> pointer
+    assert(rs("foo/c/0/0/0").inline.isEmpty)
+    assert(rs("foo/c/0/0/0").url.isDefined)
+    // time chunk: 4*8 = 32 bytes <= 300 -> inlined
+    assert(rs("time/c/0").inline.isDefined)
+  }
+
+  test("end-to-end: scan -> combine -> reference.json -> materialize == cube") {
+    val cube = GoldenCube.makeDs(10)
+    val dir = tmp()
+    val slabs = GoldenCube.splitByTime(cube, 2)
+    val files = slabs.zipWithIndex.map { case (f, i) =>
+      val p = s"$dir/frag_$i.zarr"
+      val g = ZarrGroup(p)
+      g.initGroup(f.attrs)
+      f.allVars.foreach { case (n, v) =>
+        g.createArray(n, v.shape, v.shape, v.dtype, v.attrs,
+          dimensionNames = Some(v.dims))
+        g.writeRegion(n, Vector.fill(v.data.ndim)(0), v.data)
+      }
+      p
+    }
+    val indexed: Vector[(Index, RefSet)] = files.zipWithIndex.map { case (p, i) =>
+      (Index.of(timeDim -> Pos(i)), RefSet.scanZarrGroup(p))
+    }
+    val ds = spark.createDataset(indexed)(Encoders.kryo[(Index, RefSet)])
+      .repartition(4)
+    val combined = CombineReferences.combine(ds, Vector("time"), Vector("lat", "lon"),
+      maxRefsPerMerge = 2)
+
+    // write + read back the artifact
+    val jsonPath = s"$dir/reference.json"
+    CombineReferences.writeReferenceJson(combined, jsonPath)
+    val loaded = RefSet.fromJson(Files.readString(java.nio.file.Paths.get(jsonPath)))
+
+    // materialize the virtual store and compare with the golden cube
+    val mat = s"$dir/materialized.zarr"
+    loaded.materialize(mat)
+    val result = ZarrGroup(mat).readFragment()
+    assert(result.sameAs(cube))
+
+    // parquet artifact round-trips the key count
+    CombineReferences.writeReferenceParquet(spark, combined, s"$dir/refs.parquet")
+    assert(spark.read.parquet(s"$dir/refs.parquet").count() == combined.refs.size)
+  }
+
+  test("concat re-keys chunk indexes along the concat axis") {
+    val cube = GoldenCube.makeDs(4)
+    val dir = tmp()
+    val slabs = GoldenCube.splitByTime(cube, 2)
+    val sets = slabs.zipWithIndex.map { case (f, i) =>
+      val p = s"$dir/f$i.zarr"
+      val g = ZarrGroup(p)
+      g.initGroup(f.attrs)
+      f.allVars.foreach { case (n, v) =>
+        g.createArray(n, v.shape, v.shape, v.dtype, v.attrs,
+          dimensionNames = Some(v.dims))
+        g.writeRegion(n, Vector.fill(v.data.ndim)(0), v.data)
+      }
+      RefSet.scanZarrGroup(p)
+    }
+    val merged = RefSet.concatRefSets(sets, "time", Vector("lat", "lon"))
+    assert(merged.keys.contains("foo/c/0/0/0"))
+    assert(merged.keys.contains("foo/c/1/0/0")) // second slab re-keyed to axis idx 1
+    assert(merged.keys.contains("time/c/0") && merged.keys.contains("time/c/1"))
+    // lat is an identical dim: only the first input's chunk survives
+    assert(merged.keys.count(_.startsWith("lat/c")) == 1)
+  }
+}

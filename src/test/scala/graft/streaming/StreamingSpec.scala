@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming pipelines driven synchronously against the events
+  * parquet via the memory sink (batch-of-parquet drives the stream). The
+  * streaming results must equal the batch twins on the same data.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-streaming")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Streaming source over the events parquet; the file is staged into a
+    * directory (FileStreamSource requires one); ts normalized from nanos. */
+  private def eventStream() = {
+    val stage = java.nio.file.Files.createTempDirectory("ev_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema)
+      .parquet(stage.toString)
+      .withColumn("ts_ns", col("ts"))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  test("streaming windowed agg equals the batch plan") {
+    import spark.implicits._
+    val q = StreamingPipelines.windowedEventCounts(eventStream())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      q.processAllAvailable()
+      val streaming = spark.sql(
+        "SELECT wstart, event_type, n, value_milli FROM win_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val batch = graft.queries.Relational.q11EventWindows(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(streaming == batch)
+      assert(streaming.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization emits per-user summaries") {
+    import spark.implicits._
+    val evs = eventStream()
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[StreamingPipelines.Ev]
+    val q = StreamingPipelines.sessionize(evs)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      val streaming = spark.sql(
+        "SELECT user_id, n_sessions, n_events FROM sess_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toMap2
+      val batch = graft.queries.StreamOps.st01Sessionize(spark, sfDir)
+        .select("user_id", "n_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // single micro-batch -> streaming session counts equal batch
+      val streamingSessions = streaming.map { case (u, (s, _)) => u -> s }
+      assert(streamingSessions == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  private implicit class Tup3Ops(rows: Array[(Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long)] =
+      rows.map { case (a, b, c) => a -> (b, c) }.toMap
+  }
+}
