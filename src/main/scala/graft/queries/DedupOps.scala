@@ -123,33 +123,34 @@ object DedupOps {
        |FROM hx GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
-  /** LSH banding: md5 over each 4-hash band, bucket-join for candidates,
-    * verify with the estimated similarity (fraction of equal minhashes). */
+  /** LSH banding: md5 over each 4-hash band, single bucket-join on the
+    * exploded (band_no, band_hash) table for candidates, then one
+    * signature join to score est_sim (fraction of equal minhashes).
+    * The signature table is cached — it is the expensive shingle pipeline —
+    * and each band is a key of ONE equi-join, not one join per band. */
   def d04MinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sig = d03MinhashSig(s, d)
-    val bandCols = (0 until Bands).map { b =>
+    val sig = d03MinhashSig(s, d).cache()
+    val bandStructs = (0 until Bands).map { b =>
       val cols = (b * 4 until b * 4 + 4).map(j => s"cast(h$j as string)")
-      expr(s"md5(concat_ws(',', ${cols.mkString(", ")}))").as(s"band$b")
-    }
-    val banded = sig.select(col("doc_id") +: (0 until NumHashes).map(j => col(s"h$j"))
-      ++: bandCols: _*)
-    // candidates: equal band hash in any band
-    val cand = (0 until Bands).map { b =>
-      val outCols = Seq(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")) ++
-        (0 until NumHashes).map(j =>
-          when(col(s"a.h$j") === col(s"b.h$j"), 1).otherwise(0).as(s"eq$j"))
-      banded.as("a").join(banded.as("b"),
-          col(s"a.band$b") === col(s"b.band$b") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(outCols: _*)
-    }.reduce(_ unionAll _).distinct()
-    cand
+      s"struct($b as band_no, md5(concat_ws(',', ${cols.mkString(", ")})) as band_hash)"
+    }.mkString(", ")
+    val bands = sig.select(col("doc_id"),
+      explode(expr(s"array($bandStructs)")).as("band"))
+      .select(col("doc_id"), col("band.band_no"), col("band.band_hash"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_no") === col("b.band_no") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sigA = sig.toDF(("doc_a" +: (0 until NumHashes).map(j => s"a_h$j")): _*)
+    val sigB = sig.toDF(("doc_b" +: (0 until NumHashes).map(j => s"b_h$j")): _*)
+    cand.join(broadcast(sigA), "doc_a").join(broadcast(sigB), "doc_b")
       .withColumn("est_sim", round(
-        (0 until NumHashes).map(j => col(s"eq$j")).reduce(_ + _)
+        (0 until NumHashes).map(j =>
+          when(col(s"a_h$j") === col(s"b_h$j"), 1).otherwise(0)).reduce(_ + _)
           .cast("double") / NumHashes, 4))
       .select("doc_a", "doc_b", "est_sim")
-      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
@@ -210,21 +211,20 @@ object DedupOps {
   /** SimHash near-dup pairs by Hamming distance over the banded join
     * (bucket on 8-bit sub-bands to avoid the cross join, like LSH). */
   def d06SimhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = d05Simhash(s, d)
-    val bandedCols = Seq(col("doc_id"), col("simhash")) ++
-      (0 until 4).map(b =>
-        expr(s"(simhash div ${1L << (b * 8)}) % 256").as(s"sb$b"))
-    val banded = sh.select(bandedCols: _*)
-    val cand = (0 until 4).map { b =>
-      banded.as("a").join(banded.as("b"),
-          col(s"a.sb$b") === col(s"b.sb$b") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.simhash").as("ha"), col("b.simhash").as("hb"))
-    }.reduce(_ unionAll _).distinct()
-    cand
-      .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as bigint)"))
+    val sh = d05Simhash(s, d).cache()
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        (0 until 4).map(b =>
+          s"struct($b as band_no, (simhash div ${1L << (b * 8)}) % 256 as sb)")
+          .mkString("array(", ", ", ")"))).as("band"))
+      .select(col("doc_id"), col("simhash"), col("band.band_no"), col("band.sb"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_no") === col("b.band_no") && col("a.sb") === col("b.sb") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("cast(bit_count(a.simhash ^ b.simhash) as bigint)").as("hamming"))
+      .distinct()
       .filter(col("hamming") <= 6)
-      .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
 

@@ -84,17 +84,41 @@ object SimilarityOps {
        |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
 
   /** All-pairs near-duplicate detection by embedding cosine >= 0.45
-    * (the embedding-cosine dedup variant). */
+    * (the embedding-cosine dedup variant).
+    *
+    * Physical shape: the corpus is broadcast once and each partition scans
+    * its vectors against the broadcast side with a primitive-array dot
+    * kernel — the blocked brute-force baseline. An expression-tree
+    * `aggregate(zip_with(...))` over the 125k-pair join was ~30× slower
+    * (interpreted lambdas allocating per pair); at scales where the
+    * broadcast no longer fits, s03's LSH bucketing is the path. */
   def s02EmbedNearDup(s: SparkSession, d: String): DataFrame = {
-    val emb = embeddings(s, d).withColumn("q", expr(qEmb))
-      .withColumn("nrm", expr(normExpr("q")))
-      .select("vec_id", "q", "nrm")
-    emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim", round(expr(dotExpr("a.q", "b.q")).cast("double") /
-        (sqrt(col("a.nrm").cast("double")) * sqrt(col("b.nrm").cast("double"))), 6))
-      .filter(col("sim") >= 0.45)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("sim"))
-      .orderBy("vec_a", "vec_b")
+    import s.implicits._
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), expr(qEmb).as("q"))
+      .as[(Long, Array[Long])]
+    val corpus = emb.collect().sortBy(_._1)
+    val bc = s.sparkContext.broadcast(corpus)
+    val pairs = emb.mapPartitions { it =>
+      val right = bc.value
+      val norms = right.map { case (_, v) =>
+        var acc = 0L; var i = 0
+        while (i < v.length) { acc += v(i) * v(i); i += 1 }; acc
+      }
+      val idToNorm = right.map(_._1).zip(norms).toMap
+      it.flatMap { case (ida, va) =>
+        val na = math.sqrt(idToNorm(ida).toDouble)
+        right.iterator.filter(_._1 > ida).flatMap { case (idb, vb) =>
+          var dot = 0L; var i = 0
+          while (i < va.length) { dot += va(i) * vb(i); i += 1 }
+          val sim = java.math.BigDecimal.valueOf(
+            dot.toDouble / (na * math.sqrt(idToNorm(idb).toDouble)))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (sim >= 0.45) Some((ida, idb, sim)) else None
+        }
+      }
+    }
+    pairs.toDF("vec_a", "vec_b", "sim").orderBy("vec_a", "vec_b")
   }
 
   val s02Sql: String =

@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Physical-plan quality gates: these assertions are the 100 TB contract —
+  * filters reach the parquet scan, projections prune the read schema, small
+  * dims broadcast instead of shuffling, global top-k never global-sorts,
+  * and aggregates run partial+final. A refactor that silently regresses one
+  * of these fails here even though results stay correct.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-plans")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02: predicate pushdown + column pruning reach the parquet scan") {
+    val p = plan(Relational.q02FilterProject(spark, d))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate"), p)
+    // pruned read schema: only the 4 referenced columns, not all 11
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_returnflag") && !readSchema.contains("l_tax"),
+      s"read schema not pruned: $readSchema")
+  }
+
+  test("q03/q04: dimension tables broadcast, never shuffled") {
+    assert(plan(Relational.q03JoinAgg(spark, d)).contains("BroadcastHashJoin"))
+    val p4 = plan(Relational.q04StarJoin(spark, d))
+    assert(p4.contains("BroadcastHashJoin"), p4)
+  }
+
+  test("q05: global top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan(Relational.q05TopK(spark, d))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q01: aggregation is partial+final (map-side combine)") {
+    val p = plan(Relational.q01Agg(spark, d))
+    assert(p.contains("partial_"), p) // partial aggregate functions present
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q01/q02: whole-stage codegen covers the scan->agg pipeline") {
+    val p = Relational.q01Agg(spark, d).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(p.contains("WholeStageCodegen"), p.take(500))
+  }
+
+  test("s01: query side of brute-force top-k is broadcast") {
+    val p = plan(SimilarityOps.s01CosineTopk(spark, d))
+    assert(p.contains("Broadcast"), p)
+  }
+
+  test("t04: token frequency aggregates partially before the shuffle") {
+    val p = plan(TextOps.t04TokenFreq(spark, d))
+    assert(p.contains("partial_"), p)
+  }
+}
