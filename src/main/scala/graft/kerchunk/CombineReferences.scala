@@ -70,6 +70,22 @@ object CombineReferences {
     java.nio.file.Files.writeString(p, RefSet.toJson(rs))
   }
 
+  /** WriteCombinedReference (transforms.py:589-635): CombineReferences |
+    * WriteReference, artifact format chosen by extension. Returns the
+    * combined RefSet (the singleton "store handle"). */
+  def writeCombinedReference(refs: Dataset[(Index, RefSet)],
+                             concatDims: Vector[String],
+                             identicalDims: Vector[String],
+                             outputPath: String,
+                             maxRefsPerMerge: Int = 5): RefSet = {
+    val combined = combine(refs, concatDims, identicalDims, maxRefsPerMerge)
+    if (outputPath.endsWith(".parquet"))
+      writeReferenceParquet(refs.sparkSession, combined, outputPath)
+    else
+      writeReferenceJson(combined, outputPath)
+    combined
+  }
+
   def writeReferenceParquet(spark: org.apache.spark.sql.SparkSession,
                             rs: RefSet, path: String): Unit = {
     import spark.implicits._

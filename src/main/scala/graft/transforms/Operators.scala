@@ -1,0 +1,118 @@
+package graft.transforms
+
+import graft.core._
+import graft.core.Attrs.Attrs
+import graft.combiners.SchemaCombine
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** MapWithConcurrencyLimit (transforms.py:93-136): without a limit this is a
+  * plain map; with `maxConcurrency = k` the collection is repartitioned to k
+  * partitions and mapped serially within each — partition count is Spark's
+  * native concurrency cap, replacing the reference's randint-tag + GroupByKey
+  * trick. Used to throttle calls against rate-limited external services. */
+object ConcurrencyLimit {
+  def mapWithConcurrencyLimit[A, B: Encoder](ds: Dataset[A], fn: A => B,
+                                             maxConcurrency: Option[Int] = None): Dataset[B] =
+    maxConcurrency match {
+      case None => ds.map(fn)(implicitly[Encoder[B]])
+      case Some(k) =>
+        ds.repartition(k).mapPartitions(_.map(fn))(implicitly[Encoder[B]])
+    }
+}
+
+/** The schema reducer as a first-class Spark typed Aggregator — the direct
+  * analog of the reference's beam.CombineFn (combiners.py:15-66, SURVEY
+  * §2.11): zero/reduce/merge/finish map 1:1 onto create_accumulator/
+  * add_input/merge_accumulators/extract_output, and Spark lifts it into
+  * partial (map-side) + final aggregation automatically. */
+final class CombineCubeSchemas(dimension: Dimension)
+    extends Aggregator[(Index, CubeSchema), SchemaCombine.Acc, CubeSchema] {
+  override def zero: SchemaCombine.Acc = SchemaCombine.zero(dimension)
+  override def reduce(acc: SchemaCombine.Acc, item: (Index, CubeSchema)): SchemaCombine.Acc =
+    SchemaCombine.addInput(acc, item, dimension)
+  override def merge(a: SchemaCombine.Acc, b: SchemaCombine.Acc): SchemaCombine.Acc =
+    SchemaCombine.merge(a, b)
+  override def finish(acc: SchemaCombine.Acc): CubeSchema = SchemaCombine.extract(acc)
+  override def bufferEncoder: Encoder[SchemaCombine.Acc] = Encoders.kryo[SchemaCombine.Acc]
+  override def outputEncoder: Encoder[CubeSchema] = Encoders.kryo[CubeSchema]
+}
+
+/** build_reduce_fn (combiners.py:73-96): factory constructing a typed
+  * Aggregator from (accumulate, merge, initializer) without ceremony. */
+object ReduceFn {
+  def build[A, B: scala.reflect.ClassTag](
+      accumulateOp: (B, A) => B, mergeOp: (B, B) => B,
+      initializer: B): Aggregator[A, B, B] =
+    new Aggregator[A, B, B] {
+      override def zero: B = initializer
+      override def reduce(b: B, a: A): B = accumulateOp(b, a)
+      override def merge(x: B, y: B): B = mergeOp(x, y)
+      override def finish(b: B): B = b
+      override def bufferEncoder: Encoder[B] = Encoders.kryo[B]
+      override def outputEncoder: Encoder[B] = Encoders.kryo[B]
+    }
+}
+
+/** User preprocessors (SURVEY §2.2): the arbitrary (Index, Fragment) ->
+  * (Index, Fragment) cleaning stages the reference feedstocks apply —
+  * threshold masking, rename, drop, promote to coord, attr rewrite
+  * (examples/feedstock/terraclimate.py:59-215, narr_opendap.py:39-51). */
+object Preprocess {
+
+  /** Mask: keep values where pred holds, else NaN (da.where analog).
+    * Only defined for float variables — masking integers requires a
+    * sentinel, which the reference also refuses to invent. */
+  def maskWhere(f: Fragment, varName: String, pred: Double => Boolean): Fragment = {
+    val v = f.dataVars(varName)
+    require(v.dtype == DType.F8 || v.dtype == DType.F4,
+      s"maskWhere needs a float variable, got ${v.dtype.name}")
+    val out = v.data.astype(DType.F8)
+    val arr = out.data.asInstanceOf[Array[Double]]
+    var i = 0
+    while (i < arr.length) { if (!pred(arr(i))) arr(i) = Double.NaN; i += 1 }
+    f.copy(dataVars = f.dataVars.updated(varName, v.copy(data = out)))
+  }
+
+  def renameVar(f: Fragment, from: String, to: String): Fragment =
+    f.copy(dataVars = (f.dataVars - from).updated(to, f.dataVars(from)))
+
+  def dropVars(f: Fragment, names: Set[String]): Fragment =
+    f.copy(dataVars = f.dataVars.filterNot { case (n, _) => names.contains(n) })
+
+  /** Promote a data variable to a coordinate (set_coords analog). */
+  def setCoord(f: Fragment, name: String): Fragment =
+    f.copy(coords = f.coords.updated(name, f.dataVars(name)),
+      dataVars = f.dataVars - name)
+
+  def withAttrs(f: Fragment, attrs: Attrs): Fragment =
+    f.copy(attrs = f.attrs ++ attrs)
+}
+
+/** Deploy-time config injection (injections.py:1-16 + the
+  * RequiredAtRuntimeDefault sentinel, transforms.py:80-90): recipe objects
+  * are built with unresolved targets; the session builder resolves them
+  * from runtime configuration before execution, failing loudly when a
+  * required value was never injected. */
+object RuntimeConfig {
+  sealed trait Setting[+A] {
+    def resolve: A = this match {
+      case Provided(a) => a
+      case RequiredAtRuntime => throw new IllegalStateException(
+        "Value required at runtime was never injected " +
+          "(set it in the runtime config before executing the recipe).")
+    }
+    def isProvided: Boolean = this.isInstanceOf[Provided[_]]
+  }
+  final case class Provided[A](value: A) extends Setting[A]
+  case object RequiredAtRuntime extends Setting[Nothing]
+
+  final case class Config(targetRoot: Setting[String] = RequiredAtRuntime,
+                          inputCacheRoot: Setting[String] = RequiredAtRuntime) {
+    def inject(targetRoot: Option[String] = None,
+               inputCacheRoot: Option[String] = None): Config =
+      Config(
+        targetRoot = targetRoot.map(Provided(_)).getOrElse(this.targetRoot),
+        inputCacheRoot = inputCacheRoot.map(Provided(_)).getOrElse(this.inputCacheRoot))
+  }
+}

@@ -230,19 +230,64 @@ object Pipelines {
   }
 }
 
-/** Format-specific openers (openers.py:16-254), keyed by FileType. The test
-  * backbone uses Zarr-directory fragments (read by our own reader); NetCDF /
-  * GRIB decoding has no JVM lib in this offline build and surfaces the same
-  * validation errors the reference raises for unknown engines. */
+/** Format-specific openers (openers.py:16-254), keyed by FileType with the
+  * reference's engine-dispatch validation semantics (OPENER_MAP/_set_engine,
+  * openers.py:40-88). The test backbone uses Zarr-directory fragments (read
+  * by our own reader); NetCDF/GRIB decoding has no JVM lib in this offline
+  * build and surfaces the same registry errors the reference raises. */
 object Openers {
-  def open(fileType: FileType.Value, url: String): Fragment = fileType match {
-    case FileType.Zarr => ZarrGroup(url).readFragment()
-    case FileType.Unknown =>
+
+  type Decoder = String => Fragment
+
+  /** OPENER_MAP: FileType -> engine name (openers.py:40-47). */
+  val engineMap: Map[FileType.Value, String] = Map(
+    FileType.Grib -> "cfgrib",
+    FileType.Netcdf3 -> "scipy",
+    FileType.Netcdf4 -> "h5netcdf",
+    FileType.Opendap -> "netcdf4",
+    FileType.Zarr -> "zarr",
+    FileType.Parquet -> "parquet-long-view")
+
+  /** Registered decoders (this offline JVM build ships the zarr one). */
+  val decoders: Map[String, Decoder] = Map(
+    "zarr" -> (url => ZarrGroup(url).readFragment()))
+
+  /** _set_engine semantics: unknown file type -> explicit error; a
+    * user-supplied engine that conflicts with the registry is rejected. */
+  def resolveEngine(fileType: FileType.Value,
+                    userEngine: Option[String] = None): String = {
+    if (fileType == FileType.Unknown && userEngine.isEmpty)
       throw new IllegalArgumentException(
-        "Unable to automatically determine engine. Please set file_type explicitly.")
-    case other =>
+        "Unable to automatically determine engine. Please set file_type or engine explicitly.")
+    val registry = engineMap.get(fileType)
+    (registry, userEngine) match {
+      case (Some(r), Some(u)) if r != u => throw new IllegalArgumentException(
+        s"Specified engine $u conflicts with file_type $fileType (expects $r).")
+      case (_, Some(u)) => u
+      case (Some(r), None) => r
+      case (None, None) => throw new IllegalArgumentException(
+        s"No engine registered for file_type $fileType.")
+    }
+  }
+
+  /** openers.py:229-252: spool the remote file to executor-local tmp before
+    * decoding (the GRIB requirement); cache-through via Storage.cacheFile. */
+  def open(fileType: FileType.Value, url: String,
+           copyToLocal: Boolean = false,
+           cacheDir: Option[String] = None,
+           secrets: Map[String, String] = Map.empty): Fragment = {
+    val engine = resolveEngine(fileType)
+    val decoder = decoders.getOrElse(engine,
       throw new UnsupportedOperationException(
-        s"No JVM decoder available for file_type=$other in this build; " +
-          "use FileType.Zarr fragments or the parquet long view.")
+        s"No JVM decoder available for engine=$engine in this build; " +
+          "use FileType.Zarr fragments or the parquet long view."))
+    val resolvedUrl = cacheDir match {
+      case Some(cd) if fileType != FileType.Opendap =>
+        graft.storage.Storage.cacheFile(url, cd, secrets)
+      case _ => url
+    }
+    // copyToLocal would spool byte-range files to executor tmp; our zarr
+    // fragments are directories, already local in this build
+    decoder(resolvedUrl)
   }
 }

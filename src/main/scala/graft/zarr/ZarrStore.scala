@@ -292,6 +292,27 @@ final case class ZarrGroup(root: String) {
       attrs = groupAttrs)
   }
 
+  /** ConsolidateMetadata (writers.py:72-92): collect every array's metadata
+    * document into the root zarr.json under `consolidated_metadata`
+    * (zarr-python v3 layout) so readers issue one metadata GET instead of
+    * one per array. */
+  def consolidateMetadata(): Unit = {
+    val rootNode = mapper.readTree(Files.readAllBytes(p("zarr.json")))
+      .asInstanceOf[ObjectNode]
+    val metaNode = mapper.createObjectNode()
+    arrayNames.foreach { n =>
+      metaNode.set[ObjectNode](n,
+        mapper.readTree(Files.readAllBytes(p(n, "zarr.json"))))
+    }
+    val cons = mapper.createObjectNode()
+    cons.put("kind", "inline")
+    cons.put("must_understand", false)
+    cons.set[ObjectNode]("metadata", metaNode)
+    rootNode.set[ObjectNode]("consolidated_metadata", cons)
+    Files.write(p("zarr.json"), mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(rootNode))
+  }
+
   /** ConsolidateDimensionCoordinates (rechunking.py:245-283): rewrite each
     * 1-D dimension-coordinate array as a single chunk. */
   def consolidateDimensionCoordinates(): Unit = {
