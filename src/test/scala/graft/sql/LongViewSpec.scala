@@ -1,0 +1,85 @@
+package graft.sql
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.core.GoldenCube
+
+class LongViewSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-longview")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("long view explodes and pivots back losslessly") {
+    val cube = GoldenCube.makeDs(4)
+    val long = LongView.fragmentToLongDF(spark, cube).cache()
+    val nt = 4L; val ny = GoldenCube.NY.toLong; val nx = GoldenCube.NX.toLong
+    assert(long.count() == 2 * nt * ny * nx)
+
+    // SQL aggregation over the cube
+    val means = long.groupBy("var_name").agg(avg("value").as("mean"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(means("bar") > 0 && means("foo") > 0 && means("foo") < 1)
+
+    // inverse pivot reproduces the dense variable exactly
+    val back = LongView.longDFToVariable(long, "foo",
+      Vector("lat", "lon", "time"), Vector(GoldenCube.NY, GoldenCube.NX, 4))
+    // note: long view uses sorted dim order (lat, lon, time)
+    val expected = {
+      val v = cube.dataVars("foo") // dims (time, lat, lon)
+      val out = new Array[Double](v.data.size)
+      val (t, la, lo) = (4, GoldenCube.NY, GoldenCube.NX)
+      for (i <- 0 until t; j <- 0 until la; k <- 0 until lo)
+        out(j * lo * t + k * t + i) = v.data.getDouble(i * la * lo + j * lo + k)
+      out
+    }
+    assert(back.data.data.asInstanceOf[Array[Double]].sameElements(expected))
+  }
+
+  test("coords view exposes dim coordinates for joins") {
+    val cube = GoldenCube.makeDs(3)
+    val coords = LongView.coordsToDF(spark, cube)
+    val lat0 = coords.filter(col("dim") === "lat" && col("pos") === 0)
+      .select("coord_value").head().getDouble(0)
+    assert(lat0 == -85.0)
+    assert(coords.filter(col("dim") === "time").count() == 3)
+  }
+
+  test("example recipe runs end-to-end with runtime config injection") {
+    import graft.transforms.RuntimeConfig
+    import graft.examples.DailyCubeRecipe
+    val cube = GoldenCube.makeDs(6)
+    val dir = java.nio.file.Files.createTempDirectory("recipe").toString
+    val slabs = GoldenCube.splitByTime(cube, 1)
+    val files = slabs.zipWithIndex.map { case (f, i) =>
+      val p = s"$dir/day_$i.zarr"
+      val g = graft.zarr.ZarrGroup(p)
+      g.initGroup(f.attrs)
+      f.allVars.foreach { case (n, v) =>
+        g.createArray(n, v.shape, v.shape, v.dtype, v.attrs,
+          dimensionNames = Some(v.dims))
+        g.writeRegion(n, Vector.fill(v.data.ndim)(0), v.data)
+      }
+      p
+    }
+    val pattern = DailyCubeRecipe.pattern(
+      day => files(day.toInt), (0 until 6).map(_.toString).toVector)
+    val cfg = RuntimeConfig.Config().inject(targetRoot = Some(dir))
+    DailyCubeRecipe.run(spark, pattern, cfg, "daily.zarr", Map("time" -> 2),
+      maskVar = Some(("foo", _ < 0.99)))
+    val result = graft.zarr.ZarrGroup(s"$dir/daily.zarr").readFragment()
+    assert(result.dims == cube.dims)
+    // masked values are NaN where >= 0.99, untouched elsewhere
+    val got = result.dataVars("foo").data.data.asInstanceOf[Array[Double]]
+    val src = cube.dataVars("foo").data.data.asInstanceOf[Array[Double]]
+    assert(got.indices.forall(i =>
+      if (src(i) < 0.99) got(i) == src(i) else got(i).isNaN))
+    // extra attrs land with the pangeo-forge: prefix (aggregation.py:243-246)
+    assert(result.attrs.contains("pangeo-forge:produced_by"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.transforms
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.core._
+import graft.patterns.{FilePattern, FileType}
+import graft.zarr.ZarrGroup
+import java.nio.file.Files
+
+/** Medium-scale shuffle validation: a ~50 MB cube (60×90×180 float64 ×2
+  * vars) split into 30 files, rechunked across ALL THREE dims — every
+  * fragment splits into multiple target chunk groups, so the groupByKey
+  * carries real multi-record groups and remainder chunks appear on each
+  * axis. Verifies the rechunk shuffle + writer survive beyond toy size and
+  * that per-variable bytes round-trip exactly.
+  */
+class ScaleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("graft-scale")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val NT = 60; private val NY = 90; private val NX = 180
+
+  private def bigCube(): Fragment = {
+    val rng = new scala.util.Random(11)
+    val n = NT * NY * NX
+    Fragment(
+      dims = Map("time" -> NT, "lat" -> NY, "lon" -> NX),
+      coords = Map(
+        "time" -> Variable(Vector("time"),
+          NDArray(DType.I8, Vector(NT), (0 until NT).map(_.toLong).toArray)),
+        "lat" -> Variable(Vector("lat"),
+          NDArray(DType.F8, Vector(NY), (0 until NY).map(_.toDouble).toArray)),
+        "lon" -> Variable(Vector("lon"),
+          NDArray(DType.F8, Vector(NX), (0 until NX).map(_.toDouble).toArray))),
+      dataVars = Map(
+        "foo" -> Variable(Vector("time", "lat", "lon"),
+          NDArray(DType.F8, Vector(NT, NY, NX), Array.fill(n)(rng.nextDouble()))),
+        "bar" -> Variable(Vector("time", "lat", "lon"),
+          NDArray(DType.I8, Vector(NT, NY, NX), Array.fill(n)(rng.nextInt(1000).toLong)))),
+      attrs = Map("conventions" -> AttrValue("CF 1.6")))
+  }
+
+  test("50MB cube, 30 files, 3-dim rechunk with remainders, exact round-trip") {
+    val cube = bigCube()
+    val dir = Files.createTempDirectory("graft_scale").toString
+    val files = (0 until NT by 2).map { t0 =>
+      val f = cube.isel(Map("time" -> Slc(t0, t0 + 2)))
+      val p = s"$dir/f_$t0.zarr"
+      val g = ZarrGroup(p)
+      g.initGroup(f.attrs)
+      f.allVars.foreach { case (n, v) =>
+        g.createArray(n, v.shape, v.shape, v.dtype, v.attrs,
+          dimensionNames = Some(v.dims))
+        g.writeRegion(n, Vector.fill(v.data.ndim)(0), v.data)
+      }
+      p
+    }.toVector
+
+    val pattern = FilePattern.fromFileSequence(files, "time",
+      nitemsPerFile = Some(2), fileType = FileType.Zarr)
+    val items = Pipelines.createItems(spark, pattern)
+    val frags = Pipelines.openWithFragments(items, FileType.Zarr)
+    val storePath = s"$dir/store.zarr"
+    val t0 = System.nanoTime()
+    // 7/45/77 deliberately do not divide 60/90/180 -> remainder chunks on
+    // every axis, and every 2-day fragment splits into >= 2x2x3 pieces
+    Pipelines.storeToZarr(frags, pattern.combineDimKeys, storePath,
+      Map("time" -> 7, "lat" -> 45, "lon" -> 77))
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"storeToZarr(50MB, 3-dim rechunk) took $secs%.1f s")
+
+    val store = ZarrGroup(storePath)
+    val meta = store.arrayMeta("foo")
+    assert(meta.chunks == Vector(7, 45, 77))
+    val result = store.readFragment()
+    assert(result.sameAs(cube))
+    assert(secs < 120, s"rechunk too slow: $secs s")
+  }
+}
