@@ -128,7 +128,8 @@ object Pipelines {
   def prepareZarrTarget(schema0: CubeSchema, path: String,
                         targetChunks: Map[String, Int] = Map.empty,
                         extraAttrs: Attrs = Attrs.empty,
-                        appendDim: Option[String] = None): ZarrGroup = {
+                        appendDim: Option[String] = None,
+                        gzipLevel: Option[Int] = None): ZarrGroup = {
     val schema = appendDim match {
       case Some(ad) => schema0.copy(coords = schema0.coords.filter(_._1 == ad))
       case None => schema0
@@ -141,7 +142,7 @@ object Pipelines {
         template.allVars.foreach { case (name, v) =>
           g.createArray(name, v.shape, v.dims.map(chunksFull(_)), v.dtype,
             v.attrs ++ v.encoding.filter(_._1 != "chunks"),
-            dimensionNames = Some(v.dims))
+            dimensionNames = Some(v.dims), gzipLevel = gzipLevel)
         }
       case Some(ad) =>
         // extend every array carrying the append dim by the new length
@@ -197,7 +198,8 @@ object Pipelines {
                   targetChunks: Map[String, Int] = Map.empty,
                   attrs: Attrs = Attrs.empty,
                   appendDim: Option[String] = None,
-                  dynamicChunkingFn: Option[Fragment => Map[String, Int]] = None)
+                  dynamicChunkingFn: Option[Fragment => Map[String, Int]] = None,
+                  gzipLevel: Option[Int] = None)
       : ZarrGroup = {
     require(targetChunks.isEmpty || dynamicChunkingFn.isEmpty,
       "Passing both `target_chunks` and `dynamic_chunking_fn` not allowed.")
@@ -219,7 +221,8 @@ object Pipelines {
       case None => targetChunks
     }
     val rechunked = rechunk(indexed, Some(chunks), Some(schema))
-    val target = prepareZarrTarget(schema, storePath, chunks, attrs, appendDim)
+    val target = prepareZarrTarget(schema, storePath, chunks, attrs, appendDim,
+      gzipLevel)
     // parallel region writes from executors (local FS here; an object store
     // or shared FS in cluster deployments)
     rechunked.foreachPartition { (it: Iterator[(Index, Fragment)]) =>

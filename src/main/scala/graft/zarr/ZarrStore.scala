@@ -113,7 +113,8 @@ final case class ZarrGroup(root: String) {
   def createArray(name: String, shape: Vector[Int], chunks: Vector[Int],
                   dtype: DType, attrs: Attrs,
                   fillValue: AttrValue = AttrValue.AInt(0),
-                  dimensionNames: Option[Vector[String]] = None): Unit = {
+                  dimensionNames: Option[Vector[String]] = None,
+                  gzipLevel: Option[Int] = None): Unit = {
     val dir = p(name)
     Files.createDirectories(dir)
     val o = mapper.createObjectNode()
@@ -140,6 +141,13 @@ final case class ZarrGroup(root: String) {
     val bcfg = mapper.createObjectNode(); bcfg.put("endian", "little")
     bytesCodec.set[ObjectNode]("configuration", bcfg)
     codecs.add(bytesCodec)
+    gzipLevel.foreach { lvl =>
+      val gz = mapper.createObjectNode()
+      gz.put("name", "gzip")
+      val gcfg2 = mapper.createObjectNode(); gcfg2.put("level", lvl)
+      gz.set[ObjectNode]("configuration", gcfg2)
+      codecs.add(gz)
+    }
     o.set[ObjectNode]("codecs", codecs)
     dimensionNames.foreach { dn =>
       val a = mapper.createArrayNode(); dn.foreach(a.add); o.set[ObjectNode]("dimension_names", a)
@@ -151,7 +159,8 @@ final case class ZarrGroup(root: String) {
 
   final case class ArrayMeta(shape: Vector[Int], chunks: Vector[Int],
                              dtype: DType, attrs: Attrs,
-                             dimensionNames: Vector[String])
+                             dimensionNames: Vector[String],
+                             gzipLevel: Option[Int] = None)
 
   def arrayMeta(name: String): ArrayMeta = {
     val n = mapper.readTree(Files.readAllBytes(p(name, "zarr.json")))
@@ -162,7 +171,11 @@ final case class ZarrGroup(root: String) {
     val dims = Option(n.get("dimension_names"))
       .map(_.elements().asScala.map(_.asText()).toVector)
       .getOrElse(shape.indices.map(i => s"dim_$i").toVector)
-    ArrayMeta(shape, chunks, dtype, ZarrStore.objectAttrs(n.get("attributes")), dims)
+    val gzip = Option(n.get("codecs")).flatMap(
+      _.elements().asScala.find(c => c.get("name").asText() == "gzip")
+        .map(c => c.get("configuration").get("level").asInt()))
+    ArrayMeta(shape, chunks, dtype, ZarrStore.objectAttrs(n.get("attributes")),
+      dims, gzip)
   }
 
   // ---------- chunk IO ----------
@@ -171,7 +184,8 @@ final case class ZarrGroup(root: String) {
     p((name +: key): _*)
   }
 
-  private def writeChunk(name: String, chunkIdx: Vector[Int], arr: NDArray): Unit = {
+  private def writeChunk(name: String, chunkIdx: Vector[Int], arr: NDArray,
+                         gzipLevel: Option[Int]): Unit = {
     val path = chunkPath(name, chunkIdx)
     Files.createDirectories(path.getParent)
     val buf = ByteBuffer.allocate(arr.size * arr.dtype.byteSize)
@@ -182,14 +196,29 @@ final case class ZarrGroup(root: String) {
       case a: Array[Float] => buf.asFloatBuffer().put(a)
       case a: Array[Double] => buf.asDoubleBuffer().put(a)
     }
-    Files.write(path, buf.array())
+    val encoded = gzipLevel match {
+      case Some(lvl) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos) { `def`.setLevel(lvl) }
+        gz.write(buf.array()); gz.close()
+        bos.toByteArray
+      case None => buf.array()
+    }
+    Files.write(path, encoded)
   }
 
   private def readChunk(name: String, chunkIdx: Vector[Int], dtype: DType,
-                        shape: Vector[Int]): Option[NDArray] = {
+                        shape: Vector[Int], gzipLevel: Option[Int]): Option[NDArray] = {
     val path = chunkPath(name, chunkIdx)
     if (!Files.exists(path)) return None
-    val bytes = Files.readAllBytes(path)
+    val raw = Files.readAllBytes(path)
+    val bytes = gzipLevel match {
+      case Some(_) =>
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(raw))
+        try in.readAllBytes() finally in.close()
+      case None => raw
+    }
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val n = NDArray.sizeOf(shape)
     val data: AnyRef = dtype match {
@@ -244,7 +273,7 @@ final case class ZarrGroup(root: String) {
             padded.assign(Vector.fill(ndim)(0), piece)
             padded
           }
-        writeChunk(name, idx, toWrite)
+        writeChunk(name, idx, toWrite, meta.gzipLevel)
       } else chunkRanges(d).foreach(i => rec(d + 1, idx :+ i))
     rec(0, Vector.empty)
   }
@@ -259,7 +288,7 @@ final case class ZarrGroup(root: String) {
       (meta.shape(d) + meta.chunks(d) - 1) / meta.chunks(d)).toVector
     def rec(d: Int, idx: Vector[Int]): Unit =
       if (d == ndim) {
-        readChunk(name, idx, meta.dtype, meta.chunks).foreach { chunk =>
+        readChunk(name, idx, meta.dtype, meta.chunks, meta.gzipLevel).foreach { chunk =>
           val starts = idx.indices.map(k => idx(k) * meta.chunks(k)).toVector
           val valid = idx.indices.map(k =>
             Slc(0, math.min(meta.chunks(k), meta.shape(k) - starts(k)))).toVector

@@ -128,6 +128,22 @@ class EndToEndSpec extends AnyFunSuite {
     assert(result.sameAs(cube20))
   }
 
+  test("gzip-compressed store round-trips exactly") {
+    val cube = GoldenCube.makeDs(6)
+    val dir = tmp()
+    val files = writeFragmentFiles(GoldenCube.splitByTime(cube, 2), dir)
+    val pattern = FilePattern.fromFileSequence(files, "time",
+      nitemsPerFile = Some(2), fileType = FileType.Zarr)
+    val items = Pipelines.createItems(spark, pattern)
+    val frags = Pipelines.openWithFragments(items, FileType.Zarr)
+    val storePath = s"$dir/store_gz.zarr"
+    Pipelines.storeToZarr(frags, pattern.combineDimKeys, storePath,
+      Map("time" -> 2), gzipLevel = Some(4))
+    val store = ZarrGroup(storePath)
+    assert(store.arrayMeta("foo").gzipLevel.contains(4))
+    assert(store.readFragment().sameAs(cube))
+  }
+
   test("dynamic chunking fn") {
     val cube = GoldenCube.makeDs(8)
     val dir = tmp()

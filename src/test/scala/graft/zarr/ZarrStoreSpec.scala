@@ -92,6 +92,23 @@ class ZarrStoreSpec extends AnyFunSuite {
     assert(back.sameAs(cube))
   }
 
+  test("gzip codec round-trips and shrinks compressible chunks") {
+    val g = ZarrGroup(tmp())
+    g.initGroup(Attrs.empty)
+    // highly compressible data (constant runs)
+    val data = NDArray(DType.F8, Vector(1000),
+      Array.tabulate(1000)(i => (i / 100).toDouble))
+    g.createArray("v", Vector(1000), Vector(500), DType.F8, Attrs.empty,
+      dimensionNames = Some(Vector("x")), gzipLevel = Some(5))
+    g.writeRegion("v", Vector(0), data)
+    assert(g.arrayMeta("v").gzipLevel.contains(5))
+    assert(g.readArray("v").sameElements(data))
+    // compressed chunk is much smaller than the raw 4000 bytes
+    val chunkSize = java.nio.file.Files.size(
+      java.nio.file.Paths.get(g.root, "v", "c", "0"))
+    assert(chunkSize < 500, s"chunk not compressed: $chunkSize bytes")
+  }
+
   test("consolidateDimensionCoordinates rewrites dim coords as one chunk") {
     val g = ZarrGroup(tmp())
     g.initGroup(Attrs.empty)
