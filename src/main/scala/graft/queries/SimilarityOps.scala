@@ -221,15 +221,108 @@ object SimilarityOps {
        |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
   }
 
+  /** IVF-flat ANN: K seed centroids (the first K corpus vectors — a
+    * deterministic stand-in for a trained coarse quantizer), every vector
+    * assigned to its nearest cell by exact integer L2, queries probe the
+    * `NProbe` nearest cells and score only those cells' members.
+    *
+    * Scale shape: assignment is one scan against K broadcast centroids
+    * (codegen'd expression, no shuffle); the candidate join is an equi-join
+    * on cell id, so at 100 TB each query touches K/NProbe-th of the corpus
+    * and the join partitions by cell instead of exploding all pairs. */
+  private val NumCells = 8
+  private val NProbe = 2
+
+  def s04AnnIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).withColumn("q", expr(qEmb))
+      .withColumn("nrm", expr(normExpr("q")))
+      .select("vec_id", "q", "nrm")
+    // deterministic coarse quantizer: cells seeded by the first K vectors
+    val cents: Array[(Long, Array[Long])] = emb
+      .filter(col("vec_id") < NumCells)
+      .select("vec_id", "q")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    // array of (l2dist, cid) structs, sorted → [0]=assigned cell, take NProbe
+    val cellStructs = cents.map { case (cid, cv) =>
+      val lit = cv.mkString("array(", "L, ", "L)")
+      s"named_struct('d', aggregate(zip_with(q, $lit, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v), 'cid', ${cid}L)"
+    }.mkString("array_sort(array(", ", ", "))")
+    val withCells = emb.withColumn("cells", expr(cellStructs))
+    val corpus = withCells
+      .withColumn("cell", expr("cells[0].cid")).drop("cells")
+    val probes = withCells.filter(col("vec_id") < NumQueries)
+      .withColumn("cell", explode(expr(
+        s"transform(slice(cells, 1, $NProbe), c -> c.cid)"))).drop("cells")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    corpus.as("b")
+      .join(broadcast(probes.as("a")),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"),
+        round(expr(dotExpr("a.q", "b.q")).cast("double") /
+          (sqrt(col("a.nrm").cast("double")) * sqrt(col("b.nrm").cast("double"))), 6)
+          .as("sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("sim"))
+      .orderBy("query_id", "rk")
+  }
+
+  val s04Sql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, $qEmbDuck AS qv FROM embeddings
+       |), elems AS (
+       |  SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x FROM q
+       |), norms AS (
+       |  SELECT vec_id, SUM(x * x) AS nrm FROM elems GROUP BY vec_id
+       |), cents AS (
+       |  SELECT vec_id AS cid, i, x FROM elems WHERE vec_id < $NumCells
+       |), dists AS (
+       |  SELECT e.vec_id, c.cid, SUM((e.x - c.x) * (e.x - c.x)) AS d2
+       |  FROM elems e JOIN cents c ON e.i = c.i GROUP BY 1, 2
+       |), ranked_cells AS (
+       |  SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS crk
+       |  FROM dists
+       |), assign AS (
+       |  SELECT vec_id, cid FROM ranked_cells WHERE crk = 1
+       |), probes AS (
+       |  SELECT vec_id, cid FROM ranked_cells
+       |  WHERE crk <= $NProbe AND vec_id < $NumQueries
+       |), cand AS (
+       |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assign a ON p.cid = a.cid AND p.vec_id <> a.vec_id
+       |), dots AS (
+       |  SELECT c.query_id, c.neighbor_id, SUM(ea.x * eb.x) AS dot
+       |  FROM cand c
+       |  JOIN elems ea ON ea.vec_id = c.query_id
+       |  JOIN elems eb ON eb.vec_id = c.neighbor_id AND ea.i = eb.i
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROUND(dot::DOUBLE / (sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)), 6) AS sim
+       |  FROM dots JOIN norms na ON query_id = na.vec_id
+       |  JOIN norms nb ON neighbor_id = nb.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, rk, neighbor_id, sim FROM ranked
+       |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk" -> s01CosineTopk _,
     "s02_embed_neardup" -> s02EmbedNearDup _,
     "s03_ann_lsh" -> s03AnnLsh _,
+    "s04_ann_ivf" -> s04AnnIvf _,
   )
 
   val oracles: Map[String, String] = Map(
     "s01_cosine_topk" -> s01Sql,
     "s02_embed_neardup" -> s02Sql,
     "s03_ann_lsh" -> s03Sql,
+    "s04_ann_ivf" -> s04Sql,
   )
 }

@@ -127,11 +127,67 @@ object TextOps {
       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
       |GROUP BY token ORDER BY cnt DESC, token""".stripMargin
 
+  /** Character-n-gram language-ID: frequency of English-profile bigrams
+    * ('th','he','er','an') per 1000 chars. Bigram counts use the
+    * replace-length trick — pure string built-ins, identical in both
+    * engines, fully codegen'd (single scan, no shuffle at any scale). */
+  def t05LangIdNgram(s: SparkSession, d: String): DataFrame = {
+    val grams = Seq("th", "he", "er", "an")
+    val cnt = grams.map(g =>
+      s"((length(text) - length(replace(text, '$g', ''))) div 2)").mkString(" + ")
+    documents(s, d)
+      .withColumn("ngram_hits", expr(cnt).cast("long"))
+      .withColumn("rate", round(col("ngram_hits") * lit(1000.0) /
+        length(col("text")), 4))
+      .select(
+        col("doc_id"), col("lang"),
+        col("ngram_hits"),
+        col("rate").as("hits_per_1000"),
+        when(col("rate") >= 30.0, lit("en")).otherwise(lit("unk"))
+          .as("lang_guess"))
+      .orderBy("doc_id")
+  }
+
+  val t05Sql: String = {
+    val cnt = Seq("th", "he", "er", "an").map(g =>
+      s"((length(text) - length(replace(text, '$g', ''))) // 2)").mkString(" + ")
+    s"""WITH c AS (
+       |  SELECT doc_id, lang, ($cnt)::BIGINT AS ngram_hits,
+       |    ROUND(($cnt) * 1000.0 / length(text), 4) AS rate
+       |  FROM documents)
+       |SELECT doc_id, lang, ngram_hits, rate AS hits_per_1000,
+       |  CASE WHEN rate >= 30.0 THEN 'en' ELSE 'unk' END AS lang_guess
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  /** BPE-ish regex tokenization: letter runs, digit runs, and single
+    * punctuation marks as separate tokens (the GPT-2 pre-tokenizer shape),
+    * counted per document next to the whitespace count. */
+  def t06BpeTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("bpe", expr(
+        "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(col("bpe")).cast("long").as("bpe_tokens"),
+        expr("size(array_distinct(bpe))").cast("long").as("bpe_uniq"))
+      .orderBy("doc_id")
+
+  val t06Sql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' '))::BIGINT AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS bpe_tokens,
+      |  len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))::BIGINT AS bpe_uniq
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> t01TextStats _,
     "t02_langid" -> t02LangId _,
     "t03_fingerprint" -> t03Fingerprint _,
     "t04_token_freq" -> t04TokenFreq _,
+    "t05_langid_ngram" -> t05LangIdNgram _,
+    "t06_bpe_tokens" -> t06BpeTokens _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -139,5 +195,7 @@ object TextOps {
     "t02_langid" -> t02Sql,
     "t03_fingerprint" -> t03Sql,
     "t04_token_freq" -> t04Sql,
+    "t05_langid_ngram" -> t05Sql,
+    "t06_bpe_tokens" -> t06Sql,
   )
 }
