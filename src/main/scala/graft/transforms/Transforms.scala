@@ -129,7 +129,8 @@ object Pipelines {
                         targetChunks: Map[String, Int] = Map.empty,
                         extraAttrs: Attrs = Attrs.empty,
                         appendDim: Option[String] = None,
-                        gzipLevel: Option[Int] = None): ZarrGroup = {
+                        gzipLevel: Option[Int] = None,
+                        targetShards: Map[String, Int] = Map.empty): ZarrGroup = {
     val schema = appendDim match {
       case Some(ad) => schema0.copy(coords = schema0.coords.filter(_._1 == ad))
       case None => schema0
@@ -140,9 +141,15 @@ object Pipelines {
       case None =>
         g.initGroup(template.attrs)
         template.allVars.foreach { case (name, v) =>
-          g.createArray(name, v.shape, v.dims.map(chunksFull(_)), v.dtype,
+          val chunkShape = v.dims.map(chunksFull(_))
+          val shard =
+            if (targetShards.isEmpty) None
+            else Some(v.dims.zip(chunkShape).map { case (d, c) =>
+              targetShards.getOrElse(d, c) })
+          g.createArray(name, v.shape, chunkShape, v.dtype,
             v.attrs ++ v.encoding.filter(_._1 != "chunks"),
-            dimensionNames = Some(v.dims), gzipLevel = gzipLevel)
+            dimensionNames = Some(v.dims), gzipLevel = gzipLevel,
+            shardShape = shard)
         }
       case Some(ad) =>
         // extend every array carrying the append dim by the new length
@@ -199,7 +206,8 @@ object Pipelines {
                   attrs: Attrs = Attrs.empty,
                   appendDim: Option[String] = None,
                   dynamicChunkingFn: Option[Fragment => Map[String, Int]] = None,
-                  gzipLevel: Option[Int] = None)
+                  gzipLevel: Option[Int] = None,
+                  targetShards: Map[String, Int] = Map.empty)
       : ZarrGroup = {
     require(targetChunks.isEmpty || dynamicChunkingFn.isEmpty,
       "Passing both `target_chunks` and `dynamic_chunking_fn` not allowed.")
@@ -220,9 +228,12 @@ object Pipelines {
         fn(template)
       case None => targetChunks
     }
-    val rechunked = rechunk(indexed, Some(chunks), Some(schema))
+    // fragments must align with the WRITE granularity: whole shards when
+    // sharding (one executor write = one storage object, no write conflicts)
+    val writeGrain = chunks ++ targetShards
+    val rechunked = rechunk(indexed, Some(writeGrain), Some(schema))
     val target = prepareZarrTarget(schema, storePath, chunks, attrs, appendDim,
-      gzipLevel)
+      gzipLevel, targetShards)
     // parallel region writes from executors (local FS here; an object store
     // or shared FS in cluster deployments)
     rechunked.foreachPartition { (it: Iterator[(Index, Fragment)]) =>

@@ -114,7 +114,13 @@ final case class ZarrGroup(root: String) {
                   dtype: DType, attrs: Attrs,
                   fillValue: AttrValue = AttrValue.AInt(0),
                   dimensionNames: Option[Vector[String]] = None,
-                  gzipLevel: Option[Int] = None): Unit = {
+                  gzipLevel: Option[Int] = None,
+                  shardShape: Option[Vector[Int]] = None): Unit = {
+    shardShape.foreach { ss =>
+      require(ss.length == chunks.length &&
+        ss.zip(chunks).forall { case (s, c) => s % c == 0 },
+        s"shard shape $ss must be a per-dim multiple of chunk shape $chunks")
+    }
     val dir = p(name)
     Files.createDirectories(dir)
     val o = mapper.createObjectNode()
@@ -125,7 +131,9 @@ final case class ZarrGroup(root: String) {
     val grid = mapper.createObjectNode()
     grid.put("name", "regular")
     val gcfg = mapper.createObjectNode()
-    val ch = mapper.createArrayNode(); chunks.foreach(ch.add)
+    // with sharding the top-level chunk grid addresses SHARDS; inner chunks
+    // live in the sharding codec's configuration (zarr v3 sharding spec)
+    val ch = mapper.createArrayNode(); shardShape.getOrElse(chunks).foreach(ch.add)
     gcfg.set[ObjectNode]("chunk_shape", ch)
     grid.set[ObjectNode]("configuration", gcfg)
     o.set[ObjectNode]("chunk_grid", grid)
@@ -135,18 +143,44 @@ final case class ZarrGroup(root: String) {
     cke.set[ObjectNode]("configuration", ckcfg)
     o.set[ObjectNode]("chunk_key_encoding", cke)
     o.set[ObjectNode]("fill_value", attrToNode(fillValue))
-    val codecs = mapper.createArrayNode()
-    val bytesCodec = mapper.createObjectNode()
-    bytesCodec.put("name", "bytes")
-    val bcfg = mapper.createObjectNode(); bcfg.put("endian", "little")
-    bytesCodec.set[ObjectNode]("configuration", bcfg)
-    codecs.add(bytesCodec)
-    gzipLevel.foreach { lvl =>
-      val gz = mapper.createObjectNode()
-      gz.put("name", "gzip")
-      val gcfg2 = mapper.createObjectNode(); gcfg2.put("level", lvl)
-      gz.set[ObjectNode]("configuration", gcfg2)
-      codecs.add(gz)
+    def innerCodecs: ArrayNode = {
+      val codecs = mapper.createArrayNode()
+      val bytesCodec = mapper.createObjectNode()
+      bytesCodec.put("name", "bytes")
+      val bcfg = mapper.createObjectNode(); bcfg.put("endian", "little")
+      bytesCodec.set[ObjectNode]("configuration", bcfg)
+      codecs.add(bytesCodec)
+      gzipLevel.foreach { lvl =>
+        val gz = mapper.createObjectNode()
+        gz.put("name", "gzip")
+        val gcfg2 = mapper.createObjectNode(); gcfg2.put("level", lvl)
+        gz.set[ObjectNode]("configuration", gcfg2)
+        codecs.add(gz)
+      }
+      codecs
+    }
+    val codecs = shardShape match {
+      case None => innerCodecs
+      case Some(_) =>
+        val top = mapper.createArrayNode()
+        val shard = mapper.createObjectNode()
+        shard.put("name", "sharding_indexed")
+        val scfg = mapper.createObjectNode()
+        val ics = mapper.createArrayNode(); chunks.foreach(ics.add)
+        scfg.set[ObjectNode]("chunk_shape", ics)
+        scfg.set[ObjectNode]("codecs", innerCodecs)
+        val idxCodecs = mapper.createArrayNode()
+        val ib = mapper.createObjectNode(); ib.put("name", "bytes")
+        val ibc = mapper.createObjectNode(); ibc.put("endian", "little")
+        ib.set[ObjectNode]("configuration", ibc)
+        idxCodecs.add(ib)
+        val crc = mapper.createObjectNode(); crc.put("name", "crc32c")
+        idxCodecs.add(crc)
+        scfg.set[ObjectNode]("index_codecs", idxCodecs)
+        scfg.put("index_location", "end")
+        shard.set[ObjectNode]("configuration", scfg)
+        top.add(shard)
+        top
     }
     o.set[ObjectNode]("codecs", codecs)
     dimensionNames.foreach { dn =>
@@ -157,25 +191,44 @@ final case class ZarrGroup(root: String) {
       .writeValueAsBytes(o))
   }
 
+  /** `chunks` is the read-granularity (inner) chunk shape; when sharded,
+    * `shardShape` is the object/write granularity and a per-dim multiple of
+    * `chunks`. */
   final case class ArrayMeta(shape: Vector[Int], chunks: Vector[Int],
                              dtype: DType, attrs: Attrs,
                              dimensionNames: Vector[String],
-                             gzipLevel: Option[Int] = None)
+                             gzipLevel: Option[Int] = None,
+                             shardShape: Option[Vector[Int]] = None) {
+    /** storage-object granularity: shard if sharded, else chunk */
+    def grain: Vector[Int] = shardShape.getOrElse(chunks)
+  }
 
   def arrayMeta(name: String): ArrayMeta = {
     val n = mapper.readTree(Files.readAllBytes(p(name, "zarr.json")))
     val shape = n.get("shape").elements().asScala.map(_.asInt()).toVector
-    val chunks = n.get("chunk_grid").get("configuration").get("chunk_shape")
+    val gridChunks = n.get("chunk_grid").get("configuration").get("chunk_shape")
       .elements().asScala.map(_.asInt()).toVector
     val dtype = dtypeFromName(n.get("data_type").asText())
     val dims = Option(n.get("dimension_names"))
       .map(_.elements().asScala.map(_.asText()).toVector)
       .getOrElse(shape.indices.map(i => s"dim_$i").toVector)
-    val gzip = Option(n.get("codecs")).flatMap(
-      _.elements().asScala.find(c => c.get("name").asText() == "gzip")
-        .map(c => c.get("configuration").get("level").asInt()))
-    ArrayMeta(shape, chunks, dtype, ZarrStore.objectAttrs(n.get("attributes")),
-      dims, gzip)
+    def gzipOf(codecs: com.fasterxml.jackson.databind.JsonNode): Option[Int] =
+      Option(codecs).flatMap(
+        _.elements().asScala.find(c => c.get("name").asText() == "gzip")
+          .map(c => c.get("configuration").get("level").asInt()))
+    val sharding = Option(n.get("codecs")).flatMap(
+      _.elements().asScala.find(c => c.get("name").asText() == "sharding_indexed"))
+    sharding match {
+      case Some(sc) =>
+        val cfg = sc.get("configuration")
+        val inner = cfg.get("chunk_shape").elements().asScala.map(_.asInt()).toVector
+        ArrayMeta(shape, inner, dtype, ZarrStore.objectAttrs(n.get("attributes")),
+          dims, gzipOf(cfg.get("codecs")), Some(gridChunks))
+      case None =>
+        ArrayMeta(shape, gridChunks, dtype,
+          ZarrStore.objectAttrs(n.get("attributes")), dims,
+          gzipOf(n.get("codecs")), None)
+    }
   }
 
   // ---------- chunk IO ----------
@@ -184,10 +237,8 @@ final case class ZarrGroup(root: String) {
     p((name +: key): _*)
   }
 
-  private def writeChunk(name: String, chunkIdx: Vector[Int], arr: NDArray,
-                         gzipLevel: Option[Int]): Unit = {
-    val path = chunkPath(name, chunkIdx)
-    Files.createDirectories(path.getParent)
+  /** One chunk payload -> encoded bytes (bytes codec LE, optional gzip). */
+  private def encodeChunk(arr: NDArray, gzipLevel: Option[Int]): Array[Byte] = {
     val buf = ByteBuffer.allocate(arr.size * arr.dtype.byteSize)
       .order(ByteOrder.LITTLE_ENDIAN)
     arr.data match {
@@ -196,7 +247,7 @@ final case class ZarrGroup(root: String) {
       case a: Array[Float] => buf.asFloatBuffer().put(a)
       case a: Array[Double] => buf.asDoubleBuffer().put(a)
     }
-    val encoded = gzipLevel match {
+    gzipLevel match {
       case Some(lvl) =>
         val bos = new java.io.ByteArrayOutputStream()
         val gz = new java.util.zip.GZIPOutputStream(bos) { `def`.setLevel(lvl) }
@@ -204,14 +255,10 @@ final case class ZarrGroup(root: String) {
         bos.toByteArray
       case None => buf.array()
     }
-    Files.write(path, encoded)
   }
 
-  private def readChunk(name: String, chunkIdx: Vector[Int], dtype: DType,
-                        shape: Vector[Int], gzipLevel: Option[Int]): Option[NDArray] = {
-    val path = chunkPath(name, chunkIdx)
-    if (!Files.exists(path)) return None
-    val raw = Files.readAllBytes(path)
+  private def decodeChunk(raw: Array[Byte], dtype: DType, shape: Vector[Int],
+                          gzipLevel: Option[Int]): NDArray = {
     val bytes = gzipLevel match {
       case Some(_) =>
         val in = new java.util.zip.GZIPInputStream(
@@ -227,53 +274,141 @@ final case class ZarrGroup(root: String) {
       case DType.F4 => val a = new Array[Float](n); buf.asFloatBuffer().get(a); a
       case DType.F8 => val a = new Array[Double](n); buf.asDoubleBuffer().get(a); a
     }
-    Some(NDArray(dtype, shape, data))
+    NDArray(dtype, shape, data)
+  }
+
+  /** inner-chunk positions of one shard in C-order (the index order fixed by
+    * the sharding spec) */
+  private def innerPositions(chunksPerShard: Vector[Int]): Vector[Vector[Int]] =
+    chunksPerShard.foldLeft(Vector(Vector.empty[Int])) { (acc, n) =>
+      acc.flatMap(prefix => (0 until n).map(prefix :+ _))
+    }
+
+  /** Encode one shard object: concatenated encoded inner chunks followed by
+    * the binary index (offset,nbytes as uint64 LE per inner chunk, C-order)
+    * and its CRC32C — `index_location: end` per the sharding spec. At object-
+    * store scale a reader range-GETs the fixed-size index tail, then only the
+    * inner chunks it needs. */
+  private def encodeShard(block: NDArray, meta: ArrayMeta): Array[Byte] = {
+    val ndim = block.ndim
+    val chunksPerShard = (0 until ndim).map(d => meta.grain(d) / meta.chunks(d)).toVector
+    val positions = innerPositions(chunksPerShard)
+    val bos = new java.io.ByteArrayOutputStream()
+    val index = ByteBuffer.allocate(positions.length * 16 + 4)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    positions.foreach { pos =>
+      val slices = (0 until ndim).map { d =>
+        val lo = pos(d) * meta.chunks(d)
+        Slc(lo, lo + meta.chunks(d))
+      }.toVector
+      val enc = encodeChunk(block.slice(slices), meta.gzipLevel)
+      index.putLong(bos.size().toLong)
+      index.putLong(enc.length.toLong)
+      bos.write(enc)
+    }
+    val idxBytes = new Array[Byte](positions.length * 16)
+    index.flip(); index.get(idxBytes)
+    val crc = new java.util.zip.CRC32C()
+    crc.update(idxBytes)
+    bos.write(idxBytes)
+    val crcBuf = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+    crcBuf.putInt(crc.getValue.toInt)
+    bos.write(crcBuf.array())
+    bos.toByteArray
+  }
+
+  private def decodeShard(raw: Array[Byte], meta: ArrayMeta): NDArray = {
+    val ndim = meta.shape.length
+    val chunksPerShard = (0 until ndim).map(d => meta.grain(d) / meta.chunks(d)).toVector
+    val positions = innerPositions(chunksPerShard)
+    val idxLen = positions.length * 16
+    val idxStart = raw.length - idxLen - 4
+    val crc = new java.util.zip.CRC32C()
+    crc.update(raw, idxStart, idxLen)
+    val storedCrc = ByteBuffer.wrap(raw, idxStart + idxLen, 4)
+      .order(ByteOrder.LITTLE_ENDIAN).getInt
+    require(crc.getValue.toInt == storedCrc, s"shard index CRC32C mismatch")
+    val index = ByteBuffer.wrap(raw, idxStart, idxLen).order(ByteOrder.LITTLE_ENDIAN)
+    val out = NDArray.zeros(meta.dtype, meta.grain)
+    positions.foreach { pos =>
+      val offset = index.getLong; val nbytes = index.getLong
+      if (offset != -1L && nbytes != -1L) {
+        val enc = java.util.Arrays.copyOfRange(raw, offset.toInt,
+          offset.toInt + nbytes.toInt)
+        val chunk = decodeChunk(enc, meta.dtype, meta.chunks, meta.gzipLevel)
+        out.assign(pos.indices.map(d => pos(d) * meta.chunks(d)).toVector, chunk)
+      }
+    }
+    out
+  }
+
+  /** Write one storage object (a chunk, or a whole shard when sharded).
+    * `arr` has `meta.grain` shape. */
+  private def writeChunk(name: String, chunkIdx: Vector[Int], arr: NDArray,
+                         meta: ArrayMeta): Unit = {
+    val path = chunkPath(name, chunkIdx)
+    Files.createDirectories(path.getParent)
+    val encoded =
+      if (meta.shardShape.isDefined) encodeShard(arr, meta)
+      else encodeChunk(arr, meta.gzipLevel)
+    Files.write(path, encoded)
+  }
+
+  /** Read one storage object; returns a `meta.grain`-shaped array. */
+  private def readChunk(name: String, chunkIdx: Vector[Int],
+                        meta: ArrayMeta): Option[NDArray] = {
+    val path = chunkPath(name, chunkIdx)
+    if (!Files.exists(path)) return None
+    val raw = Files.readAllBytes(path)
+    Some(
+      if (meta.shardShape.isDefined) decodeShard(raw, meta)
+      else decodeChunk(raw, meta.dtype, meta.chunks, meta.gzipLevel))
   }
 
   def chunkExists(name: String, chunkIdx: Vector[Int]): Boolean =
     Files.exists(chunkPath(name, chunkIdx))
 
-  /** Region write. The region MUST align with chunk boundaries
-    * (writers.py:43-53) — each covered chunk is written whole. */
+  /** Region write. The region MUST align with storage-object boundaries —
+    * chunks, or whole shards when sharded (writers.py:43-53) — each covered
+    * object is written whole, so parallel writers never touch the same
+    * object and no locking is needed. */
   def writeRegion(name: String, starts: Vector[Int], block: NDArray): Unit = {
     val meta = arrayMeta(name)
+    val grain = meta.grain
     val ndim = meta.shape.length
     require(block.ndim == ndim, s"block rank ${block.ndim} != array rank $ndim")
     // alignment assertion (kept verbatim in spirit from writers.py:50-53)
     (0 until ndim).foreach { d =>
       val start = starts(d); val stop = start + block.shape(d)
-      val cs = meta.chunks(d)
+      val cs = grain(d)
       if (!(start % cs == 0 && (stop % cs == 0 || stop == meta.shape(d))))
         throw new IllegalArgumentException(
-          s"Region [$start,$stop) does not align with Zarr chunks ${meta.chunks}.")
+          s"Region [$start,$stop) does not align with Zarr chunks $grain.")
     }
-    // iterate covered chunks
+    // iterate covered storage objects
     val chunkRanges: Vector[Range] = (0 until ndim).map { d =>
-      val cs = meta.chunks(d)
+      val cs = grain(d)
       (starts(d) / cs) until ((starts(d) + block.shape(d) + cs - 1) / cs)
     }.toVector
     def rec(d: Int, idx: Vector[Int]): Unit =
       if (d == ndim) {
         val slices = idx.indices.map { k =>
-          val cs = meta.chunks(k)
+          val cs = grain(k)
           val lo = idx(k) * cs
           val hi = math.min(lo + cs, meta.shape(k))
           Slc(lo - starts(k), hi - starts(k))
         }.toVector
         val piece = block.slice(slices)
-        // pad remainder chunks to full chunk shape? v3 stores full chunks;
-        // remainder chunks at the array edge are stored at their true size
-        // by many writers, but the spec expects full chunk shape. We store
-        // the full chunk with fill beyond the edge for spec fidelity.
-        val fullShape = idx.indices.map(k => meta.chunks(k)).toVector
+        // v3 stores full-size objects; remainder objects at the array edge
+        // are padded with fill beyond the edge for spec fidelity.
         val toWrite =
-          if (piece.shape == fullShape) piece
+          if (piece.shape == grain) piece
           else {
-            val padded = NDArray.zeros(piece.dtype, fullShape)
+            val padded = NDArray.zeros(piece.dtype, grain)
             padded.assign(Vector.fill(ndim)(0), piece)
             padded
           }
-        writeChunk(name, idx, toWrite, meta.gzipLevel)
+        writeChunk(name, idx, toWrite, meta)
       } else chunkRanges(d).foreach(i => rec(d + 1, idx :+ i))
     rec(0, Vector.empty)
   }
@@ -281,17 +416,18 @@ final case class ZarrGroup(root: String) {
   /** Read the full array (missing chunks -> fill zeros). */
   def readArray(name: String): NDArray = {
     val meta = arrayMeta(name)
+    val grain = meta.grain
     val out = NDArray.zeros(meta.dtype, meta.shape)
     val ndim = meta.shape.length
     if (ndim == 0) return out
     val nchunksPerDim = meta.shape.indices.map(d =>
-      (meta.shape(d) + meta.chunks(d) - 1) / meta.chunks(d)).toVector
+      (meta.shape(d) + grain(d) - 1) / grain(d)).toVector
     def rec(d: Int, idx: Vector[Int]): Unit =
       if (d == ndim) {
-        readChunk(name, idx, meta.dtype, meta.chunks, meta.gzipLevel).foreach { chunk =>
-          val starts = idx.indices.map(k => idx(k) * meta.chunks(k)).toVector
+        readChunk(name, idx, meta).foreach { chunk =>
+          val starts = idx.indices.map(k => idx(k) * grain(k)).toVector
           val valid = idx.indices.map(k =>
-            Slc(0, math.min(meta.chunks(k), meta.shape(k) - starts(k)))).toVector
+            Slc(0, math.min(grain(k), meta.shape(k) - starts(k)))).toVector
           out.assign(starts, chunk.slice(valid))
         }
       } else (0 until nchunksPerDim(d)).foreach(i => rec(d + 1, idx :+ i))

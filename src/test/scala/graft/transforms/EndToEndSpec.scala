@@ -144,6 +144,24 @@ class EndToEndSpec extends AnyFunSuite {
     assert(store.readFragment().sameAs(cube))
   }
 
+  test("sharded store: shard-aligned parallel writes round-trip exactly") {
+    val cube = GoldenCube.makeDs(8)
+    val dir = tmp()
+    val files = writeFragmentFiles(GoldenCube.splitByTime(cube, 2), dir)
+    val pattern = FilePattern.fromFileSequence(files, "time",
+      nitemsPerFile = Some(2), fileType = FileType.Zarr)
+    val items = Pipelines.createItems(spark, pattern)
+    val frags = Pipelines.openWithFragments(items, FileType.Zarr)
+    val storePath = s"$dir/store_sharded.zarr"
+    // inner chunks of 2 along time, shards of 4 (2 chunks/shard object)
+    Pipelines.storeToZarr(frags, pattern.combineDimKeys, storePath,
+      Map("time" -> 2), targetShards = Map("time" -> 4))
+    val store = ZarrGroup(storePath)
+    val meta = store.arrayMeta("foo")
+    assert(meta.chunks.head == 2 && meta.shardShape.map(_.head).contains(4))
+    assert(store.readFragment().sameAs(cube))
+  }
+
   test("dynamic chunking fn") {
     val cube = GoldenCube.makeDs(8)
     val dir = tmp()

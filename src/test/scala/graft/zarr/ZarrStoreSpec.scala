@@ -109,6 +109,57 @@ class ZarrStoreSpec extends AnyFunSuite {
     assert(chunkSize < 500, s"chunk not compressed: $chunkSize bytes")
   }
 
+  test("sharded array round-trips; one object per shard, inner chunks indexed") {
+    val root = tmp()
+    val g = ZarrGroup(root)
+    g.initGroup(Attrs.empty)
+    // 12x6 array, inner chunks 2x3, shards 4x6 => 3 shard objects, 4 inner
+    // chunks per shard
+    val data = NDArray(DType.F8, Vector(12, 6), Array.tabulate(72)(_.toDouble * 1.5))
+    g.createArray("v", Vector(12, 6), Vector(2, 3), DType.F8, Attrs.empty,
+      dimensionNames = Some(Vector("t", "x")), shardShape = Some(Vector(4, 6)))
+    val meta = g.arrayMeta("v")
+    assert(meta.chunks == Vector(2, 3) && meta.shardShape.contains(Vector(4, 6)))
+    g.writeRegion("v", Vector(0, 0), data)
+    // storage objects are addressed by SHARD index: c/0/0, c/1/0, c/2/0
+    (0 to 2).foreach { i =>
+      assert(Files.exists(java.nio.file.Paths.get(root, "v", "c", i.toString, "0")),
+        s"missing shard v/c/$i/0")
+    }
+    assert(!Files.exists(java.nio.file.Paths.get(root, "v", "c", "3")))
+    // shard payload = 4 inner chunks (2*3*8B) + index (4*16B + 4B crc)
+    val shardSize = Files.size(java.nio.file.Paths.get(root, "v", "c", "0", "0"))
+    assert(shardSize == 4 * 48 + 4 * 16 + 4, s"unexpected shard size $shardSize")
+    assert(g.readArray("v").sameElements(data))
+  }
+
+  test("sharded + gzip round-trips; unaligned write (chunk but not shard) fails") {
+    val g = ZarrGroup(tmp())
+    g.initGroup(Attrs.empty)
+    val data = NDArray(DType.I8, Vector(8), Array.tabulate(8)(_.toLong))
+    g.createArray("v", Vector(8), Vector(2), DType.I8, Attrs.empty,
+      dimensionNames = Some(Vector("t")), shardShape = Some(Vector(4)),
+      gzipLevel = Some(4))
+    g.writeRegion("v", Vector(0), data)
+    assert(g.readArray("v").sameElements(data))
+    // [2,4) aligns with inner chunks but not the 4-wide shard -> must throw
+    val e = intercept[IllegalArgumentException] {
+      g.writeRegion("v", Vector(2), NDArray(DType.I8, Vector(2), Array(9L, 9L)))
+    }
+    assert(e.getMessage.contains("align"))
+  }
+
+  test("shard of a ragged edge pads with fill and reads back exact") {
+    val g = ZarrGroup(tmp())
+    g.initGroup(Attrs.empty)
+    // shape 10, chunks 2, shards 4 -> last shard covers [8,10): ragged
+    val data = NDArray(DType.F4, Vector(10), Array.tabulate(10)(_.toFloat * 2f))
+    g.createArray("v", Vector(10), Vector(2), DType.F4, Attrs.empty,
+      dimensionNames = Some(Vector("t")), shardShape = Some(Vector(4)))
+    g.writeRegion("v", Vector(0), data)
+    assert(g.readArray("v").sameElements(data))
+  }
+
   test("consolidateDimensionCoordinates rewrites dim coords as one chunk") {
     val g = ZarrGroup(tmp())
     g.initGroup(Attrs.empty)
