@@ -44,6 +44,40 @@ object Pipelines {
       (idx, Openers.open(fileType, url))
     }(Encoders.kryo[(Index, Fragment)])
 
+  /** Distributed scan of ONE existing Zarr store along `dim` — the
+    * rechunk-an-existing-store source (examples/feedstock/gpcp_rechunk.py:
+    * 16-36). The driver reads only store metadata to plan slab boundaries;
+    * each task then range-reads its own slab's chunks (readFragmentRegion),
+    * so a 100 TB store scans with zero driver data movement and parallelism
+    * = number of slabs. The returned items carry IndexedPositions and flow
+    * straight into rechunk/storeToZarr. */
+  def scanZarrStore(spark: SparkSession, storePath: String, dim: String,
+                    itemsPerFragment: Int): Dataset[(Index, Fragment)] = {
+    require(itemsPerFragment > 0, "itemsPerFragment must be > 0")
+    val g = ZarrGroup(storePath)
+    val dimLen = {
+      val carrier = g.arrayNames.find(n =>
+        g.arrayMeta(n).dimensionNames.contains(dim)).getOrElse(
+        throw new IllegalArgumentException(s"No array in $storePath has dim $dim"))
+      val m = g.arrayMeta(carrier)
+      m.shape(m.dimensionNames.indexOf(dim))
+    }
+    val d = Dimension(dim, CombineOp.Concat)
+    // ordinal positions, like a file sequence: determineSchema stamps the
+    // per-slab chunk layout and indexItems upgrades to element offsets
+    val slabs: Seq[(Index, Slc)] =
+      (0 until dimLen by itemsPerFragment).zipWithIndex.map { case (lo, i) =>
+        val hi = math.min(lo + itemsPerFragment, dimLen)
+        (Index.of(d -> Pos(i)), Slc(lo, hi))
+      }
+    val n = math.max(1, math.min(slabs.size, spark.sparkContext.defaultParallelism))
+    spark.createDataset(slabs)(Encoders.kryo[(Index, Slc)])
+      .repartition(n)
+      .map { case (idx, sl) =>
+        (idx, ZarrGroup(storePath).readFragmentRegion(Map(dim -> sl)))
+      }(Encoders.kryo[(Index, Fragment)])
+  }
+
   /** DetermineSchema (transforms.py:276-301): hierarchical reduction over
     * the combine dims. Inner dims reduce per outer-index key; the final dim
     * reduces globally via per-partition folds + a driver merge (the partial/

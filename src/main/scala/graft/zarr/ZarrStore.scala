@@ -435,20 +435,63 @@ final case class ZarrGroup(root: String) {
     out
   }
 
+  /** Read an arbitrary rectangular region (no alignment requirement): only
+    * the storage objects intersecting the region are fetched — at object-
+    * store scale each task GETs its own slab's chunks and nothing else. */
+  def readRegion(name: String, starts: Vector[Int], shape: Vector[Int]): NDArray = {
+    val meta = arrayMeta(name)
+    val grain = meta.grain
+    val ndim = meta.shape.length
+    require(starts.length == ndim && shape.length == ndim,
+      s"region rank != array rank $ndim")
+    val out = NDArray.zeros(meta.dtype, shape)
+    if (ndim == 0) return out
+    val chunkRanges: Vector[Range] = (0 until ndim).map { d =>
+      (starts(d) / grain(d)) until
+        ((starts(d) + shape(d) + grain(d) - 1) / grain(d))
+    }.toVector
+    def rec(d: Int, idx: Vector[Int]): Unit =
+      if (d == ndim) {
+        readChunk(name, idx, meta).foreach { chunk =>
+          val lo = idx.indices.map(k =>
+            math.max(idx(k) * grain(k), starts(k))).toVector
+          val hi = idx.indices.map(k => math.min(
+            math.min((idx(k) + 1) * grain(k), meta.shape(k)),
+            starts(k) + shape(k))).toVector
+          val src = idx.indices.map(k =>
+            Slc(lo(k) - idx(k) * grain(k), hi(k) - idx(k) * grain(k))).toVector
+          out.assign(lo.indices.map(k => lo(k) - starts(k)).toVector,
+            chunk.slice(src))
+        }
+      } else chunkRanges(d).foreach(i => rec(d + 1, idx :+ i))
+    rec(0, Vector.empty)
+    out
+  }
+
   /** Read the whole group back as a Fragment (our Zarr reader — needed to
     * verify the writer and to support rechunk-an-existing-store recipes). */
-  def readFragment(): Fragment = {
+  def readFragment(): Fragment = readFragmentRegion(Map.empty)
+
+  /** Read a sub-region of the group as a Fragment: `sel` maps dim name ->
+    * element slice; unselected dims are read whole. The distributed scan
+    * (Pipelines.scanZarrStore) calls this per slab. */
+  def readFragmentRegion(sel: Map[String, Slc]): Fragment = {
     val names = arrayNames
     val metas = names.map(n => n -> arrayMeta(n)).toMap
-    val dims: Map[String, Int] = metas.values.flatMap(m =>
+    val fullDims: Map[String, Int] = metas.values.flatMap(m =>
       m.dimensionNames.zip(m.shape)).toMap
+    val dims = fullDims.map { case (d, n) =>
+      d -> sel.get(d).map(_.length).getOrElse(n) }
     // a variable is a coord iff its name matches one of its dims (1-D dim
     // coords) — the convention the golden cube exercises
     val (coordNames, varNames) = names.partition(n =>
       metas(n).dimensionNames.contains(n))
     def readVar(n: String): Variable = {
       val m = metas(n)
-      Variable(m.dimensionNames, readArray(n), m.attrs)
+      val starts = m.dimensionNames.map(d => sel.get(d).map(_.start).getOrElse(0))
+      val shape = m.dimensionNames.zip(m.shape).map { case (d, full) =>
+        sel.get(d).map(_.length).getOrElse(full) }
+      Variable(m.dimensionNames, readRegion(n, starts, shape), m.attrs)
     }
     Fragment(
       dims = dims,

@@ -162,6 +162,27 @@ class EndToEndSpec extends AnyFunSuite {
     assert(store.readFragment().sameAs(cube))
   }
 
+  test("scanZarrStore rechunks an existing store (gpcp_rechunk recipe)") {
+    val cube = GoldenCube.makeDs(10)
+    val dir = tmp()
+    val files = writeFragmentFiles(GoldenCube.splitByTime(cube, 1), dir)
+    val pattern = FilePattern.fromFileSequence(files, "time",
+      nitemsPerFile = Some(1), fileType = FileType.Zarr)
+    val srcPath = s"$dir/src.zarr"
+    Pipelines.storeToZarr(
+      Pipelines.openWithFragments(Pipelines.createItems(spark, pattern), FileType.Zarr),
+      pattern.combineDimKeys, srcPath, Map("time" -> 2))
+    // distributed scan in slabs of 5, rechunk 2 -> 5 into a new store
+    val scanned = Pipelines.scanZarrStore(spark, srcPath, "time", 5)
+    val dstPath = s"$dir/dst.zarr"
+    Pipelines.storeToZarr(scanned,
+      Vector(graft.core.Dimension("time", graft.core.CombineOp.Concat)),
+      dstPath, Map("time" -> 5))
+    val dst = ZarrGroup(dstPath)
+    assert(dst.arrayMeta("foo").chunks.head == 5)
+    assert(dst.readFragment().sameAs(cube))
+  }
+
   test("dynamic chunking fn") {
     val cube = GoldenCube.makeDs(8)
     val dir = tmp()

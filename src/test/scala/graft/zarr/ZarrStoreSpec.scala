@@ -160,6 +160,24 @@ class ZarrStoreSpec extends AnyFunSuite {
     assert(g.readArray("v").sameElements(data))
   }
 
+  test("readRegion returns unaligned slabs, plain and sharded") {
+    val g = ZarrGroup(tmp())
+    g.initGroup(Attrs.empty)
+    val data = NDArray(DType.F8, Vector(10, 6), Array.tabulate(60)(_.toDouble))
+    g.createArray("plain", Vector(10, 6), Vector(4, 3), DType.F8, Attrs.empty,
+      dimensionNames = Some(Vector("t", "x")))
+    g.writeRegion("plain", Vector(0, 0), data)
+    g.createArray("sharded", Vector(10, 6), Vector(2, 3), DType.F8, Attrs.empty,
+      dimensionNames = Some(Vector("t", "x")), shardShape = Some(Vector(4, 6)))
+    g.writeRegion("sharded", Vector(0, 0), data)
+    Seq("plain", "sharded").foreach { name =>
+      // region [3,8) x [1,5) crosses chunk AND shard boundaries
+      val region = g.readRegion(name, Vector(3, 1), Vector(5, 4))
+      val expected = data.slice(Vector(Slc(3, 8), Slc(1, 5)))
+      assert(region.sameElements(expected), s"region mismatch for $name")
+    }
+  }
+
   test("consolidateDimensionCoordinates rewrites dim coords as one chunk") {
     val g = ZarrGroup(tmp())
     g.initGroup(Attrs.empty)
