@@ -68,4 +68,23 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(TextOps.t04TokenFreq(spark, d))
     assert(p.contains("partial_"), p)
   }
+
+  test("s04: IVF probe side broadcasts; candidate join is an equi-join on cell") {
+    val p = plan(SimilarityOps.s04AnnIvf(spark, d))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d02: shingle candidate join is an equi-join, never a cross product") {
+    val p = plan(DedupOps.d02NgramJaccard(spark, d))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("t05/t06: single-scan text ops stay inside whole-stage codegen") {
+    val p = TextOps.t05LangIdNgram(spark, d).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(p.contains("WholeStageCodegen"), p.take(500))
+  }
 }
