@@ -24,6 +24,37 @@ object StreamingPipelines {
       .select(unix_timestamp(col("window.start")).as("wstart"),
         col("event_type"), col("n"), col("value_milli"))
 
+  /** foreachBatch driver for incremental Zarr append (SURVEY §2.10): each
+    * micro-batch carries newly-arrived file URLs; they are opened on
+    * executors and appended to the target store along `appendDim`. The first
+    * batch creates the store, later ones extend it — the streaming wrapper
+    * over the reference's batch append (which is explicitly NOT idempotent,
+    * transforms.py:680-684; a replayed batch appends again, so the upstream
+    * source must deliver each file exactly once).
+    *
+    * Usage: `urlStream.writeStream.foreachBatch(zarrAppendBatch(...) _)`.
+    */
+  def zarrAppendBatch(storePath: String, appendDim: String,
+                      fileType: graft.patterns.FileType.Value,
+                      targetChunks: Map[String, Int],
+                      nitemsPerFile: Option[Int] = None)(
+      batch: Dataset[String], batchId: Long): Unit = {
+    // URL list is metadata-sized; order within the batch must be stable so
+    // concat offsets are deterministic
+    val urls = batch.collect().toVector.sorted
+    if (urls.nonEmpty) {
+      val pattern = graft.patterns.FilePattern.fromFileSequence(
+        urls, appendDim, nitemsPerFile = nitemsPerFile, fileType = fileType)
+      val items = graft.transforms.Pipelines.createItems(batch.sparkSession, pattern)
+      val frags = graft.transforms.Pipelines.openWithFragments(items, fileType)
+      val storeExists = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(storePath, "zarr.json"))
+      graft.transforms.Pipelines.storeToZarr(
+        frags, pattern.combineDimKeys, storePath, targetChunks,
+        appendDim = if (storeExists) Some(appendDim) else None)
+    }
+  }
+
   final case class Ev(user_id: Long, ts_us: Long)
   final case class SessionState(sessions: Long, lastTsUs: Long, events: Long)
   final case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)

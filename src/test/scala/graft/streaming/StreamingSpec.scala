@@ -85,4 +85,41 @@ class StreamingSpec extends AnyFunSuite {
     def toMap2: Map[Long, (Long, Long)] =
       rows.map { case (a, b, c) => a -> (b, c) }.toMap
   }
+
+  test("foreachBatch zarr append builds the cube incrementally") {
+    import spark.implicits._
+    import graft.core.{GoldenCube, Fragment}
+    import graft.patterns.FileType
+    import graft.zarr.ZarrGroup
+    val cube = GoldenCube.makeDs(8)
+    val dir = java.nio.file.Files.createTempDirectory("zarr_stream").toString
+    val frags = GoldenCube.splitByTime(cube, 2) // 4 files of 2 days
+    val files = frags.zipWithIndex.map { case (f, i) =>
+      val path = s"$dir/frag_$i.zarr"
+      val g = ZarrGroup(path)
+      g.initGroup(f.attrs)
+      f.allVars.foreach { case (name, v) =>
+        g.createArray(name, v.shape, v.shape, v.dtype, v.attrs,
+          dimensionNames = Some(v.dims))
+        g.writeRegion(name, Vector.fill(v.data.ndim)(0), v.data)
+      }
+      path
+    }
+    val storePath = s"$dir/store.zarr"
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = mem.toDS().writeStream
+      .foreachBatch(StreamingPipelines.zarrAppendBatch(
+        storePath, "time", FileType.Zarr, Map("time" -> 2), Some(2)) _)
+      .start()
+    try {
+      mem.addData(files.take(2): _*)
+      q.processAllAvailable()
+      assert(ZarrGroup(storePath).arrayMeta("foo").shape.head == 4)
+      mem.addData(files.drop(2): _*)
+      q.processAllAvailable()
+      val result = ZarrGroup(storePath).readFragment()
+      assert(result.sameAs(cube))
+    } finally q.stop()
+  }
 }
