@@ -234,35 +234,49 @@ object SimilarityOps {
   private val NProbe = 2
 
   def s04AnnIvf(s: SparkSession, d: String): DataFrame = {
-    val emb = embeddings(s, d).withColumn("q", expr(qEmb))
-      .withColumn("nrm", expr(normExpr("q")))
-      .select("vec_id", "q", "nrm")
+    import s.implicits._
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), expr(qEmb).as("q"))
+      .as[(Long, Array[Long])]
     // deterministic coarse quantizer: cells seeded by the first K vectors
-    val cents: Array[(Long, Array[Long])] = emb
-      .filter(col("vec_id") < NumCells)
-      .select("vec_id", "q")
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-      .sortBy(_._1)
-    // array of (l2dist, cid) structs, sorted → [0]=assigned cell, take NProbe
-    val cellStructs = cents.map { case (cid, cv) =>
-      val lit = cv.mkString("array(", "L, ", "L)")
-      s"named_struct('d', aggregate(zip_with(q, $lit, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v), 'cid', ${cid}L)"
-    }.mkString("array_sort(array(", ", ", "))")
-    val withCells = emb.withColumn("cells", expr(cellStructs))
-    val corpus = withCells
-      .withColumn("cell", expr("cells[0].cid")).drop("cells")
-    val probes = withCells.filter(col("vec_id") < NumQueries)
-      .withColumn("cell", explode(expr(
-        s"transform(slice(cells, 1, $NProbe), c -> c.cid)"))).drop("cells")
+    // (tiny — the only driver-side data movement at any scale)
+    val cents: Array[(Long, Array[Long])] =
+      emb.filter(_._1 < NumCells).collect().sortBy(_._1)
+    val bc = s.sparkContext.broadcast(cents)
+    // one scan assigns every vector to its nearest cell (primitive-array L2
+    // kernel against the broadcast centroids — no shuffle, no lambdas in
+    // the expression tree) and tags queries with their NProbe probe cells
+    val tagged = emb.mapPartitions { it =>
+      val cs = bc.value
+      it.map { case (id, v) =>
+        var nrm = 0L; var i = 0
+        while (i < v.length) { nrm += v(i) * v(i); i += 1 }
+        val dists = cs.map { case (cid, c) =>
+          var d2 = 0L; var k = 0
+          while (k < v.length) { val df = v(k) - c(k); d2 += df * df; k += 1 }
+          (d2, cid)
+        }
+        val sorted = dists.sortBy(identity)
+        (id, v, nrm, sorted(0)._2, sorted.take(NProbe).map(_._2))
+      }
+    }.toDF("vec_id", "q", "nrm", "cell", "probes").cache()
+    val corpus = tagged.drop("probes")
+    val probes = tagged.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"),
+        col("nrm").as("qnrm"), explode(col("probes")).as("cell"))
+    val dotU = udf { (a: Seq[Long], b: Seq[Long]) =>
+      var acc = 0L; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
-    corpus.as("b")
-      .join(broadcast(probes.as("a")),
-        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"),
-        round(expr(dotExpr("a.q", "b.q")).cast("double") /
-          (sqrt(col("a.nrm").cast("double")) * sqrt(col("b.nrm").cast("double"))), 6)
+    corpus
+      .join(broadcast(probes),
+        corpus("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dotU(col("qv"), col("q")).cast("double") /
+          (sqrt(col("qnrm").cast("double")) * sqrt(col("nrm").cast("double"))), 6)
           .as("sim"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= TopK)
