@@ -90,13 +90,76 @@ object MultiModalOps {
       |FROM frames WHERE frame_id % 4 = 0
       |ORDER BY doc_id, frame_id""".stripMargin
 
+  /** Resize stage: fit the decoded box into 224×224 preserving aspect ratio
+    * (integer math). The resample kernel itself is the stubbed part; the
+    * dimension arithmetic, batching and schema are the real plumbing. */
+  def m03ResizeStub(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("new_w", IntegerType, nullable = false),
+      StructField("new_h", IntegerType, nullable = false)))
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val dec = FakeDecode.decode(r.getAs[Array[Byte]]("payload"))
+        val m = math.max(dec.width, dec.height)
+        // ??? real resample kernel goes here — only the geometry is computed
+        Row(r.getLong(0), dec.width, dec.height,
+          dec.width * 224 / m, dec.height * 224 / m)
+      }
+    }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+      .orderBy("doc_id")
+  }
+
+  val m03Sql: String =
+    """WITH dec AS (
+      |  SELECT doc_id,
+      |    CAST(64 + (length(text) % 577) AS INTEGER) AS width,
+      |    CAST(64 + ((length(text) * 31) % 449) AS INTEGER) AS height
+      |  FROM documents)
+      |SELECT doc_id, width, height,
+      |  CAST(width * 224 // greatest(width, height) AS INTEGER) AS new_w,
+      |  CAST(height * 224 // greatest(width, height) AS INTEGER) AS new_h
+      |FROM dec ORDER BY doc_id""".stripMargin
+
+  /** Feature-extraction stage: payload → fixed-width feature vector
+    * (array<bigint>, 8 dims). The extractor is a deterministic md5-derived
+    * stub; the contract — binary in, dense vector column out, ready for the
+    * s0x similarity operators — is the real plumbing. */
+  def m04EmbedStub(s: SparkSession, d: String): DataFrame = {
+    val withVec = documents(s, d)
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, 7), k -> " +
+          "cast(conv(substring(md5(text), k * 4 + 1, 4), 16, 10) as bigint))")
+        .as("feature"))
+    // project the vector to scalar columns for the oracle compare; the
+    // array<bigint> `feature` column is the actual pipeline product
+    val flat = (0 until 8).map(k => col("feature").getItem(k).as(s"f$k"))
+    withVec.select((col("doc_id") +: flat): _*).orderBy("doc_id")
+  }
+
+  val m04Sql: String = {
+    val cols = (0 until 8).map(k =>
+      s"('0x' || substr(md5(text), ${k * 4 + 1}, 4))::BIGINT AS f$k").mkString(",\n  ")
+    s"""SELECT doc_id,
+       |  $cols
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_decode_stub" -> m01DecodeStub _,
     "m02_frame_sample" -> m02FrameSample _,
+    "m03_resize_stub" -> m03ResizeStub _,
+    "m04_embed_stub" -> m04EmbedStub _,
   )
 
   val oracles: Map[String, String] = Map(
     "m01_decode_stub" -> m01Sql,
     "m02_frame_sample" -> m02Sql,
+    "m03_resize_stub" -> m03Sql,
+    "m04_embed_stub" -> m04Sql,
   )
 }
