@@ -31,16 +31,18 @@ object SimilarityOps {
   private val qEmbDuck =
     s"list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * $Scale) AS BIGINT))"
 
-  /** Exact integer dot product of two quantized vectors (Spark SQL). */
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+  /** Exact integer dot product / squared norm of quantized vectors via the
+    * native codegen'd Catalyst expressions (graft.functions.DotI64 /
+    * NormSqI64) — registered per session; interpreted
+    * `aggregate(zip_with(...))` lambdas were ~30× slower in the hot path. */
+  private def dotExpr(a: String, b: String): String = s"dot_i64($a, $b)"
 
-  private def normExpr(a: String): String =
-    s"aggregate(transform($a, x -> x * x), 0L, (acc, v) -> acc + v)"
+  private def normExpr(a: String): String = s"normsq_i64($a)"
 
   /** Brute-force cosine top-k: queries = vec_id < NumQueries (broadcast),
     * scored against the full corpus in one scan. */
   def s01CosineTopk(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val emb = embeddings(s, d).withColumn("q", expr(qEmb))
       .select("vec_id", "q")
     val queries = emb.filter(col("vec_id") < NumQueries)
@@ -153,6 +155,7 @@ object SimilarityOps {
   /** LSH-bucketed ANN: sign(dot(v, plane_j)) bits form a 16-bit bucket;
     * neighbors are scored only within the query's bucket. */
   def s03AnnLsh(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val emb = embeddings(s, d).withColumn("q", expr(qEmb))
       .withColumn("nrm", expr(normExpr("q")))
       .select("vec_id", "q", "nrm")
