@@ -10,13 +10,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Relational2.queries ++ CubeOps.queries ++ TextOps.queries ++
+    Relational.queries ++ Relational2.queries ++ Relational3.queries ++
+      CubeOps.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ MultiModalOps.queries ++
       StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Relational2.oracles ++ TextOps.oracles ++ DedupOps.oracles ++
+    Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++
+      TextOps.oracles ++ DedupOps.oracles ++
       SimilarityOps.oracles ++ MultiModalOps.oracles ++ StreamOps.oracles
 }

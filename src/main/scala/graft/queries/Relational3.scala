@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Third wave of relational coverage: the time-series join shapes Spark has
+  * no built-in operator for (as-of join, banded range join), a deterministic
+  * distinct sketch (KMV), and CUBE grouping sets.
+  *
+  * Scale design notes:
+  *  - q22 as-of join is the union + keyed-window formulation: one shuffle on
+  *    the join key, a per-key ordered scan, no per-row subquery and no
+  *    point-in-time self-join explosion. This is the standard distributed
+  *    as-of shape (what a native SortMergeAsofJoin would do physically).
+  *  - q23 range join bins both sides to fixed-width time buckets and
+  *    equi-joins on (type, bin±1) — the binned band-join pattern that keeps
+  *    a range predicate out of a nested-loop join; the residual |dt| filter
+  *    runs post-join on co-partitioned data.
+  *  - q24 KMV sketch is a bounded-state distinct estimator (k smallest
+  *    md5-derived hashes): one scan + a k-row TakeOrdered, mergeable across
+  *    partitions, and — unlike HLL — bit-identical across engines.
+  */
+object Relational3 {
+  import Tables._
+
+  /** As-of join: each event matched to the user's most recent order at or
+    * before the event time (union + last-ignoring-nulls over a keyed
+    * window). Orders are pre-deduped to one per (custkey, date). */
+  def q22AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ord = orders(s, d)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max("o_orderkey").as("o_orderkey"))
+      .select(col("o_custkey").as("uid"), col("o_orderdate").as("t"),
+        lit(0).as("kind"), col("o_orderkey"),
+        lit(null).cast("long").as("event_id"))
+    val ev = events(s, d)
+      .select(col("user_id").as("uid"), col("ts").as("t"),
+        lit(1).as("kind"), lit(null).cast("long").as("o_orderkey"),
+        col("event_id"))
+    val w = Window.partitionBy("uid").orderBy(col("t"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionByName(ev)
+      .withColumn("matched", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("uid").as("user_id"),
+        col("matched").as("o_orderkey"))
+      .orderBy("event_id")
+  }
+
+  val q22Sql: String =
+    """WITH ord AS (
+      |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, o.o_orderkey
+      |FROM events e ASOF LEFT JOIN ord o
+      |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
+
+  private val BandUs = 100000L // 100 ms in µs (DuckDB reads parquet ns as µs)
+
+  /** Banded range join: pairs of same-type events within 100 ms, via
+    * fixed-width time bins (equi-join on (type, bin), one side exploded to
+    * bin-1..bin+1) + residual filter. Equality with the oracle's direct
+    * |dt| predicate proves the binning loses nothing. */
+  def q23RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .select(col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("bin", col("ts_us") / lit(BandUs) cast "long")
+    val a = e.withColumn("jbin",
+      explode(array(col("bin") - 1, col("bin"), col("bin") + 1)))
+      .select(col("event_id").as("event_a"), col("event_type"),
+        col("ts_us").as("ts_a"), col("jbin"))
+    val b = e.select(col("event_id").as("event_b"),
+      col("event_type").as("type_b"), col("ts_us").as("ts_b"), col("bin"))
+    a.join(b, col("jbin") === col("bin") && col("event_type") === col("type_b") &&
+        col("event_a") < col("event_b"))
+      .filter(abs(col("ts_a") - col("ts_b")) <= BandUs)
+      .select(col("event_a"), col("event_b"), col("event_type"),
+        abs(col("ts_a") - col("ts_b")).as("dt_us"))
+      .orderBy("event_a", "event_b")
+  }
+
+  val q23Sql: String =
+    s"""SELECT a.event_id AS event_a, b.event_id AS event_b, a.event_type,
+       |  abs(epoch_us(a.ts) - epoch_us(b.ts)) AS dt_us
+       |FROM events a JOIN events b
+       |  ON a.event_type = b.event_type AND a.event_id < b.event_id
+       |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= $BandUs
+       |ORDER BY event_a, event_b""".stripMargin
+
+  private val K = 64
+  private val H60Max = 1152921504606846976.0 // 2^60
+
+  /** KMV (k-minimum-values) distinct sketch for l_partkey next to the exact
+    * count: estimate = (k-1) * 2^60 / kth_min_hash. */
+  def q24KmvSketch(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val kmin = li
+      .select(expr(
+        "cast(conv(substring(md5(cast(l_partkey as string)), 1, 15), 16, 10) as bigint)")
+        .as("h"))
+      .distinct()
+      .orderBy("h")
+      .limit(K)
+    val sketch = kmin.agg(count(lit(1)).cast("long").as("k"),
+      max(col("h")).as("kth_hash"))
+      .withColumn("est_distinct",
+        round(lit(K - 1) * lit(H60Max) / col("kth_hash")).cast("long"))
+    val exact = li.agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+    sketch.crossJoin(exact)
+      .select(col("k"), col("kth_hash"), col("est_distinct"), col("exact_distinct"))
+  }
+
+  val q24Sql: String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS h
+       |  FROM lineitem),
+       |kmin AS (SELECT h FROM h ORDER BY h LIMIT $K),
+       |sk AS (
+       |  SELECT COUNT(*)::BIGINT AS k, MAX(h) AS kth_hash,
+       |    CAST(ROUND((
+       |      $K - 1) * $H60Max / MAX(h)) AS BIGINT) AS est_distinct
+       |  FROM kmin),
+       |ex AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+       |  FROM lineitem)
+       |SELECT k, kth_hash, est_distinct, exact_distinct FROM sk, ex""".stripMargin
+
+  /** CUBE grouping sets with grouping_id disambiguation (q12 covers
+    * ROLLUP). */
+  def q25Cube(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        grouping_id().as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("gid"), col("n"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  val q25Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+      |  COUNT(*) AS n, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_asof_join" -> q22AsofJoin _,
+    "q23_range_join" -> q23RangeJoin _,
+    "q24_kmv_sketch" -> q24KmvSketch _,
+    "q25_cube" -> q25Cube _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q22_asof_join" -> q22Sql,
+    "q23_range_join" -> q23Sql,
+    "q24_kmv_sketch" -> q24Sql,
+    "q25_cube" -> q25Sql,
+  )
+}
