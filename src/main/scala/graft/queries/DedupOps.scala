@@ -241,6 +241,62 @@ object DedupOps {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Near-duplicate clustering: connected components over the MinHash-LSH
+    * candidate graph (the canonical-document step after candidate
+    * generation). Distributed min-label propagation: each iteration is one
+    * equi-join + min-aggregation; iterations are bounded by the graph
+    * diameter (dedup components are tiny, so this converges in a handful of
+    * rounds even web-scale — the GraphX/Pregel CC shape without the
+    * dependency). */
+  def d07DupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = d04MinhashLsh(s, d).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).cache()
+    var changed = true
+    var iter = 0
+    while (changed && iter < 20) {
+      val prop = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label").as("nlabel")), "dst")
+        .groupBy("src").agg(min("nlabel").as("min_nbr"))
+        .withColumnRenamed("src", "doc_id")
+      val next = labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
+        .cache()
+      changed = next.as("n")
+        .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
+        .filter(col("label") =!= col("old")).limit(1).count() > 0
+      labels = next
+      iter += 1
+    }
+    labels
+      .groupBy("label").agg(
+        count(lit(1)).as("cluster_size"),
+        min("doc_id").as("canonical_id"))
+      .select(col("label").as("cluster_id"), col("cluster_size"),
+        col("canonical_id"))
+      .orderBy("cluster_id")
+  }
+
+  val d07Sql: String =
+    s"""WITH RECURSIVE cand AS (${d04Sql.replace("ORDER BY doc_a, doc_b", "")}),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM cand
+       |  UNION
+       |  SELECT doc_b, doc_a FROM cand),
+       |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM nodes
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+       |SELECT cluster_id, COUNT(*) AS cluster_size,
+       |  CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+       |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> d01ExactDedup _,
     "d02_ngram_jaccard" -> d02NgramJaccard _,
@@ -248,6 +304,7 @@ object DedupOps {
     "d04_minhash_lsh" -> d04MinhashLsh _,
     "d05_simhash" -> d05Simhash _,
     "d06_simhash_pairs" -> d06SimhashPairs _,
+    "d07_dup_clusters" -> d07DupClusters _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -257,5 +314,6 @@ object DedupOps {
     "d04_minhash_lsh" -> d04Sql,
     "d05_simhash" -> d05Sql,
     "d06_simhash_pairs" -> d06Sql,
+    "d07_dup_clusters" -> d07Sql,
   )
 }
