@@ -181,6 +181,33 @@ object TextOps {
       |  len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))::BIGINT AS bpe_uniq
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Deterministic stratified sampling: a 10% hash-sample (md5 of doc_id —
+    * stable across engines, runs and partitionings, unlike rand()) with
+    * per-language acceptance stats. The pattern training pipelines use to
+    * carve reproducible eval/train splits at any scale: one scan, no
+    * shuffle before the per-stratum agg. */
+  def t07SampleStrata(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"))
+      .withColumn("sampled", (col("h") % 100 < 10).cast("int"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("sampled")).cast("long").as("n_sampled"),
+        min(when(col("sampled") === 1, col("doc_id"))).as("first_sampled"))
+      .orderBy("lang")
+
+  val t07Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 10
+      |      THEN 1 ELSE 0 END AS sampled
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(sampled) AS BIGINT) AS n_sampled,
+      |  CAST(MIN(CASE WHEN sampled = 1 THEN doc_id END) AS BIGINT) AS first_sampled
+      |FROM h GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> t01TextStats _,
     "t02_langid" -> t02LangId _,
@@ -188,6 +215,7 @@ object TextOps {
     "t04_token_freq" -> t04TokenFreq _,
     "t05_langid_ngram" -> t05LangIdNgram _,
     "t06_bpe_tokens" -> t06BpeTokens _,
+    "t07_sample_strata" -> t07SampleStrata _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -197,5 +225,6 @@ object TextOps {
     "t04_token_freq" -> t04Sql,
     "t05_langid_ngram" -> t05Sql,
     "t06_bpe_tokens" -> t06Sql,
+    "t07_sample_strata" -> t07Sql,
   )
 }
