@@ -249,29 +249,58 @@ object DedupOps {
     * rounds even web-scale — the GraphX/Pregel CC shape without the
     * dependency). */
   def d07DupClusters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val pairs = d04MinhashLsh(s, d).select("doc_a", "doc_b")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).cache()
-    var changed = true
-    var iter = 0
-    while (changed && iter < 20) {
-      val prop = edges
-        .join(labels.select(col("doc_id").as("dst"), col("label").as("nlabel")), "dst")
-        .groupBy("src").agg(min("nlabel").as("min_nbr"))
-        .withColumnRenamed("src", "doc_id")
-      val next = labels.join(prop, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
-        .cache()
-      changed = next.as("n")
-        .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
-        .filter(col("label") =!= col("old")).limit(1).count() > 0
-      labels = next
-      iter += 1
-    }
+    // Candidate graphs are minuscule relative to the corpus (LSH already
+    // collapsed the quadratic term), so the common case is the single-task
+    // union-find below; the iterative propagation path takes over when the
+    // edge list itself is big.
+    val labels: DataFrame =
+      if (edges.count() <= 5000000L) {
+        edges.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+          val parent = scala.collection.mutable.Map.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) {
+              val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+            }
+            r
+          }
+          it.foreach { case (a, b) =>
+            parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+            val (ra, rb) = (find(a), find(b))
+            // min id becomes the root -> labels match min-propagation's fixpoint
+            if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+          }
+          parent.keys.toVector.sorted.iterator.map(doc => (doc, find(doc)))
+        }.toDF("doc_id", "label")
+      } else {
+        var lab = edges.select(col("src").as("doc_id")).distinct()
+          .withColumn("label", col("doc_id")).cache()
+        var changed = true
+        var iter = 0
+        while (changed && iter < 20) {
+          val prop = edges
+            .join(lab.select(col("doc_id").as("dst"), col("label").as("nlabel")), "dst")
+            .groupBy("src").agg(min("nlabel").as("min_nbr"))
+            .withColumnRenamed("src", "doc_id")
+          val next = lab.join(prop, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
+            .cache()
+          changed = next.as("n")
+            .join(lab.select(col("doc_id"), col("label").as("old")), "doc_id")
+            .filter(col("label") =!= col("old")).limit(1).count() > 0
+          lab = next
+          iter += 1
+        }
+        lab
+      }
     labels
       .groupBy("label").agg(
         count(lit(1)).as("cluster_size"),
