@@ -84,7 +84,46 @@ object CubeOps {
       .withColumn("cube_match", org.apache.spark.sql.functions.lit(allOk))
   }
 
+  /** The object-store scale path end-to-end: files → sharded+gzip Zarr
+    * store (2 inner chunks per shard object) → distributed slab scan →
+    * rechunk into a second store → exact golden equality at every hop. */
+  def cubeSharded(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nt = 12
+    val cube = makeCube(nt)
+    val dir = Files.createTempDirectory("graft_cube_sh").toString
+    val slabs = (0 until nt by 2).map(t0 =>
+      cube.isel(Map("time" -> Slc(t0, t0 + 2)))).toVector
+    val files = writeFragmentFiles(slabs, dir)
+    val pattern = FilePattern.fromFileSequence(files, "time",
+      nitemsPerFile = Some(2), fileType = FileType.Zarr)
+    val frags = Pipelines.openWithFragments(
+      Pipelines.createItems(spark, pattern), FileType.Zarr)
+    val store1Path = s"$dir/store_sharded.zarr"
+    Pipelines.storeToZarr(frags, pattern.combineDimKeys, store1Path,
+      Map("time" -> 2), targetShards = Map("time" -> 4), gzipLevel = Some(4))
+    val store1 = ZarrGroup(store1Path)
+    val meta1 = store1.arrayMeta("foo")
+    val ok1 = store1.readFragment().sameAs(cube) &&
+      meta1.chunks.head == 2 && meta1.shardShape.map(_.head).contains(4) &&
+      meta1.gzipLevel.contains(4)
+    // distributed scan of the sharded store, rechunk 2 -> 6 into a new store
+    val scanned = Pipelines.scanZarrStore(spark, store1Path, "time", 6)
+    val store2Path = s"$dir/store_rechunked.zarr"
+    Pipelines.storeToZarr(scanned,
+      Vector(Dimension("time", CombineOp.Concat)), store2Path, Map("time" -> 6))
+    val store2 = ZarrGroup(store2Path)
+    val ok2 = store2.readFragment().sameAs(cube) &&
+      store2.arrayMeta("foo").chunks.head == 6
+    Seq(
+      ("write_sharded_gzip", meta1.chunks.mkString(","),
+        meta1.shardShape.map(_.mkString(",")).getOrElse(""), ok1),
+      ("scan_rechunk", store2.arrayMeta("foo").chunks.mkString(","), "", ok2))
+      .toDF("stage", "chunks", "shards", "ok")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2e_cube_roundtrip" -> cubeRoundtrip _,
+    "e2e_cube_sharded" -> cubeSharded _,
   )
 }
