@@ -82,13 +82,44 @@ object StreamOps {
       |SELECT CAST(wstart AS BIGINT) AS wstart, event_type, COUNT(*) AS n
       |FROM expanded GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin
 
+  /** Stream-static enrichment: the event stream joined to a static per-user
+    * order profile (broadcast — the static side is a dimension), then
+    * per-user activity aggregates. Batch twin of the Structured Streaming
+    * stream-static join in StreamingPipelines.enrichedUserActivity. */
+  def st03EnrichJoin(s: SparkSession, d: String): DataFrame = {
+    val profile = orders(s, d)
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("order_cents"))
+    events(s, d)
+      .join(broadcast(profile), Seq("user_id"), "left")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        coalesce(first(col("n_orders")), lit(0L)).as("n_orders"),
+        coalesce(first(col("order_cents")), lit(0L)).as("order_cents"))
+      .orderBy("user_id")
+  }
+
+  val st03Sql: String =
+    """WITH profile AS (
+      |  SELECT o_custkey AS user_id, COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS order_cents
+      |  FROM orders GROUP BY 1)
+      |SELECT e.user_id, COUNT(*) AS n_events,
+      |  COALESCE(MIN(p.n_orders), 0)::BIGINT AS n_orders,
+      |  COALESCE(MIN(p.order_cents), 0)::BIGINT AS order_cents
+      |FROM events e LEFT JOIN profile p ON e.user_id = p.user_id
+      |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_sessionize" -> st01Sessionize _,
     "st02_sliding_window" -> st02SlidingWindow _,
+    "st03_enrich_join" -> st03EnrichJoin _,
   )
 
   val oracles: Map[String, String] = Map(
     "st01_sessionize" -> st01Sql,
     "st02_sliding_window" -> st02Sql,
+    "st03_enrich_join" -> st03Sql,
   )
 }

@@ -24,6 +24,17 @@ object StreamingPipelines {
       .select(unix_timestamp(col("window.start")).as("wstart"),
         col("event_type"), col("n"), col("value_milli"))
 
+  /** Stream-static join: the live event stream enriched against a static
+    * (batch) per-user profile — the profile side is broadcast to every
+    * micro-batch, no stream-stream state needed. Streaming twin of
+    * StreamOps.st03EnrichJoin. */
+  def enrichedUserActivity(events: DataFrame, profile: DataFrame): DataFrame =
+    events.join(broadcast(profile), Seq("user_id"), "left")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        coalesce(first(col("n_orders")), lit(0L)).as("n_orders"),
+        coalesce(first(col("order_cents")), lit(0L)).as("order_cents"))
+
   /** foreachBatch driver for incremental Zarr append (SURVEY §2.10): each
     * micro-batch carries newly-arrived file URLs; they are opened on
     * executors and appended to the target store along `appendDim`. The first

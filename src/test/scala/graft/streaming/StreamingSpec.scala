@@ -86,6 +86,29 @@ class StreamingSpec extends AnyFunSuite {
       rows.map { case (a, b, c) => a -> (b, c) }.toMap
   }
 
+  test("stream-static enrichment join equals the batch twin") {
+    import org.apache.spark.sql.functions._
+    val profile = graft.queries.Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("order_cents"))
+    val q = StreamingPipelines.enrichedUserActivity(eventStream(), profile)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      val streaming = spark.sql(
+        "SELECT user_id, n_events, n_orders, order_cents FROM enrich_out")
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val batch = graft.queries.StreamOps.st03EnrichJoin(spark, sfDir)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(streaming == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("foreachBatch zarr append builds the cube incrementally") {
     import spark.implicits._
     import graft.core.{GoldenCube, Fragment}
