@@ -149,11 +149,36 @@ object Relational3 {
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** Exact percentiles (linear interpolation over sorted values) of line
+    * quantity and price cents per return flag. Inputs are exact integers so
+    * the interpolation arithmetic is identical in both engines; one final
+    * rounding. */
+  def q26Percentiles(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .withColumn("qty", col("l_quantity").cast("long"))
+      .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(qty, 0.5)"), 4).as("qty_p50"),
+        round(expr("percentile(qty, 0.95)"), 4).as("qty_p95"),
+        round(expr("percentile(cents, 0.5)"), 4).as("cents_p50"),
+        round(expr("percentile(cents, 0.99)"), 4).as("cents_p99"))
+      .orderBy("l_returnflag")
+
+  val q26Sql: String =
+    """SELECT l_returnflag,
+      |  ROUND(quantile_cont(CAST(l_quantity AS BIGINT), 0.5), 4) AS qty_p50,
+      |  ROUND(quantile_cont(CAST(l_quantity AS BIGINT), 0.95), 4) AS qty_p95,
+      |  ROUND(quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.5), 4) AS cents_p50,
+      |  ROUND(quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.99), 4) AS cents_p99
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_asof_join" -> q22AsofJoin _,
     "q23_range_join" -> q23RangeJoin _,
     "q24_kmv_sketch" -> q24KmvSketch _,
     "q25_cube" -> q25Cube _,
+    "q26_percentiles" -> q26Percentiles _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -161,5 +186,6 @@ object Relational3 {
     "q23_range_join" -> q23Sql,
     "q24_kmv_sketch" -> q24Sql,
     "q25_cube" -> q25Sql,
+    "q26_percentiles" -> q26Sql,
   )
 }

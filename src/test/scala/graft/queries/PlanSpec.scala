@@ -82,6 +82,15 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q22/q23: as-of and range joins never degrade to nested-loop plans") {
+    Seq(Relational3.q22AsofJoin(spark, d), Relational3.q23RangeJoin(spark, d))
+      .foreach { df =>
+        val p = plan(df)
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+      }
+  }
+
   test("t05/t06: single-scan text ops stay inside whole-stage codegen") {
     val p = TextOps.t05LangIdNgram(spark, d).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
