@@ -173,12 +173,44 @@ object Relational3 {
       |  ROUND(quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.99), 4) AS cents_p99
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** RANGE-frame window: per-customer trailing-30-day order count and
+    * average spend (value-based frame over integer day offsets, not a row
+    * frame — q06 covers row frames). */
+  def q27RangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("day")
+      .rangeBetween(-29, Window.currentRow)
+    orders(s, d)
+      .withColumn("day",
+        datediff(col("o_orderdate"), lit("1990-01-01").cast("date")).cast("long"))
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .withColumn("n_30d", count(lit(1)).over(w))
+      .withColumn("avg_30d_cents", round(avg(col("cents")).over(w), 4))
+      .select(col("o_orderkey"), col("o_custkey"), col("day"),
+        col("n_30d"), col("avg_30d_cents"))
+      .orderBy("o_orderkey")
+  }
+
+  val q27Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    datediff('day', DATE '1990-01-01', o_orderdate)::BIGINT AS day,
+      |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT o_orderkey, o_custkey, day,
+      |  COUNT(*) OVER w AS n_30d,
+      |  ROUND(AVG(cents) OVER w, 4) AS avg_30d_cents
+      |FROM o
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+      |  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_asof_join" -> q22AsofJoin _,
     "q23_range_join" -> q23RangeJoin _,
     "q24_kmv_sketch" -> q24KmvSketch _,
     "q25_cube" -> q25Cube _,
     "q26_percentiles" -> q26Percentiles _,
+    "q27_range_frame" -> q27RangeFrame _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -187,5 +219,6 @@ object Relational3 {
     "q24_kmv_sketch" -> q24Sql,
     "q25_cube" -> q25Sql,
     "q26_percentiles" -> q26Sql,
+    "q27_range_frame" -> q27Sql,
   )
 }
