@@ -96,19 +96,17 @@ object Relational3 {
   /** KMV (k-minimum-values) distinct sketch for l_partkey next to the exact
     * count: estimate = (k-1) * 2^60 / kth_min_hash. */
   def q24KmvSketch(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d)
-    val kmin = li
-      .select(expr(
-        "cast(conv(substring(md5(cast(l_partkey as string)), 1, 15), 16, 10) as bigint)")
-        .as("h"))
-      .distinct()
-      .orderBy("h")
-      .limit(K)
-    val sketch = kmin.agg(count(lit(1)).cast("long").as("k"),
-      max(col("h")).as("kth_hash"))
+    // one distinct shuffle feeds both the sketch and the exact count (the
+    // exact side exists only to show the estimator's error)
+    val keys = lineitem(s, d).select("l_partkey").distinct()
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(cast(l_partkey as string)), 1, 15), 16, 10) as bigint)"))
+      .cache()
+    val sketch = keys.orderBy("h").limit(K)
+      .agg(count(lit(1)).cast("long").as("k"), max(col("h")).as("kth_hash"))
       .withColumn("est_distinct",
         round(lit(K - 1) * lit(H60Max) / col("kth_hash")).cast("long"))
-    val exact = li.agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+    val exact = keys.agg(count(lit(1)).as("exact_distinct"))
     sketch.crossJoin(exact)
       .select(col("k"), col("kth_hash"), col("est_distinct"), col("exact_distinct"))
   }
