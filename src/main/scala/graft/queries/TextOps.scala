@@ -208,7 +208,40 @@ object TextOps {
       |  CAST(MIN(CASE WHEN sampled = 1 THEN doc_id END) AS BIGINT) AS first_sampled
       |FROM h GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Text cleaning/normalization: trim, collapse whitespace runs, strip
+    * non-alphanumerics, dedupe repeated tokens — the scrub stage before
+    * tokenization. All regexp built-ins (codegen'd single scan); emits
+    * before/after sizes so the oracle pins the exact transform. */
+  def t08CleanText(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("cleaned", regexp_replace(
+        regexp_replace(trim(col("text")), "[^a-z0-9 ]", ""),
+        " +", " "))
+      .withColumn("toks", split(col("cleaned"), " "))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("raw_len"),
+        length(col("cleaned")).cast("long").as("clean_len"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr("size(array_distinct(toks))").cast("long").as("n_uniq_tokens"),
+        md5(col("cleaned")).as("clean_md5"))
+      .orderBy("doc_id")
+
+  val t08Sql: String =
+    """WITH c AS (
+      |  SELECT doc_id, text,
+      |    regexp_replace(regexp_replace(trim(text), '[^a-z0-9 ]', '', 'g'),
+      |      ' +', ' ', 'g') AS cleaned
+      |  FROM documents)
+      |SELECT doc_id, length(text)::BIGINT AS raw_len,
+      |  length(cleaned)::BIGINT AS clean_len,
+      |  len(string_split(cleaned, ' '))::BIGINT AS n_tokens,
+      |  len(list_distinct(string_split(cleaned, ' ')))::BIGINT AS n_uniq_tokens,
+      |  md5(cleaned) AS clean_md5
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t08_clean_text" -> t08CleanText _,
     "t01_text_stats" -> t01TextStats _,
     "t02_langid" -> t02LangId _,
     "t03_fingerprint" -> t03Fingerprint _,
@@ -226,5 +259,6 @@ object TextOps {
     "t05_langid_ngram" -> t05Sql,
     "t06_bpe_tokens" -> t06Sql,
     "t07_sample_strata" -> t07Sql,
+    "t08_clean_text" -> t08Sql,
   )
 }
