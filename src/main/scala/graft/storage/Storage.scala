@@ -54,17 +54,46 @@ object Storage {
     total
   }
 
+  private def isHttp(url: String): Boolean =
+    url.startsWith("http://") || url.startsWith("https://")
+
+  /** Remote size probe: HEAD for http(s) (fsspec `fs.info` analog), stat for
+    * local paths. -1 when unknown (then the cache never skips). */
+  private def sourceSize(url: String): Long =
+    if (isHttp(url)) {
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      try {
+        conn.setRequestMethod("HEAD")
+        conn.connect()
+        if (conn.getResponseCode >= 400) -1L else conn.getContentLengthLong
+      } finally conn.disconnect()
+    } else Files.size(Paths.get(url))
+
+  private def openSource(url: String): java.io.InputStream =
+    if (isHttp(url)) {
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      if (conn.getResponseCode >= 400)
+        throw new java.io.IOException(
+          s"HTTP ${conn.getResponseCode} fetching $url")
+      conn.getInputStream
+    } else Files.newInputStream(Paths.get(url))
+
   /** CacheFSSpecTarget.cache_file (storage.py:192-209): copy into the cache
-    * under the hashed name, skipping when the size already matches. */
+    * under the hashed name, skipping when the size already matches. Secrets
+    * are injected into the fetched URL for http(s) sources (openers.py:
+    * 16-37 semantics); local paths are read as-is. */
   def cacheFile(sourceUrl: String, cacheDir: String,
                 secrets: Map[String, String] = Map.empty): String = {
     val resolved = injectQueryStringSecrets(sourceUrl, secrets)
+    val fetchUrl = if (isHttp(sourceUrl)) resolved else sourceUrl
     val target = Paths.get(cacheDir, hashPath(resolved))
     Files.createDirectories(target.getParent)
-    val src = Paths.get(sourceUrl)
-    if (Files.exists(target) && Files.size(target) == Files.size(src))
+    val size = sourceSize(fetchUrl)
+    if (Files.exists(target) && size >= 0 && Files.size(target) == size)
       return target.toString // size-match skip
-    val in = Files.newInputStream(src)
+    val in = openSource(fetchUrl)
     try {
       val tmp = Files.createTempFile(target.getParent, ".cache", ".tmp")
       val out = Files.newOutputStream(tmp)

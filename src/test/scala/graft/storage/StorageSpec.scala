@@ -42,6 +42,41 @@ class StorageSpec extends AnyFunSuite {
     assert(Files.readAllBytes(Paths.get(c1)).forall(_ == 7))
   }
 
+  test("cacheFile over HTTP with query-secret auth: fetch, skip, reject") {
+    // local HTTP fixture with token auth (tests/http_auth_server.py analog)
+    val payload = Array.tabulate[Byte](4096)(i => (i % 91).toByte)
+    var gets = 0
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/data.bin", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val authed = Option(ex.getRequestURI.getQuery).exists(_.contains("token=s3cr3t"))
+      if (!authed) {
+        ex.sendResponseHeaders(403, -1)
+      } else if (ex.getRequestMethod == "HEAD") {
+        ex.getResponseHeaders.add("Content-Length", payload.length.toString)
+        ex.sendResponseHeaders(200, -1)
+      } else {
+        gets += 1
+        ex.sendResponseHeaders(200, payload.length.toLong)
+        ex.getResponseBody.write(payload)
+      }
+      ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/data.bin"
+      val cacheDir = Files.createTempDirectory("http_cache").toString
+      // without the secret the server rejects
+      intercept[java.io.IOException] { Storage.cacheFile(url, cacheDir) }
+      val c1 = Storage.cacheFile(url, cacheDir, Map("token" -> "s3cr3t"))
+      assert(Files.readAllBytes(Paths.get(c1)).sameElements(payload))
+      assert(gets == 1)
+      // second call: HEAD size matches -> no new GET
+      val c2 = Storage.cacheFile(url, cacheDir, Map("token" -> "s3cr3t"))
+      assert(c1 == c2 && gets == 1)
+    } finally server.stop(0)
+  }
+
   test("copyStream moves all bytes in blocks") {
     val data = Array.tabulate[Byte](25_000)(i => (i % 127).toByte)
     val in = new java.io.ByteArrayInputStream(data)
