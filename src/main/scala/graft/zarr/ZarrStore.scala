@@ -435,9 +435,48 @@ final case class ZarrGroup(root: String) {
     out
   }
 
+  /** Read only the wanted inner chunks of one shard object, seeking via the
+    * binary index at the file tail — the local-FS analog of two object-store
+    * range GETs (index tail, then just the needed chunk ranges). Bytes of
+    * unwanted inner chunks are never read. */
+  private def readShardChunks(path: Path, meta: ArrayMeta,
+                              wanted: Vector[Vector[Int]]): Map[Vector[Int], NDArray] = {
+    val ndim = meta.shape.length
+    val chunksPerShard = (0 until ndim).map(d => meta.grain(d) / meta.chunks(d)).toVector
+    val positions = innerPositions(chunksPerShard)
+    val posToOrdinal = positions.zipWithIndex.toMap
+    val ch = java.nio.channels.FileChannel.open(path,
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val idxLen = positions.length * 16
+      val tail = ByteBuffer.allocate(idxLen + 4).order(ByteOrder.LITTLE_ENDIAN)
+      ch.read(tail, ch.size() - idxLen - 4)
+      tail.flip()
+      val idxBytes = new Array[Byte](idxLen)
+      tail.get(idxBytes)
+      val crc = new java.util.zip.CRC32C(); crc.update(idxBytes)
+      require(crc.getValue.toInt == tail.getInt, "shard index CRC32C mismatch")
+      val index = ByteBuffer.wrap(idxBytes).order(ByteOrder.LITTLE_ENDIAN)
+      wanted.flatMap { pos =>
+        val ord = posToOrdinal(pos)
+        val offset = index.getLong(ord * 16)
+        val nbytes = index.getLong(ord * 16 + 8)
+        if (offset == -1L || nbytes == -1L) None
+        else {
+          val buf = ByteBuffer.allocate(nbytes.toInt)
+          ch.read(buf, offset)
+          Some(pos -> decodeChunk(buf.array(), meta.dtype, meta.chunks,
+            meta.gzipLevel))
+        }
+      }.toMap
+    } finally ch.close()
+  }
+
   /** Read an arbitrary rectangular region (no alignment requirement): only
-    * the storage objects intersecting the region are fetched — at object-
-    * store scale each task GETs its own slab's chunks and nothing else. */
+    * the storage objects intersecting the region are fetched, and within a
+    * shard only the intersecting inner chunks are read (index-guided seeks)
+    * — at object-store scale each task range-GETs its own slab's bytes and
+    * nothing else. */
   def readRegion(name: String, starts: Vector[Int], shape: Vector[Int]): NDArray = {
     val meta = arrayMeta(name)
     val grain = meta.grain
@@ -446,22 +485,49 @@ final case class ZarrGroup(root: String) {
       s"region rank != array rank $ndim")
     val out = NDArray.zeros(meta.dtype, shape)
     if (ndim == 0) return out
+    // copy the part of `block` (anchored at blockLo, global coords) that
+    // intersects the region into `out`
+    def blit(block: NDArray, blockLo: Vector[Int], blockShape: Vector[Int]): Unit = {
+      val lo = (0 until ndim).map(k => math.max(blockLo(k), starts(k))).toVector
+      val hi = (0 until ndim).map(k => math.min(
+        math.min(blockLo(k) + blockShape(k), meta.shape(k)),
+        starts(k) + shape(k))).toVector
+      if ((0 until ndim).forall(k => lo(k) < hi(k))) {
+        val src = (0 until ndim).map(k =>
+          Slc(lo(k) - blockLo(k), hi(k) - blockLo(k))).toVector
+        out.assign(lo.indices.map(k => lo(k) - starts(k)).toVector,
+          block.slice(src))
+      }
+    }
     val chunkRanges: Vector[Range] = (0 until ndim).map { d =>
       (starts(d) / grain(d)) until
         ((starts(d) + shape(d) + grain(d) - 1) / grain(d))
     }.toVector
     def rec(d: Int, idx: Vector[Int]): Unit =
       if (d == ndim) {
-        readChunk(name, idx, meta).foreach { chunk =>
-          val lo = idx.indices.map(k =>
-            math.max(idx(k) * grain(k), starts(k))).toVector
-          val hi = idx.indices.map(k => math.min(
-            math.min((idx(k) + 1) * grain(k), meta.shape(k)),
-            starts(k) + shape(k))).toVector
-          val src = idx.indices.map(k =>
-            Slc(lo(k) - idx(k) * grain(k), hi(k) - idx(k) * grain(k))).toVector
-          out.assign(lo.indices.map(k => lo(k) - starts(k)).toVector,
-            chunk.slice(src))
+        val shardLo = idx.indices.map(k => idx(k) * grain(k)).toVector
+        if (meta.shardShape.isDefined) {
+          val path = chunkPath(name, idx)
+          if (Files.exists(path)) {
+            // inner chunks of this shard intersecting the region
+            val innerRanges = (0 until ndim).map { k =>
+              val cs = meta.chunks(k)
+              val lo = math.max(starts(k) - shardLo(k), 0) / cs
+              val hi = (math.min(starts(k) + shape(k) - shardLo(k),
+                grain(k)) + cs - 1) / cs
+              lo until hi
+            }.toVector
+            val wanted = innerRanges.foldLeft(Vector(Vector.empty[Int])) {
+              (acc, r) => acc.flatMap(prefix => r.map(prefix :+ _))
+            }
+            readShardChunks(path, meta, wanted).foreach { case (pos, chunk) =>
+              val chunkLo = (0 until ndim).map(k =>
+                shardLo(k) + pos(k) * meta.chunks(k)).toVector
+              blit(chunk, chunkLo, meta.chunks)
+            }
+          }
+        } else {
+          readChunk(name, idx, meta).foreach(chunk => blit(chunk, shardLo, grain))
         }
       } else chunkRanges(d).foreach(i => rec(d + 1, idx :+ i))
     rec(0, Vector.empty)

@@ -178,6 +178,30 @@ class ZarrStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("sharded readRegion seeks via the index and skips unwanted chunk bytes") {
+    val root = tmp()
+    val g = ZarrGroup(root)
+    g.initGroup(Attrs.empty)
+    val data = NDArray(DType.I8, Vector(8), Array.tabulate(8)(_.toLong * 3))
+    g.createArray("v", Vector(8), Vector(4), DType.I8, Attrs.empty,
+      dimensionNames = Some(Vector("t")), shardShape = Some(Vector(8)),
+      gzipLevel = Some(4))
+    g.writeRegion("v", Vector(0), data)
+    // corrupt inner chunk 0's byte range (index tail untouched): a reader
+    // that only seeks to inner chunk 1 must not notice
+    val shardPath = java.nio.file.Paths.get(root, "v", "c", "0")
+    val raw = Files.readAllBytes(shardPath)
+    val idx = java.nio.ByteBuffer.wrap(raw, raw.length - 36, 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val c0len = { idx.getLong; idx.getLong.toInt } // (offset, nbytes) of chunk 0
+    java.util.Arrays.fill(raw, 0, c0len, 0x5a.toByte)
+    Files.write(shardPath, raw)
+    val region = g.readRegion("v", Vector(4), Vector(4))
+    assert(region.sameElements(data.slice(Vector(Slc(4, 8)))))
+    // a full read must hit the corruption (proves chunk 0 bytes are garbage)
+    intercept[Exception] { g.readArray("v") }
+  }
+
   test("consolidateDimensionCoordinates rewrites dim coords as one chunk") {
     val g = ZarrGroup(tmp())
     g.initGroup(Attrs.empty)
