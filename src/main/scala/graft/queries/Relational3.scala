@@ -202,7 +202,36 @@ object Relational3 {
       |  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** UNPIVOT (wide measures → long (measure, value) rows) via stack — the
+    * inverse of q14's pivot. */
+  def q28Unpivot(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_base_cents"),
+        count(lit(1)).as("n_items"))
+      .select(col("l_returnflag"), expr(
+        "stack(3, 'n_items', n_items, 'sum_base_cents', sum_base_cents, " +
+          "'sum_qty', sum_qty) as (measure, value)"))
+      .orderBy("l_returnflag", "measure")
+
+  val q28Sql: String =
+    """WITH w AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+      |    COUNT(*) AS n_items
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, measure, value FROM (
+      |  SELECT l_returnflag, 'n_items' AS measure, n_items AS value FROM w
+      |  UNION ALL
+      |  SELECT l_returnflag, 'sum_base_cents', sum_base_cents FROM w
+      |  UNION ALL
+      |  SELECT l_returnflag, 'sum_qty', sum_qty FROM w)
+      |ORDER BY l_returnflag, measure""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_unpivot" -> q28Unpivot _,
     "q22_asof_join" -> q22AsofJoin _,
     "q23_range_join" -> q23RangeJoin _,
     "q24_kmv_sketch" -> q24KmvSketch _,
@@ -212,6 +241,7 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q28_unpivot" -> q28Sql,
     "q22_asof_join" -> q22Sql,
     "q23_range_join" -> q23Sql,
     "q24_kmv_sketch" -> q24Sql,

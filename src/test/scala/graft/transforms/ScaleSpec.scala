@@ -81,4 +81,43 @@ class ScaleSpec extends AnyFunSuite {
     assert(result.sameAs(cube))
     assert(secs < 120, s"rechunk too slow: $secs s")
   }
+
+  test("50MB cube into a sharded+gzip store: 16x fewer objects, exact round-trip") {
+    val cube = bigCube()
+    val dir = Files.createTempDirectory("graft_scale_sh").toString
+    val files = (0 until NT by 4).map { t0 =>
+      val f = cube.isel(Map("time" -> Slc(t0, t0 + 4)))
+      val p = s"$dir/f_$t0.zarr"
+      val g = ZarrGroup(p)
+      g.initGroup(f.attrs)
+      f.allVars.foreach { case (n, v) =>
+        g.createArray(n, v.shape, v.shape, v.dtype, v.attrs,
+          dimensionNames = Some(v.dims))
+        g.writeRegion(n, Vector.fill(v.data.ndim)(0), v.data)
+      }
+      p
+    }.toVector
+    val pattern = FilePattern.fromFileSequence(files, "time",
+      nitemsPerFile = Some(4), fileType = FileType.Zarr)
+    val frags = Pipelines.openWithFragments(
+      Pipelines.createItems(spark, pattern), FileType.Zarr)
+    val storePath = s"$dir/store_sharded.zarr"
+    // inner chunks 2x45x45, shards of 8x90x90 = 16 inner chunks per object
+    Pipelines.storeToZarr(frags, pattern.combineDimKeys, storePath,
+      Map("time" -> 2, "lat" -> 45, "lon" -> 45),
+      targetShards = Map("time" -> 8, "lat" -> 90, "lon" -> 90),
+      gzipLevel = Some(1))
+    val store = ZarrGroup(storePath)
+    val nObjects = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(storePath, "foo", "c"))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    // 60/8=8 x 90/90=1 x 180/90=2 shard objects vs 30x2x4=240 chunk files
+    assert(nObjects == 16, s"expected 16 shard objects, got $nObjects")
+    assert(store.readFragment().sameAs(cube))
+    // index-guided partial read across shard boundaries
+    val slab = store.readRegion("foo", Vector(5, 40, 80), Vector(10, 20, 30))
+    assert(slab.sameElements(
+      cube.dataVars("foo").data.slice(
+        Vector(Slc(5, 15), Slc(40, 60), Slc(80, 110)))))
+  }
 }
