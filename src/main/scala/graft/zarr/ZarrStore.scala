@@ -101,10 +101,13 @@ final case class ZarrGroup(root: String) {
     ZarrStore.objectAttrs(n.get("attributes"))
   }
 
-  def arrayNames: Vector[String] =
-    Files.list(Paths.get(root)).iterator().asScala
+  def arrayNames: Vector[String] = {
+    val st = Files.list(Paths.get(root))
+    try st.iterator().asScala
       .filter(d => Files.isDirectory(d) && Files.exists(d.resolve("zarr.json")))
       .map(_.getFileName.toString).toVector.sorted
+    finally st.close()
+  }
 
   // ---------- array metadata ----------
   /** Create one array's metadata (no chunk data). `dimensionNames` carries
@@ -198,7 +201,8 @@ final case class ZarrGroup(root: String) {
                              dtype: DType, attrs: Attrs,
                              dimensionNames: Vector[String],
                              gzipLevel: Option[Int] = None,
-                             shardShape: Option[Vector[Int]] = None) {
+                             shardShape: Option[Vector[Int]] = None,
+                             fillValue: AttrValue = AttrValue.AInt(0)) {
     /** storage-object granularity: shard if sharded, else chunk */
     def grain: Vector[Int] = shardShape.getOrElse(chunks)
   }
@@ -218,16 +222,18 @@ final case class ZarrGroup(root: String) {
           .map(c => c.get("configuration").get("level").asInt()))
     val sharding = Option(n.get("codecs")).flatMap(
       _.elements().asScala.find(c => c.get("name").asText() == "sharding_indexed"))
+    val fill = Option(n.get("fill_value")).map(nodeToAttr)
+      .getOrElse(AttrValue.AInt(0))
     sharding match {
       case Some(sc) =>
         val cfg = sc.get("configuration")
         val inner = cfg.get("chunk_shape").elements().asScala.map(_.asInt()).toVector
         ArrayMeta(shape, inner, dtype, ZarrStore.objectAttrs(n.get("attributes")),
-          dims, gzipOf(cfg.get("codecs")), Some(gridChunks))
+          dims, gzipOf(cfg.get("codecs")), Some(gridChunks), fill)
       case None =>
         ArrayMeta(shape, gridChunks, dtype,
           ZarrStore.objectAttrs(n.get("attributes")), dims,
-          gzipOf(n.get("codecs")), None)
+          gzipOf(n.get("codecs")), None, fill)
     }
   }
 
@@ -447,10 +453,20 @@ final case class ZarrGroup(root: String) {
     val posToOrdinal = positions.zipWithIndex.toMap
     val ch = java.nio.channels.FileChannel.open(path,
       java.nio.file.StandardOpenOption.READ)
+    // FileChannel.read may return short — fill the buffer completely
+    def readFully(buf: ByteBuffer, pos: Long): Unit = {
+      var off = 0L
+      while (buf.hasRemaining) {
+        val n = ch.read(buf, pos + off)
+        if (n < 0) throw new java.io.EOFException(
+          s"unexpected EOF reading shard $path at ${pos + off}")
+        off += n
+      }
+    }
     try {
       val idxLen = positions.length * 16
       val tail = ByteBuffer.allocate(idxLen + 4).order(ByteOrder.LITTLE_ENDIAN)
-      ch.read(tail, ch.size() - idxLen - 4)
+      readFully(tail, ch.size() - idxLen - 4)
       tail.flip()
       val idxBytes = new Array[Byte](idxLen)
       tail.get(idxBytes)
@@ -464,7 +480,7 @@ final case class ZarrGroup(root: String) {
         if (offset == -1L || nbytes == -1L) None
         else {
           val buf = ByteBuffer.allocate(nbytes.toInt)
-          ch.read(buf, offset)
+          readFully(buf, offset)
           Some(pos -> decodeChunk(buf.array(), meta.dtype, meta.chunks,
             meta.gzipLevel))
         }
@@ -597,7 +613,9 @@ final case class ZarrGroup(root: String) {
         // drop old chunks
         val dir = p(n, "c")
         if (Files.exists(dir)) {
-          Files.walk(dir).iterator().asScala.toVector.reverse.foreach(Files.delete)
+          val st = Files.walk(dir)
+          val paths = try st.iterator().asScala.toVector finally st.close()
+          paths.reverse.foreach(Files.delete)
         }
         createArray(n, m.shape, m.shape, m.dtype, m.attrs,
           dimensionNames = Some(m.dimensionNames))

@@ -41,6 +41,32 @@ class LongViewSpec extends AnyFunSuite {
     assert(back.data.data.asInstanceOf[Array[Double]].sameElements(expected))
   }
 
+  test("distributed long view explodes a 1M-cell cube on executors") {
+    val nt = 800 // 2 vars x 800 x 18 x 36 = 1,036,800 cells
+    val cube = GoldenCube.makeDs(nt)
+    val tdim = Dimension("time", CombineOp.Concat)
+    val frags = GoldenCube.splitByTime(cube, 100).zipWithIndex.map {
+      case (f, i) => (Index.of(tdim -> Pos.indexed(i * 100, nt)), f)
+    }
+    val ds = spark.createDataset(frags)(
+      org.apache.spark.sql.Encoders.kryo[(Index, Fragment)])
+    val long = LongView.fragmentsToLongDF(ds, Vector("lat", "lon", "time"))
+    assert(long.count() == 2L * nt * GoldenCube.NY * GoldenCube.NX)
+    // concat offsets produce GLOBAL time positions spanning the full axis
+    assert(long.agg(max("time")).head().getLong(0) == nt - 1)
+    // distributed sum equals the driver-side ground truth
+    val got = long.agg(sum("value")).head().getDouble(0)
+    val want = cube.dataVars.values.map(v =>
+      (0 until v.data.size).map(v.data.getDouble).sum).sum
+    assert(math.abs(got - want) <= 1e-9 * math.abs(want))
+
+    // single-fragment convenience API slices into parallel slabs and agrees
+    val single = LongView.fragmentToLongDF(spark, cube)
+    assert(single.count() == long.count())
+    val got2 = single.agg(sum("value")).head().getDouble(0)
+    assert(math.abs(got2 - want) <= 1e-9 * math.abs(want))
+  }
+
   test("coords view exposes dim coordinates for joins") {
     val cube = GoldenCube.makeDs(3)
     val coords = LongView.coordsToDF(spark, cube)
