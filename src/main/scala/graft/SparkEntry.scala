@@ -11,7 +11,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
-      CubeOps.queries ++ TextOps.queries ++
+      CubeOps.queries ++ NetcdfOps.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ MultiModalOps.queries ++
       StreamOps.queries
 

@@ -70,6 +70,59 @@ object RefSet {
     RefSet(out)
   }
 
+  /** NetCDF3ToZarr analog (openers.py:156-181 routes to kerchunk's
+    * netCDF3 scanner): read ONLY the classic-format header and emit one
+    * virtual-Zarr reference per storage slab — the whole array for a fixed
+    * variable, one per record for record variables (their bytes interleave
+    * with stride recsize, so each record is its own contiguous range). Chunk
+    * metadata declares the bytes codec big-endian; the Zarr reader then
+    * decodes the in-place NetCDF bytes directly, no copy, no transcode.
+    *
+    * Byte/short/char data variables would need an int16/int8 dtype in the
+    * zarr metadata to reference raw bytes — outside the engine's dtype
+    * lattice, so the scanner rejects them (the full decoder at
+    * graft.netcdf.NetCDF3.read widens them; use Entry-point A for such
+    * files). */
+  def scanNetCDF3(path: String, inlineThreshold: Int = 300): RefSet = {
+    import graft.netcdf.NetCDF3
+    val hdr = NetCDF3.readHeader(path)
+    var out = Map.empty[String, Ref]
+    out += "zarr.json" -> Ref.inline(graft.zarr.ZarrStore.groupMetaDoc(hdr.gatts))
+    val recsize = hdr.recsize
+    lazy val allBytes = Files.readAllBytes(Paths.get(path))
+    hdr.vars.foreach { v =>
+      require(v.ncType >= NetCDF3.NcInt,
+        s"scanNetCDF3: variable ${v.name} has nc_type ${v.ncType} " +
+          "(byte/char/short) — no raw-byte zarr dtype; decode via NetCDF3.read")
+      val shape = v.shape(hdr.dims, hdr.numrecs)
+      val isRec = v.isRecord(hdr.dims)
+      val chunks = if (isRec) 1 +: shape.drop(1) else shape
+      val dtype = NetCDF3.widenedDType(v.ncType)
+      out += s"${v.name}/zarr.json" -> Ref.inline(
+        graft.zarr.ZarrStore.arrayMetaDoc(shape, chunks, dtype, v.attrs,
+          dimensionNames = Some(v.dimids.map(hdr.dims(_).name)),
+          bigEndian = true))
+      val slab = v.slabBytes(hdr.dims)
+      def refFor(offset: Long): Ref =
+        if (slab <= inlineThreshold)
+          Ref.inline(java.util.Arrays.copyOfRange(
+            allBytes, offset.toInt, (offset + slab).toInt))
+        else Ref.pointer(path, offset, slab)
+      if (isRec) {
+        val zeros = shape.drop(1).map(_ => "0")
+        (0 until hdr.numrecs).foreach { r =>
+          val key = (s"${v.name}/c/$r" +: zeros).mkString("/")
+          out += key -> refFor(v.begin + r * recsize)
+        }
+      } else {
+        val key = if (shape.isEmpty) s"${v.name}/c"
+          else s"${v.name}/c/" + shape.map(_ => "0").mkString("/")
+        out += key -> refFor(v.begin)
+      }
+    }
+    RefSet(out)
+  }
+
   private def parseMeta(rs: RefSet, key: String): ObjectNode =
     mapper.readTree(rs(key).resolve()).asInstanceOf[ObjectNode]
 

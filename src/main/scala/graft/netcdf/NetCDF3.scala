@@ -1,0 +1,488 @@
+package graft.netcdf
+
+import graft.core._
+import graft.core.Attrs.Attrs
+import java.io.{BufferedInputStream, DataInputStream, EOFException}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
+/** Pure-JVM codec for the NetCDF classic binary format (CDF-1 and CDF-2 /
+  * 64-bit-offset variants) — the reference's primary input format, read
+  * there through the "scipy" engine (openers.py:40-47, open_with_xarray at
+  * openers.py:207-254). Implemented from the public NetCDF classic format
+  * specification; like scipy.io.netcdf, CDF-5 is rejected.
+  *
+  * File layout (all header ints big-endian u32; CDF-2 widens `begin` to u64):
+  *
+  *   magic 'C''D''F' <version>    version 1 = classic, 2 = 64-bit offset
+  *   numrecs                      record count (0xFFFFFFFF = streaming)
+  *   dim_list                     [tag 0x0A] name + length (0 = record dim)
+  *   gatt_list                    [tag 0x0C] name + nc_type + nelems + values
+  *   var_list                     [tag 0x0B] name + dimids + vatts + nc_type
+  *                                + vsize + begin
+  *   data                         fixed vars contiguous at begin; record
+  *                                vars interleaved per record, stride recsize
+  *
+  * Values are big-endian, padded to 4-byte boundaries. The stored `vsize` is
+  * redundant (and capped at 2^32-1) so both reader and scanner recompute
+  * sizes from shape and type. The single-record-variable special case (no
+  * inter-record padding) is honored on both read and write.
+  *
+  * Type widening on read: NC_BYTE/NC_SHORT/NC_INT -> int32, NC_CHAR ->
+  * int32 codes for data variables (string for attributes), NC_FLOAT ->
+  * float32, NC_DOUBLE -> float64 — the same lattice the engine's DType
+  * carries everywhere else.
+  */
+object NetCDF3 {
+
+  // nc_type tags from the classic spec
+  val NcByte = 1; val NcChar = 2; val NcShort = 3
+  val NcInt = 4; val NcFloat = 5; val NcDouble = 6
+
+  private def extSize(ncType: Int): Int = ncType match {
+    case NcByte | NcChar => 1
+    case NcShort => 2
+    case NcInt | NcFloat => 4
+    case NcDouble => 8
+    case t => throw new IllegalArgumentException(s"Unknown nc_type $t")
+  }
+
+  private def pad4(n: Long): Long = (n + 3L) & ~3L
+
+  final case class NcDim(name: String, length: Int) {
+    def isRecord: Boolean = length == 0
+  }
+
+  final case class NcVar(name: String, dimids: Vector[Int], attrs: Attrs,
+                         ncType: Int, begin: Long) {
+    def isRecord(dims: Vector[NcDim]): Boolean =
+      dimids.headOption.exists(dims(_).isRecord)
+    /** Shape with the record dim resolved to `numrecs`. */
+    def shape(dims: Vector[NcDim], numrecs: Int): Vector[Int] =
+      dimids.map(i => if (dims(i).isRecord) numrecs else dims(i).length)
+    /** Bytes of one record slab (record var) or the whole array (fixed
+      * var), unpadded. */
+    def slabBytes(dims: Vector[NcDim]): Long =
+      dimids.filterNot(dims(_).isRecord).map(dims(_).length.toLong)
+        .product * extSize(ncType)
+  }
+
+  final case class NcHeader(version: Int, numrecs: Int, dims: Vector[NcDim],
+                            gatts: Attrs, vars: Vector[NcVar]) {
+    def recordVars: Vector[NcVar] = vars.filter(_.isRecord(dims))
+    /** Stride between records: padded slabs, except the single-record-var
+      * special case where records pack without padding. */
+    def recsize: Long = recordVars match {
+      case Vector(only) => only.slabBytes(dims)
+      case vs => vs.map(v => pad4(v.slabBytes(dims))).sum
+    }
+  }
+
+  // ---------------------------------------------------------------- parse
+
+  private final class HeaderReader(in: DataInputStream) {
+    def u32(): Long = in.readInt().toLong & 0xFFFFFFFFL
+    def i32(): Int = in.readInt()
+
+    def name(): String = {
+      val len = i32()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      skip(pad4(len.toLong) - len)
+      new String(b, "UTF-8")
+    }
+
+    def skip(n: Long): Unit = {
+      var left = n
+      while (left > 0) {
+        val s = in.skip(left)
+        if (s <= 0) throw new EOFException("netcdf3 header truncated")
+        left -= s
+      }
+    }
+
+    /** One attribute value list -> AttrValue (char -> string; single
+      * numeric -> scalar; multi -> list). */
+    def attrValue(ncType: Int, nelems: Int): AttrValue = {
+      val vals: Vector[AttrValue] = ncType match {
+        case NcChar =>
+          val b = new Array[Byte](nelems)
+          in.readFully(b)
+          skip(pad4(nelems.toLong) - nelems)
+          return AttrValue.AStr(new String(b, "UTF-8"))
+        case NcByte =>
+          val b = new Array[Byte](nelems)
+          in.readFully(b)
+          skip(pad4(nelems.toLong) - nelems)
+          b.toVector.map(x => AttrValue.AInt(x.toLong))
+        case NcShort =>
+          val out = Vector.fill(nelems)(AttrValue.AInt(in.readShort().toLong))
+          skip(pad4(2L * nelems) - 2L * nelems)
+          out
+        case NcInt => Vector.fill(nelems)(AttrValue.AInt(in.readInt().toLong))
+        case NcFloat => Vector.fill(nelems)(AttrValue.ANum(in.readFloat().toDouble))
+        case NcDouble => Vector.fill(nelems)(AttrValue.ANum(in.readDouble()))
+        case t => throw new IllegalArgumentException(s"Unknown attr nc_type $t")
+      }
+      if (vals.length == 1) vals.head else AttrValue.AList(vals)
+    }
+
+    def attrList(): Attrs = {
+      val tag = i32(); val n = i32()
+      require(tag == 0x0C || (tag == 0 && n == 0), s"bad att_list tag $tag")
+      (0 until n).map { _ =>
+        val nm = name()
+        val t = i32(); val ne = i32()
+        nm -> attrValue(t, ne)
+      }.toMap
+    }
+  }
+
+  /** Parse the header only (metadata-sized read — the kerchunk scan path
+    * never touches data bytes). */
+  def readHeader(path: String): NcHeader = {
+    val in = new DataInputStream(new BufferedInputStream(
+      Files.newInputStream(Paths.get(path))))
+    try {
+      val magic = new Array[Byte](4)
+      in.readFully(magic)
+      require(magic(0) == 'C' && magic(1) == 'D' && magic(2) == 'F',
+        s"$path is not a NetCDF classic file")
+      val version = magic(3).toInt
+      require(version == 1 || version == 2,
+        s"Unsupported NetCDF variant $version (CDF-5 is not classic; " +
+          "like the scipy engine, only CDF-1/CDF-2 are supported)")
+      val r = new HeaderReader(in)
+      val numrecsRaw = r.u32()
+      // dim_list
+      val dtag = r.i32(); val ndims = r.i32()
+      require(dtag == 0x0A || (dtag == 0 && ndims == 0), s"bad dim_list tag $dtag")
+      val dims = (0 until ndims).map { _ =>
+        val nm = r.name(); NcDim(nm, r.i32())
+      }.toVector
+      val gatts = r.attrList()
+      // var_list
+      val vtag = r.i32(); val nvars = r.i32()
+      require(vtag == 0x0B || (vtag == 0 && nvars == 0), s"bad var_list tag $vtag")
+      val vars = (0 until nvars).map { _ =>
+        val nm = r.name()
+        val nd = r.i32()
+        val dimids = (0 until nd).map(_ => r.i32()).toVector
+        val vatts = r.attrList()
+        val ncType = r.i32()
+        r.u32() // vsize — redundant, recomputed from shape (spec note)
+        val begin = if (version == 1) r.u32() else in.readLong()
+        NcVar(nm, dimids, vatts, ncType, begin)
+      }.toVector
+      val hdr0 = NcHeader(version, 0, dims, gatts, vars)
+      // STREAMING (0xFFFFFFFF) numrecs: recover from the file size
+      val numrecs =
+        if (numrecsRaw != 0xFFFFFFFFL) numrecsRaw.toInt
+        else hdr0.recordVars match {
+          case Vector() => 0
+          case rvs =>
+            val recStart = rvs.map(_.begin).min
+            ((Files.size(Paths.get(path)) - recStart) / hdr0.recsize).toInt
+        }
+      hdr0.copy(numrecs = numrecs)
+    } finally in.close()
+  }
+
+  // ---------------------------------------------------------------- read
+
+  /** Decode `n` big-endian values of `ncType` from `bytes` into the widened
+    * engine dtype array. */
+  private def decodeValues(bytes: Array[Byte], ncType: Int, n: Int): AnyRef = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    ncType match {
+      case NcByte =>
+        val a = new Array[Int](n); var i = 0
+        while (i < n) { a(i) = buf.get().toInt; i += 1 }; a
+      case NcChar =>
+        val a = new Array[Int](n); var i = 0
+        while (i < n) { a(i) = buf.get() & 0xFF; i += 1 }; a
+      case NcShort =>
+        val a = new Array[Int](n); var i = 0
+        while (i < n) { a(i) = buf.getShort().toInt; i += 1 }; a
+      case NcInt =>
+        val a = new Array[Int](n); buf.asIntBuffer().get(a); a
+      case NcFloat =>
+        val a = new Array[Float](n); buf.asFloatBuffer().get(a); a
+      case NcDouble =>
+        val a = new Array[Double](n); buf.asDoubleBuffer().get(a); a
+    }
+  }
+
+  def widenedDType(ncType: Int): DType = ncType match {
+    case NcByte | NcChar | NcShort | NcInt => DType.I4
+    case NcFloat => DType.F4
+    case NcDouble => DType.F8
+  }
+
+  private def readFully(ch: FileChannel, pos: Long, len: Int): Array[Byte] = {
+    val buf = ByteBuffer.allocate(len)
+    var off = 0L
+    while (buf.hasRemaining) {
+      val n = ch.read(buf, pos + off)
+      if (n < 0) throw new EOFException(s"unexpected EOF at ${pos + off}")
+      off += n
+    }
+    buf.array()
+  }
+
+  /** Read a classic file into the engine's Fragment. Variables whose only
+    * dim is their own name become coordinates (the xarray convention the
+    * reference relies on); everything else is a data variable. */
+  def read(path: String): Fragment = {
+    val hdr = readHeader(path)
+    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    try {
+      val dimSizes: Map[String, Int] = hdr.dims.map(d =>
+        d.name -> (if (d.isRecord) hdr.numrecs else d.length)).toMap
+      val vars: Map[String, Variable] = hdr.vars.map { v =>
+        val shape = v.shape(hdr.dims, hdr.numrecs)
+        val n = shape.product
+        val slab = v.slabBytes(hdr.dims)
+        val raw: Array[Byte] =
+          if (!v.isRecord(hdr.dims)) readFully(ch, v.begin, slab.toInt)
+          else {
+            // gather the per-record slabs strided by recsize
+            val out = new Array[Byte]((slab * hdr.numrecs).toInt)
+            val stride = hdr.recsize
+            var r = 0
+            while (r < hdr.numrecs) {
+              System.arraycopy(readFully(ch, v.begin + r * stride, slab.toInt),
+                0, out, (r * slab).toInt, slab.toInt)
+              r += 1
+            }
+            out
+          }
+        val data = NDArray(widenedDType(v.ncType), shape,
+          decodeValues(raw, v.ncType, n))
+        v.name -> Variable(v.dimids.map(hdr.dims(_).name), data, v.attrs)
+      }.toMap
+      val (coords, dataVars) = vars.partition { case (name, v) =>
+        v.dims == Vector(name)
+      }
+      Fragment(dimSizes, coords, dataVars, hdr.gatts)
+    } finally ch.close()
+  }
+
+  // ---------------------------------------------------------------- write
+
+  private def ncTypeFor(d: DType): Int = d match {
+    case DType.I4 => NcInt
+    case DType.F4 => NcFloat
+    case DType.F8 => NcDouble
+    case DType.I8 | DType.M8ns => throw new IllegalArgumentException(
+      "NetCDF classic has no 64-bit integer type; cast int64 variables to " +
+        "int32 or float64 before writing (CF time encodings fit int32)")
+  }
+
+  private def attrBytes(v: AttrValue): (Int, Int, Array[Byte]) = v match {
+    case AttrValue.AStr(s) =>
+      val b = s.getBytes("UTF-8")
+      (NcChar, b.length, java.util.Arrays.copyOf(b, pad4(b.length.toLong).toInt))
+    case AttrValue.AInt(l) =>
+      require(l >= Int.MinValue && l <= Int.MaxValue,
+        s"attr value $l does not fit NC_INT")
+      val bb = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+      bb.putInt(l.toInt); (NcInt, 1, bb.array())
+    case AttrValue.ANum(d) =>
+      val bb = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
+      bb.putDouble(d); (NcDouble, 1, bb.array())
+    case AttrValue.AList(xs) if xs.forall(_.isInstanceOf[AttrValue.AInt]) =>
+      val bb = ByteBuffer.allocate(4 * xs.length).order(ByteOrder.BIG_ENDIAN)
+      xs.foreach { case AttrValue.AInt(l) => bb.putInt(l.toInt); case _ => }
+      (NcInt, xs.length, bb.array())
+    case AttrValue.AList(xs) if xs.forall(x =>
+        x.isInstanceOf[AttrValue.ANum] || x.isInstanceOf[AttrValue.AInt]) =>
+      val bb = ByteBuffer.allocate(8 * xs.length).order(ByteOrder.BIG_ENDIAN)
+      xs.foreach {
+        case AttrValue.ANum(d) => bb.putDouble(d)
+        case AttrValue.AInt(l) => bb.putDouble(l.toDouble)
+        case _ => }
+      (NcDouble, xs.length, bb.array())
+    case other => throw new IllegalArgumentException(
+      s"Attr value $other has no NetCDF classic representation")
+  }
+
+  private def nameBytes(s: String): Array[Byte] = {
+    val b = s.getBytes("UTF-8")
+    val out = ByteBuffer.allocate(4 + pad4(b.length.toLong).toInt)
+      .order(ByteOrder.BIG_ENDIAN)
+    out.putInt(b.length); out.put(b)
+    out.array()
+  }
+
+  private def attrListBytes(attrs: Attrs): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val hd = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
+    if (attrs.isEmpty) { hd.putInt(0); hd.putInt(0) }
+    else { hd.putInt(0x0C); hd.putInt(attrs.size) }
+    bos.write(hd.array())
+    attrs.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      bos.write(nameBytes(k))
+      val (t, ne, payload) = attrBytes(v)
+      val ab = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
+      ab.putInt(t); ab.putInt(ne)
+      bos.write(ab.array()); bos.write(payload)
+    }
+    bos.toByteArray
+  }
+
+  private def encodeValues(arr: NDArray, ncType: Int): Array[Byte] = {
+    val n = arr.size
+    val bb = ByteBuffer.allocate(n * extSize(ncType)).order(ByteOrder.BIG_ENDIAN)
+    ncType match {
+      case NcInt =>
+        arr.data match {
+          case a: Array[Int] => bb.asIntBuffer().put(a)
+          case _ => var i = 0; while (i < n) { bb.putInt(arr.getLong(i).toInt); i += 1 }
+        }
+      case NcFloat =>
+        arr.data match {
+          case a: Array[Float] => bb.asFloatBuffer().put(a)
+          case _ => var i = 0; while (i < n) { bb.putFloat(arr.getDouble(i).toFloat); i += 1 }
+        }
+      case NcDouble =>
+        arr.data match {
+          case a: Array[Double] => bb.asDoubleBuffer().put(a)
+          case _ => var i = 0; while (i < n) { bb.putDouble(arr.getDouble(i)); i += 1 }
+        }
+      case _ => throw new IllegalStateException(s"writer emits int/float/double only")
+    }
+    bb.array()
+  }
+
+  /** Write a Fragment as a classic NetCDF file. `recordDim` picks the
+    * unlimited dimension (exercising the interleaved record layout);
+    * `version` 1 writes CDF-1, 2 writes CDF-2 (64-bit offsets). */
+  def write(path: String, f: Fragment, recordDim: Option[String] = None,
+            version: Int = 1): Unit = {
+    require(version == 1 || version == 2, s"version must be 1 or 2")
+    recordDim.foreach(rd => require(f.dims.contains(rd),
+      s"record dim $rd not in ${f.dims.keySet}"))
+    // deterministic order: coords first, then data vars, names sorted;
+    // record vars must come last in the var list (classic convention)
+    val ordered0 = (f.coords.toSeq.sortBy(_._1) ++ f.dataVars.toSeq.sortBy(_._1))
+    val (fixedVars, recVars) = ordered0.partition { case (_, v) =>
+      !recordDim.exists(v.dims.headOption.contains(_)) }
+    recVars.foreach { case (n, v) => require(v.dims.head == recordDim.get,
+      s"record dim must lead var $n's dims ${v.dims}") }
+    val ordered = fixedVars ++ recVars
+    val dimNames: Vector[String] = {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      ordered.foreach { case (_, v) => v.dims.foreach(seen += _) }
+      f.dims.keys.foreach(seen += _)
+      seen.toVector
+    }
+    val dimId = dimNames.zipWithIndex.toMap
+    val numrecs = recordDim.map(f.dims).getOrElse(0)
+
+    // ---- header bytes (begins backfilled after sizing) ----
+    val bos = new java.io.ByteArrayOutputStream()
+    def be(i: Int): Unit = {
+      val bb = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+      bb.putInt(i); bos.write(bb.array())
+    }
+    bos.write(Array[Byte]('C', 'D', 'F', version.toByte))
+    be(numrecs)
+    be(0x0A); be(dimNames.length)
+    dimNames.foreach { d =>
+      bos.write(nameBytes(d))
+      be(if (recordDim.contains(d)) 0 else f.dims(d))
+    }
+    bos.write(attrListBytes(f.attrs))
+    be(0x0B); be(ordered.length)
+    val beginSlots = scala.collection.mutable.ArrayBuffer.empty[Int]
+    ordered.foreach { case (name, v) =>
+      bos.write(nameBytes(name))
+      be(v.dims.length)
+      v.dims.foreach(d => be(dimId(d)))
+      bos.write(attrListBytes(v.attrs))
+      val t = ncTypeFor(v.dtype)
+      be(t)
+      val isRec = recordDim.exists(v.dims.headOption.contains(_))
+      val slab = (if (isRec) v.shape.drop(1) else v.shape)
+        .map(_.toLong).product * extSize(t)
+      be(pad4(slab).toInt) // vsize (padded per spec; capped sizes unused here)
+      beginSlots += bos.size()
+      if (version == 1) be(0) else { be(0); be(0) } // begin placeholder
+    }
+    val header = bos.toByteArray
+
+    // ---- assign begins: fixed vars first, then the record area ----
+    val begins = new Array[Long](ordered.length)
+    var cursor = header.length.toLong
+    ordered.zipWithIndex.foreach { case ((_, v), i) =>
+      val isRec = recordDim.exists(v.dims.headOption.contains(_))
+      if (!isRec) {
+        begins(i) = cursor
+        cursor += pad4(v.data.size.toLong * extSize(ncTypeFor(v.dtype)))
+      }
+    }
+    val recStart = cursor
+    val onlyOneRec = recVars.length == 1
+    var recOff = 0L
+    ordered.zipWithIndex.foreach { case ((_, v), i) =>
+      val isRec = recordDim.exists(v.dims.headOption.contains(_))
+      if (isRec) {
+        begins(i) = recStart + recOff
+        val slab = v.shape.drop(1).map(_.toLong).product *
+          extSize(ncTypeFor(v.dtype))
+        recOff += (if (onlyOneRec) slab else pad4(slab))
+      }
+    }
+    val recsize = recOff
+    val hb = ByteBuffer.wrap(header).order(ByteOrder.BIG_ENDIAN)
+    beginSlots.zipWithIndex.foreach { case (slot, i) =>
+      if (version == 1) {
+        require(begins(i) <= 0xFFFFFFFFL, "begin overflows CDF-1; use version=2")
+        hb.putInt(slot, begins(i).toInt)
+      } else hb.putLong(slot, begins(i))
+    }
+
+    // ---- data ----
+    val p: Path = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    val ch = FileChannel.open(p, StandardOpenOption.CREATE,
+      StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      ch.write(ByteBuffer.wrap(header), 0L)
+      def writeAt(pos: Long, bytes: Array[Byte]): Unit = {
+        val bb = ByteBuffer.wrap(bytes)
+        var off = 0L
+        while (bb.hasRemaining) off += ch.write(bb, pos + off)
+      }
+      ordered.zipWithIndex.foreach { case ((_, v), i) =>
+        val t = ncTypeFor(v.dtype)
+        val isRec = recordDim.exists(v.dims.headOption.contains(_))
+        if (!isRec) {
+          val enc = encodeValues(v.data, t)
+          writeAt(begins(i), java.util.Arrays.copyOf(enc, pad4(enc.length.toLong).toInt))
+        } else {
+          val slabElems = v.shape.drop(1).product
+          val slabBytes = slabElems.toLong * extSize(t)
+          var r = 0
+          while (r < numrecs) {
+            val slice = v.data.slice(
+              Slc(r, r + 1) +: v.shape.drop(1).map(s => Slc(0, s)).toVector)
+            val enc = encodeValues(slice, t)
+            val padded = if (onlyOneRec) enc
+              else java.util.Arrays.copyOf(enc, pad4(slabBytes).toInt)
+            writeAt(begins(i) + r * recsize, padded)
+            r += 1
+          }
+        }
+      }
+      // pad the file tail so size = recStart + numrecs*recsize (readers that
+      // recover STREAMING numrecs from the file size need the exact length)
+      if (recVars.nonEmpty && numrecs > 0) {
+        val want = recStart + numrecs.toLong * recsize
+        if (ch.size() < want) ch.write(ByteBuffer.allocate(1), want - 1)
+      }
+    } finally ch.close()
+  }
+}

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core._
+import graft.kerchunk.RefSet
+import graft.netcdf.NetCDF3
+import graft.patterns.{FilePattern, FileType}
+import graft.transforms.Pipelines
+import graft.zarr.ZarrGroup
+import java.nio.file.Files
+
+/** NetCDF3 end-to-end through BOTH reference entry points
+  * (tests/test_end_to_end.py:37-60 shape, netcdf3 fixtures as in
+  * tests/conftest.py:60-146):
+  *
+  *   A. decoder pipeline — .nc files → OpenWithXarray(scipy analog) →
+  *      DetermineSchema → Rechunk → Zarr store → reopen → exact equality
+  *   B. kerchunk pipeline — header-only scan → concat refs along time →
+  *      materialize → Zarr read → exact equality
+  *
+  * Not SQL-expressible (binary format + typed cube pipeline), so like the
+  * cube e2e entries it is a rows-only driver check with in-query exact
+  * assertions: ok=true only on xr.testing.assert_equal-style equality.
+  */
+object NetcdfOps {
+
+  /** Golden cube restricted to NetCDF-classic-representable dtypes
+    * (int32/float32/float64 — classic has no 64-bit ints). */
+  private def makeCube(nt: Int): Fragment = {
+    val NY = 18; val NX = 36
+    val rng = new scala.util.Random(7)
+    Fragment(
+      dims = Map("time" -> nt, "lat" -> NY, "lon" -> NX),
+      coords = Map(
+        "time" -> Variable(Vector("time"),
+          NDArray(DType.I4, Vector(nt), (0 until nt).toArray),
+          Map("units" -> AttrValue("days since 2010-01-01"),
+            "calendar" -> AttrValue("proleptic_gregorian"))),
+        "lat" -> Variable(Vector("lat"),
+          NDArray(DType.F8, Vector(NY), (0 until NY).map(i => -85.0 + i * 10).toArray)),
+        "lon" -> Variable(Vector("lon"),
+          NDArray(DType.F8, Vector(NX), (0 until NX).map(i => 5.0 + i * 10).toArray))),
+      dataVars = Map(
+        "foo" -> Variable(Vector("time", "lat", "lon"),
+          NDArray(DType.F8, Vector(nt, NY, NX), Array.fill(nt * NY * NX)(rng.nextDouble())),
+          Map("long_name" -> AttrValue("Fantastic Foo"))),
+        "bar" -> Variable(Vector("time", "lat", "lon"),
+          NDArray(DType.I4, Vector(nt, NY, NX), Array.fill(nt * NY * NX)(rng.nextInt(10))),
+          Map("long_name" -> AttrValue("Beautiful Bar")))),
+      attrs = Map("conventions" -> AttrValue("CF 1.6")))
+  }
+
+  def netcdf3Roundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nt = 10
+    val cube = makeCube(nt)
+    val dir = Files.createTempDirectory("graft_nc3").toString
+    // fixture files: time as the UNLIMITED dim exercises the interleaved
+    // record layout; every other slab written CDF-2 to cover 64-bit offsets
+    val files = (0 until nt by 2).map { t0 =>
+      val path = s"$dir/slab_$t0.nc"
+      NetCDF3.write(path, cube.isel(Map("time" -> Slc(t0, t0 + 2))),
+        recordDim = Some("time"), version = if (t0 % 4 == 0) 1 else 2)
+      path
+    }.toVector
+
+    // ---- Entry-point A: decode → schema → rechunk → zarr → reopen ----
+    val pattern = FilePattern.fromFileSequence(files, "time",
+      nitemsPerFile = Some(2), fileType = FileType.Netcdf3)
+    val items = Pipelines.createItems(spark, pattern)
+    val frags = Pipelines.openWithFragments(items, FileType.Netcdf3)
+    val storePath = s"$dir/store.zarr"
+    Pipelines.storeToZarr(frags, pattern.combineDimKeys, storePath,
+      Map("time" -> 3))
+    val okA = ZarrGroup(storePath).readFragment().sameAs(cube)
+
+    // ---- Entry-point B: header-only scan → concat refs → materialize ----
+    val refs = files.map(RefSet.scanNetCDF3(_))
+    val combined = RefSet.concatRefSets(refs, "time",
+      identicalDims = Vector("lat", "lon"))
+    val virtDir = s"$dir/virt.zarr"
+    combined.materialize(virtDir)
+    val viaRefs = ZarrGroup(virtDir).readFragment()
+    // scanned ints stay at the file's width: int32 time widens the engine's
+    // I4 exactly; values must match the golden cube cell-for-cell
+    val okB = viaRefs.sameAs(cube)
+    // the kerchunk JSON artifact round-trips losslessly
+    val okJson = RefSet.fromJson(RefSet.toJson(combined)).keys == combined.keys
+
+    Seq(
+      ("decode_pipeline", files.length, okA),
+      ("kerchunk_scan_concat", refs.map(_.keys.size).sum, okB && okJson))
+      .toDF("stage", "n_inputs", "ok")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e2e_netcdf3_roundtrip" -> netcdf3Roundtrip _,
+  )
+}

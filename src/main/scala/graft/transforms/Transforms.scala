@@ -286,9 +286,10 @@ object Pipelines {
 
 /** Format-specific openers (openers.py:16-254), keyed by FileType with the
   * reference's engine-dispatch validation semantics (OPENER_MAP/_set_engine,
-  * openers.py:40-88). The test backbone uses Zarr-directory fragments (read
-  * by our own reader); NetCDF/GRIB decoding has no JVM lib in this offline
-  * build and surfaces the same registry errors the reference raises. */
+  * openers.py:40-88). Zarr directories and NetCDF3 classic files decode
+  * natively (our store reader / graft.netcdf.NetCDF3); NetCDF4-HDF5 and
+  * GRIB decoding has no JVM lib in this offline build and surfaces the same
+  * registry errors the reference raises for a missing engine. */
 object Openers {
 
   type Decoder = String => Fragment
@@ -302,9 +303,13 @@ object Openers {
     FileType.Zarr -> "zarr",
     FileType.Parquet -> "parquet-long-view")
 
-  /** Registered decoders (this offline JVM build ships the zarr one). */
+  /** Registered decoders: zarr (our store reader) and scipy (the pure-JVM
+    * NetCDF3 classic codec, graft.netcdf.NetCDF3 — the reference's flagship
+    * input path, openers.py:40-47). netcdf4/grib engines still require
+    * native libs absent from this offline JVM build. */
   val decoders: Map[String, Decoder] = Map(
-    "zarr" -> (url => ZarrGroup(url).readFragment()))
+    "zarr" -> (url => ZarrGroup(url).readFragment()),
+    "scipy" -> (url => graft.netcdf.NetCDF3.read(url)))
 
   /** _set_engine semantics: unknown file type -> explicit error; a
     * user-supplied engine that conflicts with the registry is rejected. */

@@ -75,6 +75,95 @@ object ZarrStore {
     case "float64" => DType.F8
     case other => throw new IllegalArgumentException(s"Unsupported zarr dtype $other")
   }
+
+  /** One array's zarr.json document (v3 core + sharding spec). Shared by
+    * the on-disk store (createArray) and the kerchunk scanners, which inline
+    * the same document into a RefSet without a disk group. `bigEndian`
+    * selects the bytes codec's endian — scanned NetCDF3 byte ranges are
+    * big-endian in place, so their metadata must say so for the reader. */
+  def arrayMetaDoc(shape: Vector[Int], chunks: Vector[Int],
+                   dtype: DType, attrs: Attrs,
+                   fillValue: AttrValue = AttrValue.AInt(0),
+                   dimensionNames: Option[Vector[String]] = None,
+                   gzipLevel: Option[Int] = None,
+                   shardShape: Option[Vector[Int]] = None,
+                   bigEndian: Boolean = false): Array[Byte] = {
+    val o = mapper.createObjectNode()
+    o.put("zarr_format", 3)
+    o.put("node_type", "array")
+    val sh = mapper.createArrayNode(); shape.foreach(sh.add); o.set[ObjectNode]("shape", sh)
+    o.put("data_type", dtypeName(dtype))
+    val grid = mapper.createObjectNode()
+    grid.put("name", "regular")
+    val gcfg = mapper.createObjectNode()
+    // with sharding the top-level chunk grid addresses SHARDS; inner chunks
+    // live in the sharding codec's configuration (zarr v3 sharding spec)
+    val ch = mapper.createArrayNode(); shardShape.getOrElse(chunks).foreach(ch.add)
+    gcfg.set[ObjectNode]("chunk_shape", ch)
+    grid.set[ObjectNode]("configuration", gcfg)
+    o.set[ObjectNode]("chunk_grid", grid)
+    val cke = mapper.createObjectNode()
+    cke.put("name", "default")
+    val ckcfg = mapper.createObjectNode(); ckcfg.put("separator", "/")
+    cke.set[ObjectNode]("configuration", ckcfg)
+    o.set[ObjectNode]("chunk_key_encoding", cke)
+    o.set[ObjectNode]("fill_value", attrToNode(fillValue))
+    def innerCodecs: ArrayNode = {
+      val codecs = mapper.createArrayNode()
+      val bytesCodec = mapper.createObjectNode()
+      bytesCodec.put("name", "bytes")
+      val bcfg = mapper.createObjectNode()
+      bcfg.put("endian", if (bigEndian) "big" else "little")
+      bytesCodec.set[ObjectNode]("configuration", bcfg)
+      codecs.add(bytesCodec)
+      gzipLevel.foreach { lvl =>
+        val gz = mapper.createObjectNode()
+        gz.put("name", "gzip")
+        val gcfg2 = mapper.createObjectNode(); gcfg2.put("level", lvl)
+        gz.set[ObjectNode]("configuration", gcfg2)
+        codecs.add(gz)
+      }
+      codecs
+    }
+    val codecs = shardShape match {
+      case None => innerCodecs
+      case Some(_) =>
+        val top = mapper.createArrayNode()
+        val shard = mapper.createObjectNode()
+        shard.put("name", "sharding_indexed")
+        val scfg = mapper.createObjectNode()
+        val ics = mapper.createArrayNode(); chunks.foreach(ics.add)
+        scfg.set[ObjectNode]("chunk_shape", ics)
+        scfg.set[ObjectNode]("codecs", innerCodecs)
+        val idxCodecs = mapper.createArrayNode()
+        val ib = mapper.createObjectNode(); ib.put("name", "bytes")
+        val ibc = mapper.createObjectNode(); ibc.put("endian", "little")
+        ib.set[ObjectNode]("configuration", ibc)
+        idxCodecs.add(ib)
+        val crc = mapper.createObjectNode(); crc.put("name", "crc32c")
+        idxCodecs.add(crc)
+        scfg.set[ObjectNode]("index_codecs", idxCodecs)
+        scfg.put("index_location", "end")
+        shard.set[ObjectNode]("configuration", scfg)
+        top.add(shard)
+        top
+    }
+    o.set[ObjectNode]("codecs", codecs)
+    dimensionNames.foreach { dn =>
+      val a = mapper.createArrayNode(); dn.foreach(a.add); o.set[ObjectNode]("dimension_names", a)
+    }
+    o.set[ObjectNode]("attributes", attrsObject(attrs))
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(o)
+  }
+
+  /** One group's zarr.json document — the scanner twin of initGroup. */
+  def groupMetaDoc(attrs: Attrs): Array[Byte] = {
+    val o = mapper.createObjectNode()
+    o.put("zarr_format", 3)
+    o.put("node_type", "group")
+    o.set[ObjectNode]("attributes", attrsObject(attrs))
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(o)
+  }
 }
 
 /** One open Zarr v3 group rooted at a directory. */
@@ -126,72 +215,9 @@ final case class ZarrGroup(root: String) {
     }
     val dir = p(name)
     Files.createDirectories(dir)
-    val o = mapper.createObjectNode()
-    o.put("zarr_format", 3)
-    o.put("node_type", "array")
-    val sh = mapper.createArrayNode(); shape.foreach(sh.add); o.set[ObjectNode]("shape", sh)
-    o.put("data_type", dtypeName(dtype))
-    val grid = mapper.createObjectNode()
-    grid.put("name", "regular")
-    val gcfg = mapper.createObjectNode()
-    // with sharding the top-level chunk grid addresses SHARDS; inner chunks
-    // live in the sharding codec's configuration (zarr v3 sharding spec)
-    val ch = mapper.createArrayNode(); shardShape.getOrElse(chunks).foreach(ch.add)
-    gcfg.set[ObjectNode]("chunk_shape", ch)
-    grid.set[ObjectNode]("configuration", gcfg)
-    o.set[ObjectNode]("chunk_grid", grid)
-    val cke = mapper.createObjectNode()
-    cke.put("name", "default")
-    val ckcfg = mapper.createObjectNode(); ckcfg.put("separator", "/")
-    cke.set[ObjectNode]("configuration", ckcfg)
-    o.set[ObjectNode]("chunk_key_encoding", cke)
-    o.set[ObjectNode]("fill_value", attrToNode(fillValue))
-    def innerCodecs: ArrayNode = {
-      val codecs = mapper.createArrayNode()
-      val bytesCodec = mapper.createObjectNode()
-      bytesCodec.put("name", "bytes")
-      val bcfg = mapper.createObjectNode(); bcfg.put("endian", "little")
-      bytesCodec.set[ObjectNode]("configuration", bcfg)
-      codecs.add(bytesCodec)
-      gzipLevel.foreach { lvl =>
-        val gz = mapper.createObjectNode()
-        gz.put("name", "gzip")
-        val gcfg2 = mapper.createObjectNode(); gcfg2.put("level", lvl)
-        gz.set[ObjectNode]("configuration", gcfg2)
-        codecs.add(gz)
-      }
-      codecs
-    }
-    val codecs = shardShape match {
-      case None => innerCodecs
-      case Some(_) =>
-        val top = mapper.createArrayNode()
-        val shard = mapper.createObjectNode()
-        shard.put("name", "sharding_indexed")
-        val scfg = mapper.createObjectNode()
-        val ics = mapper.createArrayNode(); chunks.foreach(ics.add)
-        scfg.set[ObjectNode]("chunk_shape", ics)
-        scfg.set[ObjectNode]("codecs", innerCodecs)
-        val idxCodecs = mapper.createArrayNode()
-        val ib = mapper.createObjectNode(); ib.put("name", "bytes")
-        val ibc = mapper.createObjectNode(); ibc.put("endian", "little")
-        ib.set[ObjectNode]("configuration", ibc)
-        idxCodecs.add(ib)
-        val crc = mapper.createObjectNode(); crc.put("name", "crc32c")
-        idxCodecs.add(crc)
-        scfg.set[ObjectNode]("index_codecs", idxCodecs)
-        scfg.put("index_location", "end")
-        shard.set[ObjectNode]("configuration", scfg)
-        top.add(shard)
-        top
-    }
-    o.set[ObjectNode]("codecs", codecs)
-    dimensionNames.foreach { dn =>
-      val a = mapper.createArrayNode(); dn.foreach(a.add); o.set[ObjectNode]("dimension_names", a)
-    }
-    o.set[ObjectNode]("attributes", ZarrStore.attrsObject(attrs))
-    Files.write(dir.resolve("zarr.json"), mapper.writerWithDefaultPrettyPrinter()
-      .writeValueAsBytes(o))
+    Files.write(dir.resolve("zarr.json"), ZarrStore.arrayMetaDoc(
+      shape, chunks, dtype, attrs, fillValue, dimensionNames, gzipLevel,
+      shardShape))
   }
 
   /** `chunks` is the read-granularity (inner) chunk shape; when sharded,
@@ -202,7 +228,8 @@ final case class ZarrGroup(root: String) {
                              dimensionNames: Vector[String],
                              gzipLevel: Option[Int] = None,
                              shardShape: Option[Vector[Int]] = None,
-                             fillValue: AttrValue = AttrValue.AInt(0)) {
+                             fillValue: AttrValue = AttrValue.AInt(0),
+                             bigEndian: Boolean = false) {
     /** storage-object granularity: shard if sharded, else chunk */
     def grain: Vector[Int] = shardShape.getOrElse(chunks)
   }
@@ -220,6 +247,12 @@ final case class ZarrGroup(root: String) {
       Option(codecs).flatMap(
         _.elements().asScala.find(c => c.get("name").asText() == "gzip")
           .map(c => c.get("configuration").get("level").asInt()))
+    def bigOf(codecs: com.fasterxml.jackson.databind.JsonNode): Boolean =
+      Option(codecs).flatMap(
+        _.elements().asScala.find(c => c.get("name").asText() == "bytes")
+          .flatMap(c => Option(c.get("configuration"))
+            .flatMap(cf => Option(cf.get("endian")).map(_.asText()))))
+        .contains("big")
     val sharding = Option(n.get("codecs")).flatMap(
       _.elements().asScala.find(c => c.get("name").asText() == "sharding_indexed"))
     val fill = Option(n.get("fill_value")).map(nodeToAttr)
@@ -229,11 +262,12 @@ final case class ZarrGroup(root: String) {
         val cfg = sc.get("configuration")
         val inner = cfg.get("chunk_shape").elements().asScala.map(_.asInt()).toVector
         ArrayMeta(shape, inner, dtype, ZarrStore.objectAttrs(n.get("attributes")),
-          dims, gzipOf(cfg.get("codecs")), Some(gridChunks), fill)
+          dims, gzipOf(cfg.get("codecs")), Some(gridChunks), fill,
+          bigOf(cfg.get("codecs")))
       case None =>
         ArrayMeta(shape, gridChunks, dtype,
           ZarrStore.objectAttrs(n.get("attributes")), dims,
-          gzipOf(n.get("codecs")), None, fill)
+          gzipOf(n.get("codecs")), None, fill, bigOf(n.get("codecs")))
     }
   }
 
@@ -264,7 +298,8 @@ final case class ZarrGroup(root: String) {
   }
 
   private def decodeChunk(raw: Array[Byte], dtype: DType, shape: Vector[Int],
-                          gzipLevel: Option[Int]): NDArray = {
+                          gzipLevel: Option[Int],
+                          bigEndian: Boolean = false): NDArray = {
     val bytes = gzipLevel match {
       case Some(_) =>
         val in = new java.util.zip.GZIPInputStream(
@@ -272,7 +307,8 @@ final case class ZarrGroup(root: String) {
         try in.readAllBytes() finally in.close()
       case None => raw
     }
-    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val buf = ByteBuffer.wrap(bytes).order(
+      if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     val n = NDArray.sizeOf(shape)
     val data: AnyRef = dtype match {
       case DType.I4 => val a = new Array[Int](n); buf.asIntBuffer().get(a); a
@@ -341,7 +377,7 @@ final case class ZarrGroup(root: String) {
       if (offset != -1L && nbytes != -1L) {
         val enc = java.util.Arrays.copyOfRange(raw, offset.toInt,
           offset.toInt + nbytes.toInt)
-        val chunk = decodeChunk(enc, meta.dtype, meta.chunks, meta.gzipLevel)
+        val chunk = decodeChunk(enc, meta.dtype, meta.chunks, meta.gzipLevel, meta.bigEndian)
         out.assign(pos.indices.map(d => pos(d) * meta.chunks(d)).toVector, chunk)
       }
     }
@@ -368,7 +404,7 @@ final case class ZarrGroup(root: String) {
     val raw = Files.readAllBytes(path)
     Some(
       if (meta.shardShape.isDefined) decodeShard(raw, meta)
-      else decodeChunk(raw, meta.dtype, meta.chunks, meta.gzipLevel))
+      else decodeChunk(raw, meta.dtype, meta.chunks, meta.gzipLevel, meta.bigEndian))
   }
 
   def chunkExists(name: String, chunkIdx: Vector[Int]): Boolean =
@@ -482,7 +518,7 @@ final case class ZarrGroup(root: String) {
           val buf = ByteBuffer.allocate(nbytes.toInt)
           readFully(buf, offset)
           Some(pos -> decodeChunk(buf.array(), meta.dtype, meta.chunks,
-            meta.gzipLevel))
+            meta.gzipLevel, meta.bigEndian))
         }
       }.toMap
     } finally ch.close()

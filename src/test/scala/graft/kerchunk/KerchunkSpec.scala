@@ -94,6 +94,42 @@ class KerchunkSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/refs.parquet").count() == combined.refs.size)
   }
 
+  test("netcdf3 fixtures: scan -> combine -> reference.json -> materialize == cube") {
+    // the real Entry-point B input: classic NetCDF files, record layout
+    // (conftest.py:60-146 fixture shape), scanned header-only on executors
+    val nt = 8
+    val cube = {
+      val base = GoldenCube.makeDs(nt)
+      // classic format has no int64: narrow time/bar to the scanner lattice
+      def narrow(v: Variable): Variable =
+        if (v.dtype == DType.I8) v.copy(data = v.data.astype(DType.I4)) else v
+      base.copy(coords = base.coords.map { case (n, v) => n -> narrow(v) },
+        dataVars = base.dataVars.map { case (n, v) => n -> narrow(v) })
+    }
+    val dir = tmp()
+    val files = GoldenCube.splitByTime(cube, 2).zipWithIndex.map { case (f, i) =>
+      val p = s"$dir/slab_$i.nc"
+      graft.netcdf.NetCDF3.write(p, f, recordDim = Some("time"))
+      p
+    }
+    val indexed: Vector[(Index, RefSet)] = files.zipWithIndex.map { case (p, i) =>
+      (Index.of(timeDim -> Pos(i)), RefSet.scanNetCDF3(p))
+    }
+    val ds = spark.createDataset(indexed)(Encoders.kryo[(Index, RefSet)])
+      .repartition(4)
+    val combined = CombineReferences.combine(ds, Vector("time"),
+      Vector("lat", "lon"), maxRefsPerMerge = 2)
+    val jsonPath = s"$dir/reference.json"
+    CombineReferences.writeReferenceJson(combined, jsonPath)
+    val loaded = RefSet.fromJson(Files.readString(java.nio.file.Paths.get(jsonPath)))
+    val mat = s"$dir/materialized.zarr"
+    loaded.materialize(mat)
+    val result = ZarrGroup(mat).readFragment()
+    assert(result.sameAs(cube))
+    // record layout: one chunk key per record along time
+    assert((0 until nt).forall(r => combined.refs.contains(s"foo/c/$r/0/0")))
+  }
+
   test("concat re-keys chunk indexes along the concat axis") {
     val cube = GoldenCube.makeDs(4)
     val dir = tmp()
