@@ -90,40 +90,74 @@ object MultiModalOps {
       |FROM frames WHERE frame_id % 4 = 0
       |ORDER BY doc_id, frame_id""".stripMargin
 
-  /** Resize stage: fit the decoded box into 224×224 preserving aspect ratio
-    * (integer math). The resample kernel itself is the stubbed part; the
-    * dimension arithmetic, batching and schema are the real plumbing. */
-  def m03ResizeStub(s: SparkSession, d: String): DataFrame = {
+  /** REAL resample kernel (no stub): the payload is viewed as a grayscale
+    * image — a 32-pixel-wide raster of the raw bytes, height = n/32 — and
+    * box-filtered down to 8×8 with exact integer area averaging. Each
+    * output pixel (y,x) owns the partition cell {(yy,xx) : yy*8/h0 == y,
+    * xx/4 == x} and takes floor(sum/count) of its box. Long-form output
+    * (one row per output pixel) keeps the oracle comparable per VALUE.
+    *
+    * The batch shape is production-real: binary in, primitive-array kernel
+    * inside mapPartitions (the JVM twin of mapInPandas), typed rows out,
+    * a single scan with no shuffle before the final presentation sort. */
+  private val OutDim = 8
+  private val RasterW = 32
+
+  def m03Resize(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      // need h0 >= OutDim rows of RasterW bytes for a full box partition
+      .filter(length(col("payload")) >= RasterW * OutDim)
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
-      StructField("width", IntegerType, nullable = false),
-      StructField("height", IntegerType, nullable = false),
-      StructField("new_w", IntegerType, nullable = false),
-      StructField("new_h", IntegerType, nullable = false)))
+      StructField("y", IntegerType, nullable = false),
+      StructField("x", IntegerType, nullable = false),
+      StructField("px", LongType, nullable = false)))
     docs.mapPartitions { rows =>
-      rows.map { r =>
-        val dec = FakeDecode.decode(r.getAs[Array[Byte]]("payload"))
-        val m = math.max(dec.width, dec.height)
-        // ??? real resample kernel goes here — only the geometry is computed
-        Row(r.getLong(0), dec.width, dec.height,
-          dec.width * 224 / m, dec.height * 224 / m)
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]]("payload")
+        val h0 = bytes.length / RasterW
+        val sums = Array.ofDim[Long](OutDim * OutDim)
+        val counts = Array.ofDim[Long](OutDim * OutDim)
+        var yy = 0
+        while (yy < h0) {
+          val y = yy * OutDim / h0
+          var xx = 0
+          while (xx < RasterW) {
+            val x = xx * OutDim / RasterW
+            val v = bytes(yy * RasterW + xx) & 0xFF
+            sums(y * OutDim + x) += v
+            counts(y * OutDim + x) += 1
+            xx += 1
+          }
+          yy += 1
+        }
+        (0 until OutDim * OutDim).iterator.map { k =>
+          Row(id, k / OutDim, k % OutDim, sums(k) / counts(k))
+        }
       }
     }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
-      .orderBy("doc_id")
+      .orderBy("doc_id", "y", "x")
   }
 
+  /** The oracle recomputes the identical integer box filter from character
+    * codes (the corpus is ASCII, so byte == code point). */
   val m03Sql: String =
-    """WITH dec AS (
-      |  SELECT doc_id,
-      |    CAST(64 + (length(text) % 577) AS INTEGER) AS width,
-      |    CAST(64 + ((length(text) * 31) % 449) AS INTEGER) AS height
-      |  FROM documents)
-      |SELECT doc_id, width, height,
-      |  CAST(width * 224 // greatest(width, height) AS INTEGER) AS new_w,
-      |  CAST(height * 224 // greatest(width, height) AS INTEGER) AS new_h
-      |FROM dec ORDER BY doc_id""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) // $RasterW AS h0 FROM documents
+       |  WHERE length(text) >= ${RasterW * OutDim}
+       |), px AS (
+       |  SELECT doc_id, h0, unnest(range(0, h0 * $RasterW)) AS i, text FROM d
+       |), vals AS (
+       |  SELECT doc_id, h0, i // $RasterW AS yy, i % $RasterW AS xx,
+       |    unicode(substr(text, (i + 1)::INT, 1)) AS v
+       |  FROM px)
+       |SELECT doc_id,
+       |  ((yy * $OutDim) // h0)::INT AS y, (xx // 4)::INT AS x,
+       |  (SUM(v) // COUNT(*))::BIGINT AS px
+       |FROM vals GROUP BY 1, 2, 3
+       |ORDER BY doc_id, y, x""".stripMargin
 
   /** Feature-extraction stage: payload → fixed-width feature vector
     * (array<bigint>, 8 dims). The extractor is a deterministic md5-derived
@@ -152,14 +186,14 @@ object MultiModalOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_decode_stub" -> m01DecodeStub _,
     "m02_frame_sample" -> m02FrameSample _,
-    "m03_resize_stub" -> m03ResizeStub _,
+    "m03_resize" -> m03Resize _,
     "m04_embed_stub" -> m04EmbedStub _,
   )
 
   val oracles: Map[String, String] = Map(
     "m01_decode_stub" -> m01Sql,
     "m02_frame_sample" -> m02Sql,
-    "m03_resize_stub" -> m03Sql,
+    "m03_resize" -> m03Sql,
     "m04_embed_stub" -> m04Sql,
   )
 }
