@@ -89,7 +89,6 @@ object RefSet {
     var out = Map.empty[String, Ref]
     out += "zarr.json" -> Ref.inline(graft.zarr.ZarrStore.groupMetaDoc(hdr.gatts))
     val recsize = hdr.recsize
-    lazy val allBytes = Files.readAllBytes(Paths.get(path))
     hdr.vars.foreach { v =>
       require(v.ncType >= NetCDF3.NcInt,
         s"scanNetCDF3: variable ${v.name} has nc_type ${v.ncType} " +
@@ -103,10 +102,11 @@ object RefSet {
           dimensionNames = Some(v.dimids.map(hdr.dims(_).name)),
           bigEndian = true))
       val slab = v.slabBytes(hdr.dims)
+      // inline refs read ONLY their byte range (positioned read) — scanning
+      // a multi-GB file stays header-plus-small-slabs, never a full load
       def refFor(offset: Long): Ref =
         if (slab <= inlineThreshold)
-          Ref.inline(java.util.Arrays.copyOfRange(
-            allBytes, offset.toInt, (offset + slab).toInt))
+          Ref.inline(NetCDF3.readRange(path, offset, slab))
         else Ref.pointer(path, offset, slab)
       if (isRec) {
         val zeros = shape.drop(1).map(_ => "0")

@@ -231,6 +231,14 @@ object NetCDF3 {
     buf.array()
   }
 
+  /** Positioned ranged read — lets callers (the kerchunk scanner's inline
+    * refs) pull a single slab without loading the file. */
+  def readRange(path: String, offset: Long, length: Long): Array[Byte] = {
+    require(length <= Int.MaxValue, s"range of $length bytes too large for one buffer")
+    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    try readFully(ch, offset, length.toInt) finally ch.close()
+  }
+
   /** Read a classic file into the engine's Fragment. Variables whose only
     * dim is their own name become coordinates (the xarray convention the
     * reference relies on); everything else is a data variable. */
@@ -244,6 +252,10 @@ object NetCDF3 {
         val shape = v.shape(hdr.dims, hdr.numrecs)
         val n = shape.product
         val slab = v.slabBytes(hdr.dims)
+        val totalBytes = if (v.isRecord(hdr.dims)) slab * hdr.numrecs else slab
+        require(totalBytes <= Int.MaxValue,
+          s"variable ${v.name} is $totalBytes bytes — too large for in-memory " +
+            "decode; use the kerchunk scan path (RefSet.scanNetCDF3) instead")
         val raw: Array[Byte] =
           if (!v.isRecord(hdr.dims)) readFully(ch, v.begin, slab.toInt)
           else {
@@ -371,6 +383,12 @@ object NetCDF3 {
       !recordDim.exists(v.dims.headOption.contains(_)) }
     recVars.foreach { case (n, v) => require(v.dims.head == recordDim.get,
       s"record dim must lead var $n's dims ${v.dims}") }
+    // classic format forbids the record dim anywhere but position 0; a var
+    // with it mid-shape would silently round-trip as zero-sized — fail fast
+    fixedVars.foreach { case (n, v) =>
+      require(!recordDim.exists(v.dims.contains(_)),
+        s"var $n has record dim ${recordDim.get} in non-leading position " +
+          s"${v.dims} — NetCDF classic requires the record dim to lead") }
     val ordered = fixedVars ++ recVars
     val dimNames: Vector[String] = {
       val seen = scala.collection.mutable.LinkedHashSet.empty[String]

@@ -50,9 +50,15 @@ object SimilarityOps {
   private val NumPlanes = 16
   /** s03's single 16-bit table. */
   private val planes: Vector[Vector[Long]] = (0 until NumPlanes).map(planeFor).toVector
-  private val SimBands = 8
+  private val SimBands = 16
   private val SimRowsPerBand = 4
-  /** s02's banded tables (8 bands x 4 bits = 32 planes; first 16 == s03's). */
+  /** s02's banded tables (16 bands x 4 bits = 64 planes; first 16 == s03's).
+    * OR-construction width is chosen for the stated threshold: at the
+    * cosine=0.45 boundary a plane agrees with prob 1-acos(0.45)/pi = 0.649,
+    * so a 4-bit band collides with prob 0.649^4 = 0.177 and 16 bands give
+    * boundary recall 1-(1-0.177)^16 = 0.96 (8 bands gave only 0.79 — the
+    * round-2 advisor's recall gap); pairs above the threshold do better.
+    * SimilaritySpec's brute-force probe measures this empirically. */
   private val simPlanes: Vector[Vector[Long]] =
     (0 until SimBands * SimRowsPerBand).map(planeFor).toVector
 
@@ -105,14 +111,21 @@ object SimilarityOps {
   /** Near-duplicate detection by embedding cosine >= 0.45: banded LSH
     * candidate generation + exact rescore of candidates only.
     *
-    * Physical shape: one scan computes 32 sign bits (codegen'd `dot_i64`
-    * against literal hyperplanes), grouped as 8 bands x 4 bits; candidate
+    * APPROXIMATE SEMANTICS: this is LSH recall, not exact all-pairs — a
+    * true pair is found only if at least one band's 4 sign bits collide
+    * (~96% probability right at the 0.45 boundary with 16 bands, higher
+    * above it; see `simPlanes`). Precision is exact (candidates are
+    * rescored with the exact integer dot before the threshold filter).
+    * The DuckDB oracle replicates the identical deterministic planes, so
+    * the harness validates engine agreement on the SAME candidate set;
+    * the recall-vs-brute-force gap is measured by SimilaritySpec's probe.
+    *
+    * Physical shape: one scan computes 64 sign bits (codegen'd `dot_i64`
+    * against literal hyperplanes), grouped as 16 bands x 4 bits; candidate
     * pairs come from an equi-join on (band_no, bits) — never all pairs, no
     * driver collect — then ONLY candidates are rescored with the exact
     * integer dot. At 100 TB the band join partitions by signature and the
-    * rescore cost is |candidates|, not n². The DuckDB oracle replicates the
-    * same deterministic planes, so both engines see the identical candidate
-    * set and the comparison stays exact. */
+    * rescore cost is |candidates|, not n². */
   def s02EmbedNearDup(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val emb = embeddings(s, d).withColumn("q", expr(qEmb))

@@ -63,7 +63,13 @@ object LongView {
       val offsets: Map[String, Long] = dimsOrdered.flatMap { d =>
         idx.findConcatDim(d).map { cd =>
           val pos = idx(cd)
-          d -> (if (pos.indexed) pos.value.toLong else 0L)
+          // contract: positions are indexItems-stamped element offsets; an
+          // unindexed position would silently collapse every fragment onto
+          // the axis origin (duplicate global coords) — reject instead
+          require(pos.indexed,
+            s"fragmentsToLongDF requires indexItems-stamped positions; " +
+              s"dim $d has unindexed position $pos — run Transforms.indexItems first")
+          d -> pos.value.toLong
         }
       }.toMap
       f.dataVars.toSeq.sortBy(_._1).iterator.flatMap { case (name, v) =>
