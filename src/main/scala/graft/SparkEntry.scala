@@ -11,9 +11,9 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
-      CubeOps.queries ++ NetcdfOps.queries ++ TextOps.queries ++
-      DedupOps.queries ++ SimilarityOps.queries ++ MultiModalOps.queries ++
-      StreamOps.queries
+      CubeOps.queries ++ NetcdfOps.queries ++ GribOps.queries ++
+      TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
+      MultiModalOps.queries ++ StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

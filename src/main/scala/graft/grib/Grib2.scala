@@ -1,0 +1,621 @@
+package graft.grib
+
+import graft.core._
+import graft.core.Attrs.Attrs
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
+/** Pure-JVM codec for WMO GRIB edition 2 — the reference's GRIB input path
+  * (openers.py:67-88 routes file_type="grib" to cfgrib/kerchunk's scan_grib;
+  * exercised by tests/test_end_to_end.py:219-262 on a CMC polar-stereographic
+  * fixture). Implemented from the public WMO GRIB2 specification (FM 92).
+  *
+  * A GRIB2 message is a self-delimiting run of numbered sections:
+  *
+  *   0 indicator   "GRIB" + discipline + edition + total length
+  *   1 identification   originating centre + reference time
+  *   3 grid definition  template 3.0 (regular lat-lon) / 3.20 (polar stereo)
+  *   4 product          template 4.0 (param category/number, level)
+  *   5 data representation  template 5.0 (simple packing) / 5.40 (JPEG2000)
+  *   6 bitmap           optional validity mask, one bit per grid point
+  *   7 data             packed values
+  *   8 end              "7777"
+  *
+  * Decoding support: simple packing (5.0) in full; 5.40 in the zero-payload
+  * constant-field case (nbits=0 → every valid point equals R/10^D — what the
+  * reference fixture contains). A real JPEG2000 payload needs a jp2 codec
+  * that does not exist in this offline JVM build and raises a clear error.
+  *
+  * Scanning is header-only: section bodies 0-5 are metadata-sized reads;
+  * the bitmap and data sections are recorded as (offset, length) byte
+  * ranges and never loaded — the kerchunk contract.
+  */
+object Grib2 {
+
+  // ------------------------------------------------------------ data model
+
+  /** Grid geometry. For template 3.0 `la2/lo2/di/dj` describe the regular
+    * lat-lon raster; for 3.20 `laD/loV/dx/dy` the polar-stereo plane. */
+  final case class GridDef(template: Int, nx: Int, ny: Int, nDataPoints: Int,
+                           radius: Double,
+                           la1: Double, lo1: Double,
+                           la2: Double, lo2: Double, di: Double, dj: Double,
+                           laD: Double, loV: Double, dx: Double, dy: Double,
+                           projCentreFlag: Int, scanMode: Int) {
+    def scanNegI: Boolean = (scanMode & 0x80) != 0
+    def scanPosJ: Boolean = (scanMode & 0x40) != 0
+  }
+
+  final case class ProductDef(template: Int, paramCategory: Int,
+                              paramNumber: Int, timeUnit: Int,
+                              forecastTime: Long, surfaceType: Int,
+                              surfaceValue: Double)
+
+  final case class Packing(template: Int, nValues: Int, refValue: Float,
+                           binaryScale: Int, decimalScale: Int, nbits: Int)
+
+  /** One scanned message: metadata + byte ranges of the heavy sections. */
+  final case class Message(offset: Long, length: Long,
+                           discipline: Int, centre: Int, subCentre: Int,
+                           refTimeEpochSec: Long,
+                           grid: GridDef, product: ProductDef, packing: Packing,
+                           bitmapIndicator: Int,
+                           bitmapOffset: Long, bitmapLength: Long,
+                           dataOffset: Long, dataLength: Long) {
+    /** WMO table 4.2 short name, or a systematic fallback. */
+    def shortName: String =
+      paramNames.getOrElse((discipline, product.paramCategory, product.paramNumber),
+        s"d${discipline}c${product.paramCategory}p${product.paramNumber}")
+  }
+
+  /** Subset of WMO code table 4.2 (public), NCEP-style abbreviations. */
+  private val paramNames: Map[(Int, Int, Int), String] = Map(
+    (0, 0, 0) -> "TMP", (0, 0, 1) -> "VTMP", (0, 0, 2) -> "POT",
+    (0, 0, 4) -> "TMAX", (0, 0, 5) -> "TMIN", (0, 0, 6) -> "DPT",
+    (0, 0, 7) -> "DEPR", (0, 0, 8) -> "LAPR",
+    (0, 1, 0) -> "SPFH", (0, 1, 1) -> "RH", (0, 1, 2) -> "MIXR",
+    (0, 1, 3) -> "PWAT", (0, 1, 7) -> "PRATE", (0, 1, 8) -> "APCP",
+    (0, 1, 11) -> "SNOD",
+    (0, 2, 0) -> "WDIR", (0, 2, 1) -> "WIND", (0, 2, 2) -> "UGRD",
+    (0, 2, 3) -> "VGRD", (0, 2, 8) -> "VVEL",
+    (0, 3, 0) -> "PRES", (0, 3, 1) -> "PRMSL", (0, 3, 4) -> "GP",
+    (0, 3, 5) -> "HGT",
+    (0, 6, 1) -> "TCDC",
+    (2, 0, 0) -> "LAND", (2, 0, 2) -> "TSOIL",
+    (10, 3, 0) -> "WTMP")
+
+  /** Subset of WMO common table C-11 originating centres (public). */
+  def centreName(c: Int): String = c match {
+    case 7 => "kwbc" // NCEP
+    case 54 => "cwao" // CMC Montreal
+    case 74 => "egrr" // UK Met Office
+    case 78 => "edzw" // DWD
+    case 84 | 85 => "lfpw" // Meteo-France
+    case 98 => "ecmf" // ECMWF
+    case other => s"centre_$other"
+  }
+
+  // ------------------------------------------------------- number helpers
+
+  /** GRIB2 signed ints are sign-magnitude: high bit = sign. */
+  private def sm32(v: Long): Int = {
+    val u = v & 0xFFFFFFFFL
+    if ((u & 0x80000000L) != 0) -(u & 0x7FFFFFFFL).toInt else u.toInt
+  }
+  private def sm16(v: Int): Int =
+    if ((v & 0x8000) != 0) -(v & 0x7FFF) else v
+
+  private final class R(buf: ByteBuffer) {
+    def u8(o: Int): Int = buf.get(o) & 0xFF
+    def u16(o: Int): Int = buf.getShort(o) & 0xFFFF
+    def u32(o: Int): Long = buf.getInt(o).toLong & 0xFFFFFFFFL
+    def u64(o: Int): Long = buf.getLong(o)
+    def i32sm(o: Int): Int = sm32(u32(o))
+    def i16sm(o: Int): Int = sm16(u16(o))
+    def f32(o: Int): Float = buf.getFloat(o)
+  }
+
+  // ------------------------------------------------------------- scanning
+
+  /** Header-only scan of every message in a file: sections 0-5 are read as
+    * metadata; bitmap/data sections become byte ranges. */
+  def scan(path: String): Vector[Message] = {
+    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    try scanReader((pos, len) => readFully(ch, pos, len), ch.size(), path)
+    finally ch.close()
+  }
+
+  /** Parse one complete in-memory message (the zarr grib2-codec path: the
+    * chunk ref hands the codec the whole message's bytes). Byte offsets in
+    * the returned Message are relative to `bytes`. */
+  def parseMessage(bytes: Array[Byte]): Message = {
+    val msgs = scanReader(
+      (pos, len) => java.util.Arrays.copyOfRange(bytes, pos.toInt, pos.toInt + len),
+      bytes.length.toLong, "<memory>")
+    require(msgs.length == 1, s"expected 1 message, got ${msgs.length}")
+    msgs.head
+  }
+
+  private def scanReader(readAt: (Long, Int) => Array[Byte], size: Long,
+                         label: String): Vector[Message] = {
+    val out = Vector.newBuilder[Message]
+    var pos = 0L
+    while (pos + 16 <= size) {
+      val ind = readAt(pos, 16)
+      require(ind(0) == 'G' && ind(1) == 'R' && ind(2) == 'I' && ind(3) == 'B',
+        s"$label: no GRIB indicator at offset $pos")
+      val bb = ByteBuffer.wrap(ind).order(ByteOrder.BIG_ENDIAN)
+      require((bb.get(7) & 0xFF) == 2,
+        s"$label: GRIB edition ${bb.get(7)} unsupported (edition 2 only)")
+      val totalLen = bb.getLong(8)
+      out += parseSections(readAt, pos, totalLen, bb.get(6) & 0xFF)
+      pos += totalLen
+    }
+    out.result()
+  }
+
+  /** Walk one message's sections with header-sized positioned reads — the
+    * bitmap/data payloads are never loaded, only their byte ranges noted. */
+  private def parseSections(readAt: (Long, Int) => Array[Byte], msgOff: Long,
+                            totalLen: Long, discipline: Int): Message = {
+    var p = msgOff + 16
+    val end = msgOff + totalLen
+    var centre = 0; var subCentre = 0; var refTime = 0L
+    var grid: GridDef = null; var product: ProductDef = null
+    var packing: Packing = null
+    var bitmapInd = 255; var bitmapOff = -1L; var bitmapLen = 0L
+    var dataOff = -1L; var dataLen = 0L
+    while (p < end - 4) {
+      val head = readAt(p, 5)
+      val hb = ByteBuffer.wrap(head).order(ByteOrder.BIG_ENDIAN)
+      val secLen = hb.getInt(0).toLong & 0xFFFFFFFFL
+      val secNum = head(4) & 0xFF
+      secNum match {
+        case 6 =>
+          bitmapInd = readAt(p + 5, 1)(0) & 0xFF
+          bitmapOff = p + 6; bitmapLen = secLen - 6
+        case 7 =>
+          dataOff = p + 5; dataLen = secLen - 5
+        case 1 | 3 | 4 | 5 =>
+          val body = readAt(p, secLen.toInt)
+          val r = new R(ByteBuffer.wrap(body).order(ByteOrder.BIG_ENDIAN))
+          secNum match {
+            case 1 =>
+              centre = r.u16(5); subCentre = r.u16(7)
+              refTime = java.time.LocalDateTime.of(r.u16(12), r.u8(14), r.u8(15),
+                r.u8(16), r.u8(17), r.u8(18)).toEpochSecond(java.time.ZoneOffset.UTC)
+            case 3 => grid = parseGrid(r, body.length)
+            case 4 => product = parseProduct(r)
+            case 5 => packing = parsePacking(r)
+          }
+        case _ => // sections 2 (local use) skipped
+      }
+      p += secLen
+    }
+    require(grid != null && product != null && packing != null,
+      s"message at $msgOff missing grid/product/packing sections")
+    Message(msgOff, totalLen, discipline, centre, subCentre, refTime,
+      grid, product, packing, bitmapInd, bitmapOff, bitmapLen, dataOff, dataLen)
+  }
+
+  private def parseGrid(r: R, secLen: Int): GridDef = {
+    val nDataPoints = r.u32(6).toInt
+    val template = r.u16(12)
+    // octet 15 (idx 14): shape of earth — 0/6 fixed spheres, 1 scaled custom
+    def radiusOf: Double = r.u8(14) match {
+      case 0 => 6367470.0
+      case 1 =>
+        val scale = r.u8(15); val v = r.u32(16)
+        v.toDouble / math.pow(10, scale)
+      case 6 => 6371229.0
+      case _ => 6371229.0 // oblate variants: spherical approximation
+    }
+    template match {
+      case 0 => // regular lat-lon: Ni/Nj at octets 31/35, corners at 47..63
+        GridDef(template, nx = r.u32(30).toInt, ny = r.u32(34).toInt,
+          nDataPoints = nDataPoints, radius = radiusOf,
+          la1 = r.i32sm(46) / 1e6, lo1 = r.i32sm(50) / 1e6,
+          la2 = r.i32sm(55) / 1e6, lo2 = r.i32sm(59) / 1e6,
+          di = r.u32(63) / 1e6, dj = r.u32(67) / 1e6,
+          laD = 0, loV = 0, dx = 0, dy = 0,
+          projCentreFlag = 0, scanMode = r.u8(71))
+      case 20 => // polar stereographic: Nx/Ny at 31/35, LaD/LoV at 48/52
+        GridDef(template, nx = r.u32(30).toInt, ny = r.u32(34).toInt,
+          nDataPoints = nDataPoints, radius = radiusOf,
+          la1 = r.i32sm(38) / 1e6, lo1 = r.i32sm(42) / 1e6,
+          la2 = 0, lo2 = 0, di = 0, dj = 0,
+          laD = r.i32sm(47) / 1e6, loV = r.i32sm(51) / 1e6,
+          dx = r.u32(55) / 1e3, dy = r.u32(59) / 1e3,
+          projCentreFlag = r.u8(63), scanMode = r.u8(64))
+      case t => throw new UnsupportedOperationException(
+        s"GRIB2 grid template 3.$t not supported (3.0 lat-lon and 3.20 " +
+          "polar stereographic are)")
+    }
+  }
+
+  private def parseProduct(r: R): ProductDef = {
+    val template = r.u16(7)
+    require(template == 0 || template == 8,
+      s"GRIB2 product template 4.$template not supported (4.0/4.8 are)")
+    val sfcScale = r.u8(23); val sfcVal = r.u32(24)
+    val sfcValue =
+      if (sfcVal == 0xFFFFFFFFL) Double.NaN
+      else {
+        val s = if ((sfcScale & 0x80) != 0) -(sfcScale & 0x7F) else sfcScale
+        sfcVal.toDouble / math.pow(10, s)
+      }
+    ProductDef(template, paramCategory = r.u8(9), paramNumber = r.u8(10),
+      timeUnit = r.u8(17), forecastTime = r.u32(18),
+      surfaceType = r.u8(22), surfaceValue = sfcValue)
+  }
+
+  private def parsePacking(r: R): Packing = {
+    val template = r.u16(9)
+    require(template == 0 || template == 40,
+      s"GRIB2 data representation template 5.$template not supported " +
+        "(5.0 simple packing and 5.40 constant fields are)")
+    Packing(template, nValues = r.u32(5).toInt, refValue = r.f32(11),
+      binaryScale = r.i16sm(15), decimalScale = r.i16sm(17), nbits = r.u8(19))
+  }
+
+  // ------------------------------------------------------------- decoding
+
+  private def readFully(ch: FileChannel, pos: Long, len: Int): Array[Byte] = {
+    val buf = ByteBuffer.allocate(len)
+    var off = 0L
+    while (buf.hasRemaining) {
+      val n = ch.read(buf, pos + off)
+      if (n < 0) throw new java.io.EOFException(s"unexpected EOF at ${pos + off}")
+      off += n
+    }
+    buf.array()
+  }
+
+  /** Decode a message's grid values to doubles (NaN at bitmap-masked
+    * points), reading only the bitmap+data byte ranges from `path`. */
+  def decodeValues(path: String, msg: Message): Array[Double] = {
+    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    try {
+      val bitmap =
+        if (msg.bitmapIndicator == 0)
+          Some(readFully(ch, msg.bitmapOffset, msg.bitmapLength.toInt))
+        else None
+      val data =
+        if (msg.dataLength > 0) readFully(ch, msg.dataOffset, msg.dataLength.toInt)
+        else Array.emptyByteArray
+      decode(msg, bitmap, data)
+    } finally ch.close()
+  }
+
+  /** Same, from a complete in-memory message (zarr codec path). */
+  def decodeValuesInMemory(bytes: Array[Byte], msg: Message): Array[Double] = {
+    val bitmap =
+      if (msg.bitmapIndicator == 0)
+        Some(java.util.Arrays.copyOfRange(bytes,
+          (msg.bitmapOffset - msg.offset).toInt,
+          (msg.bitmapOffset - msg.offset + msg.bitmapLength).toInt))
+      else None
+    val data =
+      if (msg.dataLength > 0)
+        java.util.Arrays.copyOfRange(bytes, (msg.dataOffset - msg.offset).toInt,
+          (msg.dataOffset - msg.offset + msg.dataLength).toInt)
+      else Array.emptyByteArray
+    decode(msg, bitmap, data)
+  }
+
+  private def decode(msg: Message, bitmap: Option[Array[Byte]],
+                     data: Array[Byte]): Array[Double] = {
+    val n = msg.grid.nx * msg.grid.ny
+    require(msg.bitmapIndicator == 0 || msg.bitmapIndicator == 255,
+      s"bitmap indicator ${msg.bitmapIndicator} (predefined/reused bitmaps) not supported")
+    val p = msg.packing
+    val e = math.pow(2, p.binaryScale)
+    val d = math.pow(10, p.decimalScale)
+    // packed value stream: X_k -> (R + X_k * 2^E) / 10^D
+    val unpack: Int => Double =
+      if (p.nbits == 0 || data.isEmpty) { _ => p.refValue / d }
+      else p.template match {
+        case 0 =>
+          val bits = new BitReader(data)
+          val vals = new Array[Double](p.nValues)
+          var k = 0
+          while (k < p.nValues) {
+            vals(k) = (p.refValue + bits.next(p.nbits) * e) / d; k += 1
+          }
+          vals(_)
+        case 40 => throw new UnsupportedOperationException(
+          "GRIB2 JPEG2000 packing with a non-empty payload requires a jp2 " +
+            "decoder unavailable in this offline build (constant fields decode)")
+      }
+    val out = new Array[Double](n)
+    bitmap match {
+      case None =>
+        require(p.nbits == 0 || p.nValues == n,
+          s"packed count ${p.nValues} != grid size $n without a bitmap")
+        var i = 0
+        while (i < n) { out(i) = unpack(i); i += 1 }
+      case Some(bm) =>
+        var i = 0; var k = 0
+        while (i < n) {
+          val bit = (bm(i >> 3) >> (7 - (i & 7))) & 1
+          if (bit == 1) { out(i) = unpack(k); k += 1 }
+          else out(i) = Double.NaN
+          i += 1
+        }
+    }
+    out
+  }
+
+  /** MSB-first n-bit unsigned integer reader over a byte array. */
+  private final class BitReader(bytes: Array[Byte]) {
+    private var bitPos = 0L
+    def next(nbits: Int): Long = {
+      var v = 0L
+      var left = nbits
+      while (left > 0) {
+        val byteIdx = (bitPos >> 3).toInt
+        val bitInByte = (bitPos & 7).toInt
+        val take = math.min(left, 8 - bitInByte)
+        val chunk = (bytes(byteIdx) >> (8 - bitInByte - take)) & ((1 << take) - 1)
+        v = (v << take) | chunk
+        bitPos += take
+        left -= take
+      }
+      v
+    }
+  }
+
+  // ------------------------------------------------------- grid coordinates
+
+  /** Geographic coordinates of every grid point, row-major (y, x). For
+    * lat-lon grids these are the raster corners interpolated; for polar
+    * stereographic the spherical inverse projection (Snyder's formulas —
+    * public domain) anchored at the encoded first grid point. */
+  def latLonArrays(g: GridDef): (Array[Double], Array[Double]) = {
+    val n = g.nx * g.ny
+    val lats = new Array[Double](n)
+    val lons = new Array[Double](n)
+    g.template match {
+      case 0 =>
+        val dj = if (g.scanPosJ) g.dj else -g.dj
+        val di = if (g.scanNegI) -g.di else g.di
+        var j = 0
+        while (j < g.ny) {
+          val lat = g.la1 + j * dj
+          var i = 0
+          while (i < g.nx) {
+            lats(j * g.nx + i) = lat
+            lons(j * g.nx + i) = normLon(g.lo1 + i * di)
+            i += 1
+          }
+          j += 1
+        }
+      case 20 =>
+        require((g.projCentreFlag & 0x80) == 0,
+          "south-polar stereographic grids not supported")
+        val k0 = (1.0 + math.sin(math.toRadians(g.laD))) / 2.0
+        val re2k = 2.0 * g.radius * k0
+        val lov = math.toRadians(g.loV)
+        // forward-project the encoded first grid point to anchor the plane
+        val phi1 = math.toRadians(g.la1)
+        val lam1 = math.toRadians(g.lo1)
+        val rho1 = re2k * math.tan(math.Pi / 4 - phi1 / 2)
+        val x1 = rho1 * math.sin(lam1 - lov)
+        val y1 = -rho1 * math.cos(lam1 - lov)
+        val sx = if (g.scanNegI) -g.dx else g.dx
+        val sy = if (g.scanPosJ) g.dy else -g.dy
+        var j = 0
+        while (j < g.ny) {
+          val y = y1 + j * sy
+          var i = 0
+          while (i < g.nx) {
+            val x = x1 + i * sx
+            val rho = math.hypot(x, y)
+            val phi = math.Pi / 2 - 2 * math.atan(rho / re2k)
+            val lam = if (rho == 0) lov else lov + math.atan2(x, -y)
+            lats(j * g.nx + i) = math.toDegrees(phi)
+            lons(j * g.nx + i) = normLon(math.toDegrees(lam))
+            i += 1
+          }
+          j += 1
+        }
+      case t => throw new UnsupportedOperationException(s"grid template 3.$t")
+    }
+    (lats, lons)
+  }
+
+  private def normLon(l: Double): Double = {
+    var v = l % 360.0
+    if (v < 0) v += 360.0
+    v
+  }
+
+  // ------------------------------------------------------------ Fragment IO
+
+  /** Valid time = reference time + forecast offset in the product's unit. */
+  def validTimeEpochSec(m: Message): Long = {
+    val unitSecs = m.product.timeUnit match {
+      case 0 => 60L; case 1 => 3600L; case 2 => 86400L; case 10 => 10800L
+      case 11 => 21600L; case 12 => 43200L; case 13 => 1L
+      case u => throw new UnsupportedOperationException(s"GRIB2 time unit $u")
+    }
+    m.refTimeEpochSec + m.product.forecastTime * unitSecs
+  }
+
+  def varAttrs(m: Message): Attrs = Map(
+    "long_name" -> AttrValue(m.shortName),
+    "GRIB_discipline" -> AttrValue(m.discipline),
+    "GRIB_parameterCategory" -> AttrValue(m.product.paramCategory),
+    "GRIB_parameterNumber" -> AttrValue(m.product.paramNumber),
+    "GRIB_surfaceType" -> AttrValue(m.product.surfaceType)) ++
+    (if (m.product.surfaceValue.isNaN) Attrs.empty
+     else Map("GRIB_surfaceValue" -> AttrValue(m.product.surfaceValue)))
+
+  def groupAttrs(m: Message): Attrs = Map(
+    "GRIB_centre" -> AttrValue(centreName(m.centre)),
+    "GRIB_subCentre" -> AttrValue(m.subCentre),
+    "GRIB_edition" -> AttrValue(2))
+
+  /** Entry-point A decoder (the cfgrib-engine analog): every message becomes
+    * a data variable on the shared (y, x) grid with 2-D latitude/longitude
+    * coordinate variables; messages must share one grid. */
+  def read(path: String): Fragment = {
+    val msgs = scan(path)
+    require(msgs.nonEmpty, s"$path contains no GRIB2 messages")
+    val g = msgs.head.grid
+    msgs.foreach(m => require(m.grid.nx == g.nx && m.grid.ny == g.ny,
+      "multi-grid GRIB2 files not supported"))
+    val (lats, lons) = latLonArrays(g)
+    val yx = Vector("y", "x")
+    val shape = Vector(g.ny, g.nx)
+    // disambiguate duplicate params (multiple levels) by a level suffix
+    val names = scala.collection.mutable.Map.empty[String, Int]
+    val dataVars = msgs.map { m =>
+      val base = m.shortName
+      val k = names.getOrElse(base, 0); names(base) = k + 1
+      val name = if (k == 0) base else s"${base}_$k"
+      name -> Variable(yx,
+        NDArray(DType.F8, shape, decodeValues(path, m)), varAttrs(m) ++ Map(
+          "GRIB_refTime" -> AttrValue(m.refTimeEpochSec),
+          "GRIB_forecastTime" -> AttrValue(m.product.forecastTime)))
+    }.toMap
+    Fragment(
+      dims = Map("y" -> g.ny, "x" -> g.nx),
+      coords = Map(
+        "latitude" -> Variable(yx, NDArray(DType.F8, shape, lats),
+          Map("units" -> AttrValue("degrees_north"))),
+        "longitude" -> Variable(yx, NDArray(DType.F8, shape, lons),
+          Map("units" -> AttrValue("degrees_east")))),
+      dataVars = dataVars,
+      attrs = groupAttrs(msgs.head))
+  }
+
+  // --------------------------------------------------------------- writer
+
+  /** Write a one-message GRIB2 file: regular lat-lon grid (3.0), product
+    * 4.0, simple packing (5.0) with `nbits`, bitmap from NaNs. The test
+    * fixture generator — gives the simple-packing decode path real packed
+    * input to verify against (the reference fixture is a constant field). */
+  def writeSimple(path: String, values: Array[Double], nx: Int, ny: Int,
+                  la1: Double, lo1: Double, dLat: Double, dLon: Double,
+                  discipline: Int, category: Int, number: Int,
+                  refTimeEpochSec: Long, nbits: Int = 12,
+                  decimalScale: Int = 2): Unit = {
+    require(values.length == nx * ny, "values must cover the grid")
+    val valid = values.filterNot(_.isNaN)
+    require(valid.nonEmpty, "all-NaN field")
+    val hasBitmap = valid.length != values.length
+    val d = math.pow(10, decimalScale)
+    // quantize to integer decimal-scaled values FIRST so R (stored as
+    // float32) and the packed offsets are exact and decode reproduces the
+    // quantized values bit-for-bit; choose E so the max offset fits nbits
+    val scaled = valid.map(v => math.rint(v * d))
+    val rv = scaled.min
+    require(math.abs(rv) < (1 << 24), s"reference value $rv exceeds float32 exactness")
+    val maxOff = scaled.max - rv
+    var binScale = 0
+    while (maxOff / math.pow(2, binScale) > ((1L << nbits) - 1) && binScale < 30)
+      binScale += 1
+    val e = math.pow(2, binScale)
+
+    def sec(num: Int, body: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(5 + body.length).order(ByteOrder.BIG_ENDIAN)
+      bb.putInt(5 + body.length); bb.put(num.toByte); bb.put(body)
+      bb.array()
+    }
+    def smPut16(bb: ByteBuffer, v: Int): Unit =
+      bb.putShort((if (v < 0) 0x8000 | (-v) else v).toShort)
+
+    // section 1: identification
+    val t = java.time.LocalDateTime.ofEpochSecond(refTimeEpochSec, 0,
+      java.time.ZoneOffset.UTC)
+    val s1 = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
+    s1.putShort(255) // centre: missing/test
+    s1.putShort(0); s1.put(4.toByte); s1.put(0.toByte); s1.put(1.toByte)
+    s1.putShort(t.getYear.toShort); s1.put(t.getMonthValue.toByte)
+    s1.put(t.getDayOfMonth.toByte); s1.put(t.getHour.toByte)
+    s1.put(t.getMinute.toByte); s1.put(t.getSecond.toByte)
+    s1.put(0.toByte); s1.put(2.toByte)
+
+    // section 3: grid definition template 3.0
+    val s3 = ByteBuffer.allocate(67).order(ByteOrder.BIG_ENDIAN)
+    s3.put(0.toByte) // grid def source
+    s3.putInt(nx * ny); s3.put(0.toByte); s3.put(0.toByte)
+    s3.putShort(0) // template 3.0
+    s3.put(6.toByte) // sphere 6371229
+    s3.put(0.toByte); s3.putInt(0)
+    s3.put(0.toByte); s3.putInt(0); s3.put(0.toByte); s3.putInt(0)
+    s3.putInt(nx); s3.putInt(ny)
+    s3.putInt(0); s3.putInt(0) // basic angle
+    s3.putInt((la1 * 1e6).round.toInt); s3.putInt((lo1 * 1e6).round.toInt)
+    s3.put(0x30.toByte) // resolution flags: di/dj given
+    s3.putInt(((la1 + (ny - 1) * dLat) * 1e6).round.toInt)
+    s3.putInt(((lo1 + (nx - 1) * dLon) * 1e6).round.toInt)
+    s3.putInt((dLon * 1e6).round.toInt); s3.putInt((dLat * 1e6).round.toInt)
+    s3.put(0x40.toByte) // scan +i, +j
+
+    // section 4: product definition template 4.0
+    val s4 = ByteBuffer.allocate(29).order(ByteOrder.BIG_ENDIAN)
+    s4.putShort(0) // no coord values
+    s4.putShort(0) // template 4.0
+    s4.put(category.toByte); s4.put(number.toByte)
+    s4.put(0.toByte); s4.put(0.toByte); s4.put(0.toByte)
+    s4.putShort(0); s4.put(0.toByte)
+    s4.put(1.toByte) // time unit: hour
+    s4.putInt(0) // forecast time 0
+    s4.put(1.toByte); s4.put(0.toByte); s4.putInt(0) // surface: ground
+    s4.put(255.toByte); s4.put(0.toByte); s4.putInt(0)
+
+    // section 5: data representation template 5.0
+    val s5 = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
+    s5.putInt(valid.length)
+    s5.putShort(0) // template 5.0
+    s5.putFloat(rv.toFloat)
+    smPut16(s5, binScale); smPut16(s5, decimalScale)
+    s5.put(nbits.toByte); s5.put(0.toByte)
+
+    // section 6: bitmap
+    val s6Body: Array[Byte] =
+      if (!hasBitmap) Array[Byte](255.toByte)
+      else {
+        val bm = new Array[Byte](1 + (values.length + 7) / 8)
+        bm(0) = 0
+        values.indices.foreach { i =>
+          if (!values(i).isNaN)
+            bm(1 + (i >> 3)) = (bm(1 + (i >> 3)) | (1 << (7 - (i & 7)))).toByte
+        }
+        bm
+      }
+
+    // section 7: packed data
+    val totalBits = valid.length.toLong * nbits
+    val s7Body = new Array[Byte](((totalBits + 7) / 8).toInt)
+    var bitPos = 0L
+    scaled.foreach { s =>
+      val x = ((s - rv) / e).round
+      var left = nbits
+      while (left > 0) {
+        val byteIdx = (bitPos >> 3).toInt
+        val bitInByte = (bitPos & 7).toInt
+        val take = math.min(left, 8 - bitInByte)
+        val chunk = ((x >> (left - take)) & ((1L << take) - 1)).toInt
+        s7Body(byteIdx) = (s7Body(byteIdx) | (chunk << (8 - bitInByte - take))).toByte
+        bitPos += take; left -= take
+      }
+    }
+
+    val sections = Array(sec(1, s1.array()), sec(3, s3.array()),
+      sec(4, s4.array()), sec(5, s5.array()), sec(6, s6Body), sec(7, s7Body))
+    val bodyLen = sections.map(_.length).sum
+    val total = 16L + bodyLen + 4
+    val out = ByteBuffer.allocate(total.toInt).order(ByteOrder.BIG_ENDIAN)
+    out.put("GRIB".getBytes("ASCII")); out.putShort(0)
+    out.put(discipline.toByte); out.put(2.toByte); out.putLong(total)
+    sections.foreach(out.put)
+    out.put("7777".getBytes("ASCII"))
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    Files.write(p, out.array())
+  }
+}

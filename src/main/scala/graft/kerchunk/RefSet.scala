@@ -123,6 +123,66 @@ object RefSet {
     RefSet(out)
   }
 
+  /** scan_grib analog (openers.py:183-204 routes file_type="grib" to
+    * kerchunk's GRIB2 scanner; tests/test_end_to_end.py:219-262): one RefSet
+    * PER MESSAGE — the kerchunk contract, so CombineReferences/concat can
+    * merge messages along time. Data, latitude and longitude arrays all
+    * reference the message's in-place byte range with the grib2 whole-
+    * message codec (bytes stay in the file; decode happens at read). The
+    * valid-time and isobaric-level coordinates are inlined (8 bytes each).
+    */
+  def scanGrib2(path: String): Vector[RefSet] = {
+    import graft.grib.Grib2
+    import graft.core.{AttrValue, DType}
+    import graft.zarr.ZarrStore
+    Grib2.scan(path).map { m =>
+      val g = m.grid
+      var out = Map.empty[String, Ref]
+      out += "zarr.json" -> Ref.inline(ZarrStore.groupMetaDoc(Grib2.groupAttrs(m)))
+      val msgRef = Ref.pointer(path, m.offset, m.length)
+      val nan = AttrValue.AStr("NaN")
+      val short = m.shortName
+      // data variable: (time, y, x) so reference concat along time works
+      out += s"$short/zarr.json" -> Ref.inline(ZarrStore.arrayMetaDoc(
+        Vector(1, g.ny, g.nx), Vector(1, g.ny, g.nx), DType.F8,
+        Grib2.varAttrs(m), fillValue = nan,
+        dimensionNames = Some(Vector("time", "y", "x")),
+        gribVar = Some("data")))
+      out += s"$short/c/0/0/0" -> msgRef
+      // geographic coordinates: same message ref, extraction by codec var
+      Seq("latitude" -> "degrees_north", "longitude" -> "degrees_east")
+        .foreach { case (nm, units) =>
+          out += s"$nm/zarr.json" -> Ref.inline(ZarrStore.arrayMetaDoc(
+            Vector(g.ny, g.nx), Vector(g.ny, g.nx), DType.F8,
+            Map("units" -> AttrValue(units)), fillValue = nan,
+            dimensionNames = Some(Vector("y", "x")), gribVar = Some(nm)))
+          out += s"$nm/c/0/0" -> msgRef
+        }
+      // valid-time coordinate: 1-element int64, CF epoch-seconds encoding
+      out += "time/zarr.json" -> Ref.inline(ZarrStore.arrayMetaDoc(
+        Vector(1), Vector(1), DType.I8,
+        Map("units" -> AttrValue("seconds since 1970-01-01T00:00:00"),
+          "calendar" -> AttrValue("proleptic_gregorian")),
+        dimensionNames = Some(Vector("time"))))
+      val tb = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      tb.putLong(Grib2.validTimeEpochSec(m))
+      out += "time/c/0" -> Ref.inline(tb.array())
+      // isobaric level coordinate (cfgrib's isobaricInhPa), when present
+      if (m.product.surfaceType == 100 && !m.product.surfaceValue.isNaN) {
+        out += "isobaricInhPa/zarr.json" -> Ref.inline(ZarrStore.arrayMetaDoc(
+          Vector(1), Vector(1), DType.F8,
+          Map("units" -> AttrValue("hPa")),
+          dimensionNames = Some(Vector("isobaricInhPa"))))
+        val lb = java.nio.ByteBuffer.allocate(8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        lb.putDouble(m.product.surfaceValue / 100.0)
+        out += "isobaricInhPa/c/0" -> Ref.inline(lb.array())
+      }
+      RefSet(out)
+    }
+  }
+
   private def parseMeta(rs: RefSet, key: String): ObjectNode =
     mapper.readTree(rs(key).resolve()).asInstanceOf[ObjectNode]
 

@@ -303,13 +303,15 @@ object Openers {
     FileType.Zarr -> "zarr",
     FileType.Parquet -> "parquet-long-view")
 
-  /** Registered decoders: zarr (our store reader) and scipy (the pure-JVM
+  /** Registered decoders: zarr (our store reader), scipy (the pure-JVM
     * NetCDF3 classic codec, graft.netcdf.NetCDF3 — the reference's flagship
-    * input path, openers.py:40-47). netcdf4/grib engines still require
-    * native libs absent from this offline JVM build. */
+    * input path, openers.py:40-47) and cfgrib (the pure-JVM GRIB2 codec,
+    * graft.grib.Grib2 — openers.py:67-88). The netcdf4 engine still
+    * requires an HDF5 decoder. */
   val decoders: Map[String, Decoder] = Map(
     "zarr" -> (url => ZarrGroup(url).readFragment()),
-    "scipy" -> (url => graft.netcdf.NetCDF3.read(url)))
+    "scipy" -> (url => graft.netcdf.NetCDF3.read(url)),
+    "cfgrib" -> (url => graft.grib.Grib2.read(url)))
 
   /** _set_engine semantics: unknown file type -> explicit error; a
     * user-supplied engine that conflicts with the registry is rejected. */

@@ -80,14 +80,19 @@ object ZarrStore {
     * the on-disk store (createArray) and the kerchunk scanners, which inline
     * the same document into a RefSet without a disk group. `bigEndian`
     * selects the bytes codec's endian — scanned NetCDF3 byte ranges are
-    * big-endian in place, so their metadata must say so for the reader. */
+    * big-endian in place, so their metadata must say so for the reader.
+    * `gribVar` declares the grib2 whole-message codec instead of the bytes
+    * codec: the chunk object is a complete GRIB2 message and the named
+    * variable ("data" | "latitude" | "longitude") is extracted on read —
+    * the kerchunk scan_grib contract (bytes stay in the original file). */
   def arrayMetaDoc(shape: Vector[Int], chunks: Vector[Int],
                    dtype: DType, attrs: Attrs,
                    fillValue: AttrValue = AttrValue.AInt(0),
                    dimensionNames: Option[Vector[String]] = None,
                    gzipLevel: Option[Int] = None,
                    shardShape: Option[Vector[Int]] = None,
-                   bigEndian: Boolean = false): Array[Byte] = {
+                   bigEndian: Boolean = false,
+                   gribVar: Option[String] = None): Array[Byte] = {
     val o = mapper.createObjectNode()
     o.put("zarr_format", 3)
     o.put("node_type", "array")
@@ -110,6 +115,16 @@ object ZarrStore {
     o.set[ObjectNode]("fill_value", attrToNode(fillValue))
     def innerCodecs: ArrayNode = {
       val codecs = mapper.createArrayNode()
+      gribVar match {
+        case Some(v) =>
+          val grib = mapper.createObjectNode()
+          grib.put("name", "grib2")
+          val gc = mapper.createObjectNode(); gc.put("var", v)
+          grib.set[ObjectNode]("configuration", gc)
+          codecs.add(grib)
+          return codecs
+        case None =>
+      }
       val bytesCodec = mapper.createObjectNode()
       bytesCodec.put("name", "bytes")
       val bcfg = mapper.createObjectNode()
@@ -229,7 +244,8 @@ final case class ZarrGroup(root: String) {
                              gzipLevel: Option[Int] = None,
                              shardShape: Option[Vector[Int]] = None,
                              fillValue: AttrValue = AttrValue.AInt(0),
-                             bigEndian: Boolean = false) {
+                             bigEndian: Boolean = false,
+                             gribVar: Option[String] = None) {
     /** storage-object granularity: shard if sharded, else chunk */
     def grain: Vector[Int] = shardShape.getOrElse(chunks)
   }
@@ -253,6 +269,10 @@ final case class ZarrGroup(root: String) {
           .flatMap(c => Option(c.get("configuration"))
             .flatMap(cf => Option(cf.get("endian")).map(_.asText()))))
         .contains("big")
+    def gribOf(codecs: com.fasterxml.jackson.databind.JsonNode): Option[String] =
+      Option(codecs).flatMap(
+        _.elements().asScala.find(c => c.get("name").asText() == "grib2")
+          .map(c => c.get("configuration").get("var").asText()))
     val sharding = Option(n.get("codecs")).flatMap(
       _.elements().asScala.find(c => c.get("name").asText() == "sharding_indexed"))
     val fill = Option(n.get("fill_value")).map(nodeToAttr)
@@ -263,11 +283,12 @@ final case class ZarrGroup(root: String) {
         val inner = cfg.get("chunk_shape").elements().asScala.map(_.asInt()).toVector
         ArrayMeta(shape, inner, dtype, ZarrStore.objectAttrs(n.get("attributes")),
           dims, gzipOf(cfg.get("codecs")), Some(gridChunks), fill,
-          bigOf(cfg.get("codecs")))
+          bigOf(cfg.get("codecs")), gribOf(cfg.get("codecs")))
       case None =>
         ArrayMeta(shape, gridChunks, dtype,
           ZarrStore.objectAttrs(n.get("attributes")), dims,
-          gzipOf(n.get("codecs")), None, fill, bigOf(n.get("codecs")))
+          gzipOf(n.get("codecs")), None, fill, bigOf(n.get("codecs")),
+          gribOf(n.get("codecs")))
     }
   }
 
@@ -299,7 +320,24 @@ final case class ZarrGroup(root: String) {
 
   private def decodeChunk(raw: Array[Byte], dtype: DType, shape: Vector[Int],
                           gzipLevel: Option[Int],
-                          bigEndian: Boolean = false): NDArray = {
+                          bigEndian: Boolean = false,
+                          gribVar: Option[String] = None): NDArray = {
+    gribVar.foreach { v =>
+      // grib2 whole-message codec: the chunk object is a complete GRIB2
+      // message; extract the requested variable (kerchunk scan_grib model)
+      val msg = graft.grib.Grib2.parseMessage(raw)
+      val values: Array[Double] = v match {
+        case "data" => graft.grib.Grib2.decodeValuesInMemory(raw, msg)
+        case "latitude" => graft.grib.Grib2.latLonArrays(msg.grid)._1
+        case "longitude" => graft.grib.Grib2.latLonArrays(msg.grid)._2
+        case other => throw new IllegalArgumentException(
+          s"unknown grib2 codec var $other")
+      }
+      require(dtype == DType.F8, s"grib2 codec arrays are float64, got $dtype")
+      require(values.length == NDArray.sizeOf(shape),
+        s"grib2 message grid ${values.length} != chunk ${NDArray.sizeOf(shape)}")
+      return NDArray(DType.F8, shape, values)
+    }
     val bytes = gzipLevel match {
       case Some(_) =>
         val in = new java.util.zip.GZIPInputStream(
@@ -377,7 +415,8 @@ final case class ZarrGroup(root: String) {
       if (offset != -1L && nbytes != -1L) {
         val enc = java.util.Arrays.copyOfRange(raw, offset.toInt,
           offset.toInt + nbytes.toInt)
-        val chunk = decodeChunk(enc, meta.dtype, meta.chunks, meta.gzipLevel, meta.bigEndian)
+        val chunk = decodeChunk(enc, meta.dtype, meta.chunks, meta.gzipLevel,
+          meta.bigEndian, meta.gribVar)
         out.assign(pos.indices.map(d => pos(d) * meta.chunks(d)).toVector, chunk)
       }
     }
@@ -404,7 +443,8 @@ final case class ZarrGroup(root: String) {
     val raw = Files.readAllBytes(path)
     Some(
       if (meta.shardShape.isDefined) decodeShard(raw, meta)
-      else decodeChunk(raw, meta.dtype, meta.chunks, meta.gzipLevel, meta.bigEndian))
+      else decodeChunk(raw, meta.dtype, meta.chunks, meta.gzipLevel,
+        meta.bigEndian, meta.gribVar))
   }
 
   def chunkExists(name: String, chunkIdx: Vector[Int]): Boolean =
@@ -518,7 +558,7 @@ final case class ZarrGroup(root: String) {
           val buf = ByteBuffer.allocate(nbytes.toInt)
           readFully(buf, offset)
           Some(pos -> decodeChunk(buf.array(), meta.dtype, meta.chunks,
-            meta.gzipLevel, meta.bigEndian))
+            meta.gzipLevel, meta.bigEndian, meta.gribVar))
         }
       }.toMap
     } finally ch.close()

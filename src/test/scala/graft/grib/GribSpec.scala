@@ -1,0 +1,167 @@
+package graft.grib
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.kerchunk.RefSet
+import graft.zarr.ZarrGroup
+import java.nio.file.{Files, Paths}
+
+/** GRIB2 codec verified against the reference's own binary fixture
+  * (tests/data/CMC_reg_DEPR_ISBL_10_ps10km_2022072000_P000.grib2, the file
+  * tests/test_end_to_end.py:219-262 exercises) plus synthetic simple-packing
+  * messages produced by our writer. */
+class GribSpec extends AnyFunSuite {
+
+  private val fixture =
+    "/root/reference/tests/data/CMC_reg_DEPR_ISBL_10_ps10km_2022072000_P000.grib2"
+  private def fixtureExists: Boolean = Files.exists(Paths.get(fixture))
+
+  test("scan of the reference CMC fixture: sections, grid, packing") {
+    assume(fixtureExists)
+    val msgs = Grib2.scan(fixture)
+    assert(msgs.length == 1)
+    val m = msgs.head
+    assert(m.discipline == 0)
+    assert(Grib2.centreName(m.centre) == "cwao") // the reference's assertion
+    assert(m.shortName == "DEPR") // dew-point depression (0,0,7)
+    assert(m.grid.template == 20 && m.grid.nx == 935 && m.grid.ny == 824)
+    assert(m.grid.laD == 60.0 && m.grid.loV == 249.0)
+    assert(m.grid.dx == 10000.0 && m.grid.dy == 10000.0)
+    assert(m.packing.template == 40 && m.packing.nbits == 0)
+    assert(m.packing.nValues == 750157)
+    assert(m.bitmapIndicator == 0)
+    assert(m.product.surfaceType == 100 && m.product.surfaceValue == 1000.0)
+    assert(m.refTimeEpochSec == 1658275200L) // 2022-07-20T00Z
+  }
+
+  test("decode of the constant field honors the bitmap") {
+    assume(fixtureExists)
+    val m = Grib2.scan(fixture).head
+    val vals = Grib2.decodeValues(fixture, m)
+    assert(vals.length == 935 * 824)
+    val valid = vals.filterNot(_.isNaN)
+    assert(valid.length == 750157)
+    assert(valid.forall(_ == 30.0))
+  }
+
+  test("polar stereographic inverse reproduces the encoded first point and spacing") {
+    assume(fixtureExists)
+    val g = Grib2.scan(fixture).head.grid
+    val (lats, lons) = Grib2.latLonArrays(g)
+    // anchor: grid point (0,0) must be exactly the encoded La1/Lo1
+    assert(math.abs(lats(0) - 18.145030) < 1e-6, lats(0))
+    assert(math.abs(lons(0) - 217.107456) < 1e-6, lons(0))
+    assert(lats.forall(l => l > -90 && l <= 90))
+    // independent check of the projection math: adjacent grid points near
+    // the true-scale latitude (LaD=60) must be ~Dx apart on the sphere
+    val idx = lats.indices.filter(i =>
+      math.abs(lats(i) - 60.0) < 0.01 && (i % g.nx) < g.nx - 1)
+    assert(idx.nonEmpty)
+    val i = idx.head
+    val d = haversine(lats(i), lons(i), lats(i + 1), lons(i + 1), g.radius)
+    assert(math.abs(d - 10000.0) < 100.0, s"spacing $d at LaD not ~10km")
+  }
+
+  private def haversine(la1: Double, lo1: Double, la2: Double, lo2: Double,
+                        r: Double): Double = {
+    val p1 = math.toRadians(la1); val p2 = math.toRadians(la2)
+    val dp = p2 - p1; val dl = math.toRadians(lo2 - lo1)
+    val a = math.sin(dp / 2) * math.sin(dp / 2) +
+      math.cos(p1) * math.cos(p2) * math.sin(dl / 2) * math.sin(dl / 2)
+    2 * r * math.asin(math.sqrt(a))
+  }
+
+  test("entry-point A: Grib2.read yields the cfgrib-shaped fragment") {
+    assume(fixtureExists)
+    val f = Grib2.read(fixture)
+    assert(f.dims == Map("y" -> 824, "x" -> 935))
+    assert(f.attrs("GRIB_centre") == graft.core.AttrValue("cwao"))
+    assert(f.coords.keySet == Set("latitude", "longitude"))
+    val v = f.dataVars("DEPR")
+    assert(v.dims == Vector("y", "x"))
+    val data = v.data.data.asInstanceOf[Array[Double]]
+    assert(data.count(!_.isNaN) == 750157)
+  }
+
+  test("simple packing round-trips through writer and decoder") {
+    val dir = Files.createTempDirectory("graft_grib").toString
+    val nx = 12; val ny = 7
+    val rng = new scala.util.Random(11)
+    val values = Array.tabulate(nx * ny) { i =>
+      if (i % 9 == 3) Double.NaN else math.rint(rng.nextDouble() * 5000) / 100.0
+    }
+    val path = s"$dir/synthetic.grib2"
+    Grib2.writeSimple(path, values, nx, ny, la1 = 40.0, lo1 = 250.0,
+      dLat = 0.5, dLon = 0.5, discipline = 0, category = 0, number = 0,
+      refTimeEpochSec = 1700000000L, nbits = 12, decimalScale = 2)
+    val m = Grib2.scan(path).head
+    assert(m.packing.template == 0 && m.packing.nbits == 12)
+    assert(m.shortName == "TMP")
+    val got = Grib2.decodeValues(path, m)
+    assert(got.length == values.length)
+    // quantization step: one packed unit = 2^E decimal-scaled units
+    val tol = 0.5 * math.pow(2, m.packing.binaryScale) /
+      math.pow(10, m.packing.decimalScale) + 1e-9
+    values.indices.foreach { i =>
+      if (values(i).isNaN) assert(got(i).isNaN, s"point $i not masked")
+      else assert(math.abs(got(i) - values(i)) <= tol,
+        s"point $i: ${got(i)} vs ${values(i)} (tol $tol)")
+    }
+    // lat-lon raster coordinates
+    val (lats, lons) = Grib2.latLonArrays(m.grid)
+    assert(lats(0) == 40.0 && lons(0) == 250.0)
+    assert(math.abs(lats((ny - 1) * nx) - (40.0 + 0.5 * (ny - 1))) < 1e-9)
+  }
+
+  test("kerchunk scan of the reference fixture materializes and reads back") {
+    assume(fixtureExists)
+    val refs = RefSet.scanGrib2(fixture)
+    assert(refs.length == 1)
+    val rs = refs.head
+    assert(rs.keys.contains("DEPR/c/0/0/0"))
+    // json artifact round-trips
+    val back = RefSet.fromJson(RefSet.toJson(rs))
+    assert(back.keys == rs.keys)
+    val dir = Files.createTempDirectory("graft_grib_virt").toString
+    back.materialize(dir)
+    val f = ZarrGroup(dir).readFragment()
+    assert(f.dims("time") == 1 && f.dims("y") == 824 && f.dims("x") == 935)
+    val data = f.dataVars.get("DEPR").orElse(f.allVars.get("DEPR")).get
+      .data.data.asInstanceOf[Array[Double]]
+    assert(data.count(!_.isNaN) == 750157)
+    assert(data.filterNot(_.isNaN).forall(_ == 30.0))
+    assert(f.coords("time").data.getLong(0) == 1658275200L)
+    assert(f.coords("isobaricInhPa").data.getDouble(0) == 10.0)
+    val lat = f.allVars("latitude").data.data.asInstanceOf[Array[Double]]
+    assert(math.abs(lat(0) - 18.145030) < 1e-6)
+    assert(f.attrs("GRIB_centre") == graft.core.AttrValue("cwao"))
+  }
+
+  test("kerchunk refs concatenate along time across messages") {
+    val dir = Files.createTempDirectory("graft_grib_cat").toString
+    val nx = 6; val ny = 4
+    val rng = new scala.util.Random(3)
+    def mk(t: Int): (String, Array[Double]) = {
+      val vals = Array.fill(nx * ny)(math.rint(rng.nextDouble() * 1000) / 100.0)
+      val p = s"$dir/t$t.grib2"
+      Grib2.writeSimple(p, vals, nx, ny, 10.0, 100.0, 1.0, 1.0,
+        0, 0, 0, refTimeEpochSec = 1700000000L + t * 3600L)
+      (p, vals)
+    }
+    val (pa, va) = mk(0); val (pb, vb) = mk(1)
+    val refs = Vector(pa, pb).flatMap(RefSet.scanGrib2)
+    val combined = RefSet.concatRefSets(refs, "time",
+      identicalDims = Vector("latitude", "longitude"))
+    val virt = s"$dir/virt.zarr"
+    combined.materialize(virt)
+    val f = ZarrGroup(virt).readFragment()
+    assert(f.dims("time") == 2)
+    assert(f.coords("time").data.getLong(0) == 1700000000L)
+    assert(f.coords("time").data.getLong(1) == 1700003600L)
+    val tmp = f.allVars("TMP").data
+    assert(tmp.shape == Vector(2, ny, nx))
+    val flat = tmp.data.asInstanceOf[Array[Double]]
+    (va ++ vb).zipWithIndex.foreach { case (v, i) =>
+      assert(math.abs(flat(i) - v) < 0.005 + 1e-9, s"cell $i")
+    }
+  }
+}
