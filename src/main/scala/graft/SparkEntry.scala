@@ -11,7 +11,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
-      CubeOps.queries ++ NetcdfOps.queries ++ GribOps.queries ++
+      CubeOps.queries ++ NetcdfOps.queries ++ Hdf5Ops.queries ++
+      GribOps.queries ++
       TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
       MultiModalOps.queries ++ StreamOps.queries
 

@@ -1,0 +1,727 @@
+package graft.hdf5
+
+import graft.core._
+import graft.core.Attrs.Attrs
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Pure-JVM reader for the HDF5 subset that netCDF-4 files occupy — the
+  * reference's primary input format (openers.py:40-47 routes
+  * file_type="netcdf4" to the h5netcdf engine; every example feedstock
+  * reads NetCDF). Implemented from the public HDF5 File Format
+  * Specification (version III) — no HDF5 library exists for the JVM in
+  * this offline build.
+  *
+  * Supported structures (what libnetcdf/h5py actually write):
+  *   - superblock v0/v1 and v2/v3, 8-byte offsets/lengths
+  *   - object headers v1 and v2 ("OHDR"), continuation blocks
+  *   - groups via symbol tables (B-tree v1 "TREE" + local heap "HEAP")
+  *     and via compact link messages (v2 groups)
+  *   - dataspace v1/v2, datatypes: fixed-point, IEEE float, string,
+  *     variable-length, object reference
+  *   - data layout v3: compact, contiguous, chunked (B-tree v1 chunk
+  *     index); filter pipeline v1/v2 with deflate and shuffle
+  *   - attributes v1/v2/v3 including variable-length data through the
+  *     global heap ("GCOL") — the netCDF-4 DIMENSION_LIST convention
+  *
+  * Dense (fractal-heap) groups and attributes are rejected with a clear
+  * error; netCDF-4 files use them only past hundreds of links.
+  */
+object HDF5 {
+
+  val Signature: Array[Byte] =
+    Array(0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n')
+  val Undefined: Long = -1L // all-ones address
+
+  // ----------------------------------------------------------- data model
+
+  sealed trait TypeInfo { def size: Int }
+  final case class FixedPoint(size: Int, bigEndian: Boolean, signed: Boolean)
+      extends TypeInfo
+  final case class FloatType(size: Int, bigEndian: Boolean) extends TypeInfo
+  final case class StringType(size: Int) extends TypeInfo
+  final case class VlenType(isString: Boolean, base: TypeInfo) extends TypeInfo {
+    def size: Int = 16 // length(4) + gheap address(8) + index(4)
+  }
+  final case class RefType(size: Int) extends TypeInfo
+
+  final case class Filter(id: Int, values: Vector[Int])
+
+  sealed trait Layout
+  final case class Compact(data: Array[Byte]) extends Layout
+  final case class Contiguous(addr: Long, size: Long) extends Layout
+  final case class Chunked(btreeAddr: Long, chunkDims: Vector[Int],
+                           elemSize: Int) extends Layout
+
+  /** One dataset (or group) assembled from its object header. */
+  final case class ObjectInfo(addr: Long,
+                              dtype: Option[TypeInfo],
+                              dims: Vector[Int],
+                              layout: Option[Layout],
+                              filters: Vector[Filter],
+                              attrs: Map[String, AttrValue],
+                              dimListAddrs: Vector[Long], // DIMENSION_LIST refs
+                              children: Vector[(String, Long)]) // group links
+
+  /** One chunk of a chunked dataset: grid offsets (elements), file range. */
+  final case class ChunkRef(offsets: Vector[Long], addr: Long, size: Long,
+                            filterMask: Int)
+
+  // -------------------------------------------------------------- reader
+
+  final class Reader(path: String) extends AutoCloseable {
+    private val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+
+    def close(): Unit = ch.close()
+
+    private def readAt(pos: Long, len: Int): ByteBuffer = {
+      val buf = ByteBuffer.allocate(len).order(ByteOrder.LITTLE_ENDIAN)
+      var off = 0L
+      while (buf.hasRemaining) {
+        val n = ch.read(buf, pos + off)
+        if (n < 0) throw new java.io.EOFException(s"$path: EOF at ${pos + off}")
+        off += n
+      }
+      buf.flip(); buf
+    }
+
+    def readRange(pos: Long, len: Long): Array[Byte] = {
+      require(len <= Int.MaxValue, s"range $len too large")
+      val b = readAt(pos, len.toInt)
+      b.array()
+    }
+
+    // ---- superblock ----
+    val (superVersion: Int, rootAddr: Long) = {
+      require(ch.size() >= 64, s"$path is not an HDF5 file (too small)")
+      val head = readAt(0L, 64)
+      val sig = new Array[Byte](8); head.get(sig)
+      require(java.util.Arrays.equals(sig, Signature),
+        s"$path is not an HDF5 file")
+      val version = head.get(8) & 0xFF
+      version match {
+        case 0 | 1 =>
+          val sizeOff = head.get(13) & 0xFF; val sizeLen = head.get(14) & 0xFF
+          require(sizeOff == 8 && sizeLen == 8,
+            s"only 8-byte offsets/lengths supported (got $sizeOff/$sizeLen)")
+          // root group symbol table entry follows the fixed fields:
+          // v0: 24 bytes fixed + 4×8 addresses = offset 24+... entry at 24+8*? —
+          // fields: ..., consistency flags(4) at 20, then base addr at 24,
+          // free space at 32, EOF at 40, driver info at 48, root STE at 56
+          val steOff = if (version == 0) 24 + 32 else 24 + 4 + 32
+          val ste = readAt(steOff.toLong, 40)
+          ste.getLong(0) // link name offset (ignored)
+          (version, ste.getLong(8)) // object header address
+        case 2 | 3 =>
+          require((head.get(9) & 0xFF) == 8 && (head.get(10) & 0xFF) == 8,
+            "only 8-byte offsets/lengths supported")
+          (version, head.getLong(12 + 8 + 8)) // base, ext, eof, then root
+        case v => throw new UnsupportedOperationException(s"superblock v$v")
+      }
+    }
+
+    // ---- object headers ----
+
+    /** Collect every (messageType, bodyBuffer) of one object header,
+      * following continuations. */
+    private def headerMessages(addr: Long): Vector[(Int, ByteBuffer)] = {
+      val first4 = readAt(addr, 4)
+      val sig = new Array[Byte](4); first4.get(sig)
+      if (java.util.Arrays.equals(sig, "OHDR".getBytes("ASCII")))
+        headerMessagesV2(addr)
+      else headerMessagesV1(addr)
+    }
+
+    private def headerMessagesV1(addr: Long): Vector[(Int, ByteBuffer)] = {
+      val fixed = readAt(addr, 16)
+      require((fixed.get(0) & 0xFF) == 1, s"object header v${fixed.get(0)} at $addr")
+      val numMessages = fixed.getShort(2) & 0xFFFF
+      val headerSize = fixed.getInt(8)
+      val out = Vector.newBuilder[(Int, ByteBuffer)]
+      // message block starts 8-byte aligned after the 12-byte prefix (+4 pad)
+      var blocks = List((addr + 16, headerSize.toLong))
+      var seen = 0
+      while (blocks.nonEmpty && seen < numMessages) {
+        val (bAddr, bLen) = blocks.head; blocks = blocks.tail
+        val buf = readAt(bAddr, bLen.toInt)
+        var p = 0
+        while (p + 8 <= bLen && seen < numMessages) {
+          val mtype = buf.getShort(p) & 0xFFFF
+          val msize = buf.getShort(p + 2) & 0xFFFF
+          val body = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+          body.position(p + 8).limit(p + 8 + msize)
+          val sliced = body.slice().order(ByteOrder.LITTLE_ENDIAN)
+          if (mtype == 0x0010) { // continuation
+            blocks = blocks :+ ((sliced.getLong(0), sliced.getLong(8)))
+          } else out += ((mtype, sliced))
+          seen += 1
+          p += 8 + msize
+        }
+      }
+      out.result()
+    }
+
+    private def headerMessagesV2(addr: Long): Vector[(Int, ByteBuffer)] = {
+      val head = readAt(addr, 16)
+      require((head.get(4) & 0xFF) == 2, "OHDR version")
+      val flags = head.get(5) & 0xFF
+      var p = addr + 6
+      if ((flags & 0x20) != 0) p += 8 // access/mod/change/birth times
+      if ((flags & 0x10) != 0) p += 4 // max compact / min dense
+      val chunkSizeBytes = 1 << (flags & 0x3)
+      val sizeBuf = readAt(p, 8)
+      val chunk0Size = chunkSizeBytes match {
+        case 1 => sizeBuf.get(0) & 0xFFL
+        case 2 => sizeBuf.getShort(0) & 0xFFFFL
+        case 4 => sizeBuf.getInt(0) & 0xFFFFFFFFL
+        case 8 => sizeBuf.getLong(0)
+      }
+      p += chunkSizeBytes
+      val out = Vector.newBuilder[(Int, ByteBuffer)]
+      val trackOrder = (flags & 0x4) != 0
+      var blocks = List((p, chunk0Size, false))
+      while (blocks.nonEmpty) {
+        val (bAddr, bLen, isCont) = blocks.head; blocks = blocks.tail
+        val start = if (isCont) bAddr + 4 else bAddr // "OCHK" prefix
+        val dataLen = (if (isCont) bLen - 8 else bLen - 4).toInt // minus checksum
+        val buf = readAt(start, dataLen)
+        var q = 0
+        val msgHeader = if (trackOrder) 6 else 4
+        while (q + msgHeader <= dataLen) {
+          val mtype = buf.get(q) & 0xFF
+          val msize = buf.getShort(q + 1) & 0xFFFF
+          if (mtype == 0 && msize == 0) q = dataLen // gap
+          else {
+            val body = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+            body.position(q + msgHeader).limit(q + msgHeader + msize)
+            val sliced = body.slice().order(ByteOrder.LITTLE_ENDIAN)
+            if (mtype == 0x10)
+              blocks = blocks :+ ((sliced.getLong(0), sliced.getLong(8), true))
+            else out += ((mtype, sliced))
+            q += msgHeader + msize
+          }
+        }
+      }
+      out.result()
+    }
+
+    // ---- message parsers ----
+
+    private def parseDataspace(b: ByteBuffer): Vector[Int] = {
+      val version = b.get(0) & 0xFF
+      val rank = b.get(1) & 0xFF
+      version match {
+        case 1 => (0 until rank).map(i => b.getLong(8 + i * 8).toInt).toVector
+        case 2 => (0 until rank).map(i => b.getLong(4 + i * 8).toInt).toVector
+        case v => throw new UnsupportedOperationException(s"dataspace v$v")
+      }
+    }
+
+    private def parseDatatype(b: ByteBuffer, off: Int = 0): TypeInfo = {
+      val classAndVersion = b.get(off) & 0xFF
+      val cls = classAndVersion & 0x0F
+      val bits0 = b.get(off + 1) & 0xFF
+      val size = b.getInt(off + 4)
+      cls match {
+        case 0 => FixedPoint(size, (bits0 & 1) == 1, (bits0 & 0x8) != 0)
+        case 1 => FloatType(size, (bits0 & 1) == 1)
+        case 3 => StringType(size)
+        case 7 => RefType(size)
+        case 9 =>
+          val isString = (bits0 & 0x0F) == 1
+          VlenType(isString, parseDatatype(b, off + 8))
+        case c => throw new UnsupportedOperationException(s"datatype class $c")
+      }
+    }
+
+    private def parseLayout(b: ByteBuffer): Layout = {
+      val version = b.get(0) & 0xFF
+      require(version == 3, s"layout message v$version (v3 supported)")
+      (b.get(1) & 0xFF) match {
+        case 0 =>
+          val size = b.getShort(2) & 0xFFFF
+          val data = new Array[Byte](size)
+          b.position(4); b.get(data); b.position(0)
+          Compact(data)
+        case 1 => Contiguous(b.getLong(2), b.getLong(10))
+        case 2 =>
+          val dimensionality = b.get(2) & 0xFF // rank + 1
+          val btree = b.getLong(3)
+          val dims = (0 until dimensionality - 1)
+            .map(i => b.getInt(11 + i * 4)).toVector
+          val elemSize = b.getInt(11 + (dimensionality - 1) * 4)
+          Chunked(btree, dims, elemSize)
+        case c => throw new UnsupportedOperationException(s"layout class $c")
+      }
+    }
+
+    private def parseFilters(b: ByteBuffer): Vector[Filter] = {
+      val version = b.get(0) & 0xFF
+      val n = b.get(1) & 0xFF
+      val out = Vector.newBuilder[Filter]
+      var p = if (version == 1) 8 else 2
+      (0 until n).foreach { _ =>
+        val id = b.getShort(p) & 0xFFFF
+        val nameLen =
+          if (version == 1 || id >= 256) { val v = b.getShort(p + 2) & 0xFFFF; p += 4; v }
+          else { p += 2; 0 }
+        p += 2 // flags
+        val nValues = b.getShort(p) & 0xFFFF; p += 2
+        val paddedName =
+          if (version == 1) (nameLen + 7) / 8 * 8 else nameLen
+        p += paddedName
+        val values = (0 until nValues).map(i => b.getInt(p + i * 4)).toVector
+        p += nValues * 4
+        if (version == 1 && nValues % 2 == 1) p += 4
+        out += Filter(id, values)
+      }
+      out.result()
+    }
+
+    /** Attribute message -> (name, datatype, dataspace dims, raw data). */
+    private def parseAttribute(b: ByteBuffer): (String, TypeInfo, Vector[Int], ByteBuffer) = {
+      val version = b.get(0) & 0xFF
+      val (nameSize, dtSize, dsSize, headerLen, pad) = version match {
+        case 1 => (b.getShort(2) & 0xFFFF, b.getShort(4) & 0xFFFF, b.getShort(6) & 0xFFFF, 8, true)
+        case 2 => (b.getShort(2) & 0xFFFF, b.getShort(4) & 0xFFFF, b.getShort(6) & 0xFFFF, 8, false)
+        case 3 => (b.getShort(2) & 0xFFFF, b.getShort(4) & 0xFFFF, b.getShort(6) & 0xFFFF, 9, false)
+        case v => throw new UnsupportedOperationException(s"attribute v$v")
+      }
+      def padded(x: Int): Int = if (pad) (x + 7) / 8 * 8 else x
+      var p = headerLen
+      val nameBytes = new Array[Byte](nameSize)
+      b.position(p); b.get(nameBytes); b.position(0)
+      val name = new String(nameBytes, "UTF-8").takeWhile(_ != 0)
+      p += padded(nameSize)
+      val dt = {
+        val d = b.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+        d.position(p); d.slice().order(ByteOrder.LITTLE_ENDIAN)
+      }
+      val dtype = parseDatatype(dt)
+      p += padded(dtSize)
+      val ds = {
+        val d = b.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+        d.position(p); d.slice().order(ByteOrder.LITTLE_ENDIAN)
+      }
+      val dims = parseDataspace(ds)
+      p += padded(dsSize)
+      val data = b.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+      data.position(p)
+      (name, dtype, dims, data.slice().order(ByteOrder.LITTLE_ENDIAN))
+    }
+
+    // ---- groups ----
+
+    private def readSymbolTable(btreeAddr: Long, heapAddr: Long): Vector[(String, Long)] = {
+      // local heap: data segment address at offset 8+8+8 of "HEAP"
+      val heap = readAt(heapAddr, 32)
+      val hsig = new Array[Byte](4); heap.get(hsig)
+      require(java.util.Arrays.equals(hsig, "HEAP".getBytes("ASCII")), "local heap")
+      val heapData = heap.getLong(24)
+      def heapString(off: Long): String = {
+        val bytes = Vector.newBuilder[Byte]
+        var p = heapData + off
+        var done = false
+        while (!done) {
+          val chunk = readAt(p, 64)
+          var i = 0
+          while (i < 64 && !done) {
+            val c = chunk.get(i)
+            if (c == 0) done = true else bytes += c
+            i += 1
+          }
+          p += 64
+        }
+        new String(bytes.result().toArray, "UTF-8")
+      }
+      def walkBtree(addr: Long): Vector[(String, Long)] = {
+        val head = readAt(addr, 24)
+        val sig = new Array[Byte](4); head.get(sig)
+        require(java.util.Arrays.equals(sig, "TREE".getBytes("ASCII")), "group btree")
+        val level = head.get(5) & 0xFF
+        val used = head.getShort(6) & 0xFFFF
+        // keys/children: key[L] child[O] ... key[L]; children start at 24+8
+        val body = readAt(addr + 24, (used * 2 + 1) * 8)
+        (0 until used).toVector.flatMap { i =>
+          val child = body.getLong(8 + i * 16)
+          if (level > 0) walkBtree(child)
+          else {
+            // symbol table node
+            val snod = readAt(child, 8)
+            val ssig = new Array[Byte](4); snod.get(ssig)
+            require(java.util.Arrays.equals(ssig, "SNOD".getBytes("ASCII")), "SNOD")
+            val nsym = snod.getShort(6) & 0xFFFF
+            val entries = readAt(child + 8, nsym * 40)
+            (0 until nsym).toVector.map { k =>
+              val nameOff = entries.getLong(k * 40)
+              val objAddr = entries.getLong(k * 40 + 8)
+              heapString(nameOff) -> objAddr
+            }
+          }
+        }
+      }
+      walkBtree(btreeAddr)
+    }
+
+    private def parseLink(b: ByteBuffer): Option[(String, Long)] = {
+      require((b.get(0) & 0xFF) == 1, "link message v1")
+      val flags = b.get(1) & 0xFF
+      var p = 2
+      val linkType = if ((flags & 0x8) != 0) { val t = b.get(p) & 0xFF; p += 1; t } else 0
+      if ((flags & 0x4) != 0) p += 8 // creation order
+      if ((flags & 0x10) != 0) p += 1 // charset
+      val lenBytes = 1 << (flags & 0x3)
+      val nameLen = lenBytes match {
+        case 1 => b.get(p) & 0xFFL
+        case 2 => b.getShort(p) & 0xFFFFL
+        case 4 => b.getInt(p) & 0xFFFFFFFFL
+        case 8 => b.getLong(p)
+      }
+      p += lenBytes
+      val nameBytes = new Array[Byte](nameLen.toInt)
+      b.position(p); b.get(nameBytes); b.position(0)
+      p += nameLen.toInt
+      if (linkType == 0) Some(new String(nameBytes, "UTF-8") -> b.getLong(p))
+      else None // soft/external links ignored
+    }
+
+    // ---- global heap (vlen attribute payloads) ----
+
+    private def globalHeapObject(collectionAddr: Long, index: Int): Array[Byte] = {
+      val head = readAt(collectionAddr, 16)
+      val sig = new Array[Byte](4); head.get(sig)
+      require(java.util.Arrays.equals(sig, "GCOL".getBytes("ASCII")), "global heap")
+      val size = head.getLong(8)
+      val buf = readAt(collectionAddr, size.toInt)
+      var p = 16
+      while (p + 16 <= size) {
+        val idx = buf.getShort(p) & 0xFFFF
+        val objSize = buf.getLong(p + 8)
+        if (idx == index) {
+          val out = new Array[Byte](objSize.toInt)
+          buf.position(p + 16); buf.get(out)
+          return out
+        }
+        if (idx == 0) return Array.emptyByteArray // free space: not found
+        p += 16 + ((objSize + 7) / 8 * 8).toInt
+      }
+      throw new IllegalArgumentException(s"global heap index $index not found")
+    }
+
+    // ---- attribute decoding ----
+
+    private def decodeAttrValue(dtype: TypeInfo, dims: Vector[Int],
+                                data: ByteBuffer): (AttrValue, Vector[Long]) = {
+      val n = if (dims.isEmpty) 1 else dims.product
+      dtype match {
+        case StringType(sz) =>
+          val bytes = new Array[Byte](sz * n)
+          data.position(0); data.get(bytes); data.position(0)
+          (AttrValue.AStr(new String(bytes, "UTF-8").takeWhile(_ != 0)), Vector.empty)
+        case VlenType(true, _) =>
+          // vlen string: one (len, gheap addr, index) record per element
+          val s = globalHeapString(data, 0)
+          (AttrValue.AStr(s), Vector.empty)
+        case VlenType(false, base) =>
+          // vlen sequence — the DIMENSION_LIST case: elements are object refs
+          val addrs = Vector.newBuilder[Long]
+          (0 until n).foreach { i =>
+            val nelems = data.getInt(i * 16)
+            val gaddr = data.getLong(i * 16 + 4)
+            val gidx = data.getInt(i * 16 + 12)
+            val payload = globalHeapObject(gaddr, gidx)
+            val pb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+            base match {
+              case RefType(8) =>
+                (0 until nelems).foreach(k => addrs += pb.getLong(k * 8))
+              case _ => // non-reference vlen: ignored (netCDF4 doesn't use)
+            }
+          }
+          (AttrValue.ANull, addrs.result())
+        case FixedPoint(sz, be, signed) =>
+          val vals = (0 until n).map { i =>
+            val v = sz match {
+              case 1 => if (signed) data.get(i).toLong else (data.get(i) & 0xFF).toLong
+              case 2 => readShortAt(data, i * 2, be).toLong
+              case 4 => readIntAt(data, i * 4, be).toLong
+              case 8 => readLongAt(data, i * 8, be)
+            }
+            AttrValue.AInt(v)
+          }.toVector
+          (if (vals.length == 1) vals.head else AttrValue.AList(vals), Vector.empty)
+        case FloatType(sz, be) =>
+          val vals = (0 until n).map { i =>
+            val v = sz match {
+              case 4 => java.lang.Float.intBitsToFloat(readIntAt(data, i * 4, be)).toDouble
+              case 8 => java.lang.Double.longBitsToDouble(readLongAt(data, i * 8, be))
+            }
+            AttrValue.ANum(v)
+          }.toVector
+          (if (vals.length == 1) vals.head else AttrValue.AList(vals), Vector.empty)
+        case RefType(_) => (AttrValue.ANull, Vector((0 until n).map(i => data.getLong(i * 8)): _*))
+        case other => (AttrValue.AStr(other.toString), Vector.empty)
+      }
+    }
+
+    private def globalHeapString(data: ByteBuffer, elem: Int): String = {
+      val gaddr = data.getLong(elem * 16 + 4)
+      val gidx = data.getInt(elem * 16 + 12)
+      new String(globalHeapObject(gaddr, gidx), "UTF-8")
+    }
+
+    private def readShortAt(b: ByteBuffer, off: Int, be: Boolean): Short =
+      if (be) java.lang.Short.reverseBytes(b.getShort(off)) else b.getShort(off)
+    private def readIntAt(b: ByteBuffer, off: Int, be: Boolean): Int =
+      if (be) Integer.reverseBytes(b.getInt(off)) else b.getInt(off)
+    private def readLongAt(b: ByteBuffer, off: Int, be: Boolean): Long =
+      if (be) java.lang.Long.reverseBytes(b.getLong(off)) else b.getLong(off)
+
+    // ---- object assembly ----
+
+    def readObject(addr: Long): ObjectInfo = {
+      val msgs = headerMessages(addr)
+      var dtype: Option[TypeInfo] = None
+      var dims: Vector[Int] = Vector.empty
+      var layout: Option[Layout] = None
+      var filters: Vector[Filter] = Vector.empty
+      var attrs = Map.empty[String, AttrValue]
+      var dimList: Vector[Long] = Vector.empty
+      var children: Vector[(String, Long)] = Vector.empty
+      msgs.foreach { case (mtype, b) =>
+        mtype match {
+          case 0x0001 => dims = parseDataspace(b)
+          case 0x0003 => dtype = Some(parseDatatype(b))
+          case 0x0008 => layout = Some(parseLayout(b))
+          case 0x000B => filters = parseFilters(b)
+          case 0x000C =>
+            val (name, at, adims, adata) = parseAttribute(b)
+            val (value, refs) = decodeAttrValue(at, adims, adata)
+            if (name == "DIMENSION_LIST") dimList = refs
+            else if (value != AttrValue.ANull) attrs += name -> value
+          case 0x0011 => // symbol table: group children
+            children = children ++ readSymbolTable(b.getLong(0), b.getLong(8))
+          case 0x0006 => parseLink(b).foreach(children :+= _)
+          case 0x0002 => // link info: reject dense storage
+            val fheap = b.getLong(if ((b.get(1) & 0x1) != 0) 10 else 2)
+            require(fheap == Undefined,
+              "dense (fractal heap) group links not supported")
+          case _ => // fill value, group info, modification time... ignored
+        }
+      }
+      ObjectInfo(addr, dtype, dims, layout, filters, attrs, dimList, children)
+    }
+
+    // ---- chunk index (B-tree v1, node type 1) ----
+
+    def chunkRefs(layout: Chunked): Vector[ChunkRef] = {
+      val rank = layout.chunkDims.length
+      def walk(addr: Long): Vector[ChunkRef] =
+        if (addr == Undefined) Vector.empty
+        else {
+          val head = readAt(addr, 24)
+          val sig = new Array[Byte](4); head.get(sig)
+          require(java.util.Arrays.equals(sig, "TREE".getBytes("ASCII")), "chunk btree")
+          require((head.get(4) & 0xFF) == 1, "chunk btree node type")
+          val level = head.get(5) & 0xFF
+          val used = head.getShort(6) & 0xFFFF
+          val keySize = 8 + (rank + 1) * 8
+          val body = readAt(addr + 24, used * (keySize + 8) + keySize)
+          (0 until used).toVector.flatMap { i =>
+            val kOff = i * (keySize + 8)
+            val chunkSize = body.getInt(kOff) & 0xFFFFFFFFL
+            val filterMask = body.getInt(kOff + 4)
+            val offsets = (0 until rank).map(d =>
+              body.getLong(kOff + 8 + d * 8)).toVector
+            val child = body.getLong(kOff + keySize)
+            if (level > 0) walk(child)
+            else Vector(ChunkRef(offsets, child, chunkSize, filterMask))
+          }
+        }
+      walk(layout.btreeAddr)
+    }
+
+    // ---- data reading ----
+
+    private def defilter(raw: Array[Byte], filters: Vector[Filter],
+                         filterMask: Int, elemSize: Int): Array[Byte] = {
+      var data = raw
+      // pipeline runs in reverse on read; mask bit i set = filter skipped
+      filters.zipWithIndex.reverse.foreach { case (f, i) =>
+        if ((filterMask & (1 << i)) == 0) f.id match {
+          case 1 => // deflate
+            val inf = new java.util.zip.Inflater()
+            inf.setInput(data)
+            val bos = new java.io.ByteArrayOutputStream(data.length * 4)
+            val buf = new Array[Byte](65536)
+            while (!inf.finished()) {
+              val n = inf.inflate(buf)
+              if (n == 0 && inf.needsInput()) throw new IllegalStateException("truncated deflate")
+              bos.write(buf, 0, n)
+            }
+            inf.end()
+            data = bos.toByteArray
+          case 2 => // shuffle: de-interleave bytes
+            val n = data.length / elemSize
+            val out = new Array[Byte](data.length)
+            var i = 0
+            while (i < n) {
+              var b = 0
+              while (b < elemSize) {
+                out(i * elemSize + b) = data(b * n + i)
+                b += 1
+              }
+              i += 1
+            }
+            // trailing remainder bytes copied through
+            System.arraycopy(data, n * elemSize, out, n * elemSize,
+              data.length - n * elemSize)
+            data = out
+          case 3 => // fletcher32: strip trailing checksum
+            data = java.util.Arrays.copyOf(data, data.length - 4)
+          case id => throw new UnsupportedOperationException(s"HDF5 filter $id")
+        }
+      }
+      data
+    }
+
+    private def engineDType(t: TypeInfo): DType = HDF5.engineDTypeOf(t)
+
+    private def decodeElems(bytes: Array[Byte], t: TypeInfo, n: Int): AnyRef = {
+      val buf = ByteBuffer.wrap(bytes)
+      t match {
+        case FixedPoint(sz, be, signed) =>
+          buf.order(if (be) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+          sz match {
+            case 1 =>
+              val a = new Array[Int](n); var i = 0
+              while (i < n) { a(i) = if (signed) buf.get(i).toInt else buf.get(i) & 0xFF; i += 1 }; a
+            case 2 =>
+              val a = new Array[Int](n); var i = 0
+              while (i < n) { a(i) = buf.getShort(i * 2).toInt; i += 1 }; a
+            case 4 =>
+              val a = new Array[Int](n); var i = 0
+              while (i < n) { a(i) = buf.getInt(i * 4); i += 1 }; a
+            case 8 =>
+              val a = new Array[Long](n); var i = 0
+              while (i < n) { a(i) = buf.getLong(i * 8); i += 1 }; a
+          }
+        case FloatType(sz, be) =>
+          buf.order(if (be) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+          sz match {
+            case 4 =>
+              val a = new Array[Float](n); var i = 0
+              while (i < n) { a(i) = buf.getFloat(i * 4); i += 1 }; a
+            case 8 =>
+              val a = new Array[Double](n); var i = 0
+              while (i < n) { a(i) = buf.getDouble(i * 8); i += 1 }; a
+          }
+        case other => throw new UnsupportedOperationException(s"dataset type $other")
+      }
+    }
+
+    /** Read one whole dataset into an engine NDArray. */
+    def readDataset(obj: ObjectInfo): NDArray = {
+      val t = obj.dtype.getOrElse(
+        throw new IllegalArgumentException("object has no datatype (a group?)"))
+      val dt = engineDType(t)
+      val n = if (obj.dims.isEmpty) 1 else obj.dims.product
+      val shape = obj.dims
+      obj.layout.get match {
+        case Compact(data) =>
+          NDArray(dt, shape, decodeElems(data, t, n))
+        case Contiguous(addr, size) =>
+          if (addr == Undefined) NDArray.zeros(dt, shape) // never written
+          else NDArray(dt, shape, decodeElems(readRange(addr, size), t, n))
+        case ck @ Chunked(_, chunkDims, elemSize) =>
+          val out = NDArray.zeros(dt, shape)
+          chunkRefs(ck).foreach { ref =>
+            val raw = readRange(ref.addr, ref.size)
+            val bytes = defilter(raw, obj.filters, ref.filterMask, elemSize)
+            val cn = chunkDims.product
+            val chunk = NDArray(dt, chunkDims, decodeElems(bytes, t, cn))
+            // clip chunks that overhang the dataspace edge
+            val starts = ref.offsets.map(_.toInt)
+            val valid = chunkDims.indices.map { d =>
+              Slc(0, math.min(chunkDims(d), shape(d) - starts(d))) }.toVector
+            if (valid.forall(_.length > 0))
+              out.assign(starts.toVector, chunk.slice(valid))
+          }
+          out
+      }
+    }
+  }
+
+  // --------------------------------------------------------- netCDF4 read
+
+  def engineDTypeOf(t: TypeInfo): DType = t match {
+    case FixedPoint(1 | 2 | 4, _, _) => DType.I4
+    case FixedPoint(8, _, _) => DType.I8
+    case FloatType(4, _) => DType.F4
+    case FloatType(8, _) => DType.F8
+    case other => throw new UnsupportedOperationException(s"dataset type $other")
+  }
+
+  private val HiddenAttrs = Set("CLASS", "NAME", "DIMENSION_LIST",
+    "REFERENCE_LIST", "_Netcdf4Dimid", "_Netcdf4Coordinates", "_NCProperties")
+
+  /** One netCDF-4 variable resolved from the HDF5 object graph. `phantom`
+    * marks "dimension without variable" scales (libnetcdf NAME marker) —
+    * they define a dim length but carry no data. */
+  final case class DatasetMeta(name: String, obj: ObjectInfo,
+                               dimNames: Vector[String], phantom: Boolean) {
+    def cleanAttrs: Attrs = obj.attrs.filterNot { case (k, _) => HiddenAttrs(k) }
+  }
+
+  /** Resolve the netCDF-4 dimension-scale convention over a file's root
+    * group: dimension-scale datasets carry CLASS="DIMENSION_SCALE"; data
+    * variables name their dims through the DIMENSION_LIST attribute of
+    * object references. Shared by the Fragment reader and the kerchunk
+    * scanner. */
+  def datasets(r: Reader): (Attrs, Vector[DatasetMeta]) = {
+    val root = r.readObject(r.rootAddr)
+    val objects: Vector[(String, ObjectInfo)] =
+      root.children.map { case (name, addr) => name -> r.readObject(addr) }
+    val byAddr: Map[Long, String] = objects.map { case (n, o) => o.addr -> n }.toMap
+    val isScale: Map[String, Boolean] = objects.map { case (n, o) =>
+      n -> o.attrs.get("CLASS").contains(AttrValue.AStr("DIMENSION_SCALE"))
+    }.toMap
+    def isPhantomScale(o: ObjectInfo): Boolean =
+      o.attrs.get("NAME").exists {
+        case AttrValue.AStr(s) => s.startsWith("This is a netCDF dimension")
+        case _ => false
+      }
+    def varDims(name: String, o: ObjectInfo): Vector[String] =
+      if (isScale(name)) Vector(name)
+      else if (o.dimListAddrs.nonEmpty) o.dimListAddrs.map(a =>
+        byAddr.getOrElse(a, throw new IllegalArgumentException(
+          s"DIMENSION_LIST of $name references unknown object $a")))
+      else o.dims.indices.map(i => s"phony_dim_$i").toVector
+    val metas = objects.collect { case (n, o) if o.dtype.isDefined =>
+      DatasetMeta(n, o, varDims(n, o), isScale(n) && isPhantomScale(o))
+    }
+    (root.attrs.filterNot { case (k, _) => HiddenAttrs(k) }, metas)
+  }
+
+  /** Read a netCDF-4 (HDF5) file into the engine's Fragment. */
+  def read(path: String): Fragment = {
+    val r = new Reader(path)
+    try {
+      val (rootAttrs, metas) = datasets(r)
+      val dims = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+      metas.foreach { m =>
+        if (m.dimNames == Vector(m.name) && m.obj.dims.nonEmpty)
+          dims(m.name) = m.obj.dims.head
+      }
+      val vars: Map[String, Variable] = metas.collect {
+        case m if !m.phantom =>
+          m.name -> Variable(m.dimNames, r.readDataset(m.obj), m.cleanAttrs)
+      }.toMap
+      vars.values.foreach(v => v.dims.zip(v.shape).foreach { case (d, s) =>
+        if (!dims.contains(d)) dims(d) = s })
+      val (coords, dataVars) = vars.partition { case (name, v) =>
+        v.dims == Vector(name) }
+      Fragment(dims.toMap, coords, dataVars, rootAttrs)
+    } finally r.close()
+  }
+}

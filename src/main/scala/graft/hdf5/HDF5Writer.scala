@@ -1,0 +1,523 @@
+package graft.hdf5
+
+import graft.core._
+import graft.core.Attrs.Attrs
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+/** Minimal HDF5 writer producing the SAME on-disk structures libnetcdf
+  * emits for netCDF-4 classic-model files — superblock v0, v1 object
+  * headers, a symbol-table root group (B-tree v1 + local heap + SNOD),
+  * dimension-scale datasets, DIMENSION_LIST vlen-of-object-reference
+  * attributes through a global heap, contiguous coordinates and chunked
+  * data variables indexed by a v1 B-tree, with optional deflate.
+  *
+  * Exists so the HDF5 reader and kerchunk scanner are exercised against
+  * the real netCDF-4 layout machinery offline (no HDF5 library in this
+  * build); written from the public HDF5 File Format Specification.
+  */
+object HDF5Writer {
+  import HDF5.{Signature, Undefined}
+
+  private def pad8(n: Int): Int = (n + 7) & ~7
+
+  // ---------------------------------------------------------- type bytes
+
+  private def dtypeBytes(d: DType): Array[Byte] = d match {
+    case DType.I4 => fixedBytes(4)
+    case DType.I8 | DType.M8ns => fixedBytes(8)
+    case DType.F4 => floatBytes(4)
+    case DType.F8 => floatBytes(8)
+  }
+
+  private def fixedBytes(size: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0x10.toByte) // class 0 v1
+    b.put(0x08.toByte); b.put(0.toByte); b.put(0.toByte) // LE, signed
+    b.putInt(size)
+    b.putShort(0); b.putShort((size * 8).toShort) // bit offset, precision
+    b.array()
+  }
+
+  private def floatBytes(size: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0x11.toByte) // class 1 v1
+    b.put(0x20.toByte) // LE, IEEE normalization (msb implied)
+    b.put(if (size == 4) 31.toByte else 63.toByte) // sign location
+    b.put(0.toByte)
+    b.putInt(size)
+    b.putShort(0); b.putShort((size * 8).toShort)
+    if (size == 4) { b.put(23.toByte); b.put(8.toByte); b.put(0.toByte); b.put(23.toByte); b.putInt(127) }
+    else { b.put(52.toByte); b.put(11.toByte); b.put(0.toByte); b.put(52.toByte); b.putInt(1023) }
+    b.array()
+  }
+
+  private def stringTypeBytes(size: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0x13.toByte) // class 3 v1
+    b.put(0.toByte) // null-terminated, ASCII
+    b.put(0.toByte); b.put(0.toByte)
+    b.putInt(size)
+    b.array()
+  }
+
+  /** vlen(sequence) of object reference — the DIMENSION_LIST type. */
+  private def vlenRefTypeBytes: Array[Byte] = {
+    val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0x19.toByte) // class 9 v1
+    b.put(0.toByte); b.put(0.toByte); b.put(0.toByte) // sequence
+    b.putInt(16) // element: len(4) + gheap addr(8) + index(4)
+    b.put(0x17.toByte) // base: class 7 reference v1
+    b.put(0.toByte); b.put(0.toByte); b.put(0.toByte) // object reference
+    b.putInt(8)
+    b.array()
+  }
+
+  private def dataspaceBytes(dims: Vector[Int]): Array[Byte] = {
+    val b = ByteBuffer.allocate(8 + dims.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte); b.put(dims.length.toByte); b.put(0.toByte)
+    b.position(8)
+    dims.foreach(d => b.putLong(d.toLong))
+    b.array()
+  }
+
+  // ---------------------------------------------------------- attributes
+
+  /** v1 attribute message body. */
+  private def attrBytes(name: String, dtype: Array[Byte], dspace: Array[Byte],
+                        data: Array[Byte]): Array[Byte] = {
+    val nameBytes = name.getBytes("UTF-8") :+ 0.toByte
+    val size = 8 + pad8(nameBytes.length) + pad8(dtype.length) +
+      pad8(dspace.length) + data.length
+    val b = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte); b.put(0.toByte)
+    b.putShort(nameBytes.length.toShort)
+    b.putShort(dtype.length.toShort)
+    b.putShort(dspace.length.toShort) // v1: dataspace size is 2 bytes
+    b.put(nameBytes); b.position(8 + pad8(nameBytes.length))
+    b.put(dtype); b.position(8 + pad8(nameBytes.length) + pad8(dtype.length))
+    b.put(dspace)
+    b.position(8 + pad8(nameBytes.length) + pad8(dtype.length) + pad8(dspace.length))
+    b.put(data)
+    b.array()
+  }
+
+  private def strAttr(name: String, v: String): Array[Byte] = {
+    val data = v.getBytes("UTF-8") :+ 0.toByte
+    attrBytes(name, stringTypeBytes(data.length), dataspaceBytes(Vector.empty), data)
+  }
+
+  private def attrValueBytes(name: String, v: AttrValue): Array[Byte] = v match {
+    case AttrValue.AStr(s) => strAttr(name, s)
+    case AttrValue.AInt(l) =>
+      val d = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN); d.putLong(l)
+      attrBytes(name, fixedBytes(8), dataspaceBytes(Vector.empty), d.array())
+    case AttrValue.ANum(x) =>
+      val d = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN); d.putDouble(x)
+      attrBytes(name, floatBytes(8), dataspaceBytes(Vector.empty), d.array())
+    case AttrValue.ABool(x) =>
+      val d = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      d.putLong(if (x) 1L else 0L)
+      attrBytes(name, fixedBytes(8), dataspaceBytes(Vector.empty), d.array())
+    case AttrValue.AList(xs) if xs.forall(_.isInstanceOf[AttrValue.AInt]) =>
+      val d = ByteBuffer.allocate(8 * xs.length).order(ByteOrder.LITTLE_ENDIAN)
+      xs.foreach { case AttrValue.AInt(l) => d.putLong(l); case _ => }
+      attrBytes(name, fixedBytes(8), dataspaceBytes(Vector(xs.length)), d.array())
+    case AttrValue.AList(xs) =>
+      val d = ByteBuffer.allocate(8 * xs.length).order(ByteOrder.LITTLE_ENDIAN)
+      xs.foreach {
+        case AttrValue.ANum(x) => d.putDouble(x)
+        case AttrValue.AInt(l) => d.putDouble(l.toDouble)
+        case other => throw new IllegalArgumentException(s"attr list $other")
+      }
+      attrBytes(name, floatBytes(8), dataspaceBytes(Vector(xs.length)), d.array())
+    case AttrValue.ANull =>
+      throw new IllegalArgumentException(s"null attr $name")
+  }
+
+  // ------------------------------------------------------------ messages
+
+  /** One v1 header message: (type, body). */
+  private type Msg = (Int, Array[Byte])
+
+  private def headerBytes(msgs: Vector[Msg]): Array[Byte] = {
+    val msgBlock = msgs.map { case (_, body) => 8 + pad8(body.length) }.sum
+    val b = ByteBuffer.allocate(16 + msgBlock).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte); b.put(0.toByte)
+    b.putShort(msgs.length.toShort)
+    b.putInt(1) // reference count
+    b.putInt(msgBlock)
+    b.position(16)
+    msgs.foreach { case (t, body) =>
+      b.putShort(t.toShort)
+      b.putShort(pad8(body.length).toShort)
+      b.put(0.toByte); b.put(0.toByte); b.put(0.toByte); b.put(0.toByte)
+      val at = b.position()
+      b.put(body)
+      b.position(at + pad8(body.length))
+    }
+    b.array()
+  }
+
+  // --------------------------------------------------------------- write
+
+  private def encodeData(arr: NDArray): Array[Byte] = {
+    val b = ByteBuffer.allocate(arr.size * arr.dtype.byteSize)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    arr.data match {
+      case a: Array[Int] => b.asIntBuffer().put(a)
+      case a: Array[Long] => b.asLongBuffer().put(a)
+      case a: Array[Float] => b.asFloatBuffer().put(a)
+      case a: Array[Double] => b.asDoubleBuffer().put(a)
+    }
+    b.array()
+  }
+
+  private def deflate(bytes: Array[Byte], level: Int): Array[Byte] = {
+    val d = new java.util.zip.Deflater(level)
+    d.setInput(bytes); d.finish()
+    val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val buf = new Array[Byte](65536)
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    d.end()
+    bos.toByteArray
+  }
+
+  /** Write `f` as a netCDF-4-style HDF5 file. `chunks` selects chunked
+    * layout per data variable (chunk shape in elements); unlisted
+    * variables are contiguous. `deflateLevel` gzips every chunked
+    * variable's chunks. */
+  def write(path: String, f: Fragment,
+            chunks: Map[String, Vector[Int]] = Map.empty,
+            deflateLevel: Option[Int] = None): Unit = {
+    // dims in deterministic order; phantom scales for coordinate-less dims
+    val dimNames = f.dims.keys.toVector.sorted
+    val varNames = (f.coords.keySet ++ f.dataVars.keySet).toVector.sorted
+    val phantomDims = dimNames.filterNot(f.coords.contains)
+    // file objects: every dim has a scale dataset; data vars follow
+    val objNames: Vector[String] =
+      (dimNames ++ varNames.filterNot(dimNames.contains)).distinct.sorted
+
+    // ---- plan block addresses ----
+    var cursor = 0L
+    val addrs = scala.collection.mutable.Map.empty[String, Long]
+    def alloc(key: String, size: Long): Long = {
+      val a = cursor; addrs(key) = a; cursor += ((size + 7) & ~7L); a
+    }
+
+    // per-variable raw data (encoded, possibly chunk-split + deflated)
+    final case class ChunkPlan(offsets: Vector[Int], bytes: Array[Byte])
+    val varData: Map[String, Either[Array[Byte], Vector[ChunkPlan]]] =
+      (f.coords ++ f.dataVars).map { case (name, v) =>
+        chunks.get(name) match {
+          case None => name -> Left(encodeData(v.data))
+          case Some(cs) =>
+            require(cs.length == v.shape.length, s"chunk rank for $name")
+            val grids = v.shape.indices.map(d =>
+              (0 until v.shape(d) by cs(d)).toVector).toVector
+            val cells = grids.foldLeft(Vector(Vector.empty[Int])) {
+              (acc, g) => acc.flatMap(p => g.map(p :+ _)) }
+            val plans = cells.map { lo =>
+              // chunks are stored FULL-SIZE; edge chunks padded (HDF5 rule)
+              val full = NDArray.zeros(v.dtype, cs.toVector)
+              val valid = lo.indices.map(d => Slc(lo(d),
+                math.min(lo(d) + cs(d), v.shape(d)))).toVector
+              full.assign(Vector.fill(cs.length)(0), v.data.slice(valid))
+              val enc = encodeData(full)
+              ChunkPlan(lo, deflateLevel.map(deflate(enc, _)).getOrElse(enc))
+            }
+            name -> Right(plans)
+        }
+      }
+
+    // ---- build messages per object (addresses patched later) ----
+    def varOf(name: String): Option[Variable] =
+      f.coords.get(name).orElse(f.dataVars.get(name))
+
+    def messagesFor(name: String): Vector[Msg] = {
+      val isDim = dimNames.contains(name)
+      val isPhantom = phantomDims.contains(name)
+      val v = varOf(name)
+      val shape: Vector[Int] =
+        if (isPhantom) Vector(f.dims(name)) else v.get.shape
+      val dtype: DType = if (isPhantom) DType.F4 else v.get.dtype
+      val base = Vector[Msg](
+        0x0001 -> dataspaceBytes(shape),
+        0x0003 -> dtypeBytes(dtype),
+        // layout body is a placeholder here; patched after layout
+        0x0008 -> (varData.get(name) match {
+          case Some(Right(_)) =>
+            val rank = shape.length
+            new Array[Byte](11 + (rank + 1) * 4)
+          case _ => new Array[Byte](18)
+        }))
+      val filterMsg: Vector[Msg] =
+        if (varData.get(name).exists(_.isRight) && deflateLevel.isDefined) {
+          val fb = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+          fb.put(1.toByte); fb.put(1.toByte); fb.position(8)
+          fb.putShort(1); fb.putShort(0); fb.putShort(0); fb.putShort(1)
+          fb.putInt(deflateLevel.get)
+          Vector(0x000B -> fb.array())
+        } else Vector.empty
+      val scaleAttrs: Vector[Msg] =
+        if (isDim) Vector(
+          0x000C -> strAttr("CLASS", "DIMENSION_SCALE"),
+          0x000C -> strAttr("NAME",
+            if (isPhantom)
+              "This is a netCDF dimension but not a netCDF variable." +
+                f"%n${f.dims(name)}"
+            else name))
+        else Vector.empty
+      val dimList: Vector[Msg] = v match {
+        case Some(vr) if !isDim =>
+          // vlen data: per dim (len=1, gheap addr, gheap index) — patched
+          Vector(0x000C -> attrBytes("DIMENSION_LIST", vlenRefTypeBytes,
+            dataspaceBytes(Vector(vr.dims.length)),
+            new Array[Byte](vr.dims.length * 16)))
+        case _ => Vector.empty
+      }
+      val userAttrs: Vector[Msg] = v.map(_.attrs.toVector.sortBy(_._1).map {
+        case (k, av) => 0x000C -> attrValueBytes(k, av) }).getOrElse(Vector.empty)
+      base ++ filterMsg ++ scaleAttrs ++ dimList ++ userAttrs
+    }
+
+    val objMsgs: Map[String, Vector[Msg]] =
+      objNames.map(n => n -> messagesFor(n)).toMap
+
+    // ---- root group messages ----
+    val rootMsgs: Vector[Msg] =
+      Vector[Msg](0x0011 -> new Array[Byte](16)) ++
+        f.attrs.toVector.sortBy(_._1).map { case (k, v) =>
+          0x000C -> attrValueBytes(k, v) }
+
+    // ---- heap data: object names ----
+    val heapOffsets = scala.collection.mutable.Map.empty[String, Long]
+    val heapData = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(new Array[Byte](8)) // offset 0 reserved
+      objNames.foreach { n =>
+        heapOffsets(n) = bos.size().toLong
+        bos.write(n.getBytes("UTF-8")); bos.write(0)
+        while (bos.size() % 8 != 0) bos.write(0)
+      }
+      bos.toByteArray
+    }
+
+    // ---- allocate all blocks ----
+    alloc("superblock", 96)
+    alloc("root", headerBytes(rootMsgs).length.toLong)
+    alloc("heap", 32)
+    alloc("heapdata", heapData.length.toLong)
+    alloc("btree", 24 + 24) // one leaf entry: key,child,key
+    alloc("snod", 8 + objNames.length * 40)
+    objNames.foreach(n => alloc(s"obj:$n", headerBytes(objMsgs(n)).length.toLong))
+    // global heap: one object per (data var, dim) + free-space tail
+    val gheapEntries: Vector[(String, Int)] = varNames.flatMap { n =>
+      varOf(n) match {
+        case Some(vr) if !dimNames.contains(n) =>
+          vr.dims.indices.map(d => (n, d))
+        case _ => Vector.empty
+      }
+    }
+    val gheapSize = 16 + gheapEntries.length * 24 + 16
+    if (gheapEntries.nonEmpty) alloc("gheap", gheapSize.toLong)
+    // chunk btrees + data
+    objNames.foreach { n =>
+      varData.get(n) match {
+        case Some(Left(bytes)) =>
+          if (bytes.nonEmpty) alloc(s"data:$n", bytes.length.toLong)
+        case Some(Right(plans)) =>
+          val rank = (if (phantomDims.contains(n)) 1 else varOf(n).get.shape.length)
+          val keySize = 8 + (rank + 1) * 8
+          alloc(s"cbt:$n", 24 + plans.length * (keySize + 8) + keySize)
+          plans.zipWithIndex.foreach { case (p, i) =>
+            alloc(s"chunk:$n:$i", p.bytes.length.toLong) }
+        case None => // phantom dim: no data
+      }
+    }
+    val eof = cursor
+
+    // ---- emit ----
+    val out = ByteBuffer.allocate(eof.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    def put(addr: Long, bytes: Array[Byte]): Unit = {
+      out.position(addr.toInt); out.put(bytes)
+    }
+
+    // superblock v0
+    {
+      val b = ByteBuffer.allocate(96).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(Signature)
+      b.put(0.toByte) // superblock v0
+      b.put(0.toByte); b.put(0.toByte); b.put(0.toByte) // freespace, root STE v, reserved
+      b.put(0.toByte); b.put(8.toByte); b.put(8.toByte); b.put(0.toByte)
+      b.putShort(4); b.putShort(16) // group leaf/internal K
+      b.putInt(0) // consistency flags
+      b.putLong(0L) // base address
+      b.putLong(Undefined) // free space
+      b.putLong(eof) // end of file
+      b.putLong(Undefined) // driver info
+      // root group symbol table entry
+      b.putLong(0L) // link name offset
+      b.putLong(addrs("root"))
+      b.putInt(1) // cached stab
+      b.putInt(0)
+      b.putLong(addrs("btree")); b.putLong(addrs("heap")) // scratch
+      put(0, b.array())
+    }
+
+    // root header with patched symbol table message
+    {
+      val msgs = rootMsgs.updated(0, {
+        val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+        b.putLong(addrs("btree")); b.putLong(addrs("heap"))
+        (0x0011, b.array())
+      })
+      put(addrs("root"), headerBytes(msgs))
+    }
+
+    // local heap
+    {
+      val b = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("HEAP".getBytes("ASCII"))
+      b.put(0.toByte); b.put(0.toByte); b.put(0.toByte); b.put(0.toByte)
+      b.putLong(heapData.length.toLong)
+      b.putLong(Undefined) // no free list
+      b.putLong(addrs("heapdata"))
+      put(addrs("heap"), b.array())
+      put(addrs("heapdata"), heapData)
+    }
+
+    // group btree (single leaf pointing at one SNOD)
+    {
+      val b = ByteBuffer.allocate(48).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("TREE".getBytes("ASCII"))
+      b.put(0.toByte); b.put(0.toByte) // type 0, level 0
+      b.putShort(1)
+      b.putLong(Undefined); b.putLong(Undefined)
+      b.putLong(0L) // key 0: least name offset
+      b.putLong(addrs("snod"))
+      b.putLong(heapOffsets(objNames.last)) // key 1
+      put(addrs("btree"), b.array())
+    }
+
+    // SNOD (entries sorted by name — objNames already sorted)
+    {
+      val b = ByteBuffer.allocate(8 + objNames.length * 40)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put("SNOD".getBytes("ASCII"))
+      b.put(1.toByte); b.put(0.toByte)
+      b.putShort(objNames.length.toShort)
+      objNames.foreach { n =>
+        b.putLong(heapOffsets(n))
+        b.putLong(addrs(s"obj:$n"))
+        b.putInt(0); b.putInt(0)
+        b.put(new Array[Byte](16))
+      }
+      put(addrs("snod"), b.array())
+    }
+
+    // global heap
+    val gheapIndex: Map[(String, Int), Int] =
+      gheapEntries.zipWithIndex.map { case (e, i) => e -> (i + 1) }.toMap
+    if (gheapEntries.nonEmpty) {
+      val b = ByteBuffer.allocate(gheapSize).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("GCOL".getBytes("ASCII"))
+      b.put(1.toByte); b.put(0.toByte); b.put(0.toByte); b.put(0.toByte)
+      b.position(8); b.putLong(gheapSize.toLong)
+      gheapEntries.zipWithIndex.foreach { case ((vn, d), i) =>
+        b.putShort((i + 1).toShort)
+        b.putShort(1) // refcount
+        b.putInt(0)
+        b.putLong(8L) // object size: one 8-byte reference
+        b.putLong(addrs(s"obj:${varOf(vn).get.dims(d)}"))
+      }
+      // terminal free-space object
+      b.putShort(0); b.putShort(0); b.putInt(0); b.putLong(16L)
+      put(addrs("gheap"), b.array())
+    }
+
+    // dataset headers with patched layout + DIMENSION_LIST, then data
+    objNames.foreach { n =>
+      val isPhantom = phantomDims.contains(n)
+      val v = varOf(n)
+      val shape: Vector[Int] = if (isPhantom) Vector(f.dims(n)) else v.get.shape
+      val patched = objMsgs(n).map {
+        case (0x0008, body) =>
+          varData.get(n) match {
+            case Some(Left(bytes)) =>
+              val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+              b.put(3.toByte); b.put(1.toByte)
+              b.putLong(if (bytes.isEmpty) Undefined else addrs(s"data:$n"))
+              b.putLong(bytes.length.toLong)
+              (0x0008, b.array())
+            case Some(Right(_)) =>
+              val cs = chunks(n)
+              val elemSize = v.get.dtype.byteSize
+              val b = ByteBuffer.allocate(11 + (cs.length + 1) * 4)
+                .order(ByteOrder.LITTLE_ENDIAN)
+              b.put(3.toByte); b.put(2.toByte)
+              b.put((cs.length + 1).toByte)
+              b.putLong(addrs(s"cbt:$n"))
+              cs.foreach(b.putInt); b.putInt(elemSize)
+              (0x0008, b.array())
+            case None => // phantom: contiguous, never written
+              val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+              b.put(3.toByte); b.put(1.toByte)
+              b.putLong(Undefined); b.putLong(0L)
+              (0x0008, b.array())
+          }
+        case (0x000C, body) if isDimListAttr(body) =>
+          val vr = v.get
+          val data = ByteBuffer.allocate(vr.dims.length * 16)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          vr.dims.indices.foreach { d =>
+            data.putInt(1)
+            data.putLong(addrs("gheap"))
+            data.putInt(gheapIndex((n, d)))
+          }
+          (0x000C, attrBytes("DIMENSION_LIST", vlenRefTypeBytes,
+            dataspaceBytes(Vector(vr.dims.length)), data.array()))
+        case other => other
+      }
+      put(addrs(s"obj:$n"), headerBytes(patched))
+      varData.get(n) match {
+        case Some(Left(bytes)) if bytes.nonEmpty => put(addrs(s"data:$n"), bytes)
+        case Some(Right(plans)) =>
+          val rank = shape.length
+          val keySize = 8 + (rank + 1) * 8
+          val b = ByteBuffer.allocate(24 + plans.length * (keySize + 8) + keySize)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          b.put("TREE".getBytes("ASCII"))
+          b.put(1.toByte); b.put(0.toByte) // type 1, level 0
+          b.putShort(plans.length.toShort)
+          b.putLong(Undefined); b.putLong(Undefined)
+          plans.zipWithIndex.foreach { case (p, i) =>
+            b.putInt(p.bytes.length)
+            b.putInt(0) // filter mask
+            p.offsets.foreach(o => b.putLong(o.toLong))
+            b.putLong(0L) // element-size dimension offset
+            b.putLong(addrs(s"chunk:$n:$i"))
+          }
+          // final key: one past the end in dim 0
+          b.putInt(0); b.putInt(0)
+          b.putLong(shape.head.toLong)
+          (1 until rank).foreach(_ => b.putLong(0L))
+          b.putLong(0L)
+          put(addrs(s"cbt:$n"), b.array())
+          plans.zipWithIndex.foreach { case (p, i) =>
+            put(addrs(s"chunk:$n:$i"), p.bytes) }
+        case _ =>
+      }
+    }
+
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    Files.write(p, out.array())
+  }
+
+  private def isDimListAttr(body: Array[Byte]): Boolean = {
+    // v1 attribute: name starts at offset 8
+    body.length > 8 + 14 &&
+      new String(body, 8, 14, "UTF-8") == "DIMENSION_LIST"
+  }
+}

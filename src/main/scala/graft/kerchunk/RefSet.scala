@@ -123,6 +123,81 @@ object RefSet {
     RefSet(out)
   }
 
+  /** SingleHdf5ToZarr analog (openers.py:137-155 routes file_type="netcdf4"
+    * to kerchunk's HDF5 scanner): walk the netCDF-4 object graph header-only
+    * and emit one virtual-Zarr reference per HDF5 storage chunk — chunk
+    * byte ranges come from the v1 B-tree index, contiguous datasets become
+    * a single whole-array ref, and deflated chunks carry the zlib codec so
+    * the reader inflates in place. Data bytes stay in the original file.
+    *
+    * Datasets whose stored element width differs from the engine's widened
+    * dtype (int8/int16 — no raw-byte zarr dtype) and shuffle/fletcher32
+    * filters are rejected; the full decoder (HDF5.read) handles them. */
+  def scanHdf5(path: String, inlineThreshold: Int = 300): RefSet = {
+    import graft.hdf5.HDF5
+    import graft.core.{AttrValue, DType}
+    import graft.zarr.ZarrStore
+    val r = new HDF5.Reader(path)
+    try {
+      val (rootAttrs, metas) = HDF5.datasets(r)
+      var out = Map.empty[String, Ref]
+      out += "zarr.json" -> Ref.inline(ZarrStore.groupMetaDoc(rootAttrs))
+      metas.filterNot(_.phantom).foreach { m =>
+        val o = m.obj
+        val t = o.dtype.get
+        val dt = HDF5.engineDTypeOf(t)
+        require(t.size == dt.byteSize,
+          s"scanHdf5: ${m.name} stores ${t.size}-byte elements widened to " +
+            s"${dt.name} — no raw-byte zarr dtype; decode via HDF5.read")
+        val bigEndian = t match {
+          case HDF5.FixedPoint(_, be, _) => be
+          case HDF5.FloatType(_, be) => be
+          case _ => false
+        }
+        o.filters.foreach { f =>
+          require(f.id == 1, // deflate
+            s"scanHdf5: ${m.name} uses HDF5 filter ${f.id} — only deflate " +
+              "refs are representable; decode via HDF5.read")
+        }
+        val zlib = o.filters.find(_.id == 1).map(_.values.headOption.getOrElse(6))
+        def inlineOrPointer(addr: Long, size: Long): Ref =
+          if (size <= inlineThreshold)
+            Ref.inline(r.readRange(addr, size))
+          else Ref.pointer(path, addr, size)
+        o.layout.get match {
+          case HDF5.Compact(data) =>
+            out += s"${m.name}/zarr.json" -> Ref.inline(ZarrStore.arrayMetaDoc(
+              o.dims, if (o.dims.isEmpty) Vector(1) else o.dims, dt,
+              m.cleanAttrs, dimensionNames = Some(m.dimNames),
+              bigEndian = bigEndian))
+            val key = if (o.dims.isEmpty) s"${m.name}/c"
+              else s"${m.name}/c/" + o.dims.map(_ => "0").mkString("/")
+            out += key -> Ref.inline(data)
+          case HDF5.Contiguous(addr, size) =>
+            out += s"${m.name}/zarr.json" -> Ref.inline(ZarrStore.arrayMetaDoc(
+              o.dims, if (o.dims.isEmpty) Vector(1) else o.dims, dt,
+              m.cleanAttrs, dimensionNames = Some(m.dimNames),
+              bigEndian = bigEndian))
+            val key = if (o.dims.isEmpty) s"${m.name}/c"
+              else s"${m.name}/c/" + o.dims.map(_ => "0").mkString("/")
+            if (addr != HDF5.Undefined)
+              out += key -> inlineOrPointer(addr, size)
+          case ck @ HDF5.Chunked(_, chunkDims, _) =>
+            out += s"${m.name}/zarr.json" -> Ref.inline(ZarrStore.arrayMetaDoc(
+              o.dims, chunkDims, dt, m.cleanAttrs,
+              dimensionNames = Some(m.dimNames), bigEndian = bigEndian,
+              zlibLevel = zlib))
+            r.chunkRefs(ck).foreach { cr =>
+              val idx = cr.offsets.indices
+                .map(d => cr.offsets(d) / chunkDims(d)).mkString("/")
+              out += s"${m.name}/c/$idx" -> inlineOrPointer(cr.addr, cr.size)
+            }
+        }
+      }
+      RefSet(out)
+    } finally r.close()
+  }
+
   /** scan_grib analog (openers.py:183-204 routes file_type="grib" to
     * kerchunk's GRIB2 scanner; tests/test_end_to_end.py:219-262): one RefSet
     * PER MESSAGE — the kerchunk contract, so CombineReferences/concat can

@@ -303,14 +303,15 @@ object Openers {
     FileType.Zarr -> "zarr",
     FileType.Parquet -> "parquet-long-view")
 
-  /** Registered decoders: zarr (our store reader), scipy (the pure-JVM
-    * NetCDF3 classic codec, graft.netcdf.NetCDF3 — the reference's flagship
-    * input path, openers.py:40-47) and cfgrib (the pure-JVM GRIB2 codec,
-    * graft.grib.Grib2 — openers.py:67-88). The netcdf4 engine still
-    * requires an HDF5 decoder. */
+  /** Registered decoders, all pure-JVM: zarr (our store reader), scipy
+    * (NetCDF3 classic, graft.netcdf.NetCDF3), h5netcdf (netCDF-4/HDF5,
+    * graft.hdf5.HDF5) and cfgrib (GRIB2, graft.grib.Grib2) — the full
+    * OPENER_MAP engine set of openers.py:40-88 except the network-bound
+    * opendap entry. */
   val decoders: Map[String, Decoder] = Map(
     "zarr" -> (url => ZarrGroup(url).readFragment()),
     "scipy" -> (url => graft.netcdf.NetCDF3.read(url)),
+    "h5netcdf" -> (url => graft.hdf5.HDF5.read(url)),
     "cfgrib" -> (url => graft.grib.Grib2.read(url)))
 
   /** _set_engine semantics: unknown file type -> explicit error; a

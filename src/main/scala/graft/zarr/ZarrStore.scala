@@ -92,7 +92,8 @@ object ZarrStore {
                    gzipLevel: Option[Int] = None,
                    shardShape: Option[Vector[Int]] = None,
                    bigEndian: Boolean = false,
-                   gribVar: Option[String] = None): Array[Byte] = {
+                   gribVar: Option[String] = None,
+                   zlibLevel: Option[Int] = None): Array[Byte] = {
     val o = mapper.createObjectNode()
     o.put("zarr_format", 3)
     o.put("node_type", "array")
@@ -137,6 +138,15 @@ object ZarrStore {
         val gcfg2 = mapper.createObjectNode(); gcfg2.put("level", lvl)
         gz.set[ObjectNode]("configuration", gcfg2)
         codecs.add(gz)
+      }
+      zlibLevel.foreach { lvl =>
+        // raw RFC-1950 zlib — what HDF5's deflate filter stores; scanned
+        // netCDF-4 chunk refs decode in place (numcodecs "zlib" analog)
+        val z = mapper.createObjectNode()
+        z.put("name", "zlib")
+        val zcfg = mapper.createObjectNode(); zcfg.put("level", lvl)
+        z.set[ObjectNode]("configuration", zcfg)
+        codecs.add(z)
       }
       codecs
     }
@@ -245,7 +255,8 @@ final case class ZarrGroup(root: String) {
                              shardShape: Option[Vector[Int]] = None,
                              fillValue: AttrValue = AttrValue.AInt(0),
                              bigEndian: Boolean = false,
-                             gribVar: Option[String] = None) {
+                             gribVar: Option[String] = None,
+                             zlibLevel: Option[Int] = None) {
     /** storage-object granularity: shard if sharded, else chunk */
     def grain: Vector[Int] = shardShape.getOrElse(chunks)
   }
@@ -273,6 +284,10 @@ final case class ZarrGroup(root: String) {
       Option(codecs).flatMap(
         _.elements().asScala.find(c => c.get("name").asText() == "grib2")
           .map(c => c.get("configuration").get("var").asText()))
+    def zlibOf(codecs: com.fasterxml.jackson.databind.JsonNode): Option[Int] =
+      Option(codecs).flatMap(
+        _.elements().asScala.find(c => c.get("name").asText() == "zlib")
+          .map(c => c.get("configuration").get("level").asInt()))
     val sharding = Option(n.get("codecs")).flatMap(
       _.elements().asScala.find(c => c.get("name").asText() == "sharding_indexed"))
     val fill = Option(n.get("fill_value")).map(nodeToAttr)
@@ -283,12 +298,13 @@ final case class ZarrGroup(root: String) {
         val inner = cfg.get("chunk_shape").elements().asScala.map(_.asInt()).toVector
         ArrayMeta(shape, inner, dtype, ZarrStore.objectAttrs(n.get("attributes")),
           dims, gzipOf(cfg.get("codecs")), Some(gridChunks), fill,
-          bigOf(cfg.get("codecs")), gribOf(cfg.get("codecs")))
+          bigOf(cfg.get("codecs")), gribOf(cfg.get("codecs")),
+          zlibOf(cfg.get("codecs")))
       case None =>
         ArrayMeta(shape, gridChunks, dtype,
           ZarrStore.objectAttrs(n.get("attributes")), dims,
           gzipOf(n.get("codecs")), None, fill, bigOf(n.get("codecs")),
-          gribOf(n.get("codecs")))
+          gribOf(n.get("codecs")), zlibOf(n.get("codecs")))
     }
   }
 
@@ -321,7 +337,8 @@ final case class ZarrGroup(root: String) {
   private def decodeChunk(raw: Array[Byte], dtype: DType, shape: Vector[Int],
                           gzipLevel: Option[Int],
                           bigEndian: Boolean = false,
-                          gribVar: Option[String] = None): NDArray = {
+                          gribVar: Option[String] = None,
+                          zlibLevel: Option[Int] = None): NDArray = {
     gribVar.foreach { v =>
       // grib2 whole-message codec: the chunk object is a complete GRIB2
       // message; extract the requested variable (kerchunk scan_grib model)
@@ -338,12 +355,25 @@ final case class ZarrGroup(root: String) {
         s"grib2 message grid ${values.length} != chunk ${NDArray.sizeOf(shape)}")
       return NDArray(DType.F8, shape, values)
     }
-    val bytes = gzipLevel match {
-      case Some(_) =>
+    val bytes = (gzipLevel, zlibLevel) match {
+      case (Some(_), _) =>
         val in = new java.util.zip.GZIPInputStream(
           new java.io.ByteArrayInputStream(raw))
         try in.readAllBytes() finally in.close()
-      case None => raw
+      case (None, Some(_)) =>
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(raw)
+        val bos = new java.io.ByteArrayOutputStream(raw.length * 4)
+        val buf = new Array[Byte](65536)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && inf.needsInput())
+            throw new IllegalStateException("truncated zlib chunk")
+          bos.write(buf, 0, n)
+        }
+        inf.end()
+        bos.toByteArray
+      case _ => raw
     }
     val buf = ByteBuffer.wrap(bytes).order(
       if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
@@ -416,7 +446,7 @@ final case class ZarrGroup(root: String) {
         val enc = java.util.Arrays.copyOfRange(raw, offset.toInt,
           offset.toInt + nbytes.toInt)
         val chunk = decodeChunk(enc, meta.dtype, meta.chunks, meta.gzipLevel,
-          meta.bigEndian, meta.gribVar)
+          meta.bigEndian, meta.gribVar, meta.zlibLevel)
         out.assign(pos.indices.map(d => pos(d) * meta.chunks(d)).toVector, chunk)
       }
     }
@@ -444,7 +474,7 @@ final case class ZarrGroup(root: String) {
     Some(
       if (meta.shardShape.isDefined) decodeShard(raw, meta)
       else decodeChunk(raw, meta.dtype, meta.chunks, meta.gzipLevel,
-        meta.bigEndian, meta.gribVar))
+        meta.bigEndian, meta.gribVar, meta.zlibLevel))
   }
 
   def chunkExists(name: String, chunkIdx: Vector[Int]): Boolean =
@@ -558,7 +588,7 @@ final case class ZarrGroup(root: String) {
           val buf = ByteBuffer.allocate(nbytes.toInt)
           readFully(buf, offset)
           Some(pos -> decodeChunk(buf.array(), meta.dtype, meta.chunks,
-            meta.gzipLevel, meta.bigEndian, meta.gribVar))
+            meta.gzipLevel, meta.bigEndian, meta.gribVar, meta.zlibLevel))
         }
       }.toMap
     } finally ch.close()

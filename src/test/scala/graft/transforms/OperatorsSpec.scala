@@ -82,8 +82,14 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Openers.resolveEngine(FileType.Zarr, Some("h5netcdf")))
     assert(Openers.resolveEngine(FileType.Zarr, Some("zarr")) == "zarr")
-    intercept[UnsupportedOperationException](
+    assert(Openers.resolveEngine(FileType.Netcdf4) == "h5netcdf")
+    // netcdf4/grib now decode natively — a missing path surfaces as an IO
+    // error from the real decoder, not a registry gap
+    intercept[java.nio.file.NoSuchFileException](
       Openers.open(FileType.Netcdf4, "/nonexistent.nc"))
+    // the opendap engine is the one remaining registry gap (network-bound)
+    intercept[UnsupportedOperationException](
+      Openers.open(FileType.Opendap, "http://example.invalid/ds"))
   }
 
   test("runtime config injection: sentinel resolves or fails loudly") {
