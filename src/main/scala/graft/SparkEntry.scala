@@ -12,7 +12,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       CubeOps.queries ++ NetcdfOps.queries ++ Hdf5Ops.queries ++
-      GribOps.queries ++
+      GribOps.queries ++ DapOps.queries ++
       TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
       MultiModalOps.queries ++ StreamOps.queries
 

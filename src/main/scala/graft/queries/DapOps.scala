@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core._
+import graft.dap.Dap2
+import graft.patterns.{FilePattern, FileType}
+import graft.transforms.Pipelines
+import graft.zarr.ZarrGroup
+import java.nio.file.Files
+
+/** OPeNDAP end-to-end (openers.py:83-86: file_type="opendap" opens a DAP
+  * URL directly, never cached to local files; http fixture shape as in
+  * tests/conftest.py:158-206): a local OPeNDAP-shaped server serves the
+  * golden cube's .dds/.das/.dods documents; the recipe pipeline opens the
+  * URL through the engine registry, stores to Zarr, and the store must
+  * equal the served cube exactly. Rows-only driver check, like the other
+  * binary-format e2e entries. */
+object DapOps {
+
+  private def makeCube(nt: Int): Fragment = {
+    val NY = 18; val NX = 36
+    val rng = new scala.util.Random(29)
+    Fragment(
+      dims = Map("time" -> nt, "lat" -> NY, "lon" -> NX),
+      coords = Map(
+        "time" -> Variable(Vector("time"),
+          NDArray(DType.I4, Vector(nt), (0 until nt).toArray),
+          Map("units" -> AttrValue("days since 2010-01-01"))),
+        "lat" -> Variable(Vector("lat"),
+          NDArray(DType.F8, Vector(NY), (0 until NY).map(i => -85.0 + i * 10).toArray)),
+        "lon" -> Variable(Vector("lon"),
+          NDArray(DType.F8, Vector(NX), (0 until NX).map(i => 5.0 + i * 10).toArray))),
+      dataVars = Map(
+        "foo" -> Variable(Vector("time", "lat", "lon"),
+          NDArray(DType.F8, Vector(nt, NY, NX), Array.fill(nt * NY * NX)(rng.nextDouble())),
+          Map("long_name" -> AttrValue("Fantastic Foo")))),
+      attrs = Map("conventions" -> AttrValue("CF 1.6")))
+  }
+
+  def opendapRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nt = 6
+    val cube = makeCube(nt)
+    // serve 2-day slabs as three DAP datasets (sequential_1d http fixture
+    // shape); local[*] executors share the driver host, like the
+    // reference's fixture server
+    val slabs = (0 until nt by 2).map(t0 =>
+      t0 -> cube.isel(Map("time" -> Slc(t0, t0 + 2)))).toVector
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    slabs.foreach { case (t0, slab) =>
+      val (dds, das, dods) = Dap2.encode(slab, s"slab_$t0.nc")
+      def serve(suffix: String, bytes: Array[Byte]): Unit =
+        server.createContext(s"/slab_$t0$suffix",
+          (ex: com.sun.net.httpserver.HttpExchange) => {
+            ex.sendResponseHeaders(200, bytes.length.toLong)
+            ex.getResponseBody.write(bytes)
+            ex.close()
+          })
+      serve(".dds", dds.getBytes("UTF-8"))
+      serve(".das", das.getBytes("UTF-8"))
+      serve(".dods", dods)
+    }
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val urls = slabs.map { case (t0, _) => s"$base/slab_$t0" }
+      val pattern = FilePattern.fromFileSequence(urls, "time",
+        nitemsPerFile = Some(2), fileType = FileType.Opendap)
+      val items = Pipelines.createItems(spark, pattern)
+      val frags = Pipelines.openWithFragments(items, FileType.Opendap)
+      val dir = Files.createTempDirectory("graft_dap_e2e").toString
+      val storePath = s"$dir/store.zarr"
+      Pipelines.storeToZarr(frags, pattern.combineDimKeys, storePath,
+        Map("time" -> 3))
+      val okA = ZarrGroup(storePath).readFragment().sameAs(cube)
+      // direct client parity on one slab
+      val okB = Dap2.read(urls.head).sameAs(slabs.head._2)
+      Seq(
+        ("opendap_pipeline", urls.length, okA),
+        ("dap2_client", 3, okB)).toDF("stage", "n_inputs", "ok")
+    } finally server.stop(0)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e2e_opendap_roundtrip" -> opendapRoundtrip _,
+  )
+}

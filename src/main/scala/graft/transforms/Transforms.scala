@@ -305,14 +305,15 @@ object Openers {
 
   /** Registered decoders, all pure-JVM: zarr (our store reader), scipy
     * (NetCDF3 classic, graft.netcdf.NetCDF3), h5netcdf (netCDF-4/HDF5,
-    * graft.hdf5.HDF5) and cfgrib (GRIB2, graft.grib.Grib2) — the full
-    * OPENER_MAP engine set of openers.py:40-88 except the network-bound
-    * opendap entry. */
+    * graft.hdf5.HDF5), cfgrib (GRIB2, graft.grib.Grib2) and netcdf4
+    * (OPeNDAP/DAP2 over HTTP, graft.dap.Dap2) — the full OPENER_MAP
+    * engine set of openers.py:40-88. */
   val decoders: Map[String, Decoder] = Map(
     "zarr" -> (url => ZarrGroup(url).readFragment()),
     "scipy" -> (url => graft.netcdf.NetCDF3.read(url)),
     "h5netcdf" -> (url => graft.hdf5.HDF5.read(url)),
-    "cfgrib" -> (url => graft.grib.Grib2.read(url)))
+    "cfgrib" -> (url => graft.grib.Grib2.read(url)),
+    "netcdf4" -> (url => graft.dap.Dap2.read(url)))
 
   /** _set_engine semantics: unknown file type -> explicit error; a
     * user-supplied engine that conflicts with the registry is rejected. */

@@ -83,13 +83,14 @@ class OperatorsSpec extends AnyFunSuite {
       Openers.resolveEngine(FileType.Zarr, Some("h5netcdf")))
     assert(Openers.resolveEngine(FileType.Zarr, Some("zarr")) == "zarr")
     assert(Openers.resolveEngine(FileType.Netcdf4) == "h5netcdf")
-    // netcdf4/grib now decode natively — a missing path surfaces as an IO
+    assert(Openers.resolveEngine(FileType.Opendap) == "netcdf4")
+    // every engine now decodes natively — a missing path surfaces as an IO
     // error from the real decoder, not a registry gap
     intercept[java.nio.file.NoSuchFileException](
       Openers.open(FileType.Netcdf4, "/nonexistent.nc"))
-    // the opendap engine is the one remaining registry gap (network-bound)
-    intercept[UnsupportedOperationException](
-      Openers.open(FileType.Opendap, "http://example.invalid/ds"))
+    // opendap dispatches to the DAP2 HTTP client (unreachable host -> IO)
+    intercept[java.io.IOException](
+      Openers.open(FileType.Opendap, "http://127.0.0.1:9/ds"))
   }
 
   test("runtime config injection: sentinel resolves or fails loudly") {
