@@ -40,19 +40,31 @@ object SimilarityOps {
   private def normExpr(a: String): String = s"normsq_i64($a)"
 
   /** Deterministic pseudo-random hyperplanes for the LSH paths: planes of
-    * 64 quantized components in {-1000..1000}, Lehmer-style generator. */
+    * 64 quantized components in {-1000..1000}. splitmix64-style avalanche
+    * hash — a linear generator here is NOT random enough: its planes are
+    * slices of one arithmetic progression mod 2001, pairwise correlated
+    * (some identical), which silently destroyed band independence and
+    * measured recall (round-3 finding: 4 of 15 true pairs missed at
+    * sf0.01 vs the 4% theoretical miss rate; mean inter-plane |cos| was
+    * 0.37 where random planes give ~0.1). */
   private def planeFor(p: Int): Vector[Long] =
     (0 until Dim).map { k =>
-      val v = (2654435761L * (p * Dim + k + 1) + 1013904223L) % 2001L
-      v - 1000L
+      var z = p.toLong * Dim + k + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      ((z % 2001L) + 2001L) % 2001L - 1000L
     }.toVector
 
-  private val NumPlanes = 16
-  /** s03's single 16-bit table. */
+  /** s03's single-table bucket width: 2^8 = 256 buckets, sized so a
+    * corpus of hundreds has non-trivial bucket co-residency (16 truly
+    * random planes spread 500 docs over 65536 buckets — every bucket a
+    * singleton, a vacuous query). */
+  private val NumPlanes = 8
   private val planes: Vector[Vector[Long]] = (0 until NumPlanes).map(planeFor).toVector
   private val SimBands = 16
   private val SimRowsPerBand = 4
-  /** s02's banded tables (16 bands x 4 bits = 64 planes; first 16 == s03's).
+  /** s02's banded tables (16 bands x 4 bits = 64 planes; first 8 == s03's).
     * OR-construction width is chosen for the stated threshold: at the
     * cosine=0.45 boundary a plane agrees with prob 1-acos(0.45)/pi = 0.649,
     * so a 4-bit band collides with prob 0.649^4 = 0.177 and 16 bands give
@@ -130,7 +142,7 @@ object SimilarityOps {
     graft.functions.GraftFunctions.register(s)
     val emb = embeddings(s, d).withColumn("q", expr(qEmb))
       .withColumn("nrm", expr(normExpr("q")))
-      .select("vec_id", "q", "nrm").cache()
+      .select("vec_id", "q", "nrm")
     val bandStructs = (0 until SimBands).map { b =>
       val bits = (0 until SimRowsPerBand).map { r =>
         val j = b * SimRowsPerBand + r
@@ -139,25 +151,31 @@ object SimilarityOps {
       }.mkString(" + ")
       s"struct($b as band_no, cast($bits as bigint) as bits)"
     }.mkString(", ")
+    // The band join stays THIN (ids + band key only — no array payload in
+    // join-output rows), candidate pairs flow straight into the rescore
+    // with no intermediate distinct: the all-candidates dedupe was a full
+    // shuffle of every collision, while the sim filter keeps ~nothing, so
+    // deduping AFTER it is free. Rescore joins are plain equi-joins (AQE
+    // broadcasts the vector table when it fits, shuffles when it doesn't)
+    // and dot/filter run in the same codegen stage as the join output.
     val bands = emb
       .select(col("vec_id"), explode(expr(s"array($bandStructs)")).as("band"))
       .select(col("vec_id"), col("band.band_no"), col("band.bits"))
-    val cand = bands.as("a").join(bands.as("b"),
+    bands.as("a").join(bands.as("b"),
         col("a.band_no") === col("b.band_no") &&
           col("a.bits") === col("b.bits") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
-    // exact rescore of candidates only; plain equi-joins (AQE strategy)
-    cand
       .join(emb.select(col("vec_id").as("vec_a"), col("q").as("qa"),
         col("nrm").as("na")), "vec_a")
       .join(emb.select(col("vec_id").as("vec_b"), col("q").as("qb"),
         col("nrm").as("nb")), "vec_b")
-      .withColumn("sim", round(expr(dotExpr("qa", "qb")).cast("double") /
-        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6))
+      .select(col("vec_a"), col("vec_b"),
+        round(expr(dotExpr("qa", "qb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+          .as("sim"))
       .filter(col("sim") >= 0.45)
-      .select("vec_a", "vec_b", "sim")
+      .distinct() // survivors only: a pair found by k bands dedupes here
       .orderBy("vec_a", "vec_b")
   }
 
@@ -191,7 +209,7 @@ object SimilarityOps {
        |  JOIN elems ea ON ea.vec_id = c.vec_a
        |  JOIN elems eb ON eb.vec_id = c.vec_b AND ea.i = eb.i
        |  GROUP BY 1, 2)
-       |SELECT vec_a, vec_b,
+       |SELECT DISTINCT vec_a, vec_b,
        |  ROUND(dot::DOUBLE / (sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)), 6) AS sim
        |FROM dots JOIN norms na ON vec_a = na.vec_id
        |JOIN norms nb ON vec_b = nb.vec_id
