@@ -1,0 +1,116 @@
+package graft.zarr
+
+import java.nio.ByteBuffer
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** Storage transport for a Zarr store root. Keys are store-relative paths
+  * ("zarr.json", "foo/c/0/1"). Two transports:
+  *
+  *   - [[PosixIO]] — java.nio over a local/shared filesystem path
+  *   - [[HadoopIO]] — org.apache.hadoop.fs.FileSystem for any scheme'd
+  *     URI (file://, hdfs://, s3a://, ...): each chunk write is one
+  *     `create(overwrite)` — the object-PUT shape — and shard reads use
+  *     positioned range reads, the range-GET shape. On a 1000-executor
+  *     cluster this is the transport the store actually runs on.
+  *
+  * Selected by [[StoreIO.forRoot]]: URIs with a scheme route to Hadoop,
+  * bare paths to posix. Instances are created per use site (executors
+  * construct their own — nothing here is serialized).
+  */
+trait StoreIO {
+  def write(key: String, bytes: Array[Byte]): Unit
+  def read(key: String): Array[Byte]
+  def readRange(key: String, pos: Long, len: Int): Array[Byte]
+  def size(key: String): Long
+  def exists(key: String): Boolean
+  /** Immediate child directories that contain a zarr.json (array dirs). */
+  def arrayDirs(): Vector[String]
+  /** Recursively delete one store-relative subtree (chunk rewrites). */
+  def deleteRecursive(key: String): Unit
+}
+
+object StoreIO {
+  def forRoot(root: String): StoreIO =
+    if (root.contains("://")) new HadoopIO(root) else new PosixIO(root)
+}
+
+final class PosixIO(root: String) extends StoreIO {
+  private def p(key: String) = Paths.get(root, key.split('/').toSeq: _*)
+
+  def write(key: String, bytes: Array[Byte]): Unit = {
+    val path = p(key)
+    Option(path.getParent).foreach(Files.createDirectories(_))
+    Files.write(path, bytes)
+  }
+  def read(key: String): Array[Byte] = Files.readAllBytes(p(key))
+  def readRange(key: String, pos: Long, len: Int): Array[Byte] = {
+    val ch = java.nio.channels.FileChannel.open(p(key), StandardOpenOption.READ)
+    try {
+      val buf = ByteBuffer.allocate(len)
+      var off = 0L
+      while (buf.hasRemaining) {
+        val n = ch.read(buf, pos + off)
+        if (n < 0) throw new java.io.EOFException(s"$key: EOF at ${pos + off}")
+        off += n
+      }
+      buf.array()
+    } finally ch.close()
+  }
+  def size(key: String): Long = Files.size(p(key))
+  def exists(key: String): Boolean = Files.exists(p(key))
+  def arrayDirs(): Vector[String] = {
+    val dir = Paths.get(root)
+    if (!Files.isDirectory(dir)) return Vector.empty
+    val st = Files.list(dir)
+    try st.iterator().asScala
+      .filter(d => Files.isDirectory(d) && Files.exists(d.resolve("zarr.json")))
+      .map(_.getFileName.toString).toVector.sorted
+    finally st.close()
+  }
+  def deleteRecursive(key: String): Unit = {
+    val dir = p(key)
+    if (Files.exists(dir)) {
+      val st = Files.walk(dir)
+      val paths = try st.iterator().asScala.toVector finally st.close()
+      paths.reverse.foreach(Files.delete)
+    }
+  }
+}
+
+final class HadoopIO(root: String) extends StoreIO {
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+  private val rootPath = new HPath(root)
+  private val fs: FileSystem =
+    rootPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+  private def p(key: String) = new HPath(rootPath, key)
+
+  def write(key: String, bytes: Array[Byte]): Unit = {
+    val out = fs.create(p(key), true) // one object PUT per storage object
+    try out.write(bytes) finally out.close()
+  }
+  def read(key: String): Array[Byte] = {
+    val in = fs.open(p(key))
+    try in.readAllBytes() finally in.close()
+  }
+  def readRange(key: String, pos: Long, len: Int): Array[Byte] = {
+    val in = fs.open(p(key))
+    try {
+      val buf = new Array[Byte](len)
+      in.readFully(pos, buf) // positioned read — the range-GET analog
+      buf
+    } finally in.close()
+  }
+  def size(key: String): Long = fs.getFileStatus(p(key)).getLen
+  def exists(key: String): Boolean = fs.exists(p(key))
+  def arrayDirs(): Vector[String] =
+    if (!fs.exists(rootPath)) Vector.empty
+    else fs.listStatus(rootPath).toVector
+      .filter(st => st.isDirectory &&
+        fs.exists(new HPath(st.getPath, "zarr.json")))
+      .map(_.getPath.getName).sorted
+  def deleteRecursive(key: String): Unit = {
+    val path = p(key)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+}

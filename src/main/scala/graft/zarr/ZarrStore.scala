@@ -191,37 +191,32 @@ object ZarrStore {
   }
 }
 
-/** One open Zarr v3 group rooted at a directory. */
+/** One open Zarr v3 group rooted at a directory or a scheme'd URI. Bare
+  * paths use posix I/O; URIs (file://, hdfs://, s3a://, ...) route through
+  * the Hadoop FileSystem transport — the object-store deployment path (see
+  * StoreIO). The instance itself only carries the root string, so shipping
+  * it to executors is free; each side opens its own transport. */
 final case class ZarrGroup(root: String) {
   import ZarrStore._
-  private val mapper = new ObjectMapper()
-  private def p(parts: String*): Path = Paths.get(root, parts: _*)
+  @transient private lazy val mapper = new ObjectMapper()
+  @transient private lazy val io: StoreIO = StoreIO.forRoot(root)
 
   // ---------- group ----------
   def initGroup(attrs: Attrs, overwrite: Boolean = true): Unit = {
-    val dir = Paths.get(root)
-    if (overwrite && Files.exists(dir.resolve("zarr.json"))) () // idempotent mode="w"
-    Files.createDirectories(dir)
     val o = mapper.createObjectNode()
     o.put("zarr_format", 3)
     o.put("node_type", "group")
     o.set[ObjectNode]("attributes", ZarrStore.attrsObject(attrs))
-    Files.write(p("zarr.json"), mapper.writerWithDefaultPrettyPrinter()
+    io.write("zarr.json", mapper.writerWithDefaultPrettyPrinter()
       .writeValueAsBytes(o))
   }
 
   def groupAttrs: Attrs = {
-    val n = mapper.readTree(Files.readAllBytes(p("zarr.json")))
+    val n = mapper.readTree(io.read("zarr.json"))
     ZarrStore.objectAttrs(n.get("attributes"))
   }
 
-  def arrayNames: Vector[String] = {
-    val st = Files.list(Paths.get(root))
-    try st.iterator().asScala
-      .filter(d => Files.isDirectory(d) && Files.exists(d.resolve("zarr.json")))
-      .map(_.getFileName.toString).toVector.sorted
-    finally st.close()
-  }
+  def arrayNames: Vector[String] = io.arrayDirs()
 
   // ---------- array metadata ----------
   /** Create one array's metadata (no chunk data). `dimensionNames` carries
@@ -238,9 +233,7 @@ final case class ZarrGroup(root: String) {
         ss.zip(chunks).forall { case (s, c) => s % c == 0 },
         s"shard shape $ss must be a per-dim multiple of chunk shape $chunks")
     }
-    val dir = p(name)
-    Files.createDirectories(dir)
-    Files.write(dir.resolve("zarr.json"), ZarrStore.arrayMetaDoc(
+    io.write(s"$name/zarr.json", ZarrStore.arrayMetaDoc(
       shape, chunks, dtype, attrs, fillValue, dimensionNames, gzipLevel,
       shardShape))
   }
@@ -262,7 +255,7 @@ final case class ZarrGroup(root: String) {
   }
 
   def arrayMeta(name: String): ArrayMeta = {
-    val n = mapper.readTree(Files.readAllBytes(p(name, "zarr.json")))
+    val n = mapper.readTree(io.read(s"$name/zarr.json"))
     val shape = n.get("shape").elements().asScala.map(_.asInt()).toVector
     val gridChunks = n.get("chunk_grid").get("configuration").get("chunk_shape")
       .elements().asScala.map(_.asInt()).toVector
@@ -309,9 +302,9 @@ final case class ZarrGroup(root: String) {
   }
 
   // ---------- chunk IO ----------
-  private def chunkPath(name: String, chunkIdx: Vector[Int]): Path = {
+  private def chunkKey(name: String, chunkIdx: Vector[Int]): String = {
     val key = if (chunkIdx.isEmpty) Vector("c") else "c" +: chunkIdx.map(_.toString)
-    p((name +: key): _*)
+    (name +: key).mkString("/")
   }
 
   /** One chunk payload -> encoded bytes (bytes codec LE, optional gzip). */
@@ -457,20 +450,18 @@ final case class ZarrGroup(root: String) {
     * `arr` has `meta.grain` shape. */
   private def writeChunk(name: String, chunkIdx: Vector[Int], arr: NDArray,
                          meta: ArrayMeta): Unit = {
-    val path = chunkPath(name, chunkIdx)
-    Files.createDirectories(path.getParent)
     val encoded =
       if (meta.shardShape.isDefined) encodeShard(arr, meta)
       else encodeChunk(arr, meta.gzipLevel)
-    Files.write(path, encoded)
+    io.write(chunkKey(name, chunkIdx), encoded)
   }
 
   /** Read one storage object; returns a `meta.grain`-shaped array. */
   private def readChunk(name: String, chunkIdx: Vector[Int],
                         meta: ArrayMeta): Option[NDArray] = {
-    val path = chunkPath(name, chunkIdx)
-    if (!Files.exists(path)) return None
-    val raw = Files.readAllBytes(path)
+    val key = chunkKey(name, chunkIdx)
+    if (!io.exists(key)) return None
+    val raw = io.read(key)
     Some(
       if (meta.shardShape.isDefined) decodeShard(raw, meta)
       else decodeChunk(raw, meta.dtype, meta.chunks, meta.gzipLevel,
@@ -478,7 +469,7 @@ final case class ZarrGroup(root: String) {
   }
 
   def chunkExists(name: String, chunkIdx: Vector[Int]): Boolean =
-    Files.exists(chunkPath(name, chunkIdx))
+    io.exists(chunkKey(name, chunkIdx))
 
   /** Region write. The region MUST align with storage-object boundaries —
     * chunks, or whole shards when sharded (writers.py:43-53) — each covered
@@ -548,50 +539,33 @@ final case class ZarrGroup(root: String) {
   }
 
   /** Read only the wanted inner chunks of one shard object, seeking via the
-    * binary index at the file tail — the local-FS analog of two object-store
-    * range GETs (index tail, then just the needed chunk ranges). Bytes of
-    * unwanted inner chunks are never read. */
-  private def readShardChunks(path: Path, meta: ArrayMeta,
+    * binary index at the object tail — two object-store range GETs (index
+    * tail, then just the needed chunk ranges). Bytes of unwanted inner
+    * chunks are never read. */
+  private def readShardChunks(key: String, meta: ArrayMeta,
                               wanted: Vector[Vector[Int]]): Map[Vector[Int], NDArray] = {
     val ndim = meta.shape.length
     val chunksPerShard = (0 until ndim).map(d => meta.grain(d) / meta.chunks(d)).toVector
     val positions = innerPositions(chunksPerShard)
-    val posToOrdinal = positions.zipWithIndex.toMap
-    val ch = java.nio.channels.FileChannel.open(path,
-      java.nio.file.StandardOpenOption.READ)
-    // FileChannel.read may return short — fill the buffer completely
-    def readFully(buf: ByteBuffer, pos: Long): Unit = {
-      var off = 0L
-      while (buf.hasRemaining) {
-        val n = ch.read(buf, pos + off)
-        if (n < 0) throw new java.io.EOFException(
-          s"unexpected EOF reading shard $path at ${pos + off}")
-        off += n
-      }
-    }
-    try {
-      val idxLen = positions.length * 16
-      val tail = ByteBuffer.allocate(idxLen + 4).order(ByteOrder.LITTLE_ENDIAN)
-      readFully(tail, ch.size() - idxLen - 4)
-      tail.flip()
-      val idxBytes = new Array[Byte](idxLen)
-      tail.get(idxBytes)
-      val crc = new java.util.zip.CRC32C(); crc.update(idxBytes)
-      require(crc.getValue.toInt == tail.getInt, "shard index CRC32C mismatch")
-      val index = ByteBuffer.wrap(idxBytes).order(ByteOrder.LITTLE_ENDIAN)
-      wanted.flatMap { pos =>
-        val ord = posToOrdinal(pos)
-        val offset = index.getLong(ord * 16)
-        val nbytes = index.getLong(ord * 16 + 8)
-        if (offset == -1L || nbytes == -1L) None
-        else {
-          val buf = ByteBuffer.allocate(nbytes.toInt)
-          readFully(buf, offset)
-          Some(pos -> decodeChunk(buf.array(), meta.dtype, meta.chunks,
-            meta.gzipLevel, meta.bigEndian, meta.gribVar, meta.zlibLevel))
-        }
-      }.toMap
-    } finally ch.close()
+    val posToOrdinal: Map[Vector[Int], Int] = positions.zipWithIndex.toMap
+    val idxLen = positions.length * 16
+    val tail = ByteBuffer.wrap(
+      io.readRange(key, io.size(key) - idxLen - 4, idxLen + 4))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val idxBytes = new Array[Byte](idxLen)
+    tail.get(idxBytes)
+    val crc = new java.util.zip.CRC32C(); crc.update(idxBytes)
+    require(crc.getValue.toInt == tail.getInt, "shard index CRC32C mismatch")
+    val index = ByteBuffer.wrap(idxBytes).order(ByteOrder.LITTLE_ENDIAN)
+    wanted.flatMap { pos =>
+      val ord = posToOrdinal(pos)
+      val offset = index.getLong(ord * 16)
+      val nbytes = index.getLong(ord * 16 + 8)
+      if (offset == -1L || nbytes == -1L) None
+      else Some(pos -> decodeChunk(io.readRange(key, offset, nbytes.toInt),
+        meta.dtype, meta.chunks, meta.gzipLevel, meta.bigEndian,
+        meta.gribVar, meta.zlibLevel))
+    }.toMap
   }
 
   /** Read an arbitrary rectangular region (no alignment requirement): only
@@ -629,8 +603,8 @@ final case class ZarrGroup(root: String) {
       if (d == ndim) {
         val shardLo = idx.indices.map(k => idx(k) * grain(k)).toVector
         if (meta.shardShape.isDefined) {
-          val path = chunkPath(name, idx)
-          if (Files.exists(path)) {
+          val key = chunkKey(name, idx)
+          if (io.exists(key)) {
             // inner chunks of this shard intersecting the region
             val innerRanges = (0 until ndim).map { k =>
               val cs = meta.chunks(k)
@@ -642,7 +616,7 @@ final case class ZarrGroup(root: String) {
             val wanted = innerRanges.foldLeft(Vector(Vector.empty[Int])) {
               (acc, r) => acc.flatMap(prefix => r.map(prefix :+ _))
             }
-            readShardChunks(path, meta, wanted).foreach { case (pos, chunk) =>
+            readShardChunks(key, meta, wanted).foreach { case (pos, chunk) =>
               val chunkLo = (0 until ndim).map(k =>
                 shardLo(k) + pos(k) * meta.chunks(k)).toVector
               blit(chunk, chunkLo, meta.chunks)
@@ -693,19 +667,18 @@ final case class ZarrGroup(root: String) {
     * (zarr-python v3 layout) so readers issue one metadata GET instead of
     * one per array. */
   def consolidateMetadata(): Unit = {
-    val rootNode = mapper.readTree(Files.readAllBytes(p("zarr.json")))
+    val rootNode = mapper.readTree(io.read("zarr.json"))
       .asInstanceOf[ObjectNode]
     val metaNode = mapper.createObjectNode()
     arrayNames.foreach { n =>
-      metaNode.set[ObjectNode](n,
-        mapper.readTree(Files.readAllBytes(p(n, "zarr.json"))))
+      metaNode.set[ObjectNode](n, mapper.readTree(io.read(s"$n/zarr.json")))
     }
     val cons = mapper.createObjectNode()
     cons.put("kind", "inline")
     cons.put("must_understand", false)
     cons.set[ObjectNode]("metadata", metaNode)
     rootNode.set[ObjectNode]("consolidated_metadata", cons)
-    Files.write(p("zarr.json"), mapper.writerWithDefaultPrettyPrinter()
+    io.write("zarr.json", mapper.writerWithDefaultPrettyPrinter()
       .writeValueAsBytes(rootNode))
   }
 
@@ -716,13 +689,7 @@ final case class ZarrGroup(root: String) {
       val m = arrayMeta(n)
       if (m.dimensionNames == Vector(n) && m.chunks != m.shape) {
         val data = readArray(n)
-        // drop old chunks
-        val dir = p(n, "c")
-        if (Files.exists(dir)) {
-          val st = Files.walk(dir)
-          val paths = try st.iterator().asScala.toVector finally st.close()
-          paths.reverse.foreach(Files.delete)
-        }
+        io.deleteRecursive(s"$n/c") // drop old chunks
         createArray(n, m.shape, m.shape, m.dtype, m.attrs,
           dimensionNames = Some(m.dimensionNames))
         writeRegion(n, Vector.fill(m.shape.length)(0), data)

@@ -106,6 +106,30 @@ class EndToEndSpec extends AnyFunSuite {
     assert(result.sameAs(cube))
   }
 
+  test("object-store transport: full pipeline against a scheme'd URI (Hadoop FS)") {
+    // "file://" routes every store byte through the Hadoop FileSystem
+    // transport — the exact API surface an s3a:// deployment hits (one
+    // create-overwrite per storage object, positioned range reads), with
+    // posix nowhere in the path.
+    val cube = GoldenCube.makeDs(6)
+    val dir = tmp()
+    val files = writeFragmentFiles(GoldenCube.splitByTime(cube, 2), dir)
+    val pattern = FilePattern.fromFileSequence(files, "time",
+      nitemsPerFile = Some(2), fileType = FileType.Zarr)
+    val items = Pipelines.createItems(spark, pattern)
+    val frags = Pipelines.openWithFragments(items, FileType.Zarr)
+    val storeUri = s"file://$dir/object_store.zarr"
+    Pipelines.storeToZarr(frags, pattern.combineDimKeys, storeUri,
+      Map("time" -> 3))
+    // read back through the URI (Hadoop path) and through the posix path
+    assert(ZarrGroup(storeUri).readFragment().sameAs(cube))
+    assert(ZarrGroup(s"$dir/object_store.zarr").readFragment().sameAs(cube))
+    // sharded variant: range-read shard index over the Hadoop transport
+    val g = ZarrGroup(storeUri)
+    g.consolidateMetadata()
+    assert(g.groupAttrs == cube.attrs)
+  }
+
   test("append: 10 + 10 days equals the 20-day cube") {
     val cube20 = GoldenCube.makeDs(20)
     val first = cube20.isel(Map("time" -> Slc(0, 10)))
