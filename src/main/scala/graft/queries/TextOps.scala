@@ -240,8 +240,57 @@ object TextOps {
       |  md5(cleaned) AS clean_md5
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** PII scrubbing — the redaction pass every LLM training pipeline runs
+    * before tokenization. The corpus is synthetic word salad, so each doc
+    * first gets DETERMINISTIC synthetic PII derived from doc_id (one
+    * email, doc_id%3 phone numbers, one internal IP), then the scrubber
+    * counts and redacts with RE2-and-Java-compatible regexes (no
+    * lookaround/backrefs, so Spark's codegen'd regexp_* and the DuckDB
+    * oracle agree byte-for-byte; md5 of the scrubbed text is the proof).
+    * One scan, no shuffle, no UDF — at 100 TB this is a map-only pass. */
+  private val EmailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\+1-555-[0-9]{4}"
+  private val IpRe = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  def t09PiiScrub(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("aug", concat(
+        col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com"),
+        expr("repeat(concat(' call +1-555-', lpad(cast(doc_id % 10000 as string), 4, '0')), cast(doc_id % 3 as int))"),
+        lit(" ip 10.0."), col("doc_id") % 256, lit(".1")))
+      .select(
+        col("doc_id"),
+        // regexes passed as Column literals, not through the SQL parser —
+        // expr() string literals would eat the backslash escapes
+        size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("aug"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+        size(regexp_extract_all(col("aug"), lit(IpRe), lit(0))).cast("long").as("n_ips"),
+        md5(regexp_replace(regexp_replace(regexp_replace(
+          col("aug"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>"))
+          .as("scrub_md5"))
+      .orderBy("doc_id")
+
+  val t09Sql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@example.com' ||
+       |    repeat(' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+       |           CAST(doc_id % 3 AS INT)) ||
+       |    ' ip 10.0.' || (doc_id % 256) || '.1' AS aug
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(aug, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(aug, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(aug, '$IpRe')) AS BIGINT) AS n_ips,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(
+       |    aug, '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'),
+       |    '$IpRe', '<IP>', 'g')) AS scrub_md5
+       |FROM aug ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t08_clean_text" -> t08CleanText _,
+    "t09_pii_scrub" -> t09PiiScrub _,
     "t01_text_stats" -> t01TextStats _,
     "t02_langid" -> t02LangId _,
     "t03_fingerprint" -> t03Fingerprint _,
@@ -260,5 +309,6 @@ object TextOps {
     "t06_bpe_tokens" -> t06Sql,
     "t07_sample_strata" -> t07Sql,
     "t08_clean_text" -> t08Sql,
+    "t09_pii_scrub" -> t09Sql,
   )
 }
