@@ -183,13 +183,28 @@ object HDF5Writer {
     bos.toByteArray
   }
 
+  private def shuffleBytes(bytes: Array[Byte], es: Int): Array[Byte] = {
+    val n = bytes.length / es
+    val out = new Array[Byte](bytes.length)
+    var i = 0
+    while (i < n) {
+      var b = 0
+      while (b < es) { out(b * n + i) = bytes(i * es + b); b += 1 }
+      i += 1
+    }
+    System.arraycopy(bytes, n * es, out, n * es, bytes.length - n * es)
+    out
+  }
+
   /** Write `f` as a netCDF-4-style HDF5 file. `chunks` selects chunked
     * layout per data variable (chunk shape in elements); unlisted
     * variables are contiguous. `deflateLevel` gzips every chunked
-    * variable's chunks. */
+    * variable's chunks; `shuffle` byte-transposes them first (the
+    * libnetcdf shuffle+deflate default for compressed variables). */
   def write(path: String, f: Fragment,
             chunks: Map[String, Vector[Int]] = Map.empty,
-            deflateLevel: Option[Int] = None): Unit = {
+            deflateLevel: Option[Int] = None,
+            shuffle: Boolean = false): Unit = {
     // dims in deterministic order; phantom scales for coordinate-less dims
     val dimNames = f.dims.keys.toVector.sorted
     val varNames = (f.coords.keySet ++ f.dataVars.keySet).toVector.sorted
@@ -223,8 +238,11 @@ object HDF5Writer {
               val valid = lo.indices.map(d => Slc(lo(d),
                 math.min(lo(d) + cs(d), v.shape(d)))).toVector
               full.assign(Vector.fill(cs.length)(0), v.data.slice(valid))
-              val enc = encodeData(full)
-              ChunkPlan(lo, deflateLevel.map(deflate(enc, _)).getOrElse(enc))
+              // pipeline order on encode: shuffle, then deflate
+              var enc = encodeData(full)
+              if (shuffle) enc = shuffleBytes(enc, v.dtype.byteSize)
+              deflateLevel.foreach(lvl => enc = deflate(enc, lvl))
+              ChunkPlan(lo, enc)
             }
             name -> Right(plans)
         }
@@ -252,11 +270,20 @@ object HDF5Writer {
           case _ => new Array[Byte](18)
         }))
       val filterMsg: Vector[Msg] =
-        if (varData.get(name).exists(_.isRight) && deflateLevel.isDefined) {
-          val fb = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
-          fb.put(1.toByte); fb.put(1.toByte); fb.position(8)
-          fb.putShort(1); fb.putShort(0); fb.putShort(0); fb.putShort(1)
-          fb.putInt(deflateLevel.get)
+        if (varData.get(name).exists(_.isRight) &&
+            (deflateLevel.isDefined || shuffle)) {
+          // pipeline in encode order: shuffle (id 2), then deflate (id 1);
+          // each v1 entry: id, namelen=0, flags, nvalues, values + pad8
+          val entries = (if (shuffle) Vector((2, dtype.byteSize)) else Vector.empty) ++
+            deflateLevel.map(lvl => (1, lvl)).toVector
+          val fb = ByteBuffer.allocate(8 + entries.length * 16)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          fb.put(1.toByte); fb.put(entries.length.toByte); fb.position(8)
+          entries.foreach { case (id, value) =>
+            fb.putShort(id.toShort); fb.putShort(0); fb.putShort(0)
+            fb.putShort(1)
+            fb.putInt(value); fb.putInt(0) // odd nvalues -> 4-byte pad
+          }
           Vector(0x000B -> fb.array())
         } else Vector.empty
       val scaleAttrs: Vector[Msg] =

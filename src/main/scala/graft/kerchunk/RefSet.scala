@@ -155,11 +155,13 @@ object RefSet {
           case _ => false
         }
         o.filters.foreach { f =>
-          require(f.id == 1, // deflate
-            s"scanHdf5: ${m.name} uses HDF5 filter ${f.id} — only deflate " +
-              "refs are representable; decode via HDF5.read")
+          require(f.id == 1 || f.id == 2, // deflate, shuffle
+            s"scanHdf5: ${m.name} uses HDF5 filter ${f.id} — only deflate/" +
+              "shuffle refs are representable; decode via HDF5.read")
         }
         val zlib = o.filters.find(_.id == 1).map(_.values.headOption.getOrElse(6))
+        val shuffle = o.filters.find(_.id == 2)
+          .map(_.values.headOption.getOrElse(dt.byteSize))
         def inlineOrPointer(addr: Long, size: Long): Ref =
           if (size <= inlineThreshold)
             Ref.inline(r.readRange(addr, size))
@@ -186,7 +188,7 @@ object RefSet {
             out += s"${m.name}/zarr.json" -> Ref.inline(ZarrStore.arrayMetaDoc(
               o.dims, chunkDims, dt, m.cleanAttrs,
               dimensionNames = Some(m.dimNames), bigEndian = bigEndian,
-              zlibLevel = zlib))
+              zlibLevel = zlib, shuffleElem = shuffle))
             r.chunkRefs(ck).foreach { cr =>
               val idx = cr.offsets.indices
                 .map(d => cr.offsets(d) / chunkDims(d)).mkString("/")

@@ -93,7 +93,8 @@ object ZarrStore {
                    shardShape: Option[Vector[Int]] = None,
                    bigEndian: Boolean = false,
                    gribVar: Option[String] = None,
-                   zlibLevel: Option[Int] = None): Array[Byte] = {
+                   zlibLevel: Option[Int] = None,
+                   shuffleElem: Option[Int] = None): Array[Byte] = {
     val o = mapper.createObjectNode()
     o.put("zarr_format", 3)
     o.put("node_type", "array")
@@ -138,6 +139,16 @@ object ZarrStore {
         val gcfg2 = mapper.createObjectNode(); gcfg2.put("level", lvl)
         gz.set[ObjectNode]("configuration", gcfg2)
         codecs.add(gz)
+      }
+      shuffleElem.foreach { es =>
+        // byte-transpose by element size — HDF5's shuffle filter; applies
+        // after the bytes codec on encode, so decode unshuffles AFTER
+        // decompression (numcodecs "shuffle" analog)
+        val sh2 = mapper.createObjectNode()
+        sh2.put("name", "shuffle")
+        val scfg2 = mapper.createObjectNode(); scfg2.put("elementsize", es)
+        sh2.set[ObjectNode]("configuration", scfg2)
+        codecs.add(sh2)
       }
       zlibLevel.foreach { lvl =>
         // raw RFC-1950 zlib — what HDF5's deflate filter stores; scanned
@@ -249,7 +260,8 @@ final case class ZarrGroup(root: String) {
                              fillValue: AttrValue = AttrValue.AInt(0),
                              bigEndian: Boolean = false,
                              gribVar: Option[String] = None,
-                             zlibLevel: Option[Int] = None) {
+                             zlibLevel: Option[Int] = None,
+                             shuffleElem: Option[Int] = None) {
     /** storage-object granularity: shard if sharded, else chunk */
     def grain: Vector[Int] = shardShape.getOrElse(chunks)
   }
@@ -281,6 +293,10 @@ final case class ZarrGroup(root: String) {
       Option(codecs).flatMap(
         _.elements().asScala.find(c => c.get("name").asText() == "zlib")
           .map(c => c.get("configuration").get("level").asInt()))
+    def shuffleOf(codecs: com.fasterxml.jackson.databind.JsonNode): Option[Int] =
+      Option(codecs).flatMap(
+        _.elements().asScala.find(c => c.get("name").asText() == "shuffle")
+          .map(c => c.get("configuration").get("elementsize").asInt()))
     val sharding = Option(n.get("codecs")).flatMap(
       _.elements().asScala.find(c => c.get("name").asText() == "sharding_indexed"))
     val fill = Option(n.get("fill_value")).map(nodeToAttr)
@@ -292,12 +308,13 @@ final case class ZarrGroup(root: String) {
         ArrayMeta(shape, inner, dtype, ZarrStore.objectAttrs(n.get("attributes")),
           dims, gzipOf(cfg.get("codecs")), Some(gridChunks), fill,
           bigOf(cfg.get("codecs")), gribOf(cfg.get("codecs")),
-          zlibOf(cfg.get("codecs")))
+          zlibOf(cfg.get("codecs")), shuffleOf(cfg.get("codecs")))
       case None =>
         ArrayMeta(shape, gridChunks, dtype,
           ZarrStore.objectAttrs(n.get("attributes")), dims,
           gzipOf(n.get("codecs")), None, fill, bigOf(n.get("codecs")),
-          gribOf(n.get("codecs")), zlibOf(n.get("codecs")))
+          gribOf(n.get("codecs")), zlibOf(n.get("codecs")),
+          shuffleOf(n.get("codecs")))
     }
   }
 
@@ -331,7 +348,8 @@ final case class ZarrGroup(root: String) {
                           gzipLevel: Option[Int],
                           bigEndian: Boolean = false,
                           gribVar: Option[String] = None,
-                          zlibLevel: Option[Int] = None): NDArray = {
+                          zlibLevel: Option[Int] = None,
+                          shuffleElem: Option[Int] = None): NDArray = {
     gribVar.foreach { v =>
       // grib2 whole-message codec: the chunk object is a complete GRIB2
       // message; extract the requested variable (kerchunk scan_grib model)
@@ -368,7 +386,21 @@ final case class ZarrGroup(root: String) {
         bos.toByteArray
       case _ => raw
     }
-    val buf = ByteBuffer.wrap(bytes).order(
+    val bytes2 = shuffleElem match {
+      case Some(es) => // inverse byte-transpose (HDF5 shuffle filter)
+        val n = bytes.length / es
+        val out = new Array[Byte](bytes.length)
+        var i = 0
+        while (i < n) {
+          var b = 0
+          while (b < es) { out(i * es + b) = bytes(b * n + i); b += 1 }
+          i += 1
+        }
+        System.arraycopy(bytes, n * es, out, n * es, bytes.length - n * es)
+        out
+      case None => bytes
+    }
+    val buf = ByteBuffer.wrap(bytes2).order(
       if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     val n = NDArray.sizeOf(shape)
     val data: AnyRef = dtype match {
@@ -439,7 +471,7 @@ final case class ZarrGroup(root: String) {
         val enc = java.util.Arrays.copyOfRange(raw, offset.toInt,
           offset.toInt + nbytes.toInt)
         val chunk = decodeChunk(enc, meta.dtype, meta.chunks, meta.gzipLevel,
-          meta.bigEndian, meta.gribVar, meta.zlibLevel)
+          meta.bigEndian, meta.gribVar, meta.zlibLevel, meta.shuffleElem)
         out.assign(pos.indices.map(d => pos(d) * meta.chunks(d)).toVector, chunk)
       }
     }
@@ -465,7 +497,7 @@ final case class ZarrGroup(root: String) {
     Some(
       if (meta.shardShape.isDefined) decodeShard(raw, meta)
       else decodeChunk(raw, meta.dtype, meta.chunks, meta.gzipLevel,
-        meta.bigEndian, meta.gribVar, meta.zlibLevel))
+        meta.bigEndian, meta.gribVar, meta.zlibLevel, meta.shuffleElem))
   }
 
   def chunkExists(name: String, chunkIdx: Vector[Int]): Boolean =
@@ -564,7 +596,7 @@ final case class ZarrGroup(root: String) {
       if (offset == -1L || nbytes == -1L) None
       else Some(pos -> decodeChunk(io.readRange(key, offset, nbytes.toInt),
         meta.dtype, meta.chunks, meta.gzipLevel, meta.bigEndian,
-        meta.gribVar, meta.zlibLevel))
+        meta.gribVar, meta.zlibLevel, meta.shuffleElem))
     }.toMap
   }
 

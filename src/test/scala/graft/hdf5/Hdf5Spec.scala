@@ -71,6 +71,22 @@ class Hdf5Spec extends AnyFunSuite {
     assert(Files.size(java.nio.file.Paths.get(path)) > 0)
   }
 
+  test("shuffle + deflate round trip and kerchunk scan (libnetcdf default)") {
+    import graft.kerchunk.RefSet
+    import graft.zarr.ZarrGroup
+    val f = cube(nt = 8)
+    val d0 = dir
+    val path = s"$d0/shuffled.nc"
+    HDF5Writer.write(path, f, chunks = Map(
+      "foo" -> Vector(4, 5, 4), "bar" -> Vector(8, 5, 4)),
+      deflateLevel = Some(4), shuffle = true)
+    assert(HDF5.read(path).sameAs(f))
+    // scanned refs carry shuffle+zlib codecs and decode in place
+    val virt = s"$d0/virt.zarr"
+    RefSet.scanHdf5(path).materialize(virt)
+    assert(ZarrGroup(virt).readFragment().sameAs(f))
+  }
+
   test("phantom dimension (no coordinate variable) survives") {
     val f0 = cube()
     val f = f0.copy(coords = f0.coords - "lon")
