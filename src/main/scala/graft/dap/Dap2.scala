@@ -120,16 +120,19 @@ object Dap2 {
   // ------------------------------------------------------------ DAS parse
 
   /** Parse the DAS attribute document into per-variable attr maps;
-    * "NC_GLOBAL" (or "GLOBAL") carries dataset attrs. */
+    * "NC_GLOBAL" (or "GLOBAL") carries dataset attrs. Quoted values may
+    * contain ';', '}' and escaped quotes (CF history attrs routinely do),
+    * so both the block and line patterns treat quoted strings atomically. */
   def parseDas(text: String): Map[String, Attrs] = {
     val out = scala.collection.mutable.Map.empty[String, Attrs]
     val body = text.trim.stripPrefix("Attributes").trim
       .stripPrefix("{").stripSuffix("}")
-    val varPattern = """(?s)([\w.%-]+)\s*\{(.*?)\}""".r
+    val qstr = """"(?:[^"\\]|\\.)*""""
+    val varPattern = s"""(?s)([\\w.%-]+)\\s*\\{((?:$qstr|[^}])*)\\}""".r
     varPattern.findAllMatchIn(body).foreach { m =>
       val vname = m.group(1)
       val attrs = scala.collection.mutable.Map.empty[String, AttrValue]
-      val linePattern = """(\w+)\s+([\w.%-]+)\s+(.+?);""".r
+      val linePattern = s"""(\\w+)\\s+([\\w.%-]+)\\s+($qstr|[^;]+);""".r
       linePattern.findAllMatchIn(m.group(2)).foreach { am =>
         val (t, name, raw) = (am.group(1), am.group(2), am.group(3).trim)
         val v: AttrValue = t match {

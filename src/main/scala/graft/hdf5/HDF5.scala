@@ -116,7 +116,9 @@ object HDF5 {
         case 2 | 3 =>
           require((head.get(9) & 0xFF) == 8 && (head.get(10) & 0xFF) == 8,
             "only 8-byte offsets/lengths supported")
-          (version, head.getLong(12 + 8 + 8)) // base, ext, eof, then root
+          // fixed fields are 12 bytes (sig+version+sizes+flags), then
+          // base(8) @12, extension(8) @20, EOF(8) @28, root header @36
+          (version, head.getLong(36))
         case v => throw new UnsupportedOperationException(s"superblock v$v")
       }
     }
@@ -167,7 +169,7 @@ object HDF5 {
       require((head.get(4) & 0xFF) == 2, "OHDR version")
       val flags = head.get(5) & 0xFF
       var p = addr + 6
-      if ((flags & 0x20) != 0) p += 8 // access/mod/change/birth times
+      if ((flags & 0x20) != 0) p += 16 // access/mod/change/birth times (4×4)
       if ((flags & 0x10) != 0) p += 4 // max compact / min dense
       val chunkSizeBytes = 1 << (flags & 0x3)
       val sizeBuf = readAt(p, 8)
@@ -184,7 +186,9 @@ object HDF5 {
       while (blocks.nonEmpty) {
         val (bAddr, bLen, isCont) = blocks.head; blocks = blocks.tail
         val start = if (isCont) bAddr + 4 else bAddr // "OCHK" prefix
-        val dataLen = (if (isCont) bLen - 8 else bLen - 4).toInt // minus checksum
+        // chunk-0 size covers messages+gap (checksum excluded); an OCHK
+        // continuation's recorded length includes its sig and checksum
+        val dataLen = (if (isCont) bLen - 8 else bLen).toInt
         val buf = readAt(start, dataLen)
         var q = 0
         val msgHeader = if (trackOrder) 6 else 4
@@ -421,8 +425,9 @@ object HDF5 {
           (AttrValue.AStr(new String(bytes, "UTF-8").takeWhile(_ != 0)), Vector.empty)
         case VlenType(true, _) =>
           // vlen string: one (len, gheap addr, index) record per element
-          val s = globalHeapString(data, 0)
-          (AttrValue.AStr(s), Vector.empty)
+          val strs = (0 until n).toVector.map(i =>
+            AttrValue.AStr(globalHeapString(data, i)))
+          (if (strs.length == 1) strs.head else AttrValue.AList(strs), Vector.empty)
         case VlenType(false, base) =>
           // vlen sequence — the DIMENSION_LIST case: elements are object refs
           val addrs = Vector.newBuilder[Long]

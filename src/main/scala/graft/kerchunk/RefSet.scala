@@ -89,6 +89,8 @@ object RefSet {
     var out = Map.empty[String, Ref]
     out += "zarr.json" -> Ref.inline(graft.zarr.ZarrStore.groupMetaDoc(hdr.gatts))
     val recsize = hdr.recsize
+    // one channel for every inline slab of the scan (not one per record)
+    NetCDF3.withRangeReader(path) { rangeRead =>
     hdr.vars.foreach { v =>
       require(v.ncType >= NetCDF3.NcInt,
         s"scanNetCDF3: variable ${v.name} has nc_type ${v.ncType} " +
@@ -106,7 +108,7 @@ object RefSet {
       // a multi-GB file stays header-plus-small-slabs, never a full load
       def refFor(offset: Long): Ref =
         if (slab <= inlineThreshold)
-          Ref.inline(NetCDF3.readRange(path, offset, slab))
+          Ref.inline(rangeRead(offset, slab))
         else Ref.pointer(path, offset, slab)
       if (isRec) {
         val zeros = shape.drop(1).map(_ => "0")
@@ -121,6 +123,7 @@ object RefSet {
       }
     }
     RefSet(out)
+    }
   }
 
   /** SingleHdf5ToZarr analog (openers.py:137-155 routes file_type="netcdf4"
@@ -131,8 +134,10 @@ object RefSet {
     * the reader inflates in place. Data bytes stay in the original file.
     *
     * Datasets whose stored element width differs from the engine's widened
-    * dtype (int8/int16 — no raw-byte zarr dtype) and shuffle/fletcher32
-    * filters are rejected; the full decoder (HDF5.read) handles them. */
+    * dtype (int8/int16 — no raw-byte zarr dtype) are rejected, as are
+    * fletcher32 filters and per-chunk skipped-filter masks; deflate and
+    * shuffle map to the store's zlib/shuffle codecs. The full decoder
+    * (HDF5.read) handles everything the scanner rejects. */
   def scanHdf5(path: String, inlineThreshold: Int = 300): RefSet = {
     import graft.hdf5.HDF5
     import graft.core.{AttrValue, DType}
@@ -190,6 +195,12 @@ object RefSet {
               dimensionNames = Some(m.dimNames), bigEndian = bigEndian,
               zlibLevel = zlib, shuffleElem = shuffle))
             r.chunkRefs(ck).foreach { cr =>
+              // the array-level codec list applies to EVERY chunk; a chunk
+              // whose optional filter was skipped at write time (nonzero
+              // mask) cannot be represented — reject, don't corrupt
+              require(cr.filterMask == 0,
+                s"scanHdf5: ${m.name} chunk at ${cr.offsets} has filter " +
+                  s"mask ${cr.filterMask} (skipped filters); decode via HDF5.read")
               val idx = cr.offsets.indices
                 .map(d => cr.offsets(d) / chunkDims(d)).mkString("/")
               out += s"${m.name}/c/$idx" -> inlineOrPointer(cr.addr, cr.size)

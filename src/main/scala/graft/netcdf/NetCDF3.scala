@@ -239,6 +239,16 @@ object NetCDF3 {
     try readFully(ch, offset, length.toInt) finally ch.close()
   }
 
+  /** Open one channel and hand the caller a ranged reader over it — a scan
+    * that inlines many small slabs does one open, not one per slab. */
+  def withRangeReader[T](path: String)(body: ((Long, Long) => Array[Byte]) => T): T = {
+    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    try body { (offset, length) =>
+      require(length <= Int.MaxValue, s"range of $length bytes too large")
+      readFully(ch, offset, length.toInt)
+    } finally ch.close()
+  }
+
   /** Read a classic file into the engine's Fragment. Variables whose only
     * dim is their own name become coordinates (the xarray convention the
     * reference relies on); everything else is a data variable. */

@@ -22,6 +22,9 @@ trait StoreIO {
   def write(key: String, bytes: Array[Byte]): Unit
   def read(key: String): Array[Byte]
   def readRange(key: String, pos: Long, len: Int): Array[Byte]
+  /** Multiple ranges of one object through a SINGLE open handle — the
+    * shard reader's per-chunk fetches (one open per shard, not per chunk). */
+  def readRanges(key: String, ranges: Seq[(Long, Int)]): Seq[Array[Byte]]
   def size(key: String): Long
   def exists(key: String): Boolean
   /** Immediate child directories that contain a zarr.json (array dirs). */
@@ -44,18 +47,25 @@ final class PosixIO(root: String) extends StoreIO {
     Files.write(path, bytes)
   }
   def read(key: String): Array[Byte] = Files.readAllBytes(p(key))
+  private def readAt(ch: java.nio.channels.FileChannel, key: String,
+                     pos: Long, len: Int): Array[Byte] = {
+    val buf = ByteBuffer.allocate(len)
+    var off = 0L
+    while (buf.hasRemaining) {
+      val n = ch.read(buf, pos + off)
+      if (n < 0) throw new java.io.EOFException(s"$key: EOF at ${pos + off}")
+      off += n
+    }
+    buf.array()
+  }
   def readRange(key: String, pos: Long, len: Int): Array[Byte] = {
     val ch = java.nio.channels.FileChannel.open(p(key), StandardOpenOption.READ)
-    try {
-      val buf = ByteBuffer.allocate(len)
-      var off = 0L
-      while (buf.hasRemaining) {
-        val n = ch.read(buf, pos + off)
-        if (n < 0) throw new java.io.EOFException(s"$key: EOF at ${pos + off}")
-        off += n
-      }
-      buf.array()
-    } finally ch.close()
+    try readAt(ch, key, pos, len) finally ch.close()
+  }
+  def readRanges(key: String, ranges: Seq[(Long, Int)]): Seq[Array[Byte]] = {
+    val ch = java.nio.channels.FileChannel.open(p(key), StandardOpenOption.READ)
+    try ranges.map { case (pos, len) => readAt(ch, key, pos, len) }
+    finally ch.close()
   }
   def size(key: String): Long = Files.size(p(key))
   def exists(key: String): Boolean = Files.exists(p(key))
@@ -81,8 +91,19 @@ final class PosixIO(root: String) extends StoreIO {
 final class HadoopIO(root: String) extends StoreIO {
   import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   private val rootPath = new HPath(root)
-  private val fs: FileSystem =
-    rootPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+  private val fs: FileSystem = {
+    // a bare Configuration would drop spark.hadoop.* settings (the standard
+    // way clusters pass fs.s3a.* credentials/endpoints); fold them in from
+    // the local SparkEnv, which exists on both driver and executors
+    val conf = new org.apache.hadoop.conf.Configuration()
+    Option(org.apache.spark.SparkEnv.get).foreach { env =>
+      env.conf.getAll.foreach { case (k, v) =>
+        if (k.startsWith("spark.hadoop."))
+          conf.set(k.stripPrefix("spark.hadoop."), v)
+      }
+    }
+    rootPath.getFileSystem(conf)
+  }
   private def p(key: String) = new HPath(rootPath, key)
 
   def write(key: String, bytes: Array[Byte]): Unit = {
@@ -98,6 +119,14 @@ final class HadoopIO(root: String) extends StoreIO {
     try {
       val buf = new Array[Byte](len)
       in.readFully(pos, buf) // positioned read — the range-GET analog
+      buf
+    } finally in.close()
+  }
+  def readRanges(key: String, ranges: Seq[(Long, Int)]): Seq[Array[Byte]] = {
+    val in = fs.open(p(key))
+    try ranges.map { case (pos, len) =>
+      val buf = new Array[Byte](len)
+      in.readFully(pos, buf)
       buf
     } finally in.close()
   }

@@ -589,14 +589,19 @@ final case class ZarrGroup(root: String) {
     val crc = new java.util.zip.CRC32C(); crc.update(idxBytes)
     require(crc.getValue.toInt == tail.getInt, "shard index CRC32C mismatch")
     val index = ByteBuffer.wrap(idxBytes).order(ByteOrder.LITTLE_ENDIAN)
-    wanted.flatMap { pos =>
+    val present = wanted.flatMap { pos =>
       val ord = posToOrdinal(pos)
       val offset = index.getLong(ord * 16)
       val nbytes = index.getLong(ord * 16 + 8)
       if (offset == -1L || nbytes == -1L) None
-      else Some(pos -> decodeChunk(io.readRange(key, offset, nbytes.toInt),
-        meta.dtype, meta.chunks, meta.gzipLevel, meta.bigEndian,
-        meta.gribVar, meta.zlibLevel, meta.shuffleElem))
+      else Some((pos, offset, nbytes.toInt))
+    }
+    // all wanted chunk ranges through one open handle (one GET batch)
+    val payloads = io.readRanges(key,
+      present.map { case (_, off, len) => (off, len) })
+    present.zip(payloads).map { case ((pos, _, _), raw) =>
+      pos -> decodeChunk(raw, meta.dtype, meta.chunks, meta.gzipLevel,
+        meta.bigEndian, meta.gribVar, meta.zlibLevel, meta.shuffleElem)
     }.toMap
   }
 

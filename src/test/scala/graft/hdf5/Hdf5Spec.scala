@@ -148,6 +148,71 @@ class Hdf5Spec extends AnyFunSuite {
     assert(ZarrGroup(virt).readFragment().sameAs(full))
   }
 
+  test("superblock v2 + v2 object headers (libver-latest layout) parse") {
+    // hand-built minimal v2 file: superblock v2 -> root OHDR with a hard
+    // link message -> dataset OHDR (with tracked times, exercising the
+    // 16-byte timestamp block) -> contiguous int32 data
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int): ByteBuffer = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    def msg(t: Int, body: Array[Byte]): Array[Byte] = {
+      val b = le(4 + body.length)
+      b.put(t.toByte); b.putShort(body.length.toShort); b.put(0.toByte)
+      b.put(body); b.array()
+    }
+    val n = 5
+    val data = le(n * 4); (1 to n).foreach(i => data.putInt(i * 11))
+    // dataset messages: dataspace v2, datatype i32 LE, contiguous layout
+    val space = { val b = le(12); b.put(2.toByte); b.put(1.toByte)
+      b.put(0.toByte); b.put(1.toByte); b.putLong(n.toLong); b.array() }
+    val dtype = { val b = le(12); b.put(0x10.toByte); b.put(0x08.toByte)
+      b.position(4); b.putInt(4); b.putShort(0); b.putShort(32); b.array() }
+    def layout(addr: Long) = { val b = le(18); b.put(3.toByte); b.put(1.toByte)
+      b.putLong(addr); b.putLong(n * 4L); b.array() }
+    def ohdr(flags: Int, times: Boolean, msgs: Array[Byte]): Array[Byte] = {
+      val b = le(6 + (if (times) 16 else 0) + 1 + msgs.length + 4)
+      b.put("OHDR".getBytes("ASCII")); b.put(2.toByte); b.put(flags.toByte)
+      if (times) (0 until 4).foreach(_ => b.putInt(0))
+      b.put(msgs.length.toByte) // chunk0 size (flags&3==0 -> 1 byte)
+      b.put(msgs); b.putInt(0) // checksum (unchecked by our reader)
+      b.array()
+    }
+    // layout plan: superblock(48) | root OHDR | dataset OHDR | data
+    val dsMsgs0 = msg(0x01, space) ++ msg(0x03, dtype) ++ msg(0x08, layout(0))
+    val rootAddr = 48L
+    def linkMsg(target: Long): Array[Byte] = {
+      val name = "v".getBytes("UTF-8")
+      val b = le(2 + 1 + name.length + 8)
+      b.put(1.toByte); b.put(0.toByte) // version, flags: 1-byte name len, hard
+      b.put(name.length.toByte); b.put(name); b.putLong(target)
+      b.array()
+    }
+    val rootMsgs = msg(0x06, linkMsg(0L)) // target patched below
+    val rootBytes = ohdr(0x20, times = true, rootMsgs)
+    val dsAddr = rootAddr + rootBytes.length
+    val dsBytes0 = ohdr(0x00, times = false, dsMsgs0)
+    val dataAddr = dsAddr + dsBytes0.length
+    val dsBytes = ohdr(0x00, times = false,
+      msg(0x01, space) ++ msg(0x03, dtype) ++ msg(0x08, layout(dataAddr)))
+    val rootPatched = ohdr(0x20, times = true, msg(0x06, linkMsg(dsAddr)))
+    val total = dataAddr + n * 4
+    val sb = le(48)
+    sb.put(graft.hdf5.HDF5.Signature); sb.put(2.toByte)
+    sb.put(8.toByte); sb.put(8.toByte); sb.put(0.toByte)
+    sb.putLong(0L); sb.putLong(-1L); sb.putLong(total); sb.putLong(rootAddr)
+    sb.putInt(0) // checksum (unchecked)
+    val file = le(total.toInt)
+    file.put(sb.array()); file.position(rootAddr.toInt); file.put(rootPatched)
+    file.position(dsAddr.toInt); file.put(dsBytes)
+    file.position(dataAddr.toInt); file.put(data.array())
+    val path = s"$dir/v2.h5"
+    Files.write(java.nio.file.Paths.get(path), file.array())
+
+    val f = HDF5.read(path)
+    assert(f.dataVars.keySet == Set("v"))
+    assert(f.dataVars("v").data.data.asInstanceOf[Array[Int]].toVector ==
+      (1 to n).map(_ * 11).toVector)
+  }
+
   test("float32 and int64 data vars round trip") {
     val f = Fragment(
       dims = Map("n" -> 7),

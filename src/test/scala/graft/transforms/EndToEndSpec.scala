@@ -124,10 +124,21 @@ class EndToEndSpec extends AnyFunSuite {
     // read back through the URI (Hadoop path) and through the posix path
     assert(ZarrGroup(storeUri).readFragment().sameAs(cube))
     assert(ZarrGroup(s"$dir/object_store.zarr").readFragment().sameAs(cube))
-    // sharded variant: range-read shard index over the Hadoop transport
     val g = ZarrGroup(storeUri)
     g.consolidateMetadata()
     assert(g.groupAttrs == cube.attrs)
+    // sharded store through the URI: the write is object-PUT-shaped and
+    // readRegion goes through the shard index via batched range reads
+    // (readRanges) on the Hadoop transport
+    val shardUri = s"file://$dir/object_store_sharded.zarr"
+    Pipelines.storeToZarr(frags, pattern.combineDimKeys, shardUri,
+      Map("time" -> 1), targetShards = Map("time" -> 3))
+    val sg = ZarrGroup(shardUri)
+    assert(sg.arrayMeta("foo").shardShape.map(_.head).contains(3))
+    assert(sg.readFragment().sameAs(cube))
+    val slab = sg.readRegion("foo", Vector(2, 0, 0), Vector(2, 18, 36))
+    assert(slab.sameElements(cube.dataVars("foo")
+      .isel(Map("time" -> Slc(2, 4))).data))
   }
 
   test("append: 10 + 10 days equals the 20-day cube") {
