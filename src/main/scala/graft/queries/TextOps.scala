@@ -288,9 +288,70 @@ object TextOps {
        |    '$IpRe', '<IP>', 'g')) AS scrub_md5
        |FROM aug ORDER BY doc_id""".stripMargin
 
+  /** Within-document repetition signals (the Gopher/RefinedWeb quality
+    * rules): fraction of duplicate trigrams, top-trigram mass, and
+    * duplicate-token fraction per document, plus the resulting keep/drop
+    * flag. All ratios are exact integer divisions rounded once; the
+    * trigram explode is per-document (no corpus-wide shuffle beyond the
+    * final sort) — a map-side aggregate at 100 TB. */
+  def t10Repetition(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("words")).cast("long"))
+      // guard: Spark's sequence(0, k) runs DESCENDING for k<0, so short
+      // docs must be excluded before building the trigram index range
+      .filter(col("n_tokens") >= 3)
+      .withColumn("grams", expr(
+        "transform(sequence(0, size(words) - 3), i -> " +
+          "concat_ws(' ', words[i], words[i+1], words[i+2]))"))
+      .withColumn("n_grams", size(col("grams")).cast("long"))
+      .withColumn("n_uniq_grams", size(array_distinct(col("grams"))).cast("long"))
+      .withColumn("top_gram_n", expr(
+        "array_max(transform(array_distinct(grams), g -> " +
+          "size(filter(grams, x -> x = g))))").cast("long"))
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        round((col("n_grams") - col("n_uniq_grams")).cast("double")
+          / col("n_grams"), 4).as("dup_gram_frac"),
+        round(col("top_gram_n").cast("double") / col("n_grams"), 4)
+          .as("top_gram_frac"),
+        round((col("n_tokens") - size(array_distinct(col("words"))))
+          .cast("double") / col("n_tokens"), 4).as("dup_token_frac"))
+      .withColumn("keep",
+        col("dup_gram_frac") <= 0.9 && col("top_gram_frac") <= 0.3)
+      .orderBy("doc_id")
+
+  val t10Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), g AS (
+      |  SELECT doc_id, words,
+      |    CAST(len(words) AS BIGINT) AS n_tokens,
+      |    list_transform(generate_series(1, len(words) - 2), i ->
+      |      words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS grams
+      |  FROM t
+      |), m AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(len(grams) AS BIGINT) AS n_grams,
+      |    CAST(len(list_distinct(grams)) AS BIGINT) AS n_uniq_grams,
+      |    CAST(list_max(list_transform(list_distinct(grams), g2 ->
+      |      len(list_filter(grams, x -> x = g2)))) AS BIGINT) AS top_gram_n,
+      |    CAST(len(list_distinct(words)) AS BIGINT) AS n_uniq_tokens
+      |  FROM g)
+      |SELECT doc_id, n_grams,
+      |  ROUND((n_grams - n_uniq_grams)::DOUBLE / n_grams, 4) AS dup_gram_frac,
+      |  ROUND(top_gram_n::DOUBLE / n_grams, 4) AS top_gram_frac,
+      |  ROUND((n_tokens - n_uniq_tokens)::DOUBLE / n_tokens, 4) AS dup_token_frac,
+      |  (ROUND((n_grams - n_uniq_grams)::DOUBLE / n_grams, 4) <= 0.9 AND
+      |   ROUND(top_gram_n::DOUBLE / n_grams, 4) <= 0.3) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t08_clean_text" -> t08CleanText _,
     "t09_pii_scrub" -> t09PiiScrub _,
+    "t10_repetition" -> t10Repetition _,
     "t01_text_stats" -> t01TextStats _,
     "t02_langid" -> t02LangId _,
     "t03_fingerprint" -> t03Fingerprint _,
@@ -310,5 +371,6 @@ object TextOps {
     "t07_sample_strata" -> t07Sql,
     "t08_clean_text" -> t08Sql,
     "t09_pii_scrub" -> t09Sql,
+    "t10_repetition" -> t10Sql,
   )
 }
