@@ -76,6 +76,14 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("s02: band join and rescore are equi-joins, never a cross product") {
+    val p = plan(SimilarityOps.s02EmbedNearDup(spark, d))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // no driver-side collect shape: the plan is joins + exchange only
+    assert(p.contains("Join"), p)
+  }
+
   test("d02: shingle candidate join is an equi-join, never a cross product") {
     val p = plan(DedupOps.d02NgramJaccard(spark, d))
     assert(!p.contains("CartesianProduct") &&
