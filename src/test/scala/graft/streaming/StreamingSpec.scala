@@ -145,4 +145,51 @@ class StreamingSpec extends AnyFunSuite {
       assert(result.sameAs(cube))
     } finally q.stop()
   }
+
+  test("streaming ingest of arriving netCDF-4 files appends to the cube") {
+    import spark.implicits._
+    import graft.patterns.FileType
+    import graft.zarr.ZarrGroup
+    import graft.core._
+    // arriving-file ingest with a REAL binary format: each micro-batch
+    // carries newly-landed .nc files, decoded by the pure-JVM HDF5 codec
+    // on executors and appended along time
+    val nt = 6; val NY = 4; val NX = 3
+    val rng = new scala.util.Random(31)
+    val cube = Fragment(
+      dims = Map("time" -> nt, "lat" -> NY, "lon" -> NX),
+      coords = Map(
+        "time" -> Variable(Vector("time"),
+          NDArray(DType.I8, Vector(nt), (0 until nt).map(_.toLong).toArray)),
+        "lat" -> Variable(Vector("lat"),
+          NDArray(DType.F8, Vector(NY), (0 until NY).map(_ * 1.0).toArray)),
+        "lon" -> Variable(Vector("lon"),
+          NDArray(DType.F8, Vector(NX), (0 until NX).map(_ * 2.0).toArray))),
+      dataVars = Map("foo" -> Variable(Vector("time", "lat", "lon"),
+        NDArray(DType.F8, Vector(nt, NY, NX),
+          Array.fill(nt * NY * NX)(rng.nextDouble())))),
+      attrs = Map("conventions" -> AttrValue("CF 1.6")))
+    val dir = java.nio.file.Files.createTempDirectory("nc_stream").toString
+    val files = (0 until nt by 2).map { t0 =>
+      val p = s"$dir/arrival_$t0.nc"
+      graft.hdf5.HDF5Writer.write(p, cube.isel(Map("time" -> Slc(t0, t0 + 2))),
+        chunks = Map("foo" -> Vector(1, NY, NX)), deflateLevel = Some(4))
+      p
+    }.toVector
+    val storePath = s"$dir/store.zarr"
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = mem.toDS().writeStream
+      .foreachBatch(StreamingPipelines.zarrAppendBatch(
+        storePath, "time", FileType.Netcdf4, Map("time" -> 2), Some(2)) _)
+      .start()
+    try {
+      mem.addData(files.head)
+      q.processAllAvailable()
+      assert(ZarrGroup(storePath).arrayMeta("foo").shape.head == 2)
+      mem.addData(files.tail: _*)
+      q.processAllAvailable()
+      assert(ZarrGroup(storePath).readFragment().sameAs(cube))
+    } finally q.stop()
+  }
 }
