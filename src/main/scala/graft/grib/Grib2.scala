@@ -52,8 +52,16 @@ object Grib2 {
                               forecastTime: Long, surfaceType: Int,
                               surfaceValue: Double)
 
+  /** Complex-packing parameters (templates 5.2/5.3). */
+  final case class ComplexParams(splitMethod: Int, missingMgmt: Int,
+                                 ng: Int, widthRef: Int, widthBits: Int,
+                                 lenRef: Long, lenInc: Int, lastLen: Long,
+                                 lenBits: Int, spatialOrder: Int,
+                                 extraOctets: Int)
+
   final case class Packing(template: Int, nValues: Int, refValue: Float,
-                           binaryScale: Int, decimalScale: Int, nbits: Int)
+                           binaryScale: Int, decimalScale: Int, nbits: Int,
+                           complex: Option[ComplexParams] = None)
 
   /** One scanned message: metadata + byte ranges of the heavy sections. */
   final case class Message(offset: Long, length: Long,
@@ -252,11 +260,21 @@ object Grib2 {
 
   private def parsePacking(r: R): Packing = {
     val template = r.u16(9)
-    require(template == 0 || template == 40,
+    require(template == 0 || template == 2 || template == 3 || template == 40,
       s"GRIB2 data representation template 5.$template not supported " +
-        "(5.0 simple packing and 5.40 constant fields are)")
+        "(5.0 simple, 5.2/5.3 complex, 5.40 constant fields are)")
+    val complex =
+      if (template == 2 || template == 3) Some(ComplexParams(
+        splitMethod = r.u8(21), missingMgmt = r.u8(22),
+        ng = r.u32(31).toInt, widthRef = r.u8(35), widthBits = r.u8(36),
+        lenRef = r.u32(37), lenInc = r.u8(41), lastLen = r.u32(42),
+        lenBits = r.u8(46),
+        spatialOrder = if (template == 3) r.u8(47) else 0,
+        extraOctets = if (template == 3) r.u8(48) else 0))
+      else None
     Packing(template, nValues = r.u32(5).toInt, refValue = r.f32(11),
-      binaryScale = r.i16sm(15), decimalScale = r.i16sm(17), nbits = r.u8(19))
+      binaryScale = r.i16sm(15), decimalScale = r.i16sm(17), nbits = r.u8(19),
+      complex = complex)
   }
 
   // ------------------------------------------------------------- decoding
@@ -314,7 +332,7 @@ object Grib2 {
     val d = math.pow(10, p.decimalScale)
     // packed value stream: X_k -> (R + X_k * 2^E) / 10^D
     val unpack: Int => Double =
-      if (p.nbits == 0 || data.isEmpty) { _ => p.refValue / d }
+      if ((p.nbits == 0 || data.isEmpty) && p.complex.isEmpty) { _ => p.refValue / d }
       else p.template match {
         case 0 =>
           val bits = new BitReader(data)
@@ -323,6 +341,12 @@ object Grib2 {
           while (k < p.nValues) {
             vals(k) = (p.refValue + bits.next(p.nbits) * e) / d; k += 1
           }
+          vals(_)
+        case 2 | 3 =>
+          val xs = unpackComplex(p, data)
+          val vals = new Array[Double](p.nValues)
+          var k = 0
+          while (k < p.nValues) { vals(k) = (p.refValue + xs(k) * e) / d; k += 1 }
           vals(_)
         case 40 => throw new UnsupportedOperationException(
           "GRIB2 JPEG2000 packing with a non-empty payload requires a jp2 " +
@@ -347,9 +371,78 @@ object Grib2 {
     out
   }
 
+  /** Complex packing (5.2) and complex packing with spatial differencing
+    * (5.3): section 7 is [initial values + overall min (5.3 only)], then
+    * NG group reference values, NG group widths, NG scaled group lengths,
+    * then per-group packed values — each block octet-aligned. Returns the
+    * integer X stream (after un-differencing for 5.3). */
+  private def unpackComplex(p: Packing, data: Array[Byte]): Array[Long] = {
+    val cp = p.complex.get
+    require(cp.missingMgmt == 0,
+      "GRIB2 complex packing with embedded missing-value management not " +
+        "supported (use a bitmap)")
+    val bits = new BitReader(data)
+    val n = p.nValues
+    // 5.3: order initial values + overall minimum, sign-magnitude,
+    // extraOctets wide
+    var z: Array[Long] = Array.emptyLongArray
+    var zmin = 0L
+    if (p.template == 3) {
+      val w = cp.extraOctets * 8
+      def sm(v: Long): Long = {
+        val sign = 1L << (w - 1)
+        if ((v & sign) != 0) -(v & (sign - 1)) else v
+      }
+      z = Array.fill(cp.spatialOrder)(sm(bits.next(w)))
+      zmin = sm(bits.next(w))
+      bits.alignByte()
+    }
+    val refs = Array.fill(cp.ng)(if (p.nbits == 0) 0L else bits.next(p.nbits))
+    bits.alignByte()
+    val widths = Array.fill(cp.ng)(
+      cp.widthRef + (if (cp.widthBits == 0) 0L else bits.next(cp.widthBits)))
+    bits.alignByte()
+    val lens = Array.tabulate(cp.ng) { g =>
+      if (g == cp.ng - 1) cp.lastLen
+      else cp.lenRef + cp.lenInc *
+        (if (cp.lenBits == 0) 0L else bits.next(cp.lenBits))
+    }
+    bits.alignByte()
+    require(lens.sum == n, s"group lengths ${lens.sum} != nValues $n")
+    val xs = new Array[Long](n)
+    var k = 0
+    var g = 0
+    while (g < cp.ng) {
+      val w = widths(g).toInt
+      var i = 0L
+      while (i < lens(g)) {
+        xs(k) = refs(g) + (if (w == 0) 0L else bits.next(w))
+        k += 1; i += 1
+      }
+      g += 1
+    }
+    if (p.template == 3) {
+      // restore: first `order` values are the stored initial values; the
+      // rest are differences offset by zmin, integrated `order` times
+      val order = cp.spatialOrder
+      require(order == 1 || order == 2, s"spatial differencing order $order")
+      var i = 0
+      while (i < order && i < n) { xs(i) = z(i); i += 1 }
+      if (order == 1) {
+        while (i < n) { xs(i) = xs(i) + zmin + xs(i - 1); i += 1 }
+      } else {
+        while (i < n) { xs(i) = xs(i) + zmin + 2 * xs(i - 1) - xs(i - 2); i += 1 }
+      }
+    }
+    xs
+  }
+
   /** MSB-first n-bit unsigned integer reader over a byte array. */
   private final class BitReader(bytes: Array[Byte]) {
     private var bitPos = 0L
+    /** each complex-packing block (refs/widths/lengths/data) is padded to
+      * a whole octet (template 7.2/7.3 regulations) */
+    def alignByte(): Unit = bitPos = (bitPos + 7) & ~7L
     def next(nbits: Int): Long = {
       var v = 0L
       var left = nbits
@@ -493,6 +586,14 @@ object Grib2 {
 
   // --------------------------------------------------------------- writer
 
+  private def sec(num: Int, body: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(5 + body.length).order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(5 + body.length); bb.put(num.toByte); bb.put(body)
+    bb.array()
+  }
+  private def smPut16(bb: ByteBuffer, v: Int): Unit =
+    bb.putShort((if (v < 0) 0x8000 | (-v) else v).toShort)
+
   /** Write a one-message GRIB2 file: regular lat-lon grid (3.0), product
     * 4.0, simple packing (5.0) with `nbits`, bitmap from NaNs. The test
     * fixture generator — gives the simple-packing decode path real packed
@@ -518,14 +619,6 @@ object Grib2 {
     while (maxOff / math.pow(2, binScale) > ((1L << nbits) - 1) && binScale < 30)
       binScale += 1
     val e = math.pow(2, binScale)
-
-    def sec(num: Int, body: Array[Byte]): Array[Byte] = {
-      val bb = ByteBuffer.allocate(5 + body.length).order(ByteOrder.BIG_ENDIAN)
-      bb.putInt(5 + body.length); bb.put(num.toByte); bb.put(body)
-      bb.array()
-    }
-    def smPut16(bb: ByteBuffer, v: Int): Unit =
-      bb.putShort((if (v < 0) 0x8000 | (-v) else v).toShort)
 
     // section 1: identification
     val t = java.time.LocalDateTime.ofEpochSecond(refTimeEpochSec, 0,
@@ -607,6 +700,182 @@ object Grib2 {
 
     val sections = Array(sec(1, s1.array()), sec(3, s3.array()),
       sec(4, s4.array()), sec(5, s5.array()), sec(6, s6Body), sec(7, s7Body))
+    val bodyLen = sections.map(_.length).sum
+    val total = 16L + bodyLen + 4
+    val out = ByteBuffer.allocate(total.toInt).order(ByteOrder.BIG_ENDIAN)
+    out.put("GRIB".getBytes("ASCII")); out.putShort(0)
+    out.put(discipline.toByte); out.put(2.toByte); out.putLong(total)
+    sections.foreach(out.put)
+    out.put("7777".getBytes("ASCII"))
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    Files.write(p, out.array())
+  }
+
+  /** MSB-first bit packer with octet alignment (writer twin of BitReader). */
+  private final class BitWriter {
+    private val bos = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var bitPos = 0L
+    def put(x: Long, nbits: Int): Unit = {
+      var left = nbits
+      while (left > 0) {
+        val byteIdx = (bitPos >> 3).toInt
+        while (bos.length <= byteIdx) bos += 0
+        val bitInByte = (bitPos & 7).toInt
+        val take = math.min(left, 8 - bitInByte)
+        val chunk = ((x >> (left - take)) & ((1L << take) - 1)).toInt
+        bos(byteIdx) = (bos(byteIdx) | (chunk << (8 - bitInByte - take))).toByte
+        bitPos += take; left -= take
+      }
+    }
+    def alignByte(): Unit = bitPos = (bitPos + 7) & ~7L
+    def result(): Array[Byte] = bos.toArray
+  }
+
+  /** Write a one-message GRIB2 file with COMPLEX packing: template 5.2
+    * (order=0) or 5.3 with first/second-order spatial differencing
+    * (order=1|2), general group splitting with fixed-size groups. Fixture
+    * generator for the complex-packing decode path — the packing NCEP/CMC
+    * operational files actually use. Values must be NaN-free (complex
+    * missing-value management is out of scope; use a bitmap via
+    * writeSimple for masked fields). */
+  def writeComplex(path: String, values: Array[Double], nx: Int, ny: Int,
+                   la1: Double, lo1: Double, dLat: Double, dLon: Double,
+                   discipline: Int, category: Int, number: Int,
+                   refTimeEpochSec: Long, order: Int = 2,
+                   decimalScale: Int = 2, groupSize: Int = 20): Unit = {
+    require(values.length == nx * ny, "values must cover the grid")
+    require(values.forall(!_.isNaN), "complex writer takes NaN-free fields")
+    require(order >= 0 && order <= 2, s"spatial differencing order $order")
+    val n = values.length
+    val d = math.pow(10, decimalScale)
+    val scaled = values.map(v => math.rint(v * d).toLong)
+
+    // spatial differencing: z = initial values of the original sequence,
+    // diffs carry the order-th differences; zmin shifts them non-negative
+    val (rv, z, zmin, stream) =
+      if (order == 0) {
+        val mn = scaled.min
+        (mn, Array.emptyLongArray, 0L, scaled.map(_ - mn))
+      } else {
+        val diffs = scaled.clone()
+        (0 until order).foreach { _ =>
+          var i = n - 1
+          while (i > 0) { diffs(i) = diffs(i) - diffs(i - 1); i -= 1 }
+        }
+        // after k passes, diffs(i) for i >= k are the k-th differences; the
+        // extra descriptors carry the ORIGINAL first `order` values (the
+        // integration constants the decoder seeds with)
+        val z0 = scaled.take(order)
+        val mn = if (n > order) diffs.drop(order).min else 0L
+        val st = diffs.zipWithIndex.map { case (v, i) =>
+          if (i < order) 0L else v - mn }
+        (0L, z0, mn, st)
+      }
+    require(math.abs(rv) < (1 << 24), s"reference value $rv exceeds float32")
+
+    // groups over the stream (first `order` entries ride in group 0 with
+    // zero contribution — their X is overridden by z on decode)
+    val groups = stream.grouped(groupSize).toArray
+    val ng = groups.length
+    val refs = groups.map(_.min)
+    val widths = groups.map { g =>
+      val span = g.max - g.min
+      if (span == 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(span)
+    }
+    def bitsFor(x: Long): Int =
+      if (x == 0) 1 else 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val nbits = bitsFor(refs.max.max(1L))
+    val widthBits = bitsFor(widths.max.max(1).toLong)
+    val lastLen = groups.last.length
+
+    // extra-descriptor width for 5.3: fits z values and zmin (sign-magnitude)
+    val extraOctets =
+      if (order == 0) 0
+      else {
+        val maxMag = (z.map(math.abs) :+ math.abs(zmin)).max
+        math.max(1, (bitsFor(maxMag) + 1 + 7) / 8)
+      }
+
+    // ---- section 7 ----
+    val bw = new BitWriter
+    if (order > 0) {
+      val w = extraOctets * 8
+      def smBits(v: Long): Long =
+        if (v < 0) (1L << (w - 1)) | (-v) else v
+      z.foreach(v => bw.put(smBits(v), w))
+      bw.put(smBits(zmin), w)
+      bw.alignByte()
+    }
+    refs.foreach(bw.put(_, nbits)); bw.alignByte()
+    widths.foreach(w => bw.put(w.toLong, widthBits)); bw.alignByte()
+    // scaled group lengths: ref=groupSize, inc=1 -> all zeros; last group
+    // comes from the true-length field
+    val lenBits = 1
+    groups.indices.foreach(_ => bw.put(0L, lenBits)); bw.alignByte()
+    groups.zipWithIndex.foreach { case (g, gi) =>
+      val w = widths(gi)
+      if (w > 0) g.foreach(v => bw.put(v - refs(gi), w))
+    }
+    val s7Body = bw.result()
+
+    // ---- section 5: template 5.2/5.3 ----
+    val template = if (order == 0) 2 else 3
+    val s5 = ByteBuffer.allocate(if (order == 0) 42 else 44)
+      .order(ByteOrder.BIG_ENDIAN)
+    s5.putInt(n)
+    s5.putShort(template.toShort)
+    s5.putFloat(rv.toFloat)
+    smPut16(s5, 0) // binary scale 0
+    smPut16(s5, decimalScale)
+    s5.put(nbits.toByte); s5.put(0.toByte) // field type: float
+    s5.put(1.toByte) // group splitting: general
+    s5.put(0.toByte) // no missing-value management
+    s5.putInt(0); s5.putInt(0) // missing substitutes
+    s5.putInt(ng)
+    s5.put(0.toByte) // group width reference
+    s5.put(widthBits.toByte)
+    s5.putInt(groupSize) // group length reference
+    s5.put(1.toByte) // length increment
+    s5.putInt(lastLen) // true length of last group
+    s5.put(lenBits.toByte)
+    if (order > 0) { s5.put(order.toByte); s5.put(extraOctets.toByte) }
+
+    // ---- sections 1/3/4/6 (same shapes as writeSimple) ----
+    val t = java.time.LocalDateTime.ofEpochSecond(refTimeEpochSec, 0,
+      java.time.ZoneOffset.UTC)
+    val s1 = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
+    s1.putShort(255); s1.putShort(0)
+    s1.put(4.toByte); s1.put(0.toByte); s1.put(1.toByte)
+    s1.putShort(t.getYear.toShort); s1.put(t.getMonthValue.toByte)
+    s1.put(t.getDayOfMonth.toByte); s1.put(t.getHour.toByte)
+    s1.put(t.getMinute.toByte); s1.put(t.getSecond.toByte)
+    s1.put(0.toByte); s1.put(2.toByte)
+    val s3 = ByteBuffer.allocate(67).order(ByteOrder.BIG_ENDIAN)
+    s3.put(0.toByte); s3.putInt(nx * ny); s3.put(0.toByte); s3.put(0.toByte)
+    s3.putShort(0); s3.put(6.toByte)
+    s3.put(0.toByte); s3.putInt(0)
+    s3.put(0.toByte); s3.putInt(0); s3.put(0.toByte); s3.putInt(0)
+    s3.putInt(nx); s3.putInt(ny)
+    s3.putInt(0); s3.putInt(0)
+    s3.putInt((la1 * 1e6).round.toInt); s3.putInt((lo1 * 1e6).round.toInt)
+    s3.put(0x30.toByte)
+    s3.putInt(((la1 + (ny - 1) * dLat) * 1e6).round.toInt)
+    s3.putInt(((lo1 + (nx - 1) * dLon) * 1e6).round.toInt)
+    s3.putInt((dLon * 1e6).round.toInt); s3.putInt((dLat * 1e6).round.toInt)
+    s3.put(0x40.toByte)
+    val s4 = ByteBuffer.allocate(29).order(ByteOrder.BIG_ENDIAN)
+    s4.putShort(0); s4.putShort(0)
+    s4.put(category.toByte); s4.put(number.toByte)
+    s4.put(0.toByte); s4.put(0.toByte); s4.put(0.toByte)
+    s4.putShort(0); s4.put(0.toByte)
+    s4.put(1.toByte); s4.putInt(0)
+    s4.put(1.toByte); s4.put(0.toByte); s4.putInt(0)
+    s4.put(255.toByte); s4.put(0.toByte); s4.putInt(0)
+
+    val sections = Array(sec(1, s1.array()), sec(3, s3.array()),
+      sec(4, s4.array()), sec(5, s5.array()),
+      sec(6, Array[Byte](255.toByte)), sec(7, s7Body))
     val bodyLen = sections.map(_.length).sum
     val total = 16L + bodyLen + 4
     val out = ByteBuffer.allocate(total.toInt).order(ByteOrder.BIG_ENDIAN)

@@ -112,6 +112,31 @@ class GribSpec extends AnyFunSuite {
     assert(math.abs(lats((ny - 1) * nx) - (40.0 + 0.5 * (ny - 1))) < 1e-9)
   }
 
+  test("complex packing (5.2) and spatial differencing (5.3) round-trip") {
+    val dir = Files.createTempDirectory("graft_grib_cx").toString
+    val nx = 25; val ny = 8
+    val rng = new scala.util.Random(41)
+    // smooth field (the case complex packing exists for) + rough noise
+    val values = Array.tabulate(nx * ny) { i =>
+      val x = i % nx; val y = i / nx
+      math.rint((math.sin(x * 0.3) * 40 + y * 7 + rng.nextDouble()) * 100) / 100.0
+    }
+    Seq(0, 1, 2).foreach { order =>
+      val path = s"$dir/cx_$order.grib2"
+      Grib2.writeComplex(path, values, nx, ny, la1 = 30.0, lo1 = 10.0,
+        dLat = 0.5, dLon = 0.5, discipline = 0, category = 0, number = 0,
+        refTimeEpochSec = 1700000000L, order = order, groupSize = 17)
+      val m = Grib2.scan(path).head
+      assert(m.packing.template == (if (order == 0) 2 else 3), s"order $order")
+      assert(m.packing.complex.get.spatialOrder == order)
+      val got = Grib2.decodeValues(path, m)
+      values.indices.foreach { i =>
+        assert(math.abs(got(i) - values(i)) < 0.005 + 1e-9,
+          s"order $order point $i: ${got(i)} vs ${values(i)}")
+      }
+    }
+  }
+
   test("kerchunk scan of the reference fixture materializes and reads back") {
     assume(fixtureExists)
     val refs = RefSet.scanGrib2(fixture)
