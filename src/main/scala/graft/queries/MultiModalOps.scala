@@ -183,11 +183,120 @@ object MultiModalOps {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** REAL audio decode (no stub): each doc carries a synthesized WAV
+    * payload (RIFF/PCM-16, integer sawtooth so every engine reproduces the
+    * samples exactly); the kernel PARSES the RIFF container — chunk walk,
+    * fmt validation, PCM extraction — and computes real audio features
+    * (sample rate, duration, integer RMS, zero crossings). The oracle
+    * recomputes the features from the synthesis parameters WITHOUT seeing
+    * the bytes, so a hash match proves the decode actually decoded. */
+  private val WavRate = 8000
+
+  private def wavBytes(docId: Long): Array[Byte] = {
+    val n = (256 + docId % 64).toInt
+    val f = (3 + docId % 13).toInt
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ASCII")); bb.putInt(36 + n * 2)
+    bb.put("WAVE".getBytes("ASCII"))
+    bb.put("fmt ".getBytes("ASCII")); bb.putInt(16)
+    bb.putShort(1) // PCM
+    bb.putShort(1) // mono
+    bb.putInt(WavRate)
+    bb.putInt(WavRate * 2); bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes("ASCII")); bb.putInt(n * 2)
+    var k = 0
+    while (k < n) {
+      bb.putShort((((k * f) % 200) * 100 - 9950).toShort)
+      k += 1
+    }
+    bb.array()
+  }
+
+  /** Parse a RIFF/WAVE container: chunk walk to fmt + data, then features
+    * from the PCM samples. Throws on malformed containers. */
+  private def decodeWav(bytes: Array[Byte]): (Int, Long, Long, Long) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(off: Int): String = new String(bytes, off, 4, "ASCII")
+    require(fourcc(0) == "RIFF" && fourcc(8) == "WAVE", "not a WAV file")
+    var off = 12
+    var rate = -1; var bits = -1; var channels = -1
+    var samples: Array[Short] = null
+    while (off + 8 <= bytes.length) {
+      val id = fourcc(off); val sz = bb.getInt(off + 4)
+      id match {
+        case "fmt " =>
+          require(bb.getShort(off + 8) == 1, "PCM only")
+          channels = bb.getShort(off + 10).toInt
+          rate = bb.getInt(off + 12)
+          bits = bb.getShort(off + 22).toInt
+        case "data" =>
+          require(bits == 16 && channels == 1, "mono PCM-16 only")
+          samples = Array.tabulate(sz / 2)(i => bb.getShort(off + 8 + i * 2))
+        case _ => // skip unknown chunks
+      }
+      off += 8 + sz + (sz & 1) // RIFF chunks are 2-byte aligned
+    }
+    require(samples != null, "no data chunk")
+    var sumSq = 0L; var zc = 0L; var i = 0
+    while (i < samples.length) {
+      sumSq += samples(i).toLong * samples(i)
+      if (i > 0 && samples(i - 1).toLong * samples(i) < 0) zc += 1
+      i += 1
+    }
+    val rms = math.sqrt(sumSq.toDouble / samples.length).toLong
+    (rate, samples.length.toLong, rms, zc)
+  }
+
+  def m05WavDecode(s: SparkSession, d: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false),
+      StructField("rms", LongType, nullable = false),
+      StructField("zero_crossings", LongType, nullable = false)))
+    documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          // payload synthesized then GENUINELY re-parsed from bytes
+          val (rate, n, rms, zc) = decodeWav(wavBytes(id))
+          Row(id, rate, n, n * 1000L / rate, rms, zc)
+        }
+      }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: features from the synthesis formula only — no byte parsing. */
+  val m05Sql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, 256 + doc_id % 64 AS n, 3 + doc_id % 13 AS f
+       |  FROM documents
+       |), smp AS (
+       |  SELECT doc_id, n, unnest(range(0, n)) AS k,
+       |    ((unnest(range(0, n)) * f) % 200) * 100 - 9950 AS v
+       |  FROM p
+       |), w AS (
+       |  SELECT doc_id, n, v,
+       |    lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+       |  FROM smp)
+       |SELECT doc_id,
+       |  $WavRate AS sample_rate,
+       |  CAST(max(n) AS BIGINT) AS n_samples,
+       |  CAST(max(n) * 1000 // $WavRate AS BIGINT) AS duration_ms,
+       |  CAST(FLOOR(SQRT(SUM(v * v)::DOUBLE / max(n))) AS BIGINT) AS rms,
+       |  CAST(SUM(CASE WHEN prev IS NOT NULL AND prev * v < 0
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_decode_stub" -> m01DecodeStub _,
     "m02_frame_sample" -> m02FrameSample _,
     "m03_resize" -> m03Resize _,
     "m04_embed_stub" -> m04EmbedStub _,
+    "m05_wav_decode" -> m05WavDecode _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -195,5 +304,6 @@ object MultiModalOps {
     "m02_frame_sample" -> m02Sql,
     "m03_resize" -> m03Sql,
     "m04_embed_stub" -> m04Sql,
+    "m05_wav_decode" -> m05Sql,
   )
 }
