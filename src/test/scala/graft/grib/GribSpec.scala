@@ -137,6 +137,23 @@ class GribSpec extends AnyFunSuite {
     }
   }
 
+  test("kerchunk refs decode complex-packed messages via the grib2 codec") {
+    val dir = Files.createTempDirectory("graft_grib_cxscan").toString
+    val nx = 10; val ny = 6
+    val rng = new scala.util.Random(43)
+    val values = Array.tabulate(nx * ny)(i =>
+      math.rint((i * 3.7 + rng.nextDouble() * 5) * 100) / 100.0)
+    val path = s"$dir/cx.grib2"
+    Grib2.writeComplex(path, values, nx, ny, 20.0, 40.0, 1.0, 1.0,
+      0, 0, 0, refTimeEpochSec = 1700000000L, order = 2)
+    val virt = s"$dir/virt.zarr"
+    RefSet.scanGrib2(path).head.materialize(virt)
+    val f = ZarrGroup(virt).readFragment()
+    val got = f.allVars("TMP").data.data.asInstanceOf[Array[Double]]
+    values.indices.foreach(i =>
+      assert(math.abs(got(i) - values(i)) < 0.005 + 1e-9, s"cell $i"))
+  }
+
   test("kerchunk scan of the reference fixture materializes and reads back") {
     assume(fixtureExists)
     val refs = RefSet.scanGrib2(fixture)

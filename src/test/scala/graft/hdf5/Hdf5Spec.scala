@@ -213,6 +213,35 @@ class Hdf5Spec extends AnyFunSuite {
       (1 to n).map(_ * 11).toVector)
   }
 
+  test("remote netCDF-4 over HTTP opens through the cache-through path") {
+    // the reference's http fixture shape (tests/conftest.py:158-206):
+    // open_url -> cache_file -> open_with_xarray on the local copy
+    import graft.patterns.FileType
+    import graft.transforms.Openers
+    val f = cube(nt = 4)
+    val d0 = dir
+    val local = s"$d0/remote.nc"
+    HDF5Writer.write(local, f, chunks = Map("foo" -> Vector(2, 5, 4)),
+      deflateLevel = Some(4))
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(local))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/data.nc", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/data.nc"
+      val cacheDir = s"$d0/cache"
+      val got = Openers.open(FileType.Netcdf4, url, cacheDir = Some(cacheDir))
+      assert(got.sameAs(f))
+      // second open hits the cache (size-match skip) and still decodes
+      assert(Openers.open(FileType.Netcdf4, url, cacheDir = Some(cacheDir)).sameAs(f))
+    } finally server.stop(0)
+  }
+
   test("float32 and int64 data vars round trip") {
     val f = Fragment(
       dims = Map("n" -> 7),
