@@ -372,6 +372,190 @@ object RefSet {
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
+  /** Export as a kerchunk/fsspec-ecosystem artifact with ZARR V2 keys —
+    * what the reference's WriteCombinedReference produces and
+    * `fsspec.get_mapper("reference://")` + zarr v2 consume
+    * (writers.py:132-195): `.zgroup`/`.zattrs`/`.zarray` documents,
+    * `_ARRAY_DIMENSIONS` for xarray dims, numcodecs compressor ids, and
+    * dot-separated chunk keys. GRIB whole-message refs are out of v2
+    * scope (kerchunk's grib codec is message-specific) and rejected. */
+  def toKerchunkV2Json(rs: RefSet): String = {
+    val root = mapper.createObjectNode()
+    root.put("version", 1)
+    val refsNode = mapper.createObjectNode()
+    def putInline(key: String, bytes: Array[Byte]): Unit = {
+      val s = new String(bytes, "ISO-8859-1")
+      if (s.forall(c => c >= ' ' && c < 127) || key.endsWith("attrs") ||
+          key.endsWith("group") || key.endsWith("array"))
+        refsNode.put(key, new String(bytes, "UTF-8"))
+      else refsNode.put(key,
+        "base64:" + java.util.Base64.getEncoder.encodeToString(bytes))
+    }
+    def v2Dtype(name: String, big: Boolean): String = {
+      val c = name match {
+        case "int32" => "i4"; case "int64" => "i8"
+        case "float32" => "f4"; case "float64" => "f8"
+      }
+      (if (big) ">" else "<") + c
+    }
+    rs.refs.toSeq.sortBy(_._1).foreach { case (key, ref) =>
+      if (key == "zarr.json") {
+        val meta = mapper.readTree(ref.resolve())
+        val zg = mapper.createObjectNode(); zg.put("zarr_format", 2)
+        putInline(".zgroup", mapper.writeValueAsBytes(zg))
+        putInline(".zattrs", mapper.writeValueAsBytes(meta.get("attributes")))
+      } else if (key.endsWith("/zarr.json")) {
+        val v = key.stripSuffix("/zarr.json")
+        val meta = mapper.readTree(ref.resolve()).asInstanceOf[ObjectNode]
+        val za = mapper.createObjectNode()
+        za.put("zarr_format", 2)
+        za.set[ObjectNode]("shape", meta.get("shape"))
+        za.set[ObjectNode]("chunks",
+          meta.get("chunk_grid").get("configuration").get("chunk_shape"))
+        var big = false; var zlib: Option[Int] = None
+        var gzip: Option[Int] = None; var shuffle: Option[Int] = None
+        meta.get("codecs").elements().asScala.foreach { c =>
+          c.get("name").asText() match {
+            case "bytes" =>
+              big = Option(c.get("configuration"))
+                .exists(cf => Option(cf.get("endian")).exists(_.asText() == "big"))
+            case "zlib" => zlib = Some(c.get("configuration").get("level").asInt())
+            case "gzip" => gzip = Some(c.get("configuration").get("level").asInt())
+            case "shuffle" =>
+              shuffle = Some(c.get("configuration").get("elementsize").asInt())
+            case other => throw new UnsupportedOperationException(
+              s"codec $other has no kerchunk v2 representation")
+          }
+        }
+        za.put("dtype", v2Dtype(meta.get("data_type").asText(), big))
+        za.put("order", "C")
+        val fill = meta.get("fill_value")
+        if (fill != null && fill.isTextual) za.put("fill_value", fill.asText())
+        else za.set[ObjectNode]("fill_value", fill)
+        (zlib, gzip) match {
+          case (Some(l), _) =>
+            val comp = mapper.createObjectNode()
+            comp.put("id", "zlib"); comp.put("level", l)
+            za.set[ObjectNode]("compressor", comp)
+          case (_, Some(l)) =>
+            val comp = mapper.createObjectNode()
+            comp.put("id", "gzip"); comp.put("level", l)
+            za.set[ObjectNode]("compressor", comp)
+          case _ => za.putNull("compressor")
+        }
+        shuffle match {
+          case Some(es) =>
+            val filters = mapper.createArrayNode()
+            val sh = mapper.createObjectNode()
+            sh.put("id", "shuffle"); sh.put("elementsize", es)
+            filters.add(sh)
+            za.set[ObjectNode]("filters", filters)
+          case None => za.putNull("filters")
+        }
+        putInline(s"$v/.zarray", mapper.writeValueAsBytes(za))
+        // .zattrs: user attrs + the xarray dims convention
+        val attrs = Option(meta.get("attributes"))
+          .map(_.deepCopy[ObjectNode]()).getOrElse(mapper.createObjectNode())
+        Option(meta.get("dimension_names")).foreach(dn =>
+          attrs.set[ObjectNode]("_ARRAY_DIMENSIONS", dn))
+        putInline(s"$v/.zattrs", mapper.writeValueAsBytes(attrs))
+      } else {
+        // chunk key: <var>/c/i/j -> <var>/i.j  (scalar <var>/c -> <var>/0)
+        val parts = key.split('/')
+        val ci = parts.indexOf("c")
+        require(ci == parts.length - 1 || parts.drop(ci + 1).forall(
+          _.forall(_.isDigit)), s"unexpected key $key")
+        val v2key =
+          if (ci == parts.length - 1) (parts.take(ci) :+ "0").mkString("/")
+          else (parts.take(ci) :+ parts.drop(ci + 1).mkString(".")).mkString("/")
+        ref.inline match {
+          case Some(b) => putInline(v2key, b)
+          case None =>
+            val arr = mapper.createArrayNode()
+            arr.add(ref.url.get); arr.add(ref.offset); arr.add(ref.length)
+            refsNode.set[ObjectNode](v2key, arr)
+        }
+      }
+    }
+    root.set[ObjectNode]("refs", refsNode)
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  /** Import a kerchunk v2 artifact back into our (v3-keyed) RefSet. */
+  def fromKerchunkV2Json(json: String): RefSet = {
+    val root = mapper.readTree(json)
+    val raw = root.get("refs").properties().asScala.map { e =>
+      val v = e.getValue
+      val bytes: Either[Array[Byte], (String, Long, Long)] =
+        if (v.isArray) Right((v.get(0).asText(), v.get(1).asLong(), v.get(2).asLong()))
+        else {
+          val s = v.asText()
+          if (s.startsWith("base64:"))
+            Left(java.util.Base64.getDecoder.decode(s.stripPrefix("base64:")))
+          else Left(s.getBytes("UTF-8"))
+        }
+      e.getKey -> bytes
+    }.toMap
+    def doc(key: String): ObjectNode = raw(key) match {
+      case Left(b) => mapper.readTree(b).asInstanceOf[ObjectNode]
+      case Right(_) => throw new IllegalArgumentException(s"$key is a pointer")
+    }
+    var out = Map.empty[String, Ref]
+    val rootAttrs =
+      if (raw.contains(".zattrs")) graft.zarr.ZarrStore.objectAttrs(doc(".zattrs"))
+      else graft.core.Attrs.empty
+    out += "zarr.json" -> Ref.inline(graft.zarr.ZarrStore.groupMetaDoc(rootAttrs))
+    val varNames = raw.keys.collect {
+      case k if k.endsWith("/.zarray") => k.stripSuffix("/.zarray") }.toVector
+    varNames.foreach { v =>
+      val za = doc(s"$v/.zarray")
+      val shape = za.get("shape").elements().asScala.map(_.asInt()).toVector
+      val chunks = za.get("chunks").elements().asScala.map(_.asInt()).toVector
+      val dt = za.get("dtype").asText()
+      val big = dt.startsWith(">")
+      val dtype = dt.drop(1) match {
+        case "i4" => graft.core.DType.I4; case "i8" => graft.core.DType.I8
+        case "f4" => graft.core.DType.F4; case "f8" => graft.core.DType.F8
+        case other => throw new IllegalArgumentException(s"v2 dtype $other")
+      }
+      val zlib = Option(za.get("compressor")).filter(!_.isNull)
+        .filter(_.get("id").asText() == "zlib")
+        .map(_.get("level").asInt())
+      val gzip = Option(za.get("compressor")).filter(!_.isNull)
+        .filter(_.get("id").asText() == "gzip")
+        .map(_.get("level").asInt())
+      val shuffle = Option(za.get("filters")).filter(!_.isNull)
+        .flatMap(_.elements().asScala.find(_.get("id").asText() == "shuffle"))
+        .map(_.get("elementsize").asInt())
+      val attrsNode = if (raw.contains(s"$v/.zattrs")) doc(s"$v/.zattrs") else null
+      val dims = Option(attrsNode).flatMap(a =>
+        Option(a.get("_ARRAY_DIMENSIONS")).map(
+          _.elements().asScala.map(_.asText()).toVector))
+      val attrs = Option(attrsNode).map { a =>
+        val c = a.deepCopy[ObjectNode](); c.remove("_ARRAY_DIMENSIONS")
+        graft.zarr.ZarrStore.objectAttrs(c)
+      }.getOrElse(graft.core.Attrs.empty)
+      out += s"$v/zarr.json" -> Ref.inline(graft.zarr.ZarrStore.arrayMetaDoc(
+        shape, chunks, dtype, attrs,
+        fillValue = Option(za.get("fill_value")).map(graft.zarr.ZarrStore.nodeToAttr)
+          .getOrElse(graft.core.AttrValue.AInt(0)),
+        dimensionNames = dims, gzipLevel = gzip, bigEndian = big,
+        zlibLevel = zlib, shuffleElem = shuffle))
+      // chunk keys <var>/i.j -> <var>/c/i/j
+      raw.foreach { case (k, payload) =>
+        if (k.startsWith(s"$v/") && !k.contains(".z")) {
+          val idx = k.stripPrefix(s"$v/").split('.').mkString("/")
+          val ref = payload match {
+            case Left(b) => Ref.inline(b)
+            case Right((url, off, len)) => Ref.pointer(url, off, len)
+          }
+          out += s"$v/c/$idx" -> ref
+        }
+      }
+    }
+    RefSet(out)
+  }
+
   def fromJson(json: String): RefSet = {
     val root = mapper.readTree(json)
     val refs = root.get("refs").properties().asScala.map { e =>

@@ -152,4 +152,45 @@ class KerchunkSpec extends AnyFunSuite {
     // lat is an identical dim: only the first input's chunk survives
     assert(merged.keys.count(_.startsWith("lat/c")) == 1)
   }
+
+  test("kerchunk v2 artifact: zarr-v2 keys round-trip to an equal store") {
+    // the fsspec/kerchunk-ecosystem artifact shape (writers.py:132-195):
+    // .zgroup/.zattrs/.zarray docs, _ARRAY_DIMENSIONS, dot chunk keys,
+    // numcodecs compressor/filters ids — from a shuffled+deflated HDF5 scan
+    import graft.core._
+    import graft.hdf5.HDF5Writer
+    val dir = java.nio.file.Files.createTempDirectory("kerchunk_v2").toString
+    val rng = new scala.util.Random(47)
+    val f = Fragment(
+      dims = Map("t" -> 6, "y" -> 4),
+      coords = Map(
+        "t" -> Variable(Vector("t"),
+          NDArray(DType.I8, Vector(6), (0 until 6).map(_.toLong).toArray)),
+        "y" -> Variable(Vector("y"),
+          NDArray(DType.F8, Vector(4), (0 until 4).map(_ * 1.5).toArray))),
+      dataVars = Map("v" -> Variable(Vector("t", "y"),
+        NDArray(DType.F8, Vector(6, 4), Array.fill(24)(rng.nextDouble())),
+        Map("long_name" -> AttrValue("vee")))),
+      attrs = Map("title" -> AttrValue("v2 interop")))
+    val nc = s"$dir/in.nc"
+    HDF5Writer.write(nc, f, chunks = Map("v" -> Vector(2, 4)),
+      deflateLevel = Some(4), shuffle = true)
+    val rs = RefSet.scanHdf5(nc)
+    val json = RefSet.toKerchunkV2Json(rs)
+    // v2 surface present
+    assert(json.contains("\".zgroup\"") && json.contains("v/.zarray"))
+    assert(json.contains("_ARRAY_DIMENSIONS"))
+    assert(json.contains("\"v/0.0\"") || json.contains("v/1.0"))
+    // inner docs are compact JSON escaped inside the artifact strings
+    assert(json.contains("""\"id\":\"zlib\""""))
+    assert(json.contains("""\"id\":\"shuffle\""""))
+    // round trip through the v2 artifact and materialize
+    val back = RefSet.fromKerchunkV2Json(json)
+    val virt = s"$dir/virt.zarr"
+    back.materialize(virt)
+    val got = graft.zarr.ZarrGroup(virt).readFragment()
+    assert(got.sameAs(f))
+    assert(got.attrs == f.attrs)
+    assert(got.dataVars("v").attrs == f.dataVars("v").attrs)
+  }
 }
