@@ -72,16 +72,23 @@ object CombineReferences {
 
   /** WriteCombinedReference (transforms.py:589-635): CombineReferences |
     * WriteReference, artifact format chosen by extension. Returns the
-    * combined RefSet (the singleton "store handle"). */
+    * combined RefSet (the singleton "store handle"). `v2Keys` emits the
+    * zarr-v2-keyed kerchunk artifact the fsspec ecosystem consumes
+    * (RefSet.toKerchunkV2Json) instead of our v3-keyed layout. */
   def writeCombinedReference(refs: Dataset[(Index, RefSet)],
                              concatDims: Vector[String],
                              identicalDims: Vector[String],
                              outputPath: String,
-                             maxRefsPerMerge: Int = 5): RefSet = {
+                             maxRefsPerMerge: Int = 5,
+                             v2Keys: Boolean = false): RefSet = {
     val combined = combine(refs, concatDims, identicalDims, maxRefsPerMerge)
     if (outputPath.endsWith(".parquet"))
       writeReferenceParquet(refs.sparkSession, combined, outputPath)
-    else
+    else if (v2Keys) {
+      val p = java.nio.file.Paths.get(outputPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, RefSet.toKerchunkV2Json(combined))
+    } else
       writeReferenceJson(combined, outputPath)
     combined
   }
