@@ -141,7 +141,9 @@ object Grib2 {
     val msgs = scanReader(
       (pos, len) => java.util.Arrays.copyOfRange(bytes, pos.toInt, pos.toInt + len),
       bytes.length.toLong, "<memory>")
-    require(msgs.length == 1, s"expected 1 message, got ${msgs.length}")
+    require(msgs.length == 1,
+      s"grib2 zarr codec requires single-field messages; got ${msgs.length} " +
+        "fields (multi-field messages decode via Grib2.read)")
     msgs.head
   }
 
@@ -149,31 +151,61 @@ object Grib2 {
                          label: String): Vector[Message] = {
     val out = Vector.newBuilder[Message]
     var pos = 0L
+    var found = false
     while (pos + 16 <= size) {
+      // resync: operational files carry WMO bulletin headers / padding
+      // between messages — search forward for the next "GRIB" magic
+      // (kerchunk's scan_grib does the same) instead of failing
+      pos = seekMagic(readAt, size, pos)
+      if (pos < 0 || pos + 16 > size) {
+        require(found, s"$label: no GRIB indicator found")
+        return out.result()
+      }
+      found = true
       val ind = readAt(pos, 16)
-      require(ind(0) == 'G' && ind(1) == 'R' && ind(2) == 'I' && ind(3) == 'B',
-        s"$label: no GRIB indicator at offset $pos")
       val bb = ByteBuffer.wrap(ind).order(ByteOrder.BIG_ENDIAN)
       require((bb.get(7) & 0xFF) == 2,
         s"$label: GRIB edition ${bb.get(7)} unsupported (edition 2 only)")
       val totalLen = bb.getLong(8)
-      out += parseSections(readAt, pos, totalLen, bb.get(6) & 0xFF)
+      out ++= parseSections(readAt, pos, totalLen, bb.get(6) & 0xFF)
       pos += totalLen
     }
     out.result()
   }
 
+  /** Forward search for the "GRIB" indicator from `from`; -1 if absent. */
+  private def seekMagic(readAt: (Long, Int) => Array[Byte], size: Long,
+                        from: Long): Long = {
+    var base = from
+    while (base + 4 <= size) {
+      val len = math.min(65536L, size - base).toInt
+      val buf = readAt(base, len)
+      var i = 0
+      while (i + 4 <= len) {
+        if (buf(i) == 'G' && buf(i + 1) == 'R' && buf(i + 2) == 'I' &&
+            buf(i + 3) == 'B') return base + i
+        i += 1
+      }
+      base += math.max(1, len - 3) // overlap so magic spanning reads is found
+    }
+    -1L
+  }
+
   /** Walk one message's sections with header-sized positioned reads — the
-    * bitmap/data payloads are never loaded, only their byte ranges noted. */
+    * bitmap/data payloads are never loaded, only their byte ranges noted.
+    * GRIB2 allows repeated section runs (3-7, 4-7 or 5-7) inside one
+    * message; every section-7 occurrence yields one field (Message),
+    * inheriting the most recent grid/product/packing/bitmap (indicator
+    * 254 = the previously defined bitmap applies). */
   private def parseSections(readAt: (Long, Int) => Array[Byte], msgOff: Long,
-                            totalLen: Long, discipline: Int): Message = {
+                            totalLen: Long, discipline: Int): Vector[Message] = {
     var p = msgOff + 16
     val end = msgOff + totalLen
     var centre = 0; var subCentre = 0; var refTime = 0L
     var grid: GridDef = null; var product: ProductDef = null
     var packing: Packing = null
     var bitmapInd = 255; var bitmapOff = -1L; var bitmapLen = 0L
-    var dataOff = -1L; var dataLen = 0L
+    val out = Vector.newBuilder[Message]
     while (p < end - 4) {
       val head = readAt(p, 5)
       val hb = ByteBuffer.wrap(head).order(ByteOrder.BIG_ENDIAN)
@@ -181,10 +213,17 @@ object Grib2 {
       val secNum = head(4) & 0xFF
       secNum match {
         case 6 =>
-          bitmapInd = readAt(p + 5, 1)(0) & 0xFF
-          bitmapOff = p + 6; bitmapLen = secLen - 6
+          val ind = readAt(p + 5, 1)(0) & 0xFF
+          if (ind != 254) { // 254: keep the previously defined bitmap
+            bitmapInd = ind
+            bitmapOff = p + 6; bitmapLen = secLen - 6
+          }
         case 7 =>
-          dataOff = p + 5; dataLen = secLen - 5
+          require(grid != null && product != null && packing != null,
+            s"message at $msgOff has data before grid/product/packing sections")
+          out += Message(msgOff, totalLen, discipline, centre, subCentre,
+            refTime, grid, product, packing, bitmapInd, bitmapOff, bitmapLen,
+            dataOffset = p + 5, dataLength = secLen - 5)
         case 1 | 3 | 4 | 5 =>
           val body = readAt(p, secLen.toInt)
           val r = new R(ByteBuffer.wrap(body).order(ByteOrder.BIG_ENDIAN))
@@ -201,10 +240,9 @@ object Grib2 {
       }
       p += secLen
     }
-    require(grid != null && product != null && packing != null,
-      s"message at $msgOff missing grid/product/packing sections")
-    Message(msgOff, totalLen, discipline, centre, subCentre, refTime,
-      grid, product, packing, bitmapInd, bitmapOff, bitmapLen, dataOff, dataLen)
+    val msgs = out.result()
+    require(msgs.nonEmpty, s"message at $msgOff contains no data section")
+    msgs
   }
 
   private def parseGrid(r: R, secLen: Int): GridDef = {

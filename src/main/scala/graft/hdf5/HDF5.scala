@@ -62,7 +62,8 @@ object HDF5 {
                               filters: Vector[Filter],
                               attrs: Map[String, AttrValue],
                               dimListAddrs: Vector[Long], // DIMENSION_LIST refs
-                              children: Vector[(String, Long)]) // group links
+                              children: Vector[(String, Long)], // group links
+                              fillBytes: Option[Array[Byte]] = None)
 
   /** One chunk of a chunked dataset: grid offsets (elements), file range. */
   final case class ChunkRef(offsets: Vector[Long], addr: Long, size: Long,
@@ -323,19 +324,23 @@ object HDF5 {
       val hsig = new Array[Byte](4); heap.get(hsig)
       require(java.util.Arrays.equals(hsig, "HEAP".getBytes("ASCII")), "local heap")
       val heapData = heap.getLong(24)
+      val fileSize = ch.size()
       def heapString(off: Long): String = {
         val bytes = Vector.newBuilder[Byte]
         var p = heapData + off
         var done = false
         while (!done) {
-          val chunk = readAt(p, 64)
+          // clamp: a name ending near EOF must not read past the file
+          val want = math.min(64L, fileSize - p).toInt
+          require(want > 0, s"heap string at $p runs past EOF")
+          val chunk = readAt(p, want)
           var i = 0
-          while (i < 64 && !done) {
+          while (i < want && !done) {
             val c = chunk.get(i)
             if (c == 0) done = true else bytes += c
             i += 1
           }
-          p += 64
+          p += want
         }
         new String(bytes.result().toArray, "UTF-8")
       }
@@ -493,10 +498,27 @@ object HDF5 {
       var attrs = Map.empty[String, AttrValue]
       var dimList: Vector[Long] = Vector.empty
       var children: Vector[(String, Long)] = Vector.empty
+      var fill: Option[Array[Byte]] = None
       msgs.foreach { case (mtype, b) =>
         mtype match {
           case 0x0001 => dims = parseDataspace(b)
           case 0x0003 => dtype = Some(parseDatatype(b))
+          case 0x0005 =>
+            // fill value: unwritten chunks read as this, not as zero
+            val version = b.get(0) & 0xFF
+            val (defined, sizeOff) = version match {
+              case 1 | 2 => ((b.get(3) & 0xFF) == 1, 4)
+              case 3 => ((b.get(1) & 0x20) != 0, 2)
+              case _ => (false, 0)
+            }
+            if (defined && b.limit() >= sizeOff + 4) {
+              val sz = b.getInt(sizeOff)
+              if (sz > 0) {
+                val data = new Array[Byte](sz)
+                b.position(sizeOff + 4); b.get(data); b.position(0)
+                fill = Some(data)
+              }
+            }
           case 0x0008 => layout = Some(parseLayout(b))
           case 0x000B => filters = parseFilters(b)
           case 0x000C =>
@@ -511,10 +533,11 @@ object HDF5 {
             val fheap = b.getLong(if ((b.get(1) & 0x1) != 0) 10 else 2)
             require(fheap == Undefined,
               "dense (fractal heap) group links not supported")
-          case _ => // fill value, group info, modification time... ignored
+          case _ => // group info, modification time... ignored
         }
       }
-      ObjectInfo(addr, dtype, dims, layout, filters, attrs, dimList, children)
+      ObjectInfo(addr, dtype, dims, layout, filters, attrs, dimList, children,
+        fill)
     }
 
     // ---- chunk index (B-tree v1, node type 1) ----
@@ -625,6 +648,25 @@ object HDF5 {
       }
     }
 
+    /** Allocate the output pre-filled with the dataset's declared fill
+      * value (unwritten chunks/never-allocated data must read as fill —
+      * netCDF-4's default is ~9.97e36, not zero). */
+    private def allocWithFill(obj: ObjectInfo, t: TypeInfo,
+                              dt: DType, shape: Vector[Int]): NDArray = {
+      val out = NDArray.zeros(dt, shape)
+      obj.fillBytes.filter(_.length == t.size).foreach { fb =>
+        val one = decodeElems(fb, t, 1)
+        (out.data, one) match {
+          case (a: Array[Int], o: Array[Int]) => java.util.Arrays.fill(a, o(0))
+          case (a: Array[Long], o: Array[Long]) => java.util.Arrays.fill(a, o(0))
+          case (a: Array[Float], o: Array[Float]) => java.util.Arrays.fill(a, o(0))
+          case (a: Array[Double], o: Array[Double]) => java.util.Arrays.fill(a, o(0))
+          case _ =>
+        }
+      }
+      out
+    }
+
     /** Read one whole dataset into an engine NDArray. */
     def readDataset(obj: ObjectInfo): NDArray = {
       val t = obj.dtype.getOrElse(
@@ -636,10 +678,10 @@ object HDF5 {
         case Compact(data) =>
           NDArray(dt, shape, decodeElems(data, t, n))
         case Contiguous(addr, size) =>
-          if (addr == Undefined) NDArray.zeros(dt, shape) // never written
+          if (addr == Undefined) allocWithFill(obj, t, dt, shape) // never written
           else NDArray(dt, shape, decodeElems(readRange(addr, size), t, n))
         case ck @ Chunked(_, chunkDims, elemSize) =>
-          val out = NDArray.zeros(dt, shape)
+          val out = allocWithFill(obj, t, dt, shape)
           chunkRefs(ck).foreach { ref =>
             val raw = readRange(ref.addr, ref.size)
             val bytes = defilter(raw, obj.filters, ref.filterMask, elemSize)

@@ -82,6 +82,9 @@ object CombineReferences {
                              maxRefsPerMerge: Int = 5,
                              v2Keys: Boolean = false): RefSet = {
     val combined = combine(refs, concatDims, identicalDims, maxRefsPerMerge)
+    require(!(v2Keys && outputPath.endsWith(".parquet")),
+      "v2Keys applies to the json artifact only; the parquet layout keeps " +
+        "our v3 keys")
     if (outputPath.endsWith(".parquet"))
       writeReferenceParquet(refs.sparkSession, combined, outputPath)
     else if (v2Keys) {

@@ -223,7 +223,17 @@ object RefSet {
     import graft.grib.Grib2
     import graft.core.{AttrValue, DType}
     import graft.zarr.ZarrStore
-    Grib2.scan(path).map { m =>
+    val msgs = Grib2.scan(path)
+    // the grib2 zarr codec hands the WHOLE enclosing message to the
+    // decoder, so a message containing several fields (repeated section
+    // runs) has no per-field ref representation — decode those via
+    // Grib2.read instead of refs
+    msgs.groupBy(_.offset).foreach { case (off, ms) =>
+      require(ms.length == 1,
+        s"scanGrib2: message at $off has ${ms.length} fields; " +
+          "multi-field messages are not representable as chunk refs")
+    }
+    msgs.map { m =>
       val g = m.grid
       var out = Map.empty[String, Ref]
       out += "zarr.json" -> Ref.inline(ZarrStore.groupMetaDoc(Grib2.groupAttrs(m)))
@@ -541,15 +551,17 @@ object RefSet {
           .getOrElse(graft.core.AttrValue.AInt(0)),
         dimensionNames = dims, gzipLevel = gzip, bigEndian = big,
         zlibLevel = zlib, shuffleElem = shuffle))
-      // chunk keys <var>/i.j -> <var>/c/i/j
+      // chunk keys <var>/i.j -> <var>/c/i/j; scalar arrays' "0" -> "c"
       raw.foreach { case (k, payload) =>
         if (k.startsWith(s"$v/") && !k.contains(".z")) {
-          val idx = k.stripPrefix(s"$v/").split('.').mkString("/")
           val ref = payload match {
             case Left(b) => Ref.inline(b)
             case Right((url, off, len)) => Ref.pointer(url, off, len)
           }
-          out += s"$v/c/$idx" -> ref
+          val key =
+            if (shape.isEmpty) s"$v/c"
+            else s"$v/c/" + k.stripPrefix(s"$v/").split('.').mkString("/")
+          out += key -> ref
         }
       }
     }

@@ -30,13 +30,17 @@ object PipelineOps {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
     val deduped = docs.join(keeper, "content_hash")
       .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
-    // stage 2: quality gate (repetition rules over the survivors)
+    // stage 2: quality gate (repetition rules over the survivors); the
+    // trigram range is guarded — Spark's sequence(0, k) runs DESCENDING
+    // for k<0, so sub-3-token docs must not build grams (they fail the
+    // n_tokens floor regardless, in both engines)
     val scored = deduped
       .withColumn("words", split(col("text"), " "))
       .withColumn("n_tokens", size(col("words")).cast("long"))
       .withColumn("grams", expr(
-        "transform(sequence(0, size(words) - 3), i -> " +
-          "concat_ws(' ', words[i], words[i+1], words[i+2]))"))
+        "CASE WHEN size(words) >= 3 THEN transform(sequence(0, size(words) - 3), " +
+          "i -> concat_ws(' ', words[i], words[i+1], words[i+2])) " +
+          "ELSE array() END"))
       .withColumn("dup_gram_frac",
         (size(col("grams")) - size(array_distinct(col("grams"))))
           .cast("double") / size(col("grams")))

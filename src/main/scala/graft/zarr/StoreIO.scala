@@ -25,6 +25,9 @@ trait StoreIO {
   /** Multiple ranges of one object through a SINGLE open handle — the
     * shard reader's per-chunk fetches (one open per shard, not per chunk). */
   def readRanges(key: String, ranges: Seq[(Long, Int)]): Seq[Array[Byte]]
+  /** Last `len` bytes through one open handle (size lookup included) —
+    * the shard index fetch, one suffix range-GET. */
+  def readTail(key: String, len: Int): Array[Byte]
   def size(key: String): Long
   def exists(key: String): Boolean
   /** Immediate child directories that contain a zarr.json (array dirs). */
@@ -66,6 +69,10 @@ final class PosixIO(root: String) extends StoreIO {
     val ch = java.nio.channels.FileChannel.open(p(key), StandardOpenOption.READ)
     try ranges.map { case (pos, len) => readAt(ch, key, pos, len) }
     finally ch.close()
+  }
+  def readTail(key: String, len: Int): Array[Byte] = {
+    val ch = java.nio.channels.FileChannel.open(p(key), StandardOpenOption.READ)
+    try readAt(ch, key, ch.size() - len, len) finally ch.close()
   }
   def size(key: String): Long = Files.size(p(key))
   def exists(key: String): Boolean = Files.exists(p(key))
@@ -127,6 +134,15 @@ final class HadoopIO(root: String) extends StoreIO {
     try ranges.map { case (pos, len) =>
       val buf = new Array[Byte](len)
       in.readFully(pos, buf)
+      buf
+    } finally in.close()
+  }
+  def readTail(key: String, len: Int): Array[Byte] = {
+    val sz = fs.getFileStatus(p(key)).getLen
+    val in = fs.open(p(key))
+    try {
+      val buf = new Array[Byte](len)
+      in.readFully(sz - len, buf)
       buf
     } finally in.close()
   }

@@ -133,13 +133,6 @@ object ZarrStore {
       bcfg.put("endian", if (bigEndian) "big" else "little")
       bytesCodec.set[ObjectNode]("configuration", bcfg)
       codecs.add(bytesCodec)
-      gzipLevel.foreach { lvl =>
-        val gz = mapper.createObjectNode()
-        gz.put("name", "gzip")
-        val gcfg2 = mapper.createObjectNode(); gcfg2.put("level", lvl)
-        gz.set[ObjectNode]("configuration", gcfg2)
-        codecs.add(gz)
-      }
       shuffleElem.foreach { es =>
         // byte-transpose by element size — HDF5's shuffle filter; applies
         // after the bytes codec on encode, so decode unshuffles AFTER
@@ -149,6 +142,13 @@ object ZarrStore {
         val scfg2 = mapper.createObjectNode(); scfg2.put("elementsize", es)
         sh2.set[ObjectNode]("configuration", scfg2)
         codecs.add(sh2)
+      }
+      gzipLevel.foreach { lvl =>
+        val gz = mapper.createObjectNode()
+        gz.put("name", "gzip")
+        val gcfg2 = mapper.createObjectNode(); gcfg2.put("level", lvl)
+        gz.set[ObjectNode]("configuration", gcfg2)
+        codecs.add(gz)
       }
       zlibLevel.foreach { lvl =>
         // raw RFC-1950 zlib — what HDF5's deflate filter stores; scanned
@@ -325,22 +325,49 @@ final case class ZarrGroup(root: String) {
   }
 
   /** One chunk payload -> encoded bytes (bytes codec LE, optional gzip). */
-  private def encodeChunk(arr: NDArray, gzipLevel: Option[Int]): Array[Byte] = {
+  /** Encode one chunk through the FULL declared codec chain (the mirror of
+    * decodeChunk): bytes codec with declared endian, then shuffle, then
+    * gzip or zlib. Writes into a grib2-codec array are impossible (the
+    * chunk object would have to be a GRIB message) and rejected. */
+  private def encodeChunk(arr: NDArray, meta: ArrayMeta): Array[Byte] = {
+    require(meta.gribVar.isEmpty,
+      "cannot write into a grib2-codec array (refs point at GRIB messages)")
     val buf = ByteBuffer.allocate(arr.size * arr.dtype.byteSize)
-      .order(ByteOrder.LITTLE_ENDIAN)
+      .order(if (meta.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     arr.data match {
       case a: Array[Int] => buf.asIntBuffer().put(a)
       case a: Array[Long] => buf.asLongBuffer().put(a)
       case a: Array[Float] => buf.asFloatBuffer().put(a)
       case a: Array[Double] => buf.asDoubleBuffer().put(a)
     }
-    gzipLevel match {
-      case Some(lvl) =>
+    var bytes = buf.array()
+    meta.shuffleElem.foreach { es =>
+      val n = bytes.length / es
+      val out = new Array[Byte](bytes.length)
+      var i = 0
+      while (i < n) {
+        var b = 0
+        while (b < es) { out(b * n + i) = bytes(i * es + b); b += 1 }
+        i += 1
+      }
+      System.arraycopy(bytes, n * es, out, n * es, bytes.length - n * es)
+      bytes = out
+    }
+    (meta.gzipLevel, meta.zlibLevel) match {
+      case (Some(lvl), _) =>
         val bos = new java.io.ByteArrayOutputStream()
         val gz = new java.util.zip.GZIPOutputStream(bos) { `def`.setLevel(lvl) }
-        gz.write(buf.array()); gz.close()
+        gz.write(bytes); gz.close()
         bos.toByteArray
-      case None => buf.array()
+      case (None, Some(lvl)) =>
+        val d = new java.util.zip.Deflater(lvl)
+        d.setInput(bytes); d.finish()
+        val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+        val tmp = new Array[Byte](65536)
+        while (!d.finished()) bos.write(tmp, 0, d.deflate(tmp))
+        d.end()
+        bos.toByteArray
+      case _ => bytes
     }
   }
 
@@ -436,7 +463,7 @@ final case class ZarrGroup(root: String) {
         val lo = pos(d) * meta.chunks(d)
         Slc(lo, lo + meta.chunks(d))
       }.toVector
-      val enc = encodeChunk(block.slice(slices), meta.gzipLevel)
+      val enc = encodeChunk(block.slice(slices), meta)
       index.putLong(bos.size().toLong)
       index.putLong(enc.length.toLong)
       bos.write(enc)
@@ -484,7 +511,7 @@ final case class ZarrGroup(root: String) {
                          meta: ArrayMeta): Unit = {
     val encoded =
       if (meta.shardShape.isDefined) encodeShard(arr, meta)
-      else encodeChunk(arr, meta.gzipLevel)
+      else encodeChunk(arr, meta)
     io.write(chunkKey(name, chunkIdx), encoded)
   }
 
@@ -581,8 +608,8 @@ final case class ZarrGroup(root: String) {
     val positions = innerPositions(chunksPerShard)
     val posToOrdinal: Map[Vector[Int], Int] = positions.zipWithIndex.toMap
     val idxLen = positions.length * 16
-    val tail = ByteBuffer.wrap(
-      io.readRange(key, io.size(key) - idxLen - 4, idxLen + 4))
+    // one suffix range-GET for the index, one batched GET for the chunks
+    val tail = ByteBuffer.wrap(io.readTail(key, idxLen + 4))
       .order(ByteOrder.LITTLE_ENDIAN)
     val idxBytes = new Array[Byte](idxLen)
     tail.get(idxBytes)
