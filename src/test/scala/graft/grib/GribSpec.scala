@@ -154,6 +154,61 @@ class GribSpec extends AnyFunSuite {
       assert(math.abs(got(i) - values(i)) < 0.005 + 1e-9, s"cell $i"))
   }
 
+  test("scan resyncs past padding and handles multi-field messages") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val dir = Files.createTempDirectory("graft_grib_multi").toString
+    val nx = 6; val ny = 4
+    val va = Array.tabulate(nx * ny)(i => i * 0.25)
+    val vb = Array.tabulate(nx * ny)(i => 10.0 - i * 0.125)
+    val pa = s"$dir/a.grib2"; val pb = s"$dir/b.grib2"
+    Grib2.writeSimple(pa, va, nx, ny, 10, 20, 1, 1, 0, 0, 0, 1700000000L)
+    Grib2.writeSimple(pb, vb, nx, ny, 10, 20, 1, 1, 0, 0, 6, 1700000000L)
+    val ba = Files.readAllBytes(Paths.get(pa))
+    val bb = Files.readAllBytes(Paths.get(pb))
+    // 1) bulletin-style padding between and around messages
+    val padded = s"$dir/padded.grib2"
+    val junk = "\r\r\nWMO-HEADER 123\r\r\n".getBytes("ASCII")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(junk); out.write(ba); out.write(junk); out.write(bb); out.write(junk)
+    Files.write(Paths.get(padded), out.toByteArray)
+    val msgs = Grib2.scan(padded)
+    assert(msgs.length == 2)
+    assert(Grib2.decodeValues(padded, msgs(0)).zip(va).forall {
+      case (g, v) => math.abs(g - v) < 0.005 + 1e-9 })
+    // 2) one message with two fields: splice b's sections 4..7 before the
+    // end of a's message and fix the total length
+    def sections(bytes: Array[Byte]): Vector[(Int, Int, Int)] = {
+      var p = 16; val out = Vector.newBuilder[(Int, Int, Int)]
+      while (p < bytes.length - 4) {
+        val len = ByteBuffer.wrap(bytes, p, 4).order(ByteOrder.BIG_ENDIAN).getInt
+        out += ((bytes(p + 4) & 0xFF, p, len)); p += len
+      }
+      out.result()
+    }
+    val bSecs = sections(bb).filter { case (num, _, _) => num >= 4 }
+    val spliceLen = bSecs.map(_._3).sum
+    val multi = s"$dir/multi.grib2"
+    val mo = new java.io.ByteArrayOutputStream()
+    mo.write(ba, 0, ba.length - 4) // everything before "7777"
+    bSecs.foreach { case (_, off, len) => mo.write(bb, off, len) }
+    mo.write("7777".getBytes("ASCII"))
+    val mbytes = mo.toByteArray
+    val tl = ByteBuffer.wrap(mbytes).order(ByteOrder.BIG_ENDIAN)
+    tl.putLong(8, ba.length.toLong + spliceLen)
+    Files.write(Paths.get(multi), mbytes)
+    val fields = Grib2.scan(multi)
+    assert(fields.length == 2, s"expected 2 fields, got ${fields.length}")
+    assert(fields(0).shortName == "TMP" && fields(1).shortName == "DPT")
+    assert(Grib2.decodeValues(multi, fields(1)).zip(vb).forall {
+      case (g, v) => math.abs(g - v) < 0.005 + 1e-9 })
+    // entry-point A exposes both fields as variables
+    val frag = Grib2.read(multi)
+    assert(frag.dataVars.keySet == Set("TMP", "DPT"))
+    // the refs path rejects multi-field messages with a clear error
+    val e = intercept[IllegalArgumentException](RefSet.scanGrib2(multi))
+    assert(e.getMessage.contains("fields"))
+  }
+
   test("kerchunk scan of the reference fixture materializes and reads back") {
     assume(fixtureExists)
     val refs = RefSet.scanGrib2(fixture)

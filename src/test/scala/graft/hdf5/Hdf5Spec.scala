@@ -242,6 +242,64 @@ class Hdf5Spec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("declared fill value applies to never-written data") {
+    // v2-superblock fixture with a fill-value message (v3) and an
+    // unallocated contiguous dataset: reads must yield the fill
+    // (netCDF-4 semantics), not zero
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int): ByteBuffer = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    def msg(t: Int, body: Array[Byte]): Array[Byte] = {
+      val b = le(4 + body.length)
+      b.put(t.toByte); b.putShort(body.length.toShort); b.put(0.toByte)
+      b.put(body); b.array()
+    }
+    val n = 4
+    val space = { val b = le(12); b.put(2.toByte); b.put(1.toByte)
+      b.put(0.toByte); b.put(1.toByte); b.putLong(n.toLong); b.array() }
+    val dtypeF8 = { val b = le(20); b.put(0x11.toByte); b.put(0x20.toByte)
+      b.put(63.toByte); b.position(4); b.putInt(8); b.putShort(0); b.putShort(64)
+      b.put(52.toByte); b.put(11.toByte); b.put(0.toByte); b.put(52.toByte)
+      b.putInt(1023); b.array() }
+    val fillMsg = { val b = le(2 + 4 + 8); b.put(3.toByte); b.put(0x20.toByte)
+      b.putInt(8); b.putDouble(9.969209968386869e36); b.array() }
+    val layoutUndef = { val b = le(18); b.put(3.toByte); b.put(1.toByte)
+      b.putLong(-1L); b.putLong(0L); b.array() }
+    def ohdr(msgs: Array[Byte]): Array[Byte] = {
+      val b = le(6 + 1 + msgs.length + 4)
+      b.put("OHDR".getBytes("ASCII")); b.put(2.toByte); b.put(0.toByte)
+      b.put(msgs.length.toByte); b.put(msgs); b.putInt(0)
+      b.array()
+    }
+    def linkMsg(target: Long): Array[Byte] = {
+      val name = "u".getBytes("UTF-8")
+      val b = le(2 + 1 + name.length + 8)
+      b.put(1.toByte); b.put(0.toByte)
+      b.put(name.length.toByte); b.put(name); b.putLong(target)
+      b.array()
+    }
+    val rootAddr = 48L
+    val rootBytes = ohdr(msg(0x06, linkMsg(0L)))
+    val dsAddr = rootAddr + rootBytes.length
+    val dsBytes = ohdr(msg(0x01, space) ++ msg(0x03, dtypeF8) ++
+      msg(0x05, fillMsg) ++ msg(0x08, layoutUndef))
+    val total = dsAddr + dsBytes.length
+    val sb = le(48)
+    sb.put(graft.hdf5.HDF5.Signature); sb.put(2.toByte)
+    sb.put(8.toByte); sb.put(8.toByte); sb.put(0.toByte)
+    sb.putLong(0L); sb.putLong(-1L); sb.putLong(total); sb.putLong(rootAddr)
+    sb.putInt(0)
+    val file = le(total.toInt)
+    file.put(sb.array())
+    file.position(rootAddr.toInt); file.put(ohdr(msg(0x06, linkMsg(dsAddr))))
+    file.position(dsAddr.toInt); file.put(dsBytes)
+    val path = s"$dir/fill.h5"
+    Files.write(java.nio.file.Paths.get(path), file.array())
+
+    val f = HDF5.read(path)
+    val u = f.dataVars("u").data.data.asInstanceOf[Array[Double]]
+    assert(u.forall(_ == 9.969209968386869e36), u.take(2).toVector)
+  }
+
   test("float32 and int64 data vars round trip") {
     val f = Fragment(
       dims = Map("n" -> 7),
