@@ -227,7 +227,27 @@ final case class ZarrGroup(root: String) {
     ZarrStore.objectAttrs(n.get("attributes"))
   }
 
-  def arrayNames: Vector[String] = io.arrayDirs()
+  /** Consolidated metadata from the root document, when present: array
+    * name -> its zarr.json node. One metadata GET serves every array —
+    * the object-store reason consolidateMetadata exists. Cached per
+    * ZarrGroup instance; invalidated by metadata writes through THIS
+    * instance (cross-writer staleness follows the zarr consolidation
+    * contract: re-consolidate after mutating a consolidated store). */
+  @transient private var consolidatedCache:
+      Option[Option[Map[String, com.fasterxml.jackson.databind.JsonNode]]] = None
+  private def consolidated: Option[Map[String, com.fasterxml.jackson.databind.JsonNode]] = {
+    if (consolidatedCache.isEmpty) {
+      val root = mapper.readTree(io.read("zarr.json"))
+      consolidatedCache = Some(Option(root.get("consolidated_metadata"))
+        .flatMap(c => Option(c.get("metadata")))
+        .map(_.properties().asScala.map(e => e.getKey -> e.getValue).toMap))
+    }
+    consolidatedCache.get
+  }
+  private def invalidateConsolidated(): Unit = consolidatedCache = None
+
+  def arrayNames: Vector[String] =
+    consolidated.map(_.keys.toVector.sorted).getOrElse(io.arrayDirs())
 
   // ---------- array metadata ----------
   /** Create one array's metadata (no chunk data). `dimensionNames` carries
@@ -247,6 +267,7 @@ final case class ZarrGroup(root: String) {
     io.write(s"$name/zarr.json", ZarrStore.arrayMetaDoc(
       shape, chunks, dtype, attrs, fillValue, dimensionNames, gzipLevel,
       shardShape))
+    invalidateConsolidated()
   }
 
   /** `chunks` is the read-granularity (inner) chunk shape; when sharded,
@@ -267,7 +288,8 @@ final case class ZarrGroup(root: String) {
   }
 
   def arrayMeta(name: String): ArrayMeta = {
-    val n = mapper.readTree(io.read(s"$name/zarr.json"))
+    val n = consolidated.flatMap(_.get(name))
+      .getOrElse(mapper.readTree(io.read(s"$name/zarr.json")))
     val shape = n.get("shape").elements().asScala.map(_.asInt()).toVector
     val gridChunks = n.get("chunk_grid").get("configuration").get("chunk_shape")
       .elements().asScala.map(_.asInt()).toVector
@@ -744,6 +766,7 @@ final case class ZarrGroup(root: String) {
     rootNode.set[ObjectNode]("consolidated_metadata", cons)
     io.write("zarr.json", mapper.writerWithDefaultPrettyPrinter()
       .writeValueAsBytes(rootNode))
+    invalidateConsolidated()
   }
 
   /** ConsolidateDimensionCoordinates (rechunking.py:245-283): rewrite each
@@ -759,5 +782,7 @@ final case class ZarrGroup(root: String) {
         writeRegion(n, Vector.fill(m.shape.length)(0), data)
       }
     }
+    // a previously consolidated store must not keep stale array docs
+    if (consolidated.isDefined) consolidateMetadata()
   }
 }
