@@ -151,31 +151,42 @@ object Grib2 {
                          label: String): Vector[Message] = {
     val out = Vector.newBuilder[Message]
     var pos = 0L
-    var found = false
     while (pos + 16 <= size) {
       // resync: operational files carry WMO bulletin headers / padding
       // between messages — search forward for the next "GRIB" magic
-      // (kerchunk's scan_grib does the same) instead of failing
+      // (kerchunk's scan_grib does the same) instead of failing. A magic
+      // hit that is NOT a plausible edition-2 message (e.g. the literal
+      // word GRIB in bulletin text, or a GRIB-1 message) is skipped and
+      // the search continues.
       pos = seekMagic(readAt, size, pos)
       if (pos < 0 || pos + 16 > size) {
-        require(found, s"$label: no GRIB indicator found")
-        return out.result()
+        val msgs = out.result()
+        require(msgs.nonEmpty, s"$label: no GRIB2 message found")
+        return msgs
       }
-      found = true
       val ind = readAt(pos, 16)
       val bb = ByteBuffer.wrap(ind).order(ByteOrder.BIG_ENDIAN)
-      require((bb.get(7) & 0xFF) == 2,
-        s"$label: GRIB edition ${bb.get(7)} unsupported (edition 2 only)")
+      val edition = bb.get(7) & 0xFF
       val totalLen = bb.getLong(8)
-      out ++= parseSections(readAt, pos, totalLen, bb.get(6) & 0xFF)
-      pos += totalLen
+      if (edition == 2 && totalLen >= 21 && pos + totalLen <= size) {
+        out ++= parseSections(readAt, pos, totalLen, bb.get(6) & 0xFF)
+        pos += totalLen
+      } else pos += 4 // false or unsupported match: resume the search
     }
-    out.result()
+    val msgs = out.result()
+    require(msgs.nonEmpty, s"$label: no GRIB2 message found")
+    msgs
   }
 
-  /** Forward search for the "GRIB" indicator from `from`; -1 if absent. */
+  /** Forward search for the "GRIB" indicator from `from`; -1 if absent.
+    * Fast path: back-to-back messages hit the 4-byte probe. */
   private def seekMagic(readAt: (Long, Int) => Array[Byte], size: Long,
                         from: Long): Long = {
+    if (from + 4 <= size) {
+      val probe = readAt(from, 4)
+      if (probe(0) == 'G' && probe(1) == 'R' && probe(2) == 'I' &&
+          probe(3) == 'B') return from
+    }
     var base = from
     while (base + 4 <= size) {
       val len = math.min(65536L, size - base).toInt

@@ -504,15 +504,20 @@ object HDF5 {
           case 0x0001 => dims = parseDataspace(b)
           case 0x0003 => dtype = Some(parseDatatype(b))
           case 0x0005 =>
-            // fill value: unwritten chunks read as this, not as zero
+            // fill value: unwritten chunks read as this, not as zero.
+            // v1 layout has NO defined flag (version, alloc time, write
+            // time, size, data); v2 adds the defined byte; v3 uses flags
             val version = b.get(0) & 0xFF
             val (defined, sizeOff) = version match {
-              case 1 | 2 => ((b.get(3) & 0xFF) == 1, 4)
+              case 1 => (true, 3)
+              case 2 => ((b.get(3) & 0xFF) == 1, 4)
               case 3 => ((b.get(1) & 0x20) != 0, 2)
               case _ => (false, 0)
             }
             if (defined && b.limit() >= sizeOff + 4) {
               val sz = b.getInt(sizeOff)
+              require(sz >= 0 && b.limit() >= sizeOff + 4 + sz,
+                s"fill-value message truncated: size $sz, ${b.limit()} bytes")
               if (sz > 0) {
                 val data = new Array[Byte](sz)
                 b.position(sizeOff + 4); b.get(data); b.position(0)

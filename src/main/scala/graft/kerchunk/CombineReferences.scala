@@ -81,10 +81,11 @@ object CombineReferences {
                              outputPath: String,
                              maxRefsPerMerge: Int = 5,
                              v2Keys: Boolean = false): RefSet = {
-    val combined = combine(refs, concatDims, identicalDims, maxRefsPerMerge)
+    // validate BEFORE the distributed combine runs
     require(!(v2Keys && outputPath.endsWith(".parquet")),
       "v2Keys applies to the json artifact only; the parquet layout keeps " +
         "our v3 keys")
+    val combined = combine(refs, concatDims, identicalDims, maxRefsPerMerge)
     if (outputPath.endsWith(".parquet"))
       writeReferenceParquet(refs.sparkSession, combined, outputPath)
     else if (v2Keys) {

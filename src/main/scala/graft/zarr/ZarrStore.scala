@@ -236,7 +236,9 @@ final case class ZarrGroup(root: String) {
   @transient private var consolidatedCache:
       Option[Option[Map[String, com.fasterxml.jackson.databind.JsonNode]]] = None
   private def consolidated: Option[Map[String, com.fasterxml.jackson.databind.JsonNode]] = {
-    if (consolidatedCache.isEmpty) {
+    // @transient var deserializes to NULL (not None) — executors receive
+    // this instance inside Spark closures, so guard both states
+    if (consolidatedCache == null || consolidatedCache.isEmpty) {
       val root = mapper.readTree(io.read("zarr.json"))
       consolidatedCache = Some(Option(root.get("consolidated_metadata"))
         .flatMap(c => Option(c.get("metadata")))
@@ -245,6 +247,22 @@ final case class ZarrGroup(root: String) {
     consolidatedCache.get
   }
   private def invalidateConsolidated(): Unit = consolidatedCache = None
+
+  /** Metadata writes invalidate consolidation EVERYWHERE, not just in this
+    * instance: strip the on-disk consolidated_metadata so no reader (other
+    * executors, later sessions) serves a stale array doc. Re-consolidate
+    * after mutating, per the zarr consolidation contract. */
+  private def stripConsolidatedOnDisk(): Unit = {
+    if (io.exists("zarr.json")) {
+      val root = mapper.readTree(io.read("zarr.json")).asInstanceOf[ObjectNode]
+      if (root.has("consolidated_metadata")) {
+        root.remove("consolidated_metadata")
+        io.write("zarr.json", mapper.writerWithDefaultPrettyPrinter()
+          .writeValueAsBytes(root))
+      }
+    }
+    invalidateConsolidated()
+  }
 
   def arrayNames: Vector[String] =
     consolidated.map(_.keys.toVector.sorted).getOrElse(io.arrayDirs())
@@ -267,7 +285,7 @@ final case class ZarrGroup(root: String) {
     io.write(s"$name/zarr.json", ZarrStore.arrayMetaDoc(
       shape, chunks, dtype, attrs, fillValue, dimensionNames, gzipLevel,
       shardShape))
-    invalidateConsolidated()
+    stripConsolidatedOnDisk()
   }
 
   /** `chunks` is the read-granularity (inner) chunk shape; when sharded,
@@ -772,6 +790,7 @@ final case class ZarrGroup(root: String) {
   /** ConsolidateDimensionCoordinates (rechunking.py:245-283): rewrite each
     * 1-D dimension-coordinate array as a single chunk. */
   def consolidateDimensionCoordinates(): Unit = {
+    val wasConsolidated = consolidated.isDefined
     arrayNames.foreach { n =>
       val m = arrayMeta(n)
       if (m.dimensionNames == Vector(n) && m.chunks != m.shape) {
@@ -782,7 +801,8 @@ final case class ZarrGroup(root: String) {
         writeRegion(n, Vector.fill(m.shape.length)(0), data)
       }
     }
-    // a previously consolidated store must not keep stale array docs
-    if (consolidated.isDefined) consolidateMetadata()
+    // a store that WAS consolidated (createArray stripped it) must not
+    // stay unconsolidated behind the caller's back
+    if (wasConsolidated) consolidateMetadata()
   }
 }
