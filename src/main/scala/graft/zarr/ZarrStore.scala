@@ -94,7 +94,8 @@ object ZarrStore {
                    bigEndian: Boolean = false,
                    gribVar: Option[String] = None,
                    zlibLevel: Option[Int] = None,
-                   shuffleElem: Option[Int] = None): Array[Byte] = {
+                   shuffleElem: Option[Int] = None,
+                   zstdLevel: Option[Int] = None): Array[Byte] = {
     val o = mapper.createObjectNode()
     o.put("zarr_format", 3)
     o.put("node_type", "array")
@@ -156,6 +157,16 @@ object ZarrStore {
         val z = mapper.createObjectNode()
         z.put("name", "zlib")
         val zcfg = mapper.createObjectNode(); zcfg.put("level", lvl)
+        z.set[ObjectNode]("configuration", zcfg)
+        codecs.add(z)
+      }
+      zstdLevel.foreach { lvl =>
+        // zarr v3 registered zstd codec (the reference's blosc-zstd
+        // encoding fixture analog; zstd-jni ships with Spark)
+        val z = mapper.createObjectNode()
+        z.put("name", "zstd")
+        val zcfg = mapper.createObjectNode()
+        zcfg.put("level", lvl); zcfg.put("checksum", false)
         z.set[ObjectNode]("configuration", zcfg)
         codecs.add(z)
       }
@@ -276,7 +287,8 @@ final case class ZarrGroup(root: String) {
                   fillValue: AttrValue = AttrValue.AInt(0),
                   dimensionNames: Option[Vector[String]] = None,
                   gzipLevel: Option[Int] = None,
-                  shardShape: Option[Vector[Int]] = None): Unit = {
+                  shardShape: Option[Vector[Int]] = None,
+                  zstdLevel: Option[Int] = None): Unit = {
     shardShape.foreach { ss =>
       require(ss.length == chunks.length &&
         ss.zip(chunks).forall { case (s, c) => s % c == 0 },
@@ -284,7 +296,7 @@ final case class ZarrGroup(root: String) {
     }
     io.write(s"$name/zarr.json", ZarrStore.arrayMetaDoc(
       shape, chunks, dtype, attrs, fillValue, dimensionNames, gzipLevel,
-      shardShape))
+      shardShape, zstdLevel = zstdLevel))
     stripConsolidatedOnDisk()
   }
 
@@ -300,7 +312,8 @@ final case class ZarrGroup(root: String) {
                              bigEndian: Boolean = false,
                              gribVar: Option[String] = None,
                              zlibLevel: Option[Int] = None,
-                             shuffleElem: Option[Int] = None) {
+                             shuffleElem: Option[Int] = None,
+                             zstdLevel: Option[Int] = None) {
     /** storage-object granularity: shard if sharded, else chunk */
     def grain: Vector[Int] = shardShape.getOrElse(chunks)
   }
@@ -337,6 +350,10 @@ final case class ZarrGroup(root: String) {
       Option(codecs).flatMap(
         _.elements().asScala.find(c => c.get("name").asText() == "shuffle")
           .map(c => c.get("configuration").get("elementsize").asInt()))
+    def zstdOf(codecs: com.fasterxml.jackson.databind.JsonNode): Option[Int] =
+      Option(codecs).flatMap(
+        _.elements().asScala.find(c => c.get("name").asText() == "zstd")
+          .map(c => c.get("configuration").get("level").asInt()))
     val sharding = Option(n.get("codecs")).flatMap(
       _.elements().asScala.find(c => c.get("name").asText() == "sharding_indexed"))
     val fill = Option(n.get("fill_value")).map(nodeToAttr)
@@ -348,13 +365,14 @@ final case class ZarrGroup(root: String) {
         ArrayMeta(shape, inner, dtype, ZarrStore.objectAttrs(n.get("attributes")),
           dims, gzipOf(cfg.get("codecs")), Some(gridChunks), fill,
           bigOf(cfg.get("codecs")), gribOf(cfg.get("codecs")),
-          zlibOf(cfg.get("codecs")), shuffleOf(cfg.get("codecs")))
+          zlibOf(cfg.get("codecs")), shuffleOf(cfg.get("codecs")),
+          zstdOf(cfg.get("codecs")))
       case None =>
         ArrayMeta(shape, gridChunks, dtype,
           ZarrStore.objectAttrs(n.get("attributes")), dims,
           gzipOf(n.get("codecs")), None, fill, bigOf(n.get("codecs")),
           gribOf(n.get("codecs")), zlibOf(n.get("codecs")),
-          shuffleOf(n.get("codecs")))
+          shuffleOf(n.get("codecs")), zstdOf(n.get("codecs")))
     }
   }
 
@@ -393,13 +411,13 @@ final case class ZarrGroup(root: String) {
       System.arraycopy(bytes, n * es, out, n * es, bytes.length - n * es)
       bytes = out
     }
-    (meta.gzipLevel, meta.zlibLevel) match {
-      case (Some(lvl), _) =>
+    (meta.gzipLevel, meta.zlibLevel, meta.zstdLevel) match {
+      case (Some(lvl), _, _) =>
         val bos = new java.io.ByteArrayOutputStream()
         val gz = new java.util.zip.GZIPOutputStream(bos) { `def`.setLevel(lvl) }
         gz.write(bytes); gz.close()
         bos.toByteArray
-      case (None, Some(lvl)) =>
+      case (None, Some(lvl), _) =>
         val d = new java.util.zip.Deflater(lvl)
         d.setInput(bytes); d.finish()
         val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
@@ -407,6 +425,8 @@ final case class ZarrGroup(root: String) {
         while (!d.finished()) bos.write(tmp, 0, d.deflate(tmp))
         d.end()
         bos.toByteArray
+      case (None, None, Some(lvl)) =>
+        com.github.luben.zstd.Zstd.compress(bytes, lvl)
       case _ => bytes
     }
   }
@@ -416,7 +436,8 @@ final case class ZarrGroup(root: String) {
                           bigEndian: Boolean = false,
                           gribVar: Option[String] = None,
                           zlibLevel: Option[Int] = None,
-                          shuffleElem: Option[Int] = None): NDArray = {
+                          shuffleElem: Option[Int] = None,
+                          zstdLevel: Option[Int] = None): NDArray = {
     gribVar.foreach { v =>
       // grib2 whole-message codec: the chunk object is a complete GRIB2
       // message; extract the requested variable (kerchunk scan_grib model)
@@ -433,12 +454,12 @@ final case class ZarrGroup(root: String) {
         s"grib2 message grid ${values.length} != chunk ${NDArray.sizeOf(shape)}")
       return NDArray(DType.F8, shape, values)
     }
-    val bytes = (gzipLevel, zlibLevel) match {
-      case (Some(_), _) =>
+    val bytes = (gzipLevel, zlibLevel, zstdLevel) match {
+      case (Some(_), _, _) =>
         val in = new java.util.zip.GZIPInputStream(
           new java.io.ByteArrayInputStream(raw))
         try in.readAllBytes() finally in.close()
-      case (None, Some(_)) =>
+      case (None, Some(_), _) =>
         val inf = new java.util.zip.Inflater()
         inf.setInput(raw)
         val bos = new java.io.ByteArrayOutputStream(raw.length * 4)
@@ -451,6 +472,9 @@ final case class ZarrGroup(root: String) {
         }
         inf.end()
         bos.toByteArray
+      case (None, None, Some(_)) =>
+        com.github.luben.zstd.Zstd.decompress(raw,
+          NDArray.sizeOf(shape) * dtype.byteSize)
       case _ => raw
     }
     val bytes2 = shuffleElem match {
@@ -538,7 +562,7 @@ final case class ZarrGroup(root: String) {
         val enc = java.util.Arrays.copyOfRange(raw, offset.toInt,
           offset.toInt + nbytes.toInt)
         val chunk = decodeChunk(enc, meta.dtype, meta.chunks, meta.gzipLevel,
-          meta.bigEndian, meta.gribVar, meta.zlibLevel, meta.shuffleElem)
+          meta.bigEndian, meta.gribVar, meta.zlibLevel, meta.shuffleElem, meta.zstdLevel)
         out.assign(pos.indices.map(d => pos(d) * meta.chunks(d)).toVector, chunk)
       }
     }
@@ -564,7 +588,7 @@ final case class ZarrGroup(root: String) {
     Some(
       if (meta.shardShape.isDefined) decodeShard(raw, meta)
       else decodeChunk(raw, meta.dtype, meta.chunks, meta.gzipLevel,
-        meta.bigEndian, meta.gribVar, meta.zlibLevel, meta.shuffleElem))
+        meta.bigEndian, meta.gribVar, meta.zlibLevel, meta.shuffleElem, meta.zstdLevel))
   }
 
   def chunkExists(name: String, chunkIdx: Vector[Int]): Boolean =
@@ -668,7 +692,7 @@ final case class ZarrGroup(root: String) {
       present.map { case (_, off, len) => (off, len) })
     present.zip(payloads).map { case ((pos, _, _), raw) =>
       pos -> decodeChunk(raw, meta.dtype, meta.chunks, meta.gzipLevel,
-        meta.bigEndian, meta.gribVar, meta.zlibLevel, meta.shuffleElem)
+        meta.bigEndian, meta.gribVar, meta.zlibLevel, meta.shuffleElem, meta.zstdLevel)
     }.toMap
   }
 

@@ -109,6 +109,33 @@ class ZarrStoreSpec extends AnyFunSuite {
     assert(chunkSize < 500, s"chunk not compressed: $chunkSize bytes")
   }
 
+  test("zstd codec round-trips, plain and sharded (blosc-zstd fixture analog)") {
+    val dir = java.nio.file.Files.createTempDirectory("zarr_zstd").toString
+    val g = ZarrGroup(dir)
+    g.initGroup(Map.empty)
+    val rng = new scala.util.Random(53)
+    // compressible data: repeating ramp
+    val data = Array.tabulate(4 * 30)(i => (i % 30).toDouble)
+    g.createArray("a", Vector(4, 30), Vector(2, 30), DType.F8, Map.empty,
+      zstdLevel = Some(3))
+    g.writeRegion("a", Vector(0, 0), NDArray.ofDoubles(Vector(4, 30), data))
+    assert(g.readArray("a").data.asInstanceOf[Array[Double]].sameElements(data))
+    // compressed on disk
+    val chunkBytes = java.nio.file.Files.size(
+      java.nio.file.Paths.get(dir, "a", "c", "0", "0"))
+    assert(chunkBytes < 2 * 30 * 8, s"chunk not compressed: $chunkBytes")
+    // sharded + zstd inner codec via the meta doc path
+    val noise = Array.fill(4 * 30)(rng.nextDouble())
+    graft.zarr.StoreIO.forRoot(dir).write("b/zarr.json",
+      ZarrStore.arrayMetaDoc(Vector(4, 30), Vector(2, 30), DType.F8,
+        Map.empty, shardShape = Some(Vector(4, 30)), zstdLevel = Some(3)))
+    g.writeRegion("b", Vector(0, 0), NDArray.ofDoubles(Vector(4, 30), noise))
+    assert(g.readArray("b").data.asInstanceOf[Array[Double]].sameElements(noise))
+    assert(g.readRegion("b", Vector(1, 5), Vector(2, 10))
+      .sameElements(NDArray.ofDoubles(Vector(4, 30), noise)
+        .slice(Vector(Slc(1, 3), Slc(5, 15)))))
+  }
+
   test("sharded array round-trips; one object per shard, inner chunks indexed") {
     val root = tmp()
     val g = ZarrGroup(root)
