@@ -386,9 +386,9 @@ object RefSet {
     * what the reference's WriteCombinedReference produces and
     * `fsspec.get_mapper("reference://")` + zarr v2 consume
     * (writers.py:132-195): `.zgroup`/`.zattrs`/`.zarray` documents,
-    * `_ARRAY_DIMENSIONS` for xarray dims, numcodecs compressor ids, and
-    * dot-separated chunk keys. GRIB whole-message refs are out of v2
-    * scope (kerchunk's grib codec is message-specific) and rejected. */
+    * `_ARRAY_DIMENSIONS` for xarray dims, numcodecs compressor/filter ids
+    * (incl. kerchunk's whole-message `{"id":"grib"}` filter), and
+    * dot-separated chunk keys. */
   def toKerchunkV2Json(rs: RefSet): String = {
     val root = mapper.createObjectNode()
     root.put("version", 1)
@@ -424,6 +424,7 @@ object RefSet {
           meta.get("chunk_grid").get("configuration").get("chunk_shape"))
         var big = false; var zlib: Option[Int] = None
         var gzip: Option[Int] = None; var shuffle: Option[Int] = None
+        var grib: Option[String] = None
         meta.get("codecs").elements().asScala.foreach { c =>
           c.get("name").asText() match {
             case "bytes" =>
@@ -433,6 +434,9 @@ object RefSet {
             case "gzip" => gzip = Some(c.get("configuration").get("level").asInt())
             case "shuffle" =>
               shuffle = Some(c.get("configuration").get("elementsize").asInt())
+            case "grib2" =>
+              // kerchunk's numcodecs GRIB codec: whole-message filter
+              grib = Some(c.get("configuration").get("var").asText())
             case other => throw new UnsupportedOperationException(
               s"codec $other has no kerchunk v2 representation")
           }
@@ -453,14 +457,20 @@ object RefSet {
             za.set[ObjectNode]("compressor", comp)
           case _ => za.putNull("compressor")
         }
-        shuffle match {
-          case Some(es) =>
+        (shuffle, grib) match {
+          case (Some(es), _) =>
             val filters = mapper.createArrayNode()
             val sh = mapper.createObjectNode()
             sh.put("id", "shuffle"); sh.put("elementsize", es)
             filters.add(sh)
             za.set[ObjectNode]("filters", filters)
-          case None => za.putNull("filters")
+          case (None, Some(gv)) =>
+            val filters = mapper.createArrayNode()
+            val gf = mapper.createObjectNode()
+            gf.put("id", "grib"); gf.put("var", gv)
+            filters.add(gf)
+            za.set[ObjectNode]("filters", filters)
+          case _ => za.putNull("filters")
         }
         putInline(s"$v/.zarray", mapper.writeValueAsBytes(za))
         // .zattrs: user attrs + the xarray dims convention
@@ -537,6 +547,9 @@ object RefSet {
       val shuffle = Option(za.get("filters")).filter(!_.isNull)
         .flatMap(_.elements().asScala.find(_.get("id").asText() == "shuffle"))
         .map(_.get("elementsize").asInt())
+      val grib = Option(za.get("filters")).filter(!_.isNull)
+        .flatMap(_.elements().asScala.find(_.get("id").asText() == "grib"))
+        .map(_.get("var").asText())
       val attrsNode = if (raw.contains(s"$v/.zattrs")) doc(s"$v/.zattrs") else null
       val dims = Option(attrsNode).flatMap(a =>
         Option(a.get("_ARRAY_DIMENSIONS")).map(
@@ -550,7 +563,7 @@ object RefSet {
         fillValue = Option(za.get("fill_value")).map(graft.zarr.ZarrStore.nodeToAttr)
           .getOrElse(graft.core.AttrValue.AInt(0)),
         dimensionNames = dims, gzipLevel = gzip, bigEndian = big,
-        zlibLevel = zlib, shuffleElem = shuffle))
+        zlibLevel = zlib, shuffleElem = shuffle, gribVar = grib))
       // chunk keys <var>/i.j -> <var>/c/i/j; scalar arrays' "0" -> "c"
       raw.foreach { case (k, payload) =>
         if (k.startsWith(s"$v/") && !k.contains(".z")) {

@@ -153,6 +153,38 @@ class KerchunkSpec extends AnyFunSuite {
     assert(merged.keys.count(_.startsWith("lat/c")) == 1)
   }
 
+  test("test_reference_grib mirror: CMC fixture -> refs -> v2 artifact -> open") {
+    // the reference's GRIB pipeline (tests/test_end_to_end.py:219-262):
+    // pattern | OpenWithKerchunk | WriteCombinedReference -> reference.json
+    // -> open as zarr, assert GRIB_centre == "cwao" and the field values
+    val fixture = "/root/reference/tests/data/" +
+      "CMC_reg_DEPR_ISBL_10_ps10km_2022072000_P000.grib2"
+    assume(Files.exists(java.nio.file.Paths.get(fixture)))
+    val dir = tmp()
+    val indexed: Vector[(Index, RefSet)] =
+      RefSet.scanGrib2(fixture).zipWithIndex.map { case (rs, i) =>
+        (Index.of(timeDim -> Pos(i)), rs)
+      }
+    val ds = spark.createDataset(indexed)(Encoders.kryo[(Index, RefSet)])
+    val jsonPath = s"$dir/reference.json"
+    CombineReferences.writeCombinedReference(ds, Vector("time"),
+      identicalDims = Vector("latitude", "longitude"), jsonPath, v2Keys = true)
+    val json = Files.readString(java.nio.file.Paths.get(jsonPath))
+    // kerchunk-ecosystem surface: grib filter + v2 array docs
+    assert(json.contains("""\"id\":\"grib\""""))
+    assert(json.contains("DEPR/.zarray"))
+    val back = RefSet.fromKerchunkV2Json(json)
+    val virt = s"$dir/virt.zarr"
+    back.materialize(virt)
+    val f = ZarrGroup(virt).readFragment()
+    assert(f.attrs("GRIB_centre") == AttrValue.AStr("cwao")) // the ref's assert
+    val data = f.allVars("DEPR").data.data.asInstanceOf[Array[Double]]
+    assert(data.count(!_.isNaN) == 750157)
+    assert(data.filterNot(_.isNaN).forall(_ == 30.0))
+    assert(f.coords("time").data.getLong(0) == 1658275200L)
+    assert(f.coords("isobaricInhPa").data.getDouble(0) == 10.0)
+  }
+
   test("kerchunk v2 artifact: zarr-v2 keys round-trip to an equal store") {
     // the fsspec/kerchunk-ecosystem artifact shape (writers.py:132-195):
     // .zgroup/.zattrs/.zarray docs, _ARRAY_DIMENSIONS, dot chunk keys,
