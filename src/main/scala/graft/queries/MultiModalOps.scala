@@ -4,66 +4,99 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal-column plumbing: opaque binary payloads + typed metadata,
-  * decode / feature-extract / frame-sample stages.
+/** Multimodal-column operators: binary payloads + typed metadata, decode /
+  * resize / frame-sample / feature-extract stages over batched
+  * mapPartitions (the JVM twin of mapInPandas).
   *
-  * The image/audio codecs aren't available in this container, so the decode
-  * kernel is a clearly-marked deterministic STUB (see [[FakeDecode]]) — but
-  * the Spark-side plumbing is real and tested: binary columns flow through
-  * mapPartitions in batches (the JVM twin of mapInPandas), the decoded
-  * output is a typed struct schema, and partitioning survives the decode.
-  * Swapping [[FakeDecode.decode]] for a real codec is a one-function change.
-  */
+  * The decode kernels are REAL container parsers where a pure-JVM format
+  * exists — PPM/P6 images (m01), raw-raster box resampling (m03), RIFF/WAV
+  * PCM audio (m05) — over deterministically synthesized media, with oracles
+  * that recompute features from the synthesis formulas WITHOUT parsing
+  * bytes (a hash match proves the decoders decode). Only the embedding
+  * extractor (m04) remains a clearly-marked stub: a learned model has no
+  * JVM-replicable twin, so its contract — binary in, dense vector out — is
+  * exercised with an md5-derived fake. */
 object MultiModalOps {
   import Tables._
 
-  /** STUB decoder: derives deterministic "media metadata" from the payload
-    * bytes alone. A real deployment would replace this body with an actual
-    * image/audio decode (e.g. via a JNI codec); the signature — bytes in,
-    * typed features out — is the contract. */
-  object FakeDecode {
-    final case class Decoded(width: Int, height: Int, nBytes: Long, fmt: String)
-    def decode(payload: Array[Byte]): Decoded = {
-      val n = payload.length
-      // ??? real codec goes here — deterministic fake derived from length
-      val width = 64 + (n % 577)
-      val height = 64 + ((n * 31) % 449)
-      val fmt = if (n % 3 == 0) "png" else if (n % 3 == 1) "jpeg" else "webp"
-      Decoded(width, height, n.toLong, fmt)
+  /** REAL image decode (no stub): each doc carries a synthesized PPM (P6)
+    * image — a real binary raster container — and the kernel PARSES it:
+    * magic + ASCII header (dimensions, maxval) + RGB24 pixel plane, then
+    * per-channel integer means. The payload pixels are an integer pattern
+    * of doc_id, so the oracle recomputes the features from the synthesis
+    * formula WITHOUT seeing the bytes — a hash match proves the container
+    * was genuinely decoded. Batched mapPartitions, binary in, typed rows
+    * out (the mapInPandas twin). */
+  private def ppmBytes(docId: Long): Array[Byte] = {
+    val w = (8 + docId % 5).toInt; val h = (6 + docId % 4).toInt
+    val header = s"P6\n$w $h\n255\n".getBytes("ASCII")
+    val px = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      px(i * 3) = ((docId + i) % 256).toByte
+      px(i * 3 + 1) = ((docId * 3 + i * 7) % 256).toByte
+      px(i * 3 + 2) = ((docId * 5 + i * 11) % 256).toByte
+      i += 1
     }
+    header ++ px
   }
 
-  /** Binary ingestion + batched decode via mapPartitions (mapInPandas twin):
-    * documents' text bytes stand in for image payloads. */
-  def m01DecodeStub(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+  /** Parse a binary PPM (P6): returns (width, height, rMean, gMean, bMean)
+    * with integer-floor channel means. Throws on malformed input. */
+  private def decodePpm(bytes: Array[Byte]): (Int, Int, Long, Long, Long) = {
+    require(bytes.length > 2 && bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM")
+    var p = 2
+    def token(): String = {
+      while (p < bytes.length && bytes(p).toChar.isWhitespace) p += 1
+      val start = p
+      while (p < bytes.length && !bytes(p).toChar.isWhitespace) p += 1
+      new String(bytes, start, p - start, "ASCII")
+    }
+    val w = token().toInt; val h = token().toInt; val maxval = token().toInt
+    require(maxval == 255, s"unsupported maxval $maxval")
+    p += 1 // single whitespace after maxval, then the pixel plane
+    require(bytes.length - p == w * h * 3, "truncated pixel plane")
+    var r = 0L; var g = 0L; var b = 0L; var i = 0
+    while (i < w * h) {
+      r += bytes(p + i * 3) & 0xFF
+      g += bytes(p + i * 3 + 1) & 0xFF
+      b += bytes(p + i * 3 + 2) & 0xFF
+      i += 1
+    }
+    (w, h, r / (w * h), g / (w * h), b / (w * h))
+  }
+
+  def m01ImageDecode(s: SparkSession, d: String): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("width", IntegerType, nullable = false),
       StructField("height", IntegerType, nullable = false),
-      StructField("n_bytes", LongType, nullable = false),
-      StructField("fmt", StringType, nullable = false)))
-    val decoded = docs.mapPartitions { rows =>
-      // batch shape: one iterator per partition, decode streams through
-      rows.map { r =>
-        val dec = FakeDecode.decode(r.getAs[Array[Byte]]("payload"))
-        Row(r.getLong(0), dec.width, dec.height, dec.nBytes, dec.fmt)
-      }
-    }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
-    decoded.orderBy("doc_id")
+      StructField("r_mean", LongType, nullable = false),
+      StructField("g_mean", LongType, nullable = false),
+      StructField("b_mean", LongType, nullable = false)))
+    documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (w, h, rm, gm, bm) = decodePpm(ppmBytes(id))
+          Row(id, w, h, rm, gm, bm)
+        }
+      }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+      .orderBy("doc_id")
   }
 
-  /** The stub arithmetic is replicable in SQL, which gives the plumbing an
-    * oracle even though the kernel is fake. */
+  /** Oracle from the synthesis formula only — no byte parsing. */
   val m01Sql: String =
-    """SELECT doc_id,
-      |  CAST(64 + (length(text) % 577) AS INTEGER) AS width,
-      |  CAST(64 + ((length(text) * 31) % 449) AS INTEGER) AS height,
-      |  length(text)::BIGINT AS n_bytes,
-      |  CASE WHEN length(text) % 3 = 0 THEN 'png'
-      |       WHEN length(text) % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS fmt
-      |FROM documents ORDER BY doc_id""".stripMargin
+    """WITH p AS (
+      |  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h FROM documents
+      |), px AS (
+      |  SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM p)
+      |SELECT doc_id,
+      |  CAST(max(w) AS INTEGER) AS width, CAST(max(h) AS INTEGER) AS height,
+      |  CAST(SUM((doc_id + i) % 256) // (max(w) * max(h)) AS BIGINT) AS r_mean,
+      |  CAST(SUM((doc_id * 3 + i * 7) % 256) // (max(w) * max(h)) AS BIGINT) AS g_mean,
+      |  CAST(SUM((doc_id * 5 + i * 11) % 256) // (max(w) * max(h)) AS BIGINT) AS b_mean
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Frame sampling: each payload expands to n_bytes/64 virtual frames;
     * every 4th frame is kept with a deterministic per-frame fingerprint —
@@ -292,7 +325,7 @@ object MultiModalOps {
        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m01_decode_stub" -> m01DecodeStub _,
+    "m01_image_decode" -> m01ImageDecode _,
     "m02_frame_sample" -> m02FrameSample _,
     "m03_resize" -> m03Resize _,
     "m04_embed_stub" -> m04EmbedStub _,
@@ -300,7 +333,7 @@ object MultiModalOps {
   )
 
   val oracles: Map[String, String] = Map(
-    "m01_decode_stub" -> m01Sql,
+    "m01_image_decode" -> m01Sql,
     "m02_frame_sample" -> m02Sql,
     "m03_resize" -> m03Sql,
     "m04_embed_stub" -> m04Sql,
