@@ -334,7 +334,11 @@ object Openers {
   }
 
   /** openers.py:229-252: spool the remote file to executor-local tmp before
-    * decoding (the GRIB requirement); cache-through via Storage.cacheFile. */
+    * decoding (the GRIB requirement); cache-through via Storage.cacheFile.
+    * A remote URL for a byte-range format (netcdf/hdf5/grib seek into the
+    * file) is spooled even without `copyToLocal` when no cache is
+    * configured — the positional decoders need a local file. Opendap URLs
+    * are never copied (the protocol IS remote access). */
   def open(fileType: FileType.Value, url: String,
            copyToLocal: Boolean = false,
            cacheDir: Option[String] = None,
@@ -344,13 +348,18 @@ object Openers {
       throw new UnsupportedOperationException(
         s"No JVM decoder available for engine=$engine in this build; " +
           "use FileType.Zarr fragments or the parquet long view."))
+    val isRemote = url.startsWith("http://") || url.startsWith("https://")
     val resolvedUrl = cacheDir match {
       case Some(cd) if fileType != FileType.Opendap =>
         graft.storage.Storage.cacheFile(url, cd, secrets)
+      case _ if isRemote && fileType != FileType.Opendap &&
+          fileType != FileType.Zarr =>
+        // executor-local spool into the JVM tmpdir (openers.py:240-247);
+        // cacheFile's size-skip makes repeated opens idempotent
+        graft.storage.Storage.cacheFile(url,
+          sys.props("java.io.tmpdir"), secrets)
       case _ => url
     }
-    // copyToLocal would spool byte-range files to executor tmp; our zarr
-    // fragments are directories, already local in this build
     decoder(resolvedUrl)
   }
 }

@@ -239,6 +239,9 @@ class Hdf5Spec extends AnyFunSuite {
       assert(got.sameAs(f))
       // second open hits the cache (size-match skip) and still decodes
       assert(Openers.open(FileType.Netcdf4, url, cacheDir = Some(cacheDir)).sameAs(f))
+      // no cache configured: the remote byte-range file spools to
+      // executor-local tmp before decode (openers.py copy_to_local)
+      assert(Openers.open(FileType.Netcdf4, url).sameAs(f))
     } finally server.stop(0)
   }
 
