@@ -230,7 +230,46 @@ object Relational3 {
       |  SELECT l_returnflag, 'sum_qty', sum_qty FROM w)
       |ORDER BY l_returnflag, measure""".stripMargin
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): re-order chains — orders of
+    * one customer linked when placed within 7 days of the previous one;
+    * chains walked recursively from their roots (the functional next-order
+    * edge makes the walk a DAG, so UNION ALL recursion terminates). The
+    * same SQL text runs on both engines. */
+  private def q29Text(table: String): String =
+    s"""WITH RECURSIVE seq AS (
+       |  SELECT o_custkey, o_orderkey, o_orderdate,
+       |    lead(o_orderkey) OVER w AS next_key,
+       |    lead(o_orderdate) OVER w AS next_date,
+       |    lag(o_orderdate) OVER w AS prev_date
+       |  FROM $table
+       |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+       |), e AS (
+       |  SELECT o_orderkey, next_key FROM seq
+       |  WHERE next_key IS NOT NULL
+       |    AND next_date <= o_orderdate + INTERVAL 7 DAY
+       |), roots AS (
+       |  SELECT o_custkey, o_orderkey FROM seq
+       |  WHERE prev_date IS NULL OR o_orderdate > prev_date + INTERVAL 7 DAY
+       |), walk AS (
+       |  SELECT o_orderkey AS root, o_orderkey AS cur, 1 AS depth FROM roots
+       |  UNION ALL
+       |  SELECT w.root, e.next_key, w.depth + 1
+       |  FROM walk w JOIN e ON w.cur = e.o_orderkey
+       |)
+       |SELECT CAST(depth AS BIGINT) AS chain_len,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chains
+       |FROM (SELECT root, MAX(depth) AS depth FROM walk GROUP BY root)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def q29RecursiveChains(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders_q29")
+    s.sql(q29Text("orders_q29"))
+  }
+
+  val q29Sql: String = q29Text("orders")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_recursive_chains" -> q29RecursiveChains _,
     "q28_unpivot" -> q28Unpivot _,
     "q22_asof_join" -> q22AsofJoin _,
     "q23_range_join" -> q23RangeJoin _,
@@ -242,6 +281,7 @@ object Relational3 {
 
   val oracles: Map[String, String] = Map(
     "q28_unpivot" -> q28Sql,
+    "q29_recursive_chains" -> q29Sql,
     "q22_asof_join" -> q22Sql,
     "q23_range_join" -> q23Sql,
     "q24_kmv_sketch" -> q24Sql,

@@ -111,15 +111,55 @@ object StreamOps {
       |FROM events e LEFT JOIN profile p ON e.user_id = p.user_id
       |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin
 
+  /** Click→purchase attribution: every purchase matched to same-user
+    * clicks in the preceding 10 minutes — the batch twin of the
+    * STREAM-STREAM interval join (StreamingPipelines.attributedPurchases:
+    * two watermarked streams, equi-join on user + event-time bound).
+    * The equi+interval condition is the scale shape: co-partition by
+    * user, state bounded by the watermark. */
+  def st04StreamJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_us").as("click_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("purchase_us"))
+    clicks.join(purchases, Seq("user_id"))
+      .filter(col("purchase_us") >= col("click_us") &&
+        col("purchase_us") <= col("click_us") + 10L * 60 * 1000000)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_attributed"),
+        min(col("purchase_us") - col("click_us")).as("min_lag_us"))
+      .orderBy("user_id")
+  }
+
+  val st04Sql: String =
+    """WITH c AS (
+      |  SELECT user_id, epoch_us(ts) AS click_us FROM events
+      |  WHERE event_type = 'click'
+      |), p AS (
+      |  SELECT user_id, epoch_us(ts) AS purchase_us FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT c.user_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_attributed,
+      |  CAST(MIN(purchase_us - click_us) AS BIGINT) AS min_lag_us
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |  AND purchase_us >= click_us
+      |  AND purchase_us <= click_us + 600000000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_sessionize" -> st01Sessionize _,
     "st02_sliding_window" -> st02SlidingWindow _,
     "st03_enrich_join" -> st03EnrichJoin _,
+    "st04_stream_join" -> st04StreamJoin _,
   )
 
   val oracles: Map[String, String] = Map(
     "st01_sessionize" -> st01Sql,
     "st02_sliding_window" -> st02Sql,
     "st03_enrich_join" -> st03Sql,
+    "st04_stream_join" -> st04Sql,
   )
 }

@@ -66,6 +66,27 @@ object StreamingPipelines {
     }
   }
 
+  /** STREAM-STREAM interval join: purchases attributed to same-user clicks
+    * in the preceding 10 minutes. Both sides are watermarked so the join
+    * state is bounded — clicks older than the bound + watermark are
+    * evicted; the equi-key (user_id) co-partitions both streams. Streaming
+    * twin of StreamOps.st04StreamJoin. Inner joins emit on match, so
+    * results appear without waiting for watermark closure. */
+  def attributedPurchases(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val p = purchases.select(col("user_id").as("p_user_id"),
+      col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("lag_us"))
+  }
+
   final case class Ev(user_id: Long, ts_us: Long)
   final case class SessionState(sessions: Long, lastTsUs: Long, events: Long)
   final case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)

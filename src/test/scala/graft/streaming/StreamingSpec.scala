@@ -146,6 +146,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch attribution twin") {
+    val clicks = eventStream().filter(col("event_type") === "click")
+    val purchases = eventStream().filter(col("event_type") === "purchase")
+    val q = StreamingPipelines.attributedPurchases(clicks, purchases)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      q.processAllAvailable()
+      // aggregate the streamed matches like the batch twin does
+      val streaming = spark.sql(
+        """SELECT user_id, COUNT(*) AS n, MIN(lag_us) AS m
+          |FROM attr_out GROUP BY user_id""".stripMargin)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      val batch = graft.queries.StreamOps.st04StreamJoin(spark, sfDir)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      assert(streaming == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming ingest of arriving netCDF-4 files appends to the cube") {
     import spark.implicits._
     import graft.patterns.FileType
