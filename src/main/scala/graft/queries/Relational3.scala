@@ -261,9 +261,37 @@ object Relational3 {
        |FROM (SELECT root, MAX(depth) AS depth FROM walk GROUP BY root)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The window-derived edge/root sets are MATERIALIZED (cached views)
+    * before the recursion — Spark re-evaluates CTEs referenced inside the
+    * recursive member on every iteration, so leaving the window scan
+    * inline would rescan the orders table once per chain step. */
   def q29RecursiveChains(s: SparkSession, d: String): DataFrame = {
-    orders(s, d).createOrReplaceTempView("orders_q29")
-    s.sql(q29Text("orders_q29"))
+    import org.apache.spark.sql.expressions.{Window => W}
+    val w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val seq = orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("next_key", lead("o_orderkey", 1).over(w))
+      .withColumn("next_date", lead("o_orderdate", 1).over(w))
+      .withColumn("prev_date", lag("o_orderdate", 1).over(w))
+    seq.filter(col("next_key").isNotNull &&
+        col("next_date") <= col("o_orderdate") + expr("INTERVAL 7 DAY"))
+      .select("o_orderkey", "next_key")
+      .cache().createOrReplaceTempView("edges_q29")
+    seq.filter(col("prev_date").isNull ||
+        col("o_orderdate") > col("prev_date") + expr("INTERVAL 7 DAY"))
+      .select("o_orderkey")
+      .cache().createOrReplaceTempView("roots_q29")
+    s.sql(
+      """WITH RECURSIVE walk AS (
+        |  SELECT o_orderkey AS root, o_orderkey AS cur, 1 AS depth FROM roots_q29
+        |  UNION ALL
+        |  SELECT w.root, e.next_key, w.depth + 1
+        |  FROM walk w JOIN edges_q29 e ON w.cur = e.o_orderkey
+        |)
+        |SELECT CAST(depth AS BIGINT) AS chain_len,
+        |  CAST(COUNT(*) AS BIGINT) AS n_chains
+        |FROM (SELECT root, MAX(depth) AS depth FROM walk GROUP BY root)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
   val q29Sql: String = q29Text("orders")
