@@ -13,14 +13,15 @@ object SparkEntry {
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       CubeOps.queries ++ NetcdfOps.queries ++ Hdf5Ops.queries ++
       GribOps.queries ++ DapOps.queries ++
-      TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
+      TextOps.queries ++ DedupOps.queries ++ DedupOps2.queries ++
+      SimilarityOps.queries ++
       MultiModalOps.queries ++ StreamOps.queries ++ PipelineOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++
-      TextOps.oracles ++ DedupOps.oracles ++
+      TextOps.oracles ++ DedupOps.oracles ++ DedupOps2.oracles ++
       SimilarityOps.oracles ++ MultiModalOps.oracles ++ StreamOps.oracles ++
       PipelineOps.oracles
 }

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Second wave of corpus-dedup operators: segment-level (paragraph) dedup and
+  * bloom-prefiltered incremental dedup — the two shapes a production
+  * training-data pipeline runs besides whole-document dedup (CCNet-style
+  * paragraph dedup; daily-ingest dedup against the existing corpus).
+  *
+  * Scale design notes:
+  *  - d08 is explode → hash-groupBy → equi-join back, all shuffle-on-key; the
+  *    canonical-occurrence choice is a plain min-aggregate, so map-side
+  *    partial aggregation applies and no segment text ever concentrates on
+  *    one node beyond its true duplicate group.
+  *  - d09 builds the Bloom filter on the SMALL side (the new ingest batch)
+  *    and streams the 100-TB corpus scan through it — the filter is
+  *    broadcast-sized regardless of corpus size. Bloom false positives are
+  *    removed by an exact hash equi-join afterwards, so the result is
+  *    exactly the semi-join the oracle computes; the filter is purely a
+  *    scan-reduction device (no false negatives by construction).
+  */
+object DedupOps2 {
+  import Tables._
+
+  /** 60-bit md5 integer of a string column (same on both engines). */
+  private def h60(c: String): String =
+    s"cast(conv(substring(md5($c), 1, 15), 16, 10) as bigint)"
+  private def h60Duck(c: String): String =
+    s"('0x' || substr(md5($c), 1, 15))::BIGINT"
+
+  /** Words per dedup segment (the "paragraph" unit — this corpus has no
+    * newline structure, so segmentation is fixed-width over the word list,
+    * which is the same operator algebra as CCNet line-level dedup). */
+  val SegWords = 10
+
+  /** Max segments per document for the packed canonical key
+    * (doc_id * 1e6 + seg_idx). 1e6 segments × 10 words = 10M-word docs;
+    * anything larger is malformed input and fails fast. */
+  private val MaxSegs = 1000000L
+
+  private def segments(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("nw", size(col("words")))
+      .select(col("doc_id"), col("words"), col("nw"),
+        explode(expr(s"sequence(0, (nw - 1) div $SegWords)")).as("seg_idx"))
+      .withColumn("seg",
+        expr(s"concat_ws(' ', slice(words, seg_idx * $SegWords + 1, $SegWords))"))
+      .withColumn("seg_words",
+        expr(s"least(nw - seg_idx * $SegWords, $SegWords)").cast("long"))
+      .select("doc_id", "seg_idx", "seg", "seg_words")
+
+  private val segmentsSql: String =
+    s"""SELECT doc_id, seg_idx,
+       |  array_to_string(words[seg_idx*$SegWords+1 : seg_idx*$SegWords+$SegWords], ' ') AS seg,
+       |  LEAST(nw - seg_idx*$SegWords, $SegWords) AS seg_words
+       |FROM (
+       |  SELECT doc_id, words, len(words) AS nw,
+       |    unnest(range(0, (len(words)-1)//$SegWords + 1)) AS seg_idx
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))""".stripMargin
+
+  /** Segment-level (paragraph) dedup, CCNet-style: hash each fixed-width
+    * word segment, keep only the globally first occurrence of each distinct
+    * segment (min (doc_id, seg_idx), packed into one bigint key so both
+    * engines order identically), and report per-document how much text
+    * survives. Mirrors the reference's "drop duplicated content, keep one
+    * canonical copy" semantics at sub-document granularity. */
+  def d08ParagraphDedup(s: SparkSession, d: String): DataFrame = {
+    val segs = segments(s, d)
+      .withColumn("ck", col("doc_id") * MaxSegs + col("seg_idx"))
+      .withColumn("h", md5(col("seg")))
+    val canon = segs.groupBy("h").agg(min("ck").as("canon_ck"))
+    segs.join(canon, "h")
+      .withColumn("kept", (col("ck") === col("canon_ck")).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(lit(1L) - col("kept")).cast("long").as("n_dropped"),
+        sum(col("seg_words") * col("kept")).cast("long").as("kept_words"))
+      .orderBy("doc_id")
+  }
+
+  val d08Sql: String =
+    s"""WITH segs AS ($segmentsSql),
+       |keyed AS (
+       |  SELECT doc_id, seg_idx, seg, seg_words,
+       |    doc_id * $MaxSegs + seg_idx AS ck, md5(seg) AS h
+       |  FROM segs),
+       |canon AS (SELECT h, MIN(ck) AS canon_ck FROM keyed GROUP BY h)
+       |SELECT doc_id, COUNT(*) AS n_segs,
+       |  CAST(SUM(CASE WHEN ck = canon_ck THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       |  CAST(SUM(CASE WHEN ck = canon_ck THEN seg_words ELSE 0 END) AS BIGINT) AS kept_words
+       |FROM keyed JOIN canon USING (h)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The "new ingest batch" partition used by d09: one source feed. */
+  val NewBatchSource = "src19"
+
+  /** Incremental-ingest dedup: which documents of today's batch repeat
+    * content already in the standing corpus? Granularity is the d08 segment
+    * (10-word window), so verbatim copies AND partial-overlap docs are both
+    * caught. The batch's distinct segment hashes go into a Bloom filter
+    * (small side!); the corpus segment stream is prefiltered by
+    * `mightContain` so only hash-colliding segments leave the scan, then an
+    * exact hash equi-join + aggregate produces, per new document, how much
+    * of it already exists and where it was first seen. The Bloom pass cuts
+    * the post-scan shuffle volume from |corpus segments| to
+    * |collisions + false positives| — at 100 TB that is the difference
+    * between shuffling the corpus and shuffling almost nothing — while the
+    * confirm join keeps the result exact (no false negatives by
+    * construction; false positives die in the join). */
+  def d09BloomIncremental(s: SparkSession, d: String): DataFrame = {
+    val segs = segments(s, d).withColumn("h", expr(h60("seg")))
+    val isNew = documents(s, d).select(col("doc_id"),
+      (col("source") === NewBatchSource).as("is_new"))
+    val keyed = segs.join(isNew, "doc_id")
+    val newSegs = keyed.filter(col("is_new"))
+      .select("doc_id", "h").distinct().cache()
+    val nNew = newSegs.count()
+    val bf: BloomFilter = newSegs.stat.bloomFilter("h", math.max(nNew, 1L), 0.01)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bfB.value.mightContain(h))
+    val corpusHits = keyed.filter(!col("is_new"))
+      .select(col("doc_id").as("corpus_id"), col("h"))
+      .filter(mightContain(col("h"))).distinct()
+    val perNew = newSegs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
+    newSegs.join(corpusHits, "h") // exact confirm: kills bloom false positives
+      .groupBy("doc_id")
+      .agg(countDistinct("h").as("n_dup_segs"),
+        min("corpus_id").as("first_seen_id"))
+      .join(perNew, "doc_id")
+      .withColumn("dup_frac",
+        round(col("n_dup_segs").cast("double") / col("n_segs"), 4))
+      .select("doc_id", "n_segs", "n_dup_segs", "dup_frac", "first_seen_id")
+      .orderBy("doc_id")
+  }
+
+  val d09Sql: String =
+    s"""WITH segs AS ($segmentsSql),
+       |keyed AS (
+       |  SELECT s.doc_id, ${h60Duck("s.seg")} AS h, d.source = '$NewBatchSource' AS is_new
+       |  FROM segs s JOIN documents d ON s.doc_id = d.doc_id),
+       |nb AS (SELECT DISTINCT doc_id, h FROM keyed WHERE is_new),
+       |corpus AS (SELECT DISTINCT doc_id AS corpus_id, h FROM keyed WHERE NOT is_new),
+       |per_new AS (SELECT doc_id, COUNT(*) AS n_segs FROM nb GROUP BY 1),
+       |hits AS (
+       |  SELECT nb.doc_id, COUNT(DISTINCT h) AS n_dup_segs,
+       |    MIN(corpus_id) AS first_seen_id
+       |  FROM nb JOIN corpus USING (h) GROUP BY 1)
+       |SELECT doc_id, n_segs, n_dup_segs,
+       |  ROUND(n_dup_segs::DOUBLE / n_segs, 4) AS dup_frac, first_seen_id
+       |FROM hits JOIN per_new USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d08_paragraph_dedup" -> d08ParagraphDedup _,
+    "d09_bloom_incremental" -> d09BloomIncremental _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d08_paragraph_dedup" -> d08Sql,
+    "d09_bloom_incremental" -> d09Sql,
+  )
+}

@@ -149,11 +149,37 @@ object StreamOps {
       |  AND purchase_us <= click_us + 600000000
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Streaming dedup, batch twin: collapse repeated (user, event_type)
+    * events inside each event-time hour to their first occurrence — the
+    * batch equivalent of `dropDuplicatesWithinWatermark` keyed on
+    * (user_id, event_type, hour) (state bounded by the watermark; see
+    * StreamingPipelines.dedupedEvents for the streaming form). Per
+    * event-type: raw volume vs surviving volume. */
+  def st05StreamDedup(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("hour", date_trunc("hour", col("ts")))
+      .groupBy("user_id", "event_type", "hour")
+      .agg(count(lit(1)).as("n_raw"))
+      .groupBy("event_type")
+      .agg(sum("n_raw").cast("long").as("n_raw"),
+        count(lit(1)).as("n_dedup"))
+      .orderBy("event_type")
+
+  val st05Sql: String =
+    """WITH keyed AS (
+      |  SELECT user_id, event_type, date_trunc('hour', ts) AS hour,
+      |    COUNT(*) AS n_raw
+      |  FROM events GROUP BY 1, 2, 3)
+      |SELECT event_type, CAST(SUM(n_raw) AS BIGINT) AS n_raw,
+      |  COUNT(*) AS n_dedup
+      |FROM keyed GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_sessionize" -> st01Sessionize _,
     "st02_sliding_window" -> st02SlidingWindow _,
     "st03_enrich_join" -> st03EnrichJoin _,
     "st04_stream_join" -> st04StreamJoin _,
+    "st05_stream_dedup" -> st05StreamDedup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -161,5 +187,6 @@ object StreamOps {
     "st02_sliding_window" -> st02Sql,
     "st03_enrich_join" -> st03Sql,
     "st04_stream_join" -> st04Sql,
+    "st05_stream_dedup" -> st05Sql,
   )
 }

@@ -348,7 +348,56 @@ object TextOps {
       |   ROUND(top_gram_n::DOUBLE / n_grams, 4) <= 0.3) AS keep
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Documents whose doc_id is divisible by this are the held-out
+    * "benchmark/eval set" for the contamination check. */
+  val BenchMod = 23
+  /** Contamination n-gram width (words). */
+  val ContamN = 5
+
+  /** Benchmark-contamination check: flag training documents sharing 5-gram
+    * spans with the held-out eval set — the standard decontamination step
+    * before training. The eval set's distinct n-gram table is tiny relative
+    * to the corpus, so it is explicitly `broadcast()`: the corpus-side
+    * n-gram stream hash-probes it map-side with no shuffle of corpus
+    * n-grams. Output = contaminated docs with their overlap fraction. */
+  def t11Contamination(s: SparkSession, d: String): DataFrame = {
+    val grams = documents(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, greatest(size(words) - ${ContamN - 1}, 1)), " +
+          s"i -> concat_ws(' ', slice(words, i, $ContamN)))")).as("g"))
+      .distinct()
+    val benchGrams = grams.filter(col("doc_id") % BenchMod === 0)
+      .select("g").distinct()
+    val train = grams.filter(col("doc_id") % BenchMod =!= 0)
+    val perDoc = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = train.join(broadcast(benchGrams), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    perDoc.join(hits, "doc_id")
+      .withColumn("contamination",
+        round(col("n_hit").cast("double") / col("n_grams"), 4))
+      .select("doc_id", "n_grams", "n_hit", "contamination")
+      .orderBy("doc_id")
+  }
+
+  val t11Sql: String =
+    s"""WITH grams AS (
+       |  SELECT DISTINCT doc_id, unnest(list_transform(
+       |      range(1, greatest(len(words) - ${ContamN - 1}, 1) + 1),
+       |      i -> array_to_string(words[i : i + ${ContamN - 1}], ' '))) AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+       |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % $BenchMod = 0),
+       |train AS (SELECT * FROM grams WHERE doc_id % $BenchMod <> 0),
+       |per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY 1),
+       |hits AS (
+       |  SELECT doc_id, COUNT(*) AS n_hit FROM train JOIN bench USING (g)
+       |  GROUP BY 1)
+       |SELECT doc_id, n_grams, n_hit,
+       |  ROUND(n_hit::DOUBLE / n_grams, 4) AS contamination
+       |FROM per_doc JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_contamination" -> t11Contamination _,
     "t08_clean_text" -> t08CleanText _,
     "t09_pii_scrub" -> t09PiiScrub _,
     "t10_repetition" -> t10Repetition _,
@@ -372,5 +421,6 @@ object TextOps {
     "t08_clean_text" -> t08Sql,
     "t09_pii_scrub" -> t09Sql,
     "t10_repetition" -> t10Sql,
+    "t11_contamination" -> t11Sql,
   )
 }

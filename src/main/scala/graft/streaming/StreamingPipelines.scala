@@ -87,6 +87,17 @@ object StreamingPipelines {
           .as("lag_us"))
   }
 
+  /** Streaming dedup via `dropDuplicatesWithinWatermark`: repeated
+    * (user, event_type) events inside one event-time hour collapse to their
+    * first arrival; dedup state is evicted once the watermark passes the
+    * hour, so state size is bounded by (active keys × watermark horizon),
+    * never the stream length. Streaming twin of StreamOps.st05StreamDedup. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withColumn("hour", date_trunc("hour", col("ts")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "hour")
+
   final case class Ev(user_id: Long, ts_us: Long)
   final case class SessionState(sessions: Long, lastTsUs: Long, events: Long)
   final case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)

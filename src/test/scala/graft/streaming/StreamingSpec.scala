@@ -146,6 +146,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup-within-watermark equals the batch dedup twin") {
+    val q = StreamingPipelines.dedupedEvents(eventStream())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val streaming = spark.sql(
+        "SELECT event_type, COUNT(*) AS n FROM dedup_out GROUP BY 1")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val batch = graft.queries.StreamOps.st05StreamDedup(spark, sfDir)
+        .select("event_type", "n_dedup")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(streaming == batch)
+      assert(streaming.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch attribution twin") {
     val clicks = eventStream().filter(col("event_type") === "click")
     val purchases = eventStream().filter(col("event_type") === "purchase")
