@@ -425,6 +425,7 @@ object RefSet {
         var big = false; var zlib: Option[Int] = None
         var gzip: Option[Int] = None; var shuffle: Option[Int] = None
         var grib: Option[String] = None
+        var blosc: Option[graft.zarr.Blosc.Params] = None
         meta.get("codecs").elements().asScala.foreach { c =>
           c.get("name").asText() match {
             case "bytes" =>
@@ -437,6 +438,13 @@ object RefSet {
             case "grib2" =>
               // kerchunk's numcodecs GRIB codec: whole-message filter
               grib = Some(c.get("configuration").get("var").asText())
+            case "blosc" =>
+              val cf = c.get("configuration")
+              blosc = Some(graft.zarr.Blosc.Params(
+                cname = cf.get("cname").asText(),
+                clevel = cf.get("clevel").asInt(),
+                shuffle = cf.get("shuffle").asText() == "shuffle",
+                blocksize = Option(cf.get("blocksize")).map(_.asInt()).getOrElse(0)))
             case other => throw new UnsupportedOperationException(
               s"codec $other has no kerchunk v2 representation")
           }
@@ -446,14 +454,22 @@ object RefSet {
         val fill = meta.get("fill_value")
         if (fill != null && fill.isTextual) za.put("fill_value", fill.asText())
         else za.set[ObjectNode]("fill_value", fill)
-        (zlib, gzip) match {
-          case (Some(l), _) =>
+        (zlib, gzip, blosc) match {
+          case (Some(l), _, _) =>
             val comp = mapper.createObjectNode()
             comp.put("id", "zlib"); comp.put("level", l)
             za.set[ObjectNode]("compressor", comp)
-          case (_, Some(l)) =>
+          case (_, Some(l), _) =>
             val comp = mapper.createObjectNode()
             comp.put("id", "gzip"); comp.put("level", l)
+            za.set[ObjectNode]("compressor", comp)
+          case (_, _, Some(p)) =>
+            // numcodecs blosc: shuffle 0=none 1=byte 2=bit
+            val comp = mapper.createObjectNode()
+            comp.put("id", "blosc"); comp.put("cname", p.cname)
+            comp.put("clevel", p.clevel)
+            comp.put("shuffle", if (p.shuffle) 1 else 0)
+            comp.put("blocksize", p.blocksize)
             za.set[ObjectNode]("compressor", comp)
           case _ => za.putNull("compressor")
         }
@@ -544,6 +560,17 @@ object RefSet {
       val gzip = Option(za.get("compressor")).filter(!_.isNull)
         .filter(_.get("id").asText() == "gzip")
         .map(_.get("level").asInt())
+      val blosc = Option(za.get("compressor")).filter(!_.isNull)
+        .filter(_.get("id").asText() == "blosc")
+        .map { c =>
+          val sh = Option(c.get("shuffle")).map(_.asInt()).getOrElse(1)
+          require(sh != 2, "blosc bit-shuffle (shuffle=2) is not supported")
+          graft.zarr.Blosc.Params(
+            cname = Option(c.get("cname")).map(_.asText()).getOrElse("lz4"),
+            clevel = Option(c.get("clevel")).map(_.asInt()).getOrElse(5),
+            shuffle = sh == 1,
+            blocksize = Option(c.get("blocksize")).map(_.asInt()).getOrElse(0))
+        }
       val shuffle = Option(za.get("filters")).filter(!_.isNull)
         .flatMap(_.elements().asScala.find(_.get("id").asText() == "shuffle"))
         .map(_.get("elementsize").asInt())
@@ -563,7 +590,8 @@ object RefSet {
         fillValue = Option(za.get("fill_value")).map(graft.zarr.ZarrStore.nodeToAttr)
           .getOrElse(graft.core.AttrValue.AInt(0)),
         dimensionNames = dims, gzipLevel = gzip, bigEndian = big,
-        zlibLevel = zlib, shuffleElem = shuffle, gribVar = grib))
+        zlibLevel = zlib, shuffleElem = shuffle, gribVar = grib,
+        blosc = blosc))
       // chunk keys <var>/i.j -> <var>/c/i/j; scalar arrays' "0" -> "c"
       raw.foreach { case (k, payload) =>
         if (k.startsWith(s"$v/") && !k.contains(".z")) {

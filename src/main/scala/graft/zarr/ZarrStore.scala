@@ -95,7 +95,8 @@ object ZarrStore {
                    gribVar: Option[String] = None,
                    zlibLevel: Option[Int] = None,
                    shuffleElem: Option[Int] = None,
-                   zstdLevel: Option[Int] = None): Array[Byte] = {
+                   zstdLevel: Option[Int] = None,
+                   blosc: Option[Blosc.Params] = None): Array[Byte] = {
     val o = mapper.createObjectNode()
     o.put("zarr_format", 3)
     o.put("node_type", "array")
@@ -169,6 +170,19 @@ object ZarrStore {
         zcfg.put("level", lvl); zcfg.put("checksum", false)
         z.set[ObjectNode]("configuration", zcfg)
         codecs.add(z)
+      }
+      blosc.foreach { p =>
+        // zarr v3 registered blosc codec — the zarr v2 DEFAULT compressor's
+        // v3 form; the container does its own per-block shuffle
+        val b = mapper.createObjectNode()
+        b.put("name", "blosc")
+        val bcfg = mapper.createObjectNode()
+        bcfg.put("cname", p.cname); bcfg.put("clevel", p.clevel)
+        bcfg.put("shuffle", if (p.shuffle) "shuffle" else "noshuffle")
+        bcfg.put("typesize", dtype.byteSize)
+        bcfg.put("blocksize", p.blocksize)
+        b.set[ObjectNode]("configuration", bcfg)
+        codecs.add(b)
       }
       codecs
     }
@@ -288,7 +302,8 @@ final case class ZarrGroup(root: String) {
                   dimensionNames: Option[Vector[String]] = None,
                   gzipLevel: Option[Int] = None,
                   shardShape: Option[Vector[Int]] = None,
-                  zstdLevel: Option[Int] = None): Unit = {
+                  zstdLevel: Option[Int] = None,
+                  blosc: Option[Blosc.Params] = None): Unit = {
     shardShape.foreach { ss =>
       require(ss.length == chunks.length &&
         ss.zip(chunks).forall { case (s, c) => s % c == 0 },
@@ -296,7 +311,7 @@ final case class ZarrGroup(root: String) {
     }
     io.write(s"$name/zarr.json", ZarrStore.arrayMetaDoc(
       shape, chunks, dtype, attrs, fillValue, dimensionNames, gzipLevel,
-      shardShape, zstdLevel = zstdLevel))
+      shardShape, zstdLevel = zstdLevel, blosc = blosc))
     stripConsolidatedOnDisk()
   }
 
@@ -313,7 +328,8 @@ final case class ZarrGroup(root: String) {
                              gribVar: Option[String] = None,
                              zlibLevel: Option[Int] = None,
                              shuffleElem: Option[Int] = None,
-                             zstdLevel: Option[Int] = None) {
+                             zstdLevel: Option[Int] = None,
+                             blosc: Option[Blosc.Params] = None) {
     /** storage-object granularity: shard if sharded, else chunk */
     def grain: Vector[Int] = shardShape.getOrElse(chunks)
   }
@@ -354,6 +370,18 @@ final case class ZarrGroup(root: String) {
       Option(codecs).flatMap(
         _.elements().asScala.find(c => c.get("name").asText() == "zstd")
           .map(c => c.get("configuration").get("level").asInt()))
+    def bloscOf(codecs: com.fasterxml.jackson.databind.JsonNode): Option[Blosc.Params] =
+      Option(codecs).flatMap(
+        _.elements().asScala.find(c => c.get("name").asText() == "blosc")
+          .map { c =>
+            val cf = c.get("configuration")
+            Blosc.Params(
+              cname = Option(cf.get("cname")).map(_.asText()).getOrElse("lz4"),
+              clevel = Option(cf.get("clevel")).map(_.asInt()).getOrElse(5),
+              shuffle = Option(cf.get("shuffle")).map(_.asText())
+                .forall(_ == "shuffle"),
+              blocksize = Option(cf.get("blocksize")).map(_.asInt()).getOrElse(0))
+          })
     val sharding = Option(n.get("codecs")).flatMap(
       _.elements().asScala.find(c => c.get("name").asText() == "sharding_indexed"))
     val fill = Option(n.get("fill_value")).map(nodeToAttr)
@@ -366,13 +394,14 @@ final case class ZarrGroup(root: String) {
           dims, gzipOf(cfg.get("codecs")), Some(gridChunks), fill,
           bigOf(cfg.get("codecs")), gribOf(cfg.get("codecs")),
           zlibOf(cfg.get("codecs")), shuffleOf(cfg.get("codecs")),
-          zstdOf(cfg.get("codecs")))
+          zstdOf(cfg.get("codecs")), bloscOf(cfg.get("codecs")))
       case None =>
         ArrayMeta(shape, gridChunks, dtype,
           ZarrStore.objectAttrs(n.get("attributes")), dims,
           gzipOf(n.get("codecs")), None, fill, bigOf(n.get("codecs")),
           gribOf(n.get("codecs")), zlibOf(n.get("codecs")),
-          shuffleOf(n.get("codecs")), zstdOf(n.get("codecs")))
+          shuffleOf(n.get("codecs")), zstdOf(n.get("codecs")),
+          bloscOf(n.get("codecs")))
     }
   }
 
@@ -411,6 +440,10 @@ final case class ZarrGroup(root: String) {
       System.arraycopy(bytes, n * es, out, n * es, bytes.length - n * es)
       bytes = out
     }
+    meta.blosc match {
+      case Some(p) => return Blosc.compress(bytes, meta.dtype.byteSize, p)
+      case None =>
+    }
     (meta.gzipLevel, meta.zlibLevel, meta.zstdLevel) match {
       case (Some(lvl), _, _) =>
         val bos = new java.io.ByteArrayOutputStream()
@@ -437,7 +470,8 @@ final case class ZarrGroup(root: String) {
                           gribVar: Option[String] = None,
                           zlibLevel: Option[Int] = None,
                           shuffleElem: Option[Int] = None,
-                          zstdLevel: Option[Int] = None): NDArray = {
+                          zstdLevel: Option[Int] = None,
+                          blosc: Option[Blosc.Params] = None): NDArray = {
     gribVar.foreach { v =>
       // grib2 whole-message codec: the chunk object is a complete GRIB2
       // message; extract the requested variable (kerchunk scan_grib model)
@@ -454,7 +488,8 @@ final case class ZarrGroup(root: String) {
         s"grib2 message grid ${values.length} != chunk ${NDArray.sizeOf(shape)}")
       return NDArray(DType.F8, shape, values)
     }
-    val bytes = (gzipLevel, zlibLevel, zstdLevel) match {
+    val bytes = if (blosc.isDefined) Blosc.decompress(raw)
+    else (gzipLevel, zlibLevel, zstdLevel) match {
       case (Some(_), _, _) =>
         val in = new java.util.zip.GZIPInputStream(
           new java.io.ByteArrayInputStream(raw))
@@ -562,7 +597,8 @@ final case class ZarrGroup(root: String) {
         val enc = java.util.Arrays.copyOfRange(raw, offset.toInt,
           offset.toInt + nbytes.toInt)
         val chunk = decodeChunk(enc, meta.dtype, meta.chunks, meta.gzipLevel,
-          meta.bigEndian, meta.gribVar, meta.zlibLevel, meta.shuffleElem, meta.zstdLevel)
+          meta.bigEndian, meta.gribVar, meta.zlibLevel, meta.shuffleElem, meta.zstdLevel,
+          meta.blosc)
         out.assign(pos.indices.map(d => pos(d) * meta.chunks(d)).toVector, chunk)
       }
     }
@@ -588,7 +624,8 @@ final case class ZarrGroup(root: String) {
     Some(
       if (meta.shardShape.isDefined) decodeShard(raw, meta)
       else decodeChunk(raw, meta.dtype, meta.chunks, meta.gzipLevel,
-        meta.bigEndian, meta.gribVar, meta.zlibLevel, meta.shuffleElem, meta.zstdLevel))
+        meta.bigEndian, meta.gribVar, meta.zlibLevel, meta.shuffleElem, meta.zstdLevel,
+          meta.blosc))
   }
 
   def chunkExists(name: String, chunkIdx: Vector[Int]): Boolean =
@@ -692,7 +729,8 @@ final case class ZarrGroup(root: String) {
       present.map { case (_, off, len) => (off, len) })
     present.zip(payloads).map { case ((pos, _, _), raw) =>
       pos -> decodeChunk(raw, meta.dtype, meta.chunks, meta.gzipLevel,
-        meta.bigEndian, meta.gribVar, meta.zlibLevel, meta.shuffleElem, meta.zstdLevel)
+        meta.bigEndian, meta.gribVar, meta.zlibLevel, meta.shuffleElem, meta.zstdLevel,
+          meta.blosc)
     }.toMap
   }
 
