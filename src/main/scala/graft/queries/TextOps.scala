@@ -368,12 +368,15 @@ object TextOps {
           s"i -> concat_ws(' ', slice(words, i, $ContamN)))")).as("g"))
       .distinct()
     val benchGrams = grams.filter(col("doc_id") % BenchMod === 0)
-      .select("g").distinct()
-    val train = grams.filter(col("doc_id") % BenchMod =!= 0)
-    val perDoc = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val hits = train.join(broadcast(benchGrams), "g")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-    perDoc.join(hits, "doc_id")
+      .select("g").distinct().withColumn("hit", lit(1L))
+    // single pass over the corpus grams: broadcast-probe the eval-set grams
+    // and fold totals + hits in ONE aggregation (no second corpus scan)
+    grams.filter(col("doc_id") % BenchMod =!= 0)
+      .join(broadcast(benchGrams), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"))
+      .filter(col("n_hit") > 0)
       .withColumn("contamination",
         round(col("n_hit").cast("double") / col("n_grams"), 4))
       .select("doc_id", "n_grams", "n_hit", "contamination")
