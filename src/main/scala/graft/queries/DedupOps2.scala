@@ -25,9 +25,9 @@ object DedupOps2 {
   import Tables._
 
   /** 60-bit md5 integer of a string column (same on both engines). */
-  private def h60(c: String): String =
+  private[queries] def h60(c: String): String =
     s"cast(conv(substring(md5($c), 1, 15), 16, 10) as bigint)"
-  private def h60Duck(c: String): String =
+  private[queries] def h60Duck(c: String): String =
     s"('0x' || substr(md5($c), 1, 15))::BIGINT"
 
   /** Words per dedup segment (the "paragraph" unit — this corpus has no
@@ -40,7 +40,7 @@ object DedupOps2 {
     * anything larger is malformed input and fails fast. */
   private val MaxSegs = 1000000L
 
-  private def segments(s: SparkSession, d: String): DataFrame =
+  private[queries] def segments(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .withColumn("words", split(col("text"), " "))
       .withColumn("nw", size(col("words")))
@@ -52,7 +52,7 @@ object DedupOps2 {
         expr(s"least(nw - seg_idx * $SegWords, $SegWords)").cast("long"))
       .select("doc_id", "seg_idx", "seg", "seg_words")
 
-  private val segmentsSql: String =
+  private[queries] val segmentsSql: String =
     s"""SELECT doc_id, seg_idx,
        |  array_to_string(words[seg_idx*$SegWords+1 : seg_idx*$SegWords+$SegWords], ' ') AS seg,
        |  LEAST(nw - seg_idx*$SegWords, $SegWords) AS seg_words

@@ -103,11 +103,110 @@ object PipelineOps {
       |    AS chars_kept
       |FROM gated GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** The INCREMENTAL twin of p01: one day's ingest batch (source = src19)
+    * admitted against the standing corpus. Per new document, in one
+    * declarative plan:
+    *
+    *   segment-overlap dedup vs the corpus (d09's semantics, left-joined so
+    *     every batch doc gets a dup_frac)
+    *     → benchmark-contamination gate (t11's 5-gram probe, eval set =
+    *       corpus docs with doc_id % BenchMod = 0, broadcast)
+    *     → token-count quality floor
+    *     → admission verdict
+    *
+    * At 100 TB the corpus-side segment table is the big input; both probes
+    * are equi-joins keyed on segment/gram hash, and d09's Bloom prefilter
+    * composes in front of the dedup join unchanged (omitted here so the
+    * whole verdict stays one Catalyst plan the oracle can mirror). */
+  def p02IncrementalUpdate(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val isNew = col("source") === DedupOps2.NewBatchSource
+    val segs = DedupOps2.segments(s, d)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .withColumn("h", expr(DedupOps2.h60("seg")))
+    val newSegs = segs.filter(isNew).select("doc_id", "h").distinct()
+    val corpusSegs = segs.filter(!isNew).select("h").distinct()
+      .withColumn("dup", lit(1L))
+    val dupFrac = newSegs.join(corpusSegs, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(coalesce(col("dup"), lit(0L))).cast("long").as("n_dup_segs"))
+      .withColumn("dup_frac",
+        round(col("n_dup_segs").cast("double") / col("n_segs"), 4))
+    val grams = docs
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), col("source"), explode(expr(
+        s"transform(sequence(1, greatest(size(words) - ${TextOps.ContamN - 1}, 1)), " +
+          s"i -> concat_ws(' ', slice(words, i, ${TextOps.ContamN})))")).as("g"))
+      .distinct()
+    val benchGrams = grams
+      .filter(!isNew && col("doc_id") % TextOps.BenchMod === 0)
+      .select("g").distinct().withColumn("hit", lit(1L))
+    val contam = grams.filter(isNew)
+      .join(broadcast(benchGrams), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_contam_grams"))
+    docs.filter(isNew)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .select("doc_id", "n_tokens")
+      .join(dupFrac, "doc_id")
+      .join(contam, "doc_id")
+      .withColumn("contaminated", col("n_contam_grams") > 0)
+      .withColumn("admitted",
+        col("dup_frac") <= 0.5 && !col("contaminated") && col("n_tokens") >= 10)
+      .select("doc_id", "n_tokens", "dup_frac", "contaminated", "admitted")
+      .orderBy("doc_id")
+  }
+
+  val p02Sql: String = {
+    val nb = DedupOps2.NewBatchSource
+    s"""WITH segs0 AS (${DedupOps2.segmentsSql}),
+       |segs AS (
+       |  SELECT s.doc_id, ${DedupOps2.h60Duck("s.seg")} AS h,
+       |    d.source = '$nb' AS is_new
+       |  FROM segs0 s JOIN documents d ON s.doc_id = d.doc_id),
+       |new_segs AS (SELECT DISTINCT doc_id, h FROM segs WHERE is_new),
+       |corpus_segs AS (SELECT DISTINCT h FROM segs WHERE NOT is_new),
+       |dupf AS (
+       |  SELECT ns.doc_id, COUNT(*) AS n_segs,
+       |    CAST(SUM(CASE WHEN cs.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dup_segs
+       |  FROM new_segs ns LEFT JOIN corpus_segs cs ON ns.h = cs.h
+       |  GROUP BY 1),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, source = '$nb' AS is_new, unnest(list_transform(
+       |      range(1, greatest(len(words) - ${TextOps.ContamN - 1}, 1) + 1),
+       |      i -> array_to_string(words[i : i + ${TextOps.ContamN - 1}], ' '))) AS g
+       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS words
+       |        FROM documents)),
+       |bench AS (
+       |  SELECT DISTINCT g FROM grams
+       |  WHERE NOT is_new AND doc_id % ${TextOps.BenchMod} = 0),
+       |contam AS (
+       |  SELECT gr.doc_id,
+       |    CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_contam_grams
+       |  FROM grams gr LEFT JOIN bench b ON gr.g = b.g
+       |  WHERE gr.is_new GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |  ROUND(n_dup_segs::DOUBLE / n_segs, 4) AS dup_frac,
+       |  n_contam_grams > 0 AS contaminated,
+       |  (ROUND(n_dup_segs::DOUBLE / n_segs, 4) <= 0.5
+       |    AND NOT (n_contam_grams > 0)
+       |    AND len(string_split(d.text, ' ')) >= 10) AS admitted
+       |FROM documents d
+       |JOIN dupf USING (doc_id) JOIN contam USING (doc_id)
+       |WHERE d.source = '$nb' ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_corpus_pipeline" -> p01CorpusPipeline _,
+    "p02_incremental_update" -> p02IncrementalUpdate _,
   )
 
   val oracles: Map[String, String] = Map(
     "p01_corpus_pipeline" -> p01Sql,
+    "p02_incremental_update" -> p02Sql,
   )
 }
