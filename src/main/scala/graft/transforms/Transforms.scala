@@ -309,7 +309,16 @@ object Openers {
     * (OPeNDAP/DAP2 over HTTP, graft.dap.Dap2) — the full OPENER_MAP
     * engine set of openers.py:40-88. */
   val decoders: Map[String, Decoder] = Map(
-    "zarr" -> (url => ZarrGroup(url).readFragment()),
+    // v3 store (zarr.json) or real v2 store (.zgroup) — auto-detected, so
+    // existing zarr-python v2 datasets open without conversion (chunks are
+    // decoded in place through the v2 RefSet, incl. the blosc default)
+    "zarr" -> { url =>
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(url, ".zgroup")) &&
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(url, "zarr.json")))
+        graft.kerchunk.RefSet.scanZarrV2Group(url).asZarrGroup(url)
+          .readFragment()
+      else ZarrGroup(url).readFragment()
+    },
     "scipy" -> (url => graft.netcdf.NetCDF3.read(url)),
     "h5netcdf" -> (url => graft.hdf5.HDF5.read(url)),
     "cfgrib" -> (url => graft.grib.Grib2.read(url)),

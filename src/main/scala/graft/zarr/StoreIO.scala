@@ -41,6 +41,41 @@ object StoreIO {
     if (root.contains("://")) new HadoopIO(root) else new PosixIO(root)
 }
 
+/** Read-only transport over an in-memory key map — the virtual-store
+  * (kerchunk RefSet) backend: metadata keys resolve inline, chunk keys
+  * range-read the original files in place. Writes are rejected; a virtual
+  * store is materialized (RefSet.materialize) before any mutation. */
+final class MapIO(entries: Map[String, MapIO.Entry]) extends StoreIO {
+  private def e(key: String): MapIO.Entry = entries.getOrElse(key,
+    throw new java.util.NoSuchElementException(s"virtual store has no key $key"))
+  def write(key: String, bytes: Array[Byte]): Unit =
+    throw new UnsupportedOperationException(
+      "virtual (refs-backed) stores are read-only; materialize first")
+  def read(key: String): Array[Byte] = e(key).all()
+  def readRange(key: String, pos: Long, len: Int): Array[Byte] = e(key).at(pos, len)
+  def readRanges(key: String, ranges: Seq[(Long, Int)]): Seq[Array[Byte]] = {
+    val en = e(key)
+    ranges.map { case (pos, len) => en.at(pos, len) }
+  }
+  def readTail(key: String, len: Int): Array[Byte] = {
+    val en = e(key)
+    en.at(en.size - len, len)
+  }
+  def size(key: String): Long = e(key).size
+  def exists(key: String): Boolean = entries.contains(key)
+  def arrayDirs(): Vector[String] = entries.keys.collect {
+    case k if k.endsWith("/zarr.json") && k.count(_ == '/') == 1 =>
+      k.stripSuffix("/zarr.json")
+  }.toVector.sorted
+  def deleteRecursive(key: String): Unit = write(key, Array.emptyByteArray)
+}
+
+object MapIO {
+  /** One key's payload: total size, ranged read, full read. */
+  final case class Entry(size: Long, at: (Long, Int) => Array[Byte],
+                         all: () => Array[Byte])
+}
+
 final class PosixIO(root: String) extends StoreIO {
   private def p(key: String) = Paths.get(root, key.split('/').toSeq: _*)
 

@@ -232,10 +232,15 @@ object ZarrStore {
   * the Hadoop FileSystem transport — the object-store deployment path (see
   * StoreIO). The instance itself only carries the root string, so shipping
   * it to executors is free; each side opens its own transport. */
-final case class ZarrGroup(root: String) {
+final class ZarrGroup(val root: String,
+    @transient private val ioOverride: Option[StoreIO]) extends Serializable {
   import ZarrStore._
   @transient private lazy val mapper = new ObjectMapper()
-  @transient private lazy val io: StoreIO = StoreIO.forRoot(root)
+  // ioOverride deserializes to null inside Spark closures — virtual-store
+  // groups are executor-local by construction, everything else re-derives
+  // its transport from the root path
+  @transient private lazy val io: StoreIO =
+    Option(ioOverride).flatten.getOrElse(StoreIO.forRoot(root))
 
   // ---------- group ----------
   def initGroup(attrs: Attrs, overwrite: Boolean = true): Unit = {
@@ -867,4 +872,13 @@ final case class ZarrGroup(root: String) {
     // stay unconsolidated behind the caller's back
     if (wasConsolidated) consolidateMetadata()
   }
+}
+
+object ZarrGroup {
+  /** Path-backed store (posix or Hadoop-FS scheme'd URI). */
+  def apply(root: String): ZarrGroup = new ZarrGroup(root, None)
+  /** Virtual store over an explicit transport (refs-backed MapIO): reads
+    * resolve in place against the original files, writes are rejected. */
+  def virtual(root: String, io: StoreIO): ZarrGroup =
+    new ZarrGroup(root, Some(io))
 }
