@@ -296,7 +296,45 @@ object Relational3 {
 
   val q29Sql: String = q29Text("orders")
 
+  /** Arbitrary GROUPING SETS (completing the q12 ROLLUP / q25 CUBE family):
+    * three hand-picked groupings — (flag, status), (status, shipmode), ()
+    * — that neither rollup nor cube expresses; grouping_id disambiguates
+    * which set each output row came from (same MSB-first bit order as
+    * DuckDB's GROUPING()). Spark expands the sets into one Expand + single
+    * hash aggregation — one shuffle total, not one per set. */
+  def q30GroupingSets(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .withColumn("shipyear", year(col("l_shipdate")))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus"), col("shipyear")),
+          Seq()),
+        col("l_returnflag"), col("l_linestatus"), col("shipyear"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+        grouping_id().as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        coalesce(col("shipyear"), lit(-1)).as("shipyear"),
+        col("gid"), col("n"), col("price_cents"))
+      .orderBy("gid", "returnflag", "linestatus", "shipyear")
+
+  val q30Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  COALESCE(CAST(year(l_shipdate) AS INTEGER), -1) AS shipyear,
+      |  GROUPING(l_returnflag, l_linestatus, year(l_shipdate))::BIGINT AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS price_cents
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (l_linestatus, year(l_shipdate)), ())
+      |ORDER BY gid, returnflag, linestatus, shipyear""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_grouping_sets" -> q30GroupingSets _,
     "q29_recursive_chains" -> q29RecursiveChains _,
     "q28_unpivot" -> q28Unpivot _,
     "q22_asof_join" -> q22AsofJoin _,
@@ -308,6 +346,7 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q30_grouping_sets" -> q30Sql,
     "q28_unpivot" -> q28Sql,
     "q29_recursive_chains" -> q29Sql,
     "q22_asof_join" -> q22Sql,

@@ -174,7 +174,49 @@ object StreamOps {
       |  COUNT(*) AS n_dedup
       |FROM keyed GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Unconverted clicks: clicks with NO same-user purchase in the 10
+    * minutes after — the batch twin of the LEFT OUTER stream-stream
+    * interval join (StreamingPipelines.unconvertedClicks: outer rows emit
+    * only once the watermark passes the join bound, so state stays
+    * bounded). Per user: total clicks vs unconverted clicks. */
+  def st06UnconvertedClicks(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_us").as("click_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"),
+        col("ts_us").as("purchase_us"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_us") >= col("click_us") &&
+          col("purchase_us") <= col("click_us") + 10L * 60 * 1000000,
+        "left")
+      .groupBy("user_id")
+      .agg(countDistinct(col("click_id")).as("n_clicks"),
+        countDistinct(when(col("purchase_id").isNull, col("click_id")))
+          .as("n_unconverted"))
+      .orderBy("user_id")
+  }
+
+  val st06Sql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+      |  FROM events WHERE event_type = 'click'
+      |), p AS (
+      |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id,
+      |  COUNT(DISTINCT c.click_id) AS n_clicks,
+      |  COUNT(DISTINCT CASE WHEN p.purchase_id IS NULL THEN c.click_id END)
+      |    AS n_unconverted
+      |FROM c LEFT JOIN p ON c.user_id = p.user_id
+      |  AND purchase_us >= click_us AND purchase_us <= click_us + 600000000
+      |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st06_unconverted_clicks" -> st06UnconvertedClicks _,
     "st01_sessionize" -> st01Sessionize _,
     "st02_sliding_window" -> st02SlidingWindow _,
     "st03_enrich_join" -> st03EnrichJoin _,
@@ -188,5 +230,6 @@ object StreamOps {
     "st03_enrich_join" -> st03Sql,
     "st04_stream_join" -> st04Sql,
     "st05_stream_dedup" -> st05Sql,
+    "st06_unconverted_clicks" -> st06Sql,
   )
 }

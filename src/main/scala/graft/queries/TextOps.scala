@@ -399,8 +399,44 @@ object TextOps {
        |  ROUND(n_hit::DOUBLE / n_grams, 4) AS contamination
        |FROM per_doc JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Per-source document cap for t12 (domain balancing). */
+  val DomainCap = 15
+
+  /** Domain balancing: cap every source (domain) at DomainCap documents,
+    * keeping the highest-quality ones — the standard anti-domination step
+    * so one crawl domain cannot swamp the training mix. Quality rank here
+    * is (n_chars desc, doc_id) — deterministic and cheap; any scored rank
+    * drops in. One window function over a (source)-partitioned shuffle —
+    * no global sort; per-source state is the cap, not the domain size. */
+  def t12DomainBalance(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+    documents(s, d)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("kept", col("rk") <= DomainCap)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("chars_kept"),
+        min(when(col("kept"), col("n_chars"))).as("min_kept_chars"))
+      .orderBy("source")
+  }
+
+  val t12Sql: String =
+    s"""WITH ranked AS (
+       |  SELECT source, doc_id, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY n_chars DESC, doc_id) <= $DomainCap AS kept
+       |  FROM documents)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+       |  CAST(MIN(CASE WHEN kept THEN n_chars END) AS BIGINT) AS min_kept_chars
+       |FROM ranked GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_contamination" -> t11Contamination _,
+    "t12_domain_balance" -> t12DomainBalance _,
     "t08_clean_text" -> t08CleanText _,
     "t09_pii_scrub" -> t09PiiScrub _,
     "t10_repetition" -> t10Repetition _,
@@ -425,5 +461,6 @@ object TextOps {
     "t09_pii_scrub" -> t09Sql,
     "t10_repetition" -> t10Sql,
     "t11_contamination" -> t11Sql,
+    "t12_domain_balance" -> t12Sql,
   )
 }

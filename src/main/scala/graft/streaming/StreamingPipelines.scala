@@ -87,6 +87,27 @@ object StreamingPipelines {
           .as("lag_us"))
   }
 
+  /** LEFT OUTER stream-stream interval join: every click emitted with its
+    * matching purchase, or with nulls once the watermark proves no
+    * purchase can still arrive inside the bound — the state-eviction
+    * contract that keeps outer-join state finite. Streaming twin of
+    * StreamOps.st06UnconvertedClicks (which aggregates the unmatched
+    * rows). */
+  def clickConversions(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
+      col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val p = purchases.select(col("user_id").as("p_user_id"),
+      col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+      "leftOuter")
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** Streaming dedup via `dropDuplicatesWithinWatermark`: repeated
     * (user, event_type) events inside one event-time hour collapse to their
     * first arrival; dedup state is evicted once the watermark passes the

@@ -183,6 +183,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched clicks after watermark closure") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = graft.queries.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val maxUs = ev.map(_._4).max
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, Long)]
+    def stream(tpe: String) = mem.toDF()
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .filter(col("event_type") === tpe)
+    val q = StreamingPipelines.clickConversions(stream("click"), stream("purchase"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("conv_out").start()
+    try {
+      mem.addData(ev.toSeq: _*)
+      q.processAllAvailable()
+      // sentinel click+purchase one hour past the corpus pushes BOTH
+      // watermarks beyond every real click's join bound -> outer nulls flush
+      mem.addData((-1L, -1L, "click", maxUs + 3600000000L),
+        (-2L, -1L, "purchase", maxUs + 3600000000L))
+      q.processAllAvailable()
+      mem.addData((-3L, -1L, "click", maxUs + 7200000000L),
+        (-4L, -1L, "purchase", maxUs + 7200000000L))
+      q.processAllAvailable()
+      val streaming = spark.sql(
+        """SELECT user_id, COUNT(DISTINCT click_id) AS n_clicks,
+          |  COUNT(DISTINCT CASE WHEN purchase_id IS NULL THEN click_id END)
+          |    AS n_unconverted
+          |FROM conv_out WHERE user_id >= 0 GROUP BY user_id""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.queries.StreamOps.st06UnconvertedClicks(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streaming == batch)
+      assert(batch.exists(_._3 > 0)) // some clicks really are unconverted
+    } finally q.stop()
+  }
+
   test("streaming ingest of arriving netCDF-4 files appends to the cube") {
     import spark.implicits._
     import graft.patterns.FileType
