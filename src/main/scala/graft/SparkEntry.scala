@@ -12,7 +12,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       CubeOps.queries ++ NetcdfOps.queries ++ Hdf5Ops.queries ++
-      GribOps.queries ++ DapOps.queries ++
+      GribOps.queries ++ DapOps.queries ++ ZarrV2Ops.queries ++
       TextOps.queries ++ DedupOps.queries ++ DedupOps2.queries ++
       SimilarityOps.queries ++
       MultiModalOps.queries ++ StreamOps.queries ++ PipelineOps.queries

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core._
+import graft.kerchunk.RefSet
+import graft.zarr.{Blosc, ZarrGroup}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+/** Zarr v2 end-to-end: a REAL zarr-python-layout v2 directory store (built
+  * byte-for-byte from the v2 spec with the DEFAULT blosc-lz4+shuffle
+  * compressor) is (A) auto-detected and decoded in place by the zarr
+  * opener, (B) re-chunked into a v3 store through the engine pipeline, and
+  * (C) served from consolidated `.zmetadata` with the per-array docs
+  * poisoned — proving the single-GET path is the one actually read. The
+  * reference consumes v2 stores through fsspec+zarr (gpcp feedstock shape);
+  * this is that input path natively. */
+object ZarrV2Ops {
+
+  private val NT = 6; private val NX = 9
+
+  private def makeCube(): Fragment = {
+    val rng = new scala.util.Random(97)
+    Fragment(
+      dims = Map("time" -> NT, "x" -> NX),
+      coords = Map(
+        "time" -> Variable(Vector("time"),
+          NDArray(DType.I8, Vector(NT), (0 until NT).map(_.toLong * 3600).toArray),
+          Map("units" -> AttrValue("seconds since 2020-01-01"))),
+        "x" -> Variable(Vector("x"),
+          NDArray(DType.F8, Vector(NX), (0 until NX).map(_ * 0.5).toArray))),
+      dataVars = Map("v" -> Variable(Vector("time", "x"),
+        NDArray(DType.F8, Vector(NT, NX), Array.fill(NT * NX)(rng.nextDouble())),
+        Map("long_name" -> AttrValue("vee")))),
+      attrs = Map("title" -> AttrValue("v2 e2e")))
+  }
+
+  /** Write `cube` as a zarr v2 directory store, chunked (2, NX) for `v`,
+    * blosc-lz4+shuffle on the data var (zarr-python's default). */
+  private def writeV2Store(dir: String, cube: Fragment,
+                           consolidated: Boolean): Unit = {
+    def put(key: String, bytes: Array[Byte]): Unit = {
+      val p = Paths.get(dir, key.split('/'): _*)
+      Files.createDirectories(p.getParent)
+      Files.write(p, bytes)
+    }
+    val blosc = Blosc.Params("lz4", 5, shuffle = true)
+    val docs = scala.collection.mutable.LinkedHashMap[String, String]()
+    docs(".zgroup") = """{"zarr_format": 2}"""
+    docs(".zattrs") = """{"title": "v2 e2e"}"""
+    docs("v/.zarray") =
+      s"""{"zarr_format": 2, "shape": [$NT, $NX], "chunks": [2, $NX],
+         |"dtype": "<f8", "order": "C", "fill_value": 0,
+         |"compressor": {"id": "blosc", "cname": "lz4", "clevel": 5,
+         |"shuffle": 1, "blocksize": 0}, "filters": null}""".stripMargin
+    docs("v/.zattrs") =
+      """{"_ARRAY_DIMENSIONS": ["time", "x"], "long_name": "vee"}"""
+    docs("time/.zarray") =
+      s"""{"zarr_format": 2, "shape": [$NT], "chunks": [$NT],
+         |"dtype": "<i8", "order": "C", "fill_value": 0,
+         |"compressor": null, "filters": null}""".stripMargin
+    docs("time/.zattrs") =
+      """{"_ARRAY_DIMENSIONS": ["time"], "units": "seconds since 2020-01-01"}"""
+    docs("x/.zarray") =
+      s"""{"zarr_format": 2, "shape": [$NX], "chunks": [$NX],
+         |"dtype": "<f8", "order": "C", "fill_value": 0,
+         |"compressor": null, "filters": null}""".stripMargin
+    docs("x/.zattrs") = """{"_ARRAY_DIMENSIONS": ["x"]}"""
+    docs.foreach { case (k, v) => put(k, v.getBytes("UTF-8")) }
+    val vData = cube.dataVars("v").data.data.asInstanceOf[Array[Double]]
+    for (ci <- 0 until NT / 2) {
+      val bb = ByteBuffer.allocate(2 * NX * 8).order(ByteOrder.LITTLE_ENDIAN)
+      for (r <- 0 until 2; c <- 0 until NX) bb.putDouble(vData((2 * ci + r) * NX + c))
+      put(s"v/$ci.0", Blosc.compress(bb.array(), 8, blosc))
+    }
+    val tb = ByteBuffer.allocate(NT * 8).order(ByteOrder.LITTLE_ENDIAN)
+    cube.coords("time").data.data.asInstanceOf[Array[Long]].foreach(tb.putLong)
+    put("time/0", tb.array())
+    val xb = ByteBuffer.allocate(NX * 8).order(ByteOrder.LITTLE_ENDIAN)
+    cube.coords("x").data.data.asInstanceOf[Array[Double]].foreach(xb.putDouble)
+    put("x/0", xb.array())
+    if (consolidated) {
+      val body = docs.map { case (k, v) => s""""$k": $v""" }.mkString(",\n")
+      put(".zmetadata",
+        s"""{"zarr_consolidated_format": 1, "metadata": {$body}}""".getBytes("UTF-8"))
+    }
+  }
+
+  def zarrV2Roundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cube = makeCube()
+    val dir = Files.createTempDirectory("graft_v2_e2e").toString
+
+    // ---- A: opener auto-detects the v2 layout, decodes blosc in place ----
+    val plain = s"$dir/plain"
+    writeV2Store(plain, cube, consolidated = false)
+    val viaOpener = graft.transforms.Openers.open(
+      graft.patterns.FileType.Zarr, plain)
+    val okA = viaOpener.sameAs(cube) &&
+      viaOpener.attrs("title") == AttrValue.AStr("v2 e2e")
+
+    // ---- B: v2 input -> engine pipeline (open on executors) -> v3 store ----
+    val pattern = graft.patterns.FilePattern.fromFileSequence(
+      Vector(plain), "time", nitemsPerFile = Some(NT),
+      fileType = graft.patterns.FileType.Zarr)
+    val frags = graft.transforms.Pipelines.openWithFragments(
+      graft.transforms.Pipelines.createItems(spark, pattern),
+      graft.patterns.FileType.Zarr)
+    val v3 = s"$dir/out.zarr"
+    graft.transforms.Pipelines.storeToZarr(
+      frags, pattern.combineDimKeys, v3, Map("time" -> 3))
+    val okB = ZarrGroup(v3).readFragment().sameAs(cube)
+    val okRefs = RefSet.scanZarrV2Group(plain).asZarrGroup(plain)
+      .readFragment().sameAs(cube)
+
+    // ---- C: consolidated .zmetadata is THE metadata source ----
+    val consol = s"$dir/consol"
+    writeV2Store(consol, cube, consolidated = true)
+    Files.write(Paths.get(consol, "v", ".zarray"), "POISONED".getBytes)
+    val okC = RefSet.scanZarrV2Group(consol).asZarrGroup(consol)
+      .readFragment().sameAs(cube)
+
+    Seq(
+      ("v2_opener_autodetect", 1, okA),
+      ("v2_to_v3_rechunk", 1, okB && okRefs),
+      ("v2_consolidated_read", 1, okC))
+      .toDF("stage", "n_inputs", "ok")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e2e_zarr_v2" -> zarrV2Roundtrip _,
+  )
+}
