@@ -104,4 +104,41 @@ class PlanSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
     assert(p.contains("WholeStageCodegen"), p.take(500))
   }
+
+  test("d08/d09/p02: segment dedup joins are equi-joins with partial aggs") {
+    Seq(DedupOps2.d08ParagraphDedup(spark, d),
+      DedupOps2.d09BloomIncremental(spark, d),
+      PipelineOps.p02IncrementalUpdate(spark, d)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    }
+    // d08's canonical-occurrence choice is a min-agg: map-side combine runs
+    assert(plan(DedupOps2.d08ParagraphDedup(spark, d)).contains("partial_"))
+  }
+
+  test("t11: contamination probes the corpus grams in ONE pass") {
+    val p = plan(TextOps.t11Contamination(spark, d))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // one corpus-side gram explode feeding one final aggregation: the
+    // explode (Generate) appears for train + bench derivations, never more
+    assert("Generate explode".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("t12: domain cap never plans a global sort before the window") {
+    val p = plan(TextOps.t12DomainBalance(spark, d))
+    // the row_number window sorts within hash partitions of `source` —
+    // a rangepartitioning exchange feeding the window would be a global sort
+    assert(p.contains("hashpartitioning(source"), p)
+    // plans print top-down: text AFTER the Window node is its input subtree;
+    // only the tiny aggregated output above it may range-partition (ORDER BY)
+    assert(!p.split("Window ").last.contains("rangepartitioning"), p)
+  }
+
+  test("q30: grouping sets expand into a single aggregation pipeline") {
+    val p = plan(Relational3.q30GroupingSets(spark, d))
+    assert(p.contains("Expand"), p)
+    // one shuffle for the agg + one for the final ORDER BY — never one per set
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
 }
