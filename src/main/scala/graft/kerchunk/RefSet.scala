@@ -53,7 +53,13 @@ final case class RefSet(refs: Map[String, Ref]) {
     val entries = refs.map { case (key, ref) =>
       val entry = ref.inline match {
         case Some(b) => graft.zarr.MapIO.Entry(b.length.toLong,
-          (pos, len) => java.util.Arrays.copyOfRange(b, pos.toInt, pos.toInt + len),
+          (pos, len) => {
+            // copyOfRange zero-pads past the end — reject instead, matching
+            // the pointer branch's short-read failure on the same corruption
+            require(pos >= 0 && pos + len <= b.length,
+              s"range [$pos, ${pos + len}) outside inline ref of ${b.length} bytes")
+            java.util.Arrays.copyOfRange(b, pos.toInt, pos.toInt + len)
+          },
           () => b)
         case None => graft.zarr.MapIO.Entry(ref.length,
           (pos, len) => {
@@ -83,19 +89,26 @@ object RefSet {
     * references. Metadata documents are inlined; chunk blobs at or below
     * `inlineThreshold` bytes are inlined (transforms.py:195 default 300),
     * larger ones become (url, offset, length) pointers. */
+  /** Files.walk holds directory handles until closed — every scan drains
+    * the stream inside this bracket. */
+  private def walkFiles[A](root: java.nio.file.Path)(
+      f: Iterator[java.nio.file.Path] => A): A = {
+    val stream = Files.walk(root)
+    try f(stream.iterator().asScala.filter(Files.isRegularFile(_)))
+    finally stream.close()
+  }
+
   def scanZarrGroup(root: String, inlineThreshold: Int = 300): RefSet = {
     val rootPath = Paths.get(root)
-    val out = Files.walk(rootPath).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .map { p =>
-        val key = rootPath.relativize(p).iterator().asScala.mkString("/")
-        val size = Files.size(p)
-        val ref =
-          if (key.endsWith("zarr.json") || size <= inlineThreshold)
-            Ref.inline(Files.readAllBytes(p))
-          else Ref.pointer(p.toString, 0L, size)
-        key -> ref
-      }.toMap
+    val out = walkFiles(rootPath)(_.map { p =>
+      val key = rootPath.relativize(p).iterator().asScala.mkString("/")
+      val size = Files.size(p)
+      val ref =
+        if (key.endsWith("zarr.json") || size <= inlineThreshold)
+          Ref.inline(Files.readAllBytes(p))
+        else Ref.pointer(p.toString, 0L, size)
+      key -> ref
+    }.toMap)
     RefSet(out)
   }
 
@@ -574,10 +587,9 @@ object RefSet {
     * (blosc-lz4 + byte-shuffle). */
   def scanZarrV2Group(root: String, inlineThreshold: Int = 300): RefSet = {
     val rootPath = Paths.get(root)
-    val files = Files.walk(rootPath).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .map(p => rootPath.relativize(p).iterator().asScala.mkString("/") -> p)
-      .toMap
+    val files = walkFiles(rootPath)(
+      _.map(p => rootPath.relativize(p).iterator().asScala.mkString("/") -> p)
+        .toMap)
     val consolidated: Option[ObjectNode] =
       files.get(".zmetadata").map { p =>
         val m = mapper.readTree(Files.readAllBytes(p))
@@ -641,14 +653,18 @@ object RefSet {
         case "f4" => graft.core.DType.F4; case "f8" => graft.core.DType.F8
         case other => throw new IllegalArgumentException(s"v2 dtype $other")
       }
-      val zlib = Option(za.get("compressor")).filter(!_.isNull)
-        .filter(_.get("id").asText() == "zlib")
+      // compressor/filter dispatch is a CLOSED set: anything unrecognized
+      // must fail here, not decode compressed bytes as raw garbage later
+      val compNode = Option(za.get("compressor")).filter(!_.isNull)
+      val compId = compNode.map(_.get("id").asText())
+      compId.foreach(id => require(Set("zlib", "gzip", "blosc")(id),
+        s"zarr v2 compressor '$id' is not supported " +
+          "(supported: zlib, gzip, blosc[lz4/lz4hc/zlib/zstd/snappy])"))
+      val zlib = compNode.filter(_ => compId.contains("zlib"))
         .map(_.get("level").asInt())
-      val gzip = Option(za.get("compressor")).filter(!_.isNull)
-        .filter(_.get("id").asText() == "gzip")
+      val gzip = compNode.filter(_ => compId.contains("gzip"))
         .map(_.get("level").asInt())
-      val blosc = Option(za.get("compressor")).filter(!_.isNull)
-        .filter(_.get("id").asText() == "blosc")
+      val blosc = compNode.filter(_ => compId.contains("blosc"))
         .map { c =>
           val sh = Option(c.get("shuffle")).map(_.asInt()).getOrElse(1)
           require(sh != 2, "blosc bit-shuffle (shuffle=2) is not supported")
@@ -658,11 +674,16 @@ object RefSet {
             shuffle = sh == 1,
             blocksize = Option(c.get("blocksize")).map(_.asInt()).getOrElse(0))
         }
-      val shuffle = Option(za.get("filters")).filter(!_.isNull)
-        .flatMap(_.elements().asScala.find(_.get("id").asText() == "shuffle"))
+      val filterNodes = Option(za.get("filters")).filter(!_.isNull)
+        .map(_.elements().asScala.toVector).getOrElse(Vector.empty)
+      filterNodes.foreach { f =>
+        val id = f.get("id").asText()
+        require(Set("shuffle", "grib")(id),
+          s"zarr v2 filter '$id' is not supported (supported: shuffle, grib)")
+      }
+      val shuffle = filterNodes.find(_.get("id").asText() == "shuffle")
         .map(_.get("elementsize").asInt())
-      val grib = Option(za.get("filters")).filter(!_.isNull)
-        .flatMap(_.elements().asScala.find(_.get("id").asText() == "grib"))
+      val grib = filterNodes.find(_.get("id").asText() == "grib")
         .map(_.get("var").asText())
       val attrsNode = if (raw.contains(s"$v/.zattrs")) doc(s"$v/.zattrs") else null
       val dims = Option(attrsNode).flatMap(a =>

@@ -68,8 +68,16 @@ object DedupOps2 {
     * survives. Mirrors the reference's "drop duplicated content, keep one
     * canonical copy" semantics at sub-document granularity. */
   def d08ParagraphDedup(s: SparkSession, d: String): DataFrame = {
+    // assert_true folded INTO the key expression so pruning can't drop it:
+    // a doc with >= MaxSegs segments would collide into the next doc_id's
+    // key space and silently mis-pick canonicals — fail fast instead
+    val guardedCk = coalesce(
+      assert_true(col("seg_idx") < MaxSegs,
+        lit(s"d08: document exceeds $MaxSegs segments — packed key would collide"))
+        .cast("long"),
+      col("doc_id") * MaxSegs + col("seg_idx"))
     val segs = segments(s, d)
-      .withColumn("ck", col("doc_id") * MaxSegs + col("seg_idx"))
+      .withColumn("ck", guardedCk)
       .withColumn("h", md5(col("seg")))
     val canon = segs.groupBy("h").agg(min("ck").as("canon_ck"))
     segs.join(canon, "h")
@@ -116,9 +124,16 @@ object DedupOps2 {
       (col("source") === NewBatchSource).as("is_new"))
     val keyed = segs.join(isNew, "doc_id")
     val newSegs = keyed.filter(col("is_new"))
-      .select("doc_id", "h").distinct().cache()
-    val nNew = newSegs.count()
-    val bf: BloomFilter = newSegs.stat.bloomFilter("h", math.max(nNew, 1L), 0.01)
+      .select("doc_id", "h").distinct()
+    // two eager passes build the filter (count sizes it); the cache exists
+    // only for them and is RELEASED before returning — repeated invocations
+    // (bench loops) must not accumulate storage-memory blocks. The filter
+    // broadcast stays referenced by the returned lazy plan and is reclaimed
+    // by the ContextCleaner when the plan is dropped.
+    newSegs.cache()
+    val bf: BloomFilter =
+      try newSegs.stat.bloomFilter("h", math.max(newSegs.count(), 1L), 0.01)
+      finally newSegs.unpersist(blocking = false)
     val bfB = s.sparkContext.broadcast(bf)
     val mightContain = udf((h: Long) => bfB.value.mightContain(h))
     val corpusHits = keyed.filter(!col("is_new"))

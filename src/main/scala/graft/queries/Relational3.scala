@@ -297,7 +297,7 @@ object Relational3 {
   val q29Sql: String = q29Text("orders")
 
   /** Arbitrary GROUPING SETS (completing the q12 ROLLUP / q25 CUBE family):
-    * three hand-picked groupings — (flag, status), (status, shipmode), ()
+    * three hand-picked groupings — (flag, status), (status, shipyear), ()
     * — that neither rollup nor cube expresses; grouping_id disambiguates
     * which set each output row came from (same MSB-first bit order as
     * DuckDB's GROUPING()). Spark expands the sets into one Expand + single

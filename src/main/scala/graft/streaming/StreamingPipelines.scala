@@ -110,13 +110,19 @@ object StreamingPipelines {
 
   /** Streaming dedup via `dropDuplicatesWithinWatermark`: repeated
     * (user, event_type) events inside one event-time hour collapse to their
-    * first arrival; dedup state is evicted once the watermark passes the
-    * hour, so state size is bounded by (active keys × watermark horizon),
-    * never the stream length. Streaming twin of StreamOps.st05StreamDedup. */
+    * first arrival. The watermark delay must be >= the dedup window SPAN
+    * (1 hour): a key's state lives until the watermark passes its first
+    * occurrence + delay, and two same-hour events are < 1 hour apart in
+    * event time, so a 1-hour delay guarantees the second still finds the
+    * state no matter how micro-batches split the replay — a shorter delay
+    * (e.g. 10 min) would re-emit same-hour duplicates arriving later than
+    * the delay, silently diverging from the batch twin. State stays
+    * bounded by (active keys x 1 hour), never the stream length.
+    * Streaming twin of StreamOps.st05StreamDedup. */
   def dedupedEvents(events: DataFrame): DataFrame =
     events
       .withColumn("hour", date_trunc("hour", col("ts")))
-      .withWatermark("ts", "10 minutes")
+      .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type", "hour")
 
   final case class Ev(user_id: Long, ts_us: Long)

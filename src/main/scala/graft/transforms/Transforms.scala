@@ -309,15 +309,24 @@ object Openers {
     * (OPeNDAP/DAP2 over HTTP, graft.dap.Dap2) — the full OPENER_MAP
     * engine set of openers.py:40-88. */
   val decoders: Map[String, Decoder] = Map(
-    // v3 store (zarr.json) or real v2 store (.zgroup) — auto-detected, so
+    // v3 store (zarr.json) or real v2 store (.zgroup) — auto-detected
+    // through the StoreIO transport (so scheme'd URIs detect too), and
     // existing zarr-python v2 datasets open without conversion (chunks are
-    // decoded in place through the v2 RefSet, incl. the blosc default)
+    // decoded in place through the v2 RefSet, incl. the blosc default).
+    // The v2 scan walks a directory tree, which only the posix transport
+    // exposes — a REMOTE v2 store gets an explicit error, not a confusing
+    // missing-zarr.json failure from the v3 reader.
     "zarr" -> { url =>
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(url, ".zgroup")) &&
-          !java.nio.file.Files.exists(java.nio.file.Paths.get(url, "zarr.json")))
+      val io = graft.zarr.StoreIO.forRoot(url)
+      if (io.exists(".zgroup") && !io.exists("zarr.json")) {
+        if (url.contains("://"))
+          throw new UnsupportedOperationException(
+            s"$url is a zarr v2 store on a remote transport; v2 scanning " +
+              "is filesystem-only — copy it locally (cache_url) or " +
+              "convert it to a kerchunk v2 artifact first")
         graft.kerchunk.RefSet.scanZarrV2Group(url).asZarrGroup(url)
           .readFragment()
-      else ZarrGroup(url).readFragment()
+      } else ZarrGroup(url).readFragment()
     },
     "scipy" -> (url => graft.netcdf.NetCDF3.read(url)),
     "h5netcdf" -> (url => graft.hdf5.HDF5.read(url)),

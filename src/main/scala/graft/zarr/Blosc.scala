@@ -233,8 +233,13 @@ object Blosc {
     val cbytes = bb.getInt(12)
     require(nbytes >= 0 && cbytes <= src.length,
       s"corrupt blosc header: nbytes=$nbytes cbytes=$cbytes len=${src.length}")
-    if ((flags & 2) != 0) // memcpy'ed
+    if ((flags & 2) != 0) { // memcpy'ed
+      require(16 + nbytes <= src.length, // copyOfRange would zero-pad
+        s"truncated blosc memcpy chunk: ${src.length} bytes for $nbytes + header")
       return java.util.Arrays.copyOfRange(src, 16, 16 + nbytes)
+    }
+    require(blocksize > 0,
+      s"corrupt blosc header: blocksize=$blocksize with nbytes=$nbytes")
     require((flags & 4) == 0,
       "blosc bit-shuffle payloads are not supported (byte-shuffle and " +
         "no-shuffle are); re-encode with shuffle=SHUFFLE")

@@ -23,7 +23,7 @@ class CorpusOpsSpec extends AnyFunSuite {
   private val d = "/root/testdata/sf0.001"
 
   test("d08: dropped-segment total equals occurrences minus distinct segments") {
-    val res = DedupOps2.d08ParagraphDedup(spark, d).cache()
+    val res = DedupOps2.d08ParagraphDedup(spark, d)
     val docs = Tables.documents(spark, d)
     // independent expectation: segment every doc in plain Scala
     val segs = docs.select("doc_id", "text").collect().flatMap { r =>
@@ -73,7 +73,7 @@ class CorpusOpsSpec extends AnyFunSuite {
   }
 
   test("t11: only non-benchmark docs are flagged, with a brute-force cross-check") {
-    val res = TextOps.t11Contamination(spark, d).cache()
+    val res = TextOps.t11Contamination(spark, d)
     assert(res.filter(col("doc_id") % TextOps.BenchMod === 0).isEmpty)
     assert(res.filter(col("contamination") <= 0 || col("contamination") > 1).isEmpty)
     // brute-force expectation in plain Scala
@@ -102,7 +102,7 @@ class CorpusOpsSpec extends AnyFunSuite {
   }
 
   test("st05: dedup never exceeds raw and totals cover every event") {
-    val res = StreamOps.st05StreamDedup(spark, d).cache()
+    val res = StreamOps.st05StreamDedup(spark, d)
     assert(res.filter(col("n_dedup") > col("n_raw")).isEmpty)
     val total = res.agg(sum("n_raw").cast("long")).head().getLong(0)
     assert(total == Tables.events(spark, d).count())

@@ -147,10 +147,29 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming dedup-within-watermark equals the batch dedup twin") {
-    val q = StreamingPipelines.dedupedEvents(eventStream())
+    // deliver in TWO time-ordered micro-batches with the watermark
+    // advancing between them — the replay shape that breaks any
+    // watermark-delay < dedup-window-span configuration
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = graft.queries.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._4)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, Long)]
+    val stream = mem.toDF()
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = StreamingPipelines.dedupedEvents(stream)
       .writeStream.outputMode("append")
       .format("memory").queryName("dedup_out").start()
     try {
+      val (first, second) = ev.splitAt(ev.length / 2)
+      mem.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(second.toSeq: _*)
       q.processAllAvailable()
       val streaming = spark.sql(
         "SELECT event_type, COUNT(*) AS n FROM dedup_out GROUP BY 1")
