@@ -40,8 +40,12 @@ object DedupOps2 {
     * anything larger is malformed input and fails fast. */
   private val MaxSegs = 1000000L
 
-  private[queries] def segments(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+  /** Segment any (doc_id, text)-shaped input — callers filter the corpus
+    * BEFORE segmentation so the explode only runs over the rows they keep
+    * (the new-batch side of d09/p02 is a few percent of the corpus; an
+    * explode-then-filter would pay the full corpus explode per branch). */
+  private[queries] def segmentsOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("words", split(col("text"), " "))
       .withColumn("nw", size(col("words")))
       .select(col("doc_id"), col("words"), col("nw"),
@@ -51,6 +55,9 @@ object DedupOps2 {
       .withColumn("seg_words",
         expr(s"least(nw - seg_idx * $SegWords, $SegWords)").cast("long"))
       .select("doc_id", "seg_idx", "seg", "seg_words")
+
+  private[queries] def segments(s: SparkSession, d: String): DataFrame =
+    segmentsOf(documents(s, d))
 
   private[queries] val segmentsSql: String =
     s"""SELECT doc_id, seg_idx,
@@ -119,11 +126,12 @@ object DedupOps2 {
     * confirm join keeps the result exact (no false negatives by
     * construction; false positives die in the join). */
   def d09BloomIncremental(s: SparkSession, d: String): DataFrame = {
-    val segs = segments(s, d).withColumn("h", expr(h60("seg")))
-    val isNew = documents(s, d).select(col("doc_id"),
-      (col("source") === NewBatchSource).as("is_new"))
-    val keyed = segs.join(isNew, "doc_id")
-    val newSegs = keyed.filter(col("is_new"))
+    // the source filters run BELOW segmentation (and reach the parquet
+    // scan), so each branch explodes only its own slice of the corpus —
+    // the new-batch side is a few percent, cheap enough to recompute
+    val docs = documents(s, d).select("doc_id", "source", "text")
+    val newSegs = segmentsOf(docs.filter(col("source") === NewBatchSource))
+      .withColumn("h", expr(h60("seg")))
       .select("doc_id", "h").distinct()
     // two eager passes build the filter (count sizes it); the cache exists
     // only for them and is RELEASED before returning — repeated invocations
@@ -136,7 +144,8 @@ object DedupOps2 {
       finally newSegs.unpersist(blocking = false)
     val bfB = s.sparkContext.broadcast(bf)
     val mightContain = udf((h: Long) => bfB.value.mightContain(h))
-    val corpusHits = keyed.filter(!col("is_new"))
+    val corpusHits = segmentsOf(docs.filter(col("source") =!= NewBatchSource))
+      .withColumn("h", expr(h60("seg")))
       .select(col("doc_id").as("corpus_id"), col("h"))
       .filter(mightContain(col("h"))).distinct()
     val perNew = newSegs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))

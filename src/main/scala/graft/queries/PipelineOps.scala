@@ -119,30 +119,32 @@ object PipelineOps {
     * composes in front of the dedup join unchanged (omitted here so the
     * whole verdict stays one Catalyst plan the oracle can mirror). */
   def p02IncrementalUpdate(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+    // every filter (new batch / corpus / eval set) sits BELOW its explode,
+    // so each branch segments only the rows it keeps
+    val docs = documents(s, d).select("doc_id", "source", "text")
     val isNew = col("source") === DedupOps2.NewBatchSource
-    val segs = DedupOps2.segments(s, d)
-      .join(docs.select("doc_id", "source"), "doc_id")
+    def hashedSegs(in: DataFrame) = DedupOps2.segmentsOf(in)
       .withColumn("h", expr(DedupOps2.h60("seg")))
-    val newSegs = segs.filter(isNew).select("doc_id", "h").distinct()
-    val corpusSegs = segs.filter(!isNew).select("h").distinct()
-      .withColumn("dup", lit(1L))
+    val newSegs = hashedSegs(docs.filter(isNew))
+      .select("doc_id", "h").distinct()
+    val corpusSegs = hashedSegs(docs.filter(!isNew))
+      .select("h").distinct().withColumn("dup", lit(1L))
     val dupFrac = newSegs.join(corpusSegs, Seq("h"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_segs"),
         sum(coalesce(col("dup"), lit(0L))).cast("long").as("n_dup_segs"))
       .withColumn("dup_frac",
         round(col("n_dup_segs").cast("double") / col("n_segs"), 4))
-    val grams = docs
+    def gramsOf(in: DataFrame) = in
       .withColumn("words", split(col("text"), " "))
-      .select(col("doc_id"), col("source"), explode(expr(
+      .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, greatest(size(words) - ${TextOps.ContamN - 1}, 1)), " +
           s"i -> concat_ws(' ', slice(words, i, ${TextOps.ContamN})))")).as("g"))
       .distinct()
-    val benchGrams = grams
-      .filter(!isNew && col("doc_id") % TextOps.BenchMod === 0)
+    val benchGrams = gramsOf(
+      docs.filter(!isNew && col("doc_id") % TextOps.BenchMod === 0))
       .select("g").distinct().withColumn("hit", lit(1L))
-    val contam = grams.filter(isNew)
+    val contam = gramsOf(docs.filter(isNew))
       .join(broadcast(benchGrams), Seq("g"), "left")
       .groupBy("doc_id")
       .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_contam_grams"))

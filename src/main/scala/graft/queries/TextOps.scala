@@ -361,17 +361,21 @@ object TextOps {
     * n-gram stream hash-probes it map-side with no shuffle of corpus
     * n-grams. Output = contaminated docs with their overlap fraction. */
   def t11Contamination(s: SparkSession, d: String): DataFrame = {
-    val grams = documents(s, d)
+    // the eval-set/train split runs BELOW the gram explode: each branch
+    // explodes only its slice (eval is a few percent), so total gram work
+    // is ONE corpus pass, not one full explode per branch
+    def gramsOf(docs: org.apache.spark.sql.DataFrame) = docs
       .withColumn("words", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, greatest(size(words) - ${ContamN - 1}, 1)), " +
           s"i -> concat_ws(' ', slice(words, i, $ContamN)))")).as("g"))
       .distinct()
-    val benchGrams = grams.filter(col("doc_id") % BenchMod === 0)
+    val docs = documents(s, d).select("doc_id", "text")
+    val benchGrams = gramsOf(docs.filter(col("doc_id") % BenchMod === 0))
       .select("g").distinct().withColumn("hit", lit(1L))
-    // single pass over the corpus grams: broadcast-probe the eval-set grams
+    // single pass over the train grams: broadcast-probe the eval-set grams
     // and fold totals + hits in ONE aggregation (no second corpus scan)
-    grams.filter(col("doc_id") % BenchMod =!= 0)
+    gramsOf(docs.filter(col("doc_id") % BenchMod =!= 0))
       .join(broadcast(benchGrams), Seq("g"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
