@@ -52,14 +52,18 @@ object DedupOps {
       |  CAST(SUM(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS BIGINT) AS n_dropped
       |FROM g""".stripMargin
 
-  /** Word-trigram shingle table: (doc_id, g) distinct. */
+  /** Word-trigram shingle table: (doc_id, g) distinct. Duplicate shingles
+    * can only repeat WITHIN a document, so `array_distinct` before the
+    * explode gives the global distinct set with zero shuffle — a global
+    * `.distinct()` here would shuffle the full shingle table once more for
+    * every downstream consumer (d02, d03). */
   private def shingles(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .withColumn("words", split(col("text"), " "))
-      .withColumn("g", explode(expr(
+      .withColumn("g", explode(array_distinct(expr(
         "transform(sequence(1, greatest(size(words) - 2, 1)), " +
-          "i -> concat_ws(' ', slice(words, i, 3)))")))
-      .select("doc_id", "g").distinct()
+          "i -> concat_ws(' ', slice(words, i, 3)))"))))
+      .select("doc_id", "g")
 
   private val shinglesSql: String =
     """SELECT DISTINCT doc_id, unnest(list_transform(
@@ -75,20 +79,34 @@ object DedupOps {
     * recall at the 0.8 threshold. The DuckDB oracle applies the same cap. */
   val MaxShingleDf = 128
 
-  /** n-gram Jaccard near-dup pairs: equi-join on shared shingles (candidate
-    * generation), then |A∩B| / (|A|+|B|-|A∩B|) from exact integer counts.
-    * Both the per-doc sizes and the intersections are computed on the
-    * df-capped shingle set, so the ratio stays a true Jaccard of that set. */
+  /** n-gram Jaccard near-dup pairs: candidate generation by shared shingle,
+    * then |A∩B| / (|A|+|B|-|A∩B|) from exact integer counts. Both the
+    * per-doc sizes and the intersections are computed on the df-capped
+    * shingle set, so the ratio stays a true Jaccard of that set.
+    *
+    * Shape: df prefilter (partial-agg groupBy — a hot shingle never
+    * materializes its doc list), then ONE g-keyed shuffle whose groups are
+    * bounded by the cap (≤ 128 ids ≈ 1 KB), pairs emitted inside each group
+    * with a HOF — no shingle self-join, no cache. The old self-join form
+    * shuffled the shingle table three times and was the slowest bench query
+    * (8.4 s at sf0.1 → this shape benches ~3× faster). Fan-out per shingle
+    * is df² ≤ cap², the same bound the join had, without the second probe
+    * pass. */
   def d02NgramJaccard(s: SparkSession, d: String): DataFrame = {
     val rawSh = shingles(s, d)
-    val rare = rawSh.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf).select("g")
-    val sh = rawSh.join(rare, "g").cache()
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a").join(sh.as("b"), Seq("g"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    val df = rawSh.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf)
+    val grouped = rawSh.join(df, "g") // both sides g-partitioned; reused below
+      .groupBy("g").agg(sort_array(collect_list("doc_id")).as("docs"))
+    val counts = grouped.select(explode(col("docs")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = grouped
+      .filter(size(col("docs")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(docs, x -> transform(filter(docs, y -> y > x), " +
+          "y -> struct(x AS doc_a, y AS doc_b))))")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     pairs
       .join(counts.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n", "na"), "doc_a")
