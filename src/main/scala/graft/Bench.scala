@@ -20,12 +20,20 @@ object Bench {
       .config("spark.kryo.classesToRegister", graft.core.KryoClasses.names)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: repeated per-query function re-registration warns at WARN level
+    // and pollutes the log tail the driver captures the json line from
+    spark.sparkContext.setLogLevel("ERROR")
 
     // local-iteration aid: SPARK_GRAFT_ONLY=q01_agg,d02_ngram_jaccard
     // restricts the run; the driver never sets it, so its runs are full.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val names = SparkEntry.queries.keys.toVector.sorted
+    val allNames = SparkEntry.queries.keys.toSet
+    only.foreach { o =>
+      val unknown = o.diff(allNames)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toVector.sorted.mkString(",")}")
+    }
+    val names = allNames.toVector.sorted
       .filter(n => only.forall(_.contains(n)))
     // warmup: one untimed pass (caches parquet footers, JIT, codegen)
     names.foreach { name =>
@@ -38,10 +46,16 @@ object Bench {
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond precision keeps the ONE json line short enough to survive
+    // intact in a bounded log tail (full-precision doubles pushed it past the
+    // driver's capture window in rounds 1-3 -> parsed:null)
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    Console.out.println(
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    Console.out.flush()
     spark.stop()
   }
 }

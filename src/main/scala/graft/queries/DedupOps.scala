@@ -56,7 +56,13 @@ object DedupOps {
     * can only repeat WITHIN a document, so `array_distinct` before the
     * explode gives the global distinct set with zero shuffle — a global
     * `.distinct()` here would shuffle the full shingle table once more for
-    * every downstream consumer (d02, d03). */
+    * every downstream consumer (d02, d03).
+    *
+    * INVARIANT: this equivalence (and its match with the oracle's global
+    * SELECT DISTINCT) requires `doc_id` to be unique per row of `documents`
+    * — it is the table's primary key. If an input ever carried duplicate
+    * doc_id rows, per-row array_distinct and global DISTINCT would diverge;
+    * `CorpusOpsSpec` asserts the uniqueness on the fixture tables. */
   private def shingles(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .withColumn("words", split(col("text"), " "))
@@ -97,7 +103,7 @@ object DedupOps {
     val df = rawSh.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf)
     val grouped = rawSh.join(df, "g") // both sides g-partitioned; reused below
-      .groupBy("g").agg(sort_array(collect_list("doc_id")).as("docs"))
+      .groupBy("g").agg(collect_list("doc_id").as("docs"))
     val counts = grouped.select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = grouped

@@ -22,6 +22,14 @@ class CorpusOpsSpec extends AnyFunSuite {
 
   private val d = "/root/testdata/sf0.001"
 
+  test("documents.doc_id is unique (shingles' per-row distinct relies on it)") {
+    // DedupOps.shingles replaces a global DISTINCT with per-row
+    // array_distinct; that equivalence (and oracle agreement) holds only
+    // while doc_id is the table's primary key.
+    val docs = Tables.documents(spark, d)
+    assert(docs.groupBy("doc_id").count().filter(col("count") > 1).isEmpty)
+  }
+
   test("d08: dropped-segment total equals occurrences minus distinct segments") {
     val res = DedupOps2.d08ParagraphDedup(spark, d)
     val docs = Tables.documents(spark, d)
