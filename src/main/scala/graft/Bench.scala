@@ -40,11 +40,19 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
+    // two timed iterations, report the min: a single sample is hostage to
+    // sandbox CPU/memory contention (the r04 run showed a systemic ~5×
+    // inflation on every shuffle-heavy query with zero plan changes); the
+    // min of two is a far better estimator of the plan's actual cost
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     // millisecond precision keeps the ONE json line short enough to survive
     // intact in a bounded log tail (full-precision doubles pushed it past the

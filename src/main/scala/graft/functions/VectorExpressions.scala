@@ -111,7 +111,9 @@ case class NormSqI64(child: Expression)
 object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "dot_i64" -> (args => DotI64(args(0), args(1))),
-    "normsq_i64" -> (args => NormSqI64(args.head)))
+    "normsq_i64" -> (args => NormSqI64(args.head)),
+    "collect_list_capped" -> (args =>
+      CollectListCappedI64(args(0), args(1)).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

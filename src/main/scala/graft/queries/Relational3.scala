@@ -97,18 +97,23 @@ object Relational3 {
     * count: estimate = (k-1) * 2^60 / kth_min_hash. */
   def q24KmvSketch(s: SparkSession, d: String): DataFrame = {
     // one distinct shuffle feeds both the sketch and the exact count (the
-    // exact side exists only to show the estimator's error)
+    // exact side exists only to show the estimator's error); the cache is
+    // released before returning — the one-row result is checkpoint-
+    // materialized so bench loops never accumulate storage blocks
     val keys = lineitem(s, d).select("l_partkey").distinct()
       .withColumn("h", expr(
         "cast(conv(substring(md5(cast(l_partkey as string)), 1, 15), 16, 10) as bigint)"))
       .cache()
-    val sketch = keys.orderBy("h").limit(K)
-      .agg(count(lit(1)).cast("long").as("k"), max(col("h")).as("kth_hash"))
-      .withColumn("est_distinct",
-        round(lit(K - 1) * lit(H60Max) / col("kth_hash")).cast("long"))
-    val exact = keys.agg(count(lit(1)).as("exact_distinct"))
-    sketch.crossJoin(exact)
-      .select(col("k"), col("kth_hash"), col("est_distinct"), col("exact_distinct"))
+    try {
+      val sketch = keys.orderBy("h").limit(K)
+        .agg(count(lit(1)).cast("long").as("k"), max(col("h")).as("kth_hash"))
+        .withColumn("est_distinct",
+          round(lit(K - 1) * lit(H60Max) / col("kth_hash")).cast("long"))
+      val exact = keys.agg(count(lit(1)).as("exact_distinct"))
+      sketch.crossJoin(exact)
+        .select(col("k"), col("kth_hash"), col("est_distinct"), col("exact_distinct"))
+        .localCheckpoint(true)
+    } finally keys.unpersist(blocking = false)
   }
 
   val q24Sql: String =
@@ -264,7 +269,10 @@ object Relational3 {
   /** The window-derived edge/root sets are MATERIALIZED (cached views)
     * before the recursion — Spark re-evaluates CTEs referenced inside the
     * recursive member on every iteration, so leaving the window scan
-    * inline would rescan the orders table once per chain step. */
+    * inline would rescan the orders table once per chain step. Both caches
+    * and both temp views live only inside this call: the 3-row result is
+    * checkpoint-materialized, then the caches are released and the views
+    * dropped from the shared session. */
   def q29RecursiveChains(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.{Window => W}
     val w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -273,15 +281,17 @@ object Relational3 {
       .withColumn("next_key", lead("o_orderkey", 1).over(w))
       .withColumn("next_date", lead("o_orderdate", 1).over(w))
       .withColumn("prev_date", lag("o_orderdate", 1).over(w))
-    seq.filter(col("next_key").isNotNull &&
+    val edges = seq.filter(col("next_key").isNotNull &&
         col("next_date") <= col("o_orderdate") + expr("INTERVAL 7 DAY"))
       .select("o_orderkey", "next_key")
-      .cache().createOrReplaceTempView("edges_q29")
-    seq.filter(col("prev_date").isNull ||
+      .cache()
+    val roots = seq.filter(col("prev_date").isNull ||
         col("o_orderdate") > col("prev_date") + expr("INTERVAL 7 DAY"))
       .select("o_orderkey")
-      .cache().createOrReplaceTempView("roots_q29")
-    s.sql(
+      .cache()
+    edges.createOrReplaceTempView("edges_q29")
+    roots.createOrReplaceTempView("roots_q29")
+    try s.sql(
       """WITH RECURSIVE walk AS (
         |  SELECT o_orderkey AS root, o_orderkey AS cur, 1 AS depth FROM roots_q29
         |  UNION ALL
@@ -292,6 +302,13 @@ object Relational3 {
         |  CAST(COUNT(*) AS BIGINT) AS n_chains
         |FROM (SELECT root, MAX(depth) AS depth FROM walk GROUP BY root)
         |GROUP BY 1 ORDER BY 1""".stripMargin)
+      .localCheckpoint(true)
+    finally {
+      s.catalog.dropTempView("edges_q29")
+      s.catalog.dropTempView("roots_q29")
+      edges.unpersist(blocking = false)
+      roots.unpersist(blocking = false)
+    }
   }
 
   val q29Sql: String = q29Text("orders")

@@ -302,6 +302,17 @@ object SimilarityOps {
   private val NProbe = 2
 
   def s04AnnIvf(s: SparkSession, d: String): DataFrame = {
+    val tagged = s04Tagged(s, d).cache()
+    // the assignment cache serves the corpus/probe branches of ONE plan and
+    // is released before returning (TopK·queries result rows are checkpoint-
+    // materialized) — bench loops must not accumulate storage blocks
+    try s04Build(tagged).localCheckpoint(true)
+    finally tagged.unpersist(blocking = false)
+  }
+
+  /** Cell assignment scan (see [[s04AnnIvf]]): every vector tagged with its
+    * nearest cell and (for query rows) its NProbe probe cells. */
+  private[queries] def s04Tagged(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val emb = embeddings(s, d)
@@ -316,7 +327,7 @@ object SimilarityOps {
     // one scan assigns every vector to its nearest cell (primitive-array L2
     // kernel against the broadcast centroids — no shuffle, no lambdas in
     // the expression tree) and tags queries with their NProbe probe cells
-    val tagged = emb.mapPartitions { it =>
+    emb.mapPartitions { it =>
       val cs = bc.value
       it.map { case (id, v) =>
         var nrm = 0L; var i = 0
@@ -329,7 +340,14 @@ object SimilarityOps {
         val sorted = dists.sortBy(identity)
         (id, v, nrm, sorted(0)._2, sorted.take(NProbe).map(_._2))
       }
-    }.toDF("vec_id", "q", "nrm", "cell", "probes").cache()
+    }.toDF("vec_id", "q", "nrm", "cell", "probes")
+  }
+
+  /** The probe-and-score plan over a (possibly cached) tagged assignment —
+    * separated so `PlanSpec` can gate the physical plan shape (broadcast
+    * probe side, equi-join on cell) that the eager checkpoint in
+    * [[s04AnnIvf]] would otherwise hide behind a `Scan ExistingRDD`. */
+  private[queries] def s04Build(tagged: DataFrame): DataFrame = {
     val corpus = tagged.drop("probes")
     val probes = tagged.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qv"),

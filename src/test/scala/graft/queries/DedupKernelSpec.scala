@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Kernel-level gates for the dedup machinery introduced/changed in round 5:
+  * the two connected-components execution paths must agree (the single-task
+  * union-find is the common case; the distributed pointer-doubling
+  * propagation takes over past [[DedupOps.SingleTaskEdgeMax]] — a fixture
+  * can force it by passing a zero threshold), and the single-pass
+  * `collect_list_capped` aggregate must be exactly the two-pass
+  * df-filter + collect_list it replaced in d02. */
+class DedupKernelSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-dedup-kernels")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ccLabels(pairs: Seq[(Long, Long)], singleTaskMax: Long): Map[Long, Long] = {
+    import spark.implicits._
+    val df = pairs.toDF("doc_a", "doc_b")
+    DedupOps.connectedComponents(spark, df, singleTaskMax)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("connectedComponents: distributed propagation agrees with union-find on a chain graph") {
+    // a 60-node chain (worst diameter per edge) + a separate 3-cycle + an
+    // isolated pair: exercises pointer doubling across many iterations
+    val chain = (0L until 59L).map(i => (i, i + 1))
+    val cycle = Seq((100L, 101L), (101L, 102L), (102L, 100L))
+    val pair = Seq((200L, 201L))
+    val edges = chain ++ cycle ++ pair
+    val single = ccLabels(edges, singleTaskMax = Long.MaxValue)
+    val dist = ccLabels(edges, singleTaskMax = 0L) // forces the iterative path
+    assert(single == dist)
+    // and the fixpoint is the min-id labeling
+    assert((0L until 60L).forall(i => single(i) == 0L))
+    assert(Seq(100L, 101L, 102L).forall(i => single(i) == 100L))
+    assert(single(200L) == 200L && single(201L) == 200L)
+  }
+
+  test("connectedComponents: random graph, both paths agree") {
+    val rnd = new scala.util.Random(42)
+    val edges = (1 to 300).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    assert(ccLabels(edges, Long.MaxValue) == ccLabels(edges, 0L))
+  }
+
+  test("collect_list_capped equals the two-pass df-filter + collect_list") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // keys with group sizes straddling the cap: size 1..6, cap 4
+    val rows = (1 to 6).flatMap(k => (1 to k).map(v => (s"k$k", (k * 100 + v).toLong)))
+    val df = rows.toDF("g", "doc_id")
+    val capped = df.groupBy("g")
+      .agg(expr("collect_list_capped(doc_id, 4)").as("docs"))
+    // overflowed groups are NULL (k5, k6), survivors carry the full set
+    val byKey = capped.collect()
+      .map(r => r.getString(0) -> Option(r.getSeq[Long](1)).map(_.toSet)).toMap
+    assert(byKey("k5").isEmpty && byKey("k6").isEmpty)
+    (1 to 4).foreach { k =>
+      assert(byKey(s"k$k").get == (1 to k).map(v => (k * 100 + v).toLong).toSet)
+    }
+    // exact equivalence with the two-pass formulation on the real table
+    val d = "/root/testdata/sf0.001"
+    val sh = Tables.documents(spark, d)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("g", explode(array_distinct(expr(
+        "transform(sequence(1, greatest(size(words) - 2, 1)), " +
+          "i -> concat_ws(' ', slice(words, i, 3)))"))))
+      .select("doc_id", "g")
+    val cap = 8
+    val onePass = sh.groupBy("g")
+      .agg(expr(s"collect_list_capped(doc_id, $cap)").as("docs"))
+      .filter(col("docs").isNotNull)
+      .select(col("g"), array_sort(col("docs")).as("docs"))
+    val twoPass = sh.groupBy("g").agg(collect_list("doc_id").as("docs"))
+      .filter(size(col("docs")) <= cap)
+      .select(col("g"), array_sort(col("docs")).as("docs"))
+    assert(onePass.exceptAll(twoPass).isEmpty && twoPass.exceptAll(onePass).isEmpty)
+  }
+}

@@ -70,7 +70,9 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("s04: IVF probe side broadcasts; candidate join is an equi-join on cell") {
-    val p = plan(SimilarityOps.s04AnnIvf(spark, d))
+    // gate the lazy builder plan: the public query checkpoints eagerly, so
+    // its own executedPlan is just the checkpoint scan
+    val p = plan(SimilarityOps.s04Build(SimilarityOps.s04Tagged(spark, d)))
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
@@ -85,7 +87,17 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("d02: shingle candidate join is an equi-join, never a cross product") {
-    val p = plan(DedupOps.d02NgramJaccard(spark, d))
+    // gate the lazy builder plans: the public query checkpoints eagerly, so
+    // its own executedPlan is just the checkpoint scan
+    val grouped = DedupOps.d02Grouped(spark, d)
+    val pg = plan(grouped)
+    // the df-cap is FUSED into the aggregation: exactly one shingle explode
+    // (Generate) and an ObjectHashAggregate partial/final pair — the r04
+    // two-pass shape ran the explode once per consumer (~4×)
+    assert("Generate".r.findAllIn(pg).size == 1, pg)
+    assert(pg.contains("ObjectHashAggregate"), pg)
+    assert(pg.contains("partial_collect_list_capped"), pg)
+    val p = plan(DedupOps.d02Build(grouped))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
