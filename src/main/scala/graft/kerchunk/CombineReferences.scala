@@ -97,13 +97,49 @@ object CombineReferences {
     combined
   }
 
+  /** Parquet reference artifact in the fsspec LazyReferenceMapper record
+    * shape (writers.py:137,157-160: `record_size=refs_per_component`,
+    * default 10000): chunk refs are grouped per component (the top-level
+    * variable) and no parquet record-file holds more than
+    * `refsPerComponent` rows — `<out>/component=<var>/refs*.parquet` —
+    * while every metadata document (zarr.json group/array docs) lives in
+    * one consolidated `<out>/.zmetadata` JSON alongside the record size.
+    * At 100 TB-scale ref counts this is what keeps a single component
+    * openable without scanning the whole ref table. */
   def writeReferenceParquet(spark: org.apache.spark.sql.SparkSession,
-                            rs: RefSet, path: String): Unit = {
+                            rs: RefSet, path: String,
+                            refsPerComponent: Int = 10000): Unit = {
     import spark.implicits._
-    rs.refs.toSeq.sortBy(_._1).map { case (k, r) =>
-      (k, r.url.orNull, r.offset, r.length,
+    require(refsPerComponent > 0, "refsPerComponent must be positive")
+    val (metaKeys, chunkKeys) = rs.refs.toSeq.sortBy(_._1)
+      .partition { case (k, _) =>
+        k == "zarr.json" || k.endsWith("/zarr.json") || k.startsWith(".z") }
+    // consolidated metadata: every zarr.json doc inline, plus record_size
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metaRoot = mapper.createObjectNode()
+    metaRoot.put("record_size", refsPerComponent)
+    val metaRefs = metaRoot.putObject("metadata")
+    metaKeys.foreach { case (k, r) =>
+      metaRefs.set[com.fasterxml.jackson.databind.node.ObjectNode](
+        k, mapper.readTree(r.resolve()))
+    }
+    // chunk refs: one partition directory per component, files capped at
+    // refsPerComponent records (maxRecordsPerFile enforces the cap inside
+    // each component's writer task); parquet write FIRST — overwrite mode
+    // clears the directory — then the consolidated metadata lands beside it
+    chunkKeys.map { case (k, r) =>
+      val component = k.split('/').head
+      (component, k, r.url.orNull, r.offset, r.length,
         r.inline.map(java.util.Base64.getEncoder.encodeToString).orNull)
-    }.toDF("key", "url", "offset", "length", "inline_b64")
-      .write.mode("overwrite").parquet(path)
+    }.toDF("component", "key", "url", "offset", "length", "inline_b64")
+      .repartition(col("component"))
+      .sortWithinPartitions("key")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", refsPerComponent)
+      .partitionBy("component")
+      .parquet(path)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path).resolve(".zmetadata"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(metaRoot))
   }
 }

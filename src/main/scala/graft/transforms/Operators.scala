@@ -87,6 +87,20 @@ object Preprocess {
 
   def withAttrs(f: Fragment, attrs: Attrs): Fragment =
     f.copy(attrs = f.attrs ++ attrs)
+
+  /** Rename a dimension everywhere it appears — dim sizes, the same-named
+    * coordinate variable, and every variable's dims vector (xarray's
+    * ds.rename({"day": "time"}) on a dim coord, the terraclimate
+    * preprocessor's day→time fix, examples/feedstock/terraclimate.py:207). */
+  def renameDim(f: Fragment, from: String, to: String): Fragment = {
+    def rn(d: String): String = if (d == from) to else d
+    def rv(v: Variable): Variable = v.copy(dims = v.dims.map(rn))
+    Fragment(
+      dims = f.dims.map { case (d, n) => rn(d) -> n },
+      coords = f.coords.map { case (n, v) => rn(n) -> rv(v) },
+      dataVars = f.dataVars.map { case (n, v) => n -> rv(v) },
+      attrs = f.attrs)
+  }
 }
 
 /** Deploy-time config injection (injections.py:1-16 + the

@@ -1,0 +1,263 @@
+package graft.examples
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.core._
+import graft.core.GoldenCube
+import graft.kerchunk.RefSet
+import graft.zarr.ZarrGroup
+import java.nio.file.{Files, Paths}
+
+/** Integration gates for the CLI bake runner (`graft.Bake`) — the
+  * test_integration.py:105-140 analog: each registered feedstock recipe is
+  * executed through the FULL CLI path (argv parsing → JSON config load →
+  * RuntimeConfig injection → recipe body) against generated fixtures, and
+  * the produced artifact is reopened and value-checked. */
+class BakeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-bake-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String = Files.createTempDirectory("graft_bake").toString
+
+  private def writeZarrFragment(f: Fragment, path: String): Unit = {
+    val g = ZarrGroup(path)
+    g.initGroup(f.attrs)
+    f.allVars.foreach { case (name, v) =>
+      g.createArray(name, v.shape, v.shape, v.dtype, v.attrs,
+        dimensionNames = Some(v.dims))
+      g.writeRegion(name, Vector.fill(v.data.ndim)(0), v.data)
+    }
+  }
+
+  private def writeConfig(dir: String, sections: (String, Seq[(String, String)])*): String = {
+    val json = sections.map { case (name, kvs) =>
+      "\"" + name + "\": {" +
+        kvs.map { case (k, v) => "\"" + k + "\": \"" + v + "\"" }.mkString(", ") +
+        "}"
+    }.mkString("{", ", ", "}")
+    val p = s"$dir/config.json"
+    Files.writeString(Paths.get(p), json)
+    p
+  }
+
+  // ---------------------------------------------------------------- daily-cube
+
+  test("bake daily-cube: full CLI path round-trips the golden cube") {
+    val dir = tmp()
+    val nt = 6
+    val cube = GoldenCube.makeDs(nt)
+    GoldenCube.splitByTime(cube, 1).zipWithIndex.foreach { case (f, i) =>
+      writeZarrFragment(f, s"$dir/in/day_$i.zarr")
+    }
+    val conf = writeConfig(dir,
+      "TargetStorage" -> Seq("root_path" -> s"$dir/target"),
+      "InputCacheStorage" -> Seq("root_path" -> s"$dir/cache"),
+      "DailyCube" -> Seq(
+        "input_root" -> s"$dir/in",
+        "days" -> (0 until nt).mkString(","),
+        "target_chunks" -> "time=2"))
+    val out = graft.Bake.run(spark, Array(
+      "--recipe-id=daily-cube", s"-f=$conf", "--job-name=daily-cube-test"))
+    assert(out == s"$dir/target/daily-cube.zarr")
+    val result = ZarrGroup(out).readFragment()
+    assert(result.sameAs(cube.copy(attrs =
+      cube.attrs ++ Map("produced_by" -> AttrValue("graft")))) ||
+      result.dims == cube.dims && result.allVars.keySet == cube.allVars.keySet &&
+        result.allVars("foo").data.data.asInstanceOf[Array[Double]].sameElements(
+          cube.allVars("foo").data.data.asInstanceOf[Array[Double]]))
+    assert(ZarrGroup(out).arrayMeta("foo").chunks(
+      ZarrGroup(out).arrayMeta("foo").dimensionNames.indexOf("time")) == 2)
+  }
+
+  test("bake daily-cube --prune keeps only the first two pattern items") {
+    val dir = tmp()
+    val nt = 5
+    val cube = GoldenCube.makeDs(nt)
+    GoldenCube.splitByTime(cube, 1).zipWithIndex.foreach { case (f, i) =>
+      writeZarrFragment(f, s"$dir/in/day_$i.zarr")
+    }
+    val conf = writeConfig(dir,
+      "TargetStorage" -> Seq("root_path" -> s"$dir/target"),
+      "DailyCube" -> Seq(
+        "input_root" -> s"$dir/in",
+        "days" -> (0 until nt).mkString(","),
+        "store_name" -> "pruned.zarr",
+        "target_chunks" -> "time=1"))
+    val out = graft.Bake.run(spark, Array(
+      "--Bake.recipe_id=daily-cube", s"--config=$conf", "--prune"))
+    val result = ZarrGroup(out).readFragment()
+    assert(result.dims("time") == 2, s"prune kept ${result.dims("time")} items")
+  }
+
+  test("bake rejects unknown recipe ids and missing required flags") {
+    val dir = tmp()
+    val conf = writeConfig(dir, "TargetStorage" -> Seq("root_path" -> dir))
+    intercept[IllegalArgumentException] {
+      graft.Bake.run(spark, Array("--recipe-id=nope", s"-f=$conf"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.Bake.parseArgs(Array("-f=x.json"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.Bake.parseArgs(Array("--recipe-id=daily-cube", "--bogus"))
+    }
+  }
+
+  // -------------------------------------------------------------- terraclimate
+
+  /** One (variable, year) input file: 12 monthly steps on a `day` dim (the
+    * raw files' name for the time axis), 3×4 grid, values straddling the
+    * variable's mask threshold, plus a station_influence companion for
+    * `soil`. */
+  private def terraFile(variable: String, year: Int): Fragment = {
+    val (nt, ny, nx) = (12, 3, 4)
+    val dayVals = NDArray(DType.I8, Vector(nt),
+      (0 until nt).map(m => ((year - 2000) * 12 + m).toLong).toArray)
+    val lat = NDArray(DType.F8, Vector(ny), Array(10.0, 20.0, 30.0))
+    val lon = NDArray(DType.F8, Vector(nx), Array(1.0, 2.0, 3.0, 4.0))
+    val data = NDArray(DType.F8, Vector(nt, ny, nx),
+      Array.tabulate(nt * ny * nx) { i =>
+        // every 5th cell exceeds the 32767 threshold -> must come back NaN
+        if (i % 5 == 0) 40000.0 else 100.0 * (i % 7) + (year - 2000)
+      })
+    val station = NDArray(DType.F8, Vector(nt, ny, nx),
+      Array.tabulate(nt * ny * nx)(i => (i % 2).toDouble))
+    val dataVars = Map(variable -> Variable(Vector("day", "lat", "lon"), data)) ++
+      (if (variable == "soil")
+        Map("station_influence" -> Variable(Vector("day", "lat", "lon"), station))
+      else Map.empty)
+    Fragment(
+      dims = Map("day" -> nt, "lat" -> ny, "lon" -> nx),
+      coords = Map(
+        "day" -> Variable(Vector("day"), dayVals),
+        "lat" -> Variable(Vector("lat"), lat),
+        "lon" -> Variable(Vector("lon"), lon)),
+      dataVars = dataVars,
+      attrs = Map("title" -> AttrValue("broken unicode � soup")))
+  }
+
+  test("bake terraclimate: munge (attrs/mask/station/renames) + variable×year matrix") {
+    val dir = tmp()
+    val years = Vector(2000, 2001)
+    val variables = Vector("soil", "srad")
+    for (v <- variables; y <- years)
+      writeZarrFragment(terraFile(v, y), s"$dir/in/TerraClimate_${v}_$y.zarr")
+    val conf = writeConfig(dir,
+      "TargetStorage" -> Seq("root_path" -> s"$dir/target"),
+      "Terraclimate" -> Seq(
+        "input_root" -> s"$dir/in",
+        "years" -> years.mkString(","),
+        "variables" -> variables.mkString(","),
+        "target_chunks" -> "time=12"))
+    val out = graft.Bake.run(spark, Array(
+      "--recipe-id=terraclimate", s"-f=$conf", "--job-name=terraclimate-test"))
+    val result = ZarrGroup(out).readFragment()
+
+    // the day dim was renamed to time and concatenated across years
+    assert(result.dims("time") == 24, result.dims.toString)
+    assert(!result.dims.contains("day"))
+    assert(result.coords("time").data.getLong(0) == 0L &&
+      result.coords("time").data.getLong(12) == 12L)
+    // both merge-dim variables landed, plus soil's re-named station mask
+    assert(result.dataVars.keySet == Set("soil", "srad", "soil_station_influence"))
+    // attrs were REPLACED with the fixed set, not merged
+    assert(result.attrs("title") == TerraclimateRecipe.fixedAttrs("title"))
+    assert(!result.attrs.values.exists(_.toString.contains("�")))
+    // threshold masking: every 5th input cell (40000 >= 32767) is NaN,
+    // every other cell survives untouched
+    val soil = result.dataVars("soil").data.data.asInstanceOf[Array[Double]]
+    val perYear = 12 * 3 * 4
+    (0 until 2 * perYear).foreach { i =>
+      val (year, j) = (years(i / perYear), i % perYear)
+      if (j % 5 == 0) assert(soil(i).isNaN, s"cell $i not masked")
+      else assert(soil(i) == 100.0 * (j % 7) + (year - 2000), s"cell $i")
+    }
+    // station_influence was dropped and re-added under the payload's name
+    val st = result.dataVars("soil_station_influence").data.data.asInstanceOf[Array[Double]]
+    assert((0 until perYear).forall(j => st(j) == (j % 2).toDouble))
+    // target chunking landed: one year per time chunk
+    val meta = ZarrGroup(out).arrayMeta("soil")
+    assert(meta.chunks(meta.dimensionNames.indexOf("time")) == 12)
+  }
+
+  test("terraclimate munge applies the PDSI -> pdsi rename after masking") {
+    val f0 = terraFile("soil", 2000)
+    val pdsiVals = NDArray(DType.F8, Vector(12, 3, 4),
+      Array.tabulate(12 * 3 * 4)(i => if (i % 3 == 0) 50.0 else 5.0))
+    val f = f0.copy(dataVars = Map(
+      "PDSI" -> Variable(Vector("day", "lat", "lon"), pdsiVals)))
+    val m = TerraclimateRecipe.munge(f)
+    assert(m.dataVars.keySet == Set("pdsi"))
+    val v = m.dataVars("pdsi").data.data.asInstanceOf[Array[Double]]
+    // PDSI mask threshold is 10: 50.0 cells masked, 5.0 cells kept
+    assert(v.zipWithIndex.forall { case (x, i) =>
+      if (i % 3 == 0) x.isNaN else x == 5.0 })
+    assert(m.dims.contains("time") && !m.dims.contains("day"))
+  }
+
+  // ------------------------------------------------- hrrr-kerchunk-concat-step
+
+  test("bake hrrr-kerchunk-concat-step: grib scan -> combined v2 reference -> reopen") {
+    import graft.grib.Grib2
+    val dir = tmp()
+    val (nx, ny) = (9, 5)
+    val base = 1658527200L // 2022-07-22T22:00Z, the hrrr.t22z cycle
+    val steps = Vector(0, 1, 2, 3)
+    steps.foreach { s =>
+      // constant fields decode exactly; value encodes the step for checking.
+      // a decoy message with a different parameter number rides in the same
+      // file to prove the shortName filter (grib_filters analog) works
+      val keep = s"$dir/in/keep_$s.grib2"
+      val decoy = s"$dir/in/decoy_$s.grib2"
+      Grib2.writeSimple(keep, Array.fill(nx * ny)(20.0 + s), nx, ny,
+        la1 = 30.0, lo1 = 250.0, dLat = 0.5, dLon = 0.5,
+        discipline = 0, category = 0, number = 0, // -> TMP
+        refTimeEpochSec = base + s * 3600L)
+      Grib2.writeSimple(decoy, Array.fill(nx * ny)(99.0), nx, ny,
+        la1 = 30.0, lo1 = 250.0, dLat = 0.5, dLon = 0.5,
+        discipline = 0, category = 1, number = 0, // -> not TMP
+        refTimeEpochSec = base + s * 3600L)
+      val merged = Files.readAllBytes(Paths.get(keep)) ++
+        Files.readAllBytes(Paths.get(decoy))
+      Files.write(Paths.get(f"$dir/in/hrrr.t22z.wrfsfcf$s%02d.grib2"), merged)
+    }
+    val conf = writeConfig(dir,
+      "TargetStorage" -> Seq("root_path" -> s"$dir/target"),
+      "HrrrKerchunk" -> Seq(
+        "input_root" -> s"$dir/in",
+        "steps" -> steps.mkString(",")))
+    val out = graft.Bake.run(spark, Array(
+      "--recipe-id=hrrr-kerchunk-concat-step", s"-f=$conf"))
+    assert(out == s"$dir/target/hrrr-concat-step/reference.json")
+
+    // reopen through the kerchunk-ecosystem artifact, as the reference's
+    // test_ds does with xarray+zarr (hrrr_kerchunk_concat_step.py:30-41)
+    val back = RefSet.fromKerchunkV2Json(Files.readString(Paths.get(out)))
+    val virt = s"$dir/virt.zarr"
+    back.materialize(virt)
+    val f = ZarrGroup(virt).readFragment()
+    // four steps concatenated on the valid-time axis, in step order
+    assert(f.dims("time") == 4)
+    val times = (0 until 4).map(i => f.coords("time").data.getLong(i))
+    assert(times == steps.map(s => base + s * 3600L))
+    // the TMP field survived the filter; the decoy (category 1) did not
+    assert(f.dataVars.contains("TMP"))
+    val data = f.dataVars("TMP").data.data.asInstanceOf[Array[Double]]
+    steps.foreach { s =>
+      (0 until nx * ny).foreach { i =>
+        assert(data(s * nx * ny + i) == 20.0 + s, s"step $s cell $i")
+      }
+    }
+    // identical grid coordinates stored once, with the right first point
+    // (2-D (y,x) vars — like the reference's test_ds, which must
+    // set_coords them explicitly after opening; allVars is our analog)
+    assert(f.allVars("latitude").data.getDouble(0) == 30.0)
+    assert(f.allVars("longitude").data.getDouble(0) == 250.0)
+  }
+}

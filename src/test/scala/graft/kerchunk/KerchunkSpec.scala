@@ -89,9 +89,48 @@ class KerchunkSpec extends AnyFunSuite {
     val result = ZarrGroup(mat).readFragment()
     assert(result.sameAs(cube))
 
-    // parquet artifact round-trips the key count
-    CombineReferences.writeReferenceParquet(spark, combined, s"$dir/refs.parquet")
-    assert(spark.read.parquet(s"$dir/refs.parquet").count() == combined.refs.size)
+    // parquet artifact in the LazyReferenceMapper record shape
+    // (writers.py:137,157-160): chunk refs partitioned per component with
+    // <= refs_per_component rows per record-file; metadata docs
+    // consolidated into .zmetadata with the record size
+    val pq = s"$dir/refs.parquet"
+    CombineReferences.writeReferenceParquet(spark, combined, pq,
+      refsPerComponent = 2)
+    val metaCount = combined.refs.keys.count(k =>
+      k == "zarr.json" || k.endsWith("/zarr.json"))
+    val table = spark.read.parquet(pq)
+    assert(table.count() == combined.refs.size - metaCount)
+    // every component of the store has its own partition directory...
+    val componentDirs = new java.io.File(pq).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    val wantComponents = combined.refs.keys
+      .filterNot(k => k == "zarr.json" || k.endsWith("/zarr.json"))
+      .map(_.split('/').head).toSet
+    assert(componentDirs == wantComponents.map(c => s"component=$c"))
+    // ...and no record-file inside it exceeds refs_per_component rows
+    componentDirs.foreach { cd =>
+      new java.io.File(s"$pq/$cd").listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          assert(spark.read.parquet(f.getPath).count() <= 2,
+            s"${f.getPath} exceeds refs_per_component")
+        }
+    }
+    // the consolidated metadata carries the record size and every doc
+    val zm = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(java.nio.file.Paths.get(s"$pq/.zmetadata")))
+    assert(zm.get("record_size").asInt() == 2)
+    assert(zm.get("metadata").size() == metaCount)
+    assert(zm.get("metadata").has("foo/zarr.json"))
+    // the partitioned table still round-trips ref-for-ref
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    val backKeys = table
+      .select(concat_ws("/", col("component"), col("key")).as("k"))
+      .collect().map(_.getString(0)).toSet
+    // key column retains the FULL key; component is the partition echo
+    val directKeys = table.select("key").collect().map(_.getString(0)).toSet
+    assert(directKeys == combined.refs.keySet.filterNot(k =>
+      k == "zarr.json" || k.endsWith("/zarr.json")))
+    assert(backKeys.forall(_.contains("/")))
   }
 
   test("netcdf3 fixtures: scan -> combine -> reference.json -> materialize == cube") {
