@@ -20,6 +20,8 @@ trait Recipe {
 object Feedstock {
   val recipes: Map[String, Recipe] = Seq(
     DailyCubeFeedstock,
+    DailyCubeDynamicChunksFeedstock,
+    GpcpRechunkFeedstock,
     TerraclimateRecipe,
     HrrrKerchunkRecipe,
   ).map(r => r.id -> r).toMap
@@ -47,6 +49,70 @@ object DailyCubeFeedstock extends Recipe {
     val pattern = if (prune) pattern0.prune() else pattern0
     val g = DailyCubeRecipe.run(spark, pattern, config.runtime, storeName, chunks)
     g.root
+  }
+}
+
+/** `daily-cube-dynamic-chunks`: the gpcp_from_gcs_dynamic_chunks recipe
+  * (examples/feedstock/gpcp_from_gcs_dynamic_chunks.py:40-55) — identical
+  * pipeline to `daily-cube` except chunking is decided at runtime by a
+  * `dynamic_chunking_fn` over the combined schema's template dataset
+  * (`chunk_func` returns `{"time": 2}` in the reference; the fn here is the
+  * same constant-fn shape, with the chunk size configurable). Section
+  * `DailyCube` is shared with the base recipe (minus `target_chunks`). */
+object DailyCubeDynamicChunksFeedstock extends Recipe {
+  val id = "daily-cube-dynamic-chunks"
+
+  def bake(spark: SparkSession, config: BakeConfig, prune: Boolean): String = {
+    val sec = config.section("DailyCube")
+    val inputRoot = sec.getOrElse("input_root",
+      throw new IllegalArgumentException("DailyCube.input_root is required"))
+    val days = sec.getOrElse("days",
+      throw new IllegalArgumentException("DailyCube.days is required"))
+      .split(",").toVector
+    val storeName = sec.getOrElse("store_name", "daily-cube-dynamic.zarr")
+    val timeChunk = sec.getOrElse("dynamic_time_chunk", "2").toInt
+    val pattern0 = DailyCubeRecipe.pattern(
+      day => s"$inputRoot/day_$day.zarr", days)
+    val pattern = if (prune) pattern0.prune() else pattern0
+    val targetRoot = config.runtime.targetRoot.resolve
+    val items = graft.transforms.Pipelines.createItems(spark, pattern)
+    val opened = graft.transforms.Pipelines.openWithFragments(items, pattern.fileType)
+    val storePath = s"$targetRoot/$storeName"
+    graft.transforms.Pipelines.storeToZarr(opened, pattern.combineDimKeys,
+      storePath, dynamicChunkingFn = Some(_ => Map("time" -> timeChunk)))
+    storePath
+  }
+}
+
+/** `gpcp-rechunk`: read an EXISTING Zarr store and write it back with a
+  * different chunk structure (examples/feedstock/gpcp_rechunk.py:16-39) —
+  * the distributed store scan plans slabs from metadata only and each task
+  * range-reads its own slab, so a 100 TB store rechunks with zero driver
+  * data movement. Config section `GpcpRechunk`: `input_store` (path of the
+  * source store), `concat_dim` (default `time`), `items_per_fragment`
+  * (scan slab size, default 4), `store_name`, `target_chunks`. */
+object GpcpRechunkFeedstock extends Recipe {
+  val id = "gpcp-rechunk"
+
+  def bake(spark: SparkSession, config: BakeConfig, prune: Boolean): String = {
+    val sec = config.section("GpcpRechunk")
+    val inputStore = sec.getOrElse("input_store",
+      throw new IllegalArgumentException("GpcpRechunk.input_store is required"))
+    val dim = sec.getOrElse("concat_dim", "time")
+    val slab = sec.getOrElse("items_per_fragment", "4").toInt
+    val storeName = sec.getOrElse("store_name", "gpcp_rechunked.zarr")
+    val chunks = Recipes.parseChunks(sec.getOrElse("target_chunks",
+      throw new IllegalArgumentException("GpcpRechunk.target_chunks is required")))
+    // --prune on a single-store pattern is a no-op in the reference too
+    // (pattern_from_file_sequence with ONE url; patterns.py:235-260 keeps
+    // the first two items of a concat dim that only has one)
+    val targetRoot = config.runtime.targetRoot.resolve
+    val scanned = graft.transforms.Pipelines.scanZarrStore(spark, inputStore, dim, slab)
+    val storePath = s"$targetRoot/$storeName"
+    graft.transforms.Pipelines.storeToZarr(scanned,
+      Vector(graft.core.Dimension(dim, graft.core.CombineOp.Concat)),
+      storePath, chunks)
+    storePath
   }
 }
 

@@ -95,6 +95,62 @@ class BakeSpec extends AnyFunSuite {
     assert(result.dims("time") == 2, s"prune kept ${result.dims("time")} items")
   }
 
+  test("bake daily-cube-dynamic-chunks: chunking decided by the dynamic fn") {
+    val dir = tmp()
+    val nt = 6
+    val cube = GoldenCube.makeDs(nt)
+    GoldenCube.splitByTime(cube, 1).zipWithIndex.foreach { case (f, i) =>
+      writeZarrFragment(f, s"$dir/in/day_$i.zarr")
+    }
+    val conf = writeConfig(dir,
+      "TargetStorage" -> Seq("root_path" -> s"$dir/target"),
+      "DailyCube" -> Seq(
+        "input_root" -> s"$dir/in",
+        "days" -> (0 until nt).mkString(","),
+        "dynamic_time_chunk" -> "3"))
+    val out = graft.Bake.run(spark, Array(
+      "--recipe-id=daily-cube-dynamic-chunks", s"-f=$conf"))
+    val meta = ZarrGroup(out).arrayMeta("foo")
+    assert(meta.chunks(meta.dimensionNames.indexOf("time")) == 3)
+    assert(ZarrGroup(out).readFragment().dims("time") == nt)
+  }
+
+  test("bake gpcp-rechunk: existing store rescanned into new chunking") {
+    val dir = tmp()
+    val nt = 8
+    val cube = GoldenCube.makeDs(nt)
+    // build the "existing" source store, chunked time=2
+    GoldenCube.splitByTime(cube, 1).zipWithIndex.foreach { case (f, i) =>
+      writeZarrFragment(f, s"$dir/in/day_$i.zarr")
+    }
+    val srcConf = writeConfig(dir,
+      "TargetStorage" -> Seq("root_path" -> s"$dir/src"),
+      "DailyCube" -> Seq(
+        "input_root" -> s"$dir/in",
+        "days" -> (0 until nt).mkString(","),
+        "store_name" -> "gpcp.zarr",
+        "target_chunks" -> "time=2"))
+    val src = graft.Bake.run(spark, Array("--recipe-id=daily-cube", s"-f=$srcConf"))
+    // rechunk it 2 -> 4 through the CLI path
+    val conf = writeConfig(dir,
+      "TargetStorage" -> Seq("root_path" -> s"$dir/target"),
+      "GpcpRechunk" -> Seq(
+        "input_store" -> src,
+        "items_per_fragment" -> "4",
+        "target_chunks" -> "time=4"))
+    val out = graft.Bake.run(spark, Array(
+      "--recipe-id=gpcp-rechunk", s"-f=$conf"))
+    val meta = ZarrGroup(out).arrayMeta("foo")
+    assert(meta.chunks(meta.dimensionNames.indexOf("time")) == 4)
+    // the rechunked store holds exactly the original data
+    val expect = cube.copy(attrs =
+      cube.attrs ++ Map("produced_by" -> AttrValue("graft")))
+    val got = ZarrGroup(out).readFragment()
+    assert(got.dims == expect.dims)
+    assert(got.allVars("foo").data.data.asInstanceOf[Array[Double]].sameElements(
+      expect.allVars("foo").data.data.asInstanceOf[Array[Double]]))
+  }
+
   test("bake rejects unknown recipe ids and missing required flags") {
     val dir = tmp()
     val conf = writeConfig(dir, "TargetStorage" -> Seq("root_path" -> dir))
