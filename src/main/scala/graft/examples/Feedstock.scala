@@ -22,9 +22,48 @@ object Feedstock {
     DailyCubeFeedstock,
     DailyCubeDynamicChunksFeedstock,
     GpcpRechunkFeedstock,
+    NarrOpendapFeedstock,
     TerraclimateRecipe,
     HrrrKerchunkRecipe,
   ).map(r => r.id -> r).toMap
+}
+
+/** `narr-opendap`: open data DIRECTLY from an OPeNDAP server — no input
+  * files downloaded or cached — promote the CF grid-mapping variable to a
+  * coordinate, and store to Zarr (examples/feedstock/narr_opendap.py:27-72,
+  * the SetProjectionAsCoord preprocessor at :39-51). Config section
+  * `NarrOpendap`: `url_template` (`{time}` substituted per key),
+  * `times` (comma list), `projection_var` (default `Lambert_Conformal`),
+  * `store_name`, `target_chunks` (reference pins `time=1`). */
+object NarrOpendapFeedstock extends Recipe {
+  val id = "narr-opendap"
+
+  def bake(spark: SparkSession, config: BakeConfig, prune: Boolean): String = {
+    import graft.transforms.{Pipelines, Preprocess}
+    val sec = config.section("NarrOpendap")
+    val template = sec.getOrElse("url_template",
+      throw new IllegalArgumentException("NarrOpendap.url_template is required"))
+    val times = sec.getOrElse("times",
+      throw new IllegalArgumentException("NarrOpendap.times is required"))
+      .split(",").toVector
+    val projVar = sec.getOrElse("projection_var", "Lambert_Conformal")
+    val storeName = sec.getOrElse("store_name", "narr.zarr")
+    val chunks = Recipes.parseChunks(sec.getOrElse("target_chunks", "time=1"))
+    val pattern0 = graft.patterns.FilePattern(
+      kw => template.replace("{time}", kw("time")),
+      Vector(graft.patterns.ConcatDim("time", times)),
+      fileType = graft.patterns.FileType.Opendap)
+    val pattern = if (prune) pattern0.prune() else pattern0
+    val targetRoot = config.runtime.targetRoot.resolve
+    val items = Pipelines.createItems(spark, pattern)
+    val opened = Pipelines.openWithFragments(items, pattern.fileType)
+    val projected = opened.map { case (idx, f) =>
+      (idx, if (f.dataVars.contains(projVar)) Preprocess.setCoord(f, projVar) else f)
+    }(org.apache.spark.sql.Encoders.kryo[(graft.core.Index, graft.core.Fragment)])
+    val storePath = s"$targetRoot/$storeName"
+    Pipelines.storeToZarr(projected, pattern.combineDimKeys, storePath, chunks)
+    storePath
+  }
 }
 
 /** `daily-cube`: the noaa_oisst-shaped flagship (one file per day →

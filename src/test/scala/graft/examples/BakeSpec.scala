@@ -257,6 +257,81 @@ class BakeSpec extends AnyFunSuite {
     assert(m.dims.contains("time") && !m.dims.contains("day"))
   }
 
+  // -------------------------------------------------------------- narr-opendap
+
+  /** One NARR-ish monthly "file": 2 time steps of `air` plus the CF
+    * grid-mapping dummy `Lambert_Conformal` the preprocessor promotes. */
+  private def narrFile(fileNo: Int): Fragment = {
+    val (nt, ny, nx) = (2, 3, 4)
+    Fragment(
+      dims = Map("time" -> nt, "y" -> ny, "x" -> nx, "crs" -> 1),
+      coords = Map(
+        "time" -> Variable(Vector("time"),
+          NDArray(DType.I4, Vector(nt), Array(fileNo * nt, fileNo * nt + 1)),
+          Map("units" -> AttrValue("hours since 1979-01-01"))),
+        "y" -> Variable(Vector("y"),
+          NDArray(DType.F8, Vector(ny), Array(0.0, 32.463, 64.926))),
+        "x" -> Variable(Vector("x"),
+          NDArray(DType.F8, Vector(nx), (0 until nx).map(_ * 32.463).toArray))),
+      dataVars = Map(
+        "air" -> Variable(Vector("time", "y", "x"),
+          NDArray(DType.F8, Vector(nt, ny, nx),
+            Array.tabulate(nt * ny * nx) { i =>
+              val (t, r) = (i / (ny * nx), i % (ny * nx))
+              (fileNo * nt + t) * 100.0 + (r / nx) * 10.0 + r % nx
+            }),
+          Map("long_name" -> AttrValue("Air Temperature"))),
+        "Lambert_Conformal" -> Variable(Vector("crs"),
+          NDArray(DType.I4, Vector(1), Array(-2147483647)),
+          Map("grid_mapping_name" -> AttrValue("lambert_conformal_conic")))),
+      attrs = Map("source" -> AttrValue("NARR")))
+  }
+
+  test("bake narr-opendap: direct OPeNDAP open, projection var promoted to coord") {
+    import graft.dap.Dap2
+    val dir = tmp()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def serve(path: String, bytes: Array[Byte]): Unit =
+      server.createContext(path, (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      })
+    (0 until 2).foreach { i =>
+      val (dds, das, dods) = Dap2.encode(narrFile(i), s"air.19790$i.nc")
+      serve(s"/ds$i.dds", dds.getBytes("UTF-8"))
+      serve(s"/ds$i.das", das.getBytes("UTF-8"))
+      serve(s"/ds$i.dods", dods)
+    }
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val conf = writeConfig(dir,
+        "TargetStorage" -> Seq("root_path" -> s"$dir/target"),
+        "NarrOpendap" -> Seq(
+          "url_template" -> s"$base/ds{time}",
+          "times" -> "0,1"))
+      val out = graft.Bake.run(spark, Array(
+        "--recipe-id=narr-opendap", s"-f=$conf"))
+      val f = ZarrGroup(out).readFragment()
+      // two remote datasets concatenated: no files were downloaded/cached
+      assert(f.dims("time") == 4)
+      assert(f.allVars.contains("air"))
+      val air = f.allVars("air").data.data.asInstanceOf[Array[Double]]
+      (0 until 4 * 3 * 4).foreach { i =>
+        val (t, r) = (i / 12, i % 12)
+        assert(air(i) == t * 100.0 + (r / 4) * 10.0 + r % 4, s"cell $i")
+      }
+      // the grid-mapping var came through the SetProjectionAsCoord analog
+      assert(f.allVars.contains("Lambert_Conformal"))
+      assert(f.allVars("Lambert_Conformal").data.getLong(0) == -2147483647L)
+      // reference pins target_chunks {time: 1}
+      val meta = ZarrGroup(out).arrayMeta("air")
+      assert(meta.chunks(meta.dimensionNames.indexOf("time")) == 1)
+    } finally server.stop(0)
+  }
+
   // ------------------------------------------------- hrrr-kerchunk-concat-step
 
   test("bake hrrr-kerchunk-concat-step: grib scan -> combined v2 reference -> reopen") {
