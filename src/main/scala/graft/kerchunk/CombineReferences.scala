@@ -142,4 +142,40 @@ object CombineReferences {
       java.nio.file.Paths.get(path).resolve(".zmetadata"),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(metaRoot))
   }
+
+  /** Read the parquet reference artifact back into a [[RefSet]] — the
+    * LazyReferenceMapper open path: metadata docs from `.zmetadata`, chunk
+    * refs from the per-component parquet records. Component selection
+    * (`components`) prunes the read to the named variables' partition
+    * directories — the point of the per-component layout: opening one
+    * variable of a billion-ref store reads only its own record files. */
+  def readReferenceParquet(spark: org.apache.spark.sql.SparkSession,
+                           path: String,
+                           components: Option[Set[String]] = None): RefSet = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val zm = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path).resolve(".zmetadata")))
+    var refs = Map.empty[String, Ref]
+    zm.get("metadata").fields().forEachRemaining { e =>
+      if (components.forall(cs =>
+        e.getKey == "zarr.json" || cs.contains(e.getKey.split('/').head)))
+        refs += e.getKey -> Ref.inline(
+          mapper.writeValueAsBytes(e.getValue))
+    }
+    val table0 = spark.read.parquet(path)
+    val table = components match {
+      case Some(cs) => // partition filter prunes to the requested dirs
+        table0.where(org.apache.spark.sql.functions.col("component")
+          .isin(cs.toSeq: _*))
+      case None => table0
+    }
+    table.select("key", "url", "offset", "length", "inline_b64")
+      .collect().foreach { r =>
+        val inline = Option(r.getString(4))
+          .map(java.util.Base64.getDecoder.decode)
+        refs += r.getString(0) -> Ref(Option(r.getString(1)),
+          r.getLong(2), r.getLong(3), inline)
+      }
+    RefSet(refs)
+  }
 }

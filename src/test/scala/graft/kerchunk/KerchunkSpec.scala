@@ -131,6 +131,22 @@ class KerchunkSpec extends AnyFunSuite {
     assert(directKeys == combined.refs.keySet.filterNot(k =>
       k == "zarr.json" || k.endsWith("/zarr.json")))
     assert(backKeys.forall(_.contains("/")))
+
+    // reader round trip: the reassembled RefSet materializes to the SAME
+    // store (metadata re-serialization may differ in whitespace; the store
+    // contents may not)
+    val reread = CombineReferences.readReferenceParquet(spark, pq)
+    assert(reread.keys == combined.refs.keySet)
+    val rematPath = s"$dir/rematerialized.zarr"
+    reread.materialize(rematPath)
+    assert(ZarrGroup(rematPath).readFragment().sameAs(cube))
+    // component pruning reads ONLY the requested variable's records
+    val fooOnly = CombineReferences.readReferenceParquet(spark, pq,
+      components = Some(Set("foo")))
+    assert(fooOnly.keys.filterNot(_ == "zarr.json")
+      .forall(_.startsWith("foo/")))
+    assert(fooOnly.keys.exists(_.startsWith("foo/c/")))
+    assert(!fooOnly.keys.exists(_.startsWith("time/")))
   }
 
   test("netcdf3 fixtures: scan -> combine -> reference.json -> materialize == cube") {
