@@ -48,19 +48,18 @@ object HrrrKerchunkRecipe extends Recipe {
     val pattern = if (prune) pattern0.prune() else pattern0
 
     val timeDim = Dimension("time", CombineOp.Concat)
-    // executor-side scan: each task indexes its own file's byte layout
-    // (metadata-only — the GRIB payload is never read, exactly the
-    // OpenWithKerchunk contract), filters to the requested field, and
-    // re-keys the step position onto the valid-time concat axis
+    // executor-side scan via the OpenWithKerchunk stage (metadata-only —
+    // the GRIB payload is never read), messages filtered to the requested
+    // field, step position re-keyed onto the valid-time concat axis
     val items = Pipelines.createItems(spark, pattern)
-    val refs = items.map { case (idx, url) =>
-      val pos = idx.findPosition("step")
-      val kept = graft.grib.Grib2.scan(url).zip(RefSet.scanGrib2(url))
-        .filter(_._1.shortName == shortName)
-      require(kept.length == 1,
-        s"$url: expected exactly one '$shortName' message, got ${kept.length}")
-      (Index.of(timeDim -> Pos(pos)), kept.head._2)
-    }(Encoders.kryo[(Index, RefSet)])
+    val refs = Pipelines.openWithKerchunk(items, pattern.fileType,
+        gribFilter = _.shortName == shortName)
+      .map { case (idx, kept) =>
+        require(kept.length == 1,
+          s"expected exactly one '$shortName' message per step file, " +
+            s"got ${kept.length}")
+        (Index.of(timeDim -> Pos(idx.findPosition("step"))), kept.head)
+      }(Encoders.kryo[(Index, RefSet)])
 
     val targetRoot = config.runtime.targetRoot.resolve
     val outPath = s"$targetRoot/$storeName/reference.json"

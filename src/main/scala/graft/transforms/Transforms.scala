@@ -44,6 +44,39 @@ object Pipelines {
       (idx, Openers.open(fileType, url))
     }(Encoders.kryo[(Index, Fragment)])
 
+  /** OpenWithKerchunk analog (transforms.py:178-213 + openers.py:137-204):
+    * URL → virtual-Zarr chunk references, dispatched per format like the
+    * reference's `SingleHdf5ToZarr`/`NetCDF3ToZarr`/`scan_grib` registry.
+    * Header-only: each task reads file METADATA and emits byte-range refs
+    * into the original file — no array data moves, which is the whole point
+    * at 100 TB. GRIB files hold several messages; `gribFilter` is the
+    * `kerchunk_open_kwargs={"filter": ...}` analog (applied to the scanned
+    * message inventory before refs are emitted), and each kept message
+    * becomes one RefSet exactly as `scan_grib` yields one reference set per
+    * message. Other formats yield a single RefSet per file. */
+  def openWithKerchunk(items: Dataset[(Index, String)],
+                       fileType: FileType.Value,
+                       inlineThreshold: Int = 300,
+                       gribFilter: graft.grib.Grib2.Message => Boolean = _ => true)
+      : Dataset[(Index, Vector[graft.kerchunk.RefSet])] = {
+    import graft.kerchunk.RefSet
+    items.map { case (idx, url) =>
+      val refs: Vector[RefSet] = fileType match {
+        case FileType.Zarr => Vector(RefSet.scanZarrGroup(url, inlineThreshold))
+        case FileType.Netcdf3 => Vector(RefSet.scanNetCDF3(url, inlineThreshold))
+        case FileType.Netcdf4 => Vector(RefSet.scanHdf5(url, inlineThreshold))
+        case FileType.Grib =>
+          graft.grib.Grib2.scan(url).zip(RefSet.scanGrib2(url))
+            .filter { case (m, _) => gribFilter(m) }.map(_._2).toVector
+        case other => throw new IllegalArgumentException(
+          s"OpenWithKerchunk: no reference scanner for file type $other " +
+            "(kerchunk requires a random-access container: zarr, netcdf3, " +
+            "netcdf4/hdf5, or grib)")
+      }
+      (idx, refs)
+    }(Encoders.kryo[(Index, Vector[graft.kerchunk.RefSet])])
+  }
+
   /** Distributed scan of ONE existing Zarr store along `dim` — the
     * rechunk-an-existing-store source (examples/feedstock/gpcp_rechunk.py:
     * 16-36). The driver reads only store metadata to plan slab boundaries;

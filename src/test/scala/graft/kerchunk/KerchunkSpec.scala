@@ -208,6 +208,44 @@ class KerchunkSpec extends AnyFunSuite {
     assert(merged.keys.count(_.startsWith("lat/c")) == 1)
   }
 
+  test("openWithKerchunk pipeline stage dispatches per format like OPENER_MAP") {
+    import graft.transforms.Pipelines
+    import graft.patterns.{FilePattern, FileType}
+    val cube = {
+      val base = GoldenCube.makeDs(4)
+      // classic format has no int64: narrow time/bar to the scanner lattice
+      def narrow(v: Variable): Variable =
+        if (v.dtype == DType.I8) v.copy(data = v.data.astype(DType.I4)) else v
+      base.copy(coords = base.coords.map { case (n, v) => n -> narrow(v) },
+        dataVars = base.dataVars.map { case (n, v) => n -> narrow(v) })
+    }
+    val dir = tmp()
+    val paths = GoldenCube.splitByTime(cube, 2).zipWithIndex.map { case (f, i) =>
+      val p = s"$dir/nc_$i.nc"
+      graft.netcdf.NetCDF3.write(p, f)
+      p
+    }
+    val pattern = FilePattern.fromFileSequence(paths, "time",
+      nitemsPerFile = Some(2), fileType = FileType.Netcdf3)
+    val scanned = Pipelines.openWithKerchunk(
+      Pipelines.createItems(spark, pattern), FileType.Netcdf3).collect()
+    assert(scanned.length == 2)
+    // one RefSet per netcdf file, equal to the direct scanner's output
+    assert(scanned.forall(_._2.length == 1))
+    val gotKeySets = scanned.map(_._2.head.keys).toSet
+    val directKeySets = paths.map(p => RefSet.scanNetCDF3(p).keys).toSet
+    assert(gotKeySets == directKeySets)
+    // no scanner for an opendap URL: kerchunk needs a random-access container
+    val dap = FilePattern.fromFileSequence(Vector("http://x/ds"), "time",
+      nitemsPerFile = Some(1), fileType = FileType.Opendap)
+    val err = intercept[org.apache.spark.SparkException] {
+      Pipelines.openWithKerchunk(
+        Pipelines.createItems(spark, dap), FileType.Opendap).collect()
+    }
+    assert(err.getMessage.contains("no reference scanner")
+      || Option(err.getCause).exists(_.getMessage.contains("no reference scanner")))
+  }
+
   test("test_reference_grib mirror: CMC fixture -> refs -> v2 artifact -> open") {
     // the reference's GRIB pipeline (tests/test_end_to_end.py:219-262):
     // pattern | OpenWithKerchunk | WriteCombinedReference -> reference.json
