@@ -11,7 +11,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
-      CubeOps.queries ++ NetcdfOps.queries ++ Hdf5Ops.queries ++
+      CubeOps.queries ++ BakeOps.queries ++ NetcdfOps.queries ++ Hdf5Ops.queries ++
       GribOps.queries ++ DapOps.queries ++ ZarrV2Ops.queries ++
       TextOps.queries ++ DedupOps.queries ++ DedupOps2.queries ++
       SimilarityOps.queries ++

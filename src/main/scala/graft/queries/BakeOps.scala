@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core._
+import graft.zarr.ZarrGroup
+import java.nio.file.{Files, Paths}
+
+/** The deployed-bake surface (SURVEY §3.3 entry point C) exposed through
+  * the driver contract: the FULL `graft.Bake` CLI path — argv parsing,
+  * runner-JSON config load, RuntimeConfig injection, feedstock-registry
+  * dispatch — executed for three registered recipes against generated
+  * fixtures. Not SQL-expressible, so no DuckDB oracle: like the other
+  * `e2e_*` entries a row carries ok=true only when the reopened artifact
+  * matches the golden expectation exactly (the reference's
+  * tests/test_integration.py:105-140 bake-and-verify loop).
+  */
+object BakeOps {
+
+  private def writeZarrFragment(f: Fragment, path: String): Unit = {
+    val g = ZarrGroup(path)
+    g.initGroup(f.attrs)
+    f.allVars.foreach { case (name, v) =>
+      g.createArray(name, v.shape, v.shape, v.dtype, v.attrs,
+        dimensionNames = Some(v.dims))
+      g.writeRegion(name, Vector.fill(v.data.ndim)(0), v.data)
+    }
+  }
+
+  private def writeConfig(path: String,
+                          sections: (String, Seq[(String, String)])*): String = {
+    val json = sections.map { case (name, kvs) =>
+      "\"" + name + "\": {" +
+        kvs.map { case (k, v) => "\"" + k + "\": \"" + v + "\"" }.mkString(", ") +
+        "}"
+    }.mkString("{", ", ", "}")
+    Files.writeString(Paths.get(path), json)
+    path
+  }
+
+  /** Small golden cube (one day per input file). */
+  private def dailyCube(nt: Int): Fragment = {
+    val NY = 6; val NX = 8
+    val rng = new scala.util.Random(7)
+    Fragment(
+      dims = Map("time" -> nt, "lat" -> NY, "lon" -> NX),
+      coords = Map(
+        "time" -> Variable(Vector("time"),
+          NDArray(DType.I8, Vector(nt), (0 until nt).map(_.toLong).toArray)),
+        "lat" -> Variable(Vector("lat"),
+          NDArray(DType.F8, Vector(NY), (0 until NY).map(_ * 1.0).toArray)),
+        "lon" -> Variable(Vector("lon"),
+          NDArray(DType.F8, Vector(NX), (0 until NX).map(_ * 2.0).toArray))),
+      dataVars = Map(
+        "sst" -> Variable(Vector("time", "lat", "lon"),
+          NDArray(DType.F8, Vector(nt, NY, NX),
+            Array.fill(nt * NY * NX)(rng.nextDouble())))))
+  }
+
+  def bakeCli(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_bake_e2e").toString
+
+    // --- daily-cube: golden round-trip through the CLI
+    val nt = 4
+    val cube = dailyCube(nt)
+    (0 until nt).foreach { t =>
+      writeZarrFragment(cube.isel(Map("time" -> Slc(t, t + 1))),
+        s"$dir/in/day_$t.zarr")
+    }
+    val conf1 = writeConfig(s"$dir/daily.json",
+      "TargetStorage" -> Seq("root_path" -> s"$dir/target"),
+      "DailyCube" -> Seq("input_root" -> s"$dir/in",
+        "days" -> (0 until nt).mkString(","), "target_chunks" -> "time=2"))
+    val out1 = graft.Bake.run(spark, Array(
+      "--recipe-id=daily-cube", s"-f=$conf1", "--job-name=e2e-daily"))
+    val got1 = ZarrGroup(out1).readFragment()
+    val ok1 = got1.dims == cube.dims &&
+      got1.allVars("sst").data.sameElements(cube.allVars("sst").data) &&
+      ZarrGroup(out1).arrayMeta("sst").chunks.head == 2
+
+    // --- terraclimate: Munge preprocessor through the CLI
+    val (tn, ty, tx) = (12, 3, 4)
+    val terra = Fragment(
+      dims = Map("day" -> tn, "lat" -> ty, "lon" -> tx),
+      coords = Map(
+        "day" -> Variable(Vector("day"),
+          NDArray(DType.I8, Vector(tn), (0 until tn).map(_.toLong).toArray)),
+        "lat" -> Variable(Vector("lat"),
+          NDArray(DType.F8, Vector(ty), Array(0.0, 1.0, 2.0))),
+        "lon" -> Variable(Vector("lon"),
+          NDArray(DType.F8, Vector(tx), Array(0.0, 1.0, 2.0, 3.0)))),
+      dataVars = Map("soil" -> Variable(Vector("day", "lat", "lon"),
+        NDArray(DType.F8, Vector(tn, ty, tx),
+          Array.tabulate(tn * ty * tx)(i => if (i % 4 == 0) 40000.0 else i.toDouble)))),
+      attrs = Map("title" -> AttrValue("broken source attrs")))
+    writeZarrFragment(terra, s"$dir/terra/TerraClimate_soil_2000.zarr")
+    val conf2 = writeConfig(s"$dir/terra.json",
+      "TargetStorage" -> Seq("root_path" -> s"$dir/target"),
+      "Terraclimate" -> Seq("input_root" -> s"$dir/terra",
+        "years" -> "2000", "variables" -> "soil", "target_chunks" -> "time=12"))
+    val out2 = graft.Bake.run(spark, Array(
+      "--recipe-id=terraclimate", s"-f=$conf2", "--job-name=e2e-terra"))
+    val got2 = ZarrGroup(out2).readFragment()
+    val soil = got2.dataVars("soil").data.data.asInstanceOf[Array[Double]]
+    val ok2 = got2.dims.get("time").contains(tn) && !got2.dims.contains("day") &&
+      got2.attrs("title") == graft.examples.TerraclimateRecipe.fixedAttrs("title") &&
+      soil.indices.forall(i =>
+        if (i % 4 == 0) soil(i).isNaN else soil(i) == i.toDouble)
+
+    // --- hrrr-kerchunk-concat-step: combined reference through the CLI
+    val (nx, ny) = (7, 4)
+    val base = 1658527200L
+    (0 until 2).foreach { s =>
+      graft.grib.Grib2.writeSimple(
+        f"$dir/grib/hrrr.t22z.wrfsfcf$s%02d.grib2",
+        Array.fill(nx * ny)(15.0 + s), nx, ny,
+        la1 = 30.0, lo1 = 250.0, dLat = 0.5, dLon = 0.5,
+        discipline = 0, category = 0, number = 0,
+        refTimeEpochSec = base + s * 3600L)
+    }
+    val conf3 = writeConfig(s"$dir/hrrr.json",
+      "TargetStorage" -> Seq("root_path" -> s"$dir/target"),
+      "HrrrKerchunk" -> Seq("input_root" -> s"$dir/grib", "steps" -> "0,1"))
+    val out3 = graft.Bake.run(spark, Array(
+      "--recipe-id=hrrr-kerchunk-concat-step", s"-f=$conf3", "--job-name=e2e-hrrr"))
+    val back = graft.kerchunk.RefSet.fromKerchunkV2Json(
+      Files.readString(Paths.get(out3)))
+    val virt = s"$dir/virt.zarr"
+    back.materialize(virt)
+    val got3 = ZarrGroup(virt).readFragment()
+    val tmp3 = got3.dataVars("TMP").data.data.asInstanceOf[Array[Double]]
+    val ok3 = got3.dims("time") == 2 &&
+      (0 until 2).forall(s => (0 until nx * ny).forall(i =>
+        tmp3(s * nx * ny + i) == 15.0 + s)) &&
+      got3.coords("time").data.getLong(1) == base + 3600L
+
+    Seq(
+      ("daily-cube", ok1),
+      ("terraclimate", ok2),
+      ("hrrr-kerchunk-concat-step", ok3))
+      .toDF("recipe_id", "ok")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e2e_bake_cli" -> bakeCli _,
+  )
+}
