@@ -16,8 +16,10 @@ object KryoClasses {
     classOf[Fragment], classOf[Variable], classOf[NDArray],
     classOf[CubeSchema], classOf[VarSpec], classOf[Slc],
     CombineOp.getClass,
+    classOf[graft.kerchunk.RefSet], classOf[graft.kerchunk.Ref],
     classOf[Array[Int]], classOf[Array[Long]],
     classOf[Array[Float]], classOf[Array[Double]],
+    classOf[Array[Byte]],
     classOf[Vector[_]], classOf[Map[_, _]])
 
   def names: String = classes.map(_.getName).mkString(",")
