@@ -52,6 +52,29 @@ class DedupKernelSpec extends AnyFunSuite {
     assert(ccLabels(edges, Long.MaxValue) == ccLabels(edges, 0L))
   }
 
+  test("collect_list_capped property: random groups, random caps, partial-agg merge paths") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rng = new scala.util.Random(31)
+    (1 to 8).foreach { round =>
+      val cap = 1 + rng.nextInt(12)
+      val nKeys = 1 + rng.nextInt(20)
+      val rows = (1 to 200 + rng.nextInt(400)).map { i =>
+        (s"k${rng.nextInt(nKeys)}", i.toLong)
+      }
+      // many input partitions force map-side partials + merge()
+      val df = spark.createDataset(rows).repartition(7).toDF("g", "doc_id")
+      val got = df.groupBy("g")
+        .agg(expr(s"collect_list_capped(doc_id, $cap)").as("docs"))
+        .collect()
+        .map(r => r.getString(0) -> Option(r.getSeq[Long](1)).map(_.toSet))
+        .toMap
+      val expect = rows.groupBy(_._1).map { case (k, vs) =>
+        k -> (if (vs.length > cap) None else Some(vs.map(_._2).toSet)) }
+      assert(got == expect, s"round=$round cap=$cap")
+    }
+  }
+
   test("collect_list_capped equals the two-pass df-filter + collect_list") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
