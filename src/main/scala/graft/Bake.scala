@@ -85,8 +85,11 @@ object Bake {
   }
 
   /** Resolve + run one recipe; returns the output artifact path. Separated
-    * from `main` so tests drive the full CLI path with their own session. */
-  def run(spark: SparkSession, args: Array[String]): String = {
+    * from `main` so tests drive the full CLI path with their own session.
+    * `quiet` suppresses the stdout status line — harness-embedded callers
+    * (the `e2e_bake_cli` driver entry) must not emit JSON-shaped lines into
+    * the log tail the driver parses its ONE bench line from. */
+  def run(spark: SparkSession, args: Array[String], quiet: Boolean = false): String = {
     val a = parseArgs(args)
     val recipe = examples.Feedstock.recipes.getOrElse(a.recipeId,
       throw new IllegalArgumentException(
@@ -94,7 +97,8 @@ object Bake {
           examples.Feedstock.recipes.keys.toVector.sorted.mkString(", ")))
     val config = loadConfig(a.configPath)
     val out = recipe.bake(spark, config, a.prune)
-    println(s"""{"recipe_id":"${a.recipeId}","job_name":"${a.jobName}","output":"$out"}""")
+    if (!quiet)
+      println(s"""{"recipe_id":"${a.recipeId}","job_name":"${a.jobName}","output":"$out"}""")
     out
   }
 

@@ -72,7 +72,7 @@ object BakeOps {
       "DailyCube" -> Seq("input_root" -> s"$dir/in",
         "days" -> (0 until nt).mkString(","), "target_chunks" -> "time=2"))
     val out1 = graft.Bake.run(spark, Array(
-      "--recipe-id=daily-cube", s"-f=$conf1", "--job-name=e2e-daily"))
+      "--recipe-id=daily-cube", s"-f=$conf1", "--job-name=e2e-daily"), quiet = true)
     val got1 = ZarrGroup(out1).readFragment()
     val ok1 = got1.dims == cube.dims &&
       got1.allVars("sst").data.sameElements(cube.allVars("sst").data) &&
@@ -99,7 +99,7 @@ object BakeOps {
       "Terraclimate" -> Seq("input_root" -> s"$dir/terra",
         "years" -> "2000", "variables" -> "soil", "target_chunks" -> "time=12"))
     val out2 = graft.Bake.run(spark, Array(
-      "--recipe-id=terraclimate", s"-f=$conf2", "--job-name=e2e-terra"))
+      "--recipe-id=terraclimate", s"-f=$conf2", "--job-name=e2e-terra"), quiet = true)
     val got2 = ZarrGroup(out2).readFragment()
     val soil = got2.dataVars("soil").data.data.asInstanceOf[Array[Double]]
     val ok2 = got2.dims.get("time").contains(tn) && !got2.dims.contains("day") &&
@@ -122,7 +122,7 @@ object BakeOps {
       "TargetStorage" -> Seq("root_path" -> s"$dir/target"),
       "HrrrKerchunk" -> Seq("input_root" -> s"$dir/grib", "steps" -> "0,1"))
     val out3 = graft.Bake.run(spark, Array(
-      "--recipe-id=hrrr-kerchunk-concat-step", s"-f=$conf3", "--job-name=e2e-hrrr"))
+      "--recipe-id=hrrr-kerchunk-concat-step", s"-f=$conf3", "--job-name=e2e-hrrr"), quiet = true)
     val back = graft.kerchunk.RefSet.fromKerchunkV2Json(
       Files.readString(Paths.get(out3)))
     val virt = s"$dir/virt.zarr"
