@@ -187,6 +187,15 @@ object Pipelines {
         Rechunking.combineFragments(it.map(_._2).toSeq)
       }(Encoders.kryo[(Index, Fragment)])
 
+  /** Per-variable output encoding — the StoreToZarr `encoding=` kwarg
+    * (tests/test_writers.py:191-217: `encoding={"foo": {"compressors":
+    * BloscCodec(cname="zstd", clevel=3, shuffle="shuffle")}}`). At most one
+    * compressor per variable; variables absent from the map inherit the
+    * store-wide `gzipLevel`. */
+  final case class VarEncoding(gzipLevel: Option[Int] = None,
+                               zstdLevel: Option[Int] = None,
+                               blosc: Option[graft.zarr.Blosc.Params] = None)
+
   /** PrepareZarrTarget (transforms.py:331-379 + aggregation.py:254-281):
     * initialize the store metadata from the schema (driver-side; one-time).
     * Coordinate data is NOT written here — fragments write it (coords-once
@@ -197,7 +206,8 @@ object Pipelines {
                         extraAttrs: Attrs = Attrs.empty,
                         appendDim: Option[String] = None,
                         gzipLevel: Option[Int] = None,
-                        targetShards: Map[String, Int] = Map.empty): ZarrGroup = {
+                        targetShards: Map[String, Int] = Map.empty,
+                        encoding: Map[String, VarEncoding] = Map.empty): ZarrGroup = {
     val schema = appendDim match {
       case Some(ad) => schema0.copy(coords = schema0.coords.filter(_._1 == ad))
       case None => schema0
@@ -213,10 +223,16 @@ object Pipelines {
             if (targetShards.isEmpty) None
             else Some(v.dims.zip(chunkShape).map { case (d, c) =>
               targetShards.getOrElse(d, c) })
+          val enc = encoding.getOrElse(name, VarEncoding())
           g.createArray(name, v.shape, chunkShape, v.dtype,
             v.attrs ++ v.encoding.filter(_._1 != "chunks"),
-            dimensionNames = Some(v.dims), gzipLevel = gzipLevel,
-            shardShape = shard)
+            dimensionNames = Some(v.dims),
+            gzipLevel = enc.gzipLevel.orElse(
+              // a var with its own zstd/blosc codec must not ALSO gzip
+              if (enc.zstdLevel.isDefined || enc.blosc.isDefined) None
+              else gzipLevel),
+            shardShape = shard,
+            zstdLevel = enc.zstdLevel, blosc = enc.blosc)
         }
       case Some(ad) =>
         // extend every array carrying the append dim by the new length,
@@ -280,7 +296,8 @@ object Pipelines {
                   appendDim: Option[String] = None,
                   dynamicChunkingFn: Option[Fragment => Map[String, Int]] = None,
                   gzipLevel: Option[Int] = None,
-                  targetShards: Map[String, Int] = Map.empty)
+                  targetShards: Map[String, Int] = Map.empty,
+                  encoding: Map[String, VarEncoding] = Map.empty)
       : ZarrGroup = {
     require(targetChunks.isEmpty || dynamicChunkingFn.isEmpty,
       "Passing both `target_chunks` and `dynamic_chunking_fn` not allowed.")
@@ -306,7 +323,7 @@ object Pipelines {
     val writeGrain = chunks ++ targetShards
     val rechunked = rechunk(indexed, Some(writeGrain), Some(schema))
     val target = prepareZarrTarget(schema, storePath, chunks, attrs, appendDim,
-      gzipLevel, targetShards)
+      gzipLevel, targetShards, encoding)
     // parallel region writes from executors (local FS here; an object store
     // or shared FS in cluster deployments)
     rechunked.foreachPartition { (it: Iterator[(Index, Fragment)]) =>

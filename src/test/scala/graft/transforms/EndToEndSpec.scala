@@ -163,6 +163,39 @@ class EndToEndSpec extends AnyFunSuite {
     assert(result.sameAs(cube20))
   }
 
+  test("per-variable encoding: StoreToZarr encoding= kwarg (test_zarr_encoding mirror)") {
+    // tests/test_writers.py:191-217: foo gets BloscCodec(zstd, clevel=3,
+    // shuffle); other variables stay on the store default
+    val cube = GoldenCube.makeDs(6)
+    val dir = tmp()
+    val files = writeFragmentFiles(GoldenCube.splitByTime(cube, 2), dir)
+    val pattern = FilePattern.fromFileSequence(files, "time",
+      nitemsPerFile = Some(2), fileType = FileType.Zarr)
+    val frags = Pipelines.openWithFragments(
+      Pipelines.createItems(spark, pattern), FileType.Zarr)
+    val storePath = s"$dir/store_enc.zarr"
+    Pipelines.storeToZarr(frags, pattern.combineDimKeys, storePath,
+      Map("time" -> 3), gzipLevel = Some(2),
+      encoding = Map(
+        "foo" -> Pipelines.VarEncoding(blosc =
+          Some(graft.zarr.Blosc.Params(cname = "zstd", clevel = 3, shuffle = true))),
+        "bar" -> Pipelines.VarEncoding(zstdLevel = Some(5))))
+    val g = ZarrGroup(storePath)
+    // the encoded metadata carries each variable's own compressor...
+    val fooJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$storePath/foo/zarr.json")), "UTF-8")
+    assert(fooJson.contains("\"blosc\"") && fooJson.contains("\"zstd\""))
+    val barJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$storePath/bar/zarr.json")), "UTF-8")
+    assert(barJson.contains("\"zstd\"") && !barJson.contains("\"blosc\""))
+    // ...unencoded variables inherit the store-wide default...
+    val timeJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$storePath/time/zarr.json")), "UTF-8")
+    assert(timeJson.contains("\"gzip\""))
+    // ...and the mixed-codec store round-trips exactly
+    assert(g.readFragment().sameAs(cube))
+  }
+
   test("gzip-compressed store round-trips exactly") {
     val cube = GoldenCube.makeDs(6)
     val dir = tmp()
