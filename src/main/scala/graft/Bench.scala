@@ -45,6 +45,9 @@ object Bench {
     // inflation on every shuffle-heavy query with zero plan changes); the
     // min of two is a far better estimator of the plan's actual cost
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    require(iters >= 1,
+      s"SPARK_GRAFT_BENCH_ITERS must be >= 1, got $iters") // times.min on an
+    // empty run would crash AFTER the full warmup pass — fail before it
     val results = names.map { name =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()

@@ -159,7 +159,10 @@ private[examples] object Recipes {
   /** "time=12,lat=1024" → Map(time -> 12, lat -> 1024). */
   def parseChunks(s: String): Map[String, Int] =
     s.split(",").filter(_.nonEmpty).map { kv =>
-      val Array(k, v) = kv.split("=")
-      k.trim -> v.trim.toInt
+      kv.split("=") match {
+        case Array(k, v) if v.trim.matches("-?\\d+") => k.trim -> v.trim.toInt
+        case _ => throw new IllegalArgumentException(
+          s"malformed target_chunks entry '$kv' in '$s' — expected dim=int")
+      }
     }.toMap
 }

@@ -50,10 +50,13 @@ object HrrrKerchunkRecipe extends Recipe {
     val timeDim = Dimension("time", CombineOp.Concat)
     // executor-side scan via the OpenWithKerchunk stage (metadata-only —
     // the GRIB payload is never read), messages filtered to the requested
-    // field, step position re-keyed onto the valid-time concat axis
+    // field AT GROUND SURFACE (both halves of the reference's grib_filters:
+    // typeOfLevel=surface is GRIB2 fixed-surface type 1), step position
+    // re-keyed onto the valid-time concat axis
     val items = Pipelines.createItems(spark, pattern)
     val refs = Pipelines.openWithKerchunk(items, pattern.fileType,
-        gribFilter = _.shortName == shortName)
+        gribFilter = m =>
+          m.shortName == shortName && m.product.surfaceType == 1)
       .map { case (idx, kept) =>
         require(kept.length == 1,
           s"expected exactly one '$shortName' message per step file, " +

@@ -138,9 +138,15 @@ object CombineReferences {
       .option("maxRecordsPerFile", refsPerComponent)
       .partitionBy("component")
       .parquet(path)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path).resolve(".zmetadata"),
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(metaRoot))
+    // .zmetadata goes through the same Hadoop FS the parquet records used,
+    // so the artifact works on any target (file://, hdfs://, s3a://), not
+    // just the local filesystem
+    val metaPath = new org.apache.hadoop.fs.Path(path, ".zmetadata")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(metaPath, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(metaRoot).getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Read the parquet reference artifact back into a [[RefSet]] — the
@@ -153,8 +159,15 @@ object CombineReferences {
                            path: String,
                            components: Option[Set[String]] = None): RefSet = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val zm = mapper.readTree(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(path).resolve(".zmetadata")))
+    val metaPath = new org.apache.hadoop.fs.Path(path, ".zmetadata")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(metaPath)
+    val metaJson =
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in: java.io.InputStream),
+        "UTF-8")
+      finally in.close()
+    val zm = mapper.readTree(metaJson)
     var refs = Map.empty[String, Ref]
     zm.get("metadata").fields().forEachRemaining { e =>
       if (components.forall(cs =>

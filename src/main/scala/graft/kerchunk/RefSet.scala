@@ -262,10 +262,7 @@ object RefSet {
     * valid-time and isobaric-level coordinates are inlined (8 bytes each).
     */
   def scanGrib2(path: String): Vector[RefSet] = {
-    import graft.grib.Grib2
-    import graft.core.{AttrValue, DType}
-    import graft.zarr.ZarrStore
-    val msgs = Grib2.scan(path)
+    val msgs = graft.grib.Grib2.scan(path)
     // the grib2 zarr codec hands the WHOLE enclosing message to the
     // decoder, so a message containing several fields (repeated section
     // runs) has no per-field ref representation — decode those via
@@ -275,6 +272,19 @@ object RefSet {
         s"scanGrib2: message at $off has ${ms.length} fields; " +
           "multi-field messages are not representable as chunk refs")
     }
+    scanGrib2Messages(path, msgs)
+  }
+
+  /** Refs for a PRE-SCANNED (possibly filtered) message inventory — lets a
+    * caller that already holds `Grib2.scan` output (e.g. the
+    * `openWithKerchunk` stage applying a message filter) avoid a second
+    * header walk of the file. Callers are responsible for passing only
+    * single-field messages (see [[scanGrib2]]'s representability check). */
+  def scanGrib2Messages(path: String,
+                        msgs: Vector[graft.grib.Grib2.Message]): Vector[RefSet] = {
+    import graft.grib.Grib2
+    import graft.core.{AttrValue, DType}
+    import graft.zarr.ZarrStore
     msgs.map { m =>
       val g = m.grid
       var out = Map.empty[String, Ref]

@@ -16,26 +16,7 @@ import java.nio.file.{Files, Paths}
   */
 object BakeOps {
 
-  private def writeZarrFragment(f: Fragment, path: String): Unit = {
-    val g = ZarrGroup(path)
-    g.initGroup(f.attrs)
-    f.allVars.foreach { case (name, v) =>
-      g.createArray(name, v.shape, v.shape, v.dtype, v.attrs,
-        dimensionNames = Some(v.dims))
-      g.writeRegion(name, Vector.fill(v.data.ndim)(0), v.data)
-    }
-  }
-
-  private def writeConfig(path: String,
-                          sections: (String, Seq[(String, String)])*): String = {
-    val json = sections.map { case (name, kvs) =>
-      "\"" + name + "\": {" +
-        kvs.map { case (k, v) => "\"" + k + "\": \"" + v + "\"" }.mkString(", ") +
-        "}"
-    }.mkString("{", ", ", "}")
-    Files.writeString(Paths.get(path), json)
-    path
-  }
+  import graft.examples.RecipeFixtures.{writeZarrFragment, writeConfig}
 
   /** Small golden cube (one day per input file). */
   private def dailyCube(nt: Int): Fragment = {
@@ -59,6 +40,7 @@ object BakeOps {
   def bakeCli(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_bake_e2e").toString
+    try {
 
     // --- daily-cube: golden round-trip through the CLI
     val nt = 4
@@ -134,11 +116,16 @@ object BakeOps {
         tmp3(s * nx * ny + i) == 15.0 + s)) &&
       got3.coords("time").data.getLong(1) == base + 3600L
 
+    // everything above evaluated eagerly (stores read back, oks computed),
+    // so the fixture tree can go before returning the LocalRelation — the
+    // bench invokes this entry three times per run and must not accumulate
+    // temp trees
     Seq(
       ("daily-cube", ok1),
       ("terraclimate", ok2),
       ("hrrr-kerchunk-concat-step", ok3))
       .toDF("recipe_id", "ok")
+    } finally graft.examples.RecipeFixtures.deleteRecursively(dir)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

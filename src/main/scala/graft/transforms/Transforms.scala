@@ -66,8 +66,19 @@ object Pipelines {
         case FileType.Netcdf3 => Vector(RefSet.scanNetCDF3(url, inlineThreshold))
         case FileType.Netcdf4 => Vector(RefSet.scanHdf5(url, inlineThreshold))
         case FileType.Grib =>
-          graft.grib.Grib2.scan(url).zip(RefSet.scanGrib2(url))
-            .filter { case (m, _) => gribFilter(m) }.map(_._2).toVector
+          // ONE header walk: filter the inventory first, then emit refs —
+          // a kept message sharing its byte range with a filtered-out field
+          // is still unrepresentable (the grib codec decodes whole messages)
+          val inventory = graft.grib.Grib2.scan(url)
+          val multiField = inventory.groupBy(_.offset)
+            .filter(_._2.length > 1).keySet
+          val kept = inventory.filter(gribFilter)
+          kept.foreach { m =>
+            require(!multiField.contains(m.offset),
+              s"$url: message at ${m.offset} has multiple fields; " +
+                "not representable as chunk refs even after filtering")
+          }
+          RefSet.scanGrib2Messages(url, kept)
         case other => throw new IllegalArgumentException(
           s"OpenWithKerchunk: no reference scanner for file type $other " +
             "(kerchunk requires a random-access container: zarr, netcdf3, " +
@@ -194,7 +205,13 @@ object Pipelines {
     * store-wide `gzipLevel`. */
   final case class VarEncoding(gzipLevel: Option[Int] = None,
                                zstdLevel: Option[Int] = None,
-                               blosc: Option[graft.zarr.Blosc.Params] = None)
+                               blosc: Option[graft.zarr.Blosc.Params] = None) {
+    // enforce the one-compressor contract at construction — a chain with
+    // two compression codecs would write metadata the chunk encoder does
+    // not honor, corrupting the store for conformant external readers
+    require(Seq(gzipLevel, zstdLevel, blosc).count(_.isDefined) <= 1,
+      "VarEncoding: at most one compressor (gzip/zstd/blosc) per variable")
+  }
 
   /** PrepareZarrTarget (transforms.py:331-379 + aggregation.py:254-281):
     * initialize the store metadata from the schema (driver-side; one-time).

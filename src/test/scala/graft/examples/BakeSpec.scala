@@ -25,26 +25,11 @@ class BakeSpec extends AnyFunSuite {
 
   private def tmp(): String = Files.createTempDirectory("graft_bake").toString
 
-  private def writeZarrFragment(f: Fragment, path: String): Unit = {
-    val g = ZarrGroup(path)
-    g.initGroup(f.attrs)
-    f.allVars.foreach { case (name, v) =>
-      g.createArray(name, v.shape, v.shape, v.dtype, v.attrs,
-        dimensionNames = Some(v.dims))
-      g.writeRegion(name, Vector.fill(v.data.ndim)(0), v.data)
-    }
-  }
+  private def writeZarrFragment(f: Fragment, path: String): Unit =
+    RecipeFixtures.writeZarrFragment(f, path)
 
-  private def writeConfig(dir: String, sections: (String, Seq[(String, String)])*): String = {
-    val json = sections.map { case (name, kvs) =>
-      "\"" + name + "\": {" +
-        kvs.map { case (k, v) => "\"" + k + "\": \"" + v + "\"" }.mkString(", ") +
-        "}"
-    }.mkString("{", ", ", "}")
-    val p = s"$dir/config.json"
-    Files.writeString(Paths.get(p), json)
-    p
-  }
+  private def writeConfig(dir: String, sections: (String, Seq[(String, String)])*): String =
+    RecipeFixtures.writeConfig(s"$dir/config.json", sections: _*)
 
   // ---------------------------------------------------------------- daily-cube
 
