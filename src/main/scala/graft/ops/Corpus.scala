@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.{DedupOps, DedupOps2}
+
+/** Library-shaped corpus dedup API: the same operators the driver-checked
+  * `d01…d09` queries exercise, parameterized over ANY (id, text) DataFrame
+  * instead of the benchmark's `documents` table. Column names are
+  * normalized at the boundary (`select id as doc_id, text`), so every call
+  * delegates to the one implementation the DuckDB oracle validates —
+  * the facade cannot drift from the gated semantics.
+  *
+  * All operators keep the gated scale shape: candidate pairs come from
+  * equi-joins on shingle/band keys (never a cross join), hot shingles are
+  * df-capped with hard-bounded aggregation state, and clustering runs a
+  * single-task union-find for small candidate graphs with distributed
+  * pointer-doubling propagation beyond [[DedupOps.SingleTaskEdgeMax]].
+  */
+object Corpus {
+
+  /** Normalize to the internal (doc_id, text) shape. `idCol` must be
+    * integral and unique per row (the shingle algebra's invariant). */
+  private def norm(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+
+  /** Exact-content duplicate groups: one row per distinct content with its
+    * canonical (minimum) id and copy count. */
+  def exactDuplicateGroups(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame =
+    DedupOps.exactGroupsOf(norm(docs, idCol, textCol))
+
+  /** Word-trigram shingle table (doc_id, g), per-document distinct. */
+  def shingles(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    DedupOps.shinglesOf(norm(docs, idCol, textCol))
+
+  /** MinHash signature matrix (16 deterministic permutations). */
+  def minhashSignatures(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    DedupOps.minhashSigOf(shingles(docs, idCol, textCol))
+
+  /** Banded-LSH near-duplicate candidate pairs with estimated similarity
+    * (fraction of agreeing minhashes). The signature table is cached for
+    * the band + scoring branches and released before returning. */
+  def minhashCandidatePairs(spark: SparkSession, docs: DataFrame,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val sig = minhashSignatures(docs, idCol, textCol).cache()
+    try DedupOps.lshPairsOf(sig).localCheckpoint(true)
+    finally sig.unpersist(blocking = false)
+  }
+
+  /** n-gram Jaccard near-duplicate pairs (threshold 0.8): ONE df-capped
+    * shingle-grouping pass (bounded per-group state via the
+    * `collect_list_capped` aggregate, registered here), in-group pair
+    * emission, exact integer Jaccard. */
+  def ngramJaccardPairs(spark: SparkSession, docs: DataFrame,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val grouped = DedupOps.groupedShinglesOf(
+      shingles(docs, idCol, textCol)).cache()
+    try DedupOps.d02Build(grouped).localCheckpoint(true)
+    finally grouped.unpersist(blocking = false)
+  }
+
+  /** Connected components over an undirected candidate-pair frame (first
+    * two columns = the pair): (doc_id, label) with label = component min. */
+  def duplicateComponents(spark: SparkSession, pairs: DataFrame): DataFrame =
+    DedupOps.connectedComponents(spark, pairs, DedupOps.SingleTaskEdgeMax)
+
+  /** Full near-dup clustering: minhash LSH candidates → connected
+    * components → one row per cluster with size and canonical id. */
+  def duplicateClusters(spark: SparkSession, docs: DataFrame,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    duplicateComponents(spark,
+      minhashCandidatePairs(spark, docs, idCol, textCol)
+        .select("doc_a", "doc_b"))
+      .groupBy("label").agg(
+        count(lit(1)).as("cluster_size"),
+        min("doc_id").as("canonical_id"))
+      .select(col("label").as("cluster_id"), col("cluster_size"),
+        col("canonical_id"))
+
+  /** Fixed-width word segments (the CCNet-style paragraph unit). */
+  def segments(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    DedupOps2.segmentsOf(norm(docs, idCol, textCol))
+
+  /** Segment-level dedup accounting: per document, how many segments it
+    * holds, how many are non-canonical duplicates, and how many words
+    * survive keeping only the globally-first occurrence of each segment. */
+  def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame =
+    DedupOps2.paragraphDedupOf(norm(docs, idCol, textCol))
+}

@@ -33,15 +33,19 @@ object DedupOps {
 
   /** Exact dedup: hash-groupBy on content. */
   def d01ExactDedup(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .groupBy(md5(col("text")).as("content_hash"))
-      .agg(min(col("doc_id")).as("canonical_id"),
-        count(lit(1)).as("n_copies"))
+    exactGroupsOf(documents(s, d))
       .groupBy()
       .agg(count(lit(1)).as("n_unique"),
         sum(col("n_copies")).as("n_total"),
         sum(when(col("n_copies") > 1, col("n_copies") - 1).otherwise(0L))
           .as("n_dropped"))
+
+  /** Per-content duplicate groups of any (doc_id, text) frame. */
+  private[graft] def exactGroupsOf(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
 
   val d01Sql: String =
     """WITH g AS (
@@ -64,7 +68,10 @@ object DedupOps {
     * doc_id rows, per-row array_distinct and global DISTINCT would diverge;
     * `CorpusOpsSpec` asserts the uniqueness on the fixture tables. */
   private def shingles(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    shinglesOf(documents(s, d))
+
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("words", split(col("text"), " "))
       .withColumn("g", explode(array_distinct(expr(
         "transform(sequence(1, greatest(size(words) - 2, 1)), " +
@@ -113,7 +120,13 @@ object DedupOps {
   /** ONE-pass df-capped shingle grouping (see [[d02NgramJaccard]]). */
   private[queries] def d02Grouped(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    shingles(s, d)
+    groupedShinglesOf(shingles(s, d))
+  }
+
+  /** df-capped shingle grouping over a pre-built (doc_id, g) table; the
+    * session must have `collect_list_capped` registered. */
+  private[graft] def groupedShinglesOf(sh: DataFrame): DataFrame = {
+    sh
       .groupBy("g")
       .agg(expr(s"collect_list_capped(doc_id, $MaxShingleDf)").as("docs"))
       .filter(col("docs").isNotNull)
@@ -123,7 +136,7 @@ object DedupOps {
   /** Pair emission + Jaccard scoring over the grouped shingle table —
     * separated so `PlanSpec` can gate the plan shape the eager checkpoint
     * in [[d02NgramJaccard]] would otherwise hide. */
-  private[queries] def d02Build(grouped: DataFrame): DataFrame = {
+  private[graft] def d02Build(grouped: DataFrame): DataFrame = {
     val counts = grouped.select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = grouped
@@ -164,14 +177,16 @@ object DedupOps {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** MinHash signature matrix: 16 permutations, min over shingle hashes. */
-  def d03MinhashSig(s: SparkSession, d: String): DataFrame = {
-    val hashed = shingles(s, d)
-      .withColumn("x", expr(h60("g")) % P)
+  def d03MinhashSig(s: SparkSession, d: String): DataFrame =
+    minhashSigOf(shingles(s, d)).orderBy("doc_id")
+
+  /** Signature matrix of a pre-built (doc_id, g) shingle table. */
+  private[graft] def minhashSigOf(sh: DataFrame): DataFrame = {
+    val hashed = sh.withColumn("x", expr(h60("g")) % P)
     val aggs = (0 until NumHashes).map(j =>
       min((col("x") * As(j) + Bs(j)) % P).as(s"h$j"))
     hashed.groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
-      .orderBy("doc_id")
   }
 
   val d03Sql: String = {
@@ -194,33 +209,37 @@ object DedupOps {
     * returning, so repeated invocations never accumulate storage blocks. */
   def d04MinhashLsh(s: SparkSession, d: String): DataFrame = {
     val sig = d03MinhashSig(s, d).cache()
-    try {
-      val bandStructs = (0 until Bands).map { b =>
-        val cols = (b * 4 until b * 4 + 4).map(j => s"cast(h$j as string)")
-        s"struct($b as band_no, md5(concat_ws(',', ${cols.mkString(", ")})) as band_hash)"
-      }.mkString(", ")
-      val bands = sig.select(col("doc_id"),
-        explode(expr(s"array($bandStructs)")).as("band"))
-        .select(col("doc_id"), col("band.band_no"), col("band.band_hash"))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band_no") === col("b.band_no") &&
-            col("a.band_hash") === col("b.band_hash") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      // plain equi-joins on doc_id: the signature table is one row per document
-      // (does NOT fit in a broadcast at corpus scale) — AQE picks the strategy
-      val sigA = sig.toDF(("doc_a" +: (0 until NumHashes).map(j => s"a_h$j")): _*)
-      val sigB = sig.toDF(("doc_b" +: (0 until NumHashes).map(j => s"b_h$j")): _*)
-      cand.join(sigA, "doc_a").join(sigB, "doc_b")
-        .withColumn("est_sim", round(
-          (0 until NumHashes).map(j =>
-            when(col(s"a_h$j") === col(s"b_h$j"), 1).otherwise(0)).reduce(_ + _)
-            .cast("double") / NumHashes, 4))
-        .select("doc_a", "doc_b", "est_sim")
-        .orderBy("doc_a", "doc_b")
-        .localCheckpoint(true)
-    } finally sig.unpersist(blocking = false)
+    try lshPairsOf(sig).orderBy("doc_a", "doc_b").localCheckpoint(true)
+    finally sig.unpersist(blocking = false)
+  }
+
+  /** Banded-LSH candidate pairs (doc_a, doc_b, est_sim) over a signature
+    * table — the reusable core of d04; callers cache `sig` (it feeds the
+    * band AND both scoring branches). */
+  private[graft] def lshPairsOf(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { b =>
+      val cols = (b * 4 until b * 4 + 4).map(j => s"cast(h$j as string)")
+      s"struct($b as band_no, md5(concat_ws(',', ${cols.mkString(", ")})) as band_hash)"
+    }.mkString(", ")
+    val bands = sig.select(col("doc_id"),
+      explode(expr(s"array($bandStructs)")).as("band"))
+      .select(col("doc_id"), col("band.band_no"), col("band.band_hash"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_no") === col("b.band_no") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // plain equi-joins on doc_id: the signature table is one row per document
+    // (does NOT fit in a broadcast at corpus scale) — AQE picks the strategy
+    val sigA = sig.toDF(("doc_a" +: (0 until NumHashes).map(j => s"a_h$j")): _*)
+    val sigB = sig.toDF(("doc_b" +: (0 until NumHashes).map(j => s"b_h$j")): _*)
+    cand.join(sigA, "doc_a").join(sigB, "doc_b")
+      .withColumn("est_sim", round(
+        (0 until NumHashes).map(j =>
+          when(col(s"a_h$j") === col(s"b_h$j"), 1).otherwise(0)).reduce(_ + _)
+          .cast("double") / NumHashes, 4))
+      .select("doc_a", "doc_b", "est_sim")
   }
 
   val d04Sql: String = {
@@ -347,7 +366,7 @@ object DedupOps {
     * rounds (the GraphX/Pregel CC shape without the dependency).
     * Intermediate caches are released before returning; the labels are
     * checkpoint-materialized so callers never re-run the recursion. */
-  private[queries] def connectedComponents(
+  private[graft] def connectedComponents(
       s: SparkSession, pairs: DataFrame, singleTaskMax: Long): DataFrame = {
     import s.implicits._
     val edges = pairs

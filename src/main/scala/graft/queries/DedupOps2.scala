@@ -44,7 +44,7 @@ object DedupOps2 {
     * BEFORE segmentation so the explode only runs over the rows they keep
     * (the new-batch side of d09/p02 is a few percent of the corpus; an
     * explode-then-filter would pay the full corpus explode per branch). */
-  private[queries] def segmentsOf(docs: DataFrame): DataFrame =
+  private[graft] def segmentsOf(docs: DataFrame): DataFrame =
     docs
       .withColumn("words", split(col("text"), " "))
       .withColumn("nw", size(col("words")))
@@ -74,7 +74,11 @@ object DedupOps2 {
     * engines order identically), and report per-document how much text
     * survives. Mirrors the reference's "drop duplicated content, keep one
     * canonical copy" semantics at sub-document granularity. */
-  def d08ParagraphDedup(s: SparkSession, d: String): DataFrame = {
+  def d08ParagraphDedup(s: SparkSession, d: String): DataFrame =
+    paragraphDedupOf(documents(s, d)).orderBy("doc_id")
+
+  /** The d08 kernel over any (doc_id, text) frame (graft.ops.Corpus API). */
+  private[graft] def paragraphDedupOf(docs: DataFrame): DataFrame = {
     // assert_true folded INTO the key expression so pruning can't drop it:
     // a doc with >= MaxSegs segments would collide into the next doc_id's
     // key space and silently mis-pick canonicals — fail fast instead
@@ -83,7 +87,7 @@ object DedupOps2 {
         lit(s"d08: document exceeds $MaxSegs segments — packed key would collide"))
         .cast("long"),
       col("doc_id") * MaxSegs + col("seg_idx"))
-    val segs = segments(s, d)
+    val segs = segmentsOf(docs)
       .withColumn("ck", guardedCk)
       .withColumn("h", md5(col("seg")))
     val canon = segs.groupBy("h").agg(min("ck").as("canon_ck"))
@@ -93,7 +97,6 @@ object DedupOps2 {
       .agg(count(lit(1)).as("n_segs"),
         sum(lit(1L) - col("kept")).cast("long").as("n_dropped"),
         sum(col("seg_words") * col("kept")).cast("long").as("kept_words"))
-      .orderBy("doc_id")
   }
 
   val d08Sql: String =

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The library facade must be EXACTLY the oracle-gated query semantics:
+  * every Corpus call over a column-renamed copy of `documents` agrees
+  * row-for-row with the corresponding d0x query on the original table. */
+class CorpusApiSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-corpus-api")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val d = "/root/testdata/sf0.001"
+
+  /** The documents table under user-shaped column names. */
+  private def renamed: DataFrame =
+    graft.queries.Tables.documents(spark, d)
+      .select(col("doc_id").as("id"), col("text").as("body"))
+
+  private def same(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.columns.sameElements(b.columns), s"${a.columns.toSeq} vs ${b.columns.toSeq}")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("exactDuplicateGroups == d01's group stage") {
+    val api = Corpus.exactDuplicateGroups(renamed, "id", "body")
+    val agg = api.groupBy()
+      .agg(count(lit(1)).as("n_unique"),
+        sum(col("n_copies")).as("n_total"),
+        sum(when(col("n_copies") > 1, col("n_copies") - 1).otherwise(0L))
+          .as("n_dropped"))
+    same(agg, graft.queries.DedupOps.d01ExactDedup(spark, d))
+  }
+
+  test("minhashSignatures == d03") {
+    same(Corpus.minhashSignatures(renamed, "id", "body").orderBy("doc_id"),
+      graft.queries.DedupOps.d03MinhashSig(spark, d))
+  }
+
+  test("minhashCandidatePairs == d04") {
+    same(Corpus.minhashCandidatePairs(spark, renamed, "id", "body")
+      .orderBy("doc_a", "doc_b"),
+      graft.queries.DedupOps.d04MinhashLsh(spark, d))
+  }
+
+  test("ngramJaccardPairs == d02") {
+    same(Corpus.ngramJaccardPairs(spark, renamed, "id", "body")
+      .orderBy("doc_a", "doc_b"),
+      graft.queries.DedupOps.d02NgramJaccard(spark, d))
+  }
+
+  test("duplicateClusters == d07") {
+    same(Corpus.duplicateClusters(spark, renamed, "id", "body")
+      .orderBy("cluster_id"),
+      graft.queries.DedupOps.d07DupClusters(spark, d))
+  }
+
+  test("paragraphDedup == d08") {
+    same(Corpus.paragraphDedup(renamed, "id", "body").orderBy("doc_id"),
+      graft.queries.DedupOps2.d08ParagraphDedup(spark, d))
+  }
+
+  test("facade releases its caches like the query bodies do") {
+    // start from a known-clean cache state: this asserts the FACADE's
+    // hygiene, not the accumulated state of whichever suites ran earlier
+    // in the shared-session test JVM
+    spark.sharedState.cacheManager.clearCache()
+    Corpus.minhashCandidatePairs(spark, renamed, "id", "body").count()
+    Corpus.ngramJaccardPairs(spark, renamed, "id", "body").count()
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+}

@@ -18,6 +18,7 @@ class LongViewSpec extends AnyFunSuite {
   test("long view explodes and pivots back losslessly") {
     val cube = GoldenCube.makeDs(4)
     val long = LongView.fragmentToLongDF(spark, cube).cache()
+    try {
     val nt = 4L; val ny = GoldenCube.NY.toLong; val nx = GoldenCube.NX.toLong
     assert(long.count() == 2 * nt * ny * nx)
 
@@ -39,6 +40,7 @@ class LongViewSpec extends AnyFunSuite {
       out
     }
     assert(back.data.data.asInstanceOf[Array[Double]].sameElements(expected))
+    } finally long.unpersist(blocking = false)
   }
 
   test("distributed long view explodes a 1M-cell cube on executors") {
