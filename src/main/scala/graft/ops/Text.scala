@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.queries.TextOps
+
+/** Library-shaped text-analysis API: the quality/cleaning/fingerprinting
+  * operators the driver-checked `t01…t10` queries exercise, parameterized
+  * over ANY (id, text) DataFrame. Column names are normalized at the
+  * boundary and calls delegate to the oracle-gated kernels (same pattern
+  * as [[Corpus]]). Every operator here is a single codegen'd scan — a
+  * map-only pass at any corpus scale.
+  */
+object Text {
+
+  private def norm(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+
+  /** Token/length/stopword/uniqueness statistics per document (t01). */
+  def stats(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame =
+    TextOps.textStatsOf(norm(docs, idCol, textCol))
+
+  /** md5 + 60-bit + winnowing-style rolling fingerprints (t03). */
+  def fingerprints(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    TextOps.fingerprintOf(norm(docs, idCol, textCol))
+
+  /** Whitespace vs BPE-ish (GPT-2 pre-tokenizer shape) token counts (t06). */
+  def tokenCounts(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    TextOps.bpeTokensOf(norm(docs, idCol, textCol))
+
+  /** Trim/collapse/strip normalization with before/after accounting (t08). */
+  def cleaned(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame =
+    TextOps.cleanTextOf(norm(docs, idCol, textCol))
+
+  /** Gopher-style within-document repetition signals + keep flag (t10).
+    * Documents shorter than 3 tokens are excluded (no trigram exists). */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    TextOps.repetitionOf(norm(docs, idCol, textCol))
+
+  /** PII redaction over the RAW text (t09's scrubber without the
+    * benchmark's synthetic-PII augmentation): per-document match counts
+    * and the scrubbed text, using the same RE2-and-Java-compatible
+    * patterns the oracle-gated query validates. */
+  def piiScrub(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    norm(docs, idCol, textCol)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(TextOps.EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(TextOps.PhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(col("text"), lit(TextOps.IpRe), lit(0)))
+          .cast("long").as("n_ips"),
+        regexp_replace(regexp_replace(regexp_replace(
+          col("text"), TextOps.EmailRe, "<EMAIL>"),
+          TextOps.PhoneRe, "<PHONE>"), TextOps.IpRe, "<IP>")
+          .as("scrubbed"))
+}

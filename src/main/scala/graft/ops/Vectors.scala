@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.SimilarityOps
+
+/** Library-shaped similarity-search API over ANY (id, float-vector)
+  * DataFrame. Vectors are quantized to exact integers at the boundary
+  * (round(x*1000)) so scores are deterministic across partitionings —
+  * the same contract the DuckDB oracle validates for s01…s04 — and
+  * scoring runs through the codegen'd `dot_i64`/`normsq_i64` kernels. */
+object Vectors {
+
+  private def norm(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).cast("long").as("vec_id"),
+      expr(SimilarityOps.quantize(vecCol)).as("q"))
+
+  /** Exact cosine top-k: each query vector (a SMALL set — it is broadcast)
+    * scored against the full corpus in one scan; per-query top-k via
+    * window. Queries identified by id membership in `queryIds`. */
+  def cosineTopK(spark: SparkSession, emb: DataFrame, queryIds: Seq[Long],
+                 k: Int, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = norm(emb, idCol, vecCol)
+    SimilarityOps.bruteForceTopKOf(e,
+      e.filter(col("vec_id").isin(queryIds: _*)), k)
+  }
+
+  /** Exact cosine top-k with a separate query table (its own id space):
+    * the two frames are quantized identically; every query row is scored
+    * against every corpus row in one broadcast-join scan. */
+  def cosineTopKFor(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+                    k: Int, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    SimilarityOps.bruteForceTopKOf(
+      norm(corpus, idCol, vecCol), norm(queries, idCol, vecCol), k)
+  }
+}

@@ -80,7 +80,16 @@ object SimilarityOps {
     graft.functions.GraftFunctions.register(s)
     val emb = embeddings(s, d).withColumn("q", expr(qEmb))
       .select("vec_id", "q")
-    val queries = emb.filter(col("vec_id") < NumQueries)
+    bruteForceTopKOf(emb, emb.filter(col("vec_id") < NumQueries), TopK)
+      .orderBy("query_id", "rk")
+  }
+
+  /** Brute-force kernel over quantized (vec_id, q) frames: every query
+    * (broadcast — the query set is small by construction) scored against
+    * the full corpus in ONE scan, per-query top-k via window. */
+  private[graft] def bruteForceTopKOf(emb: DataFrame, queryVecs: DataFrame,
+                                      k: Int): DataFrame = {
+    val queries = queryVecs
       .withColumnRenamed("vec_id", "query_id").withColumnRenamed("q", "qv")
     val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .withColumn("dot", expr(dotExpr("q", "qv")))
@@ -91,10 +100,14 @@ object SimilarityOps {
       .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
     scored
       .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= TopK)
+      .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("sim"))
-      .orderBy("query_id", "rk")
   }
+
+  /** Quantization expression shared with the facade ([[graft.ops.Vectors]]):
+    * float embeddings to exact-integer vectors (round(x*1000)). */
+  private[graft] def quantize(vecCol: String): String =
+    s"transform($vecCol, x -> cast(round(cast(x as double) * $Scale) as bigint))"
 
   val s01Sql: String =
     s"""WITH q AS (

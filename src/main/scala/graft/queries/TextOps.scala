@@ -19,7 +19,11 @@ object TextOps {
   /** Per-document token stats + quality score. Texts are single-space
     * separated, so token char mass = length - (n_tokens - 1). */
   def t01TextStats(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    textStatsOf(documents(s, d))
+
+  /** t01's kernel over any (doc_id, text) frame (graft.ops.Text API). */
+  private[graft] def textStatsOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("words", split(col("text"), " "))
       .withColumn("n_tokens", size(col("words")).cast("long"))
       .withColumn("n_uniq", size(array_distinct(col("words"))).cast("long"))
@@ -81,7 +85,11 @@ object TextOps {
     * winnowing-style rolling fingerprint (min/max over hashed word 5-gram
     * windows). */
   def t03Fingerprint(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    fingerprintOf(documents(s, d))
+
+  /** t03's kernel over any (doc_id, text) frame (graft.ops.Text API). */
+  private[graft] def fingerprintOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("words", split(col("text"), " "))
       .withColumn("grams", expr(
         "transform(sequence(1, greatest(size(words) - 4, 1)), " +
@@ -164,7 +172,11 @@ object TextOps {
     * punctuation marks as separate tokens (the GPT-2 pre-tokenizer shape),
     * counted per document next to the whitespace count. */
   def t06BpeTokens(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    bpeTokensOf(documents(s, d))
+
+  /** t06's kernel over any (doc_id, text) frame (graft.ops.Text API). */
+  private[graft] def bpeTokensOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("bpe", expr(
         "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
       .select(
@@ -213,7 +225,11 @@ object TextOps {
     * tokenization. All regexp built-ins (codegen'd single scan); emits
     * before/after sizes so the oracle pins the exact transform. */
   def t08CleanText(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    cleanTextOf(documents(s, d))
+
+  /** t08's kernel over any (doc_id, text) frame (graft.ops.Text API). */
+  private[graft] def cleanTextOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("cleaned", regexp_replace(
         regexp_replace(trim(col("text")), "[^a-z0-9 ]", ""),
         " +", " "))
@@ -248,9 +264,9 @@ object TextOps {
     * lookaround/backrefs, so Spark's codegen'd regexp_* and the DuckDB
     * oracle agree byte-for-byte; md5 of the scrubbed text is the proof).
     * One scan, no shuffle, no UDF — at 100 TB this is a map-only pass. */
-  private val EmailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private val PhoneRe = "\\+1-555-[0-9]{4}"
-  private val IpRe = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private[graft] val EmailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val PhoneRe = "\\+1-555-[0-9]{4}"
+  private[graft] val IpRe = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
   def t09PiiScrub(s: SparkSession, d: String): DataFrame =
     documents(s, d)
@@ -295,7 +311,11 @@ object TextOps {
     * trigram explode is per-document (no corpus-wide shuffle beyond the
     * final sort) — a map-side aggregate at 100 TB. */
   def t10Repetition(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    repetitionOf(documents(s, d))
+
+  /** t10's kernel over any (doc_id, text) frame (graft.ops.Text API). */
+  private[graft] def repetitionOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("words", split(col("text"), " "))
       .withColumn("n_tokens", size(col("words")).cast("long"))
       // guard: Spark's sequence(0, k) runs DESCENDING for k<0, so short

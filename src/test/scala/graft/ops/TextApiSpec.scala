@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The Text facade must be exactly the oracle-gated t0x semantics over a
+  * column-renamed corpus; piiScrub (raw-text variant) is checked against a
+  * hand-computed fixture. */
+class TextApiSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-text-api")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def renamed: DataFrame =
+    graft.queries.Tables.documents(spark, d)
+      .select(col("doc_id").as("id"), col("text").as("body"))
+
+  private def same(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.columns.sameElements(b.columns), s"${a.columns.toSeq} vs ${b.columns.toSeq}")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("stats == t01") {
+    same(Text.stats(renamed, "id", "body"),
+      graft.queries.TextOps.t01TextStats(spark, d))
+  }
+
+  test("fingerprints == t03") {
+    same(Text.fingerprints(renamed, "id", "body"),
+      graft.queries.TextOps.t03Fingerprint(spark, d))
+  }
+
+  test("tokenCounts == t06") {
+    same(Text.tokenCounts(renamed, "id", "body"),
+      graft.queries.TextOps.t06BpeTokens(spark, d))
+  }
+
+  test("cleaned == t08") {
+    same(Text.cleaned(renamed, "id", "body"),
+      graft.queries.TextOps.t08CleanText(spark, d))
+  }
+
+  test("repetitionSignals == t10") {
+    same(Text.repetitionSignals(renamed, "id", "body"),
+      graft.queries.TextOps.t10Repetition(spark, d))
+  }
+
+  test("piiScrub redacts raw text with the gated patterns") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail me at jo.doe@corp.io or call +1-555-0199 from 10.1.2.3 now"),
+      (2L, "clean text with no pii at all"),
+      (3L, "two mails a@b.cc c@d.ee and ip 10.255.0.255")
+    ).toDF("id", "body")
+    val got = Text.piiScrub(docs, "id", "body")
+      .orderBy("doc_id").collect()
+    assert(got(0).getLong(1) == 1 && got(0).getLong(2) == 1 && got(0).getLong(3) == 1)
+    assert(got(0).getString(4) ==
+      "mail me at <EMAIL> or call <PHONE> from <IP> now")
+    assert(got(1).getLong(1) == 0 && got(1).getLong(2) == 0 && got(1).getLong(3) == 0)
+    assert(got(1).getString(4) == "clean text with no pii at all")
+    assert(got(2).getLong(1) == 2 && got(2).getLong(3) == 1)
+    assert(got(2).getString(4) == "two mails <EMAIL> <EMAIL> and ip <IP>")
+  }
+}

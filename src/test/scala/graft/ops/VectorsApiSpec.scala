@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+class VectorsApiSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-vectors-api")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def renamed: DataFrame =
+    graft.queries.Tables.embeddings(spark, d)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  test("cosineTopK == s01 under renamed columns") {
+    val api = Vectors.cosineTopK(spark, renamed, 0L until 10L, k = 5,
+      idCol = "id", vecCol = "vec").orderBy("query_id", "rk")
+    val gated = graft.queries.SimilarityOps.s01CosineTopk(spark, d)
+    assert(api.columns.sameElements(gated.columns))
+    assert(api.exceptAll(gated).isEmpty && gated.exceptAll(api).isEmpty)
+  }
+
+  test("cosineTopKFor scores a separate query table against the corpus") {
+    import spark.implicits._
+    // corpus of axis-aligned vectors; query = near-e0 -> top neighbor is id 0
+    val dim = 64
+    def unit(axis: Int): Array[Float] =
+      Array.tabulate(dim)(i => if (i == axis) 1.0f else 0.0f)
+    val corpus = (0 until 4).map(a => (a.toLong, unit(a))).toDF("vec_id", "embedding")
+    val q = Seq((100L, Array.tabulate(dim)(i =>
+      if (i == 0) 0.9f else if (i == 1) 0.1f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Vectors.cosineTopKFor(spark, corpus, q, k = 2)
+      .orderBy("rk").collect()
+    assert(got.length == 2)
+    assert(got(0).getLong(0) == 100L && got(0).getLong(2) == 0L)
+    assert(got(1).getLong(2) == 1L)
+    assert(got(0).getDouble(3) > got(1).getDouble(3))
+  }
+}
