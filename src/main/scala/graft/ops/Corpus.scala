@@ -95,4 +95,17 @@ object Corpus {
   def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame =
     DedupOps2.paragraphDedupOf(norm(docs, idCol, textCol))
+
+  /** Incremental-ingest dedup: which documents of `newBatch` repeat
+    * segment-level content already present in `corpus`? The batch's
+    * distinct segment hashes build a Bloom filter (the SMALL side —
+    * broadcast-sized regardless of corpus size); the corpus segment scan
+    * is prefiltered by it and an exact hash join removes false positives,
+    * so the result equals the plain semi-join while the shuffle carries
+    * only collisions. */
+  def incrementalDedup(spark: SparkSession, corpus: DataFrame,
+                       newBatch: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    DedupOps2.bloomIncrementalOf(spark,
+      norm(corpus, idCol, textCol), norm(newBatch, idCol, textCol))
 }

@@ -133,7 +133,18 @@ object DedupOps2 {
     // scan), so each branch explodes only its own slice of the corpus —
     // the new-batch side is a few percent, cheap enough to recompute
     val docs = documents(s, d).select("doc_id", "source", "text")
-    val newSegs = segmentsOf(docs.filter(col("source") === NewBatchSource))
+    bloomIncrementalOf(s,
+      docs.filter(col("source") =!= NewBatchSource),
+      docs.filter(col("source") === NewBatchSource))
+      .orderBy("doc_id")
+  }
+
+  /** The d09 kernel over any standing-corpus / new-batch pair of
+    * (doc_id, text) frames (graft.ops.Corpus API). */
+  private[graft] def bloomIncrementalOf(s: SparkSession,
+                                        corpus: DataFrame,
+                                        newBatch: DataFrame): DataFrame = {
+    val newSegs = segmentsOf(newBatch)
       .withColumn("h", expr(h60("seg")))
       .select("doc_id", "h").distinct()
     // two eager passes build the filter (count sizes it); the cache exists
@@ -147,7 +158,7 @@ object DedupOps2 {
       finally newSegs.unpersist(blocking = false)
     val bfB = s.sparkContext.broadcast(bf)
     val mightContain = udf((h: Long) => bfB.value.mightContain(h))
-    val corpusHits = segmentsOf(docs.filter(col("source") =!= NewBatchSource))
+    val corpusHits = segmentsOf(corpus)
       .withColumn("h", expr(h60("seg")))
       .select(col("doc_id").as("corpus_id"), col("h"))
       .filter(mightContain(col("h"))).distinct()
@@ -160,7 +171,6 @@ object DedupOps2 {
       .withColumn("dup_frac",
         round(col("n_dup_segs").cast("double") / col("n_segs"), 4))
       .select("doc_id", "n_segs", "n_dup_segs", "dup_frac", "first_seen_id")
-      .orderBy("doc_id")
   }
 
   val d09Sql: String =

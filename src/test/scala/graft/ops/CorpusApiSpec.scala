@@ -68,6 +68,16 @@ class CorpusApiSpec extends AnyFunSuite {
       graft.queries.DedupOps2.d08ParagraphDedup(spark, d))
   }
 
+  test("incrementalDedup == d09 when split by the batch source") {
+    val docs = graft.queries.Tables.documents(spark, d)
+      .select(col("doc_id").as("id"), col("source"), col("text").as("body"))
+    val api = Corpus.incrementalDedup(spark,
+      docs.filter(col("source") =!= graft.queries.DedupOps2.NewBatchSource),
+      docs.filter(col("source") === graft.queries.DedupOps2.NewBatchSource),
+      "id", "body").orderBy("doc_id")
+    same(api, graft.queries.DedupOps2.d09BloomIncremental(spark, d))
+  }
+
   test("facade releases its caches like the query bodies do") {
     // start from a known-clean cache state: this asserts the FACADE's
     // hygiene, not the accumulated state of whichever suites ran earlier
