@@ -108,6 +108,7 @@ object Bake {
       .master(s"local[$cpus]")
       .appName("graft-bake")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.kryo.classesToRegister", graft.core.KryoClasses.names)
       .config("spark.ui.enabled", "false")

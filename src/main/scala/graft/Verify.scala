@@ -12,6 +12,14 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // ObjectHashAggregate falls back to SORT-based aggregation after only
+      // 128 distinct keys per task (the conservative default) — the shingle
+      // and token groupBys have ~10^4-10^5 keys per task, so the typed
+      // aggregates (collect_list / collect_list_capped) were paying a full
+      // sort + per-spill buffer serialization. 128k keys x ~100 B buffer
+      // bounds the hash map at ~13 MB per task: safe at any scale, and the
+      // dominant dedup aggregations stay in hash mode.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       // events.parquet carries TIMESTAMP(NANOS); Spark only reads it as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.kryo.classesToRegister", graft.core.KryoClasses.names)
