@@ -84,6 +84,21 @@ object Corpus {
       .select(col("label").as("cluster_id"), col("cluster_size"),
         col("canonical_id"))
 
+  /** 32-bit term-frequency-weighted SimHash per document. */
+  def simhashSignatures(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    DedupOps.simhashOf(norm(docs, idCol, textCol))
+
+  /** SimHash near-duplicate pairs (Hamming distance <= 6) via 8-bit
+    * sub-band bucketing — never a cross join. */
+  def simhashPairs(spark: SparkSession, docs: DataFrame,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val sh = simhashSignatures(docs, idCol, textCol).cache()
+    try DedupOps.simhashPairsOf(sh).localCheckpoint(true)
+    finally sh.unpersist(blocking = false)
+  }
+
   /** Fixed-width word segments (the CCNet-style paragraph unit). */
   def segments(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame =

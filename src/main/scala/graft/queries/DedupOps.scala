@@ -262,8 +262,12 @@ object DedupOps {
   }
 
   /** 32-bit SimHash from token hashes weighted by term frequency. */
-  def d05Simhash(s: SparkSession, d: String): DataFrame = {
-    val tokens = documents(s, d)
+  def d05Simhash(s: SparkSession, d: String): DataFrame =
+    simhashOf(documents(s, d)).orderBy("doc_id")
+
+  /** The d05 kernel over any (doc_id, text) frame (graft.ops.Corpus API). */
+  private[graft] def simhashOf(docs: DataFrame): DataFrame = {
+    val tokens = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
@@ -275,7 +279,6 @@ object DedupOps {
     val simhash = (0 until 32).map(j =>
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
     perDoc.select(col("doc_id"), simhash.as("simhash"))
-      .orderBy("doc_id")
   }
 
   val d05Sql: String = {
@@ -300,23 +303,26 @@ object DedupOps {
     * (bucket on 8-bit sub-bands to avoid the cross join, like LSH). */
   def d06SimhashPairs(s: SparkSession, d: String): DataFrame = {
     val sh = d05Simhash(s, d).cache()
-    try {
-      val bands = sh.select(col("doc_id"), col("simhash"),
-        explode(expr(
-          (0 until 4).map(b =>
-            s"struct($b as band_no, (simhash div ${1L << (b * 8)}) % 256 as sb)")
-            .mkString("array(", ", ", ")"))).as("band"))
-        .select(col("doc_id"), col("simhash"), col("band.band_no"), col("band.sb"))
-      bands.as("a").join(bands.as("b"),
-          col("a.band_no") === col("b.band_no") && col("a.sb") === col("b.sb") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          expr("cast(bit_count(a.simhash ^ b.simhash) as bigint)").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 6)
-        .orderBy("doc_a", "doc_b")
-        .localCheckpoint(true)
-    } finally sh.unpersist(blocking = false)
+    try simhashPairsOf(sh).orderBy("doc_a", "doc_b").localCheckpoint(true)
+    finally sh.unpersist(blocking = false)
+  }
+
+  /** Banded-Hamming candidate pairs over a (doc_id, simhash) frame —
+    * the d06 kernel; callers cache `sh` (it feeds all four band keys). */
+  private[graft] def simhashPairsOf(sh: DataFrame): DataFrame = {
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        (0 until 4).map(b =>
+          s"struct($b as band_no, (simhash div ${1L << (b * 8)}) % 256 as sb)")
+          .mkString("array(", ", ", ")"))).as("band"))
+      .select(col("doc_id"), col("simhash"), col("band.band_no"), col("band.sb"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_no") === col("b.band_no") && col("a.sb") === col("b.sb") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("cast(bit_count(a.simhash ^ b.simhash) as bigint)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
   }
 
   val d06Sql: String = {

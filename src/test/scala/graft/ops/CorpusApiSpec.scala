@@ -68,6 +68,14 @@ class CorpusApiSpec extends AnyFunSuite {
       graft.queries.DedupOps2.d08ParagraphDedup(spark, d))
   }
 
+  test("simhashSignatures == d05, simhashPairs == d06") {
+    same(Corpus.simhashSignatures(renamed, "id", "body").orderBy("doc_id"),
+      graft.queries.DedupOps.d05Simhash(spark, d))
+    same(Corpus.simhashPairs(spark, renamed, "id", "body")
+      .orderBy("doc_a", "doc_b"),
+      graft.queries.DedupOps.d06SimhashPairs(spark, d))
+  }
+
   test("incrementalDedup == d09 when split by the batch source") {
     val docs = graft.queries.Tables.documents(spark, d)
       .select(col("doc_id").as("id"), col("source"), col("text").as("body"))
