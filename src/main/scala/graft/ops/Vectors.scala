@@ -37,4 +37,21 @@ object Vectors {
     SimilarityOps.bruteForceTopKOf(
       norm(corpus, idCol, vecCol), norm(queries, idCol, vecCol), k)
   }
+
+  /** Embedding near-duplicate pairs at an exact-cosine threshold: banded
+    * random-hyperplane LSH candidate generation (equi-join on band
+    * signatures — never all pairs) + exact integer rescore of candidates
+    * only. APPROXIMATE RECALL (~96% at a 0.45 threshold, higher above it);
+    * precision exact. */
+  def nearDuplicatePairs(spark: SparkSession, emb: DataFrame,
+                         threshold: Double = 0.45,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    SimilarityOps.nearDupPairsOf(
+      SimilarityOps.withQuantized(
+        emb.select(col(idCol).cast("long").as("vec_id"), col(vecCol)),
+        vecCol),
+      threshold)
+  }
 }

@@ -156,6 +156,12 @@ object SimilarityOps {
     val emb = embeddings(s, d).withColumn("q", expr(qEmb))
       .withColumn("nrm", expr(normExpr("q")))
       .select("vec_id", "q", "nrm")
+    nearDupPairsOf(emb, 0.45).orderBy("vec_a", "vec_b")
+  }
+
+  /** The s02 kernel over a quantized (vec_id, q, nrm) frame: banded-LSH
+    * candidates + exact rescore, threshold applied to the exact cosine. */
+  private[graft] def nearDupPairsOf(emb: DataFrame, threshold: Double): DataFrame = {
     val bandStructs = (0 until SimBands).map { b =>
       val bits = (0 until SimRowsPerBand).map { r =>
         val j = b * SimRowsPerBand + r
@@ -187,10 +193,15 @@ object SimilarityOps {
         round(expr(dotExpr("qa", "qb")).cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
           .as("sim"))
-      .filter(col("sim") >= 0.45)
+      .filter(col("sim") >= threshold)
       .distinct() // survivors only: a pair found by k bands dedupes here
-      .orderBy("vec_a", "vec_b")
   }
+
+  /** Quantize + norm any (vec_id, float-vector) frame for the kernels. */
+  private[graft] def withQuantized(emb: DataFrame, vecCol: String): DataFrame =
+    emb.withColumn("q", expr(quantize(vecCol)))
+      .withColumn("nrm", expr(normExpr("q")))
+      .select("vec_id", "q", "nrm")
 
   val s02Sql: String = {
     val planeRows = (0 until SimBands * SimRowsPerBand).flatMap { j =>

@@ -29,6 +29,14 @@ class VectorsApiSpec extends AnyFunSuite {
     assert(api.exceptAll(gated).isEmpty && gated.exceptAll(api).isEmpty)
   }
 
+  test("nearDuplicatePairs == s02 under renamed columns") {
+    val api = Vectors.nearDuplicatePairs(spark, renamed,
+      idCol = "id", vecCol = "vec").orderBy("vec_a", "vec_b")
+    val gated = graft.queries.SimilarityOps.s02EmbedNearDup(spark, d)
+    assert(api.columns.sameElements(gated.columns))
+    assert(api.exceptAll(gated).isEmpty && gated.exceptAll(api).isEmpty)
+  }
+
   test("cosineTopKFor scores a separate query table against the corpus") {
     import spark.implicits._
     // corpus of axis-aligned vectors; query = near-e0 -> top neighbor is id 0
