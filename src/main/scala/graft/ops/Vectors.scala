@@ -38,6 +38,23 @@ object Vectors {
       norm(corpus, idCol, vecCol), norm(queries, idCol, vecCol), k)
   }
 
+  /** IVF-flat approximate top-k: sqrt(n) coarse cells (seeded from the
+    * first vectors — a deterministic stand-in for a trained quantizer),
+    * each query probes its `nProbe` nearest cells and scores only those
+    * cells' members — NProbe·sqrt(n) work per query instead of n. */
+  def ivfTopK(spark: SparkSession, emb: DataFrame, queryIds: Seq[Long],
+              k: Int, nProbe: Int = 2, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val e = emb.select(col(idCol).cast("long").as("vec_id"),
+      expr(SimilarityOps.quantize(vecCol)).as("q")).as[(Long, Array[Long])]
+    val tagged = SimilarityOps.ivfTagOf(spark, e, nProbe).cache()
+    try SimilarityOps.ivfBuildOf(tagged,
+        col("vec_id").isin(queryIds: _*), k).localCheckpoint(true)
+    finally tagged.unpersist(blocking = false)
+  }
+
   /** Embedding near-duplicate pairs at an exact-cosine threshold: banded
     * random-hyperplane LSH candidate generation (equi-join on band
     * signatures — never all pairs) + exact integer rescore of candidates

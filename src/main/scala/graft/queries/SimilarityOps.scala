@@ -335,13 +335,21 @@ object SimilarityOps {
   }
 
   /** Cell assignment scan (see [[s04AnnIvf]]): every vector tagged with its
-    * nearest cell and (for query rows) its NProbe probe cells. */
+    * nearest cell and its NProbe probe cells. */
   private[queries] def s04Tagged(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    val emb = embeddings(s, d)
+    ivfTagOf(s, embeddings(s, d)
       .select(col("vec_id"), expr(qEmb).as("q"))
-      .as[(Long, Array[Long])]
+      .as[(Long, Array[Long])], NProbe)
+  }
+
+  /** IVF cell tagging over any quantized (vec_id, q) dataset: sqrt(n) seed
+    * centroids broadcast, one scan assigns cells and probe lists. */
+  private[graft] def ivfTagOf(s: SparkSession,
+                              emb: org.apache.spark.sql.Dataset[(Long, Array[Long])],
+                              nProbe: Int): DataFrame = {
+    import s.implicits._
     val numCells = math.max(1L, math.ceil(math.sqrt(emb.count().toDouble)).toLong)
     // deterministic coarse quantizer: cells seeded by the first K vectors
     // (sqrt(n) rows — broadcast-sized at any corpus scale)
@@ -362,7 +370,7 @@ object SimilarityOps {
           (d2, cid)
         }
         val sorted = dists.sortBy(identity)
-        (id, v, nrm, sorted(0)._2, sorted.take(NProbe).map(_._2))
+        (id, v, nrm, sorted(0)._2, sorted.take(nProbe).map(_._2))
       }
     }.toDF("vec_id", "q", "nrm", "cell", "probes")
   }
@@ -371,9 +379,14 @@ object SimilarityOps {
     * separated so `PlanSpec` can gate the physical plan shape (broadcast
     * probe side, equi-join on cell) that the eager checkpoint in
     * [[s04AnnIvf]] would otherwise hide behind a `Scan ExistingRDD`. */
-  private[queries] def s04Build(tagged: DataFrame): DataFrame = {
+  private[queries] def s04Build(tagged: DataFrame): DataFrame =
+    ivfBuildOf(tagged, col("vec_id") < NumQueries, TopK)
+
+  /** The probe-and-score plan with an arbitrary query predicate and k. */
+  private[graft] def ivfBuildOf(tagged: DataFrame, queryCond: org.apache.spark.sql.Column,
+                                k: Int): DataFrame = {
     val corpus = tagged.drop("probes")
-    val probes = tagged.filter(col("vec_id") < NumQueries)
+    val probes = tagged.filter(queryCond)
       .select(col("vec_id").as("query_id"), col("q").as("qv"),
         col("nrm").as("qnrm"), explode(col("probes")).as("cell"))
     val w = org.apache.spark.sql.expressions.Window
@@ -389,7 +402,7 @@ object SimilarityOps {
           (sqrt(col("qnrm").cast("double")) * sqrt(col("nrm").cast("double"))), 6)
           .as("sim"))
       .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= TopK)
+      .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("sim"))
       .orderBy("query_id", "rk")
   }

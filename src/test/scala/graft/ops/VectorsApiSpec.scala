@@ -37,6 +37,15 @@ class VectorsApiSpec extends AnyFunSuite {
     assert(api.exceptAll(gated).isEmpty && gated.exceptAll(api).isEmpty)
   }
 
+  test("ivfTopK == s04 under renamed columns") {
+    val api = Vectors.ivfTopK(spark, renamed, 0L until 10L, k = 5,
+      idCol = "id", vecCol = "vec").orderBy("query_id", "rk")
+    val gated = graft.queries.SimilarityOps.s04AnnIvf(spark, d)
+    assert(api.columns.sameElements(gated.columns))
+    assert(api.exceptAll(gated).isEmpty && gated.exceptAll(api).isEmpty)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("cosineTopKFor scores a separate query table against the corpus") {
     import spark.implicits._
     // corpus of axis-aligned vectors; query = near-e0 -> top neighbor is id 0
