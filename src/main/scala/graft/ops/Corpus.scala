@@ -57,11 +57,12 @@ object Corpus {
     * emission, exact integer Jaccard. */
   def ngramJaccardPairs(spark: SparkSession, docs: DataFrame,
                         idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
+                        textCol: String = "text",
+                        threshold: Double = 0.8): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val grouped = DedupOps.groupedShinglesOf(
       shingles(docs, idCol, textCol)).cache()
-    try DedupOps.d02Build(grouped).localCheckpoint(true)
+    try DedupOps.d02Build(grouped, threshold).localCheckpoint(true)
     finally grouped.unpersist(blocking = false)
   }
 

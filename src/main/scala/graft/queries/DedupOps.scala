@@ -136,7 +136,8 @@ object DedupOps {
   /** Pair emission + Jaccard scoring over the grouped shingle table —
     * separated so `PlanSpec` can gate the plan shape the eager checkpoint
     * in [[d02NgramJaccard]] would otherwise hide. */
-  private[graft] def d02Build(grouped: DataFrame): DataFrame = {
+  private[graft] def d02Build(grouped: DataFrame,
+                              threshold: Double = 0.8): DataFrame = {
     val counts = grouped.select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = grouped
@@ -153,7 +154,7 @@ object DedupOps {
         .withColumnRenamed("n", "nb"), "doc_b")
       .withColumn("jaccard", round(col("inter").cast("double")
         / (col("na") + col("nb") - col("inter")), 4))
-      .filter(col("jaccard") >= 0.8)
+      .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "inter", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
