@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+/** Library-robustness gates: the ops facades must handle degenerate
+  * corpora (empty, single-document, single-word documents, empty strings)
+  * without crashing — the inputs a real pipeline feeds them on day one. */
+class EdgeCaseSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-edge-cases")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docsOf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def emptyDocs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+
+  test("corpus dedup ops on an empty corpus return empty, not errors") {
+    assert(Corpus.exactDuplicateGroups(emptyDocs).count() == 0)
+    assert(Corpus.minhashSignatures(emptyDocs).count() == 0)
+    assert(Corpus.minhashCandidatePairs(spark, emptyDocs).count() == 0)
+    assert(Corpus.ngramJaccardPairs(spark, emptyDocs).count() == 0)
+    assert(Corpus.duplicateClusters(spark, emptyDocs).count() == 0)
+    assert(Corpus.simhashPairs(spark, emptyDocs).count() == 0)
+    assert(Corpus.paragraphDedup(emptyDocs).count() == 0)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("single and degenerate documents survive every text/dedup op") {
+    val docs = docsOf(Seq(
+      (1L, "just one document with a few words here"),
+      (2L, "x"),              // single word: shingle/segment floor paths
+      (3L, "a b"),            // below trigram width
+      (4L, "")))              // empty string
+    assert(Corpus.exactDuplicateGroups(docs).count() == 4)
+    // no near-dup pairs among unrelated degenerate docs, and no crash
+    Corpus.minhashCandidatePairs(spark, docs).count()
+    Corpus.ngramJaccardPairs(spark, docs).count()
+    Corpus.simhashPairs(spark, docs).count()
+    assert(Corpus.paragraphDedup(docs).count() == 4)
+    assert(Text.stats(docs).count() == 4)
+    assert(Text.fingerprints(docs).count() == 4)
+    assert(Text.cleaned(docs).count() == 4)
+    // repetition requires >= 3 tokens; only doc 1 qualifies
+    assert(Text.repetitionSignals(docs).count() == 1)
+    assert(Text.piiScrub(docs).count() == 4)
+  }
+
+  test("identical documents collapse to one exact group and one cluster") {
+    val docs = docsOf(Seq(
+      (10L, "the same exact text repeated across documents many times over"),
+      (11L, "the same exact text repeated across documents many times over"),
+      (12L, "the same exact text repeated across documents many times over")))
+    val g = Corpus.exactDuplicateGroups(docs).collect()
+    assert(g.length == 1 && g(0).getLong(1) == 10L && g(0).getLong(2) == 3L)
+    val clusters = Corpus.duplicateClusters(spark, docs).collect()
+    assert(clusters.length == 1 && clusters(0).getLong(1) == 3L &&
+      clusters(0).getLong(2) == 10L)
+  }
+
+  test("vector ops on an empty or query-free corpus return empty") {
+    import spark.implicits._
+    val emptyEmb = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    assert(Vectors.nearDuplicatePairs(spark, emptyEmb).count() == 0)
+    val one = Seq((1L, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    // no query ids match -> empty; the lone vector has no neighbor
+    assert(Vectors.cosineTopK(spark, one, Seq(99L), k = 3).count() == 0)
+    assert(Vectors.cosineTopK(spark, one, Seq(1L), k = 3).count() == 0)
+  }
+}
