@@ -42,6 +42,22 @@ object Text {
                         textCol: String = "text"): DataFrame =
     TextOps.repetitionOf(norm(docs, idCol, textCol))
 
+  /** Stopword-ratio language-ID heuristic (t02 without the benchmark's
+    * labeled lang column): doc_id, lang_guess, stop_ratio. */
+  def languageId(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    TextOps.langIdOf(norm(docs, idCol, textCol)
+      .withColumn("lang", lit(null).cast("string")))
+      .drop("lang")
+
+  /** Character-bigram language-ID heuristic (t05 without the label):
+    * doc_id, ngram_hits, hits_per_1000, lang_guess. */
+  def languageIdNgram(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    TextOps.langIdNgramOf(norm(docs, idCol, textCol)
+      .withColumn("lang", lit(null).cast("string")))
+      .drop("lang")
+
   /** PII redaction over the RAW text (t09's scrubber without the
     * benchmark's synthetic-PII augmentation): per-document match counts
     * and the scrubbed text, using the same RE2-and-Java-compatible

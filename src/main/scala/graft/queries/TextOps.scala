@@ -58,7 +58,13 @@ object TextOps {
   /** n-gram/stopword language-ID heuristic: English function words vs the
     * labeled lang column. Deterministic rule shared with the oracle. */
   def t02LangId(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    langIdOf(documents(s, d))
+
+  /** t02's kernel over any (doc_id, [lang,] text) frame; `lang` is passed
+    * through for label comparison when present (graft.ops.Text API injects
+    * a null label and drops it). */
+  private[graft] def langIdOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("words", split(col("text"), " "))
       .withColumn("stop_cnt", expr(
         "size(filter(words, w -> w = 'the' OR w = 'a'))"))
@@ -143,7 +149,15 @@ object TextOps {
     val grams = Seq("th", "he", "er", "an")
     val cnt = grams.map(g =>
       s"((length(text) - length(replace(text, '$g', ''))) div 2)").mkString(" + ")
-    documents(s, d)
+    langIdNgramOf(documents(s, d))
+  }
+
+  /** t05's kernel (graft.ops.Text API twin of [[langIdOf]]). */
+  private[graft] def langIdNgramOf(docs: DataFrame): DataFrame = {
+    val grams = Seq("th", "he", "er", "an")
+    val cnt = grams.map(g =>
+      s"((length(text) - length(replace(text, '$g', ''))) div 2)").mkString(" + ")
+    docs
       .withColumn("ngram_hits", expr(cnt).cast("long"))
       .withColumn("rate", round(col("ngram_hits") * lit(1000.0) /
         length(col("text")), 4))

@@ -54,6 +54,17 @@ class TextApiSpec extends AnyFunSuite {
       graft.queries.TextOps.t10Repetition(spark, d))
   }
 
+  test("languageId / languageIdNgram == the gated guesses without the label") {
+    val api2 = Text.languageId(renamed, "id", "body")
+    val gated2 = graft.queries.TextOps.t02LangId(spark, d).drop("lang")
+    assert(api2.columns.sameElements(gated2.columns))
+    assert(api2.exceptAll(gated2).isEmpty && gated2.exceptAll(api2).isEmpty)
+    val api5 = Text.languageIdNgram(renamed, "id", "body")
+    val gated5 = graft.queries.TextOps.t05LangIdNgram(spark, d).drop("lang")
+    assert(api5.columns.sameElements(gated5.columns))
+    assert(api5.exceptAll(gated5).isEmpty && gated5.exceptAll(api5).isEmpty)
+  }
+
   test("piiScrub redacts raw text with the gated patterns") {
     import spark.implicits._
     val docs = Seq(
