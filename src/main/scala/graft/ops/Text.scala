@@ -58,6 +58,22 @@ object Text {
       .withColumn("lang", lit(null).cast("string")))
       .drop("lang")
 
+  /** Per-domain cap by quality rank (the t12 selection as row flags): keep
+    * the top `cap` documents of each domain by `scoreCol` (descending, id
+    * tiebreak). Windowed on hash partitions of the domain — no global
+    * sort; the t12 driver query is the per-domain summary of exactly this
+    * selection. */
+  def domainBalance(docs: DataFrame, cap: Int,
+                    idCol: String = "doc_id",
+                    domainCol: String = "source",
+                    scoreCol: String = "n_chars"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(domainCol)
+      .orderBy(col(scoreCol).desc, col(idCol))
+    docs.withColumn("rk", row_number().over(w))
+      .withColumn("kept", col("rk") <= cap)
+  }
+
   /** PII redaction over the RAW text (t09's scrubber without the
     * benchmark's synthetic-PII augmentation): per-document match counts
     * and the scrubbed text, using the same RE2-and-Java-compatible

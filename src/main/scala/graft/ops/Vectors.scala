@@ -38,6 +38,19 @@ object Vectors {
       norm(corpus, idCol, vecCol), norm(queries, idCol, vecCol), k)
   }
 
+  /** Sign-LSH bucketed approximate top-k: 8 random hyperplanes hash every
+    * vector into one of 256 buckets; neighbors are scored only within the
+    * query's bucket (equi-join on bucket — n/256 work per query). */
+  def lshTopK(spark: SparkSession, emb: DataFrame, queryIds: Seq[Long],
+              k: Int, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    SimilarityOps.lshTopKOf(
+      SimilarityOps.withQuantized(
+        emb.select(col(idCol).cast("long").as("vec_id"), col(vecCol)), vecCol),
+      col("a.vec_id").isin(queryIds: _*), k)
+  }
+
   /** IVF-flat approximate top-k: sqrt(n) coarse cells (seeded from the
     * first vectors — a deterministic stand-in for a trained quantizer),
     * each query probes its `nProbe` nearest cells and scores only those

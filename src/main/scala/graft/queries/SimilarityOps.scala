@@ -248,6 +248,16 @@ object SimilarityOps {
     val emb = embeddings(s, d).withColumn("q", expr(qEmb))
       .withColumn("nrm", expr(normExpr("q")))
       .select("vec_id", "q", "nrm")
+    lshTopKOf(emb, col("a.vec_id") < NumQueries, TopK)
+      .orderBy("query_id", "rk")
+  }
+
+  /** The s03 kernel: sign-LSH bucket equi-join over a quantized
+    * (vec_id, q, nrm) frame, arbitrary query predicate (over the `a` side)
+    * and k. */
+  private[graft] def lshTopKOf(emb: DataFrame,
+                               queryCond: org.apache.spark.sql.Column,
+                               k: Int): DataFrame = {
     val bucketExpr = (0 until NumPlanes).map { j =>
       val lit = planes(j).mkString("array(", "L, ", "L)")
       s"(case when ${dotExpr("q", lit)} > 0 then ${1L << j} else 0 end)"
@@ -259,17 +269,16 @@ object SimilarityOps {
       .join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id") &&
-          col("a.vec_id") < NumQueries)
+          queryCond)
       .select(col("a.vec_id").as("query_id"), col("a.bucket").as("bucket"),
         col("b.vec_id").as("vec_id"),
         round(expr(dotExpr("a.q", "b.q")).cast("double") /
           (sqrt(col("a.nrm").cast("double")) * sqrt(col("b.nrm").cast("double"))), 6)
           .as("sim"))
       .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= TopK)
+      .filter(col("rk") <= k)
       .select(col("query_id"), col("bucket"), col("rk"),
         col("vec_id").as("neighbor_id"), col("sim"))
-      .orderBy("query_id", "rk")
   }
 
   val s03Sql: String = {

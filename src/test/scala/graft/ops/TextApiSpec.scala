@@ -65,6 +65,23 @@ class TextApiSpec extends AnyFunSuite {
     assert(api5.exceptAll(gated5).isEmpty && gated5.exceptAll(api5).isEmpty)
   }
 
+  test("domainBalance selection aggregates to the gated t12 summary") {
+    val cap = graft.queries.TextOps.DomainCap
+    val sel = Text.domainBalance(
+      graft.queries.Tables.documents(spark, d), cap)
+    val agg = sel.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("chars_kept"),
+        min(when(col("kept"), col("n_chars"))).as("min_kept_chars"))
+      .orderBy("source")
+    val gated = graft.queries.TextOps.t12DomainBalance(spark, d)
+    assert(agg.exceptAll(gated).isEmpty && gated.exceptAll(agg).isEmpty)
+    // and the flags themselves respect the cap
+    assert(sel.filter(col("kept")).groupBy("source").count()
+      .filter(col("count") > cap).isEmpty)
+  }
+
   test("piiScrub redacts raw text with the gated patterns") {
     import spark.implicits._
     val docs = Seq(

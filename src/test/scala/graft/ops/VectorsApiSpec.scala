@@ -37,6 +37,14 @@ class VectorsApiSpec extends AnyFunSuite {
     assert(api.exceptAll(gated).isEmpty && gated.exceptAll(api).isEmpty)
   }
 
+  test("lshTopK == s03 under renamed columns") {
+    val api = Vectors.lshTopK(spark, renamed, 0L until 10L, k = 5,
+      idCol = "id", vecCol = "vec").orderBy("query_id", "rk")
+    val gated = graft.queries.SimilarityOps.s03AnnLsh(spark, d)
+    assert(api.columns.sameElements(gated.columns))
+    assert(api.exceptAll(gated).isEmpty && gated.exceptAll(api).isEmpty)
+  }
+
   test("ivfTopK == s04 under renamed columns") {
     val api = Vectors.ivfTopK(spark, renamed, 0L until 10L, k = 5,
       idCol = "id", vecCol = "vec").orderBy("query_id", "rk")
