@@ -58,6 +58,18 @@ object Text {
       .withColumn("lang", lit(null).cast("string")))
       .drop("lang")
 
+  /** Benchmark decontamination: flag training documents sharing word
+    * n-gram spans with a held-out eval set. The eval set's distinct n-gram
+    * table broadcasts (it is tiny relative to the corpus), so the training
+    * grams probe it map-side with NO shuffle of corpus n-grams — one
+    * corpus pass at any scale. Returns contaminated docs with their
+    * overlap fraction. */
+  def contamination(train: DataFrame, evalSet: DataFrame, n: Int = 5,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    TextOps.contaminationOf(
+      norm(train, idCol, textCol), norm(evalSet, idCol, textCol), n)
+
   /** Per-domain cap by quality rank (the t12 selection as row flags): keep
     * the top `cap` documents of each domain by `scoreCol` (descending, id
     * tiebreak). Windowed on hash partitions of the domain — no global

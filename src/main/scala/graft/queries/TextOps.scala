@@ -398,18 +398,32 @@ object TextOps {
     // the eval-set/train split runs BELOW the gram explode: each branch
     // explodes only its slice (eval is a few percent), so total gram work
     // is ONE corpus pass, not one full explode per branch
+    val docs = documents(s, d).select("doc_id", "text")
+    contaminationOf(
+      docs.filter(col("doc_id") % BenchMod =!= 0),
+      docs.filter(col("doc_id") % BenchMod === 0),
+      ContamN)
+      .orderBy("doc_id")
+  }
+
+  /** The t11 kernel over any training-corpus / eval-set pair of
+    * (doc_id, text) frames (graft.ops.Text API): the eval set's distinct
+    * n-gram table broadcasts, the train grams probe it map-side in ONE
+    * aggregation pass. */
+  private[graft] def contaminationOf(train: org.apache.spark.sql.DataFrame,
+                                     evalSet: org.apache.spark.sql.DataFrame,
+                                     n: Int): org.apache.spark.sql.DataFrame = {
     def gramsOf(docs: org.apache.spark.sql.DataFrame) = docs
       .withColumn("words", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, greatest(size(words) - ${ContamN - 1}, 1)), " +
-          s"i -> concat_ws(' ', slice(words, i, $ContamN)))")).as("g"))
+        s"transform(sequence(1, greatest(size(words) - ${n - 1}, 1)), " +
+          s"i -> concat_ws(' ', slice(words, i, $n)))")).as("g"))
       .distinct()
-    val docs = documents(s, d).select("doc_id", "text")
-    val benchGrams = gramsOf(docs.filter(col("doc_id") % BenchMod === 0))
+    val benchGrams = gramsOf(evalSet)
       .select("g").distinct().withColumn("hit", lit(1L))
     // single pass over the train grams: broadcast-probe the eval-set grams
     // and fold totals + hits in ONE aggregation (no second corpus scan)
-    gramsOf(docs.filter(col("doc_id") % BenchMod =!= 0))
+    gramsOf(train)
       .join(broadcast(benchGrams), Seq("g"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
@@ -418,7 +432,6 @@ object TextOps {
       .withColumn("contamination",
         round(col("n_hit").cast("double") / col("n_grams"), 4))
       .select("doc_id", "n_grams", "n_hit", "contamination")
-      .orderBy("doc_id")
   }
 
   val t11Sql: String =

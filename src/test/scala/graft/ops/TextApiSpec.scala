@@ -65,6 +65,16 @@ class TextApiSpec extends AnyFunSuite {
     assert(api5.exceptAll(gated5).isEmpty && gated5.exceptAll(api5).isEmpty)
   }
 
+  test("contamination == t11 when split by the benchmark rule") {
+    val mod = graft.queries.TextOps.BenchMod
+    val api = Text.contamination(
+      renamed.filter(col("id") % mod =!= 0),
+      renamed.filter(col("id") % mod === 0),
+      n = graft.queries.TextOps.ContamN,
+      idCol = "id", textCol = "body").orderBy("doc_id")
+    same(api, graft.queries.TextOps.t11Contamination(spark, d))
+  }
+
   test("domainBalance selection aggregates to the gated t12 summary") {
     val cap = graft.queries.TextOps.DomainCap
     val sel = Text.domainBalance(
