@@ -58,6 +58,18 @@ object Text {
       .withColumn("lang", lit(null).cast("string")))
       .drop("lang")
 
+  /** Deterministic hash sampling (t07's selection as row flags): keep a
+    * `percent`-sized sample chosen by the md5-derived hash of the id —
+    * stable across runs, partitionings, and cluster sizes, unlike
+    * `df.sample` whose output depends on partition layout. */
+  def deterministicSample(docs: DataFrame, percent: Int,
+                          idCol: String = "doc_id"): DataFrame = {
+    require(percent >= 0 && percent <= 100, s"percent must be 0..100, got $percent")
+    docs.withColumn("sampled", (expr(
+      s"cast(conv(substring(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint)")
+      % 100 < percent).cast("int"))
+  }
+
   /** Benchmark decontamination: flag training documents sharing word
     * n-gram spans with a held-out eval set. The eval set's distinct n-gram
     * table broadcasts (it is tiny relative to the corpus), so the training

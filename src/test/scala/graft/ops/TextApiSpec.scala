@@ -65,6 +65,18 @@ class TextApiSpec extends AnyFunSuite {
     assert(api5.exceptAll(gated5).isEmpty && gated5.exceptAll(api5).isEmpty)
   }
 
+  test("deterministicSample flags aggregate to the gated t07 summary") {
+    val docs = graft.queries.Tables.documents(spark, d)
+    val agg = Text.deterministicSample(docs, percent = 10)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("sampled")).cast("long").as("n_sampled"),
+        min(when(col("sampled") === 1, col("doc_id"))).as("first_sampled"))
+      .orderBy("lang")
+    val gated = graft.queries.TextOps.t07SampleStrata(spark, d)
+    assert(agg.exceptAll(gated).isEmpty && gated.exceptAll(agg).isEmpty)
+  }
+
   test("contamination == t11 when split by the benchmark rule") {
     val mod = graft.queries.TextOps.BenchMod
     val api = Text.contamination(
