@@ -27,7 +27,7 @@ object MultiModalOps {
     * formula WITHOUT seeing the bytes — a hash match proves the container
     * was genuinely decoded. Batched mapPartitions, binary in, typed rows
     * out (the mapInPandas twin). */
-  private def ppmBytes(docId: Long): Array[Byte] = {
+  private[graft] def ppmBytes(docId: Long): Array[Byte] = {
     val w = (8 + docId % 5).toInt; val h = (6 + docId % 4).toInt
     val header = s"P6\n$w $h\n255\n".getBytes("ASCII")
     val px = new Array[Byte](w * h * 3)
@@ -43,7 +43,7 @@ object MultiModalOps {
 
   /** Parse a binary PPM (P6): returns (width, height, rMean, gMean, bMean)
     * with integer-floor channel means. Throws on malformed input. */
-  private def decodePpm(bytes: Array[Byte]): (Int, Int, Long, Long, Long) = {
+  private[graft] def decodePpm(bytes: Array[Byte]): (Int, Int, Long, Long, Long) = {
     require(bytes.length > 2 && bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM")
     var p = 2
     def token(): String = {
@@ -223,9 +223,9 @@ object MultiModalOps {
     * (sample rate, duration, integer RMS, zero crossings). The oracle
     * recomputes the features from the synthesis parameters WITHOUT seeing
     * the bytes, so a hash match proves the decode actually decoded. */
-  private val WavRate = 8000
+  private[graft] val WavRate = 8000
 
-  private def wavBytes(docId: Long): Array[Byte] = {
+  private[graft] def wavBytes(docId: Long): Array[Byte] = {
     val n = (256 + docId % 64).toInt
     val f = (3 + docId % 13).toInt
     val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
@@ -248,7 +248,7 @@ object MultiModalOps {
 
   /** Parse a RIFF/WAVE container: chunk walk to fmt + data, then features
     * from the PCM samples. Throws on malformed containers. */
-  private def decodeWav(bytes: Array[Byte]): (Int, Long, Long, Long) = {
+  private[graft] def decodeWav(bytes: Array[Byte]): (Int, Long, Long, Long) = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def fourcc(off: Int): String = new String(bytes, off, 4, "ASCII")

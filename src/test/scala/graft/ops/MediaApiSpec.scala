@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The Media facade must decode arbitrary binary columns with exactly the
+  * gated m01/m05 parsers, and must turn corrupt payloads into ok=false
+  * rows instead of task failures. */
+class MediaApiSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-media-api")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("decodePpm over a payload column == m01 on the same ids") {
+    import spark.implicits._
+    val ids = graft.queries.Tables.documents(spark, d)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val payloads = ids.map(id =>
+      (id, graft.queries.MultiModalOps.ppmBytes(id))).toDF("id", "bytes")
+    val api = Media.decodePpm(payloads, "id", "bytes")
+    assert(api.filter(!col("ok")).isEmpty)
+    val apiCmp = api.drop("ok").orderBy("doc_id")
+    val gated = graft.queries.MultiModalOps.m01ImageDecode(spark, d)
+    assert(apiCmp.columns.sameElements(gated.columns))
+    assert(apiCmp.exceptAll(gated).isEmpty && gated.exceptAll(apiCmp).isEmpty)
+  }
+
+  test("decodeWav over a payload column == m05 on the same ids") {
+    import spark.implicits._
+    val ids = graft.queries.Tables.documents(spark, d)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val payloads = ids.map(id =>
+      (id, graft.queries.MultiModalOps.wavBytes(id))).toDF("id", "bytes")
+    val api = Media.decodeWav(payloads, "id", "bytes")
+    assert(api.filter(!col("ok")).isEmpty)
+    val apiCmp = api.drop("ok").orderBy("doc_id")
+    val gated = graft.queries.MultiModalOps.m05WavDecode(spark, d)
+    assert(apiCmp.columns.sameElements(gated.columns))
+    assert(apiCmp.exceptAll(gated).isEmpty && gated.exceptAll(apiCmp).isEmpty)
+  }
+
+  test("corrupt payloads yield ok=false rows, not task failures") {
+    import spark.implicits._
+    val mixed = Seq(
+      (1L, graft.queries.MultiModalOps.ppmBytes(1L)),
+      (2L, "not an image".getBytes("UTF-8")),
+      (3L, Array.empty[Byte])).toDF("id", "bytes")
+    val out = Media.decodePpm(mixed, "id", "bytes").orderBy("doc_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getBoolean(1) && !out(1).getBoolean(1) && !out(2).getBoolean(1))
+    assert(out(1).isNullAt(2))
+    val outW = Media.decodeWav(mixed, "id", "bytes").orderBy("doc_id").collect()
+    assert(!outW(1).getBoolean(1) && !outW(2).getBoolean(1))
+  }
+}
