@@ -29,13 +29,16 @@ object Vectors {
 
   /** Exact cosine top-k with a separate query table (its own id space):
     * the two frames are quantized identically; every query row is scored
-    * against every corpus row in one broadcast-join scan. */
+    * against every corpus row in one broadcast-join scan. Because the id
+    * spaces are independent, NO self-exclusion is applied — a corpus id
+    * that happens to equal a query id is still a valid neighbor. */
   def cosineTopKFor(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
                     k: Int, idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     SimilarityOps.bruteForceTopKOf(
-      norm(corpus, idCol, vecCol), norm(queries, idCol, vecCol), k)
+      norm(corpus, idCol, vecCol), norm(queries, idCol, vecCol), k,
+      excludeSelf = false)
   }
 
   /** Sign-LSH bucketed approximate top-k: 8 random hyperplanes hash every
@@ -62,10 +65,13 @@ object Vectors {
     graft.functions.GraftFunctions.register(spark)
     val e = emb.select(col(idCol).cast("long").as("vec_id"),
       expr(SimilarityOps.quantize(vecCol)).as("q")).as[(Long, Array[Long])]
-    val tagged = SimilarityOps.ivfTagOf(spark, e, nProbe).cache()
-    try SimilarityOps.ivfBuildOf(tagged,
-        col("vec_id").isin(queryIds: _*), k).localCheckpoint(true)
-    finally tagged.unpersist(blocking = false)
+    // centroid seeding needs one count + one sqrt(n)-row collect up front;
+    // the returned probe-and-score plan itself is lazy (the deterministic
+    // tagging subtree feeds both join sides — persist it via the input if
+    // reused across actions; the facade never persists on the caller's
+    // behalf, matching [[graft.ops.Corpus]])
+    SimilarityOps.ivfBuildOf(SimilarityOps.ivfTagOf(spark, e, nProbe),
+      col("vec_id").isin(queryIds: _*), k)
   }
 
   /** Embedding near-duplicate pairs at an exact-cosine threshold: banded

@@ -86,12 +86,21 @@ object SimilarityOps {
 
   /** Brute-force kernel over quantized (vec_id, q) frames: every query
     * (broadcast — the query set is small by construction) scored against
-    * the full corpus in ONE scan, per-query top-k via window. */
+    * the full corpus in ONE scan, per-query top-k via window.
+    *
+    * `excludeSelf` applies the `vec_id =!= query_id` self-match filter and
+    * is only correct when the query rows are drawn FROM the corpus (shared
+    * id space). When the query frame is a separate table with its own id
+    * space, pass false — otherwise a corpus vector whose id happens to
+    * collide with a query id is silently dropped from that query's top-k. */
   private[graft] def bruteForceTopKOf(emb: DataFrame, queryVecs: DataFrame,
-                                      k: Int): DataFrame = {
+                                      k: Int,
+                                      excludeSelf: Boolean = true): DataFrame = {
     val queries = queryVecs
       .withColumnRenamed("vec_id", "query_id").withColumnRenamed("q", "qv")
-    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+    val joinCond =
+      if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true)
+    val scored = emb.join(broadcast(queries), joinCond)
       .withColumn("dot", expr(dotExpr("q", "qv")))
       .withColumn("sim", round(col("dot").cast("double") /
         (sqrt(expr(normExpr("q")).cast("double")) *

@@ -71,4 +71,21 @@ class VectorsApiSpec extends AnyFunSuite {
     assert(got(1).getLong(2) == 1L)
     assert(got(0).getDouble(3) > got(1).getDouble(3))
   }
+
+  test("cosineTopKFor keeps corpus vectors whose ids collide with query ids") {
+    import spark.implicits._
+    // Query table has its OWN 0-based id space: query id 0 collides with
+    // corpus id 0, which is the true nearest neighbor and must NOT be
+    // self-excluded (it's an unrelated row in a different table).
+    val dim = 8
+    def unit(axis: Int): Array[Float] =
+      Array.tabulate(dim)(i => if (i == axis) 1.0f else 0.0f)
+    val corpus = (0 until 4).map(a => (a.toLong, unit(a))).toDF("vec_id", "embedding")
+    val q = Seq((0L, unit(0))).toDF("vec_id", "embedding")
+    val got = Vectors.cosineTopKFor(spark, corpus, q, k = 1).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 0L)          // query_id
+    assert(got(0).getLong(2) == 0L)          // neighbor_id == colliding corpus id
+    assert(got(0).getDouble(3) == 1.0)       // exact match survives
+  }
 }
