@@ -5,21 +5,28 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.queries.MultiModalOps
 
-/** Library-shaped multimodal decode API: the container parsers the gated
-  * m01/m05 queries validate (real PPM/P6 and RIFF/WAVE byte parsing, with
-  * oracle proofs from the synthesis formulas), applied to ANY DataFrame
-  * carrying an opaque binary payload column. The decode runs inside
-  * `mapPartitions` — one pass, no shuffle, executor-local byte work — the
-  * shape a 100 TB media-preprocessing stage needs. Payloads the parser
-  * rejects surface as null feature rows (`ok = false`), not task failures:
-  * one corrupt object must not kill a million-file pass. */
+/** Library-shaped multimodal API: the container parsers and raster/feature
+  * kernels the gated m01…m05 queries validate (real PPM/P6 and RIFF/WAVE
+  * byte parsing with synthesis-formula oracle proofs, exact integer box
+  * resampling, deterministic frame sampling and feature extraction),
+  * applied to ANY DataFrame carrying an opaque binary payload column.
+  * Decodes run inside `mapPartitions` — one pass, no shuffle,
+  * executor-local byte work — the shape a 100 TB media-preprocessing
+  * stage needs. Payloads the parser rejects — and rows with a null id —
+  * surface as null feature rows (`ok = false`), not task failures: one
+  * corrupt object must not kill a million-file pass. */
 object Media {
+
+  /** Read the id column, tolerating nulls: a malformed row degrades to a
+    * null-id / ok=false row instead of an executor NPE killing the task. */
+  private def idOrNull(r: Row): java.lang.Long =
+    if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
 
   /** Decode PPM/P6 images: (id, ok, width, height, r_mean, g_mean, b_mean). */
   def decodePpm(df: DataFrame, idCol: String = "doc_id",
                 bytesCol: String = "payload"): DataFrame = {
     val outSchema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
+      StructField("doc_id", LongType, nullable = true),
       StructField("ok", BooleanType, nullable = false),
       StructField("width", IntegerType, nullable = true),
       StructField("height", IntegerType, nullable = true),
@@ -29,8 +36,9 @@ object Media {
     df.select(col(idCol).cast("long"), col(bytesCol))
       .mapPartitions { rows =>
         rows.map { r =>
-          val id = r.getLong(0)
+          val id = idOrNull(r)
           try {
+            if (id == null) throw new IllegalArgumentException("null id")
             val (w, h, rm, gm, bm) = MultiModalOps.decodePpm(r.getAs[Array[Byte]](1))
             Row(id, true, w, h, rm, gm, bm)
           } catch { case _: Exception => Row(id, false, null, null, null, null, null) }
@@ -43,7 +51,7 @@ object Media {
   def decodeWav(df: DataFrame, idCol: String = "doc_id",
                 bytesCol: String = "payload"): DataFrame = {
     val outSchema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
+      StructField("doc_id", LongType, nullable = true),
       StructField("ok", BooleanType, nullable = false),
       StructField("sample_rate", IntegerType, nullable = true),
       StructField("n_samples", LongType, nullable = true),
@@ -53,12 +61,72 @@ object Media {
     df.select(col(idCol).cast("long"), col(bytesCol))
       .mapPartitions { rows =>
         rows.map { r =>
-          val id = r.getLong(0)
+          val id = idOrNull(r)
           try {
+            if (id == null) throw new IllegalArgumentException("null id")
             val (rate, n, rms, zc) = MultiModalOps.decodeWav(r.getAs[Array[Byte]](1))
             Row(id, true, rate, n, n * 1000L / rate, rms, zc)
           } catch { case _: Exception => Row(id, false, null, null, null, null, null) }
         }
       }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Frame sampling (the m02 semantics over any payload column): each
+    * payload expands to length/frameBytes virtual frames; every `stride`-th
+    * frame is kept with a deterministic per-frame fingerprint — the
+    * explode + downsample shape of video preprocessing. Pure column
+    * algebra (codegen'd, no UDF); rows with a null id or an
+    * under-one-frame payload produce no frames. */
+  def sampleFrames(df: DataFrame, idCol: String = "doc_id",
+                   bytesCol: String = "payload", frameBytes: Int = 64,
+                   stride: Int = 4): DataFrame = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be > 0")
+    df.select(col(idCol).cast("long").as("doc_id"),
+        col(bytesCol).cast("binary").as("payload"))
+      .filter(col("doc_id").isNotNull)
+      .withColumn("n_frames",
+        expr(s"cast(length(payload) as bigint) div $frameBytes"))
+      .filter(col("n_frames") > 0)
+      .withColumn("frame_id", explode(expr("sequence(0, n_frames - 1)")))
+      .filter(col("frame_id") % stride === 0)
+      .select(col("doc_id"), col("frame_id"),
+        expr("cast(conv(substring(md5(concat(cast(doc_id as string), ':', " +
+          "cast(frame_id as string))), 1, 15), 16, 10) as bigint)").as("frame_fp"))
+  }
+
+  /** Box-filter resize (the m03 kernel over any payload column): the
+    * payload is viewed as a grayscale raster `rasterW` pixels wide and
+    * box-resampled to outDim×outDim with exact integer area averaging;
+    * long-form output (doc_id, y, x, px), one row per output pixel.
+    * Rows whose payload can't fill one full box partition
+    * (length < rasterW*outDim) — or with a null id — produce no pixels. */
+  def resize(df: DataFrame, idCol: String = "doc_id",
+             bytesCol: String = "payload", outDim: Int = 8,
+             rasterW: Int = 32): DataFrame = {
+    require(outDim > 0 && rasterW >= outDim,
+      "need outDim > 0 and rasterW >= outDim")
+    MultiModalOps.resizeOf(
+      df.select(col(idCol).cast("long").as("doc_id"),
+        col(bytesCol).cast("binary").as("payload")),
+      outDim, rasterW)
+  }
+
+  /** Feature-extraction stage (the m04 semantics over any payload column):
+    * payload → fixed-width feature vector (array<bigint>, `dims` dims),
+    * ready for the [[Vectors]] similarity operators. The extractor is a
+    * deterministic md5-derived STUB — a learned model has no place in this
+    * container — but the contract (binary in, dense vector column out, one
+    * codegen'd scan) is the real plumbing a swap-in encoder inherits.
+    * Rows with a null id or payload are dropped. */
+  def embedStub(df: DataFrame, idCol: String = "doc_id",
+                bytesCol: String = "payload", dims: Int = 8): DataFrame = {
+    require(dims > 0 && dims * 4 <= 32, "md5 stub supports 1..8 dims")
+    df.select(col(idCol).cast("long").as("doc_id"),
+        col(bytesCol).cast("binary").as("payload"))
+      .filter(col("doc_id").isNotNull && col("payload").isNotNull)
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, ${dims - 1}), k -> " +
+          "cast(conv(substring(md5(payload), k * 4 + 1, 4), 16, 10) as bigint))")
+        .as("feature"))
   }
 }

@@ -136,42 +136,52 @@ object MultiModalOps {
   private val OutDim = 8
   private val RasterW = 32
 
-  def m03Resize(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      // need h0 >= OutDim rows of RasterW bytes for a full box partition
-      .filter(length(col("payload")) >= RasterW * OutDim)
+  def m03Resize(s: SparkSession, d: String): DataFrame =
+    resizeOf(documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload")),
+      OutDim, RasterW)
+      .orderBy("doc_id", "y", "x")
+
+  /** Box-resample kernel over an arbitrary (doc_id, payload) frame; shared
+    * by m03 and the [[graft.ops.Media]] facade. Rows whose payload cannot
+    * fill one full box partition (length < rasterW*outDim) — or with a null
+    * id/payload — produce no pixels: a partial raster has no well-defined
+    * 8×8 box average, and a malformed row must not kill the pass. */
+  private[graft] def resizeOf(docs: DataFrame, outDim: Int,
+                              rasterW: Int): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("y", IntegerType, nullable = false),
       StructField("x", IntegerType, nullable = false),
       StructField("px", LongType, nullable = false)))
-    docs.mapPartitions { rows =>
+    docs
+      .filter(col("doc_id").isNotNull &&
+        length(col("payload")) >= rasterW * outDim)
+      .mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]]("payload")
-        val h0 = bytes.length / RasterW
-        val sums = Array.ofDim[Long](OutDim * OutDim)
-        val counts = Array.ofDim[Long](OutDim * OutDim)
+        val h0 = bytes.length / rasterW
+        val sums = Array.ofDim[Long](outDim * outDim)
+        val counts = Array.ofDim[Long](outDim * outDim)
         var yy = 0
         while (yy < h0) {
-          val y = yy * OutDim / h0
+          val y = yy * outDim / h0
           var xx = 0
-          while (xx < RasterW) {
-            val x = xx * OutDim / RasterW
-            val v = bytes(yy * RasterW + xx) & 0xFF
-            sums(y * OutDim + x) += v
-            counts(y * OutDim + x) += 1
+          while (xx < rasterW) {
+            val x = xx * outDim / rasterW
+            val v = bytes(yy * rasterW + xx) & 0xFF
+            sums(y * outDim + x) += v
+            counts(y * outDim + x) += 1
             xx += 1
           }
           yy += 1
         }
-        (0 until OutDim * OutDim).iterator.map { k =>
-          Row(id, k / OutDim, k % OutDim, sums(k) / counts(k))
+        (0 until outDim * outDim).iterator.map { k =>
+          Row(id, k / outDim, k % outDim, sums(k) / counts(k))
         }
       }
     }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
-      .orderBy("doc_id", "y", "x")
   }
 
   /** The oracle recomputes the identical integer box filter from character

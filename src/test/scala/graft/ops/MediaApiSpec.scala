@@ -61,4 +61,65 @@ class MediaApiSpec extends AnyFunSuite {
     val outW = Media.decodeWav(mixed, "id", "bytes").orderBy("doc_id").collect()
     assert(!outW(1).getBoolean(1) && !outW(2).getBoolean(1))
   }
+
+  test("null ids degrade to ok=false rows, not NPE task failures") {
+    import spark.implicits._
+    val mixed = Seq(
+      (java.lang.Long.valueOf(1L), graft.queries.MultiModalOps.ppmBytes(1L)),
+      (null.asInstanceOf[java.lang.Long], graft.queries.MultiModalOps.ppmBytes(2L)),
+      (java.lang.Long.valueOf(3L), null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "bytes")
+    val out = Media.decodePpm(mixed, "id", "bytes")
+      .orderBy(col("doc_id").asc_nulls_last).collect()
+    assert(out.length == 3)
+    assert(out(0).getBoolean(1))                       // good row decodes
+    assert(!out(1).getBoolean(1) && out(1).isNullAt(2)) // null payload -> ok=false
+    assert(out(2).isNullAt(0) && !out(2).getBoolean(1)) // null id -> ok=false row
+    val outW = Media.decodeWav(mixed, "id", "bytes")
+      .orderBy(col("doc_id").asc_nulls_last).collect()
+    assert(outW.length == 3 && outW(2).isNullAt(0) && !outW(2).getBoolean(1))
+  }
+
+  test("sampleFrames over a payload column == m02 on the documents corpus") {
+    val docs = graft.queries.Tables.documents(spark, d)
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("bytes"))
+    val api = Media.sampleFrames(docs, "id", "bytes")
+      .orderBy("doc_id", "frame_id")
+    val gated = graft.queries.MultiModalOps.m02FrameSample(spark, d)
+    assert(api.columns.sameElements(gated.columns))
+    assert(api.exceptAll(gated).isEmpty && gated.exceptAll(api).isEmpty)
+  }
+
+  test("resize over a payload column == m03 on the documents corpus") {
+    val docs = graft.queries.Tables.documents(spark, d)
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("bytes"))
+    val api = Media.resize(docs, "id", "bytes").orderBy("doc_id", "y", "x")
+    val gated = graft.queries.MultiModalOps.m03Resize(spark, d)
+    assert(api.columns.sameElements(gated.columns))
+    assert(api.exceptAll(gated).isEmpty && gated.exceptAll(api).isEmpty)
+  }
+
+  test("embedStub over a payload column == m04 features on the corpus") {
+    val docs = graft.queries.Tables.documents(spark, d)
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("bytes"))
+    val flat = (0 until 8).map(k => col("feature").getItem(k).as(s"f$k"))
+    val api = Media.embedStub(docs, "id", "bytes")
+      .select((col("doc_id") +: flat): _*).orderBy("doc_id")
+    val gated = graft.queries.MultiModalOps.m04EmbedStub(spark, d)
+    assert(api.columns.sameElements(gated.columns))
+    assert(api.exceptAll(gated).isEmpty && gated.exceptAll(api).isEmpty)
+  }
+
+  test("sampleFrames/resize/embedStub drop null-id rows instead of failing") {
+    import spark.implicits._
+    val big = Array.fill(32 * 8)(7.toByte)
+    val mixed = Seq(
+      (java.lang.Long.valueOf(1L), big),
+      (null.asInstanceOf[java.lang.Long], big)).toDF("id", "bytes")
+    assert(Media.sampleFrames(mixed, "id", "bytes")
+      .select("doc_id").distinct().count() == 1)
+    assert(Media.resize(mixed, "id", "bytes")
+      .select("doc_id").distinct().count() == 1)
+    assert(Media.embedStub(mixed, "id", "bytes").count() == 1)
+  }
 }
