@@ -16,6 +16,12 @@ import graft.queries.{DedupOps, DedupOps2}
   * df-capped with hard-bounded aggregation state, and clustering runs a
   * single-task union-find for small candidate graphs with distributed
   * pointer-doubling propagation beyond [[DedupOps.SingleTaskEdgeMax]].
+  *
+  * Every operator returns a LAZY plan — nothing executes until the caller
+  * runs an action, so results compose under Catalyst and survive executor
+  * loss by recomputation (all subtrees are deterministic). Callers reusing
+  * a result across multiple actions should `persist` it themselves; the
+  * facade never persists on the caller's behalf.
   */
 object Corpus {
 
@@ -41,15 +47,21 @@ object Corpus {
     DedupOps.minhashSigOf(shingles(docs, idCol, textCol))
 
   /** Banded-LSH near-duplicate candidate pairs with estimated similarity
-    * (fraction of agreeing minhashes). The signature table is cached for
-    * the band + scoring branches and released before returning. */
+    * (fraction of agreeing minhashes).
+    *
+    * LAZY, like every facade operator: the returned plan computes nothing
+    * until an action runs, so a caller can compose/filter it and Catalyst
+    * optimizes the whole. The deterministic signature subtree appears in
+    * the band and scoring branches; persist `docs` (or the result) before
+    * multi-action reuse. The driver-gated d04 query keeps the eager
+    * cache-and-release pattern for its bounded bench output — that pattern
+    * is wrong for a library API (it forces computation at call time and
+    * stores non-replicated executor-local blocks an executor loss cannot
+    * rebuild). */
   def minhashCandidatePairs(spark: SparkSession, docs: DataFrame,
                             idCol: String = "doc_id",
-                            textCol: String = "text"): DataFrame = {
-    val sig = minhashSignatures(docs, idCol, textCol).cache()
-    try DedupOps.lshPairsOf(sig).localCheckpoint(true)
-    finally sig.unpersist(blocking = false)
-  }
+                            textCol: String = "text"): DataFrame =
+    DedupOps.lshPairsOf(minhashSignatures(docs, idCol, textCol))
 
   /** n-gram Jaccard near-duplicate pairs (threshold 0.8): ONE df-capped
     * shingle-grouping pass (bounded per-group state via the
@@ -60,10 +72,11 @@ object Corpus {
                         textCol: String = "text",
                         threshold: Double = 0.8): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val grouped = DedupOps.groupedShinglesOf(
-      shingles(docs, idCol, textCol)).cache()
-    try DedupOps.d02Build(grouped, threshold).localCheckpoint(true)
-    finally grouped.unpersist(blocking = false)
+    // lazy: the capped-group subtree feeds both the pair and the count
+    // branches; persist upstream for multi-action reuse (see
+    // [[minhashCandidatePairs]])
+    DedupOps.d02Build(
+      DedupOps.groupedShinglesOf(shingles(docs, idCol, textCol)), threshold)
   }
 
   /** Connected components over an undirected candidate-pair frame (first
@@ -94,11 +107,10 @@ object Corpus {
     * sub-band bucketing — never a cross join. */
   def simhashPairs(spark: SparkSession, docs: DataFrame,
                    idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame = {
-    val sh = simhashSignatures(docs, idCol, textCol).cache()
-    try DedupOps.simhashPairsOf(sh).localCheckpoint(true)
-    finally sh.unpersist(blocking = false)
-  }
+                   textCol: String = "text"): DataFrame =
+    // lazy; the deterministic simhash subtree is the self-join's both sides
+    // (see [[minhashCandidatePairs]] for the persistence guidance)
+    DedupOps.simhashPairsOf(simhashSignatures(docs, idCol, textCol))
 
   /** Fixed-width word segments (the CCNet-style paragraph unit). */
   def segments(docs: DataFrame, idCol: String = "doc_id",

@@ -95,4 +95,32 @@ class CorpusApiSpec extends AnyFunSuite {
     Corpus.ngramJaccardPairs(spark, renamed, "id", "body").count()
     assert(spark.sharedState.cacheManager.isEmpty)
   }
+
+  test("facade operators are lazy: constructing a plan runs no Spark jobs") {
+    // build the input frame BEFORE the listener: spark.read.parquet does
+    // its file listing eagerly, and that (data-source, not facade) work is
+    // not what this test gates
+    val input = renamed
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val pairs = Corpus.minhashCandidatePairs(spark, input, "id", "body")
+      Corpus.ngramJaccardPairs(spark, input, "id", "body")
+      Corpus.simhashPairs(spark, input, "id", "body")
+      // listener delivery is async; a brief drain window is enough for a
+      // job-start event that would have fired during plan construction
+      Thread.sleep(500)
+      assert(counter.get() == 0,
+        "facade plan construction must not launch jobs")
+      // and the lazy plan still computes the gated result when acted on
+      assert(pairs.count() ==
+        graft.queries.DedupOps.d04MinhashLsh(spark, d).count())
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
