@@ -62,6 +62,16 @@ object CombineReferences {
     ((position - gMin) / bucketSize).toInt
   }
 
+  /** A reference key holding a metadata DOCUMENT (not chunk bytes), in
+    * either key dialect: v3 `zarr.json` docs at root or per-variable, and
+    * v2 dot-files (`.zgroup`/`.zattrs`/`.zarray`/`.zmetadata`) at root or
+    * per-variable. These always ride in the consolidated `.zmetadata` of
+    * the parquet artifact and always survive a component-pruned read. */
+  private[kerchunk] def isMetadataKey(k: String): Boolean = {
+    val base = k.substring(k.lastIndexOf('/') + 1)
+    base == "zarr.json" || base.startsWith(".z")
+  }
+
   /** WriteReference (writers.py:132-195): persist as reference.json or as a
     * parquet table (key, url, offset, length, inline). */
   def writeReferenceJson(rs: RefSet, path: String): Unit = {
@@ -97,23 +107,34 @@ object CombineReferences {
     combined
   }
 
-  /** Parquet reference artifact in the fsspec LazyReferenceMapper record
-    * shape (writers.py:137,157-160: `record_size=refs_per_component`,
-    * default 10000): chunk refs are grouped per component (the top-level
-    * variable) and no parquet record-file holds more than
-    * `refsPerComponent` rows — `<out>/component=<var>/refs*.parquet` —
-    * while every metadata document (zarr.json group/array docs) lives in
-    * one consolidated `<out>/.zmetadata` JSON alongside the record size.
-    * At 100 TB-scale ref counts this is what keeps a single component
-    * openable without scanning the whole ref table. */
+  /** Parquet reference artifact — a REPO-INTERNAL layout INSPIRED BY (not
+    * byte-compatible with) the fsspec LazyReferenceMapper record shape
+    * (writers.py:137,157-160: `record_size=refs_per_component`, default
+    * 10000). What it shares with fsspec's: chunk refs grouped per component
+    * (the top-level variable), no record file over `refsPerComponent` rows,
+    * and all metadata documents consolidated in one `.zmetadata` JSON with
+    * the record size — the properties that keep a single component of a
+    * billion-ref store openable without scanning the whole table. What it
+    * does NOT share: fsspec writes positional `<var>/refs.N.parq` files
+    * whose row index IS the chunk ordinal (columns path/offset/size/raw,
+    * zarr-v2 keys); this artifact writes Hive-partitioned
+    * `component=<var>/part-*.parquet` with explicit
+    * (key, url, offset, length, inline_b64) columns, readable only by
+    * [[readReferenceParquet]] (or any parquet reader — the columns are
+    * self-describing). For fsspec/kerchunk ecosystem interop, emit the JSON
+    * artifact (`writeReferenceJson` / `v2Keys = true`).
+    *
+    * Metadata routing covers both key dialects: v3 docs (`zarr.json`,
+    * `<var>/zarr.json`) and v2 docs (root `.zgroup`/`.zattrs`/`.zmetadata`
+    * and per-variable `<var>/.zarray`/`.zattrs`/`.zgroup`) all land in the
+    * consolidated `.zmetadata`, never in the chunk records. */
   def writeReferenceParquet(spark: org.apache.spark.sql.SparkSession,
                             rs: RefSet, path: String,
                             refsPerComponent: Int = 10000): Unit = {
     import spark.implicits._
     require(refsPerComponent > 0, "refsPerComponent must be positive")
     val (metaKeys, chunkKeys) = rs.refs.toSeq.sortBy(_._1)
-      .partition { case (k, _) =>
-        k == "zarr.json" || k.endsWith("/zarr.json") || k.startsWith(".z") }
+      .partition { case (k, _) => isMetadataKey(k) }
     // consolidated metadata: every zarr.json doc inline, plus record_size
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val metaRoot = mapper.createObjectNode()
@@ -169,9 +190,14 @@ object CombineReferences {
       finally in.close()
     val zm = mapper.readTree(metaJson)
     var refs = Map.empty[String, Ref]
+    // Pruned reads keep EVERY root-level metadata doc (v3 "zarr.json" and
+    // v2 ".zgroup"/".zattrs"/…): without the root group doc the pruned
+    // RefSet is unopenable. Per-variable docs are pruned with their
+    // component.
     zm.get("metadata").fields().forEachRemaining { e =>
+      val isRootDoc = !e.getKey.contains('/')
       if (components.forall(cs =>
-        e.getKey == "zarr.json" || cs.contains(e.getKey.split('/').head)))
+        isRootDoc || cs.contains(e.getKey.split('/').head)))
         refs += e.getKey -> Ref.inline(
           mapper.writeValueAsBytes(e.getValue))
     }

@@ -318,4 +318,40 @@ class KerchunkSpec extends AnyFunSuite {
     assert(got.attrs == f.attrs)
     assert(got.dataVars("v").attrs == f.dataVars("v").attrs)
   }
+
+  test("parquet artifact routes v2 metadata docs and keeps root docs on pruned reads") {
+    // a v2-keyed RefSet (the shape the zarr-v2 scan path produces):
+    // root .zgroup/.zattrs, per-variable .zarray/.zattrs, dot chunk keys
+    val dir = java.nio.file.Files.createTempDirectory("pq_v2").toString
+    def doc(s: String): Ref = Ref.inline(s.getBytes("UTF-8"))
+    val rs = RefSet(Map(
+      ".zgroup" -> doc("""{"zarr_format":2}"""),
+      ".zattrs" -> doc("""{"title":"t"}"""),
+      "x/.zarray" -> doc("""{"shape":[2],"chunks":[2]}"""),
+      "x/.zattrs" -> doc("""{"_ARRAY_DIMENSIONS":["x"]}"""),
+      "x/0" -> Ref(Some("file:///data/a.bin"), 0L, 8L, None),
+      "y/.zarray" -> doc("""{"shape":[2],"chunks":[2]}"""),
+      "y/0" -> Ref(Some("file:///data/b.bin"), 8L, 8L, None)))
+    val pq = s"$dir/refs.parquet"
+    CombineReferences.writeReferenceParquet(spark, rs, pq)
+    // every metadata doc (root AND per-variable v2 dot-docs) lives in
+    // .zmetadata, never in the chunk records
+    val zm = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(java.nio.file.Paths.get(s"$pq/.zmetadata")))
+    val metaKeys = {
+      val it = zm.get("metadata").fieldNames()
+      val b = Set.newBuilder[String]; while (it.hasNext) b += it.next(); b.result()
+    }
+    assert(metaKeys ==
+      Set(".zgroup", ".zattrs", "x/.zarray", "x/.zattrs", "y/.zarray"))
+    val recordKeys = spark.read.parquet(pq)
+      .select("key").collect().map(_.getString(0)).toSet
+    assert(recordKeys == Set("x/0", "y/0"))
+    // a component-pruned read keeps the root group docs — the pruned
+    // RefSet must still be openable — and x's own docs, but drops y's
+    val xOnly = CombineReferences.readReferenceParquet(spark, pq,
+      components = Some(Set("x")))
+    assert(xOnly.keys ==
+      Set(".zgroup", ".zattrs", "x/.zarray", "x/.zattrs", "x/0"))
+  }
 }
