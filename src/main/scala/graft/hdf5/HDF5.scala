@@ -21,13 +21,47 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   *   - dataspace v1/v2, datatypes: fixed-point, IEEE float, string,
   *     variable-length, object reference
   *   - data layout v3: compact, contiguous, chunked (B-tree v1 chunk
-  *     index); filter pipeline v1/v2 with deflate and shuffle
+  *     index); filter pipeline v1/v2
   *   - attributes v1/v2/v3 including variable-length data through the
   *     global heap ("GCOL") — the netCDF-4 DIMENSION_LIST convention
+  *
+  * Filter matrix: SUPPORTED = deflate (id 1), shuffle (id 2), fletcher32
+  * (id 3) — everything libnetcdf writes and every reference fixture uses.
+  * NOT SUPPORTED (clear [[UnsupportedFilterException]] naming the filter,
+  * never a garbled decode): szip (4), nbit (5), scale-offset (6), and
+  * registered third-party filters such as lzf (32000), bzip2 (307),
+  * blosc (32001), zstd (32015). h5py via its plugin ecosystem reads more;
+  * files carrying those filters need a one-time repack
+  * (`h5repack -f GZIP=4`) before this reader.
   *
   * Dense (fractal-heap) groups and attributes are rejected with a clear
   * error; netCDF-4 files use them only past hundreds of links.
   */
+/** A chunk's filter pipeline names a filter this reader does not implement.
+  * Raised BEFORE any bytes are interpreted — an unknown filter must surface
+  * as a clear error, never as a garbled decode. See the filter matrix in
+  * the [[HDF5]] scaladoc. */
+final class UnsupportedFilterException(val filterId: Int)
+  extends UnsupportedOperationException(
+    s"HDF5 filter $filterId (${UnsupportedFilterException.name(filterId)}) " +
+      "is not supported; supported filters are deflate(1), shuffle(2), " +
+      "fletcher32(3). Repack the file (e.g. `h5repack -f GZIP=4`) to read it.")
+
+object UnsupportedFilterException {
+  /** Public registered-filter names, for actionable error text. */
+  private[hdf5] def name(id: Int): String = id match {
+    case 4     => "szip"
+    case 5     => "nbit"
+    case 6     => "scale-offset"
+    case 307   => "bzip2"
+    case 32000 => "lzf"
+    case 32001 => "blosc"
+    case 32004 => "lz4"
+    case 32015 => "zstd"
+    case _     => "unregistered"
+  }
+}
+
 object HDF5 {
 
   val Signature: Array[Byte] =
@@ -612,7 +646,7 @@ object HDF5 {
             data = out
           case 3 => // fletcher32: strip trailing checksum
             data = java.util.Arrays.copyOf(data, data.length - 4)
-          case id => throw new UnsupportedOperationException(s"HDF5 filter $id")
+          case id => throw new UnsupportedFilterException(id)
         }
       }
       data

@@ -99,6 +99,28 @@ class Hdf5Spec extends AnyFunSuite {
     assert(back.sameAs(f))
   }
 
+  test("unknown filter (szip-flagged pipeline) raises a clear error, not a garbled decode") {
+    val f = cube(nt = 8)
+    val path = s"$dir/szip.nc"
+    HDF5Writer.write(path, f, chunks = Map(
+      "foo" -> Vector(2, 5, 4), "bar" -> Vector(8, 5, 4)),
+      deflateLevel = Some(7))
+    // binary-patch the filter pipeline entry from deflate(1) to szip(4):
+    // the v1 entry the writer emits is id=0001, namelen=0, flags=0,
+    // nvalues=1, value=7(level), pad — a 16-byte signature unique in the file
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    val sig = Array[Byte](1, 0, 0, 0, 0, 0, 1, 0, 7, 0, 0, 0, 0, 0, 0, 0)
+    val hits = bytes.indices.filter(i => i + sig.length <= bytes.length &&
+      sig.indices.forall(j => bytes(i + j) == sig(j)))
+    assert(hits.nonEmpty, "deflate pipeline entry not found to patch")
+    hits.foreach(i => bytes(i) = 4)
+    Files.write(java.nio.file.Paths.get(path), bytes)
+    val e = intercept[UnsupportedFilterException](HDF5.read(path))
+    assert(e.filterId == 4)
+    assert(e.getMessage.contains("szip"))
+    assert(e.getMessage.contains("h5repack"))
+  }
+
   test("signature and refusal of non-HDF5 input") {
     val path = s"$dir/not_h5.nc"
     Files.write(java.nio.file.Paths.get(path), "CDF garbage".getBytes)
