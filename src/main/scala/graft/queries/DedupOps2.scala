@@ -157,6 +157,13 @@ object DedupOps2 {
       try newSegs.stat.bloomFilter("h", math.max(newSegs.count(), 1L), 0.01)
       finally newSegs.unpersist(blocking = false)
     val bfB = s.sparkContext.broadcast(bf)
+    // Deliberately a scalar udf — the ONE in the codebase. Spark's codegen'd
+    // BloomFilterMightContain expression is not publicly constructible
+    // against a DataFrameStatFunctions-built sketch (it expects the
+    // BloomFilterAggregate binary format via an internal constructor), and
+    // a udf probing a broadcast-local bit array costs no shuffle and no
+    // boxing beyond the Long parameter. Do NOT copy this pattern for
+    // per-row math — use a codegen'd Expression (see VectorExpressions).
     val mightContain = udf((h: Long) => bfB.value.mightContain(h))
     val corpusHits = segmentsOf(corpus)
       .withColumn("h", expr(h60("seg")))

@@ -50,8 +50,12 @@ object StreamingPipelines {
                       targetChunks: Map[String, Int],
                       nitemsPerFile: Option[Int] = None)(
       batch: Dataset[String], batchId: Long): Unit = {
-    // URL list is metadata-sized; order within the batch must be stable so
-    // concat offsets are deterministic
+    // Driver-side collect is BOUNDED by construction: the stream carries
+    // file URLs (one short string per arriving file, ~100 bytes each at a
+    // per-trigger cadence of at most thousands of files), mirroring the
+    // reference's driver-side pattern enumeration. Do NOT copy this into a
+    // data path — fragments/chunks never pass through the driver. The sort
+    // makes intra-batch order stable so concat offsets are deterministic.
     val urls = batch.collect().toVector.sorted
     if (urls.nonEmpty) {
       val pattern = graft.patterns.FilePattern.fromFileSequence(
