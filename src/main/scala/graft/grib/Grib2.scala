@@ -17,15 +17,22 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
   *   1 identification   originating centre + reference time
   *   3 grid definition  template 3.0 (regular lat-lon) / 3.20 (polar stereo)
   *   4 product          template 4.0 (param category/number, level)
-  *   5 data representation  template 5.0 (simple packing) / 5.40 (JPEG2000)
+  *   5 data representation  template 5.0 (simple) / 5.2 (complex) /
+  *                          5.3 (complex + spatial differencing) / 5.40
   *   6 bitmap           optional validity mask, one bit per grid point
   *   7 data             packed values
   *   8 end              "7777"
   *
-  * Decoding support: simple packing (5.0) in full; 5.40 in the zero-payload
-  * constant-field case (nbits=0 → every valid point equals R/10^D — what the
-  * reference fixture contains). A real JPEG2000 payload needs a jp2 codec
-  * that does not exist in this offline JVM build and raises a clear error.
+  * Decoding support: simple packing (5.0) in full; complex packing (5.2)
+  * and complex packing with spatial differencing orders 1 and 2 (5.3) —
+  * the templates real NOAA HRRR/GFS output uses — in full (group
+  * reference/width/length streams, un-differencing, bitmap); 5.40 in the
+  * zero-payload constant-field case (nbits=0 → every valid point equals
+  * R/10^D — what the reference fixture contains). A real JPEG2000 payload
+  * needs a jp2 codec that does not exist in this offline JVM build and
+  * raises a clear error, as does complex packing's embedded
+  * missing-value management (missingMgmt != 0; NOAA output uses the
+  * bitmap instead).
   *
   * Scanning is header-only: section bodies 0-5 are metadata-sized reads;
   * the bitmap and data sections are recorded as (offset, length) byte
