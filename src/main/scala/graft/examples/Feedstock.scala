@@ -23,6 +23,7 @@ object Feedstock {
     DailyCubeDynamicChunksFeedstock,
     GpcpRechunkFeedstock,
     NarrOpendapFeedstock,
+    NoaaOisstFeedstock,
     TerraclimateRecipe,
     HrrrKerchunkRecipe,
   ).map(r => r.id -> r).toMap

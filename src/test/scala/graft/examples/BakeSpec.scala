@@ -376,4 +376,93 @@ class BakeSpec extends AnyFunSuite {
     assert(f.allVars("latitude").data.getDouble(0) == 30.0)
     assert(f.allVars("longitude").data.getDouble(0) == 250.0)
   }
+
+  // ------------------------------------------------------------- noaa-oisst
+
+  test("noaa-oisst url_format: strftime fields render like the reference template") {
+    val tpl = "https://www.ncei.noaa.gov/data/sea-surface-temperature-" +
+      "optimum-interpolation/v2.1/access/avhrr/{time:%Y%m}/" +
+      "oisst-avhrr-v02r01.{time:%Y%m%d}.nc"
+    val got = NoaaOisstFeedstock.formatUrl(tpl,
+      java.time.LocalDate.parse("1981-09-01"))
+    assert(got == "https://www.ncei.noaa.gov/data/sea-surface-temperature-" +
+      "optimum-interpolation/v2.1/access/avhrr/198109/" +
+      "oisst-avhrr-v02r01.19810901.nc")
+    val e = intercept[IllegalArgumentException](
+      NoaaOisstFeedstock.formatUrl("{time:%Q}",
+        java.time.LocalDate.parse("1981-09-01")))
+    assert(e.getMessage.contains("%Q"))
+  }
+
+  test("bake noaa-oisst: remote daily netCDF-4 over HTTP -> cached -> consolidated zarr") {
+    import graft.hdf5.HDF5Writer
+    val dir = tmp()
+    val nt = 4
+    val cube = GoldenCube.makeDs(nt)
+    val days = GoldenCube.splitByTime(cube, 1)
+    val dates = (0 until nt).map(i =>
+      java.time.LocalDate.parse("2021-01-01").plusDays(i.toLong))
+    // one netCDF-4 file per day, served at the reference's URL layout
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    days.zip(dates).foreach { case (f, date) =>
+      val nc = s"$dir/oisst_${date}.nc"
+      HDF5Writer.write(nc, f)
+      val bytes = Files.readAllBytes(Paths.get(nc))
+      val ym = f"${date.getYear}%04d${date.getMonthValue}%02d"
+      val ymd = ym + f"${date.getDayOfMonth}%02d"
+      server.createContext(s"/avhrr/$ym/oisst-avhrr-v02r01.$ymd.nc",
+        (ex: com.sun.net.httpserver.HttpExchange) => {
+          ex.sendResponseHeaders(200, bytes.length.toLong)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        })
+    }
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val conf = writeConfig(dir,
+        "TargetStorage" -> Seq("root_path" -> s"$dir/target"),
+        "InputCacheStorage" -> Seq("root_path" -> s"$dir/cache"),
+        "NoaaOisst" -> Seq(
+          "url_format" -> (s"$base/avhrr/{time:%Y%m}/" +
+            "oisst-avhrr-v02r01.{time:%Y%m%d}.nc"),
+          "dates" -> dates.mkString(","),
+          "target_chunks" -> "time=2"))
+      val out = graft.Bake.run(spark, Array(
+        "--recipe-id=noaa-oisst", s"-f=$conf"))
+      assert(out == s"$dir/target/noaa-oisst.zarr")
+      val result = ZarrGroup(out).readFragment()
+      assert(result.dims("time") == nt)
+      assert(result.allVars.keySet.intersect(Set("foo", "bar")) ==
+        Set("foo", "bar"))
+      val want = cube.allVars("foo").data.data.asInstanceOf[Array[Double]]
+      val got = result.allVars("foo").data.data.asInstanceOf[Array[Double]]
+      assert(got.sameElements(want))
+      // OpenURLWithFSSpec cached every remote file under the input cache
+      val cached = new java.io.File(s"$dir/cache").listFiles()
+      assert(cached != null && cached.length == nt,
+        s"expected $nt cached files")
+      // ConsolidateMetadata ran: the root doc carries consolidated metadata
+      val rootDoc = Files.readString(Paths.get(s"$out/zarr.json"))
+      assert(rootDoc.contains("consolidated_metadata"))
+      // reference pins target_chunks via config here: time=2
+      val meta = ZarrGroup(out).arrayMeta("foo")
+      assert(meta.chunks(meta.dimensionNames.indexOf("time")) == 2)
+
+      // --prune keeps the first two dates only
+      Files.createDirectories(Paths.get(s"$dir/pruned"))
+      val prunedConf = writeConfig(s"$dir/pruned",
+        "TargetStorage" -> Seq("root_path" -> s"$dir/target"),
+        "InputCacheStorage" -> Seq("root_path" -> s"$dir/cache"),
+        "NoaaOisst" -> Seq(
+          "url_format" -> (s"$base/avhrr/{time:%Y%m}/" +
+            "oisst-avhrr-v02r01.{time:%Y%m%d}.nc"),
+          "dates" -> dates.mkString(","),
+          "store_name" -> "pruned.zarr"))
+      val pruned = graft.Bake.run(spark, Array(
+        "--recipe-id=noaa-oisst", s"-f=$prunedConf", "--prune"))
+      assert(ZarrGroup(pruned).readFragment().dims("time") == 2)
+    } finally server.stop(0)
+  }
 }
