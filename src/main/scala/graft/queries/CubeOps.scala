@@ -122,8 +122,58 @@ object CubeOps {
       .toDF("stage", "chunks", "shards", "ok")
   }
 
+  /** The reference's explicitly NON-idempotent append path
+    * (transforms.py:679-693: `append_dim=` extends an existing store; a
+    * replayed batch appends again): build a 10-step store, then run a
+    * SECOND pipeline appending 2 more files along time, and golden-compare
+    * the result against the full 12-step cube — the dims check, the
+    * per-variable data equality, and the coordinate extension each get a
+    * verdict row. */
+  def cubeAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nt = 12
+    val cube = makeCube(nt)
+    val first = cube.isel(Map("time" -> Slc(0, 10)))
+    val second = cube.isel(Map("time" -> Slc(10, 12)))
+    val dir = Files.createTempDirectory("graft_cube_append").toString
+    val storePath = s"$dir/store.zarr"
+
+    def run(frag: Fragment, tag: String, append: Boolean): Unit = {
+      val nf = frag.dims("time")
+      val slabs = (0 until nf by 2).map(t0 =>
+        frag.isel(Map("time" -> Slc(t0, t0 + 2)))).toVector
+      val files = writeFragmentFiles(slabs, s"$dir/in_$tag")
+      val pattern = FilePattern.fromFileSequence(files, "time",
+        nitemsPerFile = Some(2), fileType = FileType.Zarr)
+      val frags = Pipelines.openWithFragments(
+        Pipelines.createItems(spark, pattern), FileType.Zarr)
+      // chunk 2 divides the 10-step initial store, so the append offset
+      // lands on a chunk boundary (the same alignment zarr itself requires)
+      Pipelines.storeToZarr(frags, pattern.combineDimKeys, storePath,
+        Map("time" -> 2), appendDim = if (append) Some("time") else None)
+    }
+    run(first, "initial", append = false)
+    val preAppendLen = ZarrGroup(storePath).arrayMeta("foo").shape.head
+    run(second, "append", append = true)
+
+    val store = ZarrGroup(storePath)
+    val result = store.readFragment()
+    val rows = cube.allVars.toSeq.sortBy(_._1).map { case (name, v) =>
+      val got = result.allVars.get(name)
+      val same = got.exists(g => g.dims == v.dims && g.data.sameElements(v.data))
+      (name, v.shape.mkString(","),
+        store.arrayMeta(name).shape.mkString(","), same)
+    }
+    val okDims = preAppendLen == 10 && result.dims("time") == nt
+    val allOk = result.sameAs(cube)
+    rows.toDF("var_name", "want_shape", "store_shape", "var_match")
+      .withColumn("dims_extended", org.apache.spark.sql.functions.lit(okDims))
+      .withColumn("cube_match", org.apache.spark.sql.functions.lit(allOk))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2e_cube_roundtrip" -> cubeRoundtrip _,
     "e2e_cube_sharded" -> cubeSharded _,
+    "e2e_append" -> cubeAppend _,
   )
 }
