@@ -65,6 +65,24 @@ object Bench {
       }
       name -> times.min
     }
+    // s02 tuning data (untimed, after the measured passes): candidate
+    // volume from the band join vs threshold survivors, so band-width/
+    // threshold tuning has numbers instead of plan-shape guesses
+    val s02Stats: String =
+      if (names.contains("s02_embed_neardup")) {
+        try {
+          import org.apache.spark.sql.functions.col
+          graft.functions.GraftFunctions.register(spark)
+          val emb = graft.queries.SimilarityOps
+            .withQuantized(spark.read.parquet(s"$sfDir/embeddings.parquet")
+              .select(col("vec_id"), col("embedding")), "embedding")
+          val rows = emb.count()
+          val cands = graft.queries.SimilarityOps.s02Candidates(emb).count()
+          val survivors = graft.queries.SimilarityOps
+            .nearDupPairsOf(emb, 0.45).count()
+          s""","s02_rows":$rows,"s02_candidates":$cands,"s02_survivors":$survivors"""
+        } catch { case _: Throwable => "" }
+      } else ""
     // millisecond precision keeps the ONE json line short enough to survive
     // intact in a bounded log tail (full-precision doubles pushed it past the
     // driver's capture window in rounds 1-3 -> parsed:null)
@@ -73,7 +91,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     Console.out.println(
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$s02Stats}""")
     Console.out.flush()
     spark.stop()
   }

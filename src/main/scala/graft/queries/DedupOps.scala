@@ -124,34 +124,72 @@ object DedupOps {
   }
 
   /** df-capped shingle grouping over a pre-built (doc_id, g) table; the
-    * session must have `collect_list_capped` registered. */
+    * session must have `collect_list_capped` registered. Keeps the shingle
+    * key `g`: [[d02Build]] re-keys the group members by it after attaching
+    * per-doc counts, and a small string key shuffles far cheaper than the
+    * member array would. */
   private[graft] def groupedShinglesOf(sh: DataFrame): DataFrame = {
     sh
       .groupBy("g")
       .agg(expr(s"collect_list_capped(doc_id, $MaxShingleDf)").as("docs"))
       .filter(col("docs").isNotNull)
-      .select("docs")
+      .select("g", "docs")
   }
+
+  /** Pack (doc_id, surviving-shingle count) into one long so the pair
+    * emission can read both without a per-pair join. 2^21 counts is a
+    * ~20 MB document; 2^42 ids is ~4×10^12 docs. Overflow fails fast —
+    * a silent wrap would corrupt the ratio prefilter. */
+  private val CountBits = 21
+  private val PackBase = 1L << CountBits
 
   /** Pair emission + Jaccard scoring over the grouped shingle table —
     * separated so `PlanSpec` can gate the plan shape the eager checkpoint
-    * in [[d02NgramJaccard]] would otherwise hide. */
+    * in [[d02NgramJaccard]] would otherwise hide.
+    *
+    * Scale shape: each group member is re-keyed as packed
+    * (doc_id, surviving-count) and the EXACT length-ratio prefilter
+    * `jaccard <= min(na,nb)/max(na,nb)` runs INSIDE the pair emission —
+    * a pair whose sizes differ by more than the threshold ratio can never
+    * reach it and so never enters the pair shuffle (the dominant cost when
+    * shingle df is high: the sf1 scale run measured 270M emitted pairs
+    * pre-filter on the synthetic 30-word-vocabulary corpus). The filter is
+    * provably lossless: inter <= min(na,nb), so
+    * jaccard = inter/(na+nb-inter) <= min/max. Carrying the counts in the
+    * packed key also removes the two post-aggregation count joins. */
   private[graft] def d02Build(grouped: DataFrame,
                               threshold: Double = 0.8): DataFrame = {
     val counts = grouped.select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = grouped
+    // attach each member's count and regroup by the (small) shingle key
+    val packed = grouped
+      .select(col("g"), explode(col("docs")).as("doc_id"))
+      .join(counts, "doc_id")
+      .select(col("g"), expr(
+        s"""CASE WHEN doc_id >= 0 AND doc_id < ${1L << (63 - CountBits)}
+           |  AND n < $PackBase THEN doc_id * $PackBase + n
+           |  ELSE raise_error(concat('d02: doc_id/count out of packing ',
+           |    'range: ', cast(doc_id as string), '/', cast(n as string)))
+           |END""".stripMargin).as("p"))
+      .groupBy("g").agg(collect_list(col("p")).as("docs"))
+    // emit pairs in-group with the lossless ratio prefilter fused in; the
+    // packed longs order by doc_id (counts ride the low bits), so y > x
+    // keeps the doc_a < doc_b orientation
+    val ratio = s"double(least(x % $PackBase, y % $PackBase)) >= " +
+      s"$threshold * double(greatest(x % $PackBase, y % $PackBase))"
+    val pairs = packed
       .filter(size(col("docs")) >= 2)
       .select(explode(expr(
-        "flatten(transform(docs, x -> transform(filter(docs, y -> y > x), " +
-          "y -> struct(x AS doc_a, y AS doc_b))))")).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        "flatten(transform(docs, x -> transform(" +
+          s"filter(docs, y -> y > x AND $ratio), " +
+          "y -> struct(x AS pa, y AS pb))))")).as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("inter"))
     pairs
-      .join(counts.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n", "na"), "doc_a")
-      .join(counts.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n", "nb"), "doc_b")
+      .select(expr(s"pa div $PackBase").as("doc_a"),
+        expr(s"pb div $PackBase").as("doc_b"),
+        col("inter"),
+        (col("pa") % PackBase).as("na"), (col("pb") % PackBase).as("nb"))
       .withColumn("jaccard", round(col("inter").cast("double")
         / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)

@@ -168,9 +168,9 @@ object SimilarityOps {
     nearDupPairsOf(emb, 0.45).orderBy("vec_a", "vec_b")
   }
 
-  /** The s02 kernel over a quantized (vec_id, q, nrm) frame: banded-LSH
-    * candidates + exact rescore, threshold applied to the exact cosine. */
-  private[graft] def nearDupPairsOf(emb: DataFrame, threshold: Double): DataFrame = {
+  /** The banded-signature table feeding the s02 candidate join; exposed so
+    * the bench can report candidate volume alongside the timing. */
+  private[graft] def s02Bands(emb: DataFrame): DataFrame = {
     val bandStructs = (0 until SimBands).map { b =>
       val bits = (0 until SimRowsPerBand).map { r =>
         val j = b * SimRowsPerBand + r
@@ -179,6 +179,24 @@ object SimilarityOps {
       }.mkString(" + ")
       s"struct($b as band_no, cast($bits as bigint) as bits)"
     }.mkString(", ")
+    emb
+      .select(col("vec_id"), explode(expr(s"array($bandStructs)")).as("band"))
+      .select(col("vec_id"), col("band.band_no"), col("band.bits"))
+  }
+
+  /** s02 candidate pairs (band collisions, pre-rescore, pre-distinct). */
+  private[graft] def s02Candidates(emb: DataFrame): DataFrame = {
+    val bands = s02Bands(emb)
+    bands.as("a").join(bands.as("b"),
+        col("a.band_no") === col("b.band_no") &&
+          col("a.bits") === col("b.bits") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+  }
+
+  /** The s02 kernel over a quantized (vec_id, q, nrm) frame: banded-LSH
+    * candidates + exact rescore, threshold applied to the exact cosine. */
+  private[graft] def nearDupPairsOf(emb: DataFrame, threshold: Double): DataFrame = {
     // The band join stays THIN (ids + band key only — no array payload in
     // join-output rows), candidate pairs flow straight into the rescore
     // with no intermediate distinct: the all-candidates dedupe was a full
@@ -186,14 +204,7 @@ object SimilarityOps {
     // deduping AFTER it is free. Rescore joins are plain equi-joins (AQE
     // broadcasts the vector table when it fits, shuffles when it doesn't)
     // and dot/filter run in the same codegen stage as the join output.
-    val bands = emb
-      .select(col("vec_id"), explode(expr(s"array($bandStructs)")).as("band"))
-      .select(col("vec_id"), col("band.band_no"), col("band.bits"))
-    bands.as("a").join(bands.as("b"),
-        col("a.band_no") === col("b.band_no") &&
-          col("a.bits") === col("b.bits") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    s02Candidates(emb)
       .join(emb.select(col("vec_id").as("vec_a"), col("q").as("qa"),
         col("nrm").as("na")), "vec_a")
       .join(emb.select(col("vec_id").as("vec_b"), col("q").as("qb"),
