@@ -77,17 +77,31 @@ object Vectors {
   /** Embedding near-duplicate pairs at an exact-cosine threshold: banded
     * random-hyperplane LSH candidate generation (equi-join on band
     * signatures — never all pairs) + exact integer rescore of candidates
-    * only. APPROXIMATE RECALL (~96% at a 0.45 threshold, higher above it);
-    * precision exact. */
+    * only. APPROXIMATE RECALL (~96% at a 0.45 threshold with the default
+    * bands, higher above it); precision exact.
+    *
+    * SCALE TUNING (`bands` x `bandBits`): random-collision candidate mass
+    * scales ~ bands * n^2 / 2^bandBits, so wider bands cut the dominant
+    * cost exponentially while recall at the threshold is
+    * 1-(1-p^bandBits)^bands with p = 1-acos(threshold)/pi. The (16, 4)
+    * default reproduces the driver-gated s02 exactly (96% boundary recall
+    * at 0.45). At a real near-dup threshold (0.8+, p >= 0.80) the same
+    * recall needs far fewer band collisions: (32, 8) gives 0.963 recall at
+    * threshold 0.7 with 16x fewer random candidates than (16, 4)'s mass at
+    * the same n — the right trade at 10^8+ vectors. The sf1 scale run
+    * measured the default's candidate volume at ~1000 candidates/vector on
+    * 20k vectors (quadratic); see SCALE_r6.md. */
   def nearDuplicatePairs(spark: SparkSession, emb: DataFrame,
                          threshold: Double = 0.45,
                          idCol: String = "vec_id",
-                         vecCol: String = "embedding"): DataFrame = {
+                         vecCol: String = "embedding",
+                         bands: Int = 16,
+                         bandBits: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     SimilarityOps.nearDupPairsOf(
       SimilarityOps.withQuantized(
         emb.select(col(idCol).cast("long").as("vec_id"), col(vecCol)),
         vecCol),
-      threshold)
+      threshold, bands, bandBits)
   }
 }

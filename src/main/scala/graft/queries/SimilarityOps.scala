@@ -169,13 +169,19 @@ object SimilarityOps {
   }
 
   /** The banded-signature table feeding the s02 candidate join; exposed so
-    * the bench can report candidate volume alongside the timing. */
-  private[graft] def s02Bands(emb: DataFrame): DataFrame = {
-    val bandStructs = (0 until SimBands).map { b =>
-      val bits = (0 until SimRowsPerBand).map { r =>
-        val j = b * SimRowsPerBand + r
-        val lit = simPlanes(j).mkString("array(", "L, ", "L)")
-        s"(case when ${dotExpr("q", lit)} > 0 then ${1 << r} else 0 end)"
+    * the bench can report candidate volume alongside the timing. `bands` x
+    * `rowsPerBand` parameterize the OR/AND construction: the gated s02
+    * uses (16, 4); at larger corpus scales wider bands (more bits) shrink
+    * the random-collision mass ~2^-(r-4) per band while more bands restore
+    * recall (see [[graft.ops.Vectors.nearDuplicatePairs]] for the math). */
+  private[graft] def s02Bands(emb: DataFrame, bands: Int = SimBands,
+                              rowsPerBand: Int = SimRowsPerBand): DataFrame = {
+    require(rowsPerBand <= 62, "band bits must fit a long")
+    val bandStructs = (0 until bands).map { b =>
+      val bits = (0 until rowsPerBand).map { r =>
+        val j = b * rowsPerBand + r
+        val lit = planeFor(j).mkString("array(", "L, ", "L)")
+        s"(case when ${dotExpr("q", lit)} > 0 then ${1L << r} else 0 end)"
       }.mkString(" + ")
       s"struct($b as band_no, cast($bits as bigint) as bits)"
     }.mkString(", ")
@@ -185,9 +191,10 @@ object SimilarityOps {
   }
 
   /** s02 candidate pairs (band collisions, pre-rescore, pre-distinct). */
-  private[graft] def s02Candidates(emb: DataFrame): DataFrame = {
-    val bands = s02Bands(emb)
-    bands.as("a").join(bands.as("b"),
+  private[graft] def s02Candidates(emb: DataFrame, bands: Int = SimBands,
+                                   rowsPerBand: Int = SimRowsPerBand): DataFrame = {
+    val b = s02Bands(emb, bands, rowsPerBand)
+    b.as("a").join(b.as("b"),
         col("a.band_no") === col("b.band_no") &&
           col("a.bits") === col("b.bits") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -196,7 +203,9 @@ object SimilarityOps {
 
   /** The s02 kernel over a quantized (vec_id, q, nrm) frame: banded-LSH
     * candidates + exact rescore, threshold applied to the exact cosine. */
-  private[graft] def nearDupPairsOf(emb: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def nearDupPairsOf(emb: DataFrame, threshold: Double,
+                                    bands: Int = SimBands,
+                                    rowsPerBand: Int = SimRowsPerBand): DataFrame = {
     // The band join stays THIN (ids + band key only — no array payload in
     // join-output rows), candidate pairs flow straight into the rescore
     // with no intermediate distinct: the all-candidates dedupe was a full
@@ -204,7 +213,7 @@ object SimilarityOps {
     // deduping AFTER it is free. Rescore joins are plain equi-joins (AQE
     // broadcasts the vector table when it fits, shuffles when it doesn't)
     // and dot/filter run in the same codegen stage as the join output.
-    s02Candidates(emb)
+    s02Candidates(emb, bands, rowsPerBand)
       .join(emb.select(col("vec_id").as("vec_a"), col("q").as("qa"),
         col("nrm").as("na")), "vec_a")
       .join(emb.select(col("vec_id").as("vec_b"), col("q").as("qb"),

@@ -72,6 +72,40 @@ class VectorsApiSpec extends AnyFunSuite {
     assert(got(0).getDouble(3) > got(1).getDouble(3))
   }
 
+  test("nearDuplicatePairs wide-band scale path: full recall on planted pairs, fewer candidates") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val dim = 64
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0 until 500).map(i =>
+      (i.toLong, unit(Array.fill(dim)(rng.nextGaussian().toFloat))))
+    // 20 planted near-dup pairs at cosine ~0.95
+    val planted = (0 until 20).flatMap { p =>
+      val a = base(p)._2
+      // |noise|^2 ~ 64 * 0.04^2 = 0.1 -> cosine(a,b) ~ 1/sqrt(1.1) ~ 0.95
+      val b = unit(a.zip(Array.fill(dim)(rng.nextGaussian().toFloat * 0.04f))
+        .map { case (x, e) => x + e })
+      Seq((1000L + 2 * p, a), (1001L + 2 * p, b))
+    }
+    val emb = (base ++ planted).toDF("vec_id", "embedding")
+    val wide = Vectors.nearDuplicatePairs(spark, emb, threshold = 0.7,
+      bands = 32, bandBits = 8)
+    val found = wide.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 20).foreach { p =>
+      assert(found.contains((1000L + 2 * p, 1001L + 2 * p)),
+        s"planted pair $p missed by the wide-band path")
+    }
+    // the wide construction generates strictly fewer random candidates
+    val q = graft.queries.SimilarityOps.withQuantized(emb, "embedding")
+    val candWide = graft.queries.SimilarityOps.s02Candidates(q, 32, 8).count()
+    val candDefault = graft.queries.SimilarityOps.s02Candidates(q, 16, 4).count()
+    assert(candWide < candDefault / 4,
+      s"wide bands should cut candidates: $candWide vs $candDefault")
+  }
+
   test("cosineTopKFor keeps corpus vectors whose ids collide with query ids") {
     import spark.implicits._
     // Query table has its OWN 0-based id space: query id 0 collides with
