@@ -116,6 +116,60 @@ object BakeOps {
         tmp3(s * nx * ny + i) == 15.0 + s)) &&
       got3.coords("time").data.getLong(1) == base + 3600L
 
+    // --- noaa-oisst: strftime URL pattern + HTTP fetch + cache + consolidate
+    val (on, oy, ox) = (3, 4, 5)
+    val oisst = Fragment(
+      dims = Map("time" -> on, "lat" -> oy, "lon" -> ox),
+      coords = Map(
+        "time" -> Variable(Vector("time"),
+          NDArray(DType.I8, Vector(on), (0 until on).map(_.toLong).toArray)),
+        "lat" -> Variable(Vector("lat"),
+          NDArray(DType.F8, Vector(oy), (0 until oy).map(_ * 1.0).toArray)),
+        "lon" -> Variable(Vector("lon"),
+          NDArray(DType.F8, Vector(ox), (0 until ox).map(_ * 2.0).toArray))),
+      dataVars = Map("sst" -> Variable(Vector("time", "lat", "lon"),
+        NDArray(DType.F8, Vector(on, oy, ox),
+          Array.tabulate(on * oy * ox)(i => i * 0.25)))))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val ok4 = try {
+      val dates = (0 until on).map(i =>
+        java.time.LocalDate.parse("1981-09-01").plusDays(i.toLong))
+      (0 until on).zip(dates).foreach { case (t, date) =>
+        val nc = s"$dir/oisst_$t.nc"
+        graft.hdf5.HDF5Writer.write(nc,
+          oisst.isel(Map("time" -> Slc(t, t + 1))))
+        val bytes = Files.readAllBytes(Paths.get(nc))
+        val ym = f"${date.getYear}%04d${date.getMonthValue}%02d"
+        val ymd = ym + f"${date.getDayOfMonth}%02d"
+        server.createContext(s"/avhrr/$ym/oisst-avhrr-v02r01.$ymd.nc",
+          (ex: com.sun.net.httpserver.HttpExchange) => {
+            ex.sendResponseHeaders(200, bytes.length.toLong)
+            ex.getResponseBody.write(bytes)
+            ex.close()
+          })
+      }
+      server.start()
+      val baseUrl = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val conf4 = writeConfig(s"$dir/oisst.json",
+        "TargetStorage" -> Seq("root_path" -> s"$dir/target"),
+        "InputCacheStorage" -> Seq("root_path" -> s"$dir/cache"),
+        "NoaaOisst" -> Seq(
+          "url_format" -> (s"$baseUrl/avhrr/{time:%Y%m}/" +
+            "oisst-avhrr-v02r01.{time:%Y%m%d}.nc"),
+          "dates" -> dates.mkString(",")))
+      val out4 = graft.Bake.run(spark, Array(
+        "--recipe-id=noaa-oisst", s"-f=$conf4", "--job-name=e2e-oisst"),
+        quiet = true)
+      val got4 = ZarrGroup(out4).readFragment()
+      got4.dims("time") == on &&
+        got4.allVars("sst").data.sameElements(oisst.allVars("sst").data) &&
+        Option(new java.io.File(s"$dir/cache").listFiles())
+          .exists(_.length == on) &&
+        Files.readString(Paths.get(s"$out4/zarr.json"))
+          .contains("consolidated_metadata")
+    } finally server.stop(0)
+
     // everything above evaluated eagerly (stores read back, oks computed),
     // so the fixture tree can go before returning the LocalRelation — the
     // bench invokes this entry three times per run and must not accumulate
@@ -123,7 +177,8 @@ object BakeOps {
     Seq(
       ("daily-cube", ok1),
       ("terraclimate", ok2),
-      ("hrrr-kerchunk-concat-step", ok3))
+      ("hrrr-kerchunk-concat-step", ok3),
+      ("noaa-oisst", ok4))
       .toDF("recipe_id", "ok")
     } finally graft.examples.RecipeFixtures.deleteRecursively(dir)
   }

@@ -360,8 +360,12 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("cast(bit_count(a.simhash ^ b.simhash) as bigint)").as("hamming"))
-      .distinct()
+      // hamming BEFORE distinct: the filter is codegen'd in the join's
+      // output stage, so the dedup shuffle carries only qualifying pairs —
+      // on a sparse (real-vocabulary) corpus that is ~nothing, where the
+      // old order shuffled every band collision (sf1 measured 271M rows)
       .filter(col("hamming") <= 6)
+      .distinct()
   }
 
   val d06Sql: String = {
