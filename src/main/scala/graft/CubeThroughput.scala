@@ -36,7 +36,16 @@ object CubeThroughput {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    try run(spark, nt, slab)
+    finally spark.stop()
+  }
+
+  /** The measurement body, reusable against a caller-owned session (the
+    * tiny-config regression test drives it without stopping the shared
+    * test context). Throws on any verification failure. */
+  def run(spark: SparkSession, nt: Int, slab: Int): Unit = {
     val dir = java.nio.file.Files.createTempDirectory("graft_cube_tp").toString
+    val cpus = math.max(2, spark.sparkContext.defaultParallelism)
     try {
       val (ny, nx) = (512, 1024)
       val bytes = nt.toLong * ny * nx * 8
@@ -52,7 +61,7 @@ object CubeThroughput {
       // parallel chunk-aligned region writes from tasks (one writer per
       // slab, no locks — the object-store write shape)
       val t0 = System.nanoTime()
-      spark.sparkContext.parallelize(0 until nt by 4, cpus.toInt).foreach { t =>
+      spark.sparkContext.parallelize(0 until nt by 4, cpus).foreach { t =>
         val gg = ZarrGroup(src)
         val rng = new scala.util.Random(t)
         gg.writeRegion("v", Vector(t, 0, 0), NDArray(DType.F8,
@@ -73,10 +82,11 @@ object CubeThroughput {
       val rng0 = new scala.util.Random(0)
       val want = Array.fill(4 * ny * nx)(rng0.nextDouble())
       val got = back.dataVars("v").data.data.asInstanceOf[Array[Double]]
-      println(s"""{"stage":"verify","ok":${got.sameElements(want)}}""")
+      val ok = got.sameElements(want)
+      println(s"""{"stage":"verify","ok":$ok}""")
+      require(ok, "rechunked store does not equal the source")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
-      spark.stop()
     }
   }
 }

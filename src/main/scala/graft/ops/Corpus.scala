@@ -41,10 +41,12 @@ object Corpus {
                textCol: String = "text"): DataFrame =
     DedupOps.shinglesOf(norm(docs, idCol, textCol))
 
-  /** MinHash signature matrix (16 deterministic permutations). */
+  /** MinHash signature matrix (deterministic permutations; the gated d03
+    * width is 16 — widen `numHashes` for finer similarity resolution). */
   def minhashSignatures(docs: DataFrame, idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame =
-    DedupOps.minhashSigOf(shingles(docs, idCol, textCol))
+                        textCol: String = "text",
+                        numHashes: Int = 16): DataFrame =
+    DedupOps.minhashSigOf(shingles(docs, idCol, textCol), numHashes)
 
   /** Banded-LSH near-duplicate candidate pairs with estimated similarity
     * (fraction of agreeing minhashes).
@@ -60,8 +62,11 @@ object Corpus {
     * rebuild). */
   def minhashCandidatePairs(spark: SparkSession, docs: DataFrame,
                             idCol: String = "doc_id",
-                            textCol: String = "text"): DataFrame =
-    DedupOps.lshPairsOf(minhashSignatures(docs, idCol, textCol))
+                            textCol: String = "text",
+                            numHashes: Int = 16,
+                            numBands: Int = 4): DataFrame =
+    DedupOps.lshPairsOf(
+      minhashSignatures(docs, idCol, textCol, numHashes), numBands)
 
   /** n-gram Jaccard near-duplicate pairs (threshold 0.8): ONE df-capped
     * shingle-grouping pass (bounded per-group state via the

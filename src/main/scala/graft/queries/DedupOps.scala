@@ -19,11 +19,12 @@ object DedupOps {
   private val P = 2147483647L // 2^31 - 1
   private val NumHashes = 16
   private val Bands = 4 // 4 bands x 4 rows
-  /** Deterministic permutation constants (odd multipliers, fixed seeds). */
-  private val As: Vector[Long] =
-    (0 until NumHashes).map(j => ((1103515245L * (j + 1) + 12345L) % P) | 1L).toVector
-  private val Bs: Vector[Long] =
-    (0 until NumHashes).map(j => (69069L * (j + 7)) % P).toVector
+  /** Deterministic permutation constants (odd multipliers, fixed seeds);
+    * defined for ANY j so the signature width is a facade parameter. */
+  private def aFor(j: Int): Long = ((1103515245L * (j + 1) + 12345L) % P) | 1L
+  private def bFor(j: Int): Long = (69069L * (j + 7)) % P
+  private val As: Vector[Long] = (0 until NumHashes).map(aFor).toVector
+  private val Bs: Vector[Long] = (0 until NumHashes).map(bFor).toVector
 
   /** 60-bit md5 integer of a string column (same on both engines). */
   private def h60(c: String): String =
@@ -219,11 +220,14 @@ object DedupOps {
   def d03MinhashSig(s: SparkSession, d: String): DataFrame =
     minhashSigOf(shingles(s, d)).orderBy("doc_id")
 
-  /** Signature matrix of a pre-built (doc_id, g) shingle table. */
-  private[graft] def minhashSigOf(sh: DataFrame): DataFrame = {
+  /** Signature matrix of a pre-built (doc_id, g) shingle table. The
+    * driver-gated d03 uses the 16-hash default; the facade can widen
+    * (`numHashes`) for finer similarity resolution at scale. */
+  private[graft] def minhashSigOf(sh: DataFrame,
+                                  numHashes: Int = NumHashes): DataFrame = {
     val hashed = sh.withColumn("x", expr(h60("g")) % P)
-    val aggs = (0 until NumHashes).map(j =>
-      min((col("x") * As(j) + Bs(j)) % P).as(s"h$j"))
+    val aggs = (0 until numHashes).map(j =>
+      min((col("x") * aFor(j) + bFor(j)) % P).as(s"h$j"))
     hashed.groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -254,10 +258,18 @@ object DedupOps {
 
   /** Banded-LSH candidate pairs (doc_a, doc_b, est_sim) over a signature
     * table — the reusable core of d04; callers cache `sig` (it feeds the
-    * band AND both scoring branches). */
-  private[graft] def lshPairsOf(sig: DataFrame): DataFrame = {
-    val bandStructs = (0 until Bands).map { b =>
-      val cols = (b * 4 until b * 4 + 4).map(j => s"cast(h$j as string)")
+    * band AND both scoring branches). `bands` must divide the signature
+    * width (inferred from the h* columns); identical signatures collide in
+    * every band under ANY banding, so exact duplicates are invariant to
+    * the parameter while rarer pairs trade recall for candidate volume
+    * exactly as in the s02 analysis (SCALE_r6.md). */
+  private[graft] def lshPairsOf(sig: DataFrame, numBands: Int = Bands): DataFrame = {
+    val numHashes = sig.columns.count(_.startsWith("h"))
+    require(numBands > 0 && numHashes % numBands == 0,
+      s"bands=$numBands must divide the $numHashes-hash signature")
+    val rows = numHashes / numBands
+    val bandStructs = (0 until numBands).map { b =>
+      val cols = (b * rows until b * rows + rows).map(j => s"cast(h$j as string)")
       s"struct($b as band_no, md5(concat_ws(',', ${cols.mkString(", ")})) as band_hash)"
     }.mkString(", ")
     val bands = sig.select(col("doc_id"),
@@ -271,13 +283,13 @@ object DedupOps {
       .distinct()
     // plain equi-joins on doc_id: the signature table is one row per document
     // (does NOT fit in a broadcast at corpus scale) — AQE picks the strategy
-    val sigA = sig.toDF(("doc_a" +: (0 until NumHashes).map(j => s"a_h$j")): _*)
-    val sigB = sig.toDF(("doc_b" +: (0 until NumHashes).map(j => s"b_h$j")): _*)
+    val sigA = sig.toDF(("doc_a" +: (0 until numHashes).map(j => s"a_h$j")): _*)
+    val sigB = sig.toDF(("doc_b" +: (0 until numHashes).map(j => s"b_h$j")): _*)
     cand.join(sigA, "doc_a").join(sigB, "doc_b")
       .withColumn("est_sim", round(
-        (0 until NumHashes).map(j =>
+        (0 until numHashes).map(j =>
           when(col(s"a_h$j") === col(s"b_h$j"), 1).otherwise(0)).reduce(_ + _)
-          .cast("double") / NumHashes, 4))
+          .cast("double") / numHashes, 4))
       .select("doc_a", "doc_b", "est_sim")
   }
 

@@ -96,6 +96,39 @@ class CorpusApiSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("minhash width/banding are tunable; identical texts are invariant to them") {
+    // identical texts have identical signatures at ANY width, and identical
+    // signatures collide in EVERY band under ANY banding — so every pair
+    // of same-text documents must surface with est_sim = 1.0 at both the
+    // gated (16, 4) and a widened (32, 8) construction. (The reverse is
+    // not an invariant: est_sim=1.0 at 16 hashes includes chance
+    // agreements a wider signature correctly splits.)
+    import spark.implicits._
+    // the sf0.001 fixture has no exact duplicates — plant copies of two
+    // existing docs under fresh ids
+    val copies = renamed.filter(col("id").isin(3L, 7L))
+      .select((col("id") + 10000L).as("id"), col("body"))
+    val docs = renamed.unionByName(copies)
+    val sameText = docs.as("a")
+      .join(docs.as("b"),
+        col("a.body") === col("b.body") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sameText == Set((3L, 10003L), (7L, 10007L)))
+    Seq((16, 4), (32, 8)).foreach { case (h, b) =>
+      val perfect = Corpus.minhashCandidatePairs(spark, docs, "id", "body",
+        numHashes = h, numBands = b)
+        .filter(col("est_sim") === 1.0)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(sameText.subsetOf(perfect),
+        s"identical-text pairs missed at ($h,$b): ${sameText.diff(perfect)}")
+    }
+    // and the widened signature really is 32 columns
+    assert(Corpus.minhashSignatures(renamed, "id", "body", numHashes = 32)
+      .columns.count(_.startsWith("h")) == 32)
+  }
+
   test("facade operators are lazy: constructing a plan runs no Spark jobs") {
     // build the input frame BEFORE the listener: spark.read.parquet does
     // its file listing eagerly, and that (data-source, not facade) work is

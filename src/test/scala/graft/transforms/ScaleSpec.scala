@@ -120,4 +120,18 @@ class ScaleSpec extends AnyFunSuite {
       cube.dataVars("foo").data.slice(
         Vector(Slc(5, 15), Slc(40, 60), Slc(80, 110)))))
   }
+
+  test("CubeThroughput harness: tiny run writes, rechunks, and verifies") {
+    // the GB-scale throughput harness must stay runnable; a 33 MB config
+    // exercises the same code path (parallel region writes -> distributed
+    // scan -> one-shuffle rechunk -> exact verify) in seconds. Its verify
+    // stage prints {"stage":"verify","ok":true} and throws on any failure.
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      graft.CubeThroughput.run(spark, nt = 8, slab = 2)
+    }
+    val s = out.toString("UTF-8")
+    assert(s.contains(""""stage":"rechunk""""), s)
+    assert(s.contains(""""stage":"verify","ok":true"""), s)
+  }
 }
