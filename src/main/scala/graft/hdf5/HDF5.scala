@@ -26,13 +26,14 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   *     global heap ("GCOL") — the netCDF-4 DIMENSION_LIST convention
   *
   * Filter matrix: SUPPORTED = deflate (id 1), shuffle (id 2), fletcher32
-  * (id 3) — everything libnetcdf writes and every reference fixture uses.
+  * (id 3) — everything libnetcdf writes and every reference fixture uses —
+  * plus lzf (id 32000), h5py's built-in alternative codec ([[Lzf]]).
   * NOT SUPPORTED (clear [[UnsupportedFilterException]] naming the filter,
   * never a garbled decode): szip (4), nbit (5), scale-offset (6), and
-  * registered third-party filters such as lzf (32000), bzip2 (307),
-  * blosc (32001), zstd (32015). h5py via its plugin ecosystem reads more;
-  * files carrying those filters need a one-time repack
-  * (`h5repack -f GZIP=4`) before this reader.
+  * registered third-party filters such as bzip2 (307), blosc (32001),
+  * zstd (32015). h5py via its plugin ecosystem reads more; files carrying
+  * those filters need a one-time repack (`h5repack -f GZIP=4`) before
+  * this reader.
   *
   * Dense (fractal-heap) groups and attributes are rejected with a clear
   * error; netCDF-4 files use them only past hundreds of links.
@@ -45,7 +46,8 @@ final class UnsupportedFilterException(val filterId: Int)
   extends UnsupportedOperationException(
     s"HDF5 filter $filterId (${UnsupportedFilterException.name(filterId)}) " +
       "is not supported; supported filters are deflate(1), shuffle(2), " +
-      "fletcher32(3). Repack the file (e.g. `h5repack -f GZIP=4`) to read it.")
+      "fletcher32(3), lzf(32000). Repack the file (e.g. `h5repack -f GZIP=4`) " +
+      "to read it.")
 
 object UnsupportedFilterException {
   /** Public registered-filter names, for actionable error text. */
@@ -611,7 +613,8 @@ object HDF5 {
     // ---- data reading ----
 
     private def defilter(raw: Array[Byte], filters: Vector[Filter],
-                         filterMask: Int, elemSize: Int): Array[Byte] = {
+                         filterMask: Int, elemSize: Int,
+                         chunkBytes: Int): Array[Byte] = {
       var data = raw
       // pipeline runs in reverse on read; mask bit i set = filter skipped
       filters.zipWithIndex.reverse.foreach { case (f, i) =>
@@ -646,6 +649,8 @@ object HDF5 {
             data = out
           case 3 => // fletcher32: strip trailing checksum
             data = java.util.Arrays.copyOf(data, data.length - 4)
+          case 32000 => // lzf (h5py): undecorated stream, size from chunk shape
+            data = Lzf.decompress(data, chunkBytes)
           case id => throw new UnsupportedFilterException(id)
         }
       }
@@ -723,8 +728,9 @@ object HDF5 {
           val out = allocWithFill(obj, t, dt, shape)
           chunkRefs(ck).foreach { ref =>
             val raw = readRange(ref.addr, ref.size)
-            val bytes = defilter(raw, obj.filters, ref.filterMask, elemSize)
             val cn = chunkDims.product
+            val bytes = defilter(raw, obj.filters, ref.filterMask, elemSize,
+              cn * elemSize)
             val chunk = NDArray(dt, chunkDims, decodeElems(bytes, t, cn))
             // clip chunks that overhang the dataspace edge
             val starts = ref.offsets.map(_.toInt)

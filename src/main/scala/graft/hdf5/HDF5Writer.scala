@@ -204,7 +204,10 @@ object HDF5Writer {
   def write(path: String, f: Fragment,
             chunks: Map[String, Vector[Int]] = Map.empty,
             deflateLevel: Option[Int] = None,
-            shuffle: Boolean = false): Unit = {
+            shuffle: Boolean = false,
+            lzf: Boolean = false): Unit = {
+    require(!(lzf && deflateLevel.isDefined),
+      "lzf and deflate are alternative block codecs; pick one")
     // dims in deterministic order; phantom scales for coordinate-less dims
     val dimNames = f.dims.keys.toVector.sorted
     val varNames = (f.coords.keySet ++ f.dataVars.keySet).toVector.sorted
@@ -221,7 +224,8 @@ object HDF5Writer {
     }
 
     // per-variable raw data (encoded, possibly chunk-split + deflated)
-    final case class ChunkPlan(offsets: Vector[Int], bytes: Array[Byte])
+    final case class ChunkPlan(offsets: Vector[Int], bytes: Array[Byte],
+                               mask: Int = 0)
     val varData: Map[String, Either[Array[Byte], Vector[ChunkPlan]]] =
       (f.coords ++ f.dataVars).map { case (name, v) =>
         chunks.get(name) match {
@@ -238,11 +242,19 @@ object HDF5Writer {
               val valid = lo.indices.map(d => Slc(lo(d),
                 math.min(lo(d) + cs(d), v.shape(d)))).toVector
               full.assign(Vector.fill(cs.length)(0), v.data.slice(valid))
-              // pipeline order on encode: shuffle, then deflate
+              // pipeline order on encode: shuffle, then deflate|lzf
               var enc = encodeData(full)
               if (shuffle) enc = shuffleBytes(enc, v.dtype.byteSize)
               deflateLevel.foreach(lvl => enc = deflate(enc, lvl))
-              ChunkPlan(lo, enc)
+              var mask = 0
+              if (lzf) Lzf.compress(enc) match {
+                case Some(c) => enc = c
+                case None =>
+                  // incompressible chunk stored raw: set the mask bit for
+                  // the lzf entry's pipeline position (after any shuffle)
+                  mask = 1 << (if (shuffle) 1 else 0)
+              }
+              ChunkPlan(lo, enc, mask)
             }
             name -> Right(plans)
         }
@@ -271,18 +283,33 @@ object HDF5Writer {
         }))
       val filterMsg: Vector[Msg] =
         if (varData.get(name).exists(_.isRight) &&
-            (deflateLevel.isDefined || shuffle)) {
-          // pipeline in encode order: shuffle (id 2), then deflate (id 1);
-          // each v1 entry: id, namelen=0, flags, nvalues, values + pad8
-          val entries = (if (shuffle) Vector((2, dtype.byteSize)) else Vector.empty) ++
-            deflateLevel.map(lvl => (1, lvl)).toVector
-          val fb = ByteBuffer.allocate(8 + entries.length * 16)
-            .order(ByteOrder.LITTLE_ENDIAN)
+            (deflateLevel.isDefined || shuffle || lzf)) {
+          // pipeline in encode order: shuffle (id 2), then deflate (id 1)
+          // or lzf (id 32000; registered filters carry a name in v1
+          // entries). Each v1 entry: id, namelen, flags, nvalues,
+          // name pad8, values + pad to even count.
+          final case class Entry(id: Int, name: String, values: Vector[Int])
+          val entries =
+            (if (shuffle) Vector(Entry(2, "", Vector(dtype.byteSize))) else Vector.empty) ++
+            deflateLevel.map(lvl => Entry(1, "", Vector(lvl))).toVector ++
+            (if (lzf) Vector(Entry(32000, "lzf", Vector.empty)) else Vector.empty)
+          val size = 8 + entries.map { e =>
+            val nb = if (e.name.isEmpty) 0 else pad8(e.name.length + 1)
+            8 + nb + e.values.length * 4 + (if (e.values.length % 2 == 1) 4 else 0)
+          }.sum
+          val fb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
           fb.put(1.toByte); fb.put(entries.length.toByte); fb.position(8)
-          entries.foreach { case (id, value) =>
-            fb.putShort(id.toShort); fb.putShort(0); fb.putShort(0)
-            fb.putShort(1)
-            fb.putInt(value); fb.putInt(0) // odd nvalues -> 4-byte pad
+          entries.foreach { e =>
+            val nameLen = if (e.name.isEmpty) 0 else e.name.length + 1
+            fb.putShort(e.id.toShort); fb.putShort(nameLen.toShort)
+            fb.putShort(if (e.id >= 256) 1 else 0) // optional-filter flag
+            fb.putShort(e.values.length.toShort)
+            if (nameLen > 0) {
+              fb.put(e.name.getBytes("ASCII")); fb.put(0.toByte)
+              (e.name.length + 1 until pad8(nameLen)).foreach(_ => fb.put(0.toByte))
+            }
+            e.values.foreach(fb.putInt)
+            if (e.values.length % 2 == 1) fb.putInt(0)
           }
           Vector(0x000B -> fb.array())
         } else Vector.empty
@@ -520,7 +547,7 @@ object HDF5Writer {
           b.putLong(Undefined); b.putLong(Undefined)
           plans.zipWithIndex.foreach { case (p, i) =>
             b.putInt(p.bytes.length)
-            b.putInt(0) // filter mask
+            b.putInt(p.mask) // filter mask (bit i set = entry i skipped)
             p.offsets.foreach(o => b.putLong(o.toLong))
             b.putLong(0L) // element-size dimension offset
             b.putLong(addrs(s"chunk:$n:$i"))

@@ -99,6 +99,72 @@ class Hdf5Spec extends AnyFunSuite {
     assert(back.sameAs(f))
   }
 
+  test("lzf codec: literal runs, overlapping copies, long matches, incompressible input") {
+    // RLE case: back-reference at distance 1 copying byte-sequentially
+    val rle = Array.fill[Byte](10000)(42)
+    val Some(cRle) = Lzf.compress(rle)
+    // max match span is 264 bytes -> ~ceil(10000/264) 3-byte tokens
+    assert(cRle.length < 150, s"RLE should collapse, got ${cRle.length}")
+    assert(Lzf.decompress(cRle, rle.length).sameElements(rle))
+    // periodic data: matches at distance = period, lengths past the
+    // one-byte extension boundary (len >= 9 encoded as 7 + ext)
+    val periodic = Array.tabulate[Byte](5000)(i => (i % 23).toByte)
+    val Some(cPer) = Lzf.compress(periodic)
+    assert(Lzf.decompress(cPer, periodic.length).sameElements(periodic))
+    // literal runs > 32 bytes force run splitting
+    val rng = new scala.util.Random(7)
+    val noisy = Array.tabulate[Byte](300)(i =>
+      if (i < 150) rng.nextInt().toByte else (i % 5).toByte)
+    Lzf.compress(noisy).foreach(c =>
+      assert(Lzf.decompress(c, noisy.length).sameElements(noisy)))
+    // high-entropy input encodes no smaller: the filter convention is to
+    // store it raw with the chunk's mask bit set
+    val noise = new Array[Byte](512); rng.nextBytes(noise)
+    assert(Lzf.compress(noise).isEmpty)
+    // corrupt streams raise instead of mis-decoding
+    intercept[IllegalStateException](Lzf.decompress(Array[Byte](31), 2))
+    intercept[IllegalStateException](
+      Lzf.decompress(Array[Byte](0x20.toByte, 0x05), 100))
+  }
+
+  test("lzf round trip (h5py filter 32000) incl. raw-masked incompressible chunks") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val rng = new scala.util.Random(13)
+    val nt = 8; val ny = 5; val nx = 4
+    // "foo": smooth (compresses); "bar": random long bits (stored raw with
+    // the chunk mask bit set — proven below against the same bytes)
+    val noise = Array.fill(nt * ny * nx)(rng.nextLong())
+    val f0 = cube(nt)
+    val f = f0.copy(dataVars = Map(
+      "foo" -> Variable(Vector("time", "lat", "lon"),
+        NDArray(DType.F8, Vector(nt, ny, nx),
+          Array.tabulate(nt * ny * nx)(i => (i / 7).toDouble))),
+      "bar" -> Variable(Vector("time", "lat", "lon"),
+        NDArray(DType.I8, Vector(nt, ny, nx), noise))))
+    // the writer encodes a full 8x5x4 chunk of bar as LE longs; that byte
+    // stream must be incompressible so the masked-raw path is exercised
+    val barBytes = {
+      val b = ByteBuffer.allocate(noise.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      noise.foreach(b.putLong); b.array()
+    }
+    assert(Lzf.compress(barBytes).isEmpty, "noise chunk unexpectedly compressed")
+    val d0 = dir
+    val path = s"$d0/lzf.nc"
+    HDF5Writer.write(path, f, chunks = Map(
+      "foo" -> Vector(2, 5, 4), "bar" -> Vector(nt, ny, nx)), lzf = true)
+    assert(HDF5.read(path).sameAs(f))
+    // shuffle + lzf (pipeline order: shuffle then lzf; decode reverses)
+    val path2 = s"$d0/lzf_shuf.nc"
+    HDF5Writer.write(path2, f, chunks = Map(
+      "foo" -> Vector(4, 5, 4), "bar" -> Vector(4, 5, 4)),
+      shuffle = true, lzf = true)
+    assert(HDF5.read(path2).sameAs(f))
+    // kerchunk refs cannot name an lzf codec for the zarr store: the
+    // scanner must reject with a pointer at the direct decode path
+    val e = intercept[IllegalArgumentException](graft.kerchunk.RefSet.scanHdf5(path))
+    assert(e.getMessage.contains("filter 32000"))
+  }
+
   test("unknown filter (szip-flagged pipeline) raises a clear error, not a garbled decode") {
     val f = cube(nt = 8)
     val path = s"$dir/szip.nc"
