@@ -18,7 +18,8 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
   *   3 grid definition  template 3.0 (regular lat-lon) / 3.20 (polar stereo)
   *   4 product          template 4.0 (param category/number, level)
   *   5 data representation  template 5.0 (simple) / 5.2 (complex) /
-  *                          5.3 (complex + spatial differencing) / 5.40
+  *                          5.3 (complex + spatial differencing) /
+  *                          5.40 (jpeg2000) / 5.41 (png)
   *   6 bitmap           optional validity mask, one bit per grid point
   *   7 data             packed values
   *   8 end              "7777"
@@ -26,7 +27,9 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
   * Decoding support: simple packing (5.0) in full; complex packing (5.2)
   * and complex packing with spatial differencing orders 1 and 2 (5.3) —
   * the templates real NOAA HRRR/GFS output uses — in full (group
-  * reference/width/length streams, un-differencing, bitmap); 5.40 in the
+  * reference/width/length streams, un-differencing, bitmap); PNG packing
+  * (5.41, the NOAA MRMS packing) via the JVM's ImageIO PNG codec —
+  * grayscale 8/16-bit and RGB/RGBA 24/32-bit sample depths; 5.40 in the
   * zero-payload constant-field case (nbits=0 → every valid point equals
   * R/10^D — what the reference fixture contains). A real JPEG2000 payload
   * needs a jp2 codec that does not exist in this offline JVM build and
@@ -316,9 +319,10 @@ object Grib2 {
 
   private def parsePacking(r: R): Packing = {
     val template = r.u16(9)
-    require(template == 0 || template == 2 || template == 3 || template == 40,
+    require(template == 0 || template == 2 || template == 3 ||
+        template == 40 || template == 41,
       s"GRIB2 data representation template 5.$template not supported " +
-        "(5.0 simple, 5.2/5.3 complex, 5.40 constant fields are)")
+        "(5.0 simple, 5.2/5.3 complex, 5.40 constant fields, 5.41 png are)")
     val complex =
       if (template == 2 || template == 3) Some(ComplexParams(
         splitMethod = r.u8(21), missingMgmt = r.u8(22),
@@ -407,6 +411,40 @@ object Grib2 {
         case 40 => throw new UnsupportedOperationException(
           "GRIB2 JPEG2000 packing with a non-empty payload requires a jp2 " +
             "decoder unavailable in this offline build (constant fields decode)")
+        case 41 =>
+          // PNG packing: section 7 is a PNG image of the X offsets —
+          // grayscale for depth<=16, RGB for 24, RGBA for 32, samples
+          // composed big-endian (the g2clib pixel convention)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(data))
+          require(img != null, "GRIB2 PNG packing: payload is not a PNG image")
+          val raster = img.getRaster
+          val w = img.getWidth
+          require(w.toLong * img.getHeight >= p.nValues,
+            s"PNG image ${w}x${img.getHeight} smaller than ${p.nValues} points")
+          val bands = raster.getNumBands
+          val vals = new Array[Double](p.nValues)
+          var k = 0
+          while (k < p.nValues) {
+            val x = k % w; val y = k / w
+            val xv: Long = bands match {
+              case 1 => raster.getSample(x, y, 0).toLong
+              case 3 =>
+                (raster.getSample(x, y, 0).toLong << 16) |
+                  (raster.getSample(x, y, 1).toLong << 8) |
+                  raster.getSample(x, y, 2).toLong
+              case 4 =>
+                (raster.getSample(x, y, 0).toLong << 24) |
+                  (raster.getSample(x, y, 1).toLong << 16) |
+                  (raster.getSample(x, y, 2).toLong << 8) |
+                  raster.getSample(x, y, 3).toLong
+              case b => throw new UnsupportedOperationException(
+                s"GRIB2 PNG packing with $b sample bands")
+            }
+            vals(k) = (p.refValue + xv * e) / d
+            k += 1
+          }
+          vals(_)
       }
     val out = new Array[Double](n)
     bitmap match {
@@ -650,6 +688,71 @@ object Grib2 {
   private def smPut16(bb: ByteBuffer, v: Int): Unit =
     bb.putShort((if (v < 0) 0x8000 | (-v) else v).toShort)
 
+  /** Section 1 (identification) body shared by the writers. */
+  private def sec1Body(refTimeEpochSec: Long): Array[Byte] = {
+    val t = java.time.LocalDateTime.ofEpochSecond(refTimeEpochSec, 0,
+      java.time.ZoneOffset.UTC)
+    val s1 = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
+    s1.putShort(255) // centre: missing/test
+    s1.putShort(0); s1.put(4.toByte); s1.put(0.toByte); s1.put(1.toByte)
+    s1.putShort(t.getYear.toShort); s1.put(t.getMonthValue.toByte)
+    s1.put(t.getDayOfMonth.toByte); s1.put(t.getHour.toByte)
+    s1.put(t.getMinute.toByte); s1.put(t.getSecond.toByte)
+    s1.put(0.toByte); s1.put(2.toByte)
+    s1.array()
+  }
+
+  /** Section 3 (grid definition, template 3.0 regular lat-lon) body. */
+  private def sec3LatLon(nx: Int, ny: Int, la1: Double, lo1: Double,
+                         dLat: Double, dLon: Double): Array[Byte] = {
+    val s3 = ByteBuffer.allocate(67).order(ByteOrder.BIG_ENDIAN)
+    s3.put(0.toByte) // grid def source
+    s3.putInt(nx * ny); s3.put(0.toByte); s3.put(0.toByte)
+    s3.putShort(0) // template 3.0
+    s3.put(6.toByte) // sphere 6371229
+    s3.put(0.toByte); s3.putInt(0)
+    s3.put(0.toByte); s3.putInt(0); s3.put(0.toByte); s3.putInt(0)
+    s3.putInt(nx); s3.putInt(ny)
+    s3.putInt(0); s3.putInt(0) // basic angle
+    s3.putInt((la1 * 1e6).round.toInt); s3.putInt((lo1 * 1e6).round.toInt)
+    s3.put(0x30.toByte) // resolution flags: di/dj given
+    s3.putInt(((la1 + (ny - 1) * dLat) * 1e6).round.toInt)
+    s3.putInt(((lo1 + (nx - 1) * dLon) * 1e6).round.toInt)
+    s3.putInt((dLon * 1e6).round.toInt); s3.putInt((dLat * 1e6).round.toInt)
+    s3.put(0x40.toByte) // scan +i, +j
+    s3.array()
+  }
+
+  /** Section 4 (product definition, template 4.0 at ground level) body. */
+  private def sec4Body(category: Int, number: Int): Array[Byte] = {
+    val s4 = ByteBuffer.allocate(29).order(ByteOrder.BIG_ENDIAN)
+    s4.putShort(0) // no coord values
+    s4.putShort(0) // template 4.0
+    s4.put(category.toByte); s4.put(number.toByte)
+    s4.put(0.toByte); s4.put(0.toByte); s4.put(0.toByte)
+    s4.putShort(0); s4.put(0.toByte)
+    s4.put(1.toByte) // time unit: hour
+    s4.putInt(0) // forecast time 0
+    s4.put(1.toByte); s4.put(0.toByte); s4.putInt(0) // surface: ground
+    s4.put(255.toByte); s4.put(0.toByte); s4.putInt(0)
+    s4.array()
+  }
+
+  /** Assemble indicator + sections + "7777" and write the file. */
+  private def writeMessage(path: String, discipline: Int,
+                           sections: Array[Array[Byte]]): Unit = {
+    val bodyLen = sections.map(_.length).sum
+    val total = 16L + bodyLen + 4
+    val out = ByteBuffer.allocate(total.toInt).order(ByteOrder.BIG_ENDIAN)
+    out.put("GRIB".getBytes("ASCII")); out.putShort(0)
+    out.put(discipline.toByte); out.put(2.toByte); out.putLong(total)
+    sections.foreach(out.put)
+    out.put("7777".getBytes("ASCII"))
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    Files.write(p, out.array())
+  }
+
   /** Write a one-message GRIB2 file: regular lat-lon grid (3.0), product
     * 4.0, simple packing (5.0) with `nbits`, bitmap from NaNs. The test
     * fixture generator — gives the simple-packing decode path real packed
@@ -675,46 +778,6 @@ object Grib2 {
     while (maxOff / math.pow(2, binScale) > ((1L << nbits) - 1) && binScale < 30)
       binScale += 1
     val e = math.pow(2, binScale)
-
-    // section 1: identification
-    val t = java.time.LocalDateTime.ofEpochSecond(refTimeEpochSec, 0,
-      java.time.ZoneOffset.UTC)
-    val s1 = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
-    s1.putShort(255) // centre: missing/test
-    s1.putShort(0); s1.put(4.toByte); s1.put(0.toByte); s1.put(1.toByte)
-    s1.putShort(t.getYear.toShort); s1.put(t.getMonthValue.toByte)
-    s1.put(t.getDayOfMonth.toByte); s1.put(t.getHour.toByte)
-    s1.put(t.getMinute.toByte); s1.put(t.getSecond.toByte)
-    s1.put(0.toByte); s1.put(2.toByte)
-
-    // section 3: grid definition template 3.0
-    val s3 = ByteBuffer.allocate(67).order(ByteOrder.BIG_ENDIAN)
-    s3.put(0.toByte) // grid def source
-    s3.putInt(nx * ny); s3.put(0.toByte); s3.put(0.toByte)
-    s3.putShort(0) // template 3.0
-    s3.put(6.toByte) // sphere 6371229
-    s3.put(0.toByte); s3.putInt(0)
-    s3.put(0.toByte); s3.putInt(0); s3.put(0.toByte); s3.putInt(0)
-    s3.putInt(nx); s3.putInt(ny)
-    s3.putInt(0); s3.putInt(0) // basic angle
-    s3.putInt((la1 * 1e6).round.toInt); s3.putInt((lo1 * 1e6).round.toInt)
-    s3.put(0x30.toByte) // resolution flags: di/dj given
-    s3.putInt(((la1 + (ny - 1) * dLat) * 1e6).round.toInt)
-    s3.putInt(((lo1 + (nx - 1) * dLon) * 1e6).round.toInt)
-    s3.putInt((dLon * 1e6).round.toInt); s3.putInt((dLat * 1e6).round.toInt)
-    s3.put(0x40.toByte) // scan +i, +j
-
-    // section 4: product definition template 4.0
-    val s4 = ByteBuffer.allocate(29).order(ByteOrder.BIG_ENDIAN)
-    s4.putShort(0) // no coord values
-    s4.putShort(0) // template 4.0
-    s4.put(category.toByte); s4.put(number.toByte)
-    s4.put(0.toByte); s4.put(0.toByte); s4.put(0.toByte)
-    s4.putShort(0); s4.put(0.toByte)
-    s4.put(1.toByte) // time unit: hour
-    s4.putInt(0) // forecast time 0
-    s4.put(1.toByte); s4.put(0.toByte); s4.putInt(0) // surface: ground
-    s4.put(255.toByte); s4.put(0.toByte); s4.putInt(0)
 
     // section 5: data representation template 5.0
     val s5 = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
@@ -754,18 +817,11 @@ object Grib2 {
       }
     }
 
-    val sections = Array(sec(1, s1.array()), sec(3, s3.array()),
-      sec(4, s4.array()), sec(5, s5.array()), sec(6, s6Body), sec(7, s7Body))
-    val bodyLen = sections.map(_.length).sum
-    val total = 16L + bodyLen + 4
-    val out = ByteBuffer.allocate(total.toInt).order(ByteOrder.BIG_ENDIAN)
-    out.put("GRIB".getBytes("ASCII")); out.putShort(0)
-    out.put(discipline.toByte); out.put(2.toByte); out.putLong(total)
-    sections.foreach(out.put)
-    out.put("7777".getBytes("ASCII"))
-    val p = Paths.get(path)
-    Option(p.getParent).foreach(Files.createDirectories(_))
-    Files.write(p, out.array())
+    writeMessage(path, discipline, Array(
+      sec(1, sec1Body(refTimeEpochSec)),
+      sec(3, sec3LatLon(nx, ny, la1, lo1, dLat, dLon)),
+      sec(4, sec4Body(category, number)),
+      sec(5, s5.array()), sec(6, s6Body), sec(7, s7Body)))
   }
 
   /** MSB-first bit packer with octet alignment (writer twin of BitReader). */
@@ -897,50 +953,83 @@ object Grib2 {
     s5.put(lenBits.toByte)
     if (order > 0) { s5.put(order.toByte); s5.put(extraOctets.toByte) }
 
-    // ---- sections 1/3/4/6 (same shapes as writeSimple) ----
-    val t = java.time.LocalDateTime.ofEpochSecond(refTimeEpochSec, 0,
-      java.time.ZoneOffset.UTC)
-    val s1 = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
-    s1.putShort(255); s1.putShort(0)
-    s1.put(4.toByte); s1.put(0.toByte); s1.put(1.toByte)
-    s1.putShort(t.getYear.toShort); s1.put(t.getMonthValue.toByte)
-    s1.put(t.getDayOfMonth.toByte); s1.put(t.getHour.toByte)
-    s1.put(t.getMinute.toByte); s1.put(t.getSecond.toByte)
-    s1.put(0.toByte); s1.put(2.toByte)
-    val s3 = ByteBuffer.allocate(67).order(ByteOrder.BIG_ENDIAN)
-    s3.put(0.toByte); s3.putInt(nx * ny); s3.put(0.toByte); s3.put(0.toByte)
-    s3.putShort(0); s3.put(6.toByte)
-    s3.put(0.toByte); s3.putInt(0)
-    s3.put(0.toByte); s3.putInt(0); s3.put(0.toByte); s3.putInt(0)
-    s3.putInt(nx); s3.putInt(ny)
-    s3.putInt(0); s3.putInt(0)
-    s3.putInt((la1 * 1e6).round.toInt); s3.putInt((lo1 * 1e6).round.toInt)
-    s3.put(0x30.toByte)
-    s3.putInt(((la1 + (ny - 1) * dLat) * 1e6).round.toInt)
-    s3.putInt(((lo1 + (nx - 1) * dLon) * 1e6).round.toInt)
-    s3.putInt((dLon * 1e6).round.toInt); s3.putInt((dLat * 1e6).round.toInt)
-    s3.put(0x40.toByte)
-    val s4 = ByteBuffer.allocate(29).order(ByteOrder.BIG_ENDIAN)
-    s4.putShort(0); s4.putShort(0)
-    s4.put(category.toByte); s4.put(number.toByte)
-    s4.put(0.toByte); s4.put(0.toByte); s4.put(0.toByte)
-    s4.putShort(0); s4.put(0.toByte)
-    s4.put(1.toByte); s4.putInt(0)
-    s4.put(1.toByte); s4.put(0.toByte); s4.putInt(0)
-    s4.put(255.toByte); s4.put(0.toByte); s4.putInt(0)
+    writeMessage(path, discipline, Array(
+      sec(1, sec1Body(refTimeEpochSec)),
+      sec(3, sec3LatLon(nx, ny, la1, lo1, dLat, dLon)),
+      sec(4, sec4Body(category, number)),
+      sec(5, s5.array()),
+      sec(6, Array[Byte](255.toByte)), sec(7, s7Body)))
+  }
 
-    val sections = Array(sec(1, s1.array()), sec(3, s3.array()),
-      sec(4, s4.array()), sec(5, s5.array()),
-      sec(6, Array[Byte](255.toByte)), sec(7, s7Body))
-    val bodyLen = sections.map(_.length).sum
-    val total = 16L + bodyLen + 4
-    val out = ByteBuffer.allocate(total.toInt).order(ByteOrder.BIG_ENDIAN)
-    out.put("GRIB".getBytes("ASCII")); out.putShort(0)
-    out.put(discipline.toByte); out.put(2.toByte); out.putLong(total)
-    sections.foreach(out.put)
-    out.put("7777".getBytes("ASCII"))
-    val p = Paths.get(path)
-    Option(p.getParent).foreach(Files.createDirectories(_))
-    Files.write(p, out.array())
+  /** Write a one-message GRIB2 file with PNG packing (template 5.41, the
+    * packing NOAA MRMS and other NCEP products ship): values quantized to
+    * `decimalScale` decimals, offsets from the field minimum stored as a
+    * grayscale (8/16-bit) or RGB/RGBA (24/32-bit) PNG image, smallest
+    * depth that fits. Values must be NaN-free (PNG packing in the wild
+    * pairs with a bitmap for masked fields; the decoder handles that, the
+    * fixture writer does not emit it). */
+  def writePng(path: String, values: Array[Double], nx: Int, ny: Int,
+               la1: Double, lo1: Double, dLat: Double, dLon: Double,
+               discipline: Int, category: Int, number: Int,
+               refTimeEpochSec: Long, decimalScale: Int = 2): Unit = {
+    require(values.length == nx * ny, "values must cover the grid")
+    require(values.forall(!_.isNaN), "png writer takes NaN-free fields")
+    val d = math.pow(10, decimalScale)
+    val scaled = values.map(v => math.rint(v * d).toLong)
+    val rv = scaled.min
+    require(math.abs(rv) < (1 << 24), s"reference value $rv exceeds float32 exactness")
+    val maxOff = scaled.max - rv
+    require(maxOff < (1L << 32), s"value span $maxOff exceeds 32-bit PNG depth")
+    val depth =
+      if (maxOff < (1L << 8)) 8
+      else if (maxOff < (1L << 16)) 16
+      else if (maxOff < (1L << 24)) 24
+      else 32
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(nx, ny, depth match {
+      case 8  => BufferedImage.TYPE_BYTE_GRAY
+      case 16 => BufferedImage.TYPE_USHORT_GRAY
+      case 24 => BufferedImage.TYPE_INT_RGB
+      case 32 => BufferedImage.TYPE_INT_ARGB
+    })
+    val raster = img.getRaster
+    var i = 0
+    while (i < scaled.length) {
+      val x = i % nx; val y = i / nx
+      val off = scaled(i) - rv
+      depth match {
+        case 8 | 16 => raster.setSample(x, y, 0, off.toInt)
+        case 24 =>
+          raster.setSample(x, y, 0, ((off >> 16) & 0xFF).toInt)
+          raster.setSample(x, y, 1, ((off >> 8) & 0xFF).toInt)
+          raster.setSample(x, y, 2, (off & 0xFF).toInt)
+        case 32 =>
+          raster.setSample(x, y, 0, ((off >> 24) & 0xFF).toInt)
+          raster.setSample(x, y, 1, ((off >> 16) & 0xFF).toInt)
+          raster.setSample(x, y, 2, ((off >> 8) & 0xFF).toInt)
+          raster.setSample(x, y, 3, (off & 0xFF).toInt)
+      }
+      i += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", baos), "no PNG encoder")
+    val s7Body = baos.toByteArray
+
+    // section 5: template 5.41 — same head as 5.0 with depth in the
+    // bits-per-value octet and original-field-type octet trailing
+    val s5 = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
+    s5.putInt(values.length)
+    s5.putShort(41)
+    s5.putFloat(rv.toFloat)
+    smPut16(s5, 0) // binary scale 0: exact decimal quantization
+    smPut16(s5, decimalScale)
+    s5.put(depth.toByte); s5.put(0.toByte) // field type: float
+
+    writeMessage(path, discipline, Array(
+      sec(1, sec1Body(refTimeEpochSec)),
+      sec(3, sec3LatLon(nx, ny, la1, lo1, dLat, dLon)),
+      sec(4, sec4Body(category, number)),
+      sec(5, s5.array()),
+      sec(6, Array[Byte](255.toByte)), sec(7, s7Body)))
   }
 }

@@ -137,6 +137,41 @@ class GribSpec extends AnyFunSuite {
     }
   }
 
+  test("png packing (5.41) round-trips at every sample depth") {
+    val dir = Files.createTempDirectory("graft_grib_png").toString
+    val nx = 23; val ny = 9
+    val rng = new scala.util.Random(47)
+    // span targets per depth: 8-bit (<2.56 units), 16-bit, 24-bit, 32-bit
+    Seq(8 -> 2.0, 16 -> 500.0, 24 -> 90000.0, 32 -> 2.0e7).foreach {
+      case (depth, span) =>
+        val values = Array.tabulate(nx * ny)(i =>
+          math.rint(rng.nextDouble() * span * 100) / 100.0)
+        values(0) = 0.0 // anchor the minimum: R stays float32-exact
+        val path = s"$dir/png_$depth.grib2"
+        Grib2.writePng(path, values, nx, ny, la1 = 35.0, lo1 = 15.0,
+          dLat = 0.5, dLon = 0.5, discipline = 0, category = 0, number = 0,
+          refTimeEpochSec = 1700000000L)
+        val m = Grib2.scan(path).head
+        assert(m.packing.template == 41, s"depth $depth")
+        assert(m.packing.nbits == depth, s"depth $depth: ${m.packing.nbits}")
+        val got = Grib2.decodeValues(path, m)
+        // binary scale 0 + decimal quantization: exact to the cent
+        values.indices.foreach(i => assert(math.abs(got(i) - values(i)) < 1e-9,
+          s"depth $depth point $i: ${got(i)} vs ${values(i)}"))
+    }
+    // kerchunk refs stay header-only on scan and decode via the grib codec
+    val values = Array.tabulate(nx * ny)(i => math.rint(i * 37.3) / 10.0)
+    val path = s"$dir/png_refs.grib2"
+    Grib2.writePng(path, values, nx, ny, 35.0, 15.0, 0.5, 0.5,
+      0, 0, 0, refTimeEpochSec = 1700000000L, decimalScale = 1)
+    val virt = s"$dir/virt.zarr"
+    RefSet.scanGrib2(path).head.materialize(virt)
+    val got = ZarrGroup(virt).readFragment()
+      .allVars("TMP").data.data.asInstanceOf[Array[Double]]
+    values.indices.foreach(i =>
+      assert(math.abs(got(i) - values(i)) < 1e-9, s"refs cell $i"))
+  }
+
   test("kerchunk refs decode complex-packed messages via the grib2 codec") {
     val dir = Files.createTempDirectory("graft_grib_cxscan").toString
     val nx = 10; val ny = 6
