@@ -83,22 +83,21 @@ object CombineReferences {
   /** WriteCombinedReference (transforms.py:589-635): CombineReferences |
     * WriteReference, artifact format chosen by extension. Returns the
     * combined RefSet (the singleton "store handle"). `v2Keys` emits the
-    * zarr-v2-keyed kerchunk artifact the fsspec ecosystem consumes
-    * (RefSet.toKerchunkV2Json) instead of our v3-keyed layout. */
+    * zarr-v2-keyed artifacts the fsspec ecosystem consumes: the kerchunk
+    * JSON (RefSet.toKerchunkV2Json), or — with a `.parquet` path — the
+    * fsspec `LazyReferenceMapper` record layout
+    * ([[writeReferenceParquetV2]]) instead of our v3-keyed layout. */
   def writeCombinedReference(refs: Dataset[(Index, RefSet)],
                              concatDims: Vector[String],
                              identicalDims: Vector[String],
                              outputPath: String,
                              maxRefsPerMerge: Int = 5,
                              v2Keys: Boolean = false): RefSet = {
-    // validate BEFORE the distributed combine runs
-    require(!(v2Keys && outputPath.endsWith(".parquet")),
-      "v2Keys applies to the json artifact only; the parquet layout keeps " +
-        "our v3 keys")
     val combined = combine(refs, concatDims, identicalDims, maxRefsPerMerge)
-    if (outputPath.endsWith(".parquet"))
-      writeReferenceParquet(refs.sparkSession, combined, outputPath)
-    else if (v2Keys) {
+    if (outputPath.endsWith(".parquet")) {
+      if (v2Keys) writeReferenceParquetV2(refs.sparkSession, combined, outputPath)
+      else writeReferenceParquet(refs.sparkSession, combined, outputPath)
+    } else if (v2Keys) {
       val p = java.nio.file.Paths.get(outputPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.writeString(p, RefSet.toKerchunkV2Json(combined))
@@ -122,7 +121,8 @@ object CombineReferences {
     * (key, url, offset, length, inline_b64) columns, readable only by
     * [[readReferenceParquet]] (or any parquet reader — the columns are
     * self-describing). For fsspec/kerchunk ecosystem interop, emit the JSON
-    * artifact (`writeReferenceJson` / `v2Keys = true`).
+    * artifact (`writeReferenceJson` / `v2Keys = true`) or the byte-level
+    * fsspec record layout ([[writeReferenceParquetV2]]).
     *
     * Metadata routing covers both key dialects: v3 docs (`zarr.json`,
     * `<var>/zarr.json`) and v2 docs (root `.zgroup`/`.zattrs`/`.zmetadata`
@@ -216,5 +216,274 @@ object CombineReferences {
           r.getLong(2), r.getLong(3), inline)
       }
     RefSet(refs)
+  }
+
+  // ------------------------------------------------- fsspec parquet layout
+
+  private val RefsFileRe = """refs\.(\d+)\.parq""".r
+
+  private def parquetRefSchema: org.apache.parquet.schema.MessageType = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    Types.buildMessage()
+      .addField(Types.optional(BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named("path"))
+      .addField(Types.required(INT64).named("offset"))
+      .addField(Types.required(INT64).named("size"))
+      .addField(Types.optional(BINARY).named("raw"))
+      .named("reference")
+  }
+
+  /** Chunk-grid extent (chunks per dimension) of each array named in the
+    * v2 metadata docs — what positions chunk ordinals. */
+  private def gridsOf(mapper: com.fasterxml.jackson.databind.ObjectMapper,
+                      docs: Seq[(String, Array[Byte])]): Map[String, Vector[Long]] =
+    docs.collect { case (k, bytes) if k.endsWith("/.zarray") =>
+      val za = mapper.readTree(bytes)
+      import scala.jdk.CollectionConverters._
+      val shape = za.get("shape").elements().asScala.map(_.asLong()).toVector
+      val chunks = za.get("chunks").elements().asScala.map(_.asLong()).toVector
+      k.stripSuffix("/.zarray") ->
+        shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
+    }.toMap
+
+  /** Write the ACTUAL fsspec `LazyReferenceMapper` parquet artifact
+    * (writers.py:137,157-160 via fsspec.implementations.reference): zarr-v2
+    * metadata documents consolidated in a root `.zmetadata` JSON (with
+    * `record_size`), and per-array POSITIONAL record files
+    * `<var>/refs.<i>.parq` with columns (path, offset, size, raw) where the
+    * row index IS the chunk ordinal (C-order over the chunk grid): ordinal
+    * `o` lives at row `o % recordSize` of record `o / recordSize`, missing
+    * chunks are null rows, and trailing all-missing records are simply not
+    * written. This is the layout `fsspec.filesystem("reference",
+    * fo=<path>)` + zarr v2 open directly — the ecosystem-interop artifact;
+    * [[writeReferenceParquet]] remains the repo-internal v3-keyed layout.
+    *
+    * The write is distributed: rows are range-placed by (component,
+    * record), each record file (≤ recordSize rows) is written by the
+    * executor task that owns it via parquet-mr, so a billion-ref store
+    * streams through the cluster without a driver collect. */
+  def writeReferenceParquetV2(spark: org.apache.spark.sql.SparkSession,
+                              rs: RefSet, path: String,
+                              recordSize: Int = 10000): Unit = {
+    import spark.implicits._
+    require(recordSize > 0, "recordSize must be positive")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val entries = RefSet.toV2Entries(rs)
+    val (metaKeys, chunkKeys) = entries.partition { case (k, _) => isMetadataKey(k) }
+    val metaDocs = metaKeys.map { case (k, r) => (k, r.resolve()) }
+
+    // consolidated .zmetadata: parsed docs + record_size (the fsspec shape)
+    val metaRoot = mapper.createObjectNode()
+    metaRoot.put("record_size", recordSize)
+    val metaNode = metaRoot.putObject("metadata")
+    metaDocs.foreach { case (k, bytes) =>
+      metaNode.set[com.fasterxml.jackson.databind.node.ObjectNode](
+        k, mapper.readTree(bytes))
+    }
+    val grids = gridsOf(mapper, metaDocs)
+
+    // (component, record, row, path, offset, size, raw) per chunk ref;
+    // inline refs carry raw bytes with offset/size zeroed (fsspec writes
+    // the same), pointers carry (path, offset, size)
+    val rows = chunkKeys.map { case (k, r) =>
+      val slash = k.lastIndexOf('/')
+      require(slash > 0, s"chunk key without component: $k")
+      val component = k.substring(0, slash)
+      val grid = grids.getOrElse(component, throw new IllegalArgumentException(
+        s"chunk key $k has no $component/.zarray metadata"))
+      val idx = k.substring(slash + 1).split('.').map(_.toLong)
+      val ordinal =
+        if (grid.isEmpty) 0L
+        else {
+          require(idx.length == grid.length, s"key $k vs grid rank ${grid.length}")
+          idx.zip(grid).foldLeft(0L) { case (acc, (i, g)) => acc * g + i }
+        }
+      (component, (ordinal / recordSize).toInt, (ordinal % recordSize).toInt,
+        if (r.inline.isDefined) null else r.url.orNull,
+        if (r.inline.isDefined) 0L else r.offset,
+        if (r.inline.isDefined) 0L else r.length,
+        r.inline.orNull)
+    }
+
+    // expected rows per (component, record): min(recordSize, total - rec*rs)
+    val totals: Map[String, Long] =
+      grids.map { case (v, g) => v -> math.max(1L, g.product) }
+    val bTotals = spark.sparkContext.broadcast(totals)
+    val bRecordSize = recordSize
+    val confProps = {
+      val c = spark.sessionState.newHadoopConf()
+      import scala.jdk.CollectionConverters._
+      c.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+    }
+    val bConf = spark.sparkContext.broadcast(confProps)
+    val bPath = path
+
+    // overwrite semantics, then the distributed record-file write
+    val rootPath = new org.apache.hadoop.fs.Path(path)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.setWriteChecksum(false)
+    if (fs.exists(rootPath)) fs.delete(rootPath, true)
+    fs.mkdirs(rootPath)
+
+    rows.toDF("component", "rec", "row", "path", "offset", "size", "raw")
+      .repartition(col("component"), col("rec"))
+      .sortWithinPartitions("component", "rec", "row")
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        bConf.value.foreach { case (k, v) => conf.set(k, v) }
+        // no .crc sidecars in the artifact (fsspec expects refs.N.parq only)
+        new org.apache.hadoop.fs.Path(bPath).getFileSystem(conf)
+          .setWriteChecksum(false)
+        val schema = parquetRefSchema
+        val factory =
+          new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+        var writer: org.apache.parquet.hadoop.ParquetWriter[
+          org.apache.parquet.example.data.Group] = null
+        var cur: (String, Int) = null
+        var nextRow = 0
+        def nullRow(): org.apache.parquet.example.data.Group = {
+          val g = factory.newGroup()
+          g.add("offset", 0L); g.add("size", 0L); g
+        }
+        def expectedRows(c: String, rec: Int): Int = {
+          val total = bTotals.value(c)
+          math.min(bRecordSize.toLong, total - rec.toLong * bRecordSize).toInt
+        }
+        def close(): Unit = if (writer != null) {
+          // pad trailing missing ordinals so the file is positionally dense
+          (nextRow until expectedRows(cur._1, cur._2)).foreach(_ =>
+            writer.write(nullRow()))
+          writer.close(); writer = null
+        }
+        it.foreach { r =>
+          val key = (r.getString(0), r.getInt(1))
+          if (key != cur) {
+            close()
+            cur = key; nextRow = 0
+            val file = new org.apache.hadoop.fs.Path(
+              new org.apache.hadoop.fs.Path(bPath, key._1), s"refs.${key._2}.parq")
+            writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+              .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+                .fromPath(file, conf))
+              .withConf(conf).withType(schema).build()
+          }
+          val row = r.getInt(2)
+          (nextRow until row).foreach(_ => writer.write(nullRow()))
+          val g = factory.newGroup()
+          if (!r.isNullAt(3)) g.add("path", r.getString(3))
+          g.add("offset", r.getLong(4)); g.add("size", r.getLong(5))
+          if (!r.isNullAt(6)) g.add("raw",
+            org.apache.parquet.io.api.Binary.fromConstantByteArray(
+              r.getAs[Array[Byte]](6)))
+          writer.write(g)
+          nextRow = row + 1
+        }
+        close()
+      }
+
+    val metaPath = new org.apache.hadoop.fs.Path(path, ".zmetadata")
+    val out = fs.create(metaPath, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(metaRoot).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Open an fsspec `LazyReferenceMapper` parquet artifact (ours or one
+    * written by fsspec itself) back into a v3-keyed [[RefSet]]. Metadata
+    * docs come from `.zmetadata`; each `<var>/refs.<i>.parq` record file is
+    * read by an executor task (positional rows → chunk ordinals → v2 keys);
+    * `components` prunes both to the named arrays (root docs always kept). */
+  def readReferenceParquetV2(spark: org.apache.spark.sql.SparkSession,
+                             path: String,
+                             components: Option[Set[String]] = None): RefSet = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val conf0 = spark.sessionState.newHadoopConf()
+    val rootPath = new org.apache.hadoop.fs.Path(path)
+    val fs = rootPath.getFileSystem(conf0)
+    val metaJson = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(path, ".zmetadata"))
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in: java.io.InputStream),
+        "UTF-8")
+      finally in.close()
+    }
+    val zm = mapper.readTree(metaJson)
+    val recordSize = zm.get("record_size").asInt()
+    var raw = Map.empty[String, Either[Array[Byte], (String, Long, Long)]]
+    val metaDocs = Seq.newBuilder[(String, Array[Byte])]
+    zm.get("metadata").fields().forEachRemaining { e =>
+      val isRootDoc = !e.getKey.contains('/')
+      if (components.forall(cs =>
+        isRootDoc || cs.contains(e.getKey.split('/').head)))
+        metaDocs += e.getKey -> mapper.writeValueAsBytes(e.getValue)
+    }
+    val docs = metaDocs.result()
+    docs.foreach { case (k, b) => raw += k -> Left(b) }
+    val grids = gridsOf(mapper, docs)
+
+    // record files of the surviving components, read on executors
+    val files: Seq[(String, Int)] = grids.keys.toSeq.sorted.flatMap { v =>
+      val dir = new org.apache.hadoop.fs.Path(rootPath, v)
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.flatMap(st => st.getPath.getName match {
+        case RefsFileRe(i) => Some((v, i.toInt))
+        case _ => None
+      })
+    }
+    val confProps = {
+      import scala.jdk.CollectionConverters._
+      conf0.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+    }
+    val bConf = spark.sparkContext.broadcast(confProps)
+    val bGrids = spark.sparkContext.broadcast(grids)
+    val bPath = path
+    val read: Seq[(String, Either[Array[Byte], (String, Long, Long)])] =
+      if (files.isEmpty) Seq.empty
+      else spark.sparkContext
+        .parallelize(files, math.min(files.size, 64))
+        .flatMap { case (v, rec) =>
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          bConf.value.foreach { case (k, c) => conf.set(k, c) }
+          val file = new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(bPath, v), s"refs.$rec.parq")
+          val reader = org.apache.parquet.hadoop.ParquetReader
+            .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+              file)
+            .withConf(conf).build()
+          val grid = bGrids.value(v)
+          val out = Seq.newBuilder[(String, Either[Array[Byte], (String, Long, Long)])]
+          try {
+            var row = 0
+            var g = reader.read()
+            while (g != null) {
+              val ordinal = rec.toLong * recordSize + row
+              val hasPath = g.getFieldRepetitionCount("path") > 0
+              val hasRaw = g.getFieldRepetitionCount("raw") > 0
+              if (hasPath || hasRaw) {
+                val idx =
+                  if (grid.isEmpty) Vector("0")
+                  else {
+                    var rem = ordinal
+                    grid.reverse.map { gdim =>
+                      val i = rem % gdim; rem /= gdim; i.toString
+                    }.reverse
+                  }
+                val v2key = s"$v/${idx.mkString(".")}"
+                val entry: Either[Array[Byte], (String, Long, Long)] =
+                  if (hasRaw) Left(g.getBinary("raw", 0).getBytes)
+                  else Right((g.getString("path", 0),
+                    g.getLong("offset", 0), g.getLong("size", 0)))
+                out += v2key -> entry
+              }
+              row += 1
+              g = reader.read()
+            }
+          } finally reader.close()
+          out.result()
+        }
+        .collect().toSeq
+    read.foreach { case (k, e) => raw += k -> e }
+    RefSet.fromV2Raw(raw)
   }
 }

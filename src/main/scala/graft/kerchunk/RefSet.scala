@@ -453,6 +453,27 @@ object RefSet {
       else refsNode.put(key,
         "base64:" + java.util.Base64.getEncoder.encodeToString(bytes))
     }
+    toV2Entries(rs).foreach { case (v2key, ref) =>
+      ref.inline match {
+        case Some(b) => putInline(v2key, b)
+        case None =>
+          val arr = mapper.createArrayNode()
+          arr.add(ref.url.get); arr.add(ref.offset); arr.add(ref.length)
+          refsNode.set[ObjectNode](v2key, arr)
+      }
+    }
+    root.set[ObjectNode]("refs", refsNode)
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  /** The v3→v2 key-dialect conversion shared by the v2 json artifact and
+    * the fsspec parquet record layout: v3 `zarr.json` docs become v2
+    * `.zgroup`/`.zattrs`/`.zarray` documents (inline Refs), chunk keys
+    * become dot-separated (`<var>/c/i/j` → `<var>/i.j`). */
+  private[kerchunk] def toV2Entries(rs: RefSet): Seq[(String, Ref)] = {
+    val out = Seq.newBuilder[(String, Ref)]
+    def putInline(key: String, bytes: Array[Byte]): Unit =
+      out += key -> Ref.inline(bytes)
     def v2Dtype(name: String, big: Boolean): String = {
       val c = name match {
         case "int32" => "i4"; case "int64" => "i8"
@@ -556,17 +577,10 @@ object RefSet {
         val v2key =
           if (ci == parts.length - 1) (parts.take(ci) :+ "0").mkString("/")
           else (parts.take(ci) :+ parts.drop(ci + 1).mkString(".")).mkString("/")
-        ref.inline match {
-          case Some(b) => putInline(v2key, b)
-          case None =>
-            val arr = mapper.createArrayNode()
-            arr.add(ref.url.get); arr.add(ref.offset); arr.add(ref.length)
-            refsNode.set[ObjectNode](v2key, arr)
-        }
+        out += v2key -> ref
       }
     }
-    root.set[ObjectNode]("refs", refsNode)
-    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+    out.result()
   }
 
   /** Import a kerchunk v2 artifact back into our (v3-keyed) RefSet. */
@@ -637,7 +651,7 @@ object RefSet {
   /** Shared v2→v3 conversion core: `raw` maps ZARR V2 store keys to inline
     * bytes or byte-range pointers (the kerchunk artifact and the on-disk v2
     * store are the same key space). */
-  private def fromV2Raw(
+  private[kerchunk] def fromV2Raw(
       raw: Map[String, Either[Array[Byte], (String, Long, Long)]]): RefSet = {
     def doc(key: String): ObjectNode = raw(key) match {
       case Left(b) => mapper.readTree(b).asInstanceOf[ObjectNode]

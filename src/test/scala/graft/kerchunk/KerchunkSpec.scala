@@ -149,6 +149,83 @@ class KerchunkSpec extends AnyFunSuite {
     assert(!fooOnly.keys.exists(_.startsWith("time/")))
   }
 
+  test("fsspec LazyReferenceMapper parquet layout: positional records, round trip") {
+    val cube = GoldenCube.makeDs(10)
+    val dir = tmp()
+    val slabs = GoldenCube.splitByTime(cube, 2)
+    val files = slabs.zipWithIndex.map { case (f, i) =>
+      val p = s"$dir/frag_$i.zarr"
+      val g = ZarrGroup(p)
+      g.initGroup(f.attrs)
+      f.allVars.foreach { case (n, v) =>
+        g.createArray(n, v.shape, v.shape, v.dtype, v.attrs,
+          dimensionNames = Some(v.dims))
+        g.writeRegion(n, Vector.fill(v.data.ndim)(0), v.data)
+      }
+      p
+    }
+    val indexed: Vector[(Index, RefSet)] = files.zipWithIndex.map { case (p, i) =>
+      (Index.of(timeDim -> Pos(i)), RefSet.scanZarrGroup(p))
+    }
+    val ds = spark.createDataset(indexed)(Encoders.kryo[(Index, RefSet)])
+      .repartition(4)
+    val pq = s"$dir/v2refs.parquet"
+    // end-to-end through the bake-facing entry point: v2Keys + .parquet
+    val combined = CombineReferences.writeCombinedReference(ds, Vector("time"),
+      Vector("lat", "lon"), pq, maxRefsPerMerge = 2, v2Keys = true)
+    // rewrite at record size 2 to force multiple positional record files
+    CombineReferences.writeReferenceParquetV2(spark, combined, pq, recordSize = 2)
+
+    // .zmetadata: zarr-v2 documents + record_size (fsspec's exact shape)
+    val zm = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(java.nio.file.Paths.get(s"$pq/.zmetadata")))
+    assert(zm.get("record_size").asInt() == 2)
+    assert(zm.get("metadata").has(".zgroup"))
+    assert(zm.get("metadata").has("foo/.zarray"))
+    assert(zm.get("metadata").get("foo/.zarray").get("chunks").get(0).asInt() == 2)
+
+    // foo: 10 time steps in chunks of 2 -> 5 chunk ordinals -> record files
+    // refs.{0,1,2}.parq with 2/2/1 positional rows and fsspec's column set
+    val fooFiles = new java.io.File(s"$pq/foo").listFiles()
+      .map(_.getName).sorted.toVector
+    assert(fooFiles == Vector("refs.0.parq", "refs.1.parq", "refs.2.parq"))
+    val rec0 = spark.read.parquet(s"$pq/foo/refs.0.parq")
+    assert(rec0.columns.toVector == Vector("path", "offset", "size", "raw"))
+    assert(rec0.count() == 2)
+    assert(spark.read.parquet(s"$pq/foo/refs.2.parq").count() == 1)
+    // positional row 0 of record 0 IS chunk 0.0.0: compare to the RefSet
+    val want = combined.refs("foo/c/0/0/0")
+    val row0 = rec0.collect().minBy(r => r.getLong(1))
+    assert(Option(row0.getString(0)) == want.url)
+    assert(row0.getLong(1) == want.offset && row0.getLong(2) == want.length)
+
+    // reader round trip materializes the identical cube
+    val reread = CombineReferences.readReferenceParquetV2(spark, pq)
+    assert(reread.keys.filter(_.contains("/c")) ==
+      combined.refs.keySet.filter(_.contains("/c")))
+    val mat = s"$dir/v2remat.zarr"
+    reread.materialize(mat)
+    assert(ZarrGroup(mat).readFragment().sameAs(cube))
+    // component pruning keeps root docs + the named array only
+    val fooOnly = CombineReferences.readReferenceParquetV2(spark, pq,
+      components = Some(Set("foo")))
+    assert(fooOnly.keys.exists(_.startsWith("foo/c/")))
+    assert(!fooOnly.keys.exists(_.startsWith("time/")))
+
+    // missing chunks are null rows at their ordinal (positional density):
+    // drop foo's middle chunk and re-write
+    val holed = RefSet(combined.refs - "foo/c/2/0/0")
+    val pq2 = s"$dir/v2holed.parquet"
+    CombineReferences.writeReferenceParquetV2(spark, holed, pq2, recordSize = 2)
+    // record 1 still has two rows (ordinals 2,3); row for ordinal 2 is null
+    val rec1 = spark.read.parquet(s"$pq2/foo/refs.1.parq").collect()
+    assert(rec1.length == 2)
+    assert(rec1.count(r => r.isNullAt(0) && r.isNullAt(3)) == 1)
+    val rereadHoled = CombineReferences.readReferenceParquetV2(spark, pq2)
+    assert(!rereadHoled.keys.contains("foo/c/2/0/0"))
+    assert(rereadHoled.keys.contains("foo/c/3/0/0"))
+  }
+
   test("netcdf3 fixtures: scan -> combine -> reference.json -> materialize == cube") {
     // the real Entry-point B input: classic NetCDF files, record layout
     // (conftest.py:60-146 fixture shape), scanned header-only on executors
