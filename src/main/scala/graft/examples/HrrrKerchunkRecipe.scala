@@ -25,7 +25,10 @@ import org.apache.spark.sql.{Encoders, SparkSession}
   * Config section `HrrrKerchunk`: `input_root` (file URLs are
   * `input_root/hrrr.t22z.wrfsfcf<NN>.grib2`), `steps` (comma list,
   * default `0,1,2,3` as in the reference), `short_name` (message filter,
-  * default `TMP`), `store_name` (default `hrrr-concat-step`). */
+  * default `TMP`), `store_name` (default `hrrr-concat-step`), and
+  * `artifact` — `json` (default, kerchunk reference.json) or `parquet`
+  * (the fsspec LazyReferenceMapper record layout), the same
+  * extension-driven choice writers.py:132-195 makes. */
 object HrrrKerchunkRecipe extends Recipe {
   val id = "hrrr-kerchunk-concat-step"
 
@@ -65,7 +68,12 @@ object HrrrKerchunkRecipe extends Recipe {
       }(Encoders.kryo[(Index, RefSet)])
 
     val targetRoot = config.runtime.targetRoot.resolve
-    val outPath = s"$targetRoot/$storeName/reference.json"
+    val outPath = sec.getOrElse("artifact", "json") match {
+      case "json"    => s"$targetRoot/$storeName/reference.json"
+      case "parquet" => s"$targetRoot/$storeName/reference.parquet"
+      case other => throw new IllegalArgumentException(
+        s"HrrrKerchunk.artifact must be json or parquet, got '$other'")
+    }
     CombineReferences.writeCombinedReference(refs, Vector("time"),
       identicalDims, outPath, v2Keys = true)
     outPath

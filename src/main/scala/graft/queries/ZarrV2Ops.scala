@@ -120,10 +120,26 @@ object ZarrV2Ops {
     val okC = RefSet.scanZarrV2Group(consol).asZarrGroup(consol)
       .readFragment().sameAs(cube)
 
+    // ---- D: fsspec LazyReferenceMapper parquet artifact round trip ----
+    // (writers.py:137,157-160): positional <var>/refs.N.parq record files
+    // + consolidated .zmetadata, written and read by executor tasks
+    val pq = s"$dir/refs.parquet"
+    graft.kerchunk.CombineReferences.writeReferenceParquetV2(
+      spark, RefSet.scanZarrV2Group(plain), pq, recordSize = 2)
+    // v has 3 chunk ordinals at record size 2 -> refs.0.parq + refs.1.parq
+    val okLayout = Files.exists(Paths.get(pq, "v", "refs.0.parq")) &&
+      Files.exists(Paths.get(pq, "v", "refs.1.parq")) &&
+      Files.exists(Paths.get(pq, ".zmetadata"))
+    val remat = s"$dir/remat.zarr"
+    graft.kerchunk.CombineReferences.readReferenceParquetV2(spark, pq)
+      .materialize(remat)
+    val okD = okLayout && ZarrGroup(remat).readFragment().sameAs(cube)
+
     Seq(
       ("v2_opener_autodetect", 1, okA),
       ("v2_to_v3_rechunk", 1, okB && okRefs),
-      ("v2_consolidated_read", 1, okC))
+      ("v2_consolidated_read", 1, okC),
+      ("v2_parquet_records", 1, okD))
       .toDF("stage", "n_inputs", "ok")
   }
 

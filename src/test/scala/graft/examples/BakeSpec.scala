@@ -375,6 +375,26 @@ class BakeSpec extends AnyFunSuite {
     // set_coords them explicitly after opening; allVars is our analog)
     assert(f.allVars("latitude").data.getDouble(0) == 30.0)
     assert(f.allVars("longitude").data.getDouble(0) == 250.0)
+
+    // artifact=parquet emits the fsspec LazyReferenceMapper record layout
+    // at <store>/reference.parquet instead (writers.py's extension choice)
+    val confPq = writeConfig(dir,
+      "TargetStorage" -> Seq("root_path" -> s"$dir/target_pq"),
+      "HrrrKerchunk" -> Seq(
+        "input_root" -> s"$dir/in",
+        "steps" -> steps.mkString(","),
+        "artifact" -> "parquet"))
+    val outPq = graft.Bake.run(spark, Array(
+      "--recipe-id=hrrr-kerchunk-concat-step", s"-f=$confPq"))
+    assert(outPq == s"$dir/target_pq/hrrr-concat-step/reference.parquet")
+    assert(Files.exists(Paths.get(outPq, "TMP", "refs.0.parq")))
+    val virtPq = s"$dir/virt_pq.zarr"
+    graft.kerchunk.CombineReferences.readReferenceParquetV2(spark, outPq)
+      .materialize(virtPq)
+    val fPq = ZarrGroup(virtPq).readFragment()
+    assert(fPq.dims("time") == 4)
+    assert(fPq.dataVars("TMP").data.data.asInstanceOf[Array[Double]]
+      .sameElements(data))
   }
 
   // ------------------------------------------------------------- noaa-oisst
