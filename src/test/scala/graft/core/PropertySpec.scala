@@ -86,4 +86,55 @@ class PropertySpec extends AnyFunSuite {
     for (a <- ds; b <- ds)
       assert(DType.promote(a, b) == DType.promote(b, a), s"$a $b")
   }
+
+  test("lzf: compress/decompress round-trips across entropy mixes (300 random buffers)") {
+    import graft.hdf5.Lzf
+    (1 to 300).foreach { trial =>
+      val n = 1 + rng.nextInt(20000)
+      val mode = rng.nextInt(5)
+      val buf = new Array[Byte](n)
+      mode match {
+        case 0 => rng.nextBytes(buf) // high entropy
+        case 1 => // runs of a few symbols
+          var i = 0
+          while (i < n) {
+            val run = 1 + rng.nextInt(600); val b = rng.nextInt(4).toByte
+            java.util.Arrays.fill(buf, i, math.min(n, i + run), b)
+            i += run
+          }
+        case 2 => // periodic with period spanning the offset encoding
+          val period = 1 + rng.nextInt(300)
+          buf.indices.foreach(i => buf(i) = (i % period).toByte)
+        case 3 => // text-like: small alphabet with repeats
+          buf.indices.foreach(i => buf(i) = (97 + rng.nextInt(6)).toByte)
+        case 4 => // mixed: noise with embedded repeated blocks
+          rng.nextBytes(buf)
+          val block = new Array[Byte](math.min(n, 1 + rng.nextInt(64)))
+          rng.nextBytes(block)
+          (0 until 4).foreach { _ =>
+            val at = rng.nextInt(math.max(1, n - block.length + 1))
+            System.arraycopy(block, 0, buf, at, math.min(block.length, n - at))
+          }
+      }
+      Lzf.compress(buf) match {
+        case Some(c) =>
+          assert(c.length < n, s"trial $trial: not smaller")
+          assert(Lzf.decompress(c, n).sameElements(buf), s"trial $trial mode $mode")
+        case None => // incompressible: filter stores raw; nothing to check
+      }
+    }
+  }
+
+  test("lzf: decoder rejects corrupt streams, never mis-indexes (500 random streams)") {
+    import graft.hdf5.Lzf
+    (1 to 500).foreach { trial =>
+      val s = new Array[Byte](rng.nextInt(200))
+      rng.nextBytes(s)
+      val outLen = rng.nextInt(400)
+      // arbitrary bytes must either decode to exactly outLen bytes or be
+      // rejected with the codec's own error — no out-of-bounds escapes
+      try { val out = Lzf.decompress(s, outLen); assert(out.length == outLen) }
+      catch { case _: IllegalStateException => () }
+    }
+  }
 }
