@@ -205,9 +205,11 @@ object HDF5Writer {
             chunks: Map[String, Vector[Int]] = Map.empty,
             deflateLevel: Option[Int] = None,
             shuffle: Boolean = false,
-            lzf: Boolean = false): Unit = {
-    require(!(lzf && deflateLevel.isDefined),
-      "lzf and deflate are alternative block codecs; pick one")
+            lzf: Boolean = false,
+            zstdLevel: Option[Int] = None): Unit = {
+    require(Seq(deflateLevel.isDefined, lzf, zstdLevel.isDefined)
+      .count(identity) <= 1,
+      "deflate, lzf, and zstd are alternative block codecs; pick one")
     // dims in deterministic order; phantom scales for coordinate-less dims
     val dimNames = f.dims.keys.toVector.sorted
     val varNames = (f.coords.keySet ++ f.dataVars.keySet).toVector.sorted
@@ -242,17 +244,21 @@ object HDF5Writer {
               val valid = lo.indices.map(d => Slc(lo(d),
                 math.min(lo(d) + cs(d), v.shape(d)))).toVector
               full.assign(Vector.fill(cs.length)(0), v.data.slice(valid))
-              // pipeline order on encode: shuffle, then deflate|lzf
+              // pipeline order on encode: shuffle, then deflate|lzf|zstd
               var enc = encodeData(full)
               if (shuffle) enc = shuffleBytes(enc, v.dtype.byteSize)
               deflateLevel.foreach(lvl => enc = deflate(enc, lvl))
               var mask = 0
+              // incompressible chunks are stored raw with the mask bit of
+              // the codec's pipeline position (after any shuffle) set
+              val codecBit = 1 << (if (shuffle) 1 else 0)
               if (lzf) Lzf.compress(enc) match {
                 case Some(c) => enc = c
-                case None =>
-                  // incompressible chunk stored raw: set the mask bit for
-                  // the lzf entry's pipeline position (after any shuffle)
-                  mask = 1 << (if (shuffle) 1 else 0)
+                case None => mask = codecBit
+              }
+              zstdLevel.foreach { lvl =>
+                val c = com.github.luben.zstd.Zstd.compress(enc, lvl)
+                if (c.length < enc.length) enc = c else mask = codecBit
               }
               ChunkPlan(lo, enc, mask)
             }
@@ -283,16 +289,17 @@ object HDF5Writer {
         }))
       val filterMsg: Vector[Msg] =
         if (varData.get(name).exists(_.isRight) &&
-            (deflateLevel.isDefined || shuffle || lzf)) {
+            (deflateLevel.isDefined || shuffle || lzf || zstdLevel.isDefined)) {
           // pipeline in encode order: shuffle (id 2), then deflate (id 1)
-          // or lzf (id 32000; registered filters carry a name in v1
-          // entries). Each v1 entry: id, namelen, flags, nvalues,
-          // name pad8, values + pad to even count.
+          // or lzf (id 32000) or zstd (id 32015) — registered filters
+          // carry a name in v1 entries. Each v1 entry: id, namelen,
+          // flags, nvalues, name pad8, values + pad to even count.
           final case class Entry(id: Int, name: String, values: Vector[Int])
           val entries =
             (if (shuffle) Vector(Entry(2, "", Vector(dtype.byteSize))) else Vector.empty) ++
             deflateLevel.map(lvl => Entry(1, "", Vector(lvl))).toVector ++
-            (if (lzf) Vector(Entry(32000, "lzf", Vector.empty)) else Vector.empty)
+            (if (lzf) Vector(Entry(32000, "lzf", Vector.empty)) else Vector.empty) ++
+            zstdLevel.map(lvl => Entry(32015, "zstd", Vector(lvl))).toVector
           val size = 8 + entries.map { e =>
             val nb = if (e.name.isEmpty) 0 else pad8(e.name.length + 1)
             8 + nb + e.values.length * 4 + (if (e.values.length % 2 == 1) 4 else 0)

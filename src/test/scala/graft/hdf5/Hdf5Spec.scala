@@ -165,6 +165,39 @@ class Hdf5Spec extends AnyFunSuite {
     assert(e.getMessage.contains("filter 32000"))
   }
 
+  test("zstd round trip (hdf5plugin filter 32015) incl. raw-masked incompressible chunks") {
+    val rng = new scala.util.Random(17)
+    val nt = 8; val ny = 5; val nx = 4
+    // "foo" compresses; "bar" is random long bits — a zstd frame of it is
+    // LARGER than the input (frame overhead), so the writer stores it raw
+    // with the chunk mask bit set and the reader must honor the mask
+    val f0 = cube(nt)
+    val f = f0.copy(dataVars = Map(
+      "foo" -> Variable(Vector("time", "lat", "lon"),
+        NDArray(DType.F8, Vector(nt, ny, nx),
+          Array.tabulate(nt * ny * nx)(i => (i / 7).toDouble))),
+      "bar" -> Variable(Vector("time", "lat", "lon"),
+        NDArray(DType.I8, Vector(nt, ny, nx),
+          Array.fill(nt * ny * nx)(rng.nextLong())))))
+    val d0 = dir
+    val path = s"$d0/zstd.nc"
+    HDF5Writer.write(path, f, chunks = Map(
+      "foo" -> Vector(2, 5, 4), "bar" -> Vector(nt, ny, nx)),
+      zstdLevel = Some(3))
+    assert(HDF5.read(path).sameAs(f))
+    // shuffle + zstd (the hdf5plugin pairing)
+    val path2 = s"$d0/zstd_shuf.nc"
+    HDF5Writer.write(path2, f, chunks = Map(
+      "foo" -> Vector(4, 5, 4), "bar" -> Vector(4, 5, 4)),
+      shuffle = true, zstdLevel = Some(3))
+    assert(HDF5.read(path2).sameAs(f))
+    // the compressed file is actually smaller than the uncompressed one
+    val plain = s"$d0/zstd_plain.nc"
+    HDF5Writer.write(plain, f, chunks = Map("foo" -> Vector(2, 5, 4)))
+    assert(Files.size(java.nio.file.Paths.get(path)) <
+      Files.size(java.nio.file.Paths.get(plain)))
+  }
+
   test("unknown filter (szip-flagged pipeline) raises a clear error, not a garbled decode") {
     val f = cube(nt = 8)
     val path = s"$dir/szip.nc"
