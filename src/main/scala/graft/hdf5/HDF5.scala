@@ -27,12 +27,14 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   *
   * Filter matrix: SUPPORTED = deflate (id 1), shuffle (id 2), fletcher32
   * (id 3) — everything libnetcdf writes and every reference fixture uses —
-  * plus lzf (id 32000), h5py's built-in alternative codec ([[Lzf]]), and
-  * zstd (id 32015, the hdf5plugin registered filter — raw zstd frames,
-  * decoded via the zstd-jni binding Spark already ships).
+  * plus the hdf5plugin/h5py ecosystem codecs: lzf (id 32000, h5py's
+  * built-in alternative codec, [[Lzf]]), zstd (id 32015 — raw zstd frames
+  * via the zstd-jni binding Spark already ships), and blosc (id 32001 —
+  * self-contained blosc1 frames via [[graft.zarr.Blosc]], cnames
+  * lz4/lz4hc/zlib/zstd/snappy).
   * NOT SUPPORTED (clear [[UnsupportedFilterException]] naming the filter,
   * never a garbled decode): szip (4), nbit (5), scale-offset (6), and
-  * registered third-party filters such as bzip2 (307), blosc (32001).
+  * other registered third-party filters such as bzip2 (307).
   * h5py via its plugin ecosystem reads more; files carrying those filters
   * need a one-time repack (`h5repack -f GZIP=4`) before this reader.
   *
@@ -47,8 +49,8 @@ final class UnsupportedFilterException(val filterId: Int)
   extends UnsupportedOperationException(
     s"HDF5 filter $filterId (${UnsupportedFilterException.name(filterId)}) " +
       "is not supported; supported filters are deflate(1), shuffle(2), " +
-      "fletcher32(3), lzf(32000), zstd(32015). Repack the file " +
-      "(e.g. `h5repack -f GZIP=4`) to read it.")
+      "fletcher32(3), lzf(32000), blosc(32001), zstd(32015). Repack the " +
+      "file (e.g. `h5repack -f GZIP=4`) to read it.")
 
 object UnsupportedFilterException {
   /** Public registered-filter names, for actionable error text. */
@@ -654,6 +656,8 @@ object HDF5 {
             data = Lzf.decompress(data, chunkBytes)
           case 32015 => // zstd (hdf5plugin): chunk is one raw zstd frame
             data = com.github.luben.zstd.Zstd.decompress(data, chunkBytes)
+          case 32001 => // blosc (hdf5plugin): one self-contained blosc1 frame
+            data = graft.zarr.Blosc.decompress(data)
           case id => throw new UnsupportedFilterException(id)
         }
       }

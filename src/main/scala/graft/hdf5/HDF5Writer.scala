@@ -206,10 +206,11 @@ object HDF5Writer {
             deflateLevel: Option[Int] = None,
             shuffle: Boolean = false,
             lzf: Boolean = false,
-            zstdLevel: Option[Int] = None): Unit = {
-    require(Seq(deflateLevel.isDefined, lzf, zstdLevel.isDefined)
-      .count(identity) <= 1,
-      "deflate, lzf, and zstd are alternative block codecs; pick one")
+            zstdLevel: Option[Int] = None,
+            blosc: Option[graft.zarr.Blosc.Params] = None): Unit = {
+    require(Seq(deflateLevel.isDefined, lzf, zstdLevel.isDefined,
+      blosc.isDefined).count(identity) <= 1,
+      "deflate, lzf, zstd, and blosc are alternative block codecs; pick one")
     // dims in deterministic order; phantom scales for coordinate-less dims
     val dimNames = f.dims.keys.toVector.sorted
     val varNames = (f.coords.keySet ++ f.dataVars.keySet).toVector.sorted
@@ -260,6 +261,11 @@ object HDF5Writer {
                 val c = com.github.luben.zstd.Zstd.compress(enc, lvl)
                 if (c.length < enc.length) enc = c else mask = codecBit
               }
+              // blosc frames are self-contained (memcpy mode inside the
+              // frame covers incompressible chunks) — no mask needed,
+              // matching the hdf5plugin filter exactly
+              blosc.foreach(p => enc =
+                graft.zarr.Blosc.compress(enc, v.dtype.byteSize, p))
               ChunkPlan(lo, enc, mask)
             }
             name -> Right(plans)
@@ -289,7 +295,8 @@ object HDF5Writer {
         }))
       val filterMsg: Vector[Msg] =
         if (varData.get(name).exists(_.isRight) &&
-            (deflateLevel.isDefined || shuffle || lzf || zstdLevel.isDefined)) {
+            (deflateLevel.isDefined || shuffle || lzf ||
+              zstdLevel.isDefined || blosc.isDefined)) {
           // pipeline in encode order: shuffle (id 2), then deflate (id 1)
           // or lzf (id 32000) or zstd (id 32015) — registered filters
           // carry a name in v1 entries. Each v1 entry: id, namelen,
@@ -299,7 +306,17 @@ object HDF5Writer {
             (if (shuffle) Vector(Entry(2, "", Vector(dtype.byteSize))) else Vector.empty) ++
             deflateLevel.map(lvl => Entry(1, "", Vector(lvl))).toVector ++
             (if (lzf) Vector(Entry(32000, "lzf", Vector.empty)) else Vector.empty) ++
-            zstdLevel.map(lvl => Entry(32015, "zstd", Vector(lvl))).toVector
+            zstdLevel.map(lvl => Entry(32015, "zstd", Vector(lvl))).toVector ++
+            // hdf5plugin blosc cd_values: filter version, blosc version,
+            // typesize, chunk bytes, clevel, shuffle, compressor code
+            blosc.map { p =>
+              val code = p.cname match {
+                case "lz4" | "lz4hc" => 1; case "snappy" => 2
+                case "zlib" => 3; case "zstd" => 4; case _ => 0
+              }
+              Entry(32001, "blosc", Vector(2, 2, dtype.byteSize, 0,
+                p.clevel, if (p.shuffle) 1 else 0, code))
+            }.toVector
           val size = 8 + entries.map { e =>
             val nb = if (e.name.isEmpty) 0 else pad8(e.name.length + 1)
             8 + nb + e.values.length * 4 + (if (e.values.length % 2 == 1) 4 else 0)

@@ -198,6 +198,29 @@ class Hdf5Spec extends AnyFunSuite {
       Files.size(java.nio.file.Paths.get(plain)))
   }
 
+  test("blosc round trip (hdf5plugin filter 32001): self-contained frames, noise included") {
+    import graft.zarr.Blosc
+    val rng = new scala.util.Random(19)
+    val nt = 8; val ny = 5; val nx = 4
+    val f0 = cube(nt)
+    // both compressible and high-entropy data: blosc's in-frame memcpy
+    // mode absorbs the incompressible chunk, so no mask path exists here
+    val f = f0.copy(dataVars = f0.dataVars + (
+      "noise" -> Variable(Vector("time", "lat", "lon"),
+        NDArray(DType.I8, Vector(nt, ny, nx),
+          Array.fill(nt * ny * nx)(rng.nextLong())))))
+    val d0 = dir
+    Seq(Blosc.Params("lz4", 5, shuffle = true),
+        Blosc.Params("zstd", 3, shuffle = false),
+        Blosc.Params("zlib", 6, shuffle = true)).foreach { p =>
+      val path = s"$d0/blosc_${p.cname}.nc"
+      HDF5Writer.write(path, f, chunks = Map(
+        "foo" -> Vector(2, 5, 4), "bar" -> Vector(nt, ny, nx),
+        "noise" -> Vector(4, 5, 4)), blosc = Some(p))
+      assert(HDF5.read(path).sameAs(f), p.cname)
+    }
+  }
+
   test("unknown filter (szip-flagged pipeline) raises a clear error, not a garbled decode") {
     val f = cube(nt = 8)
     val path = s"$dir/szip.nc"
