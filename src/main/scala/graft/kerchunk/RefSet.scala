@@ -177,8 +177,9 @@ object RefSet {
     *
     * Datasets whose stored element width differs from the engine's widened
     * dtype (int8/int16 — no raw-byte zarr dtype) are rejected, as are
-    * fletcher32 filters and per-chunk skipped-filter masks; deflate and
-    * shuffle map to the store's zlib/shuffle codecs. The full decoder
+    * fletcher32 filters and per-chunk skipped-filter masks; deflate,
+    * shuffle, zstd (hdf5plugin 32015), and blosc (hdf5plugin 32001) map to
+    * the store's zlib/shuffle/zstd/blosc codecs. The full decoder
     * (HDF5.read) handles everything the scanner rejects. */
   def scanHdf5(path: String, inlineThreshold: Int = 300): RefSet = {
     import graft.hdf5.HDF5
@@ -202,13 +203,30 @@ object RefSet {
           case _ => false
         }
         o.filters.foreach { f =>
-          require(f.id == 1 || f.id == 2, // deflate, shuffle
+          require(f.id == 1 || f.id == 2 || f.id == 32015 || f.id == 32001,
             s"scanHdf5: ${m.name} uses HDF5 filter ${f.id} — only deflate/" +
-              "shuffle refs are representable; decode via HDF5.read")
+              "shuffle/zstd/blosc refs are representable; decode via HDF5.read")
         }
         val zlib = o.filters.find(_.id == 1).map(_.values.headOption.getOrElse(6))
         val shuffle = o.filters.find(_.id == 2)
           .map(_.values.headOption.getOrElse(dt.byteSize))
+        // hdf5plugin zstd/blosc filters map to the store's registered v3
+        // codecs (decode is frame-driven; cd_values only seed the config)
+        val zstd = o.filters.find(_.id == 32015)
+          .map(_.values.headOption.getOrElse(3))
+        val bloscP = o.filters.find(_.id == 32001).map { f =>
+          // cd_values: filter ver, blosc ver, typesize, chunk bytes,
+          // clevel, shuffle, compressor code
+          val cname = f.values.lift(6).getOrElse(1) match {
+            case 1 => "lz4"; case 2 => "snappy"; case 3 => "zlib"
+            case 4 => "zstd"
+            case other => throw new UnsupportedOperationException(
+              s"scanHdf5: ${m.name} blosc compressor code $other has no " +
+                "JVM codec; decode via HDF5.read")
+          }
+          graft.zarr.Blosc.Params(cname, f.values.lift(4).getOrElse(5),
+            shuffle = f.values.lift(5).contains(1))
+        }
         def inlineOrPointer(addr: Long, size: Long): Ref =
           if (size <= inlineThreshold)
             Ref.inline(r.readRange(addr, size))
@@ -235,7 +253,8 @@ object RefSet {
             out += s"${m.name}/zarr.json" -> Ref.inline(ZarrStore.arrayMetaDoc(
               o.dims, chunkDims, dt, m.cleanAttrs,
               dimensionNames = Some(m.dimNames), bigEndian = bigEndian,
-              zlibLevel = zlib, shuffleElem = shuffle))
+              zlibLevel = zlib, shuffleElem = shuffle,
+              zstdLevel = zstd, blosc = bloscP))
             r.chunkRefs(ck).foreach { cr =>
               // the array-level codec list applies to EVERY chunk; a chunk
               // whose optional filter was skipped at write time (nonzero
@@ -498,6 +517,7 @@ object RefSet {
         var big = false; var zlib: Option[Int] = None
         var gzip: Option[Int] = None; var shuffle: Option[Int] = None
         var grib: Option[String] = None
+        var zstd: Option[Int] = None
         var blosc: Option[graft.zarr.Blosc.Params] = None
         meta.get("codecs").elements().asScala.foreach { c =>
           c.get("name").asText() match {
@@ -506,6 +526,7 @@ object RefSet {
                 .exists(cf => Option(cf.get("endian")).exists(_.asText() == "big"))
             case "zlib" => zlib = Some(c.get("configuration").get("level").asInt())
             case "gzip" => gzip = Some(c.get("configuration").get("level").asInt())
+            case "zstd" => zstd = Some(c.get("configuration").get("level").asInt())
             case "shuffle" =>
               shuffle = Some(c.get("configuration").get("elementsize").asInt())
             case "grib2" =>
@@ -527,16 +548,20 @@ object RefSet {
         val fill = meta.get("fill_value")
         if (fill != null && fill.isTextual) za.put("fill_value", fill.asText())
         else za.set[ObjectNode]("fill_value", fill)
-        (zlib, gzip, blosc) match {
-          case (Some(l), _, _) =>
+        (zlib, gzip, zstd, blosc) match {
+          case (Some(l), _, _, _) =>
             val comp = mapper.createObjectNode()
             comp.put("id", "zlib"); comp.put("level", l)
             za.set[ObjectNode]("compressor", comp)
-          case (_, Some(l), _) =>
+          case (_, Some(l), _, _) =>
             val comp = mapper.createObjectNode()
             comp.put("id", "gzip"); comp.put("level", l)
             za.set[ObjectNode]("compressor", comp)
-          case (_, _, Some(p)) =>
+          case (_, _, Some(l), _) =>
+            val comp = mapper.createObjectNode()
+            comp.put("id", "zstd"); comp.put("level", l)
+            za.set[ObjectNode]("compressor", comp)
+          case (_, _, _, Some(p)) =>
             // numcodecs blosc: shuffle 0=none 1=byte 2=bit
             val comp = mapper.createObjectNode()
             comp.put("id", "blosc"); comp.put("cname", p.cname)
@@ -681,13 +706,15 @@ object RefSet {
       // must fail here, not decode compressed bytes as raw garbage later
       val compNode = Option(za.get("compressor")).filter(!_.isNull)
       val compId = compNode.map(_.get("id").asText())
-      compId.foreach(id => require(Set("zlib", "gzip", "blosc")(id),
+      compId.foreach(id => require(Set("zlib", "gzip", "zstd", "blosc")(id),
         s"zarr v2 compressor '$id' is not supported " +
-          "(supported: zlib, gzip, blosc[lz4/lz4hc/zlib/zstd/snappy])"))
+          "(supported: zlib, gzip, zstd, blosc[lz4/lz4hc/zlib/zstd/snappy])"))
       val zlib = compNode.filter(_ => compId.contains("zlib"))
         .map(_.get("level").asInt())
       val gzip = compNode.filter(_ => compId.contains("gzip"))
         .map(_.get("level").asInt())
+      val zstd = compNode.filter(_ => compId.contains("zstd"))
+        .map(c => Option(c.get("level")).map(_.asInt()).getOrElse(3))
       val blosc = compNode.filter(_ => compId.contains("blosc"))
         .map { c =>
           val sh = Option(c.get("shuffle")).map(_.asInt()).getOrElse(1)
@@ -723,7 +750,7 @@ object RefSet {
           .getOrElse(graft.core.AttrValue.AInt(0)),
         dimensionNames = dims, gzipLevel = gzip, bigEndian = big,
         zlibLevel = zlib, shuffleElem = shuffle, gribVar = grib,
-        blosc = blosc))
+        zstdLevel = zstd, blosc = blosc))
       // chunk keys <var>/i.j -> <var>/c/i/j; scalar arrays' "0" -> "c"
       raw.foreach { case (k, payload) =>
         if (k.startsWith(s"$v/") && !k.contains(".z")) {

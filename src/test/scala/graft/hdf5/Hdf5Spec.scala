@@ -196,6 +196,25 @@ class Hdf5Spec extends AnyFunSuite {
     HDF5Writer.write(plain, f, chunks = Map("foo" -> Vector(2, 5, 4)))
     assert(Files.size(java.nio.file.Paths.get(path)) <
       Files.size(java.nio.file.Paths.get(plain)))
+    // kerchunk refs: zstd chunks map to the store's zstd codec and decode
+    // in place — but masked-raw chunks (bar) are unrepresentable, so the
+    // mixed file must be rejected and a clean file must round-trip,
+    // including through the v2 json dialect (numcodecs zstd compressor)
+    import graft.kerchunk.RefSet
+    import graft.zarr.ZarrGroup
+    val eScan = intercept[IllegalArgumentException](RefSet.scanHdf5(path))
+    assert(eScan.getMessage.contains("mask"))
+    val clean = f.copy(dataVars = f.dataVars - "bar")
+    val cleanPath = s"$d0/zstd_clean.nc"
+    HDF5Writer.write(cleanPath, clean, chunks = Map("foo" -> Vector(4, 5, 4)),
+      shuffle = true, zstdLevel = Some(3))
+    val rs = RefSet.scanHdf5(cleanPath)
+    val virt = s"$d0/zstd_virt.zarr"
+    rs.materialize(virt)
+    assert(ZarrGroup(virt).readFragment().sameAs(clean))
+    val v2virt = s"$d0/zstd_v2virt.zarr"
+    RefSet.fromKerchunkV2Json(RefSet.toKerchunkV2Json(rs)).materialize(v2virt)
+    assert(ZarrGroup(v2virt).readFragment().sameAs(clean))
   }
 
   test("blosc round trip (hdf5plugin filter 32001): self-contained frames, noise included") {
@@ -218,6 +237,11 @@ class Hdf5Spec extends AnyFunSuite {
         "foo" -> Vector(2, 5, 4), "bar" -> Vector(nt, ny, nx),
         "noise" -> Vector(4, 5, 4)), blosc = Some(p))
       assert(HDF5.read(path).sameAs(f), p.cname)
+      // kerchunk refs decode blosc frames in place (no mask path exists:
+      // the frame's memcpy mode absorbed the noise chunk)
+      val virt = s"$path.virt.zarr"
+      graft.kerchunk.RefSet.scanHdf5(path).materialize(virt)
+      assert(graft.zarr.ZarrGroup(virt).readFragment().sameAs(f), p.cname)
     }
   }
 
