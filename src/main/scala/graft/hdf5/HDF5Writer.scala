@@ -308,11 +308,14 @@ object HDF5Writer {
             (if (lzf) Vector(Entry(32000, "lzf", Vector.empty)) else Vector.empty) ++
             zstdLevel.map(lvl => Entry(32015, "zstd", Vector(lvl))).toVector ++
             // hdf5plugin blosc cd_values: filter version, blosc version,
-            // typesize, chunk bytes, clevel, shuffle, compressor code
+            // typesize, chunk bytes, clevel, shuffle, compressor code —
+            // the code is c-blosc's COMPNAME enum (blosclz=0, lz4=1,
+            // lz4hc=2, snappy=3, zlib=4, zstd=5), NOT the 3-bit frame
+            // flag code the blosc1 header itself uses
             blosc.map { p =>
               val code = p.cname match {
-                case "lz4" | "lz4hc" => 1; case "snappy" => 2
-                case "zlib" => 3; case "zstd" => 4; case _ => 0
+                case "lz4" => 1; case "lz4hc" => 2; case "snappy" => 3
+                case "zlib" => 4; case "zstd" => 5; case _ => 0
               }
               Entry(32001, "blosc", Vector(2, 2, dtype.byteSize, 0,
                 p.clevel, if (p.shuffle) 1 else 0, code))
@@ -324,13 +327,15 @@ object HDF5Writer {
           val fb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
           fb.put(1.toByte); fb.put(entries.length.toByte); fb.position(8)
           entries.foreach { e =>
-            val nameLen = if (e.name.isEmpty) 0 else e.name.length + 1
+            // v1 name length is stored ALREADY padded to a multiple of 8
+            // (libhdf5 H5O__pline_decode hard-rejects name_length % 8 != 0)
+            val nameLen = if (e.name.isEmpty) 0 else pad8(e.name.length + 1)
             fb.putShort(e.id.toShort); fb.putShort(nameLen.toShort)
             fb.putShort(if (e.id >= 256) 1 else 0) // optional-filter flag
             fb.putShort(e.values.length.toShort)
             if (nameLen > 0) {
-              fb.put(e.name.getBytes("ASCII")); fb.put(0.toByte)
-              (e.name.length + 1 until pad8(nameLen)).foreach(_ => fb.put(0.toByte))
+              fb.put(e.name.getBytes("ASCII"))
+              (e.name.length until nameLen).foreach(_ => fb.put(0.toByte))
             }
             e.values.foreach(fb.putInt)
             if (e.values.length % 2 == 1) fb.putInt(0)

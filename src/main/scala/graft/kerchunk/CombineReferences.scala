@@ -222,6 +222,32 @@ object CombineReferences {
 
   private val RefsFileRe = """refs\.(\d+)\.parq""".r
 
+  /** A parquet OutputFile bound to a caller-owned FileSystem instance —
+    * needed so checksum suppression (`setWriteChecksum(false)`, which
+    * keeps `.crc` sidecars out of the fsspec artifact) applies to a
+    * PRIVATE `FileSystem.newInstance`, never to the JVM-cached shared
+    * filesystem other code in the process writes through. */
+  private def outputFileOn(fs: org.apache.hadoop.fs.FileSystem,
+                           p: org.apache.hadoop.fs.Path): org.apache.parquet.io.OutputFile =
+    new org.apache.parquet.io.OutputFile {
+      private def wrap(s: org.apache.hadoop.fs.FSDataOutputStream) =
+        new org.apache.parquet.io.PositionOutputStream {
+          def getPos: Long = s.getPos
+          def write(b: Int): Unit = s.write(b)
+          override def write(b: Array[Byte]): Unit = s.write(b)
+          override def write(b: Array[Byte], off: Int, len: Int): Unit =
+            s.write(b, off, len)
+          override def flush(): Unit = s.flush()
+          override def close(): Unit = s.close()
+        }
+      def create(blockSizeHint: Long): org.apache.parquet.io.PositionOutputStream =
+        wrap(fs.create(p, false))
+      def createOrOverwrite(blockSizeHint: Long): org.apache.parquet.io.PositionOutputStream =
+        wrap(fs.create(p, true))
+      def supportsBlockSize(): Boolean = false
+      def defaultBlockSize(): Long = -1L
+    }
+
   private def parquetRefSchema: org.apache.parquet.schema.MessageType = {
     import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -319,12 +345,17 @@ object CombineReferences {
     val bConf = spark.sparkContext.broadcast(confProps)
     val bPath = path
 
-    // overwrite semantics, then the distributed record-file write
+    // overwrite semantics, then the distributed record-file write. The
+    // checksum suppression (no .crc sidecars in the artifact) lives on a
+    // PRIVATE FileSystem instance — mutating the JVM-cached shared one
+    // would silently disable checksums for every other writer in-process
     val rootPath = new org.apache.hadoop.fs.Path(path)
-    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.setWriteChecksum(false)
-    if (fs.exists(rootPath)) fs.delete(rootPath, true)
-    fs.mkdirs(rootPath)
+    val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+      rootPath.toUri, spark.sessionState.newHadoopConf())
+    try {
+      fs.setWriteChecksum(false)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+      fs.mkdirs(rootPath)
 
     rows.toDF("component", "rec", "row", "path", "offset", "size", "raw")
       .repartition(col("component"), col("rec"))
@@ -332,9 +363,11 @@ object CombineReferences {
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         val conf = new org.apache.hadoop.conf.Configuration(false)
         bConf.value.foreach { case (k, v) => conf.set(k, v) }
-        // no .crc sidecars in the artifact (fsspec expects refs.N.parq only)
-        new org.apache.hadoop.fs.Path(bPath).getFileSystem(conf)
-          .setWriteChecksum(false)
+        // no .crc sidecars in the artifact (fsspec expects refs.N.parq
+        // only) — suppressed on a task-private instance, see outputFileOn
+        val taskFs = org.apache.hadoop.fs.FileSystem.newInstance(
+          new org.apache.hadoop.fs.Path(bPath).toUri, conf)
+        taskFs.setWriteChecksum(false)
         val schema = parquetRefSchema
         val factory =
           new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
@@ -356,37 +389,40 @@ object CombineReferences {
             writer.write(nullRow()))
           writer.close(); writer = null
         }
-        it.foreach { r =>
-          val key = (r.getString(0), r.getInt(1))
-          if (key != cur) {
-            close()
-            cur = key; nextRow = 0
-            val file = new org.apache.hadoop.fs.Path(
-              new org.apache.hadoop.fs.Path(bPath, key._1), s"refs.${key._2}.parq")
-            writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
-              .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
-                .fromPath(file, conf))
-              .withConf(conf).withType(schema).build()
+        try {
+          it.foreach { r =>
+            val key = (r.getString(0), r.getInt(1))
+            if (key != cur) {
+              close()
+              cur = key; nextRow = 0
+              val file = new org.apache.hadoop.fs.Path(
+                new org.apache.hadoop.fs.Path(bPath, key._1), s"refs.${key._2}.parq")
+              taskFs.mkdirs(file.getParent)
+              writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+                .builder(outputFileOn(taskFs, file))
+                .withConf(conf).withType(schema).build()
+            }
+            val row = r.getInt(2)
+            (nextRow until row).foreach(_ => writer.write(nullRow()))
+            val g = factory.newGroup()
+            if (!r.isNullAt(3)) g.add("path", r.getString(3))
+            g.add("offset", r.getLong(4)); g.add("size", r.getLong(5))
+            if (!r.isNullAt(6)) g.add("raw",
+              org.apache.parquet.io.api.Binary.fromConstantByteArray(
+                r.getAs[Array[Byte]](6)))
+            writer.write(g)
+            nextRow = row + 1
           }
-          val row = r.getInt(2)
-          (nextRow until row).foreach(_ => writer.write(nullRow()))
-          val g = factory.newGroup()
-          if (!r.isNullAt(3)) g.add("path", r.getString(3))
-          g.add("offset", r.getLong(4)); g.add("size", r.getLong(5))
-          if (!r.isNullAt(6)) g.add("raw",
-            org.apache.parquet.io.api.Binary.fromConstantByteArray(
-              r.getAs[Array[Byte]](6)))
-          writer.write(g)
-          nextRow = row + 1
-        }
-        close()
+          close()
+        } finally taskFs.close()
       }
 
-    val metaPath = new org.apache.hadoop.fs.Path(path, ".zmetadata")
-    val out = fs.create(metaPath, true)
-    try out.write(mapper.writerWithDefaultPrettyPrinter()
-      .writeValueAsString(metaRoot).getBytes("UTF-8"))
-    finally out.close()
+      val metaPath = new org.apache.hadoop.fs.Path(path, ".zmetadata")
+      val out = fs.create(metaPath, true)
+      try out.write(mapper.writerWithDefaultPrettyPrinter()
+        .writeValueAsString(metaRoot).getBytes("UTF-8"))
+      finally out.close()
+    } finally fs.close()
   }
 
   /** Open an fsspec `LazyReferenceMapper` parquet artifact (ours or one

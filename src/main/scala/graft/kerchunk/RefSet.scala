@@ -216,13 +216,14 @@ object RefSet {
           .map(_.values.headOption.getOrElse(3))
         val bloscP = o.filters.find(_.id == 32001).map { f =>
           // cd_values: filter ver, blosc ver, typesize, chunk bytes,
-          // clevel, shuffle, compressor code
+          // clevel, shuffle, compressor code — c-blosc's COMPNAME enum
+          // (blosclz=0, lz4=1, lz4hc=2, snappy=3, zlib=4, zstd=5)
           val cname = f.values.lift(6).getOrElse(1) match {
-            case 1 => "lz4"; case 2 => "snappy"; case 3 => "zlib"
-            case 4 => "zstd"
+            case 1 => "lz4"; case 2 => "lz4hc"; case 3 => "snappy"
+            case 4 => "zlib"; case 5 => "zstd"
             case other => throw new UnsupportedOperationException(
-              s"scanHdf5: ${m.name} blosc compressor code $other has no " +
-                "JVM codec; decode via HDF5.read")
+              s"scanHdf5: ${m.name} blosc compressor code $other " +
+                "(blosclz or unknown) has no JVM codec; decode via HDF5.read")
           }
           graft.zarr.Blosc.Params(cname, f.values.lift(4).getOrElse(5),
             shuffle = f.values.lift(5).contains(1))
