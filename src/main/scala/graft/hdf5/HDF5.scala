@@ -31,7 +31,8 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * built-in alternative codec, [[Lzf]]), zstd (id 32015 — raw zstd frames
   * via the zstd-jni binding Spark already ships), and blosc (id 32001 —
   * self-contained blosc1 frames via [[graft.zarr.Blosc]], cnames
-  * lz4/lz4hc/zlib/zstd/snappy).
+  * lz4/lz4hc/zlib/zstd/snappy), and lz4 (id 32004 — the n-block layout
+  * with big-endian sizes, via lz4-java).
   * NOT SUPPORTED (clear [[UnsupportedFilterException]] naming the filter,
   * never a garbled decode): szip (4), nbit (5), scale-offset (6), and
   * other registered third-party filters such as bzip2 (307).
@@ -49,8 +50,8 @@ final class UnsupportedFilterException(val filterId: Int)
   extends UnsupportedOperationException(
     s"HDF5 filter $filterId (${UnsupportedFilterException.name(filterId)}) " +
       "is not supported; supported filters are deflate(1), shuffle(2), " +
-      "fletcher32(3), lzf(32000), blosc(32001), zstd(32015). Repack the " +
-      "file (e.g. `h5repack -f GZIP=4`) to read it.")
+      "fletcher32(3), lzf(32000), blosc(32001), lz4(32004), zstd(32015). " +
+      "Repack the file (e.g. `h5repack -f GZIP=4`) to read it.")
 
 object UnsupportedFilterException {
   /** Public registered-filter names, for actionable error text. */
@@ -658,6 +659,34 @@ object HDF5 {
             data = com.github.luben.zstd.Zstd.decompress(data, chunkBytes)
           case 32001 => // blosc (hdf5plugin): one self-contained blosc1 frame
             data = graft.zarr.Blosc.decompress(data)
+          case 32004 =>
+            // lz4 (registered HDF5 filter): big-endian 8-byte original
+            // size + 4-byte block size, then per block a 4-byte BE
+            // compressed size and an lz4 BLOCK payload (csize == block
+            // length marks a stored-raw block)
+            val bb = java.nio.ByteBuffer.wrap(data)
+              .order(java.nio.ByteOrder.BIG_ENDIAN)
+            val origSize = bb.getLong()
+            require(origSize <= Int.MaxValue, s"lz4 chunk of $origSize bytes")
+            val blockSize0 = bb.getInt()
+            val blockSize =
+              if (blockSize0 <= 0) origSize.toInt else blockSize0
+            val out = new Array[Byte](origSize.toInt)
+            val dec = net.jpountz.lz4.LZ4Factory.fastestInstance()
+              .safeDecompressor()
+            var op = 0
+            while (op < origSize) {
+              val n = math.min(blockSize, origSize.toInt - op)
+              val csize = bb.getInt()
+              if (csize == n) bb.get(out, op, n) // stored raw
+              else {
+                val src = new Array[Byte](csize); bb.get(src)
+                val wrote = dec.decompress(src, 0, csize, out, op)
+                require(wrote == n, s"lz4 block decoded $wrote of $n bytes")
+              }
+              op += n
+            }
+            data = out
           case id => throw new UnsupportedFilterException(id)
         }
       }

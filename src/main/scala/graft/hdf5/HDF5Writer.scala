@@ -183,6 +183,34 @@ object HDF5Writer {
     bos.toByteArray
   }
 
+  /** The registered lz4 filter's n-block layout: BE 8-byte original size,
+    * BE 4-byte block size, then per block a BE 4-byte compressed size and
+    * an lz4 BLOCK payload (raw when compression would not shrink it).
+    * None when the whole filter output is not smaller than the input —
+    * the chunk is then stored raw with its mask bit set. */
+  private def lz4Encode(bytes: Array[Byte]): Option[Array[Byte]] = {
+    val blockSize = math.min(bytes.length, 1 << 30)
+    val comp = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+    val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val head = ByteBuffer.allocate(12).order(ByteOrder.BIG_ENDIAN)
+    head.putLong(bytes.length.toLong); head.putInt(blockSize)
+    bos.write(head.array())
+    var off = 0
+    val be4 = new Array[Byte](4)
+    while (off < bytes.length) {
+      val n = math.min(blockSize, bytes.length - off)
+      val c = comp.compress(bytes, off, n)
+      val (payload, csize) = if (c.length < n) (c, c.length) else
+        (java.util.Arrays.copyOfRange(bytes, off, off + n), n)
+      be4(0) = (csize >> 24).toByte; be4(1) = (csize >> 16).toByte
+      be4(2) = (csize >> 8).toByte; be4(3) = csize.toByte
+      bos.write(be4); bos.write(payload)
+      off += n
+    }
+    val enc = bos.toByteArray
+    if (enc.length < bytes.length) Some(enc) else None
+  }
+
   private def shuffleBytes(bytes: Array[Byte], es: Int): Array[Byte] = {
     val n = bytes.length / es
     val out = new Array[Byte](bytes.length)
@@ -207,10 +235,12 @@ object HDF5Writer {
             shuffle: Boolean = false,
             lzf: Boolean = false,
             zstdLevel: Option[Int] = None,
-            blosc: Option[graft.zarr.Blosc.Params] = None): Unit = {
+            blosc: Option[graft.zarr.Blosc.Params] = None,
+            lz4: Boolean = false): Unit = {
     require(Seq(deflateLevel.isDefined, lzf, zstdLevel.isDefined,
-      blosc.isDefined).count(identity) <= 1,
-      "deflate, lzf, zstd, and blosc are alternative block codecs; pick one")
+      blosc.isDefined, lz4).count(identity) <= 1,
+      "deflate, lzf, zstd, blosc, and lz4 are alternative block codecs; " +
+        "pick one")
     // dims in deterministic order; phantom scales for coordinate-less dims
     val dimNames = f.dims.keys.toVector.sorted
     val varNames = (f.coords.keySet ++ f.dataVars.keySet).toVector.sorted
@@ -266,6 +296,10 @@ object HDF5Writer {
               // matching the hdf5plugin filter exactly
               blosc.foreach(p => enc =
                 graft.zarr.Blosc.compress(enc, v.dtype.byteSize, p))
+              if (lz4) lz4Encode(enc) match {
+                case Some(c) => enc = c
+                case None => mask = codecBit
+              }
               ChunkPlan(lo, enc, mask)
             }
             name -> Right(plans)
@@ -296,7 +330,7 @@ object HDF5Writer {
       val filterMsg: Vector[Msg] =
         if (varData.get(name).exists(_.isRight) &&
             (deflateLevel.isDefined || shuffle || lzf ||
-              zstdLevel.isDefined || blosc.isDefined)) {
+              zstdLevel.isDefined || blosc.isDefined || lz4)) {
           // pipeline in encode order: shuffle (id 2), then deflate (id 1)
           // or lzf (id 32000) or zstd (id 32015) — registered filters
           // carry a name in v1 entries. Each v1 entry: id, namelen,
@@ -319,7 +353,10 @@ object HDF5Writer {
               }
               Entry(32001, "blosc", Vector(2, 2, dtype.byteSize, 0,
                 p.clevel, if (p.shuffle) 1 else 0, code))
-            }.toVector
+            }.toVector ++
+            // lz4 cd_values: the block size (the filter's only parameter)
+            (if (lz4) Vector(Entry(32004, "lz4", Vector(1 << 30)))
+             else Vector.empty)
           val size = 8 + entries.map { e =>
             val nb = if (e.name.isEmpty) 0 else pad8(e.name.length + 1)
             8 + nb + e.values.length * 4 + (if (e.values.length % 2 == 1) 4 else 0)

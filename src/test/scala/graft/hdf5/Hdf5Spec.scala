@@ -217,6 +217,29 @@ class Hdf5Spec extends AnyFunSuite {
     assert(ZarrGroup(v2virt).readFragment().sameAs(clean))
   }
 
+  test("lz4 round trip (registered filter 32004): n-block layout, masked noise chunks") {
+    val rng = new scala.util.Random(23)
+    val nt = 8; val ny = 5; val nx = 4
+    val f0 = cube(nt)
+    val f = f0.copy(dataVars = Map(
+      "foo" -> Variable(Vector("time", "lat", "lon"),
+        NDArray(DType.F8, Vector(nt, ny, nx),
+          Array.tabulate(nt * ny * nx)(i => (i / 5).toDouble))),
+      "bar" -> Variable(Vector("time", "lat", "lon"),
+        NDArray(DType.I8, Vector(nt, ny, nx),
+          Array.fill(nt * ny * nx)(rng.nextLong())))))
+    val d0 = dir
+    val path = s"$d0/lz4.nc"
+    HDF5Writer.write(path, f, chunks = Map(
+      "foo" -> Vector(2, 5, 4), "bar" -> Vector(nt, ny, nx)), lz4 = true)
+    assert(HDF5.read(path).sameAs(f))
+    val path2 = s"$d0/lz4_shuf.nc"
+    HDF5Writer.write(path2, f, chunks = Map(
+      "foo" -> Vector(4, 5, 4), "bar" -> Vector(4, 5, 4)),
+      shuffle = true, lz4 = true)
+    assert(HDF5.read(path2).sameAs(f))
+  }
+
   test("blosc round trip (hdf5plugin filter 32001): self-contained frames, noise included") {
     import graft.zarr.Blosc
     val rng = new scala.util.Random(19)
