@@ -44,6 +44,10 @@ object CubeThroughput {
     * tiny-config regression test drives it without stopping the shared
     * test context). Throws on any verification failure. */
   def run(spark: SparkSession, nt: Int, slab: Int): Unit = {
+    // the source store is written in 4-step chunks and the verify leg
+    // reads the first 4 steps — fail fast before the expensive write
+    require(nt >= 4 && nt % 4 == 0, s"timeSteps must be a multiple of 4, got $nt")
+    require(slab >= 1 && slab <= nt, s"slabSteps must be in [1, $nt], got $slab")
     val dir = java.nio.file.Files.createTempDirectory("graft_cube_tp").toString
     val cpus = math.max(2, spark.sparkContext.defaultParallelism)
     try {

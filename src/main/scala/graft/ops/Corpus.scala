@@ -54,8 +54,10 @@ object Corpus {
     * LAZY, like every facade operator: the returned plan computes nothing
     * until an action runs, so a caller can compose/filter it and Catalyst
     * optimizes the whole. The deterministic signature subtree appears in
-    * the band and scoring branches; persist `docs` (or the result) before
-    * multi-action reuse. The driver-gated d04 query keeps the eager
+    * the band and scoring branches, but within ONE action AQE reuses the
+    * signature exchange (ReusedQueryStage, pinned by `PlanSpec`) so the
+    * expensive aggregation runs once; persist `docs` (or the result)
+    * before multi-action reuse. The driver-gated d04 query keeps the eager
     * cache-and-release pattern for its bounded bench output — that pattern
     * is wrong for a library API (it forces computation at call time and
     * stores non-replicated executor-local blocks an executor loss cannot
@@ -71,15 +73,22 @@ object Corpus {
   /** n-gram Jaccard near-duplicate pairs (threshold 0.8): ONE df-capped
     * shingle-grouping pass (bounded per-group state via the
     * `collect_list_capped` aggregate, registered here), in-group pair
-    * emission, exact integer Jaccard. */
+    * emission, exact integer Jaccard.
+    *
+    * Domain: ids must be non-negative and < 2^42 (they are packed with the
+    * per-doc shingle count into one long; out-of-range ids fail loudly
+    * with `raise_error`, never wrap). Ids from 60-bit hashes or from
+    * `monotonically_increasing_id` past partition 511 exceed the range —
+    * remap such ids to a dense domain first. Cost note: the capped-group
+    * subtree feeds both the pair and the count branches and the branches
+    * prune different columns, so one action computes the grouping twice;
+    * for repeated actions persist the RESULT (the grouped intermediate is
+    * not exposed). */
   def ngramJaccardPairs(spark: SparkSession, docs: DataFrame,
                         idCol: String = "doc_id",
                         textCol: String = "text",
                         threshold: Double = 0.8): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    // lazy: the capped-group subtree feeds both the pair and the count
-    // branches; persist upstream for multi-action reuse (see
-    // [[minhashCandidatePairs]])
     DedupOps.d02Build(
       DedupOps.groupedShinglesOf(shingles(docs, idCol, textCol)), threshold)
   }

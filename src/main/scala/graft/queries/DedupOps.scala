@@ -149,15 +149,19 @@ object DedupOps {
     * in [[d02NgramJaccard]] would otherwise hide.
     *
     * Scale shape: each group member is re-keyed as packed
-    * (doc_id, surviving-count) and the EXACT length-ratio prefilter
+    * (doc_id, surviving-count) and the length-ratio prefilter
     * `jaccard <= min(na,nb)/max(na,nb)` runs INSIDE the pair emission —
     * a pair whose sizes differ by more than the threshold ratio can never
     * reach it and so never enters the pair shuffle (the dominant cost when
     * shingle df is high: the sf1 scale run measured 270M emitted pairs
-    * pre-filter on the synthetic 30-word-vocabulary corpus). The filter is
-    * provably lossless: inter <= min(na,nb), so
-    * jaccard = inter/(na+nb-inter) <= min/max. Carrying the counts in the
-    * packed key also removes the two post-aggregation count joins. */
+    * pre-filter on the synthetic 30-word-vocabulary corpus). Losslessness:
+    * inter <= min(na,nb) gives jaccard <= min/max, and because the FINAL
+    * filter compares round(jaccard, 4) — a pair with exact jaccard as low
+    * as threshold - 0.5e-4 still rounds up and must be emitted — the
+    * prefilter bound is slackened by that rounding half-width (plus one
+    * double ulp). An exact `min >= threshold*max` bound would drop
+    * boundary pairs the oracle keeps. Carrying the counts in the packed
+    * key also removes the two post-aggregation count joins. */
   private[graft] def d02Build(grouped: DataFrame,
                               threshold: Double = 0.8): DataFrame = {
     val counts = grouped.select(explode(col("docs")).as("doc_id"))
@@ -170,14 +174,16 @@ object DedupOps {
         s"""CASE WHEN doc_id >= 0 AND doc_id < ${1L << (63 - CountBits)}
            |  AND n < $PackBase THEN doc_id * $PackBase + n
            |  ELSE raise_error(concat('d02: doc_id/count out of packing ',
-           |    'range: ', cast(doc_id as string), '/', cast(n as string)))
+           |    'range [0, 2^42): ', cast(doc_id as string), '/',
+           |    cast(n as string), ' — remap ids to a dense domain first'))
            |END""".stripMargin).as("p"))
       .groupBy("g").agg(collect_list(col("p")).as("docs"))
     // emit pairs in-group with the lossless ratio prefilter fused in; the
     // packed longs order by doc_id (counts ride the low bits), so y > x
     // keeps the doc_a < doc_b orientation
+    val preBound = threshold - 5.1e-5 // round(j,4) half-width + ulp slack
     val ratio = s"double(least(x % $PackBase, y % $PackBase)) >= " +
-      s"$threshold * double(greatest(x % $PackBase, y % $PackBase))"
+      s"$preBound * double(greatest(x % $PackBase, y % $PackBase))"
     val pairs = packed
       .filter(size(col("docs")) >= 2)
       .select(explode(expr(

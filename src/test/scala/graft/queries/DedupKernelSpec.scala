@@ -108,4 +108,22 @@ class DedupKernelSpec extends AnyFunSuite {
       .select(col("g"), array_sort(col("docs")).as("docs"))
     assert(onePass.exceptAll(twoPass).isEmpty && twoPass.exceptAll(onePass).isEmpty)
   }
+
+  test("d02 ratio prefilter keeps boundary pairs that ROUND up to the threshold") {
+    // doc 1 ⊂ doc 2 with 3999/4999 shingles: exact jaccard = 0.79996 < 0.8
+    // but round(j, 4) = 0.8 — the oracle (and the final filter) emit the
+    // pair, so the size-ratio prefilter (min/max = 0.79996 < 0.8) must use
+    // the rounding-slackened bound, not the bare threshold
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val sh = ((0 until 3999).map(i => (1L, s"g$i")) ++
+      (0 until 4999).map(i => (2L, s"g$i"))).toDF("doc_id", "g")
+    val out = graft.queries.DedupOps.d02Build(
+      graft.queries.DedupOps.groupedShinglesOf(sh)).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 3999L) // inter
+    assert(r.getDouble(3) == 0.8) // round(0.79996, 4)
+  }
 }

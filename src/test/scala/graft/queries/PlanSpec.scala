@@ -153,4 +153,19 @@ class PlanSpec extends AnyFunSuite {
     // one shuffle for the agg + one for the final ORDER BY — never one per set
     assert("Exchange".r.findAllIn(p).size <= 2, p)
   }
+
+  test("Corpus.minhashCandidatePairs: AQE reuses the signature exchange in one action") {
+    // the lazy facade leaves the (expensive) signature aggregation in the
+    // band and both rescore branches; at runtime AQE must collapse them
+    // into one computed stage + reuses — otherwise one action pays the
+    // aggregation 2-3x
+    import spark.implicits._
+    val docs = (0 until 200)
+      .map(i => (i.toLong, s"w$i alpha beta gamma delta epsilon " * 4))
+      .toDF("doc_id", "text")
+    val pairs = graft.ops.Corpus.minhashCandidatePairs(spark, docs)
+    pairs.collect() // AQE finalizes during execution
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedQueryStage") || p.contains("ReusedExchange"), p)
+  }
 }
