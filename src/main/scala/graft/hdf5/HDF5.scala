@@ -667,7 +667,8 @@ object HDF5 {
             val bb = java.nio.ByteBuffer.wrap(data)
               .order(java.nio.ByteOrder.BIG_ENDIAN)
             val origSize = bb.getLong()
-            require(origSize <= Int.MaxValue, s"lz4 chunk of $origSize bytes")
+            require(origSize >= 0 && origSize <= Int.MaxValue,
+              s"lz4 chunk header claims $origSize bytes (corrupt)")
             val blockSize0 = bb.getInt()
             val blockSize =
               if (blockSize0 <= 0) origSize.toInt else blockSize0
@@ -678,6 +679,7 @@ object HDF5 {
             while (op < origSize) {
               val n = math.min(blockSize, origSize.toInt - op)
               val csize = bb.getInt()
+              require(csize >= 0, s"lz4 block size $csize (corrupt)")
               if (csize == n) bb.get(out, op, n) // stored raw
               else {
                 val src = new Array[Byte](csize); bb.get(src)

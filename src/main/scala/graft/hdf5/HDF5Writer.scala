@@ -200,11 +200,11 @@ object HDF5Writer {
     while (off < bytes.length) {
       val n = math.min(blockSize, bytes.length - off)
       val c = comp.compress(bytes, off, n)
-      val (payload, csize) = if (c.length < n) (c, c.length) else
-        (java.util.Arrays.copyOfRange(bytes, off, off + n), n)
+      val csize = if (c.length < n) c.length else n
       be4(0) = (csize >> 24).toByte; be4(1) = (csize >> 16).toByte
       be4(2) = (csize >> 8).toByte; be4(3) = csize.toByte
-      bos.write(be4); bos.write(payload)
+      bos.write(be4)
+      if (c.length < n) bos.write(c) else bos.write(bytes, off, n)
       off += n
     }
     val enc = bos.toByteArray
