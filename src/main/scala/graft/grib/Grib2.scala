@@ -46,13 +46,16 @@ object Grib2 {
   // ------------------------------------------------------------ data model
 
   /** Grid geometry. For template 3.0 `la2/lo2/di/dj` describe the regular
-    * lat-lon raster; for 3.20 `laD/loV/dx/dy` the polar-stereo plane. */
+    * lat-lon raster; for 3.20 `laD/loV/dx/dy` the polar-stereo plane; 3.30
+    * (Lambert conformal — real NOAA HRRR output) adds the standard
+    * parallels `latin1/latin2`. */
   final case class GridDef(template: Int, nx: Int, ny: Int, nDataPoints: Int,
                            radius: Double,
                            la1: Double, lo1: Double,
                            la2: Double, lo2: Double, di: Double, dj: Double,
                            laD: Double, loV: Double, dx: Double, dy: Double,
-                           projCentreFlag: Int, scanMode: Int) {
+                           projCentreFlag: Int, scanMode: Int,
+                           latin1: Double = 0, latin2: Double = 0) {
     def scanNegI: Boolean = (scanMode & 0x80) != 0
     def scanPosJ: Boolean = (scanMode & 0x40) != 0
   }
@@ -295,9 +298,18 @@ object Grib2 {
           laD = r.i32sm(47) / 1e6, loV = r.i32sm(51) / 1e6,
           dx = r.u32(55) / 1e3, dy = r.u32(59) / 1e3,
           projCentreFlag = r.u8(63), scanMode = r.u8(64))
+      case 30 => // Lambert conformal: 3.20's layout + Latin1/Latin2 at 66/70
+        GridDef(template, nx = r.u32(30).toInt, ny = r.u32(34).toInt,
+          nDataPoints = nDataPoints, radius = radiusOf,
+          la1 = r.i32sm(38) / 1e6, lo1 = r.i32sm(42) / 1e6,
+          la2 = 0, lo2 = 0, di = 0, dj = 0,
+          laD = r.i32sm(47) / 1e6, loV = r.i32sm(51) / 1e6,
+          dx = r.u32(55) / 1e3, dy = r.u32(59) / 1e3,
+          projCentreFlag = r.u8(63), scanMode = r.u8(64),
+          latin1 = r.i32sm(65) / 1e6, latin2 = r.i32sm(69) / 1e6)
       case t => throw new UnsupportedOperationException(
-        s"GRIB2 grid template 3.$t not supported (3.0 lat-lon and 3.20 " +
-          "polar stereographic are)")
+        s"GRIB2 grid template 3.$t not supported (3.0 lat-lon, 3.20 polar " +
+          "stereographic, 3.30 Lambert conformal are)")
     }
   }
 
@@ -607,6 +619,51 @@ object Grib2 {
           }
           j += 1
         }
+      case 30 =>
+        // Lambert conformal conic (Snyder 1987 §15, spherical form): cone
+        // constant n from the standard parallels (tangent cone when they
+        // coincide), anchored — like the 3.20 path — by forward-projecting
+        // the encoded first grid point
+        require((g.projCentreFlag & 0x80) == 0,
+          "south-pole Lambert conformal grids not supported")
+        val phi1 = math.toRadians(g.latin1)
+        val phi2 = math.toRadians(g.latin2)
+        val n =
+          if (math.abs(phi1 - phi2) < 1e-9) math.sin(phi1)
+          else math.log(math.cos(phi1) / math.cos(phi2)) /
+            math.log(math.tan(math.Pi / 4 + phi2 / 2) /
+              math.tan(math.Pi / 4 + phi1 / 2))
+        val bigF = math.cos(phi1) *
+          math.pow(math.tan(math.Pi / 4 + phi1 / 2), n) / n
+        def rhoOf(phi: Double): Double =
+          g.radius * bigF / math.pow(math.tan(math.Pi / 4 + phi / 2), n)
+        val rho0 = rhoOf(math.toRadians(g.laD))
+        val lov = math.toRadians(g.loV)
+        val phiA = math.toRadians(g.la1)
+        val thetaA = n * (math.toRadians(g.lo1) - lov)
+        val rhoA = rhoOf(phiA)
+        val x1 = rhoA * math.sin(thetaA)
+        val y1 = rho0 - rhoA * math.cos(thetaA)
+        val sx = if (g.scanNegI) -g.dx else g.dx
+        val sy = if (g.scanPosJ) g.dy else -g.dy
+        var j = 0
+        while (j < g.ny) {
+          val y = y1 + j * sy
+          var i = 0
+          while (i < g.nx) {
+            val x = x1 + i * sx
+            val rho = math.hypot(x, rho0 - y)
+            val theta = math.atan2(x, rho0 - y)
+            val phi =
+              if (rho == 0) math.Pi / 2
+              else 2 * math.atan(math.pow(g.radius * bigF / rho, 1.0 / n)) -
+                math.Pi / 2
+            lats(j * g.nx + i) = math.toDegrees(phi)
+            lons(j * g.nx + i) = normLon(math.toDegrees(lov + theta / n))
+            i += 1
+          }
+          j += 1
+        }
       case t => throw new UnsupportedOperationException(s"grid template 3.$t")
     }
     (lats, lons)
@@ -753,16 +810,10 @@ object Grib2 {
     Files.write(p, out.array())
   }
 
-  /** Write a one-message GRIB2 file: regular lat-lon grid (3.0), product
-    * 4.0, simple packing (5.0) with `nbits`, bitmap from NaNs. The test
-    * fixture generator — gives the simple-packing decode path real packed
-    * input to verify against (the reference fixture is a constant field). */
-  def writeSimple(path: String, values: Array[Double], nx: Int, ny: Int,
-                  la1: Double, lo1: Double, dLat: Double, dLon: Double,
-                  discipline: Int, category: Int, number: Int,
-                  refTimeEpochSec: Long, nbits: Int = 12,
-                  decimalScale: Int = 2): Unit = {
-    require(values.length == nx * ny, "values must cover the grid")
+  /** Sections 5/6/7 for simple packing (5.0): quantize, bitmap from NaNs,
+    * MSB-first bit stream — shared by the lat-lon and Lambert writers. */
+  private def simplePackSections(values: Array[Double], nbits: Int,
+                                 decimalScale: Int): Array[Array[Byte]] = {
     val valid = values.filterNot(_.isNaN)
     require(valid.nonEmpty, "all-NaN field")
     val hasBitmap = valid.length != values.length
@@ -817,11 +868,59 @@ object Grib2 {
       }
     }
 
+    Array(sec(5, s5.array()), sec(6, s6Body), sec(7, s7Body))
+  }
+
+  /** Write a one-message GRIB2 file: regular lat-lon grid (3.0), product
+    * 4.0, simple packing (5.0) with `nbits`, bitmap from NaNs. The test
+    * fixture generator — gives the simple-packing decode path real packed
+    * input to verify against (the reference fixture is a constant field). */
+  def writeSimple(path: String, values: Array[Double], nx: Int, ny: Int,
+                  la1: Double, lo1: Double, dLat: Double, dLon: Double,
+                  discipline: Int, category: Int, number: Int,
+                  refTimeEpochSec: Long, nbits: Int = 12,
+                  decimalScale: Int = 2): Unit = {
+    require(values.length == nx * ny, "values must cover the grid")
     writeMessage(path, discipline, Array(
       sec(1, sec1Body(refTimeEpochSec)),
       sec(3, sec3LatLon(nx, ny, la1, lo1, dLat, dLon)),
-      sec(4, sec4Body(category, number)),
-      sec(5, s5.array()), sec(6, s6Body), sec(7, s7Body)))
+      sec(4, sec4Body(category, number))) ++
+      simplePackSections(values, nbits, decimalScale))
+  }
+
+  /** Write a one-message GRIB2 file on a LAMBERT CONFORMAL grid (template
+    * 3.30 — the real NOAA HRRR projection): simple packing, NaN bitmap,
+    * standard parallels `latin1/latin2`, grid lengths `dx/dy` in metres
+    * true at `laD`. Fixture writer for the 3.30 scan + inverse-projection
+    * path. */
+  def writeLambert(path: String, values: Array[Double], nx: Int, ny: Int,
+                   la1: Double, lo1: Double, laD: Double, loV: Double,
+                   latin1: Double, latin2: Double, dx: Double, dy: Double,
+                   discipline: Int, category: Int, number: Int,
+                   refTimeEpochSec: Long, nbits: Int = 12,
+                   decimalScale: Int = 2): Unit = {
+    require(values.length == nx * ny, "values must cover the grid")
+    val s3 = ByteBuffer.allocate(76).order(ByteOrder.BIG_ENDIAN)
+    s3.put(0.toByte) // grid def source
+    s3.putInt(nx * ny); s3.put(0.toByte); s3.put(0.toByte)
+    s3.putShort(30) // template 3.30
+    s3.put(6.toByte) // sphere 6371229
+    s3.put(0.toByte); s3.putInt(0)
+    s3.put(0.toByte); s3.putInt(0); s3.put(0.toByte); s3.putInt(0)
+    s3.putInt(nx); s3.putInt(ny)
+    s3.putInt((la1 * 1e6).round.toInt); s3.putInt((lo1 * 1e6).round.toInt)
+    s3.put(0x30.toByte) // resolution flags
+    s3.putInt((laD * 1e6).round.toInt); s3.putInt((loV * 1e6).round.toInt)
+    s3.putInt((dx * 1e3).round.toInt); s3.putInt((dy * 1e3).round.toInt)
+    s3.put(0.toByte) // projection centre: north
+    s3.put(0x40.toByte) // scan +i, +j
+    s3.putInt((latin1 * 1e6).round.toInt); s3.putInt((latin2 * 1e6).round.toInt)
+    s3.putInt(-90000000); s3.putInt(0) // south pole of projection (unused)
+    writeMessage(path, discipline, Array(
+      sec(1, sec1Body(refTimeEpochSec)),
+      sec(3, s3.array()),
+      sec(4, sec4Body(category, number))) ++
+      simplePackSections(values, nbits, decimalScale))
   }
 
   /** MSB-first bit packer with octet alignment (writer twin of BitReader). */

@@ -137,6 +137,98 @@ class GribSpec extends AnyFunSuite {
     }
   }
 
+  test("lambert conformal grid (3.30, the HRRR projection) scans and inverse-projects") {
+    val dir = Files.createTempDirectory("graft_grib_lcc").toString
+    val nx = 40; val ny = 30
+    val rng = new scala.util.Random(53)
+    val values = Array.tabulate(nx * ny)(i =>
+      math.rint((270 + math.sin(i * 0.21) * 15 + rng.nextDouble()) * 100) / 100.0)
+    // HRRR-like parameters, grid anchored just south of the tangent
+    // parallel so rows cross it
+    val path = s"$dir/lcc.grib2"
+    Grib2.writeLambert(path, values, nx, ny,
+      la1 = 38.3, lo1 = 262.0, laD = 38.5, loV = 262.5,
+      latin1 = 38.5, latin2 = 38.5, dx = 3000.0, dy = 3000.0,
+      discipline = 0, category = 0, number = 0,
+      refTimeEpochSec = 1700000000L)
+    val m = Grib2.scan(path).head
+    assert(m.grid.template == 30)
+    assert(m.grid.latin1 == 38.5 && m.grid.latin2 == 38.5)
+    assert(m.grid.dx == 3000.0 && m.grid.dy == 3000.0)
+    // packing is grid-independent: values round-trip
+    val got = Grib2.decodeValues(path, m)
+    val tol = 0.5 * math.pow(2, m.packing.binaryScale) /
+      math.pow(10, m.packing.decimalScale) + 1e-9
+    values.indices.foreach(i =>
+      assert(math.abs(got(i) - values(i)) <= tol, s"point $i"))
+    // inverse projection: grid point (0,0) is exactly the encoded first
+    // point, and adjacent points on the true-scale parallel are ~Dx apart
+    val (lats, lons) = Grib2.latLonArrays(m.grid)
+    assert(math.abs(lats(0) - 38.3) < 1e-6, lats(0))
+    assert(math.abs(lons(0) - 262.0) < 1e-6, lons(0))
+    assert(lats.forall(l => l > 0 && l < 90))
+    // rows step ~0.027 deg; tangent-cone distortion at 0.02 deg off the
+    // parallel is second-order (~1e-7), far inside the 30 m tolerance
+    val idx = lats.indices.filter(i =>
+      math.abs(lats(i) - 38.5) < 0.02 && (i % nx) < nx - 1)
+    assert(idx.nonEmpty, "no grid row crosses the standard parallel")
+    val i = idx.head
+    val d = haversine(lats(i), lons(i), lats(i + 1), lons(i + 1), m.grid.radius)
+    assert(math.abs(d - 3000.0) < 30.0, s"spacing $d at latin1 not ~3km")
+    // away from the standard parallel the scale factor grows: spacing on
+    // the first row (38.3) must still be within 1% of Dx on this span
+    val d0 = haversine(lats(0), lons(0), lats(1), lons(1), m.grid.radius)
+    assert(math.abs(d0 - 3000.0) < 30.0, s"row-0 spacing $d0")
+  }
+
+  test("complex packing on a lambert grid decodes (the real HRRR combination)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val dir = Files.createTempDirectory("graft_grib_lcc_cx").toString
+    val nx = 25; val ny = 12
+    val rng = new scala.util.Random(59)
+    val values = Array.tabulate(nx * ny) { i =>
+      val x = i % nx; val y = i / nx
+      math.rint((math.cos(x * 0.4) * 30 + y * 5 + rng.nextDouble()) * 100) / 100.0
+    }
+    val cx = s"$dir/cx.grib2"; val lcc = s"$dir/lcc.grib2"
+    Grib2.writeComplex(cx, values, nx, ny, 30.0, 10.0, 1.0, 1.0,
+      0, 0, 0, refTimeEpochSec = 1700000000L, order = 2)
+    Grib2.writeLambert(lcc, values, nx, ny,
+      la1 = 38.3, lo1 = 262.0, laD = 38.5, loV = 262.5,
+      latin1 = 38.5, latin2 = 38.5, dx = 3000.0, dy = 3000.0,
+      discipline = 0, category = 0, number = 0,
+      refTimeEpochSec = 1700000000L)
+    // splice the lambert section 3 into the complex-packed message
+    def sections(bytes: Array[Byte]): Vector[(Int, Int, Int)] = {
+      var p = 16; val out = Vector.newBuilder[(Int, Int, Int)]
+      while (p < bytes.length - 4) {
+        val len = ByteBuffer.wrap(bytes, p, 4).order(ByteOrder.BIG_ENDIAN).getInt
+        out += ((bytes(p + 4) & 0xFF, p, len)); p += len
+      }
+      out.result()
+    }
+    val ca = Files.readAllBytes(Paths.get(cx))
+    val cb = Files.readAllBytes(Paths.get(lcc))
+    val (_, aOff, aLen) = sections(ca).find(_._1 == 3).get
+    val (_, bOff, bLen) = sections(cb).find(_._1 == 3).get
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ca, 0, aOff)
+    out.write(cb, bOff, bLen)
+    out.write(ca, aOff + aLen, ca.length - aOff - aLen)
+    val merged = out.toByteArray
+    ByteBuffer.wrap(merged).order(ByteOrder.BIG_ENDIAN)
+      .putLong(8, ca.length.toLong - aLen + bLen)
+    val hybrid = s"$dir/hybrid.grib2"
+    Files.write(Paths.get(hybrid), merged)
+    val m = Grib2.scan(hybrid).head
+    assert(m.grid.template == 30 && m.packing.template == 3)
+    val got = Grib2.decodeValues(hybrid, m)
+    values.indices.foreach(i =>
+      assert(math.abs(got(i) - values(i)) < 0.005 + 1e-9, s"cell $i"))
+    val (lats, lons) = Grib2.latLonArrays(m.grid)
+    assert(math.abs(lats(0) - 38.3) < 1e-6 && math.abs(lons(0) - 262.0) < 1e-6)
+  }
+
   test("png packing (5.41) round-trips at every sample depth") {
     val dir = Files.createTempDirectory("graft_grib_png").toString
     val nx = 23; val ny = 9
