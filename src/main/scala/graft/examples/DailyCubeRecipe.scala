@@ -45,7 +45,8 @@ object DailyCubeRecipe {
           storeName: String,
           targetChunks: Map[String, Int],
           maskVar: Option[(String, Double => Boolean)] = None,
-          extraAttrs: Attrs = Map("produced_by" -> AttrValue("graft"))): ZarrGroup = {
+          extraAttrs: Attrs = Map("produced_by" -> AttrValue("graft")),
+          zarrFormat: Int = 3): ZarrGroup = {
     val targetRoot = config.targetRoot.resolve
     val items = Pipelines.createItems(spark, pattern)
     val opened = Pipelines.openWithFragments(items, pattern.fileType)
@@ -56,6 +57,7 @@ object DailyCubeRecipe {
       case None => opened
     }
     Pipelines.storeToZarr(preprocessed, pattern.combineDimKeys,
-      s"$targetRoot/$storeName", targetChunks, attrs = extraAttrs)
+      s"$targetRoot/$storeName", targetChunks, attrs = extraAttrs,
+      zarrFormat = zarrFormat)
   }
 }

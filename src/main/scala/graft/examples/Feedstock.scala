@@ -71,7 +71,9 @@ object NarrOpendapFeedstock extends Recipe {
   * rechunked cube; examples/feedstock/noaa_oisst.py:41-52) wired through
   * [[DailyCubeRecipe]]. Config section `DailyCube`:
   * `input_root` (file URLs are `input_root/day_<key>.zarr`),
-  * `days` (comma list), `store_name`, `target_chunks` ("time=2,..."). */
+  * `days` (comma list), `store_name`, `target_chunks` ("time=2,..."),
+  * `zarr_format` (3, or 2 for a zarr-python-classic `.zgroup`/`.zarray`
+  * output store that downstream zarr 2.x / xarray consumers read). */
 object DailyCubeFeedstock extends Recipe {
   val id = "daily-cube"
 
@@ -84,10 +86,12 @@ object DailyCubeFeedstock extends Recipe {
       .split(",").toVector
     val storeName = sec.getOrElse("store_name", "daily-cube.zarr")
     val chunks = Recipes.parseChunks(sec.getOrElse("target_chunks", "time=2"))
+    val zarrFormat = sec.getOrElse("zarr_format", "3").toInt
     val pattern0 = DailyCubeRecipe.pattern(
       day => s"$inputRoot/day_$day.zarr", days)
     val pattern = if (prune) pattern0.prune() else pattern0
-    val g = DailyCubeRecipe.run(spark, pattern, config.runtime, storeName, chunks)
+    val g = DailyCubeRecipe.run(spark, pattern, config.runtime, storeName,
+      chunks, zarrFormat = zarrFormat)
     g.root
   }
 }

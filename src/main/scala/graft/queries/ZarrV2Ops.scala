@@ -135,11 +135,27 @@ object ZarrV2Ops {
       .materialize(remat)
     val okD = okLayout && ZarrGroup(remat).readFragment().sameAs(cube)
 
+    // ---- E: native v2 WRITE — the engine pipeline emits the classic
+    // zarr-python layout (ZarrGroup format=2), and the v2 scanner (the
+    // reader a zarr-python consumer models) reads back the exact cube ----
+    val v2out = s"$dir/out_v2.zarr"
+    graft.transforms.Pipelines.storeToZarr(
+      frags, pattern.combineDimKeys, v2out, Map("time" -> 3), zarrFormat = 2)
+    val layoutE = Files.exists(Paths.get(v2out, ".zgroup")) &&
+      Files.exists(Paths.get(v2out, "v", ".zarray")) &&
+      Files.exists(Paths.get(v2out, "v", "1.0")) &&
+      !Files.exists(Paths.get(v2out, "zarr.json"))
+    val okE = layoutE &&
+      RefSet.scanZarrV2Group(v2out).asZarrGroup(v2out).readFragment()
+        .sameAs(cube) &&
+      ZarrGroup(v2out).readFragment().sameAs(cube)
+
     Seq(
       ("v2_opener_autodetect", 1, okA),
       ("v2_to_v3_rechunk", 1, okB && okRefs),
       ("v2_consolidated_read", 1, okC),
-      ("v2_parquet_records", 1, okD))
+      ("v2_parquet_records", 1, okD),
+      ("v2_native_write", 1, okE))
       .toDF("stage", "n_inputs", "ok")
   }
 

@@ -224,13 +224,21 @@ object Pipelines {
                         appendDim: Option[String] = None,
                         gzipLevel: Option[Int] = None,
                         targetShards: Map[String, Int] = Map.empty,
-                        encoding: Map[String, VarEncoding] = Map.empty): ZarrGroup = {
+                        encoding: Map[String, VarEncoding] = Map.empty,
+                        zarrFormat: Int = 3): ZarrGroup = {
+    require(zarrFormat == 3 || targetShards.isEmpty,
+      "zarr v2 has no sharding_indexed — drop targetShards or write v3")
     val schema = appendDim match {
       case Some(ad) => schema0.copy(coords = schema0.coords.filter(_._1 == ad))
       case None => schema0
     }
     val (template, chunksFull) = CubeSchema.toTemplate(schema, targetChunks, extraAttrs)
-    val g = ZarrGroup(path)
+    // appending opens an EXISTING store, whose on-disk layout decides the
+    // format; only a fresh create needs the explicit hint
+    val g = appendDim match {
+      case Some(_) => ZarrGroup(path)
+      case None => ZarrGroup(path, zarrFormat)
+    }
     appendDim match {
       case None =>
         g.initGroup(template.attrs)
@@ -314,7 +322,8 @@ object Pipelines {
                   dynamicChunkingFn: Option[Fragment => Map[String, Int]] = None,
                   gzipLevel: Option[Int] = None,
                   targetShards: Map[String, Int] = Map.empty,
-                  encoding: Map[String, VarEncoding] = Map.empty)
+                  encoding: Map[String, VarEncoding] = Map.empty,
+                  zarrFormat: Int = 3)
       : ZarrGroup = {
     require(targetChunks.isEmpty || dynamicChunkingFn.isEmpty,
       "Passing both `target_chunks` and `dynamic_chunking_fn` not allowed.")
@@ -340,7 +349,7 @@ object Pipelines {
     val writeGrain = chunks ++ targetShards
     val rechunked = rechunk(indexed, Some(writeGrain), Some(schema))
     val target = prepareZarrTarget(schema, storePath, chunks, attrs, appendDim,
-      gzipLevel, targetShards, encoding)
+      gzipLevel, targetShards, encoding, zarrFormat)
     // parallel region writes from executors (local FS here; an object store
     // or shared FS in cluster deployments)
     rechunked.foreachPartition { (it: Iterator[(Index, Fragment)]) =>

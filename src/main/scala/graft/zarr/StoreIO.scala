@@ -66,6 +66,8 @@ final class MapIO(entries: Map[String, MapIO.Entry]) extends StoreIO {
   def arrayDirs(): Vector[String] = entries.keys.collect {
     case k if k.endsWith("/zarr.json") && k.count(_ == '/') == 1 =>
       k.stripSuffix("/zarr.json")
+    case k if k.endsWith("/.zarray") && k.count(_ == '/') == 1 =>
+      k.stripSuffix("/.zarray")
   }.toVector.sorted
   def deleteRecursive(key: String): Unit = write(key, Array.emptyByteArray)
 }
@@ -116,7 +118,9 @@ final class PosixIO(root: String) extends StoreIO {
     if (!Files.isDirectory(dir)) return Vector.empty
     val st = Files.list(dir)
     try st.iterator().asScala
-      .filter(d => Files.isDirectory(d) && Files.exists(d.resolve("zarr.json")))
+      .filter(d => Files.isDirectory(d) &&
+        (Files.exists(d.resolve("zarr.json")) ||   // zarr v3 array
+         Files.exists(d.resolve(".zarray"))))      // zarr v2 array
       .map(_.getFileName.toString).toVector.sorted
     finally st.close()
   }
@@ -187,7 +191,8 @@ final class HadoopIO(root: String) extends StoreIO {
     if (!fs.exists(rootPath)) Vector.empty
     else fs.listStatus(rootPath).toVector
       .filter(st => st.isDirectory &&
-        fs.exists(new HPath(st.getPath, "zarr.json")))
+        (fs.exists(new HPath(st.getPath, "zarr.json")) ||
+         fs.exists(new HPath(st.getPath, ".zarray"))))
       .map(_.getPath.getName).sorted
   def deleteRecursive(key: String): Unit = {
     val path = p(key)

@@ -225,15 +225,143 @@ object ZarrStore {
     o.set[ObjectNode]("attributes", attrsObject(attrs))
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(o)
   }
+
+  // ---------- zarr v2 documents (the zarr-python classic layout) ----------
+
+  /** v2 dtype string: explicit byte order + kind + itemsize ("<f8"). */
+  def dtypeNameV2(d: DType, bigEndian: Boolean): String = {
+    val code = d match {
+      case DType.I4 => "i4"
+      case DType.I8 | DType.M8ns => "i8"
+      case DType.F4 => "f4"
+      case DType.F8 => "f8"
+    }
+    (if (bigEndian) ">" else "<") + code
+  }
+
+  /** v2 dtype string -> (our dtype, bigEndian). '|' never occurs for the
+    * multi-byte numeric kinds this store holds. */
+  def dtypeFromNameV2(s: String): (DType, Boolean) = {
+    require(s.length >= 3 && "<>|".contains(s.head), s"v2 dtype '$s'")
+    val d = s.drop(1) match {
+      case "i4" => DType.I4
+      case "i8" => DType.I8
+      case "f4" => DType.F4
+      case "f8" => DType.F8
+      case other => throw new IllegalArgumentException(
+        s"Unsupported zarr v2 dtype $other")
+    }
+    (d, s.head == '>')
+  }
+
+  /** v2 JSON spells non-finite floats as strings ("NaN", "Infinity"). */
+  private def fillNodeV2(v: AttrValue): com.fasterxml.jackson.databind.JsonNode =
+    v match {
+      case AttrValue.ANum(d) if d.isNaN =>
+        mapper.getNodeFactory.textNode("NaN")
+      case AttrValue.ANum(d) if d.isPosInfinity =>
+        mapper.getNodeFactory.textNode("Infinity")
+      case AttrValue.ANum(d) if d.isNegInfinity =>
+        mapper.getNodeFactory.textNode("-Infinity")
+      case other => attrToNode(other)
+    }
+
+  private[zarr] def fillFromNodeV2(
+      n: com.fasterxml.jackson.databind.JsonNode): AttrValue =
+    if (n == null) AttrValue.AInt(0)
+    else if (n.isTextual) n.asText() match {
+      case "NaN" => AttrValue.ANum(Double.NaN)
+      case "Infinity" => AttrValue.ANum(Double.PositiveInfinity)
+      case "-Infinity" => AttrValue.ANum(Double.NegativeInfinity)
+      case other => AttrValue.AStr(other)
+    }
+    else nodeToAttr(n)
+
+  /** One array's `.zarray` document (zarr v2 spec): C order, "."-separated
+    * chunk keys, numcodecs-id compressor dict (at most one of gzip / zlib /
+    * zstd / blosc), optional shuffle filter. The writer twin of the v2
+    * scanner's closed compressor set (RefSet.fromV2Raw). */
+  def arrayMetaDocV2(shape: Vector[Int], chunks: Vector[Int],
+                     dtype: DType,
+                     fillValue: AttrValue = AttrValue.AInt(0),
+                     gzipLevel: Option[Int] = None,
+                     zlibLevel: Option[Int] = None,
+                     zstdLevel: Option[Int] = None,
+                     blosc: Option[Blosc.Params] = None,
+                     shuffleElem: Option[Int] = None,
+                     bigEndian: Boolean = false): Array[Byte] = {
+    require(Seq(gzipLevel, zlibLevel, zstdLevel, blosc).count(_.isDefined) <= 1,
+      "zarr v2 takes at most one compressor")
+    val o = mapper.createObjectNode()
+    o.put("zarr_format", 2)
+    val sh = mapper.createArrayNode(); shape.foreach(sh.add)
+    o.set[ObjectNode]("shape", sh)
+    val ch = mapper.createArrayNode(); chunks.foreach(ch.add)
+    o.set[ObjectNode]("chunks", ch)
+    o.put("dtype", dtypeNameV2(dtype, bigEndian))
+    o.put("order", "C")
+    o.set[ObjectNode]("fill_value", fillNodeV2(fillValue))
+    val comp: Option[ObjectNode] = (gzipLevel, zlibLevel, zstdLevel, blosc) match {
+      case (Some(lvl), _, _, _) =>
+        val c = mapper.createObjectNode()
+        c.put("id", "gzip"); c.put("level", lvl); Some(c)
+      case (_, Some(lvl), _, _) =>
+        val c = mapper.createObjectNode()
+        c.put("id", "zlib"); c.put("level", lvl); Some(c)
+      case (_, _, Some(lvl), _) =>
+        val c = mapper.createObjectNode()
+        c.put("id", "zstd"); c.put("level", lvl); Some(c)
+      case (_, _, _, Some(p)) =>
+        val c = mapper.createObjectNode()
+        c.put("id", "blosc"); c.put("cname", p.cname)
+        c.put("clevel", p.clevel)
+        c.put("shuffle", if (p.shuffle) 1 else 0)
+        c.put("blocksize", p.blocksize); Some(c)
+      case _ => None
+    }
+    comp match {
+      case Some(c) => o.set[ObjectNode]("compressor", c)
+      case None => o.putNull("compressor")
+    }
+    shuffleElem match {
+      case Some(es) =>
+        val fs = mapper.createArrayNode()
+        val f = mapper.createObjectNode()
+        f.put("id", "shuffle"); f.put("elementsize", es)
+        fs.add(f)
+        o.set[ObjectNode]("filters", fs)
+      case None => o.putNull("filters")
+    }
+    o.put("dimension_separator", ".")
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(o)
+  }
+
+  /** One array's `.zattrs` document: user attrs plus the xarray
+    * `_ARRAY_DIMENSIONS` convention (what makes the store xr.open_zarr-able). */
+  def zattrsDocV2(attrs: Attrs,
+                  dims: Option[Vector[String]] = None): Array[Byte] = {
+    val o = attrsObject(attrs)
+    dims.foreach { dn =>
+      val a = mapper.createArrayNode(); dn.foreach(a.add)
+      o.set[ObjectNode]("_ARRAY_DIMENSIONS", a)
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(o)
+  }
 }
 
-/** One open Zarr v3 group rooted at a directory or a scheme'd URI. Bare
+/** One open Zarr group rooted at a directory or a scheme'd URI — v3
+  * (zarr.json layout) or v2 (the zarr-python classic `.zgroup`/`.zarray`
+  * layout), auto-detected on open and chosen explicitly on create. Bare
   * paths use posix I/O; URIs (file://, hdfs://, s3a://, ...) route through
   * the Hadoop FileSystem transport — the object-store deployment path (see
   * StoreIO). The instance itself only carries the root string, so shipping
-  * it to executors is free; each side opens its own transport. */
+  * it to executors is free; each side opens its own transport. The chunk
+  * codec path (C-order bytes in the declared endianness, then compressor)
+  * is identical in both formats; only metadata documents, dtype spelling,
+  * and chunk-key naming differ. */
 final class ZarrGroup(val root: String,
-    @transient private val ioOverride: Option[StoreIO]) extends Serializable {
+    @transient private val ioOverride: Option[StoreIO],
+    private val formatHint: Option[Int] = None) extends Serializable {
   import ZarrStore._
   @transient private lazy val mapper = new ObjectMapper()
   // ioOverride deserializes to null inside Spark closures — virtual-store
@@ -242,20 +370,44 @@ final class ZarrGroup(val root: String,
   @transient private lazy val io: StoreIO =
     Option(ioOverride).flatten.getOrElse(StoreIO.forRoot(root))
 
-  // ---------- group ----------
-  def initGroup(attrs: Attrs, overwrite: Boolean = true): Unit = {
-    val o = mapper.createObjectNode()
-    o.put("zarr_format", 3)
-    o.put("node_type", "group")
-    o.set[ObjectNode]("attributes", ZarrStore.attrsObject(attrs))
-    io.write("zarr.json", mapper.writerWithDefaultPrettyPrinter()
-      .writeValueAsBytes(o))
-  }
+  /** Store format: 3 (zarr.json layout) or 2 (the zarr-python classic
+    * `.zgroup`/`.zarray` layout, "."-separated chunk keys). Creating a new
+    * store needs an explicit hint (ZarrGroup(root, format)); opening an
+    * existing one auto-detects from the metadata documents on disk — so
+    * executor tasks that construct their own group from the bare path
+    * land on the format the driver initialized. `Option(formatHint)`
+    * guards the null a Java-deserialized default-param field can carry. */
+  private lazy val format: Int =
+    Option(formatHint).flatten.getOrElse(
+      if (io.exists("zarr.json")) 3
+      else if (io.exists(".zgroup") || io.exists(".zmetadata")) 2
+      else 3)
 
-  def groupAttrs: Attrs = {
-    val n = mapper.readTree(io.read("zarr.json"))
-    ZarrStore.objectAttrs(n.get("attributes"))
-  }
+  // ---------- group ----------
+  def initGroup(attrs: Attrs, overwrite: Boolean = true): Unit =
+    if (format == 2) {
+      val g = mapper.createObjectNode()
+      g.put("zarr_format", 2)
+      io.write(".zgroup", mapper.writerWithDefaultPrettyPrinter()
+        .writeValueAsBytes(g))
+      io.write(".zattrs", mapper.writerWithDefaultPrettyPrinter()
+        .writeValueAsBytes(ZarrStore.attrsObject(attrs)))
+    } else {
+      val o = mapper.createObjectNode()
+      o.put("zarr_format", 3)
+      o.put("node_type", "group")
+      o.set[ObjectNode]("attributes", ZarrStore.attrsObject(attrs))
+      io.write("zarr.json", mapper.writerWithDefaultPrettyPrinter()
+        .writeValueAsBytes(o))
+    }
+
+  def groupAttrs: Attrs =
+    if (format == 2)
+      v2DocOpt(".zattrs").map(ZarrStore.objectAttrs).getOrElse(Attrs.empty)
+    else {
+      val n = mapper.readTree(io.read("zarr.json"))
+      ZarrStore.objectAttrs(n.get("attributes"))
+    }
 
   /** Consolidated metadata from the root document, when present: array
     * name -> its zarr.json node. One metadata GET serves every array —
@@ -265,25 +417,50 @@ final class ZarrGroup(val root: String,
     * contract: re-consolidate after mutating a consolidated store). */
   @transient private var consolidatedCache:
       Option[Option[Map[String, com.fasterxml.jackson.databind.JsonNode]]] = None
+  /** v3: array name -> its zarr.json node. v2: `.zmetadata` DOCUMENT key
+    * (".zgroup", "<var>/.zarray", ...) -> node. */
   private def consolidated: Option[Map[String, com.fasterxml.jackson.databind.JsonNode]] = {
     // @transient var deserializes to NULL (not None) — executors receive
     // this instance inside Spark closures, so guard both states
     if (consolidatedCache == null || consolidatedCache.isEmpty) {
-      val root = mapper.readTree(io.read("zarr.json"))
-      consolidatedCache = Some(Option(root.get("consolidated_metadata"))
-        .flatMap(c => Option(c.get("metadata")))
-        .map(_.properties().asScala.map(e => e.getKey -> e.getValue).toMap))
+      consolidatedCache = Some(
+        if (format == 2) {
+          if (!io.exists(".zmetadata")) None
+          else {
+            val m = mapper.readTree(io.read(".zmetadata"))
+            require(m.get("zarr_consolidated_format").asInt() == 1,
+              "unknown .zmetadata format")
+            Some(m.get("metadata").properties().asScala
+              .map(e => e.getKey -> e.getValue).toMap)
+          }
+        } else {
+          val root = mapper.readTree(io.read("zarr.json"))
+          Option(root.get("consolidated_metadata"))
+            .flatMap(c => Option(c.get("metadata")))
+            .map(_.properties().asScala.map(e => e.getKey -> e.getValue).toMap)
+        })
     }
     consolidatedCache.get
   }
   private def invalidateConsolidated(): Unit = consolidatedCache = None
+
+  /** One v2 metadata document, served from `.zmetadata` when consolidated
+    * (the one-GET path) and from its own file otherwise. */
+  private def v2DocOpt(key: String): Option[com.fasterxml.jackson.databind.JsonNode] =
+    consolidated match {
+      case Some(docs) => docs.get(key)
+      case None =>
+        if (io.exists(key)) Some(mapper.readTree(io.read(key))) else None
+    }
 
   /** Metadata writes invalidate consolidation EVERYWHERE, not just in this
     * instance: strip the on-disk consolidated_metadata so no reader (other
     * executors, later sessions) serves a stale array doc. Re-consolidate
     * after mutating, per the zarr consolidation contract. */
   private def stripConsolidatedOnDisk(): Unit = {
-    if (io.exists("zarr.json")) {
+    if (format == 2) {
+      if (io.exists(".zmetadata")) io.deleteRecursive(".zmetadata")
+    } else if (io.exists("zarr.json")) {
       val root = mapper.readTree(io.read("zarr.json")).asInstanceOf[ObjectNode]
       if (root.has("consolidated_metadata")) {
         root.remove("consolidated_metadata")
@@ -295,7 +472,12 @@ final class ZarrGroup(val root: String,
   }
 
   def arrayNames: Vector[String] =
-    consolidated.map(_.keys.toVector.sorted).getOrElse(io.arrayDirs())
+    if (format == 2)
+      consolidated.map(_.keys.collect {
+        case k if k.endsWith("/.zarray") => k.stripSuffix("/.zarray")
+      }.toVector.sorted).getOrElse(io.arrayDirs())
+    else
+      consolidated.map(_.keys.toVector.sorted).getOrElse(io.arrayDirs())
 
   // ---------- array metadata ----------
   /** Create one array's metadata (no chunk data). `dimensionNames` carries
@@ -314,9 +496,17 @@ final class ZarrGroup(val root: String,
         ss.zip(chunks).forall { case (s, c) => s % c == 0 },
         s"shard shape $ss must be a per-dim multiple of chunk shape $chunks")
     }
-    io.write(s"$name/zarr.json", ZarrStore.arrayMetaDoc(
-      shape, chunks, dtype, attrs, fillValue, dimensionNames, gzipLevel,
-      shardShape, zstdLevel = zstdLevel, blosc = blosc))
+    if (format == 2) {
+      require(shardShape.isEmpty,
+        "zarr v2 has no sharding_indexed — write a v3 store for sharded output")
+      io.write(s"$name/.zarray", ZarrStore.arrayMetaDocV2(
+        shape, chunks, dtype, fillValue, gzipLevel,
+        zstdLevel = zstdLevel, blosc = blosc))
+      io.write(s"$name/.zattrs", ZarrStore.zattrsDocV2(attrs, dimensionNames))
+    } else
+      io.write(s"$name/zarr.json", ZarrStore.arrayMetaDoc(
+        shape, chunks, dtype, attrs, fillValue, dimensionNames, gzipLevel,
+        shardShape, zstdLevel = zstdLevel, blosc = blosc))
     stripConsolidatedOnDisk()
   }
 
@@ -339,7 +529,65 @@ final class ZarrGroup(val root: String,
     def grain: Vector[Int] = shardShape.getOrElse(chunks)
   }
 
+  /** v2 `.zarray`/`.zattrs` -> ArrayMeta. The compressor/filter dispatch is
+    * a CLOSED set (the fromV2Raw scanner's contract): anything unrecognized
+    * fails here rather than decoding compressed bytes as raw garbage. Only
+    * "."-separated chunk keys are supported natively — scan "/"-separated
+    * stores through RefSet.scanZarrV2Group. */
+  private def arrayMetaV2(name: String): ArrayMeta = {
+    val za = v2DocOpt(s"$name/.zarray").getOrElse(
+      throw new java.io.FileNotFoundException(s"$root/$name/.zarray"))
+    require(za.get("zarr_format").asInt() == 2, s"$name/.zarray zarr_format")
+    val shape = za.get("shape").elements().asScala.map(_.asInt()).toVector
+    val chunks = za.get("chunks").elements().asScala.map(_.asInt()).toVector
+    Option(za.get("order")).map(_.asText()).foreach(o => require(o == "C",
+      s"zarr v2 order '$o' not supported (C-order only)"))
+    Option(za.get("dimension_separator")).map(_.asText()).foreach(s =>
+      require(s == ".", s"native v2 store requires '.'-separated chunk keys" +
+        s" (got '$s'); open '/'-separated stores via RefSet.scanZarrV2Group"))
+    val (dtype, big) = dtypeFromNameV2(za.get("dtype").asText())
+    val compNode = Option(za.get("compressor")).filter(!_.isNull)
+    val compId = compNode.map(_.get("id").asText())
+    compId.foreach(id => require(Set("zlib", "gzip", "zstd", "blosc")(id),
+      s"zarr v2 compressor '$id' is not supported " +
+        "(supported: zlib, gzip, zstd, blosc[lz4/lz4hc/zlib/zstd/snappy])"))
+    val gzip = compNode.filter(_ => compId.contains("gzip"))
+      .map(_.get("level").asInt())
+    val zlib = compNode.filter(_ => compId.contains("zlib"))
+      .map(_.get("level").asInt())
+    val zstd = compNode.filter(_ => compId.contains("zstd"))
+      .map(c => Option(c.get("level")).map(_.asInt()).getOrElse(3))
+    val blosc = compNode.filter(_ => compId.contains("blosc")).map { c =>
+      val sh = Option(c.get("shuffle")).map(_.asInt()).getOrElse(1)
+      require(sh != 2, "blosc bit-shuffle (shuffle=2) is not supported")
+      Blosc.Params(
+        cname = Option(c.get("cname")).map(_.asText()).getOrElse("lz4"),
+        clevel = Option(c.get("clevel")).map(_.asInt()).getOrElse(5),
+        shuffle = sh == 1,
+        blocksize = Option(c.get("blocksize")).map(_.asInt()).getOrElse(0))
+    }
+    val filterNodes = Option(za.get("filters")).filter(!_.isNull)
+      .map(_.elements().asScala.toVector).getOrElse(Vector.empty)
+    filterNodes.foreach { f =>
+      require(f.get("id").asText() == "shuffle",
+        s"zarr v2 filter '${f.get("id").asText()}' is not supported")
+    }
+    val shuffle = filterNodes.headOption.map(_.get("elementsize").asInt())
+    val attrsNode = v2DocOpt(s"$name/.zattrs")
+    val dims = attrsNode.flatMap(a => Option(a.get("_ARRAY_DIMENSIONS")).map(
+        _.elements().asScala.map(_.asText()).toVector))
+      .getOrElse(shape.indices.map(i => s"dim_$i").toVector)
+    val attrs = attrsNode.map { a =>
+      val c = a.deepCopy[ObjectNode](); c.remove("_ARRAY_DIMENSIONS")
+      ZarrStore.objectAttrs(c)
+    }.getOrElse(Attrs.empty)
+    ArrayMeta(shape, chunks, dtype, attrs, dims, gzip, None,
+      fillFromNodeV2(za.get("fill_value")), big, None, zlib, shuffle,
+      zstd, blosc)
+  }
+
   def arrayMeta(name: String): ArrayMeta = {
+    if (format == 2) return arrayMetaV2(name)
     val n = consolidated.flatMap(_.get(name))
       .getOrElse(mapper.readTree(io.read(s"$name/zarr.json")))
     val shape = n.get("shape").elements().asScala.map(_.asInt()).toVector
@@ -411,10 +659,15 @@ final class ZarrGroup(val root: String,
   }
 
   // ---------- chunk IO ----------
-  private def chunkKey(name: String, chunkIdx: Vector[Int]): String = {
-    val key = if (chunkIdx.isEmpty) Vector("c") else "c" +: chunkIdx.map(_.toString)
-    (name +: key).mkString("/")
-  }
+  private def chunkKey(name: String, chunkIdx: Vector[Int]): String =
+    if (format == 2) {
+      // v2 classic keys: "."-separated ordinals in the array dir ("v/1.0");
+      // scalar arrays store their one chunk at "v/0"
+      if (chunkIdx.isEmpty) s"$name/0" else s"$name/${chunkIdx.mkString(".")}"
+    } else {
+      val key = if (chunkIdx.isEmpty) Vector("c") else "c" +: chunkIdx.map(_.toString)
+      (name +: key).mkString("/")
+    }
 
   /** One chunk payload -> encoded bytes (bytes codec LE, optional gzip). */
   /** Encode one chunk through the FULL declared codec chain (the mirror of
@@ -838,6 +1091,26 @@ final class ZarrGroup(val root: String,
     * (zarr-python v3 layout) so readers issue one metadata GET instead of
     * one per array. */
   def consolidateMetadata(): Unit = {
+    if (format == 2) {
+      // v2 convention: every metadata document copied into one root
+      // `.zmetadata` (zarr_consolidated_format 1) — enumerate from disk,
+      // not from a possibly-stale prior consolidation
+      val metaNode = mapper.createObjectNode()
+      def copyDoc(key: String): Unit =
+        if (io.exists(key))
+          metaNode.set[ObjectNode](key, mapper.readTree(io.read(key)))
+      copyDoc(".zgroup"); copyDoc(".zattrs")
+      io.arrayDirs().foreach { n =>
+        copyDoc(s"$n/.zarray"); copyDoc(s"$n/.zattrs")
+      }
+      val o = mapper.createObjectNode()
+      o.put("zarr_consolidated_format", 1)
+      o.set[ObjectNode]("metadata", metaNode)
+      io.write(".zmetadata", mapper.writerWithDefaultPrettyPrinter()
+        .writeValueAsBytes(o))
+      invalidateConsolidated()
+      return
+    }
     val rootNode = mapper.readTree(io.read("zarr.json"))
       .asInstanceOf[ObjectNode]
     val metaNode = mapper.createObjectNode()
@@ -862,7 +1135,12 @@ final class ZarrGroup(val root: String,
       val m = arrayMeta(n)
       if (m.dimensionNames == Vector(n) && m.chunks != m.shape) {
         val data = readArray(n)
-        io.deleteRecursive(s"$n/c") // drop old chunks
+        if (format == 2) {
+          // v2 chunks are loose "<i>" files in the array dir (1-D coords
+          // here) — drop each old ordinal before the single-chunk rewrite
+          val nChunks = (m.shape.head + m.chunks.head - 1) / m.chunks.head
+          (0 until nChunks).foreach(i => io.deleteRecursive(s"$n/$i"))
+        } else io.deleteRecursive(s"$n/c") // drop old chunks
         createArray(n, m.shape, m.shape, m.dtype, m.attrs,
           dimensionNames = Some(m.dimensionNames))
         writeRegion(n, Vector.fill(m.shape.length)(0), data)
@@ -875,8 +1153,17 @@ final class ZarrGroup(val root: String,
 }
 
 object ZarrGroup {
-  /** Path-backed store (posix or Hadoop-FS scheme'd URI). */
+  /** Path-backed store (posix or Hadoop-FS scheme'd URI). Opening an
+    * existing store auto-detects zarr v3 vs v2 from its metadata layout. */
   def apply(root: String): ZarrGroup = new ZarrGroup(root, None)
+  /** Path-backed store with an explicit format (needed when CREATING a
+    * store — an empty directory carries nothing to detect): 3 for the
+    * zarr.json layout, 2 for the zarr-python classic `.zgroup`/`.zarray`
+    * layout that zarr-python 2.x / xarray `open_zarr` consume. */
+  def apply(root: String, format: Int): ZarrGroup = {
+    require(format == 2 || format == 3, s"zarr format $format (2 or 3)")
+    new ZarrGroup(root, None, Some(format))
+  }
   /** Virtual store over an explicit transport (refs-backed MapIO): reads
     * resolve in place against the original files, writes are rejected. */
   def virtual(root: String, io: StoreIO): ZarrGroup =

@@ -60,6 +60,33 @@ class BakeSpec extends AnyFunSuite {
       ZarrGroup(out).arrayMeta("foo").dimensionNames.indexOf("time")) == 2)
   }
 
+  test("bake daily-cube with zarr_format=2 emits the classic layout") {
+    val dir = tmp()
+    val nt = 4
+    val cube = GoldenCube.makeDs(nt)
+    GoldenCube.splitByTime(cube, 1).zipWithIndex.foreach { case (f, i) =>
+      writeZarrFragment(f, s"$dir/in/day_$i.zarr")
+    }
+    val conf = writeConfig(dir,
+      "TargetStorage" -> Seq("root_path" -> s"$dir/target"),
+      "InputCacheStorage" -> Seq("root_path" -> s"$dir/cache"),
+      "DailyCube" -> Seq(
+        "input_root" -> s"$dir/in",
+        "days" -> (0 until nt).mkString(","),
+        "target_chunks" -> "time=2",
+        "zarr_format" -> "2"))
+    val out = graft.Bake.run(spark, Array(
+      "--recipe-id=daily-cube", s"-f=$conf", "--job-name=daily-cube-v2"))
+    assert(Files.exists(java.nio.file.Paths.get(out, ".zgroup")))
+    assert(Files.exists(java.nio.file.Paths.get(out, "foo", ".zarray")))
+    assert(!Files.exists(java.nio.file.Paths.get(out, "zarr.json")))
+    val result = graft.kerchunk.RefSet.scanZarrV2Group(out)
+      .asZarrGroup(out).readFragment()
+    assert(result.dims == cube.dims &&
+      result.allVars("foo").data.data.asInstanceOf[Array[Double]].sameElements(
+        cube.allVars("foo").data.data.asInstanceOf[Array[Double]]))
+  }
+
   test("bake daily-cube --prune keeps only the first two pattern items") {
     val dir = tmp()
     val nt = 5

@@ -163,6 +163,39 @@ class EndToEndSpec extends AnyFunSuite {
     assert(result.sameAs(cube20))
   }
 
+  test("zarrFormat=2: pipeline writes a zarr-python classic store; append detects it") {
+    val cube20 = GoldenCube.makeDs(20)
+    val first = cube20.isel(Map("time" -> Slc(0, 10)))
+    val second = cube20.isel(Map("time" -> Slc(10, 20)))
+    val dir = tmp()
+    val storePath = s"$dir/store.zarr"
+
+    def run(frag: Fragment, append: Boolean): Unit = {
+      val files = writeFragmentFiles(GoldenCube.splitByTime(frag, 2), s"$dir/in_$append")
+      val pattern = FilePattern.fromFileSequence(files, "time",
+        nitemsPerFile = Some(2), fileType = FileType.Zarr)
+      val items = Pipelines.createItems(spark, pattern)
+      val frags = Pipelines.openWithFragments(items, FileType.Zarr)
+      // the append leg passes the DEFAULT zarrFormat (3): the existing
+      // store's on-disk layout must win over the hint
+      Pipelines.storeToZarr(frags, pattern.combineDimKeys, storePath,
+        Map("time" -> 2), appendDim = if (append) Some("time") else None,
+        zarrFormat = if (append) 3 else 2)
+    }
+    run(first, append = false)
+    // classic layout on disk: .zgroup/.zarray docs, "."-separated ordinals
+    assert(Files.exists(java.nio.file.Paths.get(storePath, ".zgroup")))
+    assert(Files.exists(java.nio.file.Paths.get(storePath, "foo", ".zarray")))
+    assert(Files.exists(java.nio.file.Paths.get(storePath, "foo", "0.0.0")))
+    assert(!Files.exists(java.nio.file.Paths.get(storePath, "zarr.json")))
+    run(second, append = true)
+    assert(ZarrGroup(storePath).readFragment().sameAs(cube20))
+    // the kerchunk v2 scanner (zarr-python's view of the layout) agrees
+    val scanned = graft.kerchunk.RefSet.scanZarrV2Group(storePath)
+      .asZarrGroup(storePath).readFragment()
+    assert(scanned.sameAs(cube20))
+  }
+
   test("per-variable encoding: StoreToZarr encoding= kwarg (test_zarr_encoding mirror)") {
     // tests/test_writers.py:191-217: foo gets BloscCodec(zstd, clevel=3,
     // shuffle); other variables stay on the store default
