@@ -179,6 +179,22 @@ class ZarrV2WriteSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("chunk keys"))
   }
 
+  test("v2 write over a file:// URI routes through the Hadoop transport") {
+    // "file://" puts HadoopIO (the object-store deployment transport) in
+    // the path for every byte: v2 doc writes, chunk puts, and the
+    // v2-aware arrayDirs listing (.zarray detection)
+    val cube = makeCube(4)
+    val dir = tmp()
+    val uri = s"file://$dir/store_v2.zarr"
+    writeCube(uri, cube)
+    val g = ZarrGroup(uri) // fresh instance: auto-detect over Hadoop FS
+    assert(g.arrayNames == Vector("time", "v", "x"))
+    assert(g.readFragment().sameAs(cube))
+    g.consolidateMetadata()
+    assert(Files.exists(Paths.get(dir, "store_v2.zarr", ".zmetadata")))
+    assert(ZarrGroup(uri).readFragment().sameAs(cube))
+  }
+
   test("consolidateDimensionCoordinates rewrites v2 coords as one chunk") {
     val root = tmp()
     val cube = makeCube(6) // time chunked (2): ordinals time/0..2
