@@ -352,7 +352,7 @@ object HDF5Writer {
                 case "zlib" => 4; case "zstd" => 5; case _ => 0
               }
               Entry(32001, "blosc", Vector(2, 2, dtype.byteSize, 0,
-                p.clevel, if (p.shuffle) 1 else 0, code))
+                p.clevel, if (p.bitShuffle) 2 else if (p.shuffle) 1 else 0, code))
             }.toVector ++
             // lz4 cd_values: the block size (the filter's only parameter)
             (if (lz4) Vector(Entry(32004, "lz4", Vector(1 << 30)))

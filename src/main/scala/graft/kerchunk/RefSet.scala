@@ -225,8 +225,10 @@ object RefSet {
               s"scanHdf5: ${m.name} blosc compressor code $other " +
                 "(blosclz or unknown) has no JVM codec; decode via HDF5.read")
           }
+          // cd_values[5]: c-blosc shuffle code 0=none 1=byte 2=bit
           graft.zarr.Blosc.Params(cname, f.values.lift(4).getOrElse(5),
-            shuffle = f.values.lift(5).contains(1))
+            shuffle = f.values.lift(5).contains(1),
+            bitShuffle = f.values.lift(5).contains(2))
         }
         def inlineOrPointer(addr: Long, size: Long): Ref =
           if (size <= inlineThreshold)
@@ -539,7 +541,8 @@ object RefSet {
                 cname = cf.get("cname").asText(),
                 clevel = cf.get("clevel").asInt(),
                 shuffle = cf.get("shuffle").asText() == "shuffle",
-                blocksize = Option(cf.get("blocksize")).map(_.asInt()).getOrElse(0)))
+                blocksize = Option(cf.get("blocksize")).map(_.asInt()).getOrElse(0),
+                bitShuffle = cf.get("shuffle").asText() == "bitshuffle"))
             case other => throw new UnsupportedOperationException(
               s"codec $other has no kerchunk v2 representation")
           }
@@ -567,7 +570,7 @@ object RefSet {
             val comp = mapper.createObjectNode()
             comp.put("id", "blosc"); comp.put("cname", p.cname)
             comp.put("clevel", p.clevel)
-            comp.put("shuffle", if (p.shuffle) 1 else 0)
+            comp.put("shuffle", if (p.bitShuffle) 2 else if (p.shuffle) 1 else 0)
             comp.put("blocksize", p.blocksize)
             za.set[ObjectNode]("compressor", comp)
           case _ => za.putNull("compressor")
@@ -719,12 +722,12 @@ object RefSet {
       val blosc = compNode.filter(_ => compId.contains("blosc"))
         .map { c =>
           val sh = Option(c.get("shuffle")).map(_.asInt()).getOrElse(1)
-          require(sh != 2, "blosc bit-shuffle (shuffle=2) is not supported")
           graft.zarr.Blosc.Params(
             cname = Option(c.get("cname")).map(_.asText()).getOrElse("lz4"),
             clevel = Option(c.get("clevel")).map(_.asInt()).getOrElse(5),
             shuffle = sh == 1,
-            blocksize = Option(c.get("blocksize")).map(_.asInt()).getOrElse(0))
+            blocksize = Option(c.get("blocksize")).map(_.asInt()).getOrElse(0),
+            bitShuffle = sh == 2)
         }
       val filterNodes = Option(za.get("filters")).filter(!_.isNull)
         .map(_.elements().asScala.toVector).getOrElse(Vector.empty)

@@ -20,8 +20,9 @@ import java.nio.{ByteBuffer, ByteOrder}
   * After the header: raw data when memcpy'ed, else an `int32[nblocks]` array
   * of absolute block offsets ("bstarts"), then per block 1..typesize streams,
   * each `int32 csize` + payload (`csize == neblock` marks a stored-raw
-  * stream). Byte-shuffle is applied per block before compression, so decode
-  * unshuffles each block after decompression.
+  * stream). Byte-shuffle (flag bit 0) and bit-shuffle (flag bit 2, the
+  * bitshuffle bit-plane transform) are applied per block before
+  * compression, so decode un-applies them per block after decompression.
   *
   * c-blosc does NOT record whether a block was split into per-byte-plane
   * streams — its decoder re-derives the split heuristic. Encoding follows
@@ -42,8 +43,15 @@ object Blosc {
   /** default encode block size (bytes), aligned down to typesize */
   val DefaultBlockSize: Int = 32 * 1024
 
+  /** `shuffle` is the byte-shuffle (numcodecs shuffle=1); `bitShuffle` the
+    * bit-plane shuffle (numcodecs shuffle=2, header flag bit 2). At most one
+    * may be set. */
   final case class Params(cname: String = "lz4", clevel: Int = 5,
-                          shuffle: Boolean = true, blocksize: Int = 0)
+                          shuffle: Boolean = true, blocksize: Int = 0,
+                          bitShuffle: Boolean = false) {
+    require(!(shuffle && bitShuffle),
+      "blosc params: byte-shuffle and bit-shuffle are mutually exclusive")
+  }
 
   private val CnameCode: Map[String, Int] = Map(
     "blosclz" -> 0, "lz4" -> 1, "lz4hc" -> 1, "snappy" -> 2,
@@ -154,6 +162,91 @@ object Blosc {
       len - n * typesize)
   }
 
+  // -------------------------------------------------------- bit-shuffle
+  //
+  // c-blosc's BITSHUFFLE mode (header flag bit 2) applies the bitshuffle
+  // transform per block BEFORE compression: the block's elements are
+  // rearranged into elem_size*8 bit-planes, plane p = 8*byteIdx + bitIdx,
+  // each size/8 bytes long; byte q of plane p packs bit `bitIdx` of byte
+  // `byteIdx` of elements 8q..8q+7 (element 8q+m at bit position m). Only
+  // the leading multiple-of-8 element count is transformed; leftover
+  // elements plus any trailing partial element are copied raw (the c-blosc
+  // `bitshuffle()` wrapper contract, c-blosc >= 1.14 / numcodecs). The 8x8
+  // bit-matrix transpose is the public Hacker's Delight kernel used by both
+  // bitshuffle and c-blosc; it is self-inverse, so decode runs the same
+  // kernel with gather/scatter swapped.
+
+  /** transpose the 8x8 bit matrix in x (rows = little-endian bytes) */
+  private def transBit8x8(x0: Long): Long = {
+    var x = x0
+    var t = (x ^ (x >>> 7)) & 0x00AA00AA00AA00AAL
+    x = x ^ t ^ (t << 7)
+    t = (x ^ (x >>> 14)) & 0x0000CCCC0000CCCCL
+    x = x ^ t ^ (t << 14)
+    t = (x ^ (x >>> 28)) & 0x00000000F0F0F0F0L
+    x ^ t ^ (t << 28)
+  }
+
+  /** bitshuffle `len` bytes at src[off..) as elements of `typesize` bytes */
+  private[zarr] def bitShuffleBytes(typesize: Int, src: Array[Byte], off: Int,
+                              len: Int): Array[Byte] = {
+    val out = new Array[Byte](len)
+    val nElem = (len / typesize) & ~7 // multiple-of-8 element count
+    val planeLen = nElem / 8
+    var j = 0
+    while (j < typesize) {
+      var q = 0
+      while (q < planeLen) {
+        var x = 0L
+        var m = 0
+        while (m < 8) {
+          x |= (src(off + (8 * q + m) * typesize + j) & 0xffL) << (8 * m)
+          m += 1
+        }
+        x = transBit8x8(x)
+        var kk = 0
+        while (kk < 8) {
+          out((j * 8 + kk) * planeLen + q) = (x >>> (8 * kk)).toByte
+          kk += 1
+        }
+        q += 1
+      }
+      j += 1
+    }
+    val done = nElem * typesize
+    System.arraycopy(src, off + done, out, done, len - done)
+    out
+  }
+
+  /** inverse of [[bitShuffleBytes]], writing into dest at destOff */
+  private[zarr] def bitUnshuffleBytes(typesize: Int, src: Array[Byte], off: Int,
+                                len: Int, dest: Array[Byte], destOff: Int): Unit = {
+    val nElem = (len / typesize) & ~7
+    val planeLen = nElem / 8
+    var j = 0
+    while (j < typesize) {
+      var q = 0
+      while (q < planeLen) {
+        var x = 0L
+        var kk = 0
+        while (kk < 8) {
+          x |= (src(off + (j * 8 + kk) * planeLen + q) & 0xffL) << (8 * kk)
+          kk += 1
+        }
+        x = transBit8x8(x)
+        var m = 0
+        while (m < 8) {
+          dest(destOff + (8 * q + m) * typesize + j) = (x >>> (8 * m)).toByte
+          m += 1
+        }
+        q += 1
+      }
+      j += 1
+    }
+    val done = nElem * typesize
+    System.arraycopy(src, off + done, dest, destOff + done, len - done)
+  }
+
   /** c-blosc 1.11+ split rule (not recorded in the stream — both encoder and
     * the reference decoder derive it; our decoder merely PREFERS it). */
   private def splitBlock(code: Int, typesize: Int, blocksize: Int): Boolean =
@@ -168,6 +261,7 @@ object Blosc {
     val nbytes = data.length
     require(nbytes > 0, "blosc: empty input")
     val doShuffle = params.shuffle && typesize > 1
+    val doBitShuffle = params.bitShuffle // bit-planes help even at typesize 1
     // block size: multiple of typesize, capped to the data
     val want = if (params.blocksize > 0) params.blocksize else DefaultBlockSize
     val bs0 = math.max(math.min(want, nbytes), typesize)
@@ -181,7 +275,9 @@ object Blosc {
     val blockPayloads = (0 until nblocks).map { j =>
       val boff = j * blocksize
       val bsize = math.min(blocksize, nbytes - boff)
-      val src = if (doShuffle) shuffleBytes(typesize, data, boff, bsize)
+      val src =
+        if (doShuffle) shuffleBytes(typesize, data, boff, bsize)
+        else if (doBitShuffle) bitShuffleBytes(typesize, data, boff, bsize)
         else java.util.Arrays.copyOfRange(data, boff, boff + bsize)
       val nstreams = if (split && bsize % typesize == 0) typesize else 1
       val neblock = bsize / nstreams
@@ -209,7 +305,8 @@ object Blosc {
       out.position(16); out.put(data)
       return out.array()
     }
-    header(2) = (((if (doShuffle) 1 else 0) | (code << 5)) & 0xff).toByte
+    header(2) = (((if (doShuffle) 1 else 0) | (if (doBitShuffle) 4 else 0) |
+      (code << 5)) & 0xff).toByte
     val out = ByteBuffer.allocate(withBlocks).order(ByteOrder.LITTLE_ENDIAN)
     out.put(header)
     out.putInt(4, nbytes); out.putInt(8, blocksize); out.putInt(12, withBlocks)
@@ -240,11 +337,11 @@ object Blosc {
     }
     require(blocksize > 0,
       s"corrupt blosc header: blocksize=$blocksize with nbytes=$nbytes")
-    require((flags & 4) == 0,
-      "blosc bit-shuffle payloads are not supported (byte-shuffle and " +
-        "no-shuffle are); re-encode with shuffle=SHUFFLE")
     val code = (flags >> 5) & 7
     val doShuffle = (flags & 1) != 0
+    val doBitShuffle = (flags & 4) != 0
+    require(!(doShuffle && doBitShuffle),
+      "corrupt blosc header: byte-shuffle and bit-shuffle flags both set")
     val nblocks = (nbytes + blocksize - 1) / blocksize
     val out = new Array[Byte](nbytes)
 
@@ -277,6 +374,7 @@ object Blosc {
           decodeBlock(j, if (preferSplit) 1 else typesize)
         }
       if (doShuffle) unshuffleBytes(typesize, block, 0, bsize, out, boff)
+      else if (doBitShuffle) bitUnshuffleBytes(typesize, block, 0, bsize, out, boff)
       else System.arraycopy(block, 0, out, boff, bsize)
     }
     out

@@ -178,7 +178,9 @@ object ZarrStore {
         b.put("name", "blosc")
         val bcfg = mapper.createObjectNode()
         bcfg.put("cname", p.cname); bcfg.put("clevel", p.clevel)
-        bcfg.put("shuffle", if (p.shuffle) "shuffle" else "noshuffle")
+        bcfg.put("shuffle",
+          if (p.bitShuffle) "bitshuffle"
+          else if (p.shuffle) "shuffle" else "noshuffle")
         bcfg.put("typesize", dtype.byteSize)
         bcfg.put("blocksize", p.blocksize)
         b.set[ObjectNode]("configuration", bcfg)
@@ -315,7 +317,7 @@ object ZarrStore {
         val c = mapper.createObjectNode()
         c.put("id", "blosc"); c.put("cname", p.cname)
         c.put("clevel", p.clevel)
-        c.put("shuffle", if (p.shuffle) 1 else 0)
+        c.put("shuffle", if (p.bitShuffle) 2 else if (p.shuffle) 1 else 0)
         c.put("blocksize", p.blocksize); Some(c)
       case _ => None
     }
@@ -559,12 +561,12 @@ final class ZarrGroup(val root: String,
       .map(c => Option(c.get("level")).map(_.asInt()).getOrElse(3))
     val blosc = compNode.filter(_ => compId.contains("blosc")).map { c =>
       val sh = Option(c.get("shuffle")).map(_.asInt()).getOrElse(1)
-      require(sh != 2, "blosc bit-shuffle (shuffle=2) is not supported")
       Blosc.Params(
         cname = Option(c.get("cname")).map(_.asText()).getOrElse("lz4"),
         clevel = Option(c.get("clevel")).map(_.asInt()).getOrElse(5),
         shuffle = sh == 1,
-        blocksize = Option(c.get("blocksize")).map(_.asInt()).getOrElse(0))
+        blocksize = Option(c.get("blocksize")).map(_.asInt()).getOrElse(0),
+        bitShuffle = sh == 2)
     }
     val filterNodes = Option(za.get("filters")).filter(!_.isNull)
       .map(_.elements().asScala.toVector).getOrElse(Vector.empty)
@@ -628,12 +630,13 @@ final class ZarrGroup(val root: String,
         _.elements().asScala.find(c => c.get("name").asText() == "blosc")
           .map { c =>
             val cf = c.get("configuration")
+            val sh = Option(cf.get("shuffle")).map(_.asText()).getOrElse("shuffle")
             Blosc.Params(
               cname = Option(cf.get("cname")).map(_.asText()).getOrElse("lz4"),
               clevel = Option(cf.get("clevel")).map(_.asInt()).getOrElse(5),
-              shuffle = Option(cf.get("shuffle")).map(_.asText())
-                .forall(_ == "shuffle"),
-              blocksize = Option(cf.get("blocksize")).map(_.asInt()).getOrElse(0))
+              shuffle = sh == "shuffle",
+              blocksize = Option(cf.get("blocksize")).map(_.asInt()).getOrElse(0),
+              bitShuffle = sh == "bitshuffle")
           })
     val sharding = Option(n.get("codecs")).flatMap(
       _.elements().asScala.find(c => c.get("name").asText() == "sharding_indexed"))

@@ -254,8 +254,10 @@ class Hdf5Spec extends AnyFunSuite {
     val d0 = dir
     Seq(Blosc.Params("lz4", 5, shuffle = true),
         Blosc.Params("zstd", 3, shuffle = false),
+        Blosc.Params("lz4", 5, shuffle = false, bitShuffle = true),
         Blosc.Params("zlib", 6, shuffle = true)).foreach { p =>
-      val path = s"$d0/blosc_${p.cname}.nc"
+      val sh = if (p.bitShuffle) "bit" else if (p.shuffle) "byte" else "none"
+      val path = s"$d0/blosc_${p.cname}_$sh.nc"
       HDF5Writer.write(path, f, chunks = Map(
         "foo" -> Vector(2, 5, 4), "bar" -> Vector(nt, ny, nx),
         "noise" -> Vector(4, 5, 4)), blosc = Some(p))

@@ -87,7 +87,7 @@ class BloscSpec extends AnyFunSuite {
     assert(Blosc.decompress(enc).sameElements(data))
   }
 
-  test("blosclz and bit-shuffle payloads fail with clear errors") {
+  test("blosclz payloads fail with clear errors") {
     val data = rampBytes(4096)
     intercept[UnsupportedOperationException] {
       Blosc.compress(data, 4, Blosc.Params("blosclz", 5, shuffle = true))
@@ -100,9 +100,125 @@ class BloscSpec extends AnyFunSuite {
     bb.putInt(16, 20); bb.putInt(20, 10)
     val e = intercept[Exception] { Blosc.decompress(fake) }
     assert(e.getMessage != null)
-    val bitshuf = fake.clone(); bitshuf(2) = 4
-    val e2 = intercept[IllegalArgumentException] { Blosc.decompress(bitshuf) }
-    assert(e2.getMessage.contains("bit-shuffle"))
+    // a header with BOTH shuffle flags set is corrupt, not decodable
+    val both = fake.clone(); both(2) = (1 | 4).toByte
+    val e2 = intercept[IllegalArgumentException] { Blosc.decompress(both) }
+    assert(e2.getMessage.contains("both set"))
+  }
+
+  // ------------------------------------------------------------ bit-shuffle
+
+  /** Bit-addressed reference for the bitshuffle layout (the public
+    * bitshuffle/c-blosc contract): plane p = 8*byteIdx + bitIdx, each
+    * nElem/8 bytes; byte q of plane p packs bit bitIdx of byte byteIdx of
+    * elements 8q..8q+7, element 8q+m at bit m. Only the leading
+    * multiple-of-8 element count transforms; the tail is copied raw. */
+  private def naiveBitShuffle(t: Int, data: Array[Byte]): Array[Byte] = {
+    val out = data.clone()
+    val nElem = (data.length / t) & ~7
+    val planeLen = nElem / 8
+    java.util.Arrays.fill(out, 0, nElem * t, 0.toByte)
+    for (e <- 0 until nElem; j <- 0 until t; bit <- 0 until 8) {
+      if (((data(e * t + j) >> bit) & 1) == 1) {
+        val p = j * 8 + bit
+        out(p * planeLen + e / 8) =
+          (out(p * planeLen + e / 8) | (1 << (e % 8))).toByte
+      }
+    }
+    out
+  }
+
+  test("bit-shuffle kernel matches the bit-plane spec, and inverts") {
+    for (t <- Seq(1, 2, 3, 4, 8, 12); extra <- Seq(0, 1, t * 3 + 1)) {
+      // 40 whole elements (5 groups of 8) + `extra` raw tail bytes,
+      // plus a non-multiple-of-8 element count case
+      for (nElem <- Seq(40, 19)) {
+        val data = new Array[Byte](nElem * t + extra)
+        rng.nextBytes(data)
+        val fast = Blosc.bitShuffleBytes(t, data, 0, data.length)
+        assert(fast.sameElements(naiveBitShuffle(t, data)),
+          s"shuffle layout t=$t nElem=$nElem extra=$extra")
+        val back = new Array[Byte](data.length)
+        Blosc.bitUnshuffleBytes(t, fast, 0, fast.length, back, 0)
+        assert(back.sameElements(data), s"inverse t=$t nElem=$nElem extra=$extra")
+      }
+    }
+  }
+
+  test("bit-shuffle hand vectors: bit planes land where the spec says") {
+    // one element with all bits set -> bit 0 of every plane byte
+    val in1 = Array[Byte](0xff.toByte, 0, 0, 0, 0, 0, 0, 0)
+    val out1 = Blosc.bitShuffleBytes(1, in1, 0, 8)
+    assert(out1.forall(_ == 0x01.toByte), out1.toVector)
+    // element m = 1 << m is the identity bit matrix: shuffle fixes it
+    val in2 = Array.tabulate[Byte](8)(m => (1 << m).toByte)
+    assert(Blosc.bitShuffleBytes(1, in2, 0, 8).sameElements(in2))
+    // typesize 2: low byte of element m = 1<<m, high byte 0xFF ->
+    // planes 0-7 are the identity (from byte 0), planes 8-15 all-ones bytes
+    val in3 = new Array[Byte](16)
+    (0 until 8).foreach { m =>
+      in3(2 * m) = (1 << m).toByte; in3(2 * m + 1) = 0xff.toByte }
+    val out3 = Blosc.bitShuffleBytes(2, in3, 0, 16)
+    (0 until 8).foreach(p => assert(out3(p) == (1 << p).toByte, s"plane $p"))
+    (8 until 16).foreach(p => assert(out3(p) == 0xff.toByte, s"plane $p"))
+  }
+
+  test("bit-shuffled containers round-trip across cnames, blocks, typesizes") {
+    for (cname <- Seq("lz4", "lz4hc", "zlib", "zstd", "snappy");
+         t <- Seq(1, 2, 4, 8);
+         n <- Seq(64, 4096, 100003)) { // 100003: partial block + raw tail
+      val data = rampBytes(n)
+      val enc = Blosc.compress(data, t,
+        Blosc.Params(cname, 5, shuffle = false, bitShuffle = true))
+      if ((enc(2) & 2) == 0) // not memcpy'ed
+        assert((enc(2) & 4) == 4, s"bit-shuffle flag $cname t=$t n=$n")
+      assert((enc(2) & 1) == 0, "byte-shuffle flag clear")
+      assert(Blosc.decompress(enc).sameElements(data), s"$cname t=$t n=$n")
+    }
+    // multi-block with a forced small blocksize
+    val data = rampBytes(100000)
+    val enc = Blosc.compress(data, 4,
+      Blosc.Params("lz4", 5, shuffle = false, blocksize = 4096, bitShuffle = true))
+    assert(Blosc.decompress(enc).sameElements(data))
+  }
+
+  test("bit-shuffle beats no-shuffle on low-entropy fixed-point data") {
+    // 12-bit sensor values in int32 lanes: bit planes 12-31 are constant
+    val bb = ByteBuffer.allocate(65536).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until 16384).foreach(i => bb.putInt((math.sin(i / 50.0) * 2047).toInt + 2048))
+    val data = bb.array()
+    val plain = Blosc.compress(data, 4,
+      Blosc.Params("lz4", 5, shuffle = false))
+    val bits = Blosc.compress(data, 4,
+      Blosc.Params("lz4", 5, shuffle = false, bitShuffle = true))
+    assert(bits.length < plain.length,
+      s"bitshuffle ${bits.length} !< plain ${plain.length}")
+    assert(Blosc.decompress(bits).sameElements(data))
+  }
+
+  test("zarr v3 + v2 metadata carry the bitshuffle mode round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("zarr_bitshuf").toString
+    val g = ZarrGroup(dir)
+    g.initGroup(Map.empty)
+    val p = Blosc.Params("zstd", 5, shuffle = false, bitShuffle = true)
+    val data = Array.tabulate(200)(i => (i % 50).toDouble)
+    g.createArray("v", Vector(200), Vector(100), DType.F8, Map.empty,
+      dimensionNames = Some(Vector("x")), blosc = Some(p))
+    g.writeRegion("v", Vector(0), NDArray.ofDoubles(Vector(200), data))
+    // v3 metadata advertises shuffle="bitshuffle" and reads back
+    assert(g.arrayMeta("v").blosc.contains(p))
+    assert(g.readArray("v").data.asInstanceOf[Array[Double]].sameElements(data))
+    // kerchunk v2 artifact: numcodecs shuffle=2, and the re-import agrees
+    val rs = graft.kerchunk.RefSet.scanZarrGroup(dir)
+    val json = graft.kerchunk.RefSet.toKerchunkV2Json(rs)
+    val za = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json).get("refs").get("v/.zarray").asText()
+    assert(za.replace(" ", "").contains("\"shuffle\":2"), za)
+    val back = graft.kerchunk.RefSet.fromKerchunkV2Json(json)
+    val virt = s"$dir/virt.zarr"
+    back.materialize(virt)
+    assert(ZarrGroup(virt).readArray("v")
+      .data.asInstanceOf[Array[Double]].sameElements(data))
   }
 
   test("zarr v3 store round-trips with the blosc codec and shrinks chunks") {

@@ -86,6 +86,9 @@ class ZarrV2WriteSpec extends AnyFunSuite {
     for ((label, b, gz, zs) <- Seq(
         ("raw", None, None, None),
         ("blosc", Some(Blosc.Params("lz4", 5, shuffle = true)), None, None),
+        ("blosc-bitshuffle",
+          Some(Blosc.Params("lz4", 5, shuffle = false, bitShuffle = true)),
+          None, None),
         ("gzip", None, Some(5), None),
         ("zstd", None, None, Some(3)))) {
       val root = tmp()
