@@ -522,6 +522,7 @@ object RefSet {
         var grib: Option[String] = None
         var zstd: Option[Int] = None
         var blosc: Option[graft.zarr.Blosc.Params] = None
+        var delta: Option[graft.zarr.ZarrStore.DeltaParams] = None
         meta.get("codecs").elements().asScala.foreach { c =>
           c.get("name").asText() match {
             case "bytes" =>
@@ -535,6 +536,12 @@ object RefSet {
             case "grib2" =>
               // kerchunk's numcodecs GRIB codec: whole-message filter
               grib = Some(c.get("configuration").get("var").asText())
+            case "delta" =>
+              val cf = c.get("configuration")
+              delta = Some(graft.zarr.ZarrStore.DeltaParams(
+                cf.get("dtype").asText(),
+                Option(cf.get("astype")).map(_.asText())
+                  .getOrElse(cf.get("dtype").asText())))
             case "blosc" =>
               val cf = c.get("configuration")
               blosc = Some(graft.zarr.Blosc.Params(
@@ -575,21 +582,27 @@ object RefSet {
             za.set[ObjectNode]("compressor", comp)
           case _ => za.putNull("compressor")
         }
-        (shuffle, grib) match {
-          case (Some(es), _) =>
-            val filters = mapper.createArrayNode()
-            val sh = mapper.createObjectNode()
-            sh.put("id", "shuffle"); sh.put("elementsize", es)
-            filters.add(sh)
-            za.set[ObjectNode]("filters", filters)
-          case (None, Some(gv)) =>
-            val filters = mapper.createArrayNode()
-            val gf = mapper.createObjectNode()
-            gf.put("id", "grib"); gf.put("var", gv)
-            filters.add(gf)
-            za.set[ObjectNode]("filters", filters)
-          case _ => za.putNull("filters")
+        // numcodecs filters in ENCODE order: delta (array->array) first,
+        // then shuffle (bytes); grib is a whole-message filter on its own
+        val filters = mapper.createArrayNode()
+        delta.foreach { d =>
+          val df = mapper.createObjectNode()
+          df.put("id", "delta"); df.put("dtype", d.dtype)
+          df.put("astype", d.astype)
+          filters.add(df)
         }
+        shuffle.foreach { es =>
+          val sh = mapper.createObjectNode()
+          sh.put("id", "shuffle"); sh.put("elementsize", es)
+          filters.add(sh)
+        }
+        if (filters.isEmpty) grib.foreach { gv =>
+          val gf = mapper.createObjectNode()
+          gf.put("id", "grib"); gf.put("var", gv)
+          filters.add(gf)
+        }
+        if (filters.isEmpty) za.putNull("filters")
+        else za.set[ObjectNode]("filters", filters)
         putInline(s"$v/.zarray", mapper.writeValueAsBytes(za))
         // .zattrs: user attrs + the xarray dims convention
         val attrs = Option(meta.get("attributes"))
@@ -733,13 +746,19 @@ object RefSet {
         .map(_.elements().asScala.toVector).getOrElse(Vector.empty)
       filterNodes.foreach { f =>
         val id = f.get("id").asText()
-        require(Set("shuffle", "grib")(id),
-          s"zarr v2 filter '$id' is not supported (supported: shuffle, grib)")
+        require(Set("shuffle", "grib", "delta")(id),
+          s"zarr v2 filter '$id' is not supported " +
+            "(supported: shuffle, grib, delta)")
       }
       val shuffle = filterNodes.find(_.get("id").asText() == "shuffle")
         .map(_.get("elementsize").asInt())
       val grib = filterNodes.find(_.get("id").asText() == "grib")
         .map(_.get("var").asText())
+      val delta = filterNodes.find(_.get("id").asText() == "delta").map { f =>
+        graft.zarr.ZarrStore.DeltaParams(f.get("dtype").asText(),
+          Option(f.get("astype")).map(_.asText())
+            .getOrElse(f.get("dtype").asText()))
+      }
       val attrsNode = if (raw.contains(s"$v/.zattrs")) doc(s"$v/.zattrs") else null
       val dims = Option(attrsNode).flatMap(a =>
         Option(a.get("_ARRAY_DIMENSIONS")).map(
@@ -753,7 +772,7 @@ object RefSet {
         fillValue = Option(za.get("fill_value")).map(graft.zarr.ZarrStore.nodeToAttr)
           .getOrElse(graft.core.AttrValue.AInt(0)),
         dimensionNames = dims, gzipLevel = gzip, bigEndian = big,
-        zlibLevel = zlib, shuffleElem = shuffle, gribVar = grib,
+        zlibLevel = zlib, shuffleElem = shuffle, gribVar = grib, delta = delta,
         zstdLevel = zstd, blosc = blosc))
       // chunk keys <var>/i.j -> <var>/c/i/j; scalar arrays' "0" -> "c"
       raw.foreach { case (k, payload) =>

@@ -96,7 +96,8 @@ object ZarrStore {
                    zlibLevel: Option[Int] = None,
                    shuffleElem: Option[Int] = None,
                    zstdLevel: Option[Int] = None,
-                   blosc: Option[Blosc.Params] = None): Array[Byte] = {
+                   blosc: Option[Blosc.Params] = None,
+                   delta: Option[DeltaParams] = None): Array[Byte] = {
     val o = mapper.createObjectNode()
     o.put("zarr_format", 3)
     o.put("node_type", "array")
@@ -128,6 +129,15 @@ object ZarrStore {
           codecs.add(grib)
           return codecs
         case None =>
+      }
+      delta.foreach { d =>
+        // numcodecs Delta: array->array transform, so it leads the chain
+        val dn = mapper.createObjectNode()
+        dn.put("name", "delta")
+        val dc = mapper.createObjectNode()
+        dc.put("dtype", d.dtype); dc.put("astype", d.astype)
+        dn.set[ObjectNode]("configuration", dc)
+        codecs.add(dn)
       }
       val bytesCodec = mapper.createObjectNode()
       bytesCodec.put("name", "bytes")
@@ -254,6 +264,100 @@ object ZarrStore {
         s"Unsupported zarr v2 dtype $other")
     }
     (d, s.head == '>')
+  }
+
+  /** numcodecs `Delta` filter params (zarr v2 `{"id":"delta","dtype":…,
+    * "astype":…}`, common on time/coordinate arrays). Encode stores
+    * `arr[0]` then consecutive differences, computed in `dtype` and cast
+    * to `astype`; decode is the running cumulative sum, accumulated in
+    * `dtype` (the numcodecs `np.cumsum(..., out=dec)` contract — int32
+    * wraps, float32 rounds per step). Both are numcodecs typestrings
+    * ("<i8", ">f4", …); `astype` defaults to `dtype`. */
+  final case class DeltaParams(dtype: String, astype: String) {
+    def logicalDType: DType = dtypeFromNameV2(dtype)._1
+  }
+
+  /** Inverse Delta: `bytes` hold `n` `astype` values (post-decompression,
+    * post-unshuffle); returns the cumulative sum as a `dtype` array. */
+  def deltaDecode(bytes: Array[Byte], p: DeltaParams, n: Int,
+                  shape: Vector[Int]): NDArray = {
+    val (dt, _) = dtypeFromNameV2(p.dtype)
+    val (at, atBig) = dtypeFromNameV2(p.astype)
+    require(bytes.length == n * at.byteSize,
+      s"delta chunk: ${bytes.length} bytes for $n ${p.astype} values")
+    val buf = ByteBuffer.wrap(bytes).order(
+      if (atBig) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    def longAt(i: Int): Long = at match {
+      case DType.I4 => buf.getInt(i * 4).toLong
+      case DType.I8 | DType.M8ns => buf.getLong(i * 8)
+      case DType.F4 => buf.getFloat(i * 4).toLong
+      case DType.F8 => buf.getDouble(i * 8).toLong
+    }
+    def doubleAt(i: Int): Double = at match {
+      case DType.I4 => buf.getInt(i * 4).toDouble
+      case DType.I8 | DType.M8ns => buf.getLong(i * 8).toDouble
+      case DType.F4 => buf.getFloat(i * 4).toDouble
+      case DType.F8 => buf.getDouble(i * 8)
+    }
+    val data: AnyRef = dt match {
+      case DType.I4 =>
+        val a = new Array[Int](n); var acc = 0; var i = 0
+        while (i < n) { acc += longAt(i).toInt; a(i) = acc; i += 1 }; a
+      case DType.I8 | DType.M8ns =>
+        val a = new Array[Long](n); var acc = 0L; var i = 0
+        while (i < n) { acc += longAt(i); a(i) = acc; i += 1 }; a
+      case DType.F4 => // accumulate in float32: per-step rounding matches
+        val a = new Array[Float](n); var acc = 0f; var i = 0
+        while (i < n) { acc += doubleAt(i).toFloat; a(i) = acc; i += 1 }; a
+      case DType.F8 =>
+        val a = new Array[Double](n); var acc = 0d; var i = 0
+        while (i < n) { acc += doubleAt(i); a(i) = acc; i += 1 }; a
+    }
+    NDArray(dt, shape, data)
+  }
+
+  /** Forward Delta: serialize `arr` as first-value + consecutive
+    * differences in `astype` bytes (the pre-shuffle/pre-compression form). */
+  def deltaEncode(arr: NDArray, p: DeltaParams): Array[Byte] = {
+    val (dt, _) = dtypeFromNameV2(p.dtype)
+    val (at, atBig) = dtypeFromNameV2(p.astype)
+    require(dt == arr.dtype, s"delta dtype ${p.dtype} != array ${arr.dtype}")
+    val n = arr.size
+    val out = ByteBuffer.allocate(n * at.byteSize).order(
+      if (atBig) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    def put(i: Int, vL: Long, vD: Double): Unit = at match {
+      case DType.I4 => out.putInt(i * 4, vL.toInt)
+      case DType.I8 | DType.M8ns => out.putLong(i * 8, vL)
+      case DType.F4 => out.putFloat(i * 4, vD.toFloat)
+      case DType.F8 => out.putDouble(i * 8, vD)
+    }
+    arr.data match {
+      case a: Array[Int] =>
+        var i = 0
+        while (i < n) {
+          val d = if (i == 0) a(0) else a(i) - a(i - 1)
+          put(i, d.toLong, d.toDouble); i += 1
+        }
+      case a: Array[Long] =>
+        var i = 0
+        while (i < n) {
+          val d = if (i == 0) a(0) else a(i) - a(i - 1)
+          put(i, d, d.toDouble); i += 1
+        }
+      case a: Array[Float] =>
+        var i = 0
+        while (i < n) {
+          val d = if (i == 0) a(0) else a(i) - a(i - 1)
+          put(i, d.toLong, d.toDouble); i += 1
+        }
+      case a: Array[Double] =>
+        var i = 0
+        while (i < n) {
+          val d = if (i == 0) a(0) else a(i) - a(i - 1)
+          put(i, d.toLong, d); i += 1
+        }
+    }
+    out.array()
   }
 
   /** v2 JSON spells non-finite floats as strings ("NaN", "Infinity"). */
@@ -526,7 +630,8 @@ final class ZarrGroup(val root: String,
                              zlibLevel: Option[Int] = None,
                              shuffleElem: Option[Int] = None,
                              zstdLevel: Option[Int] = None,
-                             blosc: Option[Blosc.Params] = None) {
+                             blosc: Option[Blosc.Params] = None,
+                             delta: Option[ZarrStore.DeltaParams] = None) {
     /** storage-object granularity: shard if sharded, else chunk */
     def grain: Vector[Int] = shardShape.getOrElse(chunks)
   }
@@ -570,11 +675,19 @@ final class ZarrGroup(val root: String,
     }
     val filterNodes = Option(za.get("filters")).filter(!_.isNull)
       .map(_.elements().asScala.toVector).getOrElse(Vector.empty)
-    filterNodes.foreach { f =>
-      require(f.get("id").asText() == "shuffle",
-        s"zarr v2 filter '${f.get("id").asText()}' is not supported")
+    val filterIds = filterNodes.map(_.get("id").asText())
+    filterIds.foreach(id => require(id == "shuffle" || id == "delta",
+      s"zarr v2 filter '$id' is not supported (supported: shuffle, delta)"))
+    // decode un-applies shuffle then delta, i.e. encode order [delta, shuffle]
+    require(filterIds.indexOf("delta") <= math.max(filterIds.indexOf("shuffle"), 0),
+      s"unsupported v2 filter order $filterIds (delta must precede shuffle)")
+    val shuffle = filterNodes.find(_.get("id").asText() == "shuffle")
+      .map(_.get("elementsize").asInt())
+    val delta = filterNodes.find(_.get("id").asText() == "delta").map { f =>
+      ZarrStore.DeltaParams(f.get("dtype").asText(),
+        Option(f.get("astype")).map(_.asText())
+          .getOrElse(f.get("dtype").asText()))
     }
-    val shuffle = filterNodes.headOption.map(_.get("elementsize").asInt())
     val attrsNode = v2DocOpt(s"$name/.zattrs")
     val dims = attrsNode.flatMap(a => Option(a.get("_ARRAY_DIMENSIONS")).map(
         _.elements().asScala.map(_.asText()).toVector))
@@ -585,7 +698,7 @@ final class ZarrGroup(val root: String,
     }.getOrElse(Attrs.empty)
     ArrayMeta(shape, chunks, dtype, attrs, dims, gzip, None,
       fillFromNodeV2(za.get("fill_value")), big, None, zlib, shuffle,
-      zstd, blosc)
+      zstd, blosc, delta)
   }
 
   def arrayMeta(name: String): ArrayMeta = {
@@ -638,6 +751,16 @@ final class ZarrGroup(val root: String,
               blocksize = Option(cf.get("blocksize")).map(_.asInt()).getOrElse(0),
               bitShuffle = sh == "bitshuffle")
           })
+    def deltaOf(codecs: com.fasterxml.jackson.databind.JsonNode)
+        : Option[ZarrStore.DeltaParams] =
+      Option(codecs).flatMap(
+        _.elements().asScala.find(c => c.get("name").asText() == "delta")
+          .map { c =>
+            val cf = c.get("configuration")
+            ZarrStore.DeltaParams(cf.get("dtype").asText(),
+              Option(cf.get("astype")).map(_.asText())
+                .getOrElse(cf.get("dtype").asText()))
+          })
     val sharding = Option(n.get("codecs")).flatMap(
       _.elements().asScala.find(c => c.get("name").asText() == "sharding_indexed"))
     val fill = Option(n.get("fill_value")).map(nodeToAttr)
@@ -650,14 +773,15 @@ final class ZarrGroup(val root: String,
           dims, gzipOf(cfg.get("codecs")), Some(gridChunks), fill,
           bigOf(cfg.get("codecs")), gribOf(cfg.get("codecs")),
           zlibOf(cfg.get("codecs")), shuffleOf(cfg.get("codecs")),
-          zstdOf(cfg.get("codecs")), bloscOf(cfg.get("codecs")))
+          zstdOf(cfg.get("codecs")), bloscOf(cfg.get("codecs")),
+          deltaOf(cfg.get("codecs")))
       case None =>
         ArrayMeta(shape, gridChunks, dtype,
           ZarrStore.objectAttrs(n.get("attributes")), dims,
           gzipOf(n.get("codecs")), None, fill, bigOf(n.get("codecs")),
           gribOf(n.get("codecs")), zlibOf(n.get("codecs")),
           shuffleOf(n.get("codecs")), zstdOf(n.get("codecs")),
-          bloscOf(n.get("codecs")))
+          bloscOf(n.get("codecs")), deltaOf(n.get("codecs")))
     }
   }
 
@@ -680,15 +804,20 @@ final class ZarrGroup(val root: String,
   private def encodeChunk(arr: NDArray, meta: ArrayMeta): Array[Byte] = {
     require(meta.gribVar.isEmpty,
       "cannot write into a grib2-codec array (refs point at GRIB messages)")
-    val buf = ByteBuffer.allocate(arr.size * arr.dtype.byteSize)
-      .order(if (meta.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
-    arr.data match {
-      case a: Array[Int] => buf.asIntBuffer().put(a)
-      case a: Array[Long] => buf.asLongBuffer().put(a)
-      case a: Array[Float] => buf.asFloatBuffer().put(a)
-      case a: Array[Double] => buf.asDoubleBuffer().put(a)
+    var bytes = meta.delta match {
+      case Some(p) => ZarrStore.deltaEncode(arr, p)
+      case None =>
+        val buf = ByteBuffer.allocate(arr.size * arr.dtype.byteSize)
+          .order(if (meta.bigEndian) ByteOrder.BIG_ENDIAN
+                 else ByteOrder.LITTLE_ENDIAN)
+        arr.data match {
+          case a: Array[Int] => buf.asIntBuffer().put(a)
+          case a: Array[Long] => buf.asLongBuffer().put(a)
+          case a: Array[Float] => buf.asFloatBuffer().put(a)
+          case a: Array[Double] => buf.asDoubleBuffer().put(a)
+        }
+        buf.array()
     }
-    var bytes = buf.array()
     meta.shuffleElem.foreach { es =>
       val n = bytes.length / es
       val out = new Array[Byte](bytes.length)
@@ -732,7 +861,8 @@ final class ZarrGroup(val root: String,
                           zlibLevel: Option[Int] = None,
                           shuffleElem: Option[Int] = None,
                           zstdLevel: Option[Int] = None,
-                          blosc: Option[Blosc.Params] = None): NDArray = {
+                          blosc: Option[Blosc.Params] = None,
+                          delta: Option[ZarrStore.DeltaParams] = None): NDArray = {
     gribVar.foreach { v =>
       // grib2 whole-message codec: the chunk object is a complete GRIB2
       // message; extract the requested variable (kerchunk scan_grib model)
@@ -787,9 +917,14 @@ final class ZarrGroup(val root: String,
         out
       case None => bytes
     }
+    val n = NDArray.sizeOf(shape)
+    delta.foreach { p =>
+      require(p.logicalDType == dtype,
+        s"delta filter dtype ${p.dtype} != array dtype $dtype")
+      return ZarrStore.deltaDecode(bytes2, p, n, shape)
+    }
     val buf = ByteBuffer.wrap(bytes2).order(
       if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
-    val n = NDArray.sizeOf(shape)
     val data: AnyRef = dtype match {
       case DType.I4 => val a = new Array[Int](n); buf.asIntBuffer().get(a); a
       case DType.I8 | DType.M8ns => val a = new Array[Long](n); buf.asLongBuffer().get(a); a
@@ -859,7 +994,7 @@ final class ZarrGroup(val root: String,
           offset.toInt + nbytes.toInt)
         val chunk = decodeChunk(enc, meta.dtype, meta.chunks, meta.gzipLevel,
           meta.bigEndian, meta.gribVar, meta.zlibLevel, meta.shuffleElem, meta.zstdLevel,
-          meta.blosc)
+          meta.blosc, meta.delta)
         out.assign(pos.indices.map(d => pos(d) * meta.chunks(d)).toVector, chunk)
       }
     }
@@ -886,7 +1021,7 @@ final class ZarrGroup(val root: String,
       if (meta.shardShape.isDefined) decodeShard(raw, meta)
       else decodeChunk(raw, meta.dtype, meta.chunks, meta.gzipLevel,
         meta.bigEndian, meta.gribVar, meta.zlibLevel, meta.shuffleElem, meta.zstdLevel,
-          meta.blosc))
+          meta.blosc, meta.delta))
   }
 
   def chunkExists(name: String, chunkIdx: Vector[Int]): Boolean =
@@ -991,7 +1126,7 @@ final class ZarrGroup(val root: String,
     present.zip(payloads).map { case ((pos, _, _), raw) =>
       pos -> decodeChunk(raw, meta.dtype, meta.chunks, meta.gzipLevel,
         meta.bigEndian, meta.gribVar, meta.zlibLevel, meta.shuffleElem, meta.zstdLevel,
-          meta.blosc)
+          meta.blosc, meta.delta)
     }.toMap
   }
 

@@ -137,4 +137,98 @@ class ZarrV2Spec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] { RefSet.scanZarrV2Group(dir) }
     assert(e.getMessage.contains("order"))
   }
+
+  /** Hand-build a v2 store whose chunks are numcodecs-Delta encoded: the
+    * bytes are derived from the numcodecs spec by hand (first value, then
+    * consecutive differences, cast to `astype`, cumsum restarting per
+    * chunk), so a successful read IS the interop proof. */
+  private def buildDeltaStore(dir: String): Unit = {
+    def put(key: String, bytes: Array[Byte]): Unit = {
+      val p = Paths.get(dir, key.split('/'): _*)
+      Files.createDirectories(p.getParent)
+      Files.write(p, bytes)
+    }
+    put(".zgroup", """{"zarr_format": 2}""".getBytes)
+    // t: int64 "time" coord 1000,1010,..., diffs narrowed to astype <i4
+    put("t/.zarray",
+      """{"zarr_format": 2, "shape": [6], "chunks": [3], "dtype": "<i8",
+        |"order": "C", "fill_value": 0, "compressor": null,
+        |"filters": [{"id": "delta", "dtype": "<i8", "astype": "<i4"}]}"""
+        .stripMargin.getBytes)
+    put("t/.zattrs", """{"_ARRAY_DIMENSIONS": ["t"]}""".getBytes)
+    def i32s(vs: Int*): Array[Byte] = {
+      val bb = ByteBuffer.allocate(vs.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(bb.putInt); bb.array()
+    }
+    put("t/0", i32s(1000, 10, 10)) // -> 1000, 1010, 1020
+    put("t/1", i32s(1030, 10, 10)) // cumsum restarts per chunk
+    // v: float64 data, delta with identity astype, zlib-compressed
+    put("v/.zarray",
+      """{"zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<f8",
+        |"order": "C", "fill_value": 0,
+        |"compressor": {"id": "zlib", "level": 6},
+        |"filters": [{"id": "delta", "dtype": "<f8"}]}""".stripMargin.getBytes)
+    put("v/.zattrs", """{"_ARRAY_DIMENSIONS": ["t"]}""".getBytes)
+    val diffs = Array(1.5, 0.75, 1.75, 4.0) // -> 1.5, 2.25, 4.0, 8.0
+    val bb = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+    diffs.foreach(bb.putDouble)
+    val d = new java.util.zip.Deflater(6)
+    d.setInput(bb.array()); d.finish()
+    val out = new Array[Byte](128)
+    put("v/0", java.util.Arrays.copyOf(out, d.deflate(out)))
+  }
+
+  test("numcodecs delta-filtered v2 stores decode on both read paths") {
+    val dir = Files.createTempDirectory("v2_delta").toString
+    buildDeltaStore(dir)
+    val tExp = Array(1000L, 1010L, 1020L, 1030L, 1040L, 1050L)
+    val vExp = Array(1.5, 2.25, 4.0, 8.0)
+    // native v2 reader
+    val g = graft.zarr.ZarrGroup(dir)
+    assert(g.readArray("t").data.asInstanceOf[Array[Long]].sameElements(tExp))
+    assert(g.readArray("v").data.asInstanceOf[Array[Double]].sameElements(vExp))
+    // kerchunk scanner + in-place virtual group
+    val rs = RefSet.scanZarrV2Group(dir)
+    val virt = rs.asZarrGroup(dir)
+    assert(virt.readArray("t").data.asInstanceOf[Array[Long]].sameElements(tExp))
+    assert(virt.readArray("v").data.asInstanceOf[Array[Double]].sameElements(vExp))
+    // v2-keyed kerchunk artifact keeps the filter; re-import agrees
+    val json = RefSet.toKerchunkV2Json(rs)
+    val za = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json).get("refs").get("t/.zarray").asText()
+    assert(za.replace(" ", "").contains("\"id\":\"delta\""), za)
+    assert(za.replace(" ", "").contains("\"astype\":\"<i4\""), za)
+    val mat = s"$dir/materialized.zarr"
+    RefSet.fromKerchunkV2Json(json).materialize(mat)
+    assert(graft.zarr.ZarrGroup(mat).readArray("t")
+      .data.asInstanceOf[Array[Long]].sameElements(tExp))
+  }
+
+  test("writes into a delta-filtered v2 array emit numcodecs delta bytes") {
+    val dir = Files.createTempDirectory("v2_delta_w").toString
+    buildDeltaStore(dir)
+    val g = graft.zarr.ZarrGroup(dir)
+    // overwrite chunk 1 of t with 2000,2007,2016 -> diffs 2000,7,9 as <i4
+    g.writeRegion("t", Vector(3),
+      NDArray(DType.I8, Vector(3), Array(2000L, 2007L, 2016L)))
+    val raw = Files.readAllBytes(Paths.get(dir, "t", "1"))
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    assert(raw.length == 12)
+    assert(Seq(bb.getInt(0), bb.getInt(4), bb.getInt(8)) == Seq(2000, 7, 9))
+    assert(g.readArray("t").data.asInstanceOf[Array[Long]]
+      .sameElements(Array(1000L, 1010L, 1020L, 2000L, 2007L, 2016L)))
+  }
+
+  test("unknown v2 filters are rejected with a clear error") {
+    val dir = Files.createTempDirectory("v2_badfilter").toString
+    buildDeltaStore(dir)
+    val za = new String(Files.readAllBytes(Paths.get(dir, "t", ".zarray")))
+      .replace("\"id\": \"delta\"", "\"id\": \"quantize\"")
+    Files.write(Paths.get(dir, "t", ".zarray"), za.getBytes)
+    val e = intercept[IllegalArgumentException] { RefSet.scanZarrV2Group(dir) }
+    assert(e.getMessage.contains("quantize"))
+    val e2 = intercept[Exception] {
+      graft.zarr.ZarrGroup(dir).readArray("t") }
+    assert(e2.getMessage.contains("quantize"))
+  }
 }
