@@ -19,7 +19,7 @@ object KryoClasses {
     classOf[graft.kerchunk.RefSet], classOf[graft.kerchunk.Ref],
     classOf[Array[Int]], classOf[Array[Long]],
     classOf[Array[Float]], classOf[Array[Double]],
-    classOf[Array[Byte]],
+    classOf[Array[Byte]], classOf[Array[Short]],
     classOf[Vector[_]], classOf[Map[_, _]])
 
   def names: String = classes.map(_.getName).mkString(",")

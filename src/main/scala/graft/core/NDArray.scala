@@ -8,29 +8,54 @@ package graft.core
   */
 sealed abstract class DType(val name: String, val byteSize: Int)
 object DType {
+  case object I1 extends DType("int8", 1)
+  case object I2 extends DType("int16", 2)
+  case object U1 extends DType("uint8", 1)
+  case object U2 extends DType("uint16", 2)
   case object I4 extends DType("int32", 4)
   case object I8 extends DType("int64", 8)
   case object F4 extends DType("float32", 4)
   case object F8 extends DType("float64", 8)
   case object M8ns extends DType("datetime64[ns]", 8)
 
-  val all: Seq[DType] = Seq(I4, I8, F4, F8, M8ns)
+  val all: Seq[DType] = Seq(I1, I2, U1, U2, I4, I8, F4, F8, M8ns)
   def fromName(n: String): DType = all.find(_.name == n).getOrElse(
     throw new IllegalArgumentException(s"Unknown dtype $n"))
 
+  def isInteger(d: DType): Boolean = d match {
+    case I1 | I2 | U1 | U2 | I4 | I8 => true
+    case _ => false
+  }
+
+  /** Signed-integer rank (i1=1 .. i8=4); unsigned map onto the smallest
+    * signed rank that contains them plus one when mixed (numpy's
+    * smallest-type-that-holds-both rule). */
+  private def signedRank(d: DType): Int = d match {
+    case I1 => 1; case I2 => 2; case I4 => 3; case I8 => 4
+    case _ => throw new IllegalStateException(s"not signed: $d")
+  }
+  private def ofSignedRank(r: Int): DType = r match {
+    case 1 => I1; case 2 => I2; case 3 => I4; case _ => I8
+  }
+
   /** np.promote_types for the supported lattice (aggregation.py:135-136).
-    * Note numpy promotes int64+float32 -> float64 (not float32). */
+    * Note numpy promotes int64+float32 -> float64 (not float32), while the
+    * narrow ints (i1/i2/u1/u2) + float32 stay float32; mixed signedness
+    * promotes to the smallest signed type holding both value ranges
+    * (u1+i1 -> i2, u2+i2 -> i4, u2+u1 -> u2). */
   def promote(a: DType, b: DType): DType = (a, b) match {
     case (x, y) if x == y => x
     case (M8ns, _) | (_, M8ns) =>
       throw new IllegalArgumentException(s"Cannot promote ${a.name} with ${b.name}")
-    case (I4, I8) | (I8, I4) => I8
-    case (I4, F4) | (F4, I4) => F8 // numpy: i4+f4 -> f8
-    case (I8, F4) | (F4, I8) => F8
-    case (I4, F8) | (F8, I4) => F8
-    case (I8, F8) | (F8, I8) => F8
-    case (F4, F8) | (F8, F4) => F8
-    case _ => throw new IllegalArgumentException(s"Cannot promote ${a.name} with ${b.name}")
+    case (F8, _) | (_, F8) => F8
+    case (F4, o) if isInteger(o) => if (o == I4 || o == I8) F8 else F4
+    case (o, F4) if isInteger(o) => promote(F4, o)
+    case (U1, U2) | (U2, U1) => U2
+    case (U1, s) => ofSignedRank(math.max(signedRank(s), 2))
+    case (s, U1) => promote(U1, s)
+    case (U2, s) => ofSignedRank(math.max(signedRank(s), 3))
+    case (s, U2) => promote(U2, s)
+    case (x, y) => ofSignedRank(math.max(signedRank(x), signedRank(y)))
   }
 }
 
@@ -79,6 +104,10 @@ final class NDArray(val dtype: DType, val shape: Vector[Int], val data: AnyRef)
     case a: Array[Float] => a(flat).toDouble
     case a: Array[Long] => a(flat).toDouble
     case a: Array[Int] => a(flat).toDouble
+    case a: Array[Short] =>
+      (if (dtype == DType.U2) a(flat) & 0xFFFF else a(flat).toInt).toDouble
+    case a: Array[Byte] =>
+      (if (dtype == DType.U1) a(flat) & 0xFF else a(flat).toInt).toDouble
   }
 
   def getLong(flat: Int): Long = data match {
@@ -86,6 +115,10 @@ final class NDArray(val dtype: DType, val shape: Vector[Int], val data: AnyRef)
     case a: Array[Int] => a(flat).toLong
     case a: Array[Double] => a(flat).toLong
     case a: Array[Float] => a(flat).toLong
+    case a: Array[Short] =>
+      (if (dtype == DType.U2) a(flat) & 0xFFFF else a(flat).toInt).toLong
+    case a: Array[Byte] =>
+      (if (dtype == DType.U1) a(flat) & 0xFF else a(flat).toInt).toLong
   }
 
   /** Cast (copy) to another dtype along the promotion lattice. */
@@ -100,6 +133,11 @@ final class NDArray(val dtype: DType, val shape: Vector[Int], val data: AnyRef)
         case (DType.I8, o: Array[Long]) => while (i < size) { o(i) = getLong(i); i += 1 }
         case (DType.M8ns, o: Array[Long]) => while (i < size) { o(i) = getLong(i); i += 1 }
         case (DType.I4, o: Array[Int]) => while (i < size) { o(i) = getLong(i).toInt; i += 1 }
+        // narrow casts wrap (numpy astype semantics)
+        case (DType.I2 | DType.U2, o: Array[Short]) =>
+          while (i < size) { o(i) = getLong(i).toShort; i += 1 }
+        case (DType.I1 | DType.U1, o: Array[Byte]) =>
+          while (i < size) { o(i) = getLong(i).toByte; i += 1 }
         case _ => throw new IllegalStateException(s"bad cast $dtype -> $to")
       }
       new NDArray(to, shape, out)
@@ -117,6 +155,8 @@ final class NDArray(val dtype: DType, val shape: Vector[Int], val data: AnyRef)
             java.lang.Float.floatToIntBits(b(i)))
         case (a: Array[Long], b: Array[Long]) => java.util.Arrays.equals(a, b)
         case (a: Array[Int], b: Array[Int]) => java.util.Arrays.equals(a, b)
+        case (a: Array[Short], b: Array[Short]) => java.util.Arrays.equals(a, b)
+        case (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.equals(a, b)
         case _ => false
       }
     }
@@ -132,6 +172,8 @@ object NDArray {
     case DType.I8 | DType.M8ns => new Array[Long](n)
     case DType.F4 => new Array[Float](n)
     case DType.F8 => new Array[Double](n)
+    case DType.I2 | DType.U2 => new Array[Short](n)
+    case DType.I1 | DType.U1 => new Array[Byte](n)
   }
 
   def zeros(dtype: DType, shape: Vector[Int]): NDArray =

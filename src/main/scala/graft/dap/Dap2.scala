@@ -38,7 +38,10 @@ object Dap2 {
   }
 
   private def engineDType(t: String): DType = t match {
-    case "Byte" | "Int16" | "UInt16" | "Int32" => DType.I4
+    case "Byte" => DType.U1 // DAP2 Byte is unsigned 8-bit
+    case "Int16" => DType.I2
+    case "UInt16" => DType.U2
+    case "Int32" => DType.I4
     case "UInt32" => DType.I8
     case "Float32" => DType.F4
     case "Float64" => DType.F8
@@ -46,6 +49,10 @@ object Dap2 {
   }
 
   private def dapType(d: DType): String = d match {
+    case DType.U1 => "Byte"
+    case DType.I1 => "Int16" // DAP2 has no signed byte; value-preserving
+    case DType.I2 => "Int16"
+    case DType.U2 => "UInt16"
     case DType.I4 => "Int32"
     case DType.F4 => "Float32"
     case DType.F8 => "Float64"
@@ -164,24 +171,28 @@ object Dap2 {
       val c1 = buf.getInt(); val c2 = buf.getInt()
       require(c1 == n && c2 == n, s"XDR count $c1/$c2 != declared $n")
       t match {
-        case "Byte" =>
-          val a = new Array[Int](n)
-          var i = 0
-          while (i < n) { a(i) = buf.get() & 0xFF; i += 1 }
+        case "Byte" => // unsigned 8-bit, XDR-packed
+          val a = new Array[Byte](n)
+          buf.get(a)
           // pad to 4-byte boundary
           val pad = (4 - (n % 4)) % 4
           buf.position(buf.position() + pad)
-          NDArray1(DType.I4, a)
-        case "Int16" | "Int32" =>
+          NDArray1(DType.U1, a)
+        case "Int16" => // 4 bytes on the wire, int16 in the model
+          val a = new Array[Short](n)
+          var i = 0
+          while (i < n) { a(i) = buf.getInt().toShort; i += 1 }
+          NDArray1(DType.I2, a)
+        case "Int32" =>
           val a = new Array[Int](n)
           var i = 0
           while (i < n) { a(i) = buf.getInt(); i += 1 }
           NDArray1(DType.I4, a)
         case "UInt16" =>
-          val a = new Array[Int](n)
+          val a = new Array[Short](n)
           var i = 0
-          while (i < n) { a(i) = buf.getInt() & 0xFFFF; i += 1 }
-          NDArray1(DType.I4, a)
+          while (i < n) { a(i) = (buf.getInt() & 0xFFFF).toShort; i += 1 }
+          NDArray1(DType.U2, a)
         case "UInt32" =>
           val a = new Array[Long](n)
           var i = 0
@@ -347,14 +358,22 @@ object Dap2 {
     bos.write("\nData:\n".getBytes("ASCII"))
     def writeXdr(v: Variable): Unit = {
       val n = v.data.size
-      val b = ByteBuffer.allocate(8 + n * elemBytes(dapType(v.dtype)))
+      val t = dapType(v.dtype)
+      val pad = if (t == "Byte") (4 - (n % 4)) % 4 else 0
+      val b = ByteBuffer.allocate(8 + n * elemBytes(t) + pad)
         .order(ByteOrder.BIG_ENDIAN)
       b.putInt(n); b.putInt(n)
       v.data.data match {
+        case a: Array[Byte] if t == "Byte" => b.put(a) // XDR-packed + pad
+        case a: Array[Byte] => // signed i1 promoted to Int16 on the wire
+          a.foreach(x => b.putInt(x.toInt))
+        case a: Array[Short] =>
+          if (v.dtype == DType.U2) a.foreach(x => b.putInt(x & 0xFFFF))
+          else a.foreach(x => b.putInt(x.toInt))
         case a: Array[Int] => a.foreach(b.putInt)
         case a: Array[Float] => a.foreach(b.putFloat)
         case a: Array[Double] => a.foreach(b.putDouble)
-        case a: Array[Long] => throw new IllegalArgumentException(
+        case _: Array[Long] => throw new IllegalArgumentException(
           "DAP2 has no 64-bit integer type")
       }
       bos.write(b.array())

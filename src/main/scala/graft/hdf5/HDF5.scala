@@ -703,12 +703,13 @@ object HDF5 {
         case FixedPoint(sz, be, signed) =>
           buf.order(if (be) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
           sz match {
-            case 1 =>
-              val a = new Array[Int](n); var i = 0
-              while (i < n) { a(i) = if (signed) buf.get(i).toInt else buf.get(i) & 0xFF; i += 1 }; a
+            case 1 => // width-preserving; signedness lives in the dtype
+              val a = new Array[Byte](n); buf.get(a); a
             case 2 =>
-              val a = new Array[Int](n); var i = 0
-              while (i < n) { a(i) = buf.getShort(i * 2).toInt; i += 1 }; a
+              val a = new Array[Short](n); buf.asShortBuffer().get(a); a
+            case 4 if !signed => // no uint32 in the lattice: widen to int64
+              val a = new Array[Long](n); var i = 0
+              while (i < n) { a(i) = buf.getInt(i * 4) & 0xFFFFFFFFL; i += 1 }; a
             case 4 =>
               val a = new Array[Int](n); var i = 0
               while (i < n) { a(i) = buf.getInt(i * 4); i += 1 }; a
@@ -743,6 +744,8 @@ object HDF5 {
           case (a: Array[Long], o: Array[Long]) => java.util.Arrays.fill(a, o(0))
           case (a: Array[Float], o: Array[Float]) => java.util.Arrays.fill(a, o(0))
           case (a: Array[Double], o: Array[Double]) => java.util.Arrays.fill(a, o(0))
+          case (a: Array[Short], o: Array[Short]) => java.util.Arrays.fill(a, o(0))
+          case (a: Array[Byte], o: Array[Byte]) => java.util.Arrays.fill(a, o(0))
           case _ =>
         }
       }
@@ -785,7 +788,10 @@ object HDF5 {
   // --------------------------------------------------------- netCDF4 read
 
   def engineDTypeOf(t: TypeInfo): DType = t match {
-    case FixedPoint(1 | 2 | 4, _, _) => DType.I4
+    case FixedPoint(1, _, signed) => if (signed) DType.I1 else DType.U1
+    case FixedPoint(2, _, signed) => if (signed) DType.I2 else DType.U2
+    case FixedPoint(4, _, false) => DType.I8 // uint32: value-preserving widen
+    case FixedPoint(4, _, true) => DType.I4
     case FixedPoint(8, _, _) => DType.I8
     case FloatType(4, _) => DType.F4
     case FloatType(8, _) => DType.F8

@@ -24,16 +24,21 @@ object HDF5Writer {
   // ---------------------------------------------------------- type bytes
 
   private def dtypeBytes(d: DType): Array[Byte] = d match {
+    case DType.I1 => fixedBytes(1)
+    case DType.U1 => fixedBytes(1, signed = false)
+    case DType.I2 => fixedBytes(2)
+    case DType.U2 => fixedBytes(2, signed = false)
     case DType.I4 => fixedBytes(4)
     case DType.I8 | DType.M8ns => fixedBytes(8)
     case DType.F4 => floatBytes(4)
     case DType.F8 => floatBytes(8)
   }
 
-  private def fixedBytes(size: Int): Array[Byte] = {
+  private def fixedBytes(size: Int, signed: Boolean = true): Array[Byte] = {
     val b = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
     b.put(0x10.toByte) // class 0 v1
-    b.put(0x08.toByte); b.put(0.toByte); b.put(0.toByte) // LE, signed
+    b.put((if (signed) 0x08 else 0x00).toByte) // LE, sign bit-field
+    b.put(0.toByte); b.put(0.toByte)
     b.putInt(size)
     b.putShort(0); b.putShort((size * 8).toShort) // bit offset, precision
     b.array()
@@ -169,6 +174,8 @@ object HDF5Writer {
       case a: Array[Long] => b.asLongBuffer().put(a)
       case a: Array[Float] => b.asFloatBuffer().put(a)
       case a: Array[Double] => b.asDoubleBuffer().put(a)
+      case a: Array[Short] => b.asShortBuffer().put(a)
+      case a: Array[Byte] => b.put(a)
     }
     b.array()
   }

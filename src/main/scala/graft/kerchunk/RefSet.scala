@@ -120,11 +120,8 @@ object RefSet {
     * metadata declares the bytes codec big-endian; the Zarr reader then
     * decodes the in-place NetCDF bytes directly, no copy, no transcode.
     *
-    * Byte/short/char data variables would need an int16/int8 dtype in the
-    * zarr metadata to reference raw bytes — outside the engine's dtype
-    * lattice, so the scanner rejects them (the full decoder at
-    * graft.netcdf.NetCDF3.read widens them; use Entry-point A for such
-    * files). */
+    * Byte/short/char data variables reference their raw bytes under the
+    * matching narrow zarr dtype (int8/uint8/int16), same as int/float. */
   def scanNetCDF3(path: String, inlineThreshold: Int = 300): RefSet = {
     import graft.netcdf.NetCDF3
     val hdr = NetCDF3.readHeader(path)
@@ -134,9 +131,6 @@ object RefSet {
     // one channel for every inline slab of the scan (not one per record)
     NetCDF3.withRangeReader(path) { rangeRead =>
     hdr.vars.foreach { v =>
-      require(v.ncType >= NetCDF3.NcInt,
-        s"scanNetCDF3: variable ${v.name} has nc_type ${v.ncType} " +
-          "(byte/char/short) — no raw-byte zarr dtype; decode via NetCDF3.read")
       val shape = v.shape(hdr.dims, hdr.numrecs)
       val isRec = v.isRecord(hdr.dims)
       val chunks = if (isRec) 1 +: shape.drop(1) else shape
@@ -175,8 +169,8 @@ object RefSet {
     * a single whole-array ref, and deflated chunks carry the zlib codec so
     * the reader inflates in place. Data bytes stay in the original file.
     *
-    * Datasets whose stored element width differs from the engine's widened
-    * dtype (int8/int16 — no raw-byte zarr dtype) are rejected, as are
+    * Datasets whose stored element width differs from the engine dtype's
+    * (only uint32, widened to int64) are rejected, as are
     * fletcher32 filters and per-chunk skipped-filter masks; deflate,
     * shuffle, zstd (hdf5plugin 32015), and blosc (hdf5plugin 32001) map to
     * the store's zlib/shuffle/zstd/blosc codecs. The full decoder
@@ -496,13 +490,9 @@ object RefSet {
     val out = Seq.newBuilder[(String, Ref)]
     def putInline(key: String, bytes: Array[Byte]): Unit =
       out += key -> Ref.inline(bytes)
-    def v2Dtype(name: String, big: Boolean): String = {
-      val c = name match {
-        case "int32" => "i4"; case "int64" => "i8"
-        case "float32" => "f4"; case "float64" => "f8"
-      }
-      (if (big) ">" else "<") + c
-    }
+    def v2Dtype(name: String, big: Boolean): String =
+      graft.zarr.ZarrStore.dtypeNameV2(
+        graft.zarr.ZarrStore.dtypeFromName(name), big)
     rs.refs.toSeq.sortBy(_._1).foreach { case (key, ref) =>
       if (key == "zarr.json") {
         val meta = mapper.readTree(ref.resolve())
@@ -712,13 +702,8 @@ object RefSet {
       val chunks = za.get("chunks").elements().asScala.map(_.asInt()).toVector
       Option(za.get("order")).map(_.asText()).foreach(o => require(o == "C",
         s"zarr v2 order '$o' not supported (C-order only)"))
-      val dt = za.get("dtype").asText()
-      val big = dt.startsWith(">")
-      val dtype = dt.drop(1) match {
-        case "i4" => graft.core.DType.I4; case "i8" => graft.core.DType.I8
-        case "f4" => graft.core.DType.F4; case "f8" => graft.core.DType.F8
-        case other => throw new IllegalArgumentException(s"v2 dtype $other")
-      }
+      val (dtype, big) =
+        graft.zarr.ZarrStore.dtypeFromNameV2(za.get("dtype").asText())
       // compressor/filter dispatch is a CLOSED set: anything unrecognized
       // must fail here, not decode compressed bytes as raw garbage later
       val compNode = Option(za.get("compressor")).filter(!_.isNull)

@@ -29,10 +29,13 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
   * sizes from shape and type. The single-record-variable special case (no
   * inter-record padding) is honored on both read and write.
   *
-  * Type widening on read: NC_BYTE/NC_SHORT/NC_INT -> int32, NC_CHAR ->
-  * int32 codes for data variables (string for attributes), NC_FLOAT ->
-  * float32, NC_DOUBLE -> float64 — the same lattice the engine's DType
-  * carries everywhere else.
+  * Dtype mapping on read preserves external widths (the xarray/netCDF-c
+  * behavior): NC_BYTE -> int8, NC_CHAR -> uint8 codes for data variables
+  * (string for attributes), NC_SHORT -> int16, NC_INT -> int32, NC_FLOAT ->
+  * float32, NC_DOUBLE -> float64. On write the unsigned engine dtypes land
+  * bitwise in the matching signed external type (classic NetCDF has no
+  * unsigned types; netCDF-c does the same and round-trips via the
+  * `_Unsigned` attribute convention, which callers may set).
   */
 object NetCDF3 {
 
@@ -196,15 +199,10 @@ object NetCDF3 {
   private def decodeValues(bytes: Array[Byte], ncType: Int, n: Int): AnyRef = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     ncType match {
-      case NcByte =>
-        val a = new Array[Int](n); var i = 0
-        while (i < n) { a(i) = buf.get().toInt; i += 1 }; a
-      case NcChar =>
-        val a = new Array[Int](n); var i = 0
-        while (i < n) { a(i) = buf.get() & 0xFF; i += 1 }; a
+      case NcByte | NcChar => // width-preserving (int8 / uint8 codes)
+        val a = new Array[Byte](n); buf.get(a); a
       case NcShort =>
-        val a = new Array[Int](n); var i = 0
-        while (i < n) { a(i) = buf.getShort().toInt; i += 1 }; a
+        val a = new Array[Short](n); buf.asShortBuffer().get(a); a
       case NcInt =>
         val a = new Array[Int](n); buf.asIntBuffer().get(a); a
       case NcFloat =>
@@ -215,7 +213,10 @@ object NetCDF3 {
   }
 
   def widenedDType(ncType: Int): DType = ncType match {
-    case NcByte | NcChar | NcShort | NcInt => DType.I4
+    case NcByte => DType.I1
+    case NcChar => DType.U1 // byte codes; attrs decode to strings instead
+    case NcShort => DType.I2
+    case NcInt => DType.I4
     case NcFloat => DType.F4
     case NcDouble => DType.F8
   }
@@ -294,6 +295,10 @@ object NetCDF3 {
   // ---------------------------------------------------------------- write
 
   private def ncTypeFor(d: DType): Int = d match {
+    case DType.I1 => NcByte
+    case DType.U1 => NcByte // bitwise; classic has no unsigned types
+    case DType.I2 => NcShort
+    case DType.U2 => NcShort
     case DType.I4 => NcInt
     case DType.F4 => NcFloat
     case DType.F8 => NcDouble
@@ -373,7 +378,17 @@ object NetCDF3 {
           case a: Array[Double] => bb.asDoubleBuffer().put(a)
           case _ => var i = 0; while (i < n) { bb.putDouble(arr.getDouble(i)); i += 1 }
         }
-      case _ => throw new IllegalStateException(s"writer emits int/float/double only")
+      case NcByte =>
+        arr.data match {
+          case a: Array[Byte] => bb.put(a)
+          case _ => var i = 0; while (i < n) { bb.put(arr.getLong(i).toByte); i += 1 }
+        }
+      case NcShort =>
+        arr.data match {
+          case a: Array[Short] => bb.asShortBuffer().put(a)
+          case _ => var i = 0; while (i < n) { bb.putShort(arr.getLong(i).toShort); i += 1 }
+        }
+      case _ => throw new IllegalStateException(s"writer emits byte/short/int/float/double only")
     }
     bb.array()
   }

@@ -61,6 +61,10 @@ object ZarrStore {
     else o.properties().asScala.map(e => e.getKey -> nodeToAttr(e.getValue)).toMap
 
   def dtypeName(d: DType): String = d match {
+    case DType.I1 => "int8"
+    case DType.I2 => "int16"
+    case DType.U1 => "uint8"
+    case DType.U2 => "uint16"
     case DType.I4 => "int32"
     case DType.I8 => "int64"
     case DType.F4 => "float32"
@@ -69,6 +73,10 @@ object ZarrStore {
   }
 
   def dtypeFromName(n: String): DType = n match {
+    case "int8" => DType.I1
+    case "int16" => DType.I2
+    case "uint8" => DType.U1
+    case "uint16" => DType.U2
     case "int32" => DType.I4
     case "int64" => DType.I8
     case "float32" => DType.F4
@@ -240,9 +248,14 @@ object ZarrStore {
 
   // ---------- zarr v2 documents (the zarr-python classic layout) ----------
 
-  /** v2 dtype string: explicit byte order + kind + itemsize ("<f8"). */
+  /** v2 dtype string: explicit byte order + kind + itemsize ("<f8");
+    * single-byte kinds are order-less ("|i1"/"|u1", the numpy spelling). */
   def dtypeNameV2(d: DType, bigEndian: Boolean): String = {
     val code = d match {
+      case DType.I1 => return "|i1"
+      case DType.U1 => return "|u1"
+      case DType.I2 => "i2"
+      case DType.U2 => "u2"
       case DType.I4 => "i4"
       case DType.I8 | DType.M8ns => "i8"
       case DType.F4 => "f4"
@@ -251,11 +264,14 @@ object ZarrStore {
     (if (bigEndian) ">" else "<") + code
   }
 
-  /** v2 dtype string -> (our dtype, bigEndian). '|' never occurs for the
-    * multi-byte numeric kinds this store holds. */
+  /** v2 dtype string -> (our dtype, bigEndian). */
   def dtypeFromNameV2(s: String): (DType, Boolean) = {
     require(s.length >= 3 && "<>|".contains(s.head), s"v2 dtype '$s'")
     val d = s.drop(1) match {
+      case "i1" => DType.I1
+      case "i2" => DType.I2
+      case "u1" => DType.U1
+      case "u2" => DType.U2
       case "i4" => DType.I4
       case "i8" => DType.I8
       case "f4" => DType.F4
@@ -288,18 +304,27 @@ object ZarrStore {
     val buf = ByteBuffer.wrap(bytes).order(
       if (atBig) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     def longAt(i: Int): Long = at match {
+      case DType.I1 => buf.get(i).toLong
+      case DType.U1 => (buf.get(i) & 0xFF).toLong
+      case DType.I2 => buf.getShort(i * 2).toLong
+      case DType.U2 => (buf.getShort(i * 2) & 0xFFFF).toLong
       case DType.I4 => buf.getInt(i * 4).toLong
       case DType.I8 | DType.M8ns => buf.getLong(i * 8)
       case DType.F4 => buf.getFloat(i * 4).toLong
       case DType.F8 => buf.getDouble(i * 8).toLong
     }
     def doubleAt(i: Int): Double = at match {
-      case DType.I4 => buf.getInt(i * 4).toDouble
-      case DType.I8 | DType.M8ns => buf.getLong(i * 8).toDouble
       case DType.F4 => buf.getFloat(i * 4).toDouble
       case DType.F8 => buf.getDouble(i * 8)
+      case _ => longAt(i).toDouble
     }
     val data: AnyRef = dt match {
+      case DType.I1 | DType.U1 => // per-step wrap in the narrow type
+        val a = new Array[Byte](n); var acc: Byte = 0; var i = 0
+        while (i < n) { acc = (acc + longAt(i)).toByte; a(i) = acc; i += 1 }; a
+      case DType.I2 | DType.U2 =>
+        val a = new Array[Short](n); var acc: Short = 0; var i = 0
+        while (i < n) { acc = (acc + longAt(i)).toShort; a(i) = acc; i += 1 }; a
       case DType.I4 =>
         val a = new Array[Int](n); var acc = 0; var i = 0
         while (i < n) { acc += longAt(i).toInt; a(i) = acc; i += 1 }; a
@@ -326,12 +351,26 @@ object ZarrStore {
     val out = ByteBuffer.allocate(n * at.byteSize).order(
       if (atBig) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     def put(i: Int, vL: Long, vD: Double): Unit = at match {
+      case DType.I1 | DType.U1 => out.put(i, vL.toByte)
+      case DType.I2 | DType.U2 => out.putShort(i * 2, vL.toShort)
       case DType.I4 => out.putInt(i * 4, vL.toInt)
       case DType.I8 | DType.M8ns => out.putLong(i * 8, vL)
       case DType.F4 => out.putFloat(i * 4, vD.toFloat)
       case DType.F8 => out.putDouble(i * 8, vD)
     }
     arr.data match {
+      case a: Array[Byte] =>
+        var i = 0
+        while (i < n) {
+          val d = (if (i == 0) a(0) else a(i) - a(i - 1)).toByte
+          put(i, d.toLong, d.toDouble); i += 1
+        }
+      case a: Array[Short] =>
+        var i = 0
+        while (i < n) {
+          val d = (if (i == 0) a(0) else a(i) - a(i - 1)).toShort
+          put(i, d.toLong, d.toDouble); i += 1
+        }
       case a: Array[Int] =>
         var i = 0
         while (i < n) {
@@ -815,6 +854,8 @@ final class ZarrGroup(val root: String,
           case a: Array[Long] => buf.asLongBuffer().put(a)
           case a: Array[Float] => buf.asFloatBuffer().put(a)
           case a: Array[Double] => buf.asDoubleBuffer().put(a)
+          case a: Array[Short] => buf.asShortBuffer().put(a)
+          case a: Array[Byte] => buf.put(a)
         }
         buf.array()
     }
@@ -930,6 +971,8 @@ final class ZarrGroup(val root: String,
       case DType.I8 | DType.M8ns => val a = new Array[Long](n); buf.asLongBuffer().get(a); a
       case DType.F4 => val a = new Array[Float](n); buf.asFloatBuffer().get(a); a
       case DType.F8 => val a = new Array[Double](n); buf.asDoubleBuffer().get(a); a
+      case DType.I2 | DType.U2 => val a = new Array[Short](n); buf.asShortBuffer().get(a); a
+      case DType.I1 | DType.U1 => val a = new Array[Byte](n); buf.get(a); a
     }
     NDArray(dtype, shape, data)
   }

@@ -103,7 +103,7 @@ class NetCDF3Spec extends AnyFunSuite {
       single.dataVars("v").data))
   }
 
-  test("hand-crafted file: byte/short/char variables widen to int32") {
+  test("hand-crafted file: byte/short/char variables keep external widths") {
     // build a classic file by hand: dims x=3; vars b:byte, s:short, c:char
     val bos = new java.io.ByteArrayOutputStream()
     def be(i: Int): Unit = {
@@ -141,11 +141,15 @@ class NetCDF3Spec extends AnyFunSuite {
     assert(beginB == hdrSize && beginS == hdrSize + 4 && beginC == hdrSize + 12)
 
     val back = NetCDF3.read(p)
-    assert(back.dataVars("b").dtype == DType.I4)
-    assert(back.dataVars("b").data.data.asInstanceOf[Array[Int]].toSeq == Seq(-1, 2, 3))
-    assert(back.dataVars("s").data.data.asInstanceOf[Array[Int]].toSeq == Seq(-300, 500, 7))
-    assert(back.dataVars("c").data.data.asInstanceOf[Array[Int]].toSeq ==
-      "hi!".getBytes("UTF-8").map(_ & 0xFF).toSeq)
+    assert(back.dataVars("b").dtype == DType.I1)
+    assert(back.dataVars("b").data.data.asInstanceOf[Array[Byte]].toSeq ==
+      Seq[Byte](-1, 2, 3))
+    assert(back.dataVars("s").dtype == DType.I2)
+    assert(back.dataVars("s").data.data.asInstanceOf[Array[Short]].toSeq ==
+      Seq[Short](-300, 500, 7))
+    assert(back.dataVars("c").dtype == DType.U1) // char codes read unsigned
+    assert(back.dataVars("c").data.data.asInstanceOf[Array[Byte]].toSeq ==
+      "hi!".getBytes("UTF-8").toSeq)
   }
 
   test("CDF-5 is rejected like the scipy engine") {
