@@ -512,7 +512,7 @@ object RefSet {
         var grib: Option[String] = None
         var zstd: Option[Int] = None
         var blosc: Option[graft.zarr.Blosc.Params] = None
-        var delta: Option[graft.zarr.ZarrStore.DeltaParams] = None
+        var numFilter: Option[graft.zarr.ZarrStore.NumFilter] = None
         meta.get("codecs").elements().asScala.foreach { c =>
           c.get("name").asText() match {
             case "bytes" =>
@@ -526,12 +526,9 @@ object RefSet {
             case "grib2" =>
               // kerchunk's numcodecs GRIB codec: whole-message filter
               grib = Some(c.get("configuration").get("var").asText())
-            case "delta" =>
-              val cf = c.get("configuration")
-              delta = Some(graft.zarr.ZarrStore.DeltaParams(
-                cf.get("dtype").asText(),
-                Option(cf.get("astype")).map(_.asText())
-                  .getOrElse(cf.get("dtype").asText())))
+            case id @ ("delta" | "fixedscaleoffset" | "quantize") =>
+              numFilter = Some(graft.zarr.ZarrStore.filterFromJson(
+                id, c.get("configuration")))
             case "blosc" =>
               val cf = c.get("configuration")
               blosc = Some(graft.zarr.Blosc.Params(
@@ -572,13 +569,13 @@ object RefSet {
             za.set[ObjectNode]("compressor", comp)
           case _ => za.putNull("compressor")
         }
-        // numcodecs filters in ENCODE order: delta (array->array) first,
+        // numcodecs filters in ENCODE order: the array->array filter first,
         // then shuffle (bytes); grib is a whole-message filter on its own
         val filters = mapper.createArrayNode()
-        delta.foreach { d =>
+        numFilter.foreach { d =>
           val df = mapper.createObjectNode()
-          df.put("id", "delta"); df.put("dtype", d.dtype)
-          df.put("astype", d.astype)
+          df.put("id", d.id)
+          graft.zarr.ZarrStore.filterFields(d, df)
           filters.add(df)
         }
         shuffle.foreach { es =>
@@ -729,21 +726,20 @@ object RefSet {
         }
       val filterNodes = Option(za.get("filters")).filter(!_.isNull)
         .map(_.elements().asScala.toVector).getOrElse(Vector.empty)
+      val arrayFilterIds = Set("delta", "fixedscaleoffset", "quantize")
       filterNodes.foreach { f =>
         val id = f.get("id").asText()
-        require(Set("shuffle", "grib", "delta")(id),
+        require(id == "shuffle" || id == "grib" || arrayFilterIds(id),
           s"zarr v2 filter '$id' is not supported " +
-            "(supported: shuffle, grib, delta)")
+            "(supported: shuffle, grib, delta, fixedscaleoffset, quantize)")
       }
       val shuffle = filterNodes.find(_.get("id").asText() == "shuffle")
         .map(_.get("elementsize").asInt())
       val grib = filterNodes.find(_.get("id").asText() == "grib")
         .map(_.get("var").asText())
-      val delta = filterNodes.find(_.get("id").asText() == "delta").map { f =>
-        graft.zarr.ZarrStore.DeltaParams(f.get("dtype").asText(),
-          Option(f.get("astype")).map(_.asText())
-            .getOrElse(f.get("dtype").asText()))
-      }
+      val numFilter = filterNodes
+        .find(f => arrayFilterIds(f.get("id").asText()))
+        .map(f => graft.zarr.ZarrStore.filterFromJson(f.get("id").asText(), f))
       val attrsNode = if (raw.contains(s"$v/.zattrs")) doc(s"$v/.zattrs") else null
       val dims = Option(attrsNode).flatMap(a =>
         Option(a.get("_ARRAY_DIMENSIONS")).map(
@@ -757,8 +753,8 @@ object RefSet {
         fillValue = Option(za.get("fill_value")).map(graft.zarr.ZarrStore.nodeToAttr)
           .getOrElse(graft.core.AttrValue.AInt(0)),
         dimensionNames = dims, gzipLevel = gzip, bigEndian = big,
-        zlibLevel = zlib, shuffleElem = shuffle, gribVar = grib, delta = delta,
-        zstdLevel = zstd, blosc = blosc))
+        zlibLevel = zlib, shuffleElem = shuffle, gribVar = grib,
+        numFilter = numFilter, zstdLevel = zstd, blosc = blosc))
       // chunk keys <var>/i.j -> <var>/c/i/j; scalar arrays' "0" -> "c"
       raw.foreach { case (k, payload) =>
         if (k.startsWith(s"$v/") && !k.contains(".z")) {

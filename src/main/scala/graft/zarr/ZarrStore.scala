@@ -105,7 +105,7 @@ object ZarrStore {
                    shuffleElem: Option[Int] = None,
                    zstdLevel: Option[Int] = None,
                    blosc: Option[Blosc.Params] = None,
-                   delta: Option[DeltaParams] = None): Array[Byte] = {
+                   numFilter: Option[NumFilter] = None): Array[Byte] = {
     val o = mapper.createObjectNode()
     o.put("zarr_format", 3)
     o.put("node_type", "array")
@@ -138,12 +138,12 @@ object ZarrStore {
           return codecs
         case None =>
       }
-      delta.foreach { d =>
-        // numcodecs Delta: array->array transform, so it leads the chain
+      numFilter.foreach { f =>
+        // numcodecs array->array filters lead the chain
         val dn = mapper.createObjectNode()
-        dn.put("name", "delta")
+        dn.put("name", f.id)
         val dc = mapper.createObjectNode()
-        dc.put("dtype", d.dtype); dc.put("astype", d.astype)
+        filterFields(f, dc)
         dn.set[ObjectNode]("configuration", dc)
         codecs.add(dn)
       }
@@ -282,15 +282,91 @@ object ZarrStore {
     (d, s.head == '>')
   }
 
-  /** numcodecs `Delta` filter params (zarr v2 `{"id":"delta","dtype":…,
-    * "astype":…}`, common on time/coordinate arrays). Encode stores
+  /** A numcodecs array->array filter: transforms the logical `dtype` array
+    * into stored `astype` values before byte-level codecs (shuffle,
+    * compressor) run. The three filters real zarr v2 archives carry:
+    * `Delta`, `FixedScaleOffset`, `Quantize`. `dtype`/`astype` are
+    * numcodecs typestrings ("<i8", "|u1", …); `astype` defaults to
+    * `dtype`. The `id` is the numcodecs registry id (the v2 `filters`
+    * entry's `"id"` and this store's v3 codec `"name"`). */
+  sealed trait NumFilter {
+    def dtype: String
+    def astype: String
+    def id: String
+    final def logicalDType: DType = dtypeFromNameV2(dtype)._1
+  }
+
+  /** numcodecs `Delta` (common on time/coordinate arrays). Encode stores
     * `arr[0]` then consecutive differences, computed in `dtype` and cast
     * to `astype`; decode is the running cumulative sum, accumulated in
     * `dtype` (the numcodecs `np.cumsum(..., out=dec)` contract — int32
-    * wraps, float32 rounds per step). Both are numcodecs typestrings
-    * ("<i8", ">f4", …); `astype` defaults to `dtype`. */
-  final case class DeltaParams(dtype: String, astype: String) {
-    def logicalDType: DType = dtypeFromNameV2(dtype)._1
+    * wraps, float32 rounds per step). */
+  final case class DeltaParams(dtype: String, astype: String)
+      extends NumFilter { def id = "delta" }
+
+  /** numcodecs `FixedScaleOffset` (lossy float packing — the CF
+    * scale_factor/add_offset convention as a codec). Encode:
+    * `around((x - offset) * scale)` cast (wrapping) to `astype`, normally
+    * a narrow integer; decode: `enc / scale + offset` cast to `dtype`. */
+  final case class ScaleOffsetParams(offset: Double, scale: Double,
+                                     dtype: String, astype: String)
+      extends NumFilter { def id = "fixedscaleoffset" }
+
+  /** numcodecs `Quantize` (lossy float rounding to `digits` decimal
+    * digits). Encode keeps the float type but rounds the mantissa at the
+    * binary precision covering 10^-digits (`around(scale*x)/scale` with
+    * scale = 2^ceil(log2(10^digits))); decode is an astype->dtype cast. */
+  final case class QuantizeParams(digits: Int, dtype: String, astype: String)
+      extends NumFilter { def id = "quantize" }
+
+  /** Dispatch: decode `bytes` (n `astype` values) back to a `dtype` array. */
+  def filterDecode(bytes: Array[Byte], f: NumFilter, n: Int,
+                   shape: Vector[Int]): NDArray = f match {
+    case p: DeltaParams => deltaDecode(bytes, p, n, shape)
+    case p: ScaleOffsetParams => scaleOffsetDecode(bytes, p, n, shape)
+    case p: QuantizeParams => quantizeDecode(bytes, p, n, shape)
+  }
+
+  /** Dispatch: serialize `arr` as the filter's stored `astype` bytes. */
+  def filterEncode(arr: NDArray, f: NumFilter): Array[Byte] = f match {
+    case p: DeltaParams => deltaEncode(arr, p)
+    case p: ScaleOffsetParams => scaleOffsetEncode(arr, p)
+    case p: QuantizeParams => quantizeEncode(arr, p)
+  }
+
+  /** Parse a numcodecs filter JSON node (v2 `filters` entry keyed by `id`,
+    * or a v3 codec `configuration` keyed by the codec `name`). */
+  def filterFromJson(id: String,
+                     n: com.fasterxml.jackson.databind.JsonNode): NumFilter = {
+    def dt = n.get("dtype").asText()
+    def at = Option(n.get("astype")).filter(!_.isNull).map(_.asText())
+      .getOrElse(dt)
+    id match {
+      case "delta" => DeltaParams(dt, at)
+      case "fixedscaleoffset" => ScaleOffsetParams(
+        n.get("offset").asDouble(), n.get("scale").asDouble(), dt, at)
+      case "quantize" => QuantizeParams(n.get("digits").asInt(), dt, at)
+      case other => throw new IllegalArgumentException(
+        s"numcodecs filter '$other' is not supported " +
+          "(supported: delta, fixedscaleoffset, quantize)")
+    }
+  }
+
+  /** Fill `o` with the filter's numcodecs fields (everything but id/name). */
+  def filterFields(f: NumFilter, o: ObjectNode): Unit = {
+    f match {
+      case p: ScaleOffsetParams =>
+        // numcodecs emits integral scale/offset as JSON ints
+        if (p.offset == math.rint(p.offset) && !p.offset.isInfinite)
+          o.put("offset", p.offset.toLong)
+        else o.put("offset", p.offset)
+        if (p.scale == math.rint(p.scale) && !p.scale.isInfinite)
+          o.put("scale", p.scale.toLong)
+        else o.put("scale", p.scale)
+      case p: QuantizeParams => o.put("digits", p.digits)
+      case _: DeltaParams =>
+    }
+    o.put("dtype", f.dtype); o.put("astype", f.astype)
   }
 
   /** Inverse Delta: `bytes` hold `n` `astype` values (post-decompression,
@@ -399,6 +475,151 @@ object ZarrStore {
     out.array()
   }
 
+  /** Read element `i` of an `astype`-kinded buffer as a Double (unsigned
+    * kinds masked). Shared by the lossy filters' decode paths. */
+  private def astypeDoubleAt(buf: ByteBuffer, at: DType, i: Int): Double =
+    at match {
+      case DType.I1 => buf.get(i).toDouble
+      case DType.U1 => (buf.get(i) & 0xFF).toDouble
+      case DType.I2 => buf.getShort(i * 2).toDouble
+      case DType.U2 => (buf.getShort(i * 2) & 0xFFFF).toDouble
+      case DType.I4 => buf.getInt(i * 4).toDouble
+      case DType.I8 | DType.M8ns => buf.getLong(i * 8).toDouble
+      case DType.F4 => buf.getFloat(i * 4).toDouble
+      case DType.F8 => buf.getDouble(i * 8)
+    }
+
+  /** Store an integral-valued Double as element `i` of an `astype` buffer
+    * (narrow integer targets wrap, the numpy astype cast). */
+  private def astypePut(buf: ByteBuffer, at: DType, i: Int, v: Double): Unit =
+    at match {
+      case DType.I1 | DType.U1 => buf.put(i, v.toLong.toByte)
+      case DType.I2 | DType.U2 => buf.putShort(i * 2, v.toLong.toShort)
+      case DType.I4 => buf.putInt(i * 4, v.toLong.toInt)
+      case DType.I8 | DType.M8ns => buf.putLong(i * 8, v.toLong)
+      case DType.F4 => buf.putFloat(i * 4, v.toFloat)
+      case DType.F8 => buf.putDouble(i * 8, v)
+    }
+
+  /** Materialize doubles as a `dtype` NDArray with numpy astype casts
+    * (float->int truncates, narrowing wraps). */
+  private def castToDType(vals: Array[Double], dt: DType,
+                          shape: Vector[Int]): NDArray = {
+    val n = vals.length
+    val data: AnyRef = dt match {
+      case DType.F8 => vals
+      case DType.F4 =>
+        val a = new Array[Float](n); var i = 0
+        while (i < n) { a(i) = vals(i).toFloat; i += 1 }; a
+      case DType.I8 | DType.M8ns =>
+        val a = new Array[Long](n); var i = 0
+        while (i < n) { a(i) = vals(i).toLong; i += 1 }; a
+      case DType.I4 =>
+        val a = new Array[Int](n); var i = 0
+        while (i < n) { a(i) = vals(i).toLong.toInt; i += 1 }; a
+      case DType.I2 | DType.U2 =>
+        val a = new Array[Short](n); var i = 0
+        while (i < n) { a(i) = vals(i).toLong.toShort; i += 1 }; a
+      case DType.I1 | DType.U1 =>
+        val a = new Array[Byte](n); var i = 0
+        while (i < n) { a(i) = vals(i).toLong.toByte; i += 1 }; a
+    }
+    NDArray(dt, shape, data)
+  }
+
+  /** Inverse FixedScaleOffset: `enc / scale + offset` cast to `dtype`. */
+  def scaleOffsetDecode(bytes: Array[Byte], p: ScaleOffsetParams, n: Int,
+                        shape: Vector[Int]): NDArray = {
+    val (dt, _) = dtypeFromNameV2(p.dtype)
+    val (at, atBig) = dtypeFromNameV2(p.astype)
+    require(bytes.length == n * at.byteSize,
+      s"fixedscaleoffset chunk: ${bytes.length} bytes for $n ${p.astype}")
+    val buf = ByteBuffer.wrap(bytes).order(
+      if (atBig) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    val vals = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      vals(i) = astypeDoubleAt(buf, at, i) / p.scale + p.offset; i += 1
+    }
+    castToDType(vals, dt, shape)
+  }
+
+  /** Forward FixedScaleOffset: `around((x - offset) * scale)` (numpy
+    * around = half-to-even) cast to `astype`. */
+  def scaleOffsetEncode(arr: NDArray, p: ScaleOffsetParams): Array[Byte] = {
+    val (dt, _) = dtypeFromNameV2(p.dtype)
+    val (at, atBig) = dtypeFromNameV2(p.astype)
+    require(dt == arr.dtype,
+      s"fixedscaleoffset dtype ${p.dtype} != array ${arr.dtype}")
+    val n = arr.size
+    val out = ByteBuffer.allocate(n * at.byteSize).order(
+      if (atBig) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) {
+      astypePut(out, at, i, math.rint((arr.getDouble(i) - p.offset) * p.scale))
+      i += 1
+    }
+    out.array()
+  }
+
+  /** The numcodecs Quantize binary scale for `digits` decimal digits:
+    * 2^ceil(log2(10^digits)), via the reference's exact float formula. */
+  private def quantizeScale(digits: Int): Double = {
+    val precision = math.pow(10.0, -digits)
+    val exp0 = math.log10(precision)
+    val exp = if (exp0 < 0) math.floor(exp0) else math.ceil(exp0)
+    val bits = math.ceil(math.log(math.pow(10.0, -exp)) / math.log(2.0))
+    math.pow(2.0, bits)
+  }
+
+  /** Inverse Quantize: a pure astype->dtype cast (the rounding happened at
+    * encode time). */
+  def quantizeDecode(bytes: Array[Byte], p: QuantizeParams, n: Int,
+                     shape: Vector[Int]): NDArray = {
+    val (dt, _) = dtypeFromNameV2(p.dtype)
+    val (at, atBig) = dtypeFromNameV2(p.astype)
+    require(at == DType.F4 || at == DType.F8,
+      s"quantize astype must be float, got ${p.astype}")
+    require(bytes.length == n * at.byteSize,
+      s"quantize chunk: ${bytes.length} bytes for $n ${p.astype}")
+    val buf = ByteBuffer.wrap(bytes).order(
+      if (atBig) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    val vals = new Array[Double](n)
+    var i = 0
+    while (i < n) { vals(i) = astypeDoubleAt(buf, at, i); i += 1 }
+    castToDType(vals, dt, shape)
+  }
+
+  /** Forward Quantize: round the mantissa at the binary precision covering
+    * 10^-digits, computed in the array's own float width (the numpy
+    * value-based-casting behavior for `scale * arr`). */
+  def quantizeEncode(arr: NDArray, p: QuantizeParams): Array[Byte] = {
+    val (dt, _) = dtypeFromNameV2(p.dtype)
+    val (at, atBig) = dtypeFromNameV2(p.astype)
+    require(dt == arr.dtype, s"quantize dtype ${p.dtype} != array ${arr.dtype}")
+    require(dt == DType.F4 || dt == DType.F8,
+      s"quantize applies to float arrays, got ${p.dtype}")
+    val n = arr.size
+    val scale = quantizeScale(p.digits)
+    val out = ByteBuffer.allocate(n * at.byteSize).order(
+      if (atBig) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    arr.data match {
+      case a: Array[Float] =>
+        val fs = scale.toFloat
+        while (i < n) {
+          val q = (math.rint((fs * a(i)).toDouble).toFloat / fs).toDouble
+          astypePut(out, at, i, q); i += 1
+        }
+      case a: Array[Double] =>
+        while (i < n) {
+          astypePut(out, at, i, math.rint(scale * a(i)) / scale); i += 1
+        }
+      case _ => throw new IllegalStateException("unreachable: float-gated")
+    }
+    out.array()
+  }
+
   /** v2 JSON spells non-finite floats as strings ("NaN", "Infinity"). */
   private def fillNodeV2(v: AttrValue): com.fasterxml.jackson.databind.JsonNode =
     v match {
@@ -434,7 +655,8 @@ object ZarrStore {
                      zstdLevel: Option[Int] = None,
                      blosc: Option[Blosc.Params] = None,
                      shuffleElem: Option[Int] = None,
-                     bigEndian: Boolean = false): Array[Byte] = {
+                     bigEndian: Boolean = false,
+                     numFilter: Option[NumFilter] = None): Array[Byte] = {
     require(Seq(gzipLevel, zlibLevel, zstdLevel, blosc).count(_.isDefined) <= 1,
       "zarr v2 takes at most one compressor")
     val o = mapper.createObjectNode()
@@ -468,15 +690,19 @@ object ZarrStore {
       case Some(c) => o.set[ObjectNode]("compressor", c)
       case None => o.putNull("compressor")
     }
-    shuffleElem match {
-      case Some(es) =>
-        val fs = mapper.createArrayNode()
-        val f = mapper.createObjectNode()
-        f.put("id", "shuffle"); f.put("elementsize", es)
-        fs.add(f)
-        o.set[ObjectNode]("filters", fs)
-      case None => o.putNull("filters")
+    val fs = mapper.createArrayNode()
+    numFilter.foreach { nf => // encode order: array filter, then shuffle
+      val f = mapper.createObjectNode()
+      f.put("id", nf.id); filterFields(nf, f)
+      fs.add(f)
     }
+    shuffleElem.foreach { es =>
+      val f = mapper.createObjectNode()
+      f.put("id", "shuffle"); f.put("elementsize", es)
+      fs.add(f)
+    }
+    if (fs.isEmpty) o.putNull("filters")
+    else o.set[ObjectNode]("filters", fs)
     o.put("dimension_separator", ".")
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(o)
   }
@@ -635,7 +861,8 @@ final class ZarrGroup(val root: String,
                   gzipLevel: Option[Int] = None,
                   shardShape: Option[Vector[Int]] = None,
                   zstdLevel: Option[Int] = None,
-                  blosc: Option[Blosc.Params] = None): Unit = {
+                  blosc: Option[Blosc.Params] = None,
+                  numFilter: Option[ZarrStore.NumFilter] = None): Unit = {
     shardShape.foreach { ss =>
       require(ss.length == chunks.length &&
         ss.zip(chunks).forall { case (s, c) => s % c == 0 },
@@ -646,12 +873,13 @@ final class ZarrGroup(val root: String,
         "zarr v2 has no sharding_indexed — write a v3 store for sharded output")
       io.write(s"$name/.zarray", ZarrStore.arrayMetaDocV2(
         shape, chunks, dtype, fillValue, gzipLevel,
-        zstdLevel = zstdLevel, blosc = blosc))
+        zstdLevel = zstdLevel, blosc = blosc, numFilter = numFilter))
       io.write(s"$name/.zattrs", ZarrStore.zattrsDocV2(attrs, dimensionNames))
     } else
       io.write(s"$name/zarr.json", ZarrStore.arrayMetaDoc(
         shape, chunks, dtype, attrs, fillValue, dimensionNames, gzipLevel,
-        shardShape, zstdLevel = zstdLevel, blosc = blosc))
+        shardShape, zstdLevel = zstdLevel, blosc = blosc,
+        numFilter = numFilter))
     stripConsolidatedOnDisk()
   }
 
@@ -670,7 +898,7 @@ final class ZarrGroup(val root: String,
                              shuffleElem: Option[Int] = None,
                              zstdLevel: Option[Int] = None,
                              blosc: Option[Blosc.Params] = None,
-                             delta: Option[ZarrStore.DeltaParams] = None) {
+                             numFilter: Option[ZarrStore.NumFilter] = None) {
     /** storage-object granularity: shard if sharded, else chunk */
     def grain: Vector[Int] = shardShape.getOrElse(chunks)
   }
@@ -715,18 +943,23 @@ final class ZarrGroup(val root: String,
     val filterNodes = Option(za.get("filters")).filter(!_.isNull)
       .map(_.elements().asScala.toVector).getOrElse(Vector.empty)
     val filterIds = filterNodes.map(_.get("id").asText())
-    filterIds.foreach(id => require(id == "shuffle" || id == "delta",
-      s"zarr v2 filter '$id' is not supported (supported: shuffle, delta)"))
-    // decode un-applies shuffle then delta, i.e. encode order [delta, shuffle]
-    require(filterIds.indexOf("delta") <= math.max(filterIds.indexOf("shuffle"), 0),
-      s"unsupported v2 filter order $filterIds (delta must precede shuffle)")
+    val arrayFilterIds = Set("delta", "fixedscaleoffset", "quantize")
+    filterIds.foreach(id =>
+      require(id == "shuffle" || arrayFilterIds(id),
+        s"zarr v2 filter '$id' is not supported " +
+          "(supported: shuffle, delta, fixedscaleoffset, quantize)"))
+    require(filterIds.count(arrayFilterIds) <= 1,
+      s"at most one array->array filter per array, got $filterIds")
+    // decode un-applies shuffle then the array filter, i.e. encode order
+    // [array filter, shuffle]
+    require(filterIds.indexWhere(arrayFilterIds) <=
+        math.max(filterIds.indexOf("shuffle"), 0),
+      s"unsupported v2 filter order $filterIds (array filter before shuffle)")
     val shuffle = filterNodes.find(_.get("id").asText() == "shuffle")
       .map(_.get("elementsize").asInt())
-    val delta = filterNodes.find(_.get("id").asText() == "delta").map { f =>
-      ZarrStore.DeltaParams(f.get("dtype").asText(),
-        Option(f.get("astype")).map(_.asText())
-          .getOrElse(f.get("dtype").asText()))
-    }
+    val numFilter = filterNodes
+      .find(f => arrayFilterIds(f.get("id").asText()))
+      .map(f => ZarrStore.filterFromJson(f.get("id").asText(), f))
     val attrsNode = v2DocOpt(s"$name/.zattrs")
     val dims = attrsNode.flatMap(a => Option(a.get("_ARRAY_DIMENSIONS")).map(
         _.elements().asScala.map(_.asText()).toVector))
@@ -737,7 +970,7 @@ final class ZarrGroup(val root: String,
     }.getOrElse(Attrs.empty)
     ArrayMeta(shape, chunks, dtype, attrs, dims, gzip, None,
       fillFromNodeV2(za.get("fill_value")), big, None, zlib, shuffle,
-      zstd, blosc, delta)
+      zstd, blosc, numFilter)
   }
 
   def arrayMeta(name: String): ArrayMeta = {
@@ -791,15 +1024,12 @@ final class ZarrGroup(val root: String,
               bitShuffle = sh == "bitshuffle")
           })
     def deltaOf(codecs: com.fasterxml.jackson.databind.JsonNode)
-        : Option[ZarrStore.DeltaParams] =
+        : Option[ZarrStore.NumFilter] =
       Option(codecs).flatMap(
-        _.elements().asScala.find(c => c.get("name").asText() == "delta")
-          .map { c =>
-            val cf = c.get("configuration")
-            ZarrStore.DeltaParams(cf.get("dtype").asText(),
-              Option(cf.get("astype")).map(_.asText())
-                .getOrElse(cf.get("dtype").asText()))
-          })
+        _.elements().asScala.find(c => Set("delta", "fixedscaleoffset",
+            "quantize")(c.get("name").asText()))
+          .map(c => ZarrStore.filterFromJson(
+            c.get("name").asText(), c.get("configuration"))))
     val sharding = Option(n.get("codecs")).flatMap(
       _.elements().asScala.find(c => c.get("name").asText() == "sharding_indexed"))
     val fill = Option(n.get("fill_value")).map(nodeToAttr)
@@ -843,8 +1073,8 @@ final class ZarrGroup(val root: String,
   private def encodeChunk(arr: NDArray, meta: ArrayMeta): Array[Byte] = {
     require(meta.gribVar.isEmpty,
       "cannot write into a grib2-codec array (refs point at GRIB messages)")
-    var bytes = meta.delta match {
-      case Some(p) => ZarrStore.deltaEncode(arr, p)
+    var bytes = meta.numFilter match {
+      case Some(p) => ZarrStore.filterEncode(arr, p)
       case None =>
         val buf = ByteBuffer.allocate(arr.size * arr.dtype.byteSize)
           .order(if (meta.bigEndian) ByteOrder.BIG_ENDIAN
@@ -903,7 +1133,7 @@ final class ZarrGroup(val root: String,
                           shuffleElem: Option[Int] = None,
                           zstdLevel: Option[Int] = None,
                           blosc: Option[Blosc.Params] = None,
-                          delta: Option[ZarrStore.DeltaParams] = None): NDArray = {
+                          numFilter: Option[ZarrStore.NumFilter] = None): NDArray = {
     gribVar.foreach { v =>
       // grib2 whole-message codec: the chunk object is a complete GRIB2
       // message; extract the requested variable (kerchunk scan_grib model)
@@ -959,10 +1189,10 @@ final class ZarrGroup(val root: String,
       case None => bytes
     }
     val n = NDArray.sizeOf(shape)
-    delta.foreach { p =>
+    numFilter.foreach { p =>
       require(p.logicalDType == dtype,
-        s"delta filter dtype ${p.dtype} != array dtype $dtype")
-      return ZarrStore.deltaDecode(bytes2, p, n, shape)
+        s"${p.id} filter dtype ${p.dtype} != array dtype $dtype")
+      return ZarrStore.filterDecode(bytes2, p, n, shape)
     }
     val buf = ByteBuffer.wrap(bytes2).order(
       if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
@@ -1037,7 +1267,7 @@ final class ZarrGroup(val root: String,
           offset.toInt + nbytes.toInt)
         val chunk = decodeChunk(enc, meta.dtype, meta.chunks, meta.gzipLevel,
           meta.bigEndian, meta.gribVar, meta.zlibLevel, meta.shuffleElem, meta.zstdLevel,
-          meta.blosc, meta.delta)
+          meta.blosc, meta.numFilter)
         out.assign(pos.indices.map(d => pos(d) * meta.chunks(d)).toVector, chunk)
       }
     }
@@ -1064,7 +1294,7 @@ final class ZarrGroup(val root: String,
       if (meta.shardShape.isDefined) decodeShard(raw, meta)
       else decodeChunk(raw, meta.dtype, meta.chunks, meta.gzipLevel,
         meta.bigEndian, meta.gribVar, meta.zlibLevel, meta.shuffleElem, meta.zstdLevel,
-          meta.blosc, meta.delta))
+          meta.blosc, meta.numFilter))
   }
 
   def chunkExists(name: String, chunkIdx: Vector[Int]): Boolean =
@@ -1169,7 +1399,7 @@ final class ZarrGroup(val root: String,
     present.zip(payloads).map { case ((pos, _, _), raw) =>
       pos -> decodeChunk(raw, meta.dtype, meta.chunks, meta.gzipLevel,
         meta.bigEndian, meta.gribVar, meta.zlibLevel, meta.shuffleElem, meta.zstdLevel,
-          meta.blosc, meta.delta)
+          meta.blosc, meta.numFilter)
     }.toMap
   }
 

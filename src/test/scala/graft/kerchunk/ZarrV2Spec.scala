@@ -219,16 +219,96 @@ class ZarrV2Spec extends AnyFunSuite {
       .sameElements(Array(1000L, 1010L, 1020L, 2000L, 2007L, 2016L)))
   }
 
+  /** numcodecs-derived FixedScaleOffset fixture: the docs example
+    * (offset=1000, scale=10, dtype <f8, astype |u1) — stored bytes are the
+    * hand-computed `around((x-1000)*10)` values, expected reads are the
+    * exact doubles `b/10.0 + 1000.0` numcodecs decode produces. */
+  test("fixedscaleoffset v2 arrays decode and re-encode per numcodecs") {
+    val dir = Files.createTempDirectory("v2_fso").toString
+    def put(key: String, bytes: Array[Byte]): Unit = {
+      val p = Paths.get(dir, key.split('/'): _*)
+      Files.createDirectories(p.getParent)
+      Files.write(p, bytes)
+    }
+    put(".zgroup", """{"zarr_format": 2}""".getBytes)
+    put("x/.zarray",
+      """{"zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<f8",
+        |"order": "C", "fill_value": 0, "compressor": null,
+        |"filters": [{"id": "fixedscaleoffset", "offset": 1000, "scale": 10,
+        |"dtype": "<f8", "astype": "|u1"}]}""".stripMargin.getBytes)
+    put("x/.zattrs", """{"_ARRAY_DIMENSIONS": ["x"]}""".getBytes)
+    put("x/0", Array[Byte](0, 3, 6, 10))
+    val exp = Array(0, 3, 6, 10).map(_ / 10.0 + 1000.0)
+    val g = graft.zarr.ZarrGroup(dir)
+    assert(g.readArray("x").data.asInstanceOf[Array[Double]].sameElements(exp))
+    // the kerchunk scanner serves the same values in place and keeps the
+    // filter through the v2 json artifact round trip
+    val rs = RefSet.scanZarrV2Group(dir)
+    assert(rs.asZarrGroup(dir).readArray("x")
+      .data.asInstanceOf[Array[Double]].sameElements(exp))
+    val reread = RefSet.fromKerchunkV2Json(RefSet.toKerchunkV2Json(rs))
+    assert(reread.asZarrGroup(dir).readArray("x")
+      .data.asInstanceOf[Array[Double]].sameElements(exp))
+    // write path: around() is numpy's round-half-to-even
+    g.writeRegion("x", Vector(0), graft.core.NDArray(
+      graft.core.DType.F8, Vector(4),
+      Array(1000.25, 1000.35, 1000.0, 1001.0)))
+    val raw = Files.readAllBytes(Paths.get(dir, "x", "0"))
+    assert(raw.toSeq == Seq[Byte](2, 4, 0, 10)) // 2.5 -> 2, 3.5 -> 4
+  }
+
+  test("quantize v2 arrays round the mantissa on write, pass through on read") {
+    val dir = Files.createTempDirectory("v2_quant").toString
+    val g = graft.zarr.ZarrGroup(dir, format = 2)
+    g.initGroup(Map.empty)
+    g.createArray("q", Vector(3), Vector(3), graft.core.DType.F8,
+      graft.core.Attrs.empty, gzipLevel = Some(5),
+      numFilter = Some(graft.zarr.ZarrStore.QuantizeParams(
+        1, "<f8", "<f8")))
+    // digits=1 -> binary scale 16: 0.123456789 quantizes to 2/16 = 0.125
+    g.writeRegion("q", Vector(0), graft.core.NDArray(
+      graft.core.DType.F8, Vector(3), Array(0.123456789, 1.0, -0.0625)))
+    val back = g.readArray("q").data.asInstanceOf[Array[Double]]
+    assert(back.sameElements(Array(0.125, 1.0, -0.0625)))
+    val za = new String(Files.readAllBytes(Paths.get(dir, "q", ".zarray")))
+    assert(za.contains("\"quantize\"") && za.contains("\"digits\" : 1"), za)
+    // scanner + v3 metadata keep the filter
+    val rs = RefSet.scanZarrV2Group(dir)
+    assert(rs.asZarrGroup(dir).readArray("q")
+      .data.asInstanceOf[Array[Double]].sameElements(Array(0.125, 1.0, -0.0625)))
+  }
+
+  test("v3 stores carry fixedscaleoffset through their codec chain") {
+    val dir = Files.createTempDirectory("v3_fso").toString
+    val g = graft.zarr.ZarrGroup(dir)
+    g.initGroup(Map.empty)
+    g.createArray("p", Vector(4), Vector(2), graft.core.DType.F4,
+      graft.core.Attrs.empty, zstdLevel = Some(3),
+      numFilter = Some(graft.zarr.ZarrStore.ScaleOffsetParams(
+        20.0, 100.0, "<f4", "<i2")))
+    val vals = Array(20.01f, 19.5f, 20.0f, 21.25f)
+    g.writeRegion("p", Vector(0),
+      graft.core.NDArray(graft.core.DType.F4, Vector(4), vals))
+    val back = g.readArray("p").data.asInstanceOf[Array[Float]]
+    // enc = around((x-20)*100) as i2; dec = enc/100 + 20 cast to f4
+    val expected = vals.map(v =>
+      (math.rint((v.toDouble - 20.0) * 100.0) / 100.0 + 20.0).toFloat)
+    assert(back.sameElements(expected))
+    // fresh open reads the filter from zarr.json
+    assert(graft.zarr.ZarrGroup(dir).readArray("p")
+      .data.asInstanceOf[Array[Float]].sameElements(expected))
+  }
+
   test("unknown v2 filters are rejected with a clear error") {
     val dir = Files.createTempDirectory("v2_badfilter").toString
     buildDeltaStore(dir)
     val za = new String(Files.readAllBytes(Paths.get(dir, "t", ".zarray")))
-      .replace("\"id\": \"delta\"", "\"id\": \"quantize\"")
+      .replace("\"id\": \"delta\"", "\"id\": \"packbits\"")
     Files.write(Paths.get(dir, "t", ".zarray"), za.getBytes)
     val e = intercept[IllegalArgumentException] { RefSet.scanZarrV2Group(dir) }
-    assert(e.getMessage.contains("quantize"))
+    assert(e.getMessage.contains("packbits"))
     val e2 = intercept[Exception] {
       graft.zarr.ZarrGroup(dir).readArray("t") }
-    assert(e2.getMessage.contains("quantize"))
+    assert(e2.getMessage.contains("packbits"))
   }
 }
