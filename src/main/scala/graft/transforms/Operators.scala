@@ -74,6 +74,114 @@ object Preprocess {
     f.copy(dataVars = f.dataVars.updated(varName, v.copy(data = out)))
   }
 
+  /** CF mask-and-scale decoding — what `xr.open_dataset` does by DEFAULT
+    * (`mask_and_scale=True`), so the reference's OpenWithXarray stage hands
+    * user code UNPACKED floats whenever a variable carries the CF packing
+    * attrs. Per variable, in xarray's coder order:
+    *
+    *  1. `_Unsigned` == "true" on a signed integer reinterprets the bits
+    *     unsigned (the OPeNDAP/netCDF-3 convention; int32 widens to int64
+    *     — no uint32 in the lattice);
+    *  2. raw values equal to `_FillValue` / `missing_value` become NaN;
+    *  3. `decoded = raw * scale_factor + add_offset`.
+    *
+    * A variable with any mask/scale attr comes out float64 (xarray picks
+    * float32 only when the ATTR was stored as a 4-byte float — a width our
+    * attr model doesn't record, so we take the value-preserving branch);
+    * the consumed attrs are dropped (xarray moves them to `.encoding`).
+    * Variables without packing attrs pass through untouched — in
+    * particular CF-encoded TIME stays encoded (ints + units attrs), the
+    * engine-wide convention (`decode_times` is a separate xarray step this
+    * engine deliberately defers to the calendar attrs). */
+  def cfDecode(f: Fragment): Fragment = {
+    val consumed = Set("scale_factor", "add_offset", "_FillValue",
+      "missing_value", "_Unsigned")
+    def num(v: Option[AttrValue]): Option[Double] = v.collect {
+      case AttrValue.ANum(d) => d
+      case AttrValue.AInt(l) => l.toDouble
+    }
+    def decodeVar(v: Variable): Variable = {
+      val unsignedAttr = v.attrs.get("_Unsigned").collect {
+        case AttrValue.AStr(s) => s == "true"
+      }
+      val data0 = unsignedAttr match {
+        case Some(true) => v.data.dtype match {
+          case DType.I1 => NDArray(DType.U1, v.data.shape, v.data.data)
+          case DType.I2 => NDArray(DType.U2, v.data.shape, v.data.data)
+          case DType.I4 => // widen: no uint32 storage class
+            val n = v.data.size
+            val src = v.data.data.asInstanceOf[Array[Int]]
+            val a = new Array[Long](n); var i = 0
+            while (i < n) { a(i) = src(i) & 0xFFFFFFFFL; i += 1 }
+            NDArray(DType.I8, v.data.shape, a)
+          case _ => v.data
+        }
+        case Some(false) => v.data.dtype match { // the inverse quirk
+          case DType.U1 => NDArray(DType.I1, v.data.shape, v.data.data)
+          case DType.U2 => NDArray(DType.I2, v.data.shape, v.data.data)
+          case _ => v.data
+        }
+        case None => v.data
+      }
+      val scale = num(v.attrs.get("scale_factor"))
+      val offset = num(v.attrs.get("add_offset"))
+      val fills = Seq(v.attrs.get("_FillValue"), v.attrs.get("missing_value"))
+        .flatMap(num)
+      if (scale.isEmpty && offset.isEmpty && fills.isEmpty)
+        return v.copy(data = data0,
+          attrs = v.attrs.filterNot(kv => consumed(kv._1)))
+      val out = data0.astype(DType.F8)
+      val arr = out.data.asInstanceOf[Array[Double]]
+      val s = scale.getOrElse(1.0); val o = offset.getOrElse(0.0)
+      var i = 0
+      while (i < arr.length) {
+        if (fills.contains(arr(i))) arr(i) = Double.NaN
+        else arr(i) = arr(i) * s + o
+        i += 1
+      }
+      v.copy(data = out, attrs = v.attrs.filterNot(kv => consumed(kv._1)))
+    }
+    f.copy(coords = f.coords.map { case (n, v) => n -> decodeVar(v) },
+      dataVars = f.dataVars.map { case (n, v) => n -> decodeVar(v) })
+  }
+
+  /** Inverse of [[cfDecode]] for one variable: pack floats back into a
+    * narrow type with the CF attrs re-attached (what xarray does at write
+    * time from `.encoding`): `packed = around((x - add_offset) /
+    * scale_factor)`, NaN -> `fillValue`, wrapping cast to `astype`. */
+  def cfEncode(f: Fragment, varName: String, scaleFactor: Double,
+               addOffset: Double, fillValue: Long, astype: DType): Fragment = {
+    val v = f.dataVars(varName)
+    require(v.dtype == DType.F8 || v.dtype == DType.F4,
+      s"cfEncode packs float variables, got ${v.dtype.name}")
+    val n = v.data.size
+    val out = NDArray.zeros(astype, v.data.shape)
+    var i = 0
+    while (i < n) {
+      val x = v.data.getDouble(i)
+      val packed =
+        if (x.isNaN) fillValue
+        else math.rint((x - addOffset) / scaleFactor).toLong
+      astype match {
+        case DType.I1 | DType.U1 =>
+          out.data.asInstanceOf[Array[Byte]](i) = packed.toByte
+        case DType.I2 | DType.U2 =>
+          out.data.asInstanceOf[Array[Short]](i) = packed.toShort
+        case DType.I4 => out.data.asInstanceOf[Array[Int]](i) = packed.toInt
+        case DType.I8 => out.data.asInstanceOf[Array[Long]](i) = packed
+        case other => throw new IllegalArgumentException(
+          s"cfEncode packs into integer types, got ${other.name}")
+      }
+      i += 1
+    }
+    val attrs = v.attrs ++ Map[String, AttrValue](
+      "scale_factor" -> AttrValue.ANum(scaleFactor),
+      "add_offset" -> AttrValue.ANum(addOffset),
+      "_FillValue" -> AttrValue.AInt(fillValue))
+    f.copy(dataVars = f.dataVars.updated(varName,
+      v.copy(data = out, attrs = attrs)))
+  }
+
   def renameVar(f: Fragment, from: String, to: String): Fragment =
     f.copy(dataVars = (f.dataVars - from).updated(to, f.dataVars(from)))
 

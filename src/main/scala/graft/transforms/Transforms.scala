@@ -436,7 +436,8 @@ object Openers {
   def open(fileType: FileType.Value, url: String,
            copyToLocal: Boolean = false,
            cacheDir: Option[String] = None,
-           secrets: Map[String, String] = Map.empty): Fragment = {
+           secrets: Map[String, String] = Map.empty,
+           maskAndScale: Boolean = true): Fragment = {
     val engine = resolveEngine(fileType)
     val decoder = decoders.getOrElse(engine,
       throw new UnsupportedOperationException(
@@ -454,6 +455,9 @@ object Openers {
           sys.props("java.io.tmpdir"), secrets)
       case _ => url
     }
-    decoder(resolvedUrl)
+    val frag = decoder(resolvedUrl)
+    // xr.open_dataset's mask_and_scale=True default: variables carrying CF
+    // packing attrs (scale_factor/add_offset/_FillValue) arrive unpacked
+    if (maskAndScale) Preprocess.cfDecode(frag) else frag
   }
 }
