@@ -106,6 +106,59 @@ class EndToEndSpec extends AnyFunSuite {
     assert(result.sameAs(cube))
   }
 
+  test("packed int16 + CF attrs: netcdf source bakes to an unpacked float zarr") {
+    // the real NOAA OISST shape: sst ships as int16 with scale_factor/
+    // _FillValue; the reference's open stage (xarray mask_and_scale
+    // default) hands the pipeline floats with NaN holes, and that is what
+    // must land in the target store
+    val nt = 4; val nx = 3
+    val dir = tmp()
+    val files = (0 until nt).map { t =>
+      val packed = Array.tabulate[Short](nx) { x =>
+        if (t == 1 && x == 1) -999 else (t * 100 + x * 7 - 50).toShort
+      }
+      val f = Fragment(
+        dims = Map("time" -> 1, "x" -> nx),
+        coords = Map(
+          "time" -> Variable(Vector("time"),
+            NDArray(DType.I4, Vector(1), Array(t)),
+            Map("units" -> AttrValue("days since 2021-01-01"))),
+          "x" -> Variable(Vector("x"),
+            NDArray(DType.F8, Vector(nx), (0 until nx).map(_ * 0.25).toArray))),
+        dataVars = Map("sst" -> Variable(Vector("time", "x"),
+          NDArray(DType.I2, Vector(1, nx), packed),
+          Map("scale_factor" -> AttrValue(0.01),
+            "add_offset" -> AttrValue(0.0),
+            "_FillValue" -> AttrValue(-999L),
+            "units" -> AttrValue("degC")))),
+        attrs = Map.empty)
+      val p = s"$dir/day_$t.nc"
+      graft.netcdf.NetCDF3.write(p, f)
+      p
+    }.toVector
+    val pattern = FilePattern.fromFileSequence(files, "time",
+      nitemsPerFile = Some(1), fileType = FileType.Netcdf3)
+    val items = Pipelines.createItems(spark, pattern)
+    val frags = Pipelines.openWithFragments(items, FileType.Netcdf3)
+    val storePath = s"$dir/store.zarr"
+    Pipelines.storeToZarr(frags, pattern.combineDimKeys, storePath,
+      Map("time" -> 2))
+    val result = ZarrGroup(storePath).readFragment()
+    val sst = result.dataVars("sst")
+    assert(sst.dtype == DType.F8) // unpacked, not the raw i2
+    val vals = sst.data.data.asInstanceOf[Array[Double]]
+    (0 until nt).foreach { t =>
+      (0 until nx).foreach { x =>
+        val v = vals(t * nx + x)
+        if (t == 1 && x == 1) assert(v.isNaN, s"fill hole at ($t,$x)")
+        else assert(v == (t * 100 + x * 7 - 50) * 0.01, s"($t,$x)")
+      }
+    }
+    // packing attrs were consumed by the decode, user attrs survived
+    assert(!sst.attrs.contains("scale_factor"))
+    assert(sst.attrs("units") == AttrValue("degC"))
+  }
+
   test("object-store transport: full pipeline against a scheme'd URI (Hadoop FS)") {
     // "file://" routes every store byte through the Hadoop FileSystem
     // transport — the exact API surface an s3a:// deployment hits (one
