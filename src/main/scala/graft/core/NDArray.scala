@@ -12,19 +12,33 @@ object DType {
   case object I2 extends DType("int16", 2)
   case object U1 extends DType("uint8", 1)
   case object U2 extends DType("uint16", 2)
+  case object U4 extends DType("uint32", 4)
+  case object U8 extends DType("uint64", 8)
   case object I4 extends DType("int32", 4)
   case object I8 extends DType("int64", 8)
   case object F4 extends DType("float32", 4)
   case object F8 extends DType("float64", 8)
   case object M8ns extends DType("datetime64[ns]", 8)
 
-  val all: Seq[DType] = Seq(I1, I2, U1, U2, I4, I8, F4, F8, M8ns)
+  val all: Seq[DType] = Seq(I1, I2, U1, U2, U4, U8, I4, I8, F4, F8, M8ns)
   def fromName(n: String): DType = all.find(_.name == n).getOrElse(
     throw new IllegalArgumentException(s"Unknown dtype $n"))
 
   def isInteger(d: DType): Boolean = d match {
-    case I1 | I2 | U1 | U2 | I4 | I8 => true
+    case I1 | I2 | U1 | U2 | U4 | U8 | I4 | I8 => true
     case _ => false
+  }
+
+  private def isUnsigned(d: DType): Boolean = d match {
+    case U1 | U2 | U4 | U8 => true
+    case _ => false
+  }
+  private def unsignedRank(d: DType): Int = d match {
+    case U1 => 1; case U2 => 2; case U4 => 3; case U8 => 4
+    case _ => throw new IllegalStateException(s"not unsigned: $d")
+  }
+  private def ofUnsignedRank(r: Int): DType = r match {
+    case 1 => U1; case 2 => U2; case 3 => U4; case _ => U8
   }
 
   /** Signed-integer rank (i1=1 .. i8=4); unsigned map onto the smallest
@@ -42,19 +56,23 @@ object DType {
     * Note numpy promotes int64+float32 -> float64 (not float32), while the
     * narrow ints (i1/i2/u1/u2) + float32 stay float32; mixed signedness
     * promotes to the smallest signed type holding both value ranges
-    * (u1+i1 -> i2, u2+i2 -> i4, u2+u1 -> u2). */
+    * (u1+i1 -> i2, u2+i2 -> i4, u4+any-signed -> i8) and uint64 mixed
+    * with any signed integer has no containing integer, so numpy yields
+    * float64. */
   def promote(a: DType, b: DType): DType = (a, b) match {
     case (x, y) if x == y => x
     case (M8ns, _) | (_, M8ns) =>
       throw new IllegalArgumentException(s"Cannot promote ${a.name} with ${b.name}")
     case (F8, _) | (_, F8) => F8
-    case (F4, o) if isInteger(o) => if (o == I4 || o == I8) F8 else F4
+    case (F4, o) if isInteger(o) =>
+      if (o == I1 || o == I2 || o == U1 || o == U2) F4 else F8
     case (o, F4) if isInteger(o) => promote(F4, o)
-    case (U1, U2) | (U2, U1) => U2
-    case (U1, s) => ofSignedRank(math.max(signedRank(s), 2))
-    case (s, U1) => promote(U1, s)
-    case (U2, s) => ofSignedRank(math.max(signedRank(s), 3))
-    case (s, U2) => promote(U2, s)
+    case (x, y) if isUnsigned(x) && isUnsigned(y) =>
+      ofUnsignedRank(math.max(unsignedRank(x), unsignedRank(y)))
+    case (U8, _) | (_, U8) => F8 // no integer contains uint64 + signed
+    case (u, s) if isUnsigned(u) =>
+      ofSignedRank(math.max(signedRank(s), unsignedRank(u) + 1))
+    case (s, u) if isUnsigned(u) => promote(u, s)
     case (x, y) => ofSignedRank(math.max(signedRank(x), signedRank(y)))
   }
 }
@@ -102,17 +120,25 @@ final class NDArray(val dtype: DType, val shape: Vector[Int], val data: AnyRef)
   def getDouble(flat: Int): Double = data match {
     case a: Array[Double] => a(flat)
     case a: Array[Float] => a(flat).toDouble
-    case a: Array[Long] => a(flat).toDouble
-    case a: Array[Int] => a(flat).toDouble
+    case a: Array[Long] =>
+      val v = a(flat)
+      if (dtype == DType.U8 && v < 0) v.toDouble + 1.8446744073709552E19
+      else v.toDouble
+    case a: Array[Int] =>
+      if (dtype == DType.U4) (a(flat) & 0xFFFFFFFFL).toDouble
+      else a(flat).toDouble
     case a: Array[Short] =>
       (if (dtype == DType.U2) a(flat) & 0xFFFF else a(flat).toInt).toDouble
     case a: Array[Byte] =>
       (if (dtype == DType.U1) a(flat) & 0xFF else a(flat).toInt).toDouble
   }
 
+  /** uint64 values above Long.MaxValue come back as the wrapped (negative)
+    * bit pattern — the numpy-view-as-int64 behavior. */
   def getLong(flat: Int): Long = data match {
     case a: Array[Long] => a(flat)
-    case a: Array[Int] => a(flat).toLong
+    case a: Array[Int] =>
+      if (dtype == DType.U4) a(flat) & 0xFFFFFFFFL else a(flat).toLong
     case a: Array[Double] => a(flat).toLong
     case a: Array[Float] => a(flat).toLong
     case a: Array[Short] =>
@@ -132,7 +158,10 @@ final class NDArray(val dtype: DType, val shape: Vector[Int], val data: AnyRef)
         case (DType.F4, o: Array[Float]) => while (i < size) { o(i) = getDouble(i).toFloat; i += 1 }
         case (DType.I8, o: Array[Long]) => while (i < size) { o(i) = getLong(i); i += 1 }
         case (DType.M8ns, o: Array[Long]) => while (i < size) { o(i) = getLong(i); i += 1 }
-        case (DType.I4, o: Array[Int]) => while (i < size) { o(i) = getLong(i).toInt; i += 1 }
+        case (DType.I4 | DType.U4, o: Array[Int]) =>
+          while (i < size) { o(i) = getLong(i).toInt; i += 1 }
+        case (DType.U8, o: Array[Long]) =>
+          while (i < size) { o(i) = getLong(i); i += 1 }
         // narrow casts wrap (numpy astype semantics)
         case (DType.I2 | DType.U2, o: Array[Short]) =>
           while (i < size) { o(i) = getLong(i).toShort; i += 1 }
@@ -168,8 +197,8 @@ object NDArray {
   def sizeOf(shape: Vector[Int]): Int = shape.product
 
   def alloc(dtype: DType, n: Int): AnyRef = dtype match {
-    case DType.I4 => new Array[Int](n)
-    case DType.I8 | DType.M8ns => new Array[Long](n)
+    case DType.I4 | DType.U4 => new Array[Int](n)
+    case DType.I8 | DType.U8 | DType.M8ns => new Array[Long](n)
     case DType.F4 => new Array[Float](n)
     case DType.F8 => new Array[Double](n)
     case DType.I2 | DType.U2 => new Array[Short](n)

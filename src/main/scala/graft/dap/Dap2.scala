@@ -42,7 +42,7 @@ object Dap2 {
     case "Int16" => DType.I2
     case "UInt16" => DType.U2
     case "Int32" => DType.I4
-    case "UInt32" => DType.I8
+    case "UInt32" => DType.U4
     case "Float32" => DType.F4
     case "Float64" => DType.F8
     case other => throw new UnsupportedOperationException(s"DAP2 type $other")
@@ -54,9 +54,10 @@ object Dap2 {
     case DType.I2 => "Int16"
     case DType.U2 => "UInt16"
     case DType.I4 => "Int32"
+    case DType.U4 => "UInt32"
     case DType.F4 => "Float32"
     case DType.F8 => "Float64"
-    case DType.I8 | DType.M8ns => throw new IllegalArgumentException(
+    case DType.I8 | DType.U8 | DType.M8ns => throw new IllegalArgumentException(
       "DAP2 has no 64-bit integer type; encode int64 as Float64 or int32 " +
         "(CF time encodings fit int32)")
   }
@@ -194,10 +195,10 @@ object Dap2 {
           while (i < n) { a(i) = (buf.getInt() & 0xFFFF).toShort; i += 1 }
           NDArray1(DType.U2, a)
         case "UInt32" =>
-          val a = new Array[Long](n)
+          val a = new Array[Int](n)
           var i = 0
-          while (i < n) { a(i) = buf.getInt().toLong & 0xFFFFFFFFL; i += 1 }
-          NDArray1(DType.I8, a)
+          while (i < n) { a(i) = buf.getInt(); i += 1 }
+          NDArray1(DType.U4, a)
         case "Float32" =>
           val a = new Array[Float](n)
           var i = 0

@@ -707,15 +707,10 @@ object HDF5 {
               val a = new Array[Byte](n); buf.get(a); a
             case 2 =>
               val a = new Array[Short](n); buf.asShortBuffer().get(a); a
-            case 4 if !signed => // no uint32 in the lattice: widen to int64
-              val a = new Array[Long](n); var i = 0
-              while (i < n) { a(i) = buf.getInt(i * 4) & 0xFFFFFFFFL; i += 1 }; a
-            case 4 =>
-              val a = new Array[Int](n); var i = 0
-              while (i < n) { a(i) = buf.getInt(i * 4); i += 1 }; a
+            case 4 => // signedness lives in the dtype (uint32 masks on read)
+              val a = new Array[Int](n); buf.asIntBuffer().get(a); a
             case 8 =>
-              val a = new Array[Long](n); var i = 0
-              while (i < n) { a(i) = buf.getLong(i * 8); i += 1 }; a
+              val a = new Array[Long](n); buf.asLongBuffer().get(a); a
           }
         case FloatType(sz, be) =>
           buf.order(if (be) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
@@ -790,9 +785,8 @@ object HDF5 {
   def engineDTypeOf(t: TypeInfo): DType = t match {
     case FixedPoint(1, _, signed) => if (signed) DType.I1 else DType.U1
     case FixedPoint(2, _, signed) => if (signed) DType.I2 else DType.U2
-    case FixedPoint(4, _, false) => DType.I8 // uint32: value-preserving widen
-    case FixedPoint(4, _, true) => DType.I4
-    case FixedPoint(8, _, _) => DType.I8
+    case FixedPoint(4, _, signed) => if (signed) DType.I4 else DType.U4
+    case FixedPoint(8, _, signed) => if (signed) DType.I8 else DType.U8
     case FloatType(4, _) => DType.F4
     case FloatType(8, _) => DType.F8
     case other => throw new UnsupportedOperationException(s"dataset type $other")

@@ -29,7 +29,9 @@ object HDF5Writer {
     case DType.I2 => fixedBytes(2)
     case DType.U2 => fixedBytes(2, signed = false)
     case DType.I4 => fixedBytes(4)
+    case DType.U4 => fixedBytes(4, signed = false)
     case DType.I8 | DType.M8ns => fixedBytes(8)
+    case DType.U8 => fixedBytes(8, signed = false)
     case DType.F4 => floatBytes(4)
     case DType.F8 => floatBytes(8)
   }

@@ -300,9 +300,10 @@ object NetCDF3 {
     case DType.I2 => NcShort
     case DType.U2 => NcShort
     case DType.I4 => NcInt
+    case DType.U4 => NcInt // bitwise, like the other unsigned kinds
     case DType.F4 => NcFloat
     case DType.F8 => NcDouble
-    case DType.I8 | DType.M8ns => throw new IllegalArgumentException(
+    case DType.I8 | DType.U8 | DType.M8ns => throw new IllegalArgumentException(
       "NetCDF classic has no 64-bit integer type; cast int64 variables to " +
         "int32 or float64 before writing (CF time encodings fit int32)")
   }

@@ -108,17 +108,14 @@ object Preprocess {
         case Some(true) => v.data.dtype match {
           case DType.I1 => NDArray(DType.U1, v.data.shape, v.data.data)
           case DType.I2 => NDArray(DType.U2, v.data.shape, v.data.data)
-          case DType.I4 => // widen: no uint32 storage class
-            val n = v.data.size
-            val src = v.data.data.asInstanceOf[Array[Int]]
-            val a = new Array[Long](n); var i = 0
-            while (i < n) { a(i) = src(i) & 0xFFFFFFFFL; i += 1 }
-            NDArray(DType.I8, v.data.shape, a)
+          case DType.I4 => NDArray(DType.U4, v.data.shape, v.data.data)
+          case DType.I8 => NDArray(DType.U8, v.data.shape, v.data.data)
           case _ => v.data
         }
         case Some(false) => v.data.dtype match { // the inverse quirk
           case DType.U1 => NDArray(DType.I1, v.data.shape, v.data.data)
           case DType.U2 => NDArray(DType.I2, v.data.shape, v.data.data)
+          case DType.U4 => NDArray(DType.I4, v.data.shape, v.data.data)
           case _ => v.data
         }
         case None => v.data
@@ -167,8 +164,10 @@ object Preprocess {
           out.data.asInstanceOf[Array[Byte]](i) = packed.toByte
         case DType.I2 | DType.U2 =>
           out.data.asInstanceOf[Array[Short]](i) = packed.toShort
-        case DType.I4 => out.data.asInstanceOf[Array[Int]](i) = packed.toInt
-        case DType.I8 => out.data.asInstanceOf[Array[Long]](i) = packed
+        case DType.I4 | DType.U4 =>
+          out.data.asInstanceOf[Array[Int]](i) = packed.toInt
+        case DType.I8 | DType.U8 =>
+          out.data.asInstanceOf[Array[Long]](i) = packed
         case other => throw new IllegalArgumentException(
           s"cfEncode packs into integer types, got ${other.name}")
       }

@@ -65,6 +65,8 @@ object ZarrStore {
     case DType.I2 => "int16"
     case DType.U1 => "uint8"
     case DType.U2 => "uint16"
+    case DType.U4 => "uint32"
+    case DType.U8 => "uint64"
     case DType.I4 => "int32"
     case DType.I8 => "int64"
     case DType.F4 => "float32"
@@ -77,6 +79,8 @@ object ZarrStore {
     case "int16" => DType.I2
     case "uint8" => DType.U1
     case "uint16" => DType.U2
+    case "uint32" => DType.U4
+    case "uint64" => DType.U8
     case "int32" => DType.I4
     case "int64" => DType.I8
     case "float32" => DType.F4
@@ -256,6 +260,8 @@ object ZarrStore {
       case DType.U1 => return "|u1"
       case DType.I2 => "i2"
       case DType.U2 => "u2"
+      case DType.U4 => "u4"
+      case DType.U8 => "u8"
       case DType.I4 => "i4"
       case DType.I8 | DType.M8ns => "i8"
       case DType.F4 => "f4"
@@ -272,6 +278,8 @@ object ZarrStore {
       case "i2" => DType.I2
       case "u1" => DType.U1
       case "u2" => DType.U2
+      case "u4" => DType.U4
+      case "u8" => DType.U8
       case "i4" => DType.I4
       case "i8" => DType.I8
       case "f4" => DType.F4
@@ -385,7 +393,8 @@ object ZarrStore {
       case DType.I2 => buf.getShort(i * 2).toLong
       case DType.U2 => (buf.getShort(i * 2) & 0xFFFF).toLong
       case DType.I4 => buf.getInt(i * 4).toLong
-      case DType.I8 | DType.M8ns => buf.getLong(i * 8)
+      case DType.U4 => buf.getInt(i * 4) & 0xFFFFFFFFL
+      case DType.I8 | DType.U8 | DType.M8ns => buf.getLong(i * 8)
       case DType.F4 => buf.getFloat(i * 4).toLong
       case DType.F8 => buf.getDouble(i * 8).toLong
     }
@@ -401,10 +410,10 @@ object ZarrStore {
       case DType.I2 | DType.U2 =>
         val a = new Array[Short](n); var acc: Short = 0; var i = 0
         while (i < n) { acc = (acc + longAt(i)).toShort; a(i) = acc; i += 1 }; a
-      case DType.I4 =>
+      case DType.I4 | DType.U4 =>
         val a = new Array[Int](n); var acc = 0; var i = 0
         while (i < n) { acc += longAt(i).toInt; a(i) = acc; i += 1 }; a
-      case DType.I8 | DType.M8ns =>
+      case DType.I8 | DType.U8 | DType.M8ns =>
         val a = new Array[Long](n); var acc = 0L; var i = 0
         while (i < n) { acc += longAt(i); a(i) = acc; i += 1 }; a
       case DType.F4 => // accumulate in float32: per-step rounding matches
@@ -429,8 +438,8 @@ object ZarrStore {
     def put(i: Int, vL: Long, vD: Double): Unit = at match {
       case DType.I1 | DType.U1 => out.put(i, vL.toByte)
       case DType.I2 | DType.U2 => out.putShort(i * 2, vL.toShort)
-      case DType.I4 => out.putInt(i * 4, vL.toInt)
-      case DType.I8 | DType.M8ns => out.putLong(i * 8, vL)
+      case DType.I4 | DType.U4 => out.putInt(i * 4, vL.toInt)
+      case DType.I8 | DType.U8 | DType.M8ns => out.putLong(i * 8, vL)
       case DType.F4 => out.putFloat(i * 4, vD.toFloat)
       case DType.F8 => out.putDouble(i * 8, vD)
     }
@@ -484,7 +493,11 @@ object ZarrStore {
       case DType.I2 => buf.getShort(i * 2).toDouble
       case DType.U2 => (buf.getShort(i * 2) & 0xFFFF).toDouble
       case DType.I4 => buf.getInt(i * 4).toDouble
+      case DType.U4 => (buf.getInt(i * 4) & 0xFFFFFFFFL).toDouble
       case DType.I8 | DType.M8ns => buf.getLong(i * 8).toDouble
+      case DType.U8 =>
+        val v = buf.getLong(i * 8)
+        if (v < 0) v.toDouble + 1.8446744073709552E19 else v.toDouble
       case DType.F4 => buf.getFloat(i * 4).toDouble
       case DType.F8 => buf.getDouble(i * 8)
     }
@@ -495,8 +508,8 @@ object ZarrStore {
     at match {
       case DType.I1 | DType.U1 => buf.put(i, v.toLong.toByte)
       case DType.I2 | DType.U2 => buf.putShort(i * 2, v.toLong.toShort)
-      case DType.I4 => buf.putInt(i * 4, v.toLong.toInt)
-      case DType.I8 | DType.M8ns => buf.putLong(i * 8, v.toLong)
+      case DType.I4 | DType.U4 => buf.putInt(i * 4, v.toLong.toInt)
+      case DType.I8 | DType.U8 | DType.M8ns => buf.putLong(i * 8, v.toLong)
       case DType.F4 => buf.putFloat(i * 4, v.toFloat)
       case DType.F8 => buf.putDouble(i * 8, v)
     }
@@ -511,10 +524,10 @@ object ZarrStore {
       case DType.F4 =>
         val a = new Array[Float](n); var i = 0
         while (i < n) { a(i) = vals(i).toFloat; i += 1 }; a
-      case DType.I8 | DType.M8ns =>
+      case DType.I8 | DType.U8 | DType.M8ns =>
         val a = new Array[Long](n); var i = 0
         while (i < n) { a(i) = vals(i).toLong; i += 1 }; a
-      case DType.I4 =>
+      case DType.I4 | DType.U4 =>
         val a = new Array[Int](n); var i = 0
         while (i < n) { a(i) = vals(i).toLong.toInt; i += 1 }; a
       case DType.I2 | DType.U2 =>
@@ -1197,8 +1210,8 @@ final class ZarrGroup(val root: String,
     val buf = ByteBuffer.wrap(bytes2).order(
       if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     val data: AnyRef = dtype match {
-      case DType.I4 => val a = new Array[Int](n); buf.asIntBuffer().get(a); a
-      case DType.I8 | DType.M8ns => val a = new Array[Long](n); buf.asLongBuffer().get(a); a
+      case DType.I4 | DType.U4 => val a = new Array[Int](n); buf.asIntBuffer().get(a); a
+      case DType.I8 | DType.U8 | DType.M8ns => val a = new Array[Long](n); buf.asLongBuffer().get(a); a
       case DType.F4 => val a = new Array[Float](n); buf.asFloatBuffer().get(a); a
       case DType.F8 => val a = new Array[Double](n); buf.asDoubleBuffer().get(a); a
       case DType.I2 | DType.U2 => val a = new Array[Short](n); buf.asShortBuffer().get(a); a

@@ -36,6 +36,56 @@ class NarrowDTypeSpec extends AnyFunSuite {
       assert(DType.promote(a, b) == want, s"promote($a, $b)")
       assert(DType.promote(b, a) == want, s"promote($b, $a)")
     }
+    // the wide unsigned corner: u4 + signed -> i8; u8 + signed -> f8 (numpy)
+    val wide = Seq(
+      (U4, U1) -> U4, (U4, U2) -> U4, (U4, U4) -> U4, (U8, U4) -> U8,
+      (U4, I1) -> I8, (U4, I4) -> I8, (U4, I8) -> I8,
+      (U8, I1) -> F8, (U8, I8) -> F8,
+      (U4, F4) -> F8, (U8, F4) -> F8, (U8, F8) -> F8)
+    wide.foreach { case ((a, b), want) =>
+      assert(DType.promote(a, b) == want, s"promote($a, $b)")
+      assert(DType.promote(b, a) == want, s"promote($b, $a)")
+    }
+  }
+
+  test("uint32/uint64 mask and round-trip through zarr and HDF5") {
+    val u4 = NDArray(DType.U4, Vector(2), Array(-1, 7)) // 4294967295, 7
+    assert(u4.getLong(0) == 4294967295L)
+    assert(u4.getDouble(0) == 4294967295.0)
+    val u8 = NDArray(DType.U8, Vector(1), Array(-1L)) // 2^64 - 1
+    assert(u8.getDouble(0) == 1.8446744073709552E19)
+    // zarr v2 spellings + store round trip
+    val root = tmp("u4")
+    val g = ZarrGroup(root, format = 2)
+    g.initGroup(Map.empty)
+    g.createArray("c", Vector(2), Vector(2), DType.U4, Attrs.empty)
+    g.writeRegion("c", Vector(0), u4)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "c", ".zarray"))).contains("\"<u4\""))
+    val back = ZarrGroup(root).readArray("c")
+    assert(back.dtype == DType.U4 && back.getLong(0) == 4294967295L)
+    // HDF5 unsigned 4/8-byte fixed-point keeps width and sign (the old
+    // path widened uint32 to int64, breaking raw-byte kerchunk refs)
+    val f = Fragment(
+      dims = Map("t" -> 2),
+      coords = Map("t" -> Variable(Vector("t"),
+        NDArray(DType.I4, Vector(2), Array(0, 1)), Map.empty)),
+      dataVars = Map(
+        "n4" -> Variable(Vector("t"), u4, Map.empty),
+        "n8" -> Variable(Vector("t"),
+          NDArray(DType.U8, Vector(2), Array(-1L, 3L)), Map.empty)),
+      attrs = Map.empty)
+    val p = tmp("h5u") + "/u.nc4"
+    HDF5Writer.write(p, f)
+    val h = HDF5.read(p)
+    assert(h.dataVars("n4").dtype == DType.U4)
+    assert(h.dataVars("n4").data.getLong(0) == 4294967295L)
+    assert(h.dataVars("n8").dtype == DType.U8)
+    assert(h.sameAs(f))
+    // and the kerchunk scanner can raw-ref the uint32 dataset now
+    val mat = tmp("h5umat")
+    RefSet.scanHdf5(p).materialize(mat)
+    assert(ZarrGroup(mat).readArray("n4").sameElements(u4))
   }
 
   test("unsigned reads mask; signed reads sign-extend; astype wraps") {
