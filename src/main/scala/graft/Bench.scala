@@ -56,11 +56,15 @@ object Bench {
     require(iters >= 1,
       s"SPARK_GRAFT_BENCH_ITERS must be >= 1, got $iters") // times.min on an
     // empty run would crash AFTER the full warmup pass — fail before it
+    // a failing query's wall time measures exception latency, not work —
+    // record it in `errors` so the r06 mistake (12 fast-fail timings read
+    // as a speedup) can't recur silently
+    val errored = scala.collection.mutable.SortedSet.empty[String]
     val results = names.map { name =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => () }
+        catch { case _: Throwable => errored += name }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
@@ -85,13 +89,19 @@ object Bench {
       } else ""
     // millisecond precision keeps the ONE json line short enough to survive
     // intact in a bounded log tail (full-precision doubles pushed it past the
-    // driver's capture window in rounds 1-3 -> parsed:null)
+    // driver's capture window in rounds 1-3 -> parsed:null; the r06 tail
+    // STILL clipped the line's first ~30 bytes, so additionally emit a
+    // compact total-only line first — whichever line the driver parses,
+    // the headline number survives intact)
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val errs = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
     Console.out.println(
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$s02Stats}""")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${names.size},"errors":$errs,"sf":"$sfDir"}""")
+    Console.out.println(
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errs$s02Stats}""")
     Console.out.flush()
     spark.stop()
   }

@@ -1,6 +1,19 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
+
+/** The driver's testdata generator has shifted `events.ts`'s physical type
+  * across rounds (TIMESTAMP(NANOS) → naive timestamp[us] read as
+  * TIMESTAMP_NTZ). Loading an unrecognized drift mode must fail with a
+  * named error, not a downstream DATATYPE_MISMATCH twelve queries deep.
+  */
+final class UnsupportedTableSchemaException(table: String, column: String, tpe: DataType)
+  extends IllegalStateException(
+    s"$table.$column has unsupported type $tpe; expected one of " +
+      "LongType (nanosAsLong), TimestampType, TimestampNTZType — " +
+      "the testdata generator drifted again; add a normalization arm in Tables")
 
 /** Table loaders over the driver-generated parquet dirs (TESTDATA.md).
   * All queries receive `sfDir` and read only through these helpers so the
@@ -17,23 +30,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * only reads via spark.sql.legacy.parquet.nanosAsLong (as a LongType of
-    * epoch nanos). Normalize to both a micros TimestampType `ts` and the
-    * raw `ts_ns` long so queries can pick whichever is loss-free. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val df = t(s, d, "events")
+  /** events.parquet has stored `ts` as parquet TIMESTAMP(NANOS) (read via
+    * spark.sql.legacy.parquet.nanosAsLong as a LongType of epoch nanos)
+    * and, since the round-6 generator, as naive timestamp[us] (read as
+    * TIMESTAMP_NTZ). Normalize every drift mode to a micros TimestampType
+    * `ts` plus a raw `ts_ns` long so queries can pick whichever is
+    * loss-free. The NTZ→Timestamp cast is lossless because the session tz
+    * is pinned UTC (build.sbt), matching DuckDB's naive-timestamp read. */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(t(s, d, "events"))
+
+  /** Normalize any observed `ts` drift mode to (TimestampType ts, long
+    * ts_ns). Works on batch and streaming DataFrames alike — streaming
+    * sources over the same parquet must apply the identical arm. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
-          .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts DIV 1000")))
-      case _ =>
-        df.withColumn("ts_ns",
-          org.apache.spark.sql.functions.unix_micros(
-            org.apache.spark.sql.functions.col("ts")) * 1000L)
+      case LongType =>
+        df.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+      case TimestampType =>
+        df.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+      case other =>
+        throw new UnsupportedTableSchemaException("events", "ts", other)
     }
-  }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

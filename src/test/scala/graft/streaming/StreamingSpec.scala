@@ -23,20 +23,18 @@ class StreamingSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
 
   /** Streaming source over the events parquet; the file is staged into a
-    * directory (FileStreamSource requires one); ts normalized from nanos. */
+    * directory (FileStreamSource requires one). The schema is whatever the
+    * driver's generator produced this round (nanos-long, TIMESTAMP, or
+    * TIMESTAMP_NTZ) — Tables.normalizeEventTs applies the same drift arm
+    * the batch twins use, so the streaming path can't diverge. */
   private def eventStream() = {
     val stage = java.nio.file.Files.createTempDirectory("ev_stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       stage.resolve("events.parquet"))
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema)
-      .parquet(stage.toString)
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    graft.queries.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(stage.toString))
   }
 
   test("streaming windowed agg equals the batch plan") {
