@@ -26,6 +26,7 @@ object Feedstock {
     NoaaOisstFeedstock,
     TerraclimateRecipe,
     HrrrKerchunkRecipe,
+    HrrrValidTimeRecipe,
   ).map(r => r.id -> r).toMap
 }
 

@@ -781,7 +781,8 @@ object Grib2 {
   }
 
   /** Section 4 (product definition, template 4.0 at ground level) body. */
-  private def sec4Body(category: Int, number: Int): Array[Byte] = {
+  private def sec4Body(category: Int, number: Int, forecastTime: Int = 0,
+                       surfaceType: Int = 1, surfaceValue: Int = 0): Array[Byte] = {
     val s4 = ByteBuffer.allocate(29).order(ByteOrder.BIG_ENDIAN)
     s4.putShort(0) // no coord values
     s4.putShort(0) // template 4.0
@@ -789,8 +790,10 @@ object Grib2 {
     s4.put(0.toByte); s4.put(0.toByte); s4.put(0.toByte)
     s4.putShort(0); s4.put(0.toByte)
     s4.put(1.toByte) // time unit: hour
-    s4.putInt(0) // forecast time 0
-    s4.put(1.toByte); s4.put(0.toByte); s4.putInt(0) // surface: ground
+    s4.putInt(forecastTime)
+    // first fixed surface: type + scale 0 + unscaled value (e.g. type 103
+    // heightAboveGround, value 2 -> the "2 m above ground" level)
+    s4.put(surfaceType.toByte); s4.put(0.toByte); s4.putInt(surfaceValue)
     s4.put(255.toByte); s4.put(0.toByte); s4.putInt(0)
     s4.array()
   }
@@ -879,12 +882,14 @@ object Grib2 {
                   la1: Double, lo1: Double, dLat: Double, dLon: Double,
                   discipline: Int, category: Int, number: Int,
                   refTimeEpochSec: Long, nbits: Int = 12,
-                  decimalScale: Int = 2): Unit = {
+                  decimalScale: Int = 2, forecastTimeHours: Int = 0,
+                  surfaceType: Int = 1, surfaceValue: Int = 0): Unit = {
     require(values.length == nx * ny, "values must cover the grid")
     writeMessage(path, discipline, Array(
       sec(1, sec1Body(refTimeEpochSec)),
       sec(3, sec3LatLon(nx, ny, la1, lo1, dLat, dLon)),
-      sec(4, sec4Body(category, number))) ++
+      sec(4, sec4Body(category, number, forecastTimeHours,
+        surfaceType, surfaceValue))) ++
       simplePackSections(values, nbits, decimalScale))
   }
 

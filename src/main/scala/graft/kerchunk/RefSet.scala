@@ -425,6 +425,47 @@ object RefSet {
     RefSet(merged)
   }
 
+  /** MERGE set semantics for SAME-position reference sets — the kerchunk
+    * combine of several single-message GRIB reference sets scanned from
+    * ONE file (each `scan_grib` output holds one data variable; cfgrib
+    * surfaces them as sibling variables of one dataset). Variables union;
+    * a variable appearing in several inputs must carry byte-identical
+    * metadata (varAttrs include level/parameter, so a true duplicate is a
+    * re-read of the same field and keep-first is exact; a 2 m vs 10 m
+    * clash of the same short name fails here with the key), and shared
+    * coordinate chunk refs (latitude/longitude point into each source
+    * message's bytes — same decoded values) keep the first occurrence. */
+  def mergeRefSets(sets: Vector[RefSet]): RefSet = {
+    require(sets.nonEmpty)
+    if (sets.length == 1) return sets.head
+    var merged = Map.empty[String, Ref]
+    sets.foreach { rs =>
+      rs.refs.foreach { case (k, r) =>
+        merged.get(k) match {
+          case None => merged += k -> r
+          case Some(prev) if k.endsWith("zarr.json") =>
+            require(java.util.Arrays.equals(prev.resolve(), r.resolve()),
+              s"mergeRefSets: conflicting metadata for '$k' — same variable " +
+                "name with different attributes (e.g. two levels of one " +
+                "parameter); filter or rename before merging")
+          case Some(_) => // chunk ref for a shared coordinate: keep first
+        }
+      }
+    }
+    RefSet(merged)
+  }
+
+  /** Drop whole variables (their metadata doc and every chunk ref) whose
+    * name matches `pred` — the `mzz_kwargs=dict(preprocess=drop_unknown)`
+    * analog (hrrr_kerchunk_concat_valid_time.py:23-27: pop every key
+    * starting with "unknown"; cfgrib names unmapped parameters "unknown",
+    * this scanner names them with the systematic d<D>c<C>p<N> fallback). */
+  def dropVars(rs: RefSet, pred: String => Boolean): RefSet =
+    RefSet(rs.refs.filter { case (k, _) =>
+      val slash = k.indexOf('/')
+      slash < 0 || !pred(k.substring(0, slash))
+    })
+
   /** Kerchunk-style JSON artifact: {"version": 1, "refs": {key: value}}
     * where value is an inline string or [url, offset, length]
     * (writers.py:132-195). */

@@ -8,7 +8,7 @@ import java.nio.file.{Files, Paths}
 /** The deployed-bake surface (SURVEY §3.3 entry point C) exposed through
   * the driver contract: the FULL `graft.Bake` CLI path — argv parsing,
   * runner-JSON config load, RuntimeConfig injection, feedstock-registry
-  * dispatch — executed for three registered recipes against generated
+  * dispatch — executed for five registered recipes against generated
   * fixtures. Not SQL-expressible, so no DuckDB oracle: like the other
   * `e2e_*` entries a row carries ok=true only when the reopened artifact
   * matches the golden expectation exactly (the reference's
@@ -116,6 +116,46 @@ object BakeOps {
         tmp3(s * nx * ny + i) == 15.0 + s)) &&
       got3.coords("time").data.getLong(1) == base + 3600L
 
+    // --- hrrr-kerchunk-concat-valid-time: per-file multi-message merge +
+    // drop_unknown preprocess + valid-time concat (the recipe the
+    // reference xfails only for Beam-pickling reasons)
+    (0 until 2).foreach { c =>
+      val keep = s"$dir/gribvt/keep_$c.grib2"
+      val unk = s"$dir/gribvt/unk_$c.grib2"
+      graft.grib.Grib2.writeSimple(keep, Array.fill(nx * ny)(25.0 + c),
+        nx, ny, la1 = 30.0, lo1 = 250.0, dLat = 0.5, dLon = 0.5,
+        discipline = 0, category = 0, number = 0,
+        refTimeEpochSec = base + c * 3600L, forecastTimeHours = 1,
+        surfaceType = 103, surfaceValue = 2)
+      graft.grib.Grib2.writeSimple(unk, Array.fill(nx * ny)(77.0),
+        nx, ny, la1 = 30.0, lo1 = 250.0, dLat = 0.5, dLon = 0.5,
+        discipline = 0, category = 200, number = 200,
+        refTimeEpochSec = base + c * 3600L, forecastTimeHours = 1,
+        surfaceType = 103, surfaceValue = 2)
+      Files.write(Paths.get(f"$dir/gribvt/hrrr.t$c%02dz.wrfsfcf01.grib2"),
+        Files.readAllBytes(Paths.get(keep)) ++
+          Files.readAllBytes(Paths.get(unk)))
+    }
+    val conf3b = writeConfig(s"$dir/hrrr_vt.json",
+      "TargetStorage" -> Seq("root_path" -> s"$dir/target"),
+      "HrrrValidTime" -> Seq("input_root" -> s"$dir/gribvt", "cycles" -> "0,1"))
+    val out3b = graft.Bake.run(spark, Array(
+      "--recipe-id=hrrr-kerchunk-concat-valid-time", s"-f=$conf3b",
+      "--job-name=e2e-hrrr-vt"), quiet = true)
+    val backVt = graft.kerchunk.RefSet.fromKerchunkV2Json(
+      Files.readString(Paths.get(out3b)))
+    val virtVt = s"$dir/virt_vt.zarr"
+    backVt.materialize(virtVt)
+    val got3b = ZarrGroup(virtVt).readFragment()
+    val tmpVt = got3b.dataVars("TMP").data.data.asInstanceOf[Array[Double]]
+    val ok3b = got3b.dims("time") == 2 &&
+      !got3b.dataVars.contains("d0c200p200") &&
+      (0 until 2).forall(c => (0 until nx * ny).forall(i =>
+        tmpVt(c * nx * ny + i) == 25.0 + c)) &&
+      // VALID time: reference time + the 1 h forecast step
+      got3b.coords("time").data.getLong(0) == base + 3600L &&
+      got3b.coords("time").data.getLong(1) == base + 7200L
+
     // --- noaa-oisst: strftime URL pattern + HTTP fetch + cache + consolidate
     val (on, oy, ox) = (3, 4, 5)
     val oisst = Fragment(
@@ -178,6 +218,7 @@ object BakeOps {
       ("daily-cube", ok1),
       ("terraclimate", ok2),
       ("hrrr-kerchunk-concat-step", ok3),
+      ("hrrr-kerchunk-concat-valid-time", ok3b),
       ("noaa-oisst", ok4))
       .toDF("recipe_id", "ok")
     } finally graft.examples.RecipeFixtures.deleteRecursively(dir)

@@ -424,6 +424,82 @@ class BakeSpec extends AnyFunSuite {
       .sameElements(data))
   }
 
+  // ------------------------------- hrrr-kerchunk-concat-valid-time
+
+  test("bake hrrr-kerchunk-concat-valid-time: multi-message merge + drop_unknown") {
+    import graft.grib.Grib2
+    val dir = tmp()
+    val (nx, ny) = (7, 4)
+    val base = 1658448000L // 2022-07-22T00:00Z
+    val cycles = Vector(0, 1)
+    cycles.foreach { c =>
+      // each cycle file carries FOUR messages: TMP@2m and UGRD@10m (kept
+      // by the heightAboveGround [2,10] filter), an unmapped parameter at
+      // 2 m (kept by the filter, then dropped by the drop_unknown
+      // preprocess — the cfgrib "unknown" analog), and DPT at the ground
+      // surface (excluded by typeOfLevel)
+      val parts = Seq(
+        ((0, 0, 0), 103, 2, 20.0 + c),   // TMP@2m
+        ((0, 2, 2), 103, 10, 5.0 + c),   // UGRD@10m
+        ((0, 200, 200), 103, 2, 77.0),   // unknown param -> d0c200p200
+        ((0, 0, 6), 1, 0, 99.0)          // DPT at surface: filtered out
+      ).zipWithIndex.map { case (((d, cat, num), sfc, lvl, v), i) =>
+        val p = s"$dir/in/part_${c}_$i.grib2"
+        Grib2.writeSimple(p, Array.fill(nx * ny)(v), nx, ny,
+          la1 = 30.0, lo1 = 250.0, dLat = 0.5, dLon = 0.5,
+          discipline = d, category = cat, number = num,
+          refTimeEpochSec = base + c * 3600L, forecastTimeHours = 1,
+          surfaceType = sfc, surfaceValue = lvl)
+        Files.readAllBytes(Paths.get(p))
+      }
+      Files.write(Paths.get(f"$dir/in/hrrr.t$c%02dz.wrfsfcf01.grib2"),
+        parts.reduce(_ ++ _))
+    }
+    val conf = writeConfig(dir,
+      "TargetStorage" -> Seq("root_path" -> s"$dir/target"),
+      "HrrrValidTime" -> Seq(
+        "input_root" -> s"$dir/in",
+        "cycles" -> cycles.mkString(",")))
+    val out = graft.Bake.run(spark, Array(
+      "--recipe-id=hrrr-kerchunk-concat-valid-time", s"-f=$conf"))
+    assert(out == s"$dir/target/hrrr-concat-valid-time/reference.json")
+
+    val back = RefSet.fromKerchunkV2Json(Files.readString(Paths.get(out)))
+    val virt = s"$dir/virt_vt.zarr"
+    back.materialize(virt)
+    val f = ZarrGroup(virt).readFragment()
+    // two cycles concatenated on VALID time: ref time + 1 h per cycle
+    assert(f.dims("time") == 2)
+    val times = (0 until 2).map(i => f.coords("time").data.getLong(i))
+    assert(times == cycles.map(c => base + c * 3600L + 3600L))
+    // both height-above-ground fields merged into one dataset per file
+    // (2-D lat/lon grid vars ride along un-set_coords'ed, as in the
+    // reference's test_ds; see the concat-step test's note)
+    assert(f.dataVars.keySet == Set("TMP", "UGRD", "latitude", "longitude"))
+    // the unknown parameter was dropped, the surface-level decoy filtered
+    assert(!f.dataVars.contains("d0c200p200"))
+    assert(!f.dataVars.contains("DPT"))
+    cycles.foreach { c =>
+      val tmpData = f.dataVars("TMP").data.data.asInstanceOf[Array[Double]]
+      val uData = f.dataVars("UGRD").data.data.asInstanceOf[Array[Double]]
+      (0 until nx * ny).foreach { i =>
+        assert(tmpData(c * nx * ny + i) == 20.0 + c)
+        assert(uData(c * nx * ny + i) == 5.0 + c)
+      }
+    }
+    // per-level metadata survives as attrs (the identical_dims
+    // heightAboveGround analog): TMP at 2 m, UGRD at 10 m
+    def num(a: graft.core.AttrValue): Double = a match {
+      case graft.core.AttrValue.ANum(v) => v
+      case graft.core.AttrValue.AInt(v) => v.toDouble
+      case other => fail(s"not numeric: $other")
+    }
+    assert(num(f.dataVars("TMP").attrs("GRIB_surfaceValue")) == 2.0)
+    assert(num(f.dataVars("UGRD").attrs("GRIB_surfaceValue")) == 10.0)
+    assert(f.allVars("latitude").data.getDouble(0) == 30.0)
+    assert(f.allVars("longitude").data.getDouble(0) == 250.0)
+  }
+
   // ------------------------------------------------------------- noaa-oisst
 
   test("noaa-oisst url_format: strftime fields render like the reference template") {
