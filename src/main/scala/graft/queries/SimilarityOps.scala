@@ -168,6 +168,29 @@ object SimilarityOps {
     nearDupPairsOf(emb, 0.45).orderBy("vec_a", "vec_b")
   }
 
+  /** The production-scale wide construction measured in SCALE_r6.md:
+    * 32 bands × 8 bits (256 planes). Random band collisions shrink by
+    * ~2^-(8-4) = 16× per band vs s02's (16×4) — measured 7× cheaper in
+    * candidate mass at ≥96% recall on the synthetic near-dup pairs (whose
+    * cosine is well above the 0.45 boundary; a band agrees with prob
+    * 0.856^8 = 0.29 at sim 0.9, and 32 bands push recall to ~1 there).
+    * Same kernel, same threshold, same exact rescore — only the OR/AND
+    * shape differs, which is exactly the knob a 10^8+ vector corpus needs.
+    * Oracle-gated so the wide planes can't drift from the DuckDB replica. */
+  def s05NearDupWide(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = embeddings(s, d).withColumn("q", expr(qEmb))
+      .withColumn("nrm", expr(normExpr("q")))
+      .select("vec_id", "q", "nrm")
+    nearDupPairsOf(emb, 0.45, WideBands, WideRowsPerBand)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private[graft] val WideBands = 32
+  private[graft] val WideRowsPerBand = 8
+
+  val s05Sql: String = neardupSql(WideBands, WideRowsPerBand, 0.45)
+
   /** The banded-signature table feeding the s02 candidate join; exposed so
     * the bench can report candidate volume alongside the timing. `bands` x
     * `rowsPerBand` parameterize the OR/AND construction: the gated s02
@@ -232,9 +255,12 @@ object SimilarityOps {
       .withColumn("nrm", expr(normExpr("q")))
       .select("vec_id", "q", "nrm")
 
-  val s02Sql: String = {
-    val planeRows = (0 until SimBands * SimRowsPerBand).flatMap { j =>
-      (0 until Dim).map(k => s"($j, ${k + 1}, ${simPlanes(j)(k)})")
+  /** Oracle for the banded near-dup kernel, parameterized over the OR/AND
+    * construction so the gated (16×4) and wide (32×8) variants share one
+    * generator. The planes VALUES literal replicates `planeFor` exactly. */
+  private def neardupSql(bands: Int, rowsPerBand: Int, threshold: Double): String = {
+    val planeRows = (0 until bands * rowsPerBand).flatMap { j =>
+      (0 until Dim).map(k => s"($j, ${k + 1}, ${planeFor(j)(k)})")
     }.mkString(",\n    ")
     s"""WITH q AS (
        |  SELECT vec_id, $qEmbDuck AS qv FROM embeddings
@@ -249,8 +275,8 @@ object SimilarityOps {
        |  FROM elems e JOIN planes pl ON e.i = pl.i
        |  GROUP BY 1, 2
        |), bands AS (
-       |  SELECT vec_id, p // $SimRowsPerBand AS band_no,
-       |    CAST(SUM(CASE WHEN pd > 0 THEN 1 << (p % $SimRowsPerBand) ELSE 0 END) AS BIGINT) AS bits
+       |  SELECT vec_id, p // $rowsPerBand AS band_no,
+       |    CAST(SUM(CASE WHEN pd > 0 THEN 1 << (p % $rowsPerBand) ELSE 0 END) AS BIGINT) AS bits
        |  FROM plane_dots GROUP BY 1, 2
        |), cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -266,9 +292,11 @@ object SimilarityOps {
        |  ROUND(dot::DOUBLE / (sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)), 6) AS sim
        |FROM dots JOIN norms na ON vec_a = na.vec_id
        |JOIN norms nb ON vec_b = nb.vec_id
-       |WHERE ROUND(dot::DOUBLE / (sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)), 6) >= 0.45
+       |WHERE ROUND(dot::DOUBLE / (sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)), 6) >= $threshold
        |ORDER BY vec_a, vec_b""".stripMargin
   }
+
+  val s02Sql: String = neardupSql(SimBands, SimRowsPerBand, 0.45)
 
   /** LSH-bucketed ANN: sign(dot(v, plane_j)) bits form a 16-bit bucket;
     * neighbors are scored only within the query's bucket. */
@@ -493,6 +521,7 @@ object SimilarityOps {
     "s02_embed_neardup" -> s02EmbedNearDup _,
     "s03_ann_lsh" -> s03AnnLsh _,
     "s04_ann_ivf" -> s04AnnIvf _,
+    "s05_neardup_wide" -> s05NearDupWide _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -500,5 +529,6 @@ object SimilarityOps {
     "s02_embed_neardup" -> s02Sql,
     "s03_ann_lsh" -> s03Sql,
     "s04_ann_ivf" -> s04Sql,
+    "s05_neardup_wide" -> s05Sql,
   )
 }
