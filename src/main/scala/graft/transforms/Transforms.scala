@@ -8,6 +8,20 @@ import graft.rechunking.Rechunking
 import graft.zarr.ZarrGroup
 import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
 
+/** A fragment about to enter the rechunk shuffle exceeds the kryo
+  * serializer's write-buffer ceiling — it would otherwise fail later and
+  * opaquely (`KryoException: Buffer overflow`) inside the shuffle writer.
+  * Remedies, in preference order: shrink the slab (`itemsPerFragment` /
+  * `target_chunks` bytes) so fragments fit the default ceiling, or raise
+  * `spark.kryoserializer.buffer.max` (SCALE_r6 deploy finding #1). */
+final class FragmentExceedsSerializerBufferException(
+    index: Index, fragmentBytes: Long, bufferMax: Long)
+  extends IllegalArgumentException(
+    s"fragment $index is ~$fragmentBytes bytes of array data, which " +
+      s"exceeds spark.kryoserializer.buffer.max=$bufferMax; shrink " +
+      "itemsPerFragment/target_chunks so slabs fit the serializer buffer, " +
+      "or raise spark.kryoserializer.buffer.max")
+
 /** The user-facing pipeline composites, re-expressed on typed Datasets.
   *
   * Shape (SURVEY §3.1): createDataset(pattern.items) → map(open) →
@@ -184,19 +198,34 @@ object Pipelines {
   }
 
   /** Rechunk (transforms.py:401-417): flatMap(split) → groupByKey →
-    * mapGroups(combine). One shuffle, keyed by target-chunk group. */
+    * mapGroups(combine). One shuffle, keyed by target-chunk group.
+    *
+    * Deploy-time guard (SCALE_r6 finding #1): every split fragment rides
+    * the shuffle through the kryo serializer, whose write buffer is capped
+    * at `spark.kryoserializer.buffer.max` (64m default) — an oversized
+    * slab used to die in an opaque `KryoException: Buffer overflow` deep
+    * in the shuffle writer. Check the array mass up front and fail with
+    * the fragment's index, its size, and both remedies instead. */
   def rechunk(frags: Dataset[(Index, Fragment)],
               targetChunks: Option[Map[String, Int]],
-              schema: Option[CubeSchema]): Dataset[(Index, Fragment)] =
+              schema: Option[CubeSchema]): Dataset[(Index, Fragment)] = {
+    val bufferMax = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      frags.sparkSession.conf.get("spark.kryoserializer.buffer.max", "64m"))
     frags
       .flatMap { case (idx, ds) =>
         Rechunking.splitFragment(idx, ds, targetChunks, schema)
-          .map { case (k, v) => (Rechunking.groupKeyString(k), v) }
+          .map { case (k, v) =>
+            val est = v._2.approxBytes
+            if (est > bufferMax)
+              throw new FragmentExceedsSerializerBufferException(v._1, est, bufferMax)
+            (Rechunking.groupKeyString(k), v)
+          }
       }(Encoders.kryo[(String, (Index, Fragment))])
       .groupByKey(_._1)(Encoders.STRING)
       .mapGroups { (_, it) =>
         Rechunking.combineFragments(it.map(_._2).toSeq)
       }(Encoders.kryo[(Index, Fragment)])
+  }
 
   /** Per-variable output encoding — the StoreToZarr `encoding=` kwarg
     * (tests/test_writers.py:191-217: `encoding={"foo": {"compressors":

@@ -352,4 +352,39 @@ class EndToEndSpec extends AnyFunSuite {
     assert(meta.chunks(meta.dimensionNames.indexOf("time")) == 4)
     assert(ZarrGroup(storePath).readFragment().sameAs(cube))
   }
+
+  test("kryo-ceiling guard: oversized slab fails with the named error, not a kryo stack") {
+    // SCALE_r6 deploy finding #1: a shuffled fragment larger than
+    // spark.kryoserializer.buffer.max (64m default in this session) used
+    // to die as an opaque KryoException deep in the shuffle writer. 17
+    // steps of 512x1024 f64 = ~71 MB of array mass crosses the ceiling.
+    val (nt, ny, nx) = (17, 512, 1024)
+    // build the slab ON AN EXECUTOR: a driver-side createDataset would
+    // kryo-encode it immediately and die in the encoder (the same opaque
+    // overflow, one stage earlier); in the real pipeline fragments are
+    // produced by executor-side opens and the typed map→flatMap chain is
+    // object-fused, so the guard in rechunk is the first serialization
+    // point they would hit
+    val frags = spark.range(1).map { _ =>
+      val big = Fragment(
+        dims = Map("time" -> nt, "y" -> ny, "x" -> nx),
+        coords = Map("time" -> Variable(Vector("time"),
+          NDArray(DType.I8, Vector(nt), (0 until nt).map(_.toLong).toArray))),
+        dataVars = Map("foo" -> Variable(Vector("time", "y", "x"),
+          NDArray(DType.F8, Vector(nt, ny, nx),
+            new Array[Double](nt * ny * nx)))))
+      (Index.of(Dimension("time", CombineOp.Concat) -> Pos.indexed(0, nt)), big)
+    }(Encoders.kryo[(Index, Fragment)])
+    val e = intercept[Exception] {
+      Pipelines.rechunk(frags, Some(Map("time" -> nt)), None).count()
+    }
+    // the named guard must be in the failure chain with both remedies
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    val named = chain(e).find(
+      _.isInstanceOf[FragmentExceedsSerializerBufferException])
+    assert(named.isDefined, s"expected the named guard, got: $e")
+    assert(named.get.getMessage.contains("spark.kryoserializer.buffer.max"))
+    assert(named.get.getMessage.contains("itemsPerFragment"))
+  }
 }
