@@ -241,6 +241,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("NTZ-sourced file stream: normalizeEventTs feeds windowed aggs correctly") {
+    // a synthetic TIMESTAMP_NTZ parquet (the round-6 generator drift that
+    // broke 12 batch queries) streamed through the SAME normalization arm
+    // — pinned independently of whatever type the driver's testdata
+    // carries this round, so the streaming path can't regress with the
+    // next drift
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("ntz_stream")
+    val micros0 = 1709294400000000L // 2024-03-01T12:00:00Z
+    val rows = Seq(
+      (1L, micros0, 7L, "click", 1.0),
+      (2L, micros0 + 10L * 60 * 1000000, 7L, "click", 2.0),
+      (3L, micros0 + 90L * 60 * 1000000, 8L, "purchase", 3.0))
+    rows.toDF("event_id", "us", "user_id", "event_type", "value")
+      .select(col("event_id"),
+        timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$stage/in")
+    val schema = spark.read.parquet(s"$stage/in").schema
+    assert(schema("ts").dataType == TimestampNTZType)
+    val src = graft.queries.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(s"$stage/in"))
+    val q = src
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("wstart"),
+        col("event_type"), col("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ntz_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT wstart, event_type, n FROM ntz_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val h0 = micros0 / 1000000
+      assert(got == Set(
+        (h0, "click", 2L),
+        (h0 + 3600, "purchase", 1L)))
+    } finally q.stop()
+  }
+
   test("streaming ingest of arriving netCDF-4 files appends to the cube") {
     import spark.implicits._
     import graft.patterns.FileType
