@@ -200,16 +200,22 @@ object SimilarityOps {
   private[graft] def s02Bands(emb: DataFrame, bands: Int = SimBands,
                               rowsPerBand: Int = SimRowsPerBand): DataFrame = {
     require(rowsPerBand <= 62, "band bits must fit a long")
+    // Column-API construction, not a parsed SQL string: the wide (32×8)
+    // variant's plane literals are ~1 MB of expression TEXT, and re-parsing
+    // that on every invocation dominated s05's small-corpus wall time
+    // (~3 s of driver-side analysis before any task ran). The tree is
+    // identical either way; codegen and constant folding see the same plan.
     val bandStructs = (0 until bands).map { b =>
       val bits = (0 until rowsPerBand).map { r =>
         val j = b * rowsPerBand + r
-        val lit = planeFor(j).mkString("array(", "L, ", "L)")
-        s"(case when ${dotExpr("q", lit)} > 0 then ${1L << r} else 0 end)"
-      }.mkString(" + ")
-      s"struct($b as band_no, cast($bits as bigint) as bits)"
-    }.mkString(", ")
+        val plane = array(planeFor(j).map(w => lit(w)): _*)
+        when(call_function("dot_i64", col("q"), plane) > 0, lit(1L << r))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band_no"), bits.cast("long").as("bits"))
+    }
     emb
-      .select(col("vec_id"), explode(expr(s"array($bandStructs)")).as("band"))
+      .select(col("vec_id"), explode(array(bandStructs: _*)).as("band"))
       .select(col("vec_id"), col("band.band_no"), col("band.bits"))
   }
 

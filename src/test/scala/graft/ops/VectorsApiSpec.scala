@@ -37,6 +37,15 @@ class VectorsApiSpec extends AnyFunSuite {
     assert(api.exceptAll(gated).isEmpty && gated.exceptAll(api).isEmpty)
   }
 
+  test("nearDuplicatePairs(32x8) == s05 under renamed columns") {
+    val api = Vectors.nearDuplicatePairs(spark, renamed,
+      idCol = "id", vecCol = "vec", bands = 32, bandBits = 8)
+      .orderBy("vec_a", "vec_b")
+    val gated = graft.queries.SimilarityOps.s05NearDupWide(spark, d)
+    assert(api.columns.sameElements(gated.columns))
+    assert(api.exceptAll(gated).isEmpty && gated.exceptAll(api).isEmpty)
+  }
+
   test("lshTopK == s03 under renamed columns") {
     val api = Vectors.lshTopK(spark, renamed, 0L until 10L, k = 5,
       idCol = "id", vecCol = "vec").orderBy("query_id", "rk")

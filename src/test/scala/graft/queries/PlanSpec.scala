@@ -86,6 +86,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join"), p)
   }
 
+  test("s05: the wide (32x8) construction keeps the same equi-join shape") {
+    val p = plan(SimilarityOps.s05NearDupWide(spark, d))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("d02: shingle candidate join is an equi-join, never a cross product") {
     // gate the lazy builder plans: the public query checkpoints eagerly, so
     // its own executedPlan is just the checkpoint scan
