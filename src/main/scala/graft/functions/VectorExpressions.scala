@@ -105,13 +105,133 @@ case class NormSqI64(child: Expression)
     copy(child = newChild)
 }
 
+/** The deterministic pseudo-random hyperplane family shared by the LSH
+  * operators and [[SignBandsI64]]: plane `p`'s component `k` is a
+  * splitmix64-style avalanche hash in {-1000..1000} (a linear generator's
+  * planes are correlated slices of one arithmetic progression — the
+  * round-3 recall bug; see graft.queries.SimilarityOps). The DuckDB
+  * oracles replicate these values as literal VALUES rows. */
+object GraftPlanes {
+  val Dim = 64
+
+  def component(p: Int, k: Int): Long = {
+    var z = p.toLong * Dim + k + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    ((z % 2001L) + 2001L) % 2001L - 1000L
+  }
+
+  def plane(p: Int): Vector[Long] =
+    (0 until Dim).map(k => component(p, k)).toVector
+}
+
+/** All LSH band signatures of one quantized vector in ONE pass: the
+  * banded sign-LSH construction (`bands` × `rowsPerBand` hyperplanes from
+  * [[GraftPlanes]]) as a single codegen'd kernel returning per-band bit
+  * patterns (`array<bigint>`, band number = array index, consumed via
+  * posexplode). Replaces a tree of bands×rowsPerBand literal-plane
+  * `dot_i64` calls: the wide (32×8) construction's 2048 array literals
+  * cost seconds of driver-side analysis per invocation and re-read every
+  * plane element through Literal ArrayData per row; here the planes live
+  * in one flat long[] referenced by the generated loop. */
+case class SignBandsI64(child: Expression, numBands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  require(numBands >= 1 && rowsPerBand >= 1 && rowsPerBand <= 62,
+    s"sign_bands_i64: need numBands >= 1 and 1 <= rowsPerBand <= 62, " +
+      s"got ($numBands, $rowsPerBand)")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sign_bands_i64"
+
+  /** Flattened plane matrix: plane p's component k at [p*Dim + k]. */
+  @transient private lazy val planes: Array[Long] =
+    Array.tabulate(numBands * rowsPerBand * GraftPlanes.Dim)(i =>
+      GraftPlanes.component(i / GraftPlanes.Dim, i % GraftPlanes.Dim))
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val dim = math.min(GraftPlanes.Dim, x.numElements())
+    val out = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var bits = 0L
+      var r = 0
+      while (r < rowsPerBand) {
+        val base = (b * rowsPerBand + r) * GraftPlanes.Dim
+        var acc = 0L
+        var j = 0
+        while (j < dim) { acc += x.getLong(j) * planes(base + j); j += 1 }
+        if (acc > 0) bits |= 1L << r
+        r += 1
+      }
+      out(b) = bits
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("signBandsPlanes", planes, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val dim = ctx.freshName("dim")
+      val out = ctx.freshName("out")
+      val b = ctx.freshName("b")
+      val r = ctx.freshName("r")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val bits = ctx.freshName("bits")
+      val base = ctx.freshName("base")
+      s"""
+         |int $dim = Math.min(${GraftPlanes.Dim}, $a.numElements());
+         |long[] $out = new long[$numBands];
+         |for (int $b = 0; $b < $numBands; $b++) {
+         |  long $bits = 0L;
+         |  for (int $r = 0; $r < $rowsPerBand; $r++) {
+         |    int $base = ($b * $rowsPerBand + $r) * ${GraftPlanes.Dim};
+         |    long $acc = 0L;
+         |    for (int $j = 0; $j < $dim; $j++) {
+         |      $acc += $a.getLong($j) * $planesRef[$base + $j];
+         |    }
+         |    if ($acc > 0) $bits |= 1L << $r;
+         |  }
+         |  $out[$b] = $bits;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration: per-session temp functions plus a
   * [[SparkSessionExtensions]] hook (`spark.sql.extensions=graft.functions.
   * GraftExtensions`) so `dot_i64` / `normsq_i64` resolve in plain SQL. */
 object GraftFunctions {
+  /** Extract a foldable int argument (e.g. `lit(32)`) at build time. */
+  private def intArg(e: Expression, fn: String): Int = {
+    require(e.foldable, s"$fn: band-shape arguments must be literals")
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: expected an integer literal, got $other")
+    }
+  }
+
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "dot_i64" -> (args => DotI64(args(0), args(1))),
     "normsq_i64" -> (args => NormSqI64(args.head)),
+    "sign_bands_i64" -> (args => SignBandsI64(args(0),
+      intArg(args(1), "sign_bands_i64"), intArg(args(2), "sign_bands_i64"))),
     "collect_list_capped" -> (args =>
       CollectListCappedI64(args(0), args(1)).toAggregateExpression()))
 

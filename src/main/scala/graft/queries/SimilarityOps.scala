@@ -46,15 +46,11 @@ object SimilarityOps {
     * (some identical), which silently destroyed band independence and
     * measured recall (round-3 finding: 4 of 15 true pairs missed at
     * sf0.01 vs the 4% theoretical miss rate; mean inter-plane |cos| was
-    * 0.37 where random planes give ~0.1). */
+    * 0.37 where random planes give ~0.1). Shared with the codegen'd
+    * [[graft.functions.SignBandsI64]] kernel, which embeds the same
+    * family. */
   private def planeFor(p: Int): Vector[Long] =
-    (0 until Dim).map { k =>
-      var z = p.toLong * Dim + k + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z = z ^ (z >>> 31)
-      ((z % 2001L) + 2001L) % 2001L - 1000L
-    }.toVector
+    graft.functions.GraftPlanes.plane(p)
 
   /** s03's single-table bucket width: 2^8 = 256 buckets, sized so a
     * corpus of hundreds has non-trivial bucket co-residency (16 truly
@@ -198,26 +194,18 @@ object SimilarityOps {
     * the random-collision mass ~2^-(r-4) per band while more bands restore
     * recall (see [[graft.ops.Vectors.nearDuplicatePairs]] for the math). */
   private[graft] def s02Bands(emb: DataFrame, bands: Int = SimBands,
-                              rowsPerBand: Int = SimRowsPerBand): DataFrame = {
-    require(rowsPerBand <= 62, "band bits must fit a long")
-    // Column-API construction, not a parsed SQL string: the wide (32×8)
-    // variant's plane literals are ~1 MB of expression TEXT, and re-parsing
-    // that on every invocation dominated s05's small-corpus wall time
-    // (~3 s of driver-side analysis before any task ran). The tree is
-    // identical either way; codegen and constant folding see the same plan.
-    val bandStructs = (0 until bands).map { b =>
-      val bits = (0 until rowsPerBand).map { r =>
-        val j = b * rowsPerBand + r
-        val plane = array(planeFor(j).map(w => lit(w)): _*)
-        when(call_function("dot_i64", col("q"), plane) > 0, lit(1L << r))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(b).as("band_no"), bits.cast("long").as("bits"))
-    }
+                              rowsPerBand: Int = SimRowsPerBand): DataFrame =
+    // One codegen'd kernel (SignBandsI64) computes every band's bit
+    // pattern in a single pass over the planes held in one flat long[] —
+    // not a tree of bands×rowsPerBand literal-plane dot_i64 calls, whose
+    // wide-variant (32×8) form was 2048 array literals costing ~3 s of
+    // driver-side analysis PER INVOCATION and re-reading plane elements
+    // through Literal ArrayData on every row. Band number = array index.
     emb
-      .select(col("vec_id"), explode(array(bandStructs: _*)).as("band"))
-      .select(col("vec_id"), col("band.band_no"), col("band.bits"))
-  }
+      .select(col("vec_id"),
+        posexplode(call_function("sign_bands_i64", col("q"),
+          lit(bands), lit(rowsPerBand))))
+      .select(col("vec_id"), col("pos").as("band_no"), col("col").as("bits"))
 
   /** s02 candidate pairs (band collisions, pre-rescore, pre-distinct). */
   private[graft] def s02Candidates(emb: DataFrame, bands: Int = SimBands,
