@@ -309,11 +309,11 @@ object SimilarityOps {
   private[graft] def lshTopKOf(emb: DataFrame,
                                queryCond: org.apache.spark.sql.Column,
                                k: Int): DataFrame = {
-    val bucketExpr = (0 until NumPlanes).map { j =>
-      val lit = planes(j).mkString("array(", "L, ", "L)")
-      s"(case when ${dotExpr("q", lit)} > 0 then ${1L << j} else 0 end)"
-    }.mkString(" + ")
-    val bucketed = emb.withColumn("bucket", expr(s"cast($bucketExpr as bigint)"))
+    // one 8-bit band over planes 0..7 — the same construction s02's first
+    // band uses, evaluated by the shared codegen'd kernel
+    val bucketed = emb.withColumn("bucket",
+      call_function("sign_bands_i64", col("q"), lit(1), lit(NumPlanes))
+        .getItem(0))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
     bucketed.as("a")
