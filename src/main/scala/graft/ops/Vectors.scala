@@ -104,4 +104,30 @@ object Vectors {
         vecCol),
       threshold, bands, bandBits)
   }
+
+  /** Semantic deduplication (the SemDeDup shape, arXiv:2303.09540): the
+    * corpus is clustered by the deterministic IVF coarse quantizer, and
+    * within each cluster every vector with a lower-id near-twin at exact
+    * cosine >= `threshold` is marked pruned. Returns one verdict row per
+    * vector: (vec_id, cell, kept).
+    *
+    * Recall is bounded by the clustering (a near-twin pair split across
+    * cells is never compared — the paper's trade), precision is exact.
+    *
+    * SCALE TUNING (`numCells`): the default (<= 0) uses sqrt(n) cells, so
+    * within-cell pair work is n*sqrt(n). For 10^8+ vectors pass
+    * numCells ≈ n / targetCellSize — constant-size cells make the pair
+    * mass linear in n, which is how the paper runs at LAION scale. */
+  def semanticDedup(spark: SparkSession, emb: DataFrame,
+                    threshold: Double = 0.45,
+                    numCells: Long = 0L,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val e = emb.select(col(idCol).cast("long").as("vec_id"),
+      expr(SimilarityOps.quantize(vecCol)).as("q")).as[(Long, Array[Long])]
+    SimilarityOps.semanticDedupOf(
+      SimilarityOps.ivfTagOf(spark, e, nProbe = 1, cells = numCells), threshold)
+  }
 }

@@ -405,12 +405,16 @@ object SimilarityOps {
   }
 
   /** IVF cell tagging over any quantized (vec_id, q) dataset: sqrt(n) seed
-    * centroids broadcast, one scan assigns cells and probe lists. */
+    * centroids broadcast, one scan assigns cells and probe lists.
+    * `cells` <= 0 means the sqrt(n) IVF default; a caller targeting
+    * constant cell SIZE (the SemDeDup k ∝ n regime) passes it explicitly. */
   private[graft] def ivfTagOf(s: SparkSession,
                               emb: org.apache.spark.sql.Dataset[(Long, Array[Long])],
-                              nProbe: Int): DataFrame = {
+                              nProbe: Int, cells: Long = 0L): DataFrame = {
     import s.implicits._
-    val numCells = math.max(1L, math.ceil(math.sqrt(emb.count().toDouble)).toLong)
+    val numCells =
+      if (cells > 0) cells
+      else math.max(1L, math.ceil(math.sqrt(emb.count().toDouble)).toLong)
     // deterministic coarse quantizer: cells seeded by the first K vectors
     // (sqrt(n) rows — broadcast-sized at any corpus scale)
     val cents: Array[(Long, Array[Long])] =
@@ -467,6 +471,88 @@ object SimilarityOps {
       .orderBy("query_id", "rk")
   }
 
+  /** s06: semantic deduplication over embedding clusters — the SemDeDup
+    * shape (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus with
+    * the IVF coarse quantizer, then WITHIN each cluster prune every vector
+    * that has a higher-priority near-twin (exact cosine >= 0.45; priority =
+    * lower vec_id, the deterministic stand-in for the paper's keep-rule).
+    * Output: one verdict row per vector (vec_id, cell, kept).
+    *
+    * APPROXIMATE SEMANTICS, differently from s02: recall is bounded by the
+    * clustering, not by band collisions — a near-dup pair split across two
+    * cells is never examined (the paper's acknowledged trade). The DuckDB
+    * oracle replicates the same deterministic cells, so the harness
+    * validates engine agreement on the same candidate structure;
+    * SimilaritySpec measures the within-cell semantics exactly.
+    *
+    * Physical shape: one scan tags cells against sqrt(n) broadcast
+    * centroids (no shuffle), then ONE equi-join on cell forms within-cell
+    * pairs — each row shuffles once with its vector, pairs materialize
+    * partition-locally, and the codegen'd dot + threshold filter runs in
+    * the same stage, so nothing wider than the verdict rows leaves the
+    * join. Per-cell membership is ~sqrt(n) under the IVF seeding rule, so
+    * pair work is n*sqrt(n), not n^2; at production scale the cell count
+    * is a knob ([[graft.ops.Vectors.semanticDedup]]) — constant-size cells
+    * make the pair mass linear in n, the paper's k ∝ n regime. */
+  def s06SemanticDedup(s: SparkSession, d: String): DataFrame =
+    semanticDedupOf(s04Tagged(s, d), 0.45).orderBy("vec_id")
+
+  /** The s06 kernel over a tagged (vec_id, q, nrm, cell, ...) frame:
+    * within-cell near-twin pruning at an exact-cosine threshold. */
+  private[graft] def semanticDedupOf(tagged: DataFrame, threshold: Double): DataFrame = {
+    val slim = tagged.select("vec_id", "q", "nrm", "cell")
+    // the cell equi-join shuffles each row ONCE (with its vector); pairs
+    // form partition-locally and the rescore+filter stays in the join's
+    // codegen stage — only (vec_id) victim rows come out
+    val victims = slim.as("a").join(slim.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(expr(dotExpr("a.q", "b.q")).cast("double") /
+        (sqrt(col("a.nrm").cast("double")) * sqrt(col("b.nrm").cast("double"))), 6)
+        >= threshold)
+      .select(col("b.vec_id")).distinct()
+      .withColumn("pruned", lit(true))
+    slim.select("vec_id", "cell")
+      .join(victims, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("pruned").isNull.as("kept"))
+  }
+
+  val s06Sql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, $qEmbDuck AS qv FROM embeddings
+       |), elems AS (
+       |  SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x FROM q
+       |), norms AS (
+       |  SELECT vec_id, SUM(x * x) AS nrm FROM elems GROUP BY vec_id
+       |), cents AS (
+       |  SELECT vec_id AS cid, i, x FROM elems
+       |  WHERE vec_id < (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) FROM embeddings)
+       |), dists AS (
+       |  SELECT e.vec_id, c.cid, SUM((e.x - c.x) * (e.x - c.x)) AS d2
+       |  FROM elems e JOIN cents c ON e.i = c.i GROUP BY 1, 2
+       |), ranked_cells AS (
+       |  SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS crk
+       |  FROM dists
+       |), assign AS (
+       |  SELECT vec_id, cid AS cell FROM ranked_cells WHERE crk = 1
+       |), cand AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |), dots AS (
+       |  SELECT c.va, c.vb, SUM(ea.x * eb.x) AS dot
+       |  FROM cand c
+       |  JOIN elems ea ON ea.vec_id = c.va
+       |  JOIN elems eb ON eb.vec_id = c.vb AND ea.i = eb.i
+       |  GROUP BY 1, 2
+       |), victims AS (
+       |  SELECT DISTINCT d.vb AS vec_id FROM dots d
+       |  JOIN norms na ON d.va = na.vec_id
+       |  JOIN norms nb ON d.vb = nb.vec_id
+       |  WHERE ROUND(d.dot::DOUBLE / (sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)), 6) >= 0.45)
+       |SELECT a.vec_id, a.cell, (v.vec_id IS NULL) AS kept
+       |FROM assign a LEFT JOIN victims v ON a.vec_id = v.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
   val s04Sql: String =
     s"""WITH q AS (
        |  SELECT vec_id, $qEmbDuck AS qv FROM embeddings
@@ -516,6 +602,7 @@ object SimilarityOps {
     "s03_ann_lsh" -> s03AnnLsh _,
     "s04_ann_ivf" -> s04AnnIvf _,
     "s05_neardup_wide" -> s05NearDupWide _,
+    "s06_semantic_dedup" -> s06SemanticDedup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -524,5 +611,6 @@ object SimilarityOps {
     "s03_ann_lsh" -> s03Sql,
     "s04_ann_ivf" -> s04Sql,
     "s05_neardup_wide" -> s05Sql,
+    "s06_semantic_dedup" -> s06Sql,
   )
 }

@@ -63,6 +63,30 @@ class VectorsApiSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("semanticDedup == s06 under renamed columns") {
+    val api = Vectors.semanticDedup(spark, renamed,
+      idCol = "id", vecCol = "vec").orderBy("vec_id")
+    val gated = graft.queries.SimilarityOps.s06SemanticDedup(spark, d)
+    assert(api.columns.sameElements(gated.columns))
+    assert(api.exceptAll(gated).isEmpty && gated.exceptAll(api).isEmpty)
+  }
+
+  test("semanticDedup numCells knob: one cell prunes at least as much as sqrt(n) cells") {
+    // every pair is compared in the single-cell (exact-SemDeDup) limit, so
+    // its pruned set must contain the clustered run's — the knob trades
+    // exactly this recall for per-cell locality
+    def prunedIds(numCells: Long): Set[Long] =
+      Vectors.semanticDedup(spark, renamed, numCells = numCells,
+        idCol = "id", vecCol = "vec")
+        .filter(!col("kept")).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+    val clustered = prunedIds(0L)
+    val exact = prunedIds(1L)
+    assert(clustered.subsetOf(exact),
+      s"clustered pruned ${clustered.diff(exact)} that the exact limit kept")
+    assert(exact.nonEmpty, "single-cell run pruned nothing — fixture vacuous")
+  }
+
   test("cosineTopKFor scores a separate query table against the corpus") {
     import spark.implicits._
     // corpus of axis-aligned vectors; query = near-e0 -> top neighbor is id 0

@@ -93,6 +93,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join"), p)
   }
 
+  test("s06: within-cell pair join is an equi-join on cell, never a cross product") {
+    val p = plan(SimilarityOps.semanticDedupOf(
+      SimilarityOps.s04Tagged(spark, d), 0.45))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("d02: shingle candidate join is an equi-join, never a cross product") {
     // gate the lazy builder plans: the public query checkpoints eagerly, so
     // its own executedPlan is just the checkpoint scan

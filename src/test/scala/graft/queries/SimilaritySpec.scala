@@ -45,6 +45,47 @@ class SimilaritySpec extends AnyFunSuite {
     out.result()
   }
 
+  test("s06 semantic dedup equals the driver-side recompute exactly") {
+    // recompute the full rule with plain loops: sqrt(n) seed centroids,
+    // nearest cell by exact integer L2 (ties -> lower cid), then within a
+    // cell a vector is pruned iff a lower-id member has cosine >= 0.45
+    val vecs: Array[(Long, Array[Long])] = spark.read
+      .parquet(s"$d/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint)) as q")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    val numCells = math.ceil(math.sqrt(vecs.length.toDouble)).toLong
+    val cents = vecs.filter(_._1 < numCells)
+    def cellOf(v: Array[Long]): Long =
+      cents.map { case (cid, c) =>
+        var d2 = 0L; var k = 0
+        while (k < v.length) { val df = v(k) - c(k); d2 += df * df; k += 1 }
+        (d2, cid)
+      }.min._2
+    val cells = vecs.map { case (id, v) => id -> cellOf(v) }.toMap
+    val norms = vecs.map { case (id, v) => id -> v.map(x => x * x).sum }.toMap
+    val expected = vecs.map { case (id, v) =>
+      val pruned = vecs.exists { case (oid, ov) =>
+        oid < id && cells(oid) == cells(id) && {
+          var dot = 0L; var k = 0
+          while (k < v.length) { dot += v(k) * ov(k); k += 1 }
+          BigDecimal(dot.toDouble /
+            (math.sqrt(norms(id).toDouble) * math.sqrt(norms(oid).toDouble)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.45
+        }
+      }
+      (id, cells(id), !pruned)
+    }.toSet
+    val got = SimilarityOps.s06SemanticDedup(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == expected)
+    val prunedCount = expected.count(!_._3)
+    info(s"s06 pruned $prunedCount of ${vecs.length}")
+    assert(prunedCount > 0, "fixture produced no pruning — probe is vacuous")
+  }
+
   test("s02 precision is exact and recall vs brute force >= 0.85") {
     val truth = bruteForcePairs()
     assert(truth.nonEmpty, "fixture has no qualifying pairs — probe is vacuous")
