@@ -10,11 +10,19 @@ import org.apache.spark.sql.functions._
   *   (b) range-bucket each element by position (`ceil(count/maxRefs)` buckets)
   *       — deterministic range partitioning that preserves global order;
   *   (c) per-bucket ordered merge (groupByKey + in-bucket sort);
-  *   (d) final global merge of the few bucket results on the driver.
+  *   (d) a distributed TREE of bucket merges — each level groups
+  *       `maxRefsPerMerge` adjacent buckets and merges them in one task —
+  *       until one RefSet remains, which is all the driver ever receives.
   *
   * The tree fan-in (max_refs_per_merge, default 5 — transforms.py:446) bounds
   * the memory of any single merge, which is what lets this scale to millions
-  * of input files: no single task ever holds more than one bucket.
+  * of input files: no single task ever holds more than one bucket. Step (d)
+  * goes beyond the reference, whose final merge is all-to-one on a single
+  * worker (transforms.py:523-532): at ceil(n/5) bucket results that single
+  * merge is the scale ceiling, so here every level of the log5(n)-deep tree
+  * runs as a shuffle of metadata-sized RefSets and the merge CPU stays on
+  * executors. All levels execute in ONE job — the level count is derived
+  * from the already-known global count, no per-level action.
   */
 object CombineReferences {
 
@@ -40,17 +48,31 @@ object CombineReferences {
     }(Encoders.kryo[(Int, (Int, RefSet))])
 
     // (c) per-bucket ordered merge
-    val bucketMerged = bucketed
+    var level: Dataset[(Int, RefSet)] = bucketed
       .groupByKey(_._1)(Encoders.scalaInt)
       .mapGroups { (bucket, it) =>
         val sorted = it.toVector.sortBy(_._2._1)
         (bucket, RefSet.concatRefSets(sorted.map(_._2._2), sortDim, identicalDims))
       }(Encoders.kryo[(Int, RefSet)])
-      .collect()
 
-    // (d) global merge in bucket order
-    val ordered = bucketMerged.sortBy(_._1).map(_._2).toVector
-    RefSet.concatRefSets(ordered, sortDim, identicalDims)
+    // (d) distributed tree merge: collapse maxRefsPerMerge ADJACENT buckets
+    // per level (integer-divide the bucket id — adjacency preserves the
+    // global concat order), until at most one bucket remains. Level count
+    // comes from the static bucket bound, so the whole tree is one lazy
+    // plan executed by the final head(); concat is associative over
+    // order-preserved splits, which is what makes the hierarchy exact.
+    // bucketFor's float edge can emit bucket == numBuckets, hence the +1.
+    var remaining = math.ceil(gCount.toDouble / maxRefsPerMerge).toLong + 1
+    while (remaining > 1) {
+      level = level
+        .groupByKey(_._1 / maxRefsPerMerge)(Encoders.scalaInt)
+        .mapGroups { (parent, it) =>
+          val sorted = it.toVector.sortBy(_._1)
+          (parent, RefSet.concatRefSets(sorted.map(_._2), sortDim, identicalDims))
+        }(Encoders.kryo[(Int, RefSet)])
+      remaining = math.ceil(remaining.toDouble / maxRefsPerMerge).toLong
+    }
+    level.head()._2
   }
 
   /** transforms.py:479-521 verbatim semantics (incl. float bucket size). */

@@ -262,6 +262,35 @@ class KerchunkSpec extends AnyFunSuite {
     assert((0 until nt).forall(r => combined.refs.contains(s"foo/c/$r/0/0")))
   }
 
+  test("distributed tree merge over many buckets equals the flat ordered concat") {
+    // 23 single-step slabs at fan-in 3 -> 8+1 bucket ids -> a 3-level tree
+    // (9 -> 3 -> 1); input order scrambled to prove positions, not
+    // partitioning, carry the global order
+    val cube = GoldenCube.makeDs(23)
+    val dir = tmp()
+    val sets: Vector[RefSet] = GoldenCube.splitByTime(cube, 1).zipWithIndex
+      .map { case (f, i) =>
+        val p = s"$dir/deep_$i.zarr"
+        val g = ZarrGroup(p)
+        g.initGroup(f.attrs)
+        f.allVars.foreach { case (n, v) =>
+          g.createArray(n, v.shape, v.shape, v.dtype, v.attrs,
+            dimensionNames = Some(v.dims))
+          g.writeRegion(n, Vector.fill(v.data.ndim)(0), v.data)
+        }
+        RefSet.scanZarrGroup(p)
+      }
+    val indexed = sets.zipWithIndex
+      .map { case (rs, i) => (Index.of(timeDim -> Pos(i)), rs) }
+    val ds = spark.createDataset(indexed.reverse)(Encoders.kryo[(Index, RefSet)])
+      .repartition(4)
+    val combined = CombineReferences.combine(ds, Vector("time"),
+      Vector("lat", "lon"), maxRefsPerMerge = 3)
+    val flat = RefSet.concatRefSets(sets, "time", Vector("lat", "lon"))
+    // Ref.inline is Array[Byte] (reference equality) — compare canonically
+    assert(RefSet.toJson(combined) == RefSet.toJson(flat))
+  }
+
   test("concat re-keys chunk indexes along the concat axis") {
     val cube = GoldenCube.makeDs(4)
     val dir = tmp()
