@@ -111,6 +111,27 @@ object Media {
       outDim, rasterW)
   }
 
+  /** Perceptual hash (the m06 kernel over any payload column): the payload
+    * raster is box-resampled to 8×8 (exact integer area averaging), WHT-
+    * transformed (±1 integer weights — a DCT stand-in with no float
+    * divergence), and hashed by the signs of coefficients 1..60. Returns
+    * (doc_id, phash); equal hashes = perceptual duplicates — feed the
+    * result to a group-by/window for canonical selection, or join two
+    * corpora on phash for cross-corpus image dedup. Rows whose payload
+    * can't fill one full box partition, or with a null id, are dropped. */
+  def perceptualHash(df: DataFrame, idCol: String = "doc_id",
+                     bytesCol: String = "payload", outDim: Int = 8,
+                     rasterW: Int = 32): DataFrame = {
+    // outDim >= 8: the 60-bit hash reads WHT coefficients 1..60, which only
+    // exist when the transform has >= 64 points (outDim^2)
+    require(outDim >= 8 && rasterW >= outDim,
+      "need outDim >= 8 and rasterW >= outDim")
+    MultiModalOps.phashOf(
+      df.select(col(idCol).cast("long").as("doc_id"),
+        col(bytesCol).cast("binary").as("payload")),
+      outDim, rasterW)
+  }
+
   /** Feature-extraction stage (the m04 semantics over any payload column):
     * payload → fixed-width feature vector (array<bigint>, `dims` dims),
     * ready for the [[Vectors]] similarity operators. The extractor is a

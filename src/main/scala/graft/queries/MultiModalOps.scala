@@ -334,12 +334,128 @@ object MultiModalOps {
        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** m06: perceptual-hash image dedup — the multimodal twin of d01. Each
+    * payload raster is box-resampled to 8×8 (the EXACT m03 kernel
+    * arithmetic), transformed with a 64-point Walsh–Hadamard transform
+    * (the classic pHash recipe with WHT standing in for DCT: same
+    * frequency-decomposition role, but ±1 integer weights keep every
+    * coefficient EXACT across engines — no irrational cosine constants to
+    * diverge on), and hashed by the signs of coefficients 1..60 (DC
+    * skipped; 60 bits keeps the hash a positive BIGINT in both engines).
+    * Perceptually-identical images collide; docs sharing a hash form a
+    * duplicate group with the min doc_id canonical.
+    *
+    * Physical shape: ONE scan computes (doc_id, phash) inside the same
+    * mapPartitions kernel as the resample — no 64-coefficient explode, no
+    * pixel shuffle; the only shuffle is the group-by-hash window, which
+    * partitions by the 60-bit hash. At 100 TB this is resample cost + one
+    * metadata-thin shuffle. */
+  private val PhashBits = 60
+
+  private[graft] def phashOf(docs: DataFrame, outDim: Int,
+                             rasterW: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false)))
+    docs
+      .filter(col("doc_id").isNotNull &&
+        length(col("payload")) >= rasterW * outDim)
+      .mapPartitions { rows =>
+        val n = outDim * outDim
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]]("payload")
+          val h0 = bytes.length / rasterW
+          val sums = Array.ofDim[Long](n)
+          val counts = Array.ofDim[Long](n)
+          var yy = 0
+          while (yy < h0) {
+            val y = yy * outDim / h0
+            var xx = 0
+            while (xx < rasterW) {
+              val x = xx * outDim / rasterW
+              val v = bytes(yy * rasterW + xx) & 0xFF
+              sums(y * outDim + x) += v
+              counts(y * outDim + x) += 1
+              xx += 1
+            }
+            yy += 1
+          }
+          val px = Array.tabulate(n)(k => sums(k) / counts(k))
+          var hash = 0L
+          var k = 1
+          while (k <= PhashBits) {
+            var c = 0L
+            var i = 0
+            while (i < n) {
+              if (java.lang.Long.bitCount((k & i).toLong) % 2 == 0) c += px(i)
+              else c -= px(i)
+              i += 1
+            }
+            if (c > 0) hash |= 1L << (k - 1)
+            k += 1
+          }
+          Row(id, hash)
+        }
+      }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+  }
+
+  def m06PhashDedup(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("phash")
+    phashOf(documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload")),
+      OutDim, RasterW)
+      .withColumn("canon_id", min("doc_id").over(w))
+      .withColumn("is_dup", col("doc_id") =!= col("canon_id"))
+      .orderBy("doc_id")
+  }
+
+  /** The oracle rebuilds the identical pixels (m03's box filter), then the
+    * WHT as a join against the ±1 sign matrix H(k,i) = (-1)^popcount(k&i),
+    * emitted as literals. */
+  val m06Sql: String = {
+    val hadRows = (1 to PhashBits).flatMap { k =>
+      (0 until OutDim * OutDim).map { i =>
+        val s = if (java.lang.Long.bitCount((k & i).toLong) % 2 == 0) 1 else -1
+        s"($k, $i, $s)"
+      }
+    }.mkString(",\n    ")
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) // $RasterW AS h0 FROM documents
+       |  WHERE length(text) >= ${RasterW * OutDim}
+       |), px AS (
+       |  SELECT doc_id, h0, unnest(range(0, h0 * $RasterW)) AS i, text FROM d
+       |), vals AS (
+       |  SELECT doc_id, h0, i // $RasterW AS yy, i % $RasterW AS xx,
+       |    unicode(substr(text, (i + 1)::INT, 1)) AS v
+       |  FROM px
+       |), pixels AS (
+       |  SELECT doc_id,
+       |    ((yy * $OutDim) // h0) * $OutDim + (xx // 4) AS i,
+       |    SUM(v) // COUNT(*) AS px
+       |  FROM vals GROUP BY 1, 2
+       |), had(k, i, s) AS (
+       |  VALUES $hadRows
+       |), coefs AS (
+       |  SELECT p.doc_id, h.k, SUM(h.s * p.px) AS c
+       |  FROM pixels p JOIN had h ON p.i = h.i GROUP BY 1, 2
+       |), hashes AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN c > 0 THEN (1::BIGINT << (k - 1)) ELSE 0 END) AS BIGINT) AS phash
+       |  FROM coefs GROUP BY doc_id)
+       |SELECT doc_id, phash,
+       |  MIN(doc_id) OVER (PARTITION BY phash) AS canon_id,
+       |  doc_id <> MIN(doc_id) OVER (PARTITION BY phash) AS is_dup
+       |FROM hashes ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_image_decode" -> m01ImageDecode _,
     "m02_frame_sample" -> m02FrameSample _,
     "m03_resize" -> m03Resize _,
     "m04_embed_stub" -> m04EmbedStub _,
     "m05_wav_decode" -> m05WavDecode _,
+    "m06_phash_dedup" -> m06PhashDedup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -348,5 +464,6 @@ object MultiModalOps {
     "m03_resize" -> m03Sql,
     "m04_embed_stub" -> m04Sql,
     "m05_wav_decode" -> m05Sql,
+    "m06_phash_dedup" -> m06Sql,
   )
 }

@@ -99,6 +99,50 @@ class MediaApiSpec extends AnyFunSuite {
     assert(api.exceptAll(gated).isEmpty && gated.exceptAll(api).isEmpty)
   }
 
+  test("perceptualHash over a payload column == m06 hashes on the corpus") {
+    val docs = graft.queries.Tables.documents(spark, d)
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("bytes"))
+    val api = Media.perceptualHash(docs, "id", "bytes").orderBy("doc_id")
+    val gated = graft.queries.MultiModalOps.m06PhashDedup(spark, d)
+      .select("doc_id", "phash")
+    assert(api.columns.sameElements(gated.columns))
+    assert(api.exceptAll(gated).isEmpty && gated.exceptAll(api).isEmpty)
+  }
+
+  test("perceptualHash kernel equals a driver-side resample+WHT recompute") {
+    import spark.implicits._
+    // deterministic pseudo-random payloads, various raster heights
+    val payloads: Seq[(Long, Array[Byte])] = (0L until 40L).map { id =>
+      val len = 256 + (id * 97 % 512).toInt
+      (id, Array.tabulate(len)(i => ((id * 31 + i * 17 + i * i % 251) % 256).toByte))
+    }
+    def refHash(bytes: Array[Byte]): Long = {
+      val h0 = bytes.length / 32
+      val sums = Array.ofDim[Long](64); val counts = Array.ofDim[Long](64)
+      for (yy <- 0 until h0; xx <- 0 until 32) {
+        val k = (yy * 8 / h0) * 8 + xx / 4
+        sums(k) += bytes(yy * 32 + xx) & 0xFF; counts(k) += 1
+      }
+      val px = Array.tabulate(64)(k => sums(k) / counts(k))
+      (1 to 60).foldLeft(0L) { (acc, k) =>
+        val c = (0 until 64).map(i =>
+          if (java.lang.Long.bitCount((k & i).toLong) % 2 == 0) px(i) else -px(i)).sum
+        if (c > 0) acc | (1L << (k - 1)) else acc
+      }
+    }
+    val got = Media.perceptualHash(payloads.toDF("id", "bytes"), "id", "bytes")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    payloads.foreach { case (id, bytes) =>
+      assert(got(id) == refHash(bytes), s"doc $id")
+    }
+    // identical payloads collide regardless of id
+    val twin = Seq((100L, payloads.head._2), (200L, payloads.head._2))
+      .toDF("id", "bytes")
+    val twinHashes = Media.perceptualHash(twin, "id", "bytes")
+      .select("phash").collect().map(_.getLong(0))
+    assert(twinHashes.distinct.length == 1)
+  }
+
   test("embedStub over a payload column == m04 features on the corpus") {
     val docs = graft.queries.Tables.documents(spark, d)
       .select(col("doc_id").as("id"), col("text").cast("binary").as("bytes"))
