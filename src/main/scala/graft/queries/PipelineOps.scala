@@ -202,13 +202,142 @@ object PipelineOps {
        |WHERE d.source = '$nb' ORDER BY d.doc_id""".stripMargin
   }
 
+  /** p03: the multimodal admission pipeline — the media twin of p01,
+    * composing the gated m06 and s06 kernels into ONE declarative plan:
+    *
+    *   perceptual dedup (WHT pHash over the payload raster; docs whose
+    *   payload can't fill a full raster skip the stage, not the corpus)
+    *     → semantic dedup (IVF-cell near-twin pruning over the doc's
+    *       embedding, where one exists — vec_id shares the doc_id space)
+    *     → per-source admission accounting.
+    *
+    * Physical shape: one payload scan (the phash mapPartitions kernel) +
+    * one hash-partitioned window, one centroid-broadcast embedding scan +
+    * one cell equi-join, two thin left joins back onto documents, one
+    * final rollup. No collect, no UDF, no all-pairs anywhere — the same
+    * per-stage drop accounting p01 surfaces for text. */
+  def p03MediaPipeline(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("phash")
+    val phashVerdicts = MultiModalOps.phashOf(
+        documents(s, d).select(col("doc_id"),
+          col("text").cast("binary").as("payload")), 8, 32)
+      .withColumn("phash_dup",
+        col("doc_id") =!= min("doc_id").over(w))
+      .select("doc_id", "phash_dup")
+    val semVerdicts = SimilarityOps.semanticDedupOf(
+        SimilarityOps.s04Tagged(s, d), 0.45)
+      .select(col("vec_id").as("doc_id"), (!col("kept")).as("sem_pruned"))
+    documents(s, d).select("doc_id", "source")
+      .join(phashVerdicts, Seq("doc_id"), "left")
+      .join(semVerdicts, Seq("doc_id"), "left")
+      .withColumn("p_dup", coalesce(col("phash_dup"), lit(false)))
+      .withColumn("s_pruned", coalesce(col("sem_pruned"), lit(false)))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("p_dup"), 1L).otherwise(0L)).as("n_phash_dropped"),
+        sum(when(!col("p_dup") && col("s_pruned"), 1L).otherwise(0L))
+          .as("n_sem_dropped"),
+        sum(when(!col("p_dup") && !col("s_pruned"), 1L).otherwise(0L))
+          .as("n_admitted"))
+      .orderBy("source")
+  }
+
+  /** Oracle: the m06 pixel/WHT chain + the s06 cell/prune chain, composed
+    * (CTE names prefixed to keep the two sub-oracles disjoint). */
+  val p03Sql: String = {
+    val hadRows = (1 to 60).flatMap { k =>
+      (0 until 64).map { i =>
+        val sgn = if (java.lang.Long.bitCount((k & i).toLong) % 2 == 0) 1 else -1
+        s"($k, $i, $sgn)"
+      }
+    }.mkString(",\n    ")
+    s"""WITH ph_d AS (
+       |  SELECT doc_id, text, length(text) // 32 AS h0 FROM documents
+       |  WHERE length(text) >= 256
+       |), ph_px AS (
+       |  SELECT doc_id, h0, unnest(range(0, h0 * 32)) AS i, text FROM ph_d
+       |), ph_vals AS (
+       |  SELECT doc_id, h0, i // 32 AS yy, i % 32 AS xx,
+       |    unicode(substr(text, (i + 1)::INT, 1)) AS v
+       |  FROM ph_px
+       |), ph_pixels AS (
+       |  SELECT doc_id, ((yy * 8) // h0) * 8 + (xx // 4) AS i,
+       |    SUM(v) // COUNT(*) AS px
+       |  FROM ph_vals GROUP BY 1, 2
+       |), ph_had(k, i, s) AS (
+       |  VALUES $hadRows
+       |), ph_coefs AS (
+       |  SELECT p.doc_id, h.k, SUM(h.s * p.px) AS c
+       |  FROM ph_pixels p JOIN ph_had h ON p.i = h.i GROUP BY 1, 2
+       |), ph_hashes AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN c > 0 THEN (1::BIGINT << (k - 1)) ELSE 0 END) AS BIGINT) AS phash
+       |  FROM ph_coefs GROUP BY doc_id
+       |), ph_verdicts AS (
+       |  SELECT doc_id,
+       |    doc_id <> MIN(doc_id) OVER (PARTITION BY phash) AS phash_dup
+       |  FROM ph_hashes
+       |), se_q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |), se_elems AS (
+       |  SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x FROM se_q
+       |), se_norms AS (
+       |  SELECT vec_id, SUM(x * x) AS nrm FROM se_elems GROUP BY vec_id
+       |), se_cents AS (
+       |  SELECT vec_id AS cid, i, x FROM se_elems
+       |  WHERE vec_id < (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) FROM embeddings)
+       |), se_dists AS (
+       |  SELECT e.vec_id, c.cid, SUM((e.x - c.x) * (e.x - c.x)) AS d2
+       |  FROM se_elems e JOIN se_cents c ON e.i = c.i GROUP BY 1, 2
+       |), se_ranked AS (
+       |  SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS crk
+       |  FROM se_dists
+       |), se_assign AS (
+       |  SELECT vec_id, cid AS cell FROM se_ranked WHERE crk = 1
+       |), se_cand AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM se_assign a JOIN se_assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |), se_dots AS (
+       |  SELECT c.va, c.vb, SUM(ea.x * eb.x) AS dot
+       |  FROM se_cand c
+       |  JOIN se_elems ea ON ea.vec_id = c.va
+       |  JOIN se_elems eb ON eb.vec_id = c.vb AND ea.i = eb.i
+       |  GROUP BY 1, 2
+       |), se_victims AS (
+       |  SELECT DISTINCT d.vb AS vec_id FROM se_dots d
+       |  JOIN se_norms na ON d.va = na.vec_id
+       |  JOIN se_norms nb ON d.vb = nb.vec_id
+       |  WHERE ROUND(d.dot::DOUBLE / (sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)), 6) >= 0.45
+       |), flags AS (
+       |  SELECT doc.doc_id, doc.source,
+       |    COALESCE(pv.phash_dup, FALSE) AS p_dup,
+       |    (se.vec_id IS NOT NULL AND sv.vec_id IS NOT NULL) AS s_pruned
+       |  FROM documents doc
+       |  LEFT JOIN ph_verdicts pv ON doc.doc_id = pv.doc_id
+       |  LEFT JOIN se_q se ON doc.doc_id = se.vec_id
+       |  LEFT JOIN se_victims sv ON doc.doc_id = sv.vec_id)
+       |SELECT source,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN p_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_phash_dropped,
+       |  CAST(SUM(CASE WHEN NOT p_dup AND s_pruned THEN 1 ELSE 0 END) AS BIGINT) AS n_sem_dropped,
+       |  CAST(SUM(CASE WHEN NOT p_dup AND NOT s_pruned THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+       |FROM flags GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_corpus_pipeline" -> p01CorpusPipeline _,
     "p02_incremental_update" -> p02IncrementalUpdate _,
+    "p03_media_pipeline" -> p03MediaPipeline _,
   )
 
   val oracles: Map[String, String] = Map(
     "p01_corpus_pipeline" -> p01Sql,
     "p02_incremental_update" -> p02Sql,
+    "p03_media_pipeline" -> p03Sql,
   )
 }
