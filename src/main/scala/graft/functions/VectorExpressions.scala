@@ -232,6 +232,8 @@ object GraftFunctions {
     "normsq_i64" -> (args => NormSqI64(args.head)),
     "sign_bands_i64" -> (args => SignBandsI64(args(0),
       intArg(args(1), "sign_bands_i64"), intArg(args(2), "sign_bands_i64"))),
+    "wht_phash" -> (args => WhtPhash(args(0),
+      intArg(args(1), "wht_phash"), intArg(args(2), "wht_phash"))),
     "collect_list_capped" -> (args =>
       CollectListCappedI64(args(0), args(1)).toAggregateExpression()))
 

@@ -354,50 +354,17 @@ object MultiModalOps {
 
   private[graft] def phashOf(docs: DataFrame, outDim: Int,
                              rasterW: Int): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("phash", LongType, nullable = false)))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // the codegen'd wht_phash expression keeps scan -> hash in ONE
+    // whole-stage-codegen span (the prior mapPartitions kernel was a
+    // codegen barrier); the length filter makes the NULL defensive arm
+    // unreachable here, so phash is non-null downstream
     docs
       .filter(col("doc_id").isNotNull &&
         length(col("payload")) >= rasterW * outDim)
-      .mapPartitions { rows =>
-        val n = outDim * outDim
-        rows.map { r =>
-          val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]]("payload")
-          val h0 = bytes.length / rasterW
-          val sums = Array.ofDim[Long](n)
-          val counts = Array.ofDim[Long](n)
-          var yy = 0
-          while (yy < h0) {
-            val y = yy * outDim / h0
-            var xx = 0
-            while (xx < rasterW) {
-              val x = xx * outDim / rasterW
-              val v = bytes(yy * rasterW + xx) & 0xFF
-              sums(y * outDim + x) += v
-              counts(y * outDim + x) += 1
-              xx += 1
-            }
-            yy += 1
-          }
-          val px = Array.tabulate(n)(k => sums(k) / counts(k))
-          var hash = 0L
-          var k = 1
-          while (k <= PhashBits) {
-            var c = 0L
-            var i = 0
-            while (i < n) {
-              if (java.lang.Long.bitCount((k & i).toLong) % 2 == 0) c += px(i)
-              else c -= px(i)
-              i += 1
-            }
-            if (c > 0) hash |= 1L << (k - 1)
-            k += 1
-          }
-          Row(id, hash)
-        }
-      }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+      .select(col("doc_id"),
+        call_function("wht_phash", col("payload"),
+          lit(outDim), lit(rasterW)).as("phash"))
   }
 
   def m06PhashDedup(s: SparkSession, d: String): DataFrame = {

@@ -101,6 +101,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join"), p)
   }
 
+  test("m06/p03: phash is a codegen'd expression, not a mapPartitions barrier") {
+    val p6 = plan(MultiModalOps.m06PhashDedup(spark, d))
+    // a mapPartitions kernel would show as MapPartitions+SerializeFromObject
+    assert(!p6.contains("MapPartitions"), p6)
+    assert(p6.contains("wht_phash"), p6)
+    val p3 = plan(PipelineOps.p03MediaPipeline(spark, d))
+    assert(!p3.contains("CartesianProduct") &&
+      !p3.contains("BroadcastNestedLoopJoin"), p3)
+  }
+
   test("d02: shingle candidate join is an equi-join, never a cross product") {
     // gate the lazy builder plans: the public query checkpoints eagerly, so
     // its own executedPlan is just the checkpoint scan
