@@ -117,6 +117,14 @@ object HDF5 {
     def close(): Unit = ch.close()
 
     private def readAt(pos: Long, len: Int): ByteBuffer = {
+      // the central corruption guard: every structure walk allocates here,
+      // so a corrupt offset/length field (negative, or pointing past EOF)
+      // becomes a named error instead of a NegativeArraySizeException or a
+      // multi-GB allocation amplified from a few corrupt header bytes
+      if (len < 0 || pos < 0 || pos + len > ch.size())
+        throw new IllegalArgumentException(
+          s"$path: corrupt HDF5 structure — range [$pos, $pos+$len) " +
+            s"outside file of ${ch.size()} bytes")
       val buf = ByteBuffer.allocate(len).order(ByteOrder.LITTLE_ENDIAN)
       var off = 0L
       while (buf.hasRemaining) {
@@ -428,6 +436,8 @@ object HDF5 {
         case 8 => b.getLong(p)
       }
       p += lenBytes
+      require(nameLen >= 0 && nameLen <= b.limit() - p,
+        s"corrupt link message: name length $nameLen with ${b.limit() - p} bytes left")
       val nameBytes = new Array[Byte](nameLen.toInt)
       b.position(p); b.get(nameBytes); b.position(0)
       p += nameLen.toInt
@@ -447,6 +457,9 @@ object HDF5 {
       while (p + 16 <= size) {
         val idx = buf.getShort(p) & 0xFFFF
         val objSize = buf.getLong(p + 8)
+        require(objSize >= 0 && objSize <= buf.limit() - p - 16,
+          s"corrupt global heap: object size $objSize with " +
+            s"${buf.limit() - p - 16} bytes left")
         if (idx == index) {
           val out = new Array[Byte](objSize.toInt)
           buf.position(p + 16); buf.get(out)
@@ -462,9 +475,22 @@ object HDF5 {
 
     private def decodeAttrValue(dtype: TypeInfo, dims: Vector[Int],
                                 data: ByteBuffer): (AttrValue, Vector[Long]) = {
-      val n = if (dims.isEmpty) 1 else dims.product
+      // overflow-proof element count, bounded by the message body: every
+      // attribute element occupies >= 1 body byte in all decoded layouts
+      // (vlen records are 16) — a corrupt dataspace fails by name here
+      // instead of reaching an allocation or a 10^8-element loop
+      val nL = if (dims.isEmpty) 1L
+        else dims.foldLeft(1L) { (a, d) =>
+          if (d < 0 || a > Int.MaxValue) Long.MaxValue else a * d
+        }
+      require(nL >= 0 && nL <= data.limit().toLong.max(1L),
+        s"corrupt attribute dataspace: ${dims.mkString("x")} elements " +
+          s"in a ${data.limit()}-byte body")
+      val n = nL.toInt
       dtype match {
         case StringType(sz) =>
+          require(sz >= 0 && sz.toLong * n <= data.limit(),
+            s"corrupt attribute: ${sz}x$n string bytes in ${data.limit()}-byte body")
           val bytes = new Array[Byte](sz * n)
           data.position(0); data.get(bytes); data.position(0)
           (AttrValue.AStr(new String(bytes, "UTF-8").takeWhile(_ != 0)), Vector.empty)
@@ -658,7 +684,7 @@ object HDF5 {
           case 32015 => // zstd (hdf5plugin): chunk is one raw zstd frame
             data = com.github.luben.zstd.Zstd.decompress(data, chunkBytes)
           case 32001 => // blosc (hdf5plugin): one self-contained blosc1 frame
-            data = graft.zarr.Blosc.decompress(data)
+            data = graft.zarr.Blosc.decompress(data, chunkBytes)
           case 32004 =>
             // lz4 (registered HDF5 filter): big-endian 8-byte original
             // size + 4-byte block size, then per block a 4-byte BE
@@ -667,8 +693,11 @@ object HDF5 {
             val bb = java.nio.ByteBuffer.wrap(data)
               .order(java.nio.ByteOrder.BIG_ENDIAN)
             val origSize = bb.getLong()
-            require(origSize >= 0 && origSize <= Int.MaxValue,
-              s"lz4 chunk header claims $origSize bytes (corrupt)")
+            // HDF5 chunks are always full-size, so the claimed original
+            // size is bounded by the dataset's chunk byte count
+            require(origSize >= 0 && origSize <= chunkBytes,
+              s"lz4 chunk header claims $origSize bytes " +
+                s"(chunk is $chunkBytes; corrupt)")
             val blockSize0 = bb.getInt()
             val blockSize =
               if (blockSize0 <= 0) origSize.toInt else blockSize0
@@ -679,7 +708,8 @@ object HDF5 {
             while (op < origSize) {
               val n = math.min(blockSize, origSize.toInt - op)
               val csize = bb.getInt()
-              require(csize >= 0, s"lz4 block size $csize (corrupt)")
+              require(csize >= 0 && csize <= bb.remaining(),
+                s"lz4 block size $csize with ${bb.remaining()} bytes left (corrupt)")
               if (csize == n) bb.get(out, op, n) // stored raw
               else {
                 val src = new Array[Byte](csize); bb.get(src)
@@ -752,7 +782,19 @@ object HDF5 {
       val t = obj.dtype.getOrElse(
         throw new IllegalArgumentException("object has no datatype (a group?)"))
       val dt = engineDType(t)
-      val n = if (obj.dims.isEmpty) 1 else obj.dims.product
+      // overflow-proof element count with an in-memory-decode ceiling: a
+      // corrupt (or legitimately huge) dataspace fails by name instead of
+      // a negative-size or multi-GB allocation — the scan path
+      // (RefSet.scanHDF5) is the route for data that big
+      val nL = obj.dims.foldLeft(1L) { (a, d) =>
+        require(d >= 0, s"corrupt dataspace dimension $d")
+        if (a > Int.MaxValue) Long.MaxValue else a * d
+      }
+      require(nL <= Int.MaxValue && nL * t.size <= (1L << 30),
+        s"dataset claims ${obj.dims.mkString("x")} elements of ${t.size} B — " +
+          "too large for in-memory decode (or corrupt); use the kerchunk " +
+          "scan path instead")
+      val n = nL.toInt
       val shape = obj.dims
       obj.layout.get match {
         case Compact(data) =>
@@ -761,10 +803,19 @@ object HDF5 {
           if (addr == Undefined) allocWithFill(obj, t, dt, shape) // never written
           else NDArray(dt, shape, decodeElems(readRange(addr, size), t, n))
         case ck @ Chunked(_, chunkDims, elemSize) =>
+          // same ceiling for the chunk geometry: corrupt chunk dims must
+          // not reach an allocation as a negative/overflowed product
+          val cnL = chunkDims.foldLeft(1L) { (a, d) =>
+            require(d >= 0, s"corrupt chunk dimension $d")
+            if (a > Int.MaxValue) Long.MaxValue else a * d
+          }
+          require(cnL <= Int.MaxValue && cnL * elemSize <= (1L << 30),
+            s"chunk claims ${chunkDims.mkString("x")} elements of $elemSize B" +
+              " — too large for in-memory decode (or corrupt)")
           val out = allocWithFill(obj, t, dt, shape)
           chunkRefs(ck).foreach { ref =>
             val raw = readRange(ref.addr, ref.size)
-            val cn = chunkDims.product
+            val cn = cnL.toInt
             val bytes = defilter(raw, obj.filters, ref.filterMask, elemSize,
               cn * elemSize)
             val chunk = NDArray(dt, chunkDims, decodeElems(bytes, t, cn))

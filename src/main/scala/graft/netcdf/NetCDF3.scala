@@ -84,12 +84,23 @@ object NetCDF3 {
 
   // ---------------------------------------------------------------- parse
 
-  private final class HeaderReader(in: DataInputStream) {
+  private final class HeaderReader(in: DataInputStream, fileSize: Long) {
     def u32(): Long = in.readInt().toLong & 0xFFFFFFFFL
     def i32(): Int = in.readInt()
 
+    /** Corruption guard: any in-header length/count field is bounded by
+      * the file size — a corrupt field must become a named error, not a
+      * NegativeArraySizeException or a multi-GB allocation amplified from
+      * four corrupt bytes. */
+    def checkedCount(n: Int, what: String): Int = {
+      if (n < 0 || n > fileSize)
+        throw new IllegalArgumentException(
+          s"corrupt netcdf3 header: $what = $n in a $fileSize-byte file")
+      n
+    }
+
     def name(): String = {
-      val len = i32()
+      val len = checkedCount(i32(), "name length")
       val b = new Array[Byte](len)
       in.readFully(b)
       skip(pad4(len.toLong) - len)
@@ -107,7 +118,8 @@ object NetCDF3 {
 
     /** One attribute value list -> AttrValue (char -> string; single
       * numeric -> scalar; multi -> list). */
-    def attrValue(ncType: Int, nelems: Int): AttrValue = {
+    def attrValue(ncType: Int, nelems0: Int): AttrValue = {
+      val nelems = checkedCount(nelems0, "attribute value count")
       val vals: Vector[AttrValue] = ncType match {
         case NcChar =>
           val b = new Array[Byte](nelems)
@@ -132,7 +144,7 @@ object NetCDF3 {
     }
 
     def attrList(): Attrs = {
-      val tag = i32(); val n = i32()
+      val tag = i32(); val n = checkedCount(i32(), "attribute count")
       require(tag == 0x0C || (tag == 0 && n == 0), s"bad att_list tag $tag")
       (0 until n).map { _ =>
         val nm = name()
@@ -156,22 +168,33 @@ object NetCDF3 {
       require(version == 1 || version == 2,
         s"Unsupported NetCDF variant $version (CDF-5 is not classic; " +
           "like the scipy engine, only CDF-1/CDF-2 are supported)")
-      val r = new HeaderReader(in)
+      val r = new HeaderReader(in, Files.size(Paths.get(path)))
       val numrecsRaw = r.u32()
       // dim_list
-      val dtag = r.i32(); val ndims = r.i32()
+      val dtag = r.i32(); val ndims = r.checkedCount(r.i32(), "dimension count")
       require(dtag == 0x0A || (dtag == 0 && ndims == 0), s"bad dim_list tag $dtag")
       val dims = (0 until ndims).map { _ =>
-        val nm = r.name(); NcDim(nm, r.i32())
+        val nm = r.name()
+        val len = r.i32()
+        // a dim is bounded only below: an unused dim may legally exceed the
+        // file size (per-variable byte claims are bounded at read time)
+        require(len >= 0, s"corrupt netcdf3 header: dimension '$nm' length $len")
+        NcDim(nm, len)
       }.toVector
       val gatts = r.attrList()
       // var_list
-      val vtag = r.i32(); val nvars = r.i32()
+      val vtag = r.i32(); val nvars = r.checkedCount(r.i32(), "variable count")
       require(vtag == 0x0B || (vtag == 0 && nvars == 0), s"bad var_list tag $vtag")
       val vars = (0 until nvars).map { _ =>
         val nm = r.name()
-        val nd = r.i32()
-        val dimids = (0 until nd).map(_ => r.i32()).toVector
+        val nd = r.checkedCount(r.i32(), "variable rank")
+        val dimids = (0 until nd).map { _ =>
+          val id = r.i32()
+          require(id >= 0 && id < dims.length,
+            s"corrupt netcdf3 header: variable '$nm' references dim $id " +
+              s"of ${dims.length}")
+          id
+        }.toVector
         val vatts = r.attrList()
         val ncType = r.i32()
         r.u32() // vsize — redundant, recomputed from shape (spec note)
@@ -186,6 +209,8 @@ object NetCDF3 {
           case Vector() => 0
           case rvs =>
             val recStart = rvs.map(_.begin).min
+            require(hdr0.recsize > 0,
+              s"corrupt netcdf3 header: zero-size records with STREAMING numrecs")
             ((Files.size(Paths.get(path)) - recStart) / hdr0.recsize).toInt
         }
       hdr0.copy(numrecs = numrecs)
@@ -267,6 +292,12 @@ object NetCDF3 {
         require(totalBytes <= Int.MaxValue,
           s"variable ${v.name} is $totalBytes bytes — too large for in-memory " +
             "decode; use the kerchunk scan path (RefSet.scanNetCDF3) instead")
+        // classic format stores data uncompressed, so no variable can hold
+        // more bytes than the file — a corrupt dim length fails by name
+        // here instead of allocating gigabytes and EOF-ing
+        require(totalBytes <= Files.size(Paths.get(path)),
+          s"corrupt netcdf3 header: variable ${v.name} claims $totalBytes " +
+            s"bytes in a ${Files.size(Paths.get(path))}-byte file")
         val raw: Array[Byte] =
           if (!v.isRecord(hdr.dims)) readFully(ch, v.begin, slab.toInt)
           else {

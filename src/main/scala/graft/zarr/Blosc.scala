@@ -320,7 +320,10 @@ object Blosc {
     out.array()
   }
 
-  def decompress(src: Array[Byte]): Array[Byte] = {
+  /** `maxOut` bounds the claimed decompressed size: a corrupt 4-byte
+    * nbytes field must not amplify a 16-byte header into a 2 GB
+    * allocation — callers that know the expected chunk size pass it. */
+  def decompress(src: Array[Byte], maxOut: Int = Int.MaxValue): Array[Byte] = {
     require(src.length >= 16, s"blosc chunk too short (${src.length} bytes)")
     val bb = ByteBuffer.wrap(src).order(ByteOrder.LITTLE_ENDIAN)
     val flags = src(2) & 0xff
@@ -330,6 +333,8 @@ object Blosc {
     val cbytes = bb.getInt(12)
     require(nbytes >= 0 && cbytes <= src.length,
       s"corrupt blosc header: nbytes=$nbytes cbytes=$cbytes len=${src.length}")
+    require(nbytes <= maxOut,
+      s"corrupt blosc header: claimed size $nbytes exceeds expected $maxOut")
     if ((flags & 2) != 0) { // memcpy'ed
       require(16 + nbytes <= src.length, // copyOfRange would zero-pad
         s"truncated blosc memcpy chunk: ${src.length} bytes for $nbytes + header")

@@ -1163,7 +1163,11 @@ final class ZarrGroup(val root: String,
         s"grib2 message grid ${values.length} != chunk ${NDArray.sizeOf(shape)}")
       return NDArray(DType.F8, shape, values)
     }
-    val bytes = if (blosc.isDefined) Blosc.decompress(raw)
+    // cap: element count × widest intermediate dtype (8 B) + header slack —
+    // numcodecs filter stages may widen elements, never multiply them
+    val maxChunkBytes =
+      (NDArray.sizeOf(shape).toLong * 8 + 16).min(Int.MaxValue.toLong).toInt
+    val bytes = if (blosc.isDefined) Blosc.decompress(raw, maxChunkBytes)
     else (gzipLevel, zlibLevel, zstdLevel) match {
       case (Some(_), _, _) =>
         val in = new java.util.zip.GZIPInputStream(

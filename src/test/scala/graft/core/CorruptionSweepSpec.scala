@@ -1,0 +1,129 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+import graft.netcdf.NetCDF3
+import graft.hdf5.{HDF5, HDF5Writer}
+
+/** Corruption sweep over the binary readers: flip bytes across the header
+  * region of valid fixtures and require every failure to be a DIAGNOSABLE
+  * error — never a crash-class one. The properties this pins:
+  *
+  *   - no NegativeArraySizeException (a negative length field reached an
+  *     allocation unguarded);
+  *   - no OutOfMemoryError (a corrupt length field amplified a few bytes
+  *     into a multi-GB allocation — the million-file-pass killer);
+  *   - no NullPointerException / StackOverflowError.
+  *
+  * Bounded failures (named requires, EOF/IO errors, buffer underflows,
+  * index errors on already-bounded buffers) are acceptable: a corrupt
+  * object must fail fast and diagnosably, not destabilize the executor.
+  */
+class CorruptionSweepSpec extends AnyFunSuite {
+
+  private def tmpDir = Files.createTempDirectory("graft_corrupt").toString
+
+  private val Forbidden: Set[Class[_]] = Set(
+    classOf[NegativeArraySizeException],
+    classOf[OutOfMemoryError],
+    classOf[StackOverflowError],
+    classOf[NullPointerException])
+
+  /** Run `read` over every single-byte corruption of positions
+    * [0, sweepLen) × values, plus a strided sample of the remaining file
+    * (deeper structures: chunk B-trees, heaps, data planes); fail on any
+    * forbidden throwable class. */
+  private def sweep(orig: Array[Byte], sweepLen: Int,
+                    read: Array[Byte] => Unit): (Int, Int) = {
+    val values = Array(0x00.toByte, 0xFF.toByte, 0x7F.toByte)
+    val dense = math.min(sweepLen, orig.length)
+    val positions = (0 until dense) ++ (dense until orig.length by 13)
+    var ok = 0; var failed = 0
+    val it = positions.iterator
+    while (it.hasNext) {
+      val pos = it.next()
+      var vi = 0
+      while (vi < values.length) {
+        if (orig(pos) != values(vi)) {
+          val mutated = orig.clone()
+          mutated(pos) = values(vi)
+          try { read(mutated); ok += 1 }
+          catch {
+            case t: Throwable =>
+              if (Forbidden.contains(t.getClass)) t.printStackTrace()
+              assert(!Forbidden.contains(t.getClass),
+                s"byte $pos := 0x${"%02X".format(values(vi))} escaped as " +
+                  s"${t.getClass.getSimpleName}: ${t.getMessage}")
+              failed += 1
+          }
+        }
+        vi += 1
+      }
+    }
+    (ok, failed)
+  }
+
+  private def smallCube(): Fragment = {
+    val nt = 3; val ny = 4; val nx = 5
+    Fragment(
+      dims = Map("time" -> nt, "lat" -> ny, "lon" -> nx),
+      coords = Map(
+        "time" -> Variable(Vector("time"),
+          NDArray(DType.I4, Vector(nt), (0 until nt).toArray), Map.empty),
+        "lat" -> Variable(Vector("lat"),
+          NDArray(DType.F8, Vector(ny), (0 until ny).map(_ * 1.5).toArray)),
+        "lon" -> Variable(Vector("lon"),
+          NDArray(DType.F4, Vector(nx), (0 until nx).map(_ * 2.0f).toArray))),
+      dataVars = Map(
+        "foo" -> Variable(Vector("time", "lat", "lon"),
+          NDArray(DType.F8, Vector(nt, ny, nx),
+            Array.tabulate(nt * ny * nx)(_ * 0.25)),
+          Map("long_name" -> AttrValue("Fantastic Foo")))),
+      attrs = Map("conventions" -> AttrValue("CF 1.6")))
+  }
+
+  test("netcdf3: single-byte header corruption never crashes, only fails by name") {
+    val dir = tmpDir
+    val p = s"$dir/clean.nc"
+    NetCDF3.write(p, smallCube())
+    val orig = Files.readAllBytes(Paths.get(p))
+    val target = s"$dir/mut.nc"
+    // the whole header of this small file is within the first 400 bytes;
+    // sweeping into the data region also proves data-plane tolerance
+    val (ok, failed) = sweep(orig, 400, { bytes =>
+      Files.write(Paths.get(target), bytes)
+      NetCDF3.read(target)
+    })
+    info(s"netcdf3 sweep: $ok corruptions read, $failed failed diagnosably")
+    assert(failed > 0, "no corruption failed — the sweep is vacuous")
+  }
+
+  test("hdf5: single-byte header corruption never crashes, only fails by name") {
+    val dir = tmpDir
+    val p = s"$dir/clean.h5"
+    val f = smallCube()
+    HDF5Writer.write(p, f, chunks = Map("foo" -> Vector(2, 2, 3)),
+      deflateLevel = Some(2))
+    val orig = Files.readAllBytes(Paths.get(p))
+    val target = s"$dir/mut.h5"
+    val (ok, failed) = sweep(orig, 600, { bytes =>
+      Files.write(Paths.get(target), bytes)
+      HDF5.read(target)
+    })
+    info(s"hdf5 sweep: $ok corruptions read, $failed failed diagnosably")
+    assert(failed > 0, "no corruption failed — the sweep is vacuous")
+  }
+
+  test("blosc: header corruption cannot amplify a 16-byte header into a huge allocation") {
+    val data = Array.tabulate[Byte](4096)(i => (i * 7 % 251).toByte)
+    val comp = graft.zarr.Blosc.compress(data, 8,
+      graft.zarr.Blosc.Params(cname = "zstd", clevel = 3, shuffle = true))
+    val (ok, failed) = sweep(comp, comp.length, { bytes =>
+      val out = graft.zarr.Blosc.decompress(bytes, maxOut = data.length)
+      // when decode *succeeds*, the claimed-size cap held
+      assert(out.length <= data.length)
+    })
+    info(s"blosc sweep: $ok corruptions decoded, $failed failed diagnosably")
+    assert(failed > 0, "no corruption failed — the sweep is vacuous")
+  }
+}
