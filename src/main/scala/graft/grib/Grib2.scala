@@ -235,6 +235,11 @@ object Grib2 {
       val hb = ByteBuffer.wrap(head).order(ByteOrder.BIG_ENDIAN)
       val secLen = hb.getInt(0).toLong & 0xFFFFFFFFL
       val secNum = head(4) & 0xFF
+      // a section must advance the walk and stay inside the message: a
+      // corrupt zero/overlong length would otherwise loop forever here
+      require(secLen >= 5 && p + secLen <= end,
+        s"corrupt GRIB2 section $secNum at $p: length $secLen " +
+          s"(message ends at $end)")
       secNum match {
         case 6 =>
           val ind = readAt(p + 5, 1)(0) & 0xFF
@@ -367,12 +372,25 @@ object Grib2 {
   def decodeValues(path: String, msg: Message): Array[Double] = {
     val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
     try {
+      // corruption guard: section offsets/lengths must stay inside the
+      // file — a corrupt length fails by name, never as a negative-size
+      // or amplified allocation
+      def checkedRange(off: Long, len: Long, what: String): Int = {
+        if (len < 0 || off < 0 || off + len > ch.size())
+          throw new IllegalArgumentException(
+            s"corrupt GRIB2 $what: range [$off, $off+$len) outside " +
+              s"${ch.size()}-byte file")
+        len.toInt
+      }
       val bitmap =
         if (msg.bitmapIndicator == 0)
-          Some(readFully(ch, msg.bitmapOffset, msg.bitmapLength.toInt))
+          Some(readFully(ch, msg.bitmapOffset,
+            checkedRange(msg.bitmapOffset, msg.bitmapLength, "bitmap section")))
         else None
       val data =
-        if (msg.dataLength > 0) readFully(ch, msg.dataOffset, msg.dataLength.toInt)
+        if (msg.dataLength > 0)
+          readFully(ch, msg.dataOffset,
+            checkedRange(msg.dataOffset, msg.dataLength, "data section"))
         else Array.emptyByteArray
       decode(msg, bitmap, data)
     } finally ch.close()
@@ -396,6 +414,14 @@ object Grib2 {
 
   private def decode(msg: Message, bitmap: Option[Array[Byte]],
                      data: Array[Byte]): Array[Double] = {
+    // corruption/in-memory ceiling: grid and packed-value counts reach
+    // allocations below, so a corrupt field must fail by name first
+    // (2^27 doubles = 1 GiB, far above any real GRIB2 field)
+    require(msg.grid.nx >= 0 && msg.grid.ny >= 0 &&
+      msg.grid.nx.toLong * msg.grid.ny <= (1L << 27),
+      s"corrupt GRIB2 grid: ${msg.grid.nx} x ${msg.grid.ny} points")
+    require(msg.packing.nValues >= 0 && msg.packing.nValues <= (1L << 27),
+      s"corrupt GRIB2 packing: ${msg.packing.nValues} packed values")
     val n = msg.grid.nx * msg.grid.ny
     require(msg.bitmapIndicator == 0 || msg.bitmapIndicator == 255,
       s"bitmap indicator ${msg.bitmapIndicator} (predefined/reused bitmaps) not supported")
@@ -489,6 +515,17 @@ object Grib2 {
         "supported (use a bitmap)")
     val bits = new BitReader(data)
     val n = p.nValues
+    // corruption guards: the group count/order fields size allocations —
+    // a group can't be emptier than one packed value stream entry, and the
+    // group references alone must fit the data section
+    require(cp.ng >= 0 && cp.ng <= math.max(n, 1) &&
+      (p.nbits == 0 || cp.ng.toLong * p.nbits <= data.length.toLong * 8 + 8),
+      s"corrupt GRIB2 complex packing: ${cp.ng} groups for $n values " +
+        s"in ${data.length} bytes")
+    require(cp.spatialOrder >= 0 && cp.spatialOrder <= 8 &&
+      cp.extraOctets >= 0 && cp.extraOctets <= 8,
+      s"corrupt GRIB2 spatial differencing: order ${cp.spatialOrder}, " +
+        s"${cp.extraOctets} extra octets")
     // 5.3: order initial values + overall minimum, sign-magnitude,
     // extraOctets wide
     var z: Array[Long] = Array.emptyLongArray
@@ -514,6 +551,13 @@ object Grib2 {
         (if (cp.lenBits == 0) 0L else bits.next(cp.lenBits))
     }
     bits.alignByte()
+    // per-group bounds BEFORE the unpack loops: a corrupt width or length
+    // field must not spin a 2^40-iteration loop (lens.sum == n alone does
+    // not bound individual entries — corrupt entries can cancel)
+    lens.foreach(l => require(l >= 0 && l <= n,
+      s"corrupt GRIB2 group length $l (nValues $n)"))
+    widths.foreach(w => require(w >= 0 && w <= 64,
+      s"corrupt GRIB2 group width $w bits"))
     require(lens.sum == n, s"group lengths ${lens.sum} != nValues $n")
     val xs = new Array[Long](n)
     var k = 0

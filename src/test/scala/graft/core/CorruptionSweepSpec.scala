@@ -114,6 +114,26 @@ class CorruptionSweepSpec extends AnyFunSuite {
     assert(failed > 0, "no corruption failed — the sweep is vacuous")
   }
 
+  test("grib2: single-byte corruption never crashes, only fails by name") {
+    val dir = tmpDir
+    val p = s"$dir/clean.grib2"
+    val nx = 9; val ny = 7
+    graft.grib.Grib2.writeComplex(p,
+      Array.tabulate(nx * ny)(i => (i % 13).toDouble), nx, ny,
+      la1 = 40.0, lo1 = 250.0, dLat = 0.5, dLon = 0.5,
+      discipline = 0, category = 0, number = 0,
+      refTimeEpochSec = 1600000000L)
+    val orig = Files.readAllBytes(Paths.get(p))
+    val target = s"$dir/mut.grib2"
+    val (ok, failed) = sweep(orig, orig.length, { bytes =>
+      Files.write(Paths.get(target), bytes)
+      val msgs = graft.grib.Grib2.scan(target)
+      msgs.foreach(m => graft.grib.Grib2.decodeValues(target, m))
+    })
+    info(s"grib2 sweep: $ok corruptions read, $failed failed diagnosably")
+    assert(failed > 0, "no corruption failed — the sweep is vacuous")
+  }
+
   test("blosc: header corruption cannot amplify a 16-byte header into a huge allocation") {
     val data = Array.tabulate[Byte](4096)(i => (i * 7 % 251).toByte)
     val comp = graft.zarr.Blosc.compress(data, 8,
