@@ -225,6 +225,8 @@ object PipelineOps {
       .withColumn("phash_dup",
         col("doc_id") =!= min("doc_id").over(w))
       .select("doc_id", "phash_dup")
+    // deliberately uncached, like s06SemanticDedup: a cache-and-release
+    // here measured 3x slower at sf0.1 and wouldn't fit at corpus scale
     val semVerdicts = SimilarityOps.semanticDedupOf(
         SimilarityOps.s04Tagged(s, d), 0.45)
       .select(col("vec_id").as("doc_id"), (!col("kept")).as("sem_pruned"))

@@ -494,6 +494,12 @@ object SimilarityOps {
     * pair work is n*sqrt(n), not n^2; at production scale the cell count
     * is a knob ([[graft.ops.Vectors.semanticDedup]]) — constant-size cells
     * make the pair mass linear in n, the paper's k ∝ n regime. */
+  // Deliberately UNCACHED: the tagged assignment feeds three plan branches
+  // (both self-join sides + the verdict join), so the corpus scans 3×. A
+  // cache-and-release here was MEASURED SLOWER at sf0.1 (0.43 -> 0.94 s:
+  // checkpoint materialization dominates), and at 10^10 vectors the corpus
+  // doesn't fit a cache anyway — three column-pruned scans against sqrt(n)
+  // broadcast centroids is the scale-correct shape.
   def s06SemanticDedup(s: SparkSession, d: String): DataFrame =
     semanticDedupOf(s04Tagged(s, d), 0.45).orderBy("vec_id")
 
