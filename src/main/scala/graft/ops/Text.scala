@@ -98,6 +98,21 @@ object Text {
       .withColumn("kept", col("rk") <= cap)
   }
 
+  /** Sequence packing (the t13 kernel): the corpus token stream in doc-id
+    * order is cut into fixed `window`-token training sequences; each doc
+    * reports its stream offset and the window range it spans. The global
+    * prefix sum runs as per-shard partials + broadcast offsets — never a
+    * single-partition window — so it holds at any corpus size. The
+    * per-shard-totals collect is metadata-sized (idRange / shardSpan
+    * rows). Requires a long-typed id ordering the stream. */
+  def sequencePack(docs: DataFrame, window: Int = 256,
+                   shardSpan: Long = 1000L,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(window > 0 && shardSpan > 0, "need window > 0 and shardSpan > 0")
+    TextOps.sequencePackOf(norm(docs, idCol, textCol), window, shardSpan)
+  }
+
   /** PII redaction over the RAW text (t09's scrubber without the
     * benchmark's synthetic-PII augmentation): per-document match counts
     * and the scrubbed text, using the same RE2-and-Java-compatible

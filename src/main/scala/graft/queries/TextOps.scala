@@ -485,7 +485,74 @@ object TextOps {
        |  CAST(MIN(CASE WHEN kept THEN n_chars END) AS BIGINT) AS min_kept_chars
        |FROM ranked GROUP BY source ORDER BY source""".stripMargin
 
+  /** t13: sequence packing — the GPT-style training-batch layout: the
+    * corpus token stream (docs concatenated in doc_id order) is cut into
+    * fixed `PackWindow`-token windows; each doc reports its stream offset
+    * and the window range it lands in (a doc spanning a cut contributes
+    * to two+ training sequences — the standard packing accounting).
+    *
+    * The core is a GLOBAL prefix sum over doc_id order, computed the
+    * scale-correct way: docs shard by `doc_id div ShardSpan`, one
+    * hash-partitioned aggregate produces per-shard token totals (shard
+    * count = id-range/1000 — metadata-sized), the driver scan-sums them
+    * into per-shard stream offsets re-broadcast as a join table, and the
+    * per-doc cumsum is a window over (shard) partitions ONLY — no
+    * single-partition global window anywhere (PlanSpec-gated), which is
+    * what makes this hold at 10^10 docs where `Window.orderBy` with no
+    * partitioning would serialize the corpus through one task. */
+  val PackWindow = 256
+  private val ShardSpan = 1000L
+
+  def t13SequencePack(s: SparkSession, d: String): DataFrame =
+    sequencePackOf(documents(s, d), PackWindow, ShardSpan).orderBy("doc_id")
+
+  /** t13's kernel over any (doc_id, text) frame (graft.ops.Text API). */
+  private[graft] def sequencePackOf(docsIn: DataFrame, window: Int,
+                                    shardSpan: Long): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    val docs = docsIn
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("shard", expr(s"doc_id div $shardSpan"))
+    // per-shard totals: metadata-sized (numShards = idRange/shardSpan),
+    // same broadcast-smalls pattern as the IVF centroid seeding
+    val shardTotals = docs.groupBy("shard")
+      .agg(sum("n_tokens").as("shard_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = {
+      var acc = 0L
+      shardTotals.map { case (sh, t) => val o = (sh, acc); acc += t; o }.toSeq
+    }
+    val offsetsDf = offsets.toDF("shard", "shard_offset")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+    docs.join(broadcast(offsetsDf), "shard")
+      .withColumn("pack_start",
+        col("shard_offset") + sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("first_window", expr(s"pack_start div $window"))
+      .withColumn("last_window",
+        expr(s"(pack_start + n_tokens - 1) div $window"))
+      .select("doc_id", "n_tokens", "pack_start", "first_window", "last_window")
+  }
+
+  val t13Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pack_start
+       |  FROM t)
+       |SELECT doc_id, n_tokens, CAST(pack_start AS BIGINT) AS pack_start,
+       |  CAST(pack_start // $PackWindow AS BIGINT) AS first_window,
+       |  CAST((pack_start + n_tokens - 1) // $PackWindow AS BIGINT) AS last_window
+       |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_sequence_pack" -> t13SequencePack _,
     "t11_contamination" -> t11Contamination _,
     "t12_domain_balance" -> t12DomainBalance _,
     "t08_clean_text" -> t08CleanText _,
@@ -501,6 +568,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "t13_sequence_pack" -> t13Sql,
     "t01_text_stats" -> t01Sql,
     "t02_langid" -> t02Sql,
     "t03_fingerprint" -> t03Sql,

@@ -104,6 +104,18 @@ class TextApiSpec extends AnyFunSuite {
       .filter(col("count") > cap).isEmpty)
   }
 
+  test("sequencePack == t13 under renamed columns; shard span is invariant") {
+    val api = Text.sequencePack(renamed, idCol = "id", textCol = "body")
+      .orderBy("doc_id")
+    val gated = graft.queries.TextOps.t13SequencePack(spark, d)
+    same(api, gated)
+    // the shard decomposition is an implementation detail: any span gives
+    // the same global prefix sum
+    val otherSpan = Text.sequencePack(renamed, shardSpan = 7L,
+      idCol = "id", textCol = "body").orderBy("doc_id")
+    same(otherSpan, gated)
+  }
+
   test("piiScrub redacts raw text with the gated patterns") {
     import spark.implicits._
     val docs = Seq(

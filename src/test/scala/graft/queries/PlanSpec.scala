@@ -111,6 +111,16 @@ class PlanSpec extends AnyFunSuite {
       !p3.contains("BroadcastNestedLoopJoin"), p3)
   }
 
+  test("t13: the global prefix sum never plans a single-partition window") {
+    val p = plan(TextOps.t13SequencePack(spark, d))
+    // Window over an empty partition spec would exchange to SinglePartition
+    // BEFORE the window — the corpus through one task. The final presentation
+    // orderBy's range exchange is fine; a pre-window SinglePartition is not.
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("hashpartitioning(shard"), p)
+  }
+
   test("d02: shingle candidate join is an equi-join, never a cross product") {
     // gate the lazy builder plans: the public query checkpoints eagerly, so
     // its own executedPlan is just the checkpoint scan
