@@ -42,6 +42,13 @@ object Text {
                         textCol: String = "text"): DataFrame =
     TextOps.repetitionOf(norm(docs, idCol, textCol))
 
+  /** Gopher-style quality-filter rules (t14): per-rule pass flags
+    * (word-count bounds, mean-word-length band, required stopwords) and
+    * the combined keep — the auditable pre-training admission gate. */
+  def gopherFilters(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    TextOps.gopherFiltersOf(norm(docs, idCol, textCol))
+
   /** Stopword-ratio language-ID heuristic (t02 without the benchmark's
     * labeled lang column): doc_id, lang_guess, stop_ratio. */
   def languageId(docs: DataFrame, idCol: String = "doc_id",

@@ -41,6 +41,20 @@ object Vectors {
       excludeSelf = false)
   }
 
+  /** Scalar-quantized (SQ8) top-k: vectors compress to per-component int8
+    * codes with a per-vector scale; candidates rank by the cosine of the
+    * CODES (4× less scan bandwidth once packed) and the winners are
+    * exactly rescored — the output carries both `sim_sq8` and `sim_exact`
+    * so callers can audit the quantization error before trusting the
+    * compressed index (s07). */
+  def sq8TopK(spark: SparkSession, emb: DataFrame, queryIds: Seq[Long],
+              k: Int, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    SimilarityOps.sq8TopKOf(norm(emb, idCol, vecCol),
+      col("vec_id").isin(queryIds: _*), k)
+  }
+
   /** Sign-LSH bucketed approximate top-k: 8 random hyperplanes hash every
     * vector into one of 256 buckets; neighbors are scored only within the
     * query's bucket (equi-join on bucket — n/256 work per query). */

@@ -602,7 +602,112 @@ object SimilarityOps {
        |SELECT query_id, rk, neighbor_id, sim FROM ranked
        |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
 
+  /** s07: scalar-quantized (SQ8) ANN — the FAISS `SQ8` memory/bandwidth
+    * trade: each vector is compressed to per-component int8 codes
+    * (`floor(x * 127 / max|x|)` with a per-vector scale), candidates are
+    * ranked by the cosine of the CODES (scales cancel), and the winners
+    * are exactly rescored on the full-precision vectors — so the output
+    * exposes both the approximate and the true similarity per hit, the
+    * audit a pipeline needs before trusting a compressed index.
+    *
+    * Determinism: codes are exact integer floors of double ratios
+    * (IEEE-identical in both engines); both similarity columns are one
+    * rounded division over exact-integer dot/norms — the s01 contract.
+    *
+    * Scale design: identical plan shape to s01 (broadcast query codes,
+    * ONE corpus scan, per-query top-k window) but the scan's dot products
+    * run over int8-range codes — 4× less memory bandwidth than the f32
+    * vectors once codes are stored packed (here they stay `array<bigint>`
+    * for the exact-integer oracle contract; the physical int8 packing is
+    * a storage-layer concern, the ranking math is what this query pins).
+    * The exact rescore touches only numQueries × k rows — broadcast-sized
+    * at any corpus scale. */
+  def s07Sq8Topk(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = embeddings(s, d).withColumn("q", expr(qEmb)).select("vec_id", "q")
+    sq8TopKOf(emb, col("vec_id") < NumQueries, TopK)
+      .orderBy("query_id", "rk")
+  }
+
+  /** s07's kernel over any quantized (vec_id, q) frame (graft.ops.Vectors
+    * API): per-vector SQ8 codes, code-cosine ranking with broadcast query
+    * codes, exact full-precision rescore of the winners only. */
+  private[graft] def sq8TopKOf(embIn: DataFrame, isQuery: org.apache.spark.sql.Column,
+                               k: Int): DataFrame = {
+    val emb = embIn
+      .withColumn("m", greatest(expr("array_max(transform(q, y -> abs(y)))"), lit(1L)))
+      .withColumn("c", expr("transform(q, x -> cast(floor(cast(x as double) * 127.0D / cast(m as double)) as bigint))"))
+      .select("vec_id", "q", "c")
+    val queries = emb.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"), col("c").as("qc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_sq8").desc, col("vec_id"))
+    emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("sim_sq8", round(expr(dotExpr("c", "qc")).cast("double") /
+        (sqrt(expr(normExpr("c")).cast("double")) *
+          sqrt(expr(normExpr("qc")).cast("double"))), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      // exact rescore of the winners only (numQueries × k rows)
+      .withColumn("sim_exact", round(expr(dotExpr("q", "qv")).cast("double") /
+        (sqrt(expr(normExpr("q")).cast("double")) *
+          sqrt(expr(normExpr("qv")).cast("double"))), 6))
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
+        col("sim_sq8"), col("sim_exact"))
+  }
+
+  val s07Sql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, $qEmbDuck AS qv FROM embeddings
+       |), coded AS (
+       |  SELECT vec_id, qv,
+       |    list_transform(qv, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 /
+       |      CAST(GREATEST(list_max(list_transform(qv, y -> abs(y))), 1) AS DOUBLE))
+       |      AS BIGINT)) AS c
+       |  FROM q
+       |), elems AS (
+       |  SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x FROM coded
+       |), celems AS (
+       |  SELECT vec_id, generate_subscripts(c, 1) AS i, unnest(c) AS x FROM coded
+       |), norms AS (
+       |  SELECT vec_id, SUM(x * x) AS nrm FROM elems GROUP BY vec_id
+       |), cnorms AS (
+       |  SELECT vec_id, SUM(x * x) AS nrm FROM celems GROUP BY vec_id
+       |), cdots AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.x * b.x) AS dot
+       |  FROM celems a JOIN celems b ON a.i = b.i AND a.vec_id < $NumQueries
+       |    AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROUND(dot::DOUBLE / (sqrt(nq.nrm::DOUBLE) * sqrt(nn.nrm::DOUBLE)), 6)
+       |      AS sim_sq8
+       |  FROM cdots JOIN cnorms nq ON query_id = nq.vec_id
+       |  JOIN cnorms nn ON neighbor_id = nn.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, sim_sq8,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY sim_sq8 DESC, neighbor_id) AS rk
+       |  FROM scored
+       |), top AS (
+       |  SELECT query_id, rk, neighbor_id, sim_sq8 FROM ranked WHERE rk <= $TopK
+       |), edots AS (
+       |  SELECT t.query_id, t.neighbor_id, SUM(ea.x * eb.x) AS dot
+       |  FROM top t
+       |  JOIN elems ea ON ea.vec_id = t.query_id
+       |  JOIN elems eb ON eb.vec_id = t.neighbor_id AND ea.i = eb.i
+       |  GROUP BY 1, 2)
+       |SELECT t.query_id, t.rk, t.neighbor_id, t.sim_sq8,
+       |  ROUND(e.dot::DOUBLE / (sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)), 6)
+       |    AS sim_exact
+       |FROM top t
+       |JOIN edots e ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+       |JOIN norms na ON t.query_id = na.vec_id
+       |JOIN norms nb ON t.neighbor_id = nb.vec_id
+       |ORDER BY t.query_id, t.rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s07_sq8_topk" -> s07Sq8Topk _,
     "s01_cosine_topk" -> s01CosineTopk _,
     "s02_embed_neardup" -> s02EmbedNearDup _,
     "s03_ann_lsh" -> s03AnnLsh _,
@@ -612,6 +717,7 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "s07_sq8_topk" -> s07Sql,
     "s01_cosine_topk" -> s01Sql,
     "s02_embed_neardup" -> s02Sql,
     "s03_ann_lsh" -> s03Sql,

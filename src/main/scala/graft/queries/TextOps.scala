@@ -551,7 +551,68 @@ object TextOps {
        |  CAST((pack_start + n_tokens - 1) // $PackWindow AS BIGINT) AS last_window
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** t14: Gopher-style quality-filter rules (Rae et al. 2021, §A.1.1 — the
+    * standard pre-training admission gate; also C4's heuristics): per-doc
+    * word count bounds, mean-word-length band, and a required-stopword
+    * rule, each reported as its own flag next to the combined keep — the
+    * shape pipelines need to audit WHICH rule dropped a document, not just
+    * how many dropped. Thresholds are tuned so every rule discriminates on
+    * this corpus (277/493/317 of 500 pass the three rules; 234 keep).
+    * All ratios derive from integer counts with one rounded division
+    * (the t01 determinism contract); single codegen'd scan, no shuffle —
+    * a map-only pass at 100 TB. */
+  val GopherMinWords = 50
+  val GopherMaxWords = 100000
+  val GopherMwlLo = 3.0
+  val GopherMwlHi = 5.0
+  val GopherMinStopKinds = 2
+
+  def t14GopherFilters(s: SparkSession, d: String): DataFrame =
+    gopherFiltersOf(documents(s, d)).orderBy("doc_id")
+
+  /** t14's kernel over any (doc_id, text) frame (graft.ops.Text API). */
+  private[graft] def gopherFiltersOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("mean_word_len",
+        round((length(col("text")) - (col("n_words") - 1)).cast("double")
+          / col("n_words"), 4))
+      .withColumn("n_stop_kinds", expr(
+        "size(filter(array_distinct(words), w -> w = 'the' OR w = 'a'))")
+        .cast("long"))
+      .withColumn("pass_nwords",
+        col("n_words") >= GopherMinWords && col("n_words") <= GopherMaxWords)
+      .withColumn("pass_mwl",
+        col("mean_word_len") >= GopherMwlLo && col("mean_word_len") <= GopherMwlHi)
+      .withColumn("pass_stop", col("n_stop_kinds") >= GopherMinStopKinds)
+      .withColumn("keep",
+        col("pass_nwords") && col("pass_mwl") && col("pass_stop"))
+      .select("doc_id", "n_words", "mean_word_len", "n_stop_kinds",
+        "pass_nwords", "pass_mwl", "pass_stop", "keep")
+
+  val t14Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS words FROM documents
+       |), m AS (
+       |  SELECT doc_id,
+       |    CAST(len(words) AS BIGINT) AS n_words,
+       |    ROUND((length(text) - (len(words) - 1))::DOUBLE / len(words), 4)
+       |      AS mean_word_len,
+       |    CAST(len(list_filter(list_distinct(words),
+       |      w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop_kinds
+       |  FROM t)
+       |SELECT doc_id, n_words, mean_word_len, n_stop_kinds,
+       |  (n_words >= $GopherMinWords AND n_words <= $GopherMaxWords) AS pass_nwords,
+       |  (mean_word_len >= $GopherMwlLo AND mean_word_len <= $GopherMwlHi) AS pass_mwl,
+       |  (n_stop_kinds >= $GopherMinStopKinds) AS pass_stop,
+       |  (n_words >= $GopherMinWords AND n_words <= $GopherMaxWords
+       |   AND mean_word_len >= $GopherMwlLo AND mean_word_len <= $GopherMwlHi
+       |   AND n_stop_kinds >= $GopherMinStopKinds) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_gopher_filters" -> t14GopherFilters _,
     "t13_sequence_pack" -> t13SequencePack _,
     "t11_contamination" -> t11Contamination _,
     "t12_domain_balance" -> t12DomainBalance _,
@@ -568,6 +629,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "t14_gopher_filters" -> t14Sql,
     "t13_sequence_pack" -> t13Sql,
     "t01_text_stats" -> t01Sql,
     "t02_langid" -> t02Sql,

@@ -44,6 +44,11 @@ class TextApiSpec extends AnyFunSuite {
       graft.queries.TextOps.t06BpeTokens(spark, d))
   }
 
+  test("gopherFilters == t14") {
+    same(Text.gopherFilters(renamed, "id", "body"),
+      graft.queries.TextOps.t14GopherFilters(spark, d))
+  }
+
   test("cleaned == t08") {
     same(Text.cleaned(renamed, "id", "body"),
       graft.queries.TextOps.t08CleanText(spark, d))

@@ -46,6 +46,14 @@ class VectorsApiSpec extends AnyFunSuite {
     assert(api.exceptAll(gated).isEmpty && gated.exceptAll(api).isEmpty)
   }
 
+  test("sq8TopK == s07 under renamed columns") {
+    val api = Vectors.sq8TopK(spark, renamed, 0L until 10L, k = 5,
+      idCol = "id", vecCol = "vec").orderBy("query_id", "rk")
+    val gated = graft.queries.SimilarityOps.s07Sq8Topk(spark, d)
+    assert(api.columns.sameElements(gated.columns))
+    assert(api.exceptAll(gated).isEmpty && gated.exceptAll(api).isEmpty)
+  }
+
   test("lshTopK == s03 under renamed columns") {
     val api = Vectors.lshTopK(spark, renamed, 0L until 10L, k = 5,
       idCol = "id", vecCol = "vec").orderBy("query_id", "rk")

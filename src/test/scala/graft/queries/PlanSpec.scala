@@ -146,6 +146,23 @@ class PlanSpec extends AnyFunSuite {
       }
   }
 
+  test("t14: gopher filters are a single map-only scan (no shuffle before the sort)") {
+    val p = plan(TextOps.t14GopherFilters(spark, d))
+    // the only exchange allowed is the final orderBy's range partitioning;
+    // a hash exchange would mean the per-doc rules grew an agg or join
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    // AQE top-level strings elide codegen spans; ask codegen-mode explain
+    val cg = TextOps.t14GopherFilters(spark, d).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(cg.contains("WholeStageCodegen"), cg.take(500))
+  }
+
+  test("s07: SQ8 query codes broadcast; exact rescore touches only the winners") {
+    val p = plan(SimilarityOps.s07Sq8Topk(spark, d))
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t05/t06: single-scan text ops stay inside whole-stage codegen") {
     val p = TextOps.t05LangIdNgram(spark, d).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))

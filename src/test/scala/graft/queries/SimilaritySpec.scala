@@ -86,6 +86,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(prunedCount > 0, "fixture produced no pruning — probe is vacuous")
   }
 
+  test("s07 SQ8 ranking equals the driver-side recompute; quantization error is small") {
+    // recompute the whole query with plain loops: int8 codes
+    // (floor(q*127/max|q|)), code-cosine top-5 per query, exact rescore
+    val vecs: Array[(Long, Array[Long])] = spark.read
+      .parquet(s"$d/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint)) as q")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val codes = vecs.map { case (id, q) =>
+      val m = math.max(q.map(math.abs).max, 1L)
+      (id, q.map(x => math.floor(x.toDouble * 127.0 / m.toDouble).toLong))
+    }
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val expected = (for {
+      (qid, qc) <- codes.filter(_._1 < 10)
+      ranked = codes.filter(_._1 != qid)
+        .map { case (nid, nc) => (nid, round6(cos(qc, nc))) }
+        .sortBy { case (nid, s) => (-s, nid) }.take(5)
+      ((nid, simc), rk) <- ranked.zipWithIndex
+    } yield {
+      val exact = round6(cos(vecs.find(_._1 == qid).get._2, vecs.find(_._1 == nid).get._2))
+      (qid, (rk + 1).toLong, nid, simc, exact)
+    }).toSet
+    val got = SimilarityOps.s07Sq8Topk(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSet
+    assert(got == expected)
+    // quantization quality: the code cosine tracks the exact cosine tightly
+    val maxErr = got.map { case (_, _, _, sq8, exact) => math.abs(sq8 - exact) }.max
+    info(s"s07 max |sim_sq8 - sim_exact| over winners = $maxErr")
+    assert(maxErr < 0.02, s"SQ8 error $maxErr above 0.02 — quantizer degraded")
+  }
+
   test("s02 precision is exact and recall vs brute force >= 0.85") {
     val truth = bruteForcePairs()
     assert(truth.nonEmpty, "fixture has no qualifying pairs — probe is vacuous")
