@@ -27,6 +27,17 @@ import scala.jdk.CollectionConverters._
 object ZarrStore {
   private val mapper = new ObjectMapper()
 
+  /** Required-field access on a metadata JSON node: a corrupt or truncated
+    * document must fail by name, never let Jackson's null-on-missing reach
+    * `.asInt()`/`.elements()` as an NPE (CorruptionSweepSpec pins this). */
+  private[zarr] def jreq(n: com.fasterxml.jackson.databind.JsonNode,
+                         field: String, doc: String): com.fasterxml.jackson.databind.JsonNode = {
+    val v = if (n == null) null else n.get(field)
+    if (v == null || v.isNull) throw new IllegalArgumentException(
+      s"$doc: missing required metadata field '$field' (corrupt store?)")
+    v
+  }
+
   // ---------- attrs <-> JSON ----------
   def attrToNode(v: AttrValue): com.fasterxml.jackson.databind.JsonNode = v match {
     case AttrValue.AStr(s) => mapper.getNodeFactory.textNode(s)
@@ -346,14 +357,16 @@ object ZarrStore {
     * or a v3 codec `configuration` keyed by the codec `name`). */
   def filterFromJson(id: String,
                      n: com.fasterxml.jackson.databind.JsonNode): NumFilter = {
-    def dt = n.get("dtype").asText()
+    def dt = jreq(n, "dtype", s"filter '$id'").asText()
     def at = Option(n.get("astype")).filter(!_.isNull).map(_.asText())
       .getOrElse(dt)
     id match {
       case "delta" => DeltaParams(dt, at)
       case "fixedscaleoffset" => ScaleOffsetParams(
-        n.get("offset").asDouble(), n.get("scale").asDouble(), dt, at)
-      case "quantize" => QuantizeParams(n.get("digits").asInt(), dt, at)
+        jreq(n, "offset", "filter 'fixedscaleoffset'").asDouble(),
+        jreq(n, "scale", "filter 'fixedscaleoffset'").asDouble(), dt, at)
+      case "quantize" => QuantizeParams(
+        jreq(n, "digits", "filter 'quantize'").asInt(), dt, at)
       case other => throw new IllegalArgumentException(
         s"numcodecs filter '$other' is not supported " +
           "(supported: delta, fixedscaleoffset, quantize)")
@@ -790,7 +803,9 @@ final class ZarrGroup(val root: String,
       v2DocOpt(".zattrs").map(ZarrStore.objectAttrs).getOrElse(Attrs.empty)
     else {
       val n = mapper.readTree(io.read("zarr.json"))
-      ZarrStore.objectAttrs(n.get("attributes"))
+      // attributes is optional in v3 group docs
+      Option(n.get("attributes")).filter(!_.isNull)
+        .map(ZarrStore.objectAttrs).getOrElse(Attrs.empty)
     }
 
   /** Consolidated metadata from the root document, when present: array
@@ -812,10 +827,10 @@ final class ZarrGroup(val root: String,
           if (!io.exists(".zmetadata")) None
           else {
             val m = mapper.readTree(io.read(".zmetadata"))
-            require(m.get("zarr_consolidated_format").asInt() == 1,
-              "unknown .zmetadata format")
-            Some(m.get("metadata").properties().asScala
-              .map(e => e.getKey -> e.getValue).toMap)
+            require(ZarrStore.jreq(m, "zarr_consolidated_format",
+              ".zmetadata").asInt() == 1, "unknown .zmetadata format")
+            Some(ZarrStore.jreq(m, "metadata", ".zmetadata").properties()
+              .asScala.map(e => e.getKey -> e.getValue).toMap)
           }
         } else {
           val root = mapper.readTree(io.read("zarr.json"))
@@ -924,24 +939,25 @@ final class ZarrGroup(val root: String,
   private def arrayMetaV2(name: String): ArrayMeta = {
     val za = v2DocOpt(s"$name/.zarray").getOrElse(
       throw new java.io.FileNotFoundException(s"$root/$name/.zarray"))
-    require(za.get("zarr_format").asInt() == 2, s"$name/.zarray zarr_format")
-    val shape = za.get("shape").elements().asScala.map(_.asInt()).toVector
-    val chunks = za.get("chunks").elements().asScala.map(_.asInt()).toVector
+    val doc = s"$name/.zarray"
+    require(jreq(za, "zarr_format", doc).asInt() == 2, s"$doc zarr_format")
+    val shape = jreq(za, "shape", doc).elements().asScala.map(_.asInt()).toVector
+    val chunks = jreq(za, "chunks", doc).elements().asScala.map(_.asInt()).toVector
     Option(za.get("order")).map(_.asText()).foreach(o => require(o == "C",
       s"zarr v2 order '$o' not supported (C-order only)"))
     Option(za.get("dimension_separator")).map(_.asText()).foreach(s =>
       require(s == ".", s"native v2 store requires '.'-separated chunk keys" +
         s" (got '$s'); open '/'-separated stores via RefSet.scanZarrV2Group"))
-    val (dtype, big) = dtypeFromNameV2(za.get("dtype").asText())
+    val (dtype, big) = dtypeFromNameV2(jreq(za, "dtype", doc).asText())
     val compNode = Option(za.get("compressor")).filter(!_.isNull)
-    val compId = compNode.map(_.get("id").asText())
+    val compId = compNode.map(c => jreq(c, "id", s"$doc compressor").asText())
     compId.foreach(id => require(Set("zlib", "gzip", "zstd", "blosc")(id),
       s"zarr v2 compressor '$id' is not supported " +
         "(supported: zlib, gzip, zstd, blosc[lz4/lz4hc/zlib/zstd/snappy])"))
     val gzip = compNode.filter(_ => compId.contains("gzip"))
-      .map(_.get("level").asInt())
+      .map(c => jreq(c, "level", s"$doc gzip").asInt())
     val zlib = compNode.filter(_ => compId.contains("zlib"))
-      .map(_.get("level").asInt())
+      .map(c => jreq(c, "level", s"$doc zlib").asInt())
     val zstd = compNode.filter(_ => compId.contains("zstd"))
       .map(c => Option(c.get("level")).map(_.asInt()).getOrElse(3))
     val blosc = compNode.filter(_ => compId.contains("blosc")).map { c =>
@@ -955,7 +971,7 @@ final class ZarrGroup(val root: String,
     }
     val filterNodes = Option(za.get("filters")).filter(!_.isNull)
       .map(_.elements().asScala.toVector).getOrElse(Vector.empty)
-    val filterIds = filterNodes.map(_.get("id").asText())
+    val filterIds = filterNodes.map(f => jreq(f, "id", s"$doc filter").asText())
     val arrayFilterIds = Set("delta", "fixedscaleoffset", "quantize")
     filterIds.foreach(id =>
       require(id == "shuffle" || arrayFilterIds(id),
@@ -968,11 +984,12 @@ final class ZarrGroup(val root: String,
     require(filterIds.indexWhere(arrayFilterIds) <=
         math.max(filterIds.indexOf("shuffle"), 0),
       s"unsupported v2 filter order $filterIds (array filter before shuffle)")
-    val shuffle = filterNodes.find(_.get("id").asText() == "shuffle")
-      .map(_.get("elementsize").asInt())
+    val shuffle = filterNodes.find(f =>
+        jreq(f, "id", s"$doc filter").asText() == "shuffle")
+      .map(f => jreq(f, "elementsize", s"$doc shuffle").asInt())
     val numFilter = filterNodes
-      .find(f => arrayFilterIds(f.get("id").asText()))
-      .map(f => ZarrStore.filterFromJson(f.get("id").asText(), f))
+      .find(f => arrayFilterIds(jreq(f, "id", s"$doc filter").asText()))
+      .map(f => ZarrStore.filterFromJson(jreq(f, "id", s"$doc filter").asText(), f))
     val attrsNode = v2DocOpt(s"$name/.zattrs")
     val dims = attrsNode.flatMap(a => Option(a.get("_ARRAY_DIMENSIONS")).map(
         _.elements().asScala.map(_.asText()).toVector))
@@ -990,44 +1007,49 @@ final class ZarrGroup(val root: String,
     if (format == 2) return arrayMetaV2(name)
     val n = consolidated.flatMap(_.get(name))
       .getOrElse(mapper.readTree(io.read(s"$name/zarr.json")))
-    val shape = n.get("shape").elements().asScala.map(_.asInt()).toVector
-    val gridChunks = n.get("chunk_grid").get("configuration").get("chunk_shape")
-      .elements().asScala.map(_.asInt()).toVector
-    val dtype = dtypeFromName(n.get("data_type").asText())
+    val doc = s"$name/zarr.json"
+    val shape = jreq(n, "shape", doc).elements().asScala.map(_.asInt()).toVector
+    val gridChunks = jreq(jreq(jreq(n, "chunk_grid", doc), "configuration", doc),
+        "chunk_shape", doc).elements().asScala.map(_.asInt()).toVector
+    val dtype = dtypeFromName(jreq(n, "data_type", doc).asText())
     val dims = Option(n.get("dimension_names"))
       .map(_.elements().asScala.map(_.asText()).toVector)
       .getOrElse(shape.indices.map(i => s"dim_$i").toVector)
+    def cName(c: com.fasterxml.jackson.databind.JsonNode): String =
+      jreq(c, "name", s"$doc codec").asText()
+    def cCfg(c: com.fasterxml.jackson.databind.JsonNode) =
+      jreq(c, "configuration", s"$doc codec")
     def gzipOf(codecs: com.fasterxml.jackson.databind.JsonNode): Option[Int] =
       Option(codecs).flatMap(
-        _.elements().asScala.find(c => c.get("name").asText() == "gzip")
-          .map(c => c.get("configuration").get("level").asInt()))
+        _.elements().asScala.find(c => cName(c) == "gzip")
+          .map(c => jreq(cCfg(c), "level", doc).asInt()))
     def bigOf(codecs: com.fasterxml.jackson.databind.JsonNode): Boolean =
       Option(codecs).flatMap(
-        _.elements().asScala.find(c => c.get("name").asText() == "bytes")
+        _.elements().asScala.find(c => cName(c) == "bytes")
           .flatMap(c => Option(c.get("configuration"))
             .flatMap(cf => Option(cf.get("endian")).map(_.asText()))))
         .contains("big")
     def gribOf(codecs: com.fasterxml.jackson.databind.JsonNode): Option[String] =
       Option(codecs).flatMap(
-        _.elements().asScala.find(c => c.get("name").asText() == "grib2")
-          .map(c => c.get("configuration").get("var").asText()))
+        _.elements().asScala.find(c => cName(c) == "grib2")
+          .map(c => jreq(cCfg(c), "var", doc).asText()))
     def zlibOf(codecs: com.fasterxml.jackson.databind.JsonNode): Option[Int] =
       Option(codecs).flatMap(
-        _.elements().asScala.find(c => c.get("name").asText() == "zlib")
-          .map(c => c.get("configuration").get("level").asInt()))
+        _.elements().asScala.find(c => cName(c) == "zlib")
+          .map(c => jreq(cCfg(c), "level", doc).asInt()))
     def shuffleOf(codecs: com.fasterxml.jackson.databind.JsonNode): Option[Int] =
       Option(codecs).flatMap(
-        _.elements().asScala.find(c => c.get("name").asText() == "shuffle")
-          .map(c => c.get("configuration").get("elementsize").asInt()))
+        _.elements().asScala.find(c => cName(c) == "shuffle")
+          .map(c => jreq(cCfg(c), "elementsize", doc).asInt()))
     def zstdOf(codecs: com.fasterxml.jackson.databind.JsonNode): Option[Int] =
       Option(codecs).flatMap(
-        _.elements().asScala.find(c => c.get("name").asText() == "zstd")
-          .map(c => c.get("configuration").get("level").asInt()))
+        _.elements().asScala.find(c => cName(c) == "zstd")
+          .map(c => jreq(cCfg(c), "level", doc).asInt()))
     def bloscOf(codecs: com.fasterxml.jackson.databind.JsonNode): Option[Blosc.Params] =
       Option(codecs).flatMap(
-        _.elements().asScala.find(c => c.get("name").asText() == "blosc")
+        _.elements().asScala.find(c => cName(c) == "blosc")
           .map { c =>
-            val cf = c.get("configuration")
+            val cf = cCfg(c)
             val sh = Option(cf.get("shuffle")).map(_.asText()).getOrElse("shuffle")
             Blosc.Params(
               cname = Option(cf.get("cname")).map(_.asText()).getOrElse("lz4"),
@@ -1040,26 +1062,29 @@ final class ZarrGroup(val root: String,
         : Option[ZarrStore.NumFilter] =
       Option(codecs).flatMap(
         _.elements().asScala.find(c => Set("delta", "fixedscaleoffset",
-            "quantize")(c.get("name").asText()))
+            "quantize")(cName(c)))
           .map(c => ZarrStore.filterFromJson(
-            c.get("name").asText(), c.get("configuration"))))
+            cName(c), c.get("configuration"))))
     val sharding = Option(n.get("codecs")).flatMap(
-      _.elements().asScala.find(c => c.get("name").asText() == "sharding_indexed"))
+      _.elements().asScala.find(c => cName(c) == "sharding_indexed"))
     val fill = Option(n.get("fill_value")).map(nodeToAttr)
       .getOrElse(AttrValue.AInt(0))
+    // attributes is optional in v3 array docs
+    val arrAttrs = Option(n.get("attributes")).filter(!_.isNull)
+      .map(ZarrStore.objectAttrs).getOrElse(Attrs.empty)
     sharding match {
       case Some(sc) =>
-        val cfg = sc.get("configuration")
-        val inner = cfg.get("chunk_shape").elements().asScala.map(_.asInt()).toVector
-        ArrayMeta(shape, inner, dtype, ZarrStore.objectAttrs(n.get("attributes")),
+        val cfg = cCfg(sc)
+        val inner = jreq(cfg, "chunk_shape", doc).elements().asScala
+          .map(_.asInt()).toVector
+        ArrayMeta(shape, inner, dtype, arrAttrs,
           dims, gzipOf(cfg.get("codecs")), Some(gridChunks), fill,
           bigOf(cfg.get("codecs")), gribOf(cfg.get("codecs")),
           zlibOf(cfg.get("codecs")), shuffleOf(cfg.get("codecs")),
           zstdOf(cfg.get("codecs")), bloscOf(cfg.get("codecs")),
           deltaOf(cfg.get("codecs")))
       case None =>
-        ArrayMeta(shape, gridChunks, dtype,
-          ZarrStore.objectAttrs(n.get("attributes")), dims,
+        ArrayMeta(shape, gridChunks, dtype, arrAttrs, dims,
           gzipOf(n.get("codecs")), None, fill, bigOf(n.get("codecs")),
           gribOf(n.get("codecs")), zlibOf(n.get("codecs")),
           shuffleOf(n.get("codecs")), zstdOf(n.get("codecs")),

@@ -134,6 +134,65 @@ class CorruptionSweepSpec extends AnyFunSuite {
     assert(failed > 0, "no corruption failed — the sweep is vacuous")
   }
 
+  /** Zarr stores are directories (JSON metadata + chunk objects), so the
+    * sweep runs per store file: every byte of every metadata document and
+    * a strided sample of every chunk payload, for BOTH formats (v3
+    * zarr.json layout; v2 .zarray/.zattrs/.zmetadata layout). A corrupt
+    * metadata doc must fail by name (Jackson parse error, named require,
+    * unknown-dtype error) — never an NPE from a missing JSON field
+    * reaching `.asInt`-style access unguarded. */
+  private def zarrSweep(format: Int): Unit = {
+    val dir = tmpDir
+    val clean = s"$dir/clean.zarr"; val target = s"$dir/mut.zarr"
+    val g = graft.zarr.ZarrGroup(clean, format)
+    g.initGroup(Map("title" -> AttrValue("sweep fixture")))
+    g.createArray("foo", Vector(4, 6), Vector(2, 3), DType.F8,
+      Map("units" -> AttrValue("K")), gzipLevel = Some(2),
+      dimensionNames = Some(Vector("y", "x")))
+    g.writeRegion("foo", Vector(0, 0),
+      NDArray(DType.F8, Vector(4, 6), Array.tabulate(24)(_ * 0.5)))
+    g.consolidateMetadata()
+    val cleanDir = Paths.get(clean)
+    // copy the store ONCE; each iteration rewrites only the swept file
+    val fileList = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+    Files.walk(cleanDir).forEach { src =>
+      val dst = Paths.get(target).resolve(cleanDir.relativize(src))
+      if (Files.isDirectory(src)) Files.createDirectories(dst)
+      else {
+        Files.createDirectories(dst.getParent)
+        Files.copy(src, dst)
+        fileList += cleanDir.relativize(src)
+      }
+    }
+    var totalOk = 0; var totalFailed = 0
+    fileList.foreach { rel =>
+      val orig = Files.readAllBytes(cleanDir.resolve(rel))
+      val mutPath = Paths.get(target).resolve(rel)
+      // metadata docs are small: sweep densely; chunk payloads strided
+      val name = rel.getFileName.toString
+      val dense = if (name.endsWith(".json") || name.startsWith(".z"))
+        orig.length else 0
+      val (ok, failed) = sweep(orig, dense, { bytes =>
+        Files.write(mutPath, bytes)
+        val back = graft.zarr.ZarrGroup(target)
+        back.readArray("foo")
+        back.groupAttrs
+      })
+      Files.write(mutPath, orig) // restore before sweeping the next file
+      totalOk += ok; totalFailed += failed
+    }
+    info(s"zarr v$format sweep: $totalOk corruptions read, $totalFailed failed diagnosably")
+    assert(totalFailed > 0, "no corruption failed — the sweep is vacuous")
+  }
+
+  test("zarr v3: metadata and chunk corruption never crashes, only fails by name") {
+    zarrSweep(3)
+  }
+
+  test("zarr v2: metadata and chunk corruption never crashes, only fails by name") {
+    zarrSweep(2)
+  }
+
   test("blosc: header corruption cannot amplify a 16-byte header into a huge allocation") {
     val data = Array.tabulate[Byte](4096)(i => (i * 7 % 251).toByte)
     val comp = graft.zarr.Blosc.compress(data, 8,
