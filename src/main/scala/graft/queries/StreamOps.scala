@@ -215,7 +215,41 @@ object StreamOps {
       |  AND purchase_us >= click_us AND purchase_us <= click_us + 600000000
       |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
 
+  /** st07: per-key quota admission — the streaming rate-limit/budget cap:
+    * each user's first `AdmitQuota` events (in event-time order, event_id
+    * tiebreak) are admitted, the rest rejected; output is the per-user
+    * admission ledger (totals + last admitted timestamp). The batch twin
+    * of the `mapGroupsWithState` counter in
+    * [[graft.streaming.StreamingPipelines.quotaAdmit]]. One window over
+    * user-id hash partitions + one agg — no global sort before the final
+    * ORDER BY; per-key state in the streaming twin is three longs. */
+  val AdmitQuota = 60
+
+  def st07QuotaAdmission(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("admitted", row_number().over(w) <= AdmitQuota)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+        max(when(col("admitted"), col("ts_us"))).as("last_admitted_us"))
+      .orderBy("user_id")
+  }
+
+  val st07Sql: String =
+    s"""WITH ranked AS (
+       |  SELECT user_id, epoch_us(ts) AS ts_us,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) <= $AdmitQuota AS admitted
+       |  FROM events)
+       |SELECT user_id, COUNT(*) AS n_events,
+       |  CAST(SUM(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       |  CAST(MAX(CASE WHEN admitted THEN ts_us END) AS BIGINT) AS last_admitted_us
+       |FROM ranked GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st07_quota_admission" -> st07QuotaAdmission _,
     "st06_unconverted_clicks" -> st06UnconvertedClicks _,
     "st01_sessionize" -> st01Sessionize _,
     "st02_sliding_window" -> st02SlidingWindow _,
@@ -225,6 +259,7 @@ object StreamOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "st07_quota_admission" -> st07Sql,
     "st01_sessionize" -> st01Sql,
     "st02_sliding_window" -> st02Sql,
     "st03_enrich_join" -> st03Sql,

@@ -157,4 +157,38 @@ object StreamingPipelines {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)(
         Encoders.product[SessionState], Encoders.product[SessionSummary])
   }
+
+  final case class QEv(event_id: Long, user_id: Long, ts_us: Long)
+  final case class QuotaState(events: Long, admitted: Long, lastAdmittedUs: Long)
+  final case class QuotaSummary(user_id: Long, n_events: Long,
+                                n_admitted: Long, last_admitted_us: Long)
+
+  val AdmitQuota: Long = graft.queries.StreamOps.AdmitQuota.toLong
+
+  /** Per-key quota admission via mapGroupsWithState — the streaming
+    * rate-limit/budget counter (streaming twin of
+    * StreamOps.st07QuotaAdmission). Per-key state is three longs, so state
+    * size is bounded by active keys regardless of stream length. Equals
+    * the batch twin when the replay delivers micro-batches in event-time
+    * order (the same contract the sessionize twin documents); within a
+    * micro-batch each group is sorted by (ts_us, event_id) before the
+    * counter advances, so intra-batch arrival order never matters. */
+  def quotaAdmit(events: Dataset[QEv]): Dataset[QuotaSummary] = {
+    def update(userId: Long, evs: Iterator[QEv],
+               state: GroupState[QuotaState]): QuotaSummary = {
+      val sorted = evs.toVector.sortBy(e => (e.ts_us, e.event_id))
+      var st = state.getOption.getOrElse(QuotaState(0L, 0L, Long.MinValue))
+      sorted.foreach { e =>
+        val admit = st.admitted < AdmitQuota
+        st = QuotaState(st.events + 1,
+          st.admitted + (if (admit) 1 else 0),
+          if (admit) e.ts_us else st.lastAdmittedUs)
+      }
+      state.update(st)
+      QuotaSummary(userId, st.events, st.admitted, st.lastAdmittedUs)
+    }
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)(
+        Encoders.product[QuotaState], Encoders.product[QuotaSummary])
+  }
 }

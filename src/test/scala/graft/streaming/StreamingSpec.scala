@@ -180,6 +180,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quota admission equals the batch twin across a two-batch replay") {
+    // deliver in TWO time-ordered micro-batches so the per-key counter
+    // must carry its state across batches (the shape that breaks any
+    // per-batch-recomputed quota)
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = graft.queries.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._3)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long)]
+    val stream = mem.toDF().toDF("event_id", "user_id", "ts_us")
+      .as[StreamingPipelines.QEv]
+    val q = StreamingPipelines.quotaAdmit(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("quota_out").start()
+    try {
+      val (first, second) = ev.splitAt(ev.length / 2)
+      mem.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(second.toSeq: _*)
+      q.processAllAvailable()
+      // update mode emits one row per user per batch; every column is
+      // monotone non-decreasing, so max() selects the final state
+      val streaming = spark.sql(
+        """SELECT user_id, max(n_events), max(n_admitted), max(last_admitted_us)
+          |FROM quota_out GROUP BY user_id""".stripMargin)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val batch = graft.queries.StreamOps.st07QuotaAdmission(spark, sfDir)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(streaming == batch)
+      // the quota must actually bind on this corpus or the probe is vacuous
+      assert(batch.values.exists { case (n, adm, _) => adm < n })
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch attribution twin") {
     val clicks = eventStream().filter(col("event_type") === "click")
     val purchases = eventStream().filter(col("event_type") === "purchase")
