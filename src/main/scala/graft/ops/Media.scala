@@ -71,6 +71,47 @@ object Media {
       }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
   }
 
+  /** VAD-style energy segmentation (the m07 semantics over any WAV payload
+    * column): fixed 32-sample frames, a frame is active iff its energy is
+    * nonzero, active runs are segments. Corrupt payloads and null ids are
+    * flagged (ok = false), never fatal. */
+  def energySegments(df: DataFrame, idCol: String = "doc_id",
+                     bytesCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = true),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("n_active", LongType, nullable = true),
+      StructField("n_segments", LongType, nullable = true),
+      StructField("longest_run", LongType, nullable = true)))
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = idOrNull(r)
+          try {
+            if (id == null) throw new IllegalArgumentException("null id")
+            val (_, samples) = MultiModalOps.wavSamples(r.getAs[Array[Byte]](1))
+            val fr = MultiModalOps.VadFrame
+            val nFrames = (samples.length + fr - 1) / fr
+            var nActive = 0L; var nSeg = 0L; var longest = 0L; var run = 0L
+            var j = 0
+            while (j < nFrames) {
+              var e = 0L; var i = j * fr
+              val end = math.min(i + fr, samples.length)
+              while (i < end) { e += samples(i).toLong * samples(i); i += 1 }
+              if (e > 0) {
+                nActive += 1; run += 1
+                if (run == 1) nSeg += 1
+                if (run > longest) longest = run
+              } else run = 0
+              j += 1
+            }
+            Row(id, true, nFrames.toLong, nActive, nSeg, longest)
+          } catch { case _: Exception => Row(id, false, null, null, null, null) }
+        }
+      }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+  }
+
   /** Frame sampling (the m02 semantics over any payload column): each
     * payload expands to length/frameBytes virtual frames; every `stride`-th
     * frame is kept with a deterministic per-frame fingerprint — the

@@ -42,6 +42,14 @@ object Text {
                         textCol: String = "text"): DataFrame =
     TextOps.repetitionOf(norm(docs, idCol, textCol))
 
+  /** Temperature-weighted data-mix weights per source (t15): token mass,
+    * raw share, and the w ∝ tokens^0.5 sampling weight + boost — the
+    * source-mixing step of pre-training data assembly. */
+  def mixWeights(docs: DataFrame, sourceCol: String = "source",
+                 textCol: String = "text"): DataFrame =
+    TextOps.mixWeightsOf(docs.select(
+      col(sourceCol).as("source"), col(textCol).as("text")))
+
   /** Gopher-style quality-filter rules (t14): per-rule pass flags
     * (word-count bounds, mean-word-length band, required stopwords) and
     * the combined keep — the auditable pre-training admission gate. */

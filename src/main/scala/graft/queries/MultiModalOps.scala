@@ -292,6 +292,35 @@ object MultiModalOps {
     (rate, samples.length.toLong, rms, zc)
   }
 
+  /** The m07 container walk: same RIFF parse as [[decodeWav]] but returns
+    * the raw PCM samples for frame-level analysis. */
+  private[graft] def wavSamples(bytes: Array[Byte]): (Int, Array[Short]) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(off: Int): String = new String(bytes, off, 4, "ASCII")
+    require(fourcc(0) == "RIFF" && fourcc(8) == "WAVE", "not a WAV file")
+    var off = 12
+    var rate = -1; var bits = -1; var channels = -1
+    var samples: Array[Short] = null
+    while (off + 8 <= bytes.length) {
+      val id = fourcc(off); val sz = bb.getInt(off + 4)
+      id match {
+        case "fmt " =>
+          require(bb.getShort(off + 8) == 1, "PCM only")
+          channels = bb.getShort(off + 10).toInt
+          rate = bb.getInt(off + 12)
+          bits = bb.getShort(off + 22).toInt
+        case "data" =>
+          require(bits == 16 && channels == 1, "mono PCM-16 only")
+          samples = Array.tabulate(sz / 2)(i => bb.getShort(off + 8 + i * 2))
+        case _ => // skip unknown chunks
+      }
+      off += 8 + sz + (sz & 1)
+    }
+    require(samples != null, "no data chunk")
+    (rate, samples)
+  }
+
   def m05WavDecode(s: SparkSession, d: String): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
@@ -416,7 +445,106 @@ object MultiModalOps {
        |FROM hashes ORDER BY doc_id""".stripMargin
   }
 
+  /** m07: VAD-style energy segmentation — the audio-pipeline step that
+    * carves a recording into speech-like segments before transcription:
+    * frame the PCM stream into fixed 32-sample frames, mark frames with
+    * nonzero energy active, and report the active-run structure (frame
+    * counts, segment count, longest segment).
+    *
+    * Each doc's payload is a synthesized RIFF/WAV where every third
+    * 32-sample block (phase = doc_id mod 3) is silent and the rest carry
+    * the integer sawtooth — so the decoded energy profile has real
+    * silence gaps and the segmentation is non-vacuous. The kernel parses
+    * the container and measures energy from the DECODED bytes; the oracle
+    * recomputes the segment structure from the synthesis formula alone
+    * (the m-block proof pattern: agreement proves the decode decodes).
+    * One map pass, no shuffle before the final sort. */
+  private[graft] val VadFrame = 32
+
+  private[graft] def vadBytes(docId: Long): Array[Byte] = {
+    val n = (512 + docId % 128).toInt
+    val f = (3 + docId % 13).toInt
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ASCII")); bb.putInt(36 + n * 2)
+    bb.put("WAVE".getBytes("ASCII"))
+    bb.put("fmt ".getBytes("ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1)
+    bb.putInt(WavRate)
+    bb.putInt(WavRate * 2); bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes("ASCII")); bb.putInt(n * 2)
+    var k = 0
+    while (k < n) {
+      val silent = (k / VadFrame) % 3 == docId % 3
+      bb.putShort(if (silent) 0 else (((k * f) % 200) * 100 - 9950).toShort)
+      k += 1
+    }
+    bb.array()
+  }
+
+  def m07EnergySegments(s: SparkSession, d: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("n_active", LongType, nullable = false),
+      StructField("n_segments", LongType, nullable = false),
+      StructField("longest_run", LongType, nullable = false)))
+    documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (_, samples) = wavSamples(vadBytes(id))
+          val nFrames = (samples.length + VadFrame - 1) / VadFrame
+          var nActive = 0L; var nSeg = 0L; var longest = 0L; var run = 0L
+          var j = 0
+          while (j < nFrames) {
+            var e = 0L; var i = j * VadFrame
+            val end = math.min(i + VadFrame, samples.length)
+            while (i < end) { e += samples(i).toLong * samples(i); i += 1 }
+            if (e > 0) {
+              nActive += 1; run += 1
+              if (run == 1) nSeg += 1
+              if (run > longest) longest = run
+            } else run = 0
+            j += 1
+          }
+          Row(id, nFrames.toLong, nActive, nSeg, longest)
+        }
+      }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: segment structure from the synthesis formula only — frames
+    * j of 32 samples, active iff j mod 3 != doc_id mod 3. */
+  val m07Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id, 512 + doc_id % 128 AS n FROM documents
+      |), fr AS (
+      |  SELECT doc_id, n, unnest(range(0, (n + 31) // 32)) AS j FROM p
+      |), act AS (
+      |  SELECT doc_id, n, j,
+      |    CASE WHEN j % 3 <> doc_id % 3 THEN 1 ELSE 0 END AS active
+      |  FROM fr
+      |), grp AS (
+      |  SELECT doc_id, j, active,
+      |    j - ROW_NUMBER() OVER (PARTITION BY doc_id, active ORDER BY j) AS g
+      |  FROM act
+      |), seg AS (
+      |  SELECT doc_id, g, COUNT(*) AS len FROM grp WHERE active = 1
+      |  GROUP BY doc_id, g
+      |), base AS (
+      |  SELECT doc_id, CAST((max(n) + 31) // 32 AS BIGINT) AS n_frames,
+      |    CAST(SUM(active) AS BIGINT) AS n_active
+      |  FROM act GROUP BY doc_id
+      |), segs AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+      |    CAST(MAX(len) AS BIGINT) AS longest_run
+      |  FROM seg GROUP BY doc_id)
+      |SELECT doc_id, n_frames, n_active, n_segments, longest_run
+      |FROM base JOIN segs USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m07_energy_segments" -> m07EnergySegments _,
     "m01_image_decode" -> m01ImageDecode _,
     "m02_frame_sample" -> m02FrameSample _,
     "m03_resize" -> m03Resize _,
@@ -426,6 +554,7 @@ object MultiModalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "m07_energy_segments" -> m07Sql,
     "m01_image_decode" -> m01Sql,
     "m02_frame_sample" -> m02Sql,
     "m03_resize" -> m03Sql,

@@ -611,7 +611,64 @@ object TextOps {
        |   AND n_stop_kinds >= $GopherMinStopKinds) AS keep
        |FROM m ORDER BY doc_id""".stripMargin
 
+  /** t15: data-mix weights — the source-mixing step of pre-training data
+    * assembly (the Pile / LLaMA recipe): per-source token mass, its raw
+    * share of the corpus, and a temperature-weighted sampling weight
+    * w_s ∝ tokens_s^α with α = 0.5, which up-weights small sources
+    * relative to proportional sampling. The weight's numerator/denominator
+    * are sqrt values FLOORED TO INTEGER MILLI-UNITS before summing, so the
+    * denominator is an exact integer sum (associative, shuffle-order-proof
+    * — the float-sum order trap the t01 contract exists to avoid) and the
+    * only doubles are final divisions of exact integers, identical in both
+    * engines. boost = mix_weight/share computed directly from the integers
+    * (at extreme token counts compute it in doubles — the integer products
+    * here are ~1e9 at bench scale, far from overflow).
+    *
+    * Scale: one scan + one hash agg to ~#sources rows; the totals join is
+    * a broadcast of ONE row. Nothing grows with corpus size but the agg. */
+  def t15MixWeights(s: SparkSession, d: String): DataFrame =
+    mixWeightsOf(documents(s, d)).orderBy("source")
+
+  /** t15's kernel over any (source, text) frame (graft.ops.Text API). */
+  private[graft] def mixWeightsOf(docs: DataFrame): DataFrame = {
+    val per = docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("src_tokens"))
+      .withColumn("st",
+        floor(sqrt(col("src_tokens").cast("double")) * 1000).cast("long"))
+    val totals = per.agg(sum("src_tokens").as("total_tokens"),
+      sum("st").as("total_st"))
+    per.join(broadcast(totals))
+      .select(
+        col("source"), col("n_docs"), col("src_tokens"),
+        round(col("src_tokens").cast("double") / col("total_tokens"), 6)
+          .as("share"),
+        round(col("st").cast("double") / col("total_st"), 6).as("mix_weight"),
+        round((col("st").cast("double") * col("total_tokens")) /
+          (col("total_st").cast("double") * col("src_tokens")), 4).as("boost"))
+  }
+
+  val t15Sql: String =
+    """WITH per AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+      |  FROM documents GROUP BY source
+      |), st AS (
+      |  SELECT *, CAST(FLOOR(SQRT(CAST(src_tokens AS DOUBLE)) * 1000) AS BIGINT) AS stv
+      |  FROM per
+      |), tot AS (
+      |  SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+      |    CAST(SUM(stv) AS BIGINT) AS total_st FROM st)
+      |SELECT source, n_docs, src_tokens,
+      |  ROUND(CAST(src_tokens AS DOUBLE) / total_tokens, 6) AS share,
+      |  ROUND(CAST(stv AS DOUBLE) / total_st, 6) AS mix_weight,
+      |  ROUND((CAST(stv AS DOUBLE) * total_tokens) /
+      |    (CAST(total_st AS DOUBLE) * src_tokens), 4) AS boost
+      |FROM st CROSS JOIN tot ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_mix_weights" -> t15MixWeights _,
     "t14_gopher_filters" -> t14GopherFilters _,
     "t13_sequence_pack" -> t13SequencePack _,
     "t11_contamination" -> t11Contamination _,
@@ -629,6 +686,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "t15_mix_weights" -> t15Sql,
     "t14_gopher_filters" -> t14Sql,
     "t13_sequence_pack" -> t13Sql,
     "t01_text_stats" -> t01Sql,

@@ -48,6 +48,22 @@ class MediaApiSpec extends AnyFunSuite {
     assert(apiCmp.exceptAll(gated).isEmpty && gated.exceptAll(apiCmp).isEmpty)
   }
 
+  test("energySegments over a payload column == m07 on the same ids") {
+    import spark.implicits._
+    val ids = graft.queries.Tables.documents(spark, d)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val payloads = ids.map(id =>
+      (id, graft.queries.MultiModalOps.vadBytes(id))).toDF("id", "bytes")
+    val api = Media.energySegments(payloads, "id", "bytes")
+    assert(api.filter(!col("ok")).isEmpty)
+    val apiCmp = api.drop("ok").orderBy("doc_id")
+    val gated = graft.queries.MultiModalOps.m07EnergySegments(spark, d)
+    assert(apiCmp.columns.sameElements(gated.columns))
+    assert(apiCmp.exceptAll(gated).isEmpty && gated.exceptAll(apiCmp).isEmpty)
+    // the probe is non-vacuous only if real silence gaps exist
+    assert(gated.filter(col("n_segments") > 1).count() > 0)
+  }
+
   test("corrupt payloads yield ok=false rows, not task failures") {
     import spark.implicits._
     val mixed = Seq(
@@ -60,6 +76,8 @@ class MediaApiSpec extends AnyFunSuite {
     assert(out(1).isNullAt(2))
     val outW = Media.decodeWav(mixed, "id", "bytes").orderBy("doc_id").collect()
     assert(!outW(1).getBoolean(1) && !outW(2).getBoolean(1))
+    val outE = Media.energySegments(mixed, "id", "bytes").orderBy("doc_id").collect()
+    assert(!outE(1).getBoolean(1) && !outE(2).getBoolean(1))
   }
 
   test("null ids degrade to ok=false rows, not NPE task failures") {

@@ -44,6 +44,13 @@ class TextApiSpec extends AnyFunSuite {
       graft.queries.TextOps.t06BpeTokens(spark, d))
   }
 
+  test("mixWeights == t15 under renamed columns") {
+    val docs = graft.queries.Tables.documents(spark, d)
+      .select(col("source").as("origin"), col("text").as("body"))
+    same(Text.mixWeights(docs, "origin", "body").orderBy("source"),
+      graft.queries.TextOps.t15MixWeights(spark, d))
+  }
+
   test("gopherFilters == t14") {
     same(Text.gopherFilters(renamed, "id", "body"),
       graft.queries.TextOps.t14GopherFilters(spark, d))
