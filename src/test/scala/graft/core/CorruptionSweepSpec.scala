@@ -193,6 +193,28 @@ class CorruptionSweepSpec extends AnyFunSuite {
     zarrSweep(2)
   }
 
+  test("dap2: dods/dds/das corruption never crashes, only fails by name") {
+    // the last binary reader without a sweep: the DODS response embeds the
+    // DDS text, a separator, then XDR arrays with COUNT PREFIXES — corrupt
+    // counts are the classic negative-alloc / huge-alloc vector
+    val f = smallCube()
+    val (dds, das, dods) = graft.dap.Dap2.encode(f, "sweep.nc")
+    val (okB, failedB) = sweep(dods, 600, { bytes =>
+      graft.dap.Dap2.parseDods(bytes)
+    })
+    info(s"dap2 dods sweep: $okB parsed, $failedB failed diagnosably")
+    assert(failedB > 0, "no corruption failed — the sweep is vacuous")
+    // text documents: every byte, parse must fail by name not crash
+    for ((doc, parse) <- Seq[(String, Array[Byte] => Unit)](
+      (dds, b => graft.dap.Dap2.parseDds(new String(b, "UTF-8"))),
+      (das, b => graft.dap.Dap2.parseDas(new String(b, "UTF-8"))))) {
+      val orig = doc.getBytes("UTF-8")
+      val (ok, failed) = sweep(orig, orig.length, parse)
+      info(s"dap2 text sweep: $ok parsed, $failed failed diagnosably")
+      assert(ok + failed > 0)
+    }
+  }
+
   test("blosc: header corruption cannot amplify a 16-byte header into a huge allocation") {
     val data = Array.tabulate[Byte](4096)(i => (i * 7 % 251).toByte)
     val comp = graft.zarr.Blosc.compress(data, 8,

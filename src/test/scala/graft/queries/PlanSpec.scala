@@ -163,6 +163,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("t15: the one-row totals join broadcasts; no global sort before it") {
+    val p = plan(TextOps.t15MixWeights(spark, d))
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("t05/t06: single-scan text ops stay inside whole-stage codegen") {
     val p = TextOps.t05LangIdNgram(spark, d).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
