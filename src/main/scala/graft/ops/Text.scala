@@ -42,6 +42,17 @@ object Text {
                         textCol: String = "text"): DataFrame =
     TextOps.repetitionOf(norm(docs, idCol, textCol))
 
+  /** Retrieval chunking (t16): fixed token windows advancing by `stride`
+    * (overlap = window - stride) with per-chunk offsets and content
+    * fingerprints — the chunk table a RAG embedding/index stage consumes. */
+  def chunkWindows(docs: DataFrame, window: Int = 64, stride: Int = 48,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(window >= stride && stride > 0,
+      s"window $window must be >= stride $stride > 0 (gaps would drop tokens)")
+    TextOps.chunkWindowsOf(norm(docs, idCol, textCol), window, stride)
+  }
+
   /** Temperature-weighted data-mix weights per source (t15): token mass,
     * raw share, and the w ∝ tokens^0.5 sampling weight + boost — the
     * source-mixing step of pre-training data assembly. */

@@ -667,7 +667,57 @@ object TextOps {
       |    (CAST(total_st AS DOUBLE) * src_tokens), 4) AS boost
       |FROM st CROSS JOIN tot ORDER BY source""".stripMargin
 
+  /** t16: retrieval chunking — the RAG indexing step: each document is
+    * cut into fixed `ChunkWindow`-token windows advancing by `ChunkStride`
+    * (so consecutive chunks overlap by window - stride tokens, the
+    * standard trick so no answer span straddles a chunk boundary unseen),
+    * each chunk emitting its offset, length and content fingerprint. The
+    * chunk table is what an embedding/index stage consumes.
+    * One Generate (explode) per doc — no shuffle before the final sort;
+    * chunk count per doc is ceil(n/stride), so output mass is corpus
+    * token mass / stride — linear at any scale. */
+  val ChunkWindow = 64
+  val ChunkStride = 48
+
+  def t16ChunkWindows(s: SparkSession, d: String): DataFrame =
+    chunkWindowsOf(documents(s, d), ChunkWindow, ChunkStride)
+      .orderBy("doc_id", "chunk_no")
+
+  /** t16's kernel over any (doc_id, text) frame (graft.ops.Text API). */
+  private[graft] def chunkWindowsOf(docs: DataFrame, window: Int,
+                                    stride: Int): DataFrame =
+    docs
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n", size(col("words")).cast("long"))
+      .withColumn("chunk_no",
+        explode(expr(s"sequence(0L, (n + ${stride - 1}) div $stride - 1)")))
+      .select(
+        col("doc_id"), col("chunk_no"),
+        (col("chunk_no") * stride).as("start_tok"),
+        least(lit(window.toLong), col("n") - col("chunk_no") * stride)
+          .as("chunk_tokens"),
+        md5(expr(s"concat_ws(' ', slice(words, chunk_no * $stride + 1, $window))"))
+          .as("chunk_md5"))
+
+  val t16Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, words, n,
+       |    unnest(range(0, (n + ${ChunkStride - 1}) // $ChunkStride)) AS chunk_no
+       |  FROM t)
+       |SELECT doc_id, chunk_no,
+       |  chunk_no * $ChunkStride AS start_tok,
+       |  least($ChunkWindow, n - chunk_no * $ChunkStride) AS chunk_tokens,
+       |  md5(array_to_string(words[chunk_no * $ChunkStride + 1 :
+       |    chunk_no * $ChunkStride + least($ChunkWindow, n - chunk_no * $ChunkStride)],
+       |    ' ')) AS chunk_md5
+       |FROM c ORDER BY doc_id, chunk_no""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_chunk_windows" -> t16ChunkWindows _,
     "t15_mix_weights" -> t15MixWeights _,
     "t14_gopher_filters" -> t14GopherFilters _,
     "t13_sequence_pack" -> t13SequencePack _,
@@ -686,6 +736,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "t16_chunk_windows" -> t16Sql,
     "t15_mix_weights" -> t15Sql,
     "t14_gopher_filters" -> t14Sql,
     "t13_sequence_pack" -> t13Sql,

@@ -44,6 +44,23 @@ class TextApiSpec extends AnyFunSuite {
       graft.queries.TextOps.t06BpeTokens(spark, d))
   }
 
+  test("chunkWindows == t16 under renamed columns; chunks cover every token") {
+    same(Text.chunkWindows(renamed, idCol = "id", textCol = "body"),
+      graft.queries.TextOps.t16ChunkWindows(spark, d))
+    // coverage invariant: with stride <= window, the union of [start,
+    // start+len) covers [0, n) for every doc — no token falls in a gap
+    val chunks = Text.chunkWindows(renamed, idCol = "id", textCol = "body")
+      .groupBy("doc_id")
+      .agg(max(col("start_tok") + col("chunk_tokens")).as("covered"),
+        sum(col("chunk_tokens")).as("sum_tokens"))
+    val docs = graft.queries.TextOps.t01TextStats(spark, d)
+      .select(col("doc_id"), col("n_tokens"))
+    val bad = chunks.join(docs, "doc_id")
+      .filter(col("covered") =!= col("n_tokens") ||
+        col("sum_tokens") < col("n_tokens"))
+    assert(bad.isEmpty, bad.collect().take(3).mkString(","))
+  }
+
   test("mixWeights == t15 under renamed columns") {
     val docs = graft.queries.Tables.documents(spark, d)
       .select(col("source").as("origin"), col("text").as("body"))
