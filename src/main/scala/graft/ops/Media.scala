@@ -91,22 +91,8 @@ object Media {
           try {
             if (id == null) throw new IllegalArgumentException("null id")
             val (_, samples) = MultiModalOps.wavSamples(r.getAs[Array[Byte]](1))
-            val fr = MultiModalOps.VadFrame
-            val nFrames = (samples.length + fr - 1) / fr
-            var nActive = 0L; var nSeg = 0L; var longest = 0L; var run = 0L
-            var j = 0
-            while (j < nFrames) {
-              var e = 0L; var i = j * fr
-              val end = math.min(i + fr, samples.length)
-              while (i < end) { e += samples(i).toLong * samples(i); i += 1 }
-              if (e > 0) {
-                nActive += 1; run += 1
-                if (run == 1) nSeg += 1
-                if (run > longest) longest = run
-              } else run = 0
-              j += 1
-            }
-            Row(id, true, nFrames.toLong, nActive, nSeg, longest)
+            val (nFrames, nActive, nSeg, longest) = MultiModalOps.segmentsOf(samples)
+            Row(id, true, nFrames, nActive, nSeg, longest)
           } catch { case _: Exception => Row(id, false, null, null, null, null) }
         }
       }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))

@@ -45,7 +45,9 @@ object Text {
   /** Retrieval chunking (t16): fixed token windows advancing by `stride`
     * (overlap = window - stride) with per-chunk offsets and content
     * fingerprints — the chunk table a RAG embedding/index stage consumes. */
-  def chunkWindows(docs: DataFrame, window: Int = 64, stride: Int = 48,
+  def chunkWindows(docs: DataFrame,
+                   window: Int = TextOps.ChunkWindow,
+                   stride: Int = TextOps.ChunkStride,
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     require(window >= stride && stride > 0,

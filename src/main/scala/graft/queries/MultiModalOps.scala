@@ -259,29 +259,7 @@ object MultiModalOps {
   /** Parse a RIFF/WAVE container: chunk walk to fmt + data, then features
     * from the PCM samples. Throws on malformed containers. */
   private[graft] def decodeWav(bytes: Array[Byte]): (Int, Long, Long, Long) = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    def fourcc(off: Int): String = new String(bytes, off, 4, "ASCII")
-    require(fourcc(0) == "RIFF" && fourcc(8) == "WAVE", "not a WAV file")
-    var off = 12
-    var rate = -1; var bits = -1; var channels = -1
-    var samples: Array[Short] = null
-    while (off + 8 <= bytes.length) {
-      val id = fourcc(off); val sz = bb.getInt(off + 4)
-      id match {
-        case "fmt " =>
-          require(bb.getShort(off + 8) == 1, "PCM only")
-          channels = bb.getShort(off + 10).toInt
-          rate = bb.getInt(off + 12)
-          bits = bb.getShort(off + 22).toInt
-        case "data" =>
-          require(bits == 16 && channels == 1, "mono PCM-16 only")
-          samples = Array.tabulate(sz / 2)(i => bb.getShort(off + 8 + i * 2))
-        case _ => // skip unknown chunks
-      }
-      off += 8 + sz + (sz & 1) // RIFF chunks are 2-byte aligned
-    }
-    require(samples != null, "no data chunk")
+    val (rate, samples) = wavSamples(bytes)
     var sumSq = 0L; var zc = 0L; var i = 0
     while (i < samples.length) {
       sumSq += samples(i).toLong * samples(i)
@@ -292,20 +270,29 @@ object MultiModalOps {
     (rate, samples.length.toLong, rms, zc)
   }
 
-  /** The m07 container walk: same RIFF parse as [[decodeWav]] but returns
-    * the raw PCM samples for frame-level analysis. */
+  /** The shared container walk behind [[decodeWav]] and m07: RIFF parse
+    * returning the raw PCM samples. Every payload-supplied chunk size is
+    * bounded by the file size BEFORE use (the corruption-hardening
+    * contract, CorruptionSweepSpec) — a negative size would otherwise spin
+    * the chunk walk forever, a huge one would allocate gigabytes. */
   private[graft] def wavSamples(bytes: Array[Byte]): (Int, Array[Short]) = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def fourcc(off: Int): String = new String(bytes, off, 4, "ASCII")
-    require(fourcc(0) == "RIFF" && fourcc(8) == "WAVE", "not a WAV file")
+    require(bytes.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "WAVE",
+      "not a WAV file")
     var off = 12
     var rate = -1; var bits = -1; var channels = -1
     var samples: Array[Short] = null
     while (off + 8 <= bytes.length) {
       val id = fourcc(off); val sz = bb.getInt(off + 4)
+      // bound arithmetic in Long: off + 8 + Int.MaxValue overflows Int and
+      // would wrap PAST the <= check, defeating the guard
+      require(sz >= 0 && off + 8L + sz <= bytes.length,
+        s"corrupt RIFF chunk '$id': size $sz exceeds file bounds at $off")
       id match {
         case "fmt " =>
+          require(sz >= 16, s"fmt chunk too short ($sz)")
           require(bb.getShort(off + 8) == 1, "PCM only")
           channels = bb.getShort(off + 10).toInt
           rate = bb.getInt(off + 12)
@@ -319,6 +306,27 @@ object MultiModalOps {
     }
     require(samples != null, "no data chunk")
     (rate, samples)
+  }
+
+  /** The m07 frame-energy/run kernel over decoded PCM samples, shared by
+    * the gated query and [[graft.ops.Media.energySegments]]:
+    * (n_frames, n_active, n_segments, longest_run). */
+  private[graft] def segmentsOf(samples: Array[Short]): (Long, Long, Long, Long) = {
+    val nFrames = (samples.length + VadFrame - 1) / VadFrame
+    var nActive = 0L; var nSeg = 0L; var longest = 0L; var run = 0L
+    var j = 0
+    while (j < nFrames) {
+      var e = 0L; var i = j * VadFrame
+      val end = math.min(i + VadFrame, samples.length)
+      while (i < end) { e += samples(i).toLong * samples(i); i += 1 }
+      if (e > 0) {
+        nActive += 1; run += 1
+        if (run == 1) nSeg += 1
+        if (run > longest) longest = run
+      } else run = 0
+      j += 1
+    }
+    (nFrames.toLong, nActive, nSeg, longest)
   }
 
   def m05WavDecode(s: SparkSession, d: String): DataFrame = {
@@ -494,21 +502,8 @@ object MultiModalOps {
         rows.map { r =>
           val id = r.getLong(0)
           val (_, samples) = wavSamples(vadBytes(id))
-          val nFrames = (samples.length + VadFrame - 1) / VadFrame
-          var nActive = 0L; var nSeg = 0L; var longest = 0L; var run = 0L
-          var j = 0
-          while (j < nFrames) {
-            var e = 0L; var i = j * VadFrame
-            val end = math.min(i + VadFrame, samples.length)
-            while (i < end) { e += samples(i).toLong * samples(i); i += 1 }
-            if (e > 0) {
-              nActive += 1; run += 1
-              if (run == 1) nSeg += 1
-              if (run > longest) longest = run
-            } else run = 0
-            j += 1
-          }
-          Row(id, nFrames.toLong, nActive, nSeg, longest)
+          val (nFrames, nActive, nSeg, longest) = segmentsOf(samples)
+          Row(id, nFrames, nActive, nSeg, longest)
         }
       }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
       .orderBy("doc_id")

@@ -193,6 +193,28 @@ class CorruptionSweepSpec extends AnyFunSuite {
     zarrSweep(2)
   }
 
+  test("wav: RIFF chunk-size corruption never loops or mass-allocates") {
+    // the payload-column parser behind m05/m07/Media.decodeWav — chunk
+    // sizes are payload-supplied, so a negative size must not spin the
+    // chunk walk and a huge size must not allocate before the bound check
+    val orig = graft.queries.MultiModalOps.vadBytes(7L)
+    val (ok, failed) = sweep(orig, orig.length, { bytes =>
+      graft.queries.MultiModalOps.wavSamples(bytes)
+    })
+    info(s"wav sweep: $ok parsed, $failed failed diagnosably")
+    assert(failed > 0, "no corruption failed — the sweep is vacuous")
+    // targeted probes for the two amplification vectors the bound kills:
+    // negative chunk size (stuck walk) and size far past the file end
+    for (sz <- Seq(-8, -9, Int.MaxValue, 0x7F000000)) {
+      val mutated = orig.clone()
+      java.nio.ByteBuffer.wrap(mutated)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(40, sz)
+      val e = intercept[IllegalArgumentException](
+        graft.queries.MultiModalOps.wavSamples(mutated))
+      assert(e.getMessage.contains("corrupt RIFF chunk"), e.getMessage)
+    }
+  }
+
   test("dap2: dods/dds/das corruption never crashes, only fails by name") {
     // the last binary reader without a sweep: the DODS response embeds the
     // DDS text, a separator, then XDR arrays with COUNT PREFIXES — corrupt
