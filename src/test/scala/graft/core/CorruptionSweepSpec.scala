@@ -193,6 +193,15 @@ class CorruptionSweepSpec extends AnyFunSuite {
     zarrSweep(2)
   }
 
+  test("ppm: header corruption never crashes (parser allocates nothing from parsed dims)") {
+    val orig = graft.queries.MultiModalOps.ppmBytes(7L)
+    val (ok, failed) = sweep(orig, orig.length, { bytes =>
+      graft.queries.MultiModalOps.decodePpm(bytes)
+    })
+    info(s"ppm sweep: $ok parsed, $failed failed diagnosably")
+    assert(failed > 0, "no corruption failed — the sweep is vacuous")
+  }
+
   test("wav: RIFF chunk-size corruption never loops or mass-allocates") {
     // the payload-column parser behind m05/m07/Media.decodeWav — chunk
     // sizes are payload-supplied, so a negative size must not spin the
