@@ -331,13 +331,94 @@ object PipelineOps {
        |FROM flags GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** p04: admission → indexing pipeline — the round-7 text ops composed
+    * into ONE declarative plan: the Gopher admission gate (t14) decides
+    * keep, kept docs are chunked for retrieval indexing (t16 arithmetic —
+    * counting needs no explode: chunks = ceil(n/stride)), and the kept
+    * token mass feeds temperature mix weights (t15, integer-milli sqrt so
+    * the denominator is an exact integer sum). Per-source accounting of
+    * every stage, the auditability contract of the p-block.
+    *
+    * Plan shape: ONE corpus scan → map-only flags (the t14 kernel with
+    * `source` passed through — no re-join of flags onto the corpus) → one
+    * hash agg to ~#sources rows → one-row broadcast totals join. At 100 TB
+    * this is a single scan and a single metadata-sized shuffle. */
+  def p04AdmissionIndex(s: SparkSession, d: String): DataFrame = {
+    import graft.queries.{TextOps => T}
+    val flagged = T.gopherFiltersOf(
+      Tables.documents(s, d).select("doc_id", "text", "source"),
+      passthrough = Seq("source"))
+    val per = flagged
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_words")).otherwise(0L)).as("kept_tokens"),
+        sum(when(col("keep"),
+          // Column./ on longs is DOUBLE division in Spark — use `div`
+          expr(s"(n_words + ${T.ChunkStride - 1}) div ${T.ChunkStride}"))
+          .otherwise(0L)).as("n_chunks"))
+      .withColumn("st",
+        floor(sqrt(col("kept_tokens").cast("double")) * 1000).cast("long"))
+    // totals via a full-frame window over the per-source aggregate: its
+    // input is ~#sources rows (metadata-sized), so the single-partition
+    // window is safe at any corpus scale — and it avoids the second
+    // corpus scan a `per.agg(...).join(per)` branch would plan (each
+    // branch re-derives the full lineage; PlanSpec pins ONE FileScan)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    per
+      .withColumn("total_st", sum("st").over(w))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("kept_tokens"), col("n_chunks"),
+        round(col("st").cast("double") / col("total_st"), 6).as("mix_weight"))
+      .orderBy("source")
+  }
+
+  val p04Sql: String = {
+    import graft.queries.{TextOps => T}
+    s"""WITH t AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS words, text
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(words) AS BIGINT) AS n_words,
+       |    ROUND((length(text) - (len(words) - 1))::DOUBLE / len(words), 4)
+       |      AS mwl,
+       |    len(list_filter(list_distinct(words), w -> w = 'the' OR w = 'a'))
+       |      AS n_stop
+       |  FROM t
+       |), f AS (
+       |  SELECT doc_id, source, n_words,
+       |    (n_words >= ${T.GopherMinWords} AND n_words <= ${T.GopherMaxWords}
+       |     AND mwl >= ${T.GopherMwlLo} AND mwl <= ${T.GopherMwlHi}
+       |     AND n_stop >= ${T.GopherMinStopKinds}) AS keep
+       |  FROM m
+       |), per AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    CAST(SUM(CASE WHEN keep THEN n_words ELSE 0 END) AS BIGINT)
+       |      AS kept_tokens,
+       |    CAST(SUM(CASE WHEN keep
+       |      THEN (n_words + ${T.ChunkStride - 1}) // ${T.ChunkStride}
+       |      ELSE 0 END) AS BIGINT) AS n_chunks
+       |  FROM f GROUP BY source
+       |), st AS (
+       |  SELECT *, CAST(FLOOR(SQRT(CAST(kept_tokens AS DOUBLE)) * 1000)
+       |    AS BIGINT) AS stv FROM per
+       |), tot AS (SELECT CAST(SUM(stv) AS BIGINT) AS total_st FROM st)
+       |SELECT source, n_docs, n_kept, kept_tokens, n_chunks,
+       |  ROUND(CAST(stv AS DOUBLE) / total_st, 6) AS mix_weight
+       |FROM st CROSS JOIN tot ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p04_admission_index" -> p04AdmissionIndex _,
     "p01_corpus_pipeline" -> p01CorpusPipeline _,
     "p02_incremental_update" -> p02IncrementalUpdate _,
     "p03_media_pipeline" -> p03MediaPipeline _,
   )
 
   val oracles: Map[String, String] = Map(
+    "p04_admission_index" -> p04Sql,
     "p01_corpus_pipeline" -> p01Sql,
     "p02_incremental_update" -> p02Sql,
     "p03_media_pipeline" -> p03Sql,

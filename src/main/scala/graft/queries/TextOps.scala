@@ -570,8 +570,12 @@ object TextOps {
   def t14GopherFilters(s: SparkSession, d: String): DataFrame =
     gopherFiltersOf(documents(s, d)).orderBy("doc_id")
 
-  /** t14's kernel over any (doc_id, text) frame (graft.ops.Text API). */
-  private[graft] def gopherFiltersOf(docs: DataFrame): DataFrame =
+  /** t14's kernel over any (doc_id, text) frame (graft.ops.Text API).
+    * `passthrough` names extra input columns to carry into the output —
+    * the single-scan hook composition pipelines (p04) use instead of
+    * re-joining the flags back onto the corpus. */
+  private[graft] def gopherFiltersOf(docs: DataFrame,
+                                     passthrough: Seq[String] = Nil): DataFrame =
     docs
       .withColumn("words", split(col("text"), " "))
       .withColumn("n_words", size(col("words")).cast("long"))
@@ -588,8 +592,9 @@ object TextOps {
       .withColumn("pass_stop", col("n_stop_kinds") >= GopherMinStopKinds)
       .withColumn("keep",
         col("pass_nwords") && col("pass_mwl") && col("pass_stop"))
-      .select("doc_id", "n_words", "mean_word_len", "n_stop_kinds",
-        "pass_nwords", "pass_mwl", "pass_stop", "keep")
+      .select(("doc_id" +: "n_words" +: "mean_word_len" +: "n_stop_kinds" +:
+        "pass_nwords" +: "pass_mwl" +: "pass_stop" +: "keep" +:
+        passthrough).map(col): _*)
 
   val t14Sql: String =
     s"""WITH t AS (
@@ -624,8 +629,9 @@ object TextOps {
     * (at extreme token counts compute it in doubles — the integer products
     * here are ~1e9 at bench scale, far from overflow).
     *
-    * Scale: one scan + one hash agg to ~#sources rows; the totals join is
-    * a broadcast of ONE row. Nothing grows with corpus size but the agg. */
+    * Scale: ONE scan + one hash agg to ~#sources rows; totals come from a
+    * full-frame window over that metadata-sized aggregate (not a second
+    * scan branch). Nothing grows with corpus size but the agg. */
   def t15MixWeights(s: SparkSession, d: String): DataFrame =
     mixWeightsOf(documents(s, d)).orderBy("source")
 
@@ -637,9 +643,15 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("src_tokens"))
       .withColumn("st",
         floor(sqrt(col("src_tokens").cast("double")) * 1000).cast("long"))
-    val totals = per.agg(sum("src_tokens").as("total_tokens"),
-      sum("st").as("total_st"))
-    per.join(broadcast(totals))
+    // totals via a full-frame window over the ~#sources-row aggregate —
+    // metadata-sized input, so the single-partition window is safe at any
+    // corpus scale, and it avoids the second corpus scan that a
+    // `per.agg(...) join per` totals branch plans (each branch re-derives
+    // the scan lineage; PlanSpec pins t15 to ONE FileScan)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    per
+      .withColumn("total_tokens", sum("src_tokens").over(w))
+      .withColumn("total_st", sum("st").over(w))
       .select(
         col("source"), col("n_docs"), col("src_tokens"),
         round(col("src_tokens").cast("double") / col("total_tokens"), 6)

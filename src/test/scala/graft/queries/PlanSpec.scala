@@ -163,9 +163,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("t15: the one-row totals join broadcasts; no global sort before it") {
+  test("t15: ONE corpus scan; totals windowed over the metadata-sized agg") {
     val p = plan(TextOps.t15MixWeights(spark, d))
-    assert(p.contains("Broadcast"), p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"expected exactly one corpus scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("p04: the composed admission pipeline is ONE corpus scan") {
+    val p = plan(PipelineOps.p04AdmissionIndex(spark, d))
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"expected exactly one corpus scan:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
