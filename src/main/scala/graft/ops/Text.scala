@@ -42,6 +42,17 @@ object Text {
                         textCol: String = "text"): DataFrame =
     TextOps.repetitionOf(norm(docs, idCol, textCol))
 
+  /** BPE merge learning (t17): learn the first `nMerges` byte-pair merges
+    * from any corpus — one corpus scan to a word-frequency table, then
+    * vocab-sized merge iterations (the production tokenizer-trainer
+    * shape). Returns (merge_no, pair, merged, cnt). */
+  def bpeMerges(docs: DataFrame, nMerges: Int = TextOps.BpeMergeCount,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    TextOps.bpeMergesOf(norm(docs, idCol, textCol), nMerges)
+  }
+
   /** Retrieval chunking (t16): fixed token windows advancing by `stride`
     * (overlap = window - stride) with per-chunk offsets and content
     * fingerprints — the chunk table a RAG embedding/index stage consumes. */

@@ -728,7 +728,103 @@ object TextOps {
        |    ' ')) AS chunk_md5
        |FROM c ORDER BY doc_id, chunk_no""".stripMargin
 
+  /** t17: BPE merge learning — tokenizer TRAINING, not just tokenization:
+    * learn the first `BpeMergeCount` byte-pair merges from the corpus the
+    * way production trainers do (HuggingFace tokenizers): ONE corpus scan
+    * compresses the text to a word-frequency table, then each merge
+    * iteration is a vocab-sized aggregation (adjacent-symbol pair counts
+    * weighted by word frequency) + a 1-row argmax collect + a symbol-string
+    * rewrite. At 100 TB the corpus is touched exactly once; the iterations
+    * run on |vocab| rows (the freq table is persisted and released in a
+    * `finally`, the CacheHygieneSpec contract).
+    *
+    * Merge application semantics: symbols are '~'-delimited with wrap
+    * boundaries and a merge applies via leftmost non-overlapping
+    * `replace(sym, "~a~b~", "~ab~")` — IDENTICAL in Spark and DuckDB by
+    * construction. On runs of three+ identical symbols this merges one
+    * fewer site than reference BPE's pairwise scan; no such run exists in
+    * any corpus word (asserted in TextApiSpec so the caveat cannot rot).
+    * Winner tie-break is (count desc, pair asc) in both engines. */
+  val BpeMergeCount = 3
+
+  def t17BpeMerges(s: SparkSession, d: String): DataFrame =
+    bpeMergesOf(documents(s, d), BpeMergeCount)
+
+  /** t17's kernel over any (doc_id, text) frame (graft.ops.Text API). */
+  private[graft] def bpeMergesOf(docs: DataFrame, nMerges: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val freq = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("sym", concat(lit("~"),
+        concat_ws("~", expr("regexp_extract_all(word, '.', 0)")), lit("~")))
+      .select("cnt", "sym")
+      .persist()
+    try {
+      var state = freq
+      val winners = (1 to nMerges).map { i =>
+        val top = state
+          .withColumn("ss", expr("filter(split(sym, '~'), x -> x != '')"))
+          .withColumn("pair", explode(expr(
+            // sequence(1, 0) runs DESCENDING in Spark (the t10 guard):
+            // single-symbol words must emit an empty pair list explicitly
+            "case when size(ss) >= 2 then transform(sequence(1, size(ss) - 1), " +
+              "i -> concat(element_at(ss, i), '~', element_at(ss, i + 1))) " +
+              "else array() end")))
+          .groupBy("pair").agg(sum("cnt").as("c"))
+          .orderBy(col("c").desc, col("pair").asc)
+          .limit(1).collect()(0)
+        val (p, c) = (top.getString(0), top.getLong(1))
+        state = state.withColumn("sym",
+          expr(s"replace(sym, '~$p~', '~${p.replace("~", "")}~')"))
+        (i.toLong, p, p.replace("~", ""), c)
+      }
+      winners.toDF("merge_no", "pair", "merged", "cnt").orderBy("merge_no")
+    } finally freq.unpersist()
+  }
+
+  val t17Sql: String = {
+    // unrolled iterations: each stage re-derives pair counts from the
+    // previous stage's symbol strings, with the identical winner rule
+    def pairStage(symRel: String, n: Int): String =
+      s"""e$n AS (
+         |  SELECT cnt, unnest(CASE WHEN len(ss) >= 2
+         |    THEN list_transform(range(1, len(ss)), i -> ss[i] || '~' || ss[i+1])
+         |    ELSE [] END) AS pair
+         |  FROM (SELECT cnt, list_filter(string_split(sym, '~'), x -> x <> '') AS ss
+         |        FROM $symRel)
+         |), c$n AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS c FROM e$n GROUP BY pair
+         |), w$n AS (SELECT pair, c FROM c$n ORDER BY c DESC, pair LIMIT 1)""".stripMargin
+    def mergeStage(prev: String, n: Int): String =
+      s"""s$n AS (
+         |  SELECT cnt, replace(sym, '~' || w$n.pair || '~',
+         |    '~' || replace(w$n.pair, '~', '') || '~') AS sym
+         |  FROM $prev CROSS JOIN w$n)""".stripMargin
+    s"""WITH w AS (
+       |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+       |), f AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY word
+       |), s0 AS (
+       |  SELECT cnt,
+       |    '~' || array_to_string(regexp_extract_all(word, '.'), '~') || '~' AS sym
+       |  FROM f
+       |), ${pairStage("s0", 1)},
+       |${mergeStage("s0", 1)},
+       |${pairStage("s1", 2)},
+       |${mergeStage("s1", 2)},
+       |${pairStage("s2", 3)}
+       |SELECT * FROM (
+       |  SELECT 1::BIGINT AS merge_no, pair, replace(pair, '~', '') AS merged, c AS cnt FROM w1
+       |  UNION ALL
+       |  SELECT 2::BIGINT, pair, replace(pair, '~', ''), c FROM w2
+       |  UNION ALL
+       |  SELECT 3::BIGINT, pair, replace(pair, '~', ''), c FROM w3
+       |) ORDER BY merge_no""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_bpe_merges" -> t17BpeMerges _,
     "t16_chunk_windows" -> t16ChunkWindows _,
     "t15_mix_weights" -> t15MixWeights _,
     "t14_gopher_filters" -> t14GopherFilters _,
@@ -748,6 +844,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "t17_bpe_merges" -> t17Sql,
     "t16_chunk_windows" -> t16Sql,
     "t15_mix_weights" -> t15Sql,
     "t14_gopher_filters" -> t14Sql,

@@ -61,6 +61,25 @@ class TextApiSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.collect().take(3).mkString(","))
   }
 
+  test("bpeMerges == t17 under renamed columns; corpus has no 3-run symbols") {
+    same(Text.bpeMerges(renamed, idCol = "id", textCol = "body"),
+      graft.queries.TextOps.t17BpeMerges(spark, d))
+    // the documented merge-application caveat (leftmost non-overlapping
+    // boundary replace vs reference BPE's pairwise scan) only differs on
+    // runs of >= 3 identical characters — assert none exist so the
+    // simplification cannot silently change semantics on this corpus
+    val runs = graft.queries.Tables.documents(spark, d)
+      .filter(col("text").rlike("(.)\\1\\1"))
+    assert(runs.isEmpty, "corpus now contains a 3-run; revisit t17 semantics")
+    // learning more merges extends, never changes, the earlier ones
+    val m3 = Text.bpeMerges(renamed, nMerges = 3, "id", "body")
+      .collect().map(_.toSeq).toVector
+    val m5 = Text.bpeMerges(renamed, nMerges = 5, "id", "body")
+      .collect().map(_.toSeq).toVector
+    assert(m5.take(3) == m3, s"prefix mismatch: $m3 vs ${m5.take(3)}")
+    assert(m5.size == 5)
+  }
+
   test("mixWeights == t15 under renamed columns") {
     val docs = graft.queries.Tables.documents(spark, d)
       .select(col("source").as("origin"), col("text").as("body"))
