@@ -739,11 +739,17 @@ object TextOps {
     * `finally`, the CacheHygieneSpec contract).
     *
     * Merge application semantics: symbols are '~'-delimited with wrap
-    * boundaries and a merge applies via leftmost non-overlapping
-    * `replace(sym, "~a~b~", "~ab~")` — IDENTICAL in Spark and DuckDB by
-    * construction. On runs of three+ identical symbols this merges one
-    * fewer site than reference BPE's pairwise scan; no such run exists in
-    * any corpus word (asserted in TextApiSpec so the caveat cannot rot).
+    * boundaries and a merge applies as TWO leftmost-non-overlapping
+    * `replace(sym, "~a~b~", "~ab~")` passes — IDENTICAL in Spark and
+    * DuckDB by construction. Two passes equal reference BPE's greedy
+    * left-to-right pairwise application for every word except those
+    * containing a 5+-fold repetition of some substring (where the SITE
+    * COUNT still matches but the grouping order can differ); TextApiSpec
+    * asserts no corpus word has such a repetition so the caveat cannot
+    * rot. Corpus text must not contain '~' (it would forge symbol
+    * boundaries) — validated on the vocab-sized freq table with a named
+    * error, not a second corpus scan. Learning stops early (fewer rows)
+    * if the vocabulary runs out of adjacent pairs before nMerges.
     * Winner tie-break is (count desc, pair asc) in both engines. */
   val BpeMergeCount = 3
 
@@ -755,15 +761,28 @@ object TextOps {
     val s = docs.sparkSession
     import s.implicits._
     val freq = docs
+      // (?s). so the char split treats \r and unicode line separators
+      // identically in Java regex and the oracle's RE2
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .withColumn("sym", concat(lit("~"),
-        concat_ws("~", expr("regexp_extract_all(word, '.', 0)")), lit("~")))
-      .select("cnt", "sym")
+        concat_ws("~", expr("regexp_extract_all(word, '(?s).', 0)")), lit("~")))
+      .select("word", "cnt", "sym")
       .persist()
     try {
-      var state = freq
-      val winners = (1 to nMerges).map { i =>
+      val forged = freq.filter(col("word").contains("~")).limit(1)
+        .collect().headOption
+      forged.foreach { r =>
+        throw new IllegalArgumentException(
+          s"bpeMerges: corpus word '${r.getString(0)}' contains the symbol " +
+            "delimiter '~' — it would forge symbol boundaries; scrub first")
+      }
+      var state = freq.select("cnt", "sym")
+      val winners = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, Long)]
+      var i = 1
+      var exhausted = false
+      while (i <= nMerges && !exhausted) {
         val top = state
           .withColumn("ss", expr("filter(split(sym, '~'), x -> x != '')"))
           .withColumn("pair", explode(expr(
@@ -774,19 +793,32 @@ object TextOps {
               "else array() end")))
           .groupBy("pair").agg(sum("cnt").as("c"))
           .orderBy(col("c").desc, col("pair").asc)
-          .limit(1).collect()(0)
-        val (p, c) = (top.getString(0), top.getLong(1))
-        state = state.withColumn("sym",
-          expr(s"replace(sym, '~$p~', '~${p.replace("~", "")}~')"))
-        (i.toLong, p, p.replace("~", ""), c)
+          .limit(1).collect().headOption
+        top match {
+          case None => exhausted = true // vocabulary fully merged: stop early
+          case Some(row) =>
+            val (p, c) = (row.getString(0), row.getLong(1))
+            // pair values go through lit(), never the SQL parser — a pair
+            // containing quotes/backslashes must not be parsed as syntax
+            val search = lit("~" + p + "~")
+            val merged = lit("~" + p.replace("~", "") + "~")
+            state = state
+              .withColumn("sym", replace(col("sym"), search, merged))
+              .withColumn("sym", replace(col("sym"), search, merged))
+            winners += ((i.toLong, p, p.replace("~", ""), c))
+        }
+        i += 1
       }
-      winners.toDF("merge_no", "pair", "merged", "cnt").orderBy("merge_no")
+      winners.toSeq.toDF("merge_no", "pair", "merged", "cnt")
+        .orderBy("merge_no")
     } finally freq.unpersist()
   }
 
   val t17Sql: String = {
-    // unrolled iterations: each stage re-derives pair counts from the
-    // previous stage's symbol strings, with the identical winner rule
+    // unrolled iterations GENERATED from BpeMergeCount so query and
+    // oracle can never desync on the constant; each stage re-derives pair
+    // counts from the previous stage's symbol strings with the identical
+    // winner rule, and applies the merge with the same TWO replace passes
     def pairStage(symRel: String, n: Int): String =
       s"""e$n AS (
          |  SELECT cnt, unnest(CASE WHEN len(ss) >= 2
@@ -798,28 +830,30 @@ object TextOps {
          |), w$n AS (SELECT pair, c FROM c$n ORDER BY c DESC, pair LIMIT 1)""".stripMargin
     def mergeStage(prev: String, n: Int): String =
       s"""s$n AS (
-         |  SELECT cnt, replace(sym, '~' || w$n.pair || '~',
-         |    '~' || replace(w$n.pair, '~', '') || '~') AS sym
+         |  SELECT cnt, replace(replace(sym,
+         |      '~' || w$n.pair || '~', '~' || replace(w$n.pair, '~', '') || '~'),
+         |      '~' || w$n.pair || '~', '~' || replace(w$n.pair, '~', '') || '~')
+         |    AS sym
          |  FROM $prev CROSS JOIN w$n)""".stripMargin
+    val stages = (1 to BpeMergeCount).map { n =>
+      val pair = pairStage(s"s${n - 1}", n)
+      if (n < BpeMergeCount) s"$pair,\n${mergeStage(s"s${n - 1}", n)}"
+      else pair
+    }.mkString(",\n")
+    val union = (1 to BpeMergeCount).map { n =>
+      s"SELECT $n::BIGINT AS merge_no, pair, replace(pair, '~', '') AS merged, c AS cnt FROM w$n"
+    }.mkString("\n  UNION ALL\n  ")
     s"""WITH w AS (
        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
        |), f AS (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY word
        |), s0 AS (
        |  SELECT cnt,
-       |    '~' || array_to_string(regexp_extract_all(word, '.'), '~') || '~' AS sym
+       |    '~' || array_to_string(regexp_extract_all(word, '(?s).'), '~') || '~' AS sym
        |  FROM f
-       |), ${pairStage("s0", 1)},
-       |${mergeStage("s0", 1)},
-       |${pairStage("s1", 2)},
-       |${mergeStage("s1", 2)},
-       |${pairStage("s2", 3)}
+       |), $stages
        |SELECT * FROM (
-       |  SELECT 1::BIGINT AS merge_no, pair, replace(pair, '~', '') AS merged, c AS cnt FROM w1
-       |  UNION ALL
-       |  SELECT 2::BIGINT, pair, replace(pair, '~', ''), c FROM w2
-       |  UNION ALL
-       |  SELECT 3::BIGINT, pair, replace(pair, '~', ''), c FROM w3
+       |  $union
        |) ORDER BY merge_no""".stripMargin
   }
 

@@ -61,16 +61,17 @@ class TextApiSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.collect().take(3).mkString(","))
   }
 
-  test("bpeMerges == t17 under renamed columns; corpus has no 3-run symbols") {
+  test("bpeMerges == t17 under renamed columns; merge semantics guards hold") {
+    import spark.implicits._
     same(Text.bpeMerges(renamed, idCol = "id", textCol = "body"),
       graft.queries.TextOps.t17BpeMerges(spark, d))
-    // the documented merge-application caveat (leftmost non-overlapping
-    // boundary replace vs reference BPE's pairwise scan) only differs on
-    // runs of >= 3 identical characters — assert none exist so the
-    // simplification cannot silently change semantics on this corpus
+    // the documented merge-application caveat (two-pass boundary replace
+    // vs reference BPE's pairwise scan) only differs in grouping order on
+    // words with a 5+-fold repetition of some substring — assert none
+    // exist so the simplification cannot silently change semantics
     val runs = graft.queries.Tables.documents(spark, d)
-      .filter(col("text").rlike("(.)\\1\\1"))
-    assert(runs.isEmpty, "corpus now contains a 3-run; revisit t17 semantics")
+      .filter(col("text").rlike("(.+)\\1\\1\\1\\1"))
+    assert(runs.isEmpty, "corpus now contains a 5-fold repetition; revisit t17")
     // learning more merges extends, never changes, the earlier ones
     val m3 = Text.bpeMerges(renamed, nMerges = 3, "id", "body")
       .collect().map(_.toSeq).toVector
@@ -78,6 +79,20 @@ class TextApiSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toVector
     assert(m5.take(3) == m3, s"prefix mismatch: $m3 vs ${m5.take(3)}")
     assert(m5.size == 5)
+    // two-pass application handles consecutive winner occurrences exactly
+    // like reference BPE's greedy scan ("banana": both (a,n) sites merge)
+    val banana = Seq((1L, "banana banana banana")).toDF("id", "body")
+    val bm = Text.bpeMerges(banana, nMerges = 1, "id", "body").collect()
+    assert(bm.head.getString(1) == "a~n" && bm.head.getLong(3) == 6L,
+      bm.mkString(","))
+    // exhausted vocabulary stops early instead of crashing
+    val tiny = Seq((1L, "ab ab")).toDF("id", "body")
+    assert(Text.bpeMerges(tiny, nMerges = 5, "id", "body").count() == 1)
+    // a tilde in the corpus fails by name, not with forged boundaries
+    val bad = Seq((1L, "oops~here")).toDF("id", "body")
+    val e = intercept[IllegalArgumentException](
+      Text.bpeMerges(bad, nMerges = 1, "id", "body").count())
+    assert(e.getMessage.contains("delimiter"), e.getMessage)
   }
 
   test("mixWeights == t15 under renamed columns") {
