@@ -39,6 +39,16 @@ object SimilarityOps {
 
   private def normExpr(a: String): String = s"normsq_i64($a)"
 
+  /** Zero-safe cosine denominator from two squared-norm columns: any
+    * NONZERO integer-quantized vector has nrm >= 1, so the greatest() is
+    * bit-neutral for every real vector; an all-zero vector (no cosine
+    * direction) scores 0.0 instead of tripping Spark 4's ANSI
+    * DIVIDE_BY_ZERO (EdgeCaseSpec pins this). The oracles stay untouched:
+    * the corpus has no zero vectors, where both engines agree exactly. */
+  private def cosDenom(a: org.apache.spark.sql.Column,
+                       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    greatest(sqrt(a.cast("double")) * sqrt(b.cast("double")), lit(1e-12))
+
   /** Deterministic pseudo-random hyperplanes for the LSH paths: planes of
     * 64 quantized components in {-1000..1000}. splitmix64-style avalanche
     * hash — a linear generator here is NOT random enough: its planes are
@@ -99,8 +109,7 @@ object SimilarityOps {
     val scored = emb.join(broadcast(queries), joinCond)
       .withColumn("dot", expr(dotExpr("q", "qv")))
       .withColumn("sim", round(col("dot").cast("double") /
-        (sqrt(expr(normExpr("q")).cast("double")) *
-          sqrt(expr(normExpr("qv")).cast("double"))), 6))
+        cosDenom(expr(normExpr("q")), expr(normExpr("qv"))), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
     scored
@@ -237,7 +246,7 @@ object SimilarityOps {
         col("nrm").as("nb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         round(expr(dotExpr("qa", "qb")).cast("double") /
-          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+          cosDenom(col("na"), col("nb")), 6)
           .as("sim"))
       .filter(col("sim") >= threshold)
       .distinct() // survivors only: a pair found by k bands dedupes here
@@ -324,7 +333,7 @@ object SimilarityOps {
       .select(col("a.vec_id").as("query_id"), col("a.bucket").as("bucket"),
         col("b.vec_id").as("vec_id"),
         round(expr(dotExpr("a.q", "b.q")).cast("double") /
-          (sqrt(col("a.nrm").cast("double")) * sqrt(col("b.nrm").cast("double"))), 6)
+          cosDenom(col("a.nrm"), col("b.nrm")), 6)
           .as("sim"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
@@ -463,7 +472,7 @@ object SimilarityOps {
         corpus("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(expr(dotExpr("qv", "q")).cast("double") /
-          (sqrt(col("qnrm").cast("double")) * sqrt(col("nrm").cast("double"))), 6)
+          cosDenom(col("qnrm"), col("nrm")), 6)
           .as("sim"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
@@ -513,7 +522,7 @@ object SimilarityOps {
     val victims = slim.as("a").join(slim.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .filter(round(expr(dotExpr("a.q", "b.q")).cast("double") /
-        (sqrt(col("a.nrm").cast("double")) * sqrt(col("b.nrm").cast("double"))), 6)
+        cosDenom(col("a.nrm"), col("b.nrm")), 6)
         >= threshold)
       .select(col("b.vec_id")).distinct()
       .withColumn("pruned", lit(true))
@@ -644,14 +653,12 @@ object SimilarityOps {
       .partitionBy("query_id").orderBy(col("sim_sq8").desc, col("vec_id"))
     emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .withColumn("sim_sq8", round(expr(dotExpr("c", "qc")).cast("double") /
-        (sqrt(expr(normExpr("c")).cast("double")) *
-          sqrt(expr(normExpr("qc")).cast("double"))), 6))
+        cosDenom(expr(normExpr("c")), expr(normExpr("qc"))), 6))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       // exact rescore of the winners only (numQueries × k rows)
       .withColumn("sim_exact", round(expr(dotExpr("q", "qv")).cast("double") /
-        (sqrt(expr(normExpr("q")).cast("double")) *
-          sqrt(expr(normExpr("qv")).cast("double"))), 6))
+        cosDenom(expr(normExpr("q")), expr(normExpr("qv"))), 6))
       .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
         col("sim_sq8"), col("sim_exact"))
   }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.types._
 
 /** Library-robustness gates: the ops facades must handle degenerate
@@ -80,5 +81,37 @@ class EdgeCaseSpec extends AnyFunSuite {
     // no query ids match -> empty; the lone vector has no neighbor
     assert(Vectors.cosineTopK(spark, one, Seq(99L), k = 3).count() == 0)
     assert(Vectors.cosineTopK(spark, one, Seq(1L), k = 3).count() == 0)
+    // same contract for the SQ8 path, incl. an all-zero vector whose
+    // quantizer scale would otherwise divide by zero (greatest(m, 1))
+    assert(Vectors.sq8TopK(spark, emptyEmb, Seq(1L), k = 3).count() == 0)
+    assert(Vectors.sq8TopK(spark, one, Seq(1L), k = 3).count() == 0)
+    val withZero = Seq((1L, Array.fill(8)(1.0f)), (2L, Array.fill(8)(0.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Vectors.sq8TopK(spark, withZero, Seq(1L), k = 3).count() == 1)
+  }
+
+  test("new text/media ops survive empty and degenerate inputs") {
+    import spark.implicits._
+    val docs = docsOf(Seq(
+      (1L, "just one document with a few words here"),
+      (2L, "x"), (3L, "a b"), (4L, "")))
+    assert(Text.gopherFilters(docs).count() == 4)
+    assert(Text.gopherFilters(emptyDocs).count() == 0)
+    // every doc yields >= 1 chunk (even the empty string: one "" token)
+    assert(Text.chunkWindows(docs).count() == 4)
+    assert(Text.chunkWindows(emptyDocs).count() == 0)
+    // one source -> weight exactly 1.0
+    val mw = Text.mixWeights(docs.withColumn("source", lit("s"))).collect()
+    assert(mw.length == 1 && mw(0).getAs[Double]("mix_weight") == 1.0)
+    assert(Text.mixWeights(emptyDocs.withColumn("source", lit("s")))
+      .count() == 0)
+    // BPE learning on an empty corpus learns nothing, without crashing
+    assert(Text.bpeMerges(emptyDocs, nMerges = 2).count() == 0)
+    // energy segmentation over an empty payload frame
+    val emptyPayloads = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("payload", BinaryType))))
+    assert(Media.energySegments(emptyPayloads).count() == 0)
   }
 }
