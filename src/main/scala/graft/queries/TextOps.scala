@@ -743,8 +743,9 @@ object TextOps {
     * `replace(sym, "~a~b~", "~ab~")` passes — IDENTICAL in Spark and
     * DuckDB by construction. Two passes equal reference BPE's greedy
     * left-to-right pairwise application for every word except those
-    * containing a 5+-fold repetition of some substring (where the SITE
-    * COUNT still matches but the grouping order can differ); TextApiSpec
+    * containing a 5+-fold repetition of some substring — there BOTH the
+    * grouping and (for even-length runs of 6+) the merge-site count can
+    * differ from reference BPE; TextApiSpec
     * asserts no corpus word has such a repetition so the caveat cannot
     * rot. Corpus text must not contain '~' (it would forge symbol
     * boundaries) — validated on the vocab-sized freq table with a named

@@ -66,9 +66,10 @@ class TextApiSpec extends AnyFunSuite {
     same(Text.bpeMerges(renamed, idCol = "id", textCol = "body"),
       graft.queries.TextOps.t17BpeMerges(spark, d))
     // the documented merge-application caveat (two-pass boundary replace
-    // vs reference BPE's pairwise scan) only differs in grouping order on
-    // words with a 5+-fold repetition of some substring — assert none
-    // exist so the simplification cannot silently change semantics
+    // vs reference BPE's pairwise scan) diverges — in grouping AND, for
+    // even runs of 6+, in merge-site count — only on words with a 5+-fold
+    // repetition of some substring; assert none exist so the
+    // simplification cannot silently change semantics
     val runs = graft.queries.Tables.documents(spark, d)
       .filter(col("text").rlike("(.+)\\1\\1\\1\\1"))
     assert(runs.isEmpty, "corpus now contains a 5-fold repetition; revisit t17")

@@ -86,6 +86,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(prunedCount > 0, "fixture produced no pruning — probe is vacuous")
   }
 
+  test("no corpus vector quantizes to zero norm (cosDenom's oracle-agreement precondition)") {
+    // the Spark kernels floor the cosine denominator (zero vectors score
+    // 0.0); the DuckDB oracles divide plainly. Both agree exactly ONLY
+    // while no embedding quantizes (round(x*1000)) to the all-zero
+    // vector — pin it so a generator change fails here by name instead
+    // of as a mystery oracle hash mismatch
+    val zeros = spark.read.parquet(s"$d/embeddings.parquet")
+      .selectExpr("vec_id",
+        "aggregate(embedding, 0L, (acc, x) -> acc + " +
+          "cast(round(cast(x as double) * 1000) as bigint) * " +
+          "cast(round(cast(x as double) * 1000) as bigint)) as nrm")
+      .filter(org.apache.spark.sql.functions.col("nrm") === 0L)
+    assert(zeros.isEmpty,
+      s"zero-norm vectors appeared: ${zeros.collect().take(3).mkString(",")}")
+  }
+
   test("s07 SQ8 ranking equals the driver-side recompute; quantization error is small") {
     // recompute the whole query with plain loops: int8 codes
     // (floor(q*127/max|q|)), code-cosine top-5 per query, exact rescore
