@@ -127,6 +127,18 @@ object Corpus {
     DedupOps.simhashPairsOf(simhashSignatures(docs, idCol, textCol))
 
   /** Fixed-width word segments (the CCNet-style paragraph unit). */
+  /** Exact substring-span dedup (d10, the ExactSubstr family of
+    * arXiv:2107.06499): per-document accounting of token spans duplicated
+    * across >= 2 documents, coalesced into MAXIMAL spans (a run of r
+    * duplicated k-gram starts covers r + k - 1 tokens). Only contaminated
+    * docs appear in the output. */
+  def duplicatedSpans(docs: DataFrame, k: Int = 5,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"span width k must be >= 2, got $k")
+    graft.queries.DedupOps2.spanDedupOf(norm(docs, idCol, textCol), k)
+  }
+
   def segments(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame =
     DedupOps2.segmentsOf(norm(docs, idCol, textCol))

@@ -196,12 +196,101 @@ object DedupOps2 {
        |  ROUND(n_dup_segs::DOUBLE / n_segs, 4) AS dup_frac, first_seen_id
        |FROM hits JOIN per_new USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** d10: exact substring-span dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 — the
+    * ExactSubstr family): find token spans duplicated ACROSS documents and
+    * account for them as MAXIMAL spans, not isolated n-grams. A token
+    * k-gram (k = [[SpanK]]) is "duplicated" when it appears in >= 2
+    * distinct documents; per document, runs of consecutive duplicated
+    * gram starts coalesce into maximal spans (a run of r grams covers
+    * r + k - 1 tokens — the paper's span accounting, which n-gram
+    * counting alone gets wrong). Output: per contaminated doc, gram/span
+    * counts, duplicated-token mass and fraction.
+    *
+    * Scale shape: ONE gram explode (linear in token mass) → hash agg on
+    * gram with map-side partials (approx_count-free: exact distinct-doc
+    * counts via two-level agg) → equi-join the duplicated-gram set back
+    * to the per-doc gram stream → islands window on (doc) hash
+    * partitions. No global sort, no cross product; the duplicated-gram
+    * join is key-bucketed like d02's shingle join. Within-doc repetition
+    * is d02/t10's job — requiring >= 2 DISTINCT docs keeps this the
+    * cross-document operator. */
+  val SpanK = 5
+
+  def d10SpanDedup(s: SparkSession, d: String): DataFrame =
+    spanDedupOf(documents(s, d), SpanK).orderBy("doc_id")
+
+  /** d10's kernel over any (doc_id, text) frame (graft.ops.Corpus API). */
+  private[graft] def spanDedupOf(docs: DataFrame, k: Int): DataFrame = {
+    val grams = docs
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("words")).cast("long"))
+      .filter(col("n_tokens") >= k)
+      .select(col("doc_id"), col("n_tokens"), posexplode(expr(
+        s"transform(sequence(1, size(words) - ${k - 1}), " +
+          s"i -> concat_ws(' ', slice(words, i, $k)))")).as(Seq("pos", "g")))
+      .withColumn("i", col("pos").cast("long") + 1L)
+      .drop("pos")
+    // duplicated = present in >= 2 distinct docs; the distinct is per
+    // (gram, doc) FIRST so the count is exact with map-side partials
+    val dup = grams.select("g", "doc_id").distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("i")
+    val runs = grams.join(dup, "g")
+      .withColumn("grp", col("i") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(count(lit(1)).as("r"), max("n_tokens").as("n_tokens"))
+      .withColumn("span_tokens", col("r") + (k - 1))
+    runs.groupBy("doc_id")
+      .agg(max("n_tokens").as("n_tokens"),
+        sum("r").as("n_dup_grams"),
+        count(lit(1)).as("n_spans"),
+        sum("span_tokens").as("dup_tokens"))
+      .withColumn("dup_frac",
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 4))
+      .select("doc_id", "n_tokens", "n_dup_grams", "n_spans",
+        "dup_tokens", "dup_frac")
+  }
+
+  val d10Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, n_tokens, i,
+       |    array_to_string(words[i : i + ${SpanK - 1}], ' ') AS g
+       |  FROM (SELECT doc_id, n_tokens, words,
+       |          unnest(range(1, len(words) - ${SpanK - 2})) AS i
+       |        FROM t WHERE n_tokens >= $SpanK)
+       |), dup AS (
+       |  SELECT g FROM (SELECT DISTINCT g, doc_id FROM g)
+       |  GROUP BY g HAVING COUNT(*) >= 2
+       |), runs AS (
+       |  SELECT doc_id, n_tokens,
+       |    i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |  FROM g JOIN dup USING (g)
+       |), spans AS (
+       |  SELECT doc_id, MAX(n_tokens) AS n_tokens, COUNT(*) AS r,
+       |    COUNT(*) + ${SpanK - 1} AS span_tokens
+       |  FROM runs GROUP BY doc_id, grp)
+       |SELECT doc_id, MAX(n_tokens) AS n_tokens,
+       |  CAST(SUM(r) AS BIGINT) AS n_dup_grams,
+       |  COUNT(*) AS n_spans,
+       |  CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens,
+       |  ROUND(SUM(span_tokens)::DOUBLE / MAX(n_tokens), 4) AS dup_frac
+       |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d10_span_dedup" -> d10SpanDedup _,
     "d08_paragraph_dedup" -> d08ParagraphDedup _,
     "d09_bloom_incremental" -> d09BloomIncremental _,
   )
 
   val oracles: Map[String, String] = Map(
+    "d10_span_dedup" -> d10Sql,
     "d08_paragraph_dedup" -> d08Sql,
     "d09_bloom_incremental" -> d09Sql,
   )

@@ -68,6 +68,17 @@ class CorpusApiSpec extends AnyFunSuite {
       graft.queries.DedupOps2.d08ParagraphDedup(spark, d))
   }
 
+  test("duplicatedSpans == d10; maximal spans cover strictly more than their grams") {
+    val api = Corpus.duplicatedSpans(renamed, idCol = "id", textCol = "body")
+      .orderBy("doc_id")
+    same(api, graft.queries.DedupOps2.d10SpanDedup(spark, d))
+    // span accounting sanity: every span covers k-1 more tokens than its
+    // gram-run length, so dup_tokens > n_dup_grams whenever spans exist
+    import org.apache.spark.sql.functions.col
+    assert(api.filter(col("dup_tokens") <= col("n_dup_grams")).isEmpty)
+    assert(api.count() > 0, "no duplicated spans on the fixture — probe vacuous")
+  }
+
   test("simhashSignatures == d05, simhashPairs == d06") {
     same(Corpus.simhashSignatures(renamed, "id", "body").orderBy("doc_id"),
       graft.queries.DedupOps.d05Simhash(spark, d))

@@ -170,6 +170,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("d10: span dedup is equi-join + partial aggs, windowed on doc partitions") {
+    val p = plan(DedupOps2.d10SpanDedup(spark, d))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p)
+    // the islands window must partition by doc_id, never a global window
+    assert(!p.contains("Window [") ||
+      p.contains("windowspecdefinition(doc_id"), p)
+  }
+
   test("p04: the composed admission pipeline is ONE corpus scan") {
     val p = plan(PipelineOps.p04AdmissionIndex(spark, d))
     assert("FileScan parquet".r.findAllIn(p).size == 1,
