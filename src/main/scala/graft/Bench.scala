@@ -96,19 +96,23 @@ object Bench {
       } else ""
     // millisecond precision keeps the ONE json line short enough to survive
     // intact in a bounded log tail (full-precision doubles pushed it past the
-    // driver's capture window in rounds 1-3 -> parsed:null; the r06 tail
-    // STILL clipped the line's first ~30 bytes, so additionally emit a
-    // compact total-only line first — whichever line the driver parses,
-    // the headline number survives intact)
+    // driver's capture window in rounds 1-3 -> parsed:null). The driver's
+    // capture is a bounded TAIL: BENCH_r07.json's tail began mid-JSON, i.e.
+    // the bytes BEFORE the long per-query line were clipped, so a compact
+    // line printed only first never survives. Emit the compact total+errors
+    // line on BOTH sides of the per-query map — whichever direction the
+    // capture clips from, one complete compact line remains parseable.
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errs = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
-    Console.out.println(
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${names.size},"errors":$errs,"sf":"$sfDir"}""")
+    val compact =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${names.size},"errors":$errs,"sf":"$sfDir"}"""
+    Console.out.println(compact)
     Console.out.println(
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errs$s02Stats}""")
+    Console.out.println(compact)
     Console.out.flush()
     spark.stop()
   }

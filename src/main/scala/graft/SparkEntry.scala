@@ -21,6 +21,9 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++
+      CubeOps.oracles ++ BakeOps.oracles ++ NetcdfOps.oracles ++
+      Hdf5Ops.oracles ++ GribOps.oracles ++ DapOps.oracles ++
+      ZarrV2Ops.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ DedupOps2.oracles ++
       SimilarityOps.oracles ++ MultiModalOps.oracles ++ StreamOps.oracles ++
       PipelineOps.oracles

@@ -45,7 +45,17 @@ object Text {
   /** BPE merge learning (t17): learn the first `nMerges` byte-pair merges
     * from any corpus — one corpus scan to a word-frequency table, then
     * vocab-sized merge iterations (the production tokenizer-trainer
-    * shape). Returns (merge_no, pair, merged, cnt). */
+    * shape). Returns (merge_no, pair, merged, cnt).
+    *
+    * Caveat: merge APPLICATION uses a boundary-replace pass, which equals
+    * reference BPE's greedy left-to-right pairwise scan except on words
+    * containing a 5+-fold repetition of the merged substring (e.g.
+    * "aaaaa" when merging a+a) — there the replace pass merges all
+    * occurrences at once where greedy BPE leaves stragglers. Pair counts
+    * on such words can differ from a reference trainer's. The benchmark
+    * corpus is spec-asserted free of this shape (TextApiSpec's
+    * `(.+)\\1{4}` probe); on arbitrary corpora, screen the word table
+    * with that regex if exact reference-trainer parity matters. */
   def bpeMerges(docs: DataFrame, nMerges: Int = TextOps.BpeMergeCount,
                 idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
@@ -76,10 +86,32 @@ object Text {
 
   /** Gopher-style quality-filter rules (t14): per-rule pass flags
     * (word-count bounds, mean-word-length band, required stopwords) and
-    * the combined keep — the auditable pre-training admission gate. */
+    * the combined keep — the auditable pre-training admission gate. The
+    * stopword rule defaults to the paper's §A.1.1 gate: >= 2 distinct
+    * words from the 8-stopword list in
+    * [[graft.queries.TextOps.GopherStopwords]] (the, be, to, of, and,
+    * that, have, with); pass `stopwords` to substitute a
+    * corpus-appropriate set (the oracle-gated benchmark entries use
+    * {the, a} because the synthetic vocabulary contains only 'the' from
+    * the paper's list — an explicit simplification, not Gopher
+    * fidelity). */
   def gopherFilters(docs: DataFrame, idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame =
-    TextOps.gopherFiltersOf(norm(docs, idCol, textCol))
+                    textCol: String = "text",
+                    stopwords: Seq[String] = TextOps.GopherStopwords): DataFrame =
+    TextOps.gopherFiltersOf(norm(docs, idCol, textCol), stopwords = stopwords)
+
+  /** CCNet-style perplexity quality filter (t18, Wenzek et al. 2020):
+    * train a smoothed bigram LM on the `clean` trusted slice, score each
+    * doc in `docs` by mean integer-bit surprisal, and bucket the corpus
+    * head/middle/tail at the 33rd/66th percentiles. Surprisal is
+    * log-free integer arithmetic (bit counts), so results are engine-
+    * deterministic. Returns (doc_id, n_bigrams, sum_bits, ppl_milli,
+    * bucket); docs with fewer than 2 tokens are unscored and omitted. */
+  def perplexityFilter(docs: DataFrame, clean: DataFrame,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    TextOps.perplexityFilterOf(norm(docs, idCol, textCol),
+      norm(clean, idCol, textCol))
 
   /** Stopword-ratio language-ID heuristic (t02 without the benchmark's
     * labeled lang column): doc_id, lang_guess, stop_ratio. */

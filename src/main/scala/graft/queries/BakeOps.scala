@@ -18,10 +18,12 @@ object BakeOps {
 
   import graft.examples.RecipeFixtures.{writeZarrFragment, writeConfig}
 
-  /** Small golden cube (one day per input file). */
+  private val NY = 6; private val NX = 8
+  private val SstSeed = 3
+
+  /** Small golden cube (one day per input file); sst values from
+    * CubeOracle's closed-form (driver DuckDB oracle). */
   private def dailyCube(nt: Int): Fragment = {
-    val NY = 6; val NX = 8
-    val rng = new scala.util.Random(7)
     Fragment(
       dims = Map("time" -> nt, "lat" -> NY, "lon" -> NX),
       coords = Map(
@@ -34,7 +36,7 @@ object BakeOps {
       dataVars = Map(
         "sst" -> Variable(Vector("time", "lat", "lon"),
           NDArray(DType.F8, Vector(nt, NY, NX),
-            Array.fill(nt * NY * NX)(rng.nextDouble())))))
+            CubeOracle.fillF8(SstSeed, 1000, nt, NY, NX)))))
   }
 
   def bakeCli(spark: SparkSession, sfDir: String): DataFrame = {
@@ -210,21 +212,28 @@ object BakeOps {
           .contains("consolidated_metadata")
     } finally server.stop(0)
 
-    // everything above evaluated eagerly (stores read back, oks computed),
-    // so the fixture tree can go before returning the LocalRelation — the
-    // bench invokes this entry three times per run and must not accumulate
-    // temp trees
-    Seq(
-      ("daily-cube", ok1),
-      ("terraclimate", ok2),
-      ("hrrr-kerchunk-concat-step", ok3),
-      ("hrrr-kerchunk-concat-valid-time", ok3b),
-      ("noaa-oisst", ok4))
-      .toDF("recipe_id", "ok")
+    require(ok1, "bake_cli: daily-cube recipe failed")
+    require(ok2, "bake_cli: terraclimate recipe failed")
+    require(ok3, "bake_cli: hrrr-kerchunk-concat-step recipe failed")
+    require(ok3b, "bake_cli: hrrr-kerchunk-concat-valid-time recipe failed")
+    require(ok4, "bake_cli: noaa-oisst recipe failed")
+    // everything above evaluated eagerly (stores read back, requires
+    // passed) and the daily-cube long view below reads the already
+    // in-memory got1 fragment, so the fixture tree can go before the
+    // return — the bench invokes this entry three times per run and must
+    // not accumulate temp trees
+    CubeOracle.quantized(spark, got1, Seq("time", "lat", "lon"),
+      CubeOracle.f8ElseIntVq("sst"))
     } finally graft.examples.RecipeFixtures.deleteRecursively(dir)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2e_bake_cli" -> bakeCli _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e2e_bake_cli" -> CubeOracle.rangeSql(
+      Seq("time" -> 4, "lat" -> NY, "lon" -> NX),
+      Seq("sst" -> CubeOracle.viSql(SstSeed, 1000, "time", "lat", "lon"))),
   )
 }

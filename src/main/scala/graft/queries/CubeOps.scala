@@ -7,20 +7,21 @@ import graft.transforms.Pipelines
 import graft.zarr.ZarrGroup
 import java.nio.file.Files
 
-/** The cube-engine surface exposed through the driver contract. These are
-  * not SQL-expressible (they exercise the typed Dataset pipeline + the Zarr
-  * store), so they carry no DuckDB oracle: the driver records a rows-only
-  * check, and exact-equality assertions run inside the query itself — a row
-  * is only emitted with ok=true when the rebuilt cube matches the source
-  * exactly (the reference's xr.testing.assert_equal round-trip,
-  * tests/test_end_to_end.py:37-60).
-  */
+/** The cube-engine surface exposed through the driver contract. The
+  * pipelines themselves are not SQL-expressible (typed Dataset pipeline +
+  * the Zarr store), so every golden equality runs as a hard in-query
+  * `require` (the reference's xr.testing.assert_equal round-trip,
+  * tests/test_end_to_end.py:37-60); since round 8 each entry ALSO returns
+  * the rebuilt store's long view with formula-generated values so the
+  * driver hash-compares it against DuckDB (see CubeOracle). */
 object CubeOps {
 
-  /** Deterministic golden cube (same generator as the ScalaTest suite). */
+  private val NY = 18; private val NX = 36
+  private val FooSeed = 5; private val BarSeed = 23
+
+  /** Deterministic golden cube; data values from CubeOracle's closed-form
+    * so the DuckDB oracle can regenerate them. */
   private def makeCube(nt: Int): Fragment = {
-    val NY = 18; val NX = 36
-    val rng = new scala.util.Random(2)
     Fragment(
       dims = Map("time" -> nt, "lat" -> NY, "lon" -> NX),
       coords = Map(
@@ -34,11 +35,27 @@ object CubeOps {
           NDArray(DType.F8, Vector(NX), (0 until NX).map(i => 5.0 + i * 10).toArray))),
       dataVars = Map(
         "foo" -> Variable(Vector("time", "lat", "lon"),
-          NDArray(DType.F8, Vector(nt, NY, NX), Array.fill(nt * NY * NX)(rng.nextDouble()))),
+          NDArray(DType.F8, Vector(nt, NY, NX), CubeOracle.fillF8(FooSeed, 1000, nt, NY, NX))),
         "bar" -> Variable(Vector("time", "lat", "lon"),
-          NDArray(DType.I8, Vector(nt, NY, NX), Array.fill(nt * NY * NX)(rng.nextInt(10).toLong)))),
+          NDArray(DType.I8, Vector(nt, NY, NX), CubeOracle.fillI(BarSeed, 1000, nt, NY, NX)))),
       attrs = Map("conventions" -> AttrValue("CF 1.6")))
   }
+
+  private val dims = Seq("time", "lat", "lon")
+
+  /** value_q: foo back to its generating integer (exact /32 inverse),
+    * bar is already integral. */
+  private def vq = {
+    import org.apache.spark.sql.functions._
+    when(col("var_name") === "foo", round(col("value") * 32).cast("long"))
+      .otherwise(col("value").cast("long"))
+  }
+
+  private def oracle(nt: Int): String = CubeOracle.rangeSql(
+    Seq("time" -> nt, "lat" -> NY, "lon" -> NX),
+    Seq(
+      "bar" -> (CubeOracle.viSql(BarSeed, 1000, "time", "lat", "lon") + " % 10"),
+      "foo" -> CubeOracle.viSql(FooSeed, 1000, "time", "lat", "lon")))
 
   private def writeFragmentFiles(frags: Vector[Fragment], dir: String): Vector[String] =
     frags.zipWithIndex.map { case (f, i) =>
@@ -72,16 +89,15 @@ object CubeOps {
       Map("time" -> 3))
     val store = ZarrGroup(storePath)
     val result = store.readFragment()
-    val rows = cube.allVars.toSeq.sortBy(_._1).map { case (name, v) =>
+    cube.allVars.toSeq.sortBy(_._1).foreach { case (name, v) =>
       val got = result.allVars.get(name)
-      val same = got.exists(g => g.dims == v.dims && g.data.sameElements(v.data))
-      val meta = store.arrayMeta(name)
-      (name, v.dims.mkString(","), v.shape.mkString(","),
-        meta.chunks.mkString(","), same)
+      require(got.exists(g => g.dims == v.dims && g.data.sameElements(v.data)),
+        s"cube_roundtrip: variable $name differs after round-trip")
     }
-    val allOk = result.sameAs(cube)
-    rows.toDF("var_name", "dims", "shape", "store_chunks", "var_match")
-      .withColumn("cube_match", org.apache.spark.sql.functions.lit(allOk))
+    require(store.arrayMeta("foo").chunks.head == 3,
+      "cube_roundtrip: target chunking not applied")
+    require(result.sameAs(cube), "cube_roundtrip: rebuilt cube != source")
+    CubeOracle.quantized(spark, result, dims, vq)
   }
 
   /** The object-store scale path end-to-end: files → sharded+gzip Zarr
@@ -113,13 +129,11 @@ object CubeOps {
     Pipelines.storeToZarr(scanned,
       Vector(Dimension("time", CombineOp.Concat)), store2Path, Map("time" -> 6))
     val store2 = ZarrGroup(store2Path)
-    val ok2 = store2.readFragment().sameAs(cube) &&
-      store2.arrayMeta("foo").chunks.head == 6
-    Seq(
-      ("write_sharded_gzip", meta1.chunks.mkString(","),
-        meta1.shardShape.map(_.mkString(",")).getOrElse(""), ok1),
-      ("scan_rechunk", store2.arrayMeta("foo").chunks.mkString(","), "", ok2))
-      .toDF("stage", "chunks", "shards", "ok")
+    val result2 = store2.readFragment()
+    require(ok1, "cube_sharded: sharded+gzip store stage failed")
+    require(result2.sameAs(cube) && store2.arrayMeta("foo").chunks.head == 6,
+      "cube_sharded: scan+rechunk stage failed")
+    CubeOracle.quantized(spark, result2, dims, vq)
   }
 
   /** The reference's explicitly NON-idempotent append path
@@ -158,22 +172,26 @@ object CubeOps {
 
     val store = ZarrGroup(storePath)
     val result = store.readFragment()
-    val rows = cube.allVars.toSeq.sortBy(_._1).map { case (name, v) =>
+    cube.allVars.toSeq.sortBy(_._1).foreach { case (name, v) =>
       val got = result.allVars.get(name)
-      val same = got.exists(g => g.dims == v.dims && g.data.sameElements(v.data))
-      (name, v.shape.mkString(","),
-        store.arrayMeta(name).shape.mkString(","), same)
+      require(got.exists(g => g.dims == v.dims && g.data.sameElements(v.data)),
+        s"cube_append: variable $name differs after append")
     }
-    val okDims = preAppendLen == 10 && result.dims("time") == nt
-    val allOk = result.sameAs(cube)
-    rows.toDF("var_name", "want_shape", "store_shape", "var_match")
-      .withColumn("dims_extended", org.apache.spark.sql.functions.lit(okDims))
-      .withColumn("cube_match", org.apache.spark.sql.functions.lit(allOk))
+    require(preAppendLen == 10 && result.dims("time") == nt,
+      "cube_append: append did not extend the time dim 10 -> 12")
+    require(result.sameAs(cube), "cube_append: appended cube != 12-step golden")
+    CubeOracle.quantized(spark, result, dims, vq)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2e_cube_roundtrip" -> cubeRoundtrip _,
     "e2e_cube_sharded" -> cubeSharded _,
     "e2e_append" -> cubeAppend _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e2e_cube_roundtrip" -> oracle(10),
+    "e2e_cube_sharded" -> oracle(12),
+    "e2e_append" -> oracle(12),
   )
 }

@@ -17,9 +17,10 @@ import java.nio.file.Files
   * binary-format e2e entries. */
 object DapOps {
 
+  private val NY = 18; private val NX = 36
+  private val FooSeed = 29
+
   private def makeCube(nt: Int): Fragment = {
-    val NY = 18; val NX = 36
-    val rng = new scala.util.Random(29)
     Fragment(
       dims = Map("time" -> nt, "lat" -> NY, "lon" -> NX),
       coords = Map(
@@ -32,7 +33,7 @@ object DapOps {
           NDArray(DType.F8, Vector(NX), (0 until NX).map(i => 5.0 + i * 10).toArray))),
       dataVars = Map(
         "foo" -> Variable(Vector("time", "lat", "lon"),
-          NDArray(DType.F8, Vector(nt, NY, NX), Array.fill(nt * NY * NX)(rng.nextDouble())),
+          NDArray(DType.F8, Vector(nt, NY, NX), CubeOracle.fillF8(FooSeed, 1000, nt, NY, NX)),
           Map("long_name" -> AttrValue("Fantastic Foo")))),
       attrs = Map("conventions" -> AttrValue("CF 1.6")))
   }
@@ -73,16 +74,23 @@ object DapOps {
       val storePath = s"$dir/store.zarr"
       Pipelines.storeToZarr(frags, pattern.combineDimKeys, storePath,
         Map("time" -> 3))
-      val okA = ZarrGroup(storePath).readFragment().sameAs(cube)
+      val rebuilt = ZarrGroup(storePath).readFragment()
+      require(rebuilt.sameAs(cube), "opendap: pipeline round-trip failed")
       // direct client parity on one slab
-      val okB = Dap2.read(urls.head).sameAs(slabs.head._2)
-      Seq(
-        ("opendap_pipeline", urls.length, okA),
-        ("dap2_client", 3, okB)).toDF("stage", "n_inputs", "ok")
+      require(Dap2.read(urls.head).sameAs(slabs.head._2),
+        "opendap: dap2 client parity failed")
+      CubeOracle.quantized(spark, rebuilt, Seq("time", "lat", "lon"),
+        CubeOracle.f8ElseIntVq("foo"))
     } finally server.stop(0)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2e_opendap_roundtrip" -> opendapRoundtrip _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e2e_opendap_roundtrip" -> CubeOracle.rangeSql(
+      Seq("time" -> 6, "lat" -> NY, "lon" -> NX),
+      Seq("foo" -> CubeOracle.viSql(FooSeed, 1000, "time", "lat", "lon"))),
   )
 }

@@ -201,11 +201,15 @@ object DedupOps2 {
     * ExactSubstr family): find token spans duplicated ACROSS documents and
     * account for them as MAXIMAL spans, not isolated n-grams. A token
     * k-gram (k = [[SpanK]]) is "duplicated" when it appears in >= 2
-    * distinct documents; per document, runs of consecutive duplicated
-    * gram starts coalesce into maximal spans (a run of r grams covers
-    * r + k - 1 tokens — the paper's span accounting, which n-gram
-    * counting alone gets wrong). Output: per contaminated doc, gram/span
-    * counts, duplicated-token mass and fraction.
+    * distinct documents; per document, duplicated gram starts merge into
+    * maximal token intervals — a new span opens only when a gram start
+    * lies beyond the previous start's token coverage (gap > k-1), so
+    * overlapping gram windows NEVER double-count tokens and a span of
+    * starts [i0..i1] covers exactly i1 - i0 + k tokens (the paper's §2
+    * merged-range accounting; dup_frac <= 1 by construction — the r7
+    * formulation summed r + k - 1 per *consecutive* run and could count
+    * overlap twice). Output: per contaminated doc, gram/span counts,
+    * duplicated-token mass and fraction.
     *
     * Scale shape: ONE gram explode (linear in token mass) → hash agg on
     * gram with map-side partials (approx_count-free: exact distinct-doc
@@ -238,11 +242,17 @@ object DedupOps2 {
       .filter(col("nd") >= 2).select("g")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("i")
+    // starts are sorted, so the running max of covered token ends is
+    // lag(i) + k - 1: a start more than k-1 past its predecessor opens a
+    // new island; islands are disjoint token intervals by construction
     val runs = grams.join(dup, "g")
-      .withColumn("grp", col("i") - row_number().over(w))
-      .groupBy("doc_id", "grp")
-      .agg(count(lit(1)).as("r"), max("n_tokens").as("n_tokens"))
-      .withColumn("span_tokens", col("r") + (k - 1))
+      .withColumn("new_island",
+        when(col("i") - lag("i", 1).over(w) > (k - 1), 1).otherwise(0))
+      .withColumn("island", sum("new_island").over(w))
+      .groupBy("doc_id", "island")
+      .agg(count(lit(1)).as("r"), min("i").as("i0"), max("i").as("i1"),
+        max("n_tokens").as("n_tokens"))
+      .withColumn("span_tokens", col("i1") - col("i0") + k)
     runs.groupBy("doc_id")
       .agg(max("n_tokens").as("n_tokens"),
         sum("r").as("n_dup_grams"),
@@ -269,13 +279,18 @@ object DedupOps2 {
        |  SELECT g FROM (SELECT DISTINCT g, doc_id FROM g)
        |  GROUP BY g HAVING COUNT(*) >= 2
        |), runs AS (
-       |  SELECT doc_id, n_tokens,
-       |    i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |  SELECT doc_id, n_tokens, i,
+       |    CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i)
+       |         > ${SpanK - 1} THEN 1 ELSE 0 END AS new_island
        |  FROM g JOIN dup USING (g)
+       |), isl AS (
+       |  SELECT doc_id, n_tokens, i,
+       |    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY i) AS island
+       |  FROM runs
        |), spans AS (
        |  SELECT doc_id, MAX(n_tokens) AS n_tokens, COUNT(*) AS r,
-       |    COUNT(*) + ${SpanK - 1} AS span_tokens
-       |  FROM runs GROUP BY doc_id, grp)
+       |    MAX(i) - MIN(i) + $SpanK AS span_tokens
+       |  FROM isl GROUP BY doc_id, island)
        |SELECT doc_id, MAX(n_tokens) AS n_tokens,
        |  CAST(SUM(r) AS BIGINT) AS n_dup_grams,
        |  COUNT(*) AS n_spans,

@@ -31,11 +31,13 @@ object GribOps {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_grib_e2e").toString
     val nx = 18; val ny = 12
-    val rng = new scala.util.Random(17)
+    // centi-unit formula values (CubeOracle closed-form over (t, flat i))
+    // survive simple packing at decimalScale=2 losslessly, so the driver's
+    // DuckDB oracle regenerates them; every 11th cell is a bitmap NaN
     def mk(t: Int): (String, Array[Double]) = {
       val vals = Array.tabulate(nx * ny) { i =>
         if ((i + t) % 11 == 5) Double.NaN
-        else math.rint(rng.nextDouble() * 2000) / 100.0
+        else CubeOracle.vi(17, 2000, t.toLong, i.toLong) / 100.0
       }
       val p = s"$dir/msg_$t.grib2"
       Grib2.writeSimple(p, vals, nx, ny, la1 = 35.0, lo1 = 10.0,
@@ -48,13 +50,13 @@ object GribOps {
       (a.isNaN && b.isNaN) || math.abs(a - b) <= 0.005 + 1e-9
 
     // ---- Entry-point A: engine-registry decode (cfgrib analog) ----
-    val okA = files.forall { case (p, vals) =>
+    require(files.forall { case (p, vals) =>
       val f = Openers.open(FileType.Grib, p)
       val got = f.dataVars("TMP").data.data.asInstanceOf[Array[Double]]
       got.length == vals.length &&
         got.indices.forall(i => closeEnough(got(i), vals(i))) &&
         f.coords("latitude").data.getDouble(0) == 35.0
-    }
+    }, "grib: decoder (entry A) parity failed")
 
     // ---- Entry-point B: scan → concat → artifact → materialize → read ----
     val refs = files.flatMap { case (p, _) => RefSet.scanGrib2(p) }
@@ -66,31 +68,51 @@ object GribOps {
     val viaRefs = ZarrGroup(virt).readFragment()
     val flat = viaRefs.allVars("TMP").data.data.asInstanceOf[Array[Double]]
     val expect = files.flatMap(_._2).toArray
-    val okB = viaRefs.dims("time") == files.length &&
+    require(viaRefs.dims("time") == files.length &&
       flat.length == expect.length &&
       flat.indices.forall(i => closeEnough(flat(i), expect(i))) &&
       (0 until files.length).forall(t =>
-        viaRefs.coords("time").data.getLong(t) == 1700000000L + t * 3600L)
+        viaRefs.coords("time").data.getLong(t) == 1700000000L + t * 3600L),
+      "grib: kerchunk scan/concat (entry B) parity failed")
 
     // ---- Reference fixture (the reference's own GRIB test input) ----
-    val (okC, nC) =
-      if (!Files.exists(Paths.get(RefFixture))) (true, -1)
-      else {
-        val m = Grib2.scan(RefFixture).head
-        val vals = Grib2.decodeValues(RefFixture, m)
-        val valid = vals.filterNot(_.isNaN)
-        (Grib2.centreName(m.centre) == "cwao" && m.shortName == "DEPR" &&
-          valid.length == 750157 && valid.forall(_ == 30.0), valid.length)
-      }
+    if (Files.exists(Paths.get(RefFixture))) {
+      val m = Grib2.scan(RefFixture).head
+      val vals = Grib2.decodeValues(RefFixture, m)
+      val valid = vals.filterNot(_.isNaN)
+      require(Grib2.centreName(m.centre) == "cwao" && m.shortName == "DEPR" &&
+        valid.length == 750157 && valid.forall(_ == 30.0),
+        "grib: reference CMC fixture decode failed")
+    }
 
-    Seq(
-      ("decode_pipeline", files.length, okA),
-      ("kerchunk_scan_concat", refs.map(_.keys.size).sum, okB),
-      ("reference_fixture", nC, okC))
-      .toDF("stage", "n_inputs", "ok")
+    // long view of the combined kerchunk fragment, centi-quantized;
+    // bitmap-NaN cells emit the -1 sentinel (formula values are >= 0).
+    // GRIB grid dims are (time, y, x); latitude/longitude are coords.
+    import org.apache.spark.sql.functions._
+    CubeOracle.quantized(spark, viaRefs,
+      Seq("time", "y", "x"),
+      when(isnan(col("value")), lit(-1L))
+        .otherwise(round(col("value") * 100).cast("long")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2e_grib_roundtrip" -> gribRoundtrip _,
   )
+
+  val oracles: Map[String, String] = {
+    // TMP over the full (time, y, x) grid; the scanned 2-D latitude/
+    // longitude arrays surface as (y, x) data vars pinned at time=0 in the
+    // long view — their centi-degree formulas come from the fixture's
+    // la1=35/lo1=10 origin and 0.25-degree spacing
+    val flatIdx = "(y*18 + x)"
+    val grid = "range(0, 12) ry(y), range(0, 18) rx(x)"
+    Map("e2e_grib_roundtrip" -> (
+      s"SELECT 'TMP' AS var_name, time, y, x, " +
+        s"CAST(CASE WHEN ($flatIdx + time) % 11 = 5 THEN -1 " +
+        s"ELSE ((17 + time*7919 + $flatIdx*911) % 2000) END AS BIGINT) AS value_q " +
+        s"FROM range(0, 3) rt(time), $grid " +
+        s"UNION ALL SELECT 'latitude', 0, y, x, 3500 + 25*y FROM $grid " +
+        s"UNION ALL SELECT 'longitude', 0, y, x, 1000 + 25*x FROM $grid " +
+        s"ORDER BY var_name, time, y, x"))
+  }
 }

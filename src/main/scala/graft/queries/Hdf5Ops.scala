@@ -26,10 +26,12 @@ import java.nio.file.Files
   */
 object Hdf5Ops {
 
-  /** Golden cube with netCDF-4-typical dtypes (int64 time, f8/i4 vars). */
+  private val NY = 18; private val NX = 36
+  private val FooSeed = 13; private val BarSeed = 59
+
+  /** Golden cube with netCDF-4-typical dtypes (int64 time, f8/i4 vars);
+    * data values from CubeOracle's closed-form (driver DuckDB oracle). */
   private def makeCube(nt: Int): Fragment = {
-    val NY = 18; val NX = 36
-    val rng = new scala.util.Random(13)
     Fragment(
       dims = Map("time" -> nt, "lat" -> NY, "lon" -> NX),
       coords = Map(
@@ -43,10 +45,10 @@ object Hdf5Ops {
           NDArray(DType.F8, Vector(NX), (0 until NX).map(i => 5.0 + i * 10).toArray))),
       dataVars = Map(
         "foo" -> Variable(Vector("time", "lat", "lon"),
-          NDArray(DType.F8, Vector(nt, NY, NX), Array.fill(nt * NY * NX)(rng.nextDouble())),
+          NDArray(DType.F8, Vector(nt, NY, NX), CubeOracle.fillF8(FooSeed, 1000, nt, NY, NX)),
           Map("long_name" -> AttrValue("Fantastic Foo"))),
         "bar" -> Variable(Vector("time", "lat", "lon"),
-          NDArray(DType.I4, Vector(nt, NY, NX), Array.fill(nt * NY * NX)(rng.nextInt(10))),
+          NDArray(DType.I4, Vector(nt, NY, NX), CubeOracle.fillI(BarSeed, 1000, nt, NY, NX).map(_.toInt)),
           Map("long_name" -> AttrValue("Beautiful Bar")))),
       attrs = Map("conventions" -> AttrValue("CF 1.6")))
   }
@@ -74,7 +76,8 @@ object Hdf5Ops {
     val storePath = s"$dir/store.zarr"
     Pipelines.storeToZarr(frags, pattern.combineDimKeys, storePath,
       Map("time" -> 3))
-    val okA = ZarrGroup(storePath).readFragment().sameAs(cube)
+    val rebuilt = ZarrGroup(storePath).readFragment()
+    require(rebuilt.sameAs(cube), "hdf5: decode pipeline round-trip failed")
 
     // ---- Entry-point B: header-only scan → concat refs → materialize ----
     val refs = files.map(RefSet.scanHdf5(_))
@@ -83,19 +86,26 @@ object Hdf5Ops {
     val virtDir = s"$dir/virt.zarr"
     combined.materialize(virtDir)
     val viaRefs = ZarrGroup(virtDir).readFragment()
-    val okB = viaRefs.sameAs(cube)
-    val okJson = RefSet.fromJson(RefSet.toJson(combined)).keys == combined.keys
+    require(viaRefs.sameAs(cube), "hdf5: kerchunk scan/concat differs")
+    require(RefSet.fromJson(RefSet.toJson(combined)).keys == combined.keys,
+      "hdf5: kerchunk JSON artifact not lossless")
     // direct decoder parity: HDF5.read of file 0 equals the first slab
-    val okDirect = HDF5.read(files.head)
-      .sameAs(cube.isel(Map("time" -> Slc(0, 2))))
+    require(HDF5.read(files.head).sameAs(cube.isel(Map("time" -> Slc(0, 2)))),
+      "hdf5: direct decoder parity failed")
 
-    Seq(
-      ("decode_pipeline", files.length, okA && okDirect),
-      ("kerchunk_scan_concat", refs.map(_.keys.size).sum, okB && okJson))
-      .toDF("stage", "n_inputs", "ok")
+    CubeOracle.quantized(spark, rebuilt, Seq("time", "lat", "lon"),
+      CubeOracle.f8ElseIntVq("foo"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2e_hdf5_roundtrip" -> hdf5Roundtrip _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e2e_hdf5_roundtrip" -> CubeOracle.rangeSql(
+      Seq("time" -> 10, "lat" -> NY, "lon" -> NX),
+      Seq(
+        "bar" -> (CubeOracle.viSql(BarSeed, 1000, "time", "lat", "lon") + " % 10"),
+        "foo" -> CubeOracle.viSql(FooSeed, 1000, "time", "lat", "lon"))),
   )
 }

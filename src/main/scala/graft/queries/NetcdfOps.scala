@@ -24,11 +24,14 @@ import java.nio.file.Files
   */
 object NetcdfOps {
 
+  private val NY = 18; private val NX = 36
+  private val FooSeed = 7; private val BarSeed = 41
+
   /** Golden cube restricted to NetCDF-classic-representable dtypes
-    * (int32/float32/float64 — classic has no 64-bit ints). */
+    * (int32/float32/float64 — classic has no 64-bit ints). Data values are
+    * CubeOracle's closed-form so the driver's DuckDB oracle regenerates
+    * them (see CubeOracle). */
   private def makeCube(nt: Int): Fragment = {
-    val NY = 18; val NX = 36
-    val rng = new scala.util.Random(7)
     Fragment(
       dims = Map("time" -> nt, "lat" -> NY, "lon" -> NX),
       coords = Map(
@@ -42,10 +45,10 @@ object NetcdfOps {
           NDArray(DType.F8, Vector(NX), (0 until NX).map(i => 5.0 + i * 10).toArray))),
       dataVars = Map(
         "foo" -> Variable(Vector("time", "lat", "lon"),
-          NDArray(DType.F8, Vector(nt, NY, NX), Array.fill(nt * NY * NX)(rng.nextDouble())),
+          NDArray(DType.F8, Vector(nt, NY, NX), CubeOracle.fillF8(FooSeed, 1000, nt, NY, NX)),
           Map("long_name" -> AttrValue("Fantastic Foo"))),
         "bar" -> Variable(Vector("time", "lat", "lon"),
-          NDArray(DType.I4, Vector(nt, NY, NX), Array.fill(nt * NY * NX)(rng.nextInt(10))),
+          NDArray(DType.I4, Vector(nt, NY, NX), CubeOracle.fillI(BarSeed, 1000, nt, NY, NX).map(_.toInt)),
           Map("long_name" -> AttrValue("Beautiful Bar")))),
       attrs = Map("conventions" -> AttrValue("CF 1.6")))
   }
@@ -72,7 +75,8 @@ object NetcdfOps {
     val storePath = s"$dir/store.zarr"
     Pipelines.storeToZarr(frags, pattern.combineDimKeys, storePath,
       Map("time" -> 3))
-    val okA = ZarrGroup(storePath).readFragment().sameAs(cube)
+    val rebuilt = ZarrGroup(storePath).readFragment()
+    require(rebuilt.sameAs(cube), "netcdf3: decode pipeline round-trip failed")
 
     // ---- Entry-point B: header-only scan → concat refs → materialize ----
     val refs = files.map(RefSet.scanNetCDF3(_))
@@ -83,17 +87,24 @@ object NetcdfOps {
     val viaRefs = ZarrGroup(virtDir).readFragment()
     // scanned ints stay at the file's width: int32 time widens the engine's
     // I4 exactly; values must match the golden cube cell-for-cell
-    val okB = viaRefs.sameAs(cube)
+    require(viaRefs.sameAs(cube), "netcdf3: kerchunk scan/concat differs")
     // the kerchunk JSON artifact round-trips losslessly
-    val okJson = RefSet.fromJson(RefSet.toJson(combined)).keys == combined.keys
+    require(RefSet.fromJson(RefSet.toJson(combined)).keys == combined.keys,
+      "netcdf3: kerchunk JSON artifact not lossless")
 
-    Seq(
-      ("decode_pipeline", files.length, okA),
-      ("kerchunk_scan_concat", refs.map(_.keys.size).sum, okB && okJson))
-      .toDF("stage", "n_inputs", "ok")
+    CubeOracle.quantized(spark, rebuilt, Seq("time", "lat", "lon"),
+      CubeOracle.f8ElseIntVq("foo"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2e_netcdf3_roundtrip" -> netcdf3Roundtrip _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e2e_netcdf3_roundtrip" -> CubeOracle.rangeSql(
+      Seq("time" -> 10, "lat" -> NY, "lon" -> NX),
+      Seq(
+        "bar" -> (CubeOracle.viSql(BarSeed, 1000, "time", "lat", "lon") + " % 10"),
+        "foo" -> CubeOracle.viSql(FooSeed, 1000, "time", "lat", "lon"))),
   )
 }

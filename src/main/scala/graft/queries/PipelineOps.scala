@@ -347,7 +347,8 @@ object PipelineOps {
     import graft.queries.{TextOps => T}
     val flagged = T.gopherFiltersOf(
       Tables.documents(s, d).select("doc_id", "text", "source"),
-      passthrough = Seq("source"))
+      passthrough = Seq("source"),
+      stopwords = T.BenchStopwords) // see t14 scaladoc: corpus subset
     val per = flagged
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -383,7 +384,7 @@ object PipelineOps {
        |    CAST(len(words) AS BIGINT) AS n_words,
        |    ROUND((length(text) - (len(words) - 1))::DOUBLE / len(words), 4)
        |      AS mwl,
-       |    len(list_filter(list_distinct(words), w -> w = 'the' OR w = 'a'))
+       |    len(list_filter(list_distinct(words), w -> ${T.benchStopCond}))
        |      AS n_stop
        |  FROM t
        |), f AS (

@@ -12,13 +12,22 @@ import org.apache.spark.sql.SparkSession
   * filters. Run: `sbt "runMain graft.queries.ScanAudit"`. */
 object ScanAudit {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    // portable entry: the dataset dir comes from argv or the same env var
+    // Bench uses — no machine-specific default baked in
+    val d = args.headOption.orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse {
+        System.err.println(
+          "usage: ScanAudit <sfDir>  (a dir holding the parquet tables, " +
+            "e.g. documents.parquet; or set SPARK_GRAFT_SF_DIR)")
+        sys.exit(2)
+      }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     graft.SparkEntry.queries.toVector.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val p = fn(spark, d).queryExecution.executedPlan.toString

@@ -103,9 +103,18 @@ class TextApiSpec extends AnyFunSuite {
       graft.queries.TextOps.t15MixWeights(spark, d))
   }
 
-  test("gopherFilters == t14") {
-    same(Text.gopherFilters(renamed, "id", "body"),
+  test("gopherFilters == t14 (bench stopword subset); default = Gopher 8-list") {
+    // the bench entry passes the corpus-discriminating {the, a} subset
+    same(Text.gopherFilters(renamed, "id", "body",
+      stopwords = graft.queries.TextOps.BenchStopwords),
       graft.queries.TextOps.t14GopherFilters(spark, d))
+    // the facade DEFAULT is the paper's 8-word list; on this synthetic
+    // corpus (only 'the' occurs from that list) the stopword rule must
+    // fail every document — pinning that the default really is the list
+    import org.apache.spark.sql.functions.col
+    val full = Text.gopherFilters(renamed, "id", "body")
+    assert(full.filter(col("pass_stop")).isEmpty)
+    assert(full.filter(col("n_stop_kinds") > 1).isEmpty)
   }
 
   test("cleaned == t08") {

@@ -126,4 +126,33 @@ class DedupKernelSpec extends AnyFunSuite {
     assert(r.getLong(2) == 3999L) // inter
     assert(r.getDouble(3) == 0.8) // round(0.79996, 4)
   }
+
+  test("d10 spans merge as token INTERVALS: overlapping gram windows never double-count") {
+    // doc A's duplicated 5-gram starts are {1, 3, 5} (gaps of 2 — each
+    // window overlaps the previous by 3 tokens) with the in-between starts
+    // {2, 4} NOT duplicated: doc B repeats A[1..5], A[3..7], A[5..9] with
+    // separator tokens so no other gram of A recurs. The r7 per-run
+    // formula summed (r + k - 1) per consecutive run = 3*5 = 15 > 11
+    // tokens (dup_frac 1.36); interval merge must give ONE island
+    // covering tokens 1..9.
+    import spark.implicits._
+    val a = "a b c d e f g h i j k"                       // 11 tokens
+    val b = "a b c d e P c d e f g Q e f g h i"           // 17 tokens
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val out = DedupOps2.spanDedupOf(docs, 5)
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    val ra = out(0)
+    assert(ra.getAs[Long]("n_tokens") == 11L)
+    assert(ra.getAs[Long]("n_dup_grams") == 3L)
+    assert(ra.getAs[Long]("n_spans") == 1L)      // one merged island
+    assert(ra.getAs[Long]("dup_tokens") == 9L)   // tokens 1..9 = 5-1+5
+    assert(ra.getAs[Double]("dup_frac") == math.rint(9.0 / 11 * 10000) / 10000)
+    val rb = out(1)
+    assert(rb.getAs[Long]("n_spans") == 3L)      // disjoint in B (gaps 6)
+    assert(rb.getAs[Long]("dup_tokens") == 15L)
+    // the paper's invariant the r7 accounting violated:
+    out.foreach(r => assert(r.getAs[Double]("dup_frac") <= 1.0,
+      s"dup_frac > 1 for doc ${r.getAs[Long]("doc_id")}"))
+  }
 }

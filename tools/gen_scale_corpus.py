@@ -13,7 +13,22 @@ blocks can be measured at 10x+ the bench scale:
     cluster component, ~2.5%% injected near-duplicate pairs (vector +
     small noise, re-normalized).
 
-Usage: gen_scale_corpus.py OUTDIR DOCS_ROWS EMB_ROWS [SEED]
+A second MODE, `heavytail`, models a realistic web-scale corpus instead
+of the uniform generator: the uniform mode's FIXED 10-label cluster
+component makes a constant fraction of ALL pairs genuinely
+near-duplicate, so candidate mass in any correct similarity plan grows
+~n^2 with corpus size — a generator artifact, not a plan property
+(adjudicated in SCALE_r7.md). heavytail keeps the same schemas but:
+
+  - documents: ~1000-word Zipf(1.2) vocabulary (real text is heavy-
+    tailed), same FIXED per-doc near/exact-dup rates — duplicate pair
+    mass grows linearly in n;
+  - embeddings: label count GROWS with n (one label per ~200 vectors),
+    so per-cluster population — and with it the near-pair mass — stays
+    constant per vector; the injected near-dup rate stays fixed.
+
+Usage: gen_scale_corpus.py OUTDIR DOCS_ROWS EMB_ROWS [SEED] [MODE]
+MODE = uniform (default) | heavytail.
 Never writes to /root/testdata (that tree is read-only by contract).
 """
 import sys
@@ -30,11 +45,22 @@ LANG_W = [0.41, 0.15, 0.15, 0.15, 0.14]
 SOURCES = [f"src{i}" for i in range(20)]
 
 
-def gen_documents(n, rng):
+def zipf_vocab_probs(v, a=1.2):
+    ranks = np.arange(1, v + 1, dtype=np.float64)
+    p = ranks ** -a
+    return p / p.sum()
+
+
+def gen_documents(n, rng, mode="uniform"):
+    if mode == "heavytail":
+        vocab = np.array([f"w{i}" for i in range(1000)])
+        probs = zipf_vocab_probs(len(vocab))
+    else:
+        vocab, probs = np.array(VOCAB), None
     texts = []
     for _ in range(n):
         nwords = rng.integers(10, 100)
-        texts.append(" ".join(rng.choice(VOCAB, nwords)))
+        texts.append(" ".join(rng.choice(vocab, nwords, p=probs)))
     # ~5% near-dups: copy an earlier doc, append 1..3 " dup" markers
     n_near = n // 20
     for i in rng.choice(np.arange(n // 2, n), n_near, replace=False):
@@ -54,7 +80,11 @@ def gen_documents(n, rng):
     })
 
 
-def gen_embeddings(n, rng, dim=64, labels=10):
+def gen_embeddings(n, rng, dim=64, labels=10, mode="uniform"):
+    if mode == "heavytail":
+        # cluster count scales with n: per-cluster population (and the
+        # within-cluster near-pair mass per vector) stays constant
+        labels = max(10, n // 200)
     lab = rng.integers(0, labels, n)
     centers = rng.standard_normal((labels, dim)).astype(np.float32) * 0.1
     v = rng.standard_normal((n, dim)).astype(np.float32) + centers[lab]
@@ -77,13 +107,18 @@ def gen_embeddings(n, rng, dim=64, labels=10):
 def main():
     out, docs_n, emb_n = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     seed = int(sys.argv[4]) if len(sys.argv) > 4 else 42
+    mode = sys.argv[5] if len(sys.argv) > 5 else "uniform"
+    assert mode in ("uniform", "heavytail"), f"unknown mode {mode}"
     assert not out.startswith("/root/testdata"), "testdata is read-only"
     import os
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(seed)
-    pq.write_table(gen_documents(docs_n, rng), f"{out}/documents.parquet")
-    pq.write_table(gen_embeddings(emb_n, rng), f"{out}/embeddings.parquet")
-    print(f"wrote {out}: documents={docs_n} embeddings={emb_n} seed={seed}")
+    pq.write_table(gen_documents(docs_n, rng, mode),
+                   f"{out}/documents.parquet")
+    pq.write_table(gen_embeddings(emb_n, rng, mode=mode),
+                   f"{out}/embeddings.parquet")
+    print(f"wrote {out}: documents={docs_n} embeddings={emb_n} "
+          f"seed={seed} mode={mode}")
 
 
 if __name__ == "__main__":
