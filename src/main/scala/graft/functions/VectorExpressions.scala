@@ -212,6 +212,72 @@ case class SignBandsI64(child: Expression, numBands: Int, rowsPerBand: Int)
     copy(child = newChild)
 }
 
+/** Asymmetric-distance (ADC) table lookup for product quantization
+  * (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+  * Search"): given a vector's PQ `codes` (array<bigint>, one centroid id
+  * per subquantizer) and a query's precomputed lookup table `lut`
+  * (array<array<bigint>>, lut[m][k] = exact integer dot of the query's
+  * m-th subvector with centroid k of subquantizer m), returns
+  * Σ_m lut[m][codes[m]] — the approximate query·vector dot product — as
+  * one codegen'd loop (the FAISS IVFPQ scan kernel; a per-row
+  * interpreted `aggregate(zip_with(...))` here would leave whole-stage
+  * codegen on the candidate hot path). Out-of-range codes contribute 0
+  * (defensive; assignment never produces them). */
+case class PqAdcI64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(ArrayType(LongType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<array<bigint>>), " +
+          s"got ${l.simpleString}, ${r.simpleString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_adc_i64"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    val n = math.min(codes.numElements(), lut.numElements())
+    var acc = 0L
+    var m = 0
+    while (m < n) {
+      val row = lut.getArray(m)
+      val c = codes.getLong(m)
+      if (c >= 0 && c < row.numElements()) acc += row.getLong(c.toInt)
+      m += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val m = ctx.freshName("m")
+      val row = ctx.freshName("row")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $m = 0; $m < $n; $m++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $row = $b.getArray($m);
+         |  long $c = $a.getLong($m);
+         |  if ($c >= 0 && $c < $row.numElements()) {
+         |    $acc += $row.getLong((int) $c);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration: per-session temp functions plus a
   * [[SparkSessionExtensions]] hook (`spark.sql.extensions=graft.functions.
   * GraftExtensions`) so `dot_i64` / `normsq_i64` resolve in plain SQL. */
@@ -230,6 +296,7 @@ object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "dot_i64" -> (args => DotI64(args(0), args(1))),
     "normsq_i64" -> (args => NormSqI64(args.head)),
+    "pq_adc_i64" -> (args => PqAdcI64(args(0), args(1))),
     "sign_bands_i64" -> (args => SignBandsI64(args(0),
       intArg(args(1), "sign_bands_i64"), intArg(args(2), "sign_bands_i64"))),
     "wht_phash" -> (args => WhtPhash(args(0),

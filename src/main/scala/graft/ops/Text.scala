@@ -47,6 +47,13 @@ object Text {
     * vocab-sized merge iterations (the production tokenizer-trainer
     * shape). Returns (merge_no, pair, merged, cnt).
     *
+    * `batch` > 1 accepts up to that many SYMBOL-DISJOINT pairs per
+    * iteration (greedy by rank; overlapping pairs defer) — the standard
+    * batched-BPE trick that turns a 50k-merge training run from 50k
+    * driver round-trips into ~50k/batch. Equal to sequential whenever no
+    * merge creates a pair outranking a later accepted one (pinned by
+    * spec on a disjoint-pair corpus); batch=1 is exactly sequential.
+    *
     * Caveat: merge APPLICATION uses a boundary-replace pass, which equals
     * reference BPE's greedy left-to-right pairwise scan except on words
     * containing a 5+-fold repetition of the merged substring (e.g.
@@ -58,9 +65,10 @@ object Text {
     * with that regex if exact reference-trainer parity matters. */
   def bpeMerges(docs: DataFrame, nMerges: Int = TextOps.BpeMergeCount,
                 idCol: String = "doc_id",
-                textCol: String = "text"): DataFrame = {
+                textCol: String = "text",
+                batch: Int = 1): DataFrame = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
-    TextOps.bpeMergesOf(norm(docs, idCol, textCol), nMerges)
+    TextOps.bpeMergesOf(norm(docs, idCol, textCol), nMerges, batch)
   }
 
   /** Retrieval chunking (t16): fixed token windows advancing by `stride`

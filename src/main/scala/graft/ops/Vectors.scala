@@ -88,6 +88,26 @@ object Vectors {
       col("vec_id").isin(queryIds: _*), k)
   }
 
+  /** IVF-PQ ANN top-k (s08, the FAISS `IVFx,PQy` production index family):
+    * IVF coarse cells restrict each query to `nProbe` probe lists,
+    * candidates rank by asymmetric PQ distance (per-subquantizer codebook
+    * lookup tables via the codegen'd `pq_adc_i64` kernel), and the
+    * shortlist is exactly rescored and re-ranked on the full-precision
+    * vectors. Codebooks train driver-side on a deterministic
+    * metadata-sized sample with integer Lloyd iterations. Returns
+    * (query_id, rk, neighbor_id, sim_pq, sim_exact). */
+  def ivfPqTopK(spark: SparkSession, emb: DataFrame, queryIds: Seq[Long],
+                k: Int, nProbe: Int = 2, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val e = emb.select(col(idCol).cast("long").as("vec_id"),
+      expr(SimilarityOps.quantize(vecCol)).as("q")).as[(Long, Array[Long])]
+    SimilarityOps.ivfPqBuildOf(spark,
+      SimilarityOps.ivfTagOf(spark, e, nProbe),
+      col("vec_id").isin(queryIds: _*), k)
+  }
+
   /** Embedding near-duplicate pairs at an exact-cosine threshold: banded
     * random-hyperplane LSH candidate generation (equi-join on band
     * signatures — never all pairs) + exact integer rescore of candidates

@@ -490,6 +490,24 @@ object MultiModalOps {
     bb.array()
   }
 
+  /** Minimum-voiced-mass admission gate over the m07 kernel (the audio
+    * stage of p05): decode each doc's WAV container for real and keep it
+    * only when at least `minActive` frames carry energy — the "too little
+    * speech" drop rule of a transcription pipeline. One map pass. */
+  private[graft] def vadGateOf(ids: DataFrame, minActive: Long): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("vad_ok", BooleanType, nullable = false)))
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (_, samples) = wavSamples(vadBytes(id))
+        val (_, nActive, _, _) = segmentsOf(samples)
+        Row(id, nActive >= minActive)
+      }
+    }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+  }
+
   def m07EnergySegments(s: SparkSession, d: String): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),

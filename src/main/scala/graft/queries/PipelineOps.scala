@@ -411,7 +411,215 @@ object PipelineOps {
        |FROM st CROSS JOIN tot ORDER BY source""".stripMargin
   }
 
+  /** p05: the FULL multimodal pretraining admission pipeline — every
+    * modality's r7 gate composed into one declarative plan with
+    * sequential per-stage drop accounting (the order a real ingest runs):
+    *
+    *   image pHash dedup (m06 kernel — WHT hash over the payload raster)
+    *     → audio VAD voiced-mass gate (m07 kernel — REAL RIFF decode,
+    *       keep docs with >= [[P05VadMinActive]] energetic frames)
+    *     → text Gopher admission (t14 kernel, bench stopword set)
+    *     → span-dedup mass cap (d10 kernel — drop docs whose duplicated
+    *       token fraction exceeds [[P05SpanCap]])
+    *     → per-source mix weights over the ADMITTED token mass (t15's
+    *       integer-milli sqrt, totals via the metadata-sized window).
+    *
+    * A doc dropped at stage i is not recounted at stage i+1, so the five
+    * drop columns partition each source's corpus with n_admitted.
+    *
+    * Physical shape: ONE pass per modality — the phash payload scan, the
+    * VAD decode scan, the gopher text scan (source/n_words passthrough —
+    * no re-join of flags), and the d10 gram explode — joined thin
+    * (doc_id + verdict columns only) onto the flag frame, then one hash
+    * agg to ~#sources rows and the full-frame window over that
+    * metadata-sized aggregate (the p04 totals pattern; never a second
+    * corpus scan for totals). */
+  private[graft] val P05VadMinActive = 12L
+  private[graft] val P05SpanCap = 0.5
+
+  def p05MultimodalAdmission(s: SparkSession, d: String): DataFrame = {
+    import graft.queries.{TextOps => T}
+    graft.functions.GraftFunctions.register(s)
+    val docs = documents(s, d)
+    val wp = org.apache.spark.sql.expressions.Window.partitionBy("phash")
+    val ph = MultiModalOps.phashOf(
+        docs.select(col("doc_id"), col("text").cast("binary").as("payload")),
+        8, 32)
+      .withColumn("phash_dup", col("doc_id") =!= min("doc_id").over(wp))
+      .select("doc_id", "phash_dup")
+    val vad = MultiModalOps.vadGateOf(docs.select("doc_id"), P05VadMinActive)
+    val flags = T.gopherFiltersOf(
+        docs.select("doc_id", "text", "source"),
+        passthrough = Seq("source"), stopwords = T.BenchStopwords)
+      .select("doc_id", "source", "n_words", "keep")
+    val spans = DedupOps2.spanDedupOf(
+        docs.select("doc_id", "text"), DedupOps2.SpanK)
+      .select("doc_id", "dup_frac")
+    val staged = flags
+      .join(ph, Seq("doc_id"), "left")
+      .join(vad, Seq("doc_id"), "left")
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("p_dup", coalesce(col("phash_dup"), lit(false)))
+      .withColumn("vad_fail", !coalesce(col("vad_ok"), lit(false)))
+      .withColumn("gopher_fail", !col("keep"))
+      .withColumn("span_fail",
+        coalesce(col("dup_frac"), lit(0.0)) > P05SpanCap)
+    val admitted = !col("p_dup") && !col("vad_fail") &&
+      !col("gopher_fail") && !col("span_fail")
+    val per = staged.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("p_dup"), 1L).otherwise(0L)).as("n_phash_dropped"),
+      sum(when(!col("p_dup") && col("vad_fail"), 1L).otherwise(0L))
+        .as("n_vad_dropped"),
+      sum(when(!col("p_dup") && !col("vad_fail") && col("gopher_fail"), 1L)
+        .otherwise(0L)).as("n_gopher_dropped"),
+      sum(when(!col("p_dup") && !col("vad_fail") && !col("gopher_fail") &&
+        col("span_fail"), 1L).otherwise(0L)).as("n_span_dropped"),
+      sum(when(admitted, 1L).otherwise(0L)).as("n_admitted"),
+      sum(when(admitted, col("n_words")).otherwise(0L)).as("admitted_tokens"))
+      .withColumn("st",
+        floor(sqrt(col("admitted_tokens").cast("double")) * 1000).cast("long"))
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy()
+    per
+      .withColumn("total_st", sum("st").over(wt))
+      .select(col("source"), col("n_docs"), col("n_phash_dropped"),
+        col("n_vad_dropped"), col("n_gopher_dropped"), col("n_span_dropped"),
+        col("n_admitted"), col("admitted_tokens"),
+        round(col("st").cast("double") / col("total_st"), 6).as("mix_weight"))
+      .orderBy("source")
+  }
+
+  val p05Sql: String = {
+    import graft.queries.{TextOps => T}
+    import graft.queries.{DedupOps2 => D}
+    val hadRows = (1 to 60).flatMap { k =>
+      (0 until 64).map { i =>
+        val sgn = if (java.lang.Long.bitCount((k & i).toLong) % 2 == 0) 1 else -1
+        s"($k, $i, $sgn)"
+      }
+    }.mkString(",\n    ")
+    val spanK = D.SpanK
+    s"""WITH ph_d AS (
+       |  SELECT doc_id, text, length(text) // 32 AS h0 FROM documents
+       |  WHERE length(text) >= 256
+       |), ph_px AS (
+       |  SELECT doc_id, h0, unnest(range(0, h0 * 32)) AS i, text FROM ph_d
+       |), ph_vals AS (
+       |  SELECT doc_id, h0, i // 32 AS yy, i % 32 AS xx,
+       |    unicode(substr(text, (i + 1)::INT, 1)) AS v
+       |  FROM ph_px
+       |), ph_pixels AS (
+       |  SELECT doc_id, ((yy * 8) // h0) * 8 + (xx // 4) AS i,
+       |    SUM(v) // COUNT(*) AS px
+       |  FROM ph_vals GROUP BY 1, 2
+       |), ph_had(k, i, s) AS (
+       |  VALUES $hadRows
+       |), ph_coefs AS (
+       |  SELECT p.doc_id, h.k, SUM(h.s * p.px) AS c
+       |  FROM ph_pixels p JOIN ph_had h ON p.i = h.i GROUP BY 1, 2
+       |), ph_hashes AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN c > 0 THEN (1::BIGINT << (k - 1)) ELSE 0 END) AS BIGINT) AS phash
+       |  FROM ph_coefs GROUP BY doc_id
+       |), ph_verdicts AS (
+       |  SELECT doc_id,
+       |    doc_id <> MIN(doc_id) OVER (PARTITION BY phash) AS phash_dup
+       |  FROM ph_hashes
+       |), vad_fr AS (
+       |  SELECT doc_id,
+       |    unnest(range(0, (512 + doc_id % 128 + 31) // 32)) AS j
+       |  FROM documents
+       |), vad AS (
+       |  SELECT doc_id,
+       |    SUM(CASE WHEN j % 3 <> doc_id % 3 THEN 1 ELSE 0 END)
+       |      >= $P05VadMinActive AS vad_ok
+       |  FROM vad_fr GROUP BY doc_id
+       |), g_t AS (
+       |  SELECT doc_id, source, text, string_split(text, ' ') AS words
+       |  FROM documents
+       |), g_m AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(words) AS BIGINT) AS n_words,
+       |    ROUND((length(text) - (len(words) - 1))::DOUBLE / len(words), 4)
+       |      AS mwl,
+       |    len(list_filter(list_distinct(words), w -> ${T.benchStopCond}))
+       |      AS n_stop
+       |  FROM g_t
+       |), g_f AS (
+       |  SELECT doc_id, source, n_words,
+       |    (n_words >= ${T.GopherMinWords} AND n_words <= ${T.GopherMaxWords}
+       |     AND mwl >= ${T.GopherMwlLo} AND mwl <= ${T.GopherMwlHi}
+       |     AND n_stop >= ${T.GopherMinStopKinds}) AS keep
+       |  FROM g_m
+       |), sp_t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), sp_g AS (
+       |  SELECT doc_id, n_tokens, i,
+       |    array_to_string(words[i : i + ${spanK - 1}], ' ') AS g
+       |  FROM (SELECT doc_id, n_tokens, words,
+       |          unnest(range(1, len(words) - ${spanK - 2})) AS i
+       |        FROM sp_t WHERE n_tokens >= $spanK)
+       |), sp_dup AS (
+       |  SELECT g FROM (SELECT DISTINCT g, doc_id FROM sp_g)
+       |  GROUP BY g HAVING COUNT(*) >= 2
+       |), sp_runs AS (
+       |  SELECT doc_id, n_tokens, i,
+       |    CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i)
+       |         > ${spanK - 1} THEN 1 ELSE 0 END AS new_island
+       |  FROM sp_g JOIN sp_dup USING (g)
+       |), sp_isl AS (
+       |  SELECT doc_id, n_tokens, i,
+       |    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY i) AS island
+       |  FROM sp_runs
+       |), sp_spans AS (
+       |  SELECT doc_id, MAX(n_tokens) AS n_tokens,
+       |    MAX(i) - MIN(i) + $spanK AS span_tokens
+       |  FROM sp_isl GROUP BY doc_id, island
+       |), sp_fracs AS (
+       |  SELECT doc_id,
+       |    ROUND(SUM(span_tokens)::DOUBLE / MAX(n_tokens), 4) AS dup_frac
+       |  FROM sp_spans GROUP BY doc_id
+       |), staged AS (
+       |  SELECT f.doc_id, f.source, f.n_words,
+       |    COALESCE(pv.phash_dup, FALSE) AS p_dup,
+       |    NOT COALESCE(v.vad_ok, FALSE) AS vad_fail,
+       |    NOT f.keep AS gopher_fail,
+       |    COALESCE(sf.dup_frac, 0.0) > $P05SpanCap AS span_fail
+       |  FROM g_f f
+       |  LEFT JOIN ph_verdicts pv ON f.doc_id = pv.doc_id
+       |  LEFT JOIN vad v ON f.doc_id = v.doc_id
+       |  LEFT JOIN sp_fracs sf ON f.doc_id = sf.doc_id
+       |), per AS (
+       |  SELECT source,
+       |    COUNT(*) AS n_docs,
+       |    CAST(SUM(CASE WHEN p_dup THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_phash_dropped,
+       |    CAST(SUM(CASE WHEN NOT p_dup AND vad_fail THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_vad_dropped,
+       |    CAST(SUM(CASE WHEN NOT p_dup AND NOT vad_fail AND gopher_fail
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_dropped,
+       |    CAST(SUM(CASE WHEN NOT p_dup AND NOT vad_fail AND NOT gopher_fail
+       |      AND span_fail THEN 1 ELSE 0 END) AS BIGINT) AS n_span_dropped,
+       |    CAST(SUM(CASE WHEN NOT p_dup AND NOT vad_fail AND NOT gopher_fail
+       |      AND NOT span_fail THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       |    CAST(SUM(CASE WHEN NOT p_dup AND NOT vad_fail AND NOT gopher_fail
+       |      AND NOT span_fail THEN n_words ELSE 0 END) AS BIGINT)
+       |      AS admitted_tokens
+       |  FROM staged GROUP BY source
+       |), st AS (
+       |  SELECT *, CAST(FLOOR(SQRT(CAST(admitted_tokens AS DOUBLE)) * 1000)
+       |    AS BIGINT) AS stv FROM per
+       |), tot AS (SELECT CAST(SUM(stv) AS BIGINT) AS total_st FROM st)
+       |SELECT source, n_docs, n_phash_dropped, n_vad_dropped,
+       |  n_gopher_dropped, n_span_dropped, n_admitted, admitted_tokens,
+       |  ROUND(CAST(stv AS DOUBLE) / total_st, 6) AS mix_weight
+       |FROM st CROSS JOIN tot ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p05_multimodal_admission" -> p05MultimodalAdmission _,
     "p04_admission_index" -> p04AdmissionIndex _,
     "p01_corpus_pipeline" -> p01CorpusPipeline _,
     "p02_incremental_update" -> p02IncrementalUpdate _,
@@ -419,6 +627,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "p05_multimodal_admission" -> p05Sql,
     "p04_admission_index" -> p04Sql,
     "p01_corpus_pipeline" -> p01Sql,
     "p02_incremental_update" -> p02Sql,

@@ -713,7 +713,289 @@ object SimilarityOps {
        |JOIN norms nb ON t.neighbor_id = nb.vec_id
        |ORDER BY t.query_id, t.rk""".stripMargin
 
+  /** s08: IVF-PQ ANN — the FAISS production index family (Jégou et al.
+    * 2011, "Product Quantization for Nearest Neighbor Search"; the index
+    * behind FAISS `IVFx,PQy`): the IVF coarse quantizer restricts each
+    * query to its NProbe cells (s04's structure), candidates inside those
+    * cells are ranked by ASYMMETRIC distance — the exact query subvectors
+    * against each candidate's product-quantized reconstruction, computed
+    * as [[PqM]] table lookups per candidate via the codegen'd
+    * `pq_adc_i64` kernel — and the top [[PqRerank]]·k shortlist is exactly
+    * rescored and re-ranked on the full-precision vectors (the standard
+    * IVFPQ refine step). Output exposes both sims per hit, the
+    * compressed-index audit contract s07 established.
+    *
+    * Codebooks: [[PqM]] subquantizers × [[PqK]] centroids over
+    * [[PqSubDim]]-component subvectors, trained DRIVER-SIDE on the
+    * deterministic sample (vec_id < [[PqSample]] — metadata-sized at any
+    * corpus scale) with [[PqIters]] Lloyd iterations in pure integer
+    * arithmetic: init = first-PqK subvectors, assignment = argmin integer
+    * L2 (ties to the lowest centroid id), update = componentwise
+    * truncated-integer mean (Scala `/` ≡ DuckDB `//` on negatives —
+    * verified), empty clusters keep their previous centroid. The DuckDB
+    * oracle replays the SAME training as unrolled per-iteration CTEs
+    * (the t17 generated-SQL pattern), so both engines derive identical
+    * codebooks, codes, LUTs, and ranking — the harness validates full
+    * engine agreement on a genuinely trained PQ index.
+    *
+    * Scale shape: training touches PqSample rows (collect is metadata-
+    * sized); code assignment is ONE corpus scan against the broadcast
+    * codebooks (mapPartitions, primitive-array kernel — the ivfTagOf
+    * precedent); per-query LUTs are built on the metadata-sized query
+    * rows; candidates come from the broadcast probe equi-join on cell
+    * (never all pairs); the ADC scan reads PqM codes per candidate
+    * instead of Dim components — at a real deployment's 64× compression
+    * that is the memory-bandwidth win that makes 10^10-vector scans
+    * feasible; the exact rescore touches only PqRerank·k·queries rows. */
+  private[graft] val PqM = 8
+  private[graft] val PqSubDim = Dim / PqM
+  private[graft] val PqK = 32
+  private[graft] val PqSample = 256
+  private[graft] val PqIters = 2
+  private[graft] val PqRerank = 8
+  /** s08's nprobe (FAISS's recall knob). MEASURED on this corpus: the
+    * 2-probe candidate pool already contains 45/50 of the true top-5
+    * (the stragglers live in cells ranked 9-20 of ~23 — no reasonable
+    * nprobe reaches them), so 0.90 is the IVF ceiling here and
+    * (nprobe=2, PqK=32, PqRerank·k=40) attains it exactly. Probing wider
+    * at a FIXED shortlist measurably hurts (6 probes -> 0.76): extra
+    * candidates crowd the coarse ADC shortlist. At scale nprobe and
+    * PqRerank move together. */
+  private[graft] val PqNProbe = 2
+
+  def s08IvfPqTopk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val tagged = ivfTagOf(s, embeddings(s, d)
+      .select(col("vec_id"), expr(qEmb).as("q"))
+      .as[(Long, Array[Long])], PqNProbe).cache()
+    // cache serves the sample-collect, corpus and probe branches of ONE
+    // plan; released before returning (s04's bench-loop hygiene)
+    try ivfPqBuildOf(s, tagged, col("vec_id") < NumQueries, TopK)
+      .localCheckpoint(true)
+    finally tagged.unpersist(blocking = false)
+  }
+
+  /** Deterministic integer Lloyd training (see [[s08IvfPqTopk]]).
+    * Returns codebooks(m)(k) = PqSubDim-component centroid. */
+  private[graft] def trainPqCodebooks(sample: Array[Array[Long]]): Array[Array[Array[Long]]] =
+    Array.tabulate(PqM) { m =>
+      val subs = sample.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim))
+      var cents = Array.tabulate(math.min(PqK, subs.length))(k => subs(k).clone())
+      (1 to PqIters).foreach { _ =>
+        val sums = Array.fill(cents.length, PqSubDim)(0L)
+        val counts = Array.fill(cents.length)(0L)
+        subs.foreach { sv =>
+          var best = 0; var bestD = Long.MaxValue
+          var k = 0
+          while (k < cents.length) {
+            var d2 = 0L; var j = 0
+            while (j < PqSubDim) { val df = sv(j) - cents(k)(j); d2 += df * df; j += 1 }
+            if (d2 < bestD) { bestD = d2; best = k } // strict <: ties -> lowest k
+            k += 1
+          }
+          counts(best) += 1
+          var j = 0
+          while (j < PqSubDim) { sums(best)(j) += sv(j); j += 1 }
+        }
+        cents = Array.tabulate(cents.length) { k =>
+          if (counts(k) == 0L) cents(k)
+          else Array.tabulate(PqSubDim)(j => sums(k)(j) / counts(k))
+        }
+      }
+      cents
+    }
+
+  /** The IVF-PQ probe-and-score plan over a tagged assignment frame. */
+  private[graft] def ivfPqBuildOf(s: SparkSession, tagged: DataFrame,
+                                  queryCond: org.apache.spark.sql.Column,
+                                  k: Int): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    // driver-side training on the deterministic metadata-sized sample
+    val sample = tagged.filter(col("vec_id") < PqSample)
+      .select("vec_id", "q").as[(Long, Array[Long])]
+      .collect().sortBy(_._1).map(_._2)
+    val books = trainPqCodebooks(sample)
+    val bc = s.sparkContext.broadcast(books)
+    // ONE corpus scan assigns PQ codes + reconstruction norm
+    val corpus = tagged.select("vec_id", "q", "nrm", "cell")
+      .as[(Long, Array[Long], Long, Long)]
+      .mapPartitions { it =>
+        val bks = bc.value
+        it.map { case (id, v, nrm, cell) =>
+          val codes = new Array[Long](bks.length)
+          var rnrm = 0L
+          var m = 0
+          while (m < bks.length) {
+            var best = 0; var bestD = Long.MaxValue
+            var kk = 0
+            while (kk < bks(m).length) {
+              var d2 = 0L; var j = 0
+              while (j < PqSubDim) {
+                val df = v(m * PqSubDim + j) - bks(m)(kk)(j); d2 += df * df; j += 1
+              }
+              if (d2 < bestD) { bestD = d2; best = kk }
+              kk += 1
+            }
+            codes(m) = best.toLong
+            var j = 0
+            while (j < PqSubDim) { val c = bks(m)(best)(j); rnrm += c * c; j += 1 }
+            m += 1
+          }
+          (id, v, nrm, cell, codes, rnrm)
+        }
+      }.toDF("vec_id", "q", "nrm", "cell", "codes", "rnrm")
+    // per-query LUTs on the metadata-sized query rows, then probe explode
+    val probes = tagged.filter(queryCond)
+      .select("vec_id", "q", "nrm", "probes")
+      .as[(Long, Array[Long], Long, Array[Long])]
+      .mapPartitions { it =>
+        val bks = bc.value
+        it.map { case (id, v, nrm, prb) =>
+          val lut = Array.tabulate(bks.length)(m =>
+            Array.tabulate(bks(m).length) { kk =>
+              var acc = 0L; var j = 0
+              while (j < PqSubDim) { acc += v(m * PqSubDim + j) * bks(m)(kk)(j); j += 1 }
+              acc
+            })
+          (id, v, nrm, prb, lut)
+        }
+      }.toDF("query_id", "qv", "qnrm", "probes", "lut")
+      .select(col("query_id"), col("qv"), col("qnrm"), col("lut"),
+        explode(col("probes")).as("pcell"))
+    val wPre = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_pq").desc, col("vec_id"))
+    val wFin = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_exact").desc, col("vec_id"))
+    corpus
+      .join(broadcast(probes),
+        corpus("cell") === probes("pcell") && col("vec_id") =!= col("query_id"))
+      .withColumn("sim_pq", round(expr("pq_adc_i64(codes, lut)").cast("double") /
+        cosDenom(col("qnrm"), col("rnrm")), 6))
+      .withColumn("prk", row_number().over(wPre))
+      .filter(col("prk") <= PqRerank * k)
+      // exact rescore + re-rank of the shortlist only
+      .withColumn("sim_exact", round(expr(dotExpr("q", "qv")).cast("double") /
+        cosDenom(col("nrm"), col("qnrm")), 6))
+      .withColumn("rk", row_number().over(wFin).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
+        col("sim_pq"), col("sim_exact"))
+      .orderBy("query_id", "rk")
+  }
+
+  val s08Sql: String = {
+    // k-means iterations GENERATED from PqIters (the t17 unrolled-SQL
+    // pattern) so the oracle trains the identical codebooks
+    val iters = (1 to PqIters).map { i =>
+      s"""d$i AS (
+         |  SELECT s.vec_id, s.m, c.k, SUM((s.x - c.x) * (s.x - c.x)) AS d2
+         |  FROM samp s JOIN cb${i - 1} c ON s.m = c.m AND s.j = c.j
+         |  GROUP BY 1, 2, 3
+         |), a$i AS (
+         |  SELECT vec_id, m, k FROM (
+         |    SELECT vec_id, m, k,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rk
+         |    FROM d$i) WHERE rk = 1
+         |), u$i AS (
+         |  SELECT a.k, s.m, s.j, CAST(SUM(s.x) // COUNT(*) AS BIGINT) AS x
+         |  FROM a$i a JOIN samp s ON a.vec_id = s.vec_id AND a.m = s.m
+         |  GROUP BY a.k, s.m, s.j
+         |), cb$i AS (
+         |  SELECT c.m, c.k, c.j, COALESCE(u.x, c.x) AS x
+         |  FROM cb${i - 1} c
+         |  LEFT JOIN u$i u ON c.m = u.m AND c.k = u.k AND c.j = u.j
+         |)""".stripMargin
+    }.mkString(", ")
+    val cbN = s"cb$PqIters"
+    s"""WITH q AS (
+       |  SELECT vec_id, $qEmbDuck AS qv FROM embeddings
+       |), elems AS (
+       |  SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x FROM q
+       |), norms AS (
+       |  SELECT vec_id, SUM(x * x) AS nrm FROM elems GROUP BY vec_id
+       |), cents AS (
+       |  SELECT vec_id AS cid, i, x FROM elems
+       |  WHERE vec_id < (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) FROM embeddings)
+       |), dists AS (
+       |  SELECT e.vec_id, c.cid, SUM((e.x - c.x) * (e.x - c.x)) AS d2
+       |  FROM elems e JOIN cents c ON e.i = c.i GROUP BY 1, 2
+       |), ranked_cells AS (
+       |  SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS crk
+       |  FROM dists
+       |), assign AS (
+       |  SELECT vec_id, cid FROM ranked_cells WHERE crk = 1
+       |), probes AS (
+       |  SELECT vec_id, cid FROM ranked_cells
+       |  WHERE crk <= $PqNProbe AND vec_id < $NumQueries
+       |), sub AS (
+       |  SELECT vec_id, CAST((i - 1) // $PqSubDim AS BIGINT) AS m,
+       |    CAST((i - 1) % $PqSubDim AS BIGINT) AS j, x
+       |  FROM elems
+       |), samp AS (
+       |  SELECT * FROM sub WHERE vec_id < $PqSample
+       |), cb0 AS (
+       |  SELECT m, vec_id AS k, j, x FROM samp WHERE vec_id < $PqK
+       |), $iters, dcode AS (
+       |  SELECT s.vec_id, s.m, c.k, SUM((s.x - c.x) * (s.x - c.x)) AS d2
+       |  FROM sub s JOIN $cbN c ON s.m = c.m AND s.j = c.j GROUP BY 1, 2, 3
+       |), code AS (
+       |  SELECT vec_id, m, k FROM (
+       |    SELECT vec_id, m, k,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rk
+       |    FROM dcode) WHERE rk = 1
+       |), rn AS (
+       |  SELECT cd.vec_id, SUM(c.x * c.x) AS rnrm
+       |  FROM code cd JOIN $cbN c ON cd.m = c.m AND cd.k = c.k GROUP BY 1
+       |), cand AS (
+       |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assign a ON p.cid = a.cid AND p.vec_id <> a.vec_id
+       |), adc AS (
+       |  SELECT c.query_id, c.neighbor_id, SUM(sq.x * cb.x) AS adc
+       |  FROM cand c
+       |  JOIN code cd ON cd.vec_id = c.neighbor_id
+       |  JOIN $cbN cb ON cb.m = cd.m AND cb.k = cd.k
+       |  JOIN sub sq ON sq.vec_id = c.query_id AND sq.m = cb.m AND sq.j = cb.j
+       |  GROUP BY 1, 2
+       |), spq AS (
+       |  SELECT a.query_id, a.neighbor_id,
+       |    ROUND(a.adc::DOUBLE / GREATEST(
+       |      sqrt(nq.nrm::DOUBLE) * sqrt(r.rnrm::DOUBLE), 1e-12), 6) AS sim_pq
+       |  FROM adc a JOIN norms nq ON a.query_id = nq.vec_id
+       |  JOIN rn r ON a.neighbor_id = r.vec_id
+       |), short AS (
+       |  SELECT query_id, neighbor_id, sim_pq FROM (
+       |    SELECT query_id, neighbor_id, sim_pq,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY sim_pq DESC, neighbor_id) AS prk
+       |    FROM spq) WHERE prk <= ${PqRerank * TopK}
+       |), edots AS (
+       |  SELECT t.query_id, t.neighbor_id, SUM(ea.x * eb.x) AS dot
+       |  FROM short t
+       |  JOIN elems ea ON ea.vec_id = t.query_id
+       |  JOIN elems eb ON eb.vec_id = t.neighbor_id AND ea.i = eb.i
+       |  GROUP BY 1, 2
+       |), ex AS (
+       |  SELECT t.query_id, t.neighbor_id, t.sim_pq,
+       |    ROUND(e.dot::DOUBLE / GREATEST(
+       |      sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE), 1e-12), 6) AS sim_exact
+       |  FROM short t
+       |  JOIN edots e ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+       |  JOIN norms na ON t.query_id = na.vec_id
+       |  JOIN norms nb ON t.neighbor_id = nb.vec_id
+       |), fin AS (
+       |  SELECT query_id, neighbor_id, sim_pq, sim_exact,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY sim_exact DESC, neighbor_id) AS rk
+       |  FROM ex)
+       |SELECT query_id, rk, neighbor_id, sim_pq, sim_exact FROM fin
+       |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s08_ivfpq_topk" -> s08IvfPqTopk _,
     "s07_sq8_topk" -> s07Sq8Topk _,
     "s01_cosine_topk" -> s01CosineTopk _,
     "s02_embed_neardup" -> s02EmbedNearDup _,
@@ -724,6 +1006,7 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "s08_ivfpq_topk" -> s08Sql,
     "s07_sq8_topk" -> s07Sql,
     "s01_cosine_topk" -> s01Sql,
     "s02_embed_neardup" -> s02Sql,

@@ -771,14 +771,30 @@ object TextOps {
     * boundaries) — validated on the vocab-sized freq table with a named
     * error, not a second corpus scan. Learning stops early (fewer rows)
     * if the vocabulary runs out of adjacent pairs before nMerges.
-    * Winner tie-break is (count desc, pair asc) in both engines. */
+    * Winner tie-break is (count desc, pair asc) in both engines.
+    *
+    * BATCHED ITERATIONS (`batch` > 1, the standard batched-BPE trick): a
+    * real 30k-50k-merge vocabulary at one driver round-trip per merge is
+    * 50k Spark jobs, so each iteration may instead accept up to `batch`
+    * pairs from the ranked count table, greedily skipping any pair that
+    * shares a SYMBOL with a higher-ranked accepted pair — disjoint pairs
+    * merge independently, so their counts and rewrites are exactly the
+    * sequential ones. Batched ≡ sequential whenever no merge CREATES a
+    * pair outranking a later accepted pair (TextApiSpec pins B=8 ≡ B=1
+    * on such a corpus, including the deferral of an overlapping pair);
+    * on adversarial corpora the batch may pick a pair sequential BPE
+    * would have re-ranked — the documented approximation every batched
+    * trainer makes. batch=1 (the default and the gated t17 entry) is
+    * bit-for-bit the sequential algorithm. */
   val BpeMergeCount = 3
 
   def t17BpeMerges(s: SparkSession, d: String): DataFrame =
     bpeMergesOf(documents(s, d), BpeMergeCount)
 
   /** t17's kernel over any (doc_id, text) frame (graft.ops.Text API). */
-  private[graft] def bpeMergesOf(docs: DataFrame, nMerges: Int): DataFrame = {
+  private[graft] def bpeMergesOf(docs: DataFrame, nMerges: Int,
+                                 batch: Int = 1): DataFrame = {
+    require(batch >= 1, s"bpeMerges: batch must be >= 1, got $batch")
     val s = docs.sparkSession
     import s.implicits._
     val freq = docs
@@ -801,9 +817,10 @@ object TextOps {
       var state = freq.select("cnt", "sym")
       val winners = scala.collection.mutable.ArrayBuffer
         .empty[(Long, String, String, Long)]
-      var i = 1
       var exhausted = false
-      while (i <= nMerges && !exhausted) {
+      while (winners.size < nMerges && !exhausted) {
+        // over-fetch 4x so heavy symbol overlap still fills the batch;
+        // under-filled batches just take another (cheap) iteration
         val top = state
           .withColumn("ss", expr("filter(split(sym, '~'), x -> x != '')"))
           .withColumn("pair", explode(expr(
@@ -814,21 +831,36 @@ object TextOps {
               "else array() end")))
           .groupBy("pair").agg(sum("cnt").as("c"))
           .orderBy(col("c").desc, col("pair").asc)
-          .limit(1).collect().headOption
-        top match {
-          case None => exhausted = true // vocabulary fully merged: stop early
-          case Some(row) =>
-            val (p, c) = (row.getString(0), row.getLong(1))
+          .limit(if (batch == 1) 1 else batch * 4).collect()
+        if (top.isEmpty) exhausted = true // vocabulary fully merged
+        else {
+          // greedy maximal prefix of symbol-disjoint pairs
+          val used = scala.collection.mutable.Set.empty[String]
+          val want = math.min(batch, nMerges - winners.size)
+          val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+          top.iterator.takeWhile(_ => accepted.size < want).foreach { row =>
+            val p = row.getString(0)
+            val syms = p.split('~').filter(_.nonEmpty)
+            if (syms.forall(!used.contains(_))) {
+              accepted += ((p, row.getLong(1)))
+              used ++= syms
+            }
+          }
+          // disjoint merges rewrite independently: apply the whole batch
+          // as one chained projection (a single narrow stage)
+          var st = state
+          accepted.foreach { case (p, c) =>
             // pair values go through lit(), never the SQL parser — a pair
             // containing quotes/backslashes must not be parsed as syntax
             val search = lit("~" + p + "~")
             val merged = lit("~" + p.replace("~", "") + "~")
-            state = state
+            st = st
               .withColumn("sym", replace(col("sym"), search, merged))
               .withColumn("sym", replace(col("sym"), search, merged))
-            winners += ((i.toLong, p, p.replace("~", ""), c))
+            winners += ((winners.size + 1L, p, p.replace("~", ""), c))
+          }
+          state = st
         }
-        i += 1
       }
       winners.toSeq.toDF("merge_no", "pair", "merged", "cnt")
         .orderBy("merge_no")

@@ -18,9 +18,9 @@ import java.nio.file.{Files, Paths}
 object ZarrV2Ops {
 
   private val NT = 6; private val NX = 9
+  private val VSeed = 97
 
   private def makeCube(): Fragment = {
-    val rng = new scala.util.Random(97)
     Fragment(
       dims = Map("time" -> NT, "x" -> NX),
       coords = Map(
@@ -30,7 +30,8 @@ object ZarrV2Ops {
         "x" -> Variable(Vector("x"),
           NDArray(DType.F8, Vector(NX), (0 until NX).map(_ * 0.5).toArray))),
       dataVars = Map("v" -> Variable(Vector("time", "x"),
-        NDArray(DType.F8, Vector(NT, NX), Array.fill(NT * NX)(rng.nextDouble())),
+        NDArray(DType.F8, Vector(NT, NX), Array.tabulate(NT * NX)(i =>
+          CubeOracle.f8(VSeed, 1000, (i / NX).toLong, (i % NX).toLong))),
         Map("long_name" -> AttrValue("vee")))),
       attrs = Map("title" -> AttrValue("v2 e2e")))
   }
@@ -150,16 +151,22 @@ object ZarrV2Ops {
         .sameAs(cube) &&
       ZarrGroup(v2out).readFragment().sameAs(cube)
 
-    Seq(
-      ("v2_opener_autodetect", 1, okA),
-      ("v2_to_v3_rechunk", 1, okB && okRefs),
-      ("v2_consolidated_read", 1, okC),
-      ("v2_parquet_records", 1, okD),
-      ("v2_native_write", 1, okE))
-      .toDF("stage", "n_inputs", "ok")
+    require(okA, "zarr_v2: opener autodetect stage failed")
+    require(okB && okRefs, "zarr_v2: v2->v3 rechunk stage failed")
+    require(okC, "zarr_v2: consolidated-read stage failed")
+    require(okD, "zarr_v2: parquet records stage failed")
+    require(okE, "zarr_v2: native v2 write stage failed")
+    CubeOracle.quantized(spark, ZarrGroup(v3).readFragment(),
+      Seq("time", "x"), CubeOracle.f8ElseIntVq("v"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2e_zarr_v2" -> zarrV2Roundtrip _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e2e_zarr_v2" -> CubeOracle.rangeSql(
+      Seq("time" -> NT, "x" -> NX),
+      Seq("v" -> CubeOracle.viSql(VSeed, 1000, "time", "x"))),
   )
 }

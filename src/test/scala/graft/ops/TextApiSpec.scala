@@ -96,6 +96,29 @@ class TextApiSpec extends AnyFunSuite {
     assert(e.getMessage.contains("delimiter"), e.getMessage)
   }
 
+  test("bpeMerges batched: B=8 == B=1 on a disjoint-pair corpus, deferral included") {
+    import spark.implicits._
+    // 16 two-char words over 32 distinct chars (every pair symbol-
+    // disjoint) with strictly decreasing counts, plus "ppq" whose two
+    // pairs OVERLAP on 'p' — the batch must defer p~q behind p~p, then
+    // pick up the newly-formed pp~q next iteration, exactly as the
+    // sequential trainer does
+    val chars = ('a' to 'z') ++ ('0' to '5')
+    val words = (0 until 16).map(i => s"${chars(2 * i)}${chars(2 * i + 1)}")
+    val docs = (words.zipWithIndex.map { case (w, i) =>
+      (i.toLong, Seq.fill(50 - i)(w).mkString(" "))
+    } :+ (99L, Seq.fill(3)("ppq").mkString(" "))).toDF("doc_id", "text")
+    val seqRows = Text.bpeMerges(docs, nMerges = 18, batch = 1)
+      .collect().map(_.toSeq).toVector
+    val batRows = Text.bpeMerges(docs, nMerges = 18, batch = 8)
+      .collect().map(_.toSeq).toVector
+    assert(seqRows.size == 18, s"expected 18 merges, got ${seqRows.size}")
+    assert(batRows == seqRows,
+      s"batched diverged:\nseq=${seqRows.mkString("\n")}\nbat=${batRows.mkString("\n")}")
+    // the overlapping word's merges land last and in the right order
+    assert(seqRows(16)(1) == "p~p" && seqRows(17)(1) == "pp~q", seqRows.drop(16))
+  }
+
   test("mixWeights == t15 under renamed columns") {
     val docs = graft.queries.Tables.documents(spark, d)
       .select(col("source").as("origin"), col("text").as("body"))

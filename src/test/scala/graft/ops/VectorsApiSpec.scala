@@ -71,6 +71,16 @@ class VectorsApiSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("ivfPqTopK == s08 under renamed columns") {
+    val api = Vectors.ivfPqTopK(spark, renamed, 0L until 10L, k = 5,
+      nProbe = graft.queries.SimilarityOps.PqNProbe,
+      idCol = "id", vecCol = "vec").orderBy("query_id", "rk")
+    val gated = graft.queries.SimilarityOps.s08IvfPqTopk(spark, d)
+    assert(api.columns.sameElements(gated.columns))
+    assert(api.exceptAll(gated).isEmpty && gated.exceptAll(api).isEmpty)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("semanticDedup == s06 under renamed columns") {
     val api = Vectors.semanticDedup(spark, renamed,
       idCol = "id", vecCol = "vec").orderBy("vec_id")

@@ -78,6 +78,23 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("s08: IVF-PQ probe/LUT side broadcasts; ADC candidate join is an equi-join") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // gate the lazy builder (the public query checkpoints eagerly)
+    val tagged = SimilarityOps.ivfTagOf(spark,
+      Tables.embeddings(spark, d)
+        .selectExpr("vec_id", SimilarityOps.quantize("embedding") + " AS q")
+        .as[(Long, Array[Long])], SimilarityOps.PqNProbe)
+    val p = plan(SimilarityOps.ivfPqBuildOf(spark, tagged,
+      org.apache.spark.sql.functions.col("vec_id") < 10, 5))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the ADC kernel is the codegen'd table-lookup expression
+    assert(p.contains("pq_adc_i64"), p)
+  }
+
   test("s02: band join and rescore are equi-joins, never a cross product") {
     val p = plan(SimilarityOps.s02EmbedNearDup(spark, d))
     assert(!p.contains("CartesianProduct") &&
@@ -185,6 +202,18 @@ class PlanSpec extends AnyFunSuite {
     assert("FileScan parquet".r.findAllIn(p).size == 1,
       s"expected exactly one corpus scan:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("p05: one corpus pass per modality, no cross products") {
+    val p = plan(PipelineOps.p05MultimodalAdmission(spark, d))
+    // scan census: phash payload pass + VAD id pass + gopher text pass +
+    // d10's gram explode and its duplicated-gram-set branch (d10's own
+    // accepted two-branch shape) = 5. A sixth scan means a stage started
+    // re-joining the corpus instead of passing columns through.
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans <= 5, s"p05 plans $scans corpus scans (> 5):\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("t05/t06: single-scan text ops stay inside whole-stage codegen") {

@@ -156,4 +156,89 @@ class SimilaritySpec extends AnyFunSuite {
     info(s"s02 recall = $recall (${got.size}/${truth.size} pairs)")
     assert(recall >= 0.85, s"recall $recall below 0.85: missed ${truth.diff(got)}")
   }
+
+  test("s08 IVF-PQ equals the driver-side recompute; recall@5 vs s01 >= 0.9") {
+    // full plain-loop recompute of the IVFPQ search: IVF cells, integer
+    // Lloyd codebooks (shared trainPqCodebooks), code assignment, ADC via
+    // lookup tables, shortlist, exact rerank — pins every stage of the
+    // distributed plan bit-for-bit
+    import SimilarityOps.{PqM, PqSubDim, PqSample, PqRerank, PqNProbe, trainPqCodebooks}
+    val vecs: Array[(Long, Array[Long])] = spark.read
+      .parquet(s"$d/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint)) as q")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def nrm(a: Array[Long]): Long = a.map(x => x * x).sum
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => a(i) * b(i)).sum
+    // IVF cells: first-ceil(sqrt(n)) seeding, L2 argmin, ties -> lowest cid
+    val numCells = math.ceil(math.sqrt(vecs.length.toDouble)).toLong
+    val cents = vecs.filter(_._1 < numCells)
+    def cellRank(v: Array[Long]): Array[Long] = cents
+      .map { case (cid, c) => (nrm(v.indices.map(i => v(i) - c(i)).toArray), cid) }
+      .sorted.map(_._2)
+    val assignCell = vecs.map { case (id, v) => id -> cellRank(v).head }.toMap
+    // PQ codebooks + codes + recon norms
+    val books = trainPqCodebooks(vecs.filter(_._1 < PqSample).map(_._2))
+    def codeOf(v: Array[Long]): Array[Int] = Array.tabulate(PqM) { m =>
+      books(m).indices.minBy { k =>
+        (Array.tabulate(PqSubDim)(j => {
+          val df = v(m * PqSubDim + j) - books(m)(k)(j); df * df
+        }).sum, k)
+      }
+    }
+    val codes = vecs.map { case (id, v) => id -> codeOf(v) }.toMap
+    def rnrmOf(code: Array[Int]): Long =
+      (0 until PqM).map(m => nrm(books(m)(code(m)))).sum
+    val norms = vecs.map { case (id, v) => id -> nrm(v) }.toMap
+    val byId = vecs.toMap
+    val expected = (for {
+      (qid, qv) <- vecs.filter(_._1 < 10)
+      probes = cellRank(qv).take(PqNProbe).toSet
+      lut = Array.tabulate(PqM)(m => books(m).map(c =>
+        (0 until PqSubDim).map(j => qv(m * PqSubDim + j) * c(j)).sum))
+      cand = vecs.filter { case (nid, _) =>
+        nid != qid && probes.contains(assignCell(nid)) }
+      short = cand.map { case (nid, _) =>
+        val adc = (0 until PqM).map(m => lut(m)(codes(nid)(m))).sum
+        val den = math.max(math.sqrt(norms(qid).toDouble) *
+          math.sqrt(rnrmOf(codes(nid)).toDouble), 1e-12)
+        (nid, round6(adc.toDouble / den))
+      }.sortBy { case (nid, s) => (-s, nid) }.take(PqRerank * 5)
+      reranked = short.map { case (nid, spq) =>
+        val den = math.max(math.sqrt(norms(qid).toDouble) *
+          math.sqrt(norms(nid).toDouble), 1e-12)
+        (nid, spq, round6(dot(qv, byId(nid)).toDouble / den))
+      }.sortBy { case (nid, _, se) => (-se, nid) }.take(5)
+      ((nid, spq, se), rk) <- reranked.zipWithIndex
+    } yield (qid, (rk + 1).toLong, nid, spq, se)).toSet
+    val got = SimilarityOps.s08IvfPqTopk(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+      .toSet
+    assert(got == expected,
+      s"s08 differs from recompute: extra=${got.diff(expected).take(3)} " +
+        s"missing=${expected.diff(got).take(3)}")
+    // recall@5 against the exact brute-force (s01 semantics), counted in
+    // integers (hits out of 50) — no float-boundary flakiness. 45/50 is
+    // the measured IVF probing CEILING on this corpus: the 5 missing
+    // neighbors live in cells ranked 9-20 of ~23, unreachable at any
+    // reasonable nprobe, and s08's (nprobe, PqK, PqRerank) is tuned to
+    // attain the ceiling exactly.
+    val hits = vecs.filter(_._1 < 10).map { case (qid, qv) =>
+      val truth = vecs.filter(_._1 != qid).map { case (nid, nv) =>
+        val den = math.max(math.sqrt(norms(qid).toDouble) *
+          math.sqrt(norms(nid).toDouble), 1e-12)
+        (nid, round6(dot(qv, nv).toDouble / den))
+      }.sortBy { case (nid, s) => (-s, nid) }.take(5).map(_._1).toSet
+      truth.intersect(got.filter(_._1 == qid).map(_._3)).size
+    }.sum
+    info(s"s08 recall@5 vs exact top-5 = $hits/50")
+    assert(hits >= 45, s"s08 recall $hits/50 below the 45/50 (0.9) bar")
+  }
 }
