@@ -32,6 +32,15 @@ object Bench {
     // and pollutes the log tail the driver captures the json line from
     spark.sparkContext.setLogLevel("ERROR")
 
+    // FULL-ROW materialization, not df.count(): count() lets Catalyst
+    // prune every aggregate expression and then ELIMINATE left joins whose
+    // right side is provably unique — the r8 scale run caught p05 benching
+    // 0.7 s while its span-dedup stage alone costs 13 s, because the
+    // count() plan had optimized the whole stage away. Executing the
+    // as-built plan (all output columns) measures what a consumer pays.
+    def materialize(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
+
     // local-iteration aid: SPARK_GRAFT_ONLY=q01_agg,d02_ngram_jaccard
     // restricts the run; the driver never sets it, so its runs are full.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -45,7 +54,7 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     // warmup: one untimed pass (caches parquet footers, JIT, codegen)
     names.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir).count()
+      try materialize(SparkEntry.queries(name)(spark, sfDir))
       catch { case _: Throwable => () }
     }
     // two timed iterations, report the min: a single sample is hostage to
@@ -63,7 +72,7 @@ object Bench {
     val results = names.map { name =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        try { materialize(SparkEntry.queries(name)(spark, sfDir)) }
         catch { case _: Throwable => errored += name }
         (System.nanoTime() - t0) / 1e9
       }

@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measurement main for the LSH band-width scale trade (SCALE_r8): counts
+  * banded candidates and exact-rescore survivors for several
+  * (bands × bits, threshold) constructions over one embeddings corpus.
+  *
+  * Motivation: the r8 cross-mode runs measured IDENTICAL candidate mass
+  * on the uniform and heavytail corpora (e.g. 18.73M vs 18.75M at 6k
+  * vectors), proving the ~n² candidate growth is NOT a corpus property —
+  * it is the construction's random-collision floor,
+  * bands · 2^-bits · n²/2 (16×4 admits ~64% of ALL pairs), plus the
+  * Gaussian tail above the low 0.45 threshold. The production lever is
+  * WIDER bands at a higher threshold: collision probability for a random
+  * pair falls 2× per extra bit while a true pair at p = 1-acos(t)/π
+  * falls only p× — so bits ≈ log(n) holds the candidate mass near-linear
+  * (the classic LSH n^(1+ρ) regime, ρ = ln(1/p1)/ln 2).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> sbt "runMain graft.queries.BandScale
+  * [16x4 32x8 64x16]" — optional args restrict the configs (the 16x4
+  * count at 20k vectors alone is a 200M-row join).
+  */
+object BandScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    val emb = SimilarityOps.withQuantized(
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")), "embedding")
+    val n = emb.count()
+    // (bands, bits, threshold): the gated 16x4@0.45, the documented
+    // production 32x8@0.7, and the log(n)-bits 64x16@0.8 regime
+    val all = Seq((16, 4, 0.45), (32, 8, 0.7), (64, 16, 0.8))
+    val picked =
+      if (args.isEmpty) all
+      else all.filter { case (b, r, _) => args.contains(s"${b}x$r") }
+    for ((bands, bits, thr) <- picked) {
+      val t0 = System.nanoTime()
+      val cands = SimilarityOps.s02Candidates(emb, bands, bits).count()
+      val surv = SimilarityOps.nearDupPairsOf(emb, thr, bands, bits).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"metric":"band_scale","n":$n,"bands":$bands,"bits":$bits,""" +
+        f""""threshold":$thr,"candidates":$cands,"survivors":$surv,""" +
+        f""""sec":$secs%.2f,"sf":"$sfDir"}""")
+    }
+    spark.stop()
+  }
+}

@@ -368,9 +368,14 @@ object PipelineOps {
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
     per
       .withColumn("total_st", sum("st").over(w))
+      // zero-safe: a corpus where NO doc passes the gate has total_st = 0
+      // (found by the r8 heavytail scale run, whose vocabulary contains no
+      // stopwords at all) — weight 0.0 instead of ANSI DIVIDE_BY_ZERO
       .select(col("source"), col("n_docs"), col("n_kept"),
         col("kept_tokens"), col("n_chunks"),
-        round(col("st").cast("double") / col("total_st"), 6).as("mix_weight"))
+        when(col("total_st") > 0,
+          round(col("st").cast("double") / col("total_st"), 6))
+          .otherwise(lit(0.0)).as("mix_weight"))
       .orderBy("source")
   }
 
@@ -407,7 +412,9 @@ object PipelineOps {
        |    AS BIGINT) AS stv FROM per
        |), tot AS (SELECT CAST(SUM(stv) AS BIGINT) AS total_st FROM st)
        |SELECT source, n_docs, n_kept, kept_tokens, n_chunks,
-       |  ROUND(CAST(stv AS DOUBLE) / total_st, 6) AS mix_weight
+       |  CASE WHEN total_st > 0
+       |    THEN ROUND(CAST(stv AS DOUBLE) / total_st, 6) ELSE 0.0 END
+       |    AS mix_weight
        |FROM st CROSS JOIN tot ORDER BY source""".stripMargin
   }
 
@@ -482,10 +489,14 @@ object PipelineOps {
     val wt = org.apache.spark.sql.expressions.Window.partitionBy()
     per
       .withColumn("total_st", sum("st").over(wt))
+      // zero-safe like p04: an all-dropped corpus has total_st = 0 (the
+      // r8 heavytail corpus reaches this for real — no stopwords exist)
       .select(col("source"), col("n_docs"), col("n_phash_dropped"),
         col("n_vad_dropped"), col("n_gopher_dropped"), col("n_span_dropped"),
         col("n_admitted"), col("admitted_tokens"),
-        round(col("st").cast("double") / col("total_st"), 6).as("mix_weight"))
+        when(col("total_st") > 0,
+          round(col("st").cast("double") / col("total_st"), 6))
+          .otherwise(lit(0.0)).as("mix_weight"))
       .orderBy("source")
   }
 
@@ -614,7 +625,9 @@ object PipelineOps {
        |), tot AS (SELECT CAST(SUM(stv) AS BIGINT) AS total_st FROM st)
        |SELECT source, n_docs, n_phash_dropped, n_vad_dropped,
        |  n_gopher_dropped, n_span_dropped, n_admitted, admitted_tokens,
-       |  ROUND(CAST(stv AS DOUBLE) / total_st, 6) AS mix_weight
+       |  CASE WHEN total_st > 0
+       |    THEN ROUND(CAST(stv AS DOUBLE) / total_st, 6) ELSE 0.0 END
+       |    AS mix_weight
        |FROM st CROSS JOIN tot ORDER BY source""".stripMargin
   }
 

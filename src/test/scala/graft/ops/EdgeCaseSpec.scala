@@ -114,4 +114,28 @@ class EdgeCaseSpec extends AnyFunSuite {
         StructField("payload", BinaryType))))
     assert(Media.energySegments(emptyPayloads).count() == 0)
   }
+
+  test("p04/p05 on an all-dropped corpus: mix weights 0.0, never divide-by-zero") {
+    // the r8 heavytail scale corpus reaches this for real: its vocabulary
+    // contains no stopwords, the Gopher gate drops every document, and
+    // total_st = 0 — the weight division must be zero-safe in BOTH the
+    // gated queries (found as an ANSI DIVIDE_BY_ZERO crash at ht10x)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_alldrop").toString
+    try {
+      (0L until 30L).map(i =>
+        (i, Seq.fill(60)(s"w$i").mkString(" "), "en", s"src${i % 3}",
+          0L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val p04 = graft.queries.PipelineOps.p04AdmissionIndex(spark, dir).collect()
+      assert(p04.nonEmpty)
+      assert(p04.forall(r => r.getAs[Long]("n_kept") == 0L &&
+        r.getAs[Double]("mix_weight") == 0.0), p04.mkString("\n"))
+      val p05 = graft.queries.PipelineOps.p05MultimodalAdmission(spark, dir).collect()
+      assert(p05.nonEmpty)
+      assert(p05.forall(r => r.getAs[Long]("n_admitted") == 0L &&
+        r.getAs[Double]("mix_weight") == 0.0), p05.mkString("\n"))
+    } finally
+      graft.examples.RecipeFixtures.deleteRecursively(dir)
+  }
 }
