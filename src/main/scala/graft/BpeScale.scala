@@ -42,12 +42,20 @@ object BpeScale {
     val (seqRows, seqJobs, seqSecs) = measure(1)
     val (batRows, batJobs, batSecs) = measure(batch)
     val same = seqRows.sameElements(batRows)
-    // where the batched schedule first departs from sequential (the
-    // documented approximation: a merge can create a pair that outranks a
-    // deferred one); -1 = identical prefix over all nMerges
-    val firstDiff = seqRows.zip(batRows).indexWhere { case (a, b) => a != b }
+    // 1-based merge number where the batched schedule first departs from
+    // sequential (the documented approximation: a merge can create a pair
+    // that outranks a deferred one); -1 = fully identical. A pure length
+    // mismatch (early exhaustion under batching) reports the first merge
+    // past the common prefix rather than conflating with "identical".
+    val firstDiff =
+      if (same) -1
+      else {
+        val idx = seqRows.zip(batRows).indexWhere { case (a, b) => a != b }
+        if (idx >= 0) idx + 1
+        else math.min(seqRows.length, batRows.length) + 1
+      }
     println(f"""{"metric":"bpe_batch","nMerges":$nMerges,"batch":$batch,""" +
-      f""""identical":$same,"first_divergence":${firstDiff + 1},""" +
+      f""""identical":$same,"first_divergence":$firstDiff,""" +
       f""""seq_jobs":$seqJobs,"bat_jobs":$batJobs,""" +
       f""""seq_sec":$seqSecs%.2f,"bat_sec":$batSecs%.2f,"sf":"$sfDir"}""")
     spark.stop()

@@ -126,17 +126,38 @@ object Corpus {
     // (see [[minhashCandidatePairs]] for the persistence guidance)
     DedupOps.simhashPairsOf(simhashSignatures(docs, idCol, textCol))
 
-  /** Fixed-width word segments (the CCNet-style paragraph unit). */
   /** Exact substring-span dedup (d10, the ExactSubstr family of
     * arXiv:2107.06499): per-document accounting of token spans duplicated
-    * across >= 2 documents, coalesced into MAXIMAL spans (a run of r
-    * duplicated k-gram starts covers r + k - 1 tokens). Only contaminated
-    * docs appear in the output. */
+    * across >= 2 documents, merged as maximal TOKEN INTERVALS (a span of
+    * duplicated k-gram starts i0..i1 covers exactly i1 - i0 + k tokens;
+    * overlapping gram windows never double-count, so dup_frac <= 1). Only
+    * contaminated docs appear in the output. */
   def duplicatedSpans(docs: DataFrame, k: Int = 5,
                       idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     require(k >= 2, s"span width k must be >= 2, got $k")
     graft.queries.DedupOps2.spanDedupOf(norm(docs, idCol, textCol), k)
+  }
+
+  /** Longest cross-document duplicated token span (d11, the suffix-
+    * ordering machinery behind ExactSubstr): per document, the longest
+    * span (capped at `cap` tokens) shared verbatim with any other
+    * document, plus a partner doc achieving it (the lowest doc id among
+    * the ADJACENT-suffix witnesses — other docs may share the same span
+    * without being the adjacent witness). One distributed
+    * range-partitioned suffix sort + an adjacent-LCP pass (the suffix-
+    * array adjacency theorem); spans shorter than `minSpan` are not
+    * reported. The result is eagerly checkpointed (the sorted suffix
+    * frame is cached for the boundary fix-up and released before
+    * returning). */
+  def longestSharedSpans(spark: org.apache.spark.sql.SparkSession,
+                         docs: DataFrame, cap: Int = 30, minSpan: Int = 5,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(cap >= minSpan && minSpan >= 1,
+      s"need cap >= minSpan >= 1, got cap=$cap minSpan=$minSpan")
+    graft.queries.DedupOps2.suffixSpansOf(spark,
+      norm(docs, idCol, textCol), cap, minSpan)
   }
 
   def segments(docs: DataFrame, idCol: String = "doc_id",

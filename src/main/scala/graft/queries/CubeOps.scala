@@ -43,13 +43,8 @@ object CubeOps {
 
   private val dims = Seq("time", "lat", "lon")
 
-  /** value_q: foo back to its generating integer (exact /32 inverse),
-    * bar is already integral. */
-  private def vq = {
-    import org.apache.spark.sql.functions._
-    when(col("var_name") === "foo", round(col("value") * 32).cast("long"))
-      .otherwise(col("value").cast("long"))
-  }
+  /** value_q: foo back to its generating integer, bar already integral. */
+  private def vq = CubeOracle.f8ElseIntVq("foo")
 
   private def oracle(nt: Int): String = CubeOracle.rangeSql(
     Seq("time" -> nt, "lat" -> NY, "lon" -> NX),

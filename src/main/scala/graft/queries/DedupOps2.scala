@@ -264,33 +264,41 @@ object DedupOps2 {
         "dup_tokens", "dup_frac")
   }
 
-  val d10Sql: String =
-    s"""WITH t AS (
+  /** The duplicated-gram interval-merge derivation as prefixed CTE text
+    * ending in `<p>spans` (doc_id, n_tokens, r, span_tokens) — SHARED by
+    * d10Sql and p05Sql so the span-accounting semantics can never drift
+    * between the gated query and the composed pipeline (the r7→r8
+    * interval fix had to be applied to two hand-copies). */
+  private[graft] def spanSqlCtes(p: String): String =
+    s"""${p}t AS (
        |  SELECT doc_id, string_split(text, ' ') AS words,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
        |  FROM documents
-       |), g AS (
+       |), ${p}g AS (
        |  SELECT doc_id, n_tokens, i,
        |    array_to_string(words[i : i + ${SpanK - 1}], ' ') AS g
        |  FROM (SELECT doc_id, n_tokens, words,
        |          unnest(range(1, len(words) - ${SpanK - 2})) AS i
-       |        FROM t WHERE n_tokens >= $SpanK)
-       |), dup AS (
-       |  SELECT g FROM (SELECT DISTINCT g, doc_id FROM g)
+       |        FROM ${p}t WHERE n_tokens >= $SpanK)
+       |), ${p}dup AS (
+       |  SELECT g FROM (SELECT DISTINCT g, doc_id FROM ${p}g)
        |  GROUP BY g HAVING COUNT(*) >= 2
-       |), runs AS (
+       |), ${p}runs AS (
        |  SELECT doc_id, n_tokens, i,
        |    CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i)
        |         > ${SpanK - 1} THEN 1 ELSE 0 END AS new_island
-       |  FROM g JOIN dup USING (g)
-       |), isl AS (
+       |  FROM ${p}g JOIN ${p}dup USING (g)
+       |), ${p}isl AS (
        |  SELECT doc_id, n_tokens, i,
        |    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY i) AS island
-       |  FROM runs
-       |), spans AS (
+       |  FROM ${p}runs
+       |), ${p}spans AS (
        |  SELECT doc_id, MAX(n_tokens) AS n_tokens, COUNT(*) AS r,
        |    MAX(i) - MIN(i) + $SpanK AS span_tokens
-       |  FROM isl GROUP BY doc_id, island)
+       |  FROM ${p}isl GROUP BY doc_id, island)""".stripMargin
+
+  val d10Sql: String =
+    s"""WITH ${spanSqlCtes("")}
        |SELECT doc_id, MAX(n_tokens) AS n_tokens,
        |  CAST(SUM(r) AS BIGINT) AS n_dup_grams,
        |  COUNT(*) AS n_spans,
@@ -298,13 +306,170 @@ object DedupOps2 {
        |  ROUND(SUM(span_tokens)::DOUBLE / MAX(n_tokens), 4) AS dup_frac
        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** d11: longest cross-document duplicated token span via DISTRIBUTED
+    * SUFFIX ORDERING — the machinery behind the ExactSubstr family (Lee
+    * et al. 2022, arXiv:2107.06499 build a suffix array for exactly this
+    * query): where d10 counts spans of duplicated FIXED-k grams, d11
+    * finds, per document, the longest token span (up to [[SufCap]])
+    * shared verbatim with ANY other document, plus the partner doc.
+    *
+    * Algorithm (the adjacent-LCP theorem): sort every token suffix of
+    * the corpus (capped at SufCap tokens — the cap bounds both key width
+    * and the reportable span, and makes the capped sort EXACT for spans
+    * < SufCap); the longest span two docs share is realized by some
+    * ADJACENT pair of suffixes from different docs in that order, because
+    * every suffix between the two occurrences starts with the shared
+    * span, and the run of same-doc suffixes around either occurrence
+    * must end in a cross-doc adjacency inside the interval. So one sort
+    * + one adjacent-pair pass gives every document's true maximum. The
+    * sort KEY joins tokens with U+0001 — a separator BELOW every byte a
+    * token can contain except NUL — so the string order equals token-
+    * lexicographic order even for tokens with embedded tabs/newlines
+    * (a space separator would let 'P\\tx' sort between 'P' and 'P y' and
+    * split an adjacency); tokens containing U+0000/U+0001 are the one
+    * documented precondition.
+    *
+    * Scale shape: the suffix explode is token-mass × SufCap (the honest
+    * cost of suffix methods; production systems shrink the key with
+    * hash-prefix doubling); the sort is ONE range-partitioned
+    * distributed sort (`repartitionByRange` on the full sort key — no
+    * single-partition window anywhere); adjacency is a per-partition
+    * map; the P-1 cross-partition boundary pairs are fixed up from a
+    * metadata-sized (2 rows/partition) head/tail collect — the t13
+    * per-shard-partials pattern. The sorted frame is cached across the
+    * boundary collect and the credit pass, then released behind an eager
+    * checkpoint (the s04 cache-hygiene contract). */
+  val SufCap = 30
+  val MinSharedSpan = 5
+
+  def d11SuffixLcp(s: SparkSession, d: String): DataFrame =
+    suffixSpansOf(s, documents(s, d).select("doc_id", "text"),
+      SufCap, MinSharedSpan).orderBy("doc_id")
+
+  /** Common-prefix length of two token sequences (plain loop — runs
+    * inside the adjacency mapPartitions, never as an interpreted SQL
+    * lambda). */
+  private def cpl(a: Seq[String], b: Seq[String]): Int = {
+    var k = 0
+    val n = math.min(a.length, b.length)
+    while (k < n && a(k) == b(k)) k += 1
+    k
+  }
+
+  /** The d11 kernel over any (doc_id, text) frame (graft.ops.Corpus
+    * API). Output: (doc_id, span_tokens, partner_id) for every doc
+    * sharing a span of >= minSpan tokens; partner = the lowest doc id
+    * among the ADJACENT-suffix witnesses of the maximum (other docs may
+    * share the same span without being the adjacent witness — the
+    * oracle replays the identical adjacency rule). */
+  private[graft] def suffixSpansOf(s: SparkSession, docs: DataFrame,
+                                   cap: Int, minSpan: Int): DataFrame = {
+    import s.implicits._
+    val sfx = docs
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(words)), i -> slice(words, i, $cap))"))
+        .as(Seq("pos", "toks")))
+      .withColumn("i", col("pos").cast("long") + 1L)
+      // U+0001 separator: sorts below every token byte (see scaladoc)
+      .withColumn("key", concat_ws("\u0001", col("toks")))
+      .select("doc_id", "i", "key", "toks")
+    val par = math.max(1, s.sparkContext.defaultParallelism)
+    val sorted = sfx
+      .repartitionByRange(par, col("key"), col("doc_id"), col("i"))
+      .sortWithinPartitions("key", "doc_id", "i")
+      .as[(Long, Long, String, Seq[String])]
+      .cache()
+    try {
+      // cross-partition boundary pairs: (pid, first, last) per non-empty
+      // partition — 2 rows per partition, metadata-sized at any scale
+      val bounds = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val first = it.next()
+          var last = first
+          while (it.hasNext) last = it.next()
+          Iterator((pid, first, last))
+        }
+      }.collect().sortBy(_._1)
+      val boundaryCredits = bounds.map(b => (b._2, b._3)).sliding(2).flatMap {
+        case Array((_, lastP), (firstQ, _)) if lastP._1 != firstQ._1 =>
+          val l = cpl(lastP._4, firstQ._4)
+          if (l >= minSpan)
+            Seq((lastP._1, firstQ._1, l.toLong), (firstQ._1, lastP._1, l.toLong))
+          else Nil
+        case _ => Nil
+      }.toSeq
+      // within-partition adjacency: every consecutive cross-doc pair
+      // credits BOTH docs with the common-prefix length
+      val minS = minSpan
+      val inner = sorted.mapPartitions { it =>
+        var prev: (Long, Long, String, Seq[String]) = null
+        it.flatMap { cur =>
+          val out =
+            if (prev != null && prev._1 != cur._1) {
+              val l = cpl(prev._4, cur._4)
+              if (l >= minS)
+                Seq((prev._1, cur._1, l.toLong), (cur._1, prev._1, l.toLong))
+              else Nil
+            } else Nil
+          prev = cur
+          out
+        }
+      }.toDF("doc_id", "partner", "lcp")
+      val credits = inner.unionByName(
+        boundaryCredits.toDF("doc_id", "partner", "lcp"))
+      // max span, then lowest partner among the argmax — one struct agg
+      credits.groupBy("doc_id")
+        .agg(max(struct(col("lcp").as("l"),
+          (lit(0L) - col("partner")).as("np"))).as("m"))
+        .select(col("doc_id"), col("m.l").as("span_tokens"),
+          (lit(0L) - col("m.np")).as("partner_id"))
+        .localCheckpoint(true)
+    } finally sorted.unpersist(blocking = false)
+  }
+
+  val d11Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |), sfx AS (
+       |  SELECT doc_id, i,
+       |    words[i : least(i + ${SufCap - 1}, len(words))] AS toks,
+       |    array_to_string(words[i : least(i + ${SufCap - 1}, len(words))],
+       |      chr(1)) AS key
+       |  FROM (SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i
+       |        FROM t)
+       |), ord AS (
+       |  SELECT doc_id, toks,
+       |    LAG(doc_id) OVER w AS pdoc, LAG(toks) OVER w AS ptoks
+       |  FROM sfx WINDOW w AS (ORDER BY key, doc_id, i)
+       |), pairs AS (
+       |  SELECT doc_id, pdoc,
+       |    len(list_filter(range(1, least(len(toks), len(ptoks)) + 1),
+       |      k -> toks[1 : CAST(k AS INT)] = ptoks[1 : CAST(k AS INT)])) AS lcp
+       |  FROM ord WHERE pdoc IS NOT NULL AND pdoc <> doc_id
+       |), credits AS (
+       |  SELECT doc_id, pdoc AS partner, lcp FROM pairs
+       |  UNION ALL SELECT pdoc AS doc_id, doc_id AS partner, lcp FROM pairs
+       |), best AS (
+       |  SELECT doc_id, MAX(lcp) AS span_tokens FROM credits
+       |  WHERE lcp >= $MinSharedSpan GROUP BY doc_id)
+       |SELECT b.doc_id AS doc_id, CAST(b.span_tokens AS BIGINT) AS span_tokens,
+       |  CAST(MIN(c.partner) AS BIGINT) AS partner_id
+       |FROM best b JOIN credits c
+       |  ON c.doc_id = b.doc_id AND c.lcp = b.span_tokens
+       |GROUP BY b.doc_id, b.span_tokens
+       |ORDER BY b.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d11_suffix_lcp" -> d11SuffixLcp _,
     "d10_span_dedup" -> d10SpanDedup _,
     "d08_paragraph_dedup" -> d08ParagraphDedup _,
     "d09_bloom_incremental" -> d09BloomIncremental _,
   )
 
   val oracles: Map[String, String] = Map(
+    "d11_suffix_lcp" -> d11Sql,
     "d10_span_dedup" -> d10Sql,
     "d08_paragraph_dedup" -> d08Sql,
     "d09_bloom_incremental" -> d09Sql,

@@ -414,44 +414,50 @@ object MultiModalOps {
       .orderBy("doc_id")
   }
 
-  /** The oracle rebuilds the identical pixels (m03's box filter), then the
-    * WHT as a join against the ±1 sign matrix H(k,i) = (-1)^popcount(k&i),
-    * emitted as literals. */
-  val m06Sql: String = {
+  /** The pHash derivation as prefixed CTE text ending in `<p>hashes`
+    * (doc_id, phash): identical pixels (m03's box filter), then the WHT
+    * as a join against the ±1 sign matrix H(k,i) = (-1)^popcount(k&i)
+    * emitted as literals. SHARED by m06Sql, p03Sql and p05Sql — a fix to
+    * the chain can never desynchronize one of the composed oracles (the
+    * r8 review found three hand-copies drifting on hardcoded 60/64). */
+  private[graft] def phashSqlCtes(p: String): String = {
     val hadRows = (1 to PhashBits).flatMap { k =>
       (0 until OutDim * OutDim).map { i =>
         val s = if (java.lang.Long.bitCount((k & i).toLong) % 2 == 0) 1 else -1
         s"($k, $i, $s)"
       }
     }.mkString(",\n    ")
-    s"""WITH d AS (
+    s"""${p}d AS (
        |  SELECT doc_id, text, length(text) // $RasterW AS h0 FROM documents
        |  WHERE length(text) >= ${RasterW * OutDim}
-       |), px AS (
-       |  SELECT doc_id, h0, unnest(range(0, h0 * $RasterW)) AS i, text FROM d
-       |), vals AS (
+       |), ${p}px AS (
+       |  SELECT doc_id, h0, unnest(range(0, h0 * $RasterW)) AS i, text FROM ${p}d
+       |), ${p}vals AS (
        |  SELECT doc_id, h0, i // $RasterW AS yy, i % $RasterW AS xx,
        |    unicode(substr(text, (i + 1)::INT, 1)) AS v
-       |  FROM px
-       |), pixels AS (
+       |  FROM ${p}px
+       |), ${p}pixels AS (
        |  SELECT doc_id,
-       |    ((yy * $OutDim) // h0) * $OutDim + (xx // 4) AS i,
+       |    ((yy * $OutDim) // h0) * $OutDim + (xx // ${RasterW / OutDim}) AS i,
        |    SUM(v) // COUNT(*) AS px
-       |  FROM vals GROUP BY 1, 2
-       |), had(k, i, s) AS (
+       |  FROM ${p}vals GROUP BY 1, 2
+       |), ${p}had(k, i, s) AS (
        |  VALUES $hadRows
-       |), coefs AS (
+       |), ${p}coefs AS (
        |  SELECT p.doc_id, h.k, SUM(h.s * p.px) AS c
-       |  FROM pixels p JOIN had h ON p.i = h.i GROUP BY 1, 2
-       |), hashes AS (
+       |  FROM ${p}pixels p JOIN ${p}had h ON p.i = h.i GROUP BY 1, 2
+       |), ${p}hashes AS (
        |  SELECT doc_id,
        |    CAST(SUM(CASE WHEN c > 0 THEN (1::BIGINT << (k - 1)) ELSE 0 END) AS BIGINT) AS phash
-       |  FROM coefs GROUP BY doc_id)
+       |  FROM ${p}coefs GROUP BY doc_id)""".stripMargin
+  }
+
+  val m06Sql: String =
+    s"""WITH ${phashSqlCtes("")}
        |SELECT doc_id, phash,
        |  MIN(doc_id) OVER (PARTITION BY phash) AS canon_id,
        |  doc_id <> MIN(doc_id) OVER (PARTITION BY phash) AS is_dup
        |FROM hashes ORDER BY doc_id""".stripMargin
-  }
 
   /** m07: VAD-style energy segmentation — the audio-pipeline step that
     * carves a recording into speech-like segments before transcription:

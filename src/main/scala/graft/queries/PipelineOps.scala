@@ -381,22 +381,9 @@ object PipelineOps {
 
   val p04Sql: String = {
     import graft.queries.{TextOps => T}
-    s"""WITH t AS (
-       |  SELECT doc_id, source, string_split(text, ' ') AS words, text
-       |  FROM documents
-       |), m AS (
-       |  SELECT doc_id, source,
-       |    CAST(len(words) AS BIGINT) AS n_words,
-       |    ROUND((length(text) - (len(words) - 1))::DOUBLE / len(words), 4)
-       |      AS mwl,
-       |    len(list_filter(list_distinct(words), w -> ${T.benchStopCond}))
-       |      AS n_stop
-       |  FROM t
-       |), f AS (
-       |  SELECT doc_id, source, n_words,
-       |    (n_words >= ${T.GopherMinWords} AND n_words <= ${T.GopherMaxWords}
-       |     AND mwl >= ${T.GopherMwlLo} AND mwl <= ${T.GopherMwlHi}
-       |     AND n_stop >= ${T.GopherMinStopKinds}) AS keep
+    s"""WITH ${T.gopherMetricsSqlCtes("", carry = Seq("source"))}
+       |, f AS (
+       |  SELECT doc_id, source, n_words, ${T.gopherKeepSql} AS keep
        |  FROM m
        |), per AS (
        |  SELECT source, COUNT(*) AS n_docs,
@@ -503,36 +490,8 @@ object PipelineOps {
   val p05Sql: String = {
     import graft.queries.{TextOps => T}
     import graft.queries.{DedupOps2 => D}
-    val hadRows = (1 to 60).flatMap { k =>
-      (0 until 64).map { i =>
-        val sgn = if (java.lang.Long.bitCount((k & i).toLong) % 2 == 0) 1 else -1
-        s"($k, $i, $sgn)"
-      }
-    }.mkString(",\n    ")
-    val spanK = D.SpanK
-    s"""WITH ph_d AS (
-       |  SELECT doc_id, text, length(text) // 32 AS h0 FROM documents
-       |  WHERE length(text) >= 256
-       |), ph_px AS (
-       |  SELECT doc_id, h0, unnest(range(0, h0 * 32)) AS i, text FROM ph_d
-       |), ph_vals AS (
-       |  SELECT doc_id, h0, i // 32 AS yy, i % 32 AS xx,
-       |    unicode(substr(text, (i + 1)::INT, 1)) AS v
-       |  FROM ph_px
-       |), ph_pixels AS (
-       |  SELECT doc_id, ((yy * 8) // h0) * 8 + (xx // 4) AS i,
-       |    SUM(v) // COUNT(*) AS px
-       |  FROM ph_vals GROUP BY 1, 2
-       |), ph_had(k, i, s) AS (
-       |  VALUES $hadRows
-       |), ph_coefs AS (
-       |  SELECT p.doc_id, h.k, SUM(h.s * p.px) AS c
-       |  FROM ph_pixels p JOIN ph_had h ON p.i = h.i GROUP BY 1, 2
-       |), ph_hashes AS (
-       |  SELECT doc_id,
-       |    CAST(SUM(CASE WHEN c > 0 THEN (1::BIGINT << (k - 1)) ELSE 0 END) AS BIGINT) AS phash
-       |  FROM ph_coefs GROUP BY doc_id
-       |), ph_verdicts AS (
+    s"""WITH ${MultiModalOps.phashSqlCtes("ph_")}
+       |, ph_verdicts AS (
        |  SELECT doc_id,
        |    doc_id <> MIN(doc_id) OVER (PARTITION BY phash) AS phash_dup
        |  FROM ph_hashes
@@ -545,50 +504,12 @@ object PipelineOps {
        |    SUM(CASE WHEN j % 3 <> doc_id % 3 THEN 1 ELSE 0 END)
        |      >= $P05VadMinActive AS vad_ok
        |  FROM vad_fr GROUP BY doc_id
-       |), g_t AS (
-       |  SELECT doc_id, source, text, string_split(text, ' ') AS words
-       |  FROM documents
-       |), g_m AS (
-       |  SELECT doc_id, source,
-       |    CAST(len(words) AS BIGINT) AS n_words,
-       |    ROUND((length(text) - (len(words) - 1))::DOUBLE / len(words), 4)
-       |      AS mwl,
-       |    len(list_filter(list_distinct(words), w -> ${T.benchStopCond}))
-       |      AS n_stop
-       |  FROM g_t
-       |), g_f AS (
-       |  SELECT doc_id, source, n_words,
-       |    (n_words >= ${T.GopherMinWords} AND n_words <= ${T.GopherMaxWords}
-       |     AND mwl >= ${T.GopherMwlLo} AND mwl <= ${T.GopherMwlHi}
-       |     AND n_stop >= ${T.GopherMinStopKinds}) AS keep
+       |), ${T.gopherMetricsSqlCtes("g_", carry = Seq("source"))}
+       |, g_f AS (
+       |  SELECT doc_id, source, n_words, ${T.gopherKeepSql} AS keep
        |  FROM g_m
-       |), sp_t AS (
-       |  SELECT doc_id, string_split(text, ' ') AS words,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-       |  FROM documents
-       |), sp_g AS (
-       |  SELECT doc_id, n_tokens, i,
-       |    array_to_string(words[i : i + ${spanK - 1}], ' ') AS g
-       |  FROM (SELECT doc_id, n_tokens, words,
-       |          unnest(range(1, len(words) - ${spanK - 2})) AS i
-       |        FROM sp_t WHERE n_tokens >= $spanK)
-       |), sp_dup AS (
-       |  SELECT g FROM (SELECT DISTINCT g, doc_id FROM sp_g)
-       |  GROUP BY g HAVING COUNT(*) >= 2
-       |), sp_runs AS (
-       |  SELECT doc_id, n_tokens, i,
-       |    CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i)
-       |         > ${spanK - 1} THEN 1 ELSE 0 END AS new_island
-       |  FROM sp_g JOIN sp_dup USING (g)
-       |), sp_isl AS (
-       |  SELECT doc_id, n_tokens, i,
-       |    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY i) AS island
-       |  FROM sp_runs
-       |), sp_spans AS (
-       |  SELECT doc_id, MAX(n_tokens) AS n_tokens,
-       |    MAX(i) - MIN(i) + $spanK AS span_tokens
-       |  FROM sp_isl GROUP BY doc_id, island
-       |), sp_fracs AS (
+       |), ${D.spanSqlCtes("sp_")}
+       |, sp_fracs AS (
        |  SELECT doc_id,
        |    ROUND(SUM(span_tokens)::DOUBLE / MAX(n_tokens), 4) AS dup_frac
        |  FROM sp_spans GROUP BY doc_id

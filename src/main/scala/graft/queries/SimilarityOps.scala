@@ -428,6 +428,10 @@ object SimilarityOps {
     // (sqrt(n) rows — broadcast-sized at any corpus scale)
     val cents: Array[(Long, Array[Long])] =
       emb.filter(_._1 < numCells).collect().sortBy(_._1)
+    require(cents.nonEmpty,
+      s"ivfTagOf: no vectors with vec_id < $numCells — the deterministic " +
+        "coarse quantizer seeds cells from the LOWEST ids and requires ids " +
+        "dense from 0 (re-key the frame, e.g. row_number() - 1, first)")
     val bc = s.sparkContext.broadcast(cents)
     // one scan assigns every vector to its nearest cell (primitive-array L2
     // kernel against the broadcast centroids — no shuffle, no lambdas in
@@ -816,6 +820,17 @@ object SimilarityOps {
     val sample = tagged.filter(col("vec_id") < PqSample)
       .select("vec_id", "q").as[(Long, Array[Long])]
       .collect().sortBy(_._1).map(_._2)
+    require(sample.nonEmpty,
+      s"ivfPqTopK: no vectors with vec_id < $PqSample to train the PQ " +
+        "codebooks — ids must be dense from 0 (re-key the frame first)")
+    // the PQ subvector layout is fixed at PqM x PqSubDim = Dim components;
+    // a shorter vector would index past its end in the assignment scan, a
+    // longer one would silently ignore its tail — both fail by name here
+    sample.find(_.length != PqM * PqSubDim).foreach { v =>
+      throw new IllegalArgumentException(
+        s"ivfPqTopK: vector of ${v.length} components; the PQ layout " +
+          s"requires exactly ${PqM * PqSubDim} (PqM=$PqM x PqSubDim=$PqSubDim)")
+    }
     val books = trainPqCodebooks(sample)
     val bc = s.sparkContext.broadcast(books)
     // ONE corpus scan assigns PQ codes + reconstruction norm
@@ -824,6 +839,10 @@ object SimilarityOps {
       .mapPartitions { it =>
         val bks = bc.value
         it.map { case (id, v, nrm, cell) =>
+          if (v.length != PqM * PqSubDim)
+            throw new IllegalArgumentException(
+              s"ivfPqTopK: vector $id has ${v.length} components; the PQ " +
+                s"layout requires exactly ${PqM * PqSubDim}")
           val codes = new Array[Long](bks.length)
           var rnrm = 0L
           var m = 0

@@ -580,9 +580,20 @@ object TextOps {
     * (see the t14 scaladoc above for why). */
   val BenchStopwords: Seq[String] = Seq("the", "a")
   /** Lambda body shared verbatim by the Spark kernel and the DuckDB oracle
-    * (both use `w` as the bound variable); p04 composes it too. */
-  private[graft] def stopCondOf(stopwords: Seq[String]): String =
+    * (both use `w` as the bound variable); p04 composes it too. The words
+    * are spliced into SQL text, and Spark and DuckDB ESCAPE DIFFERENTLY
+    * (backslash vs quote-doubling), so rather than escaping two ways we
+    * reject metacharacters by name — every real stopword list is plain
+    * letters. */
+  private[graft] def stopCondOf(stopwords: Seq[String]): String = {
+    require(stopwords.nonEmpty, "gopherFilters: stopword list is empty")
+    stopwords.find(!_.matches("[A-Za-z0-9]+")).foreach { bad =>
+      throw new IllegalArgumentException(
+        s"gopherFilters: stopword '$bad' contains characters outside " +
+          "[A-Za-z0-9] — quotes/backslashes would be spliced into SQL text")
+    }
     stopwords.map(s => s"w = '$s'").mkString(" OR ")
+  }
   private[graft] val benchStopCond = stopCondOf(BenchStopwords)
 
   def t14GopherFilters(s: SparkSession, d: String): DataFrame =
@@ -616,24 +627,41 @@ object TextOps {
         "pass_nwords" +: "pass_mwl" +: "pass_stop" +: "keep" +:
         passthrough).map(col): _*)
 
-  val t14Sql: String =
-    s"""WITH t AS (
-       |  SELECT doc_id, text, string_split(text, ' ') AS words FROM documents
-       |), m AS (
-       |  SELECT doc_id,
+  /** The per-doc Gopher word metrics as prefixed CTE text ending in
+    * `<p>m` (doc_id, carry..., n_words, mwl, n_stop) — SHARED by t14Sql,
+    * p04Sql and p05Sql so the metric definitions (and the bench stopword
+    * set) can never drift between the gated gate and the composed
+    * pipelines. `keepSql` is the combined admission predicate over those
+    * columns. */
+  private[graft] def gopherMetricsSqlCtes(p: String,
+                                          carry: Seq[String] = Nil): String = {
+    val cs = carry.map(c => s"$c, ").mkString
+    s"""${p}t AS (
+       |  SELECT doc_id, ${cs}text, string_split(text, ' ') AS words
+       |  FROM documents
+       |), ${p}m AS (
+       |  SELECT doc_id, $cs
        |    CAST(len(words) AS BIGINT) AS n_words,
        |    ROUND((length(text) - (len(words) - 1))::DOUBLE / len(words), 4)
-       |      AS mean_word_len,
+       |      AS mwl,
        |    CAST(len(list_filter(list_distinct(words),
-       |      w -> $benchStopCond)) AS BIGINT) AS n_stop_kinds
-       |  FROM t)
-       |SELECT doc_id, n_words, mean_word_len, n_stop_kinds,
+       |      w -> $benchStopCond)) AS BIGINT) AS n_stop
+       |  FROM ${p}t)""".stripMargin
+  }
+
+  private[graft] val gopherKeepSql: String =
+    s"(n_words >= $GopherMinWords AND n_words <= $GopherMaxWords" +
+      s" AND mwl >= $GopherMwlLo AND mwl <= $GopherMwlHi" +
+      s" AND n_stop >= $GopherMinStopKinds)"
+
+  val t14Sql: String =
+    s"""WITH ${gopherMetricsSqlCtes("")}
+       |SELECT doc_id, n_words, mwl AS mean_word_len,
+       |  n_stop AS n_stop_kinds,
        |  (n_words >= $GopherMinWords AND n_words <= $GopherMaxWords) AS pass_nwords,
-       |  (mean_word_len >= $GopherMwlLo AND mean_word_len <= $GopherMwlHi) AS pass_mwl,
-       |  (n_stop_kinds >= $GopherMinStopKinds) AS pass_stop,
-       |  (n_words >= $GopherMinWords AND n_words <= $GopherMaxWords
-       |   AND mean_word_len >= $GopherMwlLo AND mean_word_len <= $GopherMwlHi
-       |   AND n_stop_kinds >= $GopherMinStopKinds) AS keep
+       |  (mwl >= $GopherMwlLo AND mwl <= $GopherMwlHi) AS pass_mwl,
+       |  (n_stop >= $GopherMinStopKinds) AS pass_stop,
+       |  $gopherKeepSql AS keep
        |FROM m ORDER BY doc_id""".stripMargin
 
   /** t15: data-mix weights — the source-mixing step of pre-training data
@@ -929,13 +957,15 @@ object TextOps {
     * (exact percentile over BIGINT matches quantile_cont — the skill-
     * documented equivalence).
     *
-    * Scale shape: ONE clean-slice scan (source/lang pushed to parquet) →
-    * vocab-sized c2; c1 and V are aggs OF c2, not rescans. Scoring is one
-    * corpus scan → explode → two broadcast joins (c2/c1 are vocab-sized)
-    * → hash agg per doc. The tertile thresholds aggregate the per-doc
-    * score frame; its lineage is shuffle-bounded, so the threshold branch
-    * reuses the exchange rather than re-scanning the corpus (pinned in
-    * PlanSpec). */
+    * Scale shape: ONE clean-slice scan aggregates the vocab-sized bigram
+    * table, which is COLLECTED (the s04 broadcast-centroid pattern — the
+    * clean slice is a curated sample, so its bigram table is metadata-
+    * sized by design) and re-emitted as local relations; c1 and V derive
+    * driver-side with no rescan. Scoring is one corpus scan → explode →
+    * two broadcast joins → hash agg per doc, eagerly checkpointed so the
+    * tertile-threshold branch reads the materialized scores instead of
+    * re-planning the corpus scan. Exactly TWO FileScans total, pinned in
+    * PlanSpec (the naive derived-branch formulation planned EIGHT). */
   val PplCleanSources: Seq[String] = Seq("src0", "src1")
   val PplLang = "en"
 
@@ -951,27 +981,24 @@ object TextOps {
     * trusted slice with the same columns (graft.ops.Text API). */
   private[graft] def perplexityFilterOf(docs: DataFrame,
                                         clean: DataFrame): DataFrame = {
-    def bigrams(df: DataFrame): DataFrame = df
-      .withColumn("words", split(col("text"), " "))
-      .filter(size(col("words")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(words) - 1), " +
-          "i -> struct(words[i-1] AS w1, words[i] AS w2))")).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val c2 = bigrams(clean).groupBy("w1", "w2")
-      .agg(count(lit(1)).as("c2"))
-    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
-    val vocab = c1.agg(count(lit(1)).as("v"))
-    val scored = bigrams(docs)
-      .join(broadcast(c2), Seq("w1", "w2"), "left")
-      .join(broadcast(c1), Seq("w1"), "left")
-      .crossJoin(broadcast(vocab))
-      .withColumn("s_bits",
-        (length(expr("bin((coalesce(c1, 0L) + v) div (coalesce(c2, 0L) + 1))"))
-          - 1).cast("long"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum("s_bits").as("sum_bits"))
-      .withColumn("ppl_milli", expr("(1000 * sum_bits) div n_bigrams"))
+    val s = docs.sparkSession
+    import s.implicits._
+    // ONE clean-slice pass -> the LM, collected (vocab-sized) so the
+    // c1/V derivations never re-plan the scan
+    val c2Rows: Array[(String, String, Long)] = docBigramsOf(clean)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .as[(String, String, Long)].collect()
+    require(c2Rows.nonEmpty,
+      "perplexityFilter: the clean slice yields no bigrams — the LM " +
+        "cannot be trained (need docs with >= 2 tokens)")
+    val c1Map = c2Rows.groupBy(_._1).map { case (w, rs) => w -> rs.map(_._3).sum }
+    val v = c1Map.size.toLong
+    val c2 = c2Rows.toSeq.toDF("w1", "w2", "c2")
+    val c1 = c1Map.toSeq.toDF("w1", "c1")
+    // eager checkpoint: the thresholds branch reads the materialized
+    // per-doc scores instead of re-planning the corpus scan
+    val scored = perplexityScoresLazy(docBigramsOf(docs), c2, c1, v)
+      .localCheckpoint(true)
     val thr = scored.agg(
       expr("percentile(ppl_milli, 0.33)").as("p33"),
       expr("percentile(ppl_milli, 0.66)").as("p66"))
@@ -982,6 +1009,32 @@ object TextOps {
           .otherwise("tail"))
       .select("doc_id", "n_bigrams", "sum_bits", "ppl_milli", "bucket")
   }
+
+  /** Adjacent-bigram explode of a (doc_id, text) frame (t18's unit). */
+  private[graft] def docBigramsOf(df: DataFrame): DataFrame = df
+    .withColumn("words", split(col("text"), " "))
+    .filter(size(col("words")) >= 2)
+    .select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(words) - 1), " +
+        "i -> struct(words[i-1] AS w1, words[i] AS w2))")).as("bg"))
+    .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** The lazy scoring subtree (one corpus scan + two broadcast joins +
+    * one hash agg) — separated so PlanSpec can gate its physical shape,
+    * which the eager checkpoint in [[perplexityFilterOf]] would
+    * otherwise hide behind a `Scan ExistingRDD`. */
+  private[graft] def perplexityScoresLazy(docBigrams: DataFrame,
+                                          c2: DataFrame, c1: DataFrame,
+                                          v: Long): DataFrame =
+    docBigrams
+      .join(broadcast(c2), Seq("w1", "w2"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
+      .withColumn("s_bits",
+        (length(expr(s"bin((coalesce(c1, 0L) + ${v}L) div (coalesce(c2, 0L) + 1))"))
+          - 1).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("s_bits").as("sum_bits"))
+      .withColumn("ppl_milli", expr("(1000 * sum_bits) div n_bigrams"))
 
   val t18Sql: String =
     s"""WITH en AS (

@@ -79,6 +79,52 @@ class CorpusApiSpec extends AnyFunSuite {
     assert(api.count() > 0, "no duplicated spans on the fixture — probe vacuous")
   }
 
+  test("longestSharedSpans == d11; adjacency semantics on a constructed fixture") {
+    val api = Corpus.longestSharedSpans(spark, renamed,
+      idCol = "id", textCol = "body").orderBy("doc_id")
+    same(api, graft.queries.DedupOps2.d11SuffixLcp(spark, d))
+
+    // constructed fixture: A/D share an 8-token span, B shares 6 with
+    // both but only D is its adjacent-suffix witness; C shares nothing
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "q w e r t y u i o p"),
+      (2L, "z x q w e r t y c v"),
+      (3L, "m n b v c x l k j h"),
+      (4L, "q w e r t y u i a s")).toDF("doc_id", "text")
+    val got = graft.queries.DedupOps2.suffixSpansOf(spark, docs, 30, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 8L, 4L), (2L, 6L, 4L), (4L, 8L, 1L)), got)
+
+    // brute-force recompute on the real corpus: sort ALL capped suffixes,
+    // credit adjacent cross-doc pairs — must equal the distributed result
+    // (this also exercises the cross-partition boundary fix-up, since the
+    // suffix frame spans the 4 test partitions)
+    val corpus = graft.queries.Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val sfx = corpus.flatMap { case (id, ws) =>
+      ws.indices.map(i => (id, i + 1L, ws.slice(i, i + 30)))
+    }.sortBy { case (id, i, toks) => (toks.mkString("\u0001"), id, i) }
+    def cpl(a: Seq[String], b: Seq[String]): Int =
+      a.zip(b).takeWhile { case (x, y) => x == y }.size
+    val credits = sfx.sliding(2).flatMap {
+      case Array((da, _, ta), (db, _, tb)) if da != db =>
+        val l = cpl(ta, tb)
+        if (l >= 5) Seq((da, db, l.toLong), (db, da, l.toLong)) else Nil
+      case _ => Nil
+    }.toSeq
+    val expect = credits.groupBy(_._1).map { case (id, cs) =>
+      val best = cs.map(_._3).max
+      (id, best, cs.filter(_._3 == best).map(_._2).min)
+    }.toSet
+    val gotReal = graft.queries.DedupOps2.d11SuffixLcp(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotReal == expect,
+      s"extra=${gotReal.diff(expect).take(3)} missing=${expect.diff(gotReal).take(3)}")
+    assert(gotReal.nonEmpty, "no shared spans on the fixture — probe vacuous")
+  }
+
   test("simhashSignatures == d05, simhashPairs == d06") {
     same(Corpus.simhashSignatures(renamed, "id", "body").orderBy("doc_id"),
       graft.queries.DedupOps.d05Simhash(spark, d))

@@ -119,6 +119,29 @@ class TextApiSpec extends AnyFunSuite {
     assert(seqRows(16)(1) == "p~p" && seqRows(17)(1) == "pp~q", seqRows.drop(16))
   }
 
+  test("perplexityFilter == t18 under renamed columns; buckets partition the scored docs") {
+    val docs = graft.queries.Tables.documents(spark, d)
+      .filter(col("lang") === graft.queries.TextOps.PplLang)
+    val renamedEn = docs.select(col("doc_id").as("id"), col("text").as("body"))
+    val clean = docs
+      .filter(col("source").isin(graft.queries.TextOps.PplCleanSources: _*))
+      .select(col("doc_id").as("id"), col("text").as("body"))
+    val api = Text.perplexityFilter(renamedEn, clean, "id", "body")
+      .orderBy("doc_id")
+    same(api, graft.queries.TextOps.t18PerplexityFilter(spark, d))
+    // tertile sanity: all three buckets are non-empty and partition the
+    // scored docs; head scores <= every tail score
+    val byBucket = api.groupBy("bucket").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Set("head", "middle", "tail").subsetOf(byBucket.keySet), byBucket)
+    assert(byBucket.values.sum == api.count())
+    val maxHead = api.filter(col("bucket") === "head")
+      .agg(max("ppl_milli")).collect()(0).getLong(0)
+    val minTail = api.filter(col("bucket") === "tail")
+      .agg(org.apache.spark.sql.functions.min("ppl_milli")).collect()(0).getLong(0)
+    assert(maxHead <= minTail, s"head max $maxHead > tail min $minTail")
+  }
+
   test("mixWeights == t15 under renamed columns") {
     val docs = graft.queries.Tables.documents(spark, d)
       .select(col("source").as("origin"), col("text").as("body"))

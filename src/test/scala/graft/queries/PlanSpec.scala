@@ -180,11 +180,46 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("t18: scoring subtree is ONE corpus scan with broadcast LM joins") {
+    // gate the lazy scoring plan (the public query checkpoints eagerly
+    // and collects the clean-slice LM up front); the naive derived-branch
+    // formulation planned EIGHT FileScans — this pins the fix
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+      .filter(org.apache.spark.sql.functions.col("lang") === TextOps.PplLang)
+    val c2 = Seq(("the", "cat", 3L)).toDF("w1", "w2", "c2")
+    val c1 = Seq(("the", 3L)).toDF("w1", "c1")
+    val p = plan(TextOps.perplexityScoresLazy(
+      TextOps.docBigramsOf(docs), c2, c1, 1L))
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"t18 scoring plans $scans corpus scans (want 1):\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t15: ONE corpus scan; totals windowed over the metadata-sized agg") {
     val p = plan(TextOps.t15MixWeights(spark, d))
     assert("FileScan parquet".r.findAllIn(p).size == 1,
       s"expected exactly one corpus scan:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("d11: suffix sort is range-partitioned (never single-partition), no cross products") {
+    // gate the lazy suffix frame: the public query checkpoints eagerly
+    import org.apache.spark.sql.functions.{col, concat_ws, expr, posexplode, split}
+    val sfx = Tables.documents(spark, d).select("doc_id", "text")
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(words)), i -> slice(words, i, 30))"))
+        .as(Seq("pos", "toks")))
+      .withColumn("key", concat_ws(" ", col("toks")))
+      .repartitionByRange(4, col("key"), col("doc_id"), col("pos"))
+      .sortWithinPartitions("key", "doc_id", "pos")
+    val p = plan(sfx)
+    assert(p.toLowerCase.contains("rangepartitioning"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("d10: span dedup is equi-join + partial aggs, windowed on doc partitions") {
