@@ -71,6 +71,23 @@ object Text {
     TextOps.bpeMergesOf(norm(docs, idCol, textCol), nMerges, batch)
   }
 
+  /** Late-interaction (MaxSim / ColBERT) retrieval (s09): score query
+    * documents against the corpus as the sum over query token occurrences
+    * of the max token-level cosine — token-granular relevance instead of
+    * one pooled vector. The token×token interaction collapses to a
+    * broadcast (query vocab × corpus vocab) similarity table (exact
+    * integer micro-units), so scoring is pure equi-joins over the
+    * inverted (doc, word) index. Returns (query_id, rk, doc_id,
+    * n_q_tokens, maxsim_milli). Intended for bounded dictionaries; at an
+    * unbounded vocabulary substitute per-token ANN for the dense table. */
+  def lateInteractionTopK(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                          queryIds: Seq[Long], k: Int = 5,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame =
+    graft.queries.SimilarityOps.maxsimTopKOf(spark,
+      norm(docs, idCol, textCol),
+      col("doc_id").isin(queryIds: _*), k)
+
   /** Retrieval chunking (t16): fixed token windows advancing by `stride`
     * (overlap = window - stride) with per-chunk offsets and content
     * fingerprints — the chunk table a RAG embedding/index stage consumes. */

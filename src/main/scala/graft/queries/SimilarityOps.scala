@@ -1013,7 +1013,160 @@ object SimilarityOps {
        |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
   }
 
+  /** s09: late-interaction (MaxSim) retrieval — the ColBERT scoring rule
+    * (Khattab & Zaharia 2020, arXiv:2004.12832): a query scores against a
+    * document as the SUM over query token occurrences of the MAX cosine
+    * between that token's embedding and any token embedding of the
+    * document — token-level interaction instead of one pooled vector,
+    * the retrieval family behind modern neural rerankers.
+    *
+    * Token embeddings are deterministic 8-component integer vectors
+    * derived from md5(word) (both engines have md5; the hex slices are
+    * avalanche-independent — the round-3 linear-generator trap does not
+    * apply), so every cosine is exact integer dot/norm arithmetic and
+    * the per-pair score is floored to integer micro-units BEFORE the
+    * per-token max and per-doc sum (the t15 contract: only integers are
+    * aggregated; one floor per word pair, identical IEEE ops in both
+    * engines).
+    *
+    * Scale shape: the decisive ColBERT trick re-expressed relationally —
+    * cos(query token, doc token) depends only on the WORD PAIR, so the
+    * dense token×token interaction collapses to a (query vocab × corpus
+    * vocab) similarity table, computed driver-side from the two collected
+    * vocabularies (vocab-sized by the bounded-dictionary contract, like
+    * s04's centroids / t11's eval grams) and broadcast. The interaction
+    * then FACTORS: per-token maxima depend only on the word, so one hash
+    * agg builds m(query word, doc) = max cosine over the doc's inverted
+    * (doc, word) index (|doc words| × |query vocab| rows), and scoring
+    * joins the query TERM-FREQUENCY table against m — Σ_w tf(w)·m(w,doc)
+    * ≡ the per-occurrence sum, at query-vocab × docs rows instead of a
+    * row per (occurrence × doc word) (the naive join measured 82M rows /
+    * 14 s at sf0.1; this shape is ~6M / ~1 s). No doc×doc or token×token
+    * pairwise scoring anywhere; at an unbounded real vocabulary the C
+    * table is replaced by per-token ANN (s01-s08), the same plan with a
+    * candidate join instead of a dense broadcast. */
+  def s09MaxsimTopk(s: SparkSession, d: String): DataFrame =
+    maxsimTopKOf(s, documents(s, d).select("doc_id", "text"),
+      col("doc_id") < NumQueries, TopK).orderBy("query_id", "rk")
+
+  /** Deterministic 8-component token embedding from md5(word): component
+    * j = (hex[4j..4j+3] as int) % 2001 - 1000 — matched verbatim by the
+    * SQL oracle's substr(md5(w)) arithmetic. */
+  private[graft] def wordVec(w: String): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    Array.tabulate(8)(j =>
+      (java.lang.Long.parseLong(hex.substring(j * 4, j * 4 + 4), 16) % 2001) - 1000)
+  }
+
+  /** floor(cos * 1e6) of two word vectors — the one float op per pair. */
+  private def cosMilli(a: Array[Long], b: Array[Long]): Long = {
+    var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    math.floor(dot.toDouble /
+      math.max(math.sqrt(na.toDouble) * math.sqrt(nb.toDouble), 1e-12)
+      * 1000000.0).toLong
+  }
+
+  /** The s09 kernel over any (doc_id, text) frame (graft.ops.Text API). */
+  private[graft] def maxsimTopKOf(s: SparkSession, docs: DataFrame,
+                                  queryCond: org.apache.spark.sql.Column,
+                                  k: Int): DataFrame = {
+    import s.implicits._
+    val tokens = docs
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "w")))
+    val qtokens = tokens.filter(queryCond)
+      .select(col("doc_id").as("qdoc"), col("pos"), col("w"))
+    val docwords = tokens
+      .select(col("doc_id").as("ddoc"), col("w").as("dw")).distinct()
+    // vocab-sized collects (the bounded-dictionary contract) -> the
+    // word-pair similarity table, broadcast
+    val vocab = docwords.select("dw").distinct().as[String].collect().sorted
+    val qwords = qtokens.select("w").distinct().as[String].collect().sorted
+    val vecs: Map[String, Array[Long]] =
+      (vocab ++ qwords).distinct.map(w => w -> wordVec(w)).toMap
+    val c = (for (wq <- qwords; wd <- vocab)
+      yield (wq, wd, cosMilli(vecs(wq), vecs(wd))))
+      .toSeq.toDF("w", "wd", "c")
+    // factor the interaction: the per-token max depends only on the WORD,
+    // so aggregate m(query word, doc) = max cosine over the doc's words
+    // FIRST (|corpus (doc, word)| × |query vocab| rows), then join the
+    // query TERM-FREQUENCY table (query-vocab-sized per query) — never a
+    // row per (token occurrence × doc word): the naive occurrence join
+    // measured 82M rows / 14 s at sf0.1 where this is ~6M / ~1 s
+    val qtf = qtokens.groupBy("qdoc", "w").agg(count(lit(1)).as("tf"))
+    val m = docwords
+      .join(broadcast(c), col("wd") === col("dw"))
+      .groupBy("w", "ddoc").agg(max("c").as("mx"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("qdoc").orderBy(col("maxsim_milli").desc, col("ddoc"))
+    qtf
+      .join(m, Seq("w"))
+      .filter(col("ddoc") =!= col("qdoc"))
+      .groupBy("qdoc", "ddoc")
+      .agg(sum("tf").as("n_q_tokens"),
+        sum(col("tf") * col("mx")).as("maxsim_milli"))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qdoc").as("query_id"), col("rk"),
+        col("ddoc").as("doc_id"), col("n_q_tokens"), col("maxsim_milli"))
+  }
+
+  val s09Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, i AS pos, words[i] AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words,
+       |          unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+       |        FROM documents)
+       |), qt AS (
+       |  SELECT doc_id AS qdoc, pos, w FROM toks WHERE doc_id < $NumQueries
+       |), dwords AS (
+       |  SELECT DISTINCT doc_id AS ddoc, w FROM toks
+       |), vocab AS (
+       |  SELECT DISTINCT w FROM toks
+       |), vecs AS (
+       |  SELECT w, list_transform(range(0, 8), j ->
+       |    ('0x' || substr(md5(w), (j * 4 + 1)::INT, 4))::BIGINT % 2001 - 1000) AS v
+       |  FROM vocab
+       |), velems AS (
+       |  SELECT w, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM vecs
+       |), vnorms AS (
+       |  SELECT w, SUM(x * x) AS nrm FROM velems GROUP BY w
+       |), qv AS (SELECT DISTINCT w FROM qt
+       |), cm AS (
+       |  SELECT a.w AS wq, b.w AS wd,
+       |    CAST(FLOOR(SUM(a.x * b.x)::DOUBLE / GREATEST(
+       |      sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE), 1e-12) * 1000000)
+       |      AS BIGINT) AS c
+       |  FROM velems a
+       |  JOIN velems b ON a.i = b.i
+       |  JOIN qv ON a.w = qv.w
+       |  JOIN vnorms na ON a.w = na.w
+       |  JOIN vnorms nb ON b.w = nb.w
+       |  GROUP BY a.w, b.w, na.nrm, nb.nrm
+       |), perpos AS (
+       |  SELECT qt.qdoc, qt.pos, dw.ddoc, MAX(cm.c) AS mx
+       |  FROM qt
+       |  JOIN cm ON qt.w = cm.wq
+       |  JOIN dwords dw ON dw.w = cm.wd AND dw.ddoc <> qt.qdoc
+       |  GROUP BY 1, 2, 3
+       |), scores AS (
+       |  SELECT qdoc AS query_id, ddoc AS doc_id,
+       |    COUNT(*) AS n_q_tokens, CAST(SUM(mx) AS BIGINT) AS maxsim_milli
+       |  FROM perpos GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT query_id, doc_id, n_q_tokens, maxsim_milli,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY maxsim_milli DESC, doc_id) AS rk
+       |  FROM scores)
+       |SELECT query_id, rk, doc_id, n_q_tokens, maxsim_milli FROM ranked
+       |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s09_maxsim_topk" -> s09MaxsimTopk _,
     "s08_ivfpq_topk" -> s08IvfPqTopk _,
     "s07_sq8_topk" -> s07Sq8Topk _,
     "s01_cosine_topk" -> s01CosineTopk _,
@@ -1025,6 +1178,7 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "s09_maxsim_topk" -> s09Sql,
     "s08_ivfpq_topk" -> s08Sql,
     "s07_sq8_topk" -> s07Sql,
     "s01_cosine_topk" -> s01Sql,

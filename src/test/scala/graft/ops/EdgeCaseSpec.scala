@@ -115,6 +115,40 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Media.energySegments(emptyPayloads).count() == 0)
   }
 
+  test("round-8 ops survive degenerate inputs; preconditions fail by name") {
+    import spark.implicits._
+    // longestSharedSpans: empty and single-doc corpora -> empty result
+    assert(Corpus.longestSharedSpans(spark, emptyDocs).count() == 0)
+    assert(Corpus.longestSharedSpans(spark,
+      docsOf(Seq((1L, "only one document here with several words")))).count() == 0)
+    // two identical docs: span = min(cap, n_tokens)
+    val twins = Corpus.longestSharedSpans(spark,
+      docsOf(Seq((1L, "a b c d e f"), (2L, "a b c d e f"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(twins == Set((1L, 6L, 2L), (2L, 6L, 1L)), twins)
+    // perplexityFilter: clean slice with no bigrams fails by name
+    val e1 = intercept[IllegalArgumentException] {
+      Text.perplexityFilter(
+        docsOf(Seq((1L, "some document with words"))),
+        docsOf(Seq((2L, "x")))).count()
+    }
+    assert(e1.getMessage.contains("clean slice"), e1.getMessage)
+    // gopherFilters: stopwords with SQL metacharacters fail by name
+    val e2 = intercept[IllegalArgumentException] {
+      Text.gopherFilters(docsOf(Seq((1L, "a b"))),
+        stopwords = Seq("don't")).count()
+    }
+    assert(e2.getMessage.contains("stopword"), e2.getMessage)
+    // ivfPqTopK: sparse ids (nothing below the sample bound) fail by name
+    val sparse = (0 until 40).map(i =>
+      (100000L + i, Array.fill(64)(((i * 7 + 3) % 11) / 10.0f).toSeq))
+      .toDF("vec_id", "embedding")
+    val e3 = intercept[Exception] {
+      Vectors.ivfPqTopK(spark, sparse, Seq(100000L), k = 3).count()
+    }
+    assert(e3.getMessage.contains("dense from 0"), e3.getMessage)
+  }
+
   test("p04/p05 on an all-dropped corpus: mix weights 0.0, never divide-by-zero") {
     // the r8 heavytail scale corpus reaches this for real: its vocabulary
     // contains no stopwords, the Gopher gate drops every document, and

@@ -119,6 +119,35 @@ class TextApiSpec extends AnyFunSuite {
     assert(seqRows(16)(1) == "p~p" && seqRows(17)(1) == "pp~q", seqRows.drop(16))
   }
 
+  test("lateInteractionTopK == s09; a verbatim copy of the query ranks first") {
+    same(Text.lateInteractionTopK(spark, renamed, 0L until 10L, k = 5,
+      idCol = "id", textCol = "body").orderBy("query_id", "rk"),
+      graft.queries.SimilarityOps.s09MaxsimTopk(spark, d))
+    // MaxSim sanity on an UNSATURATED vocabulary (the bench corpus's
+    // 30-word dictionary makes most docs contain every query word, so
+    // scores saturate and ties go to the lowest id — a corpus property,
+    // not an operator one): with per-doc-distinct words, only the
+    // verbatim copy matches every query token, so it must rank #1 with
+    // maxsim within one floor-ulp micro-unit per token of the ceiling
+    import spark.implicits._
+    val fixture = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "epsilon zeta eta theta iota"),
+      (2L, "kappa lambdaa mu nu xi"),
+      (3L, "omicron pi rho sigma tau"),
+      (5000L, "alpha beta gamma delta")).toDF("id", "body")
+    val got = Text.lateInteractionTopK(spark, fixture,
+      Seq(0L), k = 3, idCol = "id", textCol = "body")
+      .orderBy("rk").collect()
+    assert(got.head.getAs[Long]("doc_id") == 5000L, got.mkString("\n"))
+    val n = got.head.getAs[Long]("n_q_tokens")
+    val ms = got.head.getAs[Long]("maxsim_milli")
+    assert(n == 4L && ms >= n * 999999L && ms <= n * 1000000L, s"n=$n ms=$ms")
+    // and the copy's score strictly exceeds every non-copy score
+    assert(got.drop(1).forall(_.getAs[Long]("maxsim_milli") < ms),
+      got.mkString("\n"))
+  }
+
   test("perplexityFilter == t18 under renamed columns; buckets partition the scored docs") {
     val docs = graft.queries.Tables.documents(spark, d)
       .filter(col("lang") === graft.queries.TextOps.PplLang)

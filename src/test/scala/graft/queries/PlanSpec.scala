@@ -95,6 +95,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("pq_adc_i64"), p)
   }
 
+  test("s09: MaxSim scoring is equi-joins over the broadcast word-pair table") {
+    val p = plan(SimilarityOps.s09MaxsimTopk(spark, d))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // two-level aggregation: per-token max, then per-doc sum, both partial
+    assert(p.contains("partial_max") || p.contains("partial_"), p)
+  }
+
   test("s02: band join and rescore are equi-joins, never a cross product") {
     val p = plan(SimilarityOps.s02EmbedNearDup(spark, d))
     assert(!p.contains("CartesianProduct") &&
