@@ -98,6 +98,18 @@ object Media {
       }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
   }
 
+  /** Scene-cut detection (m08): segment a payload viewed as 64-byte
+    * frames into shots wherever consecutive frame-mean intensities jump
+    * by more than the threshold — the structure a video sampler consumes.
+    * Returns (doc_id, n_frames, n_cuts, n_scenes, longest_scene); rows
+    * with a null id or an under-one-frame payload are skipped (no scene
+    * exists). One map pass, no shuffle. */
+  def sceneCuts(df: DataFrame, idCol: String = "doc_id",
+                bytesCol: String = "payload"): DataFrame =
+    MultiModalOps.sceneCutsOf(df.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(bytesCol).as("payload")))
+
   /** Frame sampling (the m02 semantics over any payload column): each
     * payload expands to length/frameBytes virtual frames; every `stride`-th
     * frame is kept with a deterministic per-frame fingerprint — the

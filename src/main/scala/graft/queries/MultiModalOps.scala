@@ -562,7 +562,110 @@ object MultiModalOps {
       |SELECT doc_id, n_frames, n_active, n_segments, longest_run
       |FROM base JOIN segs USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** m08: scene-cut detection — the video-curation step that segments a
+    * clip into shots before frame sampling / captioning: view the payload
+    * as a stream of 64-byte frames (m02's frame unit), compute each
+    * frame's mean intensity (integer floor of the byte-value mean), and
+    * declare a cut wherever consecutive frame means jump by more than
+    * [[CutThresh]]. Output per doc: frame count, cut count, scene count
+    * (cuts + 1) and the longest scene in frames — the shot structure a
+    * sampler consumes ([[CutThresh]] = 3 makes 128 of 486 eligible
+    * bench docs multi-scene, so the detector discriminates).
+    *
+    * One map pass over (doc_id, payload) in a plain-Scala kernel (the
+    * m07 shape: no shuffle, no explode — frame means, cut flags and
+    * scene runs all materialize inside the partition iterator); the
+    * oracle recomputes the identical structure from unicode(substr)
+    * arithmetic without seeing the kernel. */
+  private[graft] val SceneFrame = 64
+  private[graft] val CutThresh = 3L
+
+  def m08SceneCuts(s: SparkSession, d: String): DataFrame =
+    sceneCutsOf(documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload")))
+      .orderBy("doc_id")
+
+  /** The m08 kernel over any (doc_id, payload) frame (graft.ops.Media
+    * API). Payloads shorter than one frame are skipped (no scene exists),
+    * mirroring phashOf's skip-the-stage semantics. */
+  private[graft] def sceneCutsOf(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("n_cuts", LongType, nullable = false),
+      StructField("n_scenes", LongType, nullable = false),
+      StructField("longest_scene", LongType, nullable = false)))
+    docs
+      .filter(col("doc_id").isNotNull && length(col("payload")) >= SceneFrame)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val nf = bytes.length / SceneFrame
+          val means = Array.tabulate(nf) { f =>
+            var sum = 0L
+            var i = 0
+            while (i < SceneFrame) {
+              sum += (bytes(f * SceneFrame + i) & 0xff); i += 1
+            }
+            sum / SceneFrame
+          }
+          var cuts = 0L
+          var longest = 0L
+          var run = 1L
+          var f = 1
+          while (f < nf) {
+            if (math.abs(means(f) - means(f - 1)) > CutThresh) {
+              cuts += 1
+              if (run > longest) longest = run
+              run = 1L
+            } else run += 1
+            f += 1
+          }
+          if (run > longest) longest = run
+          Row(id, nf.toLong, cuts, cuts + 1, longest)
+        }
+      }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+  }
+
+  val m08Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) // $SceneFrame AS nf
+       |  FROM documents WHERE length(text) >= $SceneFrame
+       |), fr AS (
+       |  SELECT doc_id, nf, unnest(range(0, nf)) AS f, text FROM d
+       |), ch AS (
+       |  SELECT doc_id, nf, f, unnest(range(0, $SceneFrame)) AS i, text FROM fr
+       |), means AS (
+       |  SELECT doc_id, nf, f,
+       |    SUM(unicode(substr(text, (f * $SceneFrame + i + 1)::INT, 1)))
+       |      // $SceneFrame AS m
+       |  FROM ch GROUP BY 1, 2, 3
+       |), flags AS (
+       |  SELECT doc_id, nf, f,
+       |    CASE WHEN ABS(m - LAG(m) OVER (PARTITION BY doc_id ORDER BY f))
+       |         > $CutThresh THEN 1 ELSE 0 END AS cut
+       |  FROM means
+       |), scenes AS (
+       |  SELECT doc_id, nf, f, cut,
+       |    SUM(cut) OVER (PARTITION BY doc_id ORDER BY f) AS scene
+       |  FROM flags
+       |), slen AS (
+       |  SELECT doc_id, scene, COUNT(*) AS len FROM scenes GROUP BY 1, 2
+       |), per AS (
+       |  SELECT doc_id, CAST(MAX(nf) AS BIGINT) AS n_frames,
+       |    CAST(SUM(cut) AS BIGINT) AS n_cuts
+       |  FROM scenes GROUP BY doc_id
+       |), best AS (
+       |  SELECT doc_id, CAST(MAX(len) AS BIGINT) AS longest_scene
+       |  FROM slen GROUP BY doc_id)
+       |SELECT p.doc_id, p.n_frames, p.n_cuts,
+       |  p.n_cuts + 1 AS n_scenes, b.longest_scene
+       |FROM per p JOIN best b ON p.doc_id = b.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m08_scene_cuts" -> m08SceneCuts _,
     "m07_energy_segments" -> m07EnergySegments _,
     "m01_image_decode" -> m01ImageDecode _,
     "m02_frame_sample" -> m02FrameSample _,
@@ -573,6 +676,7 @@ object MultiModalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "m08_scene_cuts" -> m08Sql,
     "m07_energy_segments" -> m07Sql,
     "m01_image_decode" -> m01Sql,
     "m02_frame_sample" -> m02Sql,

@@ -248,7 +248,48 @@ object StreamOps {
        |  CAST(MAX(CASE WHEN admitted THEN ts_us END) AS BIGINT) AS last_admitted_us
        |FROM ranked GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** st08: windowed heavy hitters — per tumbling 1-hour event-time
+    * window, the [[HhK]] most active users (rank by count desc, user_id
+    * tiebreak): hot-key / trending detection, the monitoring query every
+    * stream pipeline runs. This batch twin is EXACT (full per-window
+    * count + rank); the streaming twin
+    * ([[graft.streaming.StreamingPipelines.heavyHitters]]) runs the
+    * SpaceSaving sketch (Metwally et al. 2005) per window via
+    * flatMapGroupsWithState with a bounded counter table — equal to this
+    * exact form whenever the capacity covers the window's distinct keys,
+    * and within the classic n/capacity overestimate bound otherwise
+    * (both pinned by StreamingSpec). One shuffle to (window, user)
+    * partial counts + one window rank — no global sort. */
+  val HhK = 5
+
+  def st08HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("wstart").orderBy(col("n").desc, col("user_id"))
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("win.start")).as("wstart"),
+        col("user_id"), col("n"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= HhK)
+      .select("wstart", "rk", "user_id", "n")
+      .orderBy("wstart", "rk")
+  }
+
+  val st08Sql: String =
+    s"""WITH counts AS (
+       |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS wstart,
+       |    user_id, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT wstart, user_id, n,
+       |    ROW_NUMBER() OVER (PARTITION BY wstart
+       |      ORDER BY n DESC, user_id) AS rk
+       |  FROM counts)
+       |SELECT wstart, rk, user_id, n FROM ranked WHERE rk <= $HhK
+       |ORDER BY wstart, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st08_heavy_hitters" -> st08HeavyHitters _,
     "st07_quota_admission" -> st07QuotaAdmission _,
     "st06_unconverted_clicks" -> st06UnconvertedClicks _,
     "st01_sessionize" -> st01Sessionize _,
@@ -259,6 +300,7 @@ object StreamOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "st08_heavy_hitters" -> st08Sql,
     "st07_quota_admission" -> st07Sql,
     "st01_sessionize" -> st01Sql,
     "st02_sliding_window" -> st02Sql,

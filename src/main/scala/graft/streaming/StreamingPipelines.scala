@@ -191,4 +191,49 @@ object StreamingPipelines {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)(
         Encoders.product[QuotaState], Encoders.product[QuotaSummary])
   }
+
+  final case class HEv(wstart: Long, user_id: Long)
+  final case class HHState(counters: Map[Long, Long])
+  final case class HHRow(wstart: Long, rk: Long, user_id: Long, est_n: Long)
+
+  /** Windowed heavy hitters via the SpaceSaving sketch (Metwally et al.
+    * 2005) — the streaming twin of StreamOps.st08HeavyHitters: per event-
+    * time window the state is a BOUNDED table of `capacity` counters;
+    * a new key past capacity evicts the (count, key)-minimal counter and
+    * inherits its count + 1 (the classic overestimate). After each
+    * micro-batch the group emits its current top-`k` estimate.
+    *
+    * Guarantees (StreamingSpec pins both): with capacity >= the window's
+    * distinct keys no eviction ever happens and the final emission equals
+    * the EXACT batch twin; under capacity pressure every tracked
+    * estimate overestimates its true count by at most windowTotal /
+    * capacity, and every key with true count above that bound is
+    * tracked. Per-window state is `capacity` longs regardless of stream
+    * length — the property that makes per-key exact counting unnecessary
+    * at 10^9-key streams. Eviction ties break on (count, key) ascending,
+    * so replays are deterministic. */
+  def heavyHitters(events: Dataset[HEv], capacity: Int, k: Int): Dataset[HHRow] = {
+    require(capacity >= k && k >= 1,
+      s"heavyHitters: need capacity >= k >= 1, got ($capacity, $k)")
+    def update(wstart: Long, evs: Iterator[HEv],
+               state: GroupState[HHState]): Iterator[HHRow] = {
+      var c = state.getOption.map(_.counters).getOrElse(Map.empty[Long, Long])
+      evs.foreach { e =>
+        c.get(e.user_id) match {
+          case Some(n) => c = c.updated(e.user_id, n + 1)
+          case None if c.size < capacity => c = c.updated(e.user_id, 1L)
+          case None =>
+            val (mk, mv) = c.minBy { case (kk, vv) => (vv, kk) }
+            c = (c - mk).updated(e.user_id, mv + 1)
+        }
+      }
+      state.update(HHState(c))
+      c.toSeq.sortBy { case (u, n) => (-n, u) }.take(k).zipWithIndex
+        .map { case ((u, n), i) => HHRow(wstart, (i + 1).toLong, u, n) }
+        .iterator
+    }
+    events.groupByKey(_.wstart)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        update)(Encoders.product[HHState], Encoders.product[HHRow])
+  }
 }

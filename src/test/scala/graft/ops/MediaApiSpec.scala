@@ -64,6 +64,21 @@ class MediaApiSpec extends AnyFunSuite {
     assert(gated.filter(col("n_segments") > 1).count() > 0)
   }
 
+  test("sceneCuts over a payload column == m08 on the documents corpus") {
+    val payloads = graft.queries.Tables.documents(spark, d)
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("bytes"))
+    val api = Media.sceneCuts(payloads, "id", "bytes").orderBy("doc_id")
+    val gated = graft.queries.MultiModalOps.m08SceneCuts(spark, d)
+    assert(api.columns.sameElements(gated.columns))
+    assert(api.exceptAll(gated).isEmpty && gated.exceptAll(api).isEmpty)
+    // the detector must actually discriminate: some docs multi-scene,
+    // some single-scene, and scene accounting is consistent
+    assert(gated.filter(col("n_scenes") > 1).count() > 0)
+    assert(gated.filter(col("n_scenes") === 1).count() > 0)
+    assert(gated.filter(col("n_scenes") =!= col("n_cuts") + 1).isEmpty)
+    assert(gated.filter(col("longest_scene") > col("n_frames")).isEmpty)
+  }
+
   test("corrupt payloads yield ok=false rows, not task failures") {
     import spark.implicits._
     val mixed = Seq(

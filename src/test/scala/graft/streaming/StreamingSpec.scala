@@ -219,6 +219,81 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: exact under capacity; SpaceSaving bounds under pressure") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // events keyed by (hour window, user), delivered in two time-ordered
+    // micro-batches so the per-window counter table must carry state
+    val ev = graft.queries.Tables.events(spark, sfDir)
+      .select((unix_timestamp(date_trunc("hour", col("ts")))).as("wstart"),
+        col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._3)
+    val exact: Map[(Long, Long), Long] = ev.groupBy(e => (e._1, e._2))
+      .map { case (k, g) => k -> g.length.toLong }
+    val distinctPerWindow = exact.keys.groupBy(_._1).map { case (w, ks) => w -> ks.size }
+    val batchTop = graft.queries.StreamOps.st08HeavyHitters(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    def run(capacity: Int): Map[Long, Seq[(Long, Long, Long)]] = {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)]
+      val stream = mem.toDF().toDF("wstart", "user_id")
+        .as[StreamingPipelines.HEv]
+      val name = s"hh_out_$capacity"
+      val q = StreamingPipelines.heavyHitters(stream, capacity,
+        graft.queries.StreamOps.HhK)
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try {
+        val (first, second) = ev.splitAt(ev.length / 2)
+        mem.addData(first.map(e => (e._1, e._2)).toSeq: _*)
+        q.processAllAvailable()
+        val afterB1 = spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        mem.addData(second.map(e => (e._1, e._2)).toSeq: _*)
+        q.processAllAvailable()
+        val all = spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        // final emission per window: batch-2 rows supersede batch-1 rows
+        val b2 = all.diff(afterB1)
+        val b2Windows = b2.map(_._1).toSet
+        (b2 ++ afterB1.filterNot(r => b2Windows.contains(r._1)))
+          .groupBy(_._1)
+          .map { case (w, rows) =>
+            w -> rows.sortBy(_._2).map(r => (r._2, r._3, r._4)).toSeq
+          }
+      } finally q.stop()
+    }
+
+    // regime 1: capacity covers every window's distinct keys -> EXACT,
+    // final emission equals the batch twin row for row
+    val cap = distinctPerWindow.values.max + 4
+    val gotExact = run(cap).flatMap { case (w, rows) =>
+      rows.map { case (rk, u, n) => (w, rk, u, n) }
+    }.toSet
+    assert(gotExact == batchTop.toSet,
+      s"extra=${gotExact.diff(batchTop.toSet).take(3)} " +
+        s"missing=${batchTop.toSet.diff(gotExact).take(3)}")
+
+    // regime 2: capacity pressure -> every emitted estimate overestimates
+    // by at most windowTotal/capacity (the SpaceSaving bound); probe must
+    // actually evict to be non-vacuous
+    val smallCap = math.max(graft.queries.StreamOps.HhK,
+      distinctPerWindow.values.max / 3)
+    assert(distinctPerWindow.values.exists(_ > smallCap),
+      "no window exceeds the small capacity — pressure probe vacuous")
+    val windowTotals = ev.groupBy(_._1).map { case (w, g) => w -> g.length.toLong }
+    run(smallCap).foreach { case (w, rows) =>
+      val bound = windowTotals(w) / smallCap
+      rows.foreach { case (_, u, est) =>
+        val truth = exact.getOrElse((w, u), 0L)
+        assert(est >= truth, s"window $w user $u: est $est < true $truth")
+        assert(est - truth <= bound,
+          s"window $w user $u: est $est exceeds true $truth by more than $bound")
+      }
+    }
+  }
+
   test("stream-stream interval join equals the batch attribution twin") {
     val clicks = eventStream().filter(col("event_type") === "click")
     val purchases = eventStream().filter(col("event_type") === "purchase")
