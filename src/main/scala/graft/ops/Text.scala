@@ -88,6 +88,19 @@ object Text {
       norm(docs, idCol, textCol),
       col("doc_id").isin(queryIds: _*), k)
 
+  /** BPE ENCODE (t19): learn `nMerges` merges from the corpus (t17's
+    * trainer, `batch` forwarded) and tokenize every document with them —
+    * the train-once/encode-everything loop of a production tokenizer.
+    * The merge table applies as literal replace chains in a map-only
+    * scan. Returns per doc (n_words, chars_total, tokens_after,
+    * compression_pm). The t17 repetition caveat applies to encode too. */
+  def bpeEncode(docs: DataFrame, nMerges: Int = TextOps.BpeMergeCount,
+                idCol: String = "doc_id", textCol: String = "text",
+                batch: Int = 1): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    TextOps.bpeEncodeOf(norm(docs, idCol, textCol), nMerges, batch)
+  }
+
   /** Retrieval chunking (t16): fixed token windows advancing by `stride`
     * (overlap = window - stride) with per-chunk offsets and content
     * fingerprints — the chunk table a RAG embedding/index stage consumes. */

@@ -895,11 +895,15 @@ object TextOps {
     } finally freq.unpersist()
   }
 
-  val t17Sql: String = {
-    // unrolled iterations GENERATED from BpeMergeCount so query and
-    // oracle can never desync on the constant; each stage re-derives pair
-    // counts from the previous stage's symbol strings with the identical
-    // winner rule, and applies the merge with the same TWO replace passes
+  /** The t17 merge-LEARNING derivation as CTE text (w, f, s0, and per-
+    * iteration e/c/w/s stages — winners land in w1..wN) — unrolled from
+    * BpeMergeCount so query and oracle can never desync on the constant,
+    * and SHARED by t17Sql (reports the winners) and t19Sql (applies
+    * them): each stage re-derives pair counts from the previous stage's
+    * symbol strings with the identical winner rule, and applies the
+    * merge with the same TWO replace passes. The final stage includes
+    * its own merge application so t19 can replay all N merges. */
+  private[graft] def bpeLearnSqlCtes: String = {
     def pairStage(symRel: String, n: Int): String =
       s"""e$n AS (
          |  SELECT cnt, unnest(CASE WHEN len(ss) >= 2
@@ -917,14 +921,9 @@ object TextOps {
          |    AS sym
          |  FROM $prev CROSS JOIN w$n)""".stripMargin
     val stages = (1 to BpeMergeCount).map { n =>
-      val pair = pairStage(s"s${n - 1}", n)
-      if (n < BpeMergeCount) s"$pair,\n${mergeStage(s"s${n - 1}", n)}"
-      else pair
+      s"${pairStage(s"s${n - 1}", n)},\n${mergeStage(s"s${n - 1}", n)}"
     }.mkString(",\n")
-    val union = (1 to BpeMergeCount).map { n =>
-      s"SELECT $n::BIGINT AS merge_no, pair, replace(pair, '~', '') AS merged, c AS cnt FROM w$n"
-    }.mkString("\n  UNION ALL\n  ")
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
        |), f AS (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY word
@@ -932,10 +931,98 @@ object TextOps {
        |  SELECT cnt,
        |    '~' || array_to_string(regexp_extract_all(word, '(?s).'), '~') || '~' AS sym
        |  FROM f
-       |), $stages
+       |), $stages""".stripMargin
+  }
+
+  val t17Sql: String = {
+    val union = (1 to BpeMergeCount).map { n =>
+      s"SELECT $n::BIGINT AS merge_no, pair, replace(pair, '~', '') AS merged, c AS cnt FROM w$n"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $bpeLearnSqlCtes
        |SELECT * FROM (
        |  $union
        |) ORDER BY merge_no""".stripMargin
+  }
+
+  val t19Sql: String = {
+    // apply the learned winners (w1..wN) to a WORD-keyed symbol table
+    // with the identical two-pass replace, then roll up per doc
+    val apply = (1 to BpeMergeCount).map { n =>
+      s"""a$n AS (
+         |  SELECT word, replace(replace(sym,
+         |      '~' || w$n.pair || '~', '~' || replace(w$n.pair, '~', '') || '~'),
+         |      '~' || w$n.pair || '~', '~' || replace(w$n.pair, '~', '') || '~')
+         |    AS sym
+         |  FROM a${n - 1} CROSS JOIN w$n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeLearnSqlCtes,
+       |a0 AS (
+       |  SELECT word,
+       |    '~' || array_to_string(regexp_extract_all(word, '(?s).'), '~') || '~' AS sym
+       |  FROM (SELECT DISTINCT word FROM w)
+       |), $apply,
+       |wtoks AS (
+       |  SELECT word,
+       |    CAST(len(list_filter(string_split(sym, '~'), x -> x <> '')) AS BIGINT)
+       |      AS toks
+       |  FROM a$BpeMergeCount
+       |), docw AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       |SELECT d.doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(length(d.word)) AS BIGINT) AS chars_total,
+       |  CAST(SUM(t.toks) AS BIGINT) AS tokens_after,
+       |  CAST((1000 * SUM(t.toks)) // SUM(length(d.word)) AS BIGINT)
+       |    AS compression_pm
+       |FROM docw d JOIN wtoks t ON d.word = t.word
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** t19: BPE ENCODE — applying the t17-learned merge table to tokenize
+    * the corpus, the other half of the tokenizer loop (t17 trains, t19
+    * encodes; production = train once, encode petabytes): each word's
+    * symbol string receives the [[BpeMergeCount]] learned merges in
+    * order (the same two-pass boundary replace as training), and the doc
+    * aggregates its token counts before/after plus the compression in
+    * integer per-mille. The merge table is learned DRIVER-SIDE (one
+    * corpus scan through the t17 kernel, iterations on the vocab table)
+    * and applied as LITERAL replace chains — a broadcast-free map-only
+    * encode scan, the shape that tokenizes 100 TB. The oracle re-learns
+    * the identical merges via t17's unrolled CTEs and applies them with
+    * the same replace chain — full train+encode agreement. */
+  def t19BpeEncode(s: SparkSession, d: String): DataFrame =
+    bpeEncodeOf(documents(s, d), BpeMergeCount).orderBy("doc_id")
+
+  /** t19's kernel over any (doc_id, text) frame (graft.ops.Text API). */
+  private[graft] def bpeEncodeOf(docs: DataFrame, nMerges: Int,
+                                 batch: Int = 1): DataFrame = {
+    // train (vocab-sized iterations; corpus scanned once), then encode
+    val merges: Seq[String] = bpeMergesOf(docs, nMerges, batch)
+      .collect().sortBy(_.getLong(0)).map(_.getString(1)).toSeq
+    val symBase = concat(lit("~"),
+      concat_ws("~", expr("regexp_extract_all(w, '(?s).', 0)")), lit("~"))
+    // merges apply IN LEARNED ORDER, each as the training rewrite's two
+    // leftmost-non-overlapping replace passes — encode == train semantics
+    val symFinal = merges.foldLeft[org.apache.spark.sql.Column](symBase) {
+      (c, p) =>
+        val search = lit("~" + p + "~")
+        val merged = lit("~" + p.replace("~", "") + "~")
+        replace(replace(c, search, merged), search, merged)
+    }
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("chars", length(col("w")).cast("long"))
+      .withColumn("sym", symFinal)
+      .withColumn("toks",
+        expr("size(filter(split(sym, '~'), x -> x != ''))").cast("long"))
+      .select("doc_id", "chars", "toks")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("chars").as("chars_total"),
+        sum("toks").as("tokens_after"))
+      .withColumn("compression_pm",
+        expr("(1000 * tokens_after) div chars_total"))
+      .select("doc_id", "n_words", "chars_total", "tokens_after",
+        "compression_pm")
   }
 
   /** t18: CCNet-style perplexity quality filter (Wenzek et al. 2020,
@@ -1072,6 +1159,7 @@ object TextOps {
        |FROM scored CROSS JOIN thr ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_bpe_encode" -> t19BpeEncode _,
     "t18_perplexity_filter" -> t18PerplexityFilter _,
     "t17_bpe_merges" -> t17BpeMerges _,
     "t16_chunk_windows" -> t16ChunkWindows _,
@@ -1093,6 +1181,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "t19_bpe_encode" -> t19Sql,
     "t18_perplexity_filter" -> t18Sql,
     "t17_bpe_merges" -> t17Sql,
     "t16_chunk_windows" -> t16Sql,

@@ -96,6 +96,24 @@ class TextApiSpec extends AnyFunSuite {
     assert(e.getMessage.contains("delimiter"), e.getMessage)
   }
 
+  test("bpeEncode == t19; more merges never produce more tokens") {
+    val api = Text.bpeEncode(renamed, idCol = "id", textCol = "body")
+      .orderBy("doc_id")
+    same(api, graft.queries.TextOps.t19BpeEncode(spark, d))
+    // encode invariants: tokens never exceed characters (each merge only
+    // shrinks), and learning MORE merges is monotone non-increasing in
+    // per-doc token count
+    assert(api.filter(col("tokens_after") > col("chars_total")).isEmpty)
+    val m1 = Text.bpeEncode(renamed, nMerges = 1, "id", "body")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("tokens_after")).toMap
+    val m3 = api.collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("tokens_after")).toMap
+    assert(m3.forall { case (id, t3) => t3 <= m1(id) },
+      m3.collect { case (id, t3) if t3 > m1(id) => (id, m1(id), t3) }.take(3))
+    // and the merges must actually fire on this corpus
+    assert(m3.exists { case (id, t3) => t3 < m1(id) }, "no merge applied — vacuous")
+  }
+
   test("bpeMerges batched: B=8 == B=1 on a disjoint-pair corpus, deferral included") {
     import spark.implicits._
     // 16 two-char words over 32 distinct chars (every pair symbol-
