@@ -108,7 +108,7 @@ object Media {
                 bytesCol: String = "payload"): DataFrame =
     MultiModalOps.sceneCutsOf(df.select(
       col(idCol).cast("long").as("doc_id"),
-      col(bytesCol).as("payload")))
+      col(bytesCol).cast("binary").as("payload")))
 
   /** Frame sampling (the m02 semantics over any payload column): each
     * payload expands to length/frameBytes virtual frames; every `stride`-th

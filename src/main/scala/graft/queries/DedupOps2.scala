@@ -382,8 +382,12 @@ object DedupOps2 {
         // ONLY the joined key ships through the sort — token-level LCPs
         // are recovered from the key by keyLcp, so no 30-element token
         // array widens the shuffle (measured 1.6x faster at every scale)
+        // chr(1) (not a string LITERAL): the '\\u0001' escape form goes
+        // through the SQL string parser, which
+        // spark.sql.parser.escapedStringLiterals=true would turn into a
+        // literal 6-char backslash sequence and silently break keyLcp
         s"transform(sequence(1, size(words)), " +
-          s"i -> concat_ws('\\u0001', slice(words, i, $cap)))"))
+          s"i -> concat_ws(chr(1), slice(words, i, $cap)))"))
         .as(Seq("pos", "key")))
       .withColumn("i", col("pos").cast("long") + 1L)
       .select("doc_id", "i", "key")

@@ -1077,17 +1077,19 @@ object SimilarityOps {
     import s.implicits._
     val tokens = docs
       .withColumn("words", split(col("text"), " "))
-      .select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "w")))
+      .select(col("doc_id"), explode(col("words")).as("w"))
     val qtokens = tokens.filter(queryCond)
-      .select(col("doc_id").as("qdoc"), col("pos"), col("w"))
+      .select(col("doc_id").as("qdoc"), col("w"))
     val docwords = tokens
       .select(col("doc_id").as("ddoc"), col("w").as("dw")).distinct()
     // vocab-sized collects (the bounded-dictionary contract) -> the
-    // word-pair similarity table, broadcast
+    // word-pair similarity table, broadcast. qwords is a subset of vocab
+    // by construction (query docs are corpus docs), so vocab alone
+    // covers every vector.
     val vocab = docwords.select("dw").distinct().as[String].collect().sorted
     val qwords = qtokens.select("w").distinct().as[String].collect().sorted
     val vecs: Map[String, Array[Long]] =
-      (vocab ++ qwords).distinct.map(w => w -> wordVec(w)).toMap
+      vocab.map(w => w -> wordVec(w)).toMap
     val c = (for (wq <- qwords; wd <- vocab)
       yield (wq, wd, cosMilli(vecs(wq), vecs(wd))))
       .toSeq.toDF("w", "wd", "c")

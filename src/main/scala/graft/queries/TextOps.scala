@@ -946,14 +946,22 @@ object TextOps {
 
   val t19Sql: String = {
     // apply the learned winners (w1..wN) to a WORD-keyed symbol table
-    // with the identical two-pass replace, then roll up per doc
+    // with the identical two-pass replace, then roll up per doc. Each
+    // winner is wrapped as an ALWAYS-ONE-ROW no-op-padded table (wg$n):
+    // on a merge-exhausted corpus the empty w$n would otherwise CROSS
+    // JOIN the apply chain to zero rows while the kernel (which just
+    // stops learning early) still emits every doc — the '~~' search of
+    // the padded '' pair matches nothing, so the stage is a no-op,
+    // exactly like the kernel applying fewer merges.
     val apply = (1 to BpeMergeCount).map { n =>
-      s"""a$n AS (
+      s"""wg$n AS (
+         |  SELECT COALESCE(MAX(pair), '') AS pair FROM w$n
+         |), a$n AS (
          |  SELECT word, replace(replace(sym,
-         |      '~' || w$n.pair || '~', '~' || replace(w$n.pair, '~', '') || '~'),
-         |      '~' || w$n.pair || '~', '~' || replace(w$n.pair, '~', '') || '~')
+         |      '~' || wg$n.pair || '~', '~' || replace(wg$n.pair, '~', '') || '~'),
+         |      '~' || wg$n.pair || '~', '~' || replace(wg$n.pair, '~', '') || '~')
          |    AS sym
-         |  FROM a${n - 1} CROSS JOIN w$n)""".stripMargin
+         |  FROM a${n - 1} CROSS JOIN wg$n)""".stripMargin
     }.mkString(",\n")
     s"""WITH $bpeLearnSqlCtes,
        |a0 AS (
@@ -971,8 +979,9 @@ object TextOps {
        |SELECT d.doc_id, COUNT(*) AS n_words,
        |  CAST(SUM(length(d.word)) AS BIGINT) AS chars_total,
        |  CAST(SUM(t.toks) AS BIGINT) AS tokens_after,
-       |  CAST((1000 * SUM(t.toks)) // SUM(length(d.word)) AS BIGINT)
-       |    AS compression_pm
+       |  CAST(CASE WHEN SUM(length(d.word)) > 0
+       |    THEN (1000 * SUM(t.toks)) // SUM(length(d.word)) ELSE 0 END
+       |    AS BIGINT) AS compression_pm
        |FROM docw d JOIN wtoks t ON d.word = t.word
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
   }
@@ -1019,8 +1028,11 @@ object TextOps {
       .agg(count(lit(1)).as("n_words"),
         sum("chars").as("chars_total"),
         sum("toks").as("tokens_after"))
+      // zero-safe: an all-empty-word doc has chars_total = 0 (Spark div
+      // would yield NULL, the oracle would divide by zero — both wrong)
       .withColumn("compression_pm",
-        expr("(1000 * tokens_after) div chars_total"))
+        when(col("chars_total") > 0,
+          expr("(1000 * tokens_after) div chars_total")).otherwise(lit(0L)))
       .select("doc_id", "n_words", "chars_total", "tokens_after",
         "compression_pm")
   }

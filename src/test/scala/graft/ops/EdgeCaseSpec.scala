@@ -139,6 +139,13 @@ class EdgeCaseSpec extends AnyFunSuite {
         stopwords = Seq("don't")).count()
     }
     assert(e2.getMessage.contains("stopword"), e2.getMessage)
+    // bpeEncode: an all-empty-text corpus has chars_total = 0 — the
+    // compression division must be zero-safe, not NULL/divide-by-zero
+    val enc = Text.bpeEncode(docsOf(Seq((1L, ""), (2L, "ab ab ab"))))
+      .orderBy("doc_id").collect()
+    assert(enc.length == 2)
+    assert(enc.head.getAs[Long]("chars_total") == 0L &&
+      enc.head.getAs[Long]("compression_pm") == 0L, enc.head)
     // ivfPqTopK: sparse ids (nothing below the sample bound) fail by name
     val sparse = (0 until 40).map(i =>
       (100000L + i, Array.fill(64)(((i * 7 + 3) % 11) / 10.0f).toSeq))

@@ -100,8 +100,8 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
-    // two-level aggregation: per-token max, then per-doc sum, both partial
-    assert(p.contains("partial_max") || p.contains("partial_"), p)
+    // the per-word max aggregation must run partial (map-side combine)
+    assert(p.contains("partial_max"), p)
   }
 
   test("s02: band join and rescore are equi-joins, never a cross product") {
