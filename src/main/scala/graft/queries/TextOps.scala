@@ -340,9 +340,21 @@ object TextOps {
           "concat_ws(' ', words[i], words[i+1], words[i+2]))"))
       .withColumn("n_grams", size(col("grams")).cast("long"))
       .withColumn("n_uniq_grams", size(array_distinct(col("grams"))).cast("long"))
+      // top-gram count via a SINGLE pass over the SORTED gram array
+      // (longest equal-run): O(G log G) per doc instead of the
+      // O(distinct × G) filter-per-distinct-gram formulation, which was
+      // the most expensive per-row expression on the whole bench surface
+      // (t10 2.90 s at sf0.1 under honest materialization). Same value:
+      // equal grams are adjacent after sorting, so the longest run IS
+      // the max multiplicity.
       .withColumn("top_gram_n", expr(
-        "array_max(transform(array_distinct(grams), g -> " +
-          "size(filter(grams, x -> x = g))))").cast("long"))
+        "aggregate(array_sort(grams), " +
+          "struct(cast(null as string) as prev, 0L as run, 0L as best), " +
+          "(acc, g) -> struct(g as prev, " +
+          "  IF(acc.prev IS NOT NULL AND g = acc.prev, acc.run + 1, 1L) as run, " +
+          "  greatest(acc.best, IF(acc.prev IS NOT NULL AND g = acc.prev, " +
+          "    acc.run + 1, 1L)) as best), " +
+          "acc -> acc.best)").cast("long"))
       .select(
         col("doc_id"),
         col("n_grams"),
