@@ -160,6 +160,18 @@ object Corpus {
       norm(docs, idCol, textCol), cap, minSpan)
   }
 
+  /** Marginal-novelty scoring in ingestion order (t21): per document,
+    * the fraction (integer milli-units) of its DISTINCT word k-grams
+    * that no lower-id document contains — the streaming-curation signal
+    * "how much of this doc was new when it arrived" (the incremental
+    * complement of [[duplicatedSpans]]' symmetric accounting). Returns
+    * (doc_id, n_grams, n_novel, novel_milli); docs with < k words are
+    * omitted. One scan, three keyed exchanges, no join. */
+  def noveltyFractions(docs: DataFrame, k: Int = graft.queries.SelectionOps.NoveltyK,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    graft.queries.SelectionOps.noveltyOf(norm(docs, idCol, textCol), k)
+
   def segments(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame =
     DedupOps2.segmentsOf(norm(docs, idCol, textCol))

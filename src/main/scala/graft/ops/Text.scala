@@ -151,6 +151,26 @@ object Text {
     TextOps.perplexityFilterOf(norm(docs, idCol, textCol),
       norm(clean, idCol, textCol))
 
+  /** DSIR importance-weight data selection (t20, Xie et al. 2023,
+    * arXiv:2302.03169): featurize every document as hashed bigrams,
+    * estimate target-vs-raw feature counts in one pool pass, score each
+    * document by its integer-bit importance weight, and keep the top
+    * `keepFrac` slice at a corpus-relative percentile threshold.
+    * `isTarget` is a predicate over the pool's NON-text columns naming
+    * the trusted target-domain slice (it must select at least one doc
+    * with >= 2 tokens, else the call fails by name). Returns (doc_id,
+    * n_feats, score_milli, selected); docs with fewer than 2 tokens have
+    * no bigram features and are omitted (the t18 contract). */
+  def dsirSelect(docs: DataFrame,
+                 isTarget: org.apache.spark.sql.Column,
+                 keepFrac: Double = graft.queries.SelectionOps.DsirKeepFrac,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    graft.queries.SelectionOps.dsirSelectOf(
+      docs.withColumn("doc_id", col(idCol).cast("long"))
+        .withColumn("text", col(textCol)),
+      isTarget, keepFrac)
+
   /** Stopword-ratio language-ID heuristic (t02 without the benchmark's
     * labeled lang column): doc_id, lang_guess, stop_ratio. */
   def languageId(docs: DataFrame, idCol: String = "doc_id",

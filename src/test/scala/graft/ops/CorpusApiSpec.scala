@@ -79,6 +79,40 @@ class CorpusApiSpec extends AnyFunSuite {
     assert(api.count() > 0, "no duplicated spans on the fixture — probe vacuous")
   }
 
+  test("noveltyFractions == t21; brute-force ingestion-order recompute agrees") {
+    import org.apache.spark.sql.functions._
+    val api = Corpus.noveltyFractions(renamed, idCol = "id", textCol = "body")
+      .orderBy("doc_id")
+    same(api, graft.queries.SelectionOps.t21NoveltyFrac(spark, d))
+    // the earliest doc introduces every gram it contains
+    val first = api.limit(1).collect().head
+    assert(first.getAs[Long]("novel_milli") == 1000L, first)
+    // full brute-force recompute: walk docs in id order, count grams
+    // first seen — must match the distributed window/agg result exactly
+    val k = graft.queries.SelectionOps.NoveltyK
+    val corpus = graft.queries.Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+      .sortBy(_._1)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val want = corpus.filter(_._2.size >= k).map { case (id, ws) =>
+      val grams = ws.sliding(k).map(_.mkString(" ")).toSet
+      val novel = grams.count(!seen(_)); seen ++= grams
+      (id, grams.size.toLong, novel.toLong,
+        1000L * novel / grams.size)
+    }.toSeq
+    val got = api.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, got.zip(want).filter(p => p._1 != p._2).take(3))
+    // constructed fixture: overlap halves novelty
+    import spark.implicits._
+    val fx = Seq((1L, "a b c d"), (2L, "b c d e"), (3L, "a b c x"))
+      .toDF("doc_id", "text")
+    val f = graft.queries.SelectionOps.noveltyOf(fx, 3).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(f == Seq((1L, 1000L), (2L, 500L), (3L, 500L)), f)
+  }
+
   test("longestSharedSpans == d11; adjacency semantics on a constructed fixture") {
     val api = Corpus.longestSharedSpans(spark, renamed,
       idCol = "id", textCol = "body").orderBy("doc_id")

@@ -166,6 +166,39 @@ class TextApiSpec extends AnyFunSuite {
       got.mkString("\n"))
   }
 
+  test("dsirSelect == t20 under renamed columns; selection invariants hold") {
+    import spark.implicits._
+    val pool = graft.queries.Tables.documents(spark, d)
+      .select(col("doc_id").as("id"), col("text").as("body"),
+        col("lang"), col("source"))
+    val tgt = col("lang") === graft.queries.TextOps.PplLang &&
+      col("source").isin(graft.queries.TextOps.PplCleanSources: _*)
+    val api = Text.dsirSelect(pool, tgt, idCol = "id", textCol = "body")
+      .orderBy("doc_id")
+    same(api, graft.queries.SelectionOps.t20DsirSelect(spark, d))
+    // keepFrac contract: selected count == ceil-ish fraction at the
+    // percentile cut — at least keepFrac of scored docs, and the
+    // selected set is exactly the score-threshold upper slice
+    val rows = api.select("score_milli", "selected")
+      .as[(Long, Boolean)].collect()
+    val n = rows.length
+    val kept = rows.count(_._2)
+    assert(kept >= (n * graft.queries.SelectionOps.DsirKeepFrac).floor.toInt,
+      s"kept $kept of $n")
+    val minSel = rows.filter(_._2).map(_._1).min
+    assert(rows.forall { case (sc, sel) => sel == (sc >= minSel) || !sel },
+      "selection is not an upper slice of the score distribution")
+    assert(rows.filter(!_._2).forall(_._1 < minSel), "unselected doc above cut")
+    // a target slice with no bigram features fails by name
+    val e = intercept[IllegalArgumentException](
+      Text.dsirSelect(pool, col("lang") === "zz", idCol = "id", textCol = "body"))
+    assert(e.getMessage.contains("target slice"), e.getMessage)
+    // keepFrac = 1.0 keeps everything
+    val all = Text.dsirSelect(pool, tgt, keepFrac = 1.0,
+      idCol = "id", textCol = "body")
+    assert(all.filter(!col("selected")).isEmpty)
+  }
+
   test("perplexityFilter == t18 under renamed columns; buckets partition the scored docs") {
     val docs = graft.queries.Tables.documents(spark, d)
       .filter(col("lang") === graft.queries.TextOps.PplLang)

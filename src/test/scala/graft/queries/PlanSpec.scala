@@ -206,6 +206,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("t20: DSIR scoring subtree is ONE corpus scan + broadcast LM join") {
+    import spark.implicits._
+    val lm = Seq((1L, 5L, 2L)).toDF("f", "c_r", "c_t")
+    val p = plan(SelectionOps.dsirScoresLazy(
+      SelectionOps.hashedBigramsOf(Tables.documents(spark, d)), lm))
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"t20 scoring plans $scans corpus scans (want 1):\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("t15: ONE corpus scan; totals windowed over the metadata-sized agg") {
     val p = plan(TextOps.t15MixWeights(spark, d))
     assert("FileScan parquet".r.findAllIn(p).size == 1,
