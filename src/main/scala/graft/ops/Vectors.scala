@@ -55,6 +55,26 @@ object Vectors {
       col("vec_id").isin(queryIds: _*), k)
   }
 
+  /** MMR diversified re-ranking (s10, Carbonell & Goldstein 1998): from
+    * each query's exact top-`pool` cosine shortlist, greedily select `k`
+    * results maximizing `lambda10/10`·relevance − `(10−lambda10)/10`·
+    * max-similarity-to-already-selected — the standard stage that keeps
+    * near-duplicate hits from crowding a result page. The objective is
+    * exact integer micro-cosine arithmetic (ties break by ascending id),
+    * the shortlist is one checkpointed corpus scan, and the greedy loop
+    * runs `k` metadata-sized jobs — the corpus is never rescanned.
+    * Returns (query_id, rank, vec_id, rel_micro, maxsim_micro, mmr10). */
+  def mmrRerank(spark: SparkSession, emb: DataFrame, queryIds: Seq[Long],
+                k: Int = SimilarityOps.MmrK, pool: Int = SimilarityOps.MmrPool,
+                lambda10: Int = SimilarityOps.MmrLambda10,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = norm(emb, idCol, vecCol)
+    SimilarityOps.mmrRerankOf(e,
+      e.filter(col("vec_id").isin(queryIds: _*)), pool, k, lambda10)
+  }
+
   /** Sign-LSH bucketed approximate top-k: 8 random hyperplanes hash every
     * vector into one of 256 buckets; neighbors are scored only within the
     * query's bucket (equi-join on bucket — n/256 work per query). */

@@ -1167,7 +1167,191 @@ object SimilarityOps {
        |SELECT query_id, rk, doc_id, n_q_tokens, maxsim_milli FROM ranked
        |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------- s10
+
+  /** MMR candidate-pool width: the exact top-[[MmrPool]] shortlist the
+    * greedy re-rank diversifies over (the production shape — MMR always
+    * runs on a retrieval shortlist, never the corpus). */
+  val MmrPool = 20
+  /** Diversified results per query. */
+  val MmrK = 5
+  /** λ = 0.7 in tenths: the MMR objective is the EXACT integer
+    * `mmr10 = 7·rel_micro − 3·maxsim_micro` (micro-cosines × 10), so the
+    * greedy argmax never compares floats cross-engine. */
+  val MmrLambda10 = 7
+
+  /** s10: Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998) — the standard retrieval-diversity stage: from each query's
+    * exact top-[[MmrPool]] cosine shortlist, greedily select [[MmrK]]
+    * results maximizing λ·relevance − (1−λ)·max-similarity-to-already-
+    * selected, so near-duplicate hits don't crowd the result page.
+    * Deterministic: similarities are 6-dp-rounded then converted to
+    * integer micro-units, the objective is exact integer arithmetic, and
+    * every argmax tie breaks by ascending vec_id.
+    *
+    * Scale shape: the shortlist is ONE corpus scan + broadcast query
+    * join + per-query top-[[MmrPool]] window (the s01 kernel shape),
+    * eagerly checkpointed — everything after runs on the ≤ queries ×
+    * [[MmrPool]]-row candidate frame: the pairwise candidate-similarity
+    * self-join is (queries·pool)², metadata-sized, and each greedy step
+    * is a keyed agg + anti-join + argmax window over that frame with a
+    * per-step checkpoint (the d07 iterative-refinement pattern — plan
+    * depth stays constant, [[MmrK]] tiny jobs total). The corpus is
+    * never rescanned. */
+  def s10MmrRerank(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = embeddings(s, d).withColumn("q", expr(qEmb))
+      .select("vec_id", "q")
+    mmrRerankOf(emb, emb.filter(col("vec_id") < NumQueries),
+      MmrPool, MmrK, MmrLambda10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** s10's kernel over quantized (vec_id, q) corpus/query frames
+    * (graft.ops.Vectors API). `lambda10` is λ in tenths (7 = 0.7). */
+  private[graft] def mmrRerankOf(emb: DataFrame, queryVecs: DataFrame,
+                                 pool: Int, k: Int, lambda10: Int): DataFrame = {
+    require(pool >= k && k >= 1, s"mmrRerank: need pool >= k >= 1, got pool=$pool k=$k")
+    require(lambda10 >= 0 && lambda10 <= 10,
+      s"mmrRerank: lambda10 must be in [0, 10], got $lambda10")
+    val queries = queryVecs
+      .select(col("vec_id").as("query_id"), col("q").as("qv"))
+    // exact top-`pool` shortlist per query, vectors carried through so
+    // the pairwise pass never rejoins the corpus; checkpointed so every
+    // greedy step reads the materialized metadata-sized frame
+    val wSl = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    val cand = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("dot", expr(dotExpr("q", "qv")))
+      .withColumn("sim", round(col("dot").cast("double") /
+        cosDenom(expr(normExpr("q")), expr(normExpr("qv"))), 6))
+      .withColumn("rk", row_number().over(wSl))
+      .filter(col("rk") <= pool)
+      .select(col("query_id"), col("vec_id"),
+        expr("cast(round(sim * 1000000) as bigint)").as("rel_micro"), col("q"))
+      .localCheckpoint(true)
+    // pairwise candidate similarities within each query's shortlist
+    val l = cand.select(col("query_id"), col("vec_id").as("a"), col("q").as("qa"))
+    val r = cand.select(col("query_id"), col("vec_id").as("b"), col("q").as("qb"))
+    val pair = l.join(r, Seq("query_id")).filter(col("a") =!= col("b"))
+      .withColumn("psim", round(expr(dotExpr("qa", "qb")).cast("double") /
+        cosDenom(expr(normExpr("qa")), expr(normExpr("qb"))), 6))
+      .select(col("query_id"), col("a"), col("b"),
+        expr("cast(round(psim * 1000000) as bigint)").as("psim_micro"))
+      .localCheckpoint(true)
+    val selCols = Seq("query_id", "rank", "vec_id", "rel_micro",
+      "maxsim_micro", "mmr10").map(col)
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("mmr10").desc, col("vec_id"))
+    // rank 1 = pure relevance (nothing selected yet => maxsim = 0)
+    var sel = cand
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("rel_micro").desc, col("vec_id"))))
+      .filter(col("rn") === 1)
+      .withColumn("rank", lit(1L))
+      .withColumn("maxsim_micro", lit(0L))
+      .withColumn("mmr10", lit(lambda10) * col("rel_micro"))
+      .select(selCols: _*)
+      .localCheckpoint(true)
+    for (rk <- 2 to k) {
+      val ms = pair
+        .join(sel.select(col("query_id"), col("vec_id").as("b")), Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a").as("vec_id"))
+        .agg(max("psim_micro").as("maxsim_micro"))
+      val next = cand
+        .join(sel.select("query_id", "vec_id"), Seq("query_id", "vec_id"), "left_anti")
+        .join(ms, Seq("query_id", "vec_id"))
+        .withColumn("mmr10", lit(lambda10) * col("rel_micro") -
+          lit(10 - lambda10) * col("maxsim_micro"))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .withColumn("rank", lit(rk.toLong))
+        .select(selCols: _*)
+      sel = sel.union(next).localCheckpoint(true)
+    }
+    sel
+  }
+
+  val s10Sql: String = {
+    // unrolled greedy: selN builds on the union of sel1..selN-1 — the
+    // s08 pattern (replay the iterative algorithm as generated CTEs so
+    // both engines derive identical selections)
+    val steps = (2 to MmrK).map { rk =>
+      val prev = (1 until rk).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
+      s"""sel$rk AS (
+         |  SELECT query_id, $rk AS rank, vec_id, rel_micro, maxsim_micro, mmr10
+         |  FROM (
+         |    SELECT c.query_id, c.vec_id, c.rel_micro, m.maxsim_micro,
+         |      $MmrLambda10 * c.rel_micro - ${10 - MmrLambda10} * m.maxsim_micro AS mmr10,
+         |      ROW_NUMBER() OVER (PARTITION BY c.query_id
+         |        ORDER BY $MmrLambda10 * c.rel_micro
+         |          - ${10 - MmrLambda10} * m.maxsim_micro DESC, c.vec_id) AS rn
+         |    FROM cand c
+         |    JOIN (SELECT p.query_id, p.a AS vec_id,
+         |            MAX(p.psim_micro) AS maxsim_micro
+         |          FROM pair p JOIN ($prev) s
+         |            ON p.query_id = s.query_id AND p.b = s.vec_id
+         |          GROUP BY 1, 2) m
+         |      ON m.query_id = c.query_id AND m.vec_id = c.vec_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM ($prev) s
+         |      WHERE s.query_id = c.query_id AND s.vec_id = c.vec_id))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(", ")
+    val all = (1 to MmrK).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
+    s"""WITH q AS (
+       |  SELECT vec_id, $qEmbDuck AS qv FROM embeddings
+       |), elems AS (
+       |  SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x FROM q
+       |), nrm AS (
+       |  SELECT vec_id, SUM(x * x) AS n2 FROM elems GROUP BY 1
+       |), dots AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, SUM(a.x * b.x) AS dot
+       |  FROM elems a JOIN elems b ON a.i = b.i
+       |    AND a.vec_id < $NumQueries AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2
+       |), sims AS (
+       |  SELECT query_id, d.vec_id,
+       |    ROUND(dot::DOUBLE / (SQRT(na.n2::DOUBLE) * SQRT(nb.n2::DOUBLE)), 6) AS sim
+       |  FROM dots d
+       |  JOIN nrm na ON na.vec_id = d.query_id
+       |  JOIN nrm nb ON nb.vec_id = d.vec_id
+       |), cand AS (
+       |  SELECT query_id, vec_id,
+       |    CAST(ROUND(sim * 1000000) AS BIGINT) AS rel_micro
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY sim DESC, vec_id) AS rk FROM sims)
+       |  WHERE rk <= $MmrPool
+       |), pdots AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b, SUM(a.x * b.x) AS dot
+       |  FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id < b.vec_id
+       |  WHERE a.vec_id IN (SELECT vec_id FROM cand)
+       |    AND b.vec_id IN (SELECT vec_id FROM cand)
+       |  GROUP BY 1, 2
+       |), pair AS (
+       |  SELECT c1.query_id, c1.vec_id AS a, c2.vec_id AS b,
+       |    CAST(ROUND(ROUND(p.dot::DOUBLE / (SQRT(na.n2::DOUBLE)
+       |      * SQRT(nb.n2::DOUBLE)), 6) * 1000000) AS BIGINT) AS psim_micro
+       |  FROM cand c1
+       |  JOIN cand c2 ON c1.query_id = c2.query_id AND c1.vec_id <> c2.vec_id
+       |  JOIN pdots p ON p.a = LEAST(c1.vec_id, c2.vec_id)
+       |    AND p.b = GREATEST(c1.vec_id, c2.vec_id)
+       |  JOIN nrm na ON na.vec_id = c1.vec_id
+       |  JOIN nrm nb ON nb.vec_id = c2.vec_id
+       |), sel1 AS (
+       |  SELECT query_id, 1 AS rank, vec_id, rel_micro,
+       |    CAST(0 AS BIGINT) AS maxsim_micro,
+       |    $MmrLambda10 * rel_micro AS mmr10
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY rel_micro DESC, vec_id) AS rn FROM cand)
+       |  WHERE rn = 1
+       |), $steps
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, rel_micro,
+       |  maxsim_micro, mmr10
+       |FROM ($all) ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_mmr_rerank" -> s10MmrRerank _,
     "s09_maxsim_topk" -> s09MaxsimTopk _,
     "s08_ivfpq_topk" -> s08IvfPqTopk _,
     "s07_sq8_topk" -> s07Sq8Topk _,
@@ -1180,6 +1364,7 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "s10_mmr_rerank" -> s10Sql,
     "s09_maxsim_topk" -> s09Sql,
     "s08_ivfpq_topk" -> s08Sql,
     "s07_sq8_topk" -> s07Sql,

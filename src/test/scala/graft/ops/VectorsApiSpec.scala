@@ -46,6 +46,50 @@ class VectorsApiSpec extends AnyFunSuite {
     assert(api.exceptAll(gated).isEmpty && gated.exceptAll(api).isEmpty)
   }
 
+  test("mmrRerank == s10 under renamed columns; diversity semantics on a fixture") {
+    val api = Vectors.mmrRerank(spark, renamed, 0L until 10L,
+      idCol = "id", vecCol = "vec").orderBy("query_id", "rank")
+    val gated = graft.queries.SimilarityOps.s10MmrRerank(spark, d)
+    assert(api.columns.sameElements(gated.columns))
+    assert(api.exceptAll(gated).isEmpty && gated.exceptAll(api).isEmpty)
+    // rank-1 is pure relevance: equals s01's top-1 neighbor per query
+    val top1 = graft.queries.SimilarityOps.s01CosineTopk(spark, d)
+      .filter(col("rk") === 1).select("query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    api.filter(col("rank") === 1).collect().foreach { r =>
+      assert(r.getLong(2) == top1(r.getLong(0)), r)
+    }
+    // selections are distinct per query and ranks are 1..k
+    val perQ = api.groupBy("query_id")
+      .agg(countDistinct("vec_id").as("nv"), count(lit(1)).as("n"),
+        max("rank").as("mx"))
+    assert(perQ.filter(col("nv") =!= col("n") ||
+      col("mx") =!= col("n")).isEmpty)
+
+    // constructed fixture: query q along x; a is top (rel .91), b is a
+    // near-clone of a (rel .90, sim(a,b) ~ .9998), c mirrors a below the
+    // x-axis (rel .90, sim(a,c) ~ .638). Pure top-2 = {a, b}; MMR at
+    // lambda=0.7: mmr(b) = 6.3 - 3*.9998 = 3.30 < mmr(c) = 6.3 -
+    // 3*.638 = 4.39, so the diverse c takes rank 2 and the clone drops
+    // to rank 3.
+    import spark.implicits._
+    val fx = Seq(
+      (100L, Array(1.00f, 0.0000f, 0f, 0f)), // query
+      (1L, Array(0.91f, 0.4146f, 0f, 0f)),   // a: rel .91
+      (2L, Array(0.90f, 0.4360f, 0f, 0f)),   // b: clone of a
+      (3L, Array(0.90f, -0.4360f, 0f, 0f))   // c: diverse mirror
+    ).toDF("id", "vec")
+    val m = Vectors.mmrRerank(spark, fx, Seq(100L), k = 3, pool = 3,
+      idCol = "id", vecCol = "vec")
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(m == Seq(1L, 3L, 2L), s"MMR order was $m, want diverse c at rank 2")
+    // lambda10 = 10 is pure relevance: identical to the shortlist order
+    val rel = Vectors.mmrRerank(spark, fx, Seq(100L), k = 3, pool = 3,
+      lambda10 = 10, idCol = "id", vecCol = "vec")
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(rel == Seq(1L, 2L, 3L), rel)
+  }
+
   test("sq8TopK == s07 under renamed columns") {
     val api = Vectors.sq8TopK(spark, renamed, 0L until 10L, k = 5,
       idCol = "id", vecCol = "vec").orderBy("query_id", "rk")
