@@ -552,7 +552,120 @@ object PipelineOps {
        |FROM st CROSS JOIN tot ORDER BY source""".stripMargin
   }
 
+  /** p06: curated-mix assembly — the data-SELECTION pipeline composed the
+    * way a pretraining mix is actually built: DSIR importance selection
+    * against the trusted target slice (t20, keep the top quarter), exact
+    * dedup WITHIN the selected set (d01 semantics, min-id canonical —
+    * selection first, dedup second, so a duplicated high-value doc is
+    * admitted exactly once), and temperature mix weights over the
+    * ADMITTED token mass (t15 semantics). Per-source accounting
+    * PARTITIONS each source's corpus:
+    * `n_docs = n_unscored + n_unselected + n_dup_dropped + n_admitted`.
+    *
+    * Plan shape: the two inherent DSIR corpus passes (joint-LM
+    * aggregation → collected broadcast-sized table; scoring scan
+    * carrying (source, sig, n_tokens) through the per-doc agg so the
+    * corpus is NEVER rejoined at doc granularity) plus one column-pruned
+    * per-source totals branch (the audited pushdown class) joined at
+    * #sources rows. Dedup canonicalization is one window over the
+    * checkpointed per-doc frame; mix totals are a full-frame window over
+    * the #sources aggregate. Three FileScans, PlanSpec-pinned. */
+  def p06CuratedMix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pool = documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val isTarget = col("lang") === TextOps.PplLang &&
+      col("source").isin(TextOps.PplCleanSources: _*)
+    val lmRows: Array[(Long, Long, Long)] = SelectionOps
+      .hashedBigramsOf(pool.withColumn("is_target", isTarget))
+      .groupBy("f")
+      .agg(count(lit(1)).as("c_r"), count_if(col("is_target")).as("c_t"))
+      .as[(Long, Long, Long)].collect()
+    require(lmRows.exists(_._3 > 0),
+      "p06: the target slice yields no bigram features")
+    val lm = lmRows.toSeq.toDF("f", "c_r", "c_t")
+    val enriched = pool
+      .withColumn("sig", md5(col("text")))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .drop("lang")
+    val scored = SelectionOps.dsirScoresLazy(
+        SelectionOps.hashedBigramsOf(enriched), lm,
+        carry = Seq("source", "sig", "n_tokens"))
+      .localCheckpoint(true)
+    val thr = scored.agg(expr(
+      s"percentile(score_milli, ${1.0 - SelectionOps.DsirKeepFrac})").as("cut"))
+    val wSig = org.apache.spark.sql.expressions.Window.partitionBy("sig")
+    val verdicts = scored.crossJoin(broadcast(thr))
+      .withColumn("selected", col("score_milli") >= col("cut"))
+      .withColumn("cmin", min(when(col("selected"), col("doc_id"))).over(wSig))
+      .withColumn("admitted", col("selected") && col("doc_id") === col("cmin"))
+    val bySrc = verdicts.groupBy("source").agg(
+      count(lit(1)).as("n_scored"),
+      count_if(!col("selected")).as("n_unselected"),
+      count_if(col("selected") && !col("admitted")).as("n_dup_dropped"),
+      count_if(col("admitted")).as("n_admitted"),
+      coalesce(sum(when(col("admitted"), col("n_tokens"))), lit(0L))
+        .as("admitted_tokens"))
+    val totals = documents(s, d).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    totals.join(bySrc, Seq("source"), "left")
+      .withColumn("n_scored", coalesce(col("n_scored"), lit(0L)))
+      .withColumn("n_unselected", coalesce(col("n_unselected"), lit(0L)))
+      .withColumn("n_dup_dropped", coalesce(col("n_dup_dropped"), lit(0L)))
+      .withColumn("n_admitted", coalesce(col("n_admitted"), lit(0L)))
+      .withColumn("admitted_tokens", coalesce(col("admitted_tokens"), lit(0L)))
+      .withColumn("n_unscored", col("n_docs") - col("n_scored"))
+      .withColumn("st",
+        floor(sqrt(col("admitted_tokens").cast("double")) * 1000).cast("long"))
+      .withColumn("total_st", sum("st").over(wAll))
+      .select(col("source"), col("n_docs"), col("n_unscored"),
+        col("n_unselected"), col("n_dup_dropped"), col("n_admitted"),
+        col("admitted_tokens"),
+        when(col("total_st") > 0,
+          round(col("st").cast("double") / col("total_st"), 6))
+          .otherwise(0.0).as("mix_weight"))
+      .orderBy("source")
+  }
+
+  /** Oracle: the shared DSIR CTEs (SelectionOps.dsirSqlCtes — the t20
+    * semantics verbatim) + dedup-within-selected + t15 mix arithmetic. */
+  val p06Sql: String =
+    s"""WITH ${SelectionOps.dsirSqlCtes("")}, sel AS (
+       |  SELECT doc_id, score_milli >= cut AS selected
+       |  FROM scored CROSS JOIN thr
+       |), enr AS (
+       |  SELECT d.doc_id, d.source, md5(d.text) AS sig,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |    sel.selected
+       |  FROM documents d LEFT JOIN sel USING (doc_id)
+       |), canon AS (
+       |  SELECT *, MIN(CASE WHEN selected THEN doc_id END)
+       |    OVER (PARTITION BY sig) AS cmin
+       |  FROM enr
+       |), by_src AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    COUNT(*) FILTER (selected IS NULL) AS n_unscored,
+       |    COUNT(*) FILTER (selected = FALSE) AS n_unselected,
+       |    COUNT(*) FILTER (selected AND doc_id <> cmin) AS n_dup_dropped,
+       |    COUNT(*) FILTER (selected AND doc_id = cmin) AS n_admitted,
+       |    CAST(COALESCE(SUM(n_tokens) FILTER (selected AND doc_id = cmin),
+       |      0) AS BIGINT) AS admitted_tokens
+       |  FROM canon GROUP BY 1
+       |), st AS (
+       |  SELECT *, CAST(FLOOR(SQRT(admitted_tokens::DOUBLE) * 1000)
+       |    AS BIGINT) AS stv
+       |  FROM by_src
+       |), tot AS (SELECT SUM(stv) AS total_st FROM st)
+       |SELECT source, n_docs, n_unscored, n_unselected, n_dup_dropped,
+       |  n_admitted, admitted_tokens,
+       |  CASE WHEN total_st > 0
+       |    THEN ROUND(CAST(stv AS DOUBLE) / total_st, 6) ELSE 0.0 END
+       |    AS mix_weight
+       |FROM st CROSS JOIN tot ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p06_curated_mix" -> p06CuratedMix _,
     "p05_multimodal_admission" -> p05MultimodalAdmission _,
     "p04_admission_index" -> p04AdmissionIndex _,
     "p01_corpus_pipeline" -> p01CorpusPipeline _,
@@ -561,6 +674,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "p06_curated_mix" -> p06Sql,
     "p05_multimodal_admission" -> p05Sql,
     "p04_admission_index" -> p04Sql,
     "p01_corpus_pipeline" -> p01Sql,

@@ -120,20 +120,25 @@ object SelectionOps {
   /** The lazy scoring subtree (one pool scan + one broadcast join + one
     * hash agg) — separated so PlanSpec can gate its physical shape, which
     * the eager checkpoint in [[dsirSelectOf]] would otherwise hide behind
-    * a `Scan ExistingRDD`. */
-  private[graft] def dsirScoresLazy(feats: DataFrame, lm: DataFrame): DataFrame =
+    * a `Scan ExistingRDD`. `carry` names doc-level columns (functionally
+    * determined by doc_id) to pass through the aggregation — p06 carries
+    * (source, sig, n_tokens) so the pipeline never rejoins the corpus at
+    * doc granularity; adding them as group keys leaves the cardinality
+    * (= docs) and shuffle shape unchanged. */
+  private[graft] def dsirScoresLazy(feats: DataFrame, lm: DataFrame,
+                                    carry: Seq[String] = Nil): DataFrame =
     feats
       .join(broadcast(lm), Seq("f"), "left")
       .withColumn("bits_t",
         (length(expr("bin(coalesce(c_t, 0L) + 1)")) - 1).cast("long"))
       .withColumn("bits_r",
         (length(expr("bin(coalesce(c_r, 0L) + 1)")) - 1).cast("long"))
-      .groupBy("doc_id")
+      .groupBy(("doc_id" +: carry).map(col): _*)
       .agg(count(lit(1)).as("n_feats"),
         sum("bits_t").as("sum_t"), sum("bits_r").as("sum_r"))
       .withColumn("score_milli",
         expr("(1000 * sum_t) div n_feats - (1000 * sum_r) div n_feats"))
-      .select("doc_id", "n_feats", "score_milli")
+      .select(("doc_id" +: carry :+ "n_feats" :+ "score_milli").map(col): _*)
 
   /** t21's gram width: 3-word grams are denser than d10's 5-token spans,
     * so the novelty signal saturates more slowly on small corpora. */
@@ -198,37 +203,45 @@ object SelectionOps {
        |    AS BIGINT) AS novel_milli
        |FROM firsts GROUP BY 1 ORDER BY doc_id""".stripMargin
 
-  val t20Sql: String =
-    s"""WITH pool AS (
+  /** The DSIR featurize→LM→score derivation as prefixed CTE text ending
+    * in `<p>scored` (doc_id, n_feats, score_milli) and `<p>thr` (cut) —
+    * SHARED by t20Sql and p06Sql so the importance-weight semantics can
+    * never drift between the gated query and the composed pipeline (the
+    * d10 spanSqlCtes lesson). */
+  private[graft] def dsirSqlCtes(p: String): String =
+    s"""${p}pool AS (
        |  SELECT doc_id,
        |    lang = '${TextOps.PplLang}' AND source IN
        |      (${TextOps.PplCleanSources.map(x => s"'$x'").mkString(", ")})
        |      AS is_target,
        |    string_split(text, ' ') AS words
        |  FROM documents
-       |), feats AS (
+       |), ${p}feats AS (
        |  SELECT doc_id, is_target,
        |    ${h60Duck("words[i] || ' ' || words[i + 1]")} % $DsirBuckets AS f
        |  FROM (SELECT doc_id, is_target, words,
        |          unnest(range(1, len(words))) AS i
-       |        FROM pool WHERE len(words) >= 2)
-       |), lm AS (
+       |        FROM ${p}pool WHERE len(words) >= 2)
+       |), ${p}lm AS (
        |  SELECT f, COUNT(*) AS c_r,
        |    COUNT(*) FILTER (is_target) AS c_t
-       |  FROM feats GROUP BY 1
-       |), sc AS (
-       |  SELECT feats.doc_id,
-       |    length(bin(CAST(COALESCE(lm.c_t, 0) + 1 AS BIGINT))) - 1 AS bits_t,
-       |    length(bin(CAST(COALESCE(lm.c_r, 0) + 1 AS BIGINT))) - 1 AS bits_r
-       |  FROM feats LEFT JOIN lm USING (f)
-       |), scored AS (
+       |  FROM ${p}feats GROUP BY 1
+       |), ${p}sc AS (
+       |  SELECT ${p}feats.doc_id,
+       |    length(bin(CAST(COALESCE(${p}lm.c_t, 0) + 1 AS BIGINT))) - 1 AS bits_t,
+       |    length(bin(CAST(COALESCE(${p}lm.c_r, 0) + 1 AS BIGINT))) - 1 AS bits_r
+       |  FROM ${p}feats LEFT JOIN ${p}lm USING (f)
+       |), ${p}scored AS (
        |  SELECT doc_id, COUNT(*) AS n_feats,
        |    CAST((1000 * SUM(bits_t)) // COUNT(*)
        |      - (1000 * SUM(bits_r)) // COUNT(*) AS BIGINT) AS score_milli
-       |  FROM sc GROUP BY 1
-       |), thr AS (
+       |  FROM ${p}sc GROUP BY 1
+       |), ${p}thr AS (
        |  SELECT quantile_cont(score_milli, ${1.0 - DsirKeepFrac}) AS cut
-       |  FROM scored)
+       |  FROM ${p}scored)""".stripMargin
+
+  val t20Sql: String =
+    s"""WITH ${dsirSqlCtes("")}
        |SELECT doc_id, n_feats, score_milli, score_milli >= cut AS selected
        |FROM scored CROSS JOIN thr ORDER BY doc_id""".stripMargin
 

@@ -259,6 +259,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("p06: accounting partitions each source; final plan is the pruned totals branch") {
+    val df = PipelineOps.p06CuratedMix(spark, d)
+    // the two DSIR passes ran eagerly (collect + checkpoint); what
+    // remains in the plan is the column-pruned per-source totals branch
+    // and metadata-sized joins — exactly one FileScan, no cross product
+    val p = plan(df)
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"p06 final plan should hold only the totals scan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // per-stage drop accounting PARTITIONS every source's corpus
+    import org.apache.spark.sql.functions.{col, sum, abs}
+    val bad = df.filter(col("n_docs") =!= col("n_unscored") +
+      col("n_unselected") + col("n_dup_dropped") + col("n_admitted"))
+    assert(bad.isEmpty, bad.collect().take(3).mkString(","))
+    // mix weights are a distribution over sources (rounding-tolerant)
+    val tot = df.agg(sum("mix_weight")).collect().head.getDouble(0)
+    assert(math.abs(tot - 1.0) < 1e-3, s"mix weights sum to $tot")
+    // selection actually bites on the benchmark corpus: every stage
+    // count is exercised somewhere
+    val any = df.agg(sum("n_unselected").as("u"), sum("n_dup_dropped").as("dd"),
+      sum("n_admitted").as("a")).collect().head
+    assert(any.getLong(0) > 0 && any.getLong(2) > 0, any)
+  }
+
   test("p05: one corpus pass per modality, no cross products") {
     val p = plan(PipelineOps.p05MultimodalAdmission(spark, d))
     // scan census: phash payload pass + VAD id pass + gopher text pass +
