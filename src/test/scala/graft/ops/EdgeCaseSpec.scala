@@ -156,6 +156,58 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("dense from 0"), e3.getMessage)
   }
 
+  test("selection/MMR ops (late r8) survive degenerate inputs; preconditions fail by name") {
+    import spark.implicits._
+    // noveltyFractions: empty corpus and all-too-short docs -> empty
+    assert(Corpus.noveltyFractions(emptyDocs).count() == 0)
+    assert(Corpus.noveltyFractions(docsOf(Seq((1L, "ab cd")))).count() == 0)
+    // k = 1 scores single-word docs; identical docs: only the first is novel
+    val n1 = Corpus.noveltyFractions(
+      docsOf(Seq((1L, "x"), (2L, "x"))), k = 1).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(n1 == Seq((1L, 1000L), (2L, 0L)), n1)
+    // invalid gram width fails by name
+    val e1 = intercept[IllegalArgumentException](
+      Corpus.noveltyFractions(emptyDocs, k = 0))
+    assert(e1.getMessage.contains("gram width"), e1.getMessage)
+    // dsirSelect: a whole-pool target with keepFrac 1.0 keeps every
+    // scorable doc; sub-2-token docs are omitted, not crashed on
+    val pool = docsOf(Seq((1L, "a b c"), (2L, "a b"), (3L, "x")))
+    val sel = Text.dsirSelect(pool, org.apache.spark.sql.functions.lit(true),
+      keepFrac = 1.0).orderBy("doc_id").collect()
+    assert(sel.map(_.getLong(0)).toSeq == Seq(1L, 2L) &&
+      sel.forall(_.getAs[Boolean]("selected")), sel.mkString(","))
+    // an unscorable pool (no doc reaches 2 tokens) fails by name
+    val e2 = intercept[IllegalArgumentException](
+      Text.dsirSelect(docsOf(Seq((1L, "x"))),
+        org.apache.spark.sql.functions.lit(true)))
+    assert(e2.getMessage.contains("target slice"), e2.getMessage)
+    // keepFrac outside (0, 1] fails by name
+    val e3 = intercept[IllegalArgumentException](
+      Text.dsirSelect(pool, org.apache.spark.sql.functions.lit(true),
+        keepFrac = 0.0))
+    assert(e3.getMessage.contains("keepFrac"), e3.getMessage)
+    // mmrRerank: empty corpus -> empty; k = 1 is the pure-relevance top-1
+    val emptyVecs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    assert(Vectors.mmrRerank(spark, emptyVecs, Seq(0L)).count() == 0)
+    val tiny = Seq((0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val k1 = Vectors.mmrRerank(spark, tiny, Seq(0L), k = 1, pool = 2)
+      .collect()
+    assert(k1.length == 1 && k1.head.getLong(2) == 1L, k1.mkString(","))
+    // pool < k fails by name
+    val e4 = intercept[IllegalArgumentException](
+      Vectors.mmrRerank(spark, tiny, Seq(0L), k = 5, pool = 2))
+    assert(e4.getMessage.contains("pool >= k"), e4.getMessage)
+  }
+
   test("p04/p05 on an all-dropped corpus: mix weights 0.0, never divide-by-zero") {
     // the r8 heavytail scale corpus reaches this for real: its vocabulary
     // contains no stopwords, the Gopher gate drops every document, and
