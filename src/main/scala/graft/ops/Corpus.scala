@@ -160,6 +160,17 @@ object Corpus {
       norm(docs, idCol, textCol), cap, minSpan)
   }
 
+  /** Soft (weighted) deduplication (d12): every exact copy stays with
+    * sampling weight `1000 div n_copies` milli-units, so duplicated
+    * content's total training exposure equals one copy's — the
+    * down-weight-don't-drop alternative to [[exactDuplicateGroups]].
+    * Returns (doc_id, n_copies, n_tokens, weight_milli,
+    * eff_tokens_milli). One scan + one content-hash count window, no
+    * join. */
+  def softDedupWeights(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    DedupOps2.softDedupOf(norm(docs, idCol, textCol))
+
   /** Marginal-novelty scoring in ingestion order (t21): per document,
     * the fraction (integer milli-units) of its DISTINCT word k-grams
     * that no lower-id document contains — the streaming-curation signal

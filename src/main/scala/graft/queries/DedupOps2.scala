@@ -478,7 +478,47 @@ object DedupOps2 {
        |GROUP BY b.doc_id, b.span_tokens
        |ORDER BY b.doc_id""".stripMargin
 
+  /** d12: soft (weighted) deduplication — instead of HARD-dropping exact
+    * duplicates (d01's min-id survivor), every copy stays in the corpus
+    * with sampling weight 1/n_copies, so the duplicated content's total
+    * training exposure equals one copy's (the down-weight-don't-drop
+    * alternative the SoftDeDup line of work argues preserves tail
+    * knowledge better than deletion). Weights are integer milli-units
+    * (`1000 div n_copies` — exact, engine-deterministic) and the
+    * effective token mass `n_tokens · weight_milli` is what a mix stage
+    * consumes.
+    *
+    * Scale shape: one corpus scan → one full-partition count window on
+    * the content hash (the d01 shuffle key) → map-only arithmetic. No
+    * join, no sort. */
+  def d12SoftDedup(s: SparkSession, d: String): DataFrame =
+    softDedupOf(documents(s, d)).orderBy("doc_id")
+
+  /** d12's kernel over any (doc_id, text) frame (graft.ops.Corpus API). */
+  private[graft] def softDedupOf(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("sig")
+    docs
+      .withColumn("sig", md5(col("text")))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("weight_milli", expr("1000 div n_copies"))
+      .withColumn("eff_tokens_milli", col("n_tokens") * col("weight_milli"))
+      .select("doc_id", "n_copies", "n_tokens", "weight_milli",
+        "eff_tokens_milli")
+  }
+
+  val d12Sql: String =
+    """SELECT doc_id, n_copies, n_tokens,
+      |  1000 // n_copies AS weight_milli,
+      |  n_tokens * (1000 // n_copies) AS eff_tokens_milli
+      |FROM (SELECT doc_id,
+      |        COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_soft_dedup" -> d12SoftDedup _,
     "d11_suffix_lcp" -> d11SuffixLcp _,
     "d10_span_dedup" -> d10SpanDedup _,
     "d08_paragraph_dedup" -> d08ParagraphDedup _,
@@ -486,6 +526,7 @@ object DedupOps2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "d12_soft_dedup" -> d12Sql,
     "d11_suffix_lcp" -> d11Sql,
     "d10_span_dedup" -> d10Sql,
     "d08_paragraph_dedup" -> d08Sql,

@@ -79,6 +79,31 @@ class CorpusApiSpec extends AnyFunSuite {
     assert(api.count() > 0, "no duplicated spans on the fixture — probe vacuous")
   }
 
+  test("softDedupWeights == d12; exposure is capped at one copy per content") {
+    import org.apache.spark.sql.functions._
+    val api = Corpus.softDedupWeights(renamed, idCol = "id", textCol = "body")
+      .orderBy("doc_id")
+    same(api, graft.queries.DedupOps2.d12SoftDedup(spark, d))
+    // unique docs keep full weight; the effective token mass equals
+    // n_tokens scaled by the weight
+    assert(api.filter(col("n_copies") === 1 &&
+      col("weight_milli") =!= 1000).isEmpty)
+    assert(api.filter(col("eff_tokens_milli") =!=
+      col("n_tokens") * col("weight_milli")).isEmpty)
+    // the sf0.001 corpus has no exact duplicates, so the cap is
+    // exercised on a constructed fixture: a triplicated doc gets weight
+    // 333 each (total exposure 999 <= one copy's 1000), the unique doc
+    // keeps 1000
+    import spark.implicits._
+    val fx = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b c"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val got = graft.queries.DedupOps2.softDedupOf(fx).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq((1L, 3L, 333L, 999L), (2L, 3L, 333L, 999L),
+      (3L, 3L, 333L, 999L), (4L, 1L, 1000L, 2000L)), got)
+  }
+
   test("noveltyFractions == t21; brute-force ingestion-order recompute agrees") {
     import org.apache.spark.sql.functions._
     val api = Corpus.noveltyFractions(renamed, idCol = "id", textCol = "body")
