@@ -55,6 +55,27 @@ object Vectors {
       col("vec_id").isin(queryIds: _*), k)
   }
 
+  /** Approximate kNN-graph construction (s11): every corpus vector's
+    * top-`k` neighbors among banded-LSH candidates (`bands` × `bandBits`
+    * OR/AND construction, default the production 32×8) — the input
+    * primitive of graph-based curation (cluster pruning, near-dup
+    * families, diversity sampling). Candidates dedupe before the exact
+    * integer rescore; one per-vector top-k window, no cross product.
+    * Returns (vec_id, rk, neighbor_id, sim); vectors whose bands collide
+    * with nothing have no rows. */
+  def knnGraph(spark: SparkSession, emb: DataFrame,
+               k: Int = SimilarityOps.KnnK,
+               bands: Int = SimilarityOps.WideBands,
+               bandBits: Int = SimilarityOps.WideRowsPerBand,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    SimilarityOps.knnGraphOf(
+      SimilarityOps.withQuantized(
+        emb.select(col(idCol).cast("long").as("vec_id"), col(vecCol)), vecCol),
+      k, bands, bandBits)
+  }
+
   /** MMR diversified re-ranking (s10, Carbonell & Goldstein 1998): from
     * each query's exact top-`pool` cosine shortlist, greedily select `k`
     * results maximizing `lambda10/10`·relevance − `(10−lambda10)/10`·

@@ -1167,6 +1167,107 @@ object SimilarityOps {
        |SELECT query_id, rk, doc_id, n_q_tokens, maxsim_milli FROM ranked
        |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------- s11
+
+  /** Neighbors kept per vector in the approximate kNN graph. */
+  val KnnK = 3
+
+  /** s11: approximate kNN-graph construction — for EVERY corpus vector,
+    * its top-[[KnnK]] nearest neighbors among banded-LSH candidates
+    * (the s05 wide 32×8 construction). The kNN graph is the input
+    * primitive of graph-based curation (SemDeDup/D4-style cluster
+    * pruning, connected-component near-dup families, diversity
+    * sampling) — unlike the s0x query-set searches, this materializes
+    * neighborhoods for the WHOLE corpus in one pass.
+    *
+    * Scale shape: band signatures via the codegen'd `sign_bands_i64`
+    * kernel → thin band equi-join → candidate pairs deduped BEFORE the
+    * rescore (no threshold filters the mass afterwards, so multiplicity
+    * would multiply rescore work — the opposite trade from s02's
+    * dedupe-after-filter) → exact integer rescore → symmetrize → one
+    * per-vector top-k window on vec_id hash partitions. Candidate mass
+    * is the measured s05 band-collision floor; no cross product, no
+    * global sort. */
+  def s11KnnGraph(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    knnGraphOf(withQuantized(embeddings(s, d), "embedding"), KnnK)
+      .orderBy("vec_id", "rk")
+  }
+
+  /** s11's kernel over a quantized (vec_id, q, nrm) frame
+    * (graft.ops.Vectors API). */
+  private[graft] def knnGraphOf(emb: DataFrame, k: Int,
+                                bands: Int = WideBands,
+                                rowsPerBand: Int = WideRowsPerBand): DataFrame = {
+    require(k >= 1, s"knnGraph: k must be >= 1, got $k")
+    val sims = s02Candidates(emb, bands, rowsPerBand)
+      .distinct()
+      .join(emb.select(col("vec_id").as("vec_a"), col("q").as("qa"),
+        col("nrm").as("na")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("q").as("qb"),
+        col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(expr(dotExpr("qa", "qb")).cast("double") /
+          cosDenom(col("na"), col("nb")), 6).as("sim"))
+    val sym = sims.select(col("vec_a").as("vec_id"),
+        col("vec_b").as("neighbor_id"), col("sim"))
+      .union(sims.select(col("vec_b").as("vec_id"),
+        col("vec_a").as("neighbor_id"), col("sim")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id"))
+    sym.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("vec_id", "rk", "neighbor_id", "sim")
+  }
+
+  val s11Sql: String = {
+    val planeRows = (0 until WideBands * WideRowsPerBand).flatMap { j =>
+      (0 until Dim).map(kk => s"($j, ${kk + 1}, ${planeFor(j)(kk)})")
+    }.mkString(",\n    ")
+    s"""WITH q AS (
+       |  SELECT vec_id, $qEmbDuck AS qv FROM embeddings
+       |), elems AS (
+       |  SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x FROM q
+       |), norms AS (
+       |  SELECT vec_id, SUM(x * x) AS nrm FROM elems GROUP BY vec_id
+       |), planes(p, i, w) AS (
+       |  VALUES $planeRows
+       |), plane_dots AS (
+       |  SELECT e.vec_id, pl.p, SUM(e.x * pl.w) AS pd
+       |  FROM elems e JOIN planes pl ON e.i = pl.i
+       |  GROUP BY 1, 2
+       |), bands AS (
+       |  SELECT vec_id, p // $WideRowsPerBand AS band_no,
+       |    CAST(SUM(CASE WHEN pd > 0 THEN 1 << (p % $WideRowsPerBand) ELSE 0 END) AS BIGINT) AS bits
+       |  FROM plane_dots GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_no = b.band_no AND a.bits = b.bits AND a.vec_id < b.vec_id
+       |), dots AS (
+       |  SELECT c.vec_a, c.vec_b, SUM(ea.x * eb.x) AS dot
+       |  FROM cand c
+       |  JOIN elems ea ON ea.vec_id = c.vec_a
+       |  JOIN elems eb ON eb.vec_id = c.vec_b AND ea.i = eb.i
+       |  GROUP BY 1, 2
+       |), sims AS (
+       |  SELECT vec_a, vec_b,
+       |    ROUND(dot::DOUBLE / (sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)), 6) AS sim
+       |  FROM dots JOIN norms na ON vec_a = na.vec_id
+       |  JOIN norms nb ON vec_b = nb.vec_id
+       |), sym AS (
+       |  SELECT vec_a AS vec_id, vec_b AS neighbor_id, sim FROM sims
+       |  UNION ALL
+       |  SELECT vec_b AS vec_id, vec_a AS neighbor_id, sim FROM sims
+       |), ranked AS (
+       |  SELECT vec_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, neighbor_id) AS rk
+       |  FROM sym)
+       |SELECT vec_id, CAST(rk AS BIGINT) AS rk, neighbor_id, sim
+       |FROM ranked WHERE rk <= $KnnK ORDER BY vec_id, rk""".stripMargin
+  }
+
   // ---------------------------------------------------------------- s10
 
   /** MMR candidate-pool width: the exact top-[[MmrPool]] shortlist the
@@ -1351,6 +1452,7 @@ object SimilarityOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_knn_graph" -> s11KnnGraph _,
     "s10_mmr_rerank" -> s10MmrRerank _,
     "s09_maxsim_topk" -> s09MaxsimTopk _,
     "s08_ivfpq_topk" -> s08IvfPqTopk _,
@@ -1364,6 +1466,7 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "s11_knn_graph" -> s11Sql,
     "s10_mmr_rerank" -> s10Sql,
     "s09_maxsim_topk" -> s09Sql,
     "s08_ivfpq_topk" -> s08Sql,

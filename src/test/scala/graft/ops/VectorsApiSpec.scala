@@ -46,6 +46,36 @@ class VectorsApiSpec extends AnyFunSuite {
     assert(api.exceptAll(gated).isEmpty && gated.exceptAll(api).isEmpty)
   }
 
+  test("knnGraph == s11 under renamed columns; twin clusters are mutual rank-1") {
+    val api = Vectors.knnGraph(spark, renamed, idCol = "id", vecCol = "vec")
+      .orderBy("vec_id", "rk")
+    val gated = graft.queries.SimilarityOps.s11KnnGraph(spark, d)
+    assert(api.columns.sameElements(gated.columns))
+    assert(api.exceptAll(gated).isEmpty && gated.exceptAll(api).isEmpty)
+    // structural invariants: ranks are 1..k, dense, distinct neighbors,
+    // no self-edges
+    import org.apache.spark.sql.functions._
+    assert(api.filter(col("vec_id") === col("neighbor_id")).isEmpty)
+    val perV = api.groupBy("vec_id").agg(count(lit(1)).as("n"),
+      max("rk").as("mx"), countDistinct("neighbor_id").as("nd"))
+    assert(perV.filter(col("mx") =!= col("n") || col("nd") =!= col("n") ||
+      col("n") > graft.queries.SimilarityOps.KnnK).isEmpty)
+    // constructed twin-cluster fixture: identical vectors band-collide
+    // with certainty, so each twin is the other's rank-1 at sim 1.0
+    import spark.implicits._
+    val fx = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(1f, 0f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)), (4L, Array(0f, 1f, 0f, 0f)),
+      (5L, Array(0f, 0f, 1f, 0f)), (6L, Array(0f, 0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val g = Vectors.knnGraph(spark, fx, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val twins = Map(1L -> 2L, 2L -> 1L, 3L -> 4L, 4L -> 3L, 5L -> 6L, 6L -> 5L)
+    twins.foreach { case (v, t) =>
+      assert(g.get(v).contains(t), s"vec $v rank-1 was ${g.get(v)}, want $t")
+    }
+  }
+
   test("mmrRerank == s10 under renamed columns; diversity semantics on a fixture") {
     val api = Vectors.mmrRerank(spark, renamed, 0L until 10L,
       idCol = "id", vecCol = "vec").orderBy("query_id", "rank")
