@@ -59,21 +59,25 @@ object Vectors {
     * top-`k` neighbors among banded-LSH candidates (`bands` × `bandBits`
     * OR/AND construction, default the production 32×8) — the input
     * primitive of graph-based curation (cluster pruning, near-dup
-    * families, diversity sampling). Candidates dedupe before the exact
-    * integer rescore; one per-vector top-k window, no cross product.
-    * Returns (vec_id, rk, neighbor_id, sim); vectors whose bands collide
-    * with nothing have no rows. */
+    * families, diversity sampling). Each vector's candidates are capped
+    * at its `candCap` most-collision-frequent partners BEFORE the exact
+    * integer rescore (the LSH multi-probe ranking) so the payload-heavy
+    * rescore is ≤ 2·candCap·n edges — linear at any corpus size; one
+    * per-vector top-k window, no cross product. Returns (vec_id, rk,
+    * neighbor_id, sim); vectors whose bands collide with nothing have no
+    * rows. */
   def knnGraph(spark: SparkSession, emb: DataFrame,
                k: Int = SimilarityOps.KnnK,
                bands: Int = SimilarityOps.WideBands,
                bandBits: Int = SimilarityOps.WideRowsPerBand,
+               candCap: Int = SimilarityOps.KnnCandCap,
                idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     SimilarityOps.knnGraphOf(
       SimilarityOps.withQuantized(
         emb.select(col(idCol).cast("long").as("vec_id"), col(vecCol)), vecCol),
-      k, bands, bandBits)
+      k, bands, bandBits, candCap)
   }
 
   /** MMR diversified re-ranking (s10, Carbonell & Goldstein 1998): from

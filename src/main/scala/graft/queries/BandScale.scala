@@ -46,9 +46,16 @@ object BandScale {
       val cands = SimilarityOps.s02Candidates(emb, bands, bits).count()
       val surv = SimilarityOps.nearDupPairsOf(emb, thr, bands, bits).count()
       val secs = (System.nanoTime() - t0) / 1e9
+      // the same lever applied to whole-corpus kNN-graph construction
+      // (s11): edges out + wall-clock under this band construction
+      val t1 = System.nanoTime()
+      val edges = SimilarityOps.knnGraphOf(emb, SimilarityOps.KnnK,
+        bands, bits).count()
+      val knnSecs = (System.nanoTime() - t1) / 1e9
       println(f"""{"metric":"band_scale","n":$n,"bands":$bands,"bits":$bits,""" +
         f""""threshold":$thr,"candidates":$cands,"survivors":$surv,""" +
-        f""""sec":$secs%.2f,"sf":"$sfDir"}""")
+        f""""sec":$secs%.2f,"knn_edges":$edges,"knn_sec":$knnSecs%.2f,""" +
+        f""""sf":"$sfDir"}""")
     }
     spark.stop()
   }

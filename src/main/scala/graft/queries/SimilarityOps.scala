@@ -1171,23 +1171,32 @@ object SimilarityOps {
 
   /** Neighbors kept per vector in the approximate kNN graph. */
   val KnnK = 3
+  /** Per-vector candidate fan-out cap, applied by band-collision
+    * multiplicity BEFORE the exact rescore: more shared bands ≈ closer
+    * (the standard LSH multi-probe ranking), so the cap keeps rescore
+    * mass ≤ 2·cap·n — LINEAR in corpus size — while the uncapped
+    * candidate floor of the 32×8 construction is ~n² (measured:
+    * 296k → 29.6M pairs for 10× the vectors, SCALE_r8 §1). Twins that
+    * collide in every band always survive the cap. */
+  val KnnCandCap = 12
 
   /** s11: approximate kNN-graph construction — for EVERY corpus vector,
-    * its top-[[KnnK]] nearest neighbors among banded-LSH candidates
-    * (the s05 wide 32×8 construction). The kNN graph is the input
-    * primitive of graph-based curation (SemDeDup/D4-style cluster
-    * pruning, connected-component near-dup families, diversity
-    * sampling) — unlike the s0x query-set searches, this materializes
-    * neighborhoods for the WHOLE corpus in one pass.
+    * its top-[[KnnK]] nearest neighbors among its [[KnnCandCap]]
+    * most-collision-frequent banded-LSH candidates (the s05 wide 32×8
+    * construction). The kNN graph is the input primitive of graph-based
+    * curation (SemDeDup/D4-style cluster pruning, connected-component
+    * near-dup families, diversity sampling) — unlike the s0x query-set
+    * searches, this materializes neighborhoods for the WHOLE corpus in
+    * one pass.
     *
     * Scale shape: band signatures via the codegen'd `sign_bands_i64`
-    * kernel → thin band equi-join → candidate pairs deduped BEFORE the
-    * rescore (no threshold filters the mass afterwards, so multiplicity
-    * would multiply rescore work — the opposite trade from s02's
-    * dedupe-after-filter) → exact integer rescore → symmetrize → one
-    * per-vector top-k window on vec_id hash partitions. Candidate mass
-    * is the measured s05 band-collision floor; no cross product, no
-    * global sort. */
+    * kernel → thin band equi-join → per-pair collision counts (a 3-long
+    * hash agg over the collision stream — the only candidate-mass-sized
+    * step, and it carries no vector payload) → symmetrize → per-vector
+    * top-[[KnnCandCap]] window by (collisions desc, id) → exact integer
+    * rescore of the SURVIVING ≤ 2·cap·n edges → per-vector top-k window
+    * by similarity. No cross product, no global sort; the payload-heavy
+    * rescore is linear at any corpus size. */
   def s11KnnGraph(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     knnGraphOf(withQuantized(embeddings(s, d), "embedding"), KnnK)
@@ -1198,24 +1207,34 @@ object SimilarityOps {
     * (graft.ops.Vectors API). */
   private[graft] def knnGraphOf(emb: DataFrame, k: Int,
                                 bands: Int = WideBands,
-                                rowsPerBand: Int = WideRowsPerBand): DataFrame = {
+                                rowsPerBand: Int = WideRowsPerBand,
+                                candCap: Int = KnnCandCap): DataFrame = {
     require(k >= 1, s"knnGraph: k must be >= 1, got $k")
-    val sims = s02Candidates(emb, bands, rowsPerBand)
-      .distinct()
-      .join(emb.select(col("vec_id").as("vec_a"), col("q").as("qa"),
-        col("nrm").as("na")), "vec_a")
-      .join(emb.select(col("vec_id").as("vec_b"), col("q").as("qb"),
-        col("nrm").as("nb")), "vec_b")
-      .select(col("vec_a"), col("vec_b"),
+    require(candCap >= k,
+      s"knnGraph: candCap must be >= k, got candCap=$candCap k=$k")
+    val cand = s02Candidates(emb, bands, rowsPerBand)
+      .groupBy("vec_a", "vec_b").agg(count(lit(1)).as("m"))
+    val sym = cand.select(col("vec_a").as("vec_id"),
+        col("vec_b").as("neighbor_id"), col("m"))
+      .union(cand.select(col("vec_b").as("vec_id"),
+        col("vec_a").as("neighbor_id"), col("m")))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("m").desc, col("neighbor_id"))
+    val capped = sym
+      .withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= candCap)
+      .select("vec_id", "neighbor_id")
+    val sims = capped
+      .join(emb.select(col("vec_id"), col("q").as("qa"),
+        col("nrm").as("na")), "vec_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
+        col("nrm").as("nb")), "neighbor_id")
+      .select(col("vec_id"), col("neighbor_id"),
         round(expr(dotExpr("qa", "qb")).cast("double") /
           cosDenom(col("na"), col("nb")), 6).as("sim"))
-    val sym = sims.select(col("vec_a").as("vec_id"),
-        col("vec_b").as("neighbor_id"), col("sim"))
-      .union(sims.select(col("vec_b").as("vec_id"),
-        col("vec_a").as("neighbor_id"), col("sim")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id"))
-    sym.withColumn("rk", row_number().over(w).cast("long"))
+    sims.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select("vec_id", "rk", "neighbor_id", "sim")
   }
@@ -1241,29 +1260,33 @@ object SimilarityOps {
        |    CAST(SUM(CASE WHEN pd > 0 THEN 1 << (p % $WideRowsPerBand) ELSE 0 END) AS BIGINT) AS bits
        |  FROM plane_dots GROUP BY 1, 2
        |), cand AS (
-       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, COUNT(*) AS m
        |  FROM bands a JOIN bands b
        |    ON a.band_no = b.band_no AND a.bits = b.bits AND a.vec_id < b.vec_id
-       |), dots AS (
-       |  SELECT c.vec_a, c.vec_b, SUM(ea.x * eb.x) AS dot
-       |  FROM cand c
-       |  JOIN elems ea ON ea.vec_id = c.vec_a
-       |  JOIN elems eb ON eb.vec_id = c.vec_b AND ea.i = eb.i
        |  GROUP BY 1, 2
-       |), sims AS (
-       |  SELECT vec_a, vec_b,
-       |    ROUND(dot::DOUBLE / (sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)), 6) AS sim
-       |  FROM dots JOIN norms na ON vec_a = na.vec_id
-       |  JOIN norms nb ON vec_b = nb.vec_id
-       |), sym AS (
-       |  SELECT vec_a AS vec_id, vec_b AS neighbor_id, sim FROM sims
+       |), sym0 AS (
+       |  SELECT vec_a AS vec_id, vec_b AS neighbor_id, m FROM cand
        |  UNION ALL
-       |  SELECT vec_b AS vec_id, vec_a AS neighbor_id, sim FROM sims
+       |  SELECT vec_b AS vec_id, vec_a AS neighbor_id, m FROM cand
+       |), capped AS (
+       |  SELECT vec_id, neighbor_id
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |          ORDER BY m DESC, neighbor_id) AS crk FROM sym0)
+       |  WHERE crk <= $KnnCandCap
+       |), dots AS (
+       |  SELECT c.vec_id, c.neighbor_id, SUM(ea.x * eb.x) AS dot
+       |  FROM capped c
+       |  JOIN elems ea ON ea.vec_id = c.vec_id
+       |  JOIN elems eb ON eb.vec_id = c.neighbor_id AND ea.i = eb.i
+       |  GROUP BY 1, 2
        |), ranked AS (
-       |  SELECT vec_id, neighbor_id, sim,
-       |    ROW_NUMBER() OVER (PARTITION BY vec_id
-       |      ORDER BY sim DESC, neighbor_id) AS rk
-       |  FROM sym)
+       |  SELECT d.vec_id, d.neighbor_id,
+       |    ROUND(dot::DOUBLE / (sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)), 6) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY d.vec_id
+       |      ORDER BY ROUND(dot::DOUBLE / (sqrt(na.nrm::DOUBLE)
+       |        * sqrt(nb.nrm::DOUBLE)), 6) DESC, d.neighbor_id) AS rk
+       |  FROM dots d JOIN norms na ON d.vec_id = na.vec_id
+       |  JOIN norms nb ON d.neighbor_id = nb.vec_id)
        |SELECT vec_id, CAST(rk AS BIGINT) AS rk, neighbor_id, sim
        |FROM ranked WHERE rk <= $KnnK ORDER BY vec_id, rk""".stripMargin
   }
