@@ -47,11 +47,18 @@ object BandScale {
       val surv = SimilarityOps.nearDupPairsOf(emb, thr, bands, bits).count()
       val secs = (System.nanoTime() - t0) / 1e9
       // the same lever applied to whole-corpus kNN-graph construction
-      // (s11): edges out + wall-clock under this band construction
-      val t1 = System.nanoTime()
-      val edges = SimilarityOps.knnGraphOf(emb, SimilarityOps.KnnK,
-        bands, bits).count()
-      val knnSecs = (System.nanoTime() - t1) / 1e9
+      // (s11): edges out + wall-clock under this band construction.
+      // Gated to bits >= 8: under 16x4 the ~64%-of-all-pairs collision
+      // floor would push ~n^2/3 rows through the pair-count agg AND the
+      // per-vector window just to produce a datapoint SCALE_r8 never
+      // reports — the 16x4 run stays a usable candidate-count probe.
+      val (edges, knnSecs) =
+        if (bits >= 8) {
+          val t1 = System.nanoTime()
+          val e = SimilarityOps.knnGraphOf(emb, SimilarityOps.KnnK,
+            bands, bits).count()
+          (e, (System.nanoTime() - t1) / 1e9)
+        } else (-1L, -1.0)
       println(f"""{"metric":"band_scale","n":$n,"bands":$bands,"bits":$bits,""" +
         f""""threshold":$thr,"candidates":$cands,"survivors":$surv,""" +
         f""""sec":$secs%.2f,"knn_edges":$edges,"knn_sec":$knnSecs%.2f,""" +

@@ -571,29 +571,23 @@ object PipelineOps {
     * checkpointed per-doc frame; mix totals are a full-frame window over
     * the #sources aggregate. Three FileScans, PlanSpec-pinned. */
   def p06CuratedMix(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val pool = documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
     val isTarget = col("lang") === TextOps.PplLang &&
       col("source").isin(TextOps.PplCleanSources: _*)
-    val lmRows: Array[(Long, Long, Long)] = SelectionOps
-      .hashedBigramsOf(pool.withColumn("is_target", isTarget))
-      .groupBy("f")
-      .agg(count(lit(1)).as("c_r"), count_if(col("is_target")).as("c_t"))
-      .as[(Long, Long, Long)].collect()
-    require(lmRows.exists(_._3 > 0),
-      "p06: the target slice yields no bigram features")
-    val lm = lmRows.toSeq.toDF("f", "c_r", "c_t")
+    // the SHARED t20 kernels (LM estimation, scoring, percentile cut) —
+    // only the carry columns and downstream accounting are p06's own
+    val lm = SelectionOps.dsirLmOf(
+      pool.select(col("doc_id"), col("text"), isTarget.as("is_target")))
     val enriched = pool
       .withColumn("sig", md5(col("text")))
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-      .drop("lang")
+      .select("doc_id", "text", "source", "sig", "n_tokens")
     val scored = SelectionOps.dsirScoresLazy(
         SelectionOps.hashedBigramsOf(enriched), lm,
         carry = Seq("source", "sig", "n_tokens"))
       .localCheckpoint(true)
-    val thr = scored.agg(expr(
-      s"percentile(score_milli, ${1.0 - SelectionOps.DsirKeepFrac})").as("cut"))
+    val thr = SelectionOps.dsirCutOf(scored, SelectionOps.DsirKeepFrac)
     val wSig = org.apache.spark.sql.expressions.Window.partitionBy("sig")
     val verdicts = scored.crossJoin(broadcast(thr))
       .withColumn("selected", col("score_milli") >= col("cut"))

@@ -30,12 +30,11 @@ object SelectionOps {
     * threshold is the deterministic equivalent of its top-k). */
   val DsirKeepFrac = 0.25
 
-  /** 60-bit md5 integer of a string expression (same on both engines —
-    * the d0x portable-hash contract). */
-  private def h60(c: String): String =
-    s"cast(conv(substring(md5($c), 1, 15), 16, 10) as bigint)"
-  private def h60Duck(c: String): String =
-    s"('0x' || substr(md5($c), 1, 15))::BIGINT"
+  /** 60-bit md5 integer of a string expression — the ONE portable-hash
+    * recipe shared with the d0x block (a third copy here could silently
+    * diverge from the dedup hashes). */
+  private def h60(c: String): String = DedupOps2.h60(c)
+  private def h60Duck(c: String): String = DedupOps2.h60Duck(c)
 
   /** t20: DSIR importance-weight selection over the full document pool.
     *
@@ -70,20 +69,15 @@ object SelectionOps {
         col("source").isin(TextOps.PplCleanSources: _*))
       .orderBy("doc_id")
 
-  /** t20's kernel over any (doc_id, text) pool and a target-membership
-    * predicate evaluated against the pool's OTHER columns
-    * (graft.ops.Text API). */
-  private[graft] def dsirSelectOf(pool: DataFrame, isTarget: Column,
-                                  keepFrac: Double = DsirKeepFrac): DataFrame = {
-    require(keepFrac > 0.0 && keepFrac <= 1.0,
-      s"dsirSelect: keepFrac must be in (0, 1], got $keepFrac")
-    val s = pool.sparkSession
+  /** ONE pool pass over a `(doc_id, text, is_target)` projection → the
+    * joint (bucket, raw count, target count) LM table, collected
+    * (≤ [[DsirBuckets]] rows) and re-emitted so the scoring join never
+    * re-plans this scan. SHARED by t20 and p06 — the Spark-side DSIR
+    * semantics are as single-sourced as the oracle's [[dsirSqlCtes]]. */
+  private[graft] def dsirLmOf(pool3: DataFrame): DataFrame = {
+    val s = pool3.sparkSession
     import s.implicits._
-    val feats = hashedBigramsOf(pool.withColumn("is_target", isTarget))
-    // ONE pool pass -> the joint (bucket, raw count, target count) LM
-    // table, collected (<= DsirBuckets rows) so the scoring join never
-    // re-plans this scan
-    val lmRows: Array[(Long, Long, Long)] = feats
+    val lmRows: Array[(Long, Long, Long)] = hashedBigramsOf(pool3)
       .groupBy("f")
       .agg(count(lit(1)).as("c_r"),
         count_if(col("is_target")).as("c_t"))
@@ -92,14 +86,37 @@ object SelectionOps {
       "dsirSelect: the target slice yields no bigram features — the " +
         "importance weights cannot be estimated (need target docs with " +
         ">= 2 tokens)")
-    val lm = lmRows.toSeq.toDF("f", "c_r", "c_t")
+    lmRows.toSeq.toDF("f", "c_r", "c_t")
+  }
+
+  /** The (1 − keepFrac) corpus-percentile score threshold, as a 1-row
+    * frame for a broadcast cross join. SHARED by t20 and p06. */
+  private[graft] def dsirCutOf(scored: DataFrame, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"dsirSelect: keepFrac must be in (0, 1], got $keepFrac")
+    scored.agg(
+      expr(s"percentile(score_milli, ${1.0 - keepFrac})").as("cut"))
+  }
+
+  /** t20's kernel over any (doc_id, text) pool and a target-membership
+    * predicate evaluated against the pool's OTHER columns
+    * (graft.ops.Text API). The pool is projected to exactly
+    * (doc_id, text, is_target) BEFORE the kernel runs, so user column
+    * names can never collide with the kernel's internals (`f`, `bg`,
+    * `words`) and no user payload is carried per-bigram through the
+    * explodes. */
+  private[graft] def dsirSelectOf(pool: DataFrame, isTarget: Column,
+                                  keepFrac: Double = DsirKeepFrac): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"dsirSelect: keepFrac must be in (0, 1], got $keepFrac")
+    val pool3 = pool.select(col("doc_id"), col("text"),
+      isTarget.as("is_target"))
+    val lm = dsirLmOf(pool3)
     // eager checkpoint: the threshold branch reads the materialized
     // per-doc scores instead of re-planning the corpus scan
-    val scored = dsirScoresLazy(hashedBigramsOf(pool), lm)
+    val scored = dsirScoresLazy(hashedBigramsOf(pool3.drop("is_target")), lm)
       .localCheckpoint(true)
-    val thr = scored.agg(
-      expr(s"percentile(score_milli, ${1.0 - keepFrac})").as("cut"))
-    scored.crossJoin(broadcast(thr))
+    scored.crossJoin(broadcast(dsirCutOf(scored, keepFrac)))
       .withColumn("selected", col("score_milli") >= col("cut"))
       .select("doc_id", "n_feats", "score_milli", "selected")
   }

@@ -177,6 +177,13 @@ class EdgeCaseSpec extends AnyFunSuite {
       keepFrac = 1.0).orderBy("doc_id").collect()
     assert(sel.map(_.getLong(0)).toSeq == Seq(1L, 2L) &&
       sel.forall(_.getAs[Boolean]("selected")), sel.mkString(","))
+    // a pool column named like a kernel internal ("f") cannot collide —
+    // dsirSelect projects (doc_id, text, is_target) before featurizing
+    import org.apache.spark.sql.functions.lit
+    val weird = Seq((1L, "a b c", 9L), (2L, "a b d", 9L))
+      .toDF("id", "body", "f")
+    assert(Text.dsirSelect(weird, lit(true), keepFrac = 1.0,
+      idCol = "id", textCol = "body").count() == 2)
     // an unscorable pool (no doc reaches 2 tokens) fails by name
     val e2 = intercept[IllegalArgumentException](
       Text.dsirSelect(docsOf(Seq((1L, "x"))),

@@ -276,11 +276,16 @@ class PlanSpec extends AnyFunSuite {
     // mix weights are a distribution over sources (rounding-tolerant)
     val tot = df.agg(sum("mix_weight")).collect().head.getDouble(0)
     assert(math.abs(tot - 1.0) < 1e-3, s"mix weights sum to $tot")
-    // selection actually bites on the benchmark corpus: every stage
-    // count is exercised somewhere
+    // selection actually bites on the benchmark corpus (the sf0.001
+    // documents table has NO exact duplicates, so the dedup stage's
+    // n_dup_dropped is structurally 0 here — its semantics are pinned by
+    // the oracle row and the d12/CorpusApiSpec duplicate fixtures)
     val any = df.agg(sum("n_unselected").as("u"), sum("n_dup_dropped").as("dd"),
       sum("n_admitted").as("a")).collect().head
     assert(any.getLong(0) > 0 && any.getLong(2) > 0, any)
+    assert(any.getLong(1) == 0L,
+      s"sf0.001 grew exact duplicates (${any.getLong(1)} dropped) — " +
+        "strengthen this probe to assert the dedup stage bites")
   }
 
   test("p05: one corpus pass per modality, no cross products") {
