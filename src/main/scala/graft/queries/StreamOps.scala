@@ -248,6 +248,91 @@ object StreamOps {
        |  CAST(MAX(CASE WHEN admitted THEN ts_us END) AS BIGINT) AS last_admitted_us
        |FROM ranked GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** st09's per-user admission quota among gate-passing events. Smaller
+    * than st07's so both gates (model cut AND quota) bind on the
+    * benchmark corpus. */
+  val ScoredQuota = 25
+
+  /** st09: model-gated quota admission — "train batch, serve stream",
+    * the online-curation shape: a per-event-type value cut (the
+    * batch-trained model — each type's integer centi-mean) gates
+    * arriving events, and gate-passing events then consume the user's
+    * [[ScoredQuota]] in event-time order (event_id tiebreak). Output is
+    * the per-user ledger: total events, gate-passing events, admitted
+    * events, last admitted timestamp (null when nothing passed). The
+    * batch twin of [[graft.streaming.StreamingPipelines.scoredAdmit]];
+    * the cut table is metadata-sized (one row per event type) and joins
+    * broadcast — in the streaming twin it is the static side of a
+    * stream-static join (the st03 shape) feeding the st07-style
+    * per-key counter.
+    *
+    * Scale shape: one scan → broadcast cut join → one window over
+    * user-id hash partitions of the PASSED subset → two per-user hash
+    * aggs joined at user granularity. No global sort before the final
+    * ORDER BY. */
+  def st09ScoredAdmission(s: SparkSession, d: String): DataFrame = {
+    val gated = st09Gated(s, d)
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val admitted = gated.filter(col("passed"))
+      .withColumn("admitted", row_number().over(w) <= ScoredQuota)
+    val base = gated.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), count_if(col("passed")).as("n_passed"))
+    val fin = admitted.groupBy("user_id")
+      .agg(count_if(col("admitted")).as("n_admitted"),
+        max(when(col("admitted"), col("ts_us"))).as("last_admitted_us"))
+    base.join(fin, Seq("user_id"), "left")
+      .withColumn("n_admitted", coalesce(col("n_admitted"), lit(0L)))
+      .select("user_id", "n_events", "n_passed", "n_admitted",
+        "last_admitted_us")
+      .orderBy("user_id")
+  }
+
+  /** The gated event stream st09's batch and streaming twins share:
+    * (event_id, user_id, ts_us, passed) with `passed` = value ≥ the
+    * event type's batch-trained centi-mean cut. */
+  private[graft] def st09Gated(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("v_centi", expr("cast(floor(value * 100) as bigint)"))
+      .select("event_id", "user_id", "event_type", "ts_us", "v_centi")
+    val cuts = ev.groupBy("event_type")
+      .agg(expr("sum(v_centi) div count(1)").as("cut_centi"))
+    ev.join(broadcast(cuts), "event_type")
+      .withColumn("passed", col("v_centi") >= col("cut_centi"))
+      .select("event_id", "user_id", "ts_us", "passed")
+  }
+
+  val st09Sql: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+       |    CAST(FLOOR(value * 100) AS BIGINT) AS v_centi
+       |  FROM events
+       |), cuts AS (
+       |  SELECT event_type,
+       |    CAST(SUM(v_centi) // COUNT(*) AS BIGINT) AS cut_centi
+       |  FROM ev GROUP BY 1
+       |), gated AS (
+       |  SELECT ev.*, v_centi >= cut_centi AS passed
+       |  FROM ev JOIN cuts USING (event_type)
+       |), adm AS (
+       |  SELECT user_id, ts_us,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY ts_us, event_id) <= $ScoredQuota AS admitted
+       |  FROM gated WHERE passed
+       |), base AS (
+       |  SELECT user_id, COUNT(*) AS n_events,
+       |    COUNT(*) FILTER (passed) AS n_passed
+       |  FROM gated GROUP BY 1
+       |), fin AS (
+       |  SELECT user_id,
+       |    COUNT(*) FILTER (admitted) AS n_admitted,
+       |    CAST(MAX(CASE WHEN admitted THEN ts_us END) AS BIGINT)
+       |      AS last_admitted_us
+       |  FROM adm GROUP BY 1)
+       |SELECT b.user_id, n_events, n_passed,
+       |  COALESCE(n_admitted, 0) AS n_admitted, last_admitted_us
+       |FROM base b LEFT JOIN fin USING (user_id) ORDER BY b.user_id""".stripMargin
+
   /** st08: windowed heavy hitters — per tumbling 1-hour event-time
     * window, the [[HhK]] most active users (rank by count desc, user_id
     * tiebreak): hot-key / trending detection, the monitoring query every
@@ -289,6 +374,7 @@ object StreamOps {
        |ORDER BY wstart, rk""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st09_scored_admission" -> st09ScoredAdmission _,
     "st08_heavy_hitters" -> st08HeavyHitters _,
     "st07_quota_admission" -> st07QuotaAdmission _,
     "st06_unconverted_clicks" -> st06UnconvertedClicks _,
@@ -300,6 +386,7 @@ object StreamOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "st09_scored_admission" -> st09Sql,
     "st08_heavy_hitters" -> st08Sql,
     "st07_quota_admission" -> st07Sql,
     "st01_sessionize" -> st01Sql,

@@ -158,6 +158,48 @@ object StreamingPipelines {
         Encoders.product[SessionState], Encoders.product[SessionSummary])
   }
 
+  final case class SEv(event_id: Long, user_id: Long, ts_us: Long,
+                       passed: Boolean)
+  final case class ScoredState(events: Long, passed: Long, admitted: Long,
+                               lastAdmittedUs: Long)
+  final case class ScoredSummary(user_id: Long, n_events: Long,
+                                 n_passed: Long, n_admitted: Long,
+                                 last_admitted_us: Option[Long])
+
+  val ScoredQuota: Long = graft.queries.StreamOps.ScoredQuota.toLong
+
+  /** Model-gated quota admission via mapGroupsWithState — the streaming
+    * twin of StreamOps.st09ScoredAdmission ("train batch, serve
+    * stream"): the per-type value cut is applied UPSTREAM as the static
+    * side of a stream-static broadcast join (the st03 shape) producing
+    * the `passed` flag; this stage counts every event, lets only
+    * passing events consume the per-user [[ScoredQuota]], and carries
+    * four longs of state per key — bounded by active users regardless
+    * of stream length. Equality contract with the batch twin matches
+    * [[quotaAdmit]]'s: micro-batches delivered in event-time order,
+    * intra-batch order immaterial (each group sorts by (ts_us,
+    * event_id) before the counter advances). */
+  def scoredAdmit(events: Dataset[SEv]): Dataset[ScoredSummary] = {
+    def update(userId: Long, evs: Iterator[SEv],
+               state: GroupState[ScoredState]): ScoredSummary = {
+      val sorted = evs.toVector.sortBy(e => (e.ts_us, e.event_id))
+      var st = state.getOption.getOrElse(ScoredState(0L, 0L, 0L, Long.MinValue))
+      sorted.foreach { e =>
+        val admit = e.passed && st.admitted < ScoredQuota
+        st = ScoredState(st.events + 1,
+          st.passed + (if (e.passed) 1 else 0),
+          st.admitted + (if (admit) 1 else 0),
+          if (admit) e.ts_us else st.lastAdmittedUs)
+      }
+      state.update(st)
+      ScoredSummary(userId, st.events, st.passed, st.admitted,
+        if (st.admitted > 0) Some(st.lastAdmittedUs) else None)
+    }
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)(
+        Encoders.product[ScoredState], Encoders.product[ScoredSummary])
+  }
+
   final case class QEv(event_id: Long, user_id: Long, ts_us: Long)
   final case class QuotaState(events: Long, admitted: Long, lastAdmittedUs: Long)
   final case class QuotaSummary(user_id: Long, n_events: Long,

@@ -219,6 +219,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming scored admission equals the batch twin across a two-batch replay") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the shared gated stream (cut gate pre-applied — the stream-static
+    // broadcast-join stage), delivered in TWO time-ordered micro-batches
+    // so the four-long counter must carry state across batches
+    val ev = graft.queries.StreamOps.st09Gated(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+      .sortBy(_._3)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, Boolean)]
+    val stream = mem.toDF().toDF("event_id", "user_id", "ts_us", "passed")
+      .as[StreamingPipelines.SEv]
+    val q = StreamingPipelines.scoredAdmit(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("scored_out").start()
+    try {
+      val (first, second) = ev.splitAt(ev.length / 2)
+      mem.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(second.toSeq: _*)
+      q.processAllAvailable()
+      // update mode: one row per user per batch, all columns monotone
+      val streaming = spark.sql(
+        """SELECT user_id, max(n_events), max(n_passed), max(n_admitted),
+          |  max(last_admitted_us)
+          |FROM scored_out GROUP BY user_id""".stripMargin)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+          r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]))))
+        .toMap
+      val batch = graft.queries.StreamOps.st09ScoredAdmission(spark, sfDir)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+          r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]))))
+        .toMap
+      assert(streaming == batch)
+      // BOTH gates must bind on this corpus or the probe is vacuous:
+      // somewhere the cut rejects events, somewhere the quota truncates
+      assert(batch.values.exists { case (n, p, _, _) => p < n },
+        "value cut never rejected an event")
+      assert(batch.values.exists { case (_, p, adm, _) => adm < p },
+        "quota never truncated the passing stream")
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: exact under capacity; SpaceSaving bounds under pressure") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
