@@ -1177,8 +1177,15 @@ object SimilarityOps {
     * mass ≤ 2·cap·n — LINEAR in corpus size — while the uncapped
     * candidate floor of the 32×8 construction is ~n² (measured:
     * 296k → 29.6M pairs for 10× the vectors, SCALE_r8 §1). Twins that
-    * collide in every band always survive the cap. */
-  val KnnCandCap = 12
+    * collide in every band always survive the cap. Sized so the cap
+    * does NOT bind at bench scales (~62 candidates/vector at 500
+    * vectors): among moderate-sim pairs most collision counts are 1 and
+    * the multiplicity ranking separates weakly, so a tight cap evicts
+    * true neighbors with the noise (measured: cap 12 cut strong-pair
+    * rank-1 recall 0.73 → 0.17 at sf0.01). When the cap binds at
+    * larger n, the recall lever is WIDER bands (SCALE_r8 §2), not a
+    * looser cap. */
+  val KnnCandCap = 64
 
   /** s11: approximate kNN-graph construction — for EVERY corpus vector,
     * its top-[[KnnK]] nearest neighbors among its [[KnnCandCap]]

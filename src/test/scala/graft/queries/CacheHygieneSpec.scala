@@ -49,6 +49,22 @@ class CacheHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("late-r8 checkpointing ops leave the CacheManager empty") {
+    // these ops materialize intermediates via eager localCheckpoint (the
+    // sanctioned pattern) — this guards against a future edit swapping
+    // one for a .cache() that outlives the call
+    Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)](
+      "t20_dsir_select" -> (SelectionOps.t20DsirSelect _),
+      "s10_mmr_rerank" -> (SimilarityOps.s10MmrRerank _),
+      "s11_knn_graph" -> (SimilarityOps.s11KnnGraph _),
+      "p06_curated_mix" -> (PipelineOps.p06CuratedMix _),
+    ).foreach { case (name, fn) =>
+      fn(spark, d).count()
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$name left Dataset cache entries registered after returning")
+    }
+  }
+
   test("q29 drops its temp views from the shared session") {
     Relational3.q29RecursiveChains(spark, d).count()
     val views = spark.catalog.listTables().collect().map(_.name).toSet
