@@ -266,24 +266,30 @@ object StreamOps {
     * stream-static join (the st03 shape) feeding the st07-style
     * per-key counter.
     *
-    * Scale shape: one scan → broadcast cut join → one window over
-    * user-id hash partitions of the PASSED subset → two per-user hash
-    * aggs joined at user granularity. No global sort before the final
-    * ORDER BY. */
+    * Scale shape: the inherent two passes (cut-training aggregation,
+    * then the gate scan — the t20 shape) → broadcast cut join → ONE
+    * chain over user-id hash partitions: a running passed-count window
+    * computes admission and the per-user ledger aggregates in the same
+    * consumer, so no output branch re-plans the scan. No global sort
+    * before the final ORDER BY. */
   def st09ScoredAdmission(s: SparkSession, d: String): DataFrame = {
+    // SINGLE consumer of the gated stream: a running passed-count window
+    // computes admission in the same chain the ledger aggregates, so the
+    // events table is scanned once for the gate pass (plus the inherent
+    // cut-training aggregation — the t20-style two-pass shape), never
+    // re-planned per output branch
     val gated = st09Gated(s, d)
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    val admitted = gated.filter(col("passed"))
-      .withColumn("admitted", row_number().over(w) <= ScoredQuota)
-    val base = gated.groupBy("user_id")
-      .agg(count(lit(1)).as("n_events"), count_if(col("passed")).as("n_passed"))
-    val fin = admitted.groupBy("user_id")
-      .agg(count_if(col("admitted")).as("n_admitted"),
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gated
+      .withColumn("np",
+        sum(when(col("passed"), 1L).otherwise(0L)).over(w))
+      .withColumn("admitted", col("passed") && col("np") <= ScoredQuota)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count_if(col("passed")).as("n_passed"),
+        count_if(col("admitted")).as("n_admitted"),
         max(when(col("admitted"), col("ts_us"))).as("last_admitted_us"))
-    base.join(fin, Seq("user_id"), "left")
-      .withColumn("n_admitted", coalesce(col("n_admitted"), lit(0L)))
-      .select("user_id", "n_events", "n_passed", "n_admitted",
-        "last_admitted_us")
       .orderBy("user_id")
   }
 
@@ -295,8 +301,15 @@ object StreamOps {
       .withColumn("ts_us", unix_micros(col("ts")))
       .withColumn("v_centi", expr("cast(floor(value * 100) as bigint)"))
       .select("event_id", "user_id", "event_type", "ts_us", "v_centi")
+    // FLOOR division on both engines: Spark `div` truncates toward zero
+    // while DuckDB `//` floors — they disagree on negative sums, so the
+    // cut is div with an explicit negative-remainder adjustment (exact
+    // at any magnitude; values are nonnegative on the benchmark corpus
+    // but the contract must not depend on that)
     val cuts = ev.groupBy("event_type")
-      .agg(expr("sum(v_centi) div count(1)").as("cut_centi"))
+      .agg(expr("sum(v_centi) div count(1) - " +
+        "(case when sum(v_centi) % count(1) <> 0 and sum(v_centi) < 0 " +
+        "then 1 else 0 end)").as("cut_centi"))
     ev.join(broadcast(cuts), "event_type")
       .withColumn("passed", col("v_centi") >= col("cut_centi"))
       .select("event_id", "user_id", "ts_us", "passed")
@@ -315,23 +328,18 @@ object StreamOps {
        |  SELECT ev.*, v_centi >= cut_centi AS passed
        |  FROM ev JOIN cuts USING (event_type)
        |), adm AS (
-       |  SELECT user_id, ts_us,
-       |    ROW_NUMBER() OVER (PARTITION BY user_id
-       |      ORDER BY ts_us, event_id) <= $ScoredQuota AS admitted
-       |  FROM gated WHERE passed
-       |), base AS (
-       |  SELECT user_id, COUNT(*) AS n_events,
-       |    COUNT(*) FILTER (passed) AS n_passed
-       |  FROM gated GROUP BY 1
-       |), fin AS (
-       |  SELECT user_id,
-       |    COUNT(*) FILTER (admitted) AS n_admitted,
-       |    CAST(MAX(CASE WHEN admitted THEN ts_us END) AS BIGINT)
-       |      AS last_admitted_us
-       |  FROM adm GROUP BY 1)
-       |SELECT b.user_id, n_events, n_passed,
-       |  COALESCE(n_admitted, 0) AS n_admitted, last_admitted_us
-       |FROM base b LEFT JOIN fin USING (user_id) ORDER BY b.user_id""".stripMargin
+       |  SELECT user_id, ts_us, passed,
+       |    passed AND SUM(CASE WHEN passed THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      <= $ScoredQuota AS admitted
+       |  FROM gated)
+       |SELECT user_id, COUNT(*) AS n_events,
+       |  COUNT(*) FILTER (passed) AS n_passed,
+       |  COUNT(*) FILTER (admitted) AS n_admitted,
+       |  CAST(MAX(CASE WHEN admitted THEN ts_us END) AS BIGINT)
+       |    AS last_admitted_us
+       |FROM adm GROUP BY 1 ORDER BY user_id""".stripMargin
 
   /** st08: windowed heavy hitters — per tumbling 1-hour event-time
     * window, the [[HhK]] most active users (rank by count desc, user_id

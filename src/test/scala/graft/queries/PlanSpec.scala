@@ -259,6 +259,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("st09: two inherent passes, one consumer chain, broadcast cut join") {
+    // cut-training agg + gate scan are the only event scans (the t20
+    // two-pass shape); the review-pass caught the original two-branch
+    // ledger re-planning the gate scan per consumer (3-4 scans)
+    val p = plan(StreamOps.st09ScoredAdmission(spark, d))
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 2, s"st09 plans $scans event scans (want 2):\n$p")
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("p06: accounting partitions each source; final plan is the pruned totals branch") {
     val df = PipelineOps.p06CuratedMix(spark, d)
     // the two DSIR passes ran eagerly (collect + checkpoint); what
