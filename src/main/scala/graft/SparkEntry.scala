@@ -13,7 +13,7 @@ object SparkEntry {
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       CubeOps.queries ++ BakeOps.queries ++ NetcdfOps.queries ++ Hdf5Ops.queries ++
       GribOps.queries ++ DapOps.queries ++ ZarrV2Ops.queries ++
-      TextOps.queries ++ SelectionOps.queries ++
+      TextOps.queries ++ SelectionOps.queries ++ RetrievalOps.queries ++
       DedupOps.queries ++ DedupOps2.queries ++
       SimilarityOps.queries ++
       MultiModalOps.queries ++ StreamOps.queries ++ PipelineOps.queries
@@ -25,7 +25,7 @@ object SparkEntry {
       CubeOps.oracles ++ BakeOps.oracles ++ NetcdfOps.oracles ++
       Hdf5Ops.oracles ++ GribOps.oracles ++ DapOps.oracles ++
       ZarrV2Ops.oracles ++
-      TextOps.oracles ++ SelectionOps.oracles ++
+      TextOps.oracles ++ SelectionOps.oracles ++ RetrievalOps.oracles ++
       DedupOps.oracles ++ DedupOps2.oracles ++
       SimilarityOps.oracles ++ MultiModalOps.oracles ++ StreamOps.oracles ++
       PipelineOps.oracles

@@ -88,6 +88,20 @@ object Text {
       norm(docs, idCol, textCol),
       col("doc_id").isin(queryIds: _*), k)
 
+  /** BM25 TOP-K (t22): sparse lexical retrieval through the inverted
+    * index — each query document's DISTINCT words score every other
+    * document with exact-integer BM25 (k1=1.2, b=0.75; idf as the
+    * floor-log2 bit length, tf saturation rationalized to an integer
+    * ratio in milli units). The classical counterpart of
+    * [[Vectors.cosineTopK]]'s dense arm and one side of every hybrid
+    * retrieval stack. Returns (query_id, rk, doc_id, n_hit_terms,
+    * score_milli), rk by score desc / doc_id asc. */
+  def bm25TopK(docs: DataFrame, queryIds: Seq[Long], k: Int = 5,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.queries.RetrievalOps.bm25TopKOf(
+      norm(docs, idCol, textCol),
+      col("doc_id").isin(queryIds: _*), k)
+
   /** BPE ENCODE (t19): learn `nMerges` merges from the corpus (t17's
     * trainer, `batch` forwarded) and tokenize every document with them —
     * the train-once/encode-everything loop of a production tokenizer.

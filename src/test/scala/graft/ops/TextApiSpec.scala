@@ -61,6 +61,30 @@ class TextApiSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.collect().take(3).mkString(","))
   }
 
+  test("bm25TopK == t22; a verbatim copy of a query ranks first") {
+    import spark.implicits._
+    same(Text.bm25TopK(renamed, 0L until 10L, k = 5, "id", "body")
+      .orderBy("query_id", "rk"),
+      graft.queries.RetrievalOps.t22Bm25Topk(spark, d))
+    // retrieval sanity on a hand-built corpus: an exact copy of the query
+    // text must outrank everything else (it matches every query term at
+    // the query's own tf profile); a doc sharing NO term never appears
+    val fixture = Seq(
+      (0L, "apple banana cherry durian elderberry fig"),
+      (1L, "apple banana cherry durian elderberry fig"),
+      (2L, "apple banana nothing else here at all today"),
+      (3L, "totally disjoint vocabulary zone without overlap"),
+      (4L, "cherry durian elderberry fig grape honeydew")).toDF("id", "body")
+    val got = Text.bm25TopK(fixture, Seq(0L), k = 4, "id", "body")
+      .orderBy("rk").collect()
+    assert(got.head.getAs[Long]("doc_id") == 1L,
+      s"exact copy must rank first: ${got.mkString(",")}")
+    assert(!got.map(_.getAs[Long]("doc_id")).contains(3L),
+      "a zero-overlap doc can never be retrieved")
+    // every emitted score is a nonnegative integer sum
+    assert(got.forall(_.getAs[Long]("score_milli") >= 0L))
+  }
+
   test("bpeMerges == t17 under renamed columns; merge semantics guards hold") {
     import spark.implicits._
     same(Text.bpeMerges(renamed, idCol = "id", textCol = "body"),

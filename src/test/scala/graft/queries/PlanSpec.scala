@@ -259,6 +259,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("t22: posting build is ONE scan; scoring joins broadcast the query terms") {
+    import org.apache.spark.sql.functions.col
+    // the lazy posting subtree (checkpointed in the full query) must be
+    // exactly one corpus scan with a partial+final hash agg
+    val pp = plan(RetrievalOps.bm25PostingsLazy(
+      Tables.documents(spark, d).select("doc_id", "text"),
+      col("doc_id") < RetrievalOps.Bm25NumQueries))
+    assert("FileScan parquet".r.findAllIn(pp).size == 1,
+      s"posting build plans more than one corpus scan:\n$pp")
+    assert(pp.contains("partial_"), pp)
+    // the full query: no file scans survive the checkpoint, the
+    // inverted-index probe side is broadcast, and nothing cross-products
+    val p = plan(RetrievalOps.t22Bm25Topk(spark, d))
+    assert(!p.contains("FileScan parquet"),
+      s"t22 re-plans the corpus scan past the checkpoint:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("st09: two inherent passes, one consumer chain, broadcast cut join") {
     // cut-training agg + gate scan are the only event scans (the t20
     // two-pass shape); the review-pass caught the original two-branch
