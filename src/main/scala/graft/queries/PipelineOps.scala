@@ -658,7 +658,86 @@ object PipelineOps {
        |    AS mix_weight
        |FROM st CROSS JOIN tot ORDER BY source""".stripMargin
 
+  /** p07: HYBRID retrieval — reciprocal-rank fusion of the lexical (t22
+    * BM25) and dense (s01 brute-force cosine) arms, the standard
+    * production hybrid-search stack (Cormack et al. 2009's RRF: robust
+    * rank-level fusion needing no score calibration between arms).
+    *
+    * Each arm emits its top-[[RetrievalOps.HybridTopL]] list for the
+    * shared query ids (< [[SimilarityOps.NumQueries]]; the documents and
+    * embeddings tables share the id space by construction of the
+    * testdata). Fusion: full-outer join of the two rank lists on
+    * (query, item); an item absent from an arm carries rank 0 = "not
+    * retrieved" (no NULLs — nullable ints round-trip as float64 through
+    * the driver's pandas compare) and contributes nothing;
+    * rrf_milli = Σ_present 1000000 div (60 + rank). Final top-k by fused
+    * score, item ascending on ties.
+    *
+    * Scale shape: both arms are their gated operators' plans (checkpointed
+    * posting build + broadcast query terms; broadcast query vectors in one
+    * corpus scan). The fusion join touches two (queries × L) rank lists —
+    * metadata-sized at any corpus scale. */
+  def p07HybridRetrieval(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val L = RetrievalOps.HybridTopL
+    val lex = RetrievalOps.bm25TopKOf(
+      documents(s, d).select("doc_id", "text"),
+      col("doc_id") < SimilarityOps.NumQueries.toLong, L)
+      .select(col("query_id"), col("doc_id").as("item_id"),
+        col("rk").as("bm25_rk"))
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), expr(SimilarityOps.quantize("embedding")).as("q"))
+    val den = SimilarityOps.bruteForceTopKOf(emb,
+      emb.filter(col("vec_id") < SimilarityOps.NumQueries.toLong), L)
+      .select(col("query_id"), col("neighbor_id").as("item_id"),
+        col("rk").as("dense_rk"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rrf_milli").desc, col("item_id"))
+    lex.join(den, Seq("query_id", "item_id"), "full_outer")
+      .withColumn("bm25_rk", coalesce(col("bm25_rk"), lit(0L)))
+      .withColumn("dense_rk", coalesce(col("dense_rk"), lit(0L)))
+      .withColumn("rrf_milli",
+        when(col("bm25_rk") > 0, expr("1000000 div (60 + bm25_rk)"))
+          .otherwise(lit(0L)) +
+          when(col("dense_rk") > 0, expr("1000000 div (60 + dense_rk)"))
+            .otherwise(lit(0L)))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= RetrievalOps.Bm25TopK)
+      .select("query_id", "rk", "item_id", "bm25_rk", "dense_rk", "rrf_milli")
+      .orderBy("query_id", "rk")
+  }
+
+  val p07Sql: String =
+    s"""WITH ${RetrievalOps.bm25SqlCtes("b", RetrievalOps.HybridTopL)},
+       |${SimilarityOps.denseArmSqlCtes("v")},
+       |vtop AS (
+       |  SELECT query_id, neighbor_id, rk FROM vranked
+       |  WHERE rk <= ${RetrievalOps.HybridTopL}
+       |), fu AS (
+       |  SELECT COALESCE(b.query_id, v.query_id) AS query_id,
+       |    COALESCE(b.doc_id, v.neighbor_id) AS item_id,
+       |    COALESCE(b.rk, 0) AS bm25_rk, COALESCE(v.rk, 0) AS dense_rk
+       |  FROM bbm b FULL JOIN vtop v
+       |    ON b.query_id = v.query_id AND b.doc_id = v.neighbor_id
+       |), sc AS (
+       |  SELECT query_id, item_id,
+       |    CAST(bm25_rk AS BIGINT) AS bm25_rk,
+       |    CAST(dense_rk AS BIGINT) AS dense_rk,
+       |    CAST(CASE WHEN bm25_rk > 0 THEN 1000000 // (60 + bm25_rk) ELSE 0 END
+       |      + CASE WHEN dense_rk > 0 THEN 1000000 // (60 + dense_rk) ELSE 0 END
+       |      AS BIGINT) AS rrf_milli
+       |  FROM fu
+       |), fin AS (
+       |  SELECT query_id, item_id, bm25_rk, dense_rk, rrf_milli,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_milli DESC, item_id) AS BIGINT) AS rk
+       |  FROM sc)
+       |SELECT query_id, rk, item_id, bm25_rk, dense_rk, rrf_milli
+       |FROM fin WHERE rk <= ${RetrievalOps.Bm25TopK}
+       |ORDER BY query_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p07_hybrid_retrieval" -> p07HybridRetrieval _,
     "p06_curated_mix" -> p06CuratedMix _,
     "p05_multimodal_admission" -> p05MultimodalAdmission _,
     "p04_admission_index" -> p04AdmissionIndex _,
@@ -668,6 +747,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "p07_hybrid_retrieval" -> p07Sql,
     "p06_curated_mix" -> p06Sql,
     "p05_multimodal_admission" -> p05Sql,
     "p04_admission_index" -> p04Sql,

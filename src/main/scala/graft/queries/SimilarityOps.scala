@@ -22,7 +22,7 @@ object SimilarityOps {
 
   private val Dim = 64
   private val Scale = 1000
-  private val NumQueries = 10
+  private[graft] val NumQueries = 10
   private val TopK = 5
 
   /** Quantized embedding column (array<bigint>). */
@@ -123,27 +123,34 @@ object SimilarityOps {
   private[graft] def quantize(vecCol: String): String =
     s"transform($vecCol, x -> cast(round(cast(x as double) * $Scale) as bigint))"
 
-  val s01Sql: String =
-    s"""WITH q AS (
+  /** The brute-force dense-arm derivation as prefixed CTE text ending in
+    * `<p>ranked` = (query_id, neighbor_id, sim, rk) with rk unbounded —
+    * SHARED by s01Sql and p07Sql (the dsirSqlCtes anti-drift lesson):
+    * the fused pipeline scores with EXACTLY the s01 semantics. */
+  private[graft] def denseArmSqlCtes(p: String): String =
+    s"""${p}q AS (
        |  SELECT vec_id, $qEmbDuck AS qv FROM embeddings
-       |), elems AS (
-       |  SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x FROM q
-       |), norms AS (
-       |  SELECT vec_id, SUM(x * x) AS nrm FROM elems GROUP BY vec_id
-       |), dots AS (
+       |), ${p}elems AS (
+       |  SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x FROM ${p}q
+       |), ${p}norms AS (
+       |  SELECT vec_id, SUM(x * x) AS nrm FROM ${p}elems GROUP BY vec_id
+       |), ${p}dots AS (
        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.x * b.x) AS dot
-       |  FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id < $NumQueries
+       |  FROM ${p}elems a JOIN ${p}elems b ON a.i = b.i AND a.vec_id < $NumQueries
        |    AND a.vec_id <> b.vec_id
        |  GROUP BY 1, 2
-       |), scored AS (
+       |), ${p}scored AS (
        |  SELECT query_id, neighbor_id,
        |    ROUND(dot::DOUBLE / (sqrt(nq.nrm::DOUBLE) * sqrt(nn.nrm::DOUBLE)), 6) AS sim
-       |  FROM dots JOIN norms nq ON query_id = nq.vec_id
-       |  JOIN norms nn ON neighbor_id = nn.vec_id
-       |), ranked AS (
+       |  FROM ${p}dots JOIN ${p}norms nq ON query_id = nq.vec_id
+       |  JOIN ${p}norms nn ON neighbor_id = nn.vec_id
+       |), ${p}ranked AS (
        |  SELECT query_id, neighbor_id, sim,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
-       |  FROM scored)
+       |  FROM ${p}scored)""".stripMargin
+
+  val s01Sql: String =
+    s"""WITH ${denseArmSqlCtes("")}
        |SELECT query_id, rk, neighbor_id, sim FROM ranked
        |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
 

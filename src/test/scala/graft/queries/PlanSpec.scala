@@ -278,6 +278,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("p07: fusion joins rank lists only; embeddings scanned at most twice") {
+    import org.apache.spark.sql.functions.col
+    val df = PipelineOps.p07HybridRetrieval(spark, d)
+    val p = plan(df)
+    // the lexical arm's corpus scan is checkpointed away; the dense arm
+    // is the accepted s01 two-branch class (corpus + query projections of
+    // the embeddings scan). A third scan means the fusion re-joined a
+    // corpus instead of the metadata-sized rank lists.
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"p07 plans $scans file scans (> 2):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // fusion invariants: every emitted item was retrieved by SOME arm,
+    // fused scores decompose exactly into the two RRF contributions, and
+    // every query emits exactly k rows
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("bm25_rk") > 0 ||
+      r.getAs[Long]("dense_rk") > 0))
+    assert(rows.forall { r =>
+      def c(rk: Long) = if (rk > 0) 1000000L / (60L + rk) else 0L
+      r.getAs[Long]("rrf_milli") ==
+        c(r.getAs[Long]("bm25_rk")) + c(r.getAs[Long]("dense_rk"))
+    })
+    val perQuery = rows.groupBy(_.getAs[Long]("query_id")).view.mapValues(_.length)
+    assert(perQuery.size == SimilarityOps.NumQueries &&
+      perQuery.values.forall(_ == RetrievalOps.Bm25TopK), perQuery.toMap)
+  }
+
   test("st09: two inherent passes, one consumer chain, broadcast cut join") {
     // cut-training agg + gate scan are the only event scans (the t20
     // two-pass shape); the review-pass caught the original two-branch
