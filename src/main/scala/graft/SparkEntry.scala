@@ -15,7 +15,7 @@ object SparkEntry {
       GribOps.queries ++ DapOps.queries ++ ZarrV2Ops.queries ++
       TextOps.queries ++ SelectionOps.queries ++ RetrievalOps.queries ++
       DedupOps.queries ++ DedupOps2.queries ++
-      SimilarityOps.queries ++
+      SimilarityOps.queries ++ ClusterOps.queries ++
       MultiModalOps.queries ++ StreamOps.queries ++ PipelineOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -27,6 +27,7 @@ object SparkEntry {
       ZarrV2Ops.oracles ++
       TextOps.oracles ++ SelectionOps.oracles ++ RetrievalOps.oracles ++
       DedupOps.oracles ++ DedupOps2.oracles ++
-      SimilarityOps.oracles ++ MultiModalOps.oracles ++ StreamOps.oracles ++
+      SimilarityOps.oracles ++ ClusterOps.oracles ++
+      MultiModalOps.oracles ++ StreamOps.oracles ++
       PipelineOps.oracles
 }

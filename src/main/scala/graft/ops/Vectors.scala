@@ -55,6 +55,18 @@ object Vectors {
       col("vec_id").isin(queryIds: _*), k)
   }
 
+  /** Distributed Lloyd's k-means (s12): the clustering primitive behind
+    * the IVF/PQ/SemDeDup indexes as a first-class operator. Deterministic:
+    * seeds are the k lowest-id vectors, assignment ties go to the lowest
+    * cell, updates are truncated integer means over quantized vectors.
+    * Per iteration ONE corpus pass aggregates k×dim integer sums via
+    * treeAggregate (no data shuffle); the corpus parquet is read once.
+    * Returns one row per vector: (vec_id, cell, d2 — exact integer
+    * squared L2 to the final centroid). */
+  def kmeans(spark: SparkSession, emb: DataFrame, k: Int = 8, iters: Int = 3,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    graft.queries.ClusterOps.kmeansOf(spark, norm(emb, idCol, vecCol), k, iters)
+
   /** Approximate kNN-graph construction (s11): every corpus vector's
     * top-`k` neighbors among banded-LSH candidates (`bands` × `bandBits`
     * OR/AND construction, default the production 32×8) — the input

@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** First-class distributed clustering. s04/s06/s08 each train centroids
+  * internally (seeded or sampled) as a means to an index; s12 exposes the
+  * primitive itself: Lloyd's k-means over the full corpus, the MLlib
+  * shape — per iteration ONE pass over the data computing per-cluster
+  * integer sums/counts via `treeAggregate` against broadcast centroids,
+  * then a driver-side update of the K×Dim table (metadata-sized at any
+  * corpus scale; the per-iteration collect is K centroids, never rows).
+  *
+  * Cross-engine determinism (the s08 contract): quantized integer
+  * vectors; assignment = argmin of EXACT integer squared L2, ties to the
+  * lowest cell id; update = componentwise integer mean with truncation
+  * toward zero (Scala `/`, Spark `div`, and DuckDB `//` all truncate —
+  * verified on negatives); empty clusters keep their previous centroid.
+  * Init = the K lowest-id vectors (k-means‖ seeding would add a
+  * nondeterministic sample; the fixed seed is the oracle-replayable
+  * choice, and the production upgrade path is seeding by s03's LSH
+  * buckets). The DuckDB oracle replays the SAME [[KmIters]] iterations
+  * as unrolled CTEs (the s08/t17 generated-SQL pattern), so both engines
+  * derive identical centroids and assignments.
+  *
+  * Scale shape: the quantized frame is checkpointed once (corpus read
+  * ONCE from parquet); each iteration is a map-side-combined aggregation
+  * tree (treeAggregate) shipping K×Dim longs per partition — no shuffle
+  * of data rows at all, the textbook "broadcast model / aggregate
+  * statistics" iteration. The final labeling is one more scan emitting
+  * (vec_id, cell, d2). At 1000 executors the per-iteration reduce is
+  * depth-2 over 64 KiB payloads — centroid count, not corpus size, bounds
+  * driver memory.
+  */
+object ClusterOps {
+  import Tables._
+
+  /** Cluster count. Deliberately small so the sf0.001 oracle's K×n
+    * cross-join replay stays cheap; the kernel takes k as a parameter. */
+  val KmK = 8
+
+  /** Lloyd iterations (fixed — the oracle unrolls exactly this many). */
+  val KmIters = 3
+
+  /** s12: k-means over the embeddings corpus. Output: one row per vector
+    * (vec_id, cell, d2) — its final cluster and exact integer squared L2
+    * distance to that centroid. */
+  def s12Kmeans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    kmeansOf(s, embeddings(s, d)
+      .select(col("vec_id"), expr(SimilarityOps.quantize("embedding")).as("q"))
+      .as[(Long, Array[Long])].toDF("vec_id", "q"), KmK, KmIters)
+      .orderBy("vec_id")
+  }
+
+  /** The s12 kernel over any (vec_id, q: array<long>) frame
+    * (graft.ops.Vectors API). Returns the final assignment frame. */
+  private[graft] def kmeansOf(s: SparkSession, emb: DataFrame, k: Int,
+                              iters: Int): DataFrame = {
+    import s.implicits._
+    require(k >= 1, s"kmeans: k must be >= 1, got $k")
+    require(iters >= 0, s"kmeans: iters must be >= 0, got $iters")
+    // corpus read once; every iteration and the final labeling scan the
+    // materialized rows, never the parquet again
+    val data = emb.select("vec_id", "q").as[(Long, Array[Long])]
+      .localCheckpoint(true)
+    val init = data.filter(_._1 < k).collect().sortBy(_._1)
+    require(init.length == k,
+      s"kmeans: need the $k seed vectors vec_id < $k, found ${init.length} — " +
+        "ids must be dense from 0 (re-key the frame first)")
+    val dim = init.head._2.length
+    init.find(_._2.length != dim).foreach { case (id, v) =>
+      throw new IllegalArgumentException(
+        s"kmeans: seed vector $id has ${v.length} components, first has $dim")
+    }
+    var cents: Array[Array[Long]] = init.map(_._2.clone())
+    var it = 0
+    while (it < iters) {
+      val bc = s.sparkContext.broadcast(cents)
+      val (sums, counts) = data.rdd.treeAggregate(
+        (Array.fill(k, dim)(0L), Array.fill(k)(0L)))(
+        seqOp = { case ((sm, ct), (id, v)) =>
+          if (v.length != dim) throw new IllegalArgumentException(
+            s"kmeans: vector $id has ${v.length} components, centroids have $dim")
+          val cell = assignCell(v, bc.value)
+          ct(cell) += 1L
+          var j = 0
+          while (j < dim) { sm(cell)(j) += v(j); j += 1 }
+          (sm, ct)
+        },
+        combOp = { case ((sa, ca), (sb, cb)) =>
+          var c = 0
+          while (c < k) {
+            ca(c) += cb(c)
+            var j = 0
+            while (j < dim) { sa(c)(j) += sb(c)(j); j += 1 }
+            c += 1
+          }
+          (sa, ca)
+        })
+      bc.destroy()
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0L) cents(c) // empty cluster keeps its centroid
+        else Array.tabulate(dim)(j => sums(c)(j) / counts(c)) // trunc toward 0
+      }
+      it += 1
+    }
+    val bcF = s.sparkContext.broadcast(cents)
+    data.mapPartitions { rows =>
+      val cs = bcF.value
+      rows.map { case (id, v) =>
+        if (v.length != dim) throw new IllegalArgumentException(
+          s"kmeans: vector $id has ${v.length} components, centroids have $dim")
+        val cell = assignCell(v, cs)
+        var d2 = 0L; var j = 0
+        while (j < dim) { val df = v(j) - cs(cell)(j); d2 += df * df; j += 1 }
+        (id, cell.toLong, d2)
+      }
+    }.toDF("vec_id", "cell", "d2")
+  }
+
+  /** argmin integer squared L2, strict `<` so ties go to the lowest cell
+    * (matches the oracle's ORDER BY d2, cell). */
+  private def assignCell(v: Array[Long], cents: Array[Array[Long]]): Int = {
+    var best = 0; var bestD = Long.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d2 = 0L; var j = 0
+      val ct = cents(c)
+      while (j < v.length) { val df = v(j) - ct(j); d2 += df * df; j += 1 }
+      if (d2 < bestD) { bestD = d2; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The identical training replayed as unrolled per-iteration CTEs. */
+  val s12Sql: String = {
+    val iters = (1 to KmIters).map { i =>
+      s"""kd$i AS (
+         |  SELECT e.vec_id, c.cell, SUM((e.x - c.x) * (e.x - c.x)) AS d2
+         |  FROM kelems e JOIN kc${i - 1} c USING (j) GROUP BY 1, 2
+         |), ka$i AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+         |    FROM kd$i) WHERE rk = 1
+         |), ku$i AS (
+         |  SELECT a.cell, e.j, CAST(SUM(e.x) // COUNT(*) AS BIGINT) AS x
+         |  FROM ka$i a JOIN kelems e USING (vec_id) GROUP BY 1, 2
+         |), kc$i AS (
+         |  SELECT c.cell, c.j, COALESCE(u.x, c.x) AS x
+         |  FROM kc${i - 1} c LEFT JOIN ku$i u ON c.cell = u.cell AND c.j = u.j
+         |)""".stripMargin
+    }.mkString(", ")
+    val cN = s"kc$KmIters"
+    s"""WITH kq AS (
+       |  SELECT vec_id, ${SimilarityOps.qEmbDuck} AS qv FROM embeddings
+       |), kelems AS (
+       |  SELECT vec_id, generate_subscripts(qv, 1) AS j, unnest(qv) AS x FROM kq
+       |), kc0 AS (
+       |  SELECT vec_id AS cell, j, x FROM kelems WHERE vec_id < $KmK
+       |), $iters, kdf AS (
+       |  SELECT e.vec_id, c.cell, SUM((e.x - c.x) * (e.x - c.x)) AS d2
+       |  FROM kelems e JOIN $cN c USING (j) GROUP BY 1, 2
+       |)
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(d2 AS BIGINT) AS d2
+       |FROM (
+       |  SELECT vec_id, cell, d2,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+       |  FROM kdf) WHERE rk = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_kmeans" -> s12Kmeans _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s12_kmeans" -> s12Sql,
+  )
+}

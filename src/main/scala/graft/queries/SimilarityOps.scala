@@ -28,7 +28,7 @@ object SimilarityOps {
   /** Quantized embedding column (array<bigint>). */
   private val qEmb =
     s"transform(embedding, x -> cast(round(cast(x as double) * $Scale) as bigint))"
-  private val qEmbDuck =
+  private[graft] val qEmbDuck =
     s"list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * $Scale) AS BIGINT))"
 
   /** Exact integer dot product / squared norm of quantized vectors via the
