@@ -381,7 +381,92 @@ object StreamOps {
        |SELECT wstart, rk, user_id, n FROM ranked WHERE rk <= $HhK
        |ORDER BY wstart, rk""".stripMargin
 
+  /** st10's drift flag: an hour whose event-type mix differs from the
+    * stream's global mix by ≥ this L1 distance (in milli probability
+    * units, max 2000) is "drifted" — the monitoring gate a training-data
+    * ingest runs to catch upstream mix shifts. */
+  val DriftThresholdMilli = 250L
+
+  /** Sample-size floor for the drift flag: a window below this event
+    * count is never flagged — floor-quantized milli ratios over a handful
+    * of events make L1 large for purely statistical reasons (the sf0.001
+    * corpus averages ~2 events/hour and EVERY window exceeded the L1
+    * threshold before this guard; a monitor that always alarms is
+    * vacuous). The l1_milli score itself is still emitted for every
+    * window, so callers with their own correction can re-threshold. */
+  val DriftMinWindowEvents = 20L
+
+  /** st10: distribution-drift scoring per event-time hour.
+    *
+    * Baseline = the stream's global event-type distribution; each 1-hour
+    * tumbling window scores L1(window mix, baseline) with every ratio
+    * floored to integer milli units (1000·n div total — the t20 integer
+    * contract), summed over the BASELINE type set (the window's types are
+    * a subset by construction; a type absent from the window contributes
+    * its full baseline mass). The streaming twin
+    * (StreamingPipelines.driftScores) serves the same scoring keyed by
+    * window with the baseline broadcast — train batch, serve stream, the
+    * st09 shape.
+    *
+    * Scale shape: ONE corpus scan aggregates (window × type) counts —
+    * metadata-sized output (hours × |type dictionary|), eagerly
+    * checkpointed; baseline, totals, and the scoring grid all derive
+    * from that aggregate, so no branch re-plans the event scan. The
+    * grid cross-join is |windows| × |types| — bounded by time span and
+    * dictionary, never by event count. */
+  def st10DriftScore(s: SparkSession, d: String): DataFrame = {
+    val counts = events(s, d)
+      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("wstart"),
+        col("event_type"))
+      .groupBy("wstart", "event_type")
+      .agg(count(lit(1)).as("n_wt"))
+      .localCheckpoint(true)
+    val baseline = counts.groupBy("event_type").agg(sum("n_wt").as("n_t"))
+    val p = baseline
+      .crossJoin(broadcast(baseline.agg(sum("n_t").as("n_tot"))))
+      .select(col("event_type"), expr("(1000 * n_t) div n_tot").as("p_milli"))
+    val wtot = counts.groupBy("wstart").agg(sum("n_wt").as("n_w"))
+    wtot.crossJoin(broadcast(p))
+      .join(counts, Seq("wstart", "event_type"), "left")
+      .withColumn("q_milli",
+        expr("(1000 * coalesce(n_wt, 0L)) div n_w"))
+      .groupBy("wstart", "n_w")
+      .agg(sum(abs(col("q_milli") - col("p_milli"))).as("l1_milli"))
+      .withColumn("drifted", col("l1_milli") >= DriftThresholdMilli &&
+        col("n_w") >= DriftMinWindowEvents)
+      .select(col("wstart"), col("n_w").as("n_events"),
+        col("l1_milli"), col("drifted"))
+      .orderBy("wstart")
+  }
+
+  val st10Sql: String =
+    s"""WITH cnt AS (
+       |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS wstart,
+       |    event_type, COUNT(*) AS n_wt
+       |  FROM events GROUP BY 1, 2
+       |), base AS (
+       |  SELECT event_type, SUM(n_wt) AS n_t FROM cnt GROUP BY 1
+       |), p AS (
+       |  SELECT event_type,
+       |    CAST((1000 * n_t) // (SELECT SUM(n_t) FROM base) AS BIGINT) AS p_milli
+       |  FROM base
+       |), wtot AS (
+       |  SELECT wstart, SUM(n_wt) AS n_w FROM cnt GROUP BY 1
+       |), q AS (
+       |  SELECT g.wstart, g.n_w, g.p_milli,
+       |    CAST((1000 * COALESCE(c.n_wt, 0)) // g.n_w AS BIGINT) AS q_milli
+       |  FROM (SELECT w.wstart, w.n_w, p.event_type, p.p_milli
+       |        FROM wtot w CROSS JOIN p) g
+       |  LEFT JOIN cnt c ON g.wstart = c.wstart AND g.event_type = c.event_type
+       |)
+       |SELECT wstart, CAST(MIN(n_w) AS BIGINT) AS n_events,
+       |  CAST(SUM(ABS(q_milli - p_milli)) AS BIGINT) AS l1_milli,
+       |  CAST(SUM(ABS(q_milli - p_milli)) AS BIGINT) >= $DriftThresholdMilli
+       |    AND CAST(MIN(n_w) AS BIGINT) >= $DriftMinWindowEvents AS drifted
+       |FROM q GROUP BY wstart ORDER BY wstart""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st10_drift_score" -> st10DriftScore _,
     "st09_scored_admission" -> st09ScoredAdmission _,
     "st08_heavy_hitters" -> st08HeavyHitters _,
     "st07_quota_admission" -> st07QuotaAdmission _,
@@ -394,6 +479,7 @@ object StreamOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "st10_drift_score" -> st10Sql,
     "st09_scored_admission" -> st09Sql,
     "st08_heavy_hitters" -> st08Sql,
     "st07_quota_admission" -> st07Sql,

@@ -254,6 +254,53 @@ object StreamingPipelines {
     * length — the property that makes per-key exact counting unnecessary
     * at 10^9-key streams. Eviction ties break on (count, key) ascending,
     * so replays are deterministic. */
+  final case class DEv(wstart: Long, event_type: String)
+  final case class DriftState(counts: Map[String, Long], n: Long)
+  final case class DriftRow(wstart: Long, n_events: Long, l1_milli: Long,
+                            drifted: Boolean)
+
+  /** st10's streaming twin — train batch, serve stream (the scoredAdmit
+    * shape): the global event-type mix is computed ONCE on historical
+    * data (`baselineMilli`: type → floor(1000·n_t/n), the batch twin's
+    * integer ratios) and broadcast into the stream job; each 1-hour
+    * window accumulates per-type counts in flatMapGroupsWithState and
+    * re-emits its L1(window mix, baseline) every micro-batch (Update
+    * mode — the monitor's current view tightens as the window fills).
+    * A type the baseline never saw contributes its full window mass
+    * (the batch twin cannot hit that arm — its baseline spans the whole
+    * stream — but a served stream can drift to NEW types, which is
+    * exactly what the monitor must catch, not crash on). State per
+    * window is the |type-dictionary| count map, bounded by the
+    * dictionary, never the stream. */
+  def driftScores(events: Dataset[DEv],
+                  baselineMilli: Map[String, Long]): Dataset[DriftRow] = {
+    require(baselineMilli.nonEmpty,
+      "driftScores: empty baseline — train it on a historical slice first")
+    def update(wstart: Long, evs: Iterator[DEv],
+               state: GroupState[DriftState]): Iterator[DriftRow] = {
+      var st = state.getOption.getOrElse(DriftState(Map.empty, 0L))
+      evs.foreach { e =>
+        st = DriftState(
+          st.counts.updated(e.event_type,
+            st.counts.getOrElse(e.event_type, 0L) + 1L), st.n + 1L)
+      }
+      state.update(st)
+      val known = baselineMilli.iterator.map { case (t, p) =>
+        math.abs(1000L * st.counts.getOrElse(t, 0L) / st.n - p)
+      }.sum
+      val novel = st.counts.iterator.collect {
+        case (t, c) if !baselineMilli.contains(t) => 1000L * c / st.n
+      }.sum
+      val l1 = known + novel
+      Iterator.single(DriftRow(wstart, st.n, l1,
+        l1 >= graft.queries.StreamOps.DriftThresholdMilli &&
+          st.n >= graft.queries.StreamOps.DriftMinWindowEvents))
+    }
+    events.groupByKey(_.wstart)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        update)(Encoders.product[DriftState], Encoders.product[DriftRow])
+  }
+
   def heavyHitters(events: Dataset[HEv], capacity: Int, k: Int): Dataset[HHRow] = {
     require(capacity >= k && k >= 1,
       s"heavyHitters: need capacity >= k >= 1, got ($capacity, $k)")

@@ -306,6 +306,16 @@ class PlanSpec extends AnyFunSuite {
       perQuery.values.forall(_ == RetrievalOps.Bm25TopK), perQuery.toMap)
   }
 
+  test("st10: ONE event scan; drift math runs on the checkpointed aggregate") {
+    val p = plan(StreamOps.st10DriftScore(spark, d))
+    // baseline, totals, window totals and the scoring grid all derive
+    // from the (window x type) aggregate — after its checkpoint no
+    // branch may re-plan the event scan
+    assert(!p.contains("FileScan parquet"),
+      s"st10 re-plans the event scan past the checkpoint:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("st09: two inherent passes, one consumer chain, broadcast cut join") {
     // cut-training agg + gate scan are the only event scans (the t20
     // two-pass shape); the review-pass caught the original two-branch

@@ -487,4 +487,66 @@ class StreamingSpec extends AnyFunSuite {
       assert(ZarrGroup(storePath).readFragment().sameAs(cube))
     } finally q.stop()
   }
+
+  test("drift monitor: two-batch replay's final emission equals the st10 batch twin") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // train the baseline EXACTLY like the batch twin: global milli mix
+    val ev = graft.queries.Tables.events(spark, sfDir)
+      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("wstart"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._3)
+    val total = ev.length.toLong
+    val baseline: Map[String, Long] = ev.groupBy(_._2)
+      .map { case (t, g) => t -> 1000L * g.length / total }
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("wstart", "event_type")
+      .as[StreamingPipelines.DEv]
+    val q = StreamingPipelines.driftScores(stream, baseline)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("drift_out").start()
+    try {
+      val (first, second) = ev.splitAt(ev.length / 2)
+      mem.addData(first.map(e => (e._1, e._2)).toSeq: _*)
+      q.processAllAvailable()
+      val afterB1 = spark.table("drift_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      mem.addData(second.map(e => (e._1, e._2)).toSeq: _*)
+      q.processAllAvailable()
+      val all = spark.table("drift_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      // final emission per window: batch-2 rows supersede batch-1 rows
+      val b2 = all.diff(afterB1)
+      val b2Windows = b2.map(_._1).toSet
+      val fin = (b2 ++ afterB1.filterNot(r => b2Windows.contains(r._1)))
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      val batch = graft.queries.StreamOps.st10DriftScore(spark, sfDir)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toMap
+      assert(fin == batch,
+        s"windows differing: ${(fin.toSet diff batch.toSet).take(3)} " +
+          s"vs ${(batch.toSet diff fin.toSet).take(3)}")
+      assert(batch.nonEmpty)
+      // a novel type the baseline never saw scores its full mass, not a crash
+      val memN = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val qn = StreamingPipelines.driftScores(
+        memN.toDF().toDF("wstart", "event_type").as[StreamingPipelines.DEv],
+        baseline)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("drift_novel").start()
+      try {
+        memN.addData((0L, "never_seen_type"), (0L, "never_seen_type"))
+        qn.processAllAvailable()
+        val rows = spark.table("drift_novel").collect()
+        assert(rows.length == 1)
+        // |q - p| over baseline types (q = 0 there) + full novel mass 1000
+        val wantL1 = baseline.values.sum + 1000L
+        assert(rows.head.getLong(2) == wantL1, rows.head)
+      } finally qn.stop()
+    } finally q.stop()
+  }
 }
