@@ -67,6 +67,25 @@ object Vectors {
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     graft.queries.ClusterOps.kmeansOf(spark, norm(emb, idCol, vecCol), k, iters)
 
+  /** PageRank centrality over the approximate kNN graph (s13): build the
+    * s11 edge list, then run `iters` deterministic integer-PageRank
+    * sweeps (damping 0.85, milli units, pr⁰ = 1000). High pr_milli marks
+    * neighborhood hubs (the pruning anchors of SemDeDup/D4-style
+    * curation); deg = 0 rows are isolates. Returns
+    * (vec_id, deg, pr_milli). */
+  def knnPagerank(spark: SparkSession, emb: DataFrame, k: Int = 3,
+                  iters: Int = 3, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val q = SimilarityOps.withQuantized(
+      emb.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).as("embedding")), "embedding")
+    val edges = SimilarityOps.knnGraphOf(q, k)
+      .select("vec_id", "neighbor_id").localCheckpoint(true)
+    graft.queries.ClusterOps.pagerankOf(
+      q.select("vec_id").localCheckpoint(true), edges, iters)
+  }
+
   /** Approximate kNN-graph construction (s11): every corpus vector's
     * top-`k` neighbors among banded-LSH candidates (`bands` × `bandBits`
     * OR/AND construction, default the production 32×8) — the input

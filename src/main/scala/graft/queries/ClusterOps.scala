@@ -172,11 +172,105 @@ object ClusterOps {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** PageRank iterations (fixed — the oracle unrolls exactly this many). */
+  val PrIters = 3
+
+  /** s13: PageRank centrality over the s11 approximate kNN graph — the
+    * graph-analytics step after neighborhood construction: a vector many
+    * similarity edges point at with high weight is a HUB of its
+    * neighborhood (the D4/SemDeDup curation families prune around such
+    * hubs; conversely low-centrality isolates are the diversity tail).
+    * Demonstrates the iterative-propagation family (d07's min-label
+    * connected components is the other member) on top of a reused edge
+    * builder.
+    *
+    * Deterministic integer PageRank in milli units, damping 0.85:
+    * pr⁰ = 1000 per node; per iteration each node sends pr div outdeg
+    * along every out-edge and pr' = 150 + (850 · Σ received) div 1000.
+    * All floors are identical in both engines (nonnegative operands);
+    * dangling nodes (no banded-LSH candidates at all) send nothing —
+    * their mass leaks, the standard simplification, documented rather
+    * than patched. The DuckDB oracle re-derives the SAME s11 edge list
+    * (shared knnSqlCtes) and unrolls the same [[PrIters]] iterations.
+    *
+    * Scale shape: the edge list (≤ k·n rows) is built once by the s11
+    * plan and checkpointed; each iteration is two hash-partitioned
+    * equi-joins (edges ⋈ scores on the sender key, nodes ⋈ contributions
+    * on the receiver key) and one hash agg — the unrolled-Pregel shape,
+    * no global sort, no cross product, the corpus parquet never re-read. */
+  def s13Pagerank(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = SimilarityOps.withQuantized(embeddings(s, d), "embedding")
+    val edges = SimilarityOps.knnGraphOf(emb, SimilarityOps.KnnK)
+      .select("vec_id", "neighbor_id").localCheckpoint(true)
+    val nodes = emb.select("vec_id").localCheckpoint(true)
+    pagerankOf(nodes, edges, PrIters).orderBy("vec_id")
+  }
+
+  /** The s13 kernel over any (vec_id) node frame + (vec_id, neighbor_id)
+    * edge frame (graft.ops.Vectors API). Callers must pass frames that do
+    * not re-plan expensive lineage per iteration (checkpoint them). */
+  private[graft] def pagerankOf(nodes: DataFrame, edges: DataFrame,
+                                iters: Int): DataFrame = {
+    require(iters >= 0, s"pagerank: iters must be >= 0, got $iters")
+    val outdeg = edges.groupBy("vec_id").agg(count(lit(1)).as("deg"))
+    var pr = nodes.select(col("vec_id"), lit(1000L).as("pr"))
+    var it = 0
+    while (it < iters) {
+      val contrib = edges
+        .join(outdeg, "vec_id").join(pr, "vec_id")
+        .select(col("neighbor_id").as("vec_id"),
+          expr("pr div deg").as("share"))
+        .groupBy("vec_id").agg(sum("share").as("c"))
+      pr = nodes.join(contrib, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(150L) + expr("(850 * coalesce(c, 0L)) div 1000")).as("pr"))
+      it += 1
+    }
+    pr.join(outdeg, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("deg"), lit(0L)).as("deg"),
+        col("pr").as("pr_milli"))
+  }
+
+  val s13Sql: String = {
+    val iters = (1 to PrIters).map { i =>
+      s"""pc$i AS (
+         |  SELECT e.neighbor_id AS vec_id, SUM(p.pr // d.deg) AS c
+         |  FROM pedges e JOIN poutdeg d ON e.vec_id = d.vec_id
+         |  JOIN pr${i - 1} p ON e.vec_id = p.vec_id
+         |  GROUP BY 1
+         |), pr$i AS (
+         |  SELECT n.vec_id,
+         |    150 + (850 * COALESCE(c.c, 0)) // 1000 AS pr
+         |  FROM pnodes n LEFT JOIN pc$i c ON n.vec_id = c.vec_id
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${SimilarityOps.knnSqlCtes("g")},
+       |pedges AS (
+       |  SELECT vec_id, neighbor_id FROM granked
+       |  WHERE rk <= ${SimilarityOps.KnnK}
+       |), pnodes AS (
+       |  SELECT vec_id FROM gq
+       |), poutdeg AS (
+       |  SELECT vec_id, COUNT(*) AS deg FROM pedges GROUP BY 1
+       |), pr0 AS (
+       |  SELECT vec_id, 1000 AS pr FROM pnodes
+       |), $iters
+       |SELECT n.vec_id, CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg,
+       |  CAST(p.pr AS BIGINT) AS pr_milli
+       |FROM pnodes n
+       |LEFT JOIN poutdeg d ON n.vec_id = d.vec_id
+       |JOIN pr$PrIters p ON n.vec_id = p.vec_id
+       |ORDER BY n.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s12_kmeans" -> s12Kmeans _,
+    "s13_knn_pagerank" -> s13Pagerank _,
   )
 
   val oracles: Map[String, String] = Map(
     "s12_kmeans" -> s12Sql,
+    "s13_knn_pagerank" -> s13Sql,
   )
 }

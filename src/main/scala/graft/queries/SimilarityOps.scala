@@ -1253,57 +1253,64 @@ object SimilarityOps {
       .select("vec_id", "rk", "neighbor_id", "sim")
   }
 
-  val s11Sql: String = {
+  /** The kNN-graph derivation as prefixed CTE text ending in `<p>ranked`
+    * = (vec_id, neighbor_id, sim, rk) with rk unbounded — SHARED by
+    * s11Sql and ClusterOps.s13Sql (the dsirSqlCtes anti-drift lesson):
+    * the PageRank oracle walks EXACTLY the s11 edge list. */
+  private[graft] def knnSqlCtes(p: String): String = {
     val planeRows = (0 until WideBands * WideRowsPerBand).flatMap { j =>
       (0 until Dim).map(kk => s"($j, ${kk + 1}, ${planeFor(j)(kk)})")
     }.mkString(",\n    ")
-    s"""WITH q AS (
+    s"""${p}q AS (
        |  SELECT vec_id, $qEmbDuck AS qv FROM embeddings
-       |), elems AS (
-       |  SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x FROM q
-       |), norms AS (
-       |  SELECT vec_id, SUM(x * x) AS nrm FROM elems GROUP BY vec_id
-       |), planes(p, i, w) AS (
+       |), ${p}elems AS (
+       |  SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x FROM ${p}q
+       |), ${p}norms AS (
+       |  SELECT vec_id, SUM(x * x) AS nrm FROM ${p}elems GROUP BY vec_id
+       |), ${p}planes(p, i, w) AS (
        |  VALUES $planeRows
-       |), plane_dots AS (
+       |), ${p}plane_dots AS (
        |  SELECT e.vec_id, pl.p, SUM(e.x * pl.w) AS pd
-       |  FROM elems e JOIN planes pl ON e.i = pl.i
+       |  FROM ${p}elems e JOIN ${p}planes pl ON e.i = pl.i
        |  GROUP BY 1, 2
-       |), bands AS (
+       |), ${p}bands AS (
        |  SELECT vec_id, p // $WideRowsPerBand AS band_no,
        |    CAST(SUM(CASE WHEN pd > 0 THEN 1 << (p % $WideRowsPerBand) ELSE 0 END) AS BIGINT) AS bits
-       |  FROM plane_dots GROUP BY 1, 2
-       |), cand AS (
+       |  FROM ${p}plane_dots GROUP BY 1, 2
+       |), ${p}cand AS (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, COUNT(*) AS m
-       |  FROM bands a JOIN bands b
+       |  FROM ${p}bands a JOIN ${p}bands b
        |    ON a.band_no = b.band_no AND a.bits = b.bits AND a.vec_id < b.vec_id
        |  GROUP BY 1, 2
-       |), sym0 AS (
-       |  SELECT vec_a AS vec_id, vec_b AS neighbor_id, m FROM cand
+       |), ${p}sym0 AS (
+       |  SELECT vec_a AS vec_id, vec_b AS neighbor_id, m FROM ${p}cand
        |  UNION ALL
-       |  SELECT vec_b AS vec_id, vec_a AS neighbor_id, m FROM cand
-       |), capped AS (
+       |  SELECT vec_b AS vec_id, vec_a AS neighbor_id, m FROM ${p}cand
+       |), ${p}capped AS (
        |  SELECT vec_id, neighbor_id
        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-       |          ORDER BY m DESC, neighbor_id) AS crk FROM sym0)
+       |          ORDER BY m DESC, neighbor_id) AS crk FROM ${p}sym0)
        |  WHERE crk <= $KnnCandCap
-       |), dots AS (
+       |), ${p}dots AS (
        |  SELECT c.vec_id, c.neighbor_id, SUM(ea.x * eb.x) AS dot
-       |  FROM capped c
-       |  JOIN elems ea ON ea.vec_id = c.vec_id
-       |  JOIN elems eb ON eb.vec_id = c.neighbor_id AND ea.i = eb.i
+       |  FROM ${p}capped c
+       |  JOIN ${p}elems ea ON ea.vec_id = c.vec_id
+       |  JOIN ${p}elems eb ON eb.vec_id = c.neighbor_id AND ea.i = eb.i
        |  GROUP BY 1, 2
-       |), ranked AS (
+       |), ${p}ranked AS (
        |  SELECT d.vec_id, d.neighbor_id,
        |    ROUND(dot::DOUBLE / (sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)), 6) AS sim,
        |    ROW_NUMBER() OVER (PARTITION BY d.vec_id
        |      ORDER BY ROUND(dot::DOUBLE / (sqrt(na.nrm::DOUBLE)
        |        * sqrt(nb.nrm::DOUBLE)), 6) DESC, d.neighbor_id) AS rk
-       |  FROM dots d JOIN norms na ON d.vec_id = na.vec_id
-       |  JOIN norms nb ON d.neighbor_id = nb.vec_id)
+       |  FROM ${p}dots d JOIN ${p}norms na ON d.vec_id = na.vec_id
+       |  JOIN ${p}norms nb ON d.neighbor_id = nb.vec_id)""".stripMargin
+  }
+
+  val s11Sql: String =
+    s"""WITH ${knnSqlCtes("")}
        |SELECT vec_id, CAST(rk AS BIGINT) AS rk, neighbor_id, sim
        |FROM ranked WHERE rk <= $KnnK ORDER BY vec_id, rk""".stripMargin
-  }
 
   // ---------------------------------------------------------------- s10
 

@@ -101,6 +101,44 @@ class ClusterSpec extends AnyFunSuite {
     assert(out == Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 1L))
   }
 
+  test("s13 pagerank: hand-computable star graph; hubs outrank leaves") {
+    import spark.implicits._
+    // star: nodes 1..4 each point only at node 0; node 0 points at node 1
+    val nodes = (0L to 4L).toDF("vec_id")
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (0L, 1L))
+      .toDF("vec_id", "neighbor_id")
+    // one sweep: pr(0) = 150 + 850*(4*1000/1)/1000 = 3550;
+    // pr(1) = 150 + 850*1000/1000 = 1000; pr(2..4) = 150
+    val got1 = ClusterOps.pagerankOf(nodes, edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got1 == Map(0L -> (1L, 3550L), 1L -> (1L, 1000L),
+      2L -> (1L, 150L), 3L -> (1L, 150L), 4L -> (1L, 150L)), got1)
+    // two sweeps: senders 1..4 now hold (1000, 150, 150, 150), so
+    // pr(0) = 150 + 850*(1000 + 3*150)/1000 = 1382; the hub's sweep-1
+    // mass flows on to node 1: pr(1) = 150 + 850*3550/1000 = 3167
+    val got2 = ClusterOps.pagerankOf(nodes, edges, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got2(0L) == 150L + 850L * (1000L + 3L * 150L) / 1000L
+      && got2(1L) == 150L + 850L * 3550L / 1000L, got2)
+    // floor invariant: every score >= the teleport base
+    assert(got2.values.forall(_ >= 150L))
+  }
+
+  test("s13 on the corpus: isolates keep base-ish mass; facade matches") {
+    val df = ClusterOps.s13Pagerank(spark, d)
+    val rows = df.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(_.getLong(2) >= 150L))
+    // the kNN graph on this corpus has real structure: scores spread
+    assert(rows.map(_.getLong(2)).distinct.length > 10)
+    val renamed = Tables.embeddings(spark, d)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val fac = graft.ops.Vectors.knnPagerank(spark, renamed,
+      SimilarityOps.KnnK, ClusterOps.PrIters, "id", "vec").orderBy("vec_id")
+    assert(fac.columns.sameElements(df.columns))
+    assert(fac.exceptAll(df).isEmpty && df.exceptAll(fac).isEmpty)
+  }
+
   test("dimension mismatch and missing seeds fail by name") {
     import spark.implicits._
     val ragged = Seq((0L, Array(1L, 2L)), (1L, Array(1L, 2L, 3L)))

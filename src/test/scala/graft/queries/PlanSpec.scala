@@ -306,6 +306,16 @@ class PlanSpec extends AnyFunSuite {
       perQuery.values.forall(_ == RetrievalOps.Bm25TopK), perQuery.toMap)
   }
 
+  test("s13: iterations run on checkpointed graph frames, equi-joins only") {
+    val p = plan(ClusterOps.s13Pagerank(spark, d))
+    // edges and nodes are checkpointed once; three unrolled iterations
+    // must not re-plan the embeddings scan or introduce a cross product
+    assert(!p.contains("FileScan parquet"),
+      s"s13 re-plans a file scan past the checkpoints:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("st10: ONE event scan; drift math runs on the checkpointed aggregate") {
     val p = plan(StreamOps.st10DriftScore(spark, d))
     // baseline, totals, window totals and the scoring grid all derive
