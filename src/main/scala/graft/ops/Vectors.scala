@@ -73,8 +73,10 @@ object Vectors {
     * neighborhood hubs (the pruning anchors of SemDeDup/D4-style
     * curation); deg = 0 rows are isolates. Returns
     * (vec_id, deg, pr_milli). */
-  def knnPagerank(spark: SparkSession, emb: DataFrame, k: Int = 3,
-                  iters: Int = 3, idCol: String = "vec_id",
+  def knnPagerank(spark: SparkSession, emb: DataFrame,
+                  k: Int = SimilarityOps.KnnK,
+                  iters: Int = graft.queries.ClusterOps.PrIters,
+                  idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val q = SimilarityOps.withQuantized(

@@ -680,9 +680,12 @@ object PipelineOps {
   def p07HybridRetrieval(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val L = RetrievalOps.HybridTopL
+    // one shared query-id gate: Bm25NumQueries IS SimilarityOps.NumQueries
+    // (derived, not coincidentally equal), and the oracle's two arms use
+    // the same pair of constants below
     val lex = RetrievalOps.bm25TopKOf(
       documents(s, d).select("doc_id", "text"),
-      col("doc_id") < SimilarityOps.NumQueries.toLong, L)
+      col("doc_id") < RetrievalOps.Bm25NumQueries, L)
       .select(col("query_id"), col("doc_id").as("item_id"),
         col("rk").as("bm25_rk"))
     val emb = embeddings(s, d)
@@ -697,9 +700,11 @@ object PipelineOps {
       .withColumn("bm25_rk", coalesce(col("bm25_rk"), lit(0L)))
       .withColumn("dense_rk", coalesce(col("dense_rk"), lit(0L)))
       .withColumn("rrf_milli",
-        when(col("bm25_rk") > 0, expr("1000000 div (60 + bm25_rk)"))
+        when(col("bm25_rk") > 0,
+          expr(s"1000000 div (${RetrievalOps.RrfK} + bm25_rk)"))
           .otherwise(lit(0L)) +
-          when(col("dense_rk") > 0, expr("1000000 div (60 + dense_rk)"))
+          when(col("dense_rk") > 0,
+            expr(s"1000000 div (${RetrievalOps.RrfK} + dense_rk)"))
             .otherwise(lit(0L)))
       .withColumn("rk", row_number().over(wTop).cast("long"))
       .filter(col("rk") <= RetrievalOps.Bm25TopK)
@@ -723,8 +728,10 @@ object PipelineOps {
        |  SELECT query_id, item_id,
        |    CAST(bm25_rk AS BIGINT) AS bm25_rk,
        |    CAST(dense_rk AS BIGINT) AS dense_rk,
-       |    CAST(CASE WHEN bm25_rk > 0 THEN 1000000 // (60 + bm25_rk) ELSE 0 END
-       |      + CASE WHEN dense_rk > 0 THEN 1000000 // (60 + dense_rk) ELSE 0 END
+       |    CAST(CASE WHEN bm25_rk > 0
+       |        THEN 1000000 // (${RetrievalOps.RrfK} + bm25_rk) ELSE 0 END
+       |      + CASE WHEN dense_rk > 0
+       |        THEN 1000000 // (${RetrievalOps.RrfK} + dense_rk) ELSE 0 END
        |      AS BIGINT) AS rrf_milli
        |  FROM fu
        |), fin AS (

@@ -39,8 +39,10 @@ import org.apache.spark.sql.functions._
 object RetrievalOps {
   import Tables._
 
-  /** Query set: documents with doc_id < this (the s09 convention). */
-  val Bm25NumQueries = 10L
+  /** Query set: documents with doc_id < this (the s09 convention).
+    * DERIVED from the dense block's query-set constant so the two arms
+    * of the p07 hybrid fusion can never gate on different id sets. */
+  val Bm25NumQueries: Long = SimilarityOps.NumQueries.toLong
 
   /** Final per-query result depth. */
   val Bm25TopK = 5
@@ -120,9 +122,10 @@ object RetrievalOps {
     * (query_id, doc_id, n_hit_terms, score_milli, rk ≤ topL) — SHARED by
     * t22Sql and p07Sql so the scoring semantics can never drift between
     * the gated query and the composed pipeline (the dsirSqlCtes lesson). */
-  private[graft] def bm25SqlCtes(p: String, topL: Int): String =
+  private[graft] def bm25SqlCtes(p: String, topL: Int,
+                                 numQueries: Long = Bm25NumQueries): String =
     s"""${p}pool AS (
-       |  SELECT doc_id, doc_id < $Bm25NumQueries AS is_q,
+       |  SELECT doc_id, doc_id < $numQueries AS is_q,
        |    string_split(text, ' ') AS words
        |  FROM documents
        |), ${p}post AS (

@@ -66,23 +66,31 @@ class TextApiSpec extends AnyFunSuite {
     same(Text.bm25TopK(renamed, 0L until 10L, k = 5, "id", "body")
       .orderBy("query_id", "rk"),
       graft.queries.RetrievalOps.t22Bm25Topk(spark, d))
-    // retrieval sanity on a hand-built corpus: an exact copy of the query
-    // text must outrank everything else (it matches every query term at
-    // the query's own tf profile); a doc sharing NO term never appears
+    // retrieval sanity on a hand-built corpus. The copy sits at the
+    // HIGHEST doc_id so it cannot win by the ascending-id tie-break —
+    // it must win on score, which requires idf_bits > 0: durian /
+    // elderberry / fig appear in exactly 2 of 5 docs (5 div 2 = 2 →
+    // 1 bit), while apple / banana / cherry appear in 3 (5 div 3 = 1 →
+    // 0 bits, the stopword-suppression arm — docs matching ONLY those
+    // score 0).
     val fixture = Seq(
       (0L, "apple banana cherry durian elderberry fig"),
-      (1L, "apple banana cherry durian elderberry fig"),
-      (2L, "apple banana nothing else here at all today"),
-      (3L, "totally disjoint vocabulary zone without overlap"),
-      (4L, "cherry durian elderberry fig grape honeydew")).toDF("id", "body")
+      (1L, "apple banana common words only here today"),
+      (2L, "totally disjoint vocabulary zone without overlap"),
+      (3L, "cherry alone plus unrelated filler text here"),
+      (4L, "apple banana cherry durian elderberry fig")).toDF("id", "body")
     val got = Text.bm25TopK(fixture, Seq(0L), k = 4, "id", "body")
       .orderBy("rk").collect()
-    assert(got.head.getAs[Long]("doc_id") == 1L,
-      s"exact copy must rank first: ${got.mkString(",")}")
-    assert(!got.map(_.getAs[Long]("doc_id")).contains(3L),
+    assert(got.head.getAs[Long]("doc_id") == 4L &&
+      got.head.getAs[Long]("score_milli") > 0L,
+      s"the high-id exact copy must rank first ON SCORE: ${got.mkString(",")}")
+    // docs matching only saturated (0-bit) terms trail at score 0, in
+    // ascending-id order
+    assert(got.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("score_milli"))).drop(1).toSeq ==
+      Seq((1L, 0L), (3L, 0L)), got.mkString(","))
+    assert(!got.map(_.getAs[Long]("doc_id")).contains(2L),
       "a zero-overlap doc can never be retrieved")
-    // every emitted score is a nonnegative integer sum
-    assert(got.forall(_.getAs[Long]("score_milli") >= 0L))
   }
 
   test("bpeMerges == t17 under renamed columns; merge semantics guards hold") {

@@ -297,7 +297,8 @@ class PlanSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getAs[Long]("bm25_rk") > 0 ||
       r.getAs[Long]("dense_rk") > 0))
     assert(rows.forall { r =>
-      def c(rk: Long) = if (rk > 0) 1000000L / (60L + rk) else 0L
+      def c(rk: Long) =
+        if (rk > 0) 1000000L / (RetrievalOps.RrfK + rk) else 0L
       r.getAs[Long]("rrf_milli") ==
         c(r.getAs[Long]("bm25_rk")) + c(r.getAs[Long]("dense_rk"))
     })
