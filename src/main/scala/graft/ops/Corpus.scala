@@ -112,6 +112,23 @@ object Corpus {
       .select(col("label").as("cluster_id"), col("cluster_size"),
         col("canonical_id"))
 
+  /** Leakage-safe train/val split (d13): the split decision is
+    * CLUSTER-atomic — every document joins its minhash-LSH near-dup
+    * component and the held-out choice hashes the CLUSTER id, so two
+    * near-duplicates can never straddle the eval boundary (a val doc
+    * whose near-twin sits in train is partially memorized, and eval loss
+    * understates held-out loss). Documents in no candidate pair are
+    * singleton clusters. ≈ 1/mod of clusters land in 'val'. Returns
+    * (doc_id, cluster_id, split). */
+  def leakageSafeSplit(spark: SparkSession, docs: DataFrame,
+                       mod: Long = graft.queries.DedupOps2.LeakSplitMod,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    graft.queries.DedupOps2.leakageSplitOf(spark,
+      norm(docs, idCol, textCol).select("doc_id"),
+      minhashCandidatePairs(spark, docs, idCol, textCol)
+        .select("doc_a", "doc_b"), mod)
+
   /** 32-bit term-frequency-weighted SimHash per document. */
   def simhashSignatures(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame =

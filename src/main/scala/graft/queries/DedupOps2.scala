@@ -517,7 +517,69 @@ object DedupOps2 {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** d13's held-out fraction: clusters whose canonical hash lands in
+    * residue 0 of [[LeakSplitMod]] go to 'val' (≈ 1/mod of clusters). */
+  val LeakSplitMod = 10L
+
+  /** d13: leakage-safe train/val split — the assignment is CLUSTER-atomic,
+    * so two near-duplicate documents can never straddle the eval
+    * boundary. Splitting uniformly at the document level leaks: a val doc
+    * whose near-twin sits in train is partially memorized, and measured
+    * eval loss understates true held-out loss (the decontamination
+    * failure t11 guards against, created by one's own split instead of an
+    * external benchmark). Every document joins its d04/d07 near-dup
+    * component (docs in no candidate pair are singleton clusters); the
+    * split decision hashes the CLUSTER id, never the doc id.
+    *
+    * Scale shape: the d04 banded-LSH candidate pairs feed the shared
+    * [[DedupOps.connectedComponents]] (single-task union-find below the
+    * edge bound, distributed min-label + pointer doubling above it —
+    * labels checkpoint-materialized either way); the corpus then takes
+    * ONE left equi-join against the label table and a map-only hash
+    * decision. No new shuffle class beyond d07's. */
+  def d13LeakageSplit(s: SparkSession, d: String): DataFrame =
+    leakageSplitOf(s, documents(s, d).select("doc_id"),
+      DedupOps.d04MinhashLsh(s, d).select("doc_a", "doc_b"), LeakSplitMod)
+      .orderBy("doc_id")
+
+  /** d13's kernel over any (doc_id) universe frame + undirected
+    * candidate-pair frame (graft.ops.Corpus API). */
+  private[graft] def leakageSplitOf(s: SparkSession, docIds: DataFrame,
+                                    pairs: DataFrame, mod: Long): DataFrame = {
+    require(mod >= 2, s"leakageSplit: mod must be >= 2, got $mod")
+    val labels =
+      DedupOps.connectedComponents(s, pairs, DedupOps.SingleTaskEdgeMax)
+    docIds
+      .join(labels.select(col("doc_id"), col("label")), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+      .withColumn("split",
+        when(expr(h60("cast(cluster_id as string)")) % mod === 0L,
+          lit("val")).otherwise(lit("train")))
+      .select("doc_id", "cluster_id", "split")
+  }
+
+  val d13Sql: String =
+    s"""WITH RECURSIVE cand AS (
+       |${DedupOps.d04Sql.replace("ORDER BY doc_a, doc_b", "")}),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM cand
+       |  UNION
+       |  SELECT doc_b, doc_a FROM cand),
+       |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM nodes
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+       |SELECT d.doc_id,
+       |  COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       |  CASE WHEN ${h60Duck("CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)")}
+       |      % $LeakSplitMod = 0 THEN 'val' ELSE 'train' END AS split
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_leakage_split" -> d13LeakageSplit _,
     "d12_soft_dedup" -> d12SoftDedup _,
     "d11_suffix_lcp" -> d11SuffixLcp _,
     "d10_span_dedup" -> d10SpanDedup _,
@@ -526,6 +588,7 @@ object DedupOps2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "d13_leakage_split" -> d13Sql,
     "d12_soft_dedup" -> d12Sql,
     "d11_suffix_lcp" -> d11Sql,
     "d10_span_dedup" -> d10Sql,

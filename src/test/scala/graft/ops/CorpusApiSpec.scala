@@ -30,6 +30,40 @@ class CorpusApiSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("leakageSafeSplit == d13; clusters never straddle the boundary") {
+    import spark.implicits._
+    same(Corpus.leakageSafeSplit(spark, renamed, idCol = "id",
+      textCol = "body").orderBy("doc_id"),
+      graft.queries.DedupOps2.d13LeakageSplit(spark, d))
+    val split = graft.queries.DedupOps2.d13LeakageSplit(spark, d)
+    // cluster-atomicity: no cluster carries both splits
+    val straddling = split.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n"))
+      .filter(col("n") > 1)
+    assert(straddling.isEmpty, straddling.collect().take(3).mkString(","))
+    // both sides are populated (≈10% of 500 singleton clusters hit 'val')
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse("val", 0L) > 0L &&
+      counts.getOrElse("train", 0L) > counts.getOrElse("val", 0L), counts)
+    // a planted near-dup pair (one token edited) must land TOGETHER:
+    // same cluster, same side — the whole point of the operator
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val fixture = Seq(
+      (100L, base), (200L, base.replace("kappa", "edited")),
+      (300L, "completely different content about unrelated topics " +
+        "with nothing shared whatsoever between these documents at all " +
+        "plus extra filler words to reach shingle length"))
+      .toDF("id", "body")
+    val got = Corpus.leakageSafeSplit(spark, fixture, idCol = "id",
+      textCol = "body").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got(100L) == got(200L),
+      s"near-dup pair split apart: ${got.mkString(",")}")
+    assert(got(300L)._1 == 300L, s"unrelated doc must stay singleton: $got")
+  }
+
   test("exactDuplicateGroups == d01's group stage") {
     val api = Corpus.exactDuplicateGroups(renamed, "id", "body")
     val agg = api.groupBy()
