@@ -743,7 +743,51 @@ object PipelineOps {
        |FROM fin WHERE rk <= ${RetrievalOps.Bm25TopK}
        |ORDER BY query_id, rk""".stripMargin
 
+  /** p08: the TOKENIZER pipeline — train → encode → pack, the loop that
+    * turns a text corpus into fixed-window training batches: t17 learns
+    * the BPE merge table (vocab-sized iterations, corpus scanned once),
+    * t19 applies it corpus-wide as literal replace chains (map-only
+    * encode), and the t13 distributed prefix sum lays the REAL per-doc
+    * BPE token counts into [[TextOps.PackWindow]]-token windows (t13
+    * itself packs whitespace counts — p08 packs what a trainer actually
+    * packs). Output per doc: encode stats + its window range in the
+    * packed stream.
+    *
+    * Scale shape: one corpus scan for merge learning (t17's shape), one
+    * checkpointed map-only encode scan, then packing = per-shard partials
+    * + broadcast offsets over the METADATA-sized (doc, count) frame —
+    * never a single-partition window. The oracle replays learn + encode
+    * via the shared t19 CTE chain and packs with the same running sum. */
+  def p08TokenizerPipeline(s: SparkSession, d: String): DataFrame = {
+    val enc = TextOps.t19BpeEncode(s, d).localCheckpoint(true)
+    val packed = TextOps.sequencePackCountsOf(
+      enc.select(col("doc_id"), col("tokens_after").as("n_tokens")),
+      TextOps.PackWindow)
+    enc.join(packed.select("doc_id", "pack_start", "first_window",
+      "last_window"), "doc_id")
+      .select("doc_id", "n_words", "tokens_after", "compression_pm",
+        "pack_start", "first_window", "last_window")
+      .orderBy("doc_id")
+  }
+
+  val p08Sql: String =
+    s"""WITH enc AS (
+       |${TextOps.t19Sql.replace("ORDER BY d.doc_id", "")}),
+       |pk AS (
+       |  SELECT doc_id, tokens_after,
+       |    COALESCE(SUM(tokens_after) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS pack_start
+       |  FROM enc)
+       |SELECT e.doc_id, e.n_words, e.tokens_after, e.compression_pm,
+       |  CAST(p.pack_start AS BIGINT) AS pack_start,
+       |  CAST(p.pack_start // ${TextOps.PackWindow} AS BIGINT) AS first_window,
+       |  CAST((p.pack_start + p.tokens_after - 1) // ${TextOps.PackWindow}
+       |    AS BIGINT) AS last_window
+       |FROM enc e JOIN pk p USING (doc_id) ORDER BY e.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p08_tokenizer_pipeline" -> p08TokenizerPipeline _,
     "p07_hybrid_retrieval" -> p07HybridRetrieval _,
     "p06_curated_mix" -> p06CuratedMix _,
     "p05_multimodal_admission" -> p05MultimodalAdmission _,
@@ -754,6 +798,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "p08_tokenizer_pipeline" -> p08Sql,
     "p07_hybrid_retrieval" -> p07Sql,
     "p06_curated_mix" -> p06Sql,
     "p05_multimodal_admission" -> p05Sql,

@@ -520,12 +520,20 @@ object TextOps {
 
   /** t13's kernel over any (doc_id, text) frame (graft.ops.Text API). */
   private[graft] def sequencePackOf(docsIn: DataFrame, window: Int,
-                                    shardSpan: Long): DataFrame = {
-    val s = docsIn.sparkSession
-    import s.implicits._
-    val docs = docsIn
+                                    shardSpan: Long): DataFrame =
+    sequencePackCountsOf(docsIn
       .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      window, shardSpan)
+
+  /** The packing arithmetic over a pre-counted (doc_id, n_tokens) frame —
+    * t13 counts whitespace tokens; p08 packs the REAL tokenizer's
+    * per-doc BPE counts through the same distributed prefix sum. */
+  private[graft] def sequencePackCountsOf(counts: DataFrame, window: Int,
+                                          shardSpan: Long = ShardSpan): DataFrame = {
+    val s = counts.sparkSession
+    import s.implicits._
+    val docs = counts
       .withColumn("shard", expr(s"doc_id div $shardSpan"))
     // per-shard totals: metadata-sized (numShards = idRange/shardSpan),
     // same broadcast-smalls pattern as the IVF centroid seeding

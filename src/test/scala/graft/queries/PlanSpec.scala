@@ -317,6 +317,32 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("p08: pack runs on the checkpointed encode; stream is gapless") {
+    import org.apache.spark.sql.functions.col
+    val df = PipelineOps.p08TokenizerPipeline(spark, d)
+    val p = plan(df)
+    // learning ran eagerly (vocab-sized driver iterations), the encode
+    // scan is checkpointed — the final plan is a join of materialized
+    // frames, no file scan, no cross product
+    assert(!p.contains("FileScan parquet"),
+      s"p08 re-plans a corpus scan past the checkpoint:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the packed stream is GAPLESS in doc_id order: each doc starts
+    // exactly where the previous one ended, and window bounds bracket
+    // the doc's token range
+    val rows = df.collect()
+    assert(rows.length > 0)
+    var expectedStart = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pack_start") == expectedStart,
+        s"gap at doc ${r.getAs[Long]("doc_id")}")
+      expectedStart += r.getAs[Long]("tokens_after")
+      assert(r.getAs[Long]("first_window") ==
+        r.getAs[Long]("pack_start") / TextOps.PackWindow)
+      assert(r.getAs[Long]("last_window") >= r.getAs[Long]("first_window"))
+    }
+  }
+
   test("st10: ONE event scan; drift math runs on the checkpointed aggregate") {
     val p = plan(StreamOps.st10DriftScore(spark, d))
     // baseline, totals, window totals and the scoring grid all derive
