@@ -67,6 +67,21 @@ object Vectors {
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     graft.queries.ClusterOps.kmeansOf(spark, norm(emb, idCol, vecCol), k, iters)
 
+  /** Cluster-balanced coreset sampling (s14, the D4-style diversity
+    * selection): k-means the corpus, then keep the ceil(size/keepDen)
+    * most CENTRAL vectors of every cluster — per-mode quotas instead of
+    * density-blind uniform sampling. `central = false` flips the ordering
+    * to keep the farthest (outlier mining). Returns one verdict row per
+    * vector: (vec_id, cell, d2, cell_rank, cell_size, kept). */
+  def coresetSample(spark: SparkSession, emb: DataFrame, k: Int = 8,
+                    iters: Int = 3,
+                    keepDen: Long = graft.queries.ClusterOps.CoresetKeepDen,
+                    central: Boolean = true, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame =
+    graft.queries.ClusterOps.coresetOf(
+      graft.queries.ClusterOps.kmeansOf(spark, norm(emb, idCol, vecCol),
+        k, iters), keepDen, central)
+
   /** PageRank centrality over the approximate kNN graph (s13): build the
     * s11 edge list, then run `iters` deterministic integer-PageRank
     * sweeps (damping 0.85, milli units, pr⁰ = 1000). High pr_milli marks

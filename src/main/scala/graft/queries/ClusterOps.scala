@@ -134,43 +134,107 @@ object ClusterOps {
     best
   }
 
-  /** The identical training replayed as unrolled per-iteration CTEs. */
-  val s12Sql: String = {
+  /** The identical training replayed as unrolled per-iteration CTEs,
+    * ending in `<p>assign` = (vec_id, cell, d2) — SHARED by s12Sql and
+    * s14Sql (the dsirSqlCtes anti-drift lesson): the coreset oracle
+    * samples from EXACTLY the s12 clustering. */
+  private[graft] def kmeansSqlCtes(p: String): String = {
     val iters = (1 to KmIters).map { i =>
-      s"""kd$i AS (
+      s"""${p}kd$i AS (
          |  SELECT e.vec_id, c.cell, SUM((e.x - c.x) * (e.x - c.x)) AS d2
-         |  FROM kelems e JOIN kc${i - 1} c USING (j) GROUP BY 1, 2
-         |), ka$i AS (
+         |  FROM ${p}kelems e JOIN ${p}kc${i - 1} c USING (j) GROUP BY 1, 2
+         |), ${p}ka$i AS (
          |  SELECT vec_id, cell FROM (
          |    SELECT vec_id, cell,
          |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
-         |    FROM kd$i) WHERE rk = 1
-         |), ku$i AS (
+         |    FROM ${p}kd$i) WHERE rk = 1
+         |), ${p}ku$i AS (
          |  SELECT a.cell, e.j, CAST(SUM(e.x) // COUNT(*) AS BIGINT) AS x
-         |  FROM ka$i a JOIN kelems e USING (vec_id) GROUP BY 1, 2
-         |), kc$i AS (
+         |  FROM ${p}ka$i a JOIN ${p}kelems e USING (vec_id) GROUP BY 1, 2
+         |), ${p}kc$i AS (
          |  SELECT c.cell, c.j, COALESCE(u.x, c.x) AS x
-         |  FROM kc${i - 1} c LEFT JOIN ku$i u ON c.cell = u.cell AND c.j = u.j
+         |  FROM ${p}kc${i - 1} c
+         |  LEFT JOIN ${p}ku$i u ON c.cell = u.cell AND c.j = u.j
          |)""".stripMargin
     }.mkString(", ")
-    val cN = s"kc$KmIters"
-    s"""WITH kq AS (
+    val cN = s"${p}kc$KmIters"
+    s"""${p}kq AS (
        |  SELECT vec_id, ${SimilarityOps.qEmbDuck} AS qv FROM embeddings
-       |), kelems AS (
-       |  SELECT vec_id, generate_subscripts(qv, 1) AS j, unnest(qv) AS x FROM kq
-       |), kc0 AS (
-       |  SELECT vec_id AS cell, j, x FROM kelems WHERE vec_id < $KmK
-       |), $iters, kdf AS (
+       |), ${p}kelems AS (
+       |  SELECT vec_id, generate_subscripts(qv, 1) AS j, unnest(qv) AS x FROM ${p}kq
+       |), ${p}kc0 AS (
+       |  SELECT vec_id AS cell, j, x FROM ${p}kelems WHERE vec_id < $KmK
+       |), $iters, ${p}kdf AS (
        |  SELECT e.vec_id, c.cell, SUM((e.x - c.x) * (e.x - c.x)) AS d2
-       |  FROM kelems e JOIN $cN c USING (j) GROUP BY 1, 2
-       |)
-       |SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(d2 AS BIGINT) AS d2
-       |FROM (
-       |  SELECT vec_id, cell, d2,
-       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
-       |  FROM kdf) WHERE rk = 1
-       |ORDER BY vec_id""".stripMargin
+       |  FROM ${p}kelems e JOIN $cN c USING (j) GROUP BY 1, 2
+       |), ${p}assign AS (
+       |  SELECT vec_id, cell, d2 FROM (
+       |    SELECT vec_id, cell, d2,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+       |    FROM ${p}kdf) WHERE rk = 1
+       |)""".stripMargin
   }
+
+  val s12Sql: String =
+    s"""WITH ${kmeansSqlCtes("")}
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(d2 AS BIGINT) AS d2
+       |FROM assign ORDER BY vec_id""".stripMargin
+
+  /** s14's keep rule: per cluster, the ceil(size / this) most CENTRAL
+    * vectors survive — integerized as `rank ≤ (size + den−1) div den`. */
+  val CoresetKeepDen = 4L
+
+  /** s14: cluster-balanced coreset sampling — the D4-style (Tirumala et
+    * al. 2023, arXiv:2308.12284) diversity-preserving selection built ON
+    * the s12 clustering: rank every vector within its cluster by distance
+    * to the centroid and keep the most central ceil(size/4) per cluster.
+    * Uniform sampling over-represents the corpus's dense modes; per-
+    * cluster quotas guarantee every mode keeps representation, and the
+    * most-central rule keeps each mode's prototypes (flip the ordering
+    * for outlier mining — the facade exposes it). Output: one verdict row
+    * per vector (cell, d2, cell_rank, cell_size, kept).
+    *
+    * Scale shape: the s12 assignment plan (corpus read once, broadcast-
+    * model sweeps) plus ONE per-cell window — cell partitions are corpus/k
+    * sized, a keyed shuffle, no global sort. The oracle samples from
+    * EXACTLY the s12 clustering via the shared [[kmeansSqlCtes]]. */
+  def s14CoresetSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assign = kmeansOf(s, embeddings(s, d)
+      .select(col("vec_id"), expr(SimilarityOps.quantize("embedding")).as("q"))
+      .as[(Long, Array[Long])].toDF("vec_id", "q"), KmK, KmIters)
+    coresetOf(assign, CoresetKeepDen).orderBy("vec_id")
+  }
+
+  /** s14's kernel over any (vec_id, cell, d2) assignment frame
+    * (graft.ops.Vectors API). `central = false` keeps the FARTHEST
+    * per cluster instead (outlier mining). */
+  private[graft] def coresetOf(assign: DataFrame, keepDen: Long,
+                               central: Boolean = true): DataFrame = {
+    require(keepDen >= 1, s"coreset: keepDen must be >= 1, got $keepDen")
+    val ord = if (central) Seq(col("d2").asc, col("vec_id").asc)
+    else Seq(col("d2").desc, col("vec_id").asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy(ord: _*)
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+    assign
+      .withColumn("cell_rank", row_number().over(w).cast("long"))
+      .withColumn("cell_size", count(lit(1)).over(wc).cast("long"))
+      .withColumn("kept",
+        col("cell_rank") <= expr(s"(cell_size + ${keepDen - 1}) div $keepDen"))
+      .select("vec_id", "cell", "d2", "cell_rank", "cell_size", "kept")
+  }
+
+  val s14Sql: String =
+    s"""WITH ${kmeansSqlCtes("c")}
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(d2 AS BIGINT) AS d2,
+       |  CAST(rk AS BIGINT) AS cell_rank, CAST(cnt AS BIGINT) AS cell_size,
+       |  rk <= (cnt + ${CoresetKeepDen - 1}) // $CoresetKeepDen AS kept
+       |FROM (SELECT vec_id, cell, d2,
+       |        ROW_NUMBER() OVER (PARTITION BY cell ORDER BY d2, vec_id) AS rk,
+       |        COUNT(*) OVER (PARTITION BY cell) AS cnt
+       |      FROM cassign)
+       |ORDER BY vec_id""".stripMargin
 
   /** PageRank iterations (fixed — the oracle unrolls exactly this many). */
   val PrIters = 3
@@ -267,10 +331,12 @@ object ClusterOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s12_kmeans" -> s12Kmeans _,
     "s13_knn_pagerank" -> s13Pagerank _,
+    "s14_coreset_sample" -> s14CoresetSample _,
   )
 
   val oracles: Map[String, String] = Map(
     "s12_kmeans" -> s12Sql,
     "s13_knn_pagerank" -> s13Sql,
+    "s14_coreset_sample" -> s14Sql,
   )
 }

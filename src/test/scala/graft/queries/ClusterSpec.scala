@@ -139,6 +139,40 @@ class ClusterSpec extends AnyFunSuite {
     assert(fac.exceptAll(df).isEmpty && df.exceptAll(fac).isEmpty)
   }
 
+  test("s14 coreset: per-cell quotas exact; central flag flips the keep set") {
+    import spark.implicits._
+    val df = ClusterOps.s14CoresetSample(spark, d)
+    val rows = df.collect()
+    assert(rows.length == 500)
+    // quota: kept per cell == ceil(size / keepDen), and the kept set is
+    // exactly the lowest-rank (most central) slice
+    val byCell = rows.groupBy(_.getLong(1))
+    byCell.foreach { case (cell, rs) =>
+      val size = rs.head.getLong(4)
+      assert(size == rs.length, s"cell $cell size mismatch")
+      val want = (size + ClusterOps.CoresetKeepDen - 1) / ClusterOps.CoresetKeepDen
+      val kept = rs.filter(_.getBoolean(5))
+      assert(kept.length == want, s"cell $cell kept ${kept.length} want $want")
+      assert(kept.map(_.getLong(3)).max <= want, s"cell $cell kept a high rank")
+    }
+    // facade equivalence under renamed columns + the outlier flip:
+    // central=false must keep the per-cell MAX-d2 vector, not the min
+    val renamed = Tables.embeddings(spark, d)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val fac = graft.ops.Vectors.coresetSample(spark, renamed,
+      ClusterOps.KmK, ClusterOps.KmIters, idCol = "id", vecCol = "vec")
+      .orderBy("vec_id")
+    assert(fac.exceptAll(df).isEmpty && df.exceptAll(fac).isEmpty)
+    val outliers = graft.ops.Vectors.coresetSample(spark, renamed,
+      ClusterOps.KmK, ClusterOps.KmIters, central = false,
+      idCol = "id", vecCol = "vec").collect()
+    outliers.groupBy(_.getLong(1)).foreach { case (cell, rs) =>
+      val maxD2 = rs.map(_.getLong(2)).max
+      assert(rs.filter(_.getBoolean(5)).exists(_.getLong(2) == maxD2),
+        s"cell $cell: outlier mode must keep the farthest vector")
+    }
+  }
+
   test("dimension mismatch and missing seeds fail by name") {
     import spark.implicits._
     val ragged = Seq((0L, Array(1L, 2L)), (1L, Array(1L, 2L, 3L)))
