@@ -98,6 +98,32 @@ object Media {
       }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
   }
 
+  /** Audio fingerprints (m09): the Haitsma–Kalker-style robust hash's
+    * deterministic core — sign bits of consecutive frame-energy deltas
+    * over the first 8 frames of RIFF-parsed PCM, packed into one
+    * integer. Equal fingerprints mark same-signal audio families (the
+    * audio twin of [[perceptualHash]]). Rows whose payload is not a
+    * parseable mono PCM-16 WAV with at least 8 complete frames emit
+    * ok=false instead of failing the scan. */
+  def audioFingerprints(df: DataFrame, idCol: String = "doc_id",
+                        bytesCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = true),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("fp", LongType, nullable = true)))
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = idOrNull(r)
+          try {
+            if (id == null) throw new IllegalArgumentException("null id")
+            val (_, samples) = MultiModalOps.wavSamples(r.getAs[Array[Byte]](1))
+            Row(id, true, MultiModalOps.fingerprintOf(samples))
+          } catch { case _: Exception => Row(id, false, null) }
+        }
+      }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+  }
+
   /** Scene-cut detection (m08): segment a payload viewed as 64-byte
     * frames into shots wherever consecutive frame-mean intensities jump
     * by more than the threshold — the structure a video sampler consumes.

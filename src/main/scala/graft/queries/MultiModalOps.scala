@@ -664,8 +664,100 @@ object MultiModalOps {
        |FROM per p JOIN best b ON p.doc_id = b.doc_id
        |ORDER BY p.doc_id""".stripMargin
 
+  /** Energy frames hashed into the m09 fingerprint: E_0..E_7 give 7 sign
+    * bits. Every synthesized payload carries ≥ 256 samples = exactly
+    * [[FpFrames]] complete [[VadFrame]]-sample frames, so the prefix
+    * fingerprint is total (no ragged-tail arm to diverge on). */
+  private[graft] val FpFrames = 8
+
+  /** m09: audio fingerprinting + family grouping — the Haitsma–Kalker
+    * (2002) robust-hash shape reduced to its deterministic core: frame
+    * the REAL RIFF-parsed PCM into [[VadFrame]]-sample frames, take the
+    * SIGN of each consecutive frame-energy delta as one bit, and pack
+    * the first [[FpFrames]]−1 bits into an integer fingerprint (the
+    * full algorithm band-filters a spectrogram; energy deltas are the
+    * time-domain analog that stays libm-free and engine-exact). Equal
+    * fingerprints group into families with a min-id canonical — the
+    * audio twin of m06's pHash image dedup. The oracle recomputes the
+    * energies from the synthesis formula WITHOUT seeing the bytes, so a
+    * hash match proves the container walk + PCM extraction + framing
+    * actually ran.
+    *
+    * Scale shape: one map-only decode scan (fingerprint = 8 longs of
+    * state per row), then a fingerprint-partitioned window — the d01
+    * grouping shape; no join, no global sort. */
+  def m09AudioFingerprint(s: SparkSession, d: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("fp", LongType, nullable = false)))
+    val fps = documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          // payload synthesized then GENUINELY re-parsed from bytes
+          Row(id, fingerprintOf(wavSamples(wavBytes(id))._2))
+        }
+      }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    fps
+      .withColumn("family_size", count(lit(1)).over(w).cast("long"))
+      .withColumn("canonical_id", min("doc_id").over(w))
+      .select("doc_id", "fp", "family_size", "canonical_id")
+      .orderBy("doc_id")
+  }
+
+  /** The m09 fingerprint kernel over decoded PCM, shared by the gated
+    * query and [[graft.ops.Media.audioFingerprints]]. Requires
+    * [[FpFrames]] complete frames — shorter audio has no total prefix
+    * fingerprint and fails by name (the facade maps that to ok=false). */
+  private[graft] def fingerprintOf(samples: Array[Short]): Long = {
+    require(samples.length >= FpFrames * VadFrame,
+      s"audioFingerprint: need ${FpFrames * VadFrame} samples for " +
+        s"$FpFrames frames, got ${samples.length}")
+    val e = Array.tabulate(FpFrames) { j =>
+      var acc = 0L; var i = j * VadFrame
+      val end = i + VadFrame
+      while (i < end) { acc += samples(i).toLong * samples(i); i += 1 }
+      acc
+    }
+    var fp = 0L
+    var j = 1
+    while (j < FpFrames) {
+      if (e(j) > e(j - 1)) fp |= 1L << (j - 1)
+      j += 1
+    }
+    fp
+  }
+
+  /** Oracle: fingerprint from the synthesis formula only — no bytes. */
+  val m09Sql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, 3 + doc_id % 13 AS f FROM documents
+       |), smp AS (
+       |  SELECT doc_id, f, unnest(range(0, ${FpFrames * VadFrame})) AS k
+       |  FROM p
+       |), e AS (
+       |  SELECT doc_id, k // $VadFrame AS j,
+       |    SUM((((k * f) % 200) * 100 - 9950)
+       |      * (((k * f) % 200) * 100 - 9950)) AS e
+       |  FROM smp GROUP BY 1, 2
+       |), b AS (
+       |  SELECT doc_id, j,
+       |    CASE WHEN e > LAG(e) OVER (PARTITION BY doc_id ORDER BY j)
+       |      THEN 1 ELSE 0 END AS bit
+       |  FROM e
+       |), fp AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(bit << (j - 1)) AS BIGINT) AS fp
+       |  FROM b WHERE j >= 1 GROUP BY 1)
+       |SELECT doc_id, fp,
+       |  COUNT(*) OVER (PARTITION BY fp) AS family_size,
+       |  MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id
+       |FROM fp ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m08_scene_cuts" -> m08SceneCuts _,
+    "m09_audio_fingerprint" -> m09AudioFingerprint _,
     "m07_energy_segments" -> m07EnergySegments _,
     "m01_image_decode" -> m01ImageDecode _,
     "m02_frame_sample" -> m02FrameSample _,
@@ -676,6 +768,7 @@ object MultiModalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "m09_audio_fingerprint" -> m09Sql,
     "m08_scene_cuts" -> m08Sql,
     "m07_energy_segments" -> m07Sql,
     "m01_image_decode" -> m01Sql,

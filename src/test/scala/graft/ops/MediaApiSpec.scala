@@ -48,6 +48,28 @@ class MediaApiSpec extends AnyFunSuite {
     assert(apiCmp.exceptAll(gated).isEmpty && gated.exceptAll(apiCmp).isEmpty)
   }
 
+  test("audioFingerprints over a payload column == m09 on the same ids") {
+    import spark.implicits._
+    val ids = graft.queries.Tables.documents(spark, d)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val payloads = ids.map(id =>
+      (id, graft.queries.MultiModalOps.wavBytes(id))).toDF("id", "bytes")
+    val api = Media.audioFingerprints(payloads, "id", "bytes")
+    assert(api.filter(!col("ok")).isEmpty)
+    val apiFp = api.select(col("doc_id"), col("fp")).orderBy("doc_id")
+    val gated = graft.queries.MultiModalOps.m09AudioFingerprint(spark, d)
+      .select("doc_id", "fp")
+    assert(apiFp.exceptAll(gated).isEmpty && gated.exceptAll(apiFp).isEmpty)
+    // corrupt / too-short / non-WAV payloads degrade, never kill the scan
+    val bad = Seq(
+      (1L, Array[Byte](1, 2, 3)),
+      (2L, "RIFFxxxxWAVE".getBytes("ASCII")),
+      (3L, graft.queries.MultiModalOps.wavBytes(0L).take(100)))
+      .toDF("id", "bytes")
+    val got = Media.audioFingerprints(bad, "id", "bytes").collect()
+    assert(got.length == 3 && got.forall(!_.getBoolean(1)), got.mkString(","))
+  }
+
   test("energySegments over a payload column == m07 on the same ids") {
     import spark.implicits._
     val ids = graft.queries.Tables.documents(spark, d)
