@@ -45,12 +45,17 @@ object ClusterOps {
   /** s12: k-means over the embeddings corpus. Output: one row per vector
     * (vec_id, cell, d2) — its final cluster and exact integer squared L2
     * distance to that centroid. */
-  def s12Kmeans(s: SparkSession, d: String): DataFrame = {
+  def s12Kmeans(s: SparkSession, d: String): DataFrame =
+    s12AssignOf(s, d).orderBy("vec_id")
+
+  /** The quantize-and-cluster assignment derivation SHARED by s12 and
+    * s14 (the Spark-side twin of [[kmeansSqlCtes]]'s sharing — if the
+    * quantization or seeding ever changes, both queries move together). */
+  private[graft] def s12AssignOf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     kmeansOf(s, embeddings(s, d)
       .select(col("vec_id"), expr(SimilarityOps.quantize("embedding")).as("q"))
       .as[(Long, Array[Long])].toDF("vec_id", "q"), KmK, KmIters)
-      .orderBy("vec_id")
   }
 
   /** The s12 kernel over any (vec_id, q: array<long>) frame
@@ -198,13 +203,8 @@ object ClusterOps {
     * model sweeps) plus ONE per-cell window — cell partitions are corpus/k
     * sized, a keyed shuffle, no global sort. The oracle samples from
     * EXACTLY the s12 clustering via the shared [[kmeansSqlCtes]]. */
-  def s14CoresetSample(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val assign = kmeansOf(s, embeddings(s, d)
-      .select(col("vec_id"), expr(SimilarityOps.quantize("embedding")).as("q"))
-      .as[(Long, Array[Long])].toDF("vec_id", "q"), KmK, KmIters)
-    coresetOf(assign, CoresetKeepDen).orderBy("vec_id")
-  }
+  def s14CoresetSample(s: SparkSession, d: String): DataFrame =
+    coresetOf(s12AssignOf(s, d), CoresetKeepDen).orderBy("vec_id")
 
   /** s14's kernel over any (vec_id, cell, d2) assignment frame
     * (graft.ops.Vectors API). `central = false` keeps the FARTHEST

@@ -507,8 +507,13 @@ object DedupOps {
     } finally edges.unpersist(blocking = false)
   }
 
-  val d07Sql: String =
-    s"""WITH RECURSIVE cand AS (${d04Sql.replace("ORDER BY doc_a, doc_b", "")}),
+  /** The d04-candidates → recursive-reach connected-components chain as
+    * CTE text ending in `comp` = (doc_id, cluster_id) — SHARED by d07Sql
+    * and DedupOps2.d13Sql (the dsirSqlCtes anti-drift lesson): both
+    * oracles walk EXACTLY the same candidate graph. Callers must open
+    * with `WITH RECURSIVE`. */
+  private[graft] def ccSqlCtes: String =
+    s"""cand AS (${d04Sql.replace("ORDER BY doc_a, doc_b", "")}),
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM cand
        |  UNION
@@ -518,7 +523,10 @@ object DedupOps {
        |  SELECT doc_id, doc_id FROM nodes
        |  UNION
        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-       |comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+       |comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)""".stripMargin
+
+  val d07Sql: String =
+    s"""WITH RECURSIVE $ccSqlCtes
        |SELECT cluster_id, COUNT(*) AS cluster_size,
        |  CAST(MIN(doc_id) AS BIGINT) AS canonical_id
        |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin

@@ -559,18 +559,7 @@ object DedupOps2 {
   }
 
   val d13Sql: String =
-    s"""WITH RECURSIVE cand AS (
-       |${DedupOps.d04Sql.replace("ORDER BY doc_a, doc_b", "")}),
-       |edges AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM cand
-       |  UNION
-       |  SELECT doc_b, doc_a FROM cand),
-       |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
-       |reach(src, dst) AS (
-       |  SELECT doc_id, doc_id FROM nodes
-       |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-       |comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+    s"""WITH RECURSIVE ${DedupOps.ccSqlCtes}
        |SELECT d.doc_id,
        |  COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
        |  CASE WHEN ${h60Duck("CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)")}

@@ -759,7 +759,12 @@ object PipelineOps {
     * never a single-partition window. The oracle replays learn + encode
     * via the shared t19 CTE chain and packs with the same running sum. */
   def p08TokenizerPipeline(s: SparkSession, d: String): DataFrame = {
-    val enc = TextOps.t19BpeEncode(s, d).localCheckpoint(true)
+    // the UNSORTED encode kernel: t19's gated query ends in a global
+    // orderBy, and checkpointing that would materialize a corpus-wide
+    // range sort nothing here needs (packing re-partitions by shard,
+    // the pipeline re-sorts its final output anyway)
+    val enc = TextOps.bpeEncodeOf(documents(s, d), TextOps.BpeMergeCount)
+      .localCheckpoint(true)
     val packed = TextOps.sequencePackCountsOf(
       enc.select(col("doc_id"), col("tokens_after").as("n_tokens")),
       TextOps.PackWindow)
@@ -782,8 +787,8 @@ object PipelineOps {
        |SELECT e.doc_id, e.n_words, e.tokens_after, e.compression_pm,
        |  CAST(p.pack_start AS BIGINT) AS pack_start,
        |  CAST(p.pack_start // ${TextOps.PackWindow} AS BIGINT) AS first_window,
-       |  CAST((p.pack_start + p.tokens_after - 1) // ${TextOps.PackWindow}
-       |    AS BIGINT) AS last_window
+       |  CAST((p.pack_start + GREATEST(p.tokens_after, 1) - 1)
+       |    // ${TextOps.PackWindow} AS BIGINT) AS last_window
        |FROM enc e JOIN pk p USING (doc_id) ORDER BY e.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

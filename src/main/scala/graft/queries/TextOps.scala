@@ -551,8 +551,14 @@ object TextOps {
       .withColumn("pack_start",
         col("shard_offset") + sum("n_tokens").over(w) - col("n_tokens"))
       .withColumn("first_window", expr(s"pack_start div $window"))
+      // greatest(n_tokens, 1): a ZERO-token doc (reachable through p08's
+      // BPE counts — an all-empty-word text encodes to 0 tokens; t13's
+      // whitespace counts are always >= 1) occupies no window, and the
+      // raw formula would put last_window BEFORE first_window when its
+      // pack_start sits exactly on a window boundary. Convention:
+      // last_window = first_window for empty docs (an empty range).
       .withColumn("last_window",
-        expr(s"(pack_start + n_tokens - 1) div $window"))
+        expr(s"(pack_start + greatest(n_tokens, 1L) - 1) div $window"))
       .select("doc_id", "n_tokens", "pack_start", "first_window", "last_window")
   }
 
@@ -568,7 +574,8 @@ object TextOps {
        |  FROM t)
        |SELECT doc_id, n_tokens, CAST(pack_start AS BIGINT) AS pack_start,
        |  CAST(pack_start // $PackWindow AS BIGINT) AS first_window,
-       |  CAST((pack_start + n_tokens - 1) // $PackWindow AS BIGINT) AS last_window
+       |  CAST((pack_start + GREATEST(n_tokens, 1) - 1) // $PackWindow
+       |    AS BIGINT) AS last_window
        |FROM c ORDER BY doc_id""".stripMargin
 
   /** t14: Gopher-style quality-filter rules (Rae et al. 2021, §A.1.1 — the

@@ -61,6 +61,22 @@ class TextApiSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.collect().take(3).mkString(","))
   }
 
+  test("sequence packing: zero-token docs occupy an empty [first,first] range") {
+    import spark.implicits._
+    // reachable through p08's BPE counts (all-empty-word text encodes to
+    // 0 tokens); doc 1 sits EXACTLY on a window boundary, where the raw
+    // (pack_start + n - 1) div w formula would put last_window BEFORE
+    // first_window
+    val counts = Seq((0L, 256L), (1L, 0L), (2L, 10L)).toDF("doc_id", "n_tokens")
+    val got = graft.queries.TextOps.sequencePackCountsOf(counts, 256)
+      .orderBy("doc_id").collect()
+    assert(got(1).getAs[Long]("pack_start") == 256L)
+    assert(got(1).getAs[Long]("first_window") == 1L &&
+      got(1).getAs[Long]("last_window") == 1L, got.mkString(","))
+    // and the empty doc consumes no stream positions
+    assert(got(2).getAs[Long]("pack_start") == 256L)
+  }
+
   test("bm25TopK == t22; a verbatim copy of a query ranks first") {
     import spark.implicits._
     same(Text.bm25TopK(renamed, 0L until 10L, k = 5, "id", "body")
