@@ -791,7 +791,88 @@ object PipelineOps {
        |    // ${TextOps.PackWindow} AS BIGINT) AS last_window
        |FROM enc e JOIN pk p USING (doc_id) ORDER BY e.doc_id""".stripMargin
 
+  /** p09's gram width (t11's eval-contamination width — the same overlap
+    * unit, here turned on one's OWN split instead of an external
+    * benchmark). */
+  val SplitAuditK = 5
+
+  /** p09: SPLIT-CONTAMINATION audit — measure what d13's guarantee does
+    * NOT cover. The leakage-safe split keeps LSH-DETECTED near-dups on
+    * one side; banded minhash has a recall floor, so some residual
+    * overlap always crosses the boundary. p09 quantifies it exactly: for
+    * every 'val' document, the fraction of its distinct word
+    * [[SplitAuditK]]-grams that also occur in ANY 'train' document
+    * (leak_milli = 1000·shared div grams). The QA stage a split ships
+    * with — asserting zero leakage is impossible, reporting it is the
+    * honest contract.
+    *
+    * Scale shape: the d13 split (checkpointed — the CC machinery runs
+    * once) + ONE corpus gram scan (grams md5-hashed to 60-bit ints, the
+    * t21 trick, then checkpointed); the train-side distinct-gram set and
+    * the val-side (doc, gram) pairs are two branches of that
+    * materialized frame, joined on the gram hash — the inverted-index
+    * equi-join, never doc×doc. Val docs with < k words have no grams
+    * and are omitted (the t21 contract). */
+  def p09SplitAudit(s: SparkSession, d: String): DataFrame = {
+    val split = DedupOps2.d13LeakageSplit(s, d)
+      .select("doc_id", "split").localCheckpoint(true)
+    val grams = documents(s, d)
+      .withColumn("words", split_(col("text"), " "))
+      .filter(size(col("words")) >= SplitAuditK)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(words) - ${SplitAuditK - 1}), " +
+          s"i -> concat_ws(' ', slice(words, i, $SplitAuditK)))")).as("g"))
+      .select(col("doc_id"), expr(DedupOps2.h60("g")).as("f"))
+      .distinct()
+      .join(split, "doc_id")
+      .localCheckpoint(true)
+    val trainGrams = grams.filter(col("split") === "train")
+      .select("f").distinct()
+    grams.filter(col("split") === "val")
+      .join(trainGrams.withColumn("hit", lit(1)), Seq("f"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count("hit").as("n_shared"))
+      .withColumn("leak_milli", expr("(1000 * n_shared) div n_grams"))
+      .select("doc_id", "n_grams", "n_shared", "leak_milli")
+      .orderBy("doc_id")
+  }
+
+  /** Alias: `split` the sql function is shadowed by the d13 column name
+    * in [[p09SplitAudit]]'s scope. */
+  private def split_(c: org.apache.spark.sql.Column, sep: String) =
+    org.apache.spark.sql.functions.split(c, sep)
+
+  val p09Sql: String =
+    s"""WITH RECURSIVE ${DedupOps.ccSqlCtes},
+       |sp AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN ${DedupOps2.h60Duck(
+      "CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)")}
+       |        % ${DedupOps2.LeakSplitMod} = 0 THEN 'val' ELSE 'train' END
+       |      AS split
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+       |), gr AS (
+       |  SELECT DISTINCT doc_id,
+       |    ${DedupOps2.h60Duck(
+      "array_to_string(words[i : i + " + (SplitAuditK - 1) + "], ' ')")} AS f
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words,
+       |          unnest(range(1, len(string_split(text, ' '))
+       |            - ${SplitAuditK - 2})) AS i
+       |        FROM documents
+       |        WHERE len(string_split(text, ' ')) >= $SplitAuditK)
+       |), tg AS (
+       |  SELECT DISTINCT g.f FROM gr g JOIN sp ON g.doc_id = sp.doc_id
+       |  WHERE sp.split = 'train'
+       |), vp AS (
+       |  SELECT g.doc_id, g.f FROM gr g JOIN sp ON g.doc_id = sp.doc_id
+       |  WHERE sp.split = 'val')
+       |SELECT vp.doc_id, COUNT(*) AS n_grams, COUNT(tg.f) AS n_shared,
+       |  CAST((1000 * COUNT(tg.f)) // COUNT(*) AS BIGINT) AS leak_milli
+       |FROM vp LEFT JOIN tg ON vp.f = tg.f
+       |GROUP BY vp.doc_id ORDER BY vp.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p09_split_audit" -> p09SplitAudit _,
     "p08_tokenizer_pipeline" -> p08TokenizerPipeline _,
     "p07_hybrid_retrieval" -> p07HybridRetrieval _,
     "p06_curated_mix" -> p06CuratedMix _,
@@ -803,6 +884,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "p09_split_audit" -> p09Sql,
     "p08_tokenizer_pipeline" -> p08Sql,
     "p07_hybrid_retrieval" -> p07Sql,
     "p06_curated_mix" -> p06Sql,

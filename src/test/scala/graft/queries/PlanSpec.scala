@@ -343,6 +343,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("p09: a planted cross-split shared run is reported, not hidden") {
+    import spark.implicits._
+    // the corpus-level audit is all-zero at sf0.001 (no 5-gram crosses
+    // the split there) — this fixture proves the machinery DETECTS
+    // leakage: two otherwise-disjoint docs share one 5-word run, too
+    // little overlap for LSH to cluster them, with ids chosen so the
+    // d13 hash puts them on OPPOSITE sides
+    def h60(sv: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val valId = (0L to 200L).find(i => h60(i.toString) % 10 == 0).get
+    val trainId = (0L to 200L).find(i => h60(i.toString) % 10 != 0).get
+    val shared = "alpha beta gamma delta epsilon"
+    def filler(p: String) = (1 to 10).map(j => s"$p$j").mkString(" ")
+    val docs = Seq(
+      (valId, s"${filler("v")} $shared ${filler("w")}"),
+      (trainId, s"${filler("t")} $shared ${filler("u")}"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("p09fix").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = PipelineOps.p09SplitAudit(spark, dir).collect()
+    assert(got.length == 1 && got.head.getLong(0) == valId, got.mkString(","))
+    // exactly the one planted 5-gram crosses (25 words -> 21 grams)
+    assert(got.head.getAs[Long]("n_grams") == 21L &&
+      got.head.getAs[Long]("n_shared") == 1L, got.head)
+    assert(got.head.getAs[Long]("leak_milli") == 1000L / 21L)
+  }
+
   test("st10: ONE event scan; drift math runs on the checkpointed aggregate") {
     val p = plan(StreamOps.st10DriftScore(spark, d))
     // baseline, totals, window totals and the scoring grid all derive
