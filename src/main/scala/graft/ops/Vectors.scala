@@ -128,6 +128,40 @@ object Vectors {
       k, bands, bandBits, candCap)
   }
 
+  /** Incremental kNN-graph maintenance (s15): absorb `batch` into the
+    * kNN graph of `standing` without recomputing the standing pairs —
+    * the per-pair collision state of the old corpus is reused as-is and
+    * only the batch probes the band index. The merged graph EQUALS a
+    * full [[knnGraph]] rebuild over standing ∪ batch row-for-row (band
+    * signatures are per-vector, so the candidate tables partition). The
+    * contract requires every batch id to be GREATER than every standing
+    * id (append-ordered ingest — what makes the probe enumerate exactly
+    * the new pairs); violations fail by name. */
+  def knnGraphAddBatch(spark: SparkSession, standing: DataFrame,
+                       batch: DataFrame, k: Int = SimilarityOps.KnnK,
+                       bands: Int = SimilarityOps.WideBands,
+                       bandBits: Int = SimilarityOps.WideRowsPerBand,
+                       candCap: Int = SimilarityOps.KnnCandCap,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val old = SimilarityOps.withQuantized(
+      standing.select(col(idCol).cast("long").as("vec_id"), col(vecCol)),
+      vecCol)
+    val neu = SimilarityOps.withQuantized(
+      batch.select(col(idCol).cast("long").as("vec_id"), col(vecCol)),
+      vecCol)
+    val all = old.union(neu).localCheckpoint(true)
+    val (maxOld, minNew) = (old.agg(max("vec_id")).as[Long].head(),
+      neu.agg(min("vec_id")).as[Long].head())
+    require(maxOld < minNew,
+      s"knnGraphAddBatch: batch ids must all exceed standing ids " +
+        s"(append-ordered ingest), got standing max $maxOld >= batch min " +
+        s"$minNew — re-key the batch first")
+    SimilarityOps.incrementalKnnOf(all, minNew, k, bands, bandBits, candCap)
+  }
+
   /** MMR diversified re-ranking (s10, Carbonell & Goldstein 1998): from
     * each query's exact top-`pool` cosine shortlist, greedily select `k`
     * results maximizing `lambda10/10`·relevance − `(10−lambda10)/10`·

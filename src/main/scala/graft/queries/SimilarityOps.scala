@@ -1228,6 +1228,16 @@ object SimilarityOps {
       s"knnGraph: candCap must be >= k, got candCap=$candCap k=$k")
     val cand = s02Candidates(emb, bands, rowsPerBand)
       .groupBy("vec_a", "vec_b").agg(count(lit(1)).as("m"))
+    knnGraphFromCands(emb, cand, k, candCap)
+  }
+
+  /** The cap/rescore/top-k tail of the kNN-graph build over a
+    * precomputed per-pair collision-count frame (vec_a < vec_b, m) —
+    * SHARED by [[knnGraphOf]] and the s15 incremental path, whose whole
+    * point is producing the same `cand` table without recomputing the
+    * standing pairs. */
+  private[graft] def knnGraphFromCands(emb: DataFrame, cand: DataFrame,
+                                       k: Int, candCap: Int): DataFrame = {
     val sym = cand.select(col("vec_a").as("vec_id"),
         col("vec_b").as("neighbor_id"), col("m"))
       .union(cand.select(col("vec_b").as("vec_id"),
@@ -1311,6 +1321,70 @@ object SimilarityOps {
     s"""WITH ${knnSqlCtes("")}
        |SELECT vec_id, CAST(rk AS BIGINT) AS rk, neighbor_id, sim
        |FROM ranked WHERE rk <= $KnnK ORDER BY vec_id, rk""".stripMargin
+
+  /** s15's batch split: the HIGHEST 1/this of the id range arrives as
+    * the "new" batch against a standing index of the rest. */
+  val NewBatchDen = 5L
+
+  /** s15: INCREMENTAL kNN-graph maintenance — absorb a new vector batch
+    * into a standing graph without recomputing the standing pairs. The
+    * persisted state is the per-pair collision-count table of the old
+    * corpus (checkpointed here to simulate a loaded index); the new work
+    * is ONE banded probe of the new batch against the full band index —
+    * new×old and new×new collisions only. Because per-vector band
+    * signatures are independent, standing-state ∪ probe-pairs is
+    * BIT-IDENTICAL to the full rebuild's candidate table, so the merged
+    * graph must EQUAL s11 row-for-row — the hard maintenance contract
+    * (oracle: literally s11Sql; spec: frame equality with s11). At 10^10
+    * vectors this is the difference between a full O(corpus) rebuild per
+    * ingest batch and O(batch × collision-mass) upkeep.
+    *
+    * Scale shape: probe = thin band equi-join (batch side small), merged
+    * counts flow into the shared cap/rescore/top-k tail. The standing
+    * table is read, never recomputed — its build cost here stands in for
+    * a state load and is excluded from the incremental claim (the
+    * measured incremental job is the probe + tail). */
+  def s15IncrementalKnn(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val emb = withQuantized(embeddings(s, d), "embedding")
+      .localCheckpoint(true)
+    val maxId = emb.agg(max("vec_id")).as[Long].head()
+    val t = (maxId + 1L) * (NewBatchDen - 1L) / NewBatchDen
+    require(t >= 1L && t <= maxId,
+      s"incrementalKnn: degenerate batch split t=$t for max id $maxId")
+    incrementalKnnOf(emb, t, KnnK, WideBands, WideRowsPerBand, KnnCandCap)
+      .orderBy("vec_id", "rk")
+  }
+
+  /** s15's kernel over a quantized CHECKPOINTED (vec_id, q, nrm) frame:
+    * ids ≥ `t` are the arriving batch, ids < `t` the standing corpus
+    * (graft.ops.Vectors API — the id ordering is what makes the probe's
+    * a < b constraint enumerate exactly the new-involving pairs). */
+  private[graft] def incrementalKnnOf(emb: DataFrame, t: Long, k: Int,
+                                      bands: Int, rowsPerBand: Int,
+                                      candCap: Int): DataFrame = {
+    // standing state: the old corpus's per-pair collision counts
+    val standing = s02Candidates(emb.filter(col("vec_id") < t),
+        bands, rowsPerBand)
+      .groupBy("vec_a", "vec_b").agg(count(lit(1)).as("m"))
+      .localCheckpoint(true)
+    // the incremental probe: new batch against the FULL band index.
+    // New ids are the HIGHEST ids, so every pair with a new member has
+    // its larger id (the b side) in the batch — a.vec_id < b.vec_id
+    // with b restricted to the batch enumerates exactly the new pairs,
+    // and standing ∪ probe partitions the full candidate table.
+    val bandsAll = s02Bands(emb, bands, rowsPerBand)
+    val bandsNew = s02Bands(emb.filter(col("vec_id") >= t),
+      bands, rowsPerBand)
+    val probe = bandsAll.as("a").join(bandsNew.as("b"),
+        col("a.band_no") === col("b.band_no") &&
+          col("a.bits") === col("b.bits") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .groupBy("vec_a", "vec_b").agg(count(lit(1)).as("m"))
+    knnGraphFromCands(emb, standing.union(probe), k, candCap)
+  }
 
   // ---------------------------------------------------------------- s10
 
@@ -1497,6 +1571,7 @@ object SimilarityOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s11_knn_graph" -> s11KnnGraph _,
+    "s15_incremental_knn" -> s15IncrementalKnn _,
     "s10_mmr_rerank" -> s10MmrRerank _,
     "s09_maxsim_topk" -> s09MaxsimTopk _,
     "s08_ivfpq_topk" -> s08IvfPqTopk _,
@@ -1511,6 +1586,8 @@ object SimilarityOps {
 
   val oracles: Map[String, String] = Map(
     "s11_knn_graph" -> s11Sql,
+    // s15's contract IS equality with the full rebuild — same oracle
+    "s15_incremental_knn" -> s11Sql,
     "s10_mmr_rerank" -> s10Sql,
     "s09_maxsim_topk" -> s09Sql,
     "s08_ivfpq_topk" -> s08Sql,

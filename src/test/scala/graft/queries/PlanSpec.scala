@@ -307,6 +307,14 @@ class PlanSpec extends AnyFunSuite {
       perQuery.values.forall(_ == RetrievalOps.Bm25TopK), perQuery.toMap)
   }
 
+  test("s15: probe is a thin band equi-join on the checkpointed frame") {
+    val p = plan(SimilarityOps.s15IncrementalKnn(spark, d))
+    assert(!p.contains("FileScan parquet"),
+      s"s15 re-plans the embeddings scan past the checkpoint:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("s13: iterations run on checkpointed graph frames, equi-joins only") {
     val p = plan(ClusterOps.s13Pagerank(spark, d))
     // edges and nodes are checkpointed once; three unrolled iterations

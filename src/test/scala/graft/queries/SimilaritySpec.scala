@@ -297,4 +297,29 @@ class SimilaritySpec extends AnyFunSuite {
     info(s"s08 recall@5 vs exact top-5 = $hits/50")
     assert(hits >= 45, s"s08 recall $hits/50 below the 45/50 (0.9) bar")
   }
+
+  test("s15 incremental kNN == s11 full rebuild; ordering violations fail by name") {
+    import org.apache.spark.sql.functions._
+    val inc = SimilarityOps.s15IncrementalKnn(spark, d)
+    val full = SimilarityOps.s11KnnGraph(spark, d)
+    assert(inc.columns.sameElements(full.columns))
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
+    // the facade over an explicit standing/batch split agrees too, and
+    // the split is non-vacuous (both sides populated)
+    val emb = Tables.embeddings(spark, d)
+    val t = 400L
+    assert(emb.filter(col("vec_id") >= t).count() > 0)
+    val fac = graft.ops.Vectors.knnGraphAddBatch(spark,
+      emb.filter(col("vec_id") < t), emb.filter(col("vec_id") >= t))
+      .orderBy("vec_id", "rk")
+    val fullFac = graft.ops.Vectors.knnGraph(spark, emb)
+      .orderBy("vec_id", "rk")
+    assert(fac.exceptAll(fullFac).isEmpty && fullFac.exceptAll(fac).isEmpty)
+    // append-order contract: an overlapping batch id space is refused
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Vectors.knnGraphAddBatch(spark,
+        emb.filter(col("vec_id") < t), emb.filter(col("vec_id") >= t - 10))
+    }
+    assert(e.getMessage.contains("append-ordered"), e.getMessage)
+  }
 }
