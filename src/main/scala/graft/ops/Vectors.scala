@@ -146,19 +146,24 @@ object Vectors {
                        vecCol: String = "embedding"): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
-    val old = SimilarityOps.withQuantized(
-      standing.select(col(idCol).cast("long").as("vec_id"), col(vecCol)),
-      vecCol)
-    val neu = SimilarityOps.withQuantized(
-      batch.select(col(idCol).cast("long").as("vec_id"), col(vecCol)),
-      vecCol)
-    val all = old.union(neu).localCheckpoint(true)
-    val (maxOld, minNew) = (old.agg(max("vec_id")).as[Long].head(),
-      neu.agg(min("vec_id")).as[Long].head())
+    // validate on the CHEAP id aggregates first (empty frames fail by
+    // name, not NPE; a contract-violating call never pays quantization)
+    val maxOld = standing.agg(max(col(idCol).cast("long"))).as[Option[Long]]
+      .head().getOrElse(throw new IllegalArgumentException(
+        "knnGraphAddBatch: standing corpus is empty — build the initial " +
+          "graph with knnGraph instead"))
+    val minNew = batch.agg(min(col(idCol).cast("long"))).as[Option[Long]]
+      .head().getOrElse(throw new IllegalArgumentException(
+        "knnGraphAddBatch: batch is empty — nothing to absorb"))
     require(maxOld < minNew,
       s"knnGraphAddBatch: batch ids must all exceed standing ids " +
         s"(append-ordered ingest), got standing max $maxOld >= batch min " +
         s"$minNew — re-key the batch first")
+    val all = SimilarityOps.withQuantized(
+      standing.select(col(idCol).cast("long").as("vec_id"), col(vecCol))
+        .unionByName(
+          batch.select(col(idCol).cast("long").as("vec_id"), col(vecCol))),
+      vecCol).localCheckpoint(true)
     SimilarityOps.incrementalKnnOf(all, minNew, k, bands, bandBits, candCap)
   }
 

@@ -558,12 +558,19 @@ object DedupOps2 {
       .select("doc_id", "cluster_id", "split")
   }
 
+  /** The d13 split rule as SQL expression text over a cluster-id
+    * expression — SHARED by d13Sql and PipelineOps.p09Sql (the
+    * dsirSqlCtes anti-drift lesson): if the split hash ever changes,
+    * the audit's oracle moves with it. */
+  private[graft] def splitSqlCase(clusterExpr: String): String =
+    s"CASE WHEN ${h60Duck(s"CAST($clusterExpr AS VARCHAR)")}" +
+      s" % $LeakSplitMod = 0 THEN 'val' ELSE 'train' END"
+
   val d13Sql: String =
     s"""WITH RECURSIVE ${DedupOps.ccSqlCtes}
        |SELECT d.doc_id,
        |  COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
-       |  CASE WHEN ${h60Duck("CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)")}
-       |      % $LeakSplitMod = 0 THEN 'val' ELSE 'train' END AS split
+       |  ${splitSqlCase("COALESCE(c.cluster_id, d.doc_id)")} AS split
        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
        |ORDER BY d.doc_id""".stripMargin
 

@@ -846,9 +846,7 @@ object PipelineOps {
     s"""WITH RECURSIVE ${DedupOps.ccSqlCtes},
        |sp AS (
        |  SELECT d.doc_id,
-       |    CASE WHEN ${DedupOps2.h60Duck(
-      "CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)")}
-       |        % ${DedupOps2.LeakSplitMod} = 0 THEN 'val' ELSE 'train' END
+       |    ${DedupOps2.splitSqlCase("COALESCE(c.cluster_id, d.doc_id)")}
        |      AS split
        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
        |), gr AS (

@@ -1223,9 +1223,7 @@ object SimilarityOps {
                                 bands: Int = WideBands,
                                 rowsPerBand: Int = WideRowsPerBand,
                                 candCap: Int = KnnCandCap): DataFrame = {
-    require(k >= 1, s"knnGraph: k must be >= 1, got $k")
-    require(candCap >= k,
-      s"knnGraph: candCap must be >= k, got candCap=$candCap k=$k")
+    // k/candCap validation lives in knnGraphFromCands (the shared tail)
     val cand = s02Candidates(emb, bands, rowsPerBand)
       .groupBy("vec_a", "vec_b").agg(count(lit(1)).as("m"))
     knnGraphFromCands(emb, cand, k, candCap)
@@ -1238,6 +1236,12 @@ object SimilarityOps {
     * standing pairs. */
   private[graft] def knnGraphFromCands(emb: DataFrame, cand: DataFrame,
                                        k: Int, candCap: Int): DataFrame = {
+    // validation lives on the SHARED tail so the incremental path cannot
+    // silently run with a cap below k (review-pass finding: the facade
+    // bypassed knnGraphOf's checks)
+    require(k >= 1, s"knnGraph: k must be >= 1, got $k")
+    require(candCap >= k,
+      s"knnGraph: candCap must be >= k, got candCap=$candCap k=$k")
     val sym = cand.select(col("vec_a").as("vec_id"),
         col("vec_b").as("neighbor_id"), col("m"))
       .union(cand.select(col("vec_b").as("vec_id"),
@@ -1375,8 +1379,9 @@ object SimilarityOps {
     // with b restricted to the batch enumerates exactly the new pairs,
     // and standing ∪ probe partitions the full candidate table.
     val bandsAll = s02Bands(emb, bands, rowsPerBand)
-    val bandsNew = s02Bands(emb.filter(col("vec_id") >= t),
-      bands, rowsPerBand)
+    // the batch's signatures already exist inside bandsAll — filter them
+    // out instead of running the sign_bands kernel over the batch twice
+    val bandsNew = bandsAll.filter(col("vec_id") >= t)
     val probe = bandsAll.as("a").join(bandsNew.as("b"),
         col("a.band_no") === col("b.band_no") &&
           col("a.bits") === col("b.bits") &&

@@ -308,7 +308,9 @@ class SimilaritySpec extends AnyFunSuite {
     // the split is non-vacuous (both sides populated)
     val emb = Tables.embeddings(spark, d)
     val t = 400L
-    assert(emb.filter(col("vec_id") >= t).count() > 0)
+    assert(emb.filter(col("vec_id") >= t).count() > 0 &&
+      emb.filter(col("vec_id") < t).count() > 0,
+      "vacuous split: both sides must be populated")
     val fac = graft.ops.Vectors.knnGraphAddBatch(spark,
       emb.filter(col("vec_id") < t), emb.filter(col("vec_id") >= t))
       .orderBy("vec_id", "rk")
