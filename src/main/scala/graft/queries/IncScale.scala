@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measurement main for s15's incremental claim (SCALE_r8): the gated
+  * s15 query builds its standing state in-query (simulating a state
+  * load), so the bench total cannot show the upkeep cost alone. This
+  * probe separates the phases:
+  *
+  *   1. full   — s11 rebuild over the whole corpus (the baseline an
+  *               ingest pipeline pays per batch WITHOUT maintenance),
+  *   2. state  — standing-pair table build over the old corpus only
+  *               (paid ONCE, then persisted in production),
+  *   3. probe  — batch band-probe + merged cap/rescore/top-k tail with
+  *               the standing table PRE-MATERIALIZED (the true
+  *               per-batch upkeep cost).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> sbt "runMain graft.queries.IncScale".
+  */
+object IncScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val emb = SimilarityOps.withQuantized(
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")), "embedding")
+      .localCheckpoint(true)
+    val n = emb.count()
+    // optional arg: batch denominator (batch = highest 1/den of ids);
+    // defaults to the gated query's split. Smaller batches show the
+    // probe cost tracking BATCH size, not corpus size.
+    val den = args.headOption.map(_.toLong)
+      .getOrElse(SimilarityOps.NewBatchDen)
+    require(den >= 2, s"batch denominator must be >= 2, got $den")
+    val maxId = emb.agg(max("vec_id")).as[Long].head()
+    val t = (maxId + 1L) * (den - 1L) / den
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val (fullEdges, fullSec) = timed {
+      SimilarityOps.knnGraphOf(emb, SimilarityOps.KnnK).count()
+    }
+    val (standing, stateSec) = timed {
+      SimilarityOps.s02Candidates(emb.filter(col("vec_id") < t),
+          SimilarityOps.WideBands, SimilarityOps.WideRowsPerBand)
+        .groupBy("vec_a", "vec_b").agg(count(lit(1)).as("m"))
+        .localCheckpoint(true) // eager: the probe phase reads state only
+    }
+    val (incEdges, probeSec) = timed {
+      val bandsAll = SimilarityOps.s02Bands(emb,
+        SimilarityOps.WideBands, SimilarityOps.WideRowsPerBand)
+      val probe = bandsAll.as("a")
+        .join(bandsAll.filter(col("vec_id") >= t).as("b"),
+          col("a.band_no") === col("b.band_no") &&
+            col("a.bits") === col("b.bits") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .groupBy("vec_a", "vec_b").agg(count(lit(1)).as("m"))
+      SimilarityOps.knnGraphFromCands(emb, standing.union(probe),
+        SimilarityOps.KnnK, SimilarityOps.KnnCandCap).count()
+    }
+    require(fullEdges == incEdges,
+      s"equality contract violated: full $fullEdges vs incremental $incEdges")
+    println(f"""{"metric":"inc_scale","n":$n,"t":$t,"edges":$fullEdges,""" +
+      f""""full_sec":$fullSec%.2f,"state_sec":$stateSec%.2f,""" +
+      f""""probe_sec":$probeSec%.2f,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
