@@ -144,19 +144,51 @@ object Vectors {
                        candCap: Int = SimilarityOps.KnnCandCap,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
+    val (all, t) = prepAppendBatch(spark, standing, batch, idCol, vecCol,
+      "knnGraphAddBatch")
+    SimilarityOps.incrementalKnnOf(all, t, k, bands, bandBits, candCap)
+  }
+
+  /** Touched-only kNN-graph upkeep (s16): same append-ordered
+    * standing/batch contract and the same exact-equality result as
+    * [[knnGraphAddBatch]], but the cap/rescore/top-k tail runs ONLY over
+    * the vectors the probe touched — untouched standing vectors keep
+    * their edges verbatim (old×old collision counts are immutable under
+    * append-only ingest, so their candidate multisets are bit-identical).
+    * Upkeep cost O(batch collision mass + touched·cap) instead of
+    * O(corpus·cap); the result still equals a from-scratch knnGraph of
+    * standing ∪ batch row-for-row. */
+  def knnGraphUpkeep(spark: SparkSession, standing: DataFrame,
+                     batch: DataFrame, k: Int = SimilarityOps.KnnK,
+                     bands: Int = SimilarityOps.WideBands,
+                     bandBits: Int = SimilarityOps.WideRowsPerBand,
+                     candCap: Int = SimilarityOps.KnnCandCap,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val (all, t) = prepAppendBatch(spark, standing, batch, idCol, vecCol,
+      "knnGraphUpkeep")
+    SimilarityOps.touchedKnnOf(all, t, k, bands, bandBits, candCap)
+  }
+
+  /** Shared validation + quantization for the incremental-graph facades:
+    * fails by name on empty frames and on a batch id space that does not
+    * strictly follow the standing ids (append-ordered ingest contract). */
+  private def prepAppendBatch(spark: SparkSession, standing: DataFrame,
+                              batch: DataFrame, idCol: String, vecCol: String,
+                              caller: String): (DataFrame, Long) = {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
     // validate on the CHEAP id aggregates first (empty frames fail by
     // name, not NPE; a contract-violating call never pays quantization)
     val maxOld = standing.agg(max(col(idCol).cast("long"))).as[Option[Long]]
       .head().getOrElse(throw new IllegalArgumentException(
-        "knnGraphAddBatch: standing corpus is empty — build the initial " +
+        s"$caller: standing corpus is empty — build the initial " +
           "graph with knnGraph instead"))
     val minNew = batch.agg(min(col(idCol).cast("long"))).as[Option[Long]]
       .head().getOrElse(throw new IllegalArgumentException(
-        "knnGraphAddBatch: batch is empty — nothing to absorb"))
+        s"$caller: batch is empty — nothing to absorb"))
     require(maxOld < minNew,
-      s"knnGraphAddBatch: batch ids must all exceed standing ids " +
+      s"$caller: batch ids must all exceed standing ids " +
         s"(append-ordered ingest), got standing max $maxOld >= batch min " +
         s"$minNew — re-key the batch first")
     val all = SimilarityOps.withQuantized(
@@ -164,7 +196,7 @@ object Vectors {
         .unionByName(
           batch.select(col(idCol).cast("long").as("vec_id"), col(vecCol))),
       vecCol).localCheckpoint(true)
-    SimilarityOps.incrementalKnnOf(all, minNew, k, bands, bandBits, candCap)
+    (all, minNew)
   }
 
   /** MMR diversified re-ranking (s10, Carbonell & Goldstein 1998): from

@@ -1235,17 +1235,25 @@ object SimilarityOps {
     * point is producing the same `cand` table without recomputing the
     * standing pairs. */
   private[graft] def knnGraphFromCands(emb: DataFrame, cand: DataFrame,
-                                       k: Int, candCap: Int): DataFrame = {
+                                       k: Int, candCap: Int,
+                                       restrictTo: Option[DataFrame] = None): DataFrame = {
     // validation lives on the SHARED tail so the incremental path cannot
     // silently run with a cap below k (review-pass finding: the facade
     // bypassed knnGraphOf's checks)
     require(k >= 1, s"knnGraph: k must be >= 1, got $k")
     require(candCap >= k,
       s"knnGraph: candCap must be >= k, got candCap=$candCap k=$k")
-    val sym = cand.select(col("vec_a").as("vec_id"),
+    val symAll = cand.select(col("vec_a").as("vec_id"),
         col("vec_b").as("neighbor_id"), col("m"))
       .union(cand.select(col("vec_b").as("vec_id"),
         col("vec_a").as("neighbor_id"), col("m")))
+    // The cap/rescore/top-k tail is per-vec_id independent, so restricting
+    // the symmetrized stream to a vec_id subset BEFORE the window yields
+    // exactly the full build's rows for those vectors (s16's touched-only
+    // upkeep). The subset is batch-collision-sized — broadcast, so the
+    // semi-join is a map-side filter, never a shuffle of the pair table.
+    val sym = restrictTo.fold(symAll)(ids =>
+      symAll.join(broadcast(ids.select("vec_id")), Seq("vec_id"), "left_semi"))
     val wc = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("m").desc, col("neighbor_id"))
     val capped = sym
@@ -1373,22 +1381,91 @@ object SimilarityOps {
         bands, rowsPerBand)
       .groupBy("vec_a", "vec_b").agg(count(lit(1)).as("m"))
       .localCheckpoint(true)
-    // the incremental probe: new batch against the FULL band index.
-    // New ids are the HIGHEST ids, so every pair with a new member has
-    // its larger id (the b side) in the batch — a.vec_id < b.vec_id
-    // with b restricted to the batch enumerates exactly the new pairs,
-    // and standing ∪ probe partitions the full candidate table.
+    knnGraphFromCands(emb, standing.union(incrementalProbe(emb, t, bands, rowsPerBand)),
+      k, candCap)
+  }
+
+  /** The incremental probe SHARED by s15 and s16: new batch (ids ≥ `t`)
+    * against the FULL band index. New ids are the HIGHEST ids, so every
+    * pair with a new member has its larger id (the b side) in the batch —
+    * a.vec_id < b.vec_id with b restricted to the batch enumerates
+    * exactly the new-involving pairs, and standing ∪ probe PARTITIONS the
+    * full candidate table (disjoint key sets, together complete). The
+    * batch's signatures already exist inside the full band table — they
+    * are filtered out rather than running the sign_bands kernel twice. */
+  private[graft] def incrementalProbe(emb: DataFrame, t: Long, bands: Int,
+                                      rowsPerBand: Int): DataFrame = {
     val bandsAll = s02Bands(emb, bands, rowsPerBand)
-    // the batch's signatures already exist inside bandsAll — filter them
-    // out instead of running the sign_bands kernel over the batch twice
     val bandsNew = bandsAll.filter(col("vec_id") >= t)
-    val probe = bandsAll.as("a").join(bandsNew.as("b"),
+    bandsAll.as("a").join(bandsNew.as("b"),
         col("a.band_no") === col("b.band_no") &&
           col("a.bits") === col("b.bits") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .groupBy("vec_a", "vec_b").agg(count(lit(1)).as("m"))
-    knnGraphFromCands(emb, standing.union(probe), k, candCap)
+  }
+
+  /** s16: TOUCHED-ONLY kNN-graph upkeep — the maintenance increment past
+    * s15 that SCALE_r8 named as the next step: s15 re-ranks the WHOLE
+    * merged candidate table per ingest batch, a corpus-bound ~O(n·cap)
+    * cap/rescore tail even for a 1% batch (measured ~9 s floor at u10×,
+    * IncScale). s16 persists the standing graph EDGES alongside the
+    * standing pair table and re-ranks ONLY the vectors the probe touched.
+    *
+    * Why that is exact, not approximate: old×old collision counts are
+    * immutable under append-only ingest, so an old vector with NO
+    * new-batch collision has a bit-identical symmetrized candidate
+    * multiset in the full rebuild — its capped list, rescore and top-k
+    * CANNOT change, and its standing edges are reused verbatim
+    * (left_anti on the touched set). Touched vectors (old probe members
+    * ∪ the batch) re-run the shared cap/rescore/top-k tail over
+    * standing ∪ probe restricted to their partitions (a broadcast
+    * semi-join — per-vec_id windows are independent, so the restriction
+    * commutes with the tail). Result ≡ s11 full rebuild row-for-row —
+    * the same hard maintenance contract as s15 (oracle: literally
+    * s11Sql; spec: frame equality plus non-vacuity of BOTH paths).
+    *
+    * Scale shape: upkeep cost is O(batch collision mass + touched·cap)
+    * instead of s15's O(corpus·cap) — at 10^10 vectors with a 0.1%
+    * ingest batch the re-rank shrinks by the touched fraction; the
+    * standing pair table AND edge list are read, never recomputed (their
+    * build here stands in for a state load, same convention as s15). */
+  def s16TouchedKnn(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val emb = withQuantized(embeddings(s, d), "embedding")
+      .localCheckpoint(true)
+    val maxId = emb.agg(max("vec_id")).as[Long].head()
+    val t = (maxId + 1L) * (NewBatchDen - 1L) / NewBatchDen
+    require(t >= 1L && t <= maxId,
+      s"touchedKnn: degenerate batch split t=$t for max id $maxId")
+    touchedKnnOf(emb, t, KnnK, WideBands, WideRowsPerBand, KnnCandCap)
+      .orderBy("vec_id", "rk")
+  }
+
+  /** s16's kernel over a quantized CHECKPOINTED (vec_id, q, nrm) frame:
+    * ids ≥ `t` are the arriving batch, ids < `t` the standing corpus
+    * (graft.ops.Vectors API). */
+  private[graft] def touchedKnnOf(emb: DataFrame, t: Long, k: Int,
+                                  bands: Int, rowsPerBand: Int,
+                                  candCap: Int): DataFrame = {
+    val embOld = emb.filter(col("vec_id") < t)
+    // persisted state (checkpoints stand in for a state load): the old
+    // corpus's pair table AND its finished edge list
+    val standing = s02Candidates(embOld, bands, rowsPerBand)
+      .groupBy("vec_a", "vec_b").agg(count(lit(1)).as("m"))
+      .localCheckpoint(true)
+    val standingEdges = knnGraphFromCands(embOld, standing, k, candCap)
+      .localCheckpoint(true)
+    // the upkeep job: probe once, derive the touched set, re-rank only it
+    val probe = incrementalProbe(emb, t, bands, rowsPerBand)
+      .localCheckpoint(true)
+    val touched = probe.select(col("vec_a").as("vec_id"))
+      .union(probe.select(col("vec_b").as("vec_id"))).distinct()
+    val reranked = knnGraphFromCands(emb, standing.union(probe), k, candCap,
+      restrictTo = Some(touched))
+    standingEdges.join(touched, Seq("vec_id"), "left_anti")
+      .unionByName(reranked)
   }
 
   // ---------------------------------------------------------------- s10
@@ -1577,6 +1654,7 @@ object SimilarityOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s11_knn_graph" -> s11KnnGraph _,
     "s15_incremental_knn" -> s15IncrementalKnn _,
+    "s16_touched_knn" -> s16TouchedKnn _,
     "s10_mmr_rerank" -> s10MmrRerank _,
     "s09_maxsim_topk" -> s09MaxsimTopk _,
     "s08_ivfpq_topk" -> s08IvfPqTopk _,
@@ -1591,8 +1669,9 @@ object SimilarityOps {
 
   val oracles: Map[String, String] = Map(
     "s11_knn_graph" -> s11Sql,
-    // s15's contract IS equality with the full rebuild — same oracle
+    // s15/s16's contract IS equality with the full rebuild — same oracle
     "s15_incremental_knn" -> s11Sql,
+    "s16_touched_knn" -> s11Sql,
     "s10_mmr_rerank" -> s10Sql,
     "s09_maxsim_topk" -> s09Sql,
     "s08_ivfpq_topk" -> s08Sql,

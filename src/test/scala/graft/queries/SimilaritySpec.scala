@@ -324,4 +324,81 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("append-ordered"), e.getMessage)
   }
+
+  test("s16 touched-only upkeep == s11 full rebuild; both paths non-vacuous") {
+    import org.apache.spark.sql.functions._
+    val up = SimilarityOps.s16TouchedKnn(spark, d)
+    val full = SimilarityOps.s11KnnGraph(spark, d)
+    assert(up.columns.sameElements(full.columns))
+    assert(up.exceptAll(full).isEmpty && full.exceptAll(up).isEmpty)
+    // re-rank path non-vacuity on the corpus: on this dense synthetic
+    // corpus EVERY old vector collides with the batch (the adjudicated
+    // generator property — constant near-dup pair fraction), so the
+    // corpus equality exercises the restrictTo re-rank at full width;
+    // the verbatim-reuse path is proven on the fixture below
+    graft.functions.GraftFunctions.register(spark)
+    val emb = SimilarityOps.withQuantized(
+      Tables.embeddings(spark, d), "embedding").localCheckpoint(true)
+    val maxId = emb.agg(max("vec_id")).head().getLong(0)
+    val t = (maxId + 1L) * (SimilarityOps.NewBatchDen - 1L) /
+      SimilarityOps.NewBatchDen
+    val probe = SimilarityOps.incrementalProbe(emb, t,
+      SimilarityOps.WideBands, SimilarityOps.WideRowsPerBand)
+    val touchedOld = probe.filter(col("vec_a") < t)
+      .select("vec_a").distinct().count()
+    val oldTotal = emb.filter(col("vec_id") < t).count()
+    assert(touchedOld > 0, "no old vector touched — re-rank path vacuous")
+    info(s"s16 corpus probe: $touchedOld of $oldTotal old vectors touched")
+    // facade equivalence: knnGraphUpkeep over an explicit split equals a
+    // from-scratch facade build
+    val embRaw = Tables.embeddings(spark, d)
+    val fac = graft.ops.Vectors.knnGraphUpkeep(spark,
+      embRaw.filter(col("vec_id") < t), embRaw.filter(col("vec_id") >= t))
+      .orderBy("vec_id", "rk")
+    val fullFac = graft.ops.Vectors.knnGraph(spark, embRaw)
+      .orderBy("vec_id", "rk")
+    assert(fac.exceptAll(fullFac).isEmpty && fullFac.exceptAll(fac).isEmpty)
+  }
+
+  test("s16 verbatim-reuse path: untouched vectors keep standing edges") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two antipodal clusters: every band bit of a +u vector is the
+    // complement of the matching −u vector's bit (sign(p·v) flips with
+    // v → −v when no plane dot is zero), so an 8-bit band key can NEVER
+    // collide across clusters — a batch drawn from the −u cluster leaves
+    // the +u standing vectors untouched BY CONSTRUCTION. Deterministic
+    // fixture: perturbations keep every plane dot away from zero (probed
+    // by the touched-set assert itself — if a dot crossed zero the
+    // untouched count would shrink and this test would fail loudly).
+    val dim = 8
+    val mk = (sgn: Int, j: Int) =>
+      Array.tabulate(dim)(i =>
+        (sgn * (1000 + ((j * 37 + i * 13) % 100))).toFloat / 1000f)
+    val rows = (0L until 6L).map(j => (j, mk(1, j.toInt).toSeq)) ++
+      (6L until 8L).map(j => (j, mk(-1, j.toInt).toSeq))
+    val embRaw = rows.toDF("vec_id", "embedding")
+    graft.functions.GraftFunctions.register(spark)
+    val emb = SimilarityOps.withQuantized(embRaw, "embedding")
+      .localCheckpoint(true)
+    val probe = SimilarityOps.incrementalProbe(emb, 6L,
+      SimilarityOps.WideBands, SimilarityOps.WideRowsPerBand)
+    val touchedOld = probe.filter(col("vec_a") < 6L)
+      .select("vec_a").distinct().count()
+    assert(touchedOld === 0L,
+      s"antipodal clusters collided ($touchedOld old touched) — fixture broken")
+    // upkeep ≡ full rebuild even when the whole standing side rides the
+    // left_anti reuse path (new×new pairs still re-rank)
+    val up = graft.ops.Vectors.knnGraphUpkeep(spark,
+        embRaw.filter(col("vec_id") < 6L), embRaw.filter(col("vec_id") >= 6L),
+        k = 3)
+      .orderBy("vec_id", "rk")
+    val full = graft.ops.Vectors.knnGraph(spark, embRaw, k = 3)
+      .orderBy("vec_id", "rk")
+    assert(up.exceptAll(full).isEmpty && full.exceptAll(up).isEmpty)
+    // the standing cluster's edges are present (reused verbatim), and the
+    // batch cluster found its own neighbors through the probe
+    assert(up.filter(col("vec_id") < 6L).count() > 0)
+    assert(up.filter(col("vec_id") >= 6L).count() > 0)
+  }
 }
