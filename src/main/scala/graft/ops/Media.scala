@@ -71,6 +71,43 @@ object Media {
       }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
   }
 
+  /** Parse + index AVI video containers (the m10 semantics over any AVI
+    * payload column): nested RIFF LIST walk, header decode, '00dc' frame
+    * count, idx1 keyframe flags, with every cross-container consistency
+    * contract (avih ≡ strh ≡ movi ≡ idx1 frame counts, index offsets
+    * addressing real frame chunks) enforced — an inconsistent container
+    * is reported corrupt, not half-parsed. Corrupt payloads and null ids
+    * are flagged (ok = false), never fatal. Returns (id, ok, width,
+    * height, n_frames, n_keyframes, fps_milli, frame_bytes,
+    * first_frame_mean). */
+  def aviIndex(df: DataFrame, idCol: String = "doc_id",
+               bytesCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = true),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("n_keyframes", LongType, nullable = true),
+      StructField("fps_milli", LongType, nullable = true),
+      StructField("frame_bytes", LongType, nullable = true),
+      StructField("first_frame_mean", LongType, nullable = true)))
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = idOrNull(r)
+          try {
+            if (id == null) throw new IllegalArgumentException("null id")
+            val v = MultiModalOps.aviIndexOf(r.getAs[Array[Byte]](1))
+            Row(id, true, v.width, v.height, v.nFrames, v.nKeyframes,
+              v.fpsMilli, v.frameBytes, v.firstFrameMean)
+          } catch { case _: Exception =>
+            Row(id, false, null, null, null, null, null, null, null)
+          }
+        }
+      }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+  }
+
   /** VAD-style energy segmentation (the m07 semantics over any WAV payload
     * column): fixed 32-sample frames, a frame is active iff its energy is
     * nonzero, active runs are segments. Corrupt payloads and null ids are

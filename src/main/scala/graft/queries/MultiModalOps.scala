@@ -755,7 +755,296 @@ object MultiModalOps {
        |  MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id
        |FROM fp ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m10
+
+  /** REAL video container parse (no stub): each doc carries a synthesized
+    * AVI — the RIFF video container (hdrl/avih + strl/strh'vids'+strf
+    * BITMAPINFOHEADER, movi with uncompressed '00dc' DIB frames, and the
+    * idx1 index) — and the kernel PARSES it: nested LIST walk, header
+    * decode, frame-chunk count, idx1 keyframe flags, and every
+    * cross-container consistency contract checked as a require
+    * (avih.dwTotalFrames ≡ strh.dwLength ≡ counted '00dc' chunks ≡ idx1
+    * entries; every idx1 offset must land on a '00dc' fourcc with the
+    * recorded size). The frame pixels are an integer pattern of doc_id,
+    * so the oracle recomputes every output from the synthesis formula
+    * WITHOUT seeing bytes — a hash match proves the container walk,
+    * header arithmetic and index validation all genuinely ran. This is
+    * the video-side sibling of m01 (PPM) and m05 (WAV): the m02/m08
+    * frame ops sample SYNTHETIC frame streams; m10 is where a real
+    * video CONTAINER enters the engine.
+    *
+    * Corruption contract: every payload-supplied size/count/offset is
+    * bounded by the file length in Long arithmetic BEFORE use
+    * (CorruptionSweepSpec sweeps this parser like WAV/PPM/GRIB) — the
+    * walk is iterative with an explicit chunk budget, so a corrupt size
+    * can never loop, recurse deep, or allocate past the payload.
+    *
+    * Scale shape: map-only (one scan, a per-row kernel, no shuffle
+    * before the presentation sort) — decode-bound at 100 TB like every
+    * production demux stage. */
+  def m10AviIndex(s: SparkSession, d: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("n_keyframes", LongType, nullable = false),
+      StructField("fps_milli", LongType, nullable = false),
+      StructField("frame_bytes", LongType, nullable = false),
+      StructField("first_frame_mean", LongType, nullable = false)))
+    documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          // payload synthesized then GENUINELY re-parsed from bytes
+          val v = aviIndexOf(aviBytes(id))
+          Row(id, v.width, v.height, v.nFrames, v.nKeyframes, v.fpsMilli,
+            v.frameBytes, v.firstFrameMean)
+        }
+      }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+      .orderBy("doc_id")
+  }
+
+  /** Synthesized AVI parameters (all pure functions of doc_id — the
+    * oracle's closed form): w = 8 + id%5, h = 6 + id%4, frames =
+    * 3 + id%6 at rate = (10 + id%20) fps, 24-bit DIB frames whose byte j
+    * of frame i is (id*7 + i*31 + j*13) % 256; every 4th frame is an
+    * idx1 keyframe. */
+  private[graft] def aviBytes(docId: Long): Array[Byte] = {
+    val w = (8 + docId % 5).toInt
+    val h = (6 + docId % 4).toInt
+    val nf = (3 + docId % 6).toInt
+    val rate = (10 + docId % 20).toInt
+    val fsz = w * h * 3
+    val pad = fsz & 1
+    val strlSz = 4 + 8 + 56 + 8 + 40            // 'strl' + strh + strf
+    val hdrlSz = 4 + 8 + 56 + 8 + strlSz        // 'hdrl' + avih + LIST strl
+    val moviSz = 4 + nf * (8 + fsz + pad)
+    val idxSz = 16 * nf
+    val riffSz = 4 + 8 + hdrlSz + 8 + moviSz + 8 + idxSz
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSz)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fcc(s: String): Unit = bb.put(s.getBytes("ASCII"))
+    fcc("RIFF"); bb.putInt(riffSz); fcc("AVI ")
+    fcc("LIST"); bb.putInt(hdrlSz); fcc("hdrl")
+    fcc("avih"); bb.putInt(56)
+    bb.putInt(1000000 / rate)                   // dwMicroSecPerFrame
+    bb.putInt(0); bb.putInt(0)
+    bb.putInt(0x10)                             // AVIF_HASINDEX
+    bb.putInt(nf)                               // dwTotalFrames
+    bb.putInt(0); bb.putInt(1)                  // dwStreams = 1
+    bb.putInt(fsz); bb.putInt(w); bb.putInt(h)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    fcc("LIST"); bb.putInt(strlSz); fcc("strl")
+    fcc("strh"); bb.putInt(56)
+    fcc("vids"); fcc("DIB ")
+    bb.putInt(0); bb.putShort(0); bb.putShort(0); bb.putInt(0)
+    bb.putInt(1)                                // dwScale
+    bb.putInt(rate)                             // dwRate
+    bb.putInt(0)                                // dwStart
+    bb.putInt(nf)                               // dwLength (frames)
+    bb.putInt(fsz); bb.putInt(-1)               // buffer, quality
+    bb.putInt(0)                                // dwSampleSize
+    bb.putShort(0); bb.putShort(0)
+    bb.putShort(w.toShort); bb.putShort(h.toShort)
+    fcc("strf"); bb.putInt(40)
+    bb.putInt(40); bb.putInt(w); bb.putInt(h)
+    bb.putShort(1); bb.putShort(24)             // planes, 24-bit
+    bb.putInt(0)                                // BI_RGB
+    bb.putInt(fsz)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    fcc("LIST"); bb.putInt(moviSz); fcc("movi")
+    val frameOffsets = new Array[Int](nf)
+    var i = 0
+    while (i < nf) {
+      frameOffsets(i) = bb.position() - (8 + 4 + 8 + hdrlSz + 8 + 4)
+      fcc("00dc"); bb.putInt(fsz)
+      var j = 0
+      while (j < fsz) {
+        bb.put(((docId * 7 + i * 31 + j * 13) % 256).toByte); j += 1
+      }
+      if (pad == 1) bb.put(0.toByte)
+      i += 1
+    }
+    fcc("idx1"); bb.putInt(idxSz)
+    i = 0
+    while (i < nf) {
+      fcc("00dc")
+      bb.putInt(if (i % 4 == 0) 0x10 else 0)    // AVIIF_KEYFRAME
+      bb.putInt(frameOffsets(i))                // offset from movi data
+      bb.putInt(fsz)
+      i += 1
+    }
+    bb.array()
+  }
+
+  private[graft] final case class AviIndex(width: Int, height: Int,
+      nFrames: Long, nKeyframes: Long, fpsMilli: Long, frameBytes: Long,
+      firstFrameMean: Long)
+
+  /** Parse an AVI container with full index validation. Iterative walks
+    * only; every size/offset is bounded against the payload length in
+    * Long arithmetic before any use, so corrupt values fail by name. */
+  private[graft] def aviIndexOf(bytes: Array[Byte]): AviIndex = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(off: Int): String = {
+      require(off >= 0 && off + 4L <= bytes.length,
+        s"corrupt AVI: fourcc read at $off outside ${bytes.length}-byte file")
+      new String(bytes, off, 4, "ASCII")
+    }
+    def chunkBound(id: String, off: Int, sz: Int): Unit =
+      require(sz >= 0 && off + 8L + sz <= bytes.length,
+        s"corrupt AVI chunk '$id': size $sz exceeds file bounds at $off")
+    require(bytes.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "AVI ",
+      "not an AVI file")
+    val riffSz = bb.getInt(4)
+    require(riffSz >= 4 && 8L + riffSz <= bytes.length,
+      s"corrupt AVI: RIFF size $riffSz exceeds file bounds")
+    var width = -1; var height = -1; var bitCount = -1
+    var avihFrames = -1L; var strhFrames = -1L
+    var scale = -1L; var rate = -1L
+    var moviStart = -1; var moviEnd = -1
+    var idxStart = -1; var idxCount = -1
+    // top-level chunk walk (budgeted: each iteration advances >= 8 bytes)
+    var off = 12
+    while (off + 8 <= 8 + riffSz) {
+      val id = fourcc(off); val sz = bb.getInt(off + 4)
+      chunkBound(id, off, sz)
+      if (id == "LIST") {
+        require(sz >= 4, s"corrupt AVI LIST: size $sz below fourcc")
+        val listType = fourcc(off + 8)
+        if (listType == "hdrl") {
+          // nested walk inside hdrl: avih + LIST strl { strh, strf }
+          var p = off + 12
+          val end = off + 8 + sz
+          while (p + 8 <= end) {
+            val cid = fourcc(p); val csz = bb.getInt(p + 4)
+            chunkBound(cid, p, csz)
+            require(p + 8L + csz <= end,
+              s"corrupt AVI: '$cid' overruns hdrl list")
+            cid match {
+              case "avih" =>
+                require(csz >= 40, s"avih too short ($csz)")
+                avihFrames = bb.getInt(p + 8 + 16).toLong
+              case "LIST" if csz >= 4 && fourcc(p + 8) == "strl" =>
+                var q = p + 12
+                val lend = p + 8 + csz
+                while (q + 8 <= lend) {
+                  val sid = fourcc(q); val ssz = bb.getInt(q + 4)
+                  chunkBound(sid, q, ssz)
+                  require(q + 8L + ssz <= lend,
+                    s"corrupt AVI: '$sid' overruns strl list")
+                  sid match {
+                    case "strh" =>
+                      require(ssz >= 40, s"strh too short ($ssz)")
+                      require(fourcc(q + 8) == "vids",
+                        "first stream must be video")
+                      scale = bb.getInt(q + 8 + 20).toLong
+                      rate = bb.getInt(q + 8 + 24).toLong
+                      strhFrames = bb.getInt(q + 8 + 32).toLong
+                    case "strf" =>
+                      require(ssz >= 40, s"strf too short ($ssz)")
+                      width = bb.getInt(q + 8 + 4)
+                      height = bb.getInt(q + 8 + 8)
+                      bitCount = bb.getShort(q + 8 + 14).toInt
+                    case _ => // skip
+                  }
+                  q += 8 + ssz + (ssz & 1)
+                }
+              case _ => // skip
+            }
+            p += 8 + csz + (csz & 1)
+          }
+        } else if (listType == "movi") {
+          moviStart = off + 12; moviEnd = off + 8 + sz
+        }
+      } else if (id == "idx1") {
+        idxStart = off + 8; idxCount = sz / 16
+      }
+      off += 8 + sz + (sz & 1)
+    }
+    require(width > 0 && height > 0, "no video strf header")
+    require(bitCount == 24, s"uncompressed 24-bit DIB only, got $bitCount")
+    require(scale > 0 && rate > 0, s"corrupt strh rate $rate/$scale")
+    require(moviStart >= 0, "no movi list")
+    require(idxStart >= 0, "no idx1 index")
+    val frameBytes = width.toLong * height * 3
+    require(frameBytes <= bytes.length,
+      s"frame size $frameBytes exceeds ${bytes.length}-byte file")
+    // walk movi: count '00dc' frames, mean of the FIRST frame's bytes
+    var nFrames = 0L; var firstMean = -1L
+    var p = moviStart
+    while (p + 8 <= moviEnd) {
+      val cid = fourcc(p); val csz = bb.getInt(p + 4)
+      chunkBound(cid, p, csz)
+      require(p + 8L + csz <= moviEnd, s"corrupt AVI: '$cid' overruns movi")
+      if (cid == "00dc") {
+        require(csz == frameBytes,
+          s"frame chunk size $csz != strf frame size $frameBytes")
+        if (nFrames == 0L) {
+          var acc = 0L; var j = 0
+          while (j < csz) { acc += bytes(p + 8 + j) & 0xff; j += 1 }
+          firstMean = acc / csz
+        }
+        nFrames += 1
+      }
+      p += 8 + csz + (csz & 1)
+    }
+    require(nFrames > 0, "no frame chunks in movi")
+    // idx1 validation: every entry must point at a matching '00dc' chunk
+    // (offsets are relative to the movi list's data start) and keyframe
+    // flags come from here
+    require(idxStart + 16L * idxCount <= bytes.length,
+      s"corrupt idx1: $idxCount entries exceed file bounds")
+    var nKey = 0L; var k = 0
+    while (k < idxCount) {
+      val e = idxStart + 16 * k
+      require(fourcc(e) == "00dc", s"idx1 entry $k: unknown ckid")
+      val flags = bb.getInt(e + 4)
+      val eOff = bb.getInt(e + 8); val eSz = bb.getInt(e + 12)
+      require(eSz == frameBytes, s"idx1 entry $k: size $eSz != $frameBytes")
+      val abs = moviStart.toLong + eOff
+      require(eOff >= 0 && abs + 8 + eSz <= moviEnd,
+        s"idx1 entry $k: offset $eOff outside movi")
+      require(fourcc(abs.toInt) == "00dc" && bb.getInt(abs.toInt + 4) == eSz,
+        s"idx1 entry $k: offset $eOff does not address a frame chunk")
+      if ((flags & 0x10) != 0) nKey += 1
+      k += 1
+    }
+    // cross-container consistency — the contracts a real demuxer trusts
+    require(avihFrames == nFrames && strhFrames == nFrames &&
+      idxCount.toLong == nFrames,
+      s"frame-count mismatch: avih=$avihFrames strh=$strhFrames " +
+        s"movi=$nFrames idx1=$idxCount")
+    AviIndex(width, height, nFrames, nKey, rate * 1000L / scale, frameBytes,
+      firstMean)
+  }
+
+  /** Oracle: every column from the synthesis formula only — no bytes. */
+  val m10Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h,
+      |    3 + doc_id % 6 AS nf, 10 + doc_id % 20 AS rate
+      |  FROM documents
+      |), px AS (
+      |  SELECT doc_id, w * h * 3 AS fsz, unnest(range(0, w * h * 3)) AS j
+      |  FROM p)
+      |SELECT p.doc_id,
+      |  CAST(p.w AS INTEGER) AS width, CAST(p.h AS INTEGER) AS height,
+      |  CAST(p.nf AS BIGINT) AS n_frames,
+      |  CAST((p.nf + 3) // 4 AS BIGINT) AS n_keyframes,
+      |  CAST(p.rate * 1000 AS BIGINT) AS fps_milli,
+      |  CAST(p.w * p.h * 3 AS BIGINT) AS frame_bytes,
+      |  m.mean AS first_frame_mean
+      |FROM p JOIN (
+      |  SELECT doc_id, CAST(SUM((doc_id * 7 + j * 13) % 256) // MAX(fsz)
+      |    AS BIGINT) AS mean
+      |  FROM px GROUP BY doc_id) m USING (doc_id)
+      |ORDER BY p.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m10_avi_index" -> m10AviIndex _,
     "m08_scene_cuts" -> m08SceneCuts _,
     "m09_audio_fingerprint" -> m09AudioFingerprint _,
     "m07_energy_segments" -> m07EnergySegments _,
@@ -768,6 +1057,7 @@ object MultiModalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "m10_avi_index" -> m10Sql,
     "m09_audio_fingerprint" -> m09Sql,
     "m08_scene_cuts" -> m08Sql,
     "m07_energy_segments" -> m07Sql,

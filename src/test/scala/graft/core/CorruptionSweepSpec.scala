@@ -224,6 +224,32 @@ class CorruptionSweepSpec extends AnyFunSuite {
     }
   }
 
+  test("avi: container corruption never loops, recurses, or mass-allocates") {
+    // the m10/Media.aviIndex parser: sizes, offsets and counts are all
+    // payload-supplied (RIFF size, nested LIST sizes, idx1 entry count,
+    // idx1 offsets) — each must be bounded before use, and the nested
+    // hdrl/strl/movi walks must advance monotonically under corruption
+    val orig = graft.queries.MultiModalOps.aviBytes(7L)
+    val (ok, failed) = sweep(orig, orig.length, { bytes =>
+      graft.queries.MultiModalOps.aviIndexOf(bytes)
+    })
+    info(s"avi sweep: $ok parsed, $failed failed diagnosably")
+    assert(failed > 0, "no corruption failed — the sweep is vacuous")
+    // targeted probes: negative / huge sizes at the RIFF header, the
+    // hdrl LIST, and the idx1 offset field — the loop/alloc vectors
+    for ((at, sz) <- Seq((4, -16), (4, Int.MaxValue), (16, -9),
+        (16, 0x7F000000), (orig.length - 8, Int.MinValue))) {
+      val mut = orig.clone()
+      java.nio.ByteBuffer.wrap(mut)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(at, sz)
+      val e = intercept[IllegalArgumentException](
+        graft.queries.MultiModalOps.aviIndexOf(mut))
+      assert(e.getMessage.contains("corrupt") ||
+        e.getMessage.contains("mismatch") || e.getMessage.contains("idx1"),
+        s"at=$at sz=$sz: ${e.getMessage}")
+    }
+  }
+
   test("dap2: dods/dds/das corruption never crashes, only fails by name") {
     // the last binary reader without a sweep: the DODS response embeds the
     // DDS text, a separator, then XDR arrays with COUNT PREFIXES — corrupt

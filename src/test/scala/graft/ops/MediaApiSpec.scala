@@ -48,6 +48,29 @@ class MediaApiSpec extends AnyFunSuite {
     assert(apiCmp.exceptAll(gated).isEmpty && gated.exceptAll(apiCmp).isEmpty)
   }
 
+  test("aviIndex over a payload column == m10 on the same ids") {
+    import spark.implicits._
+    val ids = graft.queries.Tables.documents(spark, d)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val payloads = ids.map(id =>
+      (id, graft.queries.MultiModalOps.aviBytes(id))).toDF("id", "bytes")
+    val api = Media.aviIndex(payloads, "id", "bytes")
+    assert(api.filter(!col("ok")).isEmpty)
+    val apiCmp = api.drop("ok").orderBy("doc_id")
+    val gated = graft.queries.MultiModalOps.m10AviIndex(spark, d)
+    assert(apiCmp.columns.sameElements(gated.columns))
+    assert(apiCmp.exceptAll(gated).isEmpty && gated.exceptAll(apiCmp).isEmpty)
+    // an index-inconsistent container (idx1 frame count lies) is reported
+    // corrupt, never half-parsed: flip one idx1 entry's recorded size
+    val orig = graft.queries.MultiModalOps.aviBytes(3L)
+    val mut = orig.clone()
+    java.nio.ByteBuffer.wrap(mut).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(mut.length - 4, 7) // last idx1 entry's dwChunkLength
+    val bad = Seq((3L, mut)).toDF("id", "bytes")
+    val got = Media.aviIndex(bad, "id", "bytes").collect()
+    assert(got.length == 1 && !got(0).getBoolean(1))
+  }
+
   test("audioFingerprints over a payload column == m09 on the same ids") {
     import spark.implicits._
     val ids = graft.queries.Tables.documents(spark, d)
