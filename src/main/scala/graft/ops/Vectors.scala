@@ -67,6 +67,29 @@ object Vectors {
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     graft.queries.ClusterOps.kmeansOf(spark, norm(emb, idCol, vecCol), k, iters)
 
+  /** Cluster topic labels (t23): the most over-represented corpus terms
+    * per k-means cell by integer milli-lift — k-means the embeddings,
+    * join the thin assignment to the documents on the shared id space,
+    * score each (cell, term) by its cell rate over its corpus rate
+    * (`(1000·tf·T) div (T_cell·ctf)`), suppress at-or-below-corpus-rate
+    * terms (≤ 1000) and those under the `minTf` support floor, and keep
+    * the top-`topK` per cell (score desc, term asc). One corpus text
+    * scan; everything after the (cell, term) aggregate is vocab-sized.
+    * Returns (cell, rk, term, tf, score_milli). */
+  def clusterLabels(spark: SparkSession, emb: DataFrame, docs: DataFrame,
+                    k: Int = 8, iters: Int = 3,
+                    topK: Int = graft.queries.ClusterOps.LabelTopK,
+                    minTf: Long = graft.queries.ClusterOps.LabelMinTf,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    docIdCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    graft.queries.ClusterOps.clusterLabelsOf(
+      graft.queries.ClusterOps.kmeansOf(spark, norm(emb, idCol, vecCol),
+        k, iters),
+      docs.select(col(docIdCol).cast("long").as("doc_id"),
+        col(textCol).as("text")),
+      topK, minTf)
+
   /** Cluster-balanced coreset sampling (s14, the D4-style diversity
     * selection): k-means the corpus, then keep the ceil(size/keepDen)
     * most CENTRAL vectors of every cluster — per-mode quotas instead of

@@ -328,15 +328,120 @@ object ClusterOps {
        |ORDER BY n.vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t23
+
+  /** Terms emitted per cluster label list. */
+  val LabelTopK = 5
+
+  /** Minimum per-cell occurrences for a term to be a label candidate —
+    * the standard support floor that keeps one-off tokens from claiming
+    * huge lifts. */
+  val LabelMinTf = 5L
+
+  /** t23: cluster topic labeling — the curation step that makes an
+    * embedding clustering HUMAN-AUDITABLE (and machine-routable): for
+    * each s12 k-means cell, the most OVER-REPRESENTED corpus terms by
+    * integer lift (the PMI-style statistic topic labelers like BERTopic's
+    * c-TF-IDF approximate): `score_milli = (1000 · tf · T) div
+    * (T_cell · ctf)` — the cell's term rate over the corpus term rate in
+    * milli units. Terms at or below corpus rate (≤ 1000) and below the
+    * [[LabelMinTf]] support floor are suppressed; top-[[LabelTopK]] per
+    * cell by (score desc, term). A presence-based cluster-count idf would
+    * be vacuous on ubiquitous-vocabulary corpora (every term in every
+    * cell — exactly this synthetic corpus); rate lift discriminates
+    * whenever cluster composition skews term RATES, which is what
+    * "distinctive term" means. Cross-modal: the VECTOR arm (s12
+    * assignment over embeddings) joins the TEXT arm (documents) on the
+    * shared id space (the p07 convention).
+    *
+    * Scale shape: ONE corpus text scan (explode → hash agg per
+    * (cell, term)) equi-joined on the THIN assignment frame (id, cell —
+    * co-partitioned on the id at 100 TB); corpus totals, cell totals and
+    * term totals all derive from the (k × vocab)-sized tf table
+    * (checkpointed — never a second corpus scan); the top-k window
+    * partitions by cell. The s12 model sweeps are the clustering's own
+    * cost, shared via [[s12AssignOf]] exactly like s14. The milli-lift
+    * numerator `1000·tf·T` bounds the exact-integer range: guarded by a
+    * named error at 3·10^9 tokens — past that, label per corpus shard
+    * (labels are a per-shard diagnostic anyway). */
+  def t23ClusterLabels(s: SparkSession, d: String): DataFrame =
+    clusterLabelsOf(s12AssignOf(s, d), documents(s, d), LabelTopK,
+      LabelMinTf)
+      .orderBy("cell", "rk")
+
+  /** t23's kernel over any (vec_id, cell, ...) assignment and
+    * (doc_id, text) corpus sharing an id space (graft.ops.Vectors API). */
+  private[graft] def clusterLabelsOf(assign: DataFrame, docs: DataFrame,
+                                     topK: Int, minTf: Long): DataFrame = {
+    require(topK >= 1, s"clusterLabels: topK must be >= 1, got $topK")
+    require(minTf >= 1, s"clusterLabels: minTf must be >= 1, got $minTf")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .join(assign.select(col("vec_id").as("doc_id"), col("cell")), "doc_id")
+      .groupBy("cell", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val corpusTf = tf.groupBy("term").agg(sum("tf").as("ctf"))
+    val cellTot = tf.groupBy("cell").agg(sum("tf").as("cell_toks"))
+    val tot = tf.agg(sum("tf").as("toks"))
+    val totRow = tot.head()
+    if (!totRow.isNullAt(0))
+      require(totRow.getLong(0) <= 3000000000L,
+        s"clusterLabels: ${totRow.getLong(0)} tokens overflow the exact " +
+          "milli-lift integer range — label per corpus shard instead")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy(col("score_milli").desc, col("term"))
+    tf.join(corpusTf, "term").join(broadcast(cellTot), "cell")
+      .crossJoin(broadcast(tot))
+      .withColumn("score_milli",
+        expr("(1000 * tf * toks) div (cell_toks * ctf)"))
+      .filter(col("tf") >= minTf && col("score_milli") > 1000)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select("cell", "rk", "term", "tf", "score_milli")
+  }
+
+  /** Oracle: labels from EXACTLY the s12 clustering (shared
+    * [[kmeansSqlCtes]] — the dsirSqlCtes anti-drift lesson). */
+  val t23Sql: String =
+    s"""WITH ${kmeansSqlCtes("")}, lw AS (
+       |  SELECT a.cell, unnest(string_split(d.text, ' ')) AS term
+       |  FROM documents d JOIN assign a ON d.doc_id = a.vec_id
+       |), ltf AS (
+       |  SELECT cell, term, COUNT(*) AS tf FROM lw GROUP BY 1, 2
+       |), lct AS (
+       |  SELECT term, CAST(SUM(tf) AS BIGINT) AS ctf FROM ltf GROUP BY 1
+       |), lcl AS (
+       |  SELECT cell, CAST(SUM(tf) AS BIGINT) AS cell_toks
+       |  FROM ltf GROUP BY 1
+       |), ltot AS (
+       |  SELECT CAST(SUM(tf) AS BIGINT) AS toks FROM ltf
+       |), lsc AS (
+       |  SELECT t.cell, t.term, t.tf,
+       |    CAST((1000 * t.tf * o.toks) // (c.cell_toks * g.ctf) AS BIGINT)
+       |      AS score_milli
+       |  FROM ltf t JOIN lct g USING (term) JOIN lcl c USING (cell)
+       |  CROSS JOIN ltot o
+       |  WHERE t.tf >= $LabelMinTf
+       |), lr AS (
+       |  SELECT cell, term, tf, score_milli,
+       |    ROW_NUMBER() OVER (PARTITION BY cell
+       |      ORDER BY score_milli DESC, term) AS rk
+       |  FROM lsc WHERE score_milli > 1000)
+       |SELECT CAST(cell AS BIGINT) AS cell, CAST(rk AS BIGINT) AS rk, term,
+       |  CAST(tf AS BIGINT) AS tf, score_milli
+       |FROM lr WHERE rk <= $LabelTopK ORDER BY cell, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s12_kmeans" -> s12Kmeans _,
     "s13_knn_pagerank" -> s13Pagerank _,
     "s14_coreset_sample" -> s14CoresetSample _,
+    "t23_cluster_labels" -> t23ClusterLabels _,
   )
 
   val oracles: Map[String, String] = Map(
     "s12_kmeans" -> s12Sql,
     "s13_knn_pagerank" -> s13Sql,
     "s14_coreset_sample" -> s14Sql,
+    "t23_cluster_labels" -> t23Sql,
   )
 }

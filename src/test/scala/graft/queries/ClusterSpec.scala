@@ -173,6 +173,50 @@ class ClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("t23 labels: hand fixture; below-corpus-rate terms suppressed; facade matches") {
+    import spark.implicits._
+    // two known clusters: cell 0 talks fruit, cell 1 talks dogs; 'the'
+    // rides both. T = 11 tokens, cell 0 holds 7, cell 1 holds 4.
+    // milli-lifts: cell 0 {apple,banana,cherry} = 1000*tf*11/(7*ctf)
+    // = 1571 (tf/ctf cancel), the = 1000*2*11/(7*3) = 1047;
+    // cell 1 dog = 1000*3*11/(4*3) = 2750, the = 1000*1*11/(4*3) = 916
+    // -> suppressed (at/below corpus rate).
+    val assign = Seq((0L, 0L), (1L, 0L), (2L, 1L)).toDF("vec_id", "cell")
+    val docs = Seq((0L, "the apple apple banana"), (1L, "the apple cherry"),
+      (2L, "the dog dog dog")).toDF("doc_id", "text")
+    val out = ClusterOps.clusterLabelsOf(assign, docs, topK = 5, minTf = 1L)
+      .orderBy("cell", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 1L, "apple", 3L, 1571L),
+      (0L, 2L, "banana", 1L, 1571L),
+      (0L, 3L, "cherry", 1L, 1571L),
+      (0L, 4L, "the", 2L, 1047L),
+      (1L, 1L, "dog", 3L, 2750L)), out.toSeq)
+    // the support floor drops the singleton fruit rows
+    val floored = ClusterOps.clusterLabelsOf(assign, docs, topK = 5,
+        minTf = 2L).orderBy("cell", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(floored.toSeq == Seq((0L, 1L, "apple"), (0L, 2L, "the"),
+      (1L, 1L, "dog")), floored.toSeq)
+    // corpus: facade (own clustering) == gated query; output non-vacuous
+    // and rk dense per cell
+    val gated = ClusterOps.t23ClusterLabels(spark, d)
+    val fac = graft.ops.Vectors.clusterLabels(spark,
+        Tables.embeddings(spark, d), Tables.documents(spark, d),
+        ClusterOps.KmK, ClusterOps.KmIters)
+      .orderBy("cell", "rk")
+    assert(fac.columns.sameElements(gated.columns))
+    assert(fac.exceptAll(gated).isEmpty && gated.exceptAll(fac).isEmpty)
+    val rows = gated.collect()
+    assert(rows.nonEmpty, "no cell has an over-represented term — vacuous")
+    assert(rows.forall(_.getLong(4) > 1000L))
+    val byCell = rows.groupBy(_.getLong(0))
+    assert(byCell.values.forall(g =>
+      g.map(_.getLong(1)).sorted.sameElements(1L to g.length.toLong)))
+  }
+
   test("dimension mismatch and missing seeds fail by name") {
     import spark.implicits._
     val ragged = Seq((0L, Array(1L, 2L)), (1L, Array(1L, 2L, 3L)))
