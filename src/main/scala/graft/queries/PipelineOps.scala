@@ -869,7 +869,112 @@ object PipelineOps {
        |FROM vp LEFT JOIN tg ON vp.f = tg.f
        |GROUP BY vp.doc_id ORDER BY vp.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- p10
+
+  /** Fixed windows per training shard: a shard is
+    * [[graft.queries.TextOps.PackWindow]] × this tokens of packed
+    * stream. */
+  private[graft] val P10WindowsPerShard = 4L
+
+  /** p10: training-shard build — the LAST mile of the data pipeline,
+    * producing the artifact a trainer actually consumes: the shard
+    * manifest of the admitted, deduplicated, packed token stream.
+    * Stages (the order a real build runs):
+    *
+    *   exact dedup (d01 kernel — md5 content hash, min-id canonical)
+    *     → Gopher admission (t14 kernel, bench stopword set)
+    *     → sequence packing of the SURVIVING docs (t13's distributed
+    *       prefix sum — per-shard partials + broadcast offsets, never a
+    *       single-partition global window)
+    *     → shard manifest: fixed [[P10WindowsPerShard]]-window shards
+    *       keyed by each doc's FIRST window, with the boundary-spanning
+    *       doc count (docs whose packed range crosses into the next
+    *       shard — the packing QC stat trainers check).
+    *
+    * Output: one row per shard (shard_id, n_docs, n_tokens, first_doc,
+    * last_doc, start_token, n_spanning) — metadata-sized at any corpus
+    * scale.
+    *
+    * Physical shape: ONE corpus scan computes the content hash AND the
+    * gopher metrics (the p04 passthrough hook — no re-join of flags onto
+    * the corpus); the dedup verdict is a window over the THIN
+    * (doc_id, h) frame; survivors checkpoint before packing so the
+    * pack's shard-total pass and the final manifest agg never re-plan
+    * the corpus scan (PlanSpec-pinned ONE FileScan). */
+  def p10ShardBuild(s: SparkSession, d: String): DataFrame = {
+    import graft.queries.{TextOps => T}
+    val survivors = p10SurvivorsLazy(documents(s, d)).localCheckpoint(true)
+    val wps = P10WindowsPerShard
+    T.sequencePackCountsOf(survivors, T.PackWindow)
+      .withColumn("shard_id", expr(s"first_window div $wps"))
+      .withColumn("spans_out",
+        expr(s"last_window div $wps") =!= col("shard_id"))
+      .groupBy("shard_id").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"),
+        min("pack_start").as("start_token"),
+        sum(when(col("spans_out"), 1L).otherwise(0L)).as("n_spanning"))
+      .orderBy("shard_id")
+  }
+
+  /** p10's admission subtree — ONE corpus scan computing content hash +
+    * gopher metrics, the thin dedup window, and the survivor token
+    * counts. Exposed lazily so PlanSpec can pin its physical shape (one
+    * FileScan), which the eager checkpoint in [[p10ShardBuild]] would
+    * otherwise hide (the bm25PostingsLazy pattern). */
+  private[graft] def p10SurvivorsLazy(docs: DataFrame): DataFrame = {
+    import graft.queries.{TextOps => T}
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    T.gopherFiltersOf(
+        docs.withColumn("h", md5(col("text"))),
+        passthrough = Seq("h"), stopwords = T.BenchStopwords)
+      .select("doc_id", "h", "n_words", "keep")
+      .withColumn("exact_dup", col("doc_id") =!= min("doc_id").over(wd))
+      .filter(!col("exact_dup") && col("keep"))
+      .select(col("doc_id"), col("n_words").as("n_tokens"))
+  }
+
+  val p10Sql: String = {
+    import graft.queries.{TextOps => T}
+    s"""WITH ${T.gopherMetricsSqlCtes("g_")}
+       |, hsh AS (
+       |  SELECT doc_id, md5(text) AS h FROM documents
+       |), dd AS (
+       |  SELECT doc_id, doc_id <> MIN(doc_id) OVER (PARTITION BY h)
+       |    AS exact_dup
+       |  FROM hsh
+       |), surv AS (
+       |  SELECT m.doc_id, m.n_words AS n_tokens
+       |  FROM g_m m JOIN dd USING (doc_id)
+       |  WHERE NOT dd.exact_dup AND ${T.gopherKeepSql}
+       |), packed AS (
+       |  SELECT doc_id, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS pack_start
+       |  FROM surv
+       |), win AS (
+       |  SELECT doc_id, n_tokens, pack_start,
+       |    pack_start // ${T.PackWindow} AS first_window,
+       |    (pack_start + GREATEST(n_tokens, 1) - 1) // ${T.PackWindow}
+       |      AS last_window
+       |  FROM packed)
+       |SELECT CAST(first_window // $P10WindowsPerShard AS BIGINT)
+       |    AS shard_id,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+       |  CAST(MIN(pack_start) AS BIGINT) AS start_token,
+       |  CAST(SUM(CASE WHEN last_window // $P10WindowsPerShard
+       |    <> first_window // $P10WindowsPerShard THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_spanning
+       |FROM win GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p10_shard_build" -> p10ShardBuild _,
     "p09_split_audit" -> p09SplitAudit _,
     "p08_tokenizer_pipeline" -> p08TokenizerPipeline _,
     "p07_hybrid_retrieval" -> p07HybridRetrieval _,
@@ -882,6 +987,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "p10_shard_build" -> p10Sql,
     "p09_split_audit" -> p09Sql,
     "p08_tokenizer_pipeline" -> p08Sql,
     "p07_hybrid_retrieval" -> p07Sql,

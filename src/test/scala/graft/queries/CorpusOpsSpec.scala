@@ -115,4 +115,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     val total = res.agg(sum("n_raw").cast("long")).head().getLong(0)
     assert(total == Tables.events(spark, d).count())
   }
+
+  test("p10: manifest conserves the packed stream and every stage bites") {
+    val m = PipelineOps.p10ShardBuild(spark, d).collect()
+    assert(m.nonEmpty)
+    // token conservation: manifest totals equal the survivor stream
+    val surv = PipelineOps.p10SurvivorsLazy(Tables.documents(spark, d))
+    val survDocs = surv.count()
+    val survToks = surv.agg(sum("n_tokens")).head().getLong(0)
+    assert(m.map(_.getLong(1)).sum == survDocs)
+    assert(m.map(_.getLong(2)).sum == survToks)
+    // the admission stages are non-vacuous on this corpus
+    val corpusDocs = Tables.documents(spark, d).count()
+    assert(survDocs > 0 && survDocs < corpusDocs,
+      s"admission dropped nothing ($survDocs of $corpusDocs)")
+    // doc ranges are disjoint and ordered: packing follows doc_id order
+    val sorted = m.sortBy(_.getLong(0))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(4) < b.getLong(3),
+          s"shard ${a.getLong(0)} last_doc >= shard ${b.getLong(0)} first_doc")
+        assert(a.getLong(5) < b.getLong(5),
+          "start_token must increase with shard_id")
+      case _ =>
+    }
+    // boundary-spanning docs exist (256-token windows vs ~55-token docs
+    // guarantee some doc straddles a 4-window shard edge) and never
+    // exceed one per shard boundary
+    val spanning = m.map(_.getLong(6)).sum
+    assert(spanning > 0 && spanning < m.length.toLong,
+      s"spanning=$spanning of ${m.length} shards")
+    assert(m.forall(_.getLong(6) <= 1L),
+      "a doc can straddle at most the shard's trailing boundary")
+  }
 }

@@ -259,6 +259,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("p10: admission subtree is ONE corpus scan; manifest never re-plans it") {
+    val pp = plan(PipelineOps.p10SurvivorsLazy(
+      Tables.documents(spark, d)))
+    assert("FileScan parquet".r.findAllIn(pp).size == 1,
+      s"p10 survivors subtree plans more than one corpus scan:\n$pp")
+    // the dedup verdict must window on the content hash, never globally
+    assert(pp.contains("windowspecdefinition(h"), pp)
+    val p = plan(PipelineOps.p10ShardBuild(spark, d))
+    assert(!p.contains("FileScan parquet"),
+      s"p10 re-plans the corpus scan past the checkpoint:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t22: posting build is ONE scan; scoring joins broadcast the query terms") {
     import org.apache.spark.sql.functions.col
     // the lazy posting subtree (checkpointed in the full query) must be
