@@ -90,6 +90,23 @@ object Vectors {
         col(textCol).as("text")),
       topK, minTf)
 
+  /** Cluster-quality audit against reference labels (s17): k-means the
+    * corpus, then score every cell's label homogeneity — size, distinct
+    * label count, majority label (ties to the lowest label id) and exact
+    * integer purity (milli units). The validation gate to run before
+    * building per-cell curation (coresets, SemDeDup, routing) on a
+    * clustering. Returns (cell, n_vecs, n_labels, top_label, top_n,
+    * purity_milli), one row per non-empty cell. */
+  def clusterPurity(spark: SparkSession, emb: DataFrame, k: Int = 8,
+                    iters: Int = 3, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame =
+    graft.queries.ClusterOps.clusterPurityOf(
+      graft.queries.ClusterOps.kmeansOf(spark, norm(emb, idCol, vecCol),
+        k, iters),
+      emb.select(col(idCol).cast("long").as("vec_id"),
+        col(labelCol).as("label")))
+
   /** Cluster-balanced coreset sampling (s14, the D4-style diversity
     * selection): k-means the corpus, then keep the ceil(size/keepDen)
     * most CENTRAL vectors of every cluster — per-mode quotas instead of

@@ -360,14 +360,27 @@ object ClusterOps {
     * term totals all derive from the (k × vocab)-sized tf table
     * (checkpointed — never a second corpus scan); the top-k window
     * partitions by cell. The s12 model sweeps are the clustering's own
-    * cost, shared via [[s12AssignOf]] exactly like s14. The milli-lift
-    * numerator `1000·tf·T` bounds the exact-integer range: guarded by a
-    * named error at 3·10^9 tokens — past that, label per corpus shard
-    * (labels are a per-shard diagnostic anyway). */
+    * cost, shared via [[s12AssignOf]] exactly like s14. The exact-integer
+    * range is guarded by a named error on the actual worst-case products
+    * (`1000·max(tf)·T` and `max(cell_toks)·max(ctf)` vs Long.MaxValue,
+    * metadata-sized aggs) — past that, label per corpus shard (labels
+    * are a per-shard diagnostic anyway). */
   def t23ClusterLabels(s: SparkSession, d: String): DataFrame =
     clusterLabelsOf(s12AssignOf(s, d), documents(s, d), LabelTopK,
       LabelMinTf)
       .orderBy("cell", "rk")
+
+  /** True iff every milli-lift row computes exactly in Long arithmetic:
+    * worst numerator `1000·max(tf)·toks` and worst denominator
+    * `max(cell_toks)·max(ctf)` both fit. A total-token ceiling alone is
+    * wrong in both directions — a degenerate one-term corpus overflows
+    * the numerator at ~10^8 tokens, while a flat vocabulary is exact far
+    * past 3·10^9. */
+  private[graft] def milliLiftRangeOk(toks: Long, maxTf: Long,
+                                      maxCellToks: Long, maxCtf: Long): Boolean = {
+    val lmax = BigInt(Long.MaxValue)
+    BigInt(1000) * maxTf * toks <= lmax && BigInt(maxCellToks) * maxCtf <= lmax
+  }
 
   /** t23's kernel over any (vec_id, cell, ...) assignment and
     * (doc_id, text) corpus sharing an id space (graft.ops.Vectors API). */
@@ -381,13 +394,28 @@ object ClusterOps {
       .groupBy("cell", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
     val corpusTf = tf.groupBy("term").agg(sum("tf").as("ctf"))
+      .localCheckpoint(true)
     val cellTot = tf.groupBy("cell").agg(sum("tf").as("cell_toks"))
+      .localCheckpoint(true)
     val tot = tf.agg(sum("tf").as("toks"))
+    // Exact-integer range guard on the ACTUAL worst-case per-row products
+    // (all metadata-sized aggs over the checkpointed k×vocab tf table):
+    // numerator 1000·tf·toks is worst at max(tf); denominator
+    // cell_toks·ctf is worst at max(cell_toks)·max(ctf). A total-token
+    // ceiling alone is wrong in both directions — a degenerate one-term
+    // corpus overflows the numerator at ~10^8 tokens, while a flat
+    // vocabulary is exact far past 3·10^9.
     val totRow = tot.head()
-    if (!totRow.isNullAt(0))
-      require(totRow.getLong(0) <= 3000000000L,
-        s"clusterLabels: ${totRow.getLong(0)} tokens overflow the exact " +
-          "milli-lift integer range — label per corpus shard instead")
+    if (!totRow.isNullAt(0)) {
+      val toks = totRow.getLong(0)
+      val maxTf = tf.agg(max("tf")).head().getLong(0)
+      val maxCtf = corpusTf.agg(max("ctf")).head().getLong(0)
+      val maxCell = cellTot.agg(max("cell_toks")).head().getLong(0)
+      require(milliLiftRangeOk(toks, maxTf, maxCell, maxCtf),
+        s"clusterLabels: corpus exceeds the exact milli-lift integer " +
+          s"range (toks=$toks, max tf=$maxTf, max cell=$maxCell, max " +
+          s"ctf=$maxCtf) — label per corpus shard instead")
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cell").orderBy(col("score_milli").desc, col("term"))
     tf.join(corpusTf, "term").join(broadcast(cellTot), "cell")
@@ -431,10 +459,76 @@ object ClusterOps {
        |  CAST(tf AS BIGINT) AS tf, score_milli
        |FROM lr WHERE rk <= $LabelTopK ORDER BY cell, rk""".stripMargin
 
+  // ---------------------------------------------------------------- s17
+
+  /** s17: cluster-quality audit against reference labels — the QA stage
+    * that closes the clustering loop: every corpus with a labeled slice
+    * (here the embeddings table's `label` column) should VALIDATE its
+    * clustering before curation decisions (s14 coresets, s06 SemDeDup
+    * pruning, t23 routing) are built on it. Per s12 cell: size, distinct
+    * label count, the majority label (ties to the lowest label id) and
+    * integer purity `1000·top_n div n_vecs` — the standard external
+    * clustering metric, exact in milli units. A cell whose purity sits
+    * at chance level is noise, not structure; downstream per-cell quotas
+    * should treat it as such.
+    *
+    * Scale shape: ONE equi-join of the thin s12 assignment frame onto
+    * the (vec_id, label) columns (co-partitioned on vec_id at 100 TB),
+    * hash-agg to the k×L contingency table — everything after is
+    * metadata-sized (a window and a broadcast join over ≤ k·L rows).
+    * The s12 model sweeps are the clustering's own cost, shared via
+    * [[s12AssignOf]] exactly like s14/t23. Oracle: purity from EXACTLY
+    * the s12 clustering (shared [[kmeansSqlCtes]]). */
+  def s17ClusterPurity(s: SparkSession, d: String): DataFrame =
+    clusterPurityOf(s12AssignOf(s, d),
+      embeddings(s, d).select("vec_id", "label"))
+      .orderBy("cell")
+
+  /** s17's kernel over any (vec_id, cell, ...) assignment and
+    * (vec_id, label) frame sharing an id space (graft.ops.Vectors API). */
+  private[graft] def clusterPurityOf(assign: DataFrame,
+                                     labels: DataFrame): DataFrame = {
+    val cnt = assign.select("vec_id", "cell")
+      .join(labels.select("vec_id", "label"), "vec_id")
+      .groupBy("cell", "label").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy(col("n").desc, col("label").asc)
+    val tot = cnt.groupBy("cell").agg(sum("n").as("n_vecs"),
+      count(lit(1)).as("n_labels"))
+    cnt.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .join(broadcast(tot), "cell")
+      .withColumn("purity_milli", expr("(1000 * n) div n_vecs"))
+      .select(col("cell"), col("n_vecs"), col("n_labels"),
+        col("label").as("top_label"), col("n").as("top_n"),
+        col("purity_milli"))
+  }
+
+  val s17Sql: String =
+    s"""WITH ${kmeansSqlCtes("u")}, uj AS (
+       |  SELECT a.cell, e.label FROM uassign a
+       |  JOIN embeddings e USING (vec_id)
+       |), uc AS (
+       |  SELECT cell, label, COUNT(*) AS n FROM uj GROUP BY 1, 2
+       |), ut AS (
+       |  SELECT cell, label, n,
+       |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY n DESC, label) AS rk
+       |  FROM uc
+       |), ua AS (
+       |  SELECT cell, CAST(SUM(n) AS BIGINT) AS n_vecs,
+       |    COUNT(*) AS n_labels
+       |  FROM uc GROUP BY 1)
+       |SELECT CAST(t.cell AS BIGINT) AS cell, a.n_vecs,
+       |  CAST(a.n_labels AS BIGINT) AS n_labels, t.label AS top_label,
+       |  CAST(t.n AS BIGINT) AS top_n,
+       |  CAST((1000 * t.n) // a.n_vecs AS BIGINT) AS purity_milli
+       |FROM ut t JOIN ua a USING (cell) WHERE t.rk = 1
+       |ORDER BY t.cell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s12_kmeans" -> s12Kmeans _,
     "s13_knn_pagerank" -> s13Pagerank _,
     "s14_coreset_sample" -> s14CoresetSample _,
+    "s17_cluster_purity" -> s17ClusterPurity _,
     "t23_cluster_labels" -> t23ClusterLabels _,
   )
 
@@ -442,6 +536,7 @@ object ClusterOps {
     "s12_kmeans" -> s12Sql,
     "s13_knn_pagerank" -> s13Sql,
     "s14_coreset_sample" -> s14Sql,
+    "s17_cluster_purity" -> s17Sql,
     "t23_cluster_labels" -> t23Sql,
   )
 }

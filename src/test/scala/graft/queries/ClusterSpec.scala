@@ -173,6 +173,57 @@ class ClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("s17 purity: hand fixture (majority, tie-to-lowest-label, milli floor); facade matches") {
+    import spark.implicits._
+    // cell 0: labels {1,1,2} -> top 1 (n=2), purity 666; cell 1: {3,4}
+    // tie -> lowest label 3 wins, purity 500; cell 2: {7} pure 1000
+    val assign = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L),
+      (5L, 2L)).toDF("vec_id", "cell")
+    val labels = Seq((0L, 1), (1L, 1), (2L, 2), (3L, 4), (4L, 3), (5L, 7))
+      .toDF("vec_id", "label")
+    val out = ClusterOps.clusterPurityOf(assign, labels).orderBy("cell")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (0L, 3L, 2L, 1, 2L, 666L),
+      (1L, 2L, 2L, 3, 1L, 500L),
+      (2L, 1L, 1L, 7, 1L, 1000L)), out.toSeq)
+    // corpus: facade (own clustering) == gated query; cells partition the
+    // corpus and purity is a valid milli fraction
+    val gated = ClusterOps.s17ClusterPurity(spark, d)
+    val fac = graft.ops.Vectors.clusterPurity(spark,
+        Tables.embeddings(spark, d), ClusterOps.KmK, ClusterOps.KmIters)
+      .orderBy("cell")
+    assert(fac.columns.sameElements(gated.columns))
+    assert(fac.exceptAll(gated).isEmpty && gated.exceptAll(fac).isEmpty)
+    val rows = gated.collect()
+    assert(rows.nonEmpty)
+    val total = Tables.embeddings(spark, d).count()
+    assert(rows.map(_.getLong(1)).sum == total,
+      "cells must partition the corpus")
+    assert(rows.forall { r =>
+      r.getLong(5) >= 1000L / math.max(r.getLong(2), 1L) &&
+        r.getLong(5) <= 1000L && r.getLong(4) <= r.getLong(1)
+    })
+  }
+
+  test("t23 exact-range guard bounds the worst-case PRODUCTS, not just total tokens") {
+    import ClusterOps.milliLiftRangeOk
+    // flat vocabulary: exact far past the old 3e9 total-token ceiling
+    assert(milliLiftRangeOk(toks = 1_000_000_000_000L, maxTf = 1000L,
+      maxCellToks = 2_000_000_000L, maxCtf = 32000L))
+    // degenerate one-term corpus: numerator 1000·tf·toks overflows at
+    // ~10^8 tokens even though toks is far below 3e9
+    val t = 200_000_000L
+    assert(!milliLiftRangeOk(toks = t, maxTf = t, maxCellToks = t, maxCtf = t))
+    // denominator-only overflow: huge cell × huge term, modest max tf
+    assert(!milliLiftRangeOk(toks = 5_000_000_000L, maxTf = 100L,
+      maxCellToks = 4_000_000_000L, maxCtf = 4_000_000_000L))
+    // boundary: both products exactly at Long.MaxValue are still exact
+    val m = Long.MaxValue / 1000L
+    assert(milliLiftRangeOk(toks = m, maxTf = 1L, maxCellToks = 1L, maxCtf = 1L))
+  }
+
   test("t23 labels: hand fixture; below-corpus-rate terms suppressed; facade matches") {
     import spark.implicits._
     // two known clusters: cell 0 talks fruit, cell 1 talks dogs; 'the'
