@@ -108,6 +108,44 @@ object Media {
       }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
   }
 
+  /** Full PNG decode (the m11 semantics over any PNG payload column):
+    * CRC-validated chunk walk, multi-chunk IDAT, zlib inflate with
+    * exact-size verification, all five unfilters (incl. Paeth). 8-bit
+    * RGB only — anything else, corrupt payloads, and null ids are
+    * flagged (ok = false), never fatal. Returns (id, ok, width, height,
+    * n_chunks, px_sum, px_mean_milli, tl_px, br_px). */
+  def pngDecode(df: DataFrame, idCol: String = "doc_id",
+                bytesCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = true),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_chunks", LongType, nullable = true),
+      StructField("px_sum", LongType, nullable = true),
+      StructField("px_mean_milli", LongType, nullable = true),
+      StructField("tl_px", LongType, nullable = true),
+      StructField("br_px", LongType, nullable = true)))
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = idOrNull(r)
+          try {
+            if (id == null) throw new IllegalArgumentException("null id")
+            val v = MultiModalOps.pngDecodeOf(r.getAs[Array[Byte]](1))
+            var sum = 0L
+            var i = 0
+            while (i < v.pixels.length) { sum += v.pixels(i) & 0xff; i += 1 }
+            Row(id, true, v.width, v.height, v.nChunks, sum,
+              1000L * sum / v.pixels.length, (v.pixels(0) & 0xff).toLong,
+              (v.pixels(v.pixels.length - 1) & 0xff).toLong)
+          } catch { case _: Exception =>
+            Row(id, false, null, null, null, null, null, null, null)
+          }
+        }
+      }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+  }
+
   /** VAD-style energy segmentation (the m07 semantics over any WAV payload
     * column): fixed 32-sample frames, a frame is active iff its energy is
     * nonzero, active runs are segments. Corrupt payloads and null ids are

@@ -1043,7 +1043,280 @@ object MultiModalOps {
       |  FROM px GROUP BY doc_id) m USING (doc_id)
       |ORDER BY p.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m11
+
+  /** REAL compressed-image decode (no stub): each doc carries a
+    * synthesized PNG — signature, CRC32-validated chunk stream (IHDR /
+    * optional tEXt / IDAT split across two chunks / IEND), a genuine
+    * zlib-DEFLATE-compressed pixel stream (java.util.zip, the same
+    * codec family as the zarr/blosc paths), and per-scanline filters
+    * cycling through ALL FIVE PNG filter types (None/Sub/Up/Average/
+    * Paeth, `filter = y % 5`) — and the kernel DECODES it end to end:
+    * chunk walk with CRC check, IHDR validation, multi-chunk IDAT
+    * concatenation, full inflate with exact-size verification, and the
+    * complete unfilter family including the Paeth predictor. The pixel
+    * bytes are an integer pattern of doc_id, so the oracle recomputes
+    * every output from the synthesis formula WITHOUT seeing bytes — a
+    * hash match proves signature walk, CRC arithmetic, inflate AND all
+    * five unfilters genuinely ran (a single wrong Paeth branch shifts
+    * px_sum). This is the compressed sibling of m01's uncompressed PPM:
+    * the first decode stage where entropy coding enters the engine.
+    *
+    * Corruption contract: chunk lengths/offsets are bounded by the file
+    * length in Long arithmetic before use, IHDR dimensions are bounded
+    * before any allocation, inflate failures and size mismatches fail
+    * by name, and the walk is iterative with >= 12-byte progress per
+    * chunk (CorruptionSweepSpec sweeps it like WAV/PPM/AVI/GRIB).
+    *
+    * Scale shape: map-only (one scan, per-row kernel, no shuffle before
+    * the presentation sort) — decode-bound at 100 TB like every
+    * production image-ingest stage. */
+  def m11PngDecode(s: SparkSession, d: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_chunks", LongType, nullable = false),
+      StructField("px_sum", LongType, nullable = false),
+      StructField("px_mean_milli", LongType, nullable = false),
+      StructField("tl_px", LongType, nullable = false),
+      StructField("br_px", LongType, nullable = false)))
+    documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          // payload synthesized then GENUINELY re-decoded from bytes
+          val v = pngDecodeOf(pngBytes(id))
+          var sum = 0L
+          var i = 0
+          while (i < v.pixels.length) { sum += v.pixels(i) & 0xff; i += 1 }
+          Row(id, v.width, v.height, v.nChunks, sum,
+            1000L * sum / v.pixels.length, (v.pixels(0) & 0xff).toLong,
+            (v.pixels(v.pixels.length - 1) & 0xff).toLong)
+        }
+      }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+      .orderBy("doc_id")
+  }
+
+  /** Synthesized PNG parameters (all pure functions of doc_id — the
+    * oracle's closed form): w = 4 + id%5, h = 3 + id%4, 8-bit RGB
+    * (color type 2), pixel byte b of scanline y is
+    * (id·11 + y·29 + b·17) % 256, scanline y is filtered with type
+    * y % 5, the IDAT stream is split across two chunks, and even ids
+    * carry a tEXt chunk (so n_chunks = 4 + (id+1) % 2). */
+  private[graft] def pngBytes(docId: Long): Array[Byte] = {
+    val w = (4 + docId % 5).toInt
+    val h = (3 + docId % 4).toInt
+    val bpp = 3
+    val rowBytes = w * bpp
+    // raw pixels, then per-scanline PNG filtering (type = y % 5)
+    val raw = Array.tabulate(h, rowBytes) { (y, b) =>
+      ((docId * 11 + y * 29 + b * 17) % 256).toInt
+    }
+    val filtered = new Array[Byte](h * (1 + rowBytes))
+    var y = 0
+    while (y < h) {
+      val f = y % 5
+      filtered(y * (1 + rowBytes)) = f.toByte
+      var b = 0
+      while (b < rowBytes) {
+        val x = raw(y)(b)
+        val left = if (b >= bpp) raw(y)(b - bpp) else 0
+        val up = if (y > 0) raw(y - 1)(b) else 0
+        val upLeft = if (y > 0 && b >= bpp) raw(y - 1)(b - bpp) else 0
+        val out = f match {
+          case 0 => x
+          case 1 => x - left
+          case 2 => x - up
+          case 3 => x - (left + up) / 2
+          case 4 => x - paethPredictor(left, up, upLeft)
+        }
+        filtered(y * (1 + rowBytes) + 1 + b) = (out & 0xff).toByte
+        b += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered); defl.finish()
+    val zbuf = new Array[Byte](filtered.length + 64)
+    var zlen = 0
+    while (!defl.finished()) {
+      require(zlen < zbuf.length, "png synth: compression did not shrink")
+      zlen += defl.deflate(zbuf, zlen, zbuf.length - zlen)
+    }
+    defl.end()
+    val z = java.util.Arrays.copyOf(zbuf, zlen)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length)
+      bb.put(typ.getBytes("ASCII")); bb.put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("ASCII")); crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bos.write(bb.array())
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w); ihdr.putInt(h)
+    ihdr.put(8.toByte)   // bit depth
+    ihdr.put(2.toByte)   // color type: truecolor RGB
+    ihdr.put(0.toByte); ihdr.put(0.toByte); ihdr.put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    if (docId % 2 == 0)
+      chunk("tEXt", ("id " + docId).getBytes("ASCII"))
+    val cut = math.max(1, z.length / 2) // always two non-empty IDATs
+    chunk("IDAT", java.util.Arrays.copyOfRange(z, 0, cut))
+    chunk("IDAT", java.util.Arrays.copyOfRange(z, cut, z.length))
+    chunk("IEND", Array.emptyByteArray)
+    bos.toByteArray
+  }
+
+  /** The PNG Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left
+    * to the linear estimate, ties in that order. */
+  private[graft] def paethPredictor(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private[graft] final case class PngImage(width: Int, height: Int,
+      nChunks: Long, pixels: Array[Byte])
+
+  /** Decode an 8-bit RGB PNG: CRC-checked chunk walk, multi-chunk IDAT,
+    * full zlib inflate with exact-size verification, all five unfilters.
+    * Iterative walks only; every length is bounded against the payload
+    * in Long arithmetic BEFORE any allocation, so corrupt values fail by
+    * name instead of looping or mass-allocating. */
+  private[graft] def pngDecodeOf(bytes: Array[Byte]): PngImage = {
+    val sig = Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte)
+    require(bytes.length >= 8 + 25 &&
+      java.util.Arrays.equals(java.util.Arrays.copyOf(bytes, 8), sig),
+      "not a PNG file")
+    val bb = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
+    var off = 8
+    var width = -1; var height = -1
+    var nChunks = 0L
+    var sawIhdr = false; var sawIend = false; var idatDone = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!sawIend) {
+      require(off + 8 <= bytes.length,
+        s"corrupt PNG: truncated chunk header at $off")
+      val len = bb.getInt(off)
+      val typ = new String(bytes, off + 4, 4, "ASCII")
+      require(len >= 0 && off + 12L + len <= bytes.length,
+        s"corrupt PNG chunk '$typ': length $len exceeds file bounds at $off")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, off + 4, 4 + len)
+      val stored = bb.getInt(off + 8 + len).toLong & 0xffffffffL
+      require(crc.getValue == stored,
+        s"corrupt PNG chunk '$typ': CRC mismatch at $off")
+      require(sawIhdr || typ == "IHDR", "first chunk must be IHDR")
+      typ match {
+        case "IHDR" =>
+          require(!sawIhdr, "duplicate IHDR")
+          require(len == 13, s"IHDR length $len != 13")
+          width = bb.getInt(off + 8); height = bb.getInt(off + 12)
+          require(width > 0 && height > 0 &&
+            width.toLong * height * 3 + height <= (1L << 26),
+            s"unsupported PNG dimensions ${width}x$height")
+          require(bytes(off + 16) == 8, "8-bit depth only")
+          require(bytes(off + 17) == 2, "truecolor RGB only")
+          require(bytes(off + 18) == 0 && bytes(off + 19) == 0 &&
+            bytes(off + 20) == 0,
+            "unsupported compression/filter/interlace method")
+          sawIhdr = true
+        case "IDAT" =>
+          require(!idatDone, "non-consecutive IDAT chunks")
+          idat.write(bytes, off + 8, len)
+        case "IEND" =>
+          require(len == 0, s"IEND length $len != 0")
+          sawIend = true
+        case _ => // ancillary chunk: CRC-validated, content skipped
+      }
+      if (typ != "IDAT" && idat.size() > 0) idatDone = true
+      nChunks += 1
+      off += 12 + len
+    }
+    require(off == bytes.length, "trailing bytes after IEND")
+    val rowBytes = width * 3
+    val expect = height * (1 + rowBytes)
+    val z = idat.toByteArray
+    require(z.nonEmpty, "no IDAT data")
+    val infl = new java.util.zip.Inflater()
+    infl.setInput(z)
+    val filtered = new Array[Byte](expect)
+    var got = 0
+    try {
+      while (!infl.finished() && got < expect) {
+        val n = infl.inflate(filtered, got, expect - got)
+        // n == 0 while unfinished means truncated input or a preset-
+        // dictionary demand — both corrupt here; also breaks any spin
+        require(n > 0 || infl.finished(),
+          s"corrupt PNG: IDAT stream truncated after $got of $expect bytes")
+        got += n
+      }
+      require(got == expect && infl.inflate(new Array[Byte](1)) == 0 &&
+        infl.finished(),
+        s"corrupt PNG: inflated $got bytes, scanlines need $expect")
+    } catch { case e: java.util.zip.DataFormatException =>
+      throw new IllegalArgumentException(
+        s"corrupt PNG: inflate failed (${e.getMessage})")
+    } finally infl.end()
+    // unfilter in place into the pixel plane
+    val px = new Array[Byte](height * rowBytes)
+    val bpp = 3
+    var y = 0
+    while (y < height) {
+      val f = filtered(y * (1 + rowBytes)) & 0xff
+      require(f <= 4, s"corrupt PNG: unknown filter type $f on row $y")
+      var b = 0
+      while (b < rowBytes) {
+        val x = filtered(y * (1 + rowBytes) + 1 + b) & 0xff
+        val left = if (b >= bpp) px((y * rowBytes) + b - bpp) & 0xff else 0
+        val up = if (y > 0) px((y - 1) * rowBytes + b) & 0xff else 0
+        val upLeft =
+          if (y > 0 && b >= bpp) px((y - 1) * rowBytes + b - bpp) & 0xff else 0
+        val recon = f match {
+          case 0 => x
+          case 1 => x + left
+          case 2 => x + up
+          case 3 => x + (left + up) / 2
+          case 4 => x + paethPredictor(left, up, upLeft)
+        }
+        px(y * rowBytes + b) = (recon & 0xff).toByte
+        b += 1
+      }
+      y += 1
+    }
+    PngImage(width, height, nChunks, px)
+  }
+
+  /** Oracle: every column from the synthesis formula only — no bytes. */
+  val m11Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      |  FROM documents
+      |), px AS (
+      |  SELECT doc_id, w, h, unnest(range(0, h * w * 3)) AS k
+      |  FROM p
+      |), s AS (
+      |  SELECT doc_id, w, h,
+      |    SUM((doc_id * 11 + (k // (w * 3)) * 29 + (k % (w * 3)) * 17)
+      |      % 256) AS px_sum
+      |  FROM px GROUP BY 1, 2, 3)
+      |SELECT doc_id,
+      |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  CAST(4 + (doc_id + 1) % 2 AS BIGINT) AS n_chunks,
+      |  CAST(px_sum AS BIGINT) AS px_sum,
+      |  CAST(1000 * px_sum // (h * w * 3) AS BIGINT) AS px_mean_milli,
+      |  CAST((doc_id * 11) % 256 AS BIGINT) AS tl_px,
+      |  CAST((doc_id * 11 + (h - 1) * 29 + (w * 3 - 1) * 17) % 256
+      |    AS BIGINT) AS br_px
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m11_png_decode" -> m11PngDecode _,
     "m10_avi_index" -> m10AviIndex _,
     "m08_scene_cuts" -> m08SceneCuts _,
     "m09_audio_fingerprint" -> m09AudioFingerprint _,
@@ -1057,6 +1330,7 @@ object MultiModalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "m11_png_decode" -> m11Sql,
     "m10_avi_index" -> m10Sql,
     "m09_audio_fingerprint" -> m09Sql,
     "m08_scene_cuts" -> m08Sql,

@@ -250,6 +250,42 @@ class CorruptionSweepSpec extends AnyFunSuite {
     }
   }
 
+  test("png: chunk/inflate corruption never loops, recurses, or mass-allocates") {
+    // the m11/Media.pngDecode parser: chunk lengths, IHDR dimensions and
+    // the compressed IDAT stream are all payload-supplied — lengths must
+    // be bounded before use, dimensions before allocation, and inflate
+    // must terminate (truncation and preset-dictionary demands both fail
+    // by name); chunk CRCs catch every in-chunk flip
+    val orig = graft.queries.MultiModalOps.pngBytes(7L)
+    val (ok, failed) = sweep(orig, orig.length, { bytes =>
+      graft.queries.MultiModalOps.pngDecodeOf(bytes)
+    })
+    info(s"png sweep: $ok parsed, $failed failed diagnosably")
+    assert(failed > 0, "no corruption failed — the sweep is vacuous")
+    // targeted probes: negative / huge chunk length (the walk vector)
+    // and huge IHDR dimensions (the allocation vector — must fail BEFORE
+    // the h*(1+3w) scanline buffer is sized)
+    for ((at, v) <- Seq((8, -13), (8, Int.MaxValue))) {
+      val mut = orig.clone()
+      java.nio.ByteBuffer.wrap(mut).putInt(at, v) // IHDR length, big-endian
+      val e = intercept[IllegalArgumentException](
+        graft.queries.MultiModalOps.pngDecodeOf(mut))
+      assert(e.getMessage.contains("corrupt PNG") ||
+        e.getMessage.contains("IHDR"), s"at=$at v=$v: ${e.getMessage}")
+    }
+    for ((at, v) <- Seq((16, 0x40000000), (20, 0x40000000))) {
+      val mut = orig.clone()
+      java.nio.ByteBuffer.wrap(mut).putInt(at, v) // IHDR width/height
+      val e = intercept[IllegalArgumentException](
+        graft.queries.MultiModalOps.pngDecodeOf(mut))
+      // the CRC check rejects the flipped header before dimensions are
+      // even read — either named failure is fine, allocation is not
+      assert(e.getMessage.contains("corrupt PNG") ||
+        e.getMessage.contains("unsupported PNG dimensions"),
+        s"at=$at v=$v: ${e.getMessage}")
+    }
+  }
+
   test("dap2: dods/dds/das corruption never crashes, only fails by name") {
     // the last binary reader without a sweep: the DODS response embeds the
     // DDS text, a separator, then XDR arrays with COUNT PREFIXES — corrupt

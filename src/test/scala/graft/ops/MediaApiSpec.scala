@@ -71,6 +71,45 @@ class MediaApiSpec extends AnyFunSuite {
     assert(got.length == 1 && !got(0).getBoolean(1))
   }
 
+  test("pngDecode over a payload column == m11 on the same ids") {
+    import spark.implicits._
+    val ids = graft.queries.Tables.documents(spark, d)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val payloads = ids.map(id =>
+      (id, graft.queries.MultiModalOps.pngBytes(id))).toDF("id", "bytes")
+    val api = Media.pngDecode(payloads, "id", "bytes")
+    assert(api.filter(!col("ok")).isEmpty)
+    val apiCmp = api.drop("ok").orderBy("doc_id")
+    val gated = graft.queries.MultiModalOps.m11PngDecode(spark, d)
+    assert(apiCmp.columns.sameElements(gated.columns))
+    assert(apiCmp.exceptAll(gated).isEmpty && gated.exceptAll(apiCmp).isEmpty)
+    // a bit-flipped IDAT byte breaks the chunk CRC: reported corrupt,
+    // never a silently-wrong pixel sum
+    val orig = graft.queries.MultiModalOps.pngBytes(7L)
+    val mut = orig.clone()
+    mut(mut.length - 20) = (mut(mut.length - 20) ^ 0x40).toByte
+    val bad = Seq((7L, mut)).toDF("id", "bytes")
+    val got = Media.pngDecode(bad, "id", "bytes").collect()
+    assert(got.length == 1 && !got(0).getBoolean(1))
+  }
+
+  test("m11 decode reconstructs the exact pixel pattern through all five filters") {
+    // id 7: h = 3 + 7%4 = 6 rows -> filter types 0,1,2,3,4,0 all exercised
+    val v = graft.queries.MultiModalOps.pngDecodeOf(
+      graft.queries.MultiModalOps.pngBytes(7L))
+    assert(v.width == 4 + 7 % 5 && v.height == 6)
+    val rowBytes = v.width * 3
+    for (y <- 0 until v.height; b <- 0 until rowBytes) {
+      val want = ((7L * 11 + y * 29 + b * 17) % 256).toInt
+      assert((v.pixels(y * rowBytes + b) & 0xff) == want,
+        s"pixel ($y,$b): got ${v.pixels(y * rowBytes + b) & 0xff} want $want")
+    }
+    // odd id -> no tEXt chunk: IHDR + 2xIDAT + IEND
+    assert(v.nChunks == 4L)
+    assert(graft.queries.MultiModalOps.pngDecodeOf(
+      graft.queries.MultiModalOps.pngBytes(8L)).nChunks == 5L)
+  }
+
   test("audioFingerprints over a payload column == m09 on the same ids") {
     import spark.implicits._
     val ids = graft.queries.Tables.documents(spark, d)
