@@ -484,13 +484,25 @@ object ClusterOps {
       embeddings(s, d).select("vec_id", "label"))
       .orderBy("cell")
 
+  /** s17's corpus pass — the one equi-join + hash agg producing the k×L
+    * contingency table. Exposed lazily so PlanSpec can pin its physical
+    * shape (one pruned label read, no cross product), which the eager
+    * checkpoint in [[clusterPurityOf]] would otherwise hide (the
+    * bm25PostingsLazy pattern). */
+  private[graft] def purityContingencyLazy(assign: DataFrame,
+                                           labels: DataFrame): DataFrame =
+    assign.select("vec_id", "cell")
+      .join(labels.select("vec_id", "label"), "vec_id")
+      .groupBy("cell", "label").agg(count(lit(1)).as("n"))
+
   /** s17's kernel over any (vec_id, cell, ...) assignment and
     * (vec_id, label) frame sharing an id space (graft.ops.Vectors API). */
   private[graft] def clusterPurityOf(assign: DataFrame,
                                      labels: DataFrame): DataFrame = {
-    val cnt = assign.select("vec_id", "cell")
-      .join(labels.select("vec_id", "label"), "vec_id")
-      .groupBy("cell", "label").agg(count(lit(1)).as("n"))
+    // the window branch AND the totals branch both consume the
+    // contingency table — checkpoint the k×L rows so the corpus join
+    // runs once, not once per branch
+    val cnt = purityContingencyLazy(assign, labels).localCheckpoint(true)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cell").orderBy(col("n").desc, col("label").asc)
     val tot = cnt.groupBy("cell").agg(sum("n").as("n_vecs"),

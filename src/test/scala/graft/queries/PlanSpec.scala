@@ -456,6 +456,33 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("m11: png decode is map-only — no shuffle before the presentation sort") {
+    val p = plan(MultiModalOps.m11PngDecode(spark, d))
+    // the only exchange allowed is the final orderBy's range partitioning;
+    // a hash exchange would mean the per-row codec grew an agg or join
+    assert(!p.contains("Exchange hashpartitioning"), p.take(800))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("s17: ONE pruned label read builds the contingency; the audit runs on its checkpoint") {
+    import org.apache.spark.sql.functions.col
+    // the corpus pass: exactly one embeddings read, pruned to
+    // (vec_id, label) — the vectors themselves are never re-read
+    val assign = ClusterOps.s12Kmeans(spark, d).drop("d2")
+    val labels = Tables.embeddings(spark, d).select("vec_id", "label")
+    val lazyP = plan(ClusterOps.purityContingencyLazy(assign, labels))
+    assert("FileScan parquet".r.findAllIn(lazyP).size == 1, lazyP.take(1200))
+    assert(lazyP.contains("ReadSchema: struct<vec_id:bigint,label:int>"),
+      s"label read not pruned: ${lazyP.linesIterator.find(_.contains("ReadSchema")).getOrElse("")}")
+    // the full query: both audit branches feed off the checkpointed k×L
+    // table — no FileScan survives into the final plan, no cross product
+    val p = plan(ClusterOps.s17ClusterPurity(spark, d))
+    assert(!p.contains("FileScan parquet"), p.take(1200))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("t05/t06: single-scan text ops stay inside whole-stage codegen") {
     val p = TextOps.t05LangIdNgram(spark, d).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
