@@ -211,6 +211,19 @@ object Corpus {
                      textCol: String = "text"): DataFrame =
     DedupOps2.paragraphDedupOf(norm(docs, idCol, textCol))
 
+  /** Cross-source duplicate provenance (d14): per duplicated segment
+    * (the d08 unit, same hash + canonical key), its copy count, source
+    * spread, dominant source and the cross-source flag — boilerplate
+    * (one source: fix that extractor) vs syndication (many: keep one
+    * canonical) triage. `sourceCol` is any grouping of provenance
+    * (feed, domain, crawl snapshot). */
+  def dupProvenance(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    sourceCol: String = "source"): DataFrame =
+    DedupOps2.dupProvenanceOf(docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(sourceCol).as("source"), col(textCol).as("text")))
+
   /** Incremental-ingest dedup: which documents of `newBatch` repeat
     * segment-level content already present in `corpus`? The batch's
     * distinct segment hashes build a Bloom filter (the SMALL side —

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.queries.TextOps
 
@@ -127,6 +127,17 @@ object Text {
       s"window $window must be >= stride $stride > 0 (gaps would drop tokens)")
     TextOps.chunkWindowsOf(norm(docs, idCol, textCol), window, stride)
   }
+
+  /** Vocabulary-growth audit (t24, Heaps' law): split the corpus into
+    * `slices` equal id-ordered slices and report per slice the token
+    * mass, novel-term count, cumulative vocabulary and integer novelty
+    * rate — the corpus-health curve that flattens under duplication and
+    * straightens under vocabulary explosion. */
+  def vocabGrowth(spark: SparkSession, docs: DataFrame,
+                  slices: Int = graft.queries.TextOps.HeapsSlices,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    TextOps.vocabGrowthOf(spark, norm(docs, idCol, textCol), slices)
 
   /** Temperature-weighted data-mix weights per source (t15): token mass,
     * raw share, and the w ∝ tokens^0.5 sampling weight + boost — the

@@ -44,17 +44,20 @@ object DedupOps2 {
     * BEFORE segmentation so the explode only runs over the rows they keep
     * (the new-batch side of d09/p02 is a few percent of the corpus; an
     * explode-then-filter would pay the full corpus explode per branch). */
-  private[graft] def segmentsOf(docs: DataFrame): DataFrame =
+  private[graft] def segmentsOf(docs: DataFrame,
+                                passthrough: Seq[String] = Nil): DataFrame =
     docs
       .withColumn("words", split(col("text"), " "))
       .withColumn("nw", size(col("words")))
-      .select(col("doc_id"), col("words"), col("nw"),
-        explode(expr(s"sequence(0, (nw - 1) div $SegWords)")).as("seg_idx"))
+      .select((col("doc_id") +: passthrough.map(col)) :+ col("words") :+
+        col("nw") :+
+        explode(expr(s"sequence(0, (nw - 1) div $SegWords)")).as("seg_idx"): _*)
       .withColumn("seg",
         expr(s"concat_ws(' ', slice(words, seg_idx * $SegWords + 1, $SegWords))"))
       .withColumn("seg_words",
         expr(s"least(nw - seg_idx * $SegWords, $SegWords)").cast("long"))
-      .select("doc_id", "seg_idx", "seg", "seg_words")
+      .select(("doc_id" +: "seg_idx" +: "seg" +: "seg_words" +:
+        passthrough).map(col): _*)
 
   private[queries] def segments(s: SparkSession, d: String): DataFrame =
     segmentsOf(documents(s, d))
@@ -77,18 +80,21 @@ object DedupOps2 {
   def d08ParagraphDedup(s: SparkSession, d: String): DataFrame =
     paragraphDedupOf(documents(s, d)).orderBy("doc_id")
 
+  /** The packed (doc, seg) canonical key with the overflow guard folded
+    * INTO the expression so pruning can't drop it: a doc with >= MaxSegs
+    * segments would collide into the next doc_id's key space and
+    * silently mis-pick canonicals — fail fast instead. Shared by d08 and
+    * d14 so their canonicalization cannot drift. */
+  private def guardedSegKey(tag: String) = coalesce(
+    assert_true(col("seg_idx") < MaxSegs,
+      lit(s"$tag: document exceeds $MaxSegs segments — packed key would collide"))
+      .cast("long"),
+    col("doc_id") * MaxSegs + col("seg_idx"))
+
   /** The d08 kernel over any (doc_id, text) frame (graft.ops.Corpus API). */
   private[graft] def paragraphDedupOf(docs: DataFrame): DataFrame = {
-    // assert_true folded INTO the key expression so pruning can't drop it:
-    // a doc with >= MaxSegs segments would collide into the next doc_id's
-    // key space and silently mis-pick canonicals — fail fast instead
-    val guardedCk = coalesce(
-      assert_true(col("seg_idx") < MaxSegs,
-        lit(s"d08: document exceeds $MaxSegs segments — packed key would collide"))
-        .cast("long"),
-      col("doc_id") * MaxSegs + col("seg_idx"))
     val segs = segmentsOf(docs)
-      .withColumn("ck", guardedCk)
+      .withColumn("ck", guardedSegKey("d08"))
       .withColumn("h", md5(col("seg")))
     val canon = segs.groupBy("h").agg(min("ck").as("canon_ck"))
     segs.join(canon, "h")
@@ -574,7 +580,82 @@ object DedupOps2 {
        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d14
+
+  /** d14: cross-source duplicate provenance — the triage step between
+    * detecting duplication (d08) and acting on it: a segment duplicated
+    * WITHIN one source is boilerplate (template headers, nav chrome —
+    * fix that source's extractor), while one duplicated ACROSS sources
+    * is syndication (keep one canonical, credit the origin). Per
+    * duplicated d08 segment (n_copies ≥ 2 occurrences): copy count,
+    * distinct source count, the dominant source (ties to the
+    * lexicographically lowest), its copy count, and the cross-source
+    * flag. Granularity, hash and canonicalization are EXACTLY d08's
+    * (same [[segmentsOf]] unit, same md5, same packed min-(doc, seg)
+    * canonical key — the shared-kernel anti-drift convention), so "what
+    * d08 would drop" and "where it came from" are the same clusters.
+    *
+    * Scale shape: ONE corpus segment explode (source carried through
+    * the kernel — no re-join onto the corpus) → hash agg to the
+    * (hash, source) table (duplicate-mass-sized, checkpointed) — the
+    * per-cluster window and totals run on that thin frame, never the
+    * corpus. */
+  def d14DupProvenance(s: SparkSession, d: String): DataFrame =
+    dupProvenanceOf(documents(s, d))
+      .orderBy("canonical_doc", "canonical_seg")
+
+  /** d14's kernel over any (doc_id, source, text) frame
+    * (graft.ops.Corpus API). */
+  private[graft] def dupProvenanceOf(docs: DataFrame): DataFrame = {
+    val hs = segmentsOf(docs.select("doc_id", "source", "text"),
+        passthrough = Seq("source"))
+      .withColumn("h", md5(col("seg")))
+      .withColumn("ck", guardedSegKey("d14"))
+      .groupBy("h", "source")
+      .agg(count(lit(1)).as("n"), min("ck").as("src_min_ck"))
+      .localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy(col("n").desc, col("source").asc)
+    val tot = hs.groupBy("h").agg(sum("n").as("n_copies"),
+      count(lit(1)).as("n_sources"), min("src_min_ck").as("canon_ck"))
+    hs.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .join(tot, "h")
+      .filter(col("n_copies") >= 2)
+      .select(expr(s"canon_ck div $MaxSegs").as("canonical_doc"),
+        expr(s"canon_ck % $MaxSegs").as("canonical_seg"),
+        col("n_copies"), col("n_sources"),
+        col("source").as("top_source"), col("n").as("top_n"),
+        (col("n_sources") > 1).as("cross_source"))
+  }
+
+  val d14Sql: String =
+    s"""WITH vsegs AS ($segmentsSql),
+       |vh AS (
+       |  SELECT s.doc_id, s.seg_idx, d.source, md5(s.seg) AS h,
+       |    s.doc_id * $MaxSegs + s.seg_idx AS ck
+       |  FROM vsegs s JOIN documents d USING (doc_id)
+       |), vhs AS (
+       |  SELECT h, source, COUNT(*) AS n, MIN(ck) AS src_min_ck
+       |  FROM vh GROUP BY 1, 2
+       |), vtop AS (
+       |  SELECT h, source, n,
+       |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY n DESC, source) AS rk
+       |  FROM vhs
+       |), vtot AS (
+       |  SELECT h, CAST(SUM(n) AS BIGINT) AS n_copies,
+       |    COUNT(*) AS n_sources, MIN(src_min_ck) AS canon_ck
+       |  FROM vhs GROUP BY 1)
+       |SELECT CAST(t.canon_ck // $MaxSegs AS BIGINT) AS canonical_doc,
+       |  CAST(t.canon_ck % $MaxSegs AS BIGINT) AS canonical_seg,
+       |  t.n_copies, CAST(t.n_sources AS BIGINT) AS n_sources,
+       |  p.source AS top_source, CAST(p.n AS BIGINT) AS top_n,
+       |  t.n_sources > 1 AS cross_source
+       |FROM vtot t JOIN vtop p ON t.h = p.h AND p.rk = 1
+       |WHERE t.n_copies >= 2
+       |ORDER BY canonical_doc, canonical_seg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_dup_provenance" -> d14DupProvenance _,
     "d13_leakage_split" -> d13LeakageSplit _,
     "d12_soft_dedup" -> d12SoftDedup _,
     "d11_suffix_lcp" -> d11SuffixLcp _,
@@ -584,6 +665,7 @@ object DedupOps2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "d14_dup_provenance" -> d14Sql,
     "d13_leakage_split" -> d13Sql,
     "d12_soft_dedup" -> d12Sql,
     "d11_suffix_lcp" -> d11Sql,

@@ -1197,7 +1197,86 @@ object TextOps {
        |       WHEN ppl_milli <= p66 THEN 'middle' ELSE 'tail' END AS bucket
        |FROM scored CROSS JOIN thr ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t24
+
+  /** Ingest-order slices for the vocabulary-growth curve. */
+  val HeapsSlices = 10
+
+  /** t24: vocabulary-growth audit (Heaps' law) — the corpus-health
+    * diagnostic curation pipelines watch across ingest: split the corpus
+    * into [[HeapsSlices]] equal doc-id slices (ids are ingest-ordered)
+    * and report, per slice, the token mass, the number of NOVEL terms
+    * (first corpus occurrence in this slice), the cumulative vocabulary,
+    * and the novelty rate `1000·new div tokens`. Healthy heavy-tailed
+    * text bends like V(n) ∝ n^β (β ≈ 0.5–0.7, Heaps 1978); a flattening
+    * curve signals duplication/boilerplate mass, a straightening one
+    * vocabulary explosion (spam, encoding noise). All integer-exact.
+    *
+    * Scale shape: ONE corpus explode → hash agg to the (slice, term)
+    * table (≤ slices × vocab rows, checkpointed — the t23 pattern);
+    * novel-term counts (min slice per term) and per-slice token mass are
+    * two branches of that metadata-sized table; the cumulative sum is a
+    * full-frame window over [[HeapsSlices]] rows. The slice width comes
+    * from one max(doc_id) head() (metadata-sized driver value). */
+  def t24VocabGrowth(s: SparkSession, d: String): DataFrame =
+    vocabGrowthOf(s, documents(s, d), HeapsSlices).orderBy("slice")
+
+  /** t24's kernel over any (doc_id, text) frame (graft.ops.Text API). */
+  private[graft] def vocabGrowthOf(s: SparkSession, docs: DataFrame,
+                                   slices: Int): DataFrame = {
+    import s.implicits._
+    require(slices >= 1, s"vocabGrowth: slices must be >= 1, got $slices")
+    val n = docs.agg(max("doc_id")).as[Long].head() + 1L
+    require(n >= 1, s"vocabGrowth: empty corpus")
+    val st = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .withColumn("slice", expr(s"(doc_id * $slices) div $n"))
+      .groupBy("slice", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val toks = st.groupBy("slice").agg(sum("tf").as("n_tokens"))
+    val novel = st.groupBy("term").agg(min("slice").as("slice"))
+      .groupBy("slice").agg(count(lit(1)).as("n_new_terms"))
+    // HeapsSlices rows: the single-partition window is metadata-sized
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy("slice")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    toks.join(novel, Seq("slice"), "left")
+      .withColumn("n_new_terms", coalesce(col("n_new_terms"), lit(0L)))
+      .withColumn("cum_terms", sum("n_new_terms").over(w))
+      .withColumn("novelty_milli",
+        expr("(1000 * n_new_terms) div n_tokens"))
+      .select("slice", "n_tokens", "n_new_terms", "cum_terms",
+        "novelty_milli")
+  }
+
+  val t24Sql: String =
+    s"""WITH hn AS (
+       |  SELECT MAX(doc_id) + 1 AS n FROM documents
+       |), hs AS (
+       |  SELECT (d.doc_id * $HeapsSlices) // hn.n AS slice,
+       |    unnest(string_split(d.text, ' ')) AS term
+       |  FROM documents d CROSS JOIN hn
+       |), hst AS (
+       |  SELECT slice, term, COUNT(*) AS tf FROM hs GROUP BY 1, 2
+       |), htok AS (
+       |  SELECT slice, CAST(SUM(tf) AS BIGINT) AS n_tokens
+       |  FROM hst GROUP BY 1
+       |), hnov AS (
+       |  SELECT slice, COUNT(*) AS n_new_terms
+       |  FROM (SELECT term, MIN(slice) AS slice FROM hst GROUP BY 1)
+       |  GROUP BY 1)
+       |SELECT t.slice, t.n_tokens,
+       |  CAST(COALESCE(v.n_new_terms, 0) AS BIGINT) AS n_new_terms,
+       |  CAST(SUM(COALESCE(v.n_new_terms, 0)) OVER (ORDER BY t.slice
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_terms,
+       |  CAST((1000 * COALESCE(v.n_new_terms, 0)) // t.n_tokens AS BIGINT)
+       |    AS novelty_milli
+       |FROM htok t LEFT JOIN hnov v ON t.slice = v.slice
+       |ORDER BY t.slice""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_vocab_growth" -> t24VocabGrowth _,
     "t19_bpe_encode" -> t19BpeEncode _,
     "t18_perplexity_filter" -> t18PerplexityFilter _,
     "t17_bpe_merges" -> t17BpeMerges _,
@@ -1220,6 +1299,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "t24_vocab_growth" -> t24Sql,
     "t19_bpe_encode" -> t19Sql,
     "t18_perplexity_filter" -> t18Sql,
     "t17_bpe_merges" -> t17Sql,

@@ -236,6 +236,34 @@ class CorpusApiSpec extends AnyFunSuite {
     same(api, graft.queries.DedupOps2.d09BloomIncremental(spark, d))
   }
 
+  test("dupProvenance == d14 under renamed columns; hand fixture pins the triage") {
+    import spark.implicits._
+    val docs = graft.queries.Tables.documents(spark, d)
+      .select(col("doc_id").as("id"), col("source").as("feed"),
+        col("text").as("body"))
+    same(Corpus.dupProvenance(docs, "id", "body", "feed")
+        .orderBy("canonical_doc", "canonical_seg"),
+      graft.queries.DedupOps2.d14DupProvenance(spark, d))
+    // hand fixture (docs shorter than SegWords = one segment each):
+    // "x x" appears in srcA (docs 0, 1) and srcB (doc 2) -> cross-source,
+    // top srcA (2 copies); "y" only in srcB docs 3, 4 -> boilerplate;
+    // "z" unique -> absent. Tie case: "w w" once in srcA, once in srcB
+    // -> top source is the lexicographically lowest (srcA).
+    val fix = Seq(
+      (0L, "srcA", "x x"), (1L, "srcA", "x x"), (2L, "srcB", "x x"),
+      (3L, "srcB", "y"), (4L, "srcB", "y"), (5L, "srcA", "z"),
+      (6L, "srcA", "w w"), (7L, "srcB", "w w"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.queries.DedupOps2.dupProvenanceOf(fix)
+      .orderBy("canonical_doc").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getString(4),
+        r.getLong(5), r.getBoolean(6)))
+    assert(out.toSeq == Seq(
+      (0L, 3L, 2L, "srcA", 2L, true),
+      (3L, 2L, 1L, "srcB", 2L, false),
+      (6L, 2L, 2L, "srcA", 1L, true)), out.toSeq)
+  }
+
   test("facade releases its caches like the query bodies do") {
     // start from a known-clean cache state: this asserts the FACADE's
     // hygiene, not the accumulated state of whichever suites ran earlier

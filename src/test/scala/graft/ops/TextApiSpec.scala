@@ -363,6 +363,28 @@ class TextApiSpec extends AnyFunSuite {
     same(otherSpan, gated)
   }
 
+  test("vocabGrowth == t24 under renamed columns; hand fixture pins the curve") {
+    import spark.implicits._
+    same(Text.vocabGrowth(spark, renamed, idCol = "id", textCol = "body"),
+      graft.queries.TextOps.t24VocabGrowth(spark, d))
+    // 4 docs / 2 slices: slice 0 = {a b, a c} (4 toks, 3 new: a b c),
+    // slice 1 = {b c d, a} (4 toks, 1 new: d)
+    val docs = Seq((0L, "a b"), (1L, "a c"), (2L, "b c d"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val out = graft.queries.TextOps.vocabGrowthOf(spark, docs, 2)
+      .orderBy("slice").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 4L, 3L, 3L, 750L),
+      (1L, 4L, 1L, 4L, 250L)), out.toSeq)
+    // a slice with no novel terms reports 0, not a dropped row
+    val docs2 = Seq((0L, "a b"), (1L, "a b")).toDF("doc_id", "text")
+    val out2 = graft.queries.TextOps.vocabGrowthOf(spark, docs2, 2)
+      .orderBy("slice").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out2.toSeq == Seq((0L, 2L), (1L, 0L)), out2.toSeq)
+  }
+
   test("piiScrub redacts raw text with the gated patterns") {
     import spark.implicits._
     val docs = Seq(
