@@ -146,6 +146,51 @@ object Media {
       }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
   }
 
+  /** Full GIF87a decode (the m12 semantics over any GIF payload column):
+    * header/palette walk, sub-block reassembly, hand-rolled variable-
+    * width LZW decode (dictionary growth, KwKwK, width bumps). Single
+    * global-palette images only — anything else, corrupt payloads, and
+    * null ids are flagged (ok = false), never fatal. Returns (id, ok,
+    * width, height, n_colors, px_index_sum, px_rgb_sum, tl_idx,
+    * br_idx). */
+  def gifDecode(df: DataFrame, idCol: String = "doc_id",
+                bytesCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = true),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_colors", IntegerType, nullable = true),
+      StructField("px_index_sum", LongType, nullable = true),
+      StructField("px_rgb_sum", LongType, nullable = true),
+      StructField("tl_idx", LongType, nullable = true),
+      StructField("br_idx", LongType, nullable = true)))
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = idOrNull(r)
+          try {
+            if (id == null) throw new IllegalArgumentException("null id")
+            val v = MultiModalOps.gifDecodeOf(r.getAs[Array[Byte]](1))
+            var isum = 0L; var rgb = 0L
+            var i = 0
+            while (i < v.indices.length) {
+              val ix = v.indices(i) & 0xff
+              isum += ix
+              rgb += (v.palette(3 * ix) & 0xff) +
+                (v.palette(3 * ix + 1) & 0xff) + (v.palette(3 * ix + 2) & 0xff)
+              i += 1
+            }
+            Row(id, true, v.width, v.height, v.palette.length / 3, isum, rgb,
+              (v.indices(0) & 0xff).toLong,
+              (v.indices(v.indices.length - 1) & 0xff).toLong)
+          } catch { case _: Exception =>
+            Row(id, false, null, null, null, null, null, null, null)
+          }
+        }
+      }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+  }
+
   /** VAD-style energy segmentation (the m07 semantics over any WAV payload
     * column): fixed 32-sample frames, a frame is active iff its energy is
     * nonzero, active runs are segments. Corrupt payloads and null ids are

@@ -1315,7 +1315,307 @@ object MultiModalOps {
       |    AS BIGINT) AS br_px
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m12
+
+  /** REAL dictionary-coded image decode (no stub, no library codec):
+    * each doc carries a synthesized GIF87a — logical screen descriptor,
+    * 16-entry global color table, image descriptor, and the pixel
+    * indices compressed with a HAND-ROLLED variable-width LZW coder
+    * (LSB-first bit packing, clear/EOI codes, dictionary growth with
+    * width bumps at each power of two, the KwKwK self-referential case
+    * — exercised deliberately: the synthesis pattern ends in a
+    * constant-color row, the classic KwKwK trigger) — and the kernel
+    * DECODES it: header walk, palette load, sub-block reassembly, and
+    * the full LZW decode loop. zlib (m11) is a library inflate; LZW
+    * here is the engine's own entropy coder — encoder and decoder are
+    * independent implementations whose agreement the pixel-exact spec
+    * proves. The oracle recomputes index sums AND palette-resolved RGB
+    * sums from the synthesis formulas without seeing bytes, so a hash
+    * match proves bit unpacking, dictionary reconstruction and palette
+    * lookup all genuinely ran.
+    *
+    * Corruption contract: every length/offset is bounded before use,
+    * the code stream must stay inside the dictionary (a code beyond
+    * next-available fails by name), decoded pixel count must equal w·h
+    * exactly, and the walk is iterative with explicit progress
+    * (CorruptionSweepSpec sweeps it like PNG/WAV/AVI).
+    *
+    * Scale shape: map-only (one scan, per-row kernel, no shuffle before
+    * the presentation sort) — decode-bound at 100 TB. */
+  def m12GifDecode(s: SparkSession, d: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_colors", IntegerType, nullable = false),
+      StructField("px_index_sum", LongType, nullable = false),
+      StructField("px_rgb_sum", LongType, nullable = false),
+      StructField("tl_idx", LongType, nullable = false),
+      StructField("br_idx", LongType, nullable = false)))
+    documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          // payload synthesized then GENUINELY re-decoded from bytes
+          val v = gifDecodeOf(gifBytes(id))
+          var isum = 0L; var rgb = 0L
+          var i = 0
+          while (i < v.indices.length) {
+            val ix = v.indices(i) & 0xff
+            isum += ix
+            rgb += (v.palette(3 * ix) & 0xff) + (v.palette(3 * ix + 1) & 0xff) +
+              (v.palette(3 * ix + 2) & 0xff)
+            i += 1
+          }
+          Row(id, v.width, v.height, v.palette.length / 3, isum, rgb,
+            (v.indices(0) & 0xff).toLong,
+            (v.indices(v.indices.length - 1) & 0xff).toLong)
+        }
+      }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+      .orderBy("doc_id")
+  }
+
+  /** Synthesized GIF parameters (pure functions of doc_id — the oracle's
+    * closed form): w = 6 + id%7, h = 4 + id%5, 16-color palette with
+    * entry j = ((j·23+id)%256, (j·31+id)%256, (j·47+id)%256); pixel
+    * index at (y, x) is (id·5 + y·11 + x·7) % 16 except the LAST row,
+    * which is the constant id%16 (the KwKwK run). */
+  private[graft] def gifBytes(docId: Long): Array[Byte] = {
+    val w = (6 + docId % 7).toInt
+    val h = (4 + docId % 5).toInt
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        px(y * w + x) =
+          if (y == h - 1) (docId % 16).toInt
+          else ((docId * 5 + y * 11 + x * 7) % 16).toInt
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    bos.write("GIF87a".getBytes("ASCII"))
+    u16(w); u16(h)
+    bos.write(0xF3)          // GCT present, 8-bit resolution, 16 entries
+    bos.write(0); bos.write(0)
+    var j = 0
+    while (j < 16) {         // global color table
+      bos.write(((j * 23 + docId) % 256).toInt)
+      bos.write(((j * 31 + docId) % 256).toInt)
+      bos.write(((j * 47 + docId) % 256).toInt)
+      j += 1
+    }
+    bos.write(0x2C)          // image descriptor
+    u16(0); u16(0); u16(w); u16(h)
+    bos.write(0)             // no local color table
+    bos.write(4)             // LZW minimum code size
+    val code = lzwEncode(px, 4)
+    var off = 0
+    while (off < code.length) {   // 255-byte sub-blocks
+      val n = math.min(255, code.length - off)
+      bos.write(n); bos.write(code, off, n)
+      off += n
+    }
+    bos.write(0)             // block terminator
+    bos.write(0x3B)          // trailer
+    bos.toByteArray
+  }
+
+  /** GIF-flavor LZW encode: variable code width starting at min+1,
+    * LSB-first packing, clear emitted up front and on dictionary
+    * exhaustion (4096), EOI last. Kept independent of [[lzwDecode]] —
+    * their agreement is what the round-trip spec proves. */
+  private[graft] def lzwEncode(px: Array[Int], minCode: Int): Array[Byte] = {
+    require(px.nonEmpty, "lzw: empty pixel stream")
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    var width = minCode + 1
+    def emit(c: Int): Unit = {
+      bitBuf |= c.toLong << bitCnt; bitCnt += width
+      while (bitCnt >= 8) {
+        out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8
+      }
+    }
+    var dict = scala.collection.mutable.HashMap.empty[String, Int]
+    var next = 0
+    def reset(): Unit = {
+      dict = scala.collection.mutable.HashMap.empty
+      var i = 0
+      while (i < clear) { dict(i.toChar.toString) = i; i += 1 }
+      next = eoi + 1
+      width = minCode + 1
+    }
+    emit(clear); reset()
+    var cur = px(0).toChar.toString
+    var i = 1
+    while (i < px.length) {
+      val k = px(i).toChar
+      if (dict.contains(cur + k)) cur = cur + k
+      else {
+        emit(dict(cur))
+        dict(cur + k) = next; next += 1
+        if (next == (1 << width) && width < 12) width += 1
+        if (next == 4096) { emit(clear); reset() }
+        cur = k.toString
+      }
+      i += 1
+    }
+    emit(dict(cur)); emit(eoi)
+    if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** GIF-flavor LZW decode with the full dictionary-reconstruction
+    * algorithm incl. the KwKwK case. Fails by name on codes beyond the
+    * dictionary, missing EOI, or output exceeding `maxPixels`. */
+  private[graft] def lzwDecode(data: Array[Byte], minCode: Int,
+                               maxPixels: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var bitPos = 0
+    val totalBits = data.length * 8
+    var width = minCode + 1
+    def read(): Int = {
+      require(bitPos + width <= totalBits,
+        s"corrupt GIF: LZW stream ends mid-code at bit $bitPos")
+      var v = 0; var b = 0
+      while (b < width) {
+        val byte = data((bitPos + b) >> 3) & 0xff
+        if ((byte & (1 << ((bitPos + b) & 7))) != 0) v |= 1 << b
+        b += 1
+      }
+      bitPos += width
+      v
+    }
+    val dict = new Array[Array[Byte]](4096)
+    var next = 0
+    def reset(): Unit = {
+      var i = 0
+      while (i < clear) { dict(i) = Array(i.toByte); i += 1 }
+      next = eoi + 1
+      width = minCode + 1
+    }
+    reset()
+    var prev: Array[Byte] = null
+    var done = false
+    while (!done) {
+      val c = read()
+      if (c == clear) { reset(); prev = null }
+      else if (c == eoi) done = true
+      else {
+        require(c < next || (c == next && prev != null),
+          s"corrupt GIF: LZW code $c beyond dictionary (next=$next)")
+        val entry =
+          if (c < next && dict(c) != null) dict(c)
+          else prev :+ prev(0)                 // KwKwK
+        out.write(entry, 0, entry.length)
+        require(out.size <= maxPixels,
+          s"corrupt GIF: LZW output exceeds $maxPixels pixels")
+        if (prev != null && next < 4096) {
+          dict(next) = prev :+ entry(0)
+          next += 1
+        }
+        // the decoder's dictionary LAGS the encoder by one entry (there
+        // is no add after the first post-clear code), so the width bump
+        // fires one code earlier than the encoder's next == 1<<width
+        if (next == (1 << width) - 1 && width < 12) width += 1
+        prev = entry
+      }
+    }
+    out.toByteArray
+  }
+
+  private[graft] final case class GifImage(width: Int, height: Int,
+      palette: Array[Byte], indices: Array[Byte])
+
+  /** Decode a GIF87a: header + screen descriptor, global color table,
+    * image descriptor, sub-block reassembly, full LZW decode. Iterative
+    * walks; every length is bounded against the payload before use. */
+  private[graft] def gifDecodeOf(bytes: Array[Byte]): GifImage = {
+    require(bytes.length >= 13 &&
+      new String(bytes, 0, 6, "ASCII") == "GIF87a", "not a GIF87a file")
+    def u16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    val packed = bytes(10) & 0xff
+    require((packed & 0x80) != 0, "GIF without a global color table")
+    val gctSize = 2 << (packed & 7)
+    var off = 13
+    require(off + 3 * gctSize <= bytes.length,
+      s"corrupt GIF: $gctSize-entry color table exceeds file bounds")
+    val palette = java.util.Arrays.copyOfRange(bytes, off, off + 3 * gctSize)
+    off += 3 * gctSize
+    require(off < bytes.length && (bytes(off) & 0xff) == 0x2C,
+      "corrupt GIF: expected image descriptor")
+    val w = u16(off + 5); val h = u16(off + 7)
+    require(w > 0 && h > 0 && w.toLong * h <= (1L << 24),
+      s"unsupported GIF dimensions ${w}x$h")
+    require((bytes(off + 9) & 0x80) == 0, "local color tables unsupported")
+    off += 10
+    require(off < bytes.length, "corrupt GIF: truncated before LZW header")
+    val minCode = bytes(off) & 0xff
+    require(minCode >= 2 && minCode <= 8,
+      s"corrupt GIF: LZW minimum code size $minCode")
+    off += 1
+    // sub-block reassembly (each iteration advances >= 1 byte)
+    val data = new java.io.ByteArrayOutputStream()
+    var bl = -1
+    while (bl != 0) {
+      require(off < bytes.length, "corrupt GIF: unterminated sub-blocks")
+      bl = bytes(off) & 0xff; off += 1
+      if (bl > 0) {
+        require(off + bl <= bytes.length,
+          s"corrupt GIF: sub-block of $bl exceeds file bounds at $off")
+        data.write(bytes, off, bl); off += bl
+      }
+    }
+    require(off < bytes.length && (bytes(off) & 0xff) == 0x3B,
+      "corrupt GIF: missing trailer")
+    require(off + 1 == bytes.length, "trailing bytes after GIF trailer")
+    val indices = lzwDecode(data.toByteArray, minCode, w * h)
+    require(indices.length == w * h,
+      s"corrupt GIF: decoded ${indices.length} pixels, need ${w * h}")
+    var i = 0
+    while (i < indices.length) {
+      require((indices(i) & 0xff) < gctSize,
+        s"corrupt GIF: pixel index ${indices(i) & 0xff} outside the " +
+          s"$gctSize-entry palette")
+      i += 1
+    }
+    GifImage(w, h, palette, indices)
+  }
+
+  /** Oracle: every column from the synthesis formula only — no bytes. */
+  val m12Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id, 6 + doc_id % 7 AS w, 4 + doc_id % 5 AS h
+      |  FROM documents
+      |), px AS (
+      |  SELECT doc_id, w, h,
+      |    CASE WHEN k // w = h - 1 THEN doc_id % 16
+      |         ELSE (doc_id * 5 + (k // w) * 11 + (k % w) * 7) % 16
+      |    END AS idx
+      |  FROM (SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM p)
+      |), s AS (
+      |  SELECT doc_id, w, h, SUM(idx) AS px_index_sum,
+      |    SUM((idx * 23 + doc_id) % 256 + (idx * 31 + doc_id) % 256
+      |      + (idx * 47 + doc_id) % 256) AS px_rgb_sum
+      |  FROM px GROUP BY 1, 2, 3)
+      |SELECT doc_id,
+      |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  CAST(16 AS INTEGER) AS n_colors,
+      |  CAST(px_index_sum AS BIGINT) AS px_index_sum,
+      |  CAST(px_rgb_sum AS BIGINT) AS px_rgb_sum,
+      |  CAST((doc_id * 5) % 16 AS BIGINT) AS tl_idx,
+      |  CAST(doc_id % 16 AS BIGINT) AS br_idx
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m12_gif_decode" -> m12GifDecode _,
     "m11_png_decode" -> m11PngDecode _,
     "m10_avi_index" -> m10AviIndex _,
     "m08_scene_cuts" -> m08SceneCuts _,
@@ -1330,6 +1630,7 @@ object MultiModalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "m12_gif_decode" -> m12Sql,
     "m11_png_decode" -> m11Sql,
     "m10_avi_index" -> m10Sql,
     "m09_audio_fingerprint" -> m09Sql,

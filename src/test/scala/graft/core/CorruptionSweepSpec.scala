@@ -286,6 +286,33 @@ class CorruptionSweepSpec extends AnyFunSuite {
     }
   }
 
+  test("gif: header/sub-block/LZW corruption never loops, recurses, or mass-allocates") {
+    // the m12/Media.gifDecode parser: palette size, sub-block lengths and
+    // the LZW code stream are all payload-supplied — a corrupt code must
+    // stay inside the dictionary, output is capped at w*h, and the
+    // sub-block walk advances >= 1 byte per iteration
+    val orig = graft.queries.MultiModalOps.gifBytes(9L)
+    val (ok, failed) = sweep(orig, orig.length, { bytes =>
+      graft.queries.MultiModalOps.gifDecodeOf(bytes)
+    })
+    info(s"gif sweep: $ok parsed, $failed failed diagnosably")
+    assert(failed > 0, "no corruption failed — the sweep is vacuous")
+    // targeted probes: huge dimensions (allocation vector) and an
+    // unterminated sub-block chain (loop vector)
+    val hugeDim = orig.clone()
+    hugeDim(6) = 0xFF.toByte; hugeDim(7) = 0xFF.toByte // screen w = 65535
+    // screen descriptor dims are informational; the IMAGE descriptor's
+    // dims drive allocation — corrupt those
+    val imgOff = 13 + 48 // header + GCT
+    val hugeImg = orig.clone()
+    hugeImg(imgOff + 5) = 0xFF.toByte; hugeImg(imgOff + 6) = 0xFF.toByte
+    hugeImg(imgOff + 7) = 0xFF.toByte; hugeImg(imgOff + 8) = 0xFF.toByte
+    val e = intercept[IllegalArgumentException](
+      graft.queries.MultiModalOps.gifDecodeOf(hugeImg))
+    assert(e.getMessage.contains("unsupported GIF dimensions") ||
+      e.getMessage.contains("corrupt GIF"), e.getMessage)
+  }
+
   test("dap2: dods/dds/das corruption never crashes, only fails by name") {
     // the last binary reader without a sweep: the DODS response embeds the
     // DDS text, a separator, then XDR arrays with COUNT PREFIXES — corrupt

@@ -110,6 +110,60 @@ class MediaApiSpec extends AnyFunSuite {
       graft.queries.MultiModalOps.pngBytes(8L)).nChunks == 5L)
   }
 
+  test("gifDecode over a payload column == m12 on the same ids") {
+    import spark.implicits._
+    val ids = graft.queries.Tables.documents(spark, d)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val payloads = ids.map(id =>
+      (id, graft.queries.MultiModalOps.gifBytes(id))).toDF("id", "bytes")
+    val api = Media.gifDecode(payloads, "id", "bytes")
+    assert(api.filter(!col("ok")).isEmpty)
+    val apiCmp = api.drop("ok").orderBy("doc_id")
+    val gated = graft.queries.MultiModalOps.m12GifDecode(spark, d)
+    assert(apiCmp.columns.sameElements(gated.columns))
+    assert(apiCmp.exceptAll(gated).isEmpty && gated.exceptAll(apiCmp).isEmpty)
+    // a truncated code stream is reported corrupt, never a short image
+    val orig = graft.queries.MultiModalOps.gifBytes(5L)
+    val mut = java.util.Arrays.copyOf(orig, orig.length - 6)
+    val bad = Seq((5L, mut)).toDF("id", "bytes")
+    val got = Media.gifDecode(bad, "id", "bytes").collect()
+    assert(got.length == 1 && !got(0).getBoolean(1))
+  }
+
+  test("m12 decode reconstructs the exact index pattern; LZW survives 12-bit growth + reset") {
+    // id 9: w = 6 + 9%7 = 8, h = 4 + 9%5 = 8; last row constant 9%16
+    // (the KwKwK trigger: a run of identical symbols)
+    val v = graft.queries.MultiModalOps.gifDecodeOf(
+      graft.queries.MultiModalOps.gifBytes(9L))
+    assert(v.width == 8 && v.height == 8 && v.palette.length == 48)
+    for (y <- 0 until v.height; x <- 0 until v.width) {
+      val want = if (y == v.height - 1) (9L % 16).toInt
+      else ((9L * 5 + y * 11 + x * 7) % 16).toInt
+      assert((v.indices(y * v.width + x) & 0xff) == want, s"($y,$x)")
+    }
+    // palette bytes are the synthesis formula
+    for (j <- 0 until 16)
+      assert((v.palette(3 * j) & 0xff) == ((j * 23 + 9) % 256))
+    // torture round-trip: a 200k-symbol deterministic stream over the
+    // full 16-symbol alphabet grows the dictionary through EVERY width
+    // bump to 12 bits and across the 4096-entry clear/reset — encoder
+    // and decoder are independent implementations, so equality here is
+    // the codec's correctness proof at depths the corpus never reaches
+    val n = 200000
+    val px = Array.tabulate(n) { i =>
+      ((i * 2654435761L >>> 7) % 16).toInt
+    }
+    val enc = graft.queries.MultiModalOps.lzwEncode(px, 4)
+    assert(enc.length < n, "LZW failed to compress a 16-symbol stream")
+    val dec = graft.queries.MultiModalOps.lzwDecode(enc, 4, n)
+    assert(dec.length == n)
+    var i = 0
+    while (i < n) {
+      assert((dec(i) & 0xff) == px(i), s"symbol $i: ${dec(i)} vs ${px(i)}")
+      i += 1
+    }
+  }
+
   test("audioFingerprints over a payload column == m09 on the same ids") {
     import spark.implicits._
     val ids = graft.queries.Tables.documents(spark, d)

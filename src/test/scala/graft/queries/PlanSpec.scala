@@ -456,13 +456,17 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("m11: png decode is map-only — no shuffle before the presentation sort") {
-    val p = plan(MultiModalOps.m11PngDecode(spark, d))
-    // the only exchange allowed is the final orderBy's range partitioning;
-    // a hash exchange would mean the per-row codec grew an agg or join
-    assert(!p.contains("Exchange hashpartitioning"), p.take(800))
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  test("m11/m12: image codecs are map-only — no shuffle before the presentation sort") {
+    for (df <- Seq(MultiModalOps.m11PngDecode(spark, d),
+        MultiModalOps.m12GifDecode(spark, d))) {
+      val p = plan(df)
+      // the only exchange allowed is the final orderBy's range
+      // partitioning; a hash exchange would mean the per-row codec grew
+      // an agg or join
+      assert(!p.contains("Exchange hashpartitioning"), p.take(800))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    }
   }
 
   test("s17: ONE pruned label read builds the contingency; the audit runs on its checkpoint") {
