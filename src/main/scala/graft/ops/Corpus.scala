@@ -211,6 +211,19 @@ object Corpus {
                      textCol: String = "text"): DataFrame =
     DedupOps2.paragraphDedupOf(norm(docs, idCol, textCol))
 
+  /** Prefix-filtered set-similarity join (d15, the PPJoin family —
+    * Bayardo WWW'07 / Xiao WWW'08): ALL pairs with word-`k`-gram-set
+    * Jaccard ≥ `t10`/10, EXACT at every document frequency (where
+    * [[nearDuplicatePairs]]'s MinHash banding and the df-capped n-gram
+    * join are recall-bounded approximations). Candidates come from an
+    * equi-join on rarest-first prefix grams — provably lossless — plus
+    * the length filter; returns (doc_a, doc_b, inter, union_n,
+    * jacc_milli). */
+  def ppjoinPairs(docs: DataFrame, t10: Int = DedupOps.PpJoinT10,
+                  k: Int = DedupOps.PpJoinK, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    DedupOps.ppjoinPairsOf(norm(docs, idCol, textCol), t10, k)
+
   /** Cross-source duplicate provenance (d14): per duplicated segment
     * (the d08 unit, same hash + canonical key), its copy count, source
     * spread, dominant source and the cross-source flag — boilerplate

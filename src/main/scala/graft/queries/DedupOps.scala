@@ -531,7 +531,127 @@ object DedupOps {
        |  CAST(MIN(doc_id) AS BIGINT) AS canonical_id
        |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
+  // ---------------------------------------------------------------- d15
+
+  /** d15's Jaccard threshold in tenths (0.6). */
+  val PpJoinT10 = 6
+
+  /** d15's shingle width (words per set element). */
+  val PpJoinK = 5
+
+  /** d15: prefix-filtered set-similarity join (PPJoin family — Bayardo
+    * et al. WWW'07 "scaling up all pairs", Xiao et al. WWW'08): ALL
+    * document pairs with 5-gram-set Jaccard ≥ 0.6, exactly, without an
+    * all-pairs comparison. The prefix theorem: order every doc's gram
+    * set by a global total order (document frequency asc — rarest
+    * first — then gram id); if J(A,B) ≥ t then the smallest shared gram
+    * sits within the first |x| − ceil(t·|x|) + 1 grams of BOTH sides
+    * (proof: grams of A below the smallest shared one all lie in A\B,
+    * so its position is ≤ |A| − |A∩B| + 1 ≤ |A| − ceil(t·|A|) + 1).
+    * So an equi-join on PREFIX grams alone is a lossless candidate
+    * generator, and rare-first ordering makes prefixes collide rarely.
+    * Where d02's generator df-caps hot shingles (approximate under hot
+    * keys) and prefilters by length ratio only, d15 is EXACT at every
+    * df and prunes by position — the production set-join for joins the
+    * LSH family can't approximate.
+    *
+    * Scale shape: one gram explode → df agg → per-doc rank window (a
+    * keyed shuffle) → thin prefix equi-join (candidate mass governed by
+    * rare-prefix collisions, measured in SCALE_r8 §13) → length filter
+    * 6·max ≤ 10·min → verify join bounded by candidate mass × doc set
+    * size. No cross product at any stage; the oracle computes the same
+    * pairs naively (shared-gram join), so the hash match proves the
+    * prefix filter loses nothing. */
+  def d15PpjoinPairs(s: SparkSession, d: String): DataFrame =
+    ppjoinPairsOf(documents(s, d), PpJoinT10, PpJoinK)
+      .orderBy("doc_a", "doc_b")
+
+  /** d15's distinct (doc_id, f) gram-set table, checkpointed — the one
+    * corpus pass everything downstream reads. */
+  private[graft] def ppjoinGramsOf(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"ppjoin: gram width must be >= 1, got $k")
+    docs
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(words) - ${k - 1}), " +
+          s"i -> concat_ws(' ', slice(words, i, $k)))")).as("gs"))
+      .select(col("doc_id"), expr(h60("gs")).as("f"))
+      .distinct()
+      .localCheckpoint(true)
+  }
+
+  /** d15's lossless candidate generator over a gram-set table: prefix
+    * equi-join + length filter. Exposed so SCALE runs can measure the
+    * candidate mass the prefix filter admits. */
+  private[graft] def ppjoinCandidatesOf(grams: DataFrame,
+                                        t10: Int): DataFrame = {
+    require(t10 >= 1 && t10 <= 10, s"ppjoin: t10 must be in [1,10], got $t10")
+    val n = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val df = grams.groupBy("f").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df").asc, col("f").asc)
+    val prefix = grams.join(df, "f")
+      .withColumn("pos", row_number().over(w))
+      .join(n, "doc_id")
+      // prefix length |x| - ceil(t|x|) + 1 with ceil(t·n) = (t10·n+9) div 10
+      .filter(col("pos") <= col("n") - expr(s"($t10 * n + 9) div 10") + 1)
+      .select("doc_id", "f", "n")
+    prefix.as("a").join(prefix.as("b"),
+        col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+      // length filter: t·max(|A|,|B|) <= min(|A|,|B|) is necessary for
+      // J >= t (inter <= min and inter >= t·union >= t·max)
+      .filter(expr(s"$t10 * greatest(na, nb) <= 10 * least(na, nb)"))
+  }
+
+  /** d15's kernel over any (doc_id, text) frame (graft.ops.Corpus API).
+    * `t10` is the Jaccard threshold in tenths, `k` the gram width. */
+  private[graft] def ppjoinPairsOf(docs: DataFrame, t10: Int,
+                                   k: Int): DataFrame = {
+    val grams = ppjoinGramsOf(docs, k)
+    ppjoinCandidatesOf(grams, t10)
+      .join(grams.select(col("doc_id").as("doc_a"), col("f")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("f")),
+        Seq("doc_b", "f"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("union_n", col("na") + col("nb") - col("inter"))
+      .filter(expr(s"10 * inter >= $t10 * union_n"))
+      .withColumn("jacc_milli", expr("(1000 * inter) div union_n"))
+      .select("doc_a", "doc_b", "inter", "union_n", "jacc_milli")
+  }
+
+  /** Oracle: the NAIVE shared-gram join — every pair sharing >= 1 gram,
+    * exact Jaccard, no filtering tricks. d15 must equal it exactly. */
+  val d15Sql: String =
+    s"""WITH pw AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |), pg AS (
+       |  SELECT DISTINCT doc_id,
+       |    ${h60Duck(s"array_to_string(words[i : i + ${PpJoinK - 1}], ' ')")} AS f
+       |  FROM (SELECT doc_id, words,
+       |          unnest(range(1, len(words) - ${PpJoinK - 2})) AS i
+       |        FROM pw WHERE len(words) >= $PpJoinK)
+       |), pn AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM pg GROUP BY 1
+       |), pp AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM pg a JOIN pg b ON a.f = b.f AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT p.doc_a, p.doc_b, CAST(p.inter AS BIGINT) AS inter,
+       |  CAST(na.n + nb.n - p.inter AS BIGINT) AS union_n,
+       |  CAST((1000 * p.inter) // (na.n + nb.n - p.inter) AS BIGINT)
+       |    AS jacc_milli
+       |FROM pp p JOIN pn na ON p.doc_a = na.doc_id
+       |JOIN pn nb ON p.doc_b = nb.doc_id
+       |WHERE 10 * p.inter >= $PpJoinT10 * (na.n + nb.n - p.inter)
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_ppjoin_pairs" -> d15PpjoinPairs _,
     "d01_exact_dedup" -> d01ExactDedup _,
     "d02_ngram_jaccard" -> d02NgramJaccard _,
     "d03_minhash_sig" -> d03MinhashSig _,
@@ -542,6 +662,7 @@ object DedupOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "d15_ppjoin_pairs" -> d15Sql,
     "d01_exact_dedup" -> d01Sql,
     "d02_ngram_jaccard" -> d02Sql,
     "d03_minhash_sig" -> d03Sql,

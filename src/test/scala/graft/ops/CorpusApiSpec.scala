@@ -236,6 +236,43 @@ class CorpusApiSpec extends AnyFunSuite {
     same(api, graft.queries.DedupOps2.d09BloomIncremental(spark, d))
   }
 
+  test("ppjoinPairs == d15 under renamed columns; boundary + prefix-theorem fixtures") {
+    import spark.implicits._
+    same(Corpus.ppjoinPairs(renamed, idCol = "id", textCol = "body")
+        .orderBy("doc_a", "doc_b"),
+      graft.queries.DedupOps.d15PpjoinPairs(spark, d))
+    // hand fixture at gram width 1 (sets = distinct words), t = 0.6:
+    // A = {a b c d e}, B = {a b c} -> inter 3, union 5, J = 0.6 exactly
+    // (boundary INCLUDED: 10*3 >= 6*5); C = {a x y z} vs A: inter 1,
+    // union 8 -> excluded; D = {f} disjoint -> no shared gram at all
+    val fix = Seq((0L, "a b c d e"), (1L, "a b c"), (2L, "a x y z"),
+      (3L, "f")).toDF("doc_id", "text")
+    val out = graft.queries.DedupOps.ppjoinPairsOf(fix, 6, 1)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq((0L, 1L, 3L, 5L, 600L)), out.toSeq)
+    // the prefix filter must also be LOSSLESS against a naive computation
+    // on a corpus slice with heavy overlap (every candidate the theorem
+    // claims is generated): naive = all shared-gram pairs, exact Jaccard
+    val docs = graft.queries.Tables.documents(spark, d)
+      .filter(col("doc_id") < 100).select("doc_id", "text")
+    val grams = graft.queries.DedupOps.ppjoinGramsOf(docs, 5)
+    val n = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val naive = grams.as("x").join(grams.as("y"),
+        col("x.f") === col("y.f") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(n.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("union_n", col("na") + col("nb") - col("inter"))
+      .filter(expr("10 * inter >= 6 * union_n"))
+      .withColumn("jacc_milli", expr("(1000 * inter) div union_n"))
+      .select("doc_a", "doc_b", "inter", "union_n", "jacc_milli")
+    val fast = graft.queries.DedupOps.ppjoinPairsOf(docs, 6, 5)
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
   test("dupProvenance == d14 under renamed columns; hand fixture pins the triage") {
     import spark.implicits._
     val docs = graft.queries.Tables.documents(spark, d)

@@ -487,6 +487,15 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("d15: prefix join and verify are equi-joins only — no cross product at any df") {
+    val p = plan(DedupOps.d15PpjoinPairs(spark, d))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // the corpus parquet is read once (at the grams checkpoint build) —
+    // no FileScan survives into the pair plan
+    assert(!p.contains("FileScan parquet"), p.take(1200))
+  }
+
   test("t05/t06: single-scan text ops stay inside whole-stage codegen") {
     val p = TextOps.t05LangIdNgram(spark, d).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
