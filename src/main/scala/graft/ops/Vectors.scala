@@ -55,6 +55,22 @@ object Vectors {
       col("vec_id").isin(queryIds: _*), k)
   }
 
+  /** Binary-quantization (BQ) top-k (s18): every vector compresses to 64
+    * random-hyperplane sign bits; candidates pre-rank by HAMMING distance
+    * (`bit_count(xor)` over two longs — 16 bytes scanned per vector, the
+    * memory-bandwidth win that makes BQ the densest index tier under
+    * SQ8 and PQ) and the top-`r` survivors per query are exactly
+    * rescored. Returns the s01-shaped (query_id, rk, neighbor_id, sim). */
+  def bqTopK(spark: SparkSession, emb: DataFrame, queryIds: Seq[Long],
+             k: Int, r: Int = SimilarityOps.BqRescoreR,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val q = SimilarityOps.withQuantized(
+      emb.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v")), "v")
+    SimilarityOps.bqTopKOf(q, q.filter(col("vec_id").isin(queryIds: _*)), k, r)
+  }
+
   /** Distributed Lloyd's k-means (s12): the clustering primitive behind
     * the IVF/PQ/SemDeDup indexes as a first-class operator. Deterministic:
     * seeds are the k lowest-id vectors, assignment ties go to the lowest

@@ -1651,7 +1651,145 @@ object SimilarityOps {
        |FROM ($all) ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s18
+
+  /** BQ signature planes: 4 words × 32 sign bits (128 planes of the same
+    * deterministic family every other sign construction replays). 32-bit
+    * words rather than 64-bit so neither engine's `1 << 63` sign-bit
+    * corner is in play. 128 bits because Hamming is an angle ESTIMATOR
+    * with std ≈ π·√(1/4/bits): 64 bits (±11°) could not separate this
+    * corpus's noise-floor cosines (measured recall@5 0.38 at r = 4k);
+    * 128 bits + the r = 10k rescore pool measures 0.78 (0.92 at
+    * r = 20k), spec-floored at 0.7 — r is the caller's recall lever. */
+  private[graft] val BqWords = 4
+  private[graft] val BqBitsPerWord = 32
+
+  /** Pre-rank survivors per query (rescored exactly). */
+  private[graft] val BqRescoreR = 10 * TopK
+
+  /** s18: binary-quantization ANN top-k — the third member of the
+    * quantized-index family (s07 SQ8 = 8 bits/dim, s08 IVF-PQ = codebook
+    * bytes, s18 BQ = 1 bit/plane): every vector compresses to 128 sign
+    * bits (24 bytes incl. id), query-to-corpus similarity is approximated
+    * by HAMMING distance — `bit_count(xor)` over four longs, whole-stage
+    * codegen, no arithmetic on the vector at all — and only the top-
+    * [[BqRescoreR]] Hamming survivors per query are rescored with the
+    * exact integer cosine. Random-hyperplane sign bits make Hamming an
+    * unbiased angle estimator (Goemans–Williamson / Charikar 2002), which
+    * is why production BQ indexes (FAISS binary, RaBitQ-style) run this
+    * exact two-phase shape. At 100 TB the pre-rank scans 24 bytes per
+    * vector instead of 512 — the memory-bandwidth win IS the index.
+    *
+    * Deterministic: Hamming is integer with ties to the lowest vec_id;
+    * the rescore is the exact s01 scoring. Oracle replays the identical
+    * plane family (shared `planeFor` VALUES literal), xor/bit_count in
+    * DuckDB, same tie-breaks.
+    *
+    * Scale shape: one scan computes both signature words (the shared
+    * codegen'd `sign_bands_i64` kernel); queries broadcast; per-query
+    * top-R is a window over the thin (query, vec, hamming) frame; the
+    * exact rescore joins vectors for R·Q rows only. No cross product —
+    * the broadcast join IS the linear signature scan. */
+  def s18BqTopk(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val emb = withQuantized(embeddings(s, d), "embedding")
+      .localCheckpoint(true)
+    bqTopKOf(emb, emb.filter(col("vec_id") < NumQueries), TopK, BqRescoreR)
+      .orderBy("query_id", "rk")
+  }
+
+  /** s18's kernel over quantized (vec_id, q, nrm) corpus/query frames
+    * (graft.ops.Vectors API). `r` = Hamming pre-rank width per query. */
+  private[graft] def bqTopKOf(emb: DataFrame, queryVecs: DataFrame, k: Int,
+                              r: Int): DataFrame = {
+    require(r >= k && k >= 1, s"bqTopK: need r >= k >= 1, got r=$r k=$k")
+    def sig(df: DataFrame, p: String): DataFrame = df
+      .withColumn("sb",
+        call_function("sign_bands_i64", col("q"), lit(BqWords), lit(BqBitsPerWord)))
+      .select(col("vec_id").as(s"${p}id") +:
+        (0 until BqWords).map(i =>
+          element_at(col("sb"), i + 1).as(s"${p}b$i")): _*)
+    val corpusSig = sig(emb, "c")
+    val querySig = sig(queryVecs, "q")
+    val hammingExpr = (0 until BqWords)
+      .map(i => s"bit_count(cb$i ^ qb$i)").mkString(" + ")
+    val wH = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val shortlist = corpusSig
+      .join(broadcast(querySig), col("cid") =!= col("qid"))
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        expr(hammingExpr).as("hamming"))
+      .withColumn("hrk", row_number().over(wH))
+      .filter(col("hrk") <= r)
+      .select("query_id", "neighbor_id")
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    shortlist
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("q").as("cq"),
+        col("nrm").as("cn")), "neighbor_id")
+      .join(broadcast(queryVecs.select(col("vec_id").as("query_id"),
+        col("q").as("qq"), col("nrm").as("qn"))), "query_id")
+      .withColumn("sim", round(expr(dotExpr("cq", "qq")).cast("double") /
+        cosDenom(col("cn"), col("qn")), 6))
+      .withColumn("rk", row_number().over(wS).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "rk", "neighbor_id", "sim")
+  }
+
+  val s18Sql: String = {
+    val nPlanes = BqWords * BqBitsPerWord
+    val planeRows = (0 until nPlanes).flatMap { j =>
+      (0 until Dim).map(k => s"($j, ${k + 1}, ${planeFor(j)(k)})")
+    }.mkString(",\n    ")
+    s"""WITH bq AS (
+       |  SELECT vec_id, $qEmbDuck AS qv FROM embeddings
+       |), belems AS (
+       |  SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x FROM bq
+       |), bnorms AS (
+       |  SELECT vec_id, SUM(x * x) AS nrm FROM belems GROUP BY vec_id
+       |), bplanes(p, i, w) AS (
+       |  VALUES $planeRows
+       |), bpd AS (
+       |  SELECT e.vec_id, pl.p, SUM(e.x * pl.w) AS pd
+       |  FROM belems e JOIN bplanes pl ON e.i = pl.i
+       |  GROUP BY 1, 2
+       |), bsig AS (
+       |  SELECT vec_id, p // $BqBitsPerWord AS word_no,
+       |    CAST(SUM(CASE WHEN pd > 0 THEN (1::BIGINT << (p % $BqBitsPerWord))
+       |      ELSE 0 END) AS BIGINT) AS bits
+       |  FROM bpd GROUP BY 1, 2
+       |), bham AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    SUM(bit_count(xor(c.bits, q.bits))) AS hamming
+       |  FROM bsig c JOIN bsig q ON c.word_no = q.word_no
+       |    AND q.vec_id < $NumQueries AND c.vec_id <> q.vec_id
+       |  GROUP BY 1, 2
+       |), bshort AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY hamming, neighbor_id) AS hrk
+       |    FROM bham) WHERE hrk <= $BqRescoreR
+       |), bdots AS (
+       |  SELECT s.query_id, s.neighbor_id, SUM(ea.x * eb.x) AS dot
+       |  FROM bshort s
+       |  JOIN belems ea ON ea.vec_id = s.query_id
+       |  JOIN belems eb ON eb.vec_id = s.neighbor_id AND ea.i = eb.i
+       |  GROUP BY 1, 2)
+       |SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, sim FROM (
+       |  SELECT query_id, neighbor_id,
+       |    ROUND(dot::DOUBLE / (sqrt(nq.nrm::DOUBLE) * sqrt(nn.nrm::DOUBLE)), 6) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ROUND(dot::DOUBLE / (sqrt(nq.nrm::DOUBLE) * sqrt(nn.nrm::DOUBLE)), 6) DESC,
+       |        neighbor_id) AS rk
+       |  FROM bdots JOIN bnorms nq ON query_id = nq.vec_id
+       |  JOIN bnorms nn ON neighbor_id = nn.vec_id)
+       |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_bq_topk" -> s18BqTopk _,
     "s11_knn_graph" -> s11KnnGraph _,
     "s15_incremental_knn" -> s15IncrementalKnn _,
     "s16_touched_knn" -> s16TouchedKnn _,
@@ -1676,6 +1814,7 @@ object SimilarityOps {
     "s09_maxsim_topk" -> s09Sql,
     "s08_ivfpq_topk" -> s08Sql,
     "s07_sq8_topk" -> s07Sql,
+    "s18_bq_topk" -> s18Sql,
     "s01_cosine_topk" -> s01Sql,
     "s02_embed_neardup" -> s02Sql,
     "s03_ann_lsh" -> s03Sql,

@@ -155,6 +155,30 @@ class VectorsApiSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("bqTopK == s18 under renamed columns; recall vs exact s01 floored") {
+    val api = Vectors.bqTopK(spark, renamed, 0L until 10L, k = 5,
+      idCol = "id", vecCol = "vec").orderBy("query_id", "rk")
+    val gated = graft.queries.SimilarityOps.s18BqTopk(spark, d)
+    assert(api.columns.sameElements(gated.columns))
+    assert(api.exceptAll(gated).isEmpty && gated.exceptAll(api).isEmpty)
+    // recall@5 vs the exact s01 answer: 64 sign bits + 4k-wide exact
+    // rescore recovers most true neighbors; floor defensively (Hamming
+    // is an angle ESTIMATOR — 64 planes give ~sqrt(pi^2/64) rad noise)
+    val exact = graft.queries.SimilarityOps.s01CosineTopk(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = gated.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(s"s18 recall@5 vs s01 = $recall")
+    assert(recall >= 0.7, s"s18 recall collapsed: $recall")
+    // a wider rescore pool can only improve agreement with exact top-k
+    val wide = Vectors.bqTopK(spark, renamed, 0L until 10L, k = 5,
+        r = 100, idCol = "id", vecCol = "vec")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recallWide = (exact & wide).size.toDouble / exact.size
+    info(s"s18 recall@5 at r=100 = $recallWide")
+    assert(recallWide >= recall)
+  }
+
   test("semanticDedup == s06 under renamed columns") {
     val api = Vectors.semanticDedup(spark, renamed,
       idCol = "id", vecCol = "vec").orderBy("vec_id")
