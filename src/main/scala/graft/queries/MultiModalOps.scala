@@ -389,6 +389,18 @@ object MultiModalOps {
     * metadata-thin shuffle. */
   private val PhashBits = 60
 
+  /** The ±1 Walsh–Hadamard sign matrix H(k,i) = (−1)^popcount(k&i) for
+    * coefficients 1..[[PhashBits]] as a VALUES literal — SHARED by every
+    * oracle that replays `wht_phash` (m06/p03/p05 via [[phashSqlCtes]],
+    * p11 over its formula raster). */
+  private[graft] def whtHadValuesSql: String =
+    (1 to PhashBits).flatMap { k =>
+      (0 until OutDim * OutDim).map { i =>
+        val s = if (java.lang.Long.bitCount((k & i).toLong) % 2 == 0) 1 else -1
+        s"($k, $i, $s)"
+      }
+    }.mkString(",\n    ")
+
   private[graft] def phashOf(docs: DataFrame, outDim: Int,
                              rasterW: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
@@ -421,12 +433,7 @@ object MultiModalOps {
     * the chain can never desynchronize one of the composed oracles (the
     * r8 review found three hand-copies drifting on hardcoded 60/64). */
   private[graft] def phashSqlCtes(p: String): String = {
-    val hadRows = (1 to PhashBits).flatMap { k =>
-      (0 until OutDim * OutDim).map { i =>
-        val s = if (java.lang.Long.bitCount((k & i).toLong) % 2 == 0) 1 else -1
-        s"($k, $i, $s)"
-      }
-    }.mkString(",\n    ")
+    val hadRows = whtHadValuesSql
     s"""${p}d AS (
        |  SELECT doc_id, text, length(text) // $RasterW AS h0 FROM documents
        |  WHERE length(text) >= ${RasterW * OutDim}
@@ -1107,11 +1114,22 @@ object MultiModalOps {
   private[graft] def pngBytes(docId: Long): Array[Byte] = {
     val w = (4 + docId % 5).toInt
     val h = (3 + docId % 4).toInt
+    pngEncode(w, h, Array.tabulate(h * w * 3) { p =>
+      val y = p / (w * 3); val b = p % (w * 3)
+      ((docId * 11 + y * 29 + b * 17) % 256).toByte
+    }, tEXt = if (docId % 2 == 0) Some("id\u0000" + docId) else None)
+  }
+
+  /** Encode an 8-bit RGB raster as a real PNG (filters cycling all five
+    * types, IDAT split across two chunks — see [[pngBytes]]). */
+  private[graft] def pngEncode(w: Int, h: Int, rgb: Array[Byte],
+                               tEXt: Option[String] = None): Array[Byte] = {
+    require(rgb.length == w * h * 3,
+      s"pngEncode: ${rgb.length} bytes for ${w}x$h RGB")
     val bpp = 3
     val rowBytes = w * bpp
-    // raw pixels, then per-scanline PNG filtering (type = y % 5)
     val raw = Array.tabulate(h, rowBytes) { (y, b) =>
-      ((docId * 11 + y * 29 + b * 17) % 256).toInt
+      rgb(y * rowBytes + b) & 0xff
     }
     val filtered = new Array[Byte](h * (1 + rowBytes))
     var y = 0
@@ -1163,8 +1181,7 @@ object MultiModalOps {
     ihdr.put(2.toByte)   // color type: truecolor RGB
     ihdr.put(0.toByte); ihdr.put(0.toByte); ihdr.put(0.toByte)
     chunk("IHDR", ihdr.array())
-    if (docId % 2 == 0)
-      chunk("tEXt", ("id " + docId).getBytes("ASCII"))
+    tEXt.foreach(t => chunk("tEXt", t.getBytes("ASCII")))
     val cut = math.max(1, z.length / 2) // always two non-empty IDATs
     chunk("IDAT", java.util.Arrays.copyOfRange(z, 0, cut))
     chunk("IDAT", java.util.Arrays.copyOfRange(z, cut, z.length))
@@ -1395,19 +1412,31 @@ object MultiModalOps {
       }
       y += 1
     }
+    val palette = Array.tabulate(48) { b =>
+      val j = b / 3
+      val v = (b % 3) match {
+        case 0 => (j * 23 + docId) % 256
+        case 1 => (j * 31 + docId) % 256
+        case _ => (j * 47 + docId) % 256
+      }
+      v.toByte
+    }
+    gifEncode(w, h, palette, px)
+  }
+
+  /** Encode a 16-color indexed raster as a real GIF87a (LZW-compressed,
+    * 255-byte sub-blocks — see [[gifBytes]]). */
+  private[graft] def gifEncode(w: Int, h: Int, palette: Array[Byte],
+                               px: Array[Int]): Array[Byte] = {
+    require(palette.length == 48, s"gifEncode: 16-entry RGB palette, got ${palette.length} bytes")
+    require(px.length == w * h, s"gifEncode: ${px.length} pixels for ${w}x$h")
     val bos = new java.io.ByteArrayOutputStream()
     def u16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
     bos.write("GIF87a".getBytes("ASCII"))
     u16(w); u16(h)
     bos.write(0xF3)          // GCT present, 8-bit resolution, 16 entries
     bos.write(0); bos.write(0)
-    var j = 0
-    while (j < 16) {         // global color table
-      bos.write(((j * 23 + docId) % 256).toInt)
-      bos.write(((j * 31 + docId) % 256).toInt)
-      bos.write(((j * 47 + docId) % 256).toInt)
-      j += 1
-    }
+    bos.write(palette, 0, 48)
     bos.write(0x2C)          // image descriptor
     u16(0); u16(0); u16(w); u16(h)
     bos.write(0)             // no local color table
@@ -1587,6 +1616,47 @@ object MultiModalOps {
       i += 1
     }
     GifImage(w, h, palette, indices)
+  }
+
+  // -------------------------------------------- cross-format (p11) kit
+
+  /** The shared 8×8 gray raster of content group g (pure formula — the
+    * p11 oracle's closed form): pixel i = ((g·13 + i·7) % 16) · 17, a
+    * 16-level gray pattern expressible LOSSLESSLY in both containers
+    * (PNG stores truecolor (v,v,v); GIF stores index v/17 against the
+    * 16-gray palette). */
+  private[graft] def crossRasterOf(group: Long): Array[Byte] =
+    Array.tabulate(64)(i => (((group * 13 + i * 7) % 16) * 17).toByte)
+
+  private[graft] val GrayPalette: Array[Byte] =
+    Array.tabulate(48)(b => ((b / 3) * 17).toByte)
+
+  /** Synthesize content group docId/2 in the container chosen by docId
+    * parity: even → PNG, odd → GIF. Adjacent ids carry the SAME pixels
+    * in DIFFERENT formats — the p11 dedup must reunite them. */
+  private[graft] def crossFormatBytes(docId: Long): Array[Byte] = {
+    val raster = crossRasterOf(docId / 2)
+    if (docId % 2 == 0)
+      pngEncode(8, 8, raster.flatMap(v => Array(v, v, v)))
+    else
+      gifEncode(8, 8, GrayPalette, raster.map(v => (v & 0xff) / 17))
+  }
+
+  /** Sniff + decode either image container to its 8-bit gray raster:
+    * PNG by signature (R channel — the p11 rasters are gray, R=G=B),
+    * GIF87a by header (palette R via index). Anything else fails by
+    * name; both decoders keep their full corruption contracts. */
+  private[graft] def decodeGrayOf(bytes: Array[Byte]): Array[Byte] = {
+    require(bytes.length >= 6, "image too short to sniff a container")
+    if ((bytes(0) & 0xff) == 137 && bytes(1) == 'P'.toByte) {
+      val v = pngDecodeOf(bytes)
+      Array.tabulate(v.width * v.height)(i => v.pixels(3 * i))
+    } else if (new String(bytes, 0, 6, "ASCII") == "GIF87a") {
+      val v = gifDecodeOf(bytes)
+      Array.tabulate(v.indices.length)(i =>
+        v.palette(3 * (v.indices(i) & 0xff)))
+    } else throw new IllegalArgumentException(
+      "unknown image container (not PNG or GIF87a)")
   }
 
   /** Oracle: every column from the synthesis formula only — no bytes. */

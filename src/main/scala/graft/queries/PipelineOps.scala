@@ -1,7 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** The composed training-data pipeline — the individual operators
   * (dedup, quality rules, scrubbing, token accounting) chained the way a
@@ -973,7 +974,87 @@ object PipelineOps {
        |FROM win GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p11
+
+  /** p11: CROSS-FORMAT perceptual dedup — the format-independence
+    * property a real media pipeline needs: the same image content
+    * arrives as a PNG from one source and a GIF from another (each doc
+    * pair 2g/2g+1 carries the SAME 8×8 gray raster in the two
+    * containers), and deduplication must reunite them. Every payload is
+    * genuinely decoded through its own codec path — PNG: CRC walk +
+    * inflate + unfilter (m11); GIF: sub-blocks + hand-rolled LZW +
+    * palette resolve (m12) — sniffed by magic bytes, normalized to the
+    * common gray raster, and perceptually hashed with the codegen'd
+    * `wht_phash` (m06's kernel). Families group by hash: one row per
+    * family with member/format accounting. The oracle recomputes the
+    * pHash from the RASTER FORMULA (shared WHT sign matrix) without
+    * seeing any bytes — a hash match proves both decoders and the
+    * normalization converged on identical pixels, since ONE wrong pixel
+    * in either codec path flips WHT signs and splits a family.
+    *
+    * Scale shape: one corpus scan, per-row decode kernel (map-only),
+    * one hash-partitioned metadata-thin agg — m06's dedup shape with
+    * real containers in front. */
+  def p11CrossFormatDedup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("fmt", StringType, nullable = false),
+      StructField("gray", BinaryType, nullable = false)))
+    val decoded = documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          // payload synthesized then GENUINELY decoded via its container
+          val gray = MultiModalOps.decodeGrayOf(
+            MultiModalOps.crossFormatBytes(id))
+          Row(id, if (id % 2 == 0) "png" else "gif", gray)
+        }
+      }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+    decoded
+      .select(col("doc_id"), col("fmt"),
+        call_function("wht_phash", col("gray"), lit(8), lit(8)).as("phash"))
+      .groupBy("phash")
+      .agg(min("doc_id").as("canonical_id"),
+        count(lit(1)).as("n_members"),
+        sum(when(col("fmt") === "png", 1L).otherwise(0L)).as("n_png"),
+        sum(when(col("fmt") === "gif", 1L).otherwise(0L)).as("n_gif"))
+      .withColumn("cross_format", col("n_png") > 0 && col("n_gif") > 0)
+      .select("phash", "canonical_id", "n_members", "n_png", "n_gif",
+        "cross_format")
+      .orderBy("canonical_id")
+  }
+
+  /** Oracle: pHash from the raster formula + the shared WHT sign matrix
+    * — no bytes, no codecs. */
+  val p11Sql: String =
+    s"""WITH xf AS (
+       |  SELECT doc_id, doc_id // 2 AS g, unnest(range(0, 64)) AS i
+       |  FROM documents
+       |), xpx AS (
+       |  SELECT doc_id, i, ((g * 13 + i * 7) % 16) * 17 AS px FROM xf
+       |), xhad(k, i, s) AS (
+       |  VALUES ${MultiModalOps.whtHadValuesSql}
+       |), xcoef AS (
+       |  SELECT p.doc_id, h.k, SUM(h.s * p.px) AS c
+       |  FROM xpx p JOIN xhad h ON p.i = h.i GROUP BY 1, 2
+       |), xhash AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN c > 0 THEN (1::BIGINT << (k - 1)) ELSE 0 END)
+       |      AS BIGINT) AS phash
+       |  FROM xcoef GROUP BY 1)
+       |SELECT phash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_members,
+       |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_png,
+       |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_gif,
+       |  (SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) > 0 AND
+       |   SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) > 0)
+       |    AS cross_format
+       |FROM xhash GROUP BY 1 ORDER BY canonical_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p11_crossformat_dedup" -> p11CrossFormatDedup _,
     "p10_shard_build" -> p10ShardBuild _,
     "p09_split_audit" -> p09SplitAudit _,
     "p08_tokenizer_pipeline" -> p08TokenizerPipeline _,
@@ -987,6 +1068,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "p11_crossformat_dedup" -> p11Sql,
     "p10_shard_build" -> p10Sql,
     "p09_split_audit" -> p09Sql,
     "p08_tokenizer_pipeline" -> p08Sql,

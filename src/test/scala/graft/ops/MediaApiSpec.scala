@@ -164,6 +164,36 @@ class MediaApiSpec extends AnyFunSuite {
     }
   }
 
+  test("p11 cross-format dedup: every family spans both containers; decode converges pixel-exact") {
+    // the core property: the PNG of group g and the GIF of group g decode
+    // to IDENTICAL gray rasters through two entirely different codec paths
+    for (g <- Seq(0L, 7L, 123L)) {
+      val png = graft.queries.MultiModalOps.decodeGrayOf(
+        graft.queries.MultiModalOps.crossFormatBytes(2 * g))
+      val gif = graft.queries.MultiModalOps.decodeGrayOf(
+        graft.queries.MultiModalOps.crossFormatBytes(2 * g + 1))
+      assert(java.util.Arrays.equals(png, gif), s"group $g rasters diverge")
+      assert(java.util.Arrays.equals(png,
+        graft.queries.MultiModalOps.crossRasterOf(g)),
+        s"group $g decode does not match the synthesis raster")
+    }
+    // family accounting on the corpus: members partition the corpus,
+    // every family carries both formats
+    val rows = graft.queries.PipelineOps
+      .p11CrossFormatDedup(spark, d).collect()
+    assert(rows.nonEmpty)
+    val total = graft.queries.Tables.documents(spark, d).count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    rows.foreach { r =>
+      assert(r.getLong(3) + r.getLong(4) == r.getLong(2), r.toString)
+      assert(r.getBoolean(5), s"family without both formats: $r")
+    }
+    // a non-image payload fails by name, never a silent wrong raster
+    val e = intercept[IllegalArgumentException](
+      graft.queries.MultiModalOps.decodeGrayOf("not an image".getBytes))
+    assert(e.getMessage.contains("unknown image container"))
+  }
+
   test("audioFingerprints over a payload column == m09 on the same ids") {
     import spark.implicits._
     val ids = graft.queries.Tables.documents(spark, d)

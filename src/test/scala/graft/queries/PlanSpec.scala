@@ -496,6 +496,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("FileScan parquet"), p.take(1200))
   }
 
+  test("p11: decode is map-only into one hash-partitioned family agg") {
+    val p = plan(PipelineOps.p11CrossFormatDedup(spark, d))
+    // one scan, the decode kernel, ONE hash agg on the 60-bit hash and
+    // the final range sort — any second hash exchange means the family
+    // accounting grew a join
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p.take(1200))
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(1200))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("t05/t06: single-scan text ops stay inside whole-stage codegen") {
     val p = TextOps.t05LangIdNgram(spark, d).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
