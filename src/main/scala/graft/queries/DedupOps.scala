@@ -204,22 +204,31 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  val d02Sql: String =
-    s"""WITH sh0 AS ($shinglesSql),
-       |sh AS (
-       |  SELECT sh0.* FROM sh0 JOIN (
-       |    SELECT g FROM sh0 GROUP BY g HAVING COUNT(*) <= $MaxShingleDf
-       |  ) rare USING (g)),
-       |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-       |pairs AS (
+  /** d02's capped-join derivation as prefixed CTE text ending in
+    * `<p>jacc` = (doc_a, doc_b, inter, jaccard ≥ 0.8) — SHARED by d02Sql
+    * and d16Sql (the dsirSqlCtes anti-drift lesson: the audit's oracle
+    * must model EXACTLY the capped semantics it audits). */
+  private[graft] def d02SqlCtes(p: String): String =
+    s"""${p}sh0 AS ($shinglesSql),
+       |${p}sh AS (
+       |  SELECT ${p}sh0.* FROM ${p}sh0 JOIN (
+       |    SELECT g FROM ${p}sh0 GROUP BY g HAVING COUNT(*) <= $MaxShingleDf
+       |  ) ${p}rare USING (g)),
+       |${p}counts AS (SELECT doc_id, COUNT(*) AS n FROM ${p}sh GROUP BY 1),
+       |${p}pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-       |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, inter,
-       |  ROUND(inter::DOUBLE / (ca.n + cb.n - inter), 4) AS jaccard
-       |FROM pairs JOIN counts ca ON doc_a = ca.doc_id
-       |JOIN counts cb ON doc_b = cb.doc_id
-       |WHERE ROUND(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.8
+       |  FROM ${p}sh a JOIN ${p}sh b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |${p}jacc AS (
+       |  SELECT doc_a, doc_b, inter,
+       |    ROUND(inter::DOUBLE / (ca.n + cb.n - inter), 4) AS jaccard
+       |  FROM ${p}pairs JOIN ${p}counts ca ON doc_a = ca.doc_id
+       |  JOIN ${p}counts cb ON doc_b = cb.doc_id
+       |  WHERE ROUND(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.8)""".stripMargin
+
+  val d02Sql: String =
+    s"""WITH ${d02SqlCtes("")}
+       |SELECT doc_a, doc_b, inter, jaccard FROM jacc
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** MinHash signature matrix: 16 permutations, min over shingle hashes. */
@@ -624,34 +633,82 @@ object DedupOps {
       .select("doc_a", "doc_b", "inter", "union_n", "jacc_milli")
   }
 
+  /** The NAIVE exact gram-set join as prefixed CTE text ending in
+    * `<p>exact` = (doc_a, doc_b, inter, union_n, jacc_milli) —
+    * parameterized over threshold/width and SHARED by d15Sql and d16Sql. */
+  private[graft] def ppjoinNaiveSqlCtes(p: String, t10: Int, k: Int): String =
+    s"""${p}w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |), ${p}g AS (
+       |  SELECT DISTINCT doc_id,
+       |    ${h60Duck(s"array_to_string(words[i : i + ${k - 1}], ' ')")} AS f
+       |  FROM (SELECT doc_id, words,
+       |          unnest(range(1, len(words) - ${k - 2})) AS i
+       |        FROM ${p}w WHERE len(words) >= $k)
+       |), ${p}n AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM ${p}g GROUP BY 1
+       |), ${p}p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM ${p}g a JOIN ${p}g b ON a.f = b.f AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), ${p}exact AS (
+       |  SELECT q.doc_a, q.doc_b, CAST(q.inter AS BIGINT) AS inter,
+       |    CAST(na.n + nb.n - q.inter AS BIGINT) AS union_n,
+       |    CAST((1000 * q.inter) // (na.n + nb.n - q.inter) AS BIGINT)
+       |      AS jacc_milli
+       |  FROM ${p}p q JOIN ${p}n na ON q.doc_a = na.doc_id
+       |  JOIN ${p}n nb ON q.doc_b = nb.doc_id
+       |  WHERE 10 * q.inter >= $t10 * (na.n + nb.n - q.inter))""".stripMargin
+
   /** Oracle: the NAIVE shared-gram join — every pair sharing >= 1 gram,
     * exact Jaccard, no filtering tricks. d15 must equal it exactly. */
   val d15Sql: String =
-    s"""WITH pw AS (
-       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
-       |), pg AS (
-       |  SELECT DISTINCT doc_id,
-       |    ${h60Duck(s"array_to_string(words[i : i + ${PpJoinK - 1}], ' ')")} AS f
-       |  FROM (SELECT doc_id, words,
-       |          unnest(range(1, len(words) - ${PpJoinK - 2})) AS i
-       |        FROM pw WHERE len(words) >= $PpJoinK)
-       |), pn AS (
-       |  SELECT doc_id, COUNT(*) AS n FROM pg GROUP BY 1
-       |), pp AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-       |  FROM pg a JOIN pg b ON a.f = b.f AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT p.doc_a, p.doc_b, CAST(p.inter AS BIGINT) AS inter,
-       |  CAST(na.n + nb.n - p.inter AS BIGINT) AS union_n,
-       |  CAST((1000 * p.inter) // (na.n + nb.n - p.inter) AS BIGINT)
-       |    AS jacc_milli
-       |FROM pp p JOIN pn na ON p.doc_a = na.doc_id
-       |JOIN pn nb ON p.doc_b = nb.doc_id
-       |WHERE 10 * p.inter >= $PpJoinT10 * (na.n + nb.n - p.inter)
-       |ORDER BY p.doc_a, p.doc_b""".stripMargin
+    s"""WITH ${ppjoinNaiveSqlCtes("", PpJoinT10, PpJoinK)}
+       |SELECT doc_a, doc_b, inter, union_n, jacc_milli FROM exact
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- d16
+
+  /** d16: capped-join RECALL AUDIT — the engine measuring its own
+    * documented approximation: d02's n-gram join drops shingles hotter
+    * than [[MaxShingleDf]] (the bounded-state guarantee that makes it
+    * scale), which can in principle drop true pairs. d15's prefix join
+    * is EXACT at every df, so the two together close the loop: for
+    * every exact trigram pair at d02's 0.8 threshold, report its exact
+    * jacc_milli and whether the capped join found it. A `false` flag is
+    * a pair the cap cost — on the sf0.01 corpus the audit certifies
+    * ZERO loss (every flag true, pinned in spec); on a corpus where the
+    * cap bites, the flags say exactly which pairs and at what
+    * similarity. Algorithmic cross-validation: two independent exact/
+    * approximate implementations must agree pair-for-pair.
+    *
+    * Scale shape: d15's prefix-join shape at (k=3, t=0.8) plus d02's
+    * capped shape — both bounded as documented — joined on the thin
+    * pair keys. Oracle shares BOTH derivations' CTEs (d02SqlCtes +
+    * ppjoinNaiveSqlCtes), so neither side can drift from the operator
+    * it audits. */
+  def d16DedupRecallAudit(s: SparkSession, d: String): DataFrame = {
+    val exact = ppjoinPairsOf(documents(s, d), t10 = 8, k = 3)
+      .select("doc_a", "doc_b", "jacc_milli")
+    val capped = d02NgramJaccard(s, d)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("hit"))
+    exact.join(capped, Seq("doc_a", "doc_b"), "left")
+      .withColumn("found_by_capped", coalesce(col("hit"), lit(false)))
+      .select("doc_a", "doc_b", "jacc_milli", "found_by_capped")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val d16Sql: String =
+    s"""WITH ${ppjoinNaiveSqlCtes("y", 8, 3)}, ${d02SqlCtes("z")}
+       |SELECT e.doc_a, e.doc_b, e.jacc_milli,
+       |  (z.doc_a IS NOT NULL) AS found_by_capped
+       |FROM yexact e LEFT JOIN zjacc z
+       |  ON e.doc_a = z.doc_a AND e.doc_b = z.doc_b
+       |ORDER BY e.doc_a, e.doc_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d15_ppjoin_pairs" -> d15PpjoinPairs _,
+    "d16_dedup_recall_audit" -> d16DedupRecallAudit _,
     "d01_exact_dedup" -> d01ExactDedup _,
     "d02_ngram_jaccard" -> d02NgramJaccard _,
     "d03_minhash_sig" -> d03MinhashSig _,
@@ -663,6 +720,7 @@ object DedupOps {
 
   val oracles: Map[String, String] = Map(
     "d15_ppjoin_pairs" -> d15Sql,
+    "d16_dedup_recall_audit" -> d16Sql,
     "d01_exact_dedup" -> d01Sql,
     "d02_ngram_jaccard" -> d02Sql,
     "d03_minhash_sig" -> d03Sql,

@@ -273,6 +273,28 @@ class CorpusApiSpec extends AnyFunSuite {
     assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
   }
 
+  test("d16 audit: zero capped-join loss on the corpus; the cap's failure mode is detectable") {
+    import spark.implicits._
+    // corpus: every exact trigram pair at 0.8 is found by the capped join
+    val audit = graft.queries.DedupOps.d16DedupRecallAudit(spark, d).collect()
+    assert(audit.nonEmpty)
+    assert(audit.forall(_.getBoolean(3)),
+      s"capped join lost pairs on the corpus: ${audit.filterNot(_.getBoolean(3)).take(3).toSeq}")
+    // and the flag CAN go false: 130 identical docs whose only shingle is
+    // hotter than MaxShingleDf = 128 — the capped join drops the shingle
+    // (bounded state, as documented) and finds NO pairs, while the exact
+    // prefix join finds all C(130,2); the audit is what reports the gap
+    graft.functions.GraftFunctions.register(spark)
+    val hot = (0L until 130L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val exact = graft.queries.DedupOps.ppjoinPairsOf(hot, 8, 3)
+    assert(exact.count() == 130L * 129 / 2)
+    val capped = graft.queries.DedupOps.d02Build(
+      graft.queries.DedupOps.groupedShinglesOf(
+        graft.queries.DedupOps.shinglesOf(hot)))
+    assert(capped.count() == 0L,
+      "the df cap should drop the hot shingle entirely")
+  }
+
   test("dupProvenance == d14 under renamed columns; hand fixture pins the triage") {
     import spark.implicits._
     val docs = graft.queries.Tables.documents(spark, d)
