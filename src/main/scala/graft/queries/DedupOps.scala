@@ -683,10 +683,16 @@ object DedupOps {
     * approximate implementations must agree pair-for-pair.
     *
     * Scale shape: d15's prefix-join shape at (k=3, t=0.8) plus d02's
-    * capped shape — both bounded as documented — joined on the thin
-    * pair keys. Oracle shares BOTH derivations' CTEs (d02SqlCtes +
-    * ppjoinNaiveSqlCtes), so neither side can drift from the operator
-    * it audits. */
+    * capped shape, joined on the thin pair keys. The exact side pays
+    * what d02's cap exists to avoid — trigrams over a small vocabulary
+    * collide densely, so this is an OFFLINE certification job whose
+    * cost grows with shingle density (measured 25×/11× at u10×/ht10×,
+    * SCALE_r8 §16), not a pipeline stage; the production lever is
+    * auditing a deterministic doc sample (`doc_id % S = 0` on both
+    * sides — recall estimates from within-sample pairs), which divides
+    * the exact join's mass by S². Oracle shares BOTH derivations' CTEs
+    * (d02SqlCtes + ppjoinNaiveSqlCtes), so neither side can drift from
+    * the operator it audits. */
   def d16DedupRecallAudit(s: SparkSession, d: String): DataFrame = {
     val exact = ppjoinPairsOf(documents(s, d), t10 = 8, k = 3)
       .select("doc_a", "doc_b", "jacc_milli")
