@@ -191,6 +191,35 @@ object Media {
       }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
   }
 
+  /** Unified media probe (the m13 semantics over any payload column):
+    * sniff PPM/PNG/GIF87a/WAVE/AVI by magic bytes, run the container's
+    * REAL parser, and report normalized metadata. Unknown containers,
+    * corrupt payloads, and null ids are flagged (ok = false), never
+    * fatal. Returns (id, ok, container, width, height, n_units). */
+  def probe(df: DataFrame, idCol: String = "doc_id",
+            bytesCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = true),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("container", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_units", LongType, nullable = true)))
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = idOrNull(r)
+          try {
+            if (id == null) throw new IllegalArgumentException("null id")
+            val p = MultiModalOps.probeOf(r.getAs[Array[Byte]](1))
+            Row(id, true, p.container, p.width, p.height, p.nUnits)
+          } catch { case _: Exception =>
+            Row(id, false, null, null, null, null)
+          }
+        }
+      }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+  }
+
   /** VAD-style energy segmentation (the m07 semantics over any WAV payload
     * column): fixed 32-sample frames, a frame is active iff its energy is
     * nonzero, active runs are segments. Corrupt payloads and null ids are

@@ -1684,7 +1684,103 @@ object MultiModalOps {
       |  CAST(doc_id % 16 AS BIGINT) AS br_idx
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m13
+
+  /** m13: unified media PROBE — the ingest triage stage (the ffprobe
+    * analog): ONE sniffing kernel identifies any of the engine's five
+    * real containers by magic bytes (PPM `P6`, PNG signature, GIF87a,
+    * RIFF/WAVE, RIFF/AVI) and reports normalized metadata — container,
+    * width, height, n_units (pixels for rasters, samples for audio,
+    * frames for video; −1 where a dimension has no meaning). Every
+    * branch runs the container's REAL parser (decodePpm / pngDecodeOf /
+    * gifDecodeOf / decodeWav / aviIndexOf) with its full corruption
+    * contract — a probe that trusts headers it did not validate reports
+    * garbage downstream. The synthesis picks the container by
+    * doc_id % 5, so the oracle derives every column from the five
+    * per-container formulas without seeing bytes: a hash match proves
+    * sniffing DISPATCHED correctly and all five parsers ran.
+    *
+    * Scale shape: map-only (one scan, per-row kernel, no shuffle before
+    * the presentation sort) — the first stage of any mixed-media ingest
+    * at 100 TB, where routing by container decides every later stage. */
+  def m13MediaProbe(s: SparkSession, d: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("container", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_units", LongType, nullable = false)))
+    documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          // payload synthesized then GENUINELY sniffed + parsed
+          val p = probeOf(m13Bytes(id))
+          Row(id, p.container, p.width, p.height, p.nUnits)
+        }
+      }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+      .orderBy("doc_id")
+  }
+
+  /** A mixed-media corpus: container chosen by doc_id % 5, payload from
+    * that container's existing synthesis. */
+  private[graft] def m13Bytes(docId: Long): Array[Byte] =
+    (docId % 5) match {
+      case 0 => ppmBytes(docId)
+      case 1 => wavBytes(docId)
+      case 2 => aviBytes(docId)
+      case 3 => pngBytes(docId)
+      case _ => gifBytes(docId)
+    }
+
+  private[graft] final case class MediaProbe(container: String, width: Int,
+      height: Int, nUnits: Long)
+
+  /** Sniff a payload's container by magic bytes and run its REAL parser.
+    * Unknown containers fail by name. */
+  private[graft] def probeOf(bytes: Array[Byte]): MediaProbe = {
+    require(bytes.length >= 12, "payload too short to sniff a container")
+    def ascii(off: Int, len: Int) = new String(bytes, off, len, "ASCII")
+    if (ascii(0, 2) == "P6") {
+      val (w, h, _, _, _) = decodePpm(bytes)
+      MediaProbe("ppm", w, h, w.toLong * h)
+    } else if ((bytes(0) & 0xff) == 137 && bytes(1) == 'P'.toByte) {
+      val v = pngDecodeOf(bytes)
+      MediaProbe("png", v.width, v.height, v.width.toLong * v.height)
+    } else if (ascii(0, 6) == "GIF87a") {
+      val v = gifDecodeOf(bytes)
+      MediaProbe("gif", v.width, v.height, v.width.toLong * v.height)
+    } else if (ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE") {
+      val (_, n, _, _) = decodeWav(bytes)
+      MediaProbe("wav", -1, -1, n)
+    } else if (ascii(0, 4) == "RIFF" && ascii(8, 4) == "AVI ") {
+      val v = aviIndexOf(bytes)
+      MediaProbe("avi", v.width, v.height, v.nFrames)
+    } else throw new IllegalArgumentException(
+      "unknown media container (not PPM/PNG/GIF87a/WAVE/AVI)")
+  }
+
+  /** Oracle: container + metadata from the five synthesis formulas. */
+  val m13Sql: String =
+    """SELECT doc_id,
+      |  CASE doc_id % 5 WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav'
+      |    WHEN 2 THEN 'avi' WHEN 3 THEN 'png' ELSE 'gif' END AS container,
+      |  CAST(CASE doc_id % 5 WHEN 0 THEN 8 + doc_id % 5 WHEN 1 THEN -1
+      |    WHEN 2 THEN 8 + doc_id % 5 WHEN 3 THEN 4 + doc_id % 5
+      |    ELSE 6 + doc_id % 7 END AS INTEGER) AS width,
+      |  CAST(CASE doc_id % 5 WHEN 0 THEN 6 + doc_id % 4 WHEN 1 THEN -1
+      |    WHEN 2 THEN 6 + doc_id % 4 WHEN 3 THEN 3 + doc_id % 4
+      |    ELSE 4 + doc_id % 5 END AS INTEGER) AS height,
+      |  CAST(CASE doc_id % 5
+      |    WHEN 0 THEN (8 + doc_id % 5) * (6 + doc_id % 4)
+      |    WHEN 1 THEN 256 + doc_id % 64
+      |    WHEN 2 THEN 3 + doc_id % 6
+      |    WHEN 3 THEN (4 + doc_id % 5) * (3 + doc_id % 4)
+      |    ELSE (6 + doc_id % 7) * (4 + doc_id % 5) END AS BIGINT) AS n_units
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m13_media_probe" -> m13MediaProbe _,
     "m12_gif_decode" -> m12GifDecode _,
     "m11_png_decode" -> m11PngDecode _,
     "m10_avi_index" -> m10AviIndex _,
@@ -1700,6 +1796,7 @@ object MultiModalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "m13_media_probe" -> m13Sql,
     "m12_gif_decode" -> m12Sql,
     "m11_png_decode" -> m11Sql,
     "m10_avi_index" -> m10Sql,

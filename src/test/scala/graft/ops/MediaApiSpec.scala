@@ -194,6 +194,33 @@ class MediaApiSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown image container"))
   }
 
+  test("probe over a payload column == m13 on the same ids; sniffing dispatches correctly") {
+    import spark.implicits._
+    val ids = graft.queries.Tables.documents(spark, d)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val payloads = ids.map(id =>
+      (id, graft.queries.MultiModalOps.m13Bytes(id))).toDF("id", "bytes")
+    val api = Media.probe(payloads, "id", "bytes")
+    assert(api.filter(!col("ok")).isEmpty)
+    val apiCmp = api.drop("ok").orderBy("doc_id")
+    val gated = graft.queries.MultiModalOps.m13MediaProbe(spark, d)
+    assert(apiCmp.columns.sameElements(gated.columns))
+    assert(apiCmp.exceptAll(gated).isEmpty && gated.exceptAll(apiCmp).isEmpty)
+    // the RIFF fork: WAVE and AVI share the outer container — the probe
+    // must dispatch on the form type, not just 'RIFF'
+    val wav = graft.queries.MultiModalOps.probeOf(
+      graft.queries.MultiModalOps.wavBytes(6L))
+    val avi = graft.queries.MultiModalOps.probeOf(
+      graft.queries.MultiModalOps.aviBytes(7L))
+    assert(wav.container == "wav" && avi.container == "avi")
+    // unknown container and corrupt known container both flag, not throw
+    val bad = Seq((1L, "???????????????".getBytes),
+      (2L, graft.queries.MultiModalOps.pngBytes(2L).dropRight(9)))
+      .toDF("id", "bytes")
+    val got = Media.probe(bad, "id", "bytes").orderBy("doc_id").collect()
+    assert(got.forall(!_.getBoolean(1)))
+  }
+
   test("audioFingerprints over a payload column == m09 on the same ids") {
     import spark.implicits._
     val ids = graft.queries.Tables.documents(spark, d)
