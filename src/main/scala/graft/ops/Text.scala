@@ -128,6 +128,19 @@ object Text {
     TextOps.chunkWindowsOf(norm(docs, idCol, textCol), window, stride)
   }
 
+  /** Corpus-driven stopword discovery (t25): the top-`topK` terms by
+    * document frequency among those in ≥ `minDfMilli`/1000 of documents
+    * — the language-adaptive input to [[gopherFilters]]'s stopword
+    * parameter (the CCNet per-language loop: discover function words,
+    * then gate on them). Returns (rk, term, df, df_milli). */
+  def stopwordDiscovery(spark: SparkSession, docs: DataFrame,
+                        topK: Int = graft.queries.TextOps.StopTopK,
+                        minDfMilli: Long = graft.queries.TextOps.StopMinDfMilli,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    TextOps.stopwordDiscoveryOf(spark, norm(docs, idCol, textCol),
+      topK, minDfMilli)
+
   /** Vocabulary-growth audit (t24, Heaps' law): split the corpus into
     * `slices` equal id-ordered slices and report per slice the token
     * mass, novel-term count, cumulative vocabulary and integer novelty

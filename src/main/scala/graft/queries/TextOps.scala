@@ -1275,7 +1275,74 @@ object TextOps {
        |FROM htok t LEFT JOIN hnov v ON t.slice = v.slice
        |ORDER BY t.slice""".stripMargin
 
+  // ---------------------------------------------------------------- t25
+
+  /** Stopwords reported per corpus. */
+  val StopTopK = 20
+
+  /** Document-frequency floor (milli): a stopword must appear in at
+    * least this fraction of documents. */
+  val StopMinDfMilli = 400L
+
+  /** t25: corpus-driven STOPWORD DISCOVERY — the language-adaptive input
+    * to t14's parameterized stopword gate (CCNet runs exactly this loop
+    * per language: derive function words from document frequency, then
+    * gate on them): the top-[[StopTopK]] terms by document frequency
+    * among those present in ≥ [[StopMinDfMilli]]/1000 of documents
+    * (function words saturate df; content words don't — Zipf's law makes
+    * the df gap sharp). Integer-exact: df counts and milli rates, ties
+    * by term. Feed the resulting terms to `Text.gopherFilters(stopwords
+    * = …)` to close the discover→gate loop (spec does exactly that).
+    *
+    * Scale shape: one corpus scan → per-doc DISTINCT terms (explode of
+    * array_distinct — zero shuffle for the distinct, the shinglesOf
+    * trick) → vocab-sized df hash agg; the rank window runs on the
+    * ≤ vocab rows. The doc total is one metadata count. */
+  def t25StopwordDiscovery(s: SparkSession, d: String): DataFrame =
+    stopwordDiscoveryOf(s, documents(s, d), StopTopK, StopMinDfMilli)
+      .orderBy("rk")
+
+  /** t25's kernel over any (doc_id, text) frame (graft.ops.Text API). */
+  private[graft] def stopwordDiscoveryOf(s: SparkSession, docs: DataFrame,
+                                         topK: Int, minDfMilli: Long): DataFrame = {
+    import s.implicits._
+    require(topK >= 1, s"stopwordDiscovery: topK must be >= 1, got $topK")
+    require(minDfMilli >= 0 && minDfMilli <= 1000,
+      s"stopwordDiscovery: minDfMilli must be in [0,1000], got $minDfMilli")
+    val nDocs = docs.count()
+    require(nDocs >= 1, "stopwordDiscovery: empty corpus")
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy(col("df").desc, col("term").asc)
+    docs
+      .select(explode(array_distinct(split(col("text"), " "))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("df_milli", expr(s"(1000 * df) div $nDocs"))
+      .filter(col("df_milli") >= minDfMilli)
+      // vocab-sized frame: the single-partition rank window is fine
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select("rk", "term", "df", "df_milli")
+  }
+
+  val t25Sql: String =
+    s"""WITH sn AS (
+       |  SELECT COUNT(*) AS n FROM documents
+       |), sdf AS (
+       |  SELECT term, COUNT(*) AS df FROM (
+       |    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+       |    FROM documents) GROUP BY 1
+       |), sm AS (
+       |  SELECT term, df, (1000 * df) // sn.n AS df_milli
+       |  FROM sdf CROSS JOIN sn)
+       |SELECT CAST(rk AS BIGINT) AS rk, term, CAST(df AS BIGINT) AS df,
+       |  CAST(df_milli AS BIGINT) AS df_milli
+       |FROM (SELECT term, df, df_milli,
+       |        ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rk
+       |      FROM sm WHERE df_milli >= $StopMinDfMilli)
+       |WHERE rk <= $StopTopK ORDER BY rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_stopword_discovery" -> t25StopwordDiscovery _,
     "t24_vocab_growth" -> t24VocabGrowth _,
     "t19_bpe_encode" -> t19BpeEncode _,
     "t18_perplexity_filter" -> t18PerplexityFilter _,
@@ -1299,6 +1366,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "t25_stopword_discovery" -> t25Sql,
     "t24_vocab_growth" -> t24Sql,
     "t19_bpe_encode" -> t19Sql,
     "t18_perplexity_filter" -> t18Sql,

@@ -363,6 +363,31 @@ class TextApiSpec extends AnyFunSuite {
     same(otherSpan, gated)
   }
 
+  test("stopwordDiscovery == t25; discover->gate loop closes into gopherFilters") {
+    import spark.implicits._
+    same(Text.stopwordDiscovery(spark, renamed, idCol = "id", textCol = "body"),
+      graft.queries.TextOps.t25StopwordDiscovery(spark, d))
+    // hand fixture: 'the' in 3/4 docs (750 milli), 'cat' in 2/4 (500),
+    // 'dog' in 1/4 (250 — under the 400 floor); 'the' repeated within a
+    // doc counts once (document frequency, not term frequency)
+    val docs = Seq((0L, "the the cat"), (1L, "the cat"), (2L, "the dog"),
+      (3L, "bird")).toDF("doc_id", "text")
+    val out = graft.queries.TextOps.stopwordDiscoveryOf(spark, docs, 10, 400L)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, "the", 3L, 750L), (2L, "cat", 2L, 500L)),
+      out.toSeq)
+    // the loop: discovered terms feed t14's stopword parameter — the
+    // gate accepts them and its n_stop_kinds counts against THAT set
+    val discovered = graft.queries.TextOps
+      .t25StopwordDiscovery(spark, d).collect().map(_.getString(1)).toSeq
+    assert(discovered.nonEmpty)
+    val gated = Text.gopherFilters(renamed, stopwords = discovered,
+      idCol = "id", textCol = "body")
+    assert(gated.count() == renamed.count())
+    assert(gated.filter(col("n_stop_kinds") > discovered.length).isEmpty)
+  }
+
   test("vocabGrowth == t24 under renamed columns; hand fixture pins the curve") {
     import spark.implicits._
     same(Text.vocabGrowth(spark, renamed, idCol = "id", textCol = "body"),
