@@ -71,6 +71,25 @@ object Vectors {
     SimilarityOps.bqTopKOf(q, q.filter(col("vec_id").isin(queryIds: _*)), k, r)
   }
 
+  /** Filtered vector search (s19): exact top-k restricted to a metadata
+    * predicate — corpus label must equal the query's label. The filter
+    * is pushed INTO the search as an equi-join key (never applied as a
+    * post-filter on a shortlist, which under a selective predicate
+    * returns fewer than k hits). Returns (query_id, rk, neighbor_id,
+    * label, sim). */
+  def filteredTopK(spark: SparkSession, emb: DataFrame, queryIds: Seq[Long],
+                   k: Int, idCol: String = "vec_id",
+                   vecCol: String = "embedding",
+                   labelCol: String = "label"): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val q = emb.select(col(idCol).cast("long").as("vec_id"),
+        col(labelCol).as("label"),
+        expr(SimilarityOps.quantize(vecCol)).as("q"))
+      .withColumn("nrm", expr("normsq_i64(q)"))
+    SimilarityOps.filteredTopKOf(q,
+      q.filter(col("vec_id").isin(queryIds: _*)), k)
+  }
+
   /** Distributed Lloyd's k-means (s12): the clustering primitive behind
     * the IVF/PQ/SemDeDup indexes as a first-class operator. Deterministic:
     * seeds are the k lowest-id vectors, assignment ties go to the lowest

@@ -1788,7 +1788,85 @@ object SimilarityOps {
        |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s19
+
+  /** s19: FILTERED vector search — top-k restricted to a metadata
+    * predicate (here: corpus label == the query's label), the production
+    * vector-DB feature that separates toy ANN from usable retrieval.
+    * The critical design choice at scale: the filter is pushed INTO the
+    * search as an equi-join key (corpus ⋈ broadcast queries ON label),
+    * never applied as a POST-filter on a shortlist — post-filtering a
+    * top-r list under a selective predicate returns fewer than k hits
+    * (or garbage recall), and the spec DEMONSTRATES that failure mode on
+    * this corpus. With ~L balanced labels the scored mass is n·Q/L
+    * instead of n·Q, and the per-query exact scoring stays one scan.
+    *
+    * Output: (query_id, rk, neighbor_id, label, sim) — exact cosine
+    * within the label class, s01 tie-breaks.
+    *
+    * Scale shape: ONE corpus scan pruned to (vec_id, label, vector);
+    * queries broadcast; the label equi-join IS the filter (hash join,
+    * no cross product); per-query top-k windows over the class-filtered
+    * scored rows. At 100 TB with label-partitioned parquet the join
+    * becomes partition PRUNING — the same plan, one directory read. */
+  def s19FilteredTopk(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), col("label"), expr(qEmb).as("q"))
+      .withColumn("nrm", expr(normExpr("q")))
+    filteredTopKOf(emb, emb.filter(col("vec_id") < NumQueries), TopK)
+      .orderBy("query_id", "rk")
+  }
+
+  /** s19's kernel over (vec_id, label, q, nrm) corpus/query frames
+    * (graft.ops.Vectors API). */
+  private[graft] def filteredTopKOf(emb: DataFrame, queryVecs: DataFrame,
+                                    k: Int): DataFrame = {
+    require(k >= 1, s"filteredTopK: k must be >= 1, got $k")
+    val queries = queryVecs.select(col("vec_id").as("query_id"),
+      col("label").as("qlabel"), col("q").as("qv"), col("nrm").as("qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    emb.join(broadcast(queries),
+        col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(expr(dotExpr("q", "qv")).cast("double") /
+        cosDenom(col("nrm"), col("qn")), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
+        col("label"), col("sim"))
+  }
+
+  val s19Sql: String =
+    s"""WITH fq AS (
+       |  SELECT vec_id, label, $qEmbDuck AS qv FROM embeddings
+       |), felems AS (
+       |  SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x FROM fq
+       |), fnorms AS (
+       |  SELECT vec_id, SUM(x * x) AS nrm FROM felems GROUP BY vec_id
+       |), fdots AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    SUM(ea.x * eb.x) AS dot
+       |  FROM fq a JOIN fq b ON a.label = b.label
+       |    AND a.vec_id < $NumQueries AND a.vec_id <> b.vec_id
+       |  JOIN felems ea ON ea.vec_id = a.vec_id
+       |  JOIN felems eb ON eb.vec_id = b.vec_id AND ea.i = eb.i
+       |  GROUP BY 1, 2
+       |), fscored AS (
+       |  SELECT d.query_id, d.neighbor_id, b.label,
+       |    ROUND(d.dot::DOUBLE / (sqrt(nq.nrm::DOUBLE) * sqrt(nn.nrm::DOUBLE)), 6) AS sim
+       |  FROM fdots d JOIN fnorms nq ON d.query_id = nq.vec_id
+       |  JOIN fnorms nn ON d.neighbor_id = nn.vec_id
+       |  JOIN fq b ON d.neighbor_id = b.vec_id)
+       |SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, label, sim
+       |FROM (SELECT query_id, neighbor_id, label, sim,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY sim DESC, neighbor_id) AS rk
+       |      FROM fscored)
+       |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_filtered_topk" -> s19FilteredTopk _,
     "s18_bq_topk" -> s18BqTopk _,
     "s11_knn_graph" -> s11KnnGraph _,
     "s15_incremental_knn" -> s15IncrementalKnn _,
@@ -1815,6 +1893,7 @@ object SimilarityOps {
     "s08_ivfpq_topk" -> s08Sql,
     "s07_sq8_topk" -> s07Sql,
     "s18_bq_topk" -> s18Sql,
+    "s19_filtered_topk" -> s19Sql,
     "s01_cosine_topk" -> s01Sql,
     "s02_embed_neardup" -> s02Sql,
     "s03_ann_lsh" -> s03Sql,

@@ -155,6 +155,36 @@ class VectorsApiSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("filteredTopK == s19; post-filtering a shortlist demonstrably under-fills k") {
+    val renamedL = graft.queries.Tables.embeddings(spark, d)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("label").as("tag"))
+    val api = Vectors.filteredTopK(spark, renamedL, 0L until 10L, k = 5,
+      idCol = "id", vecCol = "vec", labelCol = "tag")
+      .orderBy("query_id", "rk")
+    val gated = graft.queries.SimilarityOps.s19FilteredTopk(spark, d)
+    assert(api.columns.sameElements(gated.columns))
+    assert(api.exceptAll(gated).isEmpty && gated.exceptAll(api).isEmpty)
+    // every hit carries its query's label, and every query fills k
+    val labels = graft.queries.Tables.embeddings(spark, d)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = gated.collect()
+    assert(rows.forall(r => r.getInt(3) == labels(r.getLong(0))))
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 5))
+    // the failure mode the join-filter avoids: POST-filtering the exact
+    // unfiltered top-5 by label keeps only the same-label hits — with
+    // ~10 balanced labels that is ~0.5 per query, not k
+    val post = graft.queries.SimilarityOps.s01CosineTopk(spark, d)
+      .collect()
+      .filter(r => labels(r.getLong(2)) == labels(r.getLong(0)))
+    val filled = post.groupBy(_.getLong(0)).count(_._2.length >= 5)
+    info(s"post-filtered s01: $filled/10 queries still fill k=5, " +
+      s"${post.length}/50 hits survive")
+    assert(filled < 10,
+      "post-filtering filled every query — the fixture lost its point")
+  }
+
   test("bqTopK == s18 under renamed columns; recall vs exact s01 floored") {
     val api = Vectors.bqTopK(spark, renamed, 0L until 10L, k = 5,
       idCol = "id", vecCol = "vec").orderBy("query_id", "rk")

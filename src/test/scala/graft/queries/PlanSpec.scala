@@ -488,6 +488,17 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("s19: the label filter is a broadcast equi-join, never a post-filter or cross product") {
+    val p = plan(SimilarityOps.s19FilteredTopk(spark, d))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // the scan must read the label column (the predicate reaches the scan
+    // side, not a shortlist)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("label:int"), s"label not in scan: $readSchema")
+  }
+
   test("d15: prefix join and verify are equi-joins only — no cross product at any df") {
     val p = plan(DedupOps.d15PpjoinPairs(spark, d))
     assert(!p.contains("CartesianProduct") &&
