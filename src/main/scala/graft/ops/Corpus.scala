@@ -224,6 +224,18 @@ object Corpus {
                   textCol: String = "text"): DataFrame =
     DedupOps.ppjoinPairsOf(norm(docs, idCol, textCol), t10, k)
 
+  /** Containment join (d17): all DIRECTED pairs with
+    * C(A→B) = |A∩B| / |A| ≥ `t10`/10 over word-`k`-gram sets — the
+    * asymmetric sibling of [[ppjoinPairs]] and the set-level quote/
+    * inclusion detector (a paragraph quoted in a 100× larger doc has
+    * C ≈ 1 but Jaccard ≈ 1%). One-sided prefix filter on the contained
+    * side, provably lossless. Returns (doc_a contained-in doc_b, na,
+    * inter, containment_milli). */
+  def containmentPairs(docs: DataFrame, t10: Int = DedupOps.ContainT10,
+                       k: Int = DedupOps.PpJoinK, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    DedupOps.containmentPairsOf(norm(docs, idCol, textCol), t10, k)
+
   /** Cross-source duplicate provenance (d14): per duplicated segment
     * (the d08 unit, same hash + canonical key), its copy count, source
     * spread, dominant source and the cross-source flag — boilerplate

@@ -633,10 +633,10 @@ object DedupOps {
       .select("doc_a", "doc_b", "inter", "union_n", "jacc_milli")
   }
 
-  /** The NAIVE exact gram-set join as prefixed CTE text ending in
-    * `<p>exact` = (doc_a, doc_b, inter, union_n, jacc_milli) —
-    * parameterized over threshold/width and SHARED by d15Sql and d16Sql. */
-  private[graft] def ppjoinNaiveSqlCtes(p: String, t10: Int, k: Int): String =
+  /** The distinct `k`-gram-set table + per-doc sizes as prefixed CTE
+    * text ending in `<p>g` (doc_id, f) and `<p>n` (doc_id, n) — the SQL
+    * twin of [[ppjoinGramsOf]], shared by d15/d16/d17 oracles. */
+  private[graft] def gramSetSqlCtes(p: String, k: Int): String =
     s"""${p}w AS (
        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
        |), ${p}g AS (
@@ -647,7 +647,13 @@ object DedupOps {
        |        FROM ${p}w WHERE len(words) >= $k)
        |), ${p}n AS (
        |  SELECT doc_id, COUNT(*) AS n FROM ${p}g GROUP BY 1
-       |), ${p}p AS (
+       |)""".stripMargin
+
+  /** The NAIVE exact gram-set join as prefixed CTE text ending in
+    * `<p>exact` = (doc_a, doc_b, inter, union_n, jacc_milli) —
+    * parameterized over threshold/width and SHARED by d15Sql and d16Sql. */
+  private[graft] def ppjoinNaiveSqlCtes(p: String, t10: Int, k: Int): String =
+    s"""${gramSetSqlCtes(p, k)}, ${p}p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
        |  FROM ${p}g a JOIN ${p}g b ON a.f = b.f AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
@@ -712,7 +718,87 @@ object DedupOps {
        |  ON e.doc_a = z.doc_a AND e.doc_b = z.doc_b
        |ORDER BY e.doc_a, e.doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- d17
+
+  /** d17's containment threshold in tenths (0.8). */
+  val ContainT10 = 8
+
+  /** d17: CONTAINMENT join — the asymmetric sibling of d15's Jaccard
+    * join and the set-level form of quote/inclusion detection:
+    * all directed pairs with C(A→B) = |A∩B| / |A| ≥ 0.8 over the same
+    * 5-gram sets. Jaccard misses true inclusions by construction — a
+    * paragraph quoted inside a 100× larger document has C ≈ 1 but
+    * J ≈ 1% — and d10/d11 find SPANS while d17 scores the SET overlap
+    * (robust to internal reordering and edits between quoted blocks).
+    *
+    * The one-sided prefix theorem: C ≥ t ⟹ |A∩B| ≥ ceil(t·|A|) ⟹ the
+    * globally-smallest shared gram sits within A's first
+    * |A| − ceil(t·|A|) + 1 grams (same argument as d15, applied to the
+    * CONTAINED side only). The container side cannot be prefix-pruned
+    * without a bound on |A| — the textbook containment join indexes the
+    * container's full gram set, and candidates come from the thin
+    * A-prefix ⋈ B-all equi-join plus the necessary length filter
+    * 10·|B| ≥ t10·|A| (inter ≤ |B| and inter ≥ t·|A|).
+    *
+    * Scale shape: one gram table (shared [[ppjoinGramsOf]] checkpoint),
+    * df-ordered prefix window on the contained side, equi-joins only;
+    * verification bounded by candidate mass × contained-set size.
+    * Oracle: the naive directed shared-gram join — the hash match
+    * proves the one-sided prefix filter loses nothing. */
+  def d17ContainmentPairs(s: SparkSession, d: String): DataFrame =
+    containmentPairsOf(documents(s, d), ContainT10, PpJoinK)
+      .orderBy("doc_a", "doc_b")
+
+  /** d17's kernel over any (doc_id, text) frame (graft.ops.Corpus API).
+    * `t10` = containment threshold in tenths over `k`-gram sets;
+    * returns directed (doc_a contained-in doc_b) verdicts. */
+  private[graft] def containmentPairsOf(docs: DataFrame, t10: Int,
+                                        k: Int): DataFrame = {
+    require(t10 >= 1 && t10 <= 10, s"containment: t10 must be in [1,10], got $t10")
+    val grams = ppjoinGramsOf(docs, k)
+    val n = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val df = grams.groupBy("f").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df").asc, col("f").asc)
+    val prefixA = grams.join(df, "f")
+      .withColumn("pos", row_number().over(w))
+      .join(n, "doc_id")
+      .filter(col("pos") <= col("n") - expr(s"($t10 * n + 9) div 10") + 1)
+      .select(col("doc_id").as("doc_a"), col("f"), col("n").as("na"))
+    val cands = prefixA.join(
+        grams.select(col("doc_id").as("doc_b"), col("f")), "f")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b", "na")
+      .distinct()
+      .join(n.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(expr(s"10 * nb >= $t10 * na"))
+    cands
+      .join(grams.select(col("doc_id").as("doc_a"), col("f")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("f")),
+        Seq("doc_b", "f"))
+      .groupBy("doc_a", "doc_b", "na")
+      .agg(count(lit(1)).as("inter"))
+      .filter(expr(s"10 * inter >= $t10 * na"))
+      .withColumn("containment_milli", expr("(1000 * inter) div na"))
+      .select("doc_a", "doc_b", "na", "inter", "containment_milli")
+  }
+
+  /** Oracle: the NAIVE directed shared-gram join, exact containment. */
+  val d17Sql: String =
+    s"""WITH ${gramSetSqlCtes("c", PpJoinK)}
+       |SELECT q.doc_a, q.doc_b, CAST(na.n AS BIGINT) AS na,
+       |  CAST(q.inter AS BIGINT) AS inter,
+       |  CAST((1000 * q.inter) // na.n AS BIGINT) AS containment_milli
+       |FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM cg a JOIN cg b ON a.f = b.f AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2) q
+       |JOIN cn na ON q.doc_a = na.doc_id
+       |WHERE 10 * q.inter >= $ContainT10 * na.n
+       |ORDER BY q.doc_a, q.doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d17_containment_pairs" -> d17ContainmentPairs _,
     "d15_ppjoin_pairs" -> d15PpjoinPairs _,
     "d16_dedup_recall_audit" -> d16DedupRecallAudit _,
     "d01_exact_dedup" -> d01ExactDedup _,
@@ -726,6 +812,7 @@ object DedupOps {
 
   val oracles: Map[String, String] = Map(
     "d15_ppjoin_pairs" -> d15Sql,
+    "d17_containment_pairs" -> d17Sql,
     "d16_dedup_recall_audit" -> d16Sql,
     "d01_exact_dedup" -> d01Sql,
     "d02_ngram_jaccard" -> d02Sql,

@@ -273,6 +273,39 @@ class CorpusApiSpec extends AnyFunSuite {
     assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
   }
 
+  test("containmentPairs == d17; quote inclusion caught where Jaccard misses; lossless vs naive") {
+    import spark.implicits._
+    same(Corpus.containmentPairs(renamed, idCol = "id", textCol = "body")
+        .orderBy("doc_a", "doc_b"),
+      graft.queries.DedupOps.d17ContainmentPairs(spark, d))
+    // the asymmetric case that MOTIVATES d17: doc 0's full text is quoted
+    // inside doc 1, which is 15x larger — containment(0 -> 1) = 1000 while
+    // Jaccard is far below d15's 0.6 threshold, and (1 -> 0) fails
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val filler = (0 until 90).map(i => s"w$i").mkString(" ")
+    val fix = Seq((0L, quote), (1L, s"$filler $quote")).toDF("doc_id", "text")
+    val cont = graft.queries.DedupOps.containmentPairsOf(fix, 8, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(cont.toSeq == Seq((0L, 1L, 1000L)), cont.toSeq)
+    assert(graft.queries.DedupOps.ppjoinPairsOf(fix, 6, 5).count() == 0,
+      "Jaccard should miss the quote inclusion — that is d17's point")
+    // losslessness of the one-sided prefix filter vs a naive directed join
+    val docs = graft.queries.Tables.documents(spark, d)
+      .filter(col("doc_id") < 100).select("doc_id", "text")
+    val grams = graft.queries.DedupOps.ppjoinGramsOf(docs, 5)
+    val n = grams.groupBy("doc_id").agg(count(lit(1)).as("na"))
+    val naive = grams.as("x").join(grams.as("y"),
+        col("x.f") === col("y.f") && col("x.doc_id") =!= col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(n.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .filter(expr("10 * inter >= 8 * na"))
+      .withColumn("containment_milli", expr("(1000 * inter) div na"))
+      .select("doc_a", "doc_b", "na", "inter", "containment_milli")
+    val fast = graft.queries.DedupOps.containmentPairsOf(docs, 8, 5)
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
   test("d16 audit: zero capped-join loss on the corpus; the cap's failure mode is detectable") {
     import spark.implicits._
     // corpus: every exact trigram pair at 0.8 is found by the capped join
