@@ -350,7 +350,106 @@ object Relational3 {
       |  (l_linestatus, year(l_shipdate)), ())
       |ORDER BY gid, returnflag, linestatus, shipyear""".stripMargin
 
+  // ---------------------------------------------------------------- q31
+
+  /** Nanoseconds per resample bucket (daily). */
+  private val Q31BucketNs = 86400000000000L
+
+  /** value_milli pack base: the LOCF fill carries (day, value) in ONE
+    * long so a plain running MAX implements last-observation-carried-
+    * forward with NO `last(_, ignoreNulls)` — the IGNORE NULLS window
+    * spelling differs across engines, a packed max is integer-identical
+    * everywhere. */
+  private val Q31Pack = 1L << 32
+
+  /** q31: LOCF time-series resample — the gap-filling operator every
+    * metrics/feature store runs: regularize each user's irregular event
+    * stream onto a fixed DAILY grid, carrying the last observation
+    * forward into empty buckets and reporting its staleness. Semantics:
+    * per (user, day) the bucket value is the LAST event's value (by
+    * ts_ns, then event_id) rounded to integer milli; grid = every day in
+    * the corpus's global [min, max] day span × every user; days before a
+    * user's first event emit nothing; `age_days` = how stale the carried
+    * value is.
+    *
+    * Engine determinism: LOCF is a running MAX of `day·2^32 + value_milli`
+    * over the day-ordered per-user grid — nulls never enter the max and
+    * unpacking recovers both the value and its source day exactly; no
+    * IGNORE NULLS window (whose spelling and semantics differ across
+    * engines) anywhere. The pack range is guarded by a named error.
+    *
+    * Scale shape: ONE event scan (checkpointed for its three metadata
+    * consumers) → per-(user, day) last-event window (keyed shuffle) →
+    * the grid generated per user with `sequence` (never a row-space
+    * cross join — users × days is output-sized by definition) → one
+    * per-user ordered window for the fill. At 100 TB the windows
+    * partition by user; nothing global. */
+  def q31LocfResample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+      .select(col("user_id"),
+        expr(s"ts_ns div $Q31BucketNs").as("day"),
+        expr("cast(round(value * 1000) as bigint)").as("vm"),
+        col("ts_ns"), col("event_id"))
+      .localCheckpoint(true)
+    val (vmin, vmax) = ev.agg(min("vm"), max("vm"))
+      .as[(Long, Long)].head()
+    require(vmin >= 0 && vmax < Q31Pack,
+      s"q31: value_milli range [$vmin, $vmax] overflows the $Q31Pack " +
+        "LOCF pack — widen the pack base or rescale the value")
+    val wL = Window.partitionBy("user_id", "day")
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    val lastPerDay = ev.withColumn("rk", row_number().over(wL))
+      .filter(col("rk") === 1).select("user_id", "day", "vm")
+    val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+    val grid = ev.select("user_id").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+    val wF = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(lastPerDay, Seq("user_id", "day"), "left")
+      .withColumn("p", max(when(col("vm").isNotNull,
+        col("day") * Q31Pack + col("vm"))).over(wF))
+      .filter(col("p").isNotNull)
+      .select(col("user_id"), col("day"),
+        expr(s"p % $Q31Pack").as("value_milli"),
+        expr(s"day - p div $Q31Pack").as("age_days"))
+      .orderBy("user_id", "day")
+  }
+
+  val q31Sql: String =
+    s"""WITH re AS (
+       |  SELECT user_id, epoch_ns(ts) // $Q31BucketNs AS day,
+       |    CAST(round(value * 1000) AS BIGINT) AS vm,
+       |    epoch_ns(ts) AS tsn, event_id
+       |  FROM events
+       |), rl AS (
+       |  SELECT user_id, day, vm FROM (
+       |    SELECT user_id, day, vm,
+       |      ROW_NUMBER() OVER (PARTITION BY user_id, day
+       |        ORDER BY tsn DESC, event_id DESC) AS rk
+       |    FROM re) WHERE rk = 1
+       |), rb AS (
+       |  SELECT MIN(day) AS d0, MAX(day) AS d1 FROM re
+       |), rgrid AS (
+       |  SELECT u.user_id, g.day
+       |  FROM (SELECT DISTINCT user_id FROM re) u
+       |  CROSS JOIN (SELECT unnest(range(d0, d1 + 1)) AS day FROM rb) g
+       |), rfill AS (
+       |  SELECT g.user_id, g.day,
+       |    MAX(CASE WHEN l.vm IS NOT NULL
+       |      THEN g.day * $Q31Pack + l.vm END)
+       |      OVER (PARTITION BY g.user_id ORDER BY g.day
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+       |  FROM rgrid g LEFT JOIN rl l
+       |    ON g.user_id = l.user_id AND g.day = l.day)
+       |SELECT user_id, day, CAST(p % $Q31Pack AS BIGINT) AS value_milli,
+       |  CAST(day - p // $Q31Pack AS BIGINT) AS age_days
+       |FROM rfill WHERE p IS NOT NULL
+       |ORDER BY user_id, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_locf_resample" -> q31LocfResample _,
     "q30_grouping_sets" -> q30GroupingSets _,
     "q29_recursive_chains" -> q29RecursiveChains _,
     "q28_unpivot" -> q28Unpivot _,
@@ -363,6 +462,7 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q31_locf_resample" -> q31Sql,
     "q30_grouping_sets" -> q30Sql,
     "q28_unpivot" -> q28Sql,
     "q29_recursive_chains" -> q29Sql,
