@@ -55,9 +55,9 @@ object Vectors {
       col("vec_id").isin(queryIds: _*), k)
   }
 
-  /** Binary-quantization (BQ) top-k (s18): every vector compresses to 64
-    * random-hyperplane sign bits; candidates pre-rank by HAMMING distance
-    * (`bit_count(xor)` over two longs — 16 bytes scanned per vector, the
+  /** Binary-quantization (BQ) top-k (s18): every vector compresses to
+    * 128 random-hyperplane sign bits; candidates pre-rank by HAMMING
+    * distance (`bit_count(xor)` over four longs — 24 bytes per vector, the
     * memory-bandwidth win that makes BQ the densest index tier under
     * SQ8 and PQ) and the top-`r` survivors per query are exactly
     * rescored. Returns the s01-shaped (query_id, rk, neighbor_id, sim). */

@@ -503,8 +503,11 @@ object ClusterOps {
     // contingency table — checkpoint the k×L rows so the corpus join
     // runs once, not once per branch
     val cnt = purityContingencyLazy(assign, labels).localCheckpoint(true)
+    // asc_nulls_last: Spark's plain asc sorts NULL labels FIRST, which
+    // would let a null label win ties over any real one (and diverge
+    // from DuckDB's nulls-last default)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("cell").orderBy(col("n").desc, col("label").asc)
+      .partitionBy("cell").orderBy(col("n").desc, col("label").asc_nulls_last)
     val tot = cnt.groupBy("cell").agg(sum("n").as("n_vecs"),
       count(lit(1)).as("n_labels"))
     cnt.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)

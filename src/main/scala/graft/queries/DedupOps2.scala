@@ -614,8 +614,10 @@ object DedupOps2 {
       .groupBy("h", "source")
       .agg(count(lit(1)).as("n"), min("ck").as("src_min_ck"))
       .localCheckpoint(true)
+    // asc_nulls_last: a NULL source must not win ties over a real one
+    // (Spark sorts nulls first on plain asc; DuckDB sorts them last)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("h").orderBy(col("n").desc, col("source").asc)
+      .partitionBy("h").orderBy(col("n").desc, col("source").asc_nulls_last)
     val tot = hs.groupBy("h").agg(sum("n").as("n_copies"),
       count(lit(1)).as("n_sources"), min("src_min_ck").as("canon_ck"))
     hs.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)

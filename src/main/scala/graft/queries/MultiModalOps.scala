@@ -1456,7 +1456,20 @@ object MultiModalOps {
   /** GIF-flavor LZW encode: variable code width starting at min+1,
     * LSB-first packing, clear emitted up front and on dictionary
     * exhaustion (4096), EOI last. Kept independent of [[lzwDecode]] —
-    * their agreement is what the round-trip spec proves. */
+    * their agreement is what the round-trip spec proves.
+    *
+    * Width discipline: every code is emitted at the DECODER's width at
+    * that stream position, which the encoder simulates exactly — the
+    * decoder performs one dictionary add per data code except the first
+    * after a clear, and bumps width at `decNext == 2^w − 1` (one entry
+    * ahead of the encoder's own add schedule, compensating its one-add
+    * lag). The earlier formulation bumped on the ENCODER's add schedule,
+    * which diverges by one bit exactly at the final data code — invisible
+    * whenever zero padding follows, but a stream whose EOI ends
+    * byte-aligned then fails to decode (caught by review simulation;
+    * regression pinned in MediaApiSpec). Every emitted value fits by
+    * construction: data codes are ≤ decNext (KwKwK inclusive) and
+    * decNext ≤ 2^w − 1 is the bump invariant. */
   private[graft] def lzwEncode(px: Array[Int], minCode: Int): Array[Byte] = {
     require(px.nonEmpty, "lzw: empty pixel stream")
     val clear = 1 << minCode
@@ -1471,13 +1484,28 @@ object MultiModalOps {
       }
     }
     var dict = scala.collection.mutable.HashMap.empty[String, Int]
-    var next = 0
+    var next = 0        // the encoder's own dictionary
+    var decNext = 0     // the DECODER's dictionary size, simulated
+    var emitsSinceClear = 0
     def reset(): Unit = {
       dict = scala.collection.mutable.HashMap.empty
       var i = 0
       while (i < clear) { dict(i.toChar.toString) = i; i += 1 }
       next = eoi + 1
+      decNext = eoi + 1
       width = minCode + 1
+      emitsSinceClear = 0
+    }
+    // the decoder adds an entry after every data code EXCEPT the first
+    // following a clear, then bumps one entry early (its add lags the
+    // encoder's by one mid-stream)
+    def emitData(c: Int): Unit = {
+      emit(c)
+      emitsSinceClear += 1
+      if (emitsSinceClear >= 2 && decNext < 4096) {
+        decNext += 1
+        if (decNext == (1 << width) - 1 && width < 12) width += 1
+      }
     }
     emit(clear); reset()
     var cur = px(0).toChar.toString
@@ -1486,15 +1514,14 @@ object MultiModalOps {
       val k = px(i).toChar
       if (dict.contains(cur + k)) cur = cur + k
       else {
-        emit(dict(cur))
+        emitData(dict(cur))
         dict(cur + k) = next; next += 1
-        if (next == (1 << width) && width < 12) width += 1
         if (next == 4096) { emit(clear); reset() }
         cur = k.toString
       }
       i += 1
     }
-    emit(dict(cur)); emit(eoi)
+    emitData(dict(cur)); emit(eoi)
     if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
     out.toByteArray
   }

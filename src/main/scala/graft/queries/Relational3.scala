@@ -392,8 +392,9 @@ object Relational3 {
         expr("cast(round(value * 1000) as bigint)").as("vm"),
         col("ts_ns"), col("event_id"))
       .localCheckpoint(true)
-    val (vmin, vmax) = ev.agg(min("vm"), max("vm"))
-      .as[(Long, Long)].head()
+    val vr = ev.agg(min("vm"), max("vm")).head()
+    require(!vr.isNullAt(0), "q31: empty events table")
+    val (vmin, vmax) = (vr.getLong(0), vr.getLong(1))
     require(vmin >= 0 && vmax < Q31Pack,
       s"q31: value_milli range [$vmin, $vmax] overflows the $Q31Pack " +
         "LOCF pack — widen the pack base or rescale the value")

@@ -1221,16 +1221,20 @@ object TextOps {
   def t24VocabGrowth(s: SparkSession, d: String): DataFrame =
     vocabGrowthOf(s, documents(s, d), HeapsSlices).orderBy("slice")
 
-  /** t24's kernel over any (doc_id, text) frame (graft.ops.Text API). */
+  /** t24's kernel over any (doc_id, text) frame (graft.ops.Text API).
+    * Slices are equal-width ID-RANGE slices over [min, max] doc_id —
+    * offset id spaces slice correctly; sparse ids weight slices by
+    * id-space coverage (ingest order), not row count. */
   private[graft] def vocabGrowthOf(s: SparkSession, docs: DataFrame,
                                    slices: Int): DataFrame = {
-    import s.implicits._
     require(slices >= 1, s"vocabGrowth: slices must be >= 1, got $slices")
-    val n = docs.agg(max("doc_id")).as[Long].head() + 1L
-    require(n >= 1, s"vocabGrowth: empty corpus")
+    val b = docs.agg(min("doc_id"), max("doc_id")).head()
+    require(!b.isNullAt(0), "vocabGrowth: empty corpus")
+    val lo = b.getLong(0)
+    val span = b.getLong(1) - lo + 1L
     val st = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .withColumn("slice", expr(s"(doc_id * $slices) div $n"))
+      .withColumn("slice", expr(s"((doc_id - $lo) * $slices) div $span"))
       .groupBy("slice", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
     val toks = st.groupBy("slice").agg(sum("tf").as("n_tokens"))
@@ -1251,9 +1255,10 @@ object TextOps {
 
   val t24Sql: String =
     s"""WITH hn AS (
-       |  SELECT MAX(doc_id) + 1 AS n FROM documents
+       |  SELECT MIN(doc_id) AS lo, MAX(doc_id) - MIN(doc_id) + 1 AS span
+       |  FROM documents
        |), hs AS (
-       |  SELECT (d.doc_id * $HeapsSlices) // hn.n AS slice,
+       |  SELECT ((d.doc_id - hn.lo) * $HeapsSlices) // hn.span AS slice,
        |    unnest(string_split(d.text, ' ')) AS term
        |  FROM documents d CROSS JOIN hn
        |), hst AS (

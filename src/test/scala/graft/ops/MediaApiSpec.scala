@@ -149,6 +149,23 @@ class MediaApiSpec extends AnyFunSuite {
     // bump to 12 bits and across the 4096-entry clear/reset — encoder
     // and decoder are independent implementations, so equality here is
     // the codec's correctness proof at depths the corpus never reaches
+    // regression (review-found): a stream whose EOI lands byte-aligned —
+    // the encoder must emit it at the DECODER's width, which bumps one
+    // entry ahead of the encoder's own add schedule at the final code;
+    // the old formulation decoded this as 'stream ends mid-code'
+    val edge = Array(9, 2, 14, 5, 13, 15, 4, 2, 0, 15, 4, 7, 1, 9, 13)
+    val edgeDec = graft.queries.MultiModalOps.lzwDecode(
+      graft.queries.MultiModalOps.lzwEncode(edge, 4), 4, edge.length)
+    assert(edgeDec.map(_ & 0xff).toSeq == edge.toSeq)
+    // exhaustive short-stream sweep: every 4-symbol-alphabet stream of
+    // length <= 6 round-trips (covers every width/EOI alignment at the
+    // smallest code size)
+    for (len <- 1 to 6; s <- 0 until math.pow(4, len).toInt) {
+      val pxs = Array.tabulate(len)(j => (s >> (2 * j)) & 3)
+      val dec = graft.queries.MultiModalOps.lzwDecode(
+        graft.queries.MultiModalOps.lzwEncode(pxs, 2), 2, len)
+      assert(dec.map(_ & 0xff).toSeq == pxs.toSeq, s"len=$len s=$s")
+    }
     val n = 200000
     val px = Array.tabulate(n) { i =>
       ((i * 2654435761L >>> 7) % 16).toInt
