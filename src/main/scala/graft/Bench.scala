@@ -87,19 +87,31 @@ object Bench {
           import org.apache.spark.sql.functions.col
           import graft.queries.SimilarityOps
           graft.functions.GraftFunctions.register(spark)
+          // the r9 gated constructions: s02 = hashed-bigram doc vectors,
+          // adaptive bands, t=0.9; s05 = embeddings, adaptive, t=0.45 —
+          // candidate volume vs survivors so the linear-floor claim of
+          // the adaptive bit rule stays measured every round
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+            .select(col("doc_id"), col("text"))
+          val dEmb = SimilarityOps.docBigramVectors(docs).localCheckpoint(true)
+          val dBits = SimilarityOps.adaptiveBits(docs.count())
+          val dRows = dEmb.count()
+          val cands = SimilarityOps.s02Candidates(dEmb,
+            SimilarityOps.ScaledBands, dBits).count()
+          val survivors = SimilarityOps.nearDupPairsOf(dEmb,
+            SimilarityOps.NearDupThreshold, SimilarityOps.ScaledBands, dBits)
+            .count()
           val emb = SimilarityOps
             .withQuantized(spark.read.parquet(s"$sfDir/embeddings.parquet")
               .select(col("vec_id"), col("embedding")), "embedding")
-          val rows = emb.count()
-          val cands = SimilarityOps.s02Candidates(emb).count()
-          val survivors = SimilarityOps.nearDupPairsOf(emb, 0.45).count()
-          // the wide (32x8) production construction: candidate mass per
-          // round, so the gated 7x reduction claim stays measured
+            .localCheckpoint(true)
+          val eBits = SimilarityOps.adaptiveBits(emb.count())
           val candsW = SimilarityOps.s02Candidates(emb,
-            SimilarityOps.WideBands, SimilarityOps.WideRowsPerBand).count()
+            SimilarityOps.ScaledBands, eBits).count()
           val survivorsW = SimilarityOps.nearDupPairsOf(emb, 0.45,
-            SimilarityOps.WideBands, SimilarityOps.WideRowsPerBand).count()
-          s""","s02_rows":$rows,"s02_candidates":$cands,"s02_survivors":$survivors""" +
+            SimilarityOps.ScaledBands, eBits).count()
+          s""","s02_rows":$dRows,"s02_bits":$dBits,"s02_candidates":$cands""" +
+            s""","s02_survivors":$survivors,"s05_bits":$eBits""" +
             s""","s05_candidates":$candsW,"s05_survivors":$survivorsW"""
         } catch { case _: Throwable => "" }
       } else ""

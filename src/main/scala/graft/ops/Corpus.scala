@@ -236,6 +236,23 @@ object Corpus {
                        textCol: String = "text"): DataFrame =
     DedupOps.containmentPairsOf(norm(docs, idCol, textCol), t10, k)
 
+  /** Capped-join recall audit (d16): exact prefix-join trigram pairs at
+    * Jaccard ≥ 0.8 over a deterministic `doc_id % sampleDen` doc sample,
+    * each flagged by whether the PRODUCTION df-capped n-gram join
+    * ([[ngramJaccardPairs]], computed over the FULL corpus — its caps
+    * are what is being audited) found it. The within-sample found-rate
+    * estimates the capped join's recall; the sample divides the exact
+    * join's quadratic shingle mass by sampleDen². Pass sampleDen = 1
+    * for the full offline certification (every exact pair audited —
+    * unrunnable at large corpus scale, which is the point of the
+    * sample). Returns (doc_a, doc_b, jacc_milli, found_by_capped). */
+  def dedupRecallAudit(spark: SparkSession, docs: DataFrame,
+                       sampleDen: Long = DedupOps.AuditSampleDen,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    DedupOps.recallAuditOf(norm(docs, idCol, textCol),
+      ngramJaccardPairs(spark, docs, idCol, textCol), sampleDen)
+
   /** Cross-source duplicate provenance (d14): per duplicated segment
     * (the d08 unit, same hash + canonical key), its copy count, source
     * spread, dominant source and the cross-source flag — boilerplate

@@ -26,6 +26,37 @@ object Text {
                    textCol: String = "text"): DataFrame =
     TextOps.fingerprintOf(norm(docs, idCol, textCol))
 
+  /** Deterministic 64-dim hashed-bigram document embeddings (the s02
+    * feature map): every word bigram hashes to an integer vector (md5
+    * arithmetic — no model, no driver state) and a document embeds as
+    * the tf-weighted integer sum. One corpus scan + a vocab-sized
+    * distributed gram-vector table; docs with < 2 words have no vector.
+    * Returns (doc_id, q: array<bigint>, nrm) — the exact-integer frame
+    * the [[Vectors]]-style kernels consume directly. */
+  def bigramEmbeddings(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    graft.queries.SimilarityOps.docBigramVectors(norm(docs, idCol, textCol))
+      .withColumnRenamed("vec_id", "doc_id")
+
+  /** PRODUCTION near-duplicate document pairs (s02): hashed-bigram
+    * embeddings + adaptive banded LSH (64 bands ×
+    * clamp(ceil(log₂ n), 8, 18) bits — candidate floor ~bands·n, LINEAR
+    * at any corpus size) + exact integer rescore at cosine ≥
+    * `threshold`. Returns (vec_a, vec_b, sim) over doc ids. */
+  def nearDuplicateDocs(spark: SparkSession, docs: DataFrame,
+                        threshold: Double =
+                          graft.queries.SimilarityOps.NearDupThreshold,
+                        bands: Int = graft.queries.SimilarityOps.ScaledBands,
+                        bandBits: Int = graft.queries.SimilarityOps.AdaptiveBits,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    graft.queries.SimilarityOps.nearDupPairsOf(
+      graft.queries.SimilarityOps.docBigramVectors(norm(docs, idCol, textCol))
+        .localCheckpoint(true),
+      threshold, bands, bandBits)
+  }
+
   /** Whitespace vs BPE-ish (GPT-2 pre-tokenizer shape) token counts (t06). */
   def tokenCounts(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame =

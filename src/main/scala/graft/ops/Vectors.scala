@@ -180,7 +180,7 @@ object Vectors {
 
   /** Approximate kNN-graph construction (s11): every corpus vector's
     * top-`k` neighbors among banded-LSH candidates (`bands` × `bandBits`
-    * OR/AND construction, default the production 32×8) — the input
+    * OR/AND construction; the default is the adaptive production rule — 64 bands × clamp(ceil(log₂ n), 8, 18) bits) — the input
     * primitive of graph-based curation (cluster pruning, near-dup
     * families, diversity sampling). Each vector's candidates are capped
     * at its `candCap` most-collision-frequent partners BEFORE the exact
@@ -191,8 +191,8 @@ object Vectors {
     * rows. */
   def knnGraph(spark: SparkSession, emb: DataFrame,
                k: Int = SimilarityOps.KnnK,
-               bands: Int = SimilarityOps.WideBands,
-               bandBits: Int = SimilarityOps.WideRowsPerBand,
+               bands: Int = SimilarityOps.ScaledBands,
+               bandBits: Int = SimilarityOps.AdaptiveBits,
                candCap: Int = SimilarityOps.KnnCandCap,
                idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
@@ -214,8 +214,8 @@ object Vectors {
     * the new pairs); violations fail by name. */
   def knnGraphAddBatch(spark: SparkSession, standing: DataFrame,
                        batch: DataFrame, k: Int = SimilarityOps.KnnK,
-                       bands: Int = SimilarityOps.WideBands,
-                       bandBits: Int = SimilarityOps.WideRowsPerBand,
+                       bands: Int = SimilarityOps.ScaledBands,
+                       bandBits: Int = SimilarityOps.AdaptiveBits,
                        candCap: Int = SimilarityOps.KnnCandCap,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
@@ -235,8 +235,8 @@ object Vectors {
     * standing ∪ batch row-for-row. */
   def knnGraphUpkeep(spark: SparkSession, standing: DataFrame,
                      batch: DataFrame, k: Int = SimilarityOps.KnnK,
-                     bands: Int = SimilarityOps.WideBands,
-                     bandBits: Int = SimilarityOps.WideRowsPerBand,
+                     bands: Int = SimilarityOps.ScaledBands,
+                     bandBits: Int = SimilarityOps.AdaptiveBits,
                      candCap: Int = SimilarityOps.KnnCandCap,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
@@ -350,26 +350,27 @@ object Vectors {
   /** Embedding near-duplicate pairs at an exact-cosine threshold: banded
     * random-hyperplane LSH candidate generation (equi-join on band
     * signatures — never all pairs) + exact integer rescore of candidates
-    * only. APPROXIMATE RECALL (~96% at a 0.45 threshold with the default
-    * bands, higher above it); precision exact.
+    * only. APPROXIMATE RECALL at the stated construction; precision exact.
     *
-    * SCALE TUNING (`bands` x `bandBits`): random-collision candidate mass
-    * scales ~ bands * n^2 / 2^bandBits, so wider bands cut the dominant
-    * cost exponentially while recall at the threshold is
-    * 1-(1-p^bandBits)^bands with p = 1-acos(threshold)/pi. The (16, 4)
-    * default reproduces the driver-gated s02 exactly (96% boundary recall
-    * at 0.45). At a real near-dup threshold (0.8+, p >= 0.80) the same
-    * recall needs far fewer band collisions: (32, 8) gives 0.963 recall at
-    * threshold 0.7 with 16x fewer random candidates than (16, 4)'s mass at
-    * the same n — the right trade at 10^8+ vectors. The sf1 scale run
-    * measured the default's candidate volume at ~1000 candidates/vector on
-    * 20k vectors (quadratic); see SCALE_r6.md. */
+    * SCALE TUNING (`bands` × `bandBits`): random-collision candidate mass
+    * scales ~ bands · n² / 2^bandBits while recall at the threshold is
+    * 1-(1-p^bandBits)^bands with p = 1-acos(threshold)/π. The DEFAULT is
+    * the production adaptive rule — bandBits = clamp(ceil(log₂ n), 8, 18)
+    * with 64 bands — whose collision floor is ~bands·n (LINEAR: each
+    * doubling of the corpus adds one bit and halves the per-pair
+    * probability; the classic n^(1+ρ) LSH regime). Measured at 20k
+    * vectors: 71× fewer candidates than a fixed 32×8 with zero survivor
+    * loss at t = 0.8 (SCALE_r8 §2). Pass explicit `bandBits` past 2^18
+    * vectors or to trade recall for cost at a low threshold — recall at
+    * sub-noise thresholds (< ~0.6 in 64 dims) decays as bits grow, and
+    * the exact output there is itself Θ(n²) (SCALE_r8 §1): no
+    * construction emits it linearly. */
   def nearDuplicatePairs(spark: SparkSession, emb: DataFrame,
                          threshold: Double = 0.45,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding",
-                         bands: Int = 16,
-                         bandBits: Int = 4): DataFrame = {
+                         bands: Int = SimilarityOps.ScaledBands,
+                         bandBits: Int = SimilarityOps.AdaptiveBits): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     SimilarityOps.nearDupPairsOf(
       SimilarityOps.withQuantized(

@@ -34,14 +34,42 @@ object BandScale {
     val emb = SimilarityOps.withQuantized(
       spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding")), "embedding")
+      .localCheckpoint(true)
     val n = emb.count()
-    // (bands, bits, threshold): the gated 16x4@0.45, the documented
-    // production 32x8@0.7, and the log(n)-bits 64x16@0.8 regime
-    val all = Seq((16, 4, 0.45), (32, 8, 0.7), (64, 16, 0.8))
+    // the r9 GATED doc-vector construction (s02): hashed-bigram document
+    // embeddings + adaptive bands at t=0.9 — measured when 'docs' is
+    // requested (or by default) so the linear-candidate claim for the
+    // production near-dup query has per-corpus counters
+    if (args.isEmpty || args.contains("docs")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val dEmb = SimilarityOps.docBigramVectors(docs).localCheckpoint(true)
+      val dBits = SimilarityOps.adaptiveBits(docs.count())
+      val dn = dEmb.count()
+      val t0 = System.nanoTime()
+      val cands = SimilarityOps.s02Candidates(dEmb,
+        SimilarityOps.ScaledBands, dBits).count()
+      val surv = SimilarityOps.nearDupPairsOf(dEmb,
+        SimilarityOps.NearDupThreshold, SimilarityOps.ScaledBands, dBits)
+        .count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"metric":"band_scale_docs","n":$dn,"bands":${SimilarityOps.ScaledBands},""" +
+        f""""bits":$dBits,"threshold":${SimilarityOps.NearDupThreshold},""" +
+        f""""candidates":$cands,"survivors":$surv,"sec":$secs%.2f,"sf":"$sfDir"}""")
+    }
+    // (bands, bits, threshold): the demoted fixed-width 16x4@0.45 and
+    // 32x8@0.7 fixtures, the fixed 64x16@0.8 SCALE_r8 §2 point, and the
+    // GATED adaptive rule (bits = clamp(ceil(log2 n), 8, 18)) at both the
+    // near-dup 0.8 and the s05-gated 0.45 thresholds
+    val ab = SimilarityOps.adaptiveBits(n)
+    val all = Seq(("16x4", 16, 4, 0.45), ("32x8", 32, 8, 0.7),
+      ("64x16", 64, 16, 0.8),
+      ("adaptive", SimilarityOps.ScaledBands, ab, 0.8),
+      ("adaptive45", SimilarityOps.ScaledBands, ab, 0.45))
     val picked =
       if (args.isEmpty) all
-      else all.filter { case (b, r, _) => args.contains(s"${b}x$r") }
-    for ((bands, bits, thr) <- picked) {
+      else all.filter { case (nm, _, _, _) => args.contains(nm) }
+    for ((_, bands, bits, thr) <- picked) {
       val t0 = System.nanoTime()
       val cands = SimilarityOps.s02Candidates(emb, bands, bits).count()
       val surv = SimilarityOps.nearDupPairsOf(emb, thr, bands, bits).count()

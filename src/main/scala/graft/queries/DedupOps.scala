@@ -636,9 +636,10 @@ object DedupOps {
   /** The distinct `k`-gram-set table + per-doc sizes as prefixed CTE
     * text ending in `<p>g` (doc_id, f) and `<p>n` (doc_id, n) — the SQL
     * twin of [[ppjoinGramsOf]], shared by d15/d16/d17 oracles. */
-  private[graft] def gramSetSqlCtes(p: String, k: Int): String =
+  private[graft] def gramSetSqlCtes(p: String, k: Int,
+                                    src: String = "documents"): String =
     s"""${p}w AS (
-       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM $src
        |), ${p}g AS (
        |  SELECT DISTINCT doc_id,
        |    ${h60Duck(s"array_to_string(words[i : i + ${k - 1}], ' ')")} AS f
@@ -652,8 +653,9 @@ object DedupOps {
   /** The NAIVE exact gram-set join as prefixed CTE text ending in
     * `<p>exact` = (doc_a, doc_b, inter, union_n, jacc_milli) —
     * parameterized over threshold/width and SHARED by d15Sql and d16Sql. */
-  private[graft] def ppjoinNaiveSqlCtes(p: String, t10: Int, k: Int): String =
-    s"""${gramSetSqlCtes(p, k)}, ${p}p AS (
+  private[graft] def ppjoinNaiveSqlCtes(p: String, t10: Int, k: Int,
+                                        src: String = "documents"): String =
+    s"""${gramSetSqlCtes(p, k, src)}, ${p}p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
        |  FROM ${p}g a JOIN ${p}g b ON a.f = b.f AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
@@ -691,27 +693,53 @@ object DedupOps {
     * Scale shape: d15's prefix-join shape at (k=3, t=0.8) plus d02's
     * capped shape, joined on the thin pair keys. The exact side pays
     * what d02's cap exists to avoid — trigrams over a small vocabulary
-    * collide densely, so this is an OFFLINE certification job whose
-    * cost grows with shingle density (measured 25×/11× at u10×/ht10×,
-    * SCALE_r8 §16), not a pipeline stage; the production lever is
-    * auditing a deterministic doc sample (`doc_id % S = 0` on both
-    * sides — recall estimates from within-sample pairs), which divides
-    * the exact join's mass by S². Oracle shares BOTH derivations' CTEs
-    * (d02SqlCtes + ppjoinNaiveSqlCtes), so neither side can drift from
-    * the operator it audits. */
-  def d16DedupRecallAudit(s: SparkSession, d: String): DataFrame = {
-    val exact = ppjoinPairsOf(documents(s, d), t10 = 8, k = 3)
+    * collide densely (measured 25×/11× growth at u10×/ht10×,
+    * SCALE_r8 §16) — so the GATED query audits a deterministic
+    * two-sided doc sample (`doc_id % [[AuditSampleDen]] = 0`): the
+    * exact join runs over sampled docs only (mass ÷ S²) while the
+    * capped side stays the PRODUCTION full-corpus join, and the
+    * found-rate over within-sample pairs estimates the full recall —
+    * the r8 verdict's fix for a certification query that would simply
+    * never complete unsampled on a real corpus. The FULL exact audit
+    * (S = 1) remains available through the facade and is spec-pinned
+    * against the sampled estimator on the test corpus. Oracle shares
+    * BOTH derivations' CTEs (d02SqlCtes + ppjoinNaiveSqlCtes over the
+    * identical sampled source), so neither side can drift from the
+    * operator it audits. */
+  def d16DedupRecallAudit(s: SparkSession, d: String): DataFrame =
+    recallAuditOf(documents(s, d), d02NgramJaccard(s, d), AuditSampleDen)
+      .orderBy("doc_a", "doc_b")
+
+  /** d16's gated sample denominator: audit docs with doc_id % S == 0 on
+    * both pair sides — exact-join mass ÷ S². S is chosen so the sampled
+    * audit costs LESS than d15's production join at every measured
+    * scale while still surfacing within-sample certification pairs. */
+  val AuditSampleDen = 2L
+
+  /** The recall-audit kernel (graft.ops.Corpus API): exact prefix-join
+    * pairs (t=0.8, k=3) over the `sampleDen`-sampled docs, flagged by
+    * whether the PRODUCTION `capped` pair frame (computed over the FULL
+    * corpus — its df caps must be the production ones being audited)
+    * found them. sampleDen = 1 is the full offline certification. */
+  private[graft] def recallAuditOf(docs: DataFrame, capped: DataFrame,
+                                   sampleDen: Long): DataFrame = {
+    require(sampleDen >= 1L,
+      s"recallAudit: sampleDen must be >= 1, got $sampleDen")
+    val sampled =
+      if (sampleDen == 1L) docs
+      else docs.filter(col("doc_id") % sampleDen === 0)
+    val exact = ppjoinPairsOf(sampled, t10 = 8, k = 3)
       .select("doc_a", "doc_b", "jacc_milli")
-    val capped = d02NgramJaccard(s, d)
-      .select(col("doc_a"), col("doc_b"), lit(true).as("hit"))
-    exact.join(capped, Seq("doc_a", "doc_b"), "left")
+    exact.join(
+        capped.select(col("doc_a"), col("doc_b"), lit(true).as("hit")),
+        Seq("doc_a", "doc_b"), "left")
       .withColumn("found_by_capped", coalesce(col("hit"), lit(false)))
       .select("doc_a", "doc_b", "jacc_milli", "found_by_capped")
-      .orderBy("doc_a", "doc_b")
   }
 
   val d16Sql: String =
-    s"""WITH ${ppjoinNaiveSqlCtes("y", 8, 3)}, ${d02SqlCtes("z")}
+    s"""WITH ${ppjoinNaiveSqlCtes("y", 8, 3,
+        s"(SELECT doc_id, text FROM documents WHERE doc_id % $AuditSampleDen = 0)")}, ${d02SqlCtes("z")}
        |SELECT e.doc_a, e.doc_b, e.jacc_milli,
        |  (z.doc_a IS NOT NULL) AS found_by_capped
        |FROM yexact e LEFT JOIN zjacc z

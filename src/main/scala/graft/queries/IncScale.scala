@@ -49,49 +49,60 @@ object IncScale {
     val (fullEdges, fullSec) = timed {
       SimilarityOps.knnGraphOf(emb, SimilarityOps.KnnK).count()
     }
+    // the gated adaptive construction (bits from the FULL corpus count —
+    // the same resolution the s11/s15/s16 queries share)
+    val bits = SimilarityOps.adaptiveBits(n)
     val (standing, stateSec) = timed {
       SimilarityOps.s02Candidates(emb.filter(col("vec_id") < t),
-          SimilarityOps.WideBands, SimilarityOps.WideRowsPerBand)
+          SimilarityOps.ScaledBands, bits)
         .groupBy("vec_a", "vec_b").agg(count(lit(1)).as("m"))
         .localCheckpoint(true) // eager: the probe phase reads state only
     }
     val (incEdges, probeSec) = timed {
       val probe = SimilarityOps.incrementalProbe(emb, t,
-        SimilarityOps.WideBands, SimilarityOps.WideRowsPerBand)
+        SimilarityOps.ScaledBands, bits)
       SimilarityOps.knnGraphFromCands(emb, standing.union(probe),
         SimilarityOps.KnnK, SimilarityOps.KnnCandCap).count()
     }
     require(fullEdges == incEdges,
       s"equality contract violated: full $fullEdges vs incremental $incEdges")
-    // phase 4 (s16): the standing EDGES are also state — pre-materialize
-    // them, then pay only probe + touched-only re-rank per batch. On a
-    // corpus where the batch touches nearly everything (the uniform
-    // synthetic generator) this converges to probe_sec; the win scales
-    // with the UNtouched fraction (report it alongside).
+    // phase 4 (s16, r9 shape): the persisted state is the CAPPED
+    // per-vector candidate LISTS plus the standing edges — the upkeep
+    // job merges only touched vectors' lists with their probe entries,
+    // so probe+tail cost tracks batch collision mass, not corpus size.
+    val (standingCapped, listStateSec) = timed {
+      SimilarityOps.cappedLists(SimilarityOps.symmetrized(standing),
+          SimilarityOps.KnnCandCap)
+        .localCheckpoint(true)
+    }
     val (standingEdges, edgeStateSec) = timed {
-      SimilarityOps.knnGraphFromCands(emb.filter(col("vec_id") < t),
-          standing, SimilarityOps.KnnK, SimilarityOps.KnnCandCap)
+      SimilarityOps.rescoreTopK(emb.filter(col("vec_id") < t),
+          standingCapped, SimilarityOps.KnnK)
         .localCheckpoint(true)
     }
     var touchedOld = 0L
     val (tchEdges, touchedSec) = timed {
-      val probe = SimilarityOps.incrementalProbe(emb, t,
-          SimilarityOps.WideBands, SimilarityOps.WideRowsPerBand)
+      val probeSym = SimilarityOps.symmetrized(
+          SimilarityOps.incrementalProbe(emb, t,
+            SimilarityOps.ScaledBands, bits))
         .localCheckpoint(true)
-      val touched = probe.select(col("vec_a").as("vec_id"))
-        .union(probe.select(col("vec_b").as("vec_id"))).distinct()
+      val touched = probeSym.select("vec_id").distinct()
       touchedOld = touched.filter(col("vec_id") < t).count()
-      val reranked = SimilarityOps.knnGraphFromCands(emb,
-        standing.union(probe), SimilarityOps.KnnK, SimilarityOps.KnnCandCap,
-        restrictTo = Some(touched))
+      val reranked = SimilarityOps.knnTailFromSym(emb,
+        standingCapped.join(
+            org.apache.spark.sql.functions.broadcast(touched),
+            Seq("vec_id"), "left_semi")
+          .unionByName(probeSym),
+        SimilarityOps.KnnK, SimilarityOps.KnnCandCap)
       standingEdges.join(touched, Seq("vec_id"), "left_anti")
         .unionByName(reranked).count()
     }
     require(fullEdges == tchEdges,
       s"s16 equality contract violated: full $fullEdges vs touched $tchEdges")
     println(f"""{"metric":"inc_scale","n":$n,"t":$t,"edges":$fullEdges,""" +
-      f""""full_sec":$fullSec%.2f,"state_sec":$stateSec%.2f,""" +
-      f""""probe_sec":$probeSec%.2f,"edge_state_sec":$edgeStateSec%.2f,""" +
+      f""""bits":$bits,"full_sec":$fullSec%.2f,"state_sec":$stateSec%.2f,""" +
+      f""""probe_sec":$probeSec%.2f,"list_state_sec":$listStateSec%.2f,""" +
+      f""""edge_state_sec":$edgeStateSec%.2f,""" +
       f""""touched_sec":$touchedSec%.2f,"touched_old":$touchedOld,""" +
       f""""sf":"$sfDir"}""")
     spark.stop()

@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * cosine is a single double division + sqrt (bit-identical in both engines).
   *
   * Scale design: s01 is the brute-force baseline (broadcast the query set,
-  * score in one scan, per-query top-k via window); s02 is the LSH-bucketed
-  * path — random-hyperplane signatures bucket the corpus so candidate
-  * scoring touches only same-bucket vectors, the standard ANN shape when
-  * brute force stops fitting. At 100 TB the bucket join replaces the
-  * all-pairs product with per-bucket locality.
+  * score in one scan, per-query top-k via window); the LSH family (s02/
+  * s05/s11/s13/s15/s16) runs the ADAPTIVE banded construction — 64 bands
+  * whose bit width is clamp(ceil(log₂ n), 8, 18), so the random-collision
+  * candidate floor is ~bands·n (LINEAR) at any corpus size — candidate
+  * scoring touches only band-colliding vectors, the standard ANN shape
+  * when brute force stops fitting. At 100 TB the band join partitions by
+  * signature and each corpus doubling adds one signature bit.
   */
 object SimilarityOps {
   import Tables._
@@ -68,17 +70,6 @@ object SimilarityOps {
     * singleton, a vacuous query). */
   private val NumPlanes = 8
   private val planes: Vector[Vector[Long]] = (0 until NumPlanes).map(planeFor).toVector
-  private val SimBands = 16
-  private val SimRowsPerBand = 4
-  /** s02's banded tables (16 bands x 4 bits = 64 planes; first 8 == s03's).
-    * OR-construction width is chosen for the stated threshold: at the
-    * cosine=0.45 boundary a plane agrees with prob 1-acos(0.45)/pi = 0.649,
-    * so a 4-bit band collides with prob 0.649^4 = 0.177 and 16 bands give
-    * boundary recall 1-(1-0.177)^16 = 0.96 (8 bands gave only 0.79 — the
-    * round-2 advisor's recall gap); pairs above the threshold do better.
-    * SimilaritySpec's brute-force probe measures this empirically. */
-  private val simPlanes: Vector[Vector[Long]] =
-    (0 until SimBands * SimRowsPerBand).map(planeFor).toVector
 
   /** Brute-force cosine top-k: queries = vec_id < NumQueries (broadcast),
     * scored against the full corpus in one scan. */
@@ -154,54 +145,228 @@ object SimilarityOps {
        |SELECT query_id, rk, neighbor_id, sim FROM ranked
        |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
 
-  /** Near-duplicate detection by embedding cosine >= 0.45: banded LSH
-    * candidate generation + exact rescore of candidates only.
-    *
-    * APPROXIMATE SEMANTICS: this is LSH recall, not exact all-pairs — a
-    * true pair is found only if at least one band's 4 sign bits collide
-    * (~96% probability right at the 0.45 boundary with 16 bands, higher
-    * above it; see `simPlanes`). Precision is exact (candidates are
-    * rescored with the exact integer dot before the threshold filter).
-    * The DuckDB oracle replicates the identical deterministic planes, so
-    * the harness validates engine agreement on the SAME candidate set;
-    * the recall-vs-brute-force gap is measured by SimilaritySpec's probe.
-    *
-    * Physical shape: one scan computes 64 sign bits (codegen'd `dot_i64`
-    * against literal hyperplanes), grouped as 16 bands x 4 bits; candidate
-    * pairs come from an equi-join on (band_no, bits) — never all pairs, no
-    * driver collect — then ONLY candidates are rescored with the exact
-    * integer dot. At 100 TB the band join partitions by signature and the
-    * rescore cost is |candidates|, not n². */
-  def s02EmbedNearDup(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val emb = embeddings(s, d).withColumn("q", expr(qEmb))
-      .withColumn("nrm", expr(normExpr("q")))
-      .select("vec_id", "q", "nrm")
-    nearDupPairsOf(emb, 0.45).orderBy("vec_a", "vec_b")
-  }
-
-  /** The production-scale wide construction measured in SCALE_r6.md:
-    * 32 bands × 8 bits (256 planes). Random band collisions shrink by
-    * ~2^-(8-4) = 16× per band vs s02's (16×4) — measured 7× cheaper in
-    * candidate mass at ≥96% recall on the synthetic near-dup pairs (whose
-    * cosine is well above the 0.45 boundary; a band agrees with prob
-    * 0.856^8 = 0.29 at sim 0.9, and 32 bands push recall to ~1 there).
-    * Same kernel, same threshold, same exact rescore — only the OR/AND
-    * shape differs, which is exactly the knob a 10^8+ vector corpus needs.
-    * Oracle-gated so the wide planes can't drift from the DuckDB replica. */
-  def s05NearDupWide(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val emb = embeddings(s, d).withColumn("q", expr(qEmb))
-      .withColumn("nrm", expr(normExpr("q")))
-      .select("vec_id", "q", "nrm")
-    nearDupPairsOf(emb, 0.45, WideBands, WideRowsPerBand)
-      .orderBy("vec_a", "vec_b")
-  }
-
+  /** DEMOTED fixture constants (the r8-and-earlier gated construction):
+    * 32 bands × 8 bits. SCALE_r8 §1 proved any FIXED bit width carries a
+    * c·n² random-collision candidate floor (bands · 2^-bits · n²/2); the
+    * gated queries now run the adaptive [[ScaledBands]]×[[adaptiveBits]]
+    * construction and these constants remain only for SimilaritySpec's
+    * fixed-width fixtures and BandScale's comparison rows. */
   private[graft] val WideBands = 32
   private[graft] val WideRowsPerBand = 8
 
-  val s05Sql: String = neardupSql(WideBands, WideRowsPerBand, 0.45)
+  /** The production LSH construction (gated since r9): a fixed OR-width
+    * of 64 bands whose bit width scales with the corpus —
+    * bits = clamp(ceil(log₂ n), [[BitsMin]], [[BitsMax]]). The random
+    * collision floor is bands · n²/2^bits ≈ bands · n — LINEAR in corpus
+    * size by construction (the classic LSH n^(1+ρ) regime) — while recall
+    * at a true-pair cosine t falls only as (1-acos(t)/π)^bits per band:
+    * measured in SCALE_r8 §2, 64×16 at 20k vectors cut candidates 71×
+    * vs 32×8 with ZERO survivor loss at t=0.8. */
+  private[graft] val ScaledBands = 64
+  /** Sentinel for bands×bits args: resolve bits from the corpus size. */
+  private[graft] val AdaptiveBits = -1
+  /** Bit-width clamp. The floor of 8 keeps small-corpus constructions
+    * non-vacuous; the cap of 18 is the ORACLE's plane-pool bound (the
+    * DuckDB replica pre-materializes 64×18 hyperplanes) — corpora past
+    * 2^18 vectors pass explicit wider bits through the facade knobs. */
+  private[graft] val BitsMin = 8
+  private[graft] val BitsMax = 18
+
+  /** bits = clamp(ceil(log₂ n), 8, 18), in exact integer arithmetic (a
+    * float log here could round a power of two either way — the DuckDB
+    * twin is an integer CASE chain over the same power-of-two fences). */
+  private[graft] def adaptiveBits(n: Long): Int = {
+    val c = if (n <= 2L) 1
+            else 64 - java.lang.Long.numberOfLeadingZeros(n - 1L)
+    math.max(BitsMin, math.min(BitsMax, c))
+  }
+
+  /** Resolve an [[AdaptiveBits]] sentinel against the vector frame's
+    * count (facade path); gated queries pass bits computed from the raw
+    * table count so no derived lineage is re-executed. */
+  private[graft] def resolveBits(emb: DataFrame, rowsPerBand: Int): Int =
+    if (rowsPerBand == AdaptiveBits) adaptiveBits(emb.count()) else rowsPerBand
+
+  /** The [[adaptiveBits]] clamp as a DuckDB CASE chain over `nExpr`
+    * (exact integer fences — no float log in either engine). */
+  private def bitsCaseSql(nExpr: String): String = {
+    val fences = (BitsMin until BitsMax)
+      .map(b => s"WHEN $nExpr <= ${1L << b} THEN $b").mkString(" ")
+    s"CASE $fences ELSE $BitsMax END"
+  }
+
+  /** The shared 64×18 hyperplane pool as compact list-form VALUES rows
+    * (one row per plane: `(p, [w0..w63])`), unnested to the (p, i, w)
+    * shape the oracle's plane_dots join consumes. ~4× smaller than the
+    * row-per-component form the fixed-width oracles used. */
+  private lazy val planesPoolValues: String =
+    (0 until ScaledBands * BitsMax).map { p =>
+      s"($p, [${planeFor(p).mkString(",")}])"
+    }.mkString(",\n    ")
+
+  /** Adaptive-banded LSH CTEs over a caller-provided `${p}elems`
+    * (vec_id, i, x) frame: emits `${p}bcfg` (nbits from `countFromSql`),
+    * the plane pool, `${p}bands` and the per-pair collision counts
+    * `${p}cand` (vec_a < vec_b, m). The construction is EXACTLY the
+    * codegen'd sign_bands_i64 kernel's: plane p = band·nbits + r. */
+  private[graft] def adaptiveLshCtes(p: String, countFromSql: String): String =
+    s"""${p}bcfg AS (
+       |  SELECT ${bitsCaseSql("n")} AS nbits FROM (SELECT $countFromSql AS n)
+       |), ${p}planes_l(p, ws) AS (
+       |  VALUES $planesPoolValues
+       |), ${p}planes AS (
+       |  SELECT p, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+       |  FROM ${p}planes_l
+       |), ${p}plane_dots AS (
+       |  SELECT e.vec_id, pl.p, SUM(e.x * pl.w) AS pd
+       |  FROM ${p}elems e
+       |  JOIN ${p}planes pl ON e.i = pl.i
+       |  JOIN ${p}bcfg bc ON pl.p < $ScaledBands * bc.nbits
+       |  GROUP BY 1, 2
+       |), ${p}bands AS (
+       |  SELECT vec_id, pd.p // bc.nbits AS band_no,
+       |    CAST(SUM(CASE WHEN pd.pd > 0 THEN 1 << (pd.p % bc.nbits) ELSE 0 END) AS BIGINT) AS bits
+       |  FROM ${p}plane_dots pd, ${p}bcfg bc
+       |  GROUP BY 1, 2
+       |), ${p}cand AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, COUNT(*) AS m
+       |  FROM ${p}bands a JOIN ${p}bands b
+       |    ON a.band_no = b.band_no AND a.bits = b.bits AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
+  /** s02's gated threshold: NEAR-duplicate semantics (the 0.45 regime of
+    * earlier rounds is below 64-dim noise floors — its output is itself
+    * Θ(n²), so no construction can emit it linearly; 0.9 is where true
+    * duplicate mass lives and survivor counts track duplication rate). */
+  private[graft] val NearDupThreshold = 0.9
+
+  /** Deterministic word-pair feature expression shared by the Scala and
+    * DuckDB sides of [[docBigramVectors]]: 64 integer components in
+    * [-1000, 1000] from md5(gram ":" chunk) hex slices (the s09 wordVec
+    * family widened to 8 chunks × 8 components). */
+  private val HashedGramVecExpr =
+    "transform(sequence(0, 63), j -> cast(conv(substring(md5(concat(g, ':', " +
+      "cast(j div 8 as string))), (j % 8) * 4 + 1, 4), 16, 10) as bigint) " +
+      "% 2001 - 1000)"
+
+  /** Deterministic 64-dim hashed-bigram document embeddings: every word
+    * bigram hashes to an integer vector (md5 arithmetic — no model, no
+    * driver state) and a document's vector is the tf-weighted integer sum
+    * of its bigram vectors. Exact duplicates embed identically; high
+    * token-overlap near-duplicates land at cosine ≥ ~0.95 while unrelated
+    * docs sit near the 64-dim noise floor (measured gap at sf0.01:
+    * 0.966 vs 0.55). Everything is exact integer arithmetic — replicated
+    * verbatim by the DuckDB oracle.
+    *
+    * Scale shape: one corpus scan explodes bigrams; gram vectors are
+    * computed ONCE per distinct gram (vocab-sized, distributed — md5 is
+    * a codegen'd builtin, no collect anywhere); the component sum is a
+    * hash agg on (doc, component) with map-side partials. Docs with < 2
+    * words have no bigrams and no vector (both engines agree). */
+  private[graft] def docBigramVectors(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat(ws[i - 1], ' ', ws[i]))"))
+        .as("g"))
+    val gtf = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+    val gvec = gtf.select("g").distinct().withColumn("v", expr(HashedGramVecExpr))
+    gtf.join(gvec, "g")
+      .select(col("doc_id"), col("tf"), posexplode(col("v")))
+      .select(col("doc_id"), col("pos"), (col("tf") * col("col")).as("xx"))
+      .groupBy("doc_id", "pos").agg(sum("xx").as("s"))
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, s))), e -> e.s)")
+        .as("q"))
+      .select(col("doc_id").as("vec_id"), col("q"))
+      .withColumn("nrm", expr(normExpr("q")))
+  }
+
+  /** s02: PRODUCTION near-duplicate detection — hashed-bigram document
+    * embeddings ([[docBigramVectors]]) + the adaptive banded-LSH kernel
+    * (64 bands × clamp(ceil(log₂ n), 8, 18) bits) + exact integer rescore
+    * at cosine ≥ [[NearDupThreshold]].
+    *
+    * This is the construction you run at 100×: the candidate floor is
+    * bands·n (linear — each doubling of n adds one bit, halving the
+    * per-pair collision probability), survivors track the corpus's true
+    * duplication mass, and recall at sim ≈ 0.95+ stays ≳ 0.99 at every
+    * clamp point (a band of b bits collides with prob (1-acos(s)/π)^b;
+    * at s = 0.95, b = 18 that is 0.147 per band — 64 bands miss with
+    * prob 4e-5). The r8-and-earlier fixed-width (16×4 @ 0.45)
+    * construction — proven c·n² in SCALE_r8 §1 — is demoted to
+    * SimilaritySpec fixtures.
+    *
+    * APPROXIMATE SEMANTICS: LSH recall at the stated construction —
+    * the DuckDB oracle replicates the identical planes, bit rule and
+    * threshold, so the harness validates engine agreement on the SAME
+    * candidate set; precision is exact (candidates are rescored with the
+    * exact integer dot before the threshold filter). */
+  def s02EmbedNearDup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = documents(s, d).select("doc_id", "text")
+    val bits = adaptiveBits(docs.count())
+    nearDupPairsOf(docBigramVectors(docs).localCheckpoint(true),
+      NearDupThreshold, ScaledBands, bits)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** s05: loose-similarity pair mining over the embeddings table at the
+    * scale-safe width — the SAME adaptive construction as s02 at the
+    * historic 0.45 threshold. 0.45 sits below the 64-dim noise floor
+    * (SCALE_r8 §1: the exact output at 0.45 is itself Θ(n²)), so the
+    * honest scale contract is BOUNDED WORK, not full recall: candidate
+    * mass stays ~bands·n at any corpus size and recall at the threshold
+    * decays as the bit width grows — callers who need exhaustive pairs
+    * at a sub-noise threshold are asking for a quadratic output and pay
+    * quadratic cost in any engine. Oracle-gated at the identical
+    * construction in DuckDB. */
+  def s05NearDupWide(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val raw = embeddings(s, d)
+    val bits = adaptiveBits(raw.count())
+    val emb = raw.withColumn("q", expr(qEmb))
+      .withColumn("nrm", expr(normExpr("q")))
+      .select("vec_id", "q", "nrm")
+    nearDupPairsOf(emb, 0.45, ScaledBands, bits)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** The adaptive near-dup oracle over the embeddings table. */
+  private def adaptiveNeardupEmbSql(threshold: Double): String =
+    s"""WITH q AS (
+       |  SELECT vec_id, $qEmbDuck AS qv FROM embeddings
+       |), elems AS (
+       |  SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x FROM q
+       |), norms AS (
+       |  SELECT vec_id, SUM(x * x) AS nrm FROM elems GROUP BY vec_id
+       |), ${adaptiveLshCtes("", "(SELECT COUNT(*) FROM embeddings)")},
+       |${neardupTailCtes("", threshold)}
+       |${neardupTailSelect("")}""".stripMargin
+
+  /** The rescore/threshold tail shared by the adaptive near-dup oracles:
+    * exact integer dots of the candidate pairs + 6-dp cosine filter. */
+  private def neardupTailCtes(p: String, threshold: Double): String =
+    s"""${p}dots AS (
+       |  SELECT c.vec_a, c.vec_b, SUM(ea.x * eb.x) AS dot
+       |  FROM ${p}cand c
+       |  JOIN ${p}elems ea ON ea.vec_id = c.vec_a
+       |  JOIN ${p}elems eb ON eb.vec_id = c.vec_b AND ea.i = eb.i
+       |  GROUP BY 1, 2
+       |), ${p}survivors AS (
+       |  SELECT DISTINCT vec_a, vec_b,
+       |    ROUND(dot::DOUBLE / GREATEST(sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE), 1e-12), 6) AS sim
+       |  FROM ${p}dots JOIN ${p}norms na ON vec_a = na.vec_id
+       |  JOIN ${p}norms nb ON vec_b = nb.vec_id
+       |  WHERE ROUND(dot::DOUBLE / GREATEST(sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE), 1e-12), 6) >= $threshold
+       |)""".stripMargin
+
+  private def neardupTailSelect(p: String): String =
+    s"SELECT vec_a, vec_b, sim FROM ${p}survivors ORDER BY vec_a, vec_b"
+
+  val s05Sql: String = adaptiveNeardupEmbSql(0.45)
 
   /** The banded-signature table feeding the s02 candidate join; exposed so
     * the bench can report candidate volume alongside the timing. `bands` x
@@ -209,8 +374,8 @@ object SimilarityOps {
     * uses (16, 4); at larger corpus scales wider bands (more bits) shrink
     * the random-collision mass ~2^-(r-4) per band while more bands restore
     * recall (see [[graft.ops.Vectors.nearDuplicatePairs]] for the math). */
-  private[graft] def s02Bands(emb: DataFrame, bands: Int = SimBands,
-                              rowsPerBand: Int = SimRowsPerBand): DataFrame =
+  private[graft] def s02Bands(emb: DataFrame, bands: Int,
+                              rowsPerBand: Int): DataFrame =
     // One codegen'd kernel (SignBandsI64) computes every band's bit
     // pattern in a single pass over the planes held in one flat long[] —
     // not a tree of bands×rowsPerBand literal-plane dot_i64 calls, whose
@@ -223,10 +388,11 @@ object SimilarityOps {
           lit(bands), lit(rowsPerBand))))
       .select(col("vec_id"), col("pos").as("band_no"), col("col").as("bits"))
 
-  /** s02 candidate pairs (band collisions, pre-rescore, pre-distinct). */
-  private[graft] def s02Candidates(emb: DataFrame, bands: Int = SimBands,
-                                   rowsPerBand: Int = SimRowsPerBand): DataFrame = {
-    val b = s02Bands(emb, bands, rowsPerBand)
+  /** Banded candidate pairs (band collisions, pre-rescore, pre-distinct).
+    * [[AdaptiveBits]] resolves against the frame's count. */
+  private[graft] def s02Candidates(emb: DataFrame, bands: Int,
+                                   rowsPerBand: Int): DataFrame = {
+    val b = s02Bands(emb, bands, resolveBits(emb, rowsPerBand))
     b.as("a").join(b.as("b"),
         col("a.band_no") === col("b.band_no") &&
           col("a.bits") === col("b.bits") &&
@@ -234,11 +400,15 @@ object SimilarityOps {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
   }
 
-  /** The s02 kernel over a quantized (vec_id, q, nrm) frame: banded-LSH
-    * candidates + exact rescore, threshold applied to the exact cosine. */
+  /** The banded near-dup kernel over a quantized (vec_id, q, nrm) frame:
+    * LSH candidates + exact rescore, threshold applied to the exact
+    * cosine. Default construction is the production adaptive one
+    * (64 bands × clamp(ceil(log₂ n), 8, 18) bits — [[AdaptiveBits]]
+    * resolves against the frame's count). */
   private[graft] def nearDupPairsOf(emb: DataFrame, threshold: Double,
-                                    bands: Int = SimBands,
-                                    rowsPerBand: Int = SimRowsPerBand): DataFrame = {
+                                    bands: Int = ScaledBands,
+                                    rowsPerBand: Int = AdaptiveBits): DataFrame = {
+    val rb = resolveBits(emb, rowsPerBand)
     // The band join stays THIN (ids + band key only — no array payload in
     // join-output rows), candidate pairs flow straight into the rescore
     // with no intermediate distinct: the all-candidates dedupe was a full
@@ -246,7 +416,7 @@ object SimilarityOps {
     // deduping AFTER it is free. Rescore joins are plain equi-joins (AQE
     // broadcasts the vector table when it fits, shuffles when it doesn't)
     // and dot/filter run in the same codegen stage as the join output.
-    s02Candidates(emb, bands, rowsPerBand)
+    s02Candidates(emb, bands, rb)
       .join(emb.select(col("vec_id").as("vec_a"), col("q").as("qa"),
         col("nrm").as("na")), "vec_a")
       .join(emb.select(col("vec_id").as("vec_b"), col("q").as("qb"),
@@ -265,48 +435,34 @@ object SimilarityOps {
       .withColumn("nrm", expr(normExpr("q")))
       .select("vec_id", "q", "nrm")
 
-  /** Oracle for the banded near-dup kernel, parameterized over the OR/AND
-    * construction so the gated (16×4) and wide (32×8) variants share one
-    * generator. The planes VALUES literal replicates `planeFor` exactly. */
-  private def neardupSql(bands: Int, rowsPerBand: Int, threshold: Double): String = {
-    val planeRows = (0 until bands * rowsPerBand).flatMap { j =>
-      (0 until Dim).map(k => s"($j, ${k + 1}, ${planeFor(j)(k)})")
-    }.mkString(",\n    ")
-    s"""WITH q AS (
-       |  SELECT vec_id, $qEmbDuck AS qv FROM embeddings
+  /** s02's oracle: the hashed-bigram embedding + adaptive banded LSH +
+    * exact rescore, replicated end-to-end in DuckDB (md5 arithmetic, the
+    * integer component sums, the power-of-two bit fences, the plane pool
+    * and the 6-dp cosine filter are all the same integer/IEEE ops). */
+  val s02Sql: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |), grams AS (
+       |  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM words)
+       |), gtf AS (
+       |  SELECT doc_id, g, COUNT(*) AS tf FROM grams GROUP BY 1, 2
+       |), gvecs AS (
+       |  SELECT g, list_transform(range(0, 64), j ->
+       |    ('0x' || substr(md5(g || ':' || CAST(j // 8 AS VARCHAR)),
+       |      ((j % 8) * 4 + 1)::INT, 4))::BIGINT % 2001 - 1000) AS v
+       |  FROM (SELECT DISTINCT g FROM gtf)
+       |), gelems AS (
+       |  SELECT g, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM gvecs
        |), elems AS (
-       |  SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x FROM q
+       |  SELECT t.doc_id AS vec_id, e.i, SUM(t.tf * e.x) AS x
+       |  FROM gtf t JOIN gelems e ON t.g = e.g
+       |  GROUP BY 1, 2
        |), norms AS (
        |  SELECT vec_id, SUM(x * x) AS nrm FROM elems GROUP BY vec_id
-       |), planes(p, i, w) AS (
-       |  VALUES $planeRows
-       |), plane_dots AS (
-       |  SELECT e.vec_id, pl.p, SUM(e.x * pl.w) AS pd
-       |  FROM elems e JOIN planes pl ON e.i = pl.i
-       |  GROUP BY 1, 2
-       |), bands AS (
-       |  SELECT vec_id, p // $rowsPerBand AS band_no,
-       |    CAST(SUM(CASE WHEN pd > 0 THEN 1 << (p % $rowsPerBand) ELSE 0 END) AS BIGINT) AS bits
-       |  FROM plane_dots GROUP BY 1, 2
-       |), cand AS (
-       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band_no = b.band_no AND a.bits = b.bits AND a.vec_id < b.vec_id
-       |), dots AS (
-       |  SELECT c.vec_a, c.vec_b, SUM(ea.x * eb.x) AS dot
-       |  FROM cand c
-       |  JOIN elems ea ON ea.vec_id = c.vec_a
-       |  JOIN elems eb ON eb.vec_id = c.vec_b AND ea.i = eb.i
-       |  GROUP BY 1, 2)
-       |SELECT DISTINCT vec_a, vec_b,
-       |  ROUND(dot::DOUBLE / (sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)), 6) AS sim
-       |FROM dots JOIN norms na ON vec_a = na.vec_id
-       |JOIN norms nb ON vec_b = nb.vec_id
-       |WHERE ROUND(dot::DOUBLE / (sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)), 6) >= $threshold
-       |ORDER BY vec_a, vec_b""".stripMargin
-  }
-
-  val s02Sql: String = neardupSql(SimBands, SimRowsPerBand, 0.45)
+       |), ${adaptiveLshCtes("", "(SELECT COUNT(*) FROM documents)")},
+       |${neardupTailCtes("", NearDupThreshold)}
+       |${neardupTailSelect("")}""".stripMargin
 
   /** LSH-bucketed ANN: sign(dot(v, plane_j)) bits form a 16-bit bucket;
     * neighbors are scored only within the query's bucket. */
@@ -1038,20 +1194,24 @@ object SimilarityOps {
     *
     * Scale shape: the decisive ColBERT trick re-expressed relationally —
     * cos(query token, doc token) depends only on the WORD PAIR, so the
-    * dense token×token interaction collapses to a (query vocab × corpus
-    * vocab) similarity table, computed driver-side from the two collected
-    * vocabularies (vocab-sized by the bounded-dictionary contract, like
-    * s04's centroids / t11's eval grams) and broadcast. The interaction
-    * then FACTORS: per-token maxima depend only on the word, so one hash
-    * agg builds m(query word, doc) = max cosine over the doc's inverted
-    * (doc, word) index (|doc words| × |query vocab| rows), and scoring
-    * joins the query TERM-FREQUENCY table against m — Σ_w tf(w)·m(w,doc)
-    * ≡ the per-occurrence sum, at query-vocab × docs rows instead of a
-    * row per (occurrence × doc word) (the naive join measured 82M rows /
-    * 14 s at sf0.1; this shape is ~6M / ~1 s). No doc×doc or token×token
-    * pairwise scoring anywhere; at an unbounded real vocabulary the C
-    * table is replaced by per-token ANN (s01-s08), the same plan with a
-    * candidate join instead of a dense broadcast. */
+    * dense token×token interaction collapses to the (query vocab ×
+    * corpus vocab) similarity surface. ONLY the query vocabulary touches
+    * the driver (genuinely small — bounded by the query set): corpus
+    * word vectors are computed DISTRIBUTED by a codegen'd md5 expression
+    * on the vocab-sized distinct-word frame (no corpus-vocab collect —
+    * an open 10^8-token vocabulary never lands on the driver), and the
+    * query side fans out as a literal-array explode in the same codegen
+    * stage. The interaction then FACTORS: per-token maxima depend only
+    * on the word, so one hash agg builds m(query word, doc) = max
+    * cosine over the doc's inverted (doc, word) index (|doc words| ×
+    * |query vocab| rows), and scoring joins the query TERM-FREQUENCY
+    * table against m — Σ_w tf(w)·m(w,doc) ≡ the per-occurrence sum, at
+    * query-vocab × docs rows instead of a row per (occurrence × doc
+    * word) (the naive join measured 82M rows / 14 s at sf0.1; this
+    * shape is ~6M / ~1 s). No doc×doc or token×token pairwise scoring
+    * anywhere; at an unbounded real vocabulary the dense query fan-out
+    * is replaced by per-token ANN (s01-s08), the same plan with a
+    * candidate join instead of a literal explode. */
   def s09MaxsimTopk(s: SparkSession, d: String): DataFrame =
     maxsimTopKOf(s, documents(s, d).select("doc_id", "text"),
       col("doc_id") < NumQueries, TopK).orderBy("query_id", "rk")
@@ -1066,21 +1226,11 @@ object SimilarityOps {
       (java.lang.Long.parseLong(hex.substring(j * 4, j * 4 + 4), 16) % 2001) - 1000)
   }
 
-  /** floor(cos * 1e6) of two word vectors — the one float op per pair. */
-  private def cosMilli(a: Array[Long], b: Array[Long]): Long = {
-    var dot = 0L; var na = 0L; var nb = 0L; var i = 0
-    while (i < a.length) {
-      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-    }
-    math.floor(dot.toDouble /
-      math.max(math.sqrt(na.toDouble) * math.sqrt(nb.toDouble), 1e-12)
-      * 1000000.0).toLong
-  }
-
   /** The s09 kernel over any (doc_id, text) frame (graft.ops.Text API). */
   private[graft] def maxsimTopKOf(s: SparkSession, docs: DataFrame,
                                   queryCond: org.apache.spark.sql.Column,
                                   k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     import s.implicits._
     val tokens = docs
       .withColumn("words", split(col("text"), " "))
@@ -1089,26 +1239,42 @@ object SimilarityOps {
       .select(col("doc_id").as("qdoc"), col("w"))
     val docwords = tokens
       .select(col("doc_id").as("ddoc"), col("w").as("dw")).distinct()
-    // vocab-sized collects (the bounded-dictionary contract) -> the
-    // word-pair similarity table, broadcast. qwords is a subset of vocab
-    // by construction (query docs are corpus docs), so vocab alone
-    // covers every vector.
-    val vocab = docwords.select("dw").distinct().as[String].collect().sorted
+    // ONLY the query vocabulary touches the driver (genuinely small —
+    // bounded by the query set, not the corpus). The CORPUS vocabulary
+    // stays distributed: wordVec is pure md5 arithmetic, computed by the
+    // same codegen'd expression family the oracle replicates, once per
+    // distinct word on the vocab-sized frame — at an open 10^8+-token
+    // vocabulary there is no driver collect and no driver OOM (the r8
+    // verdict's s09 finding).
     val qwords = qtokens.select("w").distinct().as[String].collect().sorted
-    val vecs: Map[String, Array[Long]] =
-      vocab.map(w => w -> wordVec(w)).toMap
-    val c = (for (wq <- qwords; wd <- vocab)
-      yield (wq, wd, cosMilli(vecs(wq), vecs(wd))))
-      .toSeq.toDF("w", "wd", "c")
+    val qlits = qwords.toSeq.map { w =>
+      val v = wordVec(w); (w, v.toSeq, v.map(x => x * x).sum)
+    }
+    val vocabVecs = docwords.select("dw").distinct()
+      .withColumn("v", expr(
+        "transform(sequence(0, 7), j -> cast(conv(substring(md5(dw), " +
+          "j * 4 + 1, 4), 16, 10) as bigint) % 2001 - 1000)"))
+      .withColumn("nrm", expr("normsq_i64(v)"))
     // factor the interaction: the per-token max depends only on the WORD,
     // so aggregate m(query word, doc) = max cosine over the doc's words
     // FIRST (|corpus (doc, word)| × |query vocab| rows), then join the
     // query TERM-FREQUENCY table (query-vocab-sized per query) — never a
     // row per (token occurrence × doc word): the naive occurrence join
-    // measured 82M rows / 14 s at sf0.1 where this is ~6M / ~1 s
+    // measured 82M rows / 14 s at sf0.1 where this is ~6M / ~1 s.
+    // The query side fans out as a LITERAL-ARRAY EXPLODE (a generator in
+    // the same codegen stage — no cross join, no LocalTableScan), and
+    // cosMilli runs inline over the codegen'd dot_i64/normsq_i64 kernels
+    // with the exact oracle op order: dot / max(√na·√nb, 1e-12) · 1e6,
+    // floored once.
     val qtf = qtokens.groupBy("qdoc", "w").agg(count(lit(1)).as("tf"))
     val m = docwords
-      .join(broadcast(c), col("wd") === col("dw"))
+      .join(vocabVecs, "dw")
+      .select(col("ddoc"), col("v"), col("nrm"),
+        explode(typedLit(qlits)).as("qe"))
+      .select(col("qe._1").as("w"), col("ddoc"),
+        expr("cast(floor(cast(dot_i64(qe._2, v) as double) / " +
+          "greatest(sqrt(cast(qe._3 as double)) * sqrt(cast(nrm as double)), 1e-12) " +
+          "* 1000000.0) as bigint)").as("c"))
       .groupBy("w", "ddoc").agg(max("c").as("mx"))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy("qdoc").orderBy(col("maxsim_milli").desc, col("ddoc"))
@@ -1181,23 +1347,27 @@ object SimilarityOps {
   /** Per-vector candidate fan-out cap, applied by band-collision
     * multiplicity BEFORE the exact rescore: more shared bands ≈ closer
     * (the standard LSH multi-probe ranking), so the cap keeps rescore
-    * mass ≤ 2·cap·n — LINEAR in corpus size — while the uncapped
-    * candidate floor of the 32×8 construction is ~n² (measured:
-    * 296k → 29.6M pairs for 10× the vectors, SCALE_r8 §1). Twins that
-    * collide in every band always survive the cap. Sized so the cap
-    * does NOT bind at bench scales (~62 candidates/vector at 500
-    * vectors): among moderate-sim pairs most collision counts are 1 and
-    * the multiplicity ranking separates weakly, so a tight cap evicts
-    * true neighbors with the noise (measured: cap 12 cut strong-pair
-    * rank-1 recall 0.73 → 0.17 at sf0.01). When the cap binds at
-    * larger n, the recall lever is WIDER bands (SCALE_r8 §2), not a
-    * looser cap. */
+    * mass ≤ 2·cap·n — LINEAR in corpus size — a belt-and-braces bound on
+    * top of the adaptive construction's own ~bands·n collision floor
+    * (at a FIXED width the floor was c·n²: 296k → 29.6M pairs for 10×
+    * the vectors under 32×8, SCALE_r8 §1 — the reason the gated
+    * construction is adaptive since r9). Twins that collide in every
+    * band always survive the cap. Sized so the cap does NOT bind at
+    * bench scales (~62 candidates/vector at 500 vectors): among
+    * moderate-sim pairs most collision counts are 1 and the multiplicity
+    * ranking separates weakly, so a tight cap evicts true neighbors with
+    * the noise (measured: cap 12 cut strong-pair rank-1 recall
+    * 0.73 → 0.17 at sf0.01). When the cap binds at larger n, the recall
+    * lever is WIDER bands (SCALE_r8 §2), not a looser cap. */
   val KnnCandCap = 64
 
   /** s11: approximate kNN-graph construction — for EVERY corpus vector,
     * its top-[[KnnK]] nearest neighbors among its [[KnnCandCap]]
-    * most-collision-frequent banded-LSH candidates (the s05 wide 32×8
-    * construction). The kNN graph is the input primitive of graph-based
+    * most-collision-frequent banded-LSH candidates (the adaptive
+    * production construction: [[ScaledBands]] × [[adaptiveBits]] — the
+    * collision floor stays ~bands·n at any corpus size, measured 5.5×
+    * faster than fixed 32×8 at 20k vectors with the identical edge set,
+    * SCALE_r8 §2). The kNN graph is the input primitive of graph-based
     * curation (SemDeDup/D4-style cluster pruning, connected-component
     * near-dup families, diversity sampling) — unlike the s0x query-set
     * searches, this materializes neighborhoods for the WHOLE corpus in
@@ -1220,11 +1390,11 @@ object SimilarityOps {
   /** s11's kernel over a quantized (vec_id, q, nrm) frame
     * (graft.ops.Vectors API). */
   private[graft] def knnGraphOf(emb: DataFrame, k: Int,
-                                bands: Int = WideBands,
-                                rowsPerBand: Int = WideRowsPerBand,
+                                bands: Int = ScaledBands,
+                                rowsPerBand: Int = AdaptiveBits,
                                 candCap: Int = KnnCandCap): DataFrame = {
     // k/candCap validation lives in knnGraphFromCands (the shared tail)
-    val cand = s02Candidates(emb, bands, rowsPerBand)
+    val cand = s02Candidates(emb, bands, resolveBits(emb, rowsPerBand))
       .groupBy("vec_a", "vec_b").agg(count(lit(1)).as("m"))
     knnGraphFromCands(emb, cand, k, candCap)
   }
@@ -1235,32 +1405,36 @@ object SimilarityOps {
     * point is producing the same `cand` table without recomputing the
     * standing pairs. */
   private[graft] def knnGraphFromCands(emb: DataFrame, cand: DataFrame,
-                                       k: Int, candCap: Int,
-                                       restrictTo: Option[DataFrame] = None): DataFrame = {
-    // validation lives on the SHARED tail so the incremental path cannot
-    // silently run with a cap below k (review-pass finding: the facade
-    // bypassed knnGraphOf's checks)
-    require(k >= 1, s"knnGraph: k must be >= 1, got $k")
-    require(candCap >= k,
-      s"knnGraph: candCap must be >= k, got candCap=$candCap k=$k")
-    val symAll = cand.select(col("vec_a").as("vec_id"),
+                                       k: Int, candCap: Int): DataFrame =
+    knnTailFromSym(emb, symmetrized(cand), k, candCap)
+
+  /** Symmetrize a (vec_a < vec_b, m) pair frame into per-vector
+    * (vec_id, neighbor_id, m) candidate entries. */
+  private[graft] def symmetrized(cand: DataFrame): DataFrame =
+    cand.select(col("vec_a").as("vec_id"),
         col("vec_b").as("neighbor_id"), col("m"))
       .union(cand.select(col("vec_b").as("vec_id"),
         col("vec_a").as("neighbor_id"), col("m")))
-    // The cap/rescore/top-k tail is per-vec_id independent, so restricting
-    // the symmetrized stream to a vec_id subset BEFORE the window yields
-    // exactly the full build's rows for those vectors (s16's touched-only
-    // upkeep). The subset is batch-collision-sized — broadcast, so the
-    // semi-join is a map-side filter, never a shuffle of the pair table.
-    val sym = restrictTo.fold(symAll)(ids =>
-      symAll.join(broadcast(ids.select("vec_id")), Seq("vec_id"), "left_semi"))
+
+  /** Per-vector top-[[KnnCandCap]] candidate lists from a symmetrized
+    * (vec_id, neighbor_id, m) stream — the PERSISTABLE index state of
+    * the incremental paths: because candidate multisets only GROW under
+    * append-only ingest and the cap window is per-vector, top-cap of
+    * (an old capped list ∪ that vector's new entries) equals top-cap of
+    * the full candidate multiset (the monoid property s16 relies on). */
+  private[graft] def cappedLists(sym: DataFrame, candCap: Int): DataFrame = {
     val wc = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("m").desc, col("neighbor_id"))
-    val capped = sym
-      .withColumn("crk", row_number().over(wc))
+    sym.withColumn("crk", row_number().over(wc))
       .filter(col("crk") <= candCap)
-      .select("vec_id", "neighbor_id")
-    val sims = capped
+      .select("vec_id", "neighbor_id", "m")
+  }
+
+  /** Exact-rescore + per-vector top-k over already-capped
+    * (vec_id, neighbor_id) candidate entries. */
+  private[graft] def rescoreTopK(emb: DataFrame, capped: DataFrame,
+                                 k: Int): DataFrame = {
+    val sims = capped.select("vec_id", "neighbor_id")
       .join(emb.select(col("vec_id"), col("q").as("qa"),
         col("nrm").as("na")), "vec_id")
       .join(emb.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
@@ -1275,36 +1449,32 @@ object SimilarityOps {
       .select("vec_id", "rk", "neighbor_id", "sim")
   }
 
+  /** Cap + rescore + top-k over a symmetrized candidate stream. */
+  private[graft] def knnTailFromSym(emb: DataFrame, sym: DataFrame,
+                                    k: Int, candCap: Int): DataFrame = {
+    // validation lives on the SHARED tail so the incremental path cannot
+    // silently run with a cap below k (review-pass finding: the facade
+    // bypassed knnGraphOf's checks)
+    require(k >= 1, s"knnGraph: k must be >= 1, got $k")
+    require(candCap >= k,
+      s"knnGraph: candCap must be >= k, got candCap=$candCap k=$k")
+    rescoreTopK(emb, cappedLists(sym, candCap), k)
+  }
+
   /** The kNN-graph derivation as prefixed CTE text ending in `<p>ranked`
     * = (vec_id, neighbor_id, sim, rk) with rk unbounded — SHARED by
     * s11Sql and ClusterOps.s13Sql (the dsirSqlCtes anti-drift lesson):
-    * the PageRank oracle walks EXACTLY the s11 edge list. */
+    * the PageRank oracle walks EXACTLY the s11 edge list. Adaptive
+    * construction since r9 (64 bands × count-derived bits — the same
+    * [[adaptiveLshCtes]] the near-dup oracles use). */
   private[graft] def knnSqlCtes(p: String): String = {
-    val planeRows = (0 until WideBands * WideRowsPerBand).flatMap { j =>
-      (0 until Dim).map(kk => s"($j, ${kk + 1}, ${planeFor(j)(kk)})")
-    }.mkString(",\n    ")
     s"""${p}q AS (
        |  SELECT vec_id, $qEmbDuck AS qv FROM embeddings
        |), ${p}elems AS (
        |  SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x FROM ${p}q
        |), ${p}norms AS (
        |  SELECT vec_id, SUM(x * x) AS nrm FROM ${p}elems GROUP BY vec_id
-       |), ${p}planes(p, i, w) AS (
-       |  VALUES $planeRows
-       |), ${p}plane_dots AS (
-       |  SELECT e.vec_id, pl.p, SUM(e.x * pl.w) AS pd
-       |  FROM ${p}elems e JOIN ${p}planes pl ON e.i = pl.i
-       |  GROUP BY 1, 2
-       |), ${p}bands AS (
-       |  SELECT vec_id, p // $WideRowsPerBand AS band_no,
-       |    CAST(SUM(CASE WHEN pd > 0 THEN 1 << (p % $WideRowsPerBand) ELSE 0 END) AS BIGINT) AS bits
-       |  FROM ${p}plane_dots GROUP BY 1, 2
-       |), ${p}cand AS (
-       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, COUNT(*) AS m
-       |  FROM ${p}bands a JOIN ${p}bands b
-       |    ON a.band_no = b.band_no AND a.bits = b.bits AND a.vec_id < b.vec_id
-       |  GROUP BY 1, 2
-       |), ${p}sym0 AS (
+       |), ${adaptiveLshCtes(p, "(SELECT COUNT(*) FROM embeddings)")}, ${p}sym0 AS (
        |  SELECT vec_a AS vec_id, vec_b AS neighbor_id, m FROM ${p}cand
        |  UNION ALL
        |  SELECT vec_b AS vec_id, vec_a AS neighbor_id, m FROM ${p}cand
@@ -1365,7 +1535,7 @@ object SimilarityOps {
     val t = (maxId + 1L) * (NewBatchDen - 1L) / NewBatchDen
     require(t >= 1L && t <= maxId,
       s"incrementalKnn: degenerate batch split t=$t for max id $maxId")
-    incrementalKnnOf(emb, t, KnnK, WideBands, WideRowsPerBand, KnnCandCap)
+    incrementalKnnOf(emb, t, KnnK, ScaledBands, AdaptiveBits, KnnCandCap)
       .orderBy("vec_id", "rk")
   }
 
@@ -1376,12 +1546,16 @@ object SimilarityOps {
   private[graft] def incrementalKnnOf(emb: DataFrame, t: Long, k: Int,
                                       bands: Int, rowsPerBand: Int,
                                       candCap: Int): DataFrame = {
+    // resolve adaptive bits ONCE against the FULL frame (the s11
+    // equality contract requires the standing build, the probe and a
+    // full rebuild to share one construction)
+    val rb = resolveBits(emb, rowsPerBand)
     // standing state: the old corpus's per-pair collision counts
     val standing = s02Candidates(emb.filter(col("vec_id") < t),
-        bands, rowsPerBand)
+        bands, rb)
       .groupBy("vec_a", "vec_b").agg(count(lit(1)).as("m"))
       .localCheckpoint(true)
-    knnGraphFromCands(emb, standing.union(incrementalProbe(emb, t, bands, rowsPerBand)),
+    knnGraphFromCands(emb, standing.union(incrementalProbe(emb, t, bands, rb)),
       k, candCap)
   }
 
@@ -1409,27 +1583,32 @@ object SimilarityOps {
     * s15 that SCALE_r8 named as the next step: s15 re-ranks the WHOLE
     * merged candidate table per ingest batch, a corpus-bound ~O(n·cap)
     * cap/rescore tail even for a 1% batch (measured ~9 s floor at u10×,
-    * IncScale). s16 persists the standing graph EDGES alongside the
-    * standing pair table and re-ranks ONLY the vectors the probe touched.
+    * IncScale r8). s16 persists the standing graph EDGES and the CAPPED
+    * per-vector candidate LISTS (r9: the lists, not the raw pair table
+    * — the r8 shape still re-windowed the merged corpus-sized stream)
+    * and re-ranks ONLY the vectors the probe touched, merging each
+    * touched vector's standing capped list with its new probe entries.
     *
     * Why that is exact, not approximate: old×old collision counts are
     * immutable under append-only ingest, so an old vector with NO
-    * new-batch collision has a bit-identical symmetrized candidate
-    * multiset in the full rebuild — its capped list, rescore and top-k
-    * CANNOT change, and its standing edges are reused verbatim
-    * (left_anti on the touched set). Touched vectors (old probe members
-    * ∪ the batch) re-run the shared cap/rescore/top-k tail over
-    * standing ∪ probe restricted to their partitions (a broadcast
-    * semi-join — per-vec_id windows are independent, so the restriction
-    * commutes with the tail). Result ≡ s11 full rebuild row-for-row —
-    * the same hard maintenance contract as s15 (oracle: literally
-    * s11Sql; spec: frame equality plus non-vacuity of BOTH paths).
+    * new-batch collision has a bit-identical candidate multiset in the
+    * full rebuild — its capped list, rescore and top-k CANNOT change,
+    * and its standing edges are reused verbatim (left_anti on the
+    * touched set). For touched vectors, top-cap(standing capped list ∪
+    * new entries) ≡ top-cap(full multiset): an old candidate ranked
+    * ≤ cap in the union is ranked ≤ cap among old candidates alone
+    * (candidate sets only grow), so the truncated state loses nothing
+    * the merged window could keep. Result ≡ s11 full rebuild
+    * row-for-row — the same hard maintenance contract as s15 (oracle:
+    * literally s11Sql; spec: frame equality plus non-vacuity of BOTH
+    * paths).
     *
     * Scale shape: upkeep cost is O(batch collision mass + touched·cap)
-    * instead of s15's O(corpus·cap) — at 10^10 vectors with a 0.1%
-    * ingest batch the re-rank shrinks by the touched fraction; the
-    * standing pair table AND edge list are read, never recomputed (their
-    * build here stands in for a state load, same convention as s15). */
+    * in BOTH the window and the rescore — nothing corpus-sized is
+    * re-sorted or re-scored; the standing lists and edges are read,
+    * never recomputed (their build here stands in for a state load,
+    * same convention as s15; at production scale both are bucketed by
+    * vec_id so the touched semi-join prunes the read). */
   def s16TouchedKnn(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
@@ -1439,7 +1618,7 @@ object SimilarityOps {
     val t = (maxId + 1L) * (NewBatchDen - 1L) / NewBatchDen
     require(t >= 1L && t <= maxId,
       s"touchedKnn: degenerate batch split t=$t for max id $maxId")
-    touchedKnnOf(emb, t, KnnK, WideBands, WideRowsPerBand, KnnCandCap)
+    touchedKnnOf(emb, t, KnnK, ScaledBands, AdaptiveBits, KnnCandCap)
       .orderBy("vec_id", "rk")
   }
 
@@ -1449,21 +1628,35 @@ object SimilarityOps {
   private[graft] def touchedKnnOf(emb: DataFrame, t: Long, k: Int,
                                   bands: Int, rowsPerBand: Int,
                                   candCap: Int): DataFrame = {
+    // one construction for state build, probe and rebuild (see
+    // incrementalKnnOf) — adaptive bits resolve against the FULL frame
+    val rb = resolveBits(emb, rowsPerBand)
     val embOld = emb.filter(col("vec_id") < t)
     // persisted state (checkpoints stand in for a state load): the old
-    // corpus's pair table AND its finished edge list
-    val standing = s02Candidates(embOld, bands, rowsPerBand)
-      .groupBy("vec_a", "vec_b").agg(count(lit(1)).as("m"))
+    // corpus's CAPPED per-vector candidate lists and its finished edge
+    // list — r9 upgrade over the r8 shape, which persisted only the raw
+    // pair table and re-windowed the MERGED corpus-sized stream per
+    // batch (the ~9 s corpus-bound re-rank floor IncScale measured).
+    val standingCapped = cappedLists(
+      symmetrized(s02Candidates(embOld, bands, rb)
+        .groupBy("vec_a", "vec_b").agg(count(lit(1)).as("m"))), candCap)
       .localCheckpoint(true)
-    val standingEdges = knnGraphFromCands(embOld, standing, k, candCap)
+    val standingEdges = rescoreTopK(embOld, standingCapped, k)
       .localCheckpoint(true)
-    // the upkeep job: probe once, derive the touched set, re-rank only it
-    val probe = incrementalProbe(emb, t, bands, rowsPerBand)
+    // the upkeep job: probe once, derive the touched set, then re-rank
+    // ONLY the touched vectors' lists — top-cap(old capped list ∪ new
+    // entries) ≡ top-cap(full candidate multiset) because candidate
+    // multisets only grow under append-only ingest ([[cappedLists]]),
+    // so the merged window runs on O(touched·cap + batch collisions)
+    // rows, never the corpus (at production scale the standing lists
+    // are bucketed by vec_id and the semi-join prunes the read).
+    val probeSym = symmetrized(incrementalProbe(emb, t, bands, rb))
       .localCheckpoint(true)
-    val touched = probe.select(col("vec_a").as("vec_id"))
-      .union(probe.select(col("vec_b").as("vec_id"))).distinct()
-    val reranked = knnGraphFromCands(emb, standing.union(probe), k, candCap,
-      restrictTo = Some(touched))
+    val touched = probeSym.select("vec_id").distinct()
+    val reranked = knnTailFromSym(emb,
+      standingCapped.join(broadcast(touched), Seq("vec_id"), "left_semi")
+        .unionByName(probeSym),
+      k, candCap)
     standingEdges.join(touched, Seq("vec_id"), "left_anti")
       .unionByName(reranked)
   }

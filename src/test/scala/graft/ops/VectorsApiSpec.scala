@@ -29,17 +29,19 @@ class VectorsApiSpec extends AnyFunSuite {
     assert(api.exceptAll(gated).isEmpty && gated.exceptAll(api).isEmpty)
   }
 
-  test("nearDuplicatePairs == s02 under renamed columns") {
-    val api = Vectors.nearDuplicatePairs(spark, renamed,
-      idCol = "id", vecCol = "vec").orderBy("vec_a", "vec_b")
+  test("Text.nearDuplicateDocs == s02 under renamed columns") {
+    val docsRenamed = spark.read.parquet(s"$d/documents.parquet")
+      .selectExpr("doc_id AS id", "text AS body")
+    val api = graft.ops.Text.nearDuplicateDocs(spark, docsRenamed,
+      idCol = "id", textCol = "body").orderBy("vec_a", "vec_b")
     val gated = graft.queries.SimilarityOps.s02EmbedNearDup(spark, d)
     assert(api.columns.sameElements(gated.columns))
     assert(api.exceptAll(gated).isEmpty && gated.exceptAll(api).isEmpty)
   }
 
-  test("nearDuplicatePairs(32x8) == s05 under renamed columns") {
+  test("nearDuplicatePairs (adaptive defaults) == s05 under renamed columns") {
     val api = Vectors.nearDuplicatePairs(spark, renamed,
-      idCol = "id", vecCol = "vec", bands = 32, bandBits = 8)
+      idCol = "id", vecCol = "vec")
       .orderBy("vec_a", "vec_b")
     val gated = graft.queries.SimilarityOps.s05NearDupWide(spark, d)
     assert(api.columns.sameElements(gated.columns))

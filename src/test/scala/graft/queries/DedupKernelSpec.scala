@@ -155,4 +155,34 @@ class DedupKernelSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getAs[Double]("dup_frac") <= 1.0,
       s"dup_frac > 1 for doc ${r.getAs[Long]("doc_id")}"))
   }
+
+  test("d16 sampled audit == exact audit restricted to the sample; estimator gap pinned") {
+    // the r9 gate: d16 audits a deterministic doc_id % S == 0 sample
+    // (exact-join mass / S^2). Contract: the sampled rows are EXACTLY the
+    // full (S=1) offline certification's rows whose BOTH ids fall in the
+    // sample — same jacc_milli, same found flag — and on this corpus the
+    // sampled found-rate estimator agrees with the exact found-rate.
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+    def rows(sampleDen: Long) =
+      graft.ops.Corpus.dedupRecallAudit(spark, docs, sampleDen)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toSet
+    val exact = rows(1L)
+    val sampled = rows(DedupOps.AuditSampleDen)
+    assert(exact.size > sampled.size && sampled.nonEmpty,
+      s"degenerate fixture: exact ${exact.size} vs sampled ${sampled.size}")
+    val S = DedupOps.AuditSampleDen
+    val expected = exact.filter(t => t._1 % S == 0 && t._2 % S == 0)
+    assert(sampled == expected,
+      s"sampled audit drifted from the restricted exact audit: " +
+        s"extra ${sampled.diff(expected)}, missing ${expected.diff(sampled)}")
+    def rate(xs: Set[(Long, Long, Long, Boolean)]): Double =
+      xs.count(_._4).toDouble / xs.size
+    info(s"exact found-rate ${rate(exact)} over ${exact.size} pairs; " +
+      s"sampled ${rate(sampled)} over ${sampled.size}")
+    assert(rate(sampled) == rate(exact),
+      "estimator gap on the certification corpus (both should be 1.0 here)")
+  }
 }

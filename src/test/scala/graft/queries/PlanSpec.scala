@@ -95,13 +95,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("pq_adc_i64"), p)
   }
 
-  test("s09: MaxSim scoring is equi-joins over the broadcast word-pair table") {
+  test("s09: MaxSim scoring is equi-joins; NO corpus-vocab collect in the plan") {
     val p = plan(SimilarityOps.s09MaxsimTopk(spark, d))
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
     // the per-word max aggregation must run partial (map-side combine)
     assert(p.contains("partial_max"), p)
+    // the r8 verdict's s09 fix pinned: the corpus vocabulary must never
+    // land on the driver — the old plan materialized the driver-built
+    // Vq×Vc table as a LocalTableScan; the distributed rewrite computes
+    // word vectors via the md5 expression and fans the (small) query
+    // side out as a literal explode, so NO local relation may appear
+    assert(!p.contains("LocalTableScan"), p)
   }
 
   test("s02: band join and rescore are equi-joins, never a cross product") {

@@ -182,13 +182,13 @@ class SimilaritySpec extends AnyFunSuite {
     info(s"s11 overall rank-1 recall = $recall ($hit/${vecs.length})")
     // The graph's PURPOSE is the strong edges (near-dup/cluster pairs) —
     // vectors whose true top-1 is an unremarkable random neighbor
-    // (cos ~0.3, below the 32x8 collision knee) may legitimately miss.
-    // Measured at candCap 64: overall 0.53, strong-pair 0.73 (this
-    // corpus's strongest pairs sit at 0.45-0.51, where a 32x8 band
-    // agrees with p ~ 0.031 — the construction targets >= 0.7 near-dups
-    // and the §2 band-width lever is the recall knob). Floors with
-    // margin pin against collapse (the cap-12 regression measured
-    // 0.20/0.17 and would fail both).
+    // (cos ~0.3, below the collision knee) may legitimately miss.
+    // Measured at candCap 64 under the adaptive construction (64 bands ×
+    // 9 bits at n=500): overall 0.546, strong-pair 0.833 (this corpus's
+    // strongest pairs sit at 0.45-0.51; the old fixed 32×8 measured
+    // 0.53/0.73 — same per-band admit rate 64·2^-9 = 32·2^-8, twice the
+    // OR chances). Floors with margin pin against collapse (the cap-12
+    // regression measured 0.20/0.17 and would fail both).
     assert(recall >= 0.4, s"s11 overall rank-1 recall $recall collapsed")
     val strong = bruteTop1.filter(_._2._2 >= 0.45)
     assert(strong.nonEmpty, "no strong pairs in fixture — probe vacuous")
@@ -200,9 +200,55 @@ class SimilaritySpec extends AnyFunSuite {
       s"s11 missed planted near-duplicates: $strongRecall")
   }
 
-  test("s02 precision is exact and recall vs brute force >= 0.85") {
-    val truth = bruteForcePairs()
-    assert(truth.nonEmpty, "fixture has no qualifying pairs — probe is vacuous")
+  /** Fully independent recompute of the hashed-bigram doc embedding:
+    * plain-Scala md5 slices + integer tf sums — pins the Spark
+    * md5/conv/substring expression bit-for-bit. */
+  private def bruteDocVectors(): Array[(Long, Array[Long])] = {
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def gramVec(g: String): Array[Long] = {
+      val out = new Array[Long](64)
+      for (c <- 0 until 8) {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"$g:$c".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        for (j <- 0 until 8)
+          out(c * 8 + j) =
+            (java.lang.Long.parseLong(hex.substring(j * 4, j * 4 + 4), 16) % 2001) - 1000
+      }
+      out
+    }
+    val cache = scala.collection.mutable.Map.empty[String, Array[Long]]
+    docs.flatMap { case (id, text) =>
+      val ws = text.split(" ", -1)
+      if (ws.length < 2) None
+      else {
+        val v = new Array[Long](64)
+        ws.sliding(2).foreach { p =>
+          val gv = cache.getOrElseUpdate(s"${p(0)} ${p(1)}", gramVec(s"${p(0)} ${p(1)}"))
+          var i = 0; while (i < 64) { v(i) += gv(i); i += 1 }
+        }
+        Some((id, v))
+      }
+    }.sortBy(_._1)
+  }
+
+  test("s02 (adaptive doc near-dup): precision exact, recall 1.0 vs brute force at 0.9") {
+    val vecs = bruteDocVectors()
+    val norms = vecs.map { case (_, v) => v.map(x => x * x).sum }
+    val truth = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+      dot = {
+        var s = 0L; var k = 0
+        while (k < 64) { s += vecs(i)._2(k) * vecs(j)._2(k); k += 1 }; s
+      }
+      sim = BigDecimal(dot.toDouble / math.max(
+          math.sqrt(norms(i).toDouble) * math.sqrt(norms(j).toDouble), 1e-12))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if sim >= SimilarityOps.NearDupThreshold
+    } yield (vecs(i)._1, vecs(j)._1)).toSet
+    assert(truth.nonEmpty, "fixture has no qualifying doc pairs — probe is vacuous")
     val got = SimilarityOps.s02EmbedNearDup(spark, d)
       .select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -210,7 +256,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.subsetOf(truth), s"false positives: ${got.diff(truth)}")
     val recall = got.intersect(truth).size.toDouble / truth.size
     info(s"s02 recall = $recall (${got.size}/${truth.size} pairs)")
+    // true near-dup pairs sit at cosine ~0.97+ where a 9-bit band agrees
+    // with p ~ 0.46 — the 64-band miss probability is ~1e-17: the
+    // adaptive construction must find EVERY pair on this corpus
+    assert(recall == 1.0, s"recall $recall < 1: missed ${truth.diff(got)}")
+  }
+
+  test("demoted fixed-width fixture: 16x4 @ 0.45 on embeddings keeps its measured recall") {
+    // the r8-and-earlier gated s02 construction, kept as a spec fixture
+    // (SCALE_r8 §1 proved its candidate floor is c·n² — production runs
+    // the adaptive rule; this pins that the fixed-width kernel itself
+    // still delivers its stated boundary recall)
+    val truth = bruteForcePairs()
+    assert(truth.nonEmpty, "fixture has no qualifying pairs — probe is vacuous")
+    graft.functions.GraftFunctions.register(spark)
+    val emb = SimilarityOps.withQuantized(
+      spark.read.parquet(s"$d/embeddings.parquet")
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding")), "embedding")
+    val got = SimilarityOps.nearDupPairsOf(emb, 0.45, 16, 4)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth), s"false positives: ${got.diff(truth)}")
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    info(s"16x4 fixture recall = $recall (${got.size}/${truth.size} pairs)")
     assert(recall >= 0.85, s"recall $recall below 0.85: missed ${truth.diff(got)}")
+  }
+
+  test("adaptiveBits: exact integer fences, clamped to [8, 18]") {
+    import SimilarityOps.adaptiveBits
+    assert(adaptiveBits(1L) == 8 && adaptiveBits(2L) == 8)
+    assert(adaptiveBits(256L) == 8, "2^8 exactly -> still 8 (ceil)")
+    assert(adaptiveBits(257L) == 9)
+    assert(adaptiveBits(512L) == 9 && adaptiveBits(513L) == 10)
+    assert(adaptiveBits(500L) == 9, "the sf0.01 corpus lands on 9 bits")
+    assert(adaptiveBits(5000L) == 13, "the sf0.1 documents corpus -> 13")
+    assert(adaptiveBits(1L << 18) == 18)
+    assert(adaptiveBits((1L << 18) + 1) == 18, "clamped at the oracle pool bound")
+    assert(adaptiveBits(1L << 30) == 18)
   }
 
   test("s08 IVF-PQ equals the driver-side recompute; recall@5 vs s01 >= 0.9") {
@@ -343,7 +426,7 @@ class SimilaritySpec extends AnyFunSuite {
     val t = (maxId + 1L) * (SimilarityOps.NewBatchDen - 1L) /
       SimilarityOps.NewBatchDen
     val probe = SimilarityOps.incrementalProbe(emb, t,
-      SimilarityOps.WideBands, SimilarityOps.WideRowsPerBand)
+      SimilarityOps.ScaledBands, SimilarityOps.adaptiveBits(emb.count()))
     val touchedOld = probe.filter(col("vec_a") < t)
       .select("vec_a").distinct().count()
     val oldTotal = emb.filter(col("vec_id") < t).count()
@@ -382,7 +465,7 @@ class SimilaritySpec extends AnyFunSuite {
     val emb = SimilarityOps.withQuantized(embRaw, "embedding")
       .localCheckpoint(true)
     val probe = SimilarityOps.incrementalProbe(emb, 6L,
-      SimilarityOps.WideBands, SimilarityOps.WideRowsPerBand)
+      SimilarityOps.ScaledBands, SimilarityOps.adaptiveBits(emb.count()))
     val touchedOld = probe.filter(col("vec_a") < 6L)
       .select("vec_a").distinct().count()
     assert(touchedOld === 0L,
