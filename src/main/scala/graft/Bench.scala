@@ -130,9 +130,24 @@ object Bench {
     val errs = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
     val compact =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${names.size},"errors":$errs,"sf":"$sfDir"}"""
-    Console.out.println(compact)
+    // The driver's capture is a bounded TAIL (front-truncated): rounds
+    // 6-8 lost the oversized single per-query line to the clip every
+    // time (BENCH_r0{6,7,8}.json parsed:null). Emit the legacy full
+    // line FIRST (expendable), then the per-query map again as SHORT
+    // chunked lines (~1 KB each, `bench_part i/of`), then the compact
+    // total LAST — the tail now always ends in complete, individually
+    // parseable lines whatever the window size.
     Console.out.println(
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errs$s02Stats}""")
+    val chunks = results.grouped(30).toSeq
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val part = chunk.map { case (k, v) => "\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      Console.out.println(
+        s"""{"metric":"bench_part","part":${i + 1},"of":${chunks.size},"queries":$part}""")
+    }
+    if (s02Stats.nonEmpty)
+      Console.out.println(s"""{"metric":"bench_stats"$s02Stats}""")
     Console.out.println(compact)
     Console.out.flush()
     spark.stop()

@@ -76,7 +76,12 @@ object Media {
     * count, idx1 keyframe flags, with every cross-container consistency
     * contract (avih ≡ strh ≡ movi ≡ idx1 frame counts, index offsets
     * addressing real frame chunks) enforced — an inconsistent container
-    * is reported corrupt, not half-parsed. Corrupt payloads and null ids
+    * is reported corrupt, not half-parsed. Accepts both DIB stride
+    * dialects (tight rows and the real-world 4-byte-padded stride; pad
+    * bytes are excluded from the pixel mean) and all three idx1 offset
+    * conventions in the wild (movi-data-relative, 'movi'-fourcc-
+    * relative, absolute — detected on the first entry, then required
+    * uniformly). Corrupt payloads and null ids
     * are flagged (ok = false), never fatal. Returns (id, ok, width,
     * height, n_frames, n_keyframes, fps_milli, frame_bytes,
     * first_frame_mean). */

@@ -976,34 +976,59 @@ object MultiModalOps {
     require(scale > 0 && rate > 0, s"corrupt strh rate $rate/$scale")
     require(moviStart >= 0, "no movi list")
     require(idxStart >= 0, "no idx1 index")
-    val frameBytes = width.toLong * height * 3
-    require(frameBytes <= bytes.length,
-      s"frame size $frameBytes exceeds ${bytes.length}-byte file")
-    // walk movi: count '00dc' frames, mean of the FIRST frame's bytes
-    var nFrames = 0L; var firstMean = -1L
+    // Real-world 24-bit DIBs pad each row to a 4-byte stride; the
+    // synthesis dialect writes tight rows. Accept BOTH (r8 advice item):
+    // frame chunks must uniformly be one of the two sizes.
+    val tightBytes = width.toLong * height * 3
+    val stride = ((width * 3 + 3) / 4) * 4
+    val paddedBytes = stride.toLong * height
+    require(tightBytes <= bytes.length,
+      s"frame size $tightBytes exceeds ${bytes.length}-byte file")
+    // walk movi: count '00dc' frames, mean of the FIRST frame's PIXEL
+    // bytes (pad bytes excluded when the stride dialect is padded)
+    var nFrames = 0L; var firstMean = -1L; var frameBytes = -1L
     var p = moviStart
     while (p + 8 <= moviEnd) {
       val cid = fourcc(p); val csz = bb.getInt(p + 4)
       chunkBound(cid, p, csz)
       require(p + 8L + csz <= moviEnd, s"corrupt AVI: '$cid' overruns movi")
       if (cid == "00dc") {
+        require(csz == tightBytes || csz == paddedBytes,
+          s"frame chunk size $csz matches neither tight $tightBytes nor " +
+            s"4-byte-stride $paddedBytes for ${width}x$height x24")
+        if (frameBytes < 0) frameBytes = csz
         require(csz == frameBytes,
-          s"frame chunk size $csz != strf frame size $frameBytes")
+          s"mixed frame chunk sizes: $csz after $frameBytes")
         if (nFrames == 0L) {
-          var acc = 0L; var j = 0
-          while (j < csz) { acc += bytes(p + 8 + j) & 0xff; j += 1 }
-          firstMean = acc / csz
+          val rowBytes = width * 3
+          val rowStride = if (csz == paddedBytes) stride else rowBytes
+          var acc = 0L; var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < rowBytes) {
+              acc += bytes(p + 8 + y * rowStride + x) & 0xff; x += 1
+            }
+            y += 1
+          }
+          firstMean = acc / (rowBytes.toLong * height)
         }
         nFrames += 1
       }
       p += 8 + csz + (csz & 1)
     }
     require(nFrames > 0, "no frame chunks in movi")
-    // idx1 validation: every entry must point at a matching '00dc' chunk
-    // (offsets are relative to the movi list's data start) and keyframe
-    // flags come from here
+    // idx1 validation: every entry must point at a matching '00dc'
+    // chunk. Real-world muxers disagree on the offset base — relative
+    // to the movi list's DATA start, relative to the 'movi' fourcc
+    // (first chunk at offset 4), or absolute file offsets — so the
+    // convention is DETECTED on the first entry and then required
+    // uniformly (r8 advice item). Keyframe flags come from here.
     require(idxStart + 16L * idxCount <= bytes.length,
       s"corrupt idx1: $idxCount entries exceed file bounds")
+    def frameChunkAt(abs: Long): Boolean =
+      abs >= moviStart && abs + 8 <= moviEnd && (abs & 1) == 0 &&
+        fourcc(abs.toInt) == "00dc" && bb.getInt(abs.toInt + 4) == frameBytes
+    var idxBase = Long.MinValue
     var nKey = 0L; var k = 0
     while (k < idxCount) {
       val e = idxStart + 16 * k
@@ -1011,11 +1036,21 @@ object MultiModalOps {
       val flags = bb.getInt(e + 4)
       val eOff = bb.getInt(e + 8); val eSz = bb.getInt(e + 12)
       require(eSz == frameBytes, s"idx1 entry $k: size $eSz != $frameBytes")
-      val abs = moviStart.toLong + eOff
+      if (idxBase == Long.MinValue) {
+        // detect: movi data-start-relative, 'movi'-fourcc-relative, abs
+        idxBase = Seq(moviStart.toLong, moviStart.toLong - 4L, 0L)
+          .find(b => frameChunkAt(b + eOff))
+          .getOrElse(throw new IllegalArgumentException(
+            s"idx1 entry 0: offset $eOff addresses no frame chunk under " +
+              "any offset convention (data-start-relative, " +
+              "fourcc-relative, absolute)"))
+      }
+      val abs = idxBase + eOff
       require(eOff >= 0 && abs + 8 + eSz <= moviEnd,
         s"idx1 entry $k: offset $eOff outside movi")
-      require(fourcc(abs.toInt) == "00dc" && bb.getInt(abs.toInt + 4) == eSz,
-        s"idx1 entry $k: offset $eOff does not address a frame chunk")
+      require(frameChunkAt(abs),
+        s"idx1 entry $k: offset $eOff does not address a frame chunk " +
+          "under the detected convention")
       if ((flags & 0x10) != 0) nKey += 1
       k += 1
     }

@@ -392,12 +392,21 @@ object Relational3 {
         expr("cast(round(value * 1000) as bigint)").as("vm"),
         col("ts_ns"), col("event_id"))
       .localCheckpoint(true)
-    val vr = ev.agg(min("vm"), max("vm")).head()
+    val vr = ev.agg(min("vm"), max("vm"), min("day")).head()
     require(!vr.isNullAt(0), "q31: empty events table")
     val (vmin, vmax) = (vr.getLong(0), vr.getLong(1))
     require(vmin >= 0 && vmax < Q31Pack,
       s"q31: value_milli range [$vmin, $vmax] overflows the $Q31Pack " +
         "LOCF pack — widen the pack base or rescale the value")
+    // pre-epoch timestamps break BOTH the bucket (Spark div truncates
+    // toward zero, DuckDB // floors — they diverge on negatives) and
+    // the pack unpack (p % pack / p div pack return negative parts), so
+    // a negative day fails BY NAME instead of silently disagreeing with
+    // the oracle (r8 advice item)
+    val dmin = vr.getLong(2)
+    require(dmin >= 0,
+      s"q31: pre-epoch events (min day $dmin < 0) — the daily bucket and " +
+        "the LOCF pack require ts_ns >= 0; shift the epoch or filter")
     val wL = Window.partitionBy("user_id", "day")
       .orderBy(col("ts_ns").desc, col("event_id").desc)
     val lastPerDay = ev.withColumn("rk", row_number().over(wL))
@@ -449,7 +458,49 @@ object Relational3 {
        |FROM rfill WHERE p IS NOT NULL
        |ORDER BY user_id, day""".stripMargin
 
+  /** q32's deterministic row-sample denominator (keep 1/D of rows). */
+  private val SketchSampleDen = 8L
+
+  /** q32: percentile SKETCH — the oracle-gated scale path next to q26's
+    * exact percentiles (the r8 verdict's ask: the documented scale story
+    * should itself be gated, not prose). A deterministic md5 hash-sample
+    * keeps 1/[[SketchSampleDen]] of lineitem rows (keyed on the unique
+    * (l_orderkey, l_linenumber) — a uniform sample no value column can
+    * bias) and the per-flag percentiles interpolate over the SAMPLE:
+    * sort/buffer cost drops by D while the estimate's error is
+    * O(1/√(n/D)) — the standard sampling estimator a 100 TB exact sort
+    * can't match. Both engines draw the IDENTICAL sample (same md5, same
+    * fences), so the oracle is exact; the estimator's error against the
+    * exact q26 values is pinned by RelationalSpec, not hashed. */
+  def q32PercentileSketch(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(expr(
+        "cast(conv(substring(md5(concat(cast(l_orderkey as string), ':', " +
+          s"cast(l_linenumber as string))), 1, 15), 16, 10) as bigint) % $SketchSampleDen = 0"))
+      .withColumn("qty", col("l_quantity").cast("long"))
+      .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("sample_n"),
+        round(expr("percentile(qty, 0.5)"), 4).as("qty_p50_est"),
+        round(expr("percentile(qty, 0.95)"), 4).as("qty_p95_est"),
+        round(expr("percentile(cents, 0.5)"), 4).as("cents_p50_est"),
+        round(expr("percentile(cents, 0.99)"), 4).as("cents_p99_est"))
+      .orderBy("l_returnflag")
+
+  val q32Sql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS sample_n,
+       |  ROUND(quantile_cont(CAST(l_quantity AS BIGINT), 0.5), 4) AS qty_p50_est,
+       |  ROUND(quantile_cont(CAST(l_quantity AS BIGINT), 0.95), 4) AS qty_p95_est,
+       |  ROUND(quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.5), 4) AS cents_p50_est,
+       |  ROUND(quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.99), 4) AS cents_p99_est
+       |FROM lineitem
+       |WHERE ('0x' || substr(md5(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR), 1, 15))::BIGINT
+       |  % $SketchSampleDen = 0
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_percentile_sketch" -> q32PercentileSketch _,
     "q31_locf_resample" -> q31LocfResample _,
     "q30_grouping_sets" -> q30GroupingSets _,
     "q29_recursive_chains" -> q29RecursiveChains _,
@@ -463,6 +514,7 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q32_percentile_sketch" -> q32Sql,
     "q31_locf_resample" -> q31Sql,
     "q30_grouping_sets" -> q30Sql,
     "q28_unpivot" -> q28Sql,

@@ -352,14 +352,37 @@ object Pipelines {
                   gzipLevel: Option[Int] = None,
                   targetShards: Map[String, Int] = Map.empty,
                   encoding: Map[String, VarEncoding] = Map.empty,
-                  zarrFormat: Int = 3)
+                  zarrFormat: Int = 3,
+                  appendGuardTag: Option[String] = None)
       : ZarrGroup = {
     require(targetChunks.isEmpty || dynamicChunkingFn.isEmpty,
       "Passing both `target_chunks` and `dynamic_chunking_fn` not allowed.")
+    require(appendGuardTag.isEmpty || appendDim.isDefined,
+      "appendGuardTag only applies to append jobs (appendDim is empty)")
 
     val appendOffset = appendDim match {
       case Some(ad) =>
         val g = ZarrGroup(storePath)
+        // Append idempotence guard (BEYOND-reference hardening; the
+        // reference documents append as NOT idempotent and offers no
+        // protection, transforms.py:680-684 — compat default: off).
+        // Callers pass the batch's identity (typically the pattern's
+        // merkle-tail hex); a tag already recorded in the store's attrs
+        // means this exact batch was applied and re-running it would
+        // double-append — fail BY NAME instead of corrupting the cube.
+        appendGuardTag.foreach { tag =>
+          val applied = g.groupAttrs.get(AppliedAppendsAttr) match {
+            case Some(AttrValue.AList(v)) =>
+              v.collect { case AttrValue.AStr(s) => s }
+            case _ => Vector.empty
+          }
+          if (applied.contains(tag))
+            throw new IllegalStateException(
+              s"append batch '$tag' already applied to $storePath " +
+                s"($AppliedAppendsAttr) — refusing the double append; " +
+                "drop appendGuardTag to force the reference's unguarded " +
+                "non-idempotent behavior")
+        }
         val meta = g.arrayMeta(ad)
         meta.shape.head
       case None => 0
@@ -385,8 +408,23 @@ object Pipelines {
       val g = ZarrGroup(storePath)
       it.foreach { case (idx, frag) => storeFragment(idx, frag, g) }
     }
+    // record the applied batch tag AFTER the data lands (a failed job
+    // leaves no tag, so a retry is not spuriously refused)
+    appendGuardTag.foreach { tag =>
+      val cur = target.groupAttrs
+      val prior = cur.get(AppliedAppendsAttr) match {
+        case Some(AttrValue.AList(v)) => v
+        case _ => Vector.empty[AttrValue]
+      }
+      target.setGroupAttrs(cur +
+        (AppliedAppendsAttr -> AttrValue.AList(prior :+ AttrValue.AStr(tag))))
+    }
     target
   }
+
+  /** Store-attrs key recording applied append-batch tags (the
+    * idempotence guard's ledger). */
+  val AppliedAppendsAttr = "graft:applied_appends"
 }
 
 /** Format-specific openers (openers.py:16-254), keyed by FileType with the

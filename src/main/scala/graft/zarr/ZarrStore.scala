@@ -878,6 +878,25 @@ final class ZarrGroup(val root: String,
     else
       consolidated.map(_.keys.toVector.sorted).getOrElse(io.arrayDirs())
 
+  /** Replace the GROUP attributes on an existing store, preserving every
+    * other root field (v3 keeps zarr_format/node_type; v2 touches only
+    * `.zattrs`). A metadata mutation, so on-disk consolidation is
+    * stripped per the zarr consolidation contract — re-consolidate
+    * after. Used by the append idempotence guard to record applied
+    * batch tags. */
+  def setGroupAttrs(attrs: Attrs): Unit = {
+    if (format == 2) {
+      io.write(".zattrs", mapper.writerWithDefaultPrettyPrinter()
+        .writeValueAsBytes(ZarrStore.attrsObject(attrs)))
+    } else {
+      val root = mapper.readTree(io.read("zarr.json")).asInstanceOf[ObjectNode]
+      root.set[ObjectNode]("attributes", ZarrStore.attrsObject(attrs))
+      io.write("zarr.json", mapper.writerWithDefaultPrettyPrinter()
+        .writeValueAsBytes(root))
+    }
+    stripConsolidatedOnDisk()
+  }
+
   // ---------- array metadata ----------
   /** Create one array's metadata (no chunk data). `dimensionNames` carries
     * the xarray dims (zarr v3 `dimension_names`); attrs/encoding are merged

@@ -411,4 +411,97 @@ class MediaApiSpec extends AnyFunSuite {
       .select("doc_id").distinct().count() == 1)
     assert(Media.embedStub(mixed, "id", "bytes").count() == 1)
   }
+
+  test("aviIndex accepts padded DIB strides and all three idx1 offset conventions") {
+    // r9 (r8 advice item): real-world muxers pad 24-bit DIB rows to a
+    // 4-byte stride and disagree on the idx1 offset base. Build a
+    // bespoke AVI per (stride dialect x convention) and require the
+    // parser to produce the identical logical index for all six.
+    def build(w: Int, h: Int, nf: Int, rate: Int, padded: Boolean,
+              conv: Int): Array[Byte] = {
+      val rowBytes = w * 3
+      val stride = if (padded) ((rowBytes + 3) / 4) * 4 else rowBytes
+      val fsz = stride * h
+      val pad = fsz & 1
+      val strlSz = 4 + 8 + 56 + 8 + 40
+      val hdrlSz = 4 + 8 + 56 + 8 + strlSz
+      val moviSz = 4 + nf * (8 + fsz + pad)
+      val idxSz = 16 * nf
+      val riffSz = 4 + 8 + hdrlSz + 8 + moviSz + 8 + idxSz
+      val bb = java.nio.ByteBuffer.allocate(8 + riffSz)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fcc(x: String): Unit = bb.put(x.getBytes("ASCII"))
+      fcc("RIFF"); bb.putInt(riffSz); fcc("AVI ")
+      fcc("LIST"); bb.putInt(hdrlSz); fcc("hdrl")
+      fcc("avih"); bb.putInt(56)
+      bb.putInt(1000000 / rate); bb.putInt(0); bb.putInt(0)
+      bb.putInt(0x10); bb.putInt(nf); bb.putInt(0); bb.putInt(1)
+      bb.putInt(fsz); bb.putInt(w); bb.putInt(h)
+      bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+      fcc("LIST"); bb.putInt(strlSz); fcc("strl")
+      fcc("strh"); bb.putInt(56)
+      fcc("vids"); fcc("DIB ")
+      bb.putInt(0); bb.putShort(0); bb.putShort(0); bb.putInt(0)
+      bb.putInt(1); bb.putInt(rate); bb.putInt(0); bb.putInt(nf)
+      bb.putInt(fsz); bb.putInt(-1); bb.putInt(0)
+      bb.putShort(0); bb.putShort(0)
+      bb.putShort(w.toShort); bb.putShort(h.toShort)
+      fcc("strf"); bb.putInt(40)
+      bb.putInt(40); bb.putInt(w); bb.putInt(h)
+      bb.putShort(1); bb.putShort(24); bb.putInt(0)
+      bb.putInt(fsz); bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+      fcc("LIST"); bb.putInt(moviSz); fcc("movi")
+      val dataStart = bb.position()
+      val offs = new Array[Int](nf)
+      var i = 0
+      while (i < nf) {
+        offs(i) = bb.position() - dataStart
+        fcc("00dc"); bb.putInt(fsz)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < stride) {
+            bb.put(if (x < rowBytes) ((i * 31 + y * 7 + x * 13) % 256).toByte
+                   else 0.toByte)
+            x += 1
+          }
+          y += 1
+        }
+        if (pad == 1) bb.put(0.toByte)
+        i += 1
+      }
+      fcc("idx1"); bb.putInt(idxSz)
+      i = 0
+      while (i < nf) {
+        fcc("00dc")
+        bb.putInt(if (i % 4 == 0) 0x10 else 0)
+        bb.putInt(conv match {
+          case 0 => offs(i)              // movi data-start-relative
+          case 1 => offs(i) + 4          // 'movi'-fourcc-relative
+          case _ => dataStart + offs(i)  // absolute file offset
+        })
+        bb.putInt(fsz)
+        i += 1
+      }
+      bb.array()
+    }
+    val (w, h, nf, rate) = (9, 2, 3, 10) // w*3 = 27: stride 28 != tight
+    val expectedMean = {
+      var acc = 0L
+      for (y <- 0 until h; x <- 0 until w * 3) acc += (y * 7 + x * 13) % 256
+      acc / (w * 3 * h)
+    }
+    for (conv <- 0 to 2; padded <- Seq(false, true)) {
+      val v = graft.queries.MultiModalOps.aviIndexOf(
+        build(w, h, nf, rate, padded, conv))
+      withClue(s"conv=$conv padded=$padded: ") {
+        assert(v.width == w && v.height == h && v.nFrames == nf)
+        assert(v.nKeyframes == 1L && v.fpsMilli == rate * 1000L)
+        val stride = if (padded) ((w * 3 + 3) / 4) * 4 else w * 3
+        assert(v.frameBytes == stride.toLong * h)
+        assert(v.firstFrameMean == expectedMean,
+          "pad bytes leaked into the pixel mean")
+      }
+    }
+  }
 }

@@ -216,6 +216,60 @@ class EndToEndSpec extends AnyFunSuite {
     assert(result.sameAs(cube20))
   }
 
+  test("append idempotence guard: re-appending an applied batch fails by name") {
+    // beyond-reference hardening (the reference documents append as NOT
+    // idempotent, transforms.py:680-684): with appendGuardTag set, the
+    // merkle-tail tag lands in the store attrs on success and an exact
+    // re-run of the same batch refuses by name instead of doubling the
+    // cube. Default-off: the unguarded path stays reference-compatible
+    // (the test above re-appends freely).
+    val cube20 = GoldenCube.makeDs(20)
+    val first = cube20.isel(Map("time" -> Slc(0, 10)))
+    val second = cube20.isel(Map("time" -> Slc(10, 20)))
+    val dir = tmp()
+    val storePath = s"$dir/store.zarr"
+
+    def run(frag: Fragment, append: Boolean, label: String): Unit = {
+      val files = writeFragmentFiles(GoldenCube.splitByTime(frag, 2),
+        s"$dir/in_$label")
+      val pattern = FilePattern.fromFileSequence(files, "time",
+        nitemsPerFile = Some(2), fileType = FileType.Zarr)
+      val items = Pipelines.createItems(spark, pattern)
+      val frags = Pipelines.openWithFragments(items, FileType.Zarr)
+      val tag = pattern.sha256Hash.map("%02x".format(_)).mkString
+      Pipelines.storeToZarr(frags, pattern.combineDimKeys, storePath,
+        Map("time" -> 2), appendDim = if (append) Some("time") else None,
+        appendGuardTag = if (append) Some(tag) else None)
+    }
+    run(first, append = false, "base")
+    run(second, append = true, "batch1")
+    // an exact RE-RUN reads the SAME batch files -> the same pattern ->
+    // the same merkle-tail tag ("batch1" again, not a fresh dir: a new
+    // batch of new files is a legitimately different append)
+    // the ledger recorded the batch
+    val attrs = ZarrGroup(storePath).groupAttrs
+    assert(attrs.contains(Pipelines.AppliedAppendsAttr))
+    // the DOUBLE append of the identical batch fails by name
+    val e = intercept[IllegalStateException] {
+      run(second, append = true, "batch1")
+    }
+    assert(e.getMessage.contains("already applied"), e.getMessage)
+    // and the store still holds exactly the 20-day cube
+    assert(ZarrGroup(storePath).readFragment().sameAs(cube20))
+    // a guard tag on a non-append job is a caller bug, named
+    val files3 = writeFragmentFiles(GoldenCube.splitByTime(first, 2),
+      s"$dir/in_misuse")
+    val pat3 = FilePattern.fromFileSequence(files3, "time",
+      nitemsPerFile = Some(2), fileType = FileType.Zarr)
+    val frags3 = Pipelines.openWithFragments(
+      Pipelines.createItems(spark, pat3), FileType.Zarr)
+    val e2 = intercept[IllegalArgumentException] {
+      Pipelines.storeToZarr(frags3, pat3.combineDimKeys, s"$dir/other.zarr",
+        Map("time" -> 2), appendGuardTag = Some("x"))
+    }
+    assert(e2.getMessage.contains("appendGuardTag"), e2.getMessage)
+  }
+
   test("zarrFormat=2: pipeline writes a zarr-python classic store; append detects it") {
     val cube20 = GoldenCube.makeDs(20)
     val first = cube20.isel(Map("time" -> Slc(0, 10)))
