@@ -91,6 +91,23 @@ object Storage {
                 secrets: Map[String, String] = Map.empty): String = {
     val resolved = injectQueryStringSecrets(sourceUrl, secrets)
     val fetchUrl = if (isHttp(sourceUrl)) resolved else sourceUrl
+    if (cacheDir.contains("://")) {
+      // scheme'd cache target (s3a://, hdfs://, any registered Hadoop
+      // FS): one object PUT per cached file through the same StoreIO
+      // transport the zarr writers use; the size-match skip becomes a
+      // HEAD-shaped exists+size probe. The cache key stays the hashed
+      // UN-secreted name (secrets never reach object keys).
+      val io = graft.zarr.StoreIO.forRoot(cacheDir)
+      val key = hashPath(sourceUrl)
+      val size = sourceSize(fetchUrl)
+      if (io.exists(key) && size >= 0 && io.size(key) == size)
+        return s"$cacheDir/$key" // size-match skip
+      val in = openSource(fetchUrl)
+      val buf = new java.io.ByteArrayOutputStream()
+      try copyStream(in, buf) finally in.close()
+      io.write(key, buf.toByteArray)
+      return s"$cacheDir/$key"
+    }
     val target = Paths.get(cacheDir, hashPath(sourceUrl))
     Files.createDirectories(target.getParent)
     val size = sourceSize(fetchUrl)
@@ -103,6 +120,26 @@ object Storage {
       try copyStream(in, out) finally out.close()
       Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
     } finally in.close()
+    target.toString
+  }
+
+  /** copy_to_local for a scheme'd (object-store) path: spool the object
+    * into the executor-local JVM tmpdir under its hashed name (size-skip
+    * idempotent, same contract as [[cacheFile]]) so positional decoders
+    * (netcdf/hdf5/grib seek into the file) get a real local file —
+    * openers.py:229-252's copy_to_local over fsspec paths. */
+  def localize(schemedUrl: String): String = {
+    require(schemedUrl.contains("://"), s"localize: not a scheme'd URL: $schemedUrl")
+    val cut = schemedUrl.lastIndexOf('/')
+    val (root, key) = (schemedUrl.substring(0, cut), schemedUrl.substring(cut + 1))
+    val io = graft.zarr.StoreIO.forRoot(root)
+    val target = Paths.get(sys.props("java.io.tmpdir"), hashPath(schemedUrl))
+    val size = io.size(key)
+    if (Files.exists(target) && Files.size(target) == size)
+      return target.toString
+    val tmp = Files.createTempFile(target.getParent, ".localize", ".tmp")
+    Files.write(tmp, io.read(key))
+    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
     target.toString
   }
 }

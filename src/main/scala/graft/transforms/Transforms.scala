@@ -511,7 +511,7 @@ object Openers {
         s"No JVM decoder available for engine=$engine in this build; " +
           "use FileType.Zarr fragments or the parquet long view."))
     val isRemote = url.startsWith("http://") || url.startsWith("https://")
-    val resolvedUrl = cacheDir match {
+    val cached = cacheDir match {
       case Some(cd) if fileType != FileType.Opendap =>
         graft.storage.Storage.cacheFile(url, cd, secrets)
       case _ if isRemote && fileType != FileType.Opendap &&
@@ -522,6 +522,17 @@ object Openers {
           sys.props("java.io.tmpdir"), secrets)
       case _ => url
     }
+    // an object-store path (scheme'd cache or direct s3a/hdfs input) is
+    // spooled local for the positional decoders — copy_to_local over
+    // fsspec paths (openers.py:229-252); zarr decodes in place through
+    // its own StoreIO transport and opendap IS remote access
+    val cachedIsHttp =
+      cached.startsWith("http://") || cached.startsWith("https://")
+    val resolvedUrl =
+      if (cached.contains("://") && !cachedIsHttp &&
+          fileType != FileType.Opendap && fileType != FileType.Zarr)
+        graft.storage.Storage.localize(cached)
+      else cached
     val frag = decoder(resolvedUrl)
     // xr.open_dataset's mask_and_scale=True default: variables carrying CF
     // packing attrs (scale_factor/add_offset/_FillValue) arrive unpacked

@@ -502,6 +502,71 @@ class BakeSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------- noaa-oisst
 
+  test("bake noaa-oisst over an object-store transport: mos:// cache + target") {
+    // the sandbox mirror of the reference's MinIO integration leg
+    // (tests/test_integration.py): the SAME remote-HTTP -> cache ->
+    // store -> consolidate bake, with cache AND target on the in-JVM
+    // S3-shaped mos:// FileSystem — every write is an object PUT, the
+    // open path spools the cached object executor-local (copy_to_local),
+    // and the readback goes through the HadoopIO range-read transport.
+    import graft.hdf5.HDF5Writer
+    import graft.storage.MockObjectFS
+    val dir = tmp()
+    val nt = 3
+    val cube = GoldenCube.makeDs(nt)
+    val days = GoldenCube.splitByTime(cube, 1)
+    val dates = (0 until nt).map(i =>
+      java.time.LocalDate.parse("2021-01-01").plusDays(i.toLong))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    days.zip(dates).foreach { case (f, date) =>
+      val nc = s"$dir/oisst_${date}.nc"
+      HDF5Writer.write(nc, f)
+      val bytes = Files.readAllBytes(Paths.get(nc))
+      val ym = f"${date.getYear}%04d${date.getMonthValue}%02d"
+      val ymd = ym + f"${date.getDayOfMonth}%02d"
+      server.createContext(s"/avhrr/$ym/oisst-avhrr-v02r01.$ymd.nc",
+        (ex: com.sun.net.httpserver.HttpExchange) => {
+          ex.sendResponseHeaders(200, bytes.length.toLong)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        })
+    }
+    server.start()
+    val bucket = "bakebucket"
+    MockObjectFS.clearBucket(bucket)
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val conf = writeConfig(dir,
+        "TargetStorage" -> Seq("root_path" -> s"mos://$bucket/target"),
+        "InputCacheStorage" -> Seq("root_path" -> s"mos://$bucket/cache"),
+        "NoaaOisst" -> Seq(
+          "url_format" -> (s"$base/avhrr/{time:%Y%m}/" +
+            "oisst-avhrr-v02r01.{time:%Y%m%d}.nc"),
+          "dates" -> dates.mkString(","),
+          "target_chunks" -> "time=2"))
+      val out = graft.Bake.run(spark, Array(
+        "--recipe-id=noaa-oisst", s"-f=$conf"))
+      assert(out == s"mos://$bucket/target/noaa-oisst.zarr")
+      // readback THROUGH the object transport (range reads, listing)
+      val result = ZarrGroup(out).readFragment()
+      assert(result.dims("time") == nt)
+      val want = cube.allVars("foo").data.data.asInstanceOf[Array[Double]]
+      val got = result.allVars("foo").data.data.asInstanceOf[Array[Double]]
+      assert(got.sameElements(want))
+      // every remote file landed in the bucket's cache prefix as one object
+      val cacheKeys = MockObjectFS.keysIn(bucket)
+        .filter(_.startsWith(s"$bucket:cache/"))
+      assert(cacheKeys.size == nt, s"cache objects: $cacheKeys")
+      // consolidation rewrote the root doc through the transport
+      val rootDoc = new String(graft.zarr.StoreIO
+        .forRoot(out).read("zarr.json"), "UTF-8")
+      assert(rootDoc.contains("consolidated_metadata"))
+      // nothing escaped to posix: the local dir holds inputs + config only
+      assert(!Files.exists(Paths.get(s"$dir/target")))
+    } finally server.stop(0)
+  }
+
   test("noaa-oisst url_format: strftime fields render like the reference template") {
     val tpl = "https://www.ncei.noaa.gov/data/sea-surface-temperature-" +
       "optimum-interpolation/v2.1/access/avhrr/{time:%Y%m}/" +
