@@ -39,8 +39,12 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * h5py via its plugin ecosystem reads more; files carrying those filters
   * need a one-time repack (`h5repack -f GZIP=4`) before this reader.
   *
-  * Dense (fractal-heap) groups and attributes are rejected with a clear
-  * error; netCDF-4 files use them only past hundreds of links.
+  * Dense (fractal-heap) GROUP LINKS are read natively (v2 B-tree name
+  * index + fractal-heap object resolution — the storage netCDF-4
+  * switches to past the compact-link threshold); the unsupported dense
+  * corners (filtered heaps, huge/tiny heap objects, nested indirect
+  * blocks, B-tree depth ≥ 2 — ~10⁵+ links) fail by name, as do dense
+  * ATTRIBUTES (rare: attribute counts past the compact limit).
   */
 /** A chunk's filter pipeline names a filter this reader does not implement.
   * Raised BEFORE any bytes are interpreted — an unknown filter must surface
@@ -445,6 +449,173 @@ object HDF5 {
       else None // soft/external links ignored
     }
 
+    // ---- dense (fractal-heap) groups ----
+
+    /** Minimal bytes to encode `v` (HDF5's H5VM_limit_enc_size). */
+    private def encBytes(v: Long): Int = {
+      var n = 1; var x = v >>> 8
+      while (x != 0) { n += 1; x >>>= 8 }
+      n
+    }
+
+    private def readUnsigned(b: ByteBuffer, off: Int, len: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < len) { v |= (b.get(off + i) & 0xFFL) << (8 * i); i += 1 }
+      v
+    }
+
+    /** Enumerate a dense group's links: v2 B-tree (link NAME index,
+      * record = 4-byte lookup3 hash + fractal-heap ID) enumerates the
+      * heap IDs, each resolving through the fractal heap's doubling
+      * table to one serialized Link message — the storage netCDF-4
+      * switches to past the compact/symbol-table threshold (h5py reads
+      * it natively; spec III.F/III.G/III.A.2). Supported surface:
+      * managed (non-huge/tiny) heap objects, unfiltered heaps, root
+      * direct block or ONE level of indirect block with direct
+      * children, B-tree depth ≤ 1 — everything a netCDF-4 writer emits
+      * up to tens of thousands of links; beyond fails by name. */
+    private def readDenseLinks(fheapAddr: Long, nameBtAddr: Long): Vector[(String, Long)] = {
+      require(nameBtAddr != Undefined,
+        "dense group: link-info carries no name-index btree")
+      // -- fractal heap header (FRHP) --
+      val h = readAt(fheapAddr, 146)
+      val hsig = new Array[Byte](4); h.get(hsig)
+      require(java.util.Arrays.equals(hsig, "FRHP".getBytes("ASCII")),
+        "fractal heap signature")
+      require((h.get(4) & 0xFF) == 0, "fractal heap version")
+      val heapIdLen = h.getShort(5) & 0xFFFF
+      val ioFilterLen = h.getShort(7) & 0xFFFF
+      require(ioFilterLen == 0, "filtered fractal heaps not supported")
+      val maxManagedObj = h.getInt(10) & 0xFFFFFFFFL
+      val nHuge = h.getLong(86)
+      val nTiny = h.getLong(102)
+      require(nHuge == 0 && nTiny == 0,
+        s"huge/tiny fractal-heap objects not supported ($nHuge huge, $nTiny tiny)")
+      val tableWidth = h.getShort(110) & 0xFFFF
+      val startBlockSize = h.getLong(112)
+      val maxDirectSize = h.getLong(120)
+      val maxHeapBits = h.getShort(128) & 0xFFFF
+      val rootAddr = h.getLong(132)
+      val curRows = h.getShort(140) & 0xFFFF
+      val offSize = (maxHeapBits + 7) / 8
+      val lenSize = encBytes(math.min(maxDirectSize, maxManagedObj))
+      require(heapIdLen == 1 + offSize + lenSize,
+        s"fractal heap id length $heapIdLen != 1+$offSize+$lenSize")
+      // -- doubling table: (blockOffset, blockSize, fileAddr) per direct block --
+      def rowSize(r: Int): Long =
+        if (r < 2) startBlockSize else startBlockSize << (r - 1)
+      val maxDirectRows =
+        (63 - java.lang.Long.numberOfLeadingZeros(maxDirectSize)) -
+          (63 - java.lang.Long.numberOfLeadingZeros(startBlockSize)) + 2
+      val directBlocks: Vector[(Long, Long, Long)] =
+        if (rootAddr == Undefined) Vector.empty
+        else if (curRows == 0) Vector((0L, startBlockSize, rootAddr))
+        else {
+          require(curRows <= maxDirectRows,
+            s"nested indirect fractal-heap blocks not supported " +
+              s"($curRows rows > $maxDirectRows direct rows)")
+          // root INDIRECT block (FHIB): header + curRows*width child addrs
+          val ihead = readAt(rootAddr, 13 + offSize)
+          val isig = new Array[Byte](4); ihead.get(isig)
+          require(java.util.Arrays.equals(isig, "FHIB".getBytes("ASCII")),
+            "fractal heap indirect block signature")
+          val entries = readAt(rootAddr + 13 + offSize, curRows * tableWidth * 8)
+          var off = 0L
+          (0 until curRows * tableWidth).toVector.flatMap { i =>
+            val r = i / tableWidth
+            val sz = rowSize(r)
+            val blockOff = off
+            off += sz
+            val addr = entries.getLong(i * 8)
+            if (addr == Undefined) None else Some((blockOff, sz, addr))
+          }
+        }
+      // validate each direct block's signature + recorded offset once
+      directBlocks.foreach { case (blockOff, _, addr) =>
+        val d = readAt(addr, 13 + offSize)
+        val dsig = new Array[Byte](4); d.get(dsig)
+        require(java.util.Arrays.equals(dsig, "FHDB".getBytes("ASCII")),
+          "fractal heap direct block signature")
+        val recorded = readUnsigned(d, 13, offSize)
+        require(recorded == blockOff,
+          s"direct block offset $recorded != table offset $blockOff")
+      }
+      // heap offsets address the heap's linear space INCLUDING each
+      // block's header bytes: file = blockAddr + (heapOff - blockOff)
+      def readObject(heapOff: Long, len: Int): ByteBuffer = {
+        val blk = directBlocks.find { case (bo, sz, _) =>
+          heapOff >= bo && heapOff + len <= bo + sz }
+        val (bo, _, addr) = blk.getOrElse(throw new IllegalArgumentException(
+          s"fractal heap offset $heapOff+$len outside every direct block"))
+        readAt(addr + (heapOff - bo), len)
+      }
+      // -- v2 B-tree (name index, record type 5: hash4 + heap id) --
+      val bt = readAt(nameBtAddr, 38)
+      val bsig = new Array[Byte](4); bt.get(bsig)
+      require(java.util.Arrays.equals(bsig, "BTHD".getBytes("ASCII")),
+        "v2 btree header signature")
+      require((bt.get(5) & 0xFF) == 5, "v2 btree type (link name index)")
+      val nodeSize = bt.getInt(6)
+      val recSize = bt.getShort(10) & 0xFFFF
+      val depth = bt.getShort(12) & 0xFFFF
+      val btRootAddr = bt.getLong(16)
+      val rootNRec = bt.getShort(24) & 0xFFFF
+      require(recSize == 4 + heapIdLen,
+        s"name-index record size $recSize != 4+$heapIdLen")
+      val maxLeafRec = (nodeSize - 10) / recSize
+      def leafRecords(addr: Long, nrec: Int): Vector[ByteBuffer] = {
+        val lf = readAt(addr, 6 + nrec * recSize)
+        val lsig = new Array[Byte](4); lf.get(lsig)
+        require(java.util.Arrays.equals(lsig, "BTLF".getBytes("ASCII")),
+          "v2 btree leaf signature")
+        (0 until nrec).toVector.map { i =>
+          val r = lf.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+          r.position(6 + i * recSize)
+          val s = r.slice().order(ByteOrder.LITTLE_ENDIAN)
+          s.limit(recSize)
+          s
+        }
+      }
+      val records: Vector[ByteBuffer] =
+        if (rootNRec == 0) Vector.empty
+        else if (depth == 0) leafRecords(btRootAddr, rootNRec)
+        else if (depth == 1) {
+          // internal root (BTIN): nrec records + nrec+1 child pointers
+          // (addr + child nrec in minimal bytes for the leaf capacity)
+          val nrecSize = encBytes(maxLeafRec.toLong)
+          val ptrSize = 8 + nrecSize
+          val sz = 6 + rootNRec * recSize + (rootNRec + 1) * ptrSize
+          val nb = readAt(btRootAddr, sz)
+          val nsig = new Array[Byte](4); nb.get(nsig)
+          require(java.util.Arrays.equals(nsig, "BTIN".getBytes("ASCII")),
+            "v2 btree internal signature")
+          val ownRecs = (0 until rootNRec).toVector.map { i =>
+            val r = nb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+            r.position(6 + i * recSize)
+            val s = r.slice().order(ByteOrder.LITTLE_ENDIAN)
+            s.limit(recSize)
+            s
+          }
+          val base = 6 + rootNRec * recSize
+          val childRecs = (0 to rootNRec).toVector.flatMap { i =>
+            val addr = nb.getLong(base + i * ptrSize)
+            val cnt = readUnsigned(nb, base + i * ptrSize + 8, nrecSize).toInt
+            leafRecords(addr, cnt)
+          }
+          ownRecs ++ childRecs
+        } else throw new UnsupportedOperationException(
+          s"v2 btree depth $depth not supported (~>${maxLeafRec * maxLeafRec} links)")
+      // -- resolve each heap ID to its serialized link message --
+      records.flatMap { r =>
+        val idFlags = r.get(4) & 0xFF
+        require((idFlags & 0x30) == 0,
+          s"non-managed fractal heap id type ${(idFlags & 0x30) >> 4}")
+        val heapOff = readUnsigned(r, 5, offSize)
+        val objLen = readUnsigned(r, 5 + offSize, lenSize).toInt
+        parseLink(readObject(heapOff, objLen))
+      }.sortBy(_._1)
+    }
+
     // ---- global heap (vlen attribute payloads) ----
 
     private def globalHeapObject(collectionAddr: Long, index: Int): Array[Byte] = {
@@ -600,10 +771,11 @@ object HDF5 {
           case 0x0011 => // symbol table: group children
             children = children ++ readSymbolTable(b.getLong(0), b.getLong(8))
           case 0x0006 => parseLink(b).foreach(children :+= _)
-          case 0x0002 => // link info: reject dense storage
-            val fheap = b.getLong(if ((b.get(1) & 0x1) != 0) 10 else 2)
-            require(fheap == Undefined,
-              "dense (fractal heap) group links not supported")
+          case 0x0002 => // link info: dense (fractal-heap) storage
+            val base = if ((b.get(1) & 0x1) != 0) 10 else 2
+            val fheap = b.getLong(base)
+            if (fheap != Undefined)
+              children = children ++ readDenseLinks(fheap, b.getLong(base + 8))
           case _ => // group info, modification time... ignored
         }
       }

@@ -142,6 +142,64 @@ object HDF5Writer {
       throw new IllegalArgumentException(s"null attr $name")
   }
 
+  /** Minimal bytes to encode `v` (H5VM_limit_enc_size). */
+  private def lenBytesFor(v: Long): Int = {
+    var n = 1; var x = v >>> 8
+    while (x != 0) { n += 1; x >>>= 8 }
+    n
+  }
+
+  // ------------------------------------------------- Jenkins lookup3
+  /** Jenkins lookup3 hashlittle (Bob Jenkins, public domain, May 2006) —
+    * HDF5's H5_checksum_lookup3: the v2-btree/fractal-heap metadata
+    * checksum AND the dense link-name index hash. */
+  private[hdf5] def lookup3(data: Array[Byte], initval: Int = 0): Int = {
+    var a = 0xdeadbeef + data.length + initval
+    var b = a
+    var c = a
+    def rot(x: Int, k: Int): Int = (x << k) | (x >>> (32 - k))
+    var i = 0
+    def u(j: Int): Int = data(j) & 0xff
+    var len = data.length
+    while (len > 12) {
+      a += u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3) << 24)
+      b += u(i + 4) | (u(i + 5) << 8) | (u(i + 6) << 16) | (u(i + 7) << 24)
+      c += u(i + 8) | (u(i + 9) << 8) | (u(i + 10) << 16) | (u(i + 11) << 24)
+      // mix
+      a -= c; a ^= rot(c, 4);  c += b
+      b -= a; b ^= rot(a, 6);  a += c
+      c -= b; c ^= rot(b, 8);  b += a
+      a -= c; a ^= rot(c, 16); c += b
+      b -= a; b ^= rot(a, 19); a += c
+      c -= b; c ^= rot(b, 4);  b += a
+      i += 12; len -= 12
+    }
+    // final 1..12 bytes (fallthrough switch of the reference C)
+    if (len > 0) {
+      if (len >= 12) c += u(i + 11) << 24
+      if (len >= 11) c += u(i + 10) << 16
+      if (len >= 10) c += u(i + 9) << 8
+      if (len >= 9)  c += u(i + 8)
+      if (len >= 8)  b += u(i + 7) << 24
+      if (len >= 7)  b += u(i + 6) << 16
+      if (len >= 6)  b += u(i + 5) << 8
+      if (len >= 5)  b += u(i + 4)
+      if (len >= 4)  a += u(i + 3) << 24
+      if (len >= 3)  a += u(i + 2) << 16
+      if (len >= 2)  a += u(i + 1) << 8
+      if (len >= 1)  a += u(i)
+      // final mix
+      c ^= b; c -= rot(b, 14)
+      a ^= c; a -= rot(c, 11)
+      b ^= a; b -= rot(a, 25)
+      c ^= b; c -= rot(b, 16)
+      a ^= c; a -= rot(c, 4)
+      b ^= a; b -= rot(a, 14)
+      c ^= b; c -= rot(b, 24)
+    }
+    c
+  }
+
   // ------------------------------------------------------------ messages
 
   /** One v1 header message: (type, body). */
@@ -245,7 +303,8 @@ object HDF5Writer {
             lzf: Boolean = false,
             zstdLevel: Option[Int] = None,
             blosc: Option[graft.zarr.Blosc.Params] = None,
-            lz4: Boolean = false): Unit = {
+            lz4: Boolean = false,
+            denseRootLinks: Boolean = false): Unit = {
     require(Seq(deflateLevel.isDefined, lzf, zstdLevel.isDefined,
       blosc.isDefined, lz4).count(identity) <= 1,
       "deflate, lzf, zstd, blosc, and lz4 are alternative block codecs; " +
@@ -414,8 +473,17 @@ object HDF5Writer {
       objNames.map(n => n -> messagesFor(n)).toMap
 
     // ---- root group messages ----
+    // denseRootLinks: the root group stores its links DENSELY (Link Info
+    // message -> fractal heap + v2 btree name index) instead of via the
+    // v1 symbol table — the layout netCDF-4 writers switch to past the
+    // compact-link threshold, emitted here so the reader's dense path
+    // has a self-made fixture (the reference gets these files from
+    // h5py/libhdf5).
     val rootMsgs: Vector[Msg] =
-      Vector[Msg](0x0011 -> new Array[Byte](16)) ++
+      (if (denseRootLinks)
+        Vector[Msg](0x0002 -> new Array[Byte](18),
+          0x000A -> Array[Byte](0, 0))
+      else Vector[Msg](0x0011 -> new Array[Byte](16))) ++
         f.attrs.toVector.sortBy(_._1).map { case (k, v) =>
           0x000C -> attrValueBytes(k, v) }
 
@@ -435,10 +503,31 @@ object HDF5Writer {
     // ---- allocate all blocks ----
     alloc("superblock", 96)
     alloc("root", headerBytes(rootMsgs).length.toLong)
-    alloc("heap", 32)
-    alloc("heapdata", heapData.length.toLong)
-    alloc("btree", 24 + 24) // one leaf entry: key,child,key
-    alloc("snod", 8 + objNames.length * 40)
+    // dense-link geometry (used only when denseRootLinks): one root
+    // DIRECT block holding every serialized v1 link message, packed
+    // after the 17-byte FHDB header; block size = pow2 cover
+    val linkMsgSizes: Vector[Int] = objNames.map { n =>
+      val nb = n.getBytes("UTF-8")
+      require(nb.length <= 255, s"dense link name too long: $n")
+      1 + 1 + 1 + nb.length + 8
+    }
+    val fhdbDataStart = 13 + 4 // sig+ver+hdrAddr+blockOffset(4)
+    val fhdbNeed = fhdbDataStart + linkMsgSizes.sum
+    val fhdbSize = math.max(512L, java.lang.Long.highestOneBit(fhdbNeed - 1) * 2)
+    val heapIdLenW = 1 + 4 + lenBytesFor(fhdbSize)
+    val btRecSize = 4 + heapIdLenW
+    val btlfSize = 6 + objNames.length * btRecSize + 4
+    if (denseRootLinks) {
+      alloc("fheap", 146)
+      alloc("fhdb", fhdbSize)
+      alloc("bthd", 38)
+      alloc("btlf", btlfSize.toLong)
+    } else {
+      alloc("heap", 32)
+      alloc("heapdata", heapData.length.toLong)
+      alloc("btree", 24 + 24) // one leaf entry: key,child,key
+      alloc("snod", 8 + objNames.length * 40)
+    }
     objNames.foreach(n => alloc(s"obj:$n", headerBytes(objMsgs(n)).length.toLong))
     // global heap: one object per (data var, dim) + free-space tail
     val gheapEntries: Vector[(String, Int)] = varNames.flatMap { n =>
@@ -485,25 +574,135 @@ object HDF5Writer {
       b.putLong(Undefined) // free space
       b.putLong(eof) // end of file
       b.putLong(Undefined) // driver info
-      // root group symbol table entry
+      // root group symbol table entry (dense roots carry no cached
+      // symbol-table scratch: cache type 0)
       b.putLong(0L) // link name offset
       b.putLong(addrs("root"))
-      b.putInt(1) // cached stab
-      b.putInt(0)
-      b.putLong(addrs("btree")); b.putLong(addrs("heap")) // scratch
+      if (denseRootLinks) {
+        b.putInt(0); b.putInt(0)
+        b.putLong(0L); b.putLong(0L)
+      } else {
+        b.putInt(1) // cached stab
+        b.putInt(0)
+        b.putLong(addrs("btree")); b.putLong(addrs("heap")) // scratch
+      }
       put(0, b.array())
     }
 
-    // root header with patched symbol table message
+    // root header: patch the group-storage message with real addresses
     {
-      val msgs = rootMsgs.updated(0, {
-        val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
-        b.putLong(addrs("btree")); b.putLong(addrs("heap"))
-        (0x0011, b.array())
-      })
+      val msgs =
+        if (denseRootLinks) rootMsgs.updated(0, {
+          val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+          b.put(0.toByte) // link info version
+          b.put(0.toByte) // flags: no creation-order tracking/index
+          b.putLong(addrs("fheap"))
+          b.putLong(addrs("bthd"))
+          (0x0002, b.array())
+        })
+        else rootMsgs.updated(0, {
+          val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+          b.putLong(addrs("btree")); b.putLong(addrs("heap"))
+          (0x0011, b.array())
+        })
       put(addrs("root"), headerBytes(msgs))
     }
 
+    if (denseRootLinks) {
+      // serialized v1 link messages, packed into the root direct block
+      val linkMsgs: Vector[Array[Byte]] = objNames.map { n =>
+        val nb = n.getBytes("UTF-8")
+        val b = ByteBuffer.allocate(1 + 1 + 1 + nb.length + 8)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        b.put(1.toByte)            // link message version
+        b.put(0.toByte)            // flags: 1-byte name length, hard link
+        b.put(nb.length.toByte)
+        b.put(nb)
+        b.putLong(addrs(s"obj:$n"))
+        b.array()
+      }
+      // heap offsets address the linear heap space INCLUDING the block
+      // header bytes (file = blockAddr + heapOff for a zero-offset root)
+      val heapOffs: Vector[Long] = linkMsgs
+        .scanLeft(fhdbDataStart.toLong)((acc, m) => acc + m.length).init
+      val lenW = lenBytesFor(fhdbSize)
+      // fractal heap header (FRHP)
+      locally {
+        val b = ByteBuffer.allocate(146).order(ByteOrder.LITTLE_ENDIAN)
+        b.put("FRHP".getBytes("ASCII"))
+        b.put(0.toByte)                    // version
+        b.putShort(heapIdLenW.toShort)     // heap id length
+        b.putShort(0)                      // io filter encoded length
+        b.put(0.toByte)                    // flags: no checksums on blocks
+        b.putInt(fhdbSize.toInt)           // max size of managed objects
+        b.putLong(0L)                      // next huge id
+        b.putLong(Undefined)               // huge btree
+        b.putLong(fhdbSize - fhdbNeed)     // free space
+        b.putLong(Undefined)               // free-space manager
+        b.putLong(fhdbSize)                // managed space
+        b.putLong(fhdbSize)                // allocated managed space
+        b.putLong(fhdbNeed.toLong)         // direct-block iterator offset
+        b.putLong(objNames.length.toLong)  // managed objects
+        b.putLong(0L); b.putLong(0L)       // huge size / count
+        b.putLong(0L); b.putLong(0L)       // tiny size / count
+        b.putShort(4)                      // table width
+        b.putLong(fhdbSize)                // starting block size
+        b.putLong(fhdbSize)                // max direct block size
+        b.putShort(32)                     // max heap size (bits)
+        b.putShort(1)                      // starting rows in root iblock
+        b.putLong(addrs("fhdb"))           // root block address
+        b.putShort(0)                      // current rows: 0 = root DIRECT
+        b.putInt(lookup3(java.util.Arrays.copyOfRange(b.array(), 0, 142)))
+        put(addrs("fheap"), b.array())
+      }
+      // root direct block (FHDB), flags bit1 unset -> no block checksum
+      locally {
+        val b = ByteBuffer.allocate(fhdbSize.toInt)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        b.put("FHDB".getBytes("ASCII"))
+        b.put(0.toByte)
+        b.putLong(addrs("fheap"))
+        b.putInt(0) // block offset (4-byte width from 32-bit max heap)
+        linkMsgs.foreach(b.put)
+        put(addrs("fhdb"), b.array())
+      }
+      // v2 btree: header + single leaf, records sorted by lookup3(name)
+      val recs: Vector[(Int, String, Long, Int)] =
+        objNames.zip(heapOffs).zip(linkMsgs.map(_.length))
+          .map { case ((n, off), len) =>
+            (lookup3(n.getBytes("UTF-8")), n, off, len) }
+          .sortBy { case (h, n, _, _) => (h & 0xFFFFFFFFL, n) }
+      locally {
+        val b = ByteBuffer.allocate(38).order(ByteOrder.LITTLE_ENDIAN)
+        b.put("BTHD".getBytes("ASCII"))
+        b.put(0.toByte)                  // version
+        b.put(5.toByte)                  // type 5: group link name index
+        b.putInt(math.max(2048, btlfSize + 8)) // node size
+        b.putShort(btRecSize.toShort)
+        b.putShort(0)                    // depth 0
+        b.put(100.toByte); b.put(40.toByte) // split / merge %
+        b.putLong(addrs("btlf"))
+        b.putShort(objNames.length.toShort)
+        b.putLong(objNames.length.toLong)
+        b.putInt(lookup3(java.util.Arrays.copyOfRange(b.array(), 0, 34)))
+        put(addrs("bthd"), b.array())
+      }
+      locally {
+        val b = ByteBuffer.allocate(btlfSize).order(ByteOrder.LITTLE_ENDIAN)
+        b.put("BTLF".getBytes("ASCII"))
+        b.put(0.toByte)                  // version
+        b.put(5.toByte)                  // type
+        recs.foreach { case (h, _, off, len) =>
+          b.putInt(h)
+          b.put(0.toByte)                // heap id: version/type = managed
+          b.putInt(off.toInt)            // offset (4 bytes)
+          var v = len.toLong
+          (0 until lenW).foreach { _ => b.put((v & 0xFF).toByte); v >>= 8 }
+        }
+        b.putInt(lookup3(java.util.Arrays.copyOfRange(b.array(), 0, btlfSize - 4)))
+        put(addrs("btlf"), b.array())
+      }
+    } else {
     // local heap
     {
       val b = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
@@ -543,6 +742,7 @@ object HDF5Writer {
         b.put(new Array[Byte](16))
       }
       put(addrs("snod"), b.array())
+    }
     }
 
     // global heap

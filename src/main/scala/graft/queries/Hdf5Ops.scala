@@ -59,12 +59,15 @@ object Hdf5Ops {
     val cube = makeCube(nt)
     val dir = Files.createTempDirectory("graft_h5_e2e").toString
     // 2 days per file; data vars chunked 1 day per chunk, deflated — the
-    // shape libnetcdf writes for chunked+zlib variables
+    // shape libnetcdf writes for chunked+zlib variables. Alternate slabs
+    // store their root links DENSELY (fractal heap + v2 btree — the
+    // netCDF-4 layout past the compact threshold, r9) so BOTH group
+    // storages flow through both entry points every round
     val files = (0 until nt by 2).map { t0 =>
       val path = s"$dir/slab_$t0.nc"
       HDF5Writer.write(path, cube.isel(Map("time" -> Slc(t0, t0 + 2))),
         chunks = Map("foo" -> Vector(1, 18, 36), "bar" -> Vector(2, 18, 36)),
-        deflateLevel = Some(4))
+        deflateLevel = Some(4), denseRootLinks = t0 % 4 == 0)
       path
     }.toVector
 
