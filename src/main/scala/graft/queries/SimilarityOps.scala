@@ -252,19 +252,28 @@ object SimilarityOps {
 
   /** Deterministic 64-dim hashed-bigram document embeddings: every word
     * bigram hashes to an integer vector (md5 arithmetic — no model, no
-    * driver state) and a document's vector is the tf-weighted integer sum
-    * of its bigram vectors. Exact duplicates embed identically; high
-    * token-overlap near-duplicates land at cosine ≥ ~0.95 while unrelated
-    * docs sit near the 64-dim noise floor (measured gap at sf0.01:
-    * 0.966 vs 0.55). Everything is exact integer arithmetic — replicated
-    * verbatim by the DuckDB oracle.
+    * driver state) and a document's vector is the tf·idf-weighted
+    * integer sum of its bigram vectors, with the EXACT-integer idf
+    * weight `bitLength(N div df)` (the `length(bin(x))` kernel t18
+    * proved cross-engine). The idf term is what keeps the construction
+    * scale-safe on REAL (Zipf-vocabulary) corpora: unweighted tf sums
+    * let the few hot bigrams correlate every document pair into the
+    * mid-cosine band — measured 418,693 of 8M sampled ht10× pairs at
+    * cosine ≥ 0.5, manufacturing ~30M LSH candidates at 50k docs —
+    * while the idf weight collapses that structural mass 2300× (182
+    * pairs ≥ 0.5) with the true near-duplicate pairs untouched (17 =
+    * 17 at ≥ 0.9). Exact duplicates still embed identically (weights
+    * are per-gram constants). Everything is exact integer arithmetic —
+    * replicated verbatim by the DuckDB oracle.
     *
-    * Scale shape: one corpus scan explodes bigrams; gram vectors are
-    * computed ONCE per distinct gram (vocab-sized, distributed — md5 is
-    * a codegen'd builtin, no collect anywhere); the component sum is a
-    * hash agg on (doc, component) with map-side partials. Docs with < 2
-    * words have no bigrams and no vector (both engines agree). */
+    * Scale shape: one corpus scan explodes bigrams; gram vectors AND
+    * document frequencies are computed ONCE per distinct gram
+    * (vocab-sized, distributed — md5/bin are codegen'd builtins, no
+    * collect anywhere); the component sum is a hash agg on (doc,
+    * component) with map-side partials. Docs with < 2 words have no
+    * bigrams and no vector (both engines agree). */
   private[graft] def docBigramVectors(docs: DataFrame): DataFrame = {
+    val n = docs.count()
     val grams = docs
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 2)
@@ -272,10 +281,13 @@ object SimilarityOps {
         "transform(sequence(1, size(ws) - 1), i -> concat(ws[i - 1], ' ', ws[i]))"))
         .as("g"))
     val gtf = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
-    val gvec = gtf.select("g").distinct().withColumn("v", expr(HashedGramVecExpr))
+    val gdf = gtf.groupBy("g").agg(count(lit(1)).as("df"))
+    val gvec = gdf
+      .withColumn("v", expr(HashedGramVecExpr))
+      .withColumn("w", expr(s"cast(length(bin(${n}L div df)) as bigint)"))
     gtf.join(gvec, "g")
-      .select(col("doc_id"), col("tf"), posexplode(col("v")))
-      .select(col("doc_id"), col("pos"), (col("tf") * col("col")).as("xx"))
+      .select(col("doc_id"), (col("tf") * col("w")).as("tfw"), posexplode(col("v")))
+      .select(col("doc_id"), col("pos"), (col("tfw") * col("col")).as("xx"))
       .groupBy("doc_id", "pos").agg(sum("xx").as("s"))
       .groupBy("doc_id")
       .agg(expr("transform(array_sort(collect_list(struct(pos, s))), e -> e.s)")
@@ -447,15 +459,19 @@ object SimilarityOps {
        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM words)
        |), gtf AS (
        |  SELECT doc_id, g, COUNT(*) AS tf FROM grams GROUP BY 1, 2
+       |), gdf AS (
+       |  SELECT g, COUNT(*) AS df,
+       |    length(bin(CAST((SELECT COUNT(*) FROM documents) // COUNT(*) AS BIGINT))) AS w
+       |  FROM gtf GROUP BY g
        |), gvecs AS (
-       |  SELECT g, list_transform(range(0, 64), j ->
+       |  SELECT g, w, list_transform(range(0, 64), j ->
        |    ('0x' || substr(md5(g || ':' || CAST(j // 8 AS VARCHAR)),
        |      ((j % 8) * 4 + 1)::INT, 4))::BIGINT % 2001 - 1000) AS v
-       |  FROM (SELECT DISTINCT g FROM gtf)
+       |  FROM gdf
        |), gelems AS (
-       |  SELECT g, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM gvecs
+       |  SELECT g, w, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM gvecs
        |), elems AS (
-       |  SELECT t.doc_id AS vec_id, e.i, SUM(t.tf * e.x) AS x
+       |  SELECT t.doc_id AS vec_id, e.i, SUM(t.tf * e.w * e.x) AS x
        |  FROM gtf t JOIN gelems e ON t.g = e.g
        |  GROUP BY 1, 2
        |), norms AS (

@@ -220,14 +220,26 @@ class SimilaritySpec extends AnyFunSuite {
       out
     }
     val cache = scala.collection.mutable.Map.empty[String, Array[Long]]
-    docs.flatMap { case (id, text) =>
+    // integer idf: weight(g) = bitLength(N div df(g)), N = total docs
+    val n = docs.length.toLong
+    val df = scala.collection.mutable.Map.empty[String, Long]
+    val docGrams = docs.map { case (id, text) =>
       val ws = text.split(" ", -1)
-      if (ws.length < 2) None
+      val gs =
+        if (ws.length < 2) Map.empty[String, Long]
+        else ws.sliding(2).map(p => s"${p(0)} ${p(1)}").toSeq
+          .groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
+      gs.keys.foreach(g => df(g) = df.getOrElse(g, 0L) + 1L)
+      (id, gs)
+    }
+    docGrams.flatMap { case (id, gs) =>
+      if (gs.isEmpty) None
       else {
         val v = new Array[Long](64)
-        ws.sliding(2).foreach { p =>
-          val gv = cache.getOrElseUpdate(s"${p(0)} ${p(1)}", gramVec(s"${p(0)} ${p(1)}"))
-          var i = 0; while (i < 64) { v(i) += gv(i); i += 1 }
+        gs.foreach { case (g, tf) =>
+          val w = tf * java.lang.Long.toBinaryString(n / df(g)).length
+          val gv = cache.getOrElseUpdate(g, gramVec(g))
+          var i = 0; while (i < 64) { v(i) += w * gv(i); i += 1 }
         }
         Some((id, v))
       }

@@ -108,17 +108,34 @@ def main():
     out, docs_n, emb_n = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     seed = int(sys.argv[4]) if len(sys.argv) > 4 else 42
     mode = sys.argv[5] if len(sys.argv) > 5 else "uniform"
+    # SCALE_r8 §10/§12 caveat fix: a single one-row-group parquet FILE is
+    # ONE Spark task at every scale (these corpora are far below
+    # maxPartitionBytes), so map-only (media decode) rows measured
+    # single-core. n_files > 1 writes each table as a DIRECTORY of that
+    # many part files — Spark schedules one task per file, like a real
+    # multi-file corpus; n_files = 1 keeps the legacy single-file layout.
+    n_files = int(sys.argv[6]) if len(sys.argv) > 6 else 8
     assert mode in ("uniform", "heavytail"), f"unknown mode {mode}"
     assert not out.startswith("/root/testdata"), "testdata is read-only"
     import os
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(seed)
-    pq.write_table(gen_documents(docs_n, rng, mode),
-                   f"{out}/documents.parquet")
-    pq.write_table(gen_embeddings(emb_n, rng, mode=mode),
-                   f"{out}/embeddings.parquet")
+    docs = gen_documents(docs_n, rng, mode)
+    embs = gen_embeddings(emb_n, rng, mode=mode)
+    for name, tbl in (("documents", docs), ("embeddings", embs)):
+        path = f"{out}/{name}.parquet"
+        if n_files <= 1:
+            pq.write_table(tbl, path)
+        else:
+            os.makedirs(path, exist_ok=True)
+            n = tbl.num_rows
+            step = (n + n_files - 1) // n_files
+            for i in range(n_files):
+                part = tbl.slice(i * step, step)
+                if part.num_rows:
+                    pq.write_table(part, f"{path}/part-{i:03d}.parquet")
     print(f"wrote {out}: documents={docs_n} embeddings={emb_n} "
-          f"seed={seed} mode={mode}")
+          f"seed={seed} mode={mode} n_files={n_files}")
 
 
 if __name__ == "__main__":
