@@ -274,17 +274,30 @@ object SimilarityOps {
     * bigrams and no vector (both engines agree). */
   private[graft] def docBigramVectors(docs: DataFrame): DataFrame = {
     val n = docs.count()
+    // repartition BEFORE the explode: a single-file corpus would run the
+    // gram explode as ONE task (profiled 3.2 s of the 22 s pathological
+    // first cut at sf0.1); the shuffle moves only raw texts
     val grams = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ws) - 1), i -> concat(ws[i - 1], ' ', ws[i]))"))
         .as("g"))
+    // checkpoint the tf table: it feeds BOTH the df/vector side and the
+    // component join — without the barrier the self-join re-runs the
+    // whole gram explode per side (profiled: the 22 s -> ~5 s fix)
     val gtf = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val gdf = gtf.groupBy("g").agg(count(lit(1)).as("df"))
+    // the gram-vector table is MATERIALIZED (vocab-sized): left lazy,
+    // Catalyst re-evaluates the 64-md5 transform per JOINED ROW instead
+    // of once per gram (profiled: 13.4 s -> 1.9 s on the sf0.1
+    // component agg)
     val gvec = gdf
       .withColumn("v", expr(HashedGramVecExpr))
       .withColumn("w", expr(s"cast(length(bin(${n}L div df)) as bigint)"))
+      .localCheckpoint(true)
     gtf.join(gvec, "g")
       .select(col("doc_id"), (col("tf") * col("w")).as("tfw"), posexplode(col("v")))
       .select(col("doc_id"), col("pos"), (col("tfw") * col("col")).as("xx"))
@@ -411,6 +424,17 @@ object SimilarityOps {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
   }
+
+  /** Per-pair collision counts (vec_a < vec_b, m) from a PREBUILT band
+    * table — the incremental paths' state-side kernel (their standing
+    * band signatures are persisted, not recomputed). */
+  private[graft] def bandPairCounts(b: DataFrame): DataFrame =
+    b.as("a").join(b.as("b"),
+        col("a.band_no") === col("b.band_no") &&
+          col("a.bits") === col("b.bits") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .groupBy("vec_a", "vec_b").agg(count(lit(1)).as("m"))
 
   /** The banded near-dup kernel over a quantized (vec_id, q, nrm) frame:
     * LSH candidates + exact rescore, threshold applied to the exact
@@ -1566,12 +1590,14 @@ object SimilarityOps {
     // equality contract requires the standing build, the probe and a
     // full rebuild to share one construction)
     val rb = resolveBits(emb, rowsPerBand)
-    // standing state: the old corpus's per-pair collision counts
-    val standing = s02Candidates(emb.filter(col("vec_id") < t),
-        bands, rb)
-      .groupBy("vec_a", "vec_b").agg(count(lit(1)).as("m"))
-      .localCheckpoint(true)
-    knnGraphFromCands(emb, standing.union(incrementalProbe(emb, t, bands, rb)),
+    // standing state: the old corpus's band signatures AND per-pair
+    // collision counts (both per-vector/immutable under append — the
+    // probe reads them, so per-batch signature cost is O(batch))
+    val embOld = emb.filter(col("vec_id") < t)
+    val standingBands = s02Bands(embOld, bands, rb).localCheckpoint(true)
+    val standing = bandPairCounts(standingBands).localCheckpoint(true)
+    knnGraphFromCands(emb,
+      standing.union(incrementalProbe(emb, t, bands, rb, Some(standingBands))),
       k, candCap)
   }
 
@@ -1580,13 +1606,26 @@ object SimilarityOps {
     * pair with a new member has its larger id (the b side) in the batch —
     * a.vec_id < b.vec_id with b restricted to the batch enumerates
     * exactly the new-involving pairs, and standing ∪ probe PARTITIONS the
-    * full candidate table (disjoint key sets, together complete). The
-    * batch's signatures already exist inside the full band table — they
-    * are filtered out rather than running the sign_bands kernel twice. */
+    * full candidate table (disjoint key sets, together complete).
+    *
+    * `standingBands`: the OLD corpus's persisted band signatures (index
+    * state — per-vector, immutable under append). When provided, the
+    * sign kernel runs over the BATCH ROWS ONLY and the index side is
+    * read, never recomputed — the per-batch signature cost is O(batch),
+    * not O(corpus); standingBands ∪ batchBands ≡ the full band table
+    * exactly (the kernel is per-vector). Without it (ad-hoc callers)
+    * the full table is computed once and the batch filtered from it. */
   private[graft] def incrementalProbe(emb: DataFrame, t: Long, bands: Int,
-                                      rowsPerBand: Int): DataFrame = {
-    val bandsAll = s02Bands(emb, bands, rowsPerBand)
-    val bandsNew = bandsAll.filter(col("vec_id") >= t)
+                                      rowsPerBand: Int,
+                                      standingBands: Option[DataFrame] = None): DataFrame = {
+    val (bandsAll, bandsNew) = standingBands match {
+      case Some(sb) =>
+        val bn = s02Bands(emb.filter(col("vec_id") >= t), bands, rowsPerBand)
+        (sb.unionByName(bn), bn)
+      case None =>
+        val ba = s02Bands(emb, bands, rowsPerBand)
+        (ba, ba.filter(col("vec_id") >= t))
+    }
     bandsAll.as("a").join(bandsNew.as("b"),
         col("a.band_no") === col("b.band_no") &&
           col("a.bits") === col("b.bits") &&
@@ -1649,24 +1688,28 @@ object SimilarityOps {
     val rb = resolveBits(emb, rowsPerBand)
     val embOld = emb.filter(col("vec_id") < t)
     // persisted state (checkpoints stand in for a state load): the old
-    // corpus's CAPPED per-vector candidate lists and its finished edge
-    // list — r9 upgrade over the r8 shape, which persisted only the raw
-    // pair table and re-windowed the MERGED corpus-sized stream per
-    // batch (the ~9 s corpus-bound re-rank floor IncScale measured).
+    // corpus's band SIGNATURES, its CAPPED per-vector candidate lists
+    // and its finished edge list — r9 upgrade over the r8 shape, which
+    // persisted only the raw pair table, re-windowed the MERGED
+    // corpus-sized stream per batch (the ~9 s corpus-bound re-rank
+    // floor IncScale measured) AND re-ran the sign kernel over the
+    // whole corpus per probe.
+    val standingBands = s02Bands(embOld, bands, rb).localCheckpoint(true)
     val standingCapped = cappedLists(
-      symmetrized(s02Candidates(embOld, bands, rb)
-        .groupBy("vec_a", "vec_b").agg(count(lit(1)).as("m"))), candCap)
+      symmetrized(bandPairCounts(standingBands)), candCap)
       .localCheckpoint(true)
     val standingEdges = rescoreTopK(embOld, standingCapped, k)
       .localCheckpoint(true)
-    // the upkeep job: probe once, derive the touched set, then re-rank
+    // the upkeep job: probe once (batch signatures only — the index
+    // side is read from state), derive the touched set, then re-rank
     // ONLY the touched vectors' lists — top-cap(old capped list ∪ new
     // entries) ≡ top-cap(full candidate multiset) because candidate
     // multisets only grow under append-only ingest ([[cappedLists]]),
     // so the merged window runs on O(touched·cap + batch collisions)
     // rows, never the corpus (at production scale the standing lists
     // are bucketed by vec_id and the semi-join prunes the read).
-    val probeSym = symmetrized(incrementalProbe(emb, t, bands, rb))
+    val probeSym = symmetrized(
+        incrementalProbe(emb, t, bands, rb, Some(standingBands)))
       .localCheckpoint(true)
     val touched = probeSym.select("vec_id").distinct()
     val reranked = knnTailFromSym(emb,
