@@ -776,6 +776,16 @@ object HDF5 {
             val fheap = b.getLong(base)
             if (fheap != Undefined)
               children = children ++ readDenseLinks(fheap, b.getLong(base + 8))
+          case 0x0015 =>
+            // attribute info: DENSE attributes live in a fractal heap.
+            // Silently ignoring this message would DROP the object's
+            // attributes (CF decode params, dimension lists) — fail by
+            // name instead; compact attributes (0x000C, the netCDF-4
+            // common case) are unaffected.
+            val base = if ((b.get(1) & 0x1) != 0) 4 else 2
+            require(b.getLong(base) == Undefined,
+              "dense (fractal heap) attributes not supported — repack " +
+                "with compact attribute storage")
           case _ => // group info, modification time... ignored
         }
       }
