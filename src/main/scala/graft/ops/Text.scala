@@ -43,6 +43,28 @@ object Text {
     * clamp(ceil(log₂ n), 8, 18) bits — candidate floor ~bands·n, LINEAR
     * at any corpus size) + exact integer rescore at cosine ≥
     * `threshold`. Returns (vec_a, vec_b, sim) over doc ids. */
+  /** Near-duplicate ADMISSION of an arriving doc batch against a
+    * standing corpus (st11): the standing corpus defines a frozen
+    * featurizer (its idf table, doc count and adaptive bit width —
+    * ingest gates don't recompute global stats per batch; unseen grams
+    * take the rarest weight) plus a band index, each batch doc embeds
+    * and probes it, and a doc is admitted iff no standing doc reaches
+    * cosine ≥ `threshold`. Per-doc against standing state only, so
+    * micro-batch boundaries never change a verdict — see
+    * [[graft.streaming.StreamingPipelines.nearDupAdmitBatch]] for the
+    * foreachBatch streaming driver. Returns (doc_id, n_candidates,
+    * max_sim, admitted) for the batch. */
+  def nearDuplicateAdmission(spark: SparkSession, standing: DataFrame,
+                             batch: DataFrame,
+                             threshold: Double =
+                               graft.queries.SimilarityOps.NearDupThreshold,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    graft.queries.SimilarityOps.nearDupAdmissionOf(
+      norm(standing, idCol, textCol), norm(batch, idCol, textCol), threshold)
+  }
+
   def nearDuplicateDocs(spark: SparkSession, docs: DataFrame,
                         threshold: Double =
                           graft.queries.SimilarityOps.NearDupThreshold,

@@ -1053,7 +1053,71 @@ object PipelineOps {
        |    AS cross_format
        |FROM xhash GROUP BY 1 ORDER BY canonical_id""".stripMargin
 
+  // ---------------------------------------------------------------- p12
+
+  /** p12: near-duplicate FAMILY PRUNE over the production s02 pair
+    * source — the document-level SemDeDup stage a curation run executes
+    * after near-dup detection: s02's adaptive-LSH pairs (hashed-bigram
+    * idf embeddings, cosine ≥ 0.9) become an undirected graph, connected
+    * components group transitive duplicate FAMILIES, each family keeps
+    * its min-id canonical, and the verdict row carries the family's
+    * size and its strongest internal similarity (the curator's audit
+    * columns: how big was the family, how certain was the merge).
+    *
+    * Scale shape: the pair list is survivor-mass-sized (LINEAR under the
+    * adaptive construction — SCALE_r9 §1), the CC runs min-label
+    * propagation with pointer doubling past [[DedupOps.SingleTaskEdgeMax]]
+    * edges, and everything downstream is family-count-sized. Oracle
+    * shares the FULL s02 derivation (s02SqlCtes) plus the recursive-reach
+    * CC shape d07 proved, so neither stage can drift from the operators
+    * it composes. */
+  def p12NeardupFamilies(s: SparkSession, d: String): DataFrame = {
+    val pairs = SimilarityOps.s02EmbedNearDup(s, d)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"), col("sim"))
+      .localCheckpoint(true)
+    val comp = DedupOps.connectedComponents(s,
+      pairs.select("doc_a", "doc_b"), DedupOps.SingleTaskEdgeMax)
+    val fam = comp.groupBy("label").agg(
+      count(lit(1)).as("family_size"),
+      min("doc_id").as("canonical_id"))
+    // each pair is within ONE family by construction — its strongest
+    // edge is a per-family agg over the pair list keyed by either side
+    val strongest = pairs
+      .join(comp.select(col("doc_id").as("doc_a"), col("label")), "doc_a")
+      .groupBy("label").agg(max("sim").as("max_sim"))
+    fam.join(strongest, "label")
+      .select(col("label").as("family_id"), col("family_size"),
+        col("canonical_id"), col("max_sim"))
+      .orderBy("family_id")
+  }
+
+  val p12Sql: String =
+    s"""WITH RECURSIVE ${SimilarityOps.s02SqlCtes},
+       |fedges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM survivors
+       |  UNION
+       |  SELECT vec_b, vec_a FROM survivors),
+       |fnodes AS (SELECT DISTINCT src AS doc_id FROM fedges),
+       |freach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM fnodes
+       |  UNION
+       |  SELECT r.src, e.dst FROM freach r JOIN fedges e ON r.dst = e.src),
+       |fcomp AS (SELECT src AS doc_id, MIN(dst) AS family_id
+       |          FROM freach GROUP BY src),
+       |ffam AS (
+       |  SELECT family_id, COUNT(*) AS family_size,
+       |    CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+       |  FROM fcomp GROUP BY family_id),
+       |fstrong AS (
+       |  SELECT c.family_id, MAX(s.sim) AS max_sim
+       |  FROM survivors s JOIN fcomp c ON s.vec_a = c.doc_id
+       |  GROUP BY c.family_id)
+       |SELECT f.family_id, f.family_size, f.canonical_id, g.max_sim
+       |FROM ffam f JOIN fstrong g USING (family_id)
+       |ORDER BY f.family_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p12_neardup_families" -> p12NeardupFamilies _,
     "p11_crossformat_dedup" -> p11CrossFormatDedup _,
     "p10_shard_build" -> p10ShardBuild _,
     "p09_split_audit" -> p09SplitAudit _,
@@ -1068,6 +1132,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "p12_neardup_families" -> p12Sql,
     "p11_crossformat_dedup" -> p11Sql,
     "p10_shard_build" -> p10Sql,
     "p09_split_audit" -> p09Sql,

@@ -298,7 +298,14 @@ object SimilarityOps {
       .withColumn("v", expr(HashedGramVecExpr))
       .withColumn("w", expr(s"cast(length(bin(${n}L div df)) as bigint)"))
       .localCheckpoint(true)
-    gtf.join(gvec, "g")
+    sumGramVectors(gtf, gvec)
+  }
+
+  /** The tf·weight component sum shared by [[docBigramVectors]] and the
+    * frozen-featurizer admission path: (doc_id, g, tf) × (g, v, w) →
+    * exact-integer (vec_id, q, nrm). */
+  private def sumGramVectors(gtf: DataFrame, gvw: DataFrame): DataFrame =
+    gtf.join(gvw, "g")
       .select(col("doc_id"), (col("tf") * col("w")).as("tfw"), posexplode(col("v")))
       .select(col("doc_id"), col("pos"), (col("tfw") * col("col")).as("xx"))
       .groupBy("doc_id", "pos").agg(sum("xx").as("s"))
@@ -307,6 +314,80 @@ object SimilarityOps {
         .as("q"))
       .select(col("doc_id").as("vec_id"), col("q"))
       .withColumn("nrm", expr(normExpr("q")))
+
+  /** Bigram tf table of a (doc_id, text) frame — the [[docBigramVectors]]
+    * front end, shared with the admission path. NOT checkpointed here
+    * (callers decide). */
+  private def bigramTf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat(ws[i - 1], ' ', ws[i]))"))
+        .as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+
+  /** Near-duplicate ADMISSION of an arriving batch against a STANDING
+    * corpus (the st11 kernel; graft.ops.Text API): the standing corpus
+    * defines a FROZEN featurizer — its gram document frequencies, doc
+    * count and adaptive bit width (production semantics: ingest gates
+    * don't recompute global idf per batch; a batch gram unseen in the
+    * standing corpus takes the rarest weight, df = 1) — and a standing
+    * LSH band index. Each batch doc embeds under that featurizer,
+    * probes the index (band equi-join, batch side small), candidates
+    * are exactly rescored, and the doc is ADMITTED iff no standing doc
+    * reaches cosine ≥ `threshold`. Admission is per-doc against the
+    * STANDING corpus only — batch-internal near-dups are admitted
+    * together (the micro-batch boundary contract that makes the
+    * streaming twin's replay split semantically free).
+    *
+    * Scale shape: standing stats/index are state (built once here,
+    * persisted in production); per batch the work is batch-gram-sized
+    * (embed) + batch collision mass (probe + rescore). Returns one row
+    * per batch doc: (doc_id, n_candidates, max_sim, admitted). */
+  private[graft] def nearDupAdmissionOf(standing: DataFrame, batch: DataFrame,
+                                        threshold: Double = NearDupThreshold): DataFrame = {
+    val n = standing.count()
+    val bits = adaptiveBits(n)
+    val sgtf = bigramTf(standing
+        .repartition(standing.sparkSession.sparkContext.defaultParallelism))
+      .localCheckpoint(true)
+    val bgtf = bigramTf(batch).localCheckpoint(true)
+    val sgdf = sgtf.groupBy("g").agg(count(lit(1)).as("df"))
+    // gram vectors over the UNION vocabulary (batch grams unseen in the
+    // standing corpus still need vectors); weights come from STANDING
+    // dfs only — the frozen featurizer
+    val vocab = sgtf.select("g").union(bgtf.select("g")).distinct()
+    val gvw = vocab.join(sgdf, Seq("g"), "left")
+      .withColumn("v", expr(HashedGramVecExpr))
+      .withColumn("w",
+        expr(s"cast(length(bin(${n}L div coalesce(df, 1L))) as bigint)"))
+      .localCheckpoint(true)
+    val sVecs = sumGramVectors(sgtf, gvw).localCheckpoint(true)
+    val bVecs = sumGramVectors(bgtf, gvw).localCheckpoint(true)
+    val sBands = s02Bands(sVecs, ScaledBands, bits)
+    val bBands = s02Bands(bVecs, ScaledBands, bits)
+    val cand = sBands.as("a").join(bBands.as("b"),
+        col("a.band_no") === col("b.band_no") &&
+          col("a.bits") === col("b.bits"))
+      .select(col("a.vec_id").as("sdoc"), col("b.vec_id").as("bdoc"))
+      .distinct()
+    val scored = cand
+      .join(sVecs.select(col("vec_id").as("sdoc"), col("q").as("qa"),
+        col("nrm").as("na")), "sdoc")
+      .join(bVecs.select(col("vec_id").as("bdoc"), col("q").as("qb"),
+        col("nrm").as("nb")), "bdoc")
+      .select(col("bdoc"),
+        round(expr(dotExpr("qa", "qb")).cast("double") /
+          cosDenom(col("na"), col("nb")), 6).as("sim"))
+      .groupBy("bdoc")
+      .agg(count(lit(1)).as("n_candidates"), max("sim").as("max_sim"))
+    batch.select(col("doc_id"))
+      .join(scored.withColumnRenamed("bdoc", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("max_sim"),
+        (col("max_sim").isNull || col("max_sim") < threshold).as("admitted"))
   }
 
   /** s02: PRODUCTION near-duplicate detection — hashed-bigram document
@@ -471,12 +552,16 @@ object SimilarityOps {
       .withColumn("nrm", expr(normExpr("q")))
       .select("vec_id", "q", "nrm")
 
-  /** s02's oracle: the hashed-bigram embedding + adaptive banded LSH +
-    * exact rescore, replicated end-to-end in DuckDB (md5 arithmetic, the
-    * integer component sums, the power-of-two bit fences, the plane pool
-    * and the 6-dp cosine filter are all the same integer/IEEE ops). */
-  val s02Sql: String =
-    s"""WITH words AS (
+  /** s02's full derivation as CTE text ending in `survivors`
+    * (vec_a, vec_b, sim) — SHARED by s02Sql and PipelineOps.p12Sql (the
+    * dsirSqlCtes anti-drift lesson): the family-prune oracle walks
+    * EXACTLY the s02 pair list. Replicates the hashed-bigram embedding
+    * + integer idf + adaptive banded LSH + exact rescore end-to-end in
+    * DuckDB (md5 arithmetic, integer component sums, power-of-two bit
+    * fences, the plane pool and the 6-dp cosine filter are all the
+    * same integer/IEEE ops). */
+  private[graft] def s02SqlCtes: String =
+    s"""words AS (
        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
        |), grams AS (
        |  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
@@ -501,8 +586,100 @@ object SimilarityOps {
        |), norms AS (
        |  SELECT vec_id, SUM(x * x) AS nrm FROM elems GROUP BY vec_id
        |), ${adaptiveLshCtes("", "(SELECT COUNT(*) FROM documents)")},
-       |${neardupTailCtes("", NearDupThreshold)}
+       |${neardupTailCtes("", NearDupThreshold)}""".stripMargin
+
+  val s02Sql: String =
+    s"""WITH $s02SqlCtes
        |${neardupTailSelect("")}""".stripMargin
+
+  /** The st11 oracle: the full frozen-featurizer admission derivation in
+    * DuckDB — standing split, standing-only dfs/bit width, union-vocab
+    * gram vectors, batch embed, standing×batch band probe, exact
+    * rescore, per-doc verdict. */
+  private[graft] lazy val st11Sql: String = {
+    val den = NewBatchDen
+    s"""WITH tsplit AS (
+       |  SELECT ((MAX(doc_id) + 1) * ${den - 1}) // $den AS t FROM documents
+       |), sdocs AS (
+       |  SELECT d.doc_id, d.text FROM documents d, tsplit WHERE d.doc_id < tsplit.t
+       |), bdocs AS (
+       |  SELECT d.doc_id, d.text FROM documents d, tsplit WHERE d.doc_id >= tsplit.t
+       |), snv AS (SELECT COUNT(*) AS n FROM sdocs
+       |), sbcfg AS (SELECT ${bitsCaseSql("n")} AS nbits FROM snv
+       |), sgtf AS (
+       |  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM sdocs))
+       |  GROUP BY 1, 2
+       |), bgtf AS (
+       |  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM bdocs))
+       |  GROUP BY 1, 2
+       |), sgdf AS (SELECT g, COUNT(*) AS df FROM sgtf GROUP BY 1
+       |), vocab AS (
+       |  SELECT DISTINCT g FROM (SELECT g FROM sgtf UNION ALL SELECT g FROM bgtf)
+       |), gvw AS (
+       |  SELECT vv.g,
+       |    list_transform(range(0, 64), j ->
+       |      ('0x' || substr(md5(vv.g || ':' || CAST(j // 8 AS VARCHAR)),
+       |        ((j % 8) * 4 + 1)::INT, 4))::BIGINT % 2001 - 1000) AS v,
+       |    length(bin(CAST(snv.n // COALESCE(sd.df, 1) AS BIGINT))) AS w
+       |  FROM vocab vv LEFT JOIN sgdf sd USING (g), snv
+       |), gel AS (
+       |  SELECT g, w, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM gvw
+       |), selems AS (
+       |  SELECT t.doc_id AS vec_id, e.i, SUM(t.tf * e.w * e.x) AS x
+       |  FROM sgtf t JOIN gel e USING (g) GROUP BY 1, 2
+       |), belems AS (
+       |  SELECT t.doc_id AS vec_id, e.i, SUM(t.tf * e.w * e.x) AS x
+       |  FROM bgtf t JOIN gel e USING (g) GROUP BY 1, 2
+       |), snorms AS (SELECT vec_id, SUM(x * x) AS nrm FROM selems GROUP BY 1
+       |), bnorms AS (SELECT vec_id, SUM(x * x) AS nrm FROM belems GROUP BY 1
+       |), aplanes_l(p, ws) AS (
+       |  VALUES $planesPoolValues
+       |), aplanes AS (
+       |  SELECT p, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+       |  FROM aplanes_l
+       |), spd AS (
+       |  SELECT e.vec_id, pl.p, SUM(e.x * pl.w) AS pd
+       |  FROM selems e JOIN aplanes pl ON e.i = pl.i
+       |  JOIN sbcfg bc ON pl.p < $ScaledBands * bc.nbits
+       |  GROUP BY 1, 2
+       |), bpd AS (
+       |  SELECT e.vec_id, pl.p, SUM(e.x * pl.w) AS pd
+       |  FROM belems e JOIN aplanes pl ON e.i = pl.i
+       |  JOIN sbcfg bc ON pl.p < $ScaledBands * bc.nbits
+       |  GROUP BY 1, 2
+       |), sbands AS (
+       |  SELECT vec_id, pd.p // bc.nbits AS band_no,
+       |    CAST(SUM(CASE WHEN pd.pd > 0 THEN 1 << (pd.p % bc.nbits) ELSE 0 END) AS BIGINT) AS bits
+       |  FROM spd pd, sbcfg bc GROUP BY 1, 2
+       |), bbands AS (
+       |  SELECT vec_id, pd.p // bc.nbits AS band_no,
+       |    CAST(SUM(CASE WHEN pd.pd > 0 THEN 1 << (pd.p % bc.nbits) ELSE 0 END) AS BIGINT) AS bits
+       |  FROM bpd pd, sbcfg bc GROUP BY 1, 2
+       |), acand AS (
+       |  SELECT DISTINCT a.vec_id AS sdoc, b.vec_id AS bdoc
+       |  FROM sbands a JOIN bbands b
+       |    ON a.band_no = b.band_no AND a.bits = b.bits
+       |), adots AS (
+       |  SELECT c.sdoc, c.bdoc, SUM(sa.x * bb.x) AS dot
+       |  FROM acand c
+       |  JOIN selems sa ON sa.vec_id = c.sdoc
+       |  JOIN belems bb ON bb.vec_id = c.bdoc AND sa.i = bb.i
+       |  GROUP BY 1, 2
+       |), ascored AS (
+       |  SELECT d.bdoc, COUNT(*) AS n_candidates,
+       |    MAX(ROUND(d.dot::DOUBLE / GREATEST(sqrt(sn.nrm::DOUBLE) * sqrt(bn.nrm::DOUBLE), 1e-12), 6)) AS max_sim
+       |  FROM adots d JOIN snorms sn ON d.sdoc = sn.vec_id
+       |  JOIN bnorms bn ON d.bdoc = bn.vec_id
+       |  GROUP BY 1)
+       |SELECT b.doc_id, COALESCE(s.n_candidates, 0) AS n_candidates, s.max_sim,
+       |  (s.max_sim IS NULL OR s.max_sim < $NearDupThreshold) AS admitted
+       |FROM bdocs b LEFT JOIN ascored s ON b.doc_id = s.bdoc
+       |ORDER BY b.doc_id""".stripMargin
+  }
 
   /** LSH-bucketed ANN: sign(dot(v, plane_j)) bits form a 16-bit bucket;
     * neighbors are scored only within the query's bucket. */

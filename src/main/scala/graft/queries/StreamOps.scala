@@ -465,7 +465,35 @@ object StreamOps {
        |    AND CAST(MIN(n_w) AS BIGINT) >= $DriftMinWindowEvents AS drifted
        |FROM q GROUP BY wstart ORDER BY wstart""".stripMargin
 
+  /** st11: streaming NEAR-DUPLICATE admission — the semantic ingest
+    * firewall: an arriving document batch (the HIGHEST 1/5 of doc ids —
+    * the s15 split convention) is gated against the standing corpus
+    * under the production s02 construction (hashed-bigram idf
+    * embeddings, adaptive banded LSH, exact rescore): a doc is ADMITTED
+    * iff no standing doc reaches cosine ≥ 0.9. The featurizer (standing
+    * dfs, doc count, bit width) and the band index are FROZEN standing
+    * state — the per-batch work is batch-gram-sized embed + batch
+    * collision probe, the incremental-dedup shape d09 runs at the exact
+    * level lifted to SEMANTIC near-dups. Batch twin of
+    * [[graft.streaming.StreamingPipelines.nearDupAdmit]]; admission is
+    * per-doc against standing state only, so the streaming replay's
+    * micro-batch boundaries are semantically free (spec-pinned). */
+  def st11NeardupAdmission(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val docs = documents(s, d).select("doc_id", "text")
+    val maxId = docs.agg(max("doc_id")).as[Long].head()
+    val den = SimilarityOps.NewBatchDen
+    val t = (maxId + 1L) * (den - 1L) / den
+    require(t >= 1L && t <= maxId,
+      s"st11: degenerate batch split t=$t for max id $maxId")
+    SimilarityOps.nearDupAdmissionOf(
+      docs.filter(col("doc_id") < t), docs.filter(col("doc_id") >= t))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st11_neardup_admission" -> st11NeardupAdmission _,
     "st10_drift_score" -> st10DriftScore _,
     "st09_scored_admission" -> st09ScoredAdmission _,
     "st08_heavy_hitters" -> st08HeavyHitters _,
@@ -479,6 +507,7 @@ object StreamOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "st11_neardup_admission" -> SimilarityOps.st11Sql,
     "st10_drift_score" -> st10Sql,
     "st09_scored_admission" -> st09Sql,
     "st08_heavy_hitters" -> st08Sql,

@@ -70,6 +70,29 @@ object StreamingPipelines {
     }
   }
 
+  /** foreachBatch driver for streaming NEAR-DUPLICATE admission (the
+    * st11 streaming twin): each micro-batch of arriving (doc_id, text)
+    * rows is gated against FROZEN standing state — the standing corpus's
+    * idf featurizer and adaptive band index
+    * (SimilarityOps.nearDupAdmissionOf) — and the per-doc verdict rows
+    * (doc_id, n_candidates, max_sim, admitted) go to `emit`, the
+    * caller's sink (memory table, parquet append, a Kafka producer).
+    * Admission depends ONLY on (standing, doc) — never on other batch
+    * members — so micro-batch boundaries cannot change any verdict:
+    * replaying the same docs in any split yields the batch twin
+    * row-for-row (StreamingSpec pins a two-batch replay against st11).
+    *
+    * Usage:
+    * `docStream.writeStream.foreachBatch(nearDupAdmitBatch(standing, emit) _)`.
+    */
+  def nearDupAdmitBatch(standing: DataFrame,
+                        emit: (DataFrame, Long) => Unit)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (!batch.isEmpty)
+      emit(graft.queries.SimilarityOps.nearDupAdmissionOf(standing, batch),
+        batchId)
+  }
+
   /** STREAM-STREAM interval join: purchases attributed to same-user clicks
     * in the preceding 10 minutes. Both sides are watermarked so the join
     * state is bounded — clicks older than the bound + watermark are

@@ -110,6 +110,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("LocalTableScan"), p)
   }
 
+  test("st11/p12: admission probe and family prune stay equi-join-only") {
+    val p1 = plan(graft.queries.StreamOps.st11NeardupAdmission(spark, d))
+    assert(!p1.contains("CartesianProduct") &&
+      !p1.contains("BroadcastNestedLoopJoin"), p1)
+    val p2 = plan(graft.queries.PipelineOps.p12NeardupFamilies(spark, d))
+    assert(!p2.contains("CartesianProduct") &&
+      !p2.contains("BroadcastNestedLoopJoin"), p2)
+  }
+
   test("s02: band join and rescore are equi-joins, never a cross product") {
     val p = plan(SimilarityOps.s02EmbedNearDup(spark, d))
     assert(!p.contains("CartesianProduct") &&

@@ -549,4 +549,50 @@ class StreamingSpec extends AnyFunSuite {
       } finally qn.stop()
     } finally q.stop()
   }
+
+  test("streaming near-dup admission: two-batch replay equals the st11 batch twin") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val maxId = docs.agg(org.apache.spark.sql.functions.max("doc_id"))
+      .head().getLong(0)
+    val den = graft.queries.SimilarityOps.NewBatchDen
+    val t = (maxId + 1L) * (den - 1L) / den
+    val standing = docs.filter(col("doc_id") < t).localCheckpoint(true)
+    val arriving = docs.filter(col("doc_id") >= t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long, Option[Double], Boolean)]()
+    val emit: (org.apache.spark.sql.DataFrame, Long) => Unit = (df, _) =>
+      df.collect().foreach(r => sink.add((r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3))))
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(StreamingPipelines.nearDupAdmitBatch(standing, emit) _)
+      .start()
+    try {
+      // two micro-batches: the split must not change any verdict
+      // (admission is per-doc vs standing state only)
+      val (first, second) = arriving.splitAt(arriving.length / 2)
+      mem.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(second.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val streaming = sink.asScala.toVector.sortBy(_._1)
+    val batchTwin = graft.queries.StreamOps
+      .st11NeardupAdmission(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3)))
+      .toVector.sortBy(_._1)
+    assert(streaming == batchTwin)
+    // non-vacuity: the gate must reject something and admit something
+    assert(batchTwin.exists(!_._4) && batchTwin.exists(_._4),
+      "st11 fixture vacuous: nothing rejected or nothing admitted")
+  }
 }
