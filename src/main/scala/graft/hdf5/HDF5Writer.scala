@@ -304,7 +304,9 @@ object HDF5Writer {
             zstdLevel: Option[Int] = None,
             blosc: Option[graft.zarr.Blosc.Params] = None,
             lz4: Boolean = false,
-            denseRootLinks: Boolean = false): Unit = {
+            denseRootLinks: Boolean = false,
+            denseStartBlockSize: Long = 0L,
+            denseBtNodeSize: Int = 0): Unit = {
     require(Seq(deflateLevel.isDefined, lzf, zstdLevel.isDefined,
       blosc.isDefined, lz4).count(identity) <= 1,
       "deflate, lzf, zstd, blosc, and lz4 are alternative block codecs; " +
@@ -503,9 +505,12 @@ object HDF5Writer {
     // ---- allocate all blocks ----
     alloc("superblock", 96)
     alloc("root", headerBytes(rootMsgs).length.toLong)
-    // dense-link geometry (used only when denseRootLinks): one root
-    // DIRECT block holding every serialized v1 link message, packed
-    // after the 17-byte FHDB header; block size = pow2 cover
+    // dense-link geometry (used only when denseRootLinks): serialized v1
+    // link messages packed into fractal-heap direct blocks after each
+    // 17-byte FHDB header. `denseStartBlockSize` forces libhdf5's real
+    // doubling-table shape (512-byte starting blocks -> an INDIRECT root
+    // once links outgrow one block); 0 = one pow2-cover direct root.
+    // `denseBtNodeSize` similarly forces a depth-1 name index.
     val linkMsgSizes: Vector[Int] = objNames.map { n =>
       val nb = n.getBytes("UTF-8")
       require(nb.length <= 255, s"dense link name too long: $n")
@@ -513,15 +518,66 @@ object HDF5Writer {
     }
     val fhdbDataStart = 13 + 4 // sig+ver+hdrAddr+blockOffset(4)
     val fhdbNeed = fhdbDataStart + linkMsgSizes.sum
-    val fhdbSize = math.max(512L, java.lang.Long.highestOneBit(fhdbNeed - 1) * 2)
-    val heapIdLenW = 1 + 4 + lenBytesFor(fhdbSize)
+    val denseSbs =
+      if (denseStartBlockSize > 0L) denseStartBlockSize
+      else math.max(512L, java.lang.Long.highestOneBit(fhdbNeed - 1) * 2)
+    def denseRowSize(r: Int): Long =
+      if (r < 2) denseSbs else denseSbs << (r - 1)
+    // greedy block plan: (blockOff, blockSize) per direct block plus each
+    // object's heap offset (heap space INCLUDES block headers)
+    val denseBlocks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val denseObjOff = new Array[Long](linkMsgSizes.length)
+    if (denseRootLinks) {
+      var pos = 0L // within-block cursor (absolute heap offset)
+      var blockEnd = 0L
+      linkMsgSizes.zipWithIndex.foreach { case (m, i) =>
+        if (denseBlocks.isEmpty || pos + m > blockEnd) {
+          val bOff = if (denseBlocks.isEmpty) 0L
+                     else denseBlocks.last._1 + denseBlocks.last._2
+          val bSize = denseRowSize(denseBlocks.length / 4)
+          require(fhdbDataStart + m <= bSize,
+            s"dense link message ($m bytes) exceeds block size $bSize")
+          denseBlocks += ((bOff, bSize))
+          pos = bOff + fhdbDataStart
+          blockEnd = bOff + bSize
+        }
+        denseObjOff(i) = pos
+        pos += m
+      }
+      if (denseBlocks.isEmpty) denseBlocks += ((0L, denseSbs))
+    }
+    val denseRows =
+      if (denseBlocks.length <= 1) 0 else (denseBlocks.length + 3) / 4
+    val denseMaxDirect =
+      if (denseRows <= 2) denseSbs else denseSbs << (denseRows - 2)
+    val denseMaxManaged = 4096L
+    val denseLenW = lenBytesFor(math.min(denseMaxDirect, denseMaxManaged))
+    val heapIdLenW = 1 + 4 + denseLenW
     val btRecSize = 4 + heapIdLenW
-    val btlfSize = 6 + objNames.length * btRecSize + 4
+    // name-index plan: single leaf (depth 0) or depth-1 BTIN + leaves
+    val denseNodeSize =
+      if (denseBtNodeSize > 0) denseBtNodeSize
+      else math.max(2048, 6 + objNames.length * btRecSize + 4 + 8)
+    val denseLeafCap = (denseNodeSize - 10) / btRecSize
+    require(denseLeafCap >= 1, s"dense btree node size $denseNodeSize too small")
+    val denseDepth = if (objNames.length <= denseLeafCap) 0 else 1
     if (denseRootLinks) {
       alloc("fheap", 146)
-      alloc("fhdb", fhdbSize)
+      denseBlocks.indices.foreach(k => alloc(s"fhdb:$k", denseBlocks(k)._2))
+      if (denseRows > 0) alloc("fhib", 13L + 4 + denseRows * 4 * 8 + 4)
       alloc("bthd", 38)
-      alloc("btlf", btlfSize.toLong)
+      if (denseDepth == 0) {
+        alloc("btlf:0", (6 + objNames.length * btRecSize + 4).toLong)
+      } else {
+        val chunks = objNames.indices.grouped(denseLeafCap).toVector
+        val nrecW = lenBytesFor(denseLeafCap.toLong)
+        alloc("btin", (6 + (chunks.length - 1) * btRecSize +
+          chunks.length * (8 + nrecW) + 4).toLong)
+        chunks.zipWithIndex.foreach { case (c, i) =>
+          val nrec = if (i == 0) c.length else c.length - 1
+          alloc(s"btlf:$i", (6 + nrec * btRecSize + 4).toLong)
+        }
+      }
     } else {
       alloc("heap", 32)
       alloc("heapdata", heapData.length.toLong)
@@ -609,7 +665,7 @@ object HDF5Writer {
     }
 
     if (denseRootLinks) {
-      // serialized v1 link messages, packed into the root direct block
+      // serialized v1 link messages, packed into the planned blocks
       val linkMsgs: Vector[Array[Byte]] = objNames.map { n =>
         val nb = n.getBytes("UTF-8")
         val b = ByteBuffer.allocate(1 + 1 + 1 + nb.length + 8)
@@ -621,86 +677,133 @@ object HDF5Writer {
         b.putLong(addrs(s"obj:$n"))
         b.array()
       }
-      // heap offsets address the linear heap space INCLUDING the block
-      // header bytes (file = blockAddr + heapOff for a zero-offset root)
-      val heapOffs: Vector[Long] = linkMsgs
-        .scanLeft(fhdbDataStart.toLong)((acc, m) => acc + m.length).init
-      val lenW = lenBytesFor(fhdbSize)
+      val rootBlockAddr =
+        if (denseRows == 0) addrs("fhdb:0") else addrs("fhib")
       // fractal heap header (FRHP)
       locally {
+        val managed = denseBlocks.map(_._2).sum
         val b = ByteBuffer.allocate(146).order(ByteOrder.LITTLE_ENDIAN)
         b.put("FRHP".getBytes("ASCII"))
         b.put(0.toByte)                    // version
         b.putShort(heapIdLenW.toShort)     // heap id length
         b.putShort(0)                      // io filter encoded length
         b.put(0.toByte)                    // flags: no checksums on blocks
-        b.putInt(fhdbSize.toInt)           // max size of managed objects
+        b.putInt(denseMaxManaged.toInt)    // max size of managed objects
         b.putLong(0L)                      // next huge id
         b.putLong(Undefined)               // huge btree
-        b.putLong(fhdbSize - fhdbNeed)     // free space
+        b.putLong(managed - fhdbNeed)      // free space
         b.putLong(Undefined)               // free-space manager
-        b.putLong(fhdbSize)                // managed space
-        b.putLong(fhdbSize)                // allocated managed space
+        b.putLong(managed)                 // managed space
+        b.putLong(managed)                 // allocated managed space
         b.putLong(fhdbNeed.toLong)         // direct-block iterator offset
         b.putLong(objNames.length.toLong)  // managed objects
         b.putLong(0L); b.putLong(0L)       // huge size / count
         b.putLong(0L); b.putLong(0L)       // tiny size / count
         b.putShort(4)                      // table width
-        b.putLong(fhdbSize)                // starting block size
-        b.putLong(fhdbSize)                // max direct block size
+        b.putLong(denseSbs)                // starting block size
+        b.putLong(denseMaxDirect)          // max direct block size
         b.putShort(32)                     // max heap size (bits)
         b.putShort(1)                      // starting rows in root iblock
-        b.putLong(addrs("fhdb"))           // root block address
-        b.putShort(0)                      // current rows: 0 = root DIRECT
+        b.putLong(rootBlockAddr)           // root block address
+        b.putShort(denseRows.toShort)      // current rows (0 = root DIRECT)
         b.putInt(lookup3(java.util.Arrays.copyOfRange(b.array(), 0, 142)))
         put(addrs("fheap"), b.array())
       }
-      // root direct block (FHDB), flags bit1 unset -> no block checksum
-      locally {
-        val b = ByteBuffer.allocate(fhdbSize.toInt)
-          .order(ByteOrder.LITTLE_ENDIAN)
+      // direct blocks (flags bit1 unset -> no block checksums): headers +
+      // objects at their planned absolute heap offsets
+      denseBlocks.zipWithIndex.foreach { case ((bOff, bSize), k) =>
+        val b = ByteBuffer.allocate(bSize.toInt).order(ByteOrder.LITTLE_ENDIAN)
         b.put("FHDB".getBytes("ASCII"))
         b.put(0.toByte)
         b.putLong(addrs("fheap"))
-        b.putInt(0) // block offset (4-byte width from 32-bit max heap)
-        linkMsgs.foreach(b.put)
-        put(addrs("fhdb"), b.array())
+        b.putInt(bOff.toInt) // block offset (4-byte width, 32-bit max heap)
+        linkMsgs.indices.foreach { i =>
+          val off = denseObjOff(i)
+          if (off >= bOff && off < bOff + bSize) {
+            b.position((off - bOff).toInt)
+            b.put(linkMsgs(i))
+          }
+        }
+        put(addrs(s"fhdb:$k"), b.array())
       }
-      // v2 btree: header + single leaf, records sorted by lookup3(name)
+      // root INDIRECT block when the plan spans multiple direct blocks
+      if (denseRows > 0) {
+        val sz = 13 + 4 + denseRows * 4 * 8 + 4
+        val b = ByteBuffer.allocate(sz).order(ByteOrder.LITTLE_ENDIAN)
+        b.put("FHIB".getBytes("ASCII"))
+        b.put(0.toByte)
+        b.putLong(addrs("fheap"))
+        b.putInt(0) // block offset of the root indirect block
+        (0 until denseRows * 4).foreach { k =>
+          b.putLong(if (k < denseBlocks.length) addrs(s"fhdb:$k") else Undefined)
+        }
+        b.putInt(lookup3(java.util.Arrays.copyOfRange(b.array(), 0, sz - 4)))
+        put(addrs("fhib"), b.array())
+      }
+      // v2 btree name index: records sorted by lookup3(name); depth 0 =
+      // one leaf, depth 1 = BTIN root (chunk heads pulled up as
+      // separators) + leaves
       val recs: Vector[(Int, String, Long, Int)] =
-        objNames.zip(heapOffs).zip(linkMsgs.map(_.length))
-          .map { case ((n, off), len) =>
-            (lookup3(n.getBytes("UTF-8")), n, off, len) }
-          .sortBy { case (h, n, _, _) => (h & 0xFFFFFFFFL, n) }
+        objNames.zipWithIndex.map { case (n, i) =>
+          (lookup3(n.getBytes("UTF-8")), n, denseObjOff(i), linkMsgSizes(i))
+        }.sortBy { case (h, n, _, _) => (h & 0xFFFFFFFFL, n) }
+      def recBytes(b: ByteBuffer, r: (Int, String, Long, Int)): Unit = {
+        b.putInt(r._1)
+        b.put(0.toByte)               // heap id: version/type = managed
+        b.putInt(r._3.toInt)          // offset (4 bytes)
+        var v = r._4.toLong
+        (0 until denseLenW).foreach { _ => b.put((v & 0xFF).toByte); v >>= 8 }
+      }
+      def leafBytes(rs: Vector[(Int, String, Long, Int)]): Array[Byte] = {
+        val sz = 6 + rs.length * btRecSize + 4
+        val b = ByteBuffer.allocate(sz).order(ByteOrder.LITTLE_ENDIAN)
+        b.put("BTLF".getBytes("ASCII"))
+        b.put(0.toByte); b.put(5.toByte)
+        rs.foreach(recBytes(b, _))
+        b.putInt(lookup3(java.util.Arrays.copyOfRange(b.array(), 0, sz - 4)))
+        b.array()
+      }
+      val (rootAddr2, rootNRec) =
+        if (denseDepth == 0) {
+          put(addrs("btlf:0"), leafBytes(recs))
+          (addrs("btlf:0"), recs.length)
+        } else {
+          val chunks = recs.grouped(denseLeafCap).toVector
+          val nrecW = lenBytesFor(denseLeafCap.toLong)
+          val leafRecs = chunks.zipWithIndex.map { case (c, i) =>
+            if (i == 0) c else c.tail }
+          leafRecs.zipWithIndex.foreach { case (c, i) =>
+            put(addrs(s"btlf:$i"), leafBytes(c)) }
+          val seps = chunks.tail.map(_.head)
+          val sz = 6 + seps.length * btRecSize +
+            chunks.length * (8 + nrecW) + 4
+          val b = ByteBuffer.allocate(sz).order(ByteOrder.LITTLE_ENDIAN)
+          b.put("BTIN".getBytes("ASCII"))
+          b.put(0.toByte); b.put(5.toByte)
+          seps.foreach(recBytes(b, _))
+          leafRecs.zipWithIndex.foreach { case (c, i) =>
+            b.putLong(addrs(s"btlf:$i"))
+            var v = c.length.toLong
+            (0 until nrecW).foreach { _ => b.put((v & 0xFF).toByte); v >>= 8 }
+          }
+          b.putInt(lookup3(java.util.Arrays.copyOfRange(b.array(), 0, sz - 4)))
+          put(addrs("btin"), b.array())
+          (addrs("btin"), seps.length)
+        }
       locally {
         val b = ByteBuffer.allocate(38).order(ByteOrder.LITTLE_ENDIAN)
         b.put("BTHD".getBytes("ASCII"))
         b.put(0.toByte)                  // version
         b.put(5.toByte)                  // type 5: group link name index
-        b.putInt(math.max(2048, btlfSize + 8)) // node size
+        b.putInt(denseNodeSize)          // node size
         b.putShort(btRecSize.toShort)
-        b.putShort(0)                    // depth 0
+        b.putShort(denseDepth.toShort)
         b.put(100.toByte); b.put(40.toByte) // split / merge %
-        b.putLong(addrs("btlf"))
-        b.putShort(objNames.length.toShort)
+        b.putLong(rootAddr2)
+        b.putShort(rootNRec.toShort)
         b.putLong(objNames.length.toLong)
         b.putInt(lookup3(java.util.Arrays.copyOfRange(b.array(), 0, 34)))
         put(addrs("bthd"), b.array())
-      }
-      locally {
-        val b = ByteBuffer.allocate(btlfSize).order(ByteOrder.LITTLE_ENDIAN)
-        b.put("BTLF".getBytes("ASCII"))
-        b.put(0.toByte)                  // version
-        b.put(5.toByte)                  // type
-        recs.foreach { case (h, _, off, len) =>
-          b.putInt(h)
-          b.put(0.toByte)                // heap id: version/type = managed
-          b.putInt(off.toInt)            // offset (4 bytes)
-          var v = len.toLong
-          (0 until lenW).foreach { _ => b.put((v & 0xFF).toByte); v >>= 8 }
-        }
-        b.putInt(lookup3(java.util.Arrays.copyOfRange(b.array(), 0, btlfSize - 4)))
-        put(addrs("btlf"), b.array())
       }
     } else {
     // local heap

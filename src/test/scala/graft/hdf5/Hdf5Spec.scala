@@ -79,6 +79,51 @@ class Hdf5Spec extends AnyFunSuite {
     assert(HDF5.read(cpath).sameAs(back))
   }
 
+  test("dense links under libhdf5's REAL geometry: indirect-root heap + depth-1 name index") {
+    // libhdf5 writes 512-byte starting blocks, so real dense groups
+    // outgrow one direct block (indirect root) and, past ~185 links, a
+    // depth-1 v2 btree. Force BOTH shapes and round-trip: 15 links in
+    // 256-byte blocks (multi-block doubling table walked through FHIB)
+    // and a 60-byte btree node (leaf capacity 4 -> BTIN root with
+    // separator records pulled up).
+    val base = cube()
+    val rng = new scala.util.Random(13)
+    val (nt, ny, nx) = (6, 5, 4)
+    val extra = (1 to 10).map { i =>
+      f"field_with_a_longer_name_$i%02d" -> Variable(Vector("time", "lat", "lon"),
+        NDArray(DType.F8, Vector(nt, ny, nx),
+          Array.fill(nt * ny * nx)(rng.nextDouble())),
+        Map("long_name" -> AttrValue(s"forced $i")))
+    }.toMap
+    val f = base.copy(dataVars = base.dataVars ++ extra)
+    val path = s"$dir/dense_real.nc"
+    HDF5Writer.write(path, f, denseRootLinks = true,
+      denseStartBlockSize = 256L, denseBtNodeSize = 60)
+    val back = HDF5.read(path)
+    assert(back.sameAs(f), "indirect-heap/depth-1 fragment mismatch")
+    assert(back.dataVars.keySet == f.dataVars.keySet)
+    // the kerchunk scanner walks the same dense structures
+    val refs = graft.kerchunk.RefSet.scanHdf5(path)
+    assert(refs.keys.exists(_.contains("field_with_a_longer_name_07")),
+      s"scanner missed dense links: ${refs.keys.take(5)}")
+    // geometry really was forced: multiple FHDB blocks + a BTIN root
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    def countSig(sig: String): Int = {
+      val sb = sig.getBytes("ASCII"); var n = 0
+      var i = 0
+      while (i <= bytes.length - 4) {
+        if (bytes(i) == sb(0) && bytes(i + 1) == sb(1) &&
+            bytes(i + 2) == sb(2) && bytes(i + 3) == sb(3)) n += 1
+        i += 1
+      }
+      n
+    }
+    assert(countSig("FHDB") >= 2, s"expected multiple direct blocks, got ${countSig("FHDB")}")
+    assert(countSig("FHIB") == 1, "expected an indirect root block")
+    assert(countSig("BTIN") == 1, "expected a depth-1 btree root")
+    assert(countSig("BTLF") >= 2, s"expected multiple leaves, got ${countSig("BTLF")}")
+  }
+
   test("dense root links round-trip with chunked+deflate variables") {
     val f = cube()
     val path = s"$dir/dense_chunked.nc"
