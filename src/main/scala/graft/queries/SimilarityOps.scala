@@ -884,17 +884,39 @@ object SimilarityOps {
     * partition-locally, and the codegen'd dot + threshold filter runs in
     * the same stage, so nothing wider than the verdict rows leaves the
     * join. Per-cell membership is ~sqrt(n) under the IVF seeding rule, so
-    * pair work is n*sqrt(n), not n^2; at production scale the cell count
-    * is a knob ([[graft.ops.Vectors.semanticDedup]]) — constant-size cells
-    * make the pair mass linear in n, the paper's k ∝ n regime. */
+    * pair work is n·max(√n, [[SemDedupCellTarget]]) — the GATED cell rule
+    * (r9) is cells = max(ceil(√n), n div [[SemDedupCellTarget]]): below
+    * n = [[SemDedupCellTarget]]² it reduces to the IVF √n seeding (so the
+    * driver-scale oracle is unchanged), and beyond it cells grow ∝ n with
+    * ~[[SemDedupCellTarget]]-vector cells — the paper's k ∝ n regime,
+    * making the within-cell pair mass LINEAR in n by construction instead
+    * of a documented knob ([[graft.ops.Vectors.semanticDedup]] still
+    * exposes `numCells` for explicit targets). */
   // Deliberately UNCACHED: the tagged assignment feeds three plan branches
   // (both self-join sides + the verdict join), so the corpus scans 3×. A
   // cache-and-release here was MEASURED SLOWER at sf0.1 (0.43 -> 0.94 s:
   // checkpoint materialization dominates), and at 10^10 vectors the corpus
-  // doesn't fit a cache anyway — three column-pruned scans against sqrt(n)
+  // doesn't fit a cache anyway — three column-pruned scans against
   // broadcast centroids is the scale-correct shape.
-  def s06SemanticDedup(s: SparkSession, d: String): DataFrame =
-    semanticDedupOf(s04Tagged(s, d), 0.45).orderBy("vec_id")
+  def s06SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), expr(qEmb).as("q"))
+      .as[(Long, Array[Long])]
+    val n = emb.count()
+    val cells = math.max(
+      math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong),
+      n / SemDedupCellTarget)
+    semanticDedupOf(ivfTagOf(s, emb, NProbe, cells), 0.45).orderBy("vec_id")
+  }
+
+  /** s06's target cell SIZE past the √n crossover (n > target²):
+    * per-cell pair work stays ~target²/2, so total pair mass is
+    * n·target/2 — linear. 64 keeps the sf-scale oracle on the √n rule
+    * (500 and 2,000 vectors are below 64² = 4,096) while a 10^9-vector
+    * corpus gets ~1.6·10^7 cells of ~64. */
+  val SemDedupCellTarget = 64L
 
   /** The s06 kernel over a tagged (vec_id, q, nrm, cell, ...) frame:
     * within-cell near-twin pruning at an exact-cosine threshold. */
@@ -924,7 +946,9 @@ object SimilarityOps {
        |  SELECT vec_id, SUM(x * x) AS nrm FROM elems GROUP BY vec_id
        |), cents AS (
        |  SELECT vec_id AS cid, i, x FROM elems
-       |  WHERE vec_id < (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) FROM embeddings)
+       |  WHERE vec_id < (SELECT GREATEST(CAST(CEIL(SQRT(COUNT(*))) AS BIGINT),
+       |                                  COUNT(*) // $SemDedupCellTarget)
+       |                  FROM embeddings)
        |), dists AS (
        |  SELECT e.vec_id, c.cid, SUM((e.x - c.x) * (e.x - c.x)) AS d2
        |  FROM elems e JOIN cents c ON e.i = c.i GROUP BY 1, 2
