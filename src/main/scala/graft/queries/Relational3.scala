@@ -499,7 +499,87 @@ object Relational3 {
        |  % $SketchSampleDen = 0
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** HLL register count (2^8) and the fixed-point exponent cap. */
+  private val HllBuckets = 256
+  private val HllK = 30
+
+  /** q33: HyperLogLog distinct sketch (Flajolet et al. 2007) next to
+    * q24's KMV — the mergeable register sketch every engine ships for
+    * 100 TB COUNT DISTINCT: each key's 60-bit md5 splits into an 8-bit
+    * register index and a 52-bit suffix whose leading-zero rank updates
+    * the register MAX; the harmonic estimate is computed in EXACT
+    * fixed-point integers (Σ 2^(K−M) with K = 30 — registers past K
+    * truncate to a zero contribution, which matters only past ~2^38
+    * keys per register; α_m = 7213/(10000 + 10790 div m)), so both
+    * engines agree bit-for-bit with no float summation order anywhere.
+    * The exact count rides along as the estimator audit (q24's shape);
+    * the standard error bound is 1.04/√m ≈ 6.5%, spec-pinned.
+    *
+    * Scale shape: one distinct shuffle (shared with the exact audit) →
+    * a 256-row register agg (map-side partial MAX) → one broadcast-sized
+    * fold. The registers are MERGEABLE maxes — the sketch unions across
+    * corpora/partitions for free, which is why HLL and not exact
+    * count-distinct is what runs at 10^12 keys. */
+  def q33HllSketch(s: SparkSession, d: String): DataFrame = {
+    val keys = lineitem(s, d).select("l_partkey").distinct()
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(cast(l_partkey as string)), 1, 15), 16, 10) as bigint)"))
+      .cache()
+    try {
+      val regs = keys
+        .withColumn("bucket", expr("h div 4503599627370496L")) // h >> 52
+        .withColumn("rest", expr("h % 4503599627370496L"))
+        .withColumn("rho", expr(
+          "case when rest = 0 then 53L else cast(52 - length(bin(rest)) + 1 as bigint) end"))
+        .groupBy("bucket").agg(max("rho").as("mreg"))
+      val allRegs = keys.sparkSession.range(HllBuckets.toLong)
+        .withColumnRenamed("id", "bucket")
+        .join(regs, Seq("bucket"), "left")
+        .select(coalesce(col("mreg"), lit(0L)).as("mreg"))
+      val sketch = allRegs
+        .agg(sum(expr(s"shiftleft(1L, $HllK - cast(least(mreg, ${HllK}L) as int))"))
+          .as("ssum"))
+        .withColumn("m", lit(HllBuckets.toLong))
+        .withColumn("est_distinct", expr(
+          s"(7213L * ${HllBuckets.toLong * HllBuckets} * ${1L << HllK}) div " +
+            s"(ssum * ${10000 + 10790 / HllBuckets})"))
+      val exact = keys.agg(count(lit(1)).as("exact_distinct"))
+      sketch.crossJoin(exact)
+        .select(col("m"), col("ssum"), col("est_distinct"), col("exact_distinct"))
+        .localCheckpoint(true)
+    } finally keys.unpersist(blocking = false)
+  }
+
+  val q33Sql: String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS h
+       |  FROM lineitem
+       |), r AS (
+       |  SELECT h // 4503599627370496 AS bucket, h % 4503599627370496 AS rest FROM h
+       |), reg AS (
+       |  SELECT bucket,
+       |    MAX(CASE WHEN rest = 0 THEN 53
+       |        ELSE 52 - length(bin(CAST(rest AS BIGINT))) + 1 END) AS mreg
+       |  FROM r GROUP BY bucket
+       |), allreg AS (
+       |  SELECT COALESCE(reg.mreg, 0) AS mreg
+       |  FROM range(0, $HllBuckets) t(bucket)
+       |  LEFT JOIN reg ON t.bucket = reg.bucket
+       |), sk AS (
+       |  SELECT CAST($HllBuckets AS BIGINT) AS m,
+       |    CAST(SUM(1 << ($HllK - LEAST(mreg, $HllK))) AS BIGINT) AS ssum
+       |  FROM allreg
+       |), ex AS (
+       |  SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+       |  FROM lineitem)
+       |SELECT m, ssum,
+       |  CAST((7213::BIGINT * ${HllBuckets.toLong * HllBuckets} * ${1L << HllK}) //
+       |    (ssum * ${10000 + 10790 / HllBuckets}) AS BIGINT) AS est_distinct,
+       |  exact_distinct
+       |FROM sk, ex""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_hll_sketch" -> q33HllSketch _,
     "q32_percentile_sketch" -> q32PercentileSketch _,
     "q31_locf_resample" -> q31LocfResample _,
     "q30_grouping_sets" -> q30GroupingSets _,
@@ -514,6 +594,7 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q33_hll_sketch" -> q33Sql,
     "q32_percentile_sketch" -> q32Sql,
     "q31_locf_resample" -> q31Sql,
     "q30_grouping_sets" -> q30Sql,

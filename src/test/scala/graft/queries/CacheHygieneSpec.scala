@@ -36,6 +36,7 @@ class CacheHygieneSpec extends AnyFunSuite {
     "d07_dup_clusters" -> (DedupOps.d07DupClusters _),
     "d09_bloom_incremental" -> (DedupOps2.d09BloomIncremental _),
     "q24_kmv_sketch" -> (Relational3.q24KmvSketch _),
+    "q33_hll_sketch" -> (Relational3.q33HllSketch _),
     "q29_recursive_chains" -> (Relational3.q29RecursiveChains _),
     "s04_ann_ivf" -> (SimilarityOps.s04AnnIvf _),
   )
