@@ -103,9 +103,10 @@ object Storage {
       if (io.exists(key) && size >= 0 && io.size(key) == size)
         return s"$cacheDir/$key" // size-match skip
       val in = openSource(fetchUrl)
-      val buf = new java.io.ByteArrayOutputStream()
-      try copyStream(in, buf) finally in.close()
-      io.write(key, buf.toByteArray)
+      try {
+        val out = io.openWrite(key) // block-streamed; PUT on close
+        try copyStream(in, out) finally out.close()
+      } finally in.close()
       return s"$cacheDir/$key"
     }
     val target = Paths.get(cacheDir, hashPath(sourceUrl))
@@ -137,8 +138,14 @@ object Storage {
     val size = io.size(key)
     if (Files.exists(target) && Files.size(target) == size)
       return target.toString
+    // block-streamed (the storage.py 10 MB-block contract): a multi-GB
+    // cached NetCDF must never be buffered whole on an executor
     val tmp = Files.createTempFile(target.getParent, ".localize", ".tmp")
-    Files.write(tmp, io.read(key))
+    val in = io.openRead(key)
+    try {
+      val out = Files.newOutputStream(tmp)
+      try copyStream(in, out) finally out.close()
+    } finally in.close()
     Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
     target.toString
   }

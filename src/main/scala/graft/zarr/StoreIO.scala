@@ -21,6 +21,22 @@ import scala.jdk.CollectionConverters._
 trait StoreIO {
   def write(key: String, bytes: Array[Byte]): Unit
   def read(key: String): Array[Byte]
+  /** Streaming read of one object — the block-copy path for payloads
+    * that must never be buffered whole (Storage.localize spooling a
+    * multi-GB cached file executor-local). Default wraps [[read]];
+    * the file-backed transports stream natively. */
+  def openRead(key: String): java.io.InputStream =
+    new java.io.ByteArrayInputStream(read(key))
+  /** Streaming write — the object appears atomically when the stream
+    * closes (one PUT). Default buffers then delegates to [[write]];
+    * the file-backed transports stream natively (a production object
+    * store would multipart-upload here). */
+  def openWrite(key: String): java.io.OutputStream = {
+    val self = this
+    new java.io.ByteArrayOutputStream() {
+      override def close(): Unit = { super.close(); self.write(key, this.toByteArray) }
+    }
+  }
   def readRange(key: String, pos: Long, len: Int): Array[Byte]
   /** Multiple ranges of one object through a SINGLE open handle — the
     * shard reader's per-chunk fetches (one open per shard, not per chunk). */
@@ -87,6 +103,13 @@ final class PosixIO(root: String) extends StoreIO {
     Files.write(path, bytes)
   }
   def read(key: String): Array[Byte] = Files.readAllBytes(p(key))
+  override def openRead(key: String): java.io.InputStream =
+    Files.newInputStream(p(key))
+  override def openWrite(key: String): java.io.OutputStream = {
+    val path = p(key)
+    Option(path.getParent).foreach(Files.createDirectories(_))
+    Files.newOutputStream(path)
+  }
   private def readAt(ch: java.nio.channels.FileChannel, key: String,
                      pos: Long, len: Int): Array[Byte] = {
     val buf = ByteBuffer.allocate(len)
@@ -160,6 +183,9 @@ final class HadoopIO(root: String) extends StoreIO {
     val in = fs.open(p(key))
     try in.readAllBytes() finally in.close()
   }
+  override def openRead(key: String): java.io.InputStream = fs.open(p(key))
+  override def openWrite(key: String): java.io.OutputStream =
+    fs.create(p(key), true) // PUT-on-close
   def readRange(key: String, pos: Long, len: Int): Array[Byte] = {
     val in = fs.open(p(key))
     try {
