@@ -236,6 +236,25 @@ object Corpus {
                        textCol: String = "text"): DataFrame =
     DedupOps.containmentPairsOf(norm(docs, idCol, textCol), t10, k)
 
+  /** Near-duplicate FAMILY pruning (p12): pairs from the production
+    * adaptive-LSH doc embedding ([[graft.ops.Text.nearDuplicateDocs]])
+    * become an undirected graph; connected components group transitive
+    * duplicate families, each keeping its min-id canonical. Returns one
+    * row per family: (family_id, family_size, canonical_id, max_sim —
+    * the family's strongest internal similarity, the curator's merge-
+    * certainty audit column). Pair mass is survivor-sized (linear under
+    * the adaptive construction); everything downstream is family-count-
+    * sized. */
+  def nearDupFamilies(spark: SparkSession, docs: DataFrame,
+                      threshold: Double =
+                        graft.queries.SimilarityOps.NearDupThreshold,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    graft.queries.PipelineOps.neardupFamiliesOf(spark,
+      graft.ops.Text
+        .nearDuplicateDocs(spark, docs, threshold, idCol = idCol, textCol = textCol)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"), col("sim")))
+
   /** Capped-join recall audit (d16): exact prefix-join trigram pairs at
     * Jaccard ≥ 0.8 over a deterministic `doc_id % sampleDen` doc sample,
     * each flagged by whether the PRODUCTION df-capped n-gram join

@@ -1071,10 +1071,16 @@ object PipelineOps {
     * shares the FULL s02 derivation (s02SqlCtes) plus the recursive-reach
     * CC shape d07 proved, so neither stage can drift from the operators
     * it composes. */
-  def p12NeardupFamilies(s: SparkSession, d: String): DataFrame = {
-    val pairs = SimilarityOps.s02EmbedNearDup(s, d)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"), col("sim"))
-      .localCheckpoint(true)
+  def p12NeardupFamilies(s: SparkSession, d: String): DataFrame =
+    neardupFamiliesOf(s,
+      SimilarityOps.s02EmbedNearDup(s, d)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"), col("sim")))
+      .orderBy("family_id")
+
+  /** p12's kernel over any (doc_a, doc_b, sim) near-dup pair frame
+    * (graft.ops.Corpus API). */
+  private[graft] def neardupFamiliesOf(s: SparkSession, pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.localCheckpoint(true)
     val comp = DedupOps.connectedComponents(s,
       pairs.select("doc_a", "doc_b"), DedupOps.SingleTaskEdgeMax)
     val fam = comp.groupBy("label").agg(
@@ -1088,7 +1094,6 @@ object PipelineOps {
     fam.join(strongest, "label")
       .select(col("label").as("family_id"), col("family_size"),
         col("canonical_id"), col("max_sim"))
-      .orderBy("family_id")
   }
 
   val p12Sql: String =

@@ -39,6 +39,16 @@ class VectorsApiSpec extends AnyFunSuite {
     assert(api.exceptAll(gated).isEmpty && gated.exceptAll(api).isEmpty)
   }
 
+  test("Corpus.nearDupFamilies == p12 under renamed columns") {
+    val docsRenamed = spark.read.parquet(s"$d/documents.parquet")
+      .selectExpr("doc_id AS id", "text AS body")
+    val api = graft.ops.Corpus.nearDupFamilies(spark, docsRenamed,
+      idCol = "id", textCol = "body").orderBy("family_id")
+    val gated = graft.queries.PipelineOps.p12NeardupFamilies(spark, d)
+    assert(api.columns.sameElements(gated.columns))
+    assert(api.exceptAll(gated).isEmpty && gated.exceptAll(api).isEmpty)
+  }
+
   test("nearDuplicatePairs (adaptive defaults) == s05 under renamed columns") {
     val api = Vectors.nearDuplicatePairs(spark, renamed,
       idCol = "id", vecCol = "vec")
