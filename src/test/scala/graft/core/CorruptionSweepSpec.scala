@@ -114,6 +114,28 @@ class CorruptionSweepSpec extends AnyFunSuite {
     assert(failed > 0, "no corruption failed — the sweep is vacuous")
   }
 
+  test("hdf5 DENSE links: fractal-heap/btree corruption never crashes, only fails by name") {
+    // the round-9 structures: FRHP header, FHDB direct blocks, FHIB
+    // indirect root, BTHD/BTIN/BTLF name index — all new parser surface.
+    // Force libhdf5's real multi-block + depth-1 geometry so the sweep
+    // reaches every walk, then flip bytes across the WHOLE file densely
+    // enough to hit the dense-group structures (they sit near the front,
+    // after the superblock/root header).
+    val dir = tmpDir
+    val p = s"$dir/dense.h5"
+    val f = smallCube()
+    HDF5Writer.write(p, f, denseRootLinks = true,
+      denseStartBlockSize = 128L, denseBtNodeSize = 40)
+    val orig = Files.readAllBytes(Paths.get(p))
+    val target = s"$dir/mut.h5"
+    val (ok, failed) = sweep(orig, 1400, { bytes =>
+      Files.write(Paths.get(target), bytes)
+      HDF5.read(target)
+    })
+    info(s"hdf5 dense sweep: $ok corruptions read, $failed failed diagnosably")
+    assert(failed > 0, "no corruption failed — the sweep is vacuous")
+  }
+
   test("grib2: single-byte corruption never crashes, only fails by name") {
     val dir = tmpDir
     val p = s"$dir/clean.grib2"
