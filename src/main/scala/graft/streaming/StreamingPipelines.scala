@@ -37,18 +37,27 @@ object StreamingPipelines {
 
   /** foreachBatch driver for incremental Zarr append (SURVEY §2.10): each
     * micro-batch carries newly-arrived file URLs; they are opened on
-    * executors and appended to the target store along `appendDim`. The first
-    * batch creates the store, later ones extend it — the streaming wrapper
-    * over the reference's batch append (which is explicitly NOT idempotent,
-    * transforms.py:680-684; a replayed batch appends again, so the upstream
-    * source must deliver each file exactly once).
+    * executors and appended to the target store along `appendDim`. The
+    * first batch creates the store, later ones extend it.
+    *
+    * IDEMPOTENT REPLAY (`guard = true`, the default): Structured
+    * Streaming REDELIVERS a micro-batch after a restart that failed
+    * between the sink write and the checkpoint commit — exactly where
+    * the reference's append (explicitly NOT idempotent,
+    * transforms.py:680-684) would double the cube. The merkle tail of
+    * the batch's pattern identifies it; an already-applied tag in the
+    * store attrs makes the replay a NO-OP, so the sink is effectively
+    * exactly-once (the standard foreachBatch-sink contract). Pass
+    * `guard = false` for the reference's unguarded behavior (then the
+    * upstream source must deliver each file exactly once).
     *
     * Usage: `urlStream.writeStream.foreachBatch(zarrAppendBatch(...) _)`.
     */
   def zarrAppendBatch(storePath: String, appendDim: String,
                       fileType: graft.patterns.FileType.Value,
                       targetChunks: Map[String, Int],
-                      nitemsPerFile: Option[Int] = None)(
+                      nitemsPerFile: Option[Int] = None,
+                      guard: Boolean = true)(
       batch: Dataset[String], batchId: Long): Unit = {
     // Driver-side collect is BOUNDED by construction: the stream carries
     // file URLs (one short string per arriving file, ~100 bytes each at a
@@ -60,13 +69,26 @@ object StreamingPipelines {
     if (urls.nonEmpty) {
       val pattern = graft.patterns.FilePattern.fromFileSequence(
         urls, appendDim, nitemsPerFile = nitemsPerFile, fileType = fileType)
-      val items = graft.transforms.Pipelines.createItems(batch.sparkSession, pattern)
-      val frags = graft.transforms.Pipelines.openWithFragments(items, fileType)
       val storeExists = java.nio.file.Files.exists(
         java.nio.file.Paths.get(storePath, "zarr.json"))
+      val tag = pattern.sha256Hash.map("%02x".format(_)).mkString
+      if (guard && storeExists) {
+        // replay probe BEFORE any work: an applied tag means this exact
+        // batch already landed — skip, don't re-open or re-append
+        val applied = graft.zarr.ZarrGroup(storePath).groupAttrs
+          .get(graft.transforms.Pipelines.AppliedAppendsAttr) match {
+          case Some(graft.core.AttrValue.AList(v)) =>
+            v.collect { case graft.core.AttrValue.AStr(x) => x }
+          case _ => Vector.empty
+        }
+        if (applied.contains(tag)) return
+      }
+      val items = graft.transforms.Pipelines.createItems(batch.sparkSession, pattern)
+      val frags = graft.transforms.Pipelines.openWithFragments(items, fileType)
       graft.transforms.Pipelines.storeToZarr(
         frags, pattern.combineDimKeys, storePath, targetChunks,
-        appendDim = if (storeExists) Some(appendDim) else None)
+        appendDim = if (storeExists) Some(appendDim) else None,
+        appendGuardTag = if (guard && storeExists) Some(tag) else None)
     }
   }
 

@@ -144,6 +144,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("zarr append sink is idempotent under micro-batch REPLAY (guarded); unguarded doubles") {
+    import spark.implicits._
+    import graft.core.GoldenCube
+    import graft.patterns.FileType
+    import graft.zarr.ZarrGroup
+    val cube = GoldenCube.makeDs(4)
+    val dir = java.nio.file.Files.createTempDirectory("zarr_replay").toString
+    val frags = GoldenCube.splitByTime(cube, 2)
+    val files = frags.zipWithIndex.map { case (f, i) =>
+      val path = s"$dir/frag_$i.zarr"
+      val g = ZarrGroup(path)
+      g.initGroup(f.attrs)
+      f.allVars.foreach { case (name, v) =>
+        g.createArray(name, v.shape, v.shape, v.dtype, v.attrs,
+          dimensionNames = Some(v.dims))
+        g.writeRegion(name, Vector.fill(v.data.ndim)(0), v.data)
+      }
+      path
+    }
+    val storePath = s"$dir/store.zarr"
+    // simulate a post-restart foreachBatch REDELIVERY: the same batch
+    // (same urls) invoked twice — the failure mode between sink write
+    // and checkpoint commit that Structured Streaming replays through
+    val append = StreamingPipelines.zarrAppendBatch(
+      storePath, "time", FileType.Zarr, Map("time" -> 2), Some(2)) _
+    append(Seq(files(0)).toDS(), 0L)   // creates the store
+    append(Seq(files(1)).toDS(), 1L)   // appends batch 1
+    assert(ZarrGroup(storePath).arrayMeta("foo").shape.head == 4)
+    append(Seq(files(1)).toDS(), 1L)   // REPLAY of batch 1 — must no-op
+    assert(ZarrGroup(storePath).arrayMeta("foo").shape.head == 4,
+      "guarded sink double-appended a replayed batch")
+    assert(ZarrGroup(storePath).readFragment().sameAs(cube))
+    // unguarded (the reference's documented non-idempotent behavior):
+    // the same replay DOES double the append dimension
+    val store2 = s"$dir/store2.zarr"
+    val raw = StreamingPipelines.zarrAppendBatch(
+      store2, "time", FileType.Zarr, Map("time" -> 2), Some(2),
+      guard = false) _
+    raw(Seq(files(0)).toDS(), 0L)
+    raw(Seq(files(1)).toDS(), 1L)
+    raw(Seq(files(1)).toDS(), 1L)
+    assert(ZarrGroup(store2).arrayMeta("foo").shape.head == 6,
+      "unguarded replay should append again (reference semantics)")
+  }
+
   test("streaming dedup-within-watermark equals the batch dedup twin") {
     // deliver in TWO time-ordered micro-batches with the watermark
     // advancing between them — the replay shape that breaks any
