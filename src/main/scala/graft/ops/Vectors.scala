@@ -388,10 +388,14 @@ object Vectors {
     * Recall is bounded by the clustering (a near-twin pair split across
     * cells is never compared — the paper's trade), precision is exact.
     *
-    * SCALE TUNING (`numCells`): the default (<= 0) uses sqrt(n) cells, so
-    * within-cell pair work is n*sqrt(n). For 10^8+ vectors pass
-    * numCells ≈ n / targetCellSize — constant-size cells make the pair
-    * mass linear in n, which is how the paper runs at LAION scale. */
+    * SCALE TUNING (`numCells`): the default (<= 0) uses the gated s06
+    * rule, max(ceil(sqrt(n)), n / 64) cells — sqrt(n) cells below the
+    * 4,096-vector crossover, ~64-vector cells beyond it, so within-cell
+    * pair mass is linear in n (the paper's k ∝ n LAION-scale regime).
+    * Pass numCells ≈ n / targetCellSize for an explicit target. Either
+    * way assignment runs the TWO-LEVEL quantizer: only ceil(sqrt(cells))
+    * coarse centroids ever reach the driver, and assignment work is
+    * n·sqrt(cells) — never the flat n·cells scan. */
   def semanticDedup(spark: SparkSession, emb: DataFrame,
                     threshold: Double = 0.45,
                     numCells: Long = 0L,
@@ -401,7 +405,14 @@ object Vectors {
     graft.functions.GraftFunctions.register(spark)
     val e = emb.select(col(idCol).cast("long").as("vec_id"),
       expr(SimilarityOps.quantize(vecCol)).as("q")).as[(Long, Array[Long])]
+    val cells =
+      if (numCells > 0) numCells
+      else {
+        val n = e.count()
+        math.max(math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong),
+          n / SimilarityOps.SemDedupCellTarget)
+      }
     SimilarityOps.semanticDedupOf(
-      SimilarityOps.ivfTagOf(spark, e, nProbe = 1, cells = numCells), threshold)
+      SimilarityOps.ivfTagTwoLevel(spark, e, cells), threshold)
   }
 }

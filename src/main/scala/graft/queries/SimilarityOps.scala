@@ -832,6 +832,87 @@ object SimilarityOps {
     }.toDF("vec_id", "q", "nrm", "cell", "probes")
   }
 
+  /** Two-level (hierarchical) cell tagging for the k ∝ n quantizer regime
+    * — the r9→r10 scale fix for [[s06SemanticDedup]]. [[ivfTagOf]]'s flat
+    * assignment collects ALL `cells` centroids on the driver and scans
+    * each against every vector: fine at the √n IVF default, but the gated
+    * SemDeDup rule grows `cells` ∝ n past the crossover, making the
+    * collect corpus-proportional and the scan O(n²/target). Here only the
+    * ⌈√cells⌉ COARSE centroids are collected+broadcast (√(n/target) —
+    * broadcast-sized at any corpus scale: ~4k rows at 10⁹ vectors); the
+    * full seed set stays distributed.
+    *
+    * Rule (deterministic, oracle-replicable): coarse centroids = the
+    * first ⌈√cells⌉ vectors; every vector (and every cell seed — seeds =
+    * the first `cells` vectors) is assigned to its nearest coarse
+    * centroid by exact integer L2, ties → lower id. A vector's CELL is
+    * then the nearest seed WITHIN its coarse group, ties → lower cid.
+    * Every nonempty group contains its own coarse centroid as a seed:
+    * if centroid g loses itself to a duplicate centroid i < g, the same
+    * tie-break sends every would-be member of g to i, so g is empty —
+    * no vector can be left seedless.
+    *
+    * Physical shape: one map-only scan tags coarse groups (no shuffle),
+    * one equi-join on the group key forms vector×seed pairs partition-
+    * locally (~√cells seeds per group ⟹ n·√cells distance kernels total,
+    * vs the flat path's n·cells), a partial-aggregated min(struct) picks
+    * the argmin, and one slim long↔long join re-attaches vectors. Driver
+    * traffic is the ⌈√cells⌉ coarse collect only. */
+  private[graft] def ivfTagTwoLevel(s: SparkSession,
+                                    emb: org.apache.spark.sql.Dataset[(Long, Array[Long])],
+                                    cells: Long): DataFrame = {
+    import s.implicits._
+    val numCells = math.max(1L, cells)
+    val numCoarse = math.max(1L, math.ceil(math.sqrt(numCells.toDouble)).toLong)
+    val coarse: Array[(Long, Array[Long])] =
+      emb.filter(_._1 < numCoarse).collect().sortBy(_._1)
+    require(coarse.nonEmpty,
+      s"ivfTagTwoLevel: no vectors with vec_id < $numCoarse — the coarse " +
+        "quantizer seeds from the LOWEST ids and requires ids dense from 0 " +
+        "(re-key the frame, e.g. row_number() - 1, first)")
+    val bc = s.sparkContext.broadcast(coarse)
+    // pass 1 (map-only): squared norm + nearest coarse group per vector —
+    // primitive-array L2 kernel against the broadcast coarse centroids
+    val grouped = emb.mapPartitions { it =>
+      val cs = bc.value
+      it.map { case (id, v) =>
+        var nrm = 0L; var i = 0
+        while (i < v.length) { nrm += v(i) * v(i); i += 1 }
+        var bestD = Long.MaxValue; var bestG = Long.MaxValue
+        var j = 0
+        while (j < cs.length) {
+          val c = cs(j)._2
+          var d2 = 0L; var k = 0
+          while (k < v.length) { val df = v(k) - c(k); d2 += df * df; k += 1 }
+          if (d2 < bestD) { bestD = d2; bestG = cs(j)._1 }
+          j += 1
+        }
+        (id, v, nrm, bestG)
+      }
+    }.toDF("vec_id", "q", "nrm", "grp")
+    // the distributed seed set: first `cells` vectors, with THEIR groups
+    val seeds = grouped.filter(col("vec_id") < numCells)
+      .select(col("vec_id").as("cid"), col("q").as("cq"),
+        col("nrm").as("cnrm"), col("grp"))
+    // pass 2: within-group argmin — an equi-join on grp (rows pair only
+    // inside their coarse group), d2 via the codegen'd dot expression
+    // (‖v−c‖² = nrm + cnrm − 2·v·c, exact in integers), then a PARTIAL
+    // min(struct(d2, cid)) so only one row per vector leaves the stage
+    val assign = grouped.select(col("vec_id"), col("q"), col("nrm"), col("grp")).as("v")
+      .join(seeds.as("s"), col("v.grp") === col("s.grp"))
+      .select(col("v.vec_id"),
+        (col("v.nrm") + col("s.cnrm")
+          - lit(2L) * expr(dotExpr("v.q", "s.cq"))).as("d2"),
+        col("s.cid"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"))
+    // slim long↔long join-back re-attaches each vector's payload
+    grouped.select("vec_id", "q", "nrm")
+      .join(assign, Seq("vec_id"))
+      .select("vec_id", "q", "nrm", "cell")
+  }
+
   /** The probe-and-score plan over a (possibly cached) tagged assignment —
     * separated so `PlanSpec` can gate the physical plan shape (broadcast
     * probe side, equi-join on cell) that the eager checkpoint in
@@ -878,20 +959,22 @@ object SimilarityOps {
     * validates engine agreement on the same candidate structure;
     * SimilaritySpec measures the within-cell semantics exactly.
     *
-    * Physical shape: one scan tags cells against sqrt(n) broadcast
-    * centroids (no shuffle), then ONE equi-join on cell forms within-cell
-    * pairs — each row shuffles once with its vector, pairs materialize
-    * partition-locally, and the codegen'd dot + threshold filter runs in
-    * the same stage, so nothing wider than the verdict rows leaves the
-    * join. Per-cell membership is ~sqrt(n) under the IVF seeding rule, so
-    * pair work is n·max(√n, [[SemDedupCellTarget]]) — the GATED cell rule
-    * (r9) is cells = max(ceil(√n), n div [[SemDedupCellTarget]]): below
-    * n = [[SemDedupCellTarget]]² it reduces to the IVF √n seeding (so the
-    * driver-scale oracle is unchanged), and beyond it cells grow ∝ n with
-    * ~[[SemDedupCellTarget]]-vector cells — the paper's k ∝ n regime,
-    * making the within-cell pair mass LINEAR in n by construction instead
-    * of a documented knob ([[graft.ops.Vectors.semanticDedup]] still
-    * exposes `numCells` for explicit targets). */
+    * Physical shape (r10): cells are assigned by the TWO-LEVEL quantizer
+    * ([[ivfTagTwoLevel]] — ⌈√cells⌉ broadcast coarse centroids, seeds
+    * distributed, n·√cells assignment work), then ONE equi-join on cell
+    * forms within-cell pairs — each row shuffles once with its vector,
+    * pairs materialize partition-locally, and the codegen'd dot +
+    * threshold filter runs in the same stage, so nothing wider than the
+    * verdict rows leaves the join. The GATED cell rule (r9) is cells =
+    * max(ceil(√n), n div [[SemDedupCellTarget]]): beyond the crossover
+    * cells grow ∝ n with ~[[SemDedupCellTarget]]-vector cells — the
+    * paper's k ∝ n regime, making the within-cell pair mass LINEAR in n
+    * by construction. The r9 verdict's scale-killer — a flat assignment
+    * whose centroid collect grew ∝ n/64 with an O(n²/64) scan — is gone:
+    * driver traffic is now the ⌈√cells⌉ coarse seeds at ANY corpus size
+    * (~4k vectors at n = 10⁹), and assignment work is n·√cells.
+    * ([[graft.ops.Vectors.semanticDedup]] still exposes `numCells` for
+    * explicit targets.) */
   // Deliberately UNCACHED: the tagged assignment feeds three plan branches
   // (both self-join sides + the verdict join), so the corpus scans 3×. A
   // cache-and-release here was MEASURED SLOWER at sf0.1 (0.43 -> 0.94 s:
@@ -908,7 +991,7 @@ object SimilarityOps {
     val cells = math.max(
       math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong),
       n / SemDedupCellTarget)
-    semanticDedupOf(ivfTagOf(s, emb, NProbe, cells), 0.45).orderBy("vec_id")
+    semanticDedupOf(ivfTagTwoLevel(s, emb, cells), 0.45).orderBy("vec_id")
   }
 
   /** s06's target cell SIZE past the √n crossover (n > target²):
@@ -937,6 +1020,12 @@ object SimilarityOps {
       .select(col("vec_id"), col("cell"), col("pruned").isNull.as("kept"))
   }
 
+  /** The DuckDB twin of the TWO-LEVEL rule ([[ivfTagTwoLevel]]): coarse
+    * assignment to the first ⌈√ncells⌉ vectors (ties → lower gid), then
+    * the cell is the nearest of the first-ncells seeds WITHIN the coarse
+    * group (ties → lower cid) — so the driver oracle exercises the exact
+    * hierarchical construction the gated query ships, not the flat
+    * stand-in it replaced. */
   val s06Sql: String =
     s"""WITH q AS (
        |  SELECT vec_id, $qEmbDuck AS qv FROM embeddings
@@ -944,20 +1033,39 @@ object SimilarityOps {
        |  SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x FROM q
        |), norms AS (
        |  SELECT vec_id, SUM(x * x) AS nrm FROM elems GROUP BY vec_id
-       |), cents AS (
-       |  SELECT vec_id AS cid, i, x FROM elems
-       |  WHERE vec_id < (SELECT GREATEST(CAST(CEIL(SQRT(COUNT(*))) AS BIGINT),
-       |                                  COUNT(*) // $SemDedupCellTarget)
-       |                  FROM embeddings)
-       |), dists AS (
-       |  SELECT e.vec_id, c.cid, SUM((e.x - c.x) * (e.x - c.x)) AS d2
-       |  FROM elems e JOIN cents c ON e.i = c.i GROUP BY 1, 2
-       |), ranked_cells AS (
-       |  SELECT vec_id, cid,
-       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS crk
-       |  FROM dists
+       |), params AS (
+       |  SELECT ncells, CAST(CEIL(SQRT(ncells::DOUBLE)) AS BIGINT) AS ncoarse
+       |  FROM (SELECT GREATEST(CAST(CEIL(SQRT(COUNT(*))) AS BIGINT),
+       |                        COUNT(*) // $SemDedupCellTarget) AS ncells
+       |        FROM embeddings)
+       |), coarse AS (
+       |  SELECT vec_id AS gid, i, x FROM elems
+       |  WHERE vec_id < (SELECT ncoarse FROM params)
+       |), gdists AS (
+       |  SELECT e.vec_id, c.gid, SUM((e.x - c.x) * (e.x - c.x)) AS d2
+       |  FROM elems e JOIN coarse c ON e.i = c.i GROUP BY 1, 2
+       |), gassign AS (
+       |  SELECT vec_id, gid AS grp FROM (
+       |    SELECT vec_id, gid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, gid) AS grk
+       |    FROM gdists)
+       |  WHERE grk = 1
+       |), seeds AS (
+       |  SELECT vec_id AS cid, grp FROM gassign
+       |  WHERE vec_id < (SELECT ncells FROM params)
+       |), cdists AS (
+       |  SELECT ga.vec_id, s.cid, SUM((ev.x - es.x) * (ev.x - es.x)) AS d2
+       |  FROM gassign ga
+       |  JOIN seeds s ON s.grp = ga.grp
+       |  JOIN elems ev ON ev.vec_id = ga.vec_id
+       |  JOIN elems es ON es.vec_id = s.cid AND es.i = ev.i
+       |  GROUP BY 1, 2
        |), assign AS (
-       |  SELECT vec_id, cid AS cell FROM ranked_cells WHERE crk = 1
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS crk
+       |    FROM cdists)
+       |  WHERE crk = 1
        |), cand AS (
        |  SELECT a.vec_id AS va, b.vec_id AS vb
        |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id

@@ -142,6 +142,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join"), p)
   }
 
+  test("s06: two-level tagger is equi-joins only, with the codegen'd dot kernel") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // the r10 scale fix: the k ∝ n quantizer must never cross-join or
+    // nested-loop — group assignment is a map-only scan, within-group
+    // argmin an equi-join on grp, join-back an equi-join on vec_id
+    val emb = Tables.embeddings(spark, d)
+      .selectExpr("vec_id", SimilarityOps.quantize("embedding") + " AS q")
+      .as[(Long, Array[Long])]
+    val p = plan(SimilarityOps.ivfTagTwoLevel(spark, emb, 45L))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // seed-distance kernel stays inside whole-stage codegen
+    assert(p.contains("dot_i64"), p)
+    // within-group argmin aggregates PARTIALLY (map-side combine) so only
+    // one row per vector leaves the join stage
+    assert(p.contains("partial_min"), p)
+  }
+
   test("m06/p03: phash is a codegen'd expression, not a mapPartitions barrier") {
     val p6 = plan(MultiModalOps.m06PhashDedup(spark, d))
     // a mapPartitions kernel would show as MapPartitions+SerializeFromObject

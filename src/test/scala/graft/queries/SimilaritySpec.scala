@@ -46,9 +46,11 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("s06 semantic dedup equals the driver-side recompute exactly") {
-    // recompute the full rule with plain loops: sqrt(n) seed centroids,
-    // nearest cell by exact integer L2 (ties -> lower cid), then within a
-    // cell a vector is pruned iff a lower-id member has cosine >= 0.45
+    // recompute the full TWO-LEVEL rule with plain loops: ceil(sqrt(cells))
+    // coarse centroids, nearest coarse group by exact integer L2 (ties ->
+    // lower gid), cell = nearest of the first-`cells` seeds WITHIN the
+    // vector's coarse group (ties -> lower cid), then within a cell a
+    // vector is pruned iff a lower-id member has cosine >= 0.45
     val vecs: Array[(Long, Array[Long])] = spark.read
       .parquet(s"$d/embeddings.parquet")
       .selectExpr("vec_id",
@@ -56,15 +58,24 @@ class SimilaritySpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1)
-    val numCells = math.ceil(math.sqrt(vecs.length.toDouble)).toLong
-    val cents = vecs.filter(_._1 < numCells)
-    def cellOf(v: Array[Long]): Long =
-      cents.map { case (cid, c) =>
-        var d2 = 0L; var k = 0
-        while (k < v.length) { val df = v(k) - c(k); d2 += df * df; k += 1 }
-        (d2, cid)
-      }.min._2
-    val cells = vecs.map { case (id, v) => id -> cellOf(v) }.toMap
+    def dist2(v: Array[Long], c: Array[Long]): Long = {
+      var d2 = 0L; var k = 0
+      while (k < v.length) { val df = v(k) - c(k); d2 += df * df; k += 1 }
+      d2
+    }
+    val numCells = math.max(math.ceil(math.sqrt(vecs.length.toDouble)).toLong,
+      vecs.length.toLong / 64L)
+    val numCoarse = math.max(1L, math.ceil(math.sqrt(numCells.toDouble)).toLong)
+    val coarse = vecs.filter(_._1 < numCoarse)
+    def grpOf(v: Array[Long]): Long =
+      coarse.map { case (gid, c) => (dist2(v, c), gid) }.min._2
+    val grps = vecs.map { case (id, v) => id -> grpOf(v) }.toMap
+    val seeds = vecs.filter(_._1 < numCells)
+      .map { case (cid, c) => (cid, c, grps(cid)) }
+    def cellOf(id: Long, v: Array[Long]): Long =
+      seeds.filter(_._3 == grps(id))
+        .map { case (cid, c, _) => (dist2(v, c), cid) }.min._2
+    val cells = vecs.map { case (id, v) => id -> cellOf(id, v) }.toMap
     val norms = vecs.map { case (id, v) => id -> v.map(x => x * x).sum }.toMap
     val expected = vecs.map { case (id, v) =>
       val pruned = vecs.exists { case (oid, ov) =>
