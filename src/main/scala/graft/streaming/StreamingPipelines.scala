@@ -85,10 +85,14 @@ object StreamingPipelines {
       }
       val items = graft.transforms.Pipelines.createItems(batch.sparkSession, pattern)
       val frags = graft.transforms.Pipelines.openWithFragments(items, fileType)
+      // the tag is ledgered on the CREATE path too: a redelivered batch 0
+      // (crash between store creation and checkpoint commit) sees
+      // storeExists=true, finds its tag in the replay probe above, and
+      // no-ops instead of appending batch 0's data after itself
       graft.transforms.Pipelines.storeToZarr(
         frags, pattern.combineDimKeys, storePath, targetChunks,
         appendDim = if (storeExists) Some(appendDim) else None,
-        appendGuardTag = if (guard && storeExists) Some(tag) else None)
+        appendGuardTag = if (guard) Some(tag) else None)
     }
   }
 

@@ -357,8 +357,12 @@ object Pipelines {
       : ZarrGroup = {
     require(targetChunks.isEmpty || dynamicChunkingFn.isEmpty,
       "Passing both `target_chunks` and `dynamic_chunking_fn` not allowed.")
-    require(appendGuardTag.isEmpty || appendDim.isDefined,
-      "appendGuardTag only applies to append jobs (appendDim is empty)")
+    // appendGuardTag is honored on BOTH paths: append jobs check-then-
+    // ledger it, and a CREATE job (appendDim empty) ledgers it too — so a
+    // replayed store-creating micro-batch (crash between sink write and
+    // checkpoint commit on batch 0) finds its own tag and no-ops instead
+    // of appending batch 0's data after itself (r10 fix; the r9 guard
+    // only tagged appends, leaving the create batch replayable).
 
     val appendOffset = appendDim match {
       case Some(ad) =>
@@ -408,8 +412,18 @@ object Pipelines {
       val g = ZarrGroup(storePath)
       it.foreach { case (idx, frag) => storeFragment(idx, frag, g) }
     }
-    // record the applied batch tag AFTER the data lands (a failed job
-    // leaves no tag, so a retry is not spuriously refused)
+    // Record the applied batch tag AFTER the data lands (a failed job
+    // leaves no tag, so a retry is not spuriously refused). KNOWN CRASH
+    // WINDOW: a crash between the fragment writes above and this attrs
+    // write leaves applied data with no tag, so a replay of that batch
+    // double-appends — the tag write is the commit point, and making it
+    // atomic with the (multi-object) fragment writes would need a store-
+    // level transaction no object store offers; the window is one small
+    // metadata PUT wide. The ledger keeps only the last
+    // [[AppliedAppendsKeep]] tags: Structured Streaming can only redeliver
+    // the most recent un-committed batch, so a bounded window is
+    // sufficient AND keeps the attrs JSON (rewritten every batch) from
+    // growing without bound on a long-running stream.
     appendGuardTag.foreach { tag =>
       val cur = target.groupAttrs
       val prior = cur.get(AppliedAppendsAttr) match {
@@ -417,7 +431,8 @@ object Pipelines {
         case _ => Vector.empty[AttrValue]
       }
       target.setGroupAttrs(cur +
-        (AppliedAppendsAttr -> AttrValue.AList(prior :+ AttrValue.AStr(tag))))
+        (AppliedAppendsAttr -> AttrValue.AList(
+          (prior :+ AttrValue.AStr(tag)).takeRight(AppliedAppendsKeep))))
     }
     target
   }
@@ -425,6 +440,12 @@ object Pipelines {
   /** Store-attrs key recording applied append-batch tags (the
     * idempotence guard's ledger). */
   val AppliedAppendsAttr = "graft:applied_appends"
+
+  /** Ledger bound: tags retained in [[AppliedAppendsAttr]]. The streaming
+    * engine replays at most the latest batch, so any bound >= 1 preserves
+    * the idempotence guarantee; 16 leaves slack for manual re-runs of
+    * recent batches while keeping the per-batch attrs rewrite O(1). */
+  val AppliedAppendsKeep = 16
 }
 
 /** Format-specific openers (openers.py:16-254), keyed by FileType with the

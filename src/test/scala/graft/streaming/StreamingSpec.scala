@@ -149,7 +149,7 @@ class StreamingSpec extends AnyFunSuite {
     import graft.core.GoldenCube
     import graft.patterns.FileType
     import graft.zarr.ZarrGroup
-    val cube = GoldenCube.makeDs(4)
+    val cube = GoldenCube.makeDs(6)
     val dir = java.nio.file.Files.createTempDirectory("zarr_replay").toString
     val frags = GoldenCube.splitByTime(cube, 2)
     val files = frags.zipWithIndex.map { case (f, i) =>
@@ -170,12 +170,48 @@ class StreamingSpec extends AnyFunSuite {
     val append = StreamingPipelines.zarrAppendBatch(
       storePath, "time", FileType.Zarr, Map("time" -> 2), Some(2)) _
     append(Seq(files(0)).toDS(), 0L)   // creates the store
+    // REPLAY of the CREATE batch (crash between store creation and
+    // checkpoint commit): the redelivery sees an existing store, so
+    // without a ledgered create-tag it would append batch 0 AFTER
+    // itself — the r9 guard's uncovered window
+    append(Seq(files(0)).toDS(), 0L)
+    assert(ZarrGroup(storePath).arrayMeta("foo").shape.head == 2,
+      "guarded sink double-appended a replayed CREATE batch")
     append(Seq(files(1)).toDS(), 1L)   // appends batch 1
     assert(ZarrGroup(storePath).arrayMeta("foo").shape.head == 4)
     append(Seq(files(1)).toDS(), 1L)   // REPLAY of batch 1 — must no-op
     assert(ZarrGroup(storePath).arrayMeta("foo").shape.head == 4,
       "guarded sink double-appended a replayed batch")
+    // ledger bound: pre-seed a full window of fake applied tags, then
+    // land one more batch — the ledger must stay at AppliedAppendsKeep,
+    // keep the new tag, and evict the oldest (the attrs JSON is rewritten
+    // every batch, so an unbounded list would grow forever on a
+    // long-running stream)
+    import graft.core.AttrValue
+    import graft.transforms.Pipelines
+    locally {
+      val g = ZarrGroup(storePath)
+      val fakes = (0 until Pipelines.AppliedAppendsKeep)
+        .map(i => AttrValue.AStr(f"fake$i%02d")).toVector
+      g.setGroupAttrs(g.groupAttrs +
+        (Pipelines.AppliedAppendsAttr -> AttrValue.AList(fakes)))
+    }
+    append(Seq(files(2)).toDS(), 2L)   // appends batch 2
+    assert(ZarrGroup(storePath).arrayMeta("foo").shape.head == 6)
     assert(ZarrGroup(storePath).readFragment().sameAs(cube))
+    locally {
+      val applied = ZarrGroup(storePath).groupAttrs(Pipelines.AppliedAppendsAttr)
+        .asInstanceOf[AttrValue.AList].v
+        .collect { case AttrValue.AStr(x) => x }
+      assert(applied.size == Pipelines.AppliedAppendsKeep,
+        s"ledger not bounded: ${applied.size} tags")
+      assert(!applied.contains("fake00"), "oldest tag not evicted")
+      val tag2 = graft.patterns.FilePattern.fromFileSequence(
+          Vector(files(2)), "time", nitemsPerFile = Some(2),
+          fileType = FileType.Zarr)
+        .sha256Hash.map("%02x".format(_)).mkString
+      assert(applied.last == tag2, "newest tag missing from the ledger")
+    }
     // unguarded (the reference's documented non-idempotent behavior):
     // the same replay DOES double the append dimension
     val store2 = s"$dir/store2.zarr"
