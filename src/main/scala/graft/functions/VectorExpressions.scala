@@ -302,7 +302,19 @@ object GraftFunctions {
     "wht_phash" -> (args => WhtPhash(args(0),
       intArg(args(1), "wht_phash"), intArg(args(2), "wht_phash"))),
     "collect_list_capped" -> (args =>
-      CollectListCappedI64(args(0), args(1)).toAggregateExpression()))
+      CollectListCappedI64(args(0), args(1)).toAggregateExpression()),
+    // Spark ships BloomFilterAggregate / BloomFilterMightContain as
+    // INTERNAL-only expressions (used by the runtime-filter optimizer,
+    // absent from the public registry) — surface the codegen'd pair under
+    // graft names so d09's probe scan stays whole-stage codegen instead of
+    // falling back to a scalar udf over a broadcast sketch
+    "graft_bloom_agg" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(args(0), args(1), args(2), 0, 0)
+        .toAggregateExpression()),
+    "graft_might_contain" -> (args =>
+      org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(args(0), args(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

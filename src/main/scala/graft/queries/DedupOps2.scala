@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.sketch.BloomFilter
 
 /** Second wave of corpus-dedup operators: segment-level (paragraph) dedup and
   * bloom-prefiltered incremental dedup — the two shapes a production
@@ -121,6 +120,10 @@ object DedupOps2 {
   /** The "new ingest batch" partition used by d09: one source feed. */
   val NewBatchSource = "src19"
 
+  /** Unique suffix for d09's per-invocation temp view (the scalar-subquery
+    * route into the native bloom pair needs a named relation). */
+  private val BloomViewId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Incremental-ingest dedup: which documents of today's batch repeat
     * content already in the standing corpus? Granularity is the d08 segment
     * (10-word window), so verbatim copies AND partial-overlap docs are both
@@ -150,31 +153,37 @@ object DedupOps2 {
   private[graft] def bloomIncrementalOf(s: SparkSession,
                                         corpus: DataFrame,
                                         newBatch: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val newSegs = segmentsOf(newBatch)
       .withColumn("h", expr(h60("seg")))
       .select("doc_id", "h").distinct()
-    // two eager passes build the filter (count sizes it); the cache exists
-    // only for them and is RELEASED before returning — repeated invocations
-    // (bench loops) must not accumulate storage-memory blocks. The filter
-    // broadcast stays referenced by the returned lazy plan and is reclaimed
-    // by the ContextCleaner when the plan is dropped.
-    newSegs.cache()
-    val bf: BloomFilter =
-      try newSegs.stat.bloomFilter("h", math.max(newSegs.count(), 1L), 0.01)
-      finally newSegs.unpersist(blocking = false)
-    val bfB = s.sparkContext.broadcast(bf)
-    // Deliberately a scalar udf — the ONE in the codebase. Spark's codegen'd
-    // BloomFilterMightContain expression is not publicly constructible
-    // against a DataFrameStatFunctions-built sketch (it expects the
-    // BloomFilterAggregate binary format via an internal constructor), and
-    // a udf probing a broadcast-local bit array costs no shuffle and no
-    // boxing beyond the Long parameter. Do NOT copy this pattern for
-    // per-row math — use a codegen'd Expression (see VectorExpressions).
-    val mightContain = udf((h: Long) => bfB.value.mightContain(h))
+    // one eager pass sizes the filter; the build itself is DEFERRED into
+    // the probe plan as a scalar subquery, so no cache is needed
+    val n = math.max(newSegs.count(), 1L)
+    // same sizing rule as sketch.BloomFilter.create(n, 0.01): the native
+    // agg takes explicit bits, not an fpp
+    val numBits = math.max(64L,
+      math.ceil(-n.toDouble * math.log(0.01)
+        / (math.log(2) * math.log(2))).toLong)
+    // Spark's NATIVE bloom pair (r10, replacing the one scalar udf the
+    // codebase had; registered under graft names by GraftFunctions since
+    // Spark keeps BloomFilterAggregate/BloomFilterMightContain off the
+    // public registry): the agg builds the sketch distributedly (partial
+    // merge, one binary row out), and the probe over the scalar subquery
+    // compiles to the codegen'd BloomFilterMightContain — the corpus scan
+    // stays whole-stage codegen instead of breaking at a JVM lambda. The
+    // subquery result (the filter binary, ~1.2 MB per 10^6 new segments)
+    // ships to executors as a query-literal, the same payload the old
+    // explicit broadcast carried.
+    val view = s"graft_d09_new_segs_${BloomViewId.incrementAndGet()}"
+    newSegs.createOrReplaceTempView(view)
+    val probeCond =
+      expr(s"graft_might_contain((SELECT graft_bloom_agg(h, ${n}L, " +
+        s"${numBits}L) FROM $view), h)")
     val corpusHits = segmentsOf(corpus)
       .withColumn("h", expr(h60("seg")))
       .select(col("doc_id").as("corpus_id"), col("h"))
-      .filter(mightContain(col("h"))).distinct()
+      .filter(probeCond).distinct()
     val perNew = newSegs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
     newSegs.join(corpusHits, "h") // exact confirm: kills bloom false positives
       .groupBy("doc_id")

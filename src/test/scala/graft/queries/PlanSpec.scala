@@ -569,6 +569,12 @@ class PlanSpec extends AnyFunSuite {
     }
     // d08's canonical-occurrence choice is a min-agg: map-side combine runs
     assert(plan(DedupOps2.d08ParagraphDedup(spark, d)).contains("partial_"))
+    // d09's bloom probe is the NATIVE codegen'd pair (r10): the corpus
+    // scan must show might_contain and NO scala udf — the one lambda the
+    // codebase carried broke whole-stage codegen in the probe stage
+    val p9 = plan(DedupOps2.d09BloomIncremental(spark, d))
+    assert(p9.contains("might_contain"), p9.take(800))
+    assert(!p9.contains("UDF"), p9.take(800))
   }
 
   test("t11: contamination probes the corpus grams in ONE pass") {
