@@ -73,10 +73,19 @@ object Text {
                         idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    val d = norm(docs, idCol, textCol)
+    // resolve the adaptive bit width against the RAW doc count (like the
+    // gated s02), not the embeddable subset (docs with >= 2 words): the
+    // two counts can straddle a power-of-two fence when short docs exist,
+    // and the facade must pick the same candidate structure as the gated
+    // query and its oracle
+    val bits =
+      if (bandBits == graft.queries.SimilarityOps.AdaptiveBits)
+        graft.queries.SimilarityOps.adaptiveBits(d.count())
+      else bandBits
     graft.queries.SimilarityOps.nearDupPairsOf(
-      graft.queries.SimilarityOps.docBigramVectors(norm(docs, idCol, textCol))
-        .localCheckpoint(true),
-      threshold, bands, bandBits)
+      graft.queries.SimilarityOps.docBigramVectors(d).localCheckpoint(true),
+      threshold, bands, bits)
   }
 
   /** Whitespace vs BPE-ish (GPT-2 pre-tokenizer shape) token counts (t06). */

@@ -508,9 +508,11 @@ object Relational3 {
     * 100 TB COUNT DISTINCT: each key's 60-bit md5 splits into an 8-bit
     * register index and a 52-bit suffix whose leading-zero rank updates
     * the register MAX; the harmonic estimate is computed in EXACT
-    * fixed-point integers (Σ 2^(K−M) with K = 30 — registers past K
-    * truncate to a zero contribution, which matters only past ~2^38
-    * keys per register; α_m = 7213/(10000 + 10790 div m)), so both
+    * fixed-point integers (Σ 2^(K−M) with K = 30 — a register past K
+    * CLAMPS to a contribution of 2^0 = 1 rather than its exact < 1
+    * value, a negligible downward-bias on the estimate that matters only
+    * past ~2^30 keys per register and is identical in both engines;
+    * α_m = 7213/(10000 + 10790 div m)), so both
     * engines agree bit-for-bit with no float summation order anywhere.
     * The exact count rides along as the estimator audit (q24's shape);
     * the standard error bound is 1.04/√m ≈ 6.5%, spec-pinned.

@@ -124,19 +124,4 @@ object LongView {
         StructField("coord_value", DoubleType, nullable = false))))
   }
 
-  /** Inverse pivot: long DF (one variable) back into a dense Variable. */
-  def longDFToVariable(df: DataFrame, varName: String,
-                       dims: Vector[String], shape: Vector[Int]): Variable = {
-    val strides = shape.scanRight(1)(_ * _).tail
-    val data = new Array[Double](shape.product)
-    df.filter(df("var_name") === varName)
-      .select((dims.map(df(_)) :+ df("value")): _*)
-      .collect()
-      .foreach { r =>
-        var flat = 0
-        dims.indices.foreach(k => flat += r.getLong(k).toInt * strides(k))
-        data(flat) = r.getDouble(dims.length)
-      }
-    Variable(dims, NDArray.ofDoubles(shape, data))
-  }
 }

@@ -8,6 +8,26 @@ import graft.core.GoldenCube
 
 class LongViewSpec extends AnyFunSuite {
 
+  /** Inverse pivot: long DF (one variable) back into a dense Variable.
+    * TEST-ONLY helper (driver-side collect of a full variable) — lives
+    * here, not in the library, so the main tree carries no collect that
+    * a caller could mistake for a scale-safe path. */
+  private def longDFToVariable(df: org.apache.spark.sql.DataFrame,
+                               varName: String, dims: Vector[String],
+                               shape: Vector[Int]): Variable = {
+    val strides = shape.scanRight(1)(_ * _).tail
+    val data = new Array[Double](shape.product)
+    df.filter(df("var_name") === varName)
+      .select((dims.map(df(_)) :+ df("value")): _*)
+      .collect()
+      .foreach { r =>
+        var flat = 0
+        dims.indices.foreach(k => flat += r.getLong(k).toInt * strides(k))
+        data(flat) = r.getDouble(dims.length)
+      }
+    Variable(dims, NDArray.ofDoubles(shape, data))
+  }
+
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-longview")
@@ -28,7 +48,7 @@ class LongViewSpec extends AnyFunSuite {
     assert(means("bar") > 0 && means("foo") > 0 && means("foo") < 1)
 
     // inverse pivot reproduces the dense variable exactly
-    val back = LongView.longDFToVariable(long, "foo",
+    val back = longDFToVariable(long, "foo",
       Vector("lat", "lon", "time"), Vector(GoldenCube.NY, GoldenCube.NX, 4))
     // note: long view uses sorted dim order (lat, lon, time)
     val expected = {
