@@ -103,12 +103,40 @@ object IncScale {
     }
     require(fullEdges == tchEdges,
       s"s16 equality contract violated: full $fullEdges vs touched $tchEdges")
+    // phase 5 (st11, r10 split): near-dup ADMISSION over documents —
+    // standing featurizer + band index build vs the per-batch probe,
+    // measured separately so the gated probe number is the production
+    // number; a small (32-doc) batch shows probe cost tracking BATCH
+    // size, not corpus size.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").localCheckpoint(true)
+    val dMax = docs.agg(max("doc_id")).as[Long].head()
+    val dt = (dMax + 1L) * (den - 1L) / den
+    val (admState, admStateSec) = timed {
+      SimilarityOps.admissionStateOf(docs.filter(col("doc_id") < dt))
+    }
+    var admAdmitted = 0L
+    val (admRows, admProbeSec) = timed {
+      val r = SimilarityOps.admissionProbeOf(admState,
+          docs.filter(col("doc_id") >= dt))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("admitted"), 1L).otherwise(0L)).as("adm"))
+        .head()
+      admAdmitted = r.getLong(1); r.getLong(0)
+    }
+    val (smallRows, admSmallSec) = timed {
+      SimilarityOps.admissionProbeOf(admState,
+        docs.filter(col("doc_id") > dMax - 32L)).count()
+    }
     println(f"""{"metric":"inc_scale","n":$n,"t":$t,"edges":$fullEdges,""" +
       f""""bits":$bits,"full_sec":$fullSec%.2f,""" +
       f""""band_state_sec":$bandStateSec%.2f,"state_sec":$stateSec%.2f,""" +
       f""""probe_sec":$probeSec%.2f,"list_state_sec":$listStateSec%.2f,""" +
       f""""edge_state_sec":$edgeStateSec%.2f,""" +
       f""""touched_sec":$touchedSec%.2f,"touched_old":$touchedOld,""" +
+      f""""adm_state_sec":$admStateSec%.2f,"adm_probe_sec":$admProbeSec%.2f,""" +
+      f""""adm_rows":$admRows,"adm_admitted":$admAdmitted,""" +
+      f""""adm_small_probe_sec":$admSmallSec%.2f,"adm_small_rows":$smallRows,""" +
       f""""sf":"$sfDir"}""")
     spark.stop()
   }

@@ -341,39 +341,73 @@ object SimilarityOps {
     * together (the micro-batch boundary contract that makes the
     * streaming twin's replay split semantically free).
     *
-    * Scale shape: standing stats/index are state (built once here,
-    * persisted in production); per batch the work is batch-gram-sized
-    * (embed) + batch collision mass (probe + rescore). Returns one row
-    * per batch doc: (doc_id, n_candidates, max_sim, admitted). */
+    * Scale shape: standing stats/index are STATE ([[admissionStateOf]] —
+    * built once per corpus version, persisted in production); per batch
+    * the work is batch-gram-sized (embed) + batch collision mass
+    * (probe + rescore) — [[admissionProbeOf]]. Returns one row per batch
+    * doc: (doc_id, n_candidates, max_sim, admitted). */
   private[graft] def nearDupAdmissionOf(standing: DataFrame, batch: DataFrame,
-                                        threshold: Double = NearDupThreshold): DataFrame = {
+                                        threshold: Double = NearDupThreshold): DataFrame =
+    admissionProbeOf(admissionStateOf(standing), batch, threshold)
+
+  /** FROZEN standing state for near-dup admission (the st11 kernel's
+    * persisted tables, r10 split): the standing corpus's gram weight
+    * table (g, hashed gram vector, exact-integer idf weight), its summed
+    * document vectors, its band signatures, and the scalars the
+    * featurizer froze (doc count, adaptive bit width). Each frame is
+    * eagerly checkpointed — the in-session analog of the featurizer +
+    * band-index tables a production ingest gate LOADS per batch instead
+    * of rebuilding (at scale: bucketed tables keyed by gram / band). */
+  private[graft] final case class AdmissionState(n: Long, bits: Int,
+      gramWeights: DataFrame, vecs: DataFrame, bands: DataFrame)
+
+  /** Build the standing admission state — the once-per-corpus-version
+    * job; probe batches then run [[admissionProbeOf]] against it. */
+  private[graft] def admissionStateOf(standing: DataFrame): AdmissionState = {
     val n = standing.count()
     val bits = adaptiveBits(n)
     val sgtf = bigramTf(standing
         .repartition(standing.sparkSession.sparkContext.defaultParallelism))
       .localCheckpoint(true)
-    val bgtf = bigramTf(batch).localCheckpoint(true)
-    val sgdf = sgtf.groupBy("g").agg(count(lit(1)).as("df"))
-    // gram vectors over the UNION vocabulary (batch grams unseen in the
-    // standing corpus still need vectors); weights come from STANDING
-    // dfs only — the frozen featurizer
-    val vocab = sgtf.select("g").union(bgtf.select("g")).distinct()
-    val gvw = vocab.join(sgdf, Seq("g"), "left")
+    // vocab-sized and MATERIALIZED (the lazy-projection trap: left lazy,
+    // the 64-md5 transform re-evaluates per joined row)
+    val gw = sgtf.groupBy("g").agg(count(lit(1)).as("df"))
       .withColumn("v", expr(HashedGramVecExpr))
-      .withColumn("w",
-        expr(s"cast(length(bin(${n}L div coalesce(df, 1L))) as bigint)"))
+      .withColumn("w", expr(s"cast(length(bin(${n}L div df)) as bigint)"))
+      .select("g", "v", "w")
       .localCheckpoint(true)
-    val sVecs = sumGramVectors(sgtf, gvw).localCheckpoint(true)
-    val bVecs = sumGramVectors(bgtf, gvw).localCheckpoint(true)
-    val sBands = s02Bands(sVecs, ScaledBands, bits)
-    val bBands = s02Bands(bVecs, ScaledBands, bits)
-    val cand = sBands.as("a").join(bBands.as("b"),
+    val vecs = sumGramVectors(sgtf, gw).localCheckpoint(true)
+    val bands = s02Bands(vecs, ScaledBands, bits).localCheckpoint(true)
+    AdmissionState(n, bits, gw, vecs, bands)
+  }
+
+  /** The per-batch ADMISSION job against frozen standing state: embed
+    * the batch under the standing featurizer (grams unseen in the
+    * standing corpus take the rarest weight, df = 1 → bitLength(n), and
+    * their vectors derive from the gram hash alone — the frozen table
+    * needs no batch-time extension), band-probe the standing index
+    * (batch side small), rescore candidates exactly, admit iff no
+    * standing doc reaches `threshold`. Work is batch-gram-sized + batch
+    * collision mass — nothing corpus-sized is recomputed. */
+  private[graft] def admissionProbeOf(state: AdmissionState, batch: DataFrame,
+                                      threshold: Double = NearDupThreshold): DataFrame = {
+    val bgtf = bigramTf(batch).localCheckpoint(true)
+    val unseenW =
+      java.lang.Long.toBinaryString(math.max(state.n, 1L)).length.toLong
+    val bgw = bgtf.select("g").distinct()
+      .join(state.gramWeights, Seq("g"), "left")
+      .withColumn("v", coalesce(col("v"), expr(HashedGramVecExpr)))
+      .withColumn("w", coalesce(col("w"), lit(unseenW)))
+      .localCheckpoint(true)
+    val bVecs = sumGramVectors(bgtf, bgw).localCheckpoint(true)
+    val bBands = s02Bands(bVecs, ScaledBands, state.bits)
+    val cand = state.bands.as("a").join(bBands.as("b"),
         col("a.band_no") === col("b.band_no") &&
           col("a.bits") === col("b.bits"))
       .select(col("a.vec_id").as("sdoc"), col("b.vec_id").as("bdoc"))
       .distinct()
     val scored = cand
-      .join(sVecs.select(col("vec_id").as("sdoc"), col("q").as("qa"),
+      .join(state.vecs.select(col("vec_id").as("sdoc"), col("q").as("qa"),
         col("nrm").as("na")), "sdoc")
       .join(bVecs.select(col("vec_id").as("bdoc"), col("q").as("qb"),
         col("nrm").as("nb")), "bdoc")

@@ -108,15 +108,21 @@ object StreamingPipelines {
     * replaying the same docs in any split yields the batch twin
     * row-for-row (StreamingSpec pins a two-batch replay against st11).
     *
+    * The standing state (frozen featurizer + band index) is built ONCE,
+    * when this driver is constructed — each micro-batch pays only the
+    * batch-sized probe, not a corpus-sized state rebuild (r10; the r9
+    * shape re-derived the featurizer every batch).
+    *
     * Usage:
-    * `docStream.writeStream.foreachBatch(nearDupAdmitBatch(standing, emit) _)`.
+    * `docStream.writeStream.foreachBatch(nearDupAdmitBatch(standing, emit))`.
     */
   def nearDupAdmitBatch(standing: DataFrame,
-                        emit: (DataFrame, Long) => Unit)(
-      batch: DataFrame, batchId: Long): Unit = {
-    if (!batch.isEmpty)
-      emit(graft.queries.SimilarityOps.nearDupAdmissionOf(standing, batch),
-        batchId)
+                        emit: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    val state = graft.queries.SimilarityOps.admissionStateOf(standing)
+    (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty)
+        emit(graft.queries.SimilarityOps.admissionProbeOf(state, batch),
+          batchId)
   }
 
   /** STREAM-STREAM interval join: purchases attributed to same-user clicks

@@ -653,7 +653,7 @@ class StreamingSpec extends AnyFunSuite {
         Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3))))
     val q = mem.toDF().toDF("doc_id", "text")
       .writeStream
-      .foreachBatch(StreamingPipelines.nearDupAdmitBatch(standing, emit) _)
+      .foreachBatch(StreamingPipelines.nearDupAdmitBatch(standing, emit))
       .start()
     try {
       // two micro-batches: the split must not change any verdict
@@ -675,5 +675,31 @@ class StreamingSpec extends AnyFunSuite {
     // non-vacuity: the gate must reject something and admit something
     assert(batchTwin.exists(!_._4) && batchTwin.exists(_._4),
       "st11 fixture vacuous: nothing rejected or nothing admitted")
+  }
+
+  test("st11: probe on persisted standing state equals a fresh one-shot build") {
+    // the r10 split: the gated entry loads standing state from the
+    // registry (built on first call) and probes it — a repeat call and a
+    // from-scratch state+probe must produce identical verdict rows
+    graft.functions.GraftFunctions.register(spark)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3)))
+        .toVector.sortBy(_._1)
+    val first = rows(graft.queries.StreamOps.st11NeardupAdmission(spark, sfDir))
+    // second call reuses the registry's checkpointed state
+    val again = rows(graft.queries.StreamOps.st11NeardupAdmission(spark, sfDir))
+    assert(first == again, "cached-state probe drifted from the first run")
+    // independent monolithic rebuild (fresh state every time)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val maxId = docs.agg(org.apache.spark.sql.functions.max("doc_id"))
+      .head().getLong(0)
+    val den = graft.queries.SimilarityOps.NewBatchDen
+    val t = (maxId + 1L) * (den - 1L) / den
+    val fresh = rows(graft.queries.SimilarityOps.nearDupAdmissionOf(
+      docs.filter(col("doc_id") < t), docs.filter(col("doc_id") >= t)))
+    assert(first == fresh, "persisted-state probe drifted from a fresh build")
+    assert(first.nonEmpty)
   }
 }
