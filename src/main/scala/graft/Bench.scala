@@ -148,8 +148,37 @@ object Bench {
     }
     if (s02Stats.nonEmpty)
       Console.out.println(s"""{"metric":"bench_stats"$s02Stats}""")
+    // The driver's capture is the LAST 2000 characters of the log — a
+    // window the ~4 KB of named per-query entries can NEVER fit, however
+    // the parts are ordered (rounds 6-9 all lost parts 1-2 to the clip).
+    // So the authoritative in-window record is POSITIONAL: one
+    // `bench_vec` line carrying every query's seconds in the
+    // alphabetical order of the executed names (~1 KB at 139 queries),
+    // with a names-checksum so a decoder can verify its reconstruction
+    // of the order from SparkEntry.queries. Emitted second-to-last:
+    // compact total + bench_vec + bench_stats together stay well inside
+    // the window, and BenchVecSpec gates the coverage + decode.
+    Console.out.println(benchVecLine(names, results.toMap))
     Console.out.println(compact)
     Console.out.flush()
     spark.stop()
+  }
+
+  /** The tail-window-proof per-query record: seconds positionally in the
+    * ALPHABETICAL order of `names` (the executed query set — the full
+    * SparkEntry.queries key set in driver runs), plus an 8-hex MD5 prefix
+    * of the comma-joined name list for order verification. Decode:
+    * `dict(zip(sorted(SparkEntry.queries.keys), t))`. */
+  private[graft] def benchVecLine(names: Seq[String],
+                                  times: Map[String, Double]): String = {
+    val sorted = names.sorted
+    val sha = java.security.MessageDigest.getInstance("MD5")
+      .digest(sorted.mkString(",").getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val ts = sorted.map(n => f(times.getOrElse(n, -1.0)))
+      .mkString("[", ",", "]")
+    s"""{"metric":"bench_vec","n":${sorted.size},"names_md5":"$sha"""" +
+      s""","order":"sorted query names","t":$ts}"""
   }
 }

@@ -32,6 +32,32 @@ class SurfaceSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracleSql keys with no query: $orphans")
   }
 
+  test("bench_vec line covers every query and decodes positionally") {
+    // the driver captures only the LAST 2000 log characters; the
+    // positional bench_vec line is the one per-query record that fits —
+    // gate that it (a) stays inside the window with the compact total,
+    // (b) carries every SparkEntry.queries key, (c) decodes back to the
+    // exact per-query map via sorted(keys) zip t
+    val names = graft.SparkEntry.queries.keys.toVector
+    val times = names.zipWithIndex
+      .map { case (n, i) => n -> (i + 1) / 1000.0 }.toMap
+    val line = graft.Bench.benchVecLine(names, times)
+    assert(line.length + 200 < 2000,
+      s"bench_vec line too long for the 2000-char tail window: ${line.length}")
+    val tsJson = line.split("\"t\":")(1).stripSuffix("}")
+    val ts = tsJson.stripPrefix("[").stripSuffix("]").split(",").map(_.toDouble)
+    assert(ts.length == names.size,
+      s"bench_vec covers ${ts.length} of ${names.size} queries")
+    val decoded = names.sorted.zip(ts).toMap
+    assert(names.forall(n => math.abs(decoded(n) - times(n)) < 5e-4),
+      "positional decode mismatch")
+    // the embedded md5 prefix matches the sorted name list
+    val sha = java.security.MessageDigest.getInstance("MD5")
+      .digest(names.sorted.mkString(",").getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    assert(line.contains("\"names_md5\":\"" + sha + "\""), line.take(120))
+  }
+
   test("every driver entry executes at sf0.001") {
     val failures = graft.SparkEntry.queries.toVector.sortBy(_._1).flatMap {
       case (name, fn) =>
