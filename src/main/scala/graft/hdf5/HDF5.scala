@@ -39,12 +39,13 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * h5py via its plugin ecosystem reads more; files carrying those filters
   * need a one-time repack (`h5repack -f GZIP=4`) before this reader.
   *
-  * Dense (fractal-heap) GROUP LINKS are read natively (v2 B-tree name
-  * index + fractal-heap object resolution — the storage netCDF-4
-  * switches to past the compact-link threshold); the unsupported dense
-  * corners (filtered heaps, huge/tiny heap objects, nested indirect
-  * blocks, B-tree depth ≥ 2 — ~10⁵+ links) fail by name, as do dense
-  * ATTRIBUTES (rare: attribute counts past the compact limit).
+  * Dense (fractal-heap) GROUP LINKS and dense ATTRIBUTES are both read
+  * natively (v2 B-tree name index — record type 5 for links, 8 for
+  * attributes — + fractal-heap object resolution: the storage libhdf5
+  * switches to past the compact thresholds, 8 attrs / the symbol-table
+  * link limit); the unsupported dense corners (filtered heaps,
+  * huge/tiny heap objects, nested indirect blocks, B-tree depth ≥ 2 —
+  * ~10⁵+ entries) fail by name.
   */
 /** A chunk's filter pipeline names a filter this reader does not implement.
   * Raised BEFORE any bytes are interpreted — an unknown filter must surface
@@ -469,14 +470,36 @@ object HDF5 {
       * heap IDs, each resolving through the fractal heap's doubling
       * table to one serialized Link message — the storage netCDF-4
       * switches to past the compact/symbol-table threshold (h5py reads
-      * it natively; spec III.F/III.G/III.A.2). Supported surface:
-      * managed (non-huge/tiny) heap objects, unfiltered heaps, root
-      * direct block or ONE level of indirect block with direct
+      * it natively; spec III.F/III.G/III.A.2). */
+    private def readDenseLinks(fheapAddr: Long, nameBtAddr: Long): Vector[(String, Long)] =
+      denseHeapObjects(fheapAddr, nameBtAddr, btreeType = 5)
+        .flatMap(parseLink).sortBy(_._1)
+
+    /** Enumerate an object's DENSE attributes (spec III.G/IV.A.2.v —
+      * the storage libhdf5 switches to past 8 compact attributes, which
+      * CF-compliant NetCDF-4 variables hit routinely): the attribute
+      * NAME index is a v2 B-tree of type-8 records (8-byte heap-id
+      * field + message flags + creation order + name hash) over a
+      * fractal heap whose objects are serialized Attribute messages —
+      * the same heap machinery as dense links, different record type. */
+    private def readDenseAttributes(fheapAddr: Long, nameBtAddr: Long)
+        : Vector[(String, TypeInfo, Vector[Int], ByteBuffer)] =
+      denseHeapObjects(fheapAddr, nameBtAddr, btreeType = 8)
+        .map(parseAttribute).sortBy(_._1)
+
+    /** Resolve every object a dense-storage name index references:
+      * fractal-heap doubling-table walk + v2 B-tree record enumeration.
+      * `btreeType` 5 = link name index (record: hash4 + heap id at
+      * offset 4), 8 = attribute name index (record: spec-fixed 8-byte
+      * heap-id field at offset 0 + flags1 + corder4 + hash4). Supported
+      * surface: managed (non-huge/tiny) heap objects, unfiltered heaps,
+      * root direct block or ONE level of indirect block with direct
       * children, B-tree depth ≤ 1 — everything a netCDF-4 writer emits
-      * up to tens of thousands of links; beyond fails by name. */
-    private def readDenseLinks(fheapAddr: Long, nameBtAddr: Long): Vector[(String, Long)] = {
+      * up to tens of thousands of entries; beyond fails by name. */
+    private def denseHeapObjects(fheapAddr: Long, nameBtAddr: Long,
+                                 btreeType: Int): Vector[ByteBuffer] = {
       require(nameBtAddr != Undefined,
-        "dense group: link-info carries no name-index btree")
+        "dense storage: info message carries no name-index btree")
       // -- fractal heap header (FRHP) --
       val h = readAt(fheapAddr, 146)
       val hsig = new Array[Byte](4); h.get(hsig)
@@ -499,8 +522,11 @@ object HDF5 {
       val curRows = h.getShort(140) & 0xFFFF
       val offSize = (maxHeapBits + 7) / 8
       val lenSize = encBytes(math.min(maxDirectSize, maxManagedObj))
-      require(heapIdLen == 1 + offSize + lenSize,
-        s"fractal heap id length $heapIdLen != 1+$offSize+$lenSize")
+      // libhdf5 pads attribute-heap ids to a fixed 8 bytes
+      // (H5A_DENSE_FHEAP_ID_LEN); link heaps use the minimal encoding —
+      // accept either, parse the (flags, offset, length) prefix
+      require(heapIdLen >= 1 + offSize + lenSize,
+        s"fractal heap id length $heapIdLen < 1+$offSize+$lenSize")
       // -- doubling table: (blockOffset, blockSize, fileAddr) per direct block --
       def rowSize(r: Int): Long =
         if (r < 2) startBlockSize else startBlockSize << (r - 1)
@@ -554,14 +580,21 @@ object HDF5 {
       val bsig = new Array[Byte](4); bt.get(bsig)
       require(java.util.Arrays.equals(bsig, "BTHD".getBytes("ASCII")),
         "v2 btree header signature")
-      require((bt.get(5) & 0xFF) == 5, "v2 btree type (link name index)")
+      require((bt.get(5) & 0xFF) == btreeType,
+        s"v2 btree type ${bt.get(5) & 0xFF} != expected $btreeType")
       val nodeSize = bt.getInt(6)
       val recSize = bt.getShort(10) & 0xFFFF
       val depth = bt.getShort(12) & 0xFFFF
       val btRootAddr = bt.getLong(16)
       val rootNRec = bt.getShort(24) & 0xFFFF
-      require(recSize == 4 + heapIdLen,
-        s"name-index record size $recSize != 4+$heapIdLen")
+      // record geometry: type 5 = [hash4][heap id]; type 8 = [heap-id
+      // field (recSize - 9, spec-fixed 8 in libhdf5 files)][flags1]
+      // [corder4][hash4]
+      val idOff = if (btreeType == 5) 4 else 0
+      val idField = if (btreeType == 5) recSize - 4 else recSize - 9
+      require(idField >= 1 + offSize + lenSize,
+        s"name-index heap-id field $idField < 1+$offSize+$lenSize " +
+          s"(record size $recSize)")
       val maxLeafRec = (nodeSize - 10) / recSize
       def leafRecords(addr: Long, nrec: Int): Vector[ByteBuffer] = {
         val lf = readAt(addr, 6 + nrec * recSize)
@@ -605,15 +638,15 @@ object HDF5 {
           ownRecs ++ childRecs
         } else throw new UnsupportedOperationException(
           s"v2 btree depth $depth not supported (~>${maxLeafRec * maxLeafRec} links)")
-      // -- resolve each heap ID to its serialized link message --
-      records.flatMap { r =>
-        val idFlags = r.get(4) & 0xFF
+      // -- resolve each heap ID to its serialized message --
+      records.map { r =>
+        val idFlags = r.get(idOff) & 0xFF
         require((idFlags & 0x30) == 0,
           s"non-managed fractal heap id type ${(idFlags & 0x30) >> 4}")
-        val heapOff = readUnsigned(r, 5, offSize)
-        val objLen = readUnsigned(r, 5 + offSize, lenSize).toInt
-        parseLink(readObject(heapOff, objLen))
-      }.sortBy(_._1)
+        val heapOff = readUnsigned(r, idOff + 1, offSize)
+        val objLen = readUnsigned(r, idOff + 1 + offSize, lenSize).toInt
+        readObject(heapOff, objLen)
+      }
     }
 
     // ---- global heap (vlen attribute payloads) ----
@@ -777,15 +810,22 @@ object HDF5 {
             if (fheap != Undefined)
               children = children ++ readDenseLinks(fheap, b.getLong(base + 8))
           case 0x0015 =>
-            // attribute info: DENSE attributes live in a fractal heap.
-            // Silently ignoring this message would DROP the object's
-            // attributes (CF decode params, dimension lists) — fail by
-            // name instead; compact attributes (0x000C, the netCDF-4
-            // common case) are unaffected.
+            // attribute info: DENSE attribute storage (r10 — read like
+            // h5py does; libhdf5 switches past 8 compact attributes and
+            // CF-compliant NetCDF-4 variables routinely carry more:
+            // units, long_name, standard_name, _FillValue, scale/offset,
+            // valid_range, cell_methods…). Each heap object is a
+            // serialized Attribute message, decoded exactly like the
+            // compact 0x000C path — DIMENSION_LIST included.
             val base = if ((b.get(1) & 0x1) != 0) 4 else 2
-            require(b.getLong(base) == Undefined,
-              "dense (fractal heap) attributes not supported — repack " +
-                "with compact attribute storage")
+            val fheap = b.getLong(base)
+            if (fheap != Undefined)
+              readDenseAttributes(fheap, b.getLong(base + 8)).foreach {
+                case (name, at, adims, adata) =>
+                  val (value, refs) = decodeAttrValue(at, adims, adata)
+                  if (name == "DIMENSION_LIST") dimList = refs
+                  else if (value != AttrValue.ANull) attrs += name -> value
+              }
           case _ => // group info, modification time... ignored
         }
       }

@@ -306,7 +306,8 @@ object HDF5Writer {
             lz4: Boolean = false,
             denseRootLinks: Boolean = false,
             denseStartBlockSize: Long = 0L,
-            denseBtNodeSize: Int = 0): Unit = {
+            denseBtNodeSize: Int = 0,
+            denseAttrObjects: Set[String] = Set.empty): Unit = {
     require(Seq(deflateLevel.isDefined, lzf, zstdLevel.isDefined,
       blosc.isDefined, lz4).count(identity) <= 1,
       "deflate, lzf, zstd, blosc, and lz4 are alternative block codecs; " +
@@ -474,6 +475,43 @@ object HDF5Writer {
     val objMsgs: Map[String, Vector[Msg]] =
       objNames.map(n => n -> messagesFor(n)).toMap
 
+    // ---- dense-attribute plan (r10) ----
+    // denseAttrObjects: the selected objects store ALL their attributes
+    // DENSELY — every 0x000C message moves into a per-object fractal
+    // heap indexed by a type-8 v2 B-tree, and the header carries an
+    // Attribute Info (0x0015) message instead: the layout libhdf5
+    // switches to past 8 compact attributes (DIMENSION_LIST included,
+    // exactly as libhdf5 moves it). One pow2-cover root direct block +
+    // a single-leaf name index — attribute counts are object-scoped
+    // (the indirect/depth-1 geometry is exercised on the link side and
+    // the reader shares the machinery).
+    val denseAttrBodies: Map[String, Vector[Array[Byte]]] =
+      denseAttrObjects.toVector.sorted.map { n =>
+        require(objNames.contains(n), s"denseAttrObjects: unknown object $n")
+        val bodies = objMsgs(n).collect { case (0x000C, body) => body }
+        require(bodies.nonEmpty, s"denseAttrObjects: $n has no attributes")
+        n -> bodies
+      }.toMap
+    def attrMsgName(body: Array[Byte]): String = {
+      // v1 attribute message: name size at offset 2, name at offset 8
+      val nameLen = (body(2) & 0xFF) | ((body(3) & 0xFF) << 8)
+      new String(body, 8, nameLen, "UTF-8").takeWhile(_ != 0)
+    }
+    val attrFhdbDataStart = 13 + 4 // sig+ver+heapAddr+blockOffset(4)
+    // per object: heap-space offset of each body + the block size
+    val denseAttrGeom: Map[String, (Vector[Long], Long)] =
+      denseAttrBodies.map { case (n, bodies) =>
+        var pos = attrFhdbDataStart.toLong
+        val offs = bodies.map { b => val o = pos; pos += b.length; o }
+        val bsize = math.max(512L, java.lang.Long.highestOneBit(pos - 1) * 2)
+        n -> (offs, bsize)
+      }
+    val objHeaderMsgs: Map[String, Vector[Msg]] = objMsgs.map { case (n, ms) =>
+      if (denseAttrBodies.contains(n))
+        n -> (ms.filterNot(_._1 == 0x000C) :+ ((0x0015, new Array[Byte](18))))
+      else n -> ms
+    }
+
     // ---- root group messages ----
     // denseRootLinks: the root group stores its links DENSELY (Link Info
     // message -> fractal heap + v2 btree name index) instead of via the
@@ -584,7 +622,17 @@ object HDF5Writer {
       alloc("btree", 24 + 24) // one leaf entry: key,child,key
       alloc("snod", 8 + objNames.length * 40)
     }
-    objNames.foreach(n => alloc(s"obj:$n", headerBytes(objMsgs(n)).length.toLong))
+    objNames.foreach(n =>
+      alloc(s"obj:$n", headerBytes(objHeaderMsgs(n)).length.toLong))
+    // per-object dense-attribute structures: heap header + one direct
+    // block + btree header + one leaf (type-8 records are 17 bytes:
+    // 8-byte heap-id field + flags + corder + hash)
+    denseAttrBodies.toVector.sortBy(_._1).foreach { case (n, bodies) =>
+      alloc(s"afheap:$n", 146)
+      alloc(s"afhdb:$n", denseAttrGeom(n)._2)
+      alloc(s"abthd:$n", 38)
+      alloc(s"abtlf:$n", (6 + bodies.length * 17 + 4).toLong)
+    }
     // global heap: one object per (data var, dim) + free-space tail
     val gheapEntries: Vector[(String, Int)] = varNames.flatMap { n =>
       varOf(n) match {
@@ -868,12 +916,27 @@ object HDF5Writer {
       put(addrs("gheap"), b.array())
     }
 
+    // the real DIMENSION_LIST body (gheap references) — shared by the
+    // compact in-header patch and the dense-attr heap emission
+    def dimListBody(n: String): Array[Byte] = {
+      val vr = varOf(n).get
+      val data = ByteBuffer.allocate(vr.dims.length * 16)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      vr.dims.indices.foreach { d =>
+        data.putInt(1)
+        data.putLong(addrs("gheap"))
+        data.putInt(gheapIndex((n, d)))
+      }
+      attrBytes("DIMENSION_LIST", vlenRefTypeBytes,
+        dataspaceBytes(Vector(vr.dims.length)), data.array())
+    }
+
     // dataset headers with patched layout + DIMENSION_LIST, then data
     objNames.foreach { n =>
       val isPhantom = phantomDims.contains(n)
       val v = varOf(n)
       val shape: Vector[Int] = if (isPhantom) Vector(f.dims(n)) else v.get.shape
-      val patched = objMsgs(n).map {
+      val patched = objHeaderMsgs(n).map {
         case (0x0008, body) =>
           varData.get(n) match {
             case Some(Left(bytes)) =>
@@ -899,16 +962,14 @@ object HDF5Writer {
               (0x0008, b.array())
           }
         case (0x000C, body) if isDimListAttr(body) =>
-          val vr = v.get
-          val data = ByteBuffer.allocate(vr.dims.length * 16)
-            .order(ByteOrder.LITTLE_ENDIAN)
-          vr.dims.indices.foreach { d =>
-            data.putInt(1)
-            data.putLong(addrs("gheap"))
-            data.putInt(gheapIndex((n, d)))
-          }
-          (0x000C, attrBytes("DIMENSION_LIST", vlenRefTypeBytes,
-            dataspaceBytes(Vector(vr.dims.length)), data.array()))
+          (0x000C, dimListBody(n))
+        case (0x0015, _) =>
+          val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+          b.put(0.toByte) // attribute info version
+          b.put(0.toByte) // flags: no creation-order tracking/index
+          b.putLong(addrs(s"afheap:$n"))
+          b.putLong(addrs(s"abthd:$n"))
+          (0x0015, b.array())
         case other => other
       }
       put(addrs(s"obj:$n"), headerBytes(patched))
@@ -939,6 +1000,98 @@ object HDF5Writer {
           plans.zipWithIndex.foreach { case (p, i) =>
             put(addrs(s"chunk:$n:$i"), p.bytes) }
         case _ =>
+      }
+    }
+
+    // dense-attribute heaps + type-8 name indexes (DIMENSION_LIST bodies
+    // patched with the real gheap references, same as the compact path)
+    denseAttrBodies.toVector.sortBy(_._1).foreach { case (n, bodies0) =>
+      val bodies = bodies0.map(b => if (isDimListAttr(b)) dimListBody(n) else b)
+      val (offs, bsize) = denseAttrGeom(n)
+      val need = offs.last + bodies.last.length
+      val lenW = lenBytesFor(math.min(bsize, 4096L))
+      // fractal heap header — the attribute-heap convention pads the
+      // heap id to a fixed 8 bytes (libhdf5 H5A_DENSE_FHEAP_ID_LEN)
+      locally {
+        val b = ByteBuffer.allocate(146).order(ByteOrder.LITTLE_ENDIAN)
+        b.put("FRHP".getBytes("ASCII"))
+        b.put(0.toByte)
+        b.putShort(8)                 // heap id length (padded)
+        b.putShort(0)                 // io filter encoded length
+        b.put(0.toByte)               // flags: no block checksums
+        b.putInt(4096)                // max managed object size
+        b.putLong(0L)                 // next huge id
+        b.putLong(Undefined)          // huge btree
+        b.putLong(bsize - need)       // free space
+        b.putLong(Undefined)          // free-space manager
+        b.putLong(bsize)              // managed space
+        b.putLong(bsize)              // allocated managed space
+        b.putLong(need)               // direct-block iterator offset
+        b.putLong(bodies.length.toLong)
+        b.putLong(0L); b.putLong(0L)  // huge size / count
+        b.putLong(0L); b.putLong(0L)  // tiny size / count
+        b.putShort(4)                 // table width
+        b.putLong(bsize)              // starting block size
+        b.putLong(bsize)              // max direct block size
+        b.putShort(32)                // max heap size (bits)
+        b.putShort(1)                 // starting rows in root iblock
+        b.putLong(addrs(s"afhdb:$n")) // root block (DIRECT: cur rows 0)
+        b.putShort(0)
+        b.putInt(lookup3(java.util.Arrays.copyOfRange(b.array(), 0, 142)))
+        put(addrs(s"afheap:$n"), b.array())
+      }
+      // the single direct block holding the attribute messages
+      locally {
+        val b = ByteBuffer.allocate(bsize.toInt).order(ByteOrder.LITTLE_ENDIAN)
+        b.put("FHDB".getBytes("ASCII"))
+        b.put(0.toByte)
+        b.putLong(addrs(s"afheap:$n"))
+        b.putInt(0) // block offset
+        bodies.indices.foreach { i =>
+          b.position(offs(i).toInt)
+          b.put(bodies(i))
+        }
+        put(addrs(s"afhdb:$n"), b.array())
+      }
+      // type-8 name index: [8-byte heap-id field][msg flags][corder]
+      // [hash], records sorted by (lookup3(name), name); single leaf
+      val recs = bodies.indices.map { i =>
+        val name = attrMsgName(bodies(i))
+        (lookup3(name.getBytes("UTF-8")), name, offs(i), bodies(i).length, i)
+      }.sortBy { case (h, nm, _, _, _) => (h & 0xFFFFFFFFL, nm) }
+      def recBytes(b: ByteBuffer, r: (Int, String, Long, Int, Int)): Unit = {
+        b.put(0.toByte)           // heap id: version/type managed
+        b.putInt(r._3.toInt)      // offset (4 bytes)
+        var v = r._4.toLong
+        (0 until lenW).foreach { _ => b.put((v & 0xFF).toByte); v >>= 8 }
+        (0 until 8 - 5 - lenW).foreach(_ => b.put(0.toByte)) // pad id to 8
+        b.put(0.toByte)           // message flags
+        b.putInt(r._5)            // creation order
+        b.putInt(r._1)            // hash of name
+      }
+      locally {
+        val sz = 6 + recs.length * 17 + 4
+        val b = ByteBuffer.allocate(sz).order(ByteOrder.LITTLE_ENDIAN)
+        b.put("BTLF".getBytes("ASCII"))
+        b.put(0.toByte); b.put(8.toByte)
+        recs.foreach(recBytes(b, _))
+        b.putInt(lookup3(java.util.Arrays.copyOfRange(b.array(), 0, sz - 4)))
+        put(addrs(s"abtlf:$n"), b.array())
+      }
+      locally {
+        val b = ByteBuffer.allocate(38).order(ByteOrder.LITTLE_ENDIAN)
+        b.put("BTHD".getBytes("ASCII"))
+        b.put(0.toByte)
+        b.put(8.toByte)           // type 8: attribute name index
+        b.putInt(math.max(512, 6 + recs.length * 17 + 4 + 8))
+        b.putShort(17)            // record size
+        b.putShort(0)             // depth 0
+        b.put(100.toByte); b.put(40.toByte) // split / merge %
+        b.putLong(addrs(s"abtlf:$n"))
+        b.putShort(recs.length.toShort)
+        b.putLong(recs.length.toLong)
+        b.putInt(lookup3(java.util.Arrays.copyOfRange(b.array(), 0, 34)))
+        put(addrs(s"abthd:$n"), b.array())
       }
     }
 

@@ -46,7 +46,19 @@ object Hdf5Ops {
       dataVars = Map(
         "foo" -> Variable(Vector("time", "lat", "lon"),
           NDArray(DType.F8, Vector(nt, NY, NX), CubeOracle.fillF8(FooSeed, 1000, nt, NY, NX)),
-          Map("long_name" -> AttrValue("Fantastic Foo"))),
+          // a CF-compliant 10-attr set: past libhdf5's 8-compact-attr
+          // threshold, so the dense-attr slabs below are the layout a
+          // real CF NetCDF-4 file would carry
+          Map("long_name" -> AttrValue("Fantastic Foo"),
+            "units" -> AttrValue("K"),
+            "standard_name" -> AttrValue("surface_temperature"),
+            "cell_methods" -> AttrValue("time: mean"),
+            "comment" -> AttrValue("synthetic"),
+            "references" -> AttrValue("CF-1.8"),
+            "institution" -> AttrValue("graft"),
+            "source" -> AttrValue("model"),
+            "valid_min" -> AttrValue(0.0),
+            "valid_max" -> AttrValue(1000.0))),
         "bar" -> Variable(Vector("time", "lat", "lon"),
           NDArray(DType.I4, Vector(nt, NY, NX), CubeOracle.fillI(BarSeed, 1000, nt, NY, NX).map(_.toInt)),
           Map("long_name" -> AttrValue("Beautiful Bar")))),
@@ -61,13 +73,17 @@ object Hdf5Ops {
     // 2 days per file; data vars chunked 1 day per chunk, deflated — the
     // shape libnetcdf writes for chunked+zlib variables. Alternate slabs
     // store their root links DENSELY (fractal heap + v2 btree — the
-    // netCDF-4 layout past the compact threshold, r9) so BOTH group
-    // storages flow through both entry points every round
+    // netCDF-4 layout past the compact threshold, r9), others store
+    // foo's 10 CF attrs DENSELY (type-8 name index — the layout past 8
+    // compact attrs, r10), and slab 4 carries BOTH, so every group/attr
+    // storage combination flows through both entry points every round
     val files = (0 until nt by 2).map { t0 =>
       val path = s"$dir/slab_$t0.nc"
       HDF5Writer.write(path, cube.isel(Map("time" -> Slc(t0, t0 + 2))),
         chunks = Map("foo" -> Vector(1, 18, 36), "bar" -> Vector(2, 18, 36)),
-        deflateLevel = Some(4), denseRootLinks = t0 % 4 == 0)
+        deflateLevel = Some(4), denseRootLinks = t0 % 4 == 0,
+        denseAttrObjects =
+          if (t0 % 4 == 2 || t0 == 4) Set("foo") else Set.empty)
       path
     }.toVector
 

@@ -136,6 +136,27 @@ class CorruptionSweepSpec extends AnyFunSuite {
     assert(failed > 0, "no corruption failed — the sweep is vacuous")
   }
 
+  test("hdf5 DENSE attributes: heap/type-8-index corruption never crashes, only fails by name") {
+    // the round-10 structures: the per-object attribute fractal heap and
+    // the type-8 v2 btree name index. Give foo >8 attrs so the dense
+    // path is real, then flip bytes across the whole file
+    val dir = tmpDir
+    val p = s"$dir/dense_attr.h5"
+    val base = smallCube()
+    val manyAttrs = (1 to 10).map(i => f"attr$i%02d" -> AttrValue(i.toLong)).toMap
+    val f = base.copy(dataVars = base.dataVars.updatedWith("foo")(
+      _.map(v => v.copy(attrs = v.attrs ++ manyAttrs))))
+    HDF5Writer.write(p, f, denseAttrObjects = Set("foo"))
+    val orig = Files.readAllBytes(Paths.get(p))
+    val target = s"$dir/mut.h5"
+    val (ok, failed) = sweep(orig, 1400, { bytes =>
+      Files.write(Paths.get(target), bytes)
+      HDF5.read(target)
+    })
+    info(s"hdf5 dense-attr sweep: $ok corruptions read, $failed failed diagnosably")
+    assert(failed > 0, "no corruption failed — the sweep is vacuous")
+  }
+
   test("grib2: single-byte corruption never crashes, only fails by name") {
     val dir = tmpDir
     val p = s"$dir/clean.grib2"

@@ -124,6 +124,119 @@ class Hdf5Spec extends AnyFunSuite {
     assert(countSig("BTLF") >= 2, s"expected multiple leaves, got ${countSig("BTLF")}")
   }
 
+  /** A CF-compliant variable attribute set — 11 attrs, past libhdf5's
+    * max_compact = 8 dense-storage switch. */
+  private def cfAttrs: Map[String, AttrValue] = Map(
+    "units" -> AttrValue("K"),
+    "long_name" -> AttrValue("surface temperature"),
+    "standard_name" -> AttrValue("surface_temperature"),
+    "cell_methods" -> AttrValue("time: mean"),
+    "comment" -> AttrValue("synthetic fixture"),
+    "references" -> AttrValue("CF-1.8 sec 3"),
+    "institution" -> AttrValue("graft"),
+    "source" -> AttrValue("model"),
+    "valid_min" -> AttrValue(180.0),
+    "valid_max" -> AttrValue(330.0),
+    "missing_points" -> AttrValue(0L))
+
+  test("dense (fractal-heap) attributes: a CF-style >8-attr variable round-trips") {
+    // the r9 verdict's last real-file parity gap: libhdf5 moves ALL of
+    // an object's attributes (DIMENSION_LIST included) into a fractal
+    // heap + type-8 v2 btree past 8 compact attrs, and CF NetCDF-4
+    // variables routinely carry more — the reference reads them
+    // transparently via h5py (openers.py:62-66)
+    val base = cube()
+    val f = base.copy(dataVars = base.dataVars.updatedWith("foo")(
+      _.map(v => v.copy(attrs = v.attrs ++ cfAttrs))))
+    val path = s"$dir/dense_attrs.nc"
+    HDF5Writer.write(path, f, denseAttrObjects = Set("foo"))
+    val back = HDF5.read(path)
+    assert(back.sameAs(f), "dense-attrs fragment mismatch")
+    assert(back.dataVars("foo").attrs == f.dataVars("foo").attrs,
+      s"attr mismatch: ${back.dataVars("foo").attrs}")
+    // DIMENSION_LIST travelled through the heap too: dims resolved
+    assert(back.dataVars("foo").dims == Vector("time", "lat", "lon"))
+    // the engine-dispatch path the pipeline uses reads it identically
+    val viaOpeners = graft.transforms.Openers.open(
+      graft.patterns.FileType.Netcdf4, path, maskAndScale = false)
+    assert(viaOpeners.sameAs(f))
+    // a COMPACT write of the same fragment is presentation-equal
+    val cpath = s"$dir/compact_attrs.nc"
+    HDF5Writer.write(cpath, f)
+    assert(HDF5.read(cpath).sameAs(back))
+    // the dense structures are really in the file: a second FRHP+BTHD
+    // pair beyond none (links are compact here)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    def countSig(sig: String): Int = {
+      val sb = sig.getBytes("ASCII"); var n = 0
+      var i = 0
+      while (i <= bytes.length - 4) {
+        if (bytes(i) == sb(0) && bytes(i + 1) == sb(1) &&
+            bytes(i + 2) == sb(2) && bytes(i + 3) == sb(3)) n += 1
+        i += 1
+      }
+      n
+    }
+    assert(countSig("FRHP") == 1 && countSig("BTHD") == 1,
+      s"expected one attr heap+index: ${countSig("FRHP")}/${countSig("BTHD")}")
+  }
+
+  test("dense attributes + dense links + chunked deflate compose in one file") {
+    val base = cube()
+    val f = base.copy(dataVars = base.dataVars.updatedWith("bar")(
+      _.map(v => v.copy(attrs = v.attrs ++ cfAttrs))))
+    val path = s"$dir/dense_both.nc"
+    HDF5Writer.write(path, f,
+      chunks = Map("bar" -> Vector(3, 5, 4)),
+      deflateLevel = Some(4),
+      denseRootLinks = true,
+      denseAttrObjects = Set("bar", "lat"))
+    val back = HDF5.read(path)
+    assert(back.sameAs(f), "dense links+attrs fragment mismatch")
+    assert(back.dataVars("bar").attrs == f.dataVars("bar").attrs)
+    // the kerchunk scanner walks the same header (dense attrs must not
+    // derail the chunk-ref scan)
+    val refs = graft.kerchunk.RefSet.scanHdf5(path)
+    assert(refs.keys.exists(_.contains("bar")), refs.keys.take(5).toString)
+  }
+
+  test("dense-storage corners fail by NAME: huge objects, filtered heaps, depth >= 2") {
+    // the remaining named-unsupported set after r10 (szip is covered by
+    // the unknown-filter test): each corner must surface its own error,
+    // and none is reachable from a CF-style NetCDF-4 file — the clean
+    // fixture here IS one and reads fine until a corner flag is forced
+    val base = cube()
+    val f = base.copy(dataVars = base.dataVars.updatedWith("foo")(
+      _.map(v => v.copy(attrs = v.attrs ++ cfAttrs))))
+    val d0 = dir
+    val clean = s"$d0/corner.nc"
+    HDF5Writer.write(clean, f, denseAttrObjects = Set("foo"))
+    val orig = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(clean))
+    assert(HDF5.read(clean).sameAs(f))
+    def sigPos(sig: String): Int = {
+      val sb = sig.getBytes("ASCII")
+      (0 to orig.length - 4).find(i => orig(i) == sb(0) &&
+        orig(i + 1) == sb(1) && orig(i + 2) == sb(2) && orig(i + 3) == sb(3))
+        .getOrElse(fail(s"no $sig block in fixture"))
+    }
+    def patched(pos: Int, v: Byte): String = {
+      val b = orig.clone(); b(pos) = v
+      val p = s"$d0/corner_mut.nc"
+      java.nio.file.Files.write(java.nio.file.Paths.get(p), b)
+      p
+    }
+    val frhp = sigPos("FRHP"); val bthd = sigPos("BTHD")
+    // huge-object count at FRHP+86 — fails by name
+    val eHuge = intercept[Exception](HDF5.read(patched(frhp + 86, 1)))
+    assert(eHuge.getMessage.contains("huge/tiny"), eHuge.getMessage)
+    // io-filter length at FRHP+7 — filtered heaps fail by name
+    val eFilt = intercept[Exception](HDF5.read(patched(frhp + 7, 2)))
+    assert(eFilt.getMessage.contains("filtered fractal heaps"), eFilt.getMessage)
+    // btree depth at BTHD+12 — depth >= 2 fails by name
+    val eDepth = intercept[Exception](HDF5.read(patched(bthd + 12, 2)))
+    assert(eDepth.getMessage.contains("depth"), eDepth.getMessage)
+  }
+
   test("dense root links round-trip with chunked+deflate variables") {
     val f = cube()
     val path = s"$dir/dense_chunked.nc"
