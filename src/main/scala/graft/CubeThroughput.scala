@@ -13,17 +13,25 @@ import graft.zarr.ZarrGroup
   * verify correctness on metadata-sized cubes; this is the number that
   * answers "what does a 1000-executor cluster sustain per core".
   *
-  * Usage: `sbt "runMain graft.CubeThroughput [timeSteps] [slabSteps]"` —
-  * default 256 steps of 512×1024 float64 = ~1 GB, rechunked in
-  * `slabSteps`-step slabs (default 32 = 134 MB slabs; slab bytes must fit
-  * the kryo buffer ceiling and, ×concurrent tasks, the executor heap).
+  * Usage: `sbt "runMain graft.CubeThroughput [timeSteps] [slabSteps]
+  * [storeRoot]"` — default 256 steps of 512×1024 float64 = ~1 GB,
+  * rechunked in `slabSteps`-step slabs (default 32 = 134 MB slabs; slab
+  * bytes must fit the kryo buffer ceiling and, ×concurrent tasks, the
+  * executor heap). `storeRoot` routes BOTH stores through an alternate
+  * transport: a posix path (default tmpdir), a `file:///...` URI (the
+  * Hadoop-FS local leg), or `mos://bucket/...` (the in-JVM object store
+  * — PUT-on-close, range GETs; needs the TEST classpath:
+  * `sbt "Test/runMain graft.CubeThroughput 256 32 mos://tp/cube"`).
+  * The 100 TB story is object PUTs/GETs, so the object-transport legs
+  * are the rows that matter (SCALE_r10 §cube).
   * Env: SPARK_GRAFT_CPUS (default 8), SPARK_DRIVER_MEM for bigger runs. */
 object CubeThroughput {
   def main(args: Array[String]): Unit = {
     val nt = if (args.nonEmpty) args(0).toInt else 256
     val slab = if (args.length > 1) args(1).toInt else 32
+    val root = if (args.length > 2) Some(args(2)) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.kryo.classesToRegister", graft.core.KryoClasses.names)
@@ -34,21 +42,29 @@ object CubeThroughput {
       // names the fragment, but it IS a deploy-time knob to know about.
       .config("spark.kryoserializer.buffer.max", "512m")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the mos:// scheme resolves by NAME at runtime (the class ships in
+    // the test tree — the sandbox stand-in for a real s3a endpoint, whose
+    // fs.s3a.impl would be set the same way); HadoopIO folds spark.hadoop.*
+    // into every executor-side FileSystem it opens
+    val spark = (if (root.exists(_.startsWith("mos://")))
+        builder.config("spark.hadoop.fs.mos.impl", "graft.storage.MockObjectFS")
+      else builder).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    try run(spark, nt, slab)
+    try run(spark, nt, slab, root)
     finally spark.stop()
   }
 
   /** The measurement body, reusable against a caller-owned session (the
     * tiny-config regression test drives it without stopping the shared
     * test context). Throws on any verification failure. */
-  def run(spark: SparkSession, nt: Int, slab: Int): Unit = {
+  def run(spark: SparkSession, nt: Int, slab: Int,
+          root: Option[String] = None): Unit = {
     // the source store is written in 4-step chunks and the verify leg
     // reads the first 4 steps — fail fast before the expensive write
     require(nt >= 4 && nt % 4 == 0, s"timeSteps must be a multiple of 4, got $nt")
     require(slab >= 1 && slab <= nt, s"slabSteps must be in [1, $nt], got $slab")
-    val dir = java.nio.file.Files.createTempDirectory("graft_cube_tp").toString
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cube_tp").toString
+    val dir = root.getOrElse(tmp)
     val cpus = math.max(2, spark.sparkContext.defaultParallelism)
     try {
       val (ny, nx) = (512, 1024)
@@ -90,7 +106,8 @@ object CubeThroughput {
       println(s"""{"stage":"verify","ok":$ok}""")
       require(ok, "rechunked store does not equal the source")
     } finally {
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      root.foreach(r => graft.zarr.StoreIO.forRoot(r).deleteRecursive(""))
     }
   }
 }

@@ -256,18 +256,22 @@ class EndToEndSpec extends AnyFunSuite {
     assert(e.getMessage.contains("already applied"), e.getMessage)
     // and the store still holds exactly the 20-day cube
     assert(ZarrGroup(storePath).readFragment().sameAs(cube20))
-    // a guard tag on a non-append job is a caller bug, named
+    // a guard tag on a CREATE job is ledgered too (r10: without it, a
+    // replayed store-creating streaming micro-batch found no tag and
+    // appended batch 0's data after itself)
     val files3 = writeFragmentFiles(GoldenCube.splitByTime(first, 2),
-      s"$dir/in_misuse")
+      s"$dir/in_create_tag")
     val pat3 = FilePattern.fromFileSequence(files3, "time",
       nitemsPerFile = Some(2), fileType = FileType.Zarr)
     val frags3 = Pipelines.openWithFragments(
       Pipelines.createItems(spark, pat3), FileType.Zarr)
-    val e2 = intercept[IllegalArgumentException] {
-      Pipelines.storeToZarr(frags3, pat3.combineDimKeys, s"$dir/other.zarr",
-        Map("time" -> 2), appendGuardTag = Some("x"))
-    }
-    assert(e2.getMessage.contains("appendGuardTag"), e2.getMessage)
+    Pipelines.storeToZarr(frags3, pat3.combineDimKeys, s"$dir/other.zarr",
+      Map("time" -> 2), appendGuardTag = Some("x"))
+    val createLedger = ZarrGroup(s"$dir/other.zarr")
+      .groupAttrs(Pipelines.AppliedAppendsAttr)
+      .asInstanceOf[AttrValue.AList].v
+    assert(createLedger == Vector(AttrValue.AStr("x")),
+      s"create-path tag not ledgered: $createLedger")
   }
 
   test("zarrFormat=2: pipeline writes a zarr-python classic store; append detects it") {
