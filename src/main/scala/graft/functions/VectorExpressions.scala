@@ -303,6 +303,8 @@ object GraftFunctions {
       intArg(args(1), "wht_phash"), intArg(args(2), "wht_phash"))),
     "collect_list_capped" -> (args =>
       CollectListCappedI64(args(0), args(1)).toAggregateExpression()),
+    "sum_vec_scaled_i64" -> (args =>
+      SumVecScaledI64(args(0), args(1)).toAggregateExpression()),
     // Spark ships BloomFilterAggregate / BloomFilterMightContain as
     // INTERNAL-only expressions (used by the runtime-filter optimizer,
     // absent from the public registry) — surface the codegen'd pair under

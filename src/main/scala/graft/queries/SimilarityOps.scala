@@ -303,15 +303,16 @@ object SimilarityOps {
 
   /** The tf·weight component sum shared by [[docBigramVectors]] and the
     * frozen-featurizer admission path: (doc_id, g, tf) × (g, v, w) →
-    * exact-integer (vec_id, q, nrm). */
+    * exact-integer (vec_id, q, nrm). ONE aggregate over fixed-width
+    * Array[Long] buffers ([[graft.functions.SumVecScaledI64]], map-side
+    * partials) — the r9 posexplode form multiplied the (doc, gram) row
+    * mass ×64 before the hash agg and measured SUPERLINEAR at ht40×
+    * (200k docs); this keeps the shuffle at one ~520-byte buffer per
+    * (partition, doc). */
   private def sumGramVectors(gtf: DataFrame, gvw: DataFrame): DataFrame =
     gtf.join(gvw, "g")
-      .select(col("doc_id"), (col("tf") * col("w")).as("tfw"), posexplode(col("v")))
-      .select(col("doc_id"), col("pos"), (col("tfw") * col("col")).as("xx"))
-      .groupBy("doc_id", "pos").agg(sum("xx").as("s"))
       .groupBy("doc_id")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, s))), e -> e.s)")
-        .as("q"))
+      .agg(expr("sum_vec_scaled_i64(v, tf * w)").as("q"))
       .select(col("doc_id").as("vec_id"), col("q"))
       .withColumn("nrm", expr(normExpr("q")))
 
