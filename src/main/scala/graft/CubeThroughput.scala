@@ -107,7 +107,15 @@ object CubeThroughput {
       require(ok, "rechunked store does not equal the source")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-      root.foreach(r => graft.zarr.StoreIO.forRoot(r).deleteRecursive(""))
+      // best-effort: the Hadoop transport rejects an empty relative path
+      // (and the in-JVM mos:// store dies with the process anyway)
+      root.foreach { r =>
+        try graft.zarr.StoreIO.forRoot(r).deleteRecursive("")
+        catch { case _: IllegalArgumentException =>
+          Seq("src.zarr", "dst.zarr").foreach(
+            graft.zarr.StoreIO.forRoot(r).deleteRecursive)
+        }
+      }
     }
   }
 }
