@@ -196,6 +196,44 @@ object Media {
       }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
   }
 
+  /** Full baseline-JPEG decode (the m14 semantics over any JPEG payload
+    * column): marker walk, canonical Huffman decode with byte
+    * unstuffing and restart handling, dequantization, 2-D IDCT, and
+    * grayscale / 4:4:4 / 4:2:0 YCbCr reassembly (JFIF color
+    * conversion). Progressive/arithmetic/12-bit variants, corrupt
+    * payloads, and null ids are flagged (ok = false), never fatal.
+    * Returns (id, ok, width, height, n_components, px_sum,
+    * px_mean_milli, n_restarts). */
+  def jpegDecode(df: DataFrame, idCol: String = "doc_id",
+                 bytesCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = true),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_components", IntegerType, nullable = true),
+      StructField("px_sum", LongType, nullable = true),
+      StructField("px_mean_milli", LongType, nullable = true),
+      StructField("n_restarts", LongType, nullable = true)))
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = idOrNull(r)
+          try {
+            if (id == null) throw new IllegalArgumentException("null id")
+            val v = graft.queries.Jpeg.decode(r.getAs[Array[Byte]](1))
+            var sum = 0L
+            var i = 0
+            while (i < v.pixels.length) { sum += v.pixels(i) & 0xff; i += 1 }
+            Row(id, true, v.width, v.height, v.nComponents, sum,
+              1000L * sum / v.pixels.length, v.nRestarts)
+          } catch { case _: Exception =>
+            Row(id, false, null, null, null, null, null, null)
+          }
+        }
+      }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+  }
+
   /** Unified media probe (the m13 semantics over any payload column):
     * sniff PPM/PNG/GIF87a/WAVE/AVI by magic bytes, run the container's
     * REAL parser, and report normalized metadata. Unknown containers,

@@ -1,0 +1,527 @@
+package graft.queries
+
+/** Baseline JPEG (ITU-T T.81 sequential DCT, Huffman) — decoder and a
+  * deterministic fixture encoder, pure JVM.
+  *
+  * JPEG is the dominant still-image format of web-scale multimodal
+  * corpora (the PNG/GIF/PPM/WAV/AVI family the m-queries already decode
+  * covers the lossless containers; this adds the lossy-DCT one). The
+  * decoder implements the full baseline path: marker walk (SOI, APPn,
+  * COM, DQT, SOF0, DHT, DRI, SOS, RSTn, EOI), canonical Huffman decode
+  * (MSB-first, 0xFF00 byte-unstuffing), DC prediction with restart
+  * resets, zigzag de-ordering, dequantization, double-precision 2-D
+  * IDCT (the spec's reference transform; integer-exact on the DC-only
+  * blocks the oracle fixtures use), level shift + clamp, and component
+  * reassembly for grayscale, 4:4:4 and 4:2:0 YCbCr (JFIF color
+  * conversion). Progressive (SOF2), arithmetic coding, 12-bit precision
+  * and other SOFn variants fail by name.
+  *
+  * Corruption contract (CorruptionSweepSpec): every segment length,
+  * count, dimension and table index is bounded at its source before any
+  * allocation or loop; the marker walk makes >= 2 bytes of progress per
+  * iteration; Huffman decode rejects codes longer than 16 bits; the
+  * entropy reader refuses to run past the segment. A corrupt file fails
+  * with a named error, never a crash-class throwable.
+  *
+  * The fixture encoder emits DC-ONLY grayscale baseline JPEGs (all-1s
+  * quantization table, custom minimal Huffman tables, optional restart
+  * intervals). A DC-only block dequantizes to coefficient 8·v and IDCTs
+  * to the exact constant v + 128 in ANY conforming decoder — so fixture
+  * pixel statistics are closed-form functions of doc_id that a DuckDB
+  * oracle recomputes without decoding (the m11/m12 pattern), while the
+  * real marker/Huffman/IDCT machinery genuinely runs. JpegSpec
+  * cross-validates both directions against the JDK's ImageIO codec:
+  * ImageIO reads our fixtures bit-exactly, and our decoder reads
+  * ImageIO-encoded color images within IDCT rounding tolerance.
+  */
+object Jpeg {
+
+  final case class JpegImage(width: Int, height: Int, nComponents: Int,
+      /** gray: w·h luma bytes; color: w·h·3 interleaved RGB. */
+      pixels: Array[Byte],
+      nMarkers: Long, nRestarts: Long)
+
+  // zigzag scan order: zigzag(k) = raster index of the k-th coefficient
+  private val Zigzag: Array[Int] = {
+    val z = new Array[Int](64)
+    var k = 0
+    for (s <- 0 until 15) {
+      val range = math.max(0, s - 7) to math.min(7, s)
+      val diag = if (s % 2 == 0) range.reverse else range
+      diag.foreach { y => val x = s - y; z(k) = y * 8 + x; k += 1 }
+    }
+    z
+  }
+
+  private val CosTable: Array[Double] = Array.tabulate(8 * 8) { i =>
+    val x = i / 8; val u = i % 8
+    math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+  private val C0 = 1.0 / math.sqrt(2.0)
+
+  /** Canonical Huffman table: decode by walking code lengths 1..16. */
+  private final class Huff(counts: Array[Int], symbols: Array[Int]) {
+    // minCode(l), maxCode(l) (inclusive; -1 = none), valPtr(l)
+    val minCode = new Array[Int](17)
+    val maxCode = Array.fill(17)(-1)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (counts(l - 1) > 0) {
+          valPtr(l) = k
+          minCode(l) = code
+          code += counts(l - 1); k += counts(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    def symbol(l: Int, code: Int): Int = symbols(valPtr(l) + code - minCode(l))
+  }
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  /** Entropy-segment bit reader with 0xFF00 unstuffing; stops AT any
+    * real marker (leaving `pos` on its 0xFF). */
+  private final class BitReader(bytes: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nBits = 0
+    var hitMarker = false
+    def align(): Unit = { acc = 0; nBits = 0 }
+    def bit(): Int = {
+      if (nBits == 0) {
+        if (hitMarker) { acc = 0xff; nBits = 8 } // 1-fill past a marker
+        else {
+          require(pos < bytes.length, "corrupt JPEG: entropy data truncated")
+          val b0 = bytes(pos) & 0xff
+          if (b0 == 0xff) {
+            require(pos + 1 < bytes.length,
+              "corrupt JPEG: dangling 0xFF in entropy data")
+            if ((bytes(pos + 1) & 0xff) == 0x00) {
+              acc = 0xff; nBits = 8; pos += 2 // stuffed data byte
+            } else { // a real marker: stop consuming, 1-fill
+              hitMarker = true; acc = 0xff; nBits = 8
+            }
+          } else { acc = b0; nBits = 8; pos += 1 }
+        }
+      }
+      nBits -= 1
+      (acc >> nBits) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def decode(h: Huff): Int = {
+      var code = bit()
+      var l = 1
+      while (l <= 16 && (h.maxCode(l) < 0 || code > h.maxCode(l))) {
+        code = (code << 1) | bit()
+        l += 1
+      }
+      require(l <= 16, "corrupt JPEG: Huffman code longer than 16 bits")
+      require(code >= h.minCode(l),
+        s"corrupt JPEG: non-canonical Huffman code at length $l")
+      h.symbol(l, code)
+    }
+  }
+
+  private def extend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  private final case class Component(id: Int, h: Int, v: Int, tq: Int) {
+    var dcTable = 0; var acTable = 0
+  }
+
+  def decode(bytes: Array[Byte]): JpegImage = {
+    require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8, "not a JPEG file (no SOI)")
+    val quant = new Array[Array[Int]](4)
+    val dcHuff = new Array[Huff](4)
+    val acHuff = new Array[Huff](4)
+    var width = 0; var height = 0
+    var comps: Array[Component] = null
+    var restartInterval = 0
+    var nMarkers = 1L // SOI
+    var nRestarts = 0L
+    var pos = 2
+    var sawSof = false
+
+    // decoded planes at COMPONENT resolution (one byte per sample)
+    var planes: Array[Array[Byte]] = null
+    var planeW: Array[Int] = null
+    var planeH: Array[Int] = null
+
+    def parseDqt(seg: Array[Byte]): Unit = {
+      var p = 0
+      while (p < seg.length) {
+        require(p + 1 <= seg.length, "corrupt JPEG: truncated DQT")
+        val pq = (seg(p) & 0xf0) >> 4
+        val tq = seg(p) & 0x0f
+        require(pq == 0, s"unsupported JPEG: ${if (pq == 1) "16-bit" else "invalid"} quantization precision")
+        require(tq < 4, s"corrupt JPEG: quant table id $tq")
+        require(p + 1 + 64 <= seg.length, "corrupt JPEG: short DQT table")
+        val t = new Array[Int](64)
+        var k = 0
+        while (k < 64) { t(Zigzag(k)) = seg(p + 1 + k) & 0xff; k += 1 }
+        quant(tq) = t
+        p += 65
+      }
+    }
+
+    def parseDht(seg: Array[Byte]): Unit = {
+      var p = 0
+      while (p < seg.length) {
+        require(p + 17 <= seg.length, "corrupt JPEG: truncated DHT")
+        val tc = (seg(p) & 0xf0) >> 4
+        val th = seg(p) & 0x0f
+        require(tc <= 1 && th < 4, s"corrupt JPEG: DHT class/id $tc/$th")
+        val counts = Array.tabulate(16)(i => seg(p + 1 + i) & 0xff)
+        val total = counts.sum
+        require(total >= 1 && total <= 256 && p + 17 + total <= seg.length,
+          s"corrupt JPEG: DHT symbol count $total")
+        val syms = Array.tabulate(total)(i => seg(p + 17 + i) & 0xff)
+        val h = new Huff(counts, syms)
+        if (tc == 0) dcHuff(th) = h else acHuff(th) = h
+        p += 17 + total
+      }
+    }
+
+    def parseSof(seg: Array[Byte]): Unit = {
+      require(!sawSof, "corrupt JPEG: multiple frame headers")
+      require(seg.length >= 6, "corrupt JPEG: truncated SOF")
+      require((seg(0) & 0xff) == 8, "unsupported JPEG: sample precision != 8")
+      height = u16(seg, 1); width = u16(seg, 3)
+      val nf = seg(5) & 0xff
+      require(width > 0 && height > 0 &&
+        width.toLong * height * 3 <= (1L << 28),
+        s"unsupported JPEG dimensions ${width}x$height")
+      require(nf == 1 || nf == 3,
+        s"unsupported JPEG: $nf components (grayscale or YCbCr only)")
+      require(seg.length >= 6 + nf * 3, "corrupt JPEG: short SOF")
+      comps = Array.tabulate(nf) { i =>
+        val id = seg(6 + i * 3) & 0xff
+        val hv = seg(7 + i * 3) & 0xff
+        val tq = seg(8 + i * 3) & 0xff
+        val ch = (hv >> 4) & 0xf; val cv = hv & 0xf
+        require(ch >= 1 && ch <= 2 && cv >= 1 && cv <= 2,
+          s"unsupported JPEG sampling ${ch}x$cv (1x1/2x2 only)")
+        require(tq < 4, s"corrupt JPEG: quant id $tq")
+        Component(id, ch, cv, tq)
+      }
+      if (nf == 3) {
+        val ok = (comps(0).h, comps(0).v, comps(1).h, comps(1).v,
+          comps(2).h, comps(2).v) match {
+          case (1, 1, 1, 1, 1, 1) => true // 4:4:4
+          case (2, 2, 1, 1, 1, 1) => true // 4:2:0
+          case _ => false
+        }
+        require(ok, "unsupported JPEG: only 4:4:4 and 4:2:0 YCbCr")
+      }
+      sawSof = true
+    }
+
+    def decodeScan(seg: Array[Byte], dataStart: Int): Int = {
+      require(sawSof, "corrupt JPEG: SOS before SOF")
+      val ns = seg(0) & 0xff
+      require(ns == comps.length, s"unsupported JPEG: partial scan ($ns of ${comps.length})")
+      require(seg.length >= 1 + ns * 2 + 3, "corrupt JPEG: short SOS")
+      var i = 0
+      while (i < ns) {
+        val cid = seg(1 + i * 2) & 0xff
+        val c = comps.find(_.id == cid).getOrElse(
+          throw new IllegalArgumentException(s"corrupt JPEG: scan names unknown component $cid"))
+        c.dcTable = (seg(2 + i * 2) & 0xf0) >> 4
+        c.acTable = seg(2 + i * 2) & 0x0f
+        i += 1
+      }
+      val hMax = comps.map(_.h).max
+      val vMax = comps.map(_.v).max
+      val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+      val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+      planeW = comps.map(c => mcusX * 8 * c.h)
+      planeH = comps.map(c => mcusY * 8 * c.v)
+      planes = comps.indices.map(ci =>
+        new Array[Byte](planeW(ci) * planeH(ci))).toArray
+      val preds = new Array[Int](comps.length)
+      val coefs = new Array[Int](64)
+      val br = new BitReader(bytes, dataStart)
+      var mcu = 0
+      val nMcus = mcusX * mcusY
+      while (mcu < nMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          // expect an RSTn marker: byte-align, consume it, reset preds
+          br.align(); br.hitMarker = false
+          require(br.pos + 1 < bytes.length &&
+            (bytes(br.pos) & 0xff) == 0xff &&
+            ((bytes(br.pos + 1) & 0xff) & 0xf8) == 0xd0,
+            s"corrupt JPEG: expected RST marker at MCU $mcu")
+          br.pos += 2
+          nRestarts += 1
+          java.util.Arrays.fill(preds, 0)
+        }
+        val my = mcu / mcusX; val mx = mcu % mcusX
+        var ci = 0
+        while (ci < comps.length) {
+          val c = comps(ci)
+          val dct = dcHuff(c.dcTable); val act = acHuff(c.acTable)
+          require(dct != null && act != null,
+            s"corrupt JPEG: scan uses undefined Huffman table")
+          val qt = quant(c.tq)
+          require(qt != null, "corrupt JPEG: scan uses undefined quant table")
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              java.util.Arrays.fill(coefs, 0)
+              // DC
+              val t = br.decode(dct)
+              require(t <= 11, s"corrupt JPEG: DC category $t")
+              preds(ci) += extend(br.bits(t), t)
+              coefs(0) = preds(ci) * qt(0)
+              // AC
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = br.decode(act)
+                val r = (rs >> 4) & 0xf; val s = rs & 0xf
+                if (s == 0) {
+                  if (r == 15) k += 16 // ZRL
+                  else eob = true
+                } else {
+                  k += r
+                  require(k < 64, "corrupt JPEG: AC run past block end")
+                  coefs(Zigzag(k)) = extend(br.bits(s), s) * qt(Zigzag(k))
+                  k += 1
+                }
+              }
+              // IDCT (double, the spec reference transform) + level shift
+              val plane = planes(ci); val pw = planeW(ci)
+              val ox = (mx * c.h + bx) * 8; val oy = (my * c.v + by) * 8
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  var sum = 0.0
+                  var u = 0
+                  while (u < 8) {
+                    var v = 0
+                    val cxu = CosTable(x * 8 + u) * (if (u == 0) C0 else 1.0)
+                    while (v < 8) {
+                      val f = coefs(v * 8 + u)
+                      if (f != 0)
+                        sum += cxu * (if (v == 0) C0 else 1.0) *
+                          CosTable(y * 8 + v) * f
+                      v += 1
+                    }
+                    u += 1
+                  }
+                  val px = math.round(sum / 4.0 + 128.0).toInt
+                  plane((oy + y) * pw + ox + x) =
+                    (if (px < 0) 0 else if (px > 255) 255 else px).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+      }
+      br.align()
+      // skip any residual pad byte / stuffed bytes to the next real
+      // marker (encoders may flush a final padded byte the decode never
+      // needed to load)
+      var p = br.pos
+      while (p + 1 < bytes.length &&
+        !((bytes(p) & 0xff) == 0xff && (bytes(p + 1) & 0xff) != 0x00))
+        p += 1
+      p
+    }
+
+    var scanned = false
+    while (!scanned) {
+      require(pos + 2 <= bytes.length, "corrupt JPEG: truncated marker stream")
+      require((bytes(pos) & 0xff) == 0xff,
+        s"corrupt JPEG: expected marker at $pos")
+      val m = bytes(pos + 1) & 0xff
+      nMarkers += 1
+      m match {
+        case 0xd9 => // EOI with no scan
+          throw new IllegalArgumentException("corrupt JPEG: EOI before SOS")
+        case 0x01 => pos += 2 // TEM: no segment
+        case r if r >= 0xd0 && r <= 0xd7 => pos += 2 // stray RST: no segment
+        case _ =>
+          require(pos + 4 <= bytes.length, "corrupt JPEG: truncated segment length")
+          val len = u16(bytes, pos + 2)
+          require(len >= 2 && pos + 2 + len <= bytes.length,
+            s"corrupt JPEG: segment 0x${"%02x".format(m)} length $len exceeds file")
+          val seg = java.util.Arrays.copyOfRange(bytes, pos + 4, pos + 2 + len)
+          m match {
+            case 0xdb => parseDqt(seg)
+            case 0xc4 => parseDht(seg)
+            case 0xc0 => parseSof(seg)
+            case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+                 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+              throw new UnsupportedOperationException(
+                s"unsupported JPEG: SOF 0x${"%02x".format(m)} " +
+                  "(progressive/arithmetic/hierarchical) — baseline only")
+            case 0xdd =>
+              require(seg.length >= 2, "corrupt JPEG: short DRI")
+              restartInterval = u16(seg, 0)
+            case 0xda =>
+              val after = decodeScan(seg, pos + 2 + len)
+              // expect EOI (possibly after the final entropy bytes)
+              require(after + 2 <= bytes.length &&
+                (bytes(after) & 0xff) == 0xff &&
+                (bytes(after + 1) & 0xff) == 0xd9,
+                "corrupt JPEG: no EOI after scan")
+              nMarkers += 1 + nRestarts // EOI + RSTs
+              scanned = true
+            case _ => // APPn / COM / DNL: length-bounded skip
+          }
+          if (!scanned) pos += 2 + len
+      }
+    }
+
+    // reassemble to output pixels
+    if (comps.length == 1) {
+      val out = new Array[Byte](width * height)
+      val pw = planeW(0)
+      var y = 0
+      while (y < height) {
+        System.arraycopy(planes(0), y * pw, out, y * width, width)
+        y += 1
+      }
+      JpegImage(width, height, 1, out, nMarkers, nRestarts)
+    } else {
+      val out = new Array[Byte](width * height * 3)
+      val hMax = comps.map(_.h).max; val vMax = comps.map(_.v).max
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          def sample(ci: Int): Int = {
+            val c = comps(ci)
+            val sx = x * c.h / hMax; val sy = y * c.v / vMax
+            planes(ci)(sy * planeW(ci) + sx) & 0xff
+          }
+          val yy = sample(0).toDouble
+          val cb = sample(1) - 128.0
+          val cr = sample(2) - 128.0
+          def clamp(d: Double): Byte = {
+            val v = math.round(d).toInt
+            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          }
+          val o = (y * width + x) * 3
+          out(o) = clamp(yy + 1.402 * cr)
+          out(o + 1) = clamp(yy - 0.344136 * cb - 0.714136 * cr)
+          out(o + 2) = clamp(yy + 1.772 * cb)
+          x += 1
+        }
+        y += 1
+      }
+      JpegImage(width, height, 3, out, nMarkers, nRestarts)
+    }
+  }
+
+  // ------------------------------------------------- fixture encoder
+
+  /** Minimal canonical Huffman spec: 12 DC size categories at 4 bits
+    * each; AC table = the single EOB symbol at 1 bit. */
+  private val DcCounts = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val DcSyms = (0 to 11).toArray
+  private val AcCounts = Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val AcSyms = Array(0)
+
+  private final class BitWriter(bos: java.io.ByteArrayOutputStream) {
+    private var acc = 0; private var n = 0
+    def put(v: Int, bits: Int): Unit = {
+      var i = bits - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1); n += 1
+        if (n == 8) {
+          bos.write(acc)
+          if (acc == 0xff) bos.write(0x00) // byte stuffing
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = { // 1-fill to byte boundary (spec padding)
+      while (n != 0) put(1, 1)
+    }
+  }
+
+  /** Encode an 8×8-block-aligned GRAYSCALE baseline JPEG where block b
+    * (MCU scan order) is the exact constant `blockVal(b)` ∈ [0, 255]:
+    * all-1s quant table + DC-only blocks make the decode closed-form.
+    * `restartInterval > 0` emits DRI + RSTn markers (DC predictor
+    * resets), exercising the restart machinery. */
+  def encodeGrayDcOnly(w: Int, h: Int, blockVal: Int => Int,
+                       restartInterval: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0,
+      s"fixture encoder wants 8-aligned dims, got ${w}x$h")
+    val bos = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { bos.write(0xff); bos.write(m) }
+    def segment(m: Int, body: Array[Byte]): Unit = {
+      marker(m)
+      bos.write((body.length + 2) >> 8); bos.write((body.length + 2) & 0xff)
+      bos.write(body)
+    }
+    marker(0xd8) // SOI
+    // DQT: table 0, all 1s (zigzag order of 1s is 1s)
+    segment(0xdb, Array[Byte](0x00) ++ Array.fill(64)(1.toByte))
+    // SOF0: 8-bit, h, w, 1 component (id 1, 1x1, qt 0)
+    segment(0xc0, Array[Byte](8,
+      (h >> 8).toByte, (h & 0xff).toByte,
+      (w >> 8).toByte, (w & 0xff).toByte,
+      1, 1, 0x11, 0))
+    // DHT: DC table 0 + AC table 0
+    segment(0xc4,
+      (Array(0x00) ++ DcCounts ++ DcSyms).map(_.toByte) ++
+        (Array(0x10) ++ AcCounts ++ AcSyms).map(_.toByte))
+    if (restartInterval > 0)
+      segment(0xdd, Array[Byte](
+        (restartInterval >> 8).toByte, (restartInterval & 0xff).toByte))
+    // SOS: 1 component, DC/AC table 0, spectral 0..63, no approx
+    segment(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0))
+    // entropy data: per block, DC diff (4-bit category code + value
+    // bits) then the 1-bit EOB
+    val bw = new BitWriter(bos)
+    val blocks = (w / 8) * (h / 8)
+    var pred = 0
+    var b = 0
+    while (b < blocks) {
+      if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+        bw.flush()
+        marker(0xd0 + ((b / restartInterval - 1) % 8))
+        pred = 0
+      }
+      val c = blockVal(b)
+      require(c >= 0 && c <= 255, s"block value $c out of range")
+      val dc = 8 * (c - 128) // DCT DC of a constant block, quant 1
+      var diff = dc - pred
+      pred = dc
+      var t = 0
+      var mag = math.abs(diff)
+      while (mag > 0) { t += 1; mag >>= 1 }
+      require(t <= 11, s"DC category $t out of table")
+      bw.put(t, 4) // DC huffman code: canonical 4-bit code == symbol
+      if (t > 0) bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+      bw.put(0, 1) // AC EOB: the table's single canonical 1-bit code is 0
+      b += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    bos.toByteArray
+  }
+}

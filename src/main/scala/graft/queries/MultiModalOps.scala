@@ -1841,7 +1841,91 @@ object MultiModalOps {
       |    ELSE (6 + doc_id % 7) * (4 + doc_id % 5) END AS BIGINT) AS n_units
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m14
+
+  /** m14: REAL baseline-JPEG decode (no stub) — the dominant still-image
+    * format of web-scale multimodal corpora, and the first LOSSY-DCT
+    * codec in the engine (PNG/GIF are entropy-only). Each doc carries a
+    * synthesized baseline JPEG — marker stream (SOI, DQT, SOF0, DHT,
+    * optional DRI, SOS, RSTn, EOI), custom canonical Huffman tables,
+    * byte-stuffed entropy data — and the kernel DECODES it end to end
+    * through [[Jpeg.decode]]: the full marker walk, canonical Huffman
+    * decode, DC prediction with restart resets, dequantization and the
+    * 2-D IDCT. Fixture blocks are DC-only at quantization 1, so the
+    * IDCT output is the exact closed-form constant per 8×8 block: the
+    * DuckDB oracle recomputes every statistic WITHOUT decoding, and a
+    * hash match proves the Huffman decode, predictor chain, restart
+    * handling and IDCT all genuinely ran (JpegSpec additionally
+    * cross-validates both encode and decode against the JDK's ImageIO
+    * codec, including libjpeg-style AC tables and 4:2:0 color).
+    *
+    * Scale shape: map-only, like m11/m12 — decode-bound at 100 TB. */
+  def m14JpegDecode(s: SparkSession, d: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_blocks", LongType, nullable = false),
+      StructField("px_sum", LongType, nullable = false),
+      StructField("px_mean_milli", LongType, nullable = false),
+      StructField("tl_px", LongType, nullable = false),
+      StructField("br_px", LongType, nullable = false),
+      StructField("n_restarts", LongType, nullable = false)))
+    documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          // payload synthesized then GENUINELY re-decoded from bytes
+          val v = Jpeg.decode(jpegBytes(id))
+          var sum = 0L
+          var i = 0
+          while (i < v.pixels.length) { sum += v.pixels(i) & 0xff; i += 1 }
+          Row(id, v.width, v.height,
+            (v.width / 8).toLong * (v.height / 8),
+            sum, 1000L * sum / v.pixels.length,
+            (v.pixels(0) & 0xff).toLong,
+            (v.pixels(v.pixels.length - 1) & 0xff).toLong,
+            v.nRestarts)
+        }
+      }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+      .orderBy("doc_id")
+  }
+
+  /** Synthesized JPEG parameters (pure functions of doc_id — the
+    * oracle's closed form): w = 8·(2 + id%3), h = 8·(1 + id%2),
+    * grayscale; 8×8 block b (scan order) is the exact constant
+    * (id·17 + b·29) % 256; EVEN ids carry a restart interval of 2
+    * (RST markers + DC predictor resets). */
+  private[graft] def jpegBytes(docId: Long): Array[Byte] = {
+    val w = 8 * (2 + docId % 3).toInt
+    val h = 8 * (1 + docId % 2).toInt
+    Jpeg.encodeGrayDcOnly(w, h,
+      b => ((docId * 17 + b * 29) % 256).toInt,
+      restartInterval = if (docId % 2 == 0) 2 else 0)
+  }
+
+  val m14Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id, 2 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, bw, bh,
+      |    SUM((doc_id * 17 + b * 29) % 256) AS block_sum
+      |  FROM (SELECT doc_id, bw, bh, unnest(range(0, bw * bh)) AS b FROM p)
+      |  GROUP BY 1, 2, 3)
+      |SELECT doc_id,
+      |  CAST(bw * 8 AS INTEGER) AS width, CAST(bh * 8 AS INTEGER) AS height,
+      |  CAST(bw * bh AS BIGINT) AS n_blocks,
+      |  CAST(64 * block_sum AS BIGINT) AS px_sum,
+      |  CAST(1000 * 64 * block_sum // (bw * bh * 64) AS BIGINT) AS px_mean_milli,
+      |  CAST((doc_id * 17) % 256 AS BIGINT) AS tl_px,
+      |  CAST((doc_id * 17 + (bw * bh - 1) * 29) % 256 AS BIGINT) AS br_px,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN (bw * bh - 1) // 2 ELSE 0 END
+      |    AS BIGINT) AS n_restarts
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m14_jpeg_decode" -> m14JpegDecode _,
     "m13_media_probe" -> m13MediaProbe _,
     "m12_gif_decode" -> m12GifDecode _,
     "m11_png_decode" -> m11PngDecode _,
@@ -1858,6 +1942,7 @@ object MultiModalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "m14_jpeg_decode" -> m14Sql,
     "m13_media_probe" -> m13Sql,
     "m12_gif_decode" -> m12Sql,
     "m11_png_decode" -> m11Sql,

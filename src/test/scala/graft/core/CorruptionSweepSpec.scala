@@ -157,6 +157,19 @@ class CorruptionSweepSpec extends AnyFunSuite {
     assert(failed > 0, "no corruption failed — the sweep is vacuous")
   }
 
+  test("jpeg: marker/huffman/entropy corruption never crashes, only fails by name") {
+    // baseline JPEG with restart markers: marker walk, DQT/DHT/SOF/SOS
+    // parsing, canonical Huffman decode, byte unstuffing, RST handling,
+    // IDCT — all r10 parser surface
+    val orig = graft.queries.Jpeg.encodeGrayDcOnly(32, 24,
+      b => (b * 37 + 11) % 256, restartInterval = 2)
+    val (ok, failed) = sweep(orig, orig.length, { bytes =>
+      graft.queries.Jpeg.decode(bytes)
+    })
+    info(s"jpeg sweep: $ok corruptions read, $failed failed diagnosably")
+    assert(failed > 0, "no corruption failed — the sweep is vacuous")
+  }
+
   test("grib2: single-byte corruption never crashes, only fails by name") {
     val dir = tmpDir
     val p = s"$dir/clean.grib2"

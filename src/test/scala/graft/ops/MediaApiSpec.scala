@@ -130,6 +130,28 @@ class MediaApiSpec extends AnyFunSuite {
     assert(got.length == 1 && !got(0).getBoolean(1))
   }
 
+  test("jpegDecode over a payload column matches the m14 fixture stats; corrupt flags ok=false") {
+    import spark.implicits._
+    val ids = graft.queries.Tables.documents(spark, d)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val payloads = ids.map(id =>
+      (id, graft.queries.MultiModalOps.jpegBytes(id))).toDF("id", "bytes")
+    val api = Media.jpegDecode(payloads, "id", "bytes")
+    assert(api.filter(!col("ok")).isEmpty)
+    val apiCmp = api.select("doc_id", "width", "height", "px_sum",
+      "px_mean_milli", "n_restarts").orderBy("doc_id")
+    val gated = graft.queries.MultiModalOps.m14JpegDecode(spark, d)
+      .select("doc_id", "width", "height", "px_sum",
+        "px_mean_milli", "n_restarts")
+    assert(apiCmp.exceptAll(gated).isEmpty && gated.exceptAll(apiCmp).isEmpty)
+    // a truncated entropy stream is reported corrupt, never a short image
+    val orig = graft.queries.MultiModalOps.jpegBytes(4L)
+    val mut = java.util.Arrays.copyOf(orig, orig.length - 4)
+    val bad = Seq((4L, mut)).toDF("id", "bytes")
+    val got = Media.jpegDecode(bad, "id", "bytes").collect()
+    assert(got.length == 1 && !got(0).getBoolean(1))
+  }
+
   test("m12 decode reconstructs the exact index pattern; LZW survives 12-bit growth + reset") {
     // id 9: w = 6 + 9%7 = 8, h = 4 + 9%5 = 8; last row constant 9%16
     // (the KwKwK trigger: a run of identical symbols)
