@@ -1784,15 +1784,16 @@ object MultiModalOps {
       .orderBy("doc_id")
   }
 
-  /** A mixed-media corpus: container chosen by doc_id % 5, payload from
-    * that container's existing synthesis. */
+  /** A mixed-media corpus: container chosen by doc_id % 6, payload from
+    * that container's existing synthesis (JPEG joined the mix in r10). */
   private[graft] def m13Bytes(docId: Long): Array[Byte] =
-    (docId % 5) match {
+    (docId % 6) match {
       case 0 => ppmBytes(docId)
       case 1 => wavBytes(docId)
       case 2 => aviBytes(docId)
       case 3 => pngBytes(docId)
-      case _ => gifBytes(docId)
+      case 4 => gifBytes(docId)
+      case _ => jpegBytes(docId)
     }
 
   private[graft] final case class MediaProbe(container: String, width: Int,
@@ -1818,27 +1819,35 @@ object MultiModalOps {
     } else if (ascii(0, 4) == "RIFF" && ascii(8, 4) == "AVI ") {
       val v = aviIndexOf(bytes)
       MediaProbe("avi", v.width, v.height, v.nFrames)
+    } else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+      val v = Jpeg.decode(bytes)
+      MediaProbe("jpeg", v.width, v.height, v.width.toLong * v.height)
     } else throw new IllegalArgumentException(
-      "unknown media container (not PPM/PNG/GIF87a/WAVE/AVI)")
+      "unknown media container (not PPM/PNG/GIF87a/WAVE/AVI/JPEG)")
   }
 
-  /** Oracle: container + metadata from the five synthesis formulas. */
+  /** Oracle: container + metadata from the six synthesis formulas. */
   val m13Sql: String =
     """SELECT doc_id,
-      |  CASE doc_id % 5 WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav'
-      |    WHEN 2 THEN 'avi' WHEN 3 THEN 'png' ELSE 'gif' END AS container,
-      |  CAST(CASE doc_id % 5 WHEN 0 THEN 8 + doc_id % 5 WHEN 1 THEN -1
+      |  CASE doc_id % 6 WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav'
+      |    WHEN 2 THEN 'avi' WHEN 3 THEN 'png' WHEN 4 THEN 'gif'
+      |    ELSE 'jpeg' END AS container,
+      |  CAST(CASE doc_id % 6 WHEN 0 THEN 8 + doc_id % 5 WHEN 1 THEN -1
       |    WHEN 2 THEN 8 + doc_id % 5 WHEN 3 THEN 4 + doc_id % 5
-      |    ELSE 6 + doc_id % 7 END AS INTEGER) AS width,
-      |  CAST(CASE doc_id % 5 WHEN 0 THEN 6 + doc_id % 4 WHEN 1 THEN -1
+      |    WHEN 4 THEN 6 + doc_id % 7
+      |    ELSE 8 * (2 + doc_id % 3) END AS INTEGER) AS width,
+      |  CAST(CASE doc_id % 6 WHEN 0 THEN 6 + doc_id % 4 WHEN 1 THEN -1
       |    WHEN 2 THEN 6 + doc_id % 4 WHEN 3 THEN 3 + doc_id % 4
-      |    ELSE 4 + doc_id % 5 END AS INTEGER) AS height,
-      |  CAST(CASE doc_id % 5
+      |    WHEN 4 THEN 4 + doc_id % 5
+      |    ELSE 8 * (1 + doc_id % 2) END AS INTEGER) AS height,
+      |  CAST(CASE doc_id % 6
       |    WHEN 0 THEN (8 + doc_id % 5) * (6 + doc_id % 4)
       |    WHEN 1 THEN 256 + doc_id % 64
       |    WHEN 2 THEN 3 + doc_id % 6
       |    WHEN 3 THEN (4 + doc_id % 5) * (3 + doc_id % 4)
-      |    ELSE (6 + doc_id % 7) * (4 + doc_id % 5) END AS BIGINT) AS n_units
+      |    WHEN 4 THEN (6 + doc_id % 7) * (4 + doc_id % 5)
+      |    ELSE 64 * (2 + doc_id % 3) * (1 + doc_id % 2)
+      |    END AS BIGINT) AS n_units
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- m14
