@@ -580,7 +580,82 @@ object Relational3 {
        |  exact_distinct
        |FROM sk, ex""".stripMargin
 
+  /** CMS geometry: d hash rows × w columns, and the audited key count.
+    * w = 64 under 100 distinct suppkeys guarantees real collisions, so
+    * the one-sided overcount is non-vacuous at driver scale; production
+    * picks w ≈ e/ε (the estimate error bound is ε·N with probability
+    * 1 − (1/2)^d). */
+  private val CmsW = 64
+  private val CmsD = 4
+  private val CmsTopK = 10
+
+  private def cmsColExpr(k: String): String =
+    "cast(conv(substring(md5(concat(cast(r as string), ':', " +
+      s"cast($k as string))), 1, 15), 16, 10) as bigint) % $CmsW"
+
+  /** q34: Count-Min frequency sketch (Cormode & Muthukrishnan 2005) —
+    * the fourth leg of the sketch tier (q24 KMV distinct-sample, q32
+    * sampled percentiles, q33 HLL distinct-count): the mergeable
+    * heavy-hitter structure every 10^12-row frequency pipeline runs
+    * instead of an exact key aggregate. Each of [[CmsD]] md5-derived
+    * hash rows buckets every occurrence into [[CmsW]] integer counters;
+    * a key's estimate is the MIN over its d cells — one-sided
+    * (est ≥ exact always; collisions only ADD), with the exact top-k
+    * riding along as the estimator audit (the q24/q33 shape). Output:
+    * the top-[[CmsTopK]] exact keys with exact_n, est_n, overcount.
+    *
+    * Scale shape: ONE scan; the d-row fan-out is a literal-array
+    * explode inside the scan's codegen stage, and the (r, c) aggregate
+    * runs partial — the shuffle carries at most d·w cells per map
+    * partition whatever the row count, which is exactly the mergeable-
+    * sketch property (register grids union for free across corpora).
+    * The audit side is a top-k over a keys-sized aggregate. */
+  def q34CmsSketch(s: SparkSession, d: String): DataFrame = {
+    val rows = lineitem(s, d).select(col("l_suppkey"))
+    val cells = rows
+      .select(col("l_suppkey"),
+        explode(typedLit((0 until CmsD).toVector)).as("r"))
+      .withColumn("c", expr(cmsColExpr("l_suppkey")))
+      .groupBy("r", "c").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // sketch-sized: <= d*w rows
+    val top = rows.groupBy("l_suppkey").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("l_suppkey")).limit(CmsTopK)
+    val probes = top
+      .select(col("l_suppkey"), col("exact_n"),
+        explode(typedLit((0 until CmsD).toVector)).as("r"))
+      .withColumn("c", expr(cmsColExpr("l_suppkey")))
+    probes.join(cells, Seq("r", "c"))
+      .groupBy("l_suppkey", "exact_n").agg(min("n").as("est_n"))
+      .select(col("l_suppkey"), col("exact_n"), col("est_n"),
+        (col("est_n") - col("exact_n")).as("overcount"))
+      .orderBy(col("exact_n").desc, col("l_suppkey"))
+  }
+
+  val q34Sql: String =
+    s"""WITH src AS (SELECT l_suppkey FROM lineitem),
+       |cells AS (
+       |  SELECT t.r,
+       |    ('0x' || substr(md5(t.r::VARCHAR || ':' || l_suppkey::VARCHAR), 1, 15))::BIGINT
+       |      % $CmsW AS c,
+       |    COUNT(*) AS n
+       |  FROM src CROSS JOIN range(0, $CmsD) t(r) GROUP BY 1, 2
+       |), topk AS (
+       |  SELECT l_suppkey, COUNT(*) AS exact_n FROM src GROUP BY 1
+       |  ORDER BY exact_n DESC, l_suppkey LIMIT $CmsTopK
+       |), probes AS (
+       |  SELECT topk.l_suppkey, topk.exact_n, t.r,
+       |    ('0x' || substr(md5(t.r::VARCHAR || ':' || topk.l_suppkey::VARCHAR), 1, 15))::BIGINT
+       |      % $CmsW AS c
+       |  FROM topk CROSS JOIN range(0, $CmsD) t(r))
+       |SELECT p.l_suppkey, CAST(p.exact_n AS BIGINT) AS exact_n,
+       |  CAST(MIN(cells.n) AS BIGINT) AS est_n,
+       |  CAST(MIN(cells.n) - p.exact_n AS BIGINT) AS overcount
+       |FROM probes p JOIN cells ON p.r = cells.r AND p.c = cells.c
+       |GROUP BY p.l_suppkey, p.exact_n
+       |ORDER BY p.exact_n DESC, p.l_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_cms_sketch" -> q34CmsSketch _,
     "q33_hll_sketch" -> q33HllSketch _,
     "q32_percentile_sketch" -> q32PercentileSketch _,
     "q31_locf_resample" -> q31LocfResample _,
@@ -596,6 +671,7 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q34_cms_sketch" -> q34Sql,
     "q33_hll_sketch" -> q33Sql,
     "q32_percentile_sketch" -> q32Sql,
     "q31_locf_resample" -> q31Sql,

@@ -72,6 +72,51 @@ class SketchSpec extends AnyFunSuite {
     assert(merged.sameElements(regs), "merged per-part registers != whole-corpus registers")
   }
 
+  test("q34 CMS: cells equal an independent recompute; one-sided; counter grids merge") {
+    val keys = spark.read.parquet(s"$d/lineitem.parquet")
+      .select("l_suppkey").collect().map(_.getLong(0))
+    val (dRows, w) = (4, 64)
+    // plain-Scala sketch build (the independent twin of the Spark agg)
+    def cellsOf(ks: Array[Long]): Array[Array[Long]] = {
+      val c = Array.fill(dRows)(new Array[Long](w))
+      ks.foreach { k =>
+        var r = 0
+        while (r < dRows) { c(r)((h60(s"$r:$k") % w).toInt) += 1; r += 1 }
+      }
+      c
+    }
+    val cells = cellsOf(keys)
+    def estOf(k: Long): Long =
+      (0 until dRows).map(r => cells(r)((h60(s"$r:$k") % w).toInt)).min
+    val exact = keys.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = Relational3.q34CmsSketch(spark, d).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (k, ex, est, over) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ex == exact(k), s"exact_n for $k")
+      assert(est == estOf(k), s"est_n for $k: $est != recompute ${estOf(k)}")
+      // CMS is ONE-SIDED: collisions only add
+      assert(est >= ex && over == est - ex, s"one-sidedness broken for $k")
+    }
+    // non-vacuity: at 100 keys over 64 columns some audited key collides
+    assert(rows.exists(_.getLong(3) > 0),
+      "no overcount anywhere — the sketch audit is vacuous")
+    // CMS error bound: overcount <= 2N/w for all d rows simultaneously
+    // holds w.h.p.; pin a generous deterministic cap for this fixture
+    val n = keys.length.toLong
+    rows.foreach(r => assert(r.getLong(3) <= 2 * n / w,
+      s"overcount ${r.getLong(3)} past 2N/w = ${2 * n / w}"))
+    // mergeability: counter grids are elementwise-sum monoids — the
+    // sketch of a union is the sum of per-part sketches
+    val (ka, kb) = keys.partition(_ % 2 == 0)
+    val merged: Array[Array[Long]] =
+      cellsOf(ka).zip(cellsOf(kb)).map { case (a, b) =>
+        a.zip(b).map { case (x, y) => x + y } }
+    assert(merged.flatten[Long].sameElements(cells.flatten[Long]),
+      "merged per-part grids != whole-corpus grid")
+  }
+
   test("q32 percentile sketch: estimates within interpolation reach of the exact q26 values") {
     val est = Relational3.q32PercentileSketch(spark, d)
       .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3),
