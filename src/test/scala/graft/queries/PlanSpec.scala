@@ -490,10 +490,11 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("m11/m12/m13: media codecs are map-only — no shuffle before the presentation sort") {
+  test("m11/m12/m13/m14: media codecs are map-only — no shuffle before the presentation sort") {
     for (df <- Seq(MultiModalOps.m11PngDecode(spark, d),
         MultiModalOps.m12GifDecode(spark, d),
-        MultiModalOps.m13MediaProbe(spark, d))) {
+        MultiModalOps.m13MediaProbe(spark, d),
+        MultiModalOps.m14JpegDecode(spark, d))) {
       val p = plan(df)
       // the only exchange allowed is the final orderBy's range
       // partitioning; a hash exchange would mean the per-row codec grew
@@ -593,6 +594,15 @@ class PlanSpec extends AnyFunSuite {
     // plans print top-down: text AFTER the Window node is its input subtree;
     // only the tiny aggregated output above it may range-partition (ORDER BY)
     assert(!p.split("Window ").last.contains("rangepartitioning"), p)
+  }
+
+  test("q34: CMS cell aggregate runs partial; probe join is an equi-join") {
+    val p = plan(Relational3.q34CmsSketch(spark, d))
+    // the d-row fan-out must aggregate map-side so the shuffle carries
+    // at most d*w cells per partition — the mergeable-sketch property
+    assert(p.contains("partial_count"), p.take(800))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
   test("q30: grouping sets expand into a single aggregation pipeline") {
