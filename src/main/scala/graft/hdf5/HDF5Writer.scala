@@ -508,7 +508,10 @@ object HDF5Writer {
       }
     val objHeaderMsgs: Map[String, Vector[Msg]] = objMsgs.map { case (n, ms) =>
       if (denseAttrBodies.contains(n))
-        n -> (ms.filterNot(_._1 == 0x000C) :+ ((0x0015, new Array[Byte](18))))
+        // 20-byte body: the TRACKED variant (flags bit 0 + max creation
+        // index) — what netCDF-4 emits (nc4 sets attr creation-order
+        // tracking), exercising the reader's flag-dependent offsets
+        n -> (ms.filterNot(_._1 == 0x000C) :+ ((0x0015, new Array[Byte](20))))
       else n -> ms
     }
 
@@ -964,9 +967,10 @@ object HDF5Writer {
         case (0x000C, body) if isDimListAttr(body) =>
           (0x000C, dimListBody(n))
         case (0x0015, _) =>
-          val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+          val b = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
           b.put(0.toByte) // attribute info version
-          b.put(0.toByte) // flags: no creation-order tracking/index
+          b.put(1.toByte) // flags: creation order TRACKED (netCDF-4 does)
+          b.putShort(denseAttrBodies(n).length.toShort) // max creation index
           b.putLong(addrs(s"afheap:$n"))
           b.putLong(addrs(s"abthd:$n"))
           (0x0015, b.array())
