@@ -589,9 +589,15 @@ object Relational3 {
   private val CmsD = 4
   private val CmsTopK = 10
 
-  private def cmsColExpr(k: String): String =
-    "cast(conv(substring(md5(concat(cast(r as string), ':', " +
-      s"cast($k as string))), 1, 15), 16, 10) as bigint) % $CmsW"
+  /** All [[CmsD]] row-columns from ONE md5 per key: hash rows are
+    * disjoint 16-bit hex slices of the digest (the standard CMS
+    * practice — one strong hash split beats d independent hashes at a
+    * quarter of the per-row cost; slices of md5 are independent enough
+    * for the 2N/w bound, which SketchSpec pins empirically). */
+  private def cmsColsExpr(k: String): String =
+    (0 until CmsD).map(r =>
+      s"cast(conv(substring(md5(cast($k as string)), ${r * 4 + 1}, 4), " +
+        s"16, 10) as bigint) % $CmsW").mkString("array(", ", ", ")")
 
   /** q34: Count-Min frequency sketch (Cormode & Muthukrishnan 2005) —
     * the fourth leg of the sketch tier (q24 KMV distinct-sample, q32
@@ -613,17 +619,14 @@ object Relational3 {
   def q34CmsSketch(s: SparkSession, d: String): DataFrame = {
     val rows = lineitem(s, d).select(col("l_suppkey"))
     val cells = rows
-      .select(col("l_suppkey"),
-        explode(typedLit((0 until CmsD).toVector)).as("r"))
-      .withColumn("c", expr(cmsColExpr("l_suppkey")))
+      .select(posexplode(expr(cmsColsExpr("l_suppkey"))).as(Seq("r", "c")))
       .groupBy("r", "c").agg(count(lit(1)).as("n"))
       .localCheckpoint(true) // sketch-sized: <= d*w rows
     val top = rows.groupBy("l_suppkey").agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("l_suppkey")).limit(CmsTopK)
     val probes = top
       .select(col("l_suppkey"), col("exact_n"),
-        explode(typedLit((0 until CmsD).toVector)).as("r"))
-      .withColumn("c", expr(cmsColExpr("l_suppkey")))
+        posexplode(expr(cmsColsExpr("l_suppkey"))).as(Seq("r", "c")))
     probes.join(cells, Seq("r", "c"))
       .groupBy("l_suppkey", "exact_n").agg(min("n").as("est_n"))
       .select(col("l_suppkey"), col("exact_n"), col("est_n"),
@@ -635,7 +638,7 @@ object Relational3 {
     s"""WITH src AS (SELECT l_suppkey FROM lineitem),
        |cells AS (
        |  SELECT t.r,
-       |    ('0x' || substr(md5(t.r::VARCHAR || ':' || l_suppkey::VARCHAR), 1, 15))::BIGINT
+       |    ('0x' || substr(md5(l_suppkey::VARCHAR), (t.r * 4 + 1)::INT, 4))::BIGINT
        |      % $CmsW AS c,
        |    COUNT(*) AS n
        |  FROM src CROSS JOIN range(0, $CmsD) t(r) GROUP BY 1, 2
@@ -644,7 +647,7 @@ object Relational3 {
        |  ORDER BY exact_n DESC, l_suppkey LIMIT $CmsTopK
        |), probes AS (
        |  SELECT topk.l_suppkey, topk.exact_n, t.r,
-       |    ('0x' || substr(md5(t.r::VARCHAR || ':' || topk.l_suppkey::VARCHAR), 1, 15))::BIGINT
+       |    ('0x' || substr(md5(topk.l_suppkey::VARCHAR), (t.r * 4 + 1)::INT, 4))::BIGINT
        |      % $CmsW AS c
        |  FROM topk CROSS JOIN range(0, $CmsD) t(r))
        |SELECT p.l_suppkey, CAST(p.exact_n AS BIGINT) AS exact_n,

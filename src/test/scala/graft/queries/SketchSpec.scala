@@ -76,18 +76,25 @@ class SketchSpec extends AnyFunSuite {
     val keys = spark.read.parquet(s"$d/lineitem.parquet")
       .select("l_suppkey").collect().map(_.getLong(0))
     val (dRows, w) = (4, 64)
+    // hash rows = disjoint 16-bit hex slices of ONE md5 per key
+    def colOf(k: Long, r: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(k.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(r * 4, r * 4 + 4), 16) % w).toInt
+    }
     // plain-Scala sketch build (the independent twin of the Spark agg)
     def cellsOf(ks: Array[Long]): Array[Array[Long]] = {
       val c = Array.fill(dRows)(new Array[Long](w))
       ks.foreach { k =>
         var r = 0
-        while (r < dRows) { c(r)((h60(s"$r:$k") % w).toInt) += 1; r += 1 }
+        while (r < dRows) { c(r)(colOf(k, r)) += 1; r += 1 }
       }
       c
     }
     val cells = cellsOf(keys)
     def estOf(k: Long): Long =
-      (0 until dRows).map(r => cells(r)((h60(s"$r:$k") % w).toInt)).min
+      (0 until dRows).map(r => cells(r)(colOf(k, r))).min
     val exact = keys.groupBy(identity).view.mapValues(_.length.toLong).toMap
     val rows = Relational3.q34CmsSketch(spark, d).collect()
     assert(rows.length == 10)
