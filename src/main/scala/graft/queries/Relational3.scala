@@ -589,15 +589,21 @@ object Relational3 {
   private val CmsD = 4
   private val CmsTopK = 10
 
-  /** All [[CmsD]] row-columns from ONE md5 per key: hash rows are
-    * disjoint 16-bit hex slices of the digest (the standard CMS
-    * practice — one strong hash split beats d independent hashes at a
-    * quarter of the per-row cost; slices of md5 are independent enough
-    * for the 2N/w bound, which SketchSpec pins empirically). */
-  private def cmsColsExpr(k: String): String =
-    (0 until CmsD).map(r =>
+  /** All `d` row-columns from ONE md5 per key: hash rows are disjoint
+    * 16-bit hex slices of the digest (the standard CMS practice — one
+    * strong hash split beats d independent hashes at a quarter of the
+    * per-row cost; slices of md5 are independent enough for the 2N/w
+    * bound, which SketchSpec pins empirically). Shared with the
+    * [[graft.ops.Sketches]] facade so library and gated semantics
+    * cannot drift. */
+  private[graft] def cmsColsExpr(k: String, d: Int = CmsD,
+                                 w: Int = CmsW): String = {
+    require(d >= 1 && d <= 8, s"CMS depth $d out of [1, 8] (md5 slices)")
+    require(w >= 2 && w <= 65536, s"CMS width $w out of [2, 65536]")
+    (0 until d).map(r =>
       s"cast(conv(substring(md5(cast($k as string)), ${r * 4 + 1}, 4), " +
-        s"16, 10) as bigint) % $CmsW").mkString("array(", ", ", ")")
+        s"16, 10) as bigint) % $w").mkString("array(", ", ", ")")
+  }
 
   /** q34: Count-Min frequency sketch (Cormode & Muthukrishnan 2005) —
     * the fourth leg of the sketch tier (q24 KMV distinct-sample, q32

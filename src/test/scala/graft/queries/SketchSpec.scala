@@ -124,6 +124,44 @@ class SketchSpec extends AnyFunSuite {
       "merged per-part grids != whole-corpus grid")
   }
 
+  test("Sketches facade: grid matches the gated hash family; heavy hitters surface") {
+    import graft.ops.Sketches
+    val df = spark.read.parquet(s"$d/lineitem.parquet").select("l_suppkey")
+    val keys = df.collect().map(_.getLong(0))
+    val (dRows, w) = (4, 64)
+    def colOf(k: Long, r: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(k.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(r * 4, r * 4 + 4), 16) % w).toInt
+    }
+    val want = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    keys.foreach { k =>
+      (0 until dRows).foreach { r =>
+        val key = (r, colOf(k, r)); want(key) = want.getOrElse(key, 0L) + 1
+      }
+    }
+    val got = Sketches.countMinCells(df, "l_suppkey", dRows, w)
+      .collect().map(r => (r.getInt(0), r.getLong(1).toInt) -> r.getLong(2)).toMap
+    assert(got == want.toMap, "facade grid != independent recompute")
+    // heavy hitters: the CMS contract holds for keys heavier than ~N/w,
+    // so probe at w = 1024 (100 near-uniform keys in 64 columns have NO
+    // heavy hitter relative to the collision mass — at 1024 columns most
+    // cells are singletons and the true top keys must surface)
+    val trueTop = keys.groupBy(identity).view.mapValues(_.length).toSeq
+      .sortBy { case (k, n) => (-n, k) }.take(3).map(_._1).toSet
+    val hh = Sketches.heavyHitters(spark, df, "l_suppkey", 10, dRows, 1024)
+      .collect().map(_.getLong(0)).toSet
+    assert(trueTop.subsetOf(hh), s"true top-3 $trueTop not all in top-10 $hh")
+    // estimates are one-sided for every probed key
+    val est = Sketches.countMinEstimate(
+        Sketches.countMinCells(df, "l_suppkey", dRows, w).localCheckpoint(true),
+        df.distinct(), "l_suppkey", dRows, w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = keys.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(exact.forall { case (k, n) => est(k) >= n }, "one-sidedness broken")
+  }
+
   test("q32 percentile sketch: estimates within interpolation reach of the exact q26 values") {
     val est = Relational3.q32PercentileSketch(spark, d)
       .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3),
