@@ -133,6 +133,56 @@ class JpegSpec extends AnyFunSuite {
     assert(meanMilli <= 1500, s"color drift vs ImageIO: mean milli $meanMilli")
   }
 
+  test("odd (partial-MCU) dimensions decode within rounding at several qualities") {
+    // real files are rarely 8-aligned: the right/bottom edge blocks are
+    // padded at encode and must be CROPPED at reassembly — exercise
+    // gray 37x21 and 4:2:0 color 30x26 (odd chroma geometry) across
+    // quality settings
+    for (q <- Seq(0.5f, 0.75f, 0.95f)) {
+      val (w, h) = (37, 21)
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        bi.getRaster.setSample(x, y, 0, (x * 6 + y * 5) % 256)
+      val bytes = imageIoJpeg(bi, q)
+      val ours = Jpeg.decode(bytes)
+      assert(ours.width == w && ours.height == h)
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      var maxDiff = 0
+      for (y <- 0 until h; x <- 0 until w)
+        maxDiff = math.max(maxDiff, math.abs(
+          (ours.pixels(y * w + x) & 0xff) - ref.getRaster.getSample(x, y, 0)))
+      info(s"gray 37x21 q=$q max diff = $maxDiff")
+      assert(maxDiff <= 1, s"q=$q gray drift $maxDiff")
+    }
+    locally {
+      val (w, h) = (30, 26)
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w)
+        bi.setRGB(x, y, ((50 + x * 3) << 16) | ((70 + y * 3) << 8) |
+          (100 + x + y))
+      val bytes = imageIoJpeg(bi, 0.95f)
+      val ours = Jpeg.decode(bytes)
+      assert(ours.width == w && ours.height == h && ours.nComponents == 3)
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      var maxDiff = 0
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val rgb = ref.getRGB(x, y)
+        val rc = c match {
+          case 0 => (rgb >> 16) & 0xff; case 1 => (rgb >> 8) & 0xff
+          case _ => rgb & 0xff
+        }
+        maxDiff = math.max(maxDiff,
+          math.abs((ours.pixels((y * w + x) * 3 + c) & 0xff) - rc))
+      }
+      info(s"color 30x26 4:2:0 max diff = $maxDiff")
+      assert(maxDiff <= 8, s"odd-dims color drift $maxDiff")
+    }
+  }
+
   test("unsupported variants fail by name") {
     val bytes = Jpeg.encodeGrayDcOnly(16, 16, _ => 100)
     // progressive SOF2: flip the SOF0 marker byte
