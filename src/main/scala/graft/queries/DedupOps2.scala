@@ -185,7 +185,7 @@ object DedupOps2 {
       .select(col("doc_id").as("corpus_id"), col("h"))
       .filter(probeCond).distinct()
     val perNew = newSegs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
-    newSegs.join(corpusHits, "h") // exact confirm: kills bloom false positives
+    val out = newSegs.join(corpusHits, "h") // exact confirm: kills bloom false positives
       .groupBy("doc_id")
       .agg(countDistinct("h").as("n_dup_segs"),
         min("corpus_id").as("first_seen_id"))
@@ -193,6 +193,11 @@ object DedupOps2 {
       .withColumn("dup_frac",
         round(col("n_dup_segs").cast("double") / col("n_segs"), 4))
       .select("doc_id", "n_segs", "n_dup_segs", "dup_frac", "first_seen_id")
+    // the scalar subquery is already RESOLVED into `out`'s analyzed plan
+    // (Datasets analyze eagerly), so the view can be dropped here —
+    // repeated invocations must not accumulate catalog entries
+    s.catalog.dropTempView(view)
+    out
   }
 
   val d09Sql: String =
