@@ -73,6 +73,13 @@ class CacheHygieneSpec extends AnyFunSuite {
       s"q29 left temp views registered: $views")
   }
 
+  test("d09 drops its per-invocation bloom view (no catalog growth in bench loops)") {
+    (1 to 2).foreach(_ => DedupOps2.d09BloomIncremental(spark, d).count())
+    val views = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_d09_"))
+    assert(views.isEmpty, s"d09 left bloom views registered: ${views.toSeq}")
+  }
+
   test("back-to-back runs do not accumulate cache entries") {
     // two invocations of the heaviest formerly-leaking pair, interleaved the
     // way the bench's warmup+timed passes run them
