@@ -228,6 +228,9 @@ object Jpeg {
 
     def decodeScan(seg: Array[Byte], dataStart: Int): Int = {
       require(sawSof, "corrupt JPEG: SOS before SOF")
+      // an SOS whose length field is 2 yields an EMPTY body — guard before
+      // seg(0) so the corruption contract (named error) holds for len=2
+      require(seg.length >= 6, "corrupt JPEG: short SOS")
       val ns = seg(0) & 0xff
       require(ns == comps.length, s"unsupported JPEG: partial scan ($ns of ${comps.length})")
       require(seg.length >= 1 + ns * 2 + 3, "corrupt JPEG: short SOS")
@@ -352,6 +355,10 @@ object Jpeg {
       require(pos + 2 <= bytes.length, "corrupt JPEG: truncated marker stream")
       require((bytes(pos) & 0xff) == 0xff,
         s"corrupt JPEG: expected marker at $pos")
+      // ITU-T T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+      // marker code — skip them so the code byte is the first non-0xFF
+      while (pos + 2 < bytes.length && (bytes(pos + 1) & 0xff) == 0xff)
+        pos += 1
       val m = bytes(pos + 1) & 0xff
       nMarkers += 1
       m match {

@@ -493,16 +493,26 @@ object StreamOps {
     // (the bench's warmup + timed iterations) measure ADMISSION, the
     // per-batch production cost, not state construction (r9 verdict: the
     // in-query build made st11's bench row a state-build benchmark)
-    val key = s"${System.identityHashCode(s)}#$d#$t"
+    // key by the CONTEXT's stable identity (applicationId + startTime is
+    // unique per JVM lifetime — identityHashCode could collide and serve a
+    // dead context's checkpointed RDDs); the state's localCheckpoint RDDs
+    // belong to the SparkContext, so sessions sharing a context may share
+    // state. Evicting other-context keys on entry keeps the map from
+    // accumulating entries whose RDDs died with a stopped context.
+    val ctxKey =
+      s"${s.sparkContext.applicationId}@${s.sparkContext.startTime}"
+    admissionStates.keySet.removeIf(k => !k.startsWith(ctxKey + "#"))
+    val key = s"$ctxKey#$d#$t"
     val state = admissionStates.computeIfAbsent(key,
       _ => SimilarityOps.admissionStateOf(docs.filter(col("doc_id") < t)))
     SimilarityOps.admissionProbeOf(state, docs.filter(col("doc_id") >= t))
       .orderBy("doc_id")
   }
 
-  /** st11's standing-state registry: one entry per (session identity,
-    * sf dir, batch split) — bounded (a handful of keys per process; the
-    * checkpointed frames die with their session). */
+  /** st11's standing-state registry: one entry per (context identity,
+    * sf dir, batch split) — bounded (a handful of keys per live context;
+    * other-context keys are evicted on entry since their checkpointed
+    * frames died with that context). */
   private val admissionStates =
     new java.util.concurrent.ConcurrentHashMap[String, SimilarityOps.AdmissionState]()
 

@@ -197,4 +197,39 @@ class JpegSpec extends AnyFunSuite {
       Jpeg.decode("not a jpeg".getBytes))
     assert(e2.getMessage.contains("SOI"), e2.getMessage)
   }
+
+  test("0xFF fill bytes before markers are skipped (T.81 B.1.1.2)") {
+    val id = 3L
+    val (w, h) = (24, 16)
+    val plain = Jpeg.encodeGrayDcOnly(w, h, blockVal(id))
+    val ref = Jpeg.decode(plain)
+    // pad EVERY marker in the header stream (up to and including SOS) with
+    // two fill bytes: spec-legal output some encoders emit
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    var inHeader = true
+    while (i < plain.length) {
+      if (i >= 2 && // the file must still BEGIN with SOI
+        inHeader && (plain(i) & 0xff) == 0xff && i + 1 < plain.length &&
+        (plain(i + 1) & 0xff) != 0x00) {
+        out.write(0xff); out.write(0xff) // fill bytes
+        if ((plain(i + 1) & 0xff) == 0xda) inHeader = false // entropy data next
+      }
+      out.write(plain(i)); i += 1
+    }
+    val padded = Jpeg.decode(out.toByteArray)
+    assert(padded.width == w && padded.height == h)
+    assert(java.util.Arrays.equals(ref.pixels, padded.pixels),
+      "fill-byte padding changed decoded pixels")
+  }
+
+  test("empty SOS body (length field == 2) fails by name, not AIOOBE") {
+    val bytes = Jpeg.encodeGrayDcOnly(16, 8, _ => 50)
+    val sos = bytes.indices.find(i => (bytes(i) & 0xff) == 0xff &&
+      i + 1 < bytes.length && (bytes(i + 1) & 0xff) == 0xda).get
+    val truncated = java.util.Arrays.copyOfRange(bytes, 0, sos + 4)
+    truncated(sos + 2) = 0x00; truncated(sos + 3) = 0x02 // len=2: empty body
+    val e = intercept[IllegalArgumentException](Jpeg.decode(truncated))
+    assert(e.getMessage.contains("short SOS"), e.getMessage)
+  }
 }
