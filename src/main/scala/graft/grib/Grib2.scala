@@ -29,13 +29,15 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
   * the templates real NOAA HRRR/GFS output uses — in full (group
   * reference/width/length streams, un-differencing, bitmap); PNG packing
   * (5.41, the NOAA MRMS packing) via the JVM's ImageIO PNG codec —
-  * grayscale 8/16-bit and RGB/RGBA 24/32-bit sample depths; 5.40 in the
-  * zero-payload constant-field case (nbits=0 → every valid point equals
-  * R/10^D — what the reference fixture contains). A real JPEG2000 payload
-  * needs a jp2 codec that does not exist in this offline JVM build and
-  * raises a clear error, as does complex packing's embedded
-  * missing-value management (missingMgmt != 0; NOAA output uses the
-  * bitmap instead).
+  * grayscale 8/16-bit and RGB/RGBA 24/32-bit sample depths; JPEG2000
+  * packing (5.40, the ECMWF ERA5/IFS packing) via the in-repo clean-room
+  * codestream codec (`J2K.scala` — MQ coder, EBCOT tier-1/2, reversible
+  * 5/3 wavelet: the g2clib/jasper single-component lossless profile),
+  * covering both the zero-payload constant-field case (nbits=0 → every
+  * valid point equals R/10^D — what the reference CMC fixture contains)
+  * and real non-constant payloads. Complex packing's embedded
+  * missing-value management (missingMgmt != 0) raises a clear error;
+  * NOAA output uses the bitmap instead.
   *
   * Scanning is header-only: section bodies 0-5 are metadata-sized reads;
   * the bitmap and data sections are recorded as (offset, length) byte
@@ -339,7 +341,7 @@ object Grib2 {
     require(template == 0 || template == 2 || template == 3 ||
         template == 40 || template == 41,
       s"GRIB2 data representation template 5.$template not supported " +
-        "(5.0 simple, 5.2/5.3 complex, 5.40 constant fields, 5.41 png are)")
+        "(5.0 simple, 5.2/5.3 complex, 5.40 jpeg2000, 5.41 png are)")
     val complex =
       if (template == 2 || template == 3) Some(ComplexParams(
         splitMethod = r.u8(21), missingMgmt = r.u8(22),
@@ -446,9 +448,23 @@ object Grib2 {
           var k = 0
           while (k < p.nValues) { vals(k) = (p.refValue + xs(k) * e) / d; k += 1 }
           vals(_)
-        case 40 => throw new UnsupportedOperationException(
-          "GRIB2 JPEG2000 packing with a non-empty payload requires a jp2 " +
-            "decoder unavailable in this offline build (constant fields decode)")
+        case 40 =>
+          // JPEG2000 packing: section 7 is a raw JPC codestream of the X
+          // offsets (the g2clib/jasper single-component lossless profile;
+          // ECMWF ERA5/IFS ship this). Decoded by the in-repo clean-room
+          // codec — see J2K.scala. With a bitmap the defined points are
+          // packed as an ndpts-wide raster; without one the image is the
+          // grid itself — either way flat row-major order is X_k.
+          val img = J2K.decode(data)
+          require(img.width.toLong * img.height >= p.nValues,
+            s"JPEG2000 image ${img.width}x${img.height} smaller than ${p.nValues} points")
+          val vals = new Array[Double](p.nValues)
+          var k = 0
+          while (k < p.nValues) {
+            vals(k) = (p.refValue + img.samples(k) * e) / d
+            k += 1
+          }
+          vals(_)
         case 41 =>
           // PNG packing: section 7 is a PNG image of the X offsets —
           // grayscale for depth<=16, RGB for 24, RGBA for 32, samples
@@ -1179,5 +1195,62 @@ object Grib2 {
       sec(4, sec4Body(category, number)),
       sec(5, s5.array()),
       sec(6, Array[Byte](255.toByte)), sec(7, s7Body)))
+  }
+
+  /** Write a one-message GRIB2 file with JPEG2000 packing (template 5.40,
+    * the ECMWF packing): regular lat-lon grid, NaN bitmap, lossless JPC
+    * codestream of the decimal-scaled offsets. Following the g2clib
+    * convention, with a bitmap the DEFINED points are packed as an
+    * ndpts-wide 1-row image; without one the image is the nx*ny grid.
+    * Fixture writer for the non-constant 5.40 decode path. */
+  def writeJpeg2000(path: String, values: Array[Double], nx: Int, ny: Int,
+                    la1: Double, lo1: Double, dLat: Double, dLon: Double,
+                    discipline: Int, category: Int, number: Int,
+                    refTimeEpochSec: Long, decimalScale: Int = 2,
+                    levels: Int = 5, cblkExp: Int = 6): Unit = {
+    require(values.length == nx * ny, "values must cover the grid")
+    val valid = values.filterNot(_.isNaN)
+    require(valid.nonEmpty, "all-NaN field")
+    val hasBitmap = valid.length != values.length
+    val d = math.pow(10, decimalScale)
+    val scaled = valid.map(v => math.rint(v * d).toLong)
+    val rv = scaled.min
+    require(math.abs(rv) < (1 << 24), s"reference value $rv exceeds float32 exactness")
+    val maxOff = scaled.max - rv
+    require(maxOff < (1L << 26), s"value span $maxOff exceeds 26-bit JPC depth")
+    val depth = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(maxOff)).toInt
+    val offsets = scaled.map(s => (s - rv).toInt)
+    val (iw, ih) = if (hasBitmap) (valid.length, 1) else (nx, ny)
+    val s7Body = J2K.encode(offsets, iw, ih, depth, levels, cblkExp)
+
+    // section 5: template 5.40 — 5.0's head + compression type/ratio
+    val s5 = ByteBuffer.allocate(18).order(ByteOrder.BIG_ENDIAN)
+    s5.putInt(valid.length)
+    s5.putShort(40)
+    s5.putFloat(rv.toFloat)
+    smPut16(s5, 0) // binary scale 0: exact decimal quantization
+    smPut16(s5, decimalScale)
+    s5.put(depth.toByte); s5.put(0.toByte) // field type: float
+    s5.put(0.toByte) // compression type: lossless
+    s5.put(255.toByte) // target compression ratio: missing (lossless)
+
+    val s6Body: Array[Byte] =
+      if (!hasBitmap) Array[Byte](255.toByte)
+      else {
+        val bm = new Array[Byte](1 + (values.length + 7) / 8)
+        bm(0) = 0
+        values.indices.foreach { i =>
+          if (!values(i).isNaN)
+            bm(1 + (i >> 3)) = (bm(1 + (i >> 3)) | (1 << (7 - (i & 7)))).toByte
+        }
+        bm
+      }
+
+    writeMessage(path, discipline, Array(
+      sec(1, sec1Body(refTimeEpochSec)),
+      sec(3, sec3LatLon(nx, ny, la1, lo1, dLat, dLon)),
+      sec(4, sec4Body(category, number)),
+      sec(5, s5.array()),
+      sec(6, s6Body), sec(7, s7Body)))
   }
 }

@@ -1,0 +1,1328 @@
+package graft.grib
+
+/** Clean-room JPEG 2000 Part 1 (ISO/IEC 15444-1 / ITU-T T.800) codestream
+  * codec — the subset GRIB2 data-representation template 5.40 carries.
+  *
+  * The reference reads jpeg2000-packed GRIB via eccodes+jasper/openjpeg
+  * (reference openers.py:40-88 routes file_type="grib" to cfgrib); ECMWF
+  * products (ERA5, open-data IFS) ship this packing, so a GRIB engine
+  * without it fails on the most common real-world European files. What
+  * g2clib/jasper actually emit for GRIB is a narrow, fixed profile, and
+  * that profile is what this codec implements end to end:
+  *
+  *   - raw JPC codestream (SOC..EOC), no JP2 box container
+  *   - single component, unsigned, no subsampling, one tile at (0,0)
+  *   - reversible 5/3 integer wavelet (Annex F), arbitrary image sizes
+  *   - no quantization (Sqcd style 0) with per-band exponents
+  *   - maximal precincts (one precinct per resolution), single layer
+  *   - EBCOT tier-1 MQ coding (Annex C/D): significance propagation,
+  *     magnitude refinement and cleanup passes, run-length and uniform
+  *     contexts, per-codeblock context reset, single codeword segment
+  *   - tier-2 packet headers (Annex B.10): inclusion + zero-bitplane tag
+  *     trees, coding-pass counts, Lblock length signalling, bit stuffing
+  *
+  * Both the decoder and a fixture encoder are implemented (the m12-LZW
+  * spirit: the encoder exists so tests can round-trip arbitrary fields
+  * through the REAL bit-level format; no JPEG2000 codec ships in this
+  * offline JVM, so cross-validation against an independent implementation
+  * is impossible here — the compensating evidence is byte-level spec
+  * fidelity tests: marker layout, stuffing rules, tag-tree bit traces and
+  * a torture corpus of odd geometries).
+  *
+  * Named-error corners (all bounded before any allocation): multi-tile,
+  * multi-component, COC/QCC/RGN/POC/PPM/PPT overrides, user precincts,
+  * multiple layers, the 9/7 irreversible transform, codeblock style
+  * options (bypass/reset/termall/vsc/segsym), and JP2 box containers.
+  */
+object J2K {
+
+  /** Decoded image: row-major samples, `depth`-bit unsigned. */
+  final case class Image(width: Int, height: Int, depth: Int,
+                         samples: Array[Int])
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"corrupt JPEG2000: $msg")
+  private def unsupported(msg: String): Nothing =
+    throw new UnsupportedOperationException(s"unsupported JPEG2000: $msg")
+
+  // ------------------------------------------------ MQ coder (Annex C)
+
+  // Probability state machine, Table C.2: Qe, next-state on MPS, next-state
+  // on LPS, and whether an LPS flips the MPS sense.
+  private val QE = Array(
+    0x5601, 0x3401, 0x1801, 0x0AC1, 0x0521, 0x0221, 0x5601, 0x5401,
+    0x4801, 0x3801, 0x3001, 0x2401, 0x1C01, 0x1601, 0x5601, 0x5401,
+    0x5101, 0x4801, 0x3801, 0x3401, 0x3001, 0x2801, 0x2401, 0x2201,
+    0x1C01, 0x1801, 0x1601, 0x1401, 0x1201, 0x1101, 0x0AC1, 0x09C1,
+    0x08A1, 0x0521, 0x0441, 0x02A1, 0x0221, 0x0141, 0x0111, 0x0085,
+    0x0049, 0x0025, 0x0015, 0x0009, 0x0005, 0x0001, 0x5601)
+  private val NMPS = Array(
+    1, 2, 3, 4, 5, 38, 7, 8, 9, 10, 11, 12, 13, 29, 15, 16,
+    17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32,
+    33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 45, 46)
+  private val NLPS = Array(
+    1, 6, 9, 12, 29, 33, 6, 14, 14, 14, 17, 18, 20, 21, 14, 14,
+    15, 16, 17, 18, 19, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29,
+    30, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 46)
+  private val SWITCH = Array(
+    1, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 1, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+
+  // EBCOT contexts: 0-8 zero coding, 9-13 sign, 14-16 refinement,
+  // 17 run-length, 18 uniform. Initial states per Table D.7.
+  private val NCtx = 19
+  private val CtxRL = 17
+  private val CtxUNI = 18
+  private def initCtx(): (Array[Int], Array[Int]) = {
+    val idx = new Array[Int](NCtx)
+    idx(0) = 4; idx(CtxRL) = 3; idx(CtxUNI) = 46
+    (idx, new Array[Int](NCtx))
+  }
+
+  /** MQ decoder over `data[start, end)` — 32-bit register semantics kept
+    * exactly by masking a Long; reads past the segment behave as the
+    * spec's marker-found state (B = 0xFF, B1 > 0x8F). */
+  private final class MQDec(data: Array[Byte], start: Int, end: Int) {
+    private val (idx, mps) = initCtx()
+    private var bp = start
+    private var c = 0L
+    private var ct = 0
+    private var a = 0
+    private def byteAt(i: Int): Int =
+      if (i < end) data(i) & 0xFF else 0xFF
+    private def bytein(): Unit = {
+      if (byteAt(bp) == 0xFF) {
+        if (byteAt(bp + 1) > 0x8F) { c = (c + 0xFF00) & 0xFFFFFFFFL; ct = 8 }
+        else { bp += 1; c = (c + (byteAt(bp) << 9)) & 0xFFFFFFFFL; ct = 7 }
+      } else { bp += 1; c = (c + (byteAt(bp) << 8)) & 0xFFFFFFFFL; ct = 8 }
+    }
+    // INITDEC
+    c = (byteAt(bp).toLong << 16) & 0xFFFFFFFFL
+    bytein()
+    c = (c << 7) & 0xFFFFFFFFL
+    ct -= 7
+    a = 0x8000
+
+    private def renorm(): Unit = {
+      var go = true
+      while (go) {
+        if (ct == 0) bytein()
+        a <<= 1
+        c = (c << 1) & 0xFFFFFFFFL
+        ct -= 1
+        go = (a & 0x8000) == 0
+      }
+    }
+    def decode(cx: Int): Int = {
+      val i = idx(cx)
+      val qe = QE(i)
+      a -= qe
+      var d = 0
+      if (((c >>> 16) & 0xFFFFL) < qe) {
+        if (a < qe) { d = mps(cx); idx(cx) = NMPS(i) }
+        else {
+          d = 1 - mps(cx)
+          if (SWITCH(i) == 1) mps(cx) = 1 - mps(cx)
+          idx(cx) = NLPS(i)
+        }
+        a = qe
+        renorm()
+      } else {
+        c = (c - (qe.toLong << 16)) & 0xFFFFFFFFL
+        if ((a & 0x8000) == 0) {
+          if (a < qe) {
+            d = 1 - mps(cx)
+            if (SWITCH(i) == 1) mps(cx) = 1 - mps(cx)
+            idx(cx) = NLPS(i)
+          } else { d = mps(cx); idx(cx) = NMPS(i) }
+          renorm()
+        } else d = mps(cx)
+      }
+      d
+    }
+  }
+
+  /** MQ encoder; one guard byte at the front absorbs the spec's
+    * BP = BPST - 1 convention and is dropped from the output. */
+  private final class MQEnc {
+    private val (idx, mps) = initCtx()
+    private val buf = scala.collection.mutable.ArrayBuffer[Int](0)
+    private var c = 0L
+    private var ct = 12
+    private var a = 0x8000
+    private def byteout(): Unit = {
+      if (buf.last == 0xFF) {
+        buf += ((c >>> 20) & 0xFF).toInt
+        c &= 0xFFFFF
+        ct = 7
+      } else {
+        if (c < 0x8000000L) {
+          buf += ((c >>> 19) & 0xFF).toInt
+          c &= 0x7FFFF
+          ct = 8
+        } else {
+          buf(buf.length - 1) += 1
+          if (buf.last == 0xFF) {
+            c &= 0x7FFFFFF
+            buf += ((c >>> 20) & 0xFF).toInt
+            c &= 0xFFFFF
+            ct = 7
+          } else {
+            buf += ((c >>> 19) & 0xFF).toInt
+            c &= 0x7FFFF
+            ct = 8
+          }
+        }
+      }
+    }
+    private def renorm(): Unit = {
+      var go = true
+      while (go) {
+        a <<= 1
+        c = (c << 1) & 0xFFFFFFFFL
+        ct -= 1
+        if (ct == 0) byteout()
+        go = (a & 0x8000) == 0
+      }
+    }
+    def encode(cx: Int, d: Int): Unit = {
+      val i = idx(cx)
+      val qe = QE(i)
+      if (d == mps(cx)) { // CODEMPS
+        a -= qe
+        if ((a & 0x8000) == 0) {
+          if (a < qe) a = qe else c = (c + qe) & 0xFFFFFFFFL
+          idx(cx) = NMPS(i)
+          renorm()
+        } else c = (c + qe) & 0xFFFFFFFFL
+      } else { // CODELPS
+        a -= qe
+        if (a < qe) c = (c + qe) & 0xFFFFFFFFL else a = qe
+        if (SWITCH(i) == 1) mps(cx) = 1 - mps(cx)
+        idx(cx) = NLPS(i)
+        renorm()
+      }
+    }
+    /** FLUSH (Figure C.9) + guard-byte drop + trailing-0xFF drop. */
+    def finish(): Array[Byte] = {
+      // SETBITS
+      val tempc = c + a - 1
+      c |= 0xFFFFL
+      if (c >= tempc) c -= 0x8000L
+      c = (c << ct) & 0xFFFFFFFFL
+      byteout()
+      c = (c << ct) & 0xFFFFFFFFL
+      byteout()
+      require(buf(0) == 0, "MQ carry reached the guard byte")
+      var n = buf.length
+      if (buf(n - 1) == 0xFF) n -= 1 // a trailing 0xFF is never needed
+      val out = new Array[Byte](n - 1)
+      var i = 1
+      while (i < n) { out(i - 1) = buf(i).toByte; i += 1 }
+      out
+    }
+  }
+
+  // --------------------------- packet-header bit I/O (B.10.1 stuffing)
+
+  /** MSB-first bit writer with the packet-header stuffing rule: a byte
+    * following 0xFF carries only 7 bits (its MSB is a stuffed 0). */
+  private final class HdrWriter {
+    private val bos = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nbits = 0
+    private var prevFF = false
+    private def cap: Int = if (prevFF) 7 else 8
+    def bit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1)
+      nbits += 1
+      if (nbits == cap) {
+        bos.write(cur)
+        prevFF = cur == 0xFF
+        cur = 0; nbits = 0
+      }
+    }
+    def bits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bit((v >>> i) & 1); i -= 1 }
+    }
+    /** Pad to a byte boundary; a final 0xFF needs its stuffed byte. */
+    def finish(): Array[Byte] = {
+      if (nbits > 0) {
+        cur <<= (cap - nbits)
+        bos.write(cur)
+        prevFF = cur == 0xFF
+      }
+      if (prevFF) bos.write(0x00)
+      bos.toByteArray
+    }
+  }
+
+  /** The matching reader; `align()` consumes the terminal stuffing byte. */
+  private final class HdrReader(data: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var nbits = 0
+    private var prevFF = false
+    def bit(): Int = {
+      if (nbits == 0) {
+        if (pos >= data.length) fail("packet header overruns the tile data")
+        cur = data(pos) & 0xFF
+        pos += 1
+        if (prevFF) {
+          if ((cur & 0x80) != 0) fail("marker inside a packet header")
+          nbits = 7
+        } else nbits = 8
+        prevFF = cur == 0xFF // a stuffed (7-bit) byte is < 0x80, never 0xFF
+      }
+      nbits -= 1
+      (cur >>> nbits) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def align(): Unit = {
+      nbits = 0
+      if (prevFF) {
+        if (pos >= data.length) fail("packet header overruns the tile data")
+        if ((data(pos) & 0x80) != 0) fail("marker inside a packet header")
+        pos += 1
+        prevFF = false
+      }
+    }
+  }
+
+  // ------------------------------------------------ tag trees (B.10.2)
+
+  /** Incremental tag tree over a w*h leaf grid (quad-tree of minima).
+    * Shared by the encoder (values set up front) and decoder (values
+    * discovered bit by bit); state persists across thresholds. */
+  private final class TagTree(w: Int, h: Int) {
+    private val dims = {
+      val b = Vector.newBuilder[(Int, Int)]
+      var (cw, ch) = (w, h)
+      b += ((cw, ch))
+      while (cw > 1 || ch > 1) { cw = (cw + 1) / 2; ch = (ch + 1) / 2; b += ((cw, ch)) }
+      b.result() // dims(0) = leaves, last = 1x1 root
+    }
+    private val off = dims.scanLeft(0)((a, d) => a + d._1 * d._2)
+    private val value = new Array[Int](off.last)
+    private val low = new Array[Int](off.last)
+    private val known = new Array[Boolean](off.last)
+
+    private def nodeAt(level: Int, x: Int, y: Int): Int =
+      off(level) + y * dims(level)._1 + x
+
+    private def path(lx: Int, ly: Int): List[Int] = {
+      var out: List[Int] = Nil
+      var (x, y) = (lx, ly)
+      var lev = 0
+      while (lev < dims.length) {
+        out = nodeAt(lev, x, y) :: out // root ends up first
+        x /= 2; y /= 2; lev += 1
+      }
+      out
+    }
+
+    /** Encoder: set a leaf value (then `seal()` before emitting). */
+    def set(x: Int, y: Int, v: Int): Unit = value(nodeAt(0, x, y)) = v
+    /** Propagate minima up the tree. */
+    def seal(): Unit = {
+      var lev = 0
+      while (lev + 1 < dims.length) {
+        val (pw, ph) = dims(lev + 1)
+        var py = 0
+        while (py < ph) {
+          var px = 0
+          while (px < pw) {
+            var m = Int.MaxValue
+            val (cw, ch) = dims(lev)
+            var dy = 0
+            while (dy < 2) {
+              var dx = 0
+              while (dx < 2) {
+                val (cx, cy) = (px * 2 + dx, py * 2 + dy)
+                if (cx < cw && cy < ch) m = math.min(m, value(nodeAt(lev, cx, cy)))
+                dx += 1
+              }
+              dy += 1
+            }
+            value(nodeAt(lev + 1, px, py)) = m
+            px += 1
+          }
+          py += 1
+        }
+        lev += 1
+      }
+    }
+
+    /** Encode what the decoder learns asking "is value(x,y) < t?". */
+    def encode(wtr: HdrWriter, x: Int, y: Int, t: Int): Unit = {
+      var lowBound = 0
+      var nodes = path(x, y)
+      var done = false
+      while (nodes.nonEmpty && !done) {
+        val n = nodes.head; nodes = nodes.tail
+        if (low(n) < lowBound) low(n) = lowBound
+        while (!known(n) && low(n) < t) {
+          if (low(n) < value(n)) { wtr.bit(0); low(n) += 1 }
+          else { wtr.bit(1); known(n) = true }
+        }
+        if (low(n) >= t && !(known(n) && low(n) < t)) done = true
+        else lowBound = low(n)
+      }
+    }
+
+    /** Decode "is value(x,y) < t?" — leaf value is `current(x,y)` once
+      * this returns true. */
+    def decode(rdr: HdrReader, x: Int, y: Int, t: Int): Boolean = {
+      var lowBound = 0
+      var nodes = path(x, y)
+      while (nodes.nonEmpty) {
+        val n = nodes.head; nodes = nodes.tail
+        if (low(n) < lowBound) low(n) = lowBound
+        while (!known(n) && low(n) < t) {
+          if (rdr.bit() == 1) known(n) = true
+          else low(n) += 1
+        }
+        if (!(known(n) && low(n) < t)) return false
+        lowBound = low(n)
+      }
+      true
+    }
+    def current(x: Int, y: Int): Int = low(nodeAt(0, x, y))
+  }
+
+  // --------------------------- tier-1 coefficient bit modelling (Annex D)
+
+  /** Shared significance state + context formation for one codeblock.
+    * Samples outside the codeblock are insignificant (codeblocks are
+    * coded independently); scan order is vertical stripes of four rows. */
+  private final class T1State(val w: Int, val h: Int, orient: Int) {
+    val sig = new Array[Boolean](w * h)
+    val visited = new Array[Boolean](w * h)
+    val refined = new Array[Boolean](w * h)
+    val neg = new Array[Boolean](w * h)
+
+    @inline private def s(x: Int, y: Int): Int =
+      if (x < 0 || x >= w || y < 0 || y >= h) 0
+      else if (sig(y * w + x)) 1 else 0
+    @inline private def contrib(x: Int, y: Int): Int =
+      if (x < 0 || x >= w || y < 0 || y >= h) 0
+      else {
+        val p = y * w + x
+        if (!sig(p)) 0 else if (neg(p)) -1 else 1
+      }
+
+    /** Zero-coding context (Table D.1). */
+    def zcCtx(x: Int, y: Int): Int = {
+      var hh = s(x - 1, y) + s(x + 1, y)
+      var vv = s(x, y - 1) + s(x, y + 1)
+      val dd = s(x - 1, y - 1) + s(x + 1, y - 1) +
+        s(x - 1, y + 1) + s(x + 1, y + 1)
+      if (orient == 1) { val t = hh; hh = vv; vv = t } // HL: swap roles
+      if (orient == 3) { // HH: diagonal-primary table
+        if (dd >= 3) 8
+        else if (dd == 2) { if (hh + vv >= 1) 7 else 6 }
+        else if (dd == 1) {
+          if (hh + vv >= 2) 5 else if (hh + vv == 1) 4 else 3
+        } else {
+          if (hh + vv >= 2) 2 else if (hh + vv == 1) 1 else 0
+        }
+      } else { // LL, LH (and HL after the swap)
+        if (hh == 2) 8
+        else if (hh == 1) {
+          if (vv >= 1) 7 else if (dd >= 1) 6 else 5
+        } else {
+          if (vv == 2) 4
+          else if (vv == 1) 3
+          else if (dd >= 2) 2
+          else if (dd == 1) 1
+          else 0
+        }
+      }
+    }
+
+    /** Sign context + XOR bit (Tables D.2/D.3), packed as ctx | xor<<8. */
+    def scCtx(x: Int, y: Int): Int = {
+      val hc = math.max(-1, math.min(1, contrib(x - 1, y) + contrib(x + 1, y)))
+      val vc = math.max(-1, math.min(1, contrib(x, y - 1) + contrib(x, y + 1)))
+      if (hc == 1) 13 - (1 - vc) // (1,1)->13 (1,0)->12 (1,-1)->11, xor 0
+      else if (hc == -1) (11 + (1 - vc)) | (1 << 8) // mirrored, xor 1
+      else if (vc == 1) 10
+      else if (vc == -1) 10 | (1 << 8)
+      else 9
+    }
+
+    /** Magnitude-refinement context (Table D.4). */
+    def mrCtx(x: Int, y: Int): Int = {
+      val p = y * w + x
+      if (refined(p)) 16
+      else if (zcCtx0(x, y)) 14
+      else 15
+    }
+    /** True iff the full 8-neighbourhood is insignificant. */
+    def zcCtx0(x: Int, y: Int): Boolean =
+      s(x - 1, y) + s(x + 1, y) + s(x, y - 1) + s(x, y + 1) +
+        s(x - 1, y - 1) + s(x + 1, y - 1) + s(x - 1, y + 1) +
+        s(x + 1, y + 1) == 0
+  }
+
+  /** Decode one codeblock's codeword segment: `numPasses` coding passes
+    * over `np` magnitude bitplanes → signed coefficients (row-major). */
+  private def t1Decode(w: Int, h: Int, orient: Int, np: Int, numPasses: Int,
+                       data: Array[Byte], from: Int, until: Int): Array[Int] = {
+    val st = new T1State(w, h, orient)
+    val mq = new MQDec(data, from, until)
+    val mag = new Array[Int](w * h)
+
+    def sppPass(bp: Int): Unit = {
+      var y0 = 0
+      while (y0 < h) {
+        var x = 0
+        while (x < w) {
+          var y = y0
+          val yEnd = math.min(y0 + 4, h)
+          while (y < yEnd) {
+            val p = y * w + x
+            if (!st.sig(p) && !st.zcCtx0(x, y)) {
+              if (mq.decode(st.zcCtx(x, y)) == 1) {
+                st.sig(p) = true
+                mag(p) |= 1 << bp
+                val sc = st.scCtx(x, y)
+                st.neg(p) = (mq.decode(sc & 0xFF) ^ (sc >>> 8)) == 1
+              }
+              st.visited(p) = true
+            }
+            y += 1
+          }
+          x += 1
+        }
+        y0 += 4
+      }
+    }
+
+    def mrpPass(bp: Int): Unit = {
+      var y0 = 0
+      while (y0 < h) {
+        var x = 0
+        while (x < w) {
+          var y = y0
+          val yEnd = math.min(y0 + 4, h)
+          while (y < yEnd) {
+            val p = y * w + x
+            if (st.sig(p) && !st.visited(p)) {
+              mag(p) |= mq.decode(st.mrCtx(x, y)) << bp
+              st.refined(p) = true
+            }
+            y += 1
+          }
+          x += 1
+        }
+        y0 += 4
+      }
+    }
+
+    def cupPass(bp: Int): Unit = {
+      var y0 = 0
+      while (y0 < h) {
+        var x = 0
+        while (x < w) {
+          var y = y0
+          val yEnd = math.min(y0 + 4, h)
+          // run-length mode: full stripe, all four uncoded + silent contexts
+          if (y0 + 4 <= h) {
+            var allQuiet = true
+            var k = 0
+            while (k < 4 && allQuiet) {
+              val p = (y0 + k) * w + x
+              if (st.sig(p) || st.visited(p) || !st.zcCtx0(x, y0 + k))
+                allQuiet = false
+              k += 1
+            }
+            if (allQuiet) {
+              if (mq.decode(CtxRL) == 0) y = yEnd // whole column stays zero
+              else {
+                val r = (mq.decode(CtxUNI) << 1) | mq.decode(CtxUNI)
+                y = y0 + r
+                val p = y * w + x
+                st.sig(p) = true
+                mag(p) |= 1 << bp
+                val sc = st.scCtx(x, y)
+                st.neg(p) = (mq.decode(sc & 0xFF) ^ (sc >>> 8)) == 1
+                y += 1
+              }
+            }
+          }
+          while (y < yEnd) {
+            val p = y * w + x
+            if (!st.sig(p) && !st.visited(p)) {
+              if (mq.decode(st.zcCtx(x, y)) == 1) {
+                st.sig(p) = true
+                mag(p) |= 1 << bp
+                val sc = st.scCtx(x, y)
+                st.neg(p) = (mq.decode(sc & 0xFF) ^ (sc >>> 8)) == 1
+              }
+            }
+            y += 1
+          }
+          x += 1
+        }
+        y0 += 4
+      }
+    }
+
+    var bp = np - 1
+    var passType = 2 // the MSB plane starts with (and only has) cleanup
+    var left = numPasses
+    while (left > 0) {
+      if (bp < 0) fail("more coding passes than bitplanes")
+      passType match {
+        case 0 => sppPass(bp)
+        case 1 => mrpPass(bp)
+        case 2 => cupPass(bp)
+      }
+      left -= 1
+      if (passType == 2) {
+        java.util.Arrays.fill(st.visited, false)
+        bp -= 1
+        passType = 0
+      } else passType += 1
+    }
+
+    val out = new Array[Int](w * h)
+    var p = 0
+    while (p < w * h) {
+      out(p) = if (st.neg(p)) -mag(p) else mag(p)
+      p += 1
+    }
+    out
+  }
+
+  /** Encode one codeblock: all 3·np−2 passes into a single MQ codeword
+    * segment. Returns (numPasses, bytes); np == 0 (all-zero block) never
+    * reaches here — the caller excludes the block from its packet. */
+  private def t1Encode(coeffs: Array[Int], w: Int, h: Int, orient: Int,
+                       np: Int): (Int, Array[Byte]) = {
+    val st = new T1State(w, h, orient)
+    val mq = new MQEnc()
+    @inline def absAt(p: Int): Int = math.abs(coeffs(p))
+    @inline def bitAt(p: Int, bp: Int): Int = (absAt(p) >>> bp) & 1
+    @inline def negAt(p: Int): Boolean = coeffs(p) < 0
+
+    def codeSig(x: Int, y: Int, p: Int, bp: Int): Unit = {
+      st.sig(p) = true
+      st.neg(p) = negAt(p)
+      val sc = st.scCtx(x, y)
+      // the sample's own significance is not in its sign neighbourhood,
+      // so setting sig first is safe and keeps later samples consistent
+      mq.encode(sc & 0xFF, (if (negAt(p)) 1 else 0) ^ (sc >>> 8))
+    }
+
+    def sppPass(bp: Int): Unit = {
+      var y0 = 0
+      while (y0 < h) {
+        var x = 0
+        while (x < w) {
+          var y = y0
+          val yEnd = math.min(y0 + 4, h)
+          while (y < yEnd) {
+            val p = y * w + x
+            if (!st.sig(p) && !st.zcCtx0(x, y)) {
+              val v = bitAt(p, bp)
+              mq.encode(st.zcCtx(x, y), v)
+              if (v == 1) codeSig(x, y, p, bp)
+              st.visited(p) = true
+            }
+            y += 1
+          }
+          x += 1
+        }
+        y0 += 4
+      }
+    }
+
+    def mrpPass(bp: Int): Unit = {
+      var y0 = 0
+      while (y0 < h) {
+        var x = 0
+        while (x < w) {
+          var y = y0
+          val yEnd = math.min(y0 + 4, h)
+          while (y < yEnd) {
+            val p = y * w + x
+            if (st.sig(p) && !st.visited(p)) {
+              mq.encode(st.mrCtx(x, y), bitAt(p, bp))
+              st.refined(p) = true
+            }
+            y += 1
+          }
+          x += 1
+        }
+        y0 += 4
+      }
+    }
+
+    def cupPass(bp: Int): Unit = {
+      var y0 = 0
+      while (y0 < h) {
+        var x = 0
+        while (x < w) {
+          var y = y0
+          val yEnd = math.min(y0 + 4, h)
+          if (y0 + 4 <= h) {
+            var allQuiet = true
+            var k = 0
+            while (k < 4 && allQuiet) {
+              val p = (y0 + k) * w + x
+              if (st.sig(p) || st.visited(p) || !st.zcCtx0(x, y0 + k))
+                allQuiet = false
+              k += 1
+            }
+            if (allQuiet) {
+              var r = -1
+              var k2 = 0
+              while (k2 < 4 && r < 0) {
+                if (bitAt((y0 + k2) * w + x, bp) == 1) r = k2
+                k2 += 1
+              }
+              if (r < 0) { mq.encode(CtxRL, 0); y = yEnd }
+              else {
+                mq.encode(CtxRL, 1)
+                mq.encode(CtxUNI, (r >>> 1) & 1)
+                mq.encode(CtxUNI, r & 1)
+                y = y0 + r
+                val p = y * w + x
+                codeSig(x, y, p, bp) // sets sig + codes the sign
+                y += 1
+              }
+            }
+          }
+          while (y < yEnd) {
+            val p = y * w + x
+            if (!st.sig(p) && !st.visited(p)) {
+              val v = bitAt(p, bp)
+              mq.encode(st.zcCtx(x, y), v)
+              if (v == 1) codeSig(x, y, p, bp)
+            }
+            y += 1
+          }
+          x += 1
+        }
+        y0 += 4
+      }
+    }
+
+    var bp = np - 1
+    var passType = 2
+    var passes = 0
+    val total = 3 * np - 2
+    while (passes < total) {
+      passType match {
+        case 0 => sppPass(bp)
+        case 1 => mrpPass(bp)
+        case 2 => cupPass(bp)
+      }
+      passes += 1
+      if (passType == 2) {
+        java.util.Arrays.fill(st.visited, false)
+        bp -= 1
+        passType = 0
+      } else passType += 1
+    }
+    (total, mq.finish())
+  }
+
+  // ---------------------- reversible 5/3 integer wavelet (Annex F)
+
+  // All ranges start at 0 (no image/tile offsets), so the even/odd lattice
+  // parity is fixed and whole-sample symmetric extension reflects around
+  // the range ends: idx < 0 -> -idx, idx >= len -> 2(len-1) - idx.
+
+  /** Forward 5/3 on `x[0,len)` into interleaved `y` (low at even idx). */
+  private def fwd1d(x: Array[Int], len: Int, y: Array[Int]): Unit = {
+    if (len == 1) { y(0) = x(0); return }
+    @inline def xe(i: Int): Int =
+      x(if (i < 0) -i else if (i >= len) 2 * (len - 1) - i else i)
+    var i = 1
+    while (i < len) { // highpass: predicts odd from even neighbours
+      y(i) = x(i) - ((xe(i - 1) + xe(i + 1)) >> 1)
+      i += 2
+    }
+    @inline def yo(i: Int): Int = // reflections of odd indices stay odd
+      y(if (i < 0) -i else if (i >= len) 2 * (len - 1) - i else i)
+    var j = 0
+    while (j < len) { // lowpass update from the new highpass values
+      y(j) = x(j) + ((yo(j - 1) + yo(j + 1) + 2) >> 2)
+      j += 2
+    }
+  }
+
+  /** Inverse 5/3: interleaved `y` back to the spatial signal `x`. */
+  private def inv1d(y: Array[Int], len: Int, x: Array[Int]): Unit = {
+    if (len == 1) { x(0) = y(0); return }
+    @inline def ye(i: Int): Int =
+      y(if (i < 0) -i else if (i >= len) 2 * (len - 1) - i else i)
+    var i = 0
+    while (i < len) {
+      x(i) = y(i) - ((ye(i - 1) + ye(i + 1) + 2) >> 2)
+      i += 2
+    }
+    @inline def xev(i: Int): Int = // reflections of even indices stay even
+      x(if (i < 0) -i else if (i >= len) 2 * (len - 1) - i else i)
+    var j = 1
+    while (j < len) {
+      x(j) = y(j) + ((xev(j - 1) + xev(j + 1)) >> 1)
+      j += 2
+    }
+  }
+
+  /** One forward decomposition of a w0*h0 array: columns first, then rows
+    * (the spec's 2D_SD order; its 2D_SR inverse therefore runs rows
+    * first). Returns (LL, HL, LH, HH) with LL sized ceil(w0/2)*ceil(h0/2). */
+  private def fwdLevel(a: Array[Int], w0: Int,
+                       h0: Int): (Array[Int], Array[Int], Array[Int], Array[Int]) = {
+    val wl = (w0 + 1) / 2
+    val hl = (h0 + 1) / 2
+    val tmp = new Array[Int](w0 * h0)
+    val colIn = new Array[Int](h0)
+    val colOut = new Array[Int](h0)
+    var x = 0
+    while (x < w0) {
+      var y = 0
+      while (y < h0) { colIn(y) = a(y * w0 + x); y += 1 }
+      fwd1d(colIn, h0, colOut)
+      var k = 0
+      while (k < h0) { // deinterleave: vertical-low rows on top
+        val row = if (k % 2 == 0) k / 2 else hl + k / 2
+        tmp(row * w0 + x) = colOut(k)
+        k += 1
+      }
+      x += 1
+    }
+    val rowIn = new Array[Int](w0)
+    val rowOut = new Array[Int](w0)
+    val out = new Array[Int](w0 * h0)
+    var yy = 0
+    while (yy < h0) {
+      System.arraycopy(tmp, yy * w0, rowIn, 0, w0)
+      fwd1d(rowIn, w0, rowOut)
+      var k = 0
+      while (k < w0) {
+        val cx = if (k % 2 == 0) k / 2 else wl + k / 2
+        out(yy * w0 + cx) = rowOut(k)
+        k += 1
+      }
+      yy += 1
+    }
+    def quad(x0: Int, y0: Int, qw: Int, qh: Int): Array[Int] = {
+      val q = new Array[Int](qw * qh)
+      var j = 0
+      while (j < qh) {
+        System.arraycopy(out, (y0 + j) * w0 + x0, q, j * qw, qw)
+        j += 1
+      }
+      q
+    }
+    (quad(0, 0, wl, hl), quad(wl, 0, w0 - wl, hl),
+      quad(0, hl, wl, h0 - hl), quad(wl, hl, w0 - wl, h0 - hl))
+  }
+
+  /** One inverse decomposition: rows first, then columns (2D_SR). */
+  private def invLevel(ll: Array[Int], hlB: Array[Int], lhB: Array[Int],
+                       hhB: Array[Int], w0: Int, h0: Int): Array[Int] = {
+    val wl = (w0 + 1) / 2
+    val hl = (h0 + 1) / 2
+    // assemble the deinterleaved quadrant layout
+    val q = new Array[Int](w0 * h0)
+    var j = 0
+    while (j < hl) {
+      System.arraycopy(ll, j * wl, q, j * w0, wl)
+      System.arraycopy(hlB, j * (w0 - wl), q, j * w0 + wl, w0 - wl)
+      j += 1
+    }
+    while (j < h0) {
+      System.arraycopy(lhB, (j - hl) * wl, q, j * w0, wl)
+      System.arraycopy(hhB, (j - hl) * (w0 - wl), q, j * w0 + wl, w0 - wl)
+      j += 1
+    }
+    val rowY = new Array[Int](w0)
+    val rowX = new Array[Int](w0)
+    var yy = 0
+    while (yy < h0) { // interleave each row then synthesize
+      var k = 0
+      while (k < w0) {
+        rowY(k) = q(yy * w0 + (if (k % 2 == 0) k / 2 else wl + k / 2))
+        k += 1
+      }
+      inv1d(rowY, w0, rowX)
+      System.arraycopy(rowX, 0, q, yy * w0, w0)
+      yy += 1
+    }
+    val colY = new Array[Int](h0)
+    val colX = new Array[Int](h0)
+    var x = 0
+    while (x < w0) {
+      var k = 0
+      while (k < h0) {
+        colY(k) = q((if (k % 2 == 0) k / 2 else hl + k / 2) * w0 + x)
+        k += 1
+      }
+      inv1d(colY, h0, colX)
+      k = 0
+      while (k < h0) { q(k * w0 + x) = colX(k); k += 1 }
+      x += 1
+    }
+    q
+  }
+
+  // ------------------------------------------------ subband geometry
+
+  /** Band inside one resolution: orientation 0 LL / 1 HL / 2 LH / 3 HH,
+    * its decomposition level, and its size (origin is always 0 here). */
+  private final case class Band(orient: Int, lev: Int, w: Int, h: Int)
+
+  private def ceilShift(v: Int, n: Int): Int = {
+    // ceil(v / 2^n) without overflow for v <= 2^26, n <= 32
+    val d = 1L << math.min(n, 30)
+    ((v + d - 1) / d).toInt
+  }
+
+  /** Bands per resolution r = 0..levels (codestream packet order). */
+  private def bandsOf(xSiz: Int, ySiz: Int, levels: Int): Vector[Vector[Band]] = {
+    def lx(n: Int) = ceilShift(xSiz, n)
+    def ly(n: Int) = ceilShift(ySiz, n)
+    (0 to levels).map { r =>
+      if (r == 0) Vector(Band(0, levels, lx(levels), ly(levels)))
+      else {
+        val n = levels - r + 1
+        Vector(
+          Band(1, n, lx(n - 1) - lx(n), ly(n)),
+          Band(2, n, lx(n), ly(n - 1) - ly(n)),
+          Band(3, n, lx(n - 1) - lx(n), ly(n - 1) - ly(n)))
+      }
+    }.toVector
+  }
+
+  /** Global QCD exponent index for resolution r, band position b. */
+  private def qcdIndex(r: Int, b: Int): Int =
+    if (r == 0) 0 else 1 + 3 * (r - 1) + b
+
+  // ------------------------------------------------ number of passes (B.10.6)
+
+  private def writeNumPasses(w: HdrWriter, n: Int): Unit = {
+    require(n >= 1 && n <= 164, s"coding-pass count $n out of range")
+    if (n == 1) w.bit(0)
+    else if (n == 2) { w.bit(1); w.bit(0) }
+    else if (n <= 5) { w.bits(3, 2); w.bits(n - 3, 2) }
+    else if (n <= 36) { w.bits(3, 2); w.bits(3, 2); w.bits(n - 6, 5) }
+    else { w.bits(3, 2); w.bits(3, 2); w.bits(31, 5); w.bits(n - 37, 7) }
+  }
+
+  private def readNumPasses(r: HdrReader): Int = {
+    if (r.bit() == 0) 1
+    else if (r.bit() == 0) 2
+    else {
+      val v = r.bits(2)
+      if (v < 3) 3 + v
+      else {
+        val v2 = r.bits(5)
+        if (v2 < 31) 6 + v2 else 37 + r.bits(7)
+      }
+    }
+  }
+
+  // ------------------------------------------------------ encoder
+
+  /** Encode `depth`-bit unsigned row-major samples as a raw JPC
+    * codestream (single component, reversible 5/3, one quality layer,
+    * maximal precincts — the g2clib/jasper GRIB profile). `cblkExp` is
+    * log2 of the (square) codeblock side, 2..6. */
+  def encode(samples: Array[Int], width: Int, height: Int, depth: Int,
+             levels: Int = 5, cblkExp: Int = 6, guard: Int = 2): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width.toLong * height <= (1L << 26),
+      s"image $width x $height out of supported bounds")
+    require(samples.length == width * height, "samples must cover the image")
+    require(depth >= 1 && depth <= 26, s"sample depth $depth (1..26)")
+    require(levels >= 0 && levels <= 20, s"decomposition levels $levels")
+    require(cblkExp >= 2 && cblkExp <= 6, s"codeblock exponent $cblkExp")
+    require(guard >= 1 && guard <= 7, s"guard bits $guard")
+    val dcShift = 1 << (depth - 1)
+    require(samples.forall(s => s >= 0 && s < (1 << depth)),
+      s"samples exceed $depth-bit unsigned range")
+
+    // multi-level forward DWT; collect band coefficients per resolution
+    val bands = bandsOf(width, height, levels)
+    val bandCoef = Array.ofDim[Array[Int]](levels + 1, 3)
+    var cur = samples.map(_ - dcShift)
+    var cw = width
+    var ch = height
+    var n = 1
+    while (n <= levels) {
+      val (ll, hlB, lhB, hhB) = fwdLevel(cur, cw, ch)
+      val r = levels - n + 1 // resolution this level's detail bands join
+      bandCoef(r)(0) = hlB
+      bandCoef(r)(1) = lhB
+      bandCoef(r)(2) = hhB
+      cur = ll
+      cw = (cw + 1) / 2
+      ch = (ch + 1) / 2
+      n += 1
+    }
+    val llCoef = cur // resolution 0
+
+    // per-band exponents so Mb = guard + eps - 1 covers the magnitudes
+    val nBandsGlobal = 3 * levels + 1
+    val eps = new Array[Int](nBandsGlobal)
+    val mbs = new Array[Int](nBandsGlobal)
+    for (r <- 0 to levels; b <- bands(r).indices) {
+      val coef = if (r == 0) llCoef else bandCoef(r)(b)
+      var maxMag = 0
+      var i = 0
+      while (i < coef.length) {
+        val m = math.abs(coef(i))
+        if (m > maxMag) maxMag = m
+        i += 1
+      }
+      val needBits = math.max(1, 32 - Integer.numberOfLeadingZeros(maxMag))
+      val e = math.max(1, needBits - guard + 1)
+      require(e <= 31, s"band dynamic range needs exponent $e > 31")
+      val gi = qcdIndex(r, b)
+      eps(gi) = e
+      mbs(gi) = guard + e - 1
+      require(mbs(gi) <= 30, s"Mb ${mbs(gi)} exceeds 30 magnitude bits")
+    }
+
+    // T1-encode every codeblock and assemble one packet per resolution
+    val cb = 1 << cblkExp
+    val packets = (0 to levels).map { r =>
+      val hdr = new HdrWriter
+      val body = new java.io.ByteArrayOutputStream()
+      // first decide whether ANY codeblock contributes
+      final case class Enc(bandPos: Int, i: Int, j: Int, zbp: Int,
+                           nPasses: Int, data: Array[Byte])
+      val encs = scala.collection.mutable.ArrayBuffer[Enc]()
+      val grids = bands(r).map(b => (ceilShift(b.w, cblkExp), ceilShift(b.h, cblkExp)))
+      for (bp <- bands(r).indices) {
+        val band = bands(r)(bp)
+        val coef = if (r == 0) llCoef else bandCoef(r)(bp)
+        val (ncx, ncy) = grids(bp)
+        val mb = mbs(qcdIndex(r, bp))
+        for (j <- 0 until ncy; i <- 0 until ncx) {
+          val x0 = i * cb
+          val y0 = j * cb
+          val w = math.min(cb, band.w - x0)
+          val h = math.min(cb, band.h - y0)
+          val blk = new Array[Int](w * h)
+          var yy = 0
+          while (yy < h) {
+            System.arraycopy(coef, (y0 + yy) * band.w + x0, blk, yy * w, w)
+            yy += 1
+          }
+          var maxMag = 0
+          var k = 0
+          while (k < blk.length) {
+            val m = math.abs(blk(k)); if (m > maxMag) maxMag = m; k += 1
+          }
+          if (maxMag > 0) {
+            val np = 32 - Integer.numberOfLeadingZeros(maxMag)
+            val (nPasses, data) = t1Encode(blk, w, h, band.orient, np)
+            encs += Enc(bp, i, j, mb - np, nPasses, data)
+          }
+        }
+      }
+      if (encs.isEmpty) hdr.bit(0) // empty packet
+      else {
+        hdr.bit(1)
+        val byKey = encs.map(e => ((e.bandPos, e.i, e.j), e)).toMap
+        for (bp <- bands(r).indices) {
+          val (ncx, ncy) = grids(bp)
+          if (ncx > 0 && ncy > 0) {
+            val incl = new TagTree(ncx, ncy)
+            val zbpT = new TagTree(ncx, ncy)
+            for (j <- 0 until ncy; i <- 0 until ncx) {
+              val e = byKey.get((bp, i, j))
+              incl.set(i, j, if (e.isDefined) 0 else 1)
+              zbpT.set(i, j, e.map(_.zbp).getOrElse(0))
+            }
+            incl.seal(); zbpT.seal()
+            for (j <- 0 until ncy; i <- 0 until ncx) {
+              incl.encode(hdr, i, j, 1)
+              byKey.get((bp, i, j)).foreach { e =>
+                var t = 1
+                while (t <= e.zbp + 1) { zbpT.encode(hdr, i, j, t); t += 1 }
+                writeNumPasses(hdr, e.nPasses)
+                val floorLog = 31 - Integer.numberOfLeadingZeros(e.nPasses)
+                val needBits = math.max(1,
+                  32 - Integer.numberOfLeadingZeros(e.data.length))
+                val lblock = math.max(3, needBits - floorLog)
+                var k = 3
+                while (k < lblock) { hdr.bit(1); k += 1 }
+                hdr.bit(0)
+                hdr.bits(e.data.length, lblock + floorLog)
+                body.write(e.data)
+              }
+            }
+          }
+        }
+      }
+      hdr.finish() ++ body.toByteArray
+    }
+
+    // ---- marker framing ----
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v >>> 8); u8(v) }
+    def u32(v: Long): Unit = { u16((v >>> 16).toInt); u16(v.toInt) }
+    u16(0xFF4F) // SOC
+    u16(0xFF51) // SIZ
+    u16(38 + 3) // Lsiz: 38 + 3 per component, 1 component
+    u16(0) // Rsiz: full Part 1
+    u32(width); u32(height); u32(0); u32(0) // image grid, no offset
+    u32(width); u32(height); u32(0); u32(0) // one tile covering the image
+    u16(1) // Csiz
+    u8(depth - 1); u8(1); u8(1) // unsigned depth, no subsampling
+    u16(0xFF52) // COD
+    u16(12) // Lcod (no precinct list)
+    u8(0) // Scod: maximal precincts, no SOP, no EPH
+    u8(0) // progression LRCP
+    u16(1) // one quality layer
+    u8(0) // no component transform
+    u8(levels)
+    u8(cblkExp - 2); u8(cblkExp - 2) // codeblock width/height exponents
+    u8(0) // codeblock style: none of the Part-1 options
+    u8(1) // transform: 5/3 reversible
+    u16(0xFF5C) // QCD
+    u16(3 + nBandsGlobal) // Lqcd
+    u8(guard << 5) // Sqcd: no quantization + guard bits
+    var gi = 0
+    while (gi < nBandsGlobal) { u8(eps(gi) << 3); gi += 1 }
+    val tileBody = packets.reduce(_ ++ _)
+    u16(0xFF90) // SOT
+    u16(10)
+    u16(0) // Isot
+    u32(12L + 2L + tileBody.length) // Psot: SOT..end of tile data
+    u8(0); u8(1) // TPsot 0 of 1
+    u16(0xFF93) // SOD
+    out.write(tileBody)
+    u16(0xFFD9) // EOC
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------ decoder
+
+  def decode(bytes: Array[Byte]): Image = {
+    if (bytes.length >= 12 && bytes(0) == 0 && bytes(1) == 0 &&
+      bytes(2) == 0 && (bytes(3) & 0xFF) == 0x0C &&
+      (bytes(4) & 0xFF) == 0x6A && (bytes(5) & 0xFF) == 0x50)
+      unsupported("JP2 box container (GRIB carries a raw codestream)")
+    if (bytes.length < 4 || (bytes(0) & 0xFF) != 0xFF ||
+      (bytes(1) & 0xFF) != 0x4F) fail("missing SOC marker")
+    @inline def u8(o: Int): Int = {
+      if (o >= bytes.length) fail("truncated codestream")
+      bytes(o) & 0xFF
+    }
+    @inline def u16(o: Int): Int = (u8(o) << 8) | u8(o + 1)
+    @inline def u32(o: Int): Long =
+      (u16(o).toLong << 16) | u16(o + 2).toLong
+
+    var pos = 2
+    var width = -1
+    var height = -1
+    var depth = -1
+    var levels = -1
+    var cbExp = -1
+    var sop = false
+    var eph = false
+    var guard = -1
+    var eps: Array[Int] = null
+    var bodyFrom = -1
+    var bodyUntil = -1
+
+    var scanning = true
+    while (scanning) {
+      val m = u16(pos)
+      m match {
+        case 0xFF51 => // SIZ
+          val l = u16(pos + 2)
+          if (l < 41) fail("SIZ too short")
+          val rsiz = u16(pos + 4)
+          if (rsiz > 2) unsupported(s"Rsiz profile $rsiz")
+          val xs = u32(pos + 6); val ys = u32(pos + 10)
+          val xo = u32(pos + 14); val yo = u32(pos + 18)
+          val xt = u32(pos + 22); val yt = u32(pos + 26)
+          val xto = u32(pos + 30); val yto = u32(pos + 34)
+          if (xo != 0 || yo != 0 || xto != 0 || yto != 0)
+            unsupported("non-zero image/tile offsets")
+          if (xs < 1 || ys < 1 || xs * ys > (1L << 26))
+            fail(s"image ${xs}x$ys out of supported bounds")
+          if (xt < xs || yt < ys) unsupported("multiple tiles")
+          val csiz = u16(pos + 38)
+          if (csiz != 1) unsupported(s"$csiz components (single-component GRIB profile)")
+          val ssiz = u8(pos + 40)
+          if ((ssiz & 0x80) != 0) unsupported("signed samples")
+          depth = (ssiz & 0x7F) + 1
+          if (depth > 28) fail(s"sample depth $depth")
+          if (u8(pos + 41) != 1 || u8(pos + 42) != 1)
+            unsupported("component subsampling")
+          width = xs.toInt; height = ys.toInt
+          pos += 2 + l
+        case 0xFF52 => // COD
+          val l = u16(pos + 2)
+          val scod = u8(pos + 4)
+          if ((scod & 0x01) != 0) unsupported("user-defined precincts")
+          sop = (scod & 0x02) != 0
+          eph = (scod & 0x04) != 0
+          // progression order: with one component, one layer and one
+          // precinct per resolution every Part-1 order enumerates the
+          // packets in increasing resolution — accept all five
+          if (u8(pos + 5) > 4) fail(s"progression order ${u8(pos + 5)}")
+          if (u16(pos + 6) != 1) unsupported("multiple quality layers")
+          if (u8(pos + 8) != 0) unsupported("multi-component transform")
+          levels = u8(pos + 9)
+          if (levels > 20) fail(s"$levels decomposition levels")
+          val cbw = u8(pos + 10) + 2
+          val cbh = u8(pos + 11) + 2
+          if (cbw != cbh || cbw > 10) unsupported(
+            s"codeblock geometry 2^$cbw x 2^$cbh (square 4..64 supported)")
+          if (cbw > 6) unsupported(s"codeblock side 2^$cbw > 64")
+          cbExp = cbw
+          if (u8(pos + 12) != 0)
+            unsupported("codeblock style options (bypass/reset/termall/vsc/segsym)")
+          if (u8(pos + 13) != 1) unsupported("9/7 irreversible transform")
+          pos += 2 + l
+        case 0xFF5C => // QCD
+          val l = u16(pos + 2)
+          val sqcd = u8(pos + 4)
+          if ((sqcd & 0x1F) != 0)
+            unsupported("quantization (reversible streams carry style 0)")
+          guard = sqcd >>> 5
+          eps = Array.tabulate(l - 3)(k => u8(pos + 5 + k) >>> 3)
+          pos += 2 + l
+        case 0xFF64 | 0xFF55 | 0xFF57 | 0xFF58 => // COM/TLM/PLM/PLT
+          pos += 2 + u16(pos + 2)
+        case 0xFF53 | 0xFF5D | 0xFF5E | 0xFF5F | 0xFF60 | 0xFF61 =>
+          unsupported(f"marker 0x$m%04X (COC/QCC/RGN/POC/PPM/PPT)")
+        case 0xFF90 => // SOT
+          if (width < 0 || levels < 0 || eps == null)
+            fail("SOT before SIZ/COD/QCD")
+          if (u16(pos + 2) != 10) fail("bad Lsot")
+          if (u16(pos + 4) != 0) unsupported("multiple tiles")
+          val psot = u32(pos + 6)
+          if (u8(pos + 10) != 0) unsupported("multiple tile-parts")
+          if (u16(pos + 12) != 0xFF93) fail("SOT not followed by SOD")
+          bodyFrom = pos + 14
+          bodyUntil =
+            if (psot == 0) bytes.length - 2
+            else {
+              if (pos + psot > bytes.length) fail("Psot exceeds the stream")
+              (pos + psot).toInt
+            }
+          scanning = false
+        case 0xFFD9 => fail("EOC before any tile")
+        case _ => fail(f"unknown marker 0x$m%04X")
+      }
+    }
+
+    val bands = bandsOf(width, height, levels)
+    if (eps.length != 3 * levels + 1)
+      fail(s"QCD carries ${eps.length} exponents for ${3 * levels + 1} bands")
+
+    // tier-2: walk the resolution packets, slicing codeblock segments
+    val bandCoef = bands.map(_.map(b => new Array[Int](b.w * b.h)))
+    val rdr = new HdrReader(bytes, bodyFrom)
+    var dataPos = -1 // set after each packet header
+    for (r <- 0 to levels) {
+      if (sop) { // FF91 00 04 Nsop(2)
+        if (u16(rdr.pos) != 0xFF91) fail("missing SOP marker")
+        rdr.pos += 6
+      }
+      final case class Seg(bandPos: Int, i: Int, j: Int, zbp: Int,
+                           nPasses: Int, from: Int, until: Int)
+      val segs = scala.collection.mutable.ArrayBuffer[Seg]()
+      if (rdr.pos >= bodyUntil) fail("tile data ends before the last packet")
+      var segOff = 0
+      if (rdr.bit() == 1) {
+        for (bp <- bands(r).indices) {
+          val band = bands(r)(bp)
+          val ncx = ceilShift(band.w, cbExp)
+          val ncy = ceilShift(band.h, cbExp)
+          if (ncx > 0 && ncy > 0) {
+            val incl = new TagTree(ncx, ncy)
+            val zbpT = new TagTree(ncx, ncy)
+            val mb = guard + eps(qcdIndex(r, bp)) - 1
+            if (mb > 30) fail(s"Mb $mb exceeds 30 magnitude bits")
+            for (j <- 0 until ncy; i <- 0 until ncx) {
+              if (incl.decode(rdr, i, j, 1)) {
+                var t = 1
+                while (!zbpT.decode(rdr, i, j, t)) {
+                  t += 1
+                  if (t > 40) fail("runaway zero-bitplane tag tree")
+                }
+                val zbp = zbpT.current(i, j)
+                if (zbp > mb) fail(s"$zbp zero bitplanes with Mb $mb")
+                val nPasses = readNumPasses(rdr)
+                var lblock = 3
+                while (rdr.bit() == 1) {
+                  lblock += 1
+                  if (lblock > 32) fail("runaway Lblock signalling")
+                }
+                val floorLog = 31 - Integer.numberOfLeadingZeros(nPasses)
+                val len = rdr.bits(lblock + floorLog)
+                segs += Seg(bp, i, j, zbp, nPasses, segOff, segOff + len)
+                segOff += len
+              }
+            }
+          }
+        }
+      }
+      rdr.align()
+      if (eph) {
+        if (u16(rdr.pos) != 0xFF92) fail("missing EPH marker")
+        rdr.pos += 2
+      }
+      dataPos = rdr.pos
+      if (dataPos + segOff > bodyUntil)
+        fail("codeblock segments exceed the tile data")
+      for (s <- segs) {
+        val band = bands(r)(s.bandPos)
+        val x0 = s.i << cbExp
+        val y0 = s.j << cbExp
+        val w = math.min(1 << cbExp, band.w - x0)
+        val h = math.min(1 << cbExp, band.h - y0)
+        val mb = guard + eps(qcdIndex(r, s.bandPos)) - 1
+        val np = mb - s.zbp
+        val blk = t1Decode(w, h, band.orient, np, s.nPasses,
+          bytes, dataPos + s.from, dataPos + s.until)
+        val dst = bandCoef(r)(s.bandPos)
+        var yy = 0
+        while (yy < h) {
+          System.arraycopy(blk, yy * w, dst, (y0 + yy) * band.w + x0, w)
+          yy += 1
+        }
+      }
+      rdr.pos = dataPos + segOff
+    }
+
+    // inverse DWT from the coarsest LL up
+    var cur = bandCoef(0)(0)
+    for (r <- 1 to levels) {
+      val n = levels - r + 1
+      val w0 = ceilShift(width, n - 1)
+      val h0 = ceilShift(height, n - 1)
+      cur = invLevel(cur, bandCoef(r)(0), bandCoef(r)(1), bandCoef(r)(2),
+        w0, h0)
+    }
+    val dcShift = 1 << (depth - 1)
+    val outSamples = new Array[Int](width * height)
+    var i = 0
+    while (i < outSamples.length) {
+      outSamples(i) = cur(i) + dcShift
+      i += 1
+    }
+    Image(width, height, depth, outSamples)
+  }
+}

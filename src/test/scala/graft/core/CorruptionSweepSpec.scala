@@ -190,6 +190,29 @@ class CorruptionSweepSpec extends AnyFunSuite {
     assert(failed > 0, "no corruption failed — the sweep is vacuous")
   }
 
+  test("grib2 jpeg2000 (5.40): corruption never crashes, only fails by name") {
+    // exercises the full J2K decode surface through the GRIB section walk:
+    // marker parse, packet headers, tag trees, MQ/EBCOT passes, 5/3 DWT
+    val dir = tmpDir
+    val p = s"$dir/clean40.grib2"
+    val nx = 17; val ny = 11
+    graft.grib.Grib2.writeJpeg2000(p,
+      Array.tabulate(nx * ny)(i =>
+        if (i % 9 == 4) Double.NaN else ((i * 29) % 211).toDouble), nx, ny,
+      la1 = 40.0, lo1 = 250.0, dLat = 0.5, dLon = 0.5,
+      discipline = 0, category = 0, number = 0,
+      refTimeEpochSec = 1600000000L, cblkExp = 3)
+    val orig = Files.readAllBytes(Paths.get(p))
+    val target = s"$dir/mut40.grib2"
+    val (ok, failed) = sweep(orig, orig.length, { bytes =>
+      Files.write(Paths.get(target), bytes)
+      val msgs = graft.grib.Grib2.scan(target)
+      msgs.foreach(m => graft.grib.Grib2.decodeValues(target, m))
+    })
+    info(s"grib2 j2k sweep: $ok corruptions read, $failed failed diagnosably")
+    assert(failed > 0, "no corruption failed — the sweep is vacuous")
+  }
+
   /** Zarr stores are directories (JSON metadata + chunk objects), so the
     * sweep runs per store file: every byte of every metadata document and
     * a strided sample of every chunk payload, for BOTH formats (v3

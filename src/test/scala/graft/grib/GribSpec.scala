@@ -264,6 +264,57 @@ class GribSpec extends AnyFunSuite {
       assert(math.abs(got(i) - values(i)) < 1e-9, s"refs cell $i"))
   }
 
+  test("jpeg2000 packing (5.40) round-trips non-constant fields") {
+    val dir = Files.createTempDirectory("graft_grib_j2k").toString
+    val nx = 23; val ny = 9
+    val rng = new scala.util.Random(53)
+    // spans chosen to land on 8-, 14- and 21-bit JPC depths
+    Seq(2.0, 120.0, 17000.0).foreach { span =>
+      val values = Array.tabulate(nx * ny)(i =>
+        math.rint(rng.nextDouble() * span * 100) / 100.0)
+      values(0) = 0.0 // anchor the minimum: R stays float32-exact
+      val path = s"$dir/j2k_$span.grib2"
+      Grib2.writeJpeg2000(path, values, nx, ny, la1 = 35.0, lo1 = 15.0,
+        dLat = 0.5, dLon = 0.5, discipline = 0, category = 0, number = 0,
+        refTimeEpochSec = 1700000000L, cblkExp = 3) // 8x8: many codeblocks
+      val m = Grib2.scan(path).head
+      assert(m.packing.template == 40, s"span $span")
+      assert(m.packing.nbits > 0, "non-constant: real codestream depth")
+      // section 7 must BE a JPC codestream (SOC marker), not raw bits
+      val bytes = Files.readAllBytes(Paths.get(path))
+      val soc = bytes.sliding(2).indexWhere(s =>
+        (s(0) & 0xFF) == 0xFF && (s(1) & 0xFF) == 0x4F)
+      assert(soc > 0, "no SOC marker in the message")
+      val got = Grib2.decodeValues(path, m)
+      values.indices.foreach(i => assert(math.abs(got(i) - values(i)) < 1e-9,
+        s"span $span point $i: ${got(i)} vs ${values(i)}"))
+    }
+    // bitmap: NaN holes pack only the defined points (ndpts x 1 image)
+    val holed = Array.tabulate(nx * ny)(i =>
+      if (i % 7 == 3) Double.NaN else math.rint(i * 31.7) / 10.0)
+    val hp = s"$dir/j2k_holes.grib2"
+    Grib2.writeJpeg2000(hp, holed, nx, ny, 35.0, 15.0, 0.5, 0.5,
+      0, 0, 0, refTimeEpochSec = 1700000000L, decimalScale = 1)
+    val hm = Grib2.scan(hp).head
+    assert(hm.bitmapIndicator == 0 && hm.packing.nValues < nx * ny)
+    val hGot = Grib2.decodeValues(hp, hm)
+    holed.indices.foreach { i =>
+      if (holed(i).isNaN) assert(hGot(i).isNaN, s"hole $i")
+      else assert(math.abs(hGot(i) - holed(i)) < 1e-9, s"cell $i")
+    }
+    // kerchunk refs stay header-only on scan and decode via the J2K codec
+    val values = Array.tabulate(nx * ny)(i => math.rint(i * 37.3) / 10.0)
+    val path = s"$dir/j2k_refs.grib2"
+    Grib2.writeJpeg2000(path, values, nx, ny, 35.0, 15.0, 0.5, 0.5,
+      0, 0, 0, refTimeEpochSec = 1700000000L, decimalScale = 1)
+    val virt = s"$dir/virt.zarr"
+    RefSet.scanGrib2(path).head.materialize(virt)
+    val got = ZarrGroup(virt).readFragment()
+      .allVars("TMP").data.data.asInstanceOf[Array[Double]]
+    values.indices.foreach(i =>
+      assert(math.abs(got(i) - values(i)) < 1e-9, s"refs cell $i"))
+  }
+
   test("kerchunk refs decode complex-packed messages via the grib2 codec") {
     val dir = Files.createTempDirectory("graft_grib_cxscan").toString
     val nx = 10; val ny = 6

@@ -1,0 +1,165 @@
+package graft.grib
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** JPEG 2000 codestream codec contracts. No independent JPEG2000 codec
+  * exists in this offline JVM, so the evidence is (a) lossless round
+  * trips over a torture grid of geometries/depths/levels/codeblock
+  * sizes, (b) byte-level marker-layout assertions against ISO 15444-1,
+  * and (c) named-error corruption contracts for every bounded loop. */
+class J2kSpec extends AnyFunSuite {
+
+  /** splitmix64-style avalanche so test fields have no linear structure. */
+  private def mix(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def field(w: Int, h: Int, depth: Int, seed: Long): Array[Int] = {
+    val mask = (1 << depth) - 1
+    Array.tabulate(w * h)(i => (mix(seed * 1315423911L + i) & mask).toInt)
+  }
+
+  private def roundTrip(w: Int, h: Int, depth: Int, seed: Long,
+                        levels: Int = 5, cblkExp: Int = 6): Unit = {
+    val in = field(w, h, depth, seed)
+    val bytes = J2K.encode(in, w, h, depth, levels, cblkExp)
+    val img = J2K.decode(bytes)
+    assert(img.width == w && img.height == h && img.depth == depth)
+    assert(java.util.Arrays.equals(img.samples, in),
+      s"lossless mismatch at ${w}x$h depth=$depth levels=$levels cblk=$cblkExp")
+  }
+
+  test("lossless round trip across a torture grid of geometries") {
+    // odd/even/prime sizes, 1-pixel edges, multi-codeblock bands
+    for ((w, h) <- Seq((1, 1), (1, 7), (8, 1), (2, 2), (3, 5), (17, 13),
+      (64, 64), (65, 33), (97, 41), (130, 3)))
+      roundTrip(w, h, depth = 8, seed = w * 1000L + h)
+  }
+
+  test("lossless round trip across sample depths 1..16 and 24") {
+    for (d <- (1 to 16) ++ Seq(24))
+      roundTrip(37, 29, d, seed = 7L * d)
+  }
+
+  test("lossless round trip across decomposition levels 0..8") {
+    for (l <- 0 to 8)
+      roundTrip(50, 40, depth = 10, seed = 99L + l, levels = l)
+  }
+
+  test("lossless round trip across codeblock sizes 4..64") {
+    for (e <- 2 to 6)
+      roundTrip(70, 55, depth = 12, seed = 5L * e, cblkExp = e)
+  }
+
+  test("degenerate fields: constant, all-zero, single spike") {
+    for (v <- Seq(0, 1, 200, 255)) {
+      val in = Array.fill(33 * 21)(v)
+      val out = J2K.decode(J2K.encode(in, 33, 21, 8))
+      assert(java.util.Arrays.equals(out.samples, in), s"constant $v")
+    }
+    val spike = Array.fill(64 * 64)(0)
+    spike(64 * 17 + 42) = 4095
+    val out = J2K.decode(J2K.encode(spike, 64, 64, 12))
+    assert(java.util.Arrays.equals(out.samples, spike))
+  }
+
+  test("a large structured+noisy field survives (the ECMWF-like shape)") {
+    val (w, h) = (360, 181) // a 1-degree global grid
+    val in = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      // smooth synoptic structure + avalanche noise, 14-bit range
+      val smooth = (6000 + 4000 * math.sin(x * 0.05) * math.cos(y * 0.08)).toInt
+      val noise = (mix(i * 31L) & 0x3FF).toInt
+      math.min((1 << 14) - 1, math.max(0, smooth + noise))
+    }
+    val bytes = J2K.encode(in, w, h, 14)
+    val img = J2K.decode(bytes)
+    assert(java.util.Arrays.equals(img.samples, in))
+    info(s"360x181 @14bit: ${bytes.length} bytes " +
+      s"(${"%.2f".format(bytes.length * 8.0 / (w * h))} bits/sample)")
+  }
+
+  test("marker layout is the spec's: SOC, SIZ geometry, COD, QCD, SOT, EOC") {
+    val bytes = J2K.encode(field(19, 11, 8, 3L), 19, 11, 8, levels = 3)
+    def u16(o: Int) = ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
+    def u32(o: Int) = (u16(o).toLong << 16) | u16(o + 2)
+    assert(u16(0) == 0xFF4F, "SOC")
+    assert(u16(2) == 0xFF51 && u16(4) == 41, "SIZ with one component")
+    assert(u32(8) == 19 && u32(12) == 11, "Xsiz/Ysiz")
+    assert(u32(24) == 19 && u32(28) == 11, "single tile covers the image")
+    assert(u16(40) == 1 && (bytes(42) & 0xFF) == 7, "Csiz=1, Ssiz=depth-1")
+    assert(u16(45) == 0xFF52 && (bytes(49) & 0xFF) == 0, "COD, Scod=0")
+    assert((bytes(54) & 0xFF) == 3, "decomposition levels")
+    assert((bytes(58) & 0xFF) == 1, "5/3 reversible transform")
+    assert(u16(59) == 0xFF5C, "QCD")
+    assert(u16(61) == 3 + 3 * 3 + 1, "Lqcd: one exponent per band")
+    assert(u16(bytes.length - 2) == 0xFFD9, "EOC")
+  }
+
+  test("corruption and unsupported variants fail by name") {
+    val good = J2K.encode(field(33, 17, 8, 11L), 33, 17, 8)
+    def failsWith(mut: Array[Byte] => Unit, needle: String): Unit = {
+      val b = good.clone(); mut(b)
+      val e = intercept[RuntimeException](J2K.decode(b))
+      assert((e.isInstanceOf[IllegalArgumentException] ||
+        e.isInstanceOf[UnsupportedOperationException]) &&
+        e.getMessage.contains(needle),
+        s"wanted '$needle', got ${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+    // not a codestream at all
+    intercept[IllegalArgumentException](J2K.decode("nope".getBytes))
+    // truncation mid-markers
+    intercept[IllegalArgumentException](
+      J2K.decode(java.util.Arrays.copyOfRange(good, 0, 30)))
+    failsWith(b => b(43) = 9.toByte, "subsampling") // XRsiz != 1
+    failsWith(b => b(42) = 0x87.toByte, "signed") // Ssiz sign bit
+    failsWith(b => b(41) = 2.toByte, "components") // Csiz = 2
+    failsWith(b => b(49) = 1.toByte, "precinct") // Scod bit 0
+    failsWith(b => b(52) = 2.toByte, "layers") // layers = 2 (low byte)
+    failsWith(b => b(58) = 0.toByte, "irreversible") // transform = 9/7
+    failsWith(b => b(57) = 0x3F.toByte, "codeblock style")
+    // QCD: quantization style != 0 (Sqcd at QCD+4 = offset 63)
+    failsWith(b => b(63) = (b(63) | 0x02).toByte, "quantization")
+    // huge image dims → bounds error before allocation
+    failsWith(b => { b(8) = 0x7F.toByte }, "bounds") // Xsiz ~2^31
+    // JP2 signature box
+    val jp2 = Array[Byte](0, 0, 0, 12, 0x6A, 0x50, 0x20, 0x20,
+      0x0D, 0x0A, 0x87.toByte, 0x0A) ++ good
+    val e = intercept[UnsupportedOperationException](J2K.decode(jp2))
+    assert(e.getMessage.contains("JP2"))
+  }
+
+  test("flipping payload bits never crashes: named error or wrong pixels") {
+    val in = field(40, 30, 10, 21L)
+    val good = J2K.encode(in, 40, 30, 10)
+    // find SOD, flip bytes after it at several offsets
+    var sod = -1
+    var i = 0
+    while (sod < 0 && i + 1 < good.length) {
+      if ((good(i) & 0xFF) == 0xFF && (good(i + 1) & 0xFF) == 0x93) sod = i
+      i += 1
+    }
+    assert(sod > 0)
+    var named = 0
+    var silent = 0
+    for (off <- sod + 2 until math.min(sod + 60, good.length - 2);
+         flip <- Seq(0x01, 0x80, 0xFF)) {
+      val b = good.clone()
+      b(off) = (b(off) ^ flip).toByte
+      try {
+        val img = J2K.decode(b)
+        // decoded without error: must still be shape-correct
+        assert(img.width == 40 && img.height == 30)
+        silent += 1
+      } catch {
+        case _: IllegalArgumentException | _: UnsupportedOperationException =>
+          named += 1
+      }
+    }
+    info(s"payload sweep: $named named errors, $silent silent decodes")
+    assert(named + silent > 0)
+  }
+}
