@@ -244,12 +244,17 @@ object Text {
     * head/middle/tail at the 33rd/66th percentiles. Surprisal is
     * log-free integer arithmetic (bit counts), so results are engine-
     * deterministic. Returns (doc_id, n_bigrams, sum_bits, ppl_milli,
-    * bucket); docs with fewer than 2 tokens are unscored and omitted. */
+    * bucket); docs with fewer than 2 tokens are unscored and omitted.
+    * The LM stays distributed: scoring joins broadcast it while it has
+    * at most `broadcastMaxBigrams` distinct bigrams and shuffle past
+    * that (a Wikipedia-scale clean slice reaches ~10^8 bigram rows). */
   def perplexityFilter(docs: DataFrame, clean: DataFrame,
                        idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame =
+                       textCol: String = "text",
+                       broadcastMaxBigrams: Long =
+                         TextOps.PplBroadcastMaxBigrams): DataFrame =
     TextOps.perplexityFilterOf(norm(docs, idCol, textCol),
-      norm(clean, idCol, textCol))
+      norm(clean, idCol, textCol), broadcastMaxBigrams)
 
   /** DSIR importance-weight data selection (t20, Xie et al. 2023,
     * arXiv:2302.03169): featurize every document as hashed bigrams,

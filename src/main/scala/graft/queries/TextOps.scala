@@ -1083,15 +1083,22 @@ object TextOps {
     * (exact percentile over BIGINT matches quantile_cont — the skill-
     * documented equivalence).
     *
-    * Scale shape: ONE clean-slice scan aggregates the vocab-sized bigram
-    * table, which is COLLECTED (the s04 broadcast-centroid pattern — the
-    * clean slice is a curated sample, so its bigram table is metadata-
-    * sized by design) and re-emitted as local relations; c1 and V derive
-    * driver-side with no rescan. Scoring is one corpus scan → explode →
-    * two broadcast joins → hash agg per doc, eagerly checkpointed so the
-    * tertile-threshold branch reads the materialized scores instead of
-    * re-planning the corpus scan. Exactly TWO FileScans total, pinned in
-    * PlanSpec (the naive derived-branch formulation planned EIGHT). */
+    * Scale shape: ONE clean-slice scan aggregates the bigram LM, which
+    * stays DISTRIBUTED (eagerly checkpointed; c1 and V derive from the
+    * checkpoint with no rescan). The clean slice is user-supplied: a
+    * realistic CCNet setup trains on gigabytes of Wikipedia whose
+    * word-bigram table is ~10^8 rows, far past anything a driver can
+    * collect — so the LM is never collect()ed. Scoring is one corpus
+    * scan → explode → two LM joins → hash agg per doc: the joins
+    * BROADCAST while the LM has at most [[PplBroadcastMaxBigrams]]
+    * distinct bigrams (one corpus pass, no shuffle of the doc-bigram
+    * mass) and fall back to SHUFFLE joins above it (the LM then cannot
+    * live in one executor; the doc bigrams exchange on their join keys
+    * instead). Both shapes are PlanSpec-pinned; the scored frame is
+    * eagerly checkpointed so the tertile-threshold branch reads the
+    * materialized scores instead of re-planning the corpus scan.
+    * Exactly TWO FileScans total (the naive derived-branch formulation
+    * planned EIGHT). */
   val PplCleanSources: Seq[String] = Seq("src0", "src1")
   val PplLang = "en"
 
@@ -1103,27 +1110,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Past this many distinct clean-slice bigrams the LM stops being
+    * broadcast and the scoring joins shuffle instead: ~1M (w1, w2, c2)
+    * rows is tens of MB serialized — comfortably under executor
+    * broadcast budgets — while a Wikipedia-scale LM (~10^8 rows) must
+    * exchange. */
+  val PplBroadcastMaxBigrams: Long = 1000000L
+
   /** t18's kernel over any (doc_id, text) target frame and a `clean`
     * trusted slice with the same columns (graft.ops.Text API). */
-  private[graft] def perplexityFilterOf(docs: DataFrame,
-                                        clean: DataFrame): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    // ONE clean-slice pass -> the LM, collected (vocab-sized) so the
-    // c1/V derivations never re-plan the scan
-    val c2Rows: Array[(String, String, Long)] = docBigramsOf(clean)
+  private[graft] def perplexityFilterOf(docs: DataFrame, clean: DataFrame,
+                                        broadcastMaxBigrams: Long =
+                                          PplBroadcastMaxBigrams): DataFrame = {
+    // ONE clean-slice pass -> the LM, kept DISTRIBUTED and eagerly
+    // checkpointed; c1/V derive from the checkpoint with no rescan.
+    // Never collected: the clean slice is user-supplied and its bigram
+    // table can reach ~10^8 rows (gigabytes of Wikipedia).
+    val c2 = docBigramsOf(clean)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      .as[(String, String, Long)].collect()
-    require(c2Rows.nonEmpty,
+      .localCheckpoint(true)
+    val n2 = c2.count() // a scalar off the checkpoint, not a collect
+    require(n2 > 0,
       "perplexityFilter: the clean slice yields no bigrams — the LM " +
         "cannot be trained (need docs with >= 2 tokens)")
-    val c1Map = c2Rows.groupBy(_._1).map { case (w, rs) => w -> rs.map(_._3).sum }
-    val v = c1Map.size.toLong
-    val c2 = c2Rows.toSeq.toDF("w1", "w2", "c2")
-    val c1 = c1Map.toSeq.toDF("w1", "c1")
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1")).localCheckpoint(true)
+    val v = c1.count() // context-vocabulary size: one long, same contract
+    val small = n2 <= broadcastMaxBigrams
+    val (jc2, jc1) =
+      if (small) (broadcast(c2), broadcast(c1))
+      else (c2.hint("shuffle_merge"), c1.hint("shuffle_merge"))
     // eager checkpoint: the thresholds branch reads the materialized
     // per-doc scores instead of re-planning the corpus scan
-    val scored = perplexityScoresLazy(docBigramsOf(docs), c2, c1, v)
+    val scored = perplexityScoresLazy(docBigramsOf(docs), jc2, jc1, v)
       .localCheckpoint(true)
     val thr = scored.agg(
       expr("percentile(ppl_milli, 0.33)").as("p33"),
@@ -1145,16 +1163,18 @@ object TextOps {
         "i -> struct(words[i-1] AS w1, words[i] AS w2))")).as("bg"))
     .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
 
-  /** The lazy scoring subtree (one corpus scan + two broadcast joins +
-    * one hash agg) — separated so PlanSpec can gate its physical shape,
-    * which the eager checkpoint in [[perplexityFilterOf]] would
-    * otherwise hide behind a `Scan ExistingRDD`. */
+  /** The lazy scoring subtree (one corpus scan + two LM joins + one hash
+    * agg) — separated so PlanSpec can gate its physical shape, which the
+    * eager checkpoint in [[perplexityFilterOf]] would otherwise hide
+    * behind a `Scan ExistingRDD`. The caller decides the join strategy
+    * by pre-hinting `c2`/`c1` (broadcast below the size threshold,
+    * unhinted → shuffle above it). */
   private[graft] def perplexityScoresLazy(docBigrams: DataFrame,
                                           c2: DataFrame, c1: DataFrame,
                                           v: Long): DataFrame =
     docBigrams
-      .join(broadcast(c2), Seq("w1", "w2"), "left")
-      .join(broadcast(c1), Seq("w1"), "left")
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
       .withColumn("s_bits",
         (length(expr(s"bin((coalesce(c1, 0L) + ${v}L) div (coalesce(c2, 0L) + 1))"))
           - 1).cast("long"))

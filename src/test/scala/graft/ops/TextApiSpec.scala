@@ -257,6 +257,11 @@ class TextApiSpec extends AnyFunSuite {
     val api = Text.perplexityFilter(renamedEn, clean, "id", "body")
       .orderBy("doc_id")
     same(api, graft.queries.TextOps.t18PerplexityFilter(spark, d))
+    // the past-threshold SHUFFLE path scores identically (threshold 0
+    // forces every LM join to exchange instead of broadcast)
+    same(Text.perplexityFilter(renamedEn, clean, "id", "body",
+      broadcastMaxBigrams = 0L).orderBy("doc_id"),
+      graft.queries.TextOps.t18PerplexityFilter(spark, d))
     // tertile sanity: all three buckets are non-empty and partition the
     // scored docs; head scores <= every tail score
     val byBucket = api.groupBy("bucket").count().collect()

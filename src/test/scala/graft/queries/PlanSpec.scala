@@ -224,19 +224,39 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("t18: scoring subtree is ONE corpus scan with broadcast LM joins") {
-    // gate the lazy scoring plan (the public query checkpoints eagerly
-    // and collects the clean-slice LM up front); the naive derived-branch
-    // formulation planned EIGHT FileScans — this pins the fix
+    // gate the lazy scoring plan (the public query checkpoints eagerly);
+    // the naive derived-branch formulation planned EIGHT FileScans —
+    // this pins the fix. Small LMs broadcast (the caller pre-hints).
     import spark.implicits._
     val docs = Tables.documents(spark, d)
       .filter(org.apache.spark.sql.functions.col("lang") === TextOps.PplLang)
     val c2 = Seq(("the", "cat", 3L)).toDF("w1", "w2", "c2")
     val c1 = Seq(("the", 3L)).toDF("w1", "c1")
-    val p = plan(TextOps.perplexityScoresLazy(
-      TextOps.docBigramsOf(docs), c2, c1, 1L))
+    val p = plan(TextOps.perplexityScoresLazy(TextOps.docBigramsOf(docs),
+      org.apache.spark.sql.functions.broadcast(c2),
+      org.apache.spark.sql.functions.broadcast(c1), 1L))
     val scans = "FileScan parquet".r.findAllIn(p).size
     assert(scans == 1, s"t18 scoring plans $scans corpus scans (want 1):\n$p")
     assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t18: past the broadcast threshold the LM joins SHUFFLE (never collected)") {
+    // the 100 TB shape: a Wikipedia-scale clean slice (~10^8 bigram rows)
+    // cannot be broadcast, let alone collected — unhinted LM frames must
+    // plan as shuffle joins of the doc-bigram mass against the LM, still
+    // off ONE corpus scan
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+      .filter(org.apache.spark.sql.functions.col("lang") === TextOps.PplLang)
+    val c2 = Seq(("the", "cat", 3L)).toDF("w1", "w2", "c2")
+      .hint("shuffle_merge") // stand-in for a frame past autoBroadcast size
+    val c1 = Seq(("the", 3L)).toDF("w1", "c1").hint("shuffle_merge")
+    val p = plan(TextOps.perplexityScoresLazy(
+      TextOps.docBigramsOf(docs), c2, c1, 1L))
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"t18 shuffle scoring plans $scans corpus scans:\n$p")
+    assert(p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
