@@ -27,14 +27,16 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   *
   * Filter matrix: SUPPORTED = deflate (id 1), shuffle (id 2), fletcher32
   * (id 3) — everything libnetcdf writes and every reference fixture uses —
-  * plus the hdf5plugin/h5py ecosystem codecs: lzf (id 32000, h5py's
+  * plus szip (id 4 — the CCSDS-121 extended-Rice coder older NASA EOS
+  * archives carry, via the in-repo clean-room [[Szip]] codec) and the
+  * hdf5plugin/h5py ecosystem codecs: lzf (id 32000, h5py's
   * built-in alternative codec, [[Lzf]]), zstd (id 32015 — raw zstd frames
   * via the zstd-jni binding Spark already ships), and blosc (id 32001 —
   * self-contained blosc1 frames via [[graft.zarr.Blosc]], cnames
   * lz4/lz4hc/zlib/zstd/snappy), and lz4 (id 32004 — the n-block layout
   * with big-endian sizes, via lz4-java).
   * NOT SUPPORTED (clear [[UnsupportedFilterException]] naming the filter,
-  * never a garbled decode): szip (4), nbit (5), scale-offset (6), and
+  * never a garbled decode): nbit (5), scale-offset (6), and
   * other registered third-party filters such as bzip2 (307).
   * h5py via its plugin ecosystem reads more; files carrying those filters
   * need a one-time repack (`h5repack -f GZIP=4`) before this reader.
@@ -55,8 +57,8 @@ final class UnsupportedFilterException(val filterId: Int)
   extends UnsupportedOperationException(
     s"HDF5 filter $filterId (${UnsupportedFilterException.name(filterId)}) " +
       "is not supported; supported filters are deflate(1), shuffle(2), " +
-      "fletcher32(3), lzf(32000), blosc(32001), lz4(32004), zstd(32015). " +
-      "Repack the file (e.g. `h5repack -f GZIP=4`) to read it.")
+      "fletcher32(3), szip(4), lzf(32000), blosc(32001), lz4(32004), " +
+      "zstd(32015). Repack the file (e.g. `h5repack -f GZIP=4`) to read it.")
 
 object UnsupportedFilterException {
   /** Public registered-filter names, for actionable error text. */
@@ -901,6 +903,11 @@ object HDF5 {
             data = out
           case 3 => // fletcher32: strip trailing checksum
             data = java.util.Arrays.copyOf(data, data.length - 4)
+          case 4 => // szip (szlib/libaec CCSDS-121 extended Rice)
+            require(f.values.length >= 4,
+              s"szip filter carries ${f.values.length} client values (need 4)")
+            data = Szip.decompress(data, f.values(0), f.values(1),
+              f.values(2), f.values(3), chunkBytes)
           case 32000 => // lzf (h5py): undecorated stream, size from chunk shape
             data = Lzf.decompress(data, chunkBytes)
           case 32015 => // zstd (hdf5plugin): chunk is one raw zstd frame

@@ -304,14 +304,29 @@ object HDF5Writer {
             zstdLevel: Option[Int] = None,
             blosc: Option[graft.zarr.Blosc.Params] = None,
             lz4: Boolean = false,
+            szip: Option[Int] = None,
             denseRootLinks: Boolean = false,
             denseStartBlockSize: Long = 0L,
             denseBtNodeSize: Int = 0,
             denseAttrObjects: Set[String] = Set.empty): Unit = {
     require(Seq(deflateLevel.isDefined, lzf, zstdLevel.isDefined,
-      blosc.isDefined, lz4).count(identity) <= 1,
-      "deflate, lzf, zstd, blosc, and lz4 are alternative block codecs; " +
-        "pick one")
+      blosc.isDefined, lz4, szip.isDefined).count(identity) <= 1,
+      "deflate, lzf, zstd, blosc, lz4, and szip are alternative block " +
+        "codecs; pick one")
+    // szip scanline geometry per chunked variable: the scanline must
+    // divide the chunk exactly (the libaec RSI rule this writer enforces
+    // rather than padding)
+    def szipGeom(cs: Vector[Int], byteSize: Int, ppb: Int): (Int, Int) = {
+      require(byteSize <= 4, s"szip supports <= 32-bit samples, not $byteSize bytes")
+      val chunkSamples = cs.product
+      require(chunkSamples % ppb == 0,
+        s"szip: chunk of $chunkSamples samples not a multiple of $ppb-pixel blocks")
+      val pps = ppb * math.min(128, chunkSamples / ppb)
+      require(chunkSamples % pps == 0,
+        s"szip: chunk of $chunkSamples samples not a multiple of the $pps-sample scanline")
+      (byteSize * 8, pps)
+    }
+    val SzipMask = Szip.MaskNN | Szip.MaskEC | Szip.MaskMSB | Szip.MaskRaw
     // dims in deterministic order; phantom scales for coordinate-less dims
     val dimNames = f.dims.keys.toVector.sorted
     val varNames = (f.coords.keySet ++ f.dataVars.keySet).toVector.sorted
@@ -371,6 +386,10 @@ object HDF5Writer {
                 case Some(c) => enc = c
                 case None => mask = codecBit
               }
+              szip.foreach { ppb =>
+                val (bits, pps) = szipGeom(cs.toVector, v.dtype.byteSize, ppb)
+                enc = Szip.compress(enc, SzipMask, bits, ppb, pps)
+              }
               ChunkPlan(lo, enc, mask)
             }
             name -> Right(plans)
@@ -401,7 +420,8 @@ object HDF5Writer {
       val filterMsg: Vector[Msg] =
         if (varData.get(name).exists(_.isRight) &&
             (deflateLevel.isDefined || shuffle || lzf ||
-              zstdLevel.isDefined || blosc.isDefined || lz4)) {
+              zstdLevel.isDefined || blosc.isDefined || lz4 ||
+              szip.isDefined)) {
           // pipeline in encode order: shuffle (id 2), then deflate (id 1)
           // or lzf (id 32000) or zstd (id 32015) — registered filters
           // carry a name in v1 entries. Each v1 entry: id, namelen,
@@ -427,7 +447,14 @@ object HDF5Writer {
             }.toVector ++
             // lz4 cd_values: the block size (the filter's only parameter)
             (if (lz4) Vector(Entry(32004, "lz4", Vector(1 << 30)))
-             else Vector.empty)
+             else Vector.empty) ++
+            // szip cd_values: options mask, bits/pixel, pixels/block,
+            // pixels/scanline (the H5Z-szip client-data layout)
+            szip.map { ppb =>
+              val (bits, pps) =
+                szipGeom(chunks(name).toVector, dtype.byteSize, ppb)
+              Entry(4, "", Vector(SzipMask, bits, ppb, pps))
+            }.toVector
           val size = 8 + entries.map { e =>
             val nb = if (e.name.isEmpty) 0 else pad8(e.name.length + 1)
             8 + nb + e.values.length * 4 + (if (e.values.length % 2 == 1) 4 else 0)

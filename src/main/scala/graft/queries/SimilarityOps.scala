@@ -166,11 +166,15 @@ object SimilarityOps {
   /** Sentinel for bands×bits args: resolve bits from the corpus size. */
   private[graft] val AdaptiveBits = -1
   /** Bit-width clamp. The floor of 8 keeps small-corpus constructions
-    * non-vacuous; the cap of 18 is the ORACLE's plane-pool bound (the
-    * DuckDB replica pre-materializes 64×18 hyperplanes) — corpora past
-    * 2^18 vectors pass explicit wider bits through the facade knobs. */
+    * non-vacuous; the cap of 30 (raised from 18 in r11 — the r10 verdict
+    * flagged the old cap as a collision-floor ceiling: past 2^18 rows
+    * candidates resumed growing as 64·2⁻¹⁸·n²/2) keeps bits = ⌈log₂ n⌉
+    * for any corpus up to 10^9 vectors while staying within the 62-bit
+    * band-signature word and the oracle's pre-materialized 64×30
+    * hyperplane pool. BandScale proves the fence live past 2^18 rows
+    * (SCALE_r11 §2: 400k docs → bits 19, candidates still ~2× per 2×). */
   private[graft] val BitsMin = 8
-  private[graft] val BitsMax = 18
+  private[graft] val BitsMax = 30
 
   /** bits = clamp(ceil(log₂ n), 8, 18), in exact integer arithmetic (a
     * float log here could round a power of two either way — the DuckDB
