@@ -1157,7 +1157,10 @@ object J2K {
           val xto = u32(pos + 30); val yto = u32(pos + 34)
           if (xo != 0 || yo != 0 || xto != 0 || yto != 0)
             unsupported("non-zero image/tile offsets")
-          if (xs < 1 || ys < 1 || xs * ys > (1L << 26))
+          // bound each axis BEFORE multiplying: two u32s can overflow a
+          // Long product past the area check and .toInt-truncate negative
+          if (xs < 1 || ys < 1 || xs > (1L << 26) || ys > (1L << 26) ||
+              xs * ys > (1L << 26))
             fail(s"image ${xs}x$ys out of supported bounds")
           if (xt < xs || yt < ys) unsupported("multiple tiles")
           val csiz = u16(pos + 38)
@@ -1271,9 +1274,18 @@ object J2K {
                   if (lblock > 32) fail("runaway Lblock signalling")
                 }
                 val floorLog = 31 - Integer.numberOfLeadingZeros(nPasses)
+                // bits() reads into an Int: a length field past 31 bits
+                // would wrap negative — no real codeblock segment is that
+                // long, so fail by name instead
+                if (lblock + floorLog > 31)
+                  fail(s"segment length field of ${lblock + floorLog} bits")
                 val len = rdr.bits(lblock + floorLog)
                 segs += Seg(bp, i, j, zbp, nPasses, segOff, segOff + len)
                 segOff += len
+                // per-segment cap: an Int accumulator over corrupt 31-bit
+                // lengths can wrap; bodyUntil bounds all real payloads
+                if (segOff < 0 || segOff > bodyUntil)
+                  fail("codeblock segments exceed the tile data")
               }
             }
           }

@@ -903,11 +903,22 @@ object HDF5 {
             data = out
           case 3 => // fletcher32: strip trailing checksum
             data = java.util.Arrays.copyOf(data, data.length - 4)
-          case 4 => // szip (szlib/libaec CCSDS-121 extended Rice)
+          case 4 => // szip (szlib/libaec CCSDS-121 extended Rice).
+            // H5Z__filter_szip frames the CCSDS bitstream with a 4-byte
+            // little-endian uncompressed-size word; validate it against
+            // the chunk byte count before touching the stream.
             require(f.values.length >= 4,
               s"szip filter carries ${f.values.length} client values (need 4)")
-            data = Szip.decompress(data, f.values(0), f.values(1),
-              f.values(2), f.values(3), chunkBytes)
+            require(data.length > 4,
+              s"szip chunk of ${data.length} bytes lacks the 4-byte size header")
+            val stored = (data(0) & 0xFFL) | ((data(1) & 0xFFL) << 8) |
+              ((data(2) & 0xFFL) << 16) | ((data(3) & 0xFFL) << 24)
+            require(stored == chunkBytes,
+              s"corrupt szip chunk: size header claims $stored bytes " +
+                s"(chunk decodes to $chunkBytes)")
+            data = Szip.decompress(
+              java.util.Arrays.copyOfRange(data, 4, data.length),
+              f.values(0), f.values(1), f.values(2), f.values(3), chunkBytes)
           case 32000 => // lzf (h5py): undecorated stream, size from chunk shape
             data = Lzf.decompress(data, chunkBytes)
           case 32015 => // zstd (hdf5plugin): chunk is one raw zstd frame

@@ -313,20 +313,25 @@ object HDF5Writer {
       blosc.isDefined, lz4, szip.isDefined).count(identity) <= 1,
       "deflate, lzf, zstd, blosc, lz4, and szip are alternative block " +
         "codecs; pick one")
-    // szip scanline geometry per chunked variable: the scanline must
-    // divide the chunk exactly (the libaec RSI rule this writer enforces
-    // rather than padding)
+    // szip scanline geometry per chunked variable, the H5Z__set_local_szip
+    // rule: the scanline is the chunk's fastest-varying dimension (widened
+    // to min(ppb·128, npoints) when it is narrower than a block, capped at
+    // 128 blocks) — it need NOT divide the chunk; the codec pads partial
+    // scanlines/blocks per the libaec RSI rule
     def szipGeom(cs: Vector[Int], byteSize: Int, ppb: Int): (Int, Int) = {
       require(byteSize <= 4, s"szip supports <= 32-bit samples, not $byteSize bytes")
-      val chunkSamples = cs.product
-      require(chunkSamples % ppb == 0,
-        s"szip: chunk of $chunkSamples samples not a multiple of $ppb-pixel blocks")
-      val pps = ppb * math.min(128, chunkSamples / ppb)
-      require(chunkSamples % pps == 0,
-        s"szip: chunk of $chunkSamples samples not a multiple of the $pps-sample scanline")
+      val npoints = cs.product
+      require(npoints >= ppb,
+        s"szip: $ppb pixels per block exceeds the $npoints-sample chunk")
+      val scanline = cs.last
+      val pps =
+        if (scanline < ppb) math.min(ppb * 128, npoints)
+        else math.min(ppb * 128, scanline)
       (byteSize * 8, pps)
     }
-    val SzipMask = Szip.MaskNN | Szip.MaskEC | Szip.MaskMSB | Szip.MaskRaw
+    // this writer emits little-endian datatypes, so H5Z__set_local_szip
+    // would pick the LSB sample byte order
+    val SzipMask = Szip.MaskNN | Szip.MaskEC | Szip.MaskLSB | Szip.MaskRaw
     // dims in deterministic order; phantom scales for coordinate-less dims
     val dimNames = f.dims.keys.toVector.sorted
     val varNames = (f.coords.keySet ++ f.dataVars.keySet).toVector.sorted
@@ -388,7 +393,15 @@ object HDF5Writer {
               }
               szip.foreach { ppb =>
                 val (bits, pps) = szipGeom(cs.toVector, v.dtype.byteSize, ppb)
-                enc = Szip.compress(enc, SzipMask, bits, ppb, pps)
+                val ccsds = Szip.compress(enc, SzipMask, bits, ppb, pps)
+                // H5Z__filter_szip framing: 4-byte LE uncompressed size
+                val framed = new Array[Byte](ccsds.length + 4)
+                framed(0) = (enc.length & 0xFF).toByte
+                framed(1) = ((enc.length >>> 8) & 0xFF).toByte
+                framed(2) = ((enc.length >>> 16) & 0xFF).toByte
+                framed(3) = ((enc.length >>> 24) & 0xFF).toByte
+                System.arraycopy(ccsds, 0, framed, 4, ccsds.length)
+                enc = framed
               }
               ChunkPlan(lo, enc, mask)
             }

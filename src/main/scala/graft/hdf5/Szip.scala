@@ -27,8 +27,26 @@ package graft.hdf5
   * szip codec exists in this offline JVM, so tests round-trip through
   * the real bit-level format and pin the bitstream layout byte-for-byte).
   *
-  * Named-error corners: LSB bit order, scanlines that do not divide the
-  * chunk, sample depths past 32 bits.
+  * Geometry follows szlib/libaec's RSI rule, so scanlines need NOT
+  * divide the chunk: the coded scanline is rsi = ceil(pps/J) blocks
+  * (rsi·J samples — a scanline whose pixel count does not fill whole
+  * blocks is padded up), and the chunk's total pixel count is coded as
+  * ceil(total/pps) scanlines with the final scanline padded. Padding
+  * duplicates the scanline's last real sample under NN (so the deltas
+  * are zero and the pad costs ~one zero-block) and is zero otherwise;
+  * the DECODER never depends on the fill — it decodes the padded
+  * scanline and emits only the real prefix, which is what makes real
+  * NASA EOS chunks (whose fastest dim rarely divides into J-pixel
+  * blocks) readable.
+  *
+  * The LSB/MSB option masks carry the byte order of the DECODED
+  * multi-byte samples (H5Z__set_local_szip sets SZ_LSB_OPTION_MASK for
+  * little-endian datatypes — the common case — and MSB for big-endian);
+  * the bitstream itself is always MSB-first.
+  *
+  * Named-error corners: both byte-order bits set, sample depths past
+  * 32 bits, pixels-per-block outside szlib's even 2..32, scanlines
+  * past 128 blocks.
   */
 object Szip {
 
@@ -101,21 +119,31 @@ object Szip {
   }
 
   private def validate(optionMask: Int, n: Int, j: Int, pps: Int): Unit = {
-    if ((optionMask & MaskLSB) != 0)
-      throw new UnsupportedOperationException(
-        "szip LSB bit order is not supported (MSB-first streams only)")
+    if ((optionMask & MaskLSB) != 0 && (optionMask & MaskMSB) != 0)
+      fail("both LSB and MSB sample byte-order options set")
     if (n < 1 || n > 32) fail(s"$n bits per pixel")
-    if (j < 2 || j > 64 || j % 2 != 0) fail(s"$j pixels per block")
-    if (pps < j || pps % j != 0 || pps > j * 128)
-      fail(s"$pps pixels per scanline with $j-pixel blocks")
+    if (j < 2 || j > 32 || j % 2 != 0) fail(s"$j pixels per block")
+    if (pps < 1 || pps > j * 128)
+      fail(s"$pps pixels per scanline with $j-pixel blocks (max ${j * 128})")
   }
+
+  /** Byte order of the decoded sample layout: MSB → big-endian samples,
+    * LSB (the libhdf5 default for little-endian datatypes) or neither →
+    * little-endian. */
+  private def orderOf(optionMask: Int): java.nio.ByteOrder =
+    if ((optionMask & MaskMSB) != 0) java.nio.ByteOrder.BIG_ENDIAN
+    else java.nio.ByteOrder.LITTLE_ENDIAN
 
   private def sampleBytesOf(n: Int): Int = if (n <= 8) 1 else if (n <= 16) 2 else 4
   private def idLenOf(n: Int): Int = if (n <= 8) 3 else if (n <= 16) 4 else 5
 
   /** Decode one HDF5 chunk. `outBytes` is the chunk's decoded byte count
-    * (HDF5 chunks are always full-size); samples are written little-endian
-    * at the 1/2/4-byte container width of `bitsPerPixel`. */
+    * (HDF5 chunks are always full-size); samples are written at the
+    * 1/2/4-byte container width of `bitsPerPixel` in the byte order the
+    * LSB/MSB option bits name. Scanlines follow the libaec RSI rule
+    * (see the object scaladoc): each coded scanline is ceil(pps/J)
+    * whole blocks and only the real sample prefix is emitted, so
+    * neither pps nor the scanline count needs to divide anything. */
   def decompress(data: Array[Byte], optionMask: Int, bitsPerPixel: Int,
                  pixelsPerBlock: Int, pixelsPerScanline: Int,
                  outBytes: Int): Array[Byte] = {
@@ -126,23 +154,22 @@ object Szip {
     val sb = sampleBytesOf(n)
     if (outBytes % sb != 0) fail(s"$outBytes chunk bytes at $sb-byte samples")
     val total = outBytes / sb
-    if (total % pps != 0)
-      fail(s"$total samples not a multiple of the $pps-sample scanline")
     val pp = (optionMask & MaskNN) != 0
     val idLen = idLenOf(n)
     val idMax = (1 << idLen) - 1
     val maxv = if (n == 32) 0xFFFFFFFFL else (1L << n) - 1
-    val blocksPerScan = pps / j
+    val blocksPerScan = (pps + j - 1) / j // the libaec rsi
+    val sps = blocksPerScan * j           // coded (padded) samples/scanline
     val br = new BitReader(data)
-    val out = java.nio.ByteBuffer.allocate(outBytes)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val out = java.nio.ByteBuffer.allocate(outBytes).order(orderOf(optionMask))
     def writeSample(x: Long): Unit = sb match {
       case 1 => out.put(x.toByte)
       case 2 => out.putShort(x.toShort)
       case _ => out.putInt(x.toInt)
     }
 
-    val mapped = new Array[Long](pps)
+    val mapped = new Array[Long](sps)
+    val vals = new Array[Long](sps)
     var done = 0
     while (done < total) {
       java.util.Arrays.fill(mapped, 0L)
@@ -204,20 +231,22 @@ object Szip {
         }
         blk += 1
       }
-      // post-process the scanline: unmap prediction errors (NN) or copy
+      // post-process the full padded scanline: unmap prediction errors
+      // (NN) or copy — then emit only the real sample prefix (pad samples
+      // are decoded, validated against the pixel depth, and dropped)
       if (!pp) {
         var i = 0
-        while (i < pps) {
+        while (i < sps) {
           if (mapped(i) > maxv) fail("sample exceeds the pixel depth")
-          writeSample(mapped(i))
+          vals(i) = mapped(i)
           i += 1
         }
       } else {
         if (refVal > maxv) fail("reference sample exceeds the pixel depth")
-        writeSample(refVal)
+        vals(0) = refVal
         var prev = refVal
         var i = 1
-        while (i < pps) {
+        while (i < sps) {
           val d = mapped(i)
           val theta = math.min(prev, maxv - prev)
           val delta =
@@ -226,20 +255,25 @@ object Szip {
             else d / 2
           val x = prev + delta
           if (x < 0 || x > maxv) fail("prediction error out of range")
-          writeSample(x)
+          vals(i) = x
           prev = x
           i += 1
         }
       }
-      done += pps
+      val real = math.min(pps, total - done)
+      var i = 0
+      while (i < real) { writeSample(vals(i)); i += 1 }
+      done += real
     }
     out.array()
   }
 
   /** Encode one chunk (fixture writer): exact-cost option choice per
     * block among zero-run / second-extension / k-split / uncompressed —
-    * every decode path is reachable. Samples read little-endian at the
-    * container width of `bitsPerPixel`. */
+    * every decode path is reachable. Samples read at the container width
+    * of `bitsPerPixel` in the byte order the LSB/MSB option bits name;
+    * partial scanlines/blocks are padded per the libaec rule (duplicate
+    * the last real sample under NN, zero otherwise). */
   def compress(raw: Array[Byte], optionMask: Int, bitsPerPixel: Int,
                pixelsPerBlock: Int, pixelsPerScanline: Int): Array[Byte] = {
     val n = bitsPerPixel
@@ -249,15 +283,13 @@ object Szip {
     val sb = sampleBytesOf(n)
     require(raw.length % sb == 0, s"${raw.length} bytes at $sb-byte samples")
     val total = raw.length / sb
-    require(total % pps == 0,
-      s"$total samples not a multiple of the $pps-sample scanline")
     val pp = (optionMask & MaskNN) != 0
     val idLen = idLenOf(n)
     val idMax = (1 << idLen) - 1
     val maxv = if (n == 32) 0xFFFFFFFFL else (1L << n) - 1
-    val blocksPerScan = pps / j
-    val in = java.nio.ByteBuffer.wrap(raw)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val blocksPerScan = (pps + j - 1) / j // the libaec rsi
+    val sps = blocksPerScan * j           // coded (padded) samples/scanline
+    val in = java.nio.ByteBuffer.wrap(raw).order(orderOf(optionMask))
     def readSample(): Long = sb match {
       case 1 => in.get() & 0xFFL
       case 2 => in.getShort() & 0xFFFFL
@@ -265,21 +297,25 @@ object Szip {
     }
     val bw = new BitWriter
 
-    val x = new Array[Long](pps)
-    val mapped = new Array[Long](pps)
+    val x = new Array[Long](sps)
+    val mapped = new Array[Long](sps)
     var done = 0
     while (done < total) {
+      val real = math.min(pps, total - done)
       var i = 0
-      while (i < pps) {
+      while (i < real) {
         x(i) = readSample()
         require(x(i) <= maxv, s"sample ${x(i)} exceeds $n bits")
         i += 1
       }
-      if (!pp) System.arraycopy(x, 0, mapped, 0, pps)
+      // pad the scanline tail and the block remainder up to rsi·J
+      val fill = if (pp) x(real - 1) else 0L
+      while (i < sps) { x(i) = fill; i += 1 }
+      if (!pp) System.arraycopy(x, 0, mapped, 0, sps)
       else {
         mapped(0) = x(0) // raw reference, emitted separately
         i = 1
-        while (i < pps) {
+        while (i < sps) {
           val prev = x(i - 1)
           val theta = math.min(prev, maxv - prev)
           val delta = x(i) - prev
@@ -329,8 +365,12 @@ object Szip {
           var seCost = 0L
           var q = start
           if (refBlock) { // first pair carries only the odd element
-            val g = mapped(q) * (mapped(q) + 1) / 2 + mapped(q)
-            seCost += g + 1
+            // same 2^24 hopeless fence as the pair loop: d1·(d1+1)/2
+            // overflows a Long for d1 near 2^32 (wrapping seCost negative,
+            // which would make SE look free and emit runaway FS codes)
+            val d1 = mapped(q)
+            if (d1 > (1L << 24)) seCost = Long.MaxValue / 2
+            else seCost += d1 * (d1 + 1) / 2 + d1 + 1
             q += 1
           }
           while (q < until && seCost < Long.MaxValue / 2) {
@@ -375,7 +415,7 @@ object Szip {
           blk += 1
         }
       }
-      done += pps
+      done += real
     }
     bw.finish()
   }

@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   * Scale design: s01 is the brute-force baseline (broadcast the query set,
   * score in one scan, per-query top-k via window); the LSH family (s02/
   * s05/s11/s13/s15/s16) runs the ADAPTIVE banded construction — 64 bands
-  * whose bit width is clamp(ceil(log₂ n), 8, 18), so the random-collision
+  * whose bit width is clamp(ceil(log₂ n), BitsMin, BitsMax), so the
+  * random-collision
   * candidate floor is ~bands·n (LINEAR) at any corpus size — candidate
   * scoring touches only band-colliding vectors, the standard ANN shape
   * when brute force stops fitting. At 100 TB the band join partitions by
@@ -170,13 +171,15 @@ object SimilarityOps {
     * flagged the old cap as a collision-floor ceiling: past 2^18 rows
     * candidates resumed growing as 64·2⁻¹⁸·n²/2) keeps bits = ⌈log₂ n⌉
     * for any corpus up to 10^9 vectors while staying within the 62-bit
-    * band-signature word and the oracle's pre-materialized 64×30
-    * hyperplane pool. BandScale proves the fence live past 2^18 rows
-    * (SCALE_r11 §2: 400k docs → bits 19, candidates still ~2× per 2×). */
+    * band-signature word and the oracle's pre-materialized 64×[[BitsMax]]
+    * hyperplane pool. BandScale measures the fence live past 2^18 rows
+    * (SCALE_r12 §1: 400k docs → bits 19, 800k → bits 20, candidate mass
+    * ~2× per corpus doubling through both new fences). */
   private[graft] val BitsMin = 8
   private[graft] val BitsMax = 30
 
-  /** bits = clamp(ceil(log₂ n), 8, 18), in exact integer arithmetic (a
+  /** bits = clamp(ceil(log₂ n), [[BitsMin]], [[BitsMax]]), in exact
+    * integer arithmetic (a
     * float log here could round a power of two either way — the DuckDB
     * twin is an integer CASE chain over the same power-of-two fences). */
   private[graft] def adaptiveBits(n: Long): Int = {
@@ -199,7 +202,7 @@ object SimilarityOps {
     s"CASE $fences ELSE $BitsMax END"
   }
 
-  /** The shared 64×18 hyperplane pool as compact list-form VALUES rows
+  /** The shared 64×[[BitsMax]] hyperplane pool as compact list-form VALUES rows
     * (one row per plane: `(p, [w0..w63])`), unnested to the (p, i, w)
     * shape the oracle's plane_dots join consumes. ~4× smaller than the
     * row-per-component form the fixed-width oracles used. */
@@ -431,7 +434,8 @@ object SimilarityOps {
 
   /** s02: PRODUCTION near-duplicate detection — hashed-bigram document
     * embeddings ([[docBigramVectors]]) + the adaptive banded-LSH kernel
-    * (64 bands × clamp(ceil(log₂ n), 8, 18) bits) + exact integer rescore
+    * (64 bands × clamp(ceil(log₂ n), BitsMin, BitsMax) bits) + exact
+    * integer rescore
     * at cosine ≥ [[NearDupThreshold]].
     *
     * This is the construction you run at 100×: the candidate floor is
@@ -559,7 +563,8 @@ object SimilarityOps {
   /** The banded near-dup kernel over a quantized (vec_id, q, nrm) frame:
     * LSH candidates + exact rescore, threshold applied to the exact
     * cosine. Default construction is the production adaptive one
-    * (64 bands × clamp(ceil(log₂ n), 8, 18) bits — [[AdaptiveBits]]
+    * (64 bands × clamp(ceil(log₂ n), BitsMin, BitsMax) bits —
+    * [[AdaptiveBits]]
     * resolves against the frame's count). */
   private[graft] def nearDupPairsOf(emb: DataFrame, threshold: Double,
                                     bands: Int = ScaledBands,

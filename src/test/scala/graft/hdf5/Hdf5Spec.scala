@@ -480,26 +480,38 @@ class Hdf5Spec extends AnyFunSuite {
     }
   }
 
-  test("unknown filter (szip-flagged pipeline) raises a clear error, not a garbled decode") {
+  test("unsupported filter (nbit-flagged pipeline) raises a clear error, not a garbled decode") {
     val f = cube(nt = 8)
-    val path = s"$dir/szip.nc"
+    val path = s"$dir/nbit.nc"
     HDF5Writer.write(path, f, chunks = Map(
       "foo" -> Vector(2, 5, 4), "bar" -> Vector(8, 5, 4)),
       deflateLevel = Some(7))
-    // binary-patch the filter pipeline entry from deflate(1) to szip(4):
-    // the v1 entry the writer emits is id=0001, namelen=0, flags=0,
-    // nvalues=1, value=7(level), pad — a 16-byte signature unique in the file
+    // binary-patch the filter pipeline entry from deflate(1) to nbit(5) —
+    // a registered filter this reader genuinely does not implement (szip
+    // became a SUPPORTED filter in r11, so it no longer works as the
+    // unsupported probe). The v1 entry the writer emits is id=0001,
+    // namelen=0, flags=0, nvalues=1, value=7(level), pad — a 16-byte
+    // signature unique in the file.
     val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
     val sig = Array[Byte](1, 0, 0, 0, 0, 0, 1, 0, 7, 0, 0, 0, 0, 0, 0, 0)
     val hits = bytes.indices.filter(i => i + sig.length <= bytes.length &&
       sig.indices.forall(j => bytes(i + j) == sig(j)))
     assert(hits.nonEmpty, "deflate pipeline entry not found to patch")
-    hits.foreach(i => bytes(i) = 4)
+    hits.foreach(i => bytes(i) = 5)
     Files.write(java.nio.file.Paths.get(path), bytes)
     val e = intercept[UnsupportedFilterException](HDF5.read(path))
-    assert(e.filterId == 4)
-    assert(e.getMessage.contains("szip"))
+    assert(e.filterId == 5)
+    assert(e.getMessage.contains("nbit"))
     assert(e.getMessage.contains("h5repack"))
+  }
+
+  test("szip-filtered file written by HDF5Writer reads back through HDF5.read") {
+    // szip supports <= 4-byte samples, so only the I4 var is chunked+filtered
+    val f = cube(nt = 8)
+    val path = s"$dir/szip_pos.nc"
+    HDF5Writer.write(path, f, chunks = Map("bar" -> Vector(8, 5, 4)),
+      szip = Some(4))
+    assert(HDF5.read(path).sameAs(f), "szip round trip through the reader")
   }
 
   test("signature and refusal of non-HDF5 input") {

@@ -143,15 +143,85 @@ class SzipSpec extends AnyFunSuite {
     assert(viaOpeners.dataVars.contains("t2m"))
   }
 
-  test("named errors: LSB order, bad geometry, truncation; nbit still named") {
+  test("writer handles ragged chunk geometries (fastest dim not a block multiple)") {
+    // nx=10 with ppb=8: scanline 10, rsi 2, 6 pad samples per scanline;
+    // and a narrow var whose fastest dim (3) is under the block size, so
+    // H5Z widens the scanline to the whole 24-sample chunk
+    val nt = 4; val ny = 2; val nx = 10
+    val f = Fragment(
+      dims = Map("time" -> nt, "lat" -> ny, "lon" -> nx, "lvl" -> 3),
+      coords = Map(
+        "time" -> Variable(Vector("time"),
+          NDArray(DType.I8, Vector(nt), (0 until nt).map(_.toLong).toArray)),
+        "lat" -> Variable(Vector("lat"),
+          NDArray(DType.F8, Vector(ny), (0 until ny).map(_.toDouble).toArray)),
+        "lon" -> Variable(Vector("lon"),
+          NDArray(DType.F8, Vector(nx), (0 until nx).map(_.toDouble).toArray)),
+        "lvl" -> Variable(Vector("lvl"),
+          NDArray(DType.F8, Vector(3), Array(1.0, 2.0, 3.0)))),
+      dataVars = Map(
+        "sst" -> Variable(Vector("time", "lat", "lon"),
+          NDArray(DType.I2, Vector(nt, ny, nx),
+            Array.tabulate(nt * ny * nx)(i => ((i * 11) % 400).toShort))),
+        "narrow" -> Variable(Vector("time", "lat", "lvl"),
+          NDArray(DType.I4, Vector(nt, ny, 3),
+            Array.tabulate(nt * ny * 3)(i => (mix(i.toLong) % 50).toInt)))),
+      attrs = Map.empty)
+    val d0 = Files.createTempDirectory("graft_szip_ragged").toString
+    val p = s"$d0/ragged.nc"
+    HDF5Writer.write(p, f, chunks = Map(
+      "sst" -> Vector(2, 2, 10), "narrow" -> Vector(2, 2, 3)), szip = Some(8))
+    assert(HDF5.read(p).sameAs(f), "ragged szip HDF5 round trip")
+  }
+
+  test("ragged geometries: scanlines need not divide blocks or the chunk") {
+    // pps=10 with J=8: rsi=2, 6 pad samples per scanline (the MODIS-style
+    // fastest-dim-not-a-block-multiple case)
+    for (mask <- Seq(NN, EC); n <- Seq(8, 16)) {
+      val maxv = (1L << n) - 1
+      roundTrip(Array.tabulate(80)(i => (i * 7L) % (maxv + 1)), mask, n, 8, 10)
+    }
+    // pps wider than the data: one 5-sample chunk at pps=24 (the
+    // H5Z scanline-widening case, npoints < ppb*128)
+    roundTrip(Array[Long](3, 1, 4, 1, 5), NN, 8, 8, 24)
+    // ragged FINAL scanline: total=50 at pps=24 -> 3 scanlines, last has 2
+    roundTrip(Array.tabulate(50)(i => 40L + (i % 3)), NN, 8, 8, 24)
+    roundTrip(Array.tabulate(50)(i => 40L + (i % 3)), EC, 8, 8, 24)
+    // pps < J: a 2-wide scanline padded to one 8-sample block
+    roundTrip(Array.tabulate(6)(_.toLong), NN, 8, 8, 2)
+  }
+
+  test("LSB/MSB masks carry the decoded sample byte order") {
+    // the same logical 16-bit samples round-trip under both orders, and
+    // the two decoded layouts are byte-swaps of each other
+    val samples = Array.tabulate(32)(i => (i * 321L) % 65536)
+    val le = bytesOf(samples, 2)
+    val be = {
+      val b = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      samples.foreach(s => b.putShort(s.toShort))
+      b.array()
+    }
+    val lsbMask = Szip.MaskNN | Szip.MaskEC | Szip.MaskLSB | Szip.MaskRaw
+    val encLe = Szip.compress(le, lsbMask, 16, 8, 16)
+    val encBe = Szip.compress(be, NN, 16, 8, 16)
+    assert(java.util.Arrays.equals(encLe, encBe),
+      "same logical samples must produce the same bitstream either order")
+    assert(java.util.Arrays.equals(Szip.decompress(encLe, lsbMask, 16, 8, 16, 64), le))
+    assert(java.util.Arrays.equals(Szip.decompress(encBe, NN, 16, 8, 16, 64), be))
+  }
+
+  test("named errors: conflicting byte order, bad geometry, truncation; nbit still named") {
     val raw = bytesOf(Array.tabulate(64)(_.toLong), 1)
     val enc = Szip.compress(raw, NN, 8, 8, 64)
-    val e1 = intercept[UnsupportedOperationException](
-      Szip.decompress(enc, Szip.MaskLSB | Szip.MaskEC, 8, 8, 64, 64))
+    val e1 = intercept[IllegalArgumentException](
+      Szip.decompress(enc, NN | Szip.MaskLSB, 8, 8, 64, 64))
     assert(e1.getMessage.contains("LSB"))
     val e2 = intercept[IllegalArgumentException](
-      Szip.decompress(enc, NN, 8, 8, 48, 64)) // scanline doesn't divide
+      Szip.decompress(enc, NN, 8, 8, 64 * 129, 64)) // > 128 blocks/scanline
     assert(e2.getMessage.contains("scanline"))
+    intercept[IllegalArgumentException](
+      Szip.decompress(enc, NN, 8, 34, 64, 64)) // J past szlib's 32
     intercept[IllegalArgumentException](
       Szip.decompress(java.util.Arrays.copyOf(enc, 2), NN, 8, 8, 64, 64))
     // corruption sweep over the compressed stream: named error or

@@ -306,8 +306,9 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.85, s"recall $recall below 0.85: missed ${truth.diff(got)}")
   }
 
-  test("adaptiveBits: exact integer fences, clamped to [8, 18]") {
-    import SimilarityOps.adaptiveBits
+  test("adaptiveBits: exact integer fences, clamped to [8, 30]") {
+    import SimilarityOps.{adaptiveBits, BitsMin, BitsMax}
+    assert(BitsMin == 8 && BitsMax == 30, "fence pins below assume [8, 30]")
     assert(adaptiveBits(1L) == 8 && adaptiveBits(2L) == 8)
     assert(adaptiveBits(256L) == 8, "2^8 exactly -> still 8 (ceil)")
     assert(adaptiveBits(257L) == 9)
@@ -315,8 +316,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(adaptiveBits(500L) == 9, "the sf0.01 corpus lands on 9 bits")
     assert(adaptiveBits(5000L) == 13, "the sf0.1 documents corpus -> 13")
     assert(adaptiveBits(1L << 18) == 18)
-    assert(adaptiveBits((1L << 18) + 1) == 18, "clamped at the oracle pool bound")
-    assert(adaptiveBits(1L << 30) == 18)
+    assert(adaptiveBits((1L << 18) + 1) == 19,
+      "the old 18-bit cap is gone: one row past 2^18 takes the 19th bit")
+    assert(adaptiveBits(400000L) == 19 && adaptiveBits(800000L) == 20,
+      "the SCALE_r12 measurement corpora land on bits 19 and 20")
+    assert(adaptiveBits(1L << 30) == 30, "2^30 exactly -> 30 (ceil)")
+    assert(adaptiveBits((1L << 30) + 1) == 30, "clamped at the pool bound")
+    assert(adaptiveBits(1L << 62) == 30, "10^9+ corpora stay within the " +
+      "62-bit band-signature word")
   }
 
   test("s08 IVF-PQ equals the driver-side recompute; recall@5 vs s01 >= 0.9") {
