@@ -316,7 +316,20 @@ object GraftFunctions {
         .toAggregateExpression()),
     "graft_might_contain" -> (args =>
       org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(args(0), args(1))))
+        .BloomFilterMightContain(args(0), args(1))),
+    "cf_num2date" -> (args => CfNum2Date(args(0),
+      strArg(args(1), "cf_num2date"), strArg(args(2), "cf_num2date"))))
+
+  /** Extract a foldable string argument (units/calendar literals). */
+  private def strArg(e: Expression, fn: String): String = {
+    require(e.foldable, s"$fn: units/calendar arguments must be literals")
+    e.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
+      case other => throw new IllegalArgumentException(
+        s"$fn: expected a string literal, got $other")
+    }
+  }
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

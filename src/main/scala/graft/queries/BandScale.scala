@@ -31,6 +31,34 @@ object BandScale {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.register(spark)
+    // `synth N1 [N2 ...]`: measure the adaptive fence PAST the testdata
+    // corpus sizes (the BitsMax=30 raise targets bits > 18, i.e. > 2^18
+    // rows — no sf dir is that large). Deterministic murmur3-quantized
+    // 64-dim vectors; counts the banded candidate mass under the gated
+    // construction (64 bands x clamp(ceil(log2 n), BitsMin, BitsMax)).
+    // Random vectors are the WORST case for the collision-floor claim:
+    // every candidate is floor mass (bands * n^2 / 2^bits / 2), so
+    // linearity here is the construction's, not the corpus's.
+    if (args.headOption.contains("synth")) {
+      for (n <- args.drop(1).map(_.toLong)) {
+        val bits = SimilarityOps.adaptiveBits(n)
+        val synth = spark.range(n).toDF("vec_id")
+          .withColumn("q", expr(
+            "transform(sequence(0, 63), j -> " +
+              "cast(hash(vec_id, j) % 1000 as bigint))"))
+          .repartition(spark.sparkContext.defaultParallelism)
+          .localCheckpoint(true)
+        val t0 = System.nanoTime()
+        val cands = SimilarityOps.s02Candidates(synth,
+          SimilarityOps.ScaledBands, bits).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val floor = SimilarityOps.ScaledBands.toDouble * n * n /
+          (1L << bits) / 2
+        println(f"""{"metric":"band_scale_synth","n":$n,"bands":${SimilarityOps.ScaledBands},""" +
+          f""""bits":$bits,"candidates":$cands,"floor":$floor%.0f,"sec":$secs%.2f}""")
+      }
+      spark.stop(); return
+    }
     val emb = SimilarityOps.withQuantized(
       spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding")), "embedding")

@@ -1746,6 +1746,68 @@ object MultiModalOps {
       |  CAST(doc_id % 16 AS BIGINT) AS br_idx
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------ mixed-admission (p13) kit
+
+  /** Synthesize content group docId/3 in one of THREE containers chosen
+    * by docId % 3 — the p11 pair widened to the mixed-ingest case: PNG
+    * 8×8 truecolor, GIF87a 8×8 indexed, or JPEG 64×64 DC-only gray whose
+    * 8×8 blocks are CONSTANT at the raster's 64 pixels. The JPEG leg
+    * carries the SAME content at 8× the resolution, so the admission
+    * path must resolution-normalize (block-mean downsample) before
+    * hashing — the real pHash pipeline's resize step, exact here because
+    * DC-only quantization-1 blocks decode to their constant exactly. */
+  private[graft] def mixedFormatBytes(docId: Long): Array[Byte] = {
+    val raster = crossRasterOf(docId / 3)
+    (docId % 3) match {
+      case 0 => pngEncode(8, 8, raster.flatMap(v => Array(v, v, v)))
+      case 1 => gifEncode(8, 8, GrayPalette, raster.map(v => (v & 0xff) / 17))
+      case _ => Jpeg.encodeGrayDcOnly(64, 64, b => raster(b) & 0xff,
+        restartInterval = if (docId % 2 == 0) 2 else 0)
+    }
+  }
+
+  /** m13 dispatch + p11 normalization + resolution resize: sniff the
+    * container by magic bytes, decode through its REAL codec (full
+    * corruption contracts), normalize to gray, and block-mean downsample
+    * to the canonical 8×8 pHash raster. Dims must be 8-divisible (the
+    * canonical-raster contract — anything else fails by name rather
+    * than resampling approximately). */
+  private[graft] def mixedGrayOf(bytes: Array[Byte]): Array[Byte] = {
+    require(bytes.length >= 6, "image too short to sniff a container")
+    val (gray, w, h): (Array[Byte], Int, Int) =
+      if ((bytes(0) & 0xff) == 137 && bytes(1) == 'P'.toByte) {
+        val v = pngDecodeOf(bytes)
+        (Array.tabulate(v.width * v.height)(i => v.pixels(3 * i)),
+          v.width, v.height)
+      } else if (new String(bytes, 0, 6, "ASCII") == "GIF87a") {
+        val v = gifDecodeOf(bytes)
+        (Array.tabulate(v.indices.length)(i =>
+          v.palette(3 * (v.indices(i) & 0xff))), v.width, v.height)
+      } else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+        val v = Jpeg.decode(bytes)
+        require(v.nComponents == 1,
+          s"mixed admission: JPEG legs are grayscale, got ${v.nComponents}")
+        (v.pixels, v.width, v.height)
+      } else throw new IllegalArgumentException(
+        "unknown image container (not PNG/GIF87a/JPEG)")
+    require(w % 8 == 0 && h % 8 == 0,
+      s"mixed admission: dims ${w}x$h not 8-divisible — cannot block-mean " +
+        "to the canonical 8x8 raster exactly")
+    val bw = w / 8; val bh = h / 8
+    Array.tabulate(64) { k =>
+      val bx = k % 8; val by = k / 8
+      var sum = 0L; var y = 0
+      while (y < bh) {
+        var x = 0
+        while (x < bw) {
+          sum += (gray((by * bh + y) * w + bx * bw + x) & 0xff); x += 1
+        }
+        y += 1
+      }
+      (sum / (bw * bh)).toByte
+    }
+  }
+
   // ---------------------------------------------------------------- m13
 
   /** m13: unified media PROBE — the ingest triage stage (the ffprobe

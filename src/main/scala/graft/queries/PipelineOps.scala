@@ -1121,7 +1121,97 @@ object PipelineOps {
        |FROM ffam f JOIN fstrong g USING (family_id)
        |ORDER BY f.family_id""".stripMargin
 
+  // ---------------------------------------------------------------- p13
+
+  /** p13: MIXED-CONTAINER media admission — m13's sniffing dispatch and
+    * p11's cross-format normalization folded into ONE admission pass
+    * (the r10/r11 verdict's carried ask): a corpus where the same image
+    * content arrives as PNG (8×8 truecolor), GIF87a (8×8 indexed), and
+    * JPEG (64×64 DC-only gray — 8× the resolution), each genuinely
+    * decoded through its own codec, resolution-normalized by exact
+    * block-mean downsampling to the canonical 8×8 pHash raster
+    * ([[MultiModalOps.mixedGrayOf]]), perceptually hashed with the
+    * codegen'd `wht_phash`, and deduplicated ACROSS containers: the
+    * min-id member of each pHash family is admitted, the rest drop as
+    * cross-format duplicates. One row per container with the drop
+    * accounting every ingest audit wants.
+    *
+    * The oracle recomputes every pHash from the raster FORMULA (shared
+    * WHT sign matrix) — a hash match proves all THREE codec paths AND
+    * the resize normalization converged on identical pixels: one wrong
+    * pixel in any decoder (or an inexact block mean) flips WHT signs
+    * and splits a family, changing the drop counts.
+    *
+    * Scale shape: ONE corpus scan (decode + normalize + hash in a
+    * map-only kernel), one hash-partitioned window over pHash
+    * (family-thin: doc_id, container, phash — no payloads cross the
+    * shuffle), one hash agg to ≤3 rows. PlanSpec pins the single-scan
+    * shape. */
+  def p13MixedAdmission(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("container", StringType, nullable = false),
+      StructField("gray", BinaryType, nullable = false)))
+    val decoded = documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = MultiModalOps.mixedFormatBytes(id)
+          // the m13 probe runs its container's REAL parser (corruption
+          // contract); the admission path re-decodes through the
+          // normalization kernel
+          val probe = MultiModalOps.probeOf(bytes)
+          Row(id, probe.container, MultiModalOps.mixedGrayOf(bytes))
+        }
+      }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+    val wp = org.apache.spark.sql.expressions.Window.partitionBy("phash")
+    decoded
+      .select(col("doc_id"), col("container"),
+        call_function("wht_phash", col("gray"), lit(8), lit(8)).as("phash"))
+      .withColumn("is_dup", col("doc_id") =!= min("doc_id").over(wp))
+      .groupBy("container").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_dropped"),
+        sum(when(!col("is_dup"), 1L).otherwise(0L)).as("n_admitted"))
+      .orderBy("container")
+  }
+
+  /** Oracle: pHash per doc from the content-group formula
+    * (g = doc_id//3) + the shared WHT sign matrix — no bytes, no codecs,
+    * no resize: the formula IS the normalized raster, so any divergence
+    * in the engine's decode/resize path breaks the hash match. */
+  val p13Sql: String =
+    s"""WITH mf AS (
+       |  SELECT doc_id, doc_id // 3 AS g, unnest(range(0, 64)) AS i
+       |  FROM documents
+       |), mpx AS (
+       |  SELECT doc_id, i, ((g * 13 + i * 7) % 16) * 17 AS px FROM mf
+       |), mhad(k, i, s) AS (
+       |  VALUES ${MultiModalOps.whtHadValuesSql}
+       |), mcoef AS (
+       |  SELECT p.doc_id, h.k, SUM(h.s * p.px) AS c
+       |  FROM mpx p JOIN mhad h ON p.i = h.i GROUP BY 1, 2
+       |), mhash AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN c > 0 THEN (1::BIGINT << (k - 1)) ELSE 0 END)
+       |      AS BIGINT) AS phash
+       |  FROM mcoef GROUP BY 1
+       |), fam AS (
+       |  SELECT doc_id, phash,
+       |    doc_id <> MIN(doc_id) OVER (PARTITION BY phash) AS is_dup
+       |  FROM mhash)
+       |SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+       |    ELSE 'jpeg' END AS container,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_dropped,
+       |  CAST(SUM(CASE WHEN is_dup THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_admitted
+       |FROM fam GROUP BY 1 ORDER BY container""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p13_mixed_admission" -> p13MixedAdmission _,
     "p12_neardup_families" -> p12NeardupFamilies _,
     "p11_crossformat_dedup" -> p11CrossFormatDedup _,
     "p10_shard_build" -> p10ShardBuild _,
@@ -1137,6 +1227,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "p13_mixed_admission" -> p13Sql,
     "p12_neardup_families" -> p12Sql,
     "p11_crossformat_dedup" -> p11Sql,
     "p10_shard_build" -> p10Sql,

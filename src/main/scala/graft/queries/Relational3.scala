@@ -663,7 +663,83 @@ object Relational3 {
        |GROUP BY p.l_suppkey, p.exact_n
        |ORDER BY p.exact_n DESC, p.l_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------- q35
+
+  /** q35: CF non-standard calendar decode (cftime.num2date semantics —
+    * reference aggregation.py:193-196) over the long-view world: each
+    * event_id reinterpreted as an "hours since 1999-12-28 06:00:00" step
+    * count and decoded under all five supported calendar families via the
+    * codegen'd [[graft.functions.CfNum2Date]] kernel. The epoch straddles
+    * a year boundary and leap-year 2000's February, so 360_day / noleap /
+    * all_leap / gregorian diverge within the first few thousand rows.
+    *
+    * Scale shape: ONE events scan (`stack` emits the five calendar rows
+    * per input row inside the same codegen stage — no per-calendar
+    * rescan, no join); the decode is exact integer arithmetic replicated
+    * verbatim by the oracle (fixed calendars) and cross-checked against
+    * DuckDB's own proleptic-Gregorian timestamp arithmetic (gregorian
+    * rows) — two independent implementations of the same calendar. */
+  def q35CftimeDecode(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val u = "hours since 1999-12-28 06:00:00"
+    val pairs = Seq("360_day", "noleap", "all_leap",
+      "proleptic_gregorian", "standard")
+      .map(c => s"'$c', cf_num2date(event_id, '$u', '$c')").mkString(", ")
+    events(s, d)
+      .select(col("event_id"), expr(s"stack(5, $pairs) AS (calendar, p)"))
+      .select(col("event_id"), col("calendar"),
+        element_at(col("p"), 1).as("year"),
+        element_at(col("p"), 2).as("month"),
+        element_at(col("p"), 3).as("day"),
+        element_at(col("p"), 4).as("hour"))
+      .orderBy("calendar", "event_id")
+  }
+
+  /** The oracle derives each fixed calendar with the SAME exact integer
+    * divisions (epoch day numbers precomputed: 360_day 1999*360+330+27,
+    * noleap 1999*365+334+27, all_leap 1999*366+335+27) and the two
+    * Gregorian-family rows from DuckDB's native proleptic timestamp
+    * arithmetic. */
+  val q35Sql: String =
+    """WITH n AS (
+      |  SELECT event_id, 719997*24 + 6 + event_id AS h360,
+      |         729996*24 + 6 + event_id AS h365,
+      |         731996*24 + 6 + event_id AS h366,
+      |         TIMESTAMP '1999-12-28 06:00:00' + to_hours(event_id) AS ts
+      |  FROM events),
+      |fixed AS (
+      |  SELECT event_id, '360_day' AS calendar,
+      |    (h360//24)//360 AS year, 1 + ((h360//24)%360)//30 AS month,
+      |    1 + (h360//24)%30 AS day, h360%24 AS hour FROM n
+      |  UNION ALL
+      |  SELECT event_id, cal,
+      |    (h//24)//ylen,
+      |    CASE WHEN doy >= cum[12] THEN 12 WHEN doy >= cum[11] THEN 11
+      |         WHEN doy >= cum[10] THEN 10 WHEN doy >= cum[9] THEN 9
+      |         WHEN doy >= cum[8] THEN 8 WHEN doy >= cum[7] THEN 7
+      |         WHEN doy >= cum[6] THEN 6 WHEN doy >= cum[5] THEN 5
+      |         WHEN doy >= cum[4] THEN 4 WHEN doy >= cum[3] THEN 3
+      |         WHEN doy >= cum[2] THEN 2 ELSE 1 END AS month,
+      |    doy - cum[month] + 1, h%24
+      |  FROM (
+      |    SELECT event_id, cal, h, ylen, (h//24)%ylen AS doy,
+      |      CASE cal WHEN 'noleap'
+      |        THEN [0,31,59,90,120,151,181,212,243,273,304,334]
+      |        ELSE [0,31,60,91,121,152,182,213,244,274,305,335] END AS cum
+      |    FROM (
+      |      SELECT event_id, 'noleap' AS cal, h365 AS h, 365 AS ylen FROM n
+      |      UNION ALL
+      |      SELECT event_id, 'all_leap', h366, 366 FROM n))
+      |  UNION ALL
+      |  SELECT event_id, cal, year(ts), month(ts), day(ts), hour(ts)
+      |  FROM n, (VALUES ('proleptic_gregorian'), ('standard')) c(cal))
+      |SELECT event_id, calendar, CAST(year AS BIGINT) AS year,
+      |  CAST(month AS BIGINT) AS month, CAST(day AS BIGINT) AS day,
+      |  CAST(hour AS BIGINT) AS hour
+      |FROM fixed ORDER BY calendar, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_cftime_decode" -> q35CftimeDecode _,
     "q34_cms_sketch" -> q34CmsSketch _,
     "q33_hll_sketch" -> q33HllSketch _,
     "q32_percentile_sketch" -> q32PercentileSketch _,
@@ -680,6 +756,7 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q35_cftime_decode" -> q35Sql,
     "q34_cms_sketch" -> q34Sql,
     "q33_hll_sketch" -> q33Sql,
     "q32_percentile_sketch" -> q32Sql,

@@ -356,6 +356,57 @@ object StreamingPipelines {
         update)(Encoders.product[DriftState], Encoders.product[DriftRow])
   }
 
+  final case class CmsEv(wstart: Long, key: Long)
+  final case class CmsGrid(cells: Array[Long])
+  final case class CmsCellRow(wstart: Long, r: Int, c: Int, n: Long)
+
+  /** The q34 Count-Min cell family on the JVM side: md5(key decimal
+    * string) sliced into `d` 4-hex-digit words mod `w` — EXACTLY
+    * [[graft.queries.Relational3.cmsColsExpr]]'s arithmetic (Spark
+    * `conv(substring(md5(...)))` and DuckDB's probe SQL share it), so a
+    * grid built here is cell-for-cell the batch sketch. */
+  private[graft] def cmsCellsOf(key: Long, d: Int, w: Int): Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    Array.tabulate(d)(r => Integer.parseInt(hex.substring(r * 4, r * 4 + 4), 16) % w)
+  }
+
+  /** Per-window Count-Min sketch (Cormode & Muthukrishnan 2005) — the
+    * streaming twin of Relational3.q34CmsSketch, completing the st08
+    * SpaceSaving pair: where SpaceSaving keeps the top keys themselves,
+    * CMS answers point frequency queries for ANY key with one-sided
+    * error (est ≥ exact; over-count ≤ windowTotal·e/w per row, min over
+    * d rows). State per window is the FIXED d·w counter grid — bytes,
+    * not keys: a 10⁹-key window costs the same 4×64 longs as a 10³-key
+    * one, which is why a monitoring plane can afford one per window
+    * forever. Each micro-batch re-emits the window's nonzero cells
+    * (Update mode), so a downstream store always holds the current grid
+    * and grids from disjoint streams MERGE by cell-wise addition (the
+    * sketch's linearity — also how the batch twin's partial aggregation
+    * works). StreamingSpec pins: a two-batch replay's final emission
+    * equals the batch grid cell-for-cell, and probe estimates from the
+    * emitted grid satisfy the CMS bound against exact counts. */
+  def cmsGrids(events: Dataset[CmsEv], d: Int, w: Int): Dataset[CmsCellRow] = {
+    require(d >= 1 && d <= 8, s"cmsGrids: depth $d out of [1, 8] (md5 slices)")
+    require(w >= 2 && w <= 65536, s"cmsGrids: width $w out of [2, 65536]")
+    def update(wstart: Long, evs: Iterator[CmsEv],
+               state: GroupState[CmsGrid]): Iterator[CmsCellRow] = {
+      val grid = state.getOption.map(_.cells).getOrElse(new Array[Long](d * w))
+      evs.foreach { e =>
+        val cs = cmsCellsOf(e.key, d, w)
+        var r = 0
+        while (r < d) { grid(r * w + cs(r)) += 1L; r += 1 }
+      }
+      state.update(CmsGrid(grid))
+      (0 until d * w).iterator.filter(grid(_) > 0L).map(i =>
+        CmsCellRow(wstart, i / w, i % w, grid(i)))
+    }
+    events.groupByKey(_.wstart)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        update)(Encoders.product[CmsGrid], Encoders.product[CmsCellRow])
+  }
+
   def heavyHitters(events: Dataset[HEv], capacity: Int, k: Int): Dataset[HHRow] = {
     require(capacity >= k && k >= 1,
       s"heavyHitters: need capacity >= k >= 1, got ($capacity, $k)")

@@ -181,6 +181,102 @@ object Preprocess {
       v.copy(data = out, attrs = attrs)))
   }
 
+  /** OPT-IN CF time decode (xarray's `decode_times=True` for the
+    * non-standard-calendar world the reference touches through cftime —
+    * aggregation.py:193-196 materializes a `cftime.num2date` value for
+    * any coordinate whose encoding carries `units` + `calendar`). Where
+    * xarray produces cftime OBJECT arrays, this engine's integer-exact
+    * model emits companion int64 columns instead: for each variable whose
+    * `units` parses as "<unit> since <date>", six derived variables
+    * `<name>_year/_month/_day/_hour/_minute/_second` (same dims/shape,
+    * placed beside the source — coords stay coords) computed under the
+    * variable's `calendar` attr via [[graft.core.CfCalendar]]. The
+    * encoded source variable is kept untouched (it remains the storage
+    * form; [[encodeTimes]] drops the companions and verifies they still
+    * reproduce it). Deliberately NOT part of the default open path —
+    * `decode_times` is a separate xarray step, and the engine-wide
+    * convention keeps time encoded unless the user opts in. */
+  def decodeTimes(f: Fragment): Fragment = {
+    import graft.core.CfCalendar
+    def companions(name: String, v: Variable): Seq[(String, Variable)] = {
+      val units = v.attrs.get("units").collect {
+        case AttrValue.AStr(s) if CfCalendar.isTimeUnits(s) => s
+      }
+      units match {
+        case None => Seq.empty
+        case Some(u) =>
+          val cal = v.attrs.get("calendar").collect {
+            case AttrValue.AStr(s) => s
+          }.getOrElse("standard")
+          val parsed = CfCalendar.parseUnits(u)
+          val n = v.data.size
+          val parts = Array.ofDim[Long](6, n)
+          var i = 0
+          while (i < n) {
+            if (v.dtype == DType.F8 || v.dtype == DType.F4) {
+              val x = v.data.getDouble(i)
+              require(x == math.rint(x) && !x.isNaN,
+                s"decodeTimes: $name[$i] = $x is not an integral step " +
+                  s"count — fractional CF time is not exactly decodable")
+            }
+            val dt = CfCalendar.num2date(v.data.getLong(i), parsed, cal)
+            parts(0)(i) = dt.year; parts(1)(i) = dt.month.toLong
+            parts(2)(i) = dt.day.toLong; parts(3)(i) = dt.hour.toLong
+            parts(4)(i) = dt.minute.toLong; parts(5)(i) = dt.second.toLong
+            i += 1
+          }
+          val fields = Seq("year", "month", "day", "hour", "minute", "second")
+          fields.zipWithIndex.map { case (fld, k) =>
+            s"${name}_$fld" -> Variable(v.dims,
+              NDArray(DType.I8, v.data.shape, parts(k)),
+              Map("cf_decoded_from" -> AttrValue.AStr(name),
+                "calendar" -> AttrValue.AStr(CfCalendar.canonical(cal))))
+          }
+      }
+    }
+    f.copy(
+      coords = f.coords ++ f.coords.toSeq.flatMap { case (n, v) => companions(n, v) },
+      dataVars = f.dataVars ++ f.dataVars.toSeq.flatMap { case (n, v) => companions(n, v) })
+  }
+
+  /** Inverse of [[decodeTimes]] for one variable: re-encode the companion
+    * columns through `date2num` under the variable's own units/calendar,
+    * require bit-equality with the stored encoding (exact round trip or
+    * a named failure), and drop the companions. */
+  def encodeTimes(f: Fragment, name: String): Fragment = {
+    import graft.core.CfCalendar
+    def sideOf(m: Map[String, Variable]): Boolean = m.contains(name)
+    val v = (f.coords ++ f.dataVars)(name)
+    val units = CfCalendar.parseUnits(v.attrs.get("units").collect {
+      case AttrValue.AStr(s) => s
+    }.getOrElse(throw new IllegalArgumentException(
+      s"encodeTimes: variable $name has no units attr")))
+    val cal = v.attrs.get("calendar").collect {
+      case AttrValue.AStr(s) => s
+    }.getOrElse("standard")
+    val fields = Seq("year", "month", "day", "hour", "minute", "second")
+    val comp = fields.map(fld => (f.coords ++ f.dataVars).getOrElse(
+      s"${name}_$fld", throw new IllegalArgumentException(
+        s"encodeTimes: missing companion ${name}_$fld — run decodeTimes first")))
+    var i = 0
+    val n = v.data.size
+    while (i < n) {
+      val dt = CfCalendar.DateTime(comp(0).data.getLong(i),
+        comp(1).data.getLong(i).toInt, comp(2).data.getLong(i).toInt,
+        comp(3).data.getLong(i).toInt, comp(4).data.getLong(i).toInt,
+        comp(5).data.getLong(i).toInt)
+      val num = CfCalendar.date2num(dt, units, cal)
+      require(num == v.data.getLong(i),
+        s"encodeTimes: $name[$i] companions re-encode to $num but stored " +
+          s"encoding is ${v.data.getLong(i)} — companions were edited " +
+          s"inconsistently with the encoding")
+      i += 1
+    }
+    val dropped = fields.map(fld => s"${name}_$fld").toSet
+    f.copy(coords = f.coords.filterNot(kv => dropped(kv._1)),
+      dataVars = f.dataVars.filterNot(kv => dropped(kv._1)))
+  }
+
   def renameVar(f: Fragment, from: String, to: String): Fragment =
     f.copy(dataVars = (f.dataVars - from).updated(to, f.dataVars(from)))
 

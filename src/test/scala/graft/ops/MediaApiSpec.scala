@@ -233,6 +233,41 @@ class MediaApiSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown image container"))
   }
 
+  test("p13 mixed admission: three codec paths + resize converge; drops partition the corpus") {
+    import graft.queries.MultiModalOps
+    // core property: PNG (8x8), GIF (8x8) and JPEG (64x64, DC-only blocks)
+    // of group g all normalize to the IDENTICAL canonical 8x8 raster —
+    // three codecs, one of them through an 8x block-mean downsample
+    for (g <- Seq(0L, 7L, 123L)) {
+      val ref = MultiModalOps.crossRasterOf(g)
+      for (leg <- 0 to 2) {
+        val gray = MultiModalOps.mixedGrayOf(
+          MultiModalOps.mixedFormatBytes(3 * g + leg))
+        assert(java.util.Arrays.equals(gray, ref),
+          s"group $g leg $leg diverges from the synthesis raster")
+      }
+    }
+    // admission accounting: per-container docs partition the corpus; the
+    // min-id member of each family is PNG (ids 3g < 3g+1 < 3g+2), so all
+    // admissions land there and the other containers drop fully —
+    // UNLESS two groups collide in pHash, in which case spark and oracle
+    // agree by construction (both group on the hash)
+    val rows = graft.queries.PipelineOps.p13MixedAdmission(spark, d).collect()
+    val total = graft.queries.Tables.documents(spark, d).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) == r.getLong(1), r.toString)
+    }
+    val byContainer = rows.map(r => r.getString(0) -> r).toMap
+    assert(byContainer.keySet == Set("png", "gif", "jpeg"))
+    assert(byContainer("png").getLong(3) > 0, "no admissions at all")
+    // non-8-divisible dims fail by name (no approximate resampling)
+    val odd = MultiModalOps.pngEncode(4, 4,
+      Array.tabulate(48)(i => (i * 5).toByte))
+    val e = intercept[IllegalArgumentException](MultiModalOps.mixedGrayOf(odd))
+    assert(e.getMessage.contains("not 8-divisible"))
+  }
+
   test("probe over a payload column == m13 on the same ids; sniffing dispatches correctly") {
     import spark.implicits._
     val ids = graft.queries.Tables.documents(spark, d)

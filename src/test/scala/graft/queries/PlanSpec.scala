@@ -313,6 +313,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("p13: mixed-container admission is ONE corpus scan, family-thin shuffle") {
+    val p = plan(PipelineOps.p13MixedAdmission(spark, d))
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"expected exactly one corpus scan:\n$p")
+    // the dup verdict windows on the perceptual hash, never globally
+    assert(p.contains("windowspecdefinition(phash"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    // the hash is computed BEFORE the window shuffle (payloads never cross
+    // it): wht_phash lives in the plan segment below the first Exchange
+    val belowExchange = p.substring(p.indexOf("Exchange"))
+    assert(belowExchange.contains("wht_phash"),
+      s"phash not computed pre-shuffle:\n$p")
+  }
+
   test("p10: admission subtree is ONE corpus scan; manifest never re-plans it") {
     val pp = plan(PipelineOps.p10SurvivorsLazy(
       Tables.documents(spark, d)))

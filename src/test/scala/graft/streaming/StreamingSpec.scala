@@ -420,6 +420,70 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming CMS: two-batch replay's final grid equals the q34 batch grid") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = 4; val w = 64
+    val ev = graft.queries.Tables.events(spark, sfDir)
+      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("wstart"),
+        col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._3)
+    // the batch grid: the q34 cell construction (same cmsColsExpr family)
+    // aggregated per window instead of globally
+    val batchGrid: Map[(Long, Int, Int), Long] = graft.queries.Tables
+      .events(spark, sfDir)
+      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("wstart"),
+        posexplode(expr(
+          graft.queries.Relational3.cmsColsExpr("user_id", d, w)))
+          .as(Seq("r", "c")))
+      .groupBy("wstart", "r", "c").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2).toInt) -> r.getLong(3))
+      .toMap
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val stream = mem.toDF().toDF("wstart", "key").as[StreamingPipelines.CmsEv]
+    val q = StreamingPipelines.cmsGrids(stream, d, w)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("cms_out").start()
+    val finalGrid = try {
+      val (first, second) = ev.splitAt(ev.length / 2)
+      mem.addData(first.map(e => (e._1, e._2)).toSeq: _*)
+      q.processAllAvailable()
+      val afterB1 = spark.table("cms_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      mem.addData(second.map(e => (e._1, e._2)).toSeq: _*)
+      q.processAllAvailable()
+      val all = spark.table("cms_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      // batch-2 emissions supersede batch-1 rows for re-touched windows
+      val b2 = all.diff(afterB1)
+      val b2Windows = b2.map(_._1).toSet
+      (b2 ++ afterB1.filterNot(r => b2Windows.contains(r._1)))
+        .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    } finally q.stop()
+    assert(finalGrid == batchGrid,
+      s"extra=${finalGrid.toSet.diff(batchGrid.toSet).take(3)} " +
+        s"missing=${batchGrid.toSet.diff(finalGrid.toSet).take(3)}")
+
+    // probe leg: estimates from the emitted grid are one-sided and within
+    // the CMS bound for every observed key
+    val exact = ev.groupBy(e => (e._1, e._2)).map { case (k, g) => k -> g.length.toLong }
+    val windowTotals = ev.groupBy(_._1).map { case (ws, g) => ws -> g.length.toLong }
+    exact.foreach { case ((ws, key), truth) =>
+      val cells = StreamingPipelines.cmsCellsOf(key, d, w)
+      val est = (0 until d).map(r => finalGrid.getOrElse((ws, r, cells(r)), 0L)).min
+      assert(est >= truth, s"window $ws key $key: est $est < true $truth")
+      // standard CMS bound at delta = e^-d over the min: conservative
+      // deterministic check — overcount can't exceed the window's total
+      // mass landing in one row's cell
+      assert(est - truth <= windowTotals(ws),
+        s"window $ws key $key: absurd overcount")
+    }
+  }
+
   test("stream-stream interval join equals the batch attribution twin") {
     val clicks = eventStream().filter(col("event_type") === "click")
     val purchases = eventStream().filter(col("event_type") === "purchase")

@@ -67,6 +67,138 @@ class CFCodingSpec extends AnyFunSuite {
       (a(i).isNaN && b(i).isNaN) || a(i) == b(i)))
   }
 
+  // ------------------------------------------------- CF calendar decode
+
+  private def cal360Fragment: Fragment = {
+    // a 360_day monthly cube: time encoded as "days since 2000-01-01" in
+    // 30-day steps — exactly the CMIP-style axis cftime decodes
+    val enc = Array.tabulate(14)(i => i.toLong * 30)
+    Fragment(
+      dims = Map("time" -> 14),
+      coords = Map("time" -> Variable(Vector("time"),
+        NDArray(DType.I8, Vector(14), enc),
+        Map("units" -> AttrValue("days since 2000-01-01"),
+          "calendar" -> AttrValue("360_day")))),
+      dataVars = Map("tas" -> Variable(Vector("time"),
+        NDArray(DType.F8, Vector(14), Array.tabulate(14)(_.toDouble)),
+        Map("units" -> AttrValue("K")))),
+      attrs = Map.empty)
+  }
+
+  test("decodeTimes on a 360_day cube: months advance by exactly one") {
+    val d = Preprocess.decodeTimes(cal360Fragment)
+    val y = d.coords("time_year").data
+    val m = d.coords("time_month").data
+    val dd = d.coords("time_day").data
+    // 14 steps of 30 days: months 1..12 of year 2000, then 1..2 of 2001
+    (0 until 14).foreach { i =>
+      assert(y.getLong(i) == 2000 + i / 12, s"step $i year")
+      assert(m.getLong(i) == i % 12 + 1, s"step $i month")
+      assert(dd.getLong(i) == 1, s"step $i day")
+    }
+    // data vars untouched, companions carry provenance
+    assert(d.dataVars("tas").data.sameElements(
+      cal360Fragment.dataVars("tas").data))
+    assert(d.coords("time_year").attrs("cf_decoded_from") ==
+      AttrValue("time"))
+    // non-time variables get no companions
+    assert(!d.dataVars.contains("tas_year"))
+  }
+
+  test("encodeTimes round-trips decodeTimes exactly (360_day and noleap)") {
+    for (cal <- Seq("360_day", "noleap", "all_leap", "proleptic_gregorian",
+      "standard", "julian")) {
+      val f0 = cal360Fragment
+      val f = f0.copy(coords = f0.coords.updated("time",
+        f0.coords("time").copy(attrs = f0.coords("time").attrs
+          .updated("calendar", AttrValue(cal)))))
+      val rt = Preprocess.encodeTimes(Preprocess.decodeTimes(f), "time")
+      assert(rt.coords("time").data.sameElements(f.coords("time").data),
+        s"calendar $cal")
+      assert(!rt.coords.contains("time_year"), s"calendar $cal companions")
+    }
+  }
+
+  test("noleap/all_leap: Feb 29 exists only in all_leap; 2000 is leap in gregorian") {
+    import graft.core.CfCalendar._
+    val u = parseUnits("days since 2000-02-28")
+    assert(num2date(1, u, "noleap") == DateTime(2000, 3, 1))
+    assert(num2date(1, u, "all_leap") == DateTime(2000, 2, 29))
+    assert(num2date(1, u, "proleptic_gregorian") == DateTime(2000, 2, 29))
+    assert(num2date(1, u, "standard") == DateTime(2000, 2, 29))
+    // 1900: Gregorian century non-leap, Julian leap — the calendars split
+    val u1900 = parseUnits("days since 1900-02-28")
+    assert(num2date(1, u1900, "proleptic_gregorian") == DateTime(1900, 3, 1))
+    assert(num2date(1, u1900, "standard") == DateTime(1900, 3, 1))
+    assert(num2date(1, u1900, "julian") == DateTime(1900, 2, 29))
+  }
+
+  test("standard calendar: the 1582 Gregorian reform gap is exact") {
+    import graft.core.CfCalendar._
+    val u = parseUnits("days since 1582-10-04")
+    // the day after Julian 1582-10-04 is Gregorian 1582-10-15
+    assert(num2date(0, u, "standard") == DateTime(1582, 10, 4))
+    assert(num2date(1, u, "standard") == DateTime(1582, 10, 15))
+    assert(num2date(2, u, "standard") == DateTime(1582, 10, 16))
+    // the dropped dates fail by name
+    val e = intercept[IllegalArgumentException] {
+      date2num(DateTime(1582, 10, 9), u, "standard")
+    }
+    assert(e.getMessage.contains("does not exist"))
+    // proleptic_gregorian has no gap: Oct 5..14 exist there
+    assert(date2num(DateTime(1582, 10, 14), u, "proleptic_gregorian") -
+      date2num(DateTime(1582, 10, 5), u, "proleptic_gregorian") == 9)
+  }
+
+  test("proleptic_gregorian matches java.time over a 3000-year sweep") {
+    import graft.core.CfCalendar._
+    val u = parseUnits("days since 1970-01-01")
+    // prime stride so month/era boundaries land on many offsets
+    var n = -500000L // ~600 CE
+    while (n < 600000L) { // ~3600 CE
+      val dt = num2date(n, u, "proleptic_gregorian")
+      val jd = java.time.LocalDate.ofEpochDay(n)
+      assert(dt.year == jd.getYear && dt.month == jd.getMonthValue &&
+        dt.day == jd.getDayOfMonth, s"epoch day $n: $dt vs $jd")
+      assert(date2num(dt, u, "proleptic_gregorian") == n)
+      n += 1709
+    }
+  }
+
+  test("num2date honors sub-day units and time-of-day epochs") {
+    import graft.core.CfCalendar._
+    // epoch valid in BOTH calendars (360_day has no Dec 31 — decoding
+    // an epoch that names one fails by name, also asserted below)
+    val u = parseUnits("hours since 1999-12-30 18:30:00")
+    assert(num2date(0, u, "360_day") == DateTime(1999, 12, 30, 18, 30))
+    assert(num2date(6, u, "360_day") == DateTime(2000, 1, 1, 0, 30))
+    assert(num2date(6, u, "proleptic_gregorian") ==
+      DateTime(1999, 12, 31, 0, 30))
+    assert(num2date(36, u, "proleptic_gregorian") ==
+      DateTime(2000, 1, 1, 6, 30))
+    intercept[IllegalArgumentException](num2date(0,
+      parseUnits("days since 1999-12-31"), "360_day"))
+    val secs = parseUnits("seconds since 1970-01-01")
+    assert(num2date(86399, secs, "standard") ==
+      DateTime(1970, 1, 1, 23, 59, 59))
+    assert(num2date(-1, secs, "standard") ==
+      DateTime(1969, 12, 31, 23, 59, 59))
+    // named failures: fractional float time, bad unit, bad calendar
+    intercept[IllegalArgumentException](parseUnits("fortnights since 2000-01-01"))
+    intercept[IllegalArgumentException](num2date(0,
+      parseUnits("days since 2000-01-01"), "martian"))
+  }
+
+  test("decodeTimes rejects fractional float encodings by name") {
+    val f0 = cal360Fragment
+    val f = f0.copy(coords = f0.coords.updated("time",
+      f0.coords("time").copy(data =
+        NDArray(DType.F8, Vector(14),
+          Array.tabulate(14)(i => i * 30.0 + (if (i == 7) 0.5 else 0.0))))))
+    val e = intercept[IllegalArgumentException](Preprocess.decodeTimes(f))
+    assert(e.getMessage.contains("not an integral step count"))
+  }
+
   test("Openers.open applies mask-and-scale by default, raw on opt-out") {
     val p = java.nio.file.Files.createTempDirectory("cf").toString + "/p.nc"
     NetCDF3.write(p, packedFragment)
