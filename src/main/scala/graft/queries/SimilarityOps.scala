@@ -172,9 +172,10 @@ object SimilarityOps {
     * candidates resumed growing as 64·2⁻¹⁸·n²/2) keeps bits = ⌈log₂ n⌉
     * for any corpus up to 10^9 vectors while staying within the 62-bit
     * band-signature word and the oracle's pre-materialized 64×[[BitsMax]]
-    * hyperplane pool. BandScale measures the fence live past 2^18 rows
-    * (SCALE_r12 §1: 400k docs → bits 19, 800k → bits 20, candidate mass
-    * ~2× per corpus doubling through both new fences). */
+    * hyperplane pool. MEASURED live past 2^18 rows (SCALE_r12 §1,
+    * `BandScale synth`): 400k vectors → bits 19, 800k → bits 20,
+    * candidate mass 2.24×/2.20× per corpus doubling through both new
+    * fences — linear, as constructed. */
   private[graft] val BitsMin = 8
   private[graft] val BitsMax = 30
 
@@ -538,11 +539,22 @@ object SimilarityOps {
       .select(col("vec_id"), col("pos").as("band_no"), col("col").as("bits"))
 
   /** Banded candidate pairs (band collisions, pre-rescore, pre-distinct).
-    * [[AdaptiveBits]] resolves against the frame's count. */
+    * [[AdaptiveBits]] resolves against the frame's count.
+    *
+    * The self-join is HINTED shuffle_merge: the band table is
+    * Θ(n·bands) rows, but its Catalyst size estimate descends from the
+    * caller's localCheckpoint lineage (range → project → explode), which
+    * under-counts array payloads badly enough that the static planner
+    * chose a BROADCAST build for an 800k-vector corpus — 51M band rows,
+    * a guaranteed driver OOM (measured: the r12 BandScale synth run died
+    * in BroadcastExchangeExec before the fence fix; SCALE_r12 §1). A
+    * band table is never a correct broadcast side past toy corpora, and
+    * at toy size the forced shuffle moves kilobytes — so the scale-safe
+    * strategy is unconditional. */
   private[graft] def s02Candidates(emb: DataFrame, bands: Int,
                                    rowsPerBand: Int): DataFrame = {
     val b = s02Bands(emb, bands, resolveBits(emb, rowsPerBand))
-    b.as("a").join(b.as("b"),
+    b.as("a").hint("shuffle_merge").join(b.as("b"),
         col("a.band_no") === col("b.band_no") &&
           col("a.bits") === col("b.bits") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -551,9 +563,11 @@ object SimilarityOps {
 
   /** Per-pair collision counts (vec_a < vec_b, m) from a PREBUILT band
     * table — the incremental paths' state-side kernel (their standing
-    * band signatures are persisted, not recomputed). */
+    * band signatures are persisted, not recomputed). Same forced-shuffle
+    * contract as [[s02Candidates]]: a persisted state band table is
+    * corpus-sized by definition. */
   private[graft] def bandPairCounts(b: DataFrame): DataFrame =
-    b.as("a").join(b.as("b"),
+    b.as("a").hint("shuffle_merge").join(b.as("b"),
         col("a.band_no") === col("b.band_no") &&
           col("a.bits") === col("b.bits") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -574,14 +588,22 @@ object SimilarityOps {
     // join-output rows), candidate pairs flow straight into the rescore
     // with no intermediate distinct: the all-candidates dedupe was a full
     // shuffle of every collision, while the sim filter keeps ~nothing, so
-    // deduping AFTER it is free. Rescore joins are plain equi-joins (AQE
-    // broadcasts the vector table when it fits, shuffles when it doesn't)
-    // and dot/filter run in the same codegen stage as the join output.
+    // deduping AFTER it is free. Rescore joins are plain equi-joins; the
+    // vector-table side broadcasts while the construction's own bit width
+    // proves the corpus small (bits ≤ 16 ⟺ n ≤ 65536 ⟺ quantized
+    // vectors ≤ ~35 MB true size) and is FORCED to shuffle past it — the
+    // static estimator under-sizes checkpoint-derived array payloads (see
+    // s02Candidates), and a mis-broadcast vector table at 10⁶+ rows is a
+    // driver OOM, the t18 broadcast/shuffle-by-threshold lesson applied
+    // to the rescore. Dot/filter run in the join output's codegen stage.
+    val embFence =
+      if (rb > 16) (df: DataFrame) => df.hint("shuffle_merge")
+      else (df: DataFrame) => df
     s02Candidates(emb, bands, rb)
-      .join(emb.select(col("vec_id").as("vec_a"), col("q").as("qa"),
-        col("nrm").as("na")), "vec_a")
-      .join(emb.select(col("vec_id").as("vec_b"), col("q").as("qb"),
-        col("nrm").as("nb")), "vec_b")
+      .join(embFence(emb.select(col("vec_id").as("vec_a"), col("q").as("qa"),
+        col("nrm").as("na"))), "vec_a")
+      .join(embFence(emb.select(col("vec_id").as("vec_b"), col("q").as("qb"),
+        col("nrm").as("nb"))), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         round(expr(dotExpr("qa", "qb")).cast("double") /
           cosDenom(col("na"), col("nb")), 6)
