@@ -35,9 +35,12 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
   * 5/3 wavelet: the g2clib/jasper single-component lossless profile),
   * covering both the zero-payload constant-field case (nbits=0 → every
   * valid point equals R/10^D — what the reference CMC fixture contains)
-  * and real non-constant payloads. Complex packing's embedded
-  * missing-value management (missingMgmt != 0) raises a clear error;
-  * NOAA output uses the bitmap instead.
+  * and real non-constant payloads; CCSDS packing (5.42, the libaec/AEC
+  * lossless compression newer NCEP products ship) via the in-repo
+  * CCSDS 121.0 extended-Rice codec (`hdf5/Szip.scala` — szip IS the
+  * same bitstream, only the flag numbering differs). Complex packing's
+  * embedded missing-value management (missingMgmt != 0) raises a clear
+  * error; NOAA output uses the bitmap instead.
   *
   * Scanning is header-only: section bodies 0-5 are metadata-sized reads;
   * the bitmap and data sections are recorded as (offset, length) byte
@@ -74,9 +77,14 @@ object Grib2 {
                                  lenBits: Int, spatialOrder: Int,
                                  extraOctets: Int)
 
+  /** CCSDS packing parameters (template 5.42): the libaec flags octet,
+    * block size J and reference sample interval (in blocks). */
+  final case class CcsdsParams(flags: Int, blockSize: Int, rsi: Int)
+
   final case class Packing(template: Int, nValues: Int, refValue: Float,
                            binaryScale: Int, decimalScale: Int, nbits: Int,
-                           complex: Option[ComplexParams] = None)
+                           complex: Option[ComplexParams] = None,
+                           ccsds: Option[CcsdsParams] = None)
 
   /** One scanned message: metadata + byte ranges of the heavy sections. */
   final case class Message(offset: Long, length: Long,
@@ -339,9 +347,10 @@ object Grib2 {
   private def parsePacking(r: R): Packing = {
     val template = r.u16(9)
     require(template == 0 || template == 2 || template == 3 ||
-        template == 40 || template == 41,
+        template == 40 || template == 41 || template == 42,
       s"GRIB2 data representation template 5.$template not supported " +
-        "(5.0 simple, 5.2/5.3 complex, 5.40 jpeg2000, 5.41 png are)")
+        "(5.0 simple, 5.2/5.3 complex, 5.40 jpeg2000, 5.41 png, " +
+        "5.42 ccsds are)")
     val complex =
       if (template == 2 || template == 3) Some(ComplexParams(
         splitMethod = r.u8(21), missingMgmt = r.u8(22),
@@ -351,9 +360,40 @@ object Grib2 {
         spatialOrder = if (template == 3) r.u8(47) else 0,
         extraOctets = if (template == 3) r.u8(48) else 0))
       else None
+    val ccsds =
+      if (template == 42) Some(CcsdsParams(
+        flags = r.u8(21), blockSize = r.u8(22), rsi = r.u16(23)))
+      else None
     Packing(template, nValues = r.u32(5).toInt, refValue = r.f32(11),
       binaryScale = r.i16sm(15), decimalScale = r.i16sm(17), nbits = r.u8(19),
-      complex = complex)
+      complex = complex, ccsds = ccsds)
+  }
+
+  // libaec AEC_* flag bits as stored in template 5.42's options octet
+  private val AecSigned = 1
+  private val Aec3Byte = 2
+  private val AecMsb = 4
+  private val AecPreprocess = 8
+  private val AecRestricted = 16
+  private val AecPadRsi = 32
+
+  /** Translate the 5.42 libaec flags octet to the in-repo CCSDS codec's
+    * szlib-convention option mask ([[graft.hdf5.Szip]] — the SAME
+    * CCSDS 121.0 bitstream; szip and libaec differ only in flag
+    * numbering). Unsupported libaec modes fail by name. */
+  private def ccsdsSzipMask(flags: Int): Int = {
+    require((flags & AecSigned) == 0,
+      "GRIB2 CCSDS packing: signed samples not supported (GRIB offsets are unsigned)")
+    require((flags & Aec3Byte) == 0,
+      "GRIB2 CCSDS packing: 3-byte sample storage not supported")
+    require((flags & AecRestricted) == 0,
+      "GRIB2 CCSDS packing: restricted code options not supported")
+    require((flags & AecPadRsi) == 0,
+      "GRIB2 CCSDS packing: RSI byte padding not supported")
+    graft.hdf5.Szip.MaskRaw |
+      (if ((flags & AecMsb) != 0) graft.hdf5.Szip.MaskMSB
+       else graft.hdf5.Szip.MaskLSB) |
+      (if ((flags & AecPreprocess) != 0) graft.hdf5.Szip.MaskNN else 0)
   }
 
   // ------------------------------------------------------------- decoding
@@ -462,6 +502,33 @@ object Grib2 {
           var k = 0
           while (k < p.nValues) {
             vals(k) = (p.refValue + img.samples(k) * e) / d
+            k += 1
+          }
+          vals(_)
+        case 42 =>
+          // CCSDS packing (the libaec/AEC lossless compression some NCEP
+          // products ship): section 7 is a raw CCSDS 121.0 extended-Rice
+          // bitstream of the X offsets — decoded by the SAME clean-room
+          // codec the HDF5 szip filter uses (Szip.scala; szip IS
+          // CCSDS 121, only the flag numbering differs)
+          val c = p.ccsds.getOrElse(throw new IllegalArgumentException(
+            "GRIB2 CCSDS packing without template 5.42 parameters"))
+          val mask = ccsdsSzipMask(c.flags)
+          val sb = if (p.nbits <= 8) 1 else if (p.nbits <= 16) 2 else 4
+          val raw = graft.hdf5.Szip.decompress(data, mask, p.nbits,
+            c.blockSize, c.rsi * c.blockSize, p.nValues * sb)
+          val bb = ByteBuffer.wrap(raw).order(
+            if ((c.flags & AecMsb) != 0) ByteOrder.BIG_ENDIAN
+            else ByteOrder.LITTLE_ENDIAN)
+          val vals = new Array[Double](p.nValues)
+          var k = 0
+          while (k < p.nValues) {
+            val x = sb match {
+              case 1 => (bb.get(k) & 0xFFL)
+              case 2 => (bb.getShort(k * 2) & 0xFFFFL)
+              case _ => bb.getInt(k * 4) & 0xFFFFFFFFL
+            }
+            vals(k) = (p.refValue + x * e) / d
             k += 1
           }
           vals(_)
@@ -1233,6 +1300,74 @@ object Grib2 {
     s5.put(depth.toByte); s5.put(0.toByte) // field type: float
     s5.put(0.toByte) // compression type: lossless
     s5.put(255.toByte) // target compression ratio: missing (lossless)
+
+    val s6Body: Array[Byte] =
+      if (!hasBitmap) Array[Byte](255.toByte)
+      else {
+        val bm = new Array[Byte](1 + (values.length + 7) / 8)
+        bm(0) = 0
+        values.indices.foreach { i =>
+          if (!values(i).isNaN)
+            bm(1 + (i >> 3)) = (bm(1 + (i >> 3)) | (1 << (7 - (i & 7)))).toByte
+        }
+        bm
+      }
+
+    writeMessage(path, discipline, Array(
+      sec(1, sec1Body(refTimeEpochSec)),
+      sec(3, sec3LatLon(nx, ny, la1, lo1, dLat, dLon)),
+      sec(4, sec4Body(category, number)),
+      sec(5, s5.array()),
+      sec(6, s6Body), sec(7, s7Body)))
+  }
+
+  /** Write a one-message GRIB2 file with CCSDS packing (template 5.42 —
+    * the libaec lossless compression newer NCEP products ship): simple
+    * quantization shared with the other writers, offsets coded by the
+    * in-repo CCSDS 121.0 codec with the ecCodes flag convention
+    * (MSB samples + NN preprocessing, 32-sample blocks, RSI 128). */
+  def writeCcsds(path: String, values: Array[Double], nx: Int, ny: Int,
+                 la1: Double, lo1: Double, dLat: Double, dLon: Double,
+                 discipline: Int, category: Int, number: Int,
+                 refTimeEpochSec: Long, decimalScale: Int = 2,
+                 blockSize: Int = 32, rsi: Int = 128): Unit = {
+    require(values.length == nx * ny, "values must cover the grid")
+    val valid = values.filterNot(_.isNaN)
+    require(valid.nonEmpty, "all-NaN field")
+    val hasBitmap = valid.length != values.length
+    val d = math.pow(10, decimalScale)
+    val scaled = valid.map(v => math.rint(v * d).toLong)
+    val rv = scaled.min
+    require(math.abs(rv) < (1 << 24), s"reference value $rv exceeds float32 exactness")
+    val maxOff = scaled.max - rv
+    require(maxOff < (1L << 31), s"value span $maxOff exceeds 31-bit ccsds depth")
+    val nbits = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, maxOff))).toInt
+    val flags = AecMsb | AecPreprocess
+    val sb = if (nbits <= 8) 1 else if (nbits <= 16) 2 else 4
+    val raw = ByteBuffer.allocate(valid.length * sb).order(ByteOrder.BIG_ENDIAN)
+    scaled.foreach { s =>
+      val x = s - rv
+      sb match {
+        case 1 => raw.put(x.toByte)
+        case 2 => raw.putShort(x.toShort)
+        case _ => raw.putInt(x.toInt)
+      }
+    }
+    val s7Body = graft.hdf5.Szip.compress(raw.array(), ccsdsSzipMask(flags),
+      nbits, blockSize, rsi * blockSize)
+
+    // section 5: template 5.42 — 5.0's head + flags/block/rsi
+    val s5 = ByteBuffer.allocate(20).order(ByteOrder.BIG_ENDIAN)
+    s5.putInt(valid.length)
+    s5.putShort(42)
+    s5.putFloat(rv.toFloat)
+    smPut16(s5, 0) // binary scale 0: exact decimal quantization
+    smPut16(s5, decimalScale)
+    s5.put(nbits.toByte); s5.put(0.toByte) // field type: float
+    s5.put(flags.toByte)
+    s5.put(blockSize.toByte)
+    s5.putShort(rsi.toShort)
 
     val s6Body: Array[Byte] =
       if (!hasBitmap) Array[Byte](255.toByte)

@@ -149,6 +149,86 @@ object HDF5Writer {
     n
   }
 
+  /** Extended-tiny heap-id width used by `denseTinyLinkIds`: > 18 bytes
+    * switches the tiny encoding to its 12-bit-length form, giving a
+    * 46-byte inline payload — room for any short-named link message. */
+  private[hdf5] val TinyLinkIdLen = 48
+
+  /** One planned v2 B-tree node: `recs` are indices into the SORTED
+    * record stream; leaves have no children. Built bottom-up by
+    * [[planBtree]] with separators pulled up one per sibling boundary at
+    * every level (the bulk-load shape libhdf5 produces). */
+  private final case class BtNodePlan(name: String, recs: Vector[Int],
+                                      children: Vector[BtNodePlan]) {
+    def depth: Int = if (children.isEmpty) 0 else children.head.depth + 1
+    def totalRecs: Long = recs.length + children.map(_.totalRecs).sum
+  }
+
+  /** Plan a v2 B-tree over `n` sorted records at ANY depth. Returns the
+    * root plus the spec capacity ladder (maxNrec(d), maxTot(d)) the
+    * child-pointer field widths derive from — the same formulas the
+    * reader's walkV2Btree applies, so geometry round-trips by
+    * construction. */
+  private def planBtree(n: Int, nodeSize: Int, recSize: Int)
+      : (BtNodePlan, Vector[Long], Vector[Long]) = {
+    val leafCap = (nodeSize - 10) / recSize
+    require(leafCap >= 1, s"v2 btree node size $nodeSize too small for " +
+      s"record size $recSize")
+    val maxNrec = scala.collection.mutable.ArrayBuffer[Long](leafCap.toLong)
+    val maxTot = scala.collection.mutable.ArrayBuffer[Long](leafCap.toLong)
+    if (n <= leafCap)
+      return (BtNodePlan("btlf:0", (0 until n).toVector, Vector.empty),
+        maxNrec.toVector, maxTot.toVector)
+    val chunks = (0 until n).toVector.grouped(leafCap).toVector
+    var nodes: Vector[BtNodePlan] = chunks.zipWithIndex.map { case (c, i) =>
+      BtNodePlan(s"btlf:$i", if (i == 0) c else c.tail, Vector.empty) }
+    var seps: Vector[Int] = chunks.tail.map(_.head)
+    var depth = 0
+    while (nodes.length > 1) {
+      depth += 1
+      val ptr = 8 + lenBytesFor(maxNrec(depth - 1)) +
+        (if (depth >= 2) lenBytesFor(maxTot(depth - 1)) else 0)
+      val cap = (nodeSize - 10 - ptr) / (recSize + ptr)
+      require(cap >= 1,
+        s"v2 btree internal capacity 0 at depth $depth (node $nodeSize)")
+      maxNrec += cap.toLong
+      maxTot += cap + (cap + 1L) * maxTot(depth - 1)
+      val m = nodes.length
+      val gcount = (m + cap) / (cap + 1)
+      val base = m / gcount; val extra = m % gcount
+      val sizes = Vector.tabulate(gcount)(g => base + (if (g < extra) 1 else 0))
+      require(sizes.forall(_ >= 2),
+        s"v2 btree geometry yields a 1-child internal node " +
+          s"($m children over $gcount nodes at depth $depth) — " +
+          "pick a larger node size")
+      var cursor = 0
+      val newSeps = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val parents = sizes.zipWithIndex.map { case (sz, gi) =>
+        if (gi > 0) newSeps += seps(cursor - 1)
+        val kids = nodes.slice(cursor, cursor + sz)
+        val recsHere = (cursor until cursor + sz - 1).map(seps).toVector
+        cursor += sz
+        BtNodePlan(s"btin:$depth:$gi", recsHere, kids)
+      }
+      nodes = parents
+      seps = newSeps.toVector
+    }
+    (nodes.head, maxNrec.toVector, maxTot.toVector)
+  }
+
+  /** Byte size of one planned node (header + records + child pointers +
+    * checksum), for the allocation pass. */
+  private def btNodeBytes(node: BtNodePlan, recSize: Int,
+                          maxNrec: Vector[Long], maxTot: Vector[Long]): Long =
+    if (node.children.isEmpty) (6 + node.recs.length * recSize + 4).toLong
+    else {
+      val d = node.depth
+      val ptr = 8 + lenBytesFor(maxNrec(d - 1)) +
+        (if (d >= 2) lenBytesFor(maxTot(d - 1)) else 0)
+      (6 + node.recs.length * recSize +
+        node.children.length * ptr + 4).toLong
+    }
+
   // ------------------------------------------------- Jenkins lookup3
   /** Jenkins lookup3 hashlittle (Bob Jenkins, public domain, May 2006) —
     * HDF5's H5_checksum_lookup3: the v2-btree/fractal-heap metadata
@@ -308,6 +388,7 @@ object HDF5Writer {
             denseRootLinks: Boolean = false,
             denseStartBlockSize: Long = 0L,
             denseBtNodeSize: Int = 0,
+            denseTinyLinkIds: Boolean = false,
             denseAttrObjects: Set[String] = Set.empty): Unit = {
     require(Seq(deflateLevel.isDefined, lzf, zstdLevel.isDefined,
       blosc.isDefined, lz4, szip.isDefined).count(identity) <= 1,
@@ -538,13 +619,28 @@ object HDF5Writer {
       new String(body, 8, nameLen, "UTF-8").takeWhile(_ != 0)
     }
     val attrFhdbDataStart = 13 + 4 // sig+ver+heapAddr+blockOffset(4)
-    // per object: heap-space offset of each body + the block size
+    // attribute messages above the 4 KiB managed ceiling go HUGE (the
+    // libhdf5 behavior for e.g. a long history attribute on a densely-
+    // attributed object): standalone blocks keyed by a type-1 v2 B-tree,
+    // heap ids carrying the huge-object id instead of (offset, length)
+    val denseAttrMaxManaged = 4096L
+    // per object: heap-space offset of each MANAGED body (-1 = huge) +
+    // the block size
     val denseAttrGeom: Map[String, (Vector[Long], Long)] =
       denseAttrBodies.map { case (n, bodies) =>
         var pos = attrFhdbDataStart.toLong
-        val offs = bodies.map { b => val o = pos; pos += b.length; o }
+        val offs = bodies.map { b =>
+          if (b.length > denseAttrMaxManaged) -1L
+          else { val o = pos; pos += b.length; o }
+        }
         val bsize = math.max(512L, java.lang.Long.highestOneBit(pos - 1) * 2)
         n -> (offs, bsize)
+      }
+    // per object: body indices stored huge (ids are 1-based, in order)
+    val denseAttrHuge: Map[String, Vector[Int]] =
+      denseAttrBodies.map { case (n, bodies) =>
+        n -> bodies.indices.filter(i =>
+          bodies(i).length > denseAttrMaxManaged).toVector
       }
     val objHeaderMsgs: Map[String, Vector[Msg]] = objMsgs.map { case (n, ms) =>
       if (denseAttrBodies.contains(n))
@@ -608,7 +704,16 @@ object HDF5Writer {
     // object's heap offset (heap space INCLUDES block headers)
     val denseBlocks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val denseObjOff = new Array[Long](linkMsgSizes.length)
-    if (denseRootLinks) {
+    if (denseRootLinks && denseTinyLinkIds) {
+      // every link message rides INLINE in its (extended-tiny) heap id —
+      // the heap has no blocks at all; ids are 48 bytes, messages must
+      // fit the 46-byte payload (2 header bytes: flags + low length)
+      linkMsgSizes.zip(objNames).foreach { case (m, n) =>
+        require(m <= TinyLinkIdLen - 2,
+          s"denseTinyLinkIds: link message for $n is $m bytes > " +
+            s"${TinyLinkIdLen - 2} (tiny-id payload)")
+      }
+    } else if (denseRootLinks) {
       var pos = 0L // within-block cursor (absolute heap offset)
       var blockEnd = 0L
       linkMsgSizes.zipWithIndex.foreach { case (m, i) =>
@@ -633,32 +738,30 @@ object HDF5Writer {
       if (denseRows <= 2) denseSbs else denseSbs << (denseRows - 2)
     val denseMaxManaged = 4096L
     val denseLenW = lenBytesFor(math.min(denseMaxDirect, denseMaxManaged))
-    val heapIdLenW = 1 + 4 + denseLenW
+    val heapIdLenW =
+      if (denseTinyLinkIds) TinyLinkIdLen else 1 + 4 + denseLenW
     val btRecSize = 4 + heapIdLenW
-    // name-index plan: single leaf (depth 0) or depth-1 BTIN + leaves
+    // name-index plan: a v2 B-tree at whatever depth the node size
+    // dictates (depth 2 appears past leafCap·(intCap+1) links — forced
+    // in fixtures by a small denseBtNodeSize, reached in the wild past
+    // ~10⁵ links)
     val denseNodeSize =
       if (denseBtNodeSize > 0) denseBtNodeSize
       else math.max(2048, 6 + objNames.length * btRecSize + 4 + 8)
-    val denseLeafCap = (denseNodeSize - 10) / btRecSize
-    require(denseLeafCap >= 1, s"dense btree node size $denseNodeSize too small")
-    val denseDepth = if (objNames.length <= denseLeafCap) 0 else 1
+    val (denseBtRoot, denseBtMaxNrec, denseBtMaxTot) =
+      if (denseRootLinks) planBtree(objNames.length, denseNodeSize, btRecSize)
+      else (BtNodePlan("btlf:0", Vector.empty, Vector.empty),
+        Vector(1L), Vector(1L))
+    def allocBtNodes(node: BtNodePlan): Unit = {
+      alloc(node.name, btNodeBytes(node, btRecSize, denseBtMaxNrec, denseBtMaxTot))
+      node.children.foreach(allocBtNodes)
+    }
     if (denseRootLinks) {
       alloc("fheap", 146)
       denseBlocks.indices.foreach(k => alloc(s"fhdb:$k", denseBlocks(k)._2))
       if (denseRows > 0) alloc("fhib", 13L + 4 + denseRows * 4 * 8 + 4)
       alloc("bthd", 38)
-      if (denseDepth == 0) {
-        alloc("btlf:0", (6 + objNames.length * btRecSize + 4).toLong)
-      } else {
-        val chunks = objNames.indices.grouped(denseLeafCap).toVector
-        val nrecW = lenBytesFor(denseLeafCap.toLong)
-        alloc("btin", (6 + (chunks.length - 1) * btRecSize +
-          chunks.length * (8 + nrecW) + 4).toLong)
-        chunks.zipWithIndex.foreach { case (c, i) =>
-          val nrec = if (i == 0) c.length else c.length - 1
-          alloc(s"btlf:$i", (6 + nrec * btRecSize + 4).toLong)
-        }
-      }
+      allocBtNodes(denseBtRoot)
     } else {
       alloc("heap", 32)
       alloc("heapdata", heapData.length.toLong)
@@ -675,6 +778,12 @@ object HDF5Writer {
       alloc(s"afhdb:$n", denseAttrGeom(n)._2)
       alloc(s"abthd:$n", 38)
       alloc(s"abtlf:$n", (6 + bodies.length * 17 + 4).toLong)
+      val huge = denseAttrHuge(n)
+      if (huge.nonEmpty) {
+        huge.foreach(i => alloc(s"ahuge:$n:$i", bodies(i).length.toLong))
+        alloc(s"ahugebt:$n", 38)
+        alloc(s"ahugelf:$n", (6 + huge.length * 24 + 4).toLong)
+      }
     }
     // global heap: one object per (data var, dim) + free-space tail
     val gheapEntries: Vector[(String, Int)] = varNames.flatMap { n =>
@@ -769,10 +878,15 @@ object HDF5Writer {
         b.array()
       }
       val rootBlockAddr =
-        if (denseRows == 0) addrs("fhdb:0") else addrs("fhib")
+        if (denseTinyLinkIds) Undefined // all objects ride inline: no blocks
+        else if (denseRows == 0) addrs("fhdb:0")
+        else addrs("fhib")
       // fractal heap header (FRHP)
       locally {
         val managed = denseBlocks.map(_._2).sum
+        val nManaged = if (denseTinyLinkIds) 0L else objNames.length.toLong
+        val tinySize = if (denseTinyLinkIds) linkMsgSizes.sum.toLong else 0L
+        val nTiny = if (denseTinyLinkIds) objNames.length.toLong else 0L
         val b = ByteBuffer.allocate(146).order(ByteOrder.LITTLE_ENDIAN)
         b.put("FRHP".getBytes("ASCII"))
         b.put(0.toByte)                    // version
@@ -782,14 +896,14 @@ object HDF5Writer {
         b.putInt(denseMaxManaged.toInt)    // max size of managed objects
         b.putLong(0L)                      // next huge id
         b.putLong(Undefined)               // huge btree
-        b.putLong(managed - fhdbNeed)      // free space
+        b.putLong(if (nManaged > 0) managed - fhdbNeed else 0L) // free space
         b.putLong(Undefined)               // free-space manager
-        b.putLong(managed)                 // managed space
-        b.putLong(managed)                 // allocated managed space
-        b.putLong(fhdbNeed.toLong)         // direct-block iterator offset
-        b.putLong(objNames.length.toLong)  // managed objects
+        b.putLong(if (nManaged > 0) managed else 0L) // managed space
+        b.putLong(if (nManaged > 0) managed else 0L) // allocated managed
+        b.putLong(if (nManaged > 0) fhdbNeed.toLong else 0L) // iterator off
+        b.putLong(nManaged)                // managed objects
         b.putLong(0L); b.putLong(0L)       // huge size / count
-        b.putLong(0L); b.putLong(0L)       // tiny size / count
+        b.putLong(tinySize); b.putLong(nTiny) // tiny size / count
         b.putShort(4)                      // table width
         b.putLong(denseSbs)                // starting block size
         b.putLong(denseMaxDirect)          // max direct block size
@@ -831,56 +945,59 @@ object HDF5Writer {
         b.putInt(lookup3(java.util.Arrays.copyOfRange(b.array(), 0, sz - 4)))
         put(addrs("fhib"), b.array())
       }
-      // v2 btree name index: records sorted by lookup3(name); depth 0 =
-      // one leaf, depth 1 = BTIN root (chunk heads pulled up as
-      // separators) + leaves
-      val recs: Vector[(Int, String, Long, Int)] =
+      // v2 btree name index: records sorted by lookup3(name), emitted
+      // from the generalized plan (ANY depth — the reader's capacity
+      // formulas dictate the child-pointer widths)
+      val recs: Vector[(Int, String, Long, Int, Int)] =
         objNames.zipWithIndex.map { case (n, i) =>
-          (lookup3(n.getBytes("UTF-8")), n, denseObjOff(i), linkMsgSizes(i))
-        }.sortBy { case (h, n, _, _) => (h & 0xFFFFFFFFL, n) }
-      def recBytes(b: ByteBuffer, r: (Int, String, Long, Int)): Unit = {
+          (lookup3(n.getBytes("UTF-8")), n, denseObjOff(i), linkMsgSizes(i), i)
+        }.sortBy { case (h, n, _, _, _) => (h & 0xFFFFFFFFL, n) }
+      def recBytes(b: ByteBuffer, r: (Int, String, Long, Int, Int)): Unit = {
         b.putInt(r._1)
-        b.put(0.toByte)               // heap id: version/type = managed
-        b.putInt(r._3.toInt)          // offset (4 bytes)
-        var v = r._4.toLong
-        (0 until denseLenW).foreach { _ => b.put((v & 0xFF).toByte); v >>= 8 }
-      }
-      def leafBytes(rs: Vector[(Int, String, Long, Int)]): Array[Byte] = {
-        val sz = 6 + rs.length * btRecSize + 4
-        val b = ByteBuffer.allocate(sz).order(ByteOrder.LITTLE_ENDIAN)
-        b.put("BTLF".getBytes("ASCII"))
-        b.put(0.toByte); b.put(5.toByte)
-        rs.foreach(recBytes(b, _))
-        b.putInt(lookup3(java.util.Arrays.copyOfRange(b.array(), 0, sz - 4)))
-        b.array()
-      }
-      val (rootAddr2, rootNRec) =
-        if (denseDepth == 0) {
-          put(addrs("btlf:0"), leafBytes(recs))
-          (addrs("btlf:0"), recs.length)
+        if (denseTinyLinkIds) {
+          // extended-tiny id: the link message rides INLINE
+          val msg = linkMsgs(r._5)
+          b.put((0x20 | ((msg.length - 1) >> 8)).toByte)
+          b.put(((msg.length - 1) & 0xFF).toByte)
+          b.put(msg)
+          (0 until heapIdLenW - 2 - msg.length).foreach(_ => b.put(0.toByte))
         } else {
-          val chunks = recs.grouped(denseLeafCap).toVector
-          val nrecW = lenBytesFor(denseLeafCap.toLong)
-          val leafRecs = chunks.zipWithIndex.map { case (c, i) =>
-            if (i == 0) c else c.tail }
-          leafRecs.zipWithIndex.foreach { case (c, i) =>
-            put(addrs(s"btlf:$i"), leafBytes(c)) }
-          val seps = chunks.tail.map(_.head)
-          val sz = 6 + seps.length * btRecSize +
-            chunks.length * (8 + nrecW) + 4
-          val b = ByteBuffer.allocate(sz).order(ByteOrder.LITTLE_ENDIAN)
+          b.put(0.toByte)               // heap id: version/type = managed
+          b.putInt(r._3.toInt)          // offset (4 bytes)
+          var v = r._4.toLong
+          (0 until denseLenW).foreach { _ => b.put((v & 0xFF).toByte); v >>= 8 }
+        }
+      }
+      def putLE(b: ByteBuffer, v0: Long, w: Int): Unit = {
+        var v = v0
+        (0 until w).foreach { _ => b.put((v & 0xFF).toByte); v >>= 8 }
+      }
+      def emitBtNode(node: BtNodePlan): Unit = {
+        val sz = btNodeBytes(node, btRecSize, denseBtMaxNrec,
+          denseBtMaxTot).toInt
+        val b = ByteBuffer.allocate(sz).order(ByteOrder.LITTLE_ENDIAN)
+        if (node.children.isEmpty) {
+          b.put("BTLF".getBytes("ASCII"))
+          b.put(0.toByte); b.put(5.toByte)
+          node.recs.foreach(i => recBytes(b, recs(i)))
+        } else {
+          node.children.foreach(emitBtNode)
+          val d = node.depth
+          val nrecW = lenBytesFor(denseBtMaxNrec(d - 1))
+          val totW = if (d >= 2) lenBytesFor(denseBtMaxTot(d - 1)) else 0
           b.put("BTIN".getBytes("ASCII"))
           b.put(0.toByte); b.put(5.toByte)
-          seps.foreach(recBytes(b, _))
-          leafRecs.zipWithIndex.foreach { case (c, i) =>
-            b.putLong(addrs(s"btlf:$i"))
-            var v = c.length.toLong
-            (0 until nrecW).foreach { _ => b.put((v & 0xFF).toByte); v >>= 8 }
+          node.recs.foreach(i => recBytes(b, recs(i)))
+          node.children.foreach { c =>
+            b.putLong(addrs(c.name))
+            putLE(b, c.recs.length.toLong, nrecW)
+            if (totW > 0) putLE(b, c.totalRecs, totW)
           }
-          b.putInt(lookup3(java.util.Arrays.copyOfRange(b.array(), 0, sz - 4)))
-          put(addrs("btin"), b.array())
-          (addrs("btin"), seps.length)
         }
+        b.putInt(lookup3(java.util.Arrays.copyOfRange(b.array(), 0, sz - 4)))
+        put(addrs(node.name), b.array())
+      }
+      emitBtNode(denseBtRoot)
       locally {
         val b = ByteBuffer.allocate(38).order(ByteOrder.LITTLE_ENDIAN)
         b.put("BTHD".getBytes("ASCII"))
@@ -888,10 +1005,10 @@ object HDF5Writer {
         b.put(5.toByte)                  // type 5: group link name index
         b.putInt(denseNodeSize)          // node size
         b.putShort(btRecSize.toShort)
-        b.putShort(denseDepth.toShort)
+        b.putShort(denseBtRoot.depth.toShort)
         b.put(100.toByte); b.put(40.toByte) // split / merge %
-        b.putLong(rootAddr2)
-        b.putShort(rootNRec.toShort)
+        b.putLong(addrs(denseBtRoot.name))
+        b.putShort(denseBtRoot.recs.length.toShort)
         b.putLong(objNames.length.toLong)
         b.putInt(lookup3(java.util.Arrays.copyOfRange(b.array(), 0, 34)))
         put(addrs("bthd"), b.array())
@@ -1052,8 +1169,13 @@ object HDF5Writer {
     denseAttrBodies.toVector.sortBy(_._1).foreach { case (n, bodies0) =>
       val bodies = bodies0.map(b => if (isDimListAttr(b)) dimListBody(n) else b)
       val (offs, bsize) = denseAttrGeom(n)
-      val need = offs.last + bodies.last.length
-      val lenW = lenBytesFor(math.min(bsize, 4096L))
+      val huge = denseAttrHuge(n)
+      val hugeId: Map[Int, Long] = huge.zipWithIndex.map {
+        case (i, k) => i -> (k + 1L) }.toMap
+      val need = bodies.indices.collect {
+        case i if offs(i) >= 0 => offs(i) + bodies(i).length
+      }.foldLeft(attrFhdbDataStart.toLong)(math.max)
+      val lenW = lenBytesFor(math.min(bsize, denseAttrMaxManaged))
       // fractal heap header — the attribute-heap convention pads the
       // heap id to a fixed 8 bytes (libhdf5 H5A_DENSE_FHEAP_ID_LEN)
       locally {
@@ -1063,16 +1185,17 @@ object HDF5Writer {
         b.putShort(8)                 // heap id length (padded)
         b.putShort(0)                 // io filter encoded length
         b.put(0.toByte)               // flags: no block checksums
-        b.putInt(4096)                // max managed object size
-        b.putLong(0L)                 // next huge id
-        b.putLong(Undefined)          // huge btree
+        b.putInt(denseAttrMaxManaged.toInt) // max managed object size
+        b.putLong(huge.length + 1L)   // next huge id
+        b.putLong(if (huge.nonEmpty) addrs(s"ahugebt:$n") else Undefined)
         b.putLong(bsize - need)       // free space
         b.putLong(Undefined)          // free-space manager
         b.putLong(bsize)              // managed space
         b.putLong(bsize)              // allocated managed space
         b.putLong(need)               // direct-block iterator offset
-        b.putLong(bodies.length.toLong)
-        b.putLong(0L); b.putLong(0L)  // huge size / count
+        b.putLong((bodies.length - huge.length).toLong) // managed objects
+        b.putLong(huge.map(bodies(_).length.toLong).sum) // huge size
+        b.putLong(huge.length.toLong) // huge count
         b.putLong(0L); b.putLong(0L)  // tiny size / count
         b.putShort(4)                 // table width
         b.putLong(bsize)              // starting block size
@@ -1092,10 +1215,45 @@ object HDF5Writer {
         b.putLong(addrs(s"afheap:$n"))
         b.putInt(0) // block offset
         bodies.indices.foreach { i =>
-          b.position(offs(i).toInt)
-          b.put(bodies(i))
+          if (offs(i) >= 0) {
+            b.position(offs(i).toInt)
+            b.put(bodies(i))
+          }
         }
         put(addrs(s"afhdb:$n"), b.array())
+      }
+      // huge attribute bodies: standalone blocks + a type-1 v2 btree
+      // mapping huge id -> (address, length)
+      if (huge.nonEmpty) {
+        huge.foreach(i => put(addrs(s"ahuge:$n:$i"), bodies(i)))
+        locally {
+          val sz = 6 + huge.length * 24 + 4
+          val b = ByteBuffer.allocate(sz).order(ByteOrder.LITTLE_ENDIAN)
+          b.put("BTLF".getBytes("ASCII"))
+          b.put(0.toByte); b.put(1.toByte) // type 1: huge, indirect
+          huge.foreach { i =>
+            b.putLong(addrs(s"ahuge:$n:$i"))
+            b.putLong(bodies(i).length.toLong)
+            b.putLong(hugeId(i))
+          }
+          b.putInt(lookup3(java.util.Arrays.copyOfRange(b.array(), 0, sz - 4)))
+          put(addrs(s"ahugelf:$n"), b.array())
+        }
+        locally {
+          val b = ByteBuffer.allocate(38).order(ByteOrder.LITTLE_ENDIAN)
+          b.put("BTHD".getBytes("ASCII"))
+          b.put(0.toByte)
+          b.put(1.toByte)          // type 1: huge objects, indirect
+          b.putInt(math.max(512, 6 + huge.length * 24 + 4 + 8))
+          b.putShort(24)           // record size: addr8 + len8 + id8
+          b.putShort(0)            // depth 0
+          b.put(100.toByte); b.put(40.toByte)
+          b.putLong(addrs(s"ahugelf:$n"))
+          b.putShort(huge.length.toShort)
+          b.putLong(huge.length.toLong)
+          b.putInt(lookup3(java.util.Arrays.copyOfRange(b.array(), 0, 34)))
+          put(addrs(s"ahugebt:$n"), b.array())
+        }
       }
       // type-8 name index: [8-byte heap-id field][msg flags][corder]
       // [hash], records sorted by (lookup3(name), name); single leaf
@@ -1104,11 +1262,17 @@ object HDF5Writer {
         (lookup3(name.getBytes("UTF-8")), name, offs(i), bodies(i).length, i)
       }.sortBy { case (h, nm, _, _, _) => (h & 0xFFFFFFFFL, nm) }
       def recBytes(b: ByteBuffer, r: (Int, String, Long, Int, Int)): Unit = {
-        b.put(0.toByte)           // heap id: version/type managed
-        b.putInt(r._3.toInt)      // offset (4 bytes)
-        var v = r._4.toLong
-        (0 until lenW).foreach { _ => b.put((v & 0xFF).toByte); v >>= 8 }
-        (0 until 8 - 5 - lenW).foreach(_ => b.put(0.toByte)) // pad id to 8
+        if (r._3 < 0) { // huge: [flags type=1][huge id in 7 bytes]
+          b.put(0x10.toByte)
+          var v = hugeId(r._5)
+          (0 until 7).foreach { _ => b.put((v & 0xFF).toByte); v >>= 8 }
+        } else {
+          b.put(0.toByte)           // heap id: version/type managed
+          b.putInt(r._3.toInt)      // offset (4 bytes)
+          var v = r._4.toLong
+          (0 until lenW).foreach { _ => b.put((v & 0xFF).toByte); v >>= 8 }
+          (0 until 8 - 5 - lenW).foreach(_ => b.put(0.toByte)) // pad id to 8
+        }
         b.put(0.toByte)           // message flags
         b.putInt(r._5)            // creation order
         b.putInt(r._1)            // hash of name

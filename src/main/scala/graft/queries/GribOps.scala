@@ -40,12 +40,17 @@ object GribOps {
         else CubeOracle.vi(17, 2000, t.toLong, i.toLong) / 100.0
       }
       val p = s"$dir/msg_$t.grib2"
-      // t=1 packs via JPEG2000 (template 5.40 — lossless at the same
-      // centi-quantization, so the oracle is packing-independent); the
-      // others via simple packing. Exercises the real ECMWF decode path
-      // through BOTH entry points every round.
+      // t=1 packs via JPEG2000 (template 5.40), t=2 via CCSDS (5.42) —
+      // both lossless at the same centi-quantization, so the oracle is
+      // packing-independent; t=0 via simple packing. Exercises the real
+      // ECMWF and NCEP decode paths through ALL three entry points
+      // every round.
       if (t == 1)
         Grib2.writeJpeg2000(p, vals, nx, ny, la1 = 35.0, lo1 = 10.0,
+          dLat = 0.25, dLon = 0.25, discipline = 0, category = 0, number = 0,
+          refTimeEpochSec = 1700000000L + t * 3600L)
+      else if (t == 2)
+        Grib2.writeCcsds(p, vals, nx, ny, la1 = 35.0, lo1 = 10.0,
           dLat = 0.25, dLon = 0.25, discipline = 0, category = 0, number = 0,
           refTimeEpochSec = 1700000000L + t * 3600L)
       else

@@ -315,6 +315,61 @@ class GribSpec extends AnyFunSuite {
       assert(math.abs(got(i) - values(i)) < 1e-9, s"refs cell $i"))
   }
 
+  test("ccsds packing (5.42) round-trips at 1/2/4-byte sample depths") {
+    val dir = Files.createTempDirectory("graft_grib_ccsds").toString
+    val nx = 23; val ny = 9
+    val rng = new scala.util.Random(59)
+    // spans landing on 8-, 14- and 21-bit offsets: 1-, 2- and 4-byte
+    // AEC sample containers
+    Seq(2.0, 120.0, 17000.0).foreach { span =>
+      val values = Array.tabulate(nx * ny)(i =>
+        math.rint(rng.nextDouble() * span * 100) / 100.0)
+      values(0) = 0.0
+      val path = s"$dir/ccsds_$span.grib2"
+      Grib2.writeCcsds(path, values, nx, ny, la1 = 35.0, lo1 = 15.0,
+        dLat = 0.5, dLon = 0.5, discipline = 0, category = 0, number = 0,
+        refTimeEpochSec = 1700000000L)
+      val m = Grib2.scan(path).head
+      assert(m.packing.template == 42, s"span $span")
+      val c = m.packing.ccsds.get
+      assert(c.blockSize == 32 && c.rsi == 128 && (c.flags & 8) != 0)
+      val got = Grib2.decodeValues(path, m)
+      values.indices.foreach(i => assert(math.abs(got(i) - values(i)) < 1e-9,
+        s"span $span point $i: ${got(i)} vs ${values(i)}"))
+    }
+    // bitmap: NaN holes pack only the defined points
+    val holed = Array.tabulate(nx * ny)(i =>
+      if (i % 7 == 3) Double.NaN else math.rint(i * 31.7) / 10.0)
+    val hp = s"$dir/ccsds_holes.grib2"
+    Grib2.writeCcsds(hp, holed, nx, ny, 35.0, 15.0, 0.5, 0.5,
+      0, 0, 0, refTimeEpochSec = 1700000000L, decimalScale = 1)
+    val hm = Grib2.scan(hp).head
+    assert(hm.bitmapIndicator == 0 && hm.packing.nValues < nx * ny)
+    val hGot = Grib2.decodeValues(hp, hm)
+    holed.indices.foreach { i =>
+      if (holed(i).isNaN) assert(hGot(i).isNaN, s"hole $i")
+      else assert(math.abs(hGot(i) - holed(i)) < 1e-9, s"cell $i")
+    }
+    // unsupported libaec modes fail by NAME: patch the flags octet
+    // (section 5 octet 22) to signed / 3-byte / restricted
+    val clean = s"$dir/ccsds_2.0.grib2"
+    val orig = Files.readAllBytes(Paths.get(clean))
+    // find section 5: length(4) + number 5, template 42 at octets 10-11
+    // (big-endian u16: high byte 0 at +9, 42 at +10)
+    val s5 = (0 until orig.length - 11).find(i =>
+      orig(i + 4) == 5 && orig(i + 9) == 0 && orig(i + 10) == 42).get
+    for ((bit, name) <- Seq(1 -> "signed", 2 -> "3-byte", 16 -> "restricted",
+      32 -> "RSI byte padding")) {
+      val b = orig.clone()
+      b(s5 + 21) = (b(s5 + 21) | bit).toByte
+      val p = s"$dir/ccsds_mut_$bit.grib2"
+      Files.write(Paths.get(p), b)
+      val e = intercept[IllegalArgumentException](
+        Grib2.decodeValues(p, Grib2.scan(p).head))
+      assert(e.getMessage.contains(name), s"bit $bit: ${e.getMessage}")
+    }
+  }
+
   test("kerchunk refs decode complex-packed messages via the grib2 codec") {
     val dir = Files.createTempDirectory("graft_grib_cxscan").toString
     val nx = 10; val ny = 6

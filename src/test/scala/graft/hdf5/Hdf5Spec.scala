@@ -84,8 +84,8 @@ class Hdf5Spec extends AnyFunSuite {
     // outgrow one direct block (indirect root) and, past ~185 links, a
     // depth-1 v2 btree. Force BOTH shapes and round-trip: 15 links in
     // 256-byte blocks (multi-block doubling table walked through FHIB)
-    // and a 60-byte btree node (leaf capacity 4 -> BTIN root with
-    // separator records pulled up).
+    // and an 80-byte btree node (leaf capacity 6, internal capacity 3 ->
+    // ONE BTIN root with separator records pulled up).
     val base = cube()
     val rng = new scala.util.Random(13)
     val (nt, ny, nx) = (6, 5, 4)
@@ -98,7 +98,7 @@ class Hdf5Spec extends AnyFunSuite {
     val f = base.copy(dataVars = base.dataVars ++ extra)
     val path = s"$dir/dense_real.nc"
     HDF5Writer.write(path, f, denseRootLinks = true,
-      denseStartBlockSize = 256L, denseBtNodeSize = 60)
+      denseStartBlockSize = 256L, denseBtNodeSize = 80)
     val back = HDF5.read(path)
     assert(back.sameAs(f), "indirect-heap/depth-1 fragment mismatch")
     assert(back.dataVars.keySet == f.dataVars.keySet)
@@ -122,6 +122,93 @@ class Hdf5Spec extends AnyFunSuite {
     assert(countSig("FHIB") == 1, "expected an indirect root block")
     assert(countSig("BTIN") == 1, "expected a depth-1 btree root")
     assert(countSig("BTLF") >= 2, s"expected multiple leaves, got ${countSig("BTLF")}")
+  }
+
+  test("dense links: v2 btree at depth >= 2 round-trips (the big-group corner)") {
+    // a 56-byte node holds 4 leaf records / 1 internal record, so 15
+    // links build a depth-2 tree: a BTIN root over BTIN nodes over
+    // leaves — the corner r11 left failing by name (~10^5 links in real
+    // files; tiny nodes force it at fixture scale)
+    val base = cube()
+    val rng = new scala.util.Random(17)
+    val (nt, ny, nx) = (6, 5, 4)
+    val extra = (1 to 10).map { i =>
+      f"deepvar$i%02d" -> Variable(Vector("time", "lat", "lon"),
+        NDArray(DType.F8, Vector(nt, ny, nx),
+          Array.fill(nt * ny * nx)(rng.nextDouble())),
+        Map("long_name" -> AttrValue(s"deep $i")))
+    }.toMap
+    val f = base.copy(dataVars = base.dataVars ++ extra)
+    val path = s"$dir/dense_deep.nc"
+    HDF5Writer.write(path, f, denseRootLinks = true, denseBtNodeSize = 56)
+    val back = HDF5.read(path)
+    assert(back.sameAs(f), "depth>=2 btree fragment mismatch")
+    assert(back.dataVars.keySet == f.dataVars.keySet)
+    // the header really recorded depth >= 2 on the type-5 (link) index
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val depths = bytes.indices.dropRight(13).collect {
+      case i if bytes(i) == 'B' && bytes(i + 1) == 'T' &&
+        bytes(i + 2) == 'H' && bytes(i + 3) == 'D' && bytes(i + 5) == 5 =>
+        ((bytes(i + 12) & 0xFF) | ((bytes(i + 13) & 0xFF) << 8))
+    }
+    assert(depths.exists(_ >= 2), s"link name-index depths: $depths")
+  }
+
+  test("dense links: tiny (id-inline) heap objects round-trip; heap has no blocks") {
+    val base = cube()
+    val rng = new scala.util.Random(19)
+    val (nt, ny, nx) = (6, 5, 4)
+    val extra = (1 to 10).map { i =>
+      f"tv$i%02d" -> Variable(Vector("time", "lat", "lon"),
+        NDArray(DType.F8, Vector(nt, ny, nx),
+          Array.fill(nt * ny * nx)(rng.nextDouble())),
+        Map("long_name" -> AttrValue(s"tiny $i")))
+    }.toMap
+    val f = base.copy(dataVars = base.dataVars ++ extra)
+    val path = s"$dir/dense_tiny.nc"
+    HDF5Writer.write(path, f, denseRootLinks = true, denseTinyLinkIds = true)
+    val back = HDF5.read(path)
+    assert(back.sameAs(f), "tiny-id fragment mismatch")
+    assert(back.dataVars.keySet == f.dataVars.keySet)
+    // the link messages ride inside the ids: no FHDB/FHIB for the link
+    // heap (only attr heaps may carry direct blocks — none here because
+    // no denseAttrObjects)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val hasFhdb = bytes.indices.dropRight(4).exists(i =>
+      bytes(i) == 'F' && bytes(i + 1) == 'H' && bytes(i + 2) == 'D' &&
+        bytes(i + 3) == 'B')
+    assert(!hasFhdb, "tiny-id heap should carry no direct blocks")
+    // a too-long name fails by name at write time, not silent overflow
+    val big = f.copy(dataVars = f.dataVars + (("x" * 60) -> f.dataVars("tv01")))
+    val e = intercept[IllegalArgumentException] {
+      HDF5Writer.write(s"$dir/dense_tiny_bad.nc", big,
+        denseRootLinks = true, denseTinyLinkIds = true)
+    }
+    assert(e.getMessage.contains("tiny-id payload"))
+  }
+
+  test("dense attributes: a > 4 KiB value goes HUGE and resolves via the type-1 btree") {
+    val base = cube()
+    val longStory = ("climatology reprocessing provenance: " * 150).trim // > 4 KiB
+    assert(longStory.length > 4096)
+    val v = base.dataVars("foo")
+    val f = base.copy(dataVars = base.dataVars.updated("foo",
+      v.copy(attrs = v.attrs ++ cfAttrs + ("history" -> AttrValue(longStory)))))
+    val path = s"$dir/dense_huge_attr.nc"
+    HDF5Writer.write(path, f, denseAttrObjects = Set("foo"))
+    val back = HDF5.read(path)
+    assert(back.sameAs(f), "huge-attr fragment mismatch")
+    assert(back.dataVars("foo").attrs("history") == AttrValue(longStory))
+    // the file really carries a huge-object (type 1) v2 btree
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val hasHugeBt = bytes.indices.dropRight(6).exists(i =>
+      bytes(i) == 'B' && bytes(i + 1) == 'T' && bytes(i + 2) == 'H' &&
+        bytes(i + 3) == 'D' && bytes(i + 5) == 1)
+    assert(hasHugeBt, "expected a type-1 (huge object) btree header")
+    // and the dense path still reads through the engine dispatch
+    val viaOpeners = graft.transforms.Openers.open(
+      graft.patterns.FileType.Netcdf4, path, maskAndScale = false)
+    assert(viaOpeners.dataVars("foo").attrs("history") == AttrValue(longStory))
   }
 
   /** A CF-compliant variable attribute set — 11 attrs, past libhdf5's
@@ -200,7 +287,7 @@ class Hdf5Spec extends AnyFunSuite {
     assert(refs.keys.exists(_.contains("bar")), refs.keys.take(5).toString)
   }
 
-  test("dense-storage corners fail by NAME: huge objects, filtered heaps, depth >= 2") {
+  test("dense-storage corners fail by NAME: filtered heaps, nested indirect blocks, bad heap ids") {
     // the remaining named-unsupported set after r10 (szip is covered by
     // the unknown-filter test): each corner must surface its own error,
     // and none is reachable from a CF-style NetCDF-4 file — the clean
@@ -225,16 +312,28 @@ class Hdf5Spec extends AnyFunSuite {
       java.nio.file.Files.write(java.nio.file.Paths.get(p), b)
       p
     }
-    val frhp = sigPos("FRHP"); val bthd = sigPos("BTHD")
-    // huge-object count at FRHP+86 — fails by name
-    val eHuge = intercept[Exception](HDF5.read(patched(frhp + 86, 1)))
-    assert(eHuge.getMessage.contains("huge/tiny"), eHuge.getMessage)
+    val frhp = sigPos("FRHP"); val btlf = sigPos("BTLF")
     // io-filter length at FRHP+7 — filtered heaps fail by name
     val eFilt = intercept[Exception](HDF5.read(patched(frhp + 7, 2)))
     assert(eFilt.getMessage.contains("filtered fractal heaps"), eFilt.getMessage)
-    // btree depth at BTHD+12 — depth >= 2 fails by name
+    // current-rows at FRHP+140 past the doubling table — nested indirect
+    // heap blocks fail by name
+    val eNest = intercept[Exception](HDF5.read(patched(frhp + 140, 9)))
+    assert(eNest.getMessage.contains("nested indirect"), eNest.getMessage)
+    // heap-id type 3 (reserved) on the first name-index record — fails
+    // by name (records start at BTLF+6; type-8 ids sit at field start)
+    val eTyp = intercept[Exception](HDF5.read(patched(btlf + 6, 0x30)))
+    assert(eTyp.getMessage.contains("id type 3"), eTyp.getMessage)
+    // heap-id type HUGE on an 8-byte attr id with no huge btree in the
+    // header — the malformed-direct-id corner fails by name
+    val eHuge = intercept[Exception](HDF5.read(patched(btlf + 6, 0x10)))
+    assert(eHuge.getMessage.contains("direct huge heap id"), eHuge.getMessage)
+    // btree depth raised to 2 without the matching structure — caught as
+    // a signature mismatch when the walk descends into a leaf
+    val bthd = sigPos("BTHD")
     val eDepth = intercept[Exception](HDF5.read(patched(bthd + 12, 2)))
-    assert(eDepth.getMessage.contains("depth"), eDepth.getMessage)
+    assert(eDepth.getMessage.contains("internal signature") ||
+      eDepth.getMessage.contains("capacity"), eDepth.getMessage)
   }
 
   test("dense root links round-trip with chunked+deflate variables") {
