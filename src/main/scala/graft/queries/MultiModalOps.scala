@@ -1772,29 +1772,35 @@ object MultiModalOps {
     * to the canonical 8×8 pHash raster. Dims must be 8-divisible (the
     * canonical-raster contract — anything else fails by name rather
     * than resampling approximately). */
-  private[graft] def mixedGrayOf(bytes: Array[Byte]): Array[Byte] = {
+  private[graft] def mixedGrayOf(bytes: Array[Byte]): Array[Byte] =
+    mixedProbeGrayOf(bytes)._2
+
+  /** [[mixedGrayOf]] plus the sniffed container name — ONE decode serves
+    * both the probe column and the normalization (p13's admission path
+    * decodes every payload exactly once). */
+  private[graft] def mixedProbeGrayOf(bytes: Array[Byte]): (String, Array[Byte]) = {
     require(bytes.length >= 6, "image too short to sniff a container")
-    val (gray, w, h): (Array[Byte], Int, Int) =
+    val (container, gray, w, h): (String, Array[Byte], Int, Int) =
       if ((bytes(0) & 0xff) == 137 && bytes(1) == 'P'.toByte) {
         val v = pngDecodeOf(bytes)
-        (Array.tabulate(v.width * v.height)(i => v.pixels(3 * i)),
+        ("png", Array.tabulate(v.width * v.height)(i => v.pixels(3 * i)),
           v.width, v.height)
       } else if (new String(bytes, 0, 6, "ASCII") == "GIF87a") {
         val v = gifDecodeOf(bytes)
-        (Array.tabulate(v.indices.length)(i =>
+        ("gif", Array.tabulate(v.indices.length)(i =>
           v.palette(3 * (v.indices(i) & 0xff))), v.width, v.height)
       } else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
         val v = Jpeg.decode(bytes)
         require(v.nComponents == 1,
           s"mixed admission: JPEG legs are grayscale, got ${v.nComponents}")
-        (v.pixels, v.width, v.height)
+        ("jpeg", v.pixels, v.width, v.height)
       } else throw new IllegalArgumentException(
         "unknown image container (not PNG/GIF87a/JPEG)")
     require(w % 8 == 0 && h % 8 == 0,
       s"mixed admission: dims ${w}x$h not 8-divisible — cannot block-mean " +
         "to the canonical 8x8 raster exactly")
     val bw = w / 8; val bh = h / 8
-    Array.tabulate(64) { k =>
+    (container, Array.tabulate(64) { k =>
       val bx = k % 8; val by = k / 8
       var sum = 0L; var y = 0
       while (y < bh) {
@@ -1805,7 +1811,7 @@ object MultiModalOps {
         y += 1
       }
       (sum / (bw * bh)).toByte
-    }
+    })
   }
 
   // ---------------------------------------------------------------- m13
