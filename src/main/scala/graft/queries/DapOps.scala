@@ -50,7 +50,6 @@ object DapOps {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     slabs.foreach { case (t0, slab) =>
-      val (dds, das, dods) = Dap2.encode(slab, s"slab_$t0.nc")
       def serve(suffix: String, bytes: Array[Byte]): Unit =
         server.createContext(s"/slab_$t0$suffix",
           (ex: com.sun.net.httpserver.HttpExchange) => {
@@ -58,14 +57,26 @@ object DapOps {
             ex.getResponseBody.write(bytes)
             ex.close()
           })
-      serve(".dds", dds.getBytes("UTF-8"))
-      serve(".das", das.getBytes("UTF-8"))
-      serve(".dods", dods)
+      // the middle slab is served over DAP4 (dmr + chunked dap), the
+      // others over DAP2 — the mixed-protocol fleet a migration-era
+      // ingest actually faces; the opener registry dispatches per URL
+      if (t0 == 2) {
+        val (dmr, dap) = graft.dap.Dap4.encode(slab, s"slab_$t0.nc")
+        serve(".dmr", dmr.getBytes("UTF-8"))
+        serve(".dap", dap)
+      } else {
+        val (dds, das, dods) = Dap2.encode(slab, s"slab_$t0.nc")
+        serve(".dds", dds.getBytes("UTF-8"))
+        serve(".das", das.getBytes("UTF-8"))
+        serve(".dods", dods)
+      }
     }
     server.start()
     try {
-      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
-      val urls = slabs.map { case (t0, _) => s"$base/slab_$t0" }
+      val hostPort = s"127.0.0.1:${server.getAddress.getPort}"
+      val urls = slabs.map { case (t0, _) =>
+        if (t0 == 2) s"dap4://$hostPort/slab_$t0"
+        else s"http://$hostPort/slab_$t0" }
       val pattern = FilePattern.fromFileSequence(urls, "time",
         nitemsPerFile = Some(2), fileType = FileType.Opendap)
       val items = Pipelines.createItems(spark, pattern)

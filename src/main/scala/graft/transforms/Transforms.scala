@@ -495,7 +495,16 @@ object Openers {
     "scipy" -> (url => graft.netcdf.NetCDF3.read(url)),
     "h5netcdf" -> (url => graft.hdf5.HDF5.read(url)),
     "cfgrib" -> (url => graft.grib.Grib2.read(url)),
-    "netcdf4" -> (url => graft.dap.Dap2.read(url)))
+    // plain http(s) URLs speak DAP2 (the reference's opendap usage);
+    // the pydap-convention dap4:// / dap4s:// schemes pick the DAP4
+    // client (graft.dap.Dap4) for newer Hyrax/TDS endpoints
+    "netcdf4" -> { url =>
+      if (url.startsWith("dap4://"))
+        graft.dap.Dap4.read("http://" + url.stripPrefix("dap4://"))
+      else if (url.startsWith("dap4s://"))
+        graft.dap.Dap4.read("https://" + url.stripPrefix("dap4s://"))
+      else graft.dap.Dap2.read(url)
+    })
 
   /** _set_engine semantics: unknown file type -> explicit error; a
     * user-supplied engine that conflicts with the registry is rejected. */
