@@ -146,7 +146,7 @@ object Dap4 {
 
   /** De-frame a `.dap` response: returns (DMR text, data bytes, data
     * byte order). An ERROR chunk raises with its payload text. */
-  private[dap] def deframe(resp: Array[Byte]): (String, Array[Byte], ByteOrder) = {
+  private[graft] def deframe(resp: Array[Byte]): (String, Array[Byte], ByteOrder) = {
     var pos = 0
     var order: ByteOrder = ByteOrder.BIG_ENDIAN
     val body = new java.io.ByteArrayOutputStream()
@@ -197,7 +197,7 @@ object Dap4 {
   /** Decode the data section: top-level variables in DMR order, each an
     * `n`-element packed atomic array followed by a CRC32 when
     * `checksums` is set (verified — mismatch fails by name). */
-  private[dap] def decodeData(dmr: Dmr, data: Array[Byte], order: ByteOrder,
+  private[graft] def decodeData(dmr: Dmr, data: Array[Byte], order: ByteOrder,
                               checksums: Boolean): Map[String, (DType, AnyRef)] = {
     val buf = ByteBuffer.wrap(data).order(order)
     dmr.vars.map { v =>

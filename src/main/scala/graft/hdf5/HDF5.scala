@@ -49,8 +49,9 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * ~10⁵ same-group links); HUGE heap objects (> the 4 KiB managed
   * ceiling, e.g. a long history attribute) resolve through the
   * huge-object v2 B-tree or direct ids, and TINY (id-inline) objects
-  * decode in place. The remaining unsupported dense corners (filtered
-  * heaps, nested indirect heap blocks) fail by name.
+  * decode in place; the doubling table walks NESTED indirect blocks
+  * recursively (the geometry big link heaps reach). The one remaining
+  * unsupported dense corner (filtered heaps) fails by name.
   */
 /** A chunk's filter pipeline names a filter this reader does not implement.
   * Raised BEFORE any bytes are interpreted — an unknown filter must surface
@@ -498,9 +499,9 @@ object HDF5 {
       * offset 4), 8 = attribute name index (record: spec-fixed 8-byte
       * heap-id field at offset 0 + flags1 + corder4 + hash4). Supported
       * surface: managed + huge (btree-indirect or direct id) + tiny
-      * (id-inline) heap objects, unfiltered heaps, root direct block or
-      * ONE level of indirect block with direct children, B-trees at ANY
-      * depth; filtered heaps and nested indirect blocks fail by name. */
+      * (id-inline) heap objects, unfiltered heaps, doubling tables at
+      * ANY nesting depth, B-trees at ANY depth; filtered heaps fail by
+      * name. */
     private def denseHeapObjects(fheapAddr: Long, nameBtAddr: Long,
                                  btreeType: Int): Vector[ByteBuffer] = {
       require(nameBtAddr != Undefined,
@@ -524,35 +525,56 @@ object HDF5 {
       val curRows = h.getShort(140) & 0xFFFF
       val offSize = (maxHeapBits + 7) / 8
       val lenSize = encBytes(math.min(maxDirectSize, maxManagedObj))
-      // -- doubling table: (blockOffset, blockSize, fileAddr) per direct block --
+      // -- doubling table: (blockOffset, blockSize, fileAddr) per direct
+      // block, walked RECURSIVELY: every indirect block's rows restart at
+      // the table's row 0 (sizes S, S, 2S, 4S, ...); rows past
+      // maxDirectRows hold child INDIRECT blocks, each covering
+      // rowSize(r) bytes of linear heap space — a child covering Z bytes
+      // has log2(Z) − log2(S·W) + 1 rows (the spec identity
+      // W·S·2^(n−1) = Z; real libhdf5 link heaps nest past a few
+      // thousand links) --
       def rowSize(r: Int): Long =
         if (r < 2) startBlockSize else startBlockSize << (r - 1)
-      val maxDirectRows =
-        (63 - java.lang.Long.numberOfLeadingZeros(maxDirectSize)) -
-          (63 - java.lang.Long.numberOfLeadingZeros(startBlockSize)) + 2
+      def log2(v: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      val maxDirectRows = log2(maxDirectSize) - log2(startBlockSize) + 2
+      require(startBlockSize > 0 && maxDirectSize >= startBlockSize &&
+        java.lang.Long.bitCount(startBlockSize) == 1 &&
+        tableWidth > 0 && Integer.bitCount(tableWidth) == 1,
+        s"fractal heap geometry (start $startBlockSize, max $maxDirectSize, " +
+          s"width $tableWidth)")
+      def walkIblock(addr: Long, baseOff: Long, nrows: Int,
+                     depth: Int): Vector[(Long, Long, Long)] = {
+        require(depth <= 16, "fractal heap indirect nesting too deep")
+        val ihead = readAt(addr, 13 + offSize)
+        val isig = new Array[Byte](4); ihead.get(isig)
+        require(java.util.Arrays.equals(isig, "FHIB".getBytes("ASCII")),
+          "fractal heap indirect block signature")
+        val recorded = readUnsigned(ihead, 13, offSize)
+        require(recorded == baseOff,
+          s"indirect block offset $recorded != table offset $baseOff")
+        val entries = readAt(addr + 13 + offSize, nrows * tableWidth * 8)
+        var off = baseOff
+        (0 until nrows * tableWidth).toVector.flatMap { i =>
+          val r = i / tableWidth
+          val sz = rowSize(r)
+          val blockOff = off
+          off += sz
+          val child = entries.getLong(i * 8)
+          if (child == Undefined) Vector.empty
+          else if (r < maxDirectRows) Vector((blockOff, sz, child))
+          else {
+            val childRows = log2(sz) - log2(startBlockSize) -
+              log2(tableWidth.toLong) + 1
+            require(childRows >= 1 && java.lang.Long.bitCount(sz) == 1,
+              s"indirect child at row $r covers $sz bytes — not a table size")
+            walkIblock(child, blockOff, childRows, depth + 1)
+          }
+        }
+      }
       val directBlocks: Vector[(Long, Long, Long)] =
         if (rootAddr == Undefined) Vector.empty
         else if (curRows == 0) Vector((0L, startBlockSize, rootAddr))
-        else {
-          require(curRows <= maxDirectRows,
-            s"nested indirect fractal-heap blocks not supported " +
-              s"($curRows rows > $maxDirectRows direct rows)")
-          // root INDIRECT block (FHIB): header + curRows*width child addrs
-          val ihead = readAt(rootAddr, 13 + offSize)
-          val isig = new Array[Byte](4); ihead.get(isig)
-          require(java.util.Arrays.equals(isig, "FHIB".getBytes("ASCII")),
-            "fractal heap indirect block signature")
-          val entries = readAt(rootAddr + 13 + offSize, curRows * tableWidth * 8)
-          var off = 0L
-          (0 until curRows * tableWidth).toVector.flatMap { i =>
-            val r = i / tableWidth
-            val sz = rowSize(r)
-            val blockOff = off
-            off += sz
-            val addr = entries.getLong(i * 8)
-            if (addr == Undefined) None else Some((blockOff, sz, addr))
-          }
-        }
+        else walkIblock(rootAddr, 0L, curRows, 0)
       // validate each direct block's signature + recorded offset once
       directBlocks.foreach { case (blockOff, _, addr) =>
         val d = readAt(addr, 13 + offSize)

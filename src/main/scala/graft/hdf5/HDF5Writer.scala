@@ -389,6 +389,7 @@ object HDF5Writer {
             denseStartBlockSize: Long = 0L,
             denseBtNodeSize: Int = 0,
             denseTinyLinkIds: Boolean = false,
+            denseMaxDirectBlockSize: Long = 0L,
             denseAttrObjects: Set[String] = Set.empty): Unit = {
     require(Seq(deflateLevel.isDefined, lzf, zstdLevel.isDefined,
       blosc.isDefined, lz4, szip.isDefined).count(identity) <= 1,
@@ -713,6 +714,12 @@ object HDF5Writer {
           s"denseTinyLinkIds: link message for $n is $m bytes > " +
             s"${TinyLinkIdLen - 2} (tiny-id payload)")
       }
+    } else if (denseRootLinks && denseMaxDirectBlockSize > 0) {
+      // NESTED doubling-table plan: capping the max direct block size
+      // forces rows past maxDirectRows to hold child INDIRECT blocks —
+      // the geometry real libhdf5 link heaps reach past a few thousand
+      // links. The builder lives below (needs the row math); denseBlocks
+      // and denseObjOff are filled by it.
     } else if (denseRootLinks) {
       var pos = 0L // within-block cursor (absolute heap offset)
       var blockEnd = 0L
@@ -732,10 +739,78 @@ object HDF5Writer {
       }
       if (denseBlocks.isEmpty) denseBlocks += ((0L, denseSbs))
     }
+    val denseNested = denseRootLinks && denseMaxDirectBlockSize > 0
+    // ---- nested-mode heap plan (denseMaxDirectBlockSize knob) ----
+    final case class HeapIb(id: Int, baseOff: Long, rows: Int,
+                            entries: Vector[Option[Either[Int, HeapIb]]])
+    val heapRoot: Option[HeapIb] = if (!denseNested) None else {
+      val M = denseMaxDirectBlockSize
+      val W = 4
+      require(java.lang.Long.bitCount(denseSbs) == 1 &&
+        java.lang.Long.bitCount(M) == 1 && M >= denseSbs,
+        s"nested heap wants power-of-2 start/max, got $denseSbs/$M")
+      def log2(v: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      val maxDR = log2(M) - log2(denseSbs) + 2
+      linkMsgSizes.zip(objNames).foreach { case (m, n) =>
+        require(fhdbDataStart + m <= M,
+          s"dense link message for $n ($m bytes) exceeds max direct $M")
+      }
+      var msgIdx = 0
+      var heapOff = 0L
+      var ibId = 0
+      def rowSizeOf(r: Int): Long =
+        if (r < 2) denseSbs else denseSbs << (r - 1)
+      def fillDirect(size: Long): Option[Int] = {
+        val base = heapOff
+        var pos = base + fhdbDataStart
+        var used = false
+        while (msgIdx < linkMsgSizes.length &&
+          pos + linkMsgSizes(msgIdx) <= base + size) {
+          denseObjOff(msgIdx) = pos
+          pos += linkMsgSizes(msgIdx); msgIdx += 1; used = true
+        }
+        heapOff += size
+        if (used) { denseBlocks += ((base, size)); Some(denseBlocks.length - 1) }
+        else None
+      }
+      def buildIb(nrowsCap: Int, fixedRows: Boolean): HeapIb = {
+        val id = ibId; ibId += 1
+        val base = heapOff
+        val entries = scala.collection.mutable
+          .ArrayBuffer.empty[Option[Either[Int, HeapIb]]]
+        var r = 0
+        while (r < nrowsCap &&
+          (fixedRows || msgIdx < linkMsgSizes.length)) {
+          val sz = rowSizeOf(r)
+          (0 until W).foreach { _ =>
+            if (r < maxDR) {
+              if (msgIdx < linkMsgSizes.length)
+                entries += fillDirect(sz).map(Left(_))
+              else { heapOff += sz; entries += None }
+            } else {
+              if (msgIdx < linkMsgSizes.length) {
+                val childRows = log2(sz) - log2(denseSbs) - log2(W.toLong) + 1
+                entries += Some(Right(buildIb(childRows, fixedRows = true)))
+              } else { heapOff += sz; entries += None }
+            }
+          }
+          r += 1
+        }
+        HeapIb(id, base, r, entries.toVector)
+      }
+      val root = buildIb(64, fixedRows = false)
+      require(msgIdx == linkMsgSizes.length,
+        s"nested heap plan placed $msgIdx of ${linkMsgSizes.length} links")
+      Some(root)
+    }
     val denseRows =
-      if (denseBlocks.length <= 1) 0 else (denseBlocks.length + 3) / 4
+      if (denseNested) heapRoot.get.rows
+      else if (denseBlocks.length <= 1) 0
+      else (denseBlocks.length + 3) / 4
     val denseMaxDirect =
-      if (denseRows <= 2) denseSbs else denseSbs << (denseRows - 2)
+      if (denseNested) denseMaxDirectBlockSize
+      else if (denseRows <= 2) denseSbs
+      else denseSbs << (denseRows - 2)
     val denseMaxManaged = 4096L
     val denseLenW = lenBytesFor(math.min(denseMaxDirect, denseMaxManaged))
     val heapIdLenW =
@@ -759,7 +834,17 @@ object HDF5Writer {
     if (denseRootLinks) {
       alloc("fheap", 146)
       denseBlocks.indices.foreach(k => alloc(s"fhdb:$k", denseBlocks(k)._2))
-      if (denseRows > 0) alloc("fhib", 13L + 4 + denseRows * 4 * 8 + 4)
+      if (denseNested) {
+        def allocIb(ib: HeapIb): Unit = {
+          alloc(s"fhib:${ib.id}", 13L + 4 + ib.rows * 4 * 8 + 4)
+          ib.entries.foreach {
+            case Some(Right(child)) => allocIb(child)
+            case _ =>
+          }
+        }
+        allocIb(heapRoot.get)
+      } else if (denseRows > 0)
+        alloc("fhib", 13L + 4 + denseRows * 4 * 8 + 4)
       alloc("bthd", 38)
       allocBtNodes(denseBtRoot)
     } else {
@@ -879,6 +964,7 @@ object HDF5Writer {
       }
       val rootBlockAddr =
         if (denseTinyLinkIds) Undefined // all objects ride inline: no blocks
+        else if (denseNested) addrs(s"fhib:${heapRoot.get.id}")
         else if (denseRows == 0) addrs("fhdb:0")
         else addrs("fhib")
       // fractal heap header (FRHP)
@@ -932,7 +1018,32 @@ object HDF5Writer {
         put(addrs(s"fhdb:$k"), b.array())
       }
       // root INDIRECT block when the plan spans multiple direct blocks
-      if (denseRows > 0) {
+      if (denseNested) {
+        // nested mode: every planned indirect block, entries pointing at
+        // direct blocks, child indirect blocks, or Undefined
+        def emitIb(ib: HeapIb): Unit = {
+          val sz = 13 + 4 + ib.rows * 4 * 8 + 4
+          val b = ByteBuffer.allocate(sz).order(ByteOrder.LITTLE_ENDIAN)
+          b.put("FHIB".getBytes("ASCII"))
+          b.put(0.toByte)
+          b.putLong(addrs("fheap"))
+          b.putInt(ib.baseOff.toInt) // linear heap offset of this iblock
+          (0 until ib.rows * 4).foreach { k =>
+            b.putLong(ib.entries.lift(k).flatten match {
+              case Some(Left(d)) => addrs(s"fhdb:$d")
+              case Some(Right(child)) => addrs(s"fhib:${child.id}")
+              case None => Undefined
+            })
+          }
+          b.putInt(lookup3(java.util.Arrays.copyOfRange(b.array(), 0, sz - 4)))
+          put(addrs(s"fhib:${ib.id}"), b.array())
+          ib.entries.foreach {
+            case Some(Right(child)) => emitIb(child)
+            case _ =>
+          }
+        }
+        emitIb(heapRoot.get)
+      } else if (denseRows > 0) {
         val sz = 13 + 4 + denseRows * 4 * 8 + 4
         val b = ByteBuffer.allocate(sz).order(ByteOrder.LITTLE_ENDIAN)
         b.put("FHIB".getBytes("ASCII"))

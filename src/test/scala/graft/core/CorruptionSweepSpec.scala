@@ -414,6 +414,72 @@ class CorruptionSweepSpec extends AnyFunSuite {
     }
   }
 
+  test("dap4: chunked framing/DMR/data corruption never crashes, only fails by name") {
+    // the r12 surface: chunk headers (flags + 24-bit lengths are the
+    // truncation/amplification vector), DMR XML, packed data + CRC32s
+    val f = smallCube()
+    val (dmr, dap) = graft.dap.Dap4.encode(f, "sweep.nc", chunkSize = 96)
+    val (okB, failedB) = sweep(dap, dap.length, { bytes =>
+      val (t, d, o) = graft.dap.Dap4.deframe(bytes)
+      graft.dap.Dap4.decodeData(graft.dap.Dap4.parseDmr(t), d, o,
+        checksums = true)
+    })
+    info(s"dap4 dap sweep: $okB decoded, $failedB failed diagnosably")
+    assert(failedB > 0, "no corruption failed — the sweep is vacuous")
+    val dmrBytes = dmr.getBytes("UTF-8")
+    val (okT, failedT) = sweep(dmrBytes, dmrBytes.length,
+      b => graft.dap.Dap4.parseDmr(new String(b, "UTF-8")))
+    info(s"dap4 dmr sweep: $okT parsed, $failedT failed diagnosably")
+    assert(okT + failedT > 0)
+  }
+
+  test("grib2 ccsds (5.42): corruption never crashes, only fails by name") {
+    // the r12 packing: template params (flags/block/rsi) + the CCSDS
+    // Rice bitstream through the shared szip codec
+    val dir = tmpDir
+    val p = s"$dir/clean42.grib2"
+    val nx = 17; val ny = 11
+    graft.grib.Grib2.writeCcsds(p,
+      Array.tabulate(nx * ny)(i =>
+        if (i % 9 == 4) Double.NaN else ((i * 29) % 211).toDouble), nx, ny,
+      la1 = 40.0, lo1 = 250.0, dLat = 0.5, dLon = 0.5,
+      discipline = 0, category = 0, number = 0,
+      refTimeEpochSec = 1600000000L)
+    val orig = Files.readAllBytes(Paths.get(p))
+    val target = s"$dir/mut42.grib2"
+    val (ok, failed) = sweep(orig, orig.length, { bytes =>
+      Files.write(Paths.get(target), bytes)
+      val msgs = graft.grib.Grib2.scan(target)
+      msgs.foreach(m => graft.grib.Grib2.decodeValues(target, m))
+    })
+    info(s"grib2 ccsds sweep: $ok corruptions read, $failed failed diagnosably")
+    assert(failed > 0, "no corruption failed — the sweep is vacuous")
+  }
+
+  test("hdf5 NESTED heap + huge/tiny ids: corruption never crashes, only fails by name") {
+    // the r12 structures: recursive FHIB walk (child-row math from
+    // corrupt sizes is the recursion/amplification vector), huge-object
+    // btree resolution, tiny inline ids
+    val dir = tmpDir
+    val p = s"$dir/nested.h5"
+    val f0 = smallCube()
+    val big = "x" * 5000 // forces one HUGE dense-attr object
+    val f = f0.copy(dataVars = f0.dataVars.updatedWith("foo")(_.map(v =>
+      v.copy(attrs = v.attrs ++ (1 to 9).map(i =>
+        s"a$i" -> AttrValue(s"v$i")).toMap + ("history" -> AttrValue(big))))))
+    HDF5Writer.write(p, f, denseRootLinks = true,
+      denseStartBlockSize = 64L, denseMaxDirectBlockSize = 128L,
+      denseAttrObjects = Set("foo"))
+    val orig = Files.readAllBytes(Paths.get(p))
+    val target = s"$dir/mut_nested.h5"
+    val (ok, failed) = sweep(orig, 1600, { bytes =>
+      Files.write(Paths.get(target), bytes)
+      HDF5.read(target)
+    })
+    info(s"hdf5 nested sweep: $ok corruptions read, $failed failed diagnosably")
+    assert(failed > 0, "no corruption failed — the sweep is vacuous")
+  }
+
   test("blosc: header corruption cannot amplify a 16-byte header into a huge allocation") {
     val data = Array.tabulate[Byte](4096)(i => (i * 7 % 251).toByte)
     val comp = graft.zarr.Blosc.compress(data, 8,

@@ -154,6 +154,46 @@ class Hdf5Spec extends AnyFunSuite {
     assert(depths.exists(_ >= 2), s"link name-index depths: $depths")
   }
 
+  test("dense links: NESTED indirect heap blocks round-trip (the big-heap geometry)") {
+    // max direct block capped at 2x the 64-byte start: maxDirectRows = 3,
+    // so the ~37-byte link messages overflow into child INDIRECT blocks —
+    // the doubling-table shape real libhdf5 link heaps reach past a few
+    // thousand links, forced here at fixture scale
+    val base = cube()
+    val rng = new scala.util.Random(29)
+    val (nt, ny, nx) = (6, 5, 4)
+    val extra = (1 to 24).map { i =>
+      f"nested_variable_name_$i%02d" -> Variable(Vector("time", "lat", "lon"),
+        NDArray(DType.F8, Vector(nt, ny, nx),
+          Array.fill(nt * ny * nx)(rng.nextDouble())),
+        Map("long_name" -> AttrValue(s"nested $i")))
+    }.toMap
+    val f = base.copy(dataVars = base.dataVars ++ extra)
+    val path = s"$dir/dense_nested.nc"
+    HDF5Writer.write(path, f, denseRootLinks = true,
+      denseStartBlockSize = 64L, denseMaxDirectBlockSize = 128L)
+    val back = HDF5.read(path)
+    assert(back.sameAs(f), "nested-heap fragment mismatch")
+    assert(back.dataVars.keySet == f.dataVars.keySet)
+    // the geometry really nested: more than one FHIB in the file
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    def countSig(sig: String): Int = {
+      val sb = sig.getBytes("ASCII"); var n = 0; var i = 0
+      while (i <= bytes.length - 4) {
+        if (bytes(i) == sb(0) && bytes(i + 1) == sb(1) &&
+          bytes(i + 2) == sb(2) && bytes(i + 3) == sb(3)) n += 1
+        i += 1
+      }
+      n
+    }
+    assert(countSig("FHIB") >= 2,
+      s"expected nested indirect blocks, got ${countSig("FHIB")} FHIB")
+    // engine-dispatch parity
+    val viaOpeners = graft.transforms.Openers.open(
+      graft.patterns.FileType.Netcdf4, path, maskAndScale = false)
+    assert(viaOpeners.sameAs(f))
+  }
+
   test("dense links: tiny (id-inline) heap objects round-trip; heap has no blocks") {
     val base = cube()
     val rng = new scala.util.Random(19)
@@ -316,10 +356,13 @@ class Hdf5Spec extends AnyFunSuite {
     // io-filter length at FRHP+7 — filtered heaps fail by name
     val eFilt = intercept[Exception](HDF5.read(patched(frhp + 7, 2)))
     assert(eFilt.getMessage.contains("filtered fractal heaps"), eFilt.getMessage)
-    // current-rows at FRHP+140 past the doubling table — nested indirect
-    // heap blocks fail by name
+    // current-rows at FRHP+140 forced nonzero on a DIRECT-root heap —
+    // the walk expects an indirect block and the signature check catches
+    // the lie (nested indirect blocks themselves are SUPPORTED since
+    // r12; the positive fixture lives in the nested-heap test)
     val eNest = intercept[Exception](HDF5.read(patched(frhp + 140, 9)))
-    assert(eNest.getMessage.contains("nested indirect"), eNest.getMessage)
+    assert(eNest.getMessage.contains("indirect block signature"),
+      eNest.getMessage)
     // heap-id type 3 (reserved) on the first name-index record — fails
     // by name (records start at BTLF+6; type-8 ids sit at field start)
     val eTyp = intercept[Exception](HDF5.read(patched(btlf + 6, 0x30)))
