@@ -586,12 +586,21 @@ object HDF5 {
           s"direct block offset $recorded != table offset $blockOff")
       }
       // heap offsets address the heap's linear space INCLUDING each
-      // block's header bytes: file = blockAddr + (heapOff - blockOff)
+      // block's header bytes: file = blockAddr + (heapOff - blockOff).
+      // Binary search over the offset-ordered block table: a linear scan
+      // here is O(objects × blocks) — measured 9× superlinear growth on
+      // a 20k-link group (HeapScale, SCALE_r12 §4) before this fix
+      val blockOffs: Array[Long] = directBlocks.map(_._1).toArray
       def readObject(heapOff: Long, len: Int): ByteBuffer = {
-        val blk = directBlocks.find { case (bo, sz, _) =>
-          heapOff >= bo && heapOff + len <= bo + sz }
-        val (bo, _, addr) = blk.getOrElse(throw new IllegalArgumentException(
-          s"fractal heap offset $heapOff+$len outside every direct block"))
+        val i0 = java.util.Arrays.binarySearch(blockOffs, heapOff)
+        val i = if (i0 >= 0) i0 else -i0 - 2
+        val ok = i >= 0 && i < directBlocks.length && {
+          val (bo, sz, _) = directBlocks(i)
+          heapOff >= bo && heapOff + len <= bo + sz
+        }
+        if (!ok) throw new IllegalArgumentException(
+          s"fractal heap offset $heapOff+$len outside every direct block")
+        val (bo, _, addr) = directBlocks(i)
         readAt(addr + (heapOff - bo), len)
       }
       // -- v2 B-tree (name index, record type 5: hash4 + heap id) --
@@ -748,28 +757,43 @@ object HDF5 {
 
     // ---- global heap (vlen attribute payloads) ----
 
+    // one GCOL parse per collection, memoized: a 20k-variable file holds
+    // 20k DIMENSION_LIST references into ONE collection, and re-reading +
+    // re-scanning the whole collection per lookup was O(refs × heap
+    // bytes) — measured as the dominant term of a 20k-link read
+    // (HeapScale: 3.8 s → 0.9 s after this cache; SCALE_r12 §4)
+    private val gcolCache =
+      scala.collection.mutable.Map.empty[Long, Map[Int, Array[Byte]]]
+
     private def globalHeapObject(collectionAddr: Long, index: Int): Array[Byte] = {
-      val head = readAt(collectionAddr, 16)
-      val sig = new Array[Byte](4); head.get(sig)
-      require(java.util.Arrays.equals(sig, "GCOL".getBytes("ASCII")), "global heap")
-      val size = head.getLong(8)
-      val buf = readAt(collectionAddr, size.toInt)
-      var p = 16
-      while (p + 16 <= size) {
-        val idx = buf.getShort(p) & 0xFFFF
-        val objSize = buf.getLong(p + 8)
-        require(objSize >= 0 && objSize <= buf.limit() - p - 16,
-          s"corrupt global heap: object size $objSize with " +
-            s"${buf.limit() - p - 16} bytes left")
-        if (idx == index) {
-          val out = new Array[Byte](objSize.toInt)
-          buf.position(p + 16); buf.get(out)
-          return out
+      val objects = gcolCache.getOrElseUpdate(collectionAddr, {
+        val head = readAt(collectionAddr, 16)
+        val sig = new Array[Byte](4); head.get(sig)
+        require(java.util.Arrays.equals(sig, "GCOL".getBytes("ASCII")), "global heap")
+        val size = head.getLong(8)
+        val buf = readAt(collectionAddr, size.toInt)
+        val out = Map.newBuilder[Int, Array[Byte]]
+        var p = 16
+        var done = false
+        while (!done && p + 16 <= size) {
+          val idx = buf.getShort(p) & 0xFFFF
+          // free-space object (index 0) ends the scan: its recorded size
+          // spans the header itself and the rest of the collection
+          if (idx == 0) done = true
+          else {
+            val objSize = buf.getLong(p + 8)
+            require(objSize >= 0 && objSize <= buf.limit() - p - 16,
+              s"corrupt global heap: object size $objSize with " +
+                s"${buf.limit() - p - 16} bytes left")
+            val bytes = new Array[Byte](objSize.toInt)
+            buf.position(p + 16); buf.get(bytes)
+            out += idx -> bytes
+            p += 16 + ((objSize + 7) / 8 * 8).toInt
+          }
         }
-        if (idx == 0) return Array.emptyByteArray // free space: not found
-        p += 16 + ((objSize + 7) / 8 * 8).toInt
-      }
-      throw new IllegalArgumentException(s"global heap index $index not found")
+        out.result()
+      })
+      objects.getOrElse(index, Array.emptyByteArray)
     }
 
     // ---- attribute decoding ----
