@@ -17,7 +17,7 @@ package graft.grib
   *   - maximal precincts (one precinct per resolution), single layer
   *   - EBCOT tier-1 MQ coding (Annex C/D): significance propagation,
   *     magnitude refinement and cleanup passes, run-length and uniform
-  *     contexts, per-codeblock context reset, single codeword segment
+  *     contexts, per-codeblock context reset, one or more codeword segments
   *   - tier-2 packet headers (Annex B.10): inclusion + zero-bitplane tag
   *     trees, coding-pass counts, Lblock length signalling, bit stuffing
   *
@@ -29,10 +29,18 @@ package graft.grib
   * fidelity tests: marker layout, stuffing rules, tag-tree bit traces and
   * a torture corpus of odd geometries).
   *
+  * All five Part-1 codeblock style options decode and encode (r12):
+  * selective arithmetic BYPASS (raw sigprop/magref segments past the
+  * 10th pass, stuffed-bit raw coders), context RESET per pass, TERMALL
+  * per-pass codeword termination (multi-segment packet-header lengths),
+  * VERTICALLY CAUSAL contexts (stripe-masked neighbourhoods), and
+  * SEGMENTATION SYMBOLS (a 1010 sentinel closing every cleanup pass —
+  * corrupt payloads fail by name instead of decoding silently wrong).
+  *
   * Named-error corners (all bounded before any allocation): multi-tile,
   * multi-component, COC/QCC/RGN/POC/PPM/PPT overrides, user precincts,
-  * multiple layers, the 9/7 irreversible transform, codeblock style
-  * options (bypass/reset/termall/vsc/segsym), and JP2 box containers.
+  * multiple layers, the 9/7 irreversible transform, reserved style
+  * bits, and JP2 box containers.
   */
 object J2K {
 
@@ -80,11 +88,23 @@ object J2K {
     (idx, new Array[Int](NCtx))
   }
 
+  /** Reset shared context state in place (the Part-1 RESET codeblock
+    * style, and segment-fresh construction). */
+  private def resetCtxInto(ctx: (Array[Int], Array[Int])): Unit = {
+    java.util.Arrays.fill(ctx._1, 0)
+    java.util.Arrays.fill(ctx._2, 0)
+    ctx._1(0) = 4; ctx._1(CtxRL) = 3; ctx._1(CtxUNI) = 46
+  }
+
   /** MQ decoder over `data[start, end)` — 32-bit register semantics kept
     * exactly by masking a Long; reads past the segment behave as the
-    * spec's marker-found state (B = 0xFF, B1 > 0x8F). */
-  private final class MQDec(data: Array[Byte], start: Int, end: Int) {
-    private val (idx, mps) = initCtx()
+    * spec's marker-found state (B = 0xFF, B1 > 0x8F). `sharedCtx` lets
+    * terminated segments (termall/bypass styles) continue one context
+    * history across MQ codeword segments. */
+  private final class MQDec(data: Array[Byte], start: Int, end: Int,
+                            sharedCtx: (Array[Int], Array[Int]) = null) {
+    private val (idx, mps) =
+      if (sharedCtx != null) sharedCtx else initCtx()
     private var bp = start
     private var c = 0L
     private var ct = 0
@@ -145,8 +165,9 @@ object J2K {
 
   /** MQ encoder; one guard byte at the front absorbs the spec's
     * BP = BPST - 1 convention and is dropped from the output. */
-  private final class MQEnc {
-    private val (idx, mps) = initCtx()
+  private final class MQEnc(sharedCtx: (Array[Int], Array[Int]) = null) {
+    private val (idx, mps) =
+      if (sharedCtx != null) sharedCtx else initCtx()
     private val buf = scala.collection.mutable.ArrayBuffer[Int](0)
     private var c = 0L
     private var ct = 12
@@ -228,6 +249,81 @@ object J2K {
 
   /** MSB-first bit writer with the packet-header stuffing rule: a byte
     * following 0xFF carries only 7 bits (its MSB is a stuffed 0). */
+  /** RAW (arithmetic-bypass) segment reader: MSB-first bits with the
+    * Part-1 stuffing rule — the byte after an 0xFF carries only 7 bits
+    * (its MSB is skipped). Reads past the segment return 1s (the
+    * marker-found convention, matching MQDec). */
+  private final class RawDec(data: Array[Byte], start: Int, end: Int) {
+    private var bp = start
+    private var buf = 0
+    private var ct = 0
+    private var prevFF = false
+    def bit(): Int = {
+      if (ct == 0) {
+        buf = if (bp < end) data(bp) & 0xFF else 0xFF
+        ct = if (prevFF) 7 else 8
+        prevFF = buf == 0xFF
+        bp += 1
+      }
+      ct -= 1
+      (buf >>> ct) & 1
+    }
+  }
+
+  /** RAW segment writer — the encoder twin of [[RawDec]]. */
+  private final class RawEnc {
+    private val bos = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nbits = 0
+    private var prevFF = false
+    private def cap: Int = if (prevFF) 7 else 8
+    def bit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1)
+      nbits += 1
+      if (nbits == cap) {
+        val v = if (prevFF) cur & 0x7F else cur & 0xFF
+        bos.write(v)
+        prevFF = v == 0xFF
+        cur = 0; nbits = 0
+      }
+    }
+    def finish(): Array[Byte] = {
+      if (nbits > 0) {
+        val v = (cur << (cap - nbits)) & (if (prevFF) 0x7F else 0xFF)
+        bos.write(v)
+        cur = 0; nbits = 0
+      }
+      bos.toByteArray
+    }
+  }
+
+  /** Coding-pass counts per codeword segment for one codeblock under the
+    * Part-1 codeblock styles: TERMALL terminates every pass; BYPASS
+    * keeps the first 10 passes (4 MSB bitplanes) in one MQ segment and
+    * then alternates raw (sigprop+magref pair) and MQ (cleanup)
+    * segments; plain streams are one segment. TERMALL wins the
+    * segmentation when both are set (every pass is its own segment,
+    * coded raw or MQ per the bypass rule). */
+  private def segmentPasses(style: Int, nPasses: Int): Vector[Int] =
+    if ((style & 0x04) != 0) Vector.fill(nPasses)(1)
+    else if ((style & 0x01) != 0) {
+      val out = Vector.newBuilder[Int]
+      var left = nPasses
+      val first = math.min(left, 10)
+      out += first; left -= first
+      var raw = true
+      while (left > 0) {
+        val n = math.min(left, if (raw) 2 else 1)
+        out += n; left -= n; raw = !raw
+      }
+      out.result()
+    } else Vector(nPasses)
+
+  /** True when pass number `k` (1-based) of type `passType` (0 = sig
+    * prop, 1 = mag ref, 2 = cleanup) codes RAW under BYPASS. */
+  @inline private def isRawPass(style: Int, k: Int, passType: Int): Boolean =
+    (style & 0x01) != 0 && k > 10 && passType != 2
+
   private final class HdrWriter {
     private val bos = new java.io.ByteArrayOutputStream()
     private var cur = 0
@@ -401,7 +497,8 @@ object J2K {
   /** Shared significance state + context formation for one codeblock.
     * Samples outside the codeblock are insignificant (codeblocks are
     * coded independently); scan order is vertical stripes of four rows. */
-  private final class T1State(val w: Int, val h: Int, orient: Int) {
+  private final class T1State(val w: Int, val h: Int, orient: Int,
+                              vsc: Boolean = false) {
     val sig = new Array[Boolean](w * h)
     val visited = new Array[Boolean](w * h)
     val refined = new Array[Boolean](w * h)
@@ -416,13 +513,23 @@ object J2K {
         val p = y * w + x
         if (!sig(p)) 0 else if (neg(p)) -1 else 1
       }
+    /** VERTICALLY CAUSAL neighbour significance: under the VSC style a
+      * sample's context never sees across its 4-row stripe boundary —
+      * row cy-1 is masked when cy opens a stripe, row cy+1 when cy
+      * closes one. `cy` is the CENTER sample's row. */
+    @inline private def sv(x: Int, y: Int, cy: Int): Int =
+      if (vsc && ((y < cy && (cy & 3) == 0) || (y > cy && (cy & 3) == 3))) 0
+      else s(x, y)
+    @inline private def contribv(x: Int, y: Int, cy: Int): Int =
+      if (vsc && ((y < cy && (cy & 3) == 0) || (y > cy && (cy & 3) == 3))) 0
+      else contrib(x, y)
 
     /** Zero-coding context (Table D.1). */
     def zcCtx(x: Int, y: Int): Int = {
       var hh = s(x - 1, y) + s(x + 1, y)
-      var vv = s(x, y - 1) + s(x, y + 1)
-      val dd = s(x - 1, y - 1) + s(x + 1, y - 1) +
-        s(x - 1, y + 1) + s(x + 1, y + 1)
+      var vv = sv(x, y - 1, y) + sv(x, y + 1, y)
+      val dd = sv(x - 1, y - 1, y) + sv(x + 1, y - 1, y) +
+        sv(x - 1, y + 1, y) + sv(x + 1, y + 1, y)
       if (orient == 1) { val t = hh; hh = vv; vv = t } // HL: swap roles
       if (orient == 3) { // HH: diagonal-primary table
         if (dd >= 3) 8
@@ -449,7 +556,8 @@ object J2K {
     /** Sign context + XOR bit (Tables D.2/D.3), packed as ctx | xor<<8. */
     def scCtx(x: Int, y: Int): Int = {
       val hc = math.max(-1, math.min(1, contrib(x - 1, y) + contrib(x + 1, y)))
-      val vc = math.max(-1, math.min(1, contrib(x, y - 1) + contrib(x, y + 1)))
+      val vc = math.max(-1, math.min(1,
+        contribv(x, y - 1, y) + contribv(x, y + 1, y)))
       if (hc == 1) 13 - (1 - vc) // (1,1)->13 (1,0)->12 (1,-1)->11, xor 0
       else if (hc == -1) (11 + (1 - vc)) | (1 << 8) // mirrored, xor 1
       else if (vc == 1) 10
@@ -466,18 +574,34 @@ object J2K {
     }
     /** True iff the full 8-neighbourhood is insignificant. */
     def zcCtx0(x: Int, y: Int): Boolean =
-      s(x - 1, y) + s(x + 1, y) + s(x, y - 1) + s(x, y + 1) +
-        s(x - 1, y - 1) + s(x + 1, y - 1) + s(x - 1, y + 1) +
-        s(x + 1, y + 1) == 0
+      s(x - 1, y) + s(x + 1, y) + sv(x, y - 1, y) + sv(x, y + 1, y) +
+        sv(x - 1, y - 1, y) + sv(x + 1, y - 1, y) + sv(x - 1, y + 1, y) +
+        sv(x + 1, y + 1, y) == 0
   }
 
-  /** Decode one codeblock's codeword segment: `numPasses` coding passes
-    * over `np` magnitude bitplanes → signed coefficients (row-major). */
-  private def t1Decode(w: Int, h: Int, orient: Int, np: Int, numPasses: Int,
-                       data: Array[Byte], from: Int, until: Int): Array[Int] = {
-    val st = new T1State(w, h, orient)
-    val mq = new MQDec(data, from, until)
+  /** Decode one codeblock's codeword segments: `segs` = (passes, from,
+    * until) per segment (one segment for plain streams; several under
+    * the TERMALL/BYPASS styles) over `np` magnitude bitplanes → signed
+    * coefficients (row-major). `style` is the COD codeblock-style octet:
+    * 0x01 bypass, 0x02 reset, 0x04 termall, 0x08 vertically causal,
+    * 0x20 segmentation symbols. */
+  private def t1Decode(w: Int, h: Int, orient: Int, np: Int, style: Int,
+                       segs: Vector[(Int, Int, Int)],
+                       data: Array[Byte]): Array[Int] = {
+    val st = new T1State(w, h, orient, vsc = (style & 0x08) != 0)
+    val ctx = initCtx()
+    var mq: MQDec = null
+    var raw: RawDec = null
+    var rawMode = false
     val mag = new Array[Int](w * h)
+    @inline def decBit(cx: Int): Int =
+      if (rawMode) raw.bit() else mq.decode(cx)
+    @inline def decSign(x: Int, y: Int): Boolean =
+      if (rawMode) raw.bit() == 1
+      else {
+        val sc = st.scCtx(x, y)
+        (mq.decode(sc & 0xFF) ^ (sc >>> 8)) == 1
+      }
 
     def sppPass(bp: Int): Unit = {
       var y0 = 0
@@ -489,11 +613,10 @@ object J2K {
           while (y < yEnd) {
             val p = y * w + x
             if (!st.sig(p) && !st.zcCtx0(x, y)) {
-              if (mq.decode(st.zcCtx(x, y)) == 1) {
+              if (decBit(st.zcCtx(x, y)) == 1) {
                 st.sig(p) = true
                 mag(p) |= 1 << bp
-                val sc = st.scCtx(x, y)
-                st.neg(p) = (mq.decode(sc & 0xFF) ^ (sc >>> 8)) == 1
+                st.neg(p) = decSign(x, y)
               }
               st.visited(p) = true
             }
@@ -515,7 +638,7 @@ object J2K {
           while (y < yEnd) {
             val p = y * w + x
             if (st.sig(p) && !st.visited(p)) {
-              mag(p) |= mq.decode(st.mrCtx(x, y)) << bp
+              mag(p) |= decBit(st.mrCtx(x, y)) << bp
               st.refined(p) = true
             }
             y += 1
@@ -577,15 +700,38 @@ object J2K {
 
     var bp = np - 1
     var passType = 2 // the MSB plane starts with (and only has) cleanup
-    var left = numPasses
+    var left = segs.iterator.map(_._1).sum
+    var k = 0 // global pass number (1-based), drives the bypass rule
+    var segIdx = 0
+    var segLeft = 0
     while (left > 0) {
       if (bp < 0) fail("more coding passes than bitplanes")
+      k += 1
+      if (segLeft == 0) {
+        if (segIdx >= segs.length) fail("coding passes exceed the segments")
+        val (p0, f0, u0) = segs(segIdx)
+        segIdx += 1
+        segLeft = p0
+        rawMode = isRawPass(style, k, passType)
+        if (rawMode) raw = new RawDec(data, f0, u0)
+        else mq = new MQDec(data, f0, u0, ctx)
+      } else if (rawMode != isRawPass(style, k, passType))
+        fail("codeword segment mixes raw and MQ passes")
+      if ((style & 0x02) != 0 && !rawMode) resetCtxInto(ctx)
       passType match {
         case 0 => sppPass(bp)
         case 1 => mrpPass(bp)
         case 2 => cupPass(bp)
       }
+      if ((style & 0x20) != 0 && passType == 2) {
+        // segmentation symbol 1010 closes every cleanup pass — a decode
+        // mismatch means upstream bits were corrupt
+        val sym = (mq.decode(CtxUNI) << 3) | (mq.decode(CtxUNI) << 2) |
+          (mq.decode(CtxUNI) << 1) | mq.decode(CtxUNI)
+        if (sym != 0xA) fail(f"segmentation symbol 0x$sym%X != 0xA")
+      }
       left -= 1
+      segLeft -= 1
       if (passType == 2) {
         java.util.Arrays.fill(st.visited, false)
         bp -= 1
@@ -602,24 +748,33 @@ object J2K {
     out
   }
 
-  /** Encode one codeblock: all 3·np−2 passes into a single MQ codeword
-    * segment. Returns (numPasses, bytes); np == 0 (all-zero block) never
-    * reaches here — the caller excludes the block from its packet. */
+  /** Encode one codeblock: all 3·np−2 passes, split into codeword
+    * segments per [[segmentPasses]] (one segment for style 0). Returns
+    * (numPasses, segment bytes); np == 0 (all-zero block) never reaches
+    * here — the caller excludes the block from its packet. */
   private def t1Encode(coeffs: Array[Int], w: Int, h: Int, orient: Int,
-                       np: Int): (Int, Array[Byte]) = {
-    val st = new T1State(w, h, orient)
-    val mq = new MQEnc()
+                       np: Int, style: Int): (Int, Vector[Array[Byte]]) = {
+    val st = new T1State(w, h, orient, vsc = (style & 0x08) != 0)
+    val ctx = initCtx()
+    var mq: MQEnc = null
+    var raw: RawEnc = null
+    var rawMode = false
     @inline def absAt(p: Int): Int = math.abs(coeffs(p))
     @inline def bitAt(p: Int, bp: Int): Int = (absAt(p) >>> bp) & 1
     @inline def negAt(p: Int): Boolean = coeffs(p) < 0
+    @inline def encBit(cx: Int, v: Int): Unit =
+      if (rawMode) raw.bit(v) else mq.encode(cx, v)
 
     def codeSig(x: Int, y: Int, p: Int, bp: Int): Unit = {
       st.sig(p) = true
       st.neg(p) = negAt(p)
-      val sc = st.scCtx(x, y)
-      // the sample's own significance is not in its sign neighbourhood,
-      // so setting sig first is safe and keeps later samples consistent
-      mq.encode(sc & 0xFF, (if (negAt(p)) 1 else 0) ^ (sc >>> 8))
+      if (rawMode) raw.bit(if (negAt(p)) 1 else 0)
+      else {
+        val sc = st.scCtx(x, y)
+        // the sample's own significance is not in its sign neighbourhood,
+        // so setting sig first is safe and keeps later samples consistent
+        mq.encode(sc & 0xFF, (if (negAt(p)) 1 else 0) ^ (sc >>> 8))
+      }
     }
 
     def sppPass(bp: Int): Unit = {
@@ -633,7 +788,7 @@ object J2K {
             val p = y * w + x
             if (!st.sig(p) && !st.zcCtx0(x, y)) {
               val v = bitAt(p, bp)
-              mq.encode(st.zcCtx(x, y), v)
+              encBit(st.zcCtx(x, y), v)
               if (v == 1) codeSig(x, y, p, bp)
               st.visited(p) = true
             }
@@ -655,7 +810,7 @@ object J2K {
           while (y < yEnd) {
             val p = y * w + x
             if (st.sig(p) && !st.visited(p)) {
-              mq.encode(st.mrCtx(x, y), bitAt(p, bp))
+              encBit(st.mrCtx(x, y), bitAt(p, bp))
               st.refined(p) = true
             }
             y += 1
@@ -720,20 +875,40 @@ object J2K {
     var passType = 2
     var passes = 0
     val total = 3 * np - 2
+    val plan = segmentPasses(style, total)
+    val segments = Vector.newBuilder[Array[Byte]]
+    var segIdx = 0
+    var segLeft = 0
+    var k = 0
     while (passes < total) {
+      k += 1
+      if (segLeft == 0) {
+        segLeft = plan(segIdx)
+        segIdx += 1
+        rawMode = isRawPass(style, k, passType)
+        if (rawMode) raw = new RawEnc else mq = new MQEnc(ctx)
+      }
+      if ((style & 0x02) != 0 && !rawMode) resetCtxInto(ctx)
       passType match {
         case 0 => sppPass(bp)
         case 1 => mrpPass(bp)
         case 2 => cupPass(bp)
       }
+      if ((style & 0x20) != 0 && passType == 2) {
+        mq.encode(CtxUNI, 1); mq.encode(CtxUNI, 0)
+        mq.encode(CtxUNI, 1); mq.encode(CtxUNI, 0)
+      }
       passes += 1
+      segLeft -= 1
+      if (segLeft == 0)
+        segments += (if (rawMode) raw.finish() else mq.finish())
       if (passType == 2) {
         java.util.Arrays.fill(st.visited, false)
         bp -= 1
         passType = 0
       } else passType += 1
     }
-    (total, mq.finish())
+    (total, segments.result())
   }
 
   // ---------------------- reversible 5/3 integer wavelet (Annex F)
@@ -942,9 +1117,11 @@ object J2K {
     * maximal precincts — the g2clib/jasper GRIB profile). `cblkExp` is
     * log2 of the (square) codeblock side, 2..6. */
   def encode(samples: Array[Int], width: Int, height: Int, depth: Int,
-             levels: Int = 5, cblkExp: Int = 6, guard: Int = 2): Array[Byte] = {
+             levels: Int = 5, cblkExp: Int = 6, guard: Int = 2,
+             cbStyle: Int = 0): Array[Byte] = {
     require(width >= 1 && height >= 1 && width.toLong * height <= (1L << 26),
       s"image $width x $height out of supported bounds")
+    require((cbStyle & ~0x3F) == 0, s"reserved codeblock style bits $cbStyle")
     require(samples.length == width * height, "samples must cover the image")
     require(depth >= 1 && depth <= 26, s"sample depth $depth (1..26)")
     require(levels >= 0 && levels <= 20, s"decomposition levels $levels")
@@ -1003,7 +1180,7 @@ object J2K {
       val body = new java.io.ByteArrayOutputStream()
       // first decide whether ANY codeblock contributes
       final case class Enc(bandPos: Int, i: Int, j: Int, zbp: Int,
-                           nPasses: Int, data: Array[Byte])
+                           nPasses: Int, segsData: Vector[Array[Byte]])
       val encs = scala.collection.mutable.ArrayBuffer[Enc]()
       val grids = bands(r).map(b => (ceilShift(b.w, cblkExp), ceilShift(b.h, cblkExp)))
       for (bp <- bands(r).indices) {
@@ -1029,8 +1206,9 @@ object J2K {
           }
           if (maxMag > 0) {
             val np = 32 - Integer.numberOfLeadingZeros(maxMag)
-            val (nPasses, data) = t1Encode(blk, w, h, band.orient, np)
-            encs += Enc(bp, i, j, mb - np, nPasses, data)
+            val (nPasses, segsData) = t1Encode(blk, w, h, band.orient, np,
+              cbStyle)
+            encs += Enc(bp, i, j, mb - np, nPasses, segsData)
           }
         }
       }
@@ -1055,15 +1233,24 @@ object J2K {
                 var t = 1
                 while (t <= e.zbp + 1) { zbpT.encode(hdr, i, j, t); t += 1 }
                 writeNumPasses(hdr, e.nPasses)
-                val floorLog = 31 - Integer.numberOfLeadingZeros(e.nPasses)
-                val needBits = math.max(1,
-                  32 - Integer.numberOfLeadingZeros(e.data.length))
-                val lblock = math.max(3, needBits - floorLog)
+                // one lblock signal serves ALL this codeblock's
+                // segments; pick the smallest making every segment
+                // length fit its lblock + floor(log2(passes)) field
+                val plan = segmentPasses(cbStyle, e.nPasses)
+                val lblock = plan.zip(e.segsData).map { case (segP, d) =>
+                  val floorLog = 31 - Integer.numberOfLeadingZeros(segP)
+                  val needBits = math.max(1,
+                    32 - Integer.numberOfLeadingZeros(d.length))
+                  math.max(3, needBits - floorLog)
+                }.max
                 var k = 3
                 while (k < lblock) { hdr.bit(1); k += 1 }
                 hdr.bit(0)
-                hdr.bits(e.data.length, lblock + floorLog)
-                body.write(e.data)
+                plan.zip(e.segsData).foreach { case (segP, d) =>
+                  val floorLog = 31 - Integer.numberOfLeadingZeros(segP)
+                  hdr.bits(d.length, lblock + floorLog)
+                  body.write(d)
+                }
               }
             }
           }
@@ -1093,7 +1280,7 @@ object J2K {
     u8(0) // no component transform
     u8(levels)
     u8(cblkExp - 2); u8(cblkExp - 2) // codeblock width/height exponents
-    u8(0) // codeblock style: none of the Part-1 options
+    u8(cbStyle) // codeblock style (Part-1 options)
     u8(1) // transform: 5/3 reversible
     u16(0xFF5C) // QCD
     u16(3 + nBandsGlobal) // Lqcd
@@ -1135,6 +1322,7 @@ object J2K {
     var depth = -1
     var levels = -1
     var cbExp = -1
+    var cbStyle = 0
     var sop = false
     var eph = false
     var guard = -1
@@ -1193,8 +1381,9 @@ object J2K {
             s"codeblock geometry 2^$cbw x 2^$cbh (square 4..64 supported)")
           if (cbw > 6) unsupported(s"codeblock side 2^$cbw > 64")
           cbExp = cbw
-          if (u8(pos + 12) != 0)
-            unsupported("codeblock style options (bypass/reset/termall/vsc/segsym)")
+          cbStyle = u8(pos + 12)
+          if ((cbStyle & ~0x3F) != 0)
+            fail(f"reserved codeblock style bits 0x$cbStyle%02X")
           if (u8(pos + 13) != 1) unsupported("9/7 irreversible transform")
           pos += 2 + l
         case 0xFF5C => // QCD
@@ -1244,7 +1433,7 @@ object J2K {
         rdr.pos += 6
       }
       final case class Seg(bandPos: Int, i: Int, j: Int, zbp: Int,
-                           nPasses: Int, from: Int, until: Int)
+                           parts: Vector[(Int, Int, Int)])
       val segs = scala.collection.mutable.ArrayBuffer[Seg]()
       if (rdr.pos >= bodyUntil) fail("tile data ends before the last packet")
       var segOff = 0
@@ -1273,19 +1462,27 @@ object J2K {
                   lblock += 1
                   if (lblock > 32) fail("runaway Lblock signalling")
                 }
-                val floorLog = 31 - Integer.numberOfLeadingZeros(nPasses)
-                // bits() reads into an Int: a length field past 31 bits
-                // would wrap negative — no real codeblock segment is that
-                // long, so fail by name instead
-                if (lblock + floorLog > 31)
-                  fail(s"segment length field of ${lblock + floorLog} bits")
-                val len = rdr.bits(lblock + floorLog)
-                segs += Seg(bp, i, j, zbp, nPasses, segOff, segOff + len)
-                segOff += len
-                // per-segment cap: an Int accumulator over corrupt 31-bit
-                // lengths can wrap; bodyUntil bounds all real payloads
-                if (segOff < 0 || segOff > bodyUntil)
-                  fail("codeblock segments exceed the tile data")
+                // one length per codeword segment (one for plain
+                // streams; several under TERMALL/BYPASS), each read at
+                // lblock + floor(log2(segment passes)) bits
+                val parts = segmentPasses(cbStyle, nPasses).map { segP =>
+                  val floorLog = 31 - Integer.numberOfLeadingZeros(segP)
+                  // bits() reads into an Int: a length field past 31 bits
+                  // would wrap negative — no real codeblock segment is
+                  // that long, so fail by name instead
+                  if (lblock + floorLog > 31)
+                    fail(s"segment length field of ${lblock + floorLog} bits")
+                  val len = rdr.bits(lblock + floorLog)
+                  val part = (segP, segOff, segOff + len)
+                  segOff += len
+                  // per-segment cap: an Int accumulator over corrupt
+                  // 31-bit lengths can wrap; bodyUntil bounds all real
+                  // payloads
+                  if (segOff < 0 || segOff > bodyUntil)
+                    fail("codeblock segments exceed the tile data")
+                  part
+                }
+                segs += Seg(bp, i, j, zbp, parts)
               }
             }
           }
@@ -1307,8 +1504,9 @@ object J2K {
         val h = math.min(1 << cbExp, band.h - y0)
         val mb = guard + eps(qcdIndex(r, s.bandPos)) - 1
         val np = mb - s.zbp
-        val blk = t1Decode(w, h, band.orient, np, s.nPasses,
-          bytes, dataPos + s.from, dataPos + s.until)
+        val blk = t1Decode(w, h, band.orient, np, cbStyle,
+          s.parts.map { case (pp, f, u) => (pp, dataPos + f, dataPos + u) },
+          bytes)
         val dst = bandCoef(r)(s.bandPos)
         var yy = 0
         while (yy < h) {

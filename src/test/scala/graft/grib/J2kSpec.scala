@@ -23,13 +23,16 @@ class J2kSpec extends AnyFunSuite {
   }
 
   private def roundTrip(w: Int, h: Int, depth: Int, seed: Long,
-                        levels: Int = 5, cblkExp: Int = 6): Unit = {
+                        levels: Int = 5, cblkExp: Int = 6,
+                        cbStyle: Int = 0): Unit = {
     val in = field(w, h, depth, seed)
-    val bytes = J2K.encode(in, w, h, depth, levels, cblkExp)
+    val bytes = J2K.encode(in, w, h, depth, levels, cblkExp,
+      cbStyle = cbStyle)
     val img = J2K.decode(bytes)
     assert(img.width == w && img.height == h && img.depth == depth)
     assert(java.util.Arrays.equals(img.samples, in),
-      s"lossless mismatch at ${w}x$h depth=$depth levels=$levels cblk=$cblkExp")
+      s"lossless mismatch at ${w}x$h depth=$depth levels=$levels " +
+        s"cblk=$cblkExp style=$cbStyle")
   }
 
   test("lossless round trip across a torture grid of geometries") {
@@ -120,7 +123,7 @@ class J2kSpec extends AnyFunSuite {
     failsWith(b => b(49) = 1.toByte, "precinct") // Scod bit 0
     failsWith(b => b(52) = 2.toByte, "layers") // layers = 2 (low byte)
     failsWith(b => b(58) = 0.toByte, "irreversible") // transform = 9/7
-    failsWith(b => b(57) = 0x3F.toByte, "codeblock style")
+    failsWith(b => b(57) = 0x40.toByte, "codeblock style") // reserved bit
     // QCD: quantization style != 0 (Sqcd at QCD+4 = offset 63)
     failsWith(b => b(63) = (b(63) | 0x02).toByte, "quantization")
     // huge image dims → bounds error before allocation
@@ -132,9 +135,52 @@ class J2kSpec extends AnyFunSuite {
     assert(e.getMessage.contains("JP2"))
   }
 
+  test("codeblock style options round-trip: bypass/reset/termall/vsc/segsym") {
+    // each style alone, then the jasper/Kakadu-common combinations and
+    // the full mask — deep fields (depth 14-16) force 5+ bitplanes so
+    // BYPASS actually enters its raw regime (k > 10), and 8x8
+    // codeblocks multiply the segment count
+    val styles = Seq(0x01, 0x02, 0x04, 0x08, 0x20,
+      0x01 | 0x04, 0x01 | 0x02, 0x08 | 0x20, 0x01 | 0x20,
+      0x01 | 0x02 | 0x04 | 0x08 | 0x20)
+    for (st <- styles) {
+      roundTrip(37, 29, depth = 16, seed = 31L * st, cbStyle = st)
+      roundTrip(65, 33, depth = 14, seed = 77L + st, cblkExp = 3,
+        cbStyle = st)
+      roundTrip(17, 13, depth = 8, seed = 131L * st, cbStyle = st)
+    }
+    // degenerate geometries under the full mask
+    for ((w, h) <- Seq((1, 1), (1, 7), (8, 1), (130, 3)))
+      roundTrip(w, h, depth = 12, seed = w * 31L + h, cbStyle = 0x3F)
+    // a corrupted SEGMENTATION SYMBOL is detected by name: flip a late
+    // payload byte until the symbol check (not a pixel diff) fires —
+    // the style's whole point is turning silent corruption into a
+    // named error
+    val in = field(33, 17, 14, 57L)
+    val good = J2K.encode(in, 33, 17, 14, cbStyle = 0x20)
+    var caught = 0
+    for (pos <- good.length - 40 until good.length - 2) {
+      val b = good.clone()
+      b(pos) = (b(pos) ^ 0x55).toByte
+      try J2K.decode(b)
+      catch {
+        case e: IllegalArgumentException
+          if e.getMessage.contains("segmentation symbol") => caught += 1
+        case _: RuntimeException => // other named failures are fine too
+      }
+    }
+    assert(caught > 0, "no corruption tripped the segmentation symbol")
+  }
+
   test("flipping payload bits never crashes: named error or wrong pixels") {
-    val in = field(40, 30, 10, 21L)
-    val good = J2K.encode(in, 40, 30, 10)
+    flipSweep(J2K.encode(field(40, 30, 10, 21L), 40, 30, 10))
+    // the styled stream shares the no-crash contract: segment lengths,
+    // raw stuffing and the segsym check are all new corruption surface
+    flipSweep(J2K.encode(field(40, 30, 14, 23L), 40, 30, 14,
+      cbStyle = 0x3F))
+  }
+
+  private def flipSweep(good: Array[Byte]): Unit = {
     // find SOD, flip bytes after it at several offsets
     var sod = -1
     var i = 0
