@@ -296,8 +296,11 @@ object Dap4 {
           case AttrValue.AInt(l) => ("Int64", Vector(l.toString))
           case AttrValue.ABool(b) => ("String", Vector(b.toString))
           case AttrValue.AList(xs) => ("String", xs.map {
-            case AttrValue.AStr(s) => s
-            case other => other.toString
+            case AttrValue.AStr(v) => v
+            case AttrValue.ANum(v) => v.toString
+            case AttrValue.AInt(v) => v.toString
+            case AttrValue.ABool(v) => v.toString
+            case AttrValue.AList(_) | AttrValue.ANull => ""
           })
           case AttrValue.ANull => ("String", Vector.empty[String])
         }

@@ -220,6 +220,11 @@ object Preprocess {
                   s"count — fractional CF time is not exactly decodable")
             }
             val dt = CfCalendar.num2date(v.data.getLong(i), parsed, cal)
+            require(dt.micro == 0,
+              s"decodeTimes: $name[$i] decodes to a sub-second instant " +
+                s"(${dt.micro} µs) — the six integer companions cannot " +
+                "represent it exactly; re-encode at microsecond units or " +
+                "decode through cf_num2date (which carries µs)")
             parts(0)(i) = dt.year; parts(1)(i) = dt.month.toLong
             parts(2)(i) = dt.day.toLong; parts(3)(i) = dt.hour.toLong
             parts(4)(i) = dt.minute.toLong; parts(5)(i) = dt.second.toLong

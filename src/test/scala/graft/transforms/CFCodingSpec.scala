@@ -189,6 +189,18 @@ class CFCodingSpec extends AnyFunSuite {
       parseUnits("days since 2000-01-01"), "martian"))
   }
 
+  test("decodeTimes rejects sub-second instants by name (companions are whole seconds)") {
+    val f0 = cal360Fragment
+    val f = f0.copy(coords = f0.coords.updated("time",
+      f0.coords("time").copy(
+        data = NDArray(DType.I8, Vector(14),
+          Array.tabulate(14)(i => i.toLong * 1000 + (if (i == 3) 1 else 0))),
+        attrs = f0.coords("time").attrs
+          .updated("units", AttrValue("milliseconds since 2000-01-01")))))
+    val e = intercept[IllegalArgumentException](Preprocess.decodeTimes(f))
+    assert(e.getMessage.contains("sub-second instant"))
+  }
+
   test("decodeTimes rejects fractional float encodings by name") {
     val f0 = cal360Fragment
     val f = f0.copy(coords = f0.coords.updated("time",
