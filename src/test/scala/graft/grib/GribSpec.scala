@@ -350,6 +350,20 @@ class GribSpec extends AnyFunSuite {
       if (holed(i).isNaN) assert(hGot(i).isNaN, s"hole $i")
       else assert(math.abs(hGot(i) - holed(i)) < 1e-9, s"cell $i")
     }
+    // kerchunk refs stay header-only on scan and decode via the shared
+    // CCSDS codec (the 5.40 parity leg)
+    locally {
+      val values = Array.tabulate(nx * ny)(i => math.rint(i * 37.3) / 10.0)
+      val path = s"$dir/ccsds_refs.grib2"
+      Grib2.writeCcsds(path, values, nx, ny, 35.0, 15.0, 0.5, 0.5,
+        0, 0, 0, refTimeEpochSec = 1700000000L, decimalScale = 1)
+      val virt = s"$dir/virt_ccsds.zarr"
+      RefSet.scanGrib2(path).head.materialize(virt)
+      val got = ZarrGroup(virt).readFragment()
+        .allVars("TMP").data.data.asInstanceOf[Array[Double]]
+      values.indices.foreach(i =>
+        assert(math.abs(got(i) - values(i)) < 1e-9, s"refs cell $i"))
+    }
     // unsupported libaec modes fail by NAME: patch the flags octet
     // (section 5 octet 22) to signed / 3-byte / restricted
     val clean = s"$dir/ccsds_2.0.grib2"
