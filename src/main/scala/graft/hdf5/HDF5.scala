@@ -50,8 +50,10 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * ceiling, e.g. a long history attribute) resolve through the
   * huge-object v2 B-tree or direct ids, and TINY (id-inline) objects
   * decode in place; the doubling table walks NESTED indirect blocks
-  * recursively (the geometry big link heaps reach). The one remaining
-  * unsupported dense corner (filtered heaps) fails by name.
+  * recursively (the geometry big link heaps reach); and FILTERED heaps
+  * (groups created with H5Pset_deflate & co.) decompress their direct
+  * blocks through the dataset filter pipeline. The dense-storage
+  * surface is complete.
   */
 /** A chunk's filter pipeline names a filter this reader does not implement.
   * Raised BEFORE any bytes are interpreted — an unknown filter must surface
@@ -499,9 +501,8 @@ object HDF5 {
       * offset 4), 8 = attribute name index (record: spec-fixed 8-byte
       * heap-id field at offset 0 + flags1 + corder4 + hash4). Supported
       * surface: managed + huge (btree-indirect or direct id) + tiny
-      * (id-inline) heap objects, unfiltered heaps, doubling tables at
-      * ANY nesting depth, B-trees at ANY depth; filtered heaps fail by
-      * name. */
+      * (id-inline) heap objects, filtered AND unfiltered heaps,
+      * doubling tables at ANY nesting depth, B-trees at ANY depth. */
     private def denseHeapObjects(fheapAddr: Long, nameBtAddr: Long,
                                  btreeType: Int): Vector[ByteBuffer] = {
       require(nameBtAddr != Undefined,
@@ -514,7 +515,6 @@ object HDF5 {
       require((h.get(4) & 0xFF) == 0, "fractal heap version")
       val heapIdLen = h.getShort(5) & 0xFFFF
       val ioFilterLen = h.getShort(7) & 0xFFFF
-      require(ioFilterLen == 0, "filtered fractal heaps not supported")
       val maxManagedObj = h.getInt(10) & 0xFFFFFFFFL
       val hugeBtAddr = h.getLong(22)
       val tableWidth = h.getShort(110) & 0xFFFF
@@ -525,6 +525,36 @@ object HDF5 {
       val curRows = h.getShort(140) & 0xFFFF
       val offSize = (maxHeapBits + 7) / 8
       val lenSize = encBytes(math.min(maxDirectSize, maxManagedObj))
+      // FILTERED heaps (ioFilterLen > 0): direct blocks are stored
+      // through an I/O pipeline (the dataset filter machinery reused —
+      // libhdf5 groups created with H5Pset_deflate land here). The
+      // header grows a [filtered root size (8) + filter mask (4)] pair
+      // when the root is itself a direct block, then the encoded filter
+      // pipeline; indirect-block entries for direct children grow the
+      // same (size, mask) pair per entry.
+      val rootIsDirect = rootAddr != Undefined && curRows == 0
+      val (heapFilters, rootFilteredSize, rootFilterMask) =
+        if (ioFilterLen == 0) (Vector.empty[Filter], -1L, 0)
+        else {
+          val extraLen = (if (rootIsDirect) 12 else 0) + ioFilterLen
+          val extra = readAt(fheapAddr + 142, extraLen)
+          val infoOff = if (rootIsDirect) 12 else 0
+          val info = {
+            val d = extra.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+            d.position(infoOff)
+            d.slice().order(ByteOrder.LITTLE_ENDIAN)
+          }
+          val flt =
+            try parseFilters(info)
+            catch {
+              case e: RuntimeException => throw new IllegalArgumentException(
+                "corrupt fractal-heap filter info: " +
+                  s"${e.getClass.getSimpleName}")
+            }
+          (flt,
+            if (rootIsDirect) extra.getLong(0) else -1L,
+            if (rootIsDirect) extra.getInt(8) else 0)
+        }
       // -- doubling table: (blockOffset, blockSize, fileAddr) per direct
       // block, walked RECURSIVELY: every indirect block's rows restart at
       // the table's row 0 (sizes S, S, 2S, 4S, ...); rows past
@@ -542,8 +572,12 @@ object HDF5 {
         tableWidth > 0 && Integer.bitCount(tableWidth) == 1,
         s"fractal heap geometry (start $startBlockSize, max $maxDirectSize, " +
           s"width $tableWidth)")
+      // per direct block: (heap offset, logical size, file address,
+      // stored size, filter mask) — stored size −1 on unfiltered heaps
+      // (the block is its logical size on disk)
+      val filtered = heapFilters.nonEmpty
       def walkIblock(addr: Long, baseOff: Long, nrows: Int,
-                     depth: Int): Vector[(Long, Long, Long)] = {
+                     depth: Int): Vector[(Long, Long, Long, Long, Int)] = {
         require(depth <= 16, "fractal heap indirect nesting too deep")
         val ihead = readAt(addr, 13 + offSize)
         val isig = new Array[Byte](4); ihead.get(isig)
@@ -552,32 +586,71 @@ object HDF5 {
         val recorded = readUnsigned(ihead, 13, offSize)
         require(recorded == baseOff,
           s"indirect block offset $recorded != table offset $baseOff")
-        val entries = readAt(addr + 13 + offSize, nrows * tableWidth * 8)
+        // entry widths differ per row class on FILTERED heaps: direct
+        // children carry (addr, stored size, filter mask)
+        val directEntry = if (filtered) 20 else 8
+        val nDirectRows = math.min(nrows, maxDirectRows.toInt)
+        val tableBytes = nDirectRows * tableWidth * directEntry +
+          math.max(0, nrows - nDirectRows) * tableWidth * 8
+        val entries = readAt(addr + 13 + offSize, tableBytes)
         var off = baseOff
+        var ep = 0
         (0 until nrows * tableWidth).toVector.flatMap { i =>
           val r = i / tableWidth
           val sz = rowSize(r)
           val blockOff = off
           off += sz
-          val child = entries.getLong(i * 8)
-          if (child == Undefined) Vector.empty
-          else if (r < maxDirectRows) Vector((blockOff, sz, child))
-          else {
-            val childRows = log2(sz) - log2(startBlockSize) -
-              log2(tableWidth.toLong) + 1
-            require(childRows >= 1 && java.lang.Long.bitCount(sz) == 1,
-              s"indirect child at row $r covers $sz bytes — not a table size")
-            walkIblock(child, blockOff, childRows, depth + 1)
+          if (r < maxDirectRows) {
+            val child = entries.getLong(ep)
+            val (stored, mask) =
+              if (filtered) (entries.getLong(ep + 8), entries.getInt(ep + 16))
+              else (-1L, 0)
+            ep += directEntry
+            if (child == Undefined) Vector.empty
+            else Vector((blockOff, sz, child, stored, mask))
+          } else {
+            val child = entries.getLong(ep)
+            ep += 8
+            if (child == Undefined) Vector.empty
+            else {
+              val childRows = log2(sz) - log2(startBlockSize) -
+                log2(tableWidth.toLong) + 1
+              require(childRows >= 1 && java.lang.Long.bitCount(sz) == 1,
+                s"indirect child at row $r covers $sz bytes — not a table size")
+              walkIblock(child, blockOff, childRows, depth + 1)
+            }
           }
         }
       }
-      val directBlocks: Vector[(Long, Long, Long)] =
+      val directBlocks: Vector[(Long, Long, Long, Long, Int)] =
         if (rootAddr == Undefined) Vector.empty
-        else if (curRows == 0) Vector((0L, startBlockSize, rootAddr))
+        else if (curRows == 0)
+          Vector((0L, startBlockSize, rootAddr,
+            if (filtered) rootFilteredSize else -1L, rootFilterMask))
         else walkIblock(rootAddr, 0L, curRows, 0)
+      // filtered blocks decompress ONCE (memoized) through the dataset
+      // filter machinery; unfiltered blocks read straight from the file
+      val blockCache = scala.collection.mutable.Map.empty[Int, Array[Byte]]
+      def blockBytes(i: Int): Array[Byte] =
+        blockCache.getOrElseUpdate(i, {
+          val (_, logical, addr, stored, mask) = directBlocks(i)
+          require(stored > 0 && stored <= Int.MaxValue,
+            s"filtered direct block stored size $stored out of range")
+          val raw = new Array[Byte](stored.toInt)
+          readAt(addr, stored.toInt).get(raw)
+          val out = defilter(raw, heapFilters, mask, 1, logical.toInt)
+          require(out.length == logical,
+            s"filtered direct block inflated to ${out.length} bytes, " +
+              s"logical size is $logical")
+          out
+        })
       // validate each direct block's signature + recorded offset once
-      directBlocks.foreach { case (blockOff, _, addr) =>
-        val d = readAt(addr, 13 + offSize)
+      directBlocks.indices.foreach { i =>
+        val (blockOff, _, addr, _, _) = directBlocks(i)
+        val d =
+          if (filtered) ByteBuffer.wrap(blockBytes(i), 0, 13 + offSize)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          else readAt(addr, 13 + offSize)
         val dsig = new Array[Byte](4); d.get(dsig)
         require(java.util.Arrays.equals(dsig, "FHDB".getBytes("ASCII")),
           "fractal heap direct block signature")
@@ -595,13 +668,16 @@ object HDF5 {
         val i0 = java.util.Arrays.binarySearch(blockOffs, heapOff)
         val i = if (i0 >= 0) i0 else -i0 - 2
         val ok = i >= 0 && i < directBlocks.length && {
-          val (bo, sz, _) = directBlocks(i)
+          val (bo, sz, _, _, _) = directBlocks(i)
           heapOff >= bo && heapOff + len <= bo + sz
         }
         if (!ok) throw new IllegalArgumentException(
           s"fractal heap offset $heapOff+$len outside every direct block")
-        val (bo, _, addr) = directBlocks(i)
-        readAt(addr + (heapOff - bo), len)
+        val (bo, _, addr, _, _) = directBlocks(i)
+        if (filtered)
+          ByteBuffer.wrap(blockBytes(i), (heapOff - bo).toInt, len)
+            .slice().order(ByteOrder.LITTLE_ENDIAN)
+        else readAt(addr + (heapOff - bo), len)
       }
       // -- v2 B-tree (name index, record type 5: hash4 + heap id) --
       val (recSize, records) = walkV2Btree(nameBtAddr, btreeType)

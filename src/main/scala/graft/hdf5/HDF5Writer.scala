@@ -390,7 +390,11 @@ object HDF5Writer {
             denseBtNodeSize: Int = 0,
             denseTinyLinkIds: Boolean = false,
             denseMaxDirectBlockSize: Long = 0L,
+            denseFilteredHeap: Boolean = false,
             denseAttrObjects: Set[String] = Set.empty): Unit = {
+    require(!(denseFilteredHeap && (denseTinyLinkIds ||
+      denseMaxDirectBlockSize > 0)),
+      "denseFilteredHeap composes with the FLAT heap plan only")
     require(Seq(deflateLevel.isDefined, lzf, zstdLevel.isDefined,
       blosc.isDefined, lz4, szip.isDefined).count(identity) <= 1,
       "deflate, lzf, zstd, blosc, lz4, and szip are alternative block " +
@@ -831,9 +835,27 @@ object HDF5Writer {
       alloc(node.name, btNodeBytes(node, btRecSize, denseBtMaxNrec, denseBtMaxTot))
       node.children.foreach(allocBtNodes)
     }
+    // filter-pipeline info for filtered heaps: one v2 deflate entry
+    val heapFilterInfo: Array[Byte] =
+      if (!denseFilteredHeap) Array.emptyByteArray
+      else {
+        val b = java.nio.ByteBuffer.allocate(12)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put(2.toByte); b.put(1.toByte) // version 2, one filter
+        b.putShort(1)                    // deflate
+        b.putShort(0)                    // flags: mandatory
+        b.putShort(1)                    // one client value
+        b.putInt(6)                      // level
+        b.array()
+      }
+    val heapRootIsDirect = denseRows == 0
+    val frhpExtraLen =
+      if (!denseFilteredHeap) 0
+      else (if (heapRootIsDirect) 12 else 0) + heapFilterInfo.length
     if (denseRootLinks) {
-      alloc("fheap", 146)
-      denseBlocks.indices.foreach(k => alloc(s"fhdb:$k", denseBlocks(k)._2))
+      alloc("fheap", 146L + frhpExtraLen)
+      if (!denseFilteredHeap)
+        denseBlocks.indices.foreach(k => alloc(s"fhdb:$k", denseBlocks(k)._2))
       if (denseNested) {
         def allocIb(ib: HeapIb): Unit = {
           alloc(s"fhib:${ib.id}", 13L + 4 + ib.rows * 4 * 8 + 4)
@@ -844,7 +866,8 @@ object HDF5Writer {
         }
         allocIb(heapRoot.get)
       } else if (denseRows > 0)
-        alloc("fhib", 13L + 4 + denseRows * 4 * 8 + 4)
+        alloc("fhib", 13L + 4 +
+          denseRows * 4 * (if (denseFilteredHeap) 20 else 8) + 4)
       alloc("bthd", 38)
       allocBtNodes(denseBtRoot)
     } else {
@@ -894,6 +917,51 @@ object HDF5Writer {
         case None => // phantom dim: no data
       }
     }
+    // link messages (dense roots): content needs every object address,
+    // so they materialize after the object allocs — and the FILTERED
+    // heap's compressed direct blocks allocate at the file tail because
+    // their sizes are content-dependent
+    val linkMsgs: Vector[Array[Byte]] =
+      if (!denseRootLinks) Vector.empty
+      else objNames.map { n =>
+        val nb = n.getBytes("UTF-8")
+        val b = ByteBuffer.allocate(1 + 1 + 1 + nb.length + 8)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        b.put(1.toByte)            // link message version
+        b.put(0.toByte)            // flags: 1-byte name length, hard link
+        b.put(nb.length.toByte)
+        b.put(nb)
+        b.putLong(addrs(s"obj:$n"))
+        b.array()
+      }
+    def fhdbLogicalBlock(bOff: Long, bSize: Long): Array[Byte] = {
+      val b = ByteBuffer.allocate(bSize.toInt).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("FHDB".getBytes("ASCII"))
+      b.put(0.toByte)
+      b.putLong(addrs("fheap"))
+      b.putInt(bOff.toInt) // block offset (4-byte width, 32-bit max heap)
+      linkMsgs.indices.foreach { i =>
+        val off = denseObjOff(i)
+        if (off >= bOff && off < bOff + bSize) {
+          b.position((off - bOff).toInt)
+          b.put(linkMsgs(i))
+        }
+      }
+      b.array()
+    }
+    val filteredFhdb: Vector[Array[Byte]] =
+      if (!(denseRootLinks && denseFilteredHeap)) Vector.empty
+      else denseBlocks.toVector.map { case (bOff, bSize) =>
+        val d = new java.util.zip.Deflater(6)
+        d.setInput(fhdbLogicalBlock(bOff, bSize)); d.finish()
+        val outB = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) outB.write(buf, 0, d.deflate(buf))
+        d.end()
+        outB.toByteArray
+      }
+    filteredFhdb.zipWithIndex.foreach { case (bs, k) =>
+      alloc(s"fhdb:$k", bs.length.toLong) }
     val eof = cursor
 
     // ---- emit ----
@@ -951,17 +1019,6 @@ object HDF5Writer {
 
     if (denseRootLinks) {
       // serialized v1 link messages, packed into the planned blocks
-      val linkMsgs: Vector[Array[Byte]] = objNames.map { n =>
-        val nb = n.getBytes("UTF-8")
-        val b = ByteBuffer.allocate(1 + 1 + 1 + nb.length + 8)
-          .order(ByteOrder.LITTLE_ENDIAN)
-        b.put(1.toByte)            // link message version
-        b.put(0.toByte)            // flags: 1-byte name length, hard link
-        b.put(nb.length.toByte)
-        b.put(nb)
-        b.putLong(addrs(s"obj:$n"))
-        b.array()
-      }
       val rootBlockAddr =
         if (denseTinyLinkIds) Undefined // all objects ride inline: no blocks
         else if (denseNested) addrs(s"fhib:${heapRoot.get.id}")
@@ -973,11 +1030,12 @@ object HDF5Writer {
         val nManaged = if (denseTinyLinkIds) 0L else objNames.length.toLong
         val tinySize = if (denseTinyLinkIds) linkMsgSizes.sum.toLong else 0L
         val nTiny = if (denseTinyLinkIds) objNames.length.toLong else 0L
-        val b = ByteBuffer.allocate(146).order(ByteOrder.LITTLE_ENDIAN)
+        val b = ByteBuffer.allocate(146 + frhpExtraLen)
+          .order(ByteOrder.LITTLE_ENDIAN)
         b.put("FRHP".getBytes("ASCII"))
         b.put(0.toByte)                    // version
         b.putShort(heapIdLenW.toShort)     // heap id length
-        b.putShort(0)                      // io filter encoded length
+        b.putShort(heapFilterInfo.length.toShort) // io filter encoded length
         b.put(0.toByte)                    // flags: no checksums on blocks
         b.putInt(denseMaxManaged.toInt)    // max size of managed objects
         b.putLong(0L)                      // next huge id
@@ -997,25 +1055,25 @@ object HDF5Writer {
         b.putShort(1)                      // starting rows in root iblock
         b.putLong(rootBlockAddr)           // root block address
         b.putShort(denseRows.toShort)      // current rows (0 = root DIRECT)
-        b.putInt(lookup3(java.util.Arrays.copyOfRange(b.array(), 0, 142)))
+        if (denseFilteredHeap) {
+          if (heapRootIsDirect) {
+            b.putLong(filteredFhdb.head.length.toLong) // filtered root size
+            b.putInt(0)                                // root filter mask
+          }
+          b.put(heapFilterInfo)
+        }
+        b.putInt(lookup3(java.util.Arrays.copyOfRange(b.array(), 0,
+          142 + frhpExtraLen)))
         put(addrs("fheap"), b.array())
       }
       // direct blocks (flags bit1 unset -> no block checksums): headers +
-      // objects at their planned absolute heap offsets
-      denseBlocks.zipWithIndex.foreach { case ((bOff, bSize), k) =>
-        val b = ByteBuffer.allocate(bSize.toInt).order(ByteOrder.LITTLE_ENDIAN)
-        b.put("FHDB".getBytes("ASCII"))
-        b.put(0.toByte)
-        b.putLong(addrs("fheap"))
-        b.putInt(bOff.toInt) // block offset (4-byte width, 32-bit max heap)
-        linkMsgs.indices.foreach { i =>
-          val off = denseObjOff(i)
-          if (off >= bOff && off < bOff + bSize) {
-            b.position((off - bOff).toInt)
-            b.put(linkMsgs(i))
-          }
-        }
-        put(addrs(s"fhdb:$k"), b.array())
+      // objects at their planned absolute heap offsets — deflate-coded
+      // wholesale on FILTERED heaps (compressed in the alloc phase)
+      if (denseFilteredHeap)
+        filteredFhdb.zipWithIndex.foreach { case (bs, k) =>
+          put(addrs(s"fhdb:$k"), bs) }
+      else denseBlocks.zipWithIndex.foreach { case ((bOff, bSize), k) =>
+        put(addrs(s"fhdb:$k"), fhdbLogicalBlock(bOff, bSize))
       }
       // root INDIRECT block when the plan spans multiple direct blocks
       if (denseNested) {
@@ -1044,7 +1102,8 @@ object HDF5Writer {
         }
         emitIb(heapRoot.get)
       } else if (denseRows > 0) {
-        val sz = 13 + 4 + denseRows * 4 * 8 + 4
+        val entryW = if (denseFilteredHeap) 20 else 8
+        val sz = 13 + 4 + denseRows * 4 * entryW + 4
         val b = ByteBuffer.allocate(sz).order(ByteOrder.LITTLE_ENDIAN)
         b.put("FHIB".getBytes("ASCII"))
         b.put(0.toByte)
@@ -1052,6 +1111,11 @@ object HDF5Writer {
         b.putInt(0) // block offset of the root indirect block
         (0 until denseRows * 4).foreach { k =>
           b.putLong(if (k < denseBlocks.length) addrs(s"fhdb:$k") else Undefined)
+          if (denseFilteredHeap) { // (stored size, filter mask) per entry
+            b.putLong(if (k < denseBlocks.length)
+              filteredFhdb(k).length.toLong else 0L)
+            b.putInt(0)
+          }
         }
         b.putInt(lookup3(java.util.Arrays.copyOfRange(b.array(), 0, sz - 4)))
         put(addrs("fhib"), b.array())

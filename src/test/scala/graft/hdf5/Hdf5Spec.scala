@@ -194,6 +194,46 @@ class Hdf5Spec extends AnyFunSuite {
     assert(viaOpeners.sameAs(f))
   }
 
+  test("dense links: FILTERED (deflate) heap round-trips, single- and multi-block") {
+    // libhdf5 groups created with H5Pset_deflate store their fractal
+    // heaps through the I/O pipeline: direct blocks are deflate-coded
+    // wholesale, indirect entries carry (stored size, filter mask)
+    val base = cube()
+    val rng = new scala.util.Random(31)
+    val (nt, ny, nx) = (6, 5, 4)
+    val extra = (1 to 10).map { i =>
+      f"fv$i%02d" -> Variable(Vector("time", "lat", "lon"),
+        NDArray(DType.F8, Vector(nt, ny, nx),
+          Array.fill(nt * ny * nx)(rng.nextDouble())),
+        Map("long_name" -> AttrValue(s"filtered $i")))
+    }.toMap
+    val f = base.copy(dataVars = base.dataVars ++ extra)
+    // single block: root is a FILTERED direct block (header carries the
+    // filtered root size + mask before the pipeline info)
+    val p1 = s"$dir/dense_filtered1.nc"
+    HDF5Writer.write(p1, f, denseRootLinks = true, denseFilteredHeap = true)
+    assert(HDF5.read(p1).sameAs(f), "filtered single-block mismatch")
+    // multi-block: flat indirect root with 20-byte (addr, size, mask)
+    // entries
+    val p2 = s"$dir/dense_filtered2.nc"
+    HDF5Writer.write(p2, f, denseRootLinks = true, denseFilteredHeap = true,
+      denseStartBlockSize = 256L)
+    val back2 = HDF5.read(p2)
+    assert(back2.sameAs(f), "filtered multi-block mismatch")
+    assert(back2.dataVars.keySet == f.dataVars.keySet)
+    // the blocks really are compressed: no plaintext FHDB signature
+    // (block headers ride INSIDE the deflate stream)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p2))
+    val hasPlainFhdb = bytes.indices.dropRight(4).exists(i =>
+      bytes(i) == 'F' && bytes(i + 1) == 'H' && bytes(i + 2) == 'D' &&
+        bytes(i + 3) == 'B')
+    assert(!hasPlainFhdb, "filtered heap leaked an uncompressed FHDB block")
+    // engine-dispatch parity
+    val viaOpeners = graft.transforms.Openers.open(
+      graft.patterns.FileType.Netcdf4, p2, maskAndScale = false)
+    assert(viaOpeners.sameAs(f))
+  }
+
   test("dense links: tiny (id-inline) heap objects round-trip; heap has no blocks") {
     val base = cube()
     val rng = new scala.util.Random(19)
@@ -327,7 +367,7 @@ class Hdf5Spec extends AnyFunSuite {
     assert(refs.keys.exists(_.contains("bar")), refs.keys.take(5).toString)
   }
 
-  test("dense-storage corners fail by NAME: filtered heaps, nested indirect blocks, bad heap ids") {
+  test("dense-storage corruption fails by NAME: forged filter info, indirect rows, bad heap ids") {
     // the remaining named-unsupported set after r10 (szip is covered by
     // the unknown-filter test): each corner must surface its own error,
     // and none is reachable from a CF-style NetCDF-4 file — the clean
@@ -353,9 +393,12 @@ class Hdf5Spec extends AnyFunSuite {
       p
     }
     val frhp = sigPos("FRHP"); val btlf = sigPos("BTLF")
-    // io-filter length at FRHP+7 — filtered heaps fail by name
+    // io-filter length at FRHP+7 on an UNFILTERED heap — the reader
+    // parses trailing bytes as a filter pipeline (filtered heaps are
+    // SUPPORTED since r12) and the lie dies diagnosably downstream
     val eFilt = intercept[Exception](HDF5.read(patched(frhp + 7, 2)))
-    assert(eFilt.getMessage.contains("filtered fractal heaps"), eFilt.getMessage)
+    assert(eFilt.isInstanceOf[IllegalArgumentException] ||
+      eFilt.isInstanceOf[UnsupportedOperationException], eFilt.toString)
     // current-rows at FRHP+140 forced nonzero on a DIRECT-root heap —
     // the walk expects an indirect block and the signature check catches
     // the lie (nested indirect blocks themselves are SUPPORTED since
