@@ -480,6 +480,24 @@ class CorruptionSweepSpec extends AnyFunSuite {
     assert(failed > 0, "no corruption failed — the sweep is vacuous")
   }
 
+  test("hdf5 FILTERED heap: corruption never crashes, only fails by name") {
+    // the r12 surface: FRHP filter extras, 20-byte (addr, size, mask)
+    // indirect entries, deflate-coded direct blocks — corrupt stored
+    // sizes and compressed streams are the amplification vectors
+    val dir = tmpDir
+    val p = s"$dir/filtered.h5"
+    HDF5Writer.write(p, smallCube(), denseRootLinks = true,
+      denseStartBlockSize = 128L, denseFilteredHeap = true)
+    val orig = Files.readAllBytes(Paths.get(p))
+    val target = s"$dir/mut_filtered.h5"
+    val (ok, failed) = sweep(orig, 1600, { bytes =>
+      Files.write(Paths.get(target), bytes)
+      HDF5.read(target)
+    })
+    info(s"hdf5 filtered sweep: $ok corruptions read, $failed failed diagnosably")
+    assert(failed > 0, "no corruption failed — the sweep is vacuous")
+  }
+
   test("blosc: header corruption cannot amplify a 16-byte header into a huge allocation") {
     val data = Array.tabulate[Byte](4096)(i => (i * 7 % 251).toByte)
     val comp = graft.zarr.Blosc.compress(data, 8,
