@@ -169,14 +169,21 @@ object Dap4 {
       last = (flags & FlagLast) != 0
     }
     val all = body.toByteArray
-    // the DMR text part ends at the first CRLF that closes </Dataset>
     val marker = "</Dataset>".getBytes("UTF-8")
     val at = indexOf(all, marker)
     require(at >= 0, "DAP4: no </Dataset> in the response DMR part")
-    var dataStart = at + marker.length
-    // skip the CRLF (and any trailing newline variants) after the DMR
-    while (dataStart < all.length &&
-      (all(dataStart) == '\r' || all(dataStart) == '\n')) dataStart += 1
+    // The DMR/data separator is exactly ONE CRLF (DAP4 spec §9.3).  A
+    // serialized DMR may itself end with a trailing newline
+    // ("</Dataset>\n" — our encoder and TDS both emit it); that byte is
+    // DMR text, not separator.  Consume at most [optional '\n'] + CRLF,
+    // never more: packed little-endian data legitimately starts with
+    // 0x0A/0x0D bytes (Int8 values 10/13, float fractions) and a greedy
+    // skip would shift the stream and fail every checksum downstream.
+    var sep = at + marker.length
+    if (sep < all.length && all(sep) == '\n') sep += 1
+    require(sep + 2 <= all.length && all(sep) == '\r' && all(sep + 1) == '\n',
+      "DAP4: missing CRLF separator between DMR and data")
+    val dataStart = sep + 2
     (new String(all, 0, at + marker.length, "UTF-8"),
       java.util.Arrays.copyOfRange(all, dataStart, all.length), order)
   }
@@ -264,6 +271,20 @@ object Dap4 {
     val respDmr = parseDmr(respDmrText)
     require(respDmr.vars.map(_.name).toSet == dmr.vars.map(_.name).toSet,
       "DAP4: .dap response DMR names different variables than .dmr")
+    // Values are decoded with the RESPONSE DMR's types/shapes but wrapped
+    // in NDArrays built from the .dmr dims — a disagreement must be a
+    // named protocol error, not a size/type mismatch downstream.
+    val respByName = respDmr.vars.map(v => v.name -> v).toMap
+    dmr.vars.foreach { v =>
+      val r = respByName(v.name)
+      require(r.dapType == v.dapType,
+        s"DAP4: variable ${v.name} type differs between .dmr " +
+          s"(${v.dapType}) and .dap response DMR (${r.dapType})")
+      require(r.dims.map(_._2) == v.dims.map(_._2),
+        s"DAP4: variable ${v.name} shape differs between .dmr " +
+          s"(${v.dims.map(_._2).mkString("x")}) and .dap response DMR " +
+          s"(${r.dims.map(_._2).mkString("x")})")
+    }
     val values = decodeData(respDmr, data, order, checksums = true)
     val vars: Map[String, Variable] = dmr.vars.map { v =>
       val (dt, arr) = values(v.name)

@@ -514,14 +514,16 @@ object J2K {
         if (!sig(p)) 0 else if (neg(p)) -1 else 1
       }
     /** VERTICALLY CAUSAL neighbour significance: under the VSC style a
-      * sample's context never sees across its 4-row stripe boundary —
-      * row cy-1 is masked when cy opens a stripe, row cy+1 when cy
-      * closes one. `cy` is the CENTER sample's row. */
+      * sample's context never sees into the NEXT 4-row stripe — row cy+1
+      * is masked when cy closes a stripe ((cy & 3) == 3).  The PREVIOUS
+      * stripe stays visible: ISO 15444-1 D.6 only forces the stripe below
+      * to appear insignificant (OpenJPEG/Kakadu mask only S/SE/SW at the
+      * last stripe row).  `cy` is the CENTER sample's row. */
     @inline private def sv(x: Int, y: Int, cy: Int): Int =
-      if (vsc && ((y < cy && (cy & 3) == 0) || (y > cy && (cy & 3) == 3))) 0
+      if (vsc && y > cy && (cy & 3) == 3) 0
       else s(x, y)
     @inline private def contribv(x: Int, y: Int, cy: Int): Int =
-      if (vsc && ((y < cy && (cy & 3) == 0) || (y > cy && (cy & 3) == 3))) 0
+      if (vsc && y > cy && (cy & 3) == 3) 0
       else contrib(x, y)
 
     /** Zero-coding context (Table D.1). */
@@ -577,6 +579,25 @@ object J2K {
       s(x - 1, y) + s(x + 1, y) + sv(x, y - 1, y) + sv(x, y + 1, y) +
         sv(x - 1, y - 1, y) + sv(x + 1, y - 1, y) + sv(x - 1, y + 1, y) +
         sv(x + 1, y + 1, y) == 0
+  }
+
+  /** Test hooks: known-vector probes of Annex-D context formation
+    * (J2kSpec pins VSC masking directionality against ISO 15444-1 D.6
+    * hand-derived values, independent of the encode/decode round trip). */
+  private[grib] def zcCtxProbe(w: Int, h: Int, orient: Int, vsc: Boolean,
+                               sig: Seq[(Int, Int)], cx: Int, cy: Int): Int = {
+    val st = new T1State(w, h, orient, vsc)
+    sig.foreach { case (x, y) => st.sig(y * w + x) = true }
+    st.zcCtx(cx, cy)
+  }
+  private[grib] def scCtxProbe(w: Int, h: Int, orient: Int, vsc: Boolean,
+                               sig: Seq[(Int, Int, Boolean)],
+                               cx: Int, cy: Int): Int = {
+    val st = new T1State(w, h, orient, vsc)
+    sig.foreach { case (x, y, n) =>
+      st.sig(y * w + x) = true; st.neg(y * w + x) = n
+    }
+    st.scCtx(cx, cy)
   }
 
   /** Decode one codeblock's codeword segments: `segs` = (passes, from,

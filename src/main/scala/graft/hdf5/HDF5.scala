@@ -869,7 +869,13 @@ object HDF5 {
         }
         out.result()
       })
-      objects.getOrElse(index, Array.emptyByteArray)
+      // A truly-missing index is a dangling reference (the free-space
+      // scan above ended without it) — fail by name rather than decode a
+      // silently-empty payload.  Null vlen references (addr 0 / index 0)
+      // never reach here: callers short-circuit them before the lookup.
+      objects.getOrElse(index, throw new IllegalArgumentException(
+        s"global heap collection at 0x${collectionAddr.toHexString} has " +
+          s"no object with index $index (dangling heap reference)"))
     }
 
     // ---- attribute decoding ----
@@ -907,7 +913,11 @@ object HDF5 {
             val nelems = data.getInt(i * 16)
             val gaddr = data.getLong(i * 16 + 4)
             val gidx = data.getInt(i * 16 + 12)
-            val payload = globalHeapObject(gaddr, gidx)
+            // null vlen reference (h5py writes addr 0 / index 0 for an
+            // empty sequence) — not a heap lookup
+            val payload =
+              if (gaddr == 0 || gidx == 0) Array.emptyByteArray
+              else globalHeapObject(gaddr, gidx)
             val pb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
             base match {
               case RefType(8) =>
@@ -944,7 +954,8 @@ object HDF5 {
     private def globalHeapString(data: ByteBuffer, elem: Int): String = {
       val gaddr = data.getLong(elem * 16 + 4)
       val gidx = data.getInt(elem * 16 + 12)
-      new String(globalHeapObject(gaddr, gidx), "UTF-8")
+      if (gaddr == 0 || gidx == 0) "" // null vlen string reference
+      else new String(globalHeapObject(gaddr, gidx), "UTF-8")
     }
 
     private def readShortAt(b: ByteBuffer, off: Int, be: Boolean): Short =

@@ -35,6 +35,39 @@ class J2kSpec extends AnyFunSuite {
         s"cblk=$cblkExp style=$cbStyle")
   }
 
+  test("VSC context formation: only the NEXT stripe is masked (D.6)") {
+    // Hand-derived known vectors from ISO 15444-1 Table D.1 (LL/LH
+    // column) and Tables D.2/D.3, independent of the round trip: the
+    // encoder and decoder share T1State, so a directional error in the
+    // stripe masking round-trips silently — these vectors pin the
+    // asymmetry itself.  Stripes are rows [0..3], [4..7]; row 3 closes
+    // stripe 0, row 4 opens stripe 1.
+    import J2K.{zcCtxProbe, scCtxProbe}
+    // previous stripe stays VISIBLE to a stripe-opening center:
+    // significant (1,3), center (1,4) -> vv=1 -> ctx 3 (not 0)
+    assert(zcCtxProbe(4, 8, 0, vsc = true, Seq((1, 3)), 1, 4) == 3)
+    assert(zcCtxProbe(4, 8, 0, vsc = false, Seq((1, 3)), 1, 4) == 3)
+    // next stripe is MASKED for a stripe-closing center:
+    // significant (1,4), center (1,3) -> vv=0 under VSC -> ctx 0
+    assert(zcCtxProbe(4, 8, 0, vsc = true, Seq((1, 4)), 1, 3) == 0)
+    assert(zcCtxProbe(4, 8, 0, vsc = false, Seq((1, 4)), 1, 3) == 3)
+    // diagonals follow the same rule: NW from the previous stripe is
+    // visible (dd=1 -> ctx 1); SW+SE from the next stripe are masked
+    assert(zcCtxProbe(4, 8, 0, vsc = true, Seq((0, 3)), 1, 4) == 1)
+    assert(zcCtxProbe(4, 8, 0, vsc = true, Seq((0, 4), (2, 4)), 1, 3) == 0)
+    assert(zcCtxProbe(4, 8, 0, vsc = false, Seq((0, 4), (2, 4)), 1, 3) == 2)
+    // interior stripe rows are unaffected by VSC
+    assert(zcCtxProbe(4, 8, 0, vsc = true, Seq((1, 1)), 1, 2) == 3)
+    // sign context: a negative sample ABOVE in the previous stripe
+    // contributes vc=-1 -> ctx 10 with xor bit set (Table D.3)
+    assert(scCtxProbe(4, 8, 0, vsc = true, Seq((1, 3, true)), 1, 4)
+      == (10 | (1 << 8)))
+    // a positive sample BELOW in the next stripe is masked at the
+    // stripe-closing row -> vc=0 -> ctx 9
+    assert(scCtxProbe(4, 8, 0, vsc = true, Seq((1, 4, false)), 1, 3) == 9)
+    assert(scCtxProbe(4, 8, 0, vsc = false, Seq((1, 4, false)), 1, 3) == 10)
+  }
+
   test("lossless round trip across a torture grid of geometries") {
     // odd/even/prime sizes, 1-pixel edges, multi-codeblock bands
     for ((w, h) <- Seq((1, 1), (1, 7), (8, 1), (2, 2), (3, 5), (17, 13),
