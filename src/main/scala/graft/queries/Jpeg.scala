@@ -1,7 +1,7 @@
 package graft.queries
 
-/** Baseline JPEG (ITU-T T.81 sequential DCT, Huffman) — decoder and a
-  * deterministic fixture encoder, pure JVM.
+/** Baseline AND progressive JPEG (ITU-T T.81 DCT, Huffman) — decoder
+  * and deterministic fixture encoders, pure JVM.
   *
   * JPEG is the dominant still-image format of web-scale multimodal
   * corpora (the PNG/GIF/PPM/WAV/AVI family the m-queries already decode
@@ -13,8 +13,20 @@ package graft.queries
   * IDCT (the spec's reference transform; integer-exact on the DC-only
   * blocks the oracle fixtures use), level shift + clamp, and component
   * reassembly for grayscale, 4:4:4 and 4:2:0 YCbCr (JFIF color
-  * conversion). Progressive (SOF2), arithmetic coding, 12-bit precision
-  * and other SOFn variants fail by name.
+  * conversion).
+  *
+  * PROGRESSIVE (SOF2, T.81 Annex G) decodes through a per-component
+  * coefficient store accumulated across scans: spectral selection
+  * (DC scans Ss=Se=0, interleaved or not; single-component AC band
+  * scans with EOB-run coding) and successive approximation (DC first
+  * passes shifted by Al with one-raw-bit refinement scans; AC first
+  * passes at ±(1<<Al) granularity with correction-bit refinement
+  * scans, the G.1.2.3 algorithm), with restart markers inside any
+  * scan; dequantization + IDCT + reassembly run once at EOI. A large
+  * share of web-crawl JPEGs are progressive — this is the admission
+  * path's most-hit format variant after baseline itself. Arithmetic
+  * coding, 12-bit precision, hierarchical and lossless SOFn variants
+  * fail by name.
   *
   * Corruption contract (CorruptionSweepSpec): every segment length,
   * count, dimension and table index is bounded at its source before any
@@ -134,6 +146,39 @@ object Jpeg {
   private def extend(v: Int, t: Int): Int =
     if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
 
+  /** Dequantized-coefficient block (raster order) → 8×8 pixels at
+    * (ox, oy) in `plane`: double-precision reference IDCT, level shift,
+    * clamp. Shared by the baseline inline path and the progressive
+    * at-EOI pass. */
+  private def idctBlock(coefs: Array[Int], plane: Array[Byte], pw: Int,
+                        ox: Int, oy: Int): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var sum = 0.0
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          val cxu = CosTable(x * 8 + u) * (if (u == 0) C0 else 1.0)
+          while (v < 8) {
+            val f = coefs(v * 8 + u)
+            if (f != 0)
+              sum += cxu * (if (v == 0) C0 else 1.0) *
+                CosTable(y * 8 + v) * f
+            v += 1
+          }
+          u += 1
+        }
+        val px = math.round(sum / 4.0 + 128.0).toInt
+        plane((oy + y) * pw + ox + x) =
+          (if (px < 0) 0 else if (px > 255) 255 else px).toByte
+        x += 1
+      }
+      y += 1
+    }
+  }
+
   private final case class Component(id: Int, h: Int, v: Int, tq: Int) {
     var dcTable = 0; var acTable = 0
   }
@@ -156,6 +201,18 @@ object Jpeg {
     var planes: Array[Array[Byte]] = null
     var planeW: Array[Int] = null
     var planeH: Array[Int] = null
+
+    // progressive (SOF2) state: per-component UNQUANTIZED coefficient
+    // stores (raster order within each 64-coef block) accumulated
+    // across scans, MCU-padded block geometry, per-component DC-scan
+    // tracking (an AC scan may only follow its component's DC scan)
+    var progressive = false
+    var progScans = 0
+    var mcusX = 0; var mcusY = 0
+    var padBW: Array[Int] = null; var padBH: Array[Int] = null
+    var compBW: Array[Int] = null; var compBH: Array[Int] = null
+    var coefStore: Array[Array[Int]] = null
+    var dcDone: Array[Boolean] = null
 
     def parseDqt(seg: Array[Byte]): Unit = {
       var p = 0
@@ -222,6 +279,24 @@ object Jpeg {
           case _ => false
         }
         require(ok, "unsupported JPEG: only 4:4:4 and 4:2:0 YCbCr")
+      }
+      val hMax = comps.map(_.h).max; val vMax = comps.map(_.v).max
+      mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+      mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+      padBW = comps.map(c => mcusX * c.h)
+      padBH = comps.map(c => mcusY * c.v)
+      compBW = comps.map(c => ((width * c.h + hMax - 1) / hMax + 7) / 8)
+      compBH = comps.map(c => ((height * c.v + vMax - 1) / vMax + 7) / 8)
+      if (progressive) {
+        // the coefficient store costs ~4 bytes per pixel per component
+        // (vs 1 for baseline planes) — bound it tighter so a corrupt or
+        // hostile header cannot demand a GB-class allocation
+        require(width.toLong * height * comps.length <= (1L << 26),
+          s"unsupported JPEG: progressive ${width}x$height " +
+            s"x${comps.length} exceeds the coefficient-store bound")
+        coefStore = comps.indices.map(ci =>
+          new Array[Int](padBW(ci) * padBH(ci) * 64)).toArray
+        dcDone = new Array[Boolean](comps.length)
       }
       sawSof = true
     }
@@ -304,33 +379,8 @@ object Jpeg {
                 }
               }
               // IDCT (double, the spec reference transform) + level shift
-              val plane = planes(ci); val pw = planeW(ci)
-              val ox = (mx * c.h + bx) * 8; val oy = (my * c.v + by) * 8
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                while (x < 8) {
-                  var sum = 0.0
-                  var u = 0
-                  while (u < 8) {
-                    var v = 0
-                    val cxu = CosTable(x * 8 + u) * (if (u == 0) C0 else 1.0)
-                    while (v < 8) {
-                      val f = coefs(v * 8 + u)
-                      if (f != 0)
-                        sum += cxu * (if (v == 0) C0 else 1.0) *
-                          CosTable(y * 8 + v) * f
-                      v += 1
-                    }
-                    u += 1
-                  }
-                  val px = math.round(sum / 4.0 + 128.0).toInt
-                  plane((oy + y) * pw + ox + x) =
-                    (if (px < 0) 0 else if (px > 255) 255 else px).toByte
-                  x += 1
-                }
-                y += 1
-              }
+              idctBlock(coefs, planes(ci), planeW(ci),
+                (mx * c.h + bx) * 8, (my * c.v + by) * 8)
               bx += 1
             }
             by += 1
@@ -350,6 +400,245 @@ object Jpeg {
       p
     }
 
+    /** One progressive scan (T.81 Annex G): DC scans (interleaved MCU
+      * order when ns > 1, component block-raster otherwise), single-
+      * component AC band scans with EOB-run coding, successive-
+      * approximation first (Ah=0) and refinement (Ah=Al+1) passes,
+      * restart markers inside any scan. Coefficients accumulate in
+      * `coefStore` unquantized; returns the position of the marker
+      * following the scan's entropy data. */
+    def decodeProgScan(seg: Array[Byte], dataStart: Int): Int = {
+      require(sawSof, "corrupt JPEG: SOS before SOF")
+      require(seg.length >= 6, "corrupt JPEG: short SOS")
+      val ns = seg(0) & 0xff
+      require(ns >= 1 && ns <= comps.length,
+        s"corrupt JPEG: scan component count $ns")
+      require(seg.length >= 1 + ns * 2 + 3, "corrupt JPEG: short SOS")
+      val scanComps = new Array[Int](ns)
+      var i = 0
+      while (i < ns) {
+        val cid = seg(1 + i * 2) & 0xff
+        val ci = comps.indexWhere(_.id == cid)
+        require(ci >= 0,
+          s"corrupt JPEG: scan names unknown component $cid")
+        comps(ci).dcTable = (seg(2 + i * 2) & 0xf0) >> 4
+        comps(ci).acTable = seg(2 + i * 2) & 0x0f
+        scanComps(i) = ci
+        i += 1
+      }
+      val ss = seg(1 + ns * 2) & 0xff
+      val se = seg(2 + ns * 2) & 0xff
+      val ah = (seg(3 + ns * 2) & 0xf0) >> 4
+      val al = seg(3 + ns * 2) & 0x0f
+      require(al <= 13 && (ah == 0 || ah == al + 1),
+        s"corrupt JPEG: successive approximation Ah=$ah Al=$al")
+      val br = new BitReader(bytes, dataStart)
+      val preds = new Array[Int](comps.length)
+      var eobrun = 0
+
+      def expectRestart(unit: Int): Unit =
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          br.align(); br.hitMarker = false
+          require(br.pos + 1 < bytes.length &&
+            (bytes(br.pos) & 0xff) == 0xff &&
+            ((bytes(br.pos + 1) & 0xff) & 0xf8) == 0xd0,
+            s"corrupt JPEG: expected RST marker at unit $unit")
+          br.pos += 2
+          nRestarts += 1; nMarkers += 1
+          java.util.Arrays.fill(preds, 0)
+          eobrun = 0
+        }
+
+      if (ss == 0) {
+        // ---- DC scan (first pass or one-raw-bit refinement) ----
+        require(se == 0, "corrupt JPEG: progressive DC scan with a spectral band")
+        if (ah == 0)
+          scanComps.foreach(ci => require(dcHuff(comps(ci).dcTable) != null,
+            "corrupt JPEG: scan uses undefined Huffman table"))
+        else
+          scanComps.foreach(ci => require(dcDone(ci),
+            "corrupt JPEG: DC refinement before the component's first DC scan"))
+        def dcOne(ci: Int, blockIdx: Int): Unit = {
+          val off = blockIdx * 64
+          if (ah == 0) {
+            val t = br.decode(dcHuff(comps(ci).dcTable))
+            require(t <= 11, s"corrupt JPEG: DC category $t")
+            preds(ci) += extend(br.bits(t), t)
+            coefStore(ci)(off) = preds(ci) << al
+          } else if (br.bit() == 1) coefStore(ci)(off) |= (1 << al)
+        }
+        if (ns > 1) {
+          val nMcus = mcusX * mcusY
+          var mcu = 0
+          while (mcu < nMcus) {
+            expectRestart(mcu)
+            val my = mcu / mcusX; val mx = mcu % mcusX
+            var si = 0
+            while (si < ns) {
+              val ci = scanComps(si); val c = comps(ci)
+              var by = 0
+              while (by < c.v) {
+                var bx = 0
+                while (bx < c.h) {
+                  dcOne(ci, (my * c.v + by) * padBW(ci) + mx * c.h + bx)
+                  bx += 1
+                }
+                by += 1
+              }
+              si += 1
+            }
+            mcu += 1
+          }
+        } else {
+          val ci = scanComps(0)
+          val bw = compBW(ci); val n = bw * compBH(ci)
+          var b = 0
+          while (b < n) {
+            expectRestart(b)
+            dcOne(ci, (b / bw) * padBW(ci) + b % bw)
+            b += 1
+          }
+        }
+        scanComps.foreach(ci => dcDone(ci) = true)
+      } else {
+        // ---- AC band scan: single component, non-interleaved ----
+        require(ns == 1, "corrupt JPEG: interleaved progressive AC scan")
+        require(ss <= se && se <= 63, s"corrupt JPEG: spectral band $ss..$se")
+        val ci = scanComps(0)
+        require(dcDone(ci),
+          "corrupt JPEG: AC scan before the component's DC scan")
+        val act = acHuff(comps(ci).acTable)
+        require(act != null, "corrupt JPEG: scan uses undefined Huffman table")
+        val store = coefStore(ci)
+        val p1 = 1 << al; val m1 = -1 << al
+        val bw = compBW(ci); val n = bw * compBH(ci)
+        var b = 0
+        while (b < n) {
+          expectRestart(b)
+          val off = ((b / bw) * padBW(ci) + b % bw) * 64
+          if (ah == 0) {
+            // first pass: run/size coding at ±(k<<Al), EOB runs
+            if (eobrun > 0) eobrun -= 1
+            else {
+              var k = ss
+              var ended = false
+              while (k <= se && !ended) {
+                val rs = br.decode(act)
+                val r = (rs >> 4) & 0xf; val s = rs & 0xf
+                if (s == 0) {
+                  if (r == 15) k += 16 // ZRL
+                  else {
+                    eobrun = (1 << r) - 1
+                    if (r > 0) eobrun += br.bits(r)
+                    ended = true
+                  }
+                } else {
+                  k += r
+                  require(k <= se, "corrupt JPEG: AC run past band end")
+                  store(off + Zigzag(k)) = extend(br.bits(s), s) << al
+                  k += 1
+                }
+              }
+            }
+          } else {
+            // refinement pass (G.1.2.3): one correction bit per already-
+            // nonzero coefficient crossed, at most one new ±(1<<Al)
+            var k = ss
+            if (eobrun == 0) {
+              var ended = false
+              while (k <= se && !ended) {
+                val rs = br.decode(act)
+                var r = (rs >> 4) & 0xf; val s = rs & 0xf
+                var newval = 0
+                if (s == 0) {
+                  if (r != 15) {
+                    eobrun = (1 << r) - 1
+                    if (r > 0) eobrun += br.bits(r)
+                    ended = true
+                  }
+                } else {
+                  require(s == 1, s"corrupt JPEG: AC refinement amplitude $s")
+                  newval = if (br.bit() == 1) p1 else m1
+                }
+                if (!ended) {
+                  // advance over r zero-HISTORY coefficients, applying
+                  // correction bits to every nonzero-history one crossed
+                  var stopped = false
+                  while (k <= se && !stopped) {
+                    val p = off + Zigzag(k)
+                    val cv = store(p)
+                    if (cv != 0) {
+                      if (br.bit() == 1 && (cv & p1) == 0)
+                        store(p) = cv + (if (cv >= 0) p1 else m1)
+                      k += 1
+                    } else if (r == 0) stopped = true
+                    else { r -= 1; k += 1 }
+                  }
+                  if (newval != 0) {
+                    require(k <= se,
+                      "corrupt JPEG: AC refinement run past band end")
+                    store(off + Zigzag(k)) = newval
+                  }
+                  k += 1
+                }
+              }
+            }
+            if (eobrun > 0) {
+              // EOB region: correction bits for the remaining nonzero-
+              // history coefficients of this block's band
+              while (k <= se) {
+                val p = off + Zigzag(k)
+                val cv = store(p)
+                if (cv != 0 && br.bit() == 1 && (cv & p1) == 0)
+                  store(p) = cv + (if (cv >= 0) p1 else m1)
+                k += 1
+              }
+              eobrun -= 1
+            }
+          }
+          b += 1
+        }
+      }
+      progScans += 1
+      br.align()
+      var p = br.pos
+      while (p + 1 < bytes.length &&
+        !((bytes(p) & 0xff) == 0xff && (bytes(p + 1) & 0xff) != 0x00))
+        p += 1
+      p
+    }
+
+    /** Progressive finish at EOI: dequantize every (MCU-padded) block
+      * from the coefficient store and IDCT into component planes —
+      * reassembly below is shared with the baseline path. */
+    def finishProgressive(): Unit = {
+      planeW = comps.indices.map(ci => padBW(ci) * 8).toArray
+      planeH = comps.indices.map(ci => padBH(ci) * 8).toArray
+      planes = comps.indices.map(ci =>
+        new Array[Byte](planeW(ci) * planeH(ci))).toArray
+      val coefs = new Array[Int](64)
+      var ci = 0
+      while (ci < comps.length) {
+        val qt = quant(comps(ci).tq)
+        require(qt != null, "corrupt JPEG: scan uses undefined quant table")
+        val store = coefStore(ci)
+        val bw = padBW(ci); val bh = padBH(ci)
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            val off = (by * bw + bx) * 64
+            var k = 0
+            while (k < 64) { coefs(k) = store(off + k) * qt(k); k += 1 }
+            idctBlock(coefs, planes(ci), planeW(ci), bx * 8, by * 8)
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+    }
+
     var scanned = false
     while (!scanned) {
       require(pos + 2 <= bytes.length, "corrupt JPEG: truncated marker stream")
@@ -362,8 +651,12 @@ object Jpeg {
       val m = bytes(pos + 1) & 0xff
       nMarkers += 1
       m match {
-        case 0xd9 => // EOI with no scan
-          throw new IllegalArgumentException("corrupt JPEG: EOI before SOS")
+        case 0xd9 => // EOI: legal end for progressive (after >= 1 scan)
+          if (progressive && progScans > 0) {
+            finishProgressive()
+            scanned = true
+          } else throw new IllegalArgumentException(
+            "corrupt JPEG: EOI before SOS")
         case 0x01 => pos += 2 // TEM: no segment
         case r if r >= 0xd0 && r <= 0xd7 => pos += 2 // stray RST: no segment
         case _ =>
@@ -372,18 +665,24 @@ object Jpeg {
           require(len >= 2 && pos + 2 + len <= bytes.length,
             s"corrupt JPEG: segment 0x${"%02x".format(m)} length $len exceeds file")
           val seg = java.util.Arrays.copyOfRange(bytes, pos + 4, pos + 2 + len)
+          var posSet = false
           m match {
             case 0xdb => parseDqt(seg)
             case 0xc4 => parseDht(seg)
             case 0xc0 => parseSof(seg)
-            case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+            case 0xc2 => progressive = true; parseSof(seg)
+            case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
                  0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
               throw new UnsupportedOperationException(
                 s"unsupported JPEG: SOF 0x${"%02x".format(m)} " +
-                  "(progressive/arithmetic/hierarchical) — baseline only")
+                  "(arithmetic/hierarchical/lossless) — baseline and " +
+                  "progressive only")
             case 0xdd =>
               require(seg.length >= 2, "corrupt JPEG: short DRI")
               restartInterval = u16(seg, 0)
+            case 0xda if progressive =>
+              pos = decodeProgScan(seg, pos + 2 + len)
+              posSet = true
             case 0xda =>
               val after = decodeScan(seg, pos + 2 + len)
               // expect EOI (possibly after the final entropy bytes)
@@ -395,7 +694,7 @@ object Jpeg {
               scanned = true
             case _ => // APPn / COM / DNL: length-bounded skip
           }
-          if (!scanned) pos += 2 + len
+          if (!scanned && !posSet) pos += 2 + len
       }
     }
 
@@ -528,6 +827,102 @@ object Jpeg {
       b += 1
     }
     bw.flush()
+    marker(0xd9) // EOI
+    bos.toByteArray
+  }
+
+  /** Progressive (SOF2) twin of [[encodeGrayDcOnly]]: the SAME
+    * closed-form DC-only pixels, delivered as THREE scans so spectral
+    * selection AND successive approximation both genuinely run —
+    *
+    *   1. DC first pass at Al=1 (coefficients arrive arithmetically
+    *      shifted, predictor chain in the shifted domain);
+    *   2. DC refinement at Ah=1/Al=0 (one RAW bit per block — the
+    *      quantization table's DC entry is 8, so the quantized DC is
+    *      c-128 and its low bit is genuinely mixed);
+    *   3. AC 1..63 first pass (pure per-block EOBs for DC-only content).
+    *
+    * `restartInterval > 0` emits DRI once and RSTn markers inside EVERY
+    * scan (predictor + EOB-run resets). ImageIO reads the output
+    * bit-exactly (JpegSpec), proving the scan script is legal T.81
+    * Annex G. */
+  def encodeGrayDcOnlyProgressive(w: Int, h: Int, blockVal: Int => Int,
+                                  restartInterval: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0,
+      s"fixture encoder wants 8-aligned dims, got ${w}x$h")
+    val bos = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { bos.write(0xff); bos.write(m) }
+    def segment(m: Int, body: Array[Byte]): Unit = {
+      marker(m)
+      bos.write((body.length + 2) >> 8); bos.write((body.length + 2) & 0xff)
+      bos.write(body)
+    }
+    marker(0xd8) // SOI
+    // DQT table 0: DC entry 8 (so quantized DC = c - 128, odd-capable
+    // for the refinement bit), AC entries 1 (unused by DC-only content)
+    segment(0xdb, Array[Byte](0x00, 8) ++ Array.fill(63)(1.toByte))
+    // SOF2: 8-bit, 1 component (id 1, 1x1 sampling, qt 0)
+    segment(0xc2, Array[Byte](8,
+      (h >> 8).toByte, (h & 0xff).toByte,
+      (w >> 8).toByte, (w & 0xff).toByte,
+      1, 1, 0x11, 0))
+    segment(0xc4,
+      (Array(0x00) ++ DcCounts ++ DcSyms).map(_.toByte) ++
+        (Array(0x10) ++ AcCounts ++ AcSyms).map(_.toByte))
+    if (restartInterval > 0)
+      segment(0xdd, Array[Byte](
+        (restartInterval >> 8).toByte, (restartInterval & 0xff).toByte))
+    val blocks = (w / 8) * (h / 8)
+    def quantDc(b: Int): Int = {
+      val c = blockVal(b)
+      require(c >= 0 && c <= 255, s"block value $c out of range")
+      c - 128
+    }
+    def scan(sosBody: Array[Byte])(perBlock: (BitWriter, Int) => Unit): Unit = {
+      segment(0xda, sosBody)
+      val bw = new BitWriter(bos)
+      var rstIdx = 0
+      var b = 0
+      while (b < blocks) {
+        if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+          bw.flush()
+          marker(0xd0 + (rstIdx % 8)); rstIdx += 1
+        }
+        perBlock(bw, b)
+        b += 1
+      }
+      bw.flush()
+    }
+    // scan 1: DC first, Ss=Se=0, Ah=0, Al=1 — category + value bits of
+    // the diff in the (dc >> 1) arithmetic-shift domain
+    locally {
+      var pred = 0
+      scan(Array[Byte](1, 1, 0x00, 0, 0, 0x01)) { (bw, b) =>
+        // the scan() helper just emitted an RST at this boundary —
+        // mirror its predictor reset
+        if (restartInterval > 0 && b > 0 && b % restartInterval == 0)
+          pred = 0
+        val v1 = quantDc(b) >> 1
+        val diff = v1 - pred
+        pred = v1
+        var t = 0
+        var mag = math.abs(diff)
+        while (mag > 0) { t += 1; mag >>= 1 }
+        require(t <= 11, s"DC category $t out of table")
+        bw.put(t, 4)
+        if (t > 0) bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+      }
+    }
+    // scan 2: DC refinement, Ah=1, Al=0 — one raw bit per block (the
+    // low bit of the quantized DC, OR-merged by the decoder)
+    scan(Array[Byte](1, 1, 0x00, 0, 0, 0x10)) { (bw, b) =>
+      bw.put(quantDc(b) & 1, 1)
+    }
+    // scan 3: AC 1..63 first pass — every block one EOB (the AC
+    // table's single canonical 1-bit code, run length 0)
+    scan(Array[Byte](1, 1, 0x00, 1, 63, 0x00)) { (bw, _) =>
+      bw.put(0, 1)
+    }
     marker(0xd9) // EOI
     bos.toByteArray
   }

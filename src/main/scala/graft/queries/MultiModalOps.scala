@@ -1761,8 +1761,13 @@ object MultiModalOps {
     (docId % 3) match {
       case 0 => pngEncode(8, 8, raster.flatMap(v => Array(v, v, v)))
       case 1 => gifEncode(8, 8, GrayPalette, raster.map(v => (v & 0xff) / 17))
-      case _ => Jpeg.encodeGrayDcOnly(64, 64, b => raster(b) & 0xff,
-        restartInterval = if (docId % 2 == 0) 2 else 0)
+      case _ =>
+        // even ids: baseline with restarts; odd ids: PROGRESSIVE (SOF2)
+        // — identical pixels, so the admission hash is container-blind
+        if (docId % 2 == 1)
+          Jpeg.encodeGrayDcOnlyProgressive(64, 64, b => raster(b) & 0xff)
+        else Jpeg.encodeGrayDcOnly(64, 64, b => raster(b) & 0xff,
+          restartInterval = 2)
     }
   }
 
@@ -1972,12 +1977,17 @@ object MultiModalOps {
     * oracle's closed form): w = 8·(2 + id%3), h = 8·(1 + id%2),
     * grayscale; 8×8 block b (scan order) is the exact constant
     * (id·17 + b·29) % 256; EVEN ids carry a restart interval of 2
-    * (RST markers + DC predictor resets). */
+    * (RST markers + DC predictor resets); ids ≡ 1 (mod 4) are
+    * PROGRESSIVE (SOF2, three scans: DC first at Al=1, DC refinement,
+    * AC band — the Annex-G path decodes the SAME closed-form pixels,
+    * so the oracle is unchanged and a hash match proves the
+    * spectral-selection + successive-approximation machinery ran). */
   private[graft] def jpegBytes(docId: Long): Array[Byte] = {
     val w = 8 * (2 + docId % 3).toInt
     val h = 8 * (1 + docId % 2).toInt
-    Jpeg.encodeGrayDcOnly(w, h,
-      b => ((docId * 17 + b * 29) % 256).toInt,
+    val bv = (b: Int) => ((docId * 17 + b * 29) % 256).toInt
+    if (docId % 4 == 1) Jpeg.encodeGrayDcOnlyProgressive(w, h, bv)
+    else Jpeg.encodeGrayDcOnly(w, h, bv,
       restartInterval = if (docId % 2 == 0) 2 else 0)
   }
 

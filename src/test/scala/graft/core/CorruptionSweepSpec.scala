@@ -170,6 +170,20 @@ class CorruptionSweepSpec extends AnyFunSuite {
     assert(failed > 0, "no corruption failed — the sweep is vacuous")
   }
 
+  test("progressive jpeg: multi-scan/SOF2 corruption never crashes, only fails by name") {
+    // three scans (DC first Al=1, DC refinement, AC band) + restart
+    // markers inside every scan: the Annex-G surface — successive-
+    // approximation fields, EOB runs, per-scan SOS headers, the
+    // coefficient-store allocation bound
+    val orig = graft.queries.Jpeg.encodeGrayDcOnlyProgressive(32, 24,
+      b => (b * 37 + 11) % 256, restartInterval = 2)
+    val (ok, failed) = sweep(orig, orig.length, { bytes =>
+      graft.queries.Jpeg.decode(bytes)
+    })
+    info(s"progressive jpeg sweep: $ok corruptions read, $failed failed diagnosably")
+    assert(failed > 0, "no corruption failed — the sweep is vacuous")
+  }
+
   test("grib2: single-byte corruption never crashes, only fails by name") {
     val dir = tmpDir
     val p = s"$dir/clean.grib2"

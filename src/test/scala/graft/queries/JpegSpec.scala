@@ -185,17 +185,173 @@ class JpegSpec extends AnyFunSuite {
 
   test("unsupported variants fail by name") {
     val bytes = Jpeg.encodeGrayDcOnly(16, 16, _ => 100)
-    // progressive SOF2: flip the SOF0 marker byte
-    val prog = bytes.clone()
-    val sof = prog.indices.find(i => (prog(i) & 0xff) == 0xff &&
-      i + 1 < prog.length && (prog(i + 1) & 0xff) == 0xc0).get
-    prog(sof + 1) = 0xc2.toByte
-    val e = intercept[UnsupportedOperationException](Jpeg.decode(prog))
+    // lossless SOF3: flip the SOF0 marker byte
+    val lossless = bytes.clone()
+    val sof = lossless.indices.find(i => (lossless(i) & 0xff) == 0xff &&
+      i + 1 < lossless.length && (lossless(i + 1) & 0xff) == 0xc0).get
+    lossless(sof + 1) = 0xc3.toByte
+    val e = intercept[UnsupportedOperationException](Jpeg.decode(lossless))
     assert(e.getMessage.contains("baseline"), e.getMessage)
+    // SOF2 with a baseline FULL-BAND scan (Ss=0, Se=63) is illegal
+    // Annex-G geometry: a DC scan may not carry a spectral band
+    val prog = bytes.clone()
+    prog(sof + 1) = 0xc2.toByte
+    val e3 = intercept[IllegalArgumentException](Jpeg.decode(prog))
+    assert(e3.getMessage.contains("spectral band"), e3.getMessage)
     // not a JPEG at all
     val e2 = intercept[IllegalArgumentException](
       Jpeg.decode("not a jpeg".getBytes))
     assert(e2.getMessage.contains("SOI"), e2.getMessage)
+  }
+
+  // ------------------------------------------------- progressive (SOF2)
+
+  test("progressive fixture decodes to the exact closed-form constants") {
+    for (id <- 0L to 6L; ri <- Seq(0, 2)) {
+      val w = 8 * (2 + (id % 3)).toInt
+      val h = 8 * (1 + (id % 2)).toInt
+      val bytes = Jpeg.encodeGrayDcOnlyProgressive(w, h, blockVal(id),
+        restartInterval = ri)
+      // the stream really is SOF2
+      assert(bytes.sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2))
+      val img = Jpeg.decode(bytes)
+      assert(img.width == w && img.height == h && img.nComponents == 1)
+      val bw = w / 8
+      for (y <- 0 until h; x <- 0 until w) {
+        val b = (y / 8) * bw + (x / 8)
+        assert((img.pixels(y * w + x) & 0xff) == blockVal(id)(b),
+          s"id=$id ri=$ri pixel ($x,$y) block $b")
+      }
+      if (ri > 0) {
+        // restarts fire inside all three scans
+        val blocks = (w / 8) * (h / 8)
+        assert(img.nRestarts == 3L * ((blocks - 1) / ri),
+          s"id=$id ri=$ri got ${img.nRestarts} restarts")
+      }
+    }
+  }
+
+  test("progressive pixels match the baseline encoding of the same content") {
+    for (id <- Seq(2L, 5L)) {
+      val (w, h) = (32, 24)
+      val base = Jpeg.decode(Jpeg.encodeGrayDcOnly(w, h, blockVal(id)))
+      val prog = Jpeg.decode(Jpeg.encodeGrayDcOnlyProgressive(w, h, blockVal(id)))
+      assert(java.util.Arrays.equals(base.pixels, prog.pixels))
+    }
+  }
+
+  test("ImageIO reads our progressive fixtures bit-exactly (legal Annex G)") {
+    for ((id, ri) <- Seq((1L, 0), (4L, 2))) {
+      val w = 8 * (2 + (id % 3)).toInt
+      val h = 8 * (1 + (id % 2)).toInt
+      val bytes = Jpeg.encodeGrayDcOnlyProgressive(w, h, blockVal(id),
+        restartInterval = ri)
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(bi != null, "ImageIO refused the progressive fixture")
+      assert(bi.getWidth == w && bi.getHeight == h)
+      val bw = w / 8
+      for (y <- 0 until h; x <- 0 until w) {
+        val b = (y / 8) * bw + (x / 8)
+        assert(bi.getRaster.getSample(x, y, 0) == blockVal(id)(b),
+          s"id=$id ri=$ri ImageIO pixel ($x,$y)")
+      }
+    }
+  }
+
+  /** ImageIO progressive-JPEG bytes (the IJG standard scan script:
+    * spectral selection AND successive approximation, general AC). */
+  private def imageIoProgressiveJpeg(bi: java.awt.image.BufferedImage,
+                                     quality: Float): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), p)
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  test("ImageIO-encoded PROGRESSIVE grayscale (IJG scan script) decodes within rounding") {
+    val (w, h) = (40, 24)
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0, (x * 5 + y * 3 + ((x * y) % 7)) % 256)
+    val bytes = imageIoProgressiveJpeg(bi, 0.9f)
+    // the writer really emitted SOF2 (otherwise this test is vacuous)
+    assert(bytes.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2),
+      "ImageIO did not produce a progressive stream")
+    val ours = Jpeg.decode(bytes)
+    assert(ours.width == w && ours.height == h && ours.nComponents == 1)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = math.abs((ours.pixels(y * w + x) & 0xff) -
+        ref.getRaster.getSample(x, y, 0))
+      maxDiff = math.max(maxDiff, d)
+    }
+    info(s"progressive grayscale max |ours - ImageIO| = $maxDiff")
+    assert(maxDiff <= 1,
+      s"progressive IDCT drift vs ImageIO: $maxDiff (expected <= 1)")
+  }
+
+  test("ImageIO-encoded PROGRESSIVE color (4:2:0, interleaved DC scan) decodes within tolerance") {
+    val (w, h) = (34, 26) // odd geometry: partial MCUs in every direction
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = 40 + x * 4; val g = 60 + y * 4; val b = 90 + ((x + y) * 2)
+      bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bytes = imageIoProgressiveJpeg(bi, 0.95f)
+    assert(bytes.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2),
+      "ImageIO did not produce a progressive stream")
+    val ours = Jpeg.decode(bytes)
+    assert(ours.width == w && ours.height == h && ours.nComponents == 3)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0; var sumDiff = 0L
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val rgb = ref.getRGB(x, y)
+      val rc = c match {
+        case 0 => (rgb >> 16) & 0xff; case 1 => (rgb >> 8) & 0xff
+        case _ => rgb & 0xff
+      }
+      val d = math.abs((ours.pixels((y * w + x) * 3 + c) & 0xff) - rc)
+      maxDiff = math.max(maxDiff, d); sumDiff += d
+    }
+    val meanMilli = 1000 * sumDiff / (w * h * 3)
+    info(s"progressive color max |ours - ImageIO| = $maxDiff, mean milli = $meanMilli")
+    assert(maxDiff <= 8, s"progressive color drift vs ImageIO: max $maxDiff")
+    assert(meanMilli <= 1500, s"progressive color drift: mean milli $meanMilli")
+  }
+
+  test("progressive named errors: AC before DC, refinement before first pass") {
+    // build a legal progressive stream, then reorder scans by hand
+    val good = Jpeg.encodeGrayDcOnlyProgressive(16, 8, _ => 77)
+    // find the three SOS offsets
+    val sosAt = good.indices.filter(i => (good(i) & 0xff) == 0xff &&
+      i + 1 < good.length && (good(i + 1) & 0xff) == 0xda)
+    assert(sosAt.length == 3)
+    // drop everything from the first SOS, then append the AC scan first:
+    // AC scan before the component's DC scan must fail by name
+    val header = good.slice(0, sosAt(0))
+    val acScan = good.slice(sosAt(2), good.length - 2) // third scan, no EOI
+    val bad = header ++ acScan ++ Array(0xff.toByte, 0xd9.toByte)
+    val e = intercept[IllegalArgumentException](Jpeg.decode(bad))
+    assert(e.getMessage.contains("AC scan before"), e.getMessage)
+    // DC refinement (Ah=1) before any first pass fails by name too
+    val dcRefine = good.slice(sosAt(1), sosAt(2))
+    val bad2 = header ++ dcRefine ++ Array(0xff.toByte, 0xd9.toByte)
+    val e2 = intercept[IllegalArgumentException](Jpeg.decode(bad2))
+    assert(e2.getMessage.contains("DC refinement before"), e2.getMessage)
   }
 
   test("0xFF fill bytes before markers are skipped (T.81 B.1.1.2)") {
