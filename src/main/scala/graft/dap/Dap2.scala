@@ -275,7 +275,38 @@ object Dap2 {
     * is never copied to local files). */
   def read(url: String): Fragment = {
     val (dds, values) = parseDods(httpGet(url + ".dods"))
-    val das = parseDas(new String(httpGet(url + ".das"), "UTF-8"))
+    assemble(dds, values,
+      parseDas(new String(httpGet(url + ".das"), "UTF-8")))
+  }
+
+  /** Constrained open: fetch the (cheap) `.dds` for shapes, render the
+    * dimension-keyed `region` as hyperslab projections, and fetch
+    * `.dods?<ce>` — the server returns ONLY the requested elements
+    * (the xarray/netCDF4 lazy-subsetting behavior the reference's
+    * opendap path inherits, openers.py:40-47). The response DDS
+    * carries the constrained shapes, which [[assemble]] verifies
+    * against the request. */
+  def read(url: String, region: Map[String, Hyperslab]): Fragment = {
+    if (region.isEmpty) return read(url)
+    val dds = parseDds(new String(httpGet(url + ".dds"), "UTF-8"))
+    val ce = Constraint.dap2Ce(dds, region)
+    val enc = java.net.URLEncoder.encode(ce, "UTF-8")
+    val (rdds, values) = parseDods(httpGet(url + ".dods?" + enc))
+    // the server honored the hyperslabs: every constrained dim in the
+    // response is exactly the requested length
+    (rdds.vars.map(_.array) ++ rdds.vars.flatMap(_.maps)).foreach { a =>
+      a.dims.foreach { case (d, n) =>
+        region.get(d).foreach(slab => require(n == slab.length,
+          s"DAP2: server returned $d=$n for ${a.name}, " +
+            s"requested ${slab.render} (${slab.length})"))
+      }
+    }
+    assemble(rdds, values,
+      parseDas(new String(httpGet(url + ".das"), "UTF-8")))
+  }
+
+  private def assemble(dds: Dds, values: Map[String, (DType, AnyRef)],
+                       das: Map[String, Attrs]): Fragment = {
     val globalAttrs = das.getOrElse("NC_GLOBAL", das.getOrElse("GLOBAL", Attrs.empty))
     val dims = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     dds.vars.foreach { v =>

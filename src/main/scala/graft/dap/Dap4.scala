@@ -264,13 +264,31 @@ object Dap4 {
     * authoritative for dims/attrs; the `.dap` response DMR must agree on
     * the variable inventory). Like the DAP2 path, opendap data is never
     * copied to local files (openers.py:229-238). */
-  def read(url: String): Fragment = {
+  def read(url: String): Fragment = read(url, Map.empty[String, Hyperslab])
+
+  /** Constrained open: render the dimension-keyed `region` as a
+    * `dap4.ce` projection list so the server returns only the
+    * requested hyperslabs (lazy index-space subsetting — the
+    * xarray/netCDF4 behavior the reference's opendap path inherits).
+    * The response DMR must carry exactly the CONSTRAINED shapes; any
+    * disagreement is a named protocol error. */
+  def read(url: String, region: Map[String, Hyperslab]): Fragment = {
     val dmr = parseDmr(new String(httpGet(url + ".dmr"), "UTF-8"))
+    val ceSuffix =
+      if (region.isEmpty) ""
+      else "&dap4.ce=" + java.net.URLEncoder.encode(
+        Constraint.dap4Ce(dmr.vars.map(v => v.name -> v.dims), region),
+        "UTF-8")
     val (respDmrText, data, order) =
-      deframe(httpGet(url + ".dap?dap4.checksum=true"))
+      deframe(httpGet(url + ".dap?dap4.checksum=true" + ceSuffix))
     val respDmr = parseDmr(respDmrText)
     require(respDmr.vars.map(_.name).toSet == dmr.vars.map(_.name).toSet,
       "DAP4: .dap response DMR names different variables than .dmr")
+    // per-variable dims AFTER the region is applied — what the server
+    // must echo back in the response DMR
+    def slicedDims(v: DmrVar): Vector[(String, Int)] =
+      v.dims.map { case (d, n) =>
+        (d, region.get(d).map(_.length).getOrElse(n)) }
     // Values are decoded with the RESPONSE DMR's types/shapes but wrapped
     // in NDArrays built from the .dmr dims — a disagreement must be a
     // named protocol error, not a size/type mismatch downstream.
@@ -280,19 +298,23 @@ object Dap4 {
       require(r.dapType == v.dapType,
         s"DAP4: variable ${v.name} type differs between .dmr " +
           s"(${v.dapType}) and .dap response DMR (${r.dapType})")
-      require(r.dims.map(_._2) == v.dims.map(_._2),
-        s"DAP4: variable ${v.name} shape differs between .dmr " +
-          s"(${v.dims.map(_._2).mkString("x")}) and .dap response DMR " +
-          s"(${r.dims.map(_._2).mkString("x")})")
+      val want = slicedDims(v).map(_._2)
+      require(r.dims.map(_._2) == want,
+        s"DAP4: variable ${v.name} shape differs: expected " +
+          s"${want.mkString("x")} (constrained .dmr), .dap response DMR " +
+          s"has ${r.dims.map(_._2).mkString("x")}")
     }
     val values = decodeData(respDmr, data, order, checksums = true)
     val vars: Map[String, Variable] = dmr.vars.map { v =>
       val (dt, arr) = values(v.name)
-      v.name -> Variable(v.dims.map(_._1), NDArray(dt, v.dims.map(_._2), arr),
+      val dims = slicedDims(v)
+      v.name -> Variable(dims.map(_._1), NDArray(dt, dims.map(_._2), arr),
         v.attrs)
     }.toMap
     val (coords, dataVars) = vars.partition { case (n, v) => v.dims == Vector(n) }
-    Fragment(dmr.dims.toMap, coords, dataVars, dmr.attrs)
+    val fragDims = dmr.dims.map { case (d, n) =>
+      (d, region.get(d).map(_.length).getOrElse(n)) }.toMap
+    Fragment(fragDims, coords, dataVars, dmr.attrs)
   }
 
   // ----------------------------------------------------- server encoding

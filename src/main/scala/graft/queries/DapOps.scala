@@ -49,6 +49,7 @@ object DapOps {
       t0 -> cube.isel(Map("time" -> Slc(t0, t0 + 2)))).toVector
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val seenCes = new java.util.concurrent.atomic.AtomicInteger(0)
     slabs.foreach { case (t0, slab) =>
       def serve(suffix: String, bytes: Array[Byte]): Unit =
         server.createContext(s"/slab_$t0$suffix",
@@ -57,18 +58,43 @@ object DapOps {
             ex.getResponseBody.write(bytes)
             ex.close()
           })
+      /** Data endpoint honoring hyperslab projections (what a real
+        * Hyrax/TDS does server-side): `ceOf` extracts the CE from the
+        * decoded query, `encode` re-renders the sliced fragment. */
+      def serveData(suffix: String, sep: Char,
+                    ceOf: String => Option[String],
+                    encode: Fragment => Array[Byte]): Unit =
+        server.createContext(s"/slab_$t0$suffix",
+          (ex: com.sun.net.httpserver.HttpExchange) => {
+            val ce = ceOf(Option(ex.getRequestURI.getQuery).getOrElse(""))
+            val served = ce match {
+              case Some(c) if c.nonEmpty =>
+                seenCes.incrementAndGet()
+                graft.dap.Constraint.applyProjections(slab,
+                  graft.dap.Constraint.parseProjections(c, sep))
+              case _ => slab
+            }
+            val bytes = encode(served)
+            ex.sendResponseHeaders(200, bytes.length.toLong)
+            ex.getResponseBody.write(bytes)
+            ex.close()
+          })
       // the middle slab is served over DAP4 (dmr + chunked dap), the
       // others over DAP2 — the mixed-protocol fleet a migration-era
       // ingest actually faces; the opener registry dispatches per URL
       if (t0 == 2) {
-        val (dmr, dap) = graft.dap.Dap4.encode(slab, s"slab_$t0.nc")
+        val (dmr, _) = graft.dap.Dap4.encode(slab, s"slab_$t0.nc")
         serve(".dmr", dmr.getBytes("UTF-8"))
-        serve(".dap", dap)
+        serveData(".dap", ';',
+          q => q.split('&').find(_.startsWith("dap4.ce="))
+            .map(_.stripPrefix("dap4.ce=")),
+          f => graft.dap.Dap4.encode(f, s"slab_$t0.nc")._2)
       } else {
-        val (dds, das, dods) = Dap2.encode(slab, s"slab_$t0.nc")
+        val (dds, das, _) = Dap2.encode(slab, s"slab_$t0.nc")
         serve(".dds", dds.getBytes("UTF-8"))
         serve(".das", das.getBytes("UTF-8"))
-        serve(".dods", dods)
+        serveData(".dods", ',', q => Some(q),
+          f => Dap2.encode(f, s"slab_$t0.nc")._3)
       }
     }
     server.start()
@@ -90,6 +116,21 @@ object DapOps {
       // direct client parity on one slab
       require(Dap2.read(urls.head).sameAs(slabs.head._2),
         "opendap: dap2 client parity failed")
+      // constrained legs on BOTH protocols: a hyperslab region read
+      // fetches only the requested slices (the openers.py:40-47 lazy
+      // subsetting the reference inherits from xarray/netCDF4), and the
+      // server genuinely saw the constraint on the wire
+      val region = Map("lat" -> graft.dap.Hyperslab(2, 7),
+        "lon" -> graft.dap.Hyperslab(4, 9))
+      val want = Map("lat" -> Slc(2, 8), "lon" -> Slc(4, 10))
+      require(Dap2.read(urls.head, region)
+        .sameAs(slabs.head._2.isel(want)),
+        "opendap: constrained dap2 leg mismatch")
+      require(graft.dap.Dap4.read(s"http://$hostPort/slab_2", region)
+        .sameAs(slabs(1)._2.isel(want)),
+        "opendap: constrained dap4 leg mismatch")
+      require(seenCes.get() >= 2,
+        "opendap: hyperslab constraint never reached the server")
       CubeOracle.quantized(spark, rebuilt, Seq("time", "lat", "lon"),
         CubeOracle.f8ElseIntVq("foo"))
     } finally server.stop(0)
