@@ -35,11 +35,15 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * self-contained blosc1 frames via [[graft.zarr.Blosc]], cnames
   * lz4/lz4hc/zlib/zstd/snappy), and lz4 (id 32004 — the n-block layout
   * with big-endian sizes, via lz4-java).
+  * The libhdf5 bit-packing filters nbit (5) and scale-offset (6,
+  * integer path — the NASA/NOAA archive variant) decode through
+  * [[Nbit]]/[[ScaleOffset]], completing the h5py-readable filter set.
   * NOT SUPPORTED (clear [[UnsupportedFilterException]] naming the filter,
-  * never a garbled decode): nbit (5), scale-offset (6), and
-  * other registered third-party filters such as bzip2 (307).
-  * h5py via its plugin ecosystem reads more; files carrying those filters
-  * need a one-time repack (`h5repack -f GZIP=4`) before this reader.
+  * never a garbled decode): scale-offset float D/E-scale, nbit
+  * compound/array types, and registered third-party filters such as
+  * bzip2 (307). h5py via its plugin ecosystem reads more; files carrying
+  * those filters need a one-time repack (`h5repack -f GZIP=4`) before
+  * this reader.
   *
   * Dense (fractal-heap) GROUP LINKS and dense ATTRIBUTES are both read
   * natively (v2 B-tree name index — record type 5 for links, 8 for
@@ -63,8 +67,9 @@ final class UnsupportedFilterException(val filterId: Int)
   extends UnsupportedOperationException(
     s"HDF5 filter $filterId (${UnsupportedFilterException.name(filterId)}) " +
       "is not supported; supported filters are deflate(1), shuffle(2), " +
-      "fletcher32(3), szip(4), lzf(32000), blosc(32001), lz4(32004), " +
-      "zstd(32015). Repack the file (e.g. `h5repack -f GZIP=4`) to read it.")
+      "fletcher32(3), szip(4), nbit(5), scale-offset(6), lzf(32000), " +
+      "blosc(32001), lz4(32004), zstd(32015). Repack the file " +
+      "(e.g. `h5repack -f GZIP=4`) to read it.")
 
 object UnsupportedFilterException {
   /** Public registered-filter names, for actionable error text. */
@@ -1074,11 +1079,21 @@ object HDF5 {
 
     private def defilter(raw: Array[Byte], filters: Vector[Filter],
                          filterMask: Int, elemSize: Int,
-                         chunkBytes: Int): Array[Byte] = {
+                         chunkBytes: Int,
+                         dtype: TypeInfo = null): Array[Byte] = {
       var data = raw
       // pipeline runs in reverse on read; mask bit i set = filter skipped
       filters.zipWithIndex.reverse.foreach { case (f, i) =>
         if ((filterMask & (1 << i)) == 0) f.id match {
+          case 5 => // nbit: restore precision fields, then H5T-convert
+            data = Nbit.decompress(data, f.values)
+            dtype match {
+              case FixedPoint(_, _, signed) =>
+                data = Nbit.convertFixedPoint(data, f.values, signed)
+              case _ => // floats keep their restored bit layout
+            }
+          case 6 => // scale-offset (integer path)
+            data = ScaleOffset.decompress(data, f.values)
           case 1 => // deflate
             val inf = new java.util.zip.Inflater()
             inf.setInput(data)
@@ -1263,7 +1278,7 @@ object HDF5 {
             val raw = readRange(ref.addr, ref.size)
             val cn = cnL.toInt
             val bytes = defilter(raw, obj.filters, ref.filterMask, elemSize,
-              cn * elemSize)
+              cn * elemSize, t)
             val chunk = NDArray(dt, chunkDims, decodeElems(bytes, t, cn))
             // clip chunks that overhang the dataspace edge
             val starts = ref.offsets.map(_.toInt)

@@ -36,13 +36,17 @@ object HDF5Writer {
     case DType.F8 => floatBytes(8)
   }
 
-  private def fixedBytes(size: Int, signed: Boolean = true): Array[Byte] = {
+  private def fixedBytes(size: Int, signed: Boolean = true,
+                         precision: Int = 0): Array[Byte] = {
     val b = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
     b.put(0x10.toByte) // class 0 v1
     b.put((if (signed) 0x08 else 0x00).toByte) // LE, sign bit-field
     b.put(0.toByte); b.put(0.toByte)
     b.putInt(size)
-    b.putShort(0); b.putShort((size * 8).toShort) // bit offset, precision
+    // bit offset, precision (an nbit dataset carries its REDUCED
+    // precision here — libhdf5 derives the filter's cd_values from it)
+    b.putShort(0)
+    b.putShort((if (precision > 0) precision else size * 8).toShort)
     b.array()
   }
 
@@ -385,6 +389,8 @@ object HDF5Writer {
             blosc: Option[graft.zarr.Blosc.Params] = None,
             lz4: Boolean = false,
             szip: Option[Int] = None,
+            scaleOffset: Boolean = false,
+            nbitPrecision: Option[Int] = None,
             denseRootLinks: Boolean = false,
             denseStartBlockSize: Long = 0L,
             denseBtNodeSize: Int = 0,
@@ -399,6 +405,19 @@ object HDF5Writer {
       blosc.isDefined, lz4, szip.isDefined).count(identity) <= 1,
       "deflate, lzf, zstd, blosc, lz4, and szip are alternative block " +
         "codecs; pick one")
+    require(!(scaleOffset && nbitPrecision.isDefined),
+      "scale-offset and nbit are alternative element-packing filters")
+    // the element-packing filters apply to integer data (the libhdf5
+    // integer paths); they run FIRST in the pipeline, like netCDF-4's
+    // scaleoffset-then-deflate combination
+    def intParams(d: DType): (Int, Boolean) = d match {
+      case DType.I1 => (1, true);  case DType.U1 => (1, false)
+      case DType.I2 => (2, true);  case DType.U2 => (2, false)
+      case DType.I4 => (4, true);  case DType.U4 => (4, false)
+      case DType.I8 => (8, true);  case DType.U8 => (8, false)
+      case other => throw new IllegalArgumentException(
+        s"scale-offset/nbit fixtures support integer data, not ${other.name}")
+    }
     // szip scanline geometry per chunked variable, the H5Z__set_local_szip
     // rule: the scanline is the chunk's fastest-varying dimension (widened
     // to min(ppb·128, npoints) when it is narrower than a block, capped at
@@ -452,14 +471,25 @@ object HDF5Writer {
               val valid = lo.indices.map(d => Slc(lo(d),
                 math.min(lo(d) + cs(d), v.shape(d)))).toVector
               full.assign(Vector.fill(cs.length)(0), v.data.slice(valid))
-              // pipeline order on encode: shuffle, then deflate|lzf|zstd
+              // pipeline order on encode: scale-offset|nbit, then
+              // shuffle, then deflate|lzf|zstd
               var enc = encodeData(full)
+              if (scaleOffset) {
+                val (sz, signed) = intParams(v.dtype)
+                enc = ScaleOffset.compress(enc, sz, signed, le = true, None)
+              }
+              nbitPrecision.foreach { p =>
+                val (sz, signed) = intParams(v.dtype)
+                enc = Nbit.compress(enc, sz, le = true, p, 0, signed)
+              }
               if (shuffle) enc = shuffleBytes(enc, v.dtype.byteSize)
               deflateLevel.foreach(lvl => enc = deflate(enc, lvl))
               var mask = 0
               // incompressible chunks are stored raw with the mask bit of
-              // the codec's pipeline position (after any shuffle) set
-              val codecBit = 1 << (if (shuffle) 1 else 0)
+              // the codec's pipeline position (after any packing filter
+              // and shuffle) set
+              val codecBit = 1 << ((if (scaleOffset ||
+                nbitPrecision.isDefined) 1 else 0) + (if (shuffle) 1 else 0))
               if (lzf) Lzf.compress(enc) match {
                 case Some(c) => enc = c
                 case None => mask = codecBit
@@ -506,9 +536,17 @@ object HDF5Writer {
       val shape: Vector[Int] =
         if (isPhantom) Vector(f.dims(name)) else v.get.shape
       val dtype: DType = if (isPhantom) DType.F4 else v.get.dtype
+      // nbit-filtered chunked integer vars carry the reduced precision
+      // in their datatype message (self-consistent with the filter cd)
+      val typeBytes: Array[Byte] = nbitPrecision match {
+        case Some(p) if varData.get(name).exists(_.isRight) =>
+          val (sz, signed) = intParams(dtype)
+          fixedBytes(sz, signed, precision = p)
+        case _ => dtypeBytes(dtype)
+      }
       val base = Vector[Msg](
         0x0001 -> dataspaceBytes(shape),
-        0x0003 -> dtypeBytes(dtype),
+        0x0003 -> typeBytes,
         // layout body is a placeholder here; patched after layout
         0x0008 -> (varData.get(name) match {
           case Some(Right(_)) =>
@@ -520,13 +558,24 @@ object HDF5Writer {
         if (varData.get(name).exists(_.isRight) &&
             (deflateLevel.isDefined || shuffle || lzf ||
               zstdLevel.isDefined || blosc.isDefined || lz4 ||
-              szip.isDefined)) {
+              szip.isDefined || scaleOffset || nbitPrecision.isDefined)) {
           // pipeline in encode order: shuffle (id 2), then deflate (id 1)
           // or lzf (id 32000) or zstd (id 32015) — registered filters
           // carry a name in v1 entries. Each v1 entry: id, namelen,
           // flags, nvalues, name pad8, values + pad to even count.
           final case class Entry(id: Int, name: String, values: Vector[Int])
           val entries =
+            // element-packing filters first (the netCDF-4 pipeline order)
+            (if (scaleOffset) {
+              val (sz, signed) = intParams(dtype)
+              Vector(Entry(6, "", ScaleOffset.cdValues(sz, signed,
+                littleEndian = true, chunks(name).product, None)))
+            } else Vector.empty) ++
+            nbitPrecision.map { p =>
+              val (sz, _) = intParams(dtype)
+              Entry(5, "", Nbit.cdValues(sz, littleEndian = true, p, 0,
+                chunks(name).product))
+            }.toVector ++
             (if (shuffle) Vector(Entry(2, "", Vector(dtype.byteSize))) else Vector.empty) ++
             deflateLevel.map(lvl => Entry(1, "", Vector(lvl))).toVector ++
             (if (lzf) Vector(Entry(32000, "lzf", Vector.empty)) else Vector.empty) ++

@@ -79,7 +79,13 @@ object Hdf5Ops {
     // storage combination flows through both entry points every round
     val files = (0 until nt by 2).map { t0 =>
       val path = s"$dir/slab_$t0.nc"
-      HDF5Writer.write(path, cube.isel(Map("time" -> Slc(t0, t0 + 2))),
+      if (t0 == 6) {
+        // slab 6 rotates through SCALE-OFFSET (filter 6, the NASA/NOAA
+        // archive packing): bar (integer) is chunked+packed, foo rides
+        // contiguous — the shape nccopy SOFF=0,2 produces on int vars
+        HDF5Writer.write(path, cube.isel(Map("time" -> Slc(t0, t0 + 2))),
+          chunks = Map("bar" -> Vector(2, 18, 36)), scaleOffset = true)
+      } else HDF5Writer.write(path, cube.isel(Map("time" -> Slc(t0, t0 + 2))),
         chunks = Map("foo" -> Vector(1, 18, 36), "bar" -> Vector(2, 18, 36)),
         deflateLevel = Some(4), denseRootLinks = t0 % 4 == 0,
         denseAttrObjects =
@@ -99,7 +105,25 @@ object Hdf5Ops {
     require(rebuilt.sameAs(cube), "hdf5: decode pipeline round-trip failed")
 
     // ---- Entry-point B: header-only scan → concat refs → materialize ----
-    val refs = files.map(RefSet.scanHdf5(_))
+    // Scale-offset refs are NOT representable as kerchunk byte ranges
+    // (no numcodecs equivalent — kerchunk's hdf5 backend errors the same
+    // way): the scan of slab 6 must fail by NAME, and the ref fleet
+    // scans a deflate twin of it instead. The decode pipeline above read
+    // the genuinely scale-offset-packed file.
+    try {
+      RefSet.scanHdf5(files(3))
+      require(false, "hdf5: scale-offset scan unexpectedly succeeded")
+    } catch {
+      case e: IllegalArgumentException =>
+        require(e.getMessage.contains("filter 6"),
+          s"hdf5: wrong scale-offset scan error: ${e.getMessage}")
+    }
+    val slab6Twin = s"$dir/slab_6_deflate.nc"
+    HDF5Writer.write(slab6Twin, cube.isel(Map("time" -> Slc(6, 8))),
+      chunks = Map("foo" -> Vector(1, 18, 36), "bar" -> Vector(2, 18, 36)),
+      deflateLevel = Some(4))
+    val refFiles = files.updated(3, slab6Twin)
+    val refs = refFiles.map(RefSet.scanHdf5(_))
     val combined = RefSet.concatRefSets(refs, "time",
       identicalDims = Vector("lat", "lon"))
     val virtDir = s"$dir/virt.zarr"

@@ -114,6 +114,31 @@ class CorruptionSweepSpec extends AnyFunSuite {
     assert(failed > 0, "no corruption failed — the sweep is vacuous")
   }
 
+  test("hdf5 scale-offset + nbit: packed-chunk corruption never crashes, only fails by name") {
+    // the r13 surface: 21-byte scale-offset chunk headers (minbits /
+    // minval fields feed allocations and bit loops), nbit precision/
+    // offset cd_values, the MSB-first bitstream bounds
+    val dir = tmpDir
+    val f0 = smallCube()
+    val f = f0.copy(dataVars = Map("foo" -> graft.core.Variable(
+      Vector("time", "lat", "lon"),
+      graft.core.NDArray(graft.core.DType.I4, Vector(3, 4, 5),
+        Array.tabulate(60)(i => i * 7 - 100)))))
+    for ((name, so, nb) <- Seq(("soff", true, None), ("nbit", false, Some(11)))) {
+      val p = s"$dir/$name.h5"
+      HDF5Writer.write(p, f, chunks = Map("foo" -> Vector(2, 2, 3)),
+        scaleOffset = so, nbitPrecision = nb)
+      val orig = Files.readAllBytes(Paths.get(p))
+      val target = s"$dir/${name}_mut.h5"
+      val (ok, failed) = sweep(orig, orig.length, { bytes =>
+        Files.write(Paths.get(target), bytes)
+        HDF5.read(target)
+      })
+      info(s"$name sweep: $ok corruptions read, $failed failed diagnosably")
+      assert(failed > 0, s"$name: no corruption failed — the sweep is vacuous")
+    }
+  }
+
   test("hdf5 DENSE links: fractal-heap/btree corruption never crashes, only fails by name") {
     // the round-9 structures: FRHP header, FHDB direct blocks, FHIB
     // indirect root, BTHD/BTIN/BTLF name index — all new parser surface.

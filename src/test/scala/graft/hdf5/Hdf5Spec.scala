@@ -665,29 +665,144 @@ class Hdf5Spec extends AnyFunSuite {
     }
   }
 
-  test("unsupported filter (nbit-flagged pipeline) raises a clear error, not a garbled decode") {
+  test("unsupported filter (bzip2-flagged pipeline) raises a clear error, not a garbled decode") {
     val f = cube(nt = 8)
-    val path = s"$dir/nbit.nc"
+    val path = s"$dir/bzip2.nc"
     HDF5Writer.write(path, f, chunks = Map(
       "foo" -> Vector(2, 5, 4), "bar" -> Vector(8, 5, 4)),
       deflateLevel = Some(7))
-    // binary-patch the filter pipeline entry from deflate(1) to nbit(5) —
-    // a registered filter this reader genuinely does not implement (szip
-    // became a SUPPORTED filter in r11, so it no longer works as the
-    // unsupported probe). The v1 entry the writer emits is id=0001,
-    // namelen=0, flags=0, nvalues=1, value=7(level), pad — a 16-byte
-    // signature unique in the file.
+    // binary-patch the filter pipeline entry from deflate(1) to
+    // bzip2(307) — a registered filter this reader genuinely does not
+    // implement (szip became SUPPORTED in r11, nbit/scale-offset in
+    // r13, so neither works as the unsupported probe any longer). The
+    // v1 entry the writer emits is id=0001, namelen=0, flags=0,
+    // nvalues=1, value=7(level), pad — a 16-byte signature unique in
+    // the file.
     val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
     val sig = Array[Byte](1, 0, 0, 0, 0, 0, 1, 0, 7, 0, 0, 0, 0, 0, 0, 0)
     val hits = bytes.indices.filter(i => i + sig.length <= bytes.length &&
       sig.indices.forall(j => bytes(i + j) == sig(j)))
     assert(hits.nonEmpty, "deflate pipeline entry not found to patch")
-    hits.foreach(i => bytes(i) = 5)
+    hits.foreach { i => bytes(i) = 0x33; bytes(i + 1) = 0x01 } // 307
     Files.write(java.nio.file.Paths.get(path), bytes)
     val e = intercept[UnsupportedFilterException](HDF5.read(path))
-    assert(e.filterId == 5)
-    assert(e.getMessage.contains("nbit"))
+    assert(e.filterId == 307)
+    assert(e.getMessage.contains("bzip2"))
     assert(e.getMessage.contains("h5repack"))
+  }
+
+  test("scale-offset filter (6): signed/unsigned integer round trips, packed chunks shrink") {
+    // signed I4 with negatives (minval is a sign-extended u64), plus a
+    // narrow-range I8 var — the NASA/NOAA archive shapes
+    val nt = 8; val ny = 5; val nx = 4
+    val rng = new scala.util.Random(41)
+    val f0 = cube(nt = nt)
+    val f = f0.copy(dataVars = Map(
+      "foo" -> Variable(Vector("time", "lat", "lon"),
+        NDArray(DType.I4, Vector(nt, ny, nx),
+          Array.fill(nt * ny * nx)(rng.nextInt(2000) - 1000)),
+        f0.dataVars("foo").attrs),
+      "bar" -> Variable(Vector("time", "lat", "lon"),
+        NDArray(DType.I8, Vector(nt, ny, nx),
+          Array.fill(nt * ny * nx)(1000000L + rng.nextInt(500))),
+        f0.dataVars("bar").attrs)))
+    val path = s"$dir/soff.nc"
+    HDF5Writer.write(path, f, chunks = Map(
+      "foo" -> Vector(2, 5, 4), "bar" -> Vector(4, 5, 4)),
+      scaleOffset = true)
+    assert(HDF5.read(path).sameAs(f), "scale-offset round trip")
+    // the packing genuinely ran: a 4x5x4 I8 chunk is 640 raw bytes;
+    // span 500 needs 9 bits -> 21 + ceil(80*9/8) = 111 bytes on disk.
+    // Compare against the same file written WITHOUT the filter.
+    val pathRaw = s"$dir/soff_raw.nc"
+    HDF5Writer.write(pathRaw, f, chunks = Map(
+      "foo" -> Vector(2, 5, 4), "bar" -> Vector(4, 5, 4)))
+    val onDisk = Files.size(java.nio.file.Paths.get(path))
+    val rawDisk = Files.size(java.nio.file.Paths.get(pathRaw))
+    assert(onDisk + 1000 < rawDisk,
+      s"no shrink: $onDisk B packed vs $rawDisk B unpacked")
+    // composes with deflate (the netCDF-4 nccopy pipeline)
+    val path2 = s"$dir/soff_z.nc"
+    HDF5Writer.write(path2, f, chunks = Map(
+      "foo" -> Vector(2, 5, 4), "bar" -> Vector(4, 5, 4)),
+      scaleOffset = true, deflateLevel = Some(6))
+    assert(HDF5.read(path2).sameAs(f), "scale-offset+deflate round trip")
+    // kerchunk refs cannot represent the packing (no numcodecs
+    // equivalent — kerchunk's own hdf5 backend errors the same way):
+    // the scan fails by name and points at the direct reader
+    val eK = intercept[IllegalArgumentException](
+      graft.kerchunk.RefSet.scanHdf5(path))
+    assert(eK.getMessage.contains("filter 6") &&
+      eK.getMessage.contains("HDF5.read"), eK.getMessage)
+  }
+
+  test("scale-offset filter: fill-value sentinel decode (defined-fill chunk layout)") {
+    // hand-drive the codec on a chunk with a defined fill value: fills
+    // ride as the all-ones minbits sentinel, not as offsets from min
+    val fill = -999L
+    val vals = Array[Int](7, -999, 12, 9, -999, 8, 15, 10)
+    val raw = java.nio.ByteBuffer.allocate(vals.length * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(raw.putInt)
+    val packed = ScaleOffset.compress(raw.array(), 4, signed = true,
+      le = true, fill = Some(fill))
+    // span 7..15 = 9 values + sentinel -> 4 bits each
+    val minbits = packed(0) & 0xFF
+    assert(minbits == 4, s"minbits $minbits")
+    assert(packed.length == 21 + (vals.length * 4 + 7) / 8)
+    val cd = ScaleOffset.cdValues(4, signed = true, littleEndian = true,
+      vals.length, Some(fill))
+    val out = ScaleOffset.decompress(packed, cd)
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(vals.indices.forall(i => bb.getInt(i * 4) == vals(i)),
+      "fill sentinel round trip")
+  }
+
+  test("nbit filter (5): reduced-precision integers round-trip with sign extension") {
+    val nt = 6; val ny = 5; val nx = 4
+    val rng = new scala.util.Random(43)
+    val f0 = cube(nt = nt)
+    // I2 values fitting 12 signed bits, including negatives: the decode
+    // must sign-extend the precision field (H5T conversion semantics)
+    val f = f0.copy(dataVars = Map(
+      "foo" -> Variable(Vector("time", "lat", "lon"),
+        NDArray(DType.I2, Vector(nt, ny, nx),
+          Array.fill(nt * ny * nx)((rng.nextInt(4096) - 2048).toShort)),
+        f0.dataVars("foo").attrs),
+      "bar" -> Variable(Vector("time", "lat", "lon"),
+        NDArray(DType.I4, Vector(nt, ny, nx),
+          Array.fill(nt * ny * nx)(rng.nextInt(1 << 20))),
+        f0.dataVars("bar").attrs)))
+    val path = s"$dir/nbit_rt.nc"
+    // precision 21 covers both: 12-bit shorts sign-extend from bit 11
+    // only when precision <= width, so write per-width files
+    val f12 = f.copy(dataVars = f.dataVars - "bar")
+    HDF5Writer.write(path, f12, chunks = Map("foo" -> Vector(2, 5, 4)),
+      nbitPrecision = Some(12))
+    assert(HDF5.read(path).sameAs(f12), "nbit I2/12-bit round trip")
+    val onDisk = Files.size(java.nio.file.Paths.get(path))
+    val f21 = f.copy(dataVars = f.dataVars - "foo")
+    val path2 = s"$dir/nbit_rt21.nc"
+    HDF5Writer.write(path2, f21, chunks = Map("bar" -> Vector(3, 5, 4)),
+      nbitPrecision = Some(21))
+    assert(HDF5.read(path2).sameAs(f21), "nbit I4/21-bit round trip")
+    // 120 shorts/chunk at 12 bits = 180 B vs 240 raw: the file must
+    // reflect the packing
+    assert(onDisk < 6 * 5 * 4 * 2 + 4096,
+      s"nbit file did not shrink: $onDisk B")
+  }
+
+  test("scale-offset float path and nbit compound class fail by name") {
+    // float D-scale chunk: class float in cd -> named protocol error
+    val e = intercept[IllegalArgumentException](ScaleOffset.decompress(
+      new Array[Byte](32),
+      Vector(ScaleOffset.ScaleTypeFloatDScale, 2, 8, 1, 4, 0, 0, 0)))
+    assert(e.getMessage.contains("D-scale"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](Nbit.decompress(
+      new Array[Byte](32),
+      Vector(10, 0, 8, Nbit.ClassCompound, 4, 0, 16, 0)))
+    assert(e2.getMessage.contains("compound"), e2.getMessage)
   }
 
   test("szip-filtered file written by HDF5Writer reads back through HDF5.read") {
