@@ -682,16 +682,26 @@ object Relational3 {
   def q35CftimeDecode(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val u = "hours since 1999-12-28 06:00:00"
-    val pairs = Seq("360_day", "noleap", "all_leap",
+    // the sixth family decodes at MILLISECOND units from a sub-second
+    // epoch (r13): instants land off the whole-second grid, so the
+    // minute/second/micro columns genuinely carry information — cftime's
+    // float-ms capability on this engine's exact integer grid
+    val uMs = "milliseconds since 1999-12-31 23:59:58.500"
+    val pairs = (Seq("360_day", "noleap", "all_leap",
       "proleptic_gregorian", "standard")
-      .map(c => s"'$c', cf_num2date(event_id, '$u', '$c')").mkString(", ")
+      .map(c => s"'$c', cf_num2date(event_id, '$u', '$c')") :+
+      s"'gregorian_ms', cf_num2date(event_id, '$uMs', 'standard')")
+      .mkString(", ")
     events(s, d)
-      .select(col("event_id"), expr(s"stack(5, $pairs) AS (calendar, p)"))
+      .select(col("event_id"), expr(s"stack(6, $pairs) AS (calendar, p)"))
       .select(col("event_id"), col("calendar"),
         element_at(col("p"), 1).as("year"),
         element_at(col("p"), 2).as("month"),
         element_at(col("p"), 3).as("day"),
-        element_at(col("p"), 4).as("hour"))
+        element_at(col("p"), 4).as("hour"),
+        element_at(col("p"), 5).as("minute"),
+        element_at(col("p"), 6).as("second"),
+        element_at(col("p"), 7).as("micro"))
       .orderBy("calendar", "event_id")
   }
 
@@ -705,12 +715,15 @@ object Relational3 {
       |  SELECT event_id, 719997*24 + 6 + event_id AS h360,
       |         729996*24 + 6 + event_id AS h365,
       |         731996*24 + 6 + event_id AS h366,
-      |         TIMESTAMP '1999-12-28 06:00:00' + to_hours(event_id) AS ts
+      |         TIMESTAMP '1999-12-28 06:00:00' + to_hours(event_id) AS ts,
+      |         TIMESTAMP '1999-12-31 23:59:58.500'
+      |           + to_milliseconds(event_id) AS tms
       |  FROM events),
       |fixed AS (
       |  SELECT event_id, '360_day' AS calendar,
       |    (h360//24)//360 AS year, 1 + ((h360//24)%360)//30 AS month,
-      |    1 + (h360//24)%30 AS day, h360%24 AS hour FROM n
+      |    1 + (h360//24)%30 AS day, h360%24 AS hour,
+      |    0 AS minute, 0 AS second, 0 AS micro FROM n
       |  UNION ALL
       |  SELECT event_id, cal,
       |    (h//24)//ylen,
@@ -720,7 +733,7 @@ object Relational3 {
       |         WHEN doy >= cum[6] THEN 6 WHEN doy >= cum[5] THEN 5
       |         WHEN doy >= cum[4] THEN 4 WHEN doy >= cum[3] THEN 3
       |         WHEN doy >= cum[2] THEN 2 ELSE 1 END AS month,
-      |    doy - cum[month] + 1, h%24
+      |    doy - cum[month] + 1, h%24, 0, 0, 0
       |  FROM (
       |    SELECT event_id, cal, h, ylen, (h//24)%ylen AS doy,
       |      CASE cal WHEN 'noleap'
@@ -731,11 +744,19 @@ object Relational3 {
       |      UNION ALL
       |      SELECT event_id, 'all_leap', h366, 366 FROM n))
       |  UNION ALL
-      |  SELECT event_id, cal, year(ts), month(ts), day(ts), hour(ts)
-      |  FROM n, (VALUES ('proleptic_gregorian'), ('standard')) c(cal))
+      |  SELECT event_id, cal, year(ts), month(ts), day(ts), hour(ts),
+      |    minute(ts), second(ts), microsecond(ts) % 1000000
+      |  FROM n, (VALUES ('proleptic_gregorian'), ('standard')) c(cal)
+      |  UNION ALL
+      |  -- microsecond() is the Postgres seconds-included field: mod to
+      |  -- the within-second microseconds the engine's companion carries
+      |  SELECT event_id, 'gregorian_ms', year(tms), month(tms), day(tms),
+      |    hour(tms), minute(tms), second(tms), microsecond(tms) % 1000000
+      |  FROM n)
       |SELECT event_id, calendar, CAST(year AS BIGINT) AS year,
       |  CAST(month AS BIGINT) AS month, CAST(day AS BIGINT) AS day,
-      |  CAST(hour AS BIGINT) AS hour
+      |  CAST(hour AS BIGINT) AS hour, CAST(minute AS BIGINT) AS minute,
+      |  CAST(second AS BIGINT) AS second, CAST(micro AS BIGINT) AS micro
       |FROM fixed ORDER BY calendar, event_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -187,8 +187,10 @@ object Preprocess {
     * any coordinate whose encoding carries `units` + `calendar`). Where
     * xarray produces cftime OBJECT arrays, this engine's integer-exact
     * model emits companion int64 columns instead: for each variable whose
-    * `units` parses as "<unit> since <date>", six derived variables
-    * `<name>_year/_month/_day/_hour/_minute/_second` (same dims/shape,
+    * `units` parses as "<unit> since <date>", seven derived variables
+    * `<name>_year/_month/_day/_hour/_minute/_second/_microsecond` (the
+    * µs companion makes millisecond/microsecond units — cftime's
+    * float-capable grid — exactly representable; same dims/shape,
     * placed beside the source — coords stay coords) computed under the
     * variable's `calendar` attr via [[graft.core.CfCalendar]]. The
     * encoded source variable is kept untouched (it remains the storage
@@ -210,7 +212,7 @@ object Preprocess {
           }.getOrElse("standard")
           val parsed = CfCalendar.parseUnits(u)
           val n = v.data.size
-          val parts = Array.ofDim[Long](6, n)
+          val parts = Array.ofDim[Long](7, n)
           var i = 0
           while (i < n) {
             if (v.dtype == DType.F8 || v.dtype == DType.F4) {
@@ -220,17 +222,14 @@ object Preprocess {
                   s"count — fractional CF time is not exactly decodable")
             }
             val dt = CfCalendar.num2date(v.data.getLong(i), parsed, cal)
-            require(dt.micro == 0,
-              s"decodeTimes: $name[$i] decodes to a sub-second instant " +
-                s"(${dt.micro} µs) — the six integer companions cannot " +
-                "represent it exactly; re-encode at microsecond units or " +
-                "decode through cf_num2date (which carries µs)")
             parts(0)(i) = dt.year; parts(1)(i) = dt.month.toLong
             parts(2)(i) = dt.day.toLong; parts(3)(i) = dt.hour.toLong
             parts(4)(i) = dt.minute.toLong; parts(5)(i) = dt.second.toLong
+            parts(6)(i) = dt.micro.toLong
             i += 1
           }
-          val fields = Seq("year", "month", "day", "hour", "minute", "second")
+          val fields = Seq("year", "month", "day", "hour", "minute",
+            "second", "microsecond")
           fields.zipWithIndex.map { case (fld, k) =>
             s"${name}_$fld" -> Variable(v.dims,
               NDArray(DType.I8, v.data.shape, parts(k)),
@@ -259,7 +258,8 @@ object Preprocess {
     val cal = v.attrs.get("calendar").collect {
       case AttrValue.AStr(s) => s
     }.getOrElse("standard")
-    val fields = Seq("year", "month", "day", "hour", "minute", "second")
+    val fields = Seq("year", "month", "day", "hour", "minute", "second",
+      "microsecond")
     val comp = fields.map(fld => (f.coords ++ f.dataVars).getOrElse(
       s"${name}_$fld", throw new IllegalArgumentException(
         s"encodeTimes: missing companion ${name}_$fld — run decodeTimes first")))
@@ -269,7 +269,7 @@ object Preprocess {
       val dt = CfCalendar.DateTime(comp(0).data.getLong(i),
         comp(1).data.getLong(i).toInt, comp(2).data.getLong(i).toInt,
         comp(3).data.getLong(i).toInt, comp(4).data.getLong(i).toInt,
-        comp(5).data.getLong(i).toInt)
+        comp(5).data.getLong(i).toInt, comp(6).data.getLong(i).toInt)
       val num = CfCalendar.date2num(dt, units, cal)
       require(num == v.data.getLong(i),
         s"encodeTimes: $name[$i] companions re-encode to $num but stored " +

@@ -189,7 +189,9 @@ class CFCodingSpec extends AnyFunSuite {
       parseUnits("days since 2000-01-01"), "martian"))
   }
 
-  test("decodeTimes rejects sub-second instants by name (companions are whole seconds)") {
+  test("decodeTimes carries sub-second instants in the _microsecond companion (r13)") {
+    // millisecond units with instants OFF the whole-second grid — the
+    // cftime-representable case that was a named error before r13
     val f0 = cal360Fragment
     val f = f0.copy(coords = f0.coords.updated("time",
       f0.coords("time").copy(
@@ -197,8 +199,34 @@ class CFCodingSpec extends AnyFunSuite {
           Array.tabulate(14)(i => i.toLong * 1000 + (if (i == 3) 1 else 0))),
         attrs = f0.coords("time").attrs
           .updated("units", AttrValue("milliseconds since 2000-01-01")))))
-    val e = intercept[IllegalArgumentException](Preprocess.decodeTimes(f))
-    assert(e.getMessage.contains("sub-second instant"))
+    val d = Preprocess.decodeTimes(f)
+    val micro = d.coords("time_microsecond").data
+    assert((0 until 14).forall(i =>
+      micro.getLong(i) == (if (i == 3) 1000L else 0L)),
+      "microsecond companion values")
+    assert(d.coords("time_second").data.getLong(13) == 13L)
+    // bit-exact inverse: encodeTimes re-derives the ms encoding from
+    // the seven companions and verifies equality
+    val rt = Preprocess.encodeTimes(d, "time")
+    assert(rt.coords.keySet == f.coords.keySet)
+    assert(rt.coords("time").data.sameElements(f.coords("time").data))
+    // sub-second EPOCHS parse too ("since ...58.500"), and microsecond
+    // units decode exactly
+    val f2 = f0.copy(coords = f0.coords.updated("time",
+      f0.coords("time").copy(
+        data = NDArray(DType.I8, Vector(14),
+          Array.tabulate(14)(i => i.toLong * 250000)),
+        attrs = f0.coords("time").attrs.updated("units",
+          AttrValue("microseconds since 1999-12-31 23:59:58.500"))
+          .updated("calendar", AttrValue("proleptic_gregorian")))))
+    val d2 = Preprocess.decodeTimes(f2)
+    // epoch 58.5s + i*0.25s: element 6 = 1h30m... element 6 -> 58.5+1.5
+    // = 60.0s -> 1999-12-31 23:59:60 -> 2000-01-01 00:00:00.0
+    assert(d2.coords("time_year").data.getLong(6) == 2000L)
+    assert(d2.coords("time_microsecond").data.getLong(6) == 0L)
+    assert(d2.coords("time_microsecond").data.getLong(1) == 750000L)
+    assert(Preprocess.encodeTimes(d2, "time")
+      .coords("time").data.sameElements(f2.coords("time").data))
   }
 
   test("decodeTimes rejects fractional float encodings by name") {
