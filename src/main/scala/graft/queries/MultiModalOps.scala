@@ -1783,6 +1783,64 @@ object MultiModalOps {
   /** [[mixedGrayOf]] plus the sniffed container name — ONE decode serves
     * both the probe column and the normalization (p13's admission path
     * decodes every payload exactly once). */
+  /** st12's payload synthesizer: the mixed-container trio (PNG 8×8 /
+    * GIF87a 8×8 / JPEG 64×64 DC-only, chosen by docId % 3) over a
+    * content space built for ADMISSION semantics — groups g = docId/3
+    * with g % 4 == 3 carry a UNIQUE raster (the group ordinal base-16
+    * encoded in the first four pixels), the rest draw from a 16-raster
+    * recurring pool. A standing corpus therefore contains every pool
+    * family (arriving pool docs REJECT) while arriving unique-group
+    * docs carry never-seen hashes (ADMIT) — both verdicts are
+    * guaranteed non-vacuous at any split. Pixels stay multiples of 17
+    * so the GIF 16-level palette and JPEG DC-only blocks are exact. */
+  private[graft] def st12RasterOf(g: Long): Array[Byte] = {
+    val seed = (if (g % 4 == 3) 16L + g / 4 else g % 16) % 65536L
+    Array.tabulate(64) { i =>
+      val v =
+        if (i < 4) ((seed >> (4 * i)) & 15L) * 17
+        else ((seed * 13 + i * 7) % 16) * 17
+      v.toByte
+    }
+  }
+
+  private[graft] def st12MediaBytes(docId: Long): Array[Byte] = {
+    val raster = st12RasterOf(docId / 3)
+    (docId % 3) match {
+      case 0 => pngEncode(8, 8, raster.flatMap(v => Array(v, v, v)))
+      case 1 => gifEncode(8, 8, GrayPalette, raster.map(v => (v & 0xff) / 17))
+      case _ =>
+        if (docId % 2 == 1)
+          Jpeg.encodeGrayDcOnlyProgressive(64, 64, b => raster(b) & 0xff)
+        else Jpeg.encodeGrayDcOnly(64, 64, b => raster(b) & 0xff,
+          restartInterval = 2)
+    }
+  }
+
+  /** Decode + normalize + perceptually hash a (doc_id, bytes) media
+    * frame: each payload is sniffed and decoded through its container's
+    * REAL codec, block-mean-normalized to the canonical 8×8 raster
+    * ([[mixedProbeGrayOf]] — one decode per payload) and hashed with
+    * the codegen'd `wht_phash`. The p13 admission kernel factored out
+    * so the batch query (p13/st12) and the streaming foreachBatch twin
+    * ([[graft.streaming.StreamingPipelines.mediaAdmitBatch]]) share
+    * one code path. Caller must have run GraftFunctions.register. */
+  private[graft] def mediaHashOf(df: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("container", StringType, nullable = false),
+      StructField("gray", BinaryType, nullable = false)))
+    df.select(col("doc_id"), col("bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (container, gray) =
+            mixedProbeGrayOf(r.getAs[Array[Byte]](1))
+          Row(r.getLong(0), container, gray)
+        }
+      }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+      .select(col("doc_id"), col("container"),
+        call_function("wht_phash", col("gray"), lit(8), lit(8)).as("phash"))
+  }
+
   private[graft] def mixedProbeGrayOf(bytes: Array[Byte]): (String, Array[Byte]) = {
     require(bytes.length >= 6, "image too short to sniff a container")
     val (container, gray, w, h): (String, Array[Byte], Int, Int) =

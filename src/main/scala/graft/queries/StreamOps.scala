@@ -516,7 +516,104 @@ object StreamOps {
   private val admissionStates =
     new java.util.concurrent.ConcurrentHashMap[String, SimilarityOps.AdmissionState]()
 
+  /** st12: streaming MEDIA admission — p13's mixed-container ingest as
+    * an admission firewall (the st11 pattern lifted to the multimodal
+    * tier): the standing corpus's pHash families are FROZEN state; an
+    * arriving media batch (highest 1/5 of doc ids, the s15/st11 split
+    * convention) is decoded through its containers' REAL codecs (PNG/
+    * GIF/JPEG incl. progressive), normalized, perceptually hashed, and
+    * ADMITTED iff its pHash matches no standing family. Admission
+    * depends ONLY on (standing, doc) — never on other batch members —
+    * so micro-batch boundaries cannot change any verdict (StreamingSpec
+    * pins a two-batch replay against this entry, the
+    * [[graft.streaming.StreamingPipelines.mediaAdmitBatch]] twin).
+    *
+    * Scale shape: standing registry = one corpus decode scan reduced to
+    * DISTINCT pHashes (family-thin: one i64 per family — no payloads,
+    * no gray rasters persist); the per-batch probe is a batch-side
+    * decode + one equi-join on phash against the hash-partitioned
+    * registry. No self-join, no all-pairs anywhere. */
+  def st12MediaAdmission(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val ids = documents(s, d).select("doc_id")
+    val maxId = ids.agg(max("doc_id")).as[Long].head()
+    val den = SimilarityOps.NewBatchDen
+    val t = (maxId + 1L) * (den - 1L) / den
+    require(t >= 1L && t <= maxId,
+      s"st12: degenerate batch split t=$t for max id $maxId")
+    val payloadSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("bytes",
+        org.apache.spark.sql.types.BinaryType, nullable = false)))
+    val hashed = MultiModalOps.mediaHashOf(ids
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          org.apache.spark.sql.Row(id, MultiModalOps.st12MediaBytes(id))
+        }
+      }(org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(payloadSchema)))
+    val standing = hashed.filter(col("doc_id") < t)
+      .select("phash").distinct()
+      .withColumn("standing_hit", lit(true))
+    hashed.filter(col("doc_id") >= t)
+      .join(standing, Seq("phash"), "left")
+      .select(col("doc_id"), col("container"), col("phash"),
+        col("standing_hit").isNull.as("admitted"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: pHash from the content-group formula (the p13Sql CTEs —
+    * no bytes, no codecs: the formula IS the normalized raster, so any
+    * decode/normalize divergence in ANY of the three containers breaks
+    * the hash match), split at the st11 convention, standing = distinct
+    * pHashes below the split. */
+  val st12Sql: String = {
+    val den = SimilarityOps.NewBatchDen
+    s"""WITH mf AS (
+       |  SELECT doc_id, doc_id // 3 AS g, unnest(range(0, 64)) AS i
+       |  FROM documents
+       |), msd AS (
+       |  SELECT doc_id, g, i,
+       |    (CASE WHEN g % 4 = 3 THEN 16 + g // 4 ELSE g % 16 END) % 65536
+       |      AS seed
+       |  FROM mf
+       |), mpx AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN i < 4 THEN ((seed >> (4 * i)) & 15) * 17
+       |         ELSE ((seed * 13 + i * 7) % 16) * 17 END AS px
+       |  FROM msd
+       |), mhad(k, i, s) AS (
+       |  VALUES ${MultiModalOps.whtHadValuesSql}
+       |), mcoef AS (
+       |  SELECT p.doc_id, h.k, SUM(h.s * p.px) AS c
+       |  FROM mpx p JOIN mhad h ON p.i = h.i GROUP BY 1, 2
+       |), mhash AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN c > 0 THEN (1::BIGINT << (k - 1)) ELSE 0 END)
+       |      AS BIGINT) AS phash
+       |  FROM mcoef GROUP BY 1
+       |), tt AS (
+       |  SELECT ((MAX(doc_id) + 1) * ${den - 1}) // $den AS t FROM documents
+       |), standing AS (
+       |  SELECT DISTINCT m.phash FROM mhash m CROSS JOIN tt
+       |  WHERE m.doc_id < tt.t
+       |)
+       |SELECT m.doc_id,
+       |  CASE m.doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+       |    ELSE 'jpeg' END AS container,
+       |  m.phash,
+       |  s.phash IS NULL AS admitted
+       |FROM mhash m CROSS JOIN tt
+       |LEFT JOIN standing s ON m.phash = s.phash
+       |WHERE m.doc_id >= tt.t
+       |ORDER BY m.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st12_media_admission" -> st12MediaAdmission _,
     "st11_neardup_admission" -> st11NeardupAdmission _,
     "st10_drift_score" -> st10DriftScore _,
     "st09_scored_admission" -> st09ScoredAdmission _,
@@ -531,6 +628,7 @@ object StreamOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "st12_media_admission" -> st12Sql,
     "st11_neardup_admission" -> SimilarityOps.st11Sql,
     "st10_drift_score" -> st10Sql,
     "st09_scored_admission" -> st09Sql,

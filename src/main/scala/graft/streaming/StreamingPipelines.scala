@@ -125,6 +125,40 @@ object StreamingPipelines {
           batchId)
   }
 
+  /** foreachBatch driver for streaming MEDIA admission (the st12
+    * streaming twin — p13's mixed-container ingest as a firewall): the
+    * standing corpus's pHash registry is FROZEN state, built ONCE at
+    * driver construction — one decode scan of the standing (doc_id,
+    * bytes) payloads through their containers' REAL codecs (PNG/GIF/
+    * JPEG incl. progressive), reduced to DISTINCT pHashes (one i64 per
+    * family — no payloads, no rasters persist). Each arriving
+    * micro-batch is decoded, normalized, hashed the same way and gated
+    * with one equi-join on phash: ADMITTED iff no standing family
+    * matches. Admission depends ONLY on (standing, doc) — never on
+    * other batch members — so micro-batch boundaries cannot change any
+    * verdict: a two-batch replay equals the st12 batch twin row-for-row
+    * (StreamingSpec-pinned).
+    *
+    * Usage:
+    * `mediaStream.writeStream.foreachBatch(mediaAdmitBatch(standing, emit))`
+    * where both frames carry (doc_id, bytes). */
+  def mediaAdmitBatch(standing: DataFrame,
+                      emit: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    graft.functions.GraftFunctions.register(standing.sparkSession)
+    val registry = graft.queries.MultiModalOps.mediaHashOf(standing)
+      .select("phash").distinct()
+      .withColumn("standing_hit", org.apache.spark.sql.functions.lit(true))
+      .localCheckpoint(true)
+    (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        val probed = graft.queries.MultiModalOps.mediaHashOf(batch)
+          .join(registry, Seq("phash"), "left")
+          .select(col("doc_id"), col("container"), col("phash"),
+            col("standing_hit").isNull.as("admitted"))
+        emit(probed, batchId)
+      }
+  }
+
   /** STREAM-STREAM interval join: purchases attributed to same-user clicks
     * in the preceding 10 minutes. Both sides are watermarked so the join
     * state is bounded — clicks older than the bound + watermark are

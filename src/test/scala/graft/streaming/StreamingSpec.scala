@@ -766,4 +766,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(first == fresh, "persisted-state probe drifted from a fresh build")
     assert(first.nonEmpty)
   }
+
+  test("streaming media admission: two-batch replay equals the st12 batch twin") {
+    // p13's mixed-container ingest as an admission firewall: standing
+    // pHash families are frozen state; arriving PNG/GIF/JPEG payloads
+    // (incl. progressive JPEG legs) decode through their REAL codecs
+    // per micro-batch; the batch split must not change any verdict
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val den = graft.queries.SimilarityOps.NewBatchDen
+    val t = (ids.max + 1L) * (den - 1L) / den
+    def payloads(sel: Array[Long]) =
+      sel.map(id => (id, graft.queries.MultiModalOps.st12MediaBytes(id)))
+    val standing = payloads(ids.filter(_ < t)).toSeq
+      .toDF("doc_id", "bytes").localCheckpoint(true)
+    val arriving = payloads(ids.filter(_ >= t))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Byte])]
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, String, Long, Boolean)]()
+    val emit: (org.apache.spark.sql.DataFrame, Long) => Unit = (df, _) =>
+      df.collect().foreach(r => sink.add((r.getLong(0), r.getString(1),
+        r.getLong(2), r.getBoolean(3))))
+    val q = mem.toDF().toDF("doc_id", "bytes")
+      .writeStream
+      .foreachBatch(StreamingPipelines.mediaAdmitBatch(standing, emit))
+      .start()
+    try {
+      val (first, second) = arriving.splitAt(arriving.length / 2)
+      mem.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(second.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val streaming = sink.asScala.toVector.sortBy(_._1)
+    val batchTwin = graft.queries.StreamOps
+      .st12MediaAdmission(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3))).toVector.sortBy(_._1)
+    assert(streaming == batchTwin)
+    // non-vacuity: the firewall must reject AND admit, and all three
+    // containers must appear among the arriving batch
+    assert(batchTwin.exists(!_._4) && batchTwin.exists(_._4),
+      "st12 fixture vacuous: nothing rejected or nothing admitted")
+    assert(batchTwin.map(_._2).toSet == Set("png", "gif", "jpeg"),
+      s"containers seen: ${batchTwin.map(_._2).toSet}")
+  }
 }
