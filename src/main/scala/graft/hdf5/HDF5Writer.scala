@@ -180,9 +180,14 @@ object HDF5Writer {
       s"record size $recSize")
     val maxNrec = scala.collection.mutable.ArrayBuffer[Long](leafCap.toLong)
     val maxTot = scala.collection.mutable.ArrayBuffer[Long](leafCap.toLong)
-    if (n <= leafCap)
+    if (n <= leafCap) {
+      // the BTHD "records in root node" field is u16
+      require(n <= 65535,
+        s"v2 btree single-leaf root cannot hold $n records (u16 cap); " +
+          "use a smaller node size so the plan goes multi-level")
       return (BtNodePlan("btlf:0", (0 until n).toVector, Vector.empty),
         maxNrec.toVector, maxTot.toVector)
+    }
     val chunks = (0 until n).toVector.grouped(leafCap).toVector
     var nodes: Vector[BtNodePlan] = chunks.zipWithIndex.map { case (c, i) =>
       BtNodePlan(s"btlf:$i", if (i == 0) c else c.tail, Vector.empty) }
@@ -873,9 +878,15 @@ object HDF5Writer {
     // dictates (depth 2 appears past leafCap·(intCap+1) links — forced
     // in fixtures by a small denseBtNodeSize, reached in the wild past
     // ~10⁵ links)
+    // The default is a single leaf sized to the corpus — but the BTHD
+    // root record count is u16, so past 65,535 records the leaf is
+    // CAPPED and the plan goes multi-level (the r13 100k-link fix: a
+    // 65,536-record single-leaf root wrapped rootNRec to 0 and the
+    // reader saw an empty group)
     val denseNodeSize =
       if (denseBtNodeSize > 0) denseBtNodeSize
-      else math.max(2048, 6 + objNames.length * btRecSize + 4 + 8)
+      else math.max(2048,
+        6 + math.min(objNames.length, 65535) * btRecSize + 4 + 8)
     val (denseBtRoot, denseBtMaxNrec, denseBtMaxTot) =
       if (denseRootLinks) planBtree(objNames.length, denseNodeSize, btRecSize)
       else (BtNodePlan("btlf:0", Vector.empty, Vector.empty),
@@ -942,7 +953,11 @@ object HDF5Writer {
         alloc(s"ahugelf:$n", (6 + huge.length * 24 + 4).toLong)
       }
     }
-    // global heap: one object per (data var, dim) + free-space tail
+    // global heap: one object per (data var, dim), SHARDED into 4 KiB
+    // collections like libhdf5 (H5HG_SIZE_HINT) — a single collection's
+    // u16 index caps at 65,535 entries, which a 100k-var group exceeds
+    // (SCALE_r12 §4); sharding removes the ceiling and the reader
+    // already resolves references per collection address
     val gheapEntries: Vector[(String, Int)] = varNames.flatMap { n =>
       varOf(n) match {
         case Some(vr) if !dimNames.contains(n) =>
@@ -950,8 +965,15 @@ object HDF5Writer {
         case _ => Vector.empty
       }
     }
-    val gheapSize = 16 + gheapEntries.length * 24 + 16
-    if (gheapEntries.nonEmpty) alloc("gheap", gheapSize.toLong)
+    // per 4 KiB collection: 16-byte header + entries (16-byte object
+    // header + 8-byte payload) + 16-byte free-space tail
+    val GcolEntryCap = (4096 - 16 - 16) / 24
+    val gheapShards: Vector[Vector[(String, Int)]] =
+      gheapEntries.grouped(GcolEntryCap).toVector
+    def gheapShardSize(entries: Int): Int = 16 + entries * 24 + 16
+    gheapShards.zipWithIndex.foreach { case (sh, si) =>
+      alloc(s"gheap:$si", gheapShardSize(sh.length).toLong)
+    }
     // chunk btrees + data
     objNames.foreach { n =>
       varData.get(n) match {
@@ -1280,15 +1302,18 @@ object HDF5Writer {
     }
     }
 
-    // global heap
-    val gheapIndex: Map[(String, Int), Int] =
-      gheapEntries.zipWithIndex.map { case (e, i) => e -> (i + 1) }.toMap
-    if (gheapEntries.nonEmpty) {
-      val b = ByteBuffer.allocate(gheapSize).order(ByteOrder.LITTLE_ENDIAN)
+    // global heap shards: (collection address key, 1-based index)
+    val gheapIndex: Map[(String, Int), (Int, Int)] =
+      gheapShards.zipWithIndex.flatMap { case (sh, si) =>
+        sh.zipWithIndex.map { case (e, i) => e -> (si, i + 1) }
+      }.toMap
+    gheapShards.zipWithIndex.foreach { case (sh, si) =>
+      val size = gheapShardSize(sh.length)
+      val b = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
       b.put("GCOL".getBytes("ASCII"))
       b.put(1.toByte); b.put(0.toByte); b.put(0.toByte); b.put(0.toByte)
-      b.position(8); b.putLong(gheapSize.toLong)
-      gheapEntries.zipWithIndex.foreach { case ((vn, d), i) =>
+      b.position(8); b.putLong(size.toLong)
+      sh.zipWithIndex.foreach { case ((vn, d), i) =>
         b.putShort((i + 1).toShort)
         b.putShort(1) // refcount
         b.putInt(0)
@@ -1297,7 +1322,7 @@ object HDF5Writer {
       }
       // terminal free-space object
       b.putShort(0); b.putShort(0); b.putInt(0); b.putLong(16L)
-      put(addrs("gheap"), b.array())
+      put(addrs(s"gheap:$si"), b.array())
     }
 
     // the real DIMENSION_LIST body (gheap references) — shared by the
@@ -1307,9 +1332,10 @@ object HDF5Writer {
       val data = ByteBuffer.allocate(vr.dims.length * 16)
         .order(ByteOrder.LITTLE_ENDIAN)
       vr.dims.indices.foreach { d =>
+        val (si, idx) = gheapIndex((n, d))
         data.putInt(1)
-        data.putLong(addrs("gheap"))
-        data.putInt(gheapIndex((n, d)))
+        data.putLong(addrs(s"gheap:$si"))
+        data.putInt(idx)
       }
       attrBytes("DIMENSION_LIST", vlenRefTypeBytes,
         dataspaceBytes(Vector(vr.dims.length)), data.array())
