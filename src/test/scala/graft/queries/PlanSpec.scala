@@ -660,4 +660,49 @@ class PlanSpec extends AnyFunSuite {
     val p = pairs.queryExecution.executedPlan.toString
     assert(p.contains("ReusedQueryStage") || p.contains("ReusedExchange"), p)
   }
+
+  test("broadcast-misestimate gate: no corpus-side broadcast at 10^6 checkpoint-derived rows") {
+    // The SCALE_r12 §1 defect class (localCheckpoint lineage → size
+    // underestimate → BroadcastExchange build of a corpus-derived join
+    // side → driver OOM at scale), audited fleet-wide in r13
+    // (graft.queries.JoinAudit live runs; SCALE_r13 §2). This gate pins
+    // the STATIC plans at the 10^6-row scale where a mis-broadcast is
+    // fatal: every self-join family must plan with ZERO
+    // BroadcastExchange nodes. Planning-only — nothing executes.
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.functions.GraftFunctions.register(spark)
+    val n = 1000000L
+    val docs = spark.range(n).toDF("doc_id")
+      .withColumn("text", expr(
+        "concat_ws(' ', transform(sequence(0, 7), " +
+          "j -> concat('w', abs(hash(doc_id, j)) % 10000)))"))
+      .localCheckpoint(true)
+    val emb = spark.range(n).toDF("vec_id")
+      .withColumn("q", expr("transform(sequence(0, 63), " +
+        "j -> cast(hash(vec_id, j) % 1000 as bigint))"))
+      .withColumn("nrm", expr(
+        "aggregate(q, cast(0 as bigint), (a, x) -> a + x * x)"))
+      .withColumn("cell", expr(s"abs(hash(vec_id)) % ${n / 64}"))
+      .localCheckpoint(true)
+    try {
+      val sig = DedupOps.minhashSigOf(
+        graft.ops.Corpus.shingles(docs, "doc_id", "text")).localCheckpoint(true)
+      val sh = graft.ops.Corpus.simhashSignatures(docs).localCheckpoint(true)
+      try {
+        val fams = Seq(
+          "d04" -> DedupOps.lshPairsOf(sig),
+          "d06" -> DedupOps.simhashPairsOf(sh),
+          "d15" -> DedupOps.ppjoinPairsOf(docs, t10 = 8, k = 3),
+          "d17" -> DedupOps.containmentPairsOf(docs, 8, 3),
+          "s06" -> SimilarityOps.semanticDedupOf(emb, 0.45))
+        fams.foreach { case (name, df) =>
+          val p = plan(df)
+          assert(!p.contains("BroadcastExchange"),
+            s"$name plans a broadcast at n=$n:\n${p.take(3000)}")
+        }
+      } finally { sig.unpersist(blocking = false); sh.unpersist(blocking = false) }
+    } finally {
+      docs.unpersist(blocking = false); emb.unpersist(blocking = false)
+    }
+  }
 }
