@@ -68,6 +68,23 @@ class J2kSpec extends AnyFunSuite {
     assert(scCtxProbe(4, 8, 0, vsc = false, Seq((1, 4, false)), 1, 3) == 10)
   }
 
+  test("VSC codestream bytes are pinned (regression fence for the masking fix)") {
+    // A fixed field whose significance pattern crosses stripe
+    // boundaries in both directions; under the OLD (both-ways) masking
+    // the MQ context sequence differs, so these bytes change. Pinned
+    // from the fixed encoder (r13) — the contexts themselves are
+    // pinned against hand-derived ISO vectors in the test above.
+    val in = field(16, 16, 10, 99L)
+    val bytes = J2K.encode(in, 16, 16, 10, levels = 2, cblkExp = 4,
+      cbStyle = 0x08)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(bytes).map("%02x".format(_)).mkString
+    assert(java.util.Arrays.equals(J2K.decode(bytes).samples, in))
+    assert(hex ==
+      "bc109324b280c29ae8a04719f312315222ae6e42fa26cef657205ea318f2c8a8",
+      s"VSC codestream drifted: $hex")
+  }
+
   test("lossless round trip across a torture grid of geometries") {
     // odd/even/prime sizes, 1-pixel edges, multi-codeblock bands
     for ((w, h) <- Seq((1, 1), (1, 7), (8, 1), (2, 2), (3, 5), (17, 13),
