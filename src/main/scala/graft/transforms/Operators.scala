@@ -211,17 +211,27 @@ object Preprocess {
             case AttrValue.AStr(s) => s
           }.getOrElse("standard")
           val parsed = CfCalendar.parseUnits(u)
+          // FLOAT encodings decode on the exact-microsecond grid: a
+          // fractional step count x is accepted iff x·stepMicros is an
+          // exact integer (the 0.25-day / 0.5-day grids real 6-hourly
+          // reanalysis archives carry; cftime decodes these too).
+          // Fractions OFF the µs grid (0.1 days = 8.64e9 + 2^-? µs in
+          // binary) stay a named error — exact round trip or nothing.
+          val microUnits = parsed.copy(stepMicros = 1L)
           val n = v.data.size
           val parts = Array.ofDim[Long](7, n)
           var i = 0
           while (i < n) {
-            if (v.dtype == DType.F8 || v.dtype == DType.F4) {
+            val dt = if (v.dtype == DType.F8 || v.dtype == DType.F4) {
               val x = v.data.getDouble(i)
-              require(x == math.rint(x) && !x.isNaN,
-                s"decodeTimes: $name[$i] = $x is not an integral step " +
-                  s"count — fractional CF time is not exactly decodable")
-            }
-            val dt = CfCalendar.num2date(v.data.getLong(i), parsed, cal)
+              val m = x * parsed.stepMicros
+              require(!m.isNaN && m == math.rint(m) &&
+                math.abs(m) < 9.2e18,
+                s"decodeTimes: $name[$i] = $x steps is not an exact " +
+                  "microsecond instant — fractional CF time beyond the " +
+                  "µs grid is not exactly decodable")
+              CfCalendar.num2date(m.toLong, microUnits, cal)
+            } else CfCalendar.num2date(v.data.getLong(i), parsed, cal)
             parts(0)(i) = dt.year; parts(1)(i) = dt.month.toLong
             parts(2)(i) = dt.day.toLong; parts(3)(i) = dt.hour.toLong
             parts(4)(i) = dt.minute.toLong; parts(5)(i) = dt.second.toLong
@@ -270,11 +280,24 @@ object Preprocess {
         comp(1).data.getLong(i).toInt, comp(2).data.getLong(i).toInt,
         comp(3).data.getLong(i).toInt, comp(4).data.getLong(i).toInt,
         comp(5).data.getLong(i).toInt, comp(6).data.getLong(i).toInt)
-      val num = CfCalendar.date2num(dt, units, cal)
-      require(num == v.data.getLong(i),
-        s"encodeTimes: $name[$i] companions re-encode to $num but stored " +
-          s"encoding is ${v.data.getLong(i)} — companions were edited " +
-          s"inconsistently with the encoding")
+      if (v.dtype == DType.F8 || v.dtype == DType.F4) {
+        // float storage: re-derive exact µs, divide back to step counts
+        // (exact: micros = x·step held exactly at decode, so micros/step
+        // rounds to the original x bit-for-bit)
+        val micros =
+          CfCalendar.date2num(dt, units.copy(stepMicros = 1L), cal)
+        val num = micros.toDouble / units.stepMicros
+        require(num == v.data.getDouble(i),
+          s"encodeTimes: $name[$i] companions re-encode to $num but " +
+            s"stored encoding is ${v.data.getDouble(i)} — companions " +
+            "were edited inconsistently with the encoding")
+      } else {
+        val num = CfCalendar.date2num(dt, units, cal)
+        require(num == v.data.getLong(i),
+          s"encodeTimes: $name[$i] companions re-encode to $num but " +
+            s"stored encoding is ${v.data.getLong(i)} — companions were " +
+            "edited inconsistently with the encoding")
+      }
       i += 1
     }
     val dropped = fields.map(fld => s"${name}_$fld").toSet

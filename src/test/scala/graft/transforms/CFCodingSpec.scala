@@ -229,14 +229,35 @@ class CFCodingSpec extends AnyFunSuite {
       .coords("time").data.sameElements(f2.coords("time").data))
   }
 
-  test("decodeTimes rejects fractional float encodings by name") {
+  test("decodeTimes: float fractions on the µs grid decode; off-grid fail by name") {
+    // 0.25-day steps (the 6-hourly reanalysis axis cftime also decodes):
+    // x·stepMicros is an exact integer, so the companions are exact and
+    // encodeTimes reproduces the doubles bit-for-bit
     val f0 = cal360Fragment
+    val quarters = f0.copy(coords = f0.coords.updated("time",
+      f0.coords("time").copy(data =
+        NDArray(DType.F8, Vector(14), Array.tabulate(14)(_ * 0.25)))))
+    val d = Preprocess.decodeTimes(quarters)
+    assert((0 until 14).forall(i =>
+      d.coords("time_hour").data.getLong(i) == (i % 4) * 6 &&
+        d.coords("time_day").data.getLong(i) == 1 + i / 4))
+    val rt = Preprocess.encodeTimes(d, "time")
+    assert(rt.coords("time").data.sameElements(
+      quarters.coords("time").data))
+    // An instant genuinely OFF the microsecond grid (a half-microsecond
+    // step — finer than CF's finest unit) is a named error, never a
+    // rounded decode. Coarser-unit fractions (0.1 days etc.) round to
+    // integral µs IN DOUBLE ARITHMETIC (the stored value is exactly
+    // on-grid: residue < double spacing), so they decode exactly — the
+    // same values cftime yields for them.
     val f = f0.copy(coords = f0.coords.updated("time",
       f0.coords("time").copy(data =
         NDArray(DType.F8, Vector(14),
-          Array.tabulate(14)(i => i * 30.0 + (if (i == 7) 0.5 else 0.0))))))
+          Array.tabulate(14)(i => if (i == 7) 0.5 else i.toDouble)),
+        attrs = f0.coords("time").attrs.updated("units",
+          AttrValue("microseconds since 2000-01-01")))))
     val e = intercept[IllegalArgumentException](Preprocess.decodeTimes(f))
-    assert(e.getMessage.contains("not an integral step count"))
+    assert(e.getMessage.contains("microsecond instant"), e.getMessage)
   }
 
   test("Openers.open applies mask-and-scale by default, raw on opt-out") {
