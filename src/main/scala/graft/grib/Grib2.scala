@@ -16,6 +16,7 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
   *   0 indicator   "GRIB" + discipline + edition + total length
   *   1 identification   originating centre + reference time
   *   3 grid definition  template 3.0 (regular lat-lon) / 3.20 (polar stereo)
+  *                      / 3.30 (Lambert conformal) / 3.40 (Gaussian, r13)
   *   4 product          template 4.0 (param category/number, level)
   *   5 data representation  template 5.0 (simple) / 5.2 (complex) /
   *                          5.3 (complex + spatial differencing) /
@@ -60,7 +61,8 @@ object Grib2 {
                            la2: Double, lo2: Double, di: Double, dj: Double,
                            laD: Double, loV: Double, dx: Double, dy: Double,
                            projCentreFlag: Int, scanMode: Int,
-                           latin1: Double = 0, latin2: Double = 0) {
+                           latin1: Double = 0, latin2: Double = 0,
+                           gaussN: Int = 0) {
     def scanNegI: Boolean = (scanMode & 0x80) != 0
     def scanPosJ: Boolean = (scanMode & 0x40) != 0
   }
@@ -322,9 +324,19 @@ object Grib2 {
           dx = r.u32(55) / 1e3, dy = r.u32(59) / 1e3,
           projCentreFlag = r.u8(63), scanMode = r.u8(64),
           latin1 = r.i32sm(65) / 1e6, latin2 = r.i32sm(69) / 1e6)
+      case 40 => // Gaussian lat-lon (ERA5/IFS native): 3.0's layout with
+        // N (parallels pole→equator) at octets 68-71 instead of Dj
+        GridDef(template, nx = r.u32(30).toInt, ny = r.u32(34).toInt,
+          nDataPoints = nDataPoints, radius = radiusOf,
+          la1 = r.i32sm(46) / 1e6, lo1 = r.i32sm(50) / 1e6,
+          la2 = r.i32sm(55) / 1e6, lo2 = r.i32sm(59) / 1e6,
+          di = r.u32(63) / 1e6, dj = 0,
+          laD = 0, loV = 0, dx = 0, dy = 0,
+          projCentreFlag = 0, scanMode = r.u8(71),
+          gaussN = r.u32(67).toInt)
       case t => throw new UnsupportedOperationException(
         s"GRIB2 grid template 3.$t not supported (3.0 lat-lon, 3.20 polar " +
-          "stereographic, 3.30 Lambert conformal are)")
+          "stereographic, 3.30 Lambert conformal, 3.40 Gaussian are)")
     }
   }
 
@@ -791,9 +803,78 @@ object Grib2 {
           }
           j += 1
         }
+      case 40 =>
+        // Gaussian lat-lon: longitudes regular like 3.0; row latitudes
+        // are a consecutive run of the 2N global Gaussian latitudes,
+        // anchored at the encoded first latitude and stepped in the
+        // file's j scan direction (ECMWF writes north→south, scan -j)
+        val all = gaussianLatitudes(2 * g.gaussN) // descending N→S
+        require(g.gaussN >= 1 && g.ny >= 1 && g.ny <= 2 * g.gaussN,
+          s"Gaussian grid: ${g.ny} rows on an N=${g.gaussN} grid")
+        val startIdx = all.indices.minBy(i => math.abs(all(i) - g.la1))
+        require(math.abs(all(startIdx) - g.la1) < 1e-3,
+          f"Gaussian grid: first latitude ${g.la1}%.6f is not a Gaussian " +
+            f"latitude of N=${g.gaussN} (nearest ${all(startIdx)}%.6f)")
+        val dir = if (g.scanPosJ) -1 else 1 // +j = northward = ascending lat
+        require(startIdx + dir * (g.ny - 1) >= 0 &&
+          startIdx + dir * (g.ny - 1) < all.length,
+          s"Gaussian grid: ${g.ny} rows from latitude index $startIdx " +
+            s"run off the 2N=${2 * g.gaussN} latitude set")
+        val di = if (g.scanNegI) -g.di else g.di
+        var j = 0
+        while (j < g.ny) {
+          val lat = all(startIdx + dir * j)
+          var i = 0
+          while (i < g.nx) {
+            lats(j * g.nx + i) = lat
+            lons(j * g.nx + i) = normLon(g.lo1 + i * di)
+            i += 1
+          }
+          j += 1
+        }
       case t => throw new UnsupportedOperationException(s"grid template 3.$t")
     }
     (lats, lons)
+  }
+
+  /** The n Gaussian latitudes (degrees, DESCENDING north→south; a grid
+    * of parameter N has n = 2N) — arcsin of the roots of the Legendre polynomial
+    * P_n, found by Newton iteration from the Tricomi initial guess
+    * (the standard Gauss–Legendre node construction; converges to
+    * machine precision in ≤ 8 iterations). Deterministic: fixed guess,
+    * fixed convergence threshold, pure double arithmetic. */
+  private[grib] def gaussianLatitudes(n: Int): Array[Double] = {
+    require(n >= 2 && n % 2 == 0 && n <= 10000,
+      s"Gaussian latitude count $n (need even, 2..10000)")
+    val roots = new Array[Double](n)
+    var k = 1
+    while (k <= n / 2) {
+      var x = math.cos(math.Pi * (k - 0.25) / (n + 0.5))
+      var iter = 0
+      var continue = true
+      while (iter < 100 && continue) {
+        // P_n(x) and P_{n-1}(x) by the three-term recurrence
+        var p0 = 1.0
+        var p1 = x
+        var m = 2
+        while (m <= n) {
+          val p2 = ((2 * m - 1) * x * p1 - (m - 1) * p0) / m
+          p0 = p1; p1 = p2
+          m += 1
+        }
+        val dp = n * (x * p1 - p0) / (x * x - 1.0)
+        val dx = p1 / dp
+        x -= dx
+        iter += 1
+        if (math.abs(dx) <= 1e-15) continue = false
+      }
+      require(!continue && math.abs(x) < 1.0,
+        s"Gaussian latitude Newton iteration failed at node $k of $n")
+      roots(k - 1) = x  // northern half, descending from the pole
+      roots(n - k) = -x
+      k += 1
+    }
+    roots.map(r => math.toDegrees(math.asin(r)))
   }
 
   private def normLon(l: Double): Double = {
@@ -905,6 +986,54 @@ object Grib2 {
     s3.putInt((dLon * 1e6).round.toInt); s3.putInt((dLat * 1e6).round.toInt)
     s3.put(0x40.toByte) // scan +i, +j
     s3.array()
+  }
+
+  /** Section 3 (grid definition, template 3.40 Gaussian lat-lon) body:
+    * 3.0's layout with N at octets 68-71; scan mode 0x00 (+i, −j:
+    * north→south — the direction ECMWF writes). `rowLats` are the
+    * grid's latitudes in file row order (descending). */
+  private def sec3Gaussian(nx: Int, ny: Int, lo1: Double, dLon: Double,
+                           gaussN: Int,
+                           rowLats: Array[Double]): Array[Byte] = {
+    val s3 = ByteBuffer.allocate(67).order(ByteOrder.BIG_ENDIAN)
+    s3.put(0.toByte)
+    s3.putInt(nx * ny); s3.put(0.toByte); s3.put(0.toByte)
+    s3.putShort(40) // template 3.40
+    s3.put(6.toByte) // sphere 6371229
+    s3.put(0.toByte); s3.putInt(0)
+    s3.put(0.toByte); s3.putInt(0); s3.put(0.toByte); s3.putInt(0)
+    s3.putInt(nx); s3.putInt(ny)
+    s3.putInt(0); s3.putInt(0) // basic angle
+    s3.putInt((rowLats.head * 1e6).round.toInt)
+    s3.putInt((lo1 * 1e6).round.toInt)
+    s3.put(0x30.toByte) // resolution flags: di/N given
+    s3.putInt((rowLats.last * 1e6).round.toInt)
+    s3.putInt(((lo1 + (nx - 1) * dLon) * 1e6).round.toInt)
+    s3.putInt((dLon * 1e6).round.toInt)
+    s3.putInt(gaussN)
+    s3.put(0x00.toByte) // scan +i, -j (north -> south)
+    s3.array()
+  }
+
+  /** Write a one-message GRIB2 file on a GAUSSIAN lat-lon grid (template
+    * 3.40 — the ECMWF ERA5/IFS native layout): simple packing, the full
+    * 2N-row global grid or a consecutive `rowOffset`-based subset,
+    * north→south scan. Fixture writer for the 3.40 scan path. */
+  def writeGaussian(path: String, values: Array[Double], nx: Int, ny: Int,
+                    lo1: Double, dLon: Double, gaussN: Int,
+                    discipline: Int, category: Int, number: Int,
+                    refTimeEpochSec: Long, rowOffset: Int = 0,
+                    nbits: Int = 12, decimalScale: Int = 2): Unit = {
+    require(values.length == nx * ny, "values must cover the grid")
+    require(rowOffset >= 0 && rowOffset + ny <= 2 * gaussN,
+      s"$ny rows at offset $rowOffset exceed the 2N=${2 * gaussN} grid")
+    val rowLats = gaussianLatitudes(2 * gaussN)
+      .slice(rowOffset, rowOffset + ny)
+    writeMessage(path, discipline, Array(
+      sec(1, sec1Body(refTimeEpochSec)),
+      sec(3, sec3Gaussian(nx, ny, lo1, dLon, gaussN, rowLats)),
+      sec(4, sec4Body(category, number))) ++
+      simplePackSections(values, nbits, decimalScale))
   }
 
   /** Section 4 (product definition, template 4.0 at ground level) body. */

@@ -137,6 +137,97 @@ class GribSpec extends AnyFunSuite {
     }
   }
 
+  test("gaussian grid (3.40, the ERA5/IFS native layout) scans with exact quadrature latitudes") {
+    // the 4-point Gauss–Legendre nodes are textbook constants: the
+    // latitude generator must reproduce them to machine precision
+    val g4 = Grib2.gaussianLatitudes(4)
+    val nodes = Seq(0.8611363115940526, 0.3399810435848563)
+    assert(math.abs(g4(0) - math.toDegrees(math.asin(nodes(0)))) < 1e-12)
+    assert(math.abs(g4(1) - math.toDegrees(math.asin(nodes(1)))) < 1e-12)
+    assert(g4(2) == -g4(1) && g4(3) == -g4(0), "node symmetry")
+    // independent BigDecimal Legendre evaluation at every returned root
+    // of a larger grid: |P_n(sin lat)| must vanish, order must descend
+    val n = 64
+    val lats = Grib2.gaussianLatitudes(n)
+    assert(lats.length == n && lats.sliding(2).forall(p => p(0) > p(1)))
+    val mc = new java.math.MathContext(50)
+    def legendre(x: java.math.BigDecimal): java.math.BigDecimal = {
+      var p0 = java.math.BigDecimal.ONE
+      var p1 = x
+      var m = 2
+      while (m <= n) {
+        val a = x.multiply(p1, mc)
+          .multiply(new java.math.BigDecimal(2 * m - 1), mc)
+        val b = p0.multiply(new java.math.BigDecimal(m - 1), mc)
+        val p2 = a.subtract(b, mc)
+          .divide(new java.math.BigDecimal(m), mc)
+        p0 = p1; p1 = p2
+        m += 1
+      }
+      p1
+    }
+    lats.take(n / 2).foreach { lat =>
+      val x = new java.math.BigDecimal(math.sin(math.toRadians(lat)), mc)
+      assert(legendre(x).abs.doubleValue < 1e-13,
+        s"P_$n residual at latitude $lat: ${legendre(x)}")
+    }
+
+    // write → scan round trip on a full N=8 global grid (16 rows)
+    val dir = Files.createTempDirectory("graft_grib_gau").toString
+    val nx = 24; val gaussN = 8; val ny = 2 * gaussN
+    val rng = new scala.util.Random(71)
+    val values = Array.tabulate(nx * ny)(i =>
+      math.rint((250 + math.cos(i * 0.17) * 20 + rng.nextDouble()) * 100) / 100.0)
+    val path = s"$dir/gau.grib2"
+    Grib2.writeGaussian(path, values, nx, ny, lo1 = 0.0, dLon = 15.0,
+      gaussN = gaussN, discipline = 0, category = 0, number = 0,
+      refTimeEpochSec = 1700000000L)
+    val m = Grib2.scan(path).head
+    assert(m.grid.template == 40 && m.grid.gaussN == gaussN)
+    val got = Grib2.decodeValues(path, m)
+    val tol = 0.5 * math.pow(2, m.packing.binaryScale) /
+      math.pow(10, m.packing.decimalScale) + 1e-9
+    values.indices.foreach(i =>
+      assert(math.abs(got(i) - values(i)) <= tol, s"point $i"))
+    val (glats, glons) = Grib2.latLonArrays(m.grid)
+    val want = Grib2.gaussianLatitudes(2 * gaussN)
+    (0 until ny).foreach { j =>
+      assert(math.abs(glats(j * nx) - want(j)) < 1e-9,
+        s"row $j latitude ${glats(j * nx)} != ${want(j)}")
+    }
+    assert(math.abs(glons(1) - 15.0) < 1e-9)
+    // the Fragment surface carries the Gaussian latitudes too
+    val frag = Grib2.read(path)
+    assert(frag.dims == Map("y" -> ny, "x" -> nx))
+    assert(math.abs(frag.coords("latitude").data.getDouble(0) - want(0)) < 1e-9)
+
+    // consecutive SUBSET (a northern-hemisphere slab at rowOffset 2)
+    val path2 = s"$dir/gau_sub.grib2"
+    val sub = values.slice(2 * nx, 8 * nx)
+    Grib2.writeGaussian(path2, sub, nx, 6, lo1 = 0.0, dLon = 15.0,
+      gaussN = gaussN, discipline = 0, category = 0, number = 0,
+      refTimeEpochSec = 1700000000L, rowOffset = 2)
+    val m2 = Grib2.scan(path2).head
+    val (slats, _) = Grib2.latLonArrays(m2.grid)
+    (0 until 6).foreach(j =>
+      assert(math.abs(slats(j * nx) - want(j + 2)) < 1e-9, s"subset row $j"))
+
+    // a first latitude OFF the Gaussian set fails by name (corrupt La1)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    // find section 3 (it follows section 1: 16 bytes at offset 16+5)
+    val s3at = 16 + 21
+    assert(bytes(s3at + 4) == 3, "section 3 not where expected")
+    // parseGrid offsets count from the section START (la1 at idx 46);
+    // flip a mid-weight bit so la1 moves ~0.004 deg — past the 1e-3
+    // Gaussian-latitude tolerance but still a plausible value
+    val la1Off = s3at + 46
+    bytes(la1Off + 2) = (bytes(la1Off + 2) ^ 0x10).toByte
+    val path3 = s"$dir/gau_bad.grib2"
+    Files.write(java.nio.file.Paths.get(path3), bytes)
+    val e = intercept[IllegalArgumentException](Grib2.read(path3))
+    assert(e.getMessage.contains("not a Gaussian"), e.getMessage)
+  }
+
   test("lambert conformal grid (3.30, the HRRR projection) scans and inverse-projects") {
     val dir = Files.createTempDirectory("graft_grib_lcc").toString
     val nx = 40; val ny = 30
