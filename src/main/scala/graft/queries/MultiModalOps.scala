@@ -1235,8 +1235,17 @@ object MultiModalOps {
   private[graft] final case class PngImage(width: Int, height: Int,
       nChunks: Long, pixels: Array[Byte])
 
-  /** Decode an 8-bit RGB PNG: CRC-checked chunk walk, multi-chunk IDAT,
-    * full zlib inflate with exact-size verification, all five unfilters.
+  /** Decode a PNG across the FULL color-type matrix (r13 — the real-
+    * corpus surface: grayscale 1/2/4/8/16, truecolor 8/16, palette
+    * 1/2/4/8 with tRNS alpha, gray+alpha, RGBA; Adam7 interlace for all
+    * of them): CRC-checked chunk walk, multi-chunk IDAT, full zlib
+    * inflate with exact-size verification (per-pass geometry), all five
+    * unfilters at the correct filter distance per pixel layout. Output
+    * is always RGB24; alpha composites over WHITE with the exact
+    * integer formula (c·a + 255·(255−a) + 127) div 255 — cross-
+    * validated against compositing ImageIO's RGBA output the same way.
+    * 16-bit samples take their high byte (the libpng 16→8 strip);
+    * sub-byte gray scales by bit replication (×255/×85/×17 — exact).
     * Iterative walks only; every length is bounded against the payload
     * in Long arithmetic BEFORE any allocation, so corrupt values fail by
     * name instead of looping or mass-allocating. */
@@ -1248,6 +1257,9 @@ object MultiModalOps {
     val bb = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
     var off = 8
     var width = -1; var height = -1
+    var bitDepth = -1; var colorType = -1; var interlace = -1
+    var plte: Array[Byte] = null
+    var trns: Array[Byte] = null
     var nChunks = 0L
     var sawIhdr = false; var sawIend = false; var idatDone = false
     val idat = new java.io.ByteArrayOutputStream()
@@ -1270,14 +1282,33 @@ object MultiModalOps {
           require(len == 13, s"IHDR length $len != 13")
           width = bb.getInt(off + 8); height = bb.getInt(off + 12)
           require(width > 0 && height > 0 &&
-            width.toLong * height * 3 + height <= (1L << 26),
+            width.toLong * height * 8 + height <= (1L << 26),
             s"unsupported PNG dimensions ${width}x$height")
-          require(bytes(off + 16) == 8, "8-bit depth only")
-          require(bytes(off + 17) == 2, "truecolor RGB only")
-          require(bytes(off + 18) == 0 && bytes(off + 19) == 0 &&
-            bytes(off + 20) == 0,
-            "unsupported compression/filter/interlace method")
+          bitDepth = bytes(off + 16) & 0xff
+          colorType = bytes(off + 17) & 0xff
+          val legal = (colorType, bitDepth) match {
+            case (0, 1 | 2 | 4 | 8 | 16) => true // grayscale
+            case (2, 8 | 16) => true // truecolor
+            case (3, 1 | 2 | 4 | 8) => true // palette
+            case (4, 8 | 16) => true // gray + alpha
+            case (6, 8 | 16) => true // truecolor + alpha
+            case _ => false
+          }
+          require(legal,
+            s"unsupported PNG color type $colorType at bit depth $bitDepth")
+          require(bytes(off + 18) == 0 && bytes(off + 19) == 0,
+            "unsupported compression/filter method")
+          interlace = bytes(off + 20) & 0xff
+          require(interlace == 0 || interlace == 1,
+            s"unsupported PNG interlace method $interlace")
           sawIhdr = true
+        case "PLTE" =>
+          require(len > 0 && len % 3 == 0 && len <= 256 * 3,
+            s"corrupt PNG: PLTE length $len")
+          plte = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
+        case "tRNS" =>
+          require(len <= 256 * 2, s"corrupt PNG: tRNS length $len")
+          trns = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
         case "IDAT" =>
           require(!idatDone, "non-consecutive IDAT chunks")
           idat.write(bytes, off + 8, len)
@@ -1291,8 +1322,32 @@ object MultiModalOps {
       off += 12 + len
     }
     require(off == bytes.length, "trailing bytes after IEND")
-    val rowBytes = width * 3
-    val expect = height * (1 + rowBytes)
+    require(colorType != 3 || (plte != null && plte.length >= 3),
+      "palette PNG without a PLTE chunk")
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+    }
+    val bitsPP = channels * bitDepth
+    val bppF = math.max(1, bitsPP / 8) // filter distance in bytes
+    // interlace passes: Adam7 origins/strides, or the single full pass
+    val passX0 = if (interlace == 0) Array(0) else Array(0, 4, 0, 2, 0, 1, 0)
+    val passY0 = if (interlace == 0) Array(0) else Array(0, 0, 4, 0, 2, 0, 1)
+    val passDx = if (interlace == 0) Array(1) else Array(8, 8, 4, 4, 2, 2, 1)
+    val passDy = if (interlace == 0) Array(1) else Array(8, 8, 8, 4, 4, 2, 2)
+    def passW(p: Int): Int =
+      if (width > passX0(p)) (width - passX0(p) + passDx(p) - 1) / passDx(p)
+      else 0
+    def passH(p: Int): Int =
+      if (height > passY0(p)) (height - passY0(p) + passDy(p) - 1) / passDy(p)
+      else 0
+    def rowBytesOf(wp: Int): Int = (wp * bitsPP + 7) / 8
+    val expectL = passX0.indices.map { p =>
+      val wp = passW(p); val hp = passH(p)
+      if (wp == 0 || hp == 0) 0L else hp.toLong * (1 + rowBytesOf(wp))
+    }.sum
+    require(expectL > 0 && expectL <= (1L << 27),
+      s"unsupported PNG scanline volume $expectL bytes")
+    val expect = expectL.toInt
     val z = idat.toByteArray
     require(z.nonEmpty, "no IDAT data")
     val infl = new java.util.zip.Inflater()
@@ -1315,33 +1370,117 @@ object MultiModalOps {
       throw new IllegalArgumentException(
         s"corrupt PNG: inflate failed (${e.getMessage})")
     } finally infl.end()
-    // unfilter in place into the pixel plane
-    val px = new Array[Byte](height * rowBytes)
-    val bpp = 3
-    var y = 0
-    while (y < height) {
-      val f = filtered(y * (1 + rowBytes)) & 0xff
-      require(f <= 4, s"corrupt PNG: unknown filter type $f on row $y")
-      var b = 0
-      while (b < rowBytes) {
-        val x = filtered(y * (1 + rowBytes) + 1 + b) & 0xff
-        val left = if (b >= bpp) px((y * rowBytes) + b - bpp) & 0xff else 0
-        val up = if (y > 0) px((y - 1) * rowBytes + b) & 0xff else 0
-        val upLeft =
-          if (y > 0 && b >= bpp) px((y - 1) * rowBytes + b - bpp) & 0xff else 0
-        val recon = f match {
-          case 0 => x
-          case 1 => x + left
-          case 2 => x + up
-          case 3 => x + (left + up) / 2
-          case 4 => x + paethPredictor(left, up, upLeft)
-        }
-        px(y * rowBytes + b) = (recon & 0xff).toByte
-        b += 1
-      }
-      y += 1
+
+    // exact integer WHITE compositing: floor((c·a + 255·(255−a) + 127)/255)
+    @inline def comp(c: Int, a: Int): Int =
+      (c * a + 255 * (255 - a) + 127) / 255
+    // sub-byte gray scales by exact bit replication; 16-bit strips low
+    @inline def gscale(v: Int): Int = bitDepth match {
+      case 1 => v * 255; case 2 => v * 85; case 4 => v * 17; case _ => v
     }
-    PngImage(width, height, nChunks, px)
+    val out = new Array[Byte](width * height * 3)
+    var base = 0
+    var p = 0
+    while (p < passX0.length) {
+      val wp = passW(p); val hp = passH(p)
+      if (wp > 0 && hp > 0) {
+        val rb = rowBytesOf(wp)
+        val plane = new Array[Byte](hp * rb)
+        var y = 0
+        while (y < hp) {
+          val f = filtered(base + y * (1 + rb)) & 0xff
+          require(f <= 4, s"corrupt PNG: unknown filter type $f on row $y")
+          var b = 0
+          while (b < rb) {
+            val x = filtered(base + y * (1 + rb) + 1 + b) & 0xff
+            val left = if (b >= bppF) plane(y * rb + b - bppF) & 0xff else 0
+            val up = if (y > 0) plane((y - 1) * rb + b) & 0xff else 0
+            val upLeft =
+              if (y > 0 && b >= bppF) plane((y - 1) * rb + b - bppF) & 0xff
+              else 0
+            val recon = f match {
+              case 0 => x
+              case 1 => x + left
+              case 2 => x + up
+              case 3 => x + (left + up) / 2
+              case 4 => x + paethPredictor(left, up, upLeft)
+            }
+            plane(y * rb + b) = (recon & 0xff).toByte
+            b += 1
+          }
+          // emit this row's pixels into the full-size RGB plane
+          val rowOff = y * rb
+          // raw sample ch of pixel i (high byte at depth 16; bit-packed
+          // below 8 — single-channel types only, per the legality matrix)
+          @inline def raw(i: Int, ch: Int): Int = bitDepth match {
+            case 16 => plane(rowOff + (i * channels + ch) * 2) & 0xff
+            case 8 => plane(rowOff + i * channels + ch) & 0xff
+            case d =>
+              val bit = i * bitsPP
+              ((plane(rowOff + bit / 8) & 0xff) >> (8 - d - bit % 8)) &
+                ((1 << d) - 1)
+          }
+          // full-precision sample for tRNS comparison at depth 16
+          @inline def raw16(i: Int, ch: Int): Int =
+            ((plane(rowOff + (i * channels + ch) * 2) & 0xff) << 8) |
+              (plane(rowOff + (i * channels + ch) * 2 + 1) & 0xff)
+          @inline def trnsU16(k: Int): Int =
+            ((trns(k * 2) & 0xff) << 8) | (trns(k * 2 + 1) & 0xff)
+          var i = 0
+          while (i < wp) {
+            var r = 0; var g = 0; var bl = 0
+            colorType match {
+              case 0 =>
+                val v = raw(i, 0)
+                val transparent = trns != null && trns.length >= 2 && {
+                  if (bitDepth == 16) raw16(i, 0) == trnsU16(0)
+                  else v == (trnsU16(0) & ((1 << bitDepth) - 1))
+                }
+                val gv = if (transparent) 255 else gscale(v)
+                r = gv; g = gv; bl = gv
+              case 2 =>
+                r = raw(i, 0); g = raw(i, 1); bl = raw(i, 2)
+                if (trns != null && trns.length >= 6) {
+                  val m =
+                    if (bitDepth == 16)
+                      raw16(i, 0) == trnsU16(0) && raw16(i, 1) == trnsU16(1) &&
+                        raw16(i, 2) == trnsU16(2)
+                    else r == (trnsU16(0) & 0xff) && g == (trnsU16(1) & 0xff) &&
+                      bl == (trnsU16(2) & 0xff)
+                  if (m) { r = 255; g = 255; bl = 255 }
+                }
+              case 3 =>
+                val idx = raw(i, 0)
+                require(idx * 3 + 2 < plte.length,
+                  s"corrupt PNG: palette index $idx beyond the " +
+                    s"${plte.length / 3}-entry PLTE")
+                val a = if (trns != null && idx < trns.length)
+                  trns(idx) & 0xff else 255
+                r = comp(plte(idx * 3) & 0xff, a)
+                g = comp(plte(idx * 3 + 1) & 0xff, a)
+                bl = comp(plte(idx * 3 + 2) & 0xff, a)
+              case 4 =>
+                val a = raw(i, 1)
+                val gv = comp(raw(i, 0), a)
+                r = gv; g = gv; bl = gv
+              case 6 =>
+                val a = raw(i, 3)
+                r = comp(raw(i, 0), a)
+                g = comp(raw(i, 1), a)
+                bl = comp(raw(i, 2), a)
+            }
+            val o = ((passY0(p) + y * passDy(p)) * width +
+              passX0(p) + i * passDx(p)) * 3
+            out(o) = r.toByte; out(o + 1) = g.toByte; out(o + 2) = bl.toByte
+            i += 1
+          }
+          y += 1
+        }
+        base += hp * (1 + rb)
+      }
+      p += 1
+    }
+    PngImage(width, height, nChunks, out)
   }
 
   /** Oracle: every column from the synthesis formula only — no bytes. */
