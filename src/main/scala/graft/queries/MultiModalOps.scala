@@ -1671,14 +1671,16 @@ object MultiModalOps {
       emitsSinceClear = 0
     }
     // the decoder adds an entry after every data code EXCEPT the first
-    // following a clear, then bumps one entry early (its add lags the
-    // encoder's by one mid-stream)
+    // following a clear (its add lags the encoder's by one mid-stream);
+    // the width bumps on the standard giflib/ImageIO timing — when the
+    // decoder's next free slot reaches 2^width (GifSpec calibrates both
+    // directions against ImageIO)
     def emitData(c: Int): Unit = {
       emit(c)
       emitsSinceClear += 1
       if (emitsSinceClear >= 2 && decNext < 4096) {
         decNext += 1
-        if (decNext == (1 << width) - 1 && width < 12) width += 1
+        if (decNext == (1 << width) && width < 12) width += 1
       }
     }
     emit(clear); reset()
@@ -1751,10 +1753,12 @@ object MultiModalOps {
           dict(next) = prev :+ entry(0)
           next += 1
         }
-        // the decoder's dictionary LAGS the encoder by one entry (there
-        // is no add after the first post-clear code), so the width bump
-        // fires one code earlier than the encoder's next == 1<<width
-        if (next == (1 << width) - 1 && width < 12) width += 1
+        // standard (giflib/ImageIO) width timing: bump when the NEXT
+        // free slot reaches 2^width — calibrated against ImageIO-written
+        // streams (GifSpec); the previous next==2^width−1 rule read one
+        // code early and desynced on every real-world GIF at the first
+        // bump
+        if (next == (1 << width) && width < 12) width += 1
         prev = entry
       }
     }
@@ -1762,61 +1766,148 @@ object MultiModalOps {
   }
 
   private[graft] final case class GifImage(width: Int, height: Int,
-      palette: Array[Byte], indices: Array[Byte])
+      palette: Array[Byte], indices: Array[Byte], nFrames: Int = 1)
 
-  /** Decode a GIF87a: header + screen descriptor, global color table,
-    * image descriptor, sub-block reassembly, full LZW decode. Iterative
-    * walks; every length is bounded against the payload before use. */
+  /** Decode a GIF (87a AND 89a, r13): header + screen descriptor,
+    * global and per-frame LOCAL color tables, extension blocks (Graphic
+    * Control transparency, comments, application/NETSCAPE loops — all
+    * bounded sub-block walks), Adam-style 4-pass INTERLACE row
+    * reordering, sub-block reassembly, full LZW decode. Animated files
+    * decode their FIRST frame (the web-thumbnail semantics) and report
+    * the total frame count; a fully-transparent index renders WHITE in
+    * the returned palette (GIF alpha is binary). Iterative walks; every
+    * length is bounded against the payload before use. */
   private[graft] def gifDecodeOf(bytes: Array[Byte]): GifImage = {
-    require(bytes.length >= 13 &&
-      new String(bytes, 0, 6, "ASCII") == "GIF87a", "not a GIF87a file")
+    require(bytes.length >= 13 && {
+      val m = new String(bytes, 0, 6, "ASCII")
+      m == "GIF87a" || m == "GIF89a"
+    }, "not a GIF87a/GIF89a file")
     def u16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
     val packed = bytes(10) & 0xff
-    require((packed & 0x80) != 0, "GIF without a global color table")
-    val gctSize = 2 << (packed & 7)
+    val hasGct = (packed & 0x80) != 0
     var off = 13
-    require(off + 3 * gctSize <= bytes.length,
-      s"corrupt GIF: $gctSize-entry color table exceeds file bounds")
-    val palette = java.util.Arrays.copyOfRange(bytes, off, off + 3 * gctSize)
-    off += 3 * gctSize
-    require(off < bytes.length && (bytes(off) & 0xff) == 0x2C,
-      "corrupt GIF: expected image descriptor")
-    val w = u16(off + 5); val h = u16(off + 7)
-    require(w > 0 && h > 0 && w.toLong * h <= (1L << 24),
-      s"unsupported GIF dimensions ${w}x$h")
-    require((bytes(off + 9) & 0x80) == 0, "local color tables unsupported")
-    off += 10
-    require(off < bytes.length, "corrupt GIF: truncated before LZW header")
-    val minCode = bytes(off) & 0xff
-    require(minCode >= 2 && minCode <= 8,
-      s"corrupt GIF: LZW minimum code size $minCode")
-    off += 1
-    // sub-block reassembly (each iteration advances >= 1 byte)
-    val data = new java.io.ByteArrayOutputStream()
-    var bl = -1
-    while (bl != 0) {
-      require(off < bytes.length, "corrupt GIF: unterminated sub-blocks")
-      bl = bytes(off) & 0xff; off += 1
-      if (bl > 0) {
-        require(off + bl <= bytes.length,
-          s"corrupt GIF: sub-block of $bl exceeds file bounds at $off")
-        data.write(bytes, off, bl); off += bl
+    val global: Array[Byte] =
+      if (!hasGct) null
+      else {
+        val n = 2 << (packed & 7)
+        require(off + 3 * n <= bytes.length,
+          s"corrupt GIF: $n-entry color table exceeds file bounds")
+        val t = java.util.Arrays.copyOfRange(bytes, off, off + 3 * n)
+        off += 3 * n
+        t
+      }
+    /** Bounded sub-block walk from `off`; returns (payload, next off). */
+    def subBlocks(start: Int): (Array[Byte], Int) = {
+      val data = new java.io.ByteArrayOutputStream()
+      var o = start
+      var bl = -1
+      while (bl != 0) {
+        require(o < bytes.length, "corrupt GIF: unterminated sub-blocks")
+        bl = bytes(o) & 0xff; o += 1
+        if (bl > 0) {
+          require(o + bl <= bytes.length,
+            s"corrupt GIF: sub-block of $bl exceeds file bounds at $o")
+          data.write(bytes, o, bl); o += bl
+        }
+      }
+      (data.toByteArray, o)
+    }
+    var transparentNext = -1
+    var nFrames = 0
+    var first: GifImage = null
+    var done = false
+    while (!done) {
+      require(off < bytes.length, "corrupt GIF: truncated block stream")
+      (bytes(off) & 0xff) match {
+        case 0x3B =>
+          off += 1; done = true
+        case 0x21 => // extension: label + sub-blocks
+          require(off + 2 <= bytes.length, "corrupt GIF: truncated extension")
+          val label = bytes(off + 1) & 0xff
+          off += 2
+          if (label == 0xF9 && off + 4 < bytes.length &&
+              (bytes(off) & 0xff) >= 4 && (bytes(off + 1) & 0x01) != 0)
+            transparentNext = bytes(off + 4) & 0xff
+          off = subBlocks(off)._2
+        case 0x2C => // image descriptor
+          require(off + 10 <= bytes.length,
+            "corrupt GIF: truncated image descriptor")
+          val w = u16(off + 5); val h = u16(off + 7)
+          require(w > 0 && h > 0 && w.toLong * h <= (1L << 24),
+            s"unsupported GIF dimensions ${w}x$h")
+          val fpacked = bytes(off + 9) & 0xff
+          val interlaced = (fpacked & 0x40) != 0
+          off += 10
+          val local: Array[Byte] =
+            if ((fpacked & 0x80) == 0) null
+            else {
+              val n = 2 << (fpacked & 7)
+              require(off + 3 * n <= bytes.length,
+                s"corrupt GIF: $n-entry local color table exceeds file bounds")
+              val t = java.util.Arrays.copyOfRange(bytes, off, off + 3 * n)
+              off += 3 * n
+              t
+            }
+          require(off < bytes.length, "corrupt GIF: truncated before LZW header")
+          val minCode = bytes(off) & 0xff
+          require(minCode >= 2 && minCode <= 8,
+            s"corrupt GIF: LZW minimum code size $minCode")
+          off += 1
+          val (data, next) = subBlocks(off)
+          off = next
+          nFrames += 1
+          if (nFrames == 1) {
+            val table0 = if (local != null) local else global
+            require(table0 != null, "GIF frame without any color table")
+            val nColors = table0.length / 3
+            var indices = lzwDecode(data, minCode, w * h)
+            require(indices.length == w * h,
+              s"corrupt GIF: decoded ${indices.length} pixels, need ${w * h}")
+            if (interlaced) {
+              // 4-pass row reordering: rows arrive 0,8.. / 4,12.. /
+              // 2,6.. / 1,3..; remap to natural order
+              val natural = new Array[Byte](indices.length)
+              val starts = Array(0, 4, 2, 1); val steps = Array(8, 8, 4, 2)
+              var src = 0
+              var p = 0
+              while (p < 4) {
+                var y = starts(p)
+                while (y < h) {
+                  System.arraycopy(indices, src * w, natural, y * w, w)
+                  src += 1
+                  y += steps(p)
+                }
+                p += 1
+              }
+              indices = natural
+            }
+            var i = 0
+            while (i < indices.length) {
+              require((indices(i) & 0xff) < nColors,
+                s"corrupt GIF: pixel index ${indices(i) & 0xff} outside " +
+                  s"the $nColors-entry palette")
+              i += 1
+            }
+            // binary transparency renders WHITE (composite of a fully
+            // transparent pixel) — applied in a palette copy
+            val pal =
+              if (transparentNext >= 0 && transparentNext < nColors) {
+                val t = table0.clone()
+                t(transparentNext * 3) = 255.toByte
+                t(transparentNext * 3 + 1) = 255.toByte
+                t(transparentNext * 3 + 2) = 255.toByte
+                t
+              } else table0
+            first = GifImage(w, h, pal, indices)
+          }
+          transparentNext = -1
+        case other => throw new IllegalArgumentException(
+          s"corrupt GIF: unknown block introducer 0x${"%02x".format(other)}")
       }
     }
-    require(off < bytes.length && (bytes(off) & 0xff) == 0x3B,
-      "corrupt GIF: missing trailer")
-    require(off + 1 == bytes.length, "trailing bytes after GIF trailer")
-    val indices = lzwDecode(data.toByteArray, minCode, w * h)
-    require(indices.length == w * h,
-      s"corrupt GIF: decoded ${indices.length} pixels, need ${w * h}")
-    var i = 0
-    while (i < indices.length) {
-      require((indices(i) & 0xff) < gctSize,
-        s"corrupt GIF: pixel index ${indices(i) & 0xff} outside the " +
-          s"$gctSize-entry palette")
-      i += 1
-    }
-    GifImage(w, h, palette, indices)
+    require(off == bytes.length, "trailing bytes after GIF trailer")
+    require(first != null, "GIF contains no image frame")
+    first.copy(nFrames = nFrames)
   }
 
   // -------------------------------------------- cross-format (p11) kit
@@ -1852,7 +1943,7 @@ object MultiModalOps {
     if ((bytes(0) & 0xff) == 137 && bytes(1) == 'P'.toByte) {
       val v = pngDecodeOf(bytes)
       Array.tabulate(v.width * v.height)(i => v.pixels(3 * i))
-    } else if (new String(bytes, 0, 6, "ASCII") == "GIF87a") {
+    } else if (new String(bytes, 0, 6, "ASCII").startsWith("GIF8")) {
       val v = gifDecodeOf(bytes)
       Array.tabulate(v.indices.length)(i =>
         v.palette(3 * (v.indices(i) & 0xff)))
@@ -1987,7 +2078,7 @@ object MultiModalOps {
         val v = pngDecodeOf(bytes)
         ("png", Array.tabulate(v.width * v.height)(i => v.pixels(3 * i)),
           v.width, v.height)
-      } else if (new String(bytes, 0, 6, "ASCII") == "GIF87a") {
+      } else if (new String(bytes, 0, 6, "ASCII").startsWith("GIF8")) {
         val v = gifDecodeOf(bytes)
         ("gif", Array.tabulate(v.indices.length)(i =>
           v.palette(3 * (v.indices(i) & 0xff))), v.width, v.height)
@@ -2080,7 +2171,7 @@ object MultiModalOps {
     } else if ((bytes(0) & 0xff) == 137 && bytes(1) == 'P'.toByte) {
       val v = pngDecodeOf(bytes)
       MediaProbe("png", v.width, v.height, v.width.toLong * v.height)
-    } else if (ascii(0, 6) == "GIF87a") {
+    } else if (ascii(0, 3) == "GIF") {
       val v = gifDecodeOf(bytes)
       MediaProbe("gif", v.width, v.height, v.width.toLong * v.height)
     } else if (ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE") {
