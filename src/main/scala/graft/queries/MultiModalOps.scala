@@ -283,6 +283,7 @@ object MultiModalOps {
       "not a WAV file")
     var off = 12
     var rate = -1; var bits = -1; var channels = -1
+    var isFloat = false
     var samples: Array[Short] = null
     while (off + 8 <= bytes.length) {
       val id = fourcc(off); val sz = bb.getInt(off + 4)
@@ -293,13 +294,60 @@ object MultiModalOps {
       id match {
         case "fmt " =>
           require(sz >= 16, s"fmt chunk too short ($sz)")
-          require(bb.getShort(off + 8) == 1, "PCM only")
+          var fmt = bb.getShort(off + 8).toInt & 0xFFFF
           channels = bb.getShort(off + 10).toInt
           rate = bb.getInt(off + 12)
           bits = bb.getShort(off + 22).toInt
+          // WAVE_FORMAT_EXTENSIBLE: the real format is the first u16 of
+          // the SubFormat GUID at offset 24 of the extension
+          if (fmt == 0xFFFE) {
+            require(sz >= 40, s"extensible fmt chunk too short ($sz)")
+            fmt = bb.getShort(off + 8 + 24).toInt & 0xFFFF
+          }
+          // r13: the real-corpus matrix — integer PCM 8/16/24/32 and
+          // IEEE float32, any channel count (downmixed); previously
+          // mono PCM-16 only
+          require(fmt == 1 || fmt == 3,
+            s"unsupported WAV format code $fmt (PCM and IEEE float are)")
+          require((fmt == 1 && (bits == 8 || bits == 16 || bits == 24 ||
+              bits == 32)) || (fmt == 3 && bits == 32),
+            s"unsupported WAV sample layout: format $fmt at $bits bits")
+          require(channels >= 1 && channels <= 64,
+            s"unsupported WAV channel count $channels")
+          isFloat = fmt == 3
         case "data" =>
-          require(bits == 16 && channels == 1, "mono PCM-16 only")
-          samples = Array.tabulate(sz / 2)(i => bb.getShort(off + 8 + i * 2))
+          require(bits > 0 && channels > 0, "data chunk before fmt")
+          val bytesPer = bits / 8
+          val frame = bytesPer * channels
+          val nFrames = sz / frame
+          // normalize to MONO 16-bit: channels average (truncating), 8-bit
+          // unsigned recenters, 24/32-bit keep their top 16 bits, float
+          // clamps to [-1, 1] and scales by 32767 (round half away from 0)
+          samples = new Array[Short](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var acc = 0L
+            var c = 0
+            while (c < channels) {
+              val p = off + 8 + f * frame + c * bytesPer
+              val v: Int =
+                if (isFloat) {
+                  val x = java.lang.Float.intBitsToFloat(bb.getInt(p))
+                  val cl = if (x.isNaN) 0f else math.max(-1f, math.min(1f, x))
+                  math.round(cl * 32767f)
+                } else bits match {
+                  case 8 => ((bytes(p) & 0xff) - 128) << 8
+                  case 16 => bb.getShort(p).toInt
+                  case 24 => (((bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8) |
+                    (bytes(p + 2) << 16)) >> 8)
+                  case 32 => bb.getInt(p) >> 16
+                }
+              acc += v
+              c += 1
+            }
+            samples(f) = (acc / channels).toShort
+            f += 1
+          }
         case _ => // skip unknown chunks
       }
       off += 8 + sz + (sz & 1)
