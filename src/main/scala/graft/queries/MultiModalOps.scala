@@ -2205,6 +2205,81 @@ object MultiModalOps {
       case _ => jpegBytes(docId)
     }
 
+  private[graft] final case class BmpImage(width: Int, height: Int,
+      /** w·h·3 RGB, natural (top-down) row order. */
+      pixels: Array[Byte])
+
+  /** Decode a BMP (r13 — the seventh container): BITMAPFILEHEADER +
+    * BITMAPINFOHEADER, uncompressed (BI_RGB) 8-bit palette / 24-bit /
+    * 32-bit pixels, bottom-up AND top-down row orders, 4-byte row
+    * padding. Every header-supplied offset/size is bounded before use;
+    * compressed variants (RLE, bitfields) fail by name. */
+  private[graft] def bmpDecodeOf(bytes: Array[Byte]): BmpImage = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      "not a BMP file")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dataOff = bb.getInt(10)
+    val hdrSize = bb.getInt(14)
+    require(hdrSize >= 40, s"unsupported BMP header size $hdrSize")
+    val width = bb.getInt(18)
+    val heightRaw = bb.getInt(22)
+    val topDown = heightRaw < 0
+    val height = math.abs(heightRaw)
+    require(width > 0 && height > 0 &&
+      width.toLong * height * 3 <= (1L << 26),
+      s"unsupported BMP dimensions ${width}x$heightRaw")
+    require(bb.getShort(26) == 1, "BMP planes != 1")
+    val bpp = bb.getShort(28).toInt & 0xFFFF
+    require(bpp == 8 || bpp == 24 || bpp == 32,
+      s"unsupported BMP bit depth $bpp (8/24/32 are)")
+    val compression = bb.getInt(30)
+    require(compression == 0,
+      s"unsupported BMP compression $compression (BI_RGB only)")
+    // palette: BGRA quads after the info header
+    val palOff = 14 + hdrSize
+    val declared = bb.getInt(46) // colors used (0 = 2^bpp)
+    val palN =
+      if (bpp != 8) 0
+      else if (declared > 0) declared else 256
+    require(palN <= 256 && palOff + 4L * palN <= bytes.length,
+      s"corrupt BMP: $palN palette entries exceed file bounds")
+    val rowBytes = (width * bpp / 8 + 3) & ~3
+    require(dataOff >= palOff + 4 * palN &&
+      dataOff + rowBytes.toLong * height <= bytes.length,
+      s"corrupt BMP: pixel data at $dataOff ($rowBytes B/row x $height) " +
+        "exceeds file bounds")
+    val out = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val srcRow = dataOff + (if (topDown) y else height - 1 - y) * rowBytes
+      var x = 0
+      while (x < width) {
+        val o = (y * width + x) * 3
+        bpp match {
+          case 8 =>
+            val idx = bytes(srcRow + x) & 0xff
+            require(idx < palN,
+              s"corrupt BMP: palette index $idx beyond $palN entries")
+            out(o) = bytes(palOff + idx * 4 + 2)     // R (BGRA quads)
+            out(o + 1) = bytes(palOff + idx * 4 + 1) // G
+            out(o + 2) = bytes(palOff + idx * 4)     // B
+          case 24 =>
+            out(o) = bytes(srcRow + x * 3 + 2)
+            out(o + 1) = bytes(srcRow + x * 3 + 1)
+            out(o + 2) = bytes(srcRow + x * 3)
+          case 32 =>
+            out(o) = bytes(srcRow + x * 4 + 2)
+            out(o + 1) = bytes(srcRow + x * 4 + 1)
+            out(o + 2) = bytes(srcRow + x * 4)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    BmpImage(width, height, out)
+  }
+
   private[graft] final case class MediaProbe(container: String, width: Int,
       height: Int, nUnits: Long)
 
@@ -2231,8 +2306,11 @@ object MultiModalOps {
     } else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
       val v = Jpeg.decode(bytes)
       MediaProbe("jpeg", v.width, v.height, v.width.toLong * v.height)
+    } else if (bytes(0) == 'B' && bytes(1) == 'M') {
+      val v = bmpDecodeOf(bytes)
+      MediaProbe("bmp", v.width, v.height, v.width.toLong * v.height)
     } else throw new IllegalArgumentException(
-      "unknown media container (not PPM/PNG/GIF87a/WAVE/AVI/JPEG)")
+      "unknown media container (not PPM/PNG/GIF/WAVE/AVI/JPEG/BMP)")
   }
 
   /** Oracle: container + metadata from the six synthesis formulas. */
