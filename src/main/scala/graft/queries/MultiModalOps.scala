@@ -44,7 +44,9 @@ object MultiModalOps {
   /** Parse a binary PPM (P6): returns (width, height, rMean, gMean, bMean)
     * with integer-floor channel means. Throws on malformed input. */
   private[graft] def decodePpm(bytes: Array[Byte]): (Int, Int, Long, Long, Long) = {
-    require(bytes.length > 2 && bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM")
+    require(bytes.length > 2 && bytes(0) == 'P' &&
+      (bytes(1) == '6' || bytes(1) == '5'), "not a P6/P5 PNM")
+    val gray = bytes(1) == '5' // P5: single-channel PGM (r13)
     var p = 2
     def token(): String = {
       while (p < bytes.length && bytes(p).toChar.isWhitespace) p += 1
@@ -55,12 +57,16 @@ object MultiModalOps {
     val w = token().toInt; val h = token().toInt; val maxval = token().toInt
     require(maxval == 255, s"unsupported maxval $maxval")
     p += 1 // single whitespace after maxval, then the pixel plane
-    require(bytes.length - p == w * h * 3, "truncated pixel plane")
+    val ch = if (gray) 1 else 3
+    require(bytes.length - p == w * h * ch, "truncated pixel plane")
     var r = 0L; var g = 0L; var b = 0L; var i = 0
     while (i < w * h) {
-      r += bytes(p + i * 3) & 0xFF
-      g += bytes(p + i * 3 + 1) & 0xFF
-      b += bytes(p + i * 3 + 2) & 0xFF
+      if (gray) { val v = (bytes(p + i) & 0xFF).toLong; r += v; g += v; b += v }
+      else {
+        r += bytes(p + i * 3) & 0xFF
+        g += bytes(p + i * 3 + 1) & 0xFF
+        b += bytes(p + i * 3 + 2) & 0xFF
+      }
       i += 1
     }
     (w, h, r / (w * h), g / (w * h), b / (w * h))
@@ -2288,7 +2294,7 @@ object MultiModalOps {
   private[graft] def probeOf(bytes: Array[Byte]): MediaProbe = {
     require(bytes.length >= 12, "payload too short to sniff a container")
     def ascii(off: Int, len: Int) = new String(bytes, off, len, "ASCII")
-    if (ascii(0, 2) == "P6") {
+    if (ascii(0, 2) == "P6" || ascii(0, 2) == "P5") {
       val (w, h, _, _, _) = decodePpm(bytes)
       MediaProbe("ppm", w, h, w.toLong * h)
     } else if ((bytes(0) & 0xff) == 137 && bytes(1) == 'P'.toByte) {

@@ -66,6 +66,18 @@ class BmpSpec extends AnyFunSuite {
     assert(p.container == "bmp" && p.width == w && p.height == h)
   }
 
+  test("P5 grayscale PGM decodes and probes like P6 (r13)") {
+    val (w, h) = (6, 4)
+    val header = s"P5\n$w $h\n255\n".getBytes("ASCII")
+    val plane = Array.tabulate(w * h)(i => ((i * 11 + 7) % 256).toByte)
+    val pgm = header ++ plane
+    val (pw, ph, r, g, b) = MultiModalOps.decodePpm(pgm)
+    val mean = plane.map(_ & 0xff).map(_.toLong).sum / (w * h)
+    assert(pw == w && ph == h && r == mean && g == mean && b == mean)
+    val p = MultiModalOps.probeOf(pgm ++ new Array[Byte](0))
+    assert(p.container == "ppm" && p.width == w && p.nUnits == w.toLong * h)
+  }
+
   test("compressed BMPs and out-of-bounds pixel data fail by name") {
     val good = imageIoBmp(new java.awt.image.BufferedImage(4, 4,
       java.awt.image.BufferedImage.TYPE_3BYTE_BGR))
