@@ -272,13 +272,16 @@ object Jpeg {
         Component(id, ch, cv, tq)
       }
       if (nf == 3) {
-        val ok = (comps(0).h, comps(0).v, comps(1).h, comps(1).v,
-          comps(2).h, comps(2).v) match {
-          case (1, 1, 1, 1, 1, 1) => true // 4:4:4
-          case (2, 2, 1, 1, 1, 1) => true // 4:2:0
-          case _ => false
-        }
-        require(ok, "unsupported JPEG: only 4:4:4 and 4:2:0 YCbCr")
+        // luma may subsample in either axis independently (1x1 = 4:4:4,
+        // 2x1 = 4:2:2, 1x2 = 4:4:0, 2x2 = 4:2:0 — the camera/video
+        // family); chroma must be 1x1. The MCU assembly and reassembly
+        // below are generic over per-component (h, v), so this gate is
+        // the only sampling-specific code.
+        val ok = comps(1).h == 1 && comps(1).v == 1 &&
+          comps(2).h == 1 && comps(2).v == 1
+        require(ok,
+          "unsupported JPEG: chroma sampling factors must be 1x1 " +
+            "(4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 YCbCr only)")
       }
       val hMax = comps.map(_.h).max; val vMax = comps.map(_.v).max
       mcusX = (width + 8 * hMax - 1) / (8 * hMax)
@@ -316,6 +319,10 @@ object Jpeg {
           throw new IllegalArgumentException(s"corrupt JPEG: scan names unknown component $cid"))
         c.dcTable = (seg(2 + i * 2) & 0xf0) >> 4
         c.acTable = seg(2 + i * 2) & 0x0f
+        // bound the 4-bit table ids at their source: the spec allows
+        // 0..3 only, and the dcHuff/acHuff arrays are 4 elements
+        require(c.dcTable <= 3 && c.acTable <= 3,
+          s"corrupt JPEG: Huffman table id ${c.dcTable}/${c.acTable}")
         i += 1
       }
       val hMax = comps.map(_.h).max
@@ -423,6 +430,9 @@ object Jpeg {
           s"corrupt JPEG: scan names unknown component $cid")
         comps(ci).dcTable = (seg(2 + i * 2) & 0xf0) >> 4
         comps(ci).acTable = seg(2 + i * 2) & 0x0f
+        require(comps(ci).dcTable <= 3 && comps(ci).acTable <= 3,
+          s"corrupt JPEG: Huffman table id " +
+            s"${comps(ci).dcTable}/${comps(ci).acTable}")
         scanComps(i) = ci
         i += 1
       }
@@ -825,6 +835,93 @@ object Jpeg {
       if (t > 0) bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
       bw.put(0, 1) // AC EOB: the table's single canonical 1-bit code is 0
       b += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    bos.toByteArray
+  }
+
+  /** Encode a 4:2:2 (luma 2×1, chroma 1×1) YCbCr baseline JPEG with
+    * DC-ONLY blocks: luma block b (component RASTER order) is the exact
+    * constant `lumaVal(b)`, chroma planes are the constants `cb`/`cr`.
+    * All-1s quantization keeps the decode closed-form: any conforming
+    * decoder reproduces luma exactly, and a CONSTANT chroma plane is
+    * invariant under every upsampling filter (box or triangle), so with
+    * cb = cr = 128 the output RGB is (Y, Y, Y) bit-exactly — a DuckDB
+    * oracle recomputes all pixel statistics without decoding while the
+    * interleaved 2-luma-blocks-per-MCU entropy layout, the half-width
+    * chroma geometry and the horizontal chroma upsampling all genuinely
+    * run. Emits a JFIF APP0 so independent decoders (ImageIO) treat the
+    * stream as YCbCr without Adobe-marker heuristics.
+    * `restartInterval` is counted in MCUs and resets all three DC
+    * predictors. */
+  def encodeColor422DcOnly(w: Int, h: Int, lumaVal: Int => Int,
+                           cb: Int = 128, cr: Int = 128,
+                           restartInterval: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 16 == 0 && h % 8 == 0,
+      s"4:2:2 fixture encoder wants 16x8-aligned dims, got ${w}x$h")
+    require(cb >= 0 && cb <= 255 && cr >= 0 && cr <= 255,
+      s"chroma constants out of range: $cb/$cr")
+    val bos = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { bos.write(0xff); bos.write(m) }
+    def segment(m: Int, body: Array[Byte]): Unit = {
+      marker(m)
+      bos.write((body.length + 2) >> 8); bos.write((body.length + 2) & 0xff)
+      bos.write(body)
+    }
+    marker(0xd8) // SOI
+    // JFIF APP0: version 1.1, no density, no thumbnail
+    segment(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    // DQT: table 0, all 1s
+    segment(0xdb, Array[Byte](0x00) ++ Array.fill(64)(1.toByte))
+    // SOF0: 8-bit, 3 components — Y id 1 (2x1, qt 0), Cb/Cr id 2/3 (1x1)
+    segment(0xc0, Array[Byte](8,
+      (h >> 8).toByte, (h & 0xff).toByte,
+      (w >> 8).toByte, (w & 0xff).toByte,
+      3, 1, 0x21, 0, 2, 0x11, 0, 3, 0x11, 0))
+    segment(0xc4,
+      (Array(0x00) ++ DcCounts ++ DcSyms).map(_.toByte) ++
+        (Array(0x10) ++ AcCounts ++ AcSyms).map(_.toByte))
+    if (restartInterval > 0)
+      segment(0xdd, Array[Byte](
+        (restartInterval >> 8).toByte, (restartInterval & 0xff).toByte))
+    // SOS: 3 components, all on DC/AC table 0
+    segment(0xda, Array[Byte](3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    val bw = new BitWriter(bos)
+    def putDc(diff: Int): Unit = {
+      var t = 0
+      var mag = math.abs(diff)
+      while (mag > 0) { t += 1; mag >>= 1 }
+      require(t <= 11, s"DC category $t out of table")
+      bw.put(t, 4)
+      if (t > 0) bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+      bw.put(0, 1) // EOB
+    }
+    val lumaBw = w / 8 // luma blocks per row (2 per MCU)
+    val mcusX = w / 16; val mcusY = h / 8
+    val preds = new Array[Int](3)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bw.flush()
+        marker(0xd0 + ((mcu / restartInterval - 1) % 8))
+        java.util.Arrays.fill(preds, 0)
+      }
+      val my = mcu / mcusX; val mx = mcu % mcusX
+      var bx = 0
+      while (bx < 2) { // the MCU's two horizontal luma blocks
+        val c = lumaVal(my * lumaBw + mx * 2 + bx)
+        require(c >= 0 && c <= 255, s"luma value $c out of range")
+        val dc = 8 * (c - 128)
+        putDc(dc - preds(0)); preds(0) = dc
+        bx += 1
+      }
+      val dcCb = 8 * (cb - 128)
+      putDc(dcCb - preds(1)); preds(1) = dcCb
+      val dcCr = 8 * (cr - 128)
+      putDc(dcCr - preds(2)); preds(2) = dcCr
+      mcu += 1
     }
     bw.flush()
     marker(0xd9) // EOI

@@ -2367,6 +2367,7 @@ object MultiModalOps {
       StructField("doc_id", LongType, nullable = false),
       StructField("width", IntegerType, nullable = false),
       StructField("height", IntegerType, nullable = false),
+      StructField("n_comps", IntegerType, nullable = false),
       StructField("n_blocks", LongType, nullable = false),
       StructField("px_sum", LongType, nullable = false),
       StructField("px_mean_milli", LongType, nullable = false),
@@ -2382,7 +2383,7 @@ object MultiModalOps {
           var sum = 0L
           var i = 0
           while (i < v.pixels.length) { sum += v.pixels(i) & 0xff; i += 1 }
-          Row(id, v.width, v.height,
+          Row(id, v.width, v.height, v.nComponents,
             (v.width / 8).toLong * (v.height / 8),
             sum, 1000L * sum / v.pixels.length,
             (v.pixels(0) & 0xff).toLong,
@@ -2401,12 +2402,19 @@ object MultiModalOps {
     * PROGRESSIVE (SOF2, three scans: DC first at Al=1, DC refinement,
     * AC band — the Annex-G path decodes the SAME closed-form pixels,
     * so the oracle is unchanged and a hash match proves the
-    * spectral-selection + successive-approximation machinery ran). */
+    * spectral-selection + successive-approximation machinery ran);
+    * ids ≡ 3 (mod 12) are 4:2:2 COLOR (r14 — luma 2×1, chroma 1×1
+    * at the neutral constant 128, so the interleaved two-luma-blocks-
+    * per-MCU layout and half-width chroma upsampling genuinely run
+    * while decoded RGB is the SAME closed-form luma replicated ×3;
+    * these ids have id%3 == 0, keeping w = 16 a legal 4:2:2 MCU
+    * multiple, and the same width/height formulas). */
   private[graft] def jpegBytes(docId: Long): Array[Byte] = {
     val w = 8 * (2 + docId % 3).toInt
     val h = 8 * (1 + docId % 2).toInt
     val bv = (b: Int) => ((docId * 17 + b * 29) % 256).toInt
     if (docId % 4 == 1) Jpeg.encodeGrayDcOnlyProgressive(w, h, bv)
+    else if (docId % 12 == 3) Jpeg.encodeColor422DcOnly(w, h, bv)
     else Jpeg.encodeGrayDcOnly(w, h, bv,
       restartInterval = if (docId % 2 == 0) 2 else 0)
   }
@@ -2422,8 +2430,11 @@ object MultiModalOps {
       |  GROUP BY 1, 2, 3)
       |SELECT doc_id,
       |  CAST(bw * 8 AS INTEGER) AS width, CAST(bh * 8 AS INTEGER) AS height,
+      |  CAST(CASE WHEN doc_id % 12 = 3 THEN 3 ELSE 1 END AS INTEGER)
+      |    AS n_comps,
       |  CAST(bw * bh AS BIGINT) AS n_blocks,
-      |  CAST(64 * block_sum AS BIGINT) AS px_sum,
+      |  CAST(64 * block_sum *
+      |    CASE WHEN doc_id % 12 = 3 THEN 3 ELSE 1 END AS BIGINT) AS px_sum,
       |  CAST(1000 * 64 * block_sum // (bw * bh * 64) AS BIGINT) AS px_mean_milli,
       |  CAST((doc_id * 17) % 256 AS BIGINT) AS tl_px,
       |  CAST((doc_id * 17 + (bw * bh - 1) * 29) % 256 AS BIGINT) AS br_px,

@@ -225,8 +225,13 @@ object Preprocess {
             val dt = if (v.dtype == DType.F8 || v.dtype == DType.F4) {
               val x = v.data.getDouble(i)
               val m = x * parsed.stepMicros
+              // bound at 2^53, not Long range: above 2^53 every Double
+              // is integral, so `m == rint(m)` passes vacuously while
+              // m.toLong may deviate from the exact product — only
+              // exactly-representable microsecond counts may decode
+              // (exact round trip or nothing)
               require(!m.isNaN && m == math.rint(m) &&
-                math.abs(m) < 9.2e18,
+                math.abs(m) <= (1L << 53).toDouble,
                 s"decodeTimes: $name[$i] = $x steps is not an exact " +
                   "microsecond instant — fractional CF time beyond the " +
                   "µs grid is not exactly decodable")

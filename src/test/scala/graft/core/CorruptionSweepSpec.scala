@@ -195,6 +195,18 @@ class CorruptionSweepSpec extends AnyFunSuite {
     assert(failed > 0, "no corruption failed — the sweep is vacuous")
   }
 
+  test("4:2:2 color jpeg: interleaved-MCU corruption never crashes, only fails by name") {
+    // three components, luma 2x1, two luma blocks per MCU, JFIF APP0,
+    // restart markers — the r14 chroma-sampling surface
+    val orig = graft.queries.Jpeg.encodeColor422DcOnly(32, 16,
+      b => (b * 37 + 11) % 256, cb = 140, cr = 112, restartInterval = 2)
+    val (ok, failed) = sweep(orig, orig.length, { bytes =>
+      graft.queries.Jpeg.decode(bytes)
+    })
+    info(s"4:2:2 jpeg sweep: $ok corruptions read, $failed failed diagnosably")
+    assert(failed > 0, "no corruption failed — the sweep is vacuous")
+  }
+
   test("progressive jpeg: multi-scan/SOF2 corruption never crashes, only fails by name") {
     // three scans (DC first Al=1, DC refinement, AC band) + restart
     // markers inside every scan: the Annex-G surface — successive-

@@ -379,6 +379,193 @@ class JpegSpec extends AnyFunSuite {
       "fill-byte padding changed decoded pixels")
   }
 
+  // ------------------------------------------------- 4:2:2 / 4:4:0 (r14)
+
+  /** Find the SOF0/SOF2 segment and return (h, v) per component. */
+  private def sofSampling(bytes: Array[Byte]): Seq[(Int, Int)] = {
+    var i = 2
+    while (i + 4 < bytes.length) {
+      if ((bytes(i) & 0xff) == 0xff) {
+        val m = bytes(i + 1) & 0xff
+        if (m == 0xc0 || m == 0xc2) {
+          val nf = bytes(i + 9) & 0xff
+          return (0 until nf).map { ci =>
+            val hv = bytes(i + 11 + ci * 3) & 0xff
+            ((hv >> 4) & 0xf, hv & 0xf)
+          }
+        } else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2
+        else i += 2 + (((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff))
+      } else i += 1
+    }
+    fail("no SOF marker found")
+  }
+
+  test("4:2:2 fixture decodes to the exact closed-form constants (RGB = Y x3)") {
+    for ((id, ri) <- Seq((3L, 0), (15L, 0), (27L, 2))) {
+      val (w, h) = (32, 16) // 2x2 MCUs of 16x8
+      val bytes = Jpeg.encodeColor422DcOnly(w, h, blockVal(id),
+        restartInterval = ri)
+      assert(sofSampling(bytes) == Seq((2, 1), (1, 1), (1, 1)))
+      val img = Jpeg.decode(bytes)
+      assert(img.width == w && img.height == h && img.nComponents == 3)
+      val bw = w / 8
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val b = (y / 8) * bw + (x / 8)
+        assert((img.pixels((y * w + x) * 3 + c) & 0xff) == blockVal(id)(b),
+          s"id=$id ri=$ri pixel ($x,$y) ch $c block $b")
+      }
+      val nMcus = (w / 16) * (h / 8)
+      assert(img.nRestarts == (if (ri > 0) (nMcus - 1) / ri else 0),
+        s"id=$id ri=$ri got ${img.nRestarts} restarts")
+    }
+  }
+
+  test("ImageIO reads our 4:2:2 fixtures (neutral chroma bit-exact, tinted within rounding)") {
+    val (w, h) = (32, 16)
+    val id = 3L
+    // neutral chroma: RGB = (Y, Y, Y) in ANY conforming decoder
+    locally {
+      val bytes = Jpeg.encodeColor422DcOnly(w, h, blockVal(id))
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(bi != null, "ImageIO refused the 4:2:2 fixture")
+      assert(bi.getWidth == w && bi.getHeight == h)
+      val bw = w / 8
+      for (y <- 0 until h; x <- 0 until w) {
+        val b = (y / 8) * bw + (x / 8)
+        val rgb = bi.getRGB(x, y)
+        for (shift <- Seq(16, 8, 0))
+          assert(((rgb >> shift) & 0xff) == blockVal(id)(b),
+            s"ImageIO 4:2:2 pixel ($x,$y) shift $shift")
+      }
+    }
+    // tinted constant chroma: constant planes are invariant under any
+    // chroma upsampling filter, so only the integer-vs-double RGB
+    // conversion rounding can differ (<= 1 count)
+    locally {
+      val bytes = Jpeg.encodeColor422DcOnly(w, h, blockVal(id),
+        cb = 140, cr = 112)
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(bi != null)
+      val ours = Jpeg.decode(bytes)
+      var maxDiff = 0
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val rgb = bi.getRGB(x, y)
+        val rc = c match {
+          case 0 => (rgb >> 16) & 0xff; case 1 => (rgb >> 8) & 0xff
+          case _ => rgb & 0xff
+        }
+        maxDiff = math.max(maxDiff,
+          math.abs((ours.pixels((y * w + x) * 3 + c) & 0xff) - rc))
+      }
+      info(s"tinted 4:2:2 max |ours - ImageIO| = $maxDiff")
+      assert(maxDiff <= 1, s"4:2:2 RGB-conversion drift $maxDiff")
+    }
+  }
+
+  /** ImageIO baseline JPEG with EXPLICIT luma sampling factors (set via
+    * the native metadata tree — the JDK writer honors the sof node). */
+  private def imageIoJpegSampled(bi: java.awt.image.BufferedImage,
+                                 quality: Float, lh: Int,
+                                 lv: Int): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val typ = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(bi)
+    val md = writer.getDefaultImageMetadata(typ, p)
+    val fmt = "javax_imageio_jpeg_image_1.0"
+    val tree = md.getAsTree(fmt).asInstanceOf[org.w3c.dom.Element]
+    def walk(n: org.w3c.dom.Node): Unit = {
+      if (n.getNodeName == "componentSpec") {
+        val e = n.asInstanceOf[org.w3c.dom.Element]
+        val luma = e.getAttribute("componentId") == "1"
+        e.setAttribute("HsamplingFactor", if (luma) lh.toString else "1")
+        e.setAttribute("VsamplingFactor", if (luma) lv.toString else "1")
+      }
+      var c = n.getFirstChild
+      while (c != null) { walk(c); c = c.getNextSibling }
+    }
+    walk(tree)
+    md.setFromTree(fmt, tree)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, md), p)
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  test("ImageIO-encoded 4:2:2 and 4:4:0 color (general AC) decode within tolerance") {
+    for (((lh, lv), name) <- Seq(((2, 1), "4:2:2"), ((1, 2), "4:4:0"))) {
+      val (w, h) = (34, 26) // odd geometry: partial MCUs both directions
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = 40 + x * 4; val g = 60 + y * 4; val b = 90 + ((x + y) * 2)
+        bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val bytes = imageIoJpegSampled(bi, 0.95f, lh, lv)
+      // the writer really produced the requested sampling (non-vacuous)
+      assert(sofSampling(bytes) == Seq((lh, lv), (1, 1), (1, 1)),
+        s"ImageIO did not honor $name sampling")
+      val ours = Jpeg.decode(bytes)
+      assert(ours.width == w && ours.height == h && ours.nComponents == 3)
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      var maxDiff = 0; var sumDiff = 0L
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val rgb = ref.getRGB(x, y)
+        val rc = c match {
+          case 0 => (rgb >> 16) & 0xff; case 1 => (rgb >> 8) & 0xff
+          case _ => rgb & 0xff
+        }
+        val d = math.abs((ours.pixels((y * w + x) * 3 + c) & 0xff) - rc)
+        maxDiff = math.max(maxDiff, d); sumDiff += d
+      }
+      val meanMilli = 1000 * sumDiff / (w * h * 3)
+      info(s"$name max |ours - ImageIO| = $maxDiff, mean milli = $meanMilli")
+      assert(maxDiff <= 8, s"$name drift vs ImageIO: max $maxDiff")
+      assert(meanMilli <= 1500, s"$name drift: mean milli $meanMilli")
+    }
+  }
+
+  test("4:2:2 pixels match the grayscale encoding of the same luma (color path vs gray path)") {
+    val id = 15L
+    val (w, h) = (32, 16)
+    val gray = Jpeg.decode(Jpeg.encodeGrayDcOnly(w, h, blockVal(id)))
+    val color = Jpeg.decode(Jpeg.encodeColor422DcOnly(w, h, blockVal(id)))
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      assert(color.pixels((y * w + x) * 3 + c) == gray.pixels(y * w + x),
+        s"($x,$y) ch $c")
+  }
+
+  test("chroma subsampling other than 1x1 fails by name; SOS table id > 3 is a named error") {
+    // 2x1 CHROMA (luma 1x1) is outside the supported matrix
+    val good = Jpeg.encodeColor422DcOnly(32, 16, _ => 100)
+    val sof = good.indices.find(i => (good(i) & 0xff) == 0xff &&
+      i + 1 < good.length && (good(i + 1) & 0xff) == 0xc0).get
+    val bad = good.clone()
+    bad(sof + 14) = 0x21 // Cb sampling byte (id at +13, hv at +14): 2x1
+    val e = intercept[IllegalArgumentException](Jpeg.decode(bad))
+    assert(e.getMessage.contains("chroma sampling"), e.getMessage)
+    // SOS naming a Huffman table id >= 4 must fail by name, not AIOOBE
+    // (baseline and progressive scan headers both bound the nibbles)
+    for (prog <- Seq(false, true)) {
+      val src =
+        if (prog) Jpeg.encodeGrayDcOnlyProgressive(16, 8, _ => 77)
+        else Jpeg.encodeGrayDcOnly(16, 8, _ => 77)
+      val sos = src.indices.find(i => (src(i) & 0xff) == 0xff &&
+        i + 1 < src.length && (src(i + 1) & 0xff) == 0xda).get
+      val mut = src.clone()
+      mut(sos + 6) = 0x44.toByte // table byte (ns at +4, id at +5): dc=ac=4
+      val e2 = intercept[IllegalArgumentException](Jpeg.decode(mut))
+      assert(e2.getMessage.contains("Huffman table id"),
+        s"prog=$prog: ${e2.getMessage}")
+    }
+  }
+
   test("empty SOS body (length field == 2) fails by name, not AIOOBE") {
     val bytes = Jpeg.encodeGrayDcOnly(16, 8, _ => 50)
     val sos = bytes.indices.find(i => (bytes(i) & 0xff) == 0xff &&

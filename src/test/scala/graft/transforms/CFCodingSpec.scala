@@ -258,6 +258,16 @@ class CFCodingSpec extends AnyFunSuite {
           AttrValue("microseconds since 2000-01-01")))))
     val e = intercept[IllegalArgumentException](Preprocess.decodeTimes(f))
     assert(e.getMessage.contains("microsecond instant"), e.getMessage)
+    // Products in (2^53, Long.MaxValue) are rejected too (r14): above
+    // 2^53 every double is integral so the exactness check is vacuous —
+    // m.toLong could silently deviate from the exact product. 200000
+    // days = 1.728e16 µs > 2^53.
+    val big = f0.copy(coords = f0.coords.updated("time",
+      f0.coords("time").copy(data =
+        NDArray(DType.F8, Vector(14),
+          Array.tabulate(14)(i => if (i == 3) 200000.0 else i.toDouble)))))
+    val e2 = intercept[IllegalArgumentException](Preprocess.decodeTimes(big))
+    assert(e2.getMessage.contains("microsecond instant"), e2.getMessage)
   }
 
   test("Openers.open applies mask-and-scale by default, raw on opt-out") {
