@@ -276,6 +276,58 @@ object MultiModalOps {
     (rate, samples.length.toLong, rms, zc)
   }
 
+  /** G.711 µ-law expansion (CCITT / Sun reference): complement, then
+    * mantissa·8 + 0x84 shifted by the 3-bit segment, re-biased. Range
+    * ±32124. All 256 codes cross-validated bit-exactly against the
+    * JDK's javax.sound ULAW codec (WavSpec). */
+  private[graft] val UlawTable: Array[Int] = Array.tabulate(256) { c =>
+    val u = (~c) & 0xff
+    val t = (((u & 0xf) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 A-law expansion (CCITT / Sun reference): XOR 0x55, then the
+    * per-segment piecewise table (seg 0/1 linear, higher segments
+    * shifted). Range ±32256; sign bit SET means positive in A-law. */
+  private[graft] val AlawTable: Array[Int] = Array.tabulate(256) { c =>
+    val a = c ^ 0x55
+    val seg = (a & 0x70) >> 4
+    var t = (a & 0xf) << 4
+    if (seg == 0) t += 8
+    else if (seg == 1) t += 0x108
+    else t = (t + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** G.711 WAV fixture (r14): format code 7 (µ-law, ids ≡ 2 mod 8) or
+    * 6 (A-law, ids ≡ 6 mod 8), mono 8-bit at [[WavRate]], the spec's
+    * 18-byte fmt chunk (cbSize = 0 — required for non-PCM codes) plus a
+    * `fact` chunk. Code byte k is the full-range formula
+    * (k·f + docId) % 256, so the m05 oracle recomputes the DECODED
+    * samples with the published expansion formulas in SQL — a hash
+    * match proves the table decode genuinely ran. */
+  private[graft] def wavBytesG711(docId: Long): Array[Byte] = {
+    val n = (256 + docId % 64).toInt
+    val f = (3 + docId % 13).toInt
+    val fmt = if (docId % 8 == 2) 7 else 6
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + 18 + 8 + 4 + 8 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ASCII"))
+    bb.putInt(4 + 8 + 18 + 8 + 4 + 8 + n)
+    bb.put("WAVE".getBytes("ASCII"))
+    bb.put("fmt ".getBytes("ASCII")); bb.putInt(18)
+    bb.putShort(fmt.toShort); bb.putShort(1); bb.putInt(WavRate)
+    bb.putInt(WavRate); bb.putShort(1); bb.putShort(8); bb.putShort(0)
+    bb.put("fact".getBytes("ASCII")); bb.putInt(4); bb.putInt(n)
+    bb.put("data".getBytes("ASCII")); bb.putInt(n)
+    var k = 0
+    while (k < n) {
+      bb.put(((k * f + docId) % 256).toByte)
+      k += 1
+    }
+    bb.array()
+  }
+
   /** The shared container walk behind [[decodeWav]] and m07: RIFF parse
     * returning the raw PCM samples. Every payload-supplied chunk size is
     * bounded by the file size BEFORE use (the corruption-hardening
@@ -290,6 +342,7 @@ object MultiModalOps {
     var off = 12
     var rate = -1; var bits = -1; var channels = -1
     var isFloat = false
+    var g711 = 0 // 0 = none, 6 = A-law, 7 = µ-law
     var samples: Array[Short] = null
     while (off + 8 <= bytes.length) {
       val id = fourcc(off); val sz = bb.getInt(off + 4)
@@ -312,15 +365,21 @@ object MultiModalOps {
           }
           // r13: the real-corpus matrix — integer PCM 8/16/24/32 and
           // IEEE float32, any channel count (downmixed); previously
-          // mono PCM-16 only
-          require(fmt == 1 || fmt == 3,
-            s"unsupported WAV format code $fmt (PCM and IEEE float are)")
+          // mono PCM-16 only. r14: G.711 A-law (6) and µ-law (7), the
+          // telephony-corpus compressed codes, decoded to PCM16 via the
+          // published CCITT expansion (WavSpec cross-validates all 256
+          // codes of both laws bit-exactly against javax.sound).
+          require(fmt == 1 || fmt == 3 || fmt == 6 || fmt == 7,
+            s"unsupported WAV format code $fmt (PCM, IEEE float, " +
+              "A-law and mu-law are)")
           require((fmt == 1 && (bits == 8 || bits == 16 || bits == 24 ||
-              bits == 32)) || (fmt == 3 && bits == 32),
+              bits == 32)) || (fmt == 3 && bits == 32) ||
+              ((fmt == 6 || fmt == 7) && bits == 8),
             s"unsupported WAV sample layout: format $fmt at $bits bits")
           require(channels >= 1 && channels <= 64,
             s"unsupported WAV channel count $channels")
           isFloat = fmt == 3
+          g711 = if (fmt == 6 || fmt == 7) fmt else 0
         case "data" =>
           require(bits > 0 && channels > 0, "data chunk before fmt")
           val bytesPer = bits / 8
@@ -337,7 +396,10 @@ object MultiModalOps {
             while (c < channels) {
               val p = off + 8 + f * frame + c * bytesPer
               val v: Int =
-                if (isFloat) {
+                if (g711 != 0) {
+                  val t = if (g711 == 7) UlawTable else AlawTable
+                  t(bytes(p) & 0xff)
+                } else if (isFloat) {
                   val x = java.lang.Float.intBitsToFloat(bb.getInt(p))
                   val cl = if (x.isNaN) 0f else math.max(-1f, math.min(1f, x))
                   math.round(cl * 32767f)
@@ -395,8 +457,11 @@ object MultiModalOps {
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
-          // payload synthesized then GENUINELY re-parsed from bytes
-          val (rate, n, rms, zc) = decodeWav(wavBytes(id))
+          // payload synthesized then GENUINELY re-parsed from bytes;
+          // ids = 2 mod 4 rotate the G.711 compressed codes (r14):
+          // µ-law at 2 mod 8, A-law at 6 mod 8
+          val (rate, n, rms, zc) = decodeWav(
+            if (id % 4 == 2) wavBytesG711(id) else wavBytes(id))
           Row(id, rate, n, n * 1000L / rate, rms, zc)
         }
       }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
@@ -408,10 +473,33 @@ object MultiModalOps {
     s"""WITH p AS (
        |  SELECT doc_id, 256 + doc_id % 64 AS n, 3 + doc_id % 13 AS f
        |  FROM documents
+       |), raw AS (
+       |  SELECT doc_id, n, f, unnest(range(0, n)) AS k FROM p
+       |), cod AS (
+       |  SELECT doc_id, n, k,
+       |    (k * f + doc_id) % 256 AS c,
+       |    ((k * f) % 200) * 100 - 9950 AS saw
+       |  FROM raw
+       |), g AS (
+       |  SELECT doc_id, n, k, saw,
+       |    255 - c AS u, xor(c, 85) AS a
+       |  FROM cod
+       |), mag AS (
+       |  SELECT doc_id, n, k, saw, u, a,
+       |    ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) AS umag,
+       |    CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+       |         WHEN (a // 16) % 8 = 1 THEN (a % 16) * 16 + 264
+       |         ELSE ((a % 16) * 16 + 264) * (1 << ((a // 16) % 8 - 1))
+       |    END AS amag
+       |  FROM g
        |), smp AS (
-       |  SELECT doc_id, n, unnest(range(0, n)) AS k,
-       |    ((unnest(range(0, n)) * f) % 200) * 100 - 9950 AS v
-       |  FROM p
+       |  SELECT doc_id, n, k,
+       |    CASE WHEN doc_id % 8 = 2 THEN
+       |           CASE WHEN u >= 128 THEN 132 - umag ELSE umag - 132 END
+       |         WHEN doc_id % 8 = 6 THEN
+       |           CASE WHEN a >= 128 THEN amag ELSE -amag END
+       |         ELSE saw END AS v
+       |  FROM mag
        |), w AS (
        |  SELECT doc_id, n, v,
        |    lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS prev
@@ -2046,10 +2134,13 @@ object MultiModalOps {
       case 0 => pngEncode(8, 8, raster.flatMap(v => Array(v, v, v)))
       case 1 => gifEncode(8, 8, GrayPalette, raster.map(v => (v & 0xff) / 17))
       case _ =>
-        // even ids: baseline with restarts; odd ids: PROGRESSIVE (SOF2)
-        // — identical pixels, so the admission hash is container-blind
+        // even ids: baseline with restarts (ids = 2 mod 12: 4:2:2 COLOR
+        // with neutral chroma — r14); odd ids: PROGRESSIVE (SOF2) —
+        // identical pixels, so the admission hash is container-blind
         if (docId % 2 == 1)
           Jpeg.encodeGrayDcOnlyProgressive(64, 64, b => raster(b) & 0xff)
+        else if (docId % 12 == 2)
+          Jpeg.encodeColor422DcOnly(64, 64, b => raster(b) & 0xff)
         else Jpeg.encodeGrayDcOnly(64, 64, b => raster(b) & 0xff,
           restartInterval = 2)
     }
@@ -2093,8 +2184,14 @@ object MultiModalOps {
       case 0 => pngEncode(8, 8, raster.flatMap(v => Array(v, v, v)))
       case 1 => gifEncode(8, 8, GrayPalette, raster.map(v => (v & 0xff) / 17))
       case _ =>
+        // odd ids: PROGRESSIVE (SOF2); ids = 2 mod 12: 4:2:2 COLOR with
+        // neutral chroma (r14 — decoded RGB = luma ×3, so the admission
+        // hash stays container- and sampling-blind); other evens:
+        // baseline with restarts
         if (docId % 2 == 1)
           Jpeg.encodeGrayDcOnlyProgressive(64, 64, b => raster(b) & 0xff)
+        else if (docId % 12 == 2)
+          Jpeg.encodeColor422DcOnly(64, 64, b => raster(b) & 0xff)
         else Jpeg.encodeGrayDcOnly(64, 64, b => raster(b) & 0xff,
           restartInterval = 2)
     }
@@ -2138,9 +2235,13 @@ object MultiModalOps {
           v.palette(3 * (v.indices(i) & 0xff))), v.width, v.height)
       } else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
         val v = Jpeg.decode(bytes)
-        require(v.nComponents == 1,
-          s"mixed admission: JPEG legs are grayscale, got ${v.nComponents}")
-        ("jpeg", v.pixels, v.width, v.height)
+        // color JPEGs (the r14 4:2:2 legs) normalize by channel 0, the
+        // same convention as the PNG leg above — the admission fixtures
+        // carry neutral chroma, so R = G = B = luma exactly
+        val g =
+          if (v.nComponents == 1) v.pixels
+          else Array.tabulate(v.width * v.height)(i => v.pixels(3 * i))
+        ("jpeg", g, v.width, v.height)
       } else throw new IllegalArgumentException(
         "unknown image container (not PNG/GIF87a/JPEG)")
     require(w % 8 == 0 && h % 8 == 0,

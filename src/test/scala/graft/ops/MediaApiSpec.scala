@@ -39,7 +39,9 @@ class MediaApiSpec extends AnyFunSuite {
     val ids = graft.queries.Tables.documents(spark, d)
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     val payloads = ids.map(id =>
-      (id, graft.queries.MultiModalOps.wavBytes(id))).toDF("id", "bytes")
+      // ids = 2 mod 4 carry m05's rotated G.711 fixtures (r14)
+      (id, if (id % 4 == 2) graft.queries.MultiModalOps.wavBytesG711(id)
+           else graft.queries.MultiModalOps.wavBytes(id))).toDF("id", "bytes")
     val api = Media.decodeWav(payloads, "id", "bytes")
     assert(api.filter(!col("ok")).isEmpty)
     val apiCmp = api.drop("ok").orderBy("doc_id")

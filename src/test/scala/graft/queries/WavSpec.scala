@@ -112,7 +112,8 @@ class WavSpec extends AnyFunSuite {
       wav(1, 16, 1, 44100, b.array(), extensible = true))
     assert(s.toSeq == vs.toSeq)
     // an extensible header claiming an unknown subformat fails by name
-    val bad = wav(7, 16, 1, 44100, b.array(), extensible = true)
+    // (2 = ADPCM; 7 became a KNOWN code in r14)
+    val bad = wav(2, 16, 1, 44100, b.array(), extensible = true)
     val e = intercept[IllegalArgumentException](MultiModalOps.wavSamples(bad))
     assert(e.getMessage.contains("format code"), e.getMessage)
   }
@@ -125,5 +126,66 @@ class WavSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](
       MultiModalOps.wavSamples(wav(2, 16, 1, 8000, d)))
     assert(e2.getMessage.contains("format code"), e2.getMessage)
+    // G.711 is 8-bit only: format 7 at 16 bits is a named error
+    val e3 = intercept[IllegalArgumentException](
+      MultiModalOps.wavSamples(wav(7, 16, 1, 8000, d)))
+    assert(e3.getMessage.contains("sample layout"), e3.getMessage)
+  }
+
+  // ----------------------------------------------------- G.711 (r14)
+
+  test("G.711 mu-law and A-law: ALL 256 codes decode bit-exactly as javax.sound") {
+    import javax.sound.sampled._
+    val codes = Array.tabulate(256)(_.toByte)
+    for ((fmt, name) <- Seq((7, "ulaw"), (6, "alaw"))) {
+      val bytes = wav(fmt, 8, 1, 8000, codes)
+      // ours
+      val (rate, ours) = MultiModalOps.wavSamples(bytes)
+      assert(rate == 8000 && ours.length == 256)
+      // the JDK's independent G.711 codec: read the same WAV, convert
+      // to signed PCM16
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(ais.getFormat.getEncoding.toString.toLowerCase.contains(
+        if (fmt == 7) "ulaw" else "alaw"), s"$name: ${ais.getFormat}")
+      val pcm = AudioSystem.getAudioInputStream(
+        new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          8000f, 16, 1, 2, 8000f, false), ais)
+      val buf = pcm.readAllBytes()
+      assert(buf.length == 512, s"$name: ${buf.length} PCM bytes")
+      for (i <- 0 until 256) {
+        val ref = ((buf(2 * i) & 0xff) | (buf(2 * i + 1) << 8)).toShort
+        assert(ours(i) == ref, s"$name code $i: ours=${ours(i)} jdk=$ref")
+      }
+    }
+  }
+
+  test("G.711 fixture WAVs decode through the full container walk (fact chunk skipped)") {
+    for (id <- Seq(2L, 6L, 10L, 14L)) {
+      val bytes = MultiModalOps.wavBytesG711(id)
+      val (rate, samples) = MultiModalOps.wavSamples(bytes)
+      assert(rate == MultiModalOps.WavRate)
+      val n = (256 + id % 64).toInt
+      assert(samples.length == n)
+      val f = (3 + id % 13).toInt
+      val table =
+        if (id % 8 == 2) MultiModalOps.UlawTable else MultiModalOps.AlawTable
+      for (k <- 0 until n)
+        assert(samples(k) == table(((k * f + id) % 256).toInt).toShort,
+          s"id=$id sample $k")
+    }
+  }
+
+  test("G.711 stereo downmixes like PCM (truncating channel average)") {
+    // two channels with different codes: the downmix path is shared
+    val codes = Array.tabulate(64)(i => Seq((i * 3) % 256, (i * 5) % 256))
+      .flatten.map(_.toByte).toArray
+    val (_, got) = MultiModalOps.wavSamples(wav(7, 8, 2, 8000, codes))
+    assert(got.length == 64)
+    for (i <- 0 until 64) {
+      val l = MultiModalOps.UlawTable((i * 3) % 256).toLong
+      val r = MultiModalOps.UlawTable((i * 5) % 256).toLong
+      assert(got(i) == ((l + r) / 2).toShort, s"frame $i")
+    }
   }
 }
