@@ -67,10 +67,16 @@ object Grib2 {
     def scanPosJ: Boolean = (scanMode & 0x40) != 0
   }
 
+  /** Product definition. Templates 4.1/4.11 (individual ensemble
+    * forecast — the GEFS/ERA5-EDA member layout cfgrib reads natively)
+    * carry the ensemble triple; −1 on the deterministic templates. */
   final case class ProductDef(template: Int, paramCategory: Int,
                               paramNumber: Int, timeUnit: Int,
                               forecastTime: Long, surfaceType: Int,
-                              surfaceValue: Double)
+                              surfaceValue: Double,
+                              ensembleType: Int = -1,
+                              perturbationNumber: Int = -1,
+                              ensembleSize: Int = -1)
 
   /** Complex-packing parameters (templates 5.2/5.3). */
   final case class ComplexParams(splitMethod: Int, missingMgmt: Int,
@@ -289,6 +295,17 @@ object Grib2 {
   private def parseGrid(r: R, secLen: Int): GridDef = {
     val nDataPoints = r.u32(6).toInt
     val template = r.u16(12)
+    // bound header-supplied dimensions BEFORE any caller allocates
+    // nx·ny-sized arrays (latLonArrays, read()): a corrupt or hostile Ni/Nj
+    // would otherwise overflow Int and raise a crash-class
+    // NegativeArraySizeException instead of a named error
+    def dims(nx: Long, ny: Long): (Int, Int) = {
+      require(nx >= 1 && ny >= 1 && nx * ny <= (1L << 28),
+        s"corrupt GRIB2: grid dimensions ${nx}x$ny out of bounds")
+      (nx.toInt, ny.toInt)
+    }
+    // every supported template stores Ni/Nj at octets 31-34/35-38
+    val (gnx, gny) = dims(r.u32(30), r.u32(34))
     // octet 15 (idx 14): shape of earth — 0/6 fixed spheres, 1 scaled custom
     def radiusOf: Double = r.u8(14) match {
       case 0 => 6367470.0
@@ -300,15 +317,31 @@ object Grib2 {
     }
     template match {
       case 0 => // regular lat-lon: Ni/Nj at octets 31/35, corners at 47..63
-        GridDef(template, nx = r.u32(30).toInt, ny = r.u32(34).toInt,
+        GridDef(template, nx = gnx, ny = gny,
           nDataPoints = nDataPoints, radius = radiusOf,
           la1 = r.i32sm(46) / 1e6, lo1 = r.i32sm(50) / 1e6,
           la2 = r.i32sm(55) / 1e6, lo2 = r.i32sm(59) / 1e6,
           di = r.u32(63) / 1e6, dj = r.u32(67) / 1e6,
           laD = 0, loV = 0, dx = 0, dy = 0,
           projCentreFlag = 0, scanMode = r.u8(71))
+      case 10 => // Mercator: Ni/Nj at 31/35, La1/Lo1 at 39/43, LaD (the
+        // latitude where Di/Dj apply) at 48, La2/Lo2 at 52/56, scan mode
+        // at 60, orientation at 61 (only 0 = i along a parallel is
+        // supported), Di/Dj in 10^-3 m at 65/69
+        val orientation = r.i32sm(60)
+        require(orientation == 0,
+          s"GRIB2 Mercator grid with nonzero orientation " +
+            s"(${orientation / 1e6}) not supported")
+        GridDef(template, nx = gnx, ny = gny,
+          nDataPoints = nDataPoints, radius = radiusOf,
+          la1 = r.i32sm(38) / 1e6, lo1 = r.i32sm(42) / 1e6,
+          la2 = r.i32sm(51) / 1e6, lo2 = r.i32sm(55) / 1e6,
+          di = 0, dj = 0,
+          laD = r.i32sm(47) / 1e6, loV = 0,
+          dx = r.u32(64) / 1e3, dy = r.u32(68) / 1e3,
+          projCentreFlag = 0, scanMode = r.u8(59))
       case 20 => // polar stereographic: Nx/Ny at 31/35, LaD/LoV at 48/52
-        GridDef(template, nx = r.u32(30).toInt, ny = r.u32(34).toInt,
+        GridDef(template, nx = gnx, ny = gny,
           nDataPoints = nDataPoints, radius = radiusOf,
           la1 = r.i32sm(38) / 1e6, lo1 = r.i32sm(42) / 1e6,
           la2 = 0, lo2 = 0, di = 0, dj = 0,
@@ -316,7 +349,7 @@ object Grib2 {
           dx = r.u32(55) / 1e3, dy = r.u32(59) / 1e3,
           projCentreFlag = r.u8(63), scanMode = r.u8(64))
       case 30 => // Lambert conformal: 3.20's layout + Latin1/Latin2 at 66/70
-        GridDef(template, nx = r.u32(30).toInt, ny = r.u32(34).toInt,
+        GridDef(template, nx = gnx, ny = gny,
           nDataPoints = nDataPoints, radius = radiusOf,
           la1 = r.i32sm(38) / 1e6, lo1 = r.i32sm(42) / 1e6,
           la2 = 0, lo2 = 0, di = 0, dj = 0,
@@ -326,7 +359,7 @@ object Grib2 {
           latin1 = r.i32sm(65) / 1e6, latin2 = r.i32sm(69) / 1e6)
       case 40 => // Gaussian lat-lon (ERA5/IFS native): 3.0's layout with
         // N (parallels pole→equator) at octets 68-71 instead of Dj
-        GridDef(template, nx = r.u32(30).toInt, ny = r.u32(34).toInt,
+        GridDef(template, nx = gnx, ny = gny,
           nDataPoints = nDataPoints, radius = radiusOf,
           la1 = r.i32sm(46) / 1e6, lo1 = r.i32sm(50) / 1e6,
           la2 = r.i32sm(55) / 1e6, lo2 = r.i32sm(59) / 1e6,
@@ -335,15 +368,18 @@ object Grib2 {
           projCentreFlag = 0, scanMode = r.u8(71),
           gaussN = r.u32(67).toInt)
       case t => throw new UnsupportedOperationException(
-        s"GRIB2 grid template 3.$t not supported (3.0 lat-lon, 3.20 polar " +
-          "stereographic, 3.30 Lambert conformal, 3.40 Gaussian are)")
+        s"GRIB2 grid template 3.$t not supported (3.0 lat-lon, " +
+          "3.10 Mercator, 3.20 polar stereographic, 3.30 Lambert " +
+          "conformal, 3.40 Gaussian are)")
     }
   }
 
   private def parseProduct(r: R): ProductDef = {
     val template = r.u16(7)
-    require(template == 0 || template == 8,
-      s"GRIB2 product template 4.$template not supported (4.0/4.8 are)")
+    require(template == 0 || template == 1 || template == 8 ||
+        template == 11,
+      s"GRIB2 product template 4.$template not supported " +
+        "(4.0/4.1/4.8/4.11 are)")
     val sfcScale = r.u8(23); val sfcVal = r.u32(24)
     val sfcValue =
       if (sfcVal == 0xFFFFFFFFL) Double.NaN
@@ -351,9 +387,16 @@ object Grib2 {
         val s = if ((sfcScale & 0x80) != 0) -(sfcScale & 0x7F) else sfcScale
         sfcVal.toDouble / math.pow(10, s)
       }
+    // 4.1/4.11 append the ensemble triple right after the second fixed
+    // surface (octets 35-37): type (table 4.6), perturbation number,
+    // number of forecasts in ensemble
+    val isEns = template == 1 || template == 11
     ProductDef(template, paramCategory = r.u8(9), paramNumber = r.u8(10),
       timeUnit = r.u8(17), forecastTime = r.u32(18),
-      surfaceType = r.u8(22), surfaceValue = sfcValue)
+      surfaceType = r.u8(22), surfaceValue = sfcValue,
+      ensembleType = if (isEns) r.u8(34) else -1,
+      perturbationNumber = if (isEns) r.u8(35) else -1,
+      ensembleSize = if (isEns) r.u8(36) else -1)
   }
 
   private def parsePacking(r: R): Packing = {
@@ -729,6 +772,29 @@ object Grib2 {
           }
           j += 1
         }
+      case 10 =>
+        // spherical Mercator (Snyder 1987 §7) with the true-scale
+        // latitude LaD: x = R·cos(φd)·(λ−λ0), y = R·cos(φd)·ln tan(π/4
+        // + φ/2) — anchored at the encoded first grid point, so λ0 drops
+        // out and only LaD's scale factor matters
+        val rc = g.radius * math.cos(math.toRadians(g.laD))
+        val y1 = rc * math.log(math.tan(
+          math.Pi / 4 + math.toRadians(g.la1) / 2))
+        val sx = if (g.scanNegI) -g.dx else g.dx
+        val sy = if (g.scanPosJ) g.dy else -g.dy
+        var j = 0
+        while (j < g.ny) {
+          val lat = math.toDegrees(
+            2 * math.atan(math.exp((y1 + j * sy) / rc)) - math.Pi / 2)
+          var i = 0
+          while (i < g.nx) {
+            lats(j * g.nx + i) = lat
+            lons(j * g.nx + i) =
+              normLon(g.lo1 + math.toDegrees(i * sx / rc))
+            i += 1
+          }
+          j += 1
+        }
       case 20 =>
         require((g.projCentreFlag & 0x80) == 0,
           "south-polar stereographic grids not supported")
@@ -902,7 +968,12 @@ object Grib2 {
     "GRIB_parameterNumber" -> AttrValue(m.product.paramNumber),
     "GRIB_surfaceType" -> AttrValue(m.product.surfaceType)) ++
     (if (m.product.surfaceValue.isNaN) Attrs.empty
-     else Map("GRIB_surfaceValue" -> AttrValue(m.product.surfaceValue)))
+     else Map("GRIB_surfaceValue" -> AttrValue(m.product.surfaceValue))) ++
+    (if (m.product.perturbationNumber < 0) Attrs.empty
+     else Map( // ensemble templates 4.1/4.11 — cfgrib's `number` family
+       "GRIB_ensembleType" -> AttrValue(m.product.ensembleType),
+       "GRIB_perturbationNumber" -> AttrValue(m.product.perturbationNumber),
+       "GRIB_ensembleSize" -> AttrValue(m.product.ensembleSize)))
 
   def groupAttrs(m: Message): Attrs = Map(
     "GRIB_centre" -> AttrValue(centreName(m.centre)),
@@ -911,20 +982,52 @@ object Grib2 {
 
   /** Entry-point A decoder (the cfgrib-engine analog): every message becomes
     * a data variable on the shared (y, x) grid with 2-D latitude/longitude
-    * coordinate variables; messages must share one grid. */
+    * coordinate variables. Multi-grid files (surface + pressure-level
+    * products concatenated — real operational archives) decode the
+    * PRIMARY grid — the one carrying the most messages, first appearance
+    * breaking ties — with `GRIB_nGridsInFile`/`GRIB_messagesSkipped`
+    * group attrs recording the selection; [[readGroups]] returns EVERY
+    * grid as its own fragment. Ensemble members (4.1/4.11) get a
+    * `_mN` perturbation-number name suffix, per-variable ensemble
+    * attrs, and — when the fragment is a single member — a scalar
+    * `number` coordinate (the cfgrib convention). */
   def read(path: String): Fragment = {
     val msgs = scan(path)
     require(msgs.nonEmpty, s"$path contains no GRIB2 messages")
+    val grids = msgs.map(_.grid).distinct
+    if (grids.length == 1) readMessages(path, msgs)
+    else {
+      val byGrid = msgs.groupBy(_.grid)
+      val primary = grids.zipWithIndex
+        .maxBy { case (g, i) => (byGrid(g).size, -i) }._1
+      val kept = byGrid(primary)
+      val f = readMessages(path, kept)
+      f.copy(attrs = f.attrs ++ Map(
+        "GRIB_nGridsInFile" -> AttrValue(grids.length.toLong),
+        "GRIB_messagesSkipped" -> AttrValue((msgs.size - kept.size).toLong)))
+    }
+  }
+
+  /** Every distinct grid of a (possibly multi-grid) file as its own
+    * fragment, in first-appearance order. */
+  def readGroups(path: String): Seq[Fragment] = {
+    val msgs = scan(path)
+    require(msgs.nonEmpty, s"$path contains no GRIB2 messages")
+    val byGrid = msgs.groupBy(_.grid)
+    msgs.map(_.grid).distinct.map(g => readMessages(path, byGrid(g)))
+  }
+
+  private def readMessages(path: String, msgs: Seq[Message]): Fragment = {
     val g = msgs.head.grid
-    msgs.foreach(m => require(m.grid.nx == g.nx && m.grid.ny == g.ny,
-      "multi-grid GRIB2 files not supported"))
     val (lats, lons) = latLonArrays(g)
     val yx = Vector("y", "x")
     val shape = Vector(g.ny, g.nx)
-    // disambiguate duplicate params (multiple levels) by a level suffix
+    // disambiguate ensemble members by perturbation number, then
+    // duplicate params (multiple levels) by a level suffix
     val names = scala.collection.mutable.Map.empty[String, Int]
     val dataVars = msgs.map { m =>
-      val base = m.shortName
+      val pn = m.product.perturbationNumber
+      val base = if (pn >= 0) s"${m.shortName}_m$pn" else m.shortName
       val k = names.getOrElse(base, 0); names(base) = k + 1
       val name = if (k == 0) base else s"${base}_$k"
       name -> Variable(yx,
@@ -932,13 +1035,23 @@ object Grib2 {
           "GRIB_refTime" -> AttrValue(m.refTimeEpochSec),
           "GRIB_forecastTime" -> AttrValue(m.product.forecastTime)))
     }.toMap
+    // a single-member fragment surfaces the member as the scalar
+    // `number` coordinate, the way cfgrib exposes it
+    val members = msgs.map(_.product.perturbationNumber)
+      .filter(_ >= 0).distinct
+    val numberCoord =
+      if (members.length == 1)
+        Map("number" -> Variable(Vector.empty,
+          NDArray(DType.I8, Vector.empty, Array(members.head.toLong)),
+          Map("long_name" -> AttrValue("ensemble member number"))))
+      else Map.empty[String, Variable]
     Fragment(
       dims = Map("y" -> g.ny, "x" -> g.nx),
       coords = Map(
         "latitude" -> Variable(yx, NDArray(DType.F8, shape, lats),
           Map("units" -> AttrValue("degrees_north"))),
         "longitude" -> Variable(yx, NDArray(DType.F8, shape, lons),
-          Map("units" -> AttrValue("degrees_east")))),
+          Map("units" -> AttrValue("degrees_east")))) ++ numberCoord,
       dataVars = dataVars,
       attrs = groupAttrs(msgs.head))
   }
@@ -1036,14 +1149,22 @@ object Grib2 {
       simplePackSections(values, nbits, decimalScale))
   }
 
-  /** Section 4 (product definition, template 4.0 at ground level) body. */
+  /** Section 4 (product definition) body: template 4.0 at a fixed
+    * surface, or — when `ensemble` carries (type, perturbationNumber,
+    * ensembleSize) — template 4.1 (individual ensemble forecast, the
+    * GEFS/ERA5-EDA member layout) with the triple appended at octets
+    * 35-37. */
   private def sec4Body(category: Int, number: Int, forecastTime: Int = 0,
-                       surfaceType: Int = 1, surfaceValue: Int = 0): Array[Byte] = {
-    val s4 = ByteBuffer.allocate(29).order(ByteOrder.BIG_ENDIAN)
+                       surfaceType: Int = 1, surfaceValue: Int = 0,
+                       ensemble: Option[(Int, Int, Int)] = None): Array[Byte] = {
+    val s4 = ByteBuffer.allocate(if (ensemble.isDefined) 32 else 29)
+      .order(ByteOrder.BIG_ENDIAN)
     s4.putShort(0) // no coord values
-    s4.putShort(0) // template 4.0
+    s4.putShort(if (ensemble.isDefined) 1 else 0) // template 4.0 / 4.1
     s4.put(category.toByte); s4.put(number.toByte)
-    s4.put(0.toByte); s4.put(0.toByte); s4.put(0.toByte)
+    s4.put(if (ensemble.isDefined) 4.toByte else 0.toByte) // gen process:
+    // 4 = ensemble forecast (table 4.3) on the 4.1 path
+    s4.put(0.toByte); s4.put(0.toByte)
     s4.putShort(0); s4.put(0.toByte)
     s4.put(1.toByte) // time unit: hour
     s4.putInt(forecastTime)
@@ -1051,6 +1172,46 @@ object Grib2 {
     // heightAboveGround, value 2 -> the "2 m above ground" level)
     s4.put(surfaceType.toByte); s4.put(0.toByte); s4.putInt(surfaceValue)
     s4.put(255.toByte); s4.put(0.toByte); s4.putInt(0)
+    ensemble.foreach { case (t, pn, n) =>
+      s4.put(t.toByte); s4.put(pn.toByte); s4.put(n.toByte)
+    }
+    s4.array()
+  }
+
+  /** Section 4 template 4.11 body (ensemble forecast over a time
+    * interval — 4.1's fields plus 4.8's interval tail): end-of-interval
+    * timestamp, ONE time-range specification with `statProcess` (table
+    * 4.10: 0 avg, 1 accum, 2 max, 3 min) over `rangeHours`. */
+  private def sec4BodyEnsInterval(category: Int, number: Int,
+                                  forecastTime: Int,
+                                  ensemble: (Int, Int, Int),
+                                  endEpochSec: Long, statProcess: Int,
+                                  rangeHours: Int): Array[Byte] = {
+    val s4 = ByteBuffer.allocate(56).order(ByteOrder.BIG_ENDIAN)
+    s4.putShort(0)
+    s4.putShort(11) // template 4.11
+    s4.put(category.toByte); s4.put(number.toByte)
+    s4.put(4.toByte); s4.put(0.toByte); s4.put(0.toByte)
+    s4.putShort(0); s4.put(0.toByte)
+    s4.put(1.toByte) // time unit: hour
+    s4.putInt(forecastTime)
+    s4.put(1.toByte); s4.put(0.toByte); s4.putInt(0) // ground surface
+    s4.put(255.toByte); s4.put(0.toByte); s4.putInt(0)
+    val (t, pn, n) = ensemble
+    s4.put(t.toByte); s4.put(pn.toByte); s4.put(n.toByte)
+    val e = java.time.LocalDateTime.ofEpochSecond(endEpochSec, 0,
+      java.time.ZoneOffset.UTC)
+    s4.putShort(e.getYear.toShort); s4.put(e.getMonthValue.toByte)
+    s4.put(e.getDayOfMonth.toByte); s4.put(e.getHour.toByte)
+    s4.put(e.getMinute.toByte); s4.put(e.getSecond.toByte)
+    s4.put(1.toByte) // one time-range specification
+    s4.putInt(0) // no missing values in interval
+    s4.put(statProcess.toByte)
+    s4.put(2.toByte) // time increment type: successive forecasts
+    s4.put(1.toByte) // range unit: hour
+    s4.putInt(rangeHours)
+    s4.put(255.toByte) // increment unit: missing (continuous process)
+    s4.putInt(0)
     s4.array()
   }
 
@@ -1139,13 +1300,77 @@ object Grib2 {
                   discipline: Int, category: Int, number: Int,
                   refTimeEpochSec: Long, nbits: Int = 12,
                   decimalScale: Int = 2, forecastTimeHours: Int = 0,
-                  surfaceType: Int = 1, surfaceValue: Int = 0): Unit = {
+                  surfaceType: Int = 1, surfaceValue: Int = 0,
+                  ensemble: Option[(Int, Int, Int)] = None): Unit = {
     require(values.length == nx * ny, "values must cover the grid")
     writeMessage(path, discipline, Array(
       sec(1, sec1Body(refTimeEpochSec)),
       sec(3, sec3LatLon(nx, ny, la1, lo1, dLat, dLon)),
       sec(4, sec4Body(category, number, forecastTimeHours,
-        surfaceType, surfaceValue))) ++
+        surfaceType, surfaceValue, ensemble))) ++
+      simplePackSections(values, nbits, decimalScale))
+  }
+
+  /** Write a one-message ensemble-INTERVAL file (product template 4.11 —
+    * e.g. a GEFS member's accumulated precipitation): template 4.1's
+    * member triple plus 4.8's statistical-interval tail. */
+  def writeEnsembleInterval(path: String, values: Array[Double],
+                            nx: Int, ny: Int, la1: Double, lo1: Double,
+                            dLat: Double, dLon: Double,
+                            discipline: Int, category: Int, number: Int,
+                            refTimeEpochSec: Long,
+                            ensemble: (Int, Int, Int),
+                            statProcess: Int, rangeHours: Int,
+                            forecastTimeHours: Int = 0,
+                            nbits: Int = 12, decimalScale: Int = 2): Unit = {
+    require(values.length == nx * ny, "values must cover the grid")
+    writeMessage(path, discipline, Array(
+      sec(1, sec1Body(refTimeEpochSec)),
+      sec(3, sec3LatLon(nx, ny, la1, lo1, dLat, dLon)),
+      sec(4, sec4BodyEnsInterval(category, number, forecastTimeHours,
+        ensemble, refTimeEpochSec + (forecastTimeHours + rangeHours) * 3600L,
+        statProcess, rangeHours))) ++
+      simplePackSections(values, nbits, decimalScale))
+  }
+
+  /** Section 3 (grid definition, template 3.10 Mercator) body: Di/Dj in
+    * metres true at laD, orientation 0, scan +i +j. */
+  private def sec3Mercator(nx: Int, ny: Int, la1: Double, lo1: Double,
+                           laD: Double, la2: Double, lo2: Double,
+                           dx: Double, dy: Double): Array[Byte] = {
+    val s3 = ByteBuffer.allocate(67).order(ByteOrder.BIG_ENDIAN)
+    s3.put(0.toByte)
+    s3.putInt(nx * ny); s3.put(0.toByte); s3.put(0.toByte)
+    s3.putShort(10) // template 3.10
+    s3.put(6.toByte) // sphere 6371229
+    s3.put(0.toByte); s3.putInt(0)
+    s3.put(0.toByte); s3.putInt(0); s3.put(0.toByte); s3.putInt(0)
+    s3.putInt(nx); s3.putInt(ny)
+    s3.putInt((la1 * 1e6).round.toInt); s3.putInt((lo1 * 1e6).round.toInt)
+    s3.put(0x30.toByte) // resolution flags
+    s3.putInt((laD * 1e6).round.toInt)
+    s3.putInt((la2 * 1e6).round.toInt); s3.putInt((lo2 * 1e6).round.toInt)
+    s3.put(0x40.toByte) // scan +i, +j
+    s3.putInt(0) // orientation: i along a parallel
+    s3.putInt((dx * 1e3).round.toInt); s3.putInt((dy * 1e3).round.toInt)
+    s3.array()
+  }
+
+  /** Write a one-message GRIB2 file on a MERCATOR grid (template 3.10 —
+    * the tropical/regional marine-forecast projection): simple packing,
+    * NaN bitmap, grid lengths true at `laD`. Fixture writer for the
+    * 3.10 scan + inverse-projection path. */
+  def writeMercator(path: String, values: Array[Double], nx: Int, ny: Int,
+                    la1: Double, lo1: Double, laD: Double,
+                    la2: Double, lo2: Double, dx: Double, dy: Double,
+                    discipline: Int, category: Int, number: Int,
+                    refTimeEpochSec: Long, nbits: Int = 12,
+                    decimalScale: Int = 2): Unit = {
+    require(values.length == nx * ny, "values must cover the grid")
+    writeMessage(path, discipline, Array(
+      sec(1, sec1Body(refTimeEpochSec)),
+      sec(3, sec3Mercator(nx, ny, la1, lo1, laD, la2, lo2, dx, dy)),
+      sec(4, sec4Body(category, number))) ++
       simplePackSections(values, nbits, decimalScale))
   }
 

@@ -54,9 +54,15 @@ object GribOps {
           dLat = 0.25, dLon = 0.25, discipline = 0, category = 0, number = 0,
           refTimeEpochSec = 1700000000L + t * 3600L)
       else
+        // t=0 is an ENSEMBLE message (r14 — product template 4.1, member
+        // 4 of 30, the GEFS layout): identical values, so the oracle is
+        // template-independent; the kerchunk leg concatenates it with
+        // the deterministic messages under the shared short name while
+        // the member triple rides along in the variable attrs
         Grib2.writeSimple(p, vals, nx, ny, la1 = 35.0, lo1 = 10.0,
           dLat = 0.25, dLon = 0.25, discipline = 0, category = 0, number = 0,
-          refTimeEpochSec = 1700000000L + t * 3600L)
+          refTimeEpochSec = 1700000000L + t * 3600L,
+          ensemble = if (t == 0) Some((3, 4, 30)) else None)
       (p, vals)
     }
     val files = Vector(mk(0), mk(1), mk(2))
@@ -64,12 +70,18 @@ object GribOps {
       (a.isNaN && b.isNaN) || math.abs(a - b) <= 0.005 + 1e-9
 
     // ---- Entry-point A: engine-registry decode (cfgrib analog) ----
-    require(files.forall { case (p, vals) =>
+    require(files.zipWithIndex.forall { case ((p, vals), t) =>
       val f = Openers.open(FileType.Grib, p)
-      val got = f.dataVars("TMP").data.data.asInstanceOf[Array[Double]]
+      // the t=0 ensemble member surfaces as TMP_m4 with the scalar
+      // `number` coordinate (cfgrib convention)
+      val name = if (t == 0) "TMP_m4" else "TMP"
+      val got = f.dataVars(name).data.data.asInstanceOf[Array[Double]]
       got.length == vals.length &&
         got.indices.forall(i => closeEnough(got(i), vals(i))) &&
-        f.coords("latitude").data.getDouble(0) == 35.0
+        f.coords("latitude").data.getDouble(0) == 35.0 &&
+        (t != 0 || (f.coords("number").data.getLong(0) == 4L &&
+          f.dataVars(name).attrs("GRIB_ensembleSize") ==
+            graft.core.AttrValue(30)))
     }, "grib: decoder (entry A) parity failed")
 
     // ---- Entry-point B: scan → concat → artifact → materialize → read ----

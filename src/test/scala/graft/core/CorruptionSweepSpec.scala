@@ -241,6 +241,34 @@ class CorruptionSweepSpec extends AnyFunSuite {
     assert(failed > 0, "no corruption failed — the sweep is vacuous")
   }
 
+  test("grib2 ensemble (4.1) + mercator (3.10) multi-grid: corruption only fails by name") {
+    // the r14 surface in one file: a 4.1 ensemble message on a lat-lon
+    // grid concatenated with a 3.10 Mercator message — swept through the
+    // FULL read() path (multi-grid grouping, primary selection, member
+    // naming, Mercator inverse projection)
+    val dir = tmpDir
+    val pa = s"$dir/ens.grib2"; val pb = s"$dir/merc.grib2"
+    graft.grib.Grib2.writeSimple(pa,
+      Array.tabulate(40)(i => (i % 7).toDouble), 8, 5,
+      la1 = 30.0, lo1 = 10.0, dLat = 0.5, dLon = 0.5,
+      discipline = 0, category = 0, number = 0,
+      refTimeEpochSec = 1600000000L, ensemble = Some((3, 9, 30)))
+    graft.grib.Grib2.writeMercator(pb,
+      Array.tabulate(24)(i => 15.0 + (i % 5)), 6, 4,
+      la1 = 5.0, lo1 = 100.0, laD = 10.0, la2 = 6.0, lo2 = 101.5,
+      dx = 20000.0, dy = 20000.0, discipline = 10, category = 3,
+      number = 0, refTimeEpochSec = 1600000000L)
+    val orig = Files.readAllBytes(Paths.get(pa)) ++
+      Files.readAllBytes(Paths.get(pb))
+    val target = s"$dir/mut.grib2"
+    val (ok, failed) = sweep(orig, orig.length, { bytes =>
+      Files.write(Paths.get(target), bytes)
+      graft.grib.Grib2.readGroups(target)
+    })
+    info(s"grib2 ens+mercator sweep: $ok corruptions read, $failed failed diagnosably")
+    assert(failed > 0, "no corruption failed — the sweep is vacuous")
+  }
+
   test("grib2 jpeg2000 (5.40): corruption never crashes, only fails by name") {
     // exercises the full J2K decode surface through the GRIB section walk:
     // marker parse, packet headers, tag trees, MQ/EBCOT passes, 5/3 DWT

@@ -599,4 +599,163 @@ class GribSpec extends AnyFunSuite {
       assert(math.abs(flat(i) - v) < 0.005 + 1e-9, s"cell $i")
     }
   }
+
+  // -------------------------------------------- ensembles + Mercator (r14)
+
+  test("ensemble template 4.1 round-trips: member triple, _mN name, number coord") {
+    val dir = Files.createTempDirectory("graft_grib").toString
+    val nx = 10; val ny = 6
+    val values = Array.tabulate(nx * ny)(i => (i * 7 % 300) / 100.0)
+    val path = s"$dir/ens.grib2"
+    Grib2.writeSimple(path, values, nx, ny, la1 = 30.0, lo1 = 5.0,
+      dLat = 0.5, dLon = 0.5, discipline = 0, category = 0, number = 0,
+      refTimeEpochSec = 1700000000L,
+      ensemble = Some((3, 17, 31))) // perturbed member 17 of 31
+    val m = Grib2.scan(path).head
+    assert(m.product.template == 1)
+    assert(m.product.ensembleType == 3)
+    assert(m.product.perturbationNumber == 17)
+    assert(m.product.ensembleSize == 31)
+    val got = Grib2.decodeValues(path, m)
+    values.indices.foreach(i =>
+      assert(math.abs(got(i) - values(i)) <= 0.005 + 1e-9, s"point $i"))
+    // read(): member-suffixed variable name, scalar `number` coordinate
+    // (the cfgrib convention), per-variable ensemble attrs
+    val f = Grib2.read(path)
+    val v = f.dataVars("TMP_m17")
+    assert(v.attrs("GRIB_perturbationNumber") == graft.core.AttrValue(17))
+    assert(v.attrs("GRIB_ensembleSize") == graft.core.AttrValue(31))
+    assert(f.coords("number").data.getLong(0) == 17L)
+    assert(f.coords("number").dims.isEmpty)
+  }
+
+  test("ensemble interval template 4.11 scans: member triple + interval tail parse") {
+    val dir = Files.createTempDirectory("graft_grib").toString
+    val nx = 8; val ny = 5
+    val values = Array.tabulate(nx * ny)(i => i.toDouble / 4)
+    val path = s"$dir/ens11.grib2"
+    Grib2.writeEnsembleInterval(path, values, nx, ny, la1 = -10.0,
+      lo1 = 120.0, dLat = 1.0, dLon = 1.0, discipline = 0, category = 1,
+      number = 8, refTimeEpochSec = 1690000000L, ensemble = (3, 5, 21),
+      statProcess = 1, rangeHours = 6, forecastTimeHours = 12)
+    val m = Grib2.scan(path).head
+    assert(m.product.template == 11)
+    assert(m.shortName == "APCP")
+    assert(m.product.perturbationNumber == 5 && m.product.ensembleSize == 21)
+    assert(m.product.forecastTime == 12L)
+    val got = Grib2.decodeValues(path, m)
+    values.indices.foreach(i =>
+      assert(math.abs(got(i) - values(i)) <= 0.005 + 1e-9, s"point $i"))
+    val f = Grib2.read(path)
+    assert(f.dataVars.contains("APCP_m5"))
+    assert(f.coords("number").data.getLong(0) == 5L)
+  }
+
+  test("mercator grid (3.10) scans and inverse-projects (Snyder spherical)") {
+    val dir = Files.createTempDirectory("graft_grib").toString
+    val nx = 9; val ny = 7
+    val values = Array.tabulate(nx * ny)(i => 20.0 + (i % 13) / 10.0)
+    // independent forward Mercator (Snyder 1987 eq. 7-1/7-2 with the
+    // true-scale latitude): compute the expected lat/lon of every grid
+    // point from (la1, lo1, laD, dx, dy) OUTSIDE the library
+    val (la1, lo1, laD) = (10.0, 300.0, 20.0)
+    val (dx, dy) = (25000.0, 30000.0) // metres true at laD
+    val radius = 6371229.0
+    val rc = radius * math.cos(math.toRadians(laD))
+    def latOfRow(j: Int): Double = {
+      val y = rc * math.log(math.tan(math.Pi / 4 +
+        math.toRadians(la1) / 2)) + j * dy
+      math.toDegrees(2 * math.atan(math.exp(y / rc)) - math.Pi / 2)
+    }
+    def lonOfCol(i: Int): Double = lo1 + math.toDegrees(i * dx / rc)
+    val path = s"$dir/merc.grib2"
+    Grib2.writeMercator(path, values, nx, ny, la1 = la1, lo1 = lo1,
+      laD = laD, la2 = latOfRow(ny - 1), lo2 = lonOfCol(nx - 1),
+      dx = dx, dy = dy, discipline = 10, category = 3, number = 0,
+      refTimeEpochSec = 1700000000L)
+    val m = Grib2.scan(path).head
+    assert(m.grid.template == 10)
+    assert(m.grid.laD == 20.0 && m.grid.dx == dx && m.grid.dy == dy)
+    assert(m.shortName == "WTMP")
+    val (lats, lons) = Grib2.latLonArrays(m.grid)
+    for (j <- 0 until ny; i <- 0 until nx) {
+      assert(math.abs(lats(j * nx + i) - latOfRow(j)) < 1e-6,
+        s"lat ($j,$i): ${lats(j * nx + i)} vs ${latOfRow(j)}")
+      assert(math.abs(lons(j * nx + i) - lonOfCol(i)) < 1e-6,
+        s"lon ($j,$i): ${lons(j * nx + i)} vs ${lonOfCol(i)}")
+    }
+    // the anchor row reproduces la1 (forward→inverse rounding only);
+    // rows are strictly north of each other; and a FIXED Δy covers
+    // fewer degrees of latitude poleward (dφ = dy·cosφ/(R·k) — the
+    // Mercator stretch), matching the differential to first order
+    assert(math.abs(lats(0) - la1) < 1e-9)
+    val rowLats = (0 until ny).map(j => lats(j * nx))
+    assert(rowLats.sliding(2).forall(p => p(1) > p(0)))
+    val gaps = rowLats.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(gaps.sliding(2).forall(p => p(1) < p(0)),
+      s"Mercator latitude gaps must shrink poleward: $gaps")
+    gaps.zipWithIndex.foreach { case (gap, j) =>
+      val mid = math.toRadians((rowLats(j) + rowLats(j + 1)) / 2)
+      val expect = math.toDegrees(dy * math.cos(mid) / rc)
+      assert(math.abs(gap - expect) < 1e-4,
+        s"gap $j: $gap vs differential $expect")
+    }
+    // encoded la2/lo2 agree with the projected last grid point
+    assert(math.abs(m.grid.la2 - latOfRow(ny - 1)) < 2e-6)
+    val got = Grib2.decodeValues(path, m)
+    values.indices.foreach(i =>
+      assert(math.abs(got(i) - values(i)) <= 0.005 + 1e-9, s"point $i"))
+    // nonzero orientation fails by name
+    val bytes = Files.readAllBytes(Paths.get(path))
+    // section 3 starts at offset 16 (after indicator + section 1: 21
+    // bytes); find it by walking: sec1 len at 16
+    var off = 16
+    var s3Off = -1
+    while (s3Off < 0) {
+      val len = java.nio.ByteBuffer.wrap(bytes, off, 4).getInt
+      if (bytes(off + 4) == 3) s3Off = off else off += len
+    }
+    val mut = bytes.clone()
+    mut(s3Off + 60 + 3) = 1 // orientation low byte (octet 61-64)
+    val p2 = s"$dir/merc_orient.grib2"
+    Files.write(Paths.get(p2), mut)
+    val e = intercept[Exception](Grib2.read(p2))
+    assert(e.getMessage.contains("orientation"), e.getMessage)
+  }
+
+  test("multi-grid file: read() selects the primary grid, readGroups returns all") {
+    val dir = Files.createTempDirectory("graft_grib").toString
+    val mk = (nx: Int, ny: Int, la1: Double, seed: Int) => {
+      val p = s"$dir/part_$seed.grib2"
+      Grib2.writeSimple(p, Array.tabulate(nx * ny)(i => (i + seed) / 10.0),
+        nx, ny, la1 = la1, lo1 = 0.0, dLat = 0.5, dLon = 0.5,
+        discipline = 0, category = 0, number = 0,
+        refTimeEpochSec = 1700000000L + seed * 3600L)
+      Files.readAllBytes(Paths.get(p))
+    }
+    // two messages on grid A (12x8), one on grid B (6x4) — concatenated
+    // into one file, the operational surface+pressure-level layout
+    val multi = s"$dir/multi.grib2"
+    Files.write(Paths.get(multi),
+      mk(12, 8, 40.0, 0) ++ mk(6, 4, 10.0, 1) ++ mk(12, 8, 40.0, 2))
+    val msgs = Grib2.scan(multi)
+    assert(msgs.length == 3)
+    // read(): primary = the 12x8 grid (2 of 3 messages)
+    val f = Grib2.read(multi)
+    assert(f.dims == Map("y" -> 8, "x" -> 12))
+    assert(f.dataVars.size == 2 &&
+      f.dataVars.keySet == Set("TMP", "TMP_1"))
+    assert(f.attrs("GRIB_nGridsInFile") == graft.core.AttrValue(2L))
+    assert(f.attrs("GRIB_messagesSkipped") == graft.core.AttrValue(1L))
+    // readGroups: both grids, first-appearance order, full data
+    val groups = Grib2.readGroups(multi)
+    assert(groups.length == 2)
+    assert(groups(0).dims == Map("y" -> 8, "x" -> 12))
+    assert(groups(1).dims == Map("y" -> 4, "x" -> 6))
+    assert(groups(1).dataVars("TMP").data.getDouble(0) == 0.1)
+    // a single-grid file keeps the historical shape: no skip attrs
+    val single = s"$dir/single.grib2"
+    Files.write(Paths.get(single), mk(12, 8, 40.0, 5))
+    assert(!Grib2.read(single).attrs.contains("GRIB_nGridsInFile"))
+  }
 }
