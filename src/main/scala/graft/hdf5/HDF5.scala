@@ -103,6 +103,22 @@ object HDF5 {
     def size: Int = 16 // length(4) + gheap address(8) + index(4)
   }
   final case class RefType(size: Int) extends TypeInfo
+  /** Datatype class 8: named values over an integer base (r14). Flag
+    * variables in NASA granules (ICESat-2 quality flags) carry these. */
+  final case class EnumType(base: TypeInfo, names: Vector[String],
+                            values: Vector[Long]) extends TypeInfo {
+    def size: Int = base.size
+  }
+  /** Datatype class 6: C-struct records — (name, byte offset, member
+    * type) with explicit total size (r14). */
+  final case class CompoundType(size: Int,
+      members: Vector[(String, Int, TypeInfo)]) extends TypeInfo
+  /** Datatype class 10: fixed-shape array elements — decode adds the
+    * dims as TRAILING dataset dimensions (r14). */
+  final case class ArrayType(base: TypeInfo, dims: Vector[Int])
+      extends TypeInfo {
+    def size: Int = base.size * dims.product
+  }
 
   final case class Filter(id: Int, values: Vector[Int])
 
@@ -289,19 +305,123 @@ object HDF5 {
       }
     }
 
-    private def parseDatatype(b: ByteBuffer, off: Int = 0): TypeInfo = {
+    private def parseDatatype(b: ByteBuffer, off: Int = 0): TypeInfo =
+      parseDatatypeSized(b, off)._1
+
+    /** Parse a datatype message, returning the type AND its encoded
+      * length (nested types — enum base, compound members, array
+      * elements — need the length to find what follows). */
+    private def parseDatatypeSized(b: ByteBuffer, off: Int): (TypeInfo, Int) = {
       val classAndVersion = b.get(off) & 0xFF
       val cls = classAndVersion & 0x0F
+      val version = (classAndVersion >> 4) & 0x0F
       val bits0 = b.get(off + 1) & 0xFF
+      val bits8 = b.get(off + 2) & 0xFF
       val size = b.getInt(off + 4)
+      def pad8(n: Int): Int = (n + 7) & ~7
+      def cString(p: Int): String = {
+        val sb = new StringBuilder
+        var q = p
+        while ((b.get(q) & 0xFF) != 0) { sb.append(b.get(q).toChar); q += 1 }
+        sb.toString
+      }
       cls match {
-        case 0 => FixedPoint(size, (bits0 & 1) == 1, (bits0 & 0x8) != 0)
-        case 1 => FloatType(size, (bits0 & 1) == 1)
-        case 3 => StringType(size)
-        case 7 => RefType(size)
+        case 0 => (FixedPoint(size, (bits0 & 1) == 1, (bits0 & 0x8) != 0), 12)
+        case 1 => (FloatType(size, (bits0 & 1) == 1), 20)
+        case 3 => (StringType(size), 8)
+        case 7 => (RefType(size), 8)
         case 9 =>
           val isString = (bits0 & 0x0F) == 1
-          VlenType(isString, parseDatatype(b, off + 8))
+          val (base, bl) = parseDatatypeSized(b, off + 8)
+          (VlenType(isString, base), 8 + bl)
+        case 6 => // compound: N members of (name, byte offset, type)
+          val n = bits0 | (bits8 << 8)
+          require(n >= 1 && n <= 1024, s"corrupt compound datatype: $n members")
+          require(size >= 1 && size <= (1 << 26),
+            s"corrupt compound datatype size $size")
+          // v3 stores member offsets in the fewest bytes that hold the
+          // compound's total size
+          val offBytes =
+            if (size < 256) 1 else if (size < 65536) 2
+            else if (size < (1 << 24)) 3 else 4
+          var p = off + 8
+          val members = Vector.newBuilder[(String, Int, TypeInfo)]
+          (0 until n).foreach { _ =>
+            val name = cString(p)
+            p += (if (version >= 3) name.length + 1 else pad8(name.length + 1))
+            val mOff = version match {
+              case 3 =>
+                var v = 0
+                (0 until offBytes).foreach(i => v |= (b.get(p + i) & 0xFF) << (8 * i))
+                p += offBytes
+                v
+              case _ => val v = b.getInt(p); p += 4; v
+            }
+            if (version == 1) {
+              val dimensionality = b.get(p) & 0xFF
+              require(dimensionality == 0,
+                "compound member with old-style (v1) array dims not supported")
+              p += 28 // dimensionality(1)+reserved(3)+perm(4)+reserved(4)+4 dims
+            }
+            val (mt, ml) = parseDatatypeSized(b, p)
+            mt match {
+              case _: CompoundType => throw new UnsupportedOperationException(
+                "nested compound datatypes not supported")
+              case _ =>
+            }
+            require(mt.size >= 1 && mOff >= 0 && mOff.toLong + mt.size <= size,
+              s"corrupt compound datatype: member at $mOff+${mt.size} exceeds size $size")
+            p += ml
+            members += ((name, mOff, mt))
+          }
+          (CompoundType(size, members.result()), p - off)
+        case 8 => // enum: integer base + N (name, value) pairs
+          val n = bits0 | (bits8 << 8)
+          require(n >= 1 && n <= 65535, s"corrupt enum datatype: $n members")
+          val (base, bl) = parseDatatypeSized(b, off + 8)
+          require(base.isInstanceOf[FixedPoint],
+            s"enum base must be fixed-point, got $base")
+          var p = off + 8 + bl
+          val names = Vector.newBuilder[String]
+          (0 until n).foreach { _ =>
+            val name = cString(p)
+            p += (if (version >= 3) name.length + 1 else pad8(name.length + 1))
+            names += name
+          }
+          val fp = base.asInstanceOf[FixedPoint]
+          val bo = if (fp.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+          val vals = Vector.newBuilder[Long]
+          (0 until n).foreach { i =>
+            val q = p + i * base.size
+            val d = b.duplicate().order(bo)
+            vals += (base.size match {
+              case 1 => if (fp.signed) d.get(q).toLong else (d.get(q) & 0xFF).toLong
+              case 2 => if (fp.signed) d.getShort(q).toLong else (d.getShort(q) & 0xFFFF).toLong
+              case 4 => if (fp.signed) d.getInt(q).toLong else d.getInt(q) & 0xFFFFFFFFL
+              case 8 => d.getLong(q)
+            })
+          }
+          p += n * base.size
+          (EnumType(base, names.result(), vals.result()), p - off)
+        case 10 => // array: fixed dims + base type
+          val rank = b.get(off + 8) & 0xFF
+          require(rank >= 1 && rank <= 32, s"corrupt array datatype rank $rank")
+          var p = off + (if (version >= 3) 9 else 12) // v2 has 3 reserved bytes
+          val dims = (0 until rank).map { i => b.getInt(p + i * 4) }.toVector
+          p += rank * 4
+          if (version < 3) p += rank * 4 // v2 permutation indices (unused)
+          dims.foreach(d => require(d >= 1 && d <= (1 << 24),
+            s"corrupt array datatype dim $d"))
+          require(dims.foldLeft(1L)(_ * _) <= (1 << 24),
+            s"array datatype too large: ${dims.mkString("x")}")
+          val (base, bl) = parseDatatypeSized(b, p)
+          base match {
+            case _: ArrayType | _: CompoundType | _: VlenType =>
+              throw new UnsupportedOperationException(
+                s"array datatype over $base not supported")
+            case _ =>
+          }
+          (ArrayType(base, dims), p + bl - off)
         case c => throw new UnsupportedOperationException(s"datatype class $c")
       }
     }
@@ -1188,8 +1308,9 @@ object HDF5 {
 
     private def engineDType(t: TypeInfo): DType = HDF5.engineDTypeOf(t)
 
-    private def decodeElems(bytes: Array[Byte], t: TypeInfo, n: Int): AnyRef = {
+    private def decodeElems(bytes: Array[Byte], t0: TypeInfo, n: Int): AnyRef = {
       val buf = ByteBuffer.wrap(bytes)
+      val t = t0 match { case EnumType(base, _, _) => base; case other => other }
       t match {
         case FixedPoint(sz, be, signed) =>
           buf.order(if (be) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
@@ -1242,7 +1363,20 @@ object HDF5 {
     def readDataset(obj: ObjectInfo): NDArray = {
       val t = obj.dtype.getOrElse(
         throw new IllegalArgumentException("object has no datatype (a group?)"))
-      val dt = engineDType(t)
+      t match {
+        case _: CompoundType => throw new UnsupportedOperationException(
+          "compound dataset: read() expands it into per-member variables " +
+            "(readCompound)")
+        case _ =>
+      }
+      // an array datatype's dims become TRAILING dataset dimensions (the
+      // h5py convention); every element-count below counts BASE elements
+      val (elemT, extraDims) = t match {
+        case ArrayType(base, adims) => (base, adims)
+        case other => (other, Vector.empty[Int])
+      }
+      val extraN = extraDims.product
+      val dt = engineDType(elemT)
       // overflow-proof element count with an in-memory-decode ceiling: a
       // corrupt (or legitimately huge) dataspace fails by name instead of
       // a negative-size or multi-GB allocation — the scan path
@@ -1255,14 +1389,14 @@ object HDF5 {
         s"dataset claims ${obj.dims.mkString("x")} elements of ${t.size} B — " +
           "too large for in-memory decode (or corrupt); use the kerchunk " +
           "scan path instead")
-      val n = nL.toInt
-      val shape = obj.dims
+      val n = nL.toInt * extraN // base elements
+      val shape = obj.dims ++ extraDims
       obj.layout.get match {
         case Compact(data) =>
-          NDArray(dt, shape, decodeElems(data, t, n))
+          NDArray(dt, shape, decodeElems(data, elemT, n))
         case Contiguous(addr, size) =>
-          if (addr == Undefined) allocWithFill(obj, t, dt, shape) // never written
-          else NDArray(dt, shape, decodeElems(readRange(addr, size), t, n))
+          if (addr == Undefined) allocWithFill(obj, elemT, dt, shape) // never written
+          else NDArray(dt, shape, decodeElems(readRange(addr, size), elemT, n))
         case ck @ Chunked(_, chunkDims, elemSize) =>
           // same ceiling for the chunk geometry: corrupt chunk dims must
           // not reach an allocation as a negative/overflowed product
@@ -1273,21 +1407,93 @@ object HDF5 {
           require(cnL <= Int.MaxValue && cnL * elemSize <= (1L << 30),
             s"chunk claims ${chunkDims.mkString("x")} elements of $elemSize B" +
               " — too large for in-memory decode (or corrupt)")
-          val out = allocWithFill(obj, t, dt, shape)
+          val out = allocWithFill(obj, elemT, dt, shape)
+          val fullChunkDims = chunkDims ++ extraDims
           chunkRefs(ck).foreach { ref =>
             val raw = readRange(ref.addr, ref.size)
             val cn = cnL.toInt
             val bytes = defilter(raw, obj.filters, ref.filterMask, elemSize,
-              cn * elemSize, t)
-            val chunk = NDArray(dt, chunkDims, decodeElems(bytes, t, cn))
-            // clip chunks that overhang the dataspace edge
-            val starts = ref.offsets.map(_.toInt)
-            val valid = chunkDims.indices.map { d =>
-              Slc(0, math.min(chunkDims(d), shape(d) - starts(d))) }.toVector
+              cn * elemSize, elemT)
+            val chunk = NDArray(dt, fullChunkDims,
+              decodeElems(bytes, elemT, cn * extraN))
+            // clip chunks that overhang the dataspace edge (array-datatype
+            // trailing dims never overhang: their start is always 0)
+            val starts = ref.offsets.map(_.toInt) ++
+              Vector.fill(extraDims.length)(0)
+            val valid = fullChunkDims.indices.map { d =>
+              Slc(0, math.min(fullChunkDims(d), shape(d) - starts(d))) }.toVector
             if (valid.forall(_.length > 0))
               out.assign(starts.toVector, chunk.slice(valid))
           }
           out
+      }
+    }
+
+    /** Decode a COMPOUND dataset (class 6) into per-member arrays (r14):
+      * one byte-plane read, then per-member strided extraction. Members
+      * must be fixed-point, float, or enum-over-integer; anything else
+      * (vlen, string, nested array) fails by name. */
+    def readCompound(obj: ObjectInfo): Vector[(String, NDArray)] = {
+      val t = obj.dtype.get.asInstanceOf[CompoundType]
+      t.members.foreach { case (mn, _, mt) => mt match {
+        case _: FixedPoint | _: FloatType | _: EnumType =>
+        case other => throw new UnsupportedOperationException(
+          s"compound member $mn of type $other not supported")
+      }}
+      val nL = obj.dims.foldLeft(1L) { (a, d) =>
+        require(d >= 0, s"corrupt dataspace dimension $d")
+        if (a > Int.MaxValue) Long.MaxValue else a * d
+      }
+      require(nL <= Int.MaxValue && nL * t.size <= (1L << 30),
+        s"compound dataset claims ${obj.dims.mkString("x")} records of " +
+          s"${t.size} B — too large for in-memory decode (or corrupt)")
+      val n = nL.toInt
+      // byte plane: records as a U1 NDArray with a trailing byte dim, so
+      // the chunked path reuses the standard clip-and-assign machinery
+      val plane: Array[Byte] = obj.layout.get match {
+        case Compact(data) =>
+          require(data.length >= n * t.size, "compact compound data short")
+          data
+        case Contiguous(addr, size) =>
+          require(addr != Undefined,
+            "compound dataset was never written — fill-value decode not supported")
+          readRange(addr, math.min(size, n.toLong * t.size))
+        case ck @ Chunked(_, chunkDims, elemSize) =>
+          require(elemSize == t.size,
+            s"compound chunk element size $elemSize != datatype size ${t.size}")
+          val cnL = chunkDims.foldLeft(1L) { (a, d) =>
+            require(d >= 0, s"corrupt chunk dimension $d")
+            if (a > Int.MaxValue) Long.MaxValue else a * d
+          }
+          require(cnL <= Int.MaxValue && cnL * elemSize <= (1L << 30),
+            s"chunk claims ${chunkDims.mkString("x")} records of $elemSize B" +
+              " — too large for in-memory decode (or corrupt)")
+          val out = NDArray.zeros(DType.U1, obj.dims :+ t.size)
+          chunkRefs(ck).foreach { ref =>
+            val raw = readRange(ref.addr, ref.size)
+            val cn = cnL.toInt
+            val bytes = defilter(raw, obj.filters, ref.filterMask, elemSize,
+              cn * elemSize, null)
+            val chunk = NDArray(DType.U1, chunkDims :+ t.size, bytes)
+            val starts = ref.offsets.map(_.toInt) :+ 0
+            val full = chunkDims :+ t.size
+            val shape = obj.dims :+ t.size
+            val valid = full.indices.map { d =>
+              Slc(0, math.min(full(d), shape(d) - starts(d))) }.toVector
+            if (valid.forall(_.length > 0))
+              out.assign(starts.toVector, chunk.slice(valid))
+          }
+          out.data.asInstanceOf[Array[Byte]]
+        }
+      t.members.map { case (mn, mOff, mt) =>
+        val ms = mt.size
+        val mb = new Array[Byte](n * ms)
+        var i = 0
+        while (i < n) {
+          System.arraycopy(plane, i * t.size + mOff, mb, i * ms, ms)
+          i += 1
+        }
+        mn -> NDArray(engineDType(mt), obj.dims, decodeElems(mb, mt, n))
       }
     }
   }
@@ -1301,7 +1507,18 @@ object HDF5 {
     case FixedPoint(8, _, signed) => if (signed) DType.I8 else DType.U8
     case FloatType(4, _) => DType.F4
     case FloatType(8, _) => DType.F8
+    case EnumType(base, _, _) => engineDTypeOf(base) // decodes as its base
     case other => throw new UnsupportedOperationException(s"dataset type $other")
+  }
+
+  /** The name<->value map of an enum datatype as a reader-synthesized
+    * attr — shared by read() and the kerchunk scanner so both entry
+    * points surface identical variable metadata. */
+  def enumNamesAttr(t: TypeInfo): Attrs = t match {
+    case EnumType(_, names, values) =>
+      Map("enum_names" -> AttrValue(names.zip(values)
+        .map { case (s, v) => s"$s=$v" }.mkString(";")))
+    case _ => Map.empty
   }
 
   private val HiddenAttrs = Set("CLASS", "NAME", "DIMENSION_LIST",
@@ -1355,9 +1572,28 @@ object HDF5 {
         if (m.dimNames == Vector(m.name) && m.obj.dims.nonEmpty)
           dims(m.name) = m.obj.dims.head
       }
-      val vars: Map[String, Variable] = metas.collect {
-        case m if !m.phantom =>
-          m.name -> Variable(m.dimNames, r.readDataset(m.obj), m.cleanAttrs)
+      val vars: Map[String, Variable] = metas.flatMap {
+        case m if m.phantom => Nil
+        case m => m.obj.dtype.get match {
+          case _: CompoundType =>
+            // h5py's structured array, flattened: one variable per
+            // member, named <dataset>.<member>, sharing the dataspace
+            r.readCompound(m.obj).map { case (mn, arr) =>
+              s"${m.name}.$mn" -> Variable(m.dimNames, arr, m.cleanAttrs)
+            }
+          case et: EnumType =>
+            // base-integer data + the name<->value map as an attr
+            Seq(m.name -> Variable(m.dimNames, r.readDataset(m.obj),
+              m.cleanAttrs ++ enumNamesAttr(et)))
+          case ArrayType(_, adims) =>
+            // array-element dims surface as trailing per-variable dims
+            val extra = adims.indices.map(k => s"${m.name}_array_dim$k")
+            Seq(m.name -> Variable(m.dimNames ++ extra,
+              r.readDataset(m.obj), m.cleanAttrs))
+          case _ =>
+            Seq(m.name -> Variable(m.dimNames, r.readDataset(m.obj),
+              m.cleanAttrs))
+        }
       }.toMap
       vars.values.foreach(v => v.dims.zip(v.shape).foreach { case (d, s) =>
         if (!dims.contains(d)) dims(d) = s })

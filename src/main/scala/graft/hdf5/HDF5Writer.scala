@@ -63,6 +63,104 @@ object HDF5Writer {
     b.array()
   }
 
+  /** Enum datatype message (class 8 v1) over an integer base: base
+    * message, then null-terminated names padded to 8, then base-sized
+    * little-endian values (r14). */
+  private def enumTypeBytes(base: DType,
+                            members: Vector[(String, Long)]): Array[Byte] = {
+    val baseBytes = dtypeBytes(base)
+    val sz = base.byteSize
+    val n = members.length
+    val namesLen = members.map(m => pad8(m._1.length + 1)).sum
+    val b = ByteBuffer.allocate(8 + baseBytes.length + namesLen + n * sz)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0x18.toByte) // class 8 v1
+    b.put((n & 0xFF).toByte); b.put(((n >> 8) & 0xFF).toByte); b.put(0.toByte)
+    b.putInt(sz)
+    b.put(baseBytes)
+    members.foreach { case (name, _) =>
+      val nb = name.getBytes("UTF-8")
+      b.put(nb); b.put(0.toByte)
+      (nb.length + 1 until pad8(nb.length + 1)).foreach(_ => b.put(0.toByte))
+    }
+    members.foreach { case (_, v) =>
+      sz match {
+        case 1 => b.put(v.toByte)
+        case 2 => b.putShort(v.toShort)
+        case 4 => b.putInt(v.toInt)
+        case 8 => b.putLong(v)
+      }
+    }
+    b.array()
+  }
+
+  /** Compound datatype message (class 6 v1): members packed at
+    * cumulative offsets, v1's padded names + zeroed old-style array
+    * fields (r14). */
+  private def compoundTypeBytes(members: Vector[(String, DType)]): Array[Byte] = {
+    val totalSize = members.map(_._2.byteSize).sum
+    val bodies = members.map { case (_, d) => dtypeBytes(d) }
+    val len = 8 + members.indices.map { i =>
+      pad8(members(i)._1.length + 1) + 4 + 28 + bodies(i).length }.sum
+    val b = ByteBuffer.allocate(len).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0x16.toByte) // class 6 v1
+    b.put((members.length & 0xFF).toByte)
+    b.put(((members.length >> 8) & 0xFF).toByte); b.put(0.toByte)
+    b.putInt(totalSize)
+    var off = 0
+    members.indices.foreach { i =>
+      val nb = members(i)._1.getBytes("UTF-8")
+      b.put(nb); b.put(0.toByte)
+      (nb.length + 1 until pad8(nb.length + 1)).foreach(_ => b.put(0.toByte))
+      b.putInt(off)
+      // v1 old-style member array fields: dimensionality 0 + reserved +
+      // permutation + reserved + 4 dim sizes, all zero
+      (0 until 28).foreach(_ => b.put(0.toByte))
+      b.put(bodies(i))
+      off += members(i)._2.byteSize
+    }
+    b.array()
+  }
+
+  /** Array datatype message (class 10 v2) over a scalar base (r14). */
+  private def arrayTypeBytes(base: DType, dims: Vector[Int]): Array[Byte] = {
+    val baseBytes = dtypeBytes(base)
+    val b = ByteBuffer.allocate(8 + 4 + dims.length * 8 + baseBytes.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0x2A.toByte) // class 10 v2
+    b.put(0.toByte); b.put(0.toByte); b.put(0.toByte)
+    b.putInt(base.byteSize * dims.product)
+    b.put(dims.length.toByte)
+    b.put(0.toByte); b.put(0.toByte); b.put(0.toByte) // reserved
+    dims.foreach(b.putInt)
+    dims.indices.foreach(b.putInt) // v2 permutation indices (unused)
+    b.put(baseBytes)
+    b.array()
+  }
+
+  /** Element-wise byte interleave of equally-shaped member planes —
+    * the compound dataset's wire layout. */
+  private def interleave(parts: Vector[Array[Byte]],
+                         sizes: Vector[Int]): Array[Byte] = {
+    val n = parts.head.length / sizes.head
+    parts.indices.foreach(i => require(parts(i).length == n * sizes(i),
+      "compound members must share a shape"))
+    val s = sizes.sum
+    val out = new Array[Byte](n * s)
+    var i = 0
+    while (i < n) {
+      var o = i * s
+      var j = 0
+      while (j < parts.length) {
+        System.arraycopy(parts(j), i * sizes(j), out, o, sizes(j))
+        o += sizes(j)
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
   private def stringTypeBytes(size: Int): Array[Byte] = {
     val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
     b.put(0x13.toByte) // class 3 v1
@@ -395,6 +493,8 @@ object HDF5Writer {
             lz4: Boolean = false,
             szip: Option[Int] = None,
             scaleOffset: Boolean = false,
+            // float D-scale scale-offset (r14): decimal digits kept
+            scaleOffsetFloatD: Option[Int] = None,
             nbitPrecision: Option[Int] = None,
             denseRootLinks: Boolean = false,
             denseStartBlockSize: Long = 0L,
@@ -402,7 +502,15 @@ object HDF5Writer {
             denseTinyLinkIds: Boolean = false,
             denseMaxDirectBlockSize: Long = 0L,
             denseFilteredHeap: Boolean = false,
-            denseAttrObjects: Set[String] = Set.empty): Unit = {
+            denseAttrObjects: Set[String] = Set.empty,
+            // r14 exotic-datatype fixtures: vars whose datatype message
+            // becomes an ENUM over their integer dtype; vars whose k
+            // TRAILING dims move into an ARRAY datatype; COMPOUND
+            // datasets assembled by interleaving named member vars
+            // (the members stop being standalone datasets)
+            enumVars: Map[String, Vector[(String, Long)]] = Map.empty,
+            arrayVarDims: Map[String, Int] = Map.empty,
+            compoundVars: Map[String, Vector[String]] = Map.empty): Unit = {
     require(!(denseFilteredHeap && (denseTinyLinkIds ||
       denseMaxDirectBlockSize > 0)),
       "denseFilteredHeap composes with the FLAT heap plan only")
@@ -410,8 +518,10 @@ object HDF5Writer {
       blosc.isDefined, lz4, szip.isDefined).count(identity) <= 1,
       "deflate, lzf, zstd, blosc, lz4, and szip are alternative block " +
         "codecs; pick one")
-    require(!(scaleOffset && nbitPrecision.isDefined),
-      "scale-offset and nbit are alternative element-packing filters")
+    require(Seq(scaleOffset, scaleOffsetFloatD.isDefined,
+      nbitPrecision.isDefined).count(identity) <= 1,
+      "scale-offset (int), scale-offset (float D-scale) and nbit are " +
+        "alternative element-packing filters")
     // the element-packing filters apply to integer data (the libhdf5
     // integer paths); they run FIRST in the pipeline, like netCDF-4's
     // scaleoffset-then-deflate combination
@@ -444,11 +554,28 @@ object HDF5Writer {
     val SzipMask = Szip.MaskNN | Szip.MaskEC | Szip.MaskLSB | Szip.MaskRaw
     // dims in deterministic order; phantom scales for coordinate-less dims
     val dimNames = f.dims.keys.toVector.sorted
+    // compound members live INSIDE their dataset, not as standalone objects
+    val memberVars: Set[String] = compoundVars.values.flatten.toSet
     val varNames = (f.coords.keySet ++ f.dataVars.keySet).toVector.sorted
+      .filterNot(memberVars.contains)
     val phantomDims = dimNames.filterNot(f.coords.contains)
+    compoundVars.foreach { case (name, members) =>
+      require(members.nonEmpty && members.forall(m =>
+        f.coords.contains(m) || f.dataVars.contains(m)),
+        s"compoundVars: $name members must be fragment variables")
+      require(!chunks.contains(name) && members.forall(!chunks.contains(_)),
+        s"compoundVars: $name must be contiguous")
+    }
+    arrayVarDims.foreach { case (name, k) =>
+      val v = f.coords.getOrElse(name, f.dataVars(name))
+      require(k >= 1 && k < v.shape.length,
+        s"arrayVarDims: $name wants $k trailing dims of rank ${v.shape.length}")
+      require(!chunks.contains(name), s"arrayVarDims: $name must be contiguous")
+    }
     // file objects: every dim has a scale dataset; data vars follow
     val objNames: Vector[String] =
-      (dimNames ++ varNames.filterNot(dimNames.contains)).distinct.sorted
+      (dimNames ++ varNames.filterNot(dimNames.contains) ++
+        compoundVars.keys).distinct.sorted
 
     // ---- plan block addresses ----
     var cursor = 0L
@@ -460,8 +587,17 @@ object HDF5Writer {
     // per-variable raw data (encoded, possibly chunk-split + deflated)
     final case class ChunkPlan(offsets: Vector[Int], bytes: Array[Byte],
                                mask: Int = 0)
+    val compoundData: Map[String, Either[Array[Byte], Vector[ChunkPlan]]] =
+      compoundVars.map { case (name, members) =>
+        val vs = members.map(m => f.coords.getOrElse(m, f.dataVars(m)))
+        require(vs.map(_.shape).distinct.length == 1,
+          s"compoundVars: $name members must share one shape")
+        name -> Left(interleave(vs.map(v => encodeData(v.data)),
+          vs.map(_.dtype.byteSize)))
+      }
     val varData: Map[String, Either[Array[Byte], Vector[ChunkPlan]]] =
-      (f.coords ++ f.dataVars).map { case (name, v) =>
+      compoundData ++
+      ((f.coords ++ f.dataVars) -- memberVars).map { case (name, v) =>
         chunks.get(name) match {
           case None => name -> Left(encodeData(v.data))
           case Some(cs) =>
@@ -483,6 +619,12 @@ object HDF5Writer {
                 val (sz, signed) = intParams(v.dtype)
                 enc = ScaleOffset.compress(enc, sz, signed, le = true, None)
               }
+              scaleOffsetFloatD.foreach { d =>
+                require(v.dtype == DType.F4 || v.dtype == DType.F8,
+                  s"scaleOffsetFloatD applies to float data, not ${v.dtype.name}")
+                enc = ScaleOffset.compressFloatD(enc, v.dtype.byteSize,
+                  le = true, d, None)
+              }
               nbitPrecision.foreach { p =>
                 val (sz, signed) = intParams(v.dtype)
                 enc = Nbit.compress(enc, sz, le = true, p, 0, signed)
@@ -494,6 +636,7 @@ object HDF5Writer {
               // the codec's pipeline position (after any packing filter
               // and shuffle) set
               val codecBit = 1 << ((if (scaleOffset ||
+                scaleOffsetFloatD.isDefined ||
                 nbitPrecision.isDefined) 1 else 0) + (if (shuffle) 1 else 0))
               if (lzf) Lzf.compress(enc) match {
                 case Some(c) => enc = c
@@ -535,6 +678,16 @@ object HDF5Writer {
       f.coords.get(name).orElse(f.dataVars.get(name))
 
     def messagesFor(name: String): Vector[Msg] = {
+      compoundVars.get(name).foreach { members =>
+        // compound dataset: member-interleaved contiguous data, no
+        // dimension scales, no user attrs (fixture surface)
+        val vs = members.map(m => f.coords.getOrElse(m, f.dataVars(m)))
+        return Vector[Msg](
+          0x0001 -> dataspaceBytes(vs.head.shape),
+          0x0003 -> compoundTypeBytes(
+            members.zip(vs).map { case (m, mv) => (m, mv.dtype) }),
+          0x0008 -> new Array[Byte](18))
+      }
       val isDim = dimNames.contains(name)
       val isPhantom = phantomDims.contains(name)
       val v = varOf(name)
@@ -547,10 +700,22 @@ object HDF5Writer {
         case Some(p) if varData.get(name).exists(_.isRight) =>
           val (sz, signed) = intParams(dtype)
           fixedBytes(sz, signed, precision = p)
-        case _ => dtypeBytes(dtype)
+        case _ => enumVars.get(name) match {
+          case Some(members) =>
+            require(dtype.byteSize <= 8 && dtype != DType.F4 &&
+              dtype != DType.F8, s"enumVars: $name must be integer")
+            enumTypeBytes(dtype, members)
+          case None => arrayVarDims.get(name) match {
+            case Some(k) => arrayTypeBytes(dtype, v.get.shape.takeRight(k))
+            case None => dtypeBytes(dtype)
+          }
+        }
       }
+      // an array datatype moves the trailing dims OUT of the dataspace
+      val dsShape = arrayVarDims.get(name)
+        .map(k => shape.dropRight(k)).getOrElse(shape)
       val base = Vector[Msg](
-        0x0001 -> dataspaceBytes(shape),
+        0x0001 -> dataspaceBytes(dsShape),
         0x0003 -> typeBytes,
         // layout body is a placeholder here; patched after layout
         0x0008 -> (varData.get(name) match {
@@ -563,7 +728,8 @@ object HDF5Writer {
         if (varData.get(name).exists(_.isRight) &&
             (deflateLevel.isDefined || shuffle || lzf ||
               zstdLevel.isDefined || blosc.isDefined || lz4 ||
-              szip.isDefined || scaleOffset || nbitPrecision.isDefined)) {
+              szip.isDefined || scaleOffset || scaleOffsetFloatD.isDefined ||
+              nbitPrecision.isDefined)) {
           // pipeline in encode order: shuffle (id 2), then deflate (id 1)
           // or lzf (id 32000) or zstd (id 32015) — registered filters
           // carry a name in v1 entries. Each v1 entry: id, namelen,
@@ -576,6 +742,10 @@ object HDF5Writer {
               Vector(Entry(6, "", ScaleOffset.cdValues(sz, signed,
                 littleEndian = true, chunks(name).product, None)))
             } else Vector.empty) ++
+            scaleOffsetFloatD.map { d =>
+              Entry(6, "", ScaleOffset.cdValuesFloat(dtype.byteSize,
+                littleEndian = true, chunks(name).product, d, None))
+            }.toVector ++
             nbitPrecision.map { p =>
               val (sz, _) = intParams(dtype)
               Entry(5, "", Nbit.cdValues(sz, littleEndian = true, p, 0,
@@ -640,7 +810,9 @@ object HDF5Writer {
             else name))
         else Vector.empty
       val dimList: Vector[Msg] = v match {
-        case Some(vr) if !isDim =>
+        // array-datatype vars skip DIMENSION_LIST: their variable dims
+        // include the trailing element dims, which have no scale objects
+        case Some(vr) if !isDim && !arrayVarDims.contains(name) =>
           // vlen data: per dim (len=1, gheap addr, gheap index) — patched
           Vector(0x000C -> attrBytes("DIMENSION_LIST", vlenRefTypeBytes,
             dataspaceBytes(Vector(vr.dims.length)),
@@ -1345,7 +1517,13 @@ object HDF5Writer {
     objNames.foreach { n =>
       val isPhantom = phantomDims.contains(n)
       val v = varOf(n)
-      val shape: Vector[Int] = if (isPhantom) Vector(f.dims(n)) else v.get.shape
+      val shape: Vector[Int] =
+        if (isPhantom) Vector(f.dims(n))
+        else compoundVars.get(n) match {
+          case Some(members) =>
+            f.coords.getOrElse(members.head, f.dataVars(members.head)).shape
+          case None => v.get.shape
+        }
       val patched = objHeaderMsgs(n).map {
         case (0x0008, body) =>
           varData.get(n) match {

@@ -94,6 +94,31 @@ object ScaleOffset {
       if (littleEndian) 0 else 1, if (fill.isDefined) 1 else 0) ++ fillWords
   }
 
+  /** cd_values for the FLOAT D-scale path (r14): scale type 0, the
+    * decimal scale factor D at [1], dtype class float (1) at [3].
+    * `fillBits` carries the fill value's IEEE bit pattern. */
+  def cdValuesFloat(size: Int, littleEndian: Boolean, nelmts: Int,
+                    dScale: Int, fillBits: Option[Long]): Vector[Int] = {
+    val fillWords: Vector[Int] = fillBits match {
+      case None => Vector.empty
+      case Some(fb) =>
+        val bytes = new Array[Byte](size)
+        var i = 0
+        while (i < size) {
+          val shift = if (littleEndian) i else size - 1 - i
+          bytes(i) = ((fb >>> (shift * 8)) & 0xFF).toByte
+          i += 1
+        }
+        bytes.padTo((size + 3) / 4 * 4, 0.toByte).grouped(4).map { g =>
+          (g(0) & 0xFF) | ((g(1) & 0xFF) << 8) | ((g(2) & 0xFF) << 16) |
+            ((g(3) & 0xFF) << 24)
+        }.toVector
+    }
+    Vector(ScaleTypeFloatDScale, dScale, nelmts, 1, size, 0,
+      if (littleEndian) 0 else 1, if (fillBits.isDefined) 1 else 0) ++
+      fillWords
+  }
+
   private def bitsFor(span: Long): Int = {
     var b = 0
     while ((1L << b) < span && b < 63) b += 1
@@ -130,10 +155,11 @@ object ScaleOffset {
     require(cd.length >= 8,
       s"scale-offset filter carries ${cd.length} client values (need >= 8)")
     val scaleType = cd(0)
+    if (scaleType == ScaleTypeFloatDScale) return decompressFloatD(data, cd)
     require(scaleType == ScaleTypeInt,
-      "scale-offset filter: only the integer path (scale type 2) is " +
-        s"supported; this chunk uses float ${if (scaleType == 0) "D" else "E"}" +
-        "-scale — repack the file (h5repack -f GZIP=4) to read it")
+      "scale-offset filter: float E-scale (scale type 1) is unimplemented " +
+        "in libhdf5 itself — no writer can produce it; integer (2) and " +
+        "float D-scale (0) chunks decode")
     val nelmts = cd(2)
     val size = cd(4)
     val le = cd(6) == 0
@@ -243,6 +269,175 @@ object ScaleOffset {
       while (e < n) {
         val v = readElem(raw, e, size, le, signed)
         w.put(if (fill.contains(v)) sentinel else v - min, minbits)
+        e += 1
+      }
+      System.arraycopy(w.bytes, 0, out, HeaderBytes, w.bytes.length)
+    }
+    out
+  }
+
+  // ------------------------------------------------ float D-scale (r14)
+
+  /** FLOAT D-scale decode (H5Z__scaleoffset_postdecompress_fd): packed
+    * offsets are llround(v·10^D − min·10^D); the header's minval field
+    * carries the chunk minimum's IEEE bit pattern (little-endian, like
+    * the integer path's minval); the restored value is
+    * packed/10^D + min computed in the dataset's own float width —
+    * lossy beyond D decimal digits, exactly as libhdf5 documents. */
+  private def decompressFloatD(data: Array[Byte], cd: Vector[Int]): Array[Byte] = {
+    val dScale = cd(1)
+    val nelmts = cd(2)
+    val size = cd(4)
+    val le = cd(6) == 0
+    val fillDefined = cd(7) == 1
+    require(size == 4 || size == 8,
+      s"float scale-offset element size $size (f32/f64 are)")
+    require(dScale >= 0 && dScale <= 18,
+      s"corrupt scale-offset chunk: decimal scale factor $dScale")
+    require(nelmts >= 0 && nelmts.toLong * size <= (1L << 31) - 1,
+      s"scale-offset chunk claims $nelmts x $size bytes")
+    require(data.length >= HeaderBytes,
+      s"scale-offset chunk of ${data.length} bytes lacks the 21-byte header")
+    val minbits = (data(0) & 0xFF) | ((data(1) & 0xFF) << 8) |
+      ((data(2) & 0xFF) << 16) | ((data(3) & 0xFF) << 24)
+    require(minbits >= 0 && minbits <= size * 8,
+      s"corrupt scale-offset chunk: minbits $minbits for $size-byte elements")
+    val minvalWidth = math.min(8, data(4) & 0xFF)
+    var minBits = 0L
+    var i = 0
+    while (i < minvalWidth) {
+      minBits |= (data(5 + i) & 0xFFL) << (i * 8)
+      i += 1
+    }
+    val out = new Array[Byte](nelmts * size)
+    if (minbits == size * 8) {
+      require(data.length - HeaderBytes >= out.length,
+        s"corrupt scale-offset chunk: ${data.length - HeaderBytes} payload " +
+          s"bytes for ${out.length}")
+      System.arraycopy(data, HeaderBytes, out, 0, out.length)
+      return out
+    }
+    val fillBitsVal =
+      if (fillDefined) {
+        require(cd.length >= 8 + (size + 3) / 4,
+          s"scale-offset filter: fill flagged but only ${cd.length} " +
+            "client values")
+        val fb = new Array[Byte](size)
+        var k = 0
+        while (k < size) {
+          fb(k) = ((cd(8 + k / 4) >>> ((k % 4) * 8)) & 0xFF).toByte
+          k += 1
+        }
+        var v = 0L
+        var k2 = 0
+        while (k2 < size) {
+          v = (v << 8) | (fb(if (le) size - 1 - k2 else k2) & 0xFFL)
+          k2 += 1
+        }
+        v
+      } else 0L
+    val sentinel = (1L << minbits) - 1
+    val rdr = new BitStream.Reader(data, HeaderBytes)
+    var e = 0
+    if (size == 4) {
+      val minF = java.lang.Float.intBitsToFloat(minBits.toInt)
+      val p10 = math.pow(10.0, dScale).toFloat
+      while (e < nelmts) {
+        val packed = rdr.get(minbits)
+        val bits: Long =
+          if (fillDefined && packed == sentinel) fillBitsVal
+          else java.lang.Float.floatToIntBits(
+            packed.toFloat / p10 + minF).toLong & 0xFFFFFFFFL
+        writeElem(out, e, size, le, bits)
+        e += 1
+      }
+    } else {
+      val minD = java.lang.Double.longBitsToDouble(minBits)
+      val p10 = math.pow(10.0, dScale)
+      while (e < nelmts) {
+        val packed = rdr.get(minbits)
+        val bits: Long =
+          if (fillDefined && packed == sentinel) fillBitsVal
+          else java.lang.Double.doubleToLongBits(packed.toDouble / p10 + minD)
+        writeElem(out, e, size, le, bits)
+        e += 1
+      }
+    }
+    out
+  }
+
+  /** FLOAT D-scale encode (fixture-writer twin of [[decompressFloatD]]):
+    * per-element packed = llround(v·10^D − min·10^D); a value within
+    * 10^-D/2 of the fill value packs as the all-ones sentinel. */
+  def compressFloatD(raw: Array[Byte], size: Int, le: Boolean,
+                     dScale: Int, fill: Option[Double]): Array[Byte] = {
+    require(size == 4 || size == 8, s"float scale-offset size $size")
+    require(raw.length % size == 0, "scale-offset: partial element")
+    require(dScale >= 0 && dScale <= 18, s"decimal scale factor $dScale")
+    val n = raw.length / size
+    def elemAt(i: Int): Double = {
+      var bits = 0L
+      var k = 0
+      while (k < size) {
+        bits = (bits << 8) | (raw(i * size + (if (le) size - 1 - k else k)) & 0xFFL)
+        k += 1
+      }
+      if (size == 4) java.lang.Float.intBitsToFloat(bits.toInt).toDouble
+      else java.lang.Double.longBitsToDouble(bits)
+    }
+    val p10 = math.pow(10.0, dScale)
+    val fillTol = math.pow(10.0, -dScale) / 2
+    def isFill(v: Double): Boolean =
+      fill.exists(fv => math.abs(v - fv) < fillTol)
+    var min = Double.MaxValue
+    var max = -Double.MaxValue
+    var nonFill = 0
+    var i = 0
+    while (i < n) {
+      val v = elemAt(i)
+      require(!v.isNaN && !v.isInfinite,
+        "float scale-offset cannot pack NaN/Inf values (use a finite fill)")
+      if (!isFill(v)) {
+        if (v < min) min = v
+        if (v > max) max = v
+        nonFill += 1
+      }
+      i += 1
+    }
+    if (nonFill == 0) { min = 0.0; max = 0.0 }
+    // llround(max·10^D − min·10^D) + 1, the difference taken BEFORE
+    // rounding (the H5Z__scaleoffset_precompress_fd expression)
+    val span = math.round(max * p10 - min * p10) + 1
+    val minbits =
+      if (span <= 0 || span >= (1L << 62)) size * 8
+      else math.min(bitsFor(span + 1), size * 8) // +1 reserves the sentinel
+    val minBitsPattern =
+      if (size == 4) java.lang.Float.floatToIntBits(min.toFloat).toLong & 0xFFFFFFFFL
+      else java.lang.Double.doubleToLongBits(min)
+    val out = new Array[Byte](HeaderBytes +
+      (if (minbits == size * 8) raw.length
+       else ((n.toLong * minbits + 7) / 8).toInt))
+    out(0) = (minbits & 0xFF).toByte
+    out(1) = ((minbits >>> 8) & 0xFF).toByte
+    out(2) = ((minbits >>> 16) & 0xFF).toByte
+    out(3) = ((minbits >>> 24) & 0xFF).toByte
+    out(4) = size.toByte
+    var k = 0
+    while (k < size) {
+      out(5 + k) = ((minBitsPattern >>> (k * 8)) & 0xFF).toByte
+      k += 1
+    }
+    if (minbits == size * 8) {
+      System.arraycopy(raw, 0, out, HeaderBytes, raw.length)
+    } else {
+      val w = new BitStream.Writer(n.toLong * minbits)
+      val sentinel = (1L << minbits) - 1
+      var e = 0
+      while (e < n) {
+        val v = elemAt(e)
+        w.put(
+          if (isFill(v)) sentinel
+          else math.round(v * p10 - min * p10), minbits)
         e += 1
       }
       System.arraycopy(w.bytes, 0, out, HeaderBytes, w.bytes.length)

@@ -228,11 +228,14 @@ object RefSet {
           if (size <= inlineThreshold)
             Ref.inline(r.readRange(addr, size))
           else Ref.pointer(path, addr, size)
+        // enum datatypes surface their name<->value map exactly as the
+        // eager reader does, so both entry points agree on metadata
+        val varAttrs = m.cleanAttrs ++ HDF5.enumNamesAttr(t)
         o.layout.get match {
           case HDF5.Compact(data) =>
             out += s"${m.name}/zarr.json" -> Ref.inline(ZarrStore.arrayMetaDoc(
               o.dims, if (o.dims.isEmpty) Vector(1) else o.dims, dt,
-              m.cleanAttrs, dimensionNames = Some(m.dimNames),
+              varAttrs, dimensionNames = Some(m.dimNames),
               bigEndian = bigEndian))
             val key = if (o.dims.isEmpty) s"${m.name}/c"
               else s"${m.name}/c/" + o.dims.map(_ => "0").mkString("/")
@@ -240,7 +243,7 @@ object RefSet {
           case HDF5.Contiguous(addr, size) =>
             out += s"${m.name}/zarr.json" -> Ref.inline(ZarrStore.arrayMetaDoc(
               o.dims, if (o.dims.isEmpty) Vector(1) else o.dims, dt,
-              m.cleanAttrs, dimensionNames = Some(m.dimNames),
+              varAttrs, dimensionNames = Some(m.dimNames),
               bigEndian = bigEndian))
             val key = if (o.dims.isEmpty) s"${m.name}/c"
               else s"${m.name}/c/" + o.dims.map(_ => "0").mkString("/")
@@ -248,7 +251,7 @@ object RefSet {
               out += key -> inlineOrPointer(addr, size)
           case ck @ HDF5.Chunked(_, chunkDims, _) =>
             out += s"${m.name}/zarr.json" -> Ref.inline(ZarrStore.arrayMetaDoc(
-              o.dims, chunkDims, dt, m.cleanAttrs,
+              o.dims, chunkDims, dt, varAttrs,
               dimensionNames = Some(m.dimNames), bigEndian = bigEndian,
               zlibLevel = zlib, shuffleElem = shuffle,
               zstdLevel = zstd, blosc = bloscP))

@@ -65,10 +65,23 @@ object Hdf5Ops {
       attrs = Map("conventions" -> AttrValue("CF 1.6")))
   }
 
+  /** bar's enum members (r14): its values are vi % 10 ∈ [0, 9], each
+    * named — the ICESat-2-style flag-variable layout. */
+  private val BarEnum: Vector[(String, Long)] =
+    (0 until 10).map(i => s"level_$i" -> i.toLong).toVector
+
   def hdf5Roundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val nt = 10
-    val cube = makeCube(nt)
+    // slabs are WRITTEN from cubeStored; readers synthesize bar's
+    // enum_names attr from the class-8 datatype, so the GOLDEN cube
+    // carries it — the round-trip equality proves the enum decode ran
+    // in both entry points
+    val cubeStored = makeCube(nt)
+    val cube = cubeStored.copy(dataVars = cubeStored.dataVars.updatedWith(
+      "bar")(_.map(v => v.copy(attrs = v.attrs +
+        ("enum_names" -> AttrValue(BarEnum
+          .map { case (s, x) => s"$s=$x" }.mkString(";")))))))
     val dir = Files.createTempDirectory("graft_h5_e2e").toString
     // 2 days per file; data vars chunked 1 day per chunk, deflated — the
     // shape libnetcdf writes for chunked+zlib variables. Alternate slabs
@@ -83,13 +96,15 @@ object Hdf5Ops {
         // slab 6 rotates through SCALE-OFFSET (filter 6, the NASA/NOAA
         // archive packing): bar (integer) is chunked+packed, foo rides
         // contiguous — the shape nccopy SOFF=0,2 produces on int vars
-        HDF5Writer.write(path, cube.isel(Map("time" -> Slc(t0, t0 + 2))),
-          chunks = Map("bar" -> Vector(2, 18, 36)), scaleOffset = true)
-      } else HDF5Writer.write(path, cube.isel(Map("time" -> Slc(t0, t0 + 2))),
+        HDF5Writer.write(path, cubeStored.isel(Map("time" -> Slc(t0, t0 + 2))),
+          chunks = Map("bar" -> Vector(2, 18, 36)), scaleOffset = true,
+          enumVars = Map("bar" -> BarEnum))
+      } else HDF5Writer.write(path, cubeStored.isel(Map("time" -> Slc(t0, t0 + 2))),
         chunks = Map("foo" -> Vector(1, 18, 36), "bar" -> Vector(2, 18, 36)),
         deflateLevel = Some(4), denseRootLinks = t0 % 4 == 0,
         denseAttrObjects =
-          if (t0 % 4 == 2 || t0 == 4) Set("foo") else Set.empty)
+          if (t0 % 4 == 2 || t0 == 4) Set("foo") else Set.empty,
+        enumVars = Map("bar" -> BarEnum))
       path
     }.toVector
 
@@ -119,9 +134,9 @@ object Hdf5Ops {
           s"hdf5: wrong scale-offset scan error: ${e.getMessage}")
     }
     val slab6Twin = s"$dir/slab_6_deflate.nc"
-    HDF5Writer.write(slab6Twin, cube.isel(Map("time" -> Slc(6, 8))),
+    HDF5Writer.write(slab6Twin, cubeStored.isel(Map("time" -> Slc(6, 8))),
       chunks = Map("foo" -> Vector(1, 18, 36), "bar" -> Vector(2, 18, 36)),
-      deflateLevel = Some(4))
+      deflateLevel = Some(4), enumVars = Map("bar" -> BarEnum))
     val refFiles = files.updated(3, slab6Twin)
     val refs = refFiles.map(RefSet.scanHdf5(_))
     val combined = RefSet.concatRefSets(refs, "time",

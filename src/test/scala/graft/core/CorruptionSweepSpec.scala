@@ -182,6 +182,68 @@ class CorruptionSweepSpec extends AnyFunSuite {
     assert(failed > 0, "no corruption failed — the sweep is vacuous")
   }
 
+  test("hdf5 float D-scale scale-offset: corruption never crashes, only fails by name") {
+    val dir = tmpDir
+    val p = s"$dir/dscale.h5"
+    val n = 40
+    val f = Fragment(
+      dims = Map("n" -> n),
+      coords = Map("n" -> Variable(Vector("n"),
+        NDArray(DType.I4, Vector(n), (0 until n).toArray))),
+      dataVars = Map("temp" -> Variable(Vector("n"),
+        NDArray(DType.F8, Vector(n),
+          Array.tabulate(n)(i => (i * 37 % 500) / 100.0)))),
+      attrs = Map.empty)
+    HDF5Writer.write(p, f, chunks = Map("temp" -> Vector(16)),
+      scaleOffsetFloatD = Some(2))
+    val orig = Files.readAllBytes(Paths.get(p))
+    val target = s"$dir/mut.h5"
+    val (ok, failed) = sweep(orig, orig.length, { bytes =>
+      Files.write(Paths.get(target), bytes)
+      HDF5.read(target)
+    })
+    info(s"hdf5 D-scale sweep: $ok corruptions read, $failed failed diagnosably")
+    assert(failed > 0, "no corruption failed — the sweep is vacuous")
+  }
+
+  test("hdf5 enum/compound/array datatypes: corruption never crashes, only fails by name") {
+    // the r14 datatype surface in one file: an enum-over-i1 variable
+    // (chunked+deflate), a 3-member mixed-width compound dataset and an
+    // array-datatype variable — swept through the full read() path
+    // (datatype message parse incl. nested base types, member striding,
+    // trailing-dim expansion)
+    val dir = tmpDir
+    val p = s"$dir/exotic.h5"
+    val n = 8
+    val f = Fragment(
+      dims = Map("n" -> n, "k" -> 3),
+      coords = Map("n" -> Variable(Vector("n"),
+        NDArray(DType.I4, Vector(n), (0 until n).toArray))),
+      dataVars = Map(
+        "flag" -> Variable(Vector("n"),
+          NDArray(DType.I1, Vector(n), Array.tabulate(n)(i => (i % 4).toByte))),
+        "s" -> Variable(Vector("n"),
+          NDArray(DType.I8, Vector(n), Array.tabulate(n)(_ * 100L))),
+        "w" -> Variable(Vector("n"),
+          NDArray(DType.F8, Vector(n), Array.tabulate(n)(_ * 0.5))),
+        "vec" -> Variable(Vector("n", "k"),
+          NDArray(DType.F4, Vector(n, 3), Array.tabulate(n * 3)(_ * 1.5f)))),
+      attrs = Map.empty)
+    HDF5Writer.write(p, f,
+      chunks = Map("flag" -> Vector(4)), deflateLevel = Some(4),
+      enumVars = Map("flag" -> Vector("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L)),
+      compoundVars = Map("tbl" -> Vector("s", "w")),
+      arrayVarDims = Map("vec" -> 1))
+    val orig = Files.readAllBytes(Paths.get(p))
+    val target = s"$dir/mut.h5"
+    val (ok, failed) = sweep(orig, orig.length, { bytes =>
+      Files.write(Paths.get(target), bytes)
+      HDF5.read(target)
+    })
+    info(s"hdf5 exotic-datatype sweep: $ok corruptions read, $failed failed diagnosably")
+    assert(failed > 0, "no corruption failed — the sweep is vacuous")
+  }
+
   test("jpeg: marker/huffman/entropy corruption never crashes, only fails by name") {
     // baseline JPEG with restart markers: marker walk, DQT/DHT/SOF/SOS
     // parsing, canonical Huffman decode, byte unstuffing, RST handling,

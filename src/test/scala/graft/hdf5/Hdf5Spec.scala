@@ -793,16 +793,98 @@ class Hdf5Spec extends AnyFunSuite {
       s"nbit file did not shrink: $onDisk B")
   }
 
-  test("scale-offset float path and nbit compound class fail by name") {
-    // float D-scale chunk: class float in cd -> named protocol error
+  test("scale-offset E-scale and nbit compound class fail by name") {
+    // float E-scale: libhdf5 itself never implemented it — named error
     val e = intercept[IllegalArgumentException](ScaleOffset.decompress(
       new Array[Byte](32),
-      Vector(ScaleOffset.ScaleTypeFloatDScale, 2, 8, 1, 4, 0, 0, 0)))
-    assert(e.getMessage.contains("D-scale"), e.getMessage)
+      Vector(ScaleOffset.ScaleTypeFloatEScale, 2, 8, 1, 4, 0, 0, 0)))
+    assert(e.getMessage.contains("E-scale"), e.getMessage)
     val e2 = intercept[IllegalArgumentException](Nbit.decompress(
       new Array[Byte](32),
       Vector(10, 0, 8, Nbit.ClassCompound, 4, 0, 16, 0)))
     assert(e2.getMessage.contains("compound"), e2.getMessage)
+  }
+
+  test("scale-offset float D-scale (r14): f32/f64 round-trip within 10^-D, fill sentinel, file path") {
+    // unit level: known vectors through compress/decompress, both widths
+    for ((size, tag) <- Seq((4, "f32"), (8, "f64"))) {
+      val d = 2 // keep 2 decimal digits
+      val vals = Array(3.14159, -2.71828, 0.0, 99.995, -0.005, 41.37)
+      val raw = new Array[Byte](vals.length * size)
+      val bb = java.nio.ByteBuffer.wrap(raw)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(v => if (size == 4) bb.putFloat(v.toFloat) else bb.putDouble(v))
+      val packed = ScaleOffset.compressFloatD(raw, size, le = true, d, None)
+      assert(packed.length < raw.length + ScaleOffset.HeaderBytes,
+        s"$tag: D-scale did not shrink ${raw.length}B of 2-digit data")
+      val cd = ScaleOffset.cdValuesFloat(size, littleEndian = true,
+        vals.length, d, None)
+      val back = java.nio.ByteBuffer.wrap(ScaleOffset.decompress(packed, cd))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.indices.foreach { i =>
+        val got = if (size == 4) back.getFloat(i * 4).toDouble
+                  else back.getDouble(i * 8)
+        assert(math.abs(got - vals(i)) <= math.pow(10.0, -d) + 1e-9,
+          s"$tag[$i]: $got vs ${vals(i)}")
+      }
+    }
+    // fill sentinel: values near the fill pack as all-ones and restore
+    // the exact fill bit pattern
+    locally {
+      val d = 2
+      val fill = -9999.0
+      val vals = Array(1.25, fill, 7.5, fill)
+      val raw = new Array[Byte](vals.length * 8)
+      val bb = java.nio.ByteBuffer.wrap(raw)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(bb.putDouble)
+      val packed = ScaleOffset.compressFloatD(raw, 8, le = true, d, Some(fill))
+      val cd = ScaleOffset.cdValuesFloat(8, littleEndian = true, vals.length,
+        d, Some(java.lang.Double.doubleToLongBits(fill)))
+      val back = java.nio.ByteBuffer.wrap(ScaleOffset.decompress(packed, cd))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      assert(back.getDouble(8) == fill && back.getDouble(24) == fill)
+      assert(math.abs(back.getDouble(0) - 1.25) <= 0.01)
+    }
+    // NaN data is a named error, not a silent mis-pack
+    locally {
+      val raw = new Array[Byte](8)
+      java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putDouble(Double.NaN)
+      val e = intercept[IllegalArgumentException](
+        ScaleOffset.compressFloatD(raw, 8, le = true, 2, None))
+      assert(e.getMessage.contains("NaN"), e.getMessage)
+    }
+    // file level: writer-emitted D-scale chunks (composed with deflate)
+    // read back through HDF5.read within the documented precision
+    val n = 48
+    val vals = Array.tabulate(n)(i => (i * 37 % 1000) / 100.0 - 3.7)
+    val f = Fragment(
+      dims = Map("n" -> n),
+      coords = Map("n" -> Variable(Vector("n"),
+        NDArray(DType.I4, Vector(n), (0 until n).toArray))),
+      dataVars = Map("temp" -> Variable(Vector("n"),
+        NDArray(DType.F8, Vector(n), vals))),
+      attrs = Map.empty)
+    for ((p, dl) <- Seq((s"$dir/dscale.nc", None),
+                        (s"$dir/dscale_z.nc", Some(5)))) {
+      HDF5Writer.write(p, f, chunks = Map("temp" -> Vector(16)),
+        scaleOffsetFloatD = Some(2), deflateLevel = dl)
+      val got = HDF5.read(p).dataVars("temp").data.data
+        .asInstanceOf[Array[Double]]
+      vals.indices.foreach(i => assert(math.abs(got(i) - vals(i)) <= 0.01,
+        s"dl=$dl [$i]: ${got(i)} vs ${vals(i)}"))
+    }
+    // f32 file path too
+    val f2 = f.copy(dataVars = Map("temp" -> Variable(Vector("n"),
+      NDArray(DType.F4, Vector(n), vals.map(_.toFloat)))))
+    val p32 = s"$dir/dscale_f32.nc"
+    HDF5Writer.write(p32, f2, chunks = Map("temp" -> Vector(16)),
+      scaleOffsetFloatD = Some(2))
+    val got32 = HDF5.read(p32).dataVars("temp").data.data
+      .asInstanceOf[Array[Float]]
+    vals.indices.foreach(i =>
+      assert(math.abs(got32(i) - vals(i)) <= 0.011, s"f32[$i]"))
   }
 
   test("szip-filtered file written by HDF5Writer reads back through HDF5.read") {
@@ -1032,5 +1114,118 @@ class Hdf5Spec extends AnyFunSuite {
     val path = s"$dir/types.nc"
     HDF5Writer.write(path, f)
     assert(HDF5.read(path).sameAs(f))
+  }
+
+  // --------------------------------- enum / compound / array datatypes (r14)
+
+  test("enum datatype (class 8): base-int decode + enum_names attr, contiguous AND chunked+deflate") {
+    val d0 = dir
+    val flags = Array[Byte](0, 1, 2, 3, 1, 0, 2, 1, 3, 0, 0, 2)
+    val f = Fragment(
+      dims = Map("n" -> 12),
+      coords = Map("n" -> Variable(Vector("n"),
+        NDArray(DType.I4, Vector(12), (0 until 12).toArray))),
+      dataVars = Map("quality" -> Variable(Vector("n"),
+        NDArray(DType.I1, Vector(12), flags),
+        Map("long_name" -> AttrValue("quality flag")))),
+      attrs = Map.empty)
+    val names = Vector("good" -> 0L, "ok" -> 1L, "suspect" -> 2L, "bad" -> 3L)
+    for ((p, ch, dl) <- Seq(
+        (s"$d0/enum_contig.nc", Map.empty[String, Vector[Int]], None),
+        (s"$d0/enum_chunked.nc", Map("quality" -> Vector(5)), Some(6)))) {
+      HDF5Writer.write(p, f, chunks = ch, deflateLevel = dl,
+        enumVars = Map("quality" -> names))
+      val back = HDF5.read(p)
+      val q = back.dataVars("quality")
+      assert(q.dtype == DType.I1)
+      assert(q.data.data.asInstanceOf[Array[Byte]].sameElements(flags))
+      assert(q.attrs("enum_names") ==
+        AttrValue("good=0;ok=1;suspect=2;bad=3"))
+      assert(q.attrs("long_name") == AttrValue("quality flag"))
+    }
+    // a 2-byte enum base decodes through the same path
+    val f2 = f.copy(dataVars = Map("quality" -> Variable(Vector("n"),
+      NDArray(DType.I2, Vector(12), flags.map(_.toShort)), Map.empty)))
+    val p2 = s"$d0/enum_i2.nc"
+    HDF5Writer.write(p2, f2, enumVars = Map("quality" -> names))
+    val q2 = HDF5.read(p2).dataVars("quality")
+    assert(q2.dtype == DType.I2)
+    assert(q2.data.data.asInstanceOf[Array[Short]].sameElements(
+      flags.map(_.toShort)))
+  }
+
+  test("compound datatype (class 6): mixed-width members expand to per-member variables") {
+    // an index-table-shaped record: (start: i64, count: i32, weight: f64)
+    // — three different widths, so member offsets/strides genuinely run
+    val n = 9
+    val starts = Array.tabulate(n)(i => i * 1000L + 7)
+    val counts = Array.tabulate(n)(i => i * 3 + 1)
+    val weights = Array.tabulate(n)(i => i * 0.25 + 0.125)
+    val f = Fragment(
+      dims = Map("rec" -> n),
+      coords = Map("rec" -> Variable(Vector("rec"),
+        NDArray(DType.I4, Vector(n), (0 until n).toArray))),
+      dataVars = Map(
+        "start" -> Variable(Vector("rec"), NDArray(DType.I8, Vector(n), starts)),
+        "count" -> Variable(Vector("rec"), NDArray(DType.I4, Vector(n), counts)),
+        "weight" -> Variable(Vector("rec"), NDArray(DType.F8, Vector(n), weights))),
+      attrs = Map.empty)
+    val p = s"$dir/compound.nc"
+    HDF5Writer.write(p, f,
+      compoundVars = Map("index" -> Vector("start", "count", "weight")))
+    val back = HDF5.read(p)
+    // members expanded as <dataset>.<member>; the member vars themselves
+    // were interleaved INTO the compound, not written standalone
+    assert(!back.dataVars.contains("start"))
+    assert(back.dataVars("index.start").data.data
+      .asInstanceOf[Array[Long]].sameElements(starts))
+    assert(back.dataVars("index.count").data.data
+      .asInstanceOf[Array[Int]].sameElements(counts))
+    assert(back.dataVars("index.weight").data.data
+      .asInstanceOf[Array[Double]].sameElements(weights))
+    // the wire datatype really is class 6 with three members
+    val r = new HDF5.Reader(p)
+    try {
+      val (_, metas) = HDF5.datasets(r)
+      val idx = metas.find(_.name == "index").get
+      idx.obj.dtype.get match {
+        case HDF5.CompoundType(size, members) =>
+          assert(size == 20) // 8 + 4 + 8, packed
+          assert(members.map(_._1) == Vector("start", "count", "weight"))
+          assert(members.map(_._2) == Vector(0, 8, 12))
+        case other => fail(s"expected compound, got $other")
+      }
+    } finally r.close()
+  }
+
+  test("array datatype (class 10): element dims surface as trailing dataset dims") {
+    val (nt, k) = (5, 3)
+    val vals = Array.tabulate(nt * k)(i => i * 1.5)
+    val f = Fragment(
+      dims = Map("t" -> nt, "comp" -> k),
+      coords = Map("t" -> Variable(Vector("t"),
+        NDArray(DType.I4, Vector(nt), (0 until nt).toArray))),
+      dataVars = Map("vec" -> Variable(Vector("t", "comp"),
+        NDArray(DType.F8, Vector(nt, k), vals))),
+      attrs = Map.empty)
+    val p = s"$dir/arraytype.nc"
+    HDF5Writer.write(p, f, arrayVarDims = Map("vec" -> 1))
+    val back = HDF5.read(p)
+    val v = back.dataVars("vec")
+    assert(v.shape == Vector(nt, k))
+    assert(v.dims.last == "vec_array_dim0") // trailing dim from the datatype
+    assert(v.data.data.asInstanceOf[Array[Double]].sameElements(vals))
+    // the wire datatype really is class 10 over f8 with dim [3]
+    val r = new HDF5.Reader(p)
+    try {
+      val (_, metas) = HDF5.datasets(r)
+      metas.find(_.name == "vec").get.obj.dtype.get match {
+        case HDF5.ArrayType(HDF5.FloatType(8, _), dims) =>
+          assert(dims == Vector(k))
+        case other => fail(s"expected array datatype, got $other")
+      }
+      // and the dataspace rank DROPPED the element dim
+      assert(metas.find(_.name == "vec").get.obj.dims == Vector(nt))
+    } finally r.close()
   }
 }
