@@ -43,11 +43,17 @@ object JoinAudit {
 
     // checkpoint-derived corpus: the misestimate-prone lineage shape
     // (range → string expr → checkpoint). ~8 words per doc from a
-    // 10k-word vocabulary; enough shared grams for candidate mass.
+    // 10k-word vocabulary; ~1% of docs duplicate their neighbor's text
+    // (r14) so the verification stages of the pair-emitting families
+    // (d15/d17 gram verify, d04 rescore) run on REAL matches, not just
+    // candidate mass.
     val docs = spark.range(n).toDF("doc_id")
+      .withColumn("seed", expr(
+        "doc_id - (case when doc_id % 97 = 0 and doc_id > 0 then 1 else 0 end)"))
       .withColumn("text", expr(
         "concat_ws(' ', transform(sequence(0, 7), " +
-          "j -> concat('w', abs(hash(doc_id, j)) % 10000)))"))
+          "j -> concat('w', abs(hash(seed, j)) % 10000)))"))
+      .drop("seed")
       .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint(true)
 
@@ -70,11 +76,13 @@ object JoinAudit {
     val sh = graft.ops.Corpus.simhashSignatures(docs).localCheckpoint(true)
     probe("d06_simhash_pairs", DedupOps.simhashPairsOf(sh), live = true)
 
-    // d15: PPJoin prefix self-join + gram verification
-    probe("d15_ppjoin", DedupOps.ppjoinPairsOf(docs, t10 = 8, k = 3))
+    // d15: PPJoin prefix self-join + gram verification (live since r14)
+    probe("d15_ppjoin", DedupOps.ppjoinPairsOf(docs, t10 = 8, k = 3),
+      live = true)
 
-    // d17: containment prefix join
-    probe("d17_containment", DedupOps.containmentPairsOf(docs, 8, 3))
+    // d17: containment prefix join (live since r14)
+    probe("d17_containment", DedupOps.containmentPairsOf(docs, 8, 3),
+      live = true)
 
     // s06: semantic-dedup cell self-join over checkpoint-derived vectors
     val emb = spark.range(n).toDF("vec_id")
@@ -84,7 +92,8 @@ object JoinAudit {
         "aggregate(q, cast(0 as bigint), (a, x) -> a + x * x)"))
       .withColumn("cell", expr(s"abs(hash(vec_id)) % ${n / 64 max 1}"))
       .localCheckpoint(true)
-    probe("s06_semantic_dedup", SimilarityOps.semanticDedupOf(emb, 0.45))
+    probe("s06_semantic_dedup", SimilarityOps.semanticDedupOf(emb, 0.45),
+      live = true)
 
     // d11: suffix spans (range-partitioned sort + boundary fix-up);
     // probed at n/8 — the sort itself is the cost, the audit target is
