@@ -76,7 +76,10 @@ object Grib2 {
                               surfaceValue: Double,
                               ensembleType: Int = -1,
                               perturbationNumber: Int = -1,
-                              ensembleSize: Int = -1)
+                              ensembleSize: Int = -1,
+                              /** table 4.7 code for derived templates
+                                * 4.2/4.12 (0 mean, 2 spread, ...). */
+                              derivedType: Int = -1)
 
   /** Complex-packing parameters (templates 5.2/5.3). */
   final case class ComplexParams(splitMethod: Int, missingMgmt: Int,
@@ -376,10 +379,10 @@ object Grib2 {
 
   private def parseProduct(r: R): ProductDef = {
     val template = r.u16(7)
-    require(template == 0 || template == 1 || template == 8 ||
-        template == 11,
+    require(template == 0 || template == 1 || template == 2 ||
+        template == 8 || template == 11 || template == 12,
       s"GRIB2 product template 4.$template not supported " +
-        "(4.0/4.1/4.8/4.11 are)")
+        "(4.0/4.1/4.2/4.8/4.11/4.12 are)")
     val sfcScale = r.u8(23); val sfcVal = r.u32(24)
     val sfcValue =
       if (sfcVal == 0xFFFFFFFFL) Double.NaN
@@ -389,14 +392,19 @@ object Grib2 {
       }
     // 4.1/4.11 append the ensemble triple right after the second fixed
     // surface (octets 35-37): type (table 4.6), perturbation number,
-    // number of forecasts in ensemble
+    // number of forecasts in ensemble; 4.2/4.12 (derived forecasts —
+    // ensemble mean/spread) append the PAIR (derived type, size) at
+    // octets 35-36 instead
     val isEns = template == 1 || template == 11
+    val isDerived = template == 2 || template == 12
     ProductDef(template, paramCategory = r.u8(9), paramNumber = r.u8(10),
       timeUnit = r.u8(17), forecastTime = r.u32(18),
       surfaceType = r.u8(22), surfaceValue = sfcValue,
       ensembleType = if (isEns) r.u8(34) else -1,
       perturbationNumber = if (isEns) r.u8(35) else -1,
-      ensembleSize = if (isEns) r.u8(36) else -1)
+      ensembleSize =
+        if (isEns) r.u8(36) else if (isDerived) r.u8(35) else -1,
+      derivedType = if (isDerived) r.u8(34) else -1)
   }
 
   private def parsePacking(r: R): Packing = {
@@ -796,17 +804,21 @@ object Grib2 {
           j += 1
         }
       case 20 =>
-        require((g.projCentreFlag & 0x80) == 0,
-          "south-polar stereographic grids not supported")
-        val k0 = (1.0 + math.sin(math.toRadians(g.laD))) / 2.0
+        // both polar aspects (r14 adds the SOUTH pole — Antarctic AMPS/
+        // NSIDC products): the northern equations with the sign s = ±1
+        // folded in (Snyder §21, spherical): k0 = (1 + s·sinφd)/2,
+        // ρ = 2Rk0·tan(π/4 − s·φ/2), y = −s·ρ·cos(λ−λ0) — +y always
+        // points toward increasing latitude along LoV, the GRIB rule
+        val s = if ((g.projCentreFlag & 0x80) != 0) -1.0 else 1.0
+        val k0 = (1.0 + s * math.sin(math.toRadians(g.laD))) / 2.0
         val re2k = 2.0 * g.radius * k0
         val lov = math.toRadians(g.loV)
         // forward-project the encoded first grid point to anchor the plane
         val phi1 = math.toRadians(g.la1)
         val lam1 = math.toRadians(g.lo1)
-        val rho1 = re2k * math.tan(math.Pi / 4 - phi1 / 2)
+        val rho1 = re2k * math.tan(math.Pi / 4 - s * phi1 / 2)
         val x1 = rho1 * math.sin(lam1 - lov)
-        val y1 = -rho1 * math.cos(lam1 - lov)
+        val y1 = -s * rho1 * math.cos(lam1 - lov)
         val sx = if (g.scanNegI) -g.dx else g.dx
         val sy = if (g.scanPosJ) g.dy else -g.dy
         var j = 0
@@ -816,8 +828,8 @@ object Grib2 {
           while (i < g.nx) {
             val x = x1 + i * sx
             val rho = math.hypot(x, y)
-            val phi = math.Pi / 2 - 2 * math.atan(rho / re2k)
-            val lam = if (rho == 0) lov else lov + math.atan2(x, -y)
+            val phi = s * (math.Pi / 2 - 2 * math.atan(rho / re2k))
+            val lam = if (rho == 0) lov else lov + math.atan2(x, -s * y)
             lats(j * g.nx + i) = math.toDegrees(phi)
             lons(j * g.nx + i) = normLon(math.toDegrees(lam))
             i += 1
@@ -828,9 +840,15 @@ object Grib2 {
         // Lambert conformal conic (Snyder 1987 §15, spherical form): cone
         // constant n from the standard parallels (tangent cone when they
         // coincide), anchored — like the 3.20 path — by forward-projecting
-        // the encoded first grid point
-        require((g.projCentreFlag & 0x80) == 0,
-          "south-pole Lambert conformal grids not supported")
+        // the encoded first grid point. Snyder's equations are GENERAL:
+        // with southern standard parallels n, F and ρ all go negative
+        // and the same formulas hold (r14 — the south-pole aspect only
+        // needs sign-aware atan2/ρ handling in the inverse below); a
+        // projection-centre flag that CONTRADICTS the parallels' sign
+        // is a corrupt header
+        require(((g.projCentreFlag & 0x80) != 0) == (g.latin1 < 0),
+          s"corrupt GRIB2: Lambert projection-centre flag " +
+            s"${g.projCentreFlag} contradicts standard parallel ${g.latin1}")
         val phi1 = math.toRadians(g.latin1)
         val phi2 = math.toRadians(g.latin2)
         val n =
@@ -845,7 +863,16 @@ object Grib2 {
         val rho0 = rhoOf(math.toRadians(g.laD))
         val lov = math.toRadians(g.loV)
         val phiA = math.toRadians(g.la1)
-        val thetaA = n * (math.toRadians(g.lo1) - lov)
+        // the anchor's longitude difference must wrap to (-pi, pi]
+        // BEFORE the cone multiplies it by non-integer n (a 290-degree
+        // positive-form Lo1 against LoV=0 is -70 degrees on the cone)
+        val dLam = {
+          var d = math.toRadians(g.lo1) - lov
+          while (d > math.Pi) d -= 2 * math.Pi
+          while (d <= -math.Pi) d += 2 * math.Pi
+          d
+        }
+        val thetaA = n * dLam
         val rhoA = rhoOf(phiA)
         val x1 = rhoA * math.sin(thetaA)
         val y1 = rho0 - rhoA * math.cos(thetaA)
@@ -857,10 +884,15 @@ object Grib2 {
           var i = 0
           while (i < g.nx) {
             val x = x1 + i * sx
-            val rho = math.hypot(x, rho0 - y)
-            val theta = math.atan2(x, rho0 - y)
+            // signed radius: ρ carries n's sign (Snyder: "take the sign
+            // of n"), so the south-pole aspect inverts through the same
+            // expressions with RF/ρ staying positive
+            val rho = math.signum(n) * math.hypot(x, rho0 - y)
+            val theta =
+              if (n >= 0) math.atan2(x, rho0 - y)
+              else math.atan2(-x, -(rho0 - y))
             val phi =
-              if (rho == 0) math.Pi / 2
+              if (rho == 0) math.signum(n) * math.Pi / 2
               else 2 * math.atan(math.pow(g.radius * bigF / rho, 1.0 / n)) -
                 math.Pi / 2
             lats(j * g.nx + i) = math.toDegrees(phi)
@@ -943,6 +975,18 @@ object Grib2 {
     roots.map(r => math.toDegrees(math.asin(r)))
   }
 
+  /** Table 4.7 derived-forecast short names (NCEP-style suffixes). */
+  private def derivedName(code: Int): String = code match {
+    case 0 => "mean"     // unweighted mean of all members
+    case 1 => "wtmean"   // weighted mean
+    case 2 => "spread"   // standard deviation (cluster mean)
+    case 3 => "spreadn"  // standard deviation (normalized)
+    case 4 => "sprd_all" // spread of all members
+    case 5 => "lneg"     // large anomaly index, negative
+    case 6 => "lpos"     // large anomaly index, positive
+    case other => s"derived$other"
+  }
+
   private def normLon(l: Double): Double = {
     var v = l % 360.0
     if (v < 0) v += 360.0
@@ -973,6 +1017,10 @@ object Grib2 {
      else Map( // ensemble templates 4.1/4.11 — cfgrib's `number` family
        "GRIB_ensembleType" -> AttrValue(m.product.ensembleType),
        "GRIB_perturbationNumber" -> AttrValue(m.product.perturbationNumber),
+       "GRIB_ensembleSize" -> AttrValue(m.product.ensembleSize))) ++
+    (if (m.product.derivedType < 0) Attrs.empty
+     else Map( // derived templates 4.2/4.12 — ensemble mean/spread
+       "GRIB_derivedType" -> AttrValue(m.product.derivedType),
        "GRIB_ensembleSize" -> AttrValue(m.product.ensembleSize)))
 
   def groupAttrs(m: Message): Attrs = Map(
@@ -1027,7 +1075,11 @@ object Grib2 {
     val names = scala.collection.mutable.Map.empty[String, Int]
     val dataVars = msgs.map { m =>
       val pn = m.product.perturbationNumber
-      val base = if (pn >= 0) s"${m.shortName}_m$pn" else m.shortName
+      val base =
+        if (pn >= 0) s"${m.shortName}_m$pn"
+        else if (m.product.derivedType >= 0)
+          s"${m.shortName}_${derivedName(m.product.derivedType)}"
+        else m.shortName
       val k = names.getOrElse(base, 0); names(base) = k + 1
       val name = if (k == 0) base else s"${base}_$k"
       name -> Variable(yx,
@@ -1065,6 +1117,11 @@ object Grib2 {
   }
   private def smPut16(bb: ByteBuffer, v: Int): Unit =
     bb.putShort((if (v < 0) 0x8000 | (-v) else v).toShort)
+  /** GRIB2 signed i32 fields are SIGN-MAGNITUDE, not two's complement —
+    * the writers must encode negative coordinates (southern latitudes,
+    * r14) the way `R.i32sm` reads them. */
+  private def smPut32(bb: ByteBuffer, v: Int): Unit =
+    bb.putInt(if (v < 0) 0x80000000 | (-v) else v)
 
   /** Section 1 (identification) body shared by the writers. */
   private def sec1Body(refTimeEpochSec: Long): Array[Byte] = {
@@ -1092,10 +1149,10 @@ object Grib2 {
     s3.put(0.toByte); s3.putInt(0); s3.put(0.toByte); s3.putInt(0)
     s3.putInt(nx); s3.putInt(ny)
     s3.putInt(0); s3.putInt(0) // basic angle
-    s3.putInt((la1 * 1e6).round.toInt); s3.putInt((lo1 * 1e6).round.toInt)
+    smPut32(s3, (la1 * 1e6).round.toInt); smPut32(s3, (lo1 * 1e6).round.toInt)
     s3.put(0x30.toByte) // resolution flags: di/dj given
-    s3.putInt(((la1 + (ny - 1) * dLat) * 1e6).round.toInt)
-    s3.putInt(((lo1 + (nx - 1) * dLon) * 1e6).round.toInt)
+    smPut32(s3, ((la1 + (ny - 1) * dLat) * 1e6).round.toInt)
+    smPut32(s3, ((lo1 + (nx - 1) * dLon) * 1e6).round.toInt)
     s3.putInt((dLon * 1e6).round.toInt); s3.putInt((dLat * 1e6).round.toInt)
     s3.put(0x40.toByte) // scan +i, +j
     s3.array()
@@ -1117,11 +1174,11 @@ object Grib2 {
     s3.put(0.toByte); s3.putInt(0); s3.put(0.toByte); s3.putInt(0)
     s3.putInt(nx); s3.putInt(ny)
     s3.putInt(0); s3.putInt(0) // basic angle
-    s3.putInt((rowLats.head * 1e6).round.toInt)
+    smPut32(s3, (rowLats.head * 1e6).round.toInt)
     s3.putInt((lo1 * 1e6).round.toInt)
     s3.put(0x30.toByte) // resolution flags: di/N given
-    s3.putInt((rowLats.last * 1e6).round.toInt)
-    s3.putInt(((lo1 + (nx - 1) * dLon) * 1e6).round.toInt)
+    smPut32(s3, (rowLats.last * 1e6).round.toInt)
+    smPut32(s3, ((lo1 + (nx - 1) * dLon) * 1e6).round.toInt)
     s3.putInt((dLon * 1e6).round.toInt)
     s3.putInt(gaussN)
     s3.put(0x00.toByte) // scan +i, -j (north -> south)
@@ -1346,10 +1403,10 @@ object Grib2 {
     s3.put(0.toByte); s3.putInt(0)
     s3.put(0.toByte); s3.putInt(0); s3.put(0.toByte); s3.putInt(0)
     s3.putInt(nx); s3.putInt(ny)
-    s3.putInt((la1 * 1e6).round.toInt); s3.putInt((lo1 * 1e6).round.toInt)
+    smPut32(s3, (la1 * 1e6).round.toInt); smPut32(s3, (lo1 * 1e6).round.toInt)
     s3.put(0x30.toByte) // resolution flags
-    s3.putInt((laD * 1e6).round.toInt)
-    s3.putInt((la2 * 1e6).round.toInt); s3.putInt((lo2 * 1e6).round.toInt)
+    smPut32(s3, (laD * 1e6).round.toInt)
+    smPut32(s3, (la2 * 1e6).round.toInt); smPut32(s3, (lo2 * 1e6).round.toInt)
     s3.put(0x40.toByte) // scan +i, +j
     s3.putInt(0) // orientation: i along a parallel
     s3.putInt((dx * 1e3).round.toInt); s3.putInt((dy * 1e3).round.toInt)
@@ -1384,7 +1441,8 @@ object Grib2 {
                    latin1: Double, latin2: Double, dx: Double, dy: Double,
                    discipline: Int, category: Int, number: Int,
                    refTimeEpochSec: Long, nbits: Int = 12,
-                   decimalScale: Int = 2): Unit = {
+                   decimalScale: Int = 2,
+                   southPole: Boolean = false): Unit = {
     require(values.length == nx * ny, "values must cover the grid")
     val s3 = ByteBuffer.allocate(76).order(ByteOrder.BIG_ENDIAN)
     s3.put(0.toByte) // grid def source
@@ -1394,18 +1452,89 @@ object Grib2 {
     s3.put(0.toByte); s3.putInt(0)
     s3.put(0.toByte); s3.putInt(0); s3.put(0.toByte); s3.putInt(0)
     s3.putInt(nx); s3.putInt(ny)
-    s3.putInt((la1 * 1e6).round.toInt); s3.putInt((lo1 * 1e6).round.toInt)
+    smPut32(s3, (la1 * 1e6).round.toInt); smPut32(s3, (lo1 * 1e6).round.toInt)
     s3.put(0x30.toByte) // resolution flags
-    s3.putInt((laD * 1e6).round.toInt); s3.putInt((loV * 1e6).round.toInt)
+    smPut32(s3, (laD * 1e6).round.toInt); smPut32(s3, (loV * 1e6).round.toInt)
     s3.putInt((dx * 1e3).round.toInt); s3.putInt((dy * 1e3).round.toInt)
-    s3.put(0.toByte) // projection centre: north
+    s3.put((if (southPole) 0x80 else 0x00).toByte) // projection centre
     s3.put(0x40.toByte) // scan +i, +j
-    s3.putInt((latin1 * 1e6).round.toInt); s3.putInt((latin2 * 1e6).round.toInt)
-    s3.putInt(-90000000); s3.putInt(0) // south pole of projection (unused)
+    smPut32(s3, (latin1 * 1e6).round.toInt); smPut32(s3, (latin2 * 1e6).round.toInt)
+    smPut32(s3, -90000000); s3.putInt(0) // south pole of projection (unused)
     writeMessage(path, discipline, Array(
       sec(1, sec1Body(refTimeEpochSec)),
       sec(3, s3.array()),
       sec(4, sec4Body(category, number))) ++
+      simplePackSections(values, nbits, decimalScale))
+  }
+
+  /** Write a one-message GRIB2 file on a POLAR STEREOGRAPHIC grid
+    * (template 3.20, either pole — the CMC/NSIDC layouts): simple
+    * packing, grid lengths in metres true at laD. Fixture writer for
+    * the 3.20 inverse-projection paths (the north aspect is also
+    * validated against the reference's real CMC fixture). */
+  def writePolarStereo(path: String, values: Array[Double], nx: Int, ny: Int,
+                       la1: Double, lo1: Double, laD: Double, loV: Double,
+                       dx: Double, dy: Double,
+                       discipline: Int, category: Int, number: Int,
+                       refTimeEpochSec: Long, southPole: Boolean = false,
+                       nbits: Int = 12, decimalScale: Int = 2): Unit = {
+    require(values.length == nx * ny, "values must cover the grid")
+    val s3 = ByteBuffer.allocate(60).order(ByteOrder.BIG_ENDIAN)
+    s3.put(0.toByte) // grid def source
+    s3.putInt(nx * ny); s3.put(0.toByte); s3.put(0.toByte)
+    s3.putShort(20) // template 3.20
+    s3.put(6.toByte) // sphere 6371229
+    s3.put(0.toByte); s3.putInt(0)
+    s3.put(0.toByte); s3.putInt(0); s3.put(0.toByte); s3.putInt(0)
+    s3.putInt(nx); s3.putInt(ny)
+    smPut32(s3, (la1 * 1e6).round.toInt); smPut32(s3, (lo1 * 1e6).round.toInt)
+    s3.put(0x30.toByte) // resolution flags
+    smPut32(s3, (laD * 1e6).round.toInt); smPut32(s3, (loV * 1e6).round.toInt)
+    s3.putInt((dx * 1e3).round.toInt); s3.putInt((dy * 1e3).round.toInt)
+    s3.put((if (southPole) 0x80 else 0x00).toByte) // projection centre
+    s3.put(0x40.toByte) // scan +i, +j
+    writeMessage(path, discipline, Array(
+      sec(1, sec1Body(refTimeEpochSec)),
+      sec(3, s3.array()),
+      sec(4, sec4Body(category, number))) ++
+      simplePackSections(values, nbits, decimalScale))
+  }
+
+  /** Section 4 template 4.2 body (derived forecast from all ensemble
+    * members — mean/spread; table 4.7 code + ensemble size). */
+  private def sec4BodyDerived(category: Int, number: Int,
+                              forecastTime: Int, derivedType: Int,
+                              ensembleSize: Int): Array[Byte] = {
+    val s4 = ByteBuffer.allocate(31).order(ByteOrder.BIG_ENDIAN)
+    s4.putShort(0)
+    s4.putShort(2) // template 4.2
+    s4.put(category.toByte); s4.put(number.toByte)
+    s4.put(4.toByte); s4.put(0.toByte); s4.put(0.toByte)
+    s4.putShort(0); s4.put(0.toByte)
+    s4.put(1.toByte) // time unit: hour
+    s4.putInt(forecastTime)
+    s4.put(1.toByte); s4.put(0.toByte); s4.putInt(0) // ground surface
+    s4.put(255.toByte); s4.put(0.toByte); s4.putInt(0)
+    s4.put(derivedType.toByte); s4.put(ensembleSize.toByte)
+    s4.array()
+  }
+
+  /** Write a one-message DERIVED-ensemble file (template 4.2 — e.g. the
+    * GEFS ensemble mean or spread). */
+  def writeDerivedEnsemble(path: String, values: Array[Double],
+                           nx: Int, ny: Int, la1: Double, lo1: Double,
+                           dLat: Double, dLon: Double,
+                           discipline: Int, category: Int, number: Int,
+                           refTimeEpochSec: Long,
+                           derivedType: Int, ensembleSize: Int,
+                           forecastTimeHours: Int = 0,
+                           nbits: Int = 12, decimalScale: Int = 2): Unit = {
+    require(values.length == nx * ny, "values must cover the grid")
+    writeMessage(path, discipline, Array(
+      sec(1, sec1Body(refTimeEpochSec)),
+      sec(3, sec3LatLon(nx, ny, la1, lo1, dLat, dLon)),
+      sec(4, sec4BodyDerived(category, number, forecastTimeHours,
+        derivedType, ensembleSize))) ++
       simplePackSections(values, nbits, decimalScale))
   }
 

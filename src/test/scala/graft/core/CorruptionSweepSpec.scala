@@ -320,14 +320,24 @@ class CorruptionSweepSpec extends AnyFunSuite {
       la1 = 5.0, lo1 = 100.0, laD = 10.0, la2 = 6.0, lo2 = 101.5,
       dx = 20000.0, dy = 20000.0, discipline = 10, category = 3,
       number = 0, refTimeEpochSec = 1600000000L)
+    // a SOUTH-polar-stereographic derived-ensemble-adjacent message
+    // (r14b) rides along, covering the signed-coordinate and south-
+    // aspect paths in the same sweep
+    val pc = s"$dir/sps.grib2"
+    graft.grib.Grib2.writePolarStereo(pc,
+      Array.tabulate(24)(i => (i % 5).toDouble), 6, 4,
+      la1 = -65.0, lo1 = 300.0, laD = -60.0, loV = 10.0,
+      dx = 25000.0, dy = 25000.0, discipline = 0, category = 3,
+      number = 0, refTimeEpochSec = 1600000000L, southPole = true)
     val orig = Files.readAllBytes(Paths.get(pa)) ++
-      Files.readAllBytes(Paths.get(pb))
+      Files.readAllBytes(Paths.get(pb)) ++
+      Files.readAllBytes(Paths.get(pc))
     val target = s"$dir/mut.grib2"
     val (ok, failed) = sweep(orig, orig.length, { bytes =>
       Files.write(Paths.get(target), bytes)
       graft.grib.Grib2.readGroups(target)
     })
-    info(s"grib2 ens+mercator sweep: $ok corruptions read, $failed failed diagnosably")
+    info(s"grib2 ens+mercator+south sweep: $ok corruptions read, $failed failed diagnosably")
     assert(failed > 0, "no corruption failed — the sweep is vacuous")
   }
 

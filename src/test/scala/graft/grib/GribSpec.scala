@@ -723,6 +723,137 @@ class GribSpec extends AnyFunSuite {
     assert(e.getMessage.contains("orientation"), e.getMessage)
   }
 
+  // ------------------------------- south-pole aspects + derived (r14b)
+
+  /** Great-circle distance (haversine) on the writer's sphere. */
+  private def gcDist(lat1: Double, lon1: Double, lat2: Double,
+                     lon2: Double): Double = {
+    val R = 6371229.0
+    val p1 = math.toRadians(lat1); val p2 = math.toRadians(lat2)
+    val dp = p2 - p1; val dl = math.toRadians(lon2 - lon1)
+    val a = math.sin(dp / 2) * math.sin(dp / 2) +
+      math.cos(p1) * math.cos(p2) * math.sin(dl / 2) * math.sin(dl / 2)
+    2 * R * math.asin(math.min(1.0, math.sqrt(a)))
+  }
+
+  test("SOUTH polar stereographic (3.20 flag 0x80) inverse-projects; scale matches the differential") {
+    val dir = Files.createTempDirectory("graft_grib").toString
+    val nx = 8; val ny = 6
+    val (la1, lo1, laD, loV) = (-65.0, 300.0, -60.0, 10.0)
+    val (dx, dy) = (25000.0, 25000.0)
+    val p = s"$dir/sps.grib2"
+    Grib2.writePolarStereo(p, Array.tabulate(nx * ny)(i => (i % 9).toDouble),
+      nx, ny, la1, lo1, laD, loV, dx, dy, discipline = 0, category = 0,
+      number = 0, refTimeEpochSec = 1700000000L, southPole = true)
+    val m = Grib2.scan(p).head
+    assert((m.grid.projCentreFlag & 0x80) != 0)
+    val (lats, lons) = Grib2.latLonArrays(m.grid)
+    // anchored at the encoded first point; entire grid in the south
+    assert(math.abs(lats(0) - la1) < 1e-9 && math.abs(lons(0) - lo1) < 1e-9)
+    assert(lats.forall(_ < 0))
+    // INDEPENDENT check: the map scale of the south stereographic at
+    // latitude phi is m(phi) = 2*k0 / (1 - sin phi) with k0 =
+    // (1 - sin phiD)/2 — adjacent grid points must be dx/m(phi) apart
+    // on the sphere (differential geometry, not the inverse formulas)
+    val k0 = (1 - math.sin(math.toRadians(laD))) / 2
+    for (j <- 0 until ny; i <- 0 until nx - 1) {
+      val a = j * nx + i
+      val phiMid = math.toRadians((lats(a) + lats(a + 1)) / 2)
+      val expect = dx / (2 * k0 / (1 - math.sin(phiMid)))
+      val got = gcDist(lats(a), lons(a), lats(a + 1), lons(a + 1))
+      assert(math.abs(got - expect) / expect < 2e-3,
+        s"row $j col $i: $got vs $expect")
+    }
+    // vertical neighbors too (dy direction)
+    for (j <- 0 until ny - 1; i <- 0 until nx) {
+      val a = j * nx + i; val b = (j + 1) * nx + i
+      val phiMid = math.toRadians((lats(a) + lats(b)) / 2)
+      val expect = dy / (2 * k0 / (1 - math.sin(phiMid)))
+      val got = gcDist(lats(a), lons(a), lats(b), lons(b))
+      assert(math.abs(got - expect) / expect < 2e-3, s"col $i row $j")
+    }
+    // values round-trip through read()
+    val f = Grib2.read(p)
+    assert(f.dataVars("TMP").data.getDouble(3) == 3.0)
+  }
+
+  test("SOUTH-pole Lambert conformal (3.30 flag 0x80) inverse-projects; conic scale matches") {
+    val dir = Files.createTempDirectory("graft_grib").toString
+    val nx = 9; val ny = 7
+    // Antarctic-style geometry: standard parallels -60/-70, grid at -65
+    val (la1, lo1, laD, loV) = (-65.0, 290.0, -65.0, 0.0)
+    val (latin1, latin2) = (-60.0, -70.0)
+    val (dx, dy) = (30000.0, 30000.0)
+    val p = s"$dir/slc.grib2"
+    Grib2.writeLambert(p, Array.tabulate(nx * ny)(i => (i % 11).toDouble),
+      nx, ny, la1, lo1, laD, loV, latin1, latin2, dx, dy,
+      discipline = 0, category = 0, number = 0,
+      refTimeEpochSec = 1700000000L, southPole = true)
+    val m = Grib2.scan(p).head
+    assert((m.grid.projCentreFlag & 0x80) != 0)
+    val (lats, lons) = Grib2.latLonArrays(m.grid)
+    assert(math.abs(lats(0) - la1) < 1e-9 && math.abs(lons(0) - lo1) < 1e-9)
+    assert(lats.forall(_ < 0))
+    // INDEPENDENT conic-scale check: m(phi) = n*rho(phi) / (R*cos phi)
+    // (general conformal conic; positive for the south since n and rho
+    // are both negative), computed here from Snyder's forward constants
+    val R = 6371229.0
+    val phi1 = math.toRadians(latin1); val phi2 = math.toRadians(latin2)
+    val n = math.log(math.cos(phi1) / math.cos(phi2)) /
+      math.log(math.tan(math.Pi / 4 + phi2 / 2) /
+        math.tan(math.Pi / 4 + phi1 / 2))
+    assert(n < 0, s"southern cone constant must be negative, got $n")
+    val bigF = math.cos(phi1) *
+      math.pow(math.tan(math.Pi / 4 + phi1 / 2), n) / n
+    def scaleAt(phiDeg: Double): Double = {
+      val phi = math.toRadians(phiDeg)
+      val rho = R * bigF / math.pow(math.tan(math.Pi / 4 + phi / 2), n)
+      n * rho / (R * math.cos(phi))
+    }
+    // the standard parallels are TRUE by construction
+    assert(math.abs(scaleAt(latin1) - 1.0) < 1e-12)
+    assert(math.abs(scaleAt(latin2) - 1.0) < 1e-12)
+    for (j <- 0 until ny; i <- 0 until nx - 1) {
+      val a = j * nx + i
+      val expect = dx / scaleAt((lats(a) + lats(a + 1)) / 2)
+      val got = gcDist(lats(a), lons(a), lats(a + 1), lons(a + 1))
+      assert(math.abs(got - expect) / expect < 2e-3,
+        s"row $j col $i: $got vs $expect")
+    }
+    // a projection-centre flag contradicting the parallels is corrupt
+    val p2 = s"$dir/slc_bad.grib2"
+    Grib2.writeLambert(p2, Array.tabulate(nx * ny)(_.toDouble), nx, ny,
+      la1, lo1, laD, loV, latin1, latin2, dx, dy, 0, 0, 0,
+      1700000000L, southPole = false) // north flag, southern parallels
+    val e = intercept[IllegalArgumentException](Grib2.read(p2))
+    assert(e.getMessage.contains("contradicts"), e.getMessage)
+  }
+
+  test("derived ensemble template 4.2: mean/spread parse, read() suffixes by table 4.7") {
+    val dir = Files.createTempDirectory("graft_grib").toString
+    val nx = 10; val ny = 5
+    val vals = Array.tabulate(nx * ny)(i => (i % 17) / 4.0)
+    for ((dt, suffix) <- Seq(0 -> "mean", 2 -> "spread")) {
+      val p = s"$dir/derived_$dt.grib2"
+      Grib2.writeDerivedEnsemble(p, vals, nx, ny, la1 = 20.0, lo1 = 50.0,
+        dLat = 0.5, dLon = 0.5, discipline = 0, category = 0, number = 0,
+        refTimeEpochSec = 1700000000L, derivedType = dt, ensembleSize = 31)
+      val m = Grib2.scan(p).head
+      assert(m.product.template == 2)
+      assert(m.product.derivedType == dt)
+      assert(m.product.ensembleSize == 31)
+      assert(m.product.perturbationNumber == -1) // not a member product
+      val f = Grib2.read(p)
+      val v = f.dataVars(s"TMP_$suffix")
+      assert(v.attrs("GRIB_derivedType") == graft.core.AttrValue(dt))
+      assert(v.attrs("GRIB_ensembleSize") == graft.core.AttrValue(31))
+      assert(!f.coords.contains("number")) // derived products carry none
+      val got = Grib2.decodeValues(p, m)
+      vals.indices.foreach(i =>
+        assert(math.abs(got(i) - vals(i)) <= 0.005 + 1e-9, s"point $i"))
+    }
+  }
+
   test("multi-grid file: read() selects the primary grid, readGroups returns all") {
     val dir = Files.createTempDirectory("graft_grib").toString
     val mk = (nx: Int, ny: Int, la1: Double, seed: Int) => {
