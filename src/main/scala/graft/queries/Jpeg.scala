@@ -266,22 +266,28 @@ object Jpeg {
         val hv = seg(7 + i * 3) & 0xff
         val tq = seg(8 + i * 3) & 0xff
         val ch = (hv >> 4) & 0xf; val cv = hv & 0xf
-        require(ch >= 1 && ch <= 2 && cv >= 1 && cv <= 2,
-          s"unsupported JPEG sampling ${ch}x$cv (1x1/2x2 only)")
+        require(ch >= 1 && ch <= 4 && cv >= 1 && cv <= 4,
+          s"illegal JPEG sampling ${ch}x$cv (T.81 allows 1..4)")
         require(tq < 4, s"corrupt JPEG: quant id $tq")
         Component(id, ch, cv, tq)
       }
       if (nf == 3) {
-        // luma may subsample in either axis independently (1x1 = 4:4:4,
-        // 2x1 = 4:2:2, 1x2 = 4:4:0, 2x2 = 4:2:0 — the camera/video
-        // family); chroma must be 1x1. The MCU assembly and reassembly
+        // luma may subsample in either axis independently up to factor
+        // 4 (1x1 = 4:4:4, 2x1 = 4:2:2, 1x2 = 4:4:0, 2x2 = 4:2:0,
+        // 4x1 = 4:1:1 — the DV-video still layout — plus 1x4/4x2/2x4/
+        // 3x1...); chroma must be 1x1. The MCU assembly and reassembly
         // below are generic over per-component (h, v), so this gate is
         // the only sampling-specific code.
         val ok = comps(1).h == 1 && comps(1).v == 1 &&
           comps(2).h == 1 && comps(2).v == 1
         require(ok,
           "unsupported JPEG: chroma sampling factors must be 1x1 " +
-            "(4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 YCbCr only)")
+            "(luma-subsampled YCbCr only)")
+        // T.81 B.2.3: an interleaved scan carries at most 10 data units
+        // per MCU — with 1x1 chroma that bounds luma h*v at 8
+        require(comps(0).h * comps(0).v <= 8,
+          s"illegal JPEG: ${comps(0).h}x${comps(0).v} luma exceeds " +
+            "T.81's 10-data-units-per-MCU interleave bound")
       }
       val hMax = comps.map(_.h).max; val vMax = comps.map(_.v).max
       mcusX = (width + 8 * hMax - 1) / (8 * hMax)

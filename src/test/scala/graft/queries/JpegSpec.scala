@@ -499,6 +499,21 @@ class JpegSpec extends AnyFunSuite {
 
   test("ImageIO-encoded 4:2:2 and 4:4:0 color (general AC) decode within tolerance") {
     for (((lh, lv), name) <- Seq(((2, 1), "4:2:2"), ((1, 2), "4:4:0"))) {
+      imageIoSampledCase(lh, lv, name, maxTol = 8, meanTolMilli = 1500)
+    }
+  }
+
+  test("ImageIO-encoded 4:1:1-family color (luma factors up to 4) decode within tolerance") {
+    // the DV-video-derived still layouts: 4x chroma subsampling means
+    // box-vs-libjpeg ("fancy") upsampling can differ by more on a
+    // gradient, so the bound is proportionally looser
+    for (((lh, lv), name) <- Seq(((4, 1), "4:1:1"), ((1, 4), "4:1:1-T"),
+        ((4, 2), "4x2"), ((2, 4), "2x4"), ((3, 1), "3x1")))
+      imageIoSampledCase(lh, lv, name, maxTol = 16, meanTolMilli = 3000)
+  }
+
+  private def imageIoSampledCase(lh: Int, lv: Int, name: String,
+                                 maxTol: Int, meanTolMilli: Long): Unit = {
       val (w, h) = (34, 26) // odd geometry: partial MCUs both directions
       val bi = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
@@ -526,9 +541,8 @@ class JpegSpec extends AnyFunSuite {
       }
       val meanMilli = 1000 * sumDiff / (w * h * 3)
       info(s"$name max |ours - ImageIO| = $maxDiff, mean milli = $meanMilli")
-      assert(maxDiff <= 8, s"$name drift vs ImageIO: max $maxDiff")
-      assert(meanMilli <= 1500, s"$name drift: mean milli $meanMilli")
-    }
+      assert(maxDiff <= maxTol, s"$name drift vs ImageIO: max $maxDiff")
+      assert(meanMilli <= meanTolMilli, s"$name drift: mean milli $meanMilli")
   }
 
   test("4:2:2 pixels match the grayscale encoding of the same luma (color path vs gray path)") {
