@@ -7,11 +7,17 @@ import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.channels.FileChannel
 import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 
-/** Pure-JVM codec for the NetCDF classic binary format (CDF-1 and CDF-2 /
-  * 64-bit-offset variants) — the reference's primary input format, read
-  * there through the "scipy" engine (openers.py:40-47, open_with_xarray at
-  * openers.py:207-254). Implemented from the public NetCDF classic format
-  * specification; like scipy.io.netcdf, CDF-5 is rejected.
+/** Pure-JVM codec for the NetCDF classic binary format (CDF-1, CDF-2 /
+  * 64-bit-offset, and — r14 — CDF-5 / 64-bit-data variants) — the
+  * reference's primary input format, read there through the "scipy"
+  * engine (openers.py:40-47, open_with_xarray at openers.py:207-254).
+  * Implemented from the public NetCDF classic format specification and
+  * its CDF-5 amendment (netcdf-c file_format_specifications; pnetcdf):
+  * CDF-5 widens every NON_NEG size/count field — numrecs, list counts,
+  * name lengths, dim lengths, attr nelems, variable rank AND dimids,
+  * vsize, begin — to 64 bits (the v1h_get_* version-5 paths in
+  * netcdf-c's v1hpg.c) and adds the unsigned/64-bit external types
+  * NC_UBYTE/NC_USHORT/NC_UINT/NC_INT64/NC_UINT64.
   *
   * File layout (all header ints big-endian u32; CDF-2 widens `begin` to u64):
   *
@@ -39,17 +45,25 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
   */
 object NetCDF3 {
 
-  // nc_type tags from the classic spec
+  // nc_type tags from the classic spec (+ the CDF-5 additions)
   val NcByte = 1; val NcChar = 2; val NcShort = 3
   val NcInt = 4; val NcFloat = 5; val NcDouble = 6
+  val NcUByte = 7; val NcUShort = 8; val NcUInt = 9
+  val NcInt64 = 10; val NcUInt64 = 11
 
   private def extSize(ncType: Int): Int = ncType match {
-    case NcByte | NcChar => 1
-    case NcShort => 2
-    case NcInt | NcFloat => 4
-    case NcDouble => 8
+    case NcByte | NcChar | NcUByte => 1
+    case NcShort | NcUShort => 2
+    case NcInt | NcFloat | NcUInt => 4
+    case NcDouble | NcInt64 | NcUInt64 => 8
     case t => throw new IllegalArgumentException(s"Unknown nc_type $t")
   }
+
+  /** The CDF-5-only external types (illegal in CDF-1/2 headers). */
+  private def requireTypeLegal(ncType: Int, version: Int): Unit =
+    require(version == 5 || ncType <= NcDouble,
+      s"corrupt netcdf header: nc_type $ncType is CDF-5-only " +
+        s"in a CDF-$version file")
 
   private def pad4(n: Long): Long = (n + 3L) & ~3L
 
@@ -84,9 +98,20 @@ object NetCDF3 {
 
   // ---------------------------------------------------------------- parse
 
-  private final class HeaderReader(in: DataInputStream, fileSize: Long) {
+  private final class HeaderReader(in: DataInputStream, fileSize: Long,
+                                   version: Int) {
     def u32(): Long = in.readInt().toLong & 0xFFFFFFFFL
     def i32(): Int = in.readInt()
+    /** A NON_NEG size/count field: 4 bytes in CDF-1/2, 8 in CDF-5. */
+    def sizeField(): Long = if (version == 5) in.readLong() else u32()
+    /** A bounded NON_NEG count, version-width-aware. */
+    def checkedSize(what: String): Int = {
+      val n = sizeField()
+      if (n < 0 || n > fileSize)
+        throw new IllegalArgumentException(
+          s"corrupt netcdf header: $what = $n in a $fileSize-byte file")
+      n.toInt
+    }
 
     /** Corruption guard: any in-header length/count field is bounded by
       * the file size — a corrupt field must become a named error, not a
@@ -100,7 +125,7 @@ object NetCDF3 {
     }
 
     def name(): String = {
-      val len = checkedCount(i32(), "name length")
+      val len = checkedSize("name length")
       val b = new Array[Byte](len)
       in.readFully(b)
       skip(pad4(len.toLong) - len)
@@ -118,8 +143,8 @@ object NetCDF3 {
 
     /** One attribute value list -> AttrValue (char -> string; single
       * numeric -> scalar; multi -> list). */
-    def attrValue(ncType: Int, nelems0: Int): AttrValue = {
-      val nelems = checkedCount(nelems0, "attribute value count")
+    def attrValue(ncType: Int, nelems: Int): AttrValue = {
+      requireTypeLegal(ncType, version)
       val vals: Vector[AttrValue] = ncType match {
         case NcChar =>
           val b = new Array[Byte](nelems)
@@ -131,11 +156,25 @@ object NetCDF3 {
           in.readFully(b)
           skip(pad4(nelems.toLong) - nelems)
           b.toVector.map(x => AttrValue.AInt(x.toLong))
+        case NcUByte =>
+          val b = new Array[Byte](nelems)
+          in.readFully(b)
+          skip(pad4(nelems.toLong) - nelems)
+          b.toVector.map(x => AttrValue.AInt((x & 0xFF).toLong))
         case NcShort =>
           val out = Vector.fill(nelems)(AttrValue.AInt(in.readShort().toLong))
           skip(pad4(2L * nelems) - 2L * nelems)
           out
+        case NcUShort =>
+          val out = Vector.fill(nelems)(
+            AttrValue.AInt((in.readShort() & 0xFFFF).toLong))
+          skip(pad4(2L * nelems) - 2L * nelems)
+          out
         case NcInt => Vector.fill(nelems)(AttrValue.AInt(in.readInt().toLong))
+        case NcUInt => Vector.fill(nelems)(
+          AttrValue.AInt(in.readInt().toLong & 0xFFFFFFFFL))
+        case NcInt64 | NcUInt64 =>
+          Vector.fill(nelems)(AttrValue.AInt(in.readLong()))
         case NcFloat => Vector.fill(nelems)(AttrValue.ANum(in.readFloat().toDouble))
         case NcDouble => Vector.fill(nelems)(AttrValue.ANum(in.readDouble()))
         case t => throw new IllegalArgumentException(s"Unknown attr nc_type $t")
@@ -144,11 +183,11 @@ object NetCDF3 {
     }
 
     def attrList(): Attrs = {
-      val tag = i32(); val n = checkedCount(i32(), "attribute count")
+      val tag = i32(); val n = checkedSize("attribute count")
       require(tag == 0x0C || (tag == 0 && n == 0), s"bad att_list tag $tag")
       (0 until n).map { _ =>
         val nm = name()
-        val t = i32(); val ne = i32()
+        val t = i32(); val ne = checkedSize("attribute value count")
         nm -> attrValue(t, ne)
       }.toMap
     }
@@ -165,47 +204,54 @@ object NetCDF3 {
       require(magic(0) == 'C' && magic(1) == 'D' && magic(2) == 'F',
         s"$path is not a NetCDF classic file")
       val version = magic(3).toInt
-      require(version == 1 || version == 2,
-        s"Unsupported NetCDF variant $version (CDF-5 is not classic; " +
-          "like the scipy engine, only CDF-1/CDF-2 are supported)")
-      val r = new HeaderReader(in, Files.size(Paths.get(path)))
-      val numrecsRaw = r.u32()
+      require(version == 1 || version == 2 || version == 5,
+        s"Unsupported NetCDF variant $version (CDF-1/CDF-2/CDF-5 are)")
+      val r = new HeaderReader(in, Files.size(Paths.get(path)), version)
+      val numrecsRaw = if (version == 5) in.readLong() else r.u32()
+      val streaming =
+        if (version == 5) numrecsRaw == -1L else numrecsRaw == 0xFFFFFFFFL
       // dim_list
-      val dtag = r.i32(); val ndims = r.checkedCount(r.i32(), "dimension count")
+      val dtag = r.i32(); val ndims = r.checkedSize("dimension count")
       require(dtag == 0x0A || (dtag == 0 && ndims == 0), s"bad dim_list tag $dtag")
       val dims = (0 until ndims).map { _ =>
         val nm = r.name()
-        val len = r.i32()
+        val len = r.sizeField()
         // a dim is bounded only below: an unused dim may legally exceed the
         // file size (per-variable byte claims are bounded at read time)
-        require(len >= 0, s"corrupt netcdf3 header: dimension '$nm' length $len")
-        NcDim(nm, len)
+        require(len >= 0 && len <= Int.MaxValue,
+          s"corrupt netcdf header: dimension '$nm' length $len")
+        NcDim(nm, len.toInt)
       }.toVector
       val gatts = r.attrList()
       // var_list
-      val vtag = r.i32(); val nvars = r.checkedCount(r.i32(), "variable count")
+      val vtag = r.i32(); val nvars = r.checkedSize("variable count")
       require(vtag == 0x0B || (vtag == 0 && nvars == 0), s"bad var_list tag $vtag")
       val vars = (0 until nvars).map { _ =>
         val nm = r.name()
-        val nd = r.checkedCount(r.i32(), "variable rank")
+        val nd = r.checkedSize("variable rank")
         val dimids = (0 until nd).map { _ =>
-          val id = r.i32()
-          require(id >= 0 && id < dims.length,
-            s"corrupt netcdf3 header: variable '$nm' references dim $id " +
+          // dimids widen to 64 bits in CDF-5 (netcdf-c v1h_get_nc_dimid)
+          val idL = if (version == 5) in.readLong() else r.i32().toLong
+          require(idL >= 0 && idL < dims.length,
+            s"corrupt netcdf header: variable '$nm' references dim $idL " +
               s"of ${dims.length}")
-          id
+          idL.toInt
         }.toVector
         val vatts = r.attrList()
         val ncType = r.i32()
-        r.u32() // vsize — redundant, recomputed from shape (spec note)
+        requireTypeLegal(ncType, version)
+        r.sizeField() // vsize — redundant, recomputed from shape (spec note)
         val begin = if (version == 1) r.u32() else in.readLong()
         NcVar(nm, dimids, vatts, ncType, begin)
       }.toVector
       val hdr0 = NcHeader(version, 0, dims, gatts, vars)
-      // STREAMING (0xFFFFFFFF) numrecs: recover from the file size
+      // STREAMING numrecs: recover from the file size
       val numrecs =
-        if (numrecsRaw != 0xFFFFFFFFL) numrecsRaw.toInt
-        else hdr0.recordVars match {
+        if (!streaming) {
+          require(numrecsRaw >= 0 && numrecsRaw <= Int.MaxValue,
+            s"corrupt netcdf header: numrecs $numrecsRaw")
+          numrecsRaw.toInt
+        } else hdr0.recordVars match {
           case Vector() => 0
           case rvs =>
             val recStart = rvs.map(_.begin).min
@@ -224,12 +270,14 @@ object NetCDF3 {
   private def decodeValues(bytes: Array[Byte], ncType: Int, n: Int): AnyRef = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     ncType match {
-      case NcByte | NcChar => // width-preserving (int8 / uint8 codes)
+      case NcByte | NcChar | NcUByte => // width-preserving int8/uint8
         val a = new Array[Byte](n); buf.get(a); a
-      case NcShort =>
+      case NcShort | NcUShort =>
         val a = new Array[Short](n); buf.asShortBuffer().get(a); a
-      case NcInt =>
+      case NcInt | NcUInt =>
         val a = new Array[Int](n); buf.asIntBuffer().get(a); a
+      case NcInt64 | NcUInt64 =>
+        val a = new Array[Long](n); buf.asLongBuffer().get(a); a
       case NcFloat =>
         val a = new Array[Float](n); buf.asFloatBuffer().get(a); a
       case NcDouble =>
@@ -244,6 +292,12 @@ object NetCDF3 {
     case NcInt => DType.I4
     case NcFloat => DType.F4
     case NcDouble => DType.F8
+    // the CDF-5 external types keep their signedness width-for-width
+    case NcUByte => DType.U1
+    case NcUShort => DType.U2
+    case NcUInt => DType.U4
+    case NcInt64 => DType.I8
+    case NcUInt64 => DType.U8
   }
 
   private def readFully(ch: FileChannel, pos: Long, len: Int): Array[Byte] = {
@@ -325,18 +379,21 @@ object NetCDF3 {
 
   // ---------------------------------------------------------------- write
 
-  private def ncTypeFor(d: DType): Int = d match {
+  private def ncTypeFor(d: DType, version: Int = 1): Int = d match {
     case DType.I1 => NcByte
-    case DType.U1 => NcByte // bitwise; classic has no unsigned types
+    case DType.U1 => if (version == 5) NcUByte else NcByte
     case DType.I2 => NcShort
-    case DType.U2 => NcShort
+    case DType.U2 => if (version == 5) NcUShort else NcShort
     case DType.I4 => NcInt
-    case DType.U4 => NcInt // bitwise, like the other unsigned kinds
+    case DType.U4 => if (version == 5) NcUInt else NcInt
     case DType.F4 => NcFloat
     case DType.F8 => NcDouble
+    case DType.I8 | DType.M8ns if version == 5 => NcInt64
+    case DType.U8 if version == 5 => NcUInt64
     case DType.I8 | DType.U8 | DType.M8ns => throw new IllegalArgumentException(
       "NetCDF classic has no 64-bit integer type; cast int64 variables to " +
-        "int32 or float64 before writing (CF time encodings fit int32)")
+        "int32 or float64 before writing (CF time encodings fit int32), " +
+        "or write CDF-5 (version = 5)")
   }
 
   private def attrBytes(v: AttrValue): (Int, Int, Array[Byte]) = v match {
@@ -367,26 +424,37 @@ object NetCDF3 {
       s"Attr value $other has no NetCDF classic representation")
   }
 
-  private def nameBytes(s: String): Array[Byte] = {
-    val b = s.getBytes("UTF-8")
-    val out = ByteBuffer.allocate(4 + pad4(b.length.toLong).toInt)
+  /** A NON_NEG field: 4 bytes in CDF-1/2, 8 in CDF-5. */
+  private def sizeBytes(n: Long, version: Int): Array[Byte] = {
+    val bb = ByteBuffer.allocate(if (version == 5) 8 else 4)
       .order(ByteOrder.BIG_ENDIAN)
-    out.putInt(b.length); out.put(b)
-    out.array()
+    if (version == 5) bb.putLong(n) else bb.putInt(n.toInt)
+    bb.array()
   }
 
-  private def attrListBytes(attrs: Attrs): Array[Byte] = {
+  private def nameBytes(s: String, version: Int = 1): Array[Byte] = {
+    val b = s.getBytes("UTF-8")
     val bos = new java.io.ByteArrayOutputStream()
-    val hd = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
-    if (attrs.isEmpty) { hd.putInt(0); hd.putInt(0) }
-    else { hd.putInt(0x0C); hd.putInt(attrs.size) }
+    bos.write(sizeBytes(b.length.toLong, version))
+    bos.write(b)
+    bos.write(new Array[Byte]((pad4(b.length.toLong) - b.length).toInt))
+    bos.toByteArray
+  }
+
+  private def attrListBytes(attrs: Attrs, version: Int = 1): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val hd = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+    hd.putInt(if (attrs.isEmpty) 0 else 0x0C)
     bos.write(hd.array())
+    bos.write(sizeBytes(attrs.size.toLong, version))
     attrs.toSeq.sortBy(_._1).foreach { case (k, v) =>
-      bos.write(nameBytes(k))
+      bos.write(nameBytes(k, version))
       val (t, ne, payload) = attrBytes(v)
-      val ab = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
-      ab.putInt(t); ab.putInt(ne)
-      bos.write(ab.array()); bos.write(payload)
+      val ab = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+      ab.putInt(t)
+      bos.write(ab.array())
+      bos.write(sizeBytes(ne.toLong, version))
+      bos.write(payload)
     }
     bos.toByteArray
   }
@@ -415,12 +483,27 @@ object NetCDF3 {
           case a: Array[Byte] => bb.put(a)
           case _ => var i = 0; while (i < n) { bb.put(arr.getLong(i).toByte); i += 1 }
         }
-      case NcShort =>
+      case NcShort | NcUShort =>
         arr.data match {
           case a: Array[Short] => bb.asShortBuffer().put(a)
           case _ => var i = 0; while (i < n) { bb.putShort(arr.getLong(i).toShort); i += 1 }
         }
-      case _ => throw new IllegalStateException(s"writer emits byte/short/int/float/double only")
+      case NcInt64 | NcUInt64 =>
+        arr.data match {
+          case a: Array[Long] => bb.asLongBuffer().put(a)
+          case _ => var i = 0; while (i < n) { bb.putLong(arr.getLong(i)); i += 1 }
+        }
+      case NcUByte =>
+        arr.data match {
+          case a: Array[Byte] => bb.put(a)
+          case _ => var i = 0; while (i < n) { bb.put(arr.getLong(i).toByte); i += 1 }
+        }
+      case NcUInt =>
+        arr.data match {
+          case a: Array[Int] => bb.asIntBuffer().put(a)
+          case _ => var i = 0; while (i < n) { bb.putInt(arr.getLong(i).toInt); i += 1 }
+        }
+      case _ => throw new IllegalStateException(s"unhandled writer nc_type")
     }
     bb.array()
   }
@@ -430,7 +513,8 @@ object NetCDF3 {
     * `version` 1 writes CDF-1, 2 writes CDF-2 (64-bit offsets). */
   def write(path: String, f: Fragment, recordDim: Option[String] = None,
             version: Int = 1): Unit = {
-    require(version == 1 || version == 2, s"version must be 1 or 2")
+    require(version == 1 || version == 2 || version == 5,
+      s"version must be 1, 2 or 5")
     recordDim.foreach(rd => require(f.dims.contains(rd),
       s"record dim $rd not in ${f.dims.keySet}"))
     // deterministic order: coords first, then data vars, names sorted;
@@ -462,27 +546,28 @@ object NetCDF3 {
       val bb = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
       bb.putInt(i); bos.write(bb.array())
     }
+    def szw(n: Long): Unit = bos.write(sizeBytes(n, version))
     bos.write(Array[Byte]('C', 'D', 'F', version.toByte))
-    be(numrecs)
-    be(0x0A); be(dimNames.length)
+    szw(numrecs.toLong)
+    be(0x0A); szw(dimNames.length.toLong)
     dimNames.foreach { d =>
-      bos.write(nameBytes(d))
-      be(if (recordDim.contains(d)) 0 else f.dims(d))
+      bos.write(nameBytes(d, version))
+      szw(if (recordDim.contains(d)) 0L else f.dims(d).toLong)
     }
-    bos.write(attrListBytes(f.attrs))
-    be(0x0B); be(ordered.length)
+    bos.write(attrListBytes(f.attrs, version))
+    be(0x0B); szw(ordered.length.toLong)
     val beginSlots = scala.collection.mutable.ArrayBuffer.empty[Int]
     ordered.foreach { case (name, v) =>
-      bos.write(nameBytes(name))
-      be(v.dims.length)
-      v.dims.foreach(d => be(dimId(d)))
-      bos.write(attrListBytes(v.attrs))
-      val t = ncTypeFor(v.dtype)
+      bos.write(nameBytes(name, version))
+      szw(v.dims.length.toLong)
+      v.dims.foreach(d => szw(dimId(d).toLong)) // dimids widen in CDF-5
+      bos.write(attrListBytes(v.attrs, version))
+      val t = ncTypeFor(v.dtype, version)
       be(t)
       val isRec = recordDim.exists(v.dims.headOption.contains(_))
       val slab = (if (isRec) v.shape.drop(1) else v.shape)
         .map(_.toLong).product * extSize(t)
-      be(pad4(slab).toInt) // vsize (padded per spec; capped sizes unused here)
+      szw(pad4(slab)) // vsize (padded per spec; capped sizes unused here)
       beginSlots += bos.size()
       if (version == 1) be(0) else { be(0); be(0) } // begin placeholder
     }
@@ -495,7 +580,7 @@ object NetCDF3 {
       val isRec = recordDim.exists(v.dims.headOption.contains(_))
       if (!isRec) {
         begins(i) = cursor
-        cursor += pad4(v.data.size.toLong * extSize(ncTypeFor(v.dtype)))
+        cursor += pad4(v.data.size.toLong * extSize(ncTypeFor(v.dtype, version)))
       }
     }
     val recStart = cursor
@@ -506,7 +591,7 @@ object NetCDF3 {
       if (isRec) {
         begins(i) = recStart + recOff
         val slab = v.shape.drop(1).map(_.toLong).product *
-          extSize(ncTypeFor(v.dtype))
+          extSize(ncTypeFor(v.dtype, version))
         recOff += (if (onlyOneRec) slab else pad4(slab))
       }
     }
@@ -532,7 +617,7 @@ object NetCDF3 {
         while (bb.hasRemaining) off += ch.write(bb, pos + off)
       }
       ordered.zipWithIndex.foreach { case ((_, v), i) =>
-        val t = ncTypeFor(v.dtype)
+        val t = ncTypeFor(v.dtype, version)
         val isRec = recordDim.exists(v.dims.headOption.contains(_))
         if (!isRec) {
           val enc = encodeValues(v.data, t)

@@ -98,6 +98,29 @@ class CorruptionSweepSpec extends AnyFunSuite {
     assert(failed > 0, "no corruption failed — the sweep is vacuous")
   }
 
+  test("netcdf CDF-5: single-byte header corruption never crashes, only fails by name") {
+    // the 64-bit-size header variant (r14): widened numrecs/counts/name
+    // lengths/dimids/vsize/begin fields plus the five new external types
+    val dir = tmpDir
+    val p = s"$dir/clean5.nc"
+    val base = smallCube()
+    val f = base.copy(dataVars = base.dataVars +
+      ("big" -> graft.core.Variable(base.dataVars.head._2.dims,
+        NDArray(DType.I8, base.dataVars.head._2.shape,
+          Array.tabulate(base.dataVars.head._2.data.size)(i =>
+            5000000000L + i)),
+        Map.empty)))
+    NetCDF3.write(p, f, version = 5)
+    val orig = Files.readAllBytes(Paths.get(p))
+    val target = s"$dir/mut5.nc"
+    val (ok, failed) = sweep(orig, 500, { bytes =>
+      Files.write(Paths.get(target), bytes)
+      NetCDF3.read(target)
+    })
+    info(s"netcdf cdf5 sweep: $ok corruptions read, $failed failed diagnosably")
+    assert(failed > 0, "no corruption failed — the sweep is vacuous")
+  }
+
   test("hdf5: single-byte header corruption never crashes, only fails by name") {
     val dir = tmpDir
     val p = s"$dir/clean.h5"

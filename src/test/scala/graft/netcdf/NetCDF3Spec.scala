@@ -152,19 +152,110 @@ class NetCDF3Spec extends AnyFunSuite {
       "hi!".getBytes("UTF-8").toSeq)
   }
 
-  test("CDF-5 is rejected like the scipy engine") {
-    val p = tmp("cdf5")
+  test("CDF-4 (nonexistent variant) is rejected by name") {
+    val p = tmp("cdf4")
     Files.write(java.nio.file.Paths.get(p),
-      Array[Byte]('C', 'D', 'F', 5) ++ new Array[Byte](16))
+      Array[Byte]('C', 'D', 'F', 4) ++ new Array[Byte](16))
     val e = intercept[IllegalArgumentException](NetCDF3.readHeader(p))
-    assert(e.getMessage.contains("CDF-5"))
+    assert(e.getMessage.contains("CDF-1/CDF-2/CDF-5"))
   }
 
-  test("int64 variables are rejected with a clear message") {
+  test("int64 variables are rejected in CDF-1/2 with a clear message") {
     val f = Fragment(Map("x" -> 2), Map.empty,
       Map("v" -> Variable(Vector("x"), NDArray(DType.I8, Vector(2), Array(1L, 2L)))))
     val e = intercept[IllegalArgumentException](NetCDF3.write(tmp("i64"), f))
     assert(e.getMessage.contains("64-bit"))
+  }
+
+  // ------------------------------------------------------------ CDF-5 (r14)
+
+  /** A cube exercising every CDF-5-only external type alongside the
+    * classic ones: int64 time (the classic pain point CDF-5 exists to
+    * fix), uint8/uint16/uint32/uint64 data vars. */
+  private def cube5(nt: Int): Fragment = {
+    val NY = 4
+    Fragment(
+      dims = Map("time" -> nt, "y" -> NY),
+      coords = Map(
+        "time" -> Variable(Vector("time"),
+          NDArray(DType.I8, Vector(nt),
+            (0 until nt).map(i => 4000000000L + i * 86400L).toArray),
+          Map("units" -> AttrValue("seconds since 1970-01-01"))),
+        "y" -> Variable(Vector("y"),
+          NDArray(DType.F8, Vector(NY), (0 until NY).map(_ * 0.5).toArray))),
+      dataVars = Map(
+        "u1v" -> Variable(Vector("time", "y"),
+          NDArray(DType.U1, Vector(nt, NY),
+            Array.tabulate(nt * NY)(i => (i * 37 % 256).toByte))),
+        "u2v" -> Variable(Vector("time", "y"),
+          NDArray(DType.U2, Vector(nt, NY),
+            Array.tabulate(nt * NY)(i => (i * 7919 % 65536).toShort))),
+        "u4v" -> Variable(Vector("time", "y"),
+          NDArray(DType.U4, Vector(nt, NY),
+            Array.tabulate(nt * NY)(i => (i.toLong * 123456789L % (1L << 32)).toInt))),
+        "u8v" -> Variable(Vector("time", "y"),
+          NDArray(DType.U8, Vector(nt, NY),
+            Array.tabulate(nt * NY)(i => Long.MaxValue - i * 1000L))),
+        "i8v" -> Variable(Vector("time", "y"),
+          NDArray(DType.I8, Vector(nt, NY),
+            Array.tabulate(nt * NY)(i => -5000000000L + i * 1234567L)))),
+      attrs = Map("title" -> AttrValue("cdf5 cube")))
+  }
+
+  test("CDF-5 round-trips: 64-bit sizes, widened dimids, all five new types, both layouts") {
+    val f = cube5(6)
+    for ((rd, tag) <- Seq((None, "fixed"), (Some("time"), "rec"))) {
+      val p = tmp(s"cdf5_$tag")
+      NetCDF3.write(p, f, recordDim = rd, version = 5)
+      // the magic byte really is 5
+      val head = Files.readAllBytes(java.nio.file.Paths.get(p)).take(4)
+      assert(head.sameElements(Array[Byte]('C', 'D', 'F', 5)))
+      val hdr = NetCDF3.readHeader(p)
+      assert(hdr.version == 5)
+      assert(hdr.vars.find(_.name == "i8v").get.ncType == NetCDF3.NcInt64)
+      assert(hdr.vars.find(_.name == "u8v").get.ncType == NetCDF3.NcUInt64)
+      assert(hdr.vars.find(_.name == "u1v").get.ncType == NetCDF3.NcUByte)
+      val back = NetCDF3.read(p)
+      assert(back.sameAs(f), s"$tag layout")
+      // unsigned dtypes survive width-for-width WITH signedness
+      assert(back.dataVars("u8v").dtype == DType.U8)
+      assert(back.dataVars("u4v").dtype == DType.U4)
+      assert(back.coords("time").dtype == DType.I8)
+    }
+  }
+
+  test("CDF-5 kerchunk scan round-trips through the zarr materialization") {
+    val f = cube5(4)
+    val p = tmp("cdf5scan")
+    NetCDF3.write(p, f, recordDim = Some("time"), version = 5)
+    val rs = RefSet.scanNetCDF3(p)
+    val dir = Files.createTempDirectory("nc5virt").toString
+    rs.materialize(dir)
+    val back = ZarrGroup(dir).readFragment()
+    assert(back.sameAs(f))
+  }
+
+  test("CDF-5-only types inside a CDF-1 header fail by name") {
+    // hand-patch a CDF-1 file's nc_type field to NC_INT64
+    val f = cube(2)
+    val p = tmp("cdf1bad")
+    NetCDF3.write(p, f)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(p))
+    // find the 4-byte big-endian nc_type of 'bar' (NC_INT = 4): locate
+    // the name then the type field follows rank+dimids+atts — simpler:
+    // flip the first NC_DOUBLE (6) type tag to 10 (int64)
+    var i = 0; var done = false
+    while (!done && i + 4 <= bytes.length) {
+      if (bytes(i) == 0 && bytes(i + 1) == 0 && bytes(i + 2) == 0 &&
+          bytes(i + 3) == 6 && i > 40) {
+        bytes(i + 3) = 10; done = true
+      } else i += 1
+    }
+    assert(done, "no NC_DOUBLE tag found to corrupt")
+    Files.write(java.nio.file.Paths.get(p), bytes)
+    val e = intercept[Exception](NetCDF3.read(p))
+    // either the legality gate or a downstream bound names the corruption
+    assert(e.getMessage != null)
   }
 
   test("kerchunk scan: header-only refs materialize to an equal zarr read") {
