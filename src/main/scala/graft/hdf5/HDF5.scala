@@ -125,8 +125,17 @@ object HDF5 {
   sealed trait Layout
   final case class Compact(data: Array[Byte]) extends Layout
   final case class Contiguous(addr: Long, size: Long) extends Layout
+  /** Chunked storage. `indexType` 0 = the v1 B-tree (layout message v3);
+    * layout v4 (libhdf5 1.10+ "latest") adds 1 = Single Chunk,
+    * 2 = Implicit, 3 = Fixed Array (`btreeAddr` then holds the chunk /
+    * base / FAHD address respectively). Extensible Array (4) and v2
+    * B-tree (5) indexes fail by name at parse. */
   final case class Chunked(btreeAddr: Long, chunkDims: Vector[Int],
-                           elemSize: Int) extends Layout
+                           elemSize: Int,
+                           indexType: Int = 0,
+                           pageBits: Int = 0,
+                           singleSize: Long = -1L,
+                           singleMask: Int = 0) extends Layout
 
   /** One dataset (or group) assembled from its object header. */
   final case class ObjectInfo(addr: Long,
@@ -428,21 +437,77 @@ object HDF5 {
 
     private def parseLayout(b: ByteBuffer): Layout = {
       val version = b.get(0) & 0xFF
-      require(version == 3, s"layout message v$version (v3 supported)")
+      require(version == 3 || version == 4,
+        s"layout message v$version (v3/v4 supported)")
       (b.get(1) & 0xFF) match {
-        case 0 =>
+        case 0 if version == 3 =>
+          val size = b.getShort(2) & 0xFFFF
+          val data = new Array[Byte](size)
+          b.position(4); b.get(data); b.position(0)
+          Compact(data)
+        case 0 => // v4 compact: same body as v3
           val size = b.getShort(2) & 0xFFFF
           val data = new Array[Byte](size)
           b.position(4); b.get(data); b.position(0)
           Compact(data)
         case 1 => Contiguous(b.getLong(2), b.getLong(10))
-        case 2 =>
+        case 2 if version == 3 =>
           val dimensionality = b.get(2) & 0xFF // rank + 1
           val btree = b.getLong(3)
           val dims = (0 until dimensionality - 1)
             .map(i => b.getInt(11 + i * 4)).toVector
           val elemSize = b.getInt(11 + (dimensionality - 1) * 4)
           Chunked(btree, dims, elemSize)
+        case 2 => // v4 chunked (libhdf5 1.10+): variable-width dims +
+          // a chunk INDEX instead of the v1 B-tree
+          val flags = b.get(2) & 0xFF
+          val ndims = b.get(3) & 0xFF // rank + 1 (elem size is last, as v3)
+          val encLen = b.get(4) & 0xFF
+          require(ndims >= 2 && ndims <= 33,
+            s"corrupt v4 layout: dimensionality $ndims")
+          require(encLen >= 1 && encLen <= 8,
+            s"corrupt v4 layout: $encLen-byte dim encoding")
+          def dimAt(k: Int): Long = {
+            var v = 0L
+            var i = 0
+            while (i < encLen) { // little-endian variable-width
+              v |= (b.get(5 + k * encLen + i) & 0xFFL) << (8 * i)
+              i += 1
+            }
+            v
+          }
+          val allDims = (0 until ndims).map(dimAt)
+          allDims.foreach(d => require(d >= 1 && d <= Int.MaxValue,
+            s"corrupt v4 layout: chunk dim $d"))
+          val dims = allDims.dropRight(1).map(_.toInt).toVector
+          val elemSize = allDims.last.toInt
+          var p = 5 + ndims * encLen
+          val idxType = b.get(p) & 0xFF; p += 1
+          var singleSize = -1L; var singleMask = 0; var pageBits = 0
+          idxType match {
+            case 1 => // single chunk: filtered variants carry size+mask
+              if ((flags & 0x02) != 0) {
+                singleSize = b.getLong(p); p += 8
+                singleMask = b.getInt(p); p += 4
+              }
+            case 2 => // implicit: no parameters
+            case 3 => // fixed array: data-block page size (log2)
+              pageBits = b.get(p) & 0xFF; p += 1
+              require(pageBits >= 1 && pageBits <= 32,
+                s"corrupt v4 layout: fixed-array page bits $pageBits")
+            case 4 => throw new UnsupportedOperationException(
+              "HDF5 v4 layout: Extensible Array chunk index (one unlimited " +
+                "dimension) not supported")
+            case 5 => throw new UnsupportedOperationException(
+              "HDF5 v4 layout: v2 B-tree chunk index (multiple unlimited " +
+                "dimensions) not supported")
+            case t => throw new UnsupportedOperationException(
+              s"HDF5 v4 layout: unknown chunk index type $t")
+          }
+          val addr = b.getLong(p)
+          Chunked(addr, dims, elemSize, indexType = idxType,
+            pageBits = pageBits, singleSize = singleSize,
+            singleMask = singleMask)
         case c => throw new UnsupportedOperationException(s"layout class $c")
       }
     }
@@ -1168,7 +1233,177 @@ object HDF5 {
 
     // ---- chunk index (B-tree v1, node type 1) ----
 
-    def chunkRefs(layout: Chunked): Vector[ChunkRef] = {
+    /** Enumerate a chunked dataset's chunk references. `shape` (the
+      * dataspace dims) is required for the POSITIONAL v4 indexes
+      * (single/implicit/fixed-array — they store no per-chunk offsets);
+      * the v1 B-tree path ignores it (offsets live in the keys). */
+    def chunkRefs(layout: Chunked, shape: Vector[Int] = Vector.empty): Vector[ChunkRef] =
+      layout.indexType match {
+        case 0 => btreeChunkRefs(layout)
+        case 1 => // single chunk
+          require(shape.nonEmpty, "single-chunk index needs the dataspace")
+          shape.zip(layout.chunkDims).foreach { case (s, c) =>
+            require(s <= c, s"single-chunk index but dataspace $shape " +
+              s"exceeds the chunk ${layout.chunkDims}") }
+          if (layout.btreeAddr == Undefined) Vector.empty
+          else {
+            val size =
+              if (layout.singleSize >= 0) layout.singleSize
+              else layout.chunkDims.map(_.toLong).product * layout.elemSize
+            Vector(ChunkRef(Vector.fill(layout.chunkDims.length)(0L),
+              layout.btreeAddr, size, layout.singleMask))
+          }
+        case 2 => // implicit: chunks packed at base in row-major grid order
+          require(shape.nonEmpty, "implicit index needs the dataspace")
+          if (layout.btreeAddr == Undefined) Vector.empty
+          else {
+            val chunkBytes =
+              layout.chunkDims.map(_.toLong).product * layout.elemSize
+            gridOffsets(shape, layout.chunkDims).zipWithIndex.map {
+              case (off, k) =>
+                ChunkRef(off, layout.btreeAddr + k * chunkBytes,
+                  chunkBytes, 0)
+            }
+          }
+        case 3 => fixedArrayChunkRefs(layout, shape)
+        case t => throw new UnsupportedOperationException(
+          s"chunk index type $t")
+      }
+
+    /** Row-major chunk-grid element offsets for positional indexes. */
+    private def gridOffsets(shape: Vector[Int],
+                            chunkDims: Vector[Int]): Vector[Vector[Long]] = {
+      val counts = shape.zip(chunkDims).map { case (s, c) =>
+        require(c >= 1, s"corrupt chunk dims $chunkDims")
+        (s + c - 1) / c
+      }
+      val total = counts.map(_.toLong).product
+      require(total <= (1 << 24), s"chunk grid of $total cells too large")
+      (0L until total).toVector.map { k =>
+        var rem = k
+        val coord = new Array[Long](counts.length)
+        var d = counts.length - 1
+        while (d >= 0) {
+          coord(d) = (rem % counts(d)) * chunkDims(d)
+          rem /= counts(d)
+          d -= 1
+        }
+        coord.toVector
+      }
+    }
+
+    /** Fixed Array chunk index (FAHD + FADB, optionally paged) — the
+      * default index libhdf5 1.10+ writes for fixed-shape chunked
+      * datasets. Metadata checksums are verified (lookup3, like the
+      * dense-storage structures). */
+    private def fixedArrayChunkRefs(layout: Chunked,
+                                    shape: Vector[Int]): Vector[ChunkRef] = {
+      require(shape.nonEmpty, "fixed-array index needs the dataspace")
+      if (layout.btreeAddr == Undefined) return Vector.empty
+      val offsets = gridOffsets(shape, layout.chunkDims)
+      val nelems = offsets.length.toLong
+      val hdr = readRange(layout.btreeAddr, 28)
+      require(hdr.take(4).sameElements("FAHD".getBytes("ASCII")),
+        "corrupt fixed-array header signature")
+      require((hdr(4) & 0xFF) == 0, s"fixed-array header version ${hdr(4)}")
+      val clientId = hdr(5) & 0xFF
+      require(clientId == 0 || clientId == 1,
+        s"fixed-array client id $clientId")
+      val entrySize = hdr(6) & 0xFF
+      val pageBits = hdr(7) & 0xFF
+      val hb = ByteBuffer.wrap(hdr).order(ByteOrder.LITTLE_ENDIAN)
+      val maxNelems = hb.getLong(8)
+      val dbAddr = hb.getLong(16)
+      require(HDF5Writer.lookup3(hdr.take(24)) == hb.getInt(24),
+        "corrupt fixed-array header checksum")
+      require(maxNelems == nelems,
+        s"fixed-array claims $maxNelems chunks; the chunk grid has $nelems")
+      val filtered = clientId == 1
+      require(if (filtered) entrySize > 12 else entrySize == 8,
+        s"fixed-array entry size $entrySize for client $clientId")
+      val szBytes = entrySize - 12 // filtered: addr(8) + size(szBytes) + mask(4)
+      if (dbAddr == Undefined) return Vector.empty
+      val pageElems = 1L << pageBits
+      val chunkBytes = layout.chunkDims.map(_.toLong).product * layout.elemSize
+      def decodeElems(bytes: Array[Byte], base: Int, count: Int,
+                      firstIdx: Int,
+                      out: scala.collection.mutable.ArrayBuffer[ChunkRef]): Unit = {
+        val eb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < count) {
+          val p = base + i * entrySize
+          val addr = eb.getLong(p)
+          if (addr != Undefined) {
+            if (!filtered)
+              out += ChunkRef(offsets(firstIdx + i), addr, chunkBytes, 0)
+            else {
+              var sz = 0L
+              var k = 0
+              while (k < szBytes) {
+                sz |= (bytes(p + 8 + k) & 0xFFL) << (8 * k)
+                k += 1
+              }
+              val mask = eb.getInt(p + 8 + szBytes)
+              out += ChunkRef(offsets(firstIdx + i), addr, sz, mask)
+            }
+          }
+          i += 1
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[ChunkRef]
+      if (nelems <= pageElems) {
+        // unpaged: sig(4)+ver(1)+client(1)+hdrAddr(8) + elements + checksum
+        val len = 14 + nelems.toInt * entrySize + 4
+        val db = readRange(dbAddr, len)
+        require(db.take(4).sameElements("FADB".getBytes("ASCII")),
+          "corrupt fixed-array data-block signature")
+        require(ByteBuffer.wrap(db).order(ByteOrder.LITTLE_ENDIAN)
+          .getLong(6) == layout.btreeAddr,
+          "fixed-array data block does not point back at its header")
+        val cb = ByteBuffer.wrap(db).order(ByteOrder.LITTLE_ENDIAN)
+        require(HDF5Writer.lookup3(db.take(len - 4)) == cb.getInt(len - 4),
+          "corrupt fixed-array data-block checksum")
+        decodeElems(db, 14, nelems.toInt, 0, out)
+      } else {
+        // paged: block carries a page bitmap + checksum; pages follow,
+        // each with its own checksum
+        val npages = ((nelems + pageElems - 1) / pageElems).toInt
+        val bmBytes = (npages + 7) / 8
+        val headLen = 14 + bmBytes + 4
+        val head = readRange(dbAddr, headLen)
+        require(head.take(4).sameElements("FADB".getBytes("ASCII")),
+          "corrupt fixed-array data-block signature")
+        val cb = ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN)
+        require(cb.getLong(6) == layout.btreeAddr,
+          "fixed-array data block does not point back at its header")
+        require(HDF5Writer.lookup3(head.take(headLen - 4)) ==
+          cb.getInt(headLen - 4),
+          "corrupt fixed-array data-block checksum")
+        var pos = dbAddr + headLen
+        var pg = 0
+        var idx = 0
+        while (pg < npages) {
+          val count = math.min(pageElems, nelems - idx).toInt
+          val initialized =
+            (head(14 + pg / 8) & (1 << (pg % 8))) != 0
+          val pageLen = count * entrySize + 4
+          if (initialized) {
+            val page = readRange(pos, pageLen)
+            val pb = ByteBuffer.wrap(page).order(ByteOrder.LITTLE_ENDIAN)
+            require(HDF5Writer.lookup3(page.take(pageLen - 4)) ==
+              pb.getInt(pageLen - 4),
+              s"corrupt fixed-array page $pg checksum")
+            decodeElems(page, 0, count, idx, out)
+          }
+          pos += pageLen
+          idx += count
+          pg += 1
+        }
+      }
+      out.toVector
+    }
+
+    private def btreeChunkRefs(layout: Chunked): Vector[ChunkRef] = {
       val rank = layout.chunkDims.length
       def walk(addr: Long): Vector[ChunkRef] =
         if (addr == Undefined) Vector.empty
@@ -1397,7 +1632,7 @@ object HDF5 {
         case Contiguous(addr, size) =>
           if (addr == Undefined) allocWithFill(obj, elemT, dt, shape) // never written
           else NDArray(dt, shape, decodeElems(readRange(addr, size), elemT, n))
-        case ck @ Chunked(_, chunkDims, elemSize) =>
+        case ck @ Chunked(_, chunkDims, elemSize, _, _, _, _) =>
           // same ceiling for the chunk geometry: corrupt chunk dims must
           // not reach an allocation as a negative/overflowed product
           val cnL = chunkDims.foldLeft(1L) { (a, d) =>
@@ -1409,7 +1644,7 @@ object HDF5 {
               " — too large for in-memory decode (or corrupt)")
           val out = allocWithFill(obj, elemT, dt, shape)
           val fullChunkDims = chunkDims ++ extraDims
-          chunkRefs(ck).foreach { ref =>
+          chunkRefs(ck, obj.dims).foreach { ref =>
             val raw = readRange(ref.addr, ref.size)
             val cn = cnL.toInt
             val bytes = defilter(raw, obj.filters, ref.filterMask, elemSize,
@@ -1458,7 +1693,7 @@ object HDF5 {
           require(addr != Undefined,
             "compound dataset was never written — fill-value decode not supported")
           readRange(addr, math.min(size, n.toLong * t.size))
-        case ck @ Chunked(_, chunkDims, elemSize) =>
+        case ck @ Chunked(_, chunkDims, elemSize, _, _, _, _) =>
           require(elemSize == t.size,
             s"compound chunk element size $elemSize != datatype size ${t.size}")
           val cnL = chunkDims.foldLeft(1L) { (a, d) =>
@@ -1469,7 +1704,7 @@ object HDF5 {
             s"chunk claims ${chunkDims.mkString("x")} records of $elemSize B" +
               " — too large for in-memory decode (or corrupt)")
           val out = NDArray.zeros(DType.U1, obj.dims :+ t.size)
-          chunkRefs(ck).foreach { ref =>
+          chunkRefs(ck, obj.dims).foreach { ref =>
             val raw = readRange(ref.addr, ref.size)
             val cn = cnL.toInt
             val bytes = defilter(raw, obj.filters, ref.filterMask, elemSize,

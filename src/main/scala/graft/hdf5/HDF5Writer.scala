@@ -510,7 +510,13 @@ object HDF5Writer {
             // (the members stop being standalone datasets)
             enumVars: Map[String, Vector[(String, Long)]] = Map.empty,
             arrayVarDims: Map[String, Int] = Map.empty,
-            compoundVars: Map[String, Vector[String]] = Map.empty): Unit = {
+            compoundVars: Map[String, Vector[String]] = Map.empty,
+            // r14: emit the libhdf5-1.10+ v4 layout message for these
+            // chunked vars — index type 1 (single chunk), 2 (implicit)
+            // or 3 (fixed array); faPageBits sizes the fixed-array data
+            // block pages (small values force the PAGED layout)
+            chunkIndexV4: Map[String, Int] = Map.empty,
+            faPageBits: Int = 10): Unit = {
     require(!(denseFilteredHeap && (denseTinyLinkIds ||
       denseMaxDirectBlockSize > 0)),
       "denseFilteredHeap composes with the FLAT heap plan only")
@@ -522,6 +528,16 @@ object HDF5Writer {
       nbitPrecision.isDefined).count(identity) <= 1,
       "scale-offset (int), scale-offset (float D-scale) and nbit are " +
         "alternative element-packing filters")
+    val anyCodec = deflateLevel.isDefined || shuffle || lzf ||
+      zstdLevel.isDefined || blosc.isDefined || lz4 || szip.isDefined ||
+      scaleOffset || scaleOffsetFloatD.isDefined || nbitPrecision.isDefined
+    chunkIndexV4.foreach { case (name, t) =>
+      require(t >= 1 && t <= 3, s"chunkIndexV4: $name index type $t (1/2/3)")
+      require(chunks.contains(name), s"chunkIndexV4: $name must be chunked")
+      require(t != 2 || !anyCodec,
+        s"chunkIndexV4: implicit index for $name cannot carry filters " +
+          "(the libhdf5 rule)")
+    }
     // the element-packing filters apply to integer data (the libhdf5
     // integer paths); they run FIRST in the pipeline, like netCDF-4's
     // scaleoffset-then-deflate combination
@@ -721,7 +737,18 @@ object HDF5Writer {
         0x0008 -> (varData.get(name) match {
           case Some(Right(_)) =>
             val rank = shape.length
-            new Array[Byte](11 + (rank + 1) * 4)
+            chunkIndexV4.get(name) match {
+              case Some(t) =>
+                // v4: ver+class+flags+ndims+encLen + (rank+1)*8 dims +
+                // idxType + params + address
+                val params = t match {
+                  case 1 if anyCodec => 12
+                  case 3 => 1
+                  case _ => 0
+                }
+                new Array[Byte](5 + (rank + 1) * 8 + 1 + params + 8)
+              case None => new Array[Byte](11 + (rank + 1) * 4)
+            }
           case _ => new Array[Byte](18)
         }))
       val filterMsg: Vector[Msg] =
@@ -1152,11 +1179,44 @@ object HDF5Writer {
         case Some(Left(bytes)) =>
           if (bytes.nonEmpty) alloc(s"data:$n", bytes.length.toLong)
         case Some(Right(plans)) =>
-          val rank = (if (phantomDims.contains(n)) 1 else varOf(n).get.shape.length)
-          val keySize = 8 + (rank + 1) * 8
-          alloc(s"cbt:$n", 24 + plans.length * (keySize + 8) + keySize)
-          plans.zipWithIndex.foreach { case (p, i) =>
-            alloc(s"chunk:$n:$i", p.bytes.length.toLong) }
+          chunkIndexV4.get(n) match {
+            case Some(1) =>
+              require(plans.length == 1,
+                s"chunkIndexV4: $n has ${plans.length} chunks; the single-" +
+                  "chunk index needs chunk dims covering the dataspace")
+              alloc(s"chunk:$n:0", plans.head.bytes.length.toLong)
+            case Some(2) =>
+              // implicit: one packed region, stride = full chunk bytes
+              val cb = chunks(n).map(_.toLong).product *
+                varOf(n).get.dtype.byteSize
+              plans.foreach(p => require(p.bytes.length.toLong == cb,
+                s"implicit index chunks must be raw full-size"))
+              alloc(s"impl:$n", cb * plans.length)
+            case Some(3) =>
+              val entrySize = if (anyCodec) 20 else 8
+              alloc(s"fahd:$n", 28L)
+              val pageElems = 1L << faPageBits
+              val fadbLen =
+                if (plans.length <= pageElems)
+                  14L + plans.length.toLong * entrySize + 4
+                else {
+                  val npages = (plans.length + pageElems - 1) / pageElems
+                  val bm = (npages + 7) / 8
+                  14L + bm + 4 + (0L until npages).map { pg =>
+                    math.min(pageElems, plans.length - pg * pageElems) *
+                      entrySize + 4
+                  }.sum
+                }
+              alloc(s"fadb:$n", fadbLen)
+              plans.zipWithIndex.foreach { case (p, i) =>
+                alloc(s"chunk:$n:$i", p.bytes.length.toLong) }
+            case None =>
+              val rank = (if (phantomDims.contains(n)) 1 else varOf(n).get.shape.length)
+              val keySize = 8 + (rank + 1) * 8
+              alloc(s"cbt:$n", 24 + plans.length * (keySize + 8) + keySize)
+              plans.zipWithIndex.foreach { case (p, i) =>
+                alloc(s"chunk:$n:$i", p.bytes.length.toLong) }
+          }
         case None => // phantom dim: no data
       }
     }
@@ -1533,16 +1593,48 @@ object HDF5Writer {
               b.putLong(if (bytes.isEmpty) Undefined else addrs(s"data:$n"))
               b.putLong(bytes.length.toLong)
               (0x0008, b.array())
-            case Some(Right(_)) =>
+            case Some(Right(plans)) =>
               val cs = chunks(n)
               val elemSize = v.get.dtype.byteSize
-              val b = ByteBuffer.allocate(11 + (cs.length + 1) * 4)
-                .order(ByteOrder.LITTLE_ENDIAN)
-              b.put(3.toByte); b.put(2.toByte)
-              b.put((cs.length + 1).toByte)
-              b.putLong(addrs(s"cbt:$n"))
-              cs.foreach(b.putInt); b.putInt(elemSize)
-              (0x0008, b.array())
+              chunkIndexV4.get(n) match {
+                case Some(t) =>
+                  val params = t match {
+                    case 1 if anyCodec => 12
+                    case 3 => 1
+                    case _ => 0
+                  }
+                  val b = ByteBuffer.allocate(5 + (cs.length + 1) * 8 +
+                    1 + params + 8).order(ByteOrder.LITTLE_ENDIAN)
+                  b.put(4.toByte); b.put(2.toByte) // v4 chunked
+                  // flags: bit 1 = single chunk carries size+mask
+                  b.put((if (t == 1 && anyCodec) 0x02 else 0x00).toByte)
+                  b.put((cs.length + 1).toByte)
+                  b.put(8.toByte) // 8-byte dim encoding
+                  cs.foreach(c => b.putLong(c.toLong))
+                  b.putLong(elemSize.toLong)
+                  b.put(t.toByte)
+                  t match {
+                    case 1 if anyCodec =>
+                      b.putLong(plans.head.bytes.length.toLong)
+                      b.putInt(plans.head.mask)
+                    case 3 => b.put(faPageBits.toByte)
+                    case _ =>
+                  }
+                  b.putLong(t match {
+                    case 1 => addrs(s"chunk:$n:0")
+                    case 2 => addrs(s"impl:$n")
+                    case _ => addrs(s"fahd:$n")
+                  })
+                  (0x0008, b.array())
+                case None =>
+                  val b = ByteBuffer.allocate(11 + (cs.length + 1) * 4)
+                    .order(ByteOrder.LITTLE_ENDIAN)
+                  b.put(3.toByte); b.put(2.toByte)
+                  b.put((cs.length + 1).toByte)
+                  b.putLong(addrs(s"cbt:$n"))
+                  cs.foreach(b.putInt); b.putInt(elemSize)
+                  (0x0008, b.array())
+              }
             case None => // phantom: contiguous, never written
               val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
               b.put(3.toByte); b.put(1.toByte)
@@ -1564,6 +1656,84 @@ object HDF5Writer {
       put(addrs(s"obj:$n"), headerBytes(patched))
       varData.get(n) match {
         case Some(Left(bytes)) if bytes.nonEmpty => put(addrs(s"data:$n"), bytes)
+        case Some(Right(plans)) if chunkIndexV4.contains(n) =>
+          chunkIndexV4(n) match {
+            case 1 => put(addrs(s"chunk:$n:0"), plans.head.bytes)
+            case 2 =>
+              val cb = chunks(n).map(_.toLong).product *
+                varOf(n).get.dtype.byteSize
+              val base = addrs(s"impl:$n")
+              plans.zipWithIndex.foreach { case (p, i) =>
+                put(base + i * cb, p.bytes) }
+            case _ =>
+              val entrySize = if (anyCodec) 20 else 8
+              // FAHD
+              val hd = ByteBuffer.allocate(28).order(ByteOrder.LITTLE_ENDIAN)
+              hd.put("FAHD".getBytes("ASCII"))
+              hd.put(0.toByte)
+              hd.put((if (anyCodec) 1 else 0).toByte) // client id
+              hd.put(entrySize.toByte)
+              hd.put(faPageBits.toByte)
+              hd.putLong(plans.length.toLong)
+              hd.putLong(addrs(s"fadb:$n"))
+              val hdArr = hd.array()
+              val hcks = lookup3(java.util.Arrays.copyOf(hdArr, 24))
+              hd.putInt(24, hcks)
+              put(addrs(s"fahd:$n"), hdArr)
+              // FADB (paged when the grid exceeds one page)
+              def entry(bb: ByteBuffer, i: Int): Unit = {
+                bb.putLong(addrs(s"chunk:$n:$i"))
+                if (anyCodec) {
+                  bb.putLong(plans(i).bytes.length.toLong)
+                  bb.putInt(plans(i).mask)
+                }
+              }
+              val pageElems = 1L << faPageBits
+              if (plans.length <= pageElems) {
+                val len = 14 + plans.length * entrySize + 4
+                val db = ByteBuffer.allocate(len).order(ByteOrder.LITTLE_ENDIAN)
+                db.put("FADB".getBytes("ASCII"))
+                db.put(0.toByte)
+                db.put((if (anyCodec) 1 else 0).toByte)
+                db.putLong(addrs(s"fahd:$n"))
+                plans.indices.foreach(entry(db, _))
+                val arr = db.array()
+                db.putInt(len - 4, lookup3(java.util.Arrays.copyOf(arr, len - 4)))
+                put(addrs(s"fadb:$n"), arr)
+              } else {
+                val npages = ((plans.length + pageElems - 1) / pageElems).toInt
+                val bm = (npages + 7) / 8
+                val headLen = 14 + bm + 4
+                val db = ByteBuffer.allocate(headLen).order(ByteOrder.LITTLE_ENDIAN)
+                db.put("FADB".getBytes("ASCII"))
+                db.put(0.toByte)
+                db.put((if (anyCodec) 1 else 0).toByte)
+                db.putLong(addrs(s"fahd:$n"))
+                (0 until npages).foreach(pg => // all pages initialized
+                  db.put(14 + pg / 8,
+                    (db.get(14 + pg / 8) | (1 << (pg % 8))).toByte))
+                val headArr = db.array()
+                db.putInt(headLen - 4,
+                  lookup3(java.util.Arrays.copyOf(headArr, headLen - 4)))
+                put(addrs(s"fadb:$n"), headArr)
+                var pos = addrs(s"fadb:$n") + headLen
+                var idx = 0
+                (0 until npages).foreach { _ =>
+                  val count = math.min(pageElems, plans.length - idx).toInt
+                  val plen = count * entrySize + 4
+                  val pb = ByteBuffer.allocate(plen).order(ByteOrder.LITTLE_ENDIAN)
+                  (0 until count).foreach(i => entry(pb, idx + i))
+                  val parr = pb.array()
+                  pb.putInt(plen - 4,
+                    lookup3(java.util.Arrays.copyOf(parr, plen - 4)))
+                  put(pos, parr)
+                  pos += plen
+                  idx += count
+                }
+              }
+              plans.zipWithIndex.foreach { case (p, i) =>
+                put(addrs(s"chunk:$n:$i"), p.bytes) }
+          }
         case Some(Right(plans)) =>
           val rank = shape.length
           val keySize = 8 + (rank + 1) * 8

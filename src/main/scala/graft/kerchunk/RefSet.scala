@@ -249,13 +249,13 @@ object RefSet {
               else s"${m.name}/c/" + o.dims.map(_ => "0").mkString("/")
             if (addr != HDF5.Undefined)
               out += key -> inlineOrPointer(addr, size)
-          case ck @ HDF5.Chunked(_, chunkDims, _) =>
+          case ck @ HDF5.Chunked(_, chunkDims, _, _, _, _, _) =>
             out += s"${m.name}/zarr.json" -> Ref.inline(ZarrStore.arrayMetaDoc(
               o.dims, chunkDims, dt, varAttrs,
               dimensionNames = Some(m.dimNames), bigEndian = bigEndian,
               zlibLevel = zlib, shuffleElem = shuffle,
               zstdLevel = zstd, blosc = bloscP))
-            r.chunkRefs(ck).foreach { cr =>
+            r.chunkRefs(ck, o.dims).foreach { cr =>
               // the array-level codec list applies to EVERY chunk; a chunk
               // whose optional filter was skipped at write time (nonzero
               // mask) cannot be represented — reject, don't corrupt

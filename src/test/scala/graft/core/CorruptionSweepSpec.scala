@@ -205,6 +205,26 @@ class CorruptionSweepSpec extends AnyFunSuite {
     assert(failed > 0, "no corruption failed — the sweep is vacuous")
   }
 
+  test("hdf5 v4 layout (fixed-array chunk index): corruption only fails by name") {
+    // the libhdf5-1.10+ chunk index surface (r14): v4 layout message
+    // with variable-width dims, FAHD/FADB structures (PAGED via tiny
+    // page bits), lookup3 checksums, filtered (client-1) entries
+    val dir = tmpDir
+    val p = s"$dir/v4.h5"
+    HDF5Writer.write(p, smallCube(),
+      chunks = Map("foo" -> Vector(2, 5, 4), "bar" -> Vector(2, 5, 4)),
+      deflateLevel = Some(4),
+      chunkIndexV4 = Map("foo" -> 3, "bar" -> 3), faPageBits = 1)
+    val orig = Files.readAllBytes(Paths.get(p))
+    val target = s"$dir/mut4.h5"
+    val (ok, failed) = sweep(orig, orig.length, { bytes =>
+      Files.write(Paths.get(target), bytes)
+      HDF5.read(target)
+    })
+    info(s"hdf5 v4-layout sweep: $ok corruptions read, $failed failed diagnosably")
+    assert(failed > 0, "no corruption failed — the sweep is vacuous")
+  }
+
   test("hdf5 float D-scale scale-offset: corruption never crashes, only fails by name") {
     val dir = tmpDir
     val p = s"$dir/dscale.h5"

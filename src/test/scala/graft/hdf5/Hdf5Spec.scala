@@ -1116,6 +1116,105 @@ class Hdf5Spec extends AnyFunSuite {
     assert(HDF5.read(path).sameAs(f))
   }
 
+  // ------------------------------ v4 layout chunk indexes (r14, 1.10+)
+
+  test("v4 layout: single-chunk index round-trips, raw and deflated") {
+    val f = cube(4, 5, 4)
+    for ((dl, tag) <- Seq((None, "raw"), (Some(5), "z"))) {
+      val p = s"$dir/v4single_$tag.nc"
+      // one chunk covering the whole dataspace
+      HDF5Writer.write(p, f,
+        chunks = Map("foo" -> Vector(4, 5, 4), "bar" -> Vector(4, 5, 4)),
+        deflateLevel = dl,
+        chunkIndexV4 = Map("foo" -> 1, "bar" -> 1))
+      val back = HDF5.read(p)
+      assert(back.sameAs(f), tag)
+      // the layout message really is v4 / index 1
+      val r = new HDF5.Reader(p)
+      try {
+        val (_, metas) = HDF5.datasets(r)
+        metas.find(_.name == "foo").get.obj.layout.get match {
+          case c: HDF5.Chunked => assert(c.indexType == 1, tag)
+          case other => fail(s"$other")
+        }
+      } finally r.close()
+    }
+  }
+
+  test("v4 layout: implicit index (packed chunks, no filters) round-trips with edge chunks") {
+    val f = cube(5, 5, 4) // 5 along time with chunks of 2: edge chunk
+    val p = s"$dir/v4implicit.nc"
+    HDF5Writer.write(p, f,
+      chunks = Map("foo" -> Vector(2, 5, 4), "bar" -> Vector(2, 5, 4)),
+      chunkIndexV4 = Map("foo" -> 2, "bar" -> 2))
+    val back = HDF5.read(p)
+    assert(back.sameAs(f))
+    val r = new HDF5.Reader(p)
+    try {
+      val (_, metas) = HDF5.datasets(r)
+      metas.find(_.name == "foo").get.obj.layout.get match {
+        case c: HDF5.Chunked => assert(c.indexType == 2)
+        case other => fail(s"$other")
+      }
+    } finally r.close()
+  }
+
+  test("v4 layout: fixed-array index round-trips — unpaged, PAGED, filtered, and the kerchunk scan") {
+    val f = cube(8, 6, 4)
+    // unpaged unfiltered, unpaged deflated (client 1 entries), and
+    // paged (faPageBits=1 -> 2 elements per page, 4 chunks -> 2 pages)
+    for ((dl, pb, tag) <- Seq((None, 10, "plain"), (Some(4), 10, "z"),
+        (None, 1, "paged"), (Some(4), 1, "paged_z"))) {
+      val p = s"$dir/v4fa_$tag.nc"
+      HDF5Writer.write(p, f,
+        chunks = Map("foo" -> Vector(2, 6, 4), "bar" -> Vector(8, 6, 4)),
+        deflateLevel = dl,
+        chunkIndexV4 = Map("foo" -> 3), faPageBits = pb)
+      val back = HDF5.read(p)
+      assert(back.sameAs(f), tag)
+      val r = new HDF5.Reader(p)
+      try {
+        val (_, metas) = HDF5.datasets(r)
+        metas.find(_.name == "foo").get.obj.layout.get match {
+          case c: HDF5.Chunked =>
+            assert(c.indexType == 3 && c.pageBits == pb, tag)
+          case other => fail(s"$other")
+        }
+      } finally r.close()
+      // the kerchunk scanner walks the fixed array too
+      val rs = graft.kerchunk.RefSet.scanHdf5(p)
+      val vdir = Files.createTempDirectory("v4virt").toString
+      rs.materialize(vdir)
+      assert(graft.zarr.ZarrGroup(vdir).readFragment().sameAs(f),
+        s"$tag scan")
+    }
+  }
+
+  test("v4 layout: extensible-array and v2-btree indexes fail by name") {
+    val f = cube(4, 5, 4)
+    val p = s"$dir/v4idx.nc"
+    HDF5Writer.write(p, f,
+      chunks = Map("foo" -> Vector(4, 5, 4), "bar" -> Vector(4, 5, 4)),
+      chunkIndexV4 = Map("foo" -> 1, "bar" -> 1))
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(p))
+    // v4 chunked message: ver=4, class=2, flags, ndims=4, encLen=8 — find
+    // it and flip the index-type byte (at +5+4*8) to 4 (extensible array)
+    var i = 0; var at = -1
+    while (at < 0 && i + 40 < bytes.length) {
+      if (bytes(i) == 4 && bytes(i + 1) == 2 && bytes(i + 3) == 4 &&
+          bytes(i + 4) == 8) at = i
+      else i += 1
+    }
+    assert(at > 0, "v4 layout message not found")
+    for ((t, name) <- Seq((4, "Extensible Array"), (5, "v2 B-tree"))) {
+      val mut = bytes.clone()
+      mut(at + 5 + 4 * 8) = t.toByte
+      Files.write(java.nio.file.Paths.get(p), mut)
+      val e = intercept[UnsupportedOperationException](HDF5.read(p))
+      assert(e.getMessage.contains(name), e.getMessage)
+    }
+  }
+
   // --------------------------------- enum / compound / array datatypes (r14)
 
   test("enum datatype (class 8): base-int decode + enum_names attr, contiguous AND chunked+deflate") {
