@@ -498,9 +498,8 @@ object HDF5 {
             case 4 => throw new UnsupportedOperationException(
               "HDF5 v4 layout: Extensible Array chunk index (one unlimited " +
                 "dimension) not supported")
-            case 5 => throw new UnsupportedOperationException(
-              "HDF5 v4 layout: v2 B-tree chunk index (multiple unlimited " +
-                "dimensions) not supported")
+            case 5 => // v2 B-tree: node size + split/merge percents
+              p += 6
             case t => throw new UnsupportedOperationException(
               s"HDF5 v4 layout: unknown chunk index type $t")
           }
@@ -1266,9 +1265,54 @@ object HDF5 {
             }
           }
         case 3 => fixedArrayChunkRefs(layout, shape)
+        case 5 => v2BtreeChunkRefs(layout)
         case t => throw new UnsupportedOperationException(
           s"chunk index type $t")
       }
+
+    /** v2 B-tree chunk index (layout v4 type 5 — the multiple-unlimited-
+      * dims case): record type 10 (non-filtered: addr + SCALED chunk
+      * coordinates) or 11 (filtered: addr + stored size + mask + scaled
+      * coordinates), walked by the same generic v2 enumerator the dense
+      * link/attr indexes use. */
+    private def v2BtreeChunkRefs(layout: Chunked): Vector[ChunkRef] = {
+      if (layout.btreeAddr == Undefined) return Vector.empty
+      val head = readAt(layout.btreeAddr, 6)
+      val hsig = new Array[Byte](4); head.get(hsig)
+      require(java.util.Arrays.equals(hsig, "BTHD".getBytes("ASCII")),
+        "v2 chunk-btree header signature")
+      val bt = head.get(5) & 0xFF
+      require(bt == 10 || bt == 11,
+        s"v2 chunk-btree record type $bt (10/11 are)")
+      val (recSize, recs) = walkV2Btree(layout.btreeAddr, bt)
+      val rank = layout.chunkDims.length
+      val chunkBytes = layout.chunkDims.map(_.toLong).product * layout.elemSize
+      val szBytes = recSize - 8 - 4 - 8 * rank // type 11 only
+      if (bt == 10)
+        require(recSize == 8 + 8 * rank,
+          s"v2 chunk-btree record size $recSize for rank $rank")
+      else require(szBytes >= 1 && szBytes <= 8,
+        s"v2 chunk-btree record size $recSize for rank $rank")
+      recs.map { r =>
+        val addr = r.getLong(0)
+        val (size, mask, offBase) =
+          if (bt == 10) (chunkBytes, 0, 8)
+          else {
+            var sz = 0L
+            var k = 0
+            while (k < szBytes) { sz |= (r.get(8 + k) & 0xFFL) << (8 * k); k += 1 }
+            (sz, r.getInt(8 + szBytes), 8 + szBytes + 4)
+          }
+        // records carry SCALED (chunk-grid) coordinates
+        val offsets = (0 until rank).toVector.map { d =>
+          val scaled = r.getLong(offBase + d * 8)
+          require(scaled >= 0 && scaled <= (1 << 24),
+            s"corrupt v2 chunk-btree scaled offset $scaled")
+          scaled * layout.chunkDims(d)
+        }
+        ChunkRef(offsets, addr, size, mask)
+      }
+    }
 
     /** Row-major chunk-grid element offsets for positional indexes. */
     private def gridOffsets(shape: Vector[Int],

@@ -532,7 +532,8 @@ object HDF5Writer {
       zstdLevel.isDefined || blosc.isDefined || lz4 || szip.isDefined ||
       scaleOffset || scaleOffsetFloatD.isDefined || nbitPrecision.isDefined
     chunkIndexV4.foreach { case (name, t) =>
-      require(t >= 1 && t <= 3, s"chunkIndexV4: $name index type $t (1/2/3)")
+      require(t == 1 || t == 2 || t == 3 || t == 5,
+        s"chunkIndexV4: $name index type $t (1/2/3/5)")
       require(chunks.contains(name), s"chunkIndexV4: $name must be chunked")
       require(t != 2 || !anyCodec,
         s"chunkIndexV4: implicit index for $name cannot carry filters " +
@@ -744,6 +745,7 @@ object HDF5Writer {
                 val params = t match {
                   case 1 if anyCodec => 12
                   case 3 => 1
+                  case 5 => 6
                   case _ => 0
                 }
                 new Array[Byte](5 + (rank + 1) * 8 + 1 + params + 8)
@@ -1192,6 +1194,14 @@ object HDF5Writer {
               plans.foreach(p => require(p.bytes.length.toLong == cb,
                 s"implicit index chunks must be raw full-size"))
               alloc(s"impl:$n", cb * plans.length)
+            case Some(5) =>
+              val rank = varOf(n).get.shape.length
+              val recSize = if (anyCodec) 8 + 8 + 4 + 8 * rank
+                            else 8 + 8 * rank
+              alloc(s"cb2hd:$n", 38L)
+              alloc(s"cb2lf:$n", 6L + plans.length * recSize + 4)
+              plans.zipWithIndex.foreach { case (p, i) =>
+                alloc(s"chunk:$n:$i", p.bytes.length.toLong) }
             case Some(3) =>
               val entrySize = if (anyCodec) 20 else 8
               alloc(s"fahd:$n", 28L)
@@ -1601,6 +1611,7 @@ object HDF5Writer {
                   val params = t match {
                     case 1 if anyCodec => 12
                     case 3 => 1
+                    case 5 => 6
                     case _ => 0
                   }
                   val b = ByteBuffer.allocate(5 + (cs.length + 1) * 8 +
@@ -1618,12 +1629,16 @@ object HDF5Writer {
                       b.putLong(plans.head.bytes.length.toLong)
                       b.putInt(plans.head.mask)
                     case 3 => b.put(faPageBits.toByte)
+                    case 5 =>
+                      b.putInt(2048) // node size
+                      b.put(100.toByte); b.put(40.toByte) // split/merge %
                     case _ =>
                   }
                   b.putLong(t match {
                     case 1 => addrs(s"chunk:$n:0")
                     case 2 => addrs(s"impl:$n")
-                    case _ => addrs(s"fahd:$n")
+                    case 3 => addrs(s"fahd:$n")
+                    case _ => addrs(s"cb2hd:$n")
                   })
                   (0x0008, b.array())
                 case None =>
@@ -1665,6 +1680,50 @@ object HDF5Writer {
               val base = addrs(s"impl:$n")
               plans.zipWithIndex.foreach { case (p, i) =>
                 put(base + i * cb, p.bytes) }
+            case 5 =>
+              // v2 B-tree chunk index: one depth-0 leaf of type-10/11
+              // records (addr [+ size + mask] + SCALED coordinates)
+              val rank = shape.length
+              val cs = chunks(n)
+              val recSize = if (anyCodec) 8 + 8 + 4 + 8 * rank
+                            else 8 + 8 * rank
+              val recType = if (anyCodec) 11 else 10
+              locally {
+                val sz = 6 + plans.length * recSize + 4
+                val b = ByteBuffer.allocate(sz).order(ByteOrder.LITTLE_ENDIAN)
+                b.put("BTLF".getBytes("ASCII"))
+                b.put(0.toByte); b.put(recType.toByte)
+                plans.zipWithIndex.foreach { case (pl, i) =>
+                  b.putLong(addrs(s"chunk:$n:$i"))
+                  if (anyCodec) {
+                    b.putLong(pl.bytes.length.toLong)
+                    b.putInt(pl.mask)
+                  }
+                  pl.offsets.zipWithIndex.foreach { case (o, d) =>
+                    b.putLong(o.toLong / cs(d)) } // scaled coordinates
+                }
+                b.putInt(lookup3(
+                  java.util.Arrays.copyOfRange(b.array(), 0, sz - 4)))
+                put(addrs(s"cb2lf:$n"), b.array())
+              }
+              locally {
+                val b = ByteBuffer.allocate(38).order(ByteOrder.LITTLE_ENDIAN)
+                b.put("BTHD".getBytes("ASCII"))
+                b.put(0.toByte)
+                b.put(recType.toByte)
+                b.putInt(2048)
+                b.putShort(recSize.toShort)
+                b.putShort(0) // depth 0
+                b.put(100.toByte); b.put(40.toByte)
+                b.putLong(addrs(s"cb2lf:$n"))
+                b.putShort(plans.length.toShort)
+                b.putLong(plans.length.toLong)
+                b.putInt(lookup3(
+                  java.util.Arrays.copyOfRange(b.array(), 0, 34)))
+                put(addrs(s"cb2hd:$n"), b.array())
+              }
+              plans.zipWithIndex.foreach { case (pl, i) =>
+                put(addrs(s"chunk:$n:$i"), pl.bytes) }
             case _ =>
               val entrySize = if (anyCodec) 20 else 8
               // FAHD

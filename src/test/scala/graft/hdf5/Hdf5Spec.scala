@@ -1190,7 +1190,32 @@ class Hdf5Spec extends AnyFunSuite {
     }
   }
 
-  test("v4 layout: extensible-array and v2-btree indexes fail by name") {
+  test("v4 layout: v2 B-tree chunk index round-trips, raw and filtered, plus the scan") {
+    val f = cube(6, 5, 4)
+    for ((dl, tag) <- Seq((None, "raw"), (Some(4), "z"))) {
+      val p = s"$dir/v4bt2_$tag.nc"
+      HDF5Writer.write(p, f,
+        chunks = Map("foo" -> Vector(2, 5, 4), "bar" -> Vector(3, 5, 4)),
+        deflateLevel = dl,
+        chunkIndexV4 = Map("foo" -> 5, "bar" -> 5))
+      val back = HDF5.read(p)
+      assert(back.sameAs(f), tag)
+      val r = new HDF5.Reader(p)
+      try {
+        val (_, metas) = HDF5.datasets(r)
+        metas.find(_.name == "foo").get.obj.layout.get match {
+          case c: HDF5.Chunked => assert(c.indexType == 5, tag)
+          case other => fail(s"$other")
+        }
+      } finally r.close()
+      val rs = graft.kerchunk.RefSet.scanHdf5(p)
+      val vdir = Files.createTempDirectory("v4bt2virt").toString
+      rs.materialize(vdir)
+      assert(graft.zarr.ZarrGroup(vdir).readFragment().sameAs(f), s"$tag scan")
+    }
+  }
+
+  test("v4 layout: extensible-array and unknown indexes fail by name") {
     val f = cube(4, 5, 4)
     val p = s"$dir/v4idx.nc"
     HDF5Writer.write(p, f,
@@ -1206,7 +1231,10 @@ class Hdf5Spec extends AnyFunSuite {
       else i += 1
     }
     assert(at > 0, "v4 layout message not found")
-    for ((t, name) <- Seq((4, "Extensible Array"), (5, "v2 B-tree"))) {
+    // type 4 (extensible array — one unlimited dim) stays a named error;
+    // an unknown type too. (Type 5 became SUPPORTED in r14 — the
+    // round-trip test above.)
+    for ((t, name) <- Seq((4, "Extensible Array"), (9, "unknown"))) {
       val mut = bytes.clone()
       mut(at + 5 + 4 * 8) = t.toByte
       Files.write(java.nio.file.Paths.get(p), mut)
