@@ -234,6 +234,37 @@ object Media {
       }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
   }
 
+  /** MP3 frame index (the m15 semantics over any payload column):
+    * walk the MPEG audio frame headers — ID3v2/ID3v1 tags skipped — and
+    * report (n_frames, mpeg_version, sample_rate, bitrate_kbps [-1 =
+    * VBR], duration_ms). Corrupt/non-MP3 payloads and null ids are
+    * flagged (ok = false), never fatal. */
+  def mp3Index(df: DataFrame, idCol: String = "doc_id",
+               bytesCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = true),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("mpeg_version", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("bitrate_kbps", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true)))
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = idOrNull(r)
+          try {
+            if (id == null) throw new IllegalArgumentException("null id")
+            val v = graft.queries.Mp3.index(r.getAs[Array[Byte]](1))
+            Row(id, true, v.nFrames, v.mpegVersion, v.sampleRate,
+              v.bitrateKbps, v.durationMs)
+          } catch { case _: Exception =>
+            Row(id, false, null, null, null, null, null)
+          }
+        }
+      }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+  }
+
   /** Unified media probe (the m13 semantics over any payload column):
     * sniff PPM/PNG/GIF87a/WAVE/AVI/JPEG by magic bytes, run the container's
     * REAL parser, and report normalized metadata. Unknown containers,

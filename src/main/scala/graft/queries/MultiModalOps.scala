@@ -2416,8 +2416,14 @@ object MultiModalOps {
     } else if (bytes(0) == 'B' && bytes(1) == 'M') {
       val v = bmpDecodeOf(bytes)
       MediaProbe("bmp", v.width, v.height, v.width.toLong * v.height)
+    } else if ((bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') ||
+        ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xE0) == 0xE0)) {
+      // MP3 (r14): ID3v2-prefixed or bare frame sync — the JPEG branch
+      // above claims 0xFFD8 first (0xD8 fails the 0xE0 sync mask anyway)
+      val v = Mp3.index(bytes)
+      MediaProbe("mp3", -1, -1, v.nFrames.toLong)
     } else throw new IllegalArgumentException(
-      "unknown media container (not PPM/PNG/GIF/WAVE/AVI/JPEG/BMP)")
+      "unknown media container (not PPM/PNG/GIF/WAVE/AVI/JPEG/BMP/MP3)")
   }
 
   /** Oracle: container + metadata from the six synthesis formulas. */
@@ -2543,7 +2549,103 @@ object MultiModalOps {
       |    AS BIGINT) AS n_restarts
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m15
+
+  /** m15: REAL MP3 frame INDEX (r14 — the audio-corpus triage stage
+    * next to m10's AVI demux): each doc carries a synthesized MPEG
+    * Layer-III stream — real frame headers (version/bitrate/sample-rate/
+    * padding arithmetic), optional ID3v2 prefix and ID3v1 trailer, CBR
+    * and VBR mixes — and the kernel genuinely WALKS it through
+    * [[Mp3.index]]. The oracle recomputes every column from the
+    * synthesis formulas, including the TOTAL BYTE count as the SQL sum
+    * of per-frame lengths — one wrong bitrate-table entry or padding
+    * bit desyncs the walk and splits the hash.
+    *
+    * Scale shape: map-only, like the other media indexers. */
+  def m15Mp3Index(s: SparkSession, d: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("mpeg_version", IntegerType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("bitrate_kbps", IntegerType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("has_id3v2", IntegerType, nullable = false),
+      StructField("has_id3v1", IntegerType, nullable = false)))
+    documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val v = Mp3.index(mp3Bytes(id))
+          Row(id, v.nFrames, v.mpegVersion, v.sampleRate, v.bitrateKbps,
+            v.durationMs, v.nBytes,
+            if (v.hasId3v2) 1 else 0, if (v.hasId3v1) 1 else 0)
+        }
+      }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+      .orderBy("doc_id")
+  }
+
+  /** m15 synthesis (pure functions of doc_id — the oracle's closed
+    * form): n = 30 + id%20 Layer-III frames; MPEG1 unless id ≡ 1 mod 3
+    * (then MPEG2 — whose sample-rate index is then always 1 = 24 kHz);
+    * sample-rate index id%3; EVEN ids are CBR at bitrate index 9
+    * (128 / 80 kbps), odd ids VBR cycling indexes 1..3; ids ≡ 1 mod 4
+    * carry a 17-byte ID3v2 tag, ids ≡ 2 mod 5 an ID3v1 trailer. */
+  private[graft] def mp3Bytes(docId: Long): Array[Byte] = {
+    val n = (30 + docId % 20).toInt
+    val mpeg1 = docId % 3 != 1
+    Mp3.encode(n, mpeg1, (docId % 3).toInt,
+      k => if (docId % 2 == 0) 9 else 1 + (k % 3),
+      id3v2Size = if (docId % 4 == 1) 17 else -1,
+      id3v1 = docId % 5 == 2)
+  }
+
+  val m15Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id, 30 + doc_id % 20 AS n,
+      |    (doc_id % 3 != 1) AS mpeg1, doc_id % 3 AS sridx
+      |  FROM documents
+      |), geom AS (
+      |  SELECT doc_id, n, mpeg1,
+      |    CASE WHEN mpeg1 THEN
+      |      CASE sridx WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+      |    ELSE 24000 END AS sr,
+      |    CASE WHEN mpeg1 THEN 1152 ELSE 576 END AS spf
+      |  FROM p
+      |), fr AS (
+      |  SELECT doc_id, n, mpeg1, sr, spf, unnest(range(0, n)) AS k
+      |  FROM geom
+      |), flen AS (
+      |  SELECT doc_id, n, mpeg1, sr, spf, k,
+      |    1000 * CASE
+      |      WHEN doc_id % 2 = 0 THEN CASE WHEN mpeg1 THEN 128 ELSE 80 END
+      |      ELSE CASE WHEN mpeg1 THEN
+      |             CASE k % 3 WHEN 0 THEN 32 WHEN 1 THEN 40 ELSE 48 END
+      |           ELSE CASE k % 3 WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 24 END
+      |           END
+      |      END AS br
+      |  FROM fr
+      |)
+      |SELECT doc_id,
+      |  CAST(max(n) AS INTEGER) AS n_frames,
+      |  CAST(CASE WHEN max(CAST(mpeg1 AS INT)) = 1 THEN 1 ELSE 2 END
+      |    AS INTEGER) AS mpeg_version,
+      |  CAST(max(sr) AS INTEGER) AS sample_rate,
+      |  CAST(CASE WHEN doc_id % 2 = 0
+      |    THEN CASE WHEN max(CAST(mpeg1 AS INT)) = 1 THEN 128 ELSE 80 END
+      |    ELSE -1 END AS INTEGER) AS bitrate_kbps,
+      |  CAST(max(n) * max(spf) * 1000 // max(sr) AS BIGINT) AS duration_ms,
+      |  CAST(SUM((CASE WHEN mpeg1 THEN 144 * br // sr
+      |            ELSE 72 * br // sr END) + k % 2) AS BIGINT) AS n_bytes,
+      |  CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS INTEGER)
+      |    AS has_id3v2,
+      |  CAST(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END AS INTEGER)
+      |    AS has_id3v1
+      |FROM flen GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m15_mp3_index" -> m15Mp3Index _,
     "m14_jpeg_decode" -> m14JpegDecode _,
     "m13_media_probe" -> m13MediaProbe _,
     "m12_gif_decode" -> m12GifDecode _,
@@ -2561,6 +2663,7 @@ object MultiModalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "m15_mp3_index" -> m15Sql,
     "m14_jpeg_decode" -> m14Sql,
     "m13_media_probe" -> m13Sql,
     "m12_gif_decode" -> m12Sql,

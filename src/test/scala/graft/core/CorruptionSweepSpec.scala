@@ -300,6 +300,17 @@ class CorruptionSweepSpec extends AnyFunSuite {
     assert(failed > 0, "no corruption failed — the sweep is vacuous")
   }
 
+  test("mp3 frame index: corruption never crashes, only fails by name") {
+    // ID3v2 prefix + VBR frame walk + ID3v1 trailer (the r14 m15 surface)
+    val orig = graft.queries.Mp3.encode(20, mpeg1 = true, srIdx = 0,
+      k => 1 + (k % 3), id3v2Size = 17, id3v1 = true)
+    val (ok, failed) = sweep(orig, orig.length, { bytes =>
+      graft.queries.Mp3.index(bytes)
+    })
+    info(s"mp3 sweep: $ok corruptions read, $failed failed diagnosably")
+    assert(failed > 0, "no corruption failed — the sweep is vacuous")
+  }
+
   test("4:2:2 color jpeg: interleaved-MCU corruption never crashes, only fails by name") {
     // three components, luma 2x1, two luma blocks per MCU, JFIF APP0,
     // restart markers — the r14 chroma-sampling surface

@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MP3 frame-indexer contracts: header arithmetic against hand-computed
+  * frame geometry from the published MPEG-1/2 audio tables, tag skips,
+  * CBR/VBR detection, and the named-error matrix. */
+class Mp3Spec extends AnyFunSuite {
+
+  test("CBR MPEG1 Layer III: frame count, duration, byte total match hand arithmetic") {
+    // 44.1 kHz, bitrate index 9 = 128 kbps: frame = 144*128000/44100 =
+    // 417 (+1 on padded frames); 1152 samples per frame
+    val bytes = Mp3.encode(40, mpeg1 = true, srIdx = 0, _ => 9)
+    val v = Mp3.index(bytes)
+    assert(v.nFrames == 40 && v.mpegVersion == 1 && v.layer == 3)
+    assert(v.sampleRate == 44100 && v.bitrateKbps == 128)
+    assert(v.durationMs == 40L * 1152 * 1000 / 44100)
+    // frames alternate padding 0/1 starting unpadded: 20×417 + 20×418
+    assert(v.nBytes == 20L * 417 + 20L * 418)
+    assert(!v.hasId3v2 && !v.hasId3v1)
+    assert(bytes.length == v.nBytes)
+  }
+
+  test("MPEG2 Layer III halves the frame geometry (72·br/sr, 576 samples)") {
+    // 24 kHz, index 9 = 80 kbps: frame = 72*80000/24000 = 240 (+pad)
+    val v = Mp3.index(Mp3.encode(30, mpeg1 = false, srIdx = 1, _ => 9))
+    assert(v.mpegVersion == 2 && v.sampleRate == 24000 && v.bitrateKbps == 80)
+    assert(v.durationMs == 30L * 576 * 1000 / 24000)
+    assert(v.nBytes == 15L * 240 + 15L * 241)
+  }
+
+  test("VBR streams report bitrate -1; duration still exact") {
+    val v = Mp3.index(Mp3.encode(33, mpeg1 = true, srIdx = 2,
+      k => 1 + (k % 3)))
+    assert(v.bitrateKbps == -1)
+    assert(v.sampleRate == 32000)
+    assert(v.durationMs == 33L * 1152 * 1000 / 32000)
+  }
+
+  test("ID3v2 prefix and ID3v1 trailer are skipped, flagged, and excluded from n_bytes") {
+    val plain = Mp3.index(Mp3.encode(12, mpeg1 = true, srIdx = 0, _ => 9))
+    val tagged = Mp3.index(Mp3.encode(12, mpeg1 = true, srIdx = 0, _ => 9,
+      id3v2Size = 300, id3v1 = true))
+    assert(tagged.hasId3v2 && tagged.hasId3v1)
+    assert(tagged.nFrames == plain.nFrames)
+    assert(tagged.nBytes == plain.nBytes) // tags excluded from the payload
+    assert(tagged.durationMs == plain.durationMs)
+  }
+
+  test("named errors: lost sync, free-format bitrate, mid-stream rate change, truncation") {
+    val good = Mp3.encode(8, mpeg1 = true, srIdx = 0, _ => 9)
+    // lost sync: corrupt the second frame's first byte
+    val frame0 = 144 * 128000 / 44100
+    val bad = good.clone(); bad(frame0) = 0x00
+    val e1 = intercept[IllegalArgumentException](Mp3.index(bad))
+    assert(e1.getMessage.contains("sync"), e1.getMessage)
+    // free-format bitrate index 0
+    val free = good.clone(); free(2) = (0 << 4 | 0 << 2).toByte
+    val e2 = intercept[IllegalArgumentException](Mp3.index(free))
+    assert(e2.getMessage.contains("bitrate index"), e2.getMessage)
+    // sample-rate change mid-stream: rewrite frame 2's sr index
+    val mixed = good.clone()
+    mixed(frame0 + 2) = ((9 << 4) | (1 << 2)).toByte
+    val e3 = intercept[IllegalArgumentException](Mp3.index(mixed))
+    assert(e3.getMessage.contains("mid-stream"), e3.getMessage)
+    // truncation: drop the last 10 bytes
+    val trunc = java.util.Arrays.copyOf(good, good.length - 10)
+    val e4 = intercept[IllegalArgumentException](Mp3.index(trunc))
+    assert(e4.getMessage.contains("exceeds the stream"), e4.getMessage)
+  }
+
+  test("m15 fixtures index to their closed forms across the id space") {
+    for (id <- 0L to 24L) {
+      val v = Mp3.index(MultiModalOps.mp3Bytes(id))
+      assert(v.nFrames == 30 + id % 20, s"id=$id")
+      val mpeg1 = id % 3 != 1
+      assert(v.mpegVersion == (if (mpeg1) 1 else 2), s"id=$id")
+      val sr = if (mpeg1) Array(44100, 48000, 32000)((id % 3).toInt) else 24000
+      assert(v.sampleRate == sr, s"id=$id")
+      if (id % 2 == 0) assert(v.bitrateKbps == (if (mpeg1) 128 else 80))
+      else assert(v.bitrateKbps == -1, s"id=$id")
+      assert(v.hasId3v2 == (id % 4 == 1) && v.hasId3v1 == (id % 5 == 2))
+      val spf = if (mpeg1) 1152 else 576
+      assert(v.durationMs == v.nFrames.toLong * spf * 1000 / sr, s"id=$id")
+    }
+  }
+
+  test("the unified probe dispatches MP3 next to the seven other containers") {
+    val p = MultiModalOps.probeOf(MultiModalOps.mp3Bytes(6L))
+    assert(p.container == "mp3" && p.width == -1 && p.nUnits == 36L)
+    // ID3v2-prefixed streams sniff as MP3 too
+    val p2 = MultiModalOps.probeOf(MultiModalOps.mp3Bytes(5L))
+    assert(p2.container == "mp3")
+  }
+}

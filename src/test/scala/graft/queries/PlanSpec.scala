@@ -524,11 +524,12 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("m11/m12/m13/m14: media codecs are map-only — no shuffle before the presentation sort") {
+  test("m11/m12/m13/m14/m15: media codecs are map-only — no shuffle before the presentation sort") {
     for (df <- Seq(MultiModalOps.m11PngDecode(spark, d),
         MultiModalOps.m12GifDecode(spark, d),
         MultiModalOps.m13MediaProbe(spark, d),
-        MultiModalOps.m14JpegDecode(spark, d))) {
+        MultiModalOps.m14JpegDecode(spark, d),
+        MultiModalOps.m15Mp3Index(spark, d))) {
       val p = plan(df)
       // the only exchange allowed is the final orderBy's range
       // partitioning; a hash exchange would mean the per-row codec grew
