@@ -79,7 +79,14 @@ object Grib2 {
                               ensembleSize: Int = -1,
                               /** table 4.7 code for derived templates
                                 * 4.2/4.12 (0 mean, 2 spread, ...). */
-                              derivedType: Int = -1)
+                              derivedType: Int = -1,
+                              /** table 4.9 code for probability
+                                * templates 4.5/4.9 (0 below lower,
+                                * 1 above upper, 2 between, ...). */
+                              probabilityType: Int = -1,
+                              probabilityNumber: Int = -1,
+                              probLower: Double = Double.NaN,
+                              probUpper: Double = Double.NaN)
 
   /** Complex-packing parameters (templates 5.2/5.3). */
   final case class ComplexParams(splitMethod: Int, missingMgmt: Int,
@@ -380,16 +387,21 @@ object Grib2 {
   private def parseProduct(r: R): ProductDef = {
     val template = r.u16(7)
     require(template == 0 || template == 1 || template == 2 ||
-        template == 8 || template == 11 || template == 12,
+        template == 5 || template == 8 || template == 9 ||
+        template == 11 || template == 12,
       s"GRIB2 product template 4.$template not supported " +
-        "(4.0/4.1/4.2/4.8/4.11/4.12 are)")
-    val sfcScale = r.u8(23); val sfcVal = r.u32(24)
-    val sfcValue =
-      if (sfcVal == 0xFFFFFFFFL) Double.NaN
+        "(4.0/4.1/4.2/4.5/4.8/4.9/4.11/4.12 are)")
+    // scaled (scale factor, value) pair -> double, the convention shared
+    // by fixed surfaces and probability limits; all-ones value = missing
+    def scaled(scaleOff: Int, valOff: Int): Double = {
+      val sc = r.u8(scaleOff); val v = r.u32(valOff)
+      if (v == 0xFFFFFFFFL) Double.NaN
       else {
-        val s = if ((sfcScale & 0x80) != 0) -(sfcScale & 0x7F) else sfcScale
-        sfcVal.toDouble / math.pow(10, s)
+        val s = if ((sc & 0x80) != 0) -(sc & 0x7F) else sc
+        v.toDouble / math.pow(10, s)
       }
+    }
+    val sfcValue = scaled(23, 24)
     // 4.1/4.11 append the ensemble triple right after the second fixed
     // surface (octets 35-37): type (table 4.6), perturbation number,
     // number of forecasts in ensemble; 4.2/4.12 (derived forecasts —
@@ -397,6 +409,10 @@ object Grib2 {
     // octets 35-36 instead
     val isEns = template == 1 || template == 11
     val isDerived = template == 2 || template == 12
+    // 4.5/4.9 (probability forecasts — NBM/SREF): probability number +
+    // total at octets 35-36, type (table 4.9) at 37, scaled lower/upper
+    // limits at 38-42 / 43-47
+    val isProb = template == 5 || template == 9
     ProductDef(template, paramCategory = r.u8(9), paramNumber = r.u8(10),
       timeUnit = r.u8(17), forecastTime = r.u32(18),
       surfaceType = r.u8(22), surfaceValue = sfcValue,
@@ -404,7 +420,11 @@ object Grib2 {
       perturbationNumber = if (isEns) r.u8(35) else -1,
       ensembleSize =
         if (isEns) r.u8(36) else if (isDerived) r.u8(35) else -1,
-      derivedType = if (isDerived) r.u8(34) else -1)
+      derivedType = if (isDerived) r.u8(34) else -1,
+      probabilityType = if (isProb) r.u8(36) else -1,
+      probabilityNumber = if (isProb) r.u8(34) else -1,
+      probLower = if (isProb) scaled(37, 38) else Double.NaN,
+      probUpper = if (isProb) scaled(42, 43) else Double.NaN)
   }
 
   private def parsePacking(r: R): Packing = {
@@ -1021,7 +1041,15 @@ object Grib2 {
     (if (m.product.derivedType < 0) Attrs.empty
      else Map( // derived templates 4.2/4.12 — ensemble mean/spread
        "GRIB_derivedType" -> AttrValue(m.product.derivedType),
-       "GRIB_ensembleSize" -> AttrValue(m.product.ensembleSize)))
+       "GRIB_ensembleSize" -> AttrValue(m.product.ensembleSize))) ++
+    (if (m.product.probabilityType < 0) Attrs.empty
+     else Map( // probability templates 4.5/4.9
+       "GRIB_probabilityType" -> AttrValue(m.product.probabilityType),
+       "GRIB_probabilityNumber" -> AttrValue(m.product.probabilityNumber)) ++
+       (if (m.product.probLower.isNaN) Attrs.empty
+        else Map("GRIB_probLowerLimit" -> AttrValue(m.product.probLower))) ++
+       (if (m.product.probUpper.isNaN) Attrs.empty
+        else Map("GRIB_probUpperLimit" -> AttrValue(m.product.probUpper))))
 
   def groupAttrs(m: Message): Attrs = Map(
     "GRIB_centre" -> AttrValue(centreName(m.centre)),
@@ -1079,6 +1107,8 @@ object Grib2 {
         if (pn >= 0) s"${m.shortName}_m$pn"
         else if (m.product.derivedType >= 0)
           s"${m.shortName}_${derivedName(m.product.derivedType)}"
+        else if (m.product.probabilityType >= 0)
+          s"${m.shortName}_prob${math.max(0, m.product.probabilityNumber)}"
         else m.shortName
       val k = names.getOrElse(base, 0); names(base) = k + 1
       val name = if (k == 0) base else s"${base}_$k"
@@ -1517,6 +1547,54 @@ object Grib2 {
     s4.put(255.toByte); s4.put(0.toByte); s4.putInt(0)
     s4.put(derivedType.toByte); s4.put(ensembleSize.toByte)
     s4.array()
+  }
+
+  /** Section 4 template 4.5 body (probability forecast at a point in
+    * time — table 4.9 type + scaled lower/upper thresholds). A missing
+    * limit encodes as the all-ones scaled value. */
+  private def sec4BodyProb(category: Int, number: Int, forecastTime: Int,
+                           probNumber: Int, probTotal: Int, probType: Int,
+                           lower: Option[(Int, Int)],
+                           upper: Option[(Int, Int)]): Array[Byte] = {
+    val s4 = ByteBuffer.allocate(42).order(ByteOrder.BIG_ENDIAN)
+    s4.putShort(0)
+    s4.putShort(5) // template 4.5
+    s4.put(category.toByte); s4.put(number.toByte)
+    s4.put(5.toByte) // gen process: probability forecast
+    s4.put(0.toByte); s4.put(0.toByte)
+    s4.putShort(0); s4.put(0.toByte)
+    s4.put(1.toByte) // time unit: hour
+    s4.putInt(forecastTime)
+    s4.put(1.toByte); s4.put(0.toByte); s4.putInt(0) // ground surface
+    s4.put(255.toByte); s4.put(0.toByte); s4.putInt(0)
+    s4.put(probNumber.toByte); s4.put(probTotal.toByte)
+    s4.put(probType.toByte)
+    def lim(o: Option[(Int, Int)]): Unit = o match {
+      case Some((scale, v)) => s4.put(scale.toByte); s4.putInt(v)
+      case None => s4.put(0.toByte); s4.putInt(0xFFFFFFFF)
+    }
+    lim(lower); lim(upper)
+    s4.array()
+  }
+
+  /** Write a one-message PROBABILITY file (template 4.5 — the NBM/SREF
+    * probabilistic-product family). Limits are (decimal scale, scaled
+    * value) pairs; None = missing. */
+  def writeProbability(path: String, values: Array[Double],
+                       nx: Int, ny: Int, la1: Double, lo1: Double,
+                       dLat: Double, dLon: Double,
+                       discipline: Int, category: Int, number: Int,
+                       refTimeEpochSec: Long,
+                       probNumber: Int, probTotal: Int, probType: Int,
+                       lower: Option[(Int, Int)], upper: Option[(Int, Int)],
+                       nbits: Int = 12, decimalScale: Int = 2): Unit = {
+    require(values.length == nx * ny, "values must cover the grid")
+    writeMessage(path, discipline, Array(
+      sec(1, sec1Body(refTimeEpochSec)),
+      sec(3, sec3LatLon(nx, ny, la1, lo1, dLat, dLon)),
+      sec(4, sec4BodyProb(category, number, 0, probNumber, probTotal,
+        probType, lower, upper))) ++
+      simplePackSections(values, nbits, decimalScale))
   }
 
   /** Write a one-message DERIVED-ensemble file (template 4.2 — e.g. the

@@ -854,6 +854,33 @@ class GribSpec extends AnyFunSuite {
     }
   }
 
+  test("probability template 4.5: type + scaled thresholds parse; read() suffixes by number") {
+    val dir = Files.createTempDirectory("graft_grib").toString
+    val nx = 8; val ny = 6
+    val vals = Array.tabulate(nx * ny)(i => (i % 101).toDouble) // percent
+    val p = s"$dir/prob.grib2"
+    // P(APCP > 25.4 mm): type 3 = above lower limit, scale 1 value 254
+    Grib2.writeProbability(p, vals, nx, ny, la1 = 30.0, lo1 = 260.0,
+      dLat = 0.5, dLon = 0.5, discipline = 0, category = 1, number = 8,
+      refTimeEpochSec = 1700000000L, probNumber = 2, probTotal = 5,
+      probType = 3, lower = Some((1, 254)), upper = None)
+    val m = Grib2.scan(p).head
+    assert(m.product.template == 5)
+    assert(m.product.probabilityType == 3)
+    assert(m.product.probabilityNumber == 2)
+    assert(math.abs(m.product.probLower - 25.4) < 1e-12)
+    assert(m.product.probUpper.isNaN) // encoded missing
+    assert(m.product.perturbationNumber == -1 && m.product.derivedType == -1)
+    val f = Grib2.read(p)
+    val v = f.dataVars("APCP_prob2")
+    assert(v.attrs("GRIB_probabilityType") == graft.core.AttrValue(3))
+    assert(v.attrs("GRIB_probLowerLimit") == graft.core.AttrValue(25.4))
+    assert(!v.attrs.contains("GRIB_probUpperLimit"))
+    val got = Grib2.decodeValues(p, m)
+    vals.indices.foreach(i =>
+      assert(math.abs(got(i) - vals(i)) <= 0.005 + 1e-9, s"point $i"))
+  }
+
   test("multi-grid file: read() selects the primary grid, readGroups returns all") {
     val dir = Files.createTempDirectory("graft_grib").toString
     val mk = (nx: Int, ny: Int, la1: Double, seed: Int) => {
