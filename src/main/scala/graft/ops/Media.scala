@@ -266,7 +266,7 @@ object Media {
   }
 
   /** Unified media probe (the m13 semantics over any payload column):
-    * sniff PPM/PNG/GIF87a/WAVE/AVI/JPEG by magic bytes, run the container's
+    * sniff PPM/PGM/PNG/GIF/WAVE/AVI/JPEG/BMP/MP3 by magic bytes, run the container's
     * REAL parser, and report normalized metadata. Unknown containers,
     * corrupt payloads, and null ids are flagged (ok = false), never
     * fatal. Returns (id, ok, container, width, height, n_units). */
