@@ -104,7 +104,14 @@ object Hdf5Ops {
         deflateLevel = Some(4), denseRootLinks = t0 % 4 == 0,
         denseAttrObjects =
           if (t0 % 4 == 2 || t0 == 4) Set("foo") else Set.empty,
-        enumVars = Map("bar" -> BarEnum))
+        enumVars = Map("bar" -> BarEnum),
+        // slab 8 stores its chunks through the libhdf5-1.10+ v4 layout
+        // (r14): foo via a filtered FIXED-ARRAY index, bar via a
+        // filtered v2-BTREE index — composed with the dense root links
+        // this slab already carries, so both entry points walk the
+        // modern chunk indexes every round
+        chunkIndexV4 =
+          if (t0 == 8) Map("foo" -> 3, "bar" -> 5) else Map.empty)
       path
     }.toVector
 
