@@ -62,7 +62,19 @@ object Grib2 {
                            laD: Double, loV: Double, dx: Double, dy: Double,
                            projCentreFlag: Int, scanMode: Int,
                            latin1: Double = 0, latin2: Double = 0,
-                           gaussN: Int = 0) {
+                           gaussN: Int = 0,
+                           /** template 3.1 (rotated lat-lon): geographic
+                             * coordinates of the rotated system's SOUTH
+                             * pole + the angle of rotation about the
+                             * rotated polar axis (degrees). */
+                           spLat: Double = 0, spLon: Double = 0,
+                           rotAngle: Double = 0,
+                           /** template 3.50 (spherical harmonics):
+                             * triangular truncation parameter (J=K=M).
+                             * nx is then the total REAL count
+                             * (J+1)(J+2) — interleaved re/im — and
+                             * ny = 1. */
+                           sphJ: Int = 0) {
     def scanNegI: Boolean = (scanMode & 0x80) != 0
     def scanPosJ: Boolean = (scanMode & 0x40) != 0
   }
@@ -86,7 +98,10 @@ object Grib2 {
                               probabilityType: Int = -1,
                               probabilityNumber: Int = -1,
                               probLower: Double = Double.NaN,
-                              probUpper: Double = Double.NaN)
+                              probUpper: Double = Double.NaN,
+                              /** 0-100 for percentile templates 4.6/4.10
+                                * (the NBM/SREF percentile products). */
+                              percentile: Int = -1)
 
   /** Complex-packing parameters (templates 5.2/5.3). */
   final case class ComplexParams(splitMethod: Int, missingMgmt: Int,
@@ -102,7 +117,10 @@ object Grib2 {
   final case class Packing(template: Int, nValues: Int, refValue: Float,
                            binaryScale: Int, decimalScale: Int, nbits: Int,
                            complex: Option[ComplexParams] = None,
-                           ccsds: Option[CcsdsParams] = None)
+                           ccsds: Option[CcsdsParams] = None,
+                           /** template 5.50: the (0,0) real coefficient,
+                             * stored unpacked in section 5. */
+                           real00: Float = 0f)
 
   /** One scanned message: metadata + byte ranges of the heavy sections. */
   final case class Message(offset: Long, length: Long,
@@ -314,7 +332,47 @@ object Grib2 {
         s"corrupt GRIB2: grid dimensions ${nx}x$ny out of bounds")
       (nx.toInt, ny.toInt)
     }
-    // every supported template stores Ni/Nj at octets 31-34/35-38
+    // reject unsupported templates BY NAME before touching any
+    // template-specific octet: on an unsupported layout (e.g. 3.90 space
+    // view) octets 31-38 are not Ni/Nj, and a bounds failure there would
+    // mask the informative unsupported-template error
+    if (!(template == 0 || template == 1 || template == 10 ||
+          template == 20 || template == 30 || template == 40 ||
+          template == 50))
+      throw new UnsupportedOperationException(
+        s"GRIB2 grid template 3.$template not supported (3.0 lat-lon, " +
+          "3.1 rotated lat-lon, 3.10 Mercator, 3.20 polar stereographic, " +
+          "3.30 Lambert conformal, 3.40 Gaussian, 3.50 spherical " +
+          "harmonics are)")
+    if (template == 50) {
+      // spherical harmonic coefficients (ERA5 model-level spectral
+      // fields): pentagonal resolution J/K/M at octets 15-26, then
+      // representation type (table 3.6) and mode (table 3.7). Only the
+      // triangular truncation (J=K=M — what ECMWF writes) is supported.
+      val j = r.u32(14); val k = r.u32(18); val mm = r.u32(22)
+      if (j != k || k != mm) throw new UnsupportedOperationException(
+        s"GRIB2 spherical-harmonic grid with pentagonal truncation " +
+          s"J=$j K=$k M=$mm not supported (triangular J=K=M is)")
+      require(j >= 1 && j <= 4000, s"corrupt GRIB2: spectral truncation $j")
+      val repType = r.u8(26); val repMode = r.u8(27)
+      require(repType == 1,
+        s"GRIB2 spectral representation type $repType not supported " +
+          "(1 = associated Legendre functions is)")
+      require(repMode == 1,
+        s"GRIB2 spectral representation mode $repMode not supported")
+      val totalReals = ((j + 1) * (j + 2)).toInt
+      // numberOfDataPoints conventions differ (complex count vs real
+      // count) — accept either, reject anything else by name
+      require(nDataPoints == totalReals / 2 || nDataPoints == totalReals,
+        s"corrupt GRIB2: $nDataPoints data points for truncation T$j " +
+          s"(expected ${totalReals / 2} complex or $totalReals real)")
+      return GridDef(template, nx = totalReals, ny = 1,
+        nDataPoints = nDataPoints, radius = 0,
+        la1 = 0, lo1 = 0, la2 = 0, lo2 = 0, di = 0, dj = 0,
+        laD = 0, loV = 0, dx = 0, dy = 0,
+        projCentreFlag = 0, scanMode = 0, sphJ = j.toInt)
+    }
+    // every remaining supported template stores Ni/Nj at octets 31-34/35-38
     val (gnx, gny) = dims(r.u32(30), r.u32(34))
     // octet 15 (idx 14): shape of earth — 0/6 fixed spheres, 1 scaled custom
     def radiusOf: Double = r.u8(14) match {
@@ -334,6 +392,21 @@ object Grib2 {
           di = r.u32(63) / 1e6, dj = r.u32(67) / 1e6,
           laD = 0, loV = 0, dx = 0, dy = 0,
           projCentreFlag = 0, scanMode = r.u8(71))
+      case 1 => // rotated lat-lon (COSMO/ICON-EU/HARMONIE regional NWP):
+        // 3.0's layout verbatim through octet 72 — La1/Lo1/La2/Lo2/Di/Dj
+        // are in the ROTATED system — then the rotated-pole triple:
+        // south-pole latitude (signed, 73-76), south-pole longitude
+        // (77-80), angle of rotation about the rotated axis (IEEE f32,
+        // 81-84)
+        GridDef(template, nx = gnx, ny = gny,
+          nDataPoints = nDataPoints, radius = radiusOf,
+          la1 = r.i32sm(46) / 1e6, lo1 = r.i32sm(50) / 1e6,
+          la2 = r.i32sm(55) / 1e6, lo2 = r.i32sm(59) / 1e6,
+          di = r.u32(63) / 1e6, dj = r.u32(67) / 1e6,
+          laD = 0, loV = 0, dx = 0, dy = 0,
+          projCentreFlag = 0, scanMode = r.u8(71),
+          spLat = r.i32sm(72) / 1e6, spLon = r.u32(76) / 1e6,
+          rotAngle = r.f32(80).toDouble)
       case 10 => // Mercator: Ni/Nj at 31/35, La1/Lo1 at 39/43, LaD (the
         // latitude where Di/Dj apply) at 48, La2/Lo2 at 52/56, scan mode
         // at 60, orientation at 61 (only 0 = i along a parallel is
@@ -387,18 +460,23 @@ object Grib2 {
   private def parseProduct(r: R): ProductDef = {
     val template = r.u16(7)
     require(template == 0 || template == 1 || template == 2 ||
-        template == 5 || template == 8 || template == 9 ||
-        template == 11 || template == 12,
+        template == 5 || template == 6 || template == 8 ||
+        template == 9 || template == 10 || template == 11 ||
+        template == 12,
       s"GRIB2 product template 4.$template not supported " +
-        "(4.0/4.1/4.2/4.5/4.8/4.9/4.11/4.12 are)")
+        "(4.0/4.1/4.2/4.5/4.6/4.8/4.9/4.10/4.11/4.12 are)")
     // scaled (scale factor, value) pair -> double, the convention shared
-    // by fixed surfaces and probability limits; all-ones value = missing
+    // by fixed surfaces and probability limits; all-ones value = missing.
+    // The VALUE is a signed sign-magnitude i32 (eccodes: signed[4]
+    // scaledValueOfLowerLimit) — a negative threshold (temperature below
+    // -5 °C) must not decode as a huge positive limit, so check the
+    // missing sentinel on the raw bits FIRST, then decode sign-magnitude.
     def scaled(scaleOff: Int, valOff: Int): Double = {
-      val sc = r.u8(scaleOff); val v = r.u32(valOff)
-      if (v == 0xFFFFFFFFL) Double.NaN
+      val sc = r.u8(scaleOff); val raw = r.u32(valOff)
+      if (raw == 0xFFFFFFFFL) Double.NaN
       else {
         val s = if ((sc & 0x80) != 0) -(sc & 0x7F) else sc
-        v.toDouble / math.pow(10, s)
+        r.i32sm(valOff).toDouble / math.pow(10, s)
       }
     }
     val sfcValue = scaled(23, 24)
@@ -413,6 +491,10 @@ object Grib2 {
     // total at octets 35-36, type (table 4.9) at 37, scaled lower/upper
     // limits at 38-42 / 43-47
     val isProb = template == 5 || template == 9
+    // 4.6/4.10 (percentile forecasts — the NBM family publishes these
+    // alongside its 4.5/4.9 probabilities): percentile value (0-100) at
+    // octet 35, then 4.10 continues with 4.8's statistical-interval tail
+    val isPct = template == 6 || template == 10
     ProductDef(template, paramCategory = r.u8(9), paramNumber = r.u8(10),
       timeUnit = r.u8(17), forecastTime = r.u32(18),
       surfaceType = r.u8(22), surfaceValue = sfcValue,
@@ -424,16 +506,22 @@ object Grib2 {
       probabilityType = if (isProb) r.u8(36) else -1,
       probabilityNumber = if (isProb) r.u8(34) else -1,
       probLower = if (isProb) scaled(37, 38) else Double.NaN,
-      probUpper = if (isProb) scaled(42, 43) else Double.NaN)
+      probUpper = if (isProb) scaled(42, 43) else Double.NaN,
+      percentile = if (isPct) {
+        val v = r.u8(34)
+        require(v <= 100, s"corrupt GRIB2: percentile value $v (need 0-100)")
+        v
+      } else -1)
   }
 
   private def parsePacking(r: R): Packing = {
     val template = r.u16(9)
     require(template == 0 || template == 2 || template == 3 ||
-        template == 40 || template == 41 || template == 42,
+        template == 40 || template == 41 || template == 42 ||
+        template == 50,
       s"GRIB2 data representation template 5.$template not supported " +
         "(5.0 simple, 5.2/5.3 complex, 5.40 jpeg2000, 5.41 png, " +
-        "5.42 ccsds are)")
+        "5.42 ccsds, 5.50 spectral simple are)")
     val complex =
       if (template == 2 || template == 3) Some(ComplexParams(
         splitMethod = r.u8(21), missingMgmt = r.u8(22),
@@ -449,7 +537,10 @@ object Grib2 {
       else None
     Packing(template, nValues = r.u32(5).toInt, refValue = r.f32(11),
       binaryScale = r.i16sm(15), decimalScale = r.i16sm(17), nbits = r.u8(19),
-      complex = complex, ccsds = ccsds)
+      complex = complex, ccsds = ccsds,
+      // 5.50 octets 12-20 are 5.0's R/E/D/nbits; octets 21-24 append the
+      // unpacked (0,0) real coefficient
+      real00 = if (template == 50) r.f32(20) else 0f)
   }
 
   // libaec AEC_* flag bits as stored in template 5.42's options octet
@@ -554,9 +645,31 @@ object Grib2 {
     val e = math.pow(2, p.binaryScale)
     val d = math.pow(10, p.decimalScale)
     // packed value stream: X_k -> (R + X_k * 2^E) / 10^D
+    require(p.template != 50 || msg.bitmapIndicator == 255,
+      "GRIB2 spectral packing with a bitmap is not meaningful")
     val unpack: Int => Double =
-      if ((p.nbits == 0 || data.isEmpty) && p.complex.isEmpty) { _ => p.refValue / d }
+      if ((p.nbits == 0 || data.isEmpty) && p.complex.isEmpty &&
+          p.template != 50) { _ => p.refValue / d }
       else p.template match {
+        case 50 =>
+          // spectral simple packing (7.50): the (0,0) real coefficient is
+          // stored UNPACKED in section 5; the remaining (J+1)(J+2)-1
+          // reals are simple-packed with R as their minimum (simple
+          // packing is sign-agnostic through the reference value)
+          val vals = new Array[Double](p.nValues + 1)
+          vals(0) = p.real00
+          if (p.nbits == 0 || data.isEmpty) {
+            var k = 1
+            while (k <= p.nValues) { vals(k) = p.refValue / d; k += 1 }
+          } else {
+            val bits = new BitReader(data)
+            var k = 0
+            while (k < p.nValues) {
+              vals(k + 1) = (p.refValue + bits.next(p.nbits) * e) / d
+              k += 1
+            }
+          }
+          vals(_)
         case 0 =>
           val bits = new BitReader(data)
           val vals = new Array[Double](p.nValues)
@@ -653,8 +766,12 @@ object Grib2 {
     val out = new Array[Double](n)
     bitmap match {
       case None =>
-        require(p.nbits == 0 || p.nValues == n,
-          s"packed count ${p.nValues} != grid size $n without a bitmap")
+        // template 5.50 packs one fewer value: the (0,0) real lives in
+        // section 5, not the packed stream (and its count must hold even
+        // at nbits=0 — unpack indexes a nValues+1 array)
+        val expect = if (p.template == 50) n - 1 else n
+        require((p.nbits == 0 && p.template != 50) || p.nValues == expect,
+          s"packed count ${p.nValues} != expected $expect without a bitmap")
         var i = 0
         while (i < n) { out(i) = unpack(i); i += 1 }
       case Some(bm) =>
@@ -796,6 +913,47 @@ object Grib2 {
           while (i < g.nx) {
             lats(j * g.nx + i) = lat
             lons(j * g.nx + i) = normLon(g.lo1 + i * di)
+            i += 1
+          }
+          j += 1
+        }
+      case 1 =>
+        // rotated lat-lon (COSMO/ICON-EU/HARMONIE): the grid is REGULAR
+        // in the rotated system (3.0's stepping applies to rotated
+        // coordinates); true lat/lon come from the spherical unrotation
+        // v_geo = Rz(λs)·Ry(−(90°+φs))·v_rot, i.e. rotate the rotated
+        // south pole up the Greenwich meridian to latitude φs, then spin
+        // to longitude λs. Fixed-point identities (asserted in GribSpec,
+        // the Mercator-style independent differential check): the rotated
+        // south pole (−90°,·) maps to exactly (φs, λs) and the rotated
+        // origin (0°,0°) to (90°+φs, λs).
+        require(g.rotAngle == 0,
+          s"GRIB2 rotated lat-lon with nonzero angle of rotation " +
+            s"(${g.rotAngle}) not supported")
+        val t = math.toRadians(-(90.0 + g.spLat))
+        val sinT = math.sin(t); val cosT = math.cos(t)
+        val lamS = math.toRadians(g.spLon)
+        val sinS = math.sin(lamS); val cosS = math.cos(lamS)
+        val dj = if (g.scanPosJ) g.dj else -g.dj
+        val di = if (g.scanNegI) -g.di else g.di
+        var j = 0
+        while (j < g.ny) {
+          val phiR = math.toRadians(g.la1 + j * dj)
+          val cosPhiR = math.cos(phiR); val sinPhiR = math.sin(phiR)
+          var i = 0
+          while (i < g.nx) {
+            val lamR = math.toRadians(g.lo1 + i * di)
+            val xd = math.cos(lamR) * cosPhiR
+            val yd = math.sin(lamR) * cosPhiR
+            // Ry(t) tilts the polar axis in the x-z plane, Rz(λs) spins
+            // the tilted system to the south pole's meridian
+            val xt = xd * cosT + sinPhiR * sinT
+            val zt = -xd * sinT + sinPhiR * cosT
+            val x = xt * cosS - yd * sinS
+            val y = xt * sinS + yd * cosS
+            val z = math.max(-1.0, math.min(1.0, zt))
+            lats(j * g.nx + i) = math.toDegrees(math.asin(z))
+            lons(j * g.nx + i) = normLon(math.toDegrees(math.atan2(y, x)))
             i += 1
           }
           j += 1
@@ -1049,12 +1207,26 @@ object Grib2 {
        (if (m.product.probLower.isNaN) Attrs.empty
         else Map("GRIB_probLowerLimit" -> AttrValue(m.product.probLower))) ++
        (if (m.product.probUpper.isNaN) Attrs.empty
-        else Map("GRIB_probUpperLimit" -> AttrValue(m.product.probUpper))))
+        else Map("GRIB_probUpperLimit" -> AttrValue(m.product.probUpper)))) ++
+    (if (m.product.percentile < 0) Attrs.empty
+     else Map( // percentile templates 4.6/4.10
+       "GRIB_percentileValue" -> AttrValue(m.product.percentile)))
 
   def groupAttrs(m: Message): Attrs = Map(
     "GRIB_centre" -> AttrValue(centreName(m.centre)),
     "GRIB_subCentre" -> AttrValue(m.subCentre),
     "GRIB_edition" -> AttrValue(2))
+
+  /** Rotated-grid (3.1) pole parameters, surfaced with cfgrib's attribute
+    * names so a consumer can reconstruct the rotated CRS; empty for every
+    * other template. */
+  private def rotatedAttrs(g: GridDef): Attrs =
+    if (g.template != 1) Map.empty
+    else Map(
+      "GRIB_gridType" -> AttrValue("rotated_ll"),
+      "GRIB_latitudeOfSouthernPoleInDegrees" -> AttrValue(g.spLat),
+      "GRIB_longitudeOfSouthernPoleInDegrees" -> AttrValue(g.spLon),
+      "GRIB_angleOfRotationInDegrees" -> AttrValue(g.rotAngle))
 
   /** Entry-point A decoder (the cfgrib-engine analog): every message becomes
     * a data variable on the shared (y, x) grid with 2-D latitude/longitude
@@ -1095,6 +1267,7 @@ object Grib2 {
 
   private def readMessages(path: String, msgs: Seq[Message]): Fragment = {
     val g = msgs.head.grid
+    if (g.template == 50) return readSpectral(path, msgs)
     val (lats, lons) = latLonArrays(g)
     val yx = Vector("y", "x")
     val shape = Vector(g.ny, g.nx)
@@ -1109,6 +1282,8 @@ object Grib2 {
           s"${m.shortName}_${derivedName(m.product.derivedType)}"
         else if (m.product.probabilityType >= 0)
           s"${m.shortName}_prob${math.max(0, m.product.probabilityNumber)}"
+        else if (m.product.percentile >= 0)
+          s"${m.shortName}_pct${m.product.percentile}"
         else m.shortName
       val k = names.getOrElse(base, 0); names(base) = k + 1
       val name = if (k == 0) base else s"${base}_$k"
@@ -1135,7 +1310,34 @@ object Grib2 {
         "longitude" -> Variable(yx, NDArray(DType.F8, shape, lons),
           Map("units" -> AttrValue("degrees_east")))) ++ numberCoord,
       dataVars = dataVars,
-      attrs = groupAttrs(msgs.head))
+      attrs = groupAttrs(msgs.head) ++ rotatedAttrs(g))
+  }
+
+  /** Spectral (grid 3.50) messages: no lat/lon — each variable is the
+    * flat coefficient array over a `coeff` dimension, interleaved
+    * (re, im) in the file's coefficient order, with the truncation
+    * surfaced the way cfgrib names it (`GRIB_J/K/M`, gridType `sh`). */
+  private def readSpectral(path: String, msgs: Seq[Message]): Fragment = {
+    val g = msgs.head.grid
+    val names = scala.collection.mutable.Map.empty[String, Int]
+    val dataVars = msgs.map { m =>
+      val base = m.shortName
+      val k = names.getOrElse(base, 0); names(base) = k + 1
+      val name = if (k == 0) base else s"${base}_$k"
+      name -> Variable(Vector("coeff"),
+        NDArray(DType.F8, Vector(g.nx), decodeValues(path, m)),
+        varAttrs(m) ++ Map(
+          "GRIB_refTime" -> AttrValue(m.refTimeEpochSec),
+          "GRIB_forecastTime" -> AttrValue(m.product.forecastTime)))
+    }.toMap
+    Fragment(
+      dims = Map("coeff" -> g.nx),
+      coords = Map.empty,
+      dataVars = dataVars,
+      attrs = groupAttrs(msgs.head) ++ Map(
+        "GRIB_gridType" -> AttrValue("sh"),
+        "GRIB_J" -> AttrValue(g.sphJ), "GRIB_K" -> AttrValue(g.sphJ),
+        "GRIB_M" -> AttrValue(g.sphJ)))
   }
 
   // --------------------------------------------------------------- writer
@@ -1186,6 +1388,52 @@ object Grib2 {
     s3.putInt((dLon * 1e6).round.toInt); s3.putInt((dLat * 1e6).round.toInt)
     s3.put(0x40.toByte) // scan +i, +j
     s3.array()
+  }
+
+  /** Section 3 (grid definition, template 3.1 rotated lat-lon) body:
+    * 3.0's layout verbatim through octet 72, then the rotated-pole
+    * triple — south-pole latitude (signed, sign-magnitude), south-pole
+    * longitude, IEEE-f32 angle of rotation — at octets 73-84. */
+  private def sec3Rotated(nx: Int, ny: Int, la1: Double, lo1: Double,
+                          dLat: Double, dLon: Double,
+                          spLat: Double, spLon: Double): Array[Byte] = {
+    val s3 = ByteBuffer.allocate(79).order(ByteOrder.BIG_ENDIAN)
+    s3.put(0.toByte) // grid def source
+    s3.putInt(nx * ny); s3.put(0.toByte); s3.put(0.toByte)
+    s3.putShort(1) // template 3.1
+    s3.put(6.toByte) // sphere 6371229
+    s3.put(0.toByte); s3.putInt(0)
+    s3.put(0.toByte); s3.putInt(0); s3.put(0.toByte); s3.putInt(0)
+    s3.putInt(nx); s3.putInt(ny)
+    s3.putInt(0); s3.putInt(0) // basic angle
+    smPut32(s3, (la1 * 1e6).round.toInt); smPut32(s3, (lo1 * 1e6).round.toInt)
+    s3.put(0x30.toByte) // resolution flags: di/dj given
+    smPut32(s3, ((la1 + (ny - 1) * dLat) * 1e6).round.toInt)
+    smPut32(s3, ((lo1 + (nx - 1) * dLon) * 1e6).round.toInt)
+    s3.putInt((dLon * 1e6).round.toInt); s3.putInt((dLat * 1e6).round.toInt)
+    s3.put(0x40.toByte) // scan +i, +j
+    smPut32(s3, (spLat * 1e6).round.toInt)
+    s3.putInt((normLon(spLon) * 1e6).round.toInt)
+    s3.putFloat(0.0f) // angle of rotation (always 0 in real archives)
+    s3.array()
+  }
+
+  /** Write a one-message GRIB2 file on a ROTATED lat-lon grid (template
+    * 3.1 — the COSMO/ICON-EU/HARMONIE regional-NWP layout): the grid
+    * coordinates are in the rotated system whose south pole sits at
+    * geographic (spLat, spLon). Fixture writer for the 3.1 scan path. */
+  def writeRotated(path: String, values: Array[Double], nx: Int, ny: Int,
+                   la1: Double, lo1: Double, dLat: Double, dLon: Double,
+                   spLat: Double, spLon: Double,
+                   discipline: Int, category: Int, number: Int,
+                   refTimeEpochSec: Long, nbits: Int = 12,
+                   decimalScale: Int = 2): Unit = {
+    require(values.length == nx * ny, "values must cover the grid")
+    writeMessage(path, discipline, Array(
+      sec(1, sec1Body(refTimeEpochSec)),
+      sec(3, sec3Rotated(nx, ny, la1, lo1, dLat, dLon, spLat, spLon)),
+      sec(4, sec4Body(category, number, 0, 1, 0, None))) ++
+      simplePackSections(values, nbits, decimalScale))
   }
 
   /** Section 3 (grid definition, template 3.40 Gaussian lat-lon) body:
@@ -1376,6 +1624,70 @@ object Grib2 {
     }
 
     Array(sec(5, s5.array()), sec(6, s6Body), sec(7, s7Body))
+  }
+
+  /** Write a one-message SPECTRAL file (grid 3.50 triangular truncation,
+    * packing 5.50 — the ERA5 model-level layout): `coeffs` are the
+    * (J+1)(J+2) interleaved (re, im) spherical-harmonic coefficient
+    * reals in file order. coeffs(0) — the (0,0) real — is stored
+    * unpacked (IEEE f32) in section 5; the rest are simple-packed. */
+  def writeSpectral(path: String, coeffs: Array[Double], truncation: Int,
+                    discipline: Int, category: Int, number: Int,
+                    refTimeEpochSec: Long, nbits: Int = 16,
+                    decimalScale: Int = 2): Unit = {
+    val total = (truncation + 1) * (truncation + 2)
+    require(coeffs.length == total,
+      s"need $total coefficient reals for truncation T$truncation")
+    val s3 = ByteBuffer.allocate(23).order(ByteOrder.BIG_ENDIAN)
+    s3.put(0.toByte)
+    s3.putInt(total / 2) // nDataPoints: complex-coefficient count
+    s3.put(0.toByte); s3.put(0.toByte)
+    s3.putShort(50) // template 3.50
+    s3.putInt(truncation); s3.putInt(truncation); s3.putInt(truncation)
+    s3.put(1.toByte) // representation type: associated Legendre
+    s3.put(1.toByte) // representation mode
+    // quantize the packed tail exactly as the simple-packing writer does
+    val d = math.pow(10, decimalScale)
+    val tail = coeffs.drop(1).map(v => math.rint(v * d))
+    val rv = tail.min
+    require(math.abs(rv) < (1 << 24),
+      s"reference value $rv exceeds float32 exactness")
+    val maxOff = tail.max - rv
+    var binScale = 0
+    while (maxOff / math.pow(2, binScale) > ((1L << nbits) - 1) && binScale < 30)
+      binScale += 1
+    val e = math.pow(2, binScale)
+    // section 5 template 5.50: 5.0's R/E/D/nbits then the unpacked (0,0)
+    // real at octets 21-24 (5.50 has NO type-of-values octet)
+    val s5 = ByteBuffer.allocate(19).order(ByteOrder.BIG_ENDIAN)
+    s5.putInt(tail.length)
+    s5.putShort(50)
+    s5.putFloat(rv.toFloat)
+    smPut16(s5, binScale); smPut16(s5, decimalScale)
+    s5.put(nbits.toByte)
+    s5.putFloat(coeffs(0).toFloat)
+    val totalBits = tail.length.toLong * nbits
+    val s7Body = new Array[Byte](((totalBits + 7) / 8).toInt)
+    var bitPos = 0L
+    tail.foreach { s =>
+      val x = ((s - rv) / e).round
+      var left = nbits
+      while (left > 0) {
+        val byteIdx = (bitPos >> 3).toInt
+        val bitInByte = (bitPos & 7).toInt
+        val take = math.min(left, 8 - bitInByte)
+        val chunk = ((x >> (left - take)) & ((1L << take) - 1)).toInt
+        s7Body(byteIdx) = (s7Body(byteIdx) | (chunk << (8 - bitInByte - take))).toByte
+        bitPos += take; left -= take
+      }
+    }
+    writeMessage(path, discipline, Array(
+      sec(1, sec1Body(refTimeEpochSec)),
+      sec(3, s3.array()),
+      sec(4, sec4Body(category, number, 0, 1, 0, None)),
+      sec(5, s5.array()),
+      sec(6, Array[Byte](255.toByte)),
+      sec(7, s7Body)))
   }
 
   /** Write a one-message GRIB2 file: regular lat-lon grid (3.0), product
@@ -1569,12 +1881,98 @@ object Grib2 {
     s4.put(255.toByte); s4.put(0.toByte); s4.putInt(0)
     s4.put(probNumber.toByte); s4.put(probTotal.toByte)
     s4.put(probType.toByte)
+    // limits are signed scaled values: sign-magnitude on the wire (the
+    // repo-wide smPut32 rule), NOT two's complement
     def lim(o: Option[(Int, Int)]): Unit = o match {
-      case Some((scale, v)) => s4.put(scale.toByte); s4.putInt(v)
+      case Some((scale, v)) => s4.put(scale.toByte); smPut32(s4, v)
       case None => s4.put(0.toByte); s4.putInt(0xFFFFFFFF)
     }
     lim(lower); lim(upper)
     s4.array()
+  }
+
+  /** Section 4 template 4.6 body (percentile forecast at a point in
+    * time — 4.0's layout + the 0-100 percentile value at octet 35). */
+  private def sec4BodyPercentile(category: Int, number: Int,
+                                 forecastTime: Int,
+                                 percentile: Int): Array[Byte] = {
+    require(percentile >= 0 && percentile <= 100,
+      s"percentile value $percentile (need 0-100)")
+    val s4 = ByteBuffer.allocate(30).order(ByteOrder.BIG_ENDIAN)
+    s4.putShort(0)
+    s4.putShort(6) // template 4.6
+    s4.put(category.toByte); s4.put(number.toByte)
+    s4.put(5.toByte) // gen process: probability/percentile forecast
+    s4.put(0.toByte); s4.put(0.toByte)
+    s4.putShort(0); s4.put(0.toByte)
+    s4.put(1.toByte) // time unit: hour
+    s4.putInt(forecastTime)
+    s4.put(1.toByte); s4.put(0.toByte); s4.putInt(0) // ground surface
+    s4.put(255.toByte); s4.put(0.toByte); s4.putInt(0)
+    s4.put(percentile.toByte)
+    s4.array()
+  }
+
+  /** Section 4 template 4.10 body (percentile forecast over a time
+    * interval — 4.6's layout through octet 35, then 4.8's
+    * statistical-interval tail). */
+  private def sec4BodyPercentileInterval(category: Int, number: Int,
+                                         forecastTime: Int, percentile: Int,
+                                         endEpochSec: Long, statProcess: Int,
+                                         rangeHours: Int): Array[Byte] = {
+    require(percentile >= 0 && percentile <= 100,
+      s"percentile value $percentile (need 0-100)")
+    val s4 = ByteBuffer.allocate(54).order(ByteOrder.BIG_ENDIAN)
+    s4.putShort(0)
+    s4.putShort(10) // template 4.10
+    s4.put(category.toByte); s4.put(number.toByte)
+    s4.put(5.toByte)
+    s4.put(0.toByte); s4.put(0.toByte)
+    s4.putShort(0); s4.put(0.toByte)
+    s4.put(1.toByte) // time unit: hour
+    s4.putInt(forecastTime)
+    s4.put(1.toByte); s4.put(0.toByte); s4.putInt(0) // ground surface
+    s4.put(255.toByte); s4.put(0.toByte); s4.putInt(0)
+    s4.put(percentile.toByte)
+    val e = java.time.LocalDateTime.ofEpochSecond(endEpochSec, 0,
+      java.time.ZoneOffset.UTC)
+    s4.putShort(e.getYear.toShort); s4.put(e.getMonthValue.toByte)
+    s4.put(e.getDayOfMonth.toByte); s4.put(e.getHour.toByte)
+    s4.put(e.getMinute.toByte); s4.put(e.getSecond.toByte)
+    s4.put(1.toByte) // one time-range specification
+    s4.putInt(0) // no missing values in interval
+    s4.put(statProcess.toByte)
+    s4.put(2.toByte) // time increment type: successive forecasts
+    s4.put(1.toByte) // range unit: hour
+    s4.putInt(rangeHours)
+    s4.put(255.toByte) // increment unit: missing (continuous process)
+    s4.putInt(0)
+    s4.array()
+  }
+
+  /** Write a one-message PERCENTILE file (template 4.6, or 4.10 when
+    * `interval` supplies (endEpochSec, statProcess, rangeHours) — the
+    * NBM percentile-product family cfgrib reads alongside 4.5/4.9). */
+  def writePercentile(path: String, values: Array[Double],
+                      nx: Int, ny: Int, la1: Double, lo1: Double,
+                      dLat: Double, dLon: Double,
+                      discipline: Int, category: Int, number: Int,
+                      refTimeEpochSec: Long, percentile: Int,
+                      interval: Option[(Long, Int, Int)] = None,
+                      forecastTimeHours: Int = 0,
+                      nbits: Int = 12, decimalScale: Int = 2): Unit = {
+    require(values.length == nx * ny, "values must cover the grid")
+    val body = interval match {
+      case Some((end, stat, range)) => sec4BodyPercentileInterval(
+        category, number, forecastTimeHours, percentile, end, stat, range)
+      case None =>
+        sec4BodyPercentile(category, number, forecastTimeHours, percentile)
+    }
+    writeMessage(path, discipline, Array(
+      sec(1, sec1Body(refTimeEpochSec)),
+      sec(3, sec3LatLon(nx, ny, la1, lo1, dLat, dLon)),
+      sec(4, body)) ++
+      simplePackSections(values, nbits, decimalScale))
   }
 
   /** Write a one-message PROBABILITY file (template 4.5 — the NBM/SREF

@@ -390,6 +390,11 @@ object HDF5 {
           val (base, bl) = parseDatatypeSized(b, off + 8)
           require(base.isInstanceOf[FixedPoint],
             s"enum base must be fixed-point, got $base")
+          // the value decode below matches on base.size — a corrupt size
+          // (e.g. 3) must be a named error, not a crash-class MatchError
+          require(base.size == 1 || base.size == 2 || base.size == 4 ||
+              base.size == 8,
+            s"corrupt enum datatype: base size ${base.size}")
           var p = off + 8 + bl
           val names = Vector.newBuilder[String]
           (0 until n).foreach { _ =>
@@ -1363,9 +1368,13 @@ object HDF5 {
       require(maxNelems == nelems,
         s"fixed-array claims $maxNelems chunks; the chunk grid has $nelems")
       val filtered = clientId == 1
-      require(if (filtered) entrySize > 12 else entrySize == 8,
+      // filtered entries: addr(8) + size(szBytes) + mask(4) with szBytes in
+      // 1..8 — a corrupt entrySize > 20 would wrap the size-decode shift
+      // mod 64 and let entry reads overrun the page buffer
+      require(if (filtered) entrySize > 12 && entrySize <= 20
+              else entrySize == 8,
         s"fixed-array entry size $entrySize for client $clientId")
-      val szBytes = entrySize - 12 // filtered: addr(8) + size(szBytes) + mask(4)
+      val szBytes = entrySize - 12
       if (dbAddr == Undefined) return Vector.empty
       val pageElems = 1L << pageBits
       val chunkBytes = layout.chunkDims.map(_.toLong).product * layout.elemSize
@@ -1736,7 +1745,13 @@ object HDF5 {
         case Contiguous(addr, size) =>
           require(addr != Undefined,
             "compound dataset was never written — fill-value decode not supported")
-          readRange(addr, math.min(size, n.toLong * t.size))
+          val p = readRange(addr, math.min(size, n.toLong * t.size))
+          // a short/corrupt contiguous size must be a named error, not an
+          // ArrayIndexOutOfBounds from the per-member arraycopy below
+          require(p.length.toLong >= n.toLong * t.size,
+            s"corrupt compound dataset: contiguous plane ${p.length} B " +
+              s"< $n records of ${t.size} B")
+          p
         case ck @ Chunked(_, chunkDims, elemSize, _, _, _, _) =>
           require(elemSize == t.size,
             s"compound chunk element size $elemSize != datatype size ${t.size}")

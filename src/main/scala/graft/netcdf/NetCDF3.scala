@@ -107,7 +107,10 @@ object NetCDF3 {
     /** A bounded NON_NEG count, version-width-aware. */
     def checkedSize(what: String): Int = {
       val n = sizeField()
-      if (n < 0 || n > fileSize)
+      // a CDF-5 count is 64-bit: in a >2 GiB file a corrupt count in
+      // (Int.MaxValue, fileSize] would survive the fileSize bound and
+      // wrap negative at n.toInt — bound by Int.MaxValue explicitly
+      if (n < 0 || n > fileSize || n > Int.MaxValue)
         throw new IllegalArgumentException(
           s"corrupt netcdf header: $what = $n in a $fileSize-byte file")
       n.toInt

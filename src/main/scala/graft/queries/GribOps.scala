@@ -69,6 +69,34 @@ object GribOps {
     def closeEnough(a: Double, b: Double): Boolean =
       (a.isNaN && b.isNaN) || math.abs(a - b) <= 0.005 + 1e-9
 
+    // ---- r15: a ROTATED lat-lon (3.1) message rides through entry A ----
+    // same closed-form values at t=3, but on the COSMO-style rotated grid
+    // (south pole at (-40, 10)); kept out of the kerchunk concat leg so
+    // the shared-grid cube (and its DuckDB oracle) is unchanged
+    val rotVals = Array.tabulate(nx * ny) { i =>
+      if ((i + 3) % 11 == 5) Double.NaN
+      else CubeOracle.vi(17, 2000, 3L, i.toLong) / 100.0
+    }
+    val rotPath = s"$dir/msg_rot.grib2"
+    Grib2.writeRotated(rotPath, rotVals, nx, ny, la1 = -3.0, lo1 = -4.0,
+      dLat = 0.5, dLon = 0.5, spLat = -40.0, spLon = 10.0,
+      discipline = 0, category = 0, number = 0,
+      refTimeEpochSec = 1700000000L + 3 * 3600L)
+    locally {
+      val f = Openers.open(FileType.Grib, rotPath)
+      val got = f.dataVars("TMP").data.data.asInstanceOf[Array[Double]]
+      require(got.length == rotVals.length &&
+        got.indices.forall(i => closeEnough(got(i), rotVals(i))) &&
+        f.attrs("GRIB_gridType") == graft.core.AttrValue("rotated_ll") &&
+        f.attrs("GRIB_latitudeOfSouthernPoleInDegrees") ==
+          graft.core.AttrValue(-40.0) &&
+        // unrotated coordinates land near the pole's antipodal cap:
+        // the rotated origin maps to 90 + spLat = 50 degrees north
+        f.coords("latitude").data.data.asInstanceOf[Array[Double]]
+          .forall(v => v > 40.0 && v < 60.0),
+        "grib: rotated lat-lon (entry A) parity failed")
+    }
+
     // ---- Entry-point A: engine-registry decode (cfgrib analog) ----
     require(files.zipWithIndex.forall { case ((p, vals), t) =>
       val f = Openers.open(FileType.Grib, p)

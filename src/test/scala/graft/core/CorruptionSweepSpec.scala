@@ -383,15 +383,38 @@ class CorruptionSweepSpec extends AnyFunSuite {
       la1 = -65.0, lo1 = 300.0, laD = -60.0, loV = 10.0,
       dx = 25000.0, dy = 25000.0, discipline = 0, category = 3,
       number = 0, refTimeEpochSec = 1600000000L, southPole = true)
+    // r15 riders: a rotated lat-lon (3.1) message, a percentile (4.6)
+    // message and a spectral (3.50 + 5.50) message join the sweep —
+    // every new parse/projection path fails by name under mutation
+    val pd = s"$dir/rot.grib2"
+    graft.grib.Grib2.writeRotated(pd,
+      Array.tabulate(20)(i => (i % 6).toDouble), 5, 4,
+      la1 = -2.0, lo1 = -3.0, dLat = 1.0, dLon = 1.0,
+      spLat = -40.0, spLon = 10.0, discipline = 0, category = 0,
+      number = 0, refTimeEpochSec = 1600000000L)
+    val pe = s"$dir/pct.grib2"
+    graft.grib.Grib2.writePercentile(pe,
+      Array.tabulate(20)(i => 270.0 + i), 5, 4,
+      la1 = 30.0, lo1 = 260.0, dLat = 0.5, dLon = 0.5,
+      discipline = 0, category = 0, number = 0,
+      refTimeEpochSec = 1600000000L, percentile = 75)
+    val pf = s"$dir/sh.grib2"
+    graft.grib.Grib2.writeSpectral(pf,
+      Array.tabulate(30)(i => math.cos(i * 0.7) * 3.0), 4,
+      discipline = 0, category = 2, number = 12,
+      refTimeEpochSec = 1600000000L)
     val orig = Files.readAllBytes(Paths.get(pa)) ++
       Files.readAllBytes(Paths.get(pb)) ++
-      Files.readAllBytes(Paths.get(pc))
+      Files.readAllBytes(Paths.get(pc)) ++
+      Files.readAllBytes(Paths.get(pd)) ++
+      Files.readAllBytes(Paths.get(pe)) ++
+      Files.readAllBytes(Paths.get(pf))
     val target = s"$dir/mut.grib2"
     val (ok, failed) = sweep(orig, orig.length, { bytes =>
       Files.write(Paths.get(target), bytes)
       graft.grib.Grib2.readGroups(target)
     })
-    info(s"grib2 ens+mercator+south sweep: $ok corruptions read, $failed failed diagnosably")
+    info(s"grib2 ens+mercator+south+rot+pct+sh sweep: $ok corruptions read, $failed failed diagnosably")
     assert(failed > 0, "no corruption failed — the sweep is vacuous")
   }
 

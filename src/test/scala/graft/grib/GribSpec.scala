@@ -916,4 +916,235 @@ class GribSpec extends AnyFunSuite {
     Files.write(Paths.get(single), mk(12, 8, 40.0, 5))
     assert(!Grib2.read(single).attrs.contains("GRIB_nGridsInFile"))
   }
+
+  test("rotated lat-lon (3.1): round-trips, unrotation is the COSMO rotation") {
+    val dir = Files.createTempDirectory("graft_grib").toString
+    val nx = 9; val ny = 7
+    val vals = Array.tabulate(nx * ny)(i => 250.0 + (i % 17) / 10.0)
+    // the COSMO-EU pole: rotated south pole at geographic (-40, 10) —
+    // the NEGATIVE latitude exercises the sign-magnitude wire rule
+    val (spLat, spLon) = (-40.0, 10.0)
+    val (la1, lo1, dLat, dLon) = (-4.5, -6.0, 1.5, 2.0) // rotated coords
+    val p = s"$dir/rot.grib2"
+    Grib2.writeRotated(p, vals, nx, ny, la1, lo1, dLat, dLon,
+      spLat, spLon, discipline = 0, category = 0, number = 0,
+      refTimeEpochSec = 1700000000L)
+    val m = Grib2.scan(p).head
+    assert(m.grid.template == 1)
+    assert(m.grid.spLat == spLat && m.grid.spLon == spLon)
+    assert(m.grid.rotAngle == 0.0)
+    assert(m.grid.la1 == la1 && m.grid.lo1 == lo1)
+    val got = Grib2.decodeValues(p, m)
+    vals.indices.foreach(i =>
+      assert(math.abs(got(i) - vals(i)) <= 0.005 + 1e-9, s"point $i"))
+    val (lats, lons) = Grib2.latLonArrays(m.grid)
+    // independent check 1 — FIXED-POINT identities of the rotation,
+    // closed-form from the definition (not from our kernel): the rotated
+    // south pole maps to exactly (spLat, spLon); the rotated origin to
+    // (90 + spLat, spLon)
+    def geoOf(latR: Double, lonR: Double): (Double, Double) = {
+      val g1 = m.grid.copy(nx = 1, ny = 1, la1 = latR, lo1 = lonR)
+      val (a, o) = Grib2.latLonArrays(g1)
+      (a(0), o(0))
+    }
+    val (pLat, pLon) = geoOf(-90.0, 123.0) // any rotated lon at the pole
+    assert(math.abs(pLat - spLat) < 1e-9 && math.abs(pLon - spLon) < 1e-9,
+      s"rotated south pole -> ($pLat, $pLon), want ($spLat, $spLon)")
+    val (oLat, oLon) = geoOf(0.0, 0.0)
+    assert(math.abs(oLat - (90.0 + spLat)) < 1e-9 &&
+      math.abs(oLon - spLon) < 1e-9,
+      s"rotated origin -> ($oLat, $oLon), want (${90 + spLat}, $spLon)")
+    // independent check 2 — a rotation is an ISOMETRY of the sphere: the
+    // great-circle distance between any two unrotated grid points must
+    // equal the distance between the same points in rotated coordinates
+    // (a theorem about rotations, independent of which rotation we chose)
+    def gc(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+      val (p1, l1) = (math.toRadians(lat1), math.toRadians(lon1))
+      val (p2, l2) = (math.toRadians(lat2), math.toRadians(lon2))
+      2 * math.asin(math.min(1.0, math.sqrt(
+        math.pow(math.sin((p2 - p1) / 2), 2) +
+          math.cos(p1) * math.cos(p2) *
+            math.pow(math.sin((l2 - l1) / 2), 2))))
+    }
+    for (j <- 0 until ny; i <- 0 until nx - 1) {
+      val k = j * nx + i
+      val dGeo = gc(lats(k), lons(k), lats(k + 1), lons(k + 1))
+      val dRot = gc(la1 + j * dLat, lo1 + i * dLon,
+        la1 + j * dLat, lo1 + (i + 1) * dLon)
+      assert(math.abs(dGeo - dRot) < 1e-12, s"isometry at ($j,$i)")
+    }
+    for (j <- 0 until ny - 1) {
+      val k = j * nx
+      val dGeo = gc(lats(k), lons(k), lats(k + nx), lons(k + nx))
+      val dRot = gc(la1 + j * dLat, lo1, la1 + (j + 1) * dLat, lo1)
+      assert(math.abs(dGeo - dRot) < 1e-12, s"isometry row $j")
+    }
+    // the pole parameters surface with cfgrib's attribute names
+    val f = Grib2.read(p)
+    assert(f.attrs("GRIB_gridType") == graft.core.AttrValue("rotated_ll"))
+    assert(f.attrs("GRIB_latitudeOfSouthernPoleInDegrees") ==
+      graft.core.AttrValue(spLat))
+    assert(f.attrs("GRIB_longitudeOfSouthernPoleInDegrees") ==
+      graft.core.AttrValue(spLon))
+    assert(f.attrs("GRIB_angleOfRotationInDegrees") ==
+      graft.core.AttrValue(0.0))
+    // a nonzero angle of rotation fails BY NAME (no real archive sets it;
+    // the convention is unverifiable offline — named error over a guess)
+    val bytes = Files.readAllBytes(Paths.get(p))
+    var off = 16; var s3Off = -1
+    while (s3Off < 0) {
+      val len = java.nio.ByteBuffer.wrap(bytes, off, 4).getInt
+      if (bytes(off + 4) == 3) s3Off = off else off += len
+    }
+    val mut = bytes.clone()
+    // octets 81-84: IEEE f32 angle — set to 15.0f (0x41700000)
+    mut(s3Off + 80) = 0x41.toByte; mut(s3Off + 81) = 0x70.toByte
+    val p2 = s"$dir/rot_angle.grib2"
+    Files.write(Paths.get(p2), mut)
+    val e = intercept[IllegalArgumentException] {
+      Grib2.read(p2)
+    }
+    assert(e.getMessage.contains("angle of rotation"))
+    // an unsupported grid template fails by NAME, not by a misread
+    // Ni/Nj bound (octets 31-38 are not dimensions on other layouts)
+    val mut2 = bytes.clone()
+    mut2(s3Off + 12) = 0; mut2(s3Off + 13) = 90 // template -> 3.90
+    val p3 = s"$dir/rot_t90.grib2"
+    Files.write(Paths.get(p3), mut2)
+    val e2 = intercept[UnsupportedOperationException] { Grib2.scan(p3) }
+    assert(e2.getMessage.contains("grid template 3.90 not supported"))
+  }
+
+  test("percentile templates 4.6/4.10: value parses, read() suffixes by percentile") {
+    val dir = Files.createTempDirectory("graft_grib").toString
+    val nx = 8; val ny = 5
+    val vals = Array.tabulate(nx * ny)(i => 280.0 + (i % 23) / 10.0)
+    // 4.6: instantaneous 90th-percentile temperature
+    val p6 = s"$dir/pct6.grib2"
+    Grib2.writePercentile(p6, vals, nx, ny, la1 = 30.0, lo1 = 260.0,
+      dLat = 0.5, dLon = 0.5, discipline = 0, category = 0, number = 0,
+      refTimeEpochSec = 1700000000L, percentile = 90)
+    val m6 = Grib2.scan(p6).head
+    assert(m6.product.template == 6)
+    assert(m6.product.percentile == 90)
+    assert(m6.product.probabilityType == -1 &&
+      m6.product.perturbationNumber == -1)
+    val f6 = Grib2.read(p6)
+    val v6 = f6.dataVars("TMP_pct90")
+    assert(v6.attrs("GRIB_percentileValue") == graft.core.AttrValue(90))
+    val got6 = Grib2.decodeValues(p6, m6)
+    vals.indices.foreach(i =>
+      assert(math.abs(got6(i) - vals(i)) <= 0.005 + 1e-9, s"point $i"))
+    // 4.10: 10th percentile of a 6-hour interval (statProcess 2 = max)
+    val p10 = s"$dir/pct10.grib2"
+    Grib2.writePercentile(p10, vals, nx, ny, la1 = 30.0, lo1 = 260.0,
+      dLat = 0.5, dLon = 0.5, discipline = 0, category = 0, number = 0,
+      refTimeEpochSec = 1700000000L, percentile = 10,
+      interval = Some((1700000000L + 6 * 3600L, 2, 6)),
+      forecastTimeHours = 0)
+    val m10 = Grib2.scan(p10).head
+    assert(m10.product.template == 10)
+    assert(m10.product.percentile == 10)
+    assert(Grib2.read(p10).dataVars.contains("TMP_pct10"))
+    val got10 = Grib2.decodeValues(p10, m10)
+    vals.indices.foreach(i =>
+      assert(math.abs(got10(i) - vals(i)) <= 0.005 + 1e-9, s"point $i"))
+    // a >100 percentile is corrupt, by name
+    val bytes = Files.readAllBytes(Paths.get(p6))
+    var off = 16; var s4Off = -1
+    while (s4Off < 0) {
+      val len = java.nio.ByteBuffer.wrap(bytes, off, 4).getInt
+      if (bytes(off + 4) == 4) s4Off = off else off += len
+    }
+    val mut = bytes.clone()
+    mut(s4Off + 34) = 130.toByte // octet 35: percentile value
+    val pBad = s"$dir/pct_bad.grib2"
+    Files.write(Paths.get(pBad), mut)
+    val e = intercept[IllegalArgumentException] { Grib2.scan(pBad) }
+    assert(e.getMessage.contains("percentile value 130"))
+  }
+
+  test("spectral packing 5.50 on grid 3.50: closed-form spectrum round-trips") {
+    val dir = Files.createTempDirectory("graft_grib").toString
+    // closed-form synthesized spectrum for T21: c_k = A·cos(ω·k)·e^(−k/τ)
+    // with the (0,0) imaginary part zero (a real field's constraint) —
+    // every byte of the file derives from this formula, so the decode is
+    // checked against values computed OUTSIDE the codec
+    val trunc = 21
+    val total = (trunc + 1) * (trunc + 2) // 506 reals = 253 complex
+    def coeff(k: Int): Double =
+      if (k == 1) 0.0 // Im c(0,0) = 0
+      else 12.5 * math.cos(0.37 * k) * math.exp(-k / 150.0)
+    val coeffs = Array.tabulate(total)(coeff)
+    val p = s"$dir/sh.grib2"
+    Grib2.writeSpectral(p, coeffs, trunc, discipline = 0, category = 2,
+      number = 12, refTimeEpochSec = 1700000000L, nbits = 20,
+      decimalScale = 4)
+    val m = Grib2.scan(p).head
+    assert(m.grid.template == 50)
+    assert(m.grid.sphJ == trunc)
+    assert(m.grid.nx == total && m.grid.ny == 1)
+    assert(m.packing.template == 50)
+    assert(m.packing.nValues == total - 1)
+    // the (0,0) real is stored unpacked: exact to float32
+    assert(m.packing.real00 == coeff(0).toFloat)
+    val got = Grib2.decodeValues(p, m)
+    assert(got.length == total)
+    assert(got(0) == coeff(0).toFloat.toDouble)
+    // packed tail: exact to the decimal quantization of the closed form
+    (1 until total).foreach { k =>
+      val want = math.rint(coeff(k) * 1e4) / 1e4
+      assert(math.abs(got(k) - want) < 1e-9,
+        s"coeff $k: ${got(k)} vs closed-form $want")
+    }
+    // negative coefficients really exercised the signed range
+    assert(got.min < -1.0 && got.max > 1.0)
+    // fragment surface: flat coeff dimension, truncation attrs, no latlon
+    val f = Grib2.read(p)
+    assert(f.dims == Map("coeff" -> total))
+    assert(f.coords.isEmpty)
+    assert(f.attrs("GRIB_gridType") == graft.core.AttrValue("sh"))
+    assert(f.attrs("GRIB_J") == graft.core.AttrValue(trunc))
+    val v = f.dataVars.values.head
+    assert(v.dims == Vector("coeff") && v.data.shape == Vector(total))
+    // pentagonal (non-triangular) truncation fails by name
+    val bytes = Files.readAllBytes(Paths.get(p))
+    var off = 16; var s3Off = -1
+    while (s3Off < 0) {
+      val len = java.nio.ByteBuffer.wrap(bytes, off, 4).getInt
+      if (bytes(off + 4) == 3) s3Off = off else off += len
+    }
+    val mut = bytes.clone()
+    mut(s3Off + 21) = (trunc + 1).toByte // K (octets 19-22) -> J+1
+    val p2 = s"$dir/sh_pent.grib2"
+    Files.write(Paths.get(p2), mut)
+    val e = intercept[UnsupportedOperationException] { Grib2.scan(p2) }
+    assert(e.getMessage.contains("pentagonal"))
+  }
+
+  test("probability limits are sign-magnitude: negative threshold round-trips") {
+    val dir = Files.createTempDirectory("graft_grib").toString
+    val nx = 4; val ny = 3
+    val vals = Array.tabulate(nx * ny)(i => (i * 7 % 101).toDouble)
+    val p = s"$dir/prob_neg.grib2"
+    // P(TMP below -5 degC): type 0 = below lower limit, scale 0 value -5
+    Grib2.writeProbability(p, vals, nx, ny, la1 = 55.0, lo1 = 10.0,
+      dLat = 0.5, dLon = 0.5, discipline = 0, category = 0, number = 0,
+      refTimeEpochSec = 1700000000L, probNumber = 0, probTotal = 10,
+      probType = 0, lower = Some((0, -5)), upper = None)
+    val m = Grib2.scan(p).head
+    assert(m.product.probLower == -5.0,
+      s"negative limit decoded as ${m.product.probLower}")
+    // and the WIRE carries sign-magnitude (0x80000005), not two's
+    // complement — octet 39 of section 4 is the value's high byte
+    val bytes = Files.readAllBytes(Paths.get(p))
+    var off = 16; var s4Off = -1
+    while (s4Off < 0) {
+      val len = java.nio.ByteBuffer.wrap(bytes, off, 4).getInt
+      if (bytes(off + 4) == 4) s4Off = off else off += len
+    }
+    assert((bytes(s4Off + 38) & 0xFF) == 0x80 &&
+      (bytes(s4Off + 41) & 0xFF) == 5,
+      "wire limit must be sign-magnitude 0x80000005")
+  }
 }
