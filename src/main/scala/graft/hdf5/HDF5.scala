@@ -127,15 +127,18 @@ object HDF5 {
   final case class Contiguous(addr: Long, size: Long) extends Layout
   /** Chunked storage. `indexType` 0 = the v1 B-tree (layout message v3);
     * layout v4 (libhdf5 1.10+ "latest") adds 1 = Single Chunk,
-    * 2 = Implicit, 3 = Fixed Array (`btreeAddr` then holds the chunk /
-    * base / FAHD address respectively). Extensible Array (4) and v2
-    * B-tree (5) indexes fail by name at parse. */
+    * 2 = Implicit, 3 = Fixed Array, 4 = Extensible Array (the
+    * single-unlimited-dim, time-appendable layout — `ea` carries its
+    * creation parameters) and 5 = v2 B-tree (`btreeAddr` holds the
+    * chunk / base / FAHD / EAHD / BTHD address respectively). */
   final case class Chunked(btreeAddr: Long, chunkDims: Vector[Int],
                            elemSize: Int,
                            indexType: Int = 0,
                            pageBits: Int = 0,
                            singleSize: Long = -1L,
-                           singleMask: Int = 0) extends Layout
+                           singleMask: Int = 0,
+                           ea: Option[HDF5Writer.EaParams] = None)
+    extends Layout
 
   /** One dataset (or group) assembled from its object header. */
   final case class ObjectInfo(addr: Long,
@@ -374,8 +377,16 @@ object HDF5 {
             }
             val (mt, ml) = parseDatatypeSized(b, p)
             mt match {
-              case _: CompoundType => throw new UnsupportedOperationException(
-                "nested compound datatypes not supported")
+              case ct: CompoundType =>
+                // ONE level of nesting (ICESat-2-style granules carry
+                // struct-of-struct records); deeper stays a named error
+                ct.members.foreach { case (_, _, smt) => smt match {
+                  case _: CompoundType =>
+                    throw new UnsupportedOperationException(
+                      "compound datatypes nested deeper than one level " +
+                        "not supported")
+                  case _ =>
+                }}
               case _ =>
             }
             require(mt.size >= 1 && mOff >= 0 && mOff.toLong + mt.size <= size,
@@ -489,6 +500,7 @@ object HDF5 {
           var p = 5 + ndims * encLen
           val idxType = b.get(p) & 0xFF; p += 1
           var singleSize = -1L; var singleMask = 0; var pageBits = 0
+          var ea: Option[HDF5Writer.EaParams] = None
           idxType match {
             case 1 => // single chunk: filtered variants carry size+mask
               if ((flags & 0x02) != 0) {
@@ -500,9 +512,27 @@ object HDF5 {
               pageBits = b.get(p) & 0xFF; p += 1
               require(pageBits >= 1 && pageBits <= 32,
                 s"corrupt v4 layout: fixed-array page bits $pageBits")
-            case 4 => throw new UnsupportedOperationException(
-              "HDF5 v4 layout: Extensible Array chunk index (one unlimited " +
-                "dimension) not supported")
+            case 4 => // extensible array (one unlimited dim): the five
+              // creation-parameter bytes — max bits, index elements,
+              // min pointers, min elements, page bits
+              require(b.limit() - p >= 5 + 8,
+                "corrupt v4 layout: truncated extensible-array parameters")
+              val maxBits = b.get(p) & 0xFF
+              val idxElmts = b.get(p + 1) & 0xFF
+              val minPtrs = b.get(p + 2) & 0xFF
+              val minElmts = b.get(p + 3) & 0xFF
+              val eaPage = b.get(p + 4) & 0xFF
+              p += 5
+              require(maxBits >= 1 && maxBits <= 64,
+                s"corrupt v4 layout: extensible-array max bits $maxBits")
+              require(eaPage >= 1 && eaPage <= 32,
+                s"corrupt v4 layout: extensible-array page bits $eaPage")
+              require(minPtrs >= 2 && (minPtrs & (minPtrs - 1)) == 0,
+                s"corrupt v4 layout: extensible-array min pointers $minPtrs")
+              require(minElmts >= 1 && (minElmts & (minElmts - 1)) == 0,
+                s"corrupt v4 layout: extensible-array min elements $minElmts")
+              ea = Some(HDF5Writer.EaParams(maxBits, idxElmts, minPtrs,
+                minElmts, eaPage))
             case 5 => // v2 B-tree: node size + split/merge percents
               p += 6
             case t => throw new UnsupportedOperationException(
@@ -511,7 +541,7 @@ object HDF5 {
           val addr = b.getLong(p)
           Chunked(addr, dims, elemSize, indexType = idxType,
             pageBits = pageBits, singleSize = singleSize,
-            singleMask = singleMask)
+            singleMask = singleMask, ea = ea)
         case c => throw new UnsupportedOperationException(s"layout class $c")
       }
     }
@@ -1270,6 +1300,7 @@ object HDF5 {
             }
           }
         case 3 => fixedArrayChunkRefs(layout, shape)
+        case 4 => extensibleArrayChunkRefs(layout, shape)
         case 5 => v2BtreeChunkRefs(layout)
         case t => throw new UnsupportedOperationException(
           s"chunk index type $t")
@@ -1451,6 +1482,222 @@ object HDF5 {
           pos += pageLen
           idx += count
           pg += 1
+        }
+      }
+      out.toVector
+    }
+
+    /** Extensible Array chunk index (EAHD + EAIB + EASB + EADB, data
+      * blocks optionally paged) — the index libhdf5 1.10+ writes for a
+      * chunked dataset with exactly ONE unlimited dimension (the
+      * time-appendable netCDF-4 layout). Written from the public HDF5
+      * File Format Specification ("Disk Format: Level 1H"); geometry in
+      * [[HDF5Writer.eaSblkInfos]]. All metadata checksums (lookup3) are
+      * verified, and the spec's redundant fields — header-stored
+      * creation parameters vs the layout message's, back-pointers, and
+      * per-block Block Offset fields vs the derived element index —
+      * serve as the structural cross-checks (no independent HDF5
+      * library exists in this container; see SURVEY §8.1's standing
+      * offline-validation caveat). */
+    private def extensibleArrayChunkRefs(layout: Chunked,
+                                         shape: Vector[Int]): Vector[ChunkRef] = {
+      require(shape.nonEmpty, "extensible-array index needs the dataspace")
+      if (layout.btreeAddr == Undefined) return Vector.empty
+      val params = layout.ea.getOrElse(throw new IllegalArgumentException(
+        "extensible-array index without creation parameters"))
+      val offsets = gridOffsets(shape, layout.chunkDims)
+      val nelems = offsets.length
+      // EAHD: sig(4) ver(1) client(1) + six creation-parameter bytes +
+      // six 8-byte statistics + index block address + checksum = 72
+      val hdr = readRange(layout.btreeAddr, 72)
+      require(hdr.take(4).sameElements("EAHD".getBytes("ASCII")),
+        "corrupt extensible-array header signature")
+      require((hdr(4) & 0xFF) == 0,
+        s"extensible-array header version ${hdr(4)}")
+      val clientId = hdr(5) & 0xFF
+      require(clientId == 0 || clientId == 1,
+        s"extensible-array client id $clientId")
+      val entrySize = hdr(6) & 0xFF
+      val hdrParams = HDF5Writer.EaParams(hdr(7) & 0xFF, hdr(8) & 0xFF,
+        hdr(10) & 0xFF, hdr(9) & 0xFF, hdr(11) & 0xFF)
+      require(hdrParams == params,
+        s"extensible-array header parameters $hdrParams contradict the " +
+          s"layout message's $params")
+      val hb = ByteBuffer.wrap(hdr).order(ByteOrder.LITTLE_ENDIAN)
+      val maxIdxSet = hb.getLong(44)
+      val iblockAddr = hb.getLong(60)
+      require(HDF5Writer.lookup3(hdr.take(68)) == hb.getInt(68),
+        "corrupt extensible-array header checksum")
+      require(maxIdxSet >= 0 && maxIdxSet <= nelems,
+        s"extensible array claims $maxIdxSet chunks; the chunk grid has $nelems")
+      val filtered = clientId == 1
+      require(if (filtered) entrySize > 12 && entrySize <= 20
+              else entrySize == 8,
+        s"extensible-array entry size $entrySize for client $clientId")
+      val szBytes = entrySize - 12
+      if (iblockAddr == Undefined) return Vector.empty
+      val chunkBytes = layout.chunkDims.map(_.toLong).product * layout.elemSize
+      val out = scala.collection.mutable.ArrayBuffer.empty[ChunkRef]
+      def decodeElems(bytes: Array[Byte], base: Int, count: Int,
+                      firstIdx: Long): Unit = {
+        val eb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < count) {
+          val idx = firstIdx + i
+          if (idx < nelems) {
+            val p = base + i * entrySize
+            val addr = eb.getLong(p)
+            if (addr != Undefined) {
+              if (!filtered)
+                out += ChunkRef(offsets(idx.toInt), addr, chunkBytes, 0)
+              else {
+                var sz = 0L
+                var k = 0
+                while (k < szBytes) {
+                  sz |= (bytes(p + 8 + k) & 0xFFL) << (8 * k)
+                  k += 1
+                }
+                out += ChunkRef(offsets(idx.toInt), addr, sz,
+                  eb.getInt(p + 8 + szBytes))
+              }
+            }
+          }
+          i += 1
+        }
+      }
+      val sblks = HDF5Writer.eaSblkInfos(params)
+      val iblkNsblks = HDF5Writer.eaIblockNsblks(params)
+      require(iblkNsblks <= sblks.length,
+        s"extensible array: ${sblks.length} super blocks < $iblkNsblks " +
+          "index-block-resident ones (min pointers too large for max bits)")
+      val ndblkAddrs = 2 * (params.minPtrs - 1)
+      val nsblkAddrs = sblks.length - iblkNsblks
+      val obBytes = (params.maxBits + 7) / 8
+      val pageElems = 1L << params.pageBits
+      // ---- index block -------------------------------------------------
+      val ibLen = 14 + params.idxBlkElmts * entrySize +
+        (ndblkAddrs + nsblkAddrs) * 8 + 4
+      val ib = readRange(iblockAddr, ibLen)
+      require(ib.take(4).sameElements("EAIB".getBytes("ASCII")),
+        "corrupt extensible-array index-block signature")
+      require((ib(4) & 0xFF) == 0 && (ib(5) & 0xFF) == clientId,
+        "corrupt extensible-array index block version/client")
+      val ibb = ByteBuffer.wrap(ib).order(ByteOrder.LITTLE_ENDIAN)
+      require(ibb.getLong(6) == layout.btreeAddr,
+        "extensible-array index block does not point back at its header")
+      require(HDF5Writer.lookup3(ib.take(ibLen - 4)) == ibb.getInt(ibLen - 4),
+        "corrupt extensible-array index-block checksum")
+      decodeElems(ib, 14, params.idxBlkElmts, 0L)
+      // ---- one data block ----------------------------------------------
+      def readDblk(addr: Long, dblkElmts: Int, firstIdx: Long,
+                   pageInit: Int => Boolean): Unit = {
+        if (addr == Undefined) return
+        val paged = dblkElmts > pageElems
+        if (!paged) {
+          val len = 14 + obBytes + dblkElmts * entrySize + 4
+          val db = readRange(addr, len)
+          require(db.take(4).sameElements("EADB".getBytes("ASCII")),
+            "corrupt extensible-array data-block signature")
+          require((db(4) & 0xFF) == 0 && (db(5) & 0xFF) == clientId,
+            "corrupt extensible-array data block version/client")
+          val dbb = ByteBuffer.wrap(db).order(ByteOrder.LITTLE_ENDIAN)
+          require(dbb.getLong(6) == layout.btreeAddr,
+            "extensible-array data block does not point back at its header")
+          var bo = 0L
+          (0 until obBytes).foreach(k => bo |= (db(14 + k) & 0xFFL) << (8 * k))
+          require(bo == firstIdx,
+            s"extensible-array data block offset $bo != expected $firstIdx")
+          require(HDF5Writer.lookup3(db.take(len - 4)) == dbb.getInt(len - 4),
+            "corrupt extensible-array data-block checksum")
+          decodeElems(db, 14 + obBytes, dblkElmts, firstIdx)
+        } else {
+          // paged: prefix (own checksum), then fixed-size pages each
+          // closed by its own checksum; page init bits live with the
+          // caller (the super block's bitmap)
+          val headLen = 14 + obBytes + 4
+          val head = readRange(addr, headLen)
+          require(head.take(4).sameElements("EADB".getBytes("ASCII")),
+            "corrupt extensible-array data-block signature")
+          require((head(4) & 0xFF) == 0 && (head(5) & 0xFF) == clientId,
+            "corrupt extensible-array data block version/client")
+          val dbb = ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN)
+          require(dbb.getLong(6) == layout.btreeAddr,
+            "extensible-array data block does not point back at its header")
+          var bo = 0L
+          (0 until obBytes).foreach(k => bo |= (head(14 + k) & 0xFFL) << (8 * k))
+          require(bo == firstIdx,
+            s"extensible-array data block offset $bo != expected $firstIdx")
+          require(HDF5Writer.lookup3(head.take(headLen - 4)) ==
+            dbb.getInt(headLen - 4),
+            "corrupt extensible-array data-block prefix checksum")
+          val npages = dblkElmts / pageElems.toInt
+          val pageLen = pageElems.toInt * entrySize + 4
+          var pos = addr + headLen
+          var pg = 0
+          while (pg < npages) {
+            if (pageInit(pg) && firstIdx + pg * pageElems < nelems) {
+              val page = readRange(pos, pageLen)
+              val pb = ByteBuffer.wrap(page).order(ByteOrder.LITTLE_ENDIAN)
+              require(HDF5Writer.lookup3(page.take(pageLen - 4)) ==
+                pb.getInt(pageLen - 4),
+                s"corrupt extensible-array data-block page $pg checksum")
+              decodeElems(page, 0, pageElems.toInt,
+                firstIdx + pg * pageElems)
+            }
+            pos += pageLen
+            pg += 1
+          }
+        }
+      }
+      // ---- super blocks resident in the index block ---------------------
+      var dblkPtr = 14 + params.idxBlkElmts * entrySize
+      sblks.take(iblkNsblks).foreach { s =>
+        var j = 0
+        while (j < s.ndblks) {
+          val firstIdx = params.idxBlkElmts + s.startIdx + j.toLong * s.dblkElmts
+          if (firstIdx < nelems)
+            readDblk(ibb.getLong(dblkPtr), s.dblkElmts, firstIdx, _ => true)
+          dblkPtr += 8
+          j += 1
+        }
+      }
+      // ---- secondary blocks ---------------------------------------------
+      var sblkPtr = 14 + params.idxBlkElmts * entrySize + ndblkAddrs * 8
+      sblks.drop(iblkNsblks).foreach { s =>
+        val sbAddr = ibb.getLong(sblkPtr); sblkPtr += 8
+        val sbFirst = params.idxBlkElmts + s.startIdx
+        if (sbAddr != Undefined && sbFirst < nelems) {
+          val paged = s.dblkElmts > pageElems
+          val npagesPer = if (paged) s.dblkElmts / pageElems.toInt else 0
+          val bmBytes = if (paged) (s.ndblks * npagesPer + 7) / 8 else 0
+          val sbLen = 14 + obBytes + bmBytes + s.ndblks * 8 + 4
+          val sb = readRange(sbAddr, sbLen)
+          require(sb.take(4).sameElements("EASB".getBytes("ASCII")),
+            "corrupt extensible-array secondary-block signature")
+          require((sb(4) & 0xFF) == 0 && (sb(5) & 0xFF) == clientId,
+            "corrupt extensible-array secondary block version/client")
+          val sbb = ByteBuffer.wrap(sb).order(ByteOrder.LITTLE_ENDIAN)
+          require(sbb.getLong(6) == layout.btreeAddr,
+            "extensible-array secondary block does not point back at its header")
+          var bo = 0L
+          (0 until obBytes).foreach(k => bo |= (sb(14 + k) & 0xFFL) << (8 * k))
+          require(bo == sbFirst,
+            s"extensible-array secondary block offset $bo != expected $sbFirst")
+          require(HDF5Writer.lookup3(sb.take(sbLen - 4)) ==
+            sbb.getInt(sbLen - 4),
+            "corrupt extensible-array secondary-block checksum")
+          var j = 0
+          while (j < s.ndblks) {
+            val firstIdx = sbFirst + j.toLong * s.dblkElmts
+            if (firstIdx < nelems) {
+              val dAddr = sbb.getLong(14 + obBytes + bmBytes + j * 8)
+              val jj = j
+              readDblk(dAddr, s.dblkElmts, firstIdx, pg => !paged ||
+                (sb(14 + obBytes + (jj * npagesPer + pg) / 8) &
+                  (1 << ((jj * npagesPer + pg) % 8))) != 0)
+            }
+            j += 1
+          }
         }
       }
       out.toVector
@@ -1685,7 +1932,7 @@ object HDF5 {
         case Contiguous(addr, size) =>
           if (addr == Undefined) allocWithFill(obj, elemT, dt, shape) // never written
           else NDArray(dt, shape, decodeElems(readRange(addr, size), elemT, n))
-        case ck @ Chunked(_, chunkDims, elemSize, _, _, _, _) =>
+        case ck @ Chunked(_, chunkDims, elemSize, _, _, _, _, _) =>
           // same ceiling for the chunk geometry: corrupt chunk dims must
           // not reach an allocation as a negative/overflowed product
           val cnL = chunkDims.foldLeft(1L) { (a, d) =>
@@ -1723,7 +1970,15 @@ object HDF5 {
       * (vlen, string, nested array) fails by name. */
     def readCompound(obj: ObjectInfo): Vector[(String, NDArray)] = {
       val t = obj.dtype.get.asInstanceOf[CompoundType]
-      t.members.foreach { case (mn, _, mt) => mt match {
+      // flatten ONE level of nested compounds to dotted member names
+      // with absolute byte offsets (pos.x at outer-offset + inner-offset)
+      val flat: Vector[(String, Int, TypeInfo)] = t.members.flatMap {
+        case (mn, mOff, ct: CompoundType) =>
+          ct.members.map { case (smn, smOff, smt) =>
+            (s"$mn.$smn", mOff + smOff, smt) }
+        case m => Vector(m)
+      }
+      flat.foreach { case (mn, _, mt) => mt match {
         case _: FixedPoint | _: FloatType | _: EnumType =>
         case other => throw new UnsupportedOperationException(
           s"compound member $mn of type $other not supported")
@@ -1742,9 +1997,18 @@ object HDF5 {
         case Compact(data) =>
           require(data.length >= n * t.size, "compact compound data short")
           data
+        case Contiguous(addr, _) if addr == Undefined =>
+          // never written (late allocation): every record reads as the
+          // declared fill value — zeros when no fill message is present
+          val pl = new Array[Byte](n * t.size)
+          obj.fillBytes.filter(_.length == t.size).foreach { fb =>
+            var i = 0
+            while (i < n) {
+              System.arraycopy(fb, 0, pl, i * t.size, t.size); i += 1
+            }
+          }
+          pl
         case Contiguous(addr, size) =>
-          require(addr != Undefined,
-            "compound dataset was never written — fill-value decode not supported")
           val p = readRange(addr, math.min(size, n.toLong * t.size))
           // a short/corrupt contiguous size must be a named error, not an
           // ArrayIndexOutOfBounds from the per-member arraycopy below
@@ -1752,7 +2016,7 @@ object HDF5 {
             s"corrupt compound dataset: contiguous plane ${p.length} B " +
               s"< $n records of ${t.size} B")
           p
-        case ck @ Chunked(_, chunkDims, elemSize, _, _, _, _) =>
+        case ck @ Chunked(_, chunkDims, elemSize, _, _, _, _, _) =>
           require(elemSize == t.size,
             s"compound chunk element size $elemSize != datatype size ${t.size}")
           val cnL = chunkDims.foldLeft(1L) { (a, d) =>
@@ -1779,7 +2043,7 @@ object HDF5 {
           }
           out.data.asInstanceOf[Array[Byte]]
         }
-      t.members.map { case (mn, mOff, mt) =>
+      flat.map { case (mn, mOff, mt) =>
         val ms = mt.size
         val mb = new Array[Byte](n * ms)
         var i = 0

@@ -21,6 +21,110 @@ object HDF5Writer {
 
   private def pad8(n: Int): Int = (n + 7) & ~7
 
+  // ------------------------------------------------- extensible array
+
+  /** Extensible Array creation parameters (File Format Spec, "Disk
+    * Format: Level 1H" + v4 Data Layout message). Defaults are the
+    * libhdf5 chunk-index values; specs pass small ones so a few dozen
+    * chunks exercise index-block elements, index-block data blocks,
+    * secondary ("super") blocks and paged data blocks. */
+  final case class EaParams(maxBits: Int = 32, idxBlkElmts: Int = 4,
+                            minPtrs: Int = 4, minElmts: Int = 16,
+                            pageBits: Int = 10)
+
+  /** One super block's geometry: super block u holds `ndblks` = 2^(u/2)
+    * data blocks of `dblkElmts` = 2^((u+1)/2)·minElmts elements;
+    * `startIdx`/`startDblk` are its first element (counting from the
+    * start of the post-index-block element space) and first data block
+    * ordinal. The index block stores the first `idxBlkElmts` elements
+    * inline, the data-block addresses of the first 2·log2(minPtrs)
+    * super blocks (= 2·(minPtrs−1) addresses), and secondary-block
+    * pointers for the remaining nsblks − 2·log2(minPtrs), where
+    * nsblks = 1 + maxBits − log2(minElmts) (the smallest count whose
+    * total capacity reaches 2^maxBits elements). */
+  final case class EaSblk(u: Int, ndblks: Int, dblkElmts: Int,
+                          startIdx: Long, startDblk: Long)
+
+  private[hdf5] def eaLog2(v: Int, what: String): Int = {
+    require(v >= 1 && (v & (v - 1)) == 0,
+      s"extensible array: $what must be a power of two, got $v")
+    java.lang.Integer.numberOfTrailingZeros(v)
+  }
+
+  private[hdf5] def eaSblkInfos(p: EaParams): Vector[EaSblk] = {
+    require(p.maxBits >= 1 && p.maxBits <= 64,
+      s"extensible array: max bits ${p.maxBits}")
+    require(p.idxBlkElmts >= 0 && p.idxBlkElmts <= 255,
+      s"extensible array: index block elements ${p.idxBlkElmts}")
+    val nsblks = 1 + p.maxBits - eaLog2(p.minElmts, "data block min elements")
+    require(nsblks >= 1 && nsblks <= 128,
+      s"extensible array: $nsblks super blocks out of range")
+    var startIdx = 0L; var startDblk = 0L
+    (0 until nsblks).toVector.map { u =>
+      require(u / 2 < 31 && (u + 1) / 2 < 31,
+        s"extensible array: super block $u too deep")
+      val nd = 1 << (u / 2)
+      val ne = (1 << ((u + 1) / 2)) * p.minElmts
+      val s = EaSblk(u, nd, ne, startIdx, startDblk)
+      startIdx += nd.toLong * ne
+      startDblk += nd
+      s
+    }
+  }
+
+  /** Number of super blocks whose data-block addresses live directly in
+    * the index block. */
+  private[hdf5] def eaIblockNsblks(p: EaParams): Int =
+    2 * eaLog2(p.minPtrs, "secondary block min data pointers")
+
+  /** The set of on-disk blocks an EA of `nelems` elements allocates:
+    * index-block length, every data block (u, j, firstIdx, paged, len)
+    * and every secondary block (u, len). Shared by the writer's alloc
+    * and emit passes. */
+  private final case class EaBlockPlan(
+    ibLen: Long,
+    dblks: Vector[(Int, Int, Long, Boolean, Long)],
+    sblkLens: Vector[(Int, Long)])
+
+  private def eaBlockPlan(p: EaParams, entrySize: Int,
+                          nelems: Int): EaBlockPlan = {
+    val sblks = eaSblkInfos(p)
+    val iblkN = eaIblockNsblks(p)
+    require(iblkN <= sblks.length,
+      s"extensible array: min pointers ${p.minPtrs} too large for " +
+        s"max bits ${p.maxBits}")
+    val ndblkAddrs = 2 * (p.minPtrs - 1)
+    val nsblkAddrs = sblks.length - iblkN
+    val obBytes = (p.maxBits + 7) / 8
+    val pageElems = 1L << p.pageBits
+    require(p.idxBlkElmts +
+        sblks.map(s => s.ndblks.toLong * s.dblkElmts).sum >= nelems,
+      s"extensible array: capacity below $nelems chunks")
+    val ibLen = 14L + p.idxBlkElmts.toLong * entrySize +
+      (ndblkAddrs + nsblkAddrs) * 8L + 4
+    val dblks = for {
+      s <- sblks
+      j <- (0 until s.ndblks).toVector
+      firstIdx = p.idxBlkElmts + s.startIdx + j.toLong * s.dblkElmts
+      if firstIdx < nelems
+    } yield {
+      val paged = s.dblkElmts > pageElems
+      val len =
+        if (!paged) 14L + obBytes + s.dblkElmts.toLong * entrySize + 4
+        else 14L + obBytes + 4 +
+          (s.dblkElmts / pageElems) * (pageElems * entrySize + 4)
+      (s.u, j, firstIdx, paged, len)
+    }
+    val sblkLens = sblks.drop(iblkN)
+      .filter(s => p.idxBlkElmts + s.startIdx < nelems).map { s =>
+        val paged = s.dblkElmts > pageElems
+        val npagesPer = if (paged) (s.dblkElmts / pageElems).toInt else 0
+        val bm = if (paged) (s.ndblks * npagesPer + 7) / 8 else 0
+        (s.u, 14L + obBytes + bm + s.ndblks * 8L + 4)
+      }
+    EaBlockPlan(ibLen, dblks, sblkLens)
+  }
+
   // ---------------------------------------------------------- type bytes
 
   private def dtypeBytes(d: DType): Array[Byte] = d match {
@@ -97,9 +201,23 @@ object HDF5Writer {
   /** Compound datatype message (class 6 v1): members packed at
     * cumulative offsets, v1's padded names + zeroed old-style array
     * fields (r14). */
-  private def compoundTypeBytes(members: Vector[(String, DType)]): Array[Byte] = {
-    val totalSize = members.map(_._2.byteSize).sum
-    val bodies = members.map { case (_, d) => dtypeBytes(d) }
+  private def compoundTypeBytes(members: Vector[(String, DType)]): Array[Byte] =
+    compoundTypeBytesNested(members.map { case (n, d) => n -> Left(d) })
+
+  /** Compound datatype message (class 6 v1); a Right member is a NESTED
+    * compound (one level — the ICESat-2 struct-of-struct shape) whose
+    * body is itself a class-6 message. */
+  private def compoundTypeBytesNested(
+      members: Vector[(String, Either[DType, Vector[(String, DType)]])]): Array[Byte] = {
+    def sizeOf(m: Either[DType, Vector[(String, DType)]]): Int = m match {
+      case Left(d) => d.byteSize
+      case Right(ms) => ms.map(_._2.byteSize).sum
+    }
+    val totalSize = members.map(m => sizeOf(m._2)).sum
+    val bodies = members.map {
+      case (_, Left(d)) => dtypeBytes(d)
+      case (_, Right(ms)) => compoundTypeBytes(ms)
+    }
     val len = 8 + members.indices.map { i =>
       pad8(members(i)._1.length + 1) + 4 + 28 + bodies(i).length }.sum
     val b = ByteBuffer.allocate(len).order(ByteOrder.LITTLE_ENDIAN)
@@ -117,9 +235,32 @@ object HDF5Writer {
       // permutation + reserved + 4 dim sizes, all zero
       (0 until 28).foreach(_ => b.put(0.toByte))
       b.put(bodies(i))
-      off += members(i)._2.byteSize
+      off += sizeOf(members(i)._2)
     }
     b.array()
+  }
+
+  /** Group a flat (leaf-name, dtype) list into one-level nesting: a run
+    * of consecutive "pfx.x" names becomes one nested-compound member
+    * `pfx`. The interleaved DATA layout is unchanged — nesting only
+    * restructures the datatype message. */
+  private def groupCompoundMembers(
+      members: Vector[(String, DType)]): Vector[(String, Either[DType, Vector[(String, DType)]])] = {
+    val out = Vector.newBuilder[(String, Either[DType, Vector[(String, DType)]])]
+    var i = 0
+    while (i < members.length) {
+      val (nm, d) = members(i)
+      val dot = nm.indexOf('.')
+      if (dot < 0) { out += nm -> Left(d); i += 1 }
+      else {
+        val pfx = nm.substring(0, dot)
+        val run = members.drop(i).takeWhile(_._1.startsWith(pfx + "."))
+        out += pfx -> Right(run.map { case (n2, d2) =>
+          n2.substring(pfx.length + 1) -> d2 })
+        i += run.length
+      }
+    }
+    out.result()
   }
 
   /** Array datatype message (class 10 v2) over a scalar base (r14). */
@@ -511,12 +652,22 @@ object HDF5Writer {
             enumVars: Map[String, Vector[(String, Long)]] = Map.empty,
             arrayVarDims: Map[String, Int] = Map.empty,
             compoundVars: Map[String, Vector[String]] = Map.empty,
+            // r15: compound datasets emitted with NO data (layout address
+            // undefined — the never-written/late-allocation shape) and
+            // an optional record-sized fill-value message
+            compoundUnwritten: Set[String] = Set.empty,
+            compoundFill: Map[String, Array[Byte]] = Map.empty,
             // r14: emit the libhdf5-1.10+ v4 layout message for these
             // chunked vars — index type 1 (single chunk), 2 (implicit)
             // or 3 (fixed array); faPageBits sizes the fixed-array data
             // block pages (small values force the PAGED layout)
             chunkIndexV4: Map[String, Int] = Map.empty,
-            faPageBits: Int = 10): Unit = {
+            faPageBits: Int = 10,
+            // index type 4 (extensible array) creation parameters;
+            // defaults mirror libhdf5's chunk-index values, specs pass
+            // small ones to reach secondary blocks and paged data
+            // blocks with a handful of chunks
+            eaParams: EaParams = EaParams()): Unit = {
     require(!(denseFilteredHeap && (denseTinyLinkIds ||
       denseMaxDirectBlockSize > 0)),
       "denseFilteredHeap composes with the FLAT heap plan only")
@@ -532,8 +683,8 @@ object HDF5Writer {
       zstdLevel.isDefined || blosc.isDefined || lz4 || szip.isDefined ||
       scaleOffset || scaleOffsetFloatD.isDefined || nbitPrecision.isDefined
     chunkIndexV4.foreach { case (name, t) =>
-      require(t == 1 || t == 2 || t == 3 || t == 5,
-        s"chunkIndexV4: $name index type $t (1/2/3/5)")
+      require(t == 1 || t == 2 || t == 3 || t == 4 || t == 5,
+        s"chunkIndexV4: $name index type $t (1/2/3/4/5)")
       require(chunks.contains(name), s"chunkIndexV4: $name must be chunked")
       require(t != 2 || !anyCodec,
         s"chunkIndexV4: implicit index for $name cannot carry filters " +
@@ -583,6 +734,16 @@ object HDF5Writer {
       require(!chunks.contains(name) && members.forall(!chunks.contains(_)),
         s"compoundVars: $name must be contiguous")
     }
+    compoundUnwritten.foreach(n => require(compoundVars.contains(n),
+      s"compoundUnwritten: $n is not a compound var"))
+    compoundFill.foreach { case (name, fb) =>
+      require(compoundVars.contains(name),
+        s"compoundFill: $name is not a compound var")
+      val recSize = compoundVars(name)
+        .map(m => f.coords.getOrElse(m, f.dataVars(m)).dtype.byteSize).sum
+      require(fb.length == recSize,
+        s"compoundFill: $name fill is ${fb.length} B, record is $recSize B")
+    }
     arrayVarDims.foreach { case (name, k) =>
       val v = f.coords.getOrElse(name, f.dataVars(name))
       require(k >= 1 && k < v.shape.length,
@@ -609,8 +770,10 @@ object HDF5Writer {
         val vs = members.map(m => f.coords.getOrElse(m, f.dataVars(m)))
         require(vs.map(_.shape).distinct.length == 1,
           s"compoundVars: $name members must share one shape")
-        name -> Left(interleave(vs.map(v => encodeData(v.data)),
-          vs.map(_.dtype.byteSize)))
+        name -> Left(
+          if (compoundUnwritten.contains(name)) Array.emptyByteArray
+          else interleave(vs.map(v => encodeData(v.data)),
+            vs.map(_.dtype.byteSize)))
       }
     val varData: Map[String, Either[Array[Byte], Vector[ChunkPlan]]] =
       compoundData ++
@@ -697,13 +860,24 @@ object HDF5Writer {
     def messagesFor(name: String): Vector[Msg] = {
       compoundVars.get(name).foreach { members =>
         // compound dataset: member-interleaved contiguous data, no
-        // dimension scales, no user attrs (fixture surface)
+        // dimension scales, no user attrs (fixture surface); dotted
+        // member names group into ONE level of nesting, and an optional
+        // v3 fill-value message covers the never-written shape
         val vs = members.map(m => f.coords.getOrElse(m, f.dataVars(m)))
         return Vector[Msg](
           0x0001 -> dataspaceBytes(vs.head.shape),
-          0x0003 -> compoundTypeBytes(
-            members.zip(vs).map { case (m, mv) => (m, mv.dtype) }),
-          0x0008 -> new Array[Byte](18))
+          0x0003 -> compoundTypeBytesNested(groupCompoundMembers(
+            members.zip(vs).map { case (m, mv) => (m, mv.dtype) })),
+          0x0008 -> new Array[Byte](18)) ++
+          compoundFill.get(name).map { fb =>
+            val fm = ByteBuffer.allocate(6 + fb.length)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            fm.put(3.toByte)    // fill-value message v3
+            fm.put(0x20.toByte) // flags: fill value defined
+            fm.putInt(fb.length)
+            fm.put(fb)
+            (0x0005, fm.array()): Msg
+          }.toVector
       }
       val isDim = dimNames.contains(name)
       val isPhantom = phantomDims.contains(name)
@@ -1202,6 +1376,17 @@ object HDF5Writer {
               alloc(s"cb2lf:$n", 6L + plans.length * recSize + 4)
               plans.zipWithIndex.foreach { case (p, i) =>
                 alloc(s"chunk:$n:$i", p.bytes.length.toLong) }
+            case Some(4) =>
+              val entrySize = if (anyCodec) 20 else 8
+              alloc(s"eahd:$n", 72L)
+              val bp = eaBlockPlan(eaParams, entrySize, plans.length)
+              alloc(s"eaib:$n", bp.ibLen)
+              bp.dblks.foreach { case (u, j, _, _, len) =>
+                alloc(s"eadb:$n:$u:$j", len) }
+              bp.sblkLens.foreach { case (u, len) =>
+                alloc(s"easb:$n:$u", len) }
+              plans.zipWithIndex.foreach { case (p, i) =>
+                alloc(s"chunk:$n:$i", p.bytes.length.toLong) }
             case Some(3) =>
               val entrySize = if (anyCodec) 20 else 8
               alloc(s"fahd:$n", 28L)
@@ -1611,6 +1796,7 @@ object HDF5Writer {
                   val params = t match {
                     case 1 if anyCodec => 12
                     case 3 => 1
+                    case 4 => 5
                     case 5 => 6
                     case _ => 0
                   }
@@ -1629,6 +1815,12 @@ object HDF5Writer {
                       b.putLong(plans.head.bytes.length.toLong)
                       b.putInt(plans.head.mask)
                     case 3 => b.put(faPageBits.toByte)
+                    case 4 =>
+                      b.put(eaParams.maxBits.toByte)
+                      b.put(eaParams.idxBlkElmts.toByte)
+                      b.put(eaParams.minPtrs.toByte)
+                      b.put(eaParams.minElmts.toByte)
+                      b.put(eaParams.pageBits.toByte)
                     case 5 =>
                       b.putInt(2048) // node size
                       b.put(100.toByte); b.put(40.toByte) // split/merge %
@@ -1638,6 +1830,7 @@ object HDF5Writer {
                     case 1 => addrs(s"chunk:$n:0")
                     case 2 => addrs(s"impl:$n")
                     case 3 => addrs(s"fahd:$n")
+                    case 4 => addrs(s"eahd:$n")
                     case _ => addrs(s"cb2hd:$n")
                   })
                   (0x0008, b.array())
@@ -1721,6 +1914,164 @@ object HDF5Writer {
                 b.putInt(lookup3(
                   java.util.Arrays.copyOfRange(b.array(), 0, 34)))
                 put(addrs(s"cb2hd:$n"), b.array())
+              }
+              plans.zipWithIndex.foreach { case (pl, i) =>
+                put(addrs(s"chunk:$n:$i"), pl.bytes) }
+            case 4 =>
+              // extensible array: EAHD + EAIB (+ EASB secondary blocks)
+              // + EADB data blocks, paged when a data block exceeds
+              // 2^pageBits elements; every structure closed by a
+              // lookup3 checksum, bitmaps all-initialized (the writer
+              // emits every page)
+              val entrySize = if (anyCodec) 20 else 8
+              val p = eaParams
+              val sblks = eaSblkInfos(p)
+              val iblkN = eaIblockNsblks(p)
+              val ndblkAddrs = 2 * (p.minPtrs - 1)
+              val nsblkAddrs = sblks.length - iblkN
+              val obBytes = (p.maxBits + 7) / 8
+              val pageElems = 1L << p.pageBits
+              val nelems = plans.length
+              val client = (if (anyCodec) 1 else 0).toByte
+              val bp = eaBlockPlan(p, entrySize, nelems)
+              def entryAt(bb: ByteBuffer, idx: Long): Unit =
+                if (idx < nelems) {
+                  val i = idx.toInt
+                  bb.putLong(addrs(s"chunk:$n:$i"))
+                  if (anyCodec) {
+                    bb.putLong(plans(i).bytes.length.toLong)
+                    bb.putInt(plans(i).mask)
+                  }
+                } else { // beyond the written extent: unallocated element
+                  bb.putLong(Undefined)
+                  if (anyCodec) { bb.putLong(0L); bb.putInt(0) }
+                }
+              def putOb(bb: ByteBuffer, v: Long): Unit =
+                (0 until obBytes).foreach(k =>
+                  bb.put(((v >> (8 * k)) & 0xFF).toByte))
+              def sealBlk(bb: ByteBuffer, len: Int, key: String): Unit = {
+                val arr = bb.array()
+                bb.putInt(len - 4,
+                  lookup3(java.util.Arrays.copyOf(arr, len - 4)))
+                put(addrs(key), arr)
+              }
+              // EAHD: creation params + statistics + iblock address
+              locally {
+                val hd = ByteBuffer.allocate(72)
+                  .order(ByteOrder.LITTLE_ENDIAN)
+                hd.put("EAHD".getBytes("ASCII"))
+                hd.put(0.toByte); hd.put(client)
+                hd.put(entrySize.toByte); hd.put(p.maxBits.toByte)
+                hd.put(p.idxBlkElmts.toByte); hd.put(p.minElmts.toByte)
+                hd.put(p.minPtrs.toByte); hd.put(p.pageBits.toByte)
+                hd.putLong(bp.sblkLens.length.toLong) // secondary blks
+                hd.putLong(bp.sblkLens.map(_._2).sum) // their bytes
+                hd.putLong(bp.dblks.length.toLong)    // data blks
+                hd.putLong(bp.dblks.map(_._5).sum)    // their bytes
+                hd.putLong(nelems.toLong)             // max index set
+                hd.putLong(nelems.toLong)             // elements realized
+                hd.putLong(addrs(s"eaib:$n"))
+                sealBlk(hd, 72, s"eahd:$n")
+              }
+              // EAIB: inline elements, resident dblk addrs, sblk addrs
+              locally {
+                val len = bp.ibLen.toInt
+                val ib = ByteBuffer.allocate(len)
+                  .order(ByteOrder.LITTLE_ENDIAN)
+                ib.put("EAIB".getBytes("ASCII"))
+                ib.put(0.toByte); ib.put(client)
+                ib.putLong(addrs(s"eahd:$n"))
+                (0 until p.idxBlkElmts).foreach(i => entryAt(ib, i.toLong))
+                sblks.take(iblkN).foreach { s =>
+                  (0 until s.ndblks).foreach { j =>
+                    val firstIdx =
+                      p.idxBlkElmts + s.startIdx + j.toLong * s.dblkElmts
+                    ib.putLong(if (firstIdx < nelems)
+                      addrs(s"eadb:$n:${s.u}:$j") else Undefined)
+                  }
+                }
+                sblks.drop(iblkN).foreach { s =>
+                  ib.putLong(if (p.idxBlkElmts + s.startIdx < nelems)
+                    addrs(s"easb:$n:${s.u}") else Undefined)
+                }
+                sealBlk(ib, len, s"eaib:$n")
+              }
+              // EASB secondary blocks: block offset + page bitmap +
+              // data block addresses
+              bp.sblkLens.foreach { case (u, lenL) =>
+                val s = sblks(u)
+                val len = lenL.toInt
+                val paged = s.dblkElmts > pageElems
+                val npagesPer =
+                  if (paged) (s.dblkElmts / pageElems).toInt else 0
+                val bm = if (paged) (s.ndblks * npagesPer + 7) / 8 else 0
+                val sb = ByteBuffer.allocate(len)
+                  .order(ByteOrder.LITTLE_ENDIAN)
+                sb.put("EASB".getBytes("ASCII"))
+                sb.put(0.toByte); sb.put(client)
+                sb.putLong(addrs(s"eahd:$n"))
+                putOb(sb, p.idxBlkElmts + s.startIdx)
+                (0 until s.ndblks).foreach { j =>
+                  val firstIdx =
+                    p.idxBlkElmts + s.startIdx + j.toLong * s.dblkElmts
+                  if (paged && firstIdx < nelems) // all pages written
+                    (0 until npagesPer).foreach { pg =>
+                      val bit = j * npagesPer + pg
+                      sb.put(14 + obBytes + bit / 8,
+                        (sb.get(14 + obBytes + bit / 8) |
+                          (1 << (bit % 8))).toByte)
+                    }
+                }
+                (0 until s.ndblks).foreach { j =>
+                  val firstIdx =
+                    p.idxBlkElmts + s.startIdx + j.toLong * s.dblkElmts
+                  sb.putLong(14 + obBytes + bm + j * 8,
+                    if (firstIdx < nelems) addrs(s"eadb:$n:${s.u}:$j")
+                    else Undefined)
+                }
+                sealBlk(sb, len, s"easb:$n:$u")
+              }
+              // EADB data blocks (paged: checksummed prefix + pages)
+              bp.dblks.foreach { case (u, j, firstIdx, paged, lenL) =>
+                val s = sblks(u)
+                if (!paged) {
+                  val len = lenL.toInt
+                  val db = ByteBuffer.allocate(len)
+                    .order(ByteOrder.LITTLE_ENDIAN)
+                  db.put("EADB".getBytes("ASCII"))
+                  db.put(0.toByte); db.put(client)
+                  db.putLong(addrs(s"eahd:$n"))
+                  putOb(db, firstIdx)
+                  (0 until s.dblkElmts).foreach(i =>
+                    entryAt(db, firstIdx + i))
+                  sealBlk(db, len, s"eadb:$n:$u:$j")
+                } else {
+                  val headLen = 14 + obBytes + 4
+                  val db = ByteBuffer.allocate(headLen)
+                    .order(ByteOrder.LITTLE_ENDIAN)
+                  db.put("EADB".getBytes("ASCII"))
+                  db.put(0.toByte); db.put(client)
+                  db.putLong(addrs(s"eahd:$n"))
+                  putOb(db, firstIdx)
+                  val headArr = db.array()
+                  db.putInt(headLen - 4,
+                    lookup3(java.util.Arrays.copyOf(headArr, headLen - 4)))
+                  put(addrs(s"eadb:$n:$u:$j"), headArr)
+                  val npages = (s.dblkElmts / pageElems).toInt
+                  val pageLen = pageElems.toInt * entrySize + 4
+                  var pos = addrs(s"eadb:$n:$u:$j") + headLen
+                  (0 until npages).foreach { pg =>
+                    val pb = ByteBuffer.allocate(pageLen)
+                      .order(ByteOrder.LITTLE_ENDIAN)
+                    (0 until pageElems.toInt).foreach(i =>
+                      entryAt(pb, firstIdx + pg * pageElems + i))
+                    val parr = pb.array()
+                    pb.putInt(pageLen - 4,
+                      lookup3(java.util.Arrays.copyOf(parr, pageLen - 4)))
+                    put(pos, parr)
+                    pos += pageLen
+                  }
+                }
               }
               plans.zipWithIndex.foreach { case (pl, i) =>
                 put(addrs(s"chunk:$n:$i"), pl.bytes) }

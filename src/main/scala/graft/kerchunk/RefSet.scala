@@ -249,7 +249,7 @@ object RefSet {
               else s"${m.name}/c/" + o.dims.map(_ => "0").mkString("/")
             if (addr != HDF5.Undefined)
               out += key -> inlineOrPointer(addr, size)
-          case ck @ HDF5.Chunked(_, chunkDims, _, _, _, _, _) =>
+          case ck @ HDF5.Chunked(_, chunkDims, _, _, _, _, _, _) =>
             out += s"${m.name}/zarr.json" -> Ref.inline(ZarrStore.arrayMetaDoc(
               o.dims, chunkDims, dt, varAttrs,
               dimensionNames = Some(m.dimNames), bigEndian = bigEndian,

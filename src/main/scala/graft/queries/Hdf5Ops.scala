@@ -109,9 +109,17 @@ object Hdf5Ops {
         // (r14): foo via a filtered FIXED-ARRAY index, bar via a
         // filtered v2-BTREE index — composed with the dense root links
         // this slab already carries, so both entry points walk the
-        // modern chunk indexes every round
+        // modern chunk indexes every round. Slab 2 (r15) routes foo
+        // through the EXTENSIBLE-ARRAY index — the 1.10+ layout for a
+        // time-appendable (one unlimited dim) variable — with small
+        // creation parameters so its two chunks hit the inline-element
+        // AND data-block paths
         chunkIndexV4 =
-          if (t0 == 8) Map("foo" -> 3, "bar" -> 5) else Map.empty)
+          if (t0 == 8) Map("foo" -> 3, "bar" -> 5)
+          else if (t0 == 2) Map("foo" -> 4)
+          else Map.empty,
+        eaParams = HDF5Writer.EaParams(maxBits = 16, idxBlkElmts = 1,
+          minPtrs = 2, minElmts = 2, pageBits = 3))
       path
     }.toVector
 

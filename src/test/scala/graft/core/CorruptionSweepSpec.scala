@@ -208,13 +208,17 @@ class CorruptionSweepSpec extends AnyFunSuite {
   test("hdf5 v4 layout (fixed-array chunk index): corruption only fails by name") {
     // the libhdf5-1.10+ chunk index surface (r14): v4 layout message
     // with variable-width dims, FAHD/FADB structures (PAGED via tiny
-    // page bits), lookup3 checksums, filtered (client-1) entries
+    // page bits), lookup3 checksums, filtered (client-1) entries —
+    // plus (r15) bar through an EXTENSIBLE-ARRAY index with secondary
+    // blocks and paged data blocks in the same sweep
     val dir = tmpDir
     val p = s"$dir/v4.h5"
     HDF5Writer.write(p, smallCube(),
-      chunks = Map("foo" -> Vector(2, 5, 4), "bar" -> Vector(2, 5, 4)),
+      chunks = Map("foo" -> Vector(2, 5, 4), "bar" -> Vector(1, 5, 4)),
       deflateLevel = Some(4),
-      chunkIndexV4 = Map("foo" -> 3, "bar" -> 3), faPageBits = 1)
+      chunkIndexV4 = Map("foo" -> 3, "bar" -> 4), faPageBits = 1,
+      eaParams = HDF5Writer.EaParams(maxBits = 16, idxBlkElmts = 1,
+        minPtrs = 2, minElmts = 2, pageBits = 1))
     val orig = Files.readAllBytes(Paths.get(p))
     val target = s"$dir/mut4.h5"
     val (ok, failed) = sweep(orig, orig.length, { bytes =>

@@ -1215,7 +1215,7 @@ class Hdf5Spec extends AnyFunSuite {
     }
   }
 
-  test("v4 layout: extensible-array and unknown indexes fail by name") {
+  test("v4 layout: unknown chunk indexes fail by name") {
     val f = cube(4, 5, 4)
     val p = s"$dir/v4idx.nc"
     HDF5Writer.write(p, f,
@@ -1223,7 +1223,9 @@ class Hdf5Spec extends AnyFunSuite {
       chunkIndexV4 = Map("foo" -> 1, "bar" -> 1))
     val bytes = Files.readAllBytes(java.nio.file.Paths.get(p))
     // v4 chunked message: ver=4, class=2, flags, ndims=4, encLen=8 — find
-    // it and flip the index-type byte (at +5+4*8) to 4 (extensible array)
+    // it and flip the index-type byte (at +5+4*8). (Types 1/2/3/5 became
+    // supported in r14, 4 — extensible array — in r15: only genuinely
+    // unknown types remain named errors here.)
     var i = 0; var at = -1
     while (at < 0 && i + 40 < bytes.length) {
       if (bytes(i) == 4 && bytes(i + 1) == 2 && bytes(i + 3) == 4 &&
@@ -1231,16 +1233,57 @@ class Hdf5Spec extends AnyFunSuite {
       else i += 1
     }
     assert(at > 0, "v4 layout message not found")
-    // type 4 (extensible array — one unlimited dim) stays a named error;
-    // an unknown type too. (Type 5 became SUPPORTED in r14 — the
-    // round-trip test above.)
-    for ((t, name) <- Seq((4, "Extensible Array"), (9, "unknown"))) {
-      val mut = bytes.clone()
-      mut(at + 5 + 4 * 8) = t.toByte
-      Files.write(java.nio.file.Paths.get(p), mut)
-      val e = intercept[UnsupportedOperationException](HDF5.read(p))
-      assert(e.getMessage.contains(name), e.getMessage)
+    val mut = bytes.clone()
+    mut(at + 5 + 4 * 8) = 9.toByte
+    Files.write(java.nio.file.Paths.get(p), mut)
+    val e = intercept[UnsupportedOperationException](HDF5.read(p))
+    assert(e.getMessage.contains("unknown"), e.getMessage)
+  }
+
+  test("v4 layout: extensible-array index round-trips — iblock elements, secondary blocks, PAGED data blocks, filtered, and the kerchunk scan") {
+    // small creation parameters so 40 chunks along the unlimited dim
+    // traverse EVERY structure: maxBits=16, 2 inline iblock elements,
+    // minPtrs=2 (secondary blocks from super block 2 on), minElmts=2,
+    // pageBits=2 (pages of 4 entries — data blocks page from super
+    // block 5; 2 + (2^5-1)*2 = 64 > 40, so the paged variant needs
+    // pageBits=1: dblkElmts(3)=8 > 2 elements/page)
+    val f = cube(40, 3, 2)
+    for ((dl, pb, tag) <- Seq(
+        (None, 3, "plain"), (Some(4), 3, "z"),
+        (None, 1, "paged"), (Some(4), 1, "paged_z"))) {
+      val p = s"$dir/v4ea_$tag.nc"
+      HDF5Writer.write(p, f,
+        chunks = Map("foo" -> Vector(1, 3, 2), "bar" -> Vector(4, 3, 2)),
+        deflateLevel = dl,
+        chunkIndexV4 = Map("foo" -> 4, "bar" -> 4),
+        eaParams = HDF5Writer.EaParams(maxBits = 16, idxBlkElmts = 2,
+          minPtrs = 2, minElmts = 2, pageBits = pb))
+      val back = HDF5.read(p)
+      assert(back.sameAs(f), tag)
+      val r = new HDF5.Reader(p)
+      try {
+        val (_, metas) = HDF5.datasets(r)
+        metas.find(_.name == "foo").get.obj.layout.get match {
+          case c: HDF5.Chunked =>
+            assert(c.indexType == 4, tag)
+            assert(c.ea.contains(HDF5Writer.EaParams(16, 2, 2, 2, pb)), tag)
+          case other => fail(s"$other")
+        }
+      } finally r.close()
+      // the kerchunk scanner walks the extensible array too
+      val rs = graft.kerchunk.RefSet.scanHdf5(p)
+      val vdir = Files.createTempDirectory("v4eavirt").toString
+      rs.materialize(vdir)
+      assert(graft.zarr.ZarrGroup(vdir).readFragment().sameAs(f),
+        s"$tag scan")
     }
+    // the libhdf5 DEFAULT parameters (maxBits=32, 4/4/16/10) — the shape
+    // a real 1.10+ time-appendable file carries — work unchanged
+    val p2 = s"$dir/v4ea_default.nc"
+    HDF5Writer.write(p2, f,
+      chunks = Map("foo" -> Vector(1, 3, 2), "bar" -> Vector(4, 3, 2)),
+      chunkIndexV4 = Map("foo" -> 4, "bar" -> 4))
+    assert(HDF5.read(p2).sameAs(f), "libhdf5-default params")
   }
 
   // --------------------------------- enum / compound / array datatypes (r14)
@@ -1323,6 +1366,108 @@ class Hdf5Spec extends AnyFunSuite {
         case other => fail(s"expected compound, got $other")
       }
     } finally r.close()
+  }
+
+  test("nested compound (one level): dotted members flatten with absolute offsets") {
+    // an ICESat-2-style record: (t: i64, pos: {x: f8, y: f8}, q: i4) —
+    // the nested group sits mid-record so outer+inner offset arithmetic
+    // genuinely runs
+    val n = 7
+    val ts = Array.tabulate(n)(i => 1700000000L + i * 60)
+    val xs = Array.tabulate(n)(i => i * 1.5 - 2.0)
+    val ys = Array.tabulate(n)(i => i * -0.25 + 1.0)
+    val qs = Array.tabulate(n)(i => i % 4)
+    val f = Fragment(
+      dims = Map("rec" -> n),
+      coords = Map("rec" -> Variable(Vector("rec"),
+        NDArray(DType.I4, Vector(n), (0 until n).toArray))),
+      dataVars = Map(
+        "t" -> Variable(Vector("rec"), NDArray(DType.I8, Vector(n), ts)),
+        "pos.x" -> Variable(Vector("rec"), NDArray(DType.F8, Vector(n), xs)),
+        "pos.y" -> Variable(Vector("rec"), NDArray(DType.F8, Vector(n), ys)),
+        "q" -> Variable(Vector("rec"), NDArray(DType.I4, Vector(n), qs))),
+      attrs = Map.empty)
+    val p = s"$dir/compound_nested.nc"
+    HDF5Writer.write(p, f,
+      compoundVars = Map("obs" -> Vector("t", "pos.x", "pos.y", "q")))
+    val back = HDF5.read(p)
+    assert(back.dataVars("obs.t").data.data
+      .asInstanceOf[Array[Long]].sameElements(ts))
+    assert(back.dataVars("obs.pos.x").data.data
+      .asInstanceOf[Array[Double]].sameElements(xs))
+    assert(back.dataVars("obs.pos.y").data.data
+      .asInstanceOf[Array[Double]].sameElements(ys))
+    assert(back.dataVars("obs.q").data.data
+      .asInstanceOf[Array[Int]].sameElements(qs))
+    // the wire datatype really nests: outer (t, pos, q) with pos a
+    // class-6 member of size 16 at offset 8
+    val r = new HDF5.Reader(p)
+    try {
+      val (_, metas) = HDF5.datasets(r)
+      metas.find(_.name == "obs").get.obj.dtype.get match {
+        case HDF5.CompoundType(size, members) =>
+          assert(size == 28) // 8 + 16 + 4
+          assert(members.map(_._1) == Vector("t", "pos", "q"))
+          assert(members.map(_._2) == Vector(0, 8, 24))
+          members(1)._3 match {
+            case HDF5.CompoundType(16, inner) =>
+              assert(inner.map(_._1) == Vector("x", "y"))
+              assert(inner.map(_._2) == Vector(0, 8))
+            case other => fail(s"expected nested compound, got $other")
+          }
+        case other => fail(s"expected compound, got $other")
+      }
+    } finally r.close()
+  }
+
+  test("never-written compound: records decode to the declared fill value") {
+    val n = 5
+    val f = Fragment(
+      dims = Map("rec" -> n),
+      coords = Map("rec" -> Variable(Vector("rec"),
+        NDArray(DType.I4, Vector(n), (0 until n).toArray))),
+      dataVars = Map(
+        "start" -> Variable(Vector("rec"),
+          NDArray(DType.I8, Vector(n), Array.fill(n)(0L))),
+        "weight" -> Variable(Vector("rec"),
+          NDArray(DType.F8, Vector(n), Array.fill(n)(0.0)))),
+      attrs = Map.empty)
+    // fill record: start = -1, weight = 42.5
+    val fb = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    fb.putLong(-1L); fb.putDouble(42.5)
+    val p = s"$dir/compound_fill.nc"
+    HDF5Writer.write(p, f,
+      compoundVars = Map("index" -> Vector("start", "weight")),
+      compoundUnwritten = Set("index"),
+      compoundFill = Map("index" -> fb.array()))
+    val back = HDF5.read(p)
+    assert(back.dataVars("index.start").data.data
+      .asInstanceOf[Array[Long]].forall(_ == -1L))
+    assert(back.dataVars("index.weight").data.data
+      .asInstanceOf[Array[Double]].forall(_ == 42.5))
+    // without a fill message, a never-written compound reads as zeros
+    val p2 = s"$dir/compound_nofill.nc"
+    HDF5Writer.write(p2, f,
+      compoundVars = Map("index" -> Vector("start", "weight")),
+      compoundUnwritten = Set("index"))
+    val back2 = HDF5.read(p2)
+    assert(back2.dataVars("index.start").data.data
+      .asInstanceOf[Array[Long]].forall(_ == 0L))
+    // deeper nesting stays a named error: hand-nest two levels by
+    // patching the wire is overkill — the parser gate is unit-coverable
+    // through a doubly-dotted spec, which groups only ONE level, so
+    // "a.b.c" yields an inner member "b.c" (a legal FLAT name) — assert
+    // the round trip keeps it flat rather than inventing depth
+    val f3 = f.copy(dataVars = Map(
+      "a.b.c" -> Variable(Vector("rec"),
+        NDArray(DType.I4, Vector(n), Array.tabulate(n)(_ * 2)))))
+    val p3 = s"$dir/compound_dotted.nc"
+    HDF5Writer.write(p3, f3,
+      compoundVars = Map("deep" -> Vector("a.b.c")))
+    val back3 = HDF5.read(p3)
+    assert(back3.dataVars("deep.a.b.c").data.data
+      .asInstanceOf[Array[Int]].sameElements(Array.tabulate(n)(_ * 2)))
   }
 
   test("array datatype (class 10): element dims surface as trailing dataset dims") {
