@@ -34,7 +34,14 @@ object Mp3 {
                             /** kbps when CBR; −1 when VBR. */
                             bitrateKbps: Int,
                             durationMs: Long, nBytes: Long,
-                            hasId3v2: Boolean, hasId3v1: Boolean)
+                            hasId3v2: Boolean, hasId3v1: Boolean,
+                            /** "xing"/"info"/"vbri" when the first frame
+                              * carries a VBR header, else "none". */
+                            vbrTag: String = "none",
+                            /** the header's O(1) frame/byte totals
+                              * (−1 without a header) — enforced equal
+                              * to the walk's totals. */
+                            vbrFrames: Int = -1, vbrBytes: Long = -1L)
 
   // bitrate tables, kbps (ISO 11172-3 Table B.1 / 13818-3): index 1..14
   private val BrV1L1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
@@ -71,6 +78,7 @@ object Mp3 {
     var version = -1; var layer = -1; var sampleRate = -1
     var firstBr = -1; var cbr = true
     var totalSamples = 0L
+    var firstLen = 0; var firstMode = 0; var firstCrc = 0
     val payloadStart = pos
     while (pos < end) {
       require(pos + 4 <= end, s"corrupt MP3: truncated frame header at $pos")
@@ -115,6 +123,9 @@ object Mp3 {
       // decoder resynchronizes; an indexer flags the file instead)
       if (nFrames == 0) {
         version = verBits; layer = lyr; sampleRate = sr; firstBr = br
+        firstLen = frameLen
+        firstMode = (bytes(pos + 3) & 0xFF) >> 6
+        firstCrc = if ((b1 & 1) == 0) 2 else 0 // protection bit 0 = CRC-16
       } else {
         require(verBits == version && lyr == layer && sr == sampleRate,
           "corrupt MP3: version/layer/sample-rate changed mid-stream")
@@ -125,6 +136,64 @@ object Mp3 {
       pos += frameLen
     }
     require(nFrames >= 1, "not an MP3 stream (no frames)")
+
+    // ---- VBR header (Xing/Info/VBRI) in the FIRST frame (r15) ----
+    // Real ingest triage reads these for an O(1) duration estimate; the
+    // indexer parses them AND cross-checks against the walk — a header
+    // whose totals contradict the frames on disk is a named error.
+    // Xing/Info sits after the side info (MPEG1: 17 mono / 32 otherwise;
+    // MPEG2/2.5: 9 / 17), VBRI at the fixed offset 32 — both after the
+    // 4-byte header and optional CRC-16. The frames field counts ALL
+    // frames (the tag frame rides in frame 0's payload, as LAME emits
+    // it), so it must equal the walk's count and the bytes field the
+    // walked stream length.
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xFFL) << 24) | ((bytes(o + 1) & 0xFFL) << 16) |
+        ((bytes(o + 2) & 0xFFL) << 8) | (bytes(o + 3) & 0xFFL)
+    def tagAt(o: Int, t: String): Boolean =
+      o >= 0 && o + 4 <= end &&
+        (0 until 4).forall(i => (bytes(o + i) & 0xFF) == t.charAt(i))
+    var vbrTag = "none"; var vbrFrames = -1; var vbrBytes = -1L
+    val frame0End = payloadStart + firstLen
+    val sideInfo =
+      if (version == 3) { if (firstMode == 3) 17 else 32 }
+      else { if (firstMode == 3) 9 else 17 }
+    val xOff = payloadStart + 4 + firstCrc + sideInfo
+    val vOff = payloadStart + 4 + 32
+    if (xOff + 8 <= frame0End && (tagAt(xOff, "Xing") || tagAt(xOff, "Info"))) {
+      val isInfo = (bytes(xOff) & 0xFF) == 'I'
+      val flags = be32(xOff + 4)
+      require((flags & ~0xFL) == 0, s"corrupt MP3: Xing flags $flags")
+      var p2 = xOff + 8
+      val need = (if ((flags & 1) != 0) 4 else 0) +
+        (if ((flags & 2) != 0) 4 else 0) +
+        (if ((flags & 4) != 0) 100 else 0) +
+        (if ((flags & 8) != 0) 4 else 0)
+      require(p2 + need <= frame0End,
+        "corrupt MP3: Xing header exceeds its frame")
+      if ((flags & 1) != 0) {
+        val vf = be32(p2)
+        require(vf >= 1 && vf <= Int.MaxValue,
+          s"corrupt MP3: Xing frame count $vf")
+        vbrFrames = vf.toInt; p2 += 4
+      }
+      if ((flags & 2) != 0) { vbrBytes = be32(p2); p2 += 4 }
+      vbrTag = if (isInfo) "info" else "xing"
+    } else if (vOff + 26 <= frame0End && tagAt(vOff, "VBRI")) {
+      vbrBytes = be32(vOff + 10)
+      val vf = be32(vOff + 14)
+      require(vf >= 1 && vf <= Int.MaxValue,
+        s"corrupt MP3: VBRI frame count $vf")
+      vbrFrames = vf.toInt
+      vbrTag = "vbri"
+    }
+    if (vbrFrames >= 0) require(vbrFrames == nFrames,
+      s"corrupt MP3: $vbrTag header claims $vbrFrames frames; " +
+        s"the walk found $nFrames")
+    if (vbrBytes >= 0) require(vbrBytes == (end - payloadStart).toLong,
+      s"corrupt MP3: $vbrTag header claims $vbrBytes bytes; " +
+        s"the stream has ${end - payloadStart}")
+
     Mp3Index(
       nFrames = nFrames,
       mpegVersion = version match { case 3 => 1; case 2 => 2; case _ => 25 },
@@ -133,7 +202,8 @@ object Mp3 {
       bitrateKbps = if (cbr) firstBr / 1000 else -1,
       durationMs = totalSamples * 1000L / sampleRate,
       nBytes = (end - payloadStart).toLong,
-      hasId3v2 = hasId3v2, hasId3v1 = hasId3v1)
+      hasId3v2 = hasId3v2, hasId3v1 = hasId3v1,
+      vbrTag = vbrTag, vbrFrames = vbrFrames, vbrBytes = vbrBytes)
   }
 
   /** Fixture encoder: `frames` Layer-III headers (real header
@@ -142,8 +212,13 @@ object Mp3 {
     * version; `srIdx` ∈ 0..2. Optional ID3v2 prefix and ID3v1 trailer
     * exercise the tag skips. */
   def encode(frames: Int, mpeg1: Boolean, srIdx: Int, brIdxOf: Int => Int,
-             id3v2Size: Int = -1, id3v1: Boolean = false): Array[Byte] = {
+             id3v2Size: Int = -1, id3v1: Boolean = false,
+             /** "xing"/"info"/"vbri": embed the VBR header in frame 0's
+               * payload (frames/bytes fields = the stream's totals). */
+             vbrTag: String = "none"): Array[Byte] = {
     require(frames >= 1 && srIdx >= 0 && srIdx <= 2)
+    require(vbrTag == "none" || vbrTag == "xing" || vbrTag == "info" ||
+      vbrTag == "vbri", s"vbrTag $vbrTag")
     val bos = new java.io.ByteArrayOutputStream()
     if (id3v2Size >= 0) {
       bos.write('I'); bos.write('D'); bos.write('3')
@@ -172,6 +247,44 @@ object Mp3 {
       bos.write('T'); bos.write('A'); bos.write('G')
       (3 until 128).foreach(i => bos.write(i % 127))
     }
-    bos.toByteArray
+    val arr = bos.toByteArray
+    if (vbrTag != "none") {
+      // patch the tag into frame 0's payload (lengths unchanged)
+      val f0 = if (id3v2Size >= 0) 10 + id3v2Size else 0
+      val audioBytes = arr.length - f0 - (if (id3v1) 128 else 0)
+      val len0 = {
+        val br = 1000 * (if (mpeg1) BrV1L3(brIdxOf(0)) else BrV2L23(brIdxOf(0)))
+        (if (mpeg1) 144 * br / sr else 72 * br / sr) + 0 // k=0: no padding
+      }
+      def putBe32(o: Int, v: Long): Unit = {
+        arr(o) = ((v >> 24) & 0xFF).toByte; arr(o + 1) = ((v >> 16) & 0xFF).toByte
+        arr(o + 2) = ((v >> 8) & 0xFF).toByte; arr(o + 3) = (v & 0xFF).toByte
+      }
+      if (vbrTag == "vbri") {
+        val off = f0 + 4 + 32
+        require(off + 26 <= f0 + len0,
+          s"VBRI header needs a ${off + 26 - f0}-byte first frame, got $len0")
+        "VBRI".getBytes("ASCII").copyToArray(arr, off)
+        arr(off + 4) = 0; arr(off + 5) = 1 // version 1
+        // delay + quality zero (already), then bytes + frames
+        putBe32(off + 10, audioBytes.toLong)
+        putBe32(off + 14, frames.toLong)
+        // TOC table: 0 entries, scale 1, entry size 2, frames/entry 0
+        arr(off + 18) = 0; arr(off + 19) = 0
+        arr(off + 20) = 0; arr(off + 21) = 1
+        arr(off + 22) = 0; arr(off + 23) = 2
+        arr(off + 24) = 0; arr(off + 25) = 0
+      } else {
+        val off = f0 + 4 + (if (mpeg1) 32 else 17) // joint stereo side info
+        require(off + 16 <= f0 + len0,
+          s"Xing header needs a ${off + 16 - f0}-byte first frame, got $len0")
+        (if (vbrTag == "info") "Info" else "Xing")
+          .getBytes("ASCII").copyToArray(arr, off)
+        putBe32(off + 4, 0x3L) // flags: frames + bytes
+        putBe32(off + 8, frames.toLong)
+        putBe32(off + 12, audioBytes.toLong)
+      }
+    }
+    arr
   }
 }

@@ -2572,7 +2572,10 @@ object MultiModalOps {
       StructField("duration_ms", LongType, nullable = false),
       StructField("n_bytes", LongType, nullable = false),
       StructField("has_id3v2", IntegerType, nullable = false),
-      StructField("has_id3v1", IntegerType, nullable = false)))
+      StructField("has_id3v1", IntegerType, nullable = false),
+      StructField("vbr_tag", StringType, nullable = false),
+      StructField("vbr_frames", IntegerType, nullable = false),
+      StructField("vbr_bytes", LongType, nullable = false)))
     documents(s, d).select(col("doc_id"))
       .mapPartitions { rows =>
         rows.map { r =>
@@ -2580,7 +2583,8 @@ object MultiModalOps {
           val v = Mp3.index(mp3Bytes(id))
           Row(id, v.nFrames, v.mpegVersion, v.sampleRate, v.bitrateKbps,
             v.durationMs, v.nBytes,
-            if (v.hasId3v2) 1 else 0, if (v.hasId3v1) 1 else 0)
+            if (v.hasId3v2) 1 else 0, if (v.hasId3v1) 1 else 0,
+            v.vbrTag, v.vbrFrames, v.vbrBytes)
         }
       }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
       .orderBy("doc_id")
@@ -2595,10 +2599,20 @@ object MultiModalOps {
   private[graft] def mp3Bytes(docId: Long): Array[Byte] = {
     val n = (30 + docId % 20).toInt
     val mpeg1 = docId % 3 != 1
+    // r15 VBR headers: MPEG1 VBR streams carry Xing (or VBRI when
+    // id ≡ 0 mod 5), CBR ids divisible by 6 carry the LAME "Info" tag;
+    // MPEG2 VBR streams stay bare (their 8 kbps first frame is smaller
+    // than the header — the realistic low-bitrate case)
+    val tag =
+      if (docId % 2 == 1 && docId % 3 != 1)
+        (if (docId % 5 == 0) "vbri" else "xing")
+      else if (docId % 2 == 0 && docId % 6 == 0) "info"
+      else "none"
     Mp3.encode(n, mpeg1, (docId % 3).toInt,
       k => if (docId % 2 == 0) 9 else 1 + (k % 3),
       id3v2Size = if (docId % 4 == 1) 17 else -1,
-      id3v1 = docId % 5 == 2)
+      id3v1 = docId % 5 == 2,
+      vbrTag = tag)
   }
 
   val m15Sql: String =
@@ -2641,7 +2655,19 @@ object MultiModalOps {
       |  CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS INTEGER)
       |    AS has_id3v2,
       |  CAST(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END AS INTEGER)
-      |    AS has_id3v1
+      |    AS has_id3v1,
+      |  CASE WHEN doc_id % 2 = 1 AND doc_id % 3 <> 1 THEN
+      |    CASE WHEN doc_id % 5 = 0 THEN 'vbri' ELSE 'xing' END
+      |  WHEN doc_id % 2 = 0 AND doc_id % 6 = 0 THEN 'info'
+      |  ELSE 'none' END AS vbr_tag,
+      |  CAST(CASE WHEN (doc_id % 2 = 1 AND doc_id % 3 <> 1)
+      |         OR (doc_id % 2 = 0 AND doc_id % 6 = 0)
+      |    THEN max(n) ELSE -1 END AS INTEGER) AS vbr_frames,
+      |  CAST(CASE WHEN (doc_id % 2 = 1 AND doc_id % 3 <> 1)
+      |         OR (doc_id % 2 = 0 AND doc_id % 6 = 0)
+      |    THEN SUM((CASE WHEN mpeg1 THEN 144 * br // sr
+      |              ELSE 72 * br // sr END) + k % 2)
+      |    ELSE -1 END AS BIGINT) AS vbr_bytes
       |FROM flen GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

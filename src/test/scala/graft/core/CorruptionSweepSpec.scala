@@ -305,9 +305,11 @@ class CorruptionSweepSpec extends AnyFunSuite {
   }
 
   test("mp3 frame index: corruption never crashes, only fails by name") {
-    // ID3v2 prefix + VBR frame walk + ID3v1 trailer (the r14 m15 surface)
+    // ID3v2 prefix + VBR frame walk + ID3v1 trailer + Xing header (r15):
+    // mutations of the header's frame/byte totals must fail by name via
+    // the walk cross-check, never mislead
     val orig = graft.queries.Mp3.encode(20, mpeg1 = true, srIdx = 0,
-      k => 1 + (k % 3), id3v2Size = 17, id3v1 = true)
+      k => 1 + (k % 3), id3v2Size = 17, id3v1 = true, vbrTag = "xing")
     val (ok, failed) = sweep(orig, orig.length, { bytes =>
       graft.queries.Mp3.index(bytes)
     })

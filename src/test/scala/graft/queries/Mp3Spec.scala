@@ -82,7 +82,52 @@ class Mp3Spec extends AnyFunSuite {
       assert(v.hasId3v2 == (id % 4 == 1) && v.hasId3v1 == (id % 5 == 2))
       val spf = if (mpeg1) 1152 else 576
       assert(v.durationMs == v.nFrames.toLong * spf * 1000 / sr, s"id=$id")
+      // r15 VBR headers follow the synthesis rule and agree with the walk
+      val wantTag =
+        if (id % 2 == 1 && id % 3 != 1) (if (id % 5 == 0) "vbri" else "xing")
+        else if (id % 2 == 0 && id % 6 == 0) "info"
+        else "none"
+      assert(v.vbrTag == wantTag, s"id=$id")
+      if (wantTag == "none")
+        assert(v.vbrFrames == -1 && v.vbrBytes == -1L, s"id=$id")
+      else
+        assert(v.vbrFrames == v.nFrames && v.vbrBytes == v.nBytes, s"id=$id")
     }
+  }
+
+  test("Xing/Info/VBRI headers parse and their totals are ENFORCED against the walk") {
+    // Xing on a VBR stream
+    val xing = Mp3.encode(25, mpeg1 = true, srIdx = 0, k => 1 + (k % 3),
+      vbrTag = "xing")
+    val vx = Mp3.index(xing)
+    assert(vx.vbrTag == "xing" && vx.vbrFrames == 25 && vx.vbrBytes == vx.nBytes)
+    // Info on a CBR stream (the LAME convention)
+    val info = Mp3.index(Mp3.encode(25, mpeg1 = true, srIdx = 0, _ => 9,
+      vbrTag = "info"))
+    assert(info.vbrTag == "info" && info.bitrateKbps == 128)
+    // VBRI at its fixed offset, behind an ID3v2 prefix
+    val vbri = Mp3.index(Mp3.encode(25, mpeg1 = true, srIdx = 0,
+      k => 1 + (k % 3), id3v2Size = 40, vbrTag = "vbri"))
+    assert(vbri.vbrTag == "vbri" && vbri.vbrFrames == 25 && vbri.hasId3v2)
+    // a LYING frame count is a named error, not a silently wrong estimate
+    val f0 = 144 * 32000 / 44100 // frame 0: bitrate index 1 at 44.1 kHz
+    val lie = xing.clone()
+    // Xing frames field = offset 4+32 (side info) + 8 (tag+flags)
+    val framesOff = 4 + 32 + 8
+    assert(lie(framesOff + 3) == 25.toByte)
+    lie(framesOff + 3) = 26.toByte
+    val e = intercept[IllegalArgumentException](Mp3.index(lie))
+    assert(e.getMessage.contains("claims 26 frames"), e.getMessage)
+    // a lying byte total likewise
+    val lie2 = xing.clone()
+    lie2(framesOff + 7) = (lie2(framesOff + 7) ^ 1).toByte
+    val e2 = intercept[IllegalArgumentException](Mp3.index(lie2))
+    assert(e2.getMessage.contains("bytes"), e2.getMessage)
+    assert(f0 > framesOff + 8, "fixture sanity: header fits frame 0")
+    // an MPEG2 stream whose first frame is too small simply has no tag
+    val bare = Mp3.index(Mp3.encode(20, mpeg1 = false, srIdx = 1,
+      k => 1 + (k % 3)))
+    assert(bare.vbrTag == "none")
   }
 
   test("the unified probe dispatches MP3 next to the seven other containers") {
