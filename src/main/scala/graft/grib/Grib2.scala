@@ -74,9 +74,19 @@ object Grib2 {
                              * nx is then the total REAL count
                              * (J+1)(J+2) — interleaved re/im — and
                              * ny = 1. */
-                           sphJ: Int = 0) {
+                           sphJ: Int = 0,
+                           /** quasi-regular (REDUCED Gaussian — the
+                             * ERA5/IFS native octahedral layout) grids:
+                             * points per latitude row, in file row
+                             * order. nx is then the widest row and the
+                             * data is a flat nPoints-long list. */
+                           rowCounts: Vector[Int] = Vector.empty) {
     def scanNegI: Boolean = (scanMode & 0x80) != 0
     def scanPosJ: Boolean = (scanMode & 0x40) != 0
+    /** Total grid points: rows summed for quasi-regular grids, nx·ny
+      * otherwise. */
+    def nPoints: Int =
+      if (rowCounts.nonEmpty) rowCounts.map(_.toLong).sum.toInt else nx * ny
   }
 
   /** Product definition. Templates 4.1/4.11 (individual ensemble
@@ -332,6 +342,15 @@ object Grib2 {
         s"corrupt GRIB2: grid dimensions ${nx}x$ny out of bounds")
       (nx.toInt, ny.toInt)
     }
+    // octet 15 (idx 14): shape of earth — 0/6 fixed spheres, 1 scaled custom
+    def radiusOf: Double = r.u8(14) match {
+      case 0 => 6367470.0
+      case 1 =>
+        val scale = r.u8(15); val v = r.u32(16)
+        v.toDouble / math.pow(10, scale)
+      case 6 => 6371229.0
+      case _ => 6371229.0 // oblate variants: spherical approximation
+    }
     // reject unsupported templates BY NAME before touching any
     // template-specific octet: on an unsupported layout (e.g. 3.90 space
     // view) octets 31-38 are not Ni/Nj, and a bounds failure there would
@@ -372,17 +391,55 @@ object Grib2 {
         laD = 0, loV = 0, dx = 0, dy = 0,
         projCentreFlag = 0, scanMode = 0, sphJ = j.toInt)
     }
+    // quasi-regular (REDUCED) grids: Ni is all-ones missing and octet 11
+    // gives the per-entry width of a points-per-row list appended after
+    // the template. Only the Gaussian form (ERA5/IFS native reduced_gg)
+    // is supported; a reduced form of any other template fails by name.
+    if (r.u32(30) == 0xFFFFFFFFL) {
+      require(template == 40, s"GRIB2 quasi-regular grid on template " +
+        s"3.$template not supported (reduced Gaussian 3.40 is)")
+      val listOctets = r.u8(10)
+      val listInterp = r.u8(11)
+      require(listOctets == 1 || listOctets == 2 || listOctets == 4,
+        s"corrupt GRIB2: quasi-regular list entry width $listOctets")
+      require(listInterp == 1,
+        s"GRIB2 quasi-regular list interpretation $listInterp not " +
+          "supported (1 = points per full circle is)")
+      val njL = r.u32(34)
+      require(njL >= 1 && njL <= (1 << 20),
+        s"corrupt GRIB2: quasi-regular grid with $njL rows")
+      val nj = njL.toInt
+      // template 3.40 occupies octets 15-72; the row list follows
+      require(secLen >= 72 + nj.toLong * listOctets,
+        s"corrupt GRIB2: quasi-regular row list truncated " +
+          s"($nj rows x $listOctets B in a $secLen-byte section)")
+      val rows = (0 until nj).map { j =>
+        val o = 72 + j * listOctets
+        val v = listOctets match {
+          case 1 => r.u8(o).toLong
+          case 2 => r.u16(o).toLong
+          case _ => r.u32(o)
+        }
+        require(v >= 1 && v <= (1 << 24),
+          s"corrupt GRIB2: quasi-regular row $j claims $v points")
+        v.toInt
+      }.toVector
+      val total = rows.map(_.toLong).sum
+      require(total <= (1L << 27),
+        s"corrupt GRIB2: quasi-regular grid of $total points too large")
+      require(total == (nDataPoints.toLong & 0xFFFFFFFFL),
+        s"corrupt GRIB2: row list sums to $total points, " +
+          s"the header claims $nDataPoints")
+      return GridDef(template, nx = rows.max, ny = nj,
+        nDataPoints = nDataPoints, radius = radiusOf,
+        la1 = r.i32sm(46) / 1e6, lo1 = r.i32sm(50) / 1e6,
+        la2 = r.i32sm(55) / 1e6, lo2 = r.i32sm(59) / 1e6,
+        di = 0, dj = 0, laD = 0, loV = 0, dx = 0, dy = 0,
+        projCentreFlag = 0, scanMode = r.u8(71),
+        gaussN = r.u32(67).toInt, rowCounts = rows)
+    }
     // every remaining supported template stores Ni/Nj at octets 31-34/35-38
     val (gnx, gny) = dims(r.u32(30), r.u32(34))
-    // octet 15 (idx 14): shape of earth — 0/6 fixed spheres, 1 scaled custom
-    def radiusOf: Double = r.u8(14) match {
-      case 0 => 6367470.0
-      case 1 =>
-        val scale = r.u8(15); val v = r.u32(16)
-        v.toDouble / math.pow(10, scale)
-      case 6 => 6371229.0
-      case _ => 6371229.0 // oblate variants: spherical approximation
-    }
     template match {
       case 0 => // regular lat-lon: Ni/Nj at octets 31/35, corners at 47..63
         GridDef(template, nx = gnx, ny = gny,
@@ -634,11 +691,12 @@ object Grib2 {
     // allocations below, so a corrupt field must fail by name first
     // (2^27 doubles = 1 GiB, far above any real GRIB2 field)
     require(msg.grid.nx >= 0 && msg.grid.ny >= 0 &&
-      msg.grid.nx.toLong * msg.grid.ny <= (1L << 27),
+      msg.grid.nx.toLong * msg.grid.ny <= (1L << 27) &&
+      msg.grid.nPoints >= 0 && msg.grid.nPoints <= (1 << 27),
       s"corrupt GRIB2 grid: ${msg.grid.nx} x ${msg.grid.ny} points")
     require(msg.packing.nValues >= 0 && msg.packing.nValues <= (1L << 27),
       s"corrupt GRIB2 packing: ${msg.packing.nValues} packed values")
-    val n = msg.grid.nx * msg.grid.ny
+    val n = msg.grid.nPoints // = nx·ny, or the row sum on reduced grids
     require(msg.bitmapIndicator == 0 || msg.bitmapIndicator == 255,
       s"bitmap indicator ${msg.bitmapIndicator} (predefined/reused bitmaps) not supported")
     val p = msg.packing
@@ -899,10 +957,40 @@ object Grib2 {
     * stereographic the spherical inverse projection (Snyder's formulas —
     * public domain) anchored at the encoded first grid point. */
   def latLonArrays(g: GridDef): (Array[Double], Array[Double]) = {
-    val n = g.nx * g.ny
+    val n = g.nPoints
     val lats = new Array[Double](n)
     val lons = new Array[Double](n)
     g.template match {
+      case 40 if g.rowCounts.nonEmpty =>
+        // REDUCED Gaussian (quasi-regular): row latitudes exactly as the
+        // regular 3.40 path; each row spans the full circle from Lo1
+        // with its own spacing 360/ni — the ERA5/IFS native layout
+        val all = gaussianLatitudes(2 * g.gaussN)
+        require(g.gaussN >= 1 && g.ny >= 1 && g.ny <= 2 * g.gaussN,
+          s"Gaussian grid: ${g.ny} rows on an N=${g.gaussN} grid")
+        val startIdx = all.indices.minBy(i => math.abs(all(i) - g.la1))
+        require(math.abs(all(startIdx) - g.la1) < 1e-3,
+          f"Gaussian grid: first latitude ${g.la1}%.6f is not a Gaussian " +
+            f"latitude of N=${g.gaussN} (nearest ${all(startIdx)}%.6f)")
+        val dir = if (g.scanPosJ) -1 else 1
+        require(startIdx + dir * (g.ny - 1) >= 0 &&
+          startIdx + dir * (g.ny - 1) < all.length,
+          s"Gaussian grid: ${g.ny} rows from latitude index $startIdx " +
+            s"run off the 2N=${2 * g.gaussN} latitude set")
+        var k = 0
+        var j = 0
+        while (j < g.ny) {
+          val lat = all(startIdx + dir * j)
+          val ni = g.rowCounts(j)
+          val di = (if (g.scanNegI) -360.0 else 360.0) / ni
+          var i = 0
+          while (i < ni) {
+            lats(k) = lat
+            lons(k) = normLon(g.lo1 + i * di)
+            k += 1; i += 1
+          }
+          j += 1
+        }
       case 0 =>
         val dj = if (g.scanPosJ) g.dj else -g.dj
         val di = if (g.scanNegI) -g.di else g.di
@@ -1268,6 +1356,7 @@ object Grib2 {
   private def readMessages(path: String, msgs: Seq[Message]): Fragment = {
     val g = msgs.head.grid
     if (g.template == 50) return readSpectral(path, msgs)
+    if (g.rowCounts.nonEmpty) return readReduced(path, msgs)
     val (lats, lons) = latLonArrays(g)
     val yx = Vector("y", "x")
     val shape = Vector(g.ny, g.nx)
@@ -1311,6 +1400,41 @@ object Grib2 {
           Map("units" -> AttrValue("degrees_east")))) ++ numberCoord,
       dataVars = dataVars,
       attrs = groupAttrs(msgs.head) ++ rotatedAttrs(g))
+  }
+
+  /** Reduced (quasi-regular) Gaussian messages: the grid is ragged, so
+    * — like cfgrib's reduced_gg handling — variables surface over a flat
+    * 1-D `values` dimension with 1-D latitude/longitude coordinates. */
+  private def readReduced(path: String, msgs: Seq[Message]): Fragment = {
+    val g = msgs.head.grid
+    val n = g.nPoints
+    val (lats, lons) = latLonArrays(g)
+    val names = scala.collection.mutable.Map.empty[String, Int]
+    val dataVars = msgs.map { m =>
+      val pn = m.product.perturbationNumber
+      val base = if (pn >= 0) s"${m.shortName}_m$pn" else m.shortName
+      val k = names.getOrElse(base, 0); names(base) = k + 1
+      val name = if (k == 0) base else s"${base}_$k"
+      name -> Variable(Vector("values"),
+        NDArray(DType.F8, Vector(n), decodeValues(path, m)),
+        varAttrs(m) ++ Map(
+          "GRIB_refTime" -> AttrValue(m.refTimeEpochSec),
+          "GRIB_forecastTime" -> AttrValue(m.product.forecastTime)))
+    }.toMap
+    Fragment(
+      dims = Map("values" -> n),
+      coords = Map(
+        "latitude" -> Variable(Vector("values"),
+          NDArray(DType.F8, Vector(n), lats),
+          Map("units" -> AttrValue("degrees_north"))),
+        "longitude" -> Variable(Vector("values"),
+          NDArray(DType.F8, Vector(n), lons),
+          Map("units" -> AttrValue("degrees_east")))),
+      dataVars = dataVars,
+      attrs = groupAttrs(msgs.head) ++ Map(
+        "GRIB_gridType" -> AttrValue("reduced_gg"),
+        "GRIB_N" -> AttrValue(g.gaussN),
+        "GRIB_nRows" -> AttrValue(g.ny)))
   }
 
   /** Spectral (grid 3.50) messages: no lat/lon — each variable is the
@@ -1480,6 +1604,64 @@ object Grib2 {
     writeMessage(path, discipline, Array(
       sec(1, sec1Body(refTimeEpochSec)),
       sec(3, sec3Gaussian(nx, ny, lo1, dLon, gaussN, rowLats)),
+      sec(4, sec4Body(category, number))) ++
+      simplePackSections(values, nbits, decimalScale))
+  }
+
+  /** Section 3 body for a REDUCED (quasi-regular) Gaussian grid: 3.40's
+    * layout with Ni and Di all-ones missing, octet 11 = 2 (u16 list
+    * entries), octet 12 = 1 (points per full circle), and the
+    * points-per-row list appended after octet 72. */
+  private def sec3ReducedGaussian(rows: Array[Int], lo1: Double,
+                                  gaussN: Int,
+                                  rowLats: Array[Double]): Array[Byte] = {
+    val ny = rows.length
+    rows.foreach(r => require(r >= 1 && r < 65536, s"row of $r points"))
+    val total = rows.map(_.toLong).sum
+    require(total <= Int.MaxValue, "grid too large")
+    val s3 = ByteBuffer.allocate(67 + ny * 2).order(ByteOrder.BIG_ENDIAN)
+    s3.put(0.toByte)
+    s3.putInt(total.toInt)
+    s3.put(2.toByte) // list entry width: u16
+    s3.put(1.toByte) // interpretation: points per full circle
+    s3.putShort(40) // template 3.40
+    s3.put(6.toByte) // sphere 6371229
+    s3.put(0.toByte); s3.putInt(0)
+    s3.put(0.toByte); s3.putInt(0); s3.put(0.toByte); s3.putInt(0)
+    s3.putInt(0xFFFFFFFF) // Ni: missing (quasi-regular)
+    s3.putInt(ny)
+    s3.putInt(0); s3.putInt(0) // basic angle
+    smPut32(s3, (rowLats.head * 1e6).round.toInt)
+    s3.putInt((lo1 * 1e6).round.toInt)
+    s3.put(0x30.toByte)
+    smPut32(s3, (rowLats.last * 1e6).round.toInt)
+    smPut32(s3,
+      ((lo1 + (rows.last - 1) * 360.0 / rows.last) * 1e6).round.toInt)
+    s3.putInt(0xFFFFFFFF) // Di: missing (varies per row)
+    s3.putInt(gaussN)
+    s3.put(0x00.toByte) // scan +i, -j (north -> south)
+    rows.foreach(r => s3.putShort(r.toShort))
+    s3.array()
+  }
+
+  /** Write a one-message REDUCED Gaussian file (quasi-regular 3.40 —
+    * the ERA5/IFS native octahedral layout): `values` is the flat
+    * row-major point list, `rows(j)` the points in row j (north→south
+    * from `rowOffset` on the N=`gaussN` latitude set). */
+  def writeReducedGaussian(path: String, values: Array[Double],
+                           rows: Array[Int], lo1: Double, gaussN: Int,
+                           discipline: Int, category: Int, number: Int,
+                           refTimeEpochSec: Long, rowOffset: Int = 0,
+                           nbits: Int = 12, decimalScale: Int = 2): Unit = {
+    require(values.length.toLong == rows.map(_.toLong).sum,
+      "values must cover the row list")
+    require(rowOffset >= 0 && rowOffset + rows.length <= 2 * gaussN,
+      s"${rows.length} rows at offset $rowOffset exceed 2N=${2 * gaussN}")
+    val rowLats = gaussianLatitudes(2 * gaussN)
+      .slice(rowOffset, rowOffset + rows.length)
+    writeMessage(path, discipline, Array(
+      sec(1, sec1Body(refTimeEpochSec)),
+      sec(3, sec3ReducedGaussian(rows, lo1, gaussN, rowLats)),
       sec(4, sec4Body(category, number))) ++
       simplePackSections(values, nbits, decimalScale))
   }

@@ -919,6 +919,7 @@ object HDF5Writer {
                 val params = t match {
                   case 1 if anyCodec => 12
                   case 3 => 1
+                  case 4 => 5
                   case 5 => 6
                   case _ => 0
                 }

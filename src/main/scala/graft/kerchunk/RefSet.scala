@@ -291,6 +291,17 @@ object RefSet {
         s"scanGrib2: message at $off has ${ms.length} fields; " +
           "multi-field messages are not representable as chunk refs")
     }
+    // ragged (reduced Gaussian) and spectral grids have no rectangular
+    // (y, x) zarr representation — fail at scan time by name, not at
+    // materialized-read time (Grib2.read decodes them directly)
+    msgs.foreach { m =>
+      require(m.grid.rowCounts.isEmpty,
+        "scanGrib2: reduced (quasi-regular) Gaussian grids are ragged — " +
+          "no rectangular chunk-ref representation; use Grib2.read")
+      require(m.grid.template != 50,
+        "scanGrib2: spherical-harmonic (3.50) fields have no (y, x) " +
+          "chunk-ref representation; use Grib2.read")
+    }
     scanGrib2Messages(path, msgs)
   }
 

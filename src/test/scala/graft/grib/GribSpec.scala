@@ -1122,6 +1122,77 @@ class GribSpec extends AnyFunSuite {
     assert(e.getMessage.contains("pentagonal"))
   }
 
+  test("reduced (quasi-regular) Gaussian grid: octahedral rows round-trip as flat values") {
+    val dir = Files.createTempDirectory("graft_grib").toString
+    // N=8 octahedral-style rule: 20 points at the polemost rows, +4 per
+    // row toward the equator — 16 rows, 416 points
+    val gaussN = 8
+    val ny = 2 * gaussN
+    val rows = Array.tabulate(ny)(j => 20 + 4 * math.min(j, ny - 1 - j))
+    val n = rows.sum
+    val vals = Array.tabulate(n)(i => 250.0 + (i % 37) / 10.0)
+    val p = s"$dir/redgg.grib2"
+    Grib2.writeReducedGaussian(p, vals, rows, lo1 = 0.0, gaussN = gaussN,
+      discipline = 0, category = 0, number = 0,
+      refTimeEpochSec = 1700000000L)
+    val m = Grib2.scan(p).head
+    assert(m.grid.template == 40)
+    assert(m.grid.rowCounts == rows.toVector)
+    assert(m.grid.nPoints == n && m.grid.ny == ny)
+    assert(m.grid.gaussN == gaussN)
+    val got = Grib2.decodeValues(p, m)
+    assert(got.length == n)
+    vals.indices.foreach(i =>
+      assert(math.abs(got(i) - vals(i)) <= 0.005 + 1e-9, s"point $i"))
+    // geometry: row latitudes are exactly the regular-3.40 Gaussian
+    // latitudes; each row's longitudes step 360/ni from lo1 — computed
+    // independently here from the row rule
+    val (lats, lons) = Grib2.latLonArrays(m.grid)
+    val rowLats = Grib2.gaussianLatitudes(ny)
+    var k = 0
+    for (j <- 0 until ny) {
+      val di = 360.0 / rows(j)
+      for (i <- 0 until rows(j)) {
+        assert(math.abs(lats(k) - rowLats(j)) < 1e-9, s"lat row $j")
+        assert(math.abs(lons(k) - (i * di) % 360.0) < 1e-9, s"lon ($j,$i)")
+        k += 1
+      }
+    }
+    assert(k == n)
+    // fragment surface: flat values dim, 1-D coords, reduced_gg attrs
+    val f = Grib2.read(p)
+    assert(f.dims == Map("values" -> n))
+    assert(f.coords("latitude").dims == Vector("values"))
+    assert(f.attrs("GRIB_gridType") == graft.core.AttrValue("reduced_gg"))
+    assert(f.attrs("GRIB_N") == graft.core.AttrValue(gaussN))
+    // kerchunk scan rejects ragged grids BY NAME (no rectangular refs)
+    val eK = intercept[IllegalArgumentException] {
+      graft.kerchunk.RefSet.scanGrib2(p)
+    }
+    assert(eK.getMessage.contains("ragged"), eK.getMessage)
+    // corruption: a row-list sum that contradicts the header point
+    // count fails by name
+    val bytes = Files.readAllBytes(Paths.get(p))
+    var off = 16; var s3Off = -1
+    while (s3Off < 0) {
+      val len = java.nio.ByteBuffer.wrap(bytes, off, 4).getInt
+      if (bytes(off + 4) == 3) s3Off = off else off += len
+    }
+    val mut = bytes.clone()
+    mut(s3Off + 73) = (mut(s3Off + 73) ^ 1).toByte // row 0 count low byte
+    val p2 = s"$dir/redgg_bad.grib2"
+    Files.write(Paths.get(p2), mut)
+    val e = intercept[IllegalArgumentException] { Grib2.scan(p2) }
+    assert(e.getMessage.contains("row list sums"), e.getMessage)
+    // a quasi-regular form of a non-Gaussian template fails by name
+    val mut2 = bytes.clone()
+    mut2(s3Off + 12) = 0; mut2(s3Off + 13) = 0 // template -> 3.0
+    val p3 = s"$dir/redgg_t0.grib2"
+    Files.write(Paths.get(p3), mut2)
+    val e2 = intercept[IllegalArgumentException] { Grib2.scan(p3) }
+    assert(e2.getMessage.contains("quasi-regular"), e2.getMessage)
+  }
+
   test("probability limits are sign-magnitude: negative threshold round-trips") {
     val dir = Files.createTempDirectory("graft_grib").toString
     val nx = 4; val ny = 3
