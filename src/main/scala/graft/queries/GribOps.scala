@@ -97,6 +97,32 @@ object GribOps {
         "grib: rotated lat-lon (entry A) parity failed")
     }
 
+    // ---- r15: a REDUCED-Gaussian (ERA5-native) message too ----
+    // octahedral-style N=6 rows; same closed-form values over the flat
+    // ragged point list — entry A only, like the rotated message
+    locally {
+      val gaussN = 6
+      val rows = Array.tabulate(2 * gaussN)(j =>
+        20 + 4 * math.min(j, 2 * gaussN - 1 - j))
+      val n = rows.sum
+      val redVals = Array.tabulate(n) { i =>
+        if ((i + 4) % 11 == 5) Double.NaN
+        else CubeOracle.vi(17, 2000, 4L, i.toLong) / 100.0
+      }
+      val redPath = s"$dir/msg_red.grib2"
+      Grib2.writeReducedGaussian(redPath, redVals, rows, lo1 = 0.0,
+        gaussN = gaussN, discipline = 0, category = 0, number = 0,
+        refTimeEpochSec = 1700000000L + 4 * 3600L)
+      val f = Openers.open(FileType.Grib, redPath)
+      val got = f.dataVars("TMP").data.data.asInstanceOf[Array[Double]]
+      require(f.dims == Map("values" -> n) &&
+        got.length == n &&
+        got.indices.forall(i => closeEnough(got(i), redVals(i))) &&
+        f.attrs("GRIB_gridType") == graft.core.AttrValue("reduced_gg") &&
+        f.coords("latitude").dims == Vector("values"),
+        "grib: reduced Gaussian (entry A) parity failed")
+    }
+
     // ---- Entry-point A: engine-registry decode (cfgrib analog) ----
     require(files.zipWithIndex.forall { case ((p, vals), t) =>
       val f = Openers.open(FileType.Grib, p)
