@@ -80,7 +80,10 @@ object Grib2 {
                              * points per latitude row, in file row
                              * order. nx is then the widest row and the
                              * data is a flat nPoints-long list. */
-                           rowCounts: Vector[Int] = Vector.empty) {
+                           rowCounts: Vector[Int] = Vector.empty,
+                           /** template 3.90 (space view — geostationary
+                             * full-disk imagery). */
+                           spaceView: Option[SpaceViewParams] = None) {
     def scanNegI: Boolean = (scanMode & 0x80) != 0
     def scanPosJ: Boolean = (scanMode & 0x40) != 0
     /** Total grid points: rows summed for quasi-regular grids, nx·ny
@@ -111,7 +114,28 @@ object Grib2 {
                               probUpper: Double = Double.NaN,
                               /** 0-100 for percentile templates 4.6/4.10
                                 * (the NBM/SREF percentile products). */
-                              percentile: Int = -1)
+                              percentile: Int = -1,
+                              /** table 4.10 code of the FIRST time-range
+                                * specification on the statistical-
+                                * interval templates 4.8-4.12 (0 avg,
+                                * 1 accum, 2 max, 3 min) — what cfgrib
+                                * folds into stepType; −1 on
+                                * instantaneous templates. */
+                              statProcess: Int = -1,
+                              /** end of the overall time interval
+                                * (epoch seconds) on 4.8-4.12; −1
+                                * otherwise. */
+                              intervalEndEpochSec: Long = -1L)
+
+  /** Space-view (grid 3.90) perspective parameters: sub-satellite
+    * longitude `lop` (the latitude is 0 — geostationary), satellite
+    * distance `nr` in Earth radii, apparent Earth diameter `dx`/`dy`
+    * in grid lengths, sub-satellite pixel (`xp`, `yp`) in grid lengths,
+    * sector origin (`xo`, `yo`). */
+  final case class SpaceViewParams(lop: Double, nr: Double,
+                                   dx: Double, dy: Double,
+                                   xp: Double, yp: Double,
+                                   xo: Double, yo: Double)
 
   /** Complex-packing parameters (templates 5.2/5.3). */
   final case class ComplexParams(splitMethod: Int, missingMgmt: Int,
@@ -357,12 +381,48 @@ object Grib2 {
     // mask the informative unsupported-template error
     if (!(template == 0 || template == 1 || template == 10 ||
           template == 20 || template == 30 || template == 40 ||
-          template == 50))
+          template == 50 || template == 90))
       throw new UnsupportedOperationException(
         s"GRIB2 grid template 3.$template not supported (3.0 lat-lon, " +
           "3.1 rotated lat-lon, 3.10 Mercator, 3.20 polar stereographic, " +
           "3.30 Lambert conformal, 3.40 Gaussian, 3.50 spherical " +
-          "harmonics are)")
+          "harmonics, 3.90 space view are)")
+    if (template == 90) {
+      // space view (geostationary full-disk — GOES ABI / Meteosat
+      // SEVIRI imagery): sub-satellite point at octets 39-46, apparent
+      // diameter dx/dy (grid lengths) at 48-55, sub-satellite pixel
+      // Xp/Yp (millipixels) at 56-63, scan mode 64, orientation 65-68,
+      // Nr (camera altitude from Earth centre, Earth radii x 10^6) at
+      // 69-72, sector origin Xo/Yo at 73-80
+      val (gnx, gny) = dims(r.u32(30), r.u32(34))
+      val lap = r.i32sm(38) / 1e6
+      require(lap == 0.0,
+        s"GRIB2 space-view grid with nonzero sub-satellite latitude " +
+          s"($lap) not supported (geostationary orbits are equatorial)")
+      val orientation = r.u32(64)
+      require(orientation == 0,
+        s"GRIB2 space-view grid with nonzero orientation " +
+          s"($orientation) not supported")
+      val nrRaw = r.u32(68)
+      require(nrRaw != 0xFFFFFFFFL,
+        "GRIB2 space-view grid from infinite distance (orthographic) " +
+          "not supported")
+      val nr = nrRaw / 1e6
+      require(nr > 1.0 && nr < 100.0,
+        s"corrupt GRIB2: space-view satellite distance $nr Earth radii")
+      val dxG = r.u32(47).toDouble; val dyG = r.u32(51).toDouble
+      require(dxG >= 1 && dyG >= 1,
+        s"corrupt GRIB2: space-view apparent diameter ${dxG}x$dyG")
+      return GridDef(template, nx = gnx, ny = gny,
+        nDataPoints = nDataPoints, radius = radiusOf,
+        la1 = 0, lo1 = 0, la2 = 0, lo2 = 0, di = 0, dj = 0,
+        laD = 0, loV = 0, dx = 0, dy = 0,
+        projCentreFlag = 0, scanMode = r.u8(63),
+        spaceView = Some(SpaceViewParams(
+          lop = r.i32sm(42) / 1e6, nr = nr, dx = dxG, dy = dyG,
+          xp = r.u32(55) / 1e3, yp = r.u32(59) / 1e3,
+          xo = r.u32(72).toDouble, yo = r.u32(76).toDouble)))
+    }
     if (template == 50) {
       // spherical harmonic coefficients (ERA5 model-level spectral
       // fields): pentagonal resolution J/K/M at octets 15-26, then
@@ -552,6 +612,8 @@ object Grib2 {
     // alongside its 4.5/4.9 probabilities): percentile value (0-100) at
     // octet 35, then 4.10 continues with 4.8's statistical-interval tail
     val isPct = template == 6 || template == 10
+    // 4.8-4.12 close with the statistical-interval tail
+    val statTail = parseStatTail(r, template)
     ProductDef(template, paramCategory = r.u8(9), paramNumber = r.u8(10),
       timeUnit = r.u8(17), forecastTime = r.u32(18),
       surfaceType = r.u8(22), surfaceValue = sfcValue,
@@ -568,7 +630,52 @@ object Grib2 {
         val v = r.u8(34)
         require(v <= 100, s"corrupt GRIB2: percentile value $v (need 0-100)")
         v
-      } else -1)
+      } else -1,
+      statProcess = statTail.map(_._1).getOrElse(-1),
+      intervalEndEpochSec = statTail.map(_._2).getOrElse(-1L))
+  }
+
+  /** The statistical-interval tail shared by templates 4.8-4.12:
+    * end-of-interval timestamp + n time-range specifications, the first
+    * of which carries the table 4.10 statistical process (what cfgrib
+    * folds into `stepType`). Returns (statProcess, end epoch seconds).
+    * `tailIdx` is the 0-based offset of the end-of-interval year —
+    * each template appends the tail after its own extra fields. */
+  private def parseStatTail(r: R, template: Int): Option[(Int, Long)] = {
+    val tailIdx = template match {
+      case 8 => 34   // right after the second fixed surface
+      case 9 => 47   // after the probability limits
+      case 10 => 35  // after the percentile value
+      case 11 => 37  // after the ensemble triple
+      case 12 => 36  // after the derived pair
+      case _ => -1
+    }
+    if (tailIdx < 0) return None
+    val y = r.u16(tailIdx); val mo = r.u8(tailIdx + 2)
+    val dy = r.u8(tailIdx + 3); val h = r.u8(tailIdx + 4)
+    val mi = r.u8(tailIdx + 5); val se = r.u8(tailIdx + 6)
+    val n = r.u8(tailIdx + 7)
+    require(n >= 1, "corrupt GRIB2: statistical-interval template " +
+      "without a time-range specification")
+    val sp = r.u8(tailIdx + 12)
+    val end =
+      try java.time.LocalDateTime.of(y, mo, dy, h, mi, se)
+        .toEpochSecond(java.time.ZoneOffset.UTC)
+      catch {
+        case _: java.time.DateTimeException =>
+          throw new IllegalArgumentException(
+            s"corrupt GRIB2: interval end timestamp " +
+              f"$y%04d-$mo%02d-$dy%02d $h%02d:$mi%02d:$se%02d")
+      }
+    Some((sp, end))
+  }
+
+  /** Table 4.10 statistical-process short names (cfgrib's stepType
+    * vocabulary). */
+  private def statName(code: Int): String = code match {
+    case 0 => "avg"; case 1 => "accum"; case 2 => "max"; case 3 => "min"
+    case 4 => "diff"; case 5 => "rms"; case 6 => "sd"; case 7 => "cov"
+    case other => s"stat$other"
   }
 
   private def parsePacking(r: R): Packing = {
@@ -1046,6 +1153,49 @@ object Grib2 {
           }
           j += 1
         }
+      case 90 =>
+        // space view (the general vertical perspective of Snyder 1987
+        // §23, solved directly as a ray-sphere intersection in Earth
+        // radii): satellite at S = (H, 0, 0) with H = nr, above the
+        // equatorial sub-satellite point (0, lop); pixel scan angles
+        // step the apparent Earth diameter 2·asin(1/nr) over dx (dy)
+        // grid lengths. A ray d = (−cos a·cos b, sin a·cos b, sin b)
+        // meets the unit sphere at t = H·cosab − sqrt(H²cosab² − H² + 1)
+        // (near root); a negative discriminant is an off-disk (space)
+        // pixel — NaN coordinates, as real full-disk files bitmap them.
+        val sv = g.spaceView.getOrElse(throw new IllegalArgumentException(
+          "space-view grid without parameters"))
+        val hh = sv.nr
+        val app = 2.0 * math.asin(1.0 / hh)
+        val stepx = app / sv.dx; val stepy = app / sv.dy
+        var j = 0
+        while (j < g.ny) {
+          val row = j + sv.yo
+          val b0 = (sv.yp - row) * stepy
+          val b = if (g.scanPosJ) -b0 else b0
+          val sinB = math.sin(b); val cosB = math.cos(b)
+          var i = 0
+          while (i < g.nx) {
+            val col = i + sv.xo
+            val a0 = (col - sv.xp) * stepx
+            val a = if (g.scanNegI) -a0 else a0
+            val cosAB = math.cos(a) * cosB
+            val disc = hh * hh * cosAB * cosAB - hh * hh + 1.0
+            val k = j * g.nx + i
+            if (disc < 0) { lats(k) = Double.NaN; lons(k) = Double.NaN }
+            else {
+              val t = hh * cosAB - math.sqrt(disc)
+              val px = hh - t * cosAB
+              val py = t * math.sin(a) * cosB
+              val pz = t * sinB
+              lats(k) = math.toDegrees(
+                math.asin(math.max(-1.0, math.min(1.0, pz))))
+              lons(k) = normLon(sv.lop + math.toDegrees(math.atan2(py, px)))
+            }
+            i += 1
+          }
+          j += 1
+        }
       case 10 =>
         // spherical Mercator (Snyder 1987 §7) with the true-scale
         // latitude LaD: x = R·cos(φd)·(λ−λ0), y = R·cos(φd)·ln tan(π/4
@@ -1298,7 +1448,13 @@ object Grib2 {
         else Map("GRIB_probUpperLimit" -> AttrValue(m.product.probUpper)))) ++
     (if (m.product.percentile < 0) Attrs.empty
      else Map( // percentile templates 4.6/4.10
-       "GRIB_percentileValue" -> AttrValue(m.product.percentile)))
+       "GRIB_percentileValue" -> AttrValue(m.product.percentile))) ++
+    (if (m.product.statProcess < 0) Attrs.empty
+     else Map( // statistical-interval templates 4.8-4.12 (r15)
+       "GRIB_statProcess" -> AttrValue(m.product.statProcess),
+       "GRIB_stepType" -> AttrValue(statName(m.product.statProcess)),
+       "GRIB_intervalEndEpochSec" ->
+         AttrValue(m.product.intervalEndEpochSec)))
 
   def groupAttrs(m: Message): Attrs = Map(
     "GRIB_centre" -> AttrValue(centreName(m.centre)),
@@ -1662,6 +1818,50 @@ object Grib2 {
     writeMessage(path, discipline, Array(
       sec(1, sec1Body(refTimeEpochSec)),
       sec(3, sec3ReducedGaussian(rows, lo1, gaussN, rowLats)),
+      sec(4, sec4Body(category, number))) ++
+      simplePackSections(values, nbits, decimalScale))
+  }
+
+  /** Section 3 body, template 3.90 (space view): sub-satellite point
+    * on the equator, apparent diameter dx/dy in grid lengths, Xp/Yp in
+    * millipixels, Nr in Earth radii x 10^6, sector origin Xo/Yo. */
+  private def sec3SpaceView(nx: Int, ny: Int, lop: Double, nr: Double,
+                            dx: Int, dy: Int, xp: Double, yp: Double,
+                            xo: Int, yo: Int): Array[Byte] = {
+    val s3 = ByteBuffer.allocate(75).order(ByteOrder.BIG_ENDIAN)
+    s3.put(0.toByte) // grid def source
+    s3.putInt(nx * ny); s3.put(0.toByte); s3.put(0.toByte)
+    s3.putShort(90) // template 3.90
+    s3.put(6.toByte) // sphere 6371229
+    s3.put(0.toByte); s3.putInt(0)
+    s3.put(0.toByte); s3.putInt(0); s3.put(0.toByte); s3.putInt(0)
+    s3.putInt(nx); s3.putInt(ny)
+    smPut32(s3, 0) // Lap: geostationary
+    s3.putInt((normLon(lop) * 1e6).round.toInt)
+    s3.put(0x30.toByte) // resolution flags
+    s3.putInt(dx); s3.putInt(dy)
+    s3.putInt((xp * 1e3).round.toInt); s3.putInt((yp * 1e3).round.toInt)
+    s3.put(0x00.toByte) // scan +i, -j (imagery top-down)
+    s3.putInt(0) // orientation
+    s3.putInt((nr * 1e6).round.toInt)
+    s3.putInt(xo); s3.putInt(yo)
+    s3.array()
+  }
+
+  /** Write a one-message SPACE-VIEW file (template 3.90 — the GOES/
+    * Meteosat/Himawari full-disk layout): geostationary satellite at
+    * `nr` Earth radii over longitude `lop`; off-disk values should be
+    * NaN (they become bitmap-missing). */
+  def writeSpaceView(path: String, values: Array[Double], nx: Int, ny: Int,
+                     lop: Double, nr: Double, dx: Int, dy: Int,
+                     xp: Double, yp: Double,
+                     discipline: Int, category: Int, number: Int,
+                     refTimeEpochSec: Long, xo: Int = 0, yo: Int = 0,
+                     nbits: Int = 12, decimalScale: Int = 2): Unit = {
+    require(values.length == nx * ny, "values must cover the grid")
+    writeMessage(path, discipline, Array(
+      sec(1, sec1Body(refTimeEpochSec)),
+      sec(3, sec3SpaceView(nx, ny, lop, nr, dx, dy, xp, yp, xo, yo)),
       sec(4, sec4Body(category, number))) ++
       simplePackSections(values, nbits, decimalScale))
   }
@@ -2049,10 +2249,14 @@ object Grib2 {
   private def sec4BodyProb(category: Int, number: Int, forecastTime: Int,
                            probNumber: Int, probTotal: Int, probType: Int,
                            lower: Option[(Int, Int)],
-                           upper: Option[(Int, Int)]): Array[Byte] = {
-    val s4 = ByteBuffer.allocate(42).order(ByteOrder.BIG_ENDIAN)
+                           upper: Option[(Int, Int)],
+                           /** (endEpochSec, statProcess, rangeHours):
+                             * template 4.9 — 4.5 + the interval tail. */
+                           interval: Option[(Long, Int, Int)] = None): Array[Byte] = {
+    val s4 = ByteBuffer.allocate(if (interval.isDefined) 66 else 42)
+      .order(ByteOrder.BIG_ENDIAN)
     s4.putShort(0)
-    s4.putShort(5) // template 4.5
+    s4.putShort(if (interval.isDefined) 9 else 5) // template 4.5 / 4.9
     s4.put(category.toByte); s4.put(number.toByte)
     s4.put(5.toByte) // gen process: probability forecast
     s4.put(0.toByte); s4.put(0.toByte)
@@ -2070,7 +2274,74 @@ object Grib2 {
       case None => s4.put(0.toByte); s4.putInt(0xFFFFFFFF)
     }
     lim(lower); lim(upper)
+    interval.foreach { case (endEpochSec, statProcess, rangeHours) =>
+      val e = java.time.LocalDateTime.ofEpochSecond(endEpochSec, 0,
+        java.time.ZoneOffset.UTC)
+      s4.putShort(e.getYear.toShort); s4.put(e.getMonthValue.toByte)
+      s4.put(e.getDayOfMonth.toByte); s4.put(e.getHour.toByte)
+      s4.put(e.getMinute.toByte); s4.put(e.getSecond.toByte)
+      s4.put(1.toByte) // one time-range specification
+      s4.putInt(0)
+      s4.put(statProcess.toByte)
+      s4.put(2.toByte); s4.put(1.toByte)
+      s4.putInt(rangeHours)
+      s4.put(255.toByte); s4.putInt(0)
+    }
     s4.array()
+  }
+
+  /** Section 4 template 4.8 body (deterministic statistical interval —
+    * e.g. plain accumulated precipitation: 4.0's fields + the interval
+    * tail). */
+  private def sec4BodyInterval(category: Int, number: Int,
+                               forecastTime: Int, endEpochSec: Long,
+                               statProcess: Int,
+                               rangeHours: Int): Array[Byte] = {
+    val s4 = ByteBuffer.allocate(53).order(ByteOrder.BIG_ENDIAN)
+    s4.putShort(0)
+    s4.putShort(8) // template 4.8
+    s4.put(category.toByte); s4.put(number.toByte)
+    s4.put(2.toByte) // gen process: forecast
+    s4.put(0.toByte); s4.put(0.toByte)
+    s4.putShort(0); s4.put(0.toByte)
+    s4.put(1.toByte) // time unit: hour
+    s4.putInt(forecastTime)
+    s4.put(1.toByte); s4.put(0.toByte); s4.putInt(0) // ground surface
+    s4.put(255.toByte); s4.put(0.toByte); s4.putInt(0)
+    val e = java.time.LocalDateTime.ofEpochSecond(endEpochSec, 0,
+      java.time.ZoneOffset.UTC)
+    s4.putShort(e.getYear.toShort); s4.put(e.getMonthValue.toByte)
+    s4.put(e.getDayOfMonth.toByte); s4.put(e.getHour.toByte)
+    s4.put(e.getMinute.toByte); s4.put(e.getSecond.toByte)
+    s4.put(1.toByte) // one time-range specification
+    s4.putInt(0) // no missing values in interval
+    s4.put(statProcess.toByte)
+    s4.put(2.toByte) // time increment type: successive forecasts
+    s4.put(1.toByte) // range unit: hour
+    s4.putInt(rangeHours)
+    s4.put(255.toByte) // increment unit: missing (continuous process)
+    s4.putInt(0)
+    s4.array()
+  }
+
+  /** Write a one-message statistical-INTERVAL file (template 4.8 —
+    * e.g. 6-hour accumulated precipitation, the plain deterministic
+    * form next to 4.11's ensemble one). */
+  def writeInterval(path: String, values: Array[Double],
+                    nx: Int, ny: Int, la1: Double, lo1: Double,
+                    dLat: Double, dLon: Double,
+                    discipline: Int, category: Int, number: Int,
+                    refTimeEpochSec: Long, statProcess: Int,
+                    rangeHours: Int, forecastTimeHours: Int = 0,
+                    nbits: Int = 12, decimalScale: Int = 2): Unit = {
+    require(values.length == nx * ny, "values must cover the grid")
+    writeMessage(path, discipline, Array(
+      sec(1, sec1Body(refTimeEpochSec)),
+      sec(3, sec3LatLon(nx, ny, la1, lo1, dLat, dLon)),
+      sec(4, sec4BodyInterval(category, number, forecastTimeHours,
+        refTimeEpochSec + (forecastTimeHours + rangeHours) * 3600L,
+        statProcess, rangeHours))) ++
+      simplePackSections(values, nbits, decimalScale))
   }
 
   /** Section 4 template 4.6 body (percentile forecast at a point in
@@ -2157,9 +2428,10 @@ object Grib2 {
       simplePackSections(values, nbits, decimalScale))
   }
 
-  /** Write a one-message PROBABILITY file (template 4.5 — the NBM/SREF
-    * probabilistic-product family). Limits are (decimal scale, scaled
-    * value) pairs; None = missing. */
+  /** Write a one-message PROBABILITY file (template 4.5, or 4.9 when
+    * `interval` carries (endEpochSec, statProcess, rangeHours) — the
+    * NBM/SREF probabilistic-product family). Limits are (decimal
+    * scale, scaled value) pairs; None = missing. */
   def writeProbability(path: String, values: Array[Double],
                        nx: Int, ny: Int, la1: Double, lo1: Double,
                        dLat: Double, dLon: Double,
@@ -2167,13 +2439,14 @@ object Grib2 {
                        refTimeEpochSec: Long,
                        probNumber: Int, probTotal: Int, probType: Int,
                        lower: Option[(Int, Int)], upper: Option[(Int, Int)],
+                       interval: Option[(Long, Int, Int)] = None,
                        nbits: Int = 12, decimalScale: Int = 2): Unit = {
     require(values.length == nx * ny, "values must cover the grid")
     writeMessage(path, discipline, Array(
       sec(1, sec1Body(refTimeEpochSec)),
       sec(3, sec3LatLon(nx, ny, la1, lo1, dLat, dLon)),
       sec(4, sec4BodyProb(category, number, 0, probNumber, probTotal,
-        probType, lower, upper))) ++
+        probType, lower, upper, interval))) ++
       simplePackSections(values, nbits, decimalScale))
   }
 

@@ -409,12 +409,33 @@ class CorruptionSweepSpec extends AnyFunSuite {
       Array.tabulate(30)(i => math.cos(i * 0.7) * 3.0), 4,
       discipline = 0, category = 2, number = 12,
       refTimeEpochSec = 1600000000L)
+    // and a statistical-interval (4.8) message so the tail parse —
+    // timestamp validity, time-range count — is in the sweep too
+    val pg = s"$dir/acc.grib2"
+    graft.grib.Grib2.writeInterval(pg,
+      Array.tabulate(20)(i => (i % 4).toDouble), 5, 4,
+      la1 = 40.0, lo1 = 0.0, dLat = 0.5, dLon = 0.5,
+      discipline = 0, category = 1, number = 8,
+      refTimeEpochSec = 1600000000L, statProcess = 1, rangeHours = 6)
+    // and a space-view (3.90) full-disk message with off-disk bitmap
+    // NaNs — the perspective parse + disc test under mutation
+    val ph = s"$dir/disk.grib2"
+    graft.grib.Grib2.writeSpaceView(ph,
+      Array.tabulate(49) { k =>
+        val (i, j) = (k % 7, k / 7)
+        if ((i - 3) * (i - 3) + (j - 3) * (j - 3) <= 9) (k % 5).toDouble
+        else Double.NaN
+      }, 7, 7, lop = 140.7, nr = 6.6187, dx = 6, dy = 6,
+      xp = 3.0, yp = 3.0, discipline = 3, category = 0, number = 0,
+      refTimeEpochSec = 1600000000L)
     val orig = Files.readAllBytes(Paths.get(pa)) ++
       Files.readAllBytes(Paths.get(pb)) ++
       Files.readAllBytes(Paths.get(pc)) ++
       Files.readAllBytes(Paths.get(pd)) ++
       Files.readAllBytes(Paths.get(pe)) ++
-      Files.readAllBytes(Paths.get(pf))
+      Files.readAllBytes(Paths.get(pf)) ++
+      Files.readAllBytes(Paths.get(pg)) ++
+      Files.readAllBytes(Paths.get(ph))
     val target = s"$dir/mut.grib2"
     val (ok, failed) = sweep(orig, orig.length, { bytes =>
       Files.write(Paths.get(target), bytes)

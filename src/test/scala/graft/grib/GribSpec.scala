@@ -1006,13 +1006,15 @@ class GribSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("angle of rotation"))
     // an unsupported grid template fails by NAME, not by a misread
-    // Ni/Nj bound (octets 31-38 are not dimensions on other layouts)
+    // Ni/Nj bound (octets 31-38 are not dimensions on other layouts;
+    // 3.2 = stretched lat-lon, unsupported — 3.90 became space view
+    // in r15)
     val mut2 = bytes.clone()
-    mut2(s3Off + 12) = 0; mut2(s3Off + 13) = 90 // template -> 3.90
-    val p3 = s"$dir/rot_t90.grib2"
+    mut2(s3Off + 12) = 0; mut2(s3Off + 13) = 2 // template -> 3.2
+    val p3 = s"$dir/rot_t2.grib2"
     Files.write(Paths.get(p3), mut2)
     val e2 = intercept[UnsupportedOperationException] { Grib2.scan(p3) }
-    assert(e2.getMessage.contains("grid template 3.90 not supported"))
+    assert(e2.getMessage.contains("grid template 3.2 not supported"))
   }
 
   test("percentile templates 4.6/4.10: value parses, read() suffixes by percentile") {
@@ -1122,6 +1124,80 @@ class GribSpec extends AnyFunSuite {
     assert(e.getMessage.contains("pentagonal"))
   }
 
+  test("statistical-interval tail (4.8-4.12): stepType + interval end surface as attrs") {
+    val dir = Files.createTempDirectory("graft_grib").toString
+    val nx = 6; val ny = 4
+    val vals = Array.tabulate(nx * ny)(i => (i % 9).toDouble)
+    val ref = 1700000000L
+    // 4.8: plain 6-hour accumulation
+    val p8 = s"$dir/acc.grib2"
+    Grib2.writeInterval(p8, vals, nx, ny, la1 = 40.0, lo1 = 0.0,
+      dLat = 0.5, dLon = 0.5, discipline = 0, category = 1, number = 8,
+      refTimeEpochSec = ref, statProcess = 1, rangeHours = 6)
+    val m8 = Grib2.scan(p8).head
+    assert(m8.product.template == 8)
+    assert(m8.product.statProcess == 1)
+    assert(m8.product.intervalEndEpochSec == ref + 6 * 3600L)
+    val v8 = Grib2.read(p8).dataVars("APCP")
+    assert(v8.attrs("GRIB_stepType") == graft.core.AttrValue("accum"))
+    assert(v8.attrs("GRIB_intervalEndEpochSec") ==
+      graft.core.AttrValue(ref + 6 * 3600L))
+    // 4.9: probability over an interval (P(APCP > 25.4) in 12 h)
+    val p9 = s"$dir/prob9.grib2"
+    Grib2.writeProbability(p9, vals, nx, ny, la1 = 40.0, lo1 = 0.0,
+      dLat = 0.5, dLon = 0.5, discipline = 0, category = 1, number = 8,
+      refTimeEpochSec = ref, probNumber = 1, probTotal = 4, probType = 3,
+      lower = Some((1, 254)), upper = None,
+      interval = Some((ref + 12 * 3600L, 1, 12)))
+    val m9 = Grib2.scan(p9).head
+    assert(m9.product.template == 9)
+    assert(m9.product.probabilityType == 3 &&
+      math.abs(m9.product.probLower - 25.4) < 1e-12)
+    assert(m9.product.statProcess == 1 &&
+      m9.product.intervalEndEpochSec == ref + 12 * 3600L)
+    // 4.10 percentile-interval and 4.11 ensemble-interval carry it too
+    val p10 = s"$dir/pct10b.grib2"
+    Grib2.writePercentile(p10, vals, nx, ny, la1 = 40.0, lo1 = 0.0,
+      dLat = 0.5, dLon = 0.5, discipline = 0, category = 0, number = 0,
+      refTimeEpochSec = ref, percentile = 50,
+      interval = Some((ref + 6 * 3600L, 2, 6)))
+    val m10 = Grib2.scan(p10).head
+    assert(m10.product.statProcess == 2) // max
+    assert(Grib2.read(p10).dataVars("TMP_pct50")
+      .attrs("GRIB_stepType") == graft.core.AttrValue("max"))
+    val p11 = s"$dir/ens11b.grib2"
+    Grib2.writeEnsembleInterval(p11, vals, nx, ny, la1 = 40.0, lo1 = 0.0,
+      dLat = 0.5, dLon = 0.5, discipline = 0, category = 1, number = 8,
+      refTimeEpochSec = ref, ensemble = (3, 2, 10),
+      statProcess = 0, rangeHours = 3)
+    val m11 = Grib2.scan(p11).head
+    assert(m11.product.statProcess == 0 &&
+      m11.product.intervalEndEpochSec == ref + 3 * 3600L)
+    // instantaneous templates carry NO tail fields
+    assert(Grib2.scan(s"$dir/acc.grib2").head.product.percentile == -1)
+    val pInst = s"$dir/inst.grib2"
+    Grib2.writeSimple(pInst, vals, nx, ny, la1 = 40.0, lo1 = 0.0,
+      dLat = 0.5, dLon = 0.5, discipline = 0, category = 0, number = 0,
+      refTimeEpochSec = ref)
+    val mi = Grib2.scan(pInst).head
+    assert(mi.product.statProcess == -1 &&
+      mi.product.intervalEndEpochSec == -1L)
+    assert(!Grib2.read(pInst).dataVars("TMP").attrs.contains("GRIB_stepType"))
+    // a corrupt end timestamp fails by name
+    val bytes = Files.readAllBytes(Paths.get(p8))
+    var off = 16; var s4Off = -1
+    while (s4Off < 0) {
+      val len = java.nio.ByteBuffer.wrap(bytes, off, 4).getInt
+      if (bytes(off + 4) == 4) s4Off = off else off += len
+    }
+    val mut = bytes.clone()
+    mut(s4Off + 36) = 13.toByte // month octet 37 -> 13
+    val pBad = s"$dir/acc_bad.grib2"
+    Files.write(Paths.get(pBad), mut)
+    val e = intercept[IllegalArgumentException] { Grib2.scan(pBad) }
+    assert(e.getMessage.contains("interval end timestamp"), e.getMessage)
+  }
+
   test("reduced (quasi-regular) Gaussian grid: octahedral rows round-trip as flat values") {
     val dir = Files.createTempDirectory("graft_grib").toString
     // N=8 octahedral-style rule: 20 points at the polemost rows, +4 per
@@ -1191,6 +1267,95 @@ class GribSpec extends AnyFunSuite {
     Files.write(Paths.get(p3), mut2)
     val e2 = intercept[IllegalArgumentException] { Grib2.scan(p3) }
     assert(e2.getMessage.contains("quasi-regular"), e2.getMessage)
+  }
+
+  test("space view (3.90): full disk inverse-projects; forward identity; off-disk NaN") {
+    val dir = Files.createTempDirectory("graft_grib").toString
+    val nx = 33; val ny = 33
+    val (lop, nr) = (140.7, 6.6187) // Himawari-8 geometry
+    val (dx, dy) = (30, 30) // apparent diameter in grid lengths
+    val (xp, yp) = (16.0, 16.0)
+    // NaN the pixels outside the disk (ray misses the sphere) exactly
+    // as a real full-disk product bitmaps them
+    val app = 2.0 * math.asin(1.0 / nr)
+    def onDisk(i: Int, j: Int): Boolean = {
+      val a = (i - xp) * app / dx; val b = (yp - j) * app / dy
+      val cosab = math.cos(a) * math.cos(b)
+      nr * nr * cosab * cosab - nr * nr + 1.0 >= 0
+    }
+    val vals = Array.tabulate(nx * ny) { k =>
+      val (i, j) = (k % nx, k / nx)
+      if (onDisk(i, j)) 200.0 + (k % 41) / 10.0 else Double.NaN
+    }
+    val p = s"$dir/disk.grib2"
+    Grib2.writeSpaceView(p, vals, nx, ny, lop = lop, nr = nr,
+      dx = dx, dy = dy, xp = xp, yp = yp,
+      discipline = 3, category = 0, number = 0,
+      refTimeEpochSec = 1700000000L)
+    val m = Grib2.scan(p).head
+    assert(m.grid.template == 90)
+    val sv = m.grid.spaceView.get
+    assert(math.abs(sv.lop - lop) < 1e-6 && math.abs(sv.nr - nr) < 1e-6)
+    assert(sv.dx == 30 && sv.xp == 16.0 && sv.xo == 0)
+    val got = Grib2.decodeValues(p, m)
+    vals.indices.foreach(i => assert(
+      (vals(i).isNaN && got(i).isNaN) ||
+        math.abs(got(i) - vals(i)) <= 0.005 + 1e-9, s"point $i"))
+    val (lats, lons) = Grib2.latLonArrays(m.grid)
+    // fixed point: the sub-satellite pixel maps to exactly (0, lop)
+    val kSub = 16 * nx + 16
+    assert(math.abs(lats(kSub)) < 1e-9 &&
+      math.abs(lons(kSub) - normIn(lop)) < 1e-9)
+    // independent FORWARD identity: from each output (lat, lon), build
+    // the ground point on the unit sphere, aim a ray from the satellite
+    // S = (nr, 0, 0) at it, and recover the scan angles — they must be
+    // the grid's input angles (inverse and forward written separately)
+    for (j <- 0 until ny; i <- 0 until nx) {
+      val k = j * nx + i
+      if (!lats(k).isNaN) {
+        val phi = math.toRadians(lats(k))
+        val dLam = math.toRadians(lons(k) - lop)
+        val px = math.cos(phi) * math.cos(dLam)
+        val py = math.cos(phi) * math.sin(dLam)
+        val pz = math.sin(phi)
+        val vx = px - nr; val vy = py; val vz = pz
+        val aF = math.atan2(vy, -vx)
+        val bF = math.asin(vz / math.sqrt(vx * vx + vy * vy + vz * vz))
+        val aIn = (i - xp) * app / dx
+        val bIn = (yp - j) * app / dy
+        assert(math.abs(aF - aIn) < 1e-9, s"scan a at ($j,$i)")
+        assert(math.abs(bF - bIn) < 1e-9, s"scan b at ($j,$i)")
+      } else assert(!onDisk(i, j), s"NaN on-disk at ($j,$i)")
+    }
+    // local scale near nadir: one pixel step covers about
+    // (H - R)·step of ground arc (the vertical-perspective limit)
+    val gStep = math.toRadians(lons(kSub + 1) - lons(kSub))
+    val expect = (nr - 1.0) * app / dx
+    assert(math.abs(gStep - expect) / expect < 0.01,
+      s"near-nadir scale $gStep vs differential $expect")
+    // named errors: nonzero sub-satellite latitude, orthographic Nr
+    val bytes = Files.readAllBytes(Paths.get(p))
+    var off = 16; var s3Off = -1
+    while (s3Off < 0) {
+      val len = java.nio.ByteBuffer.wrap(bytes, off, 4).getInt
+      if (bytes(off + 4) == 3) s3Off = off else off += len
+    }
+    val mLap = bytes.clone()
+    mLap(s3Off + 41) = 1.toByte // Lap -> nonzero microdegrees
+    Files.write(Paths.get(s"$dir/lap.grib2"), mLap)
+    val e1 = intercept[IllegalArgumentException] {
+      Grib2.scan(s"$dir/lap.grib2") }
+    assert(e1.getMessage.contains("sub-satellite latitude"), e1.getMessage)
+    val mNr = bytes.clone()
+    (68 to 71).foreach(o => mNr(s3Off + o) = 0xFF.toByte) // Nr -> missing
+    Files.write(Paths.get(s"$dir/nr.grib2"), mNr)
+    val e2 = intercept[IllegalArgumentException] {
+      Grib2.scan(s"$dir/nr.grib2") }
+    assert(e2.getMessage.contains("orthographic"), e2.getMessage)
+  }
+
+  private def normIn(l: Double): Double = {
+    var v = l % 360.0; if (v < 0) v += 360.0; v
   }
 
   test("probability limits are sign-magnitude: negative threshold round-trips") {
