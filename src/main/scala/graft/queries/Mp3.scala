@@ -215,8 +215,14 @@ object Mp3 {
              id3v2Size: Int = -1, id3v1: Boolean = false,
              /** "xing"/"info"/"vbri": embed the VBR header in frame 0's
                * payload (frames/bytes fields = the stream's totals). */
-             vbrTag: String = "none"): Array[Byte] = {
+             vbrTag: String = "none",
+             /** 1 = Layer I (384 samples, 4-byte slots), 2 = Layer II,
+               * 3 = Layer III (the default web-corpus case). */
+             layer: Int = 3): Array[Byte] = {
     require(frames >= 1 && srIdx >= 0 && srIdx <= 2)
+    require(layer >= 1 && layer <= 3, s"layer $layer")
+    require(vbrTag == "none" || layer == 3,
+      "VBR headers are a Layer III convention in this encoder")
     require(vbrTag == "none" || vbrTag == "xing" || vbrTag == "info" ||
       vbrTag == "vbri", s"vbrTag $vbrTag")
     val bos = new java.io.ByteArrayOutputStream()
@@ -228,16 +234,27 @@ object Mp3 {
       (0 until id3v2Size).foreach(i => bos.write(i % 251))
     }
     val sr = if (mpeg1) SrV1(srIdx) else SrV2(srIdx)
+    def brOf(brIdx: Int): Int = 1000 * (layer match {
+      case 1 => if (mpeg1) BrV1L1(brIdx) else BrV2L1(brIdx)
+      case 2 => if (mpeg1) BrV1L2(brIdx) else BrV2L23(brIdx)
+      case _ => if (mpeg1) BrV1L3(brIdx) else BrV2L23(brIdx)
+    })
+    def lenOf(br: Int, pad: Int): Int = layer match {
+      case 1 => (12 * br / sr + pad) * 4 // Layer I: 4-byte slots
+      case 2 => 144 * br / sr + pad
+      case _ => (if (mpeg1) 144 * br / sr else 72 * br / sr) + pad
+    }
     var k = 0
     while (k < frames) {
       val brIdx = brIdxOf(k)
       require(brIdx >= 1 && brIdx <= 14, s"bitrate index $brIdx")
-      val br = 1000 * (if (mpeg1) BrV1L3(brIdx) else BrV2L23(brIdx))
+      val br = brOf(brIdx)
       val pad = k % 2
-      val len = (if (mpeg1) 144 * br / sr else 72 * br / sr) + pad
+      val len = lenOf(br, pad)
       bos.write(0xFF)
-      // sync(3) + version + layer(01 = III) + protection(1 = none)
-      bos.write(0xE0 | (if (mpeg1) 3 << 3 else 2 << 3) | (1 << 1) | 1)
+      // sync(3) + version + layer bits (4 - layer) + protection(1 = none)
+      bos.write(0xE0 | (if (mpeg1) 3 << 3 else 2 << 3) |
+        ((4 - layer) << 1) | 1)
       bos.write((brIdx << 4) | (srIdx << 2) | (pad << 1))
       bos.write(0x40) // joint stereo
       (4 until len).foreach(i => bos.write((k * 31 + i) % 253))

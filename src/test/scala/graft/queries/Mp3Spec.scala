@@ -95,6 +95,29 @@ class Mp3Spec extends AnyFunSuite {
     }
   }
 
+  test("Layer I and Layer II frame geometry (r15 fixtures for the existing decode paths)") {
+    // Layer II, MPEG1 at 48 kHz, index 9 = 160 kbps (Table B.1):
+    // frame = 144*160000/48000 = 480 (+pad); 1152 samples
+    val v2 = Mp3.index(Mp3.encode(20, mpeg1 = true, srIdx = 1, _ => 9,
+      layer = 2))
+    assert(v2.layer == 2 && v2.bitrateKbps == 160 && v2.sampleRate == 48000)
+    assert(v2.nBytes == 10L * 480 + 10L * 481)
+    assert(v2.durationMs == 20L * 1152 * 1000 / 48000)
+    // Layer I, MPEG1 at 44.1 kHz, index 9 = 288 kbps:
+    // frame = (12*288000/44100 + pad)*4 = 78*4 / 79*4; 384 samples
+    val v1 = Mp3.index(Mp3.encode(16, mpeg1 = true, srIdx = 0, _ => 9,
+      layer = 1))
+    assert(v1.layer == 1 && v1.bitrateKbps == 288)
+    assert(v1.nBytes == 8L * 312 + 8L * 316)
+    assert(v1.durationMs == 16L * 384 * 1000 / 44100)
+    // Layer II MPEG2 at 24 kHz shares the V2 L2/L3 table (index 9 = 80)
+    val v22 = Mp3.index(Mp3.encode(12, mpeg1 = false, srIdx = 1, _ => 9,
+      layer = 2))
+    assert(v22.layer == 2 && v22.bitrateKbps == 80 &&
+      v22.sampleRate == 24000)
+    assert(v22.nBytes == 6L * 480 + 6L * 481)
+  }
+
   test("Xing/Info/VBRI headers parse and their totals are ENFORCED against the walk") {
     // Xing on a VBR stream
     val xing = Mp3.encode(25, mpeg1 = true, srIdx = 0, k => 1 + (k % 3),
