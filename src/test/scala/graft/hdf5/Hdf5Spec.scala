@@ -1284,6 +1284,41 @@ class Hdf5Spec extends AnyFunSuite {
       chunks = Map("foo" -> Vector(1, 3, 2), "bar" -> Vector(4, 3, 2)),
       chunkIndexV4 = Map("foo" -> 4, "bar" -> 4))
     assert(HDF5.read(p2).sameAs(f), "libhdf5-default params")
+    // a HOLE in the index (undefined chunk address — the shape a
+    // partially-written appendable dataset leaves) reads as the fill
+    // default, not as garbage or a crash: blank bar's first INLINE
+    // index-block entry and re-seal the block's checksum. The first
+    // EAIB in the file is bar's (alphabetical allocation order), its
+    // entry 0 is bar's chunk 0 — the 4x3x2 block covering flat
+    // indices 0..23.
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(p2))
+    var at = -1; var i2 = 0
+    while (at < 0 && i2 + 4 < bytes.length) {
+      if (bytes(i2) == 'E' && bytes(i2 + 1) == 'A' &&
+          bytes(i2 + 2) == 'I' && bytes(i2 + 3) == 'B') at = i2
+      else i2 += 1
+    }
+    assert(at > 0, "EAIB not found")
+    // iblock length for the default params: 14 + 4 inline 8-byte
+    // entries + (6 dblk + 25 sblk) pointers + checksum
+    val ibLen = 14 + 4 * 8 + 31 * 8 + 4
+    val mut = bytes.clone()
+    (0 until 8).foreach(k => mut(at + 14 + k) = 0xFF.toByte)
+    java.nio.ByteBuffer.wrap(mut).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(at + ibLen - 4, HDF5Writer.lookup3(
+        java.util.Arrays.copyOfRange(mut, at, at + ibLen - 4)))
+    val pHole = s"$dir/v4ea_hole.nc"
+    Files.write(java.nio.file.Paths.get(pHole), mut)
+    val holed = HDF5.read(pHole)
+    val hb = holed.dataVars("bar").data.data.asInstanceOf[Array[Int]]
+    val ob = f.dataVars("bar").data.data.asInstanceOf[Array[Int]]
+    assert((0 until 24).forall(hb(_) == 0),
+      s"hole must read as the fill default, got ${hb.take(3).toVector}")
+    assert((24 until hb.length).forall(k => hb(k) == ob(k)),
+      "data beyond the holed chunk must be intact")
+    assert(holed.dataVars("foo").data.data.asInstanceOf[Array[Double]]
+      .sameElements(f.dataVars("foo").data.data.asInstanceOf[Array[Double]]),
+      "the other variable must be untouched")
   }
 
   // --------------------------------- enum / compound / array datatypes (r14)
