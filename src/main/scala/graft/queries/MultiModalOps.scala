@@ -2670,7 +2670,154 @@ object MultiModalOps {
       |    ELSE -1 END AS BIGINT) AS vbr_bytes
       |FROM flen GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m16
+
+  /** m16: REAL TIFF/GeoTIFF decode (r15 — the raster twin of m14's
+    * JPEG and m15's MP3 stages; GeoTIFF is what the reference's users
+    * feed xarray through rioxarray): each doc carries a synthesized
+    * TIFF — classic and BigTIFF, both byte orders, strip and tile
+    * layouts, None/LZW/Deflate/PackBits compression, predictor 2,
+    * 8/16-bit gray and RGB, GeoTIFF pixel-scale/tiepoint/EPSG keys —
+    * and the kernel genuinely WALKS it through [[Tiff.decode]]: IFD
+    * parse, segment decompression, predictor undo, pixel assembly.
+    * The oracle recomputes every column — including the PIXEL SUM over
+    * the whole raster — from the synthesis formulas; one wrong LZW
+    * width bump or predictor pass splits the hash.
+    *
+    * Scale shape: map-only, like the other media decoders. */
+  def m16TiffDecode(s: SparkSession, d: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("byte_order", StringType, nullable = false),
+      StructField("compression", IntegerType, nullable = false),
+      StructField("predictor", IntegerType, nullable = false),
+      StructField("layout", StringType, nullable = false),
+      StructField("n_segments", IntegerType, nullable = false),
+      StructField("bits", IntegerType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("px_sum", LongType, nullable = false),
+      StructField("tl_px", IntegerType, nullable = false),
+      StructField("br_px", IntegerType, nullable = false),
+      StructField("model_type", IntegerType, nullable = false),
+      StructField("epsg", IntegerType, nullable = false),
+      StructField("scale_micro", LongType, nullable = false),
+      StructField("lon0_milli", LongType, nullable = false),
+      StructField("lat0_milli", LongType, nullable = false),
+      StructField("big_tiff", IntegerType, nullable = false)))
+    documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val v = Tiff.decode(tiffBytes(id))
+          var sum = 0L
+          var i = 0
+          while (i < v.pixels.length) { sum += v.pixels(i); i += 1 }
+          Row(id, v.width, v.height, if (v.littleEndian) "II" else "MM",
+            v.compression, v.predictor, if (v.tiled) "tile" else "strip",
+            v.nSegments, v.bits, v.samples, sum,
+            v.pixels(0), v.pixels(v.pixels.length - 1),
+            v.modelType, v.epsg,
+            math.round(v.scaleX * 1e6),
+            math.round(v.tieX * 1e3), math.round(v.tieY * 1e3),
+            if (v.bigTiff) 1 else 0)
+        }
+      }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+      .orderBy("doc_id")
+  }
+
+  /** m16 synthesis (pure functions of doc_id — the oracle's closed
+    * form): w = 24+8(id%5), h = 16+8(id%3); little-endian iff even;
+    * RGB iff id ≡ 2 mod 4; 16-bit gray iff id ≡ 3 mod 6 (disjoint from
+    * RGB); 16x16 tiles iff id ≡ 0 mod 3 else 7-row strips (short last
+    * strip); compression cycles None/LZW/Deflate/PackBits/LZW+pred2
+    * on id%5; BigTIFF iff id ≡ 7 mod 8; projected (EPSG:32633) iff
+    * id ≡ 0 mod 7 else geographic (EPSG:4326); pixel scale
+    * 0.25(1+id%4) degrees, tiepoint (-180+id%360, 90-id%180);
+    * px(x,y,c) = (7x+13y+17id+41c) mod 256, times 257 when 16-bit. */
+  private[graft] def tiffBytes(docId: Long): Array[Byte] = {
+    val w = (24 + (docId % 5) * 8).toInt
+    val h = (16 + (docId % 3) * 8).toInt
+    val rgb = docId % 4 == 2
+    val bits = if (docId % 6 == 3) 16 else 8
+    val (comp, pred) = (docId % 5) match {
+      case 0 => (1, 1)
+      case 1 => (5, 1)
+      case 2 => (8, 1)
+      case 3 => (32773, 1)
+      case _ => (5, 2)
+    }
+    val geographic = docId % 7 != 0
+    Tiff.encode(w, h, bits, if (rgb) 3 else 1,
+      littleEndian = docId % 2 == 0, comp, pred,
+      tile = if (docId % 3 == 0) Some((16, 16)) else None,
+      rowsPerStrip = 7, bigTiff = docId % 8 == 7,
+      px = (x, y, c) => {
+        val v = ((x * 7 + y * 13 + docId * 17 + c * 41) % 256).toInt
+        if (bits == 16) v * 257 else v
+      },
+      geo = Some(Tiff.Geo(
+        0.25 * (1 + docId % 4), 0.25 * (1 + docId % 4),
+        (-180 + docId % 360).toDouble, (90 - docId % 180).toDouble,
+        if (geographic) 4326 else 32633, geographic)))
+  }
+
+  val m16Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    24 + (doc_id % 5) * 8 AS w,
+      |    16 + (doc_id % 3) * 8 AS h,
+      |    (doc_id % 4 = 2) AS rgb,
+      |    (doc_id % 6 = 3) AS b16
+      |  FROM documents
+      |), cell AS (
+      |  SELECT doc_id, w, h, rgb, b16,
+      |    (i % w) * 7 + (i // w) * 13 + doc_id * 17 AS base
+      |  FROM (SELECT doc_id, w, h, rgb, b16, unnest(range(0, w * h)) AS i
+      |        FROM p)
+      |)
+      |SELECT doc_id,
+      |  CAST(max(w) AS INTEGER) AS width,
+      |  CAST(max(h) AS INTEGER) AS height,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+      |  CAST(CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 5 WHEN 2 THEN 8
+      |       WHEN 3 THEN 32773 ELSE 5 END AS INTEGER) AS compression,
+      |  CAST(CASE WHEN doc_id % 5 = 4 THEN 2 ELSE 1 END AS INTEGER)
+      |    AS predictor,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'tile' ELSE 'strip' END AS layout,
+      |  CAST(CASE WHEN doc_id % 3 = 0
+      |    THEN ((max(w) + 15) // 16) * ((max(h) + 15) // 16)
+      |    ELSE (max(h) + 6) // 7 END AS INTEGER) AS n_segments,
+      |  CAST(CASE WHEN doc_id % 6 = 3 THEN 16 ELSE 8 END AS INTEGER) AS bits,
+      |  CAST(CASE WHEN doc_id % 4 = 2 THEN 3 ELSE 1 END AS INTEGER)
+      |    AS n_samples,
+      |  CAST(SUM(CASE
+      |    WHEN rgb THEN base % 256 + (base + 41) % 256 + (base + 82) % 256
+      |    WHEN b16 THEN 257 * (base % 256)
+      |    ELSE base % 256 END) AS BIGINT) AS px_sum,
+      |  CAST(CASE WHEN doc_id % 6 = 3 THEN 257 * ((doc_id * 17) % 256)
+      |       ELSE (doc_id * 17) % 256 END AS INTEGER) AS tl_px,
+      |  CAST(CASE
+      |    WHEN doc_id % 4 = 2 THEN
+      |      ((max(w) - 1) * 7 + (max(h) - 1) * 13 + doc_id * 17 + 82) % 256
+      |    WHEN doc_id % 6 = 3 THEN
+      |      257 * (((max(w) - 1) * 7 + (max(h) - 1) * 13 + doc_id * 17) % 256)
+      |    ELSE ((max(w) - 1) * 7 + (max(h) - 1) * 13 + doc_id * 17) % 256
+      |    END AS INTEGER) AS br_px,
+      |  CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 2 END AS INTEGER)
+      |    AS model_type,
+      |  CAST(CASE WHEN doc_id % 7 = 0 THEN 32633 ELSE 4326 END AS INTEGER)
+      |    AS epsg,
+      |  CAST(250000 * (1 + doc_id % 4) AS BIGINT) AS scale_micro,
+      |  CAST((-180 + doc_id % 360) * 1000 AS BIGINT) AS lon0_milli,
+      |  CAST((90 - doc_id % 180) * 1000 AS BIGINT) AS lat0_milli,
+      |  CAST(CASE WHEN doc_id % 8 = 7 THEN 1 ELSE 0 END AS INTEGER)
+      |    AS big_tiff
+      |FROM cell GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m16_tiff_decode" -> m16TiffDecode _,
     "m15_mp3_index" -> m15Mp3Index _,
     "m14_jpeg_decode" -> m14JpegDecode _,
     "m13_media_probe" -> m13MediaProbe _,
@@ -2689,6 +2836,7 @@ object MultiModalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "m16_tiff_decode" -> m16Sql,
     "m15_mp3_index" -> m15Sql,
     "m14_jpeg_decode" -> m14Sql,
     "m13_media_probe" -> m13Sql,
