@@ -13,6 +13,7 @@ object SparkEntry {
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       CubeOps.queries ++ BakeOps.queries ++ NetcdfOps.queries ++ Hdf5Ops.queries ++
       GribOps.queries ++ DapOps.queries ++ ZarrV2Ops.queries ++
+      GeotiffOps.queries ++
       TextOps.queries ++ SelectionOps.queries ++ RetrievalOps.queries ++
       DedupOps.queries ++ DedupOps2.queries ++
       SimilarityOps.queries ++ ClusterOps.queries ++
@@ -24,7 +25,7 @@ object SparkEntry {
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++
       CubeOps.oracles ++ BakeOps.oracles ++ NetcdfOps.oracles ++
       Hdf5Ops.oracles ++ GribOps.oracles ++ DapOps.oracles ++
-      ZarrV2Ops.oracles ++
+      ZarrV2Ops.oracles ++ GeotiffOps.oracles ++
       TextOps.oracles ++ SelectionOps.oracles ++ RetrievalOps.oracles ++
       DedupOps.oracles ++ DedupOps2.oracles ++
       SimilarityOps.oracles ++ ClusterOps.oracles ++

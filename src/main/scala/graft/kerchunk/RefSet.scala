@@ -363,6 +363,101 @@ object RefSet {
     }
   }
 
+  /** kerchunk.tiff analog: map a GeoTIFF's strips/tiles to zarr chunk
+    * refs — TIFF segments ARE zarr chunks of a (y, x) array. Tiles are
+    * uniform and edge-padded exactly like zarr edge chunks; strips map
+    * to (rowsPerStrip, w) chunks when the height divides evenly.
+    * Uncompressed segments become raw byte-range refs; zlib-Deflate
+    * segments carry the store's zlib codec and inflate in place at
+    * read. Everything else is rejected BY NAME at scan time —
+    * LZW/PackBits (no zarr codec), predictor 2 (no zarr transform),
+    * short last strips (zarr edge chunks store FULL chunks; a short
+    * TIFF strip does not), interleaved RGB (no band-major chunk-ref
+    * representation) — and Tiff.read decodes all of them directly.
+    * Pixel-center x/y coordinate arrays are generated INLINE from the
+    * GeoTIFF transform, so the virtual store reproduces Tiff.read's
+    * fragment exactly (both entry points agree, the scanHdf5 contract).
+    * Header-only: reads the header, IFD and tag arrays — never a
+    * segment byte. */
+  def scanTiff(path: String, inlineThreshold: Int = 300): RefSet = {
+    import graft.core.{AttrValue, DType}
+    import graft.tiff.Tiff
+    import graft.zarr.ZarrStore
+    val ch = Files.newByteChannel(Paths.get(path), StandardOpenOption.READ)
+    val layout =
+      try {
+        val size = ch.size()
+        Tiff.scanLayout((off, len) => {
+          ch.position(off)
+          val buf = java.nio.ByteBuffer.allocate(len)
+          while (buf.hasRemaining && ch.read(buf) >= 0) {}
+          require(!buf.hasRemaining, s"short read of $path at $off")
+          buf.array()
+        }, size)
+      } finally ch.close()
+    require(layout.samples == 1,
+      s"scanTiff: interleaved RGB has no band-major chunk-ref " +
+        "representation; decode via Tiff.read")
+    require(layout.predictor == 1,
+      "scanTiff: predictor 2 differencing has no zarr transform; " +
+        "decode via Tiff.read")
+    val zlib = layout.compression match {
+      case 1 => None
+      case 8 | 32946 => Some(6)
+      case other => throw new UnsupportedOperationException(
+        s"scanTiff: TIFF compression $other has no zarr codec " +
+          "(only uncompressed and Deflate refs are representable); " +
+          "decode via Tiff.read")
+    }
+    val (w, h) = (layout.width, layout.height)
+    require(layout.tiled || h % layout.segH == 0,
+      s"scanTiff: $h rows in ${layout.segH}-row strips leaves a SHORT " +
+        "last strip — zarr edge chunks store full chunks; decode via Tiff.read")
+    val bytesPer = layout.bits / 8
+    if (layout.compression == 1) layout.segOffsets.indices.foreach { s =>
+      require(layout.segCounts(s) ==
+        layout.segW.toLong * layout.segH * bytesPer,
+        s"scanTiff: uncompressed segment $s has ${layout.segCounts(s)} " +
+          s"bytes, expected ${layout.segW.toLong * layout.segH * bytesPer}")
+    }
+    val dtype = if (layout.bits == 8) DType.U1 else DType.U2
+    val geo = !layout.scaleX.isNaN && !layout.tieX.isNaN
+    var out = Map.empty[String, Ref]
+    val gattrs: graft.core.Attrs.Attrs =
+      if (layout.epsg > 0) Map("crs" -> AttrValue(s"EPSG:${layout.epsg}"))
+      else Map.empty
+    out += "zarr.json" -> Ref.inline(ZarrStore.groupMetaDoc(gattrs))
+    out += "band_data/zarr.json" -> Ref.inline(ZarrStore.arrayMetaDoc(
+      Vector(h, w), Vector(layout.segH, layout.segW), dtype,
+      Map.empty, dimensionNames = Some(Vector("y", "x")),
+      bigEndian = !layout.littleEndian, zlibLevel = zlib))
+    val across = (w + layout.segW - 1) / layout.segW
+    layout.segOffsets.indices.foreach { s =>
+      val key =
+        if (layout.tiled) s"band_data/c/${s / across}/${s % across}"
+        else s"band_data/c/$s/0"
+      val ptr = Ref.pointer(path, layout.segOffsets(s), layout.segCounts(s))
+      out += key -> (if (layout.segCounts(s) <= inlineThreshold)
+        Ref.inline(ptr.resolve()) else ptr)
+    }
+    // pixel-center coordinates, generated inline (kerchunk's
+    // generate_coords): identical arithmetic to Tiff.readFragment
+    def coordRef(name: String, n: Int, at: Int => Double): Unit = {
+      out += s"$name/zarr.json" -> Ref.inline(ZarrStore.arrayMetaDoc(
+        Vector(n), Vector(n), DType.F8, Map.empty,
+        dimensionNames = Some(Vector(name))))
+      val bb = java.nio.ByteBuffer.allocate(8 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until n).foreach(i => bb.putDouble(at(i)))
+      out += s"$name/c/0" -> Ref.inline(bb.array())
+    }
+    coordRef("x", w, i => if (geo) layout.tieX + (i + 0.5) * layout.scaleX
+                          else i + 0.5)
+    coordRef("y", h, j => if (geo) layout.tieY - (j + 0.5) * layout.scaleY
+                          else j + 0.5)
+    RefSet(out)
+  }
+
   private def parseMeta(rs: RefSet, key: String): ObjectNode =
     mapper.readTree(rs(key).resolve()).asInstanceOf[ObjectNode]
 

@@ -25,9 +25,13 @@ final case class MergeDim(name: String, keys: Vector[String]) extends CombineDim
   val operation: CombineOp.Value = CombineOp.Merge
 }
 
-/** FileType registry (patterns.py:92-99). */
+/** FileType registry (patterns.py:92-99). Parquet and Tiff extend the
+  * reference enum: the long-view source, and the rasterio/GeoTIFF input
+  * family the reference reaches through xarray's engine dispatch
+  * (docs/composition/styles.md:8-9). */
 object FileType extends Enumeration {
-  val Grib, Kerchunk, Netcdf3, Netcdf4, Opendap, Unknown, Zarr, Parquet = Value
+  val Grib, Kerchunk, Netcdf3, Netcdf4, Opendap, Unknown, Zarr, Parquet,
+    Tiff = Value
 }
 
 final case class FilePattern(

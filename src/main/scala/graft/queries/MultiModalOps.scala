@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.tiff.Tiff
 
 /** Multimodal-column operators: binary payloads + typed metadata, decode /
   * resize / frame-sample / feature-extract stages over batched

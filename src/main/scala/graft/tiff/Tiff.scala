@@ -1,4 +1,4 @@
-package graft.queries
+package graft.tiff
 
 import java.util.zip.{Deflater, Inflater}
 
@@ -467,7 +467,7 @@ object Tiff {
   private val LzwFirst = 258
   private val LzwMax = 4096
 
-  private[queries] def lzwDecode(in: Array[Byte], want: Int): Array[Byte] = {
+  private[graft] def lzwDecode(in: Array[Byte], want: Int): Array[Byte] = {
     val out = new Array[Byte](want)
     var outAt = 0
     // table: per code, (prefix code, final byte, length)
@@ -553,7 +553,7 @@ object Tiff {
     out
   }
 
-  private[queries] def lzwEncode(in: Array[Byte]): Array[Byte] = {
+  private[graft] def lzwEncode(in: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(in.length / 2 + 16)
     var cur = 0
     var curBits = 0
@@ -611,7 +611,7 @@ object Tiff {
 
   // ---------------------------------------------------------- PackBits
 
-  private[queries] def packBitsDecode(in: Array[Byte], want: Int): Array[Byte] = {
+  private[graft] def packBitsDecode(in: Array[Byte], want: Int): Array[Byte] = {
     val out = new Array[Byte](want)
     var (i, o) = (0, 0)
     while (o < want) {
@@ -900,5 +900,282 @@ object Tiff {
     }
     // next-IFD pointer is the zero bytes already at the tail
     out
+  }
+
+  // --------------------------------------------------- fragment reader
+
+  /** Open a GeoTIFF as an engine Fragment, rioxarray-style (the
+    * reference names "via rasterio, GeoTIFF and other geospatial raster
+    * formats" as an input family — docs/composition/styles.md:8-9):
+    * dims (y, x) for a single band, (band, y, x) for RGB; x/y coords
+    * are PIXEL CENTERS from the GeoTIFF affine transform — the
+    * ModelTiepoint is the outer corner of pixel (0,0) under the
+    * RasterPixelIsArea convention, so x_i = tieX + (i+0.5)·scaleX and
+    * y_j = tieY − (j+0.5)·scaleY (north-up, y descending, exactly
+    * rasterio's `transform * (col+0.5, row+0.5)`); without geo tags the
+    * identity transform yields 0.5-offset pixel indices (y ascending).
+    * The CRS surfaces as a global `crs` attr ("EPSG:nnnn"). Sample
+    * dtype maps width-for-width (uint8/uint16), like every other
+    * opener's narrow-dtype contract. */
+  def readFragment(bytes: Array[Byte]): graft.core.Fragment = {
+    import graft.core._
+    val img = decode(bytes)
+    val (w, h, s) = (img.width, img.height, img.samples)
+    val geo = !img.scaleX.isNaN && !img.tieX.isNaN
+    val xs = Array.tabulate(w)(i =>
+      if (geo) img.tieX + (i + 0.5) * img.scaleX else i + 0.5)
+    val ys = Array.tabulate(h)(j =>
+      if (geo) img.tieY - (j + 0.5) * img.scaleY else j + 0.5)
+    val dtype = if (img.bits == 8) DType.U1 else DType.U2
+    val n = w * h * s
+    val data: AnyRef =
+      if (img.bits == 8) {
+        val a = new Array[Byte](n)
+        if (s == 1) { var i = 0; while (i < n) { a(i) = img.pixels(i).toByte; i += 1 } }
+        else {
+          // interleaved (y,x,band) -> band-major (band,y,x), the
+          // rioxarray/rasterio axis order
+          var i = 0
+          while (i < w * h) {
+            var b = 0
+            while (b < s) { a(b * w * h + i) = img.pixels(i * s + b).toByte; b += 1 }
+            i += 1
+          }
+        }
+        a
+      } else {
+        val a = new Array[Short](n)
+        if (s == 1) { var i = 0; while (i < n) { a(i) = img.pixels(i).toShort; i += 1 } }
+        else {
+          var i = 0
+          while (i < w * h) {
+            var b = 0
+            while (b < s) { a(b * w * h + i) = img.pixels(i * s + b).toShort; b += 1 }
+            i += 1
+          }
+        }
+        a
+      }
+    val dims0 =
+      if (s == 1) Map("y" -> h, "x" -> w)
+      else Map("band" -> s, "y" -> h, "x" -> w)
+    val varDims = if (s == 1) Vector("y", "x") else Vector("band", "y", "x")
+    val shape = if (s == 1) Vector(h, w) else Vector(s, h, w)
+    val coords0 = Map(
+      "x" -> Variable(Vector("x"), NDArray(DType.F8, Vector(w), xs)),
+      "y" -> Variable(Vector("y"), NDArray(DType.F8, Vector(h), ys))) ++
+      (if (s == 1) Map.empty[String, Variable]
+       else Map("band" -> Variable(Vector("band"),
+         NDArray(DType.I4, Vector(s), Array.tabulate(s)(_ + 1)))))
+    val gattrs: Attrs.Attrs =
+      if (img.epsg > 0) Map("crs" -> AttrValue(s"EPSG:${img.epsg}"))
+      else Map.empty
+    Fragment(
+      dims = dims0,
+      coords = coords0,
+      dataVars = Map("band_data" ->
+        Variable(varDims, NDArray(dtype, shape, data))),
+      attrs = gattrs)
+  }
+
+  /** File path form of [[readFragment]] — the opener-engine entry. */
+  def read(path: String): graft.core.Fragment =
+    readFragment(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)))
+
+  // --------------------------------------------------- header-only scan
+
+  /** Structural facts a chunk-ref mapping needs — everything but the
+    * pixels. Geo fields NaN / -1 when absent. */
+  final case class Layout(width: Int, height: Int, bits: Int, samples: Int,
+      littleEndian: Boolean, bigTiff: Boolean, compression: Int,
+      predictor: Int, tiled: Boolean, segW: Int, segH: Int,
+      segOffsets: Array[Long], segCounts: Array[Long],
+      scaleX: Double = Double.NaN, scaleY: Double = Double.NaN,
+      tieX: Double = Double.NaN, tieY: Double = Double.NaN,
+      epsg: Int = -1)
+
+  /** Header-only layout scan over a positioned reader (the kerchunk
+    * scanner's entry): parses the header, the first IFD, and the tag
+    * arrays — never a segment byte. `pread(off, len)` must return
+    * exactly `len` bytes. Shares [[decode]]'s bounds discipline: every
+    * offset/count is checked against `fileSize` and the fixed caps
+    * before any read or allocation. */
+  def scanLayout(pread: (Long, Int) => Array[Byte], fileSize: Long): Layout = {
+    require(fileSize >= 8, "not a TIFF file (too short)")
+    val head = pread(0, 16.min(fileSize.toInt))
+    val le = (head(0), head(1)) match {
+      case ('I', 'I') => true
+      case ('M', 'M') => false
+      case _ => throw new IllegalArgumentException(
+        "not a TIFF file (bad byte-order mark)")
+    }
+    val hr = new R(head, le)
+    val bigTiff = hr.u16(2) match {
+      case 42 => false
+      case 43 => true
+      case other => throw new IllegalArgumentException(
+        s"not a TIFF file (magic $other)")
+    }
+    val ifdOff =
+      if (!bigTiff) hr.u32(4)
+      else {
+        require(head.length >= 16, "corrupt TIFF: truncated BigTIFF header")
+        require(hr.u16(4) == 8, "corrupt TIFF: BigTIFF offset size must be 8")
+        require(hr.u16(6) == 0, "corrupt TIFF: BigTIFF header pad must be 0")
+        hr.u64(8)
+      }
+    val countLen = if (bigTiff) 8 else 2
+    require(ifdOff >= 8 && ifdOff + countLen <= fileSize,
+      s"corrupt TIFF: IFD offset $ifdOff")
+    val cnt = new R(pread(ifdOff, countLen), le)
+    val nEntries = if (bigTiff) cnt.u64(0) else cnt.u16(0).toLong
+    require(nEntries >= 1 && nEntries <= 512,
+      s"corrupt TIFF: IFD entry count $nEntries")
+    val entrySize = if (bigTiff) 20 else 12
+    val inlineCap = if (bigTiff) 8 else 4
+    require(ifdOff + countLen + nEntries * entrySize <= fileSize,
+      "corrupt TIFF: IFD runs past EOF")
+    val block = pread(ifdOff + countLen, (nEntries * entrySize).toInt)
+    val br = new R(block, le)
+    // tag -> (type, count, value bytes + reader positioned at 0)
+    var vals = Map.empty[Int, (Int, Long, R)]
+    var prevTag = -1
+    var i = 0L
+    while (i < nEntries) {
+      val at = i * entrySize
+      val tag = br.u16(at)
+      val tpe = br.u16(at + 2)
+      val count = if (bigTiff) br.u64(at + 4) else br.u32(at + 4)
+      require(count >= 0 && count <= Int.MaxValue,
+        s"corrupt TIFF: tag $tag count $count")
+      require(tag > prevTag, s"corrupt TIFF: IFD tags not ascending at tag $tag")
+      prevTag = tag
+      val tsz = typeSize(tpe)
+      if (tsz > 0) {
+        val byteLen = count * tsz
+        require(byteLen <= (MaxSegments.toLong * 8),
+          s"corrupt TIFF: tag $tag values of $byteLen bytes")
+        val vAt = at + (if (bigTiff) 12 else 8)
+        val bytes =
+          if (byteLen <= inlineCap)
+            java.util.Arrays.copyOfRange(block, vAt.toInt, vAt.toInt + inlineCap)
+          else {
+            val off = if (bigTiff) br.u64(vAt) else br.u32(vAt)
+            require(off >= 8 && off + byteLen <= fileSize,
+              s"corrupt TIFF: tag $tag values at $off run past EOF")
+            pread(off, byteLen.toInt)
+          }
+        vals += tag -> ((tpe, count, new R(bytes, le)))
+      }
+      i += 1
+    }
+    def longsOf(tag: Int): Option[Array[Long]] = vals.get(tag).map {
+      case (tpe, count, r) =>
+        val n = count.toInt
+        Array.tabulate(n) { k =>
+          tpe match {
+            case 1 | 7 => (r.b(k) & 0xFF).toLong
+            case 3 => r.u16(k * 2L).toLong
+            case 4 => r.u32(k * 4L)
+            case 16 => r.u64(k * 8L)
+            case other => throw new IllegalArgumentException(
+              s"TIFF tag $tag: integer field type $other not supported")
+          }
+        }
+    }
+    def one(tag: Int, dflt: Long = -1L): Long =
+      longsOf(tag).map { v =>
+        require(v.nonEmpty, s"corrupt TIFF: tag $tag has no value")
+        v(0)
+      }.getOrElse(dflt)
+    def doublesOf(tag: Int): Option[Array[Double]] = vals.get(tag).map {
+      case (tpe, count, r) =>
+        require(tpe == 12, s"TIFF tag $tag: expected DOUBLE, got type $tpe")
+        require(count <= 64, s"corrupt TIFF: tag $tag count $count")
+        Array.tabulate(count.toInt) { k =>
+          var bits = 0L
+          var j = 0
+          while (j < 8) {
+            val byte = r.b(k * 8 + j) & 0xFFL
+            bits |= (if (le) byte << (8 * j) else byte << (8 * (7 - j)))
+            j += 1
+          }
+          java.lang.Double.longBitsToDouble(bits)
+        }
+    }
+    val w = one(TImageWidth)
+    val h = one(TImageLength)
+    require(w >= 1 && w <= MaxDim && h >= 1 && h <= MaxDim,
+      s"corrupt TIFF: image dimensions ${w}x$h")
+    val samples = one(TSamplesPerPixel, 1L).toInt
+    require(samples == 1 || samples == 3,
+      s"TIFF SamplesPerPixel $samples not supported")
+    val bitsArr = longsOf(TBitsPerSample).getOrElse(Array(1L))
+    require(bitsArr.nonEmpty && bitsArr.forall(_ == bitsArr(0)),
+      "TIFF mixed per-channel bit depths not supported")
+    val bits = bitsArr(0).toInt
+    require(bits == 8 || bits == 16, s"TIFF BitsPerSample $bits not supported")
+    val comp = one(TCompression, 1L).toInt
+    require(comp == 1 || comp == 5 || comp == 8 || comp == 32946 || comp == 32773,
+      s"TIFF compression $comp not supported")
+    val predictor = one(TPredictor, 1L).toInt
+    require(one(TPlanarConfig, 1L) == 1L,
+      "TIFF planar configuration 2 not supported")
+    val tiled = vals.contains(TTileOffsets)
+    def need(tag: Int, name: String): Array[Long] =
+      longsOf(tag).getOrElse(throw new IllegalArgumentException(
+        s"corrupt TIFF: required tag $name ($tag) missing"))
+    val (offs, cnts, segW, segH) =
+      if (tiled) {
+        val tw = one(TTileWidth)
+        val th = one(TTileLength)
+        require(tw >= 16 && th >= 16 && tw % 16 == 0 && th % 16 == 0 &&
+          tw <= MaxDim && th <= MaxDim, s"corrupt TIFF: tile size ${tw}x$th")
+        val o = need(TTileOffsets, "TileOffsets")
+        val c = need(TTileByteCounts, "TileByteCounts")
+        val n = ((w + tw - 1) / tw) * ((h + th - 1) / th)
+        require(o.length == n && c.length == o.length,
+          s"corrupt TIFF: ${o.length} tiles, expected $n")
+        (o, c, tw.toInt, th.toInt)
+      } else {
+        val rps = one(TRowsPerStrip, h)
+        require(rps >= 1 && rps <= MaxDim, s"corrupt TIFF: RowsPerStrip $rps")
+        val o = need(TStripOffsets, "StripOffsets")
+        val c = need(TStripByteCounts, "StripByteCounts")
+        val n = ((h + rps - 1) / rps).toInt
+        require(o.length == n && c.length == n,
+          s"corrupt TIFF: ${o.length} strips, expected $n")
+        (o, c, w.toInt, rps.toInt)
+      }
+    offs.indices.foreach { s =>
+      require(offs(s) >= 8 && cnts(s) >= 0 && offs(s) + cnts(s) <= fileSize,
+        s"corrupt TIFF: segment $s at ${offs(s)}+${cnts(s)} runs past EOF")
+    }
+    var (sx, sy, tx, ty) = (Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+    doublesOf(TModelPixelScale).foreach { d =>
+      require(d.length >= 2, "corrupt TIFF: ModelPixelScale needs 3 doubles")
+      sx = d(0); sy = d(1)
+    }
+    doublesOf(TModelTiepoint).foreach { d =>
+      require(d.length >= 6, "corrupt TIFF: ModelTiepoint needs 6 doubles")
+      tx = d(3); ty = d(4)
+    }
+    var epsg = -1
+    longsOf(TGeoKeyDirectory).foreach { ks =>
+      require(ks.length >= 4 && ks(0) == 1,
+        "corrupt TIFF: GeoKeyDirectory version must be 1")
+      val nk = ks(3).toInt
+      require(ks.length >= 4 * (1 + nk), "corrupt TIFF: GeoKeyDirectory truncated")
+      var k = 0
+      while (k < nk) {
+        val (id, loc, v) = (ks(4 + 4 * k).toInt, ks(5 + 4 * k).toInt,
+          ks(7 + 4 * k).toInt)
+        if (loc == 0 && (id == 2048 || id == 3072)) epsg = v
+        k += 1
+      }
+    }
+    Layout(w.toInt, h.toInt, bits, samples, le, bigTiff, comp, predictor,
+      tiled, segW, segH, offs, cnts, sx, sy, tx, ty, epsg)
   }
 }

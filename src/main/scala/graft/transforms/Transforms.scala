@@ -93,10 +93,11 @@ object Pipelines {
                 "not representable as chunk refs even after filtering")
           }
           RefSet.scanGrib2Messages(url, kept)
+        case FileType.Tiff => Vector(RefSet.scanTiff(url, inlineThreshold))
         case other => throw new IllegalArgumentException(
           s"OpenWithKerchunk: no reference scanner for file type $other " +
             "(kerchunk requires a random-access container: zarr, netcdf3, " +
-            "netcdf4/hdf5, or grib)")
+            "netcdf4/hdf5, grib, or tiff)")
       }
       (idx, refs)
     }(Encoders.kryo[(Index, Vector[graft.kerchunk.RefSet])])
@@ -465,7 +466,10 @@ object Openers {
     FileType.Netcdf4 -> "h5netcdf",
     FileType.Opendap -> "netcdf4",
     FileType.Zarr -> "zarr",
-    FileType.Parquet -> "parquet-long-view")
+    FileType.Parquet -> "parquet-long-view",
+    // the rioxarray/rasterio path for GeoTIFF rasters — the input
+    // family docs/composition/styles.md:8-9 names beyond OPENER_MAP
+    FileType.Tiff -> "rasterio")
 
   /** Registered decoders, all pure-JVM: zarr (our store reader), scipy
     * (NetCDF3 classic, graft.netcdf.NetCDF3), h5netcdf (netCDF-4/HDF5,
@@ -504,7 +508,11 @@ object Openers {
       else if (url.startsWith("dap4s://"))
         graft.dap.Dap4.read("https://" + url.stripPrefix("dap4s://"))
       else graft.dap.Dap2.read(url)
-    })
+    },
+    // GeoTIFF/TIFF rasters via the pure-JVM codec (graft.tiff.Tiff):
+    // rioxarray-shaped fragments — band_data(y,x)/(band,y,x), pixel-
+    // center x/y coords from the affine transform, EPSG as a crs attr
+    "rasterio" -> (url => graft.tiff.Tiff.read(url)))
 
   /** _set_engine semantics: unknown file type -> explicit error; a
     * user-supplied engine that conflicts with the registry is rejected. */

@@ -1,6 +1,7 @@
-package graft.queries
+package graft.tiff
 
 import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.MultiModalOps
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
 import java.awt.image.BufferedImage
@@ -235,6 +236,114 @@ class TiffSpec extends AnyFunSuite {
       Tiff.encode(8, 8, 8, 1, true, 32773, 2, None, 8, false, (_, _, _) => 0, None)
     }
     assert(e3.getMessage.contains("predictor 2 with PackBits"), e3.getMessage)
+  }
+
+  test("readFragment: rioxarray conventions — pixel-center coords, band-major RGB, crs attr, narrow dtypes") {
+    import graft.core.{AttrValue, DType, Slc}
+    val geo = Some(Tiff.Geo(0.25, 0.25, -20.0, 60.0, 4326, geographic = true))
+    // single-band geo
+    val f1 = Tiff.readFragment(Tiff.encode(40, 8, 8, 1, true, 8, 1, None, 4,
+      false, (x, y, _) => px8(3)(x, y, 0), geo))
+    assert(f1.dims == Map("y" -> 8, "x" -> 40))
+    assert(f1.attrs.get("crs").contains(AttrValue("EPSG:4326")))
+    val xs = f1.coords("x").data
+    assert(xs.dtype == DType.F8 && xs.getDouble(0) == -20.0 + 0.5 * 0.25 &&
+      xs.getDouble(39) == -20.0 + 39.5 * 0.25)
+    val ys = f1.coords("y").data
+    assert(ys.getDouble(0) == 60.0 - 0.5 * 0.25 &&
+      ys.getDouble(7) == 60.0 - 7.5 * 0.25, "y descends from the tiepoint")
+    val d1 = f1.dataVars("band_data")
+    assert(d1.dims == Vector("y", "x") && d1.dtype == DType.U1)
+    assert((d1.data.data.asInstanceOf[Array[Byte]](40 + 3) & 0xFF) ==
+      px8(3)(3, 1, 0))
+    // RGB: band-major (band, y, x) with a 1-based band coord
+    val f3 = Tiff.readFragment(Tiff.encode(10, 6, 8, 3, false, 1, 1, None, 6,
+      false, (x, y, c) => px8(5)(x, y, c), None))
+    assert(f3.dims == Map("band" -> 3, "y" -> 6, "x" -> 10))
+    assert(f3.coords("band").data.data.asInstanceOf[Array[Int]].toVector ==
+      Vector(1, 2, 3))
+    val d3 = f3.dataVars("band_data").data.data.asInstanceOf[Array[Byte]]
+    for (b <- 0 until 3; y <- 0 until 6; x <- 0 until 10)
+      assert((d3(b * 60 + y * 10 + x) & 0xFF) == px8(5)(x, y, b))
+    // no geo tags: identity transform, 0.5-offset indices, no crs
+    assert(f3.attrs.isEmpty)
+    assert(f3.coords("x").data.getDouble(2) == 2.5 &&
+      f3.coords("y").data.getDouble(0) == 0.5)
+    // 16-bit -> uint16 shorts
+    val f16 = Tiff.readFragment(Tiff.encode(9, 5, 16, 1, false, 1, 1, None, 5,
+      false, (x, y, _) => px8(7)(x, y, 0) * 257, None))
+    assert(f16.dataVars("band_data").dtype == DType.U2)
+    assert((f16.dataVars("band_data").data.data.asInstanceOf[Array[Short]](0)
+      & 0xFFFF) == px8(7)(0, 0, 0) * 257)
+    // isel composes (the pipeline's region slicing)
+    assert(f1.isel(Map("y" -> Slc(2, 5))).dims("y") == 3)
+  }
+
+  test("opener engine: FileType.Tiff resolves to rasterio and opens through the registry") {
+    import graft.patterns.FileType
+    import graft.transforms.Openers
+    assert(Openers.resolveEngine(FileType.Tiff) == "rasterio")
+    // conflicting user engine rejected, reference _set_engine semantics
+    val e = intercept[IllegalArgumentException] {
+      Openers.resolveEngine(FileType.Tiff, Some("scipy"))
+    }
+    assert(e.getMessage.contains("conflicts"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_tiff_open")
+    val p = dir.resolve("a.tif").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      Tiff.encode(24, 16, 8, 1, true, 5, 1, Some((16, 16)), 0, false,
+        (x, y, _) => px8(9)(x, y, 0),
+        Some(Tiff.Geo(0.5, 0.5, 10.0, 50.0, 32633, geographic = false))))
+    val f = Openers.open(FileType.Tiff, p)
+    assert(f.dims == Map("y" -> 16, "x" -> 24))
+    assert(f.attrs.get("crs").contains(graft.core.AttrValue("EPSG:32633")))
+  }
+
+  test("kerchunk scanTiff: segments become zarr chunk refs; virtual store equals Tiff.read; rejections by name") {
+    import graft.kerchunk.RefSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_tiff_scan")
+    def write(name: String, bytes: Array[Byte]): String = {
+      val p = dir.resolve(name).toString
+      java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes); p
+    }
+    val geo = Some(Tiff.Geo(0.25, 0.25, -20.0, 60.0, 4326, geographic = true))
+    // deflate strips, 16-bit, BIG-endian: covers the zlib codec ref,
+    // the u2 dtype and the bigEndian metadata flag at once
+    val pDef = write("def.tif", Tiff.encode(40, 8, 16, 1, false, 8, 1, None,
+      4, false, (x, y, _) => px8(3)(x, y, 0) * 257, geo))
+    // uncompressed tiles, classic + BigTIFF twins
+    val pTile = write("tile.tif", Tiff.encode(40, 24, 8, 1, true, 1, 1,
+      Some((16, 16)), 0, false, (x, y, _) => px8(5)(x, y, 0), geo))
+    val pBig = write("big.tif", Tiff.encode(40, 24, 8, 1, true, 1, 1,
+      Some((16, 16)), 0, true, (x, y, _) => px8(5)(x, y, 0), geo))
+    Seq(pDef, pTile, pBig).foreach { p =>
+      val refs = RefSet.scanTiff(p)
+      assert(refs.asZarrGroup(p).readFragment().sameAs(Tiff.read(p)),
+        s"virtual store differs for $p")
+    }
+    // the scan is header-only metadata: chunk POINTERS dominate (only
+    // sub-threshold segments inline), and the tile grid is addressed 2-D
+    val refs = RefSet.scanTiff(pTile, inlineThreshold = 0)
+    assert(refs.keys.contains("band_data/c/1/2"))
+    assert(refs("band_data/c/0/0").url.contains(pTile))
+    assert(refs("band_data/c/0/0").length == 256)
+    // rejections, each by name with the decode fallback stated
+    def rejects(bytes: Array[Byte], what: String): Unit = {
+      val p = write(s"rej_${what.hashCode & 0xFFF}.tif", bytes)
+      val e = intercept[RuntimeException](RefSet.scanTiff(p))
+      assert(e.getMessage.contains("decode via Tiff.read"),
+        s"$what: ${e.getMessage}")
+    }
+    rejects(Tiff.encode(40, 8, 8, 1, true, 5, 1, None, 4, false,
+      (x, y, _) => px8(3)(x, y, 0), None), "lzw")
+    rejects(Tiff.encode(40, 8, 8, 1, true, 32773, 1, None, 4, false,
+      (x, y, _) => px8(3)(x, y, 0), None), "packbits")
+    rejects(Tiff.encode(40, 8, 8, 1, true, 8, 2, None, 4, false,
+      (x, y, _) => px8(3)(x, y, 0), None), "predictor")
+    rejects(Tiff.encode(40, 8, 8, 1, true, 1, 1, None, 3, false,
+      (x, y, _) => px8(3)(x, y, 0), None), "short last strip")
+    rejects(Tiff.encode(10, 8, 8, 3, true, 1, 1, None, 4, false,
+      (x, y, c) => px8(3)(x, y, c), None), "rgb")
   }
 
   test("corruption sweep: every byte flip fails diagnosably, never crash-class") {
