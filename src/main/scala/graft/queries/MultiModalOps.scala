@@ -2423,8 +2423,17 @@ object MultiModalOps {
       // above claims 0xFFD8 first (0xD8 fails the 0xE0 sync mask anyway)
       val v = Mp3.index(bytes)
       MediaProbe("mp3", -1, -1, v.nFrames.toLong)
+    } else if ((ascii(0, 2) == "II" && bytes(3) == 0 &&
+        ((bytes(2) & 0xFF) == 42 || (bytes(2) & 0xFF) == 43)) ||
+        (ascii(0, 2) == "MM" && bytes(2) == 0 &&
+          ((bytes(3) & 0xFF) == 42 || (bytes(3) & 0xFF) == 43))) {
+      // TIFF/GeoTIFF (r15c), classic or BigTIFF — the ninth container;
+      // n_units counts the FULL-RES pixels (a COG's overview pages are
+      // derived data, not corpus mass)
+      val v = Tiff.decode(bytes)
+      MediaProbe("tiff", v.width, v.height, v.width.toLong * v.height)
     } else throw new IllegalArgumentException(
-      "unknown media container (not PPM/PNG/GIF/WAVE/AVI/JPEG/BMP/MP3)")
+      "unknown media container (not PPM/PNG/GIF/WAVE/AVI/JPEG/BMP/MP3/TIFF)")
   }
 
   /** Oracle: container + metadata from the six synthesis formulas. */
@@ -2706,7 +2715,8 @@ object MultiModalOps {
       StructField("scale_micro", LongType, nullable = false),
       StructField("lon0_milli", LongType, nullable = false),
       StructField("lat0_milli", LongType, nullable = false),
-      StructField("big_tiff", IntegerType, nullable = false)))
+      StructField("big_tiff", IntegerType, nullable = false),
+      StructField("n_pages", IntegerType, nullable = false)))
     documents(s, d).select(col("doc_id"))
       .mapPartitions { rows =>
         rows.map { r =>
@@ -2722,7 +2732,7 @@ object MultiModalOps {
             v.modelType, v.epsg,
             math.round(v.scaleX * 1e6),
             math.round(v.tieX * 1e3), math.round(v.tieY * 1e3),
-            if (v.bigTiff) 1 else 0)
+            if (v.bigTiff) 1 else 0, v.nPages)
         }
       }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
       .orderBy("doc_id")
@@ -2736,7 +2746,9 @@ object MultiModalOps {
     * on id%5; BigTIFF iff id ≡ 7 mod 8; projected (EPSG:32633) iff
     * id ≡ 0 mod 7 else geographic (EPSG:4326); pixel scale
     * 0.25(1+id%4) degrees, tiepoint (-180+id%360, 90-id%180);
-    * px(x,y,c) = (7x+13y+17id+41c) mod 256, times 257 when 16-bit. */
+    * px(x,y,c) = (7x+13y+17id+41c) mod 256, times 257 when 16-bit;
+    * ids = 4 mod 9 carry a COG-style half-resolution overview page
+    * (n_pages = 2), decoded-past by the first-IFD read. */
   private[graft] def tiffBytes(docId: Long): Array[Byte] = {
     val w = (24 + (docId % 5) * 8).toInt
     val h = (16 + (docId % 3) * 8).toInt
@@ -2750,18 +2762,28 @@ object MultiModalOps {
       case _ => (5, 2)
     }
     val geographic = docId % 7 != 0
-    Tiff.encode(w, h, bits, if (rgb) 3 else 1,
-      littleEndian = docId % 2 == 0, comp, pred,
+    val px = (x: Int, y: Int, c: Int) => {
+      val v = ((x * 7 + y * 13 + docId * 17 + c * 41) % 256).toInt
+      if (bits == 16) v * 257 else v
+    }
+    val geo = Some(Tiff.Geo(
+      0.25 * (1 + docId % 4), 0.25 * (1 + docId % 4),
+      (-180 + docId % 360).toDouble, (90 - docId % 180).toDouble,
+      if (geographic) 4326 else 32633, geographic))
+    val page0 = Tiff.Page(w, h, bits, if (rgb) 3 else 1, comp, pred,
       tile = if (docId % 3 == 0) Some((16, 16)) else None,
-      rowsPerStrip = 7, bigTiff = docId % 8 == 7,
-      px = (x, y, c) => {
-        val v = ((x * 7 + y * 13 + docId * 17 + c * 41) % 256).toInt
-        if (bits == 16) v * 257 else v
-      },
-      geo = Some(Tiff.Geo(
-        0.25 * (1 + docId % 4), 0.25 * (1 + docId % 4),
-        (-180 + docId % 360).toDouble, (90 - docId % 180).toDouble,
-        if (geographic) 4326 else 32633, geographic)))
+      rowsPerStrip = 7, px = px, geo = geo)
+    // ids = 4 mod 9 are two-page COGs: the full-res raster plus one
+    // half-resolution overview (NewSubfileType 1, decimated pixels) --
+    // decode() still reads page 0, so every other column is untouched
+    val pages =
+      if (docId % 9 == 4)
+        Seq(page0, Tiff.Page(w / 2, h / 2, bits, if (rgb) 3 else 1, 1, 1,
+          tile = None, rowsPerStrip = h / 2,
+          px = (x, y, c) => px(2 * x, 2 * y, c), subfileType = 1))
+      else Seq(page0)
+    Tiff.encodeMulti(pages, littleEndian = docId % 2 == 0,
+      bigTiff = docId % 8 == 7)
   }
 
   val m16Sql: String =
@@ -2814,7 +2836,9 @@ object MultiModalOps {
       |  CAST((-180 + doc_id % 360) * 1000 AS BIGINT) AS lon0_milli,
       |  CAST((90 - doc_id % 180) * 1000 AS BIGINT) AS lat0_milli,
       |  CAST(CASE WHEN doc_id % 8 = 7 THEN 1 ELSE 0 END AS INTEGER)
-      |    AS big_tiff
+      |    AS big_tiff,
+      |  CAST(CASE WHEN doc_id % 9 = 4 THEN 2 ELSE 1 END AS INTEGER)
+      |    AS n_pages
       |FROM cell GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

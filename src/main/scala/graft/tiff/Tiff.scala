@@ -61,7 +61,17 @@ object Tiff {
       /** 1 = projected, 2 = geographic, -1 = absent. */
       modelType: Int = -1,
       epsg: Int = -1,
-      citation: String = "")
+      citation: String = "",
+      /** tag 254 NewSubfileType: 1 = reduced-resolution overview (the
+        * COG pyramid pages), 2 = multi-page document page, 0 = full
+        * image / absent. */
+      subfileType: Int = 0,
+      /** photometric-3 ColorMap as 256 packed 0xRRGGBB entries (empty
+        * for non-palette images); `pixels` keeps the INDICES, the
+        * tifffile/rasterio convention. */
+      palette: Array[Int] = Array.emptyIntArray,
+      /** IFD chain length of the containing file. */
+      nPages: Int = 1)
 
   /** GeoTIFF georeferencing for the encoder. */
   final case class Geo(scaleX: Double, scaleY: Double,
@@ -70,6 +80,7 @@ object Tiff {
                        citation: String = "graft")
 
   // tag numbers (TIFF 6.0 §8 + GeoTIFF 1.1)
+  private val TNewSubfileType = 254
   private val TImageWidth = 256
   private val TImageLength = 257
   private val TBitsPerSample = 258
@@ -81,6 +92,7 @@ object Tiff {
   private val TStripByteCounts = 279
   private val TPlanarConfig = 284
   private val TPredictor = 317
+  private val TColorMap = 320
   private val TTileWidth = 322
   private val TTileLength = 323
   private val TTileOffsets = 324
@@ -93,6 +105,7 @@ object Tiff {
   private val MaxDim = 1 << 20
   private val MaxSamplesTotal = 1L << 26
   private val MaxSegments = 1 << 20
+  private val MaxPages = 4096
 
   // ------------------------------------------------------------ decode
 
@@ -173,7 +186,35 @@ object Tiff {
     out
   }
 
+  /** Decode the FIRST IFD (a COG's full-resolution raster); `nPages`
+    * reports the chain length. [[decodePages]] decodes every page. */
   def decode(bytes: Array[Byte]): TiffImage = {
+    val (r, le, bigTiff, first) = header(bytes)
+    val (img, _) = decodeIfdAt(bytes, r, le, bigTiff, first)
+    img.copy(nPages = chainLength(r, bigTiff, first))
+  }
+
+  /** Every page of a multi-IFD file in chain order — page 0 is the
+    * primary raster, later pages are COG overviews (subfileType 1) or
+    * further document pages (subfileType 2). */
+  def decodePages(bytes: Array[Byte]): Vector[TiffImage] = {
+    val (r, le, bigTiff, first) = header(bytes)
+    val out = Vector.newBuilder[TiffImage]
+    var off = first
+    var seen = Set.empty[Long]
+    while (off != 0) {
+      require(!seen.contains(off), "corrupt TIFF: IFD chain cycle")
+      require(seen.size < MaxPages, s"corrupt TIFF: more than $MaxPages IFDs")
+      seen += off
+      val (img, next) = decodeIfdAt(bytes, r, le, bigTiff, off)
+      out += img
+      off = next
+    }
+    val pages = out.result()
+    pages.map(_.copy(nPages = pages.length))
+  }
+
+  private def header(bytes: Array[Byte]): (R, Boolean, Boolean, Long) = {
     require(bytes.length >= 8, "not a TIFF file (too short)")
     val le = (bytes(0), bytes(1)) match {
       case ('I', 'I') => true
@@ -196,8 +237,32 @@ object Tiff {
         require(r.u16(6) == 0, "corrupt TIFF: BigTIFF header pad must be 0")
         r.u64(8)
       }
+    (r, le, bigTiff, ifdOff)
+  }
 
-    // ---- IFD walk (first IFD)
+  /** Chain length by hopping next-IFD pointers (entry counts only —
+    * no tag decode). */
+  private def chainLength(r: R, bigTiff: Boolean, first: Long): Int = {
+    var off = first
+    var seen = Set.empty[Long]
+    while (off != 0) {
+      require(!seen.contains(off), "corrupt TIFF: IFD chain cycle")
+      require(seen.size < MaxPages, s"corrupt TIFF: more than $MaxPages IFDs")
+      seen += off
+      val n = if (bigTiff) r.u64(off) else r.u16(off).toLong
+      require(n >= 1 && n <= 512, s"corrupt TIFF: IFD entry count $n")
+      val nextAt = off + (if (bigTiff) 8 else 2) +
+        n * (if (bigTiff) 20 else 12)
+      off = if (bigTiff) r.u64(nextAt) else r.u32(nextAt)
+      require(off == 0 || (off >= 8 && off < r.b.length),
+        s"corrupt TIFF: next-IFD offset $off")
+    }
+    seen.size
+  }
+
+  private def decodeIfdAt(bytes: Array[Byte], r: R, le: Boolean,
+                          bigTiff: Boolean, ifdOff: Long): (TiffImage, Long) = {
+    // ---- IFD walk
     val nEntries = if (bigTiff) r.u64(ifdOff) else r.u16(ifdOff).toLong
     require(nEntries >= 1 && nEntries <= 512,
       s"corrupt TIFF: IFD entry count $nEntries")
@@ -261,7 +326,7 @@ object Tiff {
     require(comp == 1 || comp == 5 || comp == 8 || comp == 32946 || comp == 32773,
       s"TIFF compression $comp not supported")
     val photo = one(TPhotometric, 1L).toInt
-    require(photo == 0 || photo == 1 || photo == 2,
+    require(photo == 0 || photo == 1 || photo == 2 || photo == 3,
       s"TIFF photometric interpretation $photo not supported")
     require(one(TPlanarConfig, 1L) == 1L,
       "TIFF planar configuration 2 not supported")
@@ -379,9 +444,31 @@ object Tiff {
         .takeWhile(c => c != '\u0000' && c != '|')
     }.getOrElse("")
 
-    TiffImage(w.toInt, h.toInt, bits, samples, le, bigTiff, comp,
+    // ---- palette (photometric 3): surface the ColorMap, keep indices
+    val palette: Array[Int] =
+      if (photo == 3) {
+        require(bits == 8 && samples == 1,
+          "TIFF palette-color requires 8-bit single-sample data")
+        val cm = longs(r, need(TColorMap, "ColorMap"))
+        require(cm.length == 768,
+          s"corrupt TIFF: ColorMap has ${cm.length} entries, expected 768")
+        Array.tabulate(256) { i =>
+          ((((cm(i) >> 8) & 0xFF) << 16) |
+            (((cm(256 + i) >> 8) & 0xFF) << 8) |
+            ((cm(512 + i) >> 8) & 0xFF)).toInt
+        }
+      } else Array.emptyIntArray
+
+    val nextAt = ifdOff + (if (bigTiff) 8 else 2) +
+      nEntries * (if (bigTiff) 20 else 12)
+    val nextIfd = if (bigTiff) r.u64(nextAt) else r.u32(nextAt)
+    require(nextIfd == 0 || (nextIfd >= 8 && nextIfd < bytes.length),
+      s"corrupt TIFF: next-IFD offset $nextIfd")
+
+    (TiffImage(w.toInt, h.toInt, bits, samples, le, bigTiff, comp,
       predictor, tiled, offs.length, pixels, sx, sy, tx, ty, modelType,
-      epsg, citation)
+      epsg, citation, subfileType = one(TNewSubfileType, 0L).toInt,
+      palette = palette), nextIfd)
   }
 
   // --------------------------------------------------------- predictor
@@ -699,154 +786,205 @@ object Tiff {
 
   // ------------------------------------------------------------ encode
 
-  /** Emit a classic or BigTIFF file. `px(x, y, c)` supplies sample
-    * values (masked to the bit width). Tiles are 16-aligned per spec;
-    * edge tiles are zero-padded. */
+  /** One page of a (possibly multi-IFD) file. `subfileType` becomes
+    * tag 254 NewSubfileType when nonzero (1 = reduced-resolution
+    * overview, the COG pyramid convention; 2 = page of a multi-page
+    * document); `palette` (256 packed 0xRRGGBB entries) switches the
+    * page to palette-color — photometric 3 + a ColorMap of 16-bit
+    * entries (v*257, the 255->65535 scaling ImageIO uses), 8-bit
+    * single-sample only. */
+  final case class Page(w: Int, h: Int, bits: Int, samples: Int,
+      compression: Int, predictor: Int,
+      tile: Option[(Int, Int)], rowsPerStrip: Int,
+      px: (Int, Int, Int) => Int,
+      geo: Option[Geo] = None,
+      subfileType: Int = 0,
+      palette: Option[Array[Int]] = None)
+
+  /** Emit a single-page classic or BigTIFF file. `px(x, y, c)` supplies
+    * sample values (masked to the bit width). Tiles are 16-aligned per
+    * spec; edge tiles are zero-padded. */
   def encode(w: Int, h: Int, bits: Int, samples: Int, littleEndian: Boolean,
              compression: Int, predictor: Int,
              tile: Option[(Int, Int)], rowsPerStrip: Int,
              bigTiff: Boolean,
              px: (Int, Int, Int) => Int,
-             geo: Option[Geo] = None): Array[Byte] = {
-    require(w >= 1 && h >= 1 && (bits == 8 || bits == 16) &&
-      (samples == 1 || samples == 3))
-    require(compression == 1 || compression == 5 || compression == 8 ||
-      compression == 32773)
-    // TIFF 6.0 defines Predictor (§14) for LZW-class codecs only;
-    // PackBits readers (ImageIO among them) ignore the tag, so the
-    // combination would silently decode wrong elsewhere — refuse it
-    require(!(predictor == 2 && compression == 32773),
-      "TIFF predictor 2 with PackBits not supported")
-    val bytesPer = bits / 8
+             geo: Option[Geo] = None,
+             palette: Option[Array[Int]] = None): Array[Byte] =
+    encodeMulti(Seq(Page(w, h, bits, samples, compression, predictor, tile,
+      rowsPerStrip, px, geo, 0, palette)), littleEndian, bigTiff)
+
+  /** Emit a classic or BigTIFF file with one IFD per page, chained
+    * through the next-IFD pointers — the multi-page / COG-overview
+    * layout. All pages share the byte order and header format. */
+  def encodeMulti(pages: Seq[Page], littleEndian: Boolean,
+                  bigTiff: Boolean): Array[Byte] = {
+    require(pages.nonEmpty, "TIFF encode: at least one page")
     val le = littleEndian
-
-    def serialize(x0: Int, y0: Int, sw: Int, rows: Int): Array[Byte] = {
-      val plane = new Array[Byte](sw * rows * samples * bytesPer)
-      var row = 0
-      while (row < rows) {
-        var col = 0
-        while (col < sw) {
-          var c = 0
-          while (c < samples) {
-            val v =
-              if (x0 + col < w && y0 + row < h) px(x0 + col, y0 + row, c)
-              else 0
-            val at = ((row * sw + col) * samples + c) * bytesPer
-            if (bytesPer == 1) plane(at) = v.toByte
-            else if (le) { plane(at) = v.toByte; plane(at + 1) = (v >> 8).toByte }
-            else { plane(at) = (v >> 8).toByte; plane(at + 1) = v.toByte }
-            c += 1
-          }
-          col += 1
-        }
-        row += 1
-      }
-      plane
-    }
-
-    def compress(plane: Array[Byte], sw: Int, rows: Int): Array[Byte] = {
-      if (predictor == 2) diff(plane, sw, rows, samples, bits, le)
-      compression match {
-        case 1 => plane
-        case 5 => lzwEncode(plane)
-        case 8 => deflate(plane)
-        case 32773 =>
-          val bos = new java.io.ByteArrayOutputStream(plane.length + 16)
-          val rowBytes = sw * samples * bytesPer
-          var r0 = 0
-          while (r0 < rows) {
-            packBitsRow(plane, r0 * rowBytes, (r0 + 1) * rowBytes, bos)
-            r0 += 1
-          }
-          bos.toByteArray
-      }
-    }
-
-    val segments: Array[Array[Byte]] = tile match {
-      case Some((tw, th)) =>
-        require(tw % 16 == 0 && th % 16 == 0, "TIFF tiles must be 16-aligned")
-        val (na, nd) = ((w + tw - 1) / tw, (h + th - 1) / th)
-        (for (ty <- 0 until nd; tx <- 0 until na)
-          yield compress(serialize(tx * tw, ty * th, tw, th), tw, th)).toArray
-      case None =>
-        val n = (h + rowsPerStrip - 1) / rowsPerStrip
-        (for (s <- 0 until n) yield {
-          val rows = math.min(rowsPerStrip, h - s * rowsPerStrip)
-          compress(serialize(0, s * rowsPerStrip, w, rows), w, rows)
-        }).toArray
-    }
-
-    // ---- layout: header | segment data | external values | IFD
-    val headerLen = if (bigTiff) 16 else 8
-    def align(x: Long): Long = (x + 7) & ~7L
-    val segOffs = new Array[Long](segments.length)
-    var cursor = align(headerLen.toLong)
-    for (s <- segments.indices) {
-      segOffs(s) = cursor
-      cursor = align(cursor + segments(s).length)
-    }
-
-    // entry builders collect (tag, type, count, inline-or-external value)
     final case class E(tag: Int, tpe: Int, count: Long, ints: Array[Long] = null,
                        dbls: Array[Double] = null, ascii: Array[Byte] = null)
-    val es = scala.collection.mutable.ArrayBuffer[E]()
-    es += E(TImageWidth, 4, 1, Array(w.toLong))
-    es += E(TImageLength, 4, 1, Array(h.toLong))
-    es += E(TBitsPerSample, 3, samples, Array.fill(samples)(bits.toLong))
-    es += E(TCompression, 3, 1, Array(compression.toLong))
-    es += E(TPhotometric, 3, 1, Array(if (samples == 3) 2L else 1L))
-    val segType = if (bigTiff) 16 else 4
-    tile match {
-      case Some((tw, th)) =>
-        es += E(TSamplesPerPixel, 3, 1, Array(samples.toLong))
-        if (predictor == 2) es += E(TPredictor, 3, 1, Array(2L))
-        es += E(TTileWidth, 3, 1, Array(tw.toLong))
-        es += E(TTileLength, 3, 1, Array(th.toLong))
-        es += E(TTileOffsets, segType, segments.length, segOffs)
-        es += E(TTileByteCounts, segType, segments.length,
-          segments.map(_.length.toLong))
-      case None =>
-        es += E(TStripOffsets, segType, segments.length, segOffs)
-        es += E(TSamplesPerPixel, 3, 1, Array(samples.toLong))
-        es += E(TRowsPerStrip, 4, 1, Array(rowsPerStrip.toLong))
-        es += E(TStripByteCounts, segType, segments.length,
-          segments.map(_.length.toLong))
-        if (predictor == 2) es += E(TPredictor, 3, 1, Array(2L))
-    }
-    es += E(TPlanarConfig, 3, 1, Array(1L))
-    geo.foreach { g =>
-      es += E(TModelPixelScale, 12, 3, dbls = Array(g.scaleX, g.scaleY, 0.0))
-      es += E(TModelTiepoint, 12, 6,
-        dbls = Array(0.0, 0.0, 0.0, g.tieX, g.tieY, 0.0))
-      val keys = Array[Long](
-        1, 1, 1, 3, // version 1.1.0, 3 keys
-        1024, 0, 1, if (g.geographic) 2L else 1L,
-        1025, 0, 1, 1, // RasterPixelIsArea
-        if (g.geographic) 2048L else 3072L, 0, 1, g.epsg.toLong)
-      es += E(TGeoKeyDirectory, 3, keys.length, keys)
-      val cit = (g.citation + "|\u0000").getBytes("US-ASCII")
-      es += E(TGeoAsciiParams, 2, cit.length, ascii = cit)
-    }
-    val sorted = es.sortBy(_.tag).toArray
-    require(sorted.map(_.tag).distinct.length == sorted.length)
-
-    // external value area
-    val inlineCap = if (bigTiff) 8 else 4
-    val extOffs = new Array[Long](sorted.length)
-    for (i <- sorted.indices) {
-      val e = sorted(i)
-      val byteLen = e.count * typeSize(e.tpe)
-      if (byteLen > inlineCap) { extOffs(i) = cursor; cursor = align(cursor + byteLen) }
-      else extOffs(i) = -1
-    }
-    val ifdOff = cursor
+    // one page's layout, every offset ABSOLUTE in the final file
+    final case class P(segments: Array[Array[Byte]], segOffs: Array[Long],
+                       entries: Array[E], extOffs: Array[Long],
+                       ifdOff: Long, nextFieldAt: Long)
+    val headerLen = if (bigTiff) 16 else 8
     val entrySize = if (bigTiff) 20 else 12
-    val ifdLen =
-      (if (bigTiff) 8 + 8 else 2 + 4) + sorted.length * entrySize
-    val total = ifdOff + ifdLen
+    val inlineCap = if (bigTiff) 8 else 4
+    val segType = if (bigTiff) 16 else 4
+    def align(x: Long): Long = (x + 7) & ~7L
+
+    // ---- pass 1: build every page's segments + entries + positions
+    var cursor = align(headerLen.toLong)
+    val built = pages.map { pg =>
+      import pg._
+      require(w >= 1 && h >= 1 && (bits == 8 || bits == 16) &&
+        (samples == 1 || samples == 3))
+      require(compression == 1 || compression == 5 || compression == 8 ||
+        compression == 32773)
+      // TIFF 6.0 defines Predictor (its section 14) for LZW-class codecs
+      // only; PackBits readers (ImageIO among them) ignore the tag, so
+      // the combination would silently decode wrong elsewhere — refuse it
+      require(!(predictor == 2 && compression == 32773),
+        "TIFF predictor 2 with PackBits not supported")
+      palette.foreach { p =>
+        require(p.length == 256 && bits == 8 && samples == 1,
+          "TIFF palette pages are 8-bit single-sample with 256 entries")
+      }
+      val bytesPer = bits / 8
+
+      def serialize(x0: Int, y0: Int, sw: Int, rows: Int): Array[Byte] = {
+        val plane = new Array[Byte](sw * rows * samples * bytesPer)
+        var row = 0
+        while (row < rows) {
+          var col = 0
+          while (col < sw) {
+            var c = 0
+            while (c < samples) {
+              val v =
+                if (x0 + col < w && y0 + row < h) px(x0 + col, y0 + row, c)
+                else 0
+              val at = ((row * sw + col) * samples + c) * bytesPer
+              if (bytesPer == 1) plane(at) = v.toByte
+              else if (le) { plane(at) = v.toByte; plane(at + 1) = (v >> 8).toByte }
+              else { plane(at) = (v >> 8).toByte; plane(at + 1) = v.toByte }
+              c += 1
+            }
+            col += 1
+          }
+          row += 1
+        }
+        plane
+      }
+
+      def compress(plane: Array[Byte], sw: Int, rows: Int): Array[Byte] = {
+        if (predictor == 2) diff(plane, sw, rows, samples, bits, le)
+        compression match {
+          case 1 => plane
+          case 5 => lzwEncode(plane)
+          case 8 => deflate(plane)
+          case 32773 =>
+            val bos = new java.io.ByteArrayOutputStream(plane.length + 16)
+            val rowBytes = sw * samples * bytesPer
+            var r0 = 0
+            while (r0 < rows) {
+              packBitsRow(plane, r0 * rowBytes, (r0 + 1) * rowBytes, bos)
+              r0 += 1
+            }
+            bos.toByteArray
+        }
+      }
+
+      val segments: Array[Array[Byte]] = tile match {
+        case Some((tw, th)) =>
+          require(tw % 16 == 0 && th % 16 == 0, "TIFF tiles must be 16-aligned")
+          val (na, nd) = ((w + tw - 1) / tw, (h + th - 1) / th)
+          (for (ty <- 0 until nd; tx <- 0 until na)
+            yield compress(serialize(tx * tw, ty * th, tw, th), tw, th)).toArray
+        case None =>
+          val n = (h + rowsPerStrip - 1) / rowsPerStrip
+          (for (s <- 0 until n) yield {
+            val rows = math.min(rowsPerStrip, h - s * rowsPerStrip)
+            compress(serialize(0, s * rowsPerStrip, w, rows), w, rows)
+          }).toArray
+      }
+      val segOffs = new Array[Long](segments.length)
+      for (s <- segments.indices) {
+        segOffs(s) = cursor
+        cursor = align(cursor + segments(s).length)
+      }
+
+      val es = scala.collection.mutable.ArrayBuffer[E]()
+      if (subfileType != 0)
+        es += E(TNewSubfileType, 4, 1, Array(subfileType.toLong))
+      es += E(TImageWidth, 4, 1, Array(w.toLong))
+      es += E(TImageLength, 4, 1, Array(h.toLong))
+      es += E(TBitsPerSample, 3, samples, Array.fill(samples)(bits.toLong))
+      es += E(TCompression, 3, 1, Array(compression.toLong))
+      es += E(TPhotometric, 3, 1, Array(
+        if (palette.isDefined) 3L else if (samples == 3) 2L else 1L))
+      tile match {
+        case Some((tw, th)) =>
+          es += E(TSamplesPerPixel, 3, 1, Array(samples.toLong))
+          if (predictor == 2) es += E(TPredictor, 3, 1, Array(2L))
+          es += E(TTileWidth, 3, 1, Array(tw.toLong))
+          es += E(TTileLength, 3, 1, Array(th.toLong))
+          es += E(TTileOffsets, segType, segments.length, segOffs)
+          es += E(TTileByteCounts, segType, segments.length,
+            segments.map(_.length.toLong))
+        case None =>
+          es += E(TStripOffsets, segType, segments.length, segOffs)
+          es += E(TSamplesPerPixel, 3, 1, Array(samples.toLong))
+          es += E(TRowsPerStrip, 4, 1, Array(rowsPerStrip.toLong))
+          es += E(TStripByteCounts, segType, segments.length,
+            segments.map(_.length.toLong))
+          if (predictor == 2) es += E(TPredictor, 3, 1, Array(2L))
+      }
+      es += E(TPlanarConfig, 3, 1, Array(1L))
+      palette.foreach { p =>
+        // ColorMap: 16-bit entries, all reds then greens then blues
+        val cm = new Array[Long](768)
+        for (i <- 0 until 256) {
+          cm(i) = ((p(i) >> 16) & 0xFF).toLong * 257
+          cm(256 + i) = ((p(i) >> 8) & 0xFF).toLong * 257
+          cm(512 + i) = (p(i) & 0xFF).toLong * 257
+        }
+        es += E(TColorMap, 3, 768, cm)
+      }
+      geo.foreach { g =>
+        es += E(TModelPixelScale, 12, 3, dbls = Array(g.scaleX, g.scaleY, 0.0))
+        es += E(TModelTiepoint, 12, 6,
+          dbls = Array(0.0, 0.0, 0.0, g.tieX, g.tieY, 0.0))
+        val keys = Array[Long](
+          1, 1, 1, 3, // version 1.1.0, 3 keys
+          1024, 0, 1, if (g.geographic) 2L else 1L,
+          1025, 0, 1, 1, // RasterPixelIsArea
+          if (g.geographic) 2048L else 3072L, 0, 1, g.epsg.toLong)
+        es += E(TGeoKeyDirectory, 3, keys.length, keys)
+        val cit = (g.citation + "|\u0000").getBytes("US-ASCII")
+        es += E(TGeoAsciiParams, 2, cit.length, ascii = cit)
+      }
+      val sorted = es.sortBy(_.tag).toArray
+      require(sorted.map(_.tag).distinct.length == sorted.length)
+
+      val extOffs = new Array[Long](sorted.length)
+      for (i <- sorted.indices) {
+        val e = sorted(i)
+        val byteLen = e.count * typeSize(e.tpe)
+        if (byteLen > inlineCap) { extOffs(i) = cursor; cursor = align(cursor + byteLen) }
+        else extOffs(i) = -1
+      }
+      val ifdOff = cursor
+      val countLen = if (bigTiff) 8 else 2
+      val nextFieldAt = ifdOff + countLen + sorted.length.toLong * entrySize
+      cursor = align(nextFieldAt + (if (bigTiff) 8 else 4))
+      P(segments, segOffs, sorted, extOffs, ifdOff, nextFieldAt)
+    }
+
+    val total = cursor
     require(total <= Int.MaxValue, "TIFF encode: file exceeds 2 GiB")
     val out = new Array[Byte](total.toInt)
 
+    // ---- pass 2: write header, every page, chain the IFDs
     def put16(at: Long, v: Int): Unit = {
       val i = at.toInt
       if (le) { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
@@ -870,35 +1008,37 @@ object Tiff {
         put64(at, bits)
     }
 
-    // header
     out(0) = (if (le) 'I' else 'M').toByte
     out(1) = out(0)
     put16(2, if (bigTiff) 43 else 42)
-    if (bigTiff) { put16(4, 8); put16(6, 0); put64(8, ifdOff) }
-    else put32(4, ifdOff)
-    // segments
-    for (s <- segments.indices)
-      System.arraycopy(segments(s), 0, out, segOffs(s).toInt, segments(s).length)
-    // externals + IFD
-    if (bigTiff) put64(ifdOff, sorted.length.toLong)
-    else put16(ifdOff, sorted.length)
-    for (i <- sorted.indices) {
-      val e = sorted(i)
-      val eAt = ifdOff + (if (bigTiff) 8 else 2) + i.toLong * entrySize
-      put16(eAt, e.tag)
-      put16(eAt + 2, e.tpe)
-      if (bigTiff) put64(eAt + 4, e.count) else put32(eAt + 4, e.count)
-      val vAt = eAt + (if (bigTiff) 12 else 8)
-      if (extOffs(i) >= 0) {
-        if (bigTiff) put64(vAt, extOffs(i)) else put32(vAt, extOffs(i))
-        for (k <- 0 until e.count.toInt)
-          putVal(extOffs(i) + k.toLong * typeSize(e.tpe), e, k)
-      } else {
-        for (k <- 0 until e.count.toInt)
-          putVal(vAt + k.toLong * typeSize(e.tpe), e, k)
+    if (bigTiff) { put16(4, 8); put16(6, 0); put64(8, built.head.ifdOff) }
+    else put32(4, built.head.ifdOff)
+    for (pi <- built.indices) {
+      val p = built(pi)
+      for (s <- p.segments.indices)
+        System.arraycopy(p.segments(s), 0, out, p.segOffs(s).toInt,
+          p.segments(s).length)
+      if (bigTiff) put64(p.ifdOff, p.entries.length.toLong)
+      else put16(p.ifdOff, p.entries.length)
+      for (i <- p.entries.indices) {
+        val e = p.entries(i)
+        val eAt = p.ifdOff + (if (bigTiff) 8 else 2) + i.toLong * entrySize
+        put16(eAt, e.tag)
+        put16(eAt + 2, e.tpe)
+        if (bigTiff) put64(eAt + 4, e.count) else put32(eAt + 4, e.count)
+        val vAt = eAt + (if (bigTiff) 12 else 8)
+        if (p.extOffs(i) >= 0) {
+          if (bigTiff) put64(vAt, p.extOffs(i)) else put32(vAt, p.extOffs(i))
+          for (k <- 0 until e.count.toInt)
+            putVal(p.extOffs(i) + k.toLong * typeSize(e.tpe), e, k)
+        } else {
+          for (k <- 0 until e.count.toInt)
+            putVal(vAt + k.toLong * typeSize(e.tpe), e, k)
+        }
       }
+      val next = if (pi + 1 < built.length) built(pi + 1).ifdOff else 0L
+      if (bigTiff) put64(p.nextFieldAt, next) else put32(p.nextFieldAt, next)
     }
-    // next-IFD pointer is the zero bytes already at the tail
     out
   }
 

@@ -193,6 +193,11 @@ class TiffSpec extends AnyFunSuite {
       assert(v.nSegments == expSegs, s"id=$id segments ${v.nSegments} != $expSegs")
       assert(v.epsg == (if (id % 7 == 0) 32633 else 4326), s"id=$id epsg")
       assert(v.modelType == (if (id % 7 == 0) 1 else 2), s"id=$id modelType")
+      assert(v.nPages == (if (id % 9 == 4) 2 else 1), s"id=$id nPages")
+      if (id % 9 == 4) {
+        val ov = Tiff.decodePages(MultiModalOps.tiffBytes(id))(1)
+        assert(ov.subfileType == 1 && ov.width == v.width / 2, s"id=$id overview")
+      }
       var (sum, expSum) = (0L, 0L)
       v.pixels.foreach(sum += _)
       for (y <- 0 until h.toInt; x <- 0 until w.toInt; c <- 0 until v.samples) {
@@ -344,6 +349,133 @@ class TiffSpec extends AnyFunSuite {
       (x, y, _) => px8(3)(x, y, 0), None), "short last strip")
     rejects(Tiff.encode(10, 8, 8, 3, true, 1, 1, None, 4, false,
       (x, y, c) => px8(3)(x, y, c), None), "rgb")
+  }
+
+  test("multi-page: IFD chains encode/decode, COG overview pyramid shape, ImageIO both directions") {
+    // a COG-shaped pyramid: full-res page 0 + two reduced-res overviews
+    // (subfileType 1), mixed codecs per page
+    val pages = Seq(
+      Tiff.Page(64, 48, 8, 1, 5, 1, Some((16, 16)), 0,
+        (x, y, _) => px8(3)(x, y, 0),
+        Some(Tiff.Geo(0.25, 0.25, -20.0, 60.0, 4326, geographic = true))),
+      Tiff.Page(32, 24, 8, 1, 8, 1, None, 8,
+        (x, y, _) => px8(3)(2 * x, 2 * y, 0), subfileType = 1),
+      Tiff.Page(16, 12, 8, 1, 1, 1, None, 12,
+        (x, y, _) => px8(3)(4 * x, 4 * y, 0), subfileType = 1))
+    for (big <- Seq(false, true)) {
+      val bytes = Tiff.encodeMulti(pages, littleEndian = true, bigTiff = big)
+      // decode() = the full-resolution page, chain length surfaced
+      val full = Tiff.decode(bytes)
+      assert(full.width == 64 && full.nPages == 3 && full.subfileType == 0)
+      assert(full.epsg == 4326)
+      val all = Tiff.decodePages(bytes)
+      assert(all.length == 3)
+      assert(all.map(_.width) == Vector(64, 32, 16))
+      assert(all.map(_.subfileType) == Vector(0, 1, 1),
+        "overviews must carry NewSubfileType 1")
+      assert(all.map(_.compression) == Vector(5, 8, 1))
+      for (p <- all; y <- 0 until p.height; x <- 0 until p.width) {
+        val scale = 64 / p.width
+        assert(p.pixels(y * p.width + x) == px8(3)(scale * x, scale * y, 0),
+          s"page ${p.width} pixel ($x,$y) big=$big")
+      }
+      assert(java.util.Arrays.equals(all(0).pixels, full.pixels))
+    }
+    // classic multi-page reads through ImageIO page-for-page
+    val classic = Tiff.encodeMulti(pages, littleEndian = false, bigTiff = false)
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(classic))
+    val reader = ImageIO.getImageReadersByFormatName("tiff").next()
+    reader.setInput(iis)
+    assert(reader.getNumImages(true) == 3)
+    for (pi <- 0 until 3) {
+      val img = reader.read(pi)
+      val scale = 64 / img.getWidth
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        assert(img.getRaster.getSample(x, y, 0) == px8(3)(scale * x, scale * y, 0),
+          s"imageio page $pi pixel ($x,$y)")
+    }
+    reader.dispose(); iis.close()
+    // ImageIO-written multi-page sequence decodes through decodePages
+    val w = ImageIO.getImageWritersByFormatName("tiff").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    for (n <- Seq(20, 10)) {
+      val bi = new BufferedImage(n, n, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until n; x <- 0 until n)
+        bi.getRaster.setSample(x, y, 0, px8(13)(x, y, 0))
+      w.writeToSequence(new IIOImage(bi, null, null), null)
+    }
+    w.endWriteSequence(); ios.close(); w.dispose()
+    val decoded = Tiff.decodePages(bos.toByteArray)
+    assert(decoded.map(_.width) == Vector(20, 10))
+    for (p <- decoded; y <- 0 until p.height; x <- 0 until p.width)
+      assert(p.pixels(y * p.width + x) == px8(13)(x, y, 0),
+        s"imageio-written page ${p.width} pixel ($x,$y)")
+  }
+
+  test("palette-color (photometric 3): ColorMap surfaces, indices preserved, ImageIO both directions") {
+    val pal = Array.tabulate(256)(i =>
+      ((i * 7 % 256) << 16) | ((i * 13 % 256) << 8) | (i * 29 % 256))
+    val (w0, h0) = (24, 16)
+    val idx = (x: Int, y: Int, _: Int) => (x * 5 + y * 11) % 256
+    for (comp <- Seq(1, 5, 8, 32773); le <- Seq(true, false)) {
+      val enc = Tiff.encode(w0, h0, 8, 1, le, comp, 1, None, 7, false, idx,
+        None, palette = Some(pal))
+      val dec = Tiff.decode(enc)
+      assert(dec.palette.length == 256 &&
+        (0 until 256).forall(i => dec.palette(i) == pal(i)),
+        s"palette round-trip comp=$comp le=$le")
+      for (y <- 0 until h0; x <- 0 until w0)
+        assert(dec.pixels(y * w0 + x) == idx(x, y, 0), "indices preserved")
+      // ImageIO expands through the same ColorMap: its RGB must equal
+      // palette(index)
+      val img = imageioRead(enc)
+      assert(img != null, s"ImageIO read comp=$comp")
+      for (y <- 0 until h0; x <- 0 until w0)
+        assert((img.getRGB(x, y) & 0xFFFFFF) == pal(idx(x, y, 0)),
+          s"ImageIO palette expansion ($x,$y) comp=$comp le=$le")
+    }
+    // ImageIO-written indexed image decodes to OUR indices + palette
+    val cm = new java.awt.image.IndexColorModel(8, 256,
+      pal.map(p => ((p >> 16) & 0xFF).toByte),
+      pal.map(p => ((p >> 8) & 0xFF).toByte),
+      pal.map(p => (p & 0xFF).toByte))
+    val bi = new BufferedImage(w0, h0, BufferedImage.TYPE_BYTE_INDEXED, cm)
+    for (y <- 0 until h0; x <- 0 until w0)
+      bi.getRaster.setSample(x, y, 0, idx(x, y, 0))
+    val dec = Tiff.decode(imageioWrite(bi, Some("LZW"), tiled = false))
+    assert(dec.palette.length == 256)
+    for (y <- 0 until h0; x <- 0 until w0)
+      assert(dec.palette(dec.pixels(y * w0 + x)) == pal(idx(x, y, 0)),
+        s"imageio-written palette pixel ($x,$y)")
+    // malformed: palette page with a missing ColorMap fails by name
+    val enc = Tiff.encode(w0, h0, 8, 1, true, 1, 1, None, 7, false, idx,
+      None, palette = Some(pal))
+    val ifd = java.nio.ByteBuffer.wrap(enc).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(4)
+    val n = java.nio.ByteBuffer.wrap(enc).order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort(ifd) & 0xFFFF
+    for (i <- 0 until n) {
+      val at = ifd + 2 + i * 12
+      val tag = java.nio.ByteBuffer.wrap(enc).order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort(at) & 0xFFFF
+      if (tag == 320) enc(at + 1) = 0x7F.toByte // mangle the tag id upward
+    }
+    val e = intercept[IllegalArgumentException](Tiff.decode(enc))
+    assert(e.getMessage.contains("ColorMap"), e.getMessage)
+  }
+
+  test("the unified media probe sniffs TIFF as its ninth container, classic and BigTIFF") {
+    for (big <- Seq(false, true); le <- Seq(true, false)) {
+      val bytes = Tiff.encode(24, 16, 8, 1, le, 5, 1, None, 7, big,
+        (x, y, _) => px8(3)(x, y, 0), None)
+      val p = MultiModalOps.probeOf(bytes)
+      assert(p.container == "tiff" && p.width == 24 && p.height == 16 &&
+        p.nUnits == 384, s"big=$big le=$le: $p")
+    }
+    val e = intercept[IllegalArgumentException] {
+      MultiModalOps.probeOf("IIxx definitely not a tiff".getBytes("ASCII"))
+    }
+    assert(e.getMessage.contains("unknown media container"), e.getMessage)
   }
 
   test("corruption sweep: every byte flip fails diagnosably, never crash-class") {
