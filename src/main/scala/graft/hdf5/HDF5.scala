@@ -323,7 +323,11 @@ object HDF5 {
     /** Parse a datatype message, returning the type AND its encoded
       * length (nested types — enum base, compound members, array
       * elements — need the length to find what follows). */
-    private def parseDatatypeSized(b: ByteBuffer, off: Int): (TypeInfo, Int) = {
+    private def parseDatatypeSized(b: ByteBuffer, off: Int,
+                                   depth: Int = 0): (TypeInfo, Int) = {
+      // nested types (compound members, vlen/array/enum bases) recurse;
+      // a crafted file must hit a named error, never a StackOverflow
+      require(depth <= 64, "corrupt datatype: nesting deeper than 64 levels")
       val classAndVersion = b.get(off) & 0xFF
       val cls = classAndVersion & 0x0F
       val version = (classAndVersion >> 4) & 0x0F
@@ -344,7 +348,7 @@ object HDF5 {
         case 7 => (RefType(size), 8)
         case 9 =>
           val isString = (bits0 & 0x0F) == 1
-          val (base, bl) = parseDatatypeSized(b, off + 8)
+          val (base, bl) = parseDatatypeSized(b, off + 8, depth + 1)
           (VlenType(isString, base), 8 + bl)
         case 6 => // compound: N members of (name, byte offset, type)
           val n = bits0 | (bits8 << 8)
@@ -375,20 +379,10 @@ object HDF5 {
                 "compound member with old-style (v1) array dims not supported")
               p += 28 // dimensionality(1)+reserved(3)+perm(4)+reserved(4)+4 dims
             }
-            val (mt, ml) = parseDatatypeSized(b, p)
-            mt match {
-              case ct: CompoundType =>
-                // ONE level of nesting (ICESat-2-style granules carry
-                // struct-of-struct records); deeper stays a named error
-                ct.members.foreach { case (_, _, smt) => smt match {
-                  case _: CompoundType =>
-                    throw new UnsupportedOperationException(
-                      "compound datatypes nested deeper than one level " +
-                        "not supported")
-                  case _ =>
-                }}
-              case _ =>
-            }
+            // nested compounds recurse to ANY depth (r15c) under the
+            // shared 64-level cap — ICESat-2-family granules carry
+            // struct-of-struct-of-struct records
+            val (mt, ml) = parseDatatypeSized(b, p, depth + 1)
             require(mt.size >= 1 && mOff >= 0 && mOff.toLong + mt.size <= size,
               s"corrupt compound datatype: member at $mOff+${mt.size} exceeds size $size")
             p += ml
@@ -398,7 +392,7 @@ object HDF5 {
         case 8 => // enum: integer base + N (name, value) pairs
           val n = bits0 | (bits8 << 8)
           require(n >= 1 && n <= 65535, s"corrupt enum datatype: $n members")
-          val (base, bl) = parseDatatypeSized(b, off + 8)
+          val (base, bl) = parseDatatypeSized(b, off + 8, depth + 1)
           require(base.isInstanceOf[FixedPoint],
             s"enum base must be fixed-point, got $base")
           // the value decode below matches on base.size — a corrupt size
@@ -439,7 +433,7 @@ object HDF5 {
             s"corrupt array datatype dim $d"))
           require(dims.foldLeft(1L)(_ * _) <= (1 << 24),
             s"array datatype too large: ${dims.mkString("x")}")
-          val (base, bl) = parseDatatypeSized(b, p)
+          val (base, bl) = parseDatatypeSized(b, p, depth + 1)
           base match {
             case _: ArrayType | _: CompoundType | _: VlenType =>
               throw new UnsupportedOperationException(
@@ -1970,14 +1964,17 @@ object HDF5 {
       * (vlen, string, nested array) fails by name. */
     def readCompound(obj: ObjectInfo): Vector[(String, NDArray)] = {
       val t = obj.dtype.get.asInstanceOf[CompoundType]
-      // flatten ONE level of nested compounds to dotted member names
-      // with absolute byte offsets (pos.x at outer-offset + inner-offset)
-      val flat: Vector[(String, Int, TypeInfo)] = t.members.flatMap {
-        case (mn, mOff, ct: CompoundType) =>
-          ct.members.map { case (smn, smOff, smt) =>
-            (s"$mn.$smn", mOff + smOff, smt) }
-        case m => Vector(m)
-      }
+      // flatten nested compounds (ANY depth, r15c) to dotted member
+      // names with absolute byte offsets (pos.vel.x at the sum of every
+      // enclosing offset); depth is already capped at parse time
+      def flatten(prefix: String, base: Int,
+                  ms: Vector[(String, Int, TypeInfo)]): Vector[(String, Int, TypeInfo)] =
+        ms.flatMap {
+          case (mn, mOff, ct: CompoundType) =>
+            flatten(s"$prefix$mn.", base + mOff, ct.members)
+          case (mn, mOff, mt) => Vector((s"$prefix$mn", base + mOff, mt))
+        }
+      val flat: Vector[(String, Int, TypeInfo)] = flatten("", 0, t.members)
       flat.foreach { case (mn, _, mt) => mt match {
         case _: FixedPoint | _: FloatType | _: EnumType =>
         case other => throw new UnsupportedOperationException(

@@ -201,22 +201,30 @@ object HDF5Writer {
   /** Compound datatype message (class 6 v1): members packed at
     * cumulative offsets, v1's padded names + zeroed old-style array
     * fields (r14). */
-  private def compoundTypeBytes(members: Vector[(String, DType)]): Array[Byte] =
-    compoundTypeBytesNested(members.map { case (n, d) => n -> Left(d) })
+  /** A compound member tree: leaves are scalar dtypes, nests are
+    * class-6 sub-messages — ANY depth (r15c; the ICESat-2 family
+    * carries struct-of-struct-of-struct records). */
+  private sealed trait CMember
+  private final case class CLeaf(dtype: DType) extends CMember
+  private final case class CNest(members: Vector[(String, CMember)])
+    extends CMember
+  private def cmSize(m: CMember): Int = m match {
+    case CLeaf(d) => d.byteSize
+    case CNest(ms) => ms.map(x => cmSize(x._2)).sum
+  }
 
-  /** Compound datatype message (class 6 v1); a Right member is a NESTED
-    * compound (one level — the ICESat-2 struct-of-struct shape) whose
-    * body is itself a class-6 message. */
+  private def compoundTypeBytes(members: Vector[(String, DType)]): Array[Byte] =
+    compoundTypeBytesNested(members.map { case (n, d) => n -> CLeaf(d) })
+
+  /** Compound datatype message (class 6 v1); a CNest member's body is
+    * itself a class-6 message, recursively. */
   private def compoundTypeBytesNested(
-      members: Vector[(String, Either[DType, Vector[(String, DType)]])]): Array[Byte] = {
-    def sizeOf(m: Either[DType, Vector[(String, DType)]]): Int = m match {
-      case Left(d) => d.byteSize
-      case Right(ms) => ms.map(_._2.byteSize).sum
-    }
+      members: Vector[(String, CMember)]): Array[Byte] = {
+    def sizeOf(m: CMember): Int = cmSize(m)
     val totalSize = members.map(m => sizeOf(m._2)).sum
-    val bodies = members.map {
-      case (_, Left(d)) => dtypeBytes(d)
-      case (_, Right(ms)) => compoundTypeBytes(ms)
+    val bodies: Vector[Array[Byte]] = members.map {
+      case (_, CLeaf(d)) => dtypeBytes(d)
+      case (_, CNest(ms)) => compoundTypeBytesNested(ms)
     }
     val len = 8 + members.indices.map { i =>
       pad8(members(i)._1.length + 1) + 4 + 28 + bodies(i).length }.sum
@@ -240,23 +248,24 @@ object HDF5Writer {
     b.array()
   }
 
-  /** Group a flat (leaf-name, dtype) list into one-level nesting: a run
-    * of consecutive "pfx.x" names becomes one nested-compound member
-    * `pfx`. The interleaved DATA layout is unchanged — nesting only
-    * restructures the datatype message. */
+  /** Group a flat (dotted-leaf-name, dtype) list into a nesting TREE:
+    * a run of consecutive "pfx.…" names becomes one nested-compound
+    * member `pfx`, recursively ("a.b.c" nests two deep). The
+    * interleaved DATA layout is unchanged — nesting only restructures
+    * the datatype message. */
   private def groupCompoundMembers(
-      members: Vector[(String, DType)]): Vector[(String, Either[DType, Vector[(String, DType)]])] = {
-    val out = Vector.newBuilder[(String, Either[DType, Vector[(String, DType)]])]
+      members: Vector[(String, DType)]): Vector[(String, CMember)] = {
+    val out = Vector.newBuilder[(String, CMember)]
     var i = 0
     while (i < members.length) {
       val (nm, d) = members(i)
       val dot = nm.indexOf('.')
-      if (dot < 0) { out += nm -> Left(d); i += 1 }
+      if (dot < 0) { out += nm -> CLeaf(d); i += 1 }
       else {
         val pfx = nm.substring(0, dot)
         val run = members.drop(i).takeWhile(_._1.startsWith(pfx + "."))
-        out += pfx -> Right(run.map { case (n2, d2) =>
-          n2.substring(pfx.length + 1) -> d2 })
+        out += pfx -> CNest(groupCompoundMembers(run.map { case (n2, d2) =>
+          n2.substring(pfx.length + 1) -> d2 }))
         i += run.length
       }
     }

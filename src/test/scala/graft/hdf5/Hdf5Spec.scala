@@ -1455,6 +1455,77 @@ class Hdf5Spec extends AnyFunSuite {
     } finally r.close()
   }
 
+  test("nested compounds flatten at ANY depth; a 70-level chain is a named error") {
+    // depth 3: obs = (t: i64, pos: {vel: {x: f8, y: f8}, q: i4}, s: i2)
+    val n = 6
+    val ts = Array.tabulate(n)(i => 1700000000L + i * 60)
+    val xs = Array.tabulate(n)(i => i * 1.5 - 2.0)
+    val ys = Array.tabulate(n)(i => i * -0.25 + 1.0)
+    val qs = Array.tabulate(n)(i => i % 4)
+    val ss = Array.tabulate(n)(i => (i * 3 - 5).toShort)
+    val f = Fragment(
+      dims = Map("rec" -> n),
+      coords = Map("rec" -> Variable(Vector("rec"),
+        NDArray(DType.I4, Vector(n), (0 until n).toArray))),
+      dataVars = Map(
+        "t" -> Variable(Vector("rec"), NDArray(DType.I8, Vector(n), ts)),
+        "pos.vel.x" -> Variable(Vector("rec"), NDArray(DType.F8, Vector(n), xs)),
+        "pos.vel.y" -> Variable(Vector("rec"), NDArray(DType.F8, Vector(n), ys)),
+        "pos.q" -> Variable(Vector("rec"), NDArray(DType.I4, Vector(n), qs)),
+        "s" -> Variable(Vector("rec"), NDArray(DType.I2, Vector(n), ss))),
+      attrs = Map.empty)
+    val p = s"$dir/compound_deep.nc"
+    HDF5Writer.write(p, f, compoundVars =
+      Map("obs" -> Vector("t", "pos.vel.x", "pos.vel.y", "pos.q", "s")))
+    val back = HDF5.read(p)
+    assert(back.dataVars("obs.t").data.data
+      .asInstanceOf[Array[Long]].sameElements(ts))
+    assert(back.dataVars("obs.pos.vel.x").data.data
+      .asInstanceOf[Array[Double]].sameElements(xs))
+    assert(back.dataVars("obs.pos.vel.y").data.data
+      .asInstanceOf[Array[Double]].sameElements(ys))
+    assert(back.dataVars("obs.pos.q").data.data
+      .asInstanceOf[Array[Int]].sameElements(qs))
+    assert(back.dataVars("obs.s").data.data
+      .asInstanceOf[Array[Short]].sameElements(ss))
+    // the wire datatype nests TWO deep: obs(t, pos(vel(x, y), q), s)
+    val r = new HDF5.Reader(p)
+    try {
+      val (_, metas) = HDF5.datasets(r)
+      metas.find(_.name == "obs").get.obj.dtype.get match {
+        case HDF5.CompoundType(30, outer) =>
+          assert(outer.map(_._1) == Vector("t", "pos", "s"))
+          assert(outer.map(_._2) == Vector(0, 8, 28))
+          outer(1)._3 match {
+            case HDF5.CompoundType(20, mid) =>
+              assert(mid.map(_._1) == Vector("vel", "q"))
+              assert(mid.map(_._2) == Vector(0, 16))
+              mid(0)._3 match {
+                case HDF5.CompoundType(16, inner) =>
+                  assert(inner.map(_._1) == Vector("x", "y"))
+                case other => fail(s"expected depth-2 compound, got $other")
+              }
+            case other => fail(s"expected depth-1 compound, got $other")
+          }
+        case other => fail(s"expected compound of size 30, got $other")
+      }
+    } finally r.close()
+    // a 70-level chain must hit the parser's depth cap BY NAME — the
+    // crafted-file StackOverflow guard
+    val deepName = (1 to 70).map(i => s"n$i").mkString(".")
+    val fd = Fragment(
+      dims = Map("rec" -> 2),
+      coords = Map("rec" -> Variable(Vector("rec"),
+        NDArray(DType.I4, Vector(2), Array(0, 1)))),
+      dataVars = Map(deepName -> Variable(Vector("rec"),
+        NDArray(DType.F8, Vector(2), Array(1.0, 2.0)))),
+      attrs = Map.empty)
+    val pd = s"$dir/compound_70deep.nc"
+    HDF5Writer.write(pd, fd, compoundVars = Map("deep" -> Vector(deepName)))
+    val e = intercept[IllegalArgumentException](HDF5.read(pd))
+    assert(e.getMessage.contains("nesting deeper than 64"), e.getMessage)
+  }
+
   test("never-written compound: records decode to the declared fill value") {
     val n = 5
     val f = Fragment(
