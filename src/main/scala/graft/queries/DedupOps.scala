@@ -27,7 +27,7 @@ object DedupOps {
   private val Bs: Vector[Long] = (0 until NumHashes).map(bFor).toVector
 
   /** 60-bit md5 integer of a string column (same on both engines). */
-  private def h60(c: String): String =
+  private[graft] def h60(c: String): String =
     s"cast(conv(substring(md5($c), 1, 15), 16, 10) as bigint)"
   private def h60Duck(c: String): String =
     s"('0x' || substr(md5($c), 1, 15))::BIGINT"
@@ -576,18 +576,32 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
 
   /** d15's distinct (doc_id, f) gram-set table, checkpointed — the one
-    * corpus pass everything downstream reads. */
-  private[graft] def ppjoinGramsOf(docs: DataFrame, k: Int): DataFrame = {
+    * corpus pass everything downstream reads.
+    *
+    * r15 optimization (guide §2.4): the per-doc `array_distinct` over the
+    * HASHED gram array replaces the old global `.distinct()` — doc_id is
+    * the table's primary key (the shinglesOf invariant, asserted by
+    * CorpusOpsSpec), so distinct-within-doc IS the global distinct, and
+    * the full (doc_id, f) exchange + hash aggregate that preceded the
+    * checkpoint disappears (plan: 1 Exchange → 0 before the checkpoint).
+    * The distinct runs on the hash array, not the gram strings, so two
+    * distinct grams colliding in h60 still collapse to one row exactly
+    * like the old global distinct did. */
+  private[graft] def ppjoinGramsOf(docs: DataFrame, k: Int): DataFrame =
+    ppjoinGramsPlanOf(docs, k).localCheckpoint(true)
+
+  /** The pre-checkpoint gram-table plan, exposed (PlanDumpSub, specs) so
+    * the checkpointed stage's shape — ZERO exchanges — stays visible:
+    * the final query's explain shows the checkpoint only as a leaf. */
+  private[graft] def ppjoinGramsPlanOf(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"ppjoin: gram width must be >= 1, got $k")
     docs
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= k)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(words) - ${k - 1}), " +
-          s"i -> concat_ws(' ', slice(words, i, $k)))")).as("gs"))
-      .select(col("doc_id"), expr(h60("gs")).as("f"))
-      .distinct()
-      .localCheckpoint(true)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(transform(sequence(1, size(words) - ${k - 1}), " +
+          s"i -> concat_ws(' ', slice(words, i, $k))), gs -> ${h60("gs")})")))
+        .as("f"))
   }
 
   /** d15's lossless candidate generator over a gram-set table: prefix

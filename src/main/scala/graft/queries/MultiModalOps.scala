@@ -81,7 +81,16 @@ object MultiModalOps {
       StructField("r_mean", LongType, nullable = false),
       StructField("g_mean", LongType, nullable = false),
       StructField("b_mean", LongType, nullable = false)))
-    documents(s, d).select(col("doc_id"))
+    // Presentation sort BELOW the decode (r15 optimization, guide §1.4/
+    // §2.4): a global orderBy above the decode plans a range Exchange
+    // whose boundary-sampling pass executes the whole child — the decode
+    // ran TWICE (and, pre-shuffle, in as few tasks as the scan has
+    // splits). Sorting the doc_id input first makes the sampling pass
+    // scan-cheap, runs the decode ONCE, post-shuffle (scan splits no
+    // longer bound its parallelism), and mapPartitions preserves the
+    // range-partitioned per-partition order, so the output row order is
+    // unchanged. Applied to every map-only media decoder below.
+    documents(s, d).select(col("doc_id")).orderBy("doc_id")
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -89,7 +98,6 @@ object MultiModalOps {
           Row(id, w, h, rm, gm, bm)
         }
       }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
-      .orderBy("doc_id")
   }
 
   /** Oracle from the synthesis formula only — no byte parsing. */
@@ -109,15 +117,20 @@ object MultiModalOps {
     * every 4th frame is kept with a deterministic per-frame fingerprint —
     * the explode + downsample shape of video preprocessing. */
   def m02FrameSample(s: SparkSession, d: String): DataFrame =
+    // sort below the expensive work (see m01): docs sorted by the unique
+    // doc_id, then the ascending-sequence explode + filter + md5
+    // projection preserve order, so the rows come out (doc_id, frame_id)-
+    // sorted without a post-explode range exchange whose sampling pass
+    // would run the explode+md5 twice
     documents(s, d)
       .withColumn("n_frames", expr("cast(length(text) as bigint) div 64"))
       .filter(col("n_frames") > 0)
+      .orderBy("doc_id")
       .withColumn("frame_id", explode(expr("sequence(0, n_frames - 1)")))
       .filter(col("frame_id") % 4 === 0)
       .select(col("doc_id"), col("frame_id"),
         expr("cast(conv(substring(md5(concat(cast(doc_id as string), ':', " +
           "cast(frame_id as string))), 1, 15), 16, 10) as bigint)").as("frame_fp"))
-      .orderBy("doc_id", "frame_id")
 
   val m02Sql: String =
     """WITH f AS (
@@ -144,10 +157,13 @@ object MultiModalOps {
   private val RasterW = 32
 
   def m03Resize(s: SparkSession, d: String): DataFrame =
+    // sort below the decode (see m01): the kernel emits each doc's pixels
+    // in ascending (y, x) order, so a doc_id-sorted input yields exactly
+    // the (doc_id, y, x) presentation order with no post-decode sort
     resizeOf(documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .orderBy("doc_id"),
       OutDim, RasterW)
-      .orderBy("doc_id", "y", "x")
 
   /** Box-resample kernel over an arbitrary (doc_id, payload) frame; shared
     * by m03 and the [[graft.ops.Media]] facade. Rows whose payload cannot
@@ -215,6 +231,7 @@ object MultiModalOps {
     * s0x similarity operators — is the real plumbing. */
   def m04EmbedStub(s: SparkSession, d: String): DataFrame = {
     val withVec = documents(s, d)
+      .orderBy("doc_id") // sort below the md5 feature extraction (see m01)
       .select(col("doc_id"), expr(
         "transform(sequence(0, 7), k -> " +
           "cast(conv(substring(md5(text), k * 4 + 1, 4), 16, 10) as bigint))")
@@ -222,7 +239,7 @@ object MultiModalOps {
     // project the vector to scalar columns for the oracle compare; the
     // array<bigint> `feature` column is the actual pipeline product
     val flat = (0 until 8).map(k => col("feature").getItem(k).as(s"f$k"))
-    withVec.select((col("doc_id") +: flat): _*).orderBy("doc_id")
+    withVec.select((col("doc_id") +: flat): _*)
   }
 
   val m04Sql: String = {
@@ -454,7 +471,7 @@ object MultiModalOps {
       StructField("duration_ms", LongType, nullable = false),
       StructField("rms", LongType, nullable = false),
       StructField("zero_crossings", LongType, nullable = false)))
-    documents(s, d).select(col("doc_id"))
+    documents(s, d).select(col("doc_id")).orderBy("doc_id") // sort below the decode (see m01)
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -466,7 +483,6 @@ object MultiModalOps {
           Row(id, rate, n, n * 1000L / rate, rms, zc)
         }
       }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
-      .orderBy("doc_id")
   }
 
   /** Oracle: features from the synthesis formula only — no byte parsing. */
@@ -671,7 +687,7 @@ object MultiModalOps {
       StructField("n_active", LongType, nullable = false),
       StructField("n_segments", LongType, nullable = false),
       StructField("longest_run", LongType, nullable = false)))
-    documents(s, d).select(col("doc_id"))
+    documents(s, d).select(col("doc_id")).orderBy("doc_id") // sort below the decode (see m01)
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -680,7 +696,6 @@ object MultiModalOps {
           Row(id, nFrames, nActive, nSeg, longest)
         }
       }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
-      .orderBy("doc_id")
   }
 
   /** Oracle: segment structure from the synthesis formula only — frames
@@ -732,8 +747,8 @@ object MultiModalOps {
 
   def m08SceneCuts(s: SparkSession, d: String): DataFrame =
     sceneCutsOf(documents(s, d)
-      .select(col("doc_id"), col("text").cast("binary").as("payload")))
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .orderBy("doc_id")) // sort below the decode (see m01)
 
   /** The m08 kernel over any (doc_id, payload) frame (graft.ops.Media
     * API). Payloads shorter than one frame are skipped (no scene exists),
@@ -942,7 +957,7 @@ object MultiModalOps {
       StructField("fps_milli", LongType, nullable = false),
       StructField("frame_bytes", LongType, nullable = false),
       StructField("first_frame_mean", LongType, nullable = false)))
-    documents(s, d).select(col("doc_id"))
+    documents(s, d).select(col("doc_id")).orderBy("doc_id") // sort below the decode (see m01)
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -952,7 +967,6 @@ object MultiModalOps {
             v.frameBytes, v.firstFrameMean)
         }
       }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
-      .orderBy("doc_id")
   }
 
   /** Synthesized AVI parameters (all pure functions of doc_id — the
@@ -1266,7 +1280,7 @@ object MultiModalOps {
       StructField("px_mean_milli", LongType, nullable = false),
       StructField("tl_px", LongType, nullable = false),
       StructField("br_px", LongType, nullable = false)))
-    documents(s, d).select(col("doc_id"))
+    documents(s, d).select(col("doc_id")).orderBy("doc_id") // sort below the decode (see m01)
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -1280,7 +1294,6 @@ object MultiModalOps {
             (v.pixels(v.pixels.length - 1) & 0xff).toLong)
         }
       }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
-      .orderBy("doc_id")
   }
 
   /** Synthesized PNG parameters (all pure functions of doc_id — the
@@ -1686,7 +1699,7 @@ object MultiModalOps {
       StructField("px_rgb_sum", LongType, nullable = false),
       StructField("tl_idx", LongType, nullable = false),
       StructField("br_idx", LongType, nullable = false)))
-    documents(s, d).select(col("doc_id"))
+    documents(s, d).select(col("doc_id")).orderBy("doc_id") // sort below the decode (see m01)
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -1706,7 +1719,6 @@ object MultiModalOps {
             (v.indices(v.indices.length - 1) & 0xff).toLong)
         }
       }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
-      .orderBy("doc_id")
   }
 
   /** Synthesized GIF parameters (pure functions of doc_id — the oracle's
@@ -2289,7 +2301,7 @@ object MultiModalOps {
       StructField("width", IntegerType, nullable = false),
       StructField("height", IntegerType, nullable = false),
       StructField("n_units", LongType, nullable = false)))
-    documents(s, d).select(col("doc_id"))
+    documents(s, d).select(col("doc_id")).orderBy("doc_id") // sort below the decode (see m01)
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -2298,7 +2310,6 @@ object MultiModalOps {
           Row(id, p.container, p.width, p.height, p.nUnits)
         }
       }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
-      .orderBy("doc_id")
   }
 
   /** A mixed-media corpus: container chosen by doc_id % 6, payload from
@@ -2491,7 +2502,7 @@ object MultiModalOps {
       StructField("tl_px", LongType, nullable = false),
       StructField("br_px", LongType, nullable = false),
       StructField("n_restarts", LongType, nullable = false)))
-    documents(s, d).select(col("doc_id"))
+    documents(s, d).select(col("doc_id")).orderBy("doc_id") // sort below the decode (see m01)
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -2508,7 +2519,6 @@ object MultiModalOps {
             v.nRestarts)
         }
       }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
-      .orderBy("doc_id")
   }
 
   /** Synthesized JPEG parameters (pure functions of doc_id — the
@@ -2586,7 +2596,7 @@ object MultiModalOps {
       StructField("vbr_tag", StringType, nullable = false),
       StructField("vbr_frames", IntegerType, nullable = false),
       StructField("vbr_bytes", LongType, nullable = false)))
-    documents(s, d).select(col("doc_id"))
+    documents(s, d).select(col("doc_id")).orderBy("doc_id") // sort below the decode (see m01)
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -2597,7 +2607,6 @@ object MultiModalOps {
             v.vbrTag, v.vbrFrames, v.vbrBytes)
         }
       }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
-      .orderBy("doc_id")
   }
 
   /** m15 synthesis (pure functions of doc_id — the oracle's closed
@@ -2717,7 +2726,7 @@ object MultiModalOps {
       StructField("lat0_milli", LongType, nullable = false),
       StructField("big_tiff", IntegerType, nullable = false),
       StructField("n_pages", IntegerType, nullable = false)))
-    documents(s, d).select(col("doc_id"))
+    documents(s, d).select(col("doc_id")).orderBy("doc_id") // sort below the decode (see m01)
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -2735,7 +2744,6 @@ object MultiModalOps {
             if (v.bigTiff) 1 else 0, v.nPages)
         }
       }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
-      .orderBy("doc_id")
   }
 
   /** m16 synthesis (pure functions of doc_id — the oracle's closed

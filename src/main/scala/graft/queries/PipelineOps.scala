@@ -817,14 +817,17 @@ object PipelineOps {
   def p09SplitAudit(s: SparkSession, d: String): DataFrame = {
     val split = DedupOps2.d13LeakageSplit(s, d)
       .select("doc_id", "split").localCheckpoint(true)
+    // per-doc array_distinct over the HASHED gram array == the old global
+    // .distinct() (doc_id is the primary key — the ppjoinGramsOf r15
+    // rewrite), removing the (doc_id, f) exchange + aggregate below the
+    // split join
     val grams = documents(s, d)
       .withColumn("words", split_(col("text"), " "))
       .filter(size(col("words")) >= SplitAuditK)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(words) - ${SplitAuditK - 1}), " +
-          s"i -> concat_ws(' ', slice(words, i, $SplitAuditK)))")).as("g"))
-      .select(col("doc_id"), expr(DedupOps2.h60("g")).as("f"))
-      .distinct()
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(transform(sequence(1, size(words) - ${SplitAuditK - 1}), " +
+          s"i -> concat_ws(' ', slice(words, i, $SplitAuditK))), " +
+          s"gs -> ${DedupOps2.h60("gs")})"))).as("f"))
       .join(split, "doc_id")
       .localCheckpoint(true)
     val trainGrams = grams.filter(col("split") === "train")

@@ -93,9 +93,15 @@ object TextOps {
   def t03Fingerprint(s: SparkSession, d: String): DataFrame =
     fingerprintOf(documents(s, d))
 
-  /** t03's kernel over any (doc_id, text) frame (graft.ops.Text API). */
+  /** t03's kernel over any (doc_id, text) frame (graft.ops.Text API).
+    * The presentation sort runs BELOW the fingerprint projection (r15):
+    * a final orderBy's range-sampling pass would execute the md5-per-
+    * gram transform over the whole corpus a second time; sorting the
+    * raw (doc_id, text) rows first keeps the sampling pass scan-cheap
+    * and the projection — order-preserving — evaluates once. */
   private[graft] def fingerprintOf(docs: DataFrame): DataFrame =
     docs
+      .orderBy("doc_id")
       .withColumn("words", split(col("text"), " "))
       .withColumn("grams", expr(
         "transform(sequence(1, greatest(size(words) - 4, 1)), " +
@@ -108,7 +114,6 @@ object TextOps {
         expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)").as("fp60"),
         expr("array_min(gram_hashes)").as("roll_min"),
         expr("array_max(gram_hashes)").as("roll_max"))
-      .orderBy("doc_id")
 
   val t03Sql: String =
     """WITH t AS (
