@@ -90,7 +90,7 @@ object MultiModalOps {
     // longer bound its parallelism), and mapPartitions preserves the
     // range-partitioned per-partition order, so the output row order is
     // unchanged. Applied to every map-only media decoder below.
-    documents(s, d).select(col("doc_id")).orderBy("doc_id")
+    documentsUnspread(s, d).select(col("doc_id")).orderBy("doc_id")
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -122,7 +122,7 @@ object MultiModalOps {
     // projection preserve order, so the rows come out (doc_id, frame_id)-
     // sorted without a post-explode range exchange whose sampling pass
     // would run the explode+md5 twice
-    documents(s, d)
+    documentsUnspread(s, d)
       .withColumn("n_frames", expr("cast(length(text) as bigint) div 64"))
       .filter(col("n_frames") > 0)
       .orderBy("doc_id")
@@ -160,7 +160,7 @@ object MultiModalOps {
     // sort below the decode (see m01): the kernel emits each doc's pixels
     // in ascending (y, x) order, so a doc_id-sorted input yields exactly
     // the (doc_id, y, x) presentation order with no post-decode sort
-    resizeOf(documents(s, d)
+    resizeOf(documentsUnspread(s, d)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .orderBy("doc_id"),
       OutDim, RasterW)
@@ -230,7 +230,7 @@ object MultiModalOps {
     * stub; the contract — binary in, dense vector column out, ready for the
     * s0x similarity operators — is the real plumbing. */
   def m04EmbedStub(s: SparkSession, d: String): DataFrame = {
-    val withVec = documents(s, d)
+    val withVec = documentsUnspread(s, d)
       .orderBy("doc_id") // sort below the md5 feature extraction (see m01)
       .select(col("doc_id"), expr(
         "transform(sequence(0, 7), k -> " +
@@ -471,7 +471,7 @@ object MultiModalOps {
       StructField("duration_ms", LongType, nullable = false),
       StructField("rms", LongType, nullable = false),
       StructField("zero_crossings", LongType, nullable = false)))
-    documents(s, d).select(col("doc_id")).orderBy("doc_id") // sort below the decode (see m01)
+    documentsUnspread(s, d).select(col("doc_id")).orderBy("doc_id") // sort below the decode (see m01)
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -687,7 +687,7 @@ object MultiModalOps {
       StructField("n_active", LongType, nullable = false),
       StructField("n_segments", LongType, nullable = false),
       StructField("longest_run", LongType, nullable = false)))
-    documents(s, d).select(col("doc_id")).orderBy("doc_id") // sort below the decode (see m01)
+    documentsUnspread(s, d).select(col("doc_id")).orderBy("doc_id") // sort below the decode (see m01)
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -746,7 +746,7 @@ object MultiModalOps {
   private[graft] val CutThresh = 3L
 
   def m08SceneCuts(s: SparkSession, d: String): DataFrame =
-    sceneCutsOf(documents(s, d)
+    sceneCutsOf(documentsUnspread(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .orderBy("doc_id")) // sort below the decode (see m01)
 
@@ -957,7 +957,7 @@ object MultiModalOps {
       StructField("fps_milli", LongType, nullable = false),
       StructField("frame_bytes", LongType, nullable = false),
       StructField("first_frame_mean", LongType, nullable = false)))
-    documents(s, d).select(col("doc_id")).orderBy("doc_id") // sort below the decode (see m01)
+    documentsUnspread(s, d).select(col("doc_id")).orderBy("doc_id") // sort below the decode (see m01)
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -1280,7 +1280,7 @@ object MultiModalOps {
       StructField("px_mean_milli", LongType, nullable = false),
       StructField("tl_px", LongType, nullable = false),
       StructField("br_px", LongType, nullable = false)))
-    documents(s, d).select(col("doc_id")).orderBy("doc_id") // sort below the decode (see m01)
+    documentsUnspread(s, d).select(col("doc_id")).orderBy("doc_id") // sort below the decode (see m01)
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -1699,7 +1699,7 @@ object MultiModalOps {
       StructField("px_rgb_sum", LongType, nullable = false),
       StructField("tl_idx", LongType, nullable = false),
       StructField("br_idx", LongType, nullable = false)))
-    documents(s, d).select(col("doc_id")).orderBy("doc_id") // sort below the decode (see m01)
+    documentsUnspread(s, d).select(col("doc_id")).orderBy("doc_id") // sort below the decode (see m01)
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -2301,7 +2301,7 @@ object MultiModalOps {
       StructField("width", IntegerType, nullable = false),
       StructField("height", IntegerType, nullable = false),
       StructField("n_units", LongType, nullable = false)))
-    documents(s, d).select(col("doc_id")).orderBy("doc_id") // sort below the decode (see m01)
+    documentsUnspread(s, d).select(col("doc_id")).orderBy("doc_id") // sort below the decode (see m01)
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -2502,7 +2502,7 @@ object MultiModalOps {
       StructField("tl_px", LongType, nullable = false),
       StructField("br_px", LongType, nullable = false),
       StructField("n_restarts", LongType, nullable = false)))
-    documents(s, d).select(col("doc_id")).orderBy("doc_id") // sort below the decode (see m01)
+    documentsUnspread(s, d).select(col("doc_id")).orderBy("doc_id") // sort below the decode (see m01)
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -2596,7 +2596,7 @@ object MultiModalOps {
       StructField("vbr_tag", StringType, nullable = false),
       StructField("vbr_frames", IntegerType, nullable = false),
       StructField("vbr_bytes", LongType, nullable = false)))
-    documents(s, d).select(col("doc_id")).orderBy("doc_id") // sort below the decode (see m01)
+    documentsUnspread(s, d).select(col("doc_id")).orderBy("doc_id") // sort below the decode (see m01)
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -2726,7 +2726,7 @@ object MultiModalOps {
       StructField("lat0_milli", LongType, nullable = false),
       StructField("big_tiff", IntegerType, nullable = false),
       StructField("n_pages", IntegerType, nullable = false)))
-    documents(s, d).select(col("doc_id")).orderBy("doc_id") // sort below the decode (see m01)
+    documentsUnspread(s, d).select(col("doc_id")).orderBy("doc_id") // sort below the decode (see m01)
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)

@@ -56,6 +56,34 @@ object Tables {
       case other =>
         throw new UnsupportedTableSchemaException("events", "ts", other)
     }
-  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+  /** Spread a small-file scan across the cores before CPU-heavy per-row
+    * work (r15 optimization, guide §2.5 "input skew: one huge unsplittable
+    * file ... repartition immediately after the read"). Parquet splits at
+    * row-group granularity and the driver's testdata is ONE file with ONE
+    * row group per table, so every stage fused to the scan — gram md5
+    * hashing, BPE, media decode, shingling — otherwise runs as a single
+    * task regardless of core count. Scale-adaptive, not a local[n] tune:
+    * the target is defaultParallelism (whatever the session was given) and
+    * the repartition is SKIPPED whenever the scan already yields at least
+    * that many splits, i.e. on any real multi-file corpus this is the
+    * identity and no exchange is added; when it does fire, the shuffle
+    * moves the table exactly once (the corpus is by definition small —
+    * few splits — when the gate passes). Round-robin repartition is
+    * deterministic under retries (sortBeforeRepartition, SPARK-23207). */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
+  def documents(s: SparkSession, d: String): DataFrame =
+    spread(s, t(s, d, "documents"))
+  /** The raw documents scan, NO spread: only for queries whose first
+    * operation is itself a global sort (the media decoders sort by doc_id
+    * BELOW the decode) — there the sort's range exchange already spreads
+    * the rows across the cores and a spread would be a second, redundant
+    * exchange of the same bytes. */
+  private[graft] def documentsUnspread(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    spread(s, t(s, d, "embeddings"))
 }

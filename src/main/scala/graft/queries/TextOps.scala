@@ -91,7 +91,10 @@ object TextOps {
     * winnowing-style rolling fingerprint (min/max over hashed word 5-gram
     * windows). */
   def t03Fingerprint(s: SparkSession, d: String): DataFrame =
-    fingerprintOf(documents(s, d))
+    // unspread: fingerprintOf's first operation is the doc_id sort, whose
+    // range exchange already spreads the single-split scan (Tables.spread
+    // would add a second exchange of the same rows for nothing)
+    fingerprintOf(documentsUnspread(s, d))
 
   /** t03's kernel over any (doc_id, text) frame (graft.ops.Text API).
     * The presentation sort runs BELOW the fingerprint projection (r15):
