@@ -266,8 +266,16 @@ object DedupOps {
     * checkpoint-materialized and the signature cache released before
     * returning, so repeated invocations never accumulate storage blocks. */
   def d04MinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sig = d03MinhashSig(s, d).cache()
-    try lshPairsOf(sig).orderBy("doc_a", "doc_b").localCheckpoint(true)
+    // r15 (guide §2.4 "an orderBy used only to make output deterministic"):
+    // cache the UNSORTED signature table (banding is order-free — d03's
+    // presentation orderBy would range-sort the cached frame for nothing)
+    // and keep the checkpoint unsorted too, sorting lazily on top: d04's
+    // own materialized rows are identical, while the CC consumers
+    // (d07/d13/p09) aggregate above it and the optimizer drops the
+    // order-irrelevant sort — and even where it survives, it sorts a
+    // checkpointed LSH-collapsed pair table, not the corpus stream.
+    val sig = minhashSigOf(shingles(s, d)).cache()
+    try lshPairsOf(sig).localCheckpoint(true).orderBy("doc_a", "doc_b")
     finally sig.unpersist(blocking = false)
   }
 
@@ -368,7 +376,10 @@ object DedupOps {
   /** SimHash near-dup pairs by Hamming distance over the banded join
     * (bucket on 8-bit sub-bands to avoid the cross join, like LSH). */
   def d06SimhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = d05Simhash(s, d).cache()
+    // cache the UNSORTED simhash table (d05's presentation orderBy would
+    // sort the cached frame for nothing — banding is order-free; same
+    // r15 rationale as d04)
+    val sh = simhashOf(documents(s, d)).cache()
     try simhashPairsOf(sh).orderBy("doc_a", "doc_b").localCheckpoint(true)
     finally sh.unpersist(blocking = false)
   }
@@ -720,9 +731,26 @@ object DedupOps {
     * BOTH derivations' CTEs (d02SqlCtes + ppjoinNaiveSqlCtes over the
     * identical sampled source), so neither side can drift from the
     * operator it audits. */
-  def d16DedupRecallAudit(s: SparkSession, d: String): DataFrame =
-    recallAuditOf(documents(s, d), d02NgramJaccard(s, d), AuditSampleDen)
+  def d16DedupRecallAudit(s: SparkSession, d: String): DataFrame = {
+    // r15 optimization (guide §2.6): the PRODUCTION pair frame (full-corpus
+    // d02) and the EXACT sampled prefix-join are independent eager-
+    // checkpoint chains — build them concurrently so the second chain's
+    // jobs back-fill the cores the first chain's stage tails leave idle.
+    // Same frames, same left join, same result as the sequential build
+    // (recallAuditOf, kept for the graft.ops.Corpus API).
+    val docs = documents(s, d)
+    val sampled = docs.filter(col("doc_id") % AuditSampleDen === 0)
+    val (capped, exact) = graft.core.Par.inParallel(
+      d02NgramJaccard(s, d),
+      ppjoinPairsOf(sampled, t10 = 8, k = 3)
+        .select("doc_a", "doc_b", "jacc_milli"))
+    exact.join(
+        capped.select(col("doc_a"), col("doc_b"), lit(true).as("hit")),
+        Seq("doc_a", "doc_b"), "left")
+      .withColumn("found_by_capped", coalesce(col("hit"), lit(false)))
+      .select("doc_a", "doc_b", "jacc_milli", "found_by_capped")
       .orderBy("doc_a", "doc_b")
+  }
 
   /** d16's gated sample denominator: audit docs with doc_id % S == 0 on
     * both pair sides — exact-join mass ÷ S². S is chosen so the sampled

@@ -2070,11 +2070,6 @@ object SimilarityOps {
     // floor IncScale measured) AND re-ran the sign kernel over the
     // whole corpus per probe.
     val standingBands = s02Bands(embOld, bands, rb).localCheckpoint(true)
-    val standingCapped = cappedLists(
-      symmetrized(bandPairCounts(standingBands)), candCap)
-      .localCheckpoint(true)
-    val standingEdges = rescoreTopK(embOld, standingCapped, k)
-      .localCheckpoint(true)
     // the upkeep job: probe once (batch signatures only — the index
     // side is read from state), derive the touched set, then re-rank
     // ONLY the touched vectors' lists — top-cap(old capped list ∪ new
@@ -2083,9 +2078,19 @@ object SimilarityOps {
     // so the merged window runs on O(touched·cap + batch collisions)
     // rows, never the corpus (at production scale the standing lists
     // are bucketed by vec_id and the semi-join prunes the read).
-    val probeSym = symmetrized(
-        incrementalProbe(emb, t, bands, rb, Some(standingBands)))
-      .localCheckpoint(true)
+    // r15 (guide §2.6): the capped-list → edge-list state chain and the
+    // probe both depend only on standingBands and not on each other —
+    // build the two eager-checkpoint chains concurrently.
+    val ((standingCapped, standingEdges), probeSym) =
+      graft.core.Par.inParallel(
+        {
+          val sc = cappedLists(
+            symmetrized(bandPairCounts(standingBands)), candCap)
+            .localCheckpoint(true)
+          (sc, rescoreTopK(embOld, sc, k).localCheckpoint(true))
+        },
+        symmetrized(incrementalProbe(emb, t, bands, rb, Some(standingBands)))
+          .localCheckpoint(true))
     val touched = probeSym.select("vec_id").distinct()
     val reranked = knnTailFromSym(emb,
       standingCapped.join(broadcast(touched), Seq("vec_id"), "left_semi")
