@@ -278,11 +278,20 @@ object ClusterOps {
                                 iters: Int): DataFrame = {
     require(iters >= 0, s"pagerank: iters must be >= 0, got $iters")
     val outdeg = edges.groupBy("vec_id").agg(count(lit(1)).as("deg"))
+    // r15 (guide §2.4): attach the sender's out-degree to the edge list
+    // ONCE before the loop — the old shape re-joined `outdeg` (itself an
+    // aggregation over the edges) inside every iteration, re-running that
+    // aggregate + join iters times; each unrolled iteration now joins the
+    // degree-annotated edges against the scores only. Same arithmetic:
+    // `pr div deg` per out-edge, deg constant across iterations.
+    val edgesDeg = edges.join(outdeg, "vec_id")
+      .select(col("vec_id"), col("neighbor_id"), col("deg"))
+      .localCheckpoint(true)
     var pr = nodes.select(col("vec_id"), lit(1000L).as("pr"))
     var it = 0
     while (it < iters) {
-      val contrib = edges
-        .join(outdeg, "vec_id").join(pr, "vec_id")
+      val contrib = edgesDeg
+        .join(pr, "vec_id")
         .select(col("neighbor_id").as("vec_id"),
           expr("pr div deg").as("share"))
         .groupBy("vec_id").agg(sum("share").as("c"))
