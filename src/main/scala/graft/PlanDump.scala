@@ -114,6 +114,66 @@ object PlanDumpSub {
   }
 }
 
+/** r16 pre-checkpoint subplan evidence: s02/st11's bigram-tf stage is
+  * materialized by an eager localCheckpoint inside docBigramVectors /
+  * admissionStateOf, so the final-query explain shows it only as an
+  * ExistingRDD leaf. The r16 change routes those builders the UNSPREAD
+  * documents scan (they round-robin-repartition internally), removing
+  * the spread exchange that sat back-to-back with the internal one.
+  * This dumps the stage's own plan both ways.
+  *
+  *   sbt "runMain graft.PlanDumpSub16 <outDir>"
+  */
+object PlanDumpSub16 {
+  def main(args: Array[String]): Unit = {
+    val outDir = if (args.nonEmpty) args(0) else "plans/r16"
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    import graft.queries.Tables
+    // the bigram-tf stage body (docBigramVectors/admissionStateOf front
+    // end), reconstructed verbatim: internal round-robin repartition +
+    // gram explode + tf aggregate — the plan that feeds the eager
+    // checkpoint
+    def gtfPlan(docs: org.apache.spark.sql.DataFrame) = docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat(ws[i - 1], ' ', ws[i]))"))
+        .as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+    // BEFORE (r15 shape): callers passed the SPREAD documents table —
+    // its round-robin exchange sat directly under the internal one
+    val before = gtfPlan(Tables.documents(spark, sfDir)
+      .select("doc_id", "text"))
+    // AFTER: the unspread scan — one exchange total
+    val after = gtfPlan(Tables.documentsUnspread(spark, sfDir)
+      .select("doc_id", "text"))
+    def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      Files.write(Paths.get(outDir, s"$name.txt"),
+        ("// checkpointed-stage subplan (see PlanDumpSub16)\n" + plan)
+          .getBytes("UTF-8"))
+      println(s"dumped $name")
+    }
+    Files.createDirectories(Paths.get(outDir))
+    dump("s02_bigramtf_stage_before", before)
+    dump("s02_bigramtf_stage_after", after)
+    spark.stop()
+  }
+}
+
 /** Per-job wall-time profile of ONE query under the Bench session
   * config: runs the query exactly as Bench does (toRdd.count) with a
   * listener recording every job's duration and description, so the cost

@@ -16,14 +16,34 @@ package graft.core
 object Par {
   def inParallel[A, B](a: => A, b: => B): (A, B) = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val fa = pool.submit(new java.util.concurrent.Callable[A] {
+      def call(): A = a
+    })
+    val fb = pool.submit(new java.util.concurrent.Callable[B] {
+      def call(): B = b
+    })
     try {
-      val fa = pool.submit(new java.util.concurrent.Callable[A] {
-        def call(): A = a
-      })
-      val fb = pool.submit(new java.util.concurrent.Callable[B] {
-        def call(): B = b
-      })
-      (fa.get(), fb.get())
-    } finally pool.shutdown()
+      // unwrap ExecutionException so callers/tests see the branch's own
+      // exception type, and cancel the sibling on failure — a detached
+      // still-running branch could leave orphaned eager-checkpoint blocks
+      def get[T](f: java.util.concurrent.Future[T]): T =
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        }
+      try (get(fa), get(fb))
+      catch {
+        case t: Throwable =>
+          fa.cancel(true); fb.cancel(true)
+          throw t
+      }
+    } finally {
+      pool.shutdown()
+      // bound the wait: branches block on Spark job completion, which is
+      // interruptible; a branch that ignores interruption for 60 s is a
+      // bug we'd rather surface than hang on
+      pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+    }
   }
 }

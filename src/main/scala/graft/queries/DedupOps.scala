@@ -262,9 +262,13 @@ object DedupOps {
     * signature join to score est_sim (fraction of equal minhashes).
     * The signature table is cached — it is the expensive shingle pipeline —
     * and each band is a key of ONE equi-join, not one join per band. The
-    * cache lives only inside this call: the (tiny, LSH-collapsed) result is
-    * checkpoint-materialized and the signature cache released before
-    * returning, so repeated invocations never accumulate storage blocks. */
+    * cache lives only inside this call: the (tiny, LSH-collapsed) pair
+    * table is checkpoint-materialized UNSORTED and the signature cache
+    * released before returning, so repeated invocations never accumulate
+    * storage blocks. The presentation sort sits lazily ON TOP of the
+    * checkpoint — consumers that aggregate above d04 (d07/d13/p09) plan
+    * it away, and consumers that do re-execute it sort the checkpointed
+    * LSH-collapsed pair table, not the corpus stream. */
   def d04MinhashLsh(s: SparkSession, d: String): DataFrame = {
     // r15 (guide §2.4 "an orderBy used only to make output deterministic"):
     // cache the UNSORTED signature table (banding is order-free — d03's

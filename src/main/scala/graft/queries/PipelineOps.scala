@@ -817,17 +817,11 @@ object PipelineOps {
   def p09SplitAudit(s: SparkSession, d: String): DataFrame = {
     val split = DedupOps2.d13LeakageSplit(s, d)
       .select("doc_id", "split").localCheckpoint(true)
-    // per-doc array_distinct over the HASHED gram array == the old global
-    // .distinct() (doc_id is the primary key — the ppjoinGramsOf r15
-    // rewrite), removing the (doc_id, f) exchange + aggregate below the
-    // split join
-    val grams = documents(s, d)
-      .withColumn("words", split_(col("text"), " "))
-      .filter(size(col("words")) >= SplitAuditK)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"transform(transform(sequence(1, size(words) - ${SplitAuditK - 1}), " +
-          s"i -> concat_ws(' ', slice(words, i, $SplitAuditK))), " +
-          s"gs -> ${DedupOps2.h60("gs")})"))).as("f"))
+    // the (doc_id, f) gram table IS ppjoinGramsPlanOf at k=SplitAuditK
+    // (r16, ADVICE): reuse the shared builder so the per-doc
+    // array_distinct == global distinct equivalence argument (doc_id is
+    // the table's primary key) lives in exactly one place
+    val grams = DedupOps.ppjoinGramsPlanOf(documents(s, d), SplitAuditK)
       .join(split, "doc_id")
       .localCheckpoint(true)
     val trainGrams = grams.filter(col("split") === "train")
@@ -840,11 +834,6 @@ object PipelineOps {
       .select("doc_id", "n_grams", "n_shared", "leak_milli")
       .orderBy("doc_id")
   }
-
-  /** Alias: `split` the sql function is shadowed by the d13 column name
-    * in [[p09SplitAudit]]'s scope. */
-  private def split_(c: org.apache.spark.sql.Column, sep: String) =
-    org.apache.spark.sql.functions.split(c, sep)
 
   val p09Sql: String =
     s"""WITH RECURSIVE ${DedupOps.ccSqlCtes},

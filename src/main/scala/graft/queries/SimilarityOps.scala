@@ -456,7 +456,13 @@ object SimilarityOps {
     * exact integer dot before the threshold filter). */
   def s02EmbedNearDup(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val docs = documents(s, d).select("doc_id", "text")
+    // UNSPREAD scan (r16): docBigramVectors round-robin-repartitions its
+    // input before the gram explode itself, so the spread table would pay
+    // two back-to-back exchanges of the same text bytes; the count for
+    // the adaptive bit width runs on the bare scan (row count is
+    // repartition-invariant, and Spark answers count-over-scan from
+    // parquet metadata instead of materializing the spread exchange).
+    val docs = Tables.documentsUnspread(s, d).select("doc_id", "text")
     val bits = adaptiveBits(docs.count())
     nearDupPairsOf(docBigramVectors(docs).localCheckpoint(true),
       NearDupThreshold, ScaledBands, bits)
@@ -476,7 +482,10 @@ object SimilarityOps {
   def s05NearDupWide(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val raw = embeddings(s, d)
-    val bits = adaptiveBits(raw.count())
+    // count on the bare scan (r16): row count is spread-invariant and the
+    // unspread count() is answered from parquet metadata, skipping the
+    // spread exchange the old raw.count() materialized
+    val bits = adaptiveBits(Tables.t(s, d, "embeddings").count())
     val emb = raw.withColumn("q", expr(qEmb))
       .withColumn("nrm", expr(normExpr("q")))
       .select("vec_id", "q", "nrm")
@@ -2150,8 +2159,8 @@ object SimilarityOps {
     val queries = queryVecs
       .select(col("vec_id").as("query_id"), col("q").as("qv"))
     // exact top-`pool` shortlist per query, vectors carried through so
-    // the pairwise pass never rejoins the corpus; checkpointed so every
-    // greedy step reads the materialized metadata-sized frame
+    // the greedy pass never rejoins the corpus — the ONLY corpus-scale
+    // stage of the operator
     val wSl = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
     val cand = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
@@ -2162,47 +2171,68 @@ object SimilarityOps {
       .filter(col("rk") <= pool)
       .select(col("query_id"), col("vec_id"),
         expr("cast(round(sim * 1000000) as bigint)").as("rel_micro"), col("q"))
-      .localCheckpoint(true)
-    // pairwise candidate similarities within each query's shortlist
-    val l = cand.select(col("query_id"), col("vec_id").as("a"), col("q").as("qa"))
-    val r = cand.select(col("query_id"), col("vec_id").as("b"), col("q").as("qb"))
-    val pair = l.join(r, Seq("query_id")).filter(col("a") =!= col("b"))
-      .withColumn("psim", round(expr(dotExpr("qa", "qb")).cast("double") /
-        cosDenom(expr(normExpr("qa")), expr(normExpr("qb"))), 6))
-      .select(col("query_id"), col("a"), col("b"),
-        expr("cast(round(psim * 1000000) as bigint)").as("psim_micro"))
-      .localCheckpoint(true)
-    val selCols = Seq("query_id", "rank", "vec_id", "rel_micro",
-      "maxsim_micro", "mmr10").map(col)
-    val wPick = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("mmr10").desc, col("vec_id"))
-    // rank 1 = pure relevance (nothing selected yet => maxsim = 0)
-    var sel = cand
-      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id").orderBy(col("rel_micro").desc, col("vec_id"))))
-      .filter(col("rn") === 1)
-      .withColumn("rank", lit(1L))
-      .withColumn("maxsim_micro", lit(0L))
-      .withColumn("mmr10", lit(lambda10) * col("rel_micro"))
-      .select(selCols: _*)
-      .localCheckpoint(true)
-    for (rk <- 2 to k) {
-      val ms = pair
-        .join(sel.select(col("query_id"), col("vec_id").as("b")), Seq("query_id", "b"))
-        .groupBy(col("query_id"), col("a").as("vec_id"))
-        .agg(max("psim_micro").as("maxsim_micro"))
-      val next = cand
-        .join(sel.select("query_id", "vec_id"), Seq("query_id", "vec_id"), "left_anti")
-        .join(ms, Seq("query_id", "vec_id"))
-        .withColumn("mmr10", lit(lambda10) * col("rel_micro") -
-          lit(10 - lambda10) * col("maxsim_micro"))
-        .withColumn("rn", row_number().over(wPick))
-        .filter(col("rn") === 1)
-        .withColumn("rank", lit(rk.toLong))
-        .select(selCols: _*)
-      sel = sel.union(next).localCheckpoint(true)
+    // r16 (guide §1.2 — fix the distributed algorithm): everything below
+    // the shortlist is bounded by CONSTANTS, ≤ queries × pool rows
+    // whatever the corpus size (MMR always re-ranks a retrieval
+    // shortlist; callers bring a bounded query set — the s01 contract),
+    // so the greedy argmax runs on the DRIVER over the collected
+    // shortlist — the PQ-training-sample / query-vocabulary convention
+    // for metadata-sized driver work. The old dataframe loop issued
+    // 2·(k−1) joins + k eager checkpoints per invocation (~10 scheduled
+    // jobs of pure coordination for ≤ 200 rows). Arithmetic is the exact
+    // mirror: integer dots, IEEE sqrt, HALF_UP rounding (Catalyst Round
+    // over DoubleType = BigDecimal.valueOf(x).setScale(s, HALF_UP)),
+    // ties by ascending vec_id — the oracle gate compares hashes at two
+    // SFs, so any divergence fails loudly.
+    val byQuery = cand.collect().map { row =>
+      val q = row.getAs[scala.collection.Seq[Long]]("q").toArray
+      (row.getAs[Long]("query_id"), row.getAs[Long]("vec_id"),
+        row.getAs[Long]("rel_micro"), q)
+    }.groupBy(_._1)
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def microOf(qa: Array[Long], qb: Array[Long]): Long = {
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < qa.length) {
+        dot += qa(i) * qb(i); na += qa(i) * qa(i); nb += qb(i) * qb(i); i += 1
+      }
+      val sim = round6(dot.toDouble /
+        math.max(math.sqrt(na.toDouble) * math.sqrt(nb.toDouble), 1e-12))
+      java.math.BigDecimal.valueOf(sim * 1000000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
     }
-    sel
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long)]
+    byQuery.toSeq.sortBy(_._1).foreach { case (qid, members) =>
+      // rank 1 = pure relevance (nothing selected yet => maxsim = 0)
+      val remaining = scala.collection.mutable.ArrayBuffer(
+        members.sortBy(m => (-m._3, m._2)): _*)
+      val selected = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Array[Long])] // (vec_id, q)
+      var rk = 1
+      while (rk <= k && remaining.nonEmpty) {
+        val (pick, maxsim, mmr10) =
+          if (rk == 1) (remaining.head, 0L, lambda10.toLong * remaining.head._3)
+          else {
+            var best: (Long, Long, Long, Array[Long]) = null // vec_id,maxsim,mmr10,q
+            remaining.foreach { m =>
+              var ms = Long.MinValue
+              selected.foreach { s => val p = microOf(m._4, s._2); if (p > ms) ms = p }
+              val sc = lambda10.toLong * m._3 - (10L - lambda10) * ms
+              if (best == null || sc > best._3 || (sc == best._3 && m._2 < best._1))
+                best = (m._2, ms, sc, m._4)
+            }
+            (members.find(_._2 == best._1).get, best._2, best._3)
+          }
+        out += ((qid, rk.toLong, pick._2, pick._3, maxsim, mmr10))
+        selected += ((pick._2, pick._4))
+        remaining.remove(remaining.indexWhere(_._2 == pick._2))
+        rk += 1
+      }
+    }
+    val spark = emb.sparkSession
+    spark.createDataFrame(out.toSeq).toDF("query_id", "rank", "vec_id",
+      "rel_micro", "maxsim_micro", "mmr10")
   }
 
   val s10Sql: String = {

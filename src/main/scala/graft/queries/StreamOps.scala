@@ -481,8 +481,15 @@ object StreamOps {
   def st11NeardupAdmission(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
+    // UNSPREAD scan for the split scalar and the standing state (r16):
+    // the max(doc_id) agg is spread-invariant, and admissionStateOf
+    // round-robin-repartitions its input itself, so the spread table
+    // would pay two back-to-back exchanges of the standing texts. The
+    // PROBE batch below keeps the spread — its embed is the per-batch
+    // hot path and has no internal repartition.
+    val rawDocs = Tables.documentsUnspread(s, d).select("doc_id", "text")
     val docs = documents(s, d).select("doc_id", "text")
-    val maxId = docs.agg(max("doc_id")).as[Long].head()
+    val maxId = rawDocs.agg(max("doc_id")).as[Long].head()
     val den = SimilarityOps.NewBatchDen
     val t = (maxId + 1L) * (den - 1L) / den
     require(t >= 1L && t <= maxId,
@@ -504,7 +511,7 @@ object StreamOps {
     admissionStates.keySet.removeIf(k => !k.startsWith(ctxKey + "#"))
     val key = s"$ctxKey#$d#$t"
     val state = admissionStates.computeIfAbsent(key,
-      _ => SimilarityOps.admissionStateOf(docs.filter(col("doc_id") < t)))
+      _ => SimilarityOps.admissionStateOf(rawDocs.filter(col("doc_id") < t)))
     SimilarityOps.admissionProbeOf(state, docs.filter(col("doc_id") >= t))
       .orderBy("doc_id")
   }
@@ -537,7 +544,9 @@ object StreamOps {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val ids = documents(s, d).select("doc_id")
-    val maxId = ids.agg(max("doc_id")).as[Long].head()
+    // split scalar from the bare scan (spread-invariant, metadata-cheap)
+    val maxId = Tables.documentsUnspread(s, d)
+      .agg(max("doc_id")).as[Long].head()
     val den = SimilarityOps.NewBatchDen
     val t = (maxId + 1L) * (den - 1L) / den
     require(t >= 1L && t <= maxId,

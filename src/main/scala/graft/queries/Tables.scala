@@ -70,20 +70,50 @@ object Tables {
     * moves the table exactly once (the corpus is by definition small —
     * few splits — when the gate passes). Round-robin repartition is
     * deterministic under retries (sortBeforeRepartition, SPARK-23207). */
-  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+  private def spread(s: SparkSession, d: String, name: String): DataFrame = {
+    val df = t(s, d, name)
     val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    // The split probe (.rdd.getNumPartitions) is only safe because t() is
+    // a bare exchange-free parquet scan — under AQE, .rdd on a plan with
+    // an exchange would materialize query stages (run jobs) at build time
+    // (r15 ADVICE). Assert the precondition so a future normalization arm
+    // that adds a shuffle fails loudly here instead of silently executing
+    // work in the gate; and memoize the verdict per (context, file, target)
+    // — the probe spins up a full QueryExecution, and every query re-calls
+    // documents()/embeddings(), so one bench pass was paying ~100 probe
+    // plans for a value that cannot change while the session is alive
+    // (the parquet inputs are immutable for the run; same files + same
+    // session config => same split count).
+    val ctx = s.sparkContext
+    val key = s"${ctx.applicationId}@${ctx.startTime}#$d/$name#$target"
+    val needs = spreadDecisions.computeIfAbsent(key, _ => {
+      require(df.queryExecution.logical
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LeafNode],
+        s"spread: $name scan must be a bare relation leaf (exchange-free) " +
+          "— the split probe would otherwise execute query stages")
+      Boolean.box(df.rdd.getNumPartitions < target)
+    })
+    if (needs) df.repartition(target) else df
   }
 
+  /** Memoized spread verdicts, keyed by (context identity, file, target):
+    * bounded (a handful of tables × one target per session); other-context
+    * entries are harmless booleans, but the applicationId+startTime key
+    * keeps a restarted context from reading a stale verdict. */
+  private val spreadDecisions =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   def documents(s: SparkSession, d: String): DataFrame =
-    spread(s, t(s, d, "documents"))
+    spread(s, d, "documents")
   /** The raw documents scan, NO spread: only for queries whose first
     * operation is itself a global sort (the media decoders sort by doc_id
     * BELOW the decode) — there the sort's range exchange already spreads
     * the rows across the cores and a spread would be a second, redundant
-    * exchange of the same bytes. */
+    * exchange of the same bytes — or an internal round-robin repartition
+    * (docBigramVectors), where the spread would be the same bytes through
+    * two back-to-back exchanges. */
   private[graft] def documentsUnspread(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
-    spread(s, t(s, d, "embeddings"))
+    spread(s, d, "embeddings")
 }
