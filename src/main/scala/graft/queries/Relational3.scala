@@ -272,49 +272,41 @@ object Relational3 {
        |FROM (SELECT root, MAX(depth) AS depth FROM walk GROUP BY root)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** The window-derived edge/root sets are MATERIALIZED (cached views)
-    * before the recursion — Spark re-evaluates CTEs referenced inside the
-    * recursive member on every iteration, so leaving the window scan
-    * inline would rescan the orders table once per chain step. Both caches
-    * and both temp views live only inside this call: the 3-row result is
-    * checkpoint-materialized, then the caches are released and the views
-    * dropped from the shared session. */
-  def q29RecursiveChains(s: SparkSession, d: String): DataFrame = {
+  /** r16 rewrite (guide §1.2 — fix the distributed algorithm first): the
+    * next-order edge is FUNCTIONAL (lead() gives each order at most one
+    * successor) and only ever links orders that are CONSECUTIVE in the
+    * per-customer (o_orderdate, o_orderkey) order, so a walk from a root
+    * visits exactly the maximal consecutive run of ≤7-day-gap orders that
+    * starts there — max depth per root == run length. That collapses the
+    * recursion into a gaps-and-islands window: one window pass + two
+    * aggregations, instead of Spark's UnionLoop re-shuffling the frontier
+    * once per chain step (plus the edge/root caches, temp views and the
+    * result checkpoint the recursive form needed). The ORACLE is the
+    * UNCHANGED recursive walk ([[q29Sql]]) — the cross-engine hash match
+    * at both SFs is the equivalence proof, and Relational3Spec pins the
+    * islands form against the recursive form on boundary fixtures
+    * (equal dates, exactly-7-day gaps). */
+  def q29RecursiveChains(s: SparkSession, d: String): DataFrame =
+    chainHistogramOf(orders(s, d))
+
+  /** The islands kernel behind q29, over any frame with (o_custkey,
+    * o_orderkey, o_orderdate) — split out so the spec can run it against
+    * the recursive-walk form on hand-built fixtures. */
+  private[graft] def chainHistogramOf(ords: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.{Window => W}
     val w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    val seq = orders(s, d)
+    val runs = ords
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
-      .withColumn("next_key", lead("o_orderkey", 1).over(w))
-      .withColumn("next_date", lead("o_orderdate", 1).over(w))
       .withColumn("prev_date", lag("o_orderdate", 1).over(w))
-    val edges = seq.filter(col("next_key").isNotNull &&
-        col("next_date") <= col("o_orderdate") + expr("INTERVAL 7 DAY"))
-      .select("o_orderkey", "next_key")
-      .cache()
-    val roots = seq.filter(col("prev_date").isNull ||
-        col("o_orderdate") > col("prev_date") + expr("INTERVAL 7 DAY"))
-      .select("o_orderkey")
-      .cache()
-    edges.createOrReplaceTempView("edges_q29")
-    roots.createOrReplaceTempView("roots_q29")
-    try s.sql(
-      """WITH RECURSIVE walk AS (
-        |  SELECT o_orderkey AS root, o_orderkey AS cur, 1 AS depth FROM roots_q29
-        |  UNION ALL
-        |  SELECT w.root, e.next_key, w.depth + 1
-        |  FROM walk w JOIN edges_q29 e ON w.cur = e.o_orderkey
-        |)
-        |SELECT CAST(depth AS BIGINT) AS chain_len,
-        |  CAST(COUNT(*) AS BIGINT) AS n_chains
-        |FROM (SELECT root, MAX(depth) AS depth FROM walk GROUP BY root)
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
-      .localCheckpoint(true)
-    finally {
-      s.catalog.dropTempView("edges_q29")
-      s.catalog.dropTempView("roots_q29")
-      edges.unpersist(blocking = false)
-      roots.unpersist(blocking = false)
-    }
+      // the root predicate of the recursive form, verbatim
+      .withColumn("new_chain", when(col("prev_date").isNull ||
+        col("o_orderdate") > col("prev_date") + expr("INTERVAL 7 DAY"), 1L)
+        .otherwise(0L))
+      .withColumn("chain", sum("new_chain").over(w))
+    runs.groupBy("o_custkey", "chain")
+      .agg(count(lit(1)).as("chain_len"))
+      .groupBy("chain_len").agg(count(lit(1)).as("n_chains"))
+      .orderBy("chain_len")
   }
 
   val q29Sql: String = q29Text("orders")
