@@ -402,10 +402,12 @@ object ClusterOps {
       .join(assign.select(col("vec_id").as("doc_id"), col("cell")), "doc_id")
       .groupBy("cell", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
+    // corpus/cell totals stay LAZY (r16): each is a metadata-sized agg
+    // over the checkpointed k×vocab tf table, consumed once in the guard
+    // job and once in the final join — re-deriving them there is cheaper
+    // than the two eager-checkpoint jobs the old shape scheduled
     val corpusTf = tf.groupBy("term").agg(sum("tf").as("ctf"))
-      .localCheckpoint(true)
     val cellTot = tf.groupBy("cell").agg(sum("tf").as("cell_toks"))
-      .localCheckpoint(true)
     val tot = tf.agg(sum("tf").as("toks"))
     // Exact-integer range guard on the ACTUAL worst-case per-row products
     // (all metadata-sized aggs over the checkpointed k×vocab tf table):
@@ -413,13 +415,18 @@ object ClusterOps {
     // cell_toks·ctf is worst at max(cell_toks)·max(ctf). A total-token
     // ceiling alone is wrong in both directions — a degenerate one-term
     // corpus overflows the numerator at ~10^8 tokens, while a flat
-    // vocabulary is exact far past 3·10^9.
-    val totRow = tot.head()
-    if (!totRow.isNullAt(0)) {
-      val toks = totRow.getLong(0)
-      val maxTf = tf.agg(max("tf")).head().getLong(0)
-      val maxCtf = corpusTf.agg(max("ctf")).head().getLong(0)
-      val maxCell = cellTot.agg(max("cell_toks")).head().getLong(0)
+    // vocabulary is exact far past 3·10^9. All four scalars come back in
+    // ONE job (r16 — the old shape scheduled four sequential .head()
+    // round-trips over the same checkpointed table).
+    val statsRow = tf.agg(sum("tf").as("toks"), max("tf").as("maxTf"))
+      .crossJoin(corpusTf.agg(max("ctf").as("maxCtf")))
+      .crossJoin(cellTot.agg(max("cell_toks").as("maxCell")))
+      .head()
+    if (!statsRow.isNullAt(0)) {
+      val toks = statsRow.getLong(0)
+      val maxTf = statsRow.getLong(1)
+      val maxCtf = statsRow.getLong(2)
+      val maxCell = statsRow.getLong(3)
       require(milliLiftRangeOk(toks, maxTf, maxCell, maxCtf),
         s"clusterLabels: corpus exceeds the exact milli-lift integer " +
           s"range (toks=$toks, max tf=$maxTf, max cell=$maxCell, max " +

@@ -558,7 +558,10 @@ object DedupOps2 {
     * ONE left equi-join against the label table and a map-only hash
     * decision. No new shuffle class beyond d07's. */
   def d13LeakageSplit(s: SparkSession, d: String): DataFrame =
-    leakageSplitOf(s, documents(s, d).select("doc_id"),
+    // UNSPREAD id scan (r16): the universe side goes straight into an
+    // equi-join (its own exchange or a broadcast probe) and a map-only
+    // hash decision — the spread's round-robin exchange bought nothing
+    leakageSplitOf(s, Tables.documentsUnspread(s, d).select("doc_id"),
       DedupOps.d04MinhashLsh(s, d).select("doc_a", "doc_b"), LeakSplitMod)
       .orderBy("doc_id")
 

@@ -815,8 +815,12 @@ object PipelineOps {
     * equi-join, never doc×doc. Val docs with < k words have no grams
     * and are omitted (the t21 contract). */
   def p09SplitAudit(s: SparkSession, d: String): DataFrame = {
+    // the split frame is consumed exactly once (the grams join below,
+    // which is itself eagerly checkpointed), so checkpointing it first
+    // was a pure extra materialization job (r16); d13's own CC labels
+    // are checkpoint-materialized inside leakageSplitOf either way
     val split = DedupOps2.d13LeakageSplit(s, d)
-      .select("doc_id", "split").localCheckpoint(true)
+      .select("doc_id", "split")
     // the (doc_id, f) gram table IS ppjoinGramsPlanOf at k=SplitAuditK
     // (r16, ADVICE): reuse the shared builder so the per-doc
     // array_distinct == global distinct equivalence argument (doc_id is

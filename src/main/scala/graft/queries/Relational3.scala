@@ -630,12 +630,18 @@ object Relational3 {
     // sum(exact_n) per cell is bit-identical to count(*) over raw
     // occurrences. The standalone one-pass d·w-state sketch shape (no
     // exact agg anywhere) lives in graft.ops.Sketches.cmsGrid, unchanged.
+    // r16: checkpoint the KEYS-sized exact aggregate once — it feeds both
+    // the register grid and the top-k audit side, and left lazy each
+    // consumer re-ran the full scan + aggregate (two corpus passes); the
+    // grid derivation is now a lazy agg over the checkpointed keys (cells
+    // was consumed once, so its separate eager materialization was pure
+    // job overhead)
     val keyed = rows.groupBy("l_suppkey").agg(count(lit(1)).as("exact_n"))
+      .localCheckpoint(true)
     val cells = keyed
       .select(col("exact_n"),
         posexplode(expr(cmsColsExpr("l_suppkey"))).as(Seq("r", "c")))
-      .groupBy("r", "c").agg(sum("exact_n").as("n"))
-      .localCheckpoint(true) // sketch-sized: <= d*w rows
+      .groupBy("r", "c").agg(sum("exact_n").as("n")) // sketch-sized: <= d*w rows
     val top = keyed
       .orderBy(col("exact_n").desc, col("l_suppkey")).limit(CmsTopK)
     val probes = top

@@ -1807,7 +1807,12 @@ object SimilarityOps {
     * rescore is linear at any corpus size. */
   def s11KnnGraph(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    knnGraphOf(withQuantized(embeddings(s, d), "embedding"), KnnK)
+    // bits from the bare-scan count (r16): row count is invariant under
+    // the spread and the map-only quantize, so the resolveBits count no
+    // longer executes the spread exchange + quantize plan
+    val bits = adaptiveBits(Tables.t(s, d, "embeddings").count())
+    knnGraphOf(withQuantized(embeddings(s, d), "embedding"), KnnK,
+      ScaledBands, bits)
       .orderBy("vec_id", "rk")
   }
 
@@ -1955,11 +1960,16 @@ object SimilarityOps {
     import s.implicits._
     val emb = withQuantized(embeddings(s, d), "embedding")
       .localCheckpoint(true)
-    val maxId = emb.agg(max("vec_id")).as[Long].head()
+    // split scalar + adaptive-bit count in ONE job over the checkpointed
+    // frame (r16 — the old shape scheduled two sequential scalar jobs:
+    // this head() and resolveBits' count())
+    val idRow = emb.agg(max("vec_id"), count(lit(1))).head()
+    val maxId = idRow.getLong(0)
     val t = (maxId + 1L) * (NewBatchDen - 1L) / NewBatchDen
     require(t >= 1L && t <= maxId,
       s"incrementalKnn: degenerate batch split t=$t for max id $maxId")
-    incrementalKnnOf(emb, t, KnnK, ScaledBands, AdaptiveBits, KnnCandCap)
+    incrementalKnnOf(emb, t, KnnK, ScaledBands,
+      adaptiveBits(idRow.getLong(1)), KnnCandCap)
       .orderBy("vec_id", "rk")
   }
 
@@ -2053,11 +2063,14 @@ object SimilarityOps {
     import s.implicits._
     val emb = withQuantized(embeddings(s, d), "embedding")
       .localCheckpoint(true)
-    val maxId = emb.agg(max("vec_id")).as[Long].head()
+    // one scalar job for split + bits (r16, same merge as s15)
+    val idRow = emb.agg(max("vec_id"), count(lit(1))).head()
+    val maxId = idRow.getLong(0)
     val t = (maxId + 1L) * (NewBatchDen - 1L) / NewBatchDen
     require(t >= 1L && t <= maxId,
       s"touchedKnn: degenerate batch split t=$t for max id $maxId")
-    touchedKnnOf(emb, t, KnnK, ScaledBands, AdaptiveBits, KnnCandCap)
+    touchedKnnOf(emb, t, KnnK, ScaledBands,
+      adaptiveBits(idRow.getLong(1)), KnnCandCap)
       .orderBy("vec_id", "rk")
   }
 

@@ -634,8 +634,12 @@ class PlanSpec extends AnyFunSuite {
   test("q34: CMS cell aggregate runs partial; probe join is an equi-join") {
     val p = plan(Relational3.q34CmsSketch(spark, d))
     // the d-row fan-out must aggregate map-side so the shuffle carries
-    // at most d*w cells per partition — the mergeable-sketch property
-    assert(p.contains("partial_count"), p.take(800))
+    // at most d*w cells per partition — the mergeable-sketch property.
+    // r16: the exact per-key count is checkpoint-materialized at build
+    // (it feeds both the grid and the audit side — one corpus pass), so
+    // the final plan shows the CELL aggregate (partial_sum over the
+    // checkpointed keys) instead of the count's own partial.
+    assert(p.contains("partial_sum"), p.take(800))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
