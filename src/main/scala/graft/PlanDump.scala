@@ -114,13 +114,19 @@ object PlanDumpSub {
   }
 }
 
-/** r16 pre-checkpoint subplan evidence: s02/st11's bigram-tf stage is
-  * materialized by an eager localCheckpoint inside docBigramVectors /
-  * admissionStateOf, so the final-query explain shows it only as an
-  * ExistingRDD leaf. The r16 change routes those builders the UNSPREAD
-  * documents scan (they round-robin-repartition internally), removing
-  * the spread exchange that sat back-to-back with the internal one.
-  * This dumps the stage's own plan both ways.
+/** r16 pre-checkpoint subplan evidence for the unspread reroute of
+  * s02/st11's bigram-tf stage (materialized by an eager localCheckpoint
+  * inside docBigramVectors / admissionStateOf, so the final-query
+  * explain shows it only as an ExistingRDD leaf). FINDING: the dumps
+  * show the suspected double round-robin exchange never executed —
+  * predicate pushdown moves the split filter below the caller's spread
+  * and CollapseRepartition then merges the adjacent repartitions, so
+  * BEFORE and AFTER both plan exactly ONE round-robin exchange. The
+  * reroute is therefore plan-neutral for this stage (kept for clarity +
+  * the metadata-cheap bare-scan count); the REAL exchange removal of
+  * the r16 unspread batch is d13's (project between repartition and
+  * join — not collapsible; `d13_leakage_split_{before,after}.txt` shows
+  * 6 → 4 Exchange mentions).
   *
   *   sbt "runMain graft.PlanDumpSub16 <outDir>"
   */
@@ -143,8 +149,15 @@ object PlanDumpSub16 {
     // the bigram-tf stage body (docBigramVectors/admissionStateOf front
     // end), reconstructed verbatim: internal round-robin repartition +
     // gram explode + tf aggregate — the plan that feeds the eager
-    // checkpoint
+    // checkpoint. The STANDING-side filter (st11's doc_id < t split)
+    // sits between the caller's spread and the internal repartition:
+    // with it, CollapseRepartition cannot merge the two round-robin
+    // exchanges and both execute (for s02 — no filter between — the
+    // optimizer already collapsed them, which the r16 investigation
+    // confirmed by dumping both shapes; the s02 win is only the
+    // metadata-cheap count, the st11/d13 win is a real exchange).
     def gtfPlan(docs: org.apache.spark.sql.DataFrame) = docs
+      .filter(col("doc_id") < 4000L)
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 2)
@@ -152,8 +165,8 @@ object PlanDumpSub16 {
         "transform(sequence(1, size(ws) - 1), i -> concat(ws[i - 1], ' ', ws[i]))"))
         .as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
-    // BEFORE (r15 shape): callers passed the SPREAD documents table —
-    // its round-robin exchange sat directly under the internal one
+    // BEFORE (r15 shape): the standing side read the SPREAD documents
+    // table — its round-robin exchange survives below the split filter
     val before = gtfPlan(Tables.documents(spark, sfDir)
       .select("doc_id", "text"))
     // AFTER: the unspread scan — one exchange total

@@ -457,11 +457,12 @@ object SimilarityOps {
   def s02EmbedNearDup(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // UNSPREAD scan (r16): docBigramVectors round-robin-repartitions its
-    // input before the gram explode itself, so the spread table would pay
-    // two back-to-back exchanges of the same text bytes; the count for
-    // the adaptive bit width runs on the bare scan (row count is
-    // repartition-invariant, and Spark answers count-over-scan from
-    // parquet metadata instead of materializing the spread exchange).
+    // input before the gram explode itself — the spread would be
+    // redundant (CollapseRepartition merges the adjacent repartitions,
+    // so the reroute is plan-neutral; see PlanDumpSub16) — and the count
+    // for the adaptive bit width runs on the bare scan, where Spark
+    // answers it from parquet metadata instead of materializing the
+    // spread exchange.
     val docs = Tables.documentsUnspread(s, d).select("doc_id", "text")
     val bits = adaptiveBits(docs.count())
     nearDupPairsOf(docBigramVectors(docs).localCheckpoint(true),

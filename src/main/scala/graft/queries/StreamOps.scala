@@ -482,11 +482,12 @@ object StreamOps {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     // UNSPREAD scan for the split scalar and the standing state (r16):
-    // the max(doc_id) agg is spread-invariant, and admissionStateOf
-    // round-robin-repartitions its input itself, so the spread table
-    // would pay two back-to-back exchanges of the standing texts. The
-    // PROBE batch below keeps the spread — its embed is the per-batch
-    // hot path and has no internal repartition.
+    // the max(doc_id) agg is spread-invariant and metadata-cheap on the
+    // bare scan, and admissionStateOf round-robin-repartitions its
+    // input itself, making the spread redundant (plan-neutral — the
+    // optimizer collapsed the adjacent repartitions anyway, see
+    // PlanDumpSub16). The PROBE batch below keeps the spread — its
+    // embed is the per-batch hot path and has no internal repartition.
     val rawDocs = Tables.documentsUnspread(s, d).select("doc_id", "text")
     val docs = documents(s, d).select("doc_id", "text")
     val maxId = rawDocs.agg(max("doc_id")).as[Long].head()
